@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Column-level functions shared by the operators.
+  *
+  * Everything here composes codegen'd Spark built-ins (higher-order array
+  * functions, string functions) — no Scala UDFs in hot paths, so the
+  * expressions stay inside whole-stage codegen (SURVEY §2.10). The single
+  * UDF (`nfc_normalize`) is used only on tiny anchor-lookup paths.
+  */
+package object functions {
+
+  /** V1 — cosine similarity between two `array<double>` columns
+    * (reference: `vector.similarity.cosine`, retrieval/retriever.py:59).
+    * Pure higher-order built-ins → whole-stage codegen, no UDF.
+    */
+  def cosineSim(x: Column, y: Column): Column = {
+    val dot = aggregate(zip_with(x, y, (a, b) => a * b), lit(0.0), (acc, v) => acc + v)
+    val nx  = sqrt(aggregate(x, lit(0.0), (acc, v) => acc + v * v))
+    val ny  = sqrt(aggregate(y, lit(0.0), (acc, v) => acc + v * v))
+    dot / (nx * ny)
+  }
+
+  /** Dot product for pre-normalized vectors (preferred at scale: normalize
+    * once at load, then cosine == dot — SURVEY §4 physical notes). */
+  def dotProduct(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (a, b) => a * b), lit(0.0), (acc, v) => acc + v)
+
+  /** L2-normalize an `array<double>` column. */
+  def l2Normalize(x: Column): Column = {
+    val n = sqrt(aggregate(x, lit(0.0), (acc, v) => acc + v * v))
+    transform(x, v => v / n)
+  }
+
+  /** P6 — Unicode NFC normalization (reference: Cypher `normalize()`,
+    * retrieval/ner.py:111-114). Registered as a named SQL function so it can
+    * be used from SQL strings too; DuckDB oracle uses `nfc_normalize`.
+    * UDF is acceptable here: it only runs over anchor-lookup predicates.
+    */
+  def registerAll(spark: SparkSession): Unit = {
+    spark.udf.register("graft_nfc", (s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  /** Normalized-name expression used by the fulltext-exact lookup path
+    * (`lower(nfc(s))` — retrieval/ner.py:113). Requires [[registerAll]]. */
+  def normName(c: Column): Column = lower(call_udf("graft_nfc", c))
+
+  /** Whitespace word tokenizer shared by the text-analysis operators. */
+  def words(text: Column): Column =
+    filter(split(text, "\\s+"), w => w =!= "")
+
+  /** Deterministic token count with a BPE-ish sub-word estimate: words plus
+    * an extra token per 4 chars of long words (reference's budget tokenizer
+    * is an HF tokenizer, retrieval/retriever.py:67-69 — pluggable; this is
+    * the deterministic default, SURVEY §2.10).
+    */
+  def tokenCountEstimate(text: Column): Column =
+    aggregate(words(text), lit(0L),
+      (acc, w) => acc + lit(1L) + (length(w).cast("long") / lit(4L)))
+
+  /** Word n-gram shingles (dedup/minhash building block). Empty array when
+    * the document has fewer than `n` words. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val w = words(text)
+    when(size(w) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*)))
+  }
+
+  /** Engine-portable hash for MinHash: lowercase hex md5 of `seed|value`.
+    * Lexicographic `min` over these strings is identical in Spark and
+    * DuckDB, which makes the LSH oracle exactly reproducible — no reliance
+    * on engine-specific integer hash functions. */
+  def seededMd5(seed: Int, value: Column): Column =
+    md5(concat(lit(seed.toString), lit("|"), value))
+}

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * n-gram Jaccard, SimHash. Designed so the *same* computation is exactly
+  * expressible in ANSI SQL (DuckDB oracle): all hashing goes through
+  * lowercase-hex `md5`, which both engines produce identically, instead of
+  * engine-specific integer hash functions.
+  *
+  * Scale notes: exact dedup is one hash-groupBy (map-side combine → tiny
+  * shuffle). MinHash/LSH shuffles (doc × seeds) once to build signatures and
+  * joins on (band, signature) — the join key is the LSH bucket, so candidate
+  * generation is O(collisions), not O(n²); AQE splits skewed buckets. The
+  * verify step (exact Jaccard) runs only on candidate pairs.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: per duplicate-group keeper (min doc id)
+    * and group size. `SELECT min(id), count(*) GROUP BY md5(text)`. */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_docs"))
+
+  /** Doc → word-`n`-gram shingle set (distinct). */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      array_distinct(wordShingles(col(textCol), n)).as("shingles"))
+      .where(size(col("shingles")) > 0)
+
+  /** MinHash signatures: for each seed, min over md5(seed|shingle) strings.
+    * One row per (doc, seed). Computed via explode + min-groupBy, which is a
+    * single shuffle with map-side partial min. */
+  def minhashSignatures(shingled: DataFrame, numHashes: Int): DataFrame = {
+    val seeds = (0 until numHashes).map(s =>
+      min(seededMd5(s, col("shingle"))).as(s"mh_$s"))
+    shingled.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .groupBy("doc_id")
+      .agg(seeds.head, seeds.tail: _*)
+  }
+
+  /** LSH candidate pairs: split the signature into `numBands` bands of
+    * `rowsPerBand`, bucket-join docs sharing any band signature. */
+  def lshCandidatePairs(signatures: DataFrame, numHashes: Int, numBands: Int): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    val bands = (0 until numBands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh_$i"))
+      struct(lit(b).as("band"), md5(concat_ws(",", cols: _*)).as("sig"))
+    }
+    val buckets = signatures
+      .select(col("doc_id"), explode(array(bands: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+      .distinct()
+  }
+
+  /** Exact Jaccard verification of candidate pairs (the "verify" stage after
+    * LSH candidate generation). */
+  def jaccardVerify(candidates: DataFrame, shingled: DataFrame, threshold: Double): DataFrame = {
+    val s1 = shingled.select(col("doc_id").as("id1"), col("shingles").as("sh1"))
+    val s2 = shingled.select(col("doc_id").as("id2"), col("shingles").as("sh2"))
+    candidates.join(s1, "id1").join(s2, "id2")
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+      .withColumn("jac", round(col("inter") /
+        (size(col("sh1")) + size(col("sh2")) - col("inter")), 6))
+      .where(col("jac") >= threshold)
+      .select(col("id1"), col("id2"), col("jac"))
+  }
+
+  /** Full MinHash+LSH near-dup pipeline. */
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
+                 shingleN: Int, numHashes: Int, numBands: Int,
+                 threshold: Double): DataFrame = {
+    val sh = shingleSets(docs, idCol, textCol, shingleN)
+    val sig = minhashSignatures(sh, numHashes)
+    jaccardVerify(lshCandidatePairs(sig, numHashes, numBands), sh, threshold)
+  }
+
+  /** All-pairs n-gram Jaccard via inverted shingle index (no MinHash): pairs
+    * sharing ≥1 shingle, with exact Jaccard per pair computed from shared
+    * counts — O(postings²) per shingle, the exact-but-smaller-scale
+    * baseline the LSH path approximates. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int, threshold: Double): DataFrame = {
+    val sh = shingleSets(docs, idCol, textCol, shingleN)
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+    val posts = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val common = posts.as("x").join(posts.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+      .agg(count(lit(1)).as("inter"))
+    common
+      .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), "id1")
+      .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), "id2")
+      .withColumn("jac", round(col("inter").cast("double") /
+        (col("n1") + col("n2") - col("inter")), 6))
+      .where(col("jac") >= threshold)
+      .select(col("id1"), col("id2"), col("jac"))
+  }
+
+  /** SimHash: `bits`-bit signature from per-word md5 bits, majority-voted.
+    * Engine-portable: bit i = bit i of the integer value of md5's first 8
+    * hex chars (fits in a Long), +1/-1 tallied over the document's words,
+    * sign of the tally → signature bit. Implemented explode-side so the word
+    * hash is computed once per word, then a single groupBy builds all bit
+    * tallies with map-side combine (one shuffle). Near-dups = equal simhash;
+    * Hamming-distance banding would widen recall at scale. */
+  def simhashGroups(docs: DataFrame, idCol: String, textCol: String,
+                    bits: Int = 16): DataFrame = {
+    val tokens = docs
+      .select(col(idCol).as("doc_id"), explode(words(lower(col(textCol)))).as("word"))
+      .withColumn("h", conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long"))
+    val tallies = (0 until bits).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+        .as(s"t_$i"))
+    val sig = (0 until bits).map(i =>
+      when(col(s"t_$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    tokens.groupBy("doc_id")
+      .agg(tallies.head, tallies.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+      .groupBy("simhash")
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_docs"))
+      .where(col("n_docs") > 1)
+  }
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Budgeted ranked retrieval assembly (SURVEY §2.7 T3; reference
+  * retrieval/retriever.py:63-109 — the reference's most intricate operator)
+  * plus the candidate-ranking ops around it (A6/P7, T4).
+  *
+  * The reference's imperative loop: execute queries in rank order; per row,
+  * dedup on nodeId (first query wins, later queries only append provenance
+  * patterns); stop when the budget (node count or token count) is reached,
+  * evicting the overflowing row. Because execution order is deterministic
+  * (query rank, then similarity-desc row order), the whole loop is
+  * expressible declaratively: window dedup + running token sum + prefix
+  * filter — no driver-side iteration, fully distributed.
+  */
+object Retrieval {
+
+  /** Assemble retrieval results under a budget.
+    *
+    * @param queryResults ranked per-query results, best query first; each
+    *   must have columns (nodeId: Long, name: String, similarity: Double,
+    *   pattern: String) — pattern is the provenance text
+    *   (retrieval/retriever.py:80-86).
+    * @param maxNodes  node budget (graphraft.py:37 max_nodes=20)
+    * @param maxTokens token budget (nb llm2 cell 3 max_tokens=10k); the
+    *   token cost column is supplied by `tokenCost`.
+    */
+  def budgetedAssemble(queryResults: Seq[DataFrame],
+                       tokenCost: Column,
+                       maxNodes: Int,
+                       maxTokens: Long): DataFrame = {
+    val tagged = queryResults.zipWithIndex.map { case (df, i) =>
+      // deterministic within-query order: similarity desc, nodeId tiebreak
+      // (the rewritten queries ORDER BY similarity DESC,
+      // retrieval/retriever.py:59)
+      df.withColumn("query_rank", lit(i))
+        .withColumn("row_order", row_number().over(
+          Window.partitionBy(lit(i)).orderBy(col("similarity").desc, col("nodeId"))))
+    }
+    val unioned = tagged.reduce(_.unionByName(_))
+
+    // first-query-wins dedup + provenance accumulation across *all* rows of
+    // the node (retrieval/retriever.py:80-86: first occurrence sets props,
+    // later ones only append to `pattern`)
+    val perNode = unioned
+      .groupBy(col("nodeId"))
+      .agg(
+        min(struct(col("query_rank"), col("row_order"), col("name"),
+          col("similarity"))).as("first"),
+        array_sort(collect_list(struct(col("query_rank"), col("row_order"),
+          col("pattern")))).as("provenance"))
+      .select(
+        col("nodeId"),
+        col("first.query_rank").as("query_rank"),
+        col("first.row_order").as("row_order"),
+        col("first.name").as("name"),
+        col("first.similarity").as("similarity"),
+        transform(col("provenance"), p => p.getField("pattern")).as("patterns"))
+
+    // global deterministic order = the reference's execution order; token
+    // budget = running sum prefix; node budget = row_number prefix. The
+    // "evict last added on overflow" loop (retriever.py:87-93) is exactly
+    // "keep the maximal prefix with cumTokens <= maxTokens".
+    val ord = Window.orderBy(col("query_rank"), col("row_order"))
+    perNode
+      .withColumn("tokens", tokenCost)
+      .withColumn("rank", row_number().over(ord))
+      .withColumn("cum_tokens", sum(col("tokens")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .where(col("rank") <= maxNodes && col("cum_tokens") <= maxTokens)
+  }
+
+  /** A6 + P7 — candidate ranking and the training-label quality gate
+    * (reference llm1.py:53-66): per group, sort candidates by
+    * (-hits, num_results, id) and keep the best; gate on
+    * recall ≥ minRecall (hits covers all gold) and precision =
+    * hits/num_results ≥ minPrecision.
+    *
+    * Input columns: groupCol, idCol, hits, num_results, gold_total.
+    */
+  def bestCandidates(df: DataFrame, groupCol: String, idCol: String,
+                     minRecall: Double, minPrecision: Double): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("hits").desc, col("num_results"), col(idCol))
+    df.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .where(
+        col("hits").cast("double") / col("gold_total") >= minRecall &&
+        col("hits").cast("double") / col("num_results") >= minPrecision)
+      .drop("rn")
+  }
+
+  /** T4 — deterministic rank-biased (power-law) sampling
+    * (reference training/generate_training_data_llm2.ipynb cell 5:
+    * inv_cdf = u**(1/alpha), alpha=0.1, n samples without replacement).
+    * The uniform draw is derived from md5 so it is engine-portable and
+    * seeded: u = int(md5(key:i)[0:6], 16) / 16^6.
+    */
+  def powerLawIndex(key: Column, sampleNo: Int, alpha: Double, n: Column): Column = {
+    val u = conv(substring(md5(concat(key.cast("string"), lit(":" + sampleNo))), 1, 6),
+      16, 10).cast("double") / lit(16777216.0)
+    floor(pow(u, 1.0 / alpha) * n.cast("double")).cast("int")
+  }
+}

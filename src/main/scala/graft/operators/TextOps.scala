@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions._
+
+/** Text analysis for large-scale training-data pipelines: language ID,
+  * quality scoring, token counting, fingerprinting. All pure codegen'd
+  * built-ins over the `documents` table — embarrassingly parallel scans with
+  * map-side aggregation, no shuffle beyond the final small groupBy, so the
+  * operators are scan-bound at 100 TB.
+  */
+object TextOps {
+
+  /** Tiny per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic (fastText-style but deterministic and SQL-expressible). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una"))
+
+  private def stopwordHits(w: Column, lang: String): Column =
+    size(filter(w, x => x.isin(stopwords(lang): _*)))
+
+  /** Language ID: argmax over per-language stopword hit counts, 'und'
+    * (undetermined) when no list matches. Returns per-(predicted, actual)
+    * confusion counts so the oracle is a stable small aggregate. */
+  def langIdConfusion(docs: DataFrame): DataFrame = {
+    val w = words(lower(col("text")))
+    val langs = stopwords.keys.toSeq.sorted
+    val scored = docs.select(col("lang").as("actual_lang"), w.as("w"))
+      .select(col("actual_lang") +: langs.map(l => stopwordHits(col("w"), l).as(s"hits_$l")): _*)
+    // argmax with deterministic tie-break: first language in sorted order
+    val best = langs.tail.foldLeft(
+      struct(col(s"hits_${langs.head}").as("h"), lit(langs.head).as("l"))) {
+      (acc, l) => when(col(s"hits_$l") > acc.getField("h"),
+        struct(col(s"hits_$l").as("h"), lit(l).as("l"))).otherwise(acc)
+    }
+    scored
+      .withColumn("pred", when(best.getField("h") > 0, best.getField("l")).otherwise(lit("und")))
+      .groupBy(col("actual_lang"), col("pred").as("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Quality scoring: length, mean word length, stopword ratio, alpha ratio.
+    * Score in [0,1]; aggregated per source. (The classic pre-training
+    * quality heuristics — length/punct/stopword gates.) */
+  def qualityBySource(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    val nWords = size(w).cast("double")
+    val meanWordLen = aggregate(w, lit(0L), (acc, x) => acc + length(x).cast("long"))
+      .cast("double") / nWords
+    val stopRatio = stopwordHits(words(lower(col("text"))), "en").cast("double") / nWords
+    val alphaRatio = (length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
+      greatest(length(col("text")).cast("double"), lit(1.0)))
+    val score =
+      when(nWords < 5, lit(0.0)).otherwise(
+        least(nWords / lit(100.0), lit(1.0)) * lit(0.4) +
+        least(stopRatio * lit(5.0), lit(1.0)) * lit(0.3) +
+        least(alphaRatio, lit(1.0)) * lit(0.3))
+    docs.select(col("source"), score.as("score"),
+        nWords.as("n_words"), meanWordLen.as("mwl"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("score")), 6).as("avg_score"),
+        round(avg(col("n_words")), 6).as("avg_words"),
+        round(avg(col("mwl")), 6).as("avg_word_len"))
+  }
+
+  /** Token counting: whitespace words + BPE-ish char/4 sub-word surcharge,
+    * aggregated per lang ([[graft.functions.tokenCountEstimate]]). */
+  def tokenStatsByLang(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), tokenCountEstimate(col("text")).as("tok"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("total_tokens"),
+        round(avg(col("tok")), 6).as("avg_tokens"))
+
+  /** Document fingerprint: md5 over the sorted distinct lowercase word set
+    * (bag-of-words canonical form — rolling-hash-family fingerprinting,
+    * deterministic and engine-portable). Groups with >1 doc are near-dups
+    * under word-set identity. */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(words(lower(text))))))
+
+  def fingerprintDupGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(fingerprint(col("text")).as("fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper_id"))
+      .where(col("n_docs") > 1)
+
+  /** Multimodal plumbing: treat payloads as opaque binary + typed metadata.
+    * The decode step is a STUB (image/audio libs are not in this
+    * environment): `decodeStub` stands in for a real per-batch decoder
+    * (thumbnail/frame-sample/etc.) — the Spark-side contract (binary column
+    * in, fixed-schema features out, executed per partition with no
+    * driver-side collect) is the real, tested part. */
+  def binaryFeatures(docs: DataFrame): DataFrame = {
+    val bin = col("text").cast("binary")
+    docs.select(
+      col("doc_id"),
+      col("source"),
+      octet_length(bin.cast("string")).as("n_bytes"),
+      // STUB decode: deterministic fake "feature" = first byte value; a real
+      // pipeline would mapPartitions a decoder over the binary payloads.
+      substring(hex(bin), 1, 2).as("magic_byte"))
+  }
+
+  def binaryStatsBySource(docs: DataFrame): DataFrame =
+    binaryFeatures(docs)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_bytes")).as("total_bytes"))
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions._
+
+/** Vector similarity & KNN (SURVEY §2.6 V1-V5; reference
+  * retrieval/retriever.py:14-25,49-60 — Neo4j `db.index.vector.queryNodes`
+  * with cosine, ef up to 10,000, plus exclusion of already-found nodes).
+  *
+  * Two physical strategies:
+  *  - [[bruteForceTopK]]: exact — score every row, `ORDER BY sim DESC LIMIT
+  *    k`. Catalyst plans the sort+limit as TakeOrderedAndProject: each
+  *    partition keeps a k-heap, the driver merges 32 (or 1000) heaps — no
+  *    global sort, no shuffle of the scored set. This is the right *exact*
+  *    plan at any scale; cost is one scan.
+  *  - [[lshTopK]]: approximate — sign-bit random-hyperplane bucketing
+  *    (SimHash-style LSH). Candidates = rows in the query's bucket, so the
+  *    scan prunes to ~N/2^bits rows when the bucket column is a partition or
+  *    z-order key. This is the 100 TB path: bucket id is computed at write
+  *    time and used for partition pruning.
+  *
+  * Embeddings are cast to `array<double>` once; at scale you'd L2-normalize
+  * at load so cosine degenerates to dot product ([[graft.functions.l2Normalize]]).
+  */
+object Vectors {
+
+  /** Score every row against `query` with cosine similarity (V1). */
+  def scored(emb: DataFrame, vecCol: String, query: Seq[Double]): DataFrame = {
+    val q = lit(query.toArray)
+    emb.withColumn("similarity",
+      cosineSim(col(vecCol).cast("array<double>"), q))
+  }
+
+  /** V2 — exact KNN with optional exclusion of already-found ids
+    * (`WHERE NOT node.nodeId IN $found` — retrieval/retriever.py:16).
+    * Ordering is made deterministic by rounding the similarity to 6 decimals
+    * and tie-breaking on the id column, so results are reproducible across
+    * engines and partitionings. */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+                     query: Seq[Double], k: Int,
+                     exclude: Seq[Long] = Nil): DataFrame = {
+    val base = if (exclude.isEmpty) emb else emb.where(!col(idCol).isin(exclude: _*))
+    scored(base, vecCol, query)
+      .withColumn("similarity", round(col("similarity"), 6))
+      .orderBy(col("similarity").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("similarity"))
+  }
+
+  /** Sign-bit LSH bucket id over the first `bits` dimensions: a string of
+    * 0/1 per dimension sign. Deterministic and engine-portable (the DuckDB
+    * oracle recomputes it with the same CASE expression). With random
+    * hyperplanes you'd dot against stored projection vectors; sign-of-dim is
+    * the seedless special case (axis-aligned hyperplanes). */
+  def lshBucket(vec: Column, bits: Int): Column =
+    concat((0 until bits).map(i =>
+      when(element_at(vec, i + 1) >= 0, lit("1")).otherwise(lit("0"))): _*)
+
+  /** ANN: search only the query's LSH bucket, then exact top-k inside it. */
+  def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
+              query: Seq[Double], k: Int, bits: Int): DataFrame = {
+    val qBucket = query.take(bits).map(v => if (v >= 0) "1" else "0").mkString
+    val vec = col(vecCol).cast("array<double>")
+    scored(emb.where(lshBucket(vec, bits) === lit(qBucket)), vecCol, query)
+      .withColumn("similarity", round(col("similarity"), 6))
+      .orderBy(col("similarity").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("similarity"))
+  }
+
+  /** All-pairs near-duplicate detection over embeddings via LSH bucketing:
+    * pairs sharing a bucket whose cosine ≥ threshold (the embedding-cosine
+    * near-dup path of a training-data pipeline). The bucket join bounds the
+    * candidate set; at scale buckets are the shuffle key and AQE handles
+    * skewed buckets. */
+  def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                   bits: Int, threshold: Double): DataFrame = {
+    val vec = col(vecCol).cast("array<double>")
+    val b = emb.select(col(idCol).as("id"), vec.as("v"))
+      .withColumn("bucket", lshBucket(col("v"), bits))
+    val pairs = b.as("x").join(b.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id1"), col("y.id").as("id2"),
+        round(cosineSim(col("x.v"), col("y.v")), 6).as("cos_sim"))
+    pairs.where(col("cos_sim") >= threshold)
+  }
+}

@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness check.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Runs each SQL in <verifyOutDir>/oracle_sql.json against DuckDB views over
+<sfDir>/*.parquet, loads the Spark result from <verifyOutDir>/<name>/,
+sorts columns by name and rows by value, and compares cell-by-cell.
+"""
+import sys, os, json, glob, math
+import duckdb
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, (list, tuple)):
+        return tuple(norm_cell(x) for x in v)
+    return v
+
+def cells_equal(a, b):
+    a, b = norm_cell(a), norm_cell(b)
+    if isinstance(a, float) and isinstance(b, (float, int)):
+        return a == b or abs(a - b) < 1e-12
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(cells_equal(x, y) for x, y in zip(a, b))
+    return a == b
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        t = os.path.basename(p)[:-len(".parquet")]
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracles = json.load(f)
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        spark_dir = os.path.join(out_dir, name)
+        if not os.path.isdir(spark_dir):
+            print(f"FAIL {name}: no spark output dir")
+            n_fail += 1
+            continue
+        try:
+            odf = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        sdf = con.execute(
+            f"SELECT * FROM '{spark_dir}/*.parquet'").fetchdf()
+        ocols, scols = sorted(odf.columns), sorted(sdf.columns)
+        if ocols != scols:
+            print(f"FAIL {name}: columns oracle={ocols} spark={scols}")
+            n_fail += 1
+            continue
+        orows = sorted((tuple(norm_cell(v) for v in r) for r in
+                        odf[ocols].itertuples(index=False)), key=repr)
+        srows = sorted((tuple(norm_cell(v) for v in r) for r in
+                        sdf[scols].itertuples(index=False)), key=repr)
+        if len(orows) != len(srows):
+            print(f"FAIL {name}: rows oracle={len(orows)} spark={len(srows)}")
+            if orows[:2]: print("  oracle sample:", orows[:2])
+            if srows[:2]: print("  spark sample:", srows[:2])
+            n_fail += 1
+            continue
+        bad = [(o, s) for o, s in zip(orows, srows) if not cells_equal(o, s)]
+        exact = orows == srows
+        if bad:
+            print(f"FAIL {name}: {len(bad)}/{len(orows)} rows differ; first: {bad[0]}")
+            n_fail += 1
+        else:
+            tag = "exact" if exact else "tol-only(!)"
+            print(f"PASS {name}: {len(orows)} rows [{tag}]")
+            n_pass += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
