@@ -106,6 +106,121 @@ object Queries {
       .select(col("nodeId").as("node_id"), col("name"))
   }
 
+  // ---- vector similarity / KNN (V1-V2, ANN) ----
+
+  private val qvecCache = scala.collection.concurrent.TrieMap[String, List[Double]]()
+
+  /** Query vector = embedding of vec_id 0, fetched once per sf dir (a tiny
+    * driver-side parameter lookup, like the reference's question embedding
+    * arriving from outside — graphraft.py:43). */
+  private def queryVec(spark: SparkSession, dir: String): List[Double] =
+    qvecCache.getOrElseUpdate(dir,
+      T(spark, dir, "embeddings").where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toList)
+
+  /** V1/T1/T2 — exact cosine top-k, excluding the query row. */
+  def v1CosineTopK(spark: SparkSession, dir: String): DataFrame =
+    Vectors.bruteForceTopK(T(spark, dir, "embeddings"), "vec_id", "embedding",
+      queryVec(spark, dir), 20, exclude = Seq(0L))
+
+  /** V2 — KNN with exclusion of already-found ids
+    * (retrieval/retriever.py:14-17). */
+  def v2KnnExclude(spark: SparkSession, dir: String): DataFrame =
+    Vectors.bruteForceTopK(T(spark, dir, "embeddings"), "vec_id", "embedding",
+      queryVec(spark, dir), 20, exclude = 0L to 49L)
+
+  /** ANN — sign-bit LSH bucket search (the 100 TB path: bucket id becomes a
+    * partition key for pruning). */
+  def annLshTopK(spark: SparkSession, dir: String): DataFrame =
+    Vectors.lshTopK(T(spark, dir, "embeddings"), "vec_id", "embedding",
+      queryVec(spark, dir), 10, bits = 4)
+
+  /** Embedding-cosine near-duplicate pairs via LSH bucket join. */
+  def annNearDupPairs(spark: SparkSession, dir: String): DataFrame =
+    Vectors.nearDupPairs(T(spark, dir, "embeddings"), "vec_id", "embedding",
+      bits = 4, threshold = 0.35)
+
+  // ---- budgeted retrieval (T3), ranking (A6/P7), sampling (T4), metrics (A5) ----
+
+  /** T3 — the reference's budgeted ranked retrieval
+    * (retrieval/retriever.py:63-109): two ranked candidate queries for one
+    * customer (their orders, then the parts in those orders), assembled
+    * under node + token budgets with first-wins dedup and provenance. */
+  def t3BudgetRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    val g = graph(spark, dir)
+    val cust = "Customer#000000042"
+    def sim(id: org.apache.spark.sql.Column) = (id % 1000).cast("double") / lit(1000.0)
+    val qr1 = Patterns.oneHop(g, "Customer", Seq(cust))
+      .where(col("rel_type") === "PLACED")
+      .select(col("tgt_id").as("nodeId"), col("tgt_name").as("name"))
+      .withColumn("similarity", sim(col("nodeId")))
+      .withColumn("pattern", lit("q0:PLACED"))
+    val qr2 = Patterns.concreteTwoHop(g, "Customer", cust, "PLACED", "Order", "CONTAINS", "Part")
+      .select(col("tgt_id").as("nodeId"), col("tgt_name").as("name"))
+      .withColumn("similarity", sim(col("nodeId")))
+      .withColumn("pattern", lit("q1:PLACED,CONTAINS"))
+    val tokenCost = lit(1L) + floor(length(col("name")) / lit(4))
+    // max_nodes=20 is the reference's inference budget (graphraft.py:37);
+    // the token budget is set so it binds at sf0.01+ (exercises eviction).
+    Retrieval.budgetedAssemble(Seq(qr1, qr2), tokenCost, maxNodes = 20, maxTokens = 45L)
+      .select(col("nodeId").as("node_id"), col("name"), col("similarity"),
+        col("patterns"), col("rank"), col("tokens"), col("cum_tokens"))
+  }
+
+  /** A5 — IR metric suite, macro-averaged (compute_metrics.py:3-64). Preds =
+    * per-order top-10 parts by quantity; gold = discounted parts. */
+  def a5IrMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val per = T(spark, dir, "lineitem")
+      .groupBy("l_orderkey", "l_partkey")
+      .agg(sum("l_quantity").as("q"), max("l_discount").as("d"))
+    val arrays = per.groupBy("l_orderkey").agg(
+      slice(transform(
+        array_sort(collect_list(struct((-col("q")).as("nq"), col("l_partkey").as("pk")))),
+        s => s.getField("pk")), 1, 10).as("preds"),
+      sort_array(collect_list(when(col("d") > 0.05, col("l_partkey")))).as("labels"))
+    Metrics.macroAvg(arrays, col("preds"), col("labels"))
+  }
+
+  /** A6 + P7 — candidate ranking by (-hits, num_results) with the
+    * recall/precision training gate (llm1.py:53-66). */
+  def a6BestCandidate(spark: SparkSession, dir: String): DataFrame = {
+    val lo = T(spark, dir, "lineitem")
+      .join(T(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+    val per = lo.groupBy(col("o_custkey").as("custkey"), col("l_orderkey").as("orderkey"))
+      .agg(
+        count_distinct(when(col("l_discount") > 0.05, col("l_partkey"))).as("hits"),
+        count_distinct(col("l_partkey")).as("num_results"))
+    val gold = lo.where(col("l_discount") > 0.05)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(count_distinct(col("l_partkey")).as("gold_total"))
+    Retrieval.bestCandidates(per.join(gold, "custkey"), "custkey", "orderkey",
+        minRecall = 0.5, minPrecision = 0.5)
+      .select(col("custkey"), col("orderkey"), col("hits"),
+        col("num_results"), col("gold_total"))
+  }
+
+  /** T4 — deterministic power-law rank sampling (nb llm2 cell 5, α=0.1):
+    * 3 samples per customer over their price-ranked orders. */
+  def t4RankSampling(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val orders = T(spark, dir, "orders")
+    val ranked = orders.select(
+        col("o_custkey").as("custkey"), col("o_orderkey").as("orderkey"),
+        row_number().over(Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))).as("rk"))
+    val counts = orders.groupBy(col("o_custkey").as("custkey"))
+      .agg(count(lit(1)).as("n"))
+    val samples = counts
+      .select(col("custkey"), col("n"),
+        explode(array((0 until 3).map(lit): _*)).as("sample_no"))
+      .withColumn("idx",
+        Retrieval.powerLawIndex(col("custkey"), col("sample_no"), 10, col("n")))
+    samples.join(ranked, samples("custkey") === ranked("custkey") &&
+        ranked("rk") === samples("idx") + 1)
+      .select(samples("custkey"), col("sample_no"), col("orderkey"))
+  }
+
   /** Flagship entry for the driver smoke check (sf0.001, rows > 0). */
   def entry(spark: SparkSession): DataFrame =
     j2OneHop(spark, "/root/testdata/sf0.001")
@@ -122,6 +237,14 @@ object Queries {
     "a2_schema_supervised" -> (a2SchemaSupervised _),
     "j7_id_lookup" -> (j7IdLookup _),
     "p5_anti_membership" -> (p5AntiMembership _),
-    "p6_norm_lookup" -> (p6NormLookup _)
+    "p6_norm_lookup" -> (p6NormLookup _),
+    "v1_cosine_topk" -> (v1CosineTopK _),
+    "v2_knn_exclude" -> (v2KnnExclude _),
+    "ann_lsh_topk" -> (annLshTopK _),
+    "ann_neardup_pairs" -> (annNearDupPairs _),
+    "t3_budget_retrieval" -> (t3BudgetRetrieval _),
+    "a5_ir_metrics" -> (a5IrMetrics _),
+    "a6_best_candidate" -> (a6BestCandidate _),
+    "t4_rank_sampling" -> (t4RankSampling _)
   )
 }

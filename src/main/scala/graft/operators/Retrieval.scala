@@ -67,7 +67,7 @@ object Retrieval {
     val ord = Window.orderBy(col("query_rank"), col("row_order"))
     perNode
       .withColumn("tokens", tokenCost)
-      .withColumn("rank", row_number().over(ord))
+      .withColumn("rank", row_number().over(ord).cast("long"))
       .withColumn("cum_tokens", sum(col("tokens")).over(
         ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .where(col("rank") <= maxNodes && col("cum_tokens") <= maxTokens)
@@ -95,13 +95,17 @@ object Retrieval {
 
   /** T4 — deterministic rank-biased (power-law) sampling
     * (reference training/generate_training_data_llm2.ipynb cell 5:
-    * inv_cdf = u**(1/alpha), alpha=0.1, n samples without replacement).
+    * inv_cdf = u**(1/alpha), alpha=0.1, n samples).
     * The uniform draw is derived from md5 so it is engine-portable and
-    * seeded: u = int(md5(key:i)[0:6], 16) / 16^6.
+    * seeded: u = int(md5(key:i)[0:6], 16) / 16^6. The power is computed by
+    * repeated multiplication (`invAlpha` must be integral, e.g. 10 for
+    * α=0.1) so both engines produce bit-identical doubles — libm `pow`
+    * is not guaranteed identically rounded across implementations.
     */
-  def powerLawIndex(key: Column, sampleNo: Int, alpha: Double, n: Column): Column = {
-    val u = conv(substring(md5(concat(key.cast("string"), lit(":" + sampleNo))), 1, 6),
-      16, 10).cast("double") / lit(16777216.0)
-    floor(pow(u, 1.0 / alpha) * n.cast("double")).cast("int")
+  def powerLawIndex(key: Column, sampleNo: Column, invAlpha: Int, n: Column): Column = {
+    val u = conv(substring(md5(concat(key.cast("string"), lit(":"), sampleNo.cast("string"))),
+      1, 6), 16, 10).cast("double") / lit(16777216.0)
+    val uPow = (1 until invAlpha).foldLeft(u)((acc, _) => acc * u)
+    floor(uPow * n.cast("double")).cast("int")
   }
 }
