@@ -296,8 +296,170 @@ object OracleSqls {
         |  ) s
         |)
         |SELECT r.custkey, s.sample_no, r.orderkey
-        |FROM samples s JOIN ranked r ON s.custkey = r.custkey AND r.rk = s.idx + 1""".stripMargin
+        |FROM samples s JOIN ranked r ON s.custkey = r.custkey AND r.rk = s.idx + 1""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "dedup_minhash_lsh" -> s"""$shingleCte,
+        |post AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |mh AS (
+        |  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS mh
+        |  FROM post CROSS JOIN (SELECT unnest(range(16)) AS seed) GROUP BY doc_id, seed
+        |), bk AS (
+        |  SELECT doc_id, CAST(floor(seed / 4) AS INT) AS band,
+        |    md5(string_agg(mh, ',' ORDER BY seed)) AS sig
+        |  FROM mh GROUP BY doc_id, CAST(floor(seed / 4) AS INT)
+        |), cand AS (
+        |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+        |  FROM bk x JOIN bk y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+        |)
+        |SELECT id1, id2, jac FROM (
+        |  SELECT id1, id2, round(len(list_intersect(a.s, b.s)) * 1.0 /
+        |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jac
+        |  FROM cand JOIN sh a ON cand.id1 = a.doc_id JOIN sh b ON cand.id2 = b.doc_id)
+        |WHERE jac >= 0.5""".stripMargin,
+
+    "dedup_ngram_jaccard" -> s"""$shingleCte,
+        |post AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |common AS (
+        |  SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS inter
+        |  FROM post x JOIN post y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id1, id2, jac FROM (
+        |  SELECT id1, id2,
+        |    round(inter * 1.0 / (len(a.s) + len(b.s) - inter), 6) AS jac
+        |  FROM common JOIN sh a ON common.id1 = a.doc_id JOIN sh b ON common.id2 = b.doc_id)
+        |WHERE jac >= 0.5""".stripMargin,
+
+    "dedup_simhash" -> s"""WITH w AS (
+        |  SELECT doc_id, unnest($wordsExpr) AS word
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id, CAST(('0x' || substr(md5(lower(word)), 1, 8)) AS BIGINT) AS h
+        |  FROM w
+        |), tal AS (
+        |  SELECT doc_id, ${(0 until 16).map(i =>
+             s"sum(CASE WHEN ((h >> $i) & 1) = 1 THEN 1 ELSE -1 END) AS t_$i").mkString(", ")}
+        |  FROM h GROUP BY doc_id
+        |), sig AS (
+        |  SELECT doc_id, CAST(${(0 until 16).map(i =>
+             s"(CASE WHEN t_$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")} AS BIGINT) AS simhash
+        |  FROM tal
+        |)
+        |SELECT simhash, min(doc_id) AS keeper_id, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM sig GROUP BY simhash HAVING count(*) > 1""".stripMargin,
+
+    "text_langid" -> s"""WITH w AS (
+        |  SELECT lang AS actual_lang,
+        |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+        |  FROM documents
+        |), h AS (
+        |  SELECT actual_lang,
+        |    len(list_filter(w, x -> x IN ('der','die','das','und','ist','nicht','ein'))) AS h_de,
+        |    len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','it'))) AS h_en,
+        |    len(list_filter(w, x -> x IN ('el','la','los','y','es','un','una'))) AS h_es,
+        |    len(list_filter(w, x -> x IN ('le','la','les','et','est','un','une'))) AS h_fr
+        |  FROM w
+        |)
+        |SELECT actual_lang,
+        |  CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+        |    WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+        |    WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+        |    WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+        |    ELSE 'fr' END AS pred_lang,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM h GROUP BY 1, 2""".stripMargin,
+
+    "text_quality" -> s"""WITH f AS (
+        |  SELECT source, $wordsExpr AS w,
+        |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS wl,
+        |    length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 /
+        |      greatest(length(text), 1) AS alpha_ratio
+        |  FROM documents
+        |), m AS (
+        |  SELECT source, len(w) * 1.0 AS n_words,
+        |    CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) AS mwl,
+        |    len(list_filter(wl, x -> x IN ('the','a','of','and','to','in','is','it'))) * 1.0
+        |      / len(w) AS stop_ratio,
+        |    alpha_ratio
+        |  FROM f
+        |), s AS (
+        |  SELECT source, n_words, mwl,
+        |    CASE WHEN n_words < 5 THEN 0.0 ELSE
+        |      least(n_words / 100.0, 1.0) * 0.4 +
+        |      least(stop_ratio * 5.0, 1.0) * 0.3 +
+        |      least(alpha_ratio, 1.0) * 0.3 END AS score
+        |  FROM m
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(avg(score), 6) AS avg_score, round(avg(n_words), 6) AS avg_words,
+        |  round(avg(mwl), 6) AS avg_word_len
+        |FROM s GROUP BY source""".stripMargin,
+
+    "text_tokens" -> s"""WITH t AS (
+        |  SELECT lang, CAST(list_sum(list_transform($wordsExpr,
+        |    w -> 1 + CAST(floor(length(w) / 4) AS BIGINT))) AS BIGINT) AS tok
+        |  FROM documents
+        |)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(tok) AS BIGINT) AS total_tokens, round(avg(tok), 6) AS avg_tokens
+        |FROM t GROUP BY lang""".stripMargin,
+
+    "text_fingerprint" -> s"""WITH fp AS (
+        |  SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+        |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))), ' ')) AS fp
+        |  FROM documents
+        |)
+        |SELECT fp, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keeper_id
+        |FROM fp GROUP BY fp HAVING count(*) > 1""".stripMargin,
+
+    "mm_binary_stats" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(strlen(text)) AS BIGINT) AS total_bytes
+        |FROM documents GROUP BY source""".stripMargin,
+
+    "events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "events_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, date_trunc('second', ts) AS tss FROM events
+        |), flagged AS (
+        |  SELECT user_id,
+        |    CASE WHEN lag(tss) OVER (PARTITION BY user_id ORDER BY tss, event_id) IS NULL
+        |      OR date_diff('second', lag(tss) OVER (PARTITION BY user_id
+        |        ORDER BY tss, event_id), tss) > 21600 THEN 1 ELSE 0 END AS new_session
+        |  FROM e
+        |), per AS (
+        |  SELECT user_id, CAST(sum(new_session) AS BIGINT) AS sessions
+        |  FROM flagged GROUP BY user_id
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(sessions) AS BIGINT) AS total_sessions,
+        |  round(avg(sessions * 1.0), 6) AS avg_sessions,
+        |  CAST(max(sessions) AS BIGINT) AS max_sessions
+        |FROM per""".stripMargin
   )
+
+  /** Whitespace word list (non-empty), mirroring [[graft.functions.words]]. */
+  private lazy val wordsExpr: String =
+    """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+
+  /** Word-3-gram distinct shingle sets, mirroring
+    * [[graft.operators.Dedup.shingleSets]] with n=3. */
+  private lazy val shingleCte: String = s"""WITH w AS (
+    |  SELECT doc_id, $wordsExpr AS w FROM documents
+    |), sh AS (
+    |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+    |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+    |  FROM w WHERE len(w) >= 3
+    |)""".stripMargin
 
   /** 4-bit sign LSH bucket, mirroring [[graft.operators.Vectors.lshBucket]]. */
   private lazy val bucket4: String = (1 to 4).map(i =>

@@ -221,6 +221,52 @@ object Queries {
       .select(samples("custkey"), col("sample_no"), col("orderkey"))
   }
 
+  // ---- training-data pipeline: dedup, text analysis, multimodal ----
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(T(spark, dir, "documents"), "doc_id", "text")
+
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(T(spark, dir, "documents"), "doc_id", "text",
+      shingleN = 3, numHashes = 16, numBands = 4, threshold = 0.5)
+
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(T(spark, dir, "documents"), "doc_id", "text",
+      shingleN = 3, threshold = 0.5)
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashGroups(T(spark, dir, "documents"), "doc_id", "text", bits = 16)
+
+  def textLangId(spark: SparkSession, dir: String): DataFrame =
+    TextOps.langIdConfusion(T(spark, dir, "documents"))
+
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    TextOps.qualityBySource(T(spark, dir, "documents"))
+
+  def textTokens(spark: SparkSession, dir: String): DataFrame =
+    TextOps.tokenStatsByLang(T(spark, dir, "documents"))
+
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    TextOps.fingerprintDupGroups(T(spark, dir, "documents"))
+
+  def mmBinaryStats(spark: SparkSession, dir: String): DataFrame =
+    TextOps.binaryStatsBySource(T(spark, dir, "documents"))
+
+  // ---- events (batch form; streaming variants in graft.operators.Events) ----
+
+  /** The driver's events parquet stores TIMESTAMP(NANOS); Spark only reads
+    * that as int64 nanos behind this legacy flag (see operators.Events). */
+  private def eventsT(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    T(spark, dir, "events")
+  }
+
+  def eventsHourly(spark: SparkSession, dir: String): DataFrame =
+    Events.hourlyAgg(eventsT(spark, dir))
+
+  def eventsSessions(spark: SparkSession, dir: String): DataFrame =
+    Events.sessionStats(eventsT(spark, dir), gapSeconds = 21600L)
+
   /** Flagship entry for the driver smoke check (sf0.001, rows > 0). */
   def entry(spark: SparkSession): DataFrame =
     j2OneHop(spark, "/root/testdata/sf0.001")
@@ -245,6 +291,17 @@ object Queries {
     "t3_budget_retrieval" -> (t3BudgetRetrieval _),
     "a5_ir_metrics" -> (a5IrMetrics _),
     "a6_best_candidate" -> (a6BestCandidate _),
-    "t4_rank_sampling" -> (t4RankSampling _)
+    "t4_rank_sampling" -> (t4RankSampling _),
+    "dedup_exact" -> (dedupExact _),
+    "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "text_langid" -> (textLangId _),
+    "text_quality" -> (textQuality _),
+    "text_tokens" -> (textTokens _),
+    "text_fingerprint" -> (textFingerprint _),
+    "mm_binary_stats" -> (mmBinaryStats _),
+    "events_hourly" -> (eventsHourly _),
+    "events_sessions" -> (eventsSessions _)
   )
 }

@@ -60,7 +60,7 @@ package object functions {
     */
   def tokenCountEstimate(text: Column): Column =
     aggregate(words(text), lit(0L),
-      (acc, w) => acc + lit(1L) + (length(w).cast("long") / lit(4L)))
+      (acc, w) => acc + lit(1L) + floor(length(w) / lit(4)))
 
   /** Word n-gram shingles (dedup/minhash building block). Empty array when
     * the document has fewer than `n` words. */

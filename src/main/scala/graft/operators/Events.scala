@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream operators over the driver's `events` table. The reference
+  * itself is batch-only (SURVEY §2.9), so these are the forward-looking
+  * ingestion/analysis path: the same aggregations run identically as batch
+  * DataFrame ops (below, oracle-checked) and as Structured Streaming
+  * micro-batches ([[streamingHourlyCounts]], exercised in tests with a
+  * MemoryStream — watermark + tumbling window).
+  *
+  * The driver's events parquet stores TIMESTAMP(NANOS), which Spark's
+  * vectorized reader only accepts as int64 nanos
+  * (`spark.sql.legacy.parquet.nanosAsLong=true`) — so these operators take
+  * `ts` as epoch-NANOS LongType and truncate with integer arithmetic
+  * (`div`), never double division (2024 epoch-nanos ≈ 1.7e18 overflows a
+  * double's 53-bit mantissa).
+  */
+object Events {
+
+  /** Epoch seconds from the epoch-nanos long `ts` column (floor, like
+    * `date_trunc('second')` for post-1970 data). `div` is Long-exact
+    * integer division — never go through double here. */
+  private def epochSec: Column = expr("ts div 1000000000")
+
+  /** Tumbling 1-hour window aggregation, batch form. The hour is emitted as
+    * a formatted string so the result is engine/timezone-agnostic (session
+    * timezone must be UTC, which Verify/Bench set). */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events.groupBy(
+        date_format(timestamp_seconds(expr("((ts div 1000000000) div 3600) * 3600")),
+          "yyyy-MM-dd HH").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+
+  /** Gap-based sessionization: a new session starts after `gapSeconds` of
+    * user inactivity. One shuffle on user_id; at scale this is the classic
+    * sessionize-by-key window (`session_window` in streaming mode). Returns
+    * per-user session counts summarized to a single row. */
+  def sessionStats(events: DataFrame, gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("tss"), col("event_id"))
+    val flagged = events
+      .select(col("user_id"), col("event_id"), epochSec.as("tss"))
+      .withColumn("prev", lag(col("tss"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev").isNull || col("tss") - col("prev") > gapSeconds, 1L)
+          .otherwise(0L))
+    flagged.groupBy("user_id").agg(sum("new_session").as("sessions"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum("sessions").as("total_sessions"),
+        round(avg(col("sessions").cast("double")), 6).as("avg_sessions"),
+        max("sessions").as("max_sessions"))
+  }
+
+  /** Structured Streaming form of [[hourlyAgg]]: watermarked tumbling
+    * window over a genuine TimestampType `ts` (streaming sources emit real
+    * timestamps; only the driver's parquet snapshot is nanos). Output mode
+    * "update"/"append" chosen by the caller's sink. */
+  def streamingHourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Streaming micro-batch graph upsert (S1/S3 incrementally): interpret
+    * events as node arrivals and fold each micro-batch into a node table via
+    * foreachBatch-style dedup. Returned here as the per-batch merge logic so
+    * it is unit-testable without a streaming query. */
+  def upsertBatch(existing: DataFrame, batch: DataFrame): DataFrame =
+    existing.unionByName(batch, allowMissingColumns = true)
+      .groupBy("nodeId")
+      .agg(first(col("label"), ignoreNulls = true).as("label"),
+        first(col("name"), ignoreNulls = true).as("name"))
+}

@@ -101,7 +101,7 @@ object TextOps {
     docs.select(
       col("doc_id"),
       col("source"),
-      octet_length(bin.cast("string")).as("n_bytes"),
+      octet_length(col("text")).cast("long").as("n_bytes"),
       // STUB decode: deterministic fake "feature" = first byte value; a real
       // pipeline would mapPartitions a decoder over the binary payloads.
       substring(hex(bin), 1, 2).as("magic_byte"))
