@@ -304,13 +304,18 @@ object OracleSqls {
         |FROM documents GROUP BY md5(text)""".stripMargin,
 
     "dedup_minhash_lsh" -> s"""$shingleCte,
-        |post AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
-        |mh AS (
-        |  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS mh
-        |  FROM post CROSS JOIN (SELECT unnest(range(16)) AS seed) GROUP BY doc_id, seed
+        |post AS (
+        |  SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+        |  FROM (SELECT doc_id, unnest(s) AS shingle FROM sh)
+        |), seeds AS (
+        |  SELECT seed, ('0x' || substr(md5(CAST(seed AS VARCHAR)), 1, 15))::BIGINT AS c
+        |  FROM (SELECT unnest(range(16)) AS seed)
+        |), mh AS (
+        |  SELECT doc_id, seed, min(xor(h, c)) AS mh
+        |  FROM post CROSS JOIN seeds GROUP BY doc_id, seed
         |), bk AS (
         |  SELECT doc_id, CAST(floor(seed / 4) AS INT) AS band,
-        |    md5(string_agg(mh, ',' ORDER BY seed)) AS sig
+        |    md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS sig
         |  FROM mh GROUP BY doc_id, CAST(floor(seed / 4) AS INT)
         |), cand AS (
         |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
@@ -323,16 +328,19 @@ object OracleSqls {
         |WHERE jac >= 0.5""".stripMargin,
 
     "dedup_ngram_jaccard" -> s"""$shingleCte,
-        |post AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |post AS (
+        |  SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+        |  FROM (SELECT doc_id, unnest(s) AS shingle FROM sh)
+        |), sizes AS (SELECT doc_id, count(*) AS n FROM post GROUP BY 1),
         |common AS (
         |  SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS inter
-        |  FROM post x JOIN post y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  FROM post x JOIN post y ON x.h = y.h AND x.doc_id < y.doc_id
         |  GROUP BY 1, 2
         |)
         |SELECT id1, id2, jac FROM (
         |  SELECT id1, id2,
-        |    round(inter * 1.0 / (len(a.s) + len(b.s) - inter), 6) AS jac
-        |  FROM common JOIN sh a ON common.id1 = a.doc_id JOIN sh b ON common.id2 = b.doc_id)
+        |    round(inter * 1.0 / (a.n + b.n - inter), 6) AS jac
+        |  FROM common JOIN sizes a ON common.id1 = a.doc_id JOIN sizes b ON common.id2 = b.doc_id)
         |WHERE jac >= 0.5""".stripMargin,
 
     "dedup_simhash" -> s"""WITH w AS (

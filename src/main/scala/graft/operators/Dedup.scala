@@ -6,15 +6,19 @@ import graft.functions._
 
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
   * n-gram Jaccard, SimHash. Designed so the *same* computation is exactly
-  * expressible in ANSI SQL (DuckDB oracle): all hashing goes through
+  * expressible in ANSI SQL (DuckDB oracle): all hashing derives from
   * lowercase-hex `md5`, which both engines produce identically, instead of
   * engine-specific integer hash functions.
   *
   * Scale notes: exact dedup is one hash-groupBy (map-side combine → tiny
-  * shuffle). MinHash/LSH shuffles (doc × seeds) once to build signatures and
-  * joins on (band, signature) — the join key is the LSH bucket, so candidate
-  * generation is O(collisions), not O(n²); AQE splits skewed buckets. The
-  * verify step (exact Jaccard) runs only on candidate pairs.
+  * shuffle). MinHash hashes each shingle ONCE (md5 → 60-bit long) and
+  * derives the k hash family members by xor with per-seed constants — k×
+  * cheaper than k independent string hashes, and the signature shuffle
+  * carries longs, not hex strings. LSH joins on (band, signature), so
+  * candidate generation is O(collisions), not O(n²); AQE splits skewed
+  * buckets. The verify step (exact Jaccard) runs only on candidate pairs.
+  * Word arrays are materialized as a column BEFORE any per-shingle lambda
+  * so the tokenizer runs once per document, not once per shingle element.
   */
 object Dedup {
 
@@ -24,21 +28,40 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_docs"))
 
-  /** Doc → word-`n`-gram shingle set (distinct). */
+  /** Doc → word-`n`-gram shingle set (distinct). The words array is
+    * materialized first so the split/filter runs once per doc; the shingle
+    * lambda then only does O(1) `element_at` lookups. */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-      array_distinct(wordShingles(col(textCol), n)).as("shingles"))
+    docs.select(col(idCol).as("doc_id"), words(col(textCol)).as("w"))
+      .select(col("doc_id"), array_distinct(wordShinglesOf(col("w"), n)).as("shingles"))
       .where(size(col("shingles")) > 0)
 
-  /** MinHash signatures: for each seed, min over md5(seed|shingle) strings.
-    * One row per (doc, seed). Computed via explode + min-groupBy, which is a
-    * single shuffle with map-side partial min. */
-  def minhashSignatures(shingled: DataFrame, numHashes: Int): DataFrame = {
-    val seeds = (0 until numHashes).map(s =>
-      min(seededMd5(s, col("shingle"))).as(s"mh_$s"))
+  /** 60-bit positive long from the first 15 hex chars of md5 — the shared
+    * shingle hash (DuckDB: `('0x'||substr(md5(s),1,15))::BIGINT`). */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Per-seed xor constant of the MinHash family: md5Long of the decimal
+    * seed string, so the oracle can derive the identical constant in SQL. */
+  def seedConst(seed: Int): Long = java.lang.Long.parseLong(
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(seed.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 15), 16)
+
+  /** Hashed posting list: one row per (doc, distinct shingle hash). */
+  def hashedPostings(shingled: DataFrame): DataFrame =
     shingled.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-      .groupBy("doc_id")
-      .agg(seeds.head, seeds.tail: _*)
+      .select(col("doc_id"), md5Long(col("shingle")).as("h"))
+      .dropDuplicates("doc_id", "h")
+
+  /** MinHash signatures: mh_s = min over shingles of (md5Long(shingle) xor
+    * seedConst(s)). One md5 per shingle total; one shuffle (map-side partial
+    * min of `numHashes` longs per doc). */
+  def minhashSignatures(shingled: DataFrame, numHashes: Int): DataFrame = {
+    val posts = hashedPostings(shingled)
+    val mins = (0 until numHashes).map(s =>
+      min(col("h").bitwiseXOR(lit(seedConst(s)))).as(s"mh_$s"))
+    posts.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
   /** LSH candidate pairs: split the signature into `numBands` bands of
@@ -84,14 +107,15 @@ object Dedup {
   /** All-pairs n-gram Jaccard via inverted shingle index (no MinHash): pairs
     * sharing ≥1 shingle, with exact Jaccard per pair computed from shared
     * counts — O(postings²) per shingle, the exact-but-smaller-scale
-    * baseline the LSH path approximates. */
+    * baseline the LSH path approximates. The posting join key is the 60-bit
+    * md5Long, so the shuffle carries (long, long) rows, not shingle strings;
+    * set sizes are derived from the same postings (one scan lineage). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int, threshold: Double): DataFrame = {
-    val sh = shingleSets(docs, idCol, textCol, shingleN)
-    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
-    val posts = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val posts = hashedPostings(shingleSets(docs, idCol, textCol, shingleN))
+    val sizes = posts.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = posts.as("x").join(posts.as("y"),
-        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
       .agg(count(lit(1)).as("inter"))
     common
