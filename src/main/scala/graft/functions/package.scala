@@ -20,7 +20,9 @@ package object functions {
     val dot = aggregate(zip_with(x, y, (a, b) => a * b), lit(0.0), (acc, v) => acc + v)
     val nx  = sqrt(aggregate(x, lit(0.0), (acc, v) => acc + v * v))
     val ny  = sqrt(aggregate(y, lit(0.0), (acc, v) => acc + v * v))
-    dot / (nx * ny)
+    // nullif guards the zero-vector case: ANSI mode (Spark 4 default) would
+    // otherwise raise DIVIDE_BY_ZERO; null matches DuckDB's NULL here.
+    dot / nullif(nx * ny, lit(0.0))
   }
 
   /** Dot product for pre-normalized vectors (preferred at scale: normalize
@@ -28,9 +30,10 @@ package object functions {
   def dotProduct(x: Column, y: Column): Column =
     aggregate(zip_with(x, y, (a, b) => a * b), lit(0.0), (acc, v) => acc + v)
 
-  /** L2-normalize an `array<double>` column. */
+  /** L2-normalize an `array<double>` column; zero vectors → null elements
+    * (nullif guards ANSI divide-by-zero, Spark 4 default). */
   def l2Normalize(x: Column): Column = {
-    val n = sqrt(aggregate(x, lit(0.0), (acc, v) => acc + v * v))
+    val n = nullif(sqrt(aggregate(x, lit(0.0), (acc, v) => acc + v * v)), lit(0.0))
     transform(x, v => v / n)
   }
 

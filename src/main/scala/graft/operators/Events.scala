@@ -69,11 +69,14 @@ object Events {
 
   /** Streaming micro-batch graph upsert (S1/S3 incrementally): interpret
     * events as node arrivals and fold each micro-batch into a node table via
-    * foreachBatch-style dedup. Returned here as the per-batch merge logic so
-    * it is unit-testable without a streaming query. */
+    * foreachBatch-style dedup — MERGE semantics: existing rows win, new ids
+    * are appended. Priority-tagged min_by keeps the merge deterministic
+    * regardless of partition order (unlike `first()`). Unit-testable
+    * without a streaming query. */
   def upsertBatch(existing: DataFrame, batch: DataFrame): DataFrame =
-    existing.unionByName(batch, allowMissingColumns = true)
+    existing.withColumn("prio", lit(0))
+      .unionByName(batch.withColumn("prio", lit(1)), allowMissingColumns = true)
       .groupBy("nodeId")
-      .agg(first(col("label"), ignoreNulls = true).as("label"),
-        first(col("name"), ignoreNulls = true).as("name"))
+      .agg(min(struct(col("prio"), col("label"), col("name"))).as("m"))
+      .select(col("nodeId"), col("m.label").as("label"), col("m.name").as("name"))
 }

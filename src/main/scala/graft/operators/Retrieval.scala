@@ -88,8 +88,8 @@ object Retrieval {
     df.withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
       .where(
-        col("hits").cast("double") / col("gold_total") >= minRecall &&
-        col("hits").cast("double") / col("num_results") >= minPrecision)
+        col("hits").cast("double") / nullif(col("gold_total").cast("double"), lit(0.0)) >= minRecall &&
+        col("hits").cast("double") / nullif(col("num_results").cast("double"), lit(0.0)) >= minPrecision)
       .drop("rn")
   }
 

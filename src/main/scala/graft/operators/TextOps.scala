@@ -49,9 +49,11 @@ object TextOps {
   def qualityBySource(docs: DataFrame): DataFrame = {
     val w = words(col("text"))
     val nWords = size(w).cast("double")
+    // nullif: empty docs (0 words) must not hit ANSI divide-by-zero
     val meanWordLen = aggregate(w, lit(0L), (acc, x) => acc + length(x).cast("long"))
-      .cast("double") / nWords
-    val stopRatio = stopwordHits(words(lower(col("text"))), "en").cast("double") / nWords
+      .cast("double") / nullif(nWords, lit(0.0))
+    val stopRatio = stopwordHits(words(lower(col("text"))), "en").cast("double") /
+      nullif(nWords, lit(0.0))
     val alphaRatio = (length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
       greatest(length(col("text")).cast("double"), lit(1.0)))
     val score =

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Dedup family: exact, shingles, MinHash+LSH, n-gram Jaccard, SimHash. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),  // exact dup of 1
+    (3L, "the quick brown fox jumps over the sleepy dog"),// near dup of 1
+    (4L, "completely different content entirely here now"),
+    (5L, "tiny"),                                          // < 3 words
+    (6L, ""))                                              // empty
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+      .where(col("n_docs") > 1).collect()
+    assert(g.length === 1)
+    assert(g.head.getAs[Long]("keeper_id") === 1L)
+    assert(g.head.getAs[Long]("n_docs") === 2L)
+  }
+
+  test("shingle sets: distinct 3-grams, short docs dropped") {
+    val m = Dedup.shingleSets(docs, "doc_id", "text", 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Seq[String]]("shingles")).toMap
+    assert(!m.contains(5L) && !m.contains(6L))
+    // 9 words → 7 shingles, all distinct here
+    assert(m(1L).length === 7)
+    assert(m(1L).head === "the quick brown")
+    assert(m(1L).last === "the lazy dog")
+    // exact word-count boundary: 3 words → exactly 1 shingle
+    val three = Dedup.shingleSets(Seq((9L, "a b c")).toDF("doc_id", "text"),
+      "doc_id", "text", 3).collect()
+    assert(three.head.getAs[Seq[String]]("shingles") === Seq("a b c"))
+  }
+
+  test("minhash signatures: identical docs get identical signatures") {
+    val sh = Dedup.shingleSets(docs, "doc_id", "text", 3)
+    val sig = Dedup.minhashSignatures(sh, 16).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (0 until 16).map(i => r.getAs[Long](s"mh_$i")))
+      .toMap
+    assert(sig(1L) === sig(2L))
+    assert(sig(1L) !== sig(4L))
+  }
+
+  test("minhash+LSH finds exact and near dups, not unrelated docs") {
+    val out = Dedup.minhashLsh(docs, "doc_id", "text", 3, 16, 4, 0.5)
+      .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"), r.getAs[Double]("jac")))
+    assert(out.exists { case (a, b, j) => a == 1L && b == 2L && j == 1.0 })
+    assert(!out.exists { case (a, b, _) => b == 4L || a == 4L })
+  }
+
+  test("n-gram jaccard exact pair values") {
+    val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3)
+      .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")) -> r.getAs[Double]("jac"))
+      .toMap
+    assert(out((1L, 2L)) === 1.0)
+    // doc1 vs doc3: 7 shingles each, differ in last 3 ("over the lazy/sleepy",
+    // "the lazy/sleepy dog", "jumps over the" shared)... shared = 5 of
+    // union 9 → 0.555556
+    assert(out((1L, 3L)) === 0.555556)
+  }
+
+  test("simhash groups identical docs, keeps singletons out") {
+    val g = Dedup.simhashGroups(docs, "doc_id", "text", 16).collect()
+    assert(g.length === 1)
+    assert(g.head.getAs[Long]("keeper_id") === 1L)
+    assert(g.head.getAs[Long]("n_docs") === 2L)
+  }
+
+  test("md5Long matches the DuckDB hex-prefix conversion on a known value") {
+    // DuckDB: ('0x'||substr(md5('hello'),1,15))::BIGINT = 419982666956583591
+    val v = spark.range(1).select(Dedup.md5Long(lit("hello"))).head().getLong(0)
+    assert(v === 419982666956583591L)
+  }
+}

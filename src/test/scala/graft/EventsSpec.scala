@@ -1,0 +1,71 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.operators.Events
+
+/** Events: batch hourly agg + sessionization, streaming windowed agg
+  * (MemoryStream), micro-batch upsert merge (S1/S3 incremental).
+  */
+class EventsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def nanos(s: String): Long = Timestamp.valueOf(s).getTime * 1000000L
+
+  test("hourlyAgg buckets by UTC hour") {
+    val df = Seq(
+      (1L, nanos("2024-01-01 00:30:00"), 1L, "click", 1.0, ""),
+      (2L, nanos("2024-01-01 00:45:00"), 1L, "click", 2.0, ""),
+      (3L, nanos("2024-01-01 01:10:00"), 2L, "view", 5.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val m = Events.hourlyAgg(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(m(("2024-01-01 00", "click")) === ((2L, 3.0)))
+    assert(m(("2024-01-01 01", "view")) === ((1L, 5.0)))
+  }
+
+  test("sessionStats splits on inactivity gap") {
+    def ev(id: Long, user: Long, sec: Long) = (id, sec * 1000000000L, user, "e", 0.0, "")
+    val df = Seq(
+      ev(1, 1, 0), ev(2, 1, 50), ev(3, 1, 200), ev(4, 1, 250), // user1: 2 sessions (gap 150)
+      ev(5, 2, 0))                                             // user2: 1 session
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Events.sessionStats(df, gapSeconds = 100L).collect().head
+    assert(r.getAs[Long]("n_users") === 2L)
+    assert(r.getAs[Long]("total_sessions") === 3L)
+    assert(r.getAs[Double]("avg_sessions") === 1.5)
+    assert(r.getAs[Long]("max_sessions") === 2L)
+  }
+
+  test("streamingHourlyCounts over a MemoryStream micro-batch source") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    val counts = Events.streamingHourlyCounts(
+      stream.toDF().toDF("ts", "event_type", "value"))
+    val q = counts.writeStream.format("memory")
+      .queryName("hourly_test").outputMode("complete").start()
+    try {
+      stream.addData(
+        (Timestamp.valueOf("2024-01-01 00:10:00"), "click", 1.0),
+        (Timestamp.valueOf("2024-01-01 00:20:00"), "click", 2.0),
+        (Timestamp.valueOf("2024-01-01 02:05:00"), "view", 7.0))
+      q.processAllAvailable()
+      val rows = spark.table("hourly_test").collect()
+        .map(r => (r.getAs[Timestamp]("hour_start").toString, r.getAs[String]("event_type"),
+          r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toSet
+      assert(rows === Set(
+        ("2024-01-01 00:00:00.0", "click", 2L, 3.0),
+        ("2024-01-01 02:00:00.0", "view", 1L, 7.0)))
+    } finally q.stop()
+  }
+
+  test("upsertBatch merges node arrivals idempotently (first wins)") {
+    val existing = Seq((1L, "Paper", "old")).toDF("nodeId", "label", "name")
+    val batch = Seq((1L, "Paper", "new"), (2L, "Author", "fresh"))
+      .toDF("nodeId", "label", "name")
+    val out = Events.upsertBatch(existing, batch).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out === Map(1L -> "old", 2L -> "fresh"))
+  }
+}

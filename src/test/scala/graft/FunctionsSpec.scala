@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions._
+
+/** Column-function unit tests: tokenizer, token estimate, shingles, NFC. */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column): T =
+    spark.range(1).select(c.as("v")).head().getAs[T]("v")
+
+  test("words splits on whitespace and drops empties") {
+    val w = Seq(("  a  b\tc\nd  ")).toDF("t")
+      .select(words(col("t"))).head().getSeq[String](0)
+    assert(w === Seq("a", "b", "c", "d"))
+    assert(Seq(("")).toDF("t").select(words(col("t"))).head().getSeq[String](0).isEmpty)
+  }
+
+  test("tokenCountEstimate: word + len/4 surcharge") {
+    // "hi" → 1+0; "abcdefgh" → 1+2; "abcd" → 1+1 ⇒ total 6
+    val n = Seq(("hi abcdefgh abcd")).toDF("t")
+      .select(tokenCountEstimate(col("t"))).head().getLong(0)
+    assert(n === 6L)
+    assert(Seq(("")).toDF("t").select(tokenCountEstimate(col("t"))).head().getLong(0) === 0L)
+  }
+
+  test("wordShingles n=3 edge cases: 0,1,2,3,4 words") {
+    val cases = Seq((0L, ""), (1L, "a"), (2L, "a b"), (3L, "a b c"), (4L, "a b c d"))
+      .toDF("id", "t")
+      .select(col("id"), wordShingles(col("t"), 3).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(cases(0L).isEmpty && cases(1L).isEmpty && cases(2L).isEmpty)
+    assert(cases(3L) === Seq("a b c"))
+    assert(cases(4L) === Seq("a b c", "b c d"))
+  }
+
+  test("wordShingles n=2") {
+    val s = Seq(("x y z")).toDF("t").select(wordShingles(col("t"), 2))
+      .head().getSeq[String](0)
+    assert(s === Seq("x y", "y z"))
+  }
+
+  test("normName equates NFC/NFD forms case-insensitively") {
+    val eq = Seq(("Café", "CAFÉ")).toDF("a", "b")
+      .select((normName(col("a")) === normName(col("b"))).as("eq"))
+      .head().getBoolean(0)
+    assert(eq)
+  }
+
+  test("cosineSim of zero vector is null (non-ANSI 0/0; caller guards)") {
+    val r = Seq((Seq(0.0, 0.0), Seq(1.0, 0.0))).toDF("a", "b")
+      .select(cosineSim(col("a"), col("b")).as("s")).head()
+    assert(r.isNullAt(0))
+  }
+}

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Patterns
+
+/** J1-J7 / A1-A3 against the hand-verified micro graph (FIXTURES.md §1).
+  * Expected rows derived by hand from [[MicroGraph]]'s edge list; the trail
+  * (relationship-uniqueness) cases are the ones a naive 2-hop self-join gets
+  * wrong (SURVEY §7.4 item 1).
+  */
+class PatternsSpec extends SparkSpec {
+  private lazy val g = MicroGraph(spark)
+
+  test("J1 bidir emits each edge once per orientation, self-loops once") {
+    // 13 stored edges, one self-loop (22-22) → 2*13 - 1 = 25 rows
+    assert(g.bidir.count() === 25L)
+    // orientation pairs preserve the stored identity triple
+    val back = g.bidir.where(col("a") === 1L && col("b") === 10L).collect()
+    assert(back.length === 1)
+    assert(back.head.getAs[Long]("src") === 10L) // stored direction kept
+  }
+
+  test("S2 nodeId uniqueness holds on the fixture") {
+    assert(g.duplicateNodeIdCount() === 0L)
+  }
+
+  test("J6 withExistingEndpoints drops dangling edges") {
+    val broken = g.copy(rels = g.rels.unionByName(
+      spark.createDataFrame(Seq(("GHOST", 10L, 999L))).toDF("relType", "src", "dst")))
+    assert(broken.rels.count() === 14L)
+    assert(broken.withExistingEndpoints.rels.count() === 13L)
+  }
+
+  test("J2 one-hop expansion from Alice") {
+    val rows = Patterns.oneHop(g, "Author", Seq("Alice"))
+      .select("rel_type", "tgt_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    // e1→MIT, e4→P-alpha, e5→P-beta, e12(REVIEWS)→P-alpha
+    assert(rows === Set(
+      ("AFFILIATED_WITH", 1L), ("WRITES", 20L), ("WRITES", 21L), ("REVIEWS", 20L)))
+  }
+
+  test("J3 two-hop from Alice: trail semantics + tgt<>src (8 paths)") {
+    val rows = Patterns.twoHop(g, "Author", Seq("Alice"))
+      .select("rel1_type", "rel2_type", "tgt_id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // hand-derived: via e1: (AW,AW,11); via e4: (W,W,11),(W,HT,30),(W,C,22);
+    // via e5: (W,HT,30); via e12: (R,W,11),(R,HT,30),(R,C,22).
+    // NOT present: walking the same edge back (trail), returning to Alice
+    // (tgt<>src), e4→e12 walk-back to Alice (parallel edges, tgt=src).
+    assert(rows.length === 8)
+    assert(rows.toSet === Set(
+      ("AFFILIATED_WITH", "AFFILIATED_WITH", 11L),
+      ("WRITES", "WRITES", 11L),
+      ("WRITES", "HAS_TOPIC", 30L),
+      ("WRITES", "CITES", 22L),
+      ("REVIEWS", "WRITES", 11L),
+      ("REVIEWS", "HAS_TOPIC", 30L),
+      ("REVIEWS", "CITES", 22L)))
+    // multiset check: (W,HT,30) appears twice? No — via e4→e8 and via e5→e9
+    // both give (WRITES, HAS_TOPIC, 30): 8 rows, 7 distinct triples.
+    assert(rows.count(_ == ("WRITES", "HAS_TOPIC", 30L)) === 2)
+  }
+
+  test("J3 self-loop cannot be traversed twice in one match") {
+    val viaLoop = Patterns.twoHop(g, "Paper", Seq("P-gamma"))
+      .where(col("rel1_type") === "CITES" && col("rel2_type") === "CITES")
+      .select("tgt_id").collect().map(_.getLong(0)).toSet
+    // 22-e13-22-e11-20 is legal (distinct rels); 22-e13-22-e13-22 is not
+    // (trail), and also lands on src. 22-e11-20 then nothing CITES from 20
+    // except e11 back (trail-excluded).
+    assert(viaLoop === Set(20L))
+  }
+
+  test("J4 two-path discovers middle nodes between two anchors") {
+    val rows = Patterns.twoPath(g, "Author", Seq("Alice"), "Author", Seq("Bob"))
+      .select("mid_id", "rel1_type", "rel2_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    // Alice-e1-MIT-e2-Bob; Alice-e4-P-alpha-e6-Bob; Alice-e12-P-alpha-e6-Bob
+    assert(rows === Set(
+      (1L, "AFFILIATED_WITH", "AFFILIATED_WITH"),
+      (20L, "WRITES", "WRITES"),
+      (20L, "REVIEWS", "WRITES")))
+  }
+
+  test("J5 concrete typed two-hop template") {
+    val rows = Patterns.concreteTwoHop(g,
+      "Institution", "MIT", "AFFILIATED_WITH", "Author", "WRITES", "Paper")
+      .collect().map(_.getLong(0)).toSet
+    // MIT-(AW)-Alice-(W)-{20,21}; MIT-(AW)-Bob-(W)-{20} → distinct {20,21}
+    assert(rows === Set(20L, 21L))
+  }
+
+  test("A1 schema summary counts distinct targets per (anchor, type, label)") {
+    val m = Patterns.schemaSummary1Hop(g, "Paper", Seq("P-gamma"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3))
+      .toMap
+    assert(m === Map(
+      ("P-gamma", "WRITES", "Author") -> 1L,
+      ("P-gamma", "HAS_TOPIC", "FieldOfStudy") -> 1L,
+      ("P-gamma", "CITES", "Paper") -> 2L)) // 20 and the self-loop 22
+  }
+
+  test("A2 supervised schema summary adds gold-intersection count") {
+    val m = Patterns.schemaSummary1HopSupervised(g, "Institution", Seq("MIT"),
+        goldIds = Seq(10L, 99L))
+      .collect().map(r => (r.getString(1), r.getLong(3), r.getLong(4))).toSet
+    // MIT ← {Alice, Bob} via AFFILIATED_WITH; gold hits = {Alice}
+    assert(m === Set(("AFFILIATED_WITH", 2L, 1L)))
+  }
+
+  test("J7 id-list lookup") {
+    val names = Patterns.lookupByIds(g, Seq(1L, 30L, 777L))
+      .collect().map(_.getString(2)).toSet
+    assert(names === Set("MIT", "Databases"))
+  }
+
+  test("P6 NFC-normalized lookup matches both Unicode forms") {
+    import graft.functions.normName
+    val hits = g.nodes
+      .where(normName(col("name")) === normName(lit("CAFÉ")))
+      .collect().map(_.getAs[Long]("nodeId")).toSet
+    assert(hits === Set(40L, 41L))
+  }
+}

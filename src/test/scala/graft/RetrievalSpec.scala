@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Retrieval
+
+/** T3 budgeted assembly — the reference's most intricate operator
+  * (retrieval/retriever.py:63-109). Edge cases: first-query-wins dedup,
+  * provenance accumulation order, node budget, token budget as maximal
+  * prefix ("evict last added on overflow"), determinism. Plus A6/P7 gating
+  * and T4 sampling.
+  */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def q(rows: (Long, String, Double, String)*) =
+    rows.toSeq.toDF("nodeId", "name", "similarity", "pattern")
+
+  private lazy val q0 = q(
+    (1L, "n1", 0.9, "p0"), (2L, "n2", 0.8, "p0"), (3L, "n3", 0.7, "p0"))
+  private lazy val q1 = q(
+    (2L, "n2x", 0.95, "p1"), (4L, "n4", 0.6, "p1"), (5L, "n5", 0.5, "p1"))
+
+  test("T3 first-query-wins dedup keeps the first query's properties") {
+    val out = Retrieval.budgetedAssemble(Seq(q0, q1), lit(10L), 100, 10000L)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("nodeId")).toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+    val node2 = out.find(_.getAs[Long]("nodeId") == 2L).get
+    assert(node2.getAs[String]("name") === "n2")          // q0's value wins
+    assert(node2.getAs[Double]("similarity") === 0.8)
+    // provenance accumulates across both queries, execution order
+    assert(node2.getAs[Seq[String]]("patterns") === Seq("p0", "p1"))
+  }
+
+  test("T3 node budget keeps the top-maxNodes prefix") {
+    val out = Retrieval.budgetedAssemble(Seq(q0, q1), lit(10L), 4, 10000L)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("nodeId")).toSeq === Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("T3 token budget keeps the maximal prefix under maxTokens") {
+    // tokens 10 each; budget 35 → cum 10,20,30,40: the 4th row overflows
+    // and is evicted (retriever.py:87-93 evict-last-on-overflow)
+    val out = Retrieval.budgetedAssemble(Seq(q0, q1), lit(10L), 100, 35L)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("nodeId")).toSeq === Seq(1L, 2L, 3L))
+    assert(out.last.getAs[Long]("cum_tokens") === 30L)
+  }
+
+  test("T3 within-query order is similarity desc") {
+    val shuffled = q((7L, "a", 0.1, "p"), (8L, "b", 0.99, "p"), (9L, "c", 0.5, "p"))
+    val out = Retrieval.budgetedAssemble(Seq(shuffled), lit(1L), 2, 100L)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("nodeId")).toSeq === Seq(8L, 9L))
+  }
+
+  test("A6/P7 best candidate with recall/precision gate") {
+    val df = Seq(
+      // group 1: best candidate (by -hits, num_results) is id 11:
+      // hits 3 of gold 3 (recall 1.0), precision 3/4 → passes 0.5/0.5
+      (1L, 10L, 2L, 2L, 3L), (1L, 11L, 3L, 4L, 3L), (1L, 12L, 3L, 9L, 3L),
+      // group 2: best is id 20 but precision 1/10 < 0.5 → gated out
+      (2L, 20L, 2L, 20L, 2L), (2L, 21L, 1L, 1L, 2L))
+      .toDF("grp", "cand", "hits", "num_results", "gold_total")
+    val out = Retrieval.bestCandidates(df, "grp", "cand", 0.5, 0.5).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("cand") === 11L)
+  }
+
+  test("T4 power-law index is deterministic and in range") {
+    val df = spark.range(0, 50).select(col("id").as("key"))
+      .withColumn("sample_no", explode(array(lit(0), lit(1), lit(2))))
+      .withColumn("idx", Retrieval.powerLawIndex(col("key"), col("sample_no"), 10, lit(7)))
+    val idx = df.collect().map(_.getAs[Int]("idx"))
+    assert(idx.forall(i => i >= 0 && i < 7))
+    val again = df.collect().map(_.getAs[Int]("idx"))
+    assert(idx.toSeq === again.toSeq)
+    // α=0.1 biases hard toward rank 0
+    assert(idx.count(_ == 0) > idx.length / 2)
+  }
+}

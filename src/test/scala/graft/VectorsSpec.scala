@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Vectors
+
+/** V1/V2 cosine + KNN, ANN bucketing (reference retriever.py:14-25,49-60). */
+class VectorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Seq(
+    (0L, Seq(1.0, 0.0, 0.0, 0.0)),
+    (1L, Seq(1.0, 0.0, 0.0, 0.0)),    // identical to query
+    (2L, Seq(0.0, 1.0, 0.0, 0.0)),    // orthogonal
+    (3L, Seq(-1.0, 0.0, 0.0, 0.0)),   // opposite
+    (4L, Seq(1.0, 1.0, 0.0, 0.0)),    // 45°
+    (5L, Seq(0.6, 0.1, 0.0, 0.0)))
+    .toDF("id", "v")
+
+  test("V1 cosine similarity exact values") {
+    val q = Seq(1.0, 0.0, 0.0, 0.0)
+    val m = Vectors.scored(emb, "v", q).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("similarity")).toMap
+    assert(math.abs(m(1L) - 1.0) < 1e-12)
+    assert(math.abs(m(2L)) < 1e-12)
+    assert(math.abs(m(3L) + 1.0) < 1e-12)
+    assert(math.abs(m(4L) - math.sqrt(0.5)) < 1e-12)
+  }
+
+  test("V2 top-k with exclusion, similarity-desc id-asc order") {
+    val q = Seq(1.0, 0.0, 0.0, 0.0)
+    val out = Vectors.bruteForceTopK(emb, "id", "v", q, 3, exclude = Seq(0L))
+      .collect().map(_.getAs[Long]("id")).toSeq
+    // sims: 1→1.0, 4→0.707, 5→0.986, 2→0, 3→-1 ⇒ top3 = 1, 5, 4
+    assert(out === Seq(1L, 5L, 4L))
+  }
+
+  test("cosine symmetry and self-similarity (property)") {
+    val rnd = new scala.util.Random(11)
+    val vs = (0L until 20L).map(i =>
+      (i, Seq.fill(4)(rnd.nextDouble() * 2 - 1))).toDF("id", "v")
+    val self = vs.select(graft.functions.cosineSim(col("v"), col("v")).as("s"))
+      .collect().map(_.getDouble(0))
+    assert(self.forall(s => math.abs(s - 1.0) < 1e-9))
+    val pairs = vs.as("x").crossJoin(vs.as("y"))
+      .select(graft.functions.cosineSim(col("x.v"), col("y.v")).as("xy"),
+        graft.functions.cosineSim(col("y.v"), col("x.v")).as("yx"))
+      .collect()
+    assert(pairs.forall(r => math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+    assert(pairs.forall(r => r.getDouble(0) >= -1 - 1e-9 && r.getDouble(0) <= 1 + 1e-9))
+  }
+
+  test("l2Normalize makes cosine equal dot product") {
+    val rnd = new scala.util.Random(13)
+    val vs = (0L until 10L).map(i =>
+      (i, Seq.fill(4)(rnd.nextDouble() * 2 - 1))).toDF("id", "v")
+      .withColumn("nv", graft.functions.l2Normalize(col("v")))
+    val rows = vs.as("x").crossJoin(vs.as("y"))
+      .select(graft.functions.cosineSim(col("x.v"), col("y.v")).as("cos"),
+        graft.functions.dotProduct(col("x.nv"), col("y.nv")).as("dot"))
+      .collect()
+    assert(rows.forall(r => math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9))
+  }
+
+  test("ANN LSH bucket prunes to the query's sign bucket") {
+    val q = Seq(1.0, 0.0, 0.0, 0.0) // bucket of sign-bits: 1,1,1,1 (0 counts as >=0)
+    val out = Vectors.lshTopK(emb, "id", "v", q, 10, bits = 4)
+      .collect().map(_.getAs[Long]("id")).toSet
+    // all vectors with non-negative first 4 dims: 0,1,2,4,5 (3 has -1)
+    assert(out === Set(0L, 1L, 2L, 4L, 5L))
+  }
+
+  test("near-dup pairs via shared bucket, ordered ids, threshold") {
+    val out = Vectors.nearDupPairs(emb, "id", "v", bits = 4, threshold = 0.9)
+      .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"), r.getAs[Double]("cos_sim")))
+    out.foreach { case (a, b, _) => assert(a < b) }
+    // identical pair (0,1) must be present with sim 1.0
+    assert(out.exists { case (a, b, s) => a == 0L && b == 1L && math.abs(s - 1.0) < 1e-9 })
+    // orthogonal (0,2) must not pass 0.9
+    assert(!out.exists { case (a, b, _) => a == 0L && b == 2L })
+  }
+}
