@@ -144,6 +144,35 @@ object OracleSqls {
         |WHERE s.label = 'Nation' AND s.name = 'NATION_3'
         |  AND NOT (t.nodeId BETWEEN 3000000000 AND 3000000099)""".stripMargin),
 
+    "cy_concrete_2hop" -> withGraph(
+      s"""SELECT DISTINCT t.nodeId AS tgt_id, t.name AS tgt_name
+         |FROM nodes s
+         |JOIN bidir e1 ON s.nodeId = e1.a AND e1.relType = 'FROM_NATION'
+         |JOIN nodes m ON e1.b = m.nodeId AND m.label = 'Customer'
+         |JOIN bidir e2 ON m.nodeId = e2.a AND e2.relType = 'PLACED'
+         |JOIN nodes t ON e2.b = t.nodeId AND t.label = 'Order'
+         |WHERE s.label = 'Nation' AND s.name = 'NATION_5'
+         |  AND $trailNeq""".stripMargin),
+
+    "cy_schema_1hop" -> withGraph(
+      """SELECT s.name AS src_name, e.relType AS rel_type,
+        |  t.label AS tgt_label,
+        |  CAST(count(DISTINCT t.nodeId) AS BIGINT) AS total_cnt
+        |FROM nodes s
+        |JOIN bidir e ON s.nodeId = e.a
+        |JOIN nodes t ON e.b = t.nodeId
+        |WHERE s.label = 'Nation'
+        |  AND s.name IN ('NATION_0','NATION_1','NATION_2','NATION_3','NATION_4')
+        |GROUP BY s.name, e.relType, t.label""".stripMargin),
+
+    "cy_anti_lookup" -> withGraph(
+      """SELECT DISTINCT t.nodeId AS node_id, t.name
+        |FROM nodes s
+        |JOIN bidir e ON s.nodeId = e.a
+        |JOIN nodes t ON e.b = t.nodeId
+        |WHERE s.nodeId = 2000000003
+        |  AND NOT (t.nodeId BETWEEN 3000000000 AND 3000000099)""".stripMargin),
+
     "p6_norm_lookup" -> withGraph(
       """SELECT nodeId AS node_id, name FROM nodes
         |WHERE lower(nfc_normalize(name)) = lower(nfc_normalize('NaTiOn_7'))""".stripMargin),
@@ -203,7 +232,7 @@ object OracleSqls {
         |  SELECT * FROM (SELECT u.*, row_number() OVER (PARTITION BY nodeId
         |      ORDER BY query_rank, row_order) AS rn FROM u) WHERE rn = 1
         |), prov AS (
-        |  SELECT nodeId, list(pattern ORDER BY query_rank, row_order) AS patterns
+        |  SELECT nodeId, string_agg(pattern, '|' ORDER BY query_rank, row_order) AS patterns
         |  FROM u GROUP BY nodeId
         |), j AS (
         |  SELECT c.nodeId, c.query_rank, c.row_order, c.name, c.similarity, p.patterns,

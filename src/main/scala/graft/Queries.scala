@@ -164,8 +164,11 @@ object Queries {
     // max_nodes=20 is the reference's inference budget (graphraft.py:37);
     // the token budget is set so it binds at sf0.01+ (exercises eviction).
     Retrieval.budgetedAssemble(Seq(qr1, qr2), tokenCost, maxNodes = 20, maxTokens = 45L)
+      // provenance joined to a scalar: the driver compare treats array cells
+      // poorly, and the reference formats patterns to text anyway
       .select(col("nodeId").as("node_id"), col("name"), col("similarity"),
-        col("patterns"), col("rank"), col("tokens"), col("cum_tokens"))
+        concat_ws("|", col("patterns")).as("patterns"),
+        col("rank"), col("tokens"), col("cum_tokens"))
   }
 
   /** A5 — IR metric suite, macro-averaged (compute_metrics.py:3-64). Preds =
@@ -220,6 +223,37 @@ object Queries {
         ranked("rk") === samples("idx") + 1)
       .select(samples("custkey"), col("sample_no"), col("orderkey"))
   }
+
+  // ---- mini-Cypher parser + planner (M4: graft.cypher) ----
+
+  /** The J5 template, but parsed from the literal Cypher string the
+    * reference would emit (path_retriever.py:30-40) and planned through
+    * graft.cypher — no string surgery, same result as [[j5Concrete2Hop]]. */
+  def cyConcrete2Hop(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """MATCH (x1:Nation {name: "NATION_5"})-[r1:FROM_NATION]-(x2:Customer)-[r2:PLACED]-(x3:Order)
+        |RETURN DISTINCT x3.nodeId AS tgt_id, x3.name AS tgt_name""".stripMargin)
+
+  /** The path-schema enumeration query (path_retriever.py:4-6) with UNWIND,
+    * labels(), type() and count(DISTINCT), via parser+planner. */
+  def cySchema1Hop(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """UNWIND $src_names AS srcName
+        |MATCH (src:Nation {name: srcName})-[r]-(tgt)
+        |RETURN src.name AS src_name, type(r) AS rel_type,
+        |       tgt.label AS tgt_label, count(DISTINCT tgt) AS total_cnt""".stripMargin,
+      Map("src_names" -> (0 to 4).map(i => s"NATION_$i")))
+
+  /** Id-list lookup + anti-membership (retriever.py:14-21), via parser. */
+  def cyAntiLookup(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """UNWIND $answerIds AS nodeId
+        |MATCH (x:_Entity_ {nodeId: nodeId})-[r]-(y)
+        |WHERE NOT y.nodeId IN $found
+        |RETURN DISTINCT y.nodeId AS node_id, y.name AS name""".stripMargin,
+      Map(
+        "answerIds" -> Seq(TpchGraph.NationBase + 3),
+        "found" -> (TpchGraph.CustomerBase to TpchGraph.CustomerBase + 99L)))
 
   // ---- training-data pipeline: dedup, text analysis, multimodal ----
 
@@ -284,6 +318,9 @@ object Queries {
     "j7_id_lookup" -> (j7IdLookup _),
     "p5_anti_membership" -> (p5AntiMembership _),
     "p6_norm_lookup" -> (p6NormLookup _),
+    "cy_concrete_2hop" -> (cyConcrete2Hop _),
+    "cy_schema_1hop" -> (cySchema1Hop _),
+    "cy_anti_lookup" -> (cyAntiLookup _),
     "v1_cosine_topk" -> (v1CosineTopK _),
     "v2_knn_exclude" -> (v2KnnExclude _),
     "ann_lsh_topk" -> (annLshTopK _),

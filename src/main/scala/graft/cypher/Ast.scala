@@ -1,0 +1,97 @@
+package graft.cypher
+
+/** AST for the mini-Cypher dialect the reference emits and executes
+  * (SURVEY §7.1 `graft.cypher`): every query string built by
+  * retrieval/path_retriever.py:4-40, rewritten by retrieval/retriever.py:49-60,
+  * or shipped in the qa_with_cypher_queries corpora is expressible here.
+  *
+  * Grammar (all traversal undirected, 1-3 nodes per path):
+  * {{{
+  *   query     := unwind* MATCH path (',' path)* [WHERE pred (AND pred)*]
+  *                RETURN [DISTINCT] item (',' item)*
+  *                [ORDER BY ref [ASC|DESC]] [LIMIT n]
+  *   unwind    := UNWIND $param AS var
+  *   path      := node (rel node)*
+  *   node      := '(' var [':' Label] [ '{' (name|nodeId) ':' literal-or-var '}' ] ')'
+  *   rel       := '-[' [var] [':' TYPE] ']-'
+  *   pred      := var '<>' var | NOT var '.' 'nodeId' IN $param
+  *   item      := expr [AS alias]
+  *   expr      := var '.' prop | labels(var) | type(var)
+  *              | count(DISTINCT var) | size('[' ... ']')   -- A2 comprehension
+  *              | vector.similarity.cosine(var '.' prop, $param)
+  * }}}
+  *
+  * The reference's `modify_query` string rewrite (retriever.py:49-60) becomes
+  * the structural [[CypherQuery.widenForRetrieval]] — no string surgery.
+  */
+object Ast {
+
+  final case class NodePat(varName: String, label: Option[String],
+                           anchorProp: Option[String], anchorValue: Option[AnchorValue])
+  sealed trait AnchorValue
+  final case class StrLit(v: String) extends AnchorValue
+  final case class LongLit(v: Long) extends AnchorValue
+  final case class VarRef(name: String) extends AnchorValue
+
+  final case class RelPat(varName: Option[String], relType: Option[String])
+
+  /** Alternating node/rel pattern: nodes.length == rels.length + 1. */
+  final case class MatchPath(nodes: Seq[NodePat], rels: Seq[RelPat])
+
+  sealed trait Pred
+  final case class VarNeq(v1: String, v2: String) extends Pred
+  final case class NotIdIn(varName: String, param: String) extends Pred
+
+  sealed trait Expr
+  final case class PropRef(varName: String, prop: String) extends Expr
+  final case class LabelsOf(varName: String) extends Expr
+  final case class TypeOf(relVar: String) extends Expr
+  final case class CountDistinct(varName: String) extends Expr
+  /** `size([t IN collect(DISTINCT v) WHERE t.nodeId IN $param | t])` —
+    * the A2 supervision aggregate (path_retriever.py:16). */
+  final case class CountDistinctInParam(varName: String, param: String) extends Expr
+  final case class Cosine(varName: String, prop: String, param: String) extends Expr
+
+  final case class RetItem(expr: Expr, alias: Option[String]) {
+    /** Output column name: explicit alias, else Cypher's expression text. */
+    def name: String = alias.getOrElse(expr match {
+      case PropRef(v, p)              => s"$v.$p"
+      case LabelsOf(v)                => s"labels($v)"
+      case TypeOf(r)                  => s"type($r)"
+      case CountDistinct(v)           => s"count(DISTINCT $v)"
+      case CountDistinctInParam(v, _) => s"correctCnt"
+      case Cosine(_, _, _)            => "similarity"
+    })
+  }
+
+  final case class Unwind(param: String, varName: String)
+
+  final case class CypherQuery(
+      unwinds: Seq[Unwind],
+      paths: Seq[MatchPath],
+      preds: Seq[Pred],
+      distinct: Boolean,
+      items: Seq[RetItem],
+      orderBy: Option[(String, Boolean)], // (output column, descending)
+      limit: Option[Int]) {
+
+    def isAggregating: Boolean = items.exists(i => i.expr match {
+      case _: CountDistinct | _: CountDistinctInParam => true
+      case _ => false
+    })
+
+    /** The reference's retrieval rewrite (retriever.py:49-60): replace the
+      * RETURN list of a candidate query with
+      * `DISTINCT tgt.nodeId, props…, cosine(tgt.idx, $qEmb) AS similarity
+      *  ORDER BY similarity DESC` — done structurally on the AST. */
+    def widenForRetrieval(targetVar: String, props: Seq[String],
+                          sortingIndex: String, embParam: String): CypherQuery =
+      copy(
+        distinct = true,
+        items = RetItem(PropRef(targetVar, "nodeId"), Some("nodeId")) +:
+          props.map(p => RetItem(PropRef(targetVar, p), Some(p))) :+
+          RetItem(Cosine(targetVar, sortingIndex, embParam), Some("similarity")),
+        orderBy = Some(("similarity", true)),
+        limit = limit)
+  }
+}

@@ -1,0 +1,217 @@
+package graft.cypher
+
+import Ast._
+
+/** Hand-rolled recursive-descent parser for the mini-Cypher grammar in
+  * [[Ast]] (no external parser deps — offline build). Replaces the
+  * reference's brittle `str.split`-based query surgery
+  * (retrieval/retriever.py:3-12 — its own comment says "Replace with
+  * regex"); a real AST makes the rewrite + execution robust by construction.
+  *
+  * Case-sensitive keywords like Neo4j's are accepted case-insensitively.
+  */
+object Parser {
+
+  final case class ParseError(message: String, pos: Int)
+    extends RuntimeException(s"$message at position $pos")
+
+  def parse(input: String): CypherQuery = new P(input).query()
+
+  private final class P(in: String) {
+    private var pos = 0
+
+    // ---- low-level ----
+    private def ws(): Unit = { while (pos < in.length && in(pos).isWhitespace) pos += 1 }
+    private def peek(kw: String): Boolean = {
+      ws()
+      if (!in.regionMatches(true, pos, kw, 0, kw.length)) false
+      else if (kw.nonEmpty && kw.last.isLetter) {
+        // word keywords must end at an identifier boundary ("count" must not
+        // match a variable named "counter")
+        val next = pos + kw.length
+        !(next < in.length && (in(next).isLetterOrDigit || in(next) == '_'))
+      } else true
+    }
+    private def opt(kw: String): Boolean = {
+      if (peek(kw)) { pos += kw.length; true } else false
+    }
+    private def expect(kw: String): Unit =
+      if (!opt(kw)) fail(s"expected '$kw'")
+    private def fail(msg: String): Nothing = throw ParseError(msg, pos)
+
+    private def ident(): String = {
+      ws()
+      val start = pos
+      while (pos < in.length && (in(pos).isLetterOrDigit || in(pos) == '_')) pos += 1
+      if (pos == start) fail("expected identifier")
+      in.substring(start, pos)
+    }
+
+    private def param(): String = { ws(); expect("$"); ident() }
+
+    private def stringLit(): String = {
+      ws()
+      val quote = if (pos < in.length && (in(pos) == '"' || in(pos) == '\'')) in(pos)
+                  else fail("expected string literal")
+      pos += 1
+      val sb = new StringBuilder
+      while (pos < in.length && in(pos) != quote) {
+        if (in(pos) == '\\' && pos + 1 < in.length) { sb += in(pos + 1); pos += 2 }
+        else { sb += in(pos); pos += 1 }
+      }
+      if (pos >= in.length) fail("unterminated string")
+      pos += 1
+      sb.toString
+    }
+
+    private def longLit(): Long = {
+      ws()
+      val start = pos
+      if (pos < in.length && in(pos) == '-') pos += 1
+      while (pos < in.length && in(pos).isDigit) pos += 1
+      if (pos == start) fail("expected integer")
+      in.substring(start, pos).toLong
+    }
+
+    // ---- grammar ----
+    def query(): CypherQuery = {
+      val unwinds = Seq.newBuilder[Unwind]
+      while (peek("UNWIND")) {
+        expect("UNWIND"); val p = param(); expect("AS"); val v = ident()
+        unwinds += Unwind(p, v)
+      }
+      expect("MATCH")
+      val paths = Seq.newBuilder[MatchPath]
+      paths += path()
+      while ({ ws(); pos < in.length && in(pos) == ',' }) { pos += 1; paths += path() }
+      val preds =
+        if (opt("WHERE")) {
+          val ps = Seq.newBuilder[Pred]
+          ps += pred()
+          while (opt("AND")) ps += pred()
+          ps.result()
+        } else Nil
+      expect("RETURN")
+      val distinct = opt("DISTINCT")
+      val items = Seq.newBuilder[RetItem]
+      items += retItem()
+      while ({ ws(); pos < in.length && in(pos) == ',' }) { pos += 1; items += retItem() }
+      val order =
+        if (opt("ORDER")) {
+          expect("BY")
+          val ref = orderRef()
+          val desc = if (opt("DESC")) true else { opt("ASC"); false }
+          Some((ref, desc))
+        } else None
+      val limit = if (opt("LIMIT")) Some(longLit().toInt) else None
+      ws()
+      if (pos != in.length) fail(s"trailing input: '${in.substring(pos).take(20)}'")
+      CypherQuery(unwinds.result(), paths.result(), preds, distinct, items.result(),
+        order, limit)
+    }
+
+    private def path(): MatchPath = {
+      val nodes = Seq.newBuilder[NodePat]
+      val rels = Seq.newBuilder[RelPat]
+      nodes += node()
+      while ({ ws(); pos < in.length && in(pos) == '-' }) {
+        rels += rel()
+        nodes += node()
+      }
+      val n = nodes.result(); val r = rels.result()
+      if (n.length > 3) fail("paths of more than 3 nodes are outside the emitted grammar")
+      MatchPath(n, r)
+    }
+
+    private def node(): NodePat = {
+      expect("(")
+      val v = ident()
+      val label = if ({ ws(); pos < in.length && in(pos) == ':' }) {
+        pos += 1; Some(ident())
+      } else None
+      var prop: Option[String] = None
+      var value: Option[AnchorValue] = None
+      ws()
+      if (pos < in.length && in(pos) == '{') {
+        pos += 1
+        prop = Some(ident())
+        expect(":")
+        ws()
+        value = Some(
+          if (pos < in.length && (in(pos) == '"' || in(pos) == '\'')) StrLit(stringLit())
+          else if (pos < in.length && (in(pos).isDigit || in(pos) == '-')) LongLit(longLit())
+          else VarRef(ident()))
+        expect("}")
+      }
+      expect(")")
+      NodePat(v, label, prop, value)
+    }
+
+    private def rel(): RelPat = {
+      expect("-")
+      expect("[")
+      ws()
+      val v = if (pos < in.length && in(pos) != ':' && in(pos) != ']') Some(ident()) else None
+      val t = if ({ ws(); pos < in.length && in(pos) == ':' }) { pos += 1; Some(ident()) }
+              else None
+      expect("]")
+      expect("-")
+      // directed arrows are not part of the emitted grammar (all -[r]-)
+      ws()
+      if (pos < in.length && in(pos) == '>') fail("directed patterns not supported (grammar is undirected)")
+      RelPat(v, t)
+    }
+
+    private def pred(): Pred = {
+      ws()
+      if (peek("NOT")) {
+        expect("NOT")
+        val v = ident(); expect("."); val p = ident()
+        if (p != "nodeId") fail("only nodeId membership predicates are in the grammar")
+        expect("IN")
+        NotIdIn(v, param())
+      } else {
+        val v1 = ident(); expect("<>"); val v2 = ident()
+        VarNeq(v1, v2)
+      }
+    }
+
+    private def retItem(): RetItem = {
+      ws()
+      val e: Expr =
+        if (peek("labels")) { expect("labels"); expect("("); val v = ident(); expect(")"); LabelsOf(v) }
+        else if (peek("type")) { expect("type"); expect("("); val v = ident(); expect(")"); TypeOf(v) }
+        else if (peek("count")) {
+          expect("count"); expect("("); expect("DISTINCT"); val v = ident(); expect(")")
+          CountDistinct(v)
+        }
+        else if (peek("size")) {
+          // size([t IN collect(DISTINCT tgt) WHERE t.nodeId IN $ids | t])
+          expect("size"); expect("("); expect("[")
+          val t = ident(); expect("IN"); expect("collect"); expect("(")
+          expect("DISTINCT"); val v = ident(); expect(")")
+          expect("WHERE"); val t2 = ident(); expect("."); expect("nodeId")
+          expect("IN"); val p = param()
+          expect("|"); val t3 = ident(); expect("]"); expect(")")
+          if (t != t2 || t != t3) fail("comprehension variable mismatch")
+          CountDistinctInParam(v, p)
+        }
+        else if (peek("vector")) {
+          expect("vector"); expect("."); expect("similarity"); expect("."); expect("cosine")
+          expect("("); val v = ident(); expect("."); val p = ident()
+          expect(","); val q = param(); expect(")")
+          Cosine(v, p, q)
+        }
+        else { val v = ident(); expect("."); val p = ident(); PropRef(v, p) }
+      val alias = if (opt("AS")) Some(ident()) else None
+      RetItem(e, alias)
+    }
+
+    private def orderRef(): String = {
+      val first = ident()
+      ws()
+      if (pos < in.length && in(pos) == '.') { pos += 1; s"$first.${ident()}" }
+      else first
+    }
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import graft.cypher.{Ast, Parser, Planner}
+
+/** Mini-Cypher parser + planner over the micro graph, fed the reference's
+  * actual emitted query shapes (retrieval/path_retriever.py:4-40,
+  * retrieval/retriever.py:19-21,49-60). Expected values hand-derived — they
+  * agree with PatternsSpec where the queries overlap.
+  */
+class CypherSpec extends SparkSpec {
+  private lazy val g = MicroGraph(spark)
+
+  test("parser: concrete 2-hop template round-trips structurally") {
+    val q = Parser.parse(
+      """MATCH (x1:Institution {name: "MIT"})-[r1:AFFILIATED_WITH]-(x2:Author)-[r2:WRITES]-(x3:Paper) RETURN DISTINCT x3.name AS name""")
+    assert(q.paths.head.nodes.map(_.varName) === Seq("x1", "x2", "x3"))
+    assert(q.paths.head.rels.flatMap(_.relType) === Seq("AFFILIATED_WITH", "WRITES"))
+    assert(q.distinct)
+    assert(q.items.head.name === "name")
+  }
+
+  test("parser rejects out-of-grammar input") {
+    intercept[Parser.ParseError](Parser.parse("MATCH (a)-[r]->(b) RETURN a.name"))
+    intercept[Parser.ParseError](Parser.parse("MATCH (a)-[r]-(b)-[s]-(c)-[t]-(d) RETURN a.name"))
+    intercept[Parser.ParseError](Parser.parse("MATCH (a) RETURN a.name WHERE"))
+  }
+
+  test("J5 template: concrete typed 2-hop via parser+planner") {
+    val names = Planner.run(g,
+      """MATCH (x1:Institution {name: "MIT"})-[r1:AFFILIATED_WITH]-(x2:Author)-[r2:WRITES]-(x3:Paper) RETURN DISTINCT x3.name AS name""")
+      .collect().map(_.getString(0)).toSet
+    assert(names === Set("P-alpha", "P-beta"))
+  }
+
+  test("A1 path-schema query: UNWIND + labels()/type() + count(DISTINCT)") {
+    val rows = Planner.run(g,
+      """UNWIND $src_names AS srcName
+        |MATCH (src {name: srcName})-[r]-(tgt)
+        |RETURN labels(src) AS labels1, src.name AS name1, type(r) AS type1,
+        |       labels(tgt) AS labels2, count(DISTINCT tgt) AS totalCnt""".stripMargin,
+      Map("src_names" -> Seq("P-gamma")))
+      .collect()
+      .map(r => (r.getString(2), r.getSeq[String](3).head, r.getLong(4)))
+      .toSet
+    assert(rows === Set(
+      ("WRITES", "Author", 1L),
+      ("HAS_TOPIC", "FieldOfStudy", 1L),
+      ("CITES", "Paper", 2L)))
+  }
+
+  test("2-hop schema query with WHERE tgt <> src1 and trail semantics") {
+    val cnt = Planner.run(g,
+      """UNWIND $src_names AS srcName1
+        |MATCH (src1 {name: srcName1})-[r1]-(var)-[r2]-(tgt)
+        |WHERE tgt <> src1
+        |RETURN count(DISTINCT tgt) AS totalCnt""".stripMargin,
+      Map("src_names" -> Seq("Alice")))
+      .collect().head.getLong(0)
+    // distinct two-hop targets from Alice (PatternsSpec J3): {Bob, 30, 22}
+    assert(cnt === 3L)
+  }
+
+  test("A2 supervision: size([t IN collect(DISTINCT tgt) WHERE ... | t])") {
+    val row = Planner.run(g,
+      """UNWIND $src_names AS srcName
+        |MATCH (src:Institution {name: srcName})-[r]-(tgt)
+        |RETURN type(r) AS type1, count(DISTINCT tgt) AS totalCnt,
+        |       size([t IN collect(DISTINCT tgt) WHERE t.nodeId IN $tgt_ids | t]) AS correctCnt"""
+        .stripMargin,
+      Map("src_names" -> Seq("MIT"), "tgt_ids" -> Seq(10L, 99L)))
+      .collect().head
+    assert((row.getString(0), row.getLong(1), row.getLong(2)) === (("AFFILIATED_WITH", 2L, 1L)))
+  }
+
+  test("J7 id lookup with anti-membership (NOT ... IN)") {
+    val names = Planner.run(g,
+      """UNWIND $answerIds AS nodeId
+        |MATCH (x:_Entity_ {nodeId: nodeId})-[r]-(y)
+        |WHERE NOT y.nodeId IN $found
+        |RETURN DISTINCT y.name AS name""".stripMargin,
+      Map("answerIds" -> Seq(30L), "found" -> Seq(20L)))
+      .collect().map(_.getString(0)).toSet
+    // papers on topic 30 are {20,21,22}; 20 excluded
+    assert(names === Set("P-beta", "P-gamma"))
+  }
+
+  test("retrieval rewrite: widenForRetrieval adds props + cosine + order") {
+    val cand = Parser.parse(
+      """MATCH (x1:Author {name: "Alice"})-[r1:WRITES]-(x2:Paper) RETURN DISTINCT x2.name AS name""")
+    val widened = cand.widenForRetrieval("x2", Seq("name", "abstract"),
+      "nameEmbedding", "qEmb")
+    // query embedding = basis vector 0 → sim 1.0 for nodeId 20 (20%4=0),
+    // 0.0 for 21 (21%4=1)
+    val rows = new Planner(g, Map("qEmb" -> Seq(1.0, 0.0, 0.0, 0.0)))
+      .plan(widened).collect()
+      .map(r => (r.getAs[Long]("nodeId"), r.getAs[String]("name"),
+        r.getAs[String]("abstract"), r.getAs[Double]("similarity")))
+    assert(rows.map(_._1).toSeq === Seq(20L, 21L))  // ordered by similarity desc
+    assert(rows.head._4 === 1.0)
+    assert(rows.head._3 === "about dbs")
+    assert(rows.last._3 === null)                   // null prop tolerated
+    assert(rows.last._4 === 0.0)
+  }
+
+  test("ORDER BY + LIMIT") {
+    val first = Planner.run(g,
+      """MATCH (x:Author)-[r:WRITES]-(p:Paper) RETURN DISTINCT x.name AS name ORDER BY name ASC LIMIT 2""")
+      .collect().map(_.getString(0)).toSeq
+    assert(first === Seq("Alice", "Bob"))
+  }
+}

@@ -49,6 +49,13 @@ object MicroGraph {
     val nodes: DataFrame = nodeRows
       .toDF("nodeId", "label", "name", "abstract")
       .withColumn("labels", array(col("label"), lit("_Entity_")))
+      // deterministic 4-dim "nameEmbedding" so vector queries are testable:
+      // basis-ish vectors derived from nodeId
+      .withColumn("nameEmbedding", array(
+        (col("nodeId") % 4 === 0).cast("double"),
+        (col("nodeId") % 4 === 1).cast("double"),
+        (col("nodeId") % 4 === 2).cast("double"),
+        (col("nodeId") % 4 === 3).cast("double")))
     val rels: DataFrame = relRows.toDF("relType", "src", "dst")
     PropertyGraph(nodes, rels)
   }

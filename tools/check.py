@@ -11,6 +11,11 @@ import sys, os, json, glob, math
 import duckdb
 
 def norm_cell(v):
+    import numpy as np
+    if isinstance(v, np.ndarray):
+        return tuple(norm_cell(x) for x in v.tolist())
+    if isinstance(v, np.generic):
+        v = v.item()
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
