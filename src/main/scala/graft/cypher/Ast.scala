@@ -80,6 +80,47 @@ object Ast {
       case _ => false
     })
 
+    /** Render back to Cypher text — byte-compatible with the candidate
+      * strings `create_query` emits (path_retriever.py:30-40), so the
+      * corpus format round-trips: parse(render(q)) == q. */
+    def render: String = {
+      def anchor(n: NodePat): String = (n.anchorProp, n.anchorValue) match {
+        case (Some(p), Some(StrLit(v)))  => s""" {$p: "$v"}"""
+        case (Some(p), Some(LongLit(v))) => s" {$p: $v}"
+        case (Some(p), Some(VarRef(v)))  => s" {$p: $v}"
+        case _ => ""
+      }
+      def node(n: NodePat): String =
+        s"(${n.varName}${n.label.fold("")(l => s":$l")}${anchor(n)})"
+      def rel(r: RelPat): String =
+        s"-[${r.varName.getOrElse("")}${r.relType.fold("")(t => s":$t")}]-"
+      def path(p: MatchPath): String =
+        node(p.nodes.head) + p.rels.zip(p.nodes.tail)
+          .map { case (r, n) => rel(r) + node(n) }.mkString
+      def expr(e: Expr): String = e match {
+        case PropRef(v, p)              => s"$v.$p"
+        case LabelsOf(v)                => s"labels($v)"
+        case TypeOf(r)                  => s"type($r)"
+        case CountDistinct(v)           => s"count(DISTINCT $v)"
+        case CountDistinctInParam(v, p) => s"size([t IN collect(DISTINCT $v) WHERE t.nodeId IN $$$p | t])"
+        case Cosine(v, pr, p)           => s"vector.similarity.cosine($v.$pr, $$$p)"
+      }
+      def pred(p: Pred): String = p match {
+        case VarNeq(a, b)   => s"$a <> $b"
+        case NotIdIn(v, pm) => s"NOT $v.nodeId IN $$$pm"
+      }
+      val sb = new StringBuilder
+      unwinds.foreach(u => sb ++= s"UNWIND $$${u.param} AS ${u.varName} ")
+      sb ++= "MATCH " + paths.map(path).mkString(", ")
+      if (preds.nonEmpty) sb ++= " WHERE " + preds.map(pred).mkString(" AND ")
+      sb ++= " RETURN " + (if (distinct) "DISTINCT " else "")
+      sb ++= items.map(i => expr(i.expr) + i.alias.fold("")(a => s" AS $a")).mkString(", ")
+      orderBy.foreach { case (ref, desc) =>
+        sb ++= s" ORDER BY $ref" + (if (desc) " DESC" else "") }
+      limit.foreach(n => sb ++= s" LIMIT $n")
+      sb.toString
+    }
+
     /** The reference's retrieval rewrite (retriever.py:49-60): replace the
       * RETURN list of a candidate query with
       * `DISTINCT tgt.nodeId, props…, cosine(tgt.idx, $qEmb) AS similarity

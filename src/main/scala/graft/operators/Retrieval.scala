@@ -31,7 +31,8 @@ object Retrieval {
   def budgetedAssemble(queryResults: Seq[DataFrame],
                        tokenCost: Column,
                        maxNodes: Int,
-                       maxTokens: Long): DataFrame = {
+                       maxTokens: Long,
+                       extraCols: Seq[String] = Nil): DataFrame = {
     val tagged = queryResults.zipWithIndex.map { case (df, i) =>
       // deterministic within-query order: similarity desc, nodeId tiebreak
       // (the rewritten queries ORDER BY similarity DESC,
@@ -45,20 +46,21 @@ object Retrieval {
     // first-query-wins dedup + provenance accumulation across *all* rows of
     // the node (retrieval/retriever.py:80-86: first occurrence sets props,
     // later ones only append to `pattern`)
+    val carried = Seq("name") ++ extraCols
     val perNode = unioned
       .groupBy(col("nodeId"))
       .agg(
-        min(struct(col("query_rank"), col("row_order"), col("name"),
-          col("similarity"))).as("first"),
+        min(struct(Seq(col("query_rank"), col("row_order")) ++
+          carried.map(col) :+ col("similarity"): _*)).as("first"),
         array_sort(collect_list(struct(col("query_rank"), col("row_order"),
           col("pattern")))).as("provenance"))
-      .select(
+      .select(Seq(
         col("nodeId"),
         col("first.query_rank").as("query_rank"),
-        col("first.row_order").as("row_order"),
-        col("first.name").as("name"),
+        col("first.row_order").as("row_order")) ++
+        carried.map(c => col(s"first.$c").as(c)) ++ Seq(
         col("first.similarity").as("similarity"),
-        transform(col("provenance"), p => p.getField("pattern")).as("patterns"))
+        transform(col("provenance"), p => p.getField("pattern")).as("patterns")): _*)
 
     // global deterministic order = the reference's execution order; token
     // budget = running sum prefix; node budget = row_number prefix. The

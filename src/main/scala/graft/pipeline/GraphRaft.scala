@@ -1,0 +1,286 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.graph.PropertyGraph
+import graft.operators.{Patterns, Retrieval, Vectors}
+import graft.cypher.{Ast, Parser, Planner}
+import graft.functions.{normName, tokenCountEstimate}
+
+/** The GraphRAFT pipeline re-expressed Spark-first (SURVEY §3.1;
+  * reference graphraft.py:41-66): NER entity matching → path/candidate
+  * enumeration → candidate ranking → budgeted retrieval with KNN backfill →
+  * answer generation → IR metrics.
+  *
+  * The three LLM calls at the pipeline boundary (OpenAI NER gpt-4o-mini,
+  * text2cypher Gemma ranking, Llama answering) become pluggable traits with
+  * deterministic defaults (SURVEY §2.10): everything else — the actual data
+  * processing — is DataFrame jobs over the cluster.
+  */
+object GraphRaft {
+
+  // ---- LLM boundary traits (deterministic defaults below) ----
+
+  /** NER: question → entity mentions (reference retrieval/ner.py:38-65). */
+  trait EntityExtractor { def extract(question: String): Seq[String] }
+
+  /** Candidate ranking: the constrained-decoding LLM1
+    * (constrained_decoding/sequence_ranker.py) — picks top-k candidate
+    * queries. */
+  trait QueryRanker { def rank(candidates: Seq[Candidate], k: Int): Seq[Candidate] }
+
+  /** Answering: LLM2 (llm2.py:150-164) — context rows → answer names. */
+  trait AnswerGenerator { def answer(question: String, context: Seq[Retrieved]): Seq[String] }
+
+  /** Mention → embedding for the KNN fallback (reference embeds via
+    * genai.vector.encode, ner.py:117-120; external-model boundary). */
+  trait MentionEncoder { def encode(s: String): Seq[Double] }
+
+  /** A candidate Cypher query with optional supervision counts
+    * (qa_with_cypher_queries schema: cypher_queries/hits/num_results). */
+  final case class Candidate(cypher: String, hits: Option[Long], numResults: Long)
+
+  final case class Retrieved(nodeId: Long, name: String, similarity: Double,
+                             patterns: Seq[String])
+
+  /** Dictionary NER: emit the node names that literally occur in the
+    * question (normalized) — deterministic stand-in for gpt-4o-mini. */
+  final class DictionaryExtractor(names: Seq[String]) extends EntityExtractor {
+    private def norm(s: String) =
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC).toLowerCase
+    def extract(question: String): Seq[String] = {
+      val q = norm(question)
+      names.filter(n => q.contains(norm(n)))
+    }
+  }
+
+  /** The reference's own deterministic ranking heuristic: sort by
+    * (-hits, num_results) — prefer recall, then selectivity (llm1.py:53-58).
+    * Unsupervised candidates keep enumeration order after selectivity. */
+  object HeuristicRanker extends QueryRanker {
+    def rank(candidates: Seq[Candidate], k: Int): Seq[Candidate] =
+      candidates.sortBy(c => (-c.hits.getOrElse(0L), c.numResults)).take(k)
+  }
+
+  /** Identity answerer: the retrieved names, best-first (the retrieval-only
+    * evaluation mode, generate_training_data_llm2.ipynb cell 9). */
+  object RetrievalAnswerer extends AnswerGenerator {
+    def answer(question: String, context: Seq[Retrieved]): Seq[String] =
+      context.map(_.name)
+  }
+
+  /** Deterministic fake encoder (hash → unit vector) so the KNN fallback is
+    * exercised without a model. */
+  object HashEncoder extends MentionEncoder {
+    def encode(s: String): Seq[Double] = {
+      val h = s.##
+      val raw = (0 until 4).map(i => (((h >> (8 * i)) & 0xff) - 128) / 128.0)
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      if (n == 0) Seq(1.0, 0, 0, 0) else raw.map(_ / n)
+    }
+  }
+
+  // ---- entity matching (ner.py:95-120: fulltext-exact + KNN fallback) ----
+
+  /** V5 fulltext-exact path: candidate generation by fulltext then filter to
+    * normalized equality — the observable semantics is the normalized-exact
+    * match (FULL_TEXT_QUERY, ner.py:111-114). Falls back to vector KNN
+    * LIMIT 1 over `embCol` when no exact match (ner.py:117-120). */
+  def matchEntities(g: PropertyGraph, mentions: Seq[String],
+                    encoder: MentionEncoder, embCol: String = "nameEmbedding",
+                    knnK: Int = 100): Seq[String] = {
+    if (mentions.isEmpty) return Nil
+    val nodes = g.nodes
+    val exact = nodes
+      .where(normName(col("name")).isin(mentions.map(m =>
+        java.text.Normalizer.normalize(m, java.text.Normalizer.Form.NFC).toLowerCase): _*))
+      .select(normName(col("name")).as("nn"), col("name"))
+      .collect().groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSeq).toMap
+    mentions.flatMap { m =>
+      val key = java.text.Normalizer.normalize(m, java.text.Normalizer.Form.NFC).toLowerCase
+      exact.get(key) match {
+        case Some(names) => names
+        case None =>
+          // V3: embed the mention, KNN k=100, keep the single best name
+          Vectors.bruteForceTopK(
+              nodes.where(col(embCol).isNotNull)
+                .select(col("nodeId"), col("name"), col(embCol)),
+              "nodeId", embCol, encoder.encode(m), knnK)
+            .join(nodes.select(col("nodeId"), col("name")), "nodeId")
+            .limit(1)
+            .collect().map(_.getAs[String]("name")).toSeq
+      }
+    }.distinct
+  }
+
+  // ---- candidate enumeration (path_retriever.py:49-64) ----
+
+  /** Enumerate candidate queries around the source names: 1-hop, 2-hop and
+    * 2-path schema summaries with result counts, templated into concrete
+    * Cypher exactly like `create_query` (path_retriever.py:30-40). With
+    * `goldIds` the supervision count (A2) is added and becomes `hits`.
+    * The summaries are O(schema), tiny — collected to the driver like the
+    * reference collects records. */
+  def enumerateCandidates(g: PropertyGraph, srcNames: Seq[String],
+                          goldIds: Option[Seq[Long]] = None,
+                          patterns: Seq[String] = Seq("1hop", "2hop", "2path"),
+                          targetLabel: Option[String] = None): Seq[Candidate] = {
+    if (srcNames.isEmpty) return Nil
+    val anchorDf = Patterns.anchorsByName(g, srcNames)
+    def sup(tgtId: Column): Seq[Column] = goldIds match {
+      case Some(ids) => Seq(count_distinct(when(tgtId.isin(ids: _*), tgtId)).as("hits"))
+      case None => Nil
+    }
+    def cands(pattern: String): Seq[Candidate] = pattern match {
+      case "1hop" =>
+        val rows = Patterns.oneHopFrom(g, anchorDf)
+          .groupBy("src_label", "src_name", "rel_type", "tgt_label")
+          .agg(count_distinct(col("tgt_id")).as("total_cnt"),
+            sup(col("tgt_id")): _*)
+          .filter(targetLabel.map(l => col("tgt_label") === l).getOrElse(lit(true)))
+          .collect()
+        rows.toSeq.map { r =>
+          Candidate(
+            s"""MATCH (x1:${r.getAs[String]("src_label")} {name: "${r.getAs[String]("src_name")}"})-[r1:${r.getAs[String]("rel_type")}]-(x2:${r.getAs[String]("tgt_label")}) RETURN DISTINCT x2.name AS name""",
+            goldIds.map(_ => r.getAs[Long]("hits")), r.getAs[Long]("total_cnt"))
+        }
+      case "2hop" =>
+        val rows = Patterns.twoHopFrom(g, anchorDf)
+          .groupBy("src_label", "src_name", "rel1_type", "mid_label", "rel2_type", "tgt_label")
+          .agg(count_distinct(col("tgt_id")).as("total_cnt"),
+            sup(col("tgt_id")): _*)
+          .filter(targetLabel.map(l => col("tgt_label") === l).getOrElse(lit(true)))
+          .collect()
+        rows.toSeq.map { r =>
+          Candidate(
+            s"""MATCH (x1:${r.getAs[String]("src_label")} {name: "${r.getAs[String]("src_name")}"})-[r1:${r.getAs[String]("rel1_type")}]-(x2:${r.getAs[String]("mid_label")})-[r2:${r.getAs[String]("rel2_type")}]-(x3:${r.getAs[String]("tgt_label")}) RETURN DISTINCT x3.name AS name""",
+            goldIds.map(_ => r.getAs[Long]("hits")), r.getAs[Long]("total_cnt"))
+        }
+      case "2path" =>
+        val rows = Patterns.twoPathFrom(g, anchorDf)
+          .groupBy("src1_label", "src1_name", "rel1_type", "mid_label",
+            "rel2_type", "src2_label", "src2_name")
+          .agg(count_distinct(col("mid_id")).as("total_cnt"),
+            sup(col("mid_id")): _*)
+          .filter(targetLabel.map(l => col("mid_label") === l).getOrElse(lit(true)))
+          .collect()
+        rows.toSeq.map { r =>
+          Candidate(
+            s"""MATCH (x1:${r.getAs[String]("src1_label")} {name: "${r.getAs[String]("src1_name")}"})-[r1:${r.getAs[String]("rel1_type")}]-(x2:${r.getAs[String]("mid_label")})-[r2:${r.getAs[String]("rel2_type")}]-(x3:${r.getAs[String]("src2_label")} {name: "${r.getAs[String]("src2_name")}"}) RETURN DISTINCT x2.name AS name""",
+            goldIds.map(_ => r.getAs[Long]("hits")), r.getAs[Long]("total_cnt"))
+        }
+      case other => throw new IllegalArgumentException(s"unknown pattern $other")
+    }
+    patterns.flatMap(cands)
+  }
+
+  // ---- budgeted retrieval (retriever.py:63-109) ----
+
+  /** Execute the ranked candidate queries: widen each for retrieval
+    * (structural modify_query), execute in rank order, assemble under the
+    * budget with first-wins dedup + provenance, then backfill with global
+    * vector KNN excluding found ids (`pattern` = "No pattern",
+    * retriever.py:96-107). */
+  def retrieveData(g: PropertyGraph, topQueries: Seq[String], qEmb: Seq[Double],
+                   nodeProps: Seq[String] = Seq("name"),
+                   sortingIndex: String = "nameEmbedding",
+                   maxNodes: Int = 20, maxTokens: Long = Long.MaxValue,
+                   ef: Int = 10000): DataFrame = {
+    val params = Map("questionEmbedding" -> qEmb)
+    val planner = new Planner(g, params)
+    val perQuery = topQueries.map { q =>
+      val ast = Parser.parse(q)
+      val tgtVar = ast.items.head.expr match {
+        case Ast.PropRef(v, _) => v
+        case other => throw new IllegalArgumentException(s"candidate must return a property, got $other")
+      }
+      val widened = ast.widenForRetrieval(tgtVar, nodeProps.filter(_ != "nodeId"),
+        sortingIndex, "questionEmbedding")
+      // pattern text ≙ query_to_text_pattern (retriever.py:9-12): the MATCH
+      // pattern with the target re-anchored by the matched row's name —
+      // done structurally (render the path, splice the per-row anchor).
+      val pathText = Ast.CypherQuery(Nil, ast.paths, Nil, distinct = false,
+        Seq(Ast.RetItem(Ast.PropRef(tgtVar, "name"), None)), None, None)
+        .render.stripPrefix("MATCH ").split(" RETURN ").head
+      val tgtLabel = ast.paths.flatMap(_.nodes).find(_.varName == tgtVar)
+        .flatMap(_.label)
+      val tgtText = s"($tgtVar${tgtLabel.fold("")(l => s":$l")})"
+      val pattern = pathText.indexOf(tgtText) match {
+        case -1 => lit(pathText) // target already anchored in the template
+        case i =>
+          val (before, after) = (pathText.substring(0, i),
+            pathText.substring(i + tgtText.length))
+          concat(lit(before), lit(tgtText.dropRight(1) + " {name: \""),
+            col("name"), lit("\"})"), lit(after))
+      }
+      planner.plan(widened).withColumn("pattern", pattern)
+    }
+    val budget = Retrieval.budgetedAssemble(perQuery,
+      tokenCountEstimate(col("name")) + lit(1L), maxNodes, maxTokens)
+
+    // KNN backfill: global top-ef excluding found, until the budget is full
+    val found = budget.select(col("nodeId"))
+    val knn = Vectors.scored(
+        g.nodes.where(col(sortingIndex).isNotNull)
+          .select(col("nodeId"), col("name"), col(sortingIndex)),
+        sortingIndex, qEmb)
+      .join(found, Seq("nodeId"), "left_anti")
+      .withColumn("similarity", round(col("similarity"), 6))
+      .orderBy(col("similarity").desc, col("nodeId"))
+      .limit(ef)
+      .withColumn("patterns", array(lit("No pattern")))
+      .select(col("nodeId"), col("name"), col("similarity"), col("patterns"))
+
+    import org.apache.spark.sql.expressions.Window
+    val base = budget.select(col("nodeId"), col("name"), col("similarity"),
+      col("patterns"), col("rank"))
+    val nFound = base.count()
+    val backfill = knn
+      .withColumn("rank", (row_number().over(
+        Window.orderBy(col("similarity").desc, col("nodeId"))) + lit(nFound)).cast("long"))
+      .where(col("rank") <= maxNodes)
+    base.unionByName(backfill).orderBy("rank")
+  }
+
+  // ---- answer-name lookup (retriever.py:111-115) ----
+
+  def answerNames(g: PropertyGraph, answerIds: Seq[Long]): Seq[String] =
+    Patterns.lookupByIds(g, answerIds).collect().map(_.getAs[String]("name")).toSeq
+
+  // ---- end-to-end run (graphraft.py:41-66) ----
+
+  final case class Config(
+      nodeProps: Seq[String] = Seq("name"),
+      sortingIndex: String = "nameEmbedding",
+      patterns: Seq[String] = Seq("1hop", "2hop", "2path"),
+      targetLabel: Option[String] = None,
+      beamWidth: Int = 5,           // graphraft.py:79
+      maxNodes: Int = 20,           // graphraft.py:37
+      ef: Int = 10000)              // retriever.py:25
+
+  final case class Result(sourceNames: Seq[String], candidates: Seq[Candidate],
+                          topQueries: Seq[String], retrieved: Seq[Retrieved],
+                          answers: Seq[String])
+
+  def run(g: PropertyGraph, question: String, qEmb: Seq[Double],
+          config: Config = Config(),
+          extractor: EntityExtractor,
+          ranker: QueryRanker = HeuristicRanker,
+          answerer: AnswerGenerator = RetrievalAnswerer,
+          encoder: MentionEncoder = HashEncoder,
+          goldIds: Option[Seq[Long]] = None): Result = {
+    val mentions = extractor.extract(question)
+    val srcNames = matchEntities(g, mentions, encoder, config.sortingIndex)
+    val candidates = enumerateCandidates(g, srcNames, goldIds,
+      config.patterns, config.targetLabel)
+    val top = ranker.rank(candidates, config.beamWidth)
+    val retrievedDf = retrieveData(g, top.map(_.cypher), qEmb,
+      config.nodeProps, config.sortingIndex, config.maxNodes, ef = config.ef)
+    val retrieved = retrievedDf.collect().toSeq.map(r => Retrieved(
+      r.getAs[Long]("nodeId"), r.getAs[String]("name"),
+      r.getAs[Double]("similarity"),
+      r.getSeq[String](r.fieldIndex("patterns")).toSeq))
+    Result(srcNames, candidates, top.map(_.cypher), retrieved,
+      answerer.answer(question, retrieved))
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.GraphRaft
+import graft.cypher.Parser
+
+/** End-to-end GraphRAFT pipeline replay on the micro graph with the
+  * deterministic stubs (SURVEY §5 "end-to-end replay"): NER → entity match →
+  * candidate enumeration (with supervision counts) → heuristic rank →
+  * budgeted retrieval + KNN backfill → answer names → metrics.
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+  private lazy val g = MicroGraph(spark)
+  private val allNames = MicroGraph.nodeRows.map(_._3)
+
+  test("render/parse round-trip on candidate templates") {
+    val s = """MATCH (x1:Institution {name: "MIT"})-[r1:AFFILIATED_WITH]-(x2:Author)-[r2:WRITES]-(x3:Paper) RETURN DISTINCT x3.name AS name"""
+    val q = Parser.parse(s)
+    assert(q.render === s)
+    assert(Parser.parse(q.render) === q)
+  }
+
+  test("entity matching: exact normalized hit plus KNN fallback") {
+    val names = GraphRaft.matchEntities(g,
+      Seq("alice", "no such entity"), GraphRaft.HashEncoder)
+    assert(names.contains("Alice"))
+    assert(names.length === 2) // fallback produced exactly one best name
+  }
+
+  test("candidate enumeration matches the reference templates, with supervision") {
+    val cands = GraphRaft.enumerateCandidates(g, Seq("MIT"),
+      goldIds = Some(Seq(20L, 21L)), patterns = Seq("1hop", "2hop"))
+    val onehop = cands.find(_.cypher.contains("-[r1:AFFILIATED_WITH]-(x2:Author) RETURN")).get
+    assert(onehop.cypher ===
+      """MATCH (x1:Institution {name: "MIT"})-[r1:AFFILIATED_WITH]-(x2:Author) RETURN DISTINCT x2.name AS name""")
+    assert(onehop.numResults === 2L) // Alice, Bob
+    assert(onehop.hits === Some(0L))
+    // the 2-hop through WRITES reaches papers 20,21 (gold) — hits = 2
+    val twohop = cands.find(c => c.cypher.contains("(x2:Author)-[r2:WRITES]-(x3:Paper)")).get
+    assert(twohop.numResults === 2L)
+    assert(twohop.hits === Some(2L))
+    // every candidate parses under the grammar
+    cands.foreach(c => Parser.parse(c.cypher))
+  }
+
+  test("heuristic ranker: (-hits, num_results) like llm1.py:53-58") {
+    val ranked = GraphRaft.HeuristicRanker.rank(Seq(
+      GraphRaft.Candidate("a", Some(1L), 10L),
+      GraphRaft.Candidate("b", Some(2L), 50L),
+      GraphRaft.Candidate("c", Some(2L), 5L)), 2)
+    assert(ranked.map(_.cypher) === Seq("c", "b"))
+  }
+
+  test("retrieveData: budgeted assembly + KNN backfill with exclusion") {
+    // one candidate: papers of Alice → {20, 21}; budget 4 → 2 backfill rows
+    val df = GraphRaft.retrieveData(g,
+      Seq("""MATCH (x1:Author {name: "Alice"})-[r1:WRITES]-(x2:Paper) RETURN DISTINCT x2.name AS name"""),
+      qEmb = Seq(1.0, 0.0, 0.0, 0.0), maxNodes = 4, ef = 100)
+    val rows = df.collect()
+    assert(rows.length === 4)
+    val ids = rows.map(_.getAs[Long]("nodeId"))
+    assert(ids.take(2).toSet === Set(20L, 21L))
+    // 20 ≡ 0 mod 4 → sim 1.0 ranks before 21 (sim 0.0)
+    assert(ids.head === 20L)
+    // query-found rows carry the anchored pattern text; backfill "No pattern"
+    val r20 = rows.find(_.getAs[Long]("nodeId") == 20L).get
+    val pat20 = r20.getSeq[String](r20.fieldIndex("patterns")).toSeq
+    assert(pat20 === Seq("""(x1:Author {name: "Alice"})-[r1:WRITES]-(x2:Paper {name: "P-alpha"})"""))
+    rows.drop(2).foreach(r =>
+      assert(r.getSeq[String](r.fieldIndex("patterns")).toSeq === Seq("No pattern")))
+    // backfill excluded the found ids
+    assert(ids.distinct.length === 4)
+    // backfill is KNN-ordered: the best remaining similarity first
+    val backSims = rows.drop(2).map(_.getAs[Double]("similarity"))
+    assert(backSims.sortBy(-_).toSeq === backSims.toSeq)
+  }
+
+  test("full run: question → answers → IR metrics") {
+    val result = GraphRaft.run(g,
+      question = "Which papers is MIT connected to?",
+      qEmb = Seq(1.0, 0.0, 0.0, 0.0),
+      config = GraphRaft.Config(patterns = Seq("1hop", "2hop"),
+        targetLabel = Some("Paper"), maxNodes = 3, beamWidth = 2),
+      extractor = new GraphRaft.DictionaryExtractor(allNames),
+      goldIds = Some(Seq(20L, 21L)))
+    assert(result.sourceNames === Seq("MIT"))
+    // targetLabel=Paper keeps only paper-targeting candidates (mag mode,
+    // path_retriever.py:58-60)
+    assert(result.candidates.nonEmpty)
+    assert(result.candidates.forall(_.cypher.contains(":Paper)")))
+    // best candidate by (-hits, num_results): the 2-hop to papers, hits=2
+    assert(result.topQueries.head.contains("-[r2:WRITES]-(x3:Paper)"))
+    // retrieval: papers 20,21 found + 1 backfill; answers are their names
+    val retrievedIds = result.retrieved.map(_.nodeId)
+    assert(retrievedIds.take(2).toSet === Set(20L, 21L))
+    assert(result.answers.take(2).toSet === Set("P-alpha", "P-beta"))
+    // metrics vs gold {20,21}: both found → precision 2/3, recall 1.0
+    val m = graft.operators.Metrics.perRow(
+      Seq((retrievedIds, Seq(20L, 21L))).toDF("p", "l"), col("p"), col("l"))
+      .collect().head
+    assert(m.getAs[Double]("recall") === 1.0)
+    assert(math.abs(m.getAs[Double]("precision") - 2.0 / 3) < 1e-12)
+  }
+}
