@@ -327,6 +327,43 @@ object OracleSqls {
         |SELECT r.custkey, s.sample_no, r.orderkey
         |FROM samples s JOIN ranked r ON s.custkey = r.custkey AND r.rk = s.idx + 1""".stripMargin,
 
+    "ann_ivf_topk" ->
+      """WITH c AS (
+        |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings ORDER BY vec_id LIMIT 8
+        |), a AS (
+        |  SELECT id, v, cid FROM (
+        |    SELECT e.vec_id AS id, CAST(e.embedding AS DOUBLE[]) AS v, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv), 6) DESC,
+        |          c.cid) AS rn
+        |    FROM embeddings e CROSS JOIN c)
+        |  WHERE rn = 1
+        |), q AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+        |), p AS (
+        |  SELECT cid FROM c, q
+        |  ORDER BY round(list_cosine_similarity(cv, qv), 6) DESC, cid LIMIT 2
+        |)
+        |SELECT a.id AS vec_id, round(list_cosine_similarity(a.v, q.qv), 6) AS similarity
+        |FROM a JOIN p USING (cid), q
+        |ORDER BY similarity DESC, a.id LIMIT 10""".stripMargin,
+
+    "gx_degree_histogram" -> withGraph(
+      """SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes FROM (
+        |  SELECT a, CAST(count(*) AS BIGINT) AS degree FROM bidir GROUP BY a
+        |) GROUP BY degree""".stripMargin),
+
+    "s2_constraint_check" -> withGraph(
+      """SELECT CAST(count(*) AS BIGINT) AS n_violations FROM (
+        |  SELECT nodeId FROM nodes GROUP BY nodeId HAVING count(*) > 1
+        |)""".stripMargin),
+
+    "a7_corpus_count" -> s"""SELECT lang,
+        |  CAST(sum(coalesce(list_sum(list_transform($wordsExpr,
+        |    w -> CASE WHEN w = 'the' THEN 1 ELSE 0 END)), 0)) AS BIGINT) AS n_the
+        |FROM documents GROUP BY lang""".stripMargin,
+
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
         |  CAST(count(*) AS BIGINT) AS n_docs

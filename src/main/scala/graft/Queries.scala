@@ -141,6 +141,35 @@ object Queries {
     Vectors.nearDupPairs(T(spark, dir, "embeddings"), "vec_id", "embedding",
       bits = 4, threshold = 0.35)
 
+  /** IVF coarse-quantization ANN: 8 centroids, probe the 2 nearest. */
+  def annIvfTopK(spark: SparkSession, dir: String): DataFrame =
+    Vectors.ivfTopK(T(spark, dir, "embeddings"), "vec_id", "embedding",
+      queryVec(spark, dir), 10, nCentroids = 8, nProbe = 2)
+
+  // ---- GraphX iterative analytics (graft.graph.GraphXBridge) ----
+
+  def gxDegreeHistogram(spark: SparkSession, dir: String): DataFrame =
+    graft.graph.GraphXBridge.degreeHistogram(spark, graph(spark, dir))
+
+  /** PageRank — iterative; no SQL oracle (rows-only driver check). */
+  def gxPageRankTopK(spark: SparkSession, dir: String): DataFrame =
+    graft.graph.GraphXBridge.pageRankTopK(spark, graph(spark, dir), 20)
+
+  /** S2 — the unique-nodeId constraint as a validation query. */
+  def s2ConstraintCheck(spark: SparkSession, dir: String): DataFrame = {
+    val g = graph(spark, dir)
+    g.nodes.groupBy("nodeId").count().where(col("count") > 1)
+      .agg(count(lit(1)).as("n_violations"))
+  }
+
+  /** A7 — corpus containment count (sum over per-row token filters, the
+    * `sum('RETURN D' in x for …)` shape from nb llm2 cell 6). */
+  def a7CorpusCount(spark: SparkSession, dir: String): DataFrame =
+    T(spark, dir, "documents")
+      .groupBy("lang")
+      .agg(sum(size(filter(graft.functions.words(col("text")),
+        w => w === "the"))).as("n_the"))
+
   // ---- budgeted retrieval (T3), ranking (A6/P7), sampling (T4), metrics (A5) ----
 
   /** T3 — the reference's budgeted ranked retrieval
@@ -325,6 +354,11 @@ object Queries {
     "v2_knn_exclude" -> (v2KnnExclude _),
     "ann_lsh_topk" -> (annLshTopK _),
     "ann_neardup_pairs" -> (annNearDupPairs _),
+    "ann_ivf_topk" -> (annIvfTopK _),
+    "gx_degree_histogram" -> (gxDegreeHistogram _),
+    "gx_pagerank_topk" -> (gxPageRankTopK _),
+    "s2_constraint_check" -> (s2ConstraintCheck _),
+    "a7_corpus_count" -> (a7CorpusCount _),
     "t3_budget_retrieval" -> (t3BudgetRetrieval _),
     "a5_ir_metrics" -> (a5IrMetrics _),
     "a6_best_candidate" -> (a6BestCandidate _),

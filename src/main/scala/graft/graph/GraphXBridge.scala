@@ -1,0 +1,65 @@
+package graft.graph
+
+import org.apache.spark.graphx.{Edge, Graph, VertexId}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bridge from the DataFrame [[PropertyGraph]] to GraphX for iterative
+  * graph analytics (SURVEY §1.3; BASELINE.json "GraphX for graph
+  * analytics"): vertex attribute = (label, name), edge attribute = relType.
+  *
+  * The DataFrame side stays the system of record — GraphX is used only for
+  * genuinely iterative algorithms (PageRank, connected components) where
+  * Pregel-style message passing beats repeated DataFrame self-joins. Both
+  * directions are narrow conversions (no shuffle beyond what the algorithm
+  * itself needs).
+  */
+object GraphXBridge {
+
+  def toGraphX(g: PropertyGraph): Graph[(String, String), String] = {
+    val vertices: RDD[(VertexId, (String, String))] = g.nodes
+      .select(col("nodeId"), col("label"), col("name"))
+      .rdd.map(r => (r.getLong(0), (r.getString(1), r.getString(2))))
+    val edges: RDD[Edge[String]] = g.rels
+      .select(col("src"), col("dst"), col("relType"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getString(2)))
+    Graph(vertices, edges)
+  }
+
+  /** Undirected degree per node via GraphX, returned as a DataFrame —
+    * SQL-checkable (oracle: counts over the bidirected edge view). */
+  def degrees(spark: SparkSession, g: PropertyGraph): DataFrame = {
+    import spark.implicits._
+    toGraphX(g).degrees.toDF("node_id", "degree")
+  }
+
+  /** Degree histogram: how many nodes have each undirected degree —
+    * a stable small aggregate for the DuckDB oracle. Note GraphX `degrees`
+    * counts a self-loop twice (both endpoints); the oracle mirrors that. */
+  def degreeHistogram(spark: SparkSession, g: PropertyGraph): DataFrame =
+    degrees(spark, g)
+      .groupBy(col("degree"))
+      .agg(count(lit(1)).as("n_nodes"))
+
+  /** PageRank over the property graph (iterative — the GraphX sweet spot).
+    * Returns top-k by rank; rows-only driver check (float iteration order
+    * is not oracle-stable). */
+  def pageRankTopK(spark: SparkSession, g: PropertyGraph, k: Int,
+                   tol: Double = 0.0001): DataFrame = {
+    import spark.implicits._
+    val ranks = toGraphX(g).pageRank(tol).vertices.toDF("node_id", "rank")
+    ranks.orderBy(col("rank").desc, col("node_id")).limit(k)
+      .select(col("node_id"), round(col("rank"), 4).as("rank"))
+  }
+
+  /** Connected components (undirected) summarized as component sizes:
+    * deterministic, and a classic data-quality probe at ingest time. */
+  def componentSizes(spark: SparkSession, g: PropertyGraph): DataFrame = {
+    import spark.implicits._
+    toGraphX(g).connectedComponents().vertices
+      .toDF("node_id", "component")
+      .groupBy(col("component")).agg(count(lit(1)).as("n_nodes"))
+      .groupBy(col("n_nodes")).agg(count(lit(1)).as("n_components"))
+  }
+}

@@ -67,6 +67,19 @@ object Events {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Streaming sessionization with `session_window` — the streaming form of
+    * [[sessionStats]]: sessions close after `gap` of inactivity, emitted in
+    * append mode once the watermark passes the session end. State is
+    * per-key session state in the state store — the 100 TB path shards it
+    * by user_id across executors. */
+  def streamingSessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"))
+
   /** Streaming micro-batch graph upsert (S1/S3 incrementally): interpret
     * events as node arrivals and fold each micro-batch into a node table via
     * foreachBatch-style dedup — MERGE semantics: existing rows win, new ids

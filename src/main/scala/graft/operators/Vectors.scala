@@ -69,6 +69,44 @@ object Vectors {
       .select(col(idCol), col("similarity"))
   }
 
+  /** IVF (inverted-file) ANN — the standard coarse-quantization scale path:
+    * "train" centroids (deterministically: the first `nCentroids` vectors by
+    * id — a seeded sample stands in for k-means, which would be an offline
+    * job at 100 TB), assign every vector to its nearest centroid (one
+    * broadcast join — the centroid table is tiny), then at query time probe
+    * only the `nProbe` centroids nearest the query. With the centroid id as
+    * a partition key the probe prunes the scan to ~nProbe/nCentroids of the
+    * data; here it prunes rows via a broadcast semi-join.
+    */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              query: Seq[Double], k: Int, nCentroids: Int, nProbe: Int): DataFrame = {
+    val vec = col(vecCol).cast("array<double>")
+    val centroids = emb.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).as("cid"), vec.as("cv"))
+    // assignment: argmax cosine over centroids (broadcast nested loop is fine
+    // — |centroids| is small by construction; ties → smallest cid)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("csim").desc, col("cid"))
+    val assigned = emb.select(col(idCol).as("id"), vec.as("v"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("csim", round(cosineSim(col("v"), col("cv")), 6))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("id"), col("v"), col("cid"))
+    // probe set: the nProbe centroids closest to the query
+    val q = lit(query.toArray)
+    val probes = centroids
+      .withColumn("qsim", round(cosineSim(col("cv"), q), 6))
+      .orderBy(col("qsim").desc, col("cid"))
+      .limit(nProbe)
+      .select(col("cid"))
+    assigned.join(broadcast(probes), "cid")
+      .withColumn("similarity", round(cosineSim(col("v"), q), 6))
+      .orderBy(col("similarity").desc, col("id"))
+      .limit(k)
+      .select(col("id").as(idCol), col("similarity"))
+  }
+
   /** All-pairs near-duplicate detection over embeddings via LSH bucketing:
     * pairs sharing a bucket whose cosine ≥ threshold (the embedding-cosine
     * near-dup path of a training-data pipeline). The bucket join bounds the

@@ -60,6 +60,31 @@ class EventsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session_window closes sessions after the gap + watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Long)]
+    val sessions = Events.streamingSessionCounts(
+      stream.toDF().toDF("ts", "user_id"), gap = "30 minutes")
+    val q = sessions.writeStream.format("memory")
+      .queryName("sessions_test").outputMode("append").start()
+    try {
+      // two events 10 min apart → one session for user 1
+      stream.addData(
+        (Timestamp.valueOf("2024-01-01 00:00:00"), 1L),
+        (Timestamp.valueOf("2024-01-01 00:10:00"), 1L))
+      q.processAllAvailable()
+      // a much later event advances the watermark past the session end,
+      // forcing the append-mode emission of user 1's closed session
+      stream.addData((Timestamp.valueOf("2024-01-01 05:00:00"), 2L))
+      q.processAllAvailable()
+      stream.addData((Timestamp.valueOf("2024-01-01 09:00:00"), 2L))
+      q.processAllAvailable()
+      val rows = spark.table("sessions_test").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events")))
+      assert(rows.contains((1L, 2L)))
+    } finally q.stop()
+  }
+
   test("upsertBatch merges node arrivals idempotently (first wins)") {
     val existing = Seq((1L, "Paper", "old")).toDF("nodeId", "label", "name")
     val batch = Seq((1L, "Paper", "new"), (2L, "Author", "fresh"))
