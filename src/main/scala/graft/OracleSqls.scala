@@ -349,7 +349,7 @@ object OracleSqls {
         |FROM a JOIN p USING (cid), q
         |ORDER BY similarity DESC, a.id LIMIT 10""".stripMargin,
 
-    "gx_degree_histogram" -> withGraph(
+    "degree_histogram" -> withGraph(
       """SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes FROM (
         |  SELECT a, CAST(count(*) AS BIGINT) AS degree FROM bidir GROUP BY a
         |) GROUP BY degree""".stripMargin),

@@ -146,10 +146,18 @@ object Queries {
     Vectors.ivfTopK(T(spark, dir, "embeddings"), "vec_id", "embedding",
       queryVec(spark, dir), 10, nCentroids = 8, nProbe = 2)
 
-  // ---- GraphX iterative analytics (graft.graph.GraphXBridge) ----
+  // ---- graph analytics ----
 
-  def gxDegreeHistogram(spark: SparkSession, dir: String): DataFrame =
-    graft.graph.GraphXBridge.degreeHistogram(spark, graph(spark, dir))
+  /** Undirected degree histogram — pure DataFrame plan (one groupBy over
+    * the bidirected view; map-side combine). The GraphX `degrees` parity is
+    * asserted in GraphXSpec; materializing a GraphX graph for a single
+    * aggregate would be the wrong plan at any scale. */
+  def degreeHistogram(spark: SparkSession, dir: String): DataFrame =
+    graph(spark, dir).bidir
+      .groupBy(col("a"))
+      .agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree"))
+      .agg(count(lit(1)).as("n_nodes"))
 
   /** PageRank — iterative; no SQL oracle (rows-only driver check). */
   def gxPageRankTopK(spark: SparkSession, dir: String): DataFrame =
@@ -355,7 +363,7 @@ object Queries {
     "ann_lsh_topk" -> (annLshTopK _),
     "ann_neardup_pairs" -> (annNearDupPairs _),
     "ann_ivf_topk" -> (annIvfTopK _),
-    "gx_degree_histogram" -> (gxDegreeHistogram _),
+    "degree_histogram" -> (degreeHistogram _),
     "gx_pagerank_topk" -> (gxPageRankTopK _),
     "s2_constraint_check" -> (s2ConstraintCheck _),
     "a7_corpus_count" -> (a7CorpusCount _),

@@ -14,15 +14,16 @@ package object functions {
 
   /** V1 — cosine similarity between two `array<double>` columns
     * (reference: `vector.similarity.cosine`, retrieval/retriever.py:59).
-    * Pure higher-order built-ins → whole-stage codegen, no UDF.
+    * A native codegen'd Catalyst expression ([[graft.expr.CosineSimilarity]]):
+    * the higher-order-function composition is CodegenFallback (interpreted,
+    * allocating) and measured ~7× slower on pairwise-similarity joins.
+    * Zero-norm / mismatched / null inputs → null (DuckDB-compatible).
     */
   def cosineSim(x: Column, y: Column): Column = {
-    val dot = aggregate(zip_with(x, y, (a, b) => a * b), lit(0.0), (acc, v) => acc + v)
-    val nx  = sqrt(aggregate(x, lit(0.0), (acc, v) => acc + v * v))
-    val ny  = sqrt(aggregate(y, lit(0.0), (acc, v) => acc + v * v))
-    // nullif guards the zero-vector case: ANSI mode (Spark 4 default) would
-    // otherwise raise DIVIDE_BY_ZERO; null matches DuckDB's NULL here.
-    dot / nullif(nx * ny, lit(0.0))
+    import org.apache.spark.sql.graftbridge.bridge
+    bridge.column(graft.expr.CosineSimilarity(
+      bridge.expression(x.cast("array<double>")),
+      bridge.expression(y.cast("array<double>"))))
   }
 
   /** Dot product for pre-normalized vectors (preferred at scale: normalize

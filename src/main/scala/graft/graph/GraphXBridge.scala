@@ -17,15 +17,22 @@ import org.apache.spark.sql.functions._
   */
 object GraphXBridge {
 
-  def toGraphX(g: PropertyGraph): Graph[(String, String), String] = {
-    val vertices: RDD[(VertexId, (String, String))] = g.nodes
-      .select(col("nodeId"), col("label"), col("name"))
-      .rdd.map(r => (r.getLong(0), (r.getString(1), r.getString(2))))
-    val edges: RDD[Edge[String]] = g.rels
-      .select(col("src"), col("dst"), col("relType"))
-      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getString(2)))
-    Graph(vertices, edges)
-  }
+  // One GraphX materialization per PropertyGraph per JVM: the row→object
+  // conversion and triplet build are the expensive part, and callers
+  // typically run several algorithms over the same graph.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[AnyRef, Graph[(String, String), String]]()
+
+  def toGraphX(g: PropertyGraph): Graph[(String, String), String] =
+    cache.computeIfAbsent(g.nodes.queryExecution.logical, _ => {
+      val vertices: RDD[(VertexId, (String, String))] = g.nodes
+        .select(col("nodeId"), col("label"), col("name"))
+        .rdd.map(r => (r.getLong(0), (r.getString(1), r.getString(2))))
+      val edges: RDD[Edge[String]] = g.rels
+        .select(col("src"), col("dst"), col("relType"))
+        .rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getString(2)))
+      Graph(vertices, edges).cache()
+    })
 
   /** Undirected degree per node via GraphX, returned as a DataFrame —
     * SQL-checkable (oracle: counts over the bidirected edge view). */
@@ -43,12 +50,12 @@ object GraphXBridge {
       .agg(count(lit(1)).as("n_nodes"))
 
   /** PageRank over the property graph (iterative — the GraphX sweet spot).
-    * Returns top-k by rank; rows-only driver check (float iteration order
-    * is not oracle-stable). */
+    * Fixed iteration count for deterministic cost; rows-only driver check
+    * (float iteration order is not oracle-stable). */
   def pageRankTopK(spark: SparkSession, g: PropertyGraph, k: Int,
-                   tol: Double = 0.0001): DataFrame = {
+                   numIter: Int = 10): DataFrame = {
     import spark.implicits._
-    val ranks = toGraphX(g).pageRank(tol).vertices.toDF("node_id", "rank")
+    val ranks = toGraphX(g).staticPageRank(numIter).vertices.toDF("node_id", "rank")
     ranks.orderBy(col("rank").desc, col("node_id")).limit(k)
       .select(col("node_id"), round(col("rank"), 4).as("rank"))
   }
