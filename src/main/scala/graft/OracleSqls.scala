@@ -364,6 +364,14 @@ object OracleSqls {
         |    w -> CASE WHEN w = 'the' THEN 1 ELSE 0 END)), 0)) AS BIGINT) AS n_the
         |FROM documents GROUP BY lang""".stripMargin,
 
+    "mm_decode_features" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(octet_length(text::BLOB)) AS BIGINT) AS total_bytes,
+        |  CAST(sum(octet_length(text::BLOB) * 31
+        |    + ascii(substr(text, 1, 1)) + ascii(substr(text, -1, 1))) AS BIGINT) AS checksum_sum,
+        |  round(avg(CAST(ascii(substr(text, 1, 1)) AS DOUBLE)), 6) AS avg_first_byte
+        |FROM documents GROUP BY source""".stripMargin,
+
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
         |  CAST(count(*) AS BIGINT) AS n_docs

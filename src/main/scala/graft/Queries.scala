@@ -323,6 +323,10 @@ object Queries {
   def mmBinaryStats(spark: SparkSession, dir: String): DataFrame =
     TextOps.binaryStatsBySource(T(spark, dir, "documents"))
 
+  /** Multimodal decode via mapPartitions (stubbed codec, real plumbing). */
+  def mmDecodeFeatures(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.featureStats(spark, T(spark, dir, "documents"))
+
   // ---- events (batch form; streaming variants in graft.operators.Events) ----
 
   /** The driver's events parquet stores TIMESTAMP(NANOS); Spark only reads
@@ -380,6 +384,7 @@ object Queries {
     "text_tokens" -> (textTokens _),
     "text_fingerprint" -> (textFingerprint _),
     "mm_binary_stats" -> (mmBinaryStats _),
+    "mm_decode_features" -> (mmDecodeFeatures _),
     "events_hourly" -> (eventsHourly _),
     "events_sessions" -> (eventsSessions _)
   )

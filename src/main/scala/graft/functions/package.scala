@@ -39,19 +39,25 @@ package object functions {
   }
 
   /** P6 — Unicode NFC normalization (reference: Cypher `normalize()`,
-    * retrieval/ner.py:111-114). Registered as a named SQL function so it can
-    * be used from SQL strings too; DuckDB oracle uses `nfc_normalize`.
-    * UDF is acceptable here: it only runs over anchor-lookup predicates.
-    */
+    * retrieval/ner.py:111-114; DuckDB oracle: `nfc_normalize`). A codegen'd
+    * Catalyst expression ([[graft.expr.NormalizeNFC]]) — the former UDF
+    * broke whole-stage codegen on the lookup path. The SQL-name
+    * registration is kept for spark.sql string queries. */
   def registerAll(spark: SparkSession): Unit = {
     spark.udf.register("graft_nfc", (s: String) =>
       if (s == null) null
       else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
   }
 
+  /** NFC normalize a string column (codegen'd). */
+  def nfc(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.bridge
+    bridge.column(graft.expr.NormalizeNFC(bridge.expression(c)))
+  }
+
   /** Normalized-name expression used by the fulltext-exact lookup path
-    * (`lower(nfc(s))` — retrieval/ner.py:113). Requires [[registerAll]]. */
-  def normName(c: Column): Column = lower(call_udf("graft_nfc", c))
+    * (`lower(nfc(s))` — retrieval/ner.py:113). */
+  def normName(c: Column): Column = lower(nfc(c))
 
   /** Whitespace word tokenizer shared by the text-analysis operators. */
   def words(text: Column): Column =

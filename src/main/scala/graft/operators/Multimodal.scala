@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed feature extraction via `mapPartitions` —
+  * the JVM analog of a `mapInPandas` batch UDF: executor-side, batched by
+  * partition, fixed output schema, no driver collect.
+  *
+  * The decode itself is a STUB (`decodeStub` — media codecs are not in this
+  * environment): it deterministically derives "width/height/checksum" from
+  * the payload bytes, standing in for a real thumbnail/resample/frame-sample
+  * step. Everything around it — the binary column handling, the typed
+  * `Dataset[MediaFeature]` encoder, the per-partition batch shape, the
+  * partition-preserving plan — is the real, tested contract a production
+  * decoder drops into.
+  */
+object Multimodal {
+
+  final case class MediaFeature(doc_id: Long, n_bytes: Long,
+                                width: Int, height: Int, checksum: Long)
+
+  /** STUB decoder: a real implementation would parse the container format
+    * and decode frames per batch (amortizing codec init per partition —
+    * exactly why this is mapPartitions, not a per-row UDF). */
+  def decodeStub(payload: Array[Byte]): MediaFeature = {
+    val n = payload.length
+    val first = if (n > 0) payload(0) & 0xff else 0
+    val last = if (n > 0) payload(n - 1) & 0xff else 0
+    MediaFeature(0L, n.toLong, first, last, n.toLong * 31L + first + last)
+  }
+
+  /** Feature extraction over (doc_id, payload) — one decoder instantiation
+    * per partition, streamed through without materializing the partition. */
+  def extractFeatures(spark: SparkSession, docs: DataFrame,
+                      idCol: String, payloadCol: String): Dataset[MediaFeature] = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition init would go here (codec handles, model weights)
+        it.map { case (id, payload) => decodeStub(payload).copy(doc_id = id) }
+      }
+  }
+
+  /** Per-source rollup of the extracted features (the oracle-checkable
+    * driver query; joins features back to metadata). */
+  def featureStats(spark: SparkSession, docs: DataFrame): DataFrame =
+    extractFeatures(spark, docs, "doc_id", "text").toDF()
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_bytes").as("total_bytes"),
+        sum("checksum").as("checksum_sum"),
+        round(avg(col("width").cast("double")), 6).as("avg_first_byte"))
+}

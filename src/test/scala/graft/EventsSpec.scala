@@ -85,6 +85,27 @@ class EventsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming graph upsert: foreachBatch folds micro-batches into nodes") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, String)]
+    @volatile var state = Seq((1L, "Paper", "seed")).toDF("nodeId", "label", "name")
+    val q = stream.toDF().toDF("nodeId", "label", "name")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        state = Events.upsertBatch(state, batch).cache()
+        state.count(): Unit
+      }
+      .start()
+    try {
+      stream.addData((1L, "Paper", "overwrite-attempt"), (2L, "Author", "new"))
+      q.processAllAvailable()
+      stream.addData((3L, "Paper", "later"))
+      q.processAllAvailable()
+      val m = state.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(m === Map(1L -> "seed", 2L -> "new", 3L -> "later"))
+    } finally q.stop()
+  }
+
   test("upsertBatch merges node arrivals idempotently (first wins)") {
     val existing = Seq((1L, "Paper", "old")).toDF("nodeId", "label", "name")
     val batch = Seq((1L, "Paper", "new"), (2L, "Author", "fresh"))
