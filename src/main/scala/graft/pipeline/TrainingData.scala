@@ -49,6 +49,62 @@ object TrainingData {
         lit(") RETURN DISTINCT x2.name AS name")))
   }
 
+  /** T4 rank-biased candidate sampling, distributed (SURVEY §2.7;
+    * training/generate_training_data_llm2.ipynb cell 5): per question, rank
+    * candidates by (-hits, num_results) and draw `nSamples` indices from the
+    * power-law inv_cdf = u^(1/α) — deterministic via the md5-seeded
+    * [[graft.operators.Retrieval.powerLawIndex]]. One window + one join. */
+  def sampleCandidates(candidates: DataFrame, nSamples: Int,
+                       invAlpha: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("hits").desc, col("num_results"), col("cypher_query"))
+    val ranked = candidates.withColumn("rk", row_number().over(w))
+    val counts = candidates.groupBy("id").agg(count(lit(1)).as("n"))
+    val draws = counts
+      .select(col("id"), col("n"),
+        explode(array((0 until nSamples).map(lit): _*)).as("sample_no"))
+      .withColumn("idx", graft.operators.Retrieval.powerLawIndex(
+        col("id"), col("sample_no"), invAlpha, col("n")))
+    draws.join(ranked, draws("id") === ranked("id") &&
+        ranked("rk") === draws("idx") + 1)
+      .select(draws("id"), col("sample_no"), col("cypher_query"),
+        col("hits"), col("num_results"))
+  }
+
+  /** Batched per-question retrieval (SURVEY §3.3; reference retriever.py
+    * runs one Neo4j session per QA row): given ONE picked 1-hop query per
+    * question and the per-question embeddings (`q_emb` joined by id — the
+    * S6 broadcast lookup), execute EVERY question's retrieval in a single
+    * job: anchor joins carry the question id, cosine scores against the
+    * per-question embedding, and the node budget is a window partitioned by
+    * question — per-question top-k with zero driver-side iteration. */
+  def batchRetrieve1Hop(g: PropertyGraph, picked: DataFrame, qEmb: DataFrame,
+                        embCol: String = "nameEmbedding",
+                        maxNodes: Int = 20): DataFrame = {
+    val anchors = picked
+      .join(g.nodes.select(col("nodeId").as("src_id"),
+        col("name").as("src_name")), Seq("src_name"))
+    val hops = anchors
+      .join(g.bidir.as("e"),
+        col("src_id") === col("e.a") && col("e.relType") === col("rel_type"))
+      .join(g.nodes.as("t"),
+        col("e.b") === col("t.nodeId") && col("t.label") === col("tgt_label"))
+      .select(col("id"), col("t.nodeId").as("node_id"),
+        col("t.name").as("node_name"), col(s"t.$embCol").as("emb"))
+      .dropDuplicates("id", "node_id")
+    val scored = hops
+      .join(broadcast(qEmb), Seq("id"))
+      .withColumn("similarity",
+        round(graft.functions.cosineSim(col("emb"), col("q_emb")), 6))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("similarity").desc, col("node_id"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= maxNodes)
+      .select(col("id"), col("node_id"), col("node_name"),
+        col("similarity"), col("rn").as("rank"))
+  }
+
   /** The llm1 training-label pipeline (llm1.py:53-66,169-177): per question
     * rank candidates by (-hits, num_results), keep the best, gate on
     * recall ≥ minRecall against the gold set and precision ≥ minPrecision,

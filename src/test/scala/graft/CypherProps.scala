@@ -1,0 +1,70 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+import graft.cypher.{Ast, Parser}
+import Ast._
+
+/** Property: any AST within the emitted grammar survives render → parse
+  * intact — the renderer and the hand-rolled recursive-descent parser are
+  * exact inverses over the whole dialect (ScalaCheck, SURVEY §5).
+  */
+object CypherProps extends Properties("cypher") {
+
+  private val ident: Gen[String] = for {
+    h <- Gen.alphaChar
+    t <- Gen.listOfN(4, Gen.alphaNumChar)
+  } yield (h :: t).mkString
+
+  private val label: Gen[Option[String]] =
+    Gen.option(Gen.oneOf("Paper", "Author", "_Entity_", "FieldOfStudy"))
+
+  private val anchorVal: Gen[(Option[String], Option[AnchorValue])] = Gen.oneOf(
+    Gen.const((None, None)),
+    Gen.alphaNumStr.suchThat(_.nonEmpty).map(s => (Some("name"), Some(StrLit(s)))),
+    Gen.choose(0L, 999999L).map(v => (Some("nodeId"), Some(LongLit(v)))),
+    ident.map(v => (Some("nodeId"), Some(VarRef(v)))))
+
+  private def node(v: String): Gen[NodePat] = for {
+    l <- label
+    (p, av) <- anchorVal
+  } yield NodePat(v, l, p, av)
+
+  private def rel(i: Int): Gen[RelPat] = for {
+    named <- Gen.oneOf(true, false)
+    t <- Gen.option(Gen.oneOf("WRITES", "CITES", "HAS_TOPIC"))
+  } yield RelPat(if (named) Some(s"r$i") else None, t)
+
+  private val path: Gen[MatchPath] = for {
+    n <- Gen.choose(1, 3)
+    nodes <- Gen.sequence[Seq[NodePat], NodePat]((1 to n).map(i => node(s"x$i")))
+    rels <- Gen.sequence[Seq[RelPat], RelPat]((1 until n).map(rel))
+  } yield MatchPath(nodes, rels)
+
+  private val item: Gen[RetItem] = for {
+    e <- Gen.oneOf[Expr](
+      PropRef("x1", "name"), LabelsOf("x1"), TypeOf("r1"),
+      CountDistinct("x1"), CountDistinctInParam("x1", "ids"),
+      Cosine("x1", "nameEmbedding", "qEmb"))
+    a <- Gen.option(ident)
+  } yield RetItem(e, a)
+
+  private val query: Gen[CypherQuery] = for {
+    nUnwind <- Gen.choose(0, 2)
+    unwinds <- Gen.sequence[Seq[Unwind], Unwind](
+      (1 to nUnwind).map(i => ident.map(p => Unwind(p, s"u$i"))))
+    p <- path
+    preds <- Gen.someOf(Seq(VarNeq("x1", "x2"), NotIdIn("x1", "found")))
+    distinct <- Gen.oneOf(true, false)
+    nItems <- Gen.choose(1, 3)
+    items <- Gen.listOfN(nItems, item)
+    order <- Gen.option(Gen.oneOf(("similarity", true), ("name", false)))
+    limit <- Gen.option(Gen.choose(1, 100))
+  } yield CypherQuery(unwinds, Seq(p), preds.toSeq, distinct, items, order, limit)
+
+  property("render/parse round-trip") = forAll(query) { q =>
+    val rendered = q.render
+    val reparsed = Parser.parse(rendered)
+    Prop(reparsed == q) :| s"rendered: $rendered\nreparsed: $reparsed"
+  }
+}

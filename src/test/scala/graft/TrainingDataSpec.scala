@@ -36,6 +36,36 @@ class TrainingDataSpec extends SparkSpec {
     graft.cypher.Parser.parse(c.getAs[String]("cypher_query"))
   }
 
+  test("T4 sampling draws valid, deterministic candidate indices per question") {
+    val cands = TrainingData.oneHopCandidates(g, qa)
+    val s1 = TrainingData.sampleCandidates(cands, nSamples = 3).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Int]("sample_no"), r.getAs[String]("cypher_query")))
+    val s2 = TrainingData.sampleCandidates(cands, nSamples = 3).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Int]("sample_no"), r.getAs[String]("cypher_query")))
+    assert(s1.toSet === s2.toSet)
+    assert(s1.length === 6) // 2 questions × 3 samples
+    s1.foreach { case (_, _, q) => graft.cypher.Parser.parse(q) }
+  }
+
+  test("batchRetrieve1Hop: every question retrieved in one job, budgeted") {
+    import org.apache.spark.sql.functions.col
+    val picked = Seq(
+      (1L, "Alice", "WRITES", "Paper"),
+      (2L, "MIT", "AFFILIATED_WITH", "Author"))
+      .toDF("id", "src_name", "rel_type", "tgt_label")
+    val qEmb = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),   // favors nodeId ≡ 0 (mod 4) → paper 20
+      (2L, Seq(0.0, 0.0, 1.0, 0.0)))   // favors nodeId ≡ 2 (mod 4) → author 10
+      .toDF("id", "q_emb")
+    val out = TrainingData.batchRetrieve1Hop(g, picked, qEmb, maxNodes = 2)
+      .collect().groupBy(_.getAs[Long]("id"))
+    val q1 = out(1L).sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("node_id"))
+    assert(q1.toSeq === Seq(20L, 21L)) // sim 1.0 then 0.0
+    val q2 = out(2L).sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("node_id"))
+    assert(q2.toSeq === Seq(10L, 11L)) // Alice(10)≡2 sim 1.0; Bob(11)≡3 sim 0
+    assert(out.values.forall(_.length <= 2))
+  }
+
   test("bestLabelGate reproduces the llm1 recall/precision filter") {
     val cands = TrainingData.oneHopCandidates(g, qa)
     val kept = TrainingData.bestLabelGate(cands, qa).collect()
