@@ -49,6 +49,39 @@ object TrainingData {
         lit(") RETURN DISTINCT x2.name AS name")))
   }
 
+  /** 2-hop variant of [[oneHopCandidates]] — same single-job shape with one
+    * more edge join and full trail semantics (r1 ≠ r2 on the stored-edge
+    * identity triple, tgt ≠ src). */
+  def twoHopCandidates(g: PropertyGraph, qa: DataFrame): DataFrame = {
+    val anchors = qa
+      .select(col("id"), explode(col("entities")).as("name"), col("answer_ids"))
+      .join(g.nodes.select(col("nodeId").as("src_id"), col("label").as("src_label"),
+        col("name")), Seq("name"))
+    val hops = anchors
+      .join(g.bidir.as("e1"), col("src_id") === col("e1.a"))
+      .join(g.nodes.select(col("nodeId").as("mid_id"), col("label").as("mid_label")),
+        col("e1.b") === col("mid_id"))
+      .join(g.bidir.as("e2"), col("mid_id") === col("e2.a"))
+      .join(g.nodes.select(col("nodeId").as("tgt_id"), col("label").as("tgt_label")),
+        col("e2.b") === col("tgt_id"))
+      .where(col("tgt_id") =!= col("src_id") &&
+        !(col("e1.relType") === col("e2.relType") &&
+          col("e1.src") === col("e2.src") && col("e1.dst") === col("e2.dst")))
+    hops
+      .groupBy(col("id"), col("src_label"), col("name").as("src_name"),
+        col("e1.relType").as("rel1_type"), col("mid_label"),
+        col("e2.relType").as("rel2_type"), col("tgt_label"))
+      .agg(
+        count_distinct(col("tgt_id")).as("num_results"),
+        count_distinct(when(array_contains(col("answer_ids"), col("tgt_id")),
+          col("tgt_id"))).as("hits"))
+      .withColumn("cypher_query", concat(
+        lit("MATCH (x1:"), col("src_label"), lit(" {name: \""), col("src_name"),
+        lit("\"})-[r1:"), col("rel1_type"), lit("]-(x2:"), col("mid_label"),
+        lit(")-[r2:"), col("rel2_type"), lit("]-(x3:"), col("tgt_label"),
+        lit(") RETURN DISTINCT x3.name AS name")))
+  }
+
   /** T4 rank-biased candidate sampling, distributed (SURVEY §2.7;
     * training/generate_training_data_llm2.ipynb cell 5): per question, rank
     * candidates by (-hits, num_results) and draw `nSamples` indices from the

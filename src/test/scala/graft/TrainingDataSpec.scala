@@ -36,6 +36,19 @@ class TrainingDataSpec extends SparkSpec {
     graft.cypher.Parser.parse(c.getAs[String]("cypher_query"))
   }
 
+  test("2-hop candidates agree with the pipeline's per-question enumeration") {
+    val cands = TrainingData.twoHopCandidates(g, qa)
+      .where(col("id") === 2L).collect()
+    // cross-check against the driver-side enumeration for MIT, gold {10,11}
+    val expected = graft.pipeline.GraphRaft.enumerateCandidates(
+      g, Seq("MIT"), goldIds = Some(Seq(10L, 11L)), patterns = Seq("2hop"))
+      .map(c => (c.cypher, c.hits.get, c.numResults)).toSet
+    val got = cands.map(r => (r.getAs[String]("cypher_query"),
+      r.getAs[Long]("hits"), r.getAs[Long]("num_results"))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("T4 sampling draws valid, deterministic candidate indices per question") {
     val cands = TrainingData.oneHopCandidates(g, qa)
     val s1 = TrainingData.sampleCandidates(cands, nSamples = 3).collect()
