@@ -44,9 +44,13 @@ package object functions {
     * broke whole-stage codegen on the lookup path. The SQL-name
     * registration is kept for spark.sql string queries. */
   def registerAll(spark: SparkSession): Unit = {
-    spark.udf.register("graft_nfc", (s: String) =>
-      if (s == null) null
-      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    import org.apache.spark.sql.graftbridge.bridge
+    bridge.registerFunction(spark, "graft_nfc",
+      classOf[graft.expr.NormalizeNFC].getName,
+      children => graft.expr.NormalizeNFC(children.head))
+    bridge.registerFunction(spark, "graft_cosine",
+      classOf[graft.expr.CosineSimilarity].getName,
+      children => graft.expr.CosineSimilarity(children(0), children(1)))
   }
 
   /** NFC normalize a string column (codegen'd). */

@@ -80,6 +80,28 @@ object Events {
       .select(col("session_window.start").as("session_start"),
         col("user_id"), col("n_events"))
 
+  /** Arbitrary stateful streaming with `flatMapGroupsWithState`: running
+    * per-user event totals that survive across micro-batches (the custom
+    * per-key state-store path — sharded by key across executors at scale;
+    * the building block for streaming dedup, running budgets, or
+    * incremental graph degree maintenance). */
+  def statefulUserTotals(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"))
+      .as[Long]
+      .groupByKey(identity)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[Long], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + batch.size
+          state.update(total)
+          Iterator((user, total))
+      }
+      .toDF("user_id", "total_events")
+  }
+
   /** Streaming micro-batch graph upsert (S1/S3 incrementally): interpret
     * events as node arrivals and fold each micro-batch into a node table via
     * foreachBatch-style dedup — MERGE semantics: existing rows win, new ids

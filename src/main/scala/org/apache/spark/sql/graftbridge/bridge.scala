@@ -11,4 +11,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a function builder into an EXISTING session's registry
+    * (for fresh sessions, prefer `spark.sql.extensions=graft.GraftExtensions`
+    * — the public extension point). */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+                       clazz: String,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(clazz, name),
+      builder)
 }

@@ -85,6 +85,25 @@ class EventsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState: per-user totals persist across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Long]
+    val totals = Events.statefulUserTotals(stream.toDF().toDF("user_id"))
+    val q = totals.writeStream.format("memory")
+      .queryName("totals_test").outputMode("update").start()
+    try {
+      stream.addData(1L, 1L, 2L)
+      q.processAllAvailable()
+      stream.addData(1L)
+      q.processAllAvailable()
+      val last = spark.table("totals_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      // state carried: user 1 saw 2 then 3 cumulative; user 2 saw 1
+      assert(last === Map(1L -> 3L, 2L -> 1L))
+    } finally q.stop()
+  }
+
   test("streaming graph upsert: foreachBatch folds micro-batches into nodes") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, String, String)]
