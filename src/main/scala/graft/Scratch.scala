@@ -3,30 +3,31 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Temporary plan-audit harness (not part of the driver contract):
-  * prints formatted plans for the load-bearing queries so pushdown /
-  * broadcast / codegen can be eyeballed. */
+/** Temporary profiling harness (not part of the driver contract). */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.01"
+    val dir = "/root/testdata/sf0.1"
 
-    def audit(name: String)(df: org.apache.spark.sql.DataFrame): Unit = {
-      println(s"\n========== $name ==========")
-      println(df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[scratch] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
-
-    audit("q3_revenue_by_nation")(Queries.q3RevenueByNation(spark, dir))
-    audit("j2_onehop")(Queries.j2OneHop(spark, dir))
-    audit("v1_cosine_topk")(Queries.v1CosineTopK(spark, dir))
-    audit("dedup_minhash_lsh")(Queries.dedupMinhashLsh(spark, dir))
-    audit("text_quality")(Queries.textQuality(spark, dir))
+    spark.read.parquet(s"$dir/documents.parquet").count()
+    (1 to 3).foreach { i =>
+      time(s"text_fingerprint #$i")(Queries.textFingerprint(spark, dir).count())
+    }
+    // after a GraphX pagerank (the suspected interference)
+    time("gx_pagerank")(Queries.gxPageRankTopK(spark, dir).count())
+    (1 to 3).foreach { i =>
+      time(s"post-gx fingerprint #$i")(Queries.textFingerprint(spark, dir).count())
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Skew
+
+/** Salted two-phase aggregation: exactness under a synthetic hot key,
+  * plus SQL access to the injected functions. */
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedCountDistinct is exact on a hot key") {
+    // hot group "h" has 10k values (some repeated), cold groups small
+    val rows = (1 to 10000).map(i => ("h", (i % 3000).toLong)) ++
+      (1 to 10).map(i => ("c", i.toLong))
+    val df = rows.toDF("k", "v")
+    val got = Skew.saltedCountDistinct(df, "k", "v").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("h" -> 3000L, "c" -> 10L))
+  }
+
+  test("saltedSum is exact") {
+    val df = (1 to 1000).map(i => ("h", i.toLong)).toDF("k", "v")
+    val got = Skew.saltedSum(df, "k", col("v")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("h" -> 500500L))
+  }
+
+  test("injected SQL functions: graft_cosine and graft_nfc from spark.sql") {
+    graft.functions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c,
+        |       graft_nfc('Café') AS n""".stripMargin).collect().head
+    assert(r.getDouble(0) === 1.0)
+    assert(r.getString(1) === "Café")
+  }
+}
