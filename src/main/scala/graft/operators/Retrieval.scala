@@ -75,6 +75,27 @@ object Retrieval {
       .where(col("rank") <= maxNodes && col("cum_tokens") <= maxTokens)
   }
 
+  /** LLM2 context formatting (SURVEY §2.8; reference retriever.py:39-40 +
+    * llm2.py:67-71): per node, "prop: value" lines joined by newline with
+    * null values skipped; nodes joined by a blank line in retrieval order.
+    * Returns a single-row DataFrame with the formatted context. */
+  def formatContext(retrieved: DataFrame, props: Seq[String],
+                    orderCol: String = "rank"): DataFrame = {
+    val nodeText = concat_ws("\n",
+      props.map(p => when(col(p).isNotNull,
+        concat(lit(s"$p: "), col(p).cast("string")))): _*)
+    retrieved
+      .withColumn("__text", nodeText)
+      .agg(concat_ws("\n\n",
+        transform(array_sort(collect_list(struct(col(orderCol).as("o"),
+          col("__text").as("t")))), s => s.getField("t"))).as("context"))
+  }
+
+  /** Answer-list round-trip: `'|'.join(names)` / `.split('|')`
+    * (llm2.py:34,159). */
+  def joinAnswers(names: Column): Column = concat_ws("|", names)
+  def splitAnswers(s: Column): Column = split(s, "\\|")
+
   /** A6 + P7 — candidate ranking and the training-label quality gate
     * (reference llm1.py:53-66): per group, sort candidates by
     * (-hits, num_results, id) and keep the best; gate on

@@ -85,6 +85,30 @@ class EventsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source streaming: readStream over the events parquet directory") {
+    // the real S1/S3 incremental ingestion shape: a parquet directory as a
+    // streaming source, windowed agg downstream (driver snapshot is nanos →
+    // ts arrives as long under the legacy flag; convert before windowing)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    spark.range(0, 100)
+      .selectExpr("id AS event_id", "id * 1000000000 + 1700000000000000000 AS ts",
+        "id % 5 AS user_id", "'click' AS event_type", "1.0 AS value", "'' AS props")
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", timestamp_seconds(expr("ts div 1000000000")))
+    val agg = Events.streamingHourlyCounts(stream)
+    val q = agg.writeStream.format("memory")
+      .queryName("filestream_test").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val n = spark.table("filestream_test")
+        .agg(sum("n_events")).collect().head.getLong(0)
+      assert(n === 100L)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState: per-user totals persist across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Long]

@@ -53,6 +53,22 @@ class RetrievalSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("nodeId")).toSeq === Seq(8L, 9L))
   }
 
+  test("LLM2 context formatting: null props skipped, order preserved") {
+    val df = Seq(
+      (2L, "Bob", null.asInstanceOf[String], 0.5),
+      (1L, "Alice", "likes graphs", 0.9))
+      .toDF("rank", "name", "details", "similarity")
+    val ctx = Retrieval.formatContext(df, Seq("name", "details"))
+      .collect().head.getString(0)
+    assert(ctx === "name: Alice\ndetails: likes graphs\n\nname: Bob")
+    // answer list round-trip
+    val back = Seq(("x")).toDF("d")
+      .select(Retrieval.splitAnswers(Retrieval.joinAnswers(
+        lit(Array("P-alpha", "P-beta")))))
+      .collect().head.getSeq[String](0)
+    assert(back === Seq("P-alpha", "P-beta"))
+  }
+
   test("A6/P7 best candidate with recall/precision gate") {
     val df = Seq(
       // group 1: best candidate (by -hits, num_results) is id 11:
