@@ -292,6 +292,20 @@ object Queries {
         "answerIds" -> Seq(TpchGraph.NationBase + 3),
         "found" -> (TpchGraph.CustomerBase to TpchGraph.CustomerBase + 99L)))
 
+  /** End-to-end budgeted retrieval over the TPC-H graph (rows-only driver
+    * check — the multi-job orchestration is not single-statement SQL):
+    * a parsed candidate query widened for retrieval, executed under the
+    * node budget, KNN-backfilled over the Part embeddings. */
+  def pipelineRetrieve(spark: SparkSession, dir: String): DataFrame = {
+    val g = graph(spark, dir)
+    graft.pipeline.GraphRaft.retrieveData(g,
+      Seq("""MATCH (x1:Order {name: "1"})-[r1:CONTAINS]-(x2:Part) RETURN DISTINCT x2.name AS name"""),
+      qEmb = queryVec(spark, dir), maxNodes = 30, ef = 1000)
+      .select(col("nodeId").as("node_id"), col("name"),
+        col("similarity"), concat_ws("|", col("patterns")).as("patterns"),
+        col("rank"))
+  }
+
   // ---- training-data pipeline: dedup, text analysis, multimodal ----
 
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
@@ -362,6 +376,7 @@ object Queries {
     "cy_concrete_2hop" -> (cyConcrete2Hop _),
     "cy_schema_1hop" -> (cySchema1Hop _),
     "cy_anti_lookup" -> (cyAntiLookup _),
+    "pipeline_retrieve" -> (pipelineRetrieve _),
     "v1_cosine_topk" -> (v1CosineTopK _),
     "v2_knn_exclude" -> (v2KnnExclude _),
     "ann_lsh_topk" -> (annLshTopK _),

@@ -120,6 +120,14 @@ object TpchGraph {
       // two labels per node, like MERGE(n:{label}:_Entity_) —
       // stark_neo4j_loading.py:35
       .withColumn("labels", array(col("label"), lit("_Entity_")))
+      // S4 embedding property load (stark_neo4j_loading.py:63-72): the
+      // embeddings table attaches to Part nodes by key — nulls elsewhere,
+      // exactly the union-of-keys dynamic-property shape
+      .join(
+        t("embeddings").select(
+          (lit(PartBase) + col("vec_id")).as("nodeId"),
+          col("embedding").cast("array<double>").as("nameEmbedding")),
+        Seq("nodeId"), "left")
 
     def rel(df: DataFrame, typ: String, srcBase: Long, srcKey: String,
             dstBase: Long, dstKey: String, distinctPairs: Boolean = false): DataFrame = {
