@@ -83,11 +83,24 @@ object Dedup {
   }
 
   /** Exact Jaccard verification of candidate pairs (the "verify" stage after
-    * LSH candidate generation). */
+    * LSH candidate generation). Melt-join formulation: the pair list is
+    * exploded to (pair, doc) and joined to the shingle sets ONCE — joining
+    * s1/s2 separately would compute the shingle subtree twice (Spark does
+    * not reuse the exchange across differently-aliased branches). Both
+    * docs' sets then group back per pair; element 0 is id1's (id1 < id2 by
+    * construction, sets sorted by doc id). */
   def jaccardVerify(candidates: DataFrame, shingled: DataFrame, threshold: Double): DataFrame = {
-    val s1 = shingled.select(col("doc_id").as("id1"), col("shingles").as("sh1"))
-    val s2 = shingled.select(col("doc_id").as("id2"), col("shingles").as("sh2"))
-    candidates.join(s1, "id1").join(s2, "id2")
+    val two = candidates
+      .select(col("id1"), col("id2"),
+        explode(array(col("id1"), col("id2"))).as("doc_id"))
+      .join(shingled, "doc_id")
+      .groupBy("id1", "id2")
+      .agg(sort_array(collect_list(struct(col("doc_id").as("d"),
+        col("shingles").as("s")))).as("two"))
+      .where(size(col("two")) === 2)
+    two
+      .withColumn("sh1", col("two")(0).getField("s"))
+      .withColumn("sh2", col("two")(1).getField("s"))
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
       .withColumn("jac", round(col("inter") /
         (size(col("sh1")) + size(col("sh2")) - col("inter")), 6))
@@ -114,9 +127,21 @@ object Dedup {
                         shingleN: Int, threshold: Double): DataFrame = {
     val posts = hashedPostings(shingleSets(docs, idCol, textCol, shingleN))
     val sizes = posts.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val common = posts.as("x").join(posts.as("y"),
-        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+    // Posting-list pair generation instead of a posts⋈posts self-join: one
+    // groupBy(h) builds each shingle's sorted doc list, pairs explode from
+    // the list (i<j ⇒ id1<id2). Halves the scans (no exchange reuse across
+    // self-join branches) and shuffles (doc_id, h) rows once, not twice.
+    // Hot shingles make O(|postings|²) pairs either way — at 100 TB you cap
+    // or drop top-frequency shingles (non-discriminative); kept exact here.
+    val lists = posts.groupBy("h")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+    val pairs = lists.select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("id1"), y.as("id2")))))).as("p"))
+      .select(col("p.id1"), col("p.id2"))
+    val common = pairs
+      .groupBy(col("id1"), col("id2"))
       .agg(count(lit(1)).as("inter"))
     common
       .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), "id1")
