@@ -38,7 +38,13 @@ object GraphXBridge {
       // gets thousands of partitions from the same rule.
       val eParts = math.max(1, math.min(edges.getNumPartitions,
         (g.rels.count() / 100000L).toInt + 1))
-      Graph(vertices.coalesce(eParts), edges.coalesce(eParts)).cache()
+      // serialized storage: an on-heap object graph of ~millions of Edge
+      // objects is a full-GC magnet that taxes every later query; Kryo-
+      // serialized partitions cost a little CPU on access and nothing in GC
+      val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+      Graph(vertices.coalesce(eParts), edges.coalesce(eParts),
+        defaultVertexAttr = null.asInstanceOf[(String, String)],
+        edgeStorageLevel = ser, vertexStorageLevel = ser)
     })
 
   /** Undirected degree per node via GraphX, returned as a DataFrame —
