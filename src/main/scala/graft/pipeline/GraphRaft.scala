@@ -43,6 +43,35 @@ object GraphRaft {
   final case class Retrieved(nodeId: Long, name: String, similarity: Double,
                              patterns: Seq[String])
 
+  /** Parse an LLM NER response into (label, mention) pairs — the
+    * deterministic half of the reference's NER step, replicated exactly:
+    *
+    *  - unlabeled mode (prime: labels = None): strip a leading "A:"/":",
+    *    split on '|', label everything `_Entity_` (ner.py:68-73).
+    *  - labeled mode (mag): find each "Label:" marker, take the text up to
+    *    the next marker as the value, trimmed (ner.py:76-92).
+    */
+  def parseNerResponse(response: String, labels: Option[Seq[String]]): Seq[(String, String)] =
+    labels match {
+      case None =>
+        response.dropWhile(_ == 'A').dropWhile(_ == ':').split('|').toSeq
+          .map(e => ("_Entity_", e))
+      case Some(ls) =>
+        val markers = ls.flatMap { label =>
+          val m = label + ":"
+          val i = response.indexOf(m)
+          if (i < 0) None else Some((i, i + m.length))
+        }
+        val idx0s = markers.map(_._1).sorted
+        val idx1s = markers.map(_._2).sorted
+        idx0s.indices.map { i =>
+          val label = response.substring(idx0s(i), idx1s(i) - 1)
+          val value = if (i < idx0s.length - 1) response.substring(idx1s(i), idx0s(i + 1))
+                      else response.substring(idx1s(i))
+          (label, value.trim)
+        }
+    }
+
   /** Dictionary NER: emit the node names that literally occur in the
     * question (normalized) — deterministic stand-in for gpt-4o-mini. */
   final class DictionaryExtractor(names: Seq[String]) extends EntityExtractor {

@@ -21,6 +21,20 @@ class PipelineSpec extends SparkSpec {
     assert(Parser.parse(q.render) === q)
   }
 
+  test("NER response parsing: labeled and unlabeled modes (ner.py:68-92)") {
+    // unlabeled (prime): 'A:' prefix stripped, '|'-separated, _Entity_ label
+    assert(GraphRaft.parseNerResponse("A:aspirin|heart disease", None) ===
+      Seq(("_Entity_", "aspirin"), ("_Entity_", "heart disease")))
+    // labeled (mag): "Label:" markers delimit values, in appearance order
+    val labels = Some(Seq("Institution", "Author", "Paper", "FieldOfStudy"))
+    assert(GraphRaft.parseNerResponse(
+      "Institution: MIT Author: Alice Smith", labels) ===
+      Seq(("Institution", "MIT"), ("Author", "Alice Smith")))
+    // absent labels are skipped; single label takes the rest of the string
+    assert(GraphRaft.parseNerResponse("Paper:GraphRAFT paper", labels) ===
+      Seq(("Paper", "GraphRAFT paper")))
+  }
+
   test("entity matching: exact normalized hit plus KNN fallback") {
     val names = GraphRaft.matchEntities(g,
       Seq("alice", "no such entity"), GraphRaft.HashEncoder)
