@@ -401,6 +401,39 @@ object OracleSqls {
         |  FROM cand JOIN sh a ON cand.id1 = a.doc_id JOIN sh b ON cand.id2 = b.doc_id)
         |WHERE jac >= 0.5""".stripMargin,
 
+    "dedup_clusters" -> s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        |post AS (
+        |  SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+        |  FROM (SELECT doc_id, unnest(s) AS shingle FROM sh)
+        |), seeds AS (
+        |  SELECT seed, ('0x' || substr(md5(CAST(seed AS VARCHAR)), 1, 15))::BIGINT AS c
+        |  FROM (SELECT unnest(range(16)) AS seed)
+        |), mh AS (
+        |  SELECT doc_id, seed, min(xor(h, c)) AS mh
+        |  FROM post CROSS JOIN seeds GROUP BY doc_id, seed
+        |), bk AS (
+        |  SELECT doc_id, CAST(floor(seed / 4) AS INT) AS band,
+        |    md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS sig
+        |  FROM mh GROUP BY doc_id, CAST(floor(seed / 4) AS INT)
+        |), cand AS (
+        |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+        |  FROM bk x JOIN bk y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+        |), pairs AS (
+        |  SELECT id1, id2 FROM (
+        |    SELECT id1, id2, round(len(list_intersect(a.s, b.s)) * 1.0 /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jac
+        |    FROM cand JOIN sh a ON cand.id1 = a.doc_id JOIN sh b ON cand.id2 = b.doc_id)
+        |  WHERE jac >= 0.5
+        |), edges AS (
+        |  SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs
+        |), reach AS (
+        |  SELECT a AS src, a AS dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+        |)
+        |SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster
+        |FROM reach GROUP BY src""".stripMargin,
+
     "dedup_ngram_jaccard" -> s"""$shingleCte,
         |post AS (
         |  SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h

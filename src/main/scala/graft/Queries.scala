@@ -322,6 +322,12 @@ object Queries {
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashGroups(T(spark, dir, "documents"), "doc_id", "text", bits = 16)
 
+  /** Transitive near-dup clusters over the MinHash+LSH pair graph. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dupClusters(
+      Dedup.minhashLsh(T(spark, dir, "documents"), "doc_id", "text",
+        shingleN = 3, numHashes = 16, numBands = 4, threshold = 0.5))
+
   def textLangId(spark: SparkSession, dir: String): DataFrame =
     TextOps.langIdConfusion(T(spark, dir, "documents"))
 
@@ -394,6 +400,7 @@ object Queries {
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_simhash" -> (dedupSimhash _),
+    "dedup_clusters" -> (dedupClusters _),
     "text_langid" -> (textLangId _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),

@@ -152,6 +152,22 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jac"))
   }
 
+  /** Near-dup clustering: connected components over the verified pair graph
+    * (the step after pair generation in a real dedup pipeline — transitive
+    * closure groups {A~B, B~C} into one cluster with one keeper). GraphX CC
+    * labels every member with the smallest doc id in its component, which
+    * doubles as the keeper id. Iterative → GraphX; the DuckDB oracle is the
+    * equivalent recursive-CTE reachability min. */
+  def dupClusters(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph}
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.select(col("id1").cast("long"), col("id2").cast("long"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    Graph.fromEdges(edges, ()).connectedComponents()
+      .vertices.toDF("doc_id", "cluster")
+  }
+
   /** SimHash: `bits`-bit signature from per-word md5 bits, majority-voted.
     * Engine-portable: bit i = bit i of the integer value of md5's first 8
     * hex chars (fits in a Long), +1/-1 tallied over the document's words,
