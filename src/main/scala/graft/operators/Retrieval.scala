@@ -75,6 +75,24 @@ object Retrieval {
       .where(col("rank") <= maxNodes && col("cum_tokens") <= maxTokens)
   }
 
+  /** A6 in its native array form (reference llm1.py:53-58 `sort_cyphers`):
+    * sort the parallel arrays (cypher_queries, hits, num_results) of a
+    * qa_with_cypher_queries row by (-hits, num_results) — zip to structs,
+    * `array_sort` with a comparator lambda, all codegen-able built-ins.
+    * Returns the sorted struct array with fields (q, h, n). */
+  def sortCandidateArrays(queries: Column, hits: Column, numResults: Column): Column = {
+    val zipped = zip_with(
+      zip_with(queries, hits, (q, h) => struct(q.as("q"), h.as("h"))),
+      numResults,
+      (qh, n) => struct(qh.getField("q").as("q"), qh.getField("h").as("h"), n.as("n")))
+    array_sort(zipped, (l, r) => {
+      val (hl, hr) = (l.getField("h"), r.getField("h"))
+      val (nl, nr) = (l.getField("n"), r.getField("n"))
+      when(hl > hr, -1).when(hl < hr, 1)
+        .when(nl < nr, -1).when(nl > nr, 1).otherwise(0)
+    })
+  }
+
   /** LLM2 context formatting (SURVEY §2.8; reference retriever.py:39-40 +
     * llm2.py:67-71): per node, "prop: value" lines joined by newline with
     * null values skipped; nodes joined by a blank line in retrieval order.

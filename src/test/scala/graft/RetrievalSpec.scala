@@ -46,11 +46,34 @@ class RetrievalSpec extends SparkSpec {
     assert(out.last.getAs[Long]("cum_tokens") === 30L)
   }
 
+  test("T3 output is invariant to input row/partition order") {
+    val rows = (1L to 40L).map(i => (i, s"n$i", (i * 37 % 100) / 100.0, "p"))
+    val inOrder = rows.toDF("nodeId", "name", "similarity", "pattern")
+    val shuffled = scala.util.Random.shuffle(rows)
+      .toDF("nodeId", "name", "similarity", "pattern").repartition(7)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Retrieval.budgetedAssemble(Seq(df), lit(3L), 10, 25L)
+        .orderBy("rank")
+        .collect().map(r => (r.getAs[Long]("nodeId"), r.getAs[Long]("rank"),
+          r.getAs[Long]("cum_tokens"))).toSeq
+    assert(run(inOrder) === run(shuffled))
+  }
+
   test("T3 within-query order is similarity desc") {
     val shuffled = q((7L, "a", 0.1, "p"), (8L, "b", 0.99, "p"), (9L, "c", 0.5, "p"))
     val out = Retrieval.budgetedAssemble(Seq(shuffled), lit(1L), 2, 100L)
       .orderBy("rank").collect()
     assert(out.map(_.getAs[Long]("nodeId")).toSeq === Seq(8L, 9L))
+  }
+
+  test("A6 array form: parallel arrays sorted by (-hits, num_results)") {
+    val df = Seq((Seq("a", "b", "c"), Seq(1L, 2L, 2L), Seq(10L, 50L, 5L)))
+      .toDF("qs", "hs", "ns")
+    val sorted = df.select(Retrieval.sortCandidateArrays(
+        col("qs"), col("hs"), col("ns")).as("s"))
+      .select(transform(col("s"), x => x.getField("q")).as("order"))
+      .collect().head.getSeq[String](0)
+    assert(sorted === Seq("c", "b", "a"))
   }
 
   test("LLM2 context formatting: null props skipped, order preserved") {
