@@ -364,6 +364,14 @@ object OracleSqls {
         |    w -> CASE WHEN w = 'the' THEN 1 ELSE 0 END)), 0)) AS BIGINT) AS n_the
         |FROM documents GROUP BY lang""".stripMargin,
 
+    "text_scrub" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN regexp_replace(text, '[0-9]+', '#', 'g') <> text
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |  CAST(sum(length(text) - length(regexp_replace(text, '[0-9]+', '#', 'g')))
+        |    AS BIGINT) AS chars_removed
+        |FROM documents GROUP BY source""".stripMargin,
+
     "mm_decode_features" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(octet_length(text::BLOB)) AS BIGINT) AS total_bytes,

@@ -340,6 +340,9 @@ object Queries {
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
     TextOps.fingerprintDupGroups(T(spark, dir, "documents"))
 
+  def textScrub(spark: SparkSession, dir: String): DataFrame =
+    TextOps.scrubStats(T(spark, dir, "documents"))
+
   def mmBinaryStats(spark: SparkSession, dir: String): DataFrame =
     TextOps.binaryStatsBySource(T(spark, dir, "documents"))
 
@@ -405,6 +408,7 @@ object Queries {
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
     "text_fingerprint" -> (textFingerprint _),
+    "text_scrub" -> (textScrub _),
     "mm_binary_stats" -> (mmBinaryStats _),
     "mm_decode_features" -> (mmDecodeFeatures _),
     "events_hourly" -> (eventsHourly _),

@@ -85,7 +85,9 @@ object Ast {
       * corpus format round-trips: parse(render(q)) == q. */
     def render: String = {
       def anchor(n: NodePat): String = (n.anchorProp, n.anchorValue) match {
-        case (Some(p), Some(StrLit(v)))  => s""" {$p: "$v"}"""
+        case (Some(p), Some(StrLit(v))) =>
+          val esc = v.replace("\\", "\\\\").replace("\"", "\\\"")
+          s""" {$p: "$esc"}"""
         case (Some(p), Some(LongLit(v))) => s" {$p: $v}"
         case (Some(p), Some(VarRef(v)))  => s" {$p: $v}"
         case _ => ""

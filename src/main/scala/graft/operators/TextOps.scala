@@ -92,6 +92,21 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper_id"))
       .where(col("n_docs") > 1)
 
+  /** Text scrubbing (the pre-training cleanup step): mask digit runs (the
+    * engine-portable stand-in for PII patterns — phone/ID scrubbing is the
+    * same regexp_replace shape), report per-source change stats. Pure
+    * codegen'd scan; at 100 TB this runs as a narrow map with zero shuffle
+    * before the small rollup. */
+  def scrubStats(docs: DataFrame): DataFrame = {
+    val scrubbed = regexp_replace(col("text"), "[0-9]+", "#")
+    docs.select(col("source"), col("text"), scrubbed.as("scrubbed"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("scrubbed") =!= col("text"), 1L).otherwise(0L)).as("n_changed"),
+        sum(length(col("text")) - length(col("scrubbed"))).cast("long").as("chars_removed"))
+  }
+
   /** Multimodal plumbing: treat payloads as opaque binary + typed metadata.
     * The decode step is a STUB (image/audio libs are not in this
     * environment): `decodeStub` stands in for a real per-batch decoder

@@ -19,9 +19,13 @@ object CypherProps extends Properties("cypher") {
   private val label: Gen[Option[String]] =
     Gen.option(Gen.oneOf("Paper", "Author", "_Entity_", "FieldOfStudy"))
 
+  private val anchorStr: Gen[String] = Gen.nonEmptyListOf(Gen.oneOf(
+    Gen.alphaNumChar, Gen.const(' '), Gen.const('"'), Gen.const('\\'),
+    Gen.const('\''), Gen.const('é'))).map(_.mkString)
+
   private val anchorVal: Gen[(Option[String], Option[AnchorValue])] = Gen.oneOf(
     Gen.const((None, None)),
-    Gen.alphaNumStr.suchThat(_.nonEmpty).map(s => (Some("name"), Some(StrLit(s)))),
+    anchorStr.map(s => (Some("name"), Some(StrLit(s)))),
     Gen.choose(0L, 999999L).map(v => (Some("nodeId"), Some(LongLit(v)))),
     ident.map(v => (Some("nodeId"), Some(VarRef(v)))))
 
