@@ -84,6 +84,16 @@ class CypherSpec extends SparkSpec {
     assert(names === Set("P-beta", "P-gamma"))
   }
 
+  test("2-path template: both endpoints anchored, middle discovered") {
+    // the third create_query template (path_retriever.py:38): x1 and x3
+    // anchored by name, RETURN the middle x2
+    val names = Planner.run(g,
+      """MATCH (x1:Author {name: "Alice"})-[r1:WRITES]-(x2:Paper)-[r2:CITES]-(x3:Paper {name: "P-gamma"}) RETURN DISTINCT x2.name AS name""")
+      .collect().map(_.getString(0)).toSet
+    // Alice-W-(P-alpha)-CITES-(P-gamma) via e11; P-beta has no CITES edge
+    assert(names === Set("P-alpha"))
+  }
+
   test("retrieval rewrite: widenForRetrieval adds props + cosine + order") {
     val cand = Parser.parse(
       """MATCH (x1:Author {name: "Alice"})-[r1:WRITES]-(x2:Paper) RETURN DISTINCT x2.name AS name""")
