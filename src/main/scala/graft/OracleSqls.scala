@@ -225,9 +225,11 @@ object OracleSqls {
         |  JOIN part ON l_partkey = p_partkey
         |  WHERE c_name = 'Customer#000000042'
         |), u AS (
-        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_rank
-        |      ORDER BY similarity DESC, nodeId) AS BIGINT) AS row_order
-        |  FROM (SELECT * FROM qr1 UNION ALL SELECT * FROM qr2)
+        |  SELECT * FROM (
+        |    SELECT *, CAST(row_number() OVER (PARTITION BY query_rank
+        |        ORDER BY similarity DESC, nodeId) AS BIGINT) AS row_order
+        |    FROM (SELECT * FROM qr1 UNION ALL SELECT * FROM qr2))
+        |  WHERE row_order <= 20
         |), canon AS (
         |  SELECT * FROM (SELECT u.*, row_number() OVER (PARTITION BY nodeId
         |      ORDER BY query_rank, row_order) AS rn FROM u) WHERE rn = 1
@@ -245,7 +247,7 @@ object OracleSqls {
         |  FROM j
         |)
         |SELECT nodeId AS node_id, name, similarity, patterns, rank, tokens, cum_tokens
-        |FROM r WHERE rank <= 20 AND cum_tokens <= 45""".stripMargin,
+        |FROM r WHERE rank < 20 AND cum_tokens < 45""".stripMargin,
 
     "a5_ir_metrics" ->
       """WITH per AS (

@@ -40,6 +40,12 @@ object Retrieval {
       df.withColumn("query_rank", lit(i))
         .withColumn("row_order", row_number().over(
           Window.partitionBy(lit(i)).orderBy(col("similarity").desc, col("nodeId"))))
+        // scale-safety prune, and exactly faithful: within-query rows are
+        // DISTINCT nodes, so consuming maxNodes rows of any single query
+        // fills the node budget — the reference never reads a row beyond
+        // position maxNodes of any query. The global budget window below
+        // then handles ≤ maxNodes×|queries| rows, not the full result set.
+        .where(col("row_order") <= maxNodes)
     }
     val unioned = tagged.reduce(_.unionByName(_))
 
@@ -64,15 +70,17 @@ object Retrieval {
 
     // global deterministic order = the reference's execution order; token
     // budget = running sum prefix; node budget = row_number prefix. The
-    // "evict last added on overflow" loop (retriever.py:87-93) is exactly
-    // "keep the maximal prefix with cumTokens <= maxTokens".
+    // reference's stop check runs AFTER adding a row and evicts the row
+    // that reached the budget (retriever.py:63-69,87-93: `len >= max_nodes`
+    // → delete last added → break), so a binding budget keeps STRICTLY
+    // fewer than maxNodes nodes / maxTokens tokens — hence `<`, not `<=`.
     val ord = Window.orderBy(col("query_rank"), col("row_order"))
     perNode
       .withColumn("tokens", tokenCost)
       .withColumn("rank", row_number().over(ord).cast("long"))
       .withColumn("cum_tokens", sum(col("tokens")).over(
         ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .where(col("rank") <= maxNodes && col("cum_tokens") <= maxTokens)
+      .where(col("rank") < maxNodes && col("cum_tokens") < maxTokens)
   }
 
   /** A6 in its native array form (reference llm1.py:53-58 `sort_cyphers`):

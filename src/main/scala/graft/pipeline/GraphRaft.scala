@@ -264,10 +264,12 @@ object GraphRaft {
     val base = budget.select(col("nodeId"), col("name"), col("similarity"),
       col("patterns"), col("rank"))
     val nFound = base.count()
+    // same evict-on-reaching-budget semantics as the query phase
+    // (retriever.py:96-107): strictly fewer than maxNodes total
     val backfill = knn
       .withColumn("rank", (row_number().over(
         Window.orderBy(col("similarity").desc, col("nodeId"))) + lit(nFound)).cast("long"))
-      .where(col("rank") <= maxNodes)
+      .where(col("rank") < maxNodes)
     base.unionByName(backfill).orderBy("rank")
   }
 

@@ -67,12 +67,14 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("retrieveData: budgeted assembly + KNN backfill with exclusion") {
-    // one candidate: papers of Alice → {20, 21}; budget 4 → 2 backfill rows
+    // one candidate: papers of Alice → {20, 21}; budget 4 → 3 nodes total
+    // (the row reaching the budget is evicted, like the reference) → 1
+    // backfill row
     val df = GraphRaft.retrieveData(g,
       Seq("""MATCH (x1:Author {name: "Alice"})-[r1:WRITES]-(x2:Paper) RETURN DISTINCT x2.name AS name"""),
       qEmb = Seq(1.0, 0.0, 0.0, 0.0), maxNodes = 4, ef = 100)
     val rows = df.collect()
-    assert(rows.length === 4)
+    assert(rows.length === 3)
     val ids = rows.map(_.getAs[Long]("nodeId"))
     assert(ids.take(2).toSet === Set(20L, 21L))
     // 20 ≡ 0 mod 4 → sim 1.0 ranks before 21 (sim 0.0)
@@ -84,7 +86,7 @@ class PipelineSpec extends SparkSpec {
     rows.drop(2).foreach(r =>
       assert(r.getSeq[String](r.fieldIndex("patterns")).toSeq === Seq("No pattern")))
     // backfill excluded the found ids
-    assert(ids.distinct.length === 4)
+    assert(ids.distinct.length === 3)
     // backfill is KNN-ordered: the best remaining similarity first
     val backSims = rows.drop(2).map(_.getAs[Double]("similarity"))
     assert(backSims.sortBy(-_).toSeq === backSims.toSeq)
@@ -105,15 +107,16 @@ class PipelineSpec extends SparkSpec {
     assert(result.candidates.forall(_.cypher.contains(":Paper)")))
     // best candidate by (-hits, num_results): the 2-hop to papers, hits=2
     assert(result.topQueries.head.contains("-[r2:WRITES]-(x3:Paper)"))
-    // retrieval: papers 20,21 found + 1 backfill; answers are their names
+    // retrieval: papers 20,21 found; budget 3 binds on the first backfill
+    // row (evicted, reference semantics) → exactly the two gold papers
     val retrievedIds = result.retrieved.map(_.nodeId)
-    assert(retrievedIds.take(2).toSet === Set(20L, 21L))
-    assert(result.answers.take(2).toSet === Set("P-alpha", "P-beta"))
-    // metrics vs gold {20,21}: both found → precision 2/3, recall 1.0
+    assert(retrievedIds.toSet === Set(20L, 21L))
+    assert(result.answers.toSet === Set("P-alpha", "P-beta"))
+    // metrics vs gold {20,21}: perfect retrieval
     val m = graft.operators.Metrics.perRow(
       Seq((retrievedIds, Seq(20L, 21L))).toDF("p", "l"), col("p"), col("l"))
       .collect().head
     assert(m.getAs[Double]("recall") === 1.0)
-    assert(math.abs(m.getAs[Double]("precision") - 2.0 / 3) < 1e-12)
+    assert(m.getAs[Double]("precision") === 1.0)
   }
 }

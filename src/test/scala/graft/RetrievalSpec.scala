@@ -34,7 +34,9 @@ class RetrievalSpec extends SparkSpec {
   test("T3 node budget keeps the top-maxNodes prefix") {
     val out = Retrieval.budgetedAssemble(Seq(q0, q1), lit(10L), 4, 10000L)
       .orderBy("rank").collect()
-    assert(out.map(_.getAs[Long]("nodeId")).toSeq === Seq(1L, 2L, 3L, 4L))
+    // reference stop check (retriever.py:63-69): len >= max_nodes evicts
+    // the row that reached the budget, so a binding budget of 4 keeps 3
+    assert(out.map(_.getAs[Long]("nodeId")).toSeq === Seq(1L, 2L, 3L))
   }
 
   test("T3 token budget keeps the maximal prefix under maxTokens") {
@@ -44,6 +46,10 @@ class RetrievalSpec extends SparkSpec {
       .orderBy("rank").collect()
     assert(out.map(_.getAs[Long]("nodeId")).toSeq === Seq(1L, 2L, 3L))
     assert(out.last.getAs[Long]("cum_tokens") === 30L)
+    // exactly hitting the budget also evicts: cum 30 == 30 -> keep 2
+    val exact = Retrieval.budgetedAssemble(Seq(q0, q1), lit(10L), 100, 30L)
+      .orderBy("rank").collect()
+    assert(exact.map(_.getAs[Long]("nodeId")).toSeq === Seq(1L, 2L))
   }
 
   test("T3 output is invariant to input row/partition order") {
@@ -61,7 +67,7 @@ class RetrievalSpec extends SparkSpec {
 
   test("T3 within-query order is similarity desc") {
     val shuffled = q((7L, "a", 0.1, "p"), (8L, "b", 0.99, "p"), (9L, "c", 0.5, "p"))
-    val out = Retrieval.budgetedAssemble(Seq(shuffled), lit(1L), 2, 100L)
+    val out = Retrieval.budgetedAssemble(Seq(shuffled), lit(1L), 3, 100L)
       .orderBy("rank").collect()
     assert(out.map(_.getAs[Long]("nodeId")).toSeq === Seq(8L, 9L))
   }
