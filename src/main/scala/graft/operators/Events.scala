@@ -114,4 +114,17 @@ object Events {
       .groupBy("nodeId")
       .agg(min(struct(col("prio"), col("label"), col("name"))).as("m"))
       .select(col("nodeId"), col("m.label").as("label"), col("m.name").as("name"))
+
+  /** Edge micro-batch upsert (S3 incrementally): MERGE semantics on the
+    * (relType, src, dst) identity — idempotent under replays, endpoint
+    * existence enforced against the current node table exactly like the
+    * reference's MATCH-before-MERGE load (stark_neo4j_loading.py:51-53). */
+  def upsertEdgeBatch(existing: DataFrame, batch: DataFrame,
+                      nodes: DataFrame): DataFrame = {
+    val ids = nodes.select(col("nodeId"))
+    existing.unionByName(batch)
+      .dropDuplicates("relType", "src", "dst")
+      .join(ids.withColumnRenamed("nodeId", "src"), Seq("src"), "left_semi")
+      .join(ids.withColumnRenamed("nodeId", "dst"), Seq("dst"), "left_semi")
+  }
 }

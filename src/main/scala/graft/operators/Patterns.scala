@@ -168,6 +168,15 @@ object Patterns {
         count_distinct(when(col("tgt_id").isin(goldIds: _*), col("tgt_id")))
           .as("correct_cnt"))
 
+  /** A1 at extreme hub scale: `approx_count_distinct` (HLL++) variant of
+    * the schema summary — constant memory per group regardless of hub
+    * degree, ~2% default error; the exact form is the oracle-checked one. */
+  def schemaSummary1HopApprox(g: PropertyGraph, label: String,
+                              names: Seq[String], rsd: Double = 0.02): DataFrame =
+    oneHop(g, label, names)
+      .groupBy("src_name", "rel_type", "tgt_label")
+      .agg(approx_count_distinct(col("tgt_id"), rsd).as("approx_cnt"))
+
   /** J7 — id-list lookup: `UNWIND $ids AS id MATCH (x {nodeId: id}) RETURN
     * x.name` (reference retrieval/retriever.py:19-21). isin stays a
     * broadcast-able filter for small lists; for large id sets join a DF. */

@@ -82,6 +82,43 @@ object TrainingData {
         lit(") RETURN DISTINCT x3.name AS name")))
   }
 
+  /** 2-path variant: both endpoints anchored in the question's entity set
+    * (the double-UNWIND cross product U2), middle node counted — one job
+    * for every question at once, trail semantics included. */
+  def twoPathCandidates(g: PropertyGraph, qa: DataFrame): DataFrame = {
+    val anchors = qa
+      .select(col("id"), explode(col("entities")).as("name"), col("answer_ids"))
+      .join(g.nodes.select(col("nodeId").as("a_id"), col("label").as("a_label"),
+        col("name")), Seq("name"))
+    val left = anchors.select(col("id"), col("answer_ids"),
+      col("a_id").as("src1_id"), col("a_label").as("src1_label"), col("name").as("src1_name"))
+    val right = anchors.select(col("id").as("id2"),
+      col("a_id").as("src2_id"), col("a_label").as("src2_label"), col("name").as("src2_name"))
+    val hops = left
+      .join(g.bidir.as("e1"), col("src1_id") === col("e1.a"))
+      .join(g.nodes.select(col("nodeId").as("mid_id"), col("label").as("mid_label")),
+        col("e1.b") === col("mid_id"))
+      .join(g.bidir.as("e2"), col("mid_id") === col("e2.a"))
+      .join(right, col("e2.b") === col("src2_id") && col("id") === col("id2"))
+      .where(col("src1_id") =!= col("src2_id") &&
+        !(col("e1.relType") === col("e2.relType") &&
+          col("e1.src") === col("e2.src") && col("e1.dst") === col("e2.dst")))
+    hops
+      .groupBy(col("id"), col("src1_label"), col("src1_name"),
+        col("e1.relType").as("rel1_type"), col("mid_label"),
+        col("e2.relType").as("rel2_type"), col("src2_label"), col("src2_name"))
+      .agg(
+        count_distinct(col("mid_id")).as("num_results"),
+        count_distinct(when(array_contains(col("answer_ids"), col("mid_id")),
+          col("mid_id"))).as("hits"))
+      .withColumn("cypher_query", concat(
+        lit("MATCH (x1:"), col("src1_label"), lit(" {name: \""), col("src1_name"),
+        lit("\"})-[r1:"), col("rel1_type"), lit("]-(x2:"), col("mid_label"),
+        lit(")-[r2:"), col("rel2_type"), lit("]-(x3:"), col("src2_label"),
+        lit(" {name: \""), col("src2_name"),
+        lit("\"}) RETURN DISTINCT x2.name AS name")))
+  }
+
   /** T4 rank-biased candidate sampling, distributed (SURVEY §2.7;
     * training/generate_training_data_llm2.ipynb cell 5): per question, rank
     * candidates by (-hits, num_results) and draw `nSamples` indices from the

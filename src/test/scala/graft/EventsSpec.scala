@@ -149,6 +149,20 @@ class EventsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("upsertEdgeBatch: identity-triple dedup + endpoint existence") {
+    val nodes = Seq((1L, "A", "a"), (2L, "B", "b")).toDF("nodeId", "label", "name")
+    val existing = Seq(("REL", 1L, 2L)).toDF("relType", "src", "dst")
+    val batch = Seq(
+      ("REL", 1L, 2L),   // replay of existing — deduped
+      ("REL", 2L, 1L),   // new orientation — kept (directed identity)
+      ("REL", 1L, 99L))  // dangling endpoint — dropped
+      .toDF("relType", "src", "dst")
+    val out = Events.upsertEdgeBatch(existing, batch, nodes)
+      .collect().map(r => (r.getAs[String]("relType"),
+        r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSet
+    assert(out === Set(("REL", 1L, 2L), ("REL", 2L, 1L)))
+  }
+
   test("upsertBatch merges node arrivals idempotently (first wins)") {
     val existing = Seq((1L, "Paper", "old")).toDF("nodeId", "label", "name")
     val batch = Seq((1L, "Paper", "new"), (2L, "Author", "fresh"))

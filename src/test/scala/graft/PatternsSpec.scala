@@ -109,6 +109,15 @@ class PatternsSpec extends SparkSpec {
     assert(m === Set(("AFFILIATED_WITH", 2L, 1L)))
   }
 
+  test("A1 approx schema summary tracks the exact counts on small data") {
+    val exact = Patterns.schemaSummary1Hop(g, "Paper", Seq("P-gamma"))
+      .collect().map(r => (r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    val approx = Patterns.schemaSummary1HopApprox(g, "Paper", Seq("P-gamma"))
+      .collect().map(r => (r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    // HLL++ is exact at these cardinalities
+    assert(approx === exact)
+  }
+
   test("J7 id-list lookup") {
     val names = Patterns.lookupByIds(g, Seq(1L, 30L, 777L))
       .collect().map(_.getString(2)).toSet

@@ -49,6 +49,22 @@ class TrainingDataSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("2-path candidates cross the entity set, trail semantics hold") {
+    val qa2 = Seq((7L, "Alice and Bob?", Seq("Alice", "Bob"), Seq(20L)))
+      .toDF("id", "question", "entities", "answer_ids")
+    val cands = TrainingData.twoPathCandidates(g, qa2).collect()
+    val m = cands.map(r => (r.getAs[String]("src1_name"), r.getAs[String]("rel1_type"),
+      r.getAs[String]("mid_label"), r.getAs[String]("rel2_type"),
+      r.getAs[String]("src2_name")) -> (r.getAs[Long]("num_results"), r.getAs[Long]("hits"))).toMap
+    // Alice-AW-MIT-AW-Bob (mid Institution, not gold), Alice-W-Palpha-W-Bob
+    // (mid Paper 20, gold) and REVIEWS/W variants — both directions appear
+    assert(m(("Alice", "AFFILIATED_WITH", "Institution", "AFFILIATED_WITH", "Bob")) === ((1L, 0L)))
+    assert(m(("Alice", "WRITES", "Paper", "WRITES", "Bob")) === ((1L, 1L)))
+    assert(m(("Bob", "WRITES", "Paper", "WRITES", "Alice")) === ((1L, 1L)))
+    assert(m(("Alice", "REVIEWS", "Paper", "WRITES", "Bob")) === ((1L, 1L)))
+    cands.foreach(r => graft.cypher.Parser.parse(r.getAs[String]("cypher_query")))
+  }
+
   test("T4 sampling draws valid, deterministic candidate indices per question") {
     val cands = TrainingData.oneHopCandidates(g, qa)
     val s1 = TrainingData.sampleCandidates(cands, nSamples = 3).collect()
