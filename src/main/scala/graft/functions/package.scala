@@ -97,6 +97,20 @@ package object functions {
       .otherwise(slice(zipped, lit(1), size(w) - (n - 1)))
   }
 
+  /** Loader name mangling (reference stark_neo4j_loading.py:11-18):
+    * node-type labels are CamelCased snake_case with '/' → '_or_'
+    * ("field_of_study" → "FieldOfStudy", "exposure/phenotype" →
+    * "Exposure_or_Phenotype" ... per the reference: split on '_', initcap
+    * each part, join). */
+  def camelLabel(c: Column): Column =
+    array_join(transform(split(regexp_replace(c, "/", "_or_"), "_"),
+      w => initcap(w)), "")
+
+  /** Edge types: the segment after '___' upper-cased
+    * ("author___writes___paper" → "WRITES"). */
+  def upperSnakeRelType(c: Column): Column =
+    upper(element_at(split(c, "___"), 2))
+
   /** Engine-portable hash for MinHash: lowercase hex md5 of `seed|value`.
     * Lexicographic `min` over these strings is identical in Spark and
     * DuckDB, which makes the LSH oracle exactly reproducible — no reliance

@@ -41,6 +41,18 @@ class FunctionsSpec extends SparkSpec {
     assert(s === Seq("x y", "y z"))
   }
 
+  test("loader name mangling: CamelCase labels, UPPER_SNAKE rel types") {
+    val r = Seq(("field_of_study", "author___writes___paper"))
+      .toDF("t", "e")
+      .select(camelLabel(col("t")).as("l"), upperSnakeRelType(col("e")).as("r"))
+      .collect().head
+    assert(r.getString(0) === "FieldOfStudy")
+    assert(r.getString(1) === "WRITES")
+    val slash = Seq(("exposure/phenotype")).toDF("t")
+      .select(camelLabel(col("t"))).collect().head.getString(0)
+    assert(slash === "ExposureOrPhenotype")
+  }
+
   test("normName equates NFC/NFD forms case-insensitively") {
     val eq = Seq(("Café", "CAFÉ")).toDF("a", "b")
       .select((normName(col("a")) === normName(col("b"))).as("eq"))
