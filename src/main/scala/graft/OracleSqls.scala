@@ -478,6 +478,30 @@ object OracleSqls {
         |SELECT simhash, min(doc_id) AS keeper_id, CAST(count(*) AS BIGINT) AS n_docs
         |FROM sig GROUP BY simhash HAVING count(*) > 1""".stripMargin,
 
+    "dedup_simhash_near" -> s"""WITH w AS (
+        |  SELECT doc_id, unnest($wordsExpr) AS word
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id, CAST(('0x' || substr(md5(lower(word)), 1, 8)) AS BIGINT) AS h
+        |  FROM w
+        |), tal AS (
+        |  SELECT doc_id, ${(0 until 32).map(i =>
+             s"sum(CASE WHEN ((h >> $i) & 1) = 1 THEN 1 ELSE -1 END) AS t_$i").mkString(", ")}
+        |  FROM h GROUP BY doc_id
+        |), sig AS (
+        |  SELECT doc_id, CAST(${(0 until 32).map(i =>
+             s"(CASE WHEN t_$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")} AS BIGINT) AS simhash
+        |  FROM tal
+        |), bk AS (
+        |  SELECT doc_id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS key
+        |  FROM sig, (SELECT unnest(range(4)) AS band) b
+        |), pairs AS (
+        |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2,
+        |    CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS dist
+        |  FROM bk x JOIN bk y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+        |)
+        |SELECT id1, id2, dist FROM pairs WHERE dist <= 2""".stripMargin,
+
     "text_langid" -> s"""WITH w AS (
         |  SELECT lang AS actual_lang,
         |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w

@@ -322,6 +322,10 @@ object Queries {
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashGroups(T(spark, dir, "documents"), "doc_id", "text", bits = 16)
 
+  def dedupSimhashNear(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDupPairs(T(spark, dir, "documents"), "doc_id", "text",
+      bits = 32, bands = 4, maxDist = 2)
+
   /** Transitive near-dup clusters over the MinHash+LSH pair graph. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
     Dedup.dupClusters(
@@ -404,6 +408,7 @@ object Queries {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_clusters" -> (dedupClusters _),
+    "dedup_simhash_near" -> (dedupSimhashNear _),
     "text_langid" -> (textLangId _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),

@@ -175,8 +175,8 @@ object Dedup {
     * hash is computed once per word, then a single groupBy builds all bit
     * tallies with map-side combine (one shuffle). Near-dups = equal simhash;
     * Hamming-distance banding would widen recall at scale. */
-  def simhashGroups(docs: DataFrame, idCol: String, textCol: String,
-                    bits: Int = 16): DataFrame = {
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        bits: Int): DataFrame = {
     val tokens = docs
       .select(col(idCol).as("doc_id"), explode(words(lower(col(textCol)))).as("word"))
       .withColumn("h", conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long"))
@@ -189,8 +189,39 @@ object Dedup {
     tokens.groupBy("doc_id")
       .agg(tallies.head, tallies.tail: _*)
       .select(col("doc_id"), sig.as("simhash"))
+  }
+
+  def simhashGroups(docs: DataFrame, idCol: String, textCol: String,
+                    bits: Int = 16): DataFrame =
+    simhashSignatures(docs, idCol, textCol, bits)
       .groupBy("simhash")
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_docs"))
       .where(col("n_docs") > 1)
+
+  /** SimHash near-dups by Hamming banding: split the signature into
+    * `bands` bit-bands; docs sharing ANY band are candidates (a signature
+    * within Hamming distance < bands must agree on some band — pigeonhole),
+    * verified with `bit_count(xor) <= maxDist`. The band is the join key,
+    * so candidate generation is O(collisions) — the classic scale recipe
+    * for Hamming-radius search. */
+  def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                          bits: Int = 16, bands: Int = 4,
+                          maxDist: Int = 3): DataFrame = {
+    val bandBits = bits / bands
+    val mask = (1L << bandBits) - 1
+    val sig = simhashSignatures(docs, idCol, textCol, bits)
+    val bandCols = (0 until bands).map(b => struct(lit(b).as("band"),
+      shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask)).as("key")))
+    val buckets = sig
+      .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("dist"))
+      .distinct()
+      .where(col("dist") <= maxDist)
   }
 }
