@@ -71,9 +71,20 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       val e = r.relType.fold(g.bidir)(t => g.bidir.where(col("relType") === t)).as(rv)
       val prev = path.nodes(i).varName
       val next = path.nodes(i + 1)
-      df = df
-        .join(e, col(s"$prev.nodeId") === col(s"$rv.a"))
-        .join(nodeFrame(q, next), col(s"$rv.b") === col(s"${next.varName}.nodeId"))
+      val nextFrame = nodeFrame(q, next)
+      df =
+        if (isAnchored(q, next)) {
+          // meet-in-the-middle: when the hop's far node is anchored (tiny),
+          // filter the edge leg by the anchor BEFORE joining the frontier —
+          // otherwise the frontier joins the full edge table only to discard
+          // almost all of it at the anchor (the 2-path scale killer)
+          val eAnchored = e.join(broadcast(nextFrame),
+            col(s"$rv.b") === col(s"${next.varName}.nodeId"))
+          df.join(eAnchored, col(s"$prev.nodeId") === col(s"$rv.a"))
+        } else {
+          df.join(e, col(s"$prev.nodeId") === col(s"$rv.a"))
+            .join(nextFrame, col(s"$rv.b") === col(s"${next.varName}.nodeId"))
+        }
     }
     // trail semantics: every pair of rels in the path must bind different
     // stored relationships — identity is the (relType, src, dst) triple

@@ -47,6 +47,15 @@ object GraphXBridge {
         edgeStorageLevel = ser, vertexStorageLevel = ser)
     })
 
+  /** Force the GraphX materialization (rdd conversion, partition sizing,
+    * caching) — the LOAD-stage analog of the reference's offline Neo4j
+    * ingest. Bench calls this in warmup so iterative-algorithm queries are
+    * timed against a built graph, not charged its one-time construction. */
+  def materialize(spark: SparkSession, g: PropertyGraph): Unit = {
+    val gx = toGraphX(g)
+    gx.vertices.count(); gx.edges.count()
+  }
+
   /** Undirected degree per node via GraphX, returned as a DataFrame —
     * SQL-checkable (oracle: counts over the bidirected edge view). */
   def degrees(spark: SparkSession, g: PropertyGraph): DataFrame = {

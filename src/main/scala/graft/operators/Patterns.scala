@@ -69,12 +69,20 @@ object Patterns {
         col("t.name").as("tgt_name"))
 
   /** J4 over arbitrary anchor frames crossed by name (the double UNWIND U2),
-    * with both anchor labels exposed. */
+    * with both anchor labels exposed.
+    *
+    * Meet-in-the-middle join order: both endpoints are anchored (tiny), so
+    * EACH edge leg is filtered by its anchor before the two 1-hop frontiers
+    * meet on the middle node. The result is bounded by deg(s1)×deg(s2); the
+    * naive left-to-right order (frontier ⋈ full bidir, filter by s2 last)
+    * shuffles the whole edge table at 100× scale for the same answer. */
   def twoPathFrom(g: PropertyGraph, anchorDf: DataFrame): DataFrame =
     broadcast(anchorDf.as("s1"))
       .join(g.bidir.as("e1"), col("s1.nodeId") === col("e1.a"))
-      .join(g.bidir.as("e2"), col("e1.b") === col("e2.a"))
-      .join(broadcast(anchorDf.as("s2")), col("e2.b") === col("s2.nodeId"))
+      .join(
+        g.bidir.as("e2")
+          .join(broadcast(anchorDf.as("s2")), col("e2.b") === col("s2.nodeId")),
+        col("e1.b") === col("e2.a"))
       .where(col("s1.nodeId") =!= col("s2.nodeId") && trailNeq("e1", "e2"))
       .join(g.nodes.as("m"), col("e1.b") === col("m.nodeId"))
       .select(
@@ -119,9 +127,13 @@ object Patterns {
               label2: String, names2: Seq[String]): DataFrame =
     broadcast(anchors(g, label1, names1).as("s1"))
       .join(g.bidir.as("e1"), col("s1.nodeId") === col("e1.a"))
-      .join(g.bidir.as("e2"), col("e1.b") === col("e2.a"))
-      .join(broadcast(anchors(g, label2, names2).as("s2")),
-        col("e2.b") === col("s2.nodeId"))
+      .join(
+        // far leg filtered by its anchor BEFORE meeting on the mid node
+        // (see twoPathFrom: bounded by deg(s1)×deg(s2), no full-edge shuffle)
+        g.bidir.as("e2")
+          .join(broadcast(anchors(g, label2, names2).as("s2")),
+            col("e2.b") === col("s2.nodeId")),
+        col("e1.b") === col("e2.a"))
       .where(col("s1.nodeId") =!= col("s2.nodeId") && trailNeq("e1", "e2"))
       .join(g.nodes.as("m"), col("e1.b") === col("m.nodeId"))
       .select(

@@ -83,6 +83,32 @@ class PatternsSpec extends SparkSpec {
       (20L, "REVIEWS", "WRITES")))
   }
 
+  test("J4 plan: each edge leg is anchor-filtered before the legs meet") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Union}
+    // RDD-backed frames so ConvertToLocalRelation can't fold the anchor
+    // Filter into the relation — the plan shape under test is the real one
+    def viaRdd(df: org.apache.spark.sql.DataFrame) =
+      spark.createDataFrame(df.rdd, df.schema)
+    val gr = g.copy(nodes = viaRdd(g.nodes), rels = viaRdd(g.rels))
+    val plan = Patterns.twoPath(gr, "Author", Seq("Alice"), "Author", Seq("Bob"))
+      .queryExecution.optimizedPlan
+    def hasEdgeLeg(p: LogicalPlan): Boolean =
+      p.collect { case u: Union => u }.nonEmpty // bidir = Union of orientations
+    def hasNameAnchor(p: LogicalPlan): Boolean =
+      p.collect { case f: Filter if f.condition.references.exists(_.name == "name") => f }.nonEmpty
+    // the join that combines the two edge legs must see both legs already
+    // anchor-filtered — the old left-deep order joined the frontier to the
+    // FULL edge table and only then filtered by the far anchor
+    val meets = plan.collect {
+      case j: Join if hasEdgeLeg(j.left) && hasEdgeLeg(j.right) => j
+    }
+    assert(meets.nonEmpty, "expected a join combining the two edge legs")
+    meets.foreach { j =>
+      assert(hasNameAnchor(j.left), "left leg missing its anchor filter below the meet join")
+      assert(hasNameAnchor(j.right), "right leg missing its anchor filter below the meet join")
+    }
+  }
+
   test("J5 concrete typed two-hop template") {
     val rows = Patterns.concreteTwoHop(g,
       "Institution", "MIT", "AFFILIATED_WITH", "Author", "WRITES", "Paper")
