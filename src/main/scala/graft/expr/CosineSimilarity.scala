@@ -54,24 +54,32 @@ final case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // fresh names: this block can be inlined into a scope (or appear twice
+      // in one projection) that already declares plain `i`/`n` — fixed local
+      // names fail janino compilation and silently drop to interpreted mode
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb"); val bad = ctx.freshName("bad")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val denom = ctx.freshName("denom")
       s"""
-         |int n = $a.numElements();
-         |if (n != $b.numElements()) {
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double dot = 0.0, na = 0.0, nb = 0.0;
-         |  boolean bad = false;
-         |  for (int i = 0; i < n; i++) {
-         |    if ($a.isNullAt(i) || $b.isNullAt(i)) { bad = true; break; }
-         |    double x = $a.getDouble(i);
-         |    double y = $b.getDouble(i);
-         |    dot += x * y; na += x * x; nb += y * y;
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  boolean $bad = false;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |    double $x = $a.getDouble($i);
+         |    double $y = $b.getDouble($i);
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |  }
-         |  double denom = Math.sqrt(na) * Math.sqrt(nb);
-         |  if (bad || denom == 0.0) {
+         |  double $denom = Math.sqrt($na) * Math.sqrt($nb);
+         |  if ($bad || $denom == 0.0) {
          |    ${ev.isNull} = true;
          |  } else {
-         |    ${ev.value} = dot / denom;
+         |    ${ev.value} = $dot / $denom;
          |  }
          |}
        """.stripMargin
