@@ -316,15 +316,28 @@ object OracleSqls {
         |  FROM orders
         |), counts AS (
         |  SELECT o_custkey AS custkey, count(*) AS n FROM orders GROUP BY 1
-        |), samples AS (
-        |  SELECT custkey, s.sample_no,
+        |), att AS (
+        |  SELECT custkey, n, attempt,
         |    CAST(floor(u*u*u*u*u*u*u*u*u*u * n) AS INT) AS idx
         |  FROM (
-        |    SELECT custkey, n, s.sample_no,
+        |    SELECT custkey, n, a.attempt,
         |      CAST(('0x' || substr(md5(CAST(custkey AS VARCHAR) || ':' ||
-        |        CAST(s.sample_no AS VARCHAR)), 1, 6)) AS BIGINT) / 16777216.0 AS u
-        |    FROM counts, (SELECT unnest([0, 1, 2]) AS sample_no) s
-        |  ) s
+        |        CAST(a.attempt AS VARCHAR)), 1, 6)) AS BIGINT) / 16777216.0 AS u
+        |    FROM counts, (SELECT unnest(range(32)) AS attempt) a
+        |  )
+        |), firsts AS (
+        |  SELECT custkey, attempt, idx FROM (
+        |    SELECT custkey, attempt, idx,
+        |      row_number() OVER (PARTITION BY custkey, idx ORDER BY attempt) AS occ
+        |    FROM att)
+        |  WHERE occ = 1
+        |), samples AS (
+        |  SELECT custkey, idx, sample_no FROM (
+        |    SELECT custkey, idx,
+        |      CAST(row_number() OVER (PARTITION BY custkey ORDER BY attempt) - 1 AS INT)
+        |        AS sample_no
+        |    FROM firsts)
+        |  WHERE sample_no < 3
         |)
         |SELECT r.custkey, s.sample_no, r.orderkey
         |FROM samples s JOIN ranked r ON s.custkey = r.custkey AND r.rk = s.idx + 1""".stripMargin,

@@ -240,8 +240,9 @@ object Queries {
         col("num_results"), col("gold_total"))
   }
 
-  /** T4 — deterministic power-law rank sampling (nb llm2 cell 5, α=0.1):
-    * 3 samples per customer over their price-ranked orders. */
+  /** T4 — deterministic power-law rank sampling WITHOUT replacement
+    * (nb llm2 cell 5, α=0.1: `if rank not in samples`): 3 distinct sampled
+    * ranks per customer over their price-ranked orders. */
   def t4RankSampling(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val orders = T(spark, dir, "orders")
@@ -251,11 +252,8 @@ object Queries {
           .orderBy(col("o_totalprice").desc, col("o_orderkey"))).as("rk"))
     val counts = orders.groupBy(col("o_custkey").as("custkey"))
       .agg(count(lit(1)).as("n"))
-    val samples = counts
-      .select(col("custkey"), col("n"),
-        explode(array((0 until 3).map(lit): _*)).as("sample_no"))
-      .withColumn("idx",
-        Retrieval.powerLawIndex(col("custkey"), col("sample_no"), 10, col("n")))
+    val samples = Retrieval.powerLawSampleIdx(counts, "custkey", "n",
+      nSamples = 3, invAlpha = 10)
     samples.join(ranked, samples("custkey") === ranked("custkey") &&
         ranked("rk") === samples("idx") + 1)
       .select(samples("custkey"), col("sample_no"), col("orderkey"))

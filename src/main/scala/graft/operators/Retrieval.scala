@@ -157,4 +157,34 @@ object Retrieval {
     val uPow = (1 until invAlpha).foldLeft(u)((acc, _) => acc * u)
     floor(uPow * n.cast("double")).cast("int")
   }
+
+  /** T4 sampling WITHOUT replacement — the reference rejects ranks it has
+    * already drawn (`if rank not in samples`,
+    * training/generate_training_data_llm2.ipynb cell 5). The rejection loop
+    * is unrolled deterministically: a fixed sequence of `attempts` draws per
+    * key (md5 counter), keep the FIRST occurrence of each distinct index in
+    * attempt order, take the first `nSamples` of those. Fully distributed:
+    * per-key windows over ≤ `attempts` rows each.
+    *
+    * @param keyed one row per key with the candidate count.
+    * @return (keyCol, nCol, sample_no: Int, idx: Int) — idx ∈ [0, n),
+    *   distinct per key; fewer than nSamples rows when the attempt budget
+    *   (or n itself) can't produce enough distinct indices.
+    */
+  def powerLawSampleIdx(keyed: DataFrame, keyCol: String, nCol: String,
+                        nSamples: Int, invAlpha: Int,
+                        attempts: Int = 32): DataFrame = {
+    val att = keyed
+      .select(col(keyCol), col(nCol),
+        explode(array((0 until attempts).map(lit): _*)).as("attempt"))
+      .withColumn("idx", powerLawIndex(col(keyCol), col("attempt"), invAlpha, col(nCol)))
+    val firstPerIdx = Window.partitionBy(col(keyCol), col("idx")).orderBy(col("attempt"))
+    val firstsOrder = Window.partitionBy(col(keyCol)).orderBy(col("attempt"))
+    att
+      .withColumn("occ", row_number().over(firstPerIdx))
+      .where(col("occ") === 1)
+      .withColumn("sample_no", row_number().over(firstsOrder) - 1)
+      .where(col("sample_no") < nSamples)
+      .select(col(keyCol), col(nCol), col("sample_no"), col("idx"))
+  }
 }

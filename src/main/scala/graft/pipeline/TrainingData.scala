@@ -121,20 +121,18 @@ object TrainingData {
 
   /** T4 rank-biased candidate sampling, distributed (SURVEY §2.7;
     * training/generate_training_data_llm2.ipynb cell 5): per question, rank
-    * candidates by (-hits, num_results) and draw `nSamples` indices from the
-    * power-law inv_cdf = u^(1/α) — deterministic via the md5-seeded
-    * [[graft.operators.Retrieval.powerLawIndex]]. One window + one join. */
+    * candidates by (-hits, num_results) and draw `nSamples` DISTINCT indices
+    * from the power-law inv_cdf = u^(1/α) — without replacement, like the
+    * reference's `if rank not in samples` rejection loop, deterministically
+    * unrolled in [[graft.operators.Retrieval.powerLawSampleIdx]]. */
   def sampleCandidates(candidates: DataFrame, nSamples: Int,
-                       invAlpha: Int = 10): DataFrame = {
+                       invAlpha: Int = 10, attempts: Int = 32): DataFrame = {
     val w = Window.partitionBy(col("id"))
       .orderBy(col("hits").desc, col("num_results"), col("cypher_query"))
     val ranked = candidates.withColumn("rk", row_number().over(w))
     val counts = candidates.groupBy("id").agg(count(lit(1)).as("n"))
-    val draws = counts
-      .select(col("id"), col("n"),
-        explode(array((0 until nSamples).map(lit): _*)).as("sample_no"))
-      .withColumn("idx", graft.operators.Retrieval.powerLawIndex(
-        col("id"), col("sample_no"), invAlpha, col("n")))
+    val draws = graft.operators.Retrieval.powerLawSampleIdx(
+      counts, "id", "n", nSamples, invAlpha, attempts)
     draws.join(ranked, draws("id") === ranked("id") &&
         ranked("rk") === draws("idx") + 1)
       .select(draws("id"), col("sample_no"), col("cypher_query"),

@@ -122,4 +122,25 @@ class RetrievalSpec extends SparkSpec {
     // α=0.1 biases hard toward rank 0
     assert(idx.count(_ == 0) > idx.length / 2)
   }
+
+  test("T4 without replacement: distinct indices, consecutive sample_no, prefix-stable") {
+    val keyed = spark.range(0, 30).select(col("id").as("key")).withColumn("n", lit(7L))
+    val out = Retrieval.powerLawSampleIdx(keyed, "key", "n", nSamples = 4, invAlpha = 10)
+      .collect()
+    val byKey = out.groupBy(_.getAs[Long]("key"))
+    assert(byKey.nonEmpty)
+    byKey.values.foreach { rows =>
+      val idx = rows.sortBy(_.getAs[Int]("sample_no")).map(_.getAs[Int]("idx")).toSeq
+      assert(idx.distinct.length === idx.length) // no replacement
+      assert(idx.forall(i => i >= 0 && i < 7))
+      assert(rows.map(_.getAs[Int]("sample_no")).sorted.toSeq === (0 until rows.length))
+    }
+    // smaller nSamples is a strict prefix of larger (deterministic unrolled
+    // rejection: same attempt sequence, same first-occurrence order)
+    val one = Retrieval.powerLawSampleIdx(keyed, "key", "n", 1, 10).collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[Int]("idx"))).toSet
+    val firsts = out.filter(_.getAs[Int]("sample_no") == 0)
+      .map(r => (r.getAs[Long]("key"), r.getAs[Int]("idx"))).toSet
+    assert(one === firsts)
+  }
 }

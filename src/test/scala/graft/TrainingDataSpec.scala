@@ -65,14 +65,23 @@ class TrainingDataSpec extends SparkSpec {
     cands.foreach(r => graft.cypher.Parser.parse(r.getAs[String]("cypher_query")))
   }
 
-  test("T4 sampling draws valid, deterministic candidate indices per question") {
+  test("T4 sampling: deterministic, distinct ranks per question (no replacement)") {
     val cands = TrainingData.oneHopCandidates(g, qa)
     val s1 = TrainingData.sampleCandidates(cands, nSamples = 3).collect()
       .map(r => (r.getAs[Long]("id"), r.getAs[Int]("sample_no"), r.getAs[String]("cypher_query")))
     val s2 = TrainingData.sampleCandidates(cands, nSamples = 3).collect()
       .map(r => (r.getAs[Long]("id"), r.getAs[Int]("sample_no"), r.getAs[String]("cypher_query")))
     assert(s1.toSet === s2.toSet)
-    assert(s1.length === 6) // 2 questions × 3 samples
+    // without replacement: each question's sampled candidates are distinct,
+    // sample_no is a consecutive 0-based prefix
+    s1.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).distinct.length === rows.length)
+      assert(rows.map(_._2).sorted.toSeq === (0 until rows.length))
+    }
+    // q2 (MIT) has exactly ONE candidate → one sample despite nSamples=3
+    // (the reference's rejection loop can never admit a duplicate rank)
+    assert(s1.count(_._1 == 2L) === 1)
+    assert(s1.count(_._1 == 1L) >= 1 && s1.count(_._1 == 1L) <= 3)
     s1.foreach { case (_, _, q) => graft.cypher.Parser.parse(q) }
   }
 
