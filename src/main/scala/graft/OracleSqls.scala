@@ -177,6 +177,20 @@ object OracleSqls {
       """SELECT nodeId AS node_id, name FROM nodes
         |WHERE lower(nfc_normalize(name)) = lower(nfc_normalize('NaTiOn_7'))""".stripMargin),
 
+    "v5_label_lookup" -> withGraph(
+      """, m AS (
+        |  SELECT * FROM (VALUES
+        |    (0, 'Nation', 'NaTiOn_7'),
+        |    (1, 'Customer', 'NaTiOn_7'),
+        |    (2, '_Entity_', 'nation_7'),
+        |    (3, 'Part', 'RED WIDGET'),
+        |    (4, '_Entity_', 'customer#000000042')) AS t(m_id, m_label, mention))
+        |SELECT m.m_id, m.m_label, m.mention,
+        |  n.nodeId AS node_id, n.label, n.name
+        |FROM m JOIN nodes n
+        |  ON lower(nfc_normalize(n.name)) = lower(nfc_normalize(m.mention))
+        | AND (m.m_label = '_Entity_' OR n.label = m.m_label)""".stripMargin),
+
     "v1_cosine_topk" ->
       """SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
         |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS similarity

@@ -106,6 +106,17 @@ object Queries {
       .select(col("nodeId").as("node_id"), col("name"))
   }
 
+  /** V5 — label-scoped exact entity lookup as one job (the per-label
+    * fulltext index semantics of retrieval/ner.py:99,111-114): the same
+    * mention resolves only within its NER label; `_Entity_` scopes to all. */
+  def v5LabelLookup(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.GraphRaft.labelScopedLookup(graph(spark, dir), Seq(
+      "Nation" -> "NaTiOn_7",             // exact within label (NFC + lower)
+      "Customer" -> "NaTiOn_7",           // same mention, wrong label → no row
+      "_Entity_" -> "nation_7",           // catch-all label matches any label
+      "Part" -> "RED WIDGET",
+      "_Entity_" -> "customer#000000042"))
+
   // ---- vector similarity / KNN (V1-V2, ANN) ----
 
   private val qvecCache = scala.collection.concurrent.TrieMap[String, List[Double]]()
@@ -384,6 +395,7 @@ object Queries {
     "j7_id_lookup" -> (j7IdLookup _),
     "p5_anti_membership" -> (p5AntiMembership _),
     "p6_norm_lookup" -> (p6NormLookup _),
+    "v5_label_lookup" -> (v5LabelLookup _),
     "cy_concrete_2hop" -> (cyConcrete2Hop _),
     "cy_schema_1hop" -> (cySchema1Hop _),
     "cy_anti_lookup" -> (cyAntiLookup _),

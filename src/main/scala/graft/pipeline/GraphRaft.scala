@@ -21,8 +21,15 @@ object GraphRaft {
 
   // ---- LLM boundary traits (deterministic defaults below) ----
 
-  /** NER: question → entity mentions (reference retrieval/ner.py:38-65). */
-  trait EntityExtractor { def extract(question: String): Seq[String] }
+  /** NER: question → entity mentions (reference retrieval/ner.py:38-65).
+    * `extractLabeled` is the full contract — (label, mention) pairs like
+    * `parseNerResponse` produces; the default wraps the unlabeled `extract`
+    * with the catch-all `_Entity_` label (prime-style, labels=None). */
+  trait EntityExtractor {
+    def extract(question: String): Seq[String]
+    def extractLabeled(question: String): Seq[(String, String)] =
+      extract(question).map(("_Entity_", _))
+  }
 
   /** Candidate ranking: the constrained-decoding LLM1
     * (constrained_decoding/sequence_ranker.py) — picks top-k candidate
@@ -111,35 +118,67 @@ object GraphRaft {
 
   // ---- entity matching (ner.py:95-120: fulltext-exact + KNN fallback) ----
 
-  /** V5 fulltext-exact path: candidate generation by fulltext then filter to
-    * normalized equality — the observable semantics is the normalized-exact
-    * match (FULL_TEXT_QUERY, ner.py:111-114). Falls back to vector KNN
-    * LIMIT 1 over `embCol` when no exact match (ner.py:117-120). */
-  def matchEntities(g: PropertyGraph, mentions: Seq[String],
-                    encoder: MentionEncoder, embCol: String = "nameEmbedding",
-                    knnK: Int = 100): Seq[String] = {
+  /** V5 label-scoped exact lookup as ONE job: the (label, mention) pairs
+    * become a broadcast frame equi-joined on the NFC-normalized name and
+    * scoped to the mention's label — the reference looks each mention up in
+    * the PER-LABEL index `{label}FullTextIndex` (ner.py:99,111-114), so a
+    * mag Institution mention never matches a Paper of the same name;
+    * `_Entity_` (prime-style unlabeled NER) scopes to every label.
+    * Returns (m_id, m_label, mention, node_id, label, name). */
+  def labelScopedLookup(g: PropertyGraph, mentions: Seq[(String, String)]): DataFrame = {
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    val mdf = mentions.zipWithIndex
+      .map { case ((l, m), i) => (i, l, m) }
+      .toDF("m_id", "m_label", "mention")
+    broadcast(mdf)
+      .join(g.nodes,
+        normName(col("name")) === normName(col("mention")) &&
+          (col("m_label") === lit("_Entity_") || col("label") === col("m_label")))
+      .select(col("m_id"), col("m_label"), col("mention"),
+        col("nodeId").as("node_id"), col("label"), col("name"))
+  }
+
+  /** V3 batched label-scoped KNN: best node name per mention embedding as
+    * ONE job — the broadcast query frame joins the label-scoped candidate
+    * nodes (one scan), a per-mention window keeps the top hit. Mirrors the
+    * per-label vector index `{label}NameEmbedding` + `LIMIT 1`
+    * (ner.py:104-107,117-120). `queries` columns: m_id, m_label, q_emb. */
+  def labelScopedKnnBest(g: PropertyGraph, queries: DataFrame,
+                         embCol: String = "nameEmbedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cands = g.nodes.where(col(embCol).isNotNull)
+      .select(col("nodeId"), col("label"), col("name"),
+        col(embCol).cast("array<double>").as("__emb"))
+    val scored = broadcast(queries)
+      .join(cands, col("m_label") === lit("_Entity_") || col("label") === col("m_label"))
+      .withColumn("similarity", graft.functions.cosineSim(col("__emb"), col("q_emb")))
+    val w = Window.partitionBy(col("m_id")).orderBy(col("similarity").desc, col("nodeId"))
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("m_id"), col("name"))
+  }
+
+  /** Entity matching (ner.py:95-120): label-scoped exact match with
+    * label-scoped KNN fallback, in exactly TWO Spark jobs regardless of the
+    * number of mentions — one exact-lookup join for all mentions, one
+    * batched KNN for the misses (the reference's k=100 + LIMIT 1 reduces to
+    * the exact best hit; our KNN is exact so only the top-1 matters). */
+  def matchEntities(g: PropertyGraph, mentions: Seq[(String, String)],
+                    encoder: MentionEncoder, embCol: String = "nameEmbedding"): Seq[String] = {
     if (mentions.isEmpty) return Nil
-    val nodes = g.nodes
-    val exact = nodes
-      .where(normName(col("name")).isin(mentions.map(m =>
-        java.text.Normalizer.normalize(m, java.text.Normalizer.Form.NFC).toLowerCase): _*))
-      .select(normName(col("name")).as("nn"), col("name"))
-      .collect().groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSeq).toMap
-    mentions.flatMap { m =>
-      val key = java.text.Normalizer.normalize(m, java.text.Normalizer.Form.NFC).toLowerCase
-      exact.get(key) match {
-        case Some(names) => names
-        case None =>
-          // V3: embed the mention, KNN k=100, keep the single best name
-          Vectors.bruteForceTopK(
-              nodes.where(col(embCol).isNotNull)
-                .select(col("nodeId"), col("name"), col(embCol)),
-              "nodeId", embCol, encoder.encode(m), knnK)
-            .join(nodes.select(col("nodeId"), col("name")), "nodeId")
-            .limit(1)
-            .collect().map(_.getAs[String]("name")).toSeq
-      }
-    }.distinct
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    val exact = labelScopedLookup(g, mentions)
+      .select(col("m_id"), col("name")).collect()
+      .groupBy(_.getInt(0)).view.mapValues(_.map(_.getString(1)).toSeq).toMap
+    val missing = mentions.zipWithIndex.collect {
+      case ((l, m), i) if !exact.contains(i) => (i, l, encoder.encode(m))
+    }
+    val fallback: Map[Int, Seq[String]] =
+      if (missing.isEmpty) Map.empty
+      else labelScopedKnnBest(g, missing.toDF("m_id", "m_label", "q_emb"), embCol)
+        .collect().groupBy(_.getInt(0)).view.mapValues(_.map(_.getString(1)).toSeq).toMap
+    mentions.indices.flatMap(i => exact.getOrElse(i, fallback.getOrElse(i, Nil))).distinct
   }
 
   // ---- candidate enumeration (path_retriever.py:49-64) ----
@@ -300,7 +339,7 @@ object GraphRaft {
           answerer: AnswerGenerator = RetrievalAnswerer,
           encoder: MentionEncoder = HashEncoder,
           goldIds: Option[Seq[Long]] = None): Result = {
-    val mentions = extractor.extract(question)
+    val mentions = extractor.extractLabeled(question)
     val srcNames = matchEntities(g, mentions, encoder, config.sortingIndex)
     val candidates = enumerateCandidates(g, srcNames, goldIds,
       config.patterns, config.targetLabel)

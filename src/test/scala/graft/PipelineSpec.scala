@@ -37,9 +37,30 @@ class PipelineSpec extends SparkSpec {
 
   test("entity matching: exact normalized hit plus KNN fallback") {
     val names = GraphRaft.matchEntities(g,
-      Seq("alice", "no such entity"), GraphRaft.HashEncoder)
+      Seq("_Entity_" -> "alice", "_Entity_" -> "no such entity"),
+      GraphRaft.HashEncoder)
     assert(names.contains("Alice"))
     assert(names.length === 2) // fallback produced exactly one best name
+  }
+
+  test("entity matching is label-scoped (mag per-label index, ner.py:99-106)") {
+    // same mention, different labels: Institution finds the exact node…
+    assert(GraphRaft.matchEntities(g, Seq("Institution" -> "mit"),
+      GraphRaft.HashEncoder) === Seq("MIT"))
+    // …while Paper must NOT exact-match MIT; the KNN fallback is scoped to
+    // Paper nodes, so the single best name is a paper
+    val asPaper = GraphRaft.matchEntities(g, Seq("Paper" -> "mit"),
+      GraphRaft.HashEncoder)
+    assert(asPaper.length === 1)
+    assert(Set("P-alpha", "P-beta", "P-gamma").contains(asPaper.head))
+    // mixed batch resolves in two jobs total and keeps mention order
+    val mixed = GraphRaft.matchEntities(g,
+      Seq("Author" -> "ALICE", "Paper" -> "mit", "_Entity_" -> "café"),
+      GraphRaft.HashEncoder)
+    assert(mixed.head === "Alice")
+    // NFC: both the composed and decomposed Café nodes match the last mention
+    assert(mixed.count(n => java.text.Normalizer.normalize(n,
+      java.text.Normalizer.Form.NFC) == "Café") === 2)
   }
 
   test("candidate enumeration matches the reference templates, with supervision") {
