@@ -220,48 +220,9 @@ object OracleSqls {
          |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
          |WHERE cos_sim >= 0.35""".stripMargin,
 
-    "t3_budget_retrieval" ->
-      """WITH qr1 AS (
-        |  SELECT CAST(6000000000 + o_orderkey AS BIGINT) AS nodeId,
-        |    CAST(o_orderkey AS VARCHAR) AS name,
-        |    ((6000000000 + o_orderkey) % 1000) / 1000.0 AS similarity,
-        |    'q0:PLACED' AS pattern, 0 AS query_rank
-        |  FROM orders JOIN customer ON o_custkey = c_custkey
-        |  WHERE c_name = 'Customer#000000042'
-        |), qr2 AS (
-        |  SELECT DISTINCT CAST(5000000000 + l_partkey AS BIGINT) AS nodeId,
-        |    p_name AS name,
-        |    ((5000000000 + l_partkey) % 1000) / 1000.0 AS similarity,
-        |    'q1:PLACED,CONTAINS' AS pattern, 1 AS query_rank
-        |  FROM lineitem
-        |  JOIN orders ON l_orderkey = o_orderkey
-        |  JOIN customer ON o_custkey = c_custkey
-        |  JOIN part ON l_partkey = p_partkey
-        |  WHERE c_name = 'Customer#000000042'
-        |), u AS (
-        |  SELECT * FROM (
-        |    SELECT *, CAST(row_number() OVER (PARTITION BY query_rank
-        |        ORDER BY similarity DESC, nodeId) AS BIGINT) AS row_order
-        |    FROM (SELECT * FROM qr1 UNION ALL SELECT * FROM qr2))
-        |  WHERE row_order <= 20
-        |), canon AS (
-        |  SELECT * FROM (SELECT u.*, row_number() OVER (PARTITION BY nodeId
-        |      ORDER BY query_rank, row_order) AS rn FROM u) WHERE rn = 1
-        |), prov AS (
-        |  SELECT nodeId, string_agg(pattern, '|' ORDER BY query_rank, row_order) AS patterns
-        |  FROM u GROUP BY nodeId
-        |), j AS (
-        |  SELECT c.nodeId, c.query_rank, c.row_order, c.name, c.similarity, p.patterns,
-        |    CAST(1 + floor(length(c.name) / 4) AS BIGINT) AS tokens
-        |  FROM canon c JOIN prov p ON c.nodeId = p.nodeId
-        |), r AS (
-        |  SELECT *, CAST(row_number() OVER (ORDER BY query_rank, row_order) AS BIGINT) AS rank,
-        |    CAST(sum(tokens) OVER (ORDER BY query_rank, row_order
-        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
-        |  FROM j
-        |)
-        |SELECT nodeId AS node_id, name, similarity, patterns, rank, tokens, cum_tokens
-        |FROM r WHERE rank < 20 AND cum_tokens < 45""".stripMargin,
+    "t3_budget_retrieval" -> t3OracleSql(maxNodes = 20, maxTokens = 200L, rate = 1.0),
+
+    "t3_pattern_rate" -> t3OracleSql(maxNodes = 20, maxTokens = 100000L, rate = 0.5),
 
     "a5_ir_metrics" ->
       """WITH per AS (
@@ -622,6 +583,89 @@ object OracleSqls {
         |  CAST(max(sessions) AS BIGINT) AS max_sessions
         |FROM per""".stripMargin
   )
+
+  /** [[graft.functions.tokenCountEstimate]] over a SQL string expression. */
+  private def tokExpr(s: String): String =
+    s"""CAST(list_sum(list_transform(list_filter(string_split_regex($s, '\\s+'),
+       | x -> x <> ''), w -> 1 + CAST(floor(length(w) / 4) AS BIGINT))) AS BIGINT)"""
+      .stripMargin.replace("\n", "")
+
+  /** T3 event-level budget oracle, mirroring
+    * [[graft.operators.Retrieval.budgetedAssemble]] exactly: the event
+    * stream (add vs pattern-append), formatted-context marginal token costs
+    * (the "\n\n" node separator is whitespace-only — invariant under the
+    * whitespace-splitting estimator, so omitted here), the after-every-event
+    * stop check at `rate`, and evict-last-added-on-overflow. */
+  private def t3OracleSql(maxNodes: Int, maxTokens: Long, rate: Double): String = {
+    // same prune formula as budgetedAssemble
+    val prune = {
+      val cap = math.max(rate, 1.0) * math.min(maxNodes.toDouble, maxTokens.toDouble) + 1
+      if (cap >= Int.MaxValue) Int.MaxValue else cap.toInt
+    }
+    val addTok = tokExpr("""'name: ' || name || chr(10) || 'pattern: [''' || pattern || ''']'""")
+    val appTok = tokExpr("""', ''' || pattern || ''''""")
+    s"""WITH qr1 AS (
+       |  SELECT CAST(6000000000 + o_orderkey AS BIGINT) AS nodeId,
+       |    CAST(o_orderkey AS VARCHAR) AS name,
+       |    ((6000000000 + o_orderkey) % 1000) / 1000.0 AS similarity,
+       |    'q0:PLACED' AS pattern, 0 AS query_rank
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  WHERE c_name = 'Customer#000000042'
+       |), qr2 AS (
+       |  SELECT DISTINCT CAST(5000000000 + l_partkey AS BIGINT) AS nodeId,
+       |    p_name AS name,
+       |    ((5000000000 + l_partkey) % 1000) / 1000.0 AS similarity,
+       |    'q1:PLACED,CONTAINS' AS pattern, 1 AS query_rank
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN part ON l_partkey = p_partkey
+       |  WHERE c_name = 'Customer#000000042'
+       |), u AS (
+       |  SELECT * FROM (
+       |    SELECT *, CAST(row_number() OVER (PARTITION BY query_rank
+       |        ORDER BY similarity DESC, nodeId) AS BIGINT) AS row_order
+       |    FROM (SELECT * FROM qr1 UNION ALL SELECT * FROM qr2))
+       |  WHERE row_order <= $prune
+       |), ev AS (
+       |  SELECT *,
+       |    (row_number() OVER (PARTITION BY nodeId ORDER BY query_rank, row_order) = 1) AS is_add,
+       |    CAST(row_number() OVER (ORDER BY query_rank, row_order) AS BIGINT) AS event_pos
+       |  FROM u
+       |), ev2 AS (
+       |  SELECT *,
+       |    sum(CASE WHEN is_add THEN 1 ELSE 0 END) OVER (ORDER BY event_pos) AS n_adds,
+       |    CASE WHEN is_add THEN $addTok ELSE $appTok END AS marginal
+       |  FROM ev
+       |), ev3 AS (
+       |  SELECT *, CAST(sum(marginal) OVER (ORDER BY event_pos) AS BIGINT) AS cum_tokens
+       |  FROM ev2
+       |), ev4 AS (
+       |  SELECT *, CASE WHEN cum_tokens >= ${rate * maxTokens}
+       |      OR (is_add AND n_adds >= ${rate * maxNodes}) THEN event_pos END AS stop_pos
+       |  FROM ev3
+       |), g1 AS (SELECT *, min(stop_pos) OVER () AS t_star FROM ev4
+       |), g2 AS (SELECT *, max(CASE WHEN is_add AND event_pos <= t_star
+       |    THEN event_pos END) OVER () AS last_add_pos FROM g1
+       |), g3 AS (SELECT *, max(CASE WHEN event_pos = last_add_pos
+       |    THEN nodeId END) OVER () AS evict_node FROM g2
+       |), kept AS (
+       |  SELECT * FROM g3
+       |  WHERE (t_star IS NULL OR event_pos <= t_star)
+       |    AND (evict_node IS NULL OR nodeId <> evict_node)
+       |), canon AS (
+       |  SELECT * FROM (SELECT kept.*, row_number() OVER (PARTITION BY nodeId
+       |      ORDER BY query_rank, row_order) AS rn FROM kept) WHERE rn = 1
+       |), prov AS (
+       |  SELECT nodeId, string_agg(pattern, '|' ORDER BY query_rank, row_order) AS patterns,
+       |    CAST(sum(marginal) AS BIGINT) AS tokens
+       |  FROM kept GROUP BY nodeId
+       |)
+       |SELECT c.nodeId AS node_id, c.name, c.similarity, p.patterns,
+       |  CAST(row_number() OVER (ORDER BY c.query_rank, c.row_order) AS BIGINT) AS rank,
+       |  p.tokens, c.cum_tokens
+       |FROM canon c JOIN prov p ON c.nodeId = p.nodeId""".stripMargin
+  }
 
   /** Whitespace word list (non-empty), mirroring [[graft.functions.words]]. */
   private lazy val wordsExpr: String =

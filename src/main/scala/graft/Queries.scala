@@ -191,11 +191,9 @@ object Queries {
 
   // ---- budgeted retrieval (T3), ranking (A6/P7), sampling (T4), metrics (A5) ----
 
-  /** T3 — the reference's budgeted ranked retrieval
-    * (retrieval/retriever.py:63-109): two ranked candidate queries for one
-    * customer (their orders, then the parts in those orders), assembled
-    * under node + token budgets with first-wins dedup and provenance. */
-  def t3BudgetRetrieval(spark: SparkSession, dir: String): DataFrame = {
+  /** The two ranked candidate queries shared by the T3 entries: one
+    * customer's orders, then the parts in those orders. */
+  private def t3Queries(spark: SparkSession, dir: String): Seq[DataFrame] = {
     val g = graph(spark, dir)
     val cust = "Customer#000000042"
     def sim(id: org.apache.spark.sql.Column) = (id % 1000).cast("double") / lit(1000.0)
@@ -208,16 +206,33 @@ object Queries {
       .select(col("tgt_id").as("nodeId"), col("tgt_name").as("name"))
       .withColumn("similarity", sim(col("nodeId")))
       .withColumn("pattern", lit("q1:PLACED,CONTAINS"))
-    val tokenCost = lit(1L) + floor(length(col("name")) / lit(4))
-    // max_nodes=20 is the reference's inference budget (graphraft.py:37);
-    // the token budget is set so it binds at sf0.01+ (exercises eviction).
-    Retrieval.budgetedAssemble(Seq(qr1, qr2), tokenCost, maxNodes = 20, maxTokens = 45L)
-      // provenance joined to a scalar: the driver compare treats array cells
-      // poorly, and the reference formats patterns to text anyway
-      .select(col("nodeId").as("node_id"), col("name"), col("similarity"),
-        concat_ws("|", col("patterns")).as("patterns"),
-        col("rank"), col("tokens"), col("cum_tokens"))
+    Seq(qr1, qr2)
   }
+
+  private def t3Select(df: DataFrame): DataFrame =
+    // provenance joined to a scalar: the driver compare treats array cells
+    // poorly, and the reference formats patterns to text anyway
+    df.select(col("nodeId").as("node_id"), col("name"), col("similarity"),
+      concat_ws("|", col("patterns")).as("patterns"),
+      col("rank"), col("tokens"), col("cum_tokens"))
+
+  /** T3 — the reference's budgeted ranked retrieval
+    * (retrieval/retriever.py:63-109): the exact event-level semantics —
+    * token cost over the FORMATTED context (prop lines + the growing
+    * pattern-list line, retriever.py:39-40,67-69), stop check after every
+    * add/append, evict-last-added on overflow. max_nodes=20 is the
+    * reference's inference budget (graphraft.py:37); the token budget is
+    * set so it binds at sf0.01+ (exercises eviction). */
+  def t3BudgetRetrieval(spark: SparkSession, dir: String): DataFrame =
+    t3Select(Retrieval.budgetedAssemble(t3Queries(spark, dir),
+      maxNodes = 20, maxTokens = 200L))
+
+  /** T3 with pattern_rate (retriever.py:24,87): the query phase checks the
+    * budget at rate 0.5, so it stops at half the node budget — leaving the
+    * rest for the KNN backfill phase (which checks at rate 1). */
+  def t3PatternRate(spark: SparkSession, dir: String): DataFrame =
+    t3Select(Retrieval.budgetedAssemble(t3Queries(spark, dir),
+      maxNodes = 20, maxTokens = 100000L, patternRate = 0.5))
 
   /** A5 — IR metric suite, macro-averaged (compute_metrics.py:3-64). Preds =
     * per-order top-10 parts by quantity; gold = discounted parts. */
@@ -410,6 +425,7 @@ object Queries {
     "s2_constraint_check" -> (s2ConstraintCheck _),
     "a7_corpus_count" -> (a7CorpusCount _),
     "t3_budget_retrieval" -> (t3BudgetRetrieval _),
+    "t3_pattern_rate" -> (t3PatternRate _),
     "a5_ir_metrics" -> (a5IrMetrics _),
     "a6_best_candidate" -> (a6BestCandidate _),
     "t4_rank_sampling" -> (t4RankSampling _),

@@ -18,46 +18,115 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
-  /** Assemble retrieval results under a budget.
+  /** Assemble retrieval results under a budget — exact event-level replica
+    * of the reference loop (retriever.py:63-93):
     *
-    * @param queryResults ranked per-query results, best query first; each
-    *   must have columns (nodeId: Long, name: String, similarity: Double,
-    *   pattern: String) — pattern is the provenance text
-    *   (retrieval/retriever.py:80-86).
+    *  - the event stream is every result row in execution order (query rank,
+    *    then similarity-desc row order); a row is an ADD if its node is new,
+    *    else a pattern APPEND to the existing node;
+    *  - after EVERY event the stop check runs against the whole formatted
+    *    context: per node `"prop: value"` lines (nulls skipped) plus the
+    *    `pattern: ['…']` list line (nodeId/similarity excluded), nodes
+    *    joined by a blank line (retriever.py:39-40) — so pattern appends
+    *    grow the token count too;
+    *  - on stop, the LAST-ADDED node is evicted (with its patterns) and
+    *    retrieval breaks out of all queries (retriever.py:87-93);
+    *  - `patternRate` scales both thresholds during this (query) phase —
+    *    `stop_retrieval(…, rate=self.pattern_rate)` (retriever.py:24,87);
+    *    the KNN backfill phase checks at rate 1 (retriever.py:105).
+    *
+    * @param queryResults ranked per-query results, best query first; columns
+    *   (nodeId: Long, name: String, similarity: Double, pattern: String)
+    *   plus `extraCols`; rows within a query are distinct by nodeId.
     * @param maxNodes  node budget (graphraft.py:37 max_nodes=20)
-    * @param maxTokens token budget (nb llm2 cell 3 max_tokens=10k); the
-    *   token cost column is supplied by `tokenCost`.
+    * @param maxTokens token budget (nb llm2 cell 3 max_tokens=10k)
+    * @param tokenCount text column → token count; pluggable like the
+    *   reference's HF tokenizer (retriever.py:67-69), deterministic
+    *   default; must be ≥ 1 for non-empty text and additive over
+    *   whitespace-separated concatenation (the default is both).
+    *
+    * Output: one row per kept node with first-wins props, ordered pattern
+    * list, `tokens` (the node's total contribution incl. its appends),
+    * `cum_tokens` (context size at its add event) and `rank`.
     */
   def budgetedAssemble(queryResults: Seq[DataFrame],
-                       tokenCost: Column,
                        maxNodes: Int,
                        maxTokens: Long,
-                       extraCols: Seq[String] = Nil): DataFrame = {
+                       extraCols: Seq[String] = Nil,
+                       patternRate: Double = 1.0,
+                       tokenCount: Column => Column =
+                         graft.functions.tokenCountEstimate): DataFrame = {
+    // scale-safety prune, still provably faithful: within-query rows are
+    // DISTINCT nodes, so row p of a query is consumed only after p-1 adds,
+    // each costing ≥ 1 node and ≥ 1 token — nothing past the scaled budget
+    // can survive. The global windows below then see ≤ prune×|queries|
+    // rows, not the full result sets.
+    val prune = {
+      val cap = math.max(patternRate, 1.0) *
+        math.min(maxNodes.toDouble, maxTokens.toDouble) + 1
+      if (cap >= Int.MaxValue) Int.MaxValue else cap.toInt
+    }
     val tagged = queryResults.zipWithIndex.map { case (df, i) =>
       // deterministic within-query order: similarity desc, nodeId tiebreak
-      // (the rewritten queries ORDER BY similarity DESC,
-      // retrieval/retriever.py:59)
+      // (the rewritten queries ORDER BY similarity DESC, retriever.py:59)
       df.withColumn("query_rank", lit(i))
         .withColumn("row_order", row_number().over(
           Window.partitionBy(lit(i)).orderBy(col("similarity").desc, col("nodeId"))))
-        // scale-safety prune, and exactly faithful: within-query rows are
-        // DISTINCT nodes, so consuming maxNodes rows of any single query
-        // fills the node budget — the reference never reads a row beyond
-        // position maxNodes of any query. The global budget window below
-        // then handles ≤ maxNodes×|queries| rows, not the full result set.
-        .where(col("row_order") <= maxNodes)
+        .where(col("row_order") <= prune)
     }
     val unioned = tagged.reduce(_.unionByName(_))
-
-    // first-query-wins dedup + provenance accumulation across *all* rows of
-    // the node (retrieval/retriever.py:80-86: first occurrence sets props,
-    // later ones only append to `pattern`)
     val carried = Seq("name") ++ extraCols
-    val perNode = unioned
+
+    val evOrd = Window.orderBy(col("query_rank"), col("row_order"))
+    val cumFrame = evOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val allFrame = evOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val byNode = Window.partitionBy(col("nodeId"))
+      .orderBy(col("query_rank"), col("row_order"))
+
+    // formatted-context marginals (additive tokenizer): an ADD contributes
+    // the node's prop lines + its first pattern-list line (+ the "\n\n"
+    // separator when not first — whitespace, free under the default
+    // estimator but kept for formatter fidelity); an APPEND contributes the
+    // ", '<pattern>'" the Python list repr grows by
+    val nodeText = concat_ws("\n", carried.map(p =>
+      when(col(p).isNotNull, concat(lit(s"$p: "), col(p).cast("string")))): _*)
+    val addText = concat(nodeText, lit("\npattern: ['"), col("pattern"), lit("']"))
+    val appendText = concat(lit(", '"), col("pattern"), lit("'"))
+
+    val ev = unioned
+      .withColumn("is_add", row_number().over(byNode) === 1)
+      .withColumn("event_pos", row_number().over(evOrd).cast("long"))
+      .withColumn("n_adds", sum(when(col("is_add"), 1L).otherwise(0L)).over(cumFrame))
+      .withColumn("marginal", when(col("is_add"),
+          tokenCount(when(col("event_pos") > 1, concat(lit("\n\n"), addText))
+            .otherwise(addText)))
+        .otherwise(tokenCount(appendText)))
+      .withColumn("cum_tokens", sum(col("marginal")).over(cumFrame))
+      // stop check after every event: len >= rate*max_nodes (only an add
+      // can newly satisfy it) or formatted tokens >= rate*max_tokens
+      .withColumn("stop", col("cum_tokens") >= lit(patternRate * maxTokens) ||
+        (col("is_add") && col("n_adds") >= lit(patternRate * maxNodes)))
+      .withColumn("t_star", min(when(col("stop"), col("event_pos"))).over(allFrame))
+      .withColumn("last_add_pos", max(when(col("is_add") &&
+        col("event_pos") <= col("t_star"), col("event_pos"))).over(allFrame))
+      .withColumn("evict_node", max(when(col("event_pos") === col("last_add_pos"),
+        col("nodeId"))).over(allFrame))
+
+    // survivors: everything processed up to the stop event, minus the
+    // evicted last-added node (appends to surviving nodes at/<= t* stay —
+    // they already happened when the loop broke)
+    val kept = ev.where(
+      (col("t_star").isNull || col("event_pos") <= col("t_star")) &&
+      (col("evict_node").isNull || col("nodeId") =!= col("evict_node")))
+
+    // first-query-wins dedup + provenance accumulation (retriever.py:80-86:
+    // first occurrence sets props, later ones only append to `pattern`)
+    val perNode = kept
       .groupBy(col("nodeId"))
       .agg(
         min(struct(Seq(col("query_rank"), col("row_order")) ++
-          carried.map(col) :+ col("similarity"): _*)).as("first"),
+          carried.map(col) :+ col("similarity") :+ col("cum_tokens"): _*)).as("first"),
+        sum(col("marginal")).as("tokens"),
         array_sort(collect_list(struct(col("query_rank"), col("row_order"),
           col("pattern")))).as("provenance"))
       .select(Seq(
@@ -66,21 +135,12 @@ object Retrieval {
         col("first.row_order").as("row_order")) ++
         carried.map(c => col(s"first.$c").as(c)) ++ Seq(
         col("first.similarity").as("similarity"),
-        transform(col("provenance"), p => p.getField("pattern")).as("patterns")): _*)
+        transform(col("provenance"), p => p.getField("pattern")).as("patterns"),
+        col("tokens"),
+        col("first.cum_tokens").as("cum_tokens")): _*)
 
-    // global deterministic order = the reference's execution order; token
-    // budget = running sum prefix; node budget = row_number prefix. The
-    // reference's stop check runs AFTER adding a row and evicts the row
-    // that reached the budget (retriever.py:63-69,87-93: `len >= max_nodes`
-    // → delete last added → break), so a binding budget keeps STRICTLY
-    // fewer than maxNodes nodes / maxTokens tokens — hence `<`, not `<=`.
-    val ord = Window.orderBy(col("query_rank"), col("row_order"))
-    perNode
-      .withColumn("tokens", tokenCost)
-      .withColumn("rank", row_number().over(ord).cast("long"))
-      .withColumn("cum_tokens", sum(col("tokens")).over(
-        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .where(col("rank") < maxNodes && col("cum_tokens") < maxTokens)
+    perNode.withColumn("rank",
+      row_number().over(Window.orderBy(col("query_rank"), col("row_order"))).cast("long"))
   }
 
   /** A6 in its native array form (reference llm1.py:53-58 `sort_cyphers`):

@@ -248,12 +248,14 @@ object GraphRaft {
     * (structural modify_query), execute in rank order, assemble under the
     * budget with first-wins dedup + provenance, then backfill with global
     * vector KNN excluding found ids (`pattern` = "No pattern",
-    * retriever.py:96-107). */
+    * retriever.py:96-107). The query phase checks the budget at
+    * `patternRate` (retriever.py:87), the backfill at rate 1 over the TOTAL
+    * context — query-found nodes included (retriever.py:105). */
   def retrieveData(g: PropertyGraph, topQueries: Seq[String], qEmb: Seq[Double],
                    nodeProps: Seq[String] = Seq("name"),
                    sortingIndex: String = "nameEmbedding",
                    maxNodes: Int = 20, maxTokens: Long = Long.MaxValue,
-                   ef: Int = 10000): DataFrame = {
+                   ef: Int = 10000, patternRate: Double = 1.0): DataFrame = {
     val params = Map("questionEmbedding" -> qEmb)
     val planner = new Planner(g, params)
     val perQuery = topQueries.map { q =>
@@ -283,32 +285,58 @@ object GraphRaft {
       }
       planner.plan(widened).withColumn("pattern", pattern)
     }
-    val budget = Retrieval.budgetedAssemble(perQuery,
-      tokenCountEstimate(col("name")) + lit(1L), maxNodes, maxTokens)
+    val extraProps = nodeProps.filterNot(Set("name", "nodeId"))
+    val budget = Retrieval.budgetedAssemble(perQuery, maxNodes, maxTokens,
+      extraCols = extraProps, patternRate = patternRate)
 
-    // KNN backfill: global top-ef excluding found, until the budget is full
-    val found = budget.select(col("nodeId"))
+    // Materialize the budget result ONCE at the per-question boundary (the
+    // reference also collects records here): it is referenced three ways
+    // below (found-id exclusion, base union branch, found count/tokens) and
+    // is budget-bounded tiny — without this the whole union+windows subtree
+    // recomputes per reference.
+    val spark = g.nodes.sparkSession
+    val budgetRows = budget.collect()
+    val nFound = budgetRows.length.toLong
+    val foundTokens = budgetRows.map(_.getAs[Long]("tokens")).sum
+    val foundIds = budgetRows.map(_.getAs[Long]("nodeId"))
+    import scala.jdk.CollectionConverters._
+    val base = spark.createDataFrame(budgetRows.toSeq.asJava, budget.schema)
+      .select(col("nodeId"), col("name"), col("similarity"),
+        col("patterns"), col("rank"))
+
+    // KNN backfill: global top-ef excluding found, until the budget is full.
+    // Stop semantics at rate 1 over the total context (retriever.py:96-107):
+    // the row that reaches EITHER budget is evicted → strict `<`.
+    import org.apache.spark.sql.expressions.Window
+    val found = spark.createDataFrame(
+      foundIds.map(java.lang.Long.valueOf).map(org.apache.spark.sql.Row(_)).toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("nodeId",
+          org.apache.spark.sql.types.LongType, nullable = false))))
     val knn = Vectors.scored(
         g.nodes.where(col(sortingIndex).isNotNull)
-          .select(col("nodeId"), col("name"), col(sortingIndex)),
+          .select(Seq(col("nodeId"), col("name"), col(sortingIndex)) ++
+            extraProps.map(col): _*),
         sortingIndex, qEmb)
-      .join(found, Seq("nodeId"), "left_anti")
+      .join(broadcast(found), Seq("nodeId"), "left_anti")
       .withColumn("similarity", round(col("similarity"), 6))
       .orderBy(col("similarity").desc, col("nodeId"))
       .limit(ef)
       .withColumn("patterns", array(lit("No pattern")))
-      .select(col("nodeId"), col("name"), col("similarity"), col("patterns"))
-
-    import org.apache.spark.sql.expressions.Window
-    val base = budget.select(col("nodeId"), col("name"), col("similarity"),
-      col("patterns"), col("rank"))
-    val nFound = base.count()
-    // same evict-on-reaching-budget semantics as the query phase
-    // (retriever.py:96-107): strictly fewer than maxNodes total
+    // backfill node's formatted text: prop lines + the one-element pattern
+    // list (same formatter as the query phase)
+    val bfText = concat(
+      concat_ws("\n", (Seq("name") ++ extraProps).map(p =>
+        when(col(p).isNotNull, concat(lit(s"$p: "), col(p).cast("string")))): _*),
+      lit("\npattern: ['No pattern']"))
+    val bfOrd = Window.orderBy(col("similarity").desc, col("nodeId"))
     val backfill = knn
-      .withColumn("rank", (row_number().over(
-        Window.orderBy(col("similarity").desc, col("nodeId"))) + lit(nFound)).cast("long"))
-      .where(col("rank") < maxNodes)
+      .withColumn("rank", (row_number().over(bfOrd) + lit(nFound)).cast("long"))
+      .withColumn("cum_total", lit(foundTokens) + sum(tokenCountEstimate(bfText))
+        .over(bfOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .where(col("rank") < maxNodes && col("cum_total") < maxTokens)
+      .select(col("nodeId"), col("name"), col("similarity"), col("patterns"),
+        col("rank"))
     base.unionByName(backfill).orderBy("rank")
   }
 

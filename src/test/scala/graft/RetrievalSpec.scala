@@ -21,7 +21,7 @@ class RetrievalSpec extends SparkSpec {
     (2L, "n2x", 0.95, "p1"), (4L, "n4", 0.6, "p1"), (5L, "n5", 0.5, "p1"))
 
   test("T3 first-query-wins dedup keeps the first query's properties") {
-    val out = Retrieval.budgetedAssemble(Seq(q0, q1), lit(10L), 100, 10000L)
+    val out = Retrieval.budgetedAssemble(Seq(q0, q1), 100, 10000L)
       .orderBy("rank").collect()
     assert(out.map(_.getAs[Long]("nodeId")).toSeq === Seq(1L, 2L, 3L, 4L, 5L))
     val node2 = out.find(_.getAs[Long]("nodeId") == 2L).get
@@ -32,24 +32,55 @@ class RetrievalSpec extends SparkSpec {
   }
 
   test("T3 node budget keeps the top-maxNodes prefix") {
-    val out = Retrieval.budgetedAssemble(Seq(q0, q1), lit(10L), 4, 10000L)
+    val out = Retrieval.budgetedAssemble(Seq(q0, q1), 4, 10000L)
       .orderBy("rank").collect()
     // reference stop check (retriever.py:63-69): len >= max_nodes evicts
-    // the row that reached the budget, so a binding budget of 4 keeps 3
+    // the row that reached the budget, so a binding budget of 4 keeps 3 —
+    // node 2's pattern-append event in q1 does not count toward len
     assert(out.map(_.getAs[Long]("nodeId")).toSeq === Seq(1L, 2L, 3L))
+    assert(out(1).getAs[Seq[String]]("patterns") === Seq("p0", "p1"))
   }
 
-  test("T3 token budget keeps the maximal prefix under maxTokens") {
-    // tokens 10 each; budget 35 → cum 10,20,30,40: the 4th row overflows
-    // and is evicted (retriever.py:87-93 evict-last-on-overflow)
-    val out = Retrieval.budgetedAssemble(Seq(q0, q1), lit(10L), 100, 35L)
+  test("T3 token budget: pattern appends consume budget, evict-last-added") {
+    // flat 10 tokens per EVENT. Event stream: add1, add2, add3, append2
+    // (q1's n2x sorts first there), add4, add5 → cum 10,20,30,40,50,60.
+    // Budget 35 binds at the APPEND (cum 40): the reference deletes the
+    // LAST-ADDED node (3), keeps the append on the surviving node 2
+    // (retriever.py:82-90).
+    val out = Retrieval.budgetedAssemble(Seq(q0, q1), 100, 35L,
+        tokenCount = _ => lit(10L))
       .orderBy("rank").collect()
-    assert(out.map(_.getAs[Long]("nodeId")).toSeq === Seq(1L, 2L, 3L))
-    assert(out.last.getAs[Long]("cum_tokens") === 30L)
-    // exactly hitting the budget also evicts: cum 30 == 30 -> keep 2
-    val exact = Retrieval.budgetedAssemble(Seq(q0, q1), lit(10L), 100, 30L)
+    assert(out.map(_.getAs[Long]("nodeId")).toSeq === Seq(1L, 2L))
+    val node2 = out.find(_.getAs[Long]("nodeId") == 2L).get
+    assert(node2.getAs[Seq[String]]("patterns") === Seq("p0", "p1"))
+    assert(node2.getAs[Long]("tokens") === 20L)      // add + its append
+    assert(node2.getAs[Long]("cum_tokens") === 20L)  // context at its add
+    // exactly hitting the budget also evicts: cum 30 == 30 at add3 → keep 2
+    val exact = Retrieval.budgetedAssemble(Seq(q0, q1), 100, 30L,
+        tokenCount = _ => lit(10L))
       .orderBy("rank").collect()
     assert(exact.map(_.getAs[Long]("nodeId")).toSeq === Seq(1L, 2L))
+  }
+
+  test("T3 formatted-context cost: prop labels and pattern line are counted") {
+    // one node, default estimator: text = "name: n1\npattern: ['p0']" →
+    // words (name:, n1, pattern:, ['p0']) → (1+1) + 1 + (1+2) + (1+1) = 8
+    val out = Retrieval.budgetedAssemble(Seq(q((1L, "n1", 0.9, "p0"))), 10, 1000L)
+      .collect()
+    assert(out.head.getAs[Long]("tokens") === 8L)
+  }
+
+  test("T3 patternRate scales the query-phase stop threshold") {
+    // rate 0.5 × maxNodes 4 = 2: stop at the 2nd add, evict it → 1 node
+    val out = Retrieval.budgetedAssemble(Seq(q0, q1), 4, 10000L,
+        patternRate = 0.5)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("nodeId")).toSeq === Seq(1L))
+    // rate 2 × maxNodes 2 = 4: the scaled threshold admits 3 nodes
+    val over = Retrieval.budgetedAssemble(Seq(q0, q1), 2, 10000L,
+        patternRate = 2.0)
+      .orderBy("rank").collect()
+    assert(over.map(_.getAs[Long]("nodeId")).toSeq === Seq(1L, 2L, 3L))
   }
 
   test("T3 output is invariant to input row/partition order") {
@@ -58,7 +89,7 @@ class RetrievalSpec extends SparkSpec {
     val shuffled = scala.util.Random.shuffle(rows)
       .toDF("nodeId", "name", "similarity", "pattern").repartition(7)
     def run(df: org.apache.spark.sql.DataFrame) =
-      Retrieval.budgetedAssemble(Seq(df), lit(3L), 10, 25L)
+      Retrieval.budgetedAssemble(Seq(df), 10, 25L, tokenCount = _ => lit(3L))
         .orderBy("rank")
         .collect().map(r => (r.getAs[Long]("nodeId"), r.getAs[Long]("rank"),
           r.getAs[Long]("cum_tokens"))).toSeq
@@ -67,7 +98,7 @@ class RetrievalSpec extends SparkSpec {
 
   test("T3 within-query order is similarity desc") {
     val shuffled = q((7L, "a", 0.1, "p"), (8L, "b", 0.99, "p"), (9L, "c", 0.5, "p"))
-    val out = Retrieval.budgetedAssemble(Seq(shuffled), lit(1L), 3, 100L)
+    val out = Retrieval.budgetedAssemble(Seq(shuffled), 3, 100000L)
       .orderBy("rank").collect()
     assert(out.map(_.getAs[Long]("nodeId")).toSeq === Seq(8L, 9L))
   }
