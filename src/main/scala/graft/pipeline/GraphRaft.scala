@@ -286,23 +286,35 @@ object GraphRaft {
       planner.plan(widened).withColumn("pattern", pattern)
     }
     val extraProps = nodeProps.filterNot(Set("name", "nodeId"))
-    val budget = Retrieval.budgetedAssemble(perQuery, maxNodes, maxTokens,
-      extraCols = extraProps, patternRate = patternRate)
 
     // Materialize the budget result ONCE at the per-question boundary (the
     // reference also collects records here): it is referenced three ways
     // below (found-id exclusion, base union branch, found count/tokens) and
     // is budget-bounded tiny — without this the whole union+windows subtree
-    // recomputes per reference.
+    // recomputes per reference. With no candidate queries the query phase is
+    // empty and only the KNN backfill runs (retriever.py:96 runs regardless).
     val spark = g.nodes.sparkSession
-    val budgetRows = budget.collect()
-    val nFound = budgetRows.length.toLong
-    val foundTokens = budgetRows.map(_.getAs[Long]("tokens")).sum
-    val foundIds = budgetRows.map(_.getAs[Long]("nodeId"))
     import scala.jdk.CollectionConverters._
-    val base = spark.createDataFrame(budgetRows.toSeq.asJava, budget.schema)
-      .select(col("nodeId"), col("name"), col("similarity"),
-        col("patterns"), col("rank"))
+    import org.apache.spark.sql.types._
+    val baseSchema = StructType(Seq(
+      StructField("nodeId", LongType), StructField("name", StringType),
+      StructField("similarity", DoubleType),
+      StructField("patterns", ArrayType(StringType)),
+      StructField("rank", LongType)))
+    val (base, nFound, foundTokens, foundIds) =
+      if (perQuery.isEmpty)
+        (spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          baseSchema), 0L, 0L, Array.empty[Long])
+      else {
+        val budget = Retrieval.budgetedAssemble(perQuery, maxNodes, maxTokens,
+          extraCols = extraProps, patternRate = patternRate)
+        val rows = budget.collect()
+        val b = spark.createDataFrame(rows.toSeq.asJava, budget.schema)
+          .select(col("nodeId"), col("name"), col("similarity"),
+            col("patterns"), col("rank"))
+        (b, rows.length.toLong, rows.map(_.getAs[Long]("tokens")).sum,
+          rows.map(_.getAs[Long]("nodeId")))
+      }
 
     // KNN backfill: global top-ef excluding found, until the budget is full.
     // Stop semantics at rate 1 over the total context (retriever.py:96-107):
