@@ -344,6 +344,8 @@ object OracleSqls {
         |  SELECT a, CAST(count(*) AS BIGINT) AS degree FROM bidir GROUP BY a
         |) GROUP BY degree""".stripMargin),
 
+    "gx_pagerank_topk" -> withGraph(pageRankSql(numIter = 5, k = 20)),
+
     "s2_constraint_check" -> withGraph(
       """SELECT CAST(count(*) AS BIGINT) AS n_violations FROM (
         |  SELECT nodeId FROM nodes GROUP BY nodeId HAVING count(*) > 1
@@ -583,6 +585,36 @@ object OracleSqls {
         |  CAST(max(sessions) AS BIGINT) AS max_sessions
         |FROM per""".stripMargin
   )
+
+  /** GraphX `staticPageRank(numIter)` replicated in ANSI SQL, unrolled
+    * (power iteration is a fixed-point join-aggregate; a fixed iteration
+    * count makes it CTE-expressible): directed stored edges, init rank 1.0,
+    * per step `r' = 0.15 + 0.85 * Σ_{u→v} r(u)/outdeg(u)`, then the final
+    * sum normalization `rank * numVertices/Σrank` Spark applies for sink
+    * mass (SPARK-18847). Mirrors [[graft.graph.GraphXBridge.pageRankTopK]]:
+    * order by UNROUNDED rank desc then nodeId, limit k, round to 4.
+    * Validated value-exact vs GraphX at sf0.01. */
+  private def pageRankSql(numIter: Int, k: Int): String = {
+    val iters = (1 to numIter).map { i =>
+      s"""r$i AS (
+         |  SELECT n.nodeId AS id,
+         |    0.15 + 0.85 * COALESCE(sum(r.rank / d.outdeg), 0) AS rank
+         |  FROM nodes n
+         |  LEFT JOIN rels e ON e.dst = n.nodeId
+         |  LEFT JOIN r${i - 1} r ON r.id = e.src
+         |  LEFT JOIN deg d ON d.id = e.src
+         |  GROUP BY n.nodeId
+         |)""".stripMargin
+    }.mkString(",\n")
+    s""", deg AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS outdeg FROM rels GROUP BY src),
+       |r0 AS (SELECT nodeId AS id, 1.0 AS rank FROM nodes),
+       |$iters,
+       |corr AS (SELECT CAST(count(*) AS DOUBLE) / sum(rank) AS c FROM r$numIter)
+       |SELECT id AS node_id, round(rank * (SELECT c FROM corr), 4) AS rank
+       |FROM r$numIter
+       |ORDER BY rank * (SELECT c FROM corr) DESC, id
+       |LIMIT $k""".stripMargin
+  }
 
   /** [[graft.functions.tokenCountEstimate]] over a SQL string expression. */
   private def tokExpr(s: String): String =

@@ -170,7 +170,8 @@ object Queries {
       .groupBy(col("degree"))
       .agg(count(lit(1)).as("n_nodes"))
 
-  /** PageRank — iterative; no SQL oracle (rows-only driver check). */
+  /** PageRank — iterative (GraphX); oracle = unrolled power-iteration CTEs
+    * ([[OracleSqls]] `pageRankSql`), value-exact after 4-decimal rounding. */
   def gxPageRankTopK(spark: SparkSession, dir: String): DataFrame =
     graft.graph.GraphXBridge.pageRankTopK(spark, graph(spark, dir), 20)
 
