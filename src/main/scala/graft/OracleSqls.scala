@@ -346,6 +346,8 @@ object OracleSqls {
 
     "gx_pagerank_topk" -> withGraph(pageRankSql(numIter = 5, k = 20)),
 
+    "pipeline_retrieve" -> withGraph(pipelineRetrieveSql(maxNodes = 30, ef = 1000)),
+
     "s2_constraint_check" -> withGraph(
       """SELECT CAST(count(*) AS BIGINT) AS n_violations FROM (
         |  SELECT nodeId FROM nodes GROUP BY nodeId HAVING count(*) > 1
@@ -614,6 +616,63 @@ object OracleSqls {
        |FROM r$numIter
        |ORDER BY rank * (SELECT c FROM corr) DESC, id
        |LIMIT $k""".stripMargin
+  }
+
+  /** The fixed driver case of [[graft.pipeline.GraphRaft.retrieveData]]
+    * composed into one CTE chain (VERDICT r2 item 2): the widened single
+    * candidate `MATCH (x1:Order {name:"1"})-[:CONTAINS]-(x2:Part)`, the T3
+    * node-budget events, and the KNN backfill with found-id exclusion.
+    *
+    * Simplifications that are EXACT for this entry (not general T3):
+    *  - one candidate whose rows are DISTINCT nodes → every event is an ADD,
+    *    no pattern appends, so the event stream is just the similarity-desc/
+    *    nodeId row order and "evict the budget-reaching add" reduces to
+    *    `row_order < maxNodes`;
+    *  - maxTokens = Long.MaxValue → the token stop check can never fire
+    *    (cum_tokens is a Long), so token accounting is omitted.
+    * Backfill mirrors retrieveData: round(cos,6) BEFORE the order/limit,
+    * rank = n_found + row_number, keep rank < maxNodes. */
+  private def pipelineRetrieveSql(maxNodes: Int, ef: Int): String = {
+    val qv = "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)"
+    s""", pe AS (
+       |  SELECT CAST(5000000000 + e.vec_id AS BIGINT) AS nodeId, p.p_name AS name,
+       |    CAST(e.embedding AS DOUBLE[]) AS v
+       |  FROM embeddings e JOIN part p ON p.p_partkey = e.vec_id
+       |), qr AS (
+       |  SELECT DISTINCT t.nodeId, t.name,
+       |    list_cosine_similarity(pe.v, $qv) AS similarity
+       |  FROM nodes s
+       |  JOIN bidir e ON s.nodeId = e.a AND e.relType = 'CONTAINS'
+       |  JOIN nodes t ON e.b = t.nodeId AND t.label = 'Part'
+       |  LEFT JOIN pe ON pe.nodeId = t.nodeId
+       |  WHERE s.label = 'Order' AND s.name = '1'
+       |), kept AS (
+       |  SELECT * FROM (
+       |    SELECT *, CAST(row_number() OVER (ORDER BY similarity DESC, nodeId)
+       |      AS BIGINT) AS row_order
+       |    FROM qr)
+       |  WHERE row_order < $maxNodes
+       |), bf AS (
+       |  SELECT nodeId, name,
+       |    round(list_cosine_similarity(v, $qv), 6) AS similarity
+       |  FROM pe
+       |  WHERE nodeId NOT IN (SELECT nodeId FROM kept)
+       |  ORDER BY similarity DESC, nodeId
+       |  LIMIT $ef
+       |), bfr AS (
+       |  SELECT nodeId, name, similarity,
+       |    CAST(row_number() OVER (ORDER BY similarity DESC, nodeId)
+       |      + (SELECT count(*) FROM kept) AS BIGINT) AS rank
+       |  FROM bf
+       |)
+       |SELECT nodeId AS node_id, name, round(similarity, 6) AS similarity,
+       |  '(x1:Order {name: "1"})-[r1:CONTAINS]-(x2:Part {name: "' || name || '"})'
+       |    AS patterns,
+       |  row_order AS rank
+       |FROM kept
+       |UNION ALL
+       |SELECT nodeId, name, similarity, 'No pattern', rank
+       |FROM bfr WHERE rank < $maxNodes""".stripMargin
   }
 
   /** [[graft.functions.tokenCountEstimate]] over a SQL string expression. */

@@ -317,17 +317,22 @@ object Queries {
         "answerIds" -> Seq(TpchGraph.NationBase + 3),
         "found" -> (TpchGraph.CustomerBase to TpchGraph.CustomerBase + 99L)))
 
-  /** End-to-end budgeted retrieval over the TPC-H graph (rows-only driver
-    * check — the multi-job orchestration is not single-statement SQL):
-    * a parsed candidate query widened for retrieval, executed under the
-    * node budget, KNN-backfilled over the Part embeddings. */
+  /** End-to-end budgeted retrieval over the TPC-H graph: a parsed candidate
+    * query widened for retrieval, executed under the node budget,
+    * KNN-backfilled over the Part embeddings. The multi-job orchestration is
+    * still CTE-expressible for this fixed single-candidate case (the token
+    * budget is +inf, so only the node-budget events matter) — see
+    * [[OracleSqls]] `pipelineRetrieveSql`. Similarity is rounded to 6 at
+    * this driver surface for engine-portable hashing (the query-phase
+    * cosine is unrounded inside the operator). */
   def pipelineRetrieve(spark: SparkSession, dir: String): DataFrame = {
     val g = graph(spark, dir)
     graft.pipeline.GraphRaft.retrieveData(g,
       Seq("""MATCH (x1:Order {name: "1"})-[r1:CONTAINS]-(x2:Part) RETURN DISTINCT x2.name AS name"""),
       qEmb = queryVec(spark, dir), maxNodes = 30, ef = 1000)
       .select(col("nodeId").as("node_id"), col("name"),
-        col("similarity"), concat_ws("|", col("patterns")).as("patterns"),
+        round(col("similarity"), 6).as("similarity"),
+        concat_ws("|", col("patterns")).as("patterns"),
         col("rank"))
   }
 
