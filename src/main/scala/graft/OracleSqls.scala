@@ -436,14 +436,18 @@ object OracleSqls {
         |SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster
         |FROM reach GROUP BY src""".stripMargin,
 
+    // hot-shingle cap mirrored from Dedup.ngramJaccardPairs(maxPostings=64):
+    // shingles in > 64 docs leave the index entirely (pairs AND set sizes)
     "dedup_ngram_jaccard" -> s"""$shingleCte,
         |post AS (
         |  SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
         |  FROM (SELECT doc_id, unnest(s) AS shingle FROM sh)
-        |), sizes AS (SELECT doc_id, count(*) AS n FROM post GROUP BY 1),
+        |), keep AS (SELECT h FROM post GROUP BY h HAVING count(*) <= 64),
+        |kp AS (SELECT post.* FROM post JOIN keep USING (h)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM kp GROUP BY 1),
         |common AS (
         |  SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS inter
-        |  FROM post x JOIN post y ON x.h = y.h AND x.doc_id < y.doc_id
+        |  FROM kp x JOIN kp y ON x.h = y.h AND x.doc_id < y.doc_id
         |  GROUP BY 1, 2
         |)
         |SELECT id1, id2, jac FROM (

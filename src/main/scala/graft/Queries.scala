@@ -345,9 +345,12 @@ object Queries {
     Dedup.minhashLsh(T(spark, dir, "documents"), "doc_id", "text",
       shingleN = 3, numHashes = 16, numBands = 4, threshold = 0.5)
 
+  /** Exact n-gram Jaccard with the hot-shingle cap engaged (the 100 TB
+    * safety valve — shingles in > 64 docs are non-discriminative and are
+    * dropped from the index; the oracle mirrors the drop). */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(T(spark, dir, "documents"), "doc_id", "text",
-      shingleN = 3, threshold = 0.5)
+      shingleN = 3, threshold = 0.5, maxPostings = 64)
 
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashGroups(T(spark, dir, "documents"), "doc_id", "text", bits = 16)

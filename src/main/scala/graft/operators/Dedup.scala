@@ -122,20 +122,31 @@ object Dedup {
     * counts — O(postings²) per shingle, the exact-but-smaller-scale
     * baseline the LSH path approximates. The posting join key is the 60-bit
     * md5Long, so the shuffle carries (long, long) rows, not shingle strings;
-    * set sizes are derived from the same postings (one scan lineage). */
+    * set sizes are derived from the same posting lists (one scan lineage).
+    *
+    * `maxPostings` is the 100 TB safety valve: a shingle shared by f docs
+    * yields f·(f-1)/2 pairs, so one stop-word trigram in 10⁵ docs alone is
+    * 5·10⁹ rows. Shingles with a posting list longer than `maxPostings` are
+    * dropped from the index ENTIRELY (pair generation AND set sizes — a
+    * "filtered universe" Jaccard over discriminative shingles only), which
+    * bounds pair fan-out at maxPostings²/2 per shingle. Non-discriminative
+    * shingles barely move Jaccard; the oracle mirrors the same drop. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        shingleN: Int, threshold: Double): DataFrame = {
+                        shingleN: Int, threshold: Double,
+                        maxPostings: Int = Int.MaxValue): DataFrame = {
     val posts = hashedPostings(shingleSets(docs, idCol, textCol, shingleN))
-    val sizes = posts.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // Posting-list pair generation instead of a posts⋈posts self-join: one
     // groupBy(h) builds each shingle's sorted doc list, pairs explode from
     // the list (i<j ⇒ id1<id2). Halves the scans (no exchange reuse across
     // self-join branches) and shuffles (doc_id, h) rows once, not twice.
-    // Hot shingles make O(|postings|²) pairs either way — at 100 TB you cap
-    // or drop top-frequency shingles (non-discriminative); kept exact here.
-    val lists = posts.groupBy("h")
+    val allLists = posts.groupBy("h")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .where(size(col("ids")) > 1)
+      .where(size(col("ids")) <= maxPostings)
+    // set sizes over the KEPT shingles (incl. singletons), so the Jaccard
+    // denominator matches the filtered universe the pairs come from
+    val sizes = allLists.select(explode(col("ids")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val lists = allLists.where(size(col("ids")) > 1)
     val pairs = lists.select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + lit(2), size(col("ids"))),
           y => struct(x.as("id1"), y.as("id2")))))).as("p"))

@@ -65,6 +65,36 @@ class DedupSpec extends SparkSpec {
     assert(out((1L, 3L)) === 0.555556)
   }
 
+  test("n-gram jaccard hot-shingle cap bounds pair generation") {
+    // 40 docs all sharing one stop-word trigram ("in the end"), each padded
+    // with unique words; docs 100/101 are true near-dups of each other.
+    val hot = (1L to 40L).map(i => (i, s"in the end unique$i word$i token$i"))
+    val near = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "alpha beta gamma delta epsilon eta"))
+    val df = (hot ++ near).toDF("doc_id", "text")
+
+    // uncapped: the hot shingle alone fans out 40·39/2 = 780 pairs
+    val unbounded = Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.0)
+    assert(unbounded.count() >= 780)
+
+    // capped at 8 postings: the hot shingle is dropped from the index, so
+    // hot-doc pairs vanish (their only shared shingle is gone) while the
+    // genuine near-dup pair survives with its filtered-universe Jaccard
+    // (sets of 4 shingles each, 3 shared → 3/5)
+    val capped = Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.0,
+      maxPostings = 8)
+      .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")) -> r.getAs[Double]("jac"))
+      .toMap
+    assert(capped.size === 1)
+    assert(capped((100L, 101L)) === 0.6)
+
+    // cap high enough to keep everything ⇒ identical to uncapped
+    val loose = Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.0,
+      maxPostings = 1000)
+    assert(loose.count() === unbounded.count())
+  }
+
   test("simhash groups identical docs, keeps singletons out") {
     val g = Dedup.simhashGroups(docs, "doc_id", "text", 16).collect()
     assert(g.length === 1)
