@@ -37,6 +37,15 @@ object OracleSqls {
 
   private def withGraph(sql: String): String = s"WITH $graphCte\n$sql"
 
+  /** Shared by `j2_onehop` and its bucketed-storage twin. */
+  private lazy val j2OneHopSql: String = withGraph(
+    """SELECT s.name AS src_name, e.relType AS rel_type,
+      |  t.label AS tgt_label, t.nodeId AS tgt_id, t.name AS tgt_name
+      |FROM nodes s
+      |JOIN bidir e ON s.nodeId = e.a
+      |JOIN nodes t ON e.b = t.nodeId
+      |WHERE s.label = 'Region' AND s.name IN ('ASIA', 'EUROPE')""".stripMargin)
+
   /** Cypher trail semantics: r1 and r2 must not bind the same stored rel. */
   private val trailNeq =
     "NOT (e1.relType = e2.relType AND e1.src = e2.src AND e1.dst = e2.dst)"
@@ -68,13 +77,10 @@ object OracleSqls {
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
 
-    "j2_onehop" -> withGraph(
-      """SELECT s.name AS src_name, e.relType AS rel_type,
-        |  t.label AS tgt_label, t.nodeId AS tgt_id, t.name AS tgt_name
-        |FROM nodes s
-        |JOIN bidir e ON s.nodeId = e.a
-        |JOIN nodes t ON e.b = t.nodeId
-        |WHERE s.label = 'Region' AND s.name IN ('ASIA', 'EUROPE')""".stripMargin),
+    "j2_onehop" -> j2OneHopSql,
+
+    // identical semantics through the bucketed storage path
+    "j2_onehop_bucketed" -> j2OneHopSql,
 
     "j3_twohop_schema" -> withGraph(
       s"""SELECT e1.relType AS rel1_type, e2.relType AS rel2_type,

@@ -57,6 +57,33 @@ object Queries {
   def j2OneHop(spark: SparkSession, dir: String): DataFrame =
     Patterns.oneHop(graph(spark, dir), "Region", Seq("ASIA", "EUROPE"))
 
+  private val bucketedPrefix = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** The bucketed-storage co-location path exercised on driver data
+    * (SURVEY §4 physical notes; GraphStore): the graph is persisted ONCE per
+    * JVM per sf dir as managed tables bucketed by nodeId/src — at 100 TB
+    * this is the write-once layout that makes every later hop join
+    * shuffle-free (asserted in GraphStoreSpec) — then read back for the
+    * query. Bench warms this in LOAD so queries are timed against the
+    * bucketed layout, not its one-time write. */
+  private def bucketedGraph(spark: SparkSession, dir: String) = {
+    graft.functions.registerAll(spark)
+    val prefix = bucketedPrefix.getOrElseUpdate(dir, {
+      val p = "graft_" + dir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
+      graft.graph.GraphStore.writeBucketed(TpchGraph(spark, dir), p, buckets = 32)
+      p
+    })
+    graft.graph.GraphStore.readBucketed(spark, prefix)
+  }
+
+  /** J2 over the bucketed tables — must hash-match the unbucketed oracle. */
+  def j2OneHopBucketed(spark: SparkSession, dir: String): DataFrame =
+    Patterns.oneHop(bucketedGraph(spark, dir), "Region", Seq("ASIA", "EUROPE"))
+
+  /** Bench LOAD-stage hook: force the one-time bucketed write. */
+  def warmBucketed(spark: SparkSession, dir: String): Unit =
+    bucketedGraph(spark, dir)
+
   def j3TwoHopSchema(spark: SparkSession, dir: String): DataFrame =
     Patterns.twoHop(graph(spark, dir), "Region", Seq("AMERICA"))
       .groupBy("rel1_type", "rel2_type", "tgt_label")
@@ -411,6 +438,7 @@ object Queries {
     "q2_top_customers" -> (q2TopCustomers _),
     "q3_revenue_by_nation" -> (q3RevenueByNation _),
     "j2_onehop" -> (j2OneHop _),
+    "j2_onehop_bucketed" -> (j2OneHopBucketed _),
     "j3_twohop_schema" -> (j3TwoHopSchema _),
     "j4_twopath" -> (j4TwoPath _),
     "j5_concrete_2hop" -> (j5Concrete2Hop _),

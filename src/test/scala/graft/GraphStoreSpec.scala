@@ -31,4 +31,26 @@ class GraphStoreSpec extends SparkSpec {
         g.nodes.join(g.rels, g.nodes("nodeId") === g.rels("src")).count())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("driver-data bucketed graph: same one-hop rows, shuffle-free hop join") {
+    val dir = "/root/testdata/sf0.001"
+    val g = graft.graph.TpchGraph.load(spark, dir)
+    GraphStore.writeBucketed(g, "sf0001", buckets = 4)
+    val bg = GraphStore.readBucketed(spark, "sf0001")
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // the hop join the bucketing exists for: no Exchange below it
+      val hop = bg.nodes.join(bg.rels, bg.nodes("nodeId") === bg.rels("src"))
+      assert(shuffleFree(hop), hop.queryExecution.executedPlan.toString)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    // query-surface equivalence on driver data: bucketed j2 ≡ unbucketed j2
+    val a = graft.operators.Patterns.oneHop(bg, "Region", Seq("ASIA", "EUROPE"))
+      .collect().map(_.toString).sorted
+    val b = graft.operators.Patterns.oneHop(g, "Region", Seq("ASIA", "EUROPE"))
+      .collect().map(_.toString).sorted
+    assert(a.nonEmpty && (a sameElements b))
+  }
 }
