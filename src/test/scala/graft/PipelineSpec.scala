@@ -133,11 +133,35 @@ class PipelineSpec extends SparkSpec {
     val retrievedIds = result.retrieved.map(_.nodeId)
     assert(retrievedIds.toSet === Set(20L, 21L))
     assert(result.answers.toSet === Set("P-alpha", "P-beta"))
-    // metrics vs gold {20,21}: perfect retrieval
-    val m = graft.operators.Metrics.perRow(
+    // the COMPLETE evaluation row the reference computes (llm2.py:228 +
+    // compute_metrics.py:3-29): macro-averaged precision, recall, F1, MRR,
+    // hit@1, hit@5, recall@20, num_preds — exact values vs hand-computed
+    // gold, on the e2e question alone (perfect retrieval ⇒ all 1.0)…
+    val perfect = graft.operators.Metrics.macroAvg(
       Seq((retrievedIds, Seq(20L, 21L))).toDF("p", "l"), col("p"), col("l"))
       .collect().head
-    assert(m.getAs[Double]("recall") === 1.0)
-    assert(m.getAs[Double]("precision") === 1.0)
+    assert(perfect.getAs[Long]("n_questions") === 1L)
+    Seq("avg_precision", "avg_recall", "avg_f1", "avg_mrr",
+        "avg_hit_1", "avg_hit_5", "avg_recall_20")
+      .foreach(c => assert(perfect.getAs[Double](c) === 1.0, c))
+    assert(perfect.getAs[Double]("avg_num_preds") === 2.0)
+
+    // …and with a second, imperfect question so the macro averaging itself
+    // is exercised: preds [20, 99, 21] vs gold [20, 21] —
+    // precision 2/3, recall 1, F1 4/5, MRR 1 (gold at position 1),
+    // hit@1/5 1, recall@20 1, num_preds 3. Hand-computed macro averages:
+    val macroRow = graft.operators.Metrics.macroAvg(
+      Seq((retrievedIds, Seq(20L, 21L)),
+          (Seq(20L, 99L, 21L), Seq(20L, 21L))).toDF("p", "l"), col("p"), col("l"))
+      .collect().head
+    assert(macroRow.getAs[Long]("n_questions") === 2L)
+    assert(macroRow.getAs[Double]("avg_precision") === 0.833333) // (1 + 2/3)/2
+    assert(macroRow.getAs[Double]("avg_recall") === 1.0)
+    assert(macroRow.getAs[Double]("avg_f1") === 0.9)             // (1 + 0.8)/2
+    assert(macroRow.getAs[Double]("avg_mrr") === 1.0)
+    assert(macroRow.getAs[Double]("avg_hit_1") === 1.0)
+    assert(macroRow.getAs[Double]("avg_hit_5") === 1.0)
+    assert(macroRow.getAs[Double]("avg_recall_20") === 1.0)
+    assert(macroRow.getAs[Double]("avg_num_preds") === 2.5)
   }
 }
