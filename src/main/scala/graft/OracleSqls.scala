@@ -304,7 +304,7 @@ object OracleSqls {
         |    SELECT custkey, n, a.attempt,
         |      CAST(('0x' || substr(md5(CAST(custkey AS VARCHAR) || ':' ||
         |        CAST(a.attempt AS VARCHAR)), 1, 6)) AS BIGINT) / 16777216.0 AS u
-        |    FROM counts, (SELECT unnest(range(32)) AS attempt) a
+        |    FROM counts, (SELECT unnest(range(128)) AS attempt) a
         |  )
         |), firsts AS (
         |  SELECT custkey, attempt, idx FROM (

@@ -86,8 +86,14 @@ object Retrieval {
     // formatted-context marginals (additive tokenizer): an ADD contributes
     // the node's prop lines + its first pattern-list line (+ the "\n\n"
     // separator when not first — whitespace, free under the default
-    // estimator but kept for formatter fidelity); an APPEND contributes the
-    // ", '<pattern>'" the Python list repr grows by
+    // estimator but kept for formatter fidelity); an APPEND contributes
+    // ", '<pattern>'". DELIBERATE DEVIATION: the reference appends the
+    // one-element list itself (pattern.append(rec['pattern']),
+    // retriever.py:83), so its Python repr grows by ", ['p']" — a nested
+    // list that is almost certainly unintended there. We keep provenance a
+    // flat string list (the shape every consumer wants) and charge the flat
+    // repr; under the length/4 estimator the two dropped bracket chars can
+    // shift one append's cost by at most one token.
     val nodeText = concat_ws("\n", carried.map(p =>
       when(col(p).isNotNull, concat(lit(s"$p: "), col(p).cast("string")))): _*)
     val addText = concat(nodeText, lit("\npattern: ['"), col("pattern"), lit("']"))
@@ -103,7 +109,14 @@ object Retrieval {
         .otherwise(tokenCount(appendText)))
       .withColumn("cum_tokens", sum(col("marginal")).over(cumFrame))
       // stop check after every event: len >= rate*max_nodes (only an add
-      // can newly satisfy it) or formatted tokens >= rate*max_tokens
+      // can newly satisfy it) or formatted tokens >= rate*max_tokens.
+      // DELIBERATE GENERALIZATION: the reference's stop_retrieval is modal —
+      // count_tokens selects exactly ONE of the two checks (retriever.py:
+      // 63-69) — so with both budgets finite we check a hybrid it never
+      // exhibits. Callers wanting strict parity pass one budget and leave
+      // the other at its infinite default (maxTokens=Long.MaxValue ⇒ node
+      // mode; maxNodes=Int.MaxValue ⇒ token mode), which is what every
+      // driver entry and the pipeline do.
       .withColumn("stop", col("cum_tokens") >= lit(patternRate * maxTokens) ||
         (col("is_add") && col("n_adds") >= lit(patternRate * maxNodes)))
       .withColumn("t_star", min(when(col("stop"), col("event_pos"))).over(allFrame))
@@ -229,11 +242,17 @@ object Retrieval {
     * @param keyed one row per key with the candidate count.
     * @return (keyCol, nCol, sample_no: Int, idx: Int) — idx ∈ [0, n),
     *   distinct per key; fewer than nSamples rows when the attempt budget
-    *   (or n itself) can't produce enough distinct indices.
+    *   (or n itself) can't produce enough distinct indices. The reference
+    *   loops until min(num_samples, max_idx) draws succeed; with α=0.1 the
+    *   draw is heavily biased toward idx 0, so the default budget is sized
+    *   at 128 — the per-attempt hit probability of a fresh index is ≥ the
+    *   probability of leaving idx 0 (u^10 ≥ 1/n ⇔ u ≥ n^-0.1, e.g. ≈ 0.63
+    *   for n=100), making 128 attempts overwhelmingly sufficient for small
+    *   nSamples; keys that still under-fill surface as < nSamples rows.
     */
   def powerLawSampleIdx(keyed: DataFrame, keyCol: String, nCol: String,
                         nSamples: Int, invAlpha: Int,
-                        attempts: Int = 32): DataFrame = {
+                        attempts: Int = 128): DataFrame = {
     val att = keyed
       .select(col(keyCol), col(nCol),
         explode(array((0 until attempts).map(lit): _*)).as("attempt"))

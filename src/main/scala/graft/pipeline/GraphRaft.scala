@@ -153,6 +153,11 @@ object GraphRaft {
     val scored = broadcast(queries)
       .join(cands, col("m_label") === lit("_Entity_") || col("label") === col("m_label"))
       .withColumn("similarity", graft.functions.cosineSim(col("__emb"), col("q_emb")))
+      // a zero-norm or dimension-mismatched embedding scores null; without
+      // this filter desc-nulls-last still leaves a null row as the top-1
+      // when EVERY candidate is null — the reference's vector index would
+      // return a real neighbor or nothing, so: nothing
+      .where(col("similarity").isNotNull)
     val w = Window.partitionBy(col("m_id")).orderBy(col("similarity").desc, col("nodeId"))
     scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
       .select(col("m_id"), col("name"))
