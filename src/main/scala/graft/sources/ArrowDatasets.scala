@@ -1,0 +1,117 @@
+package graft.sources
+
+import java.io.ByteArrayInputStream
+import scala.jdk.CollectionConverters._
+
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector.ipc.ArrowStreamReader
+import org.apache.arrow.vector.types.pojo.{ArrowType, Field}
+import org.apache.arrow.vector.types.FloatingPointPrecision
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** S5 — HuggingFace `datasets` ingestion (SURVEY §2.1; reference
+  * `load_from_disk` at llm1.py:119-124 over `qa/dataset_dict.json` +
+  * per-split `data-*.arrow` shards). The on-disk format is Arrow IPC
+  * *stream* files (despite the `.arrow` extension), one or more record
+  * batches per shard.
+  *
+  * Scale shape: shards are read DISTRIBUTED — `binaryFile` gives one task
+  * per shard, each decoding its batches locally with the Arrow runtime
+  * Spark already ships; nothing is collected to the driver except one
+  * stream HEADER (schema peek). A 100 TB HF dataset is thousands of
+  * ~500 MB shards → thousands of parallel decode tasks, which is exactly
+  * how `datasets` itself shards. For repeated analytical access, convert
+  * once to parquet (`readSplit(...).write.parquet(...)`) and keep Arrow
+  * ingestion at the boundary.
+  *
+  * Type family supported = the types the reference's QA sets actually use
+  * (SURVEY §1.2-1.3): int64/int32, utf8/large_utf8, float32/64, bool, and
+  * (large_)lists thereof.
+  */
+object ArrowDatasets {
+
+  private def sparkType(t: ArrowType, children: Seq[Field]): DataType = t match {
+    case i: ArrowType.Int if i.getBitWidth == 64 => LongType
+    case i: ArrowType.Int if i.getBitWidth == 32 => IntegerType
+    case _: ArrowType.Utf8 | _: ArrowType.LargeUtf8 => StringType
+    case f: ArrowType.FloatingPoint =>
+      if (f.getPrecision == FloatingPointPrecision.DOUBLE) DoubleType else FloatType
+    case _: ArrowType.Bool => BooleanType
+    case _: ArrowType.List | _: ArrowType.LargeList =>
+      val c = children.head
+      ArrayType(sparkType(c.getType, c.getChildren.asScala.toSeq), c.isNullable)
+    case other =>
+      throw new IllegalArgumentException(s"unsupported arrow type $other")
+  }
+
+  private def sparkSchema(s: org.apache.arrow.vector.types.pojo.Schema): StructType =
+    StructType(s.getFields.asScala.toSeq.map(f =>
+      StructField(f.getName, sparkType(f.getType, f.getChildren.asScala.toSeq),
+        f.isNullable)))
+
+  /** Arrow runtime objects → Spark external row values. */
+  private def normalize(v: Any): Any = v match {
+    case null => null
+    case t: org.apache.arrow.vector.util.Text => t.toString
+    case l: java.util.List[_] => l.asScala.toSeq.map(normalize)
+    case other => other
+  }
+
+  private def decodeStream(bytes: Array[Byte]): Iterator[Row] = {
+    val allocator = new RootAllocator()
+    val reader = new ArrowStreamReader(new ByteArrayInputStream(bytes), allocator)
+    val out = Vector.newBuilder[Row]
+    try {
+      val root = reader.getVectorSchemaRoot
+      while (reader.loadNextBatch()) {
+        val vectors = root.getFieldVectors.asScala.toSeq
+        var i = 0
+        while (i < root.getRowCount) {
+          out += Row.fromSeq(vectors.map(v => normalize(v.getObject(i))))
+          i += 1
+        }
+      }
+    } finally { reader.close(); allocator.close() }
+    out.result().iterator
+  }
+
+  /** Read one split directory (`{split}/data-*.arrow`) as a DataFrame.
+    * Schema comes from the first shard's stream header (header-only read);
+    * shard decode runs one task per file. */
+  def readSplit(spark: SparkSession, dir: String): DataFrame = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val shards = fs.globStatus(new Path(p, "data-*.arrow")).map(_.getPath)
+    require(shards.nonEmpty, s"no data-*.arrow shards under $dir")
+
+    val schema = {
+      val in = fs.open(shards.head)
+      val allocator = new RootAllocator()
+      val reader = new ArrowStreamReader(in, allocator)
+      try sparkSchema(reader.getVectorSchemaRoot.getSchema)
+      finally { reader.close(); allocator.close(); in.close() }
+    }
+    val rows = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "data-*.arrow").load(dir)
+      .select("content").rdd
+      .flatMap(r => decodeStream(r.getAs[Array[Byte]](0)))
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Read a `save_to_disk` DatasetDict directory: `dataset_dict.json` names
+    * the splits, each split is a subdirectory of shards. */
+  def readDatasetDict(spark: SparkSession, dir: String): Map[String, DataFrame] = {
+    val p = new Path(dir, "dataset_dict.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+               finally in.close()
+    val splits = """"splits"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(json)
+      .map(_.group(1)).getOrElse(
+        throw new IllegalArgumentException(s"no splits array in $p"))
+      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+    splits.map(s => s -> readSplit(spark, new Path(dir, s).toString)).toMap
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.ArrowDatasets
+
+/** S5 HF-arrow ingestion over the committed fixture (generated with
+  * pyarrow stream IPC in the exact `save_to_disk` layout: dataset_dict.json
+  * + per-split data-*.arrow shards; schema = the qa_with_retrieved_data
+  * type family from SURVEY §1.2). */
+class ArrowDatasetsSpec extends SparkSpec {
+
+  private val fixture = "src/test/resources/qa_arrow"
+
+  test("readSplit: schema and row values from stream-IPC shards") {
+    val df = ArrowDatasets.readSplit(spark, s"$fixture/train")
+    assert(df.schema === StructType(Seq(
+      StructField("id", LongType, nullable = true),
+      StructField("question", StringType, nullable = true),
+      StructField("answer_ids", ArrayType(LongType, containsNull = true), nullable = true),
+      StructField("q_emb", ArrayType(FloatType, containsNull = true), nullable = true))))
+    val rows = df.orderBy("id").collect()
+    assert(rows.length === 3) // across two record batches
+    assert(rows(0).getLong(0) === 0L)
+    assert(rows(0).getString(1) === "Which papers is MIT connected to?")
+    assert(rows(0).getSeq[Long](2) === Seq(20L, 21L))
+    assert(rows(0).getSeq[Float](3) === Seq(1.0f, 0.0f, 0.0f, 0.0f))
+    assert(rows(2).getSeq[Long](2) === Seq.empty) // empty list survives
+    assert(rows(2).isNullAt(3))                   // null list survives
+  }
+
+  test("readDatasetDict: splits from dataset_dict.json") {
+    val dd = ArrowDatasets.readDatasetDict(spark, fixture)
+    assert(dd.keySet === Set("train", "valid"))
+    assert(dd("train").count() === 3)
+    assert(dd("valid").count() === 1)
+    // the ingested split drops straight into the qa pipeline shape
+    // (P9 non-empty filter over answer_ids, llm2.py:211)
+    assert(dd("train").where(size(col("answer_ids")) > 0).count() === 2)
+  }
+}
