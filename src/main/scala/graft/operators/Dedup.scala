@@ -64,8 +64,21 @@ object Dedup {
     posts.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
+  /** Ordered (id1 < id2) pairs exploded from a sorted id-list column —
+    * shared by the LSH and n-gram candidate generators. A posting-list
+    * groupBy + explode instead of a self-join: the self-join's second
+    * branch re-plans the ENTIRE upstream subtree (scan + shingle + hash;
+    * no exchange reuse across differently-aliased branches), so the list
+    * form halves the corpus scans. */
+  private def orderedPairs(lists: DataFrame, idsCol: String): DataFrame =
+    lists.select(explode(flatten(transform(col(idsCol), (x, i) =>
+        transform(slice(col(idsCol), i + lit(2), size(col(idsCol))),
+          y => struct(x.as("id1"), y.as("id2")))))).as("p"))
+      .select(col("p.id1"), col("p.id2"))
+
   /** LSH candidate pairs: split the signature into `numBands` bands of
-    * `rowsPerBand`, bucket-join docs sharing any band signature. */
+    * `rowsPerBand`, bucket docs sharing any band signature, pairs from
+    * each bucket's posting list. */
   def lshCandidatePairs(signatures: DataFrame, numHashes: Int, numBands: Int): DataFrame = {
     val rowsPerBand = numHashes / numBands
     val bands = (0 until numBands).map { b =>
@@ -75,11 +88,10 @@ object Dedup {
     val buckets = signatures
       .select(col("doc_id"), explode(array(bands: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
-    buckets.as("x").join(buckets.as("y"),
-        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
-      .distinct()
+    val lists = buckets.groupBy(col("band"), col("sig"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+    orderedPairs(lists, "ids").distinct()
   }
 
   /** Exact Jaccard verification of candidate pairs (the "verify" stage after
@@ -147,18 +159,23 @@ object Dedup {
     val sizes = allLists.select(explode(col("ids")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n"))
     val lists = allLists.where(size(col("ids")) > 1)
-    val pairs = lists.select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-          y => struct(x.as("id1"), y.as("id2")))))).as("p"))
-      .select(col("p.id1"), col("p.id2"))
+    val pairs = orderedPairs(lists, "ids")
     val common = pairs
       .groupBy(col("id1"), col("id2"))
       .agg(count(lit(1)).as("inter"))
+    // melt-join the sizes ONCE: joining sizes twice (as n1, as n2) planned
+    // as two more full recomputations of the posting subtree (no exchange
+    // reuse across differently-aliased branches — 3 scans of the corpus
+    // total). Exploding each pair to its two docs needs a single sizes
+    // branch, and Jaccard only needs n1+n2: inter / (Σn − inter).
     common
-      .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), "id1")
-      .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), "id2")
+      .select(col("id1"), col("id2"), col("inter"),
+        explode(array(col("id1"), col("id2"))).as("doc_id"))
+      .join(sizes, "doc_id")
+      .groupBy(col("id1"), col("id2"))
+      .agg(max(col("inter")).as("inter"), sum(col("n")).as("nsum"))
       .withColumn("jac", round(col("inter").cast("double") /
-        (col("n1") + col("n2") - col("inter")), 6))
+        (col("nsum") - col("inter")), 6))
       .where(col("jac") >= threshold)
       .select(col("id1"), col("id2"), col("jac"))
   }
