@@ -462,6 +462,86 @@ object OracleSqls {
         |  FROM common JOIN sizes a ON common.id1 = a.doc_id JOIN sizes b ON common.id2 = b.doc_id)
         |WHERE jac >= 0.5""".stripMargin,
 
+    // Mirrors operators.Corpus.cleanStats(lang=en, minScore=0.5, 3-gram
+    // shingles, 16 hashes, 4 bands, threshold 0.5): language gate →
+    // quality gate → exact dedup (min doc_id per md5(text)) → MinHash+LSH
+    // pairs → recursive-CTE connected components → drop non-keepers →
+    // per-source survivor counts + token volume.
+    "corpus_clean" -> s"""WITH RECURSIVE g0 AS (
+        |  SELECT doc_id, source, text,
+        |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w,
+        |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS wl
+        |  FROM documents
+        |), lid AS (
+        |  SELECT *,
+        |    len(list_filter(wl, x -> x IN ('der','die','das','und','ist','nicht','ein'))) AS h_de,
+        |    len(list_filter(wl, x -> x IN ('the','a','of','and','to','in','is','it'))) AS h_en,
+        |    len(list_filter(wl, x -> x IN ('el','la','los','y','es','un','una'))) AS h_es,
+        |    len(list_filter(wl, x -> x IN ('le','la','les','et','est','un','une'))) AS h_fr
+        |  FROM g0
+        |), scored AS (
+        |  SELECT *,
+        |    CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+        |      WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+        |      WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+        |      WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+        |      ELSE 'fr' END AS pred_lang,
+        |    CASE WHEN len(w) < 5 THEN 0.0 ELSE
+        |      least(len(w) / 100.0, 1.0) * 0.4 +
+        |      least((len(list_filter(wl, x -> x IN ('the','a','of','and','to','in','is','it')))
+        |        * 1.0 / len(w)) * 5.0, 1.0) * 0.3 +
+        |      least(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 /
+        |        greatest(length(text), 1), 1.0) * 0.3 END AS score
+        |  FROM lid
+        |), gated AS (
+        |  SELECT doc_id, source, text, w FROM scored
+        |  WHERE pred_lang = 'en' AND score >= 0.5
+        |), ek AS (
+        |  SELECT doc_id, source, text, w FROM (
+        |    SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper FROM gated)
+        |  WHERE doc_id = keeper
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |  FROM ek WHERE len(w) >= 3
+        |), post AS (
+        |  SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+        |  FROM (SELECT doc_id, unnest(s) AS shingle FROM sh)
+        |), seeds AS (
+        |  SELECT seed, ('0x' || substr(md5(CAST(seed AS VARCHAR)), 1, 15))::BIGINT AS c
+        |  FROM (SELECT unnest(range(16)) AS seed)
+        |), mh AS (
+        |  SELECT doc_id, seed, min(xor(h, c)) AS mh
+        |  FROM post CROSS JOIN seeds GROUP BY doc_id, seed
+        |), bk AS (
+        |  SELECT doc_id, CAST(floor(seed / 4) AS INT) AS band,
+        |    md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS sig
+        |  FROM mh GROUP BY doc_id, CAST(floor(seed / 4) AS INT)
+        |), cand AS (
+        |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+        |  FROM bk x JOIN bk y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+        |), pairs AS (
+        |  SELECT id1, id2 FROM (
+        |    SELECT id1, id2, round(len(list_intersect(a.s, b.s)) * 1.0 /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jac
+        |    FROM cand JOIN sh a ON cand.id1 = a.doc_id JOIN sh b ON cand.id2 = b.doc_id)
+        |  WHERE jac >= 0.5
+        |), edges AS (
+        |  SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs
+        |), reach AS (
+        |  SELECT a AS src, a AS dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+        |), drops AS (
+        |  SELECT src AS doc_id FROM (
+        |    SELECT src, min(dst) AS cluster FROM reach GROUP BY src)
+        |  WHERE src <> cluster
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(${tokExpr("text")}) AS BIGINT) AS total_tokens
+        |FROM ek WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+        |GROUP BY source""".stripMargin,
+
     "dedup_simhash" -> s"""WITH w AS (
         |  SELECT doc_id, unnest($wordsExpr) AS word
         |  FROM documents

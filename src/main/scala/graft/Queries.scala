@@ -392,6 +392,13 @@ object Queries {
       Dedup.minhashLsh(T(spark, dir, "documents"), "doc_id", "text",
         shingleN = 3, numHashes = 16, numBands = 4, threshold = 0.5))
 
+  /** The composed corpus-cleaning pipeline (language gate → quality gate →
+    * exact dedup → LSH near-dup removal → survivor stats) — the end-to-end
+    * training-data shape, oracle-checked as one recursive CTE chain. */
+  def corpusClean(spark: SparkSession, dir: String): DataFrame =
+    Corpus.cleanStats(T(spark, dir, "documents"), lang = "en", minScore = 0.5,
+      shingleN = 3, numHashes = 16, numBands = 4, threshold = 0.5)
+
   def textLangId(spark: SparkSession, dir: String): DataFrame =
     TextOps.langIdConfusion(T(spark, dir, "documents"))
 
@@ -472,6 +479,7 @@ object Queries {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_simhash_near" -> (dedupSimhashNear _),
+    "corpus_clean" -> (corpusClean _),
     "text_langid" -> (textLangId _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),

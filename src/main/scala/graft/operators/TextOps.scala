@@ -23,45 +23,50 @@ object TextOps {
   private def stopwordHits(w: Column, lang: String): Column =
     size(filter(w, x => x.isin(stopwords(lang): _*)))
 
-  /** Language ID: argmax over per-language stopword hit counts, 'und'
-    * (undetermined) when no list matches. Returns per-(predicted, actual)
-    * confusion counts so the oracle is a stable small aggregate. */
-  def langIdConfusion(docs: DataFrame): DataFrame = {
-    val w = words(lower(col("text")))
+  /** Per-document predicted language: argmax over per-language stopword hit
+    * counts, 'und' (undetermined) when no list matches; ties break to the
+    * first language in sorted order. */
+  def langIdOf(text: Column): Column = {
+    val w = words(lower(text))
     val langs = stopwords.keys.toSeq.sorted
-    val scored = docs.select(col("lang").as("actual_lang"), w.as("w"))
-      .select(col("actual_lang") +: langs.map(l => stopwordHits(col("w"), l).as(s"hits_$l")): _*)
-    // argmax with deterministic tie-break: first language in sorted order
     val best = langs.tail.foldLeft(
-      struct(col(s"hits_${langs.head}").as("h"), lit(langs.head).as("l"))) {
-      (acc, l) => when(col(s"hits_$l") > acc.getField("h"),
-        struct(col(s"hits_$l").as("h"), lit(l).as("l"))).otherwise(acc)
+      struct(stopwordHits(w, langs.head).as("h"), lit(langs.head).as("l"))) {
+      (acc, l) => when(stopwordHits(w, l) > acc.getField("h"),
+        struct(stopwordHits(w, l).as("h"), lit(l).as("l"))).otherwise(acc)
     }
-    scored
-      .withColumn("pred", when(best.getField("h") > 0, best.getField("l")).otherwise(lit("und")))
-      .groupBy(col("actual_lang"), col("pred").as("pred_lang"))
-      .agg(count(lit(1)).as("n"))
+    when(best.getField("h") > 0, best.getField("l")).otherwise(lit("und"))
   }
 
-  /** Quality scoring: length, mean word length, stopword ratio, alpha ratio.
-    * Score in [0,1]; aggregated per source. (The classic pre-training
-    * quality heuristics — length/punct/stopword gates.) */
+  /** Language ID confusion: per-(predicted, actual) counts so the oracle is
+    * a stable small aggregate. */
+  def langIdConfusion(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang").as("actual_lang"), langIdOf(col("text")).as("pred_lang"))
+      .groupBy(col("actual_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Per-document quality score in [0,1]: length, stopword ratio, alpha
+    * ratio (the classic pre-training length/punct/stopword gates). */
+  def qualityScore(text: Column): Column = {
+    val nWords = size(words(text)).cast("double")
+    val stopRatio = stopwordHits(words(lower(text)), "en").cast("double") /
+      nullif(nWords, lit(0.0))
+    val alphaRatio = (length(regexp_replace(text, "[^a-zA-Z]", "")).cast("double") /
+      greatest(length(text).cast("double"), lit(1.0)))
+    when(nWords < 5, lit(0.0)).otherwise(
+      least(nWords / lit(100.0), lit(1.0)) * lit(0.4) +
+      least(stopRatio * lit(5.0), lit(1.0)) * lit(0.3) +
+      least(alphaRatio, lit(1.0)) * lit(0.3))
+  }
+
+  /** Quality scoring aggregated per source. */
   def qualityBySource(docs: DataFrame): DataFrame = {
     val w = words(col("text"))
     val nWords = size(w).cast("double")
     // nullif: empty docs (0 words) must not hit ANSI divide-by-zero
     val meanWordLen = aggregate(w, lit(0L), (acc, x) => acc + length(x).cast("long"))
       .cast("double") / nullif(nWords, lit(0.0))
-    val stopRatio = stopwordHits(words(lower(col("text"))), "en").cast("double") /
-      nullif(nWords, lit(0.0))
-    val alphaRatio = (length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
-      greatest(length(col("text")).cast("double"), lit(1.0)))
-    val score =
-      when(nWords < 5, lit(0.0)).otherwise(
-        least(nWords / lit(100.0), lit(1.0)) * lit(0.4) +
-        least(stopRatio * lit(5.0), lit(1.0)) * lit(0.3) +
-        least(alphaRatio, lit(1.0)) * lit(0.3))
-    docs.select(col("source"), score.as("score"),
+    docs.select(col("source"), qualityScore(col("text")).as("score"),
         nWords.as("n_words"), meanWordLen.as("mwl"))
       .groupBy("source")
       .agg(

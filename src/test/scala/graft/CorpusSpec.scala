@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Corpus, TextOps}
+
+/** Composed corpus-cleaning pipeline: each gate exercised by a dedicated
+  * fixture doc, survivor stats checked exactly. */
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  // an English sentence that passes the quality gate (≥5 words, stopwordy,
+  // alphabetic)
+  private val good =
+    "the quick brown fox jumps over the lazy dog and it is a good day in the sun"
+
+  private lazy val docs = Seq(
+    (1L, "a", good),                                   // survives
+    (2L, "a", good),                                   // exact dup of 1 → dropped
+    (3L, "a", good + " extra"),                        // near dup of 1 → dropped
+    (4L, "b", "der hund und die katze ist nicht ein vogel heute"), // German → dropped
+    (5L, "b", "zzz 123 !!!"),                          // junk quality → dropped
+    (6L, "b", "the cat sat on a mat and it is happy to be in the house today"))
+    .toDF("doc_id", "source", "text")
+
+  test("per-doc language id and quality score") {
+    val m = docs.select(col("doc_id"), TextOps.langIdOf(col("text")).as("l"),
+        TextOps.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(m(1L)._1 === "en" && m(1L)._2 >= 0.5)
+    assert(m(4L)._1 === "de")
+    assert(m(5L)._2 === 0.0) // < 5 words
+  }
+
+  test("cleanStats: gates, exact dedup, near-dup removal, survivor stats") {
+    val out = Corpus.cleanStats(docs, lang = "en", minScore = 0.5,
+      shingleN = 3, numHashes = 16, numBands = 4, threshold = 0.5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens")))).toMap
+    // source a: docs 1,2,3 collapse to just 1 (exact dup 2 dropped first,
+    // near dup 3 clustered with 1 and 1 is the keeper)
+    assert(out("a")._1 === 1L)
+    // source b: German 4 and junk 5 gated out, 6 survives
+    assert(out("b")._1 === 1L)
+    // token volume = the surviving docs' estimates
+    val tok = (t: String) => spark.range(1)
+      .select(graft.functions.tokenCountEstimate(lit(t))).head().getLong(0)
+    assert(out("a")._2 === tok(good))
+    assert(out("b")._2 === tok("the cat sat on a mat and it is happy to be in the house today"))
+  }
+}
