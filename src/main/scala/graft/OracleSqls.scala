@@ -345,6 +345,9 @@ object OracleSqls {
         |FROM a JOIN p USING (cid), q
         |ORDER BY similarity DESC, a.id LIMIT 10""".stripMargin,
 
+    "ann_ivf_kmeans" -> ivfKmeansSql(k = 10, nCentroids = 8, nProbe = 2,
+      lloydIters = 2),
+
     "degree_histogram" -> withGraph(
       """SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes FROM (
         |  SELECT a, CAST(count(*) AS BIGINT) AS degree FROM bidir GROUP BY a
@@ -677,6 +680,49 @@ object OracleSqls {
         |  CAST(max(sessions) AS BIGINT) AS max_sessions
         |FROM per""".stripMargin
   )
+
+  /** K-means-trained IVF ([[graft.operators.Vectors.ivfKmeansTopK]])
+    * unrolled: each Lloyd iteration = one assignment CTE (argmax of
+    * round(cos,6), cid tiebreak) + one per-dimension mean CTE (components
+    * rounded to 6) + one array rebuild ordered by dimension. The zipped
+    * double-unnest pairs each element with its 1-based position; the
+    * position is only a within-engine sort key, so the 0-based Spark
+    * posexplode aligns. */
+  private def ivfKmeansSql(k: Int, nCentroids: Int, nProbe: Int,
+                           lloydIters: Int): String = {
+    def assign(out: String, cents: String): String =
+      s"""$out AS (
+         |  SELECT id, v, cid FROM (
+         |    SELECT e.id, e.v, c.cid,
+         |      row_number() OVER (PARTITION BY e.id
+         |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cid) AS rn
+         |    FROM e CROSS JOIN $cents c) WHERE rn = 1
+         |)""".stripMargin
+    val iters = (1 to lloydIters).map { t =>
+      s"""${assign(s"a$t", s"c${t - 1}")},
+         |m$t AS (
+         |  SELECT cid, i, round(avg(x), 6) AS m FROM (
+         |    SELECT cid, unnest(range(1, len(v) + 1)) AS i, unnest(v) AS x FROM a$t)
+         |  GROUP BY cid, i
+         |), c$t AS (
+         |  SELECT cid, list_transform(list(struct_pack(i := i, m := m) ORDER BY i),
+         |    s -> s.m) AS cv
+         |  FROM m$t GROUP BY cid
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE id = 0),
+       |c0 AS (SELECT id AS cid, v AS cv FROM e ORDER BY id LIMIT $nCentroids),
+       |$iters,
+       |${assign("af", s"c$lloydIters")},
+       |p AS (
+       |  SELECT cid FROM c$lloydIters, q
+       |  ORDER BY round(list_cosine_similarity(cv, qv), 6) DESC, cid LIMIT $nProbe
+       |)
+       |SELECT af.id AS vec_id, round(list_cosine_similarity(af.v, q.qv), 6) AS similarity
+       |FROM af JOIN p USING (cid), q
+       |ORDER BY similarity DESC, af.id LIMIT $k""".stripMargin
+  }
 
   /** GraphX `staticPageRank(numIter)` replicated in ANSI SQL, unrolled
     * (power iteration is a fixed-point join-aggregate; a fixed iteration

@@ -184,6 +184,11 @@ object Queries {
     Vectors.ivfTopK(T(spark, dir, "embeddings"), "vec_id", "embedding",
       queryVec(spark, dir), 10, nCentroids = 8, nProbe = 2)
 
+  /** IVF with k-means-trained centroids (2 unrolled Lloyd iterations). */
+  def annIvfKmeans(spark: SparkSession, dir: String): DataFrame =
+    Vectors.ivfKmeansTopK(T(spark, dir, "embeddings"), "vec_id", "embedding",
+      queryVec(spark, dir), 10, nCentroids = 8, nProbe = 2, lloydIters = 2)
+
   // ---- graph analytics ----
 
   /** Undirected degree histogram — pure DataFrame plan (one groupBy over
@@ -464,6 +469,7 @@ object Queries {
     "ann_lsh_topk" -> (annLshTopK _),
     "ann_neardup_pairs" -> (annNearDupPairs _),
     "ann_ivf_topk" -> (annIvfTopK _),
+    "ann_ivf_kmeans" -> (annIvfKmeans _),
     "degree_histogram" -> (degreeHistogram _),
     "gx_pagerank_topk" -> (gxPageRankTopK _),
     "s2_constraint_check" -> (s2ConstraintCheck _),

@@ -78,22 +78,23 @@ object Vectors {
     * a partition key the probe prunes the scan to ~nProbe/nCentroids of the
     * data; here it prunes rows via a broadcast semi-join.
     */
-  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
-              query: Seq[Double], k: Int, nCentroids: Int, nProbe: Int): DataFrame = {
-    val vec = col(vecCol).cast("array<double>")
-    val centroids = emb.orderBy(col(idCol)).limit(nCentroids)
-      .select(col(idCol).as("cid"), vec.as("cv"))
-    // assignment: argmax cosine over centroids (broadcast nested loop is fine
-    // — |centroids| is small by construction; ties → smallest cid)
+  /** Assignment: argmax cosine over centroids (broadcast nested loop is
+    * fine — |centroids| is small by construction; ties → smallest cid).
+    * Input columns (id, v); centroid columns (cid, cv). */
+  private def assignToCentroids(v: DataFrame, centroids: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("csim").desc, col("cid"))
-    val assigned = emb.select(col(idCol).as("id"), vec.as("v"))
-      .crossJoin(broadcast(centroids))
+    v.crossJoin(broadcast(centroids))
       .withColumn("csim", round(cosineSim(col("v"), col("cv")), 6))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
       .select(col("id"), col("v"), col("cid"))
-    // probe set: the nProbe centroids closest to the query
+  }
+
+  /** Probe + in-cell exact top-k shared by the IVF variants. */
+  private def ivfSearch(assigned: DataFrame, centroids: DataFrame,
+                        idCol: String, query: Seq[Double],
+                        k: Int, nProbe: Int): DataFrame = {
     val q = lit(query.toArray)
     val probes = centroids
       .withColumn("qsim", round(cosineSim(col("cv"), q), 6))
@@ -105,6 +106,45 @@ object Vectors {
       .orderBy(col("similarity").desc, col("id"))
       .limit(k)
       .select(col("id").as(idCol), col("similarity"))
+  }
+
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              query: Seq[Double], k: Int, nCentroids: Int, nProbe: Int): DataFrame = {
+    val vec = col(vecCol).cast("array<double>")
+    val centroids = emb.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).as("cid"), vec.as("cv"))
+    val assigned = assignToCentroids(
+      emb.select(col(idCol).as("id"), vec.as("v")), centroids)
+    ivfSearch(assigned, centroids, idCol, query, k, nProbe)
+  }
+
+  /** IVF with k-means-TRAINED centroids: a fixed number of Lloyd
+    * iterations refines the seeded centroids (assign → per-dimension mean,
+    * components rounded to 6 decimals so both engines agree bit-for-bit).
+    * Fixed iteration count keeps it deterministic AND oracle-expressible —
+    * the DuckDB oracle unrolls the same iterations as CTEs, like the
+    * PageRank oracle. At 100 TB the train loop runs on a sample as an
+    * offline job; each iteration here is one broadcast assign (narrow) +
+    * one (cid, dim)-keyed mean (one shuffle of |N|·dim skinny rows).
+    * Clusters that lose all members drop out naturally. */
+  def ivfKmeansTopK(emb: DataFrame, idCol: String, vecCol: String,
+                    query: Seq[Double], k: Int, nCentroids: Int, nProbe: Int,
+                    lloydIters: Int = 2): DataFrame = {
+    val vec = col(vecCol).cast("array<double>")
+    val v = emb.select(col(idCol).as("id"), vec.as("v"))
+    var centroids = v.orderBy(col("id")).limit(nCentroids)
+      .select(col("id").as("cid"), col("v").as("cv"))
+    for (_ <- 1 to lloydIters) {
+      centroids = assignToCentroids(v, centroids)
+        .select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("cid"), col("i"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("i").as("i"), round(col("m"), 6).as("m")))),
+          s => s.getField("m")).as("cv"))
+    }
+    ivfSearch(assignToCentroids(v, centroids), centroids, idCol, query, k, nProbe)
   }
 
   /** All-pairs near-duplicate detection over embeddings via LSH bucketing:

@@ -69,6 +69,29 @@ class VectorsSpec extends SparkSpec {
     assert(out === Set(0L, 1L, 2L, 4L, 5L))
   }
 
+  test("IVF k-means: Lloyd iterations recover the true clusters") {
+    // two tight clusters around x-axis and y-axis; seeded centroids are the
+    // first 2 ids (0, 1) — BOTH in the x cluster, so the seed split is
+    // wrong and only the Lloyd refinement can separate the clusters
+    val pts = Seq(
+      (0L, Seq(1.0, 0.01, 0.0, 0.0)), (1L, Seq(1.0, -0.01, 0.0, 0.0)),
+      (2L, Seq(1.0, 0.02, 0.0, 0.0)), (3L, Seq(0.99, 0.0, 0.0, 0.0)),
+      (10L, Seq(0.01, 1.0, 0.0, 0.0)), (11L, Seq(-0.01, 1.0, 0.0, 0.0)),
+      (12L, Seq(0.0, 0.99, 0.0, 0.0))).toDF("id", "v")
+    // query along y: with nProbe=1 the probed cell must be the y cluster,
+    // and all three y points must rank above any x point
+    val out = Vectors.ivfKmeansTopK(pts, "id", "v", Seq(0.0, 1.0, 0.0, 0.0),
+      k = 5, nCentroids = 2, nProbe = 1, lloydIters = 2)
+      .collect().map(_.getLong(0))
+    assert(out.toSet === Set(10L, 11L, 12L))
+    // untrained IVF with the same degenerate seeds probes a cell that still
+    // mixes clusters — training is what makes the cell pure
+    val untrained = Vectors.ivfTopK(pts, "id", "v", Seq(0.0, 1.0, 0.0, 0.0),
+      k = 5, nCentroids = 2, nProbe = 1)
+      .collect().map(_.getLong(0))
+    assert(untrained.toSet !== Set(10L, 11L, 12L))
+  }
+
   test("near-dup pairs via shared bucket, ordered ids, threshold") {
     val out = Vectors.nearDupPairs(emb, "id", "v", bits = 4, threshold = 0.9)
       .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"), r.getAs[Double]("cos_sim")))
