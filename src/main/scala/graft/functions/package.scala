@@ -63,18 +63,36 @@ package object functions {
     * (`lower(nfc(s))` — retrieval/ner.py:113). */
   def normName(c: Column): Column = lower(nfc(c))
 
-  /** Whitespace word tokenizer shared by the text-analysis operators. */
+  /** Whitespace word tokenizer shared by the text-analysis operators.
+    * Deliberately the `filter` lambda, NOT `array_remove(split(…), "")`:
+    * the values are identical, but expressions that reference words(…)
+    * several times inside conditional folds (language-ID argmax) rely on
+    * interpreted-mode subexpression elimination to evaluate the split once
+    * per row — the codegen'd array_remove form defeats that CSE inside
+    * `when` branches and measured 3× SLOWER end-to-end (corpus_clean
+    * 2.6 s → 7.6 s at sf0.1). The per-element work that used to dominate
+    * lives in codegen'd [[graft.expr.CountIn]]/[[graft.expr.TokenEstimate]]
+    * instead. */
   def words(text: Column): Column =
     filter(split(text, "\\s+"), w => w =!= "")
+
+  /** Count of array elements contained in a literal set (codegen'd;
+    * the stopword-hit primitive — [[graft.expr.CountIn]]). */
+  def countIn(arr: Column, needles: Seq[String]): Column = {
+    import org.apache.spark.sql.graftbridge.bridge
+    bridge.column(graft.expr.CountIn(bridge.expression(arr), needles))
+  }
 
   /** Deterministic token count with a BPE-ish sub-word estimate: words plus
     * an extra token per 4 chars of long words (reference's budget tokenizer
     * is an HF tokenizer, retrieval/retriever.py:67-69 — pluggable; this is
-    * the deterministic default, SURVEY §2.10).
-    */
-  def tokenCountEstimate(text: Column): Column =
-    aggregate(words(text), lit(0L),
-      (acc, w) => acc + lit(1L) + floor(length(w) / lit(4)))
+    * the deterministic default, SURVEY §2.10). Codegen'd
+    * ([[graft.expr.TokenEstimate]]) — this runs per event in T3 budget
+    * accounting and per row in corpus token stats. */
+  def tokenCountEstimate(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.bridge
+    bridge.column(graft.expr.TokenEstimate(bridge.expression(words(text))))
+  }
 
   /** Word n-gram shingles (dedup/minhash building block). Empty array when
     * the document has fewer than `n` words.

@@ -21,7 +21,7 @@ object TextOps {
     "es" -> Seq("el", "la", "los", "y", "es", "un", "una"))
 
   private def stopwordHits(w: Column, lang: String): Column =
-    size(filter(w, x => x.isin(stopwords(lang): _*)))
+    countIn(w, stopwords(lang))
 
   /** Per-document predicted language: argmax over per-language stopword hit
     * counts, 'und' (undetermined) when no list matches; ties break to the
