@@ -197,6 +197,36 @@ object OracleSqls {
         |  ON lower(nfc_normalize(n.name)) = lower(nfc_normalize(m.mention))
         | AND (m.m_label = '_Entity_' OR n.label = m.m_label)""".stripMargin),
 
+    // V3 batched label-scoped KNN fallback: top-1 node name per mention
+    // embedding, label-scoped ('_Entity_' = all labels), null-similarity
+    // rows excluded; only Part nodes carry embeddings so the Customer-
+    // scoped mention yields no row. Ordering uses the RAW cosine like the
+    // Spark side — safe because no float reaches the output.
+    "v3_knn_fallback" -> withGraph(
+      """, pe AS (
+        |  SELECT CAST(5000000000 + e.vec_id AS BIGINT) AS nodeId, p.p_name AS name,
+        |    CAST(e.embedding AS DOUBLE[]) AS v
+        |  FROM embeddings e JOIN part p ON p.p_partkey = e.vec_id
+        |), m AS (
+        |  SELECT 0 AS m_id, 'Part' AS m_label,
+        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 1) AS qv
+        |  UNION ALL SELECT 1, '_Entity_',
+        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 2)
+        |  UNION ALL SELECT 2, 'Customer',
+        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 3)
+        |), scored AS (
+        |  SELECT m.m_id, pe.name, pe.nodeId,
+        |    list_cosine_similarity(pe.v, m.qv) AS sim
+        |  FROM m CROSS JOIN pe
+        |  JOIN nodes n ON n.nodeId = pe.nodeId
+        |  WHERE m.m_label = '_Entity_' OR n.label = m.m_label
+        |)
+        |SELECT m_id, name FROM (
+        |  SELECT m_id, name,
+        |    row_number() OVER (PARTITION BY m_id ORDER BY sim DESC, nodeId) AS rn
+        |  FROM scored WHERE sim IS NOT NULL)
+        |WHERE rn = 1""".stripMargin),
+
     "v1_cosine_topk" ->
       """SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
         |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS similarity

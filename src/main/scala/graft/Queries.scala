@@ -144,6 +144,26 @@ object Queries {
       "Part" -> "RED WIDGET",
       "_Entity_" -> "customer#000000042"))
 
+  /** V3 — the batched label-scoped KNN fallback of entity matching
+    * (ner.py:104-107,117-120): best node name per mention embedding, the
+    * mention's label scoping the candidate set (`_Entity_` = all). Mention
+    * embeddings are driver-side parameters like the reference's encoded
+    * strings. Output carries no floats (m_id, name), so the raw-similarity
+    * ordering inside is safely oracle-checkable. */
+  def v3KnnFallback(spark: SparkSession, dir: String): DataFrame = {
+    val g = graph(spark, dir)
+    import spark.implicits._
+    def vec(id: Long): Seq[Double] =
+      T(spark, dir, "embeddings").where(col("vec_id") === id)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val mentions = Seq(
+      (0, "Part", vec(1)),        // scoped to Part nodes
+      (1, "_Entity_", vec(2)),    // catch-all label
+      (2, "Customer", vec(3)))    // no Customer has an embedding → no row
+      .toDF("m_id", "m_label", "q_emb")
+    graft.pipeline.GraphRaft.labelScopedKnnBest(g, mentions)
+  }
+
   // ---- vector similarity / KNN (V1-V2, ANN) ----
 
   private val qvecCache = scala.collection.concurrent.TrieMap[String, List[Double]]()
@@ -460,6 +480,7 @@ object Queries {
     "p5_anti_membership" -> (p5AntiMembership _),
     "p6_norm_lookup" -> (p6NormLookup _),
     "v5_label_lookup" -> (v5LabelLookup _),
+    "v3_knn_fallback" -> (v3KnnFallback _),
     "cy_concrete_2hop" -> (cyConcrete2Hop _),
     "cy_schema_1hop" -> (cySchema1Hop _),
     "cy_anti_lookup" -> (cyAntiLookup _),
