@@ -378,6 +378,47 @@ object OracleSqls {
     "ann_ivf_kmeans" -> ivfKmeansSql(k = 10, nCentroids = 8, nProbe = 2,
       lloydIters = 2),
 
+    // TrainingData.oneHopCandidates + bestLabelGate over the synthetic
+    // per-nation QA frame: candidates grouped per (question, path schema)
+    // with supervision counts, best candidate per question by
+    // (-hits, num_results, query), gated on recall ≥ 1 ∧ precision ≥ 0.1.
+    "td_onehop_gate" -> withGraph(
+      """, qa AS (
+        |  SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS id
+        |  FROM customer WHERE c_nationkey <= 4
+        |), cand AS (
+        |  SELECT q.id, s.label AS src_label, s.name AS src_name,
+        |    e.relType AS rel_type, t.label AS tgt_label,
+        |    CAST(count(DISTINCT t.nodeId) AS BIGINT) AS num_results,
+        |    CAST(count(DISTINCT CASE WHEN c.c_custkey IS NOT NULL
+        |      THEN t.nodeId END) AS BIGINT) AS hits
+        |  FROM qa q
+        |  JOIN nodes s ON s.name = 'NATION_' || CAST(q.id AS VARCHAR)
+        |  JOIN bidir e ON s.nodeId = e.a
+        |  JOIN nodes t ON e.b = t.nodeId
+        |  LEFT JOIN customer c ON t.nodeId = CAST(3000000000 + c.c_custkey AS BIGINT)
+        |    AND CAST(c.c_nationkey AS BIGINT) = q.id
+        |  GROUP BY 1, 2, 3, 4, 5
+        |), tpl AS (
+        |  SELECT *, 'MATCH (x1:' || src_label || ' {name: "' || src_name ||
+        |    '"})-[r1:' || rel_type || ']-(x2:' || tgt_label ||
+        |    ') RETURN DISTINCT x2.name AS name' AS cypher_query
+        |  FROM cand
+        |), gold AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS id,
+        |    CAST(count(DISTINCT c_custkey) AS BIGINT) AS gold_total
+        |  FROM customer WHERE c_nationkey <= 4 GROUP BY 1
+        |), best AS (
+        |  SELECT tpl.*, row_number() OVER (PARTITION BY id
+        |    ORDER BY hits DESC, num_results, cypher_query) AS rn
+        |  FROM tpl
+        |)
+        |SELECT b.id, b.cypher_query, b.hits, b.num_results, g.gold_total
+        |FROM best b JOIN gold g ON b.id = g.id
+        |WHERE b.rn = 1
+        |  AND b.hits * 1.0 / g.gold_total >= 1.0
+        |  AND b.hits * 1.0 / b.num_results >= 0.1""".stripMargin),
+
     "degree_histogram" -> withGraph(
       """SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes FROM (
         |  SELECT a, CAST(count(*) AS BIGINT) AS degree FROM bidir GROUP BY a

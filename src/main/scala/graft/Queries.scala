@@ -338,6 +338,25 @@ object Queries {
       .select(samples("custkey"), col("sample_no"), col("orderkey"))
   }
 
+  /** Distributed LLM1 training-data generation end-to-end (SURVEY §3.2;
+    * TrainingData): a synthetic QA frame built from driver data (one
+    * question per nation, entities = the nation name, gold = its
+    * customers), 1-hop candidate enumeration with supervision counts as
+    * ONE job, then the best-label training gate (recall ≥ 1 ∧
+    * precision ≥ 0.1, llm1.py:61-66). */
+  def tdOnehopGate(spark: SparkSession, dir: String): DataFrame = {
+    val g = graph(spark, dir)
+    val qa = T(spark, dir, "customer").where(col("c_nationkey") <= 4)
+      .groupBy(col("c_nationkey").cast("long").as("id"))
+      .agg(collect_set(lit(TpchGraph.CustomerBase) + col("c_custkey")).as("answer_ids"))
+      .withColumn("entities", array(concat(lit("NATION_"), col("id"))))
+    val cands = graft.pipeline.TrainingData.oneHopCandidates(g, qa)
+    graft.pipeline.TrainingData.bestLabelGate(cands, qa,
+        minRecall = 1.0, minPrecision = 0.1)
+      .select(col("id"), col("cypher_query"), col("hits"),
+        col("num_results"), col("gold_total"))
+  }
+
   // ---- mini-Cypher parser + planner (M4: graft.cypher) ----
 
   /** The J5 template, but parsed from the literal Cypher string the
@@ -500,6 +519,7 @@ object Queries {
     "a5_ir_metrics" -> (a5IrMetrics _),
     "a6_best_candidate" -> (a6BestCandidate _),
     "t4_rank_sampling" -> (t4RankSampling _),
+    "td_onehop_gate" -> (tdOnehopGate _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
