@@ -22,5 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.expr.NormalizeNFC].getName, "graft_nfc"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.expr.NormalizeNFC(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_token_estimate"),
+      new ExpressionInfo(classOf[graft.expr.TokenEstimate].getName, "graft_token_estimate"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.expr.TokenEstimate(children.head)))
   }
 }

@@ -51,6 +51,9 @@ package object functions {
     bridge.registerFunction(spark, "graft_cosine",
       classOf[graft.expr.CosineSimilarity].getName,
       children => graft.expr.CosineSimilarity(children(0), children(1)))
+    bridge.registerFunction(spark, "graft_token_estimate",
+      classOf[graft.expr.TokenEstimate].getName,
+      children => graft.expr.TokenEstimate(children.head))
   }
 
   /** NFC normalize a string column (codegen'd). */

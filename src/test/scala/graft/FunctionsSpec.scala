@@ -60,6 +60,35 @@ class FunctionsSpec extends SparkSpec {
     assert(eq)
   }
 
+  test("CountIn/TokenEstimate match their HOF reference forms on random input") {
+    // the codegen'd expressions replaced interpreted lambdas; pin them to
+    // the original higher-order formulations on 300 random word soups
+    // (multi-byte chars, empties, long words, stopwords)
+    val rnd = new scala.util.Random(42)
+    val alphabet = Seq("the", "a", "of", "und", "der", "xyzzy", "café",
+      "longerword", "a-b", "12345678", "ü", "it", "is")
+    val texts = (1 to 300).map(_ =>
+      (0 to rnd.nextInt(30)).map(_ => alphabet(rnd.nextInt(alphabet.size)))
+        .mkString(" "))
+    val needles = graft.operators.TextOps.stopwords("en")
+    val mismatches = texts.toDF("t")
+      .select(col("t"), words(col("t")).as("w"))
+      .select(
+        (countIn(col("w"), needles) ===
+          size(filter(col("w"), x => x.isin(needles: _*)))).as("c_ok"),
+        (tokenCountEstimate(col("t")) ===
+          aggregate(words(col("t")), lit(0L),
+            (acc, x) => acc + lit(1L) + floor(length(x) / lit(4)))).as("t_ok"))
+      .where(!col("c_ok") || !col("t_ok"))
+      .count()
+    assert(mismatches === 0L)
+    // SQL surface: graft_token_estimate (GraftExtensions + registerAll)
+    graft.functions.registerAll(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_token_estimate(array('hi', 'abcdefgh', 'abcd'))").head().getLong(0)
+    assert(viaSql === 6L)
+  }
+
   test("cosineSim of zero vector is null (non-ANSI 0/0; caller guards)") {
     val r = Seq((Seq(0.0, 0.0), Seq(1.0, 0.0))).toDF("a", "b")
       .select(cosineSim(col("a"), col("b")).as("s")).head()
