@@ -28,6 +28,20 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_docs"))
 
+  /** STREAMING exact dedup: emit only the FIRST document seen per content
+    * hash — the incremental form of [[exactGroups]] for a continuously
+    * ingested corpus. `dropDuplicates` keeps per-key state; the event-time
+    * watermark bounds it (a duplicate arriving later than `watermark`
+    * after its original may be re-emitted — the standard state/recall
+    * trade at scale; widen the watermark to tighten recall). */
+  def streamingExactDedup(docs: DataFrame, idCol: String, textCol: String,
+                          tsCol: String, watermark: String): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates("content_hash")
+      .select(col(idCol), col("content_hash"), col(tsCol))
+
   /** Doc → word-`n`-gram shingle set (distinct). The words array is
     * materialized first so the split/filter runs once per doc; the shingle
     * lambda then only does O(1) `element_at` lookups. */

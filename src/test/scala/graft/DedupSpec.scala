@@ -102,6 +102,29 @@ class DedupSpec extends SparkSpec {
     assert(g.head.getAs[Long]("n_docs") === 2L)
   }
 
+  test("streaming exact dedup keeps only the first doc per content hash") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    val out = Dedup.streamingExactDedup(
+      stream.toDF().toDF("doc_id", "text", "ts"), "doc_id", "text", "ts", "1 hour")
+    val q = out.writeStream.format("memory")
+      .queryName("sdedup_test").outputMode("append").start()
+    try {
+      stream.addData(
+        (1L, "same text", Timestamp.valueOf("2024-01-01 00:00:00")),
+        (2L, "same text", Timestamp.valueOf("2024-01-01 00:10:00")),
+        (3L, "other text", Timestamp.valueOf("2024-01-01 00:20:00")))
+      q.processAllAvailable()
+      // a later micro-batch duplicate within the watermark is suppressed too
+      stream.addData((4L, "same text", Timestamp.valueOf("2024-01-01 00:30:00")))
+      q.processAllAvailable()
+      val ids = spark.table("sdedup_test").collect().map(_.getAs[Long]("doc_id")).sorted
+      assert(ids === Array(1L, 3L))
+    } finally q.stop()
+  }
+
   test("md5Long matches the DuckDB hex-prefix conversion on a known value") {
     // DuckDB: ('0x'||substr(md5('hello'),1,15))::BIGINT = 419982666956583591
     val v = spark.range(1).select(Dedup.md5Long(lit("hello"))).head().getLong(0)
