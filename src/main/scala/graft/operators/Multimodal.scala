@@ -44,6 +44,39 @@ object Multimodal {
       }
   }
 
+  final case class FrameSample(doc_id: Long, frame_no: Int,
+                               offset: Long, n_bytes: Int, checksum: Long)
+
+  /** Frame sampling — the one-to-many decode shape (video → k frames,
+    * audio → k windows): each payload fans out to `nFrames` evenly spaced
+    * byte windows, decoded per partition (flatMap inside mapPartitions, so
+    * codec init amortizes and output stays a fixed-schema typed Dataset).
+    * The per-frame "decode" is the same honest stub as [[decodeStub]]
+    * (rolling checksum over the window); a real frame decoder drops into
+    * the window loop. Payloads shorter than `nFrames` emit one frame per
+    * byte; empty payloads emit none. */
+  def sampleFrames(spark: SparkSession, docs: DataFrame,
+                   idCol: String, payloadCol: String,
+                   nFrames: Int): Dataset[FrameSample] = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, p) =>
+          val n = p.length
+          val k = math.min(nFrames, n)
+          (0 until k).iterator.map { f =>
+            val off = f.toLong * n / k
+            val end = ((f + 1).toLong * n / k).toInt
+            var sum = 0L
+            var i = off.toInt
+            while (i < end) { sum = sum * 31L + (p(i) & 0xff); i += 1 }
+            FrameSample(id, f, off, end - off.toInt, sum)
+          }
+        }
+      }
+  }
+
   /** Per-source rollup of the extracted features (the oracle-checkable
     * driver query; joins features back to metadata). */
   def featureStats(spark: SparkSession, docs: DataFrame): DataFrame =
