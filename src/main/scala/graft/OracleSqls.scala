@@ -179,6 +179,20 @@ object OracleSqls {
         |WHERE s.nodeId = 2000000003
         |  AND NOT (t.nodeId BETWEEN 3000000000 AND 3000000099)""".stripMargin),
 
+    "cy_ordered_topk" -> withGraph(
+      """SELECT node_id, name FROM (
+        |  SELECT DISTINCT t.nodeId AS node_id, t.name
+        |  FROM nodes s
+        |  JOIN bidir e ON s.nodeId = e.a AND e.relType = 'FROM_NATION'
+        |  JOIN nodes t ON e.b = t.nodeId AND t.label = 'Customer'
+        |  WHERE s.label = 'Nation' AND s.name = 'NATION_3')
+        |ORDER BY node_id DESC LIMIT 5""".stripMargin),
+
+    // salting is a physical strategy: the oracle is the PLAIN group by
+    "skew_salted_agg" ->
+      """SELECT l_suppkey, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_distinct
+        |FROM lineitem GROUP BY l_suppkey""".stripMargin,
+
     "p6_norm_lookup" -> withGraph(
       """SELECT nodeId AS node_id, name FROM nodes
         |WHERE lower(nfc_normalize(name)) = lower(nfc_normalize('NaTiOn_7'))""".stripMargin),

@@ -388,6 +388,20 @@ object Queries {
         "answerIds" -> Seq(TpchGraph.NationBase + 3),
         "found" -> (TpchGraph.CustomerBase to TpchGraph.CustomerBase + 99L)))
 
+  /** T1/T2 through the Cypher surface: parsed ORDER BY + LIMIT planned as
+    * TakeOrderedAndProject (no global sort). */
+  def cyOrderedTopk(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """MATCH (x:Nation {name: "NATION_3"})-[r:FROM_NATION]-(y:Customer)
+        |RETURN DISTINCT y.nodeId AS node_id, y.name AS name
+        |ORDER BY node_id DESC LIMIT 5""".stripMargin)
+
+  /** Skew-resistant exact count-distinct on driver data: the salted
+    * two-phase aggregate must produce exactly the plain GROUP BY result
+    * (the salting is a physical strategy, invisible in the output). */
+  def skewSaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    Skew.saltedCountDistinct(T(spark, dir, "lineitem"), "l_suppkey", "l_partkey")
+
   /** End-to-end budgeted retrieval over the TPC-H graph: a parsed candidate
     * query widened for retrieval, executed under the node budget,
     * KNN-backfilled over the Part embeddings. The multi-job orchestration is
@@ -503,6 +517,8 @@ object Queries {
     "cy_concrete_2hop" -> (cyConcrete2Hop _),
     "cy_schema_1hop" -> (cySchema1Hop _),
     "cy_anti_lookup" -> (cyAntiLookup _),
+    "cy_ordered_topk" -> (cyOrderedTopk _),
+    "skew_salted_agg" -> (skewSaltedAgg _),
     "pipeline_retrieve" -> (pipelineRetrieve _),
     "v1_cosine_topk" -> (v1CosineTopK _),
     "v2_knn_exclude" -> (v2KnnExclude _),
