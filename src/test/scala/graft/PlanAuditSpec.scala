@@ -1,0 +1,43 @@
+package graft
+
+/** Catalog-wide plan lint: scale invariants that must hold for EVERY driver
+  * query, checked against the smallest driver dataset.
+  *
+  *  - No `CartesianProduct` operator anywhere: an unbroadcast cross join is
+  *    never the right plan for this catalog (intended tiny cross joins —
+  *    IVF centroids, label-scoped mention frames — broadcast into
+  *    BroadcastNestedLoopJoin instead).
+  *  - Every relational/text query that does not touch vectors must not
+  *    read an embedding column (column pruning reaches the scan).
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("no unbroadcast CartesianProduct in any catalog query plan") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
+  }
+
+  test("non-vector queries never scan an embedding column") {
+    val vectorQueries = Set(
+      "v1_cosine_topk", "v2_knn_exclude", "v3_knn_fallback", "v5_label_lookup",
+      "ann_lsh_topk", "ann_neardup_pairs", "ann_ivf_topk", "ann_ivf_kmeans",
+      "pipeline_retrieve")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => vectorQueries(n) }
+      .flatMap { case (name, fn) =>
+        // leaf scans only: the cached graph's LINEAGE mentions the embedding
+        // join (intended — the load stage attaches vectors once, like the
+        // reference's ingest), but a pruned InMemoryTableScan/parquet scan
+        // must not OUTPUT the column for a non-vector query
+        val leaves = fn(spark, dir).queryExecution.executedPlan.collectLeaves()
+        if (leaves.exists(_.output.exists(_.name.toLowerCase.contains("embedding"))))
+          Some(name) else None
+      }
+    assert(offenders.isEmpty, s"embedding scans in: ${offenders.mkString(", ")}")
+  }
+}
