@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions._
 
@@ -161,35 +162,33 @@ object Dedup {
                         shingleN: Int, threshold: Double,
                         maxPostings: Int = Int.MaxValue): DataFrame = {
     val posts = hashedPostings(shingleSets(docs, idCol, textCol, shingleN))
-    // Posting-list pair generation instead of a posts⋈posts self-join: one
-    // groupBy(h) builds each shingle's sorted doc list, pairs explode from
-    // the list (i<j ⇒ id1<id2). Halves the scans (no exchange reuse across
-    // self-join branches) and shuffles (doc_id, h) rows once, not twice.
-    val allLists = posts.groupBy("h")
+    // STRICTLY LINEAR lineage — the corpus is scanned exactly ONCE (any
+    // branch that references the posting subtree twice replans the whole
+    // scan+shingle+hash chain; at 100 TB the scan dominates everything):
+    //  1. groupBy(h): posting lists, hot shingles dropped (the cap);
+    //  2. explode back and window-count per doc → the filtered-universe
+    //     set size n, carried WITH each posting from here on;
+    //  3. re-group by h, pairs explode with (n1, n2) in the pair row;
+    //  4. per-pair count = intersection; jac = inter / (n1 + n2 − inter).
+    val kept = posts.groupBy(col("h"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .where(size(col("ids")) <= maxPostings)
-    // set sizes over the KEPT shingles (incl. singletons), so the Jaccard
-    // denominator matches the filtered universe the pairs come from
-    val sizes = allLists.select(explode(col("ids")).as("doc_id"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val lists = allLists.where(size(col("ids")) > 1)
-    val pairs = orderedPairs(lists, "ids")
-    val common = pairs
+      .select(col("h"), explode(col("ids")).as("doc_id"))
+    val withN = kept.withColumn("n",
+      count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    val lists = withN.groupBy(col("h"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
+      .where(size(col("ids")) > 1)
+    val pairs = lists.select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))), y => struct(
+          x.getField("doc_id").as("id1"), x.getField("n").as("n1"),
+          y.getField("doc_id").as("id2"), y.getField("n").as("n2")))))).as("p"))
+      .select(col("p.id1"), col("p.n1"), col("p.id2"), col("p.n2"))
+    pairs
       .groupBy(col("id1"), col("id2"))
-      .agg(count(lit(1)).as("inter"))
-    // melt-join the sizes ONCE: joining sizes twice (as n1, as n2) planned
-    // as two more full recomputations of the posting subtree (no exchange
-    // reuse across differently-aliased branches — 3 scans of the corpus
-    // total). Exploding each pair to its two docs needs a single sizes
-    // branch, and Jaccard only needs n1+n2: inter / (Σn − inter).
-    common
-      .select(col("id1"), col("id2"), col("inter"),
-        explode(array(col("id1"), col("id2"))).as("doc_id"))
-      .join(sizes, "doc_id")
-      .groupBy(col("id1"), col("id2"))
-      .agg(max(col("inter")).as("inter"), sum(col("n")).as("nsum"))
+      .agg(count(lit(1)).as("inter"), max(col("n1")).as("n1"), max(col("n2")).as("n2"))
       .withColumn("jac", round(col("inter").cast("double") /
-        (col("nsum") - col("inter")), 6))
+        (col("n1") + col("n2") - col("inter")), 6))
       .where(col("jac") >= threshold)
       .select(col("id1"), col("id2"), col("jac"))
   }
