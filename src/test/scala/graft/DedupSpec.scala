@@ -102,6 +102,29 @@ class DedupSpec extends SparkSpec {
     assert(g.head.getAs[Long]("n_docs") === 2L)
   }
 
+  test("ngramJaccardPairs matches brute-force set Jaccard on random docs") {
+    // the distributed single-scan pipeline vs literal set arithmetic on the
+    // driver — every pair with >= 1 shared shingle, exact values
+    val rnd = new scala.util.Random(7)
+    val vocab = Seq("a", "b", "c", "d", "e", "f")
+    val docs = (1L to 30L).map(i =>
+      (i, (0 until 5 + rnd.nextInt(8)).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")))
+    val out = Dedup.ngramJaccardPairs(docs.toDF("doc_id", "text"), "doc_id", "text",
+        shingleN = 3, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val sets = docs.map { case (id, t) =>
+      val w = t.split("\\s+").filter(_.nonEmpty)
+      id -> w.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }.toMap
+    val expected = (for {
+      (i, si) <- sets; (j, sj) <- sets
+      if i < j && (si & sj).nonEmpty
+    } yield (i, j) -> BigDecimal((si & sj).size.toDouble / (si | sj).size)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+    assert(out === expected)
+  }
+
   test("streaming exact dedup keeps only the first doc per content hash") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
