@@ -630,6 +630,39 @@ object OracleSqls {
         |FROM ek WHERE doc_id NOT IN (SELECT doc_id FROM drops)
         |GROUP BY source""".stripMargin,
 
+    // TrainingData.twoHopCandidates over the per-nation QA frame: 2-hop
+    // schemas with trail semantics (r1≠r2 on the stored-edge identity,
+    // tgt≠src) and supervision vs the nation's order nodes.
+    "td_twohop" -> withGraph(
+      s""", qa AS (
+         |  SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS id
+         |  FROM customer WHERE c_nationkey <= 2
+         |), gold AS (
+         |  SELECT CAST(6000000000 + o_orderkey AS BIGINT) AS gid,
+         |    CAST(c_nationkey AS BIGINT) AS gnat
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  WHERE c_nationkey <= 2
+         |)
+         |SELECT q.id, s.label AS src_label, s.name AS src_name,
+         |  e1.relType AS rel1_type, m.label AS mid_label,
+         |  e2.relType AS rel2_type, t.label AS tgt_label,
+         |  CAST(count(DISTINCT t.nodeId) AS BIGINT) AS num_results,
+         |  CAST(count(DISTINCT CASE WHEN g.gid IS NOT NULL THEN t.nodeId END)
+         |    AS BIGINT) AS hits,
+         |  'MATCH (x1:' || s.label || ' {name: "' || s.name || '"})-[r1:' ||
+         |    e1.relType || ']-(x2:' || m.label || ')-[r2:' || e2.relType ||
+         |    ']-(x3:' || t.label || ') RETURN DISTINCT x3.name AS name'
+         |    AS cypher_query
+         |FROM qa q
+         |JOIN nodes s ON s.name = 'NATION_' || CAST(q.id AS VARCHAR)
+         |JOIN bidir e1 ON s.nodeId = e1.a
+         |JOIN nodes m ON e1.b = m.nodeId
+         |JOIN bidir e2 ON m.nodeId = e2.a
+         |JOIN nodes t ON e2.b = t.nodeId
+         |LEFT JOIN gold g ON t.nodeId = g.gid AND g.gnat = q.id
+         |WHERE t.nodeId <> s.nodeId AND $trailNeq
+         |GROUP BY 1, 2, 3, 4, 5, 6, 7""".stripMargin),
+
     "dedup_simhash" -> s"""WITH w AS (
         |  SELECT doc_id, unnest($wordsExpr) AS word
         |  FROM documents

@@ -357,6 +357,23 @@ object Queries {
         col("num_results"), col("gold_total"))
   }
 
+  /** 2-hop variant of [[tdOnehopGate]] with full trail semantics: gold =
+    * each nation's ORDER node ids (reached via customer, the middle hop),
+    * so the supervision count exercises the 2-hop target side. */
+  def tdTwohop(spark: SparkSession, dir: String): DataFrame = {
+    val g = graph(spark, dir)
+    val qa = T(spark, dir, "orders")
+      .join(T(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .where(col("c_nationkey") <= 2)
+      .groupBy(col("c_nationkey").cast("long").as("id"))
+      .agg(collect_set(lit(TpchGraph.OrderBase) + col("o_orderkey")).as("answer_ids"))
+      .withColumn("entities", array(concat(lit("NATION_"), col("id"))))
+    graft.pipeline.TrainingData.twoHopCandidates(g, qa)
+      .select(col("id"), col("src_label"), col("src_name"), col("rel1_type"),
+        col("mid_label"), col("rel2_type"), col("tgt_label"),
+        col("num_results"), col("hits"), col("cypher_query"))
+  }
+
   // ---- mini-Cypher parser + planner (M4: graft.cypher) ----
 
   /** The J5 template, but parsed from the literal Cypher string the
@@ -536,6 +553,7 @@ object Queries {
     "a6_best_candidate" -> (a6BestCandidate _),
     "t4_rank_sampling" -> (t4RankSampling _),
     "td_onehop_gate" -> (tdOnehopGate _),
+    "td_twohop" -> (tdTwohop _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
