@@ -39,6 +39,9 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // drain accumulated garbage before each query's timing block so one
+      // query's allocation debt doesn't land in the next query's median
+      System.gc()
       val ts = (1 to Runs).map(_ => timeOnce(fn)).sorted
       name -> ts(ts.length / 2) // median
     }
