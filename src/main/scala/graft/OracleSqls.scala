@@ -442,6 +442,8 @@ object OracleSqls {
 
     "pipeline_retrieve" -> withGraph(pipelineRetrieveSql(maxNodes = 30, ef = 1000)),
 
+    "gx_components" -> withGraph(componentsSql(iters = 12)),
+
     "s2_constraint_check" -> withGraph(
       """SELECT CAST(count(*) AS BIGINT) AS n_violations FROM (
         |  SELECT nodeId FROM nodes GROUP BY nodeId HAVING count(*) > 1
@@ -840,6 +842,37 @@ object OracleSqls {
        |SELECT af.id AS vec_id, round(list_cosine_similarity(af.v, q.qv), 6) AS similarity
        |FROM af JOIN p USING (cid), q
        |ORDER BY similarity DESC, af.id LIMIT $k""".stripMargin
+  }
+
+  /** GraphX `connectedComponents` (labels = component-min nodeId)
+    * replicated as unrolled min-label propagation: each step every node
+    * takes the min of its own and its neighbors' labels; after `iters` ≥
+    * graph diameter steps the labels are the component minima. The TPC-H
+    * graph's diameter is ≤ 8 (part—order—customer—nation—region chains);
+    * 12 gives margin, and a non-converged oracle would fail the hash
+    * check loudly rather than silently. O(V·iters) rows — the recursive
+    * reachability form would be O(V·|component|) and is infeasible on a
+    * connected graph. Output = the size histogram (n_nodes,
+    * n_components), matching [[graft.graph.GraphXBridge.componentSizes]]. */
+  private def componentsSql(iters: Int): String = {
+    // MATERIALIZED is load-bearing: each step references the previous
+    // level twice, and DuckDB inlines plain CTEs per reference — the
+    // unmaterialized tree grows 2^iters and dies on open file handles.
+    val steps = (1 to iters).map { i =>
+      s"""lp$i AS MATERIALIZED (
+         |  SELECT n.v, least(n.lbl, COALESCE(min(r.lbl), n.lbl)) AS lbl
+         |  FROM lp${i - 1} n
+         |  LEFT JOIN bidir e ON e.a = n.v
+         |  LEFT JOIN lp${i - 1} r ON r.v = e.b
+         |  GROUP BY n.v, n.lbl
+         |)""".stripMargin
+    }.mkString(",\n")
+    s""", lp0 AS MATERIALIZED (SELECT nodeId AS v, nodeId AS lbl FROM nodes),
+       |$steps
+       |SELECT n_nodes, CAST(count(*) AS BIGINT) AS n_components FROM (
+       |  SELECT lbl, CAST(count(*) AS BIGINT) AS n_nodes
+       |  FROM lp$iters GROUP BY lbl)
+       |GROUP BY n_nodes""".stripMargin
   }
 
   /** GraphX `staticPageRank(numIter)` replicated in ANSI SQL, unrolled

@@ -227,6 +227,12 @@ object Queries {
   def gxPageRankTopK(spark: SparkSession, dir: String): DataFrame =
     graft.graph.GraphXBridge.pageRankTopK(spark, graph(spark, dir), 20)
 
+  /** Connected components summarized as a component-size histogram
+    * (GraphX CC — iterative, the data-quality probe at ingest). Oracle =
+    * unrolled min-label propagation ([[OracleSqls]] `componentsSql`). */
+  def gxComponents(spark: SparkSession, dir: String): DataFrame =
+    graft.graph.GraphXBridge.componentSizes(spark, graph(spark, dir))
+
   /** S2 — the unique-nodeId constraint as a validation query. */
   def s2ConstraintCheck(spark: SparkSession, dir: String): DataFrame = {
     val g = graph(spark, dir)
@@ -545,6 +551,7 @@ object Queries {
     "ann_ivf_kmeans" -> (annIvfKmeans _),
     "degree_histogram" -> (degreeHistogram _),
     "gx_pagerank_topk" -> (gxPageRankTopK _),
+    "gx_components" -> (gxComponents _),
     "s2_constraint_check" -> (s2ConstraintCheck _),
     "a7_corpus_count" -> (a7CorpusCount _),
     "t3_budget_retrieval" -> (t3BudgetRetrieval _),
