@@ -444,6 +444,17 @@ object OracleSqls {
 
     "gx_components" -> withGraph(componentsSql(iters = 12)),
 
+    // LLM2 context + answer formatting (§2.8; retriever.py:39-40 +
+    // llm2.py:34,67-71) over the pipeline_retrieve result: per-node
+    // "name: <v>" lines joined by a blank line in retrieval order, and
+    // the '|'-joined answer list.
+    "fmt_context" -> withGraph(
+      s"""${pipelineRetrieveCtes(maxNodes = 30, ef = 1000)}
+         |SELECT
+         |  string_agg('name: ' || name, chr(10) || chr(10) ORDER BY rank) AS context,
+         |  string_agg(name, '|' ORDER BY rank) AS answers
+         |FROM pr""".stripMargin),
+
     "s2_constraint_check" -> withGraph(
       """SELECT CAST(count(*) AS BIGINT) AS n_violations FROM (
         |  SELECT nodeId FROM nodes GROUP BY nodeId HAVING count(*) > 1
@@ -919,7 +930,13 @@ object OracleSqls {
     *    (cum_tokens is a Long), so token accounting is omitted.
     * Backfill mirrors retrieveData: round(cos,6) BEFORE the order/limit,
     * rank = n_found + row_number, keep rank < maxNodes. */
-  private def pipelineRetrieveSql(maxNodes: Int, ef: Int): String = {
+  private def pipelineRetrieveSql(maxNodes: Int, ef: Int): String =
+    s"""${pipelineRetrieveCtes(maxNodes, ef)}
+       |SELECT * FROM pr""".stripMargin
+
+  /** The CTE chain of [[pipelineRetrieveSql]] with the result as `pr` —
+    * reused by the context-formatting oracle. */
+  private def pipelineRetrieveCtes(maxNodes: Int, ef: Int): String = {
     val qv = "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)"
     s""", pe AS (
        |  SELECT CAST(5000000000 + e.vec_id AS BIGINT) AS nodeId, p.p_name AS name,
@@ -951,15 +968,16 @@ object OracleSqls {
        |    CAST(row_number() OVER (ORDER BY similarity DESC, nodeId)
        |      + (SELECT count(*) FROM kept) AS BIGINT) AS rank
        |  FROM bf
-       |)
-       |SELECT nodeId AS node_id, name, round(similarity, 6) AS similarity,
-       |  '(x1:Order {name: "1"})-[r1:CONTAINS]-(x2:Part {name: "' || name || '"})'
-       |    AS patterns,
-       |  row_order AS rank
-       |FROM kept
-       |UNION ALL
-       |SELECT nodeId, name, similarity, 'No pattern', rank
-       |FROM bfr WHERE rank < $maxNodes""".stripMargin
+       |), pr AS (
+       |  SELECT nodeId AS node_id, name, round(similarity, 6) AS similarity,
+       |    '(x1:Order {name: "1"})-[r1:CONTAINS]-(x2:Part {name: "' || name || '"})'
+       |      AS patterns,
+       |    row_order AS rank
+       |  FROM kept
+       |  UNION ALL
+       |  SELECT nodeId, name, similarity, 'No pattern', rank
+       |  FROM bfr WHERE rank < $maxNodes
+       |)""".stripMargin
   }
 
   /** [[graft.functions.tokenCountEstimate]] over a SQL string expression. */

@@ -444,6 +444,19 @@ object Queries {
         col("rank"))
   }
 
+  /** §2.8 LLM2 context + answer formatting over the retrieval result
+    * (retriever.py:39-40 + llm2.py:34,67-71): per-node "prop: value" lines
+    * joined by a blank line in retrieval order, and the '|'-joined answer
+    * names. One tiny aggregate row — the exact string LLM2 would consume. */
+  def fmtContext(spark: SparkSession, dir: String): DataFrame = {
+    val retrieved = pipelineRetrieve(spark, dir)
+    val ctx = Retrieval.formatContext(retrieved, Seq("name"), orderCol = "rank")
+    val ans = retrieved.agg(Retrieval.joinAnswers(
+      transform(array_sort(collect_list(struct(col("rank").as("o"), col("name").as("n")))),
+        s => s.getField("n"))).as("answers"))
+    ctx.crossJoin(ans)
+  }
+
   // ---- training-data pipeline: dedup, text analysis, multimodal ----
 
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
@@ -543,6 +556,7 @@ object Queries {
     "cy_ordered_topk" -> (cyOrderedTopk _),
     "skew_salted_agg" -> (skewSaltedAgg _),
     "pipeline_retrieve" -> (pipelineRetrieve _),
+    "fmt_context" -> (fmtContext _),
     "v1_cosine_topk" -> (v1CosineTopK _),
     "v2_knn_exclude" -> (v2KnnExclude _),
     "ann_lsh_topk" -> (annLshTopK _),
