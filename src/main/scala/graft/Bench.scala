@@ -33,21 +33,29 @@ object Bench {
     // the bucketed query is then timed against the layout, not its creation.
     Queries.warmBucketed(spark, sfDir)
 
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                 name: String): Option[Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        return None
+      }
+      Some((System.nanoTime() - t0) / 1e9)
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       // drain accumulated garbage before each query's timing block so one
       // query's allocation debt doesn't land in the next query's median
       System.gc()
-      val ts = (1 to Runs).map(_ => timeOnce(fn)).sorted
-      name -> ts(ts.length / 2) // median
+      val ok = (1 to Runs).flatMap(_ => timeOnce(fn, name)).sorted
+      // median of the SUCCESSFUL runs; a query with no successful run is
+      // reported as -1 and excluded from the total — the old path let a
+      // -1 sentinel become the median (masking a flaky failure) or
+      // SUBTRACT from the total (a broken query made the bench faster)
+      name -> (if (ok.isEmpty) -1.0 else ok(ok.length / 2))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$Runs}"""
     // Three pickup paths (round-1 AND round-2 drivers both failed to parse
     // sbt-wrapped stdout — see README "Benchmark output"):

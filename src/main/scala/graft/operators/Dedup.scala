@@ -15,9 +15,12 @@ import graft.functions._
   * shuffle). MinHash hashes each shingle ONCE (md5 → 60-bit long) and
   * derives the k hash family members by xor with per-seed constants — k×
   * cheaper than k independent string hashes, and the signature shuffle
-  * carries longs, not hex strings. LSH joins on (band, signature), so
-  * candidate generation is O(collisions), not O(n²); AQE splits skewed
-  * buckets. The verify step (exact Jaccard) runs only on candidate pairs.
+  * carries longs, not hex strings. LSH buckets on (band, signature), so
+  * candidate generation is O(collisions), not O(n²); hot buckets are
+  * dropped via `maxBucket` (the posting-list pair form concentrates a
+  * bucket in one task, so the cap replaces the old self-join's AQE skew
+  * splitting). The verify step (exact Jaccard) runs only on candidate
+  * pairs.
   * Word arrays are materialized as a column BEFORE any per-shingle lambda
   * so the tokenizer runs once per document, not once per shingle element.
   */
@@ -31,16 +34,20 @@ object Dedup {
 
   /** STREAMING exact dedup: emit only the FIRST document seen per content
     * hash — the incremental form of [[exactGroups]] for a continuously
-    * ingested corpus. `dropDuplicates` keeps per-key state; the event-time
-    * watermark bounds it (a duplicate arriving later than `watermark`
-    * after its original may be re-emitted — the standard state/recall
-    * trade at scale; widen the watermark to tighten recall). */
+    * ingested corpus. `dropDuplicatesWithinWatermark` is the load-bearing
+    * choice: plain `dropDuplicates("content_hash")` would NEVER evict state
+    * (Spark only cleans dedup state when the event-time column is among the
+    * keys) and would drop late NEW documents as late input; the
+    * within-watermark form keeps per-key state only for the watermark
+    * horizon — a duplicate arriving more than `watermark` after its
+    * original may be re-emitted, the standard bounded-state/recall trade;
+    * widen the watermark to tighten recall. */
   def streamingExactDedup(docs: DataFrame, idCol: String, textCol: String,
                           tsCol: String, watermark: String): DataFrame =
     docs
       .withColumn("content_hash", md5(col(textCol)))
       .withWatermark(tsCol, watermark)
-      .dropDuplicates("content_hash")
+      .dropDuplicatesWithinWatermark("content_hash")
       .select(col(idCol), col("content_hash"), col(tsCol))
 
   /** Doc → word-`n`-gram shingle set (distinct). The words array is
@@ -79,11 +86,12 @@ object Dedup {
     posts.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
-  /** Ordered (id1 < id2) pairs exploded from a sorted id-list column —
-    * shared by the LSH and n-gram candidate generators. A posting-list
-    * groupBy + explode instead of a self-join: the self-join's second
-    * branch re-plans the ENTIRE upstream subtree (scan + shingle + hash;
-    * no exchange reuse across differently-aliased branches), so the list
+  /** Ordered (id1 < id2) pairs exploded from a sorted id-list column (the
+    * LSH candidate generator; the n-gram path inlines a widened variant
+    * that carries set sizes in the pair struct). A posting-list groupBy +
+    * explode instead of a self-join: the self-join's second branch
+    * re-plans the ENTIRE upstream subtree (scan + shingle + hash; no
+    * exchange reuse across differently-aliased branches), so the list
     * form halves the corpus scans. */
   private def orderedPairs(lists: DataFrame, idsCol: String): DataFrame =
     lists.select(explode(flatten(transform(col(idsCol), (x, i) =>
@@ -93,8 +101,17 @@ object Dedup {
 
   /** LSH candidate pairs: split the signature into `numBands` bands of
     * `rowsPerBand`, bucket docs sharing any band signature, pairs from
-    * each bucket's posting list. */
-  def lshCandidatePairs(signatures: DataFrame, numHashes: Int, numBands: Int): DataFrame = {
+    * each bucket's posting list.
+    *
+    * `maxBucket` is the skew valve (the list form trades the old
+    * self-join's AQE skew splitting for one fewer corpus scan, so a
+    * pathological bucket — f docs with identical signatures — would build
+    * one f-element array and explode f²/2 pairs in a single task): buckets
+    * larger than `maxBucket` are dropped, exactly like the n-gram path's
+    * `maxPostings`. Members of an over-full bucket usually still pair in
+    * another band; exact duplicates are [[exactGroups]]' job anyway. */
+  def lshCandidatePairs(signatures: DataFrame, numHashes: Int, numBands: Int,
+                        maxBucket: Int = Int.MaxValue): DataFrame = {
     val rowsPerBand = numHashes / numBands
     val bands = (0 until numBands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh_$i"))
@@ -105,7 +122,7 @@ object Dedup {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
     val lists = buckets.groupBy(col("band"), col("sig"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .where(size(col("ids")) > 1)
+      .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
     orderedPairs(lists, "ids").distinct()
   }
 

@@ -126,7 +126,7 @@ object TrainingData {
     * reference's `if rank not in samples` rejection loop, deterministically
     * unrolled in [[graft.operators.Retrieval.powerLawSampleIdx]]. */
   def sampleCandidates(candidates: DataFrame, nSamples: Int,
-                       invAlpha: Int = 10, attempts: Int = 32): DataFrame = {
+                       invAlpha: Int = 10, attempts: Int = 128): DataFrame = {
     val w = Window.partitionBy(col("id"))
       .orderBy(col("hits").desc, col("num_results"), col("cypher_query"))
     val ranked = candidates.withColumn("rk", row_number().over(w))

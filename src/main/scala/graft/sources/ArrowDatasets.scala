@@ -59,22 +59,34 @@ object ArrowDatasets {
     case other => other
   }
 
+  /** Lazy per-batch decode: only ONE record batch of boxed rows is
+    * resident at a time (plus the shard bytes the binaryFile source
+    * already holds) — materializing a whole ~500 MB shard as boxed Rows
+    * on top of its byte array would roughly triple per-task memory. The
+    * reader/allocator close when the iterator exhausts; the batch's rows
+    * must be copied out before `loadNextBatch` overwrites the vectors,
+    * which is what the per-batch buffer does. */
   private def decodeStream(bytes: Array[Byte]): Iterator[Row] = {
     val allocator = new RootAllocator()
     val reader = new ArrowStreamReader(new ByteArrayInputStream(bytes), allocator)
-    val out = Vector.newBuilder[Row]
-    try {
-      val root = reader.getVectorSchemaRoot
-      while (reader.loadNextBatch()) {
-        val vectors = root.getFieldVectors.asScala.toSeq
-        var i = 0
-        while (i < root.getRowCount) {
-          out += Row.fromSeq(vectors.map(v => normalize(v.getObject(i))))
-          i += 1
-        }
+    val root = reader.getVectorSchemaRoot
+    var closed = false
+    def close(): Unit = if (!closed) { closed = true; reader.close(); allocator.close() }
+
+    new Iterator[Iterator[Row]] {
+      def hasNext: Boolean = {
+        if (closed) return false
+        val more = try reader.loadNextBatch() catch { case e: Throwable => close(); throw e }
+        if (!more) close()
+        more
       }
-    } finally { reader.close(); allocator.close() }
-    out.result().iterator
+      def next(): Iterator[Row] = {
+        val vectors = root.getFieldVectors.asScala.toSeq
+        val batch = Array.tabulate(root.getRowCount)(i =>
+          Row.fromSeq(vectors.map(v => normalize(v.getObject(i)))))
+        batch.iterator
+      }
+    }.flatten
   }
 
   /** Read one split directory (`{split}/data-*.arrow`) as a DataFrame.

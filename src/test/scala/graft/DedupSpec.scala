@@ -102,6 +102,23 @@ class DedupSpec extends SparkSpec {
     assert(g.head.getAs[Long]("n_docs") === 2L)
   }
 
+  test("LSH hot-bucket cap bounds a degenerate bucket's pair fan-out") {
+    // 20 identical docs collide in EVERY band; capped, the pathological
+    // bucket is dropped and no pairs emerge from it, while distinct
+    // near-dups (1,3) still pair through an uncrowded bucket
+    val flood = (100L to 119L).map(i => (i, "flood flood flood flood flood"))
+    val df = (flood ++ Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over the sleepy dog"))).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(
+      Dedup.shingleSets(df, "doc_id", "text", 3), 16)
+    val uncapped = Dedup.lshCandidatePairs(sigs, 16, 4)
+    assert(uncapped.count() >= 190L) // 20*19/2 flood pairs
+    val capped = Dedup.lshCandidatePairs(sigs, 16, 4, maxBucket = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((1L, 3L)))
+  }
+
   test("ngramJaccardPairs matches brute-force set Jaccard on random docs") {
     // the distributed single-scan pipeline vs literal set arithmetic on the
     // driver — every pair with >= 1 shared shingle, exact values

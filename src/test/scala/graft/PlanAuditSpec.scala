@@ -14,8 +14,16 @@ class PlanAuditSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  // corpus_clean materializes eagerly inside the operator (persist +
+  // collect) and returns a local-rows frame — its returned plan is
+  // trivially clean, so auditing it here would be vacuous assurance AND
+  // execute the whole heavy pipeline twice; its plan properties are
+  // covered by its own spec/oracle instead.
+  private def auditable = SparkEntry.queries.toSeq.sortBy(_._1)
+    .filterNot(_._1 == "corpus_clean")
+
   test("no unbroadcast CartesianProduct in any catalog query plan") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    val offenders = auditable.flatMap { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       if (plan.contains("CartesianProduct")) Some(name) else None
     }
@@ -27,7 +35,7 @@ class PlanAuditSpec extends SparkSpec {
       "v1_cosine_topk", "v2_knn_exclude", "v3_knn_fallback", "v5_label_lookup",
       "ann_lsh_topk", "ann_neardup_pairs", "ann_ivf_topk", "ann_ivf_kmeans",
       "pipeline_retrieve")
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+    val offenders = auditable
       .filterNot { case (n, _) => vectorQueries(n) }
       .flatMap { case (name, fn) =>
         // leaf scans only: the cached graph's LINEAGE mentions the embedding
