@@ -473,6 +473,67 @@ object OracleSqls {
         |    AS BIGINT) AS chars_removed
         |FROM documents GROUP BY source""".stripMargin,
 
+    // train = doc_id % 13 <> 0, eval = % 13 = 0; shared distinct 3-gram
+    // shingles per train doc (Curation.contaminationHits joins on the 60-bit
+    // md5 hash; the oracle joins on the shingle string — identical counts
+    // under the index family's collision-freedom assumption)
+    "curate_decontam" -> s"""$shingleCte,
+        |tr AS (
+        |  SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id % 13 <> 0
+        |), ev AS (
+        |  SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 13 = 0
+        |)
+        |SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |FROM tr JOIN ev ON tr.shingle = ev.shingle
+        |GROUP BY tr.doc_id""".stripMargin,
+
+    "curate_hash_split" ->
+      """WITH b AS (
+        |  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+        |    AS bucket, n_chars
+        |  FROM documents
+        |)
+        |SELECT CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'validation'
+        |            ELSE 'test' END AS split,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM b GROUP BY 1""".stripMargin,
+
+    // top-10 docs per source by (n_chars desc, doc_id) — Curation
+    // .stratifiedCapStats(quota = 10)
+    "curate_stratified" ->
+      """WITH rk AS (
+        |  SELECT source, n_chars, row_number() OVER
+        |    (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+        |  CAST(min(n_chars) AS BIGINT) AS cutoff_chars
+        |FROM rk WHERE rk <= 10 GROUP BY source""".stripMargin,
+
+    // duplicate-n-gram fraction per doc (Gopher repetition filter), n=2,3;
+    // docs with < n words contribute NULL (both engines' avg skips nulls)
+    "text_repetition" -> s"""WITH w AS (
+        |  SELECT lang, $wordsExpr AS w FROM documents
+        |), r AS (
+        |  SELECT lang,
+        |    CASE WHEN len(w) >= 2 THEN
+        |      (len(w) - 1 - len(list_distinct(list_transform(range(1, len(w)),
+        |        i -> w[i] || ' ' || w[i+1]))))::DOUBLE / (len(w) - 1) END AS rep2,
+        |    CASE WHEN len(w) >= 3 THEN
+        |      (len(w) - 2 - len(list_distinct(list_transform(range(1, len(w) - 1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))))::DOUBLE / (len(w) - 2)
+        |      END AS rep3
+        |  FROM w
+        |)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(avg(rep2), 6) AS avg_rep2,
+        |  round(avg(rep3), 6) AS avg_rep3,
+        |  CAST(sum(CASE WHEN rep2 > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+        |FROM r GROUP BY lang""".stripMargin,
+
     "mm_decode_features" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(octet_length(text::BLOB)) AS BIGINT) AS total_bytes,

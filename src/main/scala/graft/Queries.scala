@@ -508,6 +508,26 @@ object Queries {
   def textScrub(spark: SparkSession, dir: String): DataFrame =
     TextOps.scrubStats(T(spark, dir, "documents"))
 
+  /** Benchmark decontamination: docs with id ≡ 0 (mod 13) stand in for the
+    * eval benchmark; every other doc is training corpus. Output = per-train-
+    * doc count of distinct 3-gram shingles shared with ANY eval doc. */
+  def curateDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T(spark, dir, "documents")
+    Curation.contaminationHits(
+      docs.where(col("doc_id") % 13 =!= 0),
+      docs.where(col("doc_id") % 13 === 0),
+      "doc_id", "text")
+  }
+
+  def curateHashSplit(spark: SparkSession, dir: String): DataFrame =
+    Curation.hashSplitStats(T(spark, dir, "documents"), "doc_id")
+
+  def curateStratified(spark: SparkSession, dir: String): DataFrame =
+    Curation.stratifiedCapStats(T(spark, dir, "documents"), quota = 10)
+
+  def textRepetition(spark: SparkSession, dir: String): DataFrame =
+    Curation.repetitionByLang(T(spark, dir, "documents"), flagAt = 0.2)
+
   def mmBinaryStats(spark: SparkSession, dir: String): DataFrame =
     TextOps.binaryStatsBySource(T(spark, dir, "documents"))
 
@@ -587,6 +607,10 @@ object Queries {
     "text_tokens" -> (textTokens _),
     "text_fingerprint" -> (textFingerprint _),
     "text_scrub" -> (textScrub _),
+    "text_repetition" -> (textRepetition _),
+    "curate_decontam" -> (curateDecontam _),
+    "curate_hash_split" -> (curateHashSplit _),
+    "curate_stratified" -> (curateStratified _),
     "mm_binary_stats" -> (mmBinaryStats _),
     "mm_decode_features" -> (mmDecodeFeatures _),
     "events_hourly" -> (eventsHourly _),

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline needs
+  * beyond dedup/quality (which live in [[Dedup]]/[[TextOps]]/[[Corpus]]):
+  * benchmark decontamination, deterministic train/val/test splitting,
+  * per-source quota (stratified) sampling, and within-document repetition
+  * scoring (the Gopher-style duplicate-n-gram filter).
+  *
+  * All four are one-shuffle-or-less shapes at 100 TB:
+  *   - decontamination broadcasts the (benchmark-sized) eval shingle set, so
+  *     the 100 TB side is a narrow scan + map-side semi-join;
+  *   - hash-split is a pure narrow map (no shuffle at all before the rollup);
+  *   - the stratified cap shuffles once on the strata key;
+  *   - repetition scoring is an embarrassingly parallel scan.
+  */
+object Curation {
+
+  /** Per-train-doc count of DISTINCT word-`n`-gram shingles that also occur
+    * anywhere in `evalDocs` — the standard benchmark-decontamination signal
+    * (drop or flag training docs overlapping the eval set).
+    *
+    * Scale shape: the eval side is a benchmark (thousands of docs), so its
+    * distinct shingle-hash set is broadcast and the training corpus is
+    * scanned exactly once with a map-side hash-semi-join — no shuffle of the
+    * 100 TB side. Shingles are compared via the shared 60-bit md5 family
+    * ([[Dedup.md5Long]]), the same collision-freedom assumption as the
+    * n-gram dedup index. */
+  def contaminationHits(train: DataFrame, evalDocs: DataFrame,
+                        idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val evHashes = Dedup.hashedPostings(
+        Dedup.shingleSets(evalDocs, idCol, textCol, n))
+      .select(col("h")).distinct()
+    Dedup.hashedPostings(Dedup.shingleSets(train, idCol, textCol, n))
+      .join(broadcast(evHashes), Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Deterministic md5 split bucket in [0, 100): stable across runs,
+    * engines, and cluster sizes — the property a train/val/test split must
+    * have so re-runs and backfills land every doc in the same split.
+    * (DuckDB: `('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8))::BIGINT
+    * % 100`.) */
+  def splitBucket(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long") % 100
+
+  /** train/validation/test assignment from [[splitBucket]]: first
+    * `trainPct` buckets → train, next `valPct` → validation, rest → test.
+    * A pure narrow map — at 100 TB the split materializes as a partition
+    * column on write, never as a shuffle. */
+  def splitOf(id: Column, trainPct: Int = 80, valPct: Int = 10): Column =
+    when(splitBucket(id) < trainPct, lit("train"))
+      .when(splitBucket(id) < trainPct + valPct, lit("validation"))
+      .otherwise(lit("test"))
+
+  /** Split assignment rollup: per-split doc count and char volume (the
+    * sanity check run right after any split assignment). */
+  def hashSplitStats(docs: DataFrame, idCol: String,
+                     trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    docs.select(splitOf(col(idCol), trainPct, valPct).as("split"), col("n_chars"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"))
+
+  /** Per-strata quota sampling: keep the top `quota` docs per `strataCol`
+    * ordered by (`n_chars` desc, id asc — a deterministic total order), the
+    * per-domain cap every web-scale corpus applies so no single source
+    * dominates. One shuffle on the strata key; the quota keeps per-strata
+    * state tiny regardless of corpus size. A strata hot enough to skew a
+    * task is exactly the one the cap truncates hardest — rank early rows
+    * via the window, and AQE's skew split covers the scan side. */
+  def stratifiedCap(docs: DataFrame, strataCol: String, idCol: String,
+                    quota: Int): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col("n_chars").desc, col(idCol))
+    docs.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= quota)
+      .drop("rk")
+  }
+
+  /** [[stratifiedCap]] rollup: per-source kept count, kept char volume, and
+    * the admission cutoff (smallest kept doc's n_chars). */
+  def stratifiedCapStats(docs: DataFrame, quota: Int): DataFrame =
+    stratifiedCap(docs, "source", "doc_id", quota)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).cast("long").as("kept_chars"),
+        min(col("n_chars")).cast("long").as("cutoff_chars"))
+
+  /** Duplicate word-`n`-gram fraction within one document — the Gopher
+    * repetition filter (high values mean degenerate boilerplate/loops).
+    * Null for docs with fewer than `n` words (no n-grams to judge). */
+  def repetitionScore(text: Column, n: Int): Column = {
+    val sh = wordShingles(text, n)
+    val total = size(sh).cast("double")
+    (total - size(array_distinct(sh)).cast("double")) / nullif(total, lit(0.0))
+  }
+
+  /** Repetition rollup per language: mean duplicate-bigram and -trigram
+    * fractions plus the count of docs above the `flagAt` bigram threshold
+    * (the drop candidates). Scan-bound; the rollup is map-side combined. */
+  def repetitionByLang(docs: DataFrame, flagAt: Double = 0.5): DataFrame =
+    docs.select(col("lang"),
+        repetitionScore(col("text"), 2).as("rep2"),
+        repetitionScore(col("text"), 3).as("rep3"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("rep2")), 6).as("avg_rep2"),
+        round(avg(col("rep3")), 6).as("avg_rep3"),
+        sum(when(col("rep2") > flagAt, 1L).otherwise(0L)).as("n_flagged"))
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Curation
+
+/** Corpus-curation operators: decontamination, hash split, stratified cap,
+  * repetition scoring ([[graft.operators.Curation]]). */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta", "en", "srcA", 35),
+    (2L, "alpha beta gamma delta epsilon eta", "en", "srcA", 34),
+    (3L, "one two three four five six seven", "en", "srcA", 33),
+    (4L, "loop loop loop loop loop loop", "en", "srcB", 29),
+    (5L, "unique words only here today friend", "en", "srcB", 35),
+    (6L, "tiny", "en", "srcB", 4)
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("contaminationHits counts distinct shared shingles per train doc") {
+    // eval = doc 1; train = docs 2..6. Doc 2 shares exactly the 3-gram
+    // windows of "alpha beta gamma delta epsilon": 3 trigrams; others none.
+    val hits = Curation.contaminationHits(
+      docs.where($"doc_id" =!= 1L), docs.where($"doc_id" === 1L),
+      "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(hits === Map(2L -> 3L))
+  }
+
+  test("contaminationHits counts each shared shingle once per doc") {
+    val ev = Seq((10L, "spam spam spam spam")).toDF("doc_id", "text")
+    // "spam spam spam" appears twice positionally in the train doc but is
+    // ONE distinct shingle → one hit
+    val tr = Seq((20L, "spam spam spam spam spam")).toDF("doc_id", "text")
+    val hits = Curation.contaminationHits(tr, ev, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(hits === Map(20L -> 1L))
+  }
+
+  test("splitOf is deterministic and respects the bucket boundaries") {
+    val ids = spark.range(0, 1000).toDF("id")
+    val splits = ids.select(Curation.splitOf($"id").as("s"), $"id")
+    val counts = splits.groupBy("s").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // md5 buckets are near-uniform: train ~800, validation ~100, test ~100
+    assert(counts("train") > 700 && counts("train") < 900)
+    assert(counts("validation") > 50 && counts("validation") < 160)
+    assert(counts("test") > 50 && counts("test") < 160)
+    // deterministic: re-evaluation gives the identical assignment
+    val again = ids.select(Curation.splitOf($"id").as("s2"), $"id")
+    assert(splits.join(again, "id").where($"s" =!= $"s2").count() === 0L)
+  }
+
+  test("stratifiedCap keeps top-quota per strata by (n_chars desc, id)") {
+    val kept = Curation.stratifiedCap(docs, "source", "doc_id", quota = 2)
+      .select("doc_id").as[Long].collect().toSet
+    // srcA: 1 (35), 2 (34) kept, 3 dropped; srcB: 5 (35), 4 (29) kept, 6 dropped
+    assert(kept === Set(1L, 2L, 4L, 5L))
+  }
+
+  test("repetitionScore is the duplicate n-gram fraction; null under n words") {
+    val r = docs.select($"doc_id",
+        Curation.repetitionScore($"text", 2).as("rep2"))
+      .collect().map(x => x.getLong(0) -> Option(x.get(1))).toMap
+    assert(r(5L) === Some(0.0))                  // all bigrams distinct
+    assert(r(4L) === Some(4.0 / 5.0))            // "loop loop" ×5 → 1 distinct
+    assert(r(6L) === None)                       // 1 word → no bigrams
+  }
+}
