@@ -513,6 +513,34 @@ object OracleSqls {
         |  CAST(min(n_chars) AS BIGINT) AS cutoff_chars
         |FROM rk WHERE rk <= 10 GROUP BY source""".stripMargin,
 
+    // concatenate-and-cut packing, budget 200 tokens, per-source shards,
+    // doc_id order; a doc's chunk is where its FIRST token lands
+    "curate_pack" -> s"""WITH t AS (
+        |  SELECT source, doc_id, coalesce(${tokExpr("text")}, 0) AS tok
+        |  FROM documents
+        |), o AS (
+        |  SELECT source, tok, sum(tok) OVER (PARTITION BY source
+        |    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - tok AS start_off
+        |  FROM t
+        |)
+        |SELECT source, CAST(floor(start_off / 200) AS BIGINT) AS chunk,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(tok) AS BIGINT) AS chunk_tokens
+        |FROM o GROUP BY 1, 2""".stripMargin,
+
+    // temperature-scaled (T=2 ⇒ sqrt) source-rebalancing weights
+    "curate_rebalance" ->
+      """WITH s AS (
+        |  SELECT source, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY 1
+        |), t AS (
+        |  SELECT sum(n) AS total, sum(sqrt(n)) AS sm FROM s
+        |)
+        |SELECT source, CAST(n AS BIGINT) AS n_docs,
+        |  round(n / total, 6) AS share,
+        |  round(sqrt(n) / sm, 6) AS weight,
+        |  round(sqrt(n) / sm / (n / total), 6) AS boost
+        |FROM s, t""".stripMargin,
+
     // duplicate-n-gram fraction per doc (Gopher repetition filter), n=2,3;
     // docs with < n words contribute NULL (both engines' avg skips nulls)
     "text_repetition" -> s"""WITH w AS (

@@ -528,6 +528,12 @@ object Queries {
   def textRepetition(spark: SparkSession, dir: String): DataFrame =
     Curation.repetitionByLang(T(spark, dir, "documents"), flagAt = 0.2)
 
+  def curatePack(spark: SparkSession, dir: String): DataFrame =
+    Curation.packStats(T(spark, dir, "documents"), budget = 200L)
+
+  def curateRebalance(spark: SparkSession, dir: String): DataFrame =
+    Curation.rebalanceWeights(T(spark, dir, "documents"))
+
   def mmBinaryStats(spark: SparkSession, dir: String): DataFrame =
     TextOps.binaryStatsBySource(T(spark, dir, "documents"))
 
@@ -611,6 +617,8 @@ object Queries {
     "curate_decontam" -> (curateDecontam _),
     "curate_hash_split" -> (curateHashSplit _),
     "curate_stratified" -> (curateStratified _),
+    "curate_pack" -> (curatePack _),
+    "curate_rebalance" -> (curateRebalance _),
     "mm_binary_stats" -> (mmBinaryStats _),
     "mm_decode_features" -> (mmDecodeFeatures _),
     "events_hourly" -> (eventsHourly _),

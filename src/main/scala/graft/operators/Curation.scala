@@ -113,4 +113,52 @@ object Curation {
         round(avg(col("rep2")), 6).as("avg_rep2"),
         round(avg(col("rep3")), 6).as("avg_rep3"),
         sum(when(col("rep2") > flagAt, 1L).otherwise(0L)).as("n_flagged"))
+
+  /** Sequence packing — the concatenate-and-cut model pretraining uses:
+    * within each `shardCol` shard, documents are laid end-to-end in
+    * (`idCol`) order and the token stream is cut every `budget` tokens; a
+    * doc's chunk is the one its FIRST token lands in (docs straddle cuts,
+    * exactly as a real packer splits them).
+    *
+    * Scale shape: the running offset is a window partitioned by the shard
+    * key — one shuffle, state bounded per shard. Packing global corpora
+    * per-shard (source, file, split) rather than globally is what real
+    * pipelines do anyway: a global token order would serialize the scan,
+    * and cross-shard chunk boundaries have no training meaning. */
+  def packChunks(docs: DataFrame, shardCol: String, idCol: String,
+                 budget: Long): DataFrame = {
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("tok", graft.functions.tokenCountEstimate(col("text")))
+      .withColumn("start_off", sum(col("tok")).over(w) - col("tok"))
+      .withColumn("chunk", floor(col("start_off") / lit(budget)).cast("long"))
+  }
+
+  /** [[packChunks]] rollup: per-(shard, chunk) doc count and summed tokens
+    * — the chunk manifest a downstream tokenizer job consumes. */
+  def packStats(docs: DataFrame, budget: Long): DataFrame =
+    packChunks(docs, "source", "doc_id", budget)
+      .groupBy(col("source"), col("chunk"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).cast("long").as("chunk_tokens"))
+
+  /** Temperature-scaled source-rebalancing weights (the multilingual-
+    * sampling scheme: p_src ∝ share_src^(1/T), here T=2 ⇒ sqrt — sqrt is
+    * IEEE-correctly-rounded in every engine, unlike pow). Up-weights tail
+    * sources, down-weights dominant ones; `weight` is the normalized
+    * sampling probability, `boost` the ratio to the natural share. Two
+    * tiny aggregates + a broadcast of the totals row — no large shuffle. */
+  def rebalanceWeights(docs: DataFrame): DataFrame = {
+    val bySrc = docs.groupBy(col("source"))
+      .agg(count(lit(1)).cast("double").as("n_docs"))
+    val tot = bySrc.agg(sum(col("n_docs")).as("total"),
+      sum(sqrt(col("n_docs"))).as("sqrt_mass"))
+    bySrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs").cast("long").as("n_docs"),
+        round(col("n_docs") / col("total"), 6).as("share"),
+        round(sqrt(col("n_docs")) / col("sqrt_mass"), 6).as("weight"),
+        round(sqrt(col("n_docs")) / col("sqrt_mass") /
+          (col("n_docs") / col("total")), 6).as("boost"))
+  }
 }

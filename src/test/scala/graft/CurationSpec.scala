@@ -58,6 +58,36 @@ class CurationSpec extends SparkSpec {
     assert(kept === Set(1L, 2L, 4L, 5L))
   }
 
+  test("packChunks cuts the concatenated token stream at the budget") {
+    // tok(each 6-word doc of 4-5 char words) = 6*(1+1) = 12; budget 30:
+    // doc1 starts at 0 (chunk 0), doc2 at 12 (chunk 0), doc3 at 24 (chunk 0
+    // — straddles the cut at 30), next would start at 36 (chunk 1)
+    val d = Seq(
+      (1L, "alpha betaa gamma delta epsil zetaa", "en", "srcA", 35),
+      (2L, "alpha betaa gamma delta epsil zetaa", "en", "srcA", 35),
+      (3L, "alpha betaa gamma delta epsil zetaa", "en", "srcA", 35),
+      (4L, "alpha betaa gamma delta epsil zetaa", "en", "srcA", 35)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val chunks = Curation.packChunks(d, "source", "doc_id", budget = 30L)
+      .select("doc_id", "chunk").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(chunks === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L))
+  }
+
+  test("rebalanceWeights up-weights tail sources under sqrt temperature") {
+    val d = (1L to 90L).map(i => (i, "x", "en", "big", 1)) ++
+      (91L to 100L).map(i => (i, "x", "en", "small", 1))
+    val w = d.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = Curation.rebalanceWeights(w).collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    // sqrt mass: sqrt(90)+sqrt(10) = 9.4868+3.1623 = 12.6491
+    assert(math.abs(rows("big")._1 - 0.75) < 1e-3)     // 9.4868/12.6491
+    assert(math.abs(rows("small")._1 - 0.25) < 1e-3)
+    assert(rows("small")._2 > 2.0 && rows("big")._2 < 1.0) // boost direction
+    // weights sum to 1
+    assert(math.abs(rows.values.map(_._1).sum - 1.0) < 1e-6)
+  }
+
   test("repetitionScore is the duplicate n-gram fraction; null under n words") {
     val r = docs.select($"doc_id",
         Curation.repetitionScore($"text", 2).as("rep2"))
