@@ -589,9 +589,13 @@ object OracleSqls {
         |  SELECT doc_id, CAST(floor(seed / 4) AS INT) AS band,
         |    md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS sig
         |  FROM mh GROUP BY doc_id, CAST(floor(seed / 4) AS INT)
+        |), okbk AS (
+        |  -- maxBucket=1024 skew valve mirrored from Dedup.minhashLsh
+        |  SELECT band, sig FROM bk GROUP BY band, sig HAVING count(*) <= 1024
         |), cand AS (
         |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
-        |  FROM bk x JOIN bk y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+        |  FROM bk x JOIN okbk o ON o.band = x.band AND o.sig = x.sig
+        |    JOIN bk y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
         |)
         |SELECT id1, id2, jac FROM (
         |  SELECT id1, id2, round(len(list_intersect(a.s, b.s)) * 1.0 /
@@ -613,9 +617,13 @@ object OracleSqls {
         |  SELECT doc_id, CAST(floor(seed / 4) AS INT) AS band,
         |    md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS sig
         |  FROM mh GROUP BY doc_id, CAST(floor(seed / 4) AS INT)
+        |), okbk AS (
+        |  -- maxBucket=1024 skew valve mirrored from Dedup.minhashLsh
+        |  SELECT band, sig FROM bk GROUP BY band, sig HAVING count(*) <= 1024
         |), cand AS (
         |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
-        |  FROM bk x JOIN bk y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+        |  FROM bk x JOIN okbk o ON o.band = x.band AND o.sig = x.sig
+        |    JOIN bk y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
         |), pairs AS (
         |  SELECT id1, id2 FROM (
         |    SELECT id1, id2, round(len(list_intersect(a.s, b.s)) * 1.0 /
@@ -707,9 +715,13 @@ object OracleSqls {
         |  SELECT doc_id, CAST(floor(seed / 4) AS INT) AS band,
         |    md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS sig
         |  FROM mh GROUP BY doc_id, CAST(floor(seed / 4) AS INT)
+        |), okbk AS (
+        |  -- maxBucket=1024 skew valve mirrored from Dedup.minhashLsh
+        |  SELECT band, sig FROM bk GROUP BY band, sig HAVING count(*) <= 1024
         |), cand AS (
         |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
-        |  FROM bk x JOIN bk y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+        |  FROM bk x JOIN okbk o ON o.band = x.band AND o.sig = x.sig
+        |    JOIN bk y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
         |), pairs AS (
         |  SELECT id1, id2 FROM (
         |    SELECT id1, id2, round(len(list_intersect(a.s, b.s)) * 1.0 /

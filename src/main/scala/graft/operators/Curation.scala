@@ -35,7 +35,14 @@ object Curation {
     val evHashes = Dedup.hashedPostings(
         Dedup.shingleSets(evalDocs, idCol, textCol, n))
       .select(col("h")).distinct()
-    Dedup.hashedPostings(Dedup.shingleSets(train, idCol, textCol, n))
+    // The train side stays NARROW until after the broadcast filter:
+    // shingleSets already emits per-doc DISTINCT shingles, so its exploded
+    // (doc_id, hash) stream needs no pre-join dedup (hashedPostings'
+    // dropDuplicates would shuffle the full corpus). The only shuffle is
+    // the groupBy over the benchmark-sized matching remainder.
+    Dedup.shingleSets(train, idCol, textCol, n)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .select(col("doc_id"), Dedup.md5Long(col("shingle")).as("h"))
       .join(broadcast(evHashes), Seq("h"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))
@@ -47,16 +54,21 @@ object Curation {
     * (DuckDB: `('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8))::BIGINT
     * % 100`.) */
   def splitBucket(id: Column): Column =
-    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long") % 100
+    Dedup.md5Long(id.cast("string"), 8) % 100
 
   /** train/validation/test assignment from [[splitBucket]]: first
     * `trainPct` buckets → train, next `valPct` → validation, rest → test.
     * A pure narrow map — at 100 TB the split materializes as a partition
-    * column on write, never as a shuffle. */
-  def splitOf(id: Column, trainPct: Int = 80, valPct: Int = 10): Column =
-    when(splitBucket(id) < trainPct, lit("train"))
-      .when(splitBucket(id) < trainPct + valPct, lit("validation"))
-      .otherwise(lit("test"))
+    * column on write, never as a shuffle. Branch-free on purpose: both
+    * bucket comparisons are unconditional operands of one projection, so
+    * codegen's subexpression elimination computes the md5 ONCE per row —
+    * a CaseWhen chain evaluates only reachable branches and re-hashes for
+    * the second predicate. */
+  def splitOf(id: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    val b = splitBucket(id)
+    val idx = (b >= trainPct).cast("int") + (b >= trainPct + valPct).cast("int")
+    element_at(array(lit("train"), lit("validation"), lit("test")), idx + 1)
+  }
 
   /** Split assignment rollup: per-split doc count and char volume (the
     * sanity check run right after any split assignment). */

@@ -58,10 +58,13 @@ object Dedup {
       .select(col("doc_id"), array_distinct(wordShinglesOf(col("w"), n)).as("shingles"))
       .where(size(col("shingles")) > 0)
 
-  /** 60-bit positive long from the first 15 hex chars of md5 — the shared
-    * shingle hash (DuckDB: `('0x'||substr(md5(s),1,15))::BIGINT`). */
-  def md5Long(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  /** Positive long from the first `hexChars` hex chars of md5 — the shared
+    * engine-portable hash (DuckDB: `('0x'||substr(md5(s),1,k))::BIGINT`).
+    * Default 15 chars = 60 bits (the shingle-index family); callers needing
+    * a smaller domain (SimHash's 32-bit word hash, split buckets) pass a
+    * shorter prefix. */
+  def md5Long(c: Column, hexChars: Int = 15): Column =
+    conv(substring(md5(c), 1, hexChars), 16, 10).cast("long")
 
   /** Per-seed xor constant of the MinHash family: md5Long of the decimal
     * seed string, so the oracle can derive the identical constant in SQL. */
@@ -155,10 +158,11 @@ object Dedup {
   /** Full MinHash+LSH near-dup pipeline. */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  shingleN: Int, numHashes: Int, numBands: Int,
-                 threshold: Double): DataFrame = {
+                 threshold: Double, maxBucket: Int = 1024): DataFrame = {
     val sh = shingleSets(docs, idCol, textCol, shingleN)
     val sig = minhashSignatures(sh, numHashes)
-    jaccardVerify(lshCandidatePairs(sig, numHashes, numBands), sh, threshold)
+    jaccardVerify(lshCandidatePairs(sig, numHashes, numBands, maxBucket),
+      sh, threshold)
   }
 
   /** All-pairs n-gram Jaccard via inverted shingle index (no MinHash): pairs
@@ -237,7 +241,7 @@ object Dedup {
                         bits: Int): DataFrame = {
     val tokens = docs
       .select(col(idCol).as("doc_id"), explode(words(lower(col(textCol)))).as("word"))
-      .withColumn("h", conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long"))
+      .withColumn("h", md5Long(col("word"), 8))
     val tallies = (0 until bits).map(i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
         .as(s"t_$i"))

@@ -71,7 +71,21 @@ object ArrowDatasets {
     val reader = new ArrowStreamReader(new ByteArrayInputStream(bytes), allocator)
     val root = reader.getVectorSchemaRoot
     var closed = false
-    def close(): Unit = if (!closed) { closed = true; reader.close(); allocator.close() }
+    // Close quietly: on the decode-failure path the allocator can itself
+    // throw ("memory was leaked" after a partial batch load), which must
+    // not mask the original corruption error being rethrown.
+    def close(): Unit = if (!closed) {
+      closed = true
+      try reader.close() catch { case _: Exception => () }
+      try allocator.close() catch { case _: Exception => () }
+    }
+    // Safety net for abandoned iterators (limit/take/downstream failure
+    // stops pulling mid-stream and exhaustion-close never runs): close at
+    // task end instead of leaking the native allocator for the executor's
+    // lifetime. Null TaskContext = driver-side use; exhaustion-close covers
+    // it.
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => close()))
 
     new Iterator[Iterator[Row]] {
       def hasNext: Boolean = {
