@@ -265,7 +265,14 @@ object Dedup {
     * within Hamming distance < bands must agree on some band — pigeonhole),
     * verified with `bit_count(xor) <= maxDist`. The band is the join key,
     * so candidate generation is O(collisions) — the classic scale recipe
-    * for Hamming-radius search. */
+    * for Hamming-radius search.
+    *
+    * SIZE `bits` TO THE CORPUS: each band carries bits/bands key bits, so
+    * expected bucket size is n / 2^(bits/bands) — the defaults (16/4 ⇒
+    * 4-bit keys) suit test-scale corpora, while a 10⁹-doc run wants e.g.
+    * bits=64, bands=4 (16-bit keys ⇒ ~15k-doc buckets) to keep the
+    * per-bucket pair fan-out bounded. Same pigeonhole guarantee at every
+    * width. */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           bits: Int = 16, bands: Int = 4,
                           maxDist: Int = 3): DataFrame = {

@@ -30,6 +30,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
   }
 
+  test("curate_decontam joins the eval side via broadcast, never sort-merge") {
+    // the 100 TB contract: the corpus side stays narrow; the benchmark-
+    // sized eval hash set broadcasts. A SortMergeJoin here would mean the
+    // full corpus posting stream shuffles on the hash key.
+    val plan = SparkEntry.queries("curate_decontam")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "eval side must broadcast")
+    assert(!plan.contains("SortMergeJoin"), "corpus side must not shuffle-join")
+  }
+
+  test("curate_hash_split plans as a joinless narrow scan + one aggregate") {
+    // split assignment is a pure per-row map: any join or window in this
+    // plan means the md5-bucket design regressed into something stateful
+    val plan = SparkEntry.queries("curate_hash_split")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "hash split must not join")
+    assert(!plan.contains("Window"), "hash split must not window")
+  }
+
   test("non-vector queries never scan an embedding column") {
     val vectorQueries = Set(
       "v1_cosine_topk", "v2_knn_exclude", "v3_knn_fallback", "v5_label_lookup",
