@@ -528,6 +528,14 @@ object OracleSqls {
         |  CAST(sum(tok) AS BIGINT) AS chunk_tokens
         |FROM o GROUP BY 1, 2""".stripMargin,
 
+    // spark.sql text through the injected expressions; NFC of ASCII source
+    // names is the identity, so the oracle needs no normalization
+    "sql_surface" -> s"""SELECT lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(coalesce(${tokExpr("text")}, 0)) AS BIGINT) AS total_tokens,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        |FROM documents GROUP BY lang""".stripMargin,
+
     // temperature-scaled (T=2 ⇒ sqrt) source-rebalancing weights
     "curate_rebalance" ->
       """WITH s AS (

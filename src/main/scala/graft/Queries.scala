@@ -534,6 +534,23 @@ object Queries {
   def curateRebalance(spark: SparkSession, dir: String): DataFrame =
     Curation.rebalanceWeights(T(spark, dir, "documents"))
 
+  /** The SQL extension surface end-to-end (§2.10): plain `spark.sql` text
+    * calling the injected codegen expressions (`graft_token_estimate`,
+    * `graft_nfc`) — what a SQL-only user of the library sees. Same
+    * scan-bound plan as the DataFrame API path (the functions resolve to
+    * the identical Catalyst expressions). */
+  def sqlSurface(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.registerAll(spark)
+    T(spark, dir, "documents").createOrReplaceTempView("graft_documents")
+    spark.sql(
+      """SELECT lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  sum(graft_token_estimate(
+        |    filter(split(text, '\\s+'), w -> w != ''))) AS total_tokens,
+        |  CAST(count(DISTINCT graft_nfc(source)) AS BIGINT) AS n_sources
+        |FROM graft_documents GROUP BY lang""".stripMargin)
+  }
+
   def mmBinaryStats(spark: SparkSession, dir: String): DataFrame =
     TextOps.binaryStatsBySource(T(spark, dir, "documents"))
 
@@ -619,6 +636,7 @@ object Queries {
     "curate_stratified" -> (curateStratified _),
     "curate_pack" -> (curatePack _),
     "curate_rebalance" -> (curateRebalance _),
+    "sql_surface" -> (sqlSurface _),
     "mm_binary_stats" -> (mmBinaryStats _),
     "mm_decode_features" -> (mmDecodeFeatures _),
     "events_hourly" -> (eventsHourly _),
