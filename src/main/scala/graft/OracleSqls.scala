@@ -528,6 +528,44 @@ object OracleSqls {
         |  CAST(sum(tok) AS BIGINT) AS chunk_tokens
         |FROM o GROUP BY 1, 2""".stripMargin,
 
+    // the composed curation pipeline: eval holdout (doc_id % 13 = 0) →
+    // exact dedup (min doc_id per md5(text)) → decontam (any 3-gram
+    // overlap with eval ⇒ drop) → md5 split → packing (budget 200,
+    // (split, source) shards) → per-split manifest
+    "curate_e2e" -> s"""$shingleCte,
+        |ex AS (
+        |  SELECT doc_id, text, source FROM (
+        |    SELECT doc_id, text, source,
+        |      min(doc_id) OVER (PARTITION BY md5(text)) AS k
+        |    FROM documents WHERE doc_id % 13 <> 0)
+        |  WHERE doc_id = k
+        |), tr AS (
+        |  SELECT s.doc_id, unnest(s.s) AS shingle
+        |  FROM sh s JOIN ex ON ex.doc_id = s.doc_id
+        |), ev AS (
+        |  SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 13 = 0
+        |), bad AS (
+        |  SELECT DISTINCT tr.doc_id FROM tr JOIN ev ON tr.shingle = ev.shingle
+        |), spl AS (
+        |  SELECT doc_id, source, text,
+        |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'validation'
+        |      ELSE 'test' END AS split
+        |  FROM (
+        |    SELECT ex.*, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 100 AS b
+        |    FROM ex LEFT JOIN bad USING (doc_id) WHERE bad.doc_id IS NULL)
+        |), off AS (
+        |  SELECT split, source, tok, sum(tok) OVER (PARTITION BY split, source
+        |    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - tok AS start_off
+        |  FROM (SELECT split, source, doc_id, coalesce(${tokExpr("text")}, 0) AS tok
+        |        FROM spl)
+        |)
+        |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(tok) AS BIGINT) AS total_tokens,
+        |  CAST(count(DISTINCT (source, CAST(floor(start_off / 200) AS BIGINT)))
+        |    AS BIGINT) AS n_chunks
+        |FROM off GROUP BY split""".stripMargin,
+
     // spark.sql text through the injected expressions; NFC of ASCII source
     // names is the identity, so the oracle needs no normalization
     "sql_surface" -> s"""SELECT lang,

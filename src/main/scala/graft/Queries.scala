@@ -534,6 +534,12 @@ object Queries {
   def curateRebalance(spark: SparkSession, dir: String): DataFrame =
     Curation.rebalanceWeights(T(spark, dir, "documents"))
 
+  /** The composed curation pipeline (eval holdout → exact dedup →
+    * decontamination → split → packing → per-split manifest). */
+  def curateE2e(spark: SparkSession, dir: String): DataFrame =
+    Curation.endToEndStats(T(spark, dir, "documents"), evalMod = 13,
+      budget = 200L)
+
   /** The SQL extension surface end-to-end (§2.10): plain `spark.sql` text
     * calling the injected codegen expressions (`graft_token_estimate`,
     * `graft_nfc`) — what a SQL-only user of the library sees. Same
@@ -637,6 +643,7 @@ object Queries {
     "curate_pack" -> (curatePack _),
     "curate_rebalance" -> (curateRebalance _),
     "sql_surface" -> (sqlSurface _),
+    "curate_e2e" -> (curateE2e _),
     "mm_binary_stats" -> (mmBinaryStats _),
     "mm_decode_features" -> (mmDecodeFeatures _),
     "events_hourly" -> (eventsHourly _),

@@ -142,7 +142,11 @@ object Curation {
     val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
-      .withColumn("tok", graft.functions.tokenCountEstimate(col("text")))
+      // null/empty text = 0 tokens: without the coalesce a null doc would
+      // null its own start_off (sum skips nulls but `- tok` propagates) and
+      // shift every later doc's chunk in the shard
+      .withColumn("tok",
+        coalesce(graft.functions.tokenCountEstimate(col("text")), lit(0L)))
       .withColumn("start_off", sum(col("tok")).over(w) - col("tok"))
       .withColumn("chunk", floor(col("start_off") / lit(budget)).cast("long"))
   }
@@ -154,6 +158,39 @@ object Curation {
       .groupBy(col("source"), col("chunk"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("tok")).cast("long").as("chunk_tokens"))
+
+  /** The composed curation pipeline — the end-to-end path from a raw
+    * corpus to training-ready shards, built from this object's stages:
+    *
+    *   hold out the eval set (`doc_id % evalMod == 0`) →
+    *   exact dedup (keep min doc_id per content hash) →
+    *   benchmark decontamination ([[contaminationHits]] ≥ 1 ⇒ drop) →
+    *   deterministic split ([[splitOf]]) →
+    *   sequence packing ([[packChunks]] per (split, source) shard) →
+    *   per-split manifest (docs, tokens, chunks).
+    *
+    * Scale shape is the sum of its stages: one content-hash window (exact
+    * dedup), one broadcast semi-join (decontam), a narrow map (split), one
+    * shard-keyed window (pack), and the final tiny rollup. */
+  def endToEndStats(docs: DataFrame, evalMod: Int, budget: Long): DataFrame = {
+    val corpus = docs.where(col("doc_id") % evalMod =!= 0)
+    val evalDocs = docs.where(col("doc_id") % evalMod === 0)
+    val exact = corpus
+      .withColumn("__keeper",
+        min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+      .where(col("doc_id") === col("__keeper"))
+      .drop("__keeper")
+    val contaminated = contaminationHits(exact, evalDocs, "doc_id", "text")
+      .select(col("doc_id"))
+    val clean = exact.join(contaminated, Seq("doc_id"), "left_anti")
+      .withColumn("split", splitOf(col("doc_id")))
+      .withColumn("shard", concat_ws("/", col("split"), col("source")))
+    packChunks(clean, "shard", "doc_id", budget)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).cast("long").as("total_tokens"),
+        countDistinct(col("shard"), col("chunk")).as("n_chunks"))
+  }
 
   /** Temperature-scaled source-rebalancing weights (the multilingual-
     * sampling scheme: p_src ∝ share_src^(1/T), here T=2 ⇒ sqrt — sqrt is

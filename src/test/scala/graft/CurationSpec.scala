@@ -74,6 +74,26 @@ class CurationSpec extends SparkSpec {
     assert(chunks === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L))
   }
 
+  test("packChunks treats null/empty text as zero tokens, not poison") {
+    val d = Seq(
+      (1L, "alpha betaa gamma delta epsil zetaa", "en", "srcA", 35),
+      (2L, null.asInstanceOf[String], "en", "srcA", 0),
+      (3L, "", "en", "srcA", 0),
+      (4L, "alpha betaa gamma delta epsil zetaa", "en", "srcA", 35)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val chunks = Curation.packChunks(d, "source", "doc_id", budget = 20L)
+      .select("doc_id", "chunk").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // doc1: start 0 → chunk 0; docs 2,3: 0 tokens at offset 12 → chunk 0;
+    // doc4: start 12 → chunk 0 (budget 20 cut at 20, doc4 straddles)
+    assert(chunks === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+    val chunks2 = Curation.packChunks(d, "source", "doc_id", budget = 10L)
+      .select("doc_id", "chunk").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // budget 10: doc4 starts at 12 → chunk 1 even with null docs between
+    assert(chunks2 === Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
   test("rebalanceWeights up-weights tail sources under sqrt temperature") {
     val d = (1L to 90L).map(i => (i, "x", "en", "big", 1)) ++
       (91L to 100L).map(i => (i, "x", "en", "small", 1))
@@ -86,6 +106,22 @@ class CurationSpec extends SparkSpec {
     assert(rows("small")._2 > 2.0 && rows("big")._2 < 1.0) // boost direction
     // weights sum to 1
     assert(math.abs(rows.values.map(_._1).sum - 1.0) < 1e-6)
+  }
+
+  test("endToEndStats drops dups and contaminated docs before split+pack") {
+    // doc 13 is eval (13 % 13 == 0); doc 2 duplicates doc 1 exactly (exact
+    // dedup drops it); doc 3 shares doc 13's trigrams (decontam drops it);
+    // docs 1, 4 survive to the manifest
+    val d = Seq(
+      (1L, "one two three four five six", "en", "srcA", 27),
+      (2L, "one two three four five six", "en", "srcA", 27),
+      (3L, "held out benchmark text here today", "en", "srcA", 34),
+      (4L, "totally separate content words only", "en", "srcB", 35),
+      (13L, "held out benchmark text here today", "en", "srcEval", 34)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val m = Curation.endToEndStats(d, evalMod = 13, budget = 200L)
+      .agg(sum(col("n_docs"))).first().getLong(0)
+    assert(m === 2L) // only docs 1 and 4 survive, whatever their splits
   }
 
   test("repetitionScore is the duplicate n-gram fraction; null under n words") {
