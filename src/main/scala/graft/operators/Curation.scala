@@ -48,6 +48,19 @@ object Curation {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** The filtering form of [[contaminationHits]]: the training corpus with
+    * every doc sharing ≥ `minHits` distinct shingles with the eval set
+    * removed (what a pipeline actually consumes; the hits form is the
+    * audit report). Same broadcast shape plus one left-anti join. */
+  def decontaminate(train: DataFrame, evalDocs: DataFrame,
+                    idCol: String, textCol: String, n: Int = 3,
+                    minHits: Long = 1L): DataFrame = {
+    val bad = contaminationHits(train, evalDocs, idCol, textCol, n)
+      .where(col("n_hits") >= minHits)
+      .select(col("doc_id").as(idCol))
+    train.join(bad, Seq(idCol), "left_anti")
+  }
+
   /** Deterministic md5 split bucket in [0, 100): stable across runs,
     * engines, and cluster sizes — the property a train/val/test split must
     * have so re-runs and backfills land every doc in the same split.
@@ -180,9 +193,7 @@ object Curation {
         min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
       .where(col("doc_id") === col("__keeper"))
       .drop("__keeper")
-    val contaminated = contaminationHits(exact, evalDocs, "doc_id", "text")
-      .select(col("doc_id"))
-    val clean = exact.join(contaminated, Seq("doc_id"), "left_anti")
+    val clean = decontaminate(exact, evalDocs, "doc_id", "text")
       .withColumn("split", splitOf(col("doc_id")))
       .withColumn("shard", concat_ws("/", col("split"), col("source")))
     packChunks(clean, "shard", "doc_id", budget)
