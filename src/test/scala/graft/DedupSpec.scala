@@ -165,6 +165,32 @@ class DedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup evicts state past the watermark (documented trade)") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    val out = Dedup.streamingExactDedup(
+      stream.toDF().toDF("doc_id", "text", "ts"), "doc_id", "text", "ts", "10 minutes")
+    val q = out.writeStream.format("memory")
+      .queryName("sdedup_evict").outputMode("append").start()
+    try {
+      stream.addData((1L, "same text", Timestamp.valueOf("2024-01-01 00:00:00")))
+      q.processAllAvailable()
+      // advance the watermark far past doc 1's horizon, evicting its state
+      stream.addData((2L, "advancer", Timestamp.valueOf("2024-01-01 02:00:00")))
+      q.processAllAvailable()
+      // the SAME content arriving after eviction is re-emitted — the
+      // bounded-state/recall trade the scaladoc promises (widen the
+      // watermark to tighten recall)
+      stream.addData((3L, "same text", Timestamp.valueOf("2024-01-01 02:01:00")))
+      q.processAllAvailable()
+      val ids = spark.table("sdedup_evict").collect()
+        .map(_.getAs[Long]("doc_id")).sorted
+      assert(ids === Array(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("md5Long matches the DuckDB hex-prefix conversion on a known value") {
     // DuckDB: ('0x'||substr(md5('hello'),1,15))::BIGINT = 419982666956583591
     val v = spark.range(1).select(Dedup.md5Long(lit("hello"))).head().getLong(0)
