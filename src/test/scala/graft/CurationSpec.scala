@@ -94,6 +94,40 @@ class CurationSpec extends SparkSpec {
     assert(chunks2 === Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
   }
 
+  test("packChunks invariants hold on a randomized corpus") {
+    // seeded pseudo-random docs across 5 shards: token totals must be
+    // preserved, chunk ids contiguous from 0 per shard, and chunk
+    // assignment monotone in doc order — for ANY input, not just the
+    // hand-built cases above
+    val rnd = new scala.util.Random(42)
+    val d = (1L to 200L).map { i =>
+      val words = Seq.fill(rnd.nextInt(40))("w" * (1 + rnd.nextInt(9)))
+      (i, words.mkString(" "), "en", s"src${rnd.nextInt(5)}", words.size)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val packed = Curation.packChunks(d, "source", "doc_id", budget = 100L)
+      .select("source", "doc_id", "tok", "chunk").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    val byShard = packed.groupBy(_._1)
+    byShard.foreach { case (_, docs) =>
+      val chunks = docs.map(_._4).toSet
+      assert(chunks === (0L to chunks.max).toSet)      // contiguous from 0
+      val inIdOrder = docs.sortBy(_._2).map(_._4)
+      assert(inIdOrder === inIdOrder.sorted)           // monotone in id order
+      // every non-final chunk spans at least the budget: the docs STARTING
+      // in it plus the straddling doc cover [c*budget, (c+1)*budget)
+      val totalTok = docs.map(_._3).sum
+      assert(chunks.max === (if (totalTok == 0) 0L else {
+        val lastStart = docs.sortBy(_._2).scanLeft(0L)(_ + _._3).init.last
+        lastStart / 100L
+      }))
+    }
+    // token mass preserved through the chunk rollup
+    val manifest = Curation.packStats(d, budget = 100L)
+      .agg(sum(col("chunk_tokens"))).first().getLong(0)
+    assert(manifest === packed.map(_._3).sum)
+  }
+
   test("rebalanceWeights up-weights tail sources under sqrt temperature") {
     val d = (1L to 90L).map(i => (i, "x", "en", "big", 1)) ++
       (91L to 100L).map(i => (i, "x", "en", "small", 1))

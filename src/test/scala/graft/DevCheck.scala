@@ -1,7 +1,8 @@
 package graft
 
-/** Temporary dev harness: dump one catalog query as CSV for oracle-SQL
-  * development (removed before round end). */
+/** Dev harness (kept deliberately — documented in the verify skill): dump
+  * one catalog query as CSV, or its oracle SQL via DEV_SQL_OUT, for
+  * oracle-SQL development. */
 object DevCheck {
   def main(args: Array[String]): Unit = {
     val name = args(0)
