@@ -495,7 +495,7 @@ object OracleSqls {
         |)
         |SELECT CASE WHEN bucket < 80 THEN 'train'
         |            WHEN bucket < 90 THEN 'validation'
-        |            ELSE 'test' END AS split,
+        |            WHEN bucket >= 90 THEN 'test' END AS split,
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM b GROUP BY 1""".stripMargin,
@@ -549,7 +549,7 @@ object OracleSqls {
         |), spl AS (
         |  SELECT doc_id, source, text,
         |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'validation'
-        |      ELSE 'test' END AS split
+        |      WHEN b >= 90 THEN 'test' END AS split
         |  FROM (
         |    SELECT ex.*, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
         |      % 100 AS b

@@ -69,25 +69,38 @@ object Curation {
   def splitBucket(id: Column): Column =
     Dedup.md5Long(id.cast("string"), 8) % 100
 
+  /** Split name from an already-computed [[splitBucket]] column. No ELSE
+    * arm on purpose: a null bucket (null id) surfaces as a null split
+    * rather than being silently folded into 'test' — the oracles mirror
+    * this with an explicit `WHEN bucket >= 90` arm. A MEASURED dead end
+    * documented so it isn't retried: the branch-free
+    * `element_at(array(...), idx)` form mis-handles nulls — Spark 4.1
+    * returns the LAST array element for a null index on a foldable array —
+    * so the straightforward CaseWhen stays, and bulk callers dodge its
+    * repeated-md5 cost by materializing the bucket column once first. */
+  def splitFromBucket(b: Column, trainPct: Int = 80, valPct: Int = 10): Column =
+    when(b < trainPct, lit("train"))
+      .when(b < trainPct + valPct, lit("validation"))
+      .when(b >= trainPct + valPct, lit("test"))
+
   /** train/validation/test assignment from [[splitBucket]]: first
     * `trainPct` buckets → train, next `valPct` → validation, rest → test.
     * A pure narrow map — at 100 TB the split materializes as a partition
-    * column on write, never as a shuffle. Branch-free on purpose: both
-    * bucket comparisons are unconditional operands of one projection, so
-    * codegen's subexpression elimination computes the md5 ONCE per row —
-    * a CaseWhen chain evaluates only reachable branches and re-hashes for
-    * the second predicate. */
-  def splitOf(id: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
-    val b = splitBucket(id)
-    val idx = (b >= trainPct).cast("int") + (b >= trainPct + valPct).cast("int")
-    element_at(array(lit("train"), lit("validation"), lit("test")), idx + 1)
-  }
+    * column on write, never as a shuffle. Inline form (the CaseWhen may
+    * hash up to twice per row); bulk paths project [[splitBucket]] into a
+    * column once and use [[splitFromBucket]]. */
+  def splitOf(id: Column, trainPct: Int = 80, valPct: Int = 10): Column =
+    splitFromBucket(splitBucket(id), trainPct, valPct)
 
   /** Split assignment rollup: per-split doc count and char volume (the
     * sanity check run right after any split assignment). */
   def hashSplitStats(docs: DataFrame, idCol: String,
                      trainPct: Int = 80, valPct: Int = 10): DataFrame =
-    docs.select(splitOf(col(idCol), trainPct, valPct).as("split"), col("n_chars"))
+    // bucket materialized as a column first: md5 once per row (the bucket
+    // is non-cheap, so CollapseProject keeps the projection boundary)
+    docs.select(splitBucket(col(idCol)).as("bucket"), col("n_chars"))
+      .select(splitFromBucket(col("bucket"), trainPct, valPct).as("split"),
+        col("n_chars"))
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).cast("long").as("total_chars"))
@@ -117,22 +130,33 @@ object Curation {
         sum(col("n_chars")).cast("long").as("kept_chars"),
         min(col("n_chars")).cast("long").as("cutoff_chars"))
 
-  /** Duplicate word-`n`-gram fraction within one document — the Gopher
-    * repetition filter (high values mean degenerate boilerplate/loops).
-    * Null for docs with fewer than `n` words (no n-grams to judge). */
-  def repetitionScore(text: Column, n: Int): Column = {
-    val sh = wordShingles(text, n)
+  /** Duplicate word-`n`-gram fraction over an already-materialized words
+    * array — the Gopher repetition filter (high values mean degenerate
+    * boilerplate/loops). Null for docs with fewer than `n` words (no
+    * n-grams to judge). Takes the words COLUMN, not raw text, for the same
+    * reason [[Dedup.shingleSets]] does: HOF shingle lambdas are
+    * CodegenFallback and re-evaluate an inlined tokenizer subtree per
+    * reference, so callers materialize `words(text)` once per doc first. */
+  def repetitionScoreOf(w: Column, n: Int): Column = {
+    val sh = wordShinglesOf(w, n)
     val total = size(sh).cast("double")
     (total - size(array_distinct(sh)).cast("double")) / nullif(total, lit(0.0))
   }
+
+  /** Convenience single-column form (tokenizes inline — fine for ad-hoc
+    * use; bulk scans should materialize words once and use
+    * [[repetitionScoreOf]]). */
+  def repetitionScore(text: Column, n: Int): Column =
+    repetitionScoreOf(words(text), n)
 
   /** Repetition rollup per language: mean duplicate-bigram and -trigram
     * fractions plus the count of docs above the `flagAt` bigram threshold
     * (the drop candidates). Scan-bound; the rollup is map-side combined. */
   def repetitionByLang(docs: DataFrame, flagAt: Double = 0.5): DataFrame =
-    docs.select(col("lang"),
-        repetitionScore(col("text"), 2).as("rep2"),
-        repetitionScore(col("text"), 3).as("rep3"))
+    docs.select(col("lang"), words(col("text")).as("w"))
+      .select(col("lang"),
+        repetitionScoreOf(col("w"), 2).as("rep2"),
+        repetitionScoreOf(col("w"), 3).as("rep3"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         round(avg(col("rep2")), 6).as("avg_rep2"),
@@ -194,7 +218,9 @@ object Curation {
       .where(col("doc_id") === col("__keeper"))
       .drop("__keeper")
     val clean = decontaminate(exact, evalDocs, "doc_id", "text")
-      .withColumn("split", splitOf(col("doc_id")))
+      .withColumn("bucket", splitBucket(col("doc_id")))
+      .withColumn("split", splitFromBucket(col("bucket")))
+      .drop("bucket")
       .withColumn("shard", concat_ws("/", col("split"), col("source")))
     packChunks(clean, "shard", "doc_id", budget)
       .groupBy(col("split"))

@@ -67,9 +67,14 @@ object ArrowDatasets {
     * must be copied out before `loadNextBatch` overwrites the vectors,
     * which is what the per-batch buffer does. */
   private def decodeStream(bytes: Array[Byte]): Iterator[Row] = {
-    val allocator = new RootAllocator()
-    val reader = new ArrowStreamReader(new ByteArrayInputStream(bytes), allocator)
-    val root = reader.getVectorSchemaRoot
+    // vars, not vals: close() nulls them so the task-completion listener
+    // closure stops pinning the reader → ByteArrayInputStream → shard byte
+    // array chain after a shard finishes (binaryFile packs several shards
+    // per task; a val-capturing listener would keep every finished shard's
+    // buffer live until task end — the exact cost this lazy decode avoids)
+    var allocator: RootAllocator = new RootAllocator()
+    var reader: ArrowStreamReader =
+      new ArrowStreamReader(new ByteArrayInputStream(bytes), allocator)
     var closed = false
     // Close quietly: on the decode-failure path the allocator can itself
     // throw ("memory was leaked" after a partial batch load), which must
@@ -78,6 +83,8 @@ object ArrowDatasets {
       closed = true
       try reader.close() catch { case _: Exception => () }
       try allocator.close() catch { case _: Exception => () }
+      reader = null
+      allocator = null
     }
     // Safety net for abandoned iterators (limit/take/downstream failure
     // stops pulling mid-stream and exhaustion-close never runs): close at
@@ -86,19 +93,30 @@ object ArrowDatasets {
     // it.
     Option(org.apache.spark.TaskContext.get())
       .foreach(_.addTaskCompletionListener[Unit](_ => close()))
+    // the schema header read can itself fail (truncated/empty shard) — it
+    // must not leak the just-created reader/allocator
+    val root = try reader.getVectorSchemaRoot
+      catch { case e: Throwable => close(); throw e }
 
     new Iterator[Iterator[Row]] {
+      // memoized pending batch: hasNext must be idempotent (the Iterator
+      // contract allows repeated hasNext before next), so the stream only
+      // advances when nothing is buffered
+      private var pending: Iterator[Row] = null
       def hasNext: Boolean = {
+        if (pending != null) return true
         if (closed) return false
         val more = try reader.loadNextBatch() catch { case e: Throwable => close(); throw e }
-        if (!more) close()
-        more
+        if (!more) { close(); return false }
+        val vectors = root.getFieldVectors.asScala.toSeq
+        // copy out before the next loadNextBatch overwrites the vectors
+        pending = Array.tabulate(root.getRowCount)(i =>
+          Row.fromSeq(vectors.map(v => normalize(v.getObject(i))))).iterator
+        true
       }
       def next(): Iterator[Row] = {
-        val vectors = root.getFieldVectors.asScala.toSeq
-        val batch = Array.tabulate(root.getRowCount)(i =>
-          Row.fromSeq(vectors.map(v => normalize(v.getObject(i)))))
-        batch.iterator
+        if (!hasNext) throw new NoSuchElementException("exhausted arrow stream")
+        val b = pending; pending = null; b
       }
     }.flatten
   }

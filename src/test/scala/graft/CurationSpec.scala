@@ -49,6 +49,14 @@ class CurationSpec extends SparkSpec {
     // deterministic: re-evaluation gives the identical assignment
     val again = ids.select(Curation.splitOf($"id").as("s2"), $"id")
     assert(splits.join(again, "id").where($"s" =!= $"s2").count() === 0L)
+    // a null id surfaces as a null split (not silently bucketed into
+    // test). Runtime null via when(), not a null literal: constant-null
+    // folding over a LocalRelation trips a Spark interpreted-projection
+    // internal error unrelated to the semantics under test.
+    val nullSplit = spark.range(1)
+      .select(Curation.splitOf(when($"id" < 0, $"id")).as("s"))
+      .head().isNullAt(0)
+    assert(nullSplit)
   }
 
   test("stratifiedCap keeps top-quota per strata by (n_chars desc, id)") {
@@ -95,10 +103,12 @@ class CurationSpec extends SparkSpec {
   }
 
   test("packChunks invariants hold on a randomized corpus") {
-    // seeded pseudo-random docs across 5 shards: token totals must be
-    // preserved, chunk ids contiguous from 0 per shard, and chunk
-    // assignment monotone in doc order — for ANY input, not just the
-    // hand-built cases above
+    // seeded pseudo-random docs across 5 shards; the TRUE invariants only:
+    // chunk = floor(start_off/budget) against an independent driver-side
+    // cumsum, monotone assignment in doc order, token mass preserved.
+    // (Chunk-id contiguity is deliberately NOT asserted: a doc longer than
+    // a full budget can jump the next chunk entirely — start offsets, not
+    // chunk ids, are the contract.)
     val rnd = new scala.util.Random(42)
     val d = (1L to 200L).map { i =>
       val words = Seq.fill(rnd.nextInt(40))("w" * (1 + rnd.nextInt(9)))
@@ -108,19 +118,15 @@ class CurationSpec extends SparkSpec {
       .select("source", "doc_id", "tok", "chunk").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
 
-    val byShard = packed.groupBy(_._1)
-    byShard.foreach { case (_, docs) =>
-      val chunks = docs.map(_._4).toSet
-      assert(chunks === (0L to chunks.max).toSet)      // contiguous from 0
-      val inIdOrder = docs.sortBy(_._2).map(_._4)
-      assert(inIdOrder === inIdOrder.sorted)           // monotone in id order
-      // every non-final chunk spans at least the budget: the docs STARTING
-      // in it plus the straddling doc cover [c*budget, (c+1)*budget)
-      val totalTok = docs.map(_._3).sum
-      assert(chunks.max === (if (totalTok == 0) 0L else {
-        val lastStart = docs.sortBy(_._2).scanLeft(0L)(_ + _._3).init.last
-        lastStart / 100L
-      }))
+    packed.groupBy(_._1).foreach { case (_, docs) =>
+      val inIdOrder = docs.sortBy(_._2)
+      val starts = inIdOrder.scanLeft(0L)(_ + _._3).init
+      // chunk matches an independently computed running offset, doc by doc
+      inIdOrder.zip(starts).foreach { case ((_, id, _, chunk), start) =>
+        assert(chunk === start / 100L, s"doc $id")
+      }
+      val chunkSeq = inIdOrder.map(_._4)
+      assert(chunkSeq === chunkSeq.sorted)             // monotone in id order
     }
     // token mass preserved through the chunk rollup
     val manifest = Curation.packStats(d, budget = 100L)
