@@ -29,6 +29,18 @@ class ArrowDatasetsSpec extends SparkSpec {
     assert(rows(2).isNullAt(3))                   // null list survives
   }
 
+  test("partial consumption (limit/take) neither hangs nor corrupts rows") {
+    // exercises the abandoned-iterator path: the task stops pulling after
+    // one row mid-shard, so the reader/allocator close via the
+    // task-completion listener rather than exhaustion; a second full read
+    // after the partial one must still see every row (fresh per-task
+    // decode state, nothing shared or half-consumed)
+    val first = ArrowDatasets.readSplit(spark, s"$fixture/train")
+      .orderBy("id").take(1)
+    assert(first.head.getLong(0) === 0L)
+    assert(ArrowDatasets.readSplit(spark, s"$fixture/train").count() === 3L)
+  }
+
   test("readDatasetDict: splits from dataset_dict.json") {
     val dd = ArrowDatasets.readDatasetDict(spark, fixture)
     assert(dd.keySet === Set("train", "valid"))
