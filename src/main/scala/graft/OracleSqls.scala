@@ -513,6 +513,17 @@ object OracleSqls {
         |  CAST(min(n_chars) AS BIGINT) AS cutoff_chars
         |FROM rk WHERE rk <= 10 GROUP BY source""".stripMargin,
 
+    // exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    // quantile_cont: both linear-interpolation)
+    "text_quantiles" -> s"""WITH t AS (
+        |  SELECT lang, coalesce(${tokExpr("text")}, 0) AS tok FROM documents
+        |)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(quantile_cont(tok, 0.5), 6) AS p50_tok,
+        |  round(quantile_cont(tok, 0.9), 6) AS p90_tok,
+        |  round(quantile_cont(tok, 0.99), 6) AS p99_tok
+        |FROM t GROUP BY lang""".stripMargin,
+
     // concatenate-and-cut packing, budget 200 tokens, per-source shards,
     // doc_id order; a doc's chunk is where its FIRST token lands
     "curate_pack" -> s"""WITH t AS (

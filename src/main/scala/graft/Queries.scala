@@ -528,6 +528,9 @@ object Queries {
   def textRepetition(spark: SparkSession, dir: String): DataFrame =
     Curation.repetitionByLang(T(spark, dir, "documents"), flagAt = 0.2)
 
+  def textQuantiles(spark: SparkSession, dir: String): DataFrame =
+    TextOps.lengthQuantiles(T(spark, dir, "documents"))
+
   def curatePack(spark: SparkSession, dir: String): DataFrame =
     Curation.packStats(T(spark, dir, "documents"), budget = 200L)
 
@@ -637,6 +640,7 @@ object Queries {
     "text_fingerprint" -> (textFingerprint _),
     "text_scrub" -> (textScrub _),
     "text_repetition" -> (textRepetition _),
+    "text_quantiles" -> (textQuantiles _),
     "curate_decontam" -> (curateDecontam _),
     "curate_hash_split" -> (curateHashSplit _),
     "curate_stratified" -> (curateStratified _),

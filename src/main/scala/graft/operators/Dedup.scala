@@ -50,6 +50,38 @@ object Dedup {
       .dropDuplicatesWithinWatermark("content_hash")
       .select(col(idCol), col("content_hash"), col(tsCol))
 
+  /** Incremental-ingest dedup pre-filter using Spark's native
+    * runtime-filter machinery (`BloomFilterAggregate` /
+    * `BloomFilterMightContain` — the same expressions AQE's
+    * InjectRuntimeFilter plants, so the probe is codegen'd, not a UDF):
+    * build a Bloom filter over the HISTORICAL corpus's content hashes in
+    * one distributed aggregate, then probe the incoming batch with a
+    * map-side bit test. `maybe_dup = false` is DEFINITIVE — a novel doc
+    * is emitted with NO join against history — while `true` rows (real
+    * duplicates plus ~`fpp` false positives) proceed to the exact
+    * anti-join. At 100 TB the common ingest case (novel doc) never
+    * shuffles and never touches the historical corpus again.
+    *
+    * Sizing: the serialized filter is ~`-n·ln(fpp)/ln²2 / 8` bytes and
+    * ships in the plan (≈ 0.9 GB at 10⁹ items / 3% — size `fpp` up or
+    * filter per shard at that scale; 10⁸ items / 3% ≈ 90 MB is the
+    * comfortable broadcast ceiling). */
+  def bloomMaybeDup(history: DataFrame, batch: DataFrame, textCol: String,
+                    expectedItems: Long, fpp: Double = 0.03): DataFrame = {
+    import org.apache.spark.sql.graftbridge.bridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    val numBits = math.ceil(
+      -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    def keyed(c: Column) = bridge.expression(xxhash64(md5(c)))
+    val agg = new BloomFilterAggregate(keyed(col(textCol)),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+    val bf = history.select(bridge.column(agg).as("bf")).head().getAs[Array[Byte]](0)
+    batch.withColumn("maybe_dup", bridge.column(
+      BloomFilterMightContain(Literal(bf, BinaryType), keyed(col(textCol)))))
+  }
+
   /** Doc → word-`n`-gram shingle set (distinct). The words array is
     * materialized first so the split/filter runs once per doc; the shingle
     * lambda then only does O(1) `element_at` lookups. */

@@ -85,6 +85,24 @@ object TextOps {
         sum(col("tok")).as("total_tokens"),
         round(avg(col("tok")), 6).as("avg_tokens"))
 
+  /** Token-length distribution report per language: p50/p90/p99 of the
+    * estimated token count — the corpus-shape summary every curation run
+    * prints before and after filtering. Uses EXACT `percentile` (per-group
+    * sort) so the DuckDB oracle (`quantile_cont`, same linear
+    * interpolation) can hash-match; at 100 TB swap in
+    * `approx_percentile(tok, p, accuracy)` — same output columns, sketch
+    * merge instead of sort, the standard exactness/scale trade. */
+  def lengthQuantiles(docs: DataFrame): DataFrame = {
+    val tok = coalesce(tokenCountEstimate(col("text")), lit(0L))
+    val ps = percentile(col("tok"), array(lit(0.5), lit(0.9), lit(0.99)))
+    docs.select(col("lang"), tok.as("tok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(element_at(ps, 1), 6).as("p50_tok"),
+        round(element_at(ps, 2), 6).as("p90_tok"),
+        round(element_at(ps, 3), 6).as("p99_tok"))
+  }
+
   /** Document fingerprint: md5 over the sorted distinct lowercase word set
     * (bag-of-words canonical form — rolling-hash-family fingerprinting,
     * deterministic and engine-portable). Groups with >1 doc are near-dups

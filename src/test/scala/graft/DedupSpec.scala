@@ -191,6 +191,26 @@ class DedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bloomMaybeDup: no false negatives, bounded false positives, map-side probe") {
+    val history = (1L to 500L).map(i => (i, s"historical doc number $i text"))
+      .toDF("doc_id", "text")
+    val dups = (1L to 20L).map(i => (1000L + i, s"historical doc number $i text"))
+    val novel = (1L to 100L).map(i => (2000L + i, s"brand new incoming doc $i"))
+    val probed = Dedup.bloomMaybeDup(history, (dups ++ novel).toDF("doc_id", "text"),
+      "text", expectedItems = 500L)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    // every true duplicate MUST be flagged — bloom guarantees no false negatives
+    assert(dups.forall { case (id, _) => probed(id) })
+    // false positives bounded well above the 3% design point but far
+    // below "everything" — the filter actually discriminates
+    val fp = novel.count { case (id, _) => probed(id) }
+    assert(fp <= 15, s"$fp false positives out of 100")
+    // the probe itself must plan as a literal bit test: no join, no shuffle
+    val plan = Dedup.bloomMaybeDup(history, novel.toDF("doc_id", "text"),
+      "text", expectedItems = 500L).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"))
+  }
+
   test("md5Long matches the DuckDB hex-prefix conversion on a known value") {
     // DuckDB: ('0x'||substr(md5('hello'),1,15))::BIGINT = 419982666956583591
     val v = spark.range(1).select(Dedup.md5Long(lit("hello"))).head().getLong(0)
