@@ -78,7 +78,10 @@ object Dedup {
     val agg = new BloomFilterAggregate(keyed(col(textCol)),
       Literal(expectedItems), Literal(numBits)).toAggregateExpression()
     val bf = history.select(bridge.column(agg).as("bf")).head().getAs[Array[Byte]](0)
-    batch.withColumn("maybe_dup", bridge.column(
+    // empty history aggregates to a null filter; nothing can be a dup then
+    // (a null literal would null the whole column instead)
+    if (bf == null) batch.withColumn("maybe_dup", lit(false))
+    else batch.withColumn("maybe_dup", bridge.column(
       BloomFilterMightContain(Literal(bf, BinaryType), keyed(col(textCol)))))
   }
 

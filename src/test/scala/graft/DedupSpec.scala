@@ -209,6 +209,12 @@ class DedupSpec extends SparkSpec {
     val plan = Dedup.bloomMaybeDup(history, novel.toDF("doc_id", "text"),
       "text", expectedItems = 500L).queryExecution.executedPlan.toString
     assert(!plan.contains("Join") && !plan.contains("Exchange"))
+    // empty history → null aggregate result → nothing is a dup (not a
+    // null column)
+    val empty = Dedup.bloomMaybeDup(history.where(lit(false)),
+      novel.take(3).toDF("doc_id", "text"), "text", expectedItems = 500L)
+      .collect().map(_.getBoolean(2))
+    assert(empty.forall(_ == false))
   }
 
   test("md5Long matches the DuckDB hex-prefix conversion on a known value") {
