@@ -53,17 +53,24 @@ object Bench {
       // SUBTRACT from the total (a broken query made the bench faster)
       name -> (if (ok.isEmpty) -1.0 else ok(ok.length / 2))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Keep the JSON line SHORT: the driver captures only the tail (~2.2 KB)
+    // of the run's output, and rounds 1-3 each emitted a full-precision line
+    // (>2.1 KB) whose head — the "metric" key — fell off the buffer, so
+    // "parsed" came back null three rounds running. 3-decimal medians keep
+    // the whole line comfortably inside the tail window.
+    def r3(v: Double): String =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$Runs}"""
-    // Three pickup paths (round-1 AND round-2 drivers both failed to parse
-    // sbt-wrapped stdout — see README "Benchmark output"):
-    println(json)                        // plain line (historical contract)
+    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$Runs}"""
+    // Pickup paths, ordered so the LAST stdout line is the complete plain
+    // JSON (the tail-window parse sees it whole):
     println("BENCH_JSON:" + json)        // delimited, grep-able through sbt
     System.err.println("BENCH_JSON:" + json) // stderr escapes sbt [info] wrap
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_result.json"),
       (json + "\n").getBytes("UTF-8"))
+    println(json)                        // plain line, final (historical contract)
     spark.stop()
   }
 }
