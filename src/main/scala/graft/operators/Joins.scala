@@ -45,13 +45,10 @@ object Joins {
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
                payloadCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val payloadType =
+      org.apache.spark.sql.types.StructType(payloadCols.map(c => right.schema(c)))
     val l = left
-      .withColumn("__p", lit(null).cast(
-        right.select(payloadCols.map(col): _*).schema.toDDL match {
-          case _ => org.apache.spark.sql.functions.struct(
-            payloadCols.map(c => right.schema(c)).map(f =>
-              lit(null).cast(f.dataType).as(f.name)): _*).expr.dataType.sql
-        }))
+      .withColumn("__p", lit(null).cast(payloadType))
       .withColumn("__side", lit(1))
     val r = right
       .select(Seq(col(key), col(ts)) :+
@@ -91,11 +88,12 @@ object Joins {
   def rangeJoinBinned(points: DataFrame, intervals: DataFrame, key: String,
                       pt: String, start: String, end: String,
                       binWidth: Long): DataFrame = {
-    val bw = lit(binWidth)
+    // exact floor division (decimal, not double: epoch nanos exceed 2^53)
+    def bin(c: Column): Column =
+      floor(c.cast("decimal(38,0)") / lit(binWidth)).cast("long")
     val iv = intervals.withColumn("__bin",
-      explode(sequence(col(start).cast("long") / bw,
-        (col(end).cast("long") - 1) / bw)))
-    val p = points.withColumn("__bin", col(pt).cast("long") / bw)
+      explode(sequence(bin(col(start)), bin(col(end) - 1))))
+    val p = points.withColumn("__bin", bin(col(pt)))
     p.join(iv, Seq(key, "__bin"))
       .where(col(pt) >= col(start) && col(pt) < col(end))
       .drop("__bin")
