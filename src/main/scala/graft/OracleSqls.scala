@@ -945,6 +945,30 @@ object OracleSqls {
         |  CAST(sum(strlen(text)) AS BIGINT) AS total_bytes
         |FROM documents GROUP BY source""".stripMargin,
 
+    "join_asof" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, event_id AS click_id FROM events
+        |  WHERE event_type = 'click'
+        |), views AS (
+        |  SELECT user_id, ts, max(event_id) AS view_id FROM events
+        |  WHERE event_type = 'view' GROUP BY 1, 2
+        |)
+        |SELECT c.click_id, v.view_id
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND c.ts >= v.ts""".stripMargin,
+
+    "join_range" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, event_id AS click_id FROM events
+        |  WHERE event_type = 'click'
+        |), errors AS (
+        |  SELECT user_id, ts, event_id AS error_id FROM events
+        |  WHERE event_type = 'error'
+        |)
+        |SELECT c.click_id, e.error_id
+        |FROM clicks c JOIN errors e ON c.user_id = e.user_id
+        |  AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 1 HOUR""".stripMargin,
+
     "events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
         |  CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 2) AS total_value

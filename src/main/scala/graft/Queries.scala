@@ -576,6 +576,45 @@ object Queries {
     T(spark, dir, "events")
   }
 
+  /** Events at microsecond precision: the driver parquet is TIMESTAMP(NANOS)
+    * (int64 nanos to Spark under the legacy flag), but DuckDB reads the same
+    * file floor-truncated to microsecond TIMESTAMP — so the temporal-join
+    * surface compares at exact integer micros on both engines. Floor
+    * division via decimal, not double: epoch nanos exceed 2^53. */
+  private def eventsUs(spark: SparkSession, dir: String): DataFrame =
+    eventsT(spark, dir).withColumn("ts_us",
+      floor(col("ts").cast("decimal(38,0)") / lit(1000L)).cast("long"))
+
+  /** As-of join over events: each click attaches the most recent
+    * at-or-before view of the same user (inclusive). The right side is
+    * pre-deduped to one row per (user, instant) so equal-ts tie resolution
+    * cannot differ between engines. Oracle = DuckDB's native ASOF JOIN. */
+  def joinAsof(spark: SparkSession, dir: String): DataFrame = {
+    val e = eventsUs(spark, dir)
+    val clicks = e.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), col("event_id").as("click_id"))
+    val views = e.where(col("event_type") === "view")
+      .groupBy("user_id", "ts_us").agg(max("event_id").as("view_id"))
+    Joins.asofJoin(clicks, views, "user_id", "ts_us", Seq("view_id"))
+      .select(col("click_id"), col("view_id"))
+  }
+
+  /** Range join over events: clicks matched to the one-hour half-open
+    * window after each error of the same user, binned at 15 minutes (≈ the
+    * window length ⇒ ≤ 5 bins per interval). */
+  def joinRange(spark: SparkSession, dir: String): DataFrame = {
+    val e = eventsUs(spark, dir)
+    val clicks = e.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), col("event_id").as("click_id"))
+    val errors = e.where(col("event_type") === "error")
+      .select(col("user_id"), col("ts_us").as("w_start"),
+        (col("ts_us") + lit(3600L * 1000000L)).as("w_end"),
+        col("event_id").as("error_id"))
+    Joins.rangeJoinBinned(clicks, errors, "user_id", "ts_us",
+        "w_start", "w_end", binWidth = 900L * 1000000L)
+      .select(col("click_id"), col("error_id"))
+  }
+
   def eventsHourly(spark: SparkSession, dir: String): DataFrame =
     Events.hourlyAgg(eventsT(spark, dir))
 
@@ -650,6 +689,8 @@ object Queries {
     "curate_e2e" -> (curateE2e _),
     "mm_binary_stats" -> (mmBinaryStats _),
     "mm_decode_features" -> (mmDecodeFeatures _),
+    "join_asof" -> (joinAsof _),
+    "join_range" -> (joinRange _),
     "events_hourly" -> (eventsHourly _),
     "events_sessions" -> (eventsSessions _)
   )

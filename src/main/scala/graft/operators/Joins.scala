@@ -40,13 +40,18 @@ object Joins {
     * @param left      probe side; must contain `key` and `ts`
     * @param right     reference side; must contain `key`, `ts`, payloadCols
     * @param payloadCols right columns to attach (emitted with their names;
-    *                  they must not collide with left's column names)
+    *                  they must not collide with left's column names, and —
+    *                  because the equal-ts tiebreak sorts the payload
+    *                  struct — must all be orderable types (no MapType))
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
                payloadCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
     val payloadType =
       org.apache.spark.sql.types.StructType(payloadCols.map(c => right.schema(c)))
+    require(!hasMapType(payloadType),
+      s"asofJoin payload columns must be orderable (tiebreak sorts the " +
+        s"payload struct); MapType found in ${payloadType.simpleString}")
     val l = left
       .withColumn("__p", lit(null).cast(payloadType))
       .withColumn("__side", lit(1))
@@ -68,6 +73,16 @@ object Joins {
       .where(col("__side") === 1)
       .select(leftCols.map(col) ++
         payloadCols.map(c => col(s"__match.$c").as(c)): _*)
+  }
+
+  private def hasMapType(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: MapType          => true
+      case s: StructType       => s.fields.exists(f => hasMapType(f.dataType))
+      case a: ArrayType        => hasMapType(a.elementType)
+      case _                   => false
+    }
   }
 
   /** Interval/range join via fixed-width binning: match every point row to
