@@ -531,6 +531,11 @@ object Queries {
   def textQuantiles(spark: SparkSession, dir: String): DataFrame =
     TextOps.lengthQuantiles(T(spark, dir, "documents"))
 
+  /** Model-based quality scoring: corpus-trained smoothed bigram likelihood
+    * per document (CCNet-style filter next to the rule-based gates). */
+  def textLmBigram(spark: SparkSession, dir: String): DataFrame =
+    LangModel.bigramScore(T(spark, dir, "documents"), "doc_id", "text")
+
   def curatePack(spark: SparkSession, dir: String): DataFrame =
     Curation.packStats(T(spark, dir, "documents"), budget = 200L)
 
@@ -680,6 +685,7 @@ object Queries {
     "text_scrub" -> (textScrub _),
     "text_repetition" -> (textRepetition _),
     "text_quantiles" -> (textQuantiles _),
+    "text_lm_bigram" -> (textLmBigram _),
     "curate_decontam" -> (curateDecontam _),
     "curate_hash_split" -> (curateHashSplit _),
     "curate_stratified" -> (curateStratified _),
