@@ -32,6 +32,8 @@ object Bench {
     // Bucketed-layout write is LOAD as well (the write-once 100 TB layout);
     // the bucketed query is then timed against the layout, not its creation.
     Queries.warmBucketed(spark, sfDir)
+    // Same for the z-order clustered rewrite.
+    Queries.warmZorder(spark, sfDir)
 
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                  name: String): Option[Double] = {

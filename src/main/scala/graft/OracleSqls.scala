@@ -524,6 +524,16 @@ object OracleSqls {
         |  round(quantile_cont(tok, 0.99), 6) AS p99_tok
         |FROM t GROUP BY lang""".stripMargin,
 
+    // 2-D selective scan over the z-order-clustered lineitem copy; values
+    // must equal the same filter over the original table (the layout is
+    // invisible in the result — only the files touched change)
+    "layout_zorder" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey < 1000 AND l_partkey < 200
+        |GROUP BY l_returnflag""".stripMargin,
+
     // corpus-trained add-one-smoothed bigram likelihood per document
     // (graft.operators.LangModel.bigramScore): c2 = bigram count, c1 =
     // bigram-first-word count, v = vocabulary size; docs with < 2 tokens

@@ -536,6 +536,36 @@ object Queries {
   def textLmBigram(spark: SparkSession, dir: String): DataFrame =
     LangModel.bigramScore(T(spark, dir, "documents"), "doc_id", "text")
 
+  private val zorderDir = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** The z-order clustered-layout path on driver data: lineitem is rewritten
+    * ONCE per JVM per sf dir Morton-ordered on (l_orderkey, l_partkey) —
+    * the write-once layout that makes selective multi-dimensional scans
+    * file-prunable at 100 TB (LayoutSpec proves the file-count win) — then
+    * the query runs a 2-D selective filter over the clustered copy and must
+    * hash-match the oracle over the original table. Bench warms the rewrite
+    * in LOAD so the query is timed against the layout, not its creation. */
+  private def zorderedLineitem(spark: SparkSession, dir: String): DataFrame = {
+    val path = zorderDir.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+      graft.sources.Layout.zorderWrite(T(spark, dir, "lineitem"),
+        Seq("l_orderkey", "l_partkey"), p, numFiles = 32)
+      p
+    })
+    spark.read.parquet(path)
+  }
+
+  /** Bench LOAD-stage hook: force the one-time z-order rewrite. */
+  def warmZorder(spark: SparkSession, dir: String): Unit =
+    zorderedLineitem(spark, dir)
+
+  def layoutZorder(spark: SparkSession, dir: String): DataFrame =
+    zorderedLineitem(spark, dir)
+      .where(col("l_orderkey") < 1000 && col("l_partkey") < 200)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum("l_quantity"), 2).as("sum_qty"))
+
   def curatePack(spark: SparkSession, dir: String): DataFrame =
     Curation.packStats(T(spark, dir, "documents"), budget = 200L)
 
@@ -686,6 +716,7 @@ object Queries {
     "text_repetition" -> (textRepetition _),
     "text_quantiles" -> (textQuantiles _),
     "text_lm_bigram" -> (textLmBigram _),
+    "layout_zorder" -> (layoutZorder _),
     "curate_decontam" -> (curateDecontam _),
     "curate_hash_split" -> (curateHashSplit _),
     "curate_stratified" -> (curateStratified _),

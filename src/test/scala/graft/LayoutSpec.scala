@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Layout
+
+/** Morton-key correctness and the observable clustering win of z-order. */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("morton key interleaves bits low-to-high across dimensions") {
+    // 2 dims × 2 bits, stats (0,3): scaled value == input value
+    val rows = Seq((0L, 0L), (3L, 0L), (0L, 3L), (3L, 3L), (2L, 1L))
+      .toDF("a", "b")
+      .select(Layout.mortonKey(Seq(col("a"), col("b")),
+        Seq((0.0, 3.0), (0.0, 3.0)), bits = 2).as("z"))
+      .as[Long].collect().toSeq
+    // a-bit i → position 2i, b-bit i → position 2i+1
+    assert(rows === Seq(0L, 5L, 10L, 15L, 6L))
+  }
+
+  test("morton key clamps outliers and degenerate stats") {
+    val z = Seq((100L, 5L)).toDF("a", "b")
+      .select(Layout.mortonKey(Seq(col("a"), col("b")),
+        Seq((0.0, 3.0), (5.0, 5.0)), bits = 2).as("z"))
+      .as[Long].head()
+    // a clamps to bucket 3 → bits at 0,2; constant b column → bucket 0
+    assert(z === 5L)
+  }
+
+  test("z-order write clusters 2-D range predicates into few files") {
+    val grid = spark.range(100).selectExpr("id AS a")
+      .crossJoin(spark.range(100).selectExpr("id AS b"))
+    val zdir = java.nio.file.Files.createTempDirectory("graft-z").toString
+    Layout.zorderWrite(grid, Seq("a", "b"), zdir, numFiles = 16, bits = 8)
+
+    val pdir = java.nio.file.Files.createTempDirectory("graft-plain").toString
+    grid.repartition(16).write.mode("overwrite").parquet(pdir)
+
+    val box = col("a") < 25 && col("b") < 25 // 1/16 of the key space
+    // no rows lost by the rewrite
+    assert(spark.read.parquet(zdir).count() === 10000L)
+    assert(spark.read.parquet(zdir).where(box).count() === 625L)
+    // round-robin layout smears the box over every file; z-order confines it
+    val zTouched = Layout.filesTouched(spark, zdir, box)
+    val pTouched = Layout.filesTouched(spark, pdir, box)
+    assert(pTouched >= 12, s"expected smeared baseline, got $pTouched")
+    assert(zTouched <= 4, s"expected clustered z-order, got $zTouched")
+  }
+
+  test("single-dimension predicates also prune under z-order") {
+    val grid = spark.range(64).selectExpr("id AS a")
+      .crossJoin(spark.range(64).selectExpr("id AS b"))
+    val zdir = java.nio.file.Files.createTempDirectory("graft-z1").toString
+    Layout.zorderWrite(grid, Seq("a", "b"), zdir, numFiles = 16, bits = 6)
+    // a < 8 is 1/8 of the space; the curve keeps it in a minority of files
+    val t = Layout.filesTouched(spark, zdir, col("a") < 8)
+    assert(t <= 8, s"expected ≤ half the files for a 1/8 slice, got $t")
+  }
+}
