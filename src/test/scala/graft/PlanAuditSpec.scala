@@ -49,6 +49,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Window"), "hash split must not window")
   }
 
+  test("join_asof plans with no join operator at all") {
+    // the as-of design contract: one union + one keyed window, NEVER a join
+    // node — a join formulation of as-of degenerates to per-key cartesian
+    // candidate sets (BroadcastNestedLoopJoin) at scale
+    val plan = SparkEntry.queries("join_asof")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "as-of must be union+window, not a join")
+    assert(plan.contains("Window"), "as-of carries matches with a window")
+  }
+
+  test("join_range plans as an equi-join on the bin key, not a nested loop") {
+    val plan = SparkEntry.queries("join_range")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "range join must bin into an equi-join, not a nested loop:\n" + plan)
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      "expected a hash/sort-merge equi-join on (key, bin):\n" + plan)
+  }
+
+  test("layout_zorder pushes both range predicates into the parquet scan") {
+    val plan = SparkEntry.queries("layout_zorder")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("LessThan(l_orderkey,1000")
+      && plan.contains("LessThan(l_partkey,200"),
+      "both 2-D predicates must reach the scan for footer-stats pruning:\n" + plan)
+  }
+
   test("non-vector queries never scan an embedding column") {
     val vectorQueries = Set(
       "v1_cosine_topk", "v2_knn_exclude", "v3_knn_fallback", "v5_label_lookup",
