@@ -392,6 +392,9 @@ object OracleSqls {
     "ann_ivf_kmeans" -> ivfKmeansSql(k = 10, nCentroids = 8, nProbe = 2,
       lloydIters = 2),
 
+    "ann_pq_topk" -> pqSql(k = 10, m = 4, kCodes = 8, lloydIters = 1,
+      ef = 50, subDim = 16),
+
     // TrainingData.oneHopCandidates + bestLabelGate over the synthetic
     // per-nation QA frame: candidates grouped per (question, path schema)
     // with supervision counts, best candidate per question by
@@ -1086,6 +1089,65 @@ object OracleSqls {
     * reachability form would be O(V·|component|) and is infeasible on a
     * connected graph. Output = the size histogram (n_nodes,
     * n_components), matching [[graft.graph.GraphXBridge.componentSizes]]. */
+  /** Product quantization ([[graft.operators.Vectors.pqTopK]]) unrolled:
+    * per-subspace codebooks seeded at the first `kCodes` ids, `lloydIters`
+    * rounded-mean Lloyd steps, ADC tables, candidate sum, exact re-rank.
+    * Distances are round(Σ(x-y)², 6) with code/id tiebreaks, mirroring the
+    * Spark side exactly. `subDim` = vector dim / m. */
+  private def pqSql(k: Int, m: Int, kCodes: Int, lloydIters: Int, ef: Int,
+                    subDim: Int): String = {
+    def d2(x: String, y: String): String =
+      s"round(list_sum(list_transform(range(1, ${subDim + 1}), " +
+        s"j -> ($x[j] - $y[j]) * ($x[j] - $y[j]))), 6)"
+    def assign(out: String, cbk: String): String =
+      s"""$out AS (
+         |  SELECT id, sub, sv, code FROM (
+         |    SELECT s.id, s.sub, s.sv, c.code,
+         |      row_number() OVER (PARTITION BY s.id, s.sub
+         |        ORDER BY ${d2("s.sv", "c.cv")} ASC, c.code) AS rn
+         |    FROM sv s JOIN $cbk c ON s.sub = c.sub) WHERE rn = 1
+         |)""".stripMargin
+    val iters = (1 to lloydIters).map { t =>
+      s"""${assign(s"a$t", s"cb${t - 1}")},
+         |m$t AS (
+         |  SELECT sub, code, i, round(avg(x), 6) AS mx FROM (
+         |    SELECT sub, code, unnest(range(1, ${subDim + 1})) AS i,
+         |      unnest(sv) AS x FROM a$t)
+         |  GROUP BY sub, code, i
+         |), cb$t AS (
+         |  SELECT sub, code,
+         |    list_transform(list(struct_pack(i := i, m := mx) ORDER BY i),
+         |      s -> s.m) AS cv
+         |  FROM m$t GROUP BY sub, code
+         |)""".stripMargin
+    }.mkString(",\n")
+    val cbF = s"cb$lloydIters"
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE id = 0),
+       |subs AS (SELECT unnest(range(0, $m)) AS sub),
+       |sv AS (
+       |  SELECT id, sub, list_slice(v, sub * $subDim + 1, (sub + 1) * $subDim) AS sv
+       |  FROM e CROSS JOIN subs
+       |),
+       |seed AS (SELECT id FROM e ORDER BY id LIMIT $kCodes),
+       |cb0 AS (SELECT s.sub, s.id AS code, s.sv AS cv FROM sv s JOIN seed USING (id)),
+       |$iters,
+       |${assign("af", cbF)},
+       |qd AS (
+       |  SELECT c.sub, c.code,
+       |    ${d2("c.cv", s"list_slice(q.qv, c.sub * $subDim + 1, (c.sub + 1) * $subDim)")} AS qd2
+       |  FROM $cbF c, q
+       |),
+       |cand AS (
+       |  SELECT a.id, round(sum(qd.qd2), 6) AS adist
+       |  FROM af a JOIN qd ON a.sub = qd.sub AND a.code = qd.code
+       |  GROUP BY a.id ORDER BY adist ASC, a.id LIMIT $ef
+       |)
+       |SELECT e.id AS vec_id, round(list_cosine_similarity(e.v, q.qv), 6) AS similarity
+       |FROM e JOIN cand USING (id), q
+       |ORDER BY similarity DESC, e.id LIMIT $k""".stripMargin
+  }
+
   private def componentsSql(iters: Int): String = {
     // MATERIALIZED is load-bearing: each step references the previous
     // level twice, and DuckDB inlines plain CTEs per reference — the

@@ -209,6 +209,12 @@ object Queries {
     Vectors.ivfKmeansTopK(T(spark, dir, "embeddings"), "vec_id", "embedding",
       queryVec(spark, dir), 10, nCentroids = 8, nProbe = 2, lloydIters = 2)
 
+  /** Product-quantization ANN: 4×16-dim subspaces, 8-entry codebooks
+    * (1 Lloyd step), ADC candidate scoring, exact cosine re-rank. */
+  def annPqTopK(spark: SparkSession, dir: String): DataFrame =
+    Vectors.pqTopK(T(spark, dir, "embeddings"), "vec_id", "embedding",
+      queryVec(spark, dir), k = 10, m = 4, kCodes = 8, lloydIters = 1, ef = 50)
+
   // ---- graph analytics ----
 
   /** Undirected degree histogram — pure DataFrame plan (one groupBy over
@@ -689,6 +695,7 @@ object Queries {
     "ann_neardup_pairs" -> (annNearDupPairs _),
     "ann_ivf_topk" -> (annIvfTopK _),
     "ann_ivf_kmeans" -> (annIvfKmeans _),
+    "ann_pq_topk" -> (annPqTopK _),
     "degree_histogram" -> (degreeHistogram _),
     "gx_pagerank_topk" -> (gxPageRankTopK _),
     "gx_components" -> (gxComponents _),

@@ -147,6 +147,80 @@ object Vectors {
     ivfSearch(assignToCentroids(v, centroids), centroids, idCol, query, k, nProbe)
   }
 
+  /** Product quantization (PQ) ANN — the memory-compression scale path
+    * complementing IVF's scan pruning: each vector splits into `m`
+    * subvectors; each subspace trains a `kCodes`-entry codebook (seeded at
+    * the first `kCodes` vectors by id, refined by `lloydIters` rounded-mean
+    * Lloyd steps — fixed iterations keep it deterministic and the DuckDB
+    * oracle unrolls the same steps as CTEs); every vector is then stored as
+    * `m` small codes (m bytes vs 8·dim — at 100 TB the search scans ONLY
+    * the code table). Query scoring is the standard asymmetric distance
+    * (ADC): per-subspace squared-L2 tables between the query's subvectors
+    * and each codebook entry, broadcast-joined to the codes and summed per
+    * id. The approximate top-`ef` candidates are re-ranked by exact cosine
+    * (one broadcast semi-join back to the vectors) → top-`k`.
+    *
+    * All distances are rounded to 6 decimals with id/code tiebreaks, so
+    * assignment, candidate order and the final ranking are reproducible
+    * across engines and partitionings.
+    */
+  def pqTopK(emb: DataFrame, idCol: String, vecCol: String, query: Seq[Double],
+             k: Int, m: Int, kCodes: Int, lloydIters: Int = 1,
+             ef: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dim = query.length
+    require(dim % m == 0, s"query dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val vec = col(vecCol).cast("array<double>")
+    val e = emb.select(col(idCol).as("id"), vec.as("v"))
+    val sv = e.select(col("id"), posexplode(
+        transform(sequence(lit(0), lit(m - 1)),
+          i => slice(col("v"), i * lit(sub) + 1, lit(sub)))).as(Seq("sub", "sv")))
+
+    def sqDist(x: Column, y: Column): Column =
+      round(aggregate(zip_with(x, y, (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, d) => acc + d), 6)
+
+    val seedIds = e.orderBy("id").limit(kCodes).select(col("id").as("code"))
+    var cb = sv.join(broadcast(seedIds), sv("id") === seedIds("code"))
+      .select(col("sub"), col("code"), col("sv").as("cv"))
+
+    // argmin of rounded squared L2 per (id, sub); ties → smallest code
+    def assign(cbk: DataFrame): DataFrame = {
+      val w = Window.partitionBy("id", "sub").orderBy(col("d2").asc, col("code"))
+      sv.join(broadcast(cbk), "sub")
+        .withColumn("d2", sqDist(col("sv"), col("cv")))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("id"), col("sub"), col("sv"), col("code"))
+    }
+
+    for (_ <- 1 to lloydIters) {
+      cb = assign(cb)
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("i", "x")))
+        .groupBy("sub", "code", "i").agg(avg("x").as("mx"))
+        .groupBy("sub", "code")
+        .agg(transform(
+          array_sort(collect_list(struct(col("i").as("i"), round(col("mx"), 6).as("mx")))),
+          t => t.getField("mx")).as("cv"))
+    }
+
+    val codes = assign(cb).select("id", "sub", "code")
+    val qsubs: Seq[Seq[Double]] = query.grouped(sub).map(_.toSeq).toSeq
+    val qd = cb.withColumn("qd2",
+        sqDist(col("cv"), element_at(typedLit(qsubs), col("sub") + 1)))
+      .select(col("sub"), col("code"), col("qd2"))
+    val cand = codes.join(broadcast(qd), Seq("sub", "code"))
+      .groupBy("id").agg(round(sum("qd2"), 6).as("adist"))
+      .orderBy(col("adist").asc, col("id"))
+      .limit(ef)
+    e.join(broadcast(cand.select("id")), "id")
+      .withColumn("similarity", round(cosineSim(col("v"), lit(query.toArray)), 6))
+      .orderBy(col("similarity").desc, col("id"))
+      .limit(k)
+      .select(col("id").as(idCol), col("similarity"))
+  }
+
   /** All-pairs near-duplicate detection over embeddings via LSH bucketing:
     * pairs sharing a bucket whose cosine ≥ threshold (the embedding-cosine
     * near-dup path of a training-data pipeline). The bucket join bounds the

@@ -92,6 +92,37 @@ class VectorsSpec extends SparkSpec {
     assert(untrained.toSet !== Set(10L, 11L, 12L))
   }
 
+  test("PQ with full-coverage ef equals exact brute force after re-rank") {
+    // 24 deterministic 8-dim vectors; ef covers the whole set, so the ADC
+    // candidate stage cannot lose the true top-k and the exact re-rank must
+    // reproduce brute force ranking bit-for-bit
+    val rnd = new scala.util.Random(11)
+    val vs = (0L until 24L).map(i => (i, Seq.fill(8)(rnd.nextGaussian())))
+    val df = vs.toDF("id", "v")
+    val q = vs(1)._2
+    val pq = Vectors.pqTopK(df, "id", "v", q, k = 5, m = 4, kCodes = 4,
+      lloydIters = 1, ef = 24).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val bf = Vectors.bruteForceTopK(df, "id", "v", q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(pq.toSeq === bf.toSeq)
+    assert(pq.head._1 === 1L) // the query's own row ranks first
+  }
+
+  test("PQ with selective ef returns a subset ranked by exact cosine") {
+    val rnd = new scala.util.Random(5)
+    val vs = (0L until 40L).map(i => (i, Seq.fill(8)(rnd.nextGaussian())))
+    val df = vs.toDF("id", "v")
+    val out = Vectors.pqTopK(df, "id", "v", vs(3)._2, k = 6, m = 2, kCodes = 6,
+      lloydIters = 2, ef = 10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.length === 6)
+    // ranking within the returned rows is by exact similarity desc
+    assert(out.map(_._2).toSeq === out.map(_._2).sortBy(-_).toSeq)
+    // repeatable: deterministic tie-breaks end to end
+    val again = Vectors.pqTopK(df, "id", "v", vs(3)._2, k = 6, m = 2, kCodes = 6,
+      lloydIters = 2, ef = 10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(again.toSeq === out.toSeq)
+  }
+
   test("near-dup pairs via shared bucket, ordered ids, threshold") {
     val out = Vectors.nearDupPairs(emb, "id", "v", bits = 4, threshold = 0.9)
       .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"), r.getAs[Double]("cos_sim")))
