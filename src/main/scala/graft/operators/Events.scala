@@ -127,4 +127,38 @@ object Events {
       .join(ids.withColumnRenamed("nodeId", "src"), Seq("src"), "left_semi")
       .join(ids.withColumnRenamed("nodeId", "dst"), Seq("dst"), "left_semi")
   }
+
+  /** Stream-static enrichment: attach dimension attributes to a stream by
+    * key. The static side broadcasts into every micro-batch — the pattern
+    * for decorating a high-volume event stream with a small dimension
+    * table without ever shuffling the stream itself. Works identically on
+    * batch frames (it is a plain broadcast left join). */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
+  /** Stream-stream interval join — the streaming form of
+    * [[Joins.rangeJoinBinned]]'s semantics: each click joins the errors of
+    * the same user in the trailing `windowSeconds`
+    * (`e_ts <= c_ts < e_ts + window`, matching the batch half-open
+    * contract). Both sides are watermarked and the join condition bounds
+    * event-time distance, so Spark evicts join state once rows can no
+    * longer match — bounded state at any stream volume.
+    *
+    * Input schemas: clicks (user_id, ts, event_id),
+    * errors (user_id, ts, event_id); `ts` is a timestamp column.
+    */
+  def streamClickAttribution(clicks: DataFrame, errors: DataFrame,
+                             windowSeconds: Long,
+                             watermark: String = "10 minutes"): DataFrame = {
+    val c = clicks.select(col("user_id"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", watermark)
+    val e = errors.select(col("user_id").as("e_user"), col("ts").as("e_ts"),
+        col("event_id").as("error_id"))
+      .withWatermark("e_ts", watermark)
+    c.join(e, col("user_id") === col("e_user") &&
+        col("c_ts") >= col("e_ts") &&
+        col("c_ts") < col("e_ts") + expr(s"INTERVAL $windowSeconds SECONDS"))
+      .select(col("user_id"), col("click_id"), col("error_id"))
+  }
 }

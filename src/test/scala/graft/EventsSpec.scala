@@ -171,4 +171,53 @@ class EventsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(out === Map(1L -> "old", 2L -> "fresh"))
   }
+
+  test("enrichWithDim broadcasts the dimension into each micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val stream = MemoryStream[(Long, Long)]
+    val q = Events.enrichWithDim(
+        stream.toDF().toDF("event_id", "user_id"), dim, "user_id")
+      .writeStream.format("memory").queryName("enrich_test")
+      .outputMode("append").start()
+    try {
+      stream.addData((10L, 1L), (11L, 2L), (12L, 99L))
+      q.processAllAvailable()
+      val rows = spark.table("enrich_test").collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[String]("tier")).getOrElse("-")).toMap
+      assert(rows === Map(10L -> "gold", 11L -> "basic", 12L -> "-"))
+    } finally q.stop()
+    // the same operator on batch frames plans the dim side as a broadcast
+    val plan = Events.enrichWithDim(
+      Seq((10L, 1L)).toDF("event_id", "user_id"), dim, "user_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("streamClickAttribution joins streams within the event-time window") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val errors = MemoryStream[(Long, Timestamp, Long)]
+    val joined = Events.streamClickAttribution(
+      clicks.toDF().toDF("user_id", "ts", "event_id"),
+      errors.toDF().toDF("user_id", "ts", "event_id"),
+      windowSeconds = 3600L)
+    val q = joined.writeStream.format("memory").queryName("attr_test")
+      .outputMode("append").start()
+    try {
+      errors.addData((1L, ts("2024-01-01 10:00:00"), 900L),
+                     (2L, ts("2024-01-01 10:00:00"), 901L))
+      clicks.addData(
+        (1L, ts("2024-01-01 10:30:00"), 100L),  // in window → matches 900
+        (1L, ts("2024-01-01 11:30:00"), 101L),  // past window → no match
+        (1L, ts("2024-01-01 09:30:00"), 102L),  // before the error → no match
+        (3L, ts("2024-01-01 10:30:00"), 103L))  // other user → no match
+      q.processAllAvailable()
+      val rows = spark.table("attr_test").collect()
+        .map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("error_id"))).toSet
+      assert(rows === Set((100L, 900L)))
+    } finally q.stop()
+  }
 }
