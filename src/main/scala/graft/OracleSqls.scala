@@ -395,6 +395,9 @@ object OracleSqls {
     "ann_pq_topk" -> pqSql(k = 10, m = 4, kCodes = 8, lloydIters = 1,
       ef = 50, subDim = 16),
 
+    "dedup_semantic" -> semanticDedupSql(nClusters = 8, lloydIters = 1,
+      threshold = 0.35),
+
     // TrainingData.oneHopCandidates + bestLabelGate over the synthetic
     // per-nation QA frame: candidates grouped per (question, path schema)
     // with supervision counts, best candidate per question by
@@ -1043,18 +1046,22 @@ object OracleSqls {
     * double-unnest pairs each element with its 1-based position; the
     * position is only a within-engine sort key, so the 0-based Spark
     * posexplode aligns. */
-  private def ivfKmeansSql(k: Int, nCentroids: Int, nProbe: Int,
-                           lloydIters: Int): String = {
-    def assign(out: String, cents: String): String =
-      s"""$out AS (
-         |  SELECT id, v, cid FROM (
-         |    SELECT e.id, e.v, c.cid,
-         |      row_number() OVER (PARTITION BY e.id
-         |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cid) AS rn
-         |    FROM e CROSS JOIN $cents c) WHERE rn = 1
-         |)""".stripMargin
-    val iters = (1 to lloydIters).map { t =>
-      s"""${assign(s"a$t", s"c${t - 1}")},
+  /** argmax-cosine centroid assignment CTE shared by the k-means oracles
+    * (mirrors [[graft.operators.Vectors.assignToCentroids]]). */
+  private def kmeansAssignCte(out: String, cents: String): String =
+    s"""$out AS (
+       |  SELECT id, v, cid FROM (
+       |    SELECT e.id, e.v, c.cid,
+       |      row_number() OVER (PARTITION BY e.id
+       |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cid) AS rn
+       |    FROM e CROSS JOIN $cents c) WHERE rn = 1
+       |)""".stripMargin
+
+  /** Unrolled Lloyd iterations c1..cN over seed c0 (mirrors
+    * [[graft.operators.Vectors.kmeansCentroids]]). */
+  private def kmeansIterCtes(lloydIters: Int): String =
+    (1 to lloydIters).map { t =>
+      s"""${kmeansAssignCte(s"a$t", s"c${t - 1}")},
          |m$t AS (
          |  SELECT cid, i, round(avg(x), 6) AS m FROM (
          |    SELECT cid, unnest(range(1, len(v) + 1)) AS i, unnest(v) AS x FROM a$t)
@@ -1065,11 +1072,14 @@ object OracleSqls {
          |  FROM m$t GROUP BY cid
          |)""".stripMargin
     }.mkString(",\n")
+
+  private def ivfKmeansSql(k: Int, nCentroids: Int, nProbe: Int,
+                           lloydIters: Int): String =
     s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |q AS (SELECT v AS qv FROM e WHERE id = 0),
        |c0 AS (SELECT id AS cid, v AS cv FROM e ORDER BY id LIMIT $nCentroids),
-       |$iters,
-       |${assign("af", s"c$lloydIters")},
+       |${kmeansIterCtes(lloydIters)},
+       |${kmeansAssignCte("af", s"c$lloydIters")},
        |p AS (
        |  SELECT cid FROM c$lloydIters, q
        |  ORDER BY round(list_cosine_similarity(cv, qv), 6) DESC, cid LIMIT $nProbe
@@ -1077,7 +1087,26 @@ object OracleSqls {
        |SELECT af.id AS vec_id, round(list_cosine_similarity(af.v, q.qv), 6) AS similarity
        |FROM af JOIN p USING (cid), q
        |ORDER BY similarity DESC, af.id LIMIT $k""".stripMargin
-  }
+
+  /** SemDeDup ([[graft.operators.Dedup.semanticDedup]]) unrolled: same
+    * k-means CTEs, then within-cluster pairs with cosine ≥ threshold drop
+    * the higher id; per-cluster member/dropped counts. */
+  private def semanticDedupSql(nClusters: Int, lloydIters: Int,
+                               threshold: Double): String =
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c0 AS (SELECT id AS cid, v AS cv FROM e ORDER BY id LIMIT $nClusters),
+       |${kmeansIterCtes(lloydIters)},
+       |${kmeansAssignCte("af", s"c$lloydIters")},
+       |pr AS (
+       |  SELECT x.cid AS cid, y.id AS id
+       |  FROM af x JOIN af y ON x.cid = y.cid AND x.id < y.id
+       |  WHERE round(list_cosine_similarity(x.v, y.v), 6) >= $threshold
+       |  GROUP BY 1, 2
+       |),
+       |d AS (SELECT cid, count(*) AS n_dropped FROM pr GROUP BY cid)
+       |SELECT m.cid, m.n_members, CAST(coalesce(d.n_dropped, 0) AS BIGINT) AS n_dropped
+       |FROM (SELECT cid, CAST(count(*) AS BIGINT) AS n_members FROM af GROUP BY cid) m
+       |LEFT JOIN d USING (cid)""".stripMargin
 
   /** GraphX `connectedComponents` (labels = component-min nodeId)
     * replicated as unrolled min-label propagation: each step every node

@@ -486,6 +486,14 @@ object Queries {
     Dedup.simhashNearDupPairs(T(spark, dir, "documents"), "doc_id", "text",
       bits = 32, bands = 4, maxDist = 2)
 
+  /** SemDeDup-style semantic dedup over the embeddings table: k-means
+    * clusters bound the candidate pairs; cosine ≥ 0.35 drops the higher id
+    * (the synthetic embeddings have no true near-dups, so the threshold is
+    * set where the pair stage does real work). */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
+    Dedup.semanticDedup(T(spark, dir, "embeddings"), "vec_id", "embedding",
+      nClusters = 8, lloydIters = 1, threshold = 0.35)
+
   /** Transitive near-dup clusters over the MinHash+LSH pair graph. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
     Dedup.dupClusters(
@@ -714,6 +722,7 @@ object Queries {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_simhash_near" -> (dedupSimhashNear _),
+    "dedup_semantic" -> (dedupSemantic _),
     "corpus_clean" -> (corpusClean _),
     "text_langid" -> (textLangId _),
     "text_quality" -> (textQuality _),

@@ -328,4 +328,34 @@ object Dedup {
       .distinct()
       .where(col("dist") <= maxDist)
   }
+
+  /** SemDeDup-style semantic deduplication over an embedding column: cluster
+    * the vectors with deterministic seeded k-means ([[Vectors.kmeansCentroids]]),
+    * then compare pairs ONLY within a cluster and drop the higher id of any
+    * pair with cosine ≥ `threshold` (lowest id is the kept representative —
+    * deterministic where the paper's variant uses distance-to-centroid).
+    *
+    * The clustering is what makes this a 100 TB shape: candidate pairs are
+    * bounded by cluster co-membership (the cluster id is the join key, AQE
+    * splits hot clusters), never all-pairs. Returns per-cluster
+    * (n_members, n_dropped) — the dedup survivor report.
+    */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    nClusters: Int, lloydIters: Int,
+                    threshold: Double): DataFrame = {
+    val v = emb.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val cents = Vectors.kmeansCentroids(v, nClusters, lloydIters)
+    val assigned = Vectors.assignToCentroids(v, cents)
+    val dropped = assigned.as("x").join(assigned.as("y"),
+        col("x.cid") === col("y.cid") && col("x.id") < col("y.id"))
+      .where(round(cosineSim(col("x.v"), col("y.v")), 6) >= threshold)
+      .select(col("x.cid").as("cid"), col("y.id").as("id"))
+      .distinct()
+    assigned.groupBy("cid").agg(count(lit(1)).as("n_members"))
+      .join(dropped.groupBy("cid").agg(count(lit(1)).as("n_dropped")),
+        Seq("cid"), "left")
+      .select(col("cid"), col("n_members"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+  }
 }

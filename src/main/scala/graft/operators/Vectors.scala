@@ -81,7 +81,7 @@ object Vectors {
   /** Assignment: argmax cosine over centroids (broadcast nested loop is
     * fine — |centroids| is small by construction; ties → smallest cid).
     * Input columns (id, v); centroid columns (cid, cv). */
-  private def assignToCentroids(v: DataFrame, centroids: DataFrame): DataFrame = {
+  private[operators] def assignToCentroids(v: DataFrame, centroids: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("csim").desc, col("cid"))
     v.crossJoin(broadcast(centroids))
@@ -127,11 +127,13 @@ object Vectors {
     * offline job; each iteration here is one broadcast assign (narrow) +
     * one (cid, dim)-keyed mean (one shuffle of |N|·dim skinny rows).
     * Clusters that lose all members drop out naturally. */
-  def ivfKmeansTopK(emb: DataFrame, idCol: String, vecCol: String,
-                    query: Seq[Double], k: Int, nCentroids: Int, nProbe: Int,
-                    lloydIters: Int = 2): DataFrame = {
-    val vec = col(vecCol).cast("array<double>")
-    val v = emb.select(col(idCol).as("id"), vec.as("v"))
+  /** Seeded + Lloyd-refined k-means centroids over (id, v) rows — the
+    * shared deterministic trainer behind [[ivfKmeansTopK]] and
+    * [[Dedup.semanticDedup]]: seeds are the first `nCentroids` vectors by
+    * id; each iteration is one broadcast assign + one (cid, dim)-keyed
+    * rounded mean. */
+  private[operators] def kmeansCentroids(v: DataFrame, nCentroids: Int,
+                                         lloydIters: Int): DataFrame = {
     var centroids = v.orderBy(col("id")).limit(nCentroids)
       .select(col("id").as("cid"), col("v").as("cv"))
     for (_ <- 1 to lloydIters) {
@@ -144,6 +146,15 @@ object Vectors {
           array_sort(collect_list(struct(col("i").as("i"), round(col("m"), 6).as("m")))),
           s => s.getField("m")).as("cv"))
     }
+    centroids
+  }
+
+  def ivfKmeansTopK(emb: DataFrame, idCol: String, vecCol: String,
+                    query: Seq[Double], k: Int, nCentroids: Int, nProbe: Int,
+                    lloydIters: Int = 2): DataFrame = {
+    val vec = col(vecCol).cast("array<double>")
+    val v = emb.select(col(idCol).as("id"), vec.as("v"))
+    val centroids = kmeansCentroids(v, nCentroids, lloydIters)
     ivfSearch(assignToCentroids(v, centroids), centroids, idCol, query, k, nProbe)
   }
 

@@ -123,6 +123,24 @@ class VectorsSpec extends SparkSpec {
     assert(again.toSeq === out.toSeq)
   }
 
+  test("semanticDedup drops higher ids within clusters, never across") {
+    // seeds are the first nClusters ids, so ids 0/1/2 span the three
+    // orthogonal cluster directions; later ids join those clusters
+    val pts = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.01)),   // seed: x cluster
+      (1L, Seq(0.0, 1.0, 0.0, 0.01)),   // seed: y cluster
+      (2L, Seq(0.0, 0.0, 1.0, 0.0)),    // seed: z cluster (stays singleton)
+      (3L, Seq(1.0, 0.0, 0.0, 0.02)),   // ~dup of 0 → dropped
+      (4L, Seq(0.9, 0.1, 0.0, 0.5)),    // x cluster, below threshold
+      (10L, Seq(0.0, 1.0, 0.0, 0.02)))  // ~dup of 1 → dropped
+      .toDF("id", "v")
+    val out = graft.operators.Dedup.semanticDedup(pts, "id", "v",
+        nClusters = 3, lloydIters = 1, threshold = 0.999)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    // membership counts (3, 2, 1); exactly one drop in each 2+-cluster
+    assert(out === Set((3L, 1L), (2L, 1L), (1L, 0L)))
+  }
+
   test("near-dup pairs via shared bucket, ordered ids, threshold") {
     val out = Vectors.nearDupPairs(emb, "id", "v", bits = 4, threshold = 0.9)
       .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"), r.getAs[Double]("cos_sim")))
