@@ -450,6 +450,8 @@ object OracleSqls {
 
     "gx_components" -> withGraph(componentsSql(iters = 12)),
 
+    "graph_kcore" -> withGraph(kCoreSql(k = 3, iters = 6)),
+
     // LLM2 context + answer formatting (§2.8; retriever.py:39-40 +
     // llm2.py:34,67-71) over the pipeline_retrieve result: per-node
     // "name: <v>" lines joined by a blank line in retrieval order, and
@@ -985,6 +987,18 @@ object OracleSqls {
         |SELECT fp, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keeper_id
         |FROM fp GROUP BY fp HAVING count(*) > 1""".stripMargin,
 
+    // one row per profiled column ([[graft.operators.Profile.tableProfile]]);
+    // min/max rendered as strings so all columns share one schema
+    "profile_documents" -> Seq("doc_id", "text", "lang", "source", "n_chars")
+      .map(c =>
+        s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_val,
+           |  CAST(max($c) AS VARCHAR) AS max_val
+           |FROM documents""".stripMargin)
+      .mkString("\nUNION ALL\n"),
+
     "mm_binary_stats" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(strlen(text)) AS BIGINT) AS total_bytes
@@ -1175,6 +1189,30 @@ object OracleSqls {
        |SELECT e.id AS vec_id, round(list_cosine_similarity(e.v, q.qv), 6) AS similarity
        |FROM e JOIN cand USING (id), q
        |ORDER BY similarity DESC, e.id LIMIT $k""".stripMargin
+  }
+
+  /** k-core peeling ([[graft.graph.GraphAlgorithms.kCoreSizes]]) unrolled:
+    * adj0 = distinct undirected neighbor pairs; each round keeps edges
+    * whose both endpoints have current degree ≥ k. */
+  private def kCoreSql(k: Int, iters: Int): String = {
+    // MATERIALIZED keeps DuckDB from inlining each round into the next
+    // (each adj level is referenced three times per round — the plain-CTE
+    // tree grows 3^iters, same failure the components oracle hit)
+    val rounds = (1 to iters).map { t =>
+      s"""d$t AS (SELECT a, count(*) AS deg FROM adj${t - 1} GROUP BY a),
+         |alive$t AS (SELECT a AS id FROM d$t WHERE deg >= $k),
+         |adj$t AS MATERIALIZED (
+         |  SELECT t.a, t.b FROM adj${t - 1} t
+         |  JOIN alive$t x ON t.a = x.id
+         |  JOIN alive$t y ON t.b = y.id
+         |)""".stripMargin
+    }.mkString(",\n")
+    s""", adj0 AS MATERIALIZED (SELECT DISTINCT a, b FROM bidir),
+       |$rounds
+       |SELECT n.label, CAST(count(*) AS BIGINT) AS n_core
+       |FROM (SELECT DISTINCT a FROM adj$iters) s
+       |JOIN nodes n ON s.a = n.nodeId
+       |GROUP BY n.label""".stripMargin
   }
 
   private def componentsSql(iters: Int): String = {

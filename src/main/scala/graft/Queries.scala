@@ -239,6 +239,11 @@ object Queries {
   def gxComponents(spark: SparkSession, dir: String): DataFrame =
     graft.graph.GraphXBridge.componentSizes(spark, graph(spark, dir))
 
+  /** k-core decomposition (k=3, 6 peeling rounds — fixed point on driver
+    * data is asserted in PatternsSpec): per-label core membership. */
+  def graphKcore(spark: SparkSession, dir: String): DataFrame =
+    graft.graph.GraphAlgorithms.kCoreSizes(graph(spark, dir), k = 3, iters = 6)
+
   /** S2 — the unique-nodeId constraint as a validation query. */
   def s2ConstraintCheck(spark: SparkSession, dir: String): DataFrame = {
     val g = graph(spark, dir)
@@ -609,6 +614,11 @@ object Queries {
         |FROM graft_documents GROUP BY lang""".stripMargin)
   }
 
+  /** Per-column ANALYZE-style profile of the documents table, one pass. */
+  def profileDocuments(spark: SparkSession, dir: String): DataFrame =
+    Profile.tableProfile(T(spark, dir, "documents"),
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+
   def mmBinaryStats(spark: SparkSession, dir: String): DataFrame =
     TextOps.binaryStatsBySource(T(spark, dir, "documents"))
 
@@ -707,6 +717,7 @@ object Queries {
     "degree_histogram" -> (degreeHistogram _),
     "gx_pagerank_topk" -> (gxPageRankTopK _),
     "gx_components" -> (gxComponents _),
+    "graph_kcore" -> (graphKcore _),
     "s2_constraint_check" -> (s2ConstraintCheck _),
     "a7_corpus_count" -> (a7CorpusCount _),
     "t3_budget_retrieval" -> (t3BudgetRetrieval _),
@@ -740,6 +751,7 @@ object Queries {
     "curate_rebalance" -> (curateRebalance _),
     "sql_surface" -> (sqlSurface _),
     "curate_e2e" -> (curateE2e _),
+    "profile_documents" -> (profileDocuments _),
     "mm_binary_stats" -> (mmBinaryStats _),
     "mm_decode_features" -> (mmDecodeFeatures _),
     "join_asof" -> (joinAsof _),

@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ingest-time data profiling (ANALYZE-style): per-column row/null/distinct
+  * counts and min/max, computed in ONE pass over the table — all per-column
+  * aggregates live in a single aggregate node (Catalyst plans the multiple
+  * exact count-distincts via Expand), and the wide result row is unpivoted
+  * to one row per column with a single explode. min/max render as strings
+  * so heterogeneous column types share one output schema.
+  */
+object Profile {
+
+  def tableProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__${c}_nulls"),
+      count_distinct(col(c)).as(s"__${c}_ndv"),
+      min(col(c)).cast("string").as(s"__${c}_min"),
+      max(col(c)).cast("string").as(s"__${c}_max"))) :+
+      count(lit(1)).as("__n")
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    wide.select(explode(array(cols.map(c => struct(
+        lit(c).as("column"),
+        col("__n").as("n_rows"),
+        col(s"__${c}_nulls").as("n_nulls"),
+        col(s"__${c}_ndv").as("n_distinct"),
+        col(s"__${c}_min").as("min_val"),
+        col(s"__${c}_max").as("max_val"))): _*)).as("p"))
+      .select("p.*")
+  }
+}
