@@ -1028,6 +1028,14 @@ object OracleSqls {
         |FROM clicks c JOIN errors e ON c.user_id = e.user_id
         |  AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 1 HOUR""".stripMargin,
 
+    "events_json_props" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+        |  CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+        |  CAST(count(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS n_distinct_k
+        |FROM events GROUP BY event_type""".stripMargin,
+
     "events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
         |  CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 2) AS total_value

@@ -674,6 +674,20 @@ object Queries {
       .select(col("click_id"), col("error_id"))
   }
 
+  /** Semi-structured column handling: the events `props` column is JSON
+    * text; extract the typed field with the codegen'd JSON path expression
+    * (no UDF, stays in whole-stage codegen) and aggregate — the
+    * schema-on-read shape every event pipeline needs. */
+  def eventsJsonProps(spark: SparkSession, dir: String): DataFrame =
+    eventsT(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum("k").as("sum_k"),
+        min("k").as("min_k"),
+        max("k").as("max_k"),
+        count_distinct(col("k")).as("n_distinct_k"))
+
   def eventsHourly(spark: SparkSession, dir: String): DataFrame =
     Events.hourlyAgg(eventsT(spark, dir))
 
@@ -757,6 +771,7 @@ object Queries {
     "join_asof" -> (joinAsof _),
     "join_range" -> (joinRange _),
     "events_hourly" -> (eventsHourly _),
+    "events_json_props" -> (eventsJsonProps _),
     "events_sessions" -> (eventsSessions _)
   )
 }
