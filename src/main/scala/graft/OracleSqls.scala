@@ -452,6 +452,43 @@ object OracleSqls {
 
     "graph_kcore" -> withGraph(kCoreSql(k = 3, iters = 6)),
 
+    // degree-oriented triangle counting over the small-part co-occurrence
+    // graph (mirrors Queries.graphTriangles + GraphAlgorithms
+    // .triangleHistogram: orientation low->high by (degree, id), each
+    // triangle found once at its minimum vertex)
+    "graph_triangles" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 5)
+        |), und AS MATERIALIZED (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM li x JOIN li y ON x.k = y.k AND x.p < y.p
+        |), deg AS (
+        |  SELECT a AS v, count(*) AS deg FROM (
+        |    SELECT a, b FROM und UNION ALL SELECT b, a FROM und
+        |  ) GROUP BY a
+        |), orient AS MATERIALIZED (
+        |  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+        |              THEN e.a ELSE e.b END AS u,
+        |         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+        |              THEN e.b ELSE e.a END AS w
+        |  FROM und e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v
+        |), tri AS (
+        |  SELECT w1.u, w1.w AS x, w2.w AS y
+        |  FROM orient w1 JOIN orient w2 ON w1.u = w2.u AND w1.w < w2.w
+        |  WHERE EXISTS (SELECT 1 FROM und c
+        |                WHERE c.a = least(w1.w, w2.w) AND c.b = greatest(w1.w, w2.w))
+        |), corners AS (
+        |  SELECT u AS v FROM tri UNION ALL SELECT x FROM tri
+        |  UNION ALL SELECT y FROM tri
+        |), per_node AS (
+        |  SELECT v, count(*) AS n_tri FROM corners GROUP BY v
+        |)
+        |SELECT n_tri, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM per_node GROUP BY n_tri""".stripMargin,
+
+    "graph_bfs_dist" -> withGraph(bfsSql(iters = 6)),
+
     // LLM2 context + answer formatting (§2.8; retriever.py:39-40 +
     // llm2.py:34,67-71) over the pipeline_retrieve result: per-node
     // "name: <v>" lines joined by a blank line in retrieval order, and
@@ -1202,6 +1239,30 @@ object OracleSqls {
   /** k-core peeling ([[graft.graph.GraphAlgorithms.kCoreSizes]]) unrolled:
     * adj0 = distinct undirected neighbor pairs; each round keeps edges
     * whose both endpoints have current degree ≥ k. */
+  /** Unrolled BFS min-distance propagation from the ASIA region anchor,
+    * mirroring [[graft.graph.GraphAlgorithms.bfsLayers]] (MATERIALIZED per
+    * level — each level is referenced twice by the next). */
+  private def bfsSql(iters: Int): String = {
+    val rounds = (1 to iters).map { t =>
+      s"""bd$t AS MATERIALIZED (
+         |  SELECT v, min(d) AS d FROM (
+         |    SELECT v, d FROM bd${t - 1}
+         |    UNION ALL
+         |    SELECT e.b, n.d + 1 FROM bd${t - 1} n JOIN adjb e ON n.v = e.a
+         |  ) GROUP BY v
+         |)""".stripMargin
+    }.mkString(",\n")
+    s""", adjb AS MATERIALIZED (SELECT DISTINCT a, b FROM bidir),
+       |bd0 AS (
+       |  SELECT nodeId AS v, 0 AS d FROM nodes
+       |  WHERE label = 'Region' AND name IN ('ASIA')
+       |),
+       |$rounds
+       |SELECT s.d AS dist, n.label, CAST(count(*) AS BIGINT) AS n_nodes
+       |FROM bd$iters s JOIN nodes n ON s.v = n.nodeId
+       |GROUP BY s.d, n.label""".stripMargin
+  }
+
   private def kCoreSql(k: Int, iters: Int): String = {
     // MATERIALIZED keeps DuckDB from inlining each round into the next
     // (each adj level is referenced three times per round — the plain-CTE

@@ -244,6 +244,31 @@ object Queries {
   def graphKcore(spark: SparkSession, dir: String): DataFrame =
     graft.graph.GraphAlgorithms.kCoreSizes(graph(spark, dir), k = 3, iters = 6)
 
+  /** Degree-oriented triangle counting over a derived co-occurrence graph:
+    * small parts (p_size <= 5) are connected when some order contains both —
+    * the market-basket projection — then the triangles-per-node histogram.
+    * Co-occurrence fanout is bounded by per-order line count (~7), and wedge
+    * fanout by the degree orientation (GraphAlgorithms.triangleHistogram). */
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val small = T(spark, dir, "part").where(col("p_size") <= 5)
+      .select(col("p_partkey").as("p"))
+    val li = T(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
+      .join(small, Seq("p"), "left_semi").distinct()
+    val edges = li.select(col("k"), col("p").as("a"))
+      .join(li.select(col("k"), col("p").as("b")), Seq("k"))
+      .where(col("a") < col("b"))
+      .select("a", "b")
+    graft.graph.GraphAlgorithms.triangleHistogram(edges)
+  }
+
+  /** BFS distance layers from the ASIA region anchor over the undirected
+    * property graph (6 unrolled rounds reach the fixed point — spec-checked;
+    * the TPC-H graph has diameter <= 5 from any region). */
+  def graphBfsDist(spark: SparkSession, dir: String): DataFrame =
+    graft.graph.GraphAlgorithms.bfsLayers(graph(spark, dir), "Region",
+      Seq("ASIA"), iters = 6)
+
   /** S2 — the unique-nodeId constraint as a validation query. */
   def s2ConstraintCheck(spark: SparkSession, dir: String): DataFrame = {
     val g = graph(spark, dir)
@@ -732,6 +757,8 @@ object Queries {
     "gx_pagerank_topk" -> (gxPageRankTopK _),
     "gx_components" -> (gxComponents _),
     "graph_kcore" -> (graphKcore _),
+    "graph_triangles" -> (graphTriangles _),
+    "graph_bfs_dist" -> (graphBfsDist _),
     "s2_constraint_check" -> (s2ConstraintCheck _),
     "a7_corpus_count" -> (a7CorpusCount _),
     "t3_budget_retrieval" -> (t3BudgetRetrieval _),

@@ -23,6 +23,72 @@ object GraphAlgorithms {
     * final round — the k-core membership report (the web-corpus
     * quality/spam-filter use of k-core).
     */
+  /** Triangle counting by degree orientation — the 100 TB shape: every
+    * undirected edge is oriented from its lower-(degree, id) endpoint to the
+    * higher one, so wedge enumeration fans out from the SMALLER side of each
+    * edge. Per-node out-degree is then bounded by O(sqrt(m)) on any graph,
+    * which is what keeps hub nodes from enumerating all their neighbor
+    * pairs (the naive wedge count is sum(deg²), unbounded under skew; the
+    * oriented count is sum(outdeg²) ≤ m^1.5). Each triangle is produced
+    * exactly once, at its minimum vertex in the orientation order, as a
+    * wedge (u→x, u→y) closed by the oriented edge (x→y).
+    *
+    * Input: edge list with columns (a, b); direction, duplicates and
+    * self-loops are tolerated (canonicalized away). Returns the
+    * triangles-per-node histogram: (n_tri, n_nodes).
+    */
+  def triangleHistogram(edges: DataFrame): DataFrame = {
+    val und = edges.select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .where(col("a") < col("b")).distinct()
+    val sym = und.unionByName(und.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a").as("v")).agg(count(lit(1)).as("deg"))
+    val fwd = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = und
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+      .select(when(fwd, col("a")).otherwise(col("b")).as("u"),
+        when(fwd, col("b")).otherwise(col("a")).as("w"))
+    // wedges at u, deduped by id order of the far endpoints; the closing
+    // edge is checked against the canonical (a < b by id) undirected set
+    val wedges = oriented.select(col("u"), col("w").as("x"))
+      .join(oriented.select(col("u"), col("w").as("y")), Seq("u"))
+      .where(col("x") < col("y"))
+    val tri = wedges.join(
+      und.select(col("a").as("x"), col("b").as("y")), Seq("x", "y"), "left_semi")
+    val corners = tri.select(col("u").as("v"))
+      .unionByName(tri.select(col("x").as("v")))
+      .unionByName(tri.select(col("y").as("v")))
+    corners.groupBy("v").agg(count(lit(1)).as("n_tri"))
+      .groupBy("n_tri").agg(count(lit(1)).as("n_nodes"))
+  }
+
+  /** BFS distance layers from an anchor node set by unrolled min-distance
+    * propagation (`iters` fixed rounds — deterministic and
+    * oracle-expressible, like [[kCoreSizes]]). Each round relaxes one hop:
+    * dist(v) = min(dist(v), min over in-neighbors dist(u)+1). Unreached
+    * nodes are absent from the output. Returns (dist, label, n_nodes).
+    */
+  def bfsLayers(g: PropertyGraph, label: String, names: Seq[String],
+                iters: Int): DataFrame = {
+    val adj = g.bidir.select(col("a"), col("b")).distinct()
+    var dist = g.nodes
+      .where(col("label") === label && col("name").isin(names: _*))
+      .select(col("nodeId").as("v"), lit(0).as("d"))
+    for (_ <- 1 to iters) {
+      // referenced twice per round (carry + expand): truncate the lineage so
+      // the physical plan doesn't replicate the subtree 2^iters times
+      dist = dist.localCheckpoint(true)
+      val next = dist.join(adj, col("v") === col("a"))
+        .select(col("b").as("v"), (col("d") + 1).as("d"))
+      dist = dist.unionByName(next).groupBy("v").agg(min("d").as("d"))
+    }
+    dist.join(g.nodes, col("v") === col("nodeId"))
+      .groupBy(col("d").as("dist"), col("label"))
+      .agg(count(lit(1)).as("n_nodes"))
+  }
+
   def kCoreSizes(g: PropertyGraph, k: Int, iters: Int): DataFrame = {
     var adj = g.bidir.select(col("a"), col("b")).distinct()
     for (_ <- 1 to iters) {

@@ -34,6 +34,71 @@ class GraphAlgorithmsSpec extends SparkSpec {
     assert(partial === Map("A" -> 2L))
   }
 
+  test("triangle histogram: two triangles sharing an edge") {
+    // triangles {1,2,3} and {2,3,4} share edge 2-3: nodes 2,3 are in two
+    // triangles each, nodes 1,4 in one each -> histogram {1 -> 2, 2 -> 2}
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("a", "b")
+    val out = GraphAlgorithms.triangleHistogram(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 2L, 2L -> 2L))
+  }
+
+  test("triangle histogram tolerates duplicates, reversals, self-loops") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 1L), (2L, 3L))
+      .toDF("a", "b")
+    val out = GraphAlgorithms.triangleHistogram(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 3L))
+  }
+
+  test("triangle histogram matches brute force on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val n = 40
+    val edges = (for {
+      a <- 1L to n; b <- (a + 1) to n if rnd.nextDouble() < 0.15
+    } yield (a, b)).toSeq
+    val es = edges.toSet
+    // brute-force triangles-per-node
+    val perNode = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for (x <- 1L to n; y <- (x + 1) to n; z <- (y + 1) to n
+         if es((x, y)) && es((y, z)) && es((x, z))) {
+      perNode(x) += 1; perNode(y) += 1; perNode(z) += 1
+    }
+    val expected = perNode.values.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val out = GraphAlgorithms.triangleHistogram(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === expected)
+  }
+
+  test("BFS layers: chain distances with min over converging paths") {
+    // 1-2-3-4 chain plus shortcut 1-4: dist(4) = 1, dist(3) = 2 via 4
+    val graph = g(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)),
+      Seq(1L -> "A", 2L -> "A", 3L -> "B", 4L -> "B"))
+    val out = GraphAlgorithms.bfsLayers(graph, "A", Seq("n1"), iters = 4)
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out === Map((0, "A") -> 1L, (1, "A") -> 1L, (1, "B") -> 1L,
+      (2, "B") -> 1L))
+  }
+
+  test("BFS layers exclude unreached nodes") {
+    val graph = g(Seq((1L, 2L), (3L, 4L)),
+      Seq(1L -> "A", 2L -> "A", 3L -> "B", 4L -> "B"))
+    val out = GraphAlgorithms.bfsLayers(graph, "A", Seq("n1"), iters = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out === Map((0, "A") -> 1L, (1, "A") -> 1L))
+  }
+
+  test("driver-data BFS reaches a fixed point within the unrolled rounds") {
+    val graph = graft.graph.TpchGraph(spark, "/root/testdata/sf0.001")
+    def run(iters: Int) =
+      GraphAlgorithms.bfsLayers(graph, "Region", Seq("ASIA"), iters)
+        .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    val at6 = run(6)
+    assert(at6 === run(8), "6 BFS rounds must already be the fixed point")
+    assert(at6.nonEmpty)
+  }
+
   test("driver-data k-core reaches a fixed point within the unrolled rounds") {
     val graph = graft.graph.TpchGraph(spark, "/root/testdata/sf0.001")
     val at6 = GraphAlgorithms.kCoreSizes(graph, k = 3, iters = 6)
