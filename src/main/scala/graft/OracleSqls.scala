@@ -682,6 +682,35 @@ object OracleSqls {
         |  round(sqrt(n) / sm / (n / total), 6) AS boost
         |FROM s, t""".stripMargin,
 
+    // inverted-index TF-IDF probe: integer micro-unit scoring
+    // ((tf * 1e6 * N) // df — exact in both engines, order-independent sum)
+    "search_tfidf" ->
+      s"""WITH p AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(${wordsExprOf("lower(text)")}) AS term
+        |    FROM documents
+        |  ) WHERE term IN ('vector', 'hash', 'join', 'window')
+        |  GROUP BY doc_id, term
+        |), d AS (SELECT term, count(*) AS df FROM p GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+        |  CAST(sum((tf * 1000000 * n_docs) // df) AS BIGINT) AS score_micro
+        |FROM p JOIN d USING (term) CROSS JOIN n
+        |GROUP BY doc_id
+        |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin,
+
+    // corpus heavy-hitter bigrams; deterministic ties (count desc, ngram)
+    "text_top_ngrams" ->
+      s"""WITH w AS (SELECT $wordsExpr AS w FROM documents),
+        |gr AS (
+        |  SELECT unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS ngram
+        |  FROM w WHERE len(w) >= 2
+        |)
+        |SELECT ngram, CAST(count(*) AS BIGINT) AS n_occurrences
+        |FROM gr GROUP BY ngram
+        |ORDER BY n_occurrences DESC, ngram LIMIT 20""".stripMargin,
+
     // duplicate-n-gram fraction per doc (Gopher repetition filter), n=2,3;
     // docs with < n words contribute NULL (both engines' avg skips nulls)
     "text_repetition" -> s"""WITH w AS (
@@ -1485,6 +1514,9 @@ object OracleSqls {
   /** Whitespace word list (non-empty), mirroring [[graft.functions.words]]. */
   private lazy val wordsExpr: String =
     """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+
+  private def wordsExprOf(col: String): String =
+    s"""list_filter(string_split_regex($col, '\\s+'), x -> x <> '')"""
 
   /** Word-3-gram distinct shingle sets, mirroring
     * [[graft.operators.Dedup.shingleSets]] with n=3. */

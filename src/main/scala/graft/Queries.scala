@@ -575,6 +575,16 @@ object Queries {
   def textQuantiles(spark: SparkSession, dir: String): DataFrame =
     TextOps.lengthQuantiles(T(spark, dir, "documents"))
 
+  /** Inverted-index TF-IDF fulltext search (exact integer micro-unit
+    * scoring; Search.tfidfTopK) for a fixed query-term bag. */
+  def searchTfidf(spark: SparkSession, dir: String): DataFrame =
+    Search.tfidfTopK(T(spark, dir, "documents"),
+      Seq("vector", "hash", "join", "window"), k = 20)
+
+  /** Corpus heavy-hitter bigrams (boilerplate detection). */
+  def textTopNgrams(spark: SparkSession, dir: String): DataFrame =
+    TextOps.topNgrams(T(spark, dir, "documents"), n = 2, k = 20)
+
   /** Model-based quality scoring: corpus-trained smoothed bigram likelihood
     * per document (CCNet-style filter next to the rule-based gates). */
   def textLmBigram(spark: SparkSession, dir: String): DataFrame =
@@ -784,6 +794,8 @@ object Queries {
     "text_repetition" -> (textRepetition _),
     "text_quantiles" -> (textQuantiles _),
     "text_lm_bigram" -> (textLmBigram _),
+    "search_tfidf" -> (searchTfidf _),
+    "text_top_ngrams" -> (textTopNgrams _),
     "layout_zorder" -> (layoutZorder _),
     "curate_decontam" -> (curateDecontam _),
     "curate_hash_split" -> (curateHashSplit _),

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Inverted-index fulltext search — the batch-retrieval half of the
+  * reference's fulltext lookup (retrieval/ner.py fulltext index call),
+  * re-expressed as a distributed index build + ranked probe instead of a
+  * per-query index server call.
+  *
+  * Scoring is TF-IDF with the idf kept LOG-FREE and in exact integer
+  * micro-units: contrib(term, doc) = (tf * 1e6 * N) div df. Integer
+  * division is bit-identical across engines and summation order cannot
+  * perturb it, so ranked results hash-match a SQL oracle exactly — no
+  * float drift. (A log-scaled idf changes ranking only when df ratios
+  * invert across terms; the rational idf preserves the dominant ordering
+  * and keeps the whole operator hash-checkable.)
+  *
+  * Scale shape: the index build is one explode + one groupBy (map-side
+  * combined); a query probes with a broadcast IN-filter on the term
+  * column — pushed to the posting scan — so only matching postings ever
+  * shuffle, and the df/N sides are broadcast. Nothing is proportional to
+  * corpus size except the one index-build pass.
+  */
+object Search {
+
+  /** Inverted index: one posting per (term, doc) with its term frequency.
+    * At 100 TB this is the write-once artifact you'd persist bucketed by
+    * term; every later query is a pruned probe of it. */
+  def postings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(graft.functions.words(lower(col("text")))).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+
+  /** Ranked top-k fulltext search for a bag of query terms. Returns
+    * (doc_id, n_terms, score_micro) — matched-term count and the exact
+    * integer TF-IDF score — deterministically ordered (score desc, doc_id)
+    * and truncated via TakeOrderedAndProject (no global sort). */
+  def tfidfTopK(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    val qp = postings(docs).where(col("term").isin(terms: _*))
+    val dfreq = qp.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    qp.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("contrib", expr("(tf * 1000000 * n_docs) div df"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("contrib").as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(k)
+  }
+}

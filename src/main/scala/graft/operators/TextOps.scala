@@ -110,6 +110,17 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(words(lower(text))))))
 
+  /** Corpus-wide heavy-hitter n-grams: exact top-k most frequent word
+    * n-grams (boilerplate/template detection — the exact counterpart of a
+    * count-min sketch pass). One explode + one map-side-combined groupBy;
+    * the top-k is TakeOrderedAndProject, never a global sort. Deterministic
+    * ties: (count desc, ngram asc). */
+  def topNgrams(docs: DataFrame, n: Int, k: Int): DataFrame =
+    docs.select(explode(wordShingles(col("text"), n)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("ngram"))
+      .limit(k)
+
   def fingerprintDupGroups(docs: DataFrame): DataFrame =
     docs.groupBy(fingerprint(col("text")).as("fp"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper_id"))

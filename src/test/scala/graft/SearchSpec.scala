@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.{Search, TextOps}
+
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "apple banana apple cherry"),
+    (2L, "banana banana banana"),
+    (3L, "cherry date elderberry"),
+    (4L, "apple apple apple apple"),
+    (5L, "date date banana apple")
+  ).toDF("doc_id", "text")
+
+  test("postings carry per-doc term frequencies") {
+    val p = Search.postings(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(p(("apple", 1L)) === 2L)
+    assert(p(("apple", 4L)) === 4L)
+    assert(p(("banana", 2L)) === 3L)
+    assert(!p.contains(("cherry", 2L)))
+  }
+
+  test("tfidf ranks by exact integer micro-score with doc_id tiebreak") {
+    // terms: apple (df=3), banana (df=3); N=5; idf unit = 1e6*5
+    // contrib = (tf * 1e6 * 5) div df
+    val unit = 1000000L * 5
+    def c(tf: Long, df: Long) = tf * unit / df
+    val expected = Map(
+      1L -> (2L, c(2, 3) + c(1, 3)), // apple 2, banana 1
+      2L -> (1L, c(3, 3)),
+      4L -> (1L, c(4, 3)),
+      5L -> (2L, c(1, 3) + c(1, 3)))
+    val out = Search.tfidfTopK(docs, Seq("apple", "banana"), 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+    assert(out.toMap === expected)
+    // ordering: score desc, then doc_id
+    val scores = out.map(_._2._2)
+    assert(scores.sameElements(scores.sortBy(-_)))
+    assert(out.map(_._1).toSeq === Seq(4L, 2L, 1L, 5L))
+  }
+
+  test("tfidf top-k truncates deterministically") {
+    val out = Search.tfidfTopK(docs, Seq("apple", "banana"), 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(out === Seq(4L, 2L))
+  }
+
+  test("top n-grams count corpus-wide with (count desc, ngram) ties") {
+    val d = Seq(
+      (1L, "a b a b"),      // "a b" x2, "b a" x1
+      (2L, "a b c"),        // "a b", "b c"
+      (3L, "x")             // no bigram
+    ).toDF("doc_id", "text")
+    val out = TextOps.topNgrams(d, n = 2, k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(out === Seq("a b" -> 3L, "b a" -> 1L, "b c" -> 1L))
+  }
+}
