@@ -1107,6 +1107,46 @@ object OracleSqls {
         |  CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
+    // trailing 1-hour per-user RANGE window (frame on integer epoch
+    // seconds — order-insensitive for equal-second ties in both engines)
+    "events_rolling" ->
+      """SELECT event_id,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_window,
+        |  round(sum(value) OVER w, 2) AS sum_window
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY (epoch_us(ts) // 1000000)
+        |  RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // per-type Tukey fences from exact interpolated quartiles
+    // (quantile_cont ≡ Spark percentile); fences compared unrounded —
+    // both engines derive them with the identical IEEE expression
+    "events_outliers" ->
+      """WITH b AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |    quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+        |  FROM events GROUP BY event_type
+        |), f AS (
+        |  SELECT event_type, n_events,
+        |    q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+        |  FROM b
+        |)
+        |SELECT e.event_type, f.n_events,
+        |  CAST(sum(CASE WHEN e.value < f.lo OR e.value > f.hi
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  round(f.lo, 6) AS lo, round(f.hi, 6) AS hi
+        |FROM events e JOIN f USING (event_type)
+        |GROUP BY e.event_type, f.n_events, f.lo, f.hi""".stripMargin,
+
+    // one-pass two-level ROLLUP (leaf, per-flag subtotal, grand total);
+    // gid is the standard grouping bitmask with the first column as MSB
+    "profile_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_measure
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
     "events_sessions" ->
       """WITH e AS (
         |  SELECT user_id, event_id, date_trunc('second', ts) AS tss FROM events

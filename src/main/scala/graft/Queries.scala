@@ -726,6 +726,20 @@ object Queries {
   def eventsHourly(spark: SparkSession, dir: String): DataFrame =
     Events.hourlyAgg(eventsT(spark, dir))
 
+  /** Trailing 1-hour per-user range window over every event. */
+  def eventsRolling(spark: SparkSession, dir: String): DataFrame =
+    Events.rollingWindowStats(eventsT(spark, dir), windowSeconds = 3600L)
+
+  /** Per-type Tukey-fence outlier counts (exact quartiles + broadcast
+    * fences). */
+  def eventsOutliers(spark: SparkSession, dir: String): DataFrame =
+    Events.iqrOutliers(eventsT(spark, dir))
+
+  /** One-pass ROLLUP profile of lineitem by returnflag / linestatus. */
+  def profileRollup(spark: SparkSession, dir: String): DataFrame =
+    Profile.rollupProfile(T(spark, dir, "lineitem"),
+      "l_returnflag", "l_linestatus", "l_quantity")
+
   def eventsSessions(spark: SparkSession, dir: String): DataFrame =
     Events.sessionStats(eventsT(spark, dir), gapSeconds = 21600L)
 
@@ -810,6 +824,9 @@ object Queries {
     "join_asof" -> (joinAsof _),
     "join_range" -> (joinRange _),
     "events_hourly" -> (eventsHourly _),
+    "events_rolling" -> (eventsRolling _),
+    "events_outliers" -> (eventsOutliers _),
+    "profile_rollup" -> (profileRollup _),
     "events_json_props" -> (eventsJsonProps _),
     "events_sessions" -> (eventsSessions _)
   )

@@ -35,6 +35,43 @@ object Events {
         col("event_type"))
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
 
+  /** Per-event trailing time-range window: for every event, the count and
+    * value-sum of the same user's events in the preceding `windowSeconds`
+    * (inclusive of the current second — a RANGE frame on epoch seconds, so
+    * equal-timestamp events are all in frame and the result is
+    * order-insensitive). One shuffle on user_id; per-key state is bounded
+    * by the window span, which is exactly the shape that survives 100 TB
+    * (and its streaming twin is a watermarked sliding window). */
+  def rollingWindowStats(events: DataFrame, windowSeconds: Long): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("tss"))
+      .rangeBetween(-(windowSeconds - 1), 0)
+    events.select(col("event_id"), col("user_id"), epochSec.as("tss"),
+        col("value"))
+      .withColumn("n_window", count(lit(1)).over(w))
+      .withColumn("sum_window", round(sum("value").over(w), 2))
+      .select("event_id", "n_window", "sum_window")
+  }
+
+  /** Per-type IQR (Tukey fence) outlier detection: exact interpolated
+    * quartiles per event_type, fences at 1.5×IQR, then one counting pass
+    * with the fences broadcast — quantile state never shuffles the fact
+    * side. */
+  def iqrOutliers(events: DataFrame): DataFrame = {
+    val ps = percentile(col("value"), array(lit(0.25), lit(0.75)))
+    val bounds = events.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        element_at(ps, 1).as("q1"), element_at(ps, 2).as("q3"))
+      .withColumn("lo", col("q1") - lit(1.5) * (col("q3") - col("q1")))
+      .withColumn("hi", col("q3") + lit(1.5) * (col("q3") - col("q1")))
+      .select("event_type", "n_events", "lo", "hi")
+    events.join(broadcast(bounds), Seq("event_type"))
+      .groupBy(col("event_type"), col("n_events"), col("lo"), col("hi"))
+      .agg(sum(when(col("value") < col("lo") || col("value") > col("hi"), 1L)
+        .otherwise(0L)).as("n_outliers"))
+      .select(col("event_type"), col("n_events"), col("n_outliers"),
+        round(col("lo"), 6).as("lo"), round(col("hi"), 6).as("hi"))
+  }
+
   /** Gap-based sessionization: a new session starts after `gapSeconds` of
     * user inactivity. One shuffle on user_id; at scale this is the classic
     * sessionize-by-key window (`session_window` in streaming mode). Returns

@@ -12,6 +12,17 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** Hierarchical ROLLUP profile over two dimensions: per-(c1, c2) rows,
+    * per-c1 subtotals, and the grand total in ONE pass (Spark plans rollup
+    * as a single Expand + aggregate — no re-scan per level). `gid` is the
+    * standard grouping bitmask (c1 = MSB), 0 = leaf, 3 = grand total. */
+  def rollupProfile(df: DataFrame, c1: String, c2: String,
+                    measure: String): DataFrame =
+    df.rollup(c1, c2)
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_rows"),
+        round(sum(measure), 2).as("sum_measure"))
+
   def tableProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap(c => Seq(
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__${c}_nulls"),

@@ -25,6 +25,38 @@ class EventsSpec extends SparkSpec {
     assert(m(("2024-01-01 01", "view")) === ((1L, 5.0)))
   }
 
+  test("rollingWindowStats: trailing range frame per user, tie-insensitive") {
+    def ev(id: Long, user: Long, sec: Long, v: Double) =
+      (id, sec * 1000000000L, user, "e", v, "")
+    val df = Seq(
+      ev(1, 1, 0, 1.0), ev(2, 1, 10, 2.0), ev(3, 1, 3620, 4.0), // 1,2 out of 3's hour
+      ev(4, 1, 3620, 8.0),                                      // tie: both in frame
+      ev(5, 2, 0, 16.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val m = Events.rollingWindowStats(df, windowSeconds = 3600L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(m(1L) === ((1L, 1.0)))
+    assert(m(2L) === ((2L, 3.0)))
+    // at t=3620 the hour frame starts at 21: events 1 (t=0) and 2 (t=10)
+    // fall out; the equal-second pair 3,4 both see each other
+    assert(m(3L) === ((2L, 12.0)))
+    assert(m(4L) === ((2L, 12.0)))
+    assert(m(5L) === ((1L, 16.0)))
+  }
+
+  test("iqrOutliers: Tukey fences flag the far point per type") {
+    def ev(id: Long, t: String, v: Double) = (id, id * 1000000000L, 1L, t, v, "")
+    // type a: values 1..9 (q1=3, q3=7, iqr=4 -> fences [-3, 13]) + outlier 100
+    val df = ((1 to 9).map(i => ev(i.toLong, "a", i.toDouble)) :+
+      ev(10, "a", 100.0) :+ ev(11, "b", 5.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val m = Events.iqrOutliers(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(m("a")._1 === 10L)
+    assert(m("a")._2 === 1L)
+    assert(m("b") === ((1L, 0L)))
+  }
+
   test("sessionStats splits on inactivity gap") {
     def ev(id: Long, user: Long, sec: Long) = (id, sec * 1000000000L, user, "e", 0.0, "")
     val df = Seq(

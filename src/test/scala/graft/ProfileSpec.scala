@@ -19,6 +19,25 @@ class ProfileSpec extends SparkSpec {
     assert(out("v") === ((3L, 0L, 2L, "10", "20")))
   }
 
+  test("rollupProfile emits leaf, subtotal and grand-total levels in one pass") {
+    val df = Seq(
+      ("A", "F", 1.0), ("A", "F", 2.0), ("A", "O", 4.0), ("B", "F", 8.0))
+      .toDF("flag", "status", "qty")
+    val out = Profile.rollupProfile(df, "flag", "status", "qty")
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1))) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out((Some("A"), Some("F"))) === ((0L, 2L, 3.0)))
+    assert(out((Some("A"), Some("O"))) === ((0L, 1L, 4.0)))
+    assert(out((Some("B"), Some("F"))) === ((0L, 1L, 8.0)))
+    assert(out((Some("A"), None)) === ((1L, 3L, 7.0)))
+    assert(out((Some("B"), None)) === ((1L, 1L, 8.0)))
+    assert(out((None, None)) === ((3L, 4L, 15.0)))
+    // one pass: rollup plans as Expand over a single scan
+    val leaves = Profile.rollupProfile(df, "flag", "status", "qty")
+      .queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.length === 1)
+  }
+
   test("tableProfile plans a single aggregate over one scan") {
     val df = Seq((1L, "x")).toDF("id", "s")
     val plan = Profile.tableProfile(df, Seq("id", "s"))
