@@ -1137,6 +1137,37 @@ object OracleSqls {
         |FROM events e JOIN f USING (event_type)
         |GROUP BY e.event_type, f.n_events, f.lo, f.hi""".stripMargin,
 
+    // SCD2 validity intervals: lead() over (user, second, event_id)
+    "events_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value,
+        |    (epoch_us(ts) // 1000000) AS tss
+        |  FROM events
+        |)
+        |SELECT user_id, event_id, value,
+        |  tss AS valid_from,
+        |  lead(tss) OVER (PARTITION BY user_id ORDER BY tss, event_id) AS valid_to,
+        |  lead(tss) OVER (PARTITION BY user_id ORDER BY tss, event_id) IS NULL AS is_current
+        |FROM e""".stripMargin,
+
+    // SymSpell deletion blocking + exact levenshtein verify over distinct
+    // part names (blocking is complete up to distance 1; shared variants
+    // only bound distance at 2, hence the verify)
+    "er_fuzzy_pairs" ->
+      """WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+        |v AS (
+        |  SELECT name, unnest(list_append(
+        |    list_transform(range(1, len(name) + 1),
+        |      i -> substr(name, 1, i - 1) || substr(name, i + 1)),
+        |    name)) AS variant
+        |  FROM names
+        |), cand AS (
+        |  SELECT DISTINCT a.name AS name_a, b.name AS name_b
+        |  FROM v a JOIN v b ON a.variant = b.variant AND a.name < b.name
+        |)
+        |SELECT name_a, name_b FROM cand
+        |WHERE levenshtein(name_a, name_b) <= 1""".stripMargin,
+
     // one-pass two-level ROLLUP (leaf, per-flag subtotal, grand total);
     // gid is the standard grouping bitmask with the first column as MSB
     "profile_rollup" ->

@@ -735,6 +735,15 @@ object Queries {
   def eventsOutliers(spark: SparkSession, dir: String): DataFrame =
     Events.iqrOutliers(eventsT(spark, dir))
 
+  /** SCD2 validity intervals over each user's event history. */
+  def eventsScd2(spark: SparkSession, dir: String): DataFrame =
+    Events.scd2Intervals(eventsT(spark, dir))
+
+  /** Typo-tolerant name pairs (SymSpell deletion blocking + exact
+    * levenshtein verify) over the distinct part-name universe. */
+  def erFuzzyPairs(spark: SparkSession, dir: String): DataFrame =
+    Fuzzy.nearNamePairs(T(spark, dir, "part").select(col("p_name").as("name")))
+
   /** One-pass ROLLUP profile of lineitem by returnflag / linestatus. */
   def profileRollup(spark: SparkSession, dir: String): DataFrame =
     Profile.rollupProfile(T(spark, dir, "lineitem"),
@@ -826,6 +835,8 @@ object Queries {
     "events_hourly" -> (eventsHourly _),
     "events_rolling" -> (eventsRolling _),
     "events_outliers" -> (eventsOutliers _),
+    "events_scd2" -> (eventsScd2 _),
+    "er_fuzzy_pairs" -> (erFuzzyPairs _),
     "profile_rollup" -> (profileRollup _),
     "events_json_props" -> (eventsJsonProps _),
     "events_sessions" -> (eventsSessions _)

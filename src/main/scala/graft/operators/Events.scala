@@ -72,6 +72,23 @@ object Events {
         round(col("lo"), 6).as("lo"), round(col("hi"), 6).as("hi"))
   }
 
+  /** SCD2 history build: treat each user's events as attribute-change
+    * records and assign every record its validity interval —
+    * [valid_from, valid_to) with `valid_to` = the next change's second and
+    * NULL (open) on the latest record. One keyed window (lead), ties broken
+    * by event_id; this is the write side of the as-of join
+    * ([[graft.operators.Joins.asofJoin]] is the read side). */
+  def scd2Intervals(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("tss"), col("event_id"))
+    events.select(col("user_id"), col("event_id"), epochSec.as("tss"),
+        col("value"))
+      .withColumn("valid_from", col("tss"))
+      .withColumn("valid_to", lead(col("tss"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select("user_id", "event_id", "value", "valid_from", "valid_to",
+        "is_current")
+  }
+
   /** Gap-based sessionization: a new session starts after `gapSeconds` of
     * user inactivity. One shuffle on user_id; at scale this is the classic
     * sessionize-by-key window (`session_window` in streaming mode). Returns

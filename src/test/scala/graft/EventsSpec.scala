@@ -44,6 +44,19 @@ class EventsSpec extends SparkSpec {
     assert(m(5L) === ((1L, 16.0)))
   }
 
+  test("scd2Intervals chains validity windows with an open current row") {
+    def ev(id: Long, user: Long, sec: Long, v: Double) =
+      (id, sec * 1000000000L, user, "set", v, "")
+    val df = Seq(ev(1, 1, 100, 1.0), ev(2, 1, 200, 2.0), ev(3, 2, 50, 9.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rows = Events.scd2Intervals(df).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(3), Option(r.get(4)), r.getBoolean(5))))
+      .toMap
+    assert(rows(1L) === ((100L, Some(200L), false)))
+    assert(rows(2L) === ((200L, None, true)))
+    assert(rows(3L) === ((50L, None, true)))
+  }
+
   test("iqrOutliers: Tukey fences flag the far point per type") {
     def ev(id: Long, t: String, v: Double) = (id, id * 1000000000L, 1L, t, v, "")
     // type a: values 1..9 (q1=3, q3=7, iqr=4 -> fences [-3, 13]) + outlier 100
