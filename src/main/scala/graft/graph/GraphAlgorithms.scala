@@ -72,17 +72,30 @@ object GraphAlgorithms {
     */
   def bfsLayers(g: PropertyGraph, label: String, names: Seq[String],
                 iters: Int): DataFrame = {
+    // frontier BFS, not full min-propagation: each round expands only the
+    // newly-discovered layer, so per-round work SHRINKS as the search
+    // saturates (full propagation re-joins the whole reached set every
+    // round). The adjacency is materialized ONCE — each round's eager
+    // frontier checkpoint would otherwise recompute the distinct() shuffle
+    // per round — and small frontiers broadcast under AQE, so the static
+    // side never reshuffles. Result is identical to t rounds of
+    // min-distance propagation at every t (discovery round = min distance).
     val adj = g.bidir.select(col("a"), col("b")).distinct()
-    var dist = g.nodes
+      .localCheckpoint(true)
+    var frontier = g.nodes
       .where(col("label") === label && col("name").isin(names: _*))
       .select(col("nodeId").as("v"), lit(0).as("d"))
-    for (_ <- 1 to iters) {
-      // referenced twice per round (carry + expand): truncate the lineage so
-      // the physical plan doesn't replicate the subtree 2^iters times
-      dist = dist.localCheckpoint(true)
-      val next = dist.join(adj, col("v") === col("a"))
-        .select(col("b").as("v"), (col("d") + 1).as("d"))
-      dist = dist.unionByName(next).groupBy("v").agg(min("d").as("d"))
+      .localCheckpoint(true)
+    var dist = frontier
+    for (t <- 1 to iters) {
+      // dist is referenced twice (anti-join + union) but is a union of
+      // already-materialized frontiers, so the replicated lineage is cheap
+      frontier = frontier.join(adj, col("v") === col("a"))
+        .select(col("b").as("v")).distinct()
+        .join(dist, Seq("v"), "left_anti")
+        .select(col("v"), lit(t).as("d"))
+        .localCheckpoint(true)
+      dist = dist.unionByName(frontier)
     }
     dist.join(g.nodes, col("v") === col("nodeId"))
       .groupBy(col("d").as("dist"), col("label"))
