@@ -188,6 +188,22 @@ object OracleSqls {
         |  WHERE s.label = 'Nation' AND s.name = 'NATION_3')
         |ORDER BY node_id DESC LIMIT 5""".stripMargin),
 
+    // var-length [*1..2]: UNION of the 1-hop frontier and the
+    // trail-filtered 2-hop frontier (mirrors the planner's expansion)
+    "cy_varlength" -> withGraph(
+      """SELECT DISTINCT x.nodeId AS node_id, x.label AS label FROM (
+        |  SELECT e.b AS v FROM nodes s
+        |  JOIN bidir e ON s.nodeId = e.a
+        |  WHERE s.label = 'Region' AND s.name = 'ASIA'
+        |  UNION
+        |  SELECT e2.b FROM nodes s
+        |  JOIN bidir e1 ON s.nodeId = e1.a
+        |  JOIN bidir e2 ON e1.b = e2.a
+        |  WHERE s.label = 'Region' AND s.name = 'ASIA'
+        |    AND NOT (e1.relType = e2.relType AND e1.src = e2.src
+        |             AND e1.dst = e2.dst)
+        |) t JOIN nodes x ON t.v = x.nodeId""".stripMargin),
+
     // salting is a physical strategy: the oracle is the PLAIN group by
     "skew_salted_agg" ->
       """SELECT l_suppkey, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_distinct

@@ -455,6 +455,14 @@ object Queries {
         |RETURN DISTINCT y.nodeId AS node_id, y.name AS name
         |ORDER BY node_id DESC LIMIT 5""".stripMargin)
 
+  /** Variable-length Cypher path: everything within 1..2 undirected hops
+    * of the ASIA region — planned as a union of fixed-length expansions
+    * with per-expansion trail semantics. */
+  def cyVarlength(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """MATCH (r:Region {name: "ASIA"})-[*1..2]-(x)
+        |RETURN DISTINCT x.nodeId AS node_id, x.label AS label""".stripMargin)
+
   /** Skew-resistant exact count-distinct on driver data: the salted
     * two-phase aggregate must produce exactly the plain GROUP BY result
     * (the salting is a physical strategy, invisible in the output). */
@@ -776,6 +784,7 @@ object Queries {
     "cy_schema_1hop" -> (cySchema1Hop _),
     "cy_anti_lookup" -> (cyAntiLookup _),
     "cy_ordered_topk" -> (cyOrderedTopk _),
+    "cy_varlength" -> (cyVarlength _),
     "skew_salted_agg" -> (skewSaltedAgg _),
     "pipeline_retrieve" -> (pipelineRetrieve _),
     "fmt_context" -> (fmtContext _),

@@ -33,7 +33,11 @@ object Ast {
   final case class LongLit(v: Long) extends AnchorValue
   final case class VarRef(name: String) extends AnchorValue
 
-  final case class RelPat(varName: Option[String], relType: Option[String])
+  /** `range` is Neo4j's variable-length spec `*min..max` (None = plain
+    * single hop). Var-length rels cannot bind a variable (the binding would
+    * be a relationship LIST; outside the emitted grammar's RETURN surface). */
+  final case class RelPat(varName: Option[String], relType: Option[String],
+                          range: Option[(Int, Int)] = None)
 
   /** Alternating node/rel pattern: nodes.length == rels.length + 1. */
   final case class MatchPath(nodes: Seq[NodePat], rels: Seq[RelPat])
@@ -95,7 +99,8 @@ object Ast {
       def node(n: NodePat): String =
         s"(${n.varName}${n.label.fold("")(l => s":$l")}${anchor(n)})"
       def rel(r: RelPat): String =
-        s"-[${r.varName.getOrElse("")}${r.relType.fold("")(t => s":$t")}]-"
+        s"-[${r.varName.getOrElse("")}${r.relType.fold("")(t => s":$t")}" +
+          s"${r.range.fold("") { case (lo, hi) => s"*$lo..$hi" }}]-"
       def path(p: MatchPath): String =
         node(p.nodes.head) + p.rels.zip(p.nodes.tail)
           .map { case (r, n) => rel(r) + node(n) }.mkString

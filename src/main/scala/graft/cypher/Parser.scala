@@ -151,15 +151,34 @@ object Parser {
       expect("-")
       expect("[")
       ws()
-      val v = if (pos < in.length && in(pos) != ':' && in(pos) != ']') Some(ident()) else None
+      val v = if (pos < in.length && in(pos) != ':' && in(pos) != ']' && in(pos) != '*')
+                Some(ident()) else None
       val t = if ({ ws(); pos < in.length && in(pos) == ':' }) { pos += 1; Some(ident()) }
               else None
+      // variable-length spec: *  |  *n  |  *min..max  (bare * = 1..3, the
+      // dialect's cap; Neo4j's unbounded * has no distributed equivalent)
+      val range: Option[(Int, Int)] =
+        if ({ ws(); pos < in.length && in(pos) == '*' }) {
+          pos += 1; ws()
+          if (pos < in.length && in(pos).isDigit) {
+            val lo = longLit().toInt
+            ws()
+            val hi = if (pos + 1 < in.length && in(pos) == '.' && in(pos + 1) == '.') {
+              pos += 2; longLit().toInt
+            } else lo
+            if (lo < 1 || hi < lo || hi > 3)
+              fail(s"variable-length range *$lo..$hi outside the dialect (1..3)")
+            Some((lo, hi))
+          } else Some((1, 3))
+        } else None
+      if (range.isDefined && v.isDefined)
+        fail("variable-length relationships cannot bind a variable")
       expect("]")
       expect("-")
       // directed arrows are not part of the emitted grammar (all -[r]-)
       ws()
       if (pos < in.length && in(pos) == '>') fail("directed patterns not supported (grammar is undirected)")
-      RelPat(v, t)
+      RelPat(v, t, range)
     }
 
     private def pred(): Pred = {

@@ -28,24 +28,25 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
 
   def plan(q: CypherQuery): DataFrame = {
     require(q.paths.nonEmpty, "at least one MATCH path")
-    // multiple comma-separated paths are cross-joined then filtered (the
-    // emitted grammar never uses >1, but the join shape is the same)
-    val joined = q.paths.map(planPath(q, _)).reduce(_.crossJoin(_))
-    val filtered = q.preds.foldLeft(joined)((df, p) => df.where(predCol(p)))
+    // variable-length rels expand to a UNION of fixed-length queries (one
+    // per hop count — Cypher semantics: one row per distinct path, so a
+    // pair reachable at both 1 and 2 hops yields two pre-DISTINCT rows);
+    // every expansion is projected to the same canonical tuple schema, so
+    // DISTINCT / aggregation happen once, over the union.
+    val tuple = expandVarLength(q).map(tupleFrame).reduce(_.unionByName(_))
 
     val projected =
       if (q.isAggregating) {
-        val (aggs, keys) = q.items.partition(i => i.expr match {
-          case _: CountDistinct | _: CountDistinctInParam => true
-          case _ => false
-        })
-        val keyCols = keys.map(i => exprCol(i.expr).as(i.name))
-        val aggCols = aggs.map(i => aggCol(i.expr).as(i.name))
-        if (keyCols.isEmpty) filtered.agg(aggCols.head, aggCols.tail: _*)
-        else filtered.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+        val keyCols = q.items.collect {
+          case i if !isAggItem(i) => col(i.name)
+        }
+        val aggCols = q.items.zipWithIndex.collect {
+          case (i, idx) if isAggItem(i) => aggCol(i.expr, s"__agg$idx").as(i.name)
+        }
+        if (keyCols.isEmpty) tuple.agg(aggCols.head, aggCols.tail: _*)
+        else tuple.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
       } else {
-        val p = filtered.select(q.items.map(i => exprCol(i.expr).as(i.name)): _*)
-        if (q.distinct) p.distinct() else p
+        if (q.distinct) tuple.distinct() else tuple
       }
 
     val ordered = q.orderBy match {
@@ -55,6 +56,56 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       case None => projected
     }
     q.limit.fold(ordered)(ordered.limit)
+  }
+
+  private def isAggItem(i: RetItem): Boolean = i.expr match {
+    case _: CountDistinct | _: CountDistinctInParam => true
+    case _ => false
+  }
+
+  /** One fixed-length expansion joined, predicate-filtered, and projected
+    * to the canonical tuple schema: non-aggregate items under their output
+    * names, aggregate items as their pre-aggregation source column
+    * (`__agg<i>`), so all expansions union cleanly. */
+  private def tupleFrame(q: CypherQuery): DataFrame = {
+    val joined = q.paths.map(planPath(q, _)).reduce(_.crossJoin(_))
+    val filtered = q.preds.foldLeft(joined)((df, p) => df.where(predCol(p)))
+    val cols = q.items.zipWithIndex.map { case (i, idx) =>
+      i.expr match {
+        case CountDistinct(v)            => col(s"$v.nodeId").as(s"__agg$idx")
+        case CountDistinctInParam(v, _)  => col(s"$v.nodeId").as(s"__agg$idx")
+        case e                           => exprCol(e).as(i.name)
+      }
+    }
+    filtered.select(cols: _*)
+  }
+
+  /** Enumerate the cartesian product of hop counts for every var-length
+    * rel, rewriting each choice to a fixed-length path with fresh anonymous
+    * intermediate nodes (same label/type constraints as the ranged rel). */
+  private def expandVarLength(q: CypherQuery): Seq[CypherQuery] = {
+    def expandPath(path: MatchPath, pathIdx: Int): Seq[MatchPath] =
+      path.rels.zipWithIndex.foldLeft(Seq(MatchPath(path.nodes.take(1), Nil))) {
+        case (acc, (r, i)) =>
+          val next = path.nodes(i + 1)
+          r.range match {
+            case None =>
+              acc.map(p => MatchPath(p.nodes :+ next, p.rels :+ r))
+            case Some((lo, hi)) =>
+              for { p <- acc; k <- lo to hi } yield {
+                val anons = (1 until k).map(j =>
+                  NodePat(s"__v${pathIdx}_${i}_$j", None, None, None))
+                val hopRels = Seq.fill(k)(RelPat(None, r.relType, None))
+                MatchPath(p.nodes ++ anons :+ next, p.rels ++ hopRels)
+              }
+          }
+      }
+    q.paths.zipWithIndex
+      .map { case (p, idx) => expandPath(p, idx) }
+      .foldLeft(Seq(Seq.empty[MatchPath])) { (acc, opts) =>
+        for (a <- acc; o <- opts) yield a :+ o
+      }
+      .map(ps => q.copy(paths = ps))
   }
 
   /** One MATCH path = anchor/label-filtered node frames chained through the
@@ -139,11 +190,12 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     case other => throw new IllegalArgumentException(s"$other is aggregate-only")
   }
 
-  private def aggCol(e: Expr): Column = e match {
-    case CountDistinct(v) => count_distinct(col(s"$v.nodeId"))
-    case CountDistinctInParam(v, param) =>
+  /** Aggregate over the canonical tuple column `src` (see [[tupleFrame]]). */
+  private def aggCol(e: Expr, src: String): Column = e match {
+    case CountDistinct(_) => count_distinct(col(src))
+    case CountDistinctInParam(_, param) =>
       val ids = longs(param)
-      count_distinct(when(col(s"$v.nodeId").isin(ids: _*), col(s"$v.nodeId")))
+      count_distinct(when(col(src).isin(ids: _*), col(src)))
     case other => throw new IllegalArgumentException(s"$other is not an aggregate")
   }
 

@@ -37,7 +37,11 @@ object CypherProps extends Properties("cypher") {
   private def rel(i: Int): Gen[RelPat] = for {
     named <- Gen.oneOf(true, false)
     t <- Gen.option(Gen.oneOf("WRITES", "CITES", "HAS_TOPIC"))
-  } yield RelPat(if (named) Some(s"r$i") else None, t)
+    range <- Gen.option(for {
+      lo <- Gen.choose(1, 3); hi <- Gen.choose(lo, 3)
+    } yield (lo, hi))
+    // var-length rels cannot bind a variable (parser enforces)
+  } yield RelPat(if (named && range.isEmpty) Some(s"r$i") else None, t, range)
 
   private val path: Gen[MatchPath] = for {
     n <- Gen.choose(1, 3)

@@ -112,6 +112,46 @@ class CypherSpec extends SparkSpec {
     assert(rows.last._4 === 0.0)
   }
 
+  test("variable-length path: union of hop counts with trail semantics") {
+    // Alice(10) within 1..2 hops. The parallel-edge pair e4/e12 (10-20
+    // WRITES/REVIEWS) makes 10 its OWN 2-hop neighbor — out e4, back e12
+    // is a legal trail — which pins the per-expansion trail filter.
+    val ids = Planner.run(g,
+      """MATCH (a:Author {name: "Alice"})-[*1..2]-(x) RETURN DISTINCT x.nodeId AS id""")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 10L, 11L, 20L, 21L, 22L, 30L))
+  }
+
+  test("variable-length path with a type constraint on every hop") {
+    // CITES edges only: e11 (22-20) and the self-loop e13 (22-22);
+    // from P-alpha(20): 1 hop -> 22; 2 hops -> 22 again via the self-loop
+    // (e11 then e13 — distinct rels, legal trail); never back to 20 (e11
+    // would repeat)
+    val ids = Planner.run(g,
+      """MATCH (p:Paper {name: "P-alpha"})-[:CITES*1..2]-(x) RETURN DISTINCT x.nodeId AS id""")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids === Set(22L))
+  }
+
+  test("aggregation over a variable-length match spans all expansions") {
+    val cnt = Planner.run(g,
+      """MATCH (a:Author {name: "Alice"})-[*1..2]-(x) RETURN count(DISTINCT x) AS cnt""")
+      .collect().head.getLong(0)
+    assert(cnt === 7L)
+  }
+
+  test("var-length parse forms: bare *, *n, *min..max; bad forms rejected") {
+    import graft.cypher.{Parser, Ast}
+    def range(s: String) =
+      Parser.parse(s"MATCH (a)-[$s]-(b) RETURN a.name").paths.head.rels.head.range
+    assert(range("*") === Some((1, 3)))
+    assert(range("*2") === Some((2, 2)))
+    assert(range(":CITES*1..2") === Some((1, 2)))
+    intercept[Parser.ParseError](range("*0..2"))   // min >= 1
+    intercept[Parser.ParseError](range("*2..9"))   // capped at 3
+    intercept[Parser.ParseError](range("r*1..2"))  // no var binding
+  }
+
   test("ORDER BY + LIMIT") {
     val first = Planner.run(g,
       """MATCH (x:Author)-[r:WRITES]-(p:Paper) RETURN DISTINCT x.name AS name ORDER BY name ASC LIMIT 2""")
