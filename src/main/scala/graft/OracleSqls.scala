@@ -727,6 +727,38 @@ object OracleSqls {
         |FROM gr GROUP BY ngram
         |ORDER BY n_occurrences DESC, ngram LIMIT 20""".stripMargin,
 
+    // count-min sketch rebuilt in SQL: the digit-only MD5 bucket hash is
+    // portable arithmetic, so sketch counters AND min-estimates are
+    // bit-identical (DuckDB regexp_replace needs the 'g' flag; Spark's is
+    // global by default)
+    "sketch_countmin" ->
+      s"""WITH w AS (SELECT unnest($wordsExpr) AS term FROM documents),
+        |rows_ AS (SELECT unnest([0, 1, 2, 3]) AS row),
+        |lanes AS (
+        |  SELECT row,
+        |    CAST(substr(regexp_replace(md5(CAST(row AS VARCHAR) || '|' || term),
+        |      '[a-f]', '', 'g') || '000000', 1, 6) AS BIGINT) % 64 AS bucket
+        |  FROM w CROSS JOIN rows_
+        |), sk AS (
+        |  SELECT row, bucket, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lanes GROUP BY row, bucket
+        |), probes AS (
+        |  SELECT unnest(['join', 'hash', 'vector', 'window', 'data']) AS term
+        |), pl AS (
+        |  SELECT term, row,
+        |    CAST(substr(regexp_replace(md5(CAST(row AS VARCHAR) || '|' || term),
+        |      '[a-f]', '', 'g') || '000000', 1, 6) AS BIGINT) % 64 AS bucket
+        |  FROM probes CROSS JOIN rows_
+        |), est AS (
+        |  SELECT term, min(cnt) AS est_cnt FROM pl
+        |  JOIN sk USING (row, bucket) GROUP BY term
+        |), tr AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS true_cnt FROM w
+        |  WHERE term IN ('join', 'hash', 'vector', 'window', 'data')
+        |  GROUP BY term
+        |)
+        |SELECT term, est_cnt, true_cnt FROM est JOIN tr USING (term)""".stripMargin,
+
     // duplicate-n-gram fraction per doc (Gopher repetition filter), n=2,3;
     // docs with < n words contribute NULL (both engines' avg skips nulls)
     "text_repetition" -> s"""WITH w AS (

@@ -593,6 +593,22 @@ object Queries {
   def textTopNgrams(spark: SparkSession, dir: String): DataFrame =
     TextOps.topNgrams(T(spark, dir, "documents"), n = 2, k = 20)
 
+  /** Count-min sketch build + probe, with exact truth alongside (the
+    * portable digit-only MD5 hash makes even the sketch counters
+    * oracle-reproducible). */
+  def sketchCountmin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words = T(spark, dir, "documents")
+      .select(explode(graft.functions.words(col("text"))).as("term"))
+    val sketch = Sketch.countMin(words, "term", depth = 4, width = 64)
+    val probeTerms = Seq("join", "hash", "vector", "window", "data")
+    val est = Sketch.estimate(sketch, probeTerms.toDF("term"), "term",
+      depth = 4, width = 64)
+    val truth = words.where(col("term").isin(probeTerms: _*))
+      .groupBy("term").agg(count(lit(1)).as("true_cnt"))
+    est.join(truth, Seq("term"))
+  }
+
   /** Model-based quality scoring: corpus-trained smoothed bigram likelihood
     * per document (CCNet-style filter next to the rule-based gates). */
   def textLmBigram(spark: SparkSession, dir: String): DataFrame =
@@ -828,6 +844,7 @@ object Queries {
     "text_lm_bigram" -> (textLmBigram _),
     "search_tfidf" -> (searchTfidf _),
     "text_top_ngrams" -> (textTopNgrams _),
+    "sketch_countmin" -> (sketchCountmin _),
     "layout_zorder" -> (layoutZorder _),
     "curate_decontam" -> (curateDecontam _),
     "curate_hash_split" -> (curateHashSplit _),

@@ -121,6 +121,20 @@ object Events {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Sliding (overlapping) windows — the streaming twin of
+    * [[rollingWindowStats]]: each event lands in slide/length overlapping
+    * buckets, so per-window state stays bounded and eviction follows the
+    * watermark. Works identically as a batch aggregation (same `window`
+    * expression). */
+  def streamingSlidingCounts(events: DataFrame, length: String = "1 hour",
+                             slide: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), length, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"))
+
   /** Streaming sessionization with `session_window` — the streaming form of
     * [[sessionStats]]: sessions close after `gap` of inactivity, emitted in
     * append mode once the watermark passes the session end. State is

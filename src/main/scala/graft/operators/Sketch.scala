@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch: fixed-memory frequency estimation for unbounded key
+  * universes (the streaming-safe complement of [[TextOps.topNgrams]]'s
+  * exact heavy-hitter pass). depth×width counters; estimate = min over
+  * rows; never underestimates, overestimates by at most ε·N with
+  * probability 1−δ (ε = e/width, δ = e^−depth).
+  *
+  * The row hash is MD5-derived through DIGIT-ONLY extraction
+  * (strip [a-f], take 6 digits, pad) — deliberately portable arithmetic
+  * so the full sketch AND its estimates are bit-reproducible in ANSI SQL:
+  * the driver oracle rebuilds the sketch and gets identical counters
+  * (same trick family as the minhash lexicographic-min md5). At 100 TB
+  * the build is one map-side-combinable groupBy over depth×|input| rows,
+  * the sketch itself is depth×width rows (KBs — broadcastable), and
+  * probes never touch the corpus.
+  */
+object Sketch {
+
+  private def bucket(row: Int, keyCol: String, width: Int): String =
+    s"cast(substr(concat(regexp_replace(md5(concat('$row|', $keyCol)), " +
+      s"'[a-f]', ''), '000000'), 1, 6) as bigint) % $width"
+
+  /** Build the sketch: one row per (row, bucket) with its collision count.
+    * `items` carries one row per key OCCURRENCE in `keyCol`. */
+  def countMin(items: DataFrame, keyCol: String, depth: Int,
+               width: Int): DataFrame = {
+    val lanes = (0 until depth).map(d =>
+      expr(s"struct(cast($d as int) as row, ${bucket(d, keyCol, width)} as bucket)"))
+    items.select(explode(array(lanes: _*)).as("lane"))
+      .select(col("lane.row"), col("lane.bucket"))
+      .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates for `probes`'s `keyCol` values against a built sketch:
+    * min over the depth rows of the addressed counters. The sketch side is
+    * broadcast — probing is joinless on the corpus. A probe key whose
+    * addressed cells are ALL empty (never inserted, no collisions) yields
+    * no output row rather than an explicit 0. */
+  def estimate(sketch: DataFrame, probes: DataFrame, keyCol: String,
+               depth: Int, width: Int): DataFrame = {
+    val lanes = (0 until depth).map(d =>
+      expr(s"struct(cast($d as int) as row, ${bucket(d, keyCol, width)} as bucket)"))
+    probes.select(col(keyCol), explode(array(lanes: _*)).as("lane"))
+      .select(col(keyCol), col("lane.row"), col("lane.bucket"))
+      .join(broadcast(sketch), Seq("row", "bucket"))
+      .groupBy(keyCol).agg(min("cnt").as("est_cnt"))
+  }
+}

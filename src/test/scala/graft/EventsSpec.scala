@@ -105,6 +105,30 @@ class EventsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingSlidingCounts: events land in every overlapping window") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String)]
+    val counts = Events.streamingSlidingCounts(
+      stream.toDF().toDF("ts", "event_type"))
+    val q = counts.writeStream.format("memory")
+      .queryName("sliding_test").outputMode("complete").start()
+    try {
+      stream.addData(
+        (Timestamp.valueOf("2024-01-01 00:40:00"), "click"),
+        (Timestamp.valueOf("2024-01-01 01:10:00"), "click"))
+      q.processAllAvailable()
+      val rows = spark.table("sliding_test").collect()
+        .map(r => (r.getAs[Timestamp]("win_start").toString,
+          r.getAs[Long]("n_events"))).toSet
+      // 00:40 -> windows [00:00,01:00) and [00:30,01:30);
+      // 01:10 -> windows [00:30,01:30) and [01:00,02:00)
+      assert(rows === Set(
+        ("2024-01-01 00:00:00.0", 1L),
+        ("2024-01-01 00:30:00.0", 2L),
+        ("2024-01-01 01:00:00.0", 1L)))
+    } finally q.stop()
+  }
+
   test("streaming session_window closes sessions after the gap + watermark") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Timestamp, Long)]

@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.Sketch
+import org.apache.spark.sql.functions._
+
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val occurrences =
+    (Seq.fill(50)("alpha") ++ Seq.fill(20)("beta") ++ Seq.fill(5)("gamma") ++
+      Seq.fill(1)("delta") ++ ('a' to 'z').map(c => s"noise_$c"))
+      .toDF("k")
+
+  private def truth: Map[String, Long] =
+    occurrences.groupBy("k").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("estimates never underestimate and are exact at generous width") {
+    val keys = occurrences.select("k").distinct()
+    val wide = Sketch.countMin(occurrences, "k", depth = 4, width = 4096)
+    val est = Sketch.estimate(wide, keys, "k", depth = 4, width = 4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val t = truth
+    t.foreach { case (k, n) => assert(est(k) === n, s"width 4096 should be collision-free for $k") }
+
+    val tight = Sketch.countMin(occurrences, "k", depth = 4, width = 8)
+    val estT = Sketch.estimate(tight, keys, "k", depth = 4, width = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    t.foreach { case (k, n) => assert(estT(k) >= n, s"CMS must never underestimate $k") }
+    assert(t.keys.exists(k => estT(k) > t(k)), "width 8 with 30 keys must collide somewhere")
+  }
+
+  test("sketch size is bounded by depth x width regardless of input") {
+    val sk = Sketch.countMin(occurrences, "k", depth = 3, width = 8)
+    assert(sk.count() <= 3L * 8)
+    // total mass per row equals the input size (every occurrence lands once per row)
+    val mass = sk.groupBy("row").agg(sum("cnt").as("m"))
+      .collect().map(_.getLong(1)).toSet
+    assert(mass === Set(occurrences.count()))
+  }
+}
