@@ -505,6 +505,8 @@ object OracleSqls {
 
     "graph_bfs_dist" -> withGraph(bfsSql(iters = 6)),
 
+    "graph_ppr" -> withGraph(pprSql(iters = 5, k = 20)),
+
     // LLM2 context + answer formatting (§2.8; retriever.py:39-40 +
     // llm2.py:34,67-71) over the pipeline_retrieve result: per-node
     // "name: <v>" lines joined by a blank line in retrieval order, and
@@ -1216,6 +1218,56 @@ object OracleSqls {
         |SELECT name_a, name_b FROM cand
         |WHERE levenshtein(name_a, name_b) <= 1""".stripMargin,
 
+    // ordered conversion funnel: each stage's first completion must come
+    // STRICTLY after the user's previous-stage completion
+    "events_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(epoch_us(ts) // 1000000) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), s2 AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts) // 1000000) AS t
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND (epoch_us(e.ts) // 1000000) > s1.t
+        |  GROUP BY e.user_id
+        |), s3 AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts) // 1000000) AS t
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND (epoch_us(e.ts) // 1000000) > s2.t
+        |  GROUP BY e.user_id
+        |)
+        |SELECT 1 AS stage_idx, 'view' AS stage,
+        |  CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+        |UNION ALL SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+        |UNION ALL SELECT 3, 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)""".stripMargin,
+
+    // ranking-window family over one deterministic total order
+    "window_rank_funcs" ->
+      """SELECT c_nationkey, c_custkey, rnk,
+        |  round(pct, 6) AS pct_rank, round(cd, 6) AS cume, quartile
+        |FROM (
+        |  SELECT c_nationkey, c_custkey,
+        |    CAST(rank() OVER w AS INTEGER) AS rnk,
+        |    percent_rank() OVER w AS pct,
+        |    cume_dist() OVER w AS cd,
+        |    CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        |  FROM customer
+        |  WINDOW w AS (PARTITION BY c_nationkey
+        |               ORDER BY c_acctbal DESC, c_custkey)
+        |) WHERE rnk <= 10""".stripMargin,
+
+    // per-label embedding centroids (float -> double widening is exact in
+    // both engines; avg rounded to 6)
+    "emb_label_centroids" ->
+      """WITH x AS (
+        |  SELECT label, unnest(list_transform(range(1, len(embedding) + 1),
+        |    i -> {'dim': i - 1, 'v': CAST(embedding[i] AS DOUBLE)})) AS s
+        |  FROM embeddings
+        |)
+        |SELECT label, CAST(s.dim AS INTEGER) AS dim,
+        |  CAST(count(*) AS BIGINT) AS n_vecs,
+        |  round(avg(s.v), 6) AS centroid
+        |FROM x GROUP BY label, s.dim""".stripMargin,
+
     // one-pass two-level ROLLUP (leaf, per-flag subtotal, grand total);
     // gid is the standard grouping bitmask with the first column as MSB
     "profile_rollup" ->
@@ -1409,6 +1461,33 @@ object OracleSqls {
        |SELECT s.d AS dist, n.label, CAST(count(*) AS BIGINT) AS n_nodes
        |FROM bd$iters s JOIN nodes n ON s.v = n.nodeId
        |GROUP BY s.d, n.label""".stripMargin
+  }
+
+  /** Sparse personalized PageRank from the ASIA anchor, mirroring
+    * [[graft.graph.GraphAlgorithms.personalizedPageRank]] term-for-term
+    * ((rank/deg)*0.85 contribs + 0.15 teleport rows summed together;
+    * round-4 output like the global PageRank oracle). */
+  private def pprSql(iters: Int, k: Int): String = {
+    val rounds = (1 to iters).map { t =>
+      s"""pp$t AS MATERIALIZED (
+         |  SELECT v, sum(c) AS rank FROM (
+         |    SELECT e.b AS v, (r.rank / d.deg) * 0.85 AS c
+         |    FROM pp${t - 1} r
+         |    JOIN adjp e ON r.v = e.a
+         |    JOIN degp d ON r.v = d.a
+         |    UNION ALL
+         |    SELECT v, 0.15 FROM anch
+         |  ) GROUP BY v
+         |)""".stripMargin
+    }.mkString(",\n")
+    s""", adjp AS MATERIALIZED (SELECT DISTINCT a, b FROM bidir),
+       |degp AS (SELECT a, CAST(count(*) AS DOUBLE) AS deg FROM adjp GROUP BY a),
+       |anch AS (SELECT nodeId AS v FROM nodes
+       |         WHERE label = 'Region' AND name IN ('ASIA')),
+       |pp0 AS (SELECT v, 1.0 AS rank FROM anch),
+       |$rounds
+       |SELECT v AS node_id, round(rank, 4) AS rank
+       |FROM pp$iters ORDER BY round(rank, 4) DESC, v LIMIT $k""".stripMargin
   }
 
   private def kCoreSql(k: Int, iters: Int): String = {

@@ -244,6 +244,12 @@ object Queries {
   def graphKcore(spark: SparkSession, dir: String): DataFrame =
     graft.graph.GraphAlgorithms.kCoreSizes(graph(spark, dir), k = 3, iters = 6)
 
+  /** Sparse personalized PageRank seeded at the ASIA region (the graph-RAG
+    * walk-based retrieval ranker). */
+  def graphPpr(spark: SparkSession, dir: String): DataFrame =
+    graft.graph.GraphAlgorithms.personalizedPageRank(graph(spark, dir),
+      "Region", Seq("ASIA"), iters = 5, k = 20)
+
   /** Degree-oriented triangle counting over a derived co-occurrence graph:
     * small parts (p_size <= 5) are connected when some order contains both —
     * the market-basket projection — then the triangles-per-node histogram.
@@ -773,6 +779,30 @@ object Queries {
     Profile.rollupProfile(T(spark, dir, "lineitem"),
       "l_returnflag", "l_linestatus", "l_quantity")
 
+  /** Conversion funnel view -> click -> purchase (strictly ordered). */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame =
+    Events.funnelCounts(eventsT(spark, dir), Seq("view", "click", "purchase"))
+
+  /** Ranking-window function family over one keyed window: rank,
+    * percent_rank, cume_dist, ntile — deterministic total order
+    * (acctbal desc, custkey). */
+  def windowRankFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    T(spark, dir, "customer")
+      .select(col("c_nationkey"), col("c_custkey"),
+        rank().over(w).as("rnk"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        ntile(4).over(w).as("quartile"))
+      .where(col("rnk") <= 10)
+  }
+
+  /** Per-label embedding centroids over the embeddings table. */
+  def embLabelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Vectors.labelCentroids(T(spark, dir, "embeddings"), "label", "embedding")
+
   def eventsSessions(spark: SparkSession, dir: String): DataFrame =
     Events.sessionStats(eventsT(spark, dir), gapSeconds = 21600L)
 
@@ -817,6 +847,10 @@ object Queries {
     "graph_kcore" -> (graphKcore _),
     "graph_triangles" -> (graphTriangles _),
     "graph_bfs_dist" -> (graphBfsDist _),
+    "graph_ppr" -> (graphPpr _),
+    "events_funnel" -> (eventsFunnel _),
+    "window_rank_funcs" -> (windowRankFuncs _),
+    "emb_label_centroids" -> (embLabelCentroids _),
     "s2_constraint_check" -> (s2ConstraintCheck _),
     "a7_corpus_count" -> (a7CorpusCount _),
     "t3_budget_retrieval" -> (t3BudgetRetrieval _),

@@ -102,6 +102,45 @@ object GraphAlgorithms {
       .agg(count(lit(1)).as("n_nodes"))
   }
 
+  /** Personalized PageRank from an anchor node set — the graph-RAG
+    * retrieval ranker (bias random walks toward the query's entities)
+    * computed SPARSELY: rank rows exist only for nodes the walk has
+    * reached, so early iterations touch a frontier-sized table, not the
+    * full vertex set (global PageRank's shape). Fixed `iters` unrolled
+    * rounds; teleport mass 0.15 returns to the anchors each round.
+    * Returns top-k (node_id, rank) with rank rounded to 4 decimals
+    * (engine-portable — the gx_pagerank_topk precedent).
+    */
+  def personalizedPageRank(g: PropertyGraph, label: String,
+                           names: Seq[String], iters: Int, k: Int): DataFrame = {
+    val adj = g.bidir.select(col("a"), col("b")).distinct()
+      .localCheckpoint(true)
+    val deg = adj.groupBy("a").agg(count(lit(1)).cast("double").as("deg"))
+      .localCheckpoint(true)
+    val anchors = g.nodes
+      .where(col("label") === label && col("name").isin(names: _*))
+      .select(col("nodeId").as("v")).localCheckpoint(true)
+    // anchor sets are tiny by contract (query entities); a driver-side
+    // count here is one job over a materialized handful of rows
+    val nA = anchors.count().toDouble
+    var pr = anchors.select(col("v"), lit(1.0 / nA).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = pr.join(adj, col("v") === col("a"))
+        .join(deg, Seq("a"))
+        .select(col("b").as("v"), (col("rank") / col("deg") * lit(0.85)).as("c"))
+      val teleport = anchors.select(col("v"), lit(0.15 / nA).as("c"))
+      pr = contrib.unionByName(teleport)
+        .groupBy("v").agg(sum("c").as("rank"))
+        .localCheckpoint(true)
+    }
+    // order by the ROUNDED rank: walk symmetry makes exact rank ties
+    // common (all suppliers of a nation), and raw-double ordering would
+    // let ulp-level engine differences pick different top-k members
+    // inside a tie group — (rounded rank, id) is engine-portable
+    pr.select(col("v").as("node_id"), round(col("rank"), 4).as("rank"))
+      .orderBy(col("rank").desc, col("node_id")).limit(k)
+  }
+
   def kCoreSizes(g: PropertyGraph, k: Int, iters: Int): DataFrame = {
     var adj = g.bidir.select(col("a"), col("b")).distinct()
     for (_ <- 1 to iters) {

@@ -72,6 +72,32 @@ object Events {
         round(col("lo"), 6).as("lo"), round(col("hi"), 6).as("hi"))
   }
 
+  /** Ordered funnel analysis: how many users complete stage 1, then stage
+    * 2 strictly after their stage-1 time, and so on (conversion funnel —
+    * MATCH_RECOGNIZE-lite). Each stage is one keyed min-aggregate joined
+    * to the previous stage's completion times, so cost is |stages| keyed
+    * aggregates over filtered slices, never a per-user sort.
+    * Returns (stage_idx, stage, n_users). */
+  def funnelCounts(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty)
+    var cur = events.where(col("event_type") === stages.head)
+      .select(col("user_id"), epochSec.as("tss"))
+      .groupBy("user_id").agg(min("tss").as("t"))
+    val counts = Seq.newBuilder[DataFrame]
+    counts += cur.agg(count(lit(1)).as("n_users"))
+      .select(lit(1).as("stage_idx"), lit(stages.head).as("stage"), col("n_users"))
+    stages.zipWithIndex.drop(1).foreach { case (s, i) =>
+      cur = events.where(col("event_type") === s)
+        .select(col("user_id"), epochSec.as("tss"))
+        .join(cur, Seq("user_id"))
+        .where(col("tss") > col("t"))
+        .groupBy("user_id").agg(min("tss").as("t"))
+      counts += cur.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("stage_idx"), lit(s).as("stage"), col("n_users"))
+    }
+    counts.result().reduce(_.unionByName(_))
+  }
+
   /** SCD2 history build: treat each user's events as attribute-change
     * records and assign every record its validity interval —
     * [valid_from, valid_to) with `valid_to` = the next change's second and

@@ -248,4 +248,15 @@ object Vectors {
         round(cosineSim(col("x.v"), col("y.v")), 6).as("cos_sim"))
     pairs.where(col("cos_sim") >= threshold)
   }
+
+  /** Per-label embedding centroids, one dimension per row: (label, dim,
+    * n_vecs, centroid). posexplode keeps the whole computation one scan +
+    * one map-side-combinable aggregate — the class-prototype /
+    * cluster-drift probe over a vector column. */
+  def labelCentroids(emb: DataFrame, labelCol: String,
+                     vecCol: String): DataFrame =
+    emb.select(col(labelCol).as("label"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n_vecs"), round(avg("v"), 6).as("centroid"))
 }

@@ -44,6 +44,22 @@ class EventsSpec extends SparkSpec {
     assert(m(5L) === ((1L, 16.0)))
   }
 
+  test("funnelCounts: strictly-ordered stages, re-attempts allowed") {
+    def ev(id: Long, user: Long, sec: Long, t: String) =
+      (id, sec * 1000000000L, user, t, 0.0, "")
+    val df = Seq(
+      ev(1, 1, 10, "view"), ev(2, 1, 20, "click"), ev(3, 1, 30, "purchase"),
+      ev(4, 2, 10, "view"), ev(5, 2, 5, "purchase"),      // purchase precedes view
+      ev(6, 3, 5, "click"), ev(7, 3, 10, "view"),         // early click ignored
+      ev(8, 3, 15, "click"), ev(9, 3, 20, "purchase"),
+      ev(10, 4, 10, "view"), ev(11, 4, 10, "click"))      // same second: not strict
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.funnelCounts(df, Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out === Map((1, "view") -> 4L, (2, "click") -> 2L,
+      (3, "purchase") -> 2L))
+  }
+
   test("scd2Intervals chains validity windows with an open current row") {
     def ev(id: Long, user: Long, sec: Long, v: Double) =
       (id, sec * 1000000000L, user, "set", v, "")

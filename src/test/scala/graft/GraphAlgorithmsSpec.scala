@@ -99,6 +99,33 @@ class GraphAlgorithmsSpec extends SparkSpec {
     assert(at6.nonEmpty)
   }
 
+  test("personalized PageRank: hand-computed two-round walk on a path") {
+    // path 1-2-3, anchor 1, 2 rounds. Contributions per round (deg 1=1,
+    // 2=2, 3=1): p1 = {2: .85, 1: .15}; p2 = {1: (.85/2)*.85 + .15,
+    // 3: (.85/2)*.85, 2: .15*.85} — two-term sums are order-exact.
+    val graph = g(Seq((1L, 2L), (2L, 3L)),
+      Seq(1L -> "A", 2L -> "A", 3L -> "A"))
+    def r4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = GraphAlgorithms.personalizedPageRank(graph, "A", Seq("n1"),
+        iters = 2, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(out.map(_._1).toSeq === Seq(1L, 3L, 2L)) // rank-desc order
+    val m = out.toMap
+    assert(m(1L) === r4((0.85 / 2) * 0.85 + 0.15))
+    assert(m(3L) === r4((0.85 / 2) * 0.85))
+    assert(m(2L) === r4(0.15 * 0.85))
+  }
+
+  test("personalized PageRank stays sparse: unreached nodes have no row") {
+    val graph = g(Seq((1L, 2L), (3L, 4L)),
+      Seq(1L -> "A", 2L -> "A", 3L -> "B", 4L -> "B"))
+    val ids = GraphAlgorithms.personalizedPageRank(graph, "A", Seq("n1"),
+        iters = 3, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 2L))
+  }
+
   test("driver-data k-core reaches a fixed point within the unrolled rounds") {
     val graph = graft.graph.TpchGraph(spark, "/root/testdata/sf0.001")
     val at6 = GraphAlgorithms.kCoreSizes(graph, k = 3, iters = 6)
