@@ -142,19 +142,30 @@ object GraphAlgorithms {
   }
 
   def kCoreSizes(g: PropertyGraph, k: Int, iters: Int): DataFrame = {
+    // each level is referenced three times by the next (degree count +
+    // both semi-joins); without truncation the physical plan replicates
+    // the subtree 3^iters times — the same blowup the oracle's
+    // MATERIALIZED CTEs prevent. Eager localCheckpoint materializes the
+    // level once and is GC-cleaned when the frame drops out of scope.
     var adj = g.bidir.select(col("a"), col("b")).distinct()
-    for (_ <- 1 to iters) {
-      // each level is referenced three times by the next (degree count +
-      // both semi-joins); without truncation the physical plan replicates
-      // the subtree 3^iters times — the same blowup the oracle's
-      // MATERIALIZED CTEs prevent. Eager localCheckpoint materializes the
-      // level once and is GC-cleaned when the frame drops out of scope.
-      adj = adj.localCheckpoint(true)
+      .localCheckpoint(true)
+    // peeling only ever REMOVES edges, so an unchanged row count means an
+    // identical edge set and every remaining round is the identity —
+    // stopping early returns EXACTLY the fixed-iters result (the oracle
+    // unrolls all rounds; parity holds because the extra rounds are
+    // no-ops). The count is one cheap job over the materialized level.
+    var size = adj.count()
+    var fixed = false
+    for (_ <- 1 to iters if !fixed) {
       val alive = adj.groupBy("a").agg(count(lit(1)).as("deg"))
         .where(col("deg") >= k).select(col("a").as("id"))
-      adj = adj
+      val next = adj
         .join(alive.select(col("id").as("a")), Seq("a"), "left_semi")
         .join(alive.select(col("id").as("b")), Seq("b"), "left_semi")
+        .localCheckpoint(true)
+      val n = next.count()
+      if (n == size) fixed = true
+      else { adj = next; size = n }
     }
     adj.select(col("a")).distinct()
       .join(g.nodes, col("a") === col("nodeId"))
