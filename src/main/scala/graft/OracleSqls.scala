@@ -1471,10 +1471,9 @@ object OracleSqls {
     val rounds = (1 to iters).map { t =>
       s"""pp$t AS MATERIALIZED (
          |  SELECT v, sum(c) AS rank FROM (
-         |    SELECT e.b AS v, (r.rank / d.deg) * 0.85 AS c
+         |    SELECT e.b AS v, r.rank * e.w AS c
          |    FROM pp${t - 1} r
-         |    JOIN adjp e ON r.v = e.a
-         |    JOIN degp d ON r.v = d.a
+         |    JOIN adjw e ON r.v = e.a
          |    UNION ALL
          |    SELECT v, 0.15 FROM anch
          |  ) GROUP BY v
@@ -1482,6 +1481,9 @@ object OracleSqls {
     }.mkString(",\n")
     s""", adjp AS MATERIALIZED (SELECT DISTINCT a, b FROM bidir),
        |degp AS (SELECT a, CAST(count(*) AS DOUBLE) AS deg FROM adjp GROUP BY a),
+       |adjw AS MATERIALIZED (
+       |  SELECT p.a, p.b, 0.85 / d.deg AS w
+       |  FROM adjp p JOIN degp d ON p.a = d.a),
        |anch AS (SELECT nodeId AS v FROM nodes
        |         WHERE label = 'Region' AND name IN ('ASIA')),
        |pp0 AS (SELECT v, 1.0 AS rank FROM anch),

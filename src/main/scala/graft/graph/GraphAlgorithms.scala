@@ -115,7 +115,12 @@ object GraphAlgorithms {
                            names: Seq[String], iters: Int, k: Int): DataFrame = {
     val adj = g.bidir.select(col("a"), col("b")).distinct()
       .localCheckpoint(true)
+    // pre-weight each edge with its damped transition probability ONCE
+    // (w = 0.85/outdeg(a)); every round is then a single join + sum
+    // instead of re-joining the degree table per round
     val deg = adj.groupBy("a").agg(count(lit(1)).cast("double").as("deg"))
+    val adjw = adj.join(deg, Seq("a"))
+      .select(col("a"), col("b"), (lit(0.85) / col("deg")).as("w"))
       .localCheckpoint(true)
     val anchors = g.nodes
       .where(col("label") === label && col("name").isin(names: _*))
@@ -125,9 +130,8 @@ object GraphAlgorithms {
     val nA = anchors.count().toDouble
     var pr = anchors.select(col("v"), lit(1.0 / nA).as("rank"))
     for (_ <- 1 to iters) {
-      val contrib = pr.join(adj, col("v") === col("a"))
-        .join(deg, Seq("a"))
-        .select(col("b").as("v"), (col("rank") / col("deg") * lit(0.85)).as("c"))
+      val contrib = pr.join(adjw, col("v") === col("a"))
+        .select(col("b").as("v"), (col("rank") * col("w")).as("c"))
       val teleport = anchors.select(col("v"), lit(0.15 / nA).as("c"))
       pr = contrib.unionByName(teleport)
         .groupBy("v").agg(sum("c").as("rank"))
