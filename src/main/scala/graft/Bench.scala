@@ -34,6 +34,8 @@ object Bench {
     Queries.warmBucketed(spark, sfDir)
     // Same for the z-order clustered rewrite.
     Queries.warmZorder(spark, sfDir)
+    // Hive-partitioned events copy is LOAD too (same write-once contract).
+    Queries.warmPartitioned(spark, sfDir)
 
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                  name: String): Option[Double] = {

@@ -411,6 +411,36 @@ object OracleSqls {
     "ann_pq_topk" -> pqSql(k = 10, m = 4, kCodes = 8, lloydIters = 1,
       ef = 50, subDim = 16),
 
+    // int8 scalar quantization rebuilt in SQL: per-dim min/max arrays,
+    // code = round(((v-mn)/rng)*255), dequant = (code/255.0)*rng + mn,
+    // ADC fold in array order, exact cosine re-rank of top-ef
+    "ann_sq8_topk" ->
+      """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE id = 0),
+        |st AS (
+        |  SELECT i, min(x) AS mn, max(x) AS mx FROM (
+        |    SELECT generate_subscripts(v, 1) AS i, unnest(v) AS x FROM e)
+        |  GROUP BY i
+        |), sta AS (
+        |  SELECT list(mn ORDER BY i) AS mna, list(mx ORDER BY i) AS mxa FROM st
+        |), coded AS (
+        |  SELECT e.id,
+        |    round(list_sum(list_transform(
+        |      list_transform(range(1, len(e.v) + 1), i ->
+        |        (CASE WHEN s.mxa[i] - s.mna[i] = 0 THEN 0
+        |              ELSE CAST(round((e.v[i] - s.mna[i])
+        |                     / (s.mxa[i] - s.mna[i]) * 255) AS INTEGER)
+        |         END / 255.0 * (s.mxa[i] - s.mna[i]) + s.mna[i]) - q.qv[i]),
+        |      d -> d * d)), 6) AS adist
+        |  FROM e, sta s, q
+        |), cand AS (
+        |  SELECT id FROM coded ORDER BY adist ASC, id LIMIT 50
+        |)
+        |SELECT e.id AS vec_id,
+        |  round(list_cosine_similarity(e.v, q.qv), 6) AS similarity
+        |FROM e JOIN cand USING (id), q
+        |ORDER BY similarity DESC, e.id LIMIT 10""".stripMargin,
+
     "dedup_semantic" -> semanticDedupSql(nClusters = 8, lloydIters = 1,
       threshold = 0.35),
 
@@ -596,6 +626,16 @@ object OracleSqls {
         |FROM lineitem
         |WHERE l_orderkey < 1000 AND l_partkey < 200
         |GROUP BY l_returnflag""".stripMargin,
+
+    // hourly rollup of one type over the hive-partitioned events copy;
+    // must equal the same query over the raw table (partition pruning is
+    // a physical property, invisible in the result)
+    "layout_partitioned" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+        |  event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(value), 2) AS total_value
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1, 2""".stripMargin,
 
     // corpus-trained add-one-smoothed bigram likelihood per document
     // (graft.operators.LangModel.bigramScore): c2 = bigram count, c1 =

@@ -232,6 +232,51 @@ object Vectors {
       .select(col("id").as(idCol), col("similarity"))
   }
 
+  /** Scalar (int8) quantization ANN — the storage-compression member of
+    * the quantization family (LSH buckets / IVF lists / PQ codes / SQ8
+    * codes): per-dimension corpus min/max maps every value to a 0..255
+    * code (4 bytes -> 1 byte per dim at rest), search dequantizes codes
+    * against the query with an asymmetric distance, and the top-ef
+    * candidates get an exact cosine re-rank.
+    *
+    * Every float reduction is an ordered array fold (`aggregate` over
+    * `zip_with`) and the quantize/dequantize arithmetic is fixed-shape, so
+    * the whole path — codes included — reproduces exactly in SQL. The
+    * per-dim stats aggregate to ONE row carrying the min/max arrays,
+    * which broadcasts; nothing driver-side. */
+  def sq8TopK(emb: DataFrame, idCol: String, vecCol: String,
+              query: Seq[Double], k: Int, ef: Int): DataFrame = {
+    val e = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val stats = e.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("i").agg(min("x").as("mn"), max("x").as("mx"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("i").as("i"), col("mn").as("s")))),
+          t => t.getField("s")).as("mna"),
+        transform(array_sort(collect_list(struct(col("i").as("i"), col("mx").as("s")))),
+          t => t.getField("s")).as("mxa"))
+    val qlit = lit(query.toArray)
+    val coded = e.crossJoin(broadcast(stats))
+      .withColumn("rng", zip_with(col("mxa"), col("mna"), (a, b) => a - b))
+      .withColumn("codes", zip_with(
+        zip_with(col("v"), col("mna"), (a, b) => a - b), col("rng"),
+        (n, r) => when(r === 0.0, lit(0))
+          .otherwise(round(n / r * lit(255.0)).cast("int"))))
+      .withColumn("dq", zip_with(
+        zip_with(col("codes"), col("rng"),
+          (c, r) => c.cast("double") / lit(255.0) * r),
+        col("mna"), (x, mn) => x + mn))
+      .withColumn("adist", round(aggregate(
+        zip_with(col("dq"), qlit, (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, d) => acc + d), 6))
+    val cand = coded.select("id", "adist")
+      .orderBy(col("adist").asc, col("id")).limit(ef)
+    e.join(broadcast(cand.select("id")), Seq("id"))
+      .withColumn("similarity", round(cosineSim(col("v"), qlit), 6))
+      .orderBy(col("similarity").desc, col("id"))
+      .limit(k)
+      .select(col("id").as(idCol), col("similarity"))
+  }
+
   /** All-pairs near-duplicate detection over embeddings via LSH bucketing:
     * pairs sharing a bucket whose cosine ≥ threshold (the embedding-cosine
     * near-dup path of a training-data pipeline). The bucket join bounds the

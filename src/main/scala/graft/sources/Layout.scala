@@ -60,6 +60,16 @@ object Layout {
     stats
   }
 
+  /** Hive-style partitioned write: one directory per distinct value of
+    * `partCol`. A reader filter on the partition column prunes whole
+    * directories at PLANNING time (`PartitionFilters` on the scan node) —
+    * zero I/O for pruned partitions, the coarse-grained complement of
+    * z-order's footer-stats file skipping (which still lists and opens
+    * footers). Partition by low-cardinality routing columns; cluster
+    * within partitions by z-order for high-cardinality predicates. */
+  def partitionedWrite(df: DataFrame, partCol: String, path: String): Unit =
+    df.write.mode("overwrite").partitionBy(partCol).parquet(path)
+
   /** Files of `path` that contain at least one row matching `pred` — the
     * observable clustering quality of a layout (a perfectly clustered
     * selective predicate touches few files; parquet min/max pruning then

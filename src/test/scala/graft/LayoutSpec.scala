@@ -47,6 +47,36 @@ class LayoutSpec extends SparkSpec {
     assert(zTouched <= 4, s"expected clustered z-order, got $zTouched")
   }
 
+  test("hive-partitioned write prunes at planning time via PartitionFilters") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0), (4L, "c", 4.0))
+      .toDF("id", "kind", "v")
+    val dir = java.nio.file.Files.createTempDirectory("graft-hive").toString
+    Layout.partitionedWrite(df, "kind", dir)
+    val filtered = spark.read.parquet(dir).where(col("kind") === "a")
+    // the predicate must land in the scan's partition filters (planning-
+    // time pruning), not survive as a data filter
+    val scan = filtered.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.partitionFilters.exists(_.toString.contains("kind")),
+      s"kind filter missing from partitionFilters: ${scan.partitionFilters}")
+    assert(!scan.dataFilters.exists(_.toString.contains("kind")),
+      s"kind filter should not be a data filter: ${scan.dataFilters}")
+    // only partition kind=a's on-disk files are read
+    def parquetFiles(p: String): Long = {
+      val d = new java.io.File(p)
+      if (!d.isDirectory) 0L
+      else d.listFiles().map(f =>
+        if (f.isDirectory) parquetFiles(f.getPath)
+        else if (f.getName.endsWith(".parquet")) 1L else 0L).sum
+    }
+    assert(Layout.filesTouched(spark, dir, col("kind") === "a") ===
+      parquetFiles(s"$dir/kind=a"))
+    assert(parquetFiles(dir) > parquetFiles(s"$dir/kind=a"))
+    assert(filtered.collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+  }
+
   test("single-dimension predicates also prune under z-order") {
     val grid = spark.range(64).selectExpr("id AS a")
       .crossJoin(spark.range(64).selectExpr("id AS b"))

@@ -108,6 +108,37 @@ class VectorsSpec extends SparkSpec {
     assert(pq.head._1 === 1L) // the query's own row ranks first
   }
 
+  test("SQ8 with full-coverage ef equals exact brute force after re-rank") {
+    val rnd = new scala.util.Random(13)
+    val vs = (0L until 24L).map(i => (i, Seq.fill(8)(rnd.nextGaussian())))
+    val df = vs.toDF("id", "v")
+    val q = vs(2)._2
+    val sq = Vectors.sq8TopK(df, "id", "v", q, k = 5, ef = 24)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val bf = Vectors.bruteForceTopK(df, "id", "v", q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(sq.toSeq === bf.toSeq)
+    assert(sq.head._1 === 2L)
+  }
+
+  test("SQ8 quantization error is bounded: ADC ranks the query's own row first") {
+    // tight ef: the dequantized codes must still put the query row (exact
+    // self-match) through the candidate stage — per-dim error <= rng/510
+    // keeps the self squared-distance far below any other vector's
+    val rnd = new scala.util.Random(17)
+    val vs = (0L until 40L).map(i => (i, Seq.fill(8)(rnd.nextGaussian())))
+    val df = vs.toDF("id", "v")
+    val out = Vectors.sq8TopK(df, "id", "v", vs(7)._2, k = 3, ef = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.head._1 === 7L)
+    assert(out.head._2 === 1.0)
+    // constant dimension (rng = 0) must not divide by zero
+    val const = (0L until 6L).map(i => (i, Seq(1.0, rnd.nextGaussian())))
+    val cOut = Vectors.sq8TopK(const.toDF("id", "v"), "id", "v",
+      const(1)._2, k = 2, ef = 6).collect()
+    assert(cOut.length === 2)
+  }
+
   test("PQ with selective ef returns a subset ranked by exact cosine") {
     val rnd = new scala.util.Random(5)
     val vs = (0L until 40L).map(i => (i, Seq.fill(8)(rnd.nextGaussian())))
