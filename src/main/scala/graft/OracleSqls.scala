@@ -537,6 +537,10 @@ object OracleSqls {
 
     "graph_ppr" -> withGraph(pprSql(iters = 5, k = 20)),
 
+    // bounded Bellman-Ford over the affinity-weighted co-occurrence graph
+    // (integer weights -> exact Long distances; source = min node id)
+    "graph_sssp" -> ssspSql(iters = 4, k = 20),
+
     // LLM2 context + answer formatting (§2.8; retriever.py:39-40 +
     // llm2.py:34,67-71) over the pipeline_retrieve result: per-node
     // "name: <v>" lines joined by a blank line in retrieval order, and
@@ -829,6 +833,40 @@ object OracleSqls {
         |    + ascii(substr(text, 1, 1)) + ascii(substr(text, -1, 1))) AS BIGINT) AS checksum_sum,
         |  round(avg(CAST(ascii(substr(text, 1, 1)) AS DOUBLE)), 6) AS avg_first_byte
         |FROM documents GROUP BY source""".stripMargin,
+
+    // RAG chunker: 40-word windows stepping by 30; the final short window
+    // is kept, empty documents produce no chunks
+    "text_chunks" ->
+      s"""WITH w AS (SELECT doc_id, $wordsExpr AS w FROM documents),
+        |ix AS (
+        |  SELECT doc_id, w, unnest(range(0,
+        |    CASE WHEN len(w) = 0 THEN 0 ELSE (len(w) - 1) // 30 + 1 END)) AS ci
+        |  FROM w
+        |)
+        |SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx,
+        |  array_to_string(list_slice(w, ci * 30 + 1, ci * 30 + 40), ' ') AS chunk_text,
+        |  CAST(len(list_slice(w, ci * 30 + 1, ci * 30 + 40)) AS INTEGER) AS n_tokens
+        |FROM ix""".stripMargin,
+
+    // exact-dup keeper by source priority (src2 best, then src0, then
+    // everything else; doc_id breaks ties)
+    "dedup_priority" ->
+      """WITH d AS (
+        |  SELECT md5(text) AS content_hash, doc_id AS keeper_id,
+        |    source AS keeper_source,
+        |    CASE WHEN source = 'src2' THEN 0
+        |         WHEN source = 'src0' THEN 1 ELSE 2 END AS prio
+        |  FROM documents
+        |), g AS (
+        |  SELECT content_hash, keeper_id, keeper_source,
+        |    count(*) OVER (PARTITION BY content_hash) AS n_docs,
+        |    row_number() OVER (PARTITION BY content_hash
+        |                       ORDER BY prio, keeper_id) AS rn
+        |  FROM d
+        |)
+        |SELECT content_hash, keeper_id, keeper_source,
+        |  CAST(n_docs AS BIGINT) AS n_docs
+        |FROM g WHERE rn = 1""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
@@ -1479,6 +1517,35 @@ object OracleSqls {
   /** k-core peeling ([[graft.graph.GraphAlgorithms.kCoreSizes]]) unrolled:
     * adj0 = distinct undirected neighbor pairs; each round keeps edges
     * whose both endpoints have current degree ≥ k. */
+  /** Unrolled Bellman-Ford over the small-part co-occurrence graph with
+    * affinity-distance weights, mirroring
+    * [[graft.graph.GraphAlgorithms.ssspBounded]] +
+    * [[graft.Queries.coocWeighted]]. */
+  private def ssspSql(iters: Int, k: Int): String = {
+    val rounds = (1 to iters).map { t =>
+      s"""sd$t AS MATERIALIZED (
+         |  SELECT v, min(d) AS d FROM (
+         |    SELECT v, d FROM sd${t - 1}
+         |    UNION ALL
+         |    SELECT e.b, n.d + e.w FROM sd${t - 1} n JOIN syms e ON n.v = e.a
+         |  ) GROUP BY v
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey AS kk, l_partkey AS p FROM lineitem
+       |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 5)
+       |), ew AS (
+       |  SELECT x.p AS a, y.p AS b, 1000000 // count(*) AS w
+       |  FROM li x JOIN li y ON x.kk = y.kk AND x.p < y.p GROUP BY x.p, y.p
+       |), syms AS MATERIALIZED (
+       |  SELECT a, b, w FROM ew UNION ALL SELECT b, a, w FROM ew
+       |),
+       |sd0 AS (SELECT min(a) AS v, CAST(0 AS BIGINT) AS d FROM syms),
+       |$rounds
+       |SELECT v AS node_id, d AS dist FROM sd$iters
+       |ORDER BY d, v LIMIT $k""".stripMargin
+  }
+
   /** Unrolled BFS min-distance propagation from the ASIA region anchor,
     * mirroring [[graft.graph.GraphAlgorithms.bfsLayers]] (MATERIALIZED per
     * level — each level is referenced twice by the next). */

@@ -275,6 +275,27 @@ object Queries {
     graft.graph.GraphAlgorithms.bfsLayers(graph(spark, dir), "Region",
       Seq("ASIA"), iters = 6)
 
+  /** Small-part co-occurrence edges weighted by affinity distance
+    * (1e6 div co-order count — frequently co-bought parts are "close";
+    * exact Long arithmetic). Shared by graph_sssp. */
+  private def coocWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val small = T(spark, dir, "part").where(col("p_size") <= 5)
+      .select(col("p_partkey").as("p"))
+    val li = T(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
+      .join(small, Seq("p"), "left_semi").distinct()
+    li.select(col("k"), col("p").as("a"))
+      .join(li.select(col("k"), col("p").as("b")), Seq("k"))
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cnt"))
+      .select(col("a"), col("b"), expr("1000000 div cnt").as("w"))
+  }
+
+  /** Bounded Bellman-Ford nearest parts by co-purchase affinity. */
+  def graphSssp(spark: SparkSession, dir: String): DataFrame =
+    graft.graph.GraphAlgorithms.ssspBounded(coocWeighted(spark, dir),
+      iters = 4, k = 20)
+
   /** S2 — the unique-nodeId constraint as a validation query. */
   def s2ConstraintCheck(spark: SparkSession, dir: String): DataFrame = {
     val g = graph(spark, dir)
@@ -599,6 +620,15 @@ object Queries {
   def textTopNgrams(spark: SparkSession, dir: String): DataFrame =
     TextOps.topNgrams(T(spark, dir, "documents"), n = 2, k = 20)
 
+  /** RAG chunker: 40-word windows stepping by 30 (10-word overlap). */
+  def textChunks(spark: SparkSession, dir: String): DataFrame =
+    TextOps.chunkDocs(T(spark, dir, "documents"), chunkSize = 40, step = 30)
+
+  /** Exact-dup keeper selection preferring trusted sources. */
+  def dedupPriority(spark: SparkSession, dir: String): DataFrame =
+    Dedup.priorityKeepers(T(spark, dir, "documents"), "doc_id", "text",
+      "source", Seq("src2", "src0"))
+
   /** Count-min sketch build + probe, with exact truth alongside (the
     * portable digit-only MD5 hash makes even the sketch counters
     * oracle-reproducible). */
@@ -881,7 +911,10 @@ object Queries {
     "graph_triangles" -> (graphTriangles _),
     "graph_bfs_dist" -> (graphBfsDist _),
     "graph_ppr" -> (graphPpr _),
+    "graph_sssp" -> (graphSssp _),
     "events_funnel" -> (eventsFunnel _),
+    "text_chunks" -> (textChunks _),
+    "dedup_priority" -> (dedupPriority _),
     "window_rank_funcs" -> (windowRankFuncs _),
     "emb_label_centroids" -> (embLabelCentroids _),
     "s2_constraint_check" -> (s2ConstraintCheck _),

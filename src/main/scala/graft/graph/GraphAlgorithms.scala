@@ -102,6 +102,30 @@ object GraphAlgorithms {
       .agg(count(lit(1)).as("n_nodes"))
   }
 
+  /** Bounded Bellman-Ford single-source shortest paths over a WEIGHTED
+    * undirected edge list (a, b, w — integer weights, so distances stay in
+    * exact Long arithmetic): `iters` relaxation rounds give the exact
+    * shortest distance for every path of ≤ iters hops. Unlike BFS, settled
+    * distances can improve in later rounds, so the whole reached set
+    * re-propagates each round (that IS Bellman-Ford); the per-round plan is
+    * one join + one min-aggregate. Source = the minimum node id in the
+    * edge set (deterministic, oracle-expressible). Returns the k nearest
+    * (node_id, dist). */
+  def ssspBounded(edges: DataFrame, iters: Int, k: Int): DataFrame = {
+    val sym = edges.select(col("a"), col("b"), col("w"))
+      .unionByName(edges.select(col("b").as("a"), col("a").as("b"), col("w")))
+      .localCheckpoint(true)
+    var dist = sym.agg(min(col("a")).as("v")).select(col("v"), lit(0L).as("d"))
+    for (_ <- 1 to iters) {
+      dist = dist.localCheckpoint(true)
+      val relaxed = dist.join(sym, col("v") === col("a"))
+        .select(col("b").as("v"), (col("d") + col("w")).as("d"))
+      dist = dist.unionByName(relaxed).groupBy("v").agg(min("d").as("d"))
+    }
+    dist.orderBy(col("d").asc, col("v")).limit(k)
+      .select(col("v").as("node_id"), col("d").as("dist"))
+  }
+
   /** Personalized PageRank from an anchor node set — the graph-RAG
     * retrieval ranker (bias random walks toward the query's entities)
     * computed SPARSELY: rank rows exist only for nodes the walk has

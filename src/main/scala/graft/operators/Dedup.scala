@@ -32,6 +32,30 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_docs"))
 
+  /** Exact dedup with SOURCE-PRIORITY keeper selection: within each
+    * duplicate group keep the copy from the most-trusted source
+    * (best-first `priority` list; unlisted sources rank last; doc_id
+    * breaks ties) — the "prefer curated over crawled" rule of corpus
+    * assembly. One hash shuffle + one keyed window. */
+  def priorityKeepers(docs: DataFrame, idCol: String, textCol: String,
+                      sourceCol: String, priority: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val prio = priority.zipWithIndex.foldLeft(lit(priority.size)) {
+      case (acc, (s, i)) => when(col(sourceCol) === s, lit(i)).otherwise(acc)
+    }
+    val w = Window.partitionBy("content_hash")
+      .orderBy(col("prio"), col("keeper_id"))
+    docs
+      .select(md5(col(textCol)).as("content_hash"),
+        col(idCol).as("keeper_id"), col(sourceCol).as("keeper_source"),
+        prio.as("prio"))
+      .withColumn("n_docs", count(lit(1)).over(
+        Window.partitionBy("content_hash")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("content_hash", "keeper_id", "keeper_source", "n_docs")
+  }
+
   /** STREAMING exact dedup: emit only the FIRST document seen per content
     * hash — the incremental form of [[exactGroups]] for a continuously
     * ingested corpus. `dropDuplicatesWithinWatermark` is the load-bearing

@@ -121,6 +121,29 @@ object TextOps {
       .orderBy(col("n_occurrences").desc, col("ngram"))
       .limit(k)
 
+  /** RAG chunker: split each document into word windows of `size` tokens
+    * stepping by `step` (< size ⇒ overlapping context windows). One row per
+    * chunk with its word count; a pure narrow map (explode of slices) —
+    * zero shuffle, embarrassingly parallel at any corpus size. The final
+    * short window is kept (it still carries tail context); empty documents
+    * produce no chunks. */
+  def chunkDocs(docs: DataFrame, chunkSize: Int, step: Int): DataFrame = {
+    require(chunkSize > 0 && step > 0 && step <= chunkSize)
+    val w = words(col("text"))
+    // Column `/` is double division; the cast truncates toward zero, which
+    // equals integer division for the n >= 0 sizes here
+    val lastIdx = greatest(((size(w) - 1) / lit(step)).cast("int"), lit(0))
+    docs
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), lastIdx),
+          i => slice(w, i * lit(step) + 1, lit(chunkSize))))
+        .as(Seq("chunk_idx", "cw")))
+      .where(size(col("cw")) > 0)
+      .select(col("doc_id"), col("chunk_idx"),
+        array_join(col("cw"), " ").as("chunk_text"),
+        size(col("cw")).as("n_tokens"))
+  }
+
   def fingerprintDupGroups(docs: DataFrame): DataFrame =
     docs.groupBy(fingerprint(col("text")).as("fp"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper_id"))

@@ -16,6 +16,21 @@ class DedupSpec extends SparkSpec {
     (6L, ""))                                              // empty
     .toDF("doc_id", "text")
 
+  test("priority keepers prefer trusted sources, then lowest id") {
+    val d = Seq(
+      (1L, "same text", "crawl"),
+      (2L, "same text", "wiki"),    // wiki beats crawl despite higher id
+      (3L, "same text", "crawl"),
+      (4L, "other", "crawl"),
+      (5L, "third", "books"),       // unlisted source still kept (only copy)
+      (6L, "third", "books"))       // tie on priority -> doc_id wins
+      .toDF("doc_id", "text", "source")
+    val out = graft.operators.Dedup.priorityKeepers(d, "doc_id", "text",
+        "source", Seq("wiki", "crawl"))
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    assert(out === Set((2L, "wiki", 3L), (4L, "crawl", 1L), (5L, "books", 2L)))
+  }
+
   test("exact dedup groups identical texts") {
     val g = Dedup.exactGroups(docs, "doc_id", "text")
       .where(col("n_docs") > 1).collect()

@@ -99,6 +99,20 @@ class GraphAlgorithmsSpec extends SparkSpec {
     assert(at6.nonEmpty)
   }
 
+  test("SSSP relaxes multi-hop paths cheaper than direct edges") {
+    import org.apache.spark.sql.functions.col
+    // 1-3 direct costs 10; 1-2-3 costs 2+3=5; node 4 hangs off 3 (+1)
+    val edges = Seq((1L, 3L, 10L), (1L, 2L, 2L), (2L, 3L, 3L), (3L, 4L, 1L))
+      .toDF("a", "b", "w")
+    val out = GraphAlgorithms.ssspBounded(edges, iters = 4, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 0L, 2L -> 2L, 3L -> 5L, 4L -> 6L))
+    // one round only relaxes direct edges: 3 still costs 10
+    val r1 = GraphAlgorithms.ssspBounded(edges, iters = 1, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1(3L) === 10L)
+  }
+
   test("personalized PageRank: hand-computed two-round walk on a path") {
     // path 1-2-3, anchor 1, 2 rounds. Contributions per round (deg 1=1,
     // 2=2, 3=1): p1 = {2: .85, 1: .15}; p2 = {1: (.85/2)*.85 + .15,

@@ -47,6 +47,20 @@ class SearchSpec extends SparkSpec {
     assert(out === Seq(4L, 2L))
   }
 
+  test("chunker windows overlap by size-step and keep the short tail") {
+    val d = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")), (2L, ""))
+      .toDF("doc_id", "text")
+    val out = TextOps.chunkDocs(d, chunkSize = 4, step = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> ((r.getString(2), r.getInt(3))))
+      .toMap
+    // starts at words 1, 4, 7, 10: three full windows and a 1-word tail
+    assert(out((1L, 0)) === (("w1 w2 w3 w4", 4)))
+    assert(out((1L, 1)) === (("w4 w5 w6 w7", 4)))
+    assert(out((1L, 2)) === (("w7 w8 w9 w10", 4)))
+    assert(out((1L, 3)) === (("w10", 1)))
+    assert(out.size === 4) // empty doc contributes nothing
+  }
+
   test("top n-grams count corpus-wide with (count desc, ngram) ties") {
     val d = Seq(
       (1L, "a b a b"),      // "a b" x2, "b a" x1
