@@ -11,18 +11,6 @@ import org.apache.spark.sql.functions._
   */
 object GraphAlgorithms {
 
-  /** k-core decomposition by unrolled peeling: each round recomputes
-    * distinct-neighbor degrees over the surviving edge set and removes
-    * nodes with degree < k (two semi-joins — the edge payload never
-    * widens). A FIXED `iters` rounds keeps the computation deterministic
-    * and oracle-expressible; result parity with the oracle holds whether or
-    * not peeling has converged (both unroll identically), and the spec
-    * asserts a fixed point is actually reached on driver data.
-    *
-    * Returns per-label counts of nodes still carrying an edge after the
-    * final round — the k-core membership report (the web-corpus
-    * quality/spam-filter use of k-core).
-    */
   /** Triangle counting by degree orientation — the 100 TB shape: every
     * undirected edge is oriented from its lower-(degree, id) endpoint to the
     * higher one, so wedge enumeration fans out from the SMALLER side of each
@@ -169,6 +157,18 @@ object GraphAlgorithms {
       .orderBy(col("rank").desc, col("node_id")).limit(k)
   }
 
+  /** k-core decomposition by unrolled peeling: each round recomputes
+    * distinct-neighbor degrees over the surviving edge set and removes
+    * nodes with degree < k (two semi-joins — the edge payload never
+    * widens). A FIXED `iters` rounds keeps the computation deterministic
+    * and oracle-expressible; result parity with the oracle holds whether or
+    * not peeling has converged (both unroll identically), and the spec
+    * asserts a fixed point is actually reached on driver data.
+    *
+    * Returns per-label counts of nodes still carrying an edge after the
+    * final round — the k-core membership report (the web-corpus
+    * quality/spam-filter use of k-core).
+    */
   def kCoreSizes(g: PropertyGraph, k: Int, iters: Int): DataFrame = {
     // each level is referenced three times by the next (degree count +
     // both semi-joins); without truncation the physical plan replicates
