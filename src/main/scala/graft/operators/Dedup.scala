@@ -74,6 +74,62 @@ object Dedup {
       .dropDuplicatesWithinWatermark("content_hash")
       .select(col(idCol), col("content_hash"), col(tsCol))
 
+  /** STREAMING near-duplicate detection — the incremental form of
+    * [[minhashLsh]]: per-document MinHash signatures are computed as a
+    * NARROW expression (array_min over the shingle array per seed — no
+    * aggregation, so it runs inside a micro-batch with no extra shuffle),
+    * banded into LSH bucket keys, and candidate pairs surface from
+    * `flatMapGroupsWithState` keyed by (band, bucket): state holds the
+    * signatures previously seen in the bucket, each arrival emits pairs
+    * whose signature agreement >= `minAgree` fraction. Deduped across
+    * bands by the downstream consumer if needed (a pair colliding in two
+    * bands emits twice, same as the batch candidate stage before its
+    * distinct). State is per-bucket and bounded by bucket occupancy —
+    * shard-by-bucket is exactly how this scales out.
+    */
+  def streamingNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                            n: Int = 3, numHashes: Int = 8, numBands: Int = 4,
+                            minAgree: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(numHashes % numBands == 0)
+    val rows = numHashes / numBands
+    val shingles = graft.functions.wordShingles(col(textCol), n)
+    val sig = array((0 until numHashes).map(seed =>
+      array_min(transform(col("__sh"), s => graft.functions.seededMd5(seed, s)))): _*)
+    val banded = docs
+      .withColumn("__sh", shingles)
+      .where(size(col("__sh")) > 0)
+      .withColumn("sig", sig)
+      .select(col(idCol).cast("long").as("id"), col("sig"),
+        explode(array((0 until numBands).map(b =>
+          concat(lit(s"$b|"), md5(concat_ws("|",
+            slice(col("sig"), b * rows + 1, rows))))): _*)).as("bucket"))
+      .as[(Long, Seq[String], String)]
+    banded.groupByKey(_._3)
+      .flatMapGroupsWithState[List[(Long, Seq[String])], (Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, batch: Iterator[(Long, Seq[String], String)],
+         state: GroupState[List[(Long, Seq[String])]]) =>
+          var seen = state.getOption.getOrElse(Nil)
+          val out = collection.mutable.ListBuffer[(Long, Long, Double)]()
+          batch.toSeq.sortBy(_._1).foreach { case (id, s, _) =>
+            if (!seen.exists(_._1 == id)) {
+              seen.foreach { case (oid, os) =>
+                val agree = s.zip(os).count { case (a, b) => a == b }.toDouble / s.length
+                if (agree >= minAgree)
+                  out += ((math.min(id, oid), math.max(id, oid), agree))
+              }
+              seen = (id, s) :: seen
+            }
+          }
+          state.update(seen)
+          out.iterator
+      }
+      .toDF("id1", "id2", "sig_agree")
+  }
+
   /** Incremental-ingest dedup pre-filter using Spark's native
     * runtime-filter machinery (`BloomFilterAggregate` /
     * `BloomFilterMightContain` — the same expressions AQE's

@@ -157,6 +157,33 @@ class DedupSpec extends SparkSpec {
     assert(out === expected)
   }
 
+  test("streaming near-dup pairs surface across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val near = "the quick brown fox jumps over the sleepy dog again and again"
+    val far = "completely different content about spark physical plans here"
+    val out = Dedup.streamingNearDupPairs(
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = out.writeStream.format("memory")
+      .queryName("sneardup_test").outputMode("append").start()
+    try {
+      stream.addData((1L, base), (3L, far))
+      q.processAllAvailable()
+      assert(spark.table("sneardup_test").count() === 0) // nothing similar yet
+      // a near-dup arriving in a LATER micro-batch pairs with stored state
+      stream.addData((2L, near))
+      q.processAllAvailable()
+      val pairs = spark.table("sneardup_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).distinct
+      assert(pairs.toSeq === Seq((1L, 2L)))
+      // agreement fraction is meaningful (shared prefix/suffix shingles)
+      val agree = spark.table("sneardup_test").collect().head.getDouble(2)
+      assert(agree >= 0.5 && agree < 1.0)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup keeps only the first doc per content hash") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
