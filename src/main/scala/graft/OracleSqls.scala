@@ -834,6 +834,46 @@ object OracleSqls {
         |  round(avg(CAST(ascii(substr(text, 1, 1)) AS DOUBLE)), 6) AS avg_first_byte
         |FROM documents GROUP BY source""".stripMargin,
 
+    // collocations by exact integer lift ((c_ab*N*1e6) // (c_a*c_b));
+    // min-support 5, deterministic ties (lift desc, bigram)
+    "text_collocations" ->
+      s"""WITH toks AS (SELECT unnest($wordsExpr) AS tok FROM documents),
+        |uni AS (SELECT tok, count(*) AS c1 FROM toks GROUP BY tok),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_toks FROM toks),
+        |w AS (SELECT $wordsExpr AS w FROM documents),
+        |bi AS (
+        |  SELECT unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS bigram
+        |  FROM w WHERE len(w) >= 2
+        |), bc AS (
+        |  SELECT bigram, count(*) AS c_ab FROM bi GROUP BY bigram
+        |  HAVING count(*) >= 5
+        |)
+        |SELECT bigram, CAST(c_ab AS BIGINT) AS c_ab,
+        |  CAST((c_ab * n_toks * 1000000) // (a.c1 * b.c1) AS BIGINT) AS lift_micro
+        |FROM bc
+        |JOIN uni a ON a.tok = string_split(bigram, ' ')[1]
+        |JOIN uni b ON b.tok = string_split(bigram, ' ')[2]
+        |CROSS JOIN n
+        |ORDER BY lift_micro DESC, bigram LIMIT 20""".stripMargin,
+
+    // pairwise cosine between per-label centroids (centroids rounded to 6
+    // first, so the pairwise stage starts from engine-identical inputs)
+    "emb_label_affinity" ->
+      """WITH x AS (
+        |  SELECT label, unnest(list_transform(range(1, len(embedding) + 1),
+        |    i -> {'dim': i - 1, 'v': CAST(embedding[i] AS DOUBLE)})) AS s
+        |  FROM embeddings
+        |), c AS (
+        |  SELECT label, s.dim AS dim, round(avg(s.v), 6) AS cv
+        |  FROM x GROUP BY label, s.dim
+        |), cent AS (
+        |  SELECT label, list(cv ORDER BY dim) AS cvl FROM c GROUP BY label
+        |)
+        |SELECT a.label AS label_a, b.label AS label_b,
+        |  round(list_cosine_similarity(a.cvl, b.cvl), 6) AS cos_sim
+        |FROM cent a JOIN cent b ON a.label < b.label""".stripMargin,
+
     // RAG chunker: 40-word windows stepping by 30; the final short window
     // is kept, empty documents produce no chunks
     "text_chunks" ->

@@ -859,6 +859,14 @@ object Queries {
   def embLabelCentroids(spark: SparkSession, dir: String): DataFrame =
     Vectors.labelCentroids(T(spark, dir, "embeddings"), "label", "embedding")
 
+  /** Collocation bigrams by exact integer lift (log-free PMI). */
+  def textCollocations(spark: SparkSession, dir: String): DataFrame =
+    TextOps.collocations(T(spark, dir, "documents"), minCount = 5L, k = 20)
+
+  /** Pairwise label-centroid cosine affinity. */
+  def embLabelAffinity(spark: SparkSession, dir: String): DataFrame =
+    Vectors.labelAffinity(T(spark, dir, "embeddings"), "label", "embedding")
+
   /** Scalar-quantized (int8) ANN: ADC over dequantized codes + exact
     * re-rank — completes the LSH/IVF/PQ/SQ quantization family. */
   def annSq8TopK(spark: SparkSession, dir: String): DataFrame =
@@ -914,6 +922,8 @@ object Queries {
     "graph_sssp" -> (graphSssp _),
     "events_funnel" -> (eventsFunnel _),
     "text_chunks" -> (textChunks _),
+    "text_collocations" -> (textCollocations _),
+    "emb_label_affinity" -> (embLabelAffinity _),
     "dedup_priority" -> (dedupPriority _),
     "window_rank_funcs" -> (windowRankFuncs _),
     "emb_label_centroids" -> (embLabelCentroids _),

@@ -121,6 +121,31 @@ object TextOps {
       .orderBy(col("n_occurrences").desc, col("ngram"))
       .limit(k)
 
+  /** Collocation extraction by LIFT — the log-free PMI family member:
+    * lift(a,b) = P(ab) / (P(a)·P(b)) computed in exact integer micro-units
+    * ((c_ab · N · 1e6) div (c_a · c_b), N = total token count), so ranking
+    * is engine-portable with no float drift (log-PMI orders identically
+    * for lift > 0 since log is monotone). `minCount` suppresses
+    * low-support noise pairs — the standard collocation filter. Two
+    * map-side-combined counting passes + a broadcast unigram join. */
+  def collocations(docs: DataFrame, minCount: Long, k: Int): DataFrame = {
+    val toks = docs.select(explode(words(col("text"))).as("tok"))
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("c1"))
+    val n = toks.agg(count(lit(1)).as("n_toks"))
+    val bi = docs.select(explode(wordShingles(col("text"), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c_ab"))
+      .where(col("c_ab") >= minCount)
+      .withColumn("w1", element_at(split(col("bigram"), " "), 1))
+      .withColumn("w2", element_at(split(col("bigram"), " "), 2))
+    bi.join(broadcast(uni.select(col("tok").as("w1"), col("c1").as("c_a"))), Seq("w1"))
+      .join(broadcast(uni.select(col("tok").as("w2"), col("c1").as("c_b"))), Seq("w2"))
+      .crossJoin(broadcast(n))
+      .select(col("bigram"), col("c_ab"),
+        expr("(c_ab * n_toks * 1000000) div (c_a * c_b)").as("lift_micro"))
+      .orderBy(col("lift_micro").desc, col("bigram"))
+      .limit(k)
+  }
+
   /** RAG chunker: split each document into word windows of `size` tokens
     * stepping by `step` (< size ⇒ overlapping context windows). One row per
     * chunk with its word count; a pure narrow map (explode of slices) —

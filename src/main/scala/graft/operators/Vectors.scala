@@ -304,4 +304,21 @@ object Vectors {
         posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "v")))
       .groupBy("label", "dim")
       .agg(count(lit(1)).as("n_vecs"), round(avg("v"), 6).as("centroid"))
+
+  /** Pairwise cosine affinity between label centroids (which classes sit
+    * close in embedding space — the cluster-drift / label-confusion
+    * probe). Centroids are rounded to 6 decimals BEFORE the pairwise
+    * cosine so the tiny |labels|² comparison starts from engine-identical
+    * inputs. */
+  def labelAffinity(emb: DataFrame, labelCol: String,
+                    vecCol: String): DataFrame = {
+    val cent = labelCentroids(emb, labelCol, vecCol)
+      .groupBy("label")
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim").as("d"), col("centroid").as("c")))),
+        t => t.getField("c")).as("cv"))
+    cent.as("x").join(cent.as("y"), col("x.label") < col("y.label"))
+      .select(col("x.label").as("label_a"), col("y.label").as("label_b"),
+        round(cosineSim(col("x.cv"), col("y.cv")), 6).as("cos_sim"))
+  }
 }

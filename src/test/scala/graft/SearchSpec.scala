@@ -47,6 +47,34 @@ class SearchSpec extends SparkSpec {
     assert(out === Seq(4L, 2L))
   }
 
+  test("collocations rank tightly-bound bigrams above frequent-but-loose ones") {
+    // "san francisco" always co-occurs (lift = N/c_a/c_b is high);
+    // "the dog" is frequent but 'the' appears everywhere (low lift)
+    val d = (1 to 6).map(i => (i.toLong,
+      "san francisco is where the dog and the cat see the bird")).toDF("doc_id", "text")
+    val out = TextOps.collocations(d, minCount = 5L, k = 20)
+      .collect().map(r => r.getString(0) -> r.getLong(2))
+    val m = out.toMap
+    assert(m.contains("san francisco"))
+    assert(m("san francisco") > m("the dog"))
+    // exact integer lift: every token appears 6x except 'the' (18x);
+    // N = 72 tokens; lift(san francisco) = 6*72*1e6/(6*6) = 12_000_000
+    assert(m("san francisco") === 6L * 72 * 1000000 / (6 * 6))
+  }
+
+  test("label affinity: identical-direction labels score 1, orthogonal 0") {
+    val d = Seq(
+      (1L, Seq(1.0, 0.0), 0), (2L, Seq(2.0, 0.0), 0),   // label 0 along x
+      (3L, Seq(0.0, 3.0), 1),                           // label 1 along y
+      (4L, Seq(4.0, 0.0), 2))                           // label 2 along x
+      .toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Vectors.labelAffinity(d, "label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(out((0, 2)) === 1.0)
+    assert(out((0, 1)) === 0.0)
+    assert(out((1, 2)) === 0.0)
+  }
+
   test("chunker windows overlap by size-step and keep the short tail") {
     val d = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")), (2L, ""))
       .toDF("doc_id", "text")
