@@ -170,33 +170,36 @@ object GraphAlgorithms {
     * quality/spam-filter use of k-core).
     */
   def kCoreSizes(g: PropertyGraph, k: Int, iters: Int): DataFrame = {
-    // each level is referenced three times by the next (degree count +
-    // both semi-joins); without truncation the physical plan replicates
-    // the subtree 3^iters times — the same blowup the oracle's
-    // MATERIALIZED CTEs prevent. Eager localCheckpoint materializes the
-    // level once and is GC-cleaned when the frame drops out of scope.
-    var adj = g.bidir.select(col("a"), col("b")).distinct()
+    // DELTA peeling: degrees are counted over the full edge set ONCE;
+    // each later round only subtracts the edges lost to the nodes that
+    // died in the previous round (a broadcast-sized join against the
+    // newly-dead set) — instead of re-counting and re-filtering the whole
+    // 2.8M-row adjacency three times per round. A degree here counts only
+    // ALIVE neighbors (dead ones were subtracted), so "alive at the end"
+    // ≡ "still carries an edge" for k >= 1. Round semantics match the
+    // oracle's simultaneous-removal unrolling exactly; early exit when a
+    // round kills nobody is the identity-rounds argument ([[bfsLayers]]).
+    require(k >= 1, "delta peeling's membership report assumes k >= 1")
+    val adj = g.bidir.select(col("a"), col("b")).distinct()
       .localCheckpoint(true)
-    // peeling only ever REMOVES edges, so an unchanged row count means an
-    // identical edge set and every remaining round is the identity —
-    // stopping early returns EXACTLY the fixed-iters result (the oracle
-    // unrolls all rounds; parity holds because the extra rounds are
-    // no-ops). The count is one cheap job over the materialized level.
-    var size = adj.count()
-    var fixed = false
-    for (_ <- 1 to iters if !fixed) {
-      val alive = adj.groupBy("a").agg(count(lit(1)).as("deg"))
-        .where(col("deg") >= k).select(col("a").as("id"))
-      val next = adj
-        .join(alive.select(col("id").as("a")), Seq("a"), "left_semi")
-        .join(alive.select(col("id").as("b")), Seq("b"), "left_semi")
+    val deg0 = adj.groupBy("a").agg(count(lit(1)).as("deg"))
+    var newDead = deg0.where(col("deg") < k).select(col("a").as("id"))
+      .localCheckpoint(true)
+    var deg = deg0.where(col("deg") >= k).localCheckpoint(true)
+    var rounds = 1
+    while (rounds < iters && newDead.count() > 0) {
+      val loss = adj
+        .join(broadcast(newDead.select(col("id").as("a"))), Seq("a"))
+        .groupBy(col("b").as("a")).agg(count(lit(1)).as("lost"))
+      val updated = deg.join(loss, Seq("a"), "left")
+        .select(col("a"),
+          (col("deg") - coalesce(col("lost"), lit(0L))).as("deg"))
+      newDead = updated.where(col("deg") < k).select(col("a").as("id"))
         .localCheckpoint(true)
-      val n = next.count()
-      if (n == size) fixed = true
-      else { adj = next; size = n }
+      deg = updated.where(col("deg") >= k).localCheckpoint(true)
+      rounds += 1
     }
-    adj.select(col("a")).distinct()
-      .join(g.nodes, col("a") === col("nodeId"))
+    deg.join(g.nodes, col("a") === col("nodeId"))
       .groupBy("label").agg(count(lit(1)).as("n_core"))
   }
 }
