@@ -834,6 +834,25 @@ object OracleSqls {
         |  round(avg(CAST(ascii(substr(text, 1, 1)) AS DOUBLE)), 6) AS avg_first_byte
         |FROM documents GROUP BY source""".stripMargin,
 
+    // HashingTF rebuilt in SQL (same portable digit-only-MD5 bucket hash
+    // as sketch_countmin); all 16 slots per doc, zeros included
+    "text_feature_hash" ->
+      s"""WITH w AS (SELECT doc_id, unnest($wordsExpr) AS tok FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    CAST(substr(regexp_replace(md5(tok), '[a-f]', '', 'g') || '000000',
+        |      1, 6) AS BIGINT) % 16 AS slot
+        |  FROM w
+        |), c AS (
+        |  SELECT doc_id, slot, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM b GROUP BY doc_id, slot
+        |), slots AS (SELECT unnest(range(0, 16)) AS slot)
+        |SELECT d.doc_id, CAST(s.slot AS INTEGER) AS slot,
+        |  CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |CROSS JOIN slots s
+        |LEFT JOIN c ON c.doc_id = d.doc_id AND c.slot = s.slot""".stripMargin,
+
     // collocations by exact integer lift ((c_ab*N*1e6) // (c_a*c_b));
     // min-support 5, deterministic ties (lift desc, bigram)
     "text_collocations" ->

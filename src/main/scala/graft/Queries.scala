@@ -859,6 +859,10 @@ object Queries {
   def embLabelCentroids(spark: SparkSession, dir: String): DataFrame =
     Vectors.labelCentroids(T(spark, dir, "embeddings"), "label", "embedding")
 
+  /** HashingTF featurization: 16-slot hashed count vectors, unpivoted. */
+  def textFeatureHash(spark: SparkSession, dir: String): DataFrame =
+    TextOps.hashingTf(T(spark, dir, "documents"), dim = 16)
+
   /** Collocation bigrams by exact integer lift (log-free PMI). */
   def textCollocations(spark: SparkSession, dir: String): DataFrame =
     TextOps.collocations(T(spark, dir, "documents"), minCount = 5L, k = 20)
@@ -923,6 +927,7 @@ object Queries {
     "events_funnel" -> (eventsFunnel _),
     "text_chunks" -> (textChunks _),
     "text_collocations" -> (textCollocations _),
+    "text_feature_hash" -> (textFeatureHash _),
     "emb_label_affinity" -> (embLabelAffinity _),
     "dedup_priority" -> (dedupPriority _),
     "window_rank_funcs" -> (windowRankFuncs _),

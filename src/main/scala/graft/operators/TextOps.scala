@@ -121,6 +121,26 @@ object TextOps {
       .orderBy(col("n_occurrences").desc, col("ngram"))
       .limit(k)
 
+  /** Feature hashing (the HashingTF trick): every document folds its
+    * tokens into a fixed-width count vector with NO shuffle — the term
+    * universe never needs a vocabulary pass, which is the whole point at
+    * 100 TB. The bucket hash is the same portable digit-only-MD5 as
+    * [[graft.operators.Sketch]], so the vectors rebuild exactly in SQL.
+    * Emitted unpivoted as (doc_id, slot, cnt) — all slots, zeros included,
+    * so downstream schemas are fixed-width. */
+  def hashingTf(docs: DataFrame, dim: Int): DataFrame = {
+    def bucket(c: Column): Column =
+      substring(concat(regexp_replace(md5(c), "[a-f]", ""), lit("000000")),
+        1, 6).cast("long") % dim
+    docs
+      .select(col("doc_id"), posexplode(
+        aggregate(words(col("text")), array_repeat(lit(0L), dim),
+          (acc, w) => {
+            val bk = bucket(w)
+            transform(acc, (v, i) => when(i === bk, v + 1).otherwise(v))
+          })).as(Seq("slot", "cnt")))
+  }
+
   /** Collocation extraction by LIFT — the log-free PMI family member:
     * lift(a,b) = P(ab) / (P(a)·P(b)) computed in exact integer micro-units
     * ((c_ab · N · 1e6) div (c_a · c_b), N = total token count), so ranking

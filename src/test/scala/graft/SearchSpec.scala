@@ -75,6 +75,18 @@ class SearchSpec extends SparkSpec {
     assert(out((1, 2)) === 0.0)
   }
 
+  test("hashingTf folds counts into fixed slots with zero rows preserved") {
+    val d = Seq((1L, "x x y"), (2L, "")).toDF("doc_id", "text")
+    val out = TextOps.hashingTf(d, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out.size === 16) // 2 docs x 8 slots, zeros included
+    assert(out.filter(_._1._1 == 1L).values.sum === 3L) // mass = token count
+    assert(out.filter(_._1._1 == 2L).values.sum === 0L)
+    // x lands twice in ONE slot (same hash), y once
+    assert(out.filter(_._1._1 == 1L).values.toSeq.sorted.reverse.take(2)
+      .sameElements(Seq(2L, 1L)))
+  }
+
   test("chunker windows overlap by size-step and keep the short tail") {
     val d = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")), (2L, ""))
       .toDF("doc_id", "text")
