@@ -77,6 +77,20 @@ object OracleSqls {
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
 
+    // set-operator coverage: INTERSECT/EXCEPT over distinct key sets
+    "q4_set_ops" ->
+      """WITH auto AS (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        |), big AS (
+        |  SELECT DISTINCT o_custkey AS c_custkey FROM orders
+        |  WHERE o_totalprice > 450000
+        |)
+        |SELECT
+        |  CAST((SELECT count(*) FROM auto) AS BIGINT) AS n_auto,
+        |  CAST((SELECT count(*) FROM big) AS BIGINT) AS n_big,
+        |  CAST((SELECT count(*) FROM (SELECT * FROM auto INTERSECT SELECT * FROM big)) AS BIGINT) AS n_both,
+        |  CAST((SELECT count(*) FROM (SELECT * FROM auto EXCEPT SELECT * FROM big)) AS BIGINT) AS n_auto_only""".stripMargin,
+
     "j2_onehop" -> j2OneHopSql,
 
     // identical semantics through the bucketed storage path
@@ -1354,6 +1368,23 @@ object OracleSqls {
         |)
         |SELECT name_a, name_b FROM cand
         |WHERE levenshtein(name_a, name_b) <= 1""".stripMargin,
+
+    // equi-width value histogram (10 buckets over [0, 100))
+    "events_histogram" ->
+      """SELECT event_type,
+        |  CAST(least(9, floor(value / 10)) AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // hour x type pivot as filtered counts (fixed column list)
+    "events_pivot" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+        |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+        |  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+        |  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+        |  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+        |  CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error
+        |FROM events GROUP BY 1""".stripMargin,
 
     // ordered conversion funnel: each stage's first completion must come
     // STRICTLY after the user's previous-stage completion

@@ -52,6 +52,21 @@ object Queries {
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
         count(lit(1)).as("n_items"))
 
+  /** Set-operator coverage (INTERSECT/EXCEPT plan as joins): automobile-
+    * segment customers vs big spenders — sizes of both sets, their
+    * intersection, and the segment-only remainder. */
+  def q4SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val auto = T(spark, dir, "customer")
+      .where(col("c_mktsegment") === "AUTOMOBILE").select("c_custkey")
+    val big = T(spark, dir, "orders")
+      .where(col("o_totalprice") > 450000)
+      .select(col("o_custkey").as("c_custkey")).distinct()
+    auto.agg(count(lit(1)).as("n_auto"))
+      .crossJoin(big.agg(count(lit(1)).as("n_big")))
+      .crossJoin(auto.intersect(big).agg(count(lit(1)).as("n_both")))
+      .crossJoin(auto.except(big).agg(count(lit(1)).as("n_auto_only")))
+  }
+
   // ---- graph pattern matching (J2-J5, A1-A3, J7, P5, P6) ----
 
   def j2OneHop(spark: SparkSession, dir: String): DataFrame =
@@ -835,6 +850,25 @@ object Queries {
     Profile.rollupProfile(T(spark, dir, "lineitem"),
       "l_returnflag", "l_linestatus", "l_quantity")
 
+  /** Equi-width value histogram per event type (10 buckets over [0, 100);
+    * floor arithmetic on doubles is engine-identical). */
+  def eventsHistogram(spark: SparkSession, dir: String): DataFrame =
+    eventsT(spark, dir)
+      .groupBy(col("event_type"),
+        least(lit(9L), floor(col("value") / 10)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Hour x event-type PIVOT (wide counts per hour) — the reshaping
+    * operator; the fixed value list keeps column names deterministic. */
+  def eventsPivot(spark: SparkSession, dir: String): DataFrame =
+    eventsT(spark, dir)
+      .groupBy(date_format(
+        timestamp_seconds(expr("((ts div 1000000000) div 3600) * 3600")),
+        "yyyy-MM-dd HH").as("hour"))
+      .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+      .count()
+      .na.fill(0L)
+
   /** Conversion funnel view -> click -> purchase (strictly ordered). */
   def eventsFunnel(spark: SparkSession, dir: String): DataFrame =
     Events.funnelCounts(eventsT(spark, dir), Seq("view", "click", "purchase"))
@@ -888,6 +922,7 @@ object Queries {
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_top_customers" -> (q2TopCustomers _),
     "q3_revenue_by_nation" -> (q3RevenueByNation _),
+    "q4_set_ops" -> (q4SetOps _),
     "j2_onehop" -> (j2OneHop _),
     "j2_onehop_bucketed" -> (j2OneHopBucketed _),
     "j3_twohop_schema" -> (j3TwoHopSchema _),
@@ -925,6 +960,8 @@ object Queries {
     "graph_ppr" -> (graphPpr _),
     "graph_sssp" -> (graphSssp _),
     "events_funnel" -> (eventsFunnel _),
+    "events_histogram" -> (eventsHistogram _),
+    "events_pivot" -> (eventsPivot _),
     "text_chunks" -> (textChunks _),
     "text_collocations" -> (textCollocations _),
     "text_feature_hash" -> (textFeatureHash _),
