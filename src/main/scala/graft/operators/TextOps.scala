@@ -154,7 +154,9 @@ object TextOps {
   def collocations(docs: DataFrame, minCount: Long, k: Int): DataFrame = {
     val toks = docs.select(explode(words(col("text"))).as("tok"))
     val uni = toks.groupBy("tok").agg(count(lit(1)).as("c1"))
-    val n = toks.agg(count(lit(1)).as("n_toks"))
+    // total token count folds out of the unigram table — one corpus scan
+    // serves both the counts and N
+    val n = uni.agg(sum("c1").as("n_toks"))
     val bi = docs.select(explode(wordShingles(col("text"), 2)).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("c_ab"))
       .where(col("c_ab") >= minCount)
