@@ -758,6 +758,45 @@ object OracleSqls {
         |  round(sqrt(n) / sm / (n / total), 6) AS boost
         |FROM s, t""".stripMargin,
 
+    // weighted sampling by temperature boost: floor() before the BIGINT
+    // cast in both engines (Spark truncates, DuckDB rounds); salted md5
+    // acceptance hash mirrors Dedup.md5Long(x, 8)
+    "curate_sampled" ->
+      """WITH s AS (
+        |  SELECT source, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY 1
+        |), t AS (
+        |  SELECT sum(n) AS total, sum(sqrt(n)) AS sm FROM s
+        |), rates AS (
+        |  SELECT source,
+        |    least(1000000, CAST(floor(
+        |      round(sqrt(n) / sm / (n / total), 6) * 300000) AS BIGINT)) AS r_micro
+        |  FROM s, t
+        |)
+        |SELECT d.source, r.r_micro, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN
+        |    ('0x' || substr(md5('sample|' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 1000000 < r.r_micro THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+        |FROM documents d JOIN rates r ON d.source = r.source
+        |GROUP BY d.source, r.r_micro""".stripMargin,
+
+    // near-dup (bag-of-words fingerprint) groups spanning train/val/test
+    // splits — evaluation leakage QA
+    "curate_split_leakage" ->
+      s"""WITH d AS (
+        |  SELECT md5(array_to_string(list_sort(list_distinct(
+        |    ${wordsExprOf("lower(text)")})), ' ')) AS content_hash,
+        |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+        |         WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'validation'
+        |         ELSE 'test' END AS split
+        |  FROM documents
+        |), g AS (
+        |  SELECT content_hash, count(DISTINCT split) AS n_splits,
+        |    count(*) AS n_docs
+        |  FROM d GROUP BY content_hash
+        |)
+        |SELECT n_splits, CAST(count(*) AS BIGINT) AS n_groups
+        |FROM g WHERE n_docs > 1 GROUP BY n_splits""".stripMargin,
+
     // inverted-index TF-IDF probe: integer micro-unit scoring
     // ((tf * 1e6 * N) // df — exact in both engines, order-independent sum)
     "search_tfidf" ->

@@ -727,6 +727,14 @@ object Queries {
   def curateRebalance(spark: SparkSession, dir: String): DataFrame =
     Curation.rebalanceWeights(T(spark, dir, "documents"))
 
+  /** Deterministic weighted sampling driven by the rebalance boosts. */
+  def curateSampled(spark: SparkSession, dir: String): DataFrame =
+    Curation.weightedSampleStats(T(spark, dir, "documents"))
+
+  /** Split-leakage QA: dup groups spanning train/val/test. */
+  def curateSplitLeakage(spark: SparkSession, dir: String): DataFrame =
+    Curation.splitLeakage(T(spark, dir, "documents"))
+
   /** The composed curation pipeline (eval holdout → exact dedup →
     * decontamination → split → packing → per-split manifest). */
   def curateE2e(spark: SparkSession, dir: String): DataFrame =
@@ -1004,6 +1012,8 @@ object Queries {
     "curate_stratified" -> (curateStratified _),
     "curate_pack" -> (curatePack _),
     "curate_rebalance" -> (curateRebalance _),
+    "curate_sampled" -> (curateSampled _),
+    "curate_split_leakage" -> (curateSplitLeakage _),
     "sql_surface" -> (sqlSurface _),
     "curate_e2e" -> (curateE2e _),
     "profile_documents" -> (profileDocuments _),

@@ -235,6 +235,42 @@ object Curation {
     * sources, down-weights dominant ones; `weight` is the normalized
     * sampling probability, `boost` the ratio to the natural share. Two
     * tiny aggregates + a broadcast of the totals row — no large shuffle. */
+  /** Deterministic weighted corpus sampling: each source's acceptance
+    * rate is its temperature boost × a base rate (capped at 1), and a doc
+    * is kept iff its salted hash falls under the rate — so the "sample"
+    * is a pure per-row predicate: reproducible, restartable, and
+    * shuffle-free on the doc side (rates broadcast). floor() before the
+    * long cast on BOTH engines — Spark's double→long cast truncates while
+    * DuckDB's rounds, so the cast must never see a fraction. */
+  def weightedSampleStats(docs: DataFrame,
+                          baseRateMicro: Long = 300000L): DataFrame = {
+    val rates = rebalanceWeights(docs).select(col("source"),
+      least(lit(1000000L),
+        floor(col("boost") * baseRateMicro).cast("long")).as("r_micro"))
+    docs.join(broadcast(rates), Seq("source"))
+      .withColumn("accept",
+        Dedup.md5Long(concat(lit("sample|"), col("doc_id").cast("string")), 8)
+          % 1000000 < col("r_micro"))
+      .groupBy("source", "r_micro")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("accept"), 1L).otherwise(0L)).as("n_sampled"))
+  }
+
+  /** Split-leakage QA: near-duplicate groups that SPAN train/val/test
+    * boundaries are evaluation contamination (exact-dup leaks are the
+    * degenerate case — this keys on the bag-of-words fingerprint, the
+    * catalog's cheapest near-dup identity, so reworded boilerplate leaks
+    * too). Reports duplicate groups (n_docs > 1) bucketed by how many
+    * distinct splits they touch — n_splits > 1 rows are the leaks. */
+  def splitLeakage(docs: DataFrame): DataFrame =
+    docs.select(graft.operators.TextOps.fingerprint(col("text")).as("content_hash"),
+        splitOf(col("doc_id")).as("split"))
+      .groupBy("content_hash")
+      .agg(count_distinct(col("split")).as("n_splits"),
+        count(lit(1)).as("n_docs"))
+      .where(col("n_docs") > 1)
+      .groupBy("n_splits").agg(count(lit(1)).as("n_groups"))
+
   def rebalanceWeights(docs: DataFrame): DataFrame = {
     val bySrc = docs.groupBy(col("source"))
       .agg(count(lit(1)).cast("double").as("n_docs"))

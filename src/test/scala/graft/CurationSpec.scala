@@ -164,6 +164,44 @@ class CurationSpec extends SparkSpec {
     assert(m === 2L) // only docs 1 and 4 survive, whatever their splits
   }
 
+  test("weightedSampleStats: acceptance is per-source-capped and deterministic") {
+    // one dominant source, one tail source: the tail's boost exceeds the
+    // head's; rates cap at 1e6
+    val d = ((1 to 90).map(i => (i.toLong, s"doc $i", "head")) ++
+      (91 to 100).map(i => (i.toLong, s"doc $i", "tail")))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.weightedSampleStats(d, baseRateMicro = 900000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val (headRate, headN, headS) = out("head")
+    val (tailRate, tailN, tailS) = out("tail")
+    assert(headN === 90L && tailN === 10L)
+    assert(tailRate === 1000000L, "boosted tail rate must cap at 1.0")
+    assert(tailS === 10L, "capped rate accepts every tail doc")
+    assert(headRate < tailRate)
+    assert(headS <= headN && headS > 0)
+    // deterministic: same inputs, same sample
+    val again = Curation.weightedSampleStats(d, baseRateMicro = 900000L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(again("head") === headS)
+  }
+
+  test("splitLeakage flags near-dup groups that span splits") {
+    // word-set fingerprint equates reordered texts; choose ids whose
+    // hash buckets land in different splits (41 -> train, 42 -> test:
+    // asserted via splitOf itself, not hardcoded)
+    val d = Seq(
+      (41L, "alpha beta gamma", "s"), (42L, "gamma beta alpha", "s"),
+      (43L, "unique content here", "s"))
+      .toDF("doc_id", "text", "source")
+    val splits = d.select(Curation.splitOf($"doc_id").as("s"))
+      .collect().map(_.getString(0))
+    val expectedSpan = splits.take(2).distinct.length
+    val out = Curation.splitLeakage(d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(expectedSpan.toLong -> 1L))
+  }
+
   test("repetitionScore is the duplicate n-gram fraction; null under n words") {
     val r = docs.select($"doc_id",
         Curation.repetitionScore($"text", 2).as("rep2"))
