@@ -113,6 +113,33 @@ class GraphAlgorithmsSpec extends SparkSpec {
     assert(r1(3L) === 10L)
   }
 
+  test("SSSP matches Floyd-Warshall on random weighted graphs") {
+    val rnd = new scala.util.Random(23)
+    val n = 12
+    val edges = (for {
+      a <- 1 to n; b <- (a + 1) to n if rnd.nextDouble() < 0.3
+    } yield (a.toLong, b.toLong, (rnd.nextInt(9) + 1).toLong)).toSeq
+    // Floyd-Warshall over the undirected weighted graph
+    val INF = Long.MaxValue / 4
+    val d = Array.fill(n + 1, n + 1)(INF)
+    (1 to n).foreach(i => d(i)(i) = 0)
+    edges.foreach { case (a, b, w) =>
+      d(a.toInt)(b.toInt) = math.min(d(a.toInt)(b.toInt), w)
+      d(b.toInt)(a.toInt) = math.min(d(b.toInt)(a.toInt), w)
+    }
+    for (k <- 1 to n; i <- 1 to n; j <- 1 to n)
+      if (d(i)(k) + d(k)(j) < d(i)(j)) d(i)(j) = d(i)(k) + d(k)(j)
+    val src = edges.map(_._1).min min edges.map(_._2).min
+    val expected = (1 to n)
+      .filter(v => d(src.toInt)(v) < INF)
+      .map(v => v.toLong -> d(src.toInt)(v)).toMap
+    // iters = n is always enough hops for any shortest path
+    val out = GraphAlgorithms.ssspBounded(edges.toDF("a", "b", "w"),
+        iters = n, k = 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === expected)
+  }
+
   test("personalized PageRank: hand-computed two-round walk on a path") {
     // path 1-2-3, anchor 1, 2 rounds. Contributions per round (deg 1=1,
     // 2=2, 3=1): p1 = {2: .85, 1: .15}; p2 = {1: (.85/2)*.85 + .15,

@@ -101,6 +101,29 @@ class SearchSpec extends SparkSpec {
     assert(out.size === 4) // empty doc contributes nothing
   }
 
+  test("chunker reconstruction: step-prefixes of chunks rebuild the document") {
+    // taking the first `step` words of every chunk (all of the last)
+    // must reproduce the original word sequence exactly — for any doc
+    // length including multiples of step and the empty doc
+    val rnd = new scala.util.Random(31)
+    val docs = (0L to 24L).map(i =>
+      (i, (1 to rnd.nextInt(50)).map(j => s"t$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = TextOps.chunkDocs(docs, chunkSize = 7, step = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .groupBy(_._1)
+    docs.collect().foreach { r =>
+      val (id, text) = (r.getLong(0), r.getString(1))
+      val words = text.split("\\s+").filter(_.nonEmpty).toSeq
+      val cs = chunks.getOrElse(id, Array.empty).sortBy(_._2).map(_._3.split(" ").toSeq)
+      if (words.isEmpty) assert(cs.isEmpty)
+      else {
+        val rebuilt = cs.dropRight(1).flatMap(_.take(4)) ++ cs.last
+        assert(rebuilt === words, s"doc $id failed reconstruction")
+      }
+    }
+  }
+
   test("top n-grams count corpus-wide with (count desc, ngram) ties") {
     val d = Seq(
       (1L, "a b a b"),      // "a b" x2, "b a" x1
