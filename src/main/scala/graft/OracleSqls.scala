@@ -879,13 +879,43 @@ object OracleSqls {
         |  CAST(sum(CASE WHEN rep2 > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
         |FROM r GROUP BY lang""".stripMargin,
 
+    // n_media mirrors decodeHeader's container detection for payloads that
+    // are valid UTF-8 text: PNG (0x89) and JPEG (0xFF) magic bytes cannot
+    // lead a UTF-8 sequence, and the BMP branch requires an exact DIB header
+    // size that four ASCII bytes can never encode — so only the GIF and
+    // RIFF/WAVE ASCII prefixes are reachable and need mirroring here.
     "mm_decode_features" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(octet_length(text::BLOB)) AS BIGINT) AS total_bytes,
         |  CAST(sum(octet_length(text::BLOB) * 31
         |    + ascii(substr(text, 1, 1)) + ascii(substr(text, -1, 1))) AS BIGINT) AS checksum_sum,
-        |  round(avg(CAST(ascii(substr(text, 1, 1)) AS DOUBLE)), 6) AS avg_first_byte
+        |  CAST(sum(CASE WHEN octet_length(text::BLOB) >= 12 AND
+        |      (text LIKE 'GIF87a%' OR text LIKE 'GIF89a%'
+        |       OR (substr(text, 1, 4) = 'RIFF' AND substr(text, 9, 4) = 'WAVE'))
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_media
         |FROM documents GROUP BY source""".stripMargin,
+
+    // The decode side is Spark-only byte parsing; the oracle recomputes the
+    // dims each synthesized header encodes, straight from the same integer
+    // formulas (mediaDecodeRoundtrip derives w/h/rate/channels/bits from
+    // doc_id and n_chars before encoding).
+    "mm_decode_roundtrip" ->
+      """WITH d AS (
+        |  SELECT doc_id, (n_chars % 1000) + 1 AS w, (doc_id % 500) + 1 AS h,
+        |         (doc_id % 2) + 1 AS ch
+        |  FROM documents
+        |), f AS (
+        |  SELECT CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'wav' END AS format,
+        |         CASE doc_id % 3 WHEN 2 THEN 8000 + w * 4 ELSE w END AS width,
+        |         CASE doc_id % 3 WHEN 2 THEN ch ELSE h END AS height,
+        |         CASE doc_id % 3 WHEN 2 THEN 8 * ch ELSE 8 END AS depth
+        |  FROM d
+        |)
+        |SELECT format, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(width) AS BIGINT) AS sum_width,
+        |  CAST(sum(height) AS BIGINT) AS sum_height,
+        |  CAST(sum(depth) AS BIGINT) AS sum_depth
+        |FROM f GROUP BY format ORDER BY format""".stripMargin,
 
     // HashingTF rebuilt in SQL (same portable digit-only-MD5 bucket hash
     // as sketch_countmin); all 16 slots per doc, zeros included

@@ -766,9 +766,17 @@ object Queries {
   def mmBinaryStats(spark: SparkSession, dir: String): DataFrame =
     TextOps.binaryStatsBySource(T(spark, dir, "documents"))
 
-  /** Multimodal decode via mapPartitions (stubbed codec, real plumbing). */
+  /** Multimodal decode via mapPartitions (real container-header decoders;
+    * text payloads exercise the no-false-positive path, n_media = 0). */
   def mmDecodeFeatures(spark: SparkSession, dir: String): DataFrame =
     Multimodal.featureStats(spark, T(spark, dir, "documents"))
+
+  /** Encode→decode round trip through the REAL byte parsers: per-doc
+    * container headers are synthesized from (doc_id, n_chars), parsed back
+    * by [[Multimodal.decodeHeader]], and aggregated; the oracle recomputes
+    * the expected dims arithmetically without seeing any bytes. */
+  def mmDecodeRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.mediaDecodeRoundtrip(spark, T(spark, dir, "documents"))
 
   // ---- events (batch form; streaming variants in graft.operators.Events) ----
 
@@ -1019,6 +1027,7 @@ object Queries {
     "profile_documents" -> (profileDocuments _),
     "mm_binary_stats" -> (mmBinaryStats _),
     "mm_decode_features" -> (mmDecodeFeatures _),
+    "mm_decode_roundtrip" -> (mmDecodeRoundtrip _),
     "join_asof" -> (joinAsof _),
     "join_range" -> (joinRange _),
     "events_hourly" -> (eventsHourly _),

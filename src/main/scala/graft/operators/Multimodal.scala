@@ -8,27 +8,150 @@ import org.apache.spark.sql.functions._
   * the JVM analog of a `mapInPandas` batch UDF: executor-side, batched by
   * partition, fixed output schema, no driver collect.
   *
-  * The decode itself is a STUB (`decodeStub` — media codecs are not in this
-  * environment): it deterministically derives "width/height/checksum" from
-  * the payload bytes, standing in for a real thumbnail/resample/frame-sample
-  * step. Everything around it — the binary column handling, the typed
-  * `Dataset[MediaFeature]` encoder, the per-partition batch shape, the
-  * partition-preserving plan — is the real, tested contract a production
-  * decoder drops into.
+  * The header decode is REAL: [[decodeHeader]] parses the public container
+  * byte layouts of PNG (IHDR chunk), JPEG (SOFn frame markers), GIF (logical
+  * screen descriptor), BMP (BITMAPINFOHEADER) and WAV (RIFF `fmt ` chunk) —
+  * pure fixed-offset arithmetic, no codec dependencies. Full-frame pixel
+  * decode (the part that genuinely needs libjpeg/ffmpeg, absent here) stays
+  * out of scope; everything a curation pipeline filters on — format, pixel
+  * dimensions, channel/depth/sample-rate metadata, byte size — is parsed
+  * from the real bytes.
+  *
+  * Reference anchor: the reference treats media as opaque dataset columns
+  * and delegates decode to workers; the Spark-native contract here is the
+  * typed `Dataset[MediaFeature]`, per-partition batch shape, and a
+  * partition-preserving plan.
   */
 object Multimodal {
 
-  final case class MediaFeature(doc_id: Long, n_bytes: Long,
-                                width: Int, height: Int, checksum: Long)
+  /** One decoded header. Field semantics per format:
+    *  - png/jpeg/gif/bmp: `width`/`height` in pixels, `depth` = bit depth
+    *    (png/bmp), sample precision (jpeg), or palette depth (gif);
+    *  - wav: `width` = sample rate (Hz), `height` = channels,
+    *    `depth` = bits per sample;
+    *  - unknown: zeros, with `checksum` still populated.
+    * `checksum` is the cheap fingerprint `n_bytes*31 + first + last` for
+    * every format (oracle-expressible; not a content hash). */
+  final case class MediaFeature(doc_id: Long, format: String, n_bytes: Long,
+                                width: Int, height: Int, depth: Int,
+                                checksum: Long)
 
-  /** STUB decoder: a real implementation would parse the container format
-    * and decode frames per batch (amortizing codec init per partition —
-    * exactly why this is mapPartitions, not a per-row UDF). */
-  def decodeStub(payload: Array[Byte]): MediaFeature = {
-    val n = payload.length
-    val first = if (n > 0) payload(0) & 0xff else 0
-    val last = if (n > 0) payload(n - 1) & 0xff else 0
-    MediaFeature(0L, n.toLong, first, last, n.toLong * 31L + first + last)
+  // ---- byte-order helpers (payloads are raw Array[Byte]) ----
+  @inline private def u8(p: Array[Byte], i: Int): Int = p(i) & 0xff
+  @inline private def beU16(p: Array[Byte], i: Int): Int = (u8(p, i) << 8) | u8(p, i + 1)
+  @inline private def beU32(p: Array[Byte], i: Int): Long =
+    (u8(p, i).toLong << 24) | (u8(p, i + 1) << 16) | (u8(p, i + 2) << 8) | u8(p, i + 3)
+  @inline private def leU16(p: Array[Byte], i: Int): Int = u8(p, i) | (u8(p, i + 1) << 8)
+  @inline private def leU32(p: Array[Byte], i: Int): Long =
+    u8(p, i).toLong | (u8(p, i + 1).toLong << 8) | (u8(p, i + 2).toLong << 16) | (u8(p, i + 3).toLong << 24)
+  @inline private def ascii(p: Array[Byte], i: Int, s: String): Boolean =
+    i + s.length <= p.length && s.indices.forall(k => p(i + k) == s.charAt(k).toByte)
+
+  private def cheapChecksum(p: Array[Byte]): Long = {
+    val n = p.length
+    if (n == 0) 0L else n.toLong * 31L + u8(p, 0) + u8(p, n - 1)
+  }
+
+  /** Dispatch on magic bytes; every branch is a fixed public byte layout. */
+  def decodeHeader(payload: Array[Byte]): MediaFeature = {
+    val p = payload
+    val n = p.length
+    val cs = cheapChecksum(p)
+    def unknown = MediaFeature(0L, "unknown", n.toLong, 0, 0, 0, cs)
+    if (n < 12) unknown
+    // PNG: 8-byte signature, then IHDR chunk: len(4) "IHDR" w(4,BE) h(4,BE)
+    // bitDepth(1) colorType(1) — width at offset 16, height at 20, depth 24.
+    else if (u8(p, 0) == 0x89 && ascii(p, 1, "PNG") && u8(p, 4) == 0x0d &&
+             u8(p, 5) == 0x0a && u8(p, 6) == 0x1a && u8(p, 7) == 0x0a &&
+             n >= 25 && ascii(p, 12, "IHDR"))
+      MediaFeature(0L, "png", n.toLong, beU32(p, 16).toInt, beU32(p, 20).toInt, u8(p, 24), cs)
+    // JPEG: FFD8, then marker segments FF xx len(2,BE); SOFn (C0–CF minus
+    // C4 DHT / C8 JPG / CC DAC) carries precision(1) height(2) width(2).
+    else if (u8(p, 0) == 0xff && u8(p, 1) == 0xd8) {
+      var i = 2
+      var out: MediaFeature = unknown.copy(format = "jpeg")
+      var done = false
+      while (!done && i + 3 < n) {
+        if (u8(p, i) != 0xff) { i += 1 } // padding / entropy bytes between segments
+        else {
+          val m = u8(p, i + 1)
+          if (m == 0xff) i += 1                     // fill byte
+          else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2 // standalone
+          else if (m == 0xd9 || m == 0xda) done = true // EOI / SOS: dims precede scan
+          else {
+            val len = beU16(p, i + 2)
+            val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+            if (isSof && i + 9 < n) {
+              out = MediaFeature(0L, "jpeg", n.toLong,
+                beU16(p, i + 7), beU16(p, i + 5), u8(p, i + 4), cs)
+              done = true
+            } else i += 2 + math.max(len, 2)
+          }
+        }
+      }
+      out
+    }
+    // GIF87a/GIF89a: logical screen descriptor — w(2,LE)@6 h(2,LE)@8,
+    // packed flags@10 bits 0-2 = global-palette depth - 1.
+    else if (ascii(p, 0, "GIF87a") || ascii(p, 0, "GIF89a"))
+      MediaFeature(0L, "gif", n.toLong, leU16(p, 6), leU16(p, 8), (u8(p, 10) & 0x07) + 1, cs)
+    // BMP: "BM", then a DIB header at 14 whose first field is its own size —
+    // the INFOHEADER family (40/52/56/108/124) shares w(4,LE signed)@18,
+    // h(4,LE signed)@22 (negative = top-down), bpp(2,LE)@28. Matching the
+    // size EXACTLY (not >=) is what rejects ASCII text behind a "BM" prefix:
+    // four ASCII bytes read little-endian are always >= 0x20202020.
+    else if (ascii(p, 0, "BM") && n >= 30 &&
+             Set(40L, 52L, 56L, 108L, 124L).contains(leU32(p, 14)))
+      MediaFeature(0L, "bmp", n.toLong, leU32(p, 18).toInt, math.abs(leU32(p, 22).toInt), leU16(p, 28), cs)
+    // WAV: "RIFF" size "WAVE", then chunks id(4) size(4,LE) data; the
+    // "fmt " chunk holds channels(2,LE)@+2 rate(4,LE)@+4 bits(2,LE)@+14.
+    else if (ascii(p, 0, "RIFF") && ascii(p, 8, "WAVE")) {
+      var i = 12
+      var out: MediaFeature = unknown.copy(format = "wav")
+      var done = false
+      while (!done && i + 8 <= n) {
+        val size = leU32(p, i + 4)
+        if (ascii(p, i, "fmt ") && i + 24 <= n) {
+          out = MediaFeature(0L, "wav", n.toLong,
+            leU32(p, i + 12).toInt, leU16(p, i + 10), leU16(p, i + 22), cs)
+          done = true
+        } else i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      }
+      out
+    }
+    else unknown
+  }
+
+  // ---- header writers (the write side of a multimodal column; also the
+  // deterministic fixture builders for the oracle round-trip query) ----
+
+  /** Minimal valid PNG prefix: signature + IHDR (no pixel data). */
+  def pngHeader(width: Int, height: Int, bitDepth: Int = 8): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(26)
+    b.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    b.putInt(13).put("IHDR".getBytes("US-ASCII"))
+    b.putInt(width).putInt(height).put(bitDepth.toByte).put(6.toByte) // RGBA
+    b.array()
+  }
+
+  /** Minimal GIF89a prefix: signature + logical screen descriptor. */
+  def gifHeader(width: Int, height: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(13).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("GIF89a".getBytes("US-ASCII"))
+    b.putShort(width.toShort).putShort(height.toShort)
+    b.put(0xf7.toByte).put(0.toByte).put(0.toByte) // global palette, depth 8
+    b.array()
+  }
+
+  /** Minimal WAV prefix: RIFF/WAVE + complete `fmt ` chunk (PCM). */
+  def wavHeader(sampleRate: Int, channels: Int, bitsPerSample: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(36).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val byteRate = sampleRate * channels * bitsPerSample / 8
+    b.put("RIFF".getBytes("US-ASCII")).putInt(28)
+    b.put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII")).putInt(16)
+    b.putShort(1).putShort(channels.toShort).putInt(sampleRate).putInt(byteRate)
+    b.putShort((channels * bitsPerSample / 8).toShort).putShort(bitsPerSample.toShort)
+    b.array()
   }
 
   /** Feature extraction over (doc_id, payload) — one decoder instantiation
@@ -40,7 +163,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // per-partition init would go here (codec handles, model weights)
-        it.map { case (id, payload) => decodeStub(payload).copy(doc_id = id) }
+        it.map { case (id, payload) => decodeHeader(payload).copy(doc_id = id) }
       }
   }
 
@@ -51,10 +174,9 @@ object Multimodal {
     * audio → k windows): each payload fans out to `nFrames` evenly spaced
     * byte windows, decoded per partition (flatMap inside mapPartitions, so
     * codec init amortizes and output stays a fixed-schema typed Dataset).
-    * The per-frame "decode" is the same honest stub as [[decodeStub]]
-    * (rolling checksum over the window); a real frame decoder drops into
-    * the window loop. Payloads shorter than `nFrames` emit one frame per
-    * byte; empty payloads emit none. */
+    * The per-frame "decode" is a rolling checksum over the window; a real
+    * frame decoder drops into the window loop. Payloads shorter than
+    * `nFrames` emit one frame per byte; empty payloads emit none. */
   def sampleFrames(spark: SparkSession, docs: DataFrame,
                    idCol: String, payloadCol: String,
                    nFrames: Int): Dataset[FrameSample] = {
@@ -78,7 +200,9 @@ object Multimodal {
   }
 
   /** Per-source rollup of the extracted features (the oracle-checkable
-    * driver query; joins features back to metadata). */
+    * driver query; joins features back to metadata). Text payloads hit the
+    * `unknown` branch of the real decoder, so `n_media` counting detected
+    * containers doubles as a false-positive check. */
   def featureStats(spark: SparkSession, docs: DataFrame): DataFrame =
     extractFeatures(spark, docs, "doc_id", "text").toDF()
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
@@ -87,5 +211,36 @@ object Multimodal {
         count(lit(1)).as("n_docs"),
         sum("n_bytes").as("total_bytes"),
         sum("checksum").as("checksum_sum"),
-        round(avg(col("width").cast("double")), 6).as("avg_first_byte"))
+        sum(when(col("format") =!= "unknown", 1L).otherwise(0L)).as("n_media"))
+
+  /** Oracle round-trip for the REAL decoders: synthesize a deterministic
+    * container header per document (format and dims derived from doc
+    * columns), parse it back with [[decodeHeader]], and aggregate — the
+    * encode and decode paths are independent byte arithmetic, and the
+    * DuckDB oracle recomputes the expected dims from the same formulas
+    * without ever seeing the bytes. */
+  def mediaDecodeRoundtrip(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val feats = docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        it.map { case (id, nChars) =>
+          val w = (nChars % 1000L).toInt + 1
+          val h = (id % 500L).toInt + 1
+          val payload = (id % 3L) match {
+            case 0L => pngHeader(w, h)
+            case 1L => gifHeader(w, h)
+            case _  => wavHeader(8000 + w * 4, (id % 2L).toInt + 1, 8 * ((id % 2L).toInt + 1))
+          }
+          decodeHeader(payload).copy(doc_id = id)
+        }
+      }
+    feats.toDF().groupBy("format")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("width").cast("long")).as("sum_width"),
+        sum(col("height").cast("long")).as("sum_height"),
+        sum(col("depth").cast("long")).as("sum_depth"))
+      .orderBy("format")
+  }
 }

@@ -2,9 +2,76 @@ package graft
 
 import graft.operators.Multimodal
 
-/** Multimodal plumbing: typed mapPartitions feature extraction. */
+/** Multimodal plumbing: real container-header decoders (validated against
+  * the JDK's own encoders and a committed fixture) + typed mapPartitions
+  * feature extraction. */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
+
+  // ---- real bytes: JDK encoders are independent implementations of the
+  // same public formats, so round-tripping through them is the strongest
+  // no-dependency validation available here.
+
+  private def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x336699)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, out), s"no JDK writer for $fmt")
+    out.toByteArray
+  }
+
+  test("decodeHeader parses JDK-encoded PNG / JPEG / GIF / BMP") {
+    for ((fmt, w, h) <- Seq(("png", 17, 9), ("jpg", 40, 23), ("gif", 5, 300), ("bmp", 64, 2))) {
+      val m = Multimodal.decodeHeader(imageBytes(fmt, w, h))
+      val want = if (fmt == "jpg") "jpeg" else fmt
+      assert(m.format === want, s"$fmt detection")
+      assert(m.width === w, s"$fmt width")
+      assert(m.height === h, s"$fmt height")
+    }
+  }
+
+  test("decodeHeader parses JDK-encoded WAV fmt chunk") {
+    val af = new javax.sound.sampled.AudioFormat(16000f, 16, 2, true, false)
+    val frames = 8
+    val data = new Array[Byte](frames * af.getFrameSize)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), af, frames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val m = Multimodal.decodeHeader(out.toByteArray)
+    assert(m.format === "wav")
+    assert(m.width === 16000)  // sample rate
+    assert(m.height === 2)     // channels
+    assert(m.depth === 16)     // bits per sample
+  }
+
+  test("decodeHeader parses a committed real 1x1 PNG fixture") {
+    // Classic minimal 1x1 RGBA PNG (public-domain byte sequence).
+    val b64 = "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg=="
+    val m = Multimodal.decodeHeader(java.util.Base64.getDecoder.decode(b64))
+    assert(m.format === "png")
+    assert(m.width === 1)
+    assert(m.height === 1)
+    assert(m.depth === 8)
+  }
+
+  test("decodeHeader agrees with the in-repo header writers (independent paths)") {
+    assert(Multimodal.decodeHeader(Multimodal.pngHeader(800, 600)) match {
+      case Multimodal.MediaFeature(_, "png", _, 800, 600, 8, _) => true; case _ => false
+    })
+    assert(Multimodal.decodeHeader(Multimodal.gifHeader(320, 200)) match {
+      case Multimodal.MediaFeature(_, "gif", _, 320, 200, 8, _) => true; case _ => false
+    })
+    assert(Multimodal.decodeHeader(Multimodal.wavHeader(44100, 2, 16)) match {
+      case Multimodal.MediaFeature(_, "wav", _, 44100, 2, 16, _) => true; case _ => false
+    })
+  }
+
+  test("decodeHeader does not false-positive on text payloads") {
+    for (s <- Seq("hello world, plain text", "BMrandom text that is not a bitmap!!",
+                  "GIFted writers are rare", "RIFFing on a theme but not WAVE data", ""))
+      assert(Multimodal.decodeHeader(s.getBytes("UTF-8")).format === "unknown", s)
+  }
 
   test("extractFeatures decodes per partition with a fixed schema") {
     val docs = Seq((1L, "abc", "web"), (2L, "", "web"), (3L, "xyz!", "pdf"))
@@ -12,11 +79,10 @@ class MultimodalSpec extends SparkSpec {
     val f = Multimodal.extractFeatures(spark, docs, "doc_id", "text")
       .collect().map(m => m.doc_id -> m).toMap
     assert(f(1L).n_bytes === 3L)
-    assert(f(1L).width === 'a'.toInt)   // first byte
-    assert(f(1L).height === 'c'.toInt)  // last byte
+    assert(f(1L).format === "unknown")
     assert(f(1L).checksum === 3L * 31 + 'a' + 'c')
-    assert(f(2L) === Multimodal.MediaFeature(2L, 0L, 0, 0, 0L))
-    assert(f(3L).height === '!'.toInt)
+    assert(f(2L) === Multimodal.MediaFeature(2L, "unknown", 0L, 0, 0, 0, 0L))
+    assert(f(3L).checksum === 4L * 31 + 'x' + '!')
   }
 
   test("sampleFrames: one-to-many decode with even byte windows") {
@@ -37,11 +103,28 @@ class MultimodalSpec extends SparkSpec {
     assert(!frames.contains(3L))
   }
 
-  test("featureStats rolls up per source") {
+  test("featureStats rolls up per source; text counts zero detected media") {
     val docs = Seq((1L, "abc", "web"), (2L, "de", "web"))
       .toDF("doc_id", "text", "source")
     val r = Multimodal.featureStats(spark, docs).collect().head
     assert(r.getAs[Long]("n_docs") === 2L)
     assert(r.getAs[Long]("total_bytes") === 5L)
+    assert(r.getAs[Long]("n_media") === 0L)
+  }
+
+  test("mediaDecodeRoundtrip: encode→decode recovers the derived dims") {
+    val docs = Seq((0L, 10L), (1L, 11L), (2L, 12L), (3L, 2000L))
+      .toDF("doc_id", "n_chars")
+    val byFmt = Multimodal.mediaDecodeRoundtrip(spark, docs)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // doc 0 → png w=11 h=1; doc 3 → png w=1001%... (2000%1000)+1=1 h=4
+    assert(byFmt("png").getAs[Long]("n_docs") === 2L)
+    assert(byFmt("png").getAs[Long]("sum_width") === 11L + 1L)
+    assert(byFmt("png").getAs[Long]("sum_height") === 1L + 4L)
+    // doc 1 → gif w=12 h=2
+    assert(byFmt("gif").getAs[Long]("sum_width") === 12L)
+    // doc 2 → wav rate=8000+13*4 ch=1 bits=8
+    assert(byFmt("wav").getAs[Long]("sum_width") === 8052L)
+    assert(byFmt("wav").getAs[Long]("sum_depth") === 8L)
   }
 }
