@@ -849,8 +849,8 @@ object OracleSqls {
         |      '[a-f]', '', 'g') || '000000', 1, 6) AS BIGINT) % 64 AS bucket
         |  FROM probes CROSS JOIN rows_
         |), est AS (
-        |  SELECT term, min(cnt) AS est_cnt FROM pl
-        |  JOIN sk USING (row, bucket) GROUP BY term
+        |  SELECT term, min(coalesce(cnt, 0)) AS est_cnt FROM pl
+        |  LEFT JOIN sk USING (row, bucket) GROUP BY term
         |), tr AS (
         |  SELECT term, CAST(count(*) AS BIGINT) AS true_cnt FROM w
         |  WHERE term IN ('join', 'hash', 'vector', 'window', 'data')
@@ -1699,7 +1699,8 @@ object OracleSqls {
        |), syms AS MATERIALIZED (
        |  SELECT a, b, w FROM ew UNION ALL SELECT b, a, w FROM ew
        |),
-       |sd0 AS (SELECT min(a) AS v, CAST(0 AS BIGINT) AS d FROM syms),
+       |sd0 AS (SELECT v, CAST(0 AS BIGINT) AS d FROM
+       |  (SELECT DISTINCT a AS v FROM syms ORDER BY a LIMIT 3)),
        |$rounds
        |SELECT v AS node_id, d AS dist FROM sd$iters
        |ORDER BY d, v LIMIT $k""".stripMargin
@@ -1734,6 +1735,9 @@ object OracleSqls {
     * ((rank/deg)*0.85 contribs + 0.15 teleport rows summed together;
     * round-4 output like the global PageRank oracle). */
   private def pprSql(iters: Int, k: Int): String = {
+    // initial mass and teleport are divided by the anchor count, exactly
+    // mirroring personalizedPageRank's 1/nA and 0.15/nA (IEEE double
+    // division in both engines) — so a multi-anchor query stays oracle-exact
     val rounds = (1 to iters).map { t =>
       s"""pp$t AS MATERIALIZED (
          |  SELECT v, sum(c) AS rank FROM (
@@ -1741,7 +1745,7 @@ object OracleSqls {
          |    FROM pp${t - 1} r
          |    JOIN adjw e ON r.v = e.a
          |    UNION ALL
-         |    SELECT v, 0.15 FROM anch
+         |    SELECT v, 0.15 / n FROM anch CROSS JOIN na
          |  ) GROUP BY v
          |)""".stripMargin
     }.mkString(",\n")
@@ -1752,7 +1756,8 @@ object OracleSqls {
        |  FROM adjp p JOIN degp d ON p.a = d.a),
        |anch AS (SELECT nodeId AS v FROM nodes
        |         WHERE label = 'Region' AND name IN ('ASIA')),
-       |pp0 AS (SELECT v, 1.0 AS rank FROM anch),
+       |na AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM anch),
+       |pp0 AS (SELECT v, 1.0 / n AS rank FROM anch CROSS JOIN na),
        |$rounds
        |SELECT v AS node_id, round(rank, 4) AS rank
        |FROM pp$iters ORDER BY round(rank, 4) DESC, v LIMIT $k""".stripMargin

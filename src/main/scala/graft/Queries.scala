@@ -306,10 +306,17 @@ object Queries {
       .select(col("a"), col("b"), expr("1000000 div cnt").as("w"))
   }
 
-  /** Bounded Bellman-Ford nearest parts by co-purchase affinity. */
-  def graphSssp(spark: SparkSession, dir: String): DataFrame =
-    graft.graph.GraphAlgorithms.ssspBounded(coocWeighted(spark, dir),
-      iters = 4, k = 20)
+  /** Bounded Bellman-Ford nearest parts by co-purchase affinity, from a
+    * 3-anchor source set (the graph-RAG "distance from the query's
+    * entities" shape — dist = min over anchors, each starting at 0). */
+  def graphSssp(spark: SparkSession, dir: String): DataFrame = {
+    val ew = coocWeighted(spark, dir)
+    val anchors = ew.select(col("a"))
+      .unionByName(ew.select(col("b").as("a")))
+      .distinct().orderBy(col("a")).limit(3)
+    graft.graph.GraphAlgorithms.ssspBounded(ew, iters = 4, k = 20,
+      sources = Some(anchors))
+  }
 
   /** S2 — the unique-nodeId constraint as a validation query. */
   def s2ConstraintCheck(spark: SparkSession, dir: String): DataFrame = {

@@ -96,14 +96,21 @@ object GraphAlgorithms {
     * shortest distance for every path of ≤ iters hops. Unlike BFS, settled
     * distances can improve in later rounds, so the whole reached set
     * re-propagates each round (that IS Bellman-Ford); the per-round plan is
-    * one join + one min-aggregate. Source = the minimum node id in the
-    * edge set (deterministic, oracle-expressible). Returns the k nearest
-    * (node_id, dist). */
-  def ssspBounded(edges: DataFrame, iters: Int, k: Int): DataFrame = {
+    * one join + one min-aggregate. Sources: an optional anchor set (one
+    * node-id column; every anchor starts at distance 0, so dist = min over
+    * anchors — the graph-RAG "distance from the query's entities" shape,
+    * like [[bfsLayers]]/[[personalizedPageRank]]); default is the minimum
+    * node id in the edge set (deterministic, oracle-expressible). Returns
+    * the k nearest (node_id, dist). */
+  def ssspBounded(edges: DataFrame, iters: Int, k: Int,
+                  sources: Option[DataFrame] = None): DataFrame = {
     val sym = edges.select(col("a"), col("b"), col("w"))
       .unionByName(edges.select(col("b").as("a"), col("a").as("b"), col("w")))
       .localCheckpoint(true)
-    var dist = sym.agg(min(col("a")).as("v")).select(col("v"), lit(0L).as("d"))
+    val src = sources
+      .map(_.toDF("v").select(col("v")).distinct())
+      .getOrElse(sym.agg(min(col("a")).as("v")))
+    var dist = src.select(col("v"), lit(0L).as("d"))
     for (_ <- 1 to iters) {
       dist = dist.localCheckpoint(true)
       val relaxed = dist.join(sym, col("v") === col("a"))
@@ -162,8 +169,9 @@ object GraphAlgorithms {
     * nodes with degree < k (two semi-joins — the edge payload never
     * widens). A FIXED `iters` rounds keeps the computation deterministic
     * and oracle-expressible; result parity with the oracle holds whether or
-    * not peeling has converged (both unroll identically), and the spec
-    * asserts a fixed point is actually reached on driver data.
+    * not peeling has converged — the membership report below uses the
+    * oracle's own "still carries an edge between survivors" convention,
+    * valid at ANY iteration count, not just at the fixed point.
     *
     * Returns per-label counts of nodes still carrying an edge after the
     * final round — the k-core membership report (the web-corpus
@@ -172,24 +180,31 @@ object GraphAlgorithms {
   def kCoreSizes(g: PropertyGraph, k: Int, iters: Int): DataFrame = {
     // DELTA peeling: degrees are counted over the full edge set ONCE;
     // each later round only subtracts the edges lost to the nodes that
-    // died in the previous round (a broadcast-sized join against the
-    // newly-dead set) — instead of re-counting and re-filtering the whole
-    // 2.8M-row adjacency three times per round. A degree here counts only
-    // ALIVE neighbors (dead ones were subtracted), so "alive at the end"
-    // ≡ "still carries an edge" for k >= 1. Round semantics match the
-    // oracle's simultaneous-removal unrolling exactly; early exit when a
-    // round kills nobody is the identity-rounds argument ([[bfsLayers]]).
-    require(k >= 1, "delta peeling's membership report assumes k >= 1")
+    // died in the previous round — instead of re-counting and re-filtering
+    // the whole 2.8M-row adjacency three times per round. Round semantics
+    // match the oracle's simultaneous-removal unrolling exactly; early exit
+    // when a round kills nobody is the identity-rounds argument
+    // ([[bfsLayers]]).
+    require(k >= 1, "peeling round semantics assume k >= 1")
     val adj = g.bidir.select(col("a"), col("b")).distinct()
       .localCheckpoint(true)
     val deg0 = adj.groupBy("a").agg(count(lit(1)).as("deg"))
     var newDead = deg0.where(col("deg") < k).select(col("a").as("id"))
       .localCheckpoint(true)
     var deg = deg0.where(col("deg") >= k).localCheckpoint(true)
+    var deadCount = newDead.count()
     var rounds = 1
-    while (rounds < iters && newDead.count() > 0) {
+    while (rounds < iters && deadCount > 0) {
+      // The first round's dead set is "every node with degree < k" — on a
+      // power-law graph that can be the MAJORITY of all nodes, so a forced
+      // broadcast is an executor OOM at scale. The loop condition already
+      // paid for an exact count; use it: broadcast only when the dead set
+      // is genuinely small (1M ids ≈ 8 MB, the autoBroadcastJoinThreshold
+      // ballpark), else let it shuffle as a plain equi-join.
+      val deadKeys = newDead.select(col("id").as("a"))
+      val deadSide = if (deadCount <= 1000000L) broadcast(deadKeys) else deadKeys
       val loss = adj
-        .join(broadcast(newDead.select(col("id").as("a"))), Seq("a"))
+        .join(deadSide, Seq("a"))
         .groupBy(col("b").as("a")).agg(count(lit(1)).as("lost"))
       val updated = deg.join(loss, Seq("a"), "left")
         .select(col("a"),
@@ -197,9 +212,22 @@ object GraphAlgorithms {
       newDead = updated.where(col("deg") < k).select(col("a").as("id"))
         .localCheckpoint(true)
       deg = updated.where(col("deg") >= k).localCheckpoint(true)
+      deadCount = newDead.count()
       rounds += 1
     }
-    deg.join(g.nodes, col("a") === col("nodeId"))
+    // Membership = the oracle's convention: a survivor counts only if it
+    // still carries an edge TO ANOTHER SURVIVOR. At the fixed point this
+    // equals the deg table (every survivor keeps >= k >= 1 alive
+    // neighbors), but when the iters cap lands mid-peel, a survivor whose
+    // last alive neighbors all died in the final round must NOT be counted.
+    // Two semi-joins reproduce the oracle's final adjacency at any
+    // iteration count; survivor sets can be most of the graph, so they stay
+    // shuffled joins, not broadcasts.
+    val members = adj
+      .join(deg.select(col("a")), Seq("a"), "left_semi")
+      .join(deg.select(col("a").as("b")), Seq("b"), "left_semi")
+      .select(col("a")).distinct()
+    members.join(g.nodes, col("a") === col("nodeId"))
       .groupBy("label").agg(count(lit(1)).as("n_core"))
   }
 }

@@ -35,7 +35,14 @@ object Search {
   /** Ranked top-k fulltext search for a bag of query terms. Returns
     * (doc_id, n_terms, score_micro) — matched-term count and the exact
     * integer TF-IDF score — deterministically ordered (score desc, doc_id)
-    * and truncated via TakeOrderedAndProject (no global sort). */
+    * and truncated via TakeOrderedAndProject (no global sort).
+    *
+    * Operating range: the Long product `tf * 1e6 * n_docs` is exact while
+    * `tf * n_docs < 9.2e12` — e.g. a 1e9-doc corpus with per-doc term
+    * frequency up to ~9,000. Past that (a full 1e13-token crawl in ONE
+    * index), widen the product to decimal(38,0) in this expression AND the
+    * oracle together; reordering the multiply/divide instead would change
+    * the exact quotient and break score parity. */
   def tfidfTopK(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
     val qp = postings(docs).where(col("term").isin(terms: _*))
     val dfreq = qp.groupBy("term").agg(count(lit(1)).as("df"))

@@ -37,16 +37,19 @@ object Sketch {
 
   /** Point estimates for `probes`'s `keyCol` values against a built sketch:
     * min over the depth rows of the addressed counters. The sketch side is
-    * broadcast — probing is joinless on the corpus. A probe key whose
-    * addressed cells are ALL empty (never inserted, no collisions) yields
-    * no output row rather than an explicit 0. */
+    * broadcast — probing is joinless on the corpus. The join is LEFT so an
+    * empty addressed cell (stored sparsely as no row) contributes its true
+    * counter value 0 — a never-inserted probe key estimates 0 whenever ANY
+    * of its cells is collision-free, which is the actual CMS min semantics
+    * (an inner join would silently take the min over non-empty cells only
+    * and overestimate such keys). */
   def estimate(sketch: DataFrame, probes: DataFrame, keyCol: String,
                depth: Int, width: Int): DataFrame = {
     val lanes = (0 until depth).map(d =>
       expr(s"struct(cast($d as int) as row, ${bucket(d, keyCol, width)} as bucket)"))
     probes.select(col(keyCol), explode(array(lanes: _*)).as("lane"))
       .select(col(keyCol), col("lane.row"), col("lane.bucket"))
-      .join(broadcast(sketch), Seq("row", "bucket"))
-      .groupBy(keyCol).agg(min("cnt").as("est_cnt"))
+      .join(broadcast(sketch), Seq("row", "bucket"), "left")
+      .groupBy(keyCol).agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
   }
 }

@@ -150,7 +150,13 @@ object TextOps {
     * is engine-portable with no float drift (log-PMI orders identically
     * for lift > 0 since log is monotone). `minCount` suppresses
     * low-support noise pairs — the standard collocation filter. Two
-    * map-side-combined counting passes + a broadcast unigram join. */
+    * map-side-combined counting passes + a broadcast unigram join.
+    *
+    * Operating range: the Long product `c_ab · N · 1e6` is exact while
+    * `c_ab · N < 9.2e12`. A bigram appearing 1M times in a 1e13-token
+    * corpus exceeds that; for such a run, widen the product to
+    * decimal(38,0) in this expression AND the oracle together (reordering
+    * the divide instead changes the exact quotient). */
   def collocations(docs: DataFrame, minCount: Long, k: Int): DataFrame = {
     val toks = docs.select(explode(words(col("text"))).as("tok"))
     val uni = toks.groupBy("tok").agg(count(lit(1)).as("c1"))

@@ -34,6 +34,30 @@ class GraphAlgorithmsSpec extends SparkSpec {
     assert(partial === Map("A" -> 2L))
   }
 
+  test("k-core truncated mid-peel uses the edge-between-survivors convention") {
+    // path 1-2-3-4-5 at k=2: round 1 kills the ends {1,5}, round 2 kills
+    // {2,4}, leaving 3 in the deg table with NO surviving neighbor. The
+    // oracle counts nodes still carrying an edge between survivors, so a
+    // run capped at iters=2 must report nothing — not the orphaned 3.
+    val graph = g(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)),
+      (1L to 5L).map(_ -> "A"))
+    assert(GraphAlgorithms.kCoreSizes(graph, k = 2, iters = 2).collect().isEmpty)
+    // and the converged run agrees (everything peels)
+    assert(GraphAlgorithms.kCoreSizes(graph, k = 2, iters = 4).collect().isEmpty)
+  }
+
+  test("k-core where the first round kills the majority (star + triangle)") {
+    // 60 leaves on hub 100 all die in round 1 (the power-law shape that
+    // makes an unconditional dead-set broadcast dangerous at scale); the
+    // triangle 1-2-3 survives and the orphaned hub cascades in round 2.
+    val leaves = (200L to 259L).map(l => (100L, l))
+    val graph = g(leaves ++ Seq((1L, 2L), (2L, 3L), (1L, 3L)),
+      ((200L to 259L) :+ 100L).map(_ -> "Leaf") ++ Seq(1L -> "Tri", 2L -> "Tri", 3L -> "Tri"))
+    val out = GraphAlgorithms.kCoreSizes(graph, k = 2, iters = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("Tri" -> 3L))
+  }
+
   test("triangle histogram: two triangles sharing an edge") {
     // triangles {1,2,3} and {2,3,4} share edge 2-3: nodes 2,3 are in two
     // triangles each, nodes 1,4 in one each -> histogram {1 -> 2, 2 -> 2}
@@ -138,6 +162,22 @@ class GraphAlgorithmsSpec extends SparkSpec {
         iters = n, k = 100)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out === expected)
+  }
+
+  test("SSSP multi-source: distance is the min over the anchor set") {
+    import org.apache.spark.sql.functions.col
+    // anchors {1,4}: node 3 is 20 away via 1-2-3 but only 1 via 4-3
+    val edges = Seq((1L, 2L, 10L), (2L, 3L, 10L), (4L, 3L, 1L), (4L, 5L, 100L))
+      .toDF("a", "b", "w")
+    val anchors = Seq(1L, 4L).toDF("v")
+    val out = GraphAlgorithms.ssspBounded(edges, iters = 4, k = 10,
+        sources = Some(anchors))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 0L, 4L -> 0L, 3L -> 1L, 2L -> 10L, 5L -> 100L))
+    // and the default (no sources) still anchors at the minimum node id
+    val dflt = GraphAlgorithms.ssspBounded(edges, iters = 4, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dflt(1L) === 0L && dflt(3L) === 20L)
   }
 
   test("personalized PageRank: hand-computed two-round walk on a path") {

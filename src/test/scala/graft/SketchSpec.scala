@@ -30,6 +30,17 @@ class SketchSpec extends SparkSpec {
     assert(t.keys.exists(k => estT(k) > t(k)), "width 8 with 30 keys must collide somewhere")
   }
 
+  test("a never-inserted probe with any collision-free cell estimates 0") {
+    // generous width: a fresh key's addressed cells are all empty, so the
+    // min must be an explicit 0 row — not a dropped key (inner-join bug)
+    // and not the min over whatever non-empty cells it collides with
+    val wide = Sketch.countMin(occurrences, "k", depth = 4, width = 4096)
+    val est = Sketch.estimate(wide, Seq("never_seen_key").toDF("k"), "k",
+        depth = 4, width = 4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est === Map("never_seen_key" -> 0L))
+  }
+
   test("sketch size is bounded by depth x width regardless of input") {
     val sk = Sketch.countMin(occurrences, "k", depth = 3, width = 8)
     assert(sk.count() <= 3L * 8)
