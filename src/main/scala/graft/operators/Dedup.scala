@@ -84,48 +84,87 @@ object Dedup {
     * whose signature agreement >= `minAgree` fraction. Deduped across
     * bands by the downstream consumer if needed (a pair colliding in two
     * bands emits twice, same as the batch candidate stage before its
-    * distinct). State is per-bucket and bounded by bucket occupancy —
-    * shard-by-bucket is exactly how this scales out.
+    * distinct).
+    *
+    * State is BOUNDED two ways (the batch path's `maxBucket` valve has a
+    * streaming twin here — an unbounded stream must not grow state
+    * forever):
+    *  - TTL: an entry expires once its event time falls `stateTtl` behind
+    *    the watermark — pruned on the bucket's next arrival, and the whole
+    *    bucket is dropped via `EventTimeTimeout` when idle past the
+    *    horizon. Like [[streamingExactDedup]]'s watermark trade, a
+    *    near-dup arriving after its original expired is NOT paired; widen
+    *    `stateTtl` to tighten recall.
+    *  - `maxBucket` occupancy cap: a bucket at capacity stops ADMITTING
+    *    new signatures (skipped arrivals emit no pairs and are not
+    *    stored). The batch path drops an over-full bucket wholesale; an
+    *    append stream cannot retract already-emitted pairs, so the
+    *    streaming form freezes the bucket instead — same skew bound
+    *    (≤ maxBucket² /2 pairs per bucket), different edge semantics.
     */
   def streamingNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                            tsCol: String, watermark: String,
                             n: Int = 3, numHashes: Int = 8, numBands: Int = 4,
-                            minAgree: Double = 0.5): DataFrame = {
+                            minAgree: Double = 0.5, maxBucket: Int = 1024,
+                            stateTtl: java.time.Duration =
+                              java.time.Duration.ofHours(1)): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = docs.sparkSession
     import spark.implicits._
     require(numHashes % numBands == 0)
     val rows = numHashes / numBands
+    val ttlMs = stateTtl.toMillis
     val shingles = graft.functions.wordShingles(col(textCol), n)
     val sig = array((0 until numHashes).map(seed =>
       array_min(transform(col("__sh"), s => graft.functions.seededMd5(seed, s)))): _*)
     val banded = docs
+      .withWatermark(tsCol, watermark)
       .withColumn("__sh", shingles)
       .where(size(col("__sh")) > 0)
       .withColumn("sig", sig)
       .select(col(idCol).cast("long").as("id"), col("sig"),
         explode(array((0 until numBands).map(b =>
           concat(lit(s"$b|"), md5(concat_ws("|",
-            slice(col("sig"), b * rows + 1, rows))))): _*)).as("bucket"))
-      .as[(Long, Seq[String], String)]
+            slice(col("sig"), b * rows + 1, rows))))): _*)).as("bucket"),
+        // the watermarked event-time column must reach the stateful
+        // operator AS IS (projecting it through unix_millis strips the
+        // watermark tag and EventTimeTimeout fails analysis)
+        col(tsCol).as("ts"))
+      .as[(Long, Seq[String], String, java.sql.Timestamp)]
     banded.groupByKey(_._3)
-      .flatMapGroupsWithState[List[(Long, Seq[String])], (Long, Long, Double)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_, batch: Iterator[(Long, Seq[String], String)],
-         state: GroupState[List[(Long, Seq[String])]]) =>
-          var seen = state.getOption.getOrElse(Nil)
-          val out = collection.mutable.ListBuffer[(Long, Long, Double)]()
-          batch.toSeq.sortBy(_._1).foreach { case (id, s, _) =>
-            if (!seen.exists(_._1 == id)) {
-              seen.foreach { case (oid, os) =>
-                val agree = s.zip(os).count { case (a, b) => a == b }.toDouble / s.length
-                if (agree >= minAgree)
-                  out += ((math.min(id, oid), math.max(id, oid), agree))
+      .flatMapGroupsWithState[List[(Long, Seq[String], Long)], (Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, batch: Iterator[(Long, Seq[String], String, java.sql.Timestamp)],
+         state: GroupState[List[(Long, Seq[String], Long)]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wm = state.getCurrentWatermarkMs()
+            // prune expired entries BEFORE pairing: a timed-out bucket that
+            // receives data in the same trigger never fires hasTimedOut, so
+            // the data path must enforce the TTL too
+            var seen = state.getOption.getOrElse(Nil)
+              .filter { case (_, _, ts) => ts + ttlMs >= wm }
+            val out = collection.mutable.ListBuffer[(Long, Long, Double)]()
+            var maxTs = Long.MinValue
+            batch.toSeq.sortBy(_._1).foreach { case (id, s, _, tsRaw) =>
+              val ts = tsRaw.getTime
+              maxTs = math.max(maxTs, ts)
+              if (!seen.exists(_._1 == id) && seen.size < maxBucket) {
+                seen.foreach { case (oid, os, _) =>
+                  val agree = s.zip(os).count { case (a, b) => a == b }.toDouble / s.length
+                  if (agree >= minAgree)
+                    out += ((math.min(id, oid), math.max(id, oid), agree))
+                }
+                seen = (id, s, ts) :: seen
               }
-              seen = (id, s) :: seen
             }
+            if (seen.isEmpty) state.remove() else state.update(seen)
+            // sliding horizon: bucket dies ttl after its newest entry (must
+            // stay strictly ahead of the watermark for EventTimeTimeout)
+            if (seen.nonEmpty)
+              state.setTimeoutTimestamp(math.max(maxTs + ttlMs, wm + 1))
+            out.iterator
           }
-          state.update(seen)
-          out.iterator
       }
       .toDF("id1", "id2", "sig_agree")
   }

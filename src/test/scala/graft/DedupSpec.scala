@@ -157,23 +157,27 @@ class DedupSpec extends SparkSpec {
     assert(out === expected)
   }
 
+  private val sndBase = "the quick brown fox jumps over the lazy dog again and again"
+  private val sndNear = "the quick brown fox jumps over the sleepy dog again and again"
+  private val sndFar = "completely different content about spark physical plans here"
+
   test("streaming near-dup pairs surface across micro-batches") {
+    import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
-    val stream = MemoryStream[(Long, String)]
-    val base = "the quick brown fox jumps over the lazy dog again and again"
-    val near = "the quick brown fox jumps over the sleepy dog again and again"
-    val far = "completely different content about spark physical plans here"
+    val stream = MemoryStream[(Long, String, Timestamp)]
     val out = Dedup.streamingNearDupPairs(
-      stream.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      stream.toDF().toDF("doc_id", "text", "ts"), "doc_id", "text",
+      "ts", "10 minutes")
     val q = out.writeStream.format("memory")
       .queryName("sneardup_test").outputMode("append").start()
     try {
-      stream.addData((1L, base), (3L, far))
+      val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+      stream.addData((1L, sndBase, t0), (3L, sndFar, t0))
       q.processAllAvailable()
       assert(spark.table("sneardup_test").count() === 0) // nothing similar yet
       // a near-dup arriving in a LATER micro-batch pairs with stored state
-      stream.addData((2L, near))
+      stream.addData((2L, sndNear, Timestamp.valueOf("2024-01-01 00:05:00")))
       q.processAllAvailable()
       val pairs = spark.table("sneardup_test").collect()
         .map(r => (r.getLong(0), r.getLong(1))).distinct
@@ -181,6 +185,66 @@ class DedupSpec extends SparkSpec {
       // agreement fraction is meaningful (shared prefix/suffix shingles)
       val agree = spark.table("sneardup_test").collect().head.getDouble(2)
       assert(agree >= 0.5 && agree < 1.0)
+    } finally q.stop()
+  }
+
+  test("streaming near-dup state expires past the TTL horizon") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    val out = Dedup.streamingNearDupPairs(
+      stream.toDF().toDF("doc_id", "text", "ts"), "doc_id", "text",
+      "ts", "10 minutes", stateTtl = java.time.Duration.ofHours(1))
+    val q = out.writeStream.format("memory")
+      .queryName("sneardup_ttl").outputMode("append").start()
+    try {
+      stream.addData((1L, sndBase, Timestamp.valueOf("2024-01-01 00:00:00")))
+      q.processAllAvailable()
+      // advance the watermark far past doc 1's TTL horizon (01:00): an
+      // unrelated doc at 06:00 pushes the watermark to 05:50
+      stream.addData((9L, sndFar, Timestamp.valueOf("2024-01-01 06:00:00")))
+      q.processAllAvailable()
+      // doc 1's entry is expired — its near-dup no longer pairs
+      stream.addData((2L, sndNear, Timestamp.valueOf("2024-01-01 06:01:00")))
+      q.processAllAvailable()
+      assert(spark.table("sneardup_ttl").count() === 0)
+      // but a FRESH near-dup within the horizon still pairs (state machinery
+      // intact, only the expired entry is gone)
+      stream.addData((3L, sndNear, Timestamp.valueOf("2024-01-01 06:02:00")))
+      q.processAllAvailable()
+      val pairs = spark.table("sneardup_ttl").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).distinct
+      assert(pairs.toSeq === Seq((2L, 3L)))
+    } finally q.stop()
+  }
+
+  test("streaming near-dup bucket freezes at the maxBucket cap") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    val out = Dedup.streamingNearDupPairs(
+      stream.toDF().toDF("doc_id", "text", "ts"), "doc_id", "text",
+      "ts", "10 minutes", maxBucket = 2)
+    val q = out.writeStream.format("memory")
+      .queryName("sneardup_cap").outputMode("append").start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+      // three identical docs: ids 1,2 admitted (one pair per colliding
+      // band), id 3 skipped at capacity — no (1,3)/(2,3) pairs, bounding
+      // the per-bucket fan-out exactly like the batch maxBucket valve
+      stream.addData((1L, sndBase, t0), (2L, sndBase, t0), (3L, sndBase, t0))
+      q.processAllAvailable()
+      val pairs = spark.table("sneardup_cap").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).distinct
+      assert(pairs.toSeq === Seq((1L, 2L)))
+      // and a later arrival into the frozen bucket stays excluded
+      stream.addData((4L, sndBase, Timestamp.valueOf("2024-01-01 00:01:00")))
+      q.processAllAvailable()
+      val pairs2 = spark.table("sneardup_cap").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).distinct
+      assert(pairs2.toSeq === Seq((1L, 2L)))
     } finally q.stop()
   }
 
