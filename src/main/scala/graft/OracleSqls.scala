@@ -50,7 +50,7 @@ object OracleSqls {
   private val trailNeq =
     "NOT (e1.relType = e2.relType AND e1.src = e2.src AND e1.dst = e2.dst)"
 
-  val all: Map[String, String] = Map(
+  private val base: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
@@ -283,12 +283,19 @@ object OracleSqls {
         |FROM embeddings WHERE vec_id NOT BETWEEN 0 AND 49
         |ORDER BY similarity DESC, vec_id LIMIT 20""".stripMargin,
 
+    // multi-probe: the query bucket plus every Hamming-1 neighbor —
+    // mirrored as "bit positions differing from the query bucket <= 1"
     "ann_lsh_topk" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |b AS (SELECT vec_id, v, $bucket4 AS bucket FROM e)
+         |b AS (SELECT vec_id, v, $bucket4 AS bucket FROM e),
+         |q AS (SELECT bucket AS qb FROM b WHERE vec_id = 0)
          |SELECT vec_id, round(list_cosine_similarity(v,
          |    (SELECT v FROM b WHERE vec_id = 0)), 6) AS similarity
-         |FROM b WHERE bucket = (SELECT bucket FROM b WHERE vec_id = 0)
+         |FROM b CROSS JOIN q
+         |WHERE (CASE WHEN substr(bucket, 1, 1) = substr(qb, 1, 1) THEN 0 ELSE 1 END)
+         |    + (CASE WHEN substr(bucket, 2, 1) = substr(qb, 2, 1) THEN 0 ELSE 1 END)
+         |    + (CASE WHEN substr(bucket, 3, 1) = substr(qb, 3, 1) THEN 0 ELSE 1 END)
+         |    + (CASE WHEN substr(bucket, 4, 1) = substr(qb, 4, 1) THEN 0 ELSE 1 END) <= 1
          |ORDER BY similarity DESC, vec_id LIMIT 10""".stripMargin,
 
     "ann_neardup_pairs" ->
@@ -422,8 +429,8 @@ object OracleSqls {
     "ann_ivf_kmeans" -> ivfKmeansSql(k = 10, nCentroids = 8, nProbe = 2,
       lloydIters = 2),
 
-    "ann_pq_topk" -> pqSql(k = 10, m = 4, kCodes = 8, lloydIters = 1,
-      ef = 50, subDim = 16),
+    "ann_pq_topk" -> pqSql(k = 10, m = 8, kCodes = 16, lloydIters = 1,
+      ef = 200, subDim = 8),
 
     // int8 scalar quantization rebuilt in SQL: per-dim min/max arrays,
     // code = round(((v-mn)/rng)*255), dequant = (code/255.0)*rng + mn,
@@ -1534,6 +1541,27 @@ object OracleSqls {
         |  CAST(max(sessions) AS BIGINT) AS max_sessions
         |FROM per""".stripMargin
   )
+
+  /** Recall@10 of each ANN oracle against the exact brute-force top-10 —
+    * assembled from the per-method entries above (each method SQL runs as a
+    * subquery; a drift between a method and its recall row is impossible by
+    * construction). Mirrors [[graft.Queries.annRecallReport]]. */
+  private def annRecallReportSql(m: Map[String, String]): String = {
+    val bf = """SELECT vec_id FROM (
+      |  SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+      |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS similarity
+      |  FROM embeddings ORDER BY similarity DESC, vec_id LIMIT 10)""".stripMargin
+    val methods = Seq("ivf" -> "ann_ivf_topk", "ivf_kmeans" -> "ann_ivf_kmeans",
+      "lsh" -> "ann_lsh_topk", "pq" -> "ann_pq_topk", "sq8" -> "ann_sq8_topk")
+    methods.map { case (name, key) =>
+      s"""SELECT '$name' AS method,
+         |  round(CAST(count(*) AS DOUBLE) / 10.0, 6) AS recall
+         |FROM (${m(key)}) mm JOIN ($bf) bf ON mm.vec_id = bf.vec_id""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY method")
+  }
+
+  val all: Map[String, String] =
+    base + ("ann_recall_report" -> annRecallReportSql(base))
 
   /** K-means-trained IVF ([[graft.operators.Vectors.ivfKmeansTopK]])
     * unrolled: each Lloyd iteration = one assignment CTE (argmax of

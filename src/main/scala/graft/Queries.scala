@@ -203,11 +203,33 @@ object Queries {
     Vectors.bruteForceTopK(T(spark, dir, "embeddings"), "vec_id", "embedding",
       queryVec(spark, dir), 20, exclude = 0L to 49L)
 
-  /** ANN — sign-bit LSH bucket search (the 100 TB path: bucket id becomes a
-    * partition key for pruning). */
+  /** ANN — sign-bit LSH bucket search with Hamming-1 multi-probe (the
+    * 100 TB path: bucket id becomes a partition key for pruning; the probe
+    * set is a static 5-bucket IN list). */
   def annLshTopK(spark: SparkSession, dir: String): DataFrame =
     Vectors.lshTopK(T(spark, dir, "embeddings"), "vec_id", "embedding",
-      queryVec(spark, dir), 10, bits = 4)
+      queryVec(spark, dir), 10, bits = 4, probeRadius = 1)
+
+  /** Recall@10 of every ANN path against the exact brute-force top-10 —
+    * the report that catches silent recall collapse, which per-method
+    * hash-exactness cannot (each method can be oracle-exact AND useless).
+    * Both engines compute the same deterministic sets, so the recall
+    * fractions are hash-comparable. */
+  def annRecallReport(spark: SparkSession, dir: String): DataFrame = {
+    val bf = Vectors.bruteForceTopK(T(spark, dir, "embeddings"), "vec_id",
+      "embedding", queryVec(spark, dir), 10).select(col("vec_id"))
+    val methods: Seq[(String, DataFrame)] = Seq(
+      "ivf" -> annIvfTopK(spark, dir),
+      "ivf_kmeans" -> annIvfKmeans(spark, dir),
+      "lsh" -> annLshTopK(spark, dir),
+      "pq" -> annPqTopK(spark, dir),
+      "sq8" -> annSq8TopK(spark, dir))
+    methods.map { case (name, df) =>
+      df.select(col("vec_id")).join(bf, "vec_id")
+        .agg(round(count(lit(1)).cast("double") / 10.0, 6).as("recall"))
+        .select(lit(name).as("method"), col("recall"))
+    }.reduce(_ unionByName _).orderBy("method")
+  }
 
   /** Embedding-cosine near-duplicate pairs via LSH bucket join. */
   def annNearDupPairs(spark: SparkSession, dir: String): DataFrame =
@@ -224,11 +246,15 @@ object Queries {
     Vectors.ivfKmeansTopK(T(spark, dir, "embeddings"), "vec_id", "embedding",
       queryVec(spark, dir), 10, nCentroids = 8, nProbe = 2, lloydIters = 2)
 
-  /** Product-quantization ANN: 4×16-dim subspaces, 8-entry codebooks
-    * (1 Lloyd step), ADC candidate scoring, exact cosine re-rank. */
+  /** Product-quantization ANN: 8×8-dim subspaces, 16-entry codebooks
+    * (1 Lloyd step), ADC candidate scoring, exact cosine re-rank over an
+    * ef=200 candidate pool. m/kCodes/ef are sized for recall ≥ 0.9 on the
+    * driver embeddings (see ann_recall_report; synthetic near-uniform
+    * vectors are PQ's worst case — finer subspaces buy far more recall
+    * than a larger re-rank pool). */
   def annPqTopK(spark: SparkSession, dir: String): DataFrame =
     Vectors.pqTopK(T(spark, dir, "embeddings"), "vec_id", "embedding",
-      queryVec(spark, dir), k = 10, m = 4, kCodes = 8, lloydIters = 1, ef = 50)
+      queryVec(spark, dir), k = 10, m = 8, kCodes = 16, lloydIters = 1, ef = 200)
 
   // ---- graph analytics ----
 
@@ -974,6 +1000,7 @@ object Queries {
     "ann_ivf_kmeans" -> (annIvfKmeans _),
     "ann_pq_topk" -> (annPqTopK _),
     "ann_sq8_topk" -> (annSq8TopK _),
+    "ann_recall_report" -> (annRecallReport _),
     "degree_histogram" -> (degreeHistogram _),
     "gx_pagerank_topk" -> (gxPageRankTopK _),
     "gx_components" -> (gxComponents _),

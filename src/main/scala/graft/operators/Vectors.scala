@@ -57,12 +57,27 @@ object Vectors {
     concat((0 until bits).map(i =>
       when(element_at(vec, i + 1) >= 0, lit("1")).otherwise(lit("0"))): _*)
 
-  /** ANN: search only the query's LSH bucket, then exact top-k inside it. */
+  /** ANN: search the query's LSH bucket, then exact top-k inside it.
+    *
+    * `probeRadius = 1` enables standard MULTI-PROBE: also search every
+    * bucket at Hamming distance 1 from the query's (flip one sign bit —
+    * `bits` extra buckets). Single-probe recall collapses silently when a
+    * query lands near a hyperplane (its nearest neighbors sit just across
+    * the flipped bit); multi-probe recovers exactly those neighbors while
+    * keeping the same pruning shape — the probe set is still a static IN
+    * list on the bucket expression, a partition/file-skipping key at
+    * scale, touching (bits+1)/2^bits of the data instead of 1/2^bits. */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
-              query: Seq[Double], k: Int, bits: Int): DataFrame = {
+              query: Seq[Double], k: Int, bits: Int,
+              probeRadius: Int = 0): DataFrame = {
+    require(probeRadius <= 1, "only Hamming radius 0/1 probing is implemented")
     val qBucket = query.take(bits).map(v => if (v >= 0) "1" else "0").mkString
+    val probes =
+      if (probeRadius <= 0) Seq(qBucket)
+      else qBucket +: (0 until bits).map(i =>
+        qBucket.updated(i, if (qBucket(i) == '1') '0' else '1'))
     val vec = col(vecCol).cast("array<double>")
-    scored(emb.where(lshBucket(vec, bits) === lit(qBucket)), vecCol, query)
+    scored(emb.where(lshBucket(vec, bits).isin(probes: _*)), vecCol, query)
       .withColumn("similarity", round(col("similarity"), 6))
       .orderBy(col("similarity").desc, col(idCol))
       .limit(k)

@@ -69,6 +69,26 @@ class VectorsSpec extends SparkSpec {
     assert(out === Set(0L, 1L, 2L, 4L, 5L))
   }
 
+  test("ANN LSH multi-probe reaches Hamming-1 buckets") {
+    val q = Seq(1.0, 0.0, 0.0, 0.0)
+    // id 3's bucket 0111 is one flipped bit from the query's 1111 — single
+    // probe misses it (test above), radius-1 multi-probe recovers it
+    val out = Vectors.lshTopK(emb, "id", "v", q, 10, bits = 4, probeRadius = 1)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(out === Set(0L, 1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("ANN recall floors vs brute force on the driver embeddings") {
+    // the report that catches silent recall collapse: every re-ranking path
+    // (ivf / ivf_kmeans / pq / sq8) must hold >= 0.9 at catalog settings;
+    // lsh is the documented coarse axis-aligned path — quantified, lower
+    val r = Queries.annRecallReport(spark, "/root/testdata/sf0.001")
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    for (m <- Seq("ivf", "ivf_kmeans", "pq", "sq8"))
+      assert(r(m) >= 0.9, s"$m recall ${r(m)} below 0.9 floor")
+    assert(r("lsh") >= 0.5, s"lsh recall ${r("lsh")} below 0.5 floor")
+  }
+
   test("IVF k-means: Lloyd iterations recover the true clusters") {
     // two tight clusters around x-axis and y-axis; seeded centroids are the
     // first 2 ids (0, 1) — BOTH in the x cluster, so the seed split is
