@@ -4,8 +4,8 @@ import java.io.ByteArrayInputStream
 import scala.jdk.CollectionConverters._
 
 import org.apache.arrow.memory.RootAllocator
-import org.apache.arrow.vector.ipc.ArrowStreamReader
-import org.apache.arrow.vector.types.pojo.{ArrowType, Field}
+import org.apache.arrow.vector.ipc.{ArrowStreamReader, ArrowStreamWriter}
+import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
 import org.apache.arrow.vector.types.FloatingPointPrecision
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -142,6 +142,171 @@ object ArrowDatasets {
       .select("content").rdd
       .flatMap(r => decodeStream(r.getAs[Array[Byte]](0)))
     spark.createDataFrame(rows, schema)
+  }
+
+  // ---- write-back (`save_to_disk` emit: stream-IPC shards + JSON) ----
+
+  /** Spark → Arrow schema, the inverse of [[sparkType]] over the same type
+    * family. List children use the `item` name `datasets` itself writes. */
+  private def arrowField(name: String, t: DataType, nullable: Boolean): Field = t match {
+    case LongType => new Field(name,
+      new FieldType(nullable, new ArrowType.Int(64, true), null), null)
+    case IntegerType => new Field(name,
+      new FieldType(nullable, new ArrowType.Int(32, true), null), null)
+    case StringType => new Field(name,
+      new FieldType(nullable, ArrowType.Utf8.INSTANCE, null), null)
+    case DoubleType => new Field(name,
+      new FieldType(nullable, new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE), null), null)
+    case FloatType => new Field(name,
+      new FieldType(nullable, new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE), null), null)
+    case BooleanType => new Field(name,
+      new FieldType(nullable, ArrowType.Bool.INSTANCE, null), null)
+    case ArrayType(et, n) => new Field(name,
+      new FieldType(nullable, ArrowType.List.INSTANCE, null),
+      Seq(arrowField("item", et, n)).asJava)
+    case other =>
+      throw new IllegalArgumentException(s"unsupported spark type $other for arrow write")
+  }
+
+  private def arrowSchema(s: StructType): ArrowSchema =
+    new ArrowSchema(s.fields.map(f => arrowField(f.name, f.dataType, f.nullable)).toSeq.asJava)
+
+  /** Populate one top-level vector slot from a Spark external value. */
+  private def setValue(v: org.apache.arrow.vector.FieldVector, i: Int,
+                       t: DataType, value: Any): Unit = {
+    import org.apache.arrow.vector._
+    if (value == null) { v.setNull(i); return }
+    (v, t) match {
+      case (x: BigIntVector, _) => x.setSafe(i, value.asInstanceOf[Long])
+      case (x: IntVector, _) => x.setSafe(i, value.asInstanceOf[Int])
+      case (x: Float8Vector, _) => x.setSafe(i, value.asInstanceOf[Double])
+      case (x: Float4Vector, _) => x.setSafe(i, value.asInstanceOf[Float])
+      case (x: BitVector, _) => x.setSafe(i, if (value.asInstanceOf[Boolean]) 1 else 0)
+      case (x: VarCharVector, _) =>
+        x.setSafe(i, value.asInstanceOf[String].getBytes("UTF-8"))
+      case (x: complex.ListVector, ArrayType(et, _)) =>
+        // writer-based sparse population: ListVector fills offset holes for
+        // skipped (null) positions on setValueCount
+        val w = x.getWriter
+        w.setPosition(i)
+        w.startList()
+        value.asInstanceOf[scala.collection.Seq[Any]].foreach {
+          case null => w.writeNull()
+          case e => et match {
+            case LongType => w.bigInt().writeBigInt(e.asInstanceOf[Long])
+            case IntegerType => w.integer().writeInt(e.asInstanceOf[Int])
+            case DoubleType => w.float8().writeFloat8(e.asInstanceOf[Double])
+            case FloatType => w.float4().writeFloat4(e.asInstanceOf[Float])
+            case BooleanType => w.bit().writeBit(if (e.asInstanceOf[Boolean]) 1 else 0)
+            case StringType =>
+              val b = e.asInstanceOf[String].getBytes("UTF-8")
+              val buf = x.getAllocator.buffer(b.length)
+              try { buf.writeBytes(b); w.varChar().writeVarChar(0, b.length, buf) }
+              finally buf.close()
+            case other => throw new IllegalArgumentException(
+              s"unsupported list element type $other for arrow write")
+          }
+        }
+        w.endList()
+      case (x, tt) => throw new IllegalArgumentException(
+        s"vector ${x.getClass.getSimpleName} / type $tt mismatch")
+    }
+  }
+
+  /** Encode a partition of rows as one stream-IPC shard (batched — only
+    * `batchSize` rows of vector memory are resident at a time). */
+  private def writeShard(out: java.io.OutputStream, schema: StructType,
+                         rows: Iterator[Row], batchSize: Int): Long = {
+    val allocator = new RootAllocator()
+    val root = org.apache.arrow.vector.VectorSchemaRoot.create(arrowSchema(schema), allocator)
+    val writer = new ArrowStreamWriter(root, null, java.nio.channels.Channels.newChannel(out))
+    var total = 0L
+    try {
+      writer.start()
+      while (rows.hasNext) {
+        root.allocateNew()
+        var i = 0
+        while (rows.hasNext && i < batchSize) {
+          val row = rows.next()
+          val vectors = root.getFieldVectors.asScala
+          var c = 0
+          while (c < schema.length) {
+            setValue(vectors(c), i, schema(c).dataType, row.get(c))
+            c += 1
+          }
+          i += 1
+        }
+        root.setRowCount(i)
+        total += i
+        writer.writeBatch()
+      }
+      writer.end()
+      total
+    } finally {
+      try writer.close() catch { case _: Exception => () }
+      try root.close() catch { case _: Exception => () }
+      try allocator.close() catch { case _: Exception => () }
+    }
+  }
+
+  /** Write one split as HF-layout stream-IPC shards: `data-NNNNN-of-NNNNN
+    * .arrow`, one shard per partition, written DISTRIBUTED (each task
+    * streams its own partition through a bounded Arrow batch — nothing is
+    * collected to the driver), plus the `state.json` a downstream
+    * `load_from_disk` consumer expects. The inverse of [[readSplit]]:
+    * `readSplit(writeSplit(df, dir)) ≡ df` over the supported type family.
+    */
+  def writeSplit(df: DataFrame, dir: String, batchSize: Int = 1024): Unit = {
+    val spark = df.sparkSession
+    val schema = df.schema
+    val n = math.max(df.rdd.getNumPartitions, 1)
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p)
+    val dirStr = dir
+    df.rdd.mapPartitionsWithIndex { (idx, rows) =>
+      // executor-side default Hadoop config: resolves local and default-FS
+      // paths; cluster-specific FS settings would ride in via
+      // spark.hadoop.* which the executor conf picks up from core-site
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val shard = new Path(dirStr, f"data-$idx%05d-of-$n%05d.arrow")
+      val out = shard.getFileSystem(conf).create(shard, true)
+      val written = try writeShard(out, schema, rows, batchSize) finally out.close()
+      Iterator.single(idx -> written)
+    }.collect() // tiny: one (idx, count) pair per shard — forces the write
+    val dataFiles = (0 until n)
+      .map(i => f"""{"filename": "data-$i%05d-of-$n%05d.arrow"}""")
+      .mkString("[", ", ", "]")
+    val state =
+      s"""{
+         |  "_data_files": $dataFiles,
+         |  "_fingerprint": "graft-${math.abs(dir.hashCode).toHexString}",
+         |  "_format_columns": null,
+         |  "_format_kwargs": {},
+         |  "_format_type": null,
+         |  "_output_all_columns": false,
+         |  "_split": null
+         |}""".stripMargin
+    val sOut = fs.create(new Path(p, "state.json"), true)
+    try sOut.write(state.getBytes("UTF-8")) finally sOut.close()
+  }
+
+  /** Write a DatasetDict: `dataset_dict.json` naming the splits + one
+    * subdirectory per split — the layout [[readDatasetDict]] (and HF
+    * `load_from_disk`, llm1.py:119-124) consumes. */
+  def writeDatasetDict(splits: Map[String, DataFrame], dir: String): Unit = {
+    require(splits.nonEmpty, "empty DatasetDict")
+    val spark = splits.head._2.sparkSession
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p)
+    splits.foreach { case (name, df) =>
+      writeSplit(df, new Path(p, name).toString)
+    }
+    val json = splits.keys.toSeq.sorted
+      .map(s => s""""$s"""").mkString("""{"splits": [""", ", ", "]}")
+    val out = fs.create(new Path(p, "dataset_dict.json"), true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
   }
 
   /** Read a `save_to_disk` DatasetDict directory: `dataset_dict.json` names

@@ -41,6 +41,48 @@ class ArrowDatasetsSpec extends SparkSpec {
     assert(ArrowDatasets.readSplit(spark, s"$fixture/train").count() === 3L)
   }
 
+  test("writeSplit round-trips the committed fixture exactly") {
+    val tmp = java.nio.file.Files.createTempDirectory("arrow_wb").toString
+    val src = ArrowDatasets.readSplit(spark, s"$fixture/train")
+    ArrowDatasets.writeSplit(src, s"$tmp/train")
+    val back = ArrowDatasets.readSplit(spark, s"$tmp/train")
+    assert(back.schema === src.schema)
+    val a = src.orderBy("id").collect().toSeq
+    val b = back.orderBy("id").collect().toSeq
+    assert(a === b) // values exact, incl. the empty list and the null list
+    // the shard layout is the HF save_to_disk shape readSplit consumes
+    val names = new java.io.File(s"$tmp/train").list().sorted.toSeq
+    assert(names.count(_.matches("data-\\d{5}-of-\\d{5}\\.arrow")) > 0)
+    assert(names.contains("state.json"))
+  }
+
+  test("writeDatasetDict round-trips both splits") {
+    val tmp = java.nio.file.Files.createTempDirectory("arrow_dd").toString
+    val dd = ArrowDatasets.readDatasetDict(spark, fixture)
+    ArrowDatasets.writeDatasetDict(dd, tmp)
+    val back = ArrowDatasets.readDatasetDict(spark, tmp)
+    assert(back.keySet === Set("train", "valid"))
+    assert(back("train").orderBy("id").collect().toSeq ===
+      dd("train").orderBy("id").collect().toSeq)
+    assert(back("valid").collect().toSeq === dd("valid").collect().toSeq)
+  }
+
+  test("writeSplit handles every supported scalar and list type") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1, "a", 1.5, 2.5f, true, Seq(1L, 2L), Seq("x", "y")),
+      (2L, 2, null.asInstanceOf[String], -0.5, 0f, false, Seq.empty[Long], null.asInstanceOf[Seq[String]]))
+      .toDF("l", "i", "s", "d", "f", "b", "ll", "ls")
+    val tmp = java.nio.file.Files.createTempDirectory("arrow_ty").toString
+    ArrowDatasets.writeSplit(df, tmp)
+    val back = ArrowDatasets.readSplit(spark, tmp).orderBy("l").collect()
+    assert(back(0).getSeq[String](7) === Seq("x", "y"))
+    assert(back(1).isNullAt(2) && back(1).isNullAt(7))
+    assert(back(1).getSeq[Long](6) === Seq.empty)
+    assert(back(0).getDouble(3) === 1.5 && back(0).getFloat(4) === 2.5f)
+    assert(back(0).getBoolean(5) === true && back(1).getBoolean(5) === false)
+  }
+
   test("readDatasetDict: splits from dataset_dict.json") {
     val dd = ArrowDatasets.readDatasetDict(spark, fixture)
     assert(dd.keySet === Set("train", "valid"))
