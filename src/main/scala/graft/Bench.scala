@@ -46,17 +46,28 @@ object Bench {
       }
       Some((System.nanoTime() - t0) / 1e9)
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      // drain accumulated garbage before each query's timing block so one
-      // query's allocation debt doesn't land in the next query's median
+    // INTERLEAVED runs (A,B,C,…,A,B,C,… — not A,A,A,B,B,B): a host-load
+    // window now lands on one pass of EVERY query instead of all three runs
+    // of whichever query it happened to cover, so cross-run drift shows up
+    // as per-query spread (min/max below) rather than a biased median —
+    // same-code drift on this box reaches 2× per query.
+    val entries = SparkEntry.queries.toSeq
+    val timings = collection.mutable.Map[String, List[Double]]()
+    for (_ <- 1 to Runs; (name, fn) <- entries) {
+      // drain accumulated garbage before each timing so one query's
+      // allocation debt doesn't land in the next query's number
       System.gc()
-      val ok = (1 to Runs).flatMap(_ => timeOnce(fn, name)).sorted
-      // median of the SUCCESSFUL runs; a query with no successful run is
-      // reported as -1 and excluded from the total — the old path let a
-      // -1 sentinel become the median (masking a flaky failure) or
-      // SUBTRACT from the total (a broken query made the bench faster)
-      name -> (if (ok.isEmpty) -1.0 else ok(ok.length / 2))
+      timeOnce(fn, name).foreach(t =>
+        timings(name) = t :: timings.getOrElse(name, Nil))
     }
+    val results = entries.map { case (name, _) =>
+      val ok = timings.getOrElse(name, Nil).sorted
+      // median of the SUCCESSFUL runs; a query with no successful run is
+      // reported as -1 and excluded from the total — a -1 sentinel must
+      // neither become the median (masking a flaky failure) nor SUBTRACT
+      // from the total (a broken query making the bench faster)
+      name -> (if (ok.isEmpty) -1.0 else ok(ok.length / 2))
+    }.toMap
     // Keep the JSON line SHORT: the driver captures only the tail (~2.2 KB)
     // of the run's output, and rounds 1-3 each emitted a full-precision line
     // (>2.1 KB) whose head — the "metric" key — fell off the buffer, so
@@ -72,8 +83,20 @@ object Bench {
     // JSON (the tail-window parse sees it whole):
     println("BENCH_JSON:" + json)        // delimited, grep-able through sbt
     System.err.println("BENCH_JSON:" + json) // stderr escapes sbt [info] wrap
+    // bench_result.json carries the full per-query spread (min/median/max
+    // over the interleaved runs) so regression triage can separate host
+    // drift (wide spread, overlapping ranges) from real change (shifted
+    // ranges); the stdout contract line above stays medians-only/short.
+    val spread = entries.map { case (name, _) =>
+      val ok = timings.getOrElse(name, Nil).sorted
+      val (mn, md, mx) =
+        if (ok.isEmpty) (-1.0, -1.0, -1.0)
+        else (ok.head, ok(ok.length / 2), ok.last)
+      s"\"$name\":{\"min\":${r3(mn)},\"median\":${r3(md)},\"max\":${r3(mx)}}"
+    }.mkString("{", ",", "}")
+    val fullJson = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir","runs":$Runs}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_result.json"),
-      (json + "\n").getBytes("UTF-8"))
+      (fullJson + "\n").getBytes("UTF-8"))
     println(json)                        // plain line, final (historical contract)
     spark.stop()
   }
