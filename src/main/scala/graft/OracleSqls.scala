@@ -924,6 +924,46 @@ object OracleSqls {
         |  CAST(sum(depth) AS BIGINT) AS sum_depth
         |FROM f GROUP BY format ORDER BY format""".stripMargin,
 
+    // Real-PCM round trip: the Spark side encodes samples from this exact
+    // integer formula into WAV bytes and DECODES THE BYTES; the oracle
+    // recomputes the per-frame features from the formula alone. Frames are
+    // the same [floor(f*ns/4), floor((f+1)*ns/4)) windows; zero crossings
+    // count adjacent sign flips over the nonzero samples in s-order.
+    "mm_audio_frames" ->
+      """WITH d AS (
+        |  SELECT doc_id, (n_chars % 50) + 10 AS ns FROM documents
+        |), v AS (
+        |  SELECT doc_id, ns, CAST(s.s AS BIGINT) AS s,
+        |    CAST(((doc_id * 31 + s.s * 7) % 2001) - 1000 AS BIGINT) AS val
+        |  FROM d, LATERAL (SELECT unnest(range(0, ns)) AS s) s
+        |), fb AS (
+        |  SELECT doc_id, ns, CAST(f.f AS INTEGER) AS frame_no,
+        |    (f.f * ns) // 4 AS s0, ((f.f + 1) * ns) // 4 AS s1
+        |  FROM d, LATERAL (SELECT unnest(range(0, 4)) AS f) f
+        |), j AS (
+        |  SELECT fb.doc_id, fb.frame_no, v.s, v.val
+        |  FROM fb JOIN v ON v.doc_id = fb.doc_id AND v.s >= fb.s0 AND v.s < fb.s1
+        |), zc AS (
+        |  SELECT doc_id, frame_no,
+        |    CASE WHEN sign(val) <> lag(sign(val)) OVER w THEN 1 ELSE 0 END AS flip
+        |  FROM j WHERE val <> 0
+        |  WINDOW w AS (PARTITION BY doc_id, frame_no ORDER BY s)
+        |), per AS (
+        |  SELECT j.doc_id, j.frame_no,
+        |    count(*) AS n_samples, max(abs(val)) AS peak, sum(abs(val)) AS sum_abs
+        |  FROM j GROUP BY j.doc_id, j.frame_no
+        |), perz AS (
+        |  SELECT doc_id, frame_no, CAST(sum(flip) AS BIGINT) AS zc
+        |  FROM zc GROUP BY doc_id, frame_no
+        |)
+        |SELECT per.frame_no, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(per.n_samples) AS BIGINT) AS sum_samples,
+        |  CAST(sum(per.peak) AS BIGINT) AS sum_peak,
+        |  CAST(sum(per.sum_abs) AS BIGINT) AS sum_abs_total,
+        |  CAST(sum(coalesce(perz.zc, 0)) AS BIGINT) AS sum_zc
+        |FROM per LEFT JOIN perz USING (doc_id, frame_no)
+        |GROUP BY per.frame_no ORDER BY per.frame_no""".stripMargin,
+
     // HashingTF rebuilt in SQL (same portable digit-only-MD5 bucket hash
     // as sketch_countmin); all 16 slots per doc, zeros included
     "text_feature_hash" ->

@@ -811,6 +811,11 @@ object Queries {
   def mmDecodeRoundtrip(spark: SparkSession, dir: String): DataFrame =
     Multimodal.mediaDecodeRoundtrip(spark, T(spark, dir, "documents"))
 
+  /** Real PCM decode end-to-end: formula → WAV bytes → windowed sample
+    * decode → integer features; the oracle recomputes from the formula. */
+  def mmAudioFrames(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.audioDecodeRoundtrip(spark, T(spark, dir, "documents"), nFrames = 4)
+
   // ---- events (batch form; streaming variants in graft.operators.Events) ----
 
   /** The driver's events parquet stores TIMESTAMP(NANOS); Spark only reads
@@ -1062,6 +1067,7 @@ object Queries {
     "mm_binary_stats" -> (mmBinaryStats _),
     "mm_decode_features" -> (mmDecodeFeatures _),
     "mm_decode_roundtrip" -> (mmDecodeRoundtrip _),
+    "mm_audio_frames" -> (mmAudioFrames _),
     "join_asof" -> (joinAsof _),
     "join_range" -> (joinRange _),
     "events_hourly" -> (eventsHourly _),

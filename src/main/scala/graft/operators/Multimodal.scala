@@ -154,6 +154,22 @@ object Multimodal {
     b.array()
   }
 
+  /** Complete mono 16-bit PCM WAV file (header + `data` chunk) — the write
+    * side of the audio column and the fixture builder for the PCM-decode
+    * round-trip query. */
+  def wavFile16(sampleRate: Int, samples: Array[Int]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    b.put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII")).putInt(16)
+    b.putShort(1).putShort(1).putInt(sampleRate).putInt(sampleRate * 2)
+    b.putShort(2).putShort(16)
+    b.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(v => b.putShort(v.toShort))
+    b.array()
+  }
+
   /** Feature extraction over (doc_id, payload) — one decoder instantiation
     * per partition, streamed through without materializing the partition. */
   def extractFeatures(spark: SparkSession, docs: DataFrame,
@@ -199,6 +215,83 @@ object Multimodal {
       }
   }
 
+  final case class AudioFrame(doc_id: Long, frame_no: Int, n_samples: Int,
+                              peak: Int, sum_abs: Long, zero_crossings: Int)
+
+  /** Locate the PCM payload of a WAV file: returns (bitsPerSample,
+    * channels, dataOffset, dataLength), or None if not a PCM WAV. */
+  private[operators] def wavPcmLayout(p: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    if (p.length < 12 || !ascii(p, 0, "RIFF") || !ascii(p, 8, "WAVE")) return None
+    var bits = 0; var ch = 0; var dataOff = -1; var dataLen = 0
+    var i = 12
+    while (i + 8 <= p.length && (bits == 0 || dataOff < 0)) {
+      val size = leU32(p, i + 4).toInt
+      if (ascii(p, i, "fmt ") && i + 24 <= p.length) {
+        ch = leU16(p, i + 10); bits = leU16(p, i + 22)
+      } else if (ascii(p, i, "data")) {
+        dataOff = i + 8; dataLen = math.min(size, p.length - dataOff)
+      }
+      i += 8 + size + (size & 1)
+    }
+    if (bits > 0 && ch > 0 && dataOff >= 0) Some((bits, ch, dataOff, dataLen))
+    else None
+  }
+
+  /** REAL audio frame features: each WAV payload's PCM data chunk is cut
+    * into `nFrames` evenly spaced windows (aligned to whole samples) and
+    * each window's samples are actually decoded — 16-bit little-endian
+    * signed or 8-bit unsigned PCM, the two public canonical layouts. The
+    * per-window features are integer-exact (peak = max |sample|,
+    * sum_abs for mean amplitude, zero crossings for a pitch/voicedness
+    * proxy), so results are engine-portable with no float drift. Channels
+    * are interleaved per the container spec and counted together — this is
+    * an amplitude profile, not a per-channel mixdown. Non-WAV payloads
+    * emit no frames (the standard dirty-corpus contract: decode what
+    * declares itself, skip the rest). Same mapPartitions batch shape as
+    * [[extractFeatures]]. */
+  def audioFrameFeatures(spark: SparkSession, docs: DataFrame,
+                         idCol: String, payloadCol: String,
+                         nFrames: Int): Dataset[AudioFrame] = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, p) =>
+          wavPcmLayout(p) match {
+            case Some((bits, _, off, len)) if bits == 8 || bits == 16 =>
+              val bytesPerSample = bits / 8
+              val nSamples = len / bytesPerSample
+              val k = math.max(1, math.min(nFrames, nSamples))
+              if (nSamples == 0) Iterator.empty
+              else (0 until k).iterator.map { f =>
+                val s0 = (f.toLong * nSamples / k).toInt
+                val s1 = ((f + 1).toLong * nSamples / k).toInt
+                var peak = 0; var sumAbs = 0L; var zc = 0
+                var prevSign = 0
+                var s = s0
+                while (s < s1) {
+                  val i = off + s * bytesPerSample
+                  val v =
+                    if (bits == 16) (u8(p, i) | (p(i + 1).toInt << 8)) // LE signed
+                    else u8(p, i) - 128                               // 8-bit unsigned
+                  val a = math.abs(v)
+                  if (a > peak) peak = a
+                  sumAbs += a
+                  val sign = Integer.signum(v)
+                  if (sign != 0) {
+                    if (prevSign != 0 && sign != prevSign) zc += 1
+                    prevSign = sign
+                  }
+                  s += 1
+                }
+                AudioFrame(id, f, s1 - s0, peak, sumAbs, zc)
+              }
+            case _ => Iterator.empty
+          }
+        }
+      }
+  }
+
   /** Per-source rollup of the extracted features (the oracle-checkable
     * driver query; joins features back to metadata). Text payloads hit the
     * `unknown` branch of the real decoder, so `n_media` counting detected
@@ -212,6 +305,37 @@ object Multimodal {
         sum("n_bytes").as("total_bytes"),
         sum("checksum").as("checksum_sum"),
         sum(when(col("format") =!= "unknown", 1L).otherwise(0L)).as("n_media"))
+
+  /** PCM-decode round trip: each doc synthesizes a mono 16-bit WAV whose
+    * samples follow an integer formula of (doc_id, sample index), the REAL
+    * decoder ([[audioFrameFeatures]]) windows and decodes the bytes, and
+    * per-frame integer features are aggregated across docs. The oracle
+    * recomputes the same features from the formula alone — bytes in
+    * between are produced and consumed only by the two independent codec
+    * paths. */
+  def audioDecodeRoundtrip(spark: SparkSession, docs: DataFrame,
+                           nFrames: Int): DataFrame = {
+    import spark.implicits._
+    val waves = docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        it.map { case (id, nChars) =>
+          val ns = (nChars % 50L).toInt + 10
+          val samples = Array.tabulate(ns)(s =>
+            ((id * 31L + s * 7L) % 2001L).toInt - 1000)
+          (id, wavFile16(8000, samples))
+        }
+      }.toDF("doc_id", "wav")
+    audioFrameFeatures(spark, waves, "doc_id", "wav", nFrames).toDF()
+      .groupBy("frame_no")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_samples").cast("long")).as("sum_samples"),
+        sum(col("peak").cast("long")).as("sum_peak"),
+        sum(col("sum_abs")).as("sum_abs_total"),
+        sum(col("zero_crossings").cast("long")).as("sum_zc"))
+      .orderBy("frame_no")
+  }
 
   /** Oracle round-trip for the REAL decoders: synthesize a deterministic
     * container header per document (format and dims derived from doc

@@ -103,6 +103,56 @@ class MultimodalSpec extends SparkSpec {
     assert(!frames.contains(3L))
   }
 
+  test("audioFrameFeatures decodes real 16-bit PCM (JDK-encoded WAV)") {
+    // Encode via the JDK (independent WAV implementation), decode via ours.
+    val samples = Array(1000, -2000, 0, 3000, -1, 1, 500, -500)
+    val af = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = java.nio.ByteBuffer.allocate(samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(v => pcm.putShort(v.toShort))
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm.array()), af, samples.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val docs = Seq((1L, out.toByteArray)).toDF("doc_id", "wav")
+    val fs = Multimodal.audioFrameFeatures(spark, docs, "doc_id", "wav", nFrames = 2)
+      .collect().sortBy(_.frame_no)
+    assert(fs.length === 2)
+    // frame 0 = [1000,-2000,0,3000]: peak 3000, sum 6000, flips 1000→-2000, -2000→3000
+    assert(fs(0) === Multimodal.AudioFrame(1L, 0, 4, 3000, 6000L, 2))
+    // frame 1 = [-1,1,500,-500]: peak 500, sum 1002, flips -1→1, 500→-500
+    assert(fs(1) === Multimodal.AudioFrame(1L, 1, 4, 500, 1002L, 2))
+  }
+
+  test("audioFrameFeatures decodes 8-bit unsigned PCM and skips non-WAV") {
+    // 8-bit unsigned: stored byte = sample + 128.
+    val vals = Array(100, -100, 0, 127, -128, 5)
+    val bytes = vals.map(v => (v + 128).toByte)
+    val dataLen = bytes.length
+    val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    b.put("WAVEfmt ".getBytes("US-ASCII")).putInt(16)
+    b.putShort(1).putShort(1).putInt(8000).putInt(8000)
+    b.putShort(1).putShort(8)
+    b.put("data".getBytes("US-ASCII")).putInt(dataLen).put(bytes)
+    val docs = Seq((1L, b.array()), (2L, "not a wav at all".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val fs = Multimodal.audioFrameFeatures(spark, docs, "doc_id", "payload", nFrames = 1)
+      .collect()
+    assert(fs.length === 1) // non-WAV payload emits no frames
+    // zero sample is sign-neutral: flips 100→-100, -100→127, 127→-128, -128→5
+    assert(fs(0) === Multimodal.AudioFrame(1L, 0, 6, 128, 460L, 4))
+  }
+
+  test("audioFrameFeatures round-trips through the in-repo wavFile16 writer") {
+    val docs = Seq((7L, Multimodal.wavFile16(16000, Array(10, -10, 10, -10))))
+      .toDF("doc_id", "wav")
+    val fs = Multimodal.audioFrameFeatures(spark, docs, "doc_id", "wav", nFrames = 1)
+      .collect()
+    assert(fs.toSeq === Seq(Multimodal.AudioFrame(7L, 0, 4, 10, 40L, 3)))
+  }
+
   test("featureStats rolls up per source; text counts zero detected media") {
     val docs = Seq((1L, "abc", "web"), (2L, "de", "web"))
       .toDF("doc_id", "text", "source")
