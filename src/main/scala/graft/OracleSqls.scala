@@ -753,6 +753,45 @@ object OracleSqls {
         |FROM documents GROUP BY lang""".stripMargin,
 
     // temperature-scaled (T=2 ⇒ sqrt) source-rebalancing weights
+    // PII audit round trip: the same doc_id-derived emails/IPs/phones are
+    // appended by both engines, then each counts and redacts with its own
+    // regex engine (Spark: java.util.regex; here: RE2). Patterns live in
+    // the shared RE2 ∩ Java subset; DuckDB's regexp_replace needs the 'g'
+    // flag to match Spark's replace-all semantics.
+    "curate_pii" ->
+      """WITH a AS (
+        |  SELECT source, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' mail u' || doc_id || '@ex' ||
+        |      (doc_id % 7) || '.org' ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 0 THEN ' host 10.' || (doc_id % 256) ||
+        |      '.' || ((doc_id * 7) % 256) || '.' || (doc_id % 100)
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' call ' || (100 + doc_id % 900) ||
+        |      '-' || (100 + (doc_id * 3) % 900) || '-' ||
+        |      (1000 + doc_id % 9000) ELSE '' END AS t
+        |  FROM documents
+        |), c AS (
+        |  SELECT source, t,
+        |    len(regexp_extract_all(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ne,
+        |    len(regexp_extract_all(t,
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS ni,
+        |    len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) AS np,
+        |    regexp_replace(regexp_replace(regexp_replace(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |      '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS red
+        |  FROM a
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(ne) AS BIGINT) AS n_email,
+        |  CAST(sum(ni) AS BIGINT) AS n_ipv4,
+        |  CAST(sum(np) AS BIGINT) AS n_phone,
+        |  CAST(sum(CASE WHEN red <> t THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_docs_redacted,
+        |  CAST(sum(length(red)) AS BIGINT) AS redacted_len
+        |FROM c GROUP BY source""".stripMargin,
+
     "curate_rebalance" ->
       """WITH s AS (
         |  SELECT source, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY 1
@@ -963,6 +1002,29 @@ object OracleSqls {
         |  CAST(sum(coalesce(perz.zc, 0)) AS BIGINT) AS sum_zc
         |FROM per LEFT JOIN perz USING (doc_id, frame_no)
         |GROUP BY per.frame_no ORDER BY per.frame_no""".stripMargin,
+
+    // Real-pixel round trip: the Spark side encodes gray levels from this
+    // exact integer formula into 24bpp BMP bytes (bottom-up rows, stride
+    // padding, BGR channels) and DECODES THE BYTES, then nearest-neighbor
+    // resizes to 4x4 with src = dst*srcDim//4; the oracle evaluates the
+    // formula at those source coordinates directly.
+    "mm_image_resize" ->
+      """WITH d AS (
+        |  SELECT doc_id, (doc_id % 5) + 3 AS w, (doc_id % 4) + 2 AS h
+        |  FROM documents
+        |), cell AS (
+        |  SELECT doc_id, CAST(y.y AS INTEGER) AS y, CAST(x.x AS INTEGER) AS x,
+        |    (doc_id * 31 + ((x.x * w) // 4) * 7 + ((y.y * h) // 4) * 13)
+        |      % 256 AS gray
+        |  FROM d,
+        |    LATERAL (SELECT unnest(range(0, 4)) AS y) y,
+        |    LATERAL (SELECT unnest(range(0, 4)) AS x) x
+        |)
+        |SELECT y, x, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(gray) AS BIGINT) AS sum_gray,
+        |  CAST(sum(CASE WHEN gray >= 128 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bright
+        |FROM cell GROUP BY y, x ORDER BY y, x""".stripMargin,
 
     // HashingTF rebuilt in SQL (same portable digit-only-MD5 bucket hash
     // as sketch_countmin); all 16 slots per doc, zeros included

@@ -760,6 +760,12 @@ object Queries {
   def curateRebalance(spark: SparkSession, dir: String): DataFrame =
     Curation.rebalanceWeights(T(spark, dir, "documents"))
 
+  /** PII audit over text with deterministic doc_id-derived PII injected
+    * (the synthetic corpus carries none); the oracle re-derives the same
+    * strings and counts/redacts with its own regex engine. */
+  def curatePii(spark: SparkSession, dir: String): DataFrame =
+    Curation.piiInjectedStats(T(spark, dir, "documents"))
+
   /** Deterministic weighted sampling driven by the rebalance boosts. */
   def curateSampled(spark: SparkSession, dir: String): DataFrame =
     Curation.weightedSampleStats(T(spark, dir, "documents"))
@@ -815,6 +821,11 @@ object Queries {
     * decode → integer features; the oracle recomputes from the formula. */
   def mmAudioFrames(spark: SparkSession, dir: String): DataFrame =
     Multimodal.audioDecodeRoundtrip(spark, T(spark, dir, "documents"), nFrames = 4)
+
+  /** Real pixel decode end-to-end: formula → BMP bytes → pixel decode →
+    * nearest-neighbor 4×4 resize; the oracle recomputes from the formula. */
+  def mmImageResize(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.imageDecodeRoundtrip(spark, T(spark, dir, "documents"))
 
   // ---- events (batch form; streaming variants in graft.operators.Events) ----
 
@@ -1059,6 +1070,7 @@ object Queries {
     "curate_stratified" -> (curateStratified _),
     "curate_pack" -> (curatePack _),
     "curate_rebalance" -> (curateRebalance _),
+    "curate_pii" -> (curatePii _),
     "curate_sampled" -> (curateSampled _),
     "curate_split_leakage" -> (curateSplitLeakage _),
     "sql_surface" -> (sqlSurface _),
@@ -1068,6 +1080,7 @@ object Queries {
     "mm_decode_features" -> (mmDecodeFeatures _),
     "mm_decode_roundtrip" -> (mmDecodeRoundtrip _),
     "mm_audio_frames" -> (mmAudioFrames _),
+    "mm_image_resize" -> (mmImageResize _),
     "join_asof" -> (joinAsof _),
     "join_range" -> (joinRange _),
     "events_hourly" -> (eventsHourly _),

@@ -271,6 +271,61 @@ object Curation {
       .where(col("n_docs") > 1)
       .groupBy("n_splits").agg(count(lit(1)).as("n_groups"))
 
+  // ---- PII detection / redaction ----
+
+  /** Public PII patterns for the C4/Dolma-style regex redaction pass:
+    * emails, dotted-quad IPv4s, and NNN-NNN-NNNN phone numbers. Kept to the
+    * RE2 ∩ java.util.regex common subset (no lookaround, no backrefs) so
+    * the Spark scan and a DuckDB/RE2 oracle match the same spans. Order
+    * matters for redaction (emails first — their domains contain dots that
+    * the IP pattern must never see as already-rewritten text). */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""", "<EMAIL>"),
+    ("ipv4", """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b""", "<IP>"),
+    ("phone", """\b\d{3}-\d{3}-\d{4}\b""", "<PHONE>"))
+
+  /** Text with every [[piiPatterns]] span replaced by its placeholder
+    * token. A pure narrow codegen'd map — scan-bound at 100 TB. */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (t, (_, re, tok)) =>
+      regexp_replace(t, re, tok) }
+
+  /** Per-source PII audit: match counts per pattern plus how many docs the
+    * redaction pass actually rewrote and the total redacted length (the
+    * cheap invariants a pipeline asserts before/after scrubbing). One
+    * embarrassingly parallel scan + a |sources|-row rollup. */
+  def piiStats(docs: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val countCols = piiPatterns.map { case (name, re, _) =>
+      sum(regexp_count(t, lit(re)).cast("long")).as(s"n_$name") }
+    val agg0 = count(lit(1)).as("n_docs")
+    docs.groupBy(col("source"))
+      .agg(agg0, countCols ++ Seq(
+        sum(when(redactPii(t) =!= t, 1L).otherwise(0L)).as("n_docs_redacted"),
+        sum(length(redactPii(t)).cast("long")).as("redacted_len")): _*)
+  }
+
+  /** The driver's synthetic corpus carries no PII, so the oracle-checked
+    * form injects deterministic emails/IPs/phones derived from `doc_id`
+    * (the oracle re-derives the same strings from the table alone), then
+    * runs the real [[piiStats]] audit over the augmented text. */
+  def piiInjectedStats(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    def s(c: Column) = c.cast("string")
+    def m(c: Column, k: Int) = pmod(c, lit(k.toLong))
+    val email = concat(lit(" mail u"), s(id), lit("@ex"), s(m(id, 7)),
+      lit(".org"))
+    val ip = concat(lit(" host 10."), s(m(id, 256)), lit("."),
+      s(m(id * 7, 256)), lit("."), s(m(id, 100)))
+    val phone = concat(lit(" call "), s(m(id, 900) + 100), lit("-"),
+      s(m(id * 3, 900) + 100), lit("-"), s(m(id, 9000) + 1000))
+    val augmented = concat(col("text"),
+      when(m(id, 3) === 0, email).otherwise(lit("")),
+      when(m(id, 4) === 0, ip).otherwise(lit("")),
+      when(m(id, 5) === 0, phone).otherwise(lit("")))
+    piiStats(docs.withColumn("pii_text", augmented), "pii_text")
+  }
+
   def rebalanceWeights(docs: DataFrame): DataFrame = {
     val bySrc = docs.groupBy(col("source"))
       .agg(count(lit(1)).cast("double").as("n_docs"))

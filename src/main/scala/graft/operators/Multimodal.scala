@@ -170,6 +170,140 @@ object Multimodal {
     b.array()
   }
 
+  /** Complete 24bpp bottom-up BMP file (BITMAPINFOHEADER, uncompressed,
+    * 4-byte row stride) — the write side of the image column and the
+    * fixture builder for the pixel-decode round-trip query. `gray(x, y)`
+    * (top-down coordinates) is written to all three BGR channels. */
+  def bmpFile24(width: Int, height: Int, gray: (Int, Int) => Int): Array[Byte] = {
+    val rowBytes = (width * 3 + 3) & ~3
+    val dataLen = rowBytes * height
+    val b = java.nio.ByteBuffer.allocate(54 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(54 + dataLen).putInt(0).putInt(54)
+    b.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+    b.putInt(0).putInt(dataLen).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = height - 1 // rows are stored bottom-up
+    while (y >= 0) {
+      var x = 0
+      while (x < width) {
+        val g = (gray(x, y) & 0xff).toByte
+        b.put(g).put(g).put(g)
+        x += 1
+      }
+      var pad = rowBytes - width * 3
+      while (pad > 0) { b.put(0.toByte); pad -= 1 }
+      y -= 1
+    }
+    b.array()
+  }
+
+  /** REAL pixel decode: a 24bpp uncompressed BMP to top-down grayscale via
+    * integer BT.601 luma `(299r + 587g + 114b) / 1000` (floor — exact and
+    * engine-portable; equal channels decode to exactly that value since the
+    * weights sum to 1000). Handles bottom-up and top-down (negative height)
+    * layouts and the 4-byte row stride. None for anything that isn't a
+    * well-formed 24bpp INFOHEADER-family BMP — same dirty-corpus contract
+    * as [[wavPcmLayout]]. */
+  def decodeBmpGray(p: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (p.length < 54 || !ascii(p, 0, "BM")) return None
+    if (!Set(40L, 52L, 56L, 108L, 124L).contains(leU32(p, 14))) return None
+    val off = leU32(p, 10).toInt
+    val w = leU32(p, 18).toInt
+    val hRaw = leU32(p, 22).toInt
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    if (leU16(p, 28) != 24 || leU32(p, 30) != 0L || w <= 0 || h == 0) return None
+    val rowBytes = (w * 3 + 3) & ~3
+    if (off < 0 || off.toLong + rowBytes.toLong * h > p.length) return None
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val base = off + (if (topDown) y else h - 1 - y) * rowBytes
+      var x = 0
+      while (x < w) {
+        val i = base + x * 3
+        out(y * w + x) =
+          (299 * u8(p, i + 2) + 587 * u8(p, i + 1) + 114 * u8(p, i)) / 1000
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, out))
+  }
+
+  /** Nearest-neighbor resize with the canonical floor mapping
+    * `src = dst * srcDim / dstDim` — integer-exact, so downstream features
+    * are engine-portable. */
+  def resizeNearest(gray: Array[Int], w: Int, h: Int,
+                    tw: Int, th: Int): Array[Int] = {
+    val out = new Array[Int](tw * th)
+    var y = 0
+    while (y < th) {
+      val sy = (y.toLong * h / th).toInt
+      var x = 0
+      while (x < tw) {
+        out(y * tw + x) = gray(sy * w + (x.toLong * w / tw).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  final case class PixelCell(doc_id: Long, y: Int, x: Int, gray: Int)
+
+  /** REAL image decode + resize: each BMP payload's pixels are decoded
+    * ([[decodeBmpGray]]) and nearest-neighbor-resized to a fixed
+    * (`tw` × `th`) grid — the standard thumbnail/feature-grid step before
+    * an embedding model. One row per target cell; non-BMP payloads emit
+    * nothing. Same mapPartitions batch shape as [[extractFeatures]]. */
+  def imageResizeCells(spark: SparkSession, docs: DataFrame,
+                       idCol: String, payloadCol: String,
+                       tw: Int, th: Int): Dataset[PixelCell] = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, p) =>
+          decodeBmpGray(p) match {
+            case Some((w, h, g)) =>
+              val r = resizeNearest(g, w, h, tw, th)
+              (0 until th).iterator.flatMap(y =>
+                (0 until tw).iterator.map(x => PixelCell(id, y, x, r(y * tw + x))))
+            case None => Iterator.empty
+          }
+        }
+      }
+  }
+
+  /** Pixel-decode round trip: each doc synthesizes a 24bpp BMP whose gray
+    * levels follow an integer formula of (doc_id, x, y), the REAL decoder
+    * + resizer produce a fixed 4×4 grid, and per-cell features aggregate
+    * across docs. The oracle recomputes the formula at the nearest-neighbor
+    * source coordinates — bytes in between (stride padding, bottom-up rows,
+    * BGR channels) are produced and consumed only by the two independent
+    * codec paths. */
+  def imageDecodeRoundtrip(spark: SparkSession, docs: DataFrame,
+                           tw: Int = 4, th: Int = 4): DataFrame = {
+    import spark.implicits._
+    val bmps = docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (id % 5L).toInt + 3
+          val h = (id % 4L).toInt + 2
+          (id, bmpFile24(w, h,
+            (x, y) => ((id * 31L + x * 7L + y * 13L) % 256L).toInt))
+        }
+      }.toDF("doc_id", "bmp")
+    imageResizeCells(spark, bmps, "doc_id", "bmp", tw, th).toDF()
+      .groupBy("y", "x")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("gray").cast("long")).as("sum_gray"),
+        sum(when(col("gray") >= 128, 1L).otherwise(0L)).as("n_bright"))
+      .orderBy("y", "x")
+  }
+
   /** Feature extraction over (doc_id, payload) — one decoder instantiation
     * per partition, streamed through without materializing the partition. */
   def extractFeatures(spark: SparkSession, docs: DataFrame,

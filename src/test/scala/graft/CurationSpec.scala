@@ -202,6 +202,24 @@ class CurationSpec extends SparkSpec {
     assert(out === Map(expectedSpan.toLong -> 1L))
   }
 
+  test("redactPii scrubs emails, IPv4s, and phones; counts match") {
+    val d = Seq(
+      (1L, "reach me at jane.doe+x@sub.example.co.uk or 10.0.42.7 today", "s"),
+      (2L, "call 555-123-4567 or 555-987-6543; host 192.168.1.1", "s"),
+      (3L, "no pii here, just 1234 and a-b-c and v1.2 markers", "s"))
+      .toDF("doc_id", "text", "source")
+    val red = d.select($"doc_id", Curation.redactPii($"text").as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(red(1L) === "reach me at <EMAIL> or <IP> today")
+    assert(red(2L) === "call <PHONE> or <PHONE>; host <IP>")
+    assert(red(3L) === "no pii here, just 1234 and a-b-c and v1.2 markers")
+    val stats = Curation.piiStats(d, "text").collect().head
+    assert(stats.getAs[Long]("n_email") === 1L)
+    assert(stats.getAs[Long]("n_ipv4") === 2L)
+    assert(stats.getAs[Long]("n_phone") === 2L)
+    assert(stats.getAs[Long]("n_docs_redacted") === 2L)
+  }
+
   test("repetitionScore is the duplicate n-gram fraction; null under n words") {
     val r = docs.select($"doc_id",
         Curation.repetitionScore($"text", 2).as("rep2"))

@@ -153,6 +153,64 @@ class MultimodalSpec extends SparkSpec {
     assert(fs.toSeq === Seq(Multimodal.AudioFrame(7L, 0, 4, 10, 40L, 3)))
   }
 
+  test("decodeBmpGray agrees with JDK ImageIO on distinct-channel pixels") {
+    // JDK-encoded BMP (independent implementation: stride, bottom-up rows,
+    // BGR order) decoded by ours; luma recomputed from getRGB.
+    val w = 5; val h = 3 // w*3=15 → real stride padding
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 50) << 16) | ((y * 80) << 8) | (x * 20 + y * 30))
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "bmp", out))
+    val Some((dw, dh, g)) = Multimodal.decodeBmpGray(out.toByteArray)
+    assert((dw, dh) === (w, h))
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = img.getRGB(x, y)
+      val want = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+        114 * (rgb & 0xff)) / 1000
+      assert(g(y * w + x) === want, s"pixel ($x,$y)")
+    }
+  }
+
+  test("ImageIO decodes our bmpFile24 writer's bytes (both directions)") {
+    val w = 3; val h = 4
+    def gray(x: Int, y: Int) = (x * 40 + y * 25) % 256
+    val bytes = Multimodal.bmpFile24(w, h, gray)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "JDK could not parse our BMP")
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = img.getRGB(x, y)
+      assert(((rgb >> 16) & 0xff) === gray(x, y), s"r ($x,$y)")
+      assert((rgb & 0xff) === gray(x, y), s"b ($x,$y)")
+    }
+    val Some((dw, dh, g)) = Multimodal.decodeBmpGray(bytes)
+    assert((dw, dh) === (w, h))
+    for (y <- 0 until h; x <- 0 until w) assert(g(y * w + x) === gray(x, y))
+  }
+
+  test("resizeNearest floor mapping; identity at same size") {
+    val g = Array(0, 1, 2, 3, 4, 5) // 3x2
+    assert(Multimodal.resizeNearest(g, 3, 2, 3, 2).toSeq === g.toSeq)
+    // down to 1x1 → src (0,0); up 2x2 from 1x1 → all the same pixel
+    assert(Multimodal.resizeNearest(g, 3, 2, 1, 1).toSeq === Seq(0))
+    assert(Multimodal.resizeNearest(Array(9), 1, 1, 2, 2).toSeq === Seq(9, 9, 9, 9))
+    // 3→4 upscale: sx = x*3/4 = 0,0,1,2
+    assert(Multimodal.resizeNearest(g, 3, 2, 4, 1).toSeq === Seq(0, 0, 1, 2))
+  }
+
+  test("imageResizeCells skips non-BMP payloads and emits the full grid") {
+    val docs = Seq(
+      (1L, Multimodal.bmpFile24(3, 2, (x, y) => x + y)),
+      (2L, "not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val cells = Multimodal.imageResizeCells(spark, docs, "doc_id", "payload", 2, 2)
+      .collect().sortBy(c => (c.y, c.x))
+    assert(cells.forall(_.doc_id == 1L))
+    assert(cells.length === 4)
+    // sy = y*2/2 = y; sx = x*3/2 = 0,1 → gray = sx + sy
+    assert(cells.map(_.gray).toSeq === Seq(0, 1, 1, 2))
+  }
+
   test("featureStats rolls up per source; text counts zero detected media") {
     val docs = Seq((1L, "abc", "web"), (2L, "de", "web"))
       .toDF("doc_id", "text", "source")
