@@ -36,6 +36,8 @@ object Bench {
     Queries.warmZorder(spark, sfDir)
     // Hive-partitioned events copy is LOAD too (same write-once contract).
     Queries.warmPartitioned(spark, sfDir)
+    // WebDataset tar-shard layout: write-once, queries timed against it.
+    Queries.warmTar(spark, sfDir)
 
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                  name: String): Option[Double] = {

@@ -792,6 +792,23 @@ object OracleSqls {
         |  CAST(sum(length(red)) AS BIGINT) AS redacted_len
         |FROM c GROUP BY source""".stripMargin,
 
+    // Tar-shard round trip: the Spark side writes documents as WebDataset
+    // USTAR shards (<key>.txt + <key>.cls entries) and re-reads the BYTES;
+    // the oracle recomputes the per-ext invariants from the table alone.
+    "tar_shards_roundtrip" ->
+      """SELECT 'cls' AS ext, CAST(count(*) AS BIGINT) AS n_entries,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_keys,
+        |  CAST(sum(octet_length(encode(lang))) AS BIGINT) AS sum_bytes,
+        |  CAST(sum(ascii(substr(lang, 1, 1))) AS BIGINT) AS sum_first
+        |FROM documents
+        |UNION ALL
+        |SELECT 'txt', CAST(count(*) AS BIGINT),
+        |  CAST(count(DISTINCT doc_id) AS BIGINT),
+        |  CAST(sum(octet_length(encode(text))) AS BIGINT),
+        |  CAST(sum(ascii(substr(text, 1, 1))) AS BIGINT)
+        |FROM documents
+        |ORDER BY ext""".stripMargin,
+
     "curate_rebalance" ->
       """WITH s AS (
         |  SELECT source, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY 1

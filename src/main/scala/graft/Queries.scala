@@ -754,6 +754,49 @@ object Queries {
     Events.hourlyAgg(
       partitionedEvents(spark, dir).where(col("event_type") === "purchase"))
 
+  private val tarDir = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Documents re-laid-out as WebDataset tar shards (two entries per
+    * sample: `<key>.txt` text + `<key>.cls` language label), written once
+    * per JVM per sf dir with samples key-partitioned so each shard holds
+    * whole samples. Bench warms the write in LOAD. */
+  private def tarDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val path = tarDir.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft-tar").toString
+      val parts = T(spark, dir, "documents")
+        .select(format_string("doc%09d", col("doc_id")).as("key"),
+          col("text"), col("lang"))
+        .repartition(8, col("key"))
+        .select(col("key"), explode(array(
+          struct(lit("txt").as("ext"), encode(col("text"), "UTF-8").as("payload")),
+          struct(lit("cls").as("ext"), encode(col("lang"), "UTF-8").as("payload"))))
+          .as("e"))
+        .select(col("key"), col("e.ext").as("ext"), col("e.payload").as("payload"))
+      graft.sources.TarShards.write(parts, p)
+      p
+    })
+    graft.sources.TarShards.read(spark, path)
+  }
+
+  /** Bench LOAD-stage hook: force the one-time tar-shard write. */
+  def warmTar(spark: SparkSession, dir: String): Unit =
+    tarDocuments(spark, dir)
+
+  /** Tar-shard round trip: documents → USTAR shards → distributed entry
+    * decode → per-ext content invariants; the oracle recomputes them from
+    * the table alone, so header layout, stride padding, and payload bytes
+    * all have to survive the archive format. */
+  def tarShardsRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    tarDocuments(spark, dir)
+      .groupBy("ext")
+      .agg(
+        count(lit(1)).as("n_entries"),
+        count_distinct(col("key")).as("n_keys"),
+        sum(length(col("payload")).cast("long")).as("sum_bytes"),
+        sum(ascii(substring(col("payload").cast("string"), 1, 1)).cast("long"))
+          .as("sum_first"))
+      .orderBy("ext")
+
   def curatePack(spark: SparkSession, dir: String): DataFrame =
     Curation.packStats(T(spark, dir, "documents"), budget = 200L)
 
@@ -1071,6 +1114,7 @@ object Queries {
     "curate_pack" -> (curatePack _),
     "curate_rebalance" -> (curateRebalance _),
     "curate_pii" -> (curatePii _),
+    "tar_shards_roundtrip" -> (tarShardsRoundtrip _),
     "curate_sampled" -> (curateSampled _),
     "curate_split_leakage" -> (curateSplitLeakage _),
     "sql_surface" -> (sqlSurface _),

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.TarShards
+
+/** WebDataset tar-shard source/sink. Cross-validated both directions
+  * against commons-compress (an independent USTAR implementation on the
+  * Spark classpath): our archives parse there, its archives parse here. */
+class TarShardsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp() =
+    java.nio.file.Files.createTempDirectory("graft-tar-spec").toString
+
+  test("commons-compress parses our writer's archives (names, sizes, bytes)") {
+    val dir = tmp()
+    val df = Seq(
+      ("k1", "txt", "hello tar".getBytes("UTF-8")),
+      ("k1", "cls", "en".getBytes("UTF-8")),
+      ("k2", "txt", Array.tabulate(1300)(i => (i % 251).toByte))) // >2 blocks
+      .toDF("key", "ext", "payload").coalesce(1)
+    TarShards.write(df, dir)
+    val shard = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".tar")).head
+    val in = new org.apache.commons.compress.archivers.tar.TarArchiveInputStream(
+      new java.io.FileInputStream(shard))
+    try {
+      var got = Map.empty[String, Array[Byte]]
+      var e = in.getNextEntry
+      while (e != null) {
+        assert(e.isFile)
+        assert(in.canReadEntryData(e), s"unreadable entry ${e.getName}")
+        got += e.getName -> in.readAllBytes()
+        e = in.getNextEntry
+      }
+      assert(got.keySet === Set("k1.txt", "k1.cls", "k2.txt"))
+      assert(new String(got("k1.txt"), "UTF-8") === "hello tar")
+      assert(got("k2.txt").toSeq === Array.tabulate(1300)(i => (i % 251).toByte).toSeq)
+    } finally in.close()
+  }
+
+  test("our parser reads commons-compress-written archives") {
+    val dir = tmp()
+    val f = new java.io.File(dir, "ext.tar")
+    val out = new org.apache.commons.compress.archivers.tar.TarArchiveOutputStream(
+      new java.io.FileOutputStream(f))
+    for ((name, body) <- Seq("a.txt" -> "alpha", "b.json" -> """{"x":1}""")) {
+      val e = new org.apache.commons.compress.archivers.tar.TarArchiveEntry(name)
+      val bytes = body.getBytes("UTF-8")
+      e.setSize(bytes.length.toLong)
+      out.putArchiveEntry(e)
+      out.write(bytes)
+      out.closeArchiveEntry()
+    }
+    out.close()
+    val got = TarShards.read(spark, dir)
+      .collect().map(r => r.getString(1) + "." + r.getString(2) ->
+        new String(r.getAs[Array[Byte]](3), "UTF-8")).toMap
+    assert(got === Map("a.txt" -> "alpha", "b.json" -> """{"x":1}"""))
+  }
+
+  test("write/read round trip across multiple partitions") {
+    val dir = tmp()
+    val rows = (0 until 57).map(i =>
+      (f"doc$i%04d", if (i % 2 == 0) "txt" else "bin",
+        Array.tabulate(i * 7 % 900)(j => ((i * 31 + j) % 256).toByte)))
+    TarShards.write(rows.toDF("key", "ext", "payload").repartition(5), dir)
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".tar")) === 5)
+    val back = TarShards.read(spark, dir)
+      .collect().map(r => (r.getString(1), r.getString(2),
+        r.getAs[Array[Byte]](3).toSeq)).toSet
+    assert(back === rows.map(t => (t._1, t._2, t._3.toSeq)).toSet)
+  }
+
+  test("readSamples groups a sample's entries into an ext→payload map") {
+    val dir = tmp()
+    TarShards.write(Seq(
+      ("s1", "txt", "body".getBytes("UTF-8")),
+      ("s1", "meta.json", """{"q":1}""".getBytes("UTF-8")),
+      ("s2", "txt", "other".getBytes("UTF-8")))
+      .toDF("key", "ext", "payload").coalesce(1), dir)
+    val samples = TarShards.readSamples(spark, dir)
+      .collect().map(r => r.getString(1) ->
+        r.getMap[String, Array[Byte]](2)).toMap
+    assert(samples.keySet === Set("s1", "s2"))
+    assert(samples("s1").keys.toSet === Set("txt", "meta.json"))
+    assert(new String(samples("s1")("meta.json"), "UTF-8") === """{"q":1}""")
+  }
+
+  test("zero-length payloads and the 100-byte name limit") {
+    val dir = tmp()
+    TarShards.write(Seq(("empty", "txt", Array.emptyByteArray))
+      .toDF("key", "ext", "payload").coalesce(1), dir)
+    val back = TarShards.read(spark, dir).collect()
+    assert(back.length === 1)
+    assert(back.head.getAs[Array[Byte]]("payload").length === 0)
+    assertThrows[org.apache.spark.SparkException] {
+      TarShards.write(Seq(("k" * 120, "txt", "x".getBytes("UTF-8")))
+        .toDF("key", "ext", "payload").coalesce(1), tmp())
+    }
+  }
+}
