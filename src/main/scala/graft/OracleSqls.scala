@@ -519,6 +519,8 @@ object OracleSqls {
 
     "graph_kcore" -> withGraph(kCoreSql(k = 3, iters = 6)),
 
+    "graph_lpa" -> withGraph(lpaSql(iters = 3)),
+
     // degree-oriented triangle counting over the small-part co-occurrence
     // graph (mirrors Queries.graphTriangles + GraphAlgorithms
     // .triangleHistogram: orientation low->high by (degree, id), each
@@ -1929,6 +1931,35 @@ object OracleSqls {
        |FROM (SELECT DISTINCT a FROM adj$iters) s
        |JOIN nodes n ON s.a = n.nodeId
        |GROUP BY n.label""".stripMargin
+  }
+
+  /** Synchronous LPA unrolled (mirrors GraphAlgorithms
+    * .labelPropagationSizes: argmax neighbor label by (count desc, label
+    * asc), isolated nodes keep their seed). MATERIALIZED for the same
+    * CTE-inlining reason as the other iterative oracles. */
+  private def lpaSql(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""c$i AS (
+         |  SELECT e.a AS v, r.lbl, count(*) AS cnt
+         |  FROM adjl e JOIN lp${i - 1} r ON r.v = e.b
+         |  GROUP BY e.a, r.lbl
+         |), b$i AS (
+         |  SELECT v, lbl FROM (
+         |    SELECT v, lbl,
+         |      row_number() OVER (PARTITION BY v ORDER BY cnt DESC, lbl) AS rn
+         |    FROM c$i) WHERE rn = 1
+         |), lp$i AS MATERIALIZED (
+         |  SELECT n.v, COALESCE(b.lbl, n.lbl) AS lbl
+         |  FROM lp${i - 1} n LEFT JOIN b$i b ON b.v = n.v
+         |)""".stripMargin
+    }.mkString(",\n")
+    s""", adjl AS MATERIALIZED (SELECT DISTINCT a, b FROM bidir),
+       |lp0 AS MATERIALIZED (SELECT nodeId AS v, nodeId AS lbl FROM nodes),
+       |$steps
+       |SELECT n_nodes, CAST(count(*) AS BIGINT) AS n_communities FROM (
+       |  SELECT lbl, CAST(count(*) AS BIGINT) AS n_nodes
+       |  FROM lp$iters GROUP BY lbl)
+       |GROUP BY n_nodes""".stripMargin
   }
 
   private def componentsSql(iters: Int): String = {

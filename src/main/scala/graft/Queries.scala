@@ -285,6 +285,11 @@ object Queries {
   def graphKcore(spark: SparkSession, dir: String): DataFrame =
     graft.graph.GraphAlgorithms.kCoreSizes(graph(spark, dir), k = 3, iters = 6)
 
+  /** Deterministic synchronous label propagation (3 rounds): community-size
+    * histogram over the TPC-H graph. */
+  def graphLpa(spark: SparkSession, dir: String): DataFrame =
+    graft.graph.GraphAlgorithms.labelPropagationSizes(graph(spark, dir), iters = 3)
+
   /** Sparse personalized PageRank seeded at the ASIA region (the graph-RAG
     * walk-based retrieval ranker). */
   def graphPpr(spark: SparkSession, dir: String): DataFrame =
@@ -1064,6 +1069,7 @@ object Queries {
     "gx_pagerank_topk" -> (gxPageRankTopK _),
     "gx_components" -> (gxComponents _),
     "graph_kcore" -> (graphKcore _),
+    "graph_lpa" -> (graphLpa _),
     "graph_triangles" -> (graphTriangles _),
     "graph_bfs_dist" -> (graphBfsDist _),
     "graph_ppr" -> (graphPpr _),

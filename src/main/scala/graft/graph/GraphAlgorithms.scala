@@ -177,6 +177,44 @@ object GraphAlgorithms {
     * final round — the k-core membership report (the web-corpus
     * quality/spam-filter use of k-core).
     */
+  /** Synchronous label propagation (LPA community detection): `iters`
+    * fixed rounds of "adopt the most frequent neighbor label; ties break
+    * to the smallest label", seeded with nodeId; isolated nodes keep their
+    * seed. The fixed round count plus the total-order tie-break make every
+    * round oracle-expressible as unrolled SQL (like [[kCoreSizes]] / BFS) —
+    * GraphX's LPA breaks count ties by hashmap iteration order, which no
+    * other engine can reproduce. Returns the community-size histogram
+    * (n_nodes, n_communities); label values themselves are seed-order
+    * artifacts, the histogram is the stable signal.
+    *
+    * Scale shape: per round, one shuffle counts (node, neighbor-label)
+    * pairs — fan-in bounded by degree, partial aggregation map-side — and
+    * the argmax folds over the already-reduced counts; the new label table
+    * left-joins back to the previous one. Both sides are O(V): no
+    * broadcasts anywhere, and localCheckpoint truncates the per-round
+    * lineage like the other iterative algorithms here. */
+  def labelPropagationSizes(g: PropertyGraph, iters: Int): DataFrame = {
+    val adj = g.bidir.select(col("a"), col("b")).distinct()
+      .localCheckpoint(true)
+    var labels = g.nodes.select(col("nodeId").as("v"), col("nodeId").as("lbl"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val counts = adj
+        .join(labels.select(col("v").as("b"), col("lbl")), Seq("b"))
+        .groupBy(col("a"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+      // argmax by (count desc, label asc): max over (cnt, -lbl) pairs
+      val best = counts.groupBy(col("a"))
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("m"))
+        .select(col("a").as("v"), (-col("m.neg")).as("new_lbl"))
+      labels = labels.join(best, Seq("v"), "left")
+        .select(col("v"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    labels.groupBy("lbl").agg(count(lit(1)).as("n_nodes"))
+      .groupBy("n_nodes").agg(count(lit(1)).as("n_communities"))
+  }
+
   def kCoreSizes(g: PropertyGraph, k: Int, iters: Int): DataFrame = {
     // DELTA peeling: degrees are counted over the full edge set ONCE;
     // each later round only subtracts the edges lost to the nodes that

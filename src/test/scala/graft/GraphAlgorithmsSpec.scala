@@ -58,6 +58,29 @@ class GraphAlgorithmsSpec extends SparkSpec {
     assert(out === Map("Tri" -> 3L))
   }
 
+  test("label propagation: two bridged triangles settle into two communities") {
+    // triangles {1,2,3} and {4,5,6} bridged by 3-4; hand-derived sync
+    // rounds (count desc, label asc tie-break, seed = id):
+    //   r1: 1→2 2→1 3→1 4→3 5→4 6→4
+    //   r2: 1→1 2→1 3→1 4→4 5→3 6→3
+    //   r3: 1→1 2→1 3→1 4→3 5→3 6→3  → sizes {3,3} → histogram {3→2}
+    val graph = g(
+      Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)),
+      (1L to 6L).map(_ -> "A"))
+    val out = GraphAlgorithms.labelPropagationSizes(graph, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(3L -> 2L))
+  }
+
+  test("label propagation: isolated node keeps its seed label") {
+    val graph = g(Seq((1L, 2L)), Seq(1L -> "A", 2L -> "A", 9L -> "A"))
+    // 1↔2 swap labels every round (sync LPA 2-cycle); 9 stays 9. After 3
+    // rounds: sizes {1,1,1} → histogram {1→3}.
+    val out = GraphAlgorithms.labelPropagationSizes(graph, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 3L))
+  }
+
   test("triangle histogram: two triangles sharing an edge") {
     // triangles {1,2,3} and {2,3,4} share edge 2-3: nodes 2,3 are in two
     // triangles each, nodes 1,4 in one each -> histogram {1 -> 2, 2 -> 2}
