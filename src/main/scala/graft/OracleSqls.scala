@@ -755,6 +755,35 @@ object OracleSqls {
         |FROM documents GROUP BY lang""".stripMargin,
 
     // temperature-scaled (T=2 ⇒ sqrt) source-rebalancing weights
+    // DSIR importance weighting rebuilt in SQL: same digit-only-MD5 bucket
+    // hash as text_feature_hash, add-one-smoothed integer micro-ratio,
+    // selection rule mean-ratio >= 1
+    "curate_dsir" ->
+      s"""WITH w AS (
+        |  SELECT doc_id, source, unnest($wordsExpr) AS tok FROM documents
+        |), b AS (
+        |  SELECT doc_id, source,
+        |    CAST(substr(regexp_replace(md5(tok), '[a-f]', '', 'g') || '000000',
+        |      1, 6) AS BIGINT) % 64 AS slot
+        |  FROM w
+        |), r AS (
+        |  SELECT slot,
+        |    ((sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) + 1) * 1000000)
+        |      // (sum(CASE WHEN source = 'src0' THEN 0 ELSE 1 END) + 1) AS rm
+        |  FROM b GROUP BY slot
+        |), ds AS (
+        |  SELECT b.doc_id, any_value(b.source) AS source,
+        |    count(*) AS n_toks, sum(r.rm) AS score
+        |  FROM b JOIN r ON r.slot = b.slot
+        |  WHERE b.source <> 'src0'
+        |  GROUP BY b.doc_id
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN score >= n_toks * 1000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_selected,
+        |  CAST(sum(score) AS BIGINT) AS sum_score_micro
+        |FROM ds GROUP BY source""".stripMargin,
+
     // PII audit round trip: the same doc_id-derived emails/IPs/phones are
     // appended by both engines, then each counts and redacts with its own
     // regex engine (Spark: java.util.regex; here: RE2). Patterns live in

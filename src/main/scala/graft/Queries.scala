@@ -808,6 +808,12 @@ object Queries {
   def curateRebalance(spark: SparkSession, dir: String): DataFrame =
     Curation.rebalanceWeights(T(spark, dir, "documents"))
 
+  /** DSIR importance weighting: src0 as the target domain, every other
+    * source scored by hashed-token target/raw ratio. */
+  def curateDsir(spark: SparkSession, dir: String): DataFrame =
+    Curation.importanceWeightStats(T(spark, dir, "documents"),
+      targetSource = "src0", dim = 64)
+
   /** PII audit over text with deterministic doc_id-derived PII injected
     * (the synthetic corpus carries none); the oracle re-derives the same
     * strings and counts/redacts with its own regex engine. */
@@ -1120,6 +1126,7 @@ object Queries {
     "curate_pack" -> (curatePack _),
     "curate_rebalance" -> (curateRebalance _),
     "curate_pii" -> (curatePii _),
+    "curate_dsir" -> (curateDsir _),
     "tar_shards_roundtrip" -> (tarShardsRoundtrip _),
     "curate_sampled" -> (curateSampled _),
     "curate_split_leakage" -> (curateSplitLeakage _),

@@ -326,6 +326,58 @@ object Curation {
     piiStats(docs.withColumn("pii_text", augmented), "pii_text")
   }
 
+  // ---- DSIR-style importance weighting ----
+
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * (non-target) document by how target-like its hashed-token
+    * distribution is. Tokens from both corpora fold into `dim` hashed
+    * buckets (the same portable digit-only-MD5 bucket hash as
+    * [[TextOps.hashingTf]]/[[Sketch]], so the oracle rebuilds the counts
+    * exactly); a raw doc's score is the sum over its tokens of the
+    * bucket's add-one-smoothed target/raw count ratio in integer
+    * micro-units, `ratio_micro(b) = ((tgt_b+1) * 1e6) div (raw_b+1)` —
+    * the log-free member of the importance family (like the lift
+    * collocations: log reorders nothing positive, and integer arithmetic
+    * keeps scores engine-portable). A doc is "selected" when its mean
+    * per-token ratio is ≥ 1 (more target-like than raw-like).
+    *
+    * Scale shape: one scan counts both corpora into `dim` rows (map-side
+    * combine; `dim` bounded, so the table broadcasts back), one scan
+    * scores, and the rollup groups by source. The 100 TB side shuffles
+    * only for the per-doc aggregate — no vocabulary pass, no all-pairs
+    * anything.
+    *
+    * Operating range: `(tgt_b+1) * 1e6` is exact below 9.2e12 tokens per
+    * bucket — far past any realistic per-bucket mass at dim ≥ 64 on a
+    * 1e13-token corpus; past that, widen to decimal(38,0) here AND in the
+    * oracle together. */
+  def importanceWeightStats(docs: DataFrame, targetSource: String,
+                            dim: Int): DataFrame = {
+    def bucket(c: Column): Column =
+      substring(concat(regexp_replace(md5(c), "[a-f]", ""), lit("000000")),
+        1, 6).cast("long") % dim
+    val toks = docs
+      .select(col("doc_id"), col("source"),
+        explode(graft.functions.words(col("text"))).as("tok"))
+      .withColumn("slot", bucket(col("tok")))
+    val isTgt = col("source") === targetSource
+    val ratio = toks.groupBy("slot")
+      .agg(sum(when(isTgt, 1L).otherwise(0L)).as("tc"),
+        sum(when(isTgt, 0L).otherwise(1L)).as("rc"))
+      .select(col("slot"), expr("((tc + 1) * 1000000) div (rc + 1)").as("rm"))
+    toks.where(!isTgt)
+      .join(broadcast(ratio), Seq("slot"))
+      .groupBy(col("doc_id"))
+      .agg(first(col("source")).as("source"),
+        count(lit(1)).as("n_toks"), sum(col("rm")).as("score"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("score") >= col("n_toks") * 1000000L, 1L).otherwise(0L))
+          .as("n_selected"),
+        sum(col("score")).as("sum_score_micro"))
+  }
+
   def rebalanceWeights(docs: DataFrame): DataFrame = {
     val bySrc = docs.groupBy(col("source"))
       .agg(count(lit(1)).cast("double").as("n_docs"))

@@ -220,6 +220,27 @@ class CurationSpec extends SparkSpec {
     assert(stats.getAs[Long]("n_docs_redacted") === 2L)
   }
 
+  test("importance weights: target-like raw docs outscore alien ones") {
+    val d = Seq(
+      (1L, "apple banana cherry apple banana", "tgt"),
+      (2L, "apple banana cherry", "tgt"),
+      (3L, "apple banana cherry", "raw_like"),   // same tokens as target
+      (4L, "xyzzy qwerty plugh", "raw_alien"))   // tokens the target lacks
+      .toDF("doc_id", "text", "source")
+    val out = Curation.importanceWeightStats(d, "tgt", dim = 64)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.keySet === Set("raw_like", "raw_alien"))
+    val (likeDocs, likeSel, likeScore) = out("raw_like")
+    val (alienDocs, alienSel, alienScore) = out("raw_alien")
+    assert(likeDocs === 1L && alienDocs === 1L)
+    // target-token buckets hold (tgt+1)/(raw+1) > 1 ratios; alien buckets
+    // hold 1/(raw+1) < 1 — selection and ordering follow
+    assert(likeSel === 1L, s"target-like doc not selected (score $likeScore)")
+    assert(alienSel === 0L, s"alien doc selected (score $alienScore)")
+    assert(likeScore > alienScore)
+  }
+
   test("repetitionScore is the duplicate n-gram fraction; null under n words") {
     val r = docs.select($"doc_id",
         Curation.repetitionScore($"text", 2).as("rep2"))
