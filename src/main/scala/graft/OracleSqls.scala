@@ -755,6 +755,27 @@ object OracleSqls {
         |FROM documents GROUP BY lang""".stripMargin,
 
     // temperature-scaled (T=2 ⇒ sqrt) source-rebalancing weights
+    // Encoding-repair audit: the Spark side injects deterministic mojibake
+    // (doc_id%3: ' menu: cafÃ©...' = +3 repairable 2-char sequences) and
+    // legit Latin-1-range text (doc_id%5: naïve/façade — whose bytes make
+    // the whole-string reinterpretation invalid UTF-8) and runs the REAL
+    // conservative repair; the oracle derives the outcome analytically:
+    // suspect = has the Ã marker; repaired = mojibake present AND no
+    // legit non-ASCII blocking validity; 3 chars reclaimed per repair.
+    "curate_fix_encoding" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS moj,
+        |    CASE WHEN doc_id % 3 = 0 AND doc_id % 5 <> 0 THEN 1 ELSE 0 END
+        |      AS rep
+        |  FROM documents
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(moj) AS BIGINT) AS n_suspect,
+        |  CAST(sum(rep) AS BIGINT) AS n_repaired,
+        |  CAST(3 * sum(rep) AS BIGINT) AS chars_saved
+        |FROM d GROUP BY source""".stripMargin,
+
     // DSIR importance weighting rebuilt in SQL: same digit-only-MD5 bucket
     // hash as text_feature_hash, add-one-smoothed integer micro-ratio,
     // selection rule mean-ratio >= 1

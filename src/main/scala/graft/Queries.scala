@@ -808,6 +808,11 @@ object Queries {
   def curateRebalance(spark: SparkSession, dir: String): DataFrame =
     Curation.rebalanceWeights(T(spark, dir, "documents"))
 
+  /** ftfy-style encoding repair over deterministically injected mojibake;
+    * the oracle derives the conservative-repair outcome analytically. */
+  def curateFixEncoding(spark: SparkSession, dir: String): DataFrame =
+    Curation.encodingFixInjectedStats(T(spark, dir, "documents"))
+
   /** DSIR importance weighting: src0 as the target domain, every other
     * source scored by hashed-token target/raw ratio. */
   def curateDsir(spark: SparkSession, dir: String): DataFrame =
@@ -1127,6 +1132,7 @@ object Queries {
     "curate_rebalance" -> (curateRebalance _),
     "curate_pii" -> (curatePii _),
     "curate_dsir" -> (curateDsir _),
+    "curate_fix_encoding" -> (curateFixEncoding _),
     "tar_shards_roundtrip" -> (tarShardsRoundtrip _),
     "curate_sampled" -> (curateSampled _),
     "curate_split_leakage" -> (curateSplitLeakage _),

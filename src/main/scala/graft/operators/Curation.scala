@@ -326,6 +326,56 @@ object Curation {
     piiStats(docs.withColumn("pii_text", augmented), "pii_text")
   }
 
+  // ---- encoding repair (ftfy-style mojibake fix) ----
+
+  /** Conservative mojibake repair (the ftfy core case: UTF-8 bytes once
+    * misread as Latin-1, e.g. `cafÃ©` for `café`): reinterpret the
+    * string's Latin-1 bytes as UTF-8 and adopt the result ONLY when
+    * (a) every char is in the Latin-1 range — a wider char proves the text
+    * was never a Latin-1 misread; (b) the reinterpretation is valid UTF-8
+    * — `is_valid_utf8` over the LENIENT binary→string cast (Spark 4's
+    * `decode()` throws on malformed bytes, the cast does not validate);
+    * and (c) it strictly shortens the string (real mojibake always
+    * collapses ≥2 chars into 1). Legitimate Latin-1-range text like
+    * `naïve` fails (b) and passes through untouched. Pure codegen'd
+    * built-ins — a narrow scan at 100 TB. */
+  def fixEncodingOf(t: Column): Column = {
+    val re = encode(t, "ISO-8859-1").cast("string")
+    when(!t.rlike("[^\\x00-\\xFF]") &&
+         call_function("is_valid_utf8", re) &&
+         length(re) < length(t), re)
+      .otherwise(t)
+  }
+
+  /** Per-source encoding-health audit: suspect docs (carrying the `Ã`
+    * marker the double-encoding always produces), docs the conservative
+    * repair actually rewrote, and total chars reclaimed. */
+  def encodingFixStats(docs: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val fixed = fixEncodingOf(t)
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(instr(t, "Ã") > 0, 1L).otherwise(0L)).as("n_suspect"),
+        sum(when(fixed =!= t, 1L).otherwise(0L)).as("n_repaired"),
+        sum((length(t) - length(fixed)).cast("long")).as("chars_saved"))
+  }
+
+  /** Oracle-checked form: deterministic mojibake (`doc_id % 3 = 0`) and
+    * legitimate Latin-1-range text (`doc_id % 5 = 0`) are appended from
+    * doc_id alone; the REAL repair runs, and the oracle derives the
+    * expected outcome analytically — repaired iff mojibake present AND no
+    * legit non-ASCII (whose bytes make the whole-string reinterpretation
+    * invalid UTF-8, the conservative bail-out). */
+  def encodingFixInjectedStats(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val aug = concat(col("text"),
+      when(pmod(id, lit(3L)) === 0, lit(" menu: caf\u00c3\u00a9 d\u00c3\u00a9j\u00c3\u00a0 vu"))
+        .otherwise(lit("")),
+      when(pmod(id, lit(5L)) === 0, lit(" na\u00efve fa\u00e7ade"))
+        .otherwise(lit("")))
+    encodingFixStats(docs.withColumn("enc_text", aug), "enc_text")
+  }
+
   // ---- DSIR-style importance weighting ----
 
   /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection

@@ -220,6 +220,23 @@ class CurationSpec extends SparkSpec {
     assert(stats.getAs[Long]("n_docs_redacted") === 2L)
   }
 
+  test("fixEncoding repairs mojibake, never touches valid or wide text") {
+    val d = Seq(
+      (1L, "a cafÃ© visit"),        // mojibake é → repaired
+      (2L, "a naïve façade"),       // legit Latin-1 text → kept
+      (3L, "plain ascii stays"),              // ASCII → kept (no shortening)
+      (4L, "wide € euro cafÃ©"), // char > U+00FF → kept
+      (5L, "d\u00c3\u00a9j\u00c3\u00a0 vu"))  // é and à mojibake → repaired
+      .toDF("doc_id", "text")
+    val out = d.select($"doc_id", Curation.fixEncodingOf($"text").as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "a café visit")
+    assert(out(2L) === "a naïve façade")
+    assert(out(3L) === "plain ascii stays")
+    assert(out(4L) === "wide € euro cafÃ©")
+    assert(out(5L) === "d\u00e9j\u00e0 vu")
+  }
+
   test("importance weights: target-like raw docs outscore alien ones") {
     val d = Seq(
       (1L, "apple banana cherry apple banana", "tgt"),
