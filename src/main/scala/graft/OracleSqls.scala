@@ -1168,6 +1168,30 @@ object OracleSqls {
         |  CAST(len(list_slice(w, ci * 30 + 1, ci * 30 + 40)) AS INTEGER) AS n_tokens
         |FROM ix""".stripMargin,
 
+    // paragraph-level cross-doc dedup: non-overlapping 3-word windows,
+    // md5-fingerprinted; histogram of windows recurring in > 1 doc
+    "dedup_chunk_dups" ->
+      s"""WITH w AS (SELECT doc_id, $wordsExpr AS w FROM documents),
+        |ix AS (
+        |  SELECT doc_id, w, unnest(range(0,
+        |    CASE WHEN len(w) = 0 THEN 0 ELSE (len(w) - 1) // 3 + 1 END)) AS ci
+        |  FROM w
+        |), c AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_slice(w, ci * 3 + 1, ci * 3 + 3), ' ') AS t,
+        |    len(list_slice(w, ci * 3 + 1, ci * 3 + 3)) AS toks
+        |  FROM ix WHERE len(list_slice(w, ci * 3 + 1, ci * 3 + 3)) > 0
+        |), g AS (
+        |  SELECT md5(t) AS h, count(DISTINCT doc_id) AS n_docs,
+        |    count(*) AS n_occ, sum(toks) AS toks
+        |  FROM c GROUP BY md5(t)
+        |)
+        |SELECT CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(n_occ) AS BIGINT) AS n_occurrences,
+        |  CAST(sum(toks) AS BIGINT) AS dup_tokens
+        |FROM g WHERE n_docs > 1 GROUP BY n_docs""".stripMargin,
+
     // exact-dup keeper by source priority (src2 best, then src0, then
     // everything else; doc_id breaks ties)
     "dedup_priority" ->

@@ -808,6 +808,11 @@ object Queries {
   def curateRebalance(spark: SparkSession, dir: String): DataFrame =
     Curation.rebalanceWeights(T(spark, dir, "documents"))
 
+  /** Paragraph-level cross-doc dedup audit: 3-word windows recurring in
+    * more than one document, bucketed by reach. */
+  def dedupChunkDups(spark: SparkSession, dir: String): DataFrame =
+    Dedup.chunkDupStats(T(spark, dir, "documents"), chunkSize = 3)
+
   /** ftfy-style encoding repair over deterministically injected mojibake;
     * the oracle derives the conservative-repair outcome analytically. */
   def curateFixEncoding(spark: SparkSession, dir: String): DataFrame =
@@ -1109,6 +1114,7 @@ object Queries {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_clusters" -> (dedupClusters _),
+    "dedup_chunk_dups" -> (dedupChunkDups _),
     "dedup_simhash_near" -> (dedupSimhashNear _),
     "dedup_semantic" -> (dedupSemantic _),
     "corpus_clean" -> (corpusClean _),

@@ -196,6 +196,14 @@ object GraphAlgorithms {
   def labelPropagationSizes(g: PropertyGraph, iters: Int): DataFrame = {
     val adj = g.bidir.select(col("a"), col("b")).distinct()
       .localCheckpoint(true)
+    // Every node with >= 1 neighbor adopts a fresh argmax label each round,
+    // so only the isolated remainder ever carries its seed forward —
+    // computed ONCE here, which saves a third per-round shuffle (the
+    // label-carry left join the naive formulation pays).
+    val isolated = g.nodes.select(col("nodeId").as("v"))
+      .join(adj.select(col("a").as("v")).distinct(), Seq("v"), "left_anti")
+      .select(col("v"), col("v").as("lbl"))
+      .localCheckpoint(true)
     var labels = g.nodes.select(col("nodeId").as("v"), col("nodeId").as("lbl"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
@@ -206,10 +214,8 @@ object GraphAlgorithms {
       // argmax by (count desc, label asc): max over (cnt, -lbl) pairs
       val best = counts.groupBy(col("a"))
         .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("m"))
-        .select(col("a").as("v"), (-col("m.neg")).as("new_lbl"))
-      labels = labels.join(best, Seq("v"), "left")
-        .select(col("v"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
-        .localCheckpoint(true)
+        .select(col("a").as("v"), (-col("m.neg")).as("lbl"))
+      labels = best.unionByName(isolated).localCheckpoint(true)
     }
     labels.groupBy("lbl").agg(count(lit(1)).as("n_nodes"))
       .groupBy("n_nodes").agg(count(lit(1)).as("n_communities"))

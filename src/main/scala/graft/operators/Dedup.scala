@@ -477,4 +477,28 @@ object Dedup {
       .select(col("cid"), col("n_members"),
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
   }
+
+  /** Paragraph-level cross-document dedup — the C4 duplicate-line-removal
+    * analog for corpora without line structure: documents are cut into
+    * non-overlapping `chunkSize`-word windows ([[TextOps.chunkDocs]] with
+    * step = size), each window md5-fingerprinted, and windows recurring in
+    * MORE THAN ONE document are the removable boilerplate. Returns the
+    * audit histogram a pipeline reads before enabling removal:
+    * (n_docs sharing the chunk, n_chunks, n_occurrences, dup_tokens).
+    *
+    * Scale shape: chunking is a narrow map (zero shuffle); the only
+    * shuffle groups by chunk hash, where hot boilerplate (site templates
+    * repeated millions of times) collapses map-side to one row per hash
+    * per task before the exchange. The histogram rollup is tiny. */
+  def chunkDupStats(docs: DataFrame, chunkSize: Int): DataFrame =
+    TextOps.chunkDocs(docs, chunkSize, chunkSize)
+      .groupBy(md5(col("chunk_text")).as("h"))
+      .agg(count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        sum(col("n_tokens").cast("long")).as("dup_tokens"))
+      .where(col("n_docs") > 1)
+      .groupBy(col("n_docs"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_occurrences")).as("n_occurrences"),
+        sum(col("dup_tokens")).as("dup_tokens"))
 }

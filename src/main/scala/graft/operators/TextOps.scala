@@ -220,25 +220,13 @@ object TextOps {
         sum(length(col("text")) - length(col("scrubbed"))).cast("long").as("chars_removed"))
   }
 
-  /** Multimodal plumbing: treat payloads as opaque binary + typed metadata.
-    * The decode step is a STUB (image/audio libs are not in this
-    * environment): `decodeStub` stands in for a real per-batch decoder
-    * (thumbnail/frame-sample/etc.) — the Spark-side contract (binary column
-    * in, fixed-schema features out, executed per partition with no
-    * driver-side collect) is the real, tested part. */
-  def binaryFeatures(docs: DataFrame): DataFrame = {
-    val bin = col("text").cast("binary")
-    docs.select(
-      col("doc_id"),
-      col("source"),
-      octet_length(col("text")).cast("long").as("n_bytes"),
-      // STUB decode: deterministic fake "feature" = first byte value; a real
-      // pipeline would mapPartitions a decoder over the binary payloads.
-      substring(hex(bin), 1, 2).as("magic_byte"))
-  }
+  // (binary-payload decode lives in [[Multimodal]] — real PNG/JPEG/GIF/BMP
+  // header, PCM WAV sample, and BMP pixel decoders, not here)
 
+  /** Byte-volume rollup over payloads treated as opaque binary (the
+    * storage-planning probe run before any decode pass). */
   def binaryStatsBySource(docs: DataFrame): DataFrame =
-    binaryFeatures(docs)
+    docs.select(col("source"), octet_length(col("text")).cast("long").as("n_bytes"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_bytes")).as("total_bytes"))
 }

@@ -328,4 +328,18 @@ class DedupSpec extends SparkSpec {
     val v = spark.range(1).select(Dedup.md5Long(lit("hello"))).head().getLong(0)
     assert(v === 419982666956583591L)
   }
+
+  test("chunkDupStats reports only cross-doc windows, not within-doc repeats") {
+    val d = Seq(
+      (1L, "a b c x y z"),       // "a b c" + "x y z"
+      (2L, "a b c q"),           // "a b c" + "q"
+      (3L, "a b c"),             // "a b c"
+      (4L, "r s t r s t"))       // "r s t" twice — ONE doc → excluded
+      .toDF("doc_id", "text")
+    val out = Dedup.chunkDupStats(d, chunkSize = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // "a b c" appears in 3 docs, 3 occurrences, 9 duplicated tokens
+    assert(out === Map(3L -> (1L, 3L, 9L)))
+  }
 }
