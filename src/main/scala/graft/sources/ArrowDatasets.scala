@@ -42,6 +42,10 @@ object ArrowDatasets {
     case _: ArrowType.List | _: ArrowType.LargeList =>
       val c = children.head
       ArrayType(sparkType(c.getType, c.getChildren.asScala.toSeq), c.isNullable)
+    case _: ArrowType.Binary | _: ArrowType.LargeBinary => BinaryType
+    case _: ArrowType.Struct => StructType(children.map(c =>
+      StructField(c.getName, sparkType(c.getType, c.getChildren.asScala.toSeq),
+        c.isNullable)))
     case other =>
       throw new IllegalArgumentException(s"unsupported arrow type $other")
   }
@@ -51,11 +55,19 @@ object ArrowDatasets {
       StructField(f.getName, sparkType(f.getType, f.getChildren.asScala.toSeq),
         f.isNullable)))
 
-  /** Arrow runtime objects → Spark external row values. */
-  private def normalize(v: Any): Any = v match {
+  /** Arrow runtime objects → Spark external row values. Struct values
+    * arrive as name→value maps whose iteration order is NOT the schema's,
+    * so the Arrow field drives both the descent and the Row field order. */
+  private def normalize(v: Any, f: Field): Any = v match {
     case null => null
     case t: org.apache.arrow.vector.util.Text => t.toString
-    case l: java.util.List[_] => l.asScala.toSeq.map(normalize)
+    case m: java.util.Map[_, _] =>
+      val mm = m.asInstanceOf[java.util.Map[String, Any]]
+      Row.fromSeq(f.getChildren.asScala.toSeq.map(cf =>
+        normalize(mm.get(cf.getName), cf)))
+    case l: java.util.List[_] =>
+      val ef = f.getChildren.asScala.head
+      l.asScala.toSeq.map(e => normalize(e, ef))
     case other => other
   }
 
@@ -111,7 +123,8 @@ object ArrowDatasets {
         val vectors = root.getFieldVectors.asScala.toSeq
         // copy out before the next loadNextBatch overwrites the vectors
         pending = Array.tabulate(root.getRowCount)(i =>
-          Row.fromSeq(vectors.map(v => normalize(v.getObject(i))))).iterator
+          Row.fromSeq(vectors.map(v =>
+            normalize(v.getObject(i), v.getField)))).iterator
         true
       }
       def next(): Iterator[Row] = {
@@ -164,6 +177,11 @@ object ArrowDatasets {
     case ArrayType(et, n) => new Field(name,
       new FieldType(nullable, ArrowType.List.INSTANCE, null),
       Seq(arrowField("item", et, n)).asJava)
+    case BinaryType => new Field(name,
+      new FieldType(nullable, ArrowType.Binary.INSTANCE, null), null)
+    case StructType(fields) => new Field(name,
+      new FieldType(nullable, ArrowType.Struct.INSTANCE, null),
+      fields.toSeq.map(f => arrowField(f.name, f.dataType, f.nullable)).asJava)
     case other =>
       throw new IllegalArgumentException(s"unsupported spark type $other for arrow write")
   }
@@ -184,6 +202,17 @@ object ArrowDatasets {
       case (x: BitVector, _) => x.setSafe(i, if (value.asInstanceOf[Boolean]) 1 else 0)
       case (x: VarCharVector, _) =>
         x.setSafe(i, value.asInstanceOf[String].getBytes("UTF-8"))
+      case (x: VarBinaryVector, _) =>
+        x.setSafe(i, value.asInstanceOf[Array[Byte]])
+      case (x: complex.StructVector, StructType(fields)) =>
+        // HF image/audio columns are structs ({bytes, path}); populate each
+        // child at the same index, recursing through this same dispatcher
+        x.setIndexDefined(i)
+        val row = value.asInstanceOf[Row]
+        fields.toSeq.zipWithIndex.foreach { case (f, j) =>
+          val child = x.getChild(f.name)
+          setValue(child, i, f.dataType, row.get(j))
+        }
       case (x: complex.ListVector, ArrayType(et, _)) =>
         // writer-based sparse population: ListVector fills offset holes for
         // skipped (null) positions on setValueCount

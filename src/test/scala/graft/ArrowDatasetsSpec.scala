@@ -83,6 +83,38 @@ class ArrowDatasetsSpec extends SparkSpec {
     assert(back(0).getBoolean(5) === true && back(1).getBoolean(5) === false)
   }
 
+  test("writeSplit round-trips binary and struct columns (HF image shape)") {
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // the datasets-library Image feature is struct<bytes: binary, path:
+    // string> — the exact column an image dataset hands a training loader
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("raw", BinaryType, nullable = true),
+      StructField("image", StructType(Seq(
+        StructField("bytes", BinaryType, nullable = true),
+        StructField("path", StringType, nullable = true))), nullable = true)))
+    val rows = Seq(
+      Row(1L, Array[Byte](1, 2, 3), Row(Array[Byte](9, 8), "a.png")),
+      Row(2L, Array.emptyByteArray, Row(null, "b.png")),
+      Row(3L, null, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val tmp = java.nio.file.Files.createTempDirectory("arrow_struct").toString
+    ArrowDatasets.writeSplit(df, tmp)
+    val back = ArrowDatasets.readSplit(spark, tmp)
+    assert(back.schema === schema) // nullability survives the arrow header
+    val by = back.orderBy("id").collect()
+    assert(by(0).getAs[Array[Byte]](1).toSeq === Seq[Byte](1, 2, 3))
+    assert(by(0).getStruct(2).getAs[Array[Byte]](0).toSeq === Seq[Byte](9, 8))
+    assert(by(0).getStruct(2).getString(1) === "a.png")
+    assert(by(1).getAs[Array[Byte]](1).length === 0)
+    assert(by(1).getStruct(2).isNullAt(0))
+    assert(by(1).getStruct(2).getString(1) === "b.png")
+    assert(by(2).isNullAt(1) && by(2).isNullAt(2))
+  }
+
   test("readDatasetDict: splits from dataset_dict.json") {
     val dd = ArrowDatasets.readDatasetDict(spark, fixture)
     assert(dd.keySet === Set("train", "valid"))

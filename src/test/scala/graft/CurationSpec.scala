@@ -237,6 +237,30 @@ class CurationSpec extends SparkSpec {
     assert(out(5L) === "d\u00e9j\u00e0 vu")
   }
 
+  test("PII redaction and encoding repair run stateless in a stream") {
+    // both scrubs are pure codegen'd column expressions, so they lift into
+    // Structured Streaming with zero state — the shape an ingest-time
+    // scrub-before-land pipeline uses.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val out = stream.toDF().toDF("doc_id", "text")
+      .select($"doc_id", Curation.fixEncodingOf(
+        Curation.redactPii($"text")).as("clean"))
+    val q = out.writeStream.format("memory")
+      .queryName("scrub_stream").outputMode("append").start()
+    try {
+      stream.addData(
+        (1L, "mail me@x.org from cafÃ©"),
+        (2L, "host 10.1.2.3 fine"))
+      q.processAllAvailable()
+      val got = spark.table("scrub_stream").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got(1L) === "mail <EMAIL> from café")
+      assert(got(2L) === "host <IP> fine")
+    } finally q.stop()
+  }
+
   test("importance weights: target-like raw docs outscore alien ones") {
     val d = Seq(
       (1L, "apple banana cherry apple banana", "tgt"),

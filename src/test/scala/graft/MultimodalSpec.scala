@@ -211,6 +211,53 @@ class MultimodalSpec extends SparkSpec {
     assert(cells.map(_.gray).toSeq === Seq(0, 1, 1, 2))
   }
 
+  test("WAV 16-bit decode matches a JDK-side recomputation on random PCM") {
+    // randomized cross-validation: JDK encodes random samples; our decoder's
+    // frame features must equal a direct scala recomputation over the
+    // original sample array (windows s0 = f*n/k).
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 20) {
+      val n = 1 + rnd.nextInt(200)
+      val k = 1 + rnd.nextInt(6)
+      val samples = Array.fill(n)(rnd.nextInt(65536) - 32768)
+      val docs = Seq((trial.toLong, Multimodal.wavFile16(8000, samples)))
+        .toDF("doc_id", "wav")
+      val got = Multimodal.audioFrameFeatures(spark, docs, "doc_id", "wav", k)
+        .collect().sortBy(_.frame_no)
+      val kk = math.min(k, n)
+      assert(got.length === kk, s"trial $trial")
+      for (f <- 0 until kk) {
+        val s0 = (f.toLong * n / kk).toInt; val s1 = ((f + 1).toLong * n / kk).toInt
+        val w = samples.slice(s0, s1)
+        val nz = w.filter(_ != 0).map(Integer.signum)
+        val zc = nz.sliding(2).count(p => p.length == 2 && p(0) != p(1))
+        assert(got(f) === Multimodal.AudioFrame(trial.toLong, f, s1 - s0,
+          if (w.isEmpty) 0 else w.map(math.abs).max,
+          w.map(v => math.abs(v).toLong).sum, zc), s"trial $trial frame $f")
+      }
+    }
+  }
+
+  test("BMP decode matches JDK ImageIO on random dims and pixels") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 12) {
+      val w = 1 + rnd.nextInt(17)
+      val h = 1 + rnd.nextInt(13)
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rnd.nextInt(1 << 24))
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "bmp", out))
+      val Some((dw, dh, g)) = Multimodal.decodeBmpGray(out.toByteArray)
+      assert((dw, dh) === (w, h), s"trial $trial dims")
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        val want = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+          114 * (rgb & 0xff)) / 1000
+        assert(g(y * w + x) === want, s"trial $trial pixel ($x,$y)")
+      }
+    }
+  }
+
   test("featureStats rolls up per source; text counts zero detected media") {
     val docs = Seq((1L, "abc", "web"), (2L, "de", "web"))
       .toDF("doc_id", "text", "source")
