@@ -1168,6 +1168,29 @@ object OracleSqls {
         |  CAST(len(list_slice(w, ci * 30 + 1, ci * 30 + 40)) AS INTEGER) AS n_tokens
         |FROM ix""".stripMargin,
 
+    // weekly cohort retention: integer 7-day buckets from 2024-01-01
+    // (engine-portable — calendar week start conventions are not); DuckDB
+    // reads the nano parquet as micro TIMESTAMP, date-truncation matches
+    // the Spark side's pure nano Long division
+    "events_retention" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    (CAST(ts AS DATE) - DATE '2024-01-01') // 7 AS week
+        |  FROM events
+        |), c AS (
+        |  SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id
+        |), s AS (
+        |  SELECT cohort_week, count(*) AS cohort_size FROM c GROUP BY 1
+        |)
+        |SELECT CAST(c.cohort_week AS BIGINT) AS cohort_week,
+        |  CAST(uw.week - c.cohort_week AS BIGINT) AS week_offset,
+        |  CAST(count(DISTINCT uw.user_id) AS BIGINT) AS n_active,
+        |  CAST(s.cohort_size AS BIGINT) AS cohort_size
+        |FROM uw JOIN c USING (user_id)
+        |JOIN s ON s.cohort_week = c.cohort_week
+        |GROUP BY c.cohort_week, uw.week - c.cohort_week, s.cohort_size
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+
     // paragraph-level cross-doc dedup: non-overlapping 3-word windows,
     // md5-fingerprinted; histogram of windows recurring in > 1 doc
     "dedup_chunk_dups" ->

@@ -1043,6 +1043,10 @@ object Queries {
   def eventsSessions(spark: SparkSession, dir: String): DataFrame =
     Events.sessionStats(eventsT(spark, dir), gapSeconds = 21600L)
 
+  /** Weekly cohort retention matrix over the events stream. */
+  def eventsRetention(spark: SparkSession, dir: String): DataFrame =
+    Events.cohortRetention(eventsT(spark, dir))
+
   /** Flagship entry for the driver smoke check (sf0.001, rows > 0). */
   def entry(spark: SparkSession): DataFrame =
     j2OneHop(spark, "/root/testdata/sf0.001")
@@ -1159,6 +1163,7 @@ object Queries {
     "er_fuzzy_pairs" -> (erFuzzyPairs _),
     "profile_rollup" -> (profileRollup _),
     "events_json_props" -> (eventsJsonProps _),
-    "events_sessions" -> (eventsSessions _)
+    "events_sessions" -> (eventsSessions _),
+    "events_retention" -> (eventsRetention _)
   )
 }

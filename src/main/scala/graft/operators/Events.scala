@@ -255,4 +255,34 @@ object Events {
         col("c_ts") < col("e_ts") + expr(s"INTERVAL $windowSeconds SECONDS"))
       .select(col("user_id"), col("click_id"), col("error_id"))
   }
+
+  /** Weekly cohort retention (the growth-dashboard matrix): users grouped
+    * by first-activity week, then distinct active users per (cohort,
+    * week-offset) cell with the cohort size alongside. Weeks are integer
+    * 7-day buckets from `epochDay` (days since Unix epoch) computed with
+    * pure Long division over the nano timestamps — calendar week
+    * conventions (ISO vs Sunday-start) vary by engine, integer buckets do
+    * not.
+    *
+    * Scale shape: the per-(user, week) distinct is the only shuffle that
+    * sees event volume (map-side combinable); everything after runs on
+    * |users| and |cohorts| rows, and the cohort-size table broadcasts.
+    *
+    * Input: `ts` as int64 NANOSECONDS (the driver parquet under
+    * `nanosAsLong`). */
+  def cohortRetention(events: DataFrame, epochDay: Long = 19723L): DataFrame = {
+    val week = expr(s"((ts div 86400000000000) - $epochDay) div 7")
+    val uw = events.select(col("user_id"), week.as("week")).distinct()
+    val cohort = uw.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    val sizes = cohort.groupBy("cohort_week")
+      .agg(count(lit(1)).as("cohort_size"))
+    uw.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count_distinct(col("user_id")).as("n_active"))
+      .join(broadcast(sizes), Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        col("cohort_size"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
 }

@@ -305,4 +305,23 @@ class EventsSpec extends SparkSpec {
       assert(rows === Set((100L, 900L)))
     } finally q.stop()
   }
+
+  test("cohortRetention: offsets from first-activity week, sizes alongside") {
+    import spark.implicits._
+    val day = 86400000000000L // nanos
+    val ev = Seq(
+      (1L, 0L * day + 5L),  // u1: weeks 0 and 1 → cohort 0
+      (1L, 8L * day),
+      (2L, 1L * day),       // u2: week 0 only → cohort 0
+      (3L, 7L * day),       // u3: weeks 1 and 3 → cohort 1
+      (3L, 21L * day))
+      .toDF("user_id", "ts")
+    val out = Events.cohortRetention(ev, epochDay = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (0L, 0L, 2L, 2L),  // cohort 0: both users active in week 0
+      (0L, 1L, 1L, 2L),  // only u1 returns in week 1
+      (1L, 0L, 1L, 1L),
+      (1L, 2L, 1L, 1L))) // u3 returns two weeks after its cohort week
+  }
 }
