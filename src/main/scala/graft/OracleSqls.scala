@@ -521,6 +521,8 @@ object OracleSqls {
 
     "graph_lpa" -> withGraph(lpaSql(iters = 3)),
 
+    "graph_walks" -> withGraph(walksSql(steps = 3)),
+
     // degree-oriented triangle counting over the small-part co-occurrence
     // graph (mirrors Queries.graphTriangles + GraphAlgorithms
     // .triangleHistogram: orientation low->high by (degree, id), each
@@ -2028,6 +2030,37 @@ object OracleSqls {
        |FROM (SELECT DISTINCT a FROM adj$iters) s
        |JOIN nodes n ON s.a = n.nodeId
        |GROUP BY n.label""".stripMargin
+  }
+
+  /** Derandomized DeepWalk unrolled (mirrors GraphAlgorithms
+    * .deterministicWalks: neighbor rank by id order, choice =
+    * md5("<start>_<c>_<t>") via the shared 60-bit hex-prefix family,
+    * modulo degree). */
+  private def walksSql(steps: Int): String = {
+    val stepCtes = (1 to steps).map { t =>
+      s"""wk$t AS MATERIALIZED (
+         |  SELECT w.start, r.b AS c FROM wk${t - 1} w
+         |  JOIN adjw r ON r.a = w.c AND r.rnk =
+         |    (('0x' || substr(md5(w.start || '_' || w.c || '_' || $t),
+         |      1, 15))::BIGINT) % r.deg
+         |)""".stripMargin
+    }.mkString(",\n")
+    val unioned = (0 to steps)
+      .map(t => s"SELECT $t AS step, start, c FROM wk$t")
+      .mkString("\nUNION ALL\n")
+    s""", adjw AS MATERIALIZED (
+       |  SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY b) - 1 AS rnk,
+       |    count(*) OVER (PARTITION BY a) AS deg
+       |  FROM (SELECT DISTINCT a, b FROM bidir)
+       |),
+       |wk0 AS (SELECT nodeId AS start, nodeId AS c FROM nodes),
+       |$stepCtes,
+       |allsteps AS ($unioned)
+       |SELECT CAST(step AS INTEGER) AS step,
+       |  CAST(count(*) AS BIGINT) AS n_walks,
+       |  CAST(count(DISTINCT c) AS BIGINT) AS n_nodes,
+       |  CAST(sum(c) AS BIGINT) AS sum_node
+       |FROM allsteps GROUP BY step ORDER BY step""".stripMargin
   }
 
   /** Synchronous LPA unrolled (mirrors GraphAlgorithms

@@ -285,6 +285,10 @@ object Queries {
   def graphKcore(spark: SparkSession, dir: String): DataFrame =
     graft.graph.GraphAlgorithms.kCoreSizes(graph(spark, dir), k = 3, iters = 6)
 
+  /** Derandomized DeepWalk corpus (3 steps): per-step transition stats. */
+  def graphWalks(spark: SparkSession, dir: String): DataFrame =
+    graft.graph.GraphAlgorithms.deterministicWalks(graph(spark, dir), steps = 3)
+
   /** Deterministic synchronous label propagation (3 rounds): community-size
     * histogram over the TPC-H graph. */
   def graphLpa(spark: SparkSession, dir: String): DataFrame =
@@ -1090,6 +1094,7 @@ object Queries {
     "gx_components" -> (gxComponents _),
     "graph_kcore" -> (graphKcore _),
     "graph_lpa" -> (graphLpa _),
+    "graph_walks" -> (graphWalks _),
     "graph_triangles" -> (graphTriangles _),
     "graph_bfs_dist" -> (graphBfsDist _),
     "graph_ppr" -> (graphPpr _),

@@ -221,6 +221,59 @@ object GraphAlgorithms {
       .groupBy("n_nodes").agg(count(lit(1)).as("n_communities"))
   }
 
+  /** DeepWalk-style walk corpus, derandomized: one walk starts at every
+    * node and at step `t` moves from node `c` to the neighbor whose rank
+    * (neighbors ordered by id) equals `md5("<start>_<c>_<t>") % degree` —
+    * a hash-seeded choice that is uniform-ish like the sampled walk the
+    * embedding literature uses, but reproducible across engines, runs, and
+    * cluster sizes (the property a TRAINING corpus needs: regenerating it
+    * must yield the same sequences). Walks from isolated nodes end at step
+    * 0. Returns per-step corpus stats (n_walks, n_nodes, sum_node) — the
+    * transition-exactness signal an oracle can replay.
+    *
+    * Scale shape: the ranked adjacency is built once (one window over the
+    * edge list) and each step is ONE equi-join keyed on (node, chosen
+    * rank) — the pick is computed from the degree table BEFORE the join,
+    * so hub nodes never fan out candidate rows. Walk state is O(V) per
+    * step, shuffled on the current node exactly like distributed DeepWalk.
+    */
+  def walkCorpus(g: PropertyGraph, steps: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val adj = g.bidir.select(col("a"), col("b")).distinct()
+    val ranked = adj.select(col("a"), col("b"),
+        (row_number().over(Window.partitionBy(col("a")).orderBy(col("b"))) - 1)
+          .cast("long").as("rnk"),
+        count(lit(1)).over(Window.partitionBy(col("a"))).as("deg"))
+      .localCheckpoint(true) // reused every step
+    val degT = ranked.select(col("a"), col("deg")).distinct()
+    var cur = g.nodes.select(col("nodeId").as("start"), col("nodeId").as("c"))
+    var acc = cur.select(col("start"), col("c"), lit(0).as("step"))
+    for (t <- 1 to steps) {
+      val h = graft.operators.Dedup.md5Long(concat(
+        col("start").cast("string"), lit("_"),
+        col("c").cast("string"), lit("_"), lit(t.toString)))
+      val picked = cur.as("w").join(degT.as("d"), col("w.c") === col("d.a"))
+        .select(col("w.start").as("start"), col("w.c").as("c"),
+          pmod(h, col("d.deg")).as("pick"))
+      cur = picked.as("p").join(ranked.as("r"),
+          col("p.c") === col("r.a") && col("p.pick") === col("r.rnk"))
+        .select(col("p.start").as("start"), col("r.b").as("c"))
+        .localCheckpoint(true)
+      acc = acc.unionByName(cur.select(col("start"), col("c"), lit(t).as("step")))
+    }
+    acc
+  }
+
+  /** [[walkCorpus]] rolled up per step — the transition-exactness signal
+    * the oracle replays. */
+  def deterministicWalks(g: PropertyGraph, steps: Int): DataFrame =
+    walkCorpus(g, steps)
+      .groupBy("step")
+      .agg(count(lit(1)).as("n_walks"),
+        count_distinct(col("c")).as("n_nodes"),
+        sum(col("c")).as("sum_node"))
+      .orderBy("step")
+
   def kCoreSizes(g: PropertyGraph, k: Int, iters: Int): DataFrame = {
     // DELTA peeling: degrees are counted over the full edge set ONCE;
     // each later round only subtracts the edges lost to the nodes that

@@ -81,6 +81,31 @@ class GraphAlgorithmsSpec extends SparkSpec {
     assert(out === Map(1L -> 3L))
   }
 
+  test("walk corpus: valid transitions, isolated walks end, deterministic") {
+    val graph = g(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)),
+      Seq(1L -> "A", 2L -> "A", 3L -> "A", 4L -> "A", 9L -> "A")) // 9 isolated
+    val und = Set((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .flatMap { case (a, b) => Set(a -> b, b -> a) }
+    val walks = GraphAlgorithms.walkCorpus(graph, steps = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val byWalk = walks.groupBy(_._1).map { case (s, xs) =>
+      s -> xs.sortBy(_._3).map(_._2).toSeq }
+    // isolated node: step-0 row only
+    assert(byWalk(9L) === Seq(9L))
+    // connected nodes: full 4-node paths whose every hop is a real edge
+    for (s <- Seq(1L, 2L, 3L, 4L)) {
+      val path = byWalk(s)
+      assert(path.length === 4, s"walk $s")
+      path.sliding(2).foreach { p =>
+        assert(und.contains(p(0) -> p(1)), s"walk $s hop $p not an edge")
+      }
+    }
+    // deterministic: a second run yields the identical corpus
+    val again = GraphAlgorithms.walkCorpus(graph, steps = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(walks.sorted.toSeq === again.sorted.toSeq)
+  }
+
   test("triangle histogram: two triangles sharing an edge") {
     // triangles {1,2,3} and {2,3,4} share edge 2-3: nodes 2,3 are in two
     // triangles each, nodes 1,4 in one each -> histogram {1 -> 2, 2 -> 2}

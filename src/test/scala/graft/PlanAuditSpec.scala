@@ -40,6 +40,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), "corpus side must not shuffle-join")
   }
 
+  test("curate_dsir broadcasts the bucket-ratio table to the token stream") {
+    // the 100 TB contract: the dim-row ratio table ships to the corpus
+    // scan; a sort-merge join would shuffle the full token stream on slot
+    val plan = SparkEntry.queries("curate_dsir")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "ratio table must broadcast")
+    assert(!plan.contains("SortMergeJoin"), "token stream must not shuffle-join")
+  }
+
+  test("events_retention broadcasts cohort sizes; scrubs stay joinless") {
+    val plan = SparkEntry.queries("events_retention")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "cohort sizes must broadcast")
+    val pii = SparkEntry.queries("curate_pii")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!pii.contains("Join"), "PII audit is a pure scan + rollup")
+    val enc = SparkEntry.queries("curate_fix_encoding")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!enc.contains("Join"), "encoding audit is a pure scan + rollup")
+  }
+
   test("curate_hash_split plans as a joinless narrow scan + one aggregate") {
     // split assignment is a pure per-row map: any join or window in this
     // plan means the md5-bucket design regressed into something stateful
