@@ -523,6 +523,8 @@ object OracleSqls {
 
     "graph_walks" -> withGraph(walksSql(steps = 3)),
 
+    "graph_skipgrams" -> withGraph(skipgramSql(steps = 3, window = 2)),
+
     // degree-oriented triangle counting over the small-part co-occurrence
     // graph (mirrors Queries.graphTriangles + GraphAlgorithms
     // .triangleHistogram: orientation low->high by (degree, id), each
@@ -2061,6 +2063,42 @@ object OracleSqls {
        |  CAST(count(DISTINCT c) AS BIGINT) AS n_nodes,
        |  CAST(sum(c) AS BIGINT) AS sum_node
        |FROM allsteps GROUP BY step ORDER BY step""".stripMargin
+  }
+
+  /** Skip-gram pairs over the unrolled walks: forward (center, context)
+    * pairs at step distance 1..window, multiplicity histogram. */
+  private def skipgramSql(steps: Int, window: Int): String = {
+    val stepCtes = (1 to steps).map { t =>
+      s"""wk$t AS MATERIALIZED (
+         |  SELECT w.start, r.b AS c FROM wk${t - 1} w
+         |  JOIN adjw r ON r.a = w.c AND r.rnk =
+         |    (('0x' || substr(md5(w.start || '_' || w.c || '_' || $t),
+         |      1, 15))::BIGINT) % r.deg
+         |)""".stripMargin
+    }.mkString(",\n")
+    val unioned = (0 to steps)
+      .map(t => s"SELECT $t AS step, start, c FROM wk$t")
+      .mkString("\nUNION ALL\n")
+    s""", adjw AS MATERIALIZED (
+       |  SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY b) - 1 AS rnk,
+       |    count(*) OVER (PARTITION BY a) AS deg
+       |  FROM (SELECT DISTINCT a, b FROM bidir)
+       |),
+       |wk0 AS (SELECT nodeId AS start, nodeId AS c FROM nodes),
+       |$stepCtes,
+       |allsteps AS ($unioned),
+       |pairs AS (
+       |  SELECT x.c AS center, y.c AS context, count(*) AS n_pairs
+       |  FROM allsteps x JOIN allsteps y
+       |    ON x.start = y.start AND y.step > x.step
+       |   AND y.step <= x.step + $window
+       |  GROUP BY x.c, y.c
+       |)
+       |SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+       |  CAST(count(*) AS BIGINT) AS n_distinct_pairs,
+       |  CAST(sum(center) AS BIGINT) AS sum_center,
+       |  CAST(sum(context) AS BIGINT) AS sum_context
+       |FROM pairs GROUP BY n_pairs ORDER BY n_pairs""".stripMargin
   }
 
   /** Synchronous LPA unrolled (mirrors GraphAlgorithms

@@ -289,6 +289,17 @@ object Queries {
   def graphWalks(spark: SparkSession, dir: String): DataFrame =
     graft.graph.GraphAlgorithms.deterministicWalks(graph(spark, dir), steps = 3)
 
+  /** Skip-gram (center, context) pairs from the derandomized walks,
+    * rolled up as a multiplicity histogram with id checksums. */
+  def graphSkipgrams(spark: SparkSession, dir: String): DataFrame =
+    graft.graph.GraphAlgorithms.skipGramPairs(graph(spark, dir),
+        steps = 3, window = 2)
+      .groupBy("n_pairs")
+      .agg(count(lit(1)).as("n_distinct_pairs"),
+        sum(col("center")).as("sum_center"),
+        sum(col("context")).as("sum_context"))
+      .orderBy("n_pairs")
+
   /** Deterministic synchronous label propagation (3 rounds): community-size
     * histogram over the TPC-H graph. */
   def graphLpa(spark: SparkSession, dir: String): DataFrame =
@@ -1095,6 +1106,7 @@ object Queries {
     "graph_kcore" -> (graphKcore _),
     "graph_lpa" -> (graphLpa _),
     "graph_walks" -> (graphWalks _),
+    "graph_skipgrams" -> (graphSkipgrams _),
     "graph_triangles" -> (graphTriangles _),
     "graph_bfs_dist" -> (graphBfsDist _),
     "graph_ppr" -> (graphPpr _),

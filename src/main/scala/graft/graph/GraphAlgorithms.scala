@@ -264,6 +264,25 @@ object GraphAlgorithms {
     acc
   }
 
+  /** Skip-gram training pairs from the walk corpus — the second half of
+    * the DeepWalk recipe: within each walk, every ordered (center,
+    * context) node pair at step distance 1..`window` becomes a training
+    * example; pairs aggregate to (center, context, n_pairs) counts (the
+    * co-occurrence table an embedding trainer consumes, or a GNN uses as
+    * positive edges). One self-join keyed on the walk id with a bounded
+    * step-band predicate — walk length is a constant, so per-walk fan-out
+    * is O(steps·window), never data-dependent. */
+  def skipGramPairs(g: PropertyGraph, steps: Int, window: Int): DataFrame = {
+    val walks = walkCorpus(g, steps).localCheckpoint(true)
+    walks.as("x").join(walks.as("y"),
+        col("x.start") === col("y.start") &&
+        col("y.step") > col("x.step") &&
+        col("y.step") <= col("x.step") + window)
+      .select(col("x.c").as("center"), col("y.c").as("context"))
+      .groupBy("center", "context")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** [[walkCorpus]] rolled up per step — the transition-exactness signal
     * the oracle replays. */
   def deterministicWalks(g: PropertyGraph, steps: Int): DataFrame =

@@ -106,6 +106,27 @@ class GraphAlgorithmsSpec extends SparkSpec {
     assert(walks.sorted.toSeq === again.sorted.toSeq)
   }
 
+  test("skip-gram pairs: 5 banded pairs per full-length walk, none isolated") {
+    val graph = g(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)),
+      Seq(1L -> "A", 2L -> "A", 3L -> "A", 4L -> "A", 9L -> "A"))
+    val pairs = GraphAlgorithms.skipGramPairs(graph, steps = 3, window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // 4 connected walks × C(steps, window)-banded pairs
+    // ((0,1),(0,2),(1,2),(1,3),(2,3)) = 5 each; isolated node 9 contributes
+    // nothing and never appears
+    assert(pairs.map(_._3).sum === 20L)
+    assert(!pairs.exists(p => p._1 == 9L || p._2 == 9L))
+    // distance-1 pairs are a subset of real edges — check via the corpus
+    val walks = GraphAlgorithms.walkCorpus(graph, steps = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .groupBy(_._1).map { case (s, xs) => s -> xs.sortBy(_._3).map(_._2) }
+    val adjacentPairs = walks.values.filter(_.length == 4)
+      .flatMap(p => p.sliding(2).map(w => (w(0), w(1)))).toSet
+    val und = Set((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .flatMap { case (a, b) => Set(a -> b, b -> a) }
+    assert(adjacentPairs.subsetOf(und))
+  }
+
   test("triangle histogram: two triangles sharing an edge") {
     // triangles {1,2,3} and {2,3,4} share edge 2-3: nodes 2,3 are in two
     // triangles each, nodes 1,4 in one each -> histogram {1 -> 2, 2 -> 2}
