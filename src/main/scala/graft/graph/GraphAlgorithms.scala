@@ -240,12 +240,17 @@ object GraphAlgorithms {
   def walkCorpus(g: PropertyGraph, steps: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val adj = g.bidir.select(col("a"), col("b")).distinct()
+    // both window columns share partition AND order spec (the count takes
+    // an explicit whole-partition frame), so Catalyst fuses them into ONE
+    // Window operator — one sort pass over the edge list, not two
+    val byA = Window.partitionBy(col("a")).orderBy(col("b"))
     val ranked = adj.select(col("a"), col("b"),
-        (row_number().over(Window.partitionBy(col("a")).orderBy(col("b"))) - 1)
-          .cast("long").as("rnk"),
-        count(lit(1)).over(Window.partitionBy(col("a"))).as("deg"))
+        (row_number().over(byA) - 1).cast("long").as("rnk"),
+        count(lit(1)).over(byA.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)).as("deg"))
       .localCheckpoint(true) // reused every step
     val degT = ranked.select(col("a"), col("deg")).distinct()
+      .localCheckpoint(true) // probed every step — don't re-shuffle per step
     var cur = g.nodes.select(col("nodeId").as("start"), col("nodeId").as("c"))
     var acc = cur.select(col("start"), col("c"), lit(0).as("step"))
     for (t <- 1 to steps) {
