@@ -1272,6 +1272,38 @@ object OracleSqls {
         |  FROM cand JOIN sh a ON cand.id1 = a.doc_id JOIN sh b ON cand.id2 = b.doc_id)
         |WHERE jac >= 0.5""".stripMargin,
 
+    // incremental probe: batch = doc_id%10=0, index = the rest; candidates
+    // share a band signature; agree = matching-component fraction of the
+    // two stored 16-hash signatures (k/16 — exact binary fractions)
+    "dedup_incremental_probe" -> s"""$shingleCte,
+        |post AS (
+        |  SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+        |  FROM (SELECT doc_id, unnest(s) AS shingle FROM sh)
+        |), seeds AS (
+        |  SELECT seed, ('0x' || substr(md5(CAST(seed AS VARCHAR)), 1, 15))::BIGINT AS c
+        |  FROM (SELECT unnest(range(16)) AS seed)
+        |), mh AS (
+        |  SELECT doc_id, seed, min(xor(h, c)) AS mh
+        |  FROM post CROSS JOIN seeds GROUP BY doc_id, seed
+        |), bk AS (
+        |  SELECT doc_id, CAST(floor(seed / 4) AS INT) AS band,
+        |    md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS sig
+        |  FROM mh GROUP BY doc_id, CAST(floor(seed / 4) AS INT)
+        |), cand AS (
+        |  SELECT DISTINCT p.doc_id AS new_id, x.doc_id AS old_id
+        |  FROM bk p JOIN bk x ON p.band = x.band AND p.sig = x.sig
+        |  WHERE p.doc_id % 10 = 0 AND x.doc_id % 10 <> 0
+        |)
+        |SELECT new_id, old_id, agree FROM (
+        |  SELECT new_id, old_id,
+        |    round(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) * 1.0 / 16, 6)
+        |      AS agree
+        |  FROM cand
+        |  JOIN mh a ON a.doc_id = new_id
+        |  JOIN mh b ON b.doc_id = old_id AND b.seed = a.seed
+        |  GROUP BY new_id, old_id)
+        |WHERE agree >= 0.5""".stripMargin,
+
     "dedup_clusters" -> s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
         |post AS (
         |  SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h

@@ -823,6 +823,19 @@ object Queries {
   def curateRebalance(spark: SparkSession, dir: String): DataFrame =
     Curation.rebalanceWeights(T(spark, dir, "documents"))
 
+  /** Incremental near-dup: every 10th doc arrives as the "new batch" and
+    * probes the band index built over the other 90% — signature-agreement
+    * verification, corpus text untouched. */
+  def dedupIncrementalProbe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T(spark, dir, "documents")
+    val corpus = docs.where(pmod(col("doc_id"), lit(10L)) =!= 0)
+    val batch = docs.where(pmod(col("doc_id"), lit(10L)) === 0)
+    val index = Dedup.minhashBandIndex(corpus, "doc_id", "text",
+      n = 3, numHashes = 16, numBands = 4)
+    Dedup.probeNearDups(index, batch, "doc_id", "text",
+      n = 3, numHashes = 16, numBands = 4, minAgree = 0.5)
+  }
+
   /** Paragraph-level cross-doc dedup audit: 3-word windows recurring in
     * more than one document, bucketed by reach. */
   def dedupChunkDups(spark: SparkSession, dir: String): DataFrame =
@@ -1136,6 +1149,7 @@ object Queries {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_chunk_dups" -> (dedupChunkDups _),
+    "dedup_incremental_probe" -> (dedupIncrementalProbe _),
     "dedup_simhash_near" -> (dedupSimhashNear _),
     "dedup_semantic" -> (dedupSemantic _),
     "corpus_clean" -> (corpusClean _),

@@ -478,6 +478,53 @@ object Dedup {
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
   }
 
+  /** MinHash band index of a corpus — the PERSISTED artifact of the
+    * daily-ingest near-dup path: (band, sig, doc_id, mhs) rows, one per
+    * (doc, band), carrying the full signature so later probes can
+    * Jaccard-estimate WITHOUT ever touching the corpus text again. At
+    * 100 TB this is written once, bucketed by (band, sig), exactly like
+    * the other write-once layouts; `maxBucket` callers apply the same
+    * HAVING-count valve the batch path uses when materializing. */
+  def minhashBandIndex(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, numHashes: Int, numBands: Int): DataFrame = {
+    val sigs = minhashSignatures(shingleSets(docs, idCol, textCol, n), numHashes)
+    val rowsPerBand = numHashes / numBands
+    val mharr = array((0 until numHashes).map(i => col(s"mh_$i")): _*)
+    val bands = (0 until numBands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh_$i"))
+      struct(lit(b).as("band"), md5(concat_ws(",", cols: _*)).as("sig"))
+    }
+    sigs.select(col("doc_id"), mharr.as("mhs"), explode(array(bands: _*)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.sig").as("sig"),
+        col("doc_id"), col("mhs"))
+  }
+
+  /** Incremental near-dup: probe NEW documents against a persisted
+    * [[minhashBandIndex]] — the shape that makes near-dup tractable when
+    * 1 TB arrives daily against a 100 TB corpus: only the batch is
+    * shingled and signed; candidates come from ONE equi-join on the band
+    * signature; and verification is the matching-component fraction of
+    * the two stored signatures (the unbiased MinHash Jaccard estimator),
+    * so the existing corpus is never rescanned, not even for verify.
+    * Returns (new_id, old_id, agree) with agree ≥ `minAgree`; agree is
+    * k/numHashes — exact binary fractions when numHashes is a power of
+    * two, so the value is engine-portable. */
+  def probeNearDups(index: DataFrame, newDocs: DataFrame, idCol: String,
+                    textCol: String, n: Int, numHashes: Int, numBands: Int,
+                    minAgree: Double): DataFrame = {
+    val probe = minhashBandIndex(newDocs, idCol, textCol, n, numHashes, numBands)
+    probe.as("p").join(index.as("x"),
+        col("p.band") === col("x.band") && col("p.sig") === col("x.sig"))
+      .select(col("p.doc_id").as("new_id"), col("x.doc_id").as("old_id"),
+        col("p.mhs").as("pm"), col("x.mhs").as("xm"))
+      .dropDuplicates("new_id", "old_id")
+      .select(col("new_id"), col("old_id"),
+        round(aggregate(
+          zip_with(col("pm"), col("xm"), (a, b) => when(a === b, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numHashes, 6).as("agree"))
+      .where(col("agree") >= minAgree)
+  }
+
   /** Paragraph-level cross-document dedup — the C4 duplicate-line-removal
     * analog for corpora without line structure: documents are cut into
     * non-overlapping `chunkSize`-word windows ([[TextOps.chunkDocs]] with

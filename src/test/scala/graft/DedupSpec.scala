@@ -329,6 +329,24 @@ class DedupSpec extends SparkSpec {
     assert(v === 419982666956583591L)
   }
 
+  test("probeNearDups finds batch dups via the index, never rescans text") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"), // = doc 1
+      (11L, "totally different words nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val index = Dedup.minhashBandIndex(corpus, "doc_id", "text",
+      n = 3, numHashes = 16, numBands = 4)
+    val hits = Dedup.probeNearDups(index, batch, "doc_id", "text",
+        n = 3, numHashes = 16, numBands = 4, minAgree = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // identical text → identical signature → agree 1.0 against doc 1 only
+    assert(hits.toSeq === Seq((10L, 1L, 1.0)))
+  }
+
   test("chunkDupStats reports only cross-doc windows, not within-doc repeats") {
     val d = Seq(
       (1L, "a b c x y z"),       // "a b c" + "x y z"
