@@ -233,8 +233,10 @@ object GraphAlgorithms {
     *
     * Scale shape: the ranked adjacency is built once (one window over the
     * edge list) and each step is ONE equi-join keyed on (node, chosen
-    * rank) — the pick is computed from the degree table BEFORE the join,
-    * so hub nodes never fan out candidate rows. Walk state is O(V) per
+    * rank): the destination's degree is attached to the adjacency up
+    * front, so the walk state carries deg(c) forward and the pick is
+    * computed BEFORE the join — hub nodes never fan out candidate rows,
+    * and no per-step degree lookup is needed. Walk state is O(V) per
     * step, shuffled on the current node exactly like distributed DeepWalk.
     */
   def walkCorpus(g: PropertyGraph, steps: Int): DataFrame = {
@@ -244,25 +246,33 @@ object GraphAlgorithms {
     // an explicit whole-partition frame), so Catalyst fuses them into ONE
     // Window operator — one sort pass over the edge list, not two
     val byA = Window.partitionBy(col("a")).orderBy(col("b"))
-    val ranked = adj.select(col("a"), col("b"),
+    val ranked0 = adj.select(col("a"), col("b"),
         (row_number().over(byA) - 1).cast("long").as("rnk"),
         count(lit(1)).over(byA.rowsBetween(
           Window.unboundedPreceding, Window.unboundedFollowing)).as("deg"))
+      .localCheckpoint(true) // one sort pass, reused below
+    val degT = ranked0.where(col("rnk") === 0).select(col("a").as("n"),
+      col("deg").as("ndeg")) // one row per node carrying an edge
+    // deg(b) rides along with each edge so a step's output IS the next
+    // step's complete input — this join happens once, not once per step
+    val ranked = ranked0.as("r").join(degT.as("d"), col("r.b") === col("d.n"))
+      .select(col("r.a").as("a"), col("r.b").as("b"), col("r.rnk").as("rnk"),
+        col("d.ndeg").as("deg_b"))
       .localCheckpoint(true) // reused every step
-    val degT = ranked.select(col("a"), col("deg")).distinct()
-      .localCheckpoint(true) // probed every step — don't re-shuffle per step
-    var cur = g.nodes.select(col("nodeId").as("start"), col("nodeId").as("c"))
-    var acc = cur.select(col("start"), col("c"), lit(0).as("step"))
+    val nodes = g.nodes.select(col("nodeId").as("start"), col("nodeId").as("c"))
+    var cur = nodes.join(degT, col("c") === col("n"))
+      .select(col("start"), col("c"), col("ndeg").as("deg"))
+    var acc = nodes.select(col("start"), col("c"), lit(0).as("step"))
     for (t <- 1 to steps) {
       val h = graft.operators.Dedup.md5Long(concat(
         col("start").cast("string"), lit("_"),
         col("c").cast("string"), lit("_"), lit(t.toString)))
-      val picked = cur.as("w").join(degT.as("d"), col("w.c") === col("d.a"))
-        .select(col("w.start").as("start"), col("w.c").as("c"),
-          pmod(h, col("d.deg")).as("pick"))
+      val picked = cur.select(col("start"), col("c"),
+        pmod(h, col("deg")).as("pick"))
       cur = picked.as("p").join(ranked.as("r"),
           col("p.c") === col("r.a") && col("p.pick") === col("r.rnk"))
-        .select(col("p.start").as("start"), col("r.b").as("c"))
+        .select(col("p.start").as("start"), col("r.b").as("c"),
+          col("r.deg_b").as("deg"))
         .localCheckpoint(true)
       acc = acc.unionByName(cur.select(col("start"), col("c"), lit(t).as("step")))
     }
