@@ -521,6 +521,27 @@ object OracleSqls {
 
     "graph_lpa" -> withGraph(lpaSql(iters = 3)),
 
+    // link prediction: wedge-enumerated candidates through hub-capped
+    // shared neighbors (deg(z) <= 64, mirrored semantics); RA summed in
+    // integer micro-units so the sum is order-independent
+    "graph_link_pred" -> withGraph(""", adj AS (SELECT DISTINCT a, b FROM bidir),
+      |deg AS (SELECT a, count(*) AS deg FROM adj GROUP BY a),
+      |zadj AS (
+      |  SELECT e.a AS z, e.b AS n, d.deg AS deg_z
+      |  FROM adj e JOIN deg d ON e.a = d.a WHERE d.deg <= 64),
+      |scored AS (
+      |  SELECT l.n AS a, r.n AS b, count(*) AS cn,
+      |    sum(CAST(floor(1000000 / l.deg_z) AS BIGINT)) AS ra_micro
+      |  FROM zadj l JOIN zadj r ON l.z = r.z AND l.n < r.n
+      |  GROUP BY l.n, r.n)
+      |SELECT s.a, s.b, s.cn,
+      |  round(s.cn * 1.0 / (da.deg + db.deg - s.cn), 6) AS jac, s.ra_micro
+      |FROM scored s
+      |JOIN deg da ON s.a = da.a
+      |JOIN deg db ON s.b = db.a
+      |WHERE NOT EXISTS (SELECT 1 FROM adj e WHERE e.a = s.a AND e.b = s.b)
+      |ORDER BY s.cn DESC, s.ra_micro DESC, s.a, s.b LIMIT 20""".stripMargin),
+
     "graph_walks" -> withGraph(walksSql(steps = 3)),
 
     "graph_skipgrams" -> withGraph(skipgramSql(steps = 3, window = 2)),

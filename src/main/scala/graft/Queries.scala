@@ -285,6 +285,11 @@ object Queries {
   def graphKcore(spark: SparkSession, dir: String): DataFrame =
     graft.graph.GraphAlgorithms.kCoreSizes(graph(spark, dir), k = 3, iters = 6)
 
+  /** Top-20 predicted links by neighborhood scores (hub-capped wedges). */
+  def graphLinkPred(spark: SparkSession, dir: String): DataFrame =
+    graft.graph.GraphAlgorithms.linkPredictionTopK(graph(spark, dir),
+      maxHubDeg = 64, k = 20)
+
   /** Derandomized DeepWalk corpus (3 steps): per-step transition stats. */
   def graphWalks(spark: SparkSession, dir: String): DataFrame =
     graft.graph.GraphAlgorithms.deterministicWalks(graph(spark, dir), steps = 3)
@@ -1118,6 +1123,7 @@ object Queries {
     "gx_components" -> (gxComponents _),
     "graph_kcore" -> (graphKcore _),
     "graph_lpa" -> (graphLpa _),
+    "graph_link_pred" -> (graphLinkPred _),
     "graph_walks" -> (graphWalks _),
     "graph_skipgrams" -> (graphSkipgrams _),
     "graph_triangles" -> (graphTriangles _),

@@ -361,4 +361,50 @@ object GraphAlgorithms {
     members.join(g.nodes, col("a") === col("nodeId"))
       .groupBy("label").agg(count(lit(1)).as("n_core"))
   }
+
+  /** Link prediction over the undirected graph: for every NON-edge pair
+    * sharing at least one common neighbor, the three classic
+    * neighborhood scores — common-neighbor count `cn`, Jaccard
+    * `cn / (deg(a) + deg(b) - cn)`, and the resource-allocation index
+    * `sum over common z of 1/deg(z)` (Zhou et al.'s RA — Adamic-Adar's
+    * log-free sibling, chosen because 1/deg is an exact rational where
+    * 1/ln(deg) is not engine-portable). RA is summed in integer
+    * micro-units (`floor(1e6/deg)`) so the sum is order-independent.
+    *
+    * Scale shape: candidate pairs come from wedge enumeration — the
+    * adjacency self-joined on the shared neighbor z — which is sum(deg²)
+    * and unbounded under skew, so z is HUB-CAPPED at `maxHubDeg` (part of
+    * the semantics, mirrored by the oracle, like Dedup's `maxPostings`):
+    * a neighbor shared with half the graph carries no signal and would
+    * dominate the join. Degrees in the Jaccard denominator stay UNcapped.
+    * Returns the top `k` pairs by (cn, ra_micro, a, b) — deterministic
+    * because (a, b) is unique per pair.
+    */
+  def linkPredictionTopK(g: PropertyGraph, maxHubDeg: Int, k: Int): DataFrame = {
+    val adj = g.bidir.select(col("a"), col("b")).distinct()
+      .localCheckpoint(true) // wedge sides + anti-join probe + degrees
+    val deg = adj.groupBy("a").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val zAdj = adj.as("e").join(deg.as("d"), col("e.a") === col("d.a"))
+      .where(col("d.deg") <= maxHubDeg)
+      .select(col("e.a").as("z"), col("e.b").as("n"), col("d.deg").as("deg_z"))
+    val scored = zAdj.as("l").join(zAdj.as("r"),
+        col("l.z") === col("r.z") && col("l.n") < col("r.n"))
+      .select(col("l.n").as("a"), col("r.n").as("b"), col("l.deg_z").as("deg_z"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("cn"),
+        sum(floor(lit(1000000L) / col("deg_z")).cast("long")).as("ra_micro"))
+    val degN = deg.select(col("a").as("n"), col("deg"))
+    scored
+      .join(adj.select(col("a").as("ea"), col("b").as("eb")),
+        col("a") === col("ea") && col("b") === col("eb"), "left_anti")
+      .join(degN.as("da"), col("a") === col("da.n"))
+      .join(degN.as("db"), col("b") === col("db.n"))
+      .select(col("a"), col("b"), col("cn"),
+        round(col("cn").cast("double") /
+          (col("da.deg") + col("db.deg") - col("cn")), 6).as("jac"),
+        col("ra_micro"))
+      .orderBy(col("cn").desc, col("ra_micro").desc, col("a"), col("b"))
+      .limit(k)
+  }
 }

@@ -285,4 +285,30 @@ class GraphAlgorithmsSpec extends SparkSpec {
     assert(at6 === at8, "6 peeling rounds must already be the fixed point")
     assert(at6.nonEmpty)
   }
+
+  test("link prediction scores a path's endpoints, hand-derived") {
+    // path 1-2-3: the only non-edge pair with a shared neighbor is (1,3)
+    // through z=2 (deg 2): cn=1, jac = 1/(1+1-1) = 1, ra = floor(1e6/2)
+    val graph = g(Seq((1L, 2L), (2L, 3L)),
+      Seq(1L -> "A", 2L -> "A", 3L -> "A"))
+    val out = GraphAlgorithms.linkPredictionTopK(graph, maxHubDeg = 64, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(out.toSeq === Seq((1L, 3L, 1L, 1.0, 500000L)))
+  }
+
+  test("link prediction hub cap suppresses wedges; existing edges excluded") {
+    // star: hub 10 (deg 5) joined to 1..5, plus a real edge 1-2
+    val graph = g(Seq((10L, 1L), (10L, 2L), (10L, 3L), (10L, 4L), (10L, 5L),
+        (1L, 2L)),
+      (1L to 5L).map(_ -> "A") :+ (10L -> "H"))
+    // cap below the hub's degree → no candidate pairs at all
+    assert(GraphAlgorithms.linkPredictionTopK(graph, maxHubDeg = 4, k = 100)
+      .collect().isEmpty)
+    // cap admits the hub → C(5,2)=10 wedge pairs minus the real edge (1,2)
+    val out = GraphAlgorithms.linkPredictionTopK(graph, maxHubDeg = 5, k = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length === 9)
+    assert(!out.contains((1L, 2L)))
+  }
 }
