@@ -801,6 +801,44 @@ object OracleSqls {
         |  CAST(3 * sum(rep) AS BIGINT) AS chars_saved
         |FROM d GROUP BY source""".stripMargin,
 
+    // first-occurrence novelty: min-doc_id owner per 60-bit shingle hash,
+    // least-novel 20 docs; no DISTINCT in post — shingleSets already
+    // array_distincts per doc, and both engines keep within-doc hash ties
+    "curate_novelty" -> s"""$shingleCte,
+        |post AS (
+        |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+        |  FROM (SELECT doc_id, unnest(s) AS shingle FROM sh)
+        |), fo AS (
+        |  SELECT h, min(doc_id) AS first_doc FROM post GROUP BY h
+        |)
+        |SELECT doc_id, n_shingles, n_novel,
+        |  round(n_novel * 1.0 / n_shingles, 6) AS novelty
+        |FROM (
+        |  SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |    CAST(sum(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_novel
+        |  FROM post p JOIN fo f ON p.h = f.h GROUP BY p.doc_id)
+        |ORDER BY novelty, doc_id LIMIT 20""".stripMargin,
+
+    // p05/p95 length trim: percent_rank is (rank-1)/(n-1), an exact
+    // small-integer rational, so the band edges agree across engines
+    "curate_length_trim" -> """WITH d AS (
+        |  SELECT source, length(text) AS len,
+        |    percent_rank() OVER (PARTITION BY source ORDER BY length(text))
+        |      AS pr
+        |  FROM documents
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN pr >= 0.05 AND pr <= 0.95 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept,
+        |  min(CASE WHEN pr >= 0.05 AND pr <= 0.95 THEN len END)
+        |    AS min_kept_len,
+        |  max(CASE WHEN pr >= 0.05 AND pr <= 0.95 THEN len END)
+        |    AS max_kept_len,
+        |  CAST(sum(CASE WHEN pr >= 0.05 AND pr <= 0.95 THEN len END)
+        |    AS BIGINT) AS kept_chars
+        |FROM d GROUP BY source""".stripMargin,
+
     // DSIR importance weighting rebuilt in SQL: same digit-only-MD5 bucket
     // hash as text_feature_hash, add-one-smoothed integer micro-ratio,
     // selection rule mean-ratio >= 1

@@ -851,6 +851,16 @@ object Queries {
   def curateFixEncoding(spark: SparkSession, dir: String): DataFrame =
     Curation.encodingFixInjectedStats(T(spark, dir, "documents"))
 
+  /** 20 least-novel documents by first-occurrence 3-gram attribution. */
+  def curateNovelty(spark: SparkSession, dir: String): DataFrame =
+    Curation.ngramNoveltyBottomK(T(spark, dir, "documents"),
+      "doc_id", "text", n = 3, k = 20)
+
+  /** Per-source p05/p95 character-length outlier trim audit. */
+  def curateLengthTrim(spark: SparkSession, dir: String): DataFrame =
+    Curation.lengthOutlierStats(T(spark, dir, "documents"), "text",
+      lo = 0.05, hi = 0.95)
+
   /** DSIR importance weighting: src0 as the target domain, every other
     * source scored by hashed-token target/raw ratio. */
   def curateDsir(spark: SparkSession, dir: String): DataFrame =
@@ -1179,6 +1189,8 @@ object Queries {
     "curate_rebalance" -> (curateRebalance _),
     "curate_pii" -> (curatePii _),
     "curate_dsir" -> (curateDsir _),
+    "curate_novelty" -> (curateNovelty _),
+    "curate_length_trim" -> (curateLengthTrim _),
     "curate_fix_encoding" -> (curateFixEncoding _),
     "tar_shards_roundtrip" -> (tarShardsRoundtrip _),
     "curate_sampled" -> (curateSampled _),

@@ -428,6 +428,61 @@ object Curation {
         sum(col("score")).as("sum_score_micro"))
   }
 
+  /** First-occurrence novelty: the fraction of a document's distinct
+    * n-grams whose earliest owner (minimum doc_id across the corpus) is
+    * this document — the attribution signal curation uses to rank how
+    * derivative a document is of what came before it (ids double as
+    * arrival order). Returns the `k` LEAST novel documents, i.e. the ones
+    * most worth dropping, ordered (novelty, doc_id) for determinism.
+    *
+    * Scale shape: explode distinct shingles once, groupBy the 60-bit
+    * shingle hash for the min-owner (map-side combinable), join back and
+    * re-aggregate per document — three keyed shuffles, no pairwise
+    * comparison anywhere; the hot-shingle problem of the pair-based dedup
+    * paths does not arise because a shingle contributes one min, not a
+    * posting list. */
+  def ngramNoveltyBottomK(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int, k: Int): DataFrame = {
+    val sh = Dedup.shingleSets(docs, idCol, textCol, n)
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .select(col("doc_id"), Dedup.md5Long(col("s")).as("h"))
+    val firstOwner = sh.groupBy("h").agg(min(col("doc_id")).as("first_doc"))
+    sh.join(firstOwner, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_shingles"), 6)
+          .as("novelty"))
+      .orderBy(col("novelty"), col("doc_id"))
+      .limit(k)
+  }
+
+  /** Per-source length-outlier trim audit: documents outside the
+    * [lo, hi] percent_rank band of character length are trimmed (the
+    * p05/p95 outlier cut curation applies before training — truncated or
+    * boilerplate-short docs below, concatenation accidents above).
+    * percent_rank = (rank-1)/(n-1) is an exact small-integer rational, so
+    * the band edges are engine-portable; ties share a rank and land on
+    * the same side of the cut in any engine. One keyed shuffle: the
+    * window partitions by source, and the per-source aggregate reuses
+    * that partitioning. */
+  def lengthOutlierStats(docs: DataFrame, textCol: String,
+                         lo: Double, hi: Double): DataFrame = {
+    val pr = percent_rank().over(
+      Window.partitionBy(col("source")).orderBy(col("len")))
+    val kept = (col("pr") >= lo) && (col("pr") <= hi)
+    docs.select(col("source"), length(col(textCol)).cast("long").as("len"))
+      .withColumn("pr", pr)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+        min(when(kept, col("len"))).as("min_kept_len"),
+        max(when(kept, col("len"))).as("max_kept_len"),
+        sum(when(kept, col("len"))).as("kept_chars"))
+  }
+
   def rebalanceWeights(docs: DataFrame): DataFrame = {
     val bySrc = docs.groupBy(col("source"))
       .agg(count(lit(1)).cast("double").as("n_docs"))

@@ -290,4 +290,28 @@ class CurationSpec extends SparkSpec {
     assert(r(4L) === Some(4.0 / 5.0))            // "loop loop" ×5 → 1 distinct
     assert(r(6L) === None)                       // 1 word → no bigrams
   }
+
+  test("ngram novelty: duplicates score 0, partial overlap in between") {
+    val docs = Seq(
+      (1L, "a b c d"),         // owns both of its 3-grams
+      (2L, "a b c d"),         // exact dup of 1 → novelty 0
+      (3L, "a b c x y z"))     // shares "a b c" with doc 1 → 3/4 novel
+      .toDF("doc_id", "text")
+    val out = Curation.ngramNoveltyBottomK(docs, "doc_id", "text", n = 3, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      (2L, 2L, 0L, 0.0), (3L, 4L, 3L, 0.75), (1L, 2L, 2L, 1.0)))
+  }
+
+  test("length trim keeps the inner percent_rank band, hand-derived") {
+    // 21 docs of lengths 1..21: percent_rank = (rank-1)/20, so the
+    // [0.05, 0.95] band is ranks 2..20 → lengths 2..20
+    val docs = (1 to 21).map(i => (i.toLong, "s", "x" * i))
+      .toDF("doc_id", "source", "text")
+    val r = Curation.lengthOutlierStats(docs, "text", 0.05, 0.95)
+      .collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5)) === ((21L, 19L, 2L, 20L, (2 to 20).sum.toLong)))
+  }
 }
