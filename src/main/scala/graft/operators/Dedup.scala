@@ -499,6 +499,62 @@ object Dedup {
         col("doc_id"), col("mhs"))
   }
 
+  /** Stateless per-row twin of [[minhashBandIndex]]: the MinHash
+    * signature is computed with array ops INSIDE each row (array_min over
+    * the xored shingle hashes) instead of the batch path's
+    * explode+groupBy, so the plan has no aggregation and lifts to
+    * Structured Streaming unchanged. Emits identical rows to the batch
+    * form — the per-array min and the per-group min see the same
+    * (array_distinct'ed) shingle hashes. The batch form stays preferable
+    * for bulk indexing: the groupBy shape shares the exploded postings
+    * with the other dedup paths. */
+  def minhashBandIndexInline(docs: DataFrame, idCol: String, textCol: String,
+                             n: Int, numHashes: Int, numBands: Int): DataFrame = {
+    val seeds = (0 until numHashes).map(s => lit(seedConst(s)))
+    val mhs = array(seeds.map(c =>
+      array_min(transform(col("hs"), h => h.bitwiseXOR(c)))): _*)
+    val rowsPerBand = numHashes / numBands
+    val bands = (0 until numBands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => element_at(col("mhs"), i + 1))
+      struct(lit(b).as("band"), md5(concat_ws(",", cols: _*)).as("sig"))
+    }
+    shingleSets(docs, idCol, textCol, n)
+      .select(col("doc_id"), transform(col("shingles"), s => md5Long(s)).as("hs"))
+      .select(col("doc_id"), mhs.as("mhs"))
+      .select(col("doc_id"), col("mhs"), explode(array(bands: _*)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.sig").as("sig"),
+        col("doc_id"), col("mhs"))
+  }
+
+  /** Streaming twin of [[probeNearDups]]: `newDocs` is a STREAMING frame
+    * (the live ingest feed) probing the static persisted index — a
+    * stateless stream-static equi-join, so there is no state store to
+    * bound at all (the lesson of [[streamingNearDupPairs]]' TTL+cap: the
+    * probe-an-index shape needs neither). Emits one row PER MATCHING
+    * BAND — (new_id, old_id, band, agree) — rather than deduping pairs
+    * across bands, which would reintroduce keyed state; a pair is exact
+    * on (new_id, old_id, band), and consumers that need pair-level output
+    * apply `dropDuplicatesWithinWatermark` downstream with their own
+    * event-time horizon. */
+  def streamingProbeNearDups(index: DataFrame, newDocs: DataFrame,
+                             idCol: String, textCol: String, n: Int,
+                             numHashes: Int, numBands: Int,
+                             minAgree: Double): DataFrame = {
+    val probe = minhashBandIndexInline(newDocs, idCol, textCol, n,
+      numHashes, numBands)
+    probe.as("p").join(index.as("x"),
+        col("p.band") === col("x.band") && col("p.sig") === col("x.sig"))
+      .select(col("p.doc_id").as("new_id"), col("x.doc_id").as("old_id"),
+        col("p.band").as("band"),
+        round(aggregate(
+          zip_with(col("p.mhs"), col("x.mhs"),
+            (a, b) => when(a === b, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numHashes, 6)
+          .as("agree"))
+      .where(col("agree") >= minAgree)
+  }
+
   /** Incremental near-dup: probe NEW documents against a persisted
     * [[minhashBandIndex]] — the shape that makes near-dup tractable when
     * 1 TB arrives daily against a 100 TB corpus: only the batch is

@@ -347,6 +347,45 @@ class DedupSpec extends SparkSpec {
     assert(hits.toSeq === Seq((10L, 1L, 1.0)))
   }
 
+  test("inline band index emits exactly the batch index's rows") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val batch = Dedup.minhashBandIndex(docs, "doc_id", "text",
+      n = 3, numHashes = 16, numBands = 4)
+    val inline = Dedup.minhashBandIndexInline(docs, "doc_id", "text",
+      n = 3, numHashes = 16, numBands = 4)
+    assert(batch.count() > 0)
+    assert(batch.exceptAll(inline).count() === 0)
+    assert(inline.exceptAll(batch).count() === 0)
+  }
+
+  test("streaming probe matches the batch probe, statelessly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val index = Dedup.minhashBandIndex(corpus, "doc_id", "text",
+      n = 3, numHashes = 16, numBands = 4).localCheckpoint(true)
+    val stream = MemoryStream[(Long, String)]
+    val out = Dedup.streamingProbeNearDups(index,
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      n = 3, numHashes = 16, numBands = 4, minAgree = 0.5)
+    val q = out.writeStream.format("memory")
+      .queryName("sprobe_test").outputMode("append").start()
+    try {
+      stream.addData((10L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (11L, "totally different words nothing shared here at all"))
+      q.processAllAvailable()
+      val rows = spark.table("sprobe_test").collect()
+      // per-band emission: the identical doc matches in all 4 bands
+      assert(rows.length === 4)
+      val pairs = rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+        .distinct
+      assert(pairs.toSeq === Seq((10L, 1L, 1.0))) // = the batch probe's row
+    } finally q.stop()
+  }
+
   test("chunkDupStats reports only cross-doc windows, not within-doc repeats") {
     val d = Seq(
       (1L, "a b c x y z"),       // "a b c" + "x y z"
