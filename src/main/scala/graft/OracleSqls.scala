@@ -910,6 +910,15 @@ object OracleSqls {
     // Tar-shard round trip: the Spark side writes documents as WebDataset
     // USTAR shards (<key>.txt + <key>.cls entries) and re-reads the BYTES;
     // the oracle recomputes the per-ext invariants from the table alone.
+    // the Spark side audits documents AFTER a JSONL write+read round trip;
+    // the oracle audits the parquet directly — equality proves fidelity
+    "jsonl_roundtrip" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY source""".stripMargin,
+
     "tar_shards_roundtrip" ->
       """SELECT 'cls' AS ext, CAST(count(*) AS BIGINT) AS n_entries,
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_keys,

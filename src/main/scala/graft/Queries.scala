@@ -780,6 +780,32 @@ object Queries {
       partitionedEvents(spark, dir).where(col("event_type") === "purchase"))
 
   private val tarDir = scala.collection.concurrent.TrieMap[String, String]()
+  private val jsonlDir = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** JSONL round trip: documents written once as JSON Lines shards (the
+    * interchange format most corpus pipelines exchange), read back with an
+    * explicit schema (no inference scan), and audited per source. The
+    * oracle computes the same audit from the parquet directly — equality
+    * IS the fidelity proof (ids, unicode text, per-source counts all
+    * survive the JSON encode/decode). */
+  def jsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = jsonlDir.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+      T(spark, dir, "documents")
+        .select("doc_id", "source", "lang", "text")
+        .repartition(8)
+        .write.mode("overwrite").json(p)
+      p
+    })
+    spark.read
+      .schema("doc_id LONG, source STRING, lang STRING, text STRING")
+      .json(path)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("lang")).as("n_langs"),
+        sum(col("doc_id")).as("sum_ids"),
+        sum(length(col("text")).cast("long")).as("sum_chars"))
+  }
 
   /** Documents re-laid-out as WebDataset tar shards (two entries per
     * sample: `<key>.txt` text + `<key>.cls` language label), written once
@@ -1193,6 +1219,7 @@ object Queries {
     "curate_length_trim" -> (curateLengthTrim _),
     "curate_fix_encoding" -> (curateFixEncoding _),
     "tar_shards_roundtrip" -> (tarShardsRoundtrip _),
+    "jsonl_roundtrip" -> (jsonlRoundtrip _),
     "curate_sampled" -> (curateSampled _),
     "curate_split_leakage" -> (curateSplitLeakage _),
     "sql_surface" -> (sqlSurface _),
