@@ -283,6 +283,8 @@ object OracleSqls {
         |FROM embeddings WHERE vec_id NOT BETWEEN 0 AND 49
         |ORDER BY similarity DESC, vec_id LIMIT 20""".stripMargin,
 
+    "mmr_rerank" -> mmrSql(poolSize = 20, k = 5, lamTenths = 7),
+
     // multi-probe: the query bucket plus every Hamming-1 neighbor —
     // mirrored as "bit positions differing from the query bucket <= 1"
     "ann_lsh_topk" ->
@@ -1964,6 +1966,47 @@ object OracleSqls {
     * reachability form would be O(V·|component|) and is infeasible on a
     * connected graph. Output = the size histogram (n_nodes,
     * n_components), matching [[graft.graph.GraphXBridge.componentSizes]]. */
+  /** MMR greedy selection ([[graft.operators.Vectors.mmrRerank]]) unrolled:
+    * pick 1 is the relevance top-1; each later pick r maximizes
+    * `lam*qs - (10-lam)*max(sim to s(r-1))` over the remaining pool, ties
+    * on id. All similarities are 6-dp-rounded then integer micro-units, so
+    * both engines compare identical BIGINTs. */
+  private def mmrSql(poolSize: Int, k: Int, lamTenths: Int): String = {
+    val lam = lamTenths; val inv = 10 - lamTenths
+    def micro(x: String): String =
+      s"CAST(round(round($x, 6) * 1000000, 0) AS BIGINT)"
+    val picks = (2 to k).map { r =>
+      s"""p$r AS (
+         |  SELECT p.id, $lam * p.qs - $inv * (
+         |      SELECT max(s) FROM sims
+         |      WHERE ia = p.id AND ib IN (SELECT id FROM s${r - 1})) AS score
+         |  FROM pool p WHERE p.id NOT IN (SELECT id FROM s${r - 1})
+         |  ORDER BY score DESC, p.id LIMIT 1),
+         |s$r AS (SELECT id FROM s${r - 1} UNION ALL SELECT id FROM p$r)"""
+        .stripMargin
+    }.mkString(",\n")
+    val union = (1 to k).map(r =>
+      s"SELECT $r AS rank, id AS vec_id, score FROM p$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT v FROM e WHERE vec_id = 0),
+       |pool AS (
+       |  SELECT vec_id AS id,
+       |    ${micro("list_cosine_similarity(v, (SELECT v FROM q))")} AS qs, v
+       |  FROM e WHERE vec_id <> 0
+       |  ORDER BY qs DESC, id LIMIT $poolSize),
+       |sims AS (
+       |  SELECT a.id AS ia, b.id AS ib,
+       |    ${micro("list_cosine_similarity(a.v, b.v)")} AS s
+       |  FROM pool a JOIN pool b ON a.id <> b.id),
+       |p1 AS (SELECT id, $lam * qs AS score FROM pool
+       |       ORDER BY score DESC, id LIMIT 1),
+       |s1 AS (SELECT id FROM p1),
+       |$picks
+       |SELECT rank, vec_id, score FROM (
+       |$union) ORDER BY rank""".stripMargin
+  }
+
   /** Product quantization ([[graft.operators.Vectors.pqTopK]]) unrolled:
     * per-subspace codebooks seeded at the first `kCodes` ids, `lloydIters`
     * rounded-mean Lloyd steps, ADC tables, candidate sum, exact re-rank.

@@ -203,6 +203,13 @@ object Queries {
     Vectors.bruteForceTopK(T(spark, dir, "embeddings"), "vec_id", "embedding",
       queryVec(spark, dir), 20, exclude = 0L to 49L)
 
+  /** MMR diversity re-rank: greedy λ=0.7 selection of 5 from the exact
+    * top-20 relevance page — the RAG second stage over a bounded pool. */
+  def mmrRerankQ(spark: SparkSession, dir: String): DataFrame =
+    Vectors.mmrRerank(T(spark, dir, "embeddings"), "vec_id", "embedding",
+      queryVec(spark, dir), poolSize = 20, k = 5, lambdaTenths = 7,
+      exclude = Seq(0L))
+
   /** ANN — sign-bit LSH bucket search with Hamming-1 multi-probe (the
     * 100 TB path: bucket id becomes a partition key for pruning; the probe
     * set is a static 5-bucket IN list). */
@@ -1147,6 +1154,7 @@ object Queries {
     "fmt_context" -> (fmtContext _),
     "v1_cosine_topk" -> (v1CosineTopK _),
     "v2_knn_exclude" -> (v2KnnExclude _),
+    "mmr_rerank" -> (mmrRerankQ _),
     "ann_lsh_topk" -> (annLshTopK _),
     "ann_neardup_pairs" -> (annNearDupPairs _),
     "ann_ivf_topk" -> (annIvfTopK _),

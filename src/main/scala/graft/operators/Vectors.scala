@@ -336,4 +336,59 @@ object Vectors {
       .select(col("x.label").as("label_a"), col("y.label").as("label_b"),
         round(cosineSim(col("x.cv"), col("y.cv")), 6).as("cos_sim"))
   }
+
+  /** MMR (maximal marginal relevance) diversity re-ranking — the RAG
+    * second stage: greedily pick `k` of a bounded `poolSize` relevance
+    * page, each pick maximizing
+    * `lambda * sim(q, d) - (1 - lambda) * max over selected s of sim(d, s)`.
+    *
+    * Determinism: every similarity is produced by the SAME codegen'd
+    * cosine expression as the pool scan, rounded to 6 decimals and
+    * converted to integer micro-units, and lambda arrives in TENTHS — so
+    * each pick compares pure integers (units of 1e-7), never floats, and
+    * ties break on the id. The first pick's diversity term is 0.
+    *
+    * Scale shape: the pool comes from the distributed
+    * [[bruteForceTopK]] (or any ANN path) and the pairwise pool sims from
+    * a double-explode over ONE collected struct array (poolSize² tiny
+    * rows, no join node); the greedy O(k·pool) runs on the driver over
+    * the already-collected page — the industry reranker shape: second
+    * stages run on the candidate page, never the corpus. */
+  def mmrRerank(emb: DataFrame, idCol: String, vecCol: String,
+                query: Seq[Double], poolSize: Int, k: Int,
+                lambdaTenths: Int, exclude: Seq[Long] = Nil): DataFrame = {
+    val spark = emb.sparkSession
+    def micro(c: Column): Column = round(c * 1000000L, 0).cast("long")
+    val poolV = bruteForceTopK(emb, idCol, vecCol, query, poolSize, exclude)
+      .join(emb.select(col(idCol),
+        col(vecCol).cast("array<double>").as("v")), Seq(idCol))
+      .select(col(idCol).as("id"), micro(col("similarity")).as("qs"), col("v"))
+      .localCheckpoint(true) // poolSize rows, consumed twice
+    val qsMap = poolV.select("id", "qs").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val simMap = poolV
+      .agg(collect_list(struct(col("id"), col("v"))).as("xs"))
+      .select(explode(col("xs")).as("x"), col("xs"))
+      .select(col("x"), explode(col("xs")).as("y"))
+      .where(col("x.id") =!= col("y.id"))
+      .select(col("x.id").as("ia"), col("y.id").as("ib"),
+        micro(round(cosineSim(col("x.v"), col("y.v")), 6)).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val lam = lambdaTenths.toLong
+    var selected = List.empty[Long]
+    val remaining = scala.collection.mutable.TreeSet(qsMap.keys.toSeq: _*)
+    val out = Seq.newBuilder[(Int, Long, Long)]
+    for (r <- 1 to math.min(k, remaining.size)) {
+      val (bid, bscore) = remaining.toSeq.map { id =>
+        val maxs = if (selected.isEmpty) 0L
+          else selected.map(s => simMap((id, s))).max
+        (id, lam * qsMap(id) - (10L - lam) * maxs)
+      }.minBy { case (id, sc) => (-sc, id) }
+      out += ((r, bid, bscore))
+      selected ::= bid
+      remaining -= bid
+    }
+    import spark.implicits._
+    out.result().toDF("rank", "vec_id", "score")
+  }
 }

@@ -201,4 +201,33 @@ class VectorsSpec extends SparkSpec {
     // orthogonal (0,2) must not pass 0.9
     assert(!out.exists { case (a, b, _) => a == 0L && b == 2L })
   }
+
+  // unit vectors at signed angles from the query axis: relevance = cos(angle),
+  // pairwise sim = cos(angle difference) — diversity is controllable exactly
+  private def ang(id: Long, deg: Double): (Long, Seq[Double]) = {
+    val r = math.toRadians(deg)
+    (id, Seq(math.cos(r), math.sin(r), 0.0, 0.0))
+  }
+  private lazy val fan = Seq(ang(1L, 20), ang(2L, 25), ang(3L, -30))
+    .toDF("id", "v")
+
+  test("MMR: diversity demotes the near-dup second hit") {
+    val q = Seq(1.0, 0.0, 0.0, 0.0)
+    // relevance: 1 (cos20=.940) > 2 (cos25=.906) > 3 (cos30=.866), but
+    // sim(2,1)=cos5=.996 while sim(3,1)=cos50=.643 — at λ=0.7 the second
+    // pick must be the diverse 3: 7*.866-3*.643 > 7*.906-3*.996
+    val mmr = Vectors.mmrRerank(fan, "id", "v", q, poolSize = 3, k = 3,
+        lambdaTenths = 7)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(mmr.map(_._2) === Seq(1L, 3L, 2L))
+    assert(mmr.map(_._1) === Seq(1, 2, 3))
+  }
+
+  test("MMR at λ=1 (lambdaTenths=10) degenerates to relevance top-k") {
+    val q = Seq(1.0, 0.0, 0.0, 0.0)
+    val mmr = Vectors.mmrRerank(fan, "id", "v", q, poolSize = 3, k = 3,
+        lambdaTenths = 10)
+      .collect().map(_.getLong(1)).toSeq
+    assert(mmr === Seq(1L, 2L, 3L))
+  }
 }
