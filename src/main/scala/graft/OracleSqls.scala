@@ -285,6 +285,21 @@ object OracleSqls {
 
     "mmr_rerank" -> mmrSql(poolSize = 20, k = 5, lamTenths = 7),
 
+    // sparse random projection: the sign matrix is re-derived from the
+    // same md5 strings the Spark side hashes driver-side; micro-quantized
+    // integer sums are order-independent, so no float mirror needed
+    "emb_random_projection" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |d AS (SELECT unnest(range(0, 8)) AS proj_dim)
+        |SELECT vec_id, CAST(proj_dim AS INTEGER) AS proj_dim,
+        |  CAST(list_sum(list_transform(range(1, 65), j ->
+        |    CAST(round(v[j] * 1000000, 0) AS BIGINT) *
+        |    CASE substr(md5('rp' || CAST(proj_dim AS VARCHAR) || '_'
+        |                    || CAST(j - 1 AS VARCHAR)), 1, 1)
+        |      WHEN '0' THEN 1 WHEN '1' THEN -1 ELSE 0 END))
+        |    AS BIGINT) AS value_q
+        |FROM e CROSS JOIN d""".stripMargin,
+
     // multi-probe: the query bucket plus every Hamming-1 neighbor —
     // mirrored as "bit positions differing from the query bucket <= 1"
     "ann_lsh_topk" ->
@@ -1000,6 +1015,30 @@ object OracleSqls {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
         |  CAST(sum((tf * 1000000 * n_docs) // df) AS BIGINT) AS score_micro
         |FROM p JOIN d USING (term) CROSS JOIN n
+        |GROUP BY doc_id
+        |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin,
+
+    // BM25 mirror: same tokenizer, same two integer divisions in the same
+    // positions (idf doubled-rational, saturation cleared by 10·L; see
+    // Search.bm25TopK). All operands positive → // ≡ div.
+    "search_bm25" ->
+      s"""WITH wl AS (
+        |  SELECT doc_id, ${wordsExprOf("lower(text)")} AS ws FROM documents
+        |), dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM wl),
+        |p AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(ws) AS term FROM wl
+        |  ) WHERE term IN ('vector', 'hash', 'join', 'window')
+        |  GROUP BY doc_id, term
+        |), d AS (SELECT term, count(*) AS df FROM p GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs, sum(dl) AS corpus_len FROM dl)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+        |  CAST(sum(
+        |    ((((2 * (n_docs - df) + 1) * 1000000) // (2 * df + 1))
+        |     * ((22 * tf * corpus_len * 1000000)
+        |        // (10 * tf * corpus_len + 3 * corpus_len + 9 * dl * n_docs)))
+        |    // 1000000) AS BIGINT) AS score_micro
+        |FROM p JOIN d USING (term) JOIN dl USING (doc_id) CROSS JOIN n
         |GROUP BY doc_id
         |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin,
 

@@ -203,6 +203,12 @@ object Queries {
     Vectors.bruteForceTopK(T(spark, dir, "embeddings"), "vec_id", "embedding",
       queryVec(spark, dir), 20, exclude = 0L to 49L)
 
+  /** Sparse random projection 64 → 8 dims, integer micro-units — the
+    * dimension-reduction pass a 100 TB embedding store runs before ANN. */
+  def embRandomProjection(spark: SparkSession, dir: String): DataFrame =
+    Vectors.randomProjection(T(spark, dir, "embeddings"), "vec_id",
+      "embedding", dIn = 64, dOut = 8)
+
   /** MMR diversity re-rank: greedy λ=0.7 selection of 5 from the exact
     * top-20 relevance page — the RAG second stage over a bounded pool. */
   def mmrRerankQ(spark: SparkSession, dir: String): DataFrame =
@@ -696,6 +702,12 @@ object Queries {
     Search.tfidfTopK(T(spark, dir, "documents"),
       Seq("vector", "hash", "join", "window"), k = 20)
 
+  /** BM25-ranked search over the same probe terms (length-normalized,
+    * saturating tf — the industry default the TF-IDF entry approximates). */
+  def searchBm25(spark: SparkSession, dir: String): DataFrame =
+    Search.bm25TopK(T(spark, dir, "documents"),
+      Seq("vector", "hash", "join", "window"), k = 20)
+
   /** Corpus heavy-hitter bigrams (boilerplate detection). */
   def textTopNgrams(spark: SparkSession, dir: String): DataFrame =
     TextOps.topNgrams(T(spark, dir, "documents"), n = 2, k = 20)
@@ -1155,6 +1167,7 @@ object Queries {
     "v1_cosine_topk" -> (v1CosineTopK _),
     "v2_knn_exclude" -> (v2KnnExclude _),
     "mmr_rerank" -> (mmrRerankQ _),
+    "emb_random_projection" -> (embRandomProjection _),
     "ann_lsh_topk" -> (annLshTopK _),
     "ann_neardup_pairs" -> (annNearDupPairs _),
     "ann_ivf_topk" -> (annIvfTopK _),
@@ -1212,6 +1225,7 @@ object Queries {
     "text_quantiles" -> (textQuantiles _),
     "text_lm_bigram" -> (textLmBigram _),
     "search_tfidf" -> (searchTfidf _),
+    "search_bm25" -> (searchBm25 _),
     "text_top_ngrams" -> (textTopNgrams _),
     "sketch_countmin" -> (sketchCountmin _),
     "layout_zorder" -> (layoutZorder _),

@@ -55,4 +55,43 @@ object Search {
       .orderBy(col("score_micro").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** BM25 top-k (k1=1.2, b=0.75), exact-integer micro-units throughout.
+    *
+    * Both BM25 fractions are cleared of decimals so every division is ONE
+    * integer `div` in a fixed position, hash-identical across engines:
+    *   idf  = (N-df+0.5)/(df+0.5)            → ((2(N-df)+1)·1e6) div (2df+1)
+    *   sat  = tf(k1+1)/(tf+k1(1-b+b·dl/avgdl)), avgdl = L/N; multiply
+    *          num and den by 10L →  (22·tf·L·1e6) div (10·tf·L+3L+9·dl·N)
+    *   contrib = (idfM · satM) div 1e6
+    * (log-free Robertson idf: rational instead of ln, same monotonicity).
+    *
+    * Operating range (Long-exact): `22e6·tf·L < 9.2e18` → tf·L < 4.1e11,
+    * and `idfM·satM < 9.2e18` → N < ~1.9e6 docs per index shard; past
+    * that, shard the index (the natural 100 TB layout anyway) or widen
+    * both engines to decimal(38,0) together.
+    *
+    * Scale shape: `dl` is a narrow map over docs (at 100 TB, the persisted
+    * doc-length column of the index); the probe side joins only pruned
+    * postings to it; df/N/L are two broadcast scalars. */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    val dl = docs.select(col("doc_id"),
+      size(graft.functions.words(lower(col("text")))).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("corpus_len"))
+    val qp = postings(docs).where(col("term").isin(terms: _*))
+    val dfreq = qp.groupBy("term").agg(count(lit(1)).as("df"))
+    qp.join(broadcast(dfreq), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_micro",
+        expr("((2 * (n_docs - df) + 1) * 1000000) div (2 * df + 1)"))
+      .withColumn("sat_micro",
+        expr("(22 * tf * corpus_len * 1000000) div " +
+          "(10 * tf * corpus_len + 3 * corpus_len + 9 * dl * n_docs)"))
+      .withColumn("contrib", expr("(idf_micro * sat_micro) div 1000000"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("contrib").as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(k)
+  }
 }

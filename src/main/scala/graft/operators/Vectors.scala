@@ -337,6 +337,45 @@ object Vectors {
         round(cosineSim(col("x.cv"), col("y.cv")), 6).as("cos_sim"))
   }
 
+  /** Deterministic sparse random projection (Achlioptas-style) — the
+    * dimension-reduction step in front of ANN/clustering at 100 TB: dOut
+    * integer components per vector, each `Σ_j round(v[j]·1e6) · s(i,j)`
+    * with the sign matrix derived from md5("<seed><i>_<j>") — first hex
+    * char '0' → +1, '1' → −1, else 0 (density 1/8, the sparse-JL regime;
+    * the √s scale factor is omitted since downstream cosine/ordering is
+    * scale-invariant).
+    *
+    * Hash-exactness: inputs are micro-quantized to Long BEFORE the sum, so
+    * the arithmetic is order-independent integer math — no float-summation
+    * drift between engines. The sign matrix is computed once driver-side
+    * (dOut·dIn entries) and shipped as literals: the 100 TB shape is a
+    * broadcast projection matrix, never a per-row hash recomputation. */
+  def randomProjection(emb: DataFrame, idCol: String, vecCol: String,
+                       dIn: Int, dOut: Int, seed: String = "rp"): DataFrame = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val signs: Seq[Seq[Int]] = (0 until dOut).map { i =>
+      (0 until dIn).map { j =>
+        val h = md.digest(s"$seed${i}_$j".getBytes("UTF-8"))
+        ((h(0) >> 4) & 0xf) match {
+          case 0 => 1
+          case 1 => -1
+          case _ => 0
+        }
+      }
+    }
+    val v = col(vecCol).cast("array<double>")
+    val projCols = signs.zipWithIndex.map { case (s, i) =>
+      aggregate(
+        zip_with(v, lit(s.toArray),
+          (a, b) => round(a * 1000000L, 0).cast("long") * b),
+        lit(0L), (acc, x) => acc + x).as(s"p$i")
+    }
+    emb.select((col(idCol) +: projCols): _*)
+      .select(col(idCol),
+        posexplode(array((0 until dOut).map(i => col(s"p$i")): _*)))
+      .toDF(idCol, "proj_dim", "value_q")
+  }
+
   /** MMR (maximal marginal relevance) diversity re-ranking — the RAG
     * second stage: greedily pick `k` of a bounded `poolSize` relevance
     * page, each pick maximizing

@@ -41,6 +41,27 @@ class SearchSpec extends SparkSpec {
     assert(out.map(_._1).toSeq === Seq(4L, 2L, 1L, 5L))
   }
 
+  test("bm25: exact integer scores, saturation, length normalization") {
+    // N=5 docs, dl = (4,3,3,4,4) → L=18; df(apple)=df(banana)=3
+    val N = 5L; val L = 18L
+    def idfM(df: Long) = ((2 * (N - df) + 1) * 1000000L) / (2 * df + 1)
+    def satM(tf: Long, dl: Long) =
+      (22 * tf * L * 1000000L) / (10 * tf * L + 3 * L + 9 * dl * N)
+    def c(tf: Long, df: Long, dl: Long) = idfM(df) * satM(tf, dl) / 1000000L
+    val expected = Map(
+      1L -> ((2L, c(2, 3, 4) + c(1, 3, 4))), // apple x2, banana x1
+      2L -> ((1L, c(3, 3, 3))),
+      4L -> ((1L, c(4, 3, 4))),
+      5L -> ((2L, c(1, 3, 4) + c(1, 3, 4))))
+    val out = Search.bm25TopK(docs, Seq("apple", "banana"), 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === expected)
+    // tf saturates: 4 occurrences score well under 4x one occurrence
+    assert(c(4, 3, 4) < 4 * c(1, 3, 4))
+    // length normalization: same tf, shorter doc scores strictly higher
+    assert(satM(1, 3) > satM(1, 4))
+  }
+
   test("tfidf top-k truncates deterministically") {
     val out = Search.tfidfTopK(docs, Seq("apple", "banana"), 2)
       .collect().map(_.getLong(0)).toSeq

@@ -202,6 +202,23 @@ class VectorsSpec extends SparkSpec {
     assert(!out.exists { case (a, b, _) => a == 0L && b == 2L })
   }
 
+  test("random projection: linear on micro-exact inputs, zero maps to zero") {
+    val a = Seq(0.5, -0.25, 1.0, 0.125)
+    val b = Seq(1.5, 0.75, -2.0, 0.0)
+    val in = Seq((1L, a), (2L, b), (3L, a.zip(b).map { case (x, y) => x + y }),
+      (4L, Seq(0.0, 0.0, 0.0, 0.0))).toDF("id", "v")
+    val out = Vectors.randomProjection(in, "id", "v", dIn = 4, dOut = 6)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out.size === 4 * 6)
+    // all inputs are exact 1e-6 multiples → quantization commutes with +
+    (0 until 6).foreach { d =>
+      assert(out((3L, d)) === out((1L, d)) + out((2L, d)))
+      assert(out((4L, d)) === 0L)
+    }
+    // the sign matrix is sparse but not empty: some component is nonzero
+    assert(out.values.exists(_ != 0L))
+  }
+
   // unit vectors at signed angles from the query axis: relevance = cos(angle),
   // pairwise sim = cos(angle difference) — diversity is controllable exactly
   private def ang(id: Long, deg: Double): (Long, Seq[Double]) = {
