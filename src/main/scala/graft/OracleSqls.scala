@@ -285,6 +285,26 @@ object OracleSqls {
 
     "mmr_rerank" -> mmrSql(poolSize = 20, k = 5, lamTenths = 7),
 
+    "lake_merge_upsert" ->
+      s"""WITH $mergeCte
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total
+        |FROM merged GROUP BY o_orderstatus""".stripMargin,
+
+    "lake_snapshot_diff" ->
+      s"""WITH $mergeCte
+        |SELECT op, CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(k) AS BIGINT) AS key_sum
+        |FROM (
+        |  SELECT COALESCE(b.o_orderkey, a.o_orderkey) AS k,
+        |    CASE WHEN b.o_orderkey IS NULL THEN 'I'
+        |         WHEN a.o_orderkey IS NULL THEN 'D'
+        |         WHEN b.o_orderstatus IS DISTINCT FROM a.o_orderstatus
+        |           OR b.o_totalprice IS DISTINCT FROM a.o_totalprice THEN 'U'
+        |    END AS op
+        |  FROM o b FULL OUTER JOIN merged a ON b.o_orderkey = a.o_orderkey)
+        |WHERE op IS NOT NULL GROUP BY op""".stripMargin,
+
     // sparse random projection: the sign matrix is re-derived from the
     // same md5 strings the Spark side hashes driver-side; micro-quantized
     // integer sums are order-independent, so no float mirror needed
@@ -299,6 +319,21 @@ object OracleSqls {
         |      WHEN '0' THEN 1 WHEN '1' THEN -1 ELSE 0 END))
         |    AS BIGINT) AS value_q
         |FROM e CROSS JOIN d""".stripMargin,
+
+    // hard negatives: same bucket, different label, top-3 by rounded sim
+    "emb_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, v, label, $bucket4 AS bucket FROM e),
+         |a AS (SELECT * FROM b WHERE vec_id < 20)
+         |SELECT anchor_id, neg_id, sim FROM (
+         |  SELECT a.vec_id AS anchor_id, c.vec_id AS neg_id,
+         |    round(list_cosine_similarity(a.v, c.v), 6) AS sim,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY round(list_cosine_similarity(a.v, c.v), 6) DESC,
+         |               c.vec_id) AS rn
+         |  FROM a JOIN b c ON a.bucket = c.bucket AND a.label <> c.label)
+         |WHERE rn <= 3""".stripMargin,
 
     // multi-probe: the query bucket plus every Hamming-1 neighbor —
     // mirrored as "bit positions differing from the query bucket <= 1"
@@ -601,6 +636,7 @@ object OracleSqls {
     "graph_bfs_dist" -> withGraph(bfsSql(iters = 6)),
 
     "graph_ppr" -> withGraph(pprSql(iters = 5, k = 20)),
+    "graph_hits" -> withGraph(hitsSql(iters = 3, k = 20)),
 
     // bounded Bellman-Ford over the affinity-weighted co-occurrence graph
     // (integer weights -> exact Long distances; source = min node id)
@@ -1058,6 +1094,21 @@ object OracleSqls {
     // portable arithmetic, so sketch counters AND min-estimates are
     // bit-identical (DuckDB regexp_replace needs the 'g' flag; Spark's is
     // global by default)
+    // KMV: k smallest distinct portable hashes; estimate (k-1)*M // h_k
+    "sketch_kmv" ->
+      """WITH h AS (
+        |  SELECT DISTINCT CAST(substr(regexp_replace(
+        |    md5(CAST(l_partkey AS VARCHAR)), '[a-f]', '', 'g') || '000000',
+        |    1, 6) AS BIGINT) AS h
+        |  FROM lineitem
+        |), b AS (SELECT h FROM h ORDER BY h LIMIT 256),
+        |s AS (SELECT count(*) AS n, max(h) AS hk FROM b)
+        |SELECT CAST(CASE WHEN n < 256 THEN n
+        |  ELSE (255 * 1000000) // hk END AS BIGINT) AS distinct_est,
+        |  (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) FROM lineitem)
+        |    AS n_exact
+        |FROM s""".stripMargin,
+
     "sketch_countmin" ->
       s"""WITH w AS (SELECT unnest($wordsExpr) AS term FROM documents),
         |rows_ AS (SELECT unnest([0, 1, 2, 3]) AS row),
@@ -2341,6 +2392,58 @@ object OracleSqls {
     * mass (SPARK-18847). Mirrors [[graft.graph.GraphXBridge.pageRankTopK]]:
     * order by UNROUNDED rank desc then nodeId, limit k, round to 4.
     * Validated value-exact vs GraphX at sf0.01. */
+  /** Shared snapshot→changelog→merged CTE chain mirroring
+    * [[graft.Queries.ordersChangelog]] + Lakehouse.mergeSnapshot. */
+  private lazy val mergeCte: String =
+    """o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+      |ch AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice + 1000 AS o_totalprice,
+      |    1 AS seq, 'U' AS op FROM o WHERE o_orderkey % 10 = 0
+      |  UNION ALL SELECT o_orderkey, o_orderstatus, o_totalprice + 2000, 2, 'U'
+      |    FROM o WHERE o_orderkey % 100 = 0
+      |  UNION ALL SELECT o_orderkey, o_orderstatus, o_totalprice, 1, 'D'
+      |    FROM o WHERE o_orderkey % 10 = 1
+      |  UNION ALL SELECT o_orderkey + 100000000, 'N', o_totalprice, 1, 'I'
+      |    FROM o WHERE o_orderkey % 10 = 2
+      |),
+      |latest AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice, op FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY o_orderkey
+      |      ORDER BY seq DESC, CASE WHEN op = 'D' THEN 0 ELSE 1 END) AS rn
+      |    FROM ch) WHERE rn = 1
+      |),
+      |merged AS (
+      |  SELECT o.* FROM o ANTI JOIN latest l ON o.o_orderkey = l.o_orderkey
+      |  UNION ALL SELECT o_orderkey, o_orderstatus, o_totalprice
+      |    FROM latest WHERE op <> 'D'
+      |)""".stripMargin
+
+  /** HITS ([[graft.graph.GraphAlgorithms.hits]]) unrolled: per round, sum
+    * then `(raw · 1e6) // max(raw)`. All operands positive → // ≡ div;
+    * DuckDB's HUGEINT sums agree with Spark's Long at these magnitudes. */
+  private def hitsSql(iters: Int, k: Int): String = {
+    def round(i: Int, src: String, joinOn: String, grpOn: String,
+              out: String): String =
+      s"""${out}r AS (
+         |  SELECT n.nodeId AS id, COALESCE(sum(p.s), 0) AS raw
+         |  FROM nodes n
+         |  LEFT JOIN rels e ON e.$grpOn = n.nodeId
+         |  LEFT JOIN $src p ON p.id = e.$joinOn
+         |  GROUP BY n.nodeId),
+         |$out AS (SELECT id, (raw * 1000000) // (SELECT max(raw) FROM ${out}r) AS s
+         |         FROM ${out}r)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      round(i, s"h${i - 1}", "src", "dst", s"a$i") + ",\n" +
+        round(i, s"a$i", "dst", "src", s"h$i")
+    }.mkString(",\n")
+    s""", h0 AS (SELECT nodeId AS id, CAST(1000000 AS BIGINT) AS s FROM nodes),
+       |$rounds
+       |SELECT h.id AS node_id, CAST(h.s AS BIGINT) AS hub_score,
+       |  CAST(a.s AS BIGINT) AS auth_score
+       |FROM h$iters h JOIN a$iters a ON h.id = a.id
+       |ORDER BY a.s DESC, h.id LIMIT $k""".stripMargin
+  }
+
   private def pageRankSql(numIter: Int, k: Int): String = {
     val iters = (1 to numIter).map { i =>
       s"""r$i AS (

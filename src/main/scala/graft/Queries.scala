@@ -203,6 +203,12 @@ object Queries {
     Vectors.bruteForceTopK(T(spark, dir, "embeddings"), "vec_id", "embedding",
       queryVec(spark, dir), 20, exclude = 0L to 49L)
 
+  /** Hard negatives: top-3 most-similar different-label rows per anchor,
+    * candidates pruned by shared 4-bit LSH bucket. */
+  def embHardNegatives(spark: SparkSession, dir: String): DataFrame =
+    Vectors.hardNegatives(T(spark, dir, "embeddings"), "vec_id", "embedding",
+      "label", anchorIds = 0L until 20L, bits = 4, k = 3)
+
   /** Sparse random projection 64 → 8 dims, integer micro-units — the
     * dimension-reduction pass a 100 TB embedding store runs before ANN. */
   def embRandomProjection(spark: SparkSession, dir: String): DataFrame =
@@ -322,6 +328,11 @@ object Queries {
     * histogram over the TPC-H graph. */
   def graphLpa(spark: SparkSession, dir: String): DataFrame =
     graft.graph.GraphAlgorithms.labelPropagationSizes(graph(spark, dir), iters = 3)
+
+  /** HITS hubs/authorities (3 rounds, integer micro-units): top-20 by
+    * authority over the TPC-H graph. */
+  def graphHits(spark: SparkSession, dir: String): DataFrame =
+    graft.graph.GraphAlgorithms.hits(graph(spark, dir), iters = 3, k = 20)
 
   /** Sparse personalized PageRank seeded at the ASIA region (the graph-RAG
     * walk-based retrieval ranker). */
@@ -737,6 +748,15 @@ object Queries {
     est.join(truth, Seq("term"))
   }
 
+  /** KMV distinct sketch (k=256) over lineitem part keys, with the exact
+    * distinct count alongside — the estimate AND its accuracy are both
+    * hash-checked. */
+  def sketchKmv(spark: SparkSession, dir: String): DataFrame = {
+    val li = T(spark, dir, "lineitem")
+    Sketch.kmvEstimate(Sketch.kmvSketch(li, "l_partkey", k = 256), k = 256)
+      .crossJoin(li.agg(countDistinct("l_partkey").as("n_exact")))
+  }
+
   /** Model-based quality scoring: corpus-trained smoothed bigram likelihood
     * per document (CCNet-style filter next to the rule-based gates). */
   def textLmBigram(spark: SparkSession, dir: String): DataFrame =
@@ -931,6 +951,51 @@ object Queries {
   def curateE2e(spark: SparkSession, dir: String): DataFrame =
     Curation.endToEndStats(T(spark, dir, "documents"), evalMod = 13,
       budget = 200L)
+
+  /** Shared snapshot + deterministic changelog for the lakehouse pair:
+    * keys ≡0 (mod 10) get a +1000 update (and ≡0 mod 100 a later +2000
+    * one — last-writer-wins must pick it), ≡1 are deleted, ≡2 spawn
+    * inserts under shifted keys. */
+  private def ordersChangelog(o: DataFrame): DataFrame = {
+    val upd1 = o.where(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000)
+      .withColumn("seq", lit(1L)).withColumn("op", lit("U"))
+    val upd2 = o.where(col("o_orderkey") % 100 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 2000)
+      .withColumn("seq", lit(2L)).withColumn("op", lit("U"))
+    val dels = o.where(col("o_orderkey") % 10 === 1)
+      .withColumn("seq", lit(1L)).withColumn("op", lit("D"))
+    val ins = o.where(col("o_orderkey") % 10 === 2)
+      .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+      .withColumn("o_orderstatus", lit("N"))
+      .withColumn("seq", lit(1L)).withColumn("op", lit("I"))
+    upd1.unionByName(upd2).unionByName(dels).unionByName(ins)
+  }
+
+  private def ordersSnapshot(spark: SparkSession, dir: String): DataFrame =
+    T(spark, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+  /** MERGE INTO: apply the changelog, summarize the merged snapshot. */
+  def lakeMergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val o = ordersSnapshot(spark, dir)
+    operators.Lakehouse
+      .mergeSnapshot(o, ordersChangelog(o), Seq("o_orderkey"), "seq", "op")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum("o_totalprice").cast("double"), 2).as("total"))
+  }
+
+  /** CDC derivation: diff the pre- and post-merge snapshots — must
+    * recover exactly the applied changes (I/D/U with key checksums). */
+  def lakeSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val o = ordersSnapshot(spark, dir)
+    val merged = operators.Lakehouse
+      .mergeSnapshot(o, ordersChangelog(o), Seq("o_orderkey"), "seq", "op")
+    operators.Lakehouse.snapshotDiff(o, merged, Seq("o_orderkey"))
+      .groupBy("op")
+      .agg(count(lit(1)).as("n_keys"), sum("o_orderkey").as("key_sum"))
+  }
 
   /** The SQL extension surface end-to-end (§2.10): plain `spark.sql` text
     * calling the injected codegen expressions (`graft_token_estimate`,
@@ -1168,6 +1233,7 @@ object Queries {
     "v2_knn_exclude" -> (v2KnnExclude _),
     "mmr_rerank" -> (mmrRerankQ _),
     "emb_random_projection" -> (embRandomProjection _),
+    "emb_hard_negatives" -> (embHardNegatives _),
     "ann_lsh_topk" -> (annLshTopK _),
     "ann_neardup_pairs" -> (annNearDupPairs _),
     "ann_ivf_topk" -> (annIvfTopK _),
@@ -1186,6 +1252,7 @@ object Queries {
     "graph_triangles" -> (graphTriangles _),
     "graph_bfs_dist" -> (graphBfsDist _),
     "graph_ppr" -> (graphPpr _),
+    "graph_hits" -> (graphHits _),
     "graph_sssp" -> (graphSssp _),
     "events_funnel" -> (eventsFunnel _),
     "events_histogram" -> (eventsHistogram _),
@@ -1228,6 +1295,7 @@ object Queries {
     "search_bm25" -> (searchBm25 _),
     "text_top_ngrams" -> (textTopNgrams _),
     "sketch_countmin" -> (sketchCountmin _),
+    "sketch_kmv" -> (sketchKmv _),
     "layout_zorder" -> (layoutZorder _),
     "layout_partitioned" -> (layoutPartitioned _),
     "curate_decontam" -> (curateDecontam _),
@@ -1246,6 +1314,8 @@ object Queries {
     "curate_split_leakage" -> (curateSplitLeakage _),
     "sql_surface" -> (sqlSurface _),
     "curate_e2e" -> (curateE2e _),
+    "lake_merge_upsert" -> (lakeMergeUpsert _),
+    "lake_snapshot_diff" -> (lakeSnapshotDiff _),
     "profile_documents" -> (profileDocuments _),
     "mm_binary_stats" -> (mmBinaryStats _),
     "mm_decode_features" -> (mmDecodeFeatures _),

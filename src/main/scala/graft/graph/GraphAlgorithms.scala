@@ -407,4 +407,44 @@ object GraphAlgorithms {
       .orderBy(col("cn").desc, col("ra_micro").desc, col("a"), col("b"))
       .limit(k)
   }
+
+  /** HITS hubs & authorities, `iters` unrolled rounds in exact integer
+    * micro-units: auth(v) = Σ over in-edges of hub(u), hub(u) = Σ over
+    * out-edges of auth(v), each round renormalized to max = 1e6 by ONE
+    * integer division `(raw · 1e6) div max(raw)` — per-round
+    * normalization is a scalar factor, so the fixed-point direction is
+    * the classic HITS one, and the integer arithmetic is summation-order
+    * independent (hash-exact cross-engine, unlike float L2 norms).
+    *
+    * Scale shape: each round is two keyed aggregations over the edge
+    * list plus a map-side-combinable max broadcast back with crossJoin —
+    * no driver loop state, no growing lineage (each round's score table
+    * is eagerly truncated at node-count rows). Multi-edges weight twice
+    * by design (the rels table is the multigraph). Requires a non-empty
+    * edge set (max(raw) = 0 would null the division). */
+  def hits(g: PropertyGraph, iters: Int, k: Int): DataFrame = {
+    val edges = g.rels.select("src", "dst").localCheckpoint(true)
+    val nodes = g.nodes.select(col("nodeId").as("id")).localCheckpoint(true)
+    def step(scores: DataFrame, toHub: Boolean): DataFrame = {
+      val (joinKey, grpKey) = if (toHub) ("dst", "src") else ("src", "dst")
+      val raw = edges.join(scores.withColumnRenamed("id", joinKey), Seq(joinKey))
+        .groupBy(col(grpKey).as("id")).agg(sum("s").as("raw"))
+      val full = nodes.join(raw, Seq("id"), "left")
+        .select(col("id"), coalesce(col("raw"), lit(0L)).as("raw"))
+      full.crossJoin(broadcast(full.agg(max("raw").as("m"))))
+        .select(col("id"), expr("(raw * 1000000) div m").as("s"))
+        .localCheckpoint(true)
+    }
+    var hub = nodes.select(col("id"), lit(1000000L).as("s"))
+    var auth = hub
+    for (_ <- 1 to iters) {
+      auth = step(hub, toHub = false)
+      hub = step(auth, toHub = true)
+    }
+    hub.withColumnRenamed("s", "hub_score")
+      .join(auth.withColumnRenamed("s", "auth_score"), Seq("id"))
+      .orderBy(col("auth_score").desc, col("id"))
+      .limit(k)
+      .select(col("id").as("node_id"), col("hub_score"), col("auth_score"))
+  }
 }

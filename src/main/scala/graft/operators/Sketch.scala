@@ -52,4 +52,32 @@ object Sketch {
       .join(broadcast(sketch), Seq("row", "bucket"), "left")
       .groupBy(keyCol).agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
   }
+
+  /** KMV (k-minimum-values) distinct-count sketch over the same portable
+    * digit-only md5 hash (uniform over [0, 1e6)). The sketch is the k
+    * smallest DISTINCT hash values — built by TakeOrdered (per-partition
+    * bottom-k heaps, no global sort) and MERGEABLE: the union of two
+    * sketches re-bottom-k'd is the sketch of the union, the property that
+    * makes it a per-partition/per-day rollup primitive at 100 TB. The
+    * 1e6 hash space caps resolvable cardinality (~collisions past ~1e5
+    * distinct); widen the digit take for bigger universes — in BOTH
+    * engines together. */
+  def kmvSketch(items: DataFrame, keyCol: String, k: Int): DataFrame =
+    items.select(expr(
+        s"cast(substr(concat(regexp_replace(md5(cast($keyCol as string)), " +
+          s"'[a-f]', ''), '000000'), 1, 6) as bigint)").as("h"))
+      .distinct().orderBy("h").limit(k)
+
+  /** Merge KMV sketches (any union of `h`-column sketch frames): dedup
+    * shared hashes, keep the k smallest — the rollup step. */
+  def kmvMerge(sketches: DataFrame, k: Int): DataFrame =
+    sketches.distinct().orderBy("h").limit(k)
+
+  /** Distinct-count estimate from a KMV sketch: (k−1)·M div h_k, exact
+    * when the universe never filled the sketch (n < k). */
+  def kmvEstimate(sketch: DataFrame, k: Int): DataFrame =
+    sketch.agg(count(lit(1)).as("n"), max("h").as("hk"))
+      .select(when(col("n") < k, col("n"))
+        .otherwise(expr(s"((${k} - 1) * 1000000) div hk"))
+        .as("distinct_est"))
 }

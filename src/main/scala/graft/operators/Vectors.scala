@@ -337,6 +337,31 @@ object Vectors {
         round(cosineSim(col("x.cv"), col("y.cv")), 6).as("cos_sim"))
   }
 
+  /** Hard-negative mining for contrastive training data: for each anchor,
+    * the top-k most-similar rows with a DIFFERENT label. Candidates are
+    * generated per shared LSH bucket — the anchor page (bounded, user-
+    * picked) broadcasts, and the corpus side streams by with the bucket
+    * equi-key pruning the pairing, so the corpus never self-joins. Top-k
+    * per anchor is one keyed window over the (small) candidate set. */
+  def hardNegatives(emb: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, anchorIds: Seq[Long], bits: Int,
+                    k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withB = emb.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"), col(labelCol).as("lbl"),
+      lshBucket(col(vecCol).cast("array<double>"), bits).as("bucket"))
+    val anchors = withB.where(col("id").isin(anchorIds: _*))
+    broadcast(anchors).as("a")
+      .join(withB.as("c"), col("a.bucket") === col("c.bucket") &&
+        col("a.lbl") =!= col("c.lbl"))
+      .select(col("a.id").as("anchor_id"), col("c.id").as("neg_id"),
+        round(cosineSim(col("a.v"), col("c.v")), 6).as("sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("anchor_id")
+          .orderBy(col("sim").desc, col("neg_id"))))
+      .where(col("rn") <= k).drop("rn")
+  }
+
   /** Deterministic sparse random projection (Achlioptas-style) — the
     * dimension-reduction step in front of ANN/clustering at 100 TB: dOut
     * integer components per vector, each `Σ_j round(v[j]·1e6) · s(i,j)`

@@ -311,4 +311,19 @@ class GraphAlgorithmsSpec extends SparkSpec {
     assert(out.length === 9)
     assert(!out.contains((1L, 2L)))
   }
+
+  test("HITS: hand-computed integer scores on a two-hub two-authority graph") {
+    // hubs 1 (→3,→4) and 2 (→3); authorities 3 (in-deg 2) and 4 (in-deg 1)
+    val graph = g(Seq((1L, 3L), (1L, 4L), (2L, 3L)),
+      Seq(1L -> "H", 2L -> "H", 3L -> "A", 4L -> "A"))
+    val out = GraphAlgorithms.hits(graph, iters = 2, k = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // round 1: a(3)=1e6, a(4)=5e5 → h(1)=1e6, h(2)=666666
+    // round 2: a raw 3=1666666, 4=1000000 → a(3)=1e6, a(4)=600000
+    //          h raw 1=1600000, 2=1000000 → h(1)=1e6, h(2)=625000
+    assert(out(3L) === ((0L, 1000000L)))
+    assert(out(4L) === ((0L, 600000L)))
+    assert(out(1L) === ((1000000L, 0L)))
+    assert(out(2L) === ((625000L, 0L)))
+  }
 }

@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.Lakehouse
+
+class LakehouseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def snap = Seq(
+    (1L, "A", 10.0), (2L, "B", 20.0), (3L, "C", 30.0))
+    .toDF("k", "status", "price")
+
+  test("merge: last-writer-wins upsert, delete, insert, pass-through") {
+    val changes = Seq(
+      (1L, "A", 11.0, 1L, "U"),   // superseded by seq 2
+      (1L, "A", 12.0, 2L, "U"),   // wins
+      (2L, "B", 20.0, 1L, "D"),   // delete
+      (9L, "N", 90.0, 1L, "I"))   // insert
+      .toDF("k", "status", "price", "seq", "op")
+    val out = Lakehouse.mergeSnapshot(snap, changes, Seq("k"), "seq", "op")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2))))
+      .toMap
+    assert(out === Map(
+      1L -> (("A", 12.0)), 3L -> (("C", 30.0)), 9L -> (("N", 90.0))))
+  }
+
+  test("merge: same-seq tie prefers the delete (idempotent replay)") {
+    val changes = Seq(
+      (1L, "A", 11.0, 1L, "U"), (1L, "A", 10.0, 1L, "D"))
+      .toDF("k", "status", "price", "seq", "op")
+    val out = Lakehouse.mergeSnapshot(snap, changes, Seq("k"), "seq", "op")
+      .collect().map(_.getLong(0)).toSet
+    assert(out === Set(2L, 3L))
+  }
+
+  test("diff classifies I/D/U and omits unchanged keys") {
+    val after = Seq(
+      (1L, "A", 10.0),   // unchanged → omitted
+      (2L, "B", 21.0),   // price changed → U
+      (4L, "D", 40.0))   // new → I; key 3 missing → D
+      .toDF("k", "status", "price")
+    val out = Lakehouse.snapshotDiff(snap, after, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(2L -> "U", 3L -> "D", 4L -> "I"))
+  }
+
+  test("diff of merge recovers exactly the effective changelog") {
+    val changes = Seq(
+      (1L, "A", 12.0, 1L, "U"), (2L, "B", 20.0, 1L, "D"),
+      (9L, "N", 90.0, 1L, "I"))
+      .toDF("k", "status", "price", "seq", "op")
+    val merged = Lakehouse.mergeSnapshot(snap, changes, Seq("k"), "seq", "op")
+    val out = Lakehouse.snapshotDiff(snap, merged, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "U", 2L -> "D", 9L -> "I"))
+  }
+}

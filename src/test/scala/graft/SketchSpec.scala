@@ -41,6 +41,26 @@ class SketchSpec extends SparkSpec {
     assert(est === Map("never_seen_key" -> 0L))
   }
 
+  test("KMV: exact below k, mergeable, estimate within 3x at k=64") {
+    // below k: the sketch holds every distinct hash → estimate is exact
+    val small = (1 to 30).map(i => s"v$i").toDF("k")
+    val exact = Sketch.kmvEstimate(Sketch.kmvSketch(small, "k", 64), 64)
+      .first().getLong(0)
+    assert(exact === 30L)
+    // mergeability: bottom-k of the union of two sketches = sketch of union
+    val a = (1 to 500).map(i => s"x$i").toDF("k")
+    val b = (250 to 750).map(i => s"x$i").toDF("k")
+    val merged = Sketch.kmvMerge(
+      Sketch.kmvSketch(a, "k", 64).unionByName(Sketch.kmvSketch(b, "k", 64)),
+      64)
+    val direct = Sketch.kmvSketch(a.unionByName(b), "k", 64)
+    assert(merged.collect().map(_.getLong(0)).sorted
+      sameElements direct.collect().map(_.getLong(0)).sorted)
+    // estimate quality: 750 distinct, k=64 → crude but in the right decade
+    val est = Sketch.kmvEstimate(direct, 64).first().getLong(0)
+    assert(est > 250L && est < 2250L, s"estimate $est far from 750")
+  }
+
   test("sketch size is bounded by depth x width regardless of input") {
     val sk = Sketch.countMin(occurrences, "k", depth = 3, width = 8)
     assert(sk.count() <= 3L * 8)

@@ -202,6 +202,20 @@ class VectorsSpec extends SparkSpec {
     assert(!out.exists { case (a, b, _) => a == 0L && b == 2L })
   }
 
+  test("hard negatives: different label only, same bucket only, top-k") {
+    val pts = Seq(
+      (0L, Seq(1.0, 0.1, 0.0, 0.0), 0),   // anchor, bucket 11
+      (1L, Seq(1.0, 0.2, 0.0, 0.0), 0),   // same label → excluded
+      (2L, Seq(1.0, 0.3, 0.0, 0.0), 1),   // neg, close
+      (3L, Seq(0.1, 1.0, 0.0, 0.0), 1),   // neg, farther
+      (4L, Seq(-1.0, 0.5, 0.0, 0.0), 1))  // different bucket → excluded
+      .toDF("vec_id", "embedding", "label")
+    val out = Vectors.hardNegatives(pts, "vec_id", "embedding", "label",
+        anchorIds = Seq(0L), bits = 2, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out === Seq((0L, 2L), (0L, 3L)))
+  }
+
   test("random projection: linear on micro-exact inputs, zero maps to zero") {
     val a = Seq(0.5, -0.25, 1.0, 0.125)
     val b = Seq(1.5, 0.75, -2.0, 0.0)
