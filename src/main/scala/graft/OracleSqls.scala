@@ -1078,6 +1078,8 @@ object OracleSqls {
         |GROUP BY doc_id
         |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin,
 
+    "text_bpe_vocab" -> bpeSql(graft.Queries.bpeMerges, k = 20),
+
     // corpus heavy-hitter bigrams; deterministic ties (count desc, ngram)
     "text_top_ngrams" ->
       s"""WITH w AS (SELECT $wordsExpr AS w FROM documents),
@@ -1094,6 +1096,53 @@ object OracleSqls {
     // portable arithmetic, so sketch counters AND min-estimates are
     // bit-identical (DuckDB regexp_replace needs the 'g' flag; Spark's is
     // global by default)
+    // left fold, first element as init (list_reduce ≡ Spark aggregate with
+    // element_at(xs,1) init); // ≡ arithmetic shiftright for any sign
+    "events_ewma" ->
+      """WITH xs AS (
+        |  SELECT user_id, CAST(count(*) AS INTEGER) AS n_events,
+        |    array_agg(CAST(round(value * 1000000, 0) AS BIGINT)
+        |      ORDER BY ts, event_id) AS xs
+        |  FROM events GROUP BY user_id
+        |)
+        |SELECT user_id, n_events,
+        |  CAST(list_reduce(xs, (a, x) -> (a + x) // 2) AS BIGINT)
+        |    AS ewma_micro
+        |FROM xs""".stripMargin,
+
+    // largest-remainder apportionment, mirrored division order throughout
+    "curate_mixture_quota" ->
+      s"""WITH s AS (
+        |  SELECT source, sum(COALESCE(CAST(list_sum(list_transform(
+        |    $wordsExpr, w -> 1 + CAST(floor(length(w) / 4) AS BIGINT)))
+        |    AS BIGINT), 0)) AS tokens
+        |  FROM documents GROUP BY source
+        |), r AS (
+        |  SELECT source, tokens,
+        |    CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS r
+        |  FROM s
+        |), t AS (SELECT sum(r) AS rsum FROM r),
+        |b AS (
+        |  SELECT source, tokens, (1000000 * r) // rsum AS base_quota,
+        |    (1000000 * r) % rsum AS rem
+        |  FROM r CROSS JOIN t
+        |), q AS (SELECT sum(base_quota) AS qsum FROM b)
+        |SELECT source, CAST(tokens AS BIGINT) AS tokens,
+        |  CAST(base_quota + CASE WHEN row_number()
+        |      OVER (ORDER BY rem DESC, source) <= 1000000 - qsum
+        |    THEN 1 ELSE 0 END AS BIGINT) AS quota
+        |FROM b CROSS JOIN q""".stripMargin,
+
+    // DIRECT aggregation — the Spark side goes through daily partial
+    // states + merge; hash equality proves the merge law on real data
+    "incr_agg_rollup" ->
+      """SELECT event_type, CAST(count(value) AS BIGINT) AS cnt,
+        |  round(CAST(sum(value) AS DOUBLE), 4) AS sum,
+        |  round(CAST(sum(value) / count(value) AS DOUBLE), 4) AS avg,
+        |  round(CAST(min(value) AS DOUBLE), 4) AS min,
+        |  round(CAST(max(value) AS DOUBLE), 4) AS max
+        |FROM events GROUP BY event_type""".stripMargin,
+
     // KMV: k smallest distinct portable hashes; estimate (k-1)*M // h_k
     "sketch_kmv" ->
       """WITH h AS (
@@ -2392,6 +2441,28 @@ object OracleSqls {
     * mass (SPARK-18847). Mirrors [[graft.graph.GraphXBridge.pageRankTopK]]:
     * order by UNROUNDED rank desc then nodeId, limit k, round to 4.
     * Validated value-exact vs GraphX at sf0.01. */
+  /** BPE apply mirror ([[graft.operators.TextOps.bpeTokens]]): same
+    * boundary-delimited replace chain, chr(31) = the Spark side's U+001F. */
+  private def bpeSql(merges: Seq[(String, String)], k: Int): String = {
+    def d(s: String) = s"chr(31) || '$s' || chr(31)"
+    val chain = merges.zipWithIndex.map { case ((a, b), i) =>
+      s"""s${i + 1} AS (SELECT replace(s,
+         |  chr(31) || '$a' || chr(31) || ${d(b)},
+         |  ${d(a + b)}) AS s FROM s$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w AS (
+       |  SELECT unnest(${wordsExprOf("lower(text)")}) AS word FROM documents
+       |), s0 AS (
+       |  SELECT substr(regexp_replace(word, '(.)',
+       |    chr(31) || chr(31) || '\\1', 'g'), 2) || chr(31) AS s FROM w
+       |),
+       |$chain
+       |SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences FROM (
+       |  SELECT unnest(string_split(trim(s, chr(31)), chr(31) || chr(31)))
+       |    AS token FROM s${merges.size})
+       |GROUP BY token ORDER BY n_occurrences DESC, token LIMIT $k""".stripMargin
+  }
+
   /** Shared snapshot→changelog→merged CTE chain mirroring
     * [[graft.Queries.ordersChangelog]] + Lakehouse.mergeSnapshot. */
   private lazy val mergeCte: String =

@@ -719,6 +719,17 @@ object Queries {
     Search.bm25TopK(T(spark, dir, "documents"),
       Seq("vector", "hash", "join", "window"), k = 20)
 
+  /** The fixed BPE merge table shared by query and oracle: 10 learned-
+    * table-shaped rules (producers before consumers). */
+  val bpeMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("a", "t"), ("in", "g"))
+
+  /** Real BPE tokenizer application: corpus vocabulary histogram of the
+    * top-20 tokens under the fixed merge table. */
+  def textBpeVocab(spark: SparkSession, dir: String): DataFrame =
+    TextOps.bpeVocabHist(T(spark, dir, "documents"), bpeMerges, k = 20)
+
   /** Corpus heavy-hitter bigrams (boilerplate detection). */
   def textTopNgrams(spark: SparkSession, dir: String): DataFrame =
     TextOps.topNgrams(T(spark, dir, "documents"), n = 2, k = 20)
@@ -746,6 +757,36 @@ object Queries {
     val truth = words.where(col("term").isin(probeTerms: _*))
       .groupBy("term").agg(count(lit(1)).as("true_cnt"))
     est.join(truth, Seq("term"))
+  }
+
+  /** Integer EWMA (α=1/2) of each user's time-ordered event values. The
+    * sequence orders on microsecond ts (the precision DuckDB reads this
+    * parquet at) with the unique event_id as tiebreak, so both engines
+    * fold in the same total order. */
+  def eventsEwma(spark: SparkSession, dir: String): DataFrame =
+    Events.ewmaByUser(eventsUs(spark, dir).drop("ts").
+      withColumnRenamed("ts_us", "ts"))
+
+  /** Exact-budget mixture quotas: 1M tokens apportioned across sources by
+    * temperature-0.5 mass with largest-remainder rounding (Σ = budget). */
+  def curateMixtureQuota(spark: SparkSession, dir: String): DataFrame =
+    Curation.mixtureQuota(T(spark, dir, "documents"), "text",
+      budget = 1000000L)
+
+  /** Incremental aggregate maintenance: per-day partial states merged to
+    * per-type totals — the oracle aggregates DIRECTLY, so the hash gate
+    * proves the merge law (state of union = merge of states) on real data. */
+  def incrAggRollup(spark: SparkSession, dir: String): DataFrame = {
+    // the partial-state key only partitions rows (it is dropped before
+    // output — the merge law makes ANY partition equivalent), so the day
+    // boundary needs no timestamp semantics: floor-divided epoch nanos
+    val ev = eventsT(spark, dir)
+      .select(col("event_type"), expr("ts div 86400000000000").as("day"),
+        col("value"))
+    val daily = Incremental.aggState(ev, Seq("event_type", "day"), "value")
+    Incremental.finalize(
+      Incremental.mergeStates(daily.drop("day"), Seq("event_type")),
+      roundTo = 4)
   }
 
   /** KMV distinct sketch (k=256) over lineitem part keys, with the exact
@@ -1293,9 +1334,13 @@ object Queries {
     "text_lm_bigram" -> (textLmBigram _),
     "search_tfidf" -> (searchTfidf _),
     "search_bm25" -> (searchBm25 _),
+    "text_bpe_vocab" -> (textBpeVocab _),
     "text_top_ngrams" -> (textTopNgrams _),
     "sketch_countmin" -> (sketchCountmin _),
     "sketch_kmv" -> (sketchKmv _),
+    "incr_agg_rollup" -> (incrAggRollup _),
+    "curate_mixture_quota" -> (curateMixtureQuota _),
+    "events_ewma" -> (eventsEwma _),
     "layout_zorder" -> (layoutZorder _),
     "layout_partitioned" -> (layoutPartitioned _),
     "curate_decontam" -> (curateDecontam _),

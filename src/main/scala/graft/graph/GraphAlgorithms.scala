@@ -425,15 +425,19 @@ object GraphAlgorithms {
   def hits(g: PropertyGraph, iters: Int, k: Int): DataFrame = {
     val edges = g.rels.select("src", "dst").localCheckpoint(true)
     val nodes = g.nodes.select(col("nodeId").as("id")).localCheckpoint(true)
+    // scores stay SPARSE through the loop: an absent id means s = 0, which
+    // contributes nothing to any sum and never wins the max (raws are
+    // non-negative), so the per-step dense left-join against the node set
+    // — a whole extra shuffle per round — is deferred to the final output.
+    // Only `raw` (referenced by both the max and the division) is eagerly
+    // truncated; one materialization per step instead of a join + one.
     def step(scores: DataFrame, toHub: Boolean): DataFrame = {
       val (joinKey, grpKey) = if (toHub) ("dst", "src") else ("src", "dst")
       val raw = edges.join(scores.withColumnRenamed("id", joinKey), Seq(joinKey))
         .groupBy(col(grpKey).as("id")).agg(sum("s").as("raw"))
-      val full = nodes.join(raw, Seq("id"), "left")
-        .select(col("id"), coalesce(col("raw"), lit(0L)).as("raw"))
-      full.crossJoin(broadcast(full.agg(max("raw").as("m"))))
-        .select(col("id"), expr("(raw * 1000000) div m").as("s"))
         .localCheckpoint(true)
+      raw.crossJoin(broadcast(raw.agg(max("raw").as("m"))))
+        .select(col("id"), expr("(raw * 1000000) div m").as("s"))
     }
     var hub = nodes.select(col("id"), lit(1000000L).as("s"))
     var auth = hub
@@ -441,10 +445,13 @@ object GraphAlgorithms {
       auth = step(hub, toHub = false)
       hub = step(auth, toHub = true)
     }
-    hub.withColumnRenamed("s", "hub_score")
-      .join(auth.withColumnRenamed("s", "auth_score"), Seq("id"))
-      .orderBy(col("auth_score").desc, col("id"))
+    nodes
+      .join(hub.withColumnRenamed("s", "hub_score"), Seq("id"), "left")
+      .join(auth.withColumnRenamed("s", "auth_score"), Seq("id"), "left")
+      .select(col("id").as("node_id"),
+        coalesce(col("hub_score"), lit(0L)).as("hub_score"),
+        coalesce(col("auth_score"), lit(0L)).as("auth_score"))
+      .orderBy(col("auth_score").desc, col("node_id"))
       .limit(k)
-      .select(col("id").as("node_id"), col("hub_score"), col("auth_score"))
   }
 }

@@ -483,6 +483,39 @@ object Curation {
         sum(when(kept, col("len"))).as("kept_chars"))
   }
 
+  /** Largest-remainder apportionment of an EXACT token budget across
+    * sources under temperature-0.5 sampling mass (r_s = ⌊√tokens_s⌋ —
+    * [[rebalanceWeights]]' float shares made integer-exact): base quota
+    * `(B·r_s) div R`, then the leftover `B − Σ base` goes one token to
+    * each of the largest remainders (`(B·r_s) mod R` desc, source asc).
+    * Σ quota = B exactly — the property float shares cannot give.
+    *
+    * Scale shape: one token-counting scan, then all arithmetic on
+    * |sources| rows (broadcast scalars, one tiny window). Long-exact
+    * while B·r_s < 9.2e18 — a 1e13-token budget with √-mass up to ~1e5. */
+  def mixtureQuota(docs: DataFrame, textCol: String,
+                   budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySrc = docs.groupBy(col("source"))
+      .agg(sum(coalesce(graft.functions.tokenCountEstimate(col(textCol)),
+        lit(0L))).as("tokens"))
+      .select(col("source"), col("tokens"),
+        floor(sqrt(col("tokens").cast("double"))).cast("long").as("r"))
+    val base = bySrc
+      .crossJoin(broadcast(bySrc.agg(sum("r").as("rsum"))))
+      .select(col("source"), col("tokens"),
+        expr(s"(${budget}L * r) div rsum").as("base_quota"),
+        expr(s"(${budget}L * r) % rsum").as("rem"))
+    base
+      .crossJoin(broadcast(base.agg(sum("base_quota").as("qsum"))))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("source"))))
+      .select(col("source"), col("tokens"),
+        (col("base_quota") +
+          when(col("rk") <= lit(budget) - col("qsum"), 1L).otherwise(0L))
+          .as("quota"))
+  }
+
   def rebalanceWeights(docs: DataFrame): DataFrame = {
     val bySrc = docs.groupBy(col("source"))
       .agg(count(lit(1)).cast("double").as("n_docs"))

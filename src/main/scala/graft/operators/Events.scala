@@ -285,4 +285,32 @@ object Events {
         col("cohort_size"))
       .orderBy(col("cohort_week"), col("week_offset"))
   }
+
+  /** Per-key EWMA (α = 1/2) over each user's time-ordered event values,
+    * in integer micro-units: y₁ = x₁, yₜ = ⌊(xₜ + yₜ₋₁)/2⌋ via one
+    * arithmetic shift — floor division for ANY sign, so the fold is
+    * hash-exact cross-engine with no float accumulation. Recursion-free:
+    * ONE keyed collect + a codegen'd `aggregate` fold per key, the
+    * standard Spark shape for order-dependent per-key state (a window
+    * can't express yₜ(yₜ₋₁); a driver loop wouldn't distribute). Sequence
+    * order is total: (ts, event_id) with the unique id as tiebreak.
+    *
+    * Scale: per-key sequences are activity-bounded (the same contract as
+    * sessionization); a key whose history can't fit one task belongs in
+    * [[streamingHourlyCounts]]-style incremental state, not a batch fold. */
+  def ewmaByUser(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"), col("value")).as("e"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(col("e"))).as("es"))
+      .select(col("user_id"), size(col("es")).as("n_events"),
+        transform(col("es"),
+          e => round(e.getField("value") * 1000000L, 0).cast("long"))
+          .as("xs"))
+      .select(col("user_id"), col("n_events"),
+        aggregate(
+          slice(col("xs"), lit(2), greatest(size(col("xs")) - 1, lit(0))),
+          element_at(col("xs"), 1),
+          (acc, x) => shiftright(acc + x, 1)).as("ewma_micro"))
 }

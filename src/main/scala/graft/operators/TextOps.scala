@@ -229,4 +229,42 @@ object TextOps {
     docs.select(col("source"), octet_length(col("text")).cast("long").as("n_bytes"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_bytes")).as("total_bytes"))
+
+  /** BPE tokenizer APPLICATION with a fixed, ordered merge table — the
+    * real token accounting a training pipeline runs (not the regex
+    * estimate of [[graft.expr.TokenEstimate]]). Rules apply sequentially
+    * in rank order, each merging all non-overlapping occurrences leftmost
+    * first — equivalent to classic greedy BPE for any well-formed table
+    * (producers before consumers, which real learned tables satisfy).
+    *
+    * The whole pass is string-engine arithmetic — no UDF, no per-row
+    * interpreter: a word becomes `D c1 DD c2 DD … D` (D = U+001F), each
+    * rule (a,b) is ONE `replace(s, D a DD b D, D ab D)` — the shared
+    * single-D at a chain boundary makes consecutive pairs merge in one
+    * pass (see BpeSpec) — and tokens split back on DD. Chained replaces
+    * stay inside whole-stage codegen; the merge table ships as literals.
+    * The same construction runs verbatim in ANSI SQL, which is what makes
+    * the operator oracle-checkable. */
+  def bpeTokens(docs: DataFrame,
+                merges: Seq[(String, String)]): DataFrame = {
+    val D = "\u001F"; val DD = D + D
+    val word = explode(graft.functions.words(lower(col("text")))).as("word")
+    val seeded = concat(
+      expr(s"substring(regexp_replace(word, '(.)', " +
+        s"concat(char(31), char(31), '$$1')), 2)"),
+      lit(D))
+    val folded = merges.foldLeft(seeded) { case (c, (a, b)) =>
+      call_function("replace", c, lit(D + a + DD + b + D), lit(D + a + b + D))
+    }
+    docs.select(word)
+      .select(explode(split(trim(folded, D), DD)).as("token"))
+  }
+
+  /** Corpus BPE vocabulary histogram: top-k tokens by frequency. */
+  def bpeVocabHist(docs: DataFrame, merges: Seq[(String, String)],
+                   k: Int): DataFrame =
+    bpeTokens(docs, merges)
+      .groupBy("token").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(k)
 }

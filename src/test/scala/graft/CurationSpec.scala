@@ -304,6 +304,21 @@ class CurationSpec extends SparkSpec {
       (2L, 2L, 0L, 0.0), (3L, 4L, 3L, 0.75), (1L, 2L, 2L, 1.0)))
   }
 
+  test("mixture quota: sums exactly to budget, largest remainder breaks ties") {
+    // words of length 1 → 1 token each; sources with 16, 4, 1 tokens
+    def doc(src: String, n: Int) = (src, Seq.fill(n)("x").mkString(" "))
+    val d = (Seq(doc("a", 16), doc("b", 4), doc("c", 1)))
+      .toDF("source", "text")
+    // r = (4, 2, 1), R = 7; B = 10 → base = (40/7, 20/7, 10/7) = (5, 2, 1)
+    // rem = (5, 6, 3); leftover = 2 → +1 to b (rem 6) and a (rem 5)
+    val out = Curation.mixtureQuota(d, "text", budget = 10L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out === Map(
+      "a" -> ((16L, 6L)), "b" -> ((4L, 3L)), "c" -> ((1L, 1L))))
+    assert(out.values.map(_._2).sum === 10L)
+  }
+
   test("length trim keeps the inner percent_rank band, hand-derived") {
     // 21 docs of lengths 1..21: percent_rank = (rank-1)/20, so the
     // [0.05, 0.95] band is ranks 2..20 → lengths 2..20

@@ -324,4 +324,36 @@ class EventsSpec extends SparkSpec {
       (1L, 0L, 1L, 1L),
       (1L, 2L, 1L, 1L))) // u3 returns two weeks after its cohort week
   }
+
+  test("EWMA: time-ordered integer fold with floor halving") {
+    val df = Seq(
+      (1L, nanos("2024-01-01 00:00:00"), 1L, "e", 4.0, ""),
+      (2L, nanos("2024-01-01 00:01:00"), 1L, "e", 2.0, ""),
+      (3L, nanos("2024-01-01 00:02:00"), 1L, "e", 3.0, ""),
+      (4L, nanos("2024-01-01 00:00:00"), 2L, "e", 7.5, ""),
+      // u3: floor case — y = (1 + 1e6) >> 1 = 500000, not 500001
+      (5L, nanos("2024-01-01 00:00:00"), 3L, "e", 0.000001, ""),
+      (6L, nanos("2024-01-01 00:01:00"), 3L, "e", 1.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.ewmaByUser(df).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    // u1: y1=4e6, y2=(2e6+4e6)/2=3e6, y3=(3e6+3e6)/2=3e6
+    assert(out(1L) === ((3, 3000000L)))
+    assert(out(2L) === ((1, 7500000L)))
+    assert(out(3L) === ((2, 500000L)))
+  }
+
+  test("EWMA order is (ts, event_id): same-ts events break by id") {
+    val df = Seq(
+      (11L, nanos("2024-01-01 00:00:00"), 1L, "e", 8.0, ""),
+      (10L, nanos("2024-01-01 00:00:00"), 1L, "e", 2.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // id 10 first: y1=2e6, y2=(8e6+2e6)/2=5e6 (reverse order would give 5e6
+    // too — use asymmetric check: three events)
+    val df3 = df.union(Seq((12L, nanos("2024-01-01 00:00:00"), 1L, "e", 0.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    // order 10,11,12: y=2e6 → 5e6 → 2.5e6
+    val out = Events.ewmaByUser(df3).collect().head
+    assert(out.getLong(2) === 2500000L)
+  }
 }
