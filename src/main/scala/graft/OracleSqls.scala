@@ -634,6 +634,13 @@ object OracleSqls {
         |FROM per_node GROUP BY n_tri""".stripMargin,
 
     "graph_bfs_dist" -> withGraph(bfsSql(iters = 6)),
+    "graph_harmonic" ->
+      s"""SELECT CAST(sum(n_nodes * (1000000 // dist)) AS BIGINT)
+         |    AS harmonic_micro,
+         |  CAST(sum(n_nodes) AS BIGINT) AS n_reached
+         |FROM (
+         |${withGraph(bfsSql(iters = 6))}
+         |) WHERE dist > 0""".stripMargin,
 
     "graph_ppr" -> withGraph(pprSql(iters = 5, k = 20)),
     "graph_hits" -> withGraph(hitsSql(iters = 3, k = 20)),
@@ -1079,6 +1086,43 @@ object OracleSqls {
         |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin,
 
     "text_bpe_vocab" -> bpeSql(graft.Queries.bpeMerges, k = 20),
+
+    // RRF over the two lexical top-20 pages (same CTE bases as
+    // search_tfidf / search_bm25); 1e6 // (60 + rank) summed per doc
+    "search_hybrid_rrf" ->
+      s"""WITH wl AS (
+        |  SELECT doc_id, ${wordsExprOf("lower(text)")} AS ws FROM documents
+        |), dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM wl),
+        |p AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(ws) AS term FROM wl
+        |  ) WHERE term IN ('vector', 'hash', 'join', 'window')
+        |  GROUP BY doc_id, term
+        |), d AS (SELECT term, count(*) AS df FROM p GROUP BY term),
+        |n AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |             (SELECT sum(dl) FROM dl) AS corpus_len),
+        |tfk AS (
+        |  SELECT doc_id, sum((tf * 1000000 * n_docs) // df) AS s
+        |  FROM p JOIN d USING (term) CROSS JOIN n
+        |  GROUP BY doc_id ORDER BY s DESC, doc_id LIMIT 20
+        |), bmk AS (
+        |  SELECT doc_id, sum(
+        |    ((((2 * (n_docs - df) + 1) * 1000000) // (2 * df + 1))
+        |     * ((22 * tf * corpus_len * 1000000)
+        |        // (10 * tf * corpus_len + 3 * corpus_len + 9 * dl * n_docs)))
+        |    // 1000000) AS s
+        |  FROM p JOIN d USING (term) JOIN dl USING (doc_id) CROSS JOIN n
+        |  GROUP BY doc_id ORDER BY s DESC, doc_id LIMIT 20
+        |), u AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rnk
+        |  FROM tfk
+        |  UNION ALL
+        |  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) FROM bmk
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lists,
+        |  CAST(sum(1000000 // (60 + rnk)) AS BIGINT) AS rrf_micro
+        |FROM u GROUP BY doc_id
+        |ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin,
 
     // corpus heavy-hitter bigrams; deterministic ties (count desc, ngram)
     "text_top_ngrams" ->
@@ -1569,6 +1613,27 @@ object OracleSqls {
         |    round(inter * 1.0 / (a.n + b.n - inter), 6) AS jac
         |  FROM common JOIN sizes a ON common.id1 = a.doc_id JOIN sizes b ON common.id2 = b.doc_id)
         |WHERE jac >= 0.5""".stripMargin,
+
+    // same posting/cap chain as dedup_ngram_jaccard; asymmetric ratios
+    "dedup_containment" -> s"""$shingleCte,
+        |post AS (
+        |  SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+        |  FROM (SELECT doc_id, unnest(s) AS shingle FROM sh)
+        |), keep AS (SELECT h FROM post GROUP BY h HAVING count(*) <= 64),
+        |kp AS (SELECT post.* FROM post JOIN keep USING (h)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM kp GROUP BY 1),
+        |common AS (
+        |  SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS inter
+        |  FROM kp x JOIN kp y ON x.h = y.h AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id1, id2, c12, c21 FROM (
+        |  SELECT id1, id2,
+        |    round(inter * 1.0 / a.n, 6) AS c12,
+        |    round(inter * 1.0 / b.n, 6) AS c21
+        |  FROM common JOIN sizes a ON common.id1 = a.doc_id
+        |    JOIN sizes b ON common.id2 = b.doc_id)
+        |WHERE greatest(c12, c21) >= 0.8""".stripMargin,
 
     // Mirrors operators.Corpus.cleanStats(lang=en, minScore=0.5, 3-gram
     // shingles, 16 hashes, 4 bands, threshold 0.5): language gate →

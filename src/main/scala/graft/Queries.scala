@@ -329,6 +329,11 @@ object Queries {
   def graphLpa(spark: SparkSession, dir: String): DataFrame =
     graft.graph.GraphAlgorithms.labelPropagationSizes(graph(spark, dir), iters = 3)
 
+  /** Harmonic centrality of the ASIA anchor (6 BFS rounds, micro-units). */
+  def graphHarmonic(spark: SparkSession, dir: String): DataFrame =
+    graft.graph.GraphAlgorithms.harmonicCentrality(graph(spark, dir),
+      "Region", Seq("ASIA"), iters = 6)
+
   /** HITS hubs/authorities (3 rounds, integer micro-units): top-20 by
     * authority over the TPC-H graph. */
   def graphHits(spark: SparkSession, dir: String): DataFrame =
@@ -641,6 +646,12 @@ object Queries {
     Dedup.ngramJaccardPairs(T(spark, dir, "documents"), "doc_id", "text",
       shingleN = 3, threshold = 0.5, maxPostings = 64)
 
+  /** Asymmetric containment pairs (threshold 0.8 on either direction):
+    * the quote/excerpt detector Jaccard under-scores. */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(T(spark, dir, "documents"), "doc_id", "text",
+      shingleN = 3, threshold = 0.8, maxPostings = 64)
+
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashGroups(T(spark, dir, "documents"), "doc_id", "text", bits = 16)
 
@@ -729,6 +740,16 @@ object Queries {
     * top-20 tokens under the fixed merge table. */
   def textBpeVocab(spark: SparkSession, dir: String): DataFrame =
     TextOps.bpeVocabHist(T(spark, dir, "documents"), bpeMerges, k = 20)
+
+  /** Hybrid retrieval: RRF fusion of the TF-IDF and BM25 top-20 pages. */
+  def searchHybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T(spark, dir, "documents")
+    val terms = Seq("vector", "hash", "join", "window")
+    Search.rrfFuse(Seq(
+      (Search.tfidfTopK(docs, terms, 20), "score_micro"),
+      (Search.bm25TopK(docs, terms, 20), "score_micro")),
+      "doc_id", c = 60, k = 10)
+  }
 
   /** Corpus heavy-hitter bigrams (boilerplate detection). */
   def textTopNgrams(spark: SparkSession, dir: String): DataFrame =
@@ -1294,6 +1315,7 @@ object Queries {
     "graph_bfs_dist" -> (graphBfsDist _),
     "graph_ppr" -> (graphPpr _),
     "graph_hits" -> (graphHits _),
+    "graph_harmonic" -> (graphHarmonic _),
     "graph_sssp" -> (graphSssp _),
     "events_funnel" -> (eventsFunnel _),
     "events_histogram" -> (eventsHistogram _),
@@ -1317,6 +1339,7 @@ object Queries {
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_containment" -> (dedupContainment _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_chunk_dups" -> (dedupChunkDups _),
@@ -1335,6 +1358,7 @@ object Queries {
     "search_tfidf" -> (searchTfidf _),
     "search_bm25" -> (searchBm25 _),
     "text_bpe_vocab" -> (textBpeVocab _),
+    "search_hybrid_rrf" -> (searchHybridRrf _),
     "text_top_ngrams" -> (textTopNgrams _),
     "sketch_countmin" -> (sketchCountmin _),
     "sketch_kmv" -> (sketchKmv _),

@@ -90,6 +90,17 @@ object GraphAlgorithms {
       .agg(count(lit(1)).as("n_nodes"))
   }
 
+  /** Harmonic centrality of an anchor set: Σ over reached nodes of
+    * 1e6 div dist (integer micro-units; unreached nodes contribute 0 by
+    * omission, the harmonic convention). Rides on [[bfsLayers]]'s frontier
+    * BFS — one extra two-column aggregate over the layer histogram. */
+  def harmonicCentrality(g: PropertyGraph, label: String,
+                         names: Seq[String], iters: Int): DataFrame =
+    bfsLayers(g, label, names, iters)
+      .where(col("dist") > 0)
+      .agg(sum(expr("n_nodes * (1000000 div dist)")).as("harmonic_micro"),
+        sum(col("n_nodes")).as("n_reached"))
+
   /** Bounded Bellman-Ford single-source shortest paths over a WEIGHTED
     * undirected edge list (a, b, w — integer weights, so distances stay in
     * exact Long arithmetic): `iters` relaxation rounds give the exact

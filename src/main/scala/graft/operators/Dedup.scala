@@ -335,7 +335,34 @@ object Dedup {
     * shingles barely move Jaccard; the oracle mirrors the same drop. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int, threshold: Double,
-                        maxPostings: Int = Int.MaxValue): DataFrame = {
+                        maxPostings: Int = Int.MaxValue): DataFrame =
+    ngramPairStats(docs, idCol, textCol, shingleN, maxPostings)
+      .withColumn("jac", round(col("inter").cast("double") /
+        (col("n1") + col("n2") - col("inter")), 6))
+      .where(col("jac") >= threshold)
+      .select(col("id1"), col("id2"), col("jac"))
+
+  /** Asymmetric CONTAINMENT near-dup pairs: c(A→B) = |A∩B| / |A| over the
+    * same hot-capped shingle postings — the detector for quotes, excerpts
+    * and supersets, which symmetric Jaccard structurally under-scores (a
+    * paragraph fully contained in a book has jac ≈ |A|/|B| ≈ 0 but
+    * containment 1). Pairs emit when EITHER direction clears `threshold`;
+    * both directions are reported. Same single-scan linear lineage as
+    * [[ngramJaccardPairs]]. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int, threshold: Double,
+                       maxPostings: Int = Int.MaxValue): DataFrame =
+    ngramPairStats(docs, idCol, textCol, shingleN, maxPostings)
+      .withColumn("c12", round(col("inter").cast("double") / col("n1"), 6))
+      .withColumn("c21", round(col("inter").cast("double") / col("n2"), 6))
+      .where(greatest(col("c12"), col("c21")) >= threshold)
+      .select(col("id1"), col("id2"), col("c12"), col("c21"))
+
+  /** Shared pair-statistics core: (id1, id2, inter, n1, n2) per candidate
+    * pair from the capped shingle postings — one corpus scan. */
+  private def ngramPairStats(docs: DataFrame, idCol: String, textCol: String,
+                             shingleN: Int,
+                             maxPostings: Int = Int.MaxValue): DataFrame = {
     val posts = hashedPostings(shingleSets(docs, idCol, textCol, shingleN))
     // STRICTLY LINEAR lineage — the corpus is scanned exactly ONCE (any
     // branch that references the posting subtree twice replans the whole
@@ -362,10 +389,6 @@ object Dedup {
     pairs
       .groupBy(col("id1"), col("id2"))
       .agg(count(lit(1)).as("inter"), max(col("n1")).as("n1"), max(col("n2")).as("n2"))
-      .withColumn("jac", round(col("inter").cast("double") /
-        (col("n1") + col("n2") - col("inter")), 6))
-      .where(col("jac") >= threshold)
-      .select(col("id1"), col("id2"), col("jac"))
   }
 
   /** Near-dup clustering: connected components over the verified pair graph

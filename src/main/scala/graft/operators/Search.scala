@@ -56,6 +56,30 @@ object Search {
       .limit(k)
   }
 
+  /** Reciprocal-rank fusion — the hybrid-search combiner: each input
+    * ranking contributes `1e6 div (c + rank)` per doc (c = 60, the
+    * Cormack/Clarke constant), summed across lists. Rank-based, so
+    * incomparable score scales (lexical vs vector) fuse without
+    * normalization, and the integer quotient is hash-exact.
+    *
+    * Inputs are top-k PAGES (bounded — each ranking is already the output
+    * of a TakeOrderedAndProject), so the unpartitioned rank window and the
+    * fusion groupBy run on k·lists rows, never the corpus. */
+  def rrfFuse(rankings: Seq[(DataFrame, String)], idCol: String, c: Int,
+              k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = rankings.map { case (df, scoreCol) =>
+      df.select(col(idCol), row_number().over(
+        Window.orderBy(col(scoreCol).desc, col(idCol))).as("rnk"))
+    }
+    ranked.reduce(_ unionByName _)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_lists"),
+        sum(expr(s"1000000 div ($c + rnk)")).as("rrf_micro"))
+      .orderBy(col("rrf_micro").desc, col(idCol))
+      .limit(k)
+  }
+
   /** BM25 top-k (k1=1.2, b=0.75), exact-integer micro-units throughout.
     *
     * Both BM25 fractions are cleared of decimals so every division is ONE

@@ -80,6 +80,24 @@ class DedupSpec extends SparkSpec {
     assert(out((1L, 3L)) === 0.555556)
   }
 
+  test("containment: full excerpt scores 1.0 one way, fraction the other") {
+    // d20 = the first 5 words of d21 → every d20 shingle is in d21
+    val df = Seq(
+      (20L, "alpha beta gamma delta epsilon"),
+      (21L, "alpha beta gamma delta epsilon zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(df, "doc_id", "text", 3, 0.8)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getDouble(3))))
+      .toMap
+    // d20: 3 shingles, all shared; d21: 7 shingles → c12=1.0, c21=0.428571
+    assert(out((20L, 21L)) === ((1.0, 0.428571)))
+    // symmetric Jaccard on the same pair is 3/7 — BELOW a 0.5 gate; the
+    // containment detector is the one that fires
+    val jac = Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.5)
+    assert(jac.collect().isEmpty)
+  }
+
   test("n-gram jaccard hot-shingle cap bounds pair generation") {
     // 40 docs all sharing one stop-word trigram ("in the end"), each padded
     // with unique words; docs 100/101 are true near-dups of each other.

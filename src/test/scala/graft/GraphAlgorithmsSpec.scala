@@ -174,6 +174,16 @@ class GraphAlgorithmsSpec extends SparkSpec {
       (2, "B") -> 1L))
   }
 
+  test("harmonic centrality: 1e6/1 + 1e6/2 over the chain, anchor excluded") {
+    // 1-2-3-4 chain + shortcut 1-4: dists from 1 are (2:1, 4:1, 3:2)
+    val graph = g(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)),
+      Seq(1L -> "A", 2L -> "A", 3L -> "B", 4L -> "B"))
+    val out = GraphAlgorithms.harmonicCentrality(graph, "A", Seq("n1"), 4)
+      .collect().head
+    assert(out.getLong(0) === 2L * 1000000L + 500000L)
+    assert(out.getLong(1) === 3L)
+  }
+
   test("BFS layers exclude unreached nodes") {
     val graph = g(Seq((1L, 2L), (3L, 4L)),
       Seq(1L -> "A", 2L -> "A", 3L -> "B", 4L -> "B"))

@@ -62,6 +62,22 @@ class SearchSpec extends SparkSpec {
     assert(satM(1, 3) > satM(1, 4))
   }
 
+  test("RRF: rank-1 in both lists beats rank-1+rank-3; singles counted once") {
+    val la = Seq((10L, 900L), (11L, 800L), (12L, 700L)).toDF("doc_id", "s")
+    val lb = Seq((10L, 5L), (12L, 4L), (13L, 3L)).toDF("doc_id", "s")
+    val out = Search.rrfFuse(Seq((la, "s"), (lb, "s")), "doc_id", c = 60, k = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def rr(r: Int) = 1000000L / (60 + r)
+    assert(out(10L) === ((2L, rr(1) + rr(1))))   // rank 1 in both
+    assert(out(12L) === ((2L, rr(3) + rr(2))))
+    assert(out(11L) === ((1L, rr(2))))
+    assert(out(13L) === ((1L, rr(3))))
+    // fused order: 10 first (two rank-1s)
+    val top = Search.rrfFuse(Seq((la, "s"), (lb, "s")), "doc_id", 60, 1)
+      .collect().head.getLong(0)
+    assert(top === 10L)
+  }
+
   test("tfidf top-k truncates deterministically") {
     val out = Search.tfidfTopK(docs, Seq("apple", "banana"), 2)
       .collect().map(_.getLong(0)).toSeq
