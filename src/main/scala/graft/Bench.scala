@@ -38,6 +38,8 @@ object Bench {
     Queries.warmPartitioned(spark, sfDir)
     // WebDataset tar-shard layout: write-once, queries timed against it.
     Queries.warmTar(spark, sfDir)
+    // IVF-partitioned vector store: write-once ANN layout.
+    Queries.warmIvfStore(spark, sfDir)
 
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                  name: String): Option[Double] = {

@@ -50,6 +50,30 @@ object OracleSqls {
   private val trailNeq =
     "NOT (e1.relType = e2.relType AND e1.src = e2.src AND e1.dst = e2.dst)"
 
+  /** Seeded-centroid IVF probe (shared by `ann_ivf_topk` and its
+    * partition-pruned store twin `ann_ivf_pruned`). */
+  private lazy val ivfTopkSql: String =
+    """WITH c AS (
+      |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      |  FROM embeddings ORDER BY vec_id LIMIT 8
+      |), a AS (
+      |  SELECT id, v, cid FROM (
+      |    SELECT e.vec_id AS id, CAST(e.embedding AS DOUBLE[]) AS v, c.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv), 6) DESC,
+      |          c.cid) AS rn
+      |    FROM embeddings e CROSS JOIN c)
+      |  WHERE rn = 1
+      |), q AS (
+      |  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+      |), p AS (
+      |  SELECT cid FROM c, q
+      |  ORDER BY round(list_cosine_similarity(cv, qv), 6) DESC, cid LIMIT 2
+      |)
+      |SELECT a.id AS vec_id, round(list_cosine_similarity(a.v, q.qv), 6) AS similarity
+      |FROM a JOIN p USING (cid), q
+      |ORDER BY similarity DESC, a.id LIMIT 10""".stripMargin
+
   private val base: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -456,28 +480,11 @@ object OracleSqls {
         |SELECT r.custkey, s.sample_no, r.orderkey
         |FROM samples s JOIN ranked r ON s.custkey = r.custkey AND r.rk = s.idx + 1""".stripMargin,
 
-    "ann_ivf_topk" ->
-      """WITH c AS (
-        |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
-        |  FROM embeddings ORDER BY vec_id LIMIT 8
-        |), a AS (
-        |  SELECT id, v, cid FROM (
-        |    SELECT e.vec_id AS id, CAST(e.embedding AS DOUBLE[]) AS v, c.cid,
-        |      row_number() OVER (PARTITION BY e.vec_id
-        |        ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv), 6) DESC,
-        |          c.cid) AS rn
-        |    FROM embeddings e CROSS JOIN c)
-        |  WHERE rn = 1
-        |), q AS (
-        |  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
-        |), p AS (
-        |  SELECT cid FROM c, q
-        |  ORDER BY round(list_cosine_similarity(cv, qv), 6) DESC, cid LIMIT 2
-        |)
-        |SELECT a.id AS vec_id, round(list_cosine_similarity(a.v, q.qv), 6) AS similarity
-        |FROM a JOIN p USING (cid), q
-        |ORDER BY similarity DESC, a.id LIMIT 10""".stripMargin,
-
+    "ann_ivf_topk" -> ivfTopkSql,
+    // identical math to ann_ivf_topk — the Spark side runs it through the
+    // IVF-PARTITIONED store (hive partition per cell, probe = partition
+    // pruning); results must hash-match the unpartitioned oracle
+    "ann_ivf_pruned" -> ivfTopkSql,
     "ann_ivf_kmeans" -> ivfKmeansSql(k = 10, nCentroids = 8, nProbe = 2,
       lloydIters = 2),
 
@@ -634,6 +641,23 @@ object OracleSqls {
         |FROM per_node GROUP BY n_tri""".stripMargin,
 
     "graph_bfs_dist" -> withGraph(bfsSql(iters = 6)),
+    "graph_assortativity" -> withGraph(
+      """, adjd AS (SELECT DISTINCT a, b FROM bidir),
+        |deg AS (SELECT a, count(*) AS deg FROM adjd GROUP BY a),
+        |j AS (
+        |  SELECT x.deg AS da, y.deg AS db
+        |  FROM adjd e JOIN deg x ON e.a = x.a JOIN deg y ON e.b = y.a
+        |), s AS (
+        |  SELECT count(*) AS m, sum(da * db) AS sxy, sum(da) AS sx,
+        |    sum(da * da) AS sxx
+        |  FROM j)
+        |SELECT CAST(m AS BIGINT) AS m, CAST(sxy AS BIGINT) AS sxy,
+        |  CAST(sx AS BIGINT) AS sx, CAST(sxx AS BIGINT) AS sxx,
+        |  round(CAST(m * sxy - sx * sx AS DOUBLE) /
+        |        NULLIF(CAST(m * sxx - sx * sx AS DOUBLE), 0), 6)
+        |    AS assortativity
+        |FROM s""".stripMargin),
+
     "graph_harmonic" ->
       s"""SELECT CAST(sum(n_nodes * (1000000 // dist)) AS BIGINT)
          |    AS harmonic_micro,
@@ -1086,6 +1110,14 @@ object OracleSqls {
         |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin,
 
     "text_bpe_vocab" -> bpeSql(graft.Queries.bpeMerges, k = 20),
+
+    "text_ttr" ->
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(DISTINCT w) AS BIGINT) AS n_types,
+        |  round(CAST(count(DISTINCT w) AS DOUBLE) / count(*), 6) AS ttr
+        |FROM (SELECT source, unnest(${wordsExprOf("lower(text)")}) AS w
+        |      FROM documents)
+        |GROUP BY source""".stripMargin,
 
     // RRF over the two lexical top-20 pages (same CTE bases as
     // search_tfidf / search_bm25); 1e6 // (60 + rank) summed per doc

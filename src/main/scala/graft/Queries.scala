@@ -260,6 +260,23 @@ object Queries {
     Vectors.ivfTopK(T(spark, dir, "embeddings"), "vec_id", "embedding",
       queryVec(spark, dir), 10, nCentroids = 8, nProbe = 2)
 
+  private val ivfStorePath = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** IVF through the PARTITION-PRUNED store: same cells/params as
+    * `ann_ivf_topk` (and the same oracle), but the probe reads only the
+    * nProbe hive partitions — written once per JVM per sf dir, warmed in
+    * Bench LOAD like the bucketed graph. */
+  def annIvfPruned(spark: SparkSession, dir: String): DataFrame = {
+    val path = ivfStorePath.getOrElseUpdate(dir, {
+      val p = s"/tmp/graft_ivf_${dir.replaceAll("[^A-Za-z0-9]+", "_")}"
+      graft.sources.VectorStore.writeIvf(T(spark, dir, "embeddings"),
+        "vec_id", "embedding", nCentroids = 8, path = p)
+      p
+    })
+    graft.sources.VectorStore.probeIvf(spark, path, "vec_id",
+      queryVec(spark, dir), k = 10, nProbe = 2)
+  }
+
   /** IVF with k-means-trained centroids (2 unrolled Lloyd iterations). */
   def annIvfKmeans(spark: SparkSession, dir: String): DataFrame =
     Vectors.ivfKmeansTopK(T(spark, dir, "embeddings"), "vec_id", "embedding",
@@ -328,6 +345,10 @@ object Queries {
     * histogram over the TPC-H graph. */
   def graphLpa(spark: SparkSession, dir: String): DataFrame =
     graft.graph.GraphAlgorithms.labelPropagationSizes(graph(spark, dir), iters = 3)
+
+  /** Degree assortativity of the TPC-H graph (exact moments + rounded r). */
+  def graphAssortativity(spark: SparkSession, dir: String): DataFrame =
+    graft.graph.GraphAlgorithms.degreeAssortativity(graph(spark, dir))
 
   /** Harmonic centrality of the ASIA anchor (6 BFS rounds, micro-units). */
   def graphHarmonic(spark: SparkSession, dir: String): DataFrame =
@@ -751,6 +772,10 @@ object Queries {
       "doc_id", c = 60, k = 10)
   }
 
+  /** Lexical diversity (type-token ratio) per source. */
+  def textTtr(spark: SparkSession, dir: String): DataFrame =
+    TextOps.typeTokenBySource(T(spark, dir, "documents"))
+
   /** Corpus heavy-hitter bigrams (boilerplate detection). */
   def textTopNgrams(spark: SparkSession, dir: String): DataFrame =
     TextOps.topNgrams(T(spark, dir, "documents"), n = 2, k = 20)
@@ -933,6 +958,10 @@ object Queries {
   /** Bench LOAD-stage hook: force the one-time tar-shard write. */
   def warmTar(spark: SparkSession, dir: String): Unit =
     tarDocuments(spark, dir)
+
+  /** Bench LOAD hook: force the one-time IVF store write. */
+  def warmIvfStore(spark: SparkSession, dir: String): Unit =
+    annIvfPruned(spark, dir)
 
   /** Tar-shard round trip: documents → USTAR shards → distributed entry
     * decode → per-ext content invariants; the oracle recomputes them from
@@ -1299,6 +1328,7 @@ object Queries {
     "ann_lsh_topk" -> (annLshTopK _),
     "ann_neardup_pairs" -> (annNearDupPairs _),
     "ann_ivf_topk" -> (annIvfTopK _),
+    "ann_ivf_pruned" -> (annIvfPruned _),
     "ann_ivf_kmeans" -> (annIvfKmeans _),
     "ann_pq_topk" -> (annPqTopK _),
     "ann_sq8_topk" -> (annSq8TopK _),
@@ -1316,6 +1346,7 @@ object Queries {
     "graph_ppr" -> (graphPpr _),
     "graph_hits" -> (graphHits _),
     "graph_harmonic" -> (graphHarmonic _),
+    "graph_assortativity" -> (graphAssortativity _),
     "graph_sssp" -> (graphSssp _),
     "events_funnel" -> (eventsFunnel _),
     "events_histogram" -> (eventsHistogram _),
@@ -1359,6 +1390,7 @@ object Queries {
     "search_bm25" -> (searchBm25 _),
     "text_bpe_vocab" -> (textBpeVocab _),
     "search_hybrid_rrf" -> (searchHybridRrf _),
+    "text_ttr" -> (textTtr _),
     "text_top_ngrams" -> (textTopNgrams _),
     "sketch_countmin" -> (sketchCountmin _),
     "sketch_kmv" -> (sketchKmv _),

@@ -90,6 +90,27 @@ object GraphAlgorithms {
       .agg(count(lit(1)).as("n_nodes"))
   }
 
+  /** Degree assortativity (Newman's r): Pearson correlation of endpoint
+    * degrees over the symmetrized edge list. All moments are EXACT integer
+    * sums (m, Σdd', Σd, Σd²) — emitted alongside r so the hash gate pins
+    * the arithmetic, with the single float division rounded at the end.
+    * By symmetry Sy = Sx and Syy = Sxx, so
+    * r = (m·Sxy − Sx²) / (m·Sxx − Sx²). One scan + two degree joins. */
+  def degreeAssortativity(g: PropertyGraph): DataFrame = {
+    val adj = g.bidir.select(col("a"), col("b")).distinct()
+    val deg = adj.groupBy("a").agg(count(lit(1)).as("deg"))
+    adj
+      .join(deg.select(col("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("a").as("b"), col("deg").as("db")), Seq("b"))
+      .agg(count(lit(1)).as("m"), sum(expr("da * db")).as("sxy"),
+        sum("da").as("sx"), sum(expr("da * da")).as("sxx"))
+      .select(col("m"), col("sxy"), col("sx"), col("sxx"),
+        round((col("m") * col("sxy") - col("sx") * col("sx")).cast("double") /
+          nullif((col("m") * col("sxx") - col("sx") * col("sx"))
+            .cast("double"), lit(0.0)), 6)
+          .as("assortativity"))
+  }
+
   /** Harmonic centrality of an anchor set: Σ over reached nodes of
     * 1e6 div dist (integer micro-units; unreached nodes contribute 0 by
     * omission, the harmonic convention). Rides on [[bfsLayers]]'s frontier

@@ -230,6 +230,17 @@ object TextOps {
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_bytes")).as("total_bytes"))
 
+  /** Type-token ratio per source — the lexical-diversity probe of a
+    * curation report (low TTR flags boilerplate/templated sources). One
+    * explode + one two-aggregate groupBy. */
+  def typeTokenBySource(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        explode(graft.functions.words(lower(col("text")))).as("w"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"), count_distinct(col("w")).as("n_types"))
+      .withColumn("ttr",
+        round(col("n_types").cast("double") / col("n_tokens"), 6))
+
   /** BPE tokenizer APPLICATION with a fixed, ordered merge table — the
     * real token accounting a training pipeline runs (not the regex
     * estimate of [[graft.expr.TokenEstimate]]). Rules apply sequentially

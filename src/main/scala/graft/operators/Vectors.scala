@@ -96,7 +96,7 @@ object Vectors {
   /** Assignment: argmax cosine over centroids (broadcast nested loop is
     * fine — |centroids| is small by construction; ties → smallest cid).
     * Input columns (id, v); centroid columns (cid, cv). */
-  private[operators] def assignToCentroids(v: DataFrame, centroids: DataFrame): DataFrame = {
+  private[graft] def assignToCentroids(v: DataFrame, centroids: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("csim").desc, col("cid"))
     v.crossJoin(broadcast(centroids))

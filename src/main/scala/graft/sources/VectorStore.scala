@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.cosineSim
+import graft.operators.Vectors
+
+/** Persisted IVF vector index as STORAGE LAYOUT: one hive partition per
+  * coarse cell. At 100 TB an ANN index is not an in-memory structure — it
+  * is how the embedding table is laid out on disk. Writing each vector
+  * into its nearest-centroid partition makes every probe a
+  * partition-pruned scan: `WHERE cid IN (<nProbe cells>)` never opens the
+  * other `nCentroids − nProbe` directories (PartitionFilters — asserted
+  * in VectorStoreSpec), so query cost scales with nProbe/nCentroids of
+  * the data, the same pruning fraction [[graft.operators.Vectors.ivfTopK]]
+  * gets via its broadcast semi-join but enforced by the FILE LISTING, not
+  * a runtime filter.
+  *
+  * Centroids are the same deterministic seeds as `ivfTopK`
+  * (first-nCentroids by id), persisted next to the store so probing never
+  * rescans the corpus; results hash-match the unpartitioned IVF oracle.
+  */
+object VectorStore {
+
+  /** One-time layout write: assign each vector to its nearest centroid and
+    * partition the parquet by the cell id; centroids land beside it. */
+  def writeIvf(emb: DataFrame, idCol: String, vecCol: String,
+               nCentroids: Int, path: String): Unit = {
+    val vec = col(vecCol).cast("array<double>")
+    val centroids = emb.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).as("cid"), vec.as("cv"))
+    centroids.write.mode("overwrite").parquet(path + ".centroids")
+    Vectors.assignToCentroids(
+        emb.select(col(idCol).as("id"), vec.as("v")), centroids)
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+  }
+
+  /** Probe: rank cells by centroid similarity (a ≤ nCentroids-row driver
+    * decision — the probe list IS tiny by construction), read only those
+    * partitions, exact top-k inside. */
+  def probeIvf(spark: SparkSession, path: String, idCol: String,
+               query: Seq[Double], k: Int, nProbe: Int): DataFrame = {
+    val q = lit(query.toArray)
+    val probeCids = spark.read.parquet(path + ".centroids")
+      .withColumn("qsim", round(cosineSim(col("cv"), q), 6))
+      .orderBy(col("qsim").desc, col("cid"))
+      .limit(nProbe)
+      .collect().map(_.getLong(0))
+    spark.read.parquet(path)
+      .where(col("cid").isin(probeCids: _*))
+      .withColumn("similarity", round(cosineSim(col("v"), q), 6))
+      .orderBy(col("similarity").desc, col("id"))
+      .limit(k)
+      .select(col("id").as(idCol), col("similarity"))
+  }
+}

@@ -174,6 +174,24 @@ class GraphAlgorithmsSpec extends SparkSpec {
       (2, "B") -> 1L))
   }
 
+  test("assortativity: a star is maximally disassortative (r = -1)") {
+    val star = g(Seq((10L, 1L), (10L, 2L), (10L, 3L)),
+      Seq(1L -> "A", 2L -> "A", 3L -> "A", 10L -> "H"))
+    val out = GraphAlgorithms.degreeAssortativity(star).collect().head
+    // symmetrized: m=6 ordered edge-ends; every edge joins deg-3 with deg-1
+    assert(out.getLong(0) === 6L)
+    assert(out.getDouble(4) === -1.0)
+  }
+
+  test("assortativity: a clique has zero-variance degrees (NaN by formula)") {
+    val k3 = g(Seq((1L, 2L), (2L, 3L), (1L, 3L)),
+      Seq(1L -> "A", 2L -> "A", 3L -> "A"))
+    val out = GraphAlgorithms.degreeAssortativity(k3).collect().head
+    // all degrees equal → denominator 0; moments still exact
+    assert(out.getLong(0) === 6L && out.getLong(2) === 12L)
+    assert(out.isNullAt(4) || out.getDouble(4).isNaN)
+  }
+
   test("harmonic centrality: 1e6/1 + 1e6/2 over the chain, anchor excluded") {
     // 1-2-3-4 chain + shortcut 1-4: dists from 1 are (2:1, 4:1, 3:2)
     val graph = g(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)),

@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.Vectors
+import graft.sources.VectorStore
+
+class VectorStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = {
+    val rnd = new scala.util.Random(7)
+    (0L until 64L).map(i => (i, Seq.fill(8)(rnd.nextDouble() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+  }
+  private val q = Seq(0.9, 0.1, -0.2, 0.3, 0.0, 0.5, -0.4, 0.2)
+
+  test("partition-pruned probe matches the broadcast-semi-join IVF exactly") {
+    val path = java.nio.file.Files.createTempDirectory("ivfstore")
+      .resolve("emb").toString
+    VectorStore.writeIvf(emb, "vec_id", "embedding", nCentroids = 4, path)
+    val pruned = VectorStore.probeIvf(spark, path, "vec_id", q, k = 5,
+        nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val direct = Vectors.ivfTopK(emb, "vec_id", "embedding", q, k = 5,
+        nCentroids = 4, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(pruned === direct)
+    assert(pruned.nonEmpty)
+  }
+
+  test("the probe plan prunes partitions: only nProbe cells are listed") {
+    val path = java.nio.file.Files.createTempDirectory("ivfstore2")
+      .resolve("emb").toString
+    VectorStore.writeIvf(emb, "vec_id", "embedding", nCentroids = 4, path)
+    val plan = VectorStore.probeIvf(spark, path, "vec_id", q, k = 5,
+      nProbe = 2).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), "probe must be partition-pruned")
+    assert(plan.contains("cid#") || plan.contains("cid IN"),
+      "the cell id must appear as a partition filter:\n" + plan)
+    // the store wrote one directory per cell
+    val dirs = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("cid=")).map(_.getName).sorted
+    assert(dirs.length === 4, dirs.mkString(","))
+  }
+}
