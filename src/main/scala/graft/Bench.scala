@@ -57,12 +57,23 @@ object Bench {
     // same-code drift on this box reaches 2× per query.
     val entries = SparkEntry.queries.toSeq
     val timings = collection.mutable.Map[String, List[Double]]()
+    // LOAD-stage caches (graph, GraphX, layouts) stay persisted for the
+    // whole run; any RDD persisted AFTER this snapshot is a per-query
+    // localCheckpoint block. Freeing those when the query's action has
+    // finished keeps the 138-query JVM's memory flat — the round-6
+    // 12.8–62 s graph_link_pred spread was this checkpoint debt piling
+    // onto later passes, not the query itself.
+    val loadRdds = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    def dropQueryRdds(): Unit =
+      for ((id, rdd) <- spark.sparkContext.getPersistentRDDs
+           if !loadRdds.contains(id)) rdd.unpersist(blocking = false)
     for (_ <- 1 to Runs; (name, fn) <- entries) {
       // drain accumulated garbage before each timing so one query's
       // allocation debt doesn't land in the next query's number
       System.gc()
       timeOnce(fn, name).foreach(t =>
         timings(name) = t :: timings.getOrElse(name, Nil))
+      dropQueryRdds()
     }
     val results = entries.map { case (name, _) =>
       val ok = timings.getOrElse(name, Nil).sorted

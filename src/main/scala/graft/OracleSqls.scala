@@ -581,20 +581,23 @@ object OracleSqls {
     "graph_lpa" -> withGraph(lpaSql(iters = 3)),
 
     // link prediction: wedge-enumerated candidates through hub-capped
-    // shared neighbors (deg(z) <= 64, mirrored semantics); RA summed in
-    // integer micro-units so the sum is order-independent
+    // shared neighbors (deg(z) <= 32, mirrored semantics); BOTH scores in
+    // integer micro-units — RA as an order-independent sum, Jaccard as a
+    // single floored division (the round-6 float `jac` was the catalog's
+    // only cross-engine hash failure)
     "graph_link_pred" -> withGraph(""", adj AS (SELECT DISTINCT a, b FROM bidir),
       |deg AS (SELECT a, count(*) AS deg FROM adj GROUP BY a),
       |zadj AS (
       |  SELECT e.a AS z, e.b AS n, d.deg AS deg_z
-      |  FROM adj e JOIN deg d ON e.a = d.a WHERE d.deg <= 64),
+      |  FROM adj e JOIN deg d ON e.a = d.a WHERE d.deg <= 32),
       |scored AS (
       |  SELECT l.n AS a, r.n AS b, count(*) AS cn,
       |    sum(CAST(floor(1000000 / l.deg_z) AS BIGINT)) AS ra_micro
       |  FROM zadj l JOIN zadj r ON l.z = r.z AND l.n < r.n
       |  GROUP BY l.n, r.n)
       |SELECT s.a, s.b, s.cn,
-      |  round(s.cn * 1.0 / (da.deg + db.deg - s.cn), 6) AS jac, s.ra_micro
+      |  CAST(floor(s.cn * 1000000.0 / (da.deg + db.deg - s.cn)) AS BIGINT)
+      |    AS jac_micro, s.ra_micro
       |FROM scored s
       |JOIN deg da ON s.a = da.a
       |JOIN deg db ON s.b = db.a

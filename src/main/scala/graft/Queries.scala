@@ -324,7 +324,7 @@ object Queries {
   /** Top-20 predicted links by neighborhood scores (hub-capped wedges). */
   def graphLinkPred(spark: SparkSession, dir: String): DataFrame =
     graft.graph.GraphAlgorithms.linkPredictionTopK(graph(spark, dir),
-      maxHubDeg = 64, k = 20)
+      maxHubDeg = 32, k = 20)
 
   /** Derandomized DeepWalk corpus (3 steps): per-step transition stats. */
   def graphWalks(spark: SparkSession, dir: String): DataFrame =

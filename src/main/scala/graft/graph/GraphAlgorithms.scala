@@ -397,11 +397,15 @@ object GraphAlgorithms {
   /** Link prediction over the undirected graph: for every NON-edge pair
     * sharing at least one common neighbor, the three classic
     * neighborhood scores — common-neighbor count `cn`, Jaccard
-    * `cn / (deg(a) + deg(b) - cn)`, and the resource-allocation index
-    * `sum over common z of 1/deg(z)` (Zhou et al.'s RA — Adamic-Adar's
-    * log-free sibling, chosen because 1/deg is an exact rational where
-    * 1/ln(deg) is not engine-portable). RA is summed in integer
-    * micro-units (`floor(1e6/deg)`) so the sum is order-independent.
+    * `floor(1e6 · cn / (deg(a) + deg(b) - cn))` in integer micro-units
+    * (`jac_micro`), and the resource-allocation index `sum over common z
+    * of 1/deg(z)` (Zhou et al.'s RA — Adamic-Adar's log-free sibling,
+    * chosen because 1/deg is an exact rational where 1/ln(deg) is not
+    * engine-portable). BOTH scores are integer micro-units: RA as
+    * `sum(floor(1e6/deg))` (order-independent), Jaccard as a single
+    * floored division — this was the catalog's only float-division hash
+    * surface and the one cross-engine hash failure in round 6 (a
+    * 6th-digit `round()` tie broke differently in the two engines).
     *
     * Scale shape: candidate pairs come from wedge enumeration — the
     * adjacency self-joined on the shared neighbor z — which is sum(deg²)
@@ -433,8 +437,9 @@ object GraphAlgorithms {
       .join(degN.as("da"), col("a") === col("da.n"))
       .join(degN.as("db"), col("b") === col("db.n"))
       .select(col("a"), col("b"), col("cn"),
-        round(col("cn").cast("double") /
-          (col("da.deg") + col("db.deg") - col("cn")), 6).as("jac"),
+        floor(col("cn") * lit(1000000L) /
+          (col("da.deg") + col("db.deg") - col("cn")))
+          .cast("long").as("jac_micro"),
         col("ra_micro"))
       .orderBy(col("cn").desc, col("ra_micro").desc, col("a"), col("b"))
       .limit(k)

@@ -145,10 +145,8 @@ object Dedup {
             var seen = state.getOption.getOrElse(Nil)
               .filter { case (_, _, ts) => ts + ttlMs >= wm }
             val out = collection.mutable.ListBuffer[(Long, Long, Double)]()
-            var maxTs = Long.MinValue
             batch.toSeq.sortBy(_._1).foreach { case (id, s, _, tsRaw) =>
               val ts = tsRaw.getTime
-              maxTs = math.max(maxTs, ts)
               if (!seen.exists(_._1 == id) && seen.size < maxBucket) {
                 seen.foreach { case (oid, os, _) =>
                   val agree = s.zip(os).count { case (a, b) => a == b }.toDouble / s.length
@@ -159,10 +157,15 @@ object Dedup {
               }
             }
             if (seen.isEmpty) state.remove() else state.update(seen)
-            // sliding horizon: bucket dies ttl after its newest entry (must
-            // stay strictly ahead of the watermark for EventTimeTimeout)
+            // sliding horizon: bucket dies ttl after its newest RETAINED
+            // entry — computed over `seen`, not the batch, because a
+            // trigger that delivers only LATE (older) events would
+            // otherwise pull the horizon below previously-retained
+            // entries' ts + TTL and evict them early (must also stay
+            // strictly ahead of the watermark for EventTimeTimeout)
             if (seen.nonEmpty)
-              state.setTimeoutTimestamp(math.max(maxTs + ttlMs, wm + 1))
+              state.setTimeoutTimestamp(
+                math.max(seen.map(_._3).max + ttlMs, wm + 1))
             out.iterator
           }
       }

@@ -110,12 +110,19 @@ object Multimodal {
       var out: MediaFeature = unknown.copy(format = "wav")
       var done = false
       while (!done && i + 8 <= n) {
-        val size = leU32(p, i + 4)
+        val size = leU32(p, i + 4).toInt
         if (ascii(p, i, "fmt ") && i + 24 <= n) {
           out = MediaFeature(0L, "wav", n.toLong,
             leU32(p, i + 12).toInt, leU16(p, i + 10), leU16(p, i + 22), cs)
           done = true
-        } else i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+        // a 32-bit size field >= 2^31 truncates to a NEGATIVE Int, making
+        // the step zero/negative — a corrupt or adversarial payload must
+        // not hang the executor task (dirty-corpus contract, same guard
+        // the tar/BMP parsers carry). A size past the remaining bytes
+        // also ends the walk: nothing can follow a chunk that claims
+        // more payload than exists.
+        } else if (size < 0 || size > n - (i + 8)) done = true
+        else i += 8 + size + (size & 1) // chunks are word-aligned
       }
       out
     }
@@ -363,9 +370,14 @@ object Multimodal {
       if (ascii(p, i, "fmt ") && i + 24 <= p.length) {
         ch = leU16(p, i + 10); bits = leU16(p, i + 22)
       } else if (ascii(p, i, "data")) {
-        dataOff = i + 8; dataLen = math.min(size, p.length - dataOff)
+        dataOff = i + 8; dataLen = math.min(math.max(size, 0), p.length - dataOff)
       }
-      i += 8 + size + (size & 1)
+      // negative (truncated >= 2^31) or past-the-end size: stop the walk
+      // instead of looping forever / overflowing i (dirty-corpus contract;
+      // the truncated-final-data-chunk case is already handled by the
+      // min() above, and nothing can follow such a chunk anyway)
+      if (size < 0 || size > p.length - (i + 8)) i = p.length
+      else i += 8 + size + (size & 1)
     }
     if (bits > 0 && ch > 0 && dataOff >= 0) Some((bits, ch, dataOff, dataLen))
     else None

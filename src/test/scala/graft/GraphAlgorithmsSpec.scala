@@ -316,13 +316,14 @@ class GraphAlgorithmsSpec extends SparkSpec {
 
   test("link prediction scores a path's endpoints, hand-derived") {
     // path 1-2-3: the only non-edge pair with a shared neighbor is (1,3)
-    // through z=2 (deg 2): cn=1, jac = 1/(1+1-1) = 1, ra = floor(1e6/2)
+    // through z=2 (deg 2): cn=1, jac_micro = floor(1e6·1/(1+1-1)) = 1e6,
+    // ra = floor(1e6/2)
     val graph = g(Seq((1L, 2L), (2L, 3L)),
       Seq(1L -> "A", 2L -> "A", 3L -> "A"))
     val out = GraphAlgorithms.linkPredictionTopK(graph, maxHubDeg = 64, k = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getDouble(3), r.getLong(4)))
-    assert(out.toSeq === Seq((1L, 3L, 1L, 1.0, 500000L)))
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq((1L, 3L, 1L, 1000000L, 500000L)))
   }
 
   test("link prediction hub cap suppresses wedges; existing edges excluded") {
