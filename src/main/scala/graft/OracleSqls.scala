@@ -1114,6 +1114,8 @@ object OracleSqls {
 
     "text_bpe_vocab" -> bpeSql(graft.Queries.bpeMerges, k = 20),
 
+    "text_bpe_learn" -> bpeLearnSql(k = 8),
+
     "text_ttr" ->
       s"""SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
         |  CAST(count(DISTINCT w) AS BIGINT) AS n_types,
@@ -2561,6 +2563,40 @@ object OracleSqls {
        |  SELECT unnest(string_split(trim(s, chr(31)), chr(31) || chr(31)))
        |    AS token FROM s${merges.size})
        |GROUP BY token ORDER BY n_occurrences DESC, token LIMIT $k""".stripMargin
+  }
+
+  /** BPE merge-LEARNING mirror ([[graft.operators.TextOps
+    * .bpeLearnMerges]]): k unrolled Sennrich rounds, each a pair-count
+    * CTE over the D-encoded word histogram, a 1-row argmax CTE (count
+    * desc, pair asc), and a `replace` apply CTE — the same
+    * unrolled-iteration oracle pattern as k-means/k-core. */
+  private def bpeLearnSql(k: Int): String = {
+    val rounds = (1 to k).map { i =>
+      s"""p$i AS (
+         |  SELECT t[i] AS a, t[i+1] AS b, CAST(sum(freq) AS BIGINT) AS f
+         |  FROM (SELECT string_split(trim(enc, chr(31)),
+         |          chr(31) || chr(31)) AS t, freq FROM v${i - 1}),
+         |    unnest(generate_series(1, len(t) - 1)) AS u(i)
+         |  GROUP BY a, b),
+         |m$i AS (SELECT a, b, f FROM p$i ORDER BY f DESC, a, b LIMIT 1),
+         |v$i AS (
+         |  SELECT replace(enc, chr(31) || a || chr(31) || chr(31) ||
+         |      b || chr(31), chr(31) || a || b || chr(31)) AS enc, freq
+         |  FROM v${i - 1}, m$i)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to k)
+      .map(i => s"SELECT $i AS rank, a, b, f FROM m$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH w AS (
+       |  SELECT unnest(${wordsExprOf("lower(text)")}) AS word FROM documents
+       |), v0 AS (
+       |  SELECT substr(regexp_replace(word, '(.)',
+       |      chr(31) || chr(31) || '\\1', 'g'), 2) || chr(31) AS enc,
+       |    CAST(count(*) AS BIGINT) AS freq
+       |  FROM w GROUP BY 1
+       |),
+       |$rounds
+       |$out""".stripMargin
   }
 
   /** Shared snapshot→changelog→merged CTE chain mirroring

@@ -762,6 +762,11 @@ object Queries {
   def textBpeVocab(spark: SparkSession, dir: String): DataFrame =
     TextOps.bpeVocabHist(T(spark, dir, "documents"), bpeMerges, k = 20)
 
+  /** BPE merge-table LEARNING from the corpus: the first 8 merges by
+    * weighted pair count (Sennrich rounds, deterministic ties). */
+  def textBpeLearn(spark: SparkSession, dir: String): DataFrame =
+    TextOps.bpeLearnMerges(T(spark, dir, "documents"), k = 8)
+
   /** Hybrid retrieval: RRF fusion of the TF-IDF and BM25 top-20 pages. */
   def searchHybridRrf(spark: SparkSession, dir: String): DataFrame = {
     val docs = T(spark, dir, "documents")
@@ -1389,6 +1394,7 @@ object Queries {
     "search_tfidf" -> (searchTfidf _),
     "search_bm25" -> (searchBm25 _),
     "text_bpe_vocab" -> (textBpeVocab _),
+    "text_bpe_learn" -> (textBpeLearn _),
     "search_hybrid_rrf" -> (searchHybridRrf _),
     "text_ttr" -> (textTtr _),
     "text_top_ngrams" -> (textTopNgrams _),

@@ -278,4 +278,67 @@ object TextOps {
       .groupBy("token").agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(k)
+
+  /** BPE merge-table LEARNING (Sennrich's algorithm): `k` rounds of
+    * (adjacent-pair count over the word histogram, weighted by word
+    * frequency) → (argmax pair, ties broken by count desc then pair
+    * lexicographically) → (merge that pair everywhere). The reference
+    * pipeline depends on a TRAINED tokenizer (HF tokenizer at
+    * `retrieval/retriever.py:67-69`); this derives the merge table the
+    * [[bpeTokens]] apply path consumes, from the corpus itself.
+    *
+    * Returns one row per learned merge: (rank, a, b, f) with `f` the
+    * weighted pair count that won the round. Stops early if no adjacent
+    * pair remains (every word fully merged).
+    *
+    * Scale shape: the ONLY corpus-size-dependent step is the first word
+    * histogram (one explode + hash groupBy, map-side combined); every
+    * round after that runs on the DISTINCT-WORD table — bounded by
+    * vocabulary size, not corpus size — exactly how distributed BPE
+    * trainers shape the problem. The per-round argmax collects ONE row
+    * (the unrolled-Lloyd pattern of [[Vectors.kmeansCentroids]]); the
+    * merge apply is the same codegen'd single-`replace` used by
+    * [[bpeTokens]], on the D-delimited encoding whose shared boundary
+    * delimiter makes leftmost non-overlapping replacement equal classic
+    * simultaneous BPE merging (see BpeSpec). */
+  def bpeLearnMerges(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val D = "\u001F"; val DD = D + D
+    val seeded = concat(
+      expr(s"substring(regexp_replace(word, '(.)', " +
+        s"concat(char(31), char(31), '$$1')), 2)"),
+      lit(D))
+    var vocab = docs
+      .select(explode(graft.functions.words(lower(col("text")))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(seeded.as("enc"), col("freq"))
+      .localCheckpoint(true) // re-scanned every round
+    val merges = collection.mutable.ListBuffer[(Int, String, String, Long)]()
+    var exhausted = false
+    for (r <- 1 to k if !exhausted) {
+      val top = vocab
+        .select(col("freq"), split(trim(col("enc"), D), DD).as("t"))
+        .where(size(col("t")) >= 2) // sequence(0,-1) would run BACKWARD
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(t) - 2)," +
+            " i -> struct(t[i] AS a, t[i + 1] AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("freq").as("f"))
+        .orderBy(col("f").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, f) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, a, b, f))
+        vocab = vocab.select(
+            call_function("replace", col("enc"),
+              lit(D + a + DD + b + D), lit(D + a + b + D)).as("enc"),
+            col("freq"))
+          .localCheckpoint(true)
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "a", "b", "f")
+  }
 }

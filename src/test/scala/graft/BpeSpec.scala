@@ -44,4 +44,31 @@ class BpeSpec extends SparkSpec {
     assert(rebuilt.forall(_.nonEmpty))
     assert(rebuilt.mkString.sorted === words.mkString.sorted)
   }
+
+  test("merge learning reproduces hand-derived Sennrich rounds") {
+    // corpus: low low low lower newest newest
+    // word hist: low:3 lower:1 newest:2
+    // round 1 pair counts: (l,o)=4 (o,w)=4 (w,e)=3 (e,r)=1 (n,e)=2 (e,w)=2
+    //   (e,s)=2 (s,t)=2 → max 4, tie (l,o) < (o,w) → merge (l,o)
+    // round 2: (lo,w)=4 (w,e)=3 ... → merge (lo,w)
+    // round 3: (w,e)=3? no — after round 2 'low'→[low], 'lower'→[low,e,r],
+    //   'newest'→[n,e,w,e,s,t]: pairs (low,e)=1 (e,r)=1 (n,e)=2 (e,w)=2
+    //   (w,e)=2 (e,s)=2 (s,t)=2 → max 2 six-way tie → lexicographic
+    //   smallest a: (e,s) < (e,w) < (n,e) < (s,t) < (w,e) → merge (e,s)
+    val docs = Seq((1L, "low low low lower newest newest"))
+      .toDF("doc_id", "text")
+    val out = TextOps.bpeLearnMerges(docs, k = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(out === Seq((1, "l", "o", 4L), (2, "lo", "w", 4L),
+      (3, "e", "s", 2L)))
+  }
+
+  test("merge learning stops early when every word is fully merged") {
+    val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val out = TextOps.bpeLearnMerges(docs, k = 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    // one merge exhausts the corpus: 'ab' has a single pair
+    assert(out.toSeq === Seq((1, "a", "b")))
+  }
 }
