@@ -1161,6 +1161,31 @@ object OracleSqls {
         |FROM u GROUP BY doc_id
         |ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin,
 
+    // exact-phrase search over the positional index: anchor = first-word
+    // position, each later phrase word must sit at pos+i (adjacency
+    // semi-joins); phrase-unit integer TF-IDF
+    "search_phrase" ->
+      s"""WITH wl AS (
+        |  SELECT doc_id, ${wordsExprOf("lower(text)")} AS ws FROM documents
+        |), pp AS (
+        |  SELECT doc_id, ws[i] AS term, i AS pos
+        |  FROM wl, unnest(generate_series(1, len(ws))) AS u(i)
+        |  WHERE ws[i] IN ('stream', 'table', 'hash')
+        |), a AS (SELECT doc_id, pos FROM pp WHERE term = 'stream'),
+        |m AS (
+        |  SELECT a.doc_id, a.pos FROM a
+        |  WHERE EXISTS (SELECT 1 FROM pp p WHERE p.doc_id = a.doc_id
+        |          AND p.pos = a.pos + 1 AND p.term = 'table')
+        |    AND EXISTS (SELECT 1 FROM pp p WHERE p.doc_id = a.doc_id
+        |          AND p.pos = a.pos + 2 AND p.term = 'hash')
+        |), ph AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM m GROUP BY doc_id
+        |), d AS (SELECT count(*) AS df FROM ph),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, tf, (tf * 1000000 * n_docs) // df AS score_micro
+        |FROM ph CROSS JOIN d CROSS JOIN n
+        |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin,
+
     // corpus heavy-hitter bigrams; deterministic ties (count desc, ngram)
     "text_top_ngrams" ->
       s"""WITH w AS (SELECT $wordsExpr AS w FROM documents),
@@ -1223,6 +1248,35 @@ object OracleSqls {
         |  round(CAST(min(value) AS DOUBLE), 4) AS min,
         |  round(CAST(max(value) AS DOUBLE), 4) AS max
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // mergeable-quantile mirror: bin directly over ALL events (the engine
+    // goes through per-day histogram partials + merge — the hash gate
+    // proves the merge law); first bin where 100*cum >= p*cnt, all-integer
+    "incr_quantile_rollup" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    LEAST(31, GREATEST(0, CAST(floor(value / 16) AS INTEGER))) AS bin
+        |  FROM events
+        |), t AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM b GROUP BY event_type
+        |), c AS (
+        |  SELECT event_type, bin, count(*) AS bc FROM b GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT event_type, bin,
+        |    sum(bc) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+        |  FROM c
+        |), q AS (
+        |  SELECT cum.event_type,
+        |    min(CASE WHEN 100 * cum >= 50 * t.cnt THEN bin END) AS p50_bin,
+        |    min(CASE WHEN 100 * cum >= 95 * t.cnt THEN bin END) AS p95_bin
+        |  FROM cum JOIN t ON cum.event_type = t.event_type
+        |  GROUP BY cum.event_type
+        |)
+        |SELECT q.event_type, t.cnt,
+        |  p50_bin, CAST(p50_bin AS BIGINT) * 16 AS p50_lo,
+        |  p95_bin, CAST(p95_bin AS BIGINT) * 16 AS p95_lo
+        |FROM q JOIN t ON q.event_type = t.event_type""".stripMargin,
 
     // KMV: k smallest distinct portable hashes; estimate (k-1)*M // h_k
     "sketch_kmv" ->
@@ -1378,6 +1432,27 @@ object OracleSqls {
         |), cell AS (
         |  SELECT doc_id, CAST(y.y AS INTEGER) AS y, CAST(x.x AS INTEGER) AS x,
         |    (doc_id * 31 + ((x.x * w) // 4) * 7 + ((y.y * h) // 4) * 13)
+        |      % 256 AS gray
+        |  FROM d,
+        |    LATERAL (SELECT unnest(range(0, 4)) AS y) y,
+        |    LATERAL (SELECT unnest(range(0, 4)) AS x) x
+        |)
+        |SELECT y, x, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(gray) AS BIGINT) AS sum_gray,
+        |  CAST(sum(CASE WHEN gray >= 128 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bright
+        |FROM cell GROUP BY y, x ORDER BY y, x""".stripMargin,
+
+    // PNG round-trip mirror: the oracle recomputes the gray formula at the
+    // nearest-neighbor source coordinates — deflate/inflate and the five
+    // filter/unfilter pairs cancel only if the codec is correct
+    "mm_png_pixels" ->
+      """WITH d AS (
+        |  SELECT doc_id, (doc_id % 6) + 3 AS w, (doc_id % 5) + 6 AS h
+        |  FROM documents
+        |), cell AS (
+        |  SELECT doc_id, CAST(y.y AS INTEGER) AS y, CAST(x.x AS INTEGER) AS x,
+        |    (doc_id * 37 + ((x.x * w) // 4) * 11 + ((y.y * h) // 4) * 17)
         |      % 256 AS gray
         |  FROM d,
         |    LATERAL (SELECT unnest(range(0, 4)) AS y) y,

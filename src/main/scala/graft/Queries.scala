@@ -777,6 +777,12 @@ object Queries {
       "doc_id", c = 60, k = 10)
   }
 
+  /** Exact-phrase fulltext search over the positional index: a 3-word
+    * phrase scored with phrase-unit integer TF-IDF. */
+  def searchPhrase(spark: SparkSession, dir: String): DataFrame =
+    Search.phraseTopK(T(spark, dir, "documents"),
+      Seq("stream", "table", "hash"), k = 20)
+
   /** Lexical diversity (type-token ratio) per source. */
   def textTtr(spark: SparkSession, dir: String): DataFrame =
     TextOps.typeTokenBySource(T(spark, dir, "documents"))
@@ -838,6 +844,21 @@ object Queries {
     Incremental.finalize(
       Incremental.mergeStates(daily.drop("day"), Seq("event_type")),
       roundTo = 4)
+  }
+
+  /** Mergeable QUANTILE state: per-day histogram partials merged to
+    * per-type p50/p95 — the oracle bins directly over all events, so the
+    * hash gate proves the histogram merge law on real data. */
+  def incrQuantileRollup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsT(spark, dir)
+      .select(col("event_type"), expr("ts div 86400000000000").as("day"),
+        col("value"))
+    val daily = Incremental.histState(ev, Seq("event_type", "day"), "value",
+      width = 16, bins = 32)
+    Incremental.finalizeHist(
+      Incremental.mergeHistStates(daily.drop("day"), Seq("event_type"),
+        bins = 32),
+      width = 16, bins = 32, percents = Seq(50, 95))
   }
 
   /** KMV distinct sketch (k=256) over lineitem part keys, with the exact
@@ -1140,6 +1161,11 @@ object Queries {
   def mmImageResize(spark: SparkSession, dir: String): DataFrame =
     Multimodal.imageDecodeRoundtrip(spark, T(spark, dir, "documents"))
 
+  /** Real PNG decode end-to-end: formula → PNG bytes (all five row
+    * filters) → inflate + unfilter → 4×4 resize; oracle from the formula. */
+  def mmPngPixels(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.pngDecodeRoundtrip(spark, T(spark, dir, "documents"))
+
   // ---- events (batch form; streaming variants in graft.operators.Events) ----
 
   /** The driver's events parquet stores TIMESTAMP(NANOS); Spark only reads
@@ -1396,11 +1422,13 @@ object Queries {
     "text_bpe_vocab" -> (textBpeVocab _),
     "text_bpe_learn" -> (textBpeLearn _),
     "search_hybrid_rrf" -> (searchHybridRrf _),
+    "search_phrase" -> (searchPhrase _),
     "text_ttr" -> (textTtr _),
     "text_top_ngrams" -> (textTopNgrams _),
     "sketch_countmin" -> (sketchCountmin _),
     "sketch_kmv" -> (sketchKmv _),
     "incr_agg_rollup" -> (incrAggRollup _),
+    "incr_quantile_rollup" -> (incrQuantileRollup _),
     "curate_mixture_quota" -> (curateMixtureQuota _),
     "events_ewma" -> (eventsEwma _),
     "layout_zorder" -> (layoutZorder _),
@@ -1429,6 +1457,7 @@ object Queries {
     "mm_decode_roundtrip" -> (mmDecodeRoundtrip _),
     "mm_audio_frames" -> (mmAudioFrames _),
     "mm_image_resize" -> (mmImageResize _),
+    "mm_png_pixels" -> (mmPngPixels _),
     "join_asof" -> (joinAsof _),
     "join_range" -> (joinRange _),
     "events_hourly" -> (eventsHourly _),

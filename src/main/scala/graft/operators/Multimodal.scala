@@ -238,6 +238,217 @@ object Multimodal {
     Some((w, h, out))
   }
 
+  // ---- PNG: real pixel codec (public byte format, zero new deps) ----
+
+  private def crc32(chunks: Array[Byte]*): Int = {
+    val c = new java.util.zip.CRC32
+    chunks.foreach(c.update)
+    c.getValue.toInt
+  }
+
+  /** PNG Paeth predictor (RFC 2083 §6.6): nearest of left/up/up-left to
+    * the linear prediction a + b - c, ties left > up > up-left. */
+  @inline private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Complete 8-bit GRAYSCALE PNG (color type 0, no interlace) with the
+    * row FILTER CYCLING through all five types (y % 5 = None, Sub, Up,
+    * Average, Paeth) — the write side of the image column and the fixture
+    * builder whose round-trip exercises every filter reconstruction path
+    * of [[decodePngGray]]. IDAT is one zlib stream (java.util.zip
+    * .Deflater); chunk CRCs are real. */
+  def pngFileGray(width: Int, height: Int, gray: (Int, Int) => Int): Array[Byte] = {
+    val raw = new Array[Byte]((1 + width) * height)
+    var y = 0
+    while (y < height) {
+      val base = y * (1 + width)
+      val f = y % 5
+      raw(base) = f.toByte
+      var x = 0
+      while (x < width) {
+        val cur = gray(x, y) & 0xff
+        val left = if (x > 0) gray(x - 1, y) & 0xff else 0
+        val up = if (y > 0) gray(x, y - 1) & 0xff else 0
+        val upLeft = if (x > 0 && y > 0) gray(x - 1, y - 1) & 0xff else 0
+        val filtered = f match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case _ => cur - paeth(left, up, upLeft)
+        }
+        raw(base + 1 + x) = filtered.toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    // worst-case deflate expansion: ~5 bytes per 16 KiB stored block +
+    // stream overhead — undersizing would spin the drain loop forever
+    val zBuf = new Array[Byte](raw.length + (raw.length >> 9) + 64)
+    var zLen = 0
+    while (!deflater.finished())
+      zLen += deflater.deflate(zBuf, zLen, zBuf.length - zLen)
+    deflater.end()
+    val ihdr = java.nio.ByteBuffer.allocate(17)
+      .put("IHDR".getBytes("US-ASCII"))
+      .putInt(width).putInt(height)
+      .put(8.toByte).put(0.toByte) // bit depth 8, color type 0 (gray)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val idatBody = java.util.Arrays.copyOf(zBuf, zLen)
+    val b = java.nio.ByteBuffer.allocate(8 + 25 + 12 + zLen + 12)
+    b.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    b.putInt(13).put(ihdr).putInt(crc32(ihdr))
+    b.putInt(zLen).put("IDAT".getBytes("US-ASCII")).put(idatBody)
+      .putInt(crc32("IDAT".getBytes("US-ASCII"), idatBody))
+    b.putInt(0).put("IEND".getBytes("US-ASCII"))
+      .putInt(crc32("IEND".getBytes("US-ASCII")))
+    b.array()
+  }
+
+  /** REAL PNG pixel decode: chunk walk → concatenated-IDAT zlib inflate
+    * (java.util.zip.Inflater) → per-row filter reconstruction (all five
+    * RFC 2083 filters) → top-down grayscale. Supports the two canonical
+    * non-paletted 8-bit layouts: color type 0 (gray, 1 byte/px) and color
+    * type 2 (RGB, BT.601 integer luma like [[decodeBmpGray]]); anything
+    * else — interlaced, paletted, 16-bit, alpha, malformed, truncated,
+    * oversized (`maxPixels` guards the w·h allocation against adversarial
+    * headers), or with a declared chunk length that is negative or runs
+    * past the payload (the same walk guard as the WAV parser) — returns
+    * None. Same dirty-corpus contract as [[wavPcmLayout]]. */
+  def decodePngGray(p: Array[Byte],
+                    maxPixels: Int = 1 << 24): Option[(Int, Int, Array[Int])] = {
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    if (p.length < 8 || !sig.indices.forall(i => p(i) == sig(i))) return None
+    var w = 0; var h = 0; var colorType = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var i = 8
+    var ok = true
+    var sawEnd = false
+    while (ok && !sawEnd && i + 8 <= p.length) {
+      val len = beU32(p, i).toInt
+      if (len < 0 || len > p.length - (i + 8)) ok = false
+      else {
+        val typ = new String(p, i + 4, 4, "US-ASCII")
+        typ match {
+          case "IHDR" =>
+            if (len != 13) ok = false
+            else {
+              w = beU32(p, i + 8).toInt
+              h = beU32(p, i + 12).toInt
+              val depth = u8(p, i + 16)
+              colorType = u8(p, i + 17)
+              val interlace = u8(p, i + 20)
+              ok = depth == 8 && (colorType == 0 || colorType == 2) &&
+                interlace == 0 && w > 0 && h > 0 &&
+                w.toLong * h <= maxPixels
+            }
+          case "IDAT" => idat.write(p, i + 8, len)
+          case "IEND" => sawEnd = true
+          case _      => () // ancillary chunks skipped
+        }
+        i += 8 + len + 4 // length + type + data + crc
+      }
+    }
+    if (!ok || colorType < 0 || idat.size() == 0) return None
+    val bpp = if (colorType == 0) 1 else 3
+    val rowLen = 1 + w * bpp
+    val raw = new Array[Byte](rowLen * h)
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    try {
+      var got = 0
+      while (got < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, got, raw.length - got)
+        if (n == 0 && inflater.needsInput()) return None // truncated stream
+        got += n
+      }
+      if (got < raw.length) return None
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inflater.end()
+    val out = new Array[Int](w * h)
+    val prior = new Array[Int](w * bpp) // reconstructed previous row
+    val cur = new Array[Int](w * bpp)
+    var y = 0
+    while (y < h) {
+      val base = y * rowLen
+      val filter = u8(raw, base)
+      if (filter > 4) return None
+      var x = 0
+      while (x < w * bpp) {
+        val v = u8(raw, base + 1 + x)
+        val left = if (x >= bpp) cur(x - bpp) else 0
+        val up = if (y > 0) prior(x) else 0
+        val upLeft = if (x >= bpp && y > 0) prior(x - bpp) else 0
+        cur(x) = (filter match {
+          case 0 => v
+          case 1 => v + left
+          case 2 => v + up
+          case 3 => v + (left + up) / 2
+          case 4 => v + paeth(left, up, upLeft)
+        }) & 0xff
+        x += 1
+      }
+      var px = 0
+      while (px < w) {
+        out(y * w + px) =
+          if (bpp == 1) cur(px)
+          else (299 * cur(px * 3) + 587 * cur(px * 3 + 1) +
+            114 * cur(px * 3 + 2)) / 1000
+        px += 1
+      }
+      System.arraycopy(cur, 0, prior, 0, w * bpp)
+      y += 1
+    }
+    Some((w, h, out))
+  }
+
+  /** PNG pixel-decode round trip (the PNG sibling of
+    * [[imageDecodeRoundtrip]]): each doc synthesizes a grayscale PNG whose
+    * levels follow an integer formula of (doc_id, x, y) — with the writer
+    * cycling ALL FIVE row filters — the REAL inflate+unfilter decoder and
+    * the nearest-neighbor resizer produce a fixed grid, and per-cell
+    * features aggregate across docs. The oracle recomputes the formula at
+    * the source coordinates; deflate/inflate and filter/unfilter cancel
+    * only if both codec paths are correct. */
+  def pngDecodeRoundtrip(spark: SparkSession, docs: DataFrame,
+                         tw: Int = 4, th: Int = 4): DataFrame = {
+    import spark.implicits._
+    val pngs = docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (id % 6L).toInt + 3
+          val h = (id % 5L).toInt + 6 // >= 6 rows: every filter type used
+          (id, pngFileGray(w, h,
+            (x, y) => ((id * 37L + x * 11L + y * 17L) % 256L).toInt))
+        }
+      }.toDF("doc_id", "png")
+    pngs.select(col("doc_id"), col("png").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, p) =>
+          decodePngGray(p) match {
+            case Some((w, h, g)) =>
+              val r = resizeNearest(g, w, h, tw, th)
+              (0 until th).iterator.flatMap(y =>
+                (0 until tw).iterator.map(x =>
+                  PixelCell(id, y, x, r(y * tw + x))))
+            case None => Iterator.empty
+          }
+        }
+      }.toDF()
+      .groupBy("y", "x")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("gray").cast("long")).as("sum_gray"),
+        sum(when(col("gray") >= 128, 1L).otherwise(0L)).as("n_bright"))
+      .orderBy("y", "x")
+  }
+
   /** Nearest-neighbor resize with the canonical floor mapping
     * `src = dst * srcDim / dstDim` — integer-exact, so downstream features
     * are engine-portable. */

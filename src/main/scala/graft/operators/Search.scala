@@ -118,4 +118,50 @@ object Search {
       .orderBy(col("score_micro").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** POSITIONAL inverted index: one posting per term OCCURRENCE with its
+    * 0-based word position — the index layout that makes phrase and
+    * proximity queries joins instead of rescans. The reference's fulltext
+    * backend (Lucene behind `db.index.fulltext.queryNodes`,
+    * retrieval/ner.py:99-103) is phrase-capable precisely because Lucene
+    * stores positions; this is the same trade — a wider write-once index
+    * for adjacency-join reads. At 100 TB: persisted bucketed by term,
+    * like [[postings]]. */
+  def posPostings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), posexplode(
+      graft.functions.words(lower(col("text")))).as(Seq("pos", "term")))
+
+  /** Exact-phrase top-k: multi-word entity names ("Applications of
+    * nanotechnology") are the common case in the reference's corpus, and
+    * bag-of-words TF-IDF cannot distinguish them from scattered term
+    * hits. A phrase occurrence is an anchor position of the FIRST word
+    * whose i-th successor word sits at pos+i for every following phrase
+    * term — checked with one position-adjacency SEMI-join per extra term,
+    * all on pruned postings (only the phrase's terms ever leave the index
+    * scan), keyed by (doc_id, pos) so candidates stay co-partitioned
+    * across the chain. Scored with the same integer TF-IDF as
+    * [[tfidfTopK]], with the PHRASE as the unit: tf = occurrences, df =
+    * docs containing the phrase. Returns (doc_id, tf, score_micro),
+    * deterministic (score desc, doc_id), TakeOrderedAndProject. */
+  def phraseTopK(docs: DataFrame, phrase: Seq[String], k: Int): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val pp = posPostings(docs).where(col("term").isin(phrase.distinct: _*))
+    val anchor = pp.where(col("term") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    val matches = phrase.zipWithIndex.tail.foldLeft(anchor) {
+      case (acc, (t, i)) =>
+        acc.join(
+          pp.where(col("term") === t)
+            .select(col("doc_id"), (col("pos") - i).as("pos")),
+          Seq("doc_id", "pos"), "left_semi")
+    }
+    val ph = matches.groupBy("doc_id").agg(count(lit(1)).as("tf"))
+    val dfq = ph.agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    ph.crossJoin(broadcast(dfq)).crossJoin(broadcast(n))
+      .select(col("doc_id"), col("tf"),
+        expr("(tf * 1000000 * n_docs) div df").as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(k)
+  }
 }

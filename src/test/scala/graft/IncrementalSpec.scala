@@ -48,4 +48,39 @@ class IncrementalSpec extends SparkSpec {
     assert(out.getDouble(4) === 2.0)   // min
     assert(out.getDouble(5) === 4.0)   // max
   }
+
+  test("histogram state: merge of partials equals state of the union") {
+    val b1 = batch("a" -> 3.0, "a" -> 17.0, "b" -> 100.0)
+    val b2 = batch("a" -> 33.0, "a" -> 999.0, "b" -> 5.0) // 999 clamps to bin 7
+    def hist(df: org.apache.spark.sql.DataFrame) =
+      Incremental.histState(df, Seq("k"), "v", width = 16, bins = 8)
+    val viaMerge = Incremental.mergeHistStates(
+        hist(b1).unionByName(hist(b2)), Seq("k"), bins = 8)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getSeq[Long](2).toList))).toMap
+    val direct = hist(b1.unionByName(b2))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getSeq[Long](2).toList))).toMap
+    assert(viaMerge === direct)
+    // a: 3→bin0, 17→bin1, 33→bin2, 999→clamped bin7
+    assert(viaMerge("a") === ((4L, List(1L, 1L, 1L, 0L, 0L, 0L, 0L, 1L))))
+  }
+
+  test("histogram quantiles: first bin where 100*cum >= p*cnt, hand-derived") {
+    // 10 values in bin 0, 9 in bin 2, 1 in bin 5 (cnt=20)
+    // p50: target 100*cum >= 50*20=1000 → cum >= 10 → bin 0 (cum 10)
+    // p95: 100*cum >= 95*20=1900 → cum >= 19 → bin 2 (cum 19)
+    val rows = Seq.fill(10)("a" -> 1.0) ++ Seq.fill(9)("a" -> 40.0) ++
+      Seq("a" -> 85.0)
+    val st = Incremental.histState(rows.toDF("k", "v"), Seq("k"), "v",
+      width = 16, bins = 8)
+    val out = Incremental.finalizeHist(st, width = 16, bins = 8,
+      percents = Seq(50, 95)).collect().head
+    assert(out.getString(0) === "a")
+    assert(out.getLong(1) === 20L)
+    assert(out.getInt(2) === 0)    // p50_bin
+    assert(out.getLong(3) === 0L)  // p50_lo
+    assert(out.getInt(4) === 2)    // p95_bin
+    assert(out.getLong(5) === 32L) // p95_lo
+  }
 }

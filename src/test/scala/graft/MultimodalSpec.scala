@@ -267,6 +267,87 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getAs[Long]("n_media") === 0L)
   }
 
+  test("decodePngGray agrees with JDK ImageIO on RGB and gray PNGs") {
+    // JDK-encoded PNGs (independent deflate + filter choices) decoded by
+    // ours; luma recomputed from getRGB. TYPE_BYTE_GRAY exercises color
+    // type 0, TYPE_INT_RGB color type 2.
+    val w = 7; val h = 5
+    // color type 2 (RGB): luma recomputed from getRGB
+    val rgbImg = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 41 + y * 73 + x * y * 11) % 256
+      rgbImg.setRGB(x, y, (v << 16) | (((v * 3) % 256) << 8) | ((v * 7) % 256))
+    }
+    val rgbOut = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(rgbImg, "png", rgbOut))
+    val Some((rw, rh, rg)) = Multimodal.decodePngGray(rgbOut.toByteArray)
+    assert((rw, rh) === (w, h))
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = rgbImg.getRGB(x, y)
+      val want = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+        114 * (rgb & 0xff)) / 1000
+      assert(rg(y * w + x) === want, s"rgb pixel ($x,$y)")
+    }
+    // color type 0 (gray): compare RASTER samples — getRGB on
+    // TYPE_BYTE_GRAY applies a gray→sRGB colorspace conversion, so the
+    // raster is the byte-level truth our decoder returns
+    val gImg = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      gImg.getRaster.setSample(x, y, 0, (x * 41 + y * 73 + x * y * 11) % 256)
+    val gOut = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(gImg, "png", gOut))
+    val Some((gw, gh, gg)) = Multimodal.decodePngGray(gOut.toByteArray)
+    assert((gw, gh) === (w, h))
+    for (y <- 0 until h; x <- 0 until w)
+      assert(gg(y * w + x) === gImg.getRaster.getSample(x, y, 0),
+        s"gray pixel ($x,$y)")
+  }
+
+  test("ImageIO decodes our pngFileGray writer's bytes (both directions)") {
+    val w = 6; val h = 11 // >= 6 rows: all five filters appear (y % 5)
+    def gray(x: Int, y: Int) = (x * 40 + y * 25 + x * y * 3) % 256
+    val bytes = Multimodal.pngFileGray(w, h, gray)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "JDK could not parse our PNG")
+    // raster samples, not getRGB: gray-PNG getRGB goes through a
+    // colorspace conversion (see the decode test above)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(img.getRaster.getSample(x, y, 0) === gray(x, y), s"jdk ($x,$y)")
+    val Some((dw, dh, g)) = Multimodal.decodePngGray(bytes)
+    assert((dw, dh) === (w, h))
+    for (y <- 0 until h; x <- 0 until w)
+      assert(g(y * w + x) === gray(x, y), s"ours ($x,$y)")
+  }
+
+  test("decodePngGray rejects malformed and unsupported payloads") {
+    val good = Multimodal.pngFileGray(4, 4, (x, y) => x + y)
+    assert(Multimodal.decodePngGray(good).isDefined)
+    // truncated IDAT: cut the file before the stream completes
+    assert(Multimodal.decodePngGray(good.take(good.length - 20)).isEmpty)
+    // oversized declared dims must not allocate (adversarial header)
+    val big = Multimodal.pngFileGray(4, 4, (x, y) => 0).clone()
+    // IHDR width field lives at offset 16 (big-endian)
+    big(16) = 0x7f.toByte
+    assert(Multimodal.decodePngGray(big).isEmpty)
+    // not a PNG at all
+    assert(Multimodal.decodePngGray("hello".getBytes).isEmpty)
+  }
+
+  test("pngDecodeRoundtrip recovers the formula through all five filters") {
+    val docs = Seq(0L, 1L, 2L, 3L, 4L).toDF("doc_id")
+    val cells = Multimodal.pngDecodeRoundtrip(spark, docs)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // every doc decodes: 16 cells each with n_docs = 5
+    assert(cells.size === 16)
+    assert(cells.values.forall(_._1 === 5L))
+    // hand-check cell (0,0): sx=sy=0 → gray = (id*37) % 256
+    val want00 = (0 until 5).map(id => (id * 37L) % 256L).sum
+    assert(cells((0, 0))._2 === want00)
+  }
+
   test("mediaDecodeRoundtrip: encode→decode recovers the derived dims") {
     val docs = Seq((0L, 10L), (1L, 11L), (2L, 12L), (3L, 2000L))
       .toDF("doc_id", "n_chars")

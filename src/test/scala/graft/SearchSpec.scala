@@ -161,6 +161,34 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("phrase search matches adjacent words only, scored per occurrence") {
+    // multi-word entity name (TPC-H part-name shape): "goldenrod lavender
+    // spring" appears as an exact phrase in docs 10 (twice) and 11 (once);
+    // doc 12 has all three words scattered — bag-of-words TF-IDF would
+    // rank it, phrase search must NOT match it.
+    val d = Seq(
+      (10L, "goldenrod lavender spring x goldenrod lavender spring"),
+      (11L, "the goldenrod lavender spring part"),
+      (12L, "goldenrod x lavender y spring"),
+      (13L, "lavender goldenrod spring")
+    ).toDF("doc_id", "text")
+    val out = Search.phraseTopK(d,
+        Seq("goldenrod", "lavender", "spring"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // df=2, N=4: score = (tf * 1e6 * 4) div 2
+    assert(out === Seq((10L, 2L, 4000000L), (11L, 1L, 2000000L)))
+  }
+
+  test("phrase search handles repeated words inside the phrase") {
+    // phrase "buffalo buffalo buffalo": doc 1 has 4 consecutive -> 2
+    // anchor positions (0 and 1) both match (overlaps count, like Lucene)
+    val d = Seq((1L, "buffalo buffalo buffalo buffalo"),
+      (2L, "buffalo x buffalo buffalo")).toDF("doc_id", "text")
+    val out = Search.phraseTopK(d, Seq("buffalo", "buffalo", "buffalo"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out === Seq((1L, 2L)))
+  }
+
   test("top n-grams count corpus-wide with (count desc, ngram) ties") {
     val d = Seq(
       (1L, "a b a b"),      // "a b" x2, "b a" x1
