@@ -597,7 +597,8 @@ object OracleSqls {
       |  GROUP BY l.n, r.n)
       |SELECT s.a, s.b, s.cn,
       |  CAST(floor(s.cn * 1000000.0 / (da.deg + db.deg - s.cn)) AS BIGINT)
-      |    AS jac_micro, s.ra_micro
+      |    AS jac_micro,
+      |  CAST(s.ra_micro AS BIGINT) AS ra_micro
       |FROM scored s
       |JOIN deg da ON s.a = da.a
       |JOIN deg db ON s.b = db.a

@@ -1168,11 +1168,22 @@ object Queries {
 
   // ---- events (batch form; streaming variants in graft.operators.Events) ----
 
-  /** The driver's events parquet stores TIMESTAMP(NANOS); Spark only reads
-    * that as int64 nanos behind this legacy flag (see operators.Events). */
+  /** Events load, normalized so `ts` is ALWAYS epoch-nanos LongType
+    * downstream. The driver has shipped this table under two physical
+    * schemas across rounds: TIMESTAMP(NANOS), which Spark only reads as
+    * int64 nanos behind the legacy flag, and timestamp[us], which Spark
+    * reads as TIMESTAMP_NTZ. DuckDB surfaces both as microsecond TIMESTAMP,
+    * so the oracle SQL (epoch_us/date_trunc) is schema-independent; this is
+    * the Spark-side equivalent. Session timezone is UTC (Sessions.builder),
+    * making the NTZ→instant cast wall-clock-exact. */
   private def eventsT(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    T(spark, dir, "events")
+    val raw = T(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ => // TimestampType or TimestampNTZType → epoch nanos
+        raw.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+    }
   }
 
   /** Events at microsecond precision: the driver parquet is TIMESTAMP(NANOS)

@@ -47,6 +47,20 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         try:
+            rel = con.sql(sql)
+            # Hash-surface type check: the driver hashes the pandas
+            # rendering, so a HUGEINT/DECIMAL oracle column (pandas float
+            # or object) against a Spark int64 hash-mismatches even when
+            # the VALUES compare equal here (Python 1.0 == 1). Wrap such
+            # aggregates in CAST(... AS BIGINT)/round(...) in the oracle.
+            widened = [c for c, t in zip(rel.columns, rel.types)
+                       if str(t) in ("HUGEINT", "UHUGEINT")
+                       or str(t).startswith("DECIMAL")]
+            if widened:
+                print(f"FAIL {name}: oracle column(s) {widened} are "
+                      f"HUGEINT/DECIMAL — cast to BIGINT/DOUBLE in the SQL")
+                n_fail += 1
+                continue
             odf = con.execute(sql).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
@@ -54,6 +68,15 @@ def main(sf_dir, out_dir):
             continue
         sdf = con.execute(
             f"SELECT * FROM '{spark_dir}/*.parquet'").fetchdf()
+        mismatch = [c for c in odf.columns if c in sdf.columns
+                    and odf[c].dtype.kind in "if" and sdf[c].dtype.kind in "if"
+                    and odf[c].dtype.kind != sdf[c].dtype.kind]
+        if mismatch:
+            print(f"FAIL {name}: numeric-kind mismatch (int vs float) on "
+                  f"{mismatch}: oracle {[str(odf[c].dtype) for c in mismatch]} "
+                  f"vs spark {[str(sdf[c].dtype) for c in mismatch]}")
+            n_fail += 1
+            continue
         ocols, scols = sorted(odf.columns), sorted(sdf.columns)
         if ocols != scols:
             print(f"FAIL {name}: columns oracle={ocols} spark={scols}")
