@@ -28,6 +28,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   "-Duser.timezone=UTC",
   // local mode = driver-only JVM; size the heap for 32 concurrent tasks
-  // (the box has 128 GiB — a small heap just converts bench time into GC)
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // (the box has 128 GiB — a small heap just converts bench time into GC:
+  // at 24g the iterative graph queries ran 2-4x their 48g medians with
+  // max/min spreads >3 from full-GC pauses, measured via TimeQuery)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

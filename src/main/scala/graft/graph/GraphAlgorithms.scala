@@ -285,13 +285,24 @@ object GraphAlgorithms {
       .localCheckpoint(true) // one sort pass, reused below
     val degT = ranked0.where(col("rnk") === 0).select(col("a").as("n"),
       col("deg").as("ndeg")) // one row per node carrying an edge
+    // O(V)-sized sides (degT, the walk state) are broadcast while V is
+    // genuinely broadcast-sized, so the O(E) ranked adjacency is never
+    // shuffled; past the guard (the 1000-executor / 100 TB regime) fall
+    // back to the shuffle join — the correct distributed-DeepWalk shape
+    // when V itself is huge. Same guard pattern as kCoreSizes.
+    val nNodes = g.nodes.count()
+    def walkSide(df: DataFrame): DataFrame =
+      if (nNodes <= 5000000L) broadcast(df) else df
     // deg(b) rides along with each edge so a step's output IS the next
     // step's complete input — this join happens once, not once per step
-    val ranked = ranked0.as("r").join(degT.as("d"), col("r.b") === col("d.n"))
+    val ranked = ranked0.as("r").join(walkSide(degT.as("d")), col("r.b") === col("d.n"))
       .select(col("r.a").as("a"), col("r.b").as("b"), col("r.rnk").as("rnk"),
         col("d.ndeg").as("deg_b"))
       .localCheckpoint(true) // reused every step
     val nodes = g.nodes.select(col("nodeId").as("start"), col("nodeId").as("c"))
+    // localCheckpoint erases outputPartitioning, so a plain equi-join here
+    // re-shuffles AND re-sorts the full O(E) ranked adjacency at EVERY
+    // step (3 steps × 2.7M-row SMJ at sf0.1 was the whole query's cost).
     var cur = nodes.join(degT, col("c") === col("n"))
       .select(col("start"), col("c"), col("ndeg").as("deg"))
     var acc = nodes.select(col("start"), col("c"), lit(0).as("step"))
@@ -301,7 +312,7 @@ object GraphAlgorithms {
         col("c").cast("string"), lit("_"), lit(t.toString)))
       val picked = cur.select(col("start"), col("c"),
         pmod(h, col("deg")).as("pick"))
-      cur = picked.as("p").join(ranked.as("r"),
+      cur = ranked.as("r").join(walkSide(picked.as("p")),
           col("p.c") === col("r.a") && col("p.pick") === col("r.rnk"))
         .select(col("p.start").as("start"), col("r.b").as("c"),
           col("r.deg_b").as("deg"))
