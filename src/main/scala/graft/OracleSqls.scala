@@ -359,8 +359,9 @@ object OracleSqls {
          |  FROM a JOIN b c ON a.bucket = c.bucket AND a.label <> c.label)
          |WHERE rn <= 3""".stripMargin,
 
-    // multi-probe: the query bucket plus every Hamming-1 neighbor —
-    // mirrored as "bit positions differing from the query bucket <= 1"
+    // multi-probe: the query bucket plus every Hamming-1/-2 neighbor —
+    // mirrored as "bit positions differing from the query bucket <= 2"
+    // (radius 2 holds the 0.9 recall floor at bits=4; see annLshTopK)
     "ann_lsh_topk" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |b AS (SELECT vec_id, v, $bucket4 AS bucket FROM e),
@@ -371,7 +372,7 @@ object OracleSqls {
          |WHERE (CASE WHEN substr(bucket, 1, 1) = substr(qb, 1, 1) THEN 0 ELSE 1 END)
          |    + (CASE WHEN substr(bucket, 2, 1) = substr(qb, 2, 1) THEN 0 ELSE 1 END)
          |    + (CASE WHEN substr(bucket, 3, 1) = substr(qb, 3, 1) THEN 0 ELSE 1 END)
-         |    + (CASE WHEN substr(bucket, 4, 1) = substr(qb, 4, 1) THEN 0 ELSE 1 END) <= 1
+         |    + (CASE WHEN substr(bucket, 4, 1) = substr(qb, 4, 1) THEN 0 ELSE 1 END) <= 2
          |ORDER BY similarity DESC, vec_id LIMIT 10""".stripMargin,
 
     "ann_neardup_pairs" ->
@@ -486,6 +487,10 @@ object OracleSqls {
     // pruning); results must hash-match the unpartitioned oracle
     "ann_ivf_pruned" -> ivfTopkSql,
     "ann_ivf_kmeans" -> ivfKmeansSql(k = 10, nCentroids = 8, nProbe = 2,
+      lloydIters = 2),
+    // same maths as ann_ivf_kmeans, executed through the hive-partitioned
+    // store — the oracle is identical, so the LAYOUT is what's being tested
+    "ann_ivf_store_kmeans" -> ivfKmeansSql(k = 10, nCentroids = 8, nProbe = 2,
       lloydIters = 2),
 
     "ann_pq_topk" -> pqSql(k = 10, m = 8, kCodes = 16, lloydIters = 1,

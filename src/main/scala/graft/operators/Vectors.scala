@@ -70,12 +70,18 @@ object Vectors {
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
               query: Seq[Double], k: Int, bits: Int,
               probeRadius: Int = 0): DataFrame = {
-    require(probeRadius <= 1, "only Hamming radius 0/1 probing is implemented")
+    require(probeRadius <= 2, "only Hamming radius 0/1/2 probing is implemented")
     val qBucket = query.take(bits).map(v => if (v >= 0) "1" else "0").mkString
-    val probes =
-      if (probeRadius <= 0) Seq(qBucket)
-      else qBucket +: (0 until bits).map(i =>
-        qBucket.updated(i, if (qBucket(i) == '1') '0' else '1'))
+    def flip(b: String, i: Int): String =
+      b.updated(i, if (b(i) == '1') '0' else '1')
+    val r1 = (0 until bits).map(flip(qBucket, _))
+    val r2 = for (i <- 0 until bits; j <- i + 1 until bits)
+      yield flip(flip(qBucket, i), j)
+    val probes = probeRadius match {
+      case r if r <= 0 => Seq(qBucket)
+      case 1           => qBucket +: r1
+      case _           => (qBucket +: r1) ++ r2
+    }
     val vec = col(vecCol).cast("array<double>")
     scored(emb.where(lshBucket(vec, bits).isin(probes: _*)), vecCol, query)
       .withColumn("similarity", round(col("similarity"), 6))
@@ -147,8 +153,8 @@ object Vectors {
     * [[Dedup.semanticDedup]]: seeds are the first `nCentroids` vectors by
     * id; each iteration is one broadcast assign + one (cid, dim)-keyed
     * rounded mean. */
-  private[operators] def kmeansCentroids(v: DataFrame, nCentroids: Int,
-                                         lloydIters: Int): DataFrame = {
+  private[graft] def kmeansCentroids(v: DataFrame, nCentroids: Int,
+                                     lloydIters: Int): DataFrame = {
     var centroids = v.orderBy(col("id")).limit(nCentroids)
       .select(col("id").as("cid"), col("v").as("cv"))
     for (_ <- 1 to lloydIters) {

@@ -23,15 +23,24 @@ import graft.operators.Vectors
 object VectorStore {
 
   /** One-time layout write: assign each vector to its nearest centroid and
-    * partition the parquet by the cell id; centroids land beside it. */
+    * partition the parquet by the cell id; centroids land beside it.
+    * `lloydIters = 0` keeps the deterministic first-n-by-id seeds (the
+    * `ivfTopK` contract); `lloydIters > 0` refines them with that many
+    * unrolled Lloyd rounds ([[Vectors.kmeansCentroids]] — the
+    * `ivfKmeansTopK` contract), which balances cell occupancy, so the
+    * on-disk partition sizes track the data's cluster structure instead of
+    * whichever vectors happened to carry the lowest ids. */
   def writeIvf(emb: DataFrame, idCol: String, vecCol: String,
-               nCentroids: Int, path: String): Unit = {
+               nCentroids: Int, path: String, lloydIters: Int = 0): Unit = {
     val vec = col(vecCol).cast("array<double>")
-    val centroids = emb.orderBy(col(idCol)).limit(nCentroids)
-      .select(col(idCol).as("cid"), vec.as("cv"))
+    val v = emb.select(col(idCol).as("id"), vec.as("v"))
+    val centroids =
+      if (lloydIters == 0)
+        emb.orderBy(col(idCol)).limit(nCentroids)
+          .select(col(idCol).as("cid"), vec.as("cv"))
+      else Vectors.kmeansCentroids(v, nCentroids, lloydIters)
     centroids.write.mode("overwrite").parquet(path + ".centroids")
-    Vectors.assignToCentroids(
-        emb.select(col(idCol).as("id"), vec.as("v")), centroids)
+    Vectors.assignToCentroids(v, centroids)
       .write.mode("overwrite").partitionBy("cid").parquet(path)
   }
 

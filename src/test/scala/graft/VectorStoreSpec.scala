@@ -27,6 +27,25 @@ class VectorStoreSpec extends SparkSpec {
     assert(pruned.nonEmpty)
   }
 
+  test("kmeans-layout store matches the unpartitioned kmeans IVF exactly") {
+    val path = java.nio.file.Files.createTempDirectory("ivfstorek")
+      .resolve("emb").toString
+    VectorStore.writeIvf(emb, "vec_id", "embedding", nCentroids = 4, path,
+      lloydIters = 2)
+    val pruned = VectorStore.probeIvf(spark, path, "vec_id", q, k = 5,
+        nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val direct = Vectors.ivfKmeansTopK(emb, "vec_id", "embedding", q, k = 5,
+        nCentroids = 4, nProbe = 2, lloydIters = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(pruned === direct)
+    assert(pruned.nonEmpty)
+    // still a partition-pruned scan with the trained layout
+    val plan = VectorStore.probeIvf(spark, path, "vec_id", q, k = 5,
+      nProbe = 2).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), "probe must be partition-pruned")
+  }
+
   test("the probe plan prunes partitions: only nProbe cells are listed") {
     val path = java.nio.file.Files.createTempDirectory("ivfstore2")
       .resolve("emb").toString

@@ -79,14 +79,13 @@ class VectorsSpec extends SparkSpec {
   }
 
   test("ANN recall floors vs brute force on the driver embeddings") {
-    // the report that catches silent recall collapse: every re-ranking path
-    // (ivf / ivf_kmeans / pq / sq8) must hold >= 0.9 at catalog settings;
-    // lsh is the documented coarse axis-aligned path — quantified, lower
+    // the report that catches silent recall collapse: EVERY ANN path must
+    // hold >= 0.9 at catalog settings (lsh holds it via Hamming-2
+    // multi-probe — radius 1 measured 0.7, the round-6 unquantified gap)
     val r = Queries.annRecallReport(spark, "/root/testdata/sf0.001")
       .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
-    for (m <- Seq("ivf", "ivf_kmeans", "pq", "sq8"))
+    for (m <- Seq("ivf", "ivf_kmeans", "pq", "sq8", "lsh"))
       assert(r(m) >= 0.9, s"$m recall ${r(m)} below 0.9 floor")
-    assert(r("lsh") >= 0.5, s"lsh recall ${r("lsh")} below 0.5 floor")
   }
 
   test("IVF k-means: Lloyd iterations recover the true clusters") {
