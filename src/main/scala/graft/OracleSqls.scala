@@ -1038,6 +1038,51 @@ object OracleSqls {
         |  round(sqrt(n) / sm / (n / total), 6) AS boost
         |FROM s, t""".stripMargin,
 
+    // deterministic training-shard shuffle: shard and within-shard order
+    // both come from the salted 60-bit md5 (Dedup.md5Long), so rank·id
+    // pins the exact per-shard sequence across engines
+    "curate_shard_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard'), 1, 15))::BIGINT AS h
+        |  FROM documents
+        |), r AS (
+        |  SELECT CAST(h % 16 AS INTEGER) AS shard, doc_id,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY h % 16 ORDER BY h, doc_id) AS BIGINT) AS rk
+        |  FROM h
+        |)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(rk * doc_id) AS BIGINT) AS order_check
+        |FROM r GROUP BY shard""".stripMargin,
+
+    // linear classifier apply: hashed-unigram slots (the text_feature_hash
+    // bucket recipe) × slot weights derived from md5('w:<slot>') — logits
+    // in exact integer units, empty-token docs contribute logit 0
+    "curate_classifier_score" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($wordsExpr) AS tok FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    CAST(substr(regexp_replace(md5(tok), '[a-f]', '', 'g') || '000000',
+        |      1, 6) AS BIGINT) % 16 AS slot
+        |  FROM tok
+        |), wt AS (
+        |  SELECT s.slot,
+        |    CAST(substr(regexp_replace(md5('w:' || s.slot), '[a-f]', '', 'g')
+        |      || '000000', 1, 6) AS BIGINT) % 2001 - 1000 AS wv
+        |  FROM (SELECT unnest(range(0, 16)) AS slot) s
+        |), l AS (
+        |  SELECT b.doc_id, CAST(sum(wt.wv) AS BIGINT) AS logit
+        |  FROM b JOIN wt ON b.slot = wt.slot GROUP BY 1
+        |)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN coalesce(l.logit, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pos,
+        |  CAST(sum(coalesce(l.logit, 0)) AS BIGINT) AS sum_logit
+        |FROM documents d LEFT JOIN l ON l.doc_id = d.doc_id
+        |GROUP BY d.source""".stripMargin,
+
     // weighted sampling by temperature boost: floor() before the BIGINT
     // cast in both engines (Spark truncates, DuckDB rounds); salted md5
     // acceptance hash mirrors Dedup.md5Long(x, 8)

@@ -1032,6 +1032,15 @@ object Queries {
   def curateRebalance(spark: SparkSession, dir: String): DataFrame =
     Curation.rebalanceWeights(T(spark, dir, "documents"))
 
+  /** Deterministic 16-shard training shuffle with order-pinning checksums. */
+  def curateShardShuffle(spark: SparkSession, dir: String): DataFrame =
+    Curation.shardShuffleStats(T(spark, dir, "documents"), "doc_id",
+      nShards = 16)
+
+  /** fastText-shaped linear classifier apply over hashed unigram features. */
+  def curateClassifierScore(spark: SparkSession, dir: String): DataFrame =
+    Curation.classifierScoreStats(T(spark, dir, "documents"))
+
   /** Incremental near-dup: every 10th doc arrives as the "new batch" and
     * probes the band index built over the other 90% — signature-agreement
     * verification, corpus text untouched. */
@@ -1472,6 +1481,8 @@ object Queries {
     "curate_stratified" -> (curateStratified _),
     "curate_pack" -> (curatePack _),
     "curate_rebalance" -> (curateRebalance _),
+    "curate_shard_shuffle" -> (curateShardShuffle _),
+    "curate_classifier_score" -> (curateClassifierScore _),
     "curate_pii" -> (curatePii _),
     "curate_dsir" -> (curateDsir _),
     "curate_novelty" -> (curateNovelty _),

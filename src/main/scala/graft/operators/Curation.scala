@@ -528,4 +528,71 @@ object Curation {
         round(sqrt(col("n_docs")) / col("sqrt_mass") /
           (col("n_docs") / col("total")), 6).as("boost"))
   }
+
+  /** Deterministic global shuffle into training shards — the step between
+    * curation and the trainer: examples must reach the optimizer in an
+    * order decorrelated from their storage order (a corpus sorted by crawl
+    * date or source trains measurably worse), and the order must be
+    * REPRODUCIBLE so a resumed/re-run job sees the identical stream.
+    *
+    * shard = md5(id || ":shard") mod `nShards`; within-shard order = that
+    * same hash (ties → id). A seeded hash of the id IS a deterministic
+    * permutation — no global sort is needed, which is the 100 TB point:
+    * one shuffle keyed on the shard id, each shard sorts independently
+    * (Spark's per-partition sort, never a total order across the corpus),
+    * and the trainer streams shards in any order. Emits per-shard stats
+    * with an order-sensitive checksum (sum of rank·id) so the oracle pins
+    * the EXACT within-shard sequence, not just membership. */
+  def shardShuffleStats(docs: DataFrame, idCol: String,
+                        nShards: Int): DataFrame = {
+    val withShard = docs
+      .select(col(idCol).as("id"))
+      .withColumn("h",
+        Dedup.md5Long(concat(col("id").cast("string"), lit(":shard"))))
+      .withColumn("shard", (col("h") % nShards).cast("int"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("id"))
+    withShard
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("id")).cast("long").as("sum_ids"),
+        sum(col("rk") * col("id")).cast("long").as("order_check"))
+  }
+
+  /** Linear quality-classifier apply — the fastText-shaped scoring pass
+    * every production corpus filter runs (a trained classifier gates
+    * "educational value", toxicity, etc.). Features are hashed unigram
+    * counts ([[TextOps.hashingTf]]'s portable digit-only-MD5 buckets, no
+    * vocabulary pass); the weight vector is tiny and broadcast-shaped (here
+    * derived deterministically from the slot id via the same MD5 family, a
+    * stand-in for trained weights that keeps the oracle exact). The logit
+    * stays in integer micro-units — classification (logit > 0) and ranking
+    * are engine-portable; the sigmoid is monotone so thresholding the logit
+    * IS thresholding the probability.
+    *
+    * Scale shape: a narrow one-pass scan (per-token weight lookup folded
+    * into the projection, map-side combine into the per-source rollup) —
+    * no shuffle before the final |sources|-row aggregate. */
+  def classifierScoreStats(docs: DataFrame, dim: Int = 16): DataFrame = {
+    val wts: IndexedSeq[Long] = (0 until dim).map { s =>
+      val digits = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"w:$s".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .replaceAll("[a-f]", "") + "000000"
+      digits.substring(0, 6).toLong % 2001 - 1000
+    }
+    def bucket(c: Column): Column =
+      substring(concat(regexp_replace(md5(c), "[a-f]", ""), lit("000000")),
+        1, 6).cast("long") % dim
+    val wArr = array(wts.map(lit(_)): _*)
+    docs
+      .withColumn("logit",
+        aggregate(
+          transform(words(col("text")),
+            t => element_at(wArr, (bucket(t) + 1).cast("int"))),
+          lit(0L), (acc, x) => acc + x))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("logit") > 0, 1L).otherwise(0L)).cast("long").as("n_pos"),
+        sum(col("logit")).cast("long").as("sum_logit"))
+  }
 }

@@ -329,4 +329,51 @@ class CurationSpec extends SparkSpec {
     assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
       r.getLong(5)) === ((21L, 19L, 2L, 20L, (2 to 20).sum.toLong)))
   }
+
+  test("shard shuffle: exact partition, permutation pinned by checksum") {
+    val docs = (0L until 40L).map(i => (i, "s", "t")).toDF("doc_id", "source", "text")
+    val rows = Curation.shardShuffleStats(docs, "doc_id", nShards = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every doc lands in exactly one shard
+    assert(rows.map(_._2).sum === 40L)
+    assert(rows.map(_._3).sum === (0L until 40L).sum)
+    // replay the hash on the driver: same shard sizes and same
+    // rank-weighted checksum → the within-shard ORDER matches, not just
+    // membership
+    def h(id: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:shard".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15), 16)
+    val expect = (0L until 40L).map(i => (h(i) % 4, h(i), i))
+      .groupBy(_._1).map { case (shard, xs) =>
+        val ordered = xs.sortBy(x => (x._2, x._3)).map(_._3)
+        (shard.toInt, ordered.size.toLong, ordered.sum,
+          ordered.zipWithIndex.map { case (id, k) => (k + 1) * id }.sum)
+      }.toSet
+    assert(rows.toSet === expect)
+    // determinism: a second run is byte-identical
+    val again = Curation.shardShuffleStats(docs, "doc_id", nShards = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSet === rows.toSet)
+  }
+
+  test("classifier score: logit is the sum of slot weights, hand-derived") {
+    // one doc, two tokens; replay the bucket + weight recipe on the driver
+    def digitMd5(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .replaceAll("[a-f]", "") + "000000"
+      d.substring(0, 6).toLong
+    }
+    def slot(tok: String): Long = digitMd5(tok) % 16
+    def wv(s: Long): Long = digitMd5(s"w:$s") % 2001 - 1000
+    val docs = Seq((1L, "alpha beta", "src"), (2L, "", "src"))
+      .toDF("doc_id", "text", "source")
+    val r = Curation.classifierScoreStats(docs).collect().head
+    val expected = wv(slot("alpha")) + wv(slot("beta"))
+    // doc 2 has no tokens → logit 0, never positive
+    assert(r.getLong(1) === 2L)
+    assert(r.getLong(3) === expected)
+    assert(r.getLong(2) === (if (expected > 0) 1L else 0L))
+  }
 }
