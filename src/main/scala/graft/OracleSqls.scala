@@ -329,6 +329,30 @@ object OracleSqls {
         |  FROM o b FULL OUTER JOIN merged a ON b.o_orderkey = a.o_orderkey)
         |WHERE op IS NOT NULL GROUP BY op""".stripMargin,
 
+    // matryoshka truncation report: prefix-slice cosine top-10 vs the
+    // full-width exact top-10, per prefix width (array slice v[1:d] and
+    // query prefix — same round-6 + id tiebreak as every ANN oracle)
+    "emb_matryoshka_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |bf AS (
+        |  SELECT vec_id FROM (
+        |    SELECT vec_id, round(list_cosine_similarity(v, (SELECT qv FROM q)), 6)
+        |      AS s FROM e ORDER BY s DESC, vec_id LIMIT 10)
+        |), dims AS (SELECT unnest([8, 16, 32, 64]) AS dim),
+        |pref AS (
+        |  SELECT d.dim, t.vec_id FROM dims d, LATERAL (
+        |    SELECT vec_id FROM (
+        |      SELECT vec_id,
+        |        round(list_cosine_similarity(v[1:d.dim],
+        |          (SELECT qv[1:d.dim] FROM q)), 6) AS s
+        |      FROM e ORDER BY s DESC, vec_id LIMIT 10)) t
+        |)
+        |SELECT CAST(p.dim AS INTEGER) AS dim,
+        |  round(CAST(count(bf.vec_id) AS DOUBLE) / 10.0, 6) AS recall
+        |FROM pref p LEFT JOIN bf ON p.vec_id = bf.vec_id
+        |GROUP BY p.dim ORDER BY dim""".stripMargin,
+
     // sparse random projection: the sign matrix is re-derived from the
     // same md5 strings the Spark side hashes driver-side; micro-quantized
     // integer sums are order-independent, so no float mirror needed
@@ -609,6 +633,8 @@ object OracleSqls {
       |JOIN deg db ON s.b = db.a
       |WHERE NOT EXISTS (SELECT 1 FROM adj e WHERE e.a = s.a AND e.b = s.b)
       |ORDER BY s.cn DESC, s.ra_micro DESC, s.a, s.b LIMIT 20""".stripMargin),
+
+    "graph_ktruss" -> ktrussSql(k = 4, iters = 3),
 
     "graph_walks" -> withGraph(walksSql(steps = 3)),
 
@@ -2548,6 +2574,43 @@ object OracleSqls {
     * .deterministicWalks: neighbor rank by id order, choice =
     * md5("<start>_<c>_<t>") via the shared 60-bit hex-prefix family,
     * modulo degree). */
+  /** k-truss support peeling unrolled ([[graft.graph.GraphAlgorithms
+    * .kTrussStats]]): per round, symmetric adjacency → wedges (u, x<y) →
+    * closures credit the closing edge once per triangle corner → peel
+    * edges with support < k−2. The engine early-exits on an identity
+    * round; extra unrolled rounds here are the identity, so results agree. */
+  private def ktrussSql(k: Int, iters: Int): String = {
+    val roundCtes = (1 to iters).map { r =>
+      val p = r - 1
+      s"""sym$r AS (SELECT a, b FROM e$p UNION ALL SELECT b, a FROM e$p),
+         |w$r AS (
+         |  SELECT s1.a AS u, s1.b AS x, s2.b AS y
+         |  FROM sym$r s1 JOIN sym$r s2 ON s1.a = s2.a AND s1.b < s2.b
+         |), t$r AS (
+         |  SELECT w.x, w.y FROM w$r w
+         |  WHERE EXISTS (SELECT 1 FROM e$p c WHERE c.a = w.x AND c.b = w.y)
+         |), sup$r AS (
+         |  SELECT x AS a, y AS b, count(*) AS s FROM t$r GROUP BY 1, 2
+         |), e$r AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM e$p e
+         |  LEFT JOIN sup$r s ON s.a = e.a AND s.b = e.b
+         |  WHERE coalesce(s.s, 0) >= ${k - 2}
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey AS kk, l_partkey AS p FROM lineitem
+       |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 5)
+       |), e0 AS MATERIALIZED (
+       |  SELECT DISTINCT x.p AS a, y.p AS b
+       |  FROM li x JOIN li y ON x.kk = y.kk AND x.p < y.p
+       |),
+       |$roundCtes
+       |SELECT CAST((SELECT count(*) FROM e$iters) AS BIGINT) AS n_edges,
+       |  CAST((SELECT count(*) FROM (
+       |    SELECT a AS v FROM e$iters UNION SELECT b FROM e$iters)) AS BIGINT)
+       |    AS n_nodes""".stripMargin
+  }
+
   private def walksSql(steps: Int): String = {
     val stepCtes = (1 to steps).map { t =>
       s"""wk$t AS MATERIALIZED (

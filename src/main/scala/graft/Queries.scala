@@ -254,6 +254,11 @@ object Queries {
     }.reduce(_ unionByName _).orderBy("method")
   }
 
+  /** Matryoshka truncation: recall@10 at prefix widths 8/16/32/64. */
+  def embMatryoshkaRecall(spark: SparkSession, dir: String): DataFrame =
+    Vectors.matryoshkaRecall(T(spark, dir, "embeddings"), "vec_id",
+      "embedding", queryVec(spark, dir), 10, dims = Seq(8, 16, 32, 64))
+
   /** Embedding-cosine near-duplicate pairs via LSH bucket join. */
   def annNearDupPairs(spark: SparkSession, dir: String): DataFrame =
     Vectors.nearDupPairs(T(spark, dir, "embeddings"), "vec_id", "embedding",
@@ -402,6 +407,22 @@ object Queries {
       .where(col("a") < col("b"))
       .select("a", "b")
     graft.graph.GraphAlgorithms.triangleHistogram(edges)
+  }
+
+  /** 4-truss of the small-part co-occurrence graph: every surviving edge
+    * sits in >= 2 triangles among survivors (3 peel rounds + early exit,
+    * mirrored by the oracle's full unroll via the identity-round law). */
+  def graphKtruss(spark: SparkSession, dir: String): DataFrame = {
+    val small = T(spark, dir, "part").where(col("p_size") <= 5)
+      .select(col("p_partkey").as("p"))
+    val li = T(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
+      .join(small, Seq("p"), "left_semi").distinct()
+    val edges = li.select(col("k"), col("p").as("a"))
+      .join(li.select(col("k"), col("p").as("b")), Seq("k"))
+      .where(col("a") < col("b"))
+      .select("a", "b")
+    graft.graph.GraphAlgorithms.kTrussStats(edges, k = 4, iters = 3)
   }
 
   /** BFS distance layers from the ASIA region anchor over the undirected
@@ -1397,6 +1418,7 @@ object Queries {
     "v2_knn_exclude" -> (v2KnnExclude _),
     "mmr_rerank" -> (mmrRerankQ _),
     "emb_random_projection" -> (embRandomProjection _),
+    "emb_matryoshka_recall" -> (embMatryoshkaRecall _),
     "emb_hard_negatives" -> (embHardNegatives _),
     "ann_lsh_topk" -> (annLshTopK _),
     "ann_neardup_pairs" -> (annNearDupPairs _),
@@ -1416,6 +1438,7 @@ object Queries {
     "graph_walks" -> (graphWalks _),
     "graph_skipgrams" -> (graphSkipgrams _),
     "graph_triangles" -> (graphTriangles _),
+    "graph_ktruss" -> (graphKtruss _),
     "graph_bfs_dist" -> (graphBfsDist _),
     "graph_ppr" -> (graphPpr _),
     "graph_hits" -> (graphHits _),

@@ -52,6 +52,56 @@ object GraphAlgorithms {
       .groupBy("n_tri").agg(count(lit(1)).as("n_nodes"))
   }
 
+  /** k-truss by support peeling: keep exactly the edges participating in
+    * ≥ k−2 triangles WITHIN the surviving subgraph, iterating `iters`
+    * unrolled rounds (fixed rounds + identity-round early exit — the same
+    * oracle-expressible loop contract as [[kCoreSizes]]: once a round
+    * removes nothing, every further round is the identity, so engine early
+    * exit and the oracle's full unroll agree). The truss is the classic
+    * community-core signal one notch stronger than k-core (every edge, not
+    * just every node, must be triangle-supported).
+    *
+    * Per-round support: symmetric adjacency self-joined into wedges
+    * (u, x<y), closed against the canonical edge set — each triangle
+    * {p,q,r} closes exactly once per corner, and each closure credits ONLY
+    * its closing edge, so support(e) = exact triangle count per edge with
+    * no double counting. Wedge volume is Σdeg² of the CURRENT subgraph
+    * (shrinks every round); the peel itself is one left join + filter.
+    * Returns one row: (n_edges, n_nodes) of the truss. */
+  def kTrussStats(edges: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(k >= 3, "truss semantics need k >= 3 (support threshold k-2 >= 1)")
+    var und = edges.select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .where(col("a") < col("b")).distinct()
+      .localCheckpoint(true)
+    var edgeCount = und.count()
+    var round = 0
+    var converged = edgeCount == 0
+    while (round < iters && !converged) {
+      val sym = und.unionByName(und.select(col("b").as("a"), col("a").as("b")))
+      val wedges = sym.select(col("a").as("u"), col("b").as("x"))
+        .join(sym.select(col("a").as("u"), col("b").as("y")), Seq("u"))
+        .where(col("x") < col("y"))
+      val support = wedges
+        .join(und.select(col("a").as("x"), col("b").as("y")),
+          Seq("x", "y"), "left_semi")
+        .groupBy(col("x").as("a"), col("y").as("b"))
+        .agg(count(lit(1)).as("supp"))
+      und = und.join(support, Seq("a", "b"), "left")
+        .where(coalesce(col("supp"), lit(0L)) >= k - 2)
+        .select(col("a"), col("b"))
+        .localCheckpoint(true)
+      val n = und.count()
+      converged = n == edgeCount
+      edgeCount = n
+      round += 1
+    }
+    val nodes = und.select(col("a").as("v"))
+      .unionByName(und.select(col("b").as("v"))).distinct()
+    und.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(nodes.agg(count(lit(1)).as("n_nodes")))
+  }
+
   /** BFS distance layers from an anchor node set by unrolled min-distance
     * propagation (`iters` fixed rounds — deterministic and
     * oracle-expressible, like [[kCoreSizes]]). Each round relaxes one hop:

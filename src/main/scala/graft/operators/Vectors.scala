@@ -48,6 +48,30 @@ object Vectors {
       .select(col(idCol), col("similarity"))
   }
 
+  /** Matryoshka truncation report: recall@k of prefix-dimension cosine
+    * search against the full-dimension exact top-k, one row per prefix
+    * width. Matryoshka-trained embeddings concentrate signal in the prefix
+    * so a pipeline can store/search d'«d dims and re-rank the survivors at
+    * full width; this report is the measurement that decides d' — run it
+    * before committing a 100 TB corpus to a truncated index layout. Each
+    * prefix search is the same one-pass scan shape as [[bruteForceTopK]]
+    * (narrow projection of the first d' array slots; at scale the prefix
+    * slice is what you'd materialize as its own column for a pruned scan). */
+  def matryoshkaRecall(emb: DataFrame, idCol: String, vecCol: String,
+                       query: Seq[Double], k: Int,
+                       dims: Seq[Int]): DataFrame = {
+    val full = bruteForceTopK(emb, idCol, vecCol, query, k).select(col(idCol))
+    dims.map { d =>
+      val sliced = emb.select(col(idCol),
+        slice(col(vecCol).cast("array<double>"), 1, d).as("v"))
+      bruteForceTopK(sliced, idCol, "v", query.take(d), k)
+        .select(col(idCol))
+        .join(full, idCol :: Nil)
+        .agg(round(count(lit(1)).cast("double") / k, 6).as("recall"))
+        .select(lit(d).as("dim"), col("recall"))
+    }.reduce(_ unionByName _).orderBy("dim")
+  }
+
   /** Sign-bit LSH bucket id over the first `bits` dimensions: a string of
     * 0/1 per dimension sign. Deterministic and engine-portable (the DuckDB
     * oracle recomputes it with the same CASE expression). With random

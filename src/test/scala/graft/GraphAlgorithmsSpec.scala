@@ -341,6 +341,24 @@ class GraphAlgorithmsSpec extends SparkSpec {
     assert(!out.contains((1L, 2L)))
   }
 
+  test("k-truss keeps K4, peels lone triangles and cascades") {
+    // K4 on {1,2,3,4}: every edge in 2 triangles → survives k=4.
+    // Triangle {5,6,7}: each edge in 1 triangle → peeled at k=4, kept at 3.
+    // Triangle {1,2,9} sharing edge (1,2) with K4: (1,9),(2,9) have
+    // support 1 → peeled at k=4; (1,2) keeps support 2 from K4 alone.
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val tri = Seq((5L, 6L), (6L, 7L), (5L, 7L))
+    val hang = Seq((1L, 9L), (2L, 9L))
+    val edges = (k4 ++ tri ++ hang).toDF("a", "b")
+    val t4 = GraphAlgorithms.kTrussStats(edges, k = 4, iters = 4)
+      .collect().head
+    assert((t4.getLong(0), t4.getLong(1)) === ((6L, 4L)))
+    val t3 = GraphAlgorithms.kTrussStats(edges, k = 3, iters = 4)
+      .collect().head
+    // k=3 keeps every triangle-supported edge: K4 + lone triangle + {1,2,9}
+    assert((t3.getLong(0), t3.getLong(1)) === ((11L, 8L)))
+  }
+
   test("HITS: hand-computed integer scores on a two-hub two-authority graph") {
     // hubs 1 (→3,→4) and 2 (→3); authorities 3 (in-deg 2) and 4 (in-deg 1)
     val graph = g(Seq((1L, 3L), (1L, 4L), (2L, 3L)),

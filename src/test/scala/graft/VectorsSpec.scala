@@ -78,6 +78,28 @@ class VectorsSpec extends SparkSpec {
     assert(out === Set(0L, 1L, 2L, 3L, 4L, 5L))
   }
 
+  test("matryoshka recall: full width is exact, prefixes are quantified") {
+    val r = Queries.embMatryoshkaRecall(spark, "/root/testdata/sf0.001")
+      .collect().map(x => x.getInt(0) -> x.getDouble(1)).toMap
+    assert(r(64) === 1.0, "full-width truncation must reproduce brute force")
+    assert(r.keySet === Set(8, 16, 32, 64))
+    assert(r.values.forall(v => v >= 0.0 && v <= 1.0))
+    // hand-check on a constructed set: prefix-2 search over 4-dim vectors
+    // where the tail dominates — v1 beats v2 at full width, loses at d=2
+    val pts = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)),             // query
+      (1L, Seq(0.1, 0.0, 0.99, 0.0)),            // full-width near (via tail)
+      (2L, Seq(0.9, 0.43, 0.0, 0.0))).toDF("id", "v")
+    val m = Vectors.matryoshkaRecall(pts, "id", "v", Seq(1.0, 0.0, 0.0, 0.0),
+      k = 2, dims = Seq(2, 4))
+      .collect().map(x => x.getInt(0) -> x.getDouble(1)).toMap
+    assert(m(4) === 1.0)
+    // at d=2 the candidate set is the same {0,1,2} minus none (k=2 of 3):
+    // prefix ranking still finds 2 of the full-width top-2 only if overlap;
+    // v1's prefix (0.1,0) normalizes to cos 1.0 — ties are deterministic
+    assert(m(2) >= 0.5)
+  }
+
   test("ANN recall floors vs brute force on the driver embeddings") {
     // the report that catches silent recall collapse: EVERY ANN path must
     // hold >= 0.9 at catalog settings (lsh holds it via Hamming-2
