@@ -408,6 +408,49 @@ object OracleSqls {
          |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
          |WHERE cos_sim >= 0.35""".stripMargin,
 
+    // bitext-shaped cross-group mining: same bucket join as neardup_pairs
+    // with a label-inequality predicate, then best partner per id1
+    "emb_crossgroup_pairs" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, label, v, $bucket4 AS bucket FROM e),
+         |p AS (
+         |  SELECT x.vec_id AS id1, y.vec_id AS id2,
+         |    x.label AS grp1, y.label AS grp2,
+         |    round(list_cosine_similarity(x.v, y.v), 6) AS cos_sim
+         |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.label <> y.label
+         |), t AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY id1 ORDER BY cos_sim DESC, id2) AS rk
+         |  FROM p WHERE cos_sim >= 0.3
+         |)
+         |SELECT id1, id2, grp1, grp2, cos_sim FROM t WHERE rk = 1""".stripMargin,
+
+    // cross-document duplicated-substring coverage: positioned word-8-grams
+    // (1-based i → 0-based pos matches posexplode); a shingle string in
+    // >= 2 distinct docs covers its 8 token positions; overlaps merge via
+    // the DISTINCT position union — dup_tokens is exact span coverage
+    "dedup_substring_spans" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, $wordsExpr AS w FROM documents
+         |), ww AS (SELECT doc_id, w FROM w WHERE len(w) >= 8),
+         |sh AS (
+         |  SELECT doc_id, unnest(range(0, len(w) - 7)) AS pos,
+         |    unnest(list_transform(range(1, len(w) - 6), i ->
+         |      w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+         |      w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])) AS s
+         |  FROM ww
+         |), dup AS (
+         |  SELECT s FROM sh GROUP BY s HAVING count(DISTINCT doc_id) >= 2
+         |), cov AS (
+         |  SELECT DISTINCT sh.doc_id, sh.pos + o.o AS t
+         |  FROM sh JOIN dup ON sh.s = dup.s
+         |  CROSS JOIN (SELECT unnest(range(0, 8)) AS o) o
+         |)
+         |SELECT ww.doc_id, CAST(len(ww.w) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) AS BIGINT) AS dup_tokens
+         |FROM ww JOIN cov ON cov.doc_id = ww.doc_id
+         |GROUP BY ww.doc_id, len(ww.w)""".stripMargin,
+
     "t3_budget_retrieval" -> t3OracleSql(maxNodes = 20, maxTokens = 200L, rate = 1.0),
 
     "t3_pattern_rate" -> t3OracleSql(maxNodes = 20, maxTokens = 100000L, rate = 0.5),

@@ -264,6 +264,16 @@ object Queries {
     Vectors.nearDupPairs(T(spark, dir, "embeddings"), "vec_id", "embedding",
       bits = 4, threshold = 0.35)
 
+  /** Bitext-shaped mining: each vector's best partner with a DIFFERENT
+    * label (cross-language/cross-source positive candidates). */
+  def embCrossGroupPairs(spark: SparkSession, dir: String): DataFrame =
+    Vectors.crossGroupPairs(T(spark, dir, "embeddings"), "vec_id",
+      "embedding", "label", bits = 4, threshold = 0.3)
+
+  /** Cross-document duplicated-substring coverage (8-token spans). */
+  def dedupSubstringSpans(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dupSpanStats(T(spark, dir, "documents"), "doc_id", "text", n = 8)
+
   /** IVF coarse-quantization ANN: 8 centroids, probe the 2 nearest. */
   def annIvfTopK(spark: SparkSession, dir: String): DataFrame =
     Vectors.ivfTopK(T(spark, dir, "embeddings"), "vec_id", "embedding",
@@ -1422,6 +1432,7 @@ object Queries {
     "emb_hard_negatives" -> (embHardNegatives _),
     "ann_lsh_topk" -> (annLshTopK _),
     "ann_neardup_pairs" -> (annNearDupPairs _),
+    "emb_crossgroup_pairs" -> (embCrossGroupPairs _),
     "ann_ivf_topk" -> (annIvfTopK _),
     "ann_ivf_pruned" -> (annIvfPruned _),
     "ann_ivf_store_kmeans" -> (annIvfStoreKmeans _),
@@ -1471,6 +1482,7 @@ object Queries {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_chunk_dups" -> (dedupChunkDups _),
+    "dedup_substring_spans" -> (dedupSubstringSpans _),
     "dedup_incremental_probe" -> (dedupIncrementalProbe _),
     "dedup_simhash_near" -> (dedupSimhashNear _),
     "dedup_semantic" -> (dedupSemantic _),

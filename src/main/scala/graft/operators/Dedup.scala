@@ -607,6 +607,42 @@ object Dedup {
       .where(col("agree") >= minAgree)
   }
 
+  /** Cross-document repeated-SUBSTRING coverage — the token-span analog of
+    * suffix-array training-data dedup (find spans of ≥ `n` tokens occurring
+    * verbatim in more than one document; a span shared across documents is
+    * memorization fuel even when neither document is a full duplicate).
+    * Every positioned word-`n`-gram is hashed; a hash seen in ≥ 2 DISTINCT
+    * docs marks its `n` token positions covered, and overlapping shingles
+    * merge for free through the position-set union — `dup_tokens` is the
+    * EXACT number of tokens lying in some cross-document duplicated span,
+    * not a shingle count (a 50-token verbatim block scores 50, not 43
+    * shingles × n). One row per doc holding at least one such span.
+    *
+    * Scale shape: positioned shingles are one narrow scan; the dup-hash
+    * set is one map-side-combinable distinct-count groupBy; coverage is a
+    * semi-join back on the hash (the 100 TB side is never self-joined) and
+    * the position explode is bounded by n·|dup occurrences|, concentrated
+    * exactly on the spans worth paying for. */
+  def dupSpanStats(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int): DataFrame = {
+    val w = docs.select(col(idCol).as("doc_id"), words(col(textCol)).as("w"))
+      .where(size(col("w")) >= n)
+    val sh = w.select(col("doc_id"),
+        posexplode(wordShinglesOf(col("w"), n)).as(Seq("pos", "shingle")))
+      .select(col("doc_id"), col("pos"), md5Long(col("shingle")).as("h"))
+    val dupHashes = sh.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2).select("h")
+    val covered = sh.join(dupHashes, Seq("h"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("t"))
+      .distinct()
+    w.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+      .join(covered.groupBy("doc_id").agg(count(lit(1)).as("dup_tokens")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("dup_tokens"))
+  }
+
   /** Paragraph-level cross-document dedup — the C4 duplicate-line-removal
     * analog for corpora without line structure: documents are cut into
     * non-overlapping `chunkSize`-word windows ([[TextOps.chunkDocs]] with

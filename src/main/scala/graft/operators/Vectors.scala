@@ -339,6 +339,35 @@ object Vectors {
     pairs.where(col("cos_sim") >= threshold)
   }
 
+  /** Cross-group parallel-pair mining (the bitext-mining shape: find each
+    * item's best semantic match in a DIFFERENT group — language, source,
+    * snapshot — the candidate generator for translation pairs, cross-source
+    * duplicates, and contrastive positives). Candidates come from the same
+    * LSH bucket join as [[nearDupPairs]] but with a group-INEQUALITY
+    * predicate; each left item keeps only its best (max cosine, id
+    * tiebreak) cross-group partner at or above `threshold`. The per-id1
+    * top-1 is a window over the already-thresholded candidate set — state
+    * per bucket stays bounded, and at scale the bucket is the shuffle key
+    * exactly as in the near-dup path. */
+  def crossGroupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                      groupCol: String, bits: Int,
+                      threshold: Double): DataFrame = {
+    val vec = col(vecCol).cast("array<double>")
+    val b = emb.select(col(idCol).as("id"), col(groupCol).as("grp"),
+        vec.as("v"))
+      .withColumn("bucket", lshBucket(col("v"), bits))
+    val pairs = b.as("x").join(b.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.grp") =!= col("y.grp"))
+      .select(col("x.id").as("id1"), col("y.id").as("id2"),
+        col("x.grp").as("grp1"), col("y.grp").as("grp2"),
+        round(cosineSim(col("x.v"), col("y.v")), 6).as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id1")).orderBy(col("cos_sim").desc, col("id2"))
+    pairs.withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1).drop("rk")
+  }
+
   /** Per-label embedding centroids, one dimension per row: (label, dim,
     * n_vecs, centroid). posexplode keeps the whole computation one scan +
     * one map-side-combinable aggregate — the class-prototype /

@@ -417,4 +417,21 @@ class DedupSpec extends SparkSpec {
     // "a b c" appears in 3 docs, 3 occurrences, 9 duplicated tokens
     assert(out === Map(3L -> (1L, 3L, 9L)))
   }
+
+  test("dupSpanStats: overlapping shingles merge to exact span coverage") {
+    // docs 1 and 2 share a verbatim 10-token run inside different
+    // surroundings; doc 3 shares nothing. n=8 → the run yields 3
+    // overlapping duplicated shingles (positions differ per doc) whose
+    // union is exactly the 10 run tokens — coverage counts TOKENS, not
+    // shingles.
+    val run = (1 to 10).map(i => s"r$i").mkString(" ")
+    val d = Seq(
+      (1L, s"x1 x2 $run y1 y2"),
+      (2L, s"z1 $run"),
+      (3L, "a b c d e f g h i j k l")).toDF("doc_id", "text")
+    val out = Dedup.dupSpanStats(d, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out === Map(1L -> ((14L, 10L)), 2L -> ((11L, 10L))))
+  }
 }

@@ -78,6 +78,25 @@ class VectorsSpec extends SparkSpec {
     assert(out === Set(0L, 1L, 2L, 3L, 4L, 5L))
   }
 
+  test("cross-group pairs: best partner per id, never same group") {
+    // all in one bucket (first 2 dims >= 0); groups A={1,2}, B={3,4}
+    val pts = Seq(
+      (1L, "A", Seq(1.0, 0.0)), (2L, "A", Seq(0.8, 0.6)),
+      (3L, "B", Seq(0.99, 0.1)), (4L, "B", Seq(0.0, 1.0)))
+      .toDF("id", "grp", "v")
+    val out = Vectors.crossGroupPairs(pts, "id", "v", "grp", bits = 2,
+        threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2),
+        r.getString(3)))).toMap
+    // 1's best B partner is 3 (cos ~0.995); 3's best A partner is 1
+    assert(out(1L)._1 === 3L)
+    assert(out(3L)._1 === 1L)
+    // every kept pair crosses groups
+    assert(out.values.forall(p => p._2 != p._3))
+    // 4 (y-axis) vs A: cos(4,2)=0.6 >= 0.5 → partner 2
+    assert(out(4L)._1 === 2L)
+  }
+
   test("matryoshka recall: full width is exact, prefixes are quantified") {
     val r = Queries.embMatryoshkaRecall(spark, "/root/testdata/sf0.001")
       .collect().map(x => x.getInt(0) -> x.getDouble(1)).toMap
