@@ -679,6 +679,8 @@ object OracleSqls {
 
     "graph_ktruss" -> ktrussSql(k = 4, iters = 3),
 
+    "graph_betweenness" -> withGraph(betweennessSql(iters = 4, k = 20)),
+
     "graph_walks" -> withGraph(walksSql(steps = 3)),
 
     "graph_skipgrams" -> withGraph(skipgramSql(steps = 3, window = 2)),
@@ -2533,6 +2535,60 @@ object OracleSqls {
        |$rounds
        |SELECT v AS node_id, d AS dist FROM sd$iters
        |ORDER BY d, v LIMIT $k""".stripMargin
+  }
+
+  /** Distance-bounded Brandes betweenness unrolled
+    * ([[graft.graph.GraphAlgorithms.betweennessTopK]]): forward layer CTEs
+    * carry (src, v, d, σ) with σ = Σ over predecessors saturated at 1e6;
+    * backward CTEs propagate δ(v) = Σ ⌊σv·(1e6+δw)/σw⌋ saturated at 1e12,
+    * deepest layer δ = 0. Both saturations and the hop bound are engine
+    * semantics, mirrored here. */
+  private def betweennessSql(iters: Int, k: Int): String = {
+    val fwd = (1 to iters).map { t =>
+      s"""f$t AS MATERIALIZED (
+         |  SELECT c.src, c.v, $t AS d, c.sigma FROM (
+         |    SELECT p.src, e.b AS v, least(sum(p.sigma), 1000000) AS sigma
+         |    FROM f${t - 1} p JOIN adjx e ON p.v = e.a
+         |    GROUP BY p.src, e.b) c
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM vis${t - 1} x WHERE x.src = c.src AND x.v = c.v)
+         |),
+         |vis$t AS MATERIALIZED (
+         |  SELECT src, v, d, sigma FROM vis${t - 1}
+         |  UNION ALL SELECT src, v, d, sigma FROM f$t
+         |)""".stripMargin
+    }.mkString(",\n")
+    val bwd = ((iters - 1) to 0 by -1).map { t =>
+      s"""del$t AS MATERIALIZED (
+         |  SELECT l.src, l.v, l.sigma, COALESCE(s.delta, 0) AS delta
+         |  FROM f$t l LEFT JOIN (
+         |    SELECT l2.src, l2.v,
+         |      least(sum((l2.sigma * (1000000 + dw.delta)) // dw.sigma),
+         |        1000000000000) AS delta
+         |    FROM f$t l2 JOIN adjx e ON l2.v = e.a
+         |    JOIN del${t + 1} dw ON dw.src = l2.src AND dw.v = e.b
+         |    GROUP BY l2.src, l2.v) s ON s.src = l.src AND s.v = l.v
+         |)""".stripMargin
+    }.mkString(",\n")
+    val accUnion = (0 to iters).map(t => s"SELECT src, v, delta FROM del$t")
+      .mkString("\n  UNION ALL ")
+    s""", adjx AS MATERIALIZED (SELECT DISTINCT a, b FROM bidir),
+       |f0 AS (
+       |  SELECT nodeId AS src, nodeId AS v, 0 AS d, CAST(1 AS BIGINT) AS sigma
+       |  FROM nodes WHERE label = 'Region' AND name IN ('ASIA', 'EUROPE')
+       |),
+       |vis0 AS (SELECT src, v, d, sigma FROM f0),
+       |$fwd,
+       |del$iters AS (
+       |  SELECT src, v, sigma, CAST(0 AS BIGINT) AS delta FROM f$iters
+       |),
+       |$bwd,
+       |acc AS (
+       |  $accUnion
+       |)
+       |SELECT v AS node_id, CAST(sum(delta) AS BIGINT) AS bc_micro
+       |FROM acc WHERE v <> src
+       |GROUP BY v ORDER BY bc_micro DESC, node_id LIMIT $k""".stripMargin
   }
 
   /** Unrolled BFS min-distance propagation from the ASIA region anchor,

@@ -435,6 +435,12 @@ object Queries {
     graft.graph.GraphAlgorithms.kTrussStats(edges, k = 4, iters = 3)
   }
 
+  /** Sampled distance-bounded betweenness from the ASIA/EUROPE pivots:
+    * 4-hop Brandes forward/backward in integer micro-units, top-20. */
+  def graphBetweenness(spark: SparkSession, dir: String): DataFrame =
+    graft.graph.GraphAlgorithms.betweennessTopK(graph(spark, dir), "Region",
+      Seq("ASIA", "EUROPE"), iters = 4, k = 20)
+
   /** BFS distance layers from the ASIA region anchor over the undirected
     * property graph (6 unrolled rounds reach the fixed point — spec-checked;
     * the TPC-H graph has diameter <= 5 from any region). */
@@ -1450,6 +1456,7 @@ object Queries {
     "graph_skipgrams" -> (graphSkipgrams _),
     "graph_triangles" -> (graphTriangles _),
     "graph_ktruss" -> (graphKtruss _),
+    "graph_betweenness" -> (graphBetweenness _),
     "graph_bfs_dist" -> (graphBfsDist _),
     "graph_ppr" -> (graphPpr _),
     "graph_hits" -> (graphHits _),

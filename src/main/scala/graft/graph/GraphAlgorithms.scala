@@ -52,6 +52,81 @@ object GraphAlgorithms {
       .groupBy("n_tri").agg(count(lit(1)).as("n_nodes"))
   }
 
+  /** Sampled, distance-bounded betweenness centrality (Brandes from a
+    * pivot anchor set): forward BFS accumulates per-(source, node)
+    * shortest-path counts σ layer by layer (σ(v) = Σ σ(u) over
+    * predecessors — frontier expansion, so per-round work tracks the
+    * frontier, and ALL sources run in ONE pass keyed by src); the backward
+    * sweep propagates dependencies layer by layer in integer micro-units:
+    * δ(v) = Σ over successors w of ⌊σ(v)·(1e6 + δ(w)) / σ(w)⌋ — exact
+    * integer arithmetic, order-independent sums, oracle-expressible as
+    * unrolled CTEs (the pageRank/walks pattern). Distance bounding at
+    * `iters` hops is part of the semantics (k-bounded betweenness — the
+    * standard scale approximation next to source sampling) and the oracle
+    * mirrors it. σ saturates at 1e6 and δ at 1e12 (both mirrored), keeping
+    * every product within Long range on ANY graph instead of silently
+    * wrapping on adversarial hub structures. Returns top-`k` non-anchor
+    * nodes by (bc_micro desc, id). */
+  def betweennessTopK(g: PropertyGraph, label: String, names: Seq[String],
+                      iters: Int, k: Int): DataFrame = {
+    val sigmaCap = 1000000L
+    val deltaCap = 1000000000000L
+    val adj = g.bidir.select(col("a"), col("b")).distinct()
+      .localCheckpoint(true)
+    // per-layer state is O(sources·V); behind the walkCorpus-style guard it
+    // broadcasts, so the O(E) adjacency is never re-shuffled across the
+    // 2·iters layer joins (localCheckpoint erases partitioning — without
+    // this every layer is a full-edge-list SMJ, the graph_walks lesson)
+    val nNodes = g.nodes.count()
+    def stateSide(df: DataFrame): DataFrame =
+      if (nNodes * names.length <= 5000000L) broadcast(df) else df
+    val anchors = g.nodes
+      .where(col("label") === label && col("name").isin(names: _*))
+      .select(col("nodeId").as("src"), col("nodeId").as("v"),
+        lit(0).as("d"), lit(1L).as("sigma"))
+    var frontier = anchors.localCheckpoint(true)
+    var visited = frontier
+    for (t <- 1 to iters) {
+      frontier = adj.join(stateSide(frontier), col("v") === col("a"))
+        .groupBy(col("src"), col("b").as("v"))
+        .agg(least(sum(col("sigma")), lit(sigmaCap)).as("sigma"))
+        .join(stateSide(visited.select(col("src"), col("v"))),
+          Seq("src", "v"), "left_anti")
+        .select(col("src"), col("v"), lit(t).as("d"), col("sigma"))
+        .localCheckpoint(true)
+      visited = visited.unionByName(frontier)
+    }
+    visited = visited.localCheckpoint(true)
+    // backward: deepest layer has delta 0; each shallower layer sums the
+    // floored per-successor terms (left join keeps leaf deltas at 0)
+    var delta = visited.where(col("d") === iters)
+      .select(col("src"), col("v"), col("sigma"), lit(0L).as("delta"))
+      .localCheckpoint(true)
+    var acc = delta
+    for (t <- (iters - 1) to 0 by -1) {
+      val layer = visited.where(col("d") === t)
+      val terms = adj
+        .join(stateSide(layer.as("l")), col("l.v") === col("a"))
+        .join(stateSide(delta.as("dw")),
+          col("dw.src") === col("l.src") && col("dw.v") === col("b"))
+        .groupBy(col("l.src").as("src"), col("l.v").as("v"))
+        .agg(least(sum(expr(
+          "(l.sigma * (1000000 + delta)) div dw.sigma")),
+          lit(deltaCap)).as("delta"))
+      delta = layer
+        .join(terms, Seq("src", "v"), "left")
+        .select(col("src"), col("v"), col("sigma"),
+          coalesce(col("delta"), lit(0L)).as("delta"))
+        .localCheckpoint(true)
+      acc = acc.unionByName(delta)
+    }
+    acc.where(col("v") =!= col("src"))
+      .groupBy(col("v").as("node_id"))
+      .agg(sum(col("delta")).as("bc_micro"))
+      .orderBy(col("bc_micro").desc, col("node_id"))
+      .limit(k)
+  }
+
   /** k-truss by support peeling: keep exactly the edges participating in
     * ≥ k−2 triangles WITHIN the surviving subgraph, iterating `iters`
     * unrolled rounds (fixed rounds + identity-round early exit — the same

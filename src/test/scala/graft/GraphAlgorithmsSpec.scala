@@ -341,6 +341,28 @@ class GraphAlgorithmsSpec extends SparkSpec {
     assert(!out.contains((1L, 2L)))
   }
 
+  test("betweenness: path chain accumulates Brandes deltas, hand-derived") {
+    // path 1-2-3-4 from source 1: σ=1 everywhere; δ(4)=0,
+    // δ(3)=⌊1·(1e6+0)/1⌋=1e6, δ(2)=⌊1·(1e6+1e6)/1⌋=2e6; source excluded
+    val graph = g(Seq((1L, 2L), (2L, 3L), (3L, 4L)),
+      Seq(1L -> "A", 2L -> "B", 3L -> "B", 4L -> "B"))
+    val out = GraphAlgorithms.betweennessTopK(graph, "A", Seq("n1"),
+        iters = 3, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(2L -> 2000000L, 3L -> 1000000L, 4L -> 0L))
+  }
+
+  test("betweenness: diamond splits sigma between equal shortest paths") {
+    // 1-2, 1-3, 2-4, 3-4 from source 1: σ(2)=σ(3)=1, σ(4)=2;
+    // δ(2)=δ(3)=⌊1·1e6/2⌋=500000, δ(4)=0
+    val graph = g(Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)),
+      Seq(1L -> "A", 2L -> "B", 3L -> "B", 4L -> "B"))
+    val out = GraphAlgorithms.betweennessTopK(graph, "A", Seq("n1"),
+        iters = 2, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(2L -> 500000L, 3L -> 500000L, 4L -> 0L))
+  }
+
   test("k-truss keeps K4, peels lone triangles and cascades") {
     // K4 on {1,2,3,4}: every edge in 2 triangles → survives k=4.
     // Triangle {5,6,7}: each edge in 1 triangle → peeled at k=4, kept at 3.
