@@ -2214,6 +2214,20 @@ object OracleSqls {
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM events GROUP BY 1, 2""".stripMargin,
 
+    // equi-depth quartile bins over a deterministic (value, event_id)
+    // total order; lo/hi are raw column doubles — bit-identical cross-engine
+    "events_equidepth" ->
+      """WITH b AS (
+        |  SELECT event_type, value,
+        |    ntile(4) OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS bin
+        |  FROM events
+        |)
+        |SELECT event_type, CAST(bin AS INTEGER) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  min(value) AS lo, max(value) AS hi
+        |FROM b GROUP BY 1, 2""".stripMargin,
+
     // hour x type pivot as filtered counts (fixed column list)
     "events_pivot" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,

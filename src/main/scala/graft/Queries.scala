@@ -1341,6 +1341,23 @@ object Queries {
         least(lit(9L), floor(col("value") / 10)).cast("long").as("bucket"))
       .agg(count(lit(1)).as("n_events"))
 
+  /** Equi-DEPTH histogram per event type: NTILE(4) over a deterministic
+    * total order (value, event_id) — each bin holds the same row count and
+    * the bin edges come out as raw column doubles (bit-identical in both
+    * engines, so no rounding is needed, unlike derived floats). The
+    * data-profiling complement of the equi-width histogram above. */
+  def eventsEquidepth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    eventsT(spark, dir)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("bin", ntile(4).over(w))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("value")).as("lo"), max(col("value")).as("hi"))
+  }
+
   /** Hour x event-type PIVOT (wide counts per hour) — the reshaping
     * operator; the fixed value list keeps column names deterministic. */
   def eventsPivot(spark: SparkSession, dir: String): DataFrame =
@@ -1524,6 +1541,7 @@ object Queries {
     "curate_pack" -> (curatePack _),
     "curate_rebalance" -> (curateRebalance _),
     "curate_shard_shuffle" -> (curateShardShuffle _),
+    "events_equidepth" -> (eventsEquidepth _),
     "curate_classifier_score" -> (curateClassifierScore _),
     "curate_pii" -> (curatePii _),
     "curate_dsir" -> (curateDsir _),

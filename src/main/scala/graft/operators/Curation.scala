@@ -573,7 +573,10 @@ object Curation {
     * Scale shape: a narrow one-pass scan (per-token weight lookup folded
     * into the projection, map-side combine into the per-source rollup) —
     * no shuffle before the final |sources|-row aggregate. */
-  def classifierScoreStats(docs: DataFrame, dim: Int = 16): DataFrame = {
+  /** Per-document logit as a pure column expression (the streaming-liftable
+    * half of [[classifierScoreStats]] — stateless, so it runs unchanged in
+    * a Structured Streaming ingest scrub/score stage). */
+  def classifierLogitOf(text: Column, dim: Int = 16): Column = {
     val wts: IndexedSeq[Long] = (0 until dim).map { s =>
       val digits = java.security.MessageDigest.getInstance("MD5")
         .digest(s"w:$s".getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -584,15 +587,16 @@ object Curation {
       substring(concat(regexp_replace(md5(c), "[a-f]", ""), lit("000000")),
         1, 6).cast("long") % dim
     val wArr = array(wts.map(lit(_)): _*)
+    aggregate(
+      transform(words(text), t => element_at(wArr, (bucket(t) + 1).cast("int"))),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  def classifierScoreStats(docs: DataFrame, dim: Int = 16): DataFrame =
     docs
-      .withColumn("logit",
-        aggregate(
-          transform(words(col("text")),
-            t => element_at(wArr, (bucket(t) + 1).cast("int"))),
-          lit(0L), (acc, x) => acc + x))
+      .withColumn("logit", classifierLogitOf(col("text"), dim))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("logit") > 0, 1L).otherwise(0L)).cast("long").as("n_pos"),
         sum(col("logit")).cast("long").as("sum_logit"))
-  }
 }

@@ -357,6 +357,39 @@ class CurationSpec extends SparkSpec {
     assert(again.toSet === rows.toSet)
   }
 
+  test("classifier logit and shard assignment lift stateless to a stream") {
+    // both are pure column expressions — the ingest-time score-and-route
+    // shape: score each arriving doc, assign its training shard, no state
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val out = stream.toDF().toDF("doc_id", "text")
+      .select($"doc_id",
+        Curation.classifierLogitOf($"text").as("logit"),
+        pmod(graft.operators.Dedup.md5Long(
+          concat($"doc_id".cast("string"), lit(":shard"))), lit(16L))
+          .as("shard"))
+    val q = out.writeStream.format("memory")
+      .queryName("score_route_stream").outputMode("append").start()
+    try {
+      stream.addData((1L, "alpha beta"), (2L, ""))
+      q.processAllAvailable()
+      val got = spark.table("score_route_stream").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      // batch parity: same rows through the batch expressions
+      val batch = Seq((1L, "alpha beta"), (2L, "")).toDF("doc_id", "text")
+        .select($"doc_id",
+          Curation.classifierLogitOf($"text").as("logit"),
+          pmod(graft.operators.Dedup.md5Long(
+            concat($"doc_id".cast("string"), lit(":shard"))), lit(16L))
+            .as("shard"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      assert(got === batch)
+      assert(got(2L)._1 === 0L)
+    } finally q.stop()
+  }
+
   test("classifier score: logit is the sum of slot weights, hand-derived") {
     // one doc, two tokens; replay the bucket + weight recipe on the driver
     def digitMd5(s: String): Long = {
