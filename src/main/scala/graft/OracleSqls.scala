@@ -1083,6 +1083,15 @@ object OracleSqls {
         |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY source""".stripMargin,
 
+    // same parquet-direct audit as jsonl_roundtrip: the Spark side must
+    // reproduce it THROUGH the CSV encode/decode for equality to hold
+    "csv_roundtrip" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY source""".stripMargin,
+
     "tar_shards_roundtrip" ->
       """SELECT 'cls' AS ext, CAST(count(*) AS BIGINT) AS n_entries,
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_keys,

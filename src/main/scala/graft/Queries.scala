@@ -1016,6 +1016,44 @@ object Queries {
         sum(length(col("text")).cast("long")).as("sum_chars"))
   }
 
+  private val csvDir = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** CSV round trip — the remaining interchange format next to JSONL/
+    * Arrow/tar: documents written once as RFC-4180 shards (double-quote
+    * escaping; empty string written QUOTED so it survives as "" instead of
+    * collapsing to null on read) and read back with an explicit schema +
+    * `multiLine` (embedded newlines make CSV files non-splittable — at
+    * 100 TB you forbid embedded newlines at ingest or use a container
+    * format; here fidelity is the point). Audit equality against the
+    * parquet-direct oracle IS the fidelity proof, as with JSONL. */
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = csvDir.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft-csv").toString
+      T(spark, dir, "documents")
+        .select("doc_id", "source", "lang", "text")
+        .repartition(8)
+        .write.mode("overwrite")
+        .option("header", "true").option("escape", "\"")
+        .option("emptyValue", "\"\"")
+        .csv(p)
+      p
+    })
+    spark.read
+      .schema("doc_id LONG, source STRING, lang STRING, text STRING")
+      .option("header", "true").option("escape", "\"")
+      .option("multiLine", "true")
+      // sentinel nullValue: only genuinely-missing (unquoted empty) fields
+      // become null — a QUOTED empty string survives as "" instead of
+      // being swallowed by the default nullValue="" match
+      .option("nullValue", "\u0000")
+      .csv(path)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("lang")).as("n_langs"),
+        sum(col("doc_id")).as("sum_ids"),
+        sum(length(col("text")).cast("long")).as("sum_chars"))
+  }
+
   /** Documents re-laid-out as WebDataset tar shards (two entries per
     * sample: `<key>.txt` text + `<key>.cls` language label), written once
     * per JVM per sf dir with samples key-partitioned so each shard holds
@@ -1550,6 +1588,7 @@ object Queries {
     "curate_fix_encoding" -> (curateFixEncoding _),
     "tar_shards_roundtrip" -> (tarShardsRoundtrip _),
     "jsonl_roundtrip" -> (jsonlRoundtrip _),
+    "csv_roundtrip" -> (csvRoundtrip _),
     "curate_sampled" -> (curateSampled _),
     "curate_split_leakage" -> (curateSplitLeakage _),
     "sql_surface" -> (sqlSurface _),
