@@ -651,6 +651,7 @@ object OracleSqls {
     "graph_kcore" -> withGraph(kCoreSql(k = 3, iters = 6)),
 
     "graph_lpa" -> withGraph(lpaSql(iters = 3)),
+    "graph_modularity" -> withGraph(modularitySql(iters = 3)),
 
     // link prediction: wedge-enumerated candidates through hub-capped
     // shared neighbors (deg(z) <= 32, mirrored semantics); BOTH scores in
@@ -2800,7 +2801,9 @@ object OracleSqls {
     * .labelPropagationSizes: argmax neighbor label by (count desc, label
     * asc), isolated nodes keep their seed). MATERIALIZED for the same
     * CTE-inlining reason as the other iterative oracles. */
-  private def lpaSql(iters: Int): String = {
+  /** Shared synchronous-LPA CTE chain (adjacency, seed labels, `iters`
+    * argmax rounds) — the prefix of both [[lpaSql]] and [[modularitySql]]. */
+  private def lpaCtes(iters: Int): String = {
     val steps = (1 to iters).map { i =>
       s"""c$i AS (
          |  SELECT e.a AS v, r.lbl, count(*) AS cnt
@@ -2818,12 +2821,38 @@ object OracleSqls {
     }.mkString(",\n")
     s""", adjl AS MATERIALIZED (SELECT DISTINCT a, b FROM bidir),
        |lp0 AS MATERIALIZED (SELECT nodeId AS v, nodeId AS lbl FROM nodes),
-       |$steps
+       |$steps""".stripMargin
+  }
+
+  private def lpaSql(iters: Int): String =
+    s"""${lpaCtes(iters)}
        |SELECT n_nodes, CAST(count(*) AS BIGINT) AS n_communities FROM (
        |  SELECT lbl, CAST(count(*) AS BIGINT) AS n_nodes
        |  FROM lp$iters GROUP BY lbl)
        |GROUP BY n_nodes""".stripMargin
-  }
+
+  /** Newman modularity of the LPA partition, same micro-unit quantization
+    * as [[graft.graph.GraphAlgorithms.modularityStats]]: degree share
+    * floored to micro BEFORE squaring (Long-safe, order-independent). */
+  private def modularitySql(iters: Int): String =
+    s"""${lpaCtes(iters)},
+       |tot AS (
+       |  SELECT count(*) AS twom,
+       |    sum(CASE WHEN la.lbl = lb.lbl THEN 1 ELSE 0 END) AS e_in
+       |  FROM adjl e
+       |  JOIN lp$iters la ON la.v = e.a
+       |  JOIN lp$iters lb ON lb.v = e.b
+       |), degc AS (
+       |  SELECT l.lbl, sum(d.deg) AS d_c FROM (
+       |    SELECT a, count(*) AS deg FROM adjl GROUP BY a) d
+       |  JOIN lp$iters l ON l.v = d.a GROUP BY l.lbl
+       |), pen AS (
+       |  SELECT COALESCE(sum((t * t) // 1000000), 0) AS pen FROM (
+       |    SELECT (1000000 * d_c) // twom AS t FROM degc, tot)
+       |)
+       |SELECT CAST(twom AS BIGINT) AS twom, CAST(e_in AS BIGINT) AS e_in,
+       |  CAST((1000000 * e_in) // twom - pen AS BIGINT) AS q_micro
+       |FROM tot, pen""".stripMargin
 
   private def componentsSql(iters: Int): String = {
     // MATERIALIZED is load-bearing: each step references the previous

@@ -435,6 +435,10 @@ object Queries {
     graft.graph.GraphAlgorithms.kTrussStats(edges, k = 4, iters = 3)
   }
 
+  /** Modularity of the 3-round LPA partition (integer micro-units). */
+  def graphModularity(spark: SparkSession, dir: String): DataFrame =
+    graft.graph.GraphAlgorithms.modularityStats(graph(spark, dir), iters = 3)
+
   /** Sampled distance-bounded betweenness from the ASIA/EUROPE pivots:
     * 4-hop Brandes forward/backward in integer micro-units, top-20. */
   def graphBetweenness(spark: SparkSession, dir: String): DataFrame =
@@ -1512,6 +1516,7 @@ object Queries {
     "graph_triangles" -> (graphTriangles _),
     "graph_ktruss" -> (graphKtruss _),
     "graph_betweenness" -> (graphBetweenness _),
+    "graph_modularity" -> (graphModularity _),
     "graph_bfs_dist" -> (graphBfsDist _),
     "graph_ppr" -> (graphPpr _),
     "graph_hits" -> (graphHits _),

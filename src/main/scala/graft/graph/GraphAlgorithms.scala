@@ -350,9 +350,22 @@ object GraphAlgorithms {
     * left-joins back to the previous one. Both sides are O(V): no
     * broadcasts anywhere, and localCheckpoint truncates the per-round
     * lineage like the other iterative algorithms here. */
-  def labelPropagationSizes(g: PropertyGraph, iters: Int): DataFrame = {
+  def labelPropagationSizes(g: PropertyGraph, iters: Int): DataFrame =
+    lpaLabels(g, iters)
+      .groupBy("lbl").agg(count(lit(1)).as("n_nodes"))
+      .groupBy("n_nodes").agg(count(lit(1)).as("n_communities"))
+
+  /** Synchronous LPA label table (v, lbl) after `iters` rounds — the
+    * shared core of [[labelPropagationSizes]] and [[modularityStats]]. */
+  private def lpaLabels(g: PropertyGraph, iters: Int): DataFrame = {
     val adj = g.bidir.select(col("a"), col("b")).distinct()
       .localCheckpoint(true)
+    // label table is O(V): broadcast it behind the node-count guard so the
+    // O(E) adjacency is never re-shuffled per round (walkCorpus lesson —
+    // localCheckpoint erases partitioning, so each round was an O(E) SMJ)
+    val nNodes = g.nodes.count()
+    def lblSide(df: DataFrame): DataFrame =
+      if (nNodes <= 5000000L) broadcast(df) else df
     // Every node with >= 1 neighbor adopts a fresh argmax label each round,
     // so only the isolated remainder ever carries its seed forward —
     // computed ONCE here, which saves a third per-round shuffle (the
@@ -365,7 +378,7 @@ object GraphAlgorithms {
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
       val counts = adj
-        .join(labels.select(col("v").as("b"), col("lbl")), Seq("b"))
+        .join(lblSide(labels.select(col("v").as("b"), col("lbl"))), Seq("b"))
         .groupBy(col("a"), col("lbl"))
         .agg(count(lit(1)).as("cnt"))
       // argmax by (count desc, label asc): max over (cnt, -lbl) pairs
@@ -374,8 +387,44 @@ object GraphAlgorithms {
         .select(col("a").as("v"), (-col("m.neg")).as("lbl"))
       labels = best.unionByName(isolated).localCheckpoint(true)
     }
-    labels.groupBy("lbl").agg(count(lit(1)).as("n_nodes"))
-      .groupBy("n_nodes").agg(count(lit(1)).as("n_communities"))
+    labels
+  }
+
+  /** Newman modularity of the LPA partition, in integer micro-units:
+    * Q = e_in/2m − Σ_c (d_c/2m)², quantized as
+    * `⌊1e6·e_in/2m⌋ − Σ_c ⌊⌊1e6·d_c/2m⌋²/1e6⌋` — each community's degree
+    * share is floored to micro BEFORE squaring, which keeps every product
+    * within Long on any graph (d_c² · 1e6 would overflow past d_c ≈ 3M)
+    * and makes the sum order-independent; the oracle mirrors the same
+    * quantization, so the number is the semantics. e_in counts symmetric
+    * same-community edge slots (each undirected in-community edge twice),
+    * matching the 2m denominator. One edge-table join against the label
+    * table plus a per-community degree rollup — no new shuffle shapes. */
+  def modularityStats(g: PropertyGraph, iters: Int): DataFrame = {
+    val adj = g.bidir.select(col("a"), col("b")).distinct()
+      .localCheckpoint(true)
+    val labels = lpaLabels(g, iters)
+    val nNodes = g.nodes.count()
+    def lblSide(df: DataFrame): DataFrame =
+      if (nNodes <= 5000000L) broadcast(df) else df
+    val e = adj
+      .join(lblSide(labels.select(col("v").as("a"), col("lbl").as("la"))),
+        Seq("a"))
+      .join(lblSide(labels.select(col("v").as("b"), col("lbl").as("lb"))),
+        Seq("b"))
+    val totals = e.agg(count(lit(1)).as("twom"),
+      sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("e_in"))
+    val degByC = adj.groupBy("a").agg(count(lit(1)).as("deg"))
+      .join(labels.select(col("v").as("a"), col("lbl")), Seq("a"))
+      .groupBy("lbl").agg(sum(col("deg")).as("d_c"))
+    val penalty = degByC.crossJoin(broadcast(totals))
+      .select(expr("(1000000 * d_c) div twom").as("t"))
+      .agg(coalesce(sum(expr("(t * t) div 1000000")), lit(0L)).as("pen"))
+    totals.crossJoin(broadcast(penalty))
+      .select(col("twom").cast("long").as("twom"),
+        col("e_in").cast("long").as("e_in"),
+        (expr("(1000000 * e_in) div twom") - col("pen"))
+          .cast("long").as("q_micro"))
   }
 
   /** DeepWalk-style walk corpus, derandomized: one walk starts at every

@@ -341,6 +341,17 @@ class GraphAlgorithmsSpec extends SparkSpec {
     assert(!out.contains((1L, 2L)))
   }
 
+  test("modularity: two disjoint triangles score Q = 0.5 exactly") {
+    // LPA converges to one label per triangle; 2m = 12, e_in = 12,
+    // d_c = 6 each → t = 500000, pen = 2·250000 → q = 1e6 − 500000
+    val graph = g(Seq((1L, 2L), (2L, 3L), (1L, 3L),
+        (4L, 5L), (5L, 6L), (4L, 6L)),
+      (1L to 6L).map(_ -> "A"))
+    val r = GraphAlgorithms.modularityStats(graph, iters = 3).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ===
+      ((12L, 12L, 500000L)))
+  }
+
   test("betweenness: path chain accumulates Brandes deltas, hand-derived") {
     // path 1-2-3-4 from source 1: σ=1 everywhere; δ(4)=0,
     // δ(3)=⌊1·(1e6+0)/1⌋=1e6, δ(2)=⌊1·(1e6+1e6)/1⌋=2e6; source excluded
