@@ -195,6 +195,11 @@ object GraphAlgorithms {
     // min-distance propagation at every t (discovery round = min distance).
     val adj = g.bidir.select(col("a"), col("b")).distinct()
       .localCheckpoint(true)
+    // frontier and dist are O(V): broadcast behind the node-count guard so
+    // the O(E) adjacency never re-shuffles per round (walkCorpus lesson)
+    val nNodes = g.nodes.count()
+    def frontierSide(df: DataFrame): DataFrame =
+      if (nNodes <= 5000000L) broadcast(df) else df
     var frontier = g.nodes
       .where(col("label") === label && col("name").isin(names: _*))
       .select(col("nodeId").as("v"), lit(0).as("d"))
@@ -203,9 +208,9 @@ object GraphAlgorithms {
     for (t <- 1 to iters) {
       // dist is referenced twice (anti-join + union) but is a union of
       // already-materialized frontiers, so the replicated lineage is cheap
-      frontier = frontier.join(adj, col("v") === col("a"))
+      frontier = adj.join(frontierSide(frontier), col("v") === col("a"))
         .select(col("b").as("v")).distinct()
-        .join(dist, Seq("v"), "left_anti")
+        .join(frontierSide(dist.select(col("v"))), Seq("v"), "left_anti")
         .select(col("v"), lit(t).as("d"))
         .localCheckpoint(true)
       dist = dist.unionByName(frontier)
@@ -304,9 +309,14 @@ object GraphAlgorithms {
     // anchor sets are tiny by contract (query entities); a driver-side
     // count here is one job over a materialized handful of rows
     val nA = anchors.count().toDouble
+    // rank table is O(reached) ≤ O(V): broadcast behind the node-count
+    // guard so the pre-weighted O(E) adjacency never re-shuffles per round
+    val nNodes = g.nodes.count()
+    def rankSide(df: DataFrame): DataFrame =
+      if (nNodes <= 5000000L) broadcast(df) else df
     var pr = anchors.select(col("v"), lit(1.0 / nA).as("rank"))
     for (_ <- 1 to iters) {
-      val contrib = pr.join(adjw, col("v") === col("a"))
+      val contrib = adjw.join(rankSide(pr), col("v") === col("a"))
         .select(col("b").as("v"), (col("rank") * col("w")).as("c"))
       val teleport = anchors.select(col("v"), lit(0.15 / nA).as("c"))
       pr = contrib.unionByName(teleport)
@@ -647,6 +657,11 @@ object GraphAlgorithms {
   def hits(g: PropertyGraph, iters: Int, k: Int): DataFrame = {
     val edges = g.rels.select("src", "dst").localCheckpoint(true)
     val nodes = g.nodes.select(col("nodeId").as("id")).localCheckpoint(true)
+    // score tables are O(V): broadcast behind the node-count guard so the
+    // O(E) edge list never re-shuffles per half-round (walkCorpus lesson)
+    val nNodes = g.nodes.count()
+    def scoreSide(df: DataFrame): DataFrame =
+      if (nNodes <= 5000000L) broadcast(df) else df
     // scores stay SPARSE through the loop: an absent id means s = 0, which
     // contributes nothing to any sum and never wins the max (raws are
     // non-negative), so the per-step dense left-join against the node set
@@ -655,7 +670,8 @@ object GraphAlgorithms {
     // truncated; one materialization per step instead of a join + one.
     def step(scores: DataFrame, toHub: Boolean): DataFrame = {
       val (joinKey, grpKey) = if (toHub) ("dst", "src") else ("src", "dst")
-      val raw = edges.join(scores.withColumnRenamed("id", joinKey), Seq(joinKey))
+      val raw = edges.join(
+          scoreSide(scores.withColumnRenamed("id", joinKey)), Seq(joinKey))
         .groupBy(col(grpKey).as("id")).agg(sum("s").as("raw"))
         .localCheckpoint(true)
       raw.crossJoin(broadcast(raw.agg(max("raw").as("m"))))
