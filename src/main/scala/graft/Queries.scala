@@ -1020,6 +1020,32 @@ object Queries {
         sum(length(col("text")).cast("long")).as("sum_chars"))
   }
 
+  private val orcDir = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** ORC round trip — the other mainstream columnar format next to
+    * parquet: documents written once as ORC (native Spark source, its own
+    * encodings/compression), read back and audited per source. Equality
+    * against the parquet-direct oracle proves the full fidelity of the
+    * encode/decode, including unicode text and nulls; predicate pushdown
+    * and column pruning work identically to parquet (native columnar
+    * source), so the layout family's pruning story carries over. */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = orcDir.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft-orc").toString
+      T(spark, dir, "documents")
+        .select("doc_id", "source", "lang", "text")
+        .repartition(8)
+        .write.mode("overwrite").orc(p)
+      p
+    })
+    spark.read.orc(path)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("lang")).as("n_langs"),
+        sum(col("doc_id")).as("sum_ids"),
+        sum(length(col("text")).cast("long")).as("sum_chars"))
+  }
+
   private val csvDir = scala.collection.concurrent.TrieMap[String, String]()
 
   /** CSV round trip — the remaining interchange format next to JSONL/
@@ -1594,6 +1620,7 @@ object Queries {
     "tar_shards_roundtrip" -> (tarShardsRoundtrip _),
     "jsonl_roundtrip" -> (jsonlRoundtrip _),
     "csv_roundtrip" -> (csvRoundtrip _),
+    "orc_roundtrip" -> (orcRoundtrip _),
     "curate_sampled" -> (curateSampled _),
     "curate_split_leakage" -> (curateSplitLeakage _),
     "sql_surface" -> (sqlSurface _),
