@@ -1605,6 +1605,27 @@ object OracleSqls {
         |    AS n_bright
         |FROM cell GROUP BY y, x ORDER BY y, x""".stripMargin,
 
+    // GIF sibling of mm_png_pixels: the oracle replays the pixel formula
+    // at the resize source coordinates; LZW compress/decompress on the
+    // Spark side must cancel exactly for the hashes to agree
+    "mm_gif_pixels" ->
+      """WITH d AS (
+        |  SELECT doc_id, (doc_id % 5) + 4 AS w, (doc_id % 4) + 5 AS h
+        |  FROM documents
+        |), cell AS (
+        |  SELECT doc_id, CAST(y.y AS INTEGER) AS y, CAST(x.x AS INTEGER) AS x,
+        |    (doc_id * 29 + ((x.x * w) // 4) * 13 + ((y.y * h) // 4) * 19)
+        |      % 256 AS gray
+        |  FROM d,
+        |    LATERAL (SELECT unnest(range(0, 4)) AS y) y,
+        |    LATERAL (SELECT unnest(range(0, 4)) AS x) x
+        |)
+        |SELECT y, x, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(gray) AS BIGINT) AS sum_gray,
+        |  CAST(sum(CASE WHEN gray >= 128 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bright
+        |FROM cell GROUP BY y, x ORDER BY y, x""".stripMargin,
+
     // HashingTF rebuilt in SQL (same portable digit-only-MD5 bucket hash
     // as sketch_countmin); all 16 slots per doc, zeros included
     "text_feature_hash" ->

@@ -1302,6 +1302,12 @@ object Queries {
   def mmPngPixels(spark: SparkSession, dir: String): DataFrame =
     Multimodal.pngDecodeRoundtrip(spark, T(spark, dir, "documents"))
 
+  /** Real GIF decode end-to-end: formula → GIF89a bytes (real LZW
+    * compression) → LZW decompress + palette luma → 4×4 resize; oracle
+    * from the formula. */
+  def mmGifPixels(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.gifDecodeRoundtrip(spark, T(spark, dir, "documents"))
+
   // ---- events (batch form; streaming variants in graft.operators.Events) ----
 
   /** Events load, normalized so `ts` is ALWAYS epoch-nanos LongType
@@ -1634,6 +1640,7 @@ object Queries {
     "mm_audio_frames" -> (mmAudioFrames _),
     "mm_image_resize" -> (mmImageResize _),
     "mm_png_pixels" -> (mmPngPixels _),
+    "mm_gif_pixels" -> (mmGifPixels _),
     "join_asof" -> (joinAsof _),
     "join_range" -> (joinRange _),
     "events_hourly" -> (eventsHourly _),

@@ -724,4 +724,311 @@ object Multimodal {
         sum(col("depth").cast("long")).as("sum_depth"))
       .orderBy("format")
   }
+
+  // ---------------------------------------------------------------------
+  // GIF — real LZW codec (GIF89a, grayscale palette). The third real pixel
+  // codec after BMP (uncompressed) and PNG (deflate+filters): GIF adds the
+  // dictionary-compression family. Byte layout and LZW variant per the
+  // public GIF89a specification (CompuServe, 1990; also RFC 2046's
+  // image/gif registration): LSB-first bit packing, 9→12-bit growing
+  // codes, clear/EOI codes at 2^min and 2^min+1.
+  // ---------------------------------------------------------------------
+
+  /** LSB-first growing-width bit writer for the GIF LZW stream. */
+  private final class LzwBitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var acc = 0
+    private var nBits = 0
+    def put(code: Int, width: Int): Unit = {
+      acc |= code << nBits
+      nBits += width
+      while (nBits >= 8) { out.write(acc & 0xff); acc >>>= 8; nBits -= 8 }
+    }
+    def finish(): Array[Byte] = {
+      if (nBits > 0) out.write(acc & 0xff)
+      out.toByteArray
+    }
+  }
+
+  /** GIF LZW compress of 8-bit pixel indices (minCodeSize 8): emit clear,
+    * grow the dictionary to 4096 then clear+reset; code width bumps when
+    * the just-assigned dictionary code first needs one more bit — the
+    * exact mirror of the decoder's lagged table growth. */
+  private def lzwCompress(pixels: Array[Int]): Array[Byte] = {
+    val clear = 256; val eoi = 257
+    val w = new LzwBitWriter
+    var width = 9
+    var next = 258
+    // dictionary key packs (prefixCode << 8 | byte) — prefix < 4096 fits
+    val dict = new java.util.HashMap[Integer, Integer](4096)
+    w.put(clear, width)
+    if (pixels.isEmpty) { w.put(eoi, width); return w.finish() }
+    var prefix = pixels(0) & 0xff
+    var i = 1
+    while (i < pixels.length) {
+      val k = pixels(i) & 0xff
+      val key = Integer.valueOf((prefix << 8) | k)
+      val hit = dict.get(key)
+      if (hit != null) prefix = hit.intValue()
+      else {
+        w.put(prefix, width)
+        if (next < 4096) {
+          dict.put(key, Integer.valueOf(next))
+          if (next == (1 << width) && width < 12) width += 1
+          next += 1
+        } else {
+          w.put(clear, width)
+          dict.clear(); next = 258; width = 9
+        }
+        prefix = k
+      }
+      i += 1
+    }
+    w.put(prefix, width)
+    w.put(eoi, width)
+    w.finish()
+  }
+
+  /** Complete GIF89a file: grayscale global palette (i,i,i ×256), one
+    * non-interlaced image, REAL LZW-compressed data in ≤255-byte
+    * sub-blocks. The write side of [[decodeGifGray]]. */
+  def gifFileGray(width: Int, height: Int, gray: (Int, Int) => Int): Array[Byte] = {
+    val pixels = new Array[Int](width * height)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { pixels(y * width + x) = gray(x, y) & 0xff; x += 1 }
+      y += 1
+    }
+    val lzw = lzwCompress(pixels)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    // logical screen descriptor: w, h (LE16), packed 0xF7 = global color
+    // table present, 8-bit color resolution, 256-entry table
+    out.write(width & 0xff); out.write((width >> 8) & 0xff)
+    out.write(height & 0xff); out.write((height >> 8) & 0xff)
+    out.write(0xf7); out.write(0); out.write(0)
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+    out.write(0x2c) // image descriptor
+    out.write(0); out.write(0); out.write(0); out.write(0) // left, top
+    out.write(width & 0xff); out.write((width >> 8) & 0xff)
+    out.write(height & 0xff); out.write((height >> 8) & 0xff)
+    out.write(0)    // no local table, not interlaced
+    out.write(8)    // LZW minimum code size
+    var off = 0
+    while (off < lzw.length) {
+      val n = math.min(255, lzw.length - off)
+      out.write(n); out.write(lzw, off, n); off += n
+    }
+    out.write(0)    // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** GIF LZW decompress: growing 9→12-bit codes, clear/EOI handling, the
+    * KwKwK case (code == next available), table growth frozen at 4096
+    * until a clear. Returns None on any malformed code stream. */
+  private def lzwDecompress(data: Array[Byte], minCodeSize: Int,
+                            maxOut: Int): Option[Array[Int]] = {
+    if (minCodeSize < 2 || minCodeSize > 8) return None
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val out = new java.io.ByteArrayOutputStream(maxOut)
+    // table of byte strings; suffix/prefix-linked to avoid O(n²) copies
+    val prefixOf = new Array[Int](4096)
+    val suffixOf = new Array[Int](4096)
+    val lengthOf = new Array[Int](4096)
+    var c = 0
+    while (c < clear) {
+      prefixOf(c) = -1; suffixOf(c) = c; lengthOf(c) = 1; c += 1
+    }
+    var width = minCodeSize + 1
+    var avail = eoi + 1
+    var prev = -1
+    var acc = 0; var nBits = 0; var pos = 0
+    val emitBuf = new Array[Int](4096)
+    def emit(code: Int): Int = { // returns first byte of the expansion
+      var n = lengthOf(code); var cc = code
+      var j = n
+      while (cc >= 0) { j -= 1; emitBuf(j) = suffixOf(cc); cc = prefixOf(cc) }
+      var i = 0
+      while (i < n) { out.write(emitBuf(i)); i += 1 }
+      emitBuf(0)
+    }
+    var done = false
+    var bad = false
+    while (!done && !bad) {
+      while (nBits < width && pos < data.length) {
+        acc |= (data(pos) & 0xff) << nBits; nBits += 8; pos += 1
+      }
+      if (nBits < width) { done = true } // stream exhausted without EOI
+      else {
+        val code = acc & ((1 << width) - 1)
+        acc >>>= width; nBits -= width
+        if (code == clear) {
+          width = minCodeSize + 1; avail = eoi + 1; prev = -1
+        } else if (code == eoi) done = true
+        else if (out.size() > maxOut) bad = true
+        else if (prev < 0) {
+          if (code >= avail) bad = true else { emit(code); prev = code }
+        } else if (code > avail) bad = true
+        else {
+          val firstByte =
+            if (code < avail) suffixFirst(prefixOf, suffixOf, code)
+            else suffixFirst(prefixOf, suffixOf, prev) // KwKwK
+          if (avail < 4096) {
+            prefixOf(avail) = prev; suffixOf(avail) = firstByte
+            lengthOf(avail) = lengthOf(prev) + 1
+            avail += 1
+            if (avail == (1 << width) && width < 12) width += 1
+          }
+          if (code < avail) emit(code)
+          else bad = true // code == old avail only valid when table grew
+          prev = code
+        }
+      }
+    }
+    if (bad || out.size() > maxOut) None
+    else Some(out.toByteArray.map(_ & 0xff))
+  }
+
+  @inline private def suffixFirst(prefixOf: Array[Int], suffixOf: Array[Int],
+                                  code: Int): Int = {
+    var c = code
+    while (prefixOf(c) >= 0) c = prefixOf(c)
+    suffixOf(c)
+  }
+
+  /** REAL GIF pixel decode: header + logical screen descriptor → extension
+    * skip → first image descriptor → LZW decompress → palette lookup →
+    * BT.601 integer luma (same formula as [[decodeBmpGray]]). Supports
+    * global and local color tables and interlaced row ordering; anything
+    * malformed — bad signature, missing palette, truncated sub-blocks,
+    * invalid LZW codes, oversized dims (`maxPixels`), pixel shortfall —
+    * returns None. Same dirty-corpus contract as [[decodePngGray]]. */
+  def decodeGifGray(p: Array[Byte],
+                    maxPixels: Int = 1 << 24): Option[(Int, Int, Array[Int])] = {
+    if (p.length < 13) return None
+    if (!ascii(p, 0, "GIF87a") && !ascii(p, 0, "GIF89a")) return None
+    val packed = u8(p, 10)
+    var gct: Array[Int] = null // packed 0xRRGGBB per entry
+    var i = 13
+    if ((packed & 0x80) != 0) {
+      val n = 2 << (packed & 7)
+      if (i + 3 * n > p.length) return None
+      gct = new Array[Int](n)
+      var e = 0
+      while (e < n) {
+        gct(e) = (u8(p, i) << 16) | (u8(p, i + 1) << 8) | u8(p, i + 2)
+        i += 3; e += 1
+      }
+    }
+    while (i < p.length) {
+      u8(p, i) match {
+        case 0x21 => // extension: label + sub-blocks
+          i += 2
+          while (i < p.length && u8(p, i) != 0) i += 1 + u8(p, i)
+          if (i >= p.length) return None
+          i += 1
+        case 0x2c =>
+          if (i + 10 > p.length) return None
+          val w = leU16(p, i + 5); val h = leU16(p, i + 7)
+          val ipacked = u8(p, i + 9)
+          val interlaced = (ipacked & 0x40) != 0
+          i += 10
+          var pal = gct
+          if ((ipacked & 0x80) != 0) {
+            val n = 2 << (ipacked & 7)
+            if (i + 3 * n > p.length) return None
+            pal = new Array[Int](n)
+            var e = 0
+            while (e < n) {
+              pal(e) = (u8(p, i) << 16) | (u8(p, i + 1) << 8) | u8(p, i + 2)
+              i += 3; e += 1
+            }
+          }
+          if (pal == null || w <= 0 || h <= 0 ||
+            w.toLong * h > maxPixels) return None
+          if (i >= p.length) return None
+          val minCodeSize = u8(p, i); i += 1
+          val lzw = new java.io.ByteArrayOutputStream()
+          var blockOk = false
+          while (!blockOk && i < p.length) {
+            val n = u8(p, i); i += 1
+            if (n == 0) blockOk = true
+            else if (i + n > p.length) return None
+            else { lzw.write(p, i, n); i += n }
+          }
+          if (!blockOk) return None
+          val idx = lzwDecompress(lzw.toByteArray, minCodeSize, w * h) match {
+            case Some(a) if a.length >= w * h => a
+            case _ => return None
+          }
+          val out = new Array[Int](w * h)
+          // interlace pass structure: rows 0,8,16.. then 4,12.. then
+          // 2,6,10.. then 1,3,5.. (GIF89a appendix E)
+          val rowOrder: Iterator[Int] =
+            if (!interlaced) (0 until h).iterator
+            else (0 until h by 8).iterator ++ (4 until h by 8).iterator ++
+              (2 until h by 4).iterator ++ (1 until h by 2).iterator
+          var src = 0
+          rowOrder.foreach { y =>
+            var x = 0
+            while (x < w) {
+              val e = idx(src) % pal.length
+              val rgb = pal(e)
+              out(y * w + x) = (299 * ((rgb >> 16) & 0xff) +
+                587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+              src += 1; x += 1
+            }
+          }
+          return Some((w, h, out))
+        case 0x3b => return None // trailer before any image
+        case _ => return None
+      }
+    }
+    None
+  }
+
+  /** GIF pixel-decode round trip (the GIF sibling of
+    * [[pngDecodeRoundtrip]]): each doc synthesizes a grayscale GIF whose
+    * levels follow an integer formula of (doc_id, x, y), the REAL LZW
+    * decoder and the nearest-neighbor resizer produce a fixed grid, and
+    * per-cell features aggregate across docs. LZW compress/decompress
+    * cancel only if both codec paths are correct; the oracle recomputes
+    * the formula at the source coordinates without seeing any bytes. */
+  def gifDecodeRoundtrip(spark: SparkSession, docs: DataFrame,
+                         tw: Int = 4, th: Int = 4): DataFrame = {
+    import spark.implicits._
+    val gifs = docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (id % 5L).toInt + 4
+          val h = (id % 4L).toInt + 5
+          (id, gifFileGray(w, h,
+            (x, y) => ((id * 29L + x * 13L + y * 19L) % 256L).toInt))
+        }
+      }.toDF("doc_id", "gif")
+    gifs.select(col("doc_id"), col("gif").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, p) =>
+          decodeGifGray(p) match {
+            case Some((w, h, g)) =>
+              val r = resizeNearest(g, w, h, tw, th)
+              (0 until th).iterator.flatMap(y =>
+                (0 until tw).iterator.map(x =>
+                  PixelCell(id, y, x, r(y * tw + x))))
+            case None => Iterator.empty
+          }
+        }
+      }.toDF()
+      .groupBy("y", "x")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("gray").cast("long")).as("sum_gray"),
+        sum(when(col("gray") >= 128, 1L).otherwise(0L)).as("n_bright"))
+      .orderBy("y", "x")
+  }
 }

@@ -363,4 +363,103 @@ class MultimodalSpec extends SparkSpec {
     assert(byFmt("wav").getAs[Long]("sum_width") === 8052L)
     assert(byFmt("wav").getAs[Long]("sum_depth") === 8L)
   }
+
+  test("ImageIO decodes our gifFileGray writer's bytes (both directions)") {
+    // big enough (100×40 = 4000 px of noisy data) that the LZW stream
+    // grows past 9-bit codes — the width-bump path is exercised, not just
+    // the initial dictionary
+    val w = 100; val h = 40
+    def gray(x: Int, y: Int) = (x * 37 + y * 91 + x * y * 13) % 256
+    val bytes = Multimodal.gifFileGray(w, h, gray)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "JDK could not parse our GIF")
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = img.getRGB(x, y)
+      // gray palette (i,i,i): every channel equals the index
+      assert((rgb & 0xff) === gray(x, y), s"jdk ($x,$y)")
+    }
+    val Some((dw, dh, g)) = Multimodal.decodeGifGray(bytes)
+    assert((dw, dh) === (w, h))
+    for (y <- 0 until h; x <- 0 until w)
+      assert(g(y * w + x) === gray(x, y), s"ours ($x,$y)")
+  }
+
+  test("decodeGifGray agrees with JDK ImageIO encodings") {
+    // JDK-encoded GIF (independent LZW encoder, its own palette order)
+    // decoded by ours. Raster samples, not getRGB: TYPE_BYTE_GRAY getRGB
+    // applies a gray→sRGB colorspace conversion (see the PNG spec above),
+    // while the GIF writer palettizes the raw raster bytes as (v,v,v) —
+    // whose BT.601 luma is v again.
+    val w = 23; val h = 17
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, (x * 29 + y * 53 + x * y * 7) % 256)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", out))
+    val Some((dw, dh, g)) = Multimodal.decodeGifGray(out.toByteArray)
+    assert((dw, dh) === (w, h))
+    for (y <- 0 until h; x <- 0 until w)
+      assert(g(y * w + x) === img.getRaster.getSample(x, y, 0),
+        s"pixel ($x,$y)")
+  }
+
+  test("GIF codec round-trips random dims and pixels (incl. 10-bit codes)") {
+    val rnd = new scala.util.Random(421)
+    for (trial <- 0 until 12) {
+      val w = rnd.nextInt(60) + 1
+      val h = rnd.nextInt(40) + 1
+      val px = Array.fill(w * h)(rnd.nextInt(256))
+      val bytes = Multimodal.gifFileGray(w, h, (x, y) => px(y * w + x))
+      val Some((dw, dh, g)) = Multimodal.decodeGifGray(bytes)
+      assert((dw, dh) === (w, h), s"trial $trial dims")
+      assert(g.sameElements(px), s"trial $trial pixels")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"trial $trial: JDK parse")
+      for (i <- 0 until w * h)
+        assert((img.getRGB(i % w, i / w) & 0xff) === px(i), s"trial $trial jdk")
+    }
+  }
+
+  test("GIF LZW dictionary reset: uniform-noise image past 4096 entries") {
+    // 256×96 = 24576 noisy pixels force the dictionary to 4096 and
+    // through at least one clear/reset cycle; byte-exact recovery proves
+    // the reset handshake between encoder and decoder
+    val rnd = new scala.util.Random(99)
+    val w = 256; val h = 96
+    val px = Array.fill(w * h)(rnd.nextInt(256))
+    val bytes = Multimodal.gifFileGray(w, h, (x, y) => px(y * w + x))
+    val Some((dw, dh, g)) = Multimodal.decodeGifGray(bytes)
+    assert((dw, dh) === (w, h))
+    assert(g.sameElements(px))
+  }
+
+  test("decodeGifGray rejects malformed and unsupported payloads") {
+    val good = Multimodal.gifFileGray(5, 4, (x, y) => x + y)
+    assert(Multimodal.decodeGifGray(good).isDefined)
+    // truncated mid-stream
+    assert(Multimodal.decodeGifGray(good.take(good.length - 10)).isEmpty)
+    // oversized declared dims must not allocate (adversarial header):
+    // image-descriptor width (LE) lives at 6 (header) + 7 (LSD) +
+    // 768 (GCT) + 5 (0x2C, left, top) = 786
+    val big = good.clone()
+    big(786) = 0xff.toByte; big(787) = 0x7f.toByte
+    assert(Multimodal.decodeGifGray(big, maxPixels = 1 << 16).isEmpty)
+    // header only, no image data
+    assert(Multimodal.decodeGifGray(Multimodal.gifHeader(4, 4)).isEmpty)
+    // not a GIF at all
+    assert(Multimodal.decodeGifGray("hello".getBytes).isEmpty)
+  }
+
+  test("gifDecodeRoundtrip recovers the formula through LZW") {
+    val docs = Seq(0L, 1L, 2L, 3L, 4L).toDF("doc_id")
+    val cells = Multimodal.gifDecodeRoundtrip(spark, docs)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(cells.size === 16)
+    assert(cells.values.forall(_._1 === 5L))
+    // hand-check cell (0,0): sx=sy=0 → gray = (id*29) % 256
+    val want00 = (0 until 5).map(id => (id * 29L) % 256L).sum
+    assert(cells((0, 0))._2 === want00)
+  }
 }
