@@ -1093,6 +1093,15 @@ object OracleSqls {
         |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY source""".stripMargin,
 
+    // same parquet-direct audit as jsonl/csv/orc: the Spark side must
+    // reproduce it THROUGH the Avro container encode/decode
+    "avro_roundtrip" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY source""".stripMargin,
+
     // same parquet-direct audit as jsonl_roundtrip: the Spark side must
     // reproduce it THROUGH the CSV encode/decode for equality to hold
     "csv_roundtrip" ->

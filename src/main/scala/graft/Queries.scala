@@ -1046,6 +1046,35 @@ object Queries {
         sum(length(col("text")).cast("long")).as("sum_chars"))
   }
 
+  private val avroDir = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Avro round trip — the row-major Hadoop interchange format next to
+    * the columnar parquet/ORC pair, driven through the Avro container
+    * format directly ([[graft.sources.AvroFiles]]; Spark ships avro-core
+    * but not the spark-avro DataSource). Documents written once as
+    * deflate-compressed schema-stamped shards, read back under the
+    * explicit schema and audited per source; equality against the
+    * parquet-direct oracle proves encode/decode fidelity (ids, unicode
+    * text, nulls). */
+  def avroRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id LONG, source STRING, lang STRING, text STRING")
+    val path = avroDir.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft-avro").toString
+      graft.sources.AvroFiles.write(
+        T(spark, dir, "documents")
+          .select("doc_id", "source", "lang", "text")
+          .repartition(8), p)
+      p
+    })
+    graft.sources.AvroFiles.read(spark, path, schema)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("lang")).as("n_langs"),
+        sum(col("doc_id")).as("sum_ids"),
+        sum(length(col("text")).cast("long")).as("sum_chars"))
+  }
+
   private val csvDir = scala.collection.concurrent.TrieMap[String, String]()
 
   /** CSV round trip — the remaining interchange format next to JSONL/
@@ -1627,6 +1656,7 @@ object Queries {
     "jsonl_roundtrip" -> (jsonlRoundtrip _),
     "csv_roundtrip" -> (csvRoundtrip _),
     "orc_roundtrip" -> (orcRoundtrip _),
+    "avro_roundtrip" -> (avroRoundtrip _),
     "curate_sampled" -> (curateSampled _),
     "curate_split_leakage" -> (curateSplitLeakage _),
     "sql_surface" -> (sqlSurface _),
