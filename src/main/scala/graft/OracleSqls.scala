@@ -1443,6 +1443,53 @@ object OracleSqls {
         |    AS n_exact
         |FROM s""".stripMargin,
 
+    // KMV set algebra (Beyer et al. SIGMOD'07): per-source bottom-128
+    // vocabulary sketches, pairwise merge law, union/Jaccard/intersection
+    // estimates in integer units — mirrors Sketch.kmvGroupSketch/kmvSetOps
+    "sketch_kmv_setops" ->
+      s"""WITH w AS (
+        |  SELECT source AS g, unnest($wordsExpr) AS tok FROM documents
+        |), h0 AS (
+        |  SELECT DISTINCT g, CAST(substr(regexp_replace(
+        |    md5(CAST(tok AS VARCHAR)), '[a-f]', '', 'g') || '000000',
+        |    1, 6) AS BIGINT) AS h
+        |  FROM w
+        |), sk AS (
+        |  SELECT g, h FROM (
+        |    SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+        |    FROM h0) WHERE rn <= 128
+        |), gs AS (SELECT DISTINCT g FROM sk),
+        |pairs AS (
+        |  SELECT a.g AS ga, b.g AS gb FROM gs a, gs b WHERE a.g < b.g
+        |), tagged AS (
+        |  SELECT ga, gb, h, 1 AS in_a, 0 AS in_b
+        |  FROM pairs JOIN sk ON sk.g = pairs.ga
+        |  UNION ALL
+        |  SELECT ga, gb, h, 0 AS in_a, 1 AS in_b
+        |  FROM pairs JOIN sk ON sk.g = pairs.gb
+        |), merged AS (
+        |  SELECT ga, gb, h, max(in_a) AS in_a, max(in_b) AS in_b
+        |  FROM tagged GROUP BY ga, gb, h
+        |), bk AS (
+        |  SELECT * FROM (
+        |    SELECT ga, gb, h, in_a, in_b,
+        |      row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+        |    FROM merged) WHERE rn <= 128
+        |), agg AS (
+        |  SELECT ga, gb, CAST(count(*) AS BIGINT) AS n, max(h) AS hk,
+        |    CAST(sum(in_a * in_b) AS BIGINT) AS shared
+        |  FROM bk GROUP BY ga, gb
+        |), est AS (
+        |  SELECT ga, gb,
+        |    CAST(CASE WHEN n < 128 THEN n
+        |      ELSE (127 * 1000000) // hk END AS BIGINT) AS union_est,
+        |    CAST((shared * 1000000) // n AS BIGINT) AS jac_micro
+        |  FROM agg
+        |)
+        |SELECT ga, gb, union_est, jac_micro,
+        |  CAST((jac_micro * union_est) // 1000000 AS BIGINT) AS inter_est
+        |FROM est ORDER BY ga, gb""".stripMargin,
+
     "sketch_countmin" ->
       s"""WITH w AS (SELECT unnest($wordsExpr) AS term FROM documents),
         |rows_ AS (SELECT unnest([0, 1, 2, 3]) AS row),

@@ -931,6 +931,19 @@ object Queries {
       .crossJoin(li.agg(countDistinct("l_partkey").as("n_exact")))
   }
 
+  /** KMV sketch set algebra: vocabulary union/intersection/Jaccard
+    * estimates for every source pair, all from one corpus scan — the
+    * "which sources share vocabulary" curation signal computed entirely on
+    * the tiny per-group sketch table. */
+  def sketchKmvSetops(spark: SparkSession, dir: String): DataFrame = {
+    val items = T(spark, dir, "documents")
+      .select(col("source"),
+        explode(graft.functions.words(col("text"))).as("tok"))
+    Sketch.kmvSetOps(
+      Sketch.kmvGroupSketch(items, "source", "tok", k = 128), k = 128)
+      .orderBy("ga", "gb")
+  }
+
   /** Model-based quality scoring: corpus-trained smoothed bigram likelihood
     * per document (CCNet-style filter next to the rule-based gates). */
   def textLmBigram(spark: SparkSession, dir: String): DataFrame =
@@ -1633,6 +1646,7 @@ object Queries {
     "text_top_ngrams" -> (textTopNgrams _),
     "sketch_countmin" -> (sketchCountmin _),
     "sketch_kmv" -> (sketchKmv _),
+    "sketch_kmv_setops" -> (sketchKmvSetops _),
     "incr_agg_rollup" -> (incrAggRollup _),
     "incr_quantile_rollup" -> (incrQuantileRollup _),
     "curate_mixture_quota" -> (curateMixtureQuota _),

@@ -80,4 +80,60 @@ object Sketch {
       .select(when(col("n") < k, col("n"))
         .otherwise(expr(s"((${k} - 1) * 1000000) div hk"))
         .as("distinct_est"))
+
+  /** Per-group KMV sketches: the k smallest distinct portable hashes of
+    * `keyExpr` per `groupCol` value. One distinct + one bottom-k window
+    * over the (group, hash) pairs — the only pass that ever touches the
+    * corpus; everything downstream runs on ≤ k rows per group. */
+  def kmvGroupSketch(items: DataFrame, groupCol: String, keyExpr: String,
+                     k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("h")
+    items.select(col(groupCol).as("g"), expr(
+        s"cast(substr(concat(regexp_replace(md5(cast(($keyExpr) as string)), " +
+          s"'[a-f]', ''), '000000'), 1, 6) as bigint)").as("h"))
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+  }
+
+  /** KMV set algebra over every group pair: union/intersection cardinality
+    * estimates and Jaccard in integer micro-units, all derived from the
+    * merged bottom-k sketch (Beyer et al., SIGMOD'07: ρ = shared fraction
+    * of the merged sketch, |A∪B| from its k-th value, |A∩B| = ρ·|A∪B|).
+    *
+    * Scale shape: the corpus is scanned ONCE by [[kmvGroupSketch]]; the
+    * pair enumeration is sketches×groups — k·g² rows for g groups, driver
+    * data at any corpus size (sketch tables are the broadcast side by
+    * construction). Exactly the shape that answers "how much vocabulary do
+    * every two sources share" over 100 TB without ever joining the corpus
+    * to itself. */
+  def kmvSetOps(sketches: DataFrame, k: Int): DataFrame = {
+    val sk = sketches.cache()
+    val groups = sk.select(col("g")).distinct()
+    val pairs = groups.select(col("g").as("ga"))
+      .crossJoin(groups.select(col("g").as("gb")))
+      .filter(col("ga") < col("gb"))
+    // union multiset of the two sketches per pair, deduped with membership
+    // flags, then re-bottom-k'd (the KMV merge law)
+    val tagged = pairs.join(broadcast(sk), col("ga") === col("g"))
+      .select(col("ga"), col("gb"), col("h"), lit(1).as("in_a"), lit(0).as("in_b"))
+      .union(pairs.join(broadcast(sk), col("gb") === col("g"))
+        .select(col("ga"), col("gb"), col("h"), lit(0).as("in_a"), lit(1).as("in_b")))
+    val merged = tagged.groupBy("ga", "gb", "h")
+      .agg(max("in_a").as("in_a"), max("in_b").as("in_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("ga", "gb").orderBy("h")
+    merged.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy("ga", "gb")
+      .agg(count(lit(1)).as("n"), max("h").as("hk"),
+        sum(expr("in_a * in_b")).as("shared"))
+      .select(col("ga"), col("gb"),
+        when(col("n") < k, col("n"))
+          .otherwise(expr(s"(($k - 1) * 1000000) div hk"))
+          .as("union_est"),
+        expr("(shared * 1000000) div n").as("jac_micro"))
+      .withColumn("inter_est", expr("(jac_micro * union_est) div 1000000"))
+  }
 }

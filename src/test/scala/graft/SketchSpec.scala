@@ -69,4 +69,47 @@ class SketchSpec extends SparkSpec {
       .collect().map(_.getLong(1)).toSet
     assert(mass === Set(occurrences.count()))
   }
+
+  test("KMV set ops: exact union/Jaccard/intersection below k") {
+    import spark.implicits._
+    // A = {a..e} (5), B = {c..f} (4): union 6, inter 3 → jac 500000
+    val items = (Seq("a", "b", "c", "d", "e").map(("A", _)) ++
+      Seq("c", "d", "e", "f").map(("B", _))).toDF("g", "tok")
+    val sk = Sketch.kmvGroupSketch(items, "g", "tok", k = 128)
+    val r = Sketch.kmvSetOps(sk, k = 128).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[String]("ga") === "A" && row.getAs[String]("gb") === "B")
+    assert(row.getAs[Long]("union_est") === 6L)
+    assert(row.getAs[Long]("jac_micro") === 500000L)
+    assert(row.getAs[Long]("inter_est") === 3L)
+  }
+
+  test("KMV set ops: saturated sketches estimate within 35% at k=64") {
+    import spark.implicits._
+    // two 1200-key universes overlapping in 600 keys: union 1800, jac 1/3
+    val a = (0 until 1200).map(i => ("A", s"k$i"))
+    val b = (600 until 1800).map(i => ("B", s"k$i"))
+    val items = (a ++ b).toDF("g", "tok")
+    val sk = Sketch.kmvGroupSketch(items, "g", "tok", k = 64)
+    // sketches really are bounded at k per group
+    assert(sk.groupBy("g").count().collect().map(_.getLong(1)).forall(_ == 64L))
+    val row = Sketch.kmvSetOps(sk, k = 64).collect().head
+    val unionEst = row.getAs[Long]("union_est").toDouble
+    val interEst = row.getAs[Long]("inter_est").toDouble
+    assert(math.abs(unionEst - 1800) / 1800 < 0.35, s"union_est $unionEst")
+    assert(math.abs(interEst - 600) / 600 < 0.35, s"inter_est $interEst")
+  }
+
+  test("KMV set ops: every pair appears once, ga < gb") {
+    import spark.implicits._
+    val items = (for (g <- Seq("A", "B", "C", "D"); i <- 0 until 20)
+      yield (g, s"$g-$i")).toDF("g", "tok")
+    val sk = Sketch.kmvGroupSketch(items, "g", "tok", k = 32)
+    val rows = Sketch.kmvSetOps(sk, k = 32)
+      .select("ga", "gb").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.length === 6) // C(4,2)
+    assert(rows.forall { case (a, b) => a < b })
+    assert(rows.toSet.size === 6)
+  }
 }
