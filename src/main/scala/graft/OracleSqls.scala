@@ -1366,6 +1366,36 @@ object OracleSqls {
         |    AS ewma_micro
         |FROM xs""".stripMargin,
 
+    // rolling-median/MAD local outliers: ±3-row centered window per user,
+    // lower-middle median, integer micro-units — mirrors
+    // Events.rollingMadAnomalies cell for cell
+    "events_anomaly_mad" ->
+      """WITH v AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(round(value * 1000000, 0) AS BIGINT) AS v
+        |  FROM events
+        |), win AS (
+        |  SELECT user_id, v,
+        |    list(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS vals
+        |  FROM v
+        |), med AS (
+        |  SELECT user_id, v, vals,
+        |    list_sort(vals)[(len(vals) + 1) // 2] AS med
+        |  FROM win
+        |), mad AS (
+        |  SELECT user_id, v, med, abs(v - med) AS dev,
+        |    list_sort(list_transform(vals, x -> abs(x - med)))
+        |      [(len(vals) + 1) // 2] AS mad
+        |  FROM med
+        |)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN dev > mad * 4 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_anomalies,
+        |  CAST(sum(dev) AS BIGINT) AS sum_dev,
+        |  CAST(max(mad) AS BIGINT) AS max_mad
+        |FROM mad GROUP BY user_id""".stripMargin,
+
     // largest-remainder apportionment, mirrored division order throughout
     "curate_mixture_quota" ->
       s"""WITH s AS (

@@ -885,6 +885,12 @@ object Queries {
     Events.ewmaByUser(eventsUs(spark, dir).drop("ts").
       withColumnRenamed("ts_us", "ts"))
 
+  /** Rolling-median/MAD local outlier flags per user (integer-exact
+    * centered-window robust statistics). */
+  def eventsAnomalyMad(spark: SparkSession, dir: String): DataFrame =
+    Events.rollingMadAnomalies(eventsUs(spark, dir).drop("ts").
+      withColumnRenamed("ts_us", "ts"))
+
   /** Exact-budget mixture quotas: 1M tokens apportioned across sources by
     * temperature-0.5 mass with largest-remainder rounding (Σ = budget). */
   def curateMixtureQuota(spark: SparkSession, dir: String): DataFrame =
@@ -1651,6 +1657,7 @@ object Queries {
     "incr_quantile_rollup" -> (incrQuantileRollup _),
     "curate_mixture_quota" -> (curateMixtureQuota _),
     "events_ewma" -> (eventsEwma _),
+    "events_anomaly_mad" -> (eventsAnomalyMad _),
     "layout_zorder" -> (layoutZorder _),
     "layout_partitioned" -> (layoutPartitioned _),
     "curate_decontam" -> (curateDecontam _),

@@ -313,4 +313,37 @@ object Events {
           slice(col("xs"), lit(2), greatest(size(col("xs")) - 1, lit(0))),
           element_at(col("xs"), 1),
           (acc, x) => shiftright(acc + x, 1)).as("ewma_micro"))
+
+  /** Rolling-median/MAD anomaly detection per user: each event's value is
+    * compared against the EXACT median of its ±3-row centered window (in
+    * time order, unique event_id tiebreak) and flagged when
+    * |x − median| > 4·MAD, all in integer micro-units. Median/MAD use the
+    * LOWER-middle element of the sorted window (no interpolated average) —
+    * fully integer, so the whole rule is hash-exact cross-engine; the
+    * robust-statistics analog of [[iqrOutliers]], local instead of global.
+    *
+    * Scale: one keyed window (shuffle on user_id); the ±3 frame keeps the
+    * per-row state O(1) regardless of key history length — unlike the
+    * per-key collect folds, this never materializes a user's whole
+    * sequence. */
+  def rollingMadAnomalies(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(-3, 3)
+    events
+      .withColumn("v", round(col("value") * 1000000L, 0).cast("long"))
+      .withColumn("vals", collect_list(col("v")).over(w))
+      .withColumn("med",
+        expr("element_at(array_sort(vals), cast((size(vals) + 1) div 2 as int))"))
+      .withColumn("dev", abs(col("v") - col("med")))
+      .withColumn("mad",
+        expr("element_at(array_sort(transform(vals, x -> abs(x - med)))," +
+          " cast((size(vals) + 1) div 2 as int))"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("dev") > col("mad") * 4, 1L).otherwise(0L))
+          .as("n_anomalies"),
+        sum(col("dev")).as("sum_dev"),
+        max(col("mad")).as("max_mad"))
+  }
 }

@@ -356,4 +356,32 @@ class EventsSpec extends SparkSpec {
     val out = Events.ewmaByUser(df3).collect().head
     assert(out.getLong(2) === 2500000L)
   }
+
+  test("rollingMadAnomalies: hand-derived centered-window median and MAD") {
+    import spark.implicits._
+    // one user, values 1,1,1,100,1,1,1 (micro: ×1e6) at ts 0..6
+    val df = (0 until 7).map { i =>
+      (i.toLong, i.toLong, 1L, "e", if (i == 3) 100.0 else 1.0, "")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Events.rollingMadAnomalies(df).collect().head
+    assert(r.getAs[Long]("n_events") === 7L)
+    // every window's lower-middle median is 1e6 (the spike never reaches
+    // the middle of any sorted 4..7-row window) → MAD 0 everywhere, and
+    // only the spike row deviates: dev 99e6 > 4·0
+    assert(r.getAs[Long]("n_anomalies") === 1L)
+    assert(r.getAs[Long]("sum_dev") === 99000000L)
+    assert(r.getAs[Long]("max_mad") === 0L)
+  }
+
+  test("rollingMadAnomalies: a steady ramp has nonzero MAD, no anomalies") {
+    import spark.implicits._
+    // linear ramp 0..9: interior window devs are [3,2,1,0,1,2,3] → lower
+    // middle 2 → MAD 2e6; every deviation stays ≤ 4·MAD
+    val df = (0 until 10).map { i =>
+      (i.toLong, i.toLong, 1L, "e", i.toDouble, "")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Events.rollingMadAnomalies(df).collect().head
+    assert(r.getAs[Long]("n_anomalies") === 0L)
+    assert(r.getAs[Long]("max_mad") === 2000000L)
+  }
 }
