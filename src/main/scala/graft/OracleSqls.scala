@@ -2259,6 +2259,27 @@ object OracleSqls {
         |FROM clicks c JOIN errors e ON c.user_id = e.user_id
         |  AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 1 HOUR""".stripMargin,
 
+    // interval-overlap self-join (Joins.intervalJoinBinned): the oracle is
+    // the direct per-supplier overlap join; the Spark side must reproduce
+    // it through bin-explode + first-shared-bin dedup
+    "join_interval" ->
+      """WITH iv AS (
+        |  SELECT l_suppkey,
+        |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS s,
+        |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+        |      + 1 + CAST(l_quantity AS INTEGER) % 30 AS BIGINT) AS e,
+        |    l_orderkey, l_linenumber
+        |  FROM lineitem
+        |)
+        |SELECT a.l_suppkey, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(least(a.e, b.e) - greatest(a.s, b.s)) AS BIGINT)
+        |    AS sum_overlap_days
+        |FROM iv a JOIN iv b ON a.l_suppkey = b.l_suppkey
+        |  AND a.s < b.e AND b.s < a.e
+        |  AND (a.l_orderkey < b.l_orderkey OR
+        |       (a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber))
+        |GROUP BY a.l_suppkey""".stripMargin,
+
     "events_json_props" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

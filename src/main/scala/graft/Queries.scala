@@ -1415,6 +1415,28 @@ object Queries {
       .select(col("click_id"), col("error_id"))
   }
 
+  /** Interval-overlap self-join: shipping windows derived from lineitem
+    * (ship day, length 1 + quantity mod 30 days) overlapped within each
+    * supplier, binned at 32 days, each unordered pair counted once;
+    * per-supplier pair count and total overlap days. */
+  def joinInterval(spark: SparkSession, dir: String): DataFrame = {
+    val li = T(spark, dir, "lineitem").select(
+      col("l_suppkey"),
+      unix_date(to_date(col("l_shipdate"))).cast("long").as("s"),
+      (unix_date(to_date(col("l_shipdate"))) +
+        lit(1) + col("l_quantity").cast("int") % 30).cast("long").as("e"),
+      struct(col("l_orderkey"), col("l_linenumber")).as("id"))
+    val a = li.toDF("l_suppkey", "sa", "ea", "ida")
+    val b = li.toDF("l_suppkey", "sb", "eb", "idb")
+    Joins.intervalJoinBinned(a, b, "l_suppkey",
+        "sa", "ea", "sb", "eb", binWidth = 32L)
+      .where(col("ida") < col("idb"))
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(least(col("ea"), col("eb")) - greatest(col("sa"), col("sb")))
+          .as("sum_overlap_days"))
+  }
+
   /** Semi-structured column handling: the events `props` column is JSON
     * text; extract the typed field with the codegen'd JSON path expression
     * (no UDF, stays in whole-stage codegen) and aggregate — the
@@ -1694,6 +1716,7 @@ object Queries {
     "mm_gif_pixels" -> (mmGifPixels _),
     "join_asof" -> (joinAsof _),
     "join_range" -> (joinRange _),
+    "join_interval" -> (joinInterval _),
     "events_hourly" -> (eventsHourly _),
     "events_rolling" -> (eventsRolling _),
     "events_outliers" -> (eventsOutliers _),

@@ -113,4 +113,36 @@ object Joins {
       .where(col(pt) >= col(start) && col(pt) < col(end))
       .drop("__bin")
   }
+
+  /** Interval×interval OVERLAP join via the same fixed-width binning:
+    * match every pair of same-`key` intervals with
+    * `startA < endB && startB < endA` (half-open overlap). Both sides
+    * explode to their occupied bins and equi-join on (key, bin); since an
+    * overlapping pair co-occupies EVERY bin their intersection touches,
+    * each pair is kept only in the FIRST shared bin
+    * (`bin == max(bin(startA), bin(startB))`) — emitted exactly once with
+    * no distinct pass, the property that keeps the operator one equi-join
+    * at any scale.
+    *
+    * Candidate volume per (key, bin) is activeA×activeB in that bin —
+    * bounded by bin co-occupancy, never per-key cartesian; pick `binWidth`
+    * near the typical interval length (the bins-per-interval /
+    * candidates-per-bin tradeoff, as with [[rangeJoinBinned]]). Column
+    * names must be disjoint across the two inputs apart from `key` (rename
+    * before calling for self-joins). */
+  def intervalJoinBinned(a: DataFrame, b: DataFrame, key: String,
+                         startA: String, endA: String,
+                         startB: String, endB: String,
+                         binWidth: Long): DataFrame = {
+    def bin(c: Column): Column =
+      floor(c.cast("decimal(38,0)") / lit(binWidth)).cast("long")
+    val av = a.withColumn("__bin",
+      explode(sequence(bin(col(startA)), bin(col(endA) - 1))))
+    val bv = b.withColumn("__bin",
+      explode(sequence(bin(col(startB)), bin(col(endB) - 1))))
+    av.join(bv, Seq(key, "__bin"))
+      .where(col(startA) < col(endB) && col(startB) < col(endA) &&
+        col("__bin") === greatest(bin(col(startA)), bin(col(startB))))
+      .drop("__bin")
+  }
 }

@@ -141,4 +141,62 @@ class JoinsSpec extends SparkSpec {
     }.toMap
     assert(asofPairs(left, right) === expected)
   }
+
+  // ---- intervalJoinBinned ----
+
+  private def overlapPairs(as: Seq[(String, Long, Long, Int)],
+                           bs: Seq[(String, Long, Long, Int)],
+                           binWidth: Long): Seq[(Int, Int)] = {
+    val a = as.toDF("k", "sa", "ea", "ida")
+    val b = bs.toDF("k", "sb", "eb", "idb")
+    Joins.intervalJoinBinned(a, b, "k", "sa", "ea", "sb", "eb", binWidth)
+      .select("ida", "idb").as[(Int, Int)].collect().toSeq
+  }
+
+  test("interval join: half-open overlap, touching intervals excluded") {
+    val pairs = overlapPairs(
+      as = Seq(("a", 0L, 10L, 1)),
+      bs = Seq(("a", 9L, 20L, 10), ("a", 10L, 20L, 11), ("a", 20L, 30L, 12)),
+      binWidth = 4L)
+    assert(pairs.toSet === Set(1 -> 10)) // [0,10) meets [9,20); not [10,20)
+  }
+
+  test("interval join emits a many-shared-bin pair exactly once") {
+    // both intervals span bins 0..24 at width 4 — 25 shared bins, one row
+    val pairs = overlapPairs(
+      as = Seq(("a", 0L, 100L, 1)),
+      bs = Seq(("a", 1L, 99L, 10)),
+      binWidth = 4L)
+    assert(pairs === Seq(1 -> 10))
+  }
+
+  test("interval join respects keys") {
+    val pairs = overlapPairs(
+      as = Seq(("a", 0L, 10L, 1), ("b", 0L, 10L, 2)),
+      bs = Seq(("a", 5L, 15L, 10), ("c", 5L, 15L, 11)),
+      binWidth = 8L)
+    assert(pairs.toSet === Set(1 -> 10))
+  }
+
+  test("interval join brute-force equivalence on a randomized fixture") {
+    val rnd = new scala.util.Random(77)
+    val as = (0 until 60).map { i =>
+      val s = rnd.nextInt(200).toLong
+      ((if (rnd.nextBoolean()) "a" else "b"), s, s + 1 + rnd.nextInt(30), i)
+    }
+    val bs = (0 until 60).map { i =>
+      val s = rnd.nextInt(200).toLong
+      ((if (rnd.nextBoolean()) "a" else "b"), s, s + 1 + rnd.nextInt(30), 1000 + i)
+    }
+    val expected = (for {
+      (ka, sa, ea, ida) <- as
+      (kb, sb, eb, idb) <- bs
+      if ka == kb && sa < eb && sb < ea
+    } yield (ida, idb)).toSet
+    for (bw <- Seq(1L, 7L, 16L, 64L)) {
+      val got = overlapPairs(as, bs, bw)
+      assert(got.size === got.toSet.size, s"dupes at binWidth $bw")
+      assert(got.toSet === expected, s"binWidth $bw")
+    }
+  }
 }
