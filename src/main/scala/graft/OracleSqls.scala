@@ -844,6 +844,15 @@ object OracleSqls {
         |WHERE l_orderkey < 1000 AND l_partkey < 200
         |GROUP BY l_returnflag""".stripMargin,
 
+    // Hilbert xy2d replayed as 15 unrolled reflect-and-swap CTE levels
+    // (mirrors graft.expr.HilbertIndex cell for cell)
+    "layout_hilbert" ->
+      s"""WITH ${hilbertCtes(15)}
+        |SELECT d // 1048576 AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(min(d) AS BIGINT) AS min_h, CAST(max(d) AS BIGINT) AS max_h,
+        |  CAST(sum(d) AS BIGINT) AS sum_h
+        |FROM l15 GROUP BY 1""".stripMargin,
+
     // hourly rollup of one type over the hive-partitioned events copy;
     // must equal the same query over the raw table (partition pruning is
     // a physical property, invisible in the result)
@@ -3295,6 +3304,36 @@ object OracleSqls {
        |  CAST(row_number() OVER (ORDER BY c.query_rank, c.row_order) AS BIGINT) AS rank,
        |  p.tokens, c.cum_tokens
        |FROM canon c JOIN prov p ON c.nodeId = p.nodeId""".stripMargin
+  }
+
+  /** Hilbert xy2d unrolled: level k consumes bit i = bits−k of the
+    * (orderkey, partkey) cell, adds the quadrant code (3·rx) xor ry at
+    * weight 4^i, and applies the reflect-and-swap rotation — the exact
+    * per-level walk of [[graft.expr.HilbertIndex]]. CTE materialization
+    * keeps each level linear (no self-referencing CASE blowup). */
+  private def hilbertCtes(bits: Int): String = {
+    val n = 1L << bits
+    val sb = new StringBuilder(
+      s"l0 AS (SELECT l_orderkey % $n AS x, l_partkey % $n AS y, " +
+        "CAST(0 AS BIGINT) AS d FROM lineitem)")
+    for (k <- 1 to bits) {
+      val i = bits - k
+      val s = 1L << i
+      val rx = s"((x // $s) % 2)"
+      val ry = s"((y // $s) % 2)"
+      sb.append(s""",
+        |l$k AS (
+        |  SELECT
+        |    CASE WHEN $ry = 0 THEN
+        |      (CASE WHEN $rx = 1 THEN ${n - 1} - y ELSE y END)
+        |    ELSE x END AS x,
+        |    CASE WHEN $ry = 0 THEN
+        |      (CASE WHEN $rx = 1 THEN ${n - 1} - x ELSE x END)
+        |    ELSE y END AS y,
+        |    d + xor(3 * $rx, $ry) * ${1L << (2 * i)} AS d
+        |  FROM l${k - 1})""".stripMargin)
+    }
+    sb.toString
   }
 
   /** Whitespace word list (non-empty), mirroring [[graft.functions.words]]. */

@@ -985,6 +985,20 @@ object Queries {
       .agg(count(lit(1)).as("n_items"),
         round(sum("l_quantity"), 2).as("sum_qty"))
 
+  /** The Hilbert-curve index arithmetic itself, oracle-checked: bucket
+    * rollup of the codegen'd xy2d over integer-scaled (orderkey, partkey)
+    * cells — the DuckDB oracle replays all 15 reflect-and-swap levels as
+    * unrolled CTEs, so a single off-by-one in either engine's curve walk
+    * breaks the hash. (The clustered WRITE is a physical property, proven
+    * by LayoutSpec's file-pruning comparison like z-order.) */
+  def layoutHilbert(spark: SparkSession, dir: String): DataFrame =
+    T(spark, dir, "lineitem")
+      .select(graft.functions.hilbertIndex(
+        col("l_orderkey") % 32768, col("l_partkey") % 32768, 15).as("h"))
+      .groupBy(shiftright(col("h"), 20).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"), min("h").as("min_h"),
+        max("h").as("max_h"), sum("h").as("sum_h"))
+
   private val partDir = scala.collection.concurrent.TrieMap[String, String]()
 
   /** Hive-partitioned events copy (by event_type), written once per JVM
@@ -1681,6 +1695,7 @@ object Queries {
     "events_ewma" -> (eventsEwma _),
     "events_anomaly_mad" -> (eventsAnomalyMad _),
     "layout_zorder" -> (layoutZorder _),
+    "layout_hilbert" -> (layoutHilbert _),
     "layout_partitioned" -> (layoutPartitioned _),
     "curate_decontam" -> (curateDecontam _),
     "curate_hash_split" -> (curateHashSplit _),

@@ -97,6 +97,15 @@ package object functions {
     bridge.column(graft.expr.TokenEstimate(bridge.expression(words(text))))
   }
 
+  /** 2-D Hilbert-curve index of (x, y) on the 2^bits grid (codegen'd,
+    * [[graft.expr.HilbertIndex]]) — the continuous space-filling key the
+    * clustered-layout writer orders by. */
+  def hilbertIndex(x: Column, y: Column, bits: Int): Column = {
+    import org.apache.spark.sql.graftbridge.bridge
+    bridge.column(graft.expr.HilbertIndex(
+      bridge.expression(x.cast("long")), bridge.expression(y.cast("long")), bits))
+  }
+
   /** Word n-gram shingles (dedup/minhash building block). Empty array when
     * the document has fewer than `n` words.
     *

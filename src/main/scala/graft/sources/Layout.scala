@@ -60,6 +60,46 @@ object Layout {
     stats
   }
 
+  /** Hilbert key over two columns, each rank-scaled into `bits` bits with
+    * the same stats scaling as [[mortonKey]]. The Hilbert curve is
+    * continuous (consecutive keys are grid-adjacent), so file envelopes
+    * along the curve are tighter than Morton's for the same data — the
+    * OPTIMIZE ZORDER alternative lakehouses offer for 2-D clustering. */
+  def hilbertKey(xy: (Column, Column), stats: Seq[(Double, Double)],
+                 bits: Int): Column = {
+    require(stats.size == 2, "hilbertKey is 2-D")
+    require(2 * bits <= 62, s"2 × $bits bits must be ≤ 62")
+    val maxBucket = (1L << bits) - 1
+    val scaled = Seq(xy._1, xy._2).zip(stats).map { case (c, (lo, hi)) =>
+      if (hi <= lo) lit(0L)
+      else least(lit(maxBucket), greatest(lit(0L),
+        floor((c.cast("double") - lit(lo)) / lit(hi - lo) * lit(maxBucket.toDouble + 1))
+          .cast("long")))
+    }
+    graft.functions.hilbertIndex(scaled(0), scaled(1), bits)
+  }
+
+  /** Write `df` to `path` parquet Hilbert-clustered on `hCols` — the same
+    * one-stats-aggregate + range-exchange + in-partition-sort shape as
+    * [[zorderWrite]], ordered by the continuous curve instead. */
+  def hilbertWrite(df: DataFrame, hCols: (String, String), path: String,
+                   numFiles: Int, bits: Int = 15): Seq[(Double, Double)] = {
+    val cols = Seq(hCols._1, hCols._2)
+    val aggCols = cols.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val statsRow = df.agg(aggCols.head, aggCols.tail: _*).head()
+    val stats = cols.indices.map(i =>
+      (statsRow.getDouble(2 * i), statsRow.getDouble(2 * i + 1)))
+    val keyed = df.withColumn("__h",
+      hilbertKey((col(hCols._1), col(hCols._2)), stats, bits))
+    keyed
+      .repartitionByRange(numFiles, col("__h"))
+      .sortWithinPartitions("__h")
+      .drop("__h")
+      .write.mode("overwrite").parquet(path)
+    stats
+  }
+
   /** Hive-style partitioned write: one directory per distinct value of
     * `partCol`. A reader filter on the partition column prunes whole
     * directories at PLANNING time (`PartitionFilters` on the scan node) —

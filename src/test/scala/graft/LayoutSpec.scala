@@ -86,4 +86,53 @@ class LayoutSpec extends SparkSpec {
     val t = Layout.filesTouched(spark, zdir, col("a") < 8)
     assert(t <= 8, s"expected ≤ half the files for a 1/8 slice, got $t")
   }
+
+  test("Hilbert index is a bijection onto 0..4^bits-1") {
+    val bits = 3 // 8×8 grid
+    val grid = spark.range(8).selectExpr("id AS x")
+      .crossJoin(spark.range(8).selectExpr("id AS y"))
+    val ds = grid.select(col("x"), col("y"),
+      graft.functions.hilbertIndex(col("x"), col("y"), bits).as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(ds.values.toSet === (0L until 64L).toSet)
+    // interpreted path agrees with codegen (whole-stage codegen ran above)
+    for (((x, y), d) <- ds)
+      assert(graft.expr.HilbertIndex.xy2d(bits, x, y) === d)
+  }
+
+  test("Hilbert curve is continuous: consecutive keys are grid-adjacent") {
+    val bits = 4 // 16×16
+    val cells = (for (x <- 0L until 16L; y <- 0L until 16L)
+      yield (graft.expr.HilbertIndex.xy2d(bits, x, y), (x, y)))
+      .sortBy(_._1).map(_._2)
+    cells.sliding(2).foreach { case Seq((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1,
+        s"jump between ($x1,$y1) and ($x2,$y2)")
+    }
+    // Morton, by contrast, jumps: it is the reason Hilbert exists
+    val mortonJumps = (for (x <- 0L until 16L; y <- 0L until 16L)
+      yield ((0 until 4).map(i => (((x >> i) & 1) << (2 * i)) |
+        (((y >> i) & 1) << (2 * i + 1))).sum, (x, y)))
+      .sortBy(_._1).map(_._2)
+      .sliding(2).count { case Seq((x1, y1), (x2, y2)) =>
+        math.abs(x1 - x2) + math.abs(y1 - y2) > 1 }
+    assert(mortonJumps > 0)
+  }
+
+  test("Hilbert write clusters 2-D range predicates into few files") {
+    val grid = spark.range(100).selectExpr("id AS a")
+      .crossJoin(spark.range(100).selectExpr("id AS b"))
+    val hdir = java.nio.file.Files.createTempDirectory("graft-h").toString
+    Layout.hilbertWrite(grid, ("a", "b"), hdir, numFiles = 16, bits = 8)
+    val pdir = java.nio.file.Files.createTempDirectory("graft-hplain").toString
+    grid.repartition(16).write.mode("overwrite").parquet(pdir)
+    val box = col("a") < 25 && col("b") < 25 // 1/16 of the key space
+    assert(spark.read.parquet(hdir).count() === 10000L)
+    assert(spark.read.parquet(hdir).where(box).count() ===
+      grid.where(box).count())
+    val clustered = Layout.filesTouched(spark, hdir, box)
+    val plain = Layout.filesTouched(spark, pdir, box)
+    assert(clustered <= 4, s"hilbert touched $clustered of 16 files")
+    assert(plain >= 12, s"random layout should touch most files, got $plain")
+  }
 }
