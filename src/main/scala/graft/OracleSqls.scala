@@ -1619,6 +1619,20 @@ object OracleSqls {
     // Real-PCM round trip: the Spark side encodes samples from this exact
     // integer formula into WAV bytes and DECODES THE BYTES; the oracle
     // recomputes the per-frame features from the formula alone. Frames are
+    // fixed-point Goertzel over the formula samples (32 unrolled
+    // recurrence levels); the Spark side must reach the same powers
+    // THROUGH WAV encode + container walk + PCM decode
+    "mm_audio_goertzel" ->
+      s"""WITH ${goertzelCtes(32, Seq(1, 2, 4, 8))}
+        |SELECT band, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(s1 * s1 + s2 * s2 - ((c * s1) // 16384) * s2) AS BIGINT)
+        |    AS sum_power,
+        |  CAST(min(s1 * s1 + s2 * s2 - ((c * s1) // 16384) * s2) AS BIGINT)
+        |    AS min_power,
+        |  CAST(max(s1 * s1 + s2 * s2 - ((c * s1) // 16384) * s2) AS BIGINT)
+        |    AS max_power
+        |FROM g32 GROUP BY band ORDER BY band""".stripMargin,
+
     // the same [floor(f*ns/4), floor((f+1)*ns/4)) windows; zero crossings
     // count adjacent sign flips over the nonzero samples in s-order.
     "mm_audio_frames" ->
@@ -3332,6 +3346,31 @@ object OracleSqls {
         |    ELSE y END AS y,
         |    d + xor(3 * $rx, $ry) * ${1L << (2 * i)} AS d
         |  FROM l${k - 1})""".stripMargin)
+    }
+    sb.toString
+  }
+
+  /** Goertzel recurrence unrolled: one CTE level per sample t, carrying
+    * (s1, s2) per (doc, band); sample values regenerated from the
+    * mm_audio_goertzel formula, never from bytes. Q14 coefficients are the
+    * SAME driver-computed integers [[graft.operators.Multimodal
+    * .goertzelCoefQ14]] embeds on the Spark side. */
+  private def goertzelCtes(frameLen: Int, bands: Seq[Int]): String = {
+    val bandVals = bands.map(k =>
+      s"($k, ${graft.operators.Multimodal.goertzelCoefQ14(k, frameLen)})")
+      .mkString(", ")
+    val sb = new StringBuilder(
+      s"g0 AS (SELECT doc_id, band, c, CAST(0 AS BIGINT) AS s1, " +
+        s"CAST(0 AS BIGINT) AS s2 FROM documents " +
+        s"CROSS JOIN (VALUES $bandVals) AS b(band, c))")
+    for (t <- 0 until frameLen) {
+      val x = s"(((doc_id * 7 + ${13L * t} + ${(t.toLong * t % 97L) * 31L})" +
+        s" % 2001) - 1000)"
+      sb.append(s""",
+        |g${t + 1} AS (
+        |  SELECT doc_id, band, c,
+        |    $x + (c * s1) // 16384 - s2 AS s1, s1 AS s2
+        |  FROM g$t)""".stripMargin)
     }
     sb.toString
   }

@@ -1370,6 +1370,12 @@ object Queries {
   def mmGifPixels(spark: SparkSession, dir: String): DataFrame =
     Multimodal.gifDecodeRoundtrip(spark, T(spark, dir, "documents"))
 
+  /** Fixed-point Goertzel band energy over real decoded PCM: formula →
+    * WAV bytes → container walk + sample decode → 4-bin spectral filter;
+    * oracle replays the recurrence on the formula samples. */
+  def mmAudioGoertzel(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.audioGoertzelRoundtrip(spark, T(spark, dir, "documents"))
+
   // ---- events (batch form; streaming variants in graft.operators.Events) ----
 
   /** Events load, normalized so `ts` is ALWAYS epoch-nanos LongType
@@ -1729,6 +1735,7 @@ object Queries {
     "mm_image_resize" -> (mmImageResize _),
     "mm_png_pixels" -> (mmPngPixels _),
     "mm_gif_pixels" -> (mmGifPixels _),
+    "mm_audio_goertzel" -> (mmAudioGoertzel _),
     "join_asof" -> (joinAsof _),
     "join_range" -> (joinRange _),
     "join_interval" -> (joinInterval _),

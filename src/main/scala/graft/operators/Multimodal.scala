@@ -991,6 +991,78 @@ object Multimodal {
     None
   }
 
+  // ---------------------------------------------------------------------
+  // Goertzel — fixed-point single-bin spectral energy over decoded PCM.
+  // ---------------------------------------------------------------------
+
+  /** Q14 fixed-point Goertzel coefficient 2·cos(2πk/n) for DFT bin k of an
+    * n-sample frame. Computed once on the driver and embedded as an
+    * integer constant in BOTH engines, so no transcendental function ever
+    * runs inside a query. */
+  def goertzelCoefQ14(k: Int, n: Int): Long =
+    math.round(16384.0 * 2.0 * math.cos(2.0 * math.Pi * k / n))
+
+  /** Goertzel recurrence in pure Long arithmetic: s₀ = x + trunc(c·s₁ /
+    * 2^14) − s₂, power = s₁² + s₂² − trunc(c·s₁/2^14)·s₂. TRUNCATING
+    * division, not an arithmetic shift: Java `/` and DuckDB `//` both
+    * round toward zero on negatives, while `>>` floors — the one-ulp
+    * disagreement that would silently break the hash on any negative
+    * intermediate. Magnitudes stay well inside Long for 16-bit PCM and
+    * frame lengths ≤ a few hundred. */
+  def goertzelPower(samples: Array[Int], c: Long): Long = {
+    var s1 = 0L; var s2 = 0L
+    var i = 0
+    while (i < samples.length) {
+      val s0 = samples(i) + (c * s1) / 16384 - s2
+      s2 = s1; s1 = s0; i += 1
+    }
+    s1 * s1 + s2 * s2 - ((c * s1) / 16384) * s2
+  }
+
+  /** Spectral band energy end-to-end: each doc synthesizes a 16-bit PCM
+    * WAV from an integer formula of (doc_id, t), the REAL container walk +
+    * sample decode recovers the frame, and the fixed-point Goertzel filter
+    * measures four DFT bins — integer-exact, so the bytes-blind oracle
+    * replays the recurrence on the formula samples and hash-matches only
+    * if container, PCM decode, and filter arithmetic all agree. The
+    * feature-extraction shape a multimodal pipeline runs over audio
+    * corpora (band energies as model inputs), distributed per partition
+    * like every decoder here. */
+  def audioGoertzelRoundtrip(spark: SparkSession, docs: DataFrame,
+                             frameLen: Int = 32,
+                             bands: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    import spark.implicits._
+    val coefs = bands.map(k => k -> goertzelCoefQ14(k, frameLen))
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val samples = Array.tabulate(frameLen) { t =>
+            (((id * 7L + 13L * t + (t.toLong * t % 97L) * 31L) % 2001L)
+              - 1000L).toInt
+          }
+          (id, wavFile16(8000, samples))
+        }
+      }
+      .mapPartitions { it =>
+        it.flatMap { case (id, p) =>
+          wavPcmLayout(p) match {
+            case Some((16, _, off, len)) =>
+              val n = math.min(frameLen, len / 2)
+              val samples = Array.tabulate(n)(s =>
+                u8(p, off + 2 * s) | (p(off + 2 * s + 1).toInt << 8))
+              coefs.iterator.map { case (k, c) =>
+                (id, k, goertzelPower(samples, c))
+              }
+            case _ => Iterator.empty
+          }
+        }
+      }.toDF("doc_id", "band", "power")
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_docs"), sum("power").as("sum_power"),
+        min("power").as("min_power"), max("power").as("max_power"))
+      .orderBy("band")
+  }
+
   /** GIF pixel-decode round trip (the GIF sibling of
     * [[pngDecodeRoundtrip]]): each doc synthesizes a grayscale GIF whose
     * levels follow an integer formula of (doc_id, x, y), the REAL LZW

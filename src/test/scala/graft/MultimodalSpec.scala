@@ -451,6 +451,37 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeGifGray("hello".getBytes).isEmpty)
   }
 
+  test("goertzelPower: hand-derived three-sample fold") {
+    // c = 2 (Q14 value 32768 would be 2.0; pick c raw = 32768):
+    // s-updates: s0 = x + (c*s1 >> 14) - s2
+    val c = 32768L // exactly 2.0 in Q14
+    // samples 3, 5, 7: s=(3,0) → (5+6,3)=(11,3) → (7+22-3,11)=(26,11)
+    // power = 26² + 11² − (2·26)·11 = 676 + 121 − 572 = 225
+    assert(Multimodal.goertzelPower(Array(3, 5, 7), c) === 225L)
+  }
+
+  test("Goertzel picks out the matching tone bin through the WAV codec") {
+    val n = 32
+    // a pure bin-4 tone, amplitudes decoded through a real WAV round trip
+    val tone = Array.tabulate(n)(t =>
+      math.round(999.0 * math.cos(2.0 * math.Pi * 4 * t / n)).toInt)
+    val wav = Multimodal.wavFile16(8000, tone)
+    // canonical 44-byte RIFF/fmt/data header, then 16-bit LE samples
+    val off = 44
+    assert((wav.length - off) / 2 === n)
+    val decoded = Array.tabulate(n) { s =>
+      (wav(off + 2 * s) & 0xff) | (wav(off + 2 * s + 1).toInt << 8)
+    }
+    assert(decoded.sameElements(tone))
+    val powers = Seq(1, 2, 4, 8).map(k =>
+      k -> Multimodal.goertzelPower(decoded, Multimodal.goertzelCoefQ14(k, n)))
+    val best = powers.maxBy(_._2)._1
+    assert(best === 4, s"bin powers: $powers")
+    // the matching bin dominates every other bin by an order of magnitude
+    val p4 = powers.toMap.apply(4).toDouble
+    assert(powers.filter(_._1 != 4).forall(_._2 < p4 / 10), s"powers: $powers")
+  }
+
   test("gifDecodeRoundtrip recovers the formula through LZW") {
     val docs = Seq(0L, 1L, 2L, 3L, 4L).toDF("doc_id")
     val cells = Multimodal.gifDecodeRoundtrip(spark, docs)
