@@ -315,6 +315,35 @@ object OracleSqls {
         |  round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total
         |FROM merged GROUP BY o_orderstatus""".stripMargin,
 
+    // time travel: version 0 = base, 1 = after mergeCte's batch, 2 = after
+    // the second batch replayed over `merged` (same anti-join + union law)
+    "lake_time_travel" ->
+      s"""WITH $mergeCte,
+        |ch2 AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice + 500 AS o_totalprice,
+        |    1 AS seq, 'U' AS op FROM o WHERE o_orderkey % 10 = 3
+        |  UNION ALL SELECT o_orderkey, o_orderstatus, o_totalprice, 1, 'D'
+        |    FROM o WHERE o_orderkey % 100 = 40
+        |),
+        |latest2 AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, op FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |      ORDER BY seq DESC, CASE WHEN op = 'D' THEN 0 ELSE 1 END) AS rn
+        |    FROM ch2) WHERE rn = 1
+        |),
+        |v2 AS (
+        |  SELECT m.* FROM merged m ANTI JOIN latest2 l
+        |    ON m.o_orderkey = l.o_orderkey
+        |  UNION ALL SELECT o_orderkey, o_orderstatus, o_totalprice
+        |    FROM latest2 WHERE op <> 'D'
+        |)
+        |SELECT 0 AS version, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total FROM o
+        |UNION ALL SELECT 1, CAST(count(*) AS BIGINT),
+        |  round(CAST(sum(o_totalprice) AS DOUBLE), 2) FROM merged
+        |UNION ALL SELECT 2, CAST(count(*) AS BIGINT),
+        |  round(CAST(sum(o_totalprice) AS DOUBLE), 2) FROM v2""".stripMargin,
+
     "lake_snapshot_diff" ->
       s"""WITH $mergeCte
         |SELECT op, CAST(count(*) AS BIGINT) AS n_keys,

@@ -1312,6 +1312,33 @@ object Queries {
       .agg(count(lit(1)).as("n_keys"), sum("o_orderkey").as("key_sum"))
   }
 
+  /** Second deterministic changelog batch (applies after
+    * [[ordersChangelog]]): +500 updates on %10==3 keys (untouched by
+    * batch 1) and deletes of %100==40 keys (updated in batch 1 — the
+    * overwrite-then-delete lineage time travel must replay correctly). */
+  private def ordersChangelog2(o: DataFrame): DataFrame = {
+    val upd = o.where(col("o_orderkey") % 10 === 3)
+      .withColumn("o_totalprice", col("o_totalprice") + 500)
+      .withColumn("seq", lit(1L)).withColumn("op", lit("U"))
+    val dels = o.where(col("o_orderkey") % 100 === 40)
+      .withColumn("seq", lit(1L)).withColumn("op", lit("D"))
+    upd.unionByName(dels)
+  }
+
+  /** Time travel: audit the orders snapshot AS OF versions 0, 1, 2 — the
+    * base and each changelog fold ([[operators.Lakehouse.readVersion]]). */
+  def lakeTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val o = ordersSnapshot(spark, dir)
+    val logs = Seq(ordersChangelog(o), ordersChangelog2(o))
+    (0 to 2).map { v =>
+      operators.Lakehouse
+        .readVersion(o, logs, v, Seq("o_orderkey"), "seq", "op")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("o_totalprice").cast("double"), 2).as("total"))
+        .select(lit(v).as("version"), col("n_rows"), col("total"))
+    }.reduce(_ unionByName _)
+  }
+
   /** The SQL extension surface end-to-end (§2.10): plain `spark.sql` text
     * calling the injected codegen expressions (`graft_token_estimate`,
     * `graft_nfc`) — what a SQL-only user of the library sees. Same
@@ -1726,6 +1753,7 @@ object Queries {
     "sql_surface" -> (sqlSurface _),
     "curate_e2e" -> (curateE2e _),
     "lake_merge_upsert" -> (lakeMergeUpsert _),
+    "lake_time_travel" -> (lakeTimeTravel _),
     "lake_snapshot_diff" -> (lakeSnapshotDiff _),
     "profile_documents" -> (profileDocuments _),
     "mm_binary_stats" -> (mmBinaryStats _),

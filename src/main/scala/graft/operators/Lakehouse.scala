@@ -38,6 +38,21 @@ object Lakehouse {
       latest.where(col(opCol) =!= "D").drop(seqCol, opCol))
   }
 
+  /** Time-travel read: the table AS OF `version`, reconstructed by folding
+    * the first `version` changelog batches over the base snapshot with
+    * [[mergeSnapshot]] (version 0 = the base). The log-structured read
+    * path of every table format that stores a base + ordered deltas
+    * (Delta/Iceberg/Hudi shape): each fold is one anti-join + union, so a
+    * k-version read is k incremental merges, never a rewrite. */
+  def readVersion(base: DataFrame, logs: Seq[DataFrame], version: Int,
+                  keyCols: Seq[String], seqCol: String,
+                  opCol: String): DataFrame = {
+    require(version >= 0 && version <= logs.size,
+      s"version $version outside [0, ${logs.size}]")
+    logs.take(version).foldLeft(base)(
+      (snap, log) => mergeSnapshot(snap, log, keyCols, seqCol, opCol))
+  }
+
   /** Changelog between two snapshots of the same schema: keys only in
     * `after` → I, only in `before` → D, in both with any non-key column
     * differing (null-safe) → U. Unchanged keys are omitted. */

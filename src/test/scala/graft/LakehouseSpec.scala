@@ -53,4 +53,24 @@ class LakehouseSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out === Map(1L -> "U", 2L -> "D", 9L -> "I"))
   }
+
+  test("time travel: each version folds one more changelog batch") {
+    val log1 = Seq(
+      (1L, "A", 15.0, 1L, "U"),
+      (2L, "B", 20.0, 1L, "D"),
+      (9L, "N", 90.0, 1L, "I")).toDF("k", "status", "price", "seq", "op")
+    val log2 = Seq(
+      (9L, "N", 95.0, 1L, "U"),  // update a key inserted in v1
+      (1L, "A", 15.0, 1L, "D"),  // delete a key updated in v1
+      (2L, "B", 25.0, 1L, "I"))  // re-insert a key deleted in v1
+      .toDF("k", "status", "price", "seq", "op")
+    def state(v: Int) =
+      Lakehouse.readVersion(snap, Seq(log1, log2), v, Seq("k"), "seq", "op")
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(state(0) === Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0))
+    assert(state(1) === Map(1L -> 15.0, 3L -> 30.0, 9L -> 90.0))
+    assert(state(2) === Map(2L -> 25.0, 3L -> 30.0, 9L -> 95.0))
+    assertThrows[IllegalArgumentException](
+      Lakehouse.readVersion(snap, Seq(log1, log2), 3, Seq("k"), "seq", "op"))
+  }
 }
