@@ -751,6 +751,8 @@ object OracleSqls {
         |FROM per_node GROUP BY n_tri""".stripMargin,
 
     "graph_bfs_dist" -> withGraph(bfsSql(iters = 6)),
+    "graph_eccentricity" -> withGraph(
+      eccSql(iters = 6, Seq("ASIA", "EUROPE", "AFRICA"))),
     "graph_assortativity" -> withGraph(
       """, adjd AS (SELECT DISTINCT a, b FROM bidir),
         |deg AS (SELECT a, count(*) AS deg FROM adjd GROUP BY a),
@@ -2807,6 +2809,32 @@ object OracleSqls {
   /** Unrolled BFS min-distance propagation from the ASIA region anchor,
     * mirroring [[graft.graph.GraphAlgorithms.bfsLayers]] (MATERIALIZED per
     * level — each level is referenced twice by the next). */
+  /** Src-keyed bounded BFS (mirrors [[graft.graph.GraphAlgorithms
+    * .eccentricityEst]]): every anchor's search in one keyed chain, final
+    * row per anchor = (name, max distance, nodes reached). */
+  private def eccSql(iters: Int, names: Seq[String]): String = {
+    val nameList = names.map(n => s"'$n'").mkString(", ")
+    val rounds = (1 to iters).map { t =>
+      s"""ec$t AS MATERIALIZED (
+         |  SELECT src, v, min(d) AS d FROM (
+         |    SELECT src, v, d FROM ec${t - 1}
+         |    UNION ALL
+         |    SELECT n.src, e.b, n.d + 1 FROM ec${t - 1} n JOIN adje e ON n.v = e.a
+         |  ) GROUP BY src, v
+         |)""".stripMargin
+    }.mkString(",\n")
+    s""", adje AS MATERIALIZED (SELECT DISTINCT a, b FROM bidir),
+       |ec0 AS (
+       |  SELECT nodeId AS src, nodeId AS v, 0 AS d FROM nodes
+       |  WHERE label = 'Region' AND name IN ($nameList)
+       |),
+       |$rounds
+       |SELECT n.name AS anchor, CAST(max(s.d) AS BIGINT) AS ecc,
+       |  CAST(count(*) AS BIGINT) AS n_reached
+       |FROM ec$iters s JOIN nodes n ON s.src = n.nodeId
+       |GROUP BY n.name""".stripMargin
+  }
+
   private def bfsSql(iters: Int): String = {
     val rounds = (1 to iters).map { t =>
       s"""bd$t AS MATERIALIZED (

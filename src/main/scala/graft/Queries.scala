@@ -452,6 +452,13 @@ object Queries {
     graft.graph.GraphAlgorithms.bfsLayers(graph(spark, dir), "Region",
       Seq("ASIA"), iters = 6)
 
+  /** Per-pivot bounded eccentricity from three region anchors in one
+    * src-keyed BFS pass; max(ecc) is the standard sampled diameter lower
+    * bound. */
+  def graphEccentricity(spark: SparkSession, dir: String): DataFrame =
+    graft.graph.GraphAlgorithms.eccentricityEst(graph(spark, dir), "Region",
+      Seq("ASIA", "EUROPE", "AFRICA"), iters = 6)
+
   /** Small-part co-occurrence edges weighted by affinity distance
     * (1e6 div co-order count — frequently co-bought parts are "close";
     * exact Long arithmetic). Shared by graph_sssp. */
@@ -1667,6 +1674,7 @@ object Queries {
     "graph_betweenness" -> (graphBetweenness _),
     "graph_modularity" -> (graphModularity _),
     "graph_bfs_dist" -> (graphBfsDist _),
+    "graph_eccentricity" -> (graphEccentricity _),
     "graph_ppr" -> (graphPpr _),
     "graph_hits" -> (graphHits _),
     "graph_harmonic" -> (graphHarmonic _),

@@ -220,6 +220,42 @@ object GraphAlgorithms {
       .agg(count(lit(1)).as("n_nodes"))
   }
 
+  /** Per-anchor eccentricity (bounded): the max BFS distance each anchor
+    * reaches within `iters` hops, all anchors in ONE src-keyed frontier
+    * pass (the betweenness forward-sweep shape, [[bfsLayers]] semantics
+    * per source). `max(ecc)` over a pivot set is the standard diameter
+    * lower bound at scale — pivots sample the graph instead of the O(V)
+    * all-pairs sweep, and the bound only tightens as pivots are added.
+    * Frontier and dist are O(anchors·V): broadcast behind the node-count
+    * guard, so the O(E) adjacency never re-shuffles per round. */
+  def eccentricityEst(g: PropertyGraph, label: String, names: Seq[String],
+                      iters: Int): DataFrame = {
+    val adj = g.bidir.select(col("a"), col("b")).distinct()
+      .localCheckpoint(true)
+    val nNodes = g.nodes.count()
+    def frontierSide(df: DataFrame): DataFrame =
+      if (nNodes <= 5000000L) broadcast(df) else df
+    var frontier = g.nodes
+      .where(col("label") === label && col("name").isin(names: _*))
+      .select(col("nodeId").as("src"), col("nodeId").as("v"), lit(0).as("d"))
+      .localCheckpoint(true)
+    var dist = frontier
+    for (t <- 1 to iters) {
+      frontier = adj.join(frontierSide(frontier), col("v") === col("a"))
+        .select(col("src"), col("b").as("v")).distinct()
+        .join(frontierSide(dist.select(col("src"), col("v"))),
+          Seq("src", "v"), "left_anti")
+        .select(col("src"), col("v"), lit(t).as("d"))
+        .localCheckpoint(true)
+      dist = dist.unionByName(frontier)
+    }
+    dist.groupBy("src")
+      .agg(max("d").cast("long").as("ecc"),
+        count(lit(1)).as("n_reached"))
+      .join(g.nodes, col("src") === col("nodeId"))
+      .select(col("name").as("anchor"), col("ecc"), col("n_reached"))
+  }
+
   /** Degree assortativity (Newman's r): Pearson correlation of endpoint
     * degrees over the symmetrized edge list. All moments are EXACT integer
     * sums (m, Σdd', Σd, Σd²) — emitted alongside r so the hash gate pins

@@ -202,6 +202,26 @@ class GraphAlgorithmsSpec extends SparkSpec {
     assert(out.getLong(1) === 3L)
   }
 
+  test("eccentricity: per-anchor max distance and reach in one pass") {
+    // path 1-2-3-4-5: ecc(n1)=4, ecc(n3)=2; both searches share the pass
+    val graph = g(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)),
+      Seq(1L -> "A", 2L -> "B", 3L -> "A", 4L -> "B", 5L -> "B"))
+    val out = GraphAlgorithms.eccentricityEst(graph, "A", Seq("n1", "n3"), 6)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out === Map("n1" -> ((4L, 5L)), "n3" -> ((2L, 5L))))
+  }
+
+  test("eccentricity is hop-bounded and counts only the reached set") {
+    // path 1-2-3-4-5 cut at 2 hops from n1: ecc capped at 2, reach 3
+    val graph = g(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)),
+      Seq(1L -> "A", 2L -> "B", 3L -> "A", 4L -> "B", 5L -> "B"))
+    val out = GraphAlgorithms.eccentricityEst(graph, "A", Seq("n1"), 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out === Map("n1" -> ((2L, 3L))))
+  }
+
   test("BFS layers exclude unreached nodes") {
     val graph = g(Seq((1L, 2L), (3L, 4L)),
       Seq(1L -> "A", 2L -> "A", 3L -> "B", 4L -> "B"))
