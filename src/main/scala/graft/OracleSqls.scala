@@ -750,6 +750,47 @@ object OracleSqls {
         |SELECT n_tri, CAST(count(*) AS BIGINT) AS n_nodes
         |FROM per_node GROUP BY n_tri""".stripMargin,
 
+    // local clustering coefficient deciles over the same co-occurrence
+    // graph: cc = (2*tri*1e6) // (deg*(deg-1)) per deg>=2 node, mirrored
+    // wedge orientation (GraphAlgorithms.clusteringCoefficients)
+    "graph_clustering" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 5)
+        |), und AS MATERIALIZED (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM li x JOIN li y ON x.k = y.k AND x.p < y.p
+        |), deg AS (
+        |  SELECT a AS v, count(*) AS deg FROM (
+        |    SELECT a, b FROM und UNION ALL SELECT b, a FROM und
+        |  ) GROUP BY a
+        |), orient AS MATERIALIZED (
+        |  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+        |              THEN e.a ELSE e.b END AS u,
+        |         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+        |              THEN e.b ELSE e.a END AS w
+        |  FROM und e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v
+        |), tri AS (
+        |  SELECT w1.u, w1.w AS x, w2.w AS y
+        |  FROM orient w1 JOIN orient w2 ON w1.u = w2.u AND w1.w < w2.w
+        |  WHERE EXISTS (SELECT 1 FROM und c
+        |                WHERE c.a = least(w1.w, w2.w) AND c.b = greatest(w1.w, w2.w))
+        |), corners AS (
+        |  SELECT u AS v FROM tri UNION ALL SELECT x FROM tri
+        |  UNION ALL SELECT y FROM tri
+        |), per_node AS (
+        |  SELECT v, count(*) AS n_tri FROM corners GROUP BY v
+        |), cc AS (
+        |  SELECT (2 * COALESCE(t.n_tri, 0) * 1000000)
+        |    // (d.deg * (d.deg - 1)) AS cc_micro
+        |  FROM deg d LEFT JOIN per_node t ON d.v = t.v
+        |  WHERE d.deg >= 2
+        |)
+        |SELECT cc_micro // 100000 AS decile,
+        |  CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(sum(cc_micro) AS BIGINT) AS sum_cc
+        |FROM cc GROUP BY 1""".stripMargin,
+
     "graph_bfs_dist" -> withGraph(bfsSql(iters = 6)),
     "graph_eccentricity" -> withGraph(
       eccSql(iters = 6, Seq("ASIA", "EUROPE", "AFRICA"))),

@@ -419,6 +419,21 @@ object Queries {
     graft.graph.GraphAlgorithms.triangleHistogram(edges)
   }
 
+  /** Local clustering-coefficient deciles over the same co-occurrence
+    * graph (integer micro-unit cc per deg≥2 node). */
+  def graphClustering(spark: SparkSession, dir: String): DataFrame = {
+    val small = T(spark, dir, "part").where(col("p_size") <= 5)
+      .select(col("p_partkey").as("p"))
+    val li = T(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
+      .join(small, Seq("p"), "left_semi").distinct()
+    val edges = li.select(col("k"), col("p").as("a"))
+      .join(li.select(col("k"), col("p").as("b")), Seq("k"))
+      .where(col("a") < col("b"))
+      .select("a", "b")
+    graft.graph.GraphAlgorithms.clusteringCoefficients(edges)
+  }
+
   /** 4-truss of the small-part co-occurrence graph: every surviving edge
     * sits in >= 2 triangles among survivors (3 peel rounds + early exit,
     * mirrored by the oracle's full unroll via the identity-round law). */
@@ -1670,6 +1685,7 @@ object Queries {
     "graph_walks" -> (graphWalks _),
     "graph_skipgrams" -> (graphSkipgrams _),
     "graph_triangles" -> (graphTriangles _),
+    "graph_clustering" -> (graphClustering _),
     "graph_ktruss" -> (graphKtruss _),
     "graph_betweenness" -> (graphBetweenness _),
     "graph_modularity" -> (graphModularity _),

@@ -25,7 +25,17 @@ object GraphAlgorithms {
     * self-loops are tolerated (canonicalized away). Returns the
     * triangles-per-node histogram: (n_tri, n_nodes).
     */
-  def triangleHistogram(edges: DataFrame): DataFrame = {
+  def triangleHistogram(edges: DataFrame): DataFrame =
+    perNodeTriangles(edges)._2
+      .groupBy("n_tri").agg(count(lit(1)).as("n_nodes"))
+
+  /** Shared degree-oriented triangle enumeration: returns the full degree
+    * table (v, deg) and the per-node triangle-corner counts (v, n_tri;
+    * triangle-free nodes absent). Wedges pivot at the LOWER-degree
+    * endpoint (id tiebreak), so per-node wedge fan-out is bounded by the
+    * oriented out-degree — the standard skew guard that keeps hub nodes
+    * from enumerating deg² pairs. */
+  private def perNodeTriangles(edges: DataFrame): (DataFrame, DataFrame) = {
     val und = edges.select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
       .where(col("a") < col("b")).distinct()
@@ -48,8 +58,24 @@ object GraphAlgorithms {
     val corners = tri.select(col("u").as("v"))
       .unionByName(tri.select(col("x").as("v")))
       .unionByName(tri.select(col("y").as("v")))
-    corners.groupBy("v").agg(count(lit(1)).as("n_tri"))
-      .groupBy("n_tri").agg(count(lit(1)).as("n_nodes"))
+    (deg, corners.groupBy("v").agg(count(lit(1)).as("n_tri")))
+  }
+
+  /** Local clustering coefficient distribution: per node with deg ≥ 2,
+    * cc = 2·tri(v) / (deg(v)·(deg(v)−1)) in integer micro-units
+    * (triangle-free nodes score 0), bucketed into deciles. The per-node
+    * table reuses [[perNodeTriangles]]'s oriented wedge enumeration — no
+    * second pass over the edge set, and the histogram keeps the result
+    * O(10) at any graph size. */
+  def clusteringCoefficients(edges: DataFrame): DataFrame = {
+    val (deg, perNode) = perNodeTriangles(edges)
+    deg.where(col("deg") >= 2)
+      .join(perNode, Seq("v"), "left")
+      .na.fill(0L, Seq("n_tri"))
+      .select(expr("(2 * n_tri * 1000000) div (deg * (deg - 1))")
+        .as("cc_micro"))
+      .groupBy(expr("cc_micro div 100000").as("decile"))
+      .agg(count(lit(1)).as("n_nodes"), sum("cc_micro").as("sum_cc"))
   }
 
   /** Sampled, distance-bounded betweenness centrality (Brandes from a

@@ -202,6 +202,25 @@ class GraphAlgorithmsSpec extends SparkSpec {
     assert(out.getLong(1) === 3L)
   }
 
+  test("clustering coefficients: triangle with tail, hand-derived deciles") {
+    // triangle 1-2-3 + tail 3-4: cc(1)=cc(2)=1e6 (deg 2, 1 tri),
+    // cc(3)=⌊2e6/6⌋=333333 (deg 3), node 4 deg 1 excluded
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val out = GraphAlgorithms.clusteringCoefficients(edges)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out === Map(10L -> ((2L, 2000000L)), 3L -> ((1L, 333333L))))
+  }
+
+  test("clustering coefficients: triangle-free deg>=2 nodes score zero") {
+    // path 1-2-3: node 2 has deg 2, no triangles → decile 0, cc 0
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val out = GraphAlgorithms.clusteringCoefficients(edges)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out === Map(0L -> ((1L, 0L))))
+  }
+
   test("eccentricity: per-anchor max distance and reach in one pass") {
     // path 1-2-3-4-5: ecc(n1)=4, ecc(n3)=2; both searches share the pass
     val graph = g(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)),
