@@ -2270,6 +2270,30 @@ object OracleSqls {
         |  CAST(count(*) AS BIGINT) AS n
         |FROM h GROUP BY 1, 2""".stripMargin,
 
+    // integer Flesch: 206835 − (1015·nw)//ns − (84600·sy)//nw milli-units,
+    // sentences = [.!?]+ runs (min 1), syllables = vowel-group runs —
+    // mirrors TextOps.readabilityBySource term for term
+    "text_readability" ->
+      s"""WITH d AS (
+        |  SELECT source,
+        |    CAST(len($wordsExpr) AS BIGINT) AS nw,
+        |    greatest(CAST(1 AS BIGINT),
+        |      CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS ns,
+        |    CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT)
+        |      AS sy
+        |  FROM documents
+        |), f AS (
+        |  SELECT source, sy,
+        |    206835 - (1015 * nw) // ns - (84600 * sy) // nw AS fl
+        |  FROM d WHERE nw >= 1
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(fl) AS BIGINT) AS sum_flesch_milli,
+        |  CAST(min(fl) AS BIGINT) AS min_flesch_milli,
+        |  CAST(max(fl) AS BIGINT) AS max_flesch_milli,
+        |  CAST(sum(sy) AS BIGINT) AS sum_syllables
+        |FROM f GROUP BY source""".stripMargin,
+
     "text_quality" -> s"""WITH f AS (
         |  SELECT source, $wordsExpr AS w,
         |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS wl,

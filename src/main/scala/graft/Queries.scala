@@ -790,6 +790,10 @@ object Queries {
   def textQuality(spark: SparkSession, dir: String): DataFrame =
     TextOps.qualityBySource(T(spark, dir, "documents"))
 
+  /** Integer Flesch reading-ease rollup per source. */
+  def textReadability(spark: SparkSession, dir: String): DataFrame =
+    TextOps.readabilityBySource(T(spark, dir, "documents"))
+
   def textTokens(spark: SparkSession, dir: String): DataFrame =
     TextOps.tokenStatsByLang(T(spark, dir, "documents"))
 
@@ -1729,6 +1733,7 @@ object Queries {
     "corpus_clean" -> (corpusClean _),
     "text_langid" -> (textLangId _),
     "text_quality" -> (textQuality _),
+    "text_readability" -> (textReadability _),
     "text_tokens" -> (textTokens _),
     "text_fingerprint" -> (textFingerprint _),
     "text_scrub" -> (textScrub _),

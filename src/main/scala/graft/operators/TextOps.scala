@@ -59,6 +59,33 @@ object TextOps {
       least(alphaRatio, lit(1.0)) * lit(0.3))
   }
 
+  /** Flesch reading-ease per source in integer milli-units:
+    * 206.835 − 1.015·(words/sentence) − 84.6·(syllables/word), with
+    * sentences = non-overlapping [.!?]+ runs (min 1) and syllables =
+    * vowel-group runs — the classic heuristic, composed entirely from
+    * integer division so the score is hash-exact cross-engine (regexes in
+    * the established RE2 ∩ java.util.regex subset; no lowercasing, which
+    * has engine-divergent Unicode edge cases — the vowel class lists both
+    * cases instead). One narrow codegen'd scan + one map-side-combined
+    * rollup. */
+  def readabilityBySource(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"),
+        size(words(col("text"))).cast("long").as("nw"),
+        greatest(lit(1L),
+          regexp_count(col("text"), lit("[.!?]+")).cast("long")).as("ns"),
+        regexp_count(col("text"), lit("[aeiouyAEIOUY]+")).cast("long").as("sy"))
+      .where(col("nw") >= 1)
+      .select(col("source"), col("sy"),
+        (lit(206835L) - expr("(1015 * nw) div ns") -
+          expr("(84600 * sy) div nw")).as("fl"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("fl").as("sum_flesch_milli"),
+        min("fl").as("min_flesch_milli"),
+        max("fl").as("max_flesch_milli"),
+        sum("sy").as("sum_syllables"))
+
   /** Quality scoring aggregated per source. */
   def qualityBySource(docs: DataFrame): DataFrame = {
     val w = words(col("text"))

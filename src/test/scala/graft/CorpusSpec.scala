@@ -47,4 +47,24 @@ class CorpusSpec extends SparkSpec {
     assert(out("a")._2 === tok(good))
     assert(out("b")._2 === tok("the cat sat on a mat and it is happy to be in the house today"))
   }
+
+  test("readability: hand-derived integer Flesch on a two-sentence doc") {
+    // "Hello world. How are you?" → nw=5, ns=2, vowel groups:
+    // e,o | o | o | a,e | ou = 7 → 206835 − 5075//2 − 592200//5 = 85858
+    val d = Seq((1L, "s", "Hello world. How are you?"))
+      .toDF("doc_id", "source", "text")
+    val r = TextOps.readabilityBySource(d).collect().head
+    assert(r.getAs[Long]("n_docs") === 1L)
+    assert(r.getAs[Long]("sum_syllables") === 7L)
+    assert(r.getAs[Long]("sum_flesch_milli") === 85858L)
+  }
+
+  test("readability: no sentence marks count as one sentence; y is a vowel") {
+    // "shy sky myth" → nw=3, ns=1 (floor), sy=3 (y groups)
+    // fl = 206835 − 3045 − 84600 = 119190
+    val d = Seq((1L, "s", "shy sky myth")).toDF("doc_id", "source", "text")
+    val r = TextOps.readabilityBySource(d).collect().head
+    assert(r.getAs[Long]("sum_syllables") === 3L)
+    assert(r.getAs[Long]("sum_flesch_milli") === 119190L)
+  }
 }
