@@ -1319,6 +1319,28 @@ object OracleSqls {
         |GROUP BY doc_id
         |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin,
 
+    // stemmed TF-IDF: the SAME Harman S-stem CASE text Search.sStemSql
+    // embeds on the Spark side (LIKE/substr/concat parse identically in
+    // both engines); query terms pre-stemmed: vectors→vector,
+    // queries→query, joins→join, windows→window
+    "search_stemmed" ->
+      s"""WITH p AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, ${graft.operators.Search.sStemSql
+              .replace("\n", " ")} AS term FROM (
+        |      SELECT doc_id, unnest(${wordsExprOf("lower(text)")}) AS term
+        |      FROM documents
+        |    )
+        |  ) WHERE term IN ('vector', 'query', 'join', 'window')
+        |  GROUP BY doc_id, term
+        |), d AS (SELECT term, count(*) AS df FROM p GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+        |  CAST(sum((tf * 1000000 * n_docs) // df) AS BIGINT) AS score_micro
+        |FROM p JOIN d USING (term) CROSS JOIN n
+        |GROUP BY doc_id
+        |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin,
+
     // BM25 mirror: same tokenizer, same two integer divisions in the same
     // positions (idf doubled-rational, saturation cleared by 10·L; see
     // Search.bm25TopK). All operands positive → // ≡ div.

@@ -838,6 +838,12 @@ object Queries {
     Search.bm25TopK(T(spark, dir, "documents"),
       Seq("vector", "hash", "join", "window"), k = 20)
 
+  /** S-stemmed TF-IDF search: plural query terms hit singular corpus
+    * occurrences through the shared stem key. */
+  def searchStemmed(spark: SparkSession, dir: String): DataFrame =
+    Search.stemmedTfidfTopK(T(spark, dir, "documents"),
+      Seq("vectors", "queries", "joins", "windows"), k = 20)
+
   /** The fixed BPE merge table shared by query and oracle: 10 learned-
     * table-shaped rules (producers before consumers). */
   val bpeMerges: Seq[(String, String)] = Seq(
@@ -1741,6 +1747,7 @@ object Queries {
     "text_quantiles" -> (textQuantiles _),
     "text_lm_bigram" -> (textLmBigram _),
     "search_tfidf" -> (searchTfidf _),
+    "search_stemmed" -> (searchStemmed _),
     "search_bm25" -> (searchBm25 _),
     "text_bpe_vocab" -> (textBpeVocab _),
     "text_bpe_learn" -> (textBpeLearn _),

@@ -56,6 +56,63 @@ object Search {
       .limit(k)
   }
 
+  /** Harman S-stemmer (the conservative three-rule plural stripper —
+    * "Harman, How effective is suffixing?", JASIS 1991) as a SQL CASE in
+    * the LIKE/substr/concat dialect subset BOTH engines parse verbatim:
+    * ies→y (not eies/aies), -es drops s (not aes/ees/oes), -s drops
+    * (not us/ss). One codegen'd expression per posting — no dictionary,
+    * no UDF. */
+  val sStemSql: String =
+    """CASE
+      |WHEN term LIKE '%ies' AND term NOT LIKE '%eies' AND term NOT LIKE '%aies'
+      |  THEN concat(substr(term, 1, length(term) - 3), 'y')
+      |WHEN term LIKE '%es' AND term NOT LIKE '%ies' AND term NOT LIKE '%aes'
+      |  AND term NOT LIKE '%ees' AND term NOT LIKE '%oes'
+      |  THEN substr(term, 1, length(term) - 1)
+      |WHEN term LIKE '%s' AND term NOT LIKE '%es' AND term NOT LIKE '%us'
+      |  AND term NOT LIKE '%ss'
+      |  THEN substr(term, 1, length(term) - 1)
+      |ELSE term END""".stripMargin
+
+  /** Driver-side twin of [[sStemSql]] for stemming literal query terms.
+    * Each ending class is handled by exactly one rule — an exception word
+    * ("shoes", "eies") stays UNCHANGED rather than falling through to a
+    * weaker rule, per Harman's formulation. */
+  def sStem(term: String): String = {
+    def e(s: String) = term.endsWith(s)
+    if (e("ies")) { if (!e("eies") && !e("aies")) term.dropRight(3) + "y" else term }
+    else if (e("es")) {
+      if (!e("aes") && !e("ees") && !e("oes")) term.dropRight(1) else term
+    }
+    else if (e("s")) { if (!e("us") && !e("ss")) term.dropRight(1) else term }
+    else term
+  }
+
+  /** Stemmed inverted index: postings keyed by the S-stem, so plural and
+    * singular surface forms share one posting list. Same build shape as
+    * [[postings]] plus one codegen'd CASE per token. */
+  def stemmedPostings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(graft.functions.words(lower(col("text")))).as("term"))
+      .select(col("doc_id"), expr(sStemSql).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+
+  /** [[tfidfTopK]] over the stemmed index, query terms stemmed with the
+    * same rules — "queries" finds "query", "vectors" finds "vector". */
+  def stemmedTfidfTopK(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    val stemmed = terms.map(sStem).distinct
+    val qp = stemmedPostings(docs).where(col("term").isin(stemmed: _*))
+    val dfreq = qp.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    qp.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("contrib", expr("(tf * 1000000 * n_docs) div df"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("contrib").as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Reciprocal-rank fusion — the hybrid-search combiner: each input
     * ranking contributes `1e6 div (c + rank)` per doc (c = 60, the
     * Cormack/Clarke constant), summed across lists. Rank-based, so

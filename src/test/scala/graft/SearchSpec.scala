@@ -199,4 +199,36 @@ class SearchSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
     assert(out === Seq("a b" -> 3L, "b a" -> 1L, "b c" -> 1L))
   }
+
+  test("S-stemmer: rules, exceptions, and no fall-through") {
+    import graft.operators.Search.sStem
+    assert(sStem("queries") === "query")
+    assert(sStem("vectors") === "vector")
+    assert(sStem("windows") === "window")
+    assert(sStem("tables") === "table")   // -es drops just the s
+    assert(sStem("bus") === "bus")        // -us exception
+    assert(sStem("glass") === "glass")    // -ss exception
+    assert(sStem("shoes") === "shoes")    // -oes exception, no fall-through
+    assert(sStem("trees") === "trees")    // -ees exception
+    assert(sStem("join") === "join")      // no suffix
+  }
+
+  test("stemmed search unifies plural query with singular documents") {
+    import graft.operators.Search
+    val rows = Seq(
+      (1L, "the vector index"),          // singular
+      (2L, "many vectors in one table"), // plural
+      (3L, "nothing relevant here"))
+    val docs = rows.toDF("doc_id", "text")
+    val hits = Search.stemmedTfidfTopK(docs, Seq("vectors"), k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(hits === Set(1L, 2L))
+    // Scala twin and SQL CASE agree on every posting term
+    val posted = Search.stemmedPostings(docs).select("term")
+      .collect().map(_.getString(0)).toSet
+    val recomputed = rows.flatMap { case (_, t) =>
+      t.split("\\s+").filter(_.nonEmpty).map(Search.sStem)
+    }.toSet
+    assert(posted === recomputed)
+  }
 }
