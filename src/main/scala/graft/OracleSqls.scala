@@ -2465,6 +2465,32 @@ object OracleSqls {
         |GROUP BY e.event_type, f.n_events, f.lo, f.hi""".stripMargin,
 
     // SCD2 validity intervals: lead() over (user, second, event_id)
+    // point-in-time SCD2 lookup: clicks joined to the purchase-state
+    // interval valid at click time (open interval capped at horizon);
+    // the oracle is the direct range join over the lead() intervals
+    "join_scd2_lookup" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |    (epoch_us(ts) // 1000000) AS tss
+        |  FROM events
+        |), p AS (
+        |  SELECT user_id, event_id AS dim_id, value, tss AS valid_from,
+        |    lead(tss) OVER (PARTITION BY user_id ORDER BY tss, event_id)
+        |      AS valid_to
+        |  FROM e WHERE event_type = 'purchase'
+        |), h AS (SELECT max(valid_from) + 1 AS horizon FROM p),
+        |c AS (
+        |  SELECT user_id, event_id AS click_id, tss FROM e
+        |  WHERE event_type = 'click'
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_matched,
+        |  CAST(sum(c.click_id) AS BIGINT) AS sum_click_ids,
+        |  CAST(sum(p.dim_id) AS BIGINT) AS sum_dim_ids,
+        |  round(CAST(sum(p.value) AS DOUBLE), 2) AS sum_state
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND c.tss >= p.valid_from
+        |  AND c.tss < coalesce(p.valid_to, (SELECT horizon FROM h))""".stripMargin,
+
     "events_scd2" ->
       """WITH e AS (
         |  SELECT user_id, event_id, value,

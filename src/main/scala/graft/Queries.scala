@@ -1546,6 +1546,32 @@ object Queries {
   def eventsScd2(spark: SparkSession, dir: String): DataFrame =
     Events.scd2Intervals(eventsT(spark, dir))
 
+  /** Point-in-time SCD2 lookup: every click reads the purchase-state row
+    * that was valid at its instant — the dimension build
+    * ([[operators.Events.scd2Intervals]] over purchases) composed with the
+    * binned range join ([[operators.Joins.rangeJoinBinned]]); the open
+    * current interval is capped at the dimension horizon so it bins
+    * finitely. The classic "join facts to a slowly changing dimension as
+    * of event time" shape. */
+  def joinScd2Lookup(spark: SparkSession, dir: String): DataFrame = {
+    val e = eventsT(spark, dir)
+      .withColumn("tss", expr("ts div 1000000000"))
+    val dims = Events.scd2Intervals(e.where(col("event_type") === "purchase"))
+      .select(col("user_id"), col("event_id").as("dim_id"), col("value"),
+        col("valid_from"), col("valid_to"))
+    val horizon = dims.agg((max("valid_from") + 1).as("horizon"))
+    val capped = dims.crossJoin(broadcast(horizon))
+      .withColumn("v_end", coalesce(col("valid_to"), col("horizon")))
+    val clicks = e.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("tss"))
+    Joins.rangeJoinBinned(clicks, capped, "user_id", "tss",
+        "valid_from", "v_end", binWidth = 86400L)
+      .agg(count(lit(1)).as("n_matched"),
+        sum("click_id").as("sum_click_ids"),
+        sum("dim_id").as("sum_dim_ids"),
+        round(sum("value"), 2).as("sum_state"))
+  }
+
   /** Typo-tolerant name pairs (SymSpell deletion blocking + exact
     * levenshtein verify) over the distinct part-name universe. */
   def erFuzzyPairs(spark: SparkSession, dir: String): DataFrame =
@@ -1803,6 +1829,7 @@ object Queries {
     "join_asof" -> (joinAsof _),
     "join_range" -> (joinRange _),
     "join_interval" -> (joinInterval _),
+    "join_scd2_lookup" -> (joinScd2Lookup _),
     "events_hourly" -> (eventsHourly _),
     "events_rolling" -> (eventsRolling _),
     "events_outliers" -> (eventsOutliers _),
