@@ -89,6 +89,25 @@ class PlanAuditSpec extends SparkSpec {
       "expected a hash/sort-merge equi-join on (key, bin):\n" + plan)
   }
 
+  test("join_interval plans as an equi-join on (key, bin), not a nested loop") {
+    val plan = SparkEntry.queries("join_interval")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "interval overlap must bin into an equi-join, not a nested loop:\n" + plan)
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      "expected a hash/sort-merge equi-join on (key, bin):\n" + plan)
+  }
+
+  test("layout_hilbert is a joinless narrow scan + one aggregate") {
+    // the Hilbert index is ONE codegen'd expression over two key columns:
+    // no join, no window, and the scan reads only those columns
+    val df = SparkEntry.queries("layout_hilbert")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "hilbert keying must not join:\n" + plan)
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint>"),
+      "scan must prune to the two key columns:\n" + plan)
+  }
+
   test("layout_zorder pushes both range predicates into the parquet scan") {
     val plan = SparkEntry.queries("layout_zorder")(spark, dir)
       .queryExecution.executedPlan.toString
