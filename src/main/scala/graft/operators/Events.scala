@@ -196,6 +196,49 @@ object Events {
       .toDF("user_id", "total_events")
   }
 
+  /** Streaming heavy hitters with BOUNDED state: one Misra–Gries summary
+    * of size ≤ `m` per group key, maintained in flatMapGroupsWithState and
+    * re-emitted each micro-batch. The MG guarantee survives streaming:
+    * any item with true frequency > N/(m+1) is in the summary, and each
+    * kept counter undercounts by at most the total decrement — so the
+    * state per key is O(m) FOREVER, the property a counting groupBy lacks
+    * on an unbounded key-value stream. Emits (group, item, count_lb,
+    * n_seen) rows; exact counts for the survivors come from a second
+    * (filtered, tiny) pass in batch land if needed.
+    *
+    * Determinism: items are folded in batch-iterator order and ties in the
+    * decrement evict deterministically (smallest count, then item id), so
+    * a MemoryStream replay is reproducible. */
+  def streamingHeavyHitters(events: DataFrame, m: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("event_type"), col("user_id").cast("long"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Map[Long, Long]),
+        (String, Long, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (etype: String, batch: Iterator[(String, Long)],
+         state: GroupState[(Long, Map[Long, Long])]) =>
+          var (nSeen, counters) = state.getOption.getOrElse((0L, Map.empty[Long, Long]))
+          batch.foreach { case (_, item) =>
+            nSeen += 1
+            counters.get(item) match {
+              case Some(c) => counters = counters.updated(item, c + 1)
+              case None if counters.size < m =>
+                counters = counters.updated(item, 1L)
+              case None => // decrement-all; drop zeros (classic MG step)
+                counters = counters.view.mapValues(_ - 1).filter(_._2 > 0).toMap
+            }
+          }
+          state.update((nSeen, counters))
+          counters.toSeq.sortBy { case (item, c) => (-c, item) }.iterator
+            .map { case (item, c) => (etype, item, c, nSeen) }
+      }
+      .toDF("event_type", "user_id", "count_lb", "n_seen")
+  }
+
   /** Streaming micro-batch graph upsert (S1/S3 incrementally): interpret
     * events as node arrivals and fold each micro-batch into a node table via
     * foreachBatch-style dedup — MERGE semantics: existing rows win, new ids

@@ -213,6 +213,31 @@ class EventsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters: bounded MG state finds the hot key") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, Long)]
+    val hh = Events.streamingHeavyHitters(
+      stream.toDF().toDF("event_type", "user_id"), m = 2)
+    val q = hh.writeStream.format("memory")
+      .queryName("hh_test").outputMode("update").start()
+    try {
+      // batch 1: user 7 dominates type "c"; 5 distinct light users churn
+      stream.addData(("c", 7L), ("c", 7L), ("c", 1L), ("c", 7L), ("c", 2L))
+      q.processAllAvailable()
+      // batch 2: more churn + more 7s — state must stay ≤ m entries and 7
+      // must survive every decrement (freq 6 > N/(m+1) = 10/3)
+      stream.addData(("c", 3L), ("c", 7L), ("c", 4L), ("c", 7L), ("c", 7L))
+      q.processAllAvailable()
+      val rows = spark.table("hh_test").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val last = rows.filter(_._4 == 10L) // final-batch emission
+      assert(last.nonEmpty && last.length <= 2, s"state must stay ≤ m: ${last.toSeq}")
+      assert(last.exists(_._2 == 7L), s"hot user must survive: ${last.toSeq}")
+      val c7 = last.find(_._2 == 7L).get._3
+      assert(c7 >= 1L && c7 <= 6L) // lower bound ≤ true count 6
+    } finally q.stop()
+  }
+
   test("streaming graph upsert: foreachBatch folds micro-batches into nodes") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, String, String)]
