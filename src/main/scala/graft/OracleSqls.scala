@@ -2410,7 +2410,7 @@ object OracleSqls {
         |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01'
         |      + 1 + CAST(l_quantity AS INTEGER) % 30 AS BIGINT) AS e,
         |    l_orderkey, l_linenumber
-        |  FROM lineitem
+        |  FROM lineitem WHERE l_quantity > 45
         |)
         |SELECT a.l_suppkey, CAST(count(*) AS BIGINT) AS n_pairs,
         |  CAST(sum(least(a.e, b.e) - greatest(a.s, b.s)) AS BIGINT)

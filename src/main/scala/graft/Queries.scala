@@ -1499,7 +1499,13 @@ object Queries {
     * supplier, binned at 32 days, each unordered pair counted once;
     * per-supplier pair count and total overlap days. */
   def joinInterval(spark: SparkSession, dir: String): DataFrame = {
-    val li = T(spark, dir, "lineitem").select(
+    // bulk shipments only (quantity > 45, ~10% of lines): the pair volume
+    // of an interval self-overlap grows with density², so the catalog
+    // entry overlaps the population whose concurrency is actually
+    // interesting — the operator itself is unrestricted
+    val li = T(spark, dir, "lineitem")
+      .where(col("l_quantity") > 45)
+      .select(
       col("l_suppkey"),
       unix_date(to_date(col("l_shipdate"))).cast("long").as("s"),
       (unix_date(to_date(col("l_shipdate"))) +
