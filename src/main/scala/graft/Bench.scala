@@ -40,6 +40,8 @@ object Bench {
     Queries.warmTar(spark, sfDir)
     // IVF-partitioned vector store: write-once ANN layout.
     Queries.warmIvfStore(spark, sfDir)
+    // Bucket-partitioned inverted-index layout: write-once, probes pruned.
+    Queries.warmSearchStore(spark, sfDir)
 
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                  name: String): Option[Double] = {

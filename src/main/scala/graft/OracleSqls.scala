@@ -1304,20 +1304,10 @@ object OracleSqls {
 
     // inverted-index TF-IDF probe: integer micro-unit scoring
     // ((tf * 1e6 * N) // df — exact in both engines, order-independent sum)
-    "search_tfidf" ->
-      s"""WITH p AS (
-        |  SELECT doc_id, term, count(*) AS tf FROM (
-        |    SELECT doc_id, unnest(${wordsExprOf("lower(text)")}) AS term
-        |    FROM documents
-        |  ) WHERE term IN ('vector', 'hash', 'join', 'window')
-        |  GROUP BY doc_id, term
-        |), d AS (SELECT term, count(*) AS df FROM p GROUP BY term),
-        |n AS (SELECT count(*) AS n_docs FROM documents)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
-        |  CAST(sum((tf * 1000000 * n_docs) // df) AS BIGINT) AS score_micro
-        |FROM p JOIN d USING (term) CROSS JOIN n
-        |GROUP BY doc_id
-        |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin,
+    "search_tfidf" -> searchTfidfSql,
+    // the persisted bucket-partitioned index probe must reproduce the
+    // in-memory TF-IDF ranking exactly — same oracle
+    "search_store_tfidf" -> searchTfidfSql,
 
     // stemmed TF-IDF: the SAME Harman S-stem CASE text Search.sStemSql
     // embeds on the Spark side (LIKE/substr/concat parse identically in
@@ -3544,6 +3534,24 @@ object OracleSqls {
     }
     sb.toString
   }
+
+  /** Integer TF-IDF ranking over the four probe terms (mirrors
+    * [[graft.operators.Search.tfidfTopK]]); shared by the in-memory and
+    * persisted-layout entries. */
+  private lazy val searchTfidfSql: String =
+    s"""WITH p AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(${wordsExprOf("lower(text)")}) AS term
+      |    FROM documents
+      |  ) WHERE term IN ('vector', 'hash', 'join', 'window')
+      |  GROUP BY doc_id, term
+      |), d AS (SELECT term, count(*) AS df FROM p GROUP BY term),
+      |n AS (SELECT count(*) AS n_docs FROM documents)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+      |  CAST(sum((tf * 1000000 * n_docs) // df) AS BIGINT) AS score_micro
+      |FROM p JOIN d USING (term) CROSS JOIN n
+      |GROUP BY doc_id
+      |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin
 
   /** Whitespace word list (non-empty), mirroring [[graft.functions.words]]. */
   private lazy val wordsExpr: String =

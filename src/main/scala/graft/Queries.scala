@@ -844,6 +844,33 @@ object Queries {
     Search.stemmedTfidfTopK(T(spark, dir, "documents"),
       Seq("vectors", "queries", "joins", "windows"), k = 20)
 
+  private val searchStoreDir = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** The persisted bucket-partitioned inverted index, written once per JVM
+    * per sf dir (the write-once 100 TB search layout; Bench warms it in
+    * LOAD). */
+  private def searchStorePath(spark: SparkSession, dir: String): String =
+    searchStoreDir.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft-searchstore")
+        .toString + "/index"
+      graft.sources.SearchStore.write(
+        T(spark, dir, "documents"), p, nBuckets = 32)
+      p
+    })
+
+  /** Bench LOAD hook: force the one-time inverted-index layout write. */
+  def warmSearchStore(spark: SparkSession, dir: String): Unit =
+    searchStorePath(spark, dir)
+
+  /** TF-IDF probe against the PERSISTED index layout — same result as
+    * search_tfidf (same oracle), but the I/O is a partition-pruned scan of
+    * the query terms' buckets plus two sidecar reads; the corpus is never
+    * rescanned. */
+  def searchStoreTfidf(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.SearchStore.probeTfidf(spark,
+      searchStorePath(spark, dir),
+      Seq("vector", "hash", "join", "window"), nBuckets = 32, k = 20)
+
   /** The fixed BPE merge table shared by query and oracle: 10 learned-
     * table-shaped rules (producers before consumers). */
   val bpeMerges: Seq[(String, String)] = Seq(
@@ -1780,6 +1807,7 @@ object Queries {
     "text_lm_bigram" -> (textLmBigram _),
     "search_tfidf" -> (searchTfidf _),
     "search_stemmed" -> (searchStemmed _),
+    "search_store_tfidf" -> (searchStoreTfidf _),
     "search_bm25" -> (searchBm25 _),
     "text_bpe_vocab" -> (textBpeVocab _),
     "text_bpe_learn" -> (textBpeLearn _),
