@@ -1174,6 +1174,27 @@ object OracleSqls {
         |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY source""".stripMargin,
 
+    // gzip JSONL: same parquet-direct audit, reproduced THROUGH the
+    // compressed encode/decode
+    "jsonl_gzip_roundtrip" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY source""".stripMargin,
+
+    // schema evolution: even docs predate the quality column (null under
+    // mergeSchema), odd docs carry length%100 — the oracle replays the
+    // split from the base table
+    "lake_schema_evolution" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pre_schema,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN length(text) % 100
+        |    ELSE 0 END) AS BIGINT) AS sum_quality
+        |FROM documents GROUP BY source""".stripMargin,
+
     // same parquet-direct audit as jsonl/csv/orc: the Spark side must
     // reproduce it THROUGH the Avro container encode/decode
     "avro_roundtrip" ->

@@ -1112,6 +1112,63 @@ object Queries {
         sum(length(col("text")).cast("long")).as("sum_chars"))
   }
 
+  private val jsonlGzDir = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Gzip-compressed JSONL round trip — the Common-Crawl-shaped ingest
+    * format (every WET/WARC-derived dump ships as .jsonl.gz): written once
+    * with the gzip codec, read back with an explicit schema. Gzip shards
+    * are NOT splittable — one task per shard, so shard size = the write
+    * partitioning is the parallelism knob at 100 TB (exactly why the
+    * writer repartitions first). Audit equality against the parquet-direct
+    * oracle is the fidelity proof, as with the plain JSONL entry. */
+  def jsonlGzipRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = jsonlGzDir.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft-jsonlgz").toString
+      T(spark, dir, "documents")
+        .select("doc_id", "source", "lang", "text")
+        .repartition(8)
+        .write.mode("overwrite").option("compression", "gzip").json(p)
+      p
+    })
+    spark.read
+      .schema("doc_id LONG, source STRING, lang STRING, text STRING")
+      .json(path)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("lang")).as("n_langs"),
+        sum(col("doc_id")).as("sum_ids"),
+        sum(length(col("text")).cast("long")).as("sum_chars"))
+  }
+
+  private val evoDir = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Schema evolution read: two parquet batches of the same table written
+    * with DIFFERENT schemas (the second adds a `quality` column), read
+    * back as one dataset with `mergeSchema` — old rows surface the new
+    * column as null. The additive-column migration every long-lived
+    * lakehouse table goes through; the audit pins both the union row set
+    * and the null accounting. */
+  def lakeSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val path = evoDir.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft-evo").toString
+      val d = T(spark, dir, "documents")
+      d.where(col("doc_id") % 2 === 0)
+        .select("doc_id", "source", "lang")
+        .write.mode("overwrite").parquet(p + "/batch=v1")
+      d.where(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("source"), col("lang"),
+          (length(col("text")) % 100).cast("long").as("quality"))
+        .write.mode("overwrite").parquet(p + "/batch=v2")
+      p
+    })
+    spark.read.option("mergeSchema", "true").parquet(path)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_ids"),
+        sum(when(col("quality").isNull, 1L).otherwise(0L)).as("n_pre_schema"),
+        sum(coalesce(col("quality"), lit(0L))).as("sum_quality"))
+  }
+
   private val orcDir = scala.collection.concurrent.TrieMap[String, String]()
 
   /** ORC round trip — the other mainstream columnar format next to
@@ -1844,6 +1901,8 @@ object Queries {
     "csv_roundtrip" -> (csvRoundtrip _),
     "orc_roundtrip" -> (orcRoundtrip _),
     "avro_roundtrip" -> (avroRoundtrip _),
+    "jsonl_gzip_roundtrip" -> (jsonlGzipRoundtrip _),
+    "lake_schema_evolution" -> (lakeSchemaEvolution _),
     "curate_sampled" -> (curateSampled _),
     "curate_split_leakage" -> (curateSplitLeakage _),
     "sql_surface" -> (sqlSurface _),
