@@ -582,6 +582,7 @@ object OracleSqls {
     // IVF-PARTITIONED store (hive partition per cell, probe = partition
     // pruning); results must hash-match the unpartitioned oracle
     "ann_ivf_pruned" -> ivfTopkSql,
+    "ann_kmeans_quality" -> kmeansQualitySql(nCentroids = 8, lloydIters = 2),
     "ann_ivf_kmeans" -> ivfKmeansSql(k = 10, nCentroids = 8, nProbe = 2,
       lloydIters = 2),
     // same maths as ann_ivf_kmeans, executed through the hive-partitioned
@@ -2697,6 +2698,25 @@ object OracleSqls {
          |  FROM m$t GROUP BY cid
          |)""".stripMargin
     }.mkString(",\n")
+
+  /** Per-centroid balance + angular inertia after the unrolled Lloyd
+    * rounds (mirrors [[graft.operators.Vectors.kmeansQualityReport]]);
+    * cos→micro via round(cos·1e6, 0), the events_ewma conversion. */
+  private def kmeansQualitySql(nCentroids: Int, lloydIters: Int): String =
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c0 AS (SELECT id AS cid, v AS cv FROM e ORDER BY id LIMIT $nCentroids),
+       |${kmeansIterCtes(lloydIters)},
+       |${kmeansAssignCte("af", s"c$lloydIters")},
+       |j AS (
+       |  SELECT af.cid,
+       |    CAST(round(list_cosine_similarity(af.v, c.cv) * 1000000, 0)
+       |      AS BIGINT) AS cm
+       |  FROM af JOIN c$lloydIters c USING (cid)
+       |)
+       |SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+       |  CAST(sum(1000000 - cm) AS BIGINT) AS inertia_micro,
+       |  CAST(min(cm) AS BIGINT) AS worst_cos_micro
+       |FROM j GROUP BY cid""".stripMargin
 
   private def ivfKmeansSql(k: Int, nCentroids: Int, nProbe: Int,
                            lloydIters: Int): String =

@@ -313,6 +313,12 @@ object Queries {
   }
 
   /** IVF with k-means-trained centroids (2 unrolled Lloyd iterations). */
+  /** Per-centroid balance + angular inertia of the trained IVF layout
+    * (same trainer settings as ann_ivf_kmeans). */
+  def annKmeansQuality(spark: SparkSession, dir: String): DataFrame =
+    Vectors.kmeansQualityReport(T(spark, dir, "embeddings"), "vec_id",
+      "embedding", nCentroids = 8, lloydIters = 2)
+
   def annIvfKmeans(spark: SparkSession, dir: String): DataFrame =
     Vectors.ivfKmeansTopK(T(spark, dir, "embeddings"), "vec_id", "embedding",
       queryVec(spark, dir), 10, nCentroids = 8, nProbe = 2, lloydIters = 2)
@@ -1799,6 +1805,7 @@ object Queries {
     "ann_ivf_pruned" -> (annIvfPruned _),
     "ann_ivf_store_kmeans" -> (annIvfStoreKmeans _),
     "ann_ivf_kmeans" -> (annIvfKmeans _),
+    "ann_kmeans_quality" -> (annKmeansQuality _),
     "ann_pq_topk" -> (annPqTopK _),
     "ann_sq8_topk" -> (annSq8TopK _),
     "ann_recall_report" -> (annRecallReport _),

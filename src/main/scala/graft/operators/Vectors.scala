@@ -194,6 +194,27 @@ object Vectors {
     centroids
   }
 
+  /** Clustering-quality report for the trained layout: per centroid, the
+    * member count (cell balance — skewed occupancy means skewed partition
+    * sizes on disk) and the angular inertia Σ(1e6 − cos_micro(v, cv)) in
+    * integer micro-units (the decides-how-many-Lloyd-rounds signal). One
+    * broadcast assign + one keyed rollup; centroid tables stay
+    * broadcast-sized by construction. */
+  def kmeansQualityReport(emb: DataFrame, idCol: String, vecCol: String,
+                          nCentroids: Int, lloydIters: Int): DataFrame = {
+    val v = emb.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val cents = kmeansCentroids(v, nCentroids, lloydIters)
+    assignToCentroids(v, cents)
+      .join(broadcast(cents), Seq("cid"))
+      .withColumn("cm",
+        round(cosineSim(col("v"), col("cv")) * 1000000L, 0).cast("long"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_members"),
+        sum(lit(1000000L) - col("cm")).as("inertia_micro"),
+        min("cm").as("worst_cos_micro"))
+  }
+
   def ivfKmeansTopK(emb: DataFrame, idCol: String, vecCol: String,
                     query: Seq[Double], k: Int, nCentroids: Int, nProbe: Int,
                     lloydIters: Int = 2): DataFrame = {

@@ -301,4 +301,21 @@ class VectorsSpec extends SparkSpec {
       .collect().map(_.getLong(1)).toSeq
     assert(mmr === Seq(1L, 2L, 3L))
   }
+
+  test("kmeans quality report: members partition the corpus, Lloyd helps") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = emb.count()
+    def report(iters: Int) =
+      Vectors.kmeansQualityReport(emb, "vec_id", "embedding",
+        nCentroids = 8, lloydIters = iters)
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val trained = report(2)
+    assert(trained.map(_._1).sum === n, "every vector assigned exactly once")
+    assert(trained.forall(_._2 >= 0L), "angular inertia is nonnegative")
+    // training on the data must not be worse than the raw first-n seeds
+    val seeded = report(0)
+    assert(trained.map(_._2).sum <= seeded.map(_._2).sum,
+      s"Lloyd rounds should not increase total inertia: " +
+        s"${trained.map(_._2).sum} vs ${seeded.map(_._2).sum}")
+  }
 }
