@@ -583,6 +583,29 @@ object OracleSqls {
     // pruning); results must hash-match the unpartitioned oracle
     "ann_ivf_pruned" -> ivfTopkSql,
     "ann_kmeans_quality" -> kmeansQualitySql(nCentroids = 8, lloydIters = 2),
+
+    // mean-centered cosine retrieval: per-dim corpus mean rounded to 6
+    // (the kmeans-mean convention), IEEE subtract, round-6 cosine — every
+    // arithmetic step position-mirrored from Vectors.centeredTopK
+    "emb_centered_topk" ->
+      """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m0 AS (SELECT unnest(range(1, len(v) + 1)) AS i, unnest(v) AS x FROM e),
+        |m1 AS (SELECT i, round(avg(x), 6) AS m FROM m0 GROUP BY i),
+        |mv AS (
+        |  SELECT list_transform(list(struct_pack(i := i, m := m) ORDER BY i),
+        |    s -> s.m) AS mv
+        |  FROM m1
+        |),
+        |c AS (
+        |  SELECT id, list_transform(range(1, len(v) + 1),
+        |    i -> v[i] - mv[i]) AS cv
+        |  FROM e, mv
+        |),
+        |q AS (SELECT cv AS qv FROM c WHERE id = 0)
+        |SELECT id AS vec_id,
+        |  round(list_cosine_similarity(cv, qv), 6) AS similarity
+        |FROM c, q
+        |ORDER BY similarity DESC, vec_id LIMIT 10""".stripMargin,
     "ann_ivf_kmeans" -> ivfKmeansSql(k = 10, nCentroids = 8, nProbe = 2,
       lloydIters = 2),
     // same maths as ann_ivf_kmeans, executed through the hive-partitioned

@@ -313,6 +313,12 @@ object Queries {
   }
 
   /** IVF with k-means-trained centroids (2 unrolled Lloyd iterations). */
+  /** Mean-centered cosine top-10 from the vec-0 query (anisotropy-
+    * corrected retrieval). */
+  def embCenteredTopK(spark: SparkSession, dir: String): DataFrame =
+    Vectors.centeredTopK(T(spark, dir, "embeddings"), "vec_id", "embedding",
+      queryId = 0L, k = 10)
+
   /** Per-centroid balance + angular inertia of the trained IVF layout
     * (same trainer settings as ann_ivf_kmeans). */
   def annKmeansQuality(spark: SparkSession, dir: String): DataFrame =
@@ -1806,6 +1812,7 @@ object Queries {
     "ann_ivf_store_kmeans" -> (annIvfStoreKmeans _),
     "ann_ivf_kmeans" -> (annIvfKmeans _),
     "ann_kmeans_quality" -> (annKmeansQuality _),
+    "emb_centered_topk" -> (embCenteredTopK _),
     "ann_pq_topk" -> (annPqTopK _),
     "ann_sq8_topk" -> (annSq8TopK _),
     "ann_recall_report" -> (annRecallReport _),

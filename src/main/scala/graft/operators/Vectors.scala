@@ -194,6 +194,35 @@ object Vectors {
     centroids
   }
 
+  /** Mean-centered cosine retrieval: subtract the corpus per-dimension
+    * mean (rounded to 6 — the kmeans-mean convention) from every vector
+    * AND the query, then exact cosine top-k. Centering is the standard
+    * anisotropy correction for embedding retrieval (all-but-the-top
+    * without the PCA step): a large shared component dominates raw cosine
+    * and centering removes it. The mean is one (dim)-keyed aggregate
+    * broadcast back — the corpus is scanned once, and the centered scan
+    * stays whole-stage codegen (zip_with + the codegen'd cosine). */
+  def centeredTopK(emb: DataFrame, idCol: String, vecCol: String,
+                   queryId: Long, k: Int): DataFrame = {
+    val v = emb.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val mean = v
+      .select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("i").agg(round(avg("x"), 6).as("m"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("i").as("i"), col("m").as("m")))),
+        s => s.getField("m")).as("mv"))
+    val centered = v.crossJoin(broadcast(mean))
+      .withColumn("cv", zip_with(col("v"), col("mv"), (a, b) => a - b))
+    val q = centered.where(col("id") === queryId)
+      .select(col("cv").as("qv"))
+    centered.crossJoin(broadcast(q))
+      .select(col("id").as("vec_id"),
+        round(cosineSim(col("cv"), col("qv")), 6).as("similarity"))
+      .orderBy(col("similarity").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Clustering-quality report for the trained layout: per centroid, the
     * member count (cell balance — skewed occupancy means skewed partition
     * sizes on disk) and the angular inertia Σ(1e6 − cos_micro(v, cv)) in
