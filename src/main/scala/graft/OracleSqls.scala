@@ -2396,6 +2396,26 @@ object OracleSqls {
 
     // one row per profiled column ([[graft.operators.Profile.tableProfile]]);
     // min/max rendered as strings so all columns share one schema
+    // declarative DQ gate: each rule mirrored as a violation-count query
+    "dq_checks" ->
+      """SELECT 'pk_unique' AS rule, CAST(count(*) AS BIGINT) AS n_violations,
+        |  count(*) = 0 AS passed FROM (
+        |  SELECT l_orderkey, l_linenumber FROM lineitem
+        |  GROUP BY 1, 2 HAVING count(*) > 1)
+        |UNION ALL
+        |SELECT 'suppkey_not_null', CAST(count(*) AS BIGINT), count(*) = 0
+        |FROM lineitem WHERE l_suppkey IS NULL
+        |UNION ALL
+        |SELECT 'quantity_in_domain', CAST(count(*) AS BIGINT), count(*) = 0
+        |FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50
+        |UNION ALL
+        |SELECT 'discount_in_domain', CAST(count(*) AS BIGINT), count(*) = 0
+        |FROM lineitem WHERE l_discount < 0 OR l_discount > 1
+        |UNION ALL
+        |SELECT 'orderkey_ri', CAST(count(*) AS BIGINT), count(*) = 0
+        |FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey"""
+        .stripMargin,
+
     "profile_documents" -> Seq("doc_id", "text", "lang", "source", "n_chars")
       .map(c =>
         s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,

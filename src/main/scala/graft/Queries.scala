@@ -1489,6 +1489,24 @@ object Queries {
     Profile.tableProfile(T(spark, dir, "documents"),
       Seq("doc_id", "text", "lang", "source", "n_chars"))
 
+  /** Declarative DQ gate over lineitem: uniqueness, non-null, domain
+    * range, and referential integrity rules, each a violation count +
+    * pass flag ([[operators.Profile.checkReport]]). */
+  def dqChecks(spark: SparkSession, dir: String): DataFrame = {
+    val li = T(spark, dir, "lineitem")
+    val orders = T(spark, dir, "orders")
+    Profile.checkReport(Seq(
+      "pk_unique" -> li.groupBy("l_orderkey", "l_linenumber")
+        .agg(count(lit(1)).as("n")).where(col("n") > 1),
+      "suppkey_not_null" -> li.where(col("l_suppkey").isNull),
+      "quantity_in_domain" ->
+        li.where(col("l_quantity") < 1 || col("l_quantity") > 50),
+      "discount_in_domain" ->
+        li.where(col("l_discount") < 0 || col("l_discount") > 1),
+      "orderkey_ri" -> li.join(orders,
+        li("l_orderkey") === orders("o_orderkey"), "left_anti")))
+  }
+
   def mmBinaryStats(spark: SparkSession, dir: String): DataFrame =
     TextOps.binaryStatsBySource(T(spark, dir, "documents"))
 
@@ -1925,6 +1943,7 @@ object Queries {
     "lake_time_travel" -> (lakeTimeTravel _),
     "lake_snapshot_diff" -> (lakeSnapshotDiff _),
     "profile_documents" -> (profileDocuments _),
+    "dq_checks" -> (dqChecks _),
     "mm_binary_stats" -> (mmBinaryStats _),
     "mm_decode_features" -> (mmDecodeFeatures _),
     "mm_decode_roundtrip" -> (mmDecodeRoundtrip _),

@@ -40,4 +40,18 @@ object Profile {
         col(s"__${c}_max").as("max_val"))): _*)).as("p"))
       .select("p.*")
   }
+
+  /** Declarative data-quality gate (the Deequ/Great-Expectations shape):
+    * each rule is a name plus a VIOLATION-counting DataFrame; the report
+    * is one row per rule with its violation count and pass flag — the
+    * artifact a pipeline checks before promoting a batch. Rules run as
+    * independent aggregates (each its own narrow scan or join), unioned
+    * into one report; nothing is collected until the rule results, which
+    * are one row each. */
+  def checkReport(rules: Seq[(String, DataFrame)]): DataFrame =
+    rules.map { case (name, violations) =>
+      violations.agg(count(lit(1)).as("n_violations"))
+        .select(lit(name).as("rule"), col("n_violations"),
+          (col("n_violations") === 0L).as("passed"))
+    }.reduce(_ unionByName _)
 }
