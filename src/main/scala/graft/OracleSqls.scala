@@ -818,6 +818,7 @@ object OracleSqls {
     "graph_bfs_dist" -> withGraph(bfsSql(iters = 6)),
     "graph_eccentricity" -> withGraph(
       eccSql(iters = 6, Seq("ASIA", "EUROPE", "AFRICA"))),
+    "graph_fwbw" -> withGraph(fwBwSql(iters = 6)),
     "graph_assortativity" -> withGraph(
       """, adjd AS (SELECT DISTINCT a, b FROM bidir),
         |deg AS (SELECT a, count(*) AS deg FROM adjd GROUP BY a),
@@ -3020,6 +3021,41 @@ object OracleSqls {
        |  CAST(count(*) AS BIGINT) AS n_reached
        |FROM ec$iters s JOIN nodes n ON s.src = n.nodeId
        |GROUP BY n.name""".stripMargin
+  }
+
+  /** FW-BW reachability from the min-id pivot over DIRECTED rels
+    * (mirrors [[graft.graph.GraphAlgorithms.fwBwPartition]]). */
+  private def fwBwSql(iters: Int): String = {
+    def chain(tag: String, joinA: String, joinB: String): String =
+      (1 to iters).map { t =>
+        s"""$tag$t AS MATERIALIZED (
+           |  SELECT DISTINCT v FROM (
+           |    SELECT v FROM $tag${t - 1}
+           |    UNION ALL
+           |    SELECT e.$joinB FROM $tag${t - 1} n JOIN dadj e ON n.v = e.$joinA
+           |  )
+           |)""".stripMargin
+      }.mkString(",\n")
+    s""", dadj AS MATERIALIZED (SELECT DISTINCT src AS a, dst AS b FROM rels),
+       |piv AS (SELECT least(min(a), min(b)) AS v FROM dadj),
+       |f0 AS (SELECT v FROM piv),
+       |${chain("f", "a", "b")},
+       |b0 AS (SELECT v FROM piv),
+       |${chain("b", "b", "a")},
+       |alln AS (SELECT a AS v FROM dadj UNION SELECT b FROM dadj),
+       |flag AS (
+       |  SELECT n.v,
+       |    CASE WHEN f.v IS NOT NULL THEN 1 ELSE 0 END AS in_f,
+       |    CASE WHEN b.v IS NOT NULL THEN 1 ELSE 0 END AS in_b
+       |  FROM alln n
+       |  LEFT JOIN f$iters f ON n.v = f.v
+       |  LEFT JOIN b$iters b ON n.v = b.v
+       |)
+       |SELECT CAST(sum(in_f * in_b) AS BIGINT) AS n_scc,
+       |  CAST(sum(in_f * (1 - in_b)) AS BIGINT) AS n_fwd_only,
+       |  CAST(sum((1 - in_f) * in_b) AS BIGINT) AS n_bwd_only,
+       |  CAST(sum((1 - in_f) * (1 - in_b)) AS BIGINT) AS n_rest
+       |FROM flag""".stripMargin
   }
 
   private def bfsSql(iters: Int): String = {

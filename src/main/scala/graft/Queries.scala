@@ -479,6 +479,14 @@ object Queries {
     graft.graph.GraphAlgorithms.bfsLayers(graph(spark, dir), "Region",
       Seq("ASIA"), iters = 6)
 
+  /** FW-BW reachability partition from the min-id pivot over the DIRECTED
+    * relationship edges — the distributed-SCC first step and the
+    * catalog's directed-traversal coverage point. */
+  def graphFwBw(spark: SparkSession, dir: String): DataFrame =
+    graft.graph.GraphAlgorithms.fwBwPartition(
+      graph(spark, dir).rels.select(col("src").as("a"), col("dst").as("b")),
+      iters = 6)
+
   /** Per-pivot bounded eccentricity from three region anchors in one
     * src-keyed BFS pass; max(ecc) is the standard sampled diameter lower
     * bound. */
@@ -1849,6 +1857,7 @@ object Queries {
     "graph_modularity" -> (graphModularity _),
     "graph_bfs_dist" -> (graphBfsDist _),
     "graph_eccentricity" -> (graphEccentricity _),
+    "graph_fwbw" -> (graphFwBw _),
     "graph_ppr" -> (graphPpr _),
     "graph_hits" -> (graphHits _),
     "graph_harmonic" -> (graphHarmonic _),

@@ -282,6 +282,45 @@ object GraphAlgorithms {
       .select(col("name").as("anchor"), col("ecc"), col("n_reached"))
   }
 
+  /** FW-BW reachability partition from a pivot over the DIRECTED edge
+    * list — the first step of the distributed SCC algorithm (Fleischer/
+    * Hendrickson/Pinar): forward-reach F and backward-reach B from the
+    * pivot split the graph into SCC(pivot) = F∩B and three recursion sets
+    * (F∖B, B∖F, the remainder), whose sizes this reports. Both searches
+    * are the bounded frontier BFS every traversal here uses; everything
+    * else in the catalog is undirected, so this is the directed-traversal
+    * coverage point. Pivot defaults to the minimum node id in the edge set
+    * (deterministic, oracle-expressible). */
+  def fwBwPartition(edges: DataFrame, iters: Int): DataFrame = {
+    val dir = edges.select(col("a"), col("b")).distinct().localCheckpoint(true)
+    val pivot = dir.agg(least(min(col("a")), min(col("b"))).as("v"))
+    def reach(adj: DataFrame): DataFrame = {
+      var frontier = broadcast(pivot).localCheckpoint(true)
+      var seen = frontier
+      for (_ <- 1 to iters) {
+        frontier = adj.join(broadcast(frontier), Seq("v"))
+          .select(col("b").as("v")).distinct()
+          .join(broadcast(seen), Seq("v"), "left_anti")
+          .localCheckpoint(true)
+        seen = seen.unionByName(frontier)
+      }
+      seen
+    }
+    val fwd = reach(dir.select(col("a").as("v"), col("b")))
+    val bwd = reach(dir.select(col("b").as("v"), col("a").as("b")))
+    val nodes = dir.select(col("a").as("v"))
+      .unionByName(dir.select(col("b").as("v"))).distinct()
+    val f = fwd.withColumn("in_f", lit(1))
+    val b = bwd.withColumn("in_b", lit(1))
+    nodes.join(f, Seq("v"), "left").join(b, Seq("v"), "left")
+      .select(coalesce(col("in_f"), lit(0)).as("in_f"),
+        coalesce(col("in_b"), lit(0)).as("in_b"))
+      .agg(sum(expr("in_f * in_b")).cast("long").as("n_scc"),
+        sum(expr("in_f * (1 - in_b)")).cast("long").as("n_fwd_only"),
+        sum(expr("(1 - in_f) * in_b")).cast("long").as("n_bwd_only"),
+        sum(expr("(1 - in_f) * (1 - in_b)")).cast("long").as("n_rest"))
+  }
+
   /** Degree assortativity (Newman's r): Pearson correlation of endpoint
     * degrees over the symmetrized edge list. All moments are EXACT integer
     * sums (m, Σdd', Σd, Σd²) — emitted alongside r so the hash gate pins

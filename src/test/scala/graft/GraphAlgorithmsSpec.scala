@@ -202,6 +202,26 @@ class GraphAlgorithmsSpec extends SparkSpec {
     assert(out.getLong(1) === 3L)
   }
 
+  test("FW-BW partition: cycle is the SCC, tails split by direction") {
+    // directed: cycle 1→2→3→1 with tail-out 3→4 and tail-in 5→1;
+    // pivot = min id = 1: F = {1,2,3,4}, B = {1,2,3,5}
+    // → SCC {1,2,3}, fwd-only {4}, bwd-only {5}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (5L, 1L))
+      .toDF("a", "b")
+    val r = GraphAlgorithms.fwBwPartition(edges, iters = 6).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      === ((3L, 1L, 1L, 0L)))
+  }
+
+  test("FW-BW partition: disconnected nodes land in the rest set") {
+    // pivot 1: edge 1→2 plus an unrelated component 8→9
+    val edges = Seq((1L, 2L), (8L, 9L)).toDF("a", "b")
+    val r = GraphAlgorithms.fwBwPartition(edges, iters = 4).collect().head
+    // SCC {1} (pivot alone), fwd-only {2}, bwd-only {}, rest {8, 9}
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      === ((1L, 1L, 0L, 2L)))
+  }
+
   test("clustering coefficients: triangle with tail, hand-derived deciles") {
     // triangle 1-2-3 + tail 3-4: cc(1)=cc(2)=1e6 (deg 2, 1 tri),
     // cc(3)=⌊2e6/6⌋=333333 (deg 3), node 4 deg 1 excluded
