@@ -989,6 +989,45 @@ object OracleSqls {
         |CROSS JOIN v
         |GROUP BY p.doc_id""".stripMargin,
 
+    // per-source ntile-4 curriculum routing over the bigram-LM scores
+    // (same model CTEs as text_lm_bigram; score round-6 + doc_id total
+    // order makes the tiling engine-portable)
+    "corpus_tiers" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, $wordsExpr AS w FROM documents
+        |), idx AS (
+        |  SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM toks
+        |  WHERE len(w) >= 2
+        |), perdoc AS (
+        |  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2, count(*) AS m
+        |  FROM idx GROUP BY 1, 2, 3
+        |), c2 AS (
+        |  SELECT w1, w2, sum(m) AS c2 FROM perdoc GROUP BY 1, 2
+        |), c1 AS (
+        |  SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1
+        |), v AS (
+        |  SELECT count(DISTINCT t) AS v
+        |  FROM (SELECT unnest(w) AS t FROM toks)
+        |), scored AS (
+        |  SELECT p.doc_id, CAST(sum(p.m) AS BIGINT) AS n_bigrams,
+        |    round(sum(p.m * (c2.c2 + 1) / (c1.c1 + v.v)) / sum(p.m), 6) AS score
+        |  FROM perdoc p
+        |  JOIN c2 ON p.w1 = c2.w1 AND p.w2 = c2.w2
+        |  JOIN c1 ON p.w1 = c1.w1
+        |  CROSS JOIN v
+        |  GROUP BY p.doc_id
+        |), tiered AS (
+        |  SELECT d.source, s.n_bigrams, s.score,
+        |    ntile(4) OVER (PARTITION BY d.source
+        |      ORDER BY s.score, s.doc_id) AS tier
+        |  FROM scored s JOIN documents d USING (doc_id)
+        |)
+        |SELECT source, tier, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_bigrams) AS BIGINT) AS sum_bigrams,
+        |  round(min(score), 6) AS min_score,
+        |  round(max(score), 6) AS max_score
+        |FROM tiered GROUP BY source, tier""".stripMargin,
+
     // concatenate-and-cut packing, budget 200 tokens, per-source shards,
     // doc_id order; a doc's chunk is where its FIRST token lands
     "curate_pack" -> s"""WITH t AS (

@@ -1034,6 +1034,25 @@ object Queries {
   def textLmBigram(spark: SparkSession, dir: String): DataFrame =
     LangModel.bigramScore(T(spark, dir, "documents"), "doc_id", "text")
 
+  /** Model-scored curriculum tiers: per SOURCE, ntile-4 routing by the
+    * corpus-trained bigram likelihood (tie-broken by doc_id) — the
+    * "quality tiers feed different training phases" assignment. The
+    * window is keyed by source, so tiering shuffles once on the routing
+    * key; a corpus-wide global sort never happens. */
+  def corpusTiers(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T(spark, dir, "documents")
+    val scored = LangModel.bigramScore(docs, "doc_id", "text")
+      .join(docs.select("doc_id", "source"), "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("score"), col("doc_id"))
+    scored.withColumn("tier", ntile(4).over(w))
+      .groupBy("source", "tier")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_bigrams").as("sum_bigrams"),
+        round(min("score"), 6).as("min_score"),
+        round(max("score"), 6).as("max_score"))
+  }
+
   private val zorderDir = scala.collection.concurrent.TrieMap[String, String]()
 
   /** The z-order clustered-layout path on driver data: lineitem is rewritten
@@ -1903,6 +1922,7 @@ object Queries {
     "text_repetition" -> (textRepetition _),
     "text_quantiles" -> (textQuantiles _),
     "text_lm_bigram" -> (textLmBigram _),
+    "corpus_tiers" -> (corpusTiers _),
     "search_tfidf" -> (searchTfidf _),
     "search_stemmed" -> (searchStemmed _),
     "search_store_tfidf" -> (searchStoreTfidf _),
