@@ -480,6 +480,66 @@ object OracleSqls {
          |FROM ww JOIN cov ON cov.doc_id = ww.doc_id
          |GROUP BY ww.doc_id, len(ww.w)""".stripMargin,
 
+    // winnowing (MOSS): rightmost-min-of-some-window membership decomposed
+    // per offset k into window aggregates — mirrors Dedup.winnowingStats
+    // condition for condition (w=4, word-3-gram hashes, 60-bit md5 prefix)
+    "dedup_winnowing" ->
+      s"""WITH w AS (
+        |  SELECT doc_id, source, $wordsExpr AS w FROM documents
+        |), ww AS (SELECT doc_id, source, w FROM w WHERE len(w) >= 6),
+        |sh AS (
+        |  SELECT doc_id, source, unnest(range(0, len(w) - 2)) AS pos,
+        |    unnest(list_transform(range(1, len(w) - 1), i ->
+        |      ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]),
+        |        1, 15))::BIGINT)) AS h
+        |  FROM ww
+        |), m AS (
+        |  SELECT doc_id, source, pos, h,
+        |    count(*) OVER (PARTITION BY doc_id) AS np,
+        |    coalesce(min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 1 PRECEDING AND 1 PRECEDING),
+        |      9223372036854775807) AS pm1,
+        |    coalesce(min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING),
+        |      9223372036854775807) AS pm2,
+        |    coalesce(min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING),
+        |      9223372036854775807) AS pm3,
+        |    coalesce(min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 1 FOLLOWING AND 1 FOLLOWING),
+        |      9223372036854775807) AS nm1,
+        |    coalesce(min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING),
+        |      9223372036854775807) AS nm2,
+        |    coalesce(min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING),
+        |      9223372036854775807) AS nm3
+        |  FROM sh
+        |), sel AS (
+        |  SELECT DISTINCT doc_id, source, h FROM m
+        |  WHERE (pos + 0 >= 3 AND pos + 0 <= np - 1 AND h <= pm3)
+        |     OR (pos + 1 >= 3 AND pos + 1 <= np - 1 AND h <= pm2 AND h < nm1)
+        |     OR (pos + 2 >= 3 AND pos + 2 <= np - 1 AND h <= pm1 AND h < nm2)
+        |     OR (pos + 3 >= 3 AND pos + 3 <= np - 1 AND h < nm3)
+        |), shared AS (
+        |  SELECT h FROM sel GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+        |), positions AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_positions
+        |  FROM sh GROUP BY source
+        |), selc AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_selected
+        |  FROM sel GROUP BY source
+        |), shrc AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM sel SEMI JOIN shared USING (h) GROUP BY source
+        |)
+        |SELECT p.source, p.n_positions,
+        |  CAST(coalesce(s.n_selected, 0) AS BIGINT) AS n_selected,
+        |  CAST(coalesce(c.n_shared, 0) AS BIGINT) AS n_shared
+        |FROM positions p
+        |LEFT JOIN selc s ON p.source = s.source
+        |LEFT JOIN shrc c ON p.source = c.source""".stripMargin,
+
     "t3_budget_retrieval" -> t3OracleSql(maxNodes = 20, maxTokens = 200L, rate = 1.0),
 
     "t3_pattern_rate" -> t3OracleSql(maxNodes = 20, maxTokens = 100000L, rate = 0.5),

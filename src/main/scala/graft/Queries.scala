@@ -1034,6 +1034,13 @@ object Queries {
   def textLmBigram(spark: SparkSession, dir: String): DataFrame =
     LangModel.bigramScore(T(spark, dir, "documents"), "doc_id", "text")
 
+  /** Winnowing (MOSS) fingerprint selection over word-3-gram hashes,
+    * window 4: per-source positions / selected / cross-doc-shared
+    * fingerprints. */
+  def dedupWinnowing(spark: SparkSession, dir: String): DataFrame =
+    Dedup.winnowingStats(T(spark, dir, "documents"), "doc_id", "text",
+      "source", n = 3, winSize = 4)
+
   /** Model-scored curriculum tiers: per SOURCE, ntile-4 routing by the
     * corpus-trained bigram likelihood (tie-broken by doc_id) — the
     * "quality tiers feed different training phases" assignment. The
@@ -1923,6 +1930,7 @@ object Queries {
     "text_quantiles" -> (textQuantiles _),
     "text_lm_bigram" -> (textLmBigram _),
     "corpus_tiers" -> (corpusTiers _),
+    "dedup_winnowing" -> (dedupWinnowing _),
     "search_tfidf" -> (searchTfidf _),
     "search_stemmed" -> (searchStemmed _),
     "search_store_tfidf" -> (searchStoreTfidf _),

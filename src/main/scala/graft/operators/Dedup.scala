@@ -643,6 +643,68 @@ object Dedup {
       .select(col("doc_id"), col("n_tokens"), col("dup_tokens"))
   }
 
+  /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, SIGMOD'03
+    * — the MOSS algorithm): from each sliding window of `winSize`
+    * consecutive positioned shingle hashes, select the minimum (rightmost
+    * on ties); the union over windows is the fingerprint set. Guarantees
+    * every shared substring of ≥ winSize+n−1 tokens yields a shared
+    * fingerprint while keeping density ≈ 2/(winSize+1) — position-robust
+    * subsampling, unlike mod-p selection which an attacker (or a one-token
+    * edit) shifts wholesale.
+    *
+    * The rightmost-min-of-some-window membership test is decomposed per
+    * window offset k into pure window aggregates — h ≤ min(previous
+    * winSize−1−k) AND h < min(next k), window fully inside the position
+    * range — so selection is ONE keyed window pass, no per-window explode.
+    * Returns per-source: positions, selected fingerprints, and selected
+    * (doc, fp) pairs whose fingerprint is selected in ≥ 2 docs. */
+  def winnowingStats(docs: DataFrame, idCol: String, textCol: String,
+                     srcCol: String, n: Int, winSize: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wdf = docs.select(col(idCol).as("doc_id"), col(srcCol).as("source"),
+        words(col(textCol)).as("w"))
+      .where(size(col("w")) >= n + winSize - 1)
+    val sh = wdf.select(col("doc_id"), col("source"),
+        posexplode(wordShinglesOf(col("w"), n)).as(Seq("pos", "shingle")))
+      .select(col("doc_id"), col("source"), col("pos"),
+        md5Long(col("shingle")).as("h"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val inf = Long.MaxValue
+    var cur = sh
+      .withColumn("np", count(lit(1)).over(Window.partitionBy("doc_id")))
+    for (j <- 1 until winSize) {
+      cur = cur
+        .withColumn(s"pm$j",
+          coalesce(min("h").over(byDoc.rowsBetween(-j, -1)), lit(inf)))
+        .withColumn(s"nm$j",
+          coalesce(min("h").over(byDoc.rowsBetween(1, j)), lit(inf)))
+    }
+    val selectedCond = (0 until winSize).map { k =>
+      val windowFits = (col("pos") + k >= winSize - 1) &&
+        (col("pos") + k <= col("np") - 1)
+      val prevOk = if (winSize - 1 - k == 0) lit(true)
+        else col("h") <= col(s"pm${winSize - 1 - k}")
+      val nextOk = if (k == 0) lit(true) else col("h") < col(s"nm$k")
+      windowFits && prevOk && nextOk
+    }.reduce(_ || _)
+    val selected = cur.where(selectedCond)
+      .select(col("doc_id"), col("source"), col("h")).distinct()
+    val shared = selected.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("nd")).where(col("nd") >= 2)
+      .select("h")
+    val positions = sh.groupBy("source")
+      .agg(count(lit(1)).as("n_positions"))
+    val sel = selected.groupBy("source")
+      .agg(count(lit(1)).as("n_selected"))
+    val shr = selected.join(shared, Seq("h"), "left_semi")
+      .groupBy("source").agg(count(lit(1)).as("n_shared"))
+    positions.join(sel, Seq("source"), "left")
+      .join(shr, Seq("source"), "left")
+      .select(col("source"), col("n_positions"),
+        coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+  }
+
   /** Paragraph-level cross-document dedup — the C4 duplicate-line-removal
     * analog for corpora without line structure: documents are cut into
     * non-overlapping `chunkSize`-word windows ([[TextOps.chunkDocs]] with

@@ -434,4 +434,50 @@ class DedupSpec extends SparkSpec {
       .toMap
     assert(out === Map(1L -> ((14L, 10L)), 2L -> ((11L, 10L))))
   }
+
+  /** Canonical robust winnowing (Schleimer et al., Fig. 7): per window,
+    * min hash with the RIGHTMOST tie; distinct selected hash values. */
+  private def refWinnow(tokens: Seq[String], n: Int, w: Int): Set[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String): Long = java.lang.Long.parseLong(
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 15), 16)
+    val hs = tokens.sliding(n).map(g => h(g.mkString(" "))).toVector
+    (0 to hs.length - w).map { q0 =>
+      val win = hs.slice(q0, q0 + w)
+      win(win.lastIndexOf(win.min))
+    }.toSet
+  }
+
+  test("winnowing selection matches the canonical algorithm per document") {
+    val rnd = new scala.util.Random(4242)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta")
+    val docs = (0 until 4).map { i =>
+      (i.toLong, s"src$i",
+        Seq.fill(25 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+    }
+    val out = Dedup.winnowingStats(docs.toDF("doc_id", "source", "text"),
+        "doc_id", "text", "source", n = 3, winSize = 4)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    docs.foreach { case (_, src, text) =>
+      val toks = text.split(" ").toSeq
+      val ref = refWinnow(toks, 3, 4)
+      assert(out(src)._1 === toks.length - 2L, s"$src positions")
+      assert(out(src)._2 === ref.size.toLong, s"$src selected")
+    }
+  }
+
+  test("winnowing guarantee: a shared 8-token run yields shared fingerprints") {
+    val run = "one two three four five six seven eight"
+    val docs = Seq(
+      (1L, "a", s"xx yy zz $run qq ww ee"),
+      (2L, "b", s"aa bb $run cc dd ff gg hh")).toDF("doc_id", "source", "text")
+    val out = Dedup.winnowingStats(docs, "doc_id", "text", "source", 3, 4)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    // shared substring length 8 ≥ winSize + n − 1 = 6 → guaranteed hit
+    assert(out("a") >= 1L && out("b") >= 1L, out.toString)
+  }
 }
