@@ -480,6 +480,47 @@ object OracleSqls {
          |FROM ww JOIN cov ON cov.doc_id = ww.doc_id
          |GROUP BY ww.doc_id, len(ww.w)""".stripMargin,
 
+    // content-defined chunking: boundary where the 3-gram hash % 16 == 0,
+    // chunk index = prefix-sum of prior boundaries, fingerprint = md5 of
+    // the in-order hash sequence — mirrors Dedup.cdcChunkStats
+    "dedup_cdc_chunks" ->
+      s"""WITH w AS (
+        |  SELECT doc_id, source, $wordsExpr AS w FROM documents
+        |), ww AS (SELECT doc_id, source, w FROM w WHERE len(w) >= 3),
+        |sh AS (
+        |  SELECT doc_id, source, unnest(range(0, len(w) - 2)) AS pos,
+        |    unnest(list_transform(range(1, len(w) - 1), i ->
+        |      ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]),
+        |        1, 15))::BIGINT)) AS h
+        |  FROM ww
+        |), ck AS (
+        |  SELECT doc_id, source, pos, h,
+        |    coalesce(sum(CASE WHEN h % 16 = 0 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS chunk_idx
+        |  FROM sh
+        |), chunks AS (
+        |  SELECT doc_id, source, chunk_idx, CAST(count(*) AS BIGINT) AS len,
+        |    md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY pos)) AS fp
+        |  FROM ck GROUP BY doc_id, source, chunk_idx
+        |), dup AS (
+        |  SELECT fp FROM chunks GROUP BY fp HAVING count(*) >= 2
+        |), agg AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+        |    CAST(sum(len) AS BIGINT) AS n_positions
+        |  FROM chunks GROUP BY source
+        |), dagg AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_dup_chunks,
+        |    CAST(sum(len) AS BIGINT) AS dup_positions
+        |  FROM chunks SEMI JOIN dup USING (fp) GROUP BY source
+        |)
+        |SELECT a.source, a.n_chunks,
+        |  (a.n_positions * 1000000) // a.n_chunks AS mean_len_micro,
+        |  CAST(coalesce(d.n_dup_chunks, 0) AS BIGINT) AS n_dup_chunks,
+        |  CAST(coalesce(d.dup_positions, 0) AS BIGINT) AS dup_positions
+        |FROM agg a LEFT JOIN dagg d ON a.source = d.source""".stripMargin,
+
     // winnowing (MOSS): rightmost-min-of-some-window membership decomposed
     // per offset k into window aggregates — mirrors Dedup.winnowingStats
     // condition for condition (w=4, word-3-gram hashes, 60-bit md5 prefix)

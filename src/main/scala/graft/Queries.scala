@@ -1034,6 +1034,12 @@ object Queries {
   def textLmBigram(spark: SparkSession, dir: String): DataFrame =
     LangModel.bigramScore(T(spark, dir, "documents"), "doc_id", "text")
 
+  /** Content-defined chunking over word-3-gram hashes (mask 16):
+    * per-source chunk counts, mean length, duplicate-chunk mass. */
+  def dedupCdcChunks(spark: SparkSession, dir: String): DataFrame =
+    Dedup.cdcChunkStats(T(spark, dir, "documents"), "doc_id", "text",
+      "source", n = 3, mask = 16)
+
   /** Winnowing (MOSS) fingerprint selection over word-3-gram hashes,
     * window 4: per-source positions / selected / cross-doc-shared
     * fingerprints. */
@@ -1931,6 +1937,7 @@ object Queries {
     "text_lm_bigram" -> (textLmBigram _),
     "corpus_tiers" -> (corpusTiers _),
     "dedup_winnowing" -> (dedupWinnowing _),
+    "dedup_cdc_chunks" -> (dedupCdcChunks _),
     "search_tfidf" -> (searchTfidf _),
     "search_stemmed" -> (searchStemmed _),
     "search_store_tfidf" -> (searchStoreTfidf _),

@@ -705,6 +705,54 @@ object Dedup {
         coalesce(col("n_shared"), lit(0L)).as("n_shared"))
   }
 
+  /** Content-defined chunking (the LBFS/restic/borg boundary trick applied
+    * to token streams): a chunk boundary falls wherever the local shingle
+    * hash satisfies `h % mask == 0`, so boundaries are decided by CONTENT,
+    * not offsets — inserting a sentence shifts every fixed-size window but
+    * leaves all CDC chunks outside the edit region identical, which is
+    * what makes chunk-level dedup storage incremental. Expected chunk
+    * length ≈ `mask` positions.
+    *
+    * Chunks are fingerprinted by the md5 of their in-order hash sequence
+    * (order pinned by position sort, engine-portable), and instances whose
+    * fingerprint recurs anywhere in the corpus are the dedupable mass.
+    * One narrow scan + a prefix-sum window per doc + one fingerprint
+    * groupBy; per-source report: chunks, mean length in micro-positions,
+    * duplicate-chunk instances. */
+  def cdcChunkStats(docs: DataFrame, idCol: String, textCol: String,
+                    srcCol: String, n: Int, mask: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs.select(col(idCol).as("doc_id"), col(srcCol).as("source"),
+        words(col(textCol)).as("w"))
+      .where(size(col("w")) >= n)
+      .select(col("doc_id"), col("source"),
+        posexplode(wordShinglesOf(col("w"), n)).as(Seq("pos", "shingle")))
+      .select(col("doc_id"), col("source"), col("pos"),
+        md5Long(col("shingle")).as("h"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunked = sh.withColumn("chunk_idx",
+      coalesce(sum(when(col("h") % mask === 0, 1L).otherwise(0L))
+        .over(byDoc), lit(0L)))
+    val chunks = chunked.groupBy("doc_id", "source", "chunk_idx")
+      .agg(count(lit(1)).as("len"),
+        md5(concat_ws(",", transform(
+          array_sort(collect_list(struct(col("pos"), col("h")))),
+          s => s.getField("h").cast("string")))).as("fp"))
+    val dupFps = chunks.groupBy("fp")
+      .agg(count(lit(1)).as("cnt")).where(col("cnt") >= 2).select("fp")
+    chunks.join(dupFps, Seq("fp"), "left_semi")
+      .groupBy("source").agg(count(lit(1)).as("n_dup_chunks"),
+        sum("len").as("dup_positions"))
+      .join(chunks.groupBy("source")
+        .agg(count(lit(1)).as("n_chunks"), sum("len").as("n_positions")),
+        Seq("source"), "right")
+      .select(col("source"), col("n_chunks"),
+        expr("(n_positions * 1000000) div n_chunks").as("mean_len_micro"),
+        coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"),
+        coalesce(col("dup_positions"), lit(0L)).as("dup_positions"))
+  }
+
   /** Paragraph-level cross-document dedup — the C4 duplicate-line-removal
     * analog for corpora without line structure: documents are cut into
     * non-overlapping `chunkSize`-word windows ([[TextOps.chunkDocs]] with

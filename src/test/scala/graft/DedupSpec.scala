@@ -470,6 +470,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("CDC chunks survive a front insertion (the content-defined point)") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("red", "green", "blue", "cyan", "teal", "plum",
+      "gold", "rust", "jade", "onyx")
+    val base = Seq.fill(120)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val shifted = "zz yy xx ww vv " + base
+    val docs = Seq((1L, "a", base), (2L, "b", shifted))
+      .toDF("doc_id", "source", "text")
+    val out = Dedup.cdcChunkStats(docs, "doc_id", "text", "source", 3, 16)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(3)))).toMap
+    // the 5-token prefix shifts every fixed offset, but content-defined
+    // boundaries re-synchronize: chunks after the first shared boundary
+    // are identical across the two docs
+    assert(out("a")._2 >= 1L && out("b")._2 >= 1L,
+      s"expected shared chunks after re-sync: $out")
+    // a doc with no duplicate content reports zero duplicate mass
+    val solo = Dedup.cdcChunkStats(
+      Seq((9L, "s", base)).toDF("doc_id", "source", "text"),
+      "doc_id", "text", "source", 3, 16).collect().head
+    assert(solo.getLong(3) === 0L && solo.getLong(4) === 0L)
+  }
+
   test("winnowing guarantee: a shared 8-token run yields shared fingerprints") {
     val run = "one two three four five six seven eight"
     val docs = Seq(
