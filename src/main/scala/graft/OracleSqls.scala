@@ -1090,6 +1090,65 @@ object OracleSqls {
         |CROSS JOIN v
         |GROUP BY p.doc_id""".stripMargin,
 
+    // held-out stupid-backoff trigram scoring (model = even docs, eval =
+    // odd docs; 0.4 and 0.16 as 4/10 and 16/100 integer rationals) —
+    // mirrors LangModel.trigramBackoffScore case for case
+    "text_lm_trigram" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, source, $wordsExpr AS w FROM documents
+        |), tr AS (SELECT w FROM d WHERE doc_id % 2 = 0),
+        |ev AS (SELECT doc_id, w FROM d WHERE doc_id % 2 = 1),
+        |t3 AS (
+        |  SELECT w[i] AS a, w[i+1] AS b, w[i+2] AS c, count(*) AS c3
+        |  FROM (SELECT w, unnest(range(1, len(w) - 1)) AS i FROM tr
+        |        WHERE len(w) >= 3)
+        |  GROUP BY 1, 2, 3
+        |), t2 AS (
+        |  SELECT w[i] AS x, w[i+1] AS y, count(*) AS c2
+        |  FROM (SELECT w, unnest(range(1, len(w))) AS i FROM tr
+        |        WHERE len(w) >= 2)
+        |  GROUP BY 1, 2
+        |), t1 AS (
+        |  SELECT t AS x, count(*) AS c1
+        |  FROM (SELECT unnest(w) AS t FROM tr) GROUP BY 1
+        |), nn AS (
+        |  SELECT count(*) AS n FROM (SELECT unnest(w) AS t FROM tr)
+        |), et AS (
+        |  SELECT doc_id, w[i] AS a, w[i+1] AS b, w[i+2] AS c, count(*) AS m
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM ev
+        |        WHERE len(w) >= 3)
+        |  GROUP BY 1, 2, 3, 4
+        |), j AS (
+        |  SELECT et.doc_id, et.m, t3.c3, ab.c2 AS c2ab, bc.c2 AS c2bc,
+        |    b1.c1 AS c1b, cc.c1 AS c1c, nn.n
+        |  FROM et
+        |  LEFT JOIN t3 USING (a, b, c)
+        |  LEFT JOIN t2 ab ON et.a = ab.x AND et.b = ab.y
+        |  LEFT JOIN t2 bc ON et.b = bc.x AND et.c = bc.y
+        |  LEFT JOIN t1 b1 ON et.b = b1.x
+        |  LEFT JOIN t1 cc ON et.c = cc.x
+        |  CROSS JOIN nn
+        |), s AS (
+        |  SELECT doc_id, m,
+        |    CASE WHEN c3 IS NOT NULL THEN (c3 * 1000000) // c2ab
+        |         WHEN c2bc IS NOT NULL THEN (4 * c2bc * 1000000) // (10 * c1b)
+        |         WHEN c1c IS NOT NULL THEN (16 * c1c * 1000000) // (100 * n)
+        |         ELSE 0 END AS contrib,
+        |    CASE WHEN c3 IS NULL THEN m ELSE 0 END AS bk
+        |  FROM j
+        |), pd AS (
+        |  SELECT doc_id, CAST(sum(m) AS BIGINT) AS nt,
+        |    CAST(sum(m * contrib) AS BIGINT) AS sc,
+        |    CAST(sum(bk) AS BIGINT) AS nb
+        |  FROM s GROUP BY doc_id
+        |)
+        |SELECT d2.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS sum_trigrams,
+        |  CAST(sum(sc) AS BIGINT) AS sum_score_micro,
+        |  CAST(sum(nb) AS BIGINT) AS sum_backoff
+        |FROM pd JOIN (SELECT doc_id, source FROM documents) d2 USING (doc_id)
+        |GROUP BY 1""".stripMargin,
+
     // per-source ntile-4 curriculum routing over the bigram-LM scores
     // (same model CTEs as text_lm_bigram; score round-6 + doc_id total
     // order makes the tiling engine-portable)

@@ -1047,6 +1047,21 @@ object Queries {
     Dedup.winnowingStats(T(spark, dir, "documents"), "doc_id", "text",
       "source", n = 3, winSize = 4)
 
+  /** Held-out stupid-backoff trigram scoring: model on even doc_ids,
+    * scores on odd — per-source rollup with observable backoff counts. */
+  def textLmTrigram(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T(spark, dir, "documents")
+    val scored = LangModel.trigramBackoffScore(
+      docs.where(col("doc_id") % 2 === 0),
+      docs.where(col("doc_id") % 2 === 1), "doc_id", "text")
+    scored.join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_trigrams").as("sum_trigrams"),
+        sum("score_micro").as("sum_score_micro"),
+        sum("n_backoff").as("sum_backoff"))
+  }
+
   /** Model-scored curriculum tiers: per SOURCE, ntile-4 routing by the
     * corpus-trained bigram likelihood (tie-broken by doc_id) — the
     * "quality tiers feed different training phases" assignment. The
@@ -1935,6 +1950,7 @@ object Queries {
     "text_repetition" -> (textRepetition _),
     "text_quantiles" -> (textQuantiles _),
     "text_lm_bigram" -> (textLmBigram _),
+    "text_lm_trigram" -> (textLmTrigram _),
     "corpus_tiers" -> (corpusTiers _),
     "dedup_winnowing" -> (dedupWinnowing _),
     "dedup_cdc_chunks" -> (dedupCdcChunks _),

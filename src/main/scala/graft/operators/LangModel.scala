@@ -58,4 +58,65 @@ object LangModel {
           sum(col("m") * (col("c2") + 1).cast("double") / (col("c1") + col("v")))
             / sum("m"), 6).as("score"))
   }
+
+  /** HELD-OUT trigram scoring with stupid backoff (Brants et al., EMNLP'07
+    * — the web-scale LM recipe: no normalization, fixed α = 0.4), entirely
+    * in integer micro-units:
+    *
+    *   seen trigram:          (C3(abc) · 1e6)  div C2(ab)
+    *   backoff to bigram:  (4 · C2(bc) · 1e6)  div (10 · C1(b))
+    *   backoff to unigram: (16 · C1(c) · 1e6)  div (100 · N)
+    *   unseen word:         0
+    *
+    * The model trains on `train` and scores `eval` — the split is what
+    * makes backoff OBSERVABLE (a corpus scored against itself never backs
+    * off) and is the proper held-out quality-filter shape. Per doc:
+    * trigram count, summed score, and how many trigrams backed off.
+    *
+    * Scale shape: count tables are vocab-sized aggregates of the train
+    * scan; scoring joins the eval doc's distinct trigrams (with
+    * multiplicity) to them by key — map-side combined throughout, no
+    * floats anywhere. */
+  def trigramBackoffScore(train: DataFrame, eval_ : DataFrame,
+                          idCol: String, textCol: String): DataFrame = {
+    def toks(df: DataFrame) = df.select(col(idCol).as("doc_id"),
+      graft.functions.words(col(textCol)).as("w"))
+    def grams(df: DataFrame, n: Int) = toks(df)
+      .where(size(col("w")) >= n)
+      .select(col("doc_id"),
+        explode(graft.functions.wordShinglesOf(col("w"), n)).as("g"))
+      .select(col("doc_id"), split(col("g"), " ").as("p"))
+    val t3 = grams(train, 3).groupBy(
+        col("p")(0).as("a"), col("p")(1).as("b"), col("p")(2).as("c"))
+      .agg(count(lit(1)).as("c3"))
+    val t2 = grams(train, 2).groupBy(
+        col("p")(0).as("x"), col("p")(1).as("y"))
+      .agg(count(lit(1)).as("c2"))
+    val t1 = toks(train).select(explode(col("w")).as("x"))
+      .groupBy("x").agg(count(lit(1)).as("c1"))
+    val n = toks(train).select(explode(col("w")).as("x"))
+      .agg(count(lit(1)).as("n"))
+    val evalTri = grams(eval_, 3).groupBy(col("doc_id"),
+        col("p")(0).as("a"), col("p")(1).as("b"), col("p")(2).as("c"))
+      .agg(count(lit(1)).as("m"))
+    evalTri
+      .join(t3, Seq("a", "b", "c"), "left")
+      .join(t2.select(col("x").as("a"), col("y").as("b"),
+        col("c2").as("c2ab")), Seq("a", "b"), "left")
+      .join(t2.select(col("x").as("b"), col("y").as("c"),
+        col("c2").as("c2bc")), Seq("b", "c"), "left")
+      .join(t1.select(col("x").as("b"), col("c1").as("c1b")), Seq("b"), "left")
+      .join(t1.select(col("x").as("c"), col("c1").as("c1c")), Seq("c"), "left")
+      .crossJoin(broadcast(n))
+      .withColumn("contrib",
+        when(col("c3").isNotNull, expr("(c3 * 1000000) div c2ab"))
+          .when(col("c2bc").isNotNull, expr("(4 * c2bc * 1000000) div (10 * c1b)"))
+          .when(col("c1c").isNotNull, expr("(16 * c1c * 1000000) div (100 * n)"))
+          .otherwise(lit(0L)))
+      .groupBy("doc_id")
+      .agg(sum("m").cast("long").as("n_trigrams"),
+        sum(col("m") * col("contrib")).as("score_micro"),
+        sum(when(col("c3").isNull, col("m")).otherwise(lit(0L)))
+          .as("n_backoff"))
+  }
 }

@@ -42,4 +42,23 @@ class LangModelSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSet === Set(1L))
     assert(out.head.getLong(1) === 1L)
   }
+
+  test("trigram backoff: hand-derived scores at every backoff level") {
+    import spark.implicits._
+    // train "a b c a b c": C3(abc)=2, C2(ab)=2, C2(bc)=2, C1(b)=2, N=6
+    val train = Seq((0L, "a b c a b c")).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (1L, "a b c"),  // seen trigram: (2·1e6) div 2 = 1,000,000
+      (3L, "x b c"),  // bigram backoff: (4·2·1e6) div (10·2) = 400,000
+      (5L, "b c b"),  // unigram backoff: (16·2·1e6) div (100·6) = 53,333
+      (7L, "a b z"))  // unseen word: 0
+      .toDF("doc_id", "text")
+    val out = LangModel.trigramBackoffScore(train, eval_, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((1L, 1000000L, 0L)))
+    assert(out(3L) === ((1L, 400000L, 1L)))
+    assert(out(5L) === ((1L, 53333L, 1L)))
+    assert(out(7L) === ((1L, 0L, 1L)))
+  }
 }
