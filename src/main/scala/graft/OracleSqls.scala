@@ -480,6 +480,34 @@ object OracleSqls {
          |FROM ww JOIN cov ON cov.doc_id = ww.doc_id
          |GROUP BY ww.doc_id, len(ww.w)""".stripMargin,
 
+    // Aho-Corasick blocklist scan; the oracle reproduces the leftmost-
+    // non-overlapping per-pattern counts with the replace() identity,
+    // pattern list shared with the engine (Queries.blocklistPatterns)
+    "curate_blocklist" -> {
+      val cs = graft.Queries.blocklistPatterns.zipWithIndex.map {
+        case (p, i) =>
+          s"CAST((length(text) - length(replace(text, '$p', ''))) " +
+            s"// ${p.length} AS BIGINT) AS c${i + 1}"
+      }.mkString(",\n        |    ")
+      val hits = graft.Queries.blocklistPatterns.indices
+        .map(i => s"c${i + 1}").mkString(" + ")
+      val weighted = graft.Queries.blocklistPatterns.indices
+        .map(i => s"${i + 1} * c${i + 1}").mkString(" + ")
+      s"""WITH per AS (
+        |  SELECT source,
+        |    $cs
+        |  FROM documents
+        |), d AS (
+        |  SELECT source, ($hits) AS hits, ($weighted) AS weighted FROM per
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_docs_hit,
+        |  CAST(sum(hits) AS BIGINT) AS n_hits,
+        |  CAST(sum(weighted) AS BIGINT) AS weighted_hits
+        |FROM d GROUP BY source""".stripMargin
+    },
+
     // content-defined chunking: boundary where the 3-gram hash % 16 == 0,
     // chunk index = prefix-sum of prior boundaries, fingerprint = md5 of
     // the in-order hash sequence — mirrors Dedup.cdcChunkStats

@@ -1034,6 +1034,18 @@ object Queries {
   def textLmBigram(spark: SparkSession, dir: String): DataFrame =
     LangModel.bigramScore(T(spark, dir, "documents"), "doc_id", "text")
 
+  /** Fixed demo blocklist (shared with the oracle generator): single
+    * words, multi-word phrases, an overlapping word/phrase pair, and a
+    * never-matching entry. */
+  val blocklistPatterns: Seq[String] =
+    Seq("vector", "data", "the data", "hash join", "zzqq")
+
+  /** Aho–Corasick blocklist scan: per-source hit report under leftmost-
+    * non-overlapping per-pattern counting. */
+  def curateBlocklist(spark: SparkSession, dir: String): DataFrame =
+    operators.Blocklist.scanStats(spark, T(spark, dir, "documents"),
+      "doc_id", "text", "source", blocklistPatterns)
+
   /** Content-defined chunking over word-3-gram hashes (mask 16):
     * per-source chunk counts, mean length, duplicate-chunk mass. */
   def dedupCdcChunks(spark: SparkSession, dir: String): DataFrame =
@@ -1954,6 +1966,7 @@ object Queries {
     "corpus_tiers" -> (corpusTiers _),
     "dedup_winnowing" -> (dedupWinnowing _),
     "dedup_cdc_chunks" -> (dedupCdcChunks _),
+    "curate_blocklist" -> (curateBlocklist _),
     "search_tfidf" -> (searchTfidf _),
     "search_stemmed" -> (searchStemmed _),
     "search_store_tfidf" -> (searchStoreTfidf _),
