@@ -44,6 +44,30 @@ class BlocklistSpec extends SparkSpec {
     }
   }
 
+  test("the automaton scan lifts to Structured Streaming statelessly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val ac = new AhoCorasick(Seq("bad phrase", "worse"))
+    val stream = MemoryStream[(Long, String)]
+    // the same per-row scan as scanStats, as a streaming filter stage:
+    // route documents with any hit to quarantine (ingest-time policy)
+    val flagged = stream.toDF().toDF("doc_id", "text")
+      .map { r =>
+        (r.getLong(0), ac.countMatches(r.getString(1)).sum > 0)
+      }(org.apache.spark.sql.Encoders.product[(Long, Boolean)])
+      .toDF("doc_id", "quarantined")
+    val q = flagged.writeStream.format("memory")
+      .queryName("bl_test").outputMode("append").start()
+    try {
+      stream.addData((1L, "clean text"), (2L, "a bad phrase here"),
+        (3L, "worse still"))
+      q.processAllAvailable()
+      val rows = spark.table("bl_test").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(rows === Map(1L -> false, 2L -> true, 3L -> true))
+    } finally q.stop()
+  }
+
   test("scanStats rolls up hits, hit docs, and the weighted distribution") {
     val docs = Seq(
       (1L, "a", "the vector and the data"),   // vector:1 data:1 'the data':1
