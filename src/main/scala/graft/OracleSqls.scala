@@ -1371,6 +1371,35 @@ object OracleSqls {
     // regex engine (Spark: java.util.regex; here: RE2). Patterns live in
     // the shared RE2 ∩ Java subset; DuckDB's regexp_replace needs the 'g'
     // flag to match Spark's replace-all semantics.
+    // HTML strip over injected markup: same tag regex (with 'g'), same
+    // literal entity replaces with &amp; strictly last — mirrors
+    // Curation.htmlStripOf/htmlInjectedStats
+    "curate_html_strip" ->
+      """WITH a AS (
+        |  SELECT source,
+        |    '<div class="c' || CAST(doc_id % 5 AS VARCHAR) || '"><p>' ||
+        |    text || '</p>' ||
+        |    CASE WHEN doc_id % 2 = 0 THEN ' &amp;lt; x &lt;b&gt;'
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' &quot;q&quot; &#39;a&#39;'
+        |         ELSE '' END || '</div>' AS aug
+        |  FROM documents
+        |), s AS (
+        |  SELECT source, aug,
+        |    replace(replace(replace(replace(replace(
+        |      regexp_replace(aug, '<[^>]+>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', chr(39)), '&amp;', '&') AS stripped
+        |  FROM a
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(regexp_extract_all(aug, '<[^>]+>'))) AS BIGINT)
+        |    AS n_tags,
+        |  CAST(sum(len(regexp_extract_all(aug, '&(amp|lt|gt|quot|#39);')))
+        |    AS BIGINT) AS n_entities,
+        |  CAST(sum(length(stripped)) AS BIGINT) AS stripped_len
+        |FROM s GROUP BY source""".stripMargin,
+
     "curate_pii" ->
       """WITH a AS (
         |  SELECT source, text ||

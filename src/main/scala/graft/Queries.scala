@@ -1448,6 +1448,10 @@ object Queries {
   def curatePii(spark: SparkSession, dir: String): DataFrame =
     Curation.piiInjectedStats(T(spark, dir, "documents"))
 
+  /** HTML strip audit over deterministically injected markup. */
+  def curateHtmlStrip(spark: SparkSession, dir: String): DataFrame =
+    Curation.htmlInjectedStats(T(spark, dir, "documents"))
+
   /** Deterministic weighted sampling driven by the rebalance boosts. */
   def curateSampled(spark: SparkSession, dir: String): DataFrame =
     Curation.weightedSampleStats(T(spark, dir, "documents"))
@@ -1967,6 +1971,7 @@ object Queries {
     "dedup_winnowing" -> (dedupWinnowing _),
     "dedup_cdc_chunks" -> (dedupCdcChunks _),
     "curate_blocklist" -> (curateBlocklist _),
+    "curate_html_strip" -> (curateHtmlStrip _),
     "search_tfidf" -> (searchTfidf _),
     "search_stemmed" -> (searchStemmed _),
     "search_store_tfidf" -> (searchStoreTfidf _),

@@ -326,6 +326,46 @@ object Curation {
     piiStats(docs.withColumn("pii_text", augmented), "pii_text")
   }
 
+  // ---- HTML boilerplate stripping ----
+
+  /** Markup removal + entity decode (the trafilatura/jusText first pass a
+    * web corpus needs before any text gate): tags collapse to one space
+    * via `<[^>]+>` (RE2 ∩ java.util.regex subset), then the five core
+    * entities decode by LITERAL replace with `&amp;` strictly LAST — the
+    * classic double-decode bug (`&amp;lt;` must yield `&lt;`, not `<`) is
+    * an ordering property, mirrored in the oracle. Pure codegen'd narrow
+    * map — scan-bound at 100 TB. */
+  def htmlStripOf(text: Column): Column = {
+    val noTags = regexp_replace(text, "<[^>]+>", " ")
+    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+      "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+  }
+
+  /** The driver corpus carries no markup, so the oracle-checked form
+    * wraps each text in deterministic doc_id-derived HTML (tags +
+    * entities the oracle re-derives from the table alone), then audits
+    * the real strip pass: tags seen, entities seen, stripped length. */
+  def htmlInjectedStats(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    def s(c: Column) = c.cast("string")
+    def m(c: Column, k: Int) = pmod(c, lit(k.toLong))
+    val aug = concat(
+      lit("<div class=\"c"), s(m(id, 5)), lit("\"><p>"), col("text"),
+      lit("</p>"),
+      when(m(id, 2) === 0, lit(" &amp;lt; x &lt;b&gt;")).otherwise(lit("")),
+      when(m(id, 3) === 0, lit(" &quot;q&quot; &#39;a&#39;")).otherwise(lit("")),
+      lit("</div>"))
+    docs.withColumn("aug", aug)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(regexp_count(col("aug"), lit("<[^>]+>")).cast("long"))
+          .as("n_tags"),
+        sum(regexp_count(col("aug"), lit("&(amp|lt|gt|quot|#39);"))
+          .cast("long")).as("n_entities"),
+        sum(length(htmlStripOf(col("aug"))).cast("long")).as("stripped_len"))
+  }
+
   // ---- encoding repair (ftfy-style mojibake fix) ----
 
   /** Conservative mojibake repair (the ftfy core case: UTF-8 bytes once

@@ -409,4 +409,20 @@ class CurationSpec extends SparkSpec {
     assert(r.getLong(3) === expected)
     assert(r.getLong(2) === (if (expected > 0) 1L else 0L))
   }
+
+  test("htmlStripOf: tags collapse, entities decode, no double-decode") {
+    import spark.implicits._
+    val out = Seq(
+      "<p>a<br/>b</p>",             // tags → spaces
+      "x &lt;tag&gt; &amp; y",      // entity decode
+      "&amp;lt;",                   // MUST become &lt; — not <
+      "<a href=\"u\">t</a>")
+      .toDF("t")
+      .select(graft.operators.Curation.htmlStripOf(col("t")))
+      .as[String].collect().toSeq
+    assert(out(0) === " a b ")
+    assert(out(1) === "x <tag> & y")
+    assert(out(2) === "&lt;", "decoding &amp; first would double-decode")
+    assert(out(3) === " t ")
+  }
 }
