@@ -948,6 +948,7 @@ object OracleSqls {
     "graph_eccentricity" -> withGraph(
       eccSql(iters = 6, Seq("ASIA", "EUROPE", "AFRICA"))),
     "graph_fwbw" -> withGraph(fwBwSql(iters = 6)),
+    "graph_matching" -> matchingSql(iters = 8),
     "graph_assortativity" -> withGraph(
       """, adjd AS (SELECT DISTINCT a, b FROM bidir),
         |deg AS (SELECT a, count(*) AS deg FROM adjd GROUP BY a),
@@ -3277,6 +3278,46 @@ object OracleSqls {
        |  CAST(count(*) AS BIGINT) AS n_reached
        |FROM ec$iters s JOIN nodes n ON s.src = n.nodeId
        |GROUP BY n.name""".stripMargin
+  }
+
+  /** Greedy-matching handshake rounds unrolled (mirrors
+    * [[graft.graph.GraphAlgorithms.greedyMatching]]): per round each live
+    * node's min-priority edge, mutual picks matched, endpoints removed. */
+  private def matchingSql(iters: Int): String = {
+    val rounds = (1 to iters).map { t =>
+      s"""ends$t AS (
+         |  SELECT a AS v, p FROM live${t - 1}
+         |  UNION ALL SELECT b, p FROM live${t - 1}
+         |), best$t AS (SELECT v, min(p) AS bp FROM ends$t GROUP BY v),
+         |m$t AS MATERIALIZED (
+         |  SELECT l.a, l.b FROM live${t - 1} l
+         |  JOIN best$t x ON l.a = x.v AND l.p = x.bp
+         |  JOIN best$t y ON l.b = y.v AND l.p = y.bp
+         |), dead$t AS (SELECT a AS v FROM m$t UNION SELECT b FROM m$t),
+         |live$t AS MATERIALIZED (
+         |  SELECT l.a, l.b, l.p FROM live${t - 1} l
+         |  ANTI JOIN dead$t da ON l.a = da.v
+         |  ANTI JOIN dead$t db ON l.b = db.v
+         |)""".stripMargin
+    }.mkString(",\n")
+    val allm = (1 to iters).map(t => s"SELECT a, b FROM m$t")
+      .mkString(" UNION ALL ")
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem
+       |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 5)
+       |), live0 AS MATERIALIZED (
+       |  SELECT a, b, ('0x' || substr(md5(CAST(a AS VARCHAR) || '-' ||
+       |    CAST(b AS VARCHAR)), 1, 15))::BIGINT AS p
+       |  FROM (
+       |    SELECT DISTINCT x.p AS a, y.p AS b
+       |    FROM li x JOIN li y ON x.k = y.k AND x.p < y.p)
+       |),
+       |$rounds,
+       |allm AS ($allm)
+       |SELECT CAST((SELECT count(*) FROM allm) AS BIGINT) AS n_matched_edges,
+       |  CAST(2 * (SELECT count(*) FROM allm) AS BIGINT) AS n_matched_nodes,
+       |  CAST((SELECT count(*) FROM live$iters) AS BIGINT) AS n_live_edges"""
+      .stripMargin
   }
 
   /** FW-BW reachability from the min-id pivot over DIRECTED rels

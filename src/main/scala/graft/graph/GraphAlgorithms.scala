@@ -282,6 +282,60 @@ object GraphAlgorithms {
       .select(col("name").as("anchor"), col("ecc"), col("n_reached"))
   }
 
+  /** Distributed greedy maximal matching (the classic handshake rounds —
+    * Israeli–Itai shape, derandomized): every round, each live node points
+    * at its minimum-priority live incident edge (priority = the portable
+    * md5 hash of the canonical endpoint pair, so rounds are deterministic
+    * and oracle-replayable); an edge joins the matching when BOTH
+    * endpoints point at it, and matched nodes leave. Per-round work is two
+    * keyed min-aggregates + one semi-join — no sequential edge scan, the
+    * reason this is THE matching primitive at cluster scale. Bounded
+    * `iters` rounds; reports matched edges/nodes and the live remainder
+    * (0 live edges ⇒ the matching is maximal). */
+  def greedyMatching(edges: DataFrame, iters: Int): DataFrame = {
+    val base = edges
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .where(col("a") < col("b")).distinct()
+      .withColumn("p", graft.operators.Dedup.md5Long(
+        concat_ws("-", col("a"), col("b"))))
+      .localCheckpoint(true)
+    var live = base
+    var matchedEdges = 0L
+    var matchedNodes = 0L
+    var round = 0
+    var progress = true
+    // identity rounds change nothing, so the early exit is invisible to
+    // the fixed-round oracle (the k-core/k-truss loop contract)
+    while (round < iters && progress) {
+      round += 1
+      val ends = live.select(col("a").as("v"), col("p"))
+        .unionByName(live.select(col("b").as("v"), col("p")))
+      val best = ends.groupBy("v").agg(min("p").as("bp"))
+      val matched = live
+        .join(best.select(col("v").as("a"), col("bp").as("pa")), Seq("a"))
+        .join(best.select(col("v").as("b"), col("bp").as("pb")), Seq("b"))
+        .where(col("p") === col("pa") && col("p") === col("pb"))
+        .select("a", "b")
+        .localCheckpoint(true)
+      val nMatched = matched.count()
+      matchedEdges += nMatched
+      matchedNodes += 2 * nMatched
+      progress = nMatched > 0
+      val deadNodes = matched.select(col("a").as("v"))
+        .unionByName(matched.select(col("b").as("v")))
+      live = live
+        .join(deadNodes.select(col("v").as("a")), Seq("a"), "left_anti")
+        .join(deadNodes.select(col("v").as("b")), Seq("b"), "left_anti")
+        .select("a", "b", "p")
+        .localCheckpoint(true)
+    }
+    val spark = edges.sparkSession
+    import spark.implicits._
+    Seq((matchedEdges, matchedNodes)).toDF("n_matched_edges", "n_matched_nodes")
+      .crossJoin(live.agg(count(lit(1)).as("n_live_edges")))
+  }
+
   /** FW-BW reachability partition from a pivot over the DIRECTED edge
     * list — the first step of the distributed SCC algorithm (Fleischer/
     * Hendrickson/Pinar): forward-reach F and backward-reach B from the

@@ -202,6 +202,23 @@ class GraphAlgorithmsSpec extends SparkSpec {
     assert(out.getLong(1) === 3L)
   }
 
+  test("greedy matching: maximal on path, star, and disjoint edges") {
+    def run(edges: Seq[(Long, Long)]) = {
+      val r = GraphAlgorithms.greedyMatching(edges.toDF("a", "b"), iters = 8)
+        .collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    // path 1-2-3: node 2 can serve only one edge → exactly 1 matched
+    assert(run(Seq((1L, 2L), (2L, 3L))) === ((1L, 2L, 0L)))
+    // star: one edge matches, the rest die with the hub
+    assert(run(Seq((1L, 2L), (1L, 3L), (1L, 4L))) === ((1L, 2L, 0L)))
+    // disjoint edges: perfect matching in one round
+    assert(run(Seq((1L, 2L), (3L, 4L))) === ((2L, 4L, 0L)))
+    // 4-cycle: 1 or 2 edges depending on hash priorities, always maximal
+    val (me, mn, live) = run(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)))
+    assert(live === 0L && mn === 2 * me && (me == 1L || me == 2L))
+  }
+
   test("FW-BW partition: cycle is the SCC, tails split by direction") {
     // directed: cycle 1→2→3→1 with tail-out 3→4 and tail-in 5→1;
     // pivot = min id = 1: F = {1,2,3,4}, B = {1,2,3,5}
