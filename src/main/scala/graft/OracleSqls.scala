@@ -949,6 +949,25 @@ object OracleSqls {
       eccSql(iters = 6, Seq("ASIA", "EUROPE", "AFRICA"))),
     "graph_fwbw" -> withGraph(fwBwSql(iters = 6)),
     "graph_matching" -> matchingSql(iters = 8),
+
+    // butterfly (bipartite 4-cycle) count with the mirrored left-degree
+    // cap (GraphAlgorithms.butterflyStats)
+    "graph_butterflies" ->
+      """WITH e AS (
+        |  SELECT DISTINCT l_orderkey AS l, l_partkey AS r FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 5)
+        |), keep AS (
+        |  SELECT l FROM e GROUP BY l HAVING count(*) <= 20
+        |), k AS (SELECT e.l, e.r FROM e SEMI JOIN keep USING (l)),
+        |co AS (
+        |  SELECT x.r AS r1, y.r AS r2, count(*) AS c
+        |  FROM k x JOIN k y ON x.l = y.l AND x.r < y.r
+        |  GROUP BY 1, 2
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_wedge_pairs,
+        |  CAST(sum(c * (c - 1) // 2) AS BIGINT) AS n_butterflies,
+        |  CAST(max(c) AS BIGINT) AS max_cooccurrence
+        |FROM co""".stripMargin,
     "graph_assortativity" -> withGraph(
       """, adjd AS (SELECT DISTINCT a, b FROM bidir),
         |deg AS (SELECT a, count(*) AS deg FROM adjd GROUP BY a),

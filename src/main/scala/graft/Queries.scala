@@ -431,6 +431,17 @@ object Queries {
     graft.graph.GraphAlgorithms.triangleHistogram(edges)
   }
 
+  /** Butterfly count over the order×part bipartite graph (small parts,
+    * left-degree cap 20 mirrored in the oracle). */
+  def graphButterflies(spark: SparkSession, dir: String): DataFrame = {
+    val small = T(spark, dir, "part").where(col("p_size") <= 5)
+      .select(col("p_partkey").as("p"))
+    val li = T(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("l"), col("l_partkey").as("r"))
+      .join(small, col("r") === col("p"), "left_semi")
+    graft.graph.GraphAlgorithms.butterflyStats(li, maxLeftDeg = 20)
+  }
+
   /** Greedy maximal matching over the co-occurrence graph (8 handshake
     * rounds — reaches maximality on this data, n_live_edges = 0). */
   def graphMatching(spark: SparkSession, dir: String): DataFrame = {
@@ -1931,6 +1942,7 @@ object Queries {
     "graph_triangles" -> (graphTriangles _),
     "graph_clustering" -> (graphClustering _),
     "graph_matching" -> (graphMatching _),
+    "graph_butterflies" -> (graphButterflies _),
     "graph_ktruss" -> (graphKtruss _),
     "graph_betweenness" -> (graphBetweenness _),
     "graph_modularity" -> (graphModularity _),

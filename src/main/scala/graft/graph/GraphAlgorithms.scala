@@ -282,6 +282,30 @@ object GraphAlgorithms {
       .select(col("name").as("anchor"), col("ecc"), col("n_reached"))
   }
 
+  /** Butterfly (bipartite 4-cycle) counting — the bipartite analog of
+    * triangle counting, THE cohesion metric for two-mode graphs like
+    * order×part: a butterfly is two left nodes sharing two right nodes.
+    * Count = Σ over right-node pairs C(co-occurrence, 2), computed from
+    * the per-left-node pair fan-out with the same hub valve as the wedge
+    * enumerators (`maxLeftDeg` caps a left node's pair explosion — a
+    * 10^5-item order would otherwise emit 10^10 pairs; the cap is part of
+    * the semantics and the oracle mirrors it). One explode + two keyed
+    * aggregates. */
+  def butterflyStats(edges: DataFrame, maxLeftDeg: Int): DataFrame = {
+    val e = edges.select(col("l"), col("r")).distinct()
+    val ldeg = e.groupBy("l").agg(count(lit(1)).as("d"))
+      .where(col("d") <= maxLeftDeg).select("l")
+    val kept = e.join(ldeg, Seq("l"), "left_semi")
+    val pairs = kept.select(col("l"), col("r").as("r1"))
+      .join(kept.select(col("l"), col("r").as("r2")), Seq("l"))
+      .where(col("r1") < col("r2"))
+    val co = pairs.groupBy("r1", "r2").agg(count(lit(1)).as("c"))
+    co.agg(
+      count(lit(1)).as("n_wedge_pairs"),
+      sum(expr("c * (c - 1) div 2")).cast("long").as("n_butterflies"),
+      max("c").cast("long").as("max_cooccurrence"))
+  }
+
   /** Distributed greedy maximal matching (the classic handshake rounds —
     * Israeli–Itai shape, derandomized): every round, each live node points
     * at its minimum-priority live incident edge (priority = the portable

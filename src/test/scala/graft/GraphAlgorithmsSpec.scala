@@ -202,6 +202,25 @@ class GraphAlgorithmsSpec extends SparkSpec {
     assert(out.getLong(1) === 3L)
   }
 
+  test("butterflies: hand-derived bipartite 4-cycles and the hub cap") {
+    def run(edges: Seq[(Long, Long)], cap: Int) = {
+      val r = GraphAlgorithms.butterflyStats(edges.toDF("l", "r"), cap)
+        .collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    // K(2,2): one butterfly
+    assert(run(Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L)), 20)
+      === ((1L, 1L)))
+    // K(2,3): 3 right pairs, each shared by both lefts → 3 butterflies
+    assert(run(Seq((1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 10L), (2L, 11L), (2L, 12L)), 20) === ((3L, 3L)))
+    // cap 2 drops the degree-3 lefts entirely → nothing remains
+    val capped = GraphAlgorithms.butterflyStats(
+      Seq((1L, 10L), (1L, 11L), (1L, 12L),
+        (2L, 10L), (2L, 11L), (2L, 12L)).toDF("l", "r"), 2).collect().head
+    assert(capped.getLong(0) === 0L && capped.isNullAt(1))
+  }
+
   test("greedy matching: maximal on path, star, and disjoint edges") {
     def run(edges: Seq[(Long, Long)]) = {
       val r = GraphAlgorithms.greedyMatching(edges.toDF("a", "b"), iters = 8)
