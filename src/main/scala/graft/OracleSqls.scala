@@ -949,6 +949,7 @@ object OracleSqls {
       eccSql(iters = 6, Seq("ASIA", "EUROPE", "AFRICA"))),
     "graph_fwbw" -> withGraph(fwBwSql(iters = 6)),
     "graph_matching" -> matchingSql(iters = 8),
+    "graph_coloring" -> coloringSql(iters = 8),
 
     // butterfly (bipartite 4-cycle) count with the mirrored left-degree
     // cap (GraphAlgorithms.butterflyStats)
@@ -3337,6 +3338,62 @@ object OracleSqls {
        |  CAST(2 * (SELECT count(*) FROM allm) AS BIGINT) AS n_matched_nodes,
        |  CAST((SELECT count(*) FROM live$iters) AS BIGINT) AS n_live_edges"""
       .stripMargin
+  }
+
+  /** Jones–Plassmann rounds unrolled (mirrors
+    * [[graft.graph.GraphAlgorithms.jonesPlassmannColors]]): per round the
+    * uncolored local-priority maxima take the mex of their colored
+    * neighbors' colors. */
+  private def coloringSql(iters: Int): String = {
+    val rounds = (1 to iters).map { t =>
+      s"""mx$t AS (
+         |  SELECT a.a AS v, max(un.p) AS mp FROM adjc a
+         |  JOIN u${t - 1} uv ON a.a = uv.v
+         |  JOIN u${t - 1} un ON a.b = un.v
+         |  GROUP BY a.a
+         |), win$t AS MATERIALIZED (
+         |  SELECT u.v FROM u${t - 1} u LEFT JOIN mx$t m ON u.v = m.v
+         |  WHERE m.mp IS NULL OR u.p > m.mp
+         |), used$t AS (
+         |  SELECT w.v, list(DISTINCT c.color) AS cs
+         |  FROM win$t w JOIN adjc a ON w.v = a.a
+         |  JOIN c${t - 1} c ON a.b = c.v
+         |  GROUP BY w.v
+         |), asg$t AS MATERIALIZED (
+         |  SELECT w.v, coalesce(list_min(list_filter(
+         |    range(0, len(u2.cs) + 1),
+         |    x -> NOT list_contains(u2.cs, x))), 0) AS color
+         |  FROM win$t w LEFT JOIN used$t u2 ON w.v = u2.v
+         |), c$t AS MATERIALIZED (
+         |  SELECT v, color FROM c${t - 1}
+         |  UNION ALL SELECT v, color FROM asg$t
+         |), u$t AS MATERIALIZED (
+         |  SELECT u.v, u.p FROM u${t - 1} u ANTI JOIN win$t w ON u.v = w.v
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem
+       |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 5)
+       |), und AS MATERIALIZED (
+       |  SELECT DISTINCT x.p AS a, y.p AS b
+       |  FROM li x JOIN li y ON x.k = y.k AND x.p < y.p
+       |), adjc AS MATERIALIZED (
+       |  SELECT a, b FROM und UNION ALL SELECT b, a FROM und
+       |), u0 AS (
+       |  SELECT DISTINCT a AS v,
+       |    ('0x' || substr(md5(CAST(a AS VARCHAR)), 1, 15))::BIGINT AS p
+       |  FROM adjc
+       |), c0 AS (
+       |  SELECT CAST(NULL AS BIGINT) AS v, CAST(NULL AS BIGINT) AS color
+       |  WHERE 1 = 0
+       |),
+       |$rounds
+       |SELECT CAST(color AS BIGINT) AS color,
+       |  CAST(count(*) AS BIGINT) AS n_nodes
+       |FROM c$iters GROUP BY color
+       |UNION ALL
+       |SELECT -1, CAST(count(*) AS BIGINT) FROM u$iters
+       |HAVING count(*) > 0""".stripMargin
   }
 
   /** FW-BW reachability from the min-id pivot over DIRECTED rels

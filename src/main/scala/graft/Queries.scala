@@ -431,6 +431,21 @@ object Queries {
     graft.graph.GraphAlgorithms.triangleHistogram(edges)
   }
 
+  /** Jones–Plassmann coloring of the co-occurrence graph (8 rounds;
+    * uncolored remainder reports as color −1). */
+  def graphColoring(spark: SparkSession, dir: String): DataFrame = {
+    val small = T(spark, dir, "part").where(col("p_size") <= 5)
+      .select(col("p_partkey").as("p"))
+    val li = T(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
+      .join(small, Seq("p"), "left_semi").distinct()
+    val edges = li.select(col("k"), col("p").as("a"))
+      .join(li.select(col("k"), col("p").as("b")), Seq("k"))
+      .where(col("a") < col("b"))
+      .select("a", "b")
+    graft.graph.GraphAlgorithms.jonesPlassmannColors(edges, iters = 8)
+  }
+
   /** Butterfly count over the order×part bipartite graph (small parts,
     * left-degree cap 20 mirrored in the oracle). */
   def graphButterflies(spark: SparkSession, dir: String): DataFrame = {
@@ -1943,6 +1958,7 @@ object Queries {
     "graph_clustering" -> (graphClustering _),
     "graph_matching" -> (graphMatching _),
     "graph_butterflies" -> (graphButterflies _),
+    "graph_coloring" -> (graphColoring _),
     "graph_ktruss" -> (graphKtruss _),
     "graph_betweenness" -> (graphBetweenness _),
     "graph_modularity" -> (graphModularity _),

@@ -282,6 +282,70 @@ object GraphAlgorithms {
       .select(col("name").as("anchor"), col("ecc"), col("n_reached"))
   }
 
+  /** Jones–Plassmann greedy coloring, derandomized: each round, every
+    * uncolored node whose hash priority strictly exceeds ALL uncolored
+    * neighbors' takes the smallest color absent among its already-colored
+    * neighbors (the mex — `array_min(array_except(sequence(0, |used|),
+    * used))`). Hash priorities make rounds deterministic and
+    * oracle-replayable; adjacent nodes can never win together, so the
+    * coloring is always proper. Bounded `iters` rounds (the k-bounded
+    * loop contract); nodes still uncolored report as color −1. Per-round
+    * work: one neighbor max + one colored-neighbor set per winner — keyed
+    * aggregates only. Returns the color histogram. */
+  def jonesPlassmannColors(edges: DataFrame, iters: Int): DataFrame = {
+    val colored = jonesPlassmannAssign(edges, iters)
+    colored.where(col("color") >= 0)
+      .groupBy("color").agg(count(lit(1)).as("n_nodes"))
+      .unionByName(colored.where(col("color") === -1)
+        .groupBy("color").agg(count(lit(1)).as("n_nodes")))
+  }
+
+  /** Per-node color assignment behind [[jonesPlassmannColors]] (uncolored
+    * after `iters` rounds → −1); exposed so properness is testable. */
+  def jonesPlassmannAssign(edges: DataFrame, iters: Int): DataFrame = {
+    val und = edges.select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .where(col("a") < col("b")).distinct()
+    val adj = und.unionByName(und.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
+    val spark = edges.sparkSession
+    var unc = adj.select(col("a").as("v")).distinct()
+      .withColumn("p", graft.operators.Dedup.md5Long(col("v").cast("string")))
+      .localCheckpoint(true)
+    var colored = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("color",
+          org.apache.spark.sql.types.LongType))))
+    var round = 0
+    var progress = true
+    while (round < iters && progress) {
+      round += 1
+      val nbrMax = adj.join(unc.select(col("v").as("a"), col("p")), Seq("a"))
+        .join(unc.select(col("v").as("b"), col("p").as("np")), Seq("b"))
+        .groupBy(col("a").as("v")).agg(max("np").as("mp"))
+      val winners = unc.join(nbrMax, Seq("v"), "left")
+        .where(col("mp").isNull || col("p") > col("mp"))
+        .select("v")
+        .localCheckpoint(true)
+      val used = winners.join(adj, col("v") === col("a"))
+        .join(colored.select(col("v").as("cb"), col("color")),
+          col("b") === col("cb"))
+        .groupBy("v").agg(collect_set("color").as("cs"))
+      val assigned = winners.join(used, Seq("v"), "left")
+        .select(col("v"), coalesce(
+          expr("array_min(array_except(sequence(0L, cast(size(cs) as long)), cs))"),
+          lit(0L)).as("color"))
+        .localCheckpoint(true)
+      progress = assigned.limit(1).count() > 0
+      colored = colored.unionByName(assigned).localCheckpoint(true)
+      unc = unc.join(winners, Seq("v"), "left_anti").localCheckpoint(true)
+    }
+    colored.unionByName(unc.select(col("v"), lit(-1L).as("color")))
+  }
+
   /** Butterfly (bipartite 4-cycle) counting — the bipartite analog of
     * triangle counting, THE cohesion metric for two-mode graphs like
     * order×part: a butterfly is two left nodes sharing two right nodes.

@@ -202,6 +202,27 @@ class GraphAlgorithmsSpec extends SparkSpec {
     assert(out.getLong(1) === 3L)
   }
 
+  test("Jones-Plassmann coloring: proper on every fixture, K4 takes 4") {
+    def assign(edges: Seq[(Long, Long)]) =
+      GraphAlgorithms.jonesPlassmannAssign(edges.toDF("a", "b"), iters = 8)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def proper(edges: Seq[(Long, Long)]): Unit = {
+      val c = assign(edges)
+      assert(c.values.forall(_ >= 0L), s"all colored within 8 rounds: $c")
+      edges.foreach { case (a, b) =>
+        assert(c(a) != c(b), s"edge ($a,$b) monochrome in $c") }
+      // mex assignment never skips colors globally
+      val used = c.values.toSet
+      assert(used === (0L until used.size).toSet, s"non-compact: $used")
+    }
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    proper(k4)
+    assert(assign(k4).values.toSet.size === 4)
+    proper(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))           // path
+    proper(Seq((10L, 1L), (10L, 2L), (10L, 3L)))                  // star
+    proper(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))) // tri+tail
+  }
+
   test("butterflies: hand-derived bipartite 4-cycles and the hub cap") {
     def run(edges: Seq[(Long, Long)], cap: Int) = {
       val r = GraphAlgorithms.butterflyStats(edges.toDF("l", "r"), cap)
