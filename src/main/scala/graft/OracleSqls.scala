@@ -1874,6 +1874,38 @@ object OracleSqls {
         |  p95_bin, CAST(p95_bin AS BIGINT) * 16 AS p95_lo
         |FROM q JOIN t ON q.event_type = t.event_type""".stripMargin,
 
+    // portable integer HLL (Sketch.hllSketch/hllEstimate): generated
+    // leading-zero CASE, exact 2^(55-r) harmonic sum, α = 709/1000
+    "sketch_hll" -> {
+      val bits = 54
+      val rhoSql = s"CASE WHEN rest = 0 THEN ${bits + 1}" +
+        (bits - 1 to 0 by -1).map(k =>
+          s" WHEN rest >= ${1L << k} THEN ${bits - k}").mkString + " END"
+      s"""WITH h0 AS (
+        |  SELECT ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
+        |    ::BIGINT AS h
+        |  FROM lineitem
+        |), b AS (SELECT h % 64 AS bucket, h // 64 AS rest FROM h0),
+        |rho AS (SELECT bucket, $rhoSql AS rho FROM b),
+        |regs AS (
+        |  SELECT bucket, CAST(max(rho) AS BIGINT) AS r FROM rho
+        |  GROUP BY bucket
+        |), allb AS (SELECT unnest(range(0, 64)) AS bucket),
+        |filled AS (
+        |  SELECT a.bucket, coalesce(r.r, 0) AS r
+        |  FROM allb a LEFT JOIN regs r USING (bucket)
+        |), s AS (
+        |  SELECT CAST(sum(CAST(pow(2, 55 - least(r, 40)) AS BIGINT))
+        |    AS BIGINT) AS s
+        |  FROM filled
+        |)
+        |SELECT CAST((((64 * 36028797018963968) // s) * 709 // 1000) * 64
+        |    AS BIGINT) AS distinct_est,
+        |  (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) FROM lineitem)
+        |    AS n_exact
+        |FROM s""".stripMargin
+    },
+
     // KMV: k smallest distinct portable hashes; estimate (k-1)*M // h_k
     "sketch_kmv" ->
       """WITH h AS (

@@ -1051,6 +1051,15 @@ object Queries {
   /** KMV distinct sketch (k=256) over lineitem part keys, with the exact
     * distinct count alongside — the estimate AND its accuracy are both
     * hash-checked. */
+  /** Portable integer HLL estimate of distinct parts beside the exact
+    * count (the mergeable 64-Long-register industry-standard sketch,
+    * every step SQL-reproducible). */
+  def sketchHll(spark: SparkSession, dir: String): DataFrame = {
+    val li = T(spark, dir, "lineitem")
+    Sketch.hllEstimate(Sketch.hllSketch(li, "l_partkey", m = 64), m = 64)
+      .crossJoin(li.agg(countDistinct("l_partkey").as("n_exact")))
+  }
+
   def sketchKmv(spark: SparkSession, dir: String): DataFrame = {
     val li = T(spark, dir, "lineitem")
     Sketch.kmvEstimate(Sketch.kmvSketch(li, "l_partkey", k = 256), k = 256)
@@ -2029,6 +2038,7 @@ object Queries {
     "sketch_countmin" -> (sketchCountmin _),
     "sketch_kmv" -> (sketchKmv _),
     "sketch_kmv_setops" -> (sketchKmvSetops _),
+    "sketch_hll" -> (sketchHll _),
     "incr_agg_rollup" -> (incrAggRollup _),
     "incr_quantile_rollup" -> (incrQuantileRollup _),
     "curate_mixture_quota" -> (curateMixtureQuota _),

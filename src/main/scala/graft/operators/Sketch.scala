@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Count-min sketch: fixed-memory frequency estimation for unbounded key
@@ -79,6 +79,54 @@ object Sketch {
     sketch.agg(count(lit(1)).as("n"), max("h").as("hk"))
       .select(when(col("n") < k, col("n"))
         .otherwise(expr(s"((${k} - 1) * 1000000) div hk"))
+        .as("distinct_est"))
+
+  /** Portable integer HyperLogLog (Flajolet et al. 2007) over the same
+    * digit-free md5 hash family — unlike the engine's built-in
+    * approx_count_distinct (whose registers are private), every step here
+    * is ANSI-SQL-reproducible, so the sketch AND its estimate are
+    * hash-exact cross-engine:
+    *
+    *  - h = 60-bit md5 prefix; bucket = h mod m; rest = h div m (54 bits)
+    *  - ρ = leading-zero rank of rest in the 54-bit domain (a generated
+    *    comparison CASE — no float log anywhere)
+    *  - register r_b = max ρ per bucket, empty buckets r = 0
+    *  - Σ 2^(54−r) is an EXACT Long (the 2^-r harmonic sum scaled by
+    *    2^54), and the α·m² bias factor applies as two integer divisions
+    *
+    * No small-range linear-counting correction (it needs ln); this is the
+    * raw HLL estimator, mergeable by register max — the per-partition /
+    * per-day rollup shape, 64 Longs of state per group at ANY scale. */
+  def hllRho(rest: Column, bits: Int): Column =
+    (bits - 1 to 0 by -1).foldLeft(when(rest === 0L, lit(bits + 1))) {
+      (acc, k) => acc.when(rest >= (1L << k), lit(bits - k))
+    }
+
+  /** HLL registers for `keyCol`: one row per bucket (all m present). */
+  def hllSketch(items: DataFrame, keyCol: String, m: Int): DataFrame = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    val regs = items
+      .select(expr(s"cast(conv(substr(md5(cast($keyCol as string)), 1, 15)," +
+        " 16, 10) as bigint)").as("h"))
+      .select((col("h") % m).as("bucket"), expr(s"h div $m").as("rest"))
+      .select(col("bucket"), hllRho(col("rest"), 54).as("rho"))
+      .groupBy("bucket").agg(max("rho").cast("long").as("r"))
+    (0 until m).map(_.toLong).toDF("bucket")
+      .join(regs, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("r"), lit(0L)).as("r"))
+  }
+
+  /** Estimate from HLL registers: α·m²·2^55 / Σ2^(55−r) with α = 709/1000
+    * (the m = 64 constant as an integer rational) and registers clamped at
+    * 40 (≈10^12 per-bucket cardinality — far past any real input) so every
+    * product stays inside Long; pow(2, k) is exact in IEEE doubles and
+    * casts exactly, with k ≥ 15 after the clamp (a NEGATIVE exponent would
+    * hit the Spark-truncates/DuckDB-rounds cast divergence). */
+  def hllEstimate(sketch: DataFrame, m: Int): DataFrame =
+    sketch.agg(sum(expr("cast(pow(2, 55 - least(r, 40)) as bigint)")).as("s"))
+      .select(expr(
+        s"((($m * 36028797018963968) div s) * 709 div 1000) * $m")
         .as("distinct_est"))
 
   /** Per-group KMV sketches: the k smallest distinct portable hashes of

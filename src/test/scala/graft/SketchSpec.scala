@@ -70,6 +70,39 @@ class SketchSpec extends SparkSpec {
     assert(mass === Set(occurrences.count()))
   }
 
+  test("HLL: estimate within the m=64 error band, registers mergeable") {
+    import spark.implicits._
+    val n = 5000
+    val items = (0 until n).map(i => s"key-$i").toDF("k")
+    val est = Sketch.hllEstimate(Sketch.hllSketch(items, "k", 64), 64)
+      .collect().head.getLong(0)
+    // m = 64 → ~13% standard error; allow 3σ
+    assert(math.abs(est - n).toDouble / n < 0.4, s"est $est for $n")
+    // mergeability: register-wise max of two halves == whole
+    val a = Sketch.hllSketch(items.where($"k" < "key-3"), "k", 64)
+    val b = Sketch.hllSketch(items.where($"k" >= "key-3"), "k", 64)
+    val merged = a.unionByName(b).groupBy("bucket")
+      .agg(max("r").as("r"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val whole = Sketch.hllSketch(items, "k", 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged === whole)
+  }
+
+  test("HLL rho: generated comparison chain equals leading-zero rank") {
+    import spark.implicits._
+    val vals = Seq(0L, 1L, 2L, 3L, (1L << 53), (1L << 53) - 1, 12345L,
+      (1L << 40) + 7L)
+    val got = vals.toDF("rest")
+      .select(Sketch.hllRho(col("rest"), 54).as("rho"))
+      .collect().map(_.getInt(0)).toSeq
+    val want = vals.map {
+      case 0L => 55
+      case v  => 54 - (63 - java.lang.Long.numberOfLeadingZeros(v))
+    }
+    assert(got === want)
+  }
+
   test("KMV set ops: exact union/Jaccard/intersection below k") {
     import spark.implicits._
     // A = {a..e} (5), B = {c..f} (4): union 6, inter 3 → jac 500000
