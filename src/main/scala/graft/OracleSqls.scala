@@ -1812,6 +1812,58 @@ object OracleSqls {
         |  CAST(max(mad) AS BIGINT) AS max_mad
         |FROM mad GROUP BY user_id""".stripMargin,
 
+    // CUSUM via the exact prefix-sum closed form S_i = P_i - min(0, min P_j):
+    // two ordered window aggregates, no recurrence; all-integer
+    // self-calibrated target/slack/threshold mirror Events.cusumAlarms
+    "events_cusum" ->
+      """WITH v AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(round(value * 1000000, 0) AS BIGINT) AS x
+        |  FROM events
+        |), t AS (
+        |  SELECT *, CAST(sum(x) OVER (PARTITION BY user_id)
+        |      // count(*) OVER (PARTITION BY user_id) AS BIGINT) AS target
+        |  FROM v
+        |), d AS (SELECT *, x - target - target // 4 AS y FROM t),
+        |p AS (
+        |  SELECT *, CAST(sum(y) OVER w AS BIGINT) AS p FROM d
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING)
+        |), s AS (
+        |  SELECT *, p - least(min(p) OVER w, 0) AS s FROM p
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING)
+        |)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN s > target * 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_alarms,
+        |  CAST(max(s) AS BIGINT) AS max_cusum,
+        |  min(CASE WHEN s > target * 2 THEN event_id END) AS first_alarm_id
+        |FROM s GROUP BY user_id""".stripMargin,
+
+    // lag-1/2 raw autocorrelation; centi-unit values so (num·1e6) div den
+    // stays in BIGINT on the Spark side (DuckDB's HUGEINT sums are cast
+    // back down after the division)
+    "events_acf" ->
+      """WITH v AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS x
+        |  FROM events
+        |), l AS (
+        |  SELECT user_id, x,
+        |    lead(x, 1) OVER w AS x1, lead(x, 2) OVER w AS x2
+        |  FROM v
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), a AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    sum(x * x) AS den, sum(x * x1) AS num1, sum(x * x2) AS num2
+        |  FROM l GROUP BY user_id
+        |)
+        |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+        |  CAST((coalesce(num1, 0) * 1000000) // den AS BIGINT) AS acf1_micro,
+        |  CAST((coalesce(num2, 0) * 1000000) // den AS BIGINT) AS acf2_micro
+        |FROM a""".stripMargin,
+
     // largest-remainder apportionment, mirrored division order throughout
     "curate_mixture_quota" ->
       s"""WITH s AS (

@@ -1011,6 +1011,19 @@ object Queries {
     Events.rollingMadAnomalies(eventsUs(spark, dir).drop("ts").
       withColumnRenamed("ts_us", "ts"))
 
+  /** CUSUM changepoint alarms per user: the closed-form prefix-sum
+    * statistic (no recurrence), self-calibrated integer
+    * target/slack/threshold. */
+  def eventsCusum(spark: SparkSession, dir: String): DataFrame =
+    Events.cusumAlarms(eventsUs(spark, dir).drop("ts").
+      withColumnRenamed("ts_us", "ts"))
+
+  /** Lag-1/lag-2 raw autocorrelation per user in integer micro-units
+    * (centi-unit values keep the ×10⁶ ratio inside Long). */
+  def eventsAcf(spark: SparkSession, dir: String): DataFrame =
+    Events.autocorrByUser(eventsUs(spark, dir).drop("ts").
+      withColumnRenamed("ts_us", "ts"))
+
   /** Exact-budget mixture quotas: 1M tokens apportioned across sources by
     * temperature-0.5 mass with largest-remainder rounding (Σ = budget). */
   def curateMixtureQuota(spark: SparkSession, dir: String): DataFrame =
@@ -2044,6 +2057,8 @@ object Queries {
     "curate_mixture_quota" -> (curateMixtureQuota _),
     "events_ewma" -> (eventsEwma _),
     "events_anomaly_mad" -> (eventsAnomalyMad _),
+    "events_cusum" -> (eventsCusum _),
+    "events_acf" -> (eventsAcf _),
     "layout_zorder" -> (layoutZorder _),
     "layout_hilbert" -> (layoutHilbert _),
     "layout_partitioned" -> (layoutPartitioned _),

@@ -389,4 +389,66 @@ object Events {
         sum(col("dev")).as("sum_dev"),
         max(col("mad")).as("max_mad"))
   }
+
+  /** CUSUM changepoint detection per user (Page 1954), fully integer and
+    * recursion-free. The textbook statistic is the recurrence
+    * S₀ = 0, Sᵢ = max(0, Sᵢ₋₁ + yᵢ) with drift yᵢ = xᵢ − target − slack —
+    * but it has an EXACT window-function closed form,
+    * Sᵢ = Pᵢ − min(0, min_{j≤i} Pⱼ) over the drift prefix sums P, so both
+    * engines evaluate it with two ordered window aggregates and no per-key
+    * fold. Per-user self-calibration keeps the rule parameter-free and
+    * integer: target = ⌊Σx/n⌋ micro (values are non-negative, so floor vs
+    * truncate cannot diverge), slack = target div 4 (alarms only on
+    * sustained > 1.25× mean), threshold h = 2·target.
+    *
+    * Scale: one keyed shuffle; every window is over the same (user_id) →
+    * (ts, event_id) ordering so Spark runs them in a single sort pass.
+    * State per row is O(1) — unlike the collect-fold EWMA, this never
+    * materializes a key's history. */
+  def cusumAlarms(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val upto = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("x", round(col("value") * 1000000L, 0).cast("long"))
+      .withColumn("target", expr("sum(x) over (partition by user_id)" +
+        " div count(1) over (partition by user_id)"))
+      .withColumn("y", col("x") - col("target") - expr("target div 4"))
+      .withColumn("p", sum(col("y")).over(upto))
+      .withColumn("s", col("p") - least(min(col("p")).over(upto), lit(0L)))
+      .withColumn("alarm", col("s") > col("target") * 2)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("alarm"), 1L).otherwise(0L)).as("n_alarms"),
+        max(col("s")).as("max_cusum"),
+        min(when(col("alarm"), col("event_id"))).as("first_alarm_id"))
+  }
+
+  /** Lag-1/lag-2 raw autocorrelation per user in integer micro-units:
+    * acf_k = (Σ xᵢ·xᵢ₊ₖ · 10⁶) div Σ xᵢ² over the time-ordered sequence
+    * (uncentered — the mean-removal variant needs a float mean; the raw
+    * form stays hash-exact and ranks periodicity the same way). Values are
+    * held in CENTI units so the cross-product sum keeps the final ×10⁶
+    * inside Long: the operating range is per-key Σx² < 9.2·10¹² centi²,
+    * i.e. ~3.8M events/key at the events table's max |value| ≈ 490 —
+    * beyond that, drop to deci units in both engines together.
+    *
+    * Scale: one keyed sort-window pass (lead(1)/lead(2) share the frame),
+    * one map-side-combinable aggregate. */
+  def autocorrByUser(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .withColumn("x", round(col("value") * 100L, 0).cast("long"))
+      .withColumn("x1", lead(col("x"), 1).over(w))
+      .withColumn("x2", lead(col("x"), 2).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("x * x")).as("den"),
+        sum(expr("x * x1")).as("num1"),
+        sum(expr("x * x2")).as("num2"))
+      .select(col("user_id"), col("n_events"),
+        expr("(coalesce(num1, 0) * 1000000) div den").as("acf1_micro"),
+        expr("(coalesce(num2, 0) * 1000000) div den").as("acf2_micro"))
+  }
 }

@@ -398,6 +398,51 @@ class EventsSpec extends SparkSpec {
     assert(r.getAs[Long]("max_mad") === 0L)
   }
 
+  test("cusumAlarms: sustained shift crosses the threshold exactly once") {
+    import spark.implicits._
+    // 6 events at 10.0 then 6 at 40.0: target = 300e6 div 12 = 25e6,
+    // slack = 6.25e6, h = 50e6. Drift for the highs is +8.75e6/event, so
+    // S = 8.75e6·k climbs and only the 6th high (52.5e6) exceeds h.
+    val df = (0 until 12).map { i =>
+      (i.toLong, i.toLong, 1L, "e", if (i < 6) 10.0 else 40.0, "")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Events.cusumAlarms(df).collect().head
+    assert(r.getAs[Long]("n_events") === 12L)
+    assert(r.getAs[Long]("n_alarms") === 1L)
+    assert(r.getAs[Long]("max_cusum") === 52500000L)
+    assert(r.getAs[Long]("first_alarm_id") === 11L)
+  }
+
+  test("cusumAlarms: closed form resets after a transient spike") {
+    import spark.implicits._
+    // one spike in a flat series: S jumps once, then the min-prefix term
+    // clamps it back to 0 — the max(0, ·) recurrence reproduced exactly
+    val df = (0 until 9).map { i =>
+      (i.toLong, i.toLong, 1L, "e", if (i == 4) 30.0 else 10.0, "")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Events.cusumAlarms(df).collect().head
+    // target = 110e6 div 9 = 12222222, slack = 3055555; spike drift =
+    // 30e6 - 15277777 = 14722223 < h = 24444444 → no alarm, and the flat
+    // tail's negative drift (-5277777/event) pulls S back to 0
+    assert(r.getAs[Long]("n_alarms") === 0L)
+    assert(r.getAs[Long]("max_cusum") === 14722223L)
+    assert(r.isNullAt(r.fieldIndex("first_alarm_id")))
+  }
+
+  test("autocorrByUser: alternating series has zero lag-1, 2/3 lag-2") {
+    import spark.implicits._
+    // x centi = [200,0,200,0,200,0]: den = 3·200² = 120000, num1 = 0
+    // (every adjacent pair contains a zero), num2 = 2·200² = 80000 →
+    // acf2 = 80000e6 div 120000 = 666666
+    val df = (0 until 6).map { i =>
+      (i.toLong, i.toLong, 1L, "e", if (i % 2 == 0) 2.0 else 0.0, "")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Events.autocorrByUser(df).collect().head
+    assert(r.getAs[Long]("n_events") === 6L)
+    assert(r.getAs[Long]("acf1_micro") === 0L)
+    assert(r.getAs[Long]("acf2_micro") === 666666L)
+  }
+
   test("rollingMadAnomalies: a steady ramp has nonzero MAD, no anomalies") {
     import spark.implicits._
     // linear ramp 0..9: interior window devs are [3,2,1,0,1,2,3] → lower
