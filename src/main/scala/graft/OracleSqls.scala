@@ -1690,6 +1690,36 @@ object OracleSqls {
         |      FROM documents)
         |GROUP BY source""".stripMargin,
 
+    // Heaps-law growth curve: term first-occurrence doc_ids bucketed by
+    // the first prefix checkpoint containing them, then a 4-row cumsum —
+    // mirrors TextOps.heapsGrowth bucket for bucket (integer thresholds)
+    "text_heaps" ->
+      s"""WITH mx AS (SELECT max(doc_id) AS max_id FROM documents),
+        |da AS (
+        |  SELECT CASE WHEN doc_id <= max_id // 8 THEN 1
+        |              WHEN doc_id <= (2 * max_id) // 8 THEN 2
+        |              WHEN doc_id <= (4 * max_id) // 8 THEN 4
+        |              ELSE 8 END AS b,
+        |    count(*) AS d, sum(CAST(len($wordsExpr) AS BIGINT)) AS t
+        |  FROM documents CROSS JOIN mx GROUP BY 1
+        |), terms AS (
+        |  SELECT term, min(doc_id) AS first_doc
+        |  FROM (SELECT doc_id, unnest($wordsExpr) AS term FROM documents)
+        |  GROUP BY term
+        |), ta AS (
+        |  SELECT CASE WHEN first_doc <= max_id // 8 THEN 1
+        |              WHEN first_doc <= (2 * max_id) // 8 THEN 2
+        |              WHEN first_doc <= (4 * max_id) // 8 THEN 4
+        |              ELSE 8 END AS b, count(*) AS v
+        |  FROM terms CROSS JOIN mx GROUP BY 1
+        |), ks AS (SELECT unnest([1, 2, 4, 8]) AS b)
+        |SELECT CAST(b AS BIGINT) AS eighth,
+        |  CAST(sum(coalesce(d, 0)) OVER w AS BIGINT) AS n_docs,
+        |  CAST(sum(coalesce(t, 0)) OVER w AS BIGINT) AS cum_tokens,
+        |  CAST(sum(coalesce(v, 0)) OVER w AS BIGINT) AS vocab_size
+        |FROM ks LEFT JOIN da USING (b) LEFT JOIN ta USING (b)
+        |WINDOW w AS (ORDER BY b ROWS UNBOUNDED PRECEDING)""".stripMargin,
+
     // RRF over the two lexical top-20 pages (same CTE bases as
     // search_tfidf / search_bm25); 1e6 // (60 + rank) summed per doc
     "search_hybrid_rrf" ->

@@ -968,6 +968,12 @@ object Queries {
   def textTtr(spark: SparkSession, dir: String): DataFrame =
     TextOps.typeTokenBySource(T(spark, dir, "documents"))
 
+  /** Heaps-law vocabulary growth at doc_id-prefix checkpoints (one corpus
+    * scan, no global sort — term first-occurrences bucketed then cumsum'd
+    * over the 4-row checkpoint table). */
+  def textHeaps(spark: SparkSession, dir: String): DataFrame =
+    TextOps.heapsGrowth(T(spark, dir, "documents"))
+
   /** Corpus heavy-hitter bigrams (boilerplate detection). */
   def textTopNgrams(spark: SparkSession, dir: String): DataFrame =
     TextOps.topNgrams(T(spark, dir, "documents"), n = 2, k = 20)
@@ -2047,6 +2053,7 @@ object Queries {
     "search_hybrid_rrf" -> (searchHybridRrf _),
     "search_phrase" -> (searchPhrase _),
     "text_ttr" -> (textTtr _),
+    "text_heaps" -> (textHeaps _),
     "text_top_ngrams" -> (textTopNgrams _),
     "sketch_countmin" -> (sketchCountmin _),
     "sketch_kmv" -> (sketchKmv _),

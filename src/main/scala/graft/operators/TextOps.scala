@@ -368,4 +368,50 @@ object TextOps {
     import spark.implicits._
     merges.toSeq.toDF("rank", "a", "b", "f")
   }
+
+  /** Heaps-law vocabulary-growth curve: document, token, and DISTINCT
+    * vocabulary counts at corpus-prefix checkpoints (doc_id order, at
+    * 1/8, 2/8, 4/8 and the full corpus). Computed WITHOUT a global sort
+    * or repeated prefix scans: every term contributes only its minimal
+    * doc_id (one hash groupBy over the exploded tokens — a term "enters"
+    * the vocabulary exactly once), each doc/term row is then assigned the
+    * FIRST checkpoint bucket containing it, and the curve is a cumulative
+    * sum over the 4-row bucket table. The corpus is scanned once however
+    * many checkpoints are reported; the final window runs on 4 rows.
+    *
+    * The growth curve is the standard corpus-scaling diagnostic (Heaps
+    * 1978): sublinear vocab growth distinguishes natural text from
+    * id-like/generated columns, and the checkpoints answer "how much new
+    * vocabulary does the next corpus slice buy" before committing to it. */
+  def heapsGrowth(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val mx = docs.agg(max(col("doc_id")).as("max_id"))
+    def bucket(id: Column): Column =
+      when(id <= expr("max_id div 8"), 1)
+        .when(id <= expr("(2 * max_id) div 8"), 2)
+        .when(id <= expr("(4 * max_id) div 8"), 4)
+        .otherwise(8)
+    val docAgg = docs
+      .select(col("doc_id"),
+        size(graft.functions.words(col("text"))).cast("long").as("nt"))
+      .crossJoin(broadcast(mx))
+      .groupBy(bucket(col("doc_id")).as("b"))
+      .agg(count(lit(1)).as("d"), sum("nt").as("t"))
+    val termAgg = docs
+      .select(col("doc_id"),
+        explode(graft.functions.words(col("text"))).as("term"))
+      .groupBy("term").agg(min("doc_id").as("first_doc"))
+      .crossJoin(broadcast(mx))
+      .groupBy(bucket(col("first_doc")).as("b"))
+      .agg(count(lit(1)).as("v"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("b")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Seq(1, 2, 4, 8).toDF("b")
+      .join(docAgg, Seq("b"), "left").join(termAgg, Seq("b"), "left")
+      .select(col("b").cast("long").as("eighth"),
+        sum(coalesce(col("d"), lit(0L))).over(w).as("n_docs"),
+        sum(coalesce(col("t"), lit(0L))).over(w).as("cum_tokens"),
+        sum(coalesce(col("v"), lit(0L))).over(w).as("vocab_size"))
+  }
 }

@@ -67,4 +67,29 @@ class CorpusSpec extends SparkSpec {
     assert(r.getAs[Long]("sum_syllables") === 3L)
     assert(r.getAs[Long]("sum_flesch_milli") === 119190L)
   }
+
+  test("heapsGrowth: hand-derived checkpoint curve, repeats buy no vocab") {
+    // doc_ids 0..8 → thresholds 1/8=1, 2/8=2, 4/8=4, full. Docs 0-1 have
+    // "a b", docs 2-8 add one new term each ("a c", "a d", …): vocab at
+    // the checkpoints = 2, 3, 5, 9; tokens = 2/doc everywhere.
+    val docs = (0 until 9).map { i =>
+      val t = if (i < 2) "a b" else "a " + ('b' + i - 1).toChar
+      (i.toLong, "s", t)
+    }.toDF("doc_id", "source", "text")
+    val rows = TextOps.heapsGrowth(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(rows(1L) === ((2L, 4L, 2L)))   // docs 0-1: vocab {a,b}
+    assert(rows(2L) === ((3L, 6L, 3L)))   // +doc 2: +c
+    assert(rows(4L) === ((5L, 10L, 5L)))  // +docs 3-4: +d,+e
+    assert(rows(8L) === ((9L, 18L, 9L)))  // full corpus: 9 types
+  }
+
+  test("heapsGrowth: pure repetition saturates at the first checkpoint") {
+    val docs = (0 until 8).map(i => (i.toLong, "s", "x y"))
+      .toDF("doc_id", "source", "text")
+    val rows = TextOps.heapsGrowth(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(rows(1L) === 2L && rows(8L) === 2L)
+  }
 }
