@@ -1988,6 +1988,65 @@ object OracleSqls {
         |FROM s""".stripMargin
     },
 
+    // HLL set algebra: per-source registers (same generated rho CASE as
+    // sketch_hll), union = register-wise max (the exact HLL merge law),
+    // intersection by clamped inclusion-exclusion, Jaccard micro
+    "sketch_hll_setops" -> {
+      val bits = 54
+      val rhoSql = s"CASE WHEN rest = 0 THEN ${bits + 1}" +
+        (bits - 1 to 0 by -1).map(k =>
+          s" WHEN rest >= ${1L << k} THEN ${bits - k}").mkString + " END"
+      val est = "CAST((((64 * 36028797018963968) // s) * 709 // 1000) * 64" +
+        " AS BIGINT)"
+      s"""WITH h0 AS (
+        |  SELECT g, ('0x' || substr(md5(CAST(tok AS VARCHAR)), 1, 15))
+        |    ::BIGINT AS h
+        |  FROM (
+        |    SELECT g, unnest(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS tok
+        |    FROM (SELECT source AS g, $wordsExpr AS w FROM documents)
+        |    WHERE len(w) >= 3)
+        |), b AS (SELECT g, h % 64 AS bucket, h // 64 AS rest FROM h0),
+        |rho AS (SELECT g, bucket, $rhoSql AS rho FROM b),
+        |regs0 AS (
+        |  SELECT g, bucket, CAST(max(rho) AS BIGINT) AS r FROM rho
+        |  GROUP BY g, bucket
+        |), allb AS (
+        |  SELECT g, unnest(range(0, 64)) AS bucket
+        |  FROM (SELECT DISTINCT source AS g FROM documents)
+        |), regs AS (
+        |  SELECT a.g, a.bucket, coalesce(r.r, 0) AS r
+        |  FROM allb a LEFT JOIN regs0 r
+        |    ON a.g = r.g AND a.bucket = r.bucket
+        |), pg AS (
+        |  SELECT g, $est AS est FROM (
+        |    SELECT g, CAST(sum(CAST(pow(2, 55 - least(r, 40)) AS BIGINT))
+        |      AS BIGINT) AS s
+        |    FROM regs GROUP BY g)
+        |), pairs AS (
+        |  SELECT a.g AS ga, b.g AS gb
+        |  FROM (SELECT DISTINCT g FROM regs) a,
+        |       (SELECT DISTINCT g FROM regs) b
+        |  WHERE a.g < b.g
+        |), mr AS (
+        |  SELECT p.ga, p.gb, ra.bucket, greatest(ra.r, rb.r) AS r
+        |  FROM pairs p
+        |  JOIN regs ra ON ra.g = p.ga
+        |  JOIN regs rb ON rb.g = p.gb AND rb.bucket = ra.bucket
+        |), u AS (
+        |  SELECT ga, gb, $est AS union_est FROM (
+        |    SELECT ga, gb, CAST(sum(CAST(pow(2, 55 - least(r, 40))
+        |      AS BIGINT)) AS BIGINT) AS s
+        |    FROM mr GROUP BY ga, gb)
+        |)
+        |SELECT u.ga, u.gb, u.union_est,
+        |  greatest(pa.est + pb.est - u.union_est, 0) AS inter_est,
+        |  CAST((greatest(pa.est + pb.est - u.union_est, 0) * 1000000)
+        |    // u.union_est AS BIGINT) AS jac_micro
+        |FROM u JOIN pg pa ON pa.g = u.ga JOIN pg pb ON pb.g = u.gb
+        |ORDER BY ga, gb""".stripMargin
+    },
+
     // KMV: k smallest distinct portable hashes; estimate (k-1)*M // h_k
     "sketch_kmv" ->
       """WITH h AS (

@@ -1098,6 +1098,22 @@ object Queries {
       .orderBy("ga", "gb")
   }
 
+  /** HLL set algebra over the per-source 3-gram shingle sets: union by
+    * the register-max merge law, intersection by clamped
+    * inclusion–exclusion, Jaccard micro — the constant-memory
+    * (64 Longs/group) counterpart of sketch_kmv_setops. Shingles, not
+    * words: the synthetic per-source vocabulary (~31 types) sits below
+    * the raw HLL estimator's small-range floor, while the ~1.3k distinct
+    * shingles per source are squarely in its operating regime (n/m ≈ 20). */
+  def sketchHllSetops(spark: SparkSession, dir: String): DataFrame = {
+    val items = T(spark, dir, "documents")
+      .select(col("source"),
+        explode(graft.functions.wordShingles(col("text"), 3)).as("tok"))
+    Sketch.hllSetOps(
+      Sketch.hllGroupSketch(items, "source", "tok", m = 64), m = 64)
+      .orderBy("ga", "gb")
+  }
+
   /** Model-based quality scoring: corpus-trained smoothed bigram likelihood
     * per document (CCNet-style filter next to the rule-based gates). */
   def textLmBigram(spark: SparkSession, dir: String): DataFrame =
@@ -2059,6 +2075,7 @@ object Queries {
     "sketch_kmv" -> (sketchKmv _),
     "sketch_kmv_setops" -> (sketchKmvSetops _),
     "sketch_hll" -> (sketchHll _),
+    "sketch_hll_setops" -> (sketchHllSetops _),
     "incr_agg_rollup" -> (incrAggRollup _),
     "incr_quantile_rollup" -> (incrQuantileRollup _),
     "curate_mixture_quota" -> (curateMixtureQuota _),

@@ -134,6 +134,55 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(interEst - 600) / 600 < 0.35, s"inter_est $interEst")
   }
 
+  test("HLL set ops: union sketch equals the sketch of the concatenation") {
+    import spark.implicits._
+    // the merge law is EXACT: register-wise max of A and B must equal the
+    // registers of A ∪ B sketched directly — so union_est(A,B) from
+    // hllSetOps must equal hllEstimate over the concatenated items
+    val a = (0 until 800).map(i => ("A", s"k$i"))
+    val b = (400 until 1400).map(i => ("B", s"k$i"))
+    val items = (a ++ b).toDF("g", "tok")
+    val setops = Sketch.hllSetOps(
+      Sketch.hllGroupSketch(items, "g", "tok", m = 64), m = 64)
+      .collect().head
+    val direct = Sketch.hllEstimate(
+      Sketch.hllSketch(items.select(col("tok")), "tok", m = 64), m = 64)
+      .collect().head.getLong(0)
+    assert(setops.getAs[Long]("union_est") === direct)
+  }
+
+  test("HLL set ops: estimates within 40% at m=64, Jaccard in range") {
+    import spark.implicits._
+    // union 1400, inter 400 → jac ≈ 285714 micro; raw HLL at m=64 has
+    // ~13% standard error per estimate and inclusion-exclusion compounds
+    // it, so assert loose bands (the cross-engine hash gate is the
+    // exactness check; this pins estimator sanity)
+    val a = (0 until 800).map(i => ("A", s"k$i"))
+    val b = (400 until 1400).map(i => ("B", s"k$i"))
+    val r = Sketch.hllSetOps(
+      Sketch.hllGroupSketch((a ++ b).toDF("g", "tok"), "g", "tok", m = 64),
+      m = 64).collect().head
+    val u = r.getAs[Long]("union_est").toDouble
+    val i = r.getAs[Long]("inter_est").toDouble
+    assert(math.abs(u - 1400) / 1400 < 0.4, s"union_est $u")
+    assert(math.abs(i - 400) / 400 < 0.8, s"inter_est $i")
+    val jac = r.getAs[Long]("jac_micro")
+    assert(jac > 0L && jac < 1000000L)
+  }
+
+  test("HLL set ops: disjoint groups clamp intersection at zero") {
+    import spark.implicits._
+    val items = ((0 until 500).map(i => ("A", s"a$i")) ++
+      (0 until 500).map(i => ("B", s"b$i"))).toDF("g", "tok")
+    val r = Sketch.hllSetOps(
+      Sketch.hllGroupSketch(items, "g", "tok", m = 64), m = 64)
+      .collect().head
+    // inclusion-exclusion can go negative on disjoint sets; the clamp
+    // keeps inter_est (and so jac) at a meaningful 0 floor
+    assert(r.getAs[Long]("inter_est") >= 0L)
+    assert(r.getAs[Long]("jac_micro") < 200000L)
+  }
+
   test("KMV set ops: every pair appears once, ga < gb") {
     import spark.implicits._
     val items = (for (g <- Seq("A", "B", "C", "D"); i <- 0 until 20)
