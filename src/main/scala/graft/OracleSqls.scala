@@ -950,6 +950,7 @@ object OracleSqls {
     "graph_fwbw" -> withGraph(fwBwSql(iters = 6)),
     "graph_matching" -> matchingSql(iters = 8),
     "graph_coloring" -> coloringSql(iters = 8),
+    "graph_mis" -> misSql(iters = 8),
 
     // butterfly (bipartite 4-cycle) count with the mirrored left-degree
     // cap (GraphAlgorithms.butterflyStats)
@@ -3510,6 +3511,55 @@ object OracleSqls {
        |SELECT CAST((SELECT count(*) FROM allm) AS BIGINT) AS n_matched_edges,
        |  CAST(2 * (SELECT count(*) FROM allm) AS BIGINT) AS n_matched_nodes,
        |  CAST((SELECT count(*) FROM live$iters) AS BIGINT) AS n_live_edges"""
+      .stripMargin
+  }
+
+  /** Luby MIS rounds unrolled (mirrors
+    * [[graft.graph.GraphAlgorithms.lubyMisAssign]]): per round the live
+    * strict-minimum-priority nodes join the set, they and their live
+    * neighbors leave, and the live adjacency is pruned to both-ends-live. */
+  private def misSql(iters: Int): String = {
+    val rounds = (1 to iters).map { t =>
+      s"""mn$t AS (
+         |  SELECT a.a AS v, min(un.p) AS mp FROM adj${t - 1} a
+         |  JOIN u${t - 1} un ON a.b = un.v
+         |  GROUP BY a.a
+         |), win$t AS MATERIALIZED (
+         |  SELECT u.v FROM u${t - 1} u LEFT JOIN mn$t m ON u.v = m.v
+         |  WHERE m.mp IS NULL OR u.p < m.mp
+         |), dead$t AS (
+         |  SELECT v FROM win$t
+         |  UNION
+         |  SELECT a.b FROM adj${t - 1} a SEMI JOIN win$t w ON a.a = w.v
+         |), u$t AS MATERIALIZED (
+         |  SELECT u.v, u.p FROM u${t - 1} u ANTI JOIN dead$t d ON u.v = d.v
+         |), adj$t AS MATERIALIZED (
+         |  SELECT a.a, a.b FROM adj${t - 1} a
+         |  SEMI JOIN u$t x ON a.a = x.v
+         |  SEMI JOIN u$t y ON a.b = y.v
+         |)""".stripMargin
+    }.mkString(",\n")
+    val allw = (1 to iters).map(t => s"SELECT v FROM win$t")
+      .mkString(" UNION ALL ")
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem
+       |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 5)
+       |), e0 AS (
+       |  SELECT DISTINCT x.p AS a, y.p AS b
+       |  FROM li x JOIN li y ON x.k = y.k AND x.p < y.p
+       |), adj0 AS MATERIALIZED (
+       |  SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0
+       |), u0 AS MATERIALIZED (
+       |  SELECT v, ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15))::BIGINT
+       |    AS p
+       |  FROM (SELECT DISTINCT a AS v FROM adj0)
+       |),
+       |$rounds,
+       |allw AS ($allw)
+       |SELECT CAST((SELECT count(*) FROM allw) AS BIGINT) AS n_mis_nodes,
+       |  CAST((SELECT coalesce(sum(v), 0) FROM allw) AS BIGINT)
+       |    AS sum_mis_ids,
+       |  CAST((SELECT count(*) FROM u$iters) AS BIGINT) AS n_undecided"""
       .stripMargin
   }
 

@@ -472,6 +472,22 @@ object Queries {
     graft.graph.GraphAlgorithms.greedyMatching(edges, iters = 8)
   }
 
+  /** Luby-style maximal independent set over the co-occurrence graph
+    * (8 derandomized priority rounds — reaches maximality on this data,
+    * n_undecided = 0). */
+  def graphMis(spark: SparkSession, dir: String): DataFrame = {
+    val small = T(spark, dir, "part").where(col("p_size") <= 5)
+      .select(col("p_partkey").as("p"))
+    val li = T(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
+      .join(small, Seq("p"), "left_semi").distinct()
+    val edges = li.select(col("k"), col("p").as("a"))
+      .join(li.select(col("k"), col("p").as("b")), Seq("k"))
+      .where(col("a") < col("b"))
+      .select("a", "b")
+    graft.graph.GraphAlgorithms.lubyMis(edges, iters = 8)
+  }
+
   /** Local clustering-coefficient deciles over the same co-occurrence
     * graph (integer micro-unit cc per deg≥2 node). */
   def graphClustering(spark: SparkSession, dir: String): DataFrame = {
@@ -2001,6 +2017,7 @@ object Queries {
     "graph_triangles" -> (graphTriangles _),
     "graph_clustering" -> (graphClustering _),
     "graph_matching" -> (graphMatching _),
+    "graph_mis" -> (graphMis _),
     "graph_butterflies" -> (graphButterflies _),
     "graph_coloring" -> (graphColoring _),
     "graph_ktruss" -> (graphKtruss _),

@@ -346,6 +346,79 @@ object GraphAlgorithms {
     colored.unionByName(unc.select(col("v"), lit(-1L).as("color")))
   }
 
+  /** Per-node maximal-independent-set state behind [[lubyMis]]:
+    * state 1 = in the MIS, 0 = excluded (a neighbor entered), −1 =
+    * undecided after `iters` rounds. Luby's algorithm with the repo's
+    * derandomized-priority convention (md5 of the node id — the same
+    * stand-in for Luby's per-round randomness as [[greedyMatching]] /
+    * [[jonesPlassmannAssign]]): each round, every live node holding the
+    * STRICT minimum priority in its closed live neighborhood joins the
+    * set; it and its live neighbors leave. Strictness keeps independence
+    * safe even under a (cosmically unlikely) md5 collision — neither
+    * side wins. Identity rounds are no-ops, so the early exit is
+    * invisible to the fixed-round oracle (the k-core loop contract).
+    *
+    * Scale: per round one keyed min over the live adjacency, one
+    * left-anti prune, two semi-join edge prunes — all shuffles on the
+    * node key; the frontier-free state is one (v, p) row per live node
+    * and the live edge set only ever shrinks. */
+  def lubyMisAssign(edges: DataFrame, iters: Int): DataFrame = {
+    val und = edges.select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .where(col("a") < col("b")).distinct()
+    var adj = und.unionByName(und.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
+    var live = adj.select(col("a").as("v")).distinct()
+      .withColumn("p", graft.operators.Dedup.md5Long(col("v").cast("string")))
+      .localCheckpoint(true)
+    val spark = edges.sparkSession
+    var decided = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("state",
+          org.apache.spark.sql.types.LongType))))
+    var round = 0
+    var progress = true
+    while (round < iters && progress) {
+      round += 1
+      val nbrMin = adj
+        .join(live.select(col("v").as("b"), col("p").as("np")), Seq("b"))
+        .groupBy(col("a").as("v")).agg(min("np").as("mp"))
+      val winners = live.join(nbrMin, Seq("v"), "left")
+        .where(col("mp").isNull || col("p") < col("mp"))
+        .select("v")
+        .localCheckpoint(true)
+      progress = winners.limit(1).count() > 0
+      val excluded = adj
+        .join(winners.select(col("v").as("a")), Seq("a"), "left_semi")
+        .select(col("b").as("v")).distinct()
+        .join(winners, Seq("v"), "left_anti")
+        .localCheckpoint(true)
+      decided = decided
+        .unionByName(winners.select(col("v"), lit(1L).as("state")))
+        .unionByName(excluded.select(col("v"), lit(0L).as("state")))
+        .localCheckpoint(true)
+      live = live.join(decided.select("v"), Seq("v"), "left_anti")
+        .localCheckpoint(true)
+      adj = adj
+        .join(live.select(col("v").as("a")), Seq("a"), "left_semi")
+        .join(live.select(col("v").as("b")), Seq("b"), "left_semi")
+        .localCheckpoint(true)
+    }
+    decided.unionByName(live.select(col("v"), lit(-1L).as("state")))
+  }
+
+  /** Maximal-independent-set summary: set size, an id checksum, and the
+    * undecided remainder (0 once the rounds reach maximality). */
+  def lubyMis(edges: DataFrame, iters: Int): DataFrame =
+    lubyMisAssign(edges, iters).agg(
+      sum(when(col("state") === 1L, 1L).otherwise(0L)).as("n_mis_nodes"),
+      sum(when(col("state") === 1L, col("v")).otherwise(0L))
+        .as("sum_mis_ids"),
+      sum(when(col("state") === -1L, 1L).otherwise(0L)).as("n_undecided"))
+
   /** Butterfly (bipartite 4-cycle) counting — the bipartite analog of
     * triangle counting, THE cohesion metric for two-mode graphs like
     * order×part: a butterfly is two left nodes sharing two right nodes.

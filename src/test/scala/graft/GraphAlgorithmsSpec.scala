@@ -242,6 +242,35 @@ class GraphAlgorithmsSpec extends SparkSpec {
     assert(capped.getLong(0) === 0L && capped.isNullAt(1))
   }
 
+  test("Luby MIS: independent and maximal on every fixture") {
+    def check(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val s = GraphAlgorithms.lubyMisAssign(edges.toDF("a", "b"), iters = 8)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(s.values.forall(_ >= 0L), s"all decided within 8 rounds: $s")
+      // independence: no edge has both ends in the set
+      edges.foreach { case (a, b) =>
+        assert(!(s(a) == 1L && s(b) == 1L), s"adjacent pair in MIS: $s") }
+      // maximality: every excluded node has a neighbor in the set
+      val nbrs = (edges ++ edges.map(_.swap)).groupBy(_._1)
+        .map { case (v, es) => v -> es.map(_._2).toSet }
+      s.foreach { case (v, st) =>
+        if (st == 0L)
+          assert(nbrs(v).exists(n => s(n) == 1L), s"$v excluded for naught") }
+      s
+    }
+    // star: either the hub alone or all leaves (priorities decide)
+    val star = check(Seq((10L, 1L), (10L, 2L), (10L, 3L)))
+    assert(star.count(_._2 == 1L) == 1 || star.count(_._2 == 1L) == 3)
+    check(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))            // path
+    check(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)))                                                  // K4: 1 node
+    check(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))) // tri+tail
+    // disjoint edges: exactly one end of each joins → summary checks out
+    val sum = GraphAlgorithms.lubyMis(
+      Seq((1L, 2L), (3L, 4L)).toDF("a", "b"), iters = 8).collect().head
+    assert(sum.getLong(0) === 2L && sum.getLong(2) === 0L)
+  }
+
   test("greedy matching: maximal on path, star, and disjoint edges") {
     def run(edges: Seq[(Long, Long)]) = {
       val r = GraphAlgorithms.greedyMatching(edges.toDF("a", "b"), iters = 8)
