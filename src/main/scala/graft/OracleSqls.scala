@@ -344,6 +344,26 @@ object OracleSqls {
         |UNION ALL SELECT 2, CAST(count(*) AS BIGINT),
         |  round(CAST(sum(o_totalprice) AS DOUBLE), 2) FROM v2""".stripMargin,
 
+    // compaction plan: files laid end-to-end per partition in doc_id
+    // order, bins cut at start_off // target (the packChunks convention —
+    // no file splits); zone-map min/max per compacted bin
+    "lake_compact" ->
+      """WITH f AS (
+        |  SELECT source, doc_id, coalesce(n_chars, 0) AS b FROM documents
+        |), o AS (
+        |  SELECT source, doc_id, b,
+        |    sum(b) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - b AS start_off
+        |  FROM f
+        |)
+        |SELECT source, CAST(start_off // 4000 AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(b) AS BIGINT) AS bin_bytes,
+        |  CAST(min(doc_id) AS BIGINT) AS zone_min,
+        |  CAST(max(doc_id) AS BIGINT) AS zone_max
+        |FROM o GROUP BY 1, 2
+        |ORDER BY source, bin""".stripMargin,
+
     "lake_snapshot_diff" ->
       s"""WITH $mergeCte
         |SELECT op, CAST(count(*) AS BIGINT) AS n_keys,

@@ -1639,6 +1639,16 @@ object Queries {
     }.reduce(_ unionByName _)
   }
 
+  /** Small-file compaction plan over the documents "manifest" (one file
+    * per doc, source-partitioned, 4000-byte target): the post-compaction
+    * file layout with zone-map min/max per bin — planned from metadata
+    * only, no content reads. */
+  def lakeCompact(spark: SparkSession, dir: String): DataFrame =
+    operators.Lakehouse.compactionPlan(
+      T(spark, dir, "documents"), "source", "doc_id", "n_chars",
+      targetBytes = 4000L)
+      .orderBy("source", "bin")
+
   /** The SQL extension surface end-to-end (§2.10): plain `spark.sql` text
     * calling the injected codegen expressions (`graft_token_estimate`,
     * `graft_nfc`) — what a SQL-only user of the library sees. Same
@@ -2129,6 +2139,7 @@ object Queries {
     "curate_e2e" -> (curateE2e _),
     "lake_merge_upsert" -> (lakeMergeUpsert _),
     "lake_time_travel" -> (lakeTimeTravel _),
+    "lake_compact" -> (lakeCompact _),
     "lake_snapshot_diff" -> (lakeSnapshotDiff _),
     "profile_documents" -> (profileDocuments _),
     "dq_checks" -> (dqChecks _),

@@ -71,4 +71,34 @@ object Lakehouse {
       .where(col("op").isNotNull)
       .select((keyCols.map(col) :+ col("op")): _*)
   }
+
+  /** Small-file compaction plan: within each partition, files are laid
+    * end-to-end in `orderCol` order and a new compacted file is cut every
+    * `targetBytes` of running offset (a file lands in the bin containing
+    * its START byte — the [[Curation.packChunks]] convention, so no file
+    * ever splits). The output is the post-compaction manifest with
+    * zone-map columns: per compacted file, input-file count, bytes, and
+    * the `orderCol` min/max it would carry — the clustering metadata
+    * that keeps post-compaction scans prunable on the sort key.
+    *
+    * Scale: streaming ingest leaves thousands of KB-scale files per
+    * partition; the plan is one keyed window (shuffle on the partition
+    * key) plus one groupBy over the FILE MANIFEST — file contents are
+    * never read. Rewriting then proceeds per bin, embarrassingly
+    * parallel. */
+  def compactionPlan(files: DataFrame, partCol: String, orderCol: String,
+                     bytesCol: String, targetBytes: Long): DataFrame = {
+    val w = Window.partitionBy(col(partCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    files
+      .withColumn("b", coalesce(col(bytesCol).cast("long"), lit(0L)))
+      .withColumn("start_off", sum(col("b")).over(w) - col("b"))
+      .withColumn("bin",
+        floor(col("start_off") / lit(targetBytes)).cast("long"))
+      .groupBy(col(partCol), col("bin"))
+      .agg(count(lit(1)).as("n_files"),
+        sum("b").as("bin_bytes"),
+        min(col(orderCol)).as("zone_min"),
+        max(col(orderCol)).as("zone_max"))
+  }
 }

@@ -73,4 +73,25 @@ class LakehouseSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       Lakehouse.readVersion(snap, Seq(log1, log2), 3, Seq("k"), "seq", "op"))
   }
+
+  test("compactionPlan: hand-derived bins, no file splits, zone maps") {
+    import spark.implicits._
+    // sizes 1000,3000,500,4000,200 at target 4000: start offsets
+    // 0,1000,4000,4500,8500 → bins 0,0,1,1,2
+    val files = Seq(("p", 1L, 1000L), ("p", 2L, 3000L), ("p", 3L, 500L),
+      ("p", 4L, 4000L), ("p", 5L, 200L), ("q", 1L, 9000L))
+      .toDF("part", "file_id", "bytes")
+    val m = Lakehouse.compactionPlan(files, "part", "file_id", "bytes", 4000L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(m(("p", 0L)) === ((2L, 4000L, 1L, 2L)))
+    assert(m(("p", 1L)) === ((2L, 4500L, 3L, 4L)))
+    assert(m(("p", 2L)) === ((1L, 200L, 5L, 5L)))
+    // an oversize file occupies its own bin by start offset — never split
+    assert(m(("q", 0L)) === ((1L, 9000L, 1L, 1L)))
+    // conservation: every input file lands in exactly one bin
+    assert(m.values.map(_._1).sum === 6L)
+    assert(m.values.map(_._2).sum === 17700L)
+  }
 }
