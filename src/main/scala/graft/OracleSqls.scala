@@ -2223,6 +2223,29 @@ object OracleSqls {
     // fixed-point Goertzel over the formula samples (32 unrolled
     // recurrence levels); the Spark side must reach the same powers
     // THROUGH WAV encode + container walk + PCM decode
+    // resample round trip: the interpolation recomputed at the source
+    // coordinates from the generating formula (bytes-blind); `//` is
+    // truncating on the negative diffs, matching Java int division
+    "mm_audio_resample" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents),
+        |js AS (SELECT unnest(range(0, 31)) AS j),
+        |pos AS (
+        |  SELECT id, j, (j * 3) // 2 AS i0, (j * 3) % 2 AS fr
+        |  FROM ids CROSS JOIN js
+        |), sv AS (
+        |  SELECT id, j, fr,
+        |    ((id*7 + 13*i0 + ((i0*i0) % 97)*31) % 2001) - 1000 AS s0,
+        |    ((id*7 + 13*(i0+1) + (((i0+1)*(i0+1)) % 97)*31) % 2001) - 1000
+        |      AS s1
+        |  FROM pos
+        |), y AS (SELECT id, j, s0 + (fr * (s1 - s0)) // 2 AS y FROM sv)
+        |SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_out,
+        |  CAST(sum(y) AS BIGINT) AS sum_y,
+        |  CAST(sum((j + 1) * y) AS BIGINT) AS wsum_y,
+        |  CAST(min(y) AS BIGINT) AS min_y,
+        |  CAST(max(y) AS BIGINT) AS max_y
+        |FROM y GROUP BY id ORDER BY doc_id""".stripMargin,
+
     "mm_audio_goertzel" ->
       s"""WITH ${goertzelCtes(32, Seq(1, 2, 4, 8))}
         |SELECT band, CAST(count(*) AS BIGINT) AS n_docs,

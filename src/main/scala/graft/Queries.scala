@@ -1731,6 +1731,12 @@ object Queries {
   def mmAudioGoertzel(spark: SparkSession, dir: String): DataFrame =
     Multimodal.audioGoertzelRoundtrip(spark, T(spark, dir, "documents"))
 
+  /** WAV decode → integer linear-interp 2/3-rate resample (formula
+    * oracle: the interpolation recomputed at source coordinates,
+    * bytes-blind). */
+  def mmAudioResample(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.audioResampleRoundtrip(spark, T(spark, dir, "documents"))
+
   // ---- events (batch form; streaming variants in graft.operators.Events) ----
 
   /** Events load, normalized so `ts` is ALWAYS epoch-nanos LongType
@@ -2151,6 +2157,7 @@ object Queries {
     "mm_png_pixels" -> (mmPngPixels _),
     "mm_gif_pixels" -> (mmGifPixels _),
     "mm_audio_goertzel" -> (mmAudioGoertzel _),
+    "mm_audio_resample" -> (mmAudioResample _),
     "join_asof" -> (joinAsof _),
     "join_range" -> (joinRange _),
     "join_interval" -> (joinInterval _),

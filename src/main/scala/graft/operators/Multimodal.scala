@@ -1063,6 +1063,62 @@ object Multimodal {
       .orderBy("band")
   }
 
+  /** Linear-interpolation audio resample round trip: each doc synthesizes
+    * a 16-bit WAV from an integer formula of (doc_id, t), the REAL
+    * container walk + PCM decode ([[wavPcmLayout]]) recovers the samples,
+    * and the stream is resampled to a 2/3 rate with integer
+    * TRUNCATING-division interpolation — output j reads source position
+    * j·3/2 as y = s[i] + (frac·(s[i+1]−s[i])) / 2 (Java `/` ≡ DuckDB `//`
+    * on negative diffs — the [[goertzelPower]] convention). Emitted
+    * outputs are exactly those with BOTH neighbors in range, so the
+    * count is part of the contract. The oracle recomputes the formula at
+    * the interpolation coordinates without seeing any bytes: encode and
+    * decode cancel only if both paths are correct.
+    *
+    * Scale: mapPartitions batch decode, one row per doc — the audio
+    * never leaves the task, only the per-doc feature tuple shuffles. */
+  def audioResampleRoundtrip(spark: SparkSession, docs: DataFrame,
+                             srcLen: Int = 48): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val samples = Array.tabulate(srcLen) { t =>
+            (((id * 7L + 13L * t + (t.toLong * t % 97L) * 31L) % 2001L)
+              - 1000L).toInt
+          }
+          (id, wavFile16(8000, samples))
+        }
+      }
+      .mapPartitions { it =>
+        it.map { case (id, p) =>
+          wavPcmLayout(p) match {
+            case Some((16, _, off, len)) =>
+              val n = len / 2
+              val s = Array.tabulate(n)(i =>
+                u8(p, off + 2 * i) | (p(off + 2 * i + 1).toInt << 8))
+              val nOut = ((n - 2) * 2) / 3 + 1
+              var sum = 0L; var wsum = 0L
+              var mn = Long.MaxValue; var mx = Long.MinValue
+              var j = 0
+              while (j < nOut) {
+                val num = j.toLong * 3L
+                val i0 = (num / 2L).toInt
+                val frac = num % 2L
+                val y = s(i0) + (frac * (s(i0 + 1) - s(i0))) / 2L
+                sum += y; wsum += (j + 1) * y
+                if (y < mn) mn = y
+                if (y > mx) mx = y
+                j += 1
+              }
+              (id, nOut.toLong, sum, wsum, mn, mx)
+            case _ => (id, 0L, 0L, 0L, 0L, 0L)
+          }
+        }
+      }.toDF("doc_id", "n_out", "sum_y", "wsum_y", "min_y", "max_y")
+      .orderBy("doc_id")
+  }
+
   /** GIF pixel-decode round trip (the GIF sibling of
     * [[pngDecodeRoundtrip]]): each doc synthesizes a grayscale GIF whose
     * levels follow an integer formula of (doc_id, x, y), the REAL LZW

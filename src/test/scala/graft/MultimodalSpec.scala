@@ -493,4 +493,27 @@ class MultimodalSpec extends SparkSpec {
     val want00 = (0 until 5).map(id => (id * 29L) % 256L).sum
     assert(cells((0, 0))._2 === want00)
   }
+
+  test("audioResampleRoundtrip: decode+interp match an independent twin") {
+    import spark.implicits._
+    // independent reimplementation of formula + interpolation (no WAV
+    // bytes): catches sign-extension or truncation slips in the decode
+    // path, since encode/decode only cancel when both are correct
+    def expected(id: Long): (Long, Long, Long, Long, Long) = {
+      val s = Array.tabulate(48)(t =>
+        ((id * 7L + 13L * t + (t.toLong * t % 97L) * 31L) % 2001L - 1000L).toInt)
+      val ys = (0 until 31).map { j =>
+        val i0 = (j * 3) / 2; val fr = (j * 3) % 2
+        (s(i0) + (fr.toLong * (s(i0 + 1) - s(i0))) / 2L, j)
+      }
+      (ys.map(_._1).sum, ys.map { case (y, j) => (j + 1) * y }.sum,
+        ys.map(_._1).min, ys.map(_._1).max, 31L)
+    }
+    val docs = Seq(0L, 5L, 13L).toDF("doc_id")
+    val got = Multimodal.audioResampleRoundtrip(spark, docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(1)))
+      .toMap
+    Seq(0L, 5L, 13L).foreach(id => assert(got(id) === expected(id), s"id=$id"))
+  }
 }
