@@ -1442,6 +1442,36 @@ object OracleSqls {
         |  CAST(sum(length(stripped)) AS BIGINT) AS stripped_len
         |FROM s GROUP BY source""".stripMargin,
 
+    // URL/domain extraction over injected links: positive character-class
+    // regex (RE2 ∩ java.util.regex), domain = capture group 1; mirrors
+    // Curation.urlInjectedStats cell for cell
+    "curate_url_domains" ->
+      """WITH a AS (
+        |  SELECT source, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' see https://ex' ||
+        |      (doc_id % 7) || '.org/p/' || (doc_id % 100) ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 0 THEN ' ref http://w' ||
+        |      (doc_id % 5) || '.ex' || (doc_id % 7) || '.net/q?id=' ||
+        |      doc_id ELSE '' END AS t
+        |  FROM documents
+        |), u AS (
+        |  SELECT source,
+        |    unnest(regexp_extract_all(t, 'https?://[A-Za-z0-9._/?=-]+'))
+        |      AS url
+        |  FROM a
+        |), d AS (
+        |  SELECT source, url,
+        |    regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1) AS domain
+        |  FROM u
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_urls,
+        |  CAST(sum(CASE WHEN url LIKE 'https://%' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_https,
+        |  CAST(count(DISTINCT domain) AS BIGINT) AS n_domains,
+        |  CAST(sum(length(url)) AS BIGINT) AS sum_url_len
+        |FROM d GROUP BY source
+        |ORDER BY source""".stripMargin,
+
     "curate_pii" ->
       """WITH a AS (
         |  SELECT source, text ||

@@ -1553,6 +1553,11 @@ object Queries {
   def curateHtmlStrip(spark: SparkSession, dir: String): DataFrame =
     Curation.htmlInjectedStats(T(spark, dir, "documents"))
 
+  /** URL/domain extraction audit over deterministically injected links. */
+  def curateUrlDomains(spark: SparkSession, dir: String): DataFrame =
+    Curation.urlInjectedStats(T(spark, dir, "documents"))
+      .orderBy("source")
+
   /** Deterministic weighted sampling driven by the rebalance boosts. */
   def curateSampled(spark: SparkSession, dir: String): DataFrame =
     Curation.weightedSampleStats(T(spark, dir, "documents"))
@@ -2093,6 +2098,7 @@ object Queries {
     "dedup_cdc_chunks" -> (dedupCdcChunks _),
     "curate_blocklist" -> (curateBlocklist _),
     "curate_html_strip" -> (curateHtmlStrip _),
+    "curate_url_domains" -> (curateUrlDomains _),
     "search_tfidf" -> (searchTfidf _),
     "search_stemmed" -> (searchStemmed _),
     "search_store_tfidf" -> (searchStoreTfidf _),

@@ -326,6 +326,50 @@ object Curation {
     piiStats(docs.withColumn("pii_text", augmented), "pii_text")
   }
 
+  // ---- URL / domain extraction ----
+
+  /** URL extraction + domain rollup (the link-density / domain-blocklist
+    * input every web-corpus pipeline computes): URLs match the positive
+    * character-class regex `https?://[A-Za-z0-9._/?=-]+` (RE2 ∩
+    * java.util.regex — a negated `[^\s]` class would disagree between
+    * engines on exotic whitespace), the domain is capture group 1 of
+    * `https?://([A-Za-z0-9.-]+)`, and the per-source rollup reports URL
+    * count, https share, distinct domains, and summed URL length. One
+    * explode + one keyed aggregate — scan-bound at 100 TB. */
+  def urlStats(docs: DataFrame, textCol: String): DataFrame = {
+    val urlRe = "https?://[A-Za-z0-9._/?=-]+"
+    docs
+      .select(col("source"),
+        explode(expr(s"regexp_extract_all($textCol, '$urlRe', 0)"))
+          .as("url"))
+      .withColumn("domain",
+        regexp_extract(col("url"), "https?://([A-Za-z0-9.-]+)", 1))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_urls"),
+        sum(when(col("url").startsWith("https://"), 1L).otherwise(0L))
+          .as("n_https"),
+        count_distinct(col("domain")).as("n_domains"),
+        sum(length(col("url")).cast("long")).as("sum_url_len"))
+  }
+
+  /** The driver corpus carries no URLs, so the oracle-checked form
+    * appends deterministic doc_id-derived links (domains and paths the
+    * oracle re-derives from the table alone), then audits the real
+    * extraction pass — the [[htmlInjectedStats]] convention. */
+  def urlInjectedStats(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    def s(c: Column) = c.cast("string")
+    def m(c: Column, k: Int) = pmod(c, lit(k.toLong))
+    val aug = concat(col("text"),
+      when(m(id, 3) === 0,
+        concat(lit(" see https://ex"), s(m(id, 7)), lit(".org/p/"),
+          s(m(id, 100)))).otherwise(lit("")),
+      when(m(id, 4) === 0,
+        concat(lit(" ref http://w"), s(m(id, 5)), lit(".ex"), s(m(id, 7)),
+          lit(".net/q?id="), s(id))).otherwise(lit("")))
+    urlStats(docs.withColumn("url_text", aug), "url_text")
+  }
+
   // ---- HTML boilerplate stripping ----
 
   /** Markup removal + entity decode (the trafilatura/jusText first pass a

@@ -425,4 +425,27 @@ class CurationSpec extends SparkSpec {
     assert(out(2) === "&lt;", "decoding &amp; first would double-decode")
     assert(out(3) === " t ")
   }
+
+  test("urlStats: extraction, scheme split, domain dedup, terminator") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "s", "go https://a.org/x and http://b.net/y?q=1 now"),
+      (2L, "s", "again https://a.org/z."),   // '.' is in the class: joins
+      (3L, "s", "plain text, no links"),
+      (4L, "t", "end https://c.io/p,next")) // ',' terminates the URL
+      .toDF("doc_id", "source", "text")
+    val m = Curation.urlStats(d, "text").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // source s: 3 URLs (https a.org/x, http b.net, https a.org/z.) —
+    // trailing '.' is inside the URL class (real pipelines keep it; the
+    // cross-engine contract just needs ONE rule), domains {a.org, b.net}
+    assert(m("s") === ((3L, 2L, 2L)))
+    // source t: ',' is NOT in the class → URL stops before it
+    assert(m("t") === ((1L, 1L, 1L)))
+    val urls = Curation.urlStats(
+      Seq((4L, "t", "end https://c.io/p,next")).toDF("doc_id", "source", "text"),
+      "text")
+    assert(urls.collect().head.getLong(4) === "https://c.io/p".length.toLong)
+  }
 }
