@@ -1741,6 +1741,24 @@ object OracleSqls {
         |      FROM documents)
         |GROUP BY source""".stripMargin,
 
+    // Zipf head: top-20 terms (freq desc, term tiebreak), integer ratio
+    // f1*1e6 // (rank*freq) — mirrors TextOps.zipfTable
+    "text_zipf" ->
+      s"""WITH tf AS (
+        |  SELECT term, count(*) AS freq
+        |  FROM (SELECT unnest(${wordsExprOf("lower(text)")}) AS term
+        |        FROM documents)
+        |  GROUP BY term
+        |), top AS (
+        |  SELECT term, CAST(freq AS BIGINT) AS freq,
+        |    CAST(row_number() OVER (ORDER BY freq DESC, term) AS BIGINT)
+        |      AS rank
+        |  FROM tf ORDER BY freq DESC, term LIMIT 20
+        |), f1 AS (SELECT max(freq) AS f1 FROM top)
+        |SELECT rank, term, freq,
+        |  CAST((f1 * 1000000) // (rank * freq) AS BIGINT) AS zipf_micro
+        |FROM top CROSS JOIN f1""".stripMargin,
+
     // Heaps-law growth curve: term first-occurrence doc_ids bucketed by
     // the first prefix checkpoint containing them, then a 4-row cumsum —
     // mirrors TextOps.heapsGrowth bucket for bucket (integer thresholds)

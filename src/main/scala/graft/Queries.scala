@@ -990,6 +990,11 @@ object Queries {
   def textHeaps(spark: SparkSession, dir: String): DataFrame =
     TextOps.heapsGrowth(T(spark, dir, "documents"))
 
+  /** Zipf rank-frequency head: top-20 terms with the integer Zipf ratio
+    * (10⁶ under a perfect power law). */
+  def textZipf(spark: SparkSession, dir: String): DataFrame =
+    TextOps.zipfTable(T(spark, dir, "documents"), k = 20)
+
   /** Corpus heavy-hitter bigrams (boilerplate detection). */
   def textTopNgrams(spark: SparkSession, dir: String): DataFrame =
     TextOps.topNgrams(T(spark, dir, "documents"), n = 2, k = 20)
@@ -2109,6 +2114,7 @@ object Queries {
     "search_phrase" -> (searchPhrase _),
     "text_ttr" -> (textTtr _),
     "text_heaps" -> (textHeaps _),
+    "text_zipf" -> (textZipf _),
     "text_top_ngrams" -> (textTopNgrams _),
     "sketch_countmin" -> (sketchCountmin _),
     "sketch_kmv" -> (sketchKmv _),

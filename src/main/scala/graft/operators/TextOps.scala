@@ -369,6 +369,31 @@ object TextOps {
     merges.toSeq.toDF("rank", "a", "b", "f")
   }
 
+  /** Zipf rank-frequency table: the top-`k` corpus terms with their rank
+    * and the integer Zipf ratio f₁·10⁶ div (rank·f_rank) — exactly 10⁶
+    * everywhere under a perfect Zipf law, so deviations read directly as
+    * head-heaviness (>10⁶) or flatness (<10⁶). The companion diagnostic
+    * to [[heapsGrowth]]: natural text sits near 10⁶, id-like or
+    * boilerplate-dominated columns do not.
+    *
+    * Scale: one hash groupBy for term frequencies, then TakeOrdered for
+    * the top page — the rank window runs on the k collected survivors,
+    * never the vocabulary. Ties break by term so the table is total-order
+    * deterministic. */
+  def zipfTable(docs: DataFrame, k: Int): DataFrame = {
+    val tf = docs
+      .select(explode(graft.functions.words(lower(col("text")))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+    val top = tf.orderBy(col("freq").desc, col("term")).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("term"))
+    top
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(top.agg(max("freq").as("f1"))))
+      .select(col("rank"), col("term"), col("freq"),
+        expr("(f1 * 1000000) div (rank * freq)").as("zipf_micro"))
+  }
+
   /** Heaps-law vocabulary-growth curve: document, token, and DISTINCT
     * vocabulary counts at corpus-prefix checkpoints (doc_id order, at
     * 1/8, 2/8, 4/8 and the full corpus). Computed WITHOUT a global sort

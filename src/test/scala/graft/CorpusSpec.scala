@@ -85,6 +85,25 @@ class CorpusSpec extends SparkSpec {
     assert(rows(8L) === ((9L, 18L, 9L)))  // full corpus: 9 types
   }
 
+  test("zipfTable: ranks, tiebreak, and the exact-Zipf ratio of 1e6") {
+    // frequencies engineered Zipfian: a×6, b×3, c×2, d×1 → ratios
+    // 6e6/(1·6), 6e6/(2·3), 6e6/(3·2) = 1e6; d: 6e6/(4·1) = 1.5e6
+    val docs = Seq((1L, "s", "a a a a a a b b b c c d"))
+      .toDF("doc_id", "source", "text")
+    val rows = TextOps.zipfTable(docs, k = 4).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(rows(1L) === (("a", 6L, 1000000L)))
+    assert(rows(2L) === (("b", 3L, 1000000L)))
+    assert(rows(3L) === (("c", 2L, 1000000L)))
+    assert(rows(4L) === (("d", 1L, 1500000L)))
+    // equal frequencies: rank order falls back to the term tiebreak
+    val tie = TextOps.zipfTable(
+      Seq((1L, "s", "z y x")).toDF("doc_id", "source", "text"), k = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(tie === Map(1L -> "x", 2L -> "y", 3L -> "z"))
+  }
+
   test("heapsGrowth: pure repetition saturates at the first checkpoint") {
     val docs = (0 until 8).map(i => (i.toLong, "s", "x y"))
       .toDF("doc_id", "source", "text")
