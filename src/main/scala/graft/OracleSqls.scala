@@ -247,6 +247,16 @@ object OracleSqls {
       """SELECT l_suppkey, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_distinct
         |FROM lineitem GROUP BY l_suppkey""".stripMargin,
 
+    // the salt is internal to Skew.saltedJoin, so the oracle is the PLAIN
+    // join — the hash gate proves the salting is result-invariant
+    "join_salted" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+        |  round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2)
+        |    AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
     "p6_norm_lookup" -> withGraph(
       """SELECT nodeId AS node_id, name FROM nodes
         |WHERE lower(nfc_normalize(name)) = lower(nfc_normalize('NaTiOn_7'))""".stripMargin),

@@ -779,6 +779,22 @@ object Queries {
   def skewSaltedAgg(spark: SparkSession, dir: String): DataFrame =
     Skew.saltedCountDistinct(T(spark, dir, "lineitem"), "l_suppkey", "l_partkey")
 
+  /** Skew-safe salted equi-join, then the revenue rollup: the salt is
+    * internal, so the oracle is the PLAIN join — the hash gate proves
+    * result-invariance of the salting on real data. */
+  def joinSalted(spark: SparkSession, dir: String): DataFrame =
+    Skew.saltedJoin(
+      T(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+      T(spark, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
+      "l_orderkey", salts = 8)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy("o_orderpriority")
+
   /** End-to-end budgeted retrieval over the TPC-H graph: a parsed candidate
     * query widened for retrieval, executed under the node budget,
     * KNN-backfilled over the Part embeddings. The multi-job orchestration is
@@ -2012,6 +2028,7 @@ object Queries {
     "cy_ordered_topk" -> (cyOrderedTopk _),
     "cy_varlength" -> (cyVarlength _),
     "skew_salted_agg" -> (skewSaltedAgg _),
+    "join_salted" -> (joinSalted _),
     "pipeline_retrieve" -> (pipelineRetrieve _),
     "fmt_context" -> (fmtContext _),
     "v1_cosine_topk" -> (v1CosineTopK _),

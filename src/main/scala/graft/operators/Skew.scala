@@ -46,4 +46,23 @@ object Skew {
       .groupBy(col(groupCol))
       .agg(sum(col("__partial")).as("total"))
   }
+
+  /** Skew-safe equi-join: the big side carries a deterministic salt in
+    * [0, salts), the small side is replicated once per salt value, and
+    * the join key becomes (key, salt) — a hot key's rows spread over
+    * `salts` reducers instead of serializing into one. The result set is
+    * EXACTLY the plain join (the salt is internal and dropped); the salt
+    * function is hash-of-all-big-columns, so any value works — it only
+    * spreads rows, it never routes them. The explicit form of what AQE's
+    * skew split does at runtime, for when AQE can't help: pre-shuffled
+    * bucketed inputs, stream-static joins, or a replicated-side size
+    * known small enough that `salts`× replication beats a skew stall. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 salts: Int = 8): DataFrame = {
+    val sb = big.withColumn("__salt",
+      pmod(xxhash64(big.columns.map(col): _*), lit(salts.toLong)))
+    val ss = small.withColumn("__salt",
+      explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
+    sb.join(ss, Seq(key, "__salt")).drop("__salt")
+  }
 }

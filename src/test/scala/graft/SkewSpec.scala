@@ -33,4 +33,24 @@ class SkewSpec extends SparkSpec {
     assert(r.getDouble(0) === 1.0)
     assert(r.getString(1) === "Café")
   }
+
+  test("saltedJoin: result-identical to the plain join under a hot key") {
+    import spark.implicits._
+    // 1000 rows on one hot key + a cold tail; dim has extra keys (inner
+    // join must drop big rows without a match) and a duplicate key row
+    // (fan-out must replicate, not dedup)
+    val big = ((0 until 1000).map(i => (1L, i.toLong)) ++
+      Seq((2L, -1L), (3L, -2L), (9L, -3L))).toDF("k", "v")
+    val dim = Seq((1L, "hot"), (2L, "cold"), (2L, "cold2"), (7L, "unused"))
+      .toDF("k", "name")
+    val plain = big.join(dim, Seq("k"))
+      .groupBy("k", "name").count().collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val salted = graft.operators.Skew.saltedJoin(big, dim, "k", salts = 8)
+      .groupBy("k", "name").count().collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(salted === plain)
+    assert(salted((1L, "hot")) === 1000L)
+    assert(salted.contains((2L, "cold2")) && !salted.exists(_._1._1 == 9L))
+  }
 }
