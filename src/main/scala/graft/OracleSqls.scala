@@ -1950,6 +1950,30 @@ object OracleSqls {
         |  min(CASE WHEN s > target * 2 THEN event_id END) AS first_alarm_id
         |FROM s GROUP BY user_id""".stripMargin,
 
+    // seasonal-naive vs random-walk absolute-error sums on the common
+    // scoring support (t > season); NULL mase on a zero denominator
+    "events_mase" ->
+      """WITH v AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(round(value * 1000000, 0) AS BIGINT) AS x
+        |  FROM events
+        |), l AS (
+        |  SELECT user_id, x, lag(x, 7) OVER w AS xs, lag(x, 1) OVER w AS x1
+        |  FROM v
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), a AS (
+        |  SELECT user_id, count(*) AS n_scored,
+        |    sum(abs(x - xs)) AS mae_seasonal, sum(abs(x - x1)) AS mae_naive
+        |  FROM l WHERE xs IS NOT NULL GROUP BY user_id
+        |)
+        |SELECT user_id, CAST(n_scored AS BIGINT) AS n_scored,
+        |  CAST(mae_seasonal AS BIGINT) AS mae_seasonal,
+        |  CAST(mae_naive AS BIGINT) AS mae_naive,
+        |  CAST(CASE WHEN mae_naive = 0 THEN NULL
+        |    ELSE (mae_seasonal * 1000000) // mae_naive END AS BIGINT)
+        |    AS mase_micro
+        |FROM a""".stripMargin,
+
     // lag-1/2 raw autocorrelation; centi-unit values so (num·1e6) div den
     // stays in BIGINT on the Spark side (DuckDB's HUGEINT sums are cast
     // back down after the division)

@@ -1067,6 +1067,12 @@ object Queries {
     Events.autocorrByUser(eventsUs(spark, dir).drop("ts").
       withColumnRenamed("ts_us", "ts"))
 
+  /** Season-7 naive forecast error vs the random-walk baseline (integer
+    * MASE: < 10⁶ ⟺ the weekly pattern beats a random walk). */
+  def eventsMase(spark: SparkSession, dir: String): DataFrame =
+    Events.seasonalNaiveError(eventsUs(spark, dir).drop("ts").
+      withColumnRenamed("ts_us", "ts"), season = 7)
+
   /** Exact-budget mixture quotas: 1M tokens apportioned across sources by
     * temperature-0.5 mass with largest-remainder rounding (Σ = budget). */
   def curateMixtureQuota(spark: SparkSession, dir: String): DataFrame =
@@ -2145,6 +2151,7 @@ object Queries {
     "events_anomaly_mad" -> (eventsAnomalyMad _),
     "events_cusum" -> (eventsCusum _),
     "events_acf" -> (eventsAcf _),
+    "events_mase" -> (eventsMase _),
     "layout_zorder" -> (layoutZorder _),
     "layout_hilbert" -> (layoutHilbert _),
     "layout_partitioned" -> (layoutPartitioned _),

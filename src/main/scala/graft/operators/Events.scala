@@ -424,6 +424,36 @@ object Events {
         min(when(col("alarm"), col("event_id"))).as("first_alarm_id"))
   }
 
+  /** Seasonal-naive forecast error per user (the MASE shape, Hyndman &
+    * Koehler 2006): the season-`s` naive forecast x̂ₜ = xₜ₋ₛ is scored
+    * against the random-walk baseline x̂ₜ = xₜ₋₁, both as integer
+    * micro-unit absolute-error sums over the SAME scoring rows (t > s, so
+    * numerator and denominator see one common support — the standard
+    * in-sample MASE denominator restricted to where the seasonal forecast
+    * exists). mase_micro < 10⁶ ⟺ the seasonal pattern beats a random
+    * walk — THE go/no-go gate before fitting anything seasonal.
+    *
+    * Scale: one keyed sort-window pass (both lags share the frame), one
+    * aggregate; O(1) per-row state. */
+  def seasonalNaiveError(events: DataFrame, season: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .withColumn("x", round(col("value") * 1000000L, 0).cast("long"))
+      .withColumn("xs", lag(col("x"), season).over(w))
+      .withColumn("x1", lag(col("x"), 1).over(w))
+      .where(col("xs").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_scored"),
+        sum(abs(col("x") - col("xs"))).as("mae_seasonal"),
+        sum(abs(col("x") - col("x1"))).as("mae_naive"))
+      .select(col("user_id"), col("n_scored"),
+        col("mae_seasonal"), col("mae_naive"),
+        when(col("mae_naive") === 0L, lit(null).cast("long"))
+          .otherwise(expr("(mae_seasonal * 1000000) div mae_naive"))
+          .as("mase_micro"))
+  }
+
   /** Lag-1/lag-2 raw autocorrelation per user in integer micro-units:
     * acf_k = (Σ xᵢ·xᵢ₊ₖ · 10⁶) div Σ xᵢ² over the time-ordered sequence
     * (uncentered — the mean-removal variant needs a float mean; the raw

@@ -443,6 +443,33 @@ class EventsSpec extends SparkSpec {
     assert(r.getAs[Long]("acf2_micro") === 666666L)
   }
 
+  test("seasonalNaiveError: exact period beats the random walk to zero") {
+    import spark.implicits._
+    // period-3 signal 1,5,9 repeating over 9 events: seasonal (s=3)
+    // errors are all 0 on the 6 scored rows; naive-1 errors |Δ| are
+    // 4,4 within a cycle and 8 at each wrap → per scored row
+    // [t3..t8]: |5-9|? ordered diffs: x=1,5,9,1,5,9,1,5,9 → x1 diffs at
+    // t=3..8: |1-9|=8,|5-1|=4,|9-5|=4,|1-9|=8,|5-1|=4,|9-5|=4 → 32e6
+    val df = (0 until 9).map { i =>
+      (i.toLong, i.toLong, 1L, "e", Seq(1.0, 5.0, 9.0)(i % 3), "")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Events.seasonalNaiveError(df, season = 3).collect().head
+    assert(r.getAs[Long]("n_scored") === 6L)
+    assert(r.getAs[Long]("mae_seasonal") === 0L)
+    assert(r.getAs[Long]("mae_naive") === 32000000L)
+    assert(r.getAs[Long]("mase_micro") === 0L)
+  }
+
+  test("seasonalNaiveError: constant series nulls the ratio, not divides") {
+    import spark.implicits._
+    val df = (0 until 6).map { i =>
+      (i.toLong, i.toLong, 1L, "e", 7.0, "")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Events.seasonalNaiveError(df, season = 2).collect().head
+    assert(r.getAs[Long]("mae_seasonal") === 0L && r.getAs[Long]("mae_naive") === 0L)
+    assert(r.isNullAt(r.fieldIndex("mase_micro")))
+  }
+
   test("rollingMadAnomalies: a steady ramp has nonzero MAD, no anomalies") {
     import spark.implicits._
     // linear ramp 0..9: interior window devs are [3,2,1,0,1,2,3] → lower
