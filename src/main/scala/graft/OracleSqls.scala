@@ -3138,6 +3138,30 @@ object OracleSqls {
     // SymSpell deletion blocking + exact levenshtein verify over distinct
     // part names (blocking is complete up to distance 1; shared variants
     // only bound distance at 2, hence the verify)
+    // Soundex blocking (mirrors Fuzzy.soundexCode: one translate, three
+    // collapse passes per digit, zero drop, rpad; the h/w-transparency
+    // refinement is omitted in BOTH engines)
+    "er_soundex" -> {
+      val codes = "translate(name, 'abcdefghijklmnopqrstuvwxyz', " +
+        "'01230120022455012623010202')"
+      val collapsed = (1 to 6).foldLeft(codes) { (c, d) =>
+        (1 to 3).foldLeft(c)((cc, _) => s"replace($cc, '$d$d', '$d')")
+      }
+      s"""WITH w AS (
+        |  SELECT regexp_extract(p_name, '^[a-z]+', 0) AS name FROM part
+        |), n AS (SELECT name FROM w WHERE length(name) > 0),
+        |c AS (
+        |  SELECT name,
+        |    upper(substr(name, 1, 1)) ||
+        |    rpad(substr(replace(substr($collapsed, 2, 100), '0', ''),
+        |      1, 3), 3, '0') AS code
+        |  FROM n
+        |)
+        |SELECT code, CAST(count(DISTINCT name) AS BIGINT) AS n_names,
+        |  CAST(count(*) AS BIGINT) AS n_rows, min(name) AS first_name
+        |FROM c GROUP BY code ORDER BY code""".stripMargin
+    },
+
     "er_fuzzy_pairs" ->
       """WITH names AS (SELECT DISTINCT p_name AS name FROM part),
         |v AS (

@@ -1917,6 +1917,15 @@ object Queries {
   def erFuzzyPairs(spark: SparkSession, dir: String): DataFrame =
     Fuzzy.nearNamePairs(T(spark, dir, "part").select(col("p_name").as("name")))
 
+  /** Soundex blocking histogram over the part-name first words (the
+    * phonetic complement of the SymSpell deletion blocking). */
+  def erSoundex(spark: SparkSession, dir: String): DataFrame =
+    Fuzzy.soundexBlocks(
+      T(spark, dir, "part")
+        .select(regexp_extract(col("p_name"), "^[a-z]+", 0).as("name"))
+        .where(length(col("name")) > 0))
+      .orderBy("code")
+
   /** One-pass ROLLUP profile of lineitem by returnflag / linestatus. */
   def profileRollup(spark: SparkSession, dir: String): DataFrame =
     Profile.rollupProfile(T(spark, dir, "lineitem"),
@@ -2203,6 +2212,7 @@ object Queries {
     "events_outliers" -> (eventsOutliers _),
     "events_scd2" -> (eventsScd2 _),
     "er_fuzzy_pairs" -> (erFuzzyPairs _),
+    "er_soundex" -> (erSoundex _),
     "profile_rollup" -> (profileRollup _),
     "events_json_props" -> (eventsJsonProps _),
     "events_sessions" -> (eventsSessions _),

@@ -45,4 +45,40 @@ object Fuzzy {
     candidates
       .where(levenshtein(col("name_a"), col("name_b")) <= 1)
   }
+
+  /** Textbook American Soundex (Russell 1918) as a pure column
+    * expression both engines evaluate identically: letters map to digit
+    * classes via ONE `translate`, adjacent duplicate digits collapse
+    * (three replace passes per digit — handles runs up to 8, far beyond
+    * any real word), vowel zeros drop, and the code is the uppercased
+    * first letter plus the first three surviving digits zero-padded.
+    * Collapsing BEFORE dropping the first position implements the
+    * "first letter and adjacent same-code letters count once" rule
+    * (pfister → P236); the h/w-transparency refinement of full Soundex
+    * is deliberately omitted — blocking needs ONE deterministic rule,
+    * not archival fidelity, and the simplification is mirrored
+    * verbatim in the oracle. Expects a lowercase-letters-only word. */
+  def soundexCode(word: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val codes = translate(word, "abcdefghijklmnopqrstuvwxyz",
+      "01230120022455012623010202")
+    val collapsed = (1 to 6).foldLeft(codes) { (c, d) =>
+      (1 to 3).foldLeft(c)((cc, _) =>
+        call_function("replace", cc, lit(s"$d$d"), lit(d.toString)))
+    }
+    val tail = call_function("replace",
+      substring(collapsed, 2, 100), lit("0"), lit(""))
+    concat(upper(substring(word, 1, 1)),
+      rpad(substring(tail, 1, 3), 3, "0"))
+  }
+
+  /** Soundex blocking table: per phonetic code, the distinct-name count,
+    * row count, and lexicographic representative — the blocking-key
+    * histogram an ER pipeline inspects before pairing within blocks
+    * (block sizes bound the pair explosion exactly like LSH buckets). */
+  def soundexBlocks(names: DataFrame): DataFrame =
+    names.withColumn("code", soundexCode(col("name")))
+      .groupBy("code")
+      .agg(count_distinct(col("name")).as("n_names"),
+        count(lit(1)).as("n_rows"),
+        min("name").as("first_name"))
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Fuzzy
+import org.apache.spark.sql.functions.col
 
 class FuzzySpec extends SparkSpec {
   import spark.implicits._
@@ -40,5 +41,31 @@ class FuzzySpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getString(1)).toSet
     assert(blocked === brute)
     assert(brute.nonEmpty, "fixture should contain at least one near pair")
+  }
+
+  test("soundexCode: the classic reference codes") {
+    import spark.implicits._
+    val got = Seq("robert", "rupert", "tymczak", "pfister", "honeyman",
+      "jackson", "lee")
+      .toDF("name")
+      .select(col("name"), Fuzzy.soundexCode(col("name")).as("code"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("robert") === "R163")
+    assert(got("rupert") === "R163")    // blocks with robert
+    assert(got("tymczak") === "T522")   // cz collapse: adjacent same code
+    assert(got("pfister") === "P236")   // p,f share code 1 → counted once
+    assert(got("jackson") === "J250")   // cks run collapses to one 2
+    assert(got("lee") === "L000")       // short word zero-pads
+    // h maps to 0 like a vowel under the basic rule: h0 o0 n5 e0 y0 m5 a0 n5
+    assert(got("honeyman") === "H555")
+  }
+
+  test("soundexBlocks groups phonetic variants into one block") {
+    import spark.implicits._
+    val blocks = Fuzzy.soundexBlocks(
+      Seq("robert", "rupert", "robert", "lee").toDF("name")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(blocks("R163") === ((2L, 3L)))
+    assert(blocks("L000") === ((1L, 1L)))
   }
 }
