@@ -1950,6 +1950,36 @@ object OracleSqls {
         |  min(CASE WHEN s > target * 2 THEN event_id END) AS first_alarm_id
         |FROM s GROUP BY user_id""".stripMargin,
 
+    // Holt level+trend fold with the packed-Long two-accumulator state
+    // (list_reduce has no init, so element 1 is pre-packed); >> is
+    // arithmetic/floor in both engines, unlike / vs //
+    "events_holt" -> {
+      val l = "(a >> 32)"
+      val t = s"(a - ($l << 32) - 2147483648)"
+      val l2 = s"greatest(((x + $l + $t) >> 1), 0)"
+      val t2 = s"(($t + $l2 - $l) >> 1)"
+      s"""WITH xs AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    array_agg(CAST(round(value * 1000000, 0) AS BIGINT)
+        |      ORDER BY ts, event_id) AS xs
+        |  FROM events GROUP BY user_id
+        |), packed AS (
+        |  SELECT user_id, n_events,
+        |    [xs[1] * 4294967296 + 2147483648] || xs[2:] AS xs2
+        |  FROM xs
+        |), folded AS (
+        |  SELECT user_id, n_events,
+        |    CAST(list_reduce(xs2,
+        |      (a, x) -> (($l2 << 32) + $t2 + 2147483648)) AS BIGINT) AS s
+        |  FROM packed
+        |)
+        |SELECT user_id, n_events, (s >> 32) AS level_micro,
+        |  (s - ((s >> 32) << 32) - 2147483648) AS trend_micro,
+        |  (s >> 32) + (s - ((s >> 32) << 32) - 2147483648)
+        |    AS forecast_micro
+        |FROM folded""".stripMargin
+    },
+
     // seasonal-naive vs random-walk absolute-error sums on the common
     // scoring support (t > season); NULL mase on a zero denominator
     "events_mase" ->

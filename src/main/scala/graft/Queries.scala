@@ -1073,6 +1073,12 @@ object Queries {
     Events.seasonalNaiveError(eventsUs(spark, dir).drop("ts").
       withColumnRenamed("ts_us", "ts"), season = 7)
 
+  /** Holt level+trend smoothing per user (packed two-accumulator fold;
+    * the drift-aware step up from events_ewma). */
+  def eventsHolt(spark: SparkSession, dir: String): DataFrame =
+    Events.holtByUser(eventsUs(spark, dir).drop("ts").
+      withColumnRenamed("ts_us", "ts"))
+
   /** Exact-budget mixture quotas: 1M tokens apportioned across sources by
     * temperature-0.5 mass with largest-remainder rounding (Σ = budget). */
   def curateMixtureQuota(spark: SparkSession, dir: String): DataFrame =
@@ -2161,6 +2167,7 @@ object Queries {
     "events_cusum" -> (eventsCusum _),
     "events_acf" -> (eventsAcf _),
     "events_mase" -> (eventsMase _),
+    "events_holt" -> (eventsHolt _),
     "layout_zorder" -> (layoutZorder _),
     "layout_hilbert" -> (layoutHilbert _),
     "layout_partitioned" -> (layoutPartitioned _),

@@ -424,6 +424,52 @@ object Events {
         min(when(col("alarm"), col("event_id"))).as("first_alarm_id"))
   }
 
+  /** Holt double exponential smoothing (level + trend, α = β = 1/2) per
+    * key: the forecasting step up from [[ewmaByUser]] when series drift.
+    * Two order-dependent accumulators ride ONE keyed fold by packing
+    * (level, trend) into a single Long — s = level·2³² + (trend + 2³¹) —
+    * because neither engine's fold primitive takes a composite initial
+    * value (Spark's `aggregate` seeds from the first element, DuckDB's
+    * `list_reduce` has no init at all). All recurrence arithmetic uses
+    * `>>` (ARITHMETIC shift — floor semantics, verified identical in
+    * both engines on negatives, unlike their `/` vs `//`):
+    * l' = max(0, (x + l + t) >> 1), t' = (t + l' − l) >> 1; the level
+    * clamp keeps the packed form positive (values are non-negative, a
+    * negative level forecast is meaningless). Operating range:
+    * level < 2³¹ micro (≈ values < 2147), |trend| < 2³¹ micro.
+    *
+    * Scale: same contract as [[ewmaByUser]] — one keyed collect + a
+    * codegen'd fold; activity-bounded key histories. */
+  def holtByUser(events: DataFrame): DataFrame = {
+    val P32 = 4294967296L
+    val H31 = 2147483648L
+    events
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"), col("value")).as("e"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(col("e"))).as("es"))
+      .select(col("user_id"), size(col("es")).as("n_events"),
+        transform(col("es"),
+          e => round(e.getField("value") * 1000000L, 0).cast("long"))
+          .as("xs"))
+      .select(col("user_id"), col("n_events"),
+        aggregate(
+          slice(col("xs"), lit(2), greatest(size(col("xs")) - 1, lit(0))),
+          element_at(col("xs"), 1) * P32 + H31,
+          (acc, x) => {
+            val l = shiftright(acc, 32)
+            val t = acc - shiftleft(l, 32) - H31
+            val l2 = greatest(shiftright(x + l + t, 1), lit(0L))
+            val t2 = shiftright(t + l2 - l, 1)
+            shiftleft(l2, 32) + t2 + H31
+          }).as("s"))
+      .select(col("user_id"), col("n_events"),
+        shiftright(col("s"), 32).as("level_micro"),
+        (col("s") - shiftleft(shiftright(col("s"), 32), 32) - H31)
+          .as("trend_micro"))
+      .withColumn("forecast_micro", col("level_micro") + col("trend_micro"))
+  }
+
   /** Seasonal-naive forecast error per user (the MASE shape, Hyndman &
     * Koehler 2006): the season-`s` naive forecast x̂ₜ = xₜ₋ₛ is scored
     * against the random-walk baseline x̂ₜ = xₜ₋₁, both as integer

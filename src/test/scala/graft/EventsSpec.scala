@@ -443,6 +443,32 @@ class EventsSpec extends SparkSpec {
     assert(r.getAs[Long]("acf2_micro") === 666666L)
   }
 
+  test("holtByUser: hand-derived level/trend fold on a rising series") {
+    import spark.implicits._
+    // x = 10,20,30 (micro 1e7,2e7,3e7): l1=1e7,t1=0 →
+    // l2=(2e7+1e7)>>1=1.5e7, t2=(1.5e7-1e7)>>1=2.5e6 →
+    // l3=(3e7+1.5e7+2.5e6)>>1=23750000, t3=(2.5e6+8.75e6)>>1=5625000
+    val df = Seq(10.0, 20.0, 30.0).zipWithIndex.map { case (v, i) =>
+      (i.toLong, i.toLong, 1L, "e", v, "")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Events.holtByUser(df).collect().head
+    assert(r.getAs[Long]("level_micro") === 23750000L)
+    assert(r.getAs[Long]("trend_micro") === 5625000L)
+    assert(r.getAs[Long]("forecast_micro") === 29375000L)
+  }
+
+  test("holtByUser: collapse to zero exercises the clamp and negative trend") {
+    import spark.implicits._
+    // 100,0,0,0: the fourth step's raw level goes negative → clamps to 0
+    // while the packed negative trend decodes correctly
+    val df = Seq(100.0, 0.0, 0.0, 0.0).zipWithIndex.map { case (v, i) =>
+      (i.toLong, i.toLong, 1L, "e", v, "")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Events.holtByUser(df).collect().head
+    assert(r.getAs[Long]("level_micro") === 0L)
+    assert(r.getAs[Long]("trend_micro") === -21875000L)
+  }
+
   test("seasonalNaiveError: exact period beats the random walk to zero") {
     import spark.implicits._
     // period-3 signal 1,5,9 repeating over 9 events: seasonal (s=3)
