@@ -202,7 +202,7 @@ object Sketch {
       .select(col("g"), col("bucket"), hllRho(col("rest"), 54).as("rho"))
       .groupBy("g", "bucket").agg(max("rho").cast("long").as("r"))
     items.select(col(groupCol).as("g")).distinct()
-      .crossJoin((0 until m).map(_.toLong).toDF("bucket"))
+      .crossJoin(broadcast((0 until m).map(_.toLong).toDF("bucket")))
       .join(regs, Seq("g", "bucket"), "left")
       .select(col("g"), col("bucket"),
         coalesce(col("r"), lit(0L)).as("r"))
@@ -225,7 +225,7 @@ object Sketch {
       .select(col("g"), expr(est("s")).as("est"))
     val groups = sketches.select("g").distinct()
     groups.select(col("g").as("ga"))
-      .crossJoin(groups.select(col("g").as("gb")))
+      .crossJoin(broadcast(groups.select(col("g").as("gb"))))
       .filter(col("ga") < col("gb"))
       .join(broadcast(sketches.select(col("g").as("ga"), col("bucket"),
         col("r").as("ra"))), Seq("ga"))
