@@ -415,6 +415,40 @@ object OracleSqls {
     // sparse random projection: the sign matrix is re-derived from the
     // same md5 strings the Spark side hashes driver-side; micro-quantized
     // integer sums are order-independent, so no float mirror needed
+    // integer power iteration, 3 unrolled rounds (mirrors
+    // Vectors.powerIterationTopDir): milli-quantized centered matrix,
+    // truncating renormalization by the max-|u| component
+    "emb_power_iteration" -> {
+      val rounds = (1 to 3).map { t =>
+        s"""d$t AS (
+           |  SELECT id, SUM(x * v) AS dp FROM x JOIN v${t - 1} USING (i)
+           |  GROUP BY id
+           |), u$t AS (
+           |  SELECT i, CAST(SUM(x * dp) AS BIGINT) AS u
+           |  FROM x JOIN d$t USING (id) GROUP BY i
+           |), m$t AS (SELECT greatest(max(abs(u)), 1) AS m FROM u$t),
+           |v$t AS (
+           |  SELECT i, CAST((u * 1000) // m AS BIGINT) AS v
+           |  FROM u$t CROSS JOIN m$t
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH x0 AS (
+        |  SELECT vec_id AS id, i - 1 AS i,
+        |    CAST(round(e[i] * 1000, 0) AS BIGINT) AS x
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |        FROM embeddings),
+        |    unnest(range(1, 65)) AS t(i)
+        |), mu AS (
+        |  SELECT i, CAST(sum(x) // count(*) AS BIGINT) AS mu FROM x0
+        |  GROUP BY i
+        |), x AS (
+        |  SELECT id, x0.i, x - mu AS x FROM x0 JOIN mu USING (i)
+        |), v0 AS (SELECT DISTINCT i, 1000::BIGINT AS v FROM x),
+        |$rounds
+        |SELECT CAST(i AS BIGINT) AS dim, v AS v_milli FROM v3
+        |ORDER BY dim""".stripMargin
+    },
+
     "emb_random_projection" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |d AS (SELECT unnest(range(0, 8)) AS proj_dim)

@@ -1918,6 +1918,12 @@ object Queries {
         round(sum("value"), 2).as("sum_state"))
   }
 
+  /** Top principal direction of the embedding corpus by 3 rounds of
+    * integer power iteration (mean-centered, milli-quantized). */
+  def embPowerIteration(spark: SparkSession, dir: String): DataFrame =
+    Vectors.powerIterationTopDir(T(spark, dir, "embeddings"),
+      "vec_id", "embedding", iters = 3)
+
   /** Typo-tolerant name pairs (SymSpell deletion blocking + exact
     * levenshtein verify) over the distinct part-name universe. */
   def erFuzzyPairs(spark: SparkSession, dir: String): DataFrame =
@@ -2056,6 +2062,7 @@ object Queries {
     "v2_knn_exclude" -> (v2KnnExclude _),
     "mmr_rerank" -> (mmrRerankQ _),
     "emb_random_projection" -> (embRandomProjection _),
+    "emb_power_iteration" -> (embPowerIteration _),
     "emb_matryoshka_recall" -> (embMatryoshkaRecall _),
     "emb_hard_negatives" -> (embHardNegatives _),
     "ann_lsh_topk" -> (annLshTopK _),

@@ -484,6 +484,49 @@ object Vectors {
     * drift between engines. The sign matrix is computed once driver-side
     * (dOut·dIn entries) and shipped as literals: the 100 TB shape is a
     * broadcast projection matrix, never a per-row hash recomputation. */
+  /** Top principal direction by integer power iteration over the
+    * mean-centered embedding matrix — the spectral sibling of
+    * [[randomProjection]] (data-driven axis instead of hash-driven).
+    * Fully relational so 100 TB of vectors never materialize as a
+    * matrix: per round, (1) dot products dpᵢ = xᵢ·v as one keyed sum
+    * over the exploded (id, dim, value) table, (2) the new direction
+    * u = Σᵢ dpᵢ·xᵢ as the transposed keyed sum, (3) renormalization to
+    * milli scale by the max-|u| component (integer division — TRUNCATING
+    * in both engines, u goes negative). The direction vector is d rows —
+    * always broadcast; the corpus shuffles only on id/dim keys.
+    *
+    * Everything is milli-quantized (not the usual micro) so the
+    * worst-case product chain n·d·x²·v stays inside Long — documented
+    * range: n·d·|x|²_milli·1000 < 2⁶³, i.e. ~10¹⁰ rows at |x| ≤ 1.
+    * Centering uses truncating sum-div-count (identical cross-engine).
+    * Sign is deterministic (same arithmetic both engines), converging to
+    * ±(top eigenvector) as rounds grow. */
+  def powerIterationTopDir(emb: DataFrame, idCol: String, vecCol: String,
+                           iters: Int): DataFrame = {
+    val x0 = emb
+      .select(col(idCol).as("id"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("i", "xv")))
+      .select(col("id"), col("i"),
+        round(col("xv") * 1000L, 0).cast("long").as("x"))
+    val means = x0.groupBy("i").agg(expr("sum(x) div count(1)").as("mu"))
+    val x = x0.join(broadcast(means), Seq("i"))
+      .select(col("id"), col("i"), (col("x") - col("mu")).as("x"))
+      .localCheckpoint(true)
+    var v = x.select(col("i")).distinct()
+      .select(col("i"), lit(1000L).as("v"))
+    for (_ <- 1 to iters) {
+      val dots = x.join(broadcast(v), Seq("i"))
+        .groupBy("id").agg(sum(expr("x * v")).as("dp"))
+      val u = x.join(dots, Seq("id"))
+        .groupBy("i").agg(sum(expr("x * dp")).as("u"))
+      v = u.crossJoin(broadcast(u.agg(max(abs(col("u"))).as("m"))))
+        .select(col("i"), expr("(u * 1000) div greatest(m, 1)").as("v"))
+        .localCheckpoint(true)
+    }
+    v.orderBy("i")
+      .select(col("i").cast("long").as("dim"), col("v").as("v_milli"))
+  }
+
   def randomProjection(emb: DataFrame, idCol: String, vecCol: String,
                        dIn: Int, dOut: Int, seed: String = "rp"): DataFrame = {
     val md = java.security.MessageDigest.getInstance("MD5")

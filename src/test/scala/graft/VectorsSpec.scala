@@ -282,6 +282,22 @@ class VectorsSpec extends SparkSpec {
   private lazy val fan = Seq(ang(1L, 20), ang(2L, 25), ang(3L, -30))
     .toDF("id", "v")
 
+  test("power iteration: converges onto a planted dominant direction") {
+    import spark.implicits._
+    // 20 vectors: ±8.0 along dim 0 (variance 64) plus tiny off-axis
+    // noise (variance ≤ 0.01) → the top principal direction is ±e0;
+    // after 3 rounds the milli vector must peak at |1000| on dim 0 and
+    // stay an order of magnitude smaller elsewhere
+    val vecs = (0 until 20).map { k =>
+      val s = if (k % 2 == 0) 1.0f else -1.0f
+      (k.toLong, Array(8.0f * s, 0.1f * (k % 3), 0.05f * (k % 5), 0.0f))
+    }.toDF("vec_id", "embedding")
+    val v = Vectors.powerIterationTopDir(vecs, "vec_id", "embedding", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(math.abs(v(0L)) === 1000L, s"dominant axis: $v")
+    assert((1L to 3L).forall(d => math.abs(v(d)) < 100L), s"off-axis: $v")
+  }
+
   test("MMR: diversity demotes the near-dup second hit") {
     val q = Seq(1.0, 0.0, 0.0, 0.0)
     // relevance: 1 (cos20=.940) > 2 (cos25=.906) > 3 (cos30=.866), but
