@@ -3226,6 +3226,48 @@ object OracleSqls {
         |FROM c GROUP BY code ORDER BY code""".stripMargin
     },
 
+    // pairwise Pearson r: exact Long moments in one pass, then the
+    // double expression mirrored term for term (cast BEFORE the n·Σxy
+    // products, which overflow Long by design)
+    "profile_corr" -> {
+      def rExpr(a: String, b: String) =
+        s"round((CAST(n AS DOUBLE) * CAST(sp_${a}_$b AS DOUBLE)" +
+          s" - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))" +
+          s" / NULLIF(sqrt(CAST(n AS DOUBLE) * CAST(ss_$a AS DOUBLE)" +
+          s" - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE))" +
+          s" * sqrt(CAST(n AS DOUBLE) * CAST(ss_$b AS DOUBLE)" +
+          s" - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE)), 0), 6)"
+      def row(a: String, b: String) =
+        s"""SELECT '${a}_$b' AS pair, CAST(n AS BIGINT) AS n,
+           |  s_$a AS sx, s_$b AS sy, sp_${a}_$b AS sxy,
+           |  ${rExpr(a, b)} AS r
+           |FROM m""".stripMargin
+      s"""WITH q AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(floor(l_extendedprice) AS BIGINT) AS price,
+        |    CAST(round(l_discount * 100, 0) AS BIGINT) AS disc
+        |  FROM lineitem
+        |), m AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(qty) AS BIGINT) AS s_qty,
+        |    CAST(sum(price) AS BIGINT) AS s_price,
+        |    CAST(sum(disc) AS BIGINT) AS s_disc,
+        |    CAST(sum(qty * qty) AS BIGINT) AS ss_qty,
+        |    CAST(sum(price * price) AS BIGINT) AS ss_price,
+        |    CAST(sum(disc * disc) AS BIGINT) AS ss_disc,
+        |    CAST(sum(price * qty) AS BIGINT) AS sp_price_qty,
+        |    CAST(sum(disc * price) AS BIGINT) AS sp_disc_price,
+        |    CAST(sum(disc * qty) AS BIGINT) AS sp_disc_qty
+        |  FROM q
+        |)
+        |${row("disc", "price")}
+        |UNION ALL
+        |${row("disc", "qty")}
+        |UNION ALL
+        |${row("price", "qty")}
+        |ORDER BY pair""".stripMargin
+    },
+
     "er_fuzzy_pairs" ->
       """WITH names AS (SELECT DISTINCT p_name AS name FROM part),
         |v AS (

@@ -1938,6 +1938,16 @@ object Queries {
         .where(length(col("name")) > 0))
       .orderBy("code")
 
+  /** Pairwise Pearson correlation of lineitem measures (quantity in
+    * units, price floored to whole units, discount in centi) — exact
+    * Long moment sums plus the IEEE-mirrored rounded r. */
+  def profileCorr(spark: SparkSession, dir: String): DataFrame =
+    Profile.corrPairs(T(spark, dir, "lineitem"), Seq(
+      "qty" -> col("l_quantity").cast("long"),
+      "price" -> floor(col("l_extendedprice")).cast("long"),
+      "disc" -> round(col("l_discount") * 100, 0).cast("long")))
+      .orderBy("pair")
+
   /** One-pass ROLLUP profile of lineitem by returnflag / linestatus. */
   def profileRollup(spark: SparkSession, dir: String): DataFrame =
     Profile.rollupProfile(T(spark, dir, "lineitem"),
@@ -2228,6 +2238,7 @@ object Queries {
     "er_fuzzy_pairs" -> (erFuzzyPairs _),
     "er_soundex" -> (erSoundex _),
     "profile_rollup" -> (profileRollup _),
+    "profile_corr" -> (profileCorr _),
     "events_json_props" -> (eventsJsonProps _),
     "events_sessions" -> (eventsSessions _),
     "events_retention" -> (eventsRetention _)

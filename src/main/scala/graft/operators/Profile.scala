@@ -54,4 +54,37 @@ object Profile {
         .select(lit(name).as("rule"), col("n_violations"),
           (col("n_violations") === 0L).as("passed"))
     }.reduce(_ unionByName _)
+
+  /** Pairwise Pearson correlation over integer-quantized measure columns
+    * — the ANALYZE-style dependency scan (redundant-measure detection,
+    * join-estimate sanity) next to [[tableProfile]]. ALL first and second
+    * moments for every pair accumulate in ONE aggregate pass over the
+    * table (map-side combinable Long sums — callers quantize so Σx² stays
+    * inside Long; the sums surface in the output as the hash-exact part);
+    * the r computation then runs on the single moment row, cast to DOUBLE
+    * BEFORE the n·Σxy products (which overflow Long by design) with the
+    * expression tree mirrored verbatim in the oracle — IEEE-identical
+    * cross-engine, rounded to 6. Zero-variance columns yield NULL r (the
+    * sqrt of 0 divides), not an error. */
+  def corrPairs(df: DataFrame, measures: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    val firsts = measures.map { case (n, c) => sum(c).as(s"s_$n") }
+    val seconds = measures.map { case (n, c) => sum(c * c).as(s"ss_$n") }
+    val pairs = for {
+      (a, ca) <- measures; (b, cb) <- measures if a < b
+    } yield (a, b, sum(ca * cb).as(s"sp_${a}_$b"))
+    val aggs = (firsts ++ seconds ++ pairs.map(_._3)) :+
+      count(lit(1)).as("n")
+    val m = df.agg(aggs.head, aggs.tail: _*)
+    pairs.map { case (a, b, _) =>
+      val r = s"round((cast(n as double) * cast(sp_${a}_$b as double)" +
+        s" - cast(s_$a as double) * cast(s_$b as double))" +
+        s" / nullif(sqrt(cast(n as double) * cast(ss_$a as double)" +
+        s" - cast(s_$a as double) * cast(s_$a as double))" +
+        s" * sqrt(cast(n as double) * cast(ss_$b as double)" +
+        s" - cast(s_$b as double) * cast(s_$b as double)), 0), 6)"
+      m.select(lit(s"${a}_$b").as("pair"), col("n"),
+        col(s"s_$a").as("sx"), col(s"s_$b").as("sy"),
+        col(s"sp_${a}_$b").as("sxy"), expr(r).as("r"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -47,4 +47,35 @@ class ProfileSpec extends SparkSpec {
       .queryExecution.optimizedPlan.collectLeaves()
     assert(leaves.length === 1, s"expected one scan, got:\n$plan")
   }
+
+  test("corrPairs: exact +1/-1 on linear columns, NULL on zero variance") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, 2L, -1L, 7L), (2L, 4L, -2L, 7L), (3L, 6L, -3L, 7L),
+      (4L, 8L, -4L, 7L))
+      .toDF("a", "b", "c", "k")
+    val rows = Profile.corrPairs(df, Seq(
+      "a" -> col("a"), "b" -> col("b"), "c" -> col("c"), "k" -> col("k")))
+      .collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toMap
+    assert(rows("a_b") === Some(1.0))   // b = 2a
+    assert(rows("a_c") === Some(-1.0))  // c = -a
+    assert(rows("a_k") === None, "constant column: NULL, not an error")
+    // moment sums surface exactly: Σab = 2+8+18+32 = 60
+    val ab = Profile.corrPairs(df, Seq("a" -> col("a"), "b" -> col("b")))
+      .collect().head
+    assert(ab.getLong(1) === 4L && ab.getLong(4) === 60L)
+  }
+
+  test("corrPairs runs every pair's moments in one aggregate pass") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, 2L, 3L)).toDF("a", "b", "c")
+    val out = Profile.corrPairs(df, Seq(
+      "a" -> col("a"), "b" -> col("b"), "c" -> col("c")))
+    // 3 pairs → 3 union branches, but each reads the SAME single
+    // aggregate: one leaf per branch, no join anywhere
+    assert(!out.queryExecution.optimizedPlan.toString.contains("Join"))
+  }
 }
