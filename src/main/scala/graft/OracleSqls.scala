@@ -1984,6 +1984,26 @@ object OracleSqls {
         |  min(CASE WHEN s > target * 2 THEN event_id END) AS first_alarm_id
         |FROM s GROUP BY user_id""".stripMargin,
 
+    // global Markov matrix from per-user lag pairs; micro-unit
+    // row-conditional probabilities
+    "events_markov" ->
+      """WITH p AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events
+        |), c AS (
+        |  SELECT prev_type, event_type AS next_type, count(*) AS n
+        |  FROM p WHERE prev_type IS NOT NULL
+        |  GROUP BY prev_type, event_type
+        |), t AS (
+        |  SELECT prev_type, sum(n) AS row_n FROM c GROUP BY prev_type
+        |)
+        |SELECT c.prev_type, c.next_type, CAST(c.n AS BIGINT) AS n,
+        |  CAST((c.n * 1000000) // t.row_n AS BIGINT) AS p_micro
+        |FROM c JOIN t USING (prev_type)
+        |ORDER BY prev_type, next_type""".stripMargin,
+
     // Holt level+trend fold with the packed-Long two-accumulator state
     // (list_reduce has no init, so element 1 is pre-packed); >> is
     // arithmetic/floor in both engines, unlike / vs //

@@ -1079,6 +1079,13 @@ object Queries {
     Events.holtByUser(eventsUs(spark, dir).drop("ts").
       withColumnRenamed("ts_us", "ts"))
 
+  /** Global event-type Markov transition matrix pooled from per-user
+    * sequences (row-conditional probabilities in micro-units). */
+  def eventsMarkov(spark: SparkSession, dir: String): DataFrame =
+    Events.markovTransitions(eventsUs(spark, dir).drop("ts").
+      withColumnRenamed("ts_us", "ts"))
+      .orderBy("prev_type", "next_type")
+
   /** Exact-budget mixture quotas: 1M tokens apportioned across sources by
     * temperature-0.5 mass with largest-remainder rounding (Σ = budget). */
   def curateMixtureQuota(spark: SparkSession, dir: String): DataFrame =
@@ -2185,6 +2192,7 @@ object Queries {
     "events_acf" -> (eventsAcf _),
     "events_mase" -> (eventsMase _),
     "events_holt" -> (eventsHolt _),
+    "events_markov" -> (eventsMarkov _),
     "layout_zorder" -> (layoutZorder _),
     "layout_hilbert" -> (layoutHilbert _),
     "layout_partitioned" -> (layoutPartitioned _),

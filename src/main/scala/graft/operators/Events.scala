@@ -424,6 +424,32 @@ object Events {
         min(when(col("alarm"), col("event_id"))).as("first_alarm_id"))
   }
 
+  /** First-order Markov transition matrix over per-user event-type
+    * sequences: transitions counted within each user's time-ordered
+    * stream (never across users), then pooled into the global matrix
+    * with row-conditional probabilities in integer micro-units
+    * (Σ p_micro per row ≤ 10⁶ with the deficit being floor loss). The
+    * session-behavior model behind next-event prediction and anomaly
+    * scoring — and the matrix is exactly the sufficient statistic a
+    * Markov-chain generator consumes.
+    *
+    * Scale: one keyed sort-window for the lag, one hash aggregate on the
+    * (prev, cur) pair — type-pair cardinality, tiny at any corpus size;
+    * the row totals join back via broadcast. */
+  def markovTransitions(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("prev_type").agg(sum("n").as("row_n"))
+    pairs.join(broadcast(totals), Seq("prev_type"))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        expr("(n * 1000000) div row_n").as("p_micro"))
+  }
+
   /** Holt double exponential smoothing (level + trend, α = β = 1/2) per
     * key: the forecasting step up from [[ewmaByUser]] when series drift.
     * Two order-dependent accumulators ride ONE keyed fold by packing

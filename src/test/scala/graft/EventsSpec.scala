@@ -443,6 +443,31 @@ class EventsSpec extends SparkSpec {
     assert(r.getAs[Long]("acf2_micro") === 666666L)
   }
 
+  test("markovTransitions: within-user pairs only, row-conditional micro") {
+    import spark.implicits._
+    // user 1: a→b→a→b (transitions ab, ba, ab); user 2: c→a — the c→a
+    // pair must NOT chain into user 1's stream
+    val rows = Seq((1L, 0L, 1L, "a"), (2L, 1L, 1L, "b"), (3L, 2L, 1L, "a"),
+      (4L, 3L, 1L, "b"), (5L, 0L, 2L, "c"), (6L, 1L, 2L, "a"))
+      .map { case (id, ts, u, t) => (id, ts, u, t, 1.0, "") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val m = Events.markovTransitions(rows).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(m(("a", "b")) === ((2L, 1000000L)))  // a always goes to b
+    assert(m(("b", "a")) === ((1L, 1000000L)))
+    assert(m(("c", "a")) === ((1L, 1000000L)))
+    assert(m.size === 3, s"no cross-user transition: $m")
+    // split rows: probabilities floor-partition the row mass
+    val split = Seq((1L, 0L, 1L, "x"), (2L, 1L, 1L, "y"), (3L, 2L, 1L, "x"),
+      (4L, 3L, 1L, "z"))
+      .map { case (id, ts, u, t) => (id, ts, u, t, 1.0, "") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val p = Events.markovTransitions(split).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    assert(p(("x", "y")) === 500000L && p(("x", "z")) === 500000L)
+  }
+
   test("holtByUser: hand-derived level/trend fold on a rising series") {
     import spark.implicits._
     // x = 10,20,30 (micro 1e7,2e7,3e7): l1=1e7,t1=0 →
