@@ -1785,6 +1785,52 @@ object OracleSqls {
         |      FROM documents)
         |GROUP BY source""".stripMargin,
 
+    // RAKE keyphrases: stopword-free runs via a prefix count of stopword
+    // positions, deg/freq word scores in micro, phrase = sum of its
+    // words' scores — mirrors TextOps.rakeKeyphrases stage for stage
+    "text_keyphrases" -> {
+      val stops = Seq("the", "a", "an", "of", "to", "and", "in", "is",
+        "are", "for", "on", "with", "as", "by", "at", "or")
+        .map(s => s"'$s'").mkString(", ")
+      s"""WITH ws AS (
+        |  SELECT doc_id, ${wordsExprOf("lower(text)")} AS w FROM documents
+        |), toks AS (
+        |  SELECT doc_id, i - 1 AS pos, w[i] AS w,
+        |    w[i] IN ($stops) AS stop
+        |  FROM ws, unnest(range(1, len(w) + 1)) AS t(i)
+        |), pid AS (
+        |  SELECT doc_id, pos, w, stop,
+        |    sum(CASE WHEN stop THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY doc_id ORDER BY pos
+        |      ROWS UNBOUNDED PRECEDING) AS pid
+        |  FROM toks
+        |), phrases AS (
+        |  SELECT doc_id, pid,
+        |    string_agg(w, ' ' ORDER BY pos) AS phrase,
+        |    count(*) AS len
+        |  FROM pid WHERE NOT stop GROUP BY doc_id, pid
+        |), wstats AS (
+        |  SELECT w, count(*) AS freq, sum(len) AS deg
+        |  FROM (SELECT len, unnest(string_split(phrase, ' ')) AS w
+        |        FROM phrases)
+        |  GROUP BY w
+        |), occ AS (
+        |  SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences
+        |  FROM phrases GROUP BY phrase
+        |), scores AS (
+        |  SELECT phrase,
+        |    CAST(sum((deg * 1000000) // freq) AS BIGINT) AS score_micro
+        |  FROM (
+        |    SELECT DISTINCT phrase FROM phrases
+        |  ), LATERAL (SELECT unnest(string_split(phrase, ' ')) AS w)
+        |  JOIN wstats USING (w)
+        |  GROUP BY phrase
+        |)
+        |SELECT phrase, n_occurrences, score_micro
+        |FROM occ JOIN scores USING (phrase)
+        |ORDER BY score_micro DESC, phrase LIMIT 20""".stripMargin
+    },
+
     // Zipf head: top-20 terms (freq desc, term tiebreak), integer ratio
     // f1*1e6 // (rank*freq) — mirrors TextOps.zipfTable
     "text_zipf" ->

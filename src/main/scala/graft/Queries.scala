@@ -1011,6 +1011,15 @@ object Queries {
   def textZipf(spark: SparkSession, dir: String): DataFrame =
     TextOps.zipfTable(T(spark, dir, "documents"), k = 20)
 
+  /** Shared RAKE stopword list — a literal, mirrored in the oracle. */
+  private val rakeStops = Seq("the", "a", "an", "of", "to", "and", "in",
+    "is", "are", "for", "on", "with", "as", "by", "at", "or")
+
+  /** RAKE keyphrases: top-20 stopword-free runs by the classic deg/freq
+    * word-score sum (integer micro-units). */
+  def textKeyphrases(spark: SparkSession, dir: String): DataFrame =
+    TextOps.rakeKeyphrases(T(spark, dir, "documents"), rakeStops, k = 20)
+
   /** Corpus heavy-hitter bigrams (boilerplate detection). */
   def textTopNgrams(spark: SparkSession, dir: String): DataFrame =
     TextOps.topNgrams(T(spark, dir, "documents"), n = 2, k = 20)
@@ -2177,6 +2186,7 @@ object Queries {
     "text_ttr" -> (textTtr _),
     "text_heaps" -> (textHeaps _),
     "text_zipf" -> (textZipf _),
+    "text_keyphrases" -> (textKeyphrases _),
     "text_top_ngrams" -> (textTopNgrams _),
     "sketch_countmin" -> (sketchCountmin _),
     "sketch_kmv" -> (sketchKmv _),

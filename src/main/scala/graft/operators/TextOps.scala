@@ -369,6 +369,53 @@ object TextOps {
     merges.toSeq.toDF("rank", "a", "b", "f")
   }
 
+  /** RAKE keyphrase extraction (Rose et al. 2010), fully relational and
+    * integer-exact: candidate phrases are the maximal stopword-free runs
+    * of each document (run ids from a prefix count of stopword positions —
+    * one keyed window, no regex splitting), word scores are the classic
+    * deg/freq ratio in micro-units (deg = Σ phrase length over every
+    * phrase occurrence containing the word — within-phrase co-occurrence
+    * including self), and a phrase scores the sum of its words' ratios.
+    * Top-`k` by score with the phrase string as tiebreak.
+    *
+    * Scale: one corpus scan to tokens, one window, two hash aggregates;
+    * the word-stats table is vocabulary-sized and broadcasts into the
+    * distinct-phrase scoring join. */
+  def rakeKeyphrases(docs: DataFrame, stopwords: Seq[String],
+                     k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col("doc_id"),
+        posexplode(graft.functions.words(lower(col("text"))))
+          .as(Seq("pos", "w")))
+      .withColumn("stop", col("w").isin(stopwords: _*))
+    val upto = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val phrases = toks
+      .withColumn("pid",
+        sum(when(col("stop"), 1L).otherwise(0L)).over(upto))
+      .where(!col("stop"))
+      .groupBy("doc_id", "pid")
+      .agg(array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("w")))),
+          e => e.getField("w")), " ").as("phrase"),
+        count(lit(1)).as("len"))
+    val wstats = phrases
+      .select(col("len"), explode(split(col("phrase"), " ")).as("w"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("freq"), sum("len").as("deg"))
+    val occ = phrases.groupBy("phrase")
+      .agg(count(lit(1)).as("n_occurrences"))
+    val scores = phrases.select("phrase").distinct()
+      .select(col("phrase"), explode(split(col("phrase"), " ")).as("w"))
+      .join(broadcast(wstats), Seq("w"))
+      .groupBy("phrase")
+      .agg(sum(expr("(deg * 1000000) div freq")).as("score_micro"))
+    occ.join(scores, Seq("phrase"))
+      .orderBy(col("score_micro").desc, col("phrase"))
+      .limit(k)
+  }
+
   /** Zipf rank-frequency table: the top-`k` corpus terms with their rank
     * and the integer Zipf ratio f₁·10⁶ div (rank·f_rank) — exactly 10⁶
     * everywhere under a perfect Zipf law, so deviations read directly as

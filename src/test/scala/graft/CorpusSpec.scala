@@ -104,6 +104,25 @@ class CorpusSpec extends SparkSpec {
     assert(tie === Map(1L -> "x", 2L -> "y", 3L -> "z"))
   }
 
+  test("rakeKeyphrases: hand-derived deg/freq scores and run splitting") {
+    val stops = Seq("of", "and", "the")
+    // "deep learning of deep networks": runs split at 'of' →
+    // freq(deep)=2, deg(deep)=2+2=4 → 2e6; learning/networks → 2e6 each;
+    // both phrases score 4e6, tie broken lexicographically
+    val d1 = Seq((1L, "s", "deep learning of deep networks"))
+      .toDF("doc_id", "source", "text")
+    val r1 = TextOps.rakeKeyphrases(d1, stops, k = 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(r1.toSeq === Seq(("deep learning", 1L, 4000000L),
+      ("deep networks", 1L, 4000000L)))
+    // repeated phrase: occurrences accumulate, deg counts every occurrence
+    val d2 = Seq((1L, "s", "fast cars and fast cars"))
+      .toDF("doc_id", "source", "text")
+    val r2 = TextOps.rakeKeyphrases(d2, stops, k = 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(r2.toSeq === Seq(("fast cars", 2L, 4000000L)))
+  }
+
   test("heapsGrowth: pure repetition saturates at the first checkpoint") {
     val docs = (0 until 8).map(i => (i.toLong, "s", "x y"))
       .toDF("doc_id", "source", "text")
