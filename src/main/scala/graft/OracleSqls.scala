@@ -2833,6 +2833,60 @@ object OracleSqls {
         |  FROM common JOIN sizes a ON common.id1 = a.doc_id JOIN sizes b ON common.id2 = b.doc_id)
         |WHERE jac >= 0.5""".stripMargin,
 
+    // recall audit: the exact posting-join chain and the minhash-LSH
+    // chain share one shingle/posting base; recall = found/exact micro
+    "dedup_recall_report" -> s"""$shingleCte,
+        |post AS (
+        |  SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+        |  FROM (SELECT doc_id, unnest(s) AS shingle FROM sh)
+        |), keep AS (SELECT h FROM post GROUP BY h HAVING count(*) <= 64),
+        |kp AS (SELECT post.* FROM post JOIN keep USING (h)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM kp GROUP BY 1),
+        |common AS (
+        |  SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS inter
+        |  FROM kp x JOIN kp y ON x.h = y.h AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2
+        |), ex AS (
+        |  SELECT id1, id2 FROM (
+        |    SELECT id1, id2,
+        |      round(inter * 1.0 / (a.n + b.n - inter), 6) AS jac
+        |    FROM common JOIN sizes a ON common.id1 = a.doc_id
+        |      JOIN sizes b ON common.id2 = b.doc_id)
+        |  WHERE jac >= 0.5
+        |), seeds AS (
+        |  SELECT seed, ('0x' || substr(md5(CAST(seed AS VARCHAR)), 1, 15))::BIGINT AS c
+        |  FROM (SELECT unnest(range(16)) AS seed)
+        |), mh AS (
+        |  SELECT doc_id, seed, min(xor(h, c)) AS mh
+        |  FROM post CROSS JOIN seeds GROUP BY doc_id, seed
+        |), bk AS (
+        |  SELECT doc_id, CAST(floor(seed / 4) AS INT) AS band,
+        |    md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS sig
+        |  FROM mh GROUP BY doc_id, CAST(floor(seed / 4) AS INT)
+        |), okbk AS (
+        |  SELECT band, sig FROM bk GROUP BY band, sig HAVING count(*) <= 1024
+        |), cand AS (
+        |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+        |  FROM bk x JOIN okbk o ON o.band = x.band AND o.sig = x.sig
+        |    JOIN bk y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+        |), lsh AS (
+        |  SELECT id1, id2 FROM (
+        |    SELECT id1, id2, round(len(list_intersect(a.s, b.s)) * 1.0 /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jac
+        |    FROM cand JOIN sh a ON cand.id1 = a.doc_id
+        |      JOIN sh b ON cand.id2 = b.doc_id)
+        |  WHERE jac >= 0.5
+        |), fnd AS (
+        |  SELECT id1, id2 FROM ex INTERSECT SELECT id1, id2 FROM lsh
+        |)
+        |SELECT
+        |  CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_exact,
+        |  CAST((SELECT count(*) FROM lsh) AS BIGINT) AS n_lsh,
+        |  CAST((SELECT count(*) FROM fnd) AS BIGINT) AS n_found,
+        |  CAST(((SELECT count(*) FROM fnd) * 1000000) //
+        |    greatest((SELECT count(*) FROM ex), 1) AS BIGINT)
+        |    AS recall_micro""".stripMargin,
+
     // same posting/cap chain as dedup_ngram_jaccard; asymmetric ratios
     "dedup_containment" -> s"""$shingleCte,
         |post AS (

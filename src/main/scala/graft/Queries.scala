@@ -843,6 +843,29 @@ object Queries {
     Dedup.ngramJaccardPairs(T(spark, dir, "documents"), "doc_id", "text",
       shingleN = 3, threshold = 0.5, maxPostings = 64)
 
+  /** Near-dup recall audit: MinHash-LSH's verified pairs against the
+    * exact posting-join Jaccard pairs at the same threshold — the dedup
+    * counterpart of ann_recall_report (each path can be oracle-exact AND
+    * silently lossy; this is the report that catches it). The exact side
+    * is complete for τ > 0 by construction (any overlapping pair shares
+    * a posting), so it is a true recall denominator. */
+  def dedupRecallReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T(spark, dir, "documents")
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleN = 3, threshold = 0.5, maxPostings = 64)
+      .select(col("id1"), col("id2"))
+    val lsh = Dedup.minhashLsh(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 16, numBands = 4, threshold = 0.5)
+      .select(col("id1"), col("id2"))
+    val found = exact.join(lsh, Seq("id1", "id2"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(lsh.agg(count(lit(1)).as("n_lsh"))))
+      .crossJoin(broadcast(found.agg(count(lit(1)).as("n_found"))))
+      .select(col("n_exact"), col("n_lsh"), col("n_found"),
+        expr("(n_found * 1000000) div greatest(n_exact, 1)")
+          .as("recall_micro"))
+  }
+
   /** Asymmetric containment pairs (threshold 0.8 on either direction):
     * the quote/excerpt detector Jaccard under-scores. */
   def dedupContainment(spark: SparkSession, dir: String): DataFrame =
@@ -2150,6 +2173,7 @@ object Queries {
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_recall_report" -> (dedupRecallReport _),
     "dedup_containment" -> (dedupContainment _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_clusters" -> (dedupClusters _),

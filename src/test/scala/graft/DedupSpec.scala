@@ -503,4 +503,40 @@ class DedupSpec extends SparkSpec {
     // shared substring length 8 ≥ winSize + n − 1 = 6 → guaranteed hit
     assert(out("a") >= 1L && out("b") >= 1L, out.toString)
   }
+
+  test("LSH recall audit: the banding S-curve is visible and quantified") {
+    import spark.implicits._
+    // 10 near-dup pairs per fixture: doc 2k+1 repeats doc 2k's text with
+    // ONE word changed; doc length tunes the pair Jaccard. All hashing is
+    // md5-deterministic, so the found-counts are pinned forever.
+    def fixture(words: Int) = {
+      val base = (0 until 10).map(k =>
+        (0 until words).map(j => s"w${k}_$j").mkString(" "))
+      base.zipWithIndex.flatMap { case (t, k) =>
+        Seq((2L * k, t), (2L * k + 1, t.replace(s"w${k}_5", "changed")))
+      }.toDF("doc_id", "text")
+    }
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("id1", "id2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(words: Int, bands: Int): (Int, Int) = {
+      val docs = fixture(words)
+      val exact = pairsOf(Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        3, 0.5, 64))
+      val lsh = pairsOf(Dedup.minhashLsh(docs, "doc_id", "text",
+        3, 16, bands, 0.5))
+      (exact.size, (exact intersect lsh).size)
+    }
+    // high-similarity pairs (jac ≈ 0.86): catalog 4×4 banding finds ALL,
+    // a single 16-row band (P ≈ jac^16) finds 3 — the report's
+    // recall_micro would read 1e6 vs 3e5, which is exactly the signal
+    // dedup_recall_report exists to surface
+    assert(recall(40, 4) === ((10, 10)))
+    assert(recall(40, 1) === ((10, 3)))
+    // borderline pairs (jac ≈ 0.54, right at the threshold): even the
+    // catalog banding's S-curve only recovers 2 of 10 — sub-threshold
+    // recall is a BANDING property, not a bug, and the audit quantifies
+    // it instead of letting it pass silently
+    assert(recall(12, 4) === ((10, 2)))
+  }
 }
