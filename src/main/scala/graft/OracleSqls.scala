@@ -2435,6 +2435,35 @@ object OracleSqls {
     // fixed-point Goertzel over the formula samples (32 unrolled
     // recurrence levels); the Spark side must reach the same powers
     // THROUGH WAV encode + container walk + PCM decode
+    // equalization round trip: histogram, cdf, and the truncating remap
+    // rebuilt relationally from the generating formula (bytes-blind)
+    "mm_image_equalize" ->
+      """WITH dims AS (
+        |  SELECT doc_id AS id, (doc_id % 5) + 3 AS w, (doc_id % 4) + 2 AS h
+        |  FROM documents
+        |), px AS (
+        |  SELECT id, ((id + x * 3 + y * 5) % 64) + 32 AS g
+        |  FROM dims, unnest(range(0, w)) AS tx(x),
+        |    unnest(range(0, h)) AS ty(y)
+        |), hist AS (SELECT id, g, count(*) AS c FROM px GROUP BY id, g),
+        |cdf AS (
+        |  SELECT id, g, c,
+        |    sum(c) OVER (PARTITION BY id ORDER BY g
+        |      ROWS UNBOUNDED PRECEDING) AS cdf
+        |  FROM hist
+        |), st AS (
+        |  SELECT id, min(cdf) AS cdfmin, sum(c) AS n FROM cdf GROUP BY id
+        |), eq AS (
+        |  SELECT cdf.id, g, c,
+        |    ((cdf - cdfmin) * 255) // greatest(n - cdfmin, 1) AS e
+        |  FROM cdf JOIN st ON cdf.id = st.id
+        |)
+        |SELECT id AS doc_id, CAST(sum(c) AS BIGINT) AS n_px,
+        |  CAST(min(g) AS BIGINT) AS min_in, CAST(max(g) AS BIGINT) AS max_in,
+        |  CAST(min(e) AS BIGINT) AS min_eq, CAST(max(e) AS BIGINT) AS max_eq,
+        |  CAST(sum(e * c) AS BIGINT) AS sum_eq
+        |FROM eq GROUP BY id ORDER BY doc_id""".stripMargin,
+
     // resample round trip: the interpolation recomputed at the source
     // coordinates from the generating formula (bytes-blind); `//` is
     // truncating on the negative diffs, matching Java int division

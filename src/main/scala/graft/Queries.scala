@@ -1796,6 +1796,12 @@ object Queries {
   def mmPngPixels(spark: SparkSession, dir: String): DataFrame =
     Multimodal.pngDecodeRoundtrip(spark, T(spark, dir, "documents"))
 
+  /** Histogram equalization over real BMP-decoded pixels: the narrow
+    * input band stretches to full range; oracle rebuilds the cdf remap
+    * relationally from the formula. */
+  def mmImageEqualize(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.imageEqualizeRoundtrip(spark, T(spark, dir, "documents"))
+
   /** Real GIF decode end-to-end: formula → GIF89a bytes (real LZW
     * compression) → LZW decompress + palette luma → 4×4 resize; oracle
     * from the formula. */
@@ -2269,6 +2275,7 @@ object Queries {
     "mm_gif_pixels" -> (mmGifPixels _),
     "mm_audio_goertzel" -> (mmAudioGoertzel _),
     "mm_audio_resample" -> (mmAudioResample _),
+    "mm_image_equalize" -> (mmImageEqualize _),
     "join_asof" -> (joinAsof _),
     "join_range" -> (joinRange _),
     "join_interval" -> (joinInterval _),

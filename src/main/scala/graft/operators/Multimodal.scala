@@ -522,6 +522,53 @@ object Multimodal {
       .orderBy("y", "x")
   }
 
+  /** Histogram equalization round trip — the classic contrast-stretch
+    * augmentation, integer-exact: each doc synthesizes a BMP whose gray
+    * levels sit in a deliberately narrow band ([32, 96)), the REAL pixel
+    * decoder recovers them, and per image the standard cdf remap
+    * e = ((cdf(g) − cdf_min)·255) div (n − cdf_min) stretches the band to
+    * full range (truncating division; constant images guard the zero
+    * denominator and map to 0). Per-doc before/after min/max prove the
+    * stretch happened; the oracle rebuilds histogram, cdf, and remap
+    * relationally from the generating formula without seeing bytes.
+    *
+    * Scale: decode + equalize stay inside one mapPartitions task per
+    * batch of docs; only the per-doc feature tuple shuffles. */
+  def imageEqualizeRoundtrip(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (id % 5L).toInt + 3
+          val h = (id % 4L).toInt + 2
+          (id, bmpFile24(w, h,
+            (x, y) => (((id + x * 3L + y * 5L) % 64L) + 32L).toInt))
+        }
+      }
+      .mapPartitions { it =>
+        it.map { case (id, p) =>
+          decodeBmpGray(p) match {
+            case Some((_, _, gray)) =>
+              val n = gray.length.toLong
+              val hist = new Array[Long](256)
+              gray.foreach(g => hist(g) += 1)
+              val cdf = new Array[Long](256)
+              var run = 0L
+              var v = 0
+              while (v < 256) { run += hist(v); cdf(v) = run; v += 1 }
+              val cdfMin = gray.map(g => cdf(g)).min
+              val denom = math.max(n - cdfMin, 1L)
+              val eq = gray.map(g => ((cdf(g) - cdfMin) * 255L) / denom)
+              (id, n, gray.min.toLong, gray.max.toLong,
+                eq.min, eq.max, eq.sum)
+            case None => (id, 0L, 0L, 0L, 0L, 0L, 0L)
+          }
+        }
+      }.toDF("doc_id", "n_px", "min_in", "max_in", "min_eq", "max_eq",
+        "sum_eq")
+      .orderBy("doc_id")
+  }
+
   /** Feature extraction over (doc_id, payload) — one decoder instantiation
     * per partition, streamed through without materializing the partition. */
   def extractFeatures(spark: SparkSession, docs: DataFrame,

@@ -494,6 +494,27 @@ class MultimodalSpec extends SparkSpec {
     assert(cells((0, 0))._2 === want00)
   }
 
+  test("imageEqualizeRoundtrip: hand-derived cdf remap, full-range stretch") {
+    import spark.implicits._
+    // doc 0: 3×2 image, g = ((3x + 5y) % 64) + 32 → {32,35,38,37,40,43},
+    // all distinct → cdf 1..6, cdfmin 1, denom 5 → e = (cdf−1)·255/5 =
+    // {0,51,102,153,204,255}: sum 765, band [32,43] stretched to [0,255]
+    val rows = Multimodal.imageEqualizeRoundtrip(spark,
+      Seq(0L, 1L, 7L).toDF("doc_id")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r0 = rows(0L)
+    assert(r0.getAs[Long]("n_px") === 6L)
+    assert(r0.getAs[Long]("min_in") === 32L && r0.getAs[Long]("max_in") === 43L)
+    assert(r0.getAs[Long]("min_eq") === 0L && r0.getAs[Long]("max_eq") === 255L)
+    assert(r0.getAs[Long]("sum_eq") === 765L)
+    // the remap stretches EVERY image's narrow band to the full range
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("max_in") < 96L)
+      assert(r.getAs[Long]("min_eq") === 0L)
+      assert(r.getAs[Long]("max_eq") === 255L)
+    }
+  }
+
   test("audioResampleRoundtrip: decode+interp match an independent twin") {
     import spark.implicits._
     // independent reimplementation of formula + interpolation (no WAV
