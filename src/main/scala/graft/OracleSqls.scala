@@ -2030,6 +2030,39 @@ object OracleSqls {
         |  min(CASE WHEN s > target * 2 THEN event_id END) AS first_alarm_id
         |FROM s GROUP BY user_id""".stripMargin,
 
+    // one-way eta^2 by hour-of-day phase: exact centi-unit integer
+    // sufficient statistics; the one float sum folds in ascending-phase
+    // list order (list_sum is sequential over the list) to match Spark's
+    // sorted-array fold; epoch_us(ts) // 3600e6 mirrors ts_us div
+    "events_eta2" ->
+      """WITH v AS (
+        |  SELECT event_type,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS x,
+        |    (epoch_us(ts) // 3600000000) % 24 AS phase
+        |  FROM events
+        |), g AS (
+        |  SELECT event_type, phase, count(*) AS n_g,
+        |    CAST(sum(x) AS BIGINT) AS s_g,
+        |    CAST(sum(x * x) AS BIGINT) AS ss_g
+        |  FROM v GROUP BY event_type, phase
+        |), t AS (
+        |  SELECT event_type,
+        |    CAST(sum(n_g) AS BIGINT) AS n, CAST(sum(s_g) AS BIGINT) AS s,
+        |    CAST(sum(ss_g) AS BIGINT) AS ss,
+        |    CAST(count(*) AS BIGINT) AS n_phases,
+        |    list_sum(list_transform(
+        |      list_sort(list(ROW(phase, s_g, n_g))),
+        |      r -> CAST(r[2] AS DOUBLE) * CAST(r[2] AS DOUBLE)
+        |        / CAST(r[3] AS DOUBLE))) AS sb
+        |  FROM g GROUP BY event_type
+        |)
+        |SELECT event_type, n, n_phases,
+        |  round((sb - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |      / CAST(n AS DOUBLE))
+        |    / NULLIF(CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+        |      * CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 0), 6) AS eta2
+        |FROM t ORDER BY event_type""".stripMargin,
+
     // global Markov matrix from per-user lag pairs; micro-unit
     // row-conditional probabilities
     "events_markov" ->

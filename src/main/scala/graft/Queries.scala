@@ -1118,6 +1118,11 @@ object Queries {
       withColumnRenamed("ts_us", "ts"))
       .orderBy("prev_type", "next_type")
 
+  /** Hour-of-day seasonality strength (one-way η²) per event type. */
+  def eventsEta2(spark: SparkSession, dir: String): DataFrame =
+    Events.seasonalityEta2(eventsUs(spark, dir), "ts_us")
+      .orderBy("event_type")
+
   /** Exact-budget mixture quotas: 1M tokens apportioned across sources by
     * temperature-0.5 mass with largest-remainder rounding (Σ = budget). */
   def curateMixtureQuota(spark: SparkSession, dir: String): DataFrame =
@@ -2233,6 +2238,7 @@ object Queries {
     "events_mase" -> (eventsMase _),
     "events_holt" -> (eventsHolt _),
     "events_markov" -> (eventsMarkov _),
+    "events_eta2" -> (eventsEta2 _),
     "layout_zorder" -> (layoutZorder _),
     "layout_hilbert" -> (layoutHilbert _),
     "layout_partitioned" -> (layoutPartitioned _),

@@ -424,6 +424,44 @@ object Events {
         min(when(col("alarm"), col("event_id"))).as("first_alarm_id"))
   }
 
+  /** Seasonality strength per event type: one-way eta² of value against
+    * the hour-of-day phase — the variance fraction the daily cycle
+    * explains (η² → 1: strongly diurnal; → 0: phase tells nothing). The
+    * sufficient statistics (per-phase n, Σx, plus per-type Σx²) are exact
+    * Longs in CENTI units (micro squares would overflow); the final
+    * η² = (Σ S_g²/n_g − S²/n) / (Σx² − S²/n) runs on the per-type
+    * 24-row table as the verbatim-mirrored DOUBLE expression rounded to
+    * 6, NULLIF-guarded for constant series ([[graft.operators.Profile.corrPairs]]'s
+    * convention).
+    *
+    * Scale: one map-side-combinable aggregate on (type, phase) — 24 rows
+    * per type forever — then a 24-row rollup. */
+  def seasonalityEta2(events: DataFrame, tsCol: String): DataFrame = {
+    val phases = events
+      .withColumn("x", round(col("value") * 100L, 0).cast("long"))
+      .withColumn("phase", expr(s"($tsCol div 3600000000) % 24"))
+      .groupBy("event_type", "phase")
+      .agg(count(lit(1)).as("n_g"), sum("x").as("s_g"),
+        sum(expr("x * x")).as("ss_g"))
+    phases.groupBy("event_type")
+      .agg(sum("n_g").as("n"), sum("s_g").as("s"), sum("ss_g").as("ss"),
+        count(lit(1)).as("n_phases"),
+        // the one FLOAT sum folds in ascending-phase order (a parallel
+        // double sum would be order-nondeterministic and break the hash)
+        sort_array(collect_list(struct(col("phase"), col("s_g"),
+          col("n_g")))).as("gs"))
+      .withColumn("sb", aggregate(col("gs"), lit(0.0d),
+        (acc, g) => acc + g.getField("s_g").cast("double")
+          * g.getField("s_g").cast("double")
+          / g.getField("n_g").cast("double")))
+      .select(col("event_type"), col("n"), col("n_phases"),
+        expr("round((sb - cast(s as double) * cast(s as double)" +
+          " / cast(n as double))" +
+          " / nullif(cast(ss as double) - cast(s as double)" +
+          " * cast(s as double) / cast(n as double), 0), 6)")
+          .as("eta2"))
+  }
+
   /** First-order Markov transition matrix over per-user event-type
     * sequences: transitions counted within each user's time-ordered
     * stream (never across users), then pooled into the global matrix

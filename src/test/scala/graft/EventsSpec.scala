@@ -443,6 +443,27 @@ class EventsSpec extends SparkSpec {
     assert(r.getAs[Long]("acf2_micro") === 666666L)
   }
 
+  test("seasonalityEta2: phase-determined is 1, phase-blind is 0") {
+    import spark.implicits._
+    val hourUs = 3600000000L
+    // 2 days × 4 hours; value = exact function of hour → eta2 = 1
+    val diurnal = (for (d <- 0 until 2; h <- 0 until 4) yield
+      ((d * 4 + h).toLong, (d * 24 + h) * hourUs, 1L, "a",
+        (h + 1) * 10.0, "")).toDF(
+      "event_id", "ts", "user_id", "event_type", "value", "props")
+    // same layout, constant-per-day pattern independent of hour:
+    // value alternates 10/20 BY DAY → between-phase means all equal
+    val flat = (for (d <- 0 until 2; h <- 0 until 4) yield
+      ((d * 4 + h).toLong, (d * 24 + h) * hourUs, 1L, "b",
+        if (d == 0) 10.0 else 20.0, "")).toDF(
+      "event_id", "ts", "user_id", "event_type", "value", "props")
+    val m = Events.seasonalityEta2(diurnal.unionByName(flat), "ts")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(m("a") === Some(1.0))
+    assert(m("b") === Some(0.0))
+  }
+
   test("markovTransitions: within-user pairs only, row-conditional micro") {
     import spark.implicits._
     // user 1: a→b→a→b (transitions ab, ba, ab); user 2: c→a — the c→a
