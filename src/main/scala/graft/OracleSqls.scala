@@ -3408,6 +3408,28 @@ object OracleSqls {
         |FROM c GROUP BY code ORDER BY code""".stripMargin
     },
 
+    // Tabibitosan gaps-and-islands: value - row_number constant within a
+    // run; one keyed window, cross-key rollup
+    "dq_islands" ->
+      """WITH v AS (
+        |  SELECT DISTINCT o_custkey AS k, o_orderkey AS v FROM orders
+        |), g AS (
+        |  SELECT k, v,
+        |    v - row_number() OVER (PARTITION BY k ORDER BY v) AS grp,
+        |    v - lag(v, 1) OVER (PARTITION BY k ORDER BY v) - 1 AS gap
+        |  FROM v
+        |), pk AS (
+        |  SELECT k, count(*) AS n_vals,
+        |    count(DISTINCT grp) AS n_islands,
+        |    max(coalesce(gap, 0)) AS max_gap
+        |  FROM g GROUP BY k
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(n_islands) AS BIGINT) AS n_islands_total,
+        |  CAST(max(n_islands) AS BIGINT) AS max_islands_per_key,
+        |  CAST(max(max_gap) AS BIGINT) AS max_gap
+        |FROM pk""".stripMargin,
+
     // pairwise Pearson r: exact Long moments in one pass, then the
     // double expression mirrored term for term (cast BEFORE the n·Σxy
     // products, which overflow Long by design)

@@ -1998,6 +1998,12 @@ object Queries {
       "disc" -> round(col("l_discount") * 100, 0).cast("long")))
       .orderBy("pair")
 
+  /** Gaps-and-islands continuity audit: each customer's orderkey
+    * sequence profiled for islands and gaps (Tabibitosan — one keyed
+    * window, no self-join), rolled up across customers. */
+  def dqIslands(spark: SparkSession, dir: String): DataFrame =
+    Profile.gapIslands(T(spark, dir, "orders"), "o_custkey", "o_orderkey")
+
   /** One-pass ROLLUP profile of lineitem by returnflag / linestatus. */
   def profileRollup(spark: SparkSession, dir: String): DataFrame =
     Profile.rollupProfile(T(spark, dir, "lineitem"),
@@ -2294,6 +2300,7 @@ object Queries {
     "er_soundex" -> (erSoundex _),
     "profile_rollup" -> (profileRollup _),
     "profile_corr" -> (profileCorr _),
+    "dq_islands" -> (dqIslands _),
     "events_json_props" -> (eventsJsonProps _),
     "events_sessions" -> (eventsSessions _),
     "events_retention" -> (eventsRetention _)

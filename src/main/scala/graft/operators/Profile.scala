@@ -55,6 +55,34 @@ object Profile {
           (col("n_violations") === 0L).as("passed"))
     }.reduce(_ unionByName _)
 
+  /** Gaps-and-islands profile over each key's integer sequence — the
+    * continuity audit for id ranges, event counters, and ingest batch
+    * numbers (a sudden island count spike means data loss upstream).
+    * Islands via the classic Tabibitosan pattern: value − row_number is
+    * constant exactly within a maximal consecutive run, so islands are
+    * one keyed window + one distinct count — no self-join; gaps from the
+    * lag difference in the same window pass. The report is the
+    * cross-key rollup: key count, total islands, the worst key's island
+    * count, and the largest single gap.
+    *
+    * Scale: one shuffle on the key; both windows share the (key, value)
+    * sort so Catalyst runs them in a single Window operator. */
+  def gapIslands(df: DataFrame, keyCol: String, seqCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy("v")
+    val vals = df.select(col(keyCol).as("k"), col(seqCol).as("v")).distinct()
+      .withColumn("grp", col("v") - row_number().over(w))
+      .withColumn("gap", col("v") - lag(col("v"), 1).over(w) - 1)
+    val perKey = vals.groupBy("k")
+      .agg(count(lit(1)).as("n_vals"),
+        count_distinct(col("grp")).as("n_islands"),
+        max(coalesce(col("gap"), lit(0L))).as("max_gap"))
+    perKey.agg(count(lit(1)).as("n_keys"),
+      sum("n_islands").as("n_islands_total"),
+      max("n_islands").as("max_islands_per_key"),
+      max("max_gap").as("max_gap"))
+  }
+
   /** Pairwise Pearson correlation over integer-quantized measure columns
     * — the ANALYZE-style dependency scan (redundant-measure detection,
     * join-estimate sanity) next to [[tableProfile]]. ALL first and second

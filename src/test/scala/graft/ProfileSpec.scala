@@ -68,6 +68,19 @@ class ProfileSpec extends SparkSpec {
     assert(ab.getLong(1) === 4L && ab.getLong(4) === 60L)
   }
 
+  test("gapIslands: hand-derived islands, gaps, and key isolation") {
+    import spark.implicits._
+    // key A: {1,2,3, 7, 10,11} → 3 islands, gaps 3 and 2 → max 3
+    // key B: {5} → 1 island, gap 0; duplicates must not split runs
+    val df = Seq(("A", 1L), ("A", 2L), ("A", 3L), ("A", 7L), ("A", 10L),
+      ("A", 11L), ("A", 2L), ("B", 5L)).toDF("k", "v")
+    val r = Profile.gapIslands(df, "k", "v").collect().head
+    assert(r.getAs[Long]("n_keys") === 2L)
+    assert(r.getAs[Long]("n_islands_total") === 4L)
+    assert(r.getAs[Long]("max_islands_per_key") === 3L)
+    assert(r.getAs[Long]("max_gap") === 3L)
+  }
+
   test("corrPairs runs every pair's moments in one aggregate pass") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
