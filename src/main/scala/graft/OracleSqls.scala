@@ -1775,6 +1775,36 @@ object OracleSqls {
 
     "text_bpe_vocab" -> bpeSql(graft.Queries.bpeMerges, k = 20),
 
+    // fertility: the bpeSql fold with the source column riding along and
+    // tokens counted arithmetically (no unnest)
+    "text_bpe_fertility" -> {
+      val merges = graft.Queries.bpeMerges
+      def d(s: String) = s"chr(31) || '$s' || chr(31)"
+      val chain = merges.zipWithIndex.map { case ((a, b), i) =>
+        s"""s${i + 1} AS (SELECT source, replace(s,
+           |  chr(31) || '$a' || chr(31) || ${d(b)},
+           |  ${d(a + b)}) AS s FROM s$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH w AS (
+         |  SELECT source, unnest(${wordsExprOf("lower(text)")}) AS word
+         |  FROM documents
+         |), s0 AS (
+         |  SELECT source, substr(regexp_replace(word, '(.)',
+         |    chr(31) || chr(31) || '\\1', 'g'), 2) || chr(31) AS s FROM w
+         |),
+         |$chain,
+         |t AS (
+         |  SELECT source, CAST(len(string_split(trim(s, chr(31)),
+         |    chr(31) || chr(31))) AS BIGINT) AS toks
+         |  FROM s${merges.size}
+         |)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+         |  CAST((sum(toks) * 1000000) // count(*) AS BIGINT)
+         |    AS fertility_micro
+         |FROM t GROUP BY source ORDER BY source""".stripMargin
+    },
+
     "text_bpe_learn" -> bpeLearnSql(k = 8),
 
     "text_ttr" ->

@@ -1003,6 +1003,12 @@ object Queries {
   def textBpeLearn(spark: SparkSession, dir: String): DataFrame =
     TextOps.bpeLearnMerges(T(spark, dir, "documents"), k = 8)
 
+  /** Tokenizer fertility per source under the fixed merge table (tokens
+    * per word, micro) — the per-source context-window cost metric. */
+  def textBpeFertility(spark: SparkSession, dir: String): DataFrame =
+    TextOps.bpeFertility(T(spark, dir, "documents"), bpeMerges)
+      .orderBy("source")
+
   /** Hybrid retrieval: RRF fusion of the TF-IDF and BM25 top-20 pages. */
   def searchHybridRrf(spark: SparkSession, dir: String): DataFrame = {
     val docs = T(spark, dir, "documents")
@@ -2222,6 +2228,7 @@ object Queries {
     "search_bm25" -> (searchBm25 _),
     "text_bpe_vocab" -> (textBpeVocab _),
     "text_bpe_learn" -> (textBpeLearn _),
+    "text_bpe_fertility" -> (textBpeFertility _),
     "search_hybrid_rrf" -> (searchHybridRrf _),
     "search_phrase" -> (searchPhrase _),
     "text_ttr" -> (textTtr _),

@@ -298,6 +298,35 @@ object TextOps {
       .select(explode(split(trim(folded, D), DD)).as("token"))
   }
 
+  /** Tokenizer fertility per source: BPE tokens emitted per whitespace
+    * word — the per-source tokenizer-cost metric a mixture designer
+    * watches (fertility near 1: the merge table fits the source; well
+    * above 1: the source pays a context-window tax for every document).
+    * Same delimiter seed/fold as [[bpeTokens]], but the source column
+    * rides along and the per-word token count is computed arithmetically
+    * from the folded encoding — no per-token explode, so the pass stays
+    * a narrow codegen'd map plus one keyed aggregate. */
+  def bpeFertility(docs: DataFrame,
+                   merges: Seq[(String, String)]): DataFrame = {
+    val D = "\u001F"; val DD = D + D
+    val seeded = concat(
+      expr(s"substring(regexp_replace(word, '(.)', " +
+        s"concat(char(31), char(31), '$$1')), 2)"),
+      lit(D))
+    val folded = merges.foldLeft(seeded) { case (c, (a, b)) =>
+      call_function("replace", c, lit(D + a + DD + b + D), lit(D + a + b + D))
+    }
+    docs
+      .select(col("source"),
+        explode(graft.functions.words(lower(col("text")))).as("word"))
+      .select(col("source"),
+        size(split(trim(folded, D), DD)).cast("long").as("toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"), sum("toks").as("n_tokens"))
+      .withColumn("fertility_micro",
+        expr("(n_tokens * 1000000) div n_words"))
+  }
+
   /** Corpus BPE vocabulary histogram: top-k tokens by frequency. */
   def bpeVocabHist(docs: DataFrame, merges: Seq[(String, String)],
                    k: Int): DataFrame =

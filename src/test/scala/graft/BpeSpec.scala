@@ -71,4 +71,20 @@ class BpeSpec extends SparkSpec {
     // one merge exhausts the corpus: 'ab' has a single pair
     assert(out.toSeq === Seq((1, "a", "b")))
   }
+
+  test("fertility: fully-merged words cost 1 token, unmerged cost chars") {
+    import org.apache.spark.sql.functions.col
+    // merges build 'the' and 'and' completely; 'xyz' stays 3 chars →
+    // 5 tokens over 3 words → fertility 5e6 div 3
+    val docs = Seq((1L, "s", "the and xyz")).toDF("doc_id", "source", "text")
+    val merges = Seq(("t", "h"), ("th", "e"), ("a", "n"), ("an", "d"))
+    val r = graft.operators.TextOps.bpeFertility(docs, merges)
+      .collect().head
+    assert(r.getAs[Long]("n_words") === 3L)
+    assert(r.getAs[Long]("n_tokens") === 5L)
+    assert(r.getAs[Long]("fertility_micro") === 1666666L)
+    // the arithmetic count must agree with the exploded tokenizer
+    val exploded = graft.operators.TextOps.bpeTokens(docs, merges).count()
+    assert(exploded === 5L)
+  }
 }
