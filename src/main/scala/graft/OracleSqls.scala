@@ -1012,6 +1012,7 @@ object OracleSqls {
     "graph_eccentricity" -> withGraph(
       eccSql(iters = 6, Seq("ASIA", "EUROPE", "AFRICA"))),
     "graph_fwbw" -> withGraph(fwBwSql(iters = 6)),
+    "graph_scc_bounded" -> withGraph(sccBoundedSql(iters = 6)),
     "graph_matching" -> matchingSql(iters = 8),
     "graph_coloring" -> coloringSql(iters = 8),
     "graph_mis" -> misSql(iters = 8),
@@ -4141,6 +4142,43 @@ object OracleSqls {
        |  CAST(sum((1 - in_f) * in_b) AS BIGINT) AS n_bwd_only,
        |  CAST(sum((1 - in_f) * (1 - in_b)) AS BIGINT) AS n_rest
        |FROM flag""".stripMargin
+  }
+
+  /** Bounded SCC certificates (mirrors
+    * [[graft.graph.GraphAlgorithms.sccBoundedStats]]): forward and
+    * backward min-label propagation chains, then the fm = bm grouping. */
+  private def sccBoundedSql(iters: Int): String = {
+    def chain(tag: String, srcCol: String, dstCol: String): String =
+      (1 to iters).map { t =>
+        s"""$tag$t AS MATERIALIZED (
+           |  SELECT v, min(m) AS m FROM (
+           |    SELECT v, m FROM $tag${t - 1}
+           |    UNION ALL
+           |    SELECT e.$srcCol, n.m FROM $tag${t - 1} n
+           |    JOIN dadj e ON n.v = e.$dstCol
+           |  ) GROUP BY v
+           |)""".stripMargin
+      }.mkString(",\n")
+    s""", dadj AS MATERIALIZED (SELECT DISTINCT src AS a, dst AS b FROM rels),
+       |alln AS (SELECT a AS v FROM dadj UNION SELECT b FROM dadj),
+       |f0 AS (SELECT v, v AS m FROM alln),
+       |${chain("f", "a", "b")},
+       |b0 AS (SELECT v, v AS m FROM alln),
+       |${chain("b", "b", "a")},
+       |j AS (
+       |  SELECT f.v, f.m AS fm, b.m AS bm
+       |  FROM f$iters f JOIN b$iters b ON f.v = b.v
+       |), cl AS (
+       |  SELECT fm AS scc, count(*) AS sz FROM j WHERE fm = bm GROUP BY fm
+       |)
+       |SELECT
+       |  CAST((SELECT count(*) FROM cl) AS BIGINT) AS n_sccs,
+       |  CAST((SELECT coalesce(sum(sz), 0) FROM cl) AS BIGINT)
+       |    AS n_classified,
+       |  CAST((SELECT coalesce(max(sz), 0) FROM cl) AS BIGINT)
+       |    AS largest_scc,
+       |  CAST((SELECT count(*) FROM j WHERE fm <> bm) AS BIGINT)
+       |    AS n_unclassified""".stripMargin
   }
 
   private def bfsSql(iters: Int): String = {

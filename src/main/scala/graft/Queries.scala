@@ -544,6 +544,14 @@ object Queries {
       graph(spark, dir).rels.select(col("src").as("a"), col("dst").as("b")),
       iters = 6)
 
+  /** k-bounded SCC classification of the whole directed graph in one
+    * pass (forward/backward min-label certificates; the multi-pivot
+    * generalization of graph_fwbw). */
+  def graphSccBounded(spark: SparkSession, dir: String): DataFrame =
+    graft.graph.GraphAlgorithms.sccBoundedStats(
+      graph(spark, dir).rels.select(col("src").as("a"), col("dst").as("b")),
+      iters = 6)
+
   /** Per-pivot bounded eccentricity from three region anchors in one
     * src-keyed BFS pass; max(ecc) is the standard sampled diameter lower
     * bound. */
@@ -2161,6 +2169,7 @@ object Queries {
     "graph_clustering" -> (graphClustering _),
     "graph_matching" -> (graphMatching _),
     "graph_mis" -> (graphMis _),
+    "graph_scc_bounded" -> (graphSccBounded _),
     "graph_butterflies" -> (graphButterflies _),
     "graph_coloring" -> (graphColoring _),
     "graph_ktruss" -> (graphKtruss _),

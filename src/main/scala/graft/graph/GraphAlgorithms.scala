@@ -536,6 +536,52 @@ object GraphAlgorithms {
         sum(expr("(1 - in_f) * (1 - in_b)")).cast("long").as("n_rest"))
   }
 
+  /** k-bounded SCC classification over the WHOLE directed graph — the
+    * full-graph generalization of [[fwBwPartition]]'s single pivot: one
+    * forward and one backward min-label propagation (`iters` rounds
+    * each), and every node whose forward-min equals its backward-min m
+    * carries an SCC certificate (it reaches m within k hops AND m
+    * reaches it, so all nodes sharing the certificate are mutually
+    * reachable through m). One pass classifies every SCC whose min-id
+    * member sits within `iters` hops of its members — the Orzan-style
+    * coloring step — instead of one pivot component per run; nodes with
+    * differing labels stay honestly unclassified (they would seed the
+    * next recursion level at scale, exactly like FW-BW's rest set).
+    *
+    * Scale: per round, one keyed join + one map-side-combinable min per
+    * direction; label state is one (v, m) row per node, monotonically
+    * non-increasing, and the whole pass is 2·iters shuffles on the node
+    * key regardless of SCC count. */
+  def sccBoundedStats(edges: DataFrame, iters: Int): DataFrame = {
+    val dadj = edges.select(col("a"), col("b")).distinct()
+      .localCheckpoint(true)
+    val nodes = dadj.select(col("a").as("v"))
+      .unionByName(dadj.select(col("b").as("v"))).distinct()
+      .localCheckpoint(true)
+    def minProp(srcCol: String, dstCol: String): DataFrame = {
+      var lab = nodes.select(col("v"), col("v").as("m"))
+      for (_ <- 1 to iters) {
+        val fromNbr = dadj
+          .join(lab.select(col("v").as(dstCol), col("m")), Seq(dstCol))
+          .select(col(srcCol).as("v"), col("m"))
+        lab = lab.unionByName(fromNbr)
+          .groupBy("v").agg(min("m").as("m"))
+          .localCheckpoint(true)
+      }
+      lab
+    }
+    val joined = minProp("a", "b").select(col("v"), col("m").as("fm"))
+      .join(minProp("b", "a").select(col("v"), col("m").as("bm")), Seq("v"))
+      .localCheckpoint(true)
+    val sccs = joined.where(col("fm") === col("bm"))
+      .groupBy(col("fm").as("scc")).agg(count(lit(1)).as("sz"))
+    sccs.agg(count(lit(1)).as("n_sccs"),
+        coalesce(sum("sz"), lit(0L)).as("n_classified"),
+        coalesce(max("sz"), lit(0L)).as("largest_scc"))
+      .crossJoin(broadcast(joined.where(col("fm") =!= col("bm"))
+        .agg(count(lit(1)).as("n_unclassified"))))
+  }
+
   /** Degree assortativity (Newman's r): Pearson correlation of endpoint
     * degrees over the symmetrized edge list. All moments are EXACT integer
     * sums (m, Σdd', Σd, Σd²) — emitted alongside r so the hash gate pins

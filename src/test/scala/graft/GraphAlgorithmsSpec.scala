@@ -288,6 +288,25 @@ class GraphAlgorithmsSpec extends SparkSpec {
     assert(live === 0L && mn === 2 * me && (me == 1L || me == 2L))
   }
 
+  test("bounded SCC: cycles classify, DAG nodes stay honest") {
+    def run(edges: Seq[(Long, Long)]) = {
+      val r = GraphAlgorithms.sccBoundedStats(edges.toDF("a", "b"), iters = 6)
+        .collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    // two disjoint 3-cycles: both classify in one pass (the multi-pivot
+    // win over fwBwPartition)
+    assert(run(Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (7L, 8L), (8L, 9L), (9L, 7L))) === ((2L, 6L, 3L, 0L)))
+    // cycle + outgoing DAG tail: tail node reaches nothing that returns,
+    // so its certificate fails (fmin=1 ≠ bmin=4) and it reports unclassified
+    assert(run(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)))
+      === ((1L, 3L, 3L, 1L)))
+    // pure DAG: only the global min can certify itself
+    val (s, c, l, u) = run(Seq((1L, 2L), (2L, 3L)))
+    assert(s === 1L && c === 1L && l === 1L && u === 2L)
+  }
+
   test("FW-BW partition: cycle is the SCC, tails split by direction") {
     // directed: cycle 1→2→3→1 with tail-out 3→4 and tail-in 5→1;
     // pivot = min id = 1: F = {1,2,3,4}, B = {1,2,3,5}
