@@ -1816,6 +1816,27 @@ object OracleSqls {
         |      FROM documents)
         |GROUP BY source""".stripMargin,
 
+    // Church-Gale burstiness: per-(doc, term) counts, per-term moments,
+    // dispersion (N*ss - s^2)*1e6 // (s*(N-1)) with N = total docs
+    "text_burstiness" ->
+      s"""WITH n AS (SELECT count(*) AS n_docs FROM documents),
+        |pd AS (
+        |  SELECT doc_id, term, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(${wordsExprOf("lower(text)")})
+        |          AS term FROM documents)
+        |  GROUP BY doc_id, term
+        |), t AS (
+        |  SELECT term, count(*) AS n_present,
+        |    CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS ss
+        |  FROM pd GROUP BY term
+        |)
+        |SELECT term, CAST(n_present AS BIGINT) AS n_present,
+        |  s AS total,
+        |  CAST(((n_docs * ss - s * s) * 1000000)
+        |    // (s * greatest(n_docs - 1, 1)) AS BIGINT) AS dispersion_micro
+        |FROM t CROSS JOIN n
+        |ORDER BY total DESC, term LIMIT 20""".stripMargin,
+
     // RAKE keyphrases: stopword-free runs via a prefix count of stopword
     // positions, deg/freq word scores in micro, phrase = sum of its
     // words' scores — mirrors TextOps.rakeKeyphrases stage for stage

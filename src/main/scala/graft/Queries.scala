@@ -1048,6 +1048,11 @@ object Queries {
   def textZipf(spark: SparkSession, dir: String): DataFrame =
     TextOps.zipfTable(T(spark, dir, "documents"), k = 20)
 
+  /** Word burstiness (Church–Gale dispersion) for the top-20 terms:
+    * ≈ 10⁶ Poisson glue vs ≫ 10⁶ clumpy content words. */
+  def textBurstiness(spark: SparkSession, dir: String): DataFrame =
+    TextOps.burstiness(T(spark, dir, "documents"), k = 20)
+
   /** Shared RAKE stopword list — a literal, mirrored in the oracle. */
   private val rakeStops = Seq("the", "a", "an", "of", "to", "and", "in",
     "is", "are", "for", "on", "with", "as", "by", "at", "or")
@@ -2244,6 +2249,7 @@ object Queries {
     "text_heaps" -> (textHeaps _),
     "text_zipf" -> (textZipf _),
     "text_keyphrases" -> (textKeyphrases _),
+    "text_burstiness" -> (textBurstiness _),
     "text_top_ngrams" -> (textTopNgrams _),
     "sketch_countmin" -> (sketchCountmin _),
     "sketch_kmv" -> (sketchKmv _),

@@ -470,6 +470,34 @@ object TextOps {
         expr("(f1 * 1000000) div (rank * freq)").as("zipf_micro"))
   }
 
+  /** Word burstiness: the variance-to-mean dispersion index of per-doc
+    * occurrence counts for the top-`k` corpus terms, in integer
+    * micro-units — D ≈ 10⁶ means Poisson scatter (function words), ≫ 10⁶
+    * means clumpy content words that concentrate in few documents. The
+    * classic Church–Gale diagnostic separating topical vocabulary from
+    * glue, and the signal a stopword-list builder actually wants.
+    * D = (N·Σc² − S²)·10⁶ div (S·(N−1)) with N the TOTAL doc count
+    * (absent docs contribute zero counts), S = Σc — all exact Longs.
+    *
+    * Scale: one (doc, term) count aggregate, one per-term rollup, the
+    * scalar N broadcast; top-k by total frequency via TakeOrdered. */
+  def burstiness(docs: DataFrame, k: Int): DataFrame = {
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val perDoc = docs
+      .select(col("doc_id"),
+        explode(graft.functions.words(lower(col("text")))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+    perDoc.groupBy("term")
+      .agg(count(lit(1)).as("n_present"), sum("c").as("s"),
+        sum(expr("c * c")).as("ss"))
+      .crossJoin(broadcast(n))
+      .select(col("term"), col("n_present"), col("s").as("total"),
+        expr("((n_docs * ss - s * s) * 1000000)" +
+          " div (s * greatest(n_docs - 1, 1))").as("dispersion_micro"))
+      .orderBy(col("total").desc, col("term"))
+      .limit(k)
+  }
+
   /** Heaps-law vocabulary-growth curve: document, token, and DISTINCT
     * vocabulary counts at corpus-prefix checkpoints (doc_id order, at
     * 1/8, 2/8, 4/8 and the full corpus). Computed WITHOUT a global sort

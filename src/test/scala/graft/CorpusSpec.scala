@@ -104,6 +104,20 @@ class CorpusSpec extends SparkSpec {
     assert(tie === Map(1L -> "x", 2L -> "y", 3L -> "z"))
   }
 
+  test("burstiness: clumpy terms disperse above uniform ones") {
+    // 4 docs: 'glue' once per doc (S=4, ss=4: D = (16-16)e6/(4*3) = 0);
+    // 'burst' 4 times in one doc (S=4, ss=16: D = (64-16)e6/12 = 4e6)
+    val docs = (0 until 4).map { i =>
+      val t = if (i == 0) "glue burst burst burst burst" else "glue"
+      (i.toLong, "s", t)
+    }.toDF("doc_id", "source", "text")
+    val m = TextOps.burstiness(docs, k = 5).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(m("glue") === ((4L, 4L, 0L)))
+    assert(m("burst") === ((1L, 4L, 4000000L)))
+  }
+
   test("rakeKeyphrases: hand-derived deg/freq scores and run splitting") {
     val stops = Seq("of", "and", "the")
     // "deep learning of deep networks": runs split at 'of' →
