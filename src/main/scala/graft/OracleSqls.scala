@@ -2115,6 +2115,35 @@ object OracleSqls {
         |      * CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 0), 6) AS eta2
         |FROM t ORDER BY event_type""".stripMargin,
 
+    // reciprocity over the thresholded transition graph (the markov CTE
+    // chain re-derived, edges at >= ~uniform propensity)
+    "graph_reciprocity" ->
+      """WITH p AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events
+        |), c AS (
+        |  SELECT prev_type, event_type AS next_type, count(*) AS n
+        |  FROM p WHERE prev_type IS NOT NULL
+        |  GROUP BY prev_type, event_type
+        |), t AS (
+        |  SELECT prev_type, sum(n) AS row_n FROM c GROUP BY prev_type
+        |), e AS (
+        |  SELECT DISTINCT c.prev_type AS a, c.next_type AS b
+        |  FROM c JOIN t USING (prev_type)
+        |  WHERE (c.n * 1000000) // t.row_n >= 195000
+        |    AND c.prev_type <> c.next_type
+        |), r AS (
+        |  SELECT e.a, e.b FROM e
+        |  SEMI JOIN e x ON e.a = x.b AND e.b = x.a
+        |)
+        |SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS m,
+        |  CAST((SELECT count(*) FROM r) AS BIGINT) AS n_reciprocal,
+        |  CAST(((SELECT count(*) FROM r) * 1000000)
+        |    // greatest((SELECT count(*) FROM e), 1) AS BIGINT)
+        |    AS reciprocity_micro""".stripMargin,
+
     // global Markov matrix from per-user lag pairs; micro-unit
     // row-conditional probabilities
     "events_markov" ->

@@ -1142,6 +1142,17 @@ object Queries {
     Events.seasonalityEta2(eventsUs(spark, dir), "ts_us")
       .orderBy("event_type")
 
+  /** Reciprocity of the behavior graph: event-type transitions kept at
+    * ≥ ~uniform propensity (195000 micro under 5 types) form a directed
+    * graph; the metric is the mutual-edge fraction. */
+  def graphReciprocity(spark: SparkSession, dir: String): DataFrame = {
+    val t = Events.markovTransitions(eventsUs(spark, dir).drop("ts").
+      withColumnRenamed("ts_us", "ts"))
+    graft.graph.GraphAlgorithms.reciprocityStats(
+      t.where(col("p_micro") >= 195000L)
+        .select(col("prev_type").as("a"), col("next_type").as("b")))
+  }
+
   /** Exact-budget mixture quotas: 1M tokens apportioned across sources by
     * temperature-0.5 mass with largest-remainder rounding (Σ = budget). */
   def curateMixtureQuota(spark: SparkSession, dir: String): DataFrame =
@@ -2175,6 +2186,7 @@ object Queries {
     "graph_matching" -> (graphMatching _),
     "graph_mis" -> (graphMis _),
     "graph_scc_bounded" -> (graphSccBounded _),
+    "graph_reciprocity" -> (graphReciprocity _),
     "graph_butterflies" -> (graphButterflies _),
     "graph_coloring" -> (graphColoring _),
     "graph_ktruss" -> (graphKtruss _),

@@ -582,6 +582,25 @@ object GraphAlgorithms {
         .agg(count(lit(1)).as("n_unclassified"))))
   }
 
+  /** Directed-graph reciprocity: the fraction of (non-loop, distinct)
+    * edges whose reverse edge also exists, in integer micro-units — the
+    * first-order asymmetry diagnostic for behavior/interaction graphs
+    * (mutual follows, call-backs, A↔B transitions). One self-semi-join
+    * on the reversed key; no aggregation ever sees more than the edge
+    * list. */
+  def reciprocityStats(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a"), col("b"))
+      .where(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    val rec = e.join(e.select(col("b").as("a"), col("a").as("b")),
+      Seq("a", "b"), "left_semi")
+    e.agg(count(lit(1)).as("m"))
+      .crossJoin(broadcast(rec.agg(count(lit(1)).as("n_reciprocal"))))
+      .select(col("m"), col("n_reciprocal"),
+        expr("(n_reciprocal * 1000000) div greatest(m, 1)")
+          .as("reciprocity_micro"))
+  }
+
   /** Degree assortativity (Newman's r): Pearson correlation of endpoint
     * degrees over the symmetrized edge list. All moments are EXACT integer
     * sums (m, Σdd', Σd, Σd²) — emitted alongside r so the hash gate pins

@@ -288,6 +288,20 @@ class GraphAlgorithmsSpec extends SparkSpec {
     assert(live === 0L && mn === 2 * me && (me == 1L || me == 2L))
   }
 
+  test("reciprocity: mutual edges counted both ways, loops and dups dropped") {
+    val r = GraphAlgorithms.reciprocityStats(
+      Seq((1L, 2L), (2L, 1L), (2L, 3L), (4L, 4L), (1L, 2L))
+        .toDF("a", "b")).collect().head
+    // e = {(1,2),(2,1),(2,3)}: both mutual directions count → 2/3
+    assert(r.getLong(0) === 3L)
+    assert(r.getLong(1) === 2L)
+    assert(r.getLong(2) === 666666L)
+    // fully one-way graph scores zero
+    val z = GraphAlgorithms.reciprocityStats(
+      Seq((1L, 2L), (2L, 3L)).toDF("a", "b")).collect().head
+    assert(z.getLong(2) === 0L)
+  }
+
   test("bounded SCC: cycles classify, DAG nodes stay honest") {
     def run(edges: Seq[(Long, Long)]) = {
       val r = GraphAlgorithms.sccBoundedStats(edges.toDF("a", "b"), iters = 6)
