@@ -27,5 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.expr.TokenEstimate].getName, "graft_token_estimate"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.expr.TokenEstimate(children.head)))
+    // the whole-operator extension: plans AsOfJoinNode as the native
+    // sort-merge AsOfJoinExec (graft.plans.AsOfJoin also self-registers
+    // through SparkSession.experimental for pre-built sessions)
+    ext.injectPlannerStrategy(_ =>
+      org.apache.spark.sql.graftbridge.AsOfJoinStrategy)
   }
 }

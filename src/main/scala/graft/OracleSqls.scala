@@ -3347,6 +3347,20 @@ object OracleSqls {
         |FROM clicks c ASOF LEFT JOIN views v
         |  ON c.user_id = v.user_id AND c.ts >= v.ts""".stripMargin,
 
+    // the custom AsOfJoinExec path scores against the SAME native ASOF
+    // oracle as the compositional join_asof — equivalence proven by hash
+    "join_asof_exec" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, event_id AS click_id FROM events
+        |  WHERE event_type = 'click'
+        |), views AS (
+        |  SELECT user_id, ts, max(event_id) AS view_id FROM events
+        |  WHERE event_type = 'view' GROUP BY 1, 2
+        |)
+        |SELECT c.click_id, v.view_id
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND c.ts >= v.ts""".stripMargin,
+
     "join_range" ->
       """WITH clicks AS (
         |  SELECT user_id, ts, event_id AS click_id FROM events

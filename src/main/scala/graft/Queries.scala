@@ -1898,6 +1898,23 @@ object Queries {
       .select(col("click_id"), col("view_id"))
   }
 
+  /** The same as-of query through the CUSTOM physical operator
+    * (graft.plans.AsOfJoin → AsOfJoinExec): one streaming sort-merge
+    * pass, O(1) per-partition state, no union/window in the plan. The
+    * oracle is DuckDB's native ASOF JOIN — identical to join_asof's, so
+    * the hash gate proves the custom exec equals both the compositional
+    * form and the reference engine. */
+  def joinAsofExec(spark: SparkSession, dir: String): DataFrame = {
+    val e = eventsUs(spark, dir)
+    val clicks = e.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), col("event_id").as("click_id"))
+    val views = e.where(col("event_type") === "view")
+      .groupBy("user_id", "ts_us").agg(max("event_id").as("view_id"))
+    graft.plans.AsOfJoin.asof(clicks, views, "user_id", "ts_us",
+      Seq("view_id"))
+      .select(col("click_id"), col("view_id"))
+  }
+
   /** Range join over events: clicks matched to the one-hour half-open
     * window after each error of the same user, binned at 15 minutes (≈ the
     * window length ⇒ ≤ 5 bins per interval). */
@@ -2152,6 +2169,7 @@ object Queries {
     "cy_varlength" -> (cyVarlength _),
     "skew_salted_agg" -> (skewSaltedAgg _),
     "join_salted" -> (joinSalted _),
+    "join_asof_exec" -> (joinAsofExec _),
     "pipeline_retrieve" -> (pipelineRetrieve _),
     "fmt_context" -> (fmtContext _),
     "v1_cosine_topk" -> (v1CosineTopK _),
