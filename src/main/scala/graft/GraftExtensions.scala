@@ -32,5 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // through SparkSession.experimental for pre-built sessions)
     ext.injectPlannerStrategy(_ =>
       org.apache.spark.sql.graftbridge.AsOfJoinStrategy)
+    // algebraic simplification of the graft expressions (NFC idempotence)
+    ext.injectOptimizerRule(_ => GraftOptimizations)
   }
 }

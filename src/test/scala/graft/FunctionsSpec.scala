@@ -94,4 +94,26 @@ class FunctionsSpec extends SparkSpec {
       .select(cosineSim(col("a"), col("b")).as("s")).head()
     assert(r.isNullAt(0))
   }
+
+  test("GraftOptimizations collapses nested NFC calls, result unchanged") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.bridge
+    def nfc(c: org.apache.spark.sql.Column) =
+      bridge.column(graft.expr.NormalizeNFC(bridge.expression(c)))
+    val df = Seq("Café", "Café").toDF("s")
+      .select(nfc(nfc(nfc(col("s")))).as("n"))
+    val before = df.queryExecution.analyzed
+    def countNfc(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.expressions.map(_.collect {
+        case e: graft.expr.NormalizeNFC => e
+      }.size).sum
+    assert(countNfc(before) === 3)
+    // the rule reaches a fixpoint in the optimizer's batch loop; applied
+    // standalone it must strictly shrink and converge to one call
+    val once = GraftOptimizations(before)
+    val fixed = GraftOptimizations(once)
+    assert(countNfc(fixed) === 1)
+    // semantics: both inputs normalize to the composed form either way
+    assert(df.as[String].collect().toSet === Set("Café"))
+  }
 }
