@@ -2082,6 +2082,36 @@ object OracleSqls {
         |  min(CASE WHEN s > target * 2 THEN event_id END) AS first_alarm_id
         |FROM s GROUP BY user_id""".stripMargin,
 
+    // interval-union sweep: break where start > running max of prior
+    // ends (half-open: touching merges), prefix-sum islands, rollup
+    "events_coverage" ->
+      """WITH v AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + 1800000000 AS e
+        |  FROM events
+        |), p AS (
+        |  SELECT user_id, event_id, s, e,
+        |    max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM v
+        |), b AS (
+        |  SELECT user_id, event_id, s, e,
+        |    CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS brk
+        |  FROM p
+        |), isl AS (
+        |  SELECT user_id, s, e,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM b
+        |), runs AS (
+        |  SELECT user_id, island, min(s) AS i_s, max(e) AS i_e
+        |  FROM isl GROUP BY user_id, island
+        |)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+        |  CAST(sum(i_e - i_s) AS BIGINT) AS covered_us,
+        |  CAST(max(i_e - i_s) AS BIGINT) AS max_interval_us
+        |FROM runs GROUP BY user_id""".stripMargin,
+
     // one-way eta^2 by hour-of-day phase: exact centi-unit integer
     // sufficient statistics; the one float sum folds in ascending-phase
     // list order (list_sum is sequential over the list) to match Spark's

@@ -1142,6 +1142,12 @@ object Queries {
     Events.seasonalityEta2(eventsUs(spark, dir), "ts_us")
       .orderBy("event_type")
 
+  /** Activity coverage per user: 30-minute windows per event, merged by
+    * the relational sweep (total covered time, merged-run stats). */
+  def eventsCoverage(spark: SparkSession, dir: String): DataFrame =
+    Events.coverageIntervals(eventsUs(spark, dir).drop("ts").
+      withColumnRenamed("ts_us", "ts"), lengthUs = 1800000000L)
+
   /** Reciprocity of the behavior graph: event-type transitions kept at
     * ≥ ~uniform propensity (195000 micro under 5 types) form a directed
     * graph; the metric is the mutual-edge fraction. */
@@ -2297,6 +2303,7 @@ object Queries {
     "events_holt" -> (eventsHolt _),
     "events_markov" -> (eventsMarkov _),
     "events_eta2" -> (eventsEta2 _),
+    "events_coverage" -> (eventsCoverage _),
     "layout_zorder" -> (layoutZorder _),
     "layout_hilbert" -> (layoutHilbert _),
     "layout_partitioned" -> (layoutPartitioned _),

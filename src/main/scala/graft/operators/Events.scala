@@ -424,6 +424,39 @@ object Events {
         min(when(col("alarm"), col("event_id"))).as("first_alarm_id"))
   }
 
+  /** Interval-union coverage per user: every event opens a fixed-length
+    * activity window, overlapping (or touching — half-open) windows
+    * merge, and the rollup reports merged-interval count, total covered
+    * time, and the longest run. The classic sweep made relational: a
+    * window break happens exactly where a start exceeds the running max
+    * of all PRIOR ends, breaks prefix-sum into island ids, islands
+    * aggregate to [min start, max end]. The coverage/uptime statistic
+    * (and the dedup step before billing time-based usage) — continuous
+    * time's answer to the integer gaps-and-islands profile.
+    *
+    * Scale: two keyed windows sharing one (user, start) sort + two hash
+    * aggregates; state per row is O(1). */
+  def coverageIntervals(events: DataFrame, lengthUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    val ints = events
+      .select(col("user_id"), col("event_id"), col("ts").as("s"),
+        (col("ts") + lengthUs).as("e"))
+      .withColumn("pmax",
+        max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("pmax").isNull || col("s") > col("pmax"), 1L)
+          .otherwise(0L))
+      .withColumn("island",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    ints.groupBy("user_id", "island")
+      .agg(min("s").as("i_s"), max("e").as("i_e"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(expr("i_e - i_s")).as("covered_us"),
+        max(expr("i_e - i_s")).as("max_interval_us"))
+  }
+
   /** Seasonality strength per event type: one-way eta² of value against
     * the hour-of-day phase — the variance fraction the daily cycle
     * explains (η² → 1: strongly diurnal; → 0: phase tells nothing). The

@@ -443,6 +443,33 @@ class EventsSpec extends SparkSpec {
     assert(r.getAs[Long]("acf2_micro") === 666666L)
   }
 
+  test("coverageIntervals: overlap merges, touch merges, gap splits") {
+    import spark.implicits._
+    // window length 10: events at 0, 5 (overlap), 15 (touches 5+10),
+    // 40 (gap) → runs [0,25) and [40,50): 2 intervals, 35 covered
+    val df = Seq(0L, 5L, 15L, 40L).zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, 1L, "e", 1.0, "")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Events.coverageIntervals(df, lengthUs = 10L).collect().head
+    assert(r.getAs[Long]("n_intervals") === 2L)
+    assert(r.getAs[Long]("covered_us") === 35L)
+    assert(r.getAs[Long]("max_interval_us") === 25L)
+  }
+
+  test("coverageIntervals: the RUNNING max of ends decides breaks") {
+    import spark.implicits._
+    // windows [0,100), [10,110), [105,205): the event at 105 starts
+    // before the running max 110 (though after the first end 100), so
+    // everything chains into one [0,205) run — a last-end sweep would
+    // split it wrongly
+    val df = Seq(0L, 10L, 105L).zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, 1L, "e", 1.0, "")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Events.coverageIntervals(df, lengthUs = 100L).collect().head
+    assert(r.getAs[Long]("n_intervals") === 1L)
+    assert(r.getAs[Long]("covered_us") === 205L)
+  }
+
   test("seasonalityEta2: phase-determined is 1, phase-blind is 0") {
     import spark.implicits._
     val hourUs = 3600000000L
