@@ -317,6 +317,13 @@ object OracleSqls {
         |FROM embeddings WHERE vec_id NOT BETWEEN 0 AND 49
         |ORDER BY similarity DESC, vec_id LIMIT 20""".stripMargin,
 
+    // filtered vector search: metadata predicate BEFORE the similarity
+    "v_filtered_topk" ->
+      """SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS similarity
+        |FROM embeddings WHERE label % 2 = 0 AND vec_id <> 0
+        |ORDER BY similarity DESC, vec_id LIMIT 20""".stripMargin,
+
     "mmr_rerank" -> mmrSql(poolSize = 20, k = 5, lamTenths = 7),
 
     "lake_merge_upsert" ->

@@ -203,6 +203,16 @@ object Queries {
     Vectors.bruteForceTopK(T(spark, dir, "embeddings"), "vec_id", "embedding",
       queryVec(spark, dir), 20, exclude = 0L to 49L)
 
+  /** Filtered vector search — the metadata-predicate + top-k compose
+    * every vector store ships (pre-filter, then exact rank): the filter
+    * pushes into the scan BEFORE any similarity work, so selective
+    * predicates cut the distance computations proportionally — the
+    * 100 TB reason pre-filtering beats post-filtering a larger page. */
+  def vFilteredTopK(spark: SparkSession, dir: String): DataFrame =
+    Vectors.bruteForceTopK(
+      T(spark, dir, "embeddings").where(col("label") % 2 === 0),
+      "vec_id", "embedding", queryVec(spark, dir), 20, exclude = Seq(0L))
+
   /** Hard negatives: top-3 most-similar different-label rows per anchor,
     * candidates pruned by shared 4-bit LSH bucket. */
   def embHardNegatives(spark: SparkSession, dir: String): DataFrame =
@@ -2180,6 +2190,7 @@ object Queries {
     "fmt_context" -> (fmtContext _),
     "v1_cosine_topk" -> (v1CosineTopK _),
     "v2_knn_exclude" -> (v2KnnExclude _),
+    "v_filtered_topk" -> (vFilteredTopK _),
     "mmr_rerank" -> (mmrRerankQ _),
     "emb_random_projection" -> (embRandomProjection _),
     "emb_power_iteration" -> (embPowerIteration _),
