@@ -121,7 +121,7 @@ class PlanAuditSpec extends SparkSpec {
       "v1_cosine_topk", "v2_knn_exclude", "v3_knn_fallback", "v5_label_lookup",
       "ann_lsh_topk", "ann_neardup_pairs", "ann_ivf_topk", "ann_ivf_kmeans",
       "pipeline_retrieve", "emb_random_projection", "emb_hard_negatives",
-      "mmr_rerank")
+      "mmr_rerank", "v_filtered_topk")
     val offenders = auditable
       .filterNot { case (n, _) => vectorQueries(n) }
       .flatMap { case (name, fn) =>
