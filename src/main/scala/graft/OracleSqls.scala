@@ -816,6 +816,9 @@ object OracleSqls {
     "ann_pq_topk" -> pqSql(k = 10, m = 8, kCodes = 16, lloydIters = 1,
       ef = 200, subDim = 8),
 
+    "ann_ivfpq_topk" -> ivfPqSql(k = 10, nCells = 8, nProbe = 3, m = 8,
+      kCodes = 16, lloydIters = 1, ef = 100, subDim = 8),
+
     // int8 scalar quantization rebuilt in SQL: per-dim min/max arrays,
     // code = round(((v-mn)/rng)*255), dequant = (code/255.0)*rng + mn,
     // ADC fold in array order, exact cosine re-rank of top-ef
@@ -2446,6 +2449,51 @@ object OracleSqls {
         |    AS n_exact
         |FROM s""".stripMargin,
 
+    // sharded heavy-hitter summaries (Mergeable Summaries, PODS'12 — the
+    // deterministic SpaceSaving): per-half exact word counts routed by the
+    // portable digit-only md5 into 4 disjoint shards, top-8 kept per
+    // (half, shard) + max-dropped residual, then the MERGE re-applies the
+    // same trim with the summed residual bound — mirrors
+    // Sketch.heavyHitters + heavyHittersMerge end to end
+    "sketch_heavy_hitters" ->
+      s"""WITH w AS (
+        |  SELECT doc_id, unnest($wordsExpr) AS key FROM documents
+        |), cnts AS (
+        |  SELECT doc_id % 2 AS part, CAST(key AS VARCHAR) AS key,
+        |    count(*) AS cnt
+        |  FROM w GROUP BY 1, 2
+        |), sh AS (
+        |  SELECT part, key, cnt,
+        |    CAST(substr(regexp_replace(md5('hh|' || key), '[a-f]', '', 'g')
+        |      || '000000', 1, 6) AS BIGINT) % 4 AS shard
+        |  FROM cnts
+        |), rk AS (
+        |  SELECT part, shard, key, cnt, row_number() OVER (
+        |    PARTITION BY part, shard ORDER BY cnt DESC, key) AS rk
+        |  FROM sh
+        |), summ AS (
+        |  SELECT k.part, k.shard, k.key, k.cnt, coalesce(e.e, 0) AS err_ub
+        |  FROM (SELECT part, shard, key, cnt FROM rk WHERE rk <= 8) k
+        |  LEFT JOIN (SELECT part, shard, max(cnt) AS e FROM rk
+        |             WHERE rk > 8 GROUP BY 1, 2) e
+        |    ON k.part = e.part AND k.shard = e.shard
+        |), errtot AS (
+        |  SELECT shard, sum(pe) AS e FROM (
+        |    SELECT part, shard, max(err_ub) AS pe FROM summ GROUP BY 1, 2)
+        |  GROUP BY shard
+        |), mrk AS (
+        |  SELECT shard, key, cnt, row_number() OVER (
+        |    PARTITION BY shard ORDER BY cnt DESC, key) AS rk
+        |  FROM (SELECT shard, key, sum(cnt) AS cnt FROM summ GROUP BY 1, 2)
+        |), dropped AS (
+        |  SELECT shard, max(cnt) AS d FROM mrk WHERE rk > 8 GROUP BY shard
+        |)
+        |SELECT m.shard, m.key, CAST(m.cnt AS BIGINT) AS cnt,
+        |  CAST(coalesce(t.e, 0) + coalesce(d.d, 0) AS BIGINT) AS err_ub
+        |FROM mrk m LEFT JOIN errtot t USING (shard)
+        |LEFT JOIN dropped d USING (shard)
+        |WHERE m.rk <= 8""".stripMargin,
+
     // KMV set algebra (Beyer et al. SIGMOD'07): per-source bottom-128
     // vocabulary sketches, pairwise merge law, union/Jaccard/intersection
     // estimates in integer units — mirrors Sketch.kmvGroupSketch/kmvSetOps
@@ -3740,7 +3788,8 @@ object OracleSqls {
       |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS similarity
       |  FROM embeddings ORDER BY similarity DESC, vec_id LIMIT 10)""".stripMargin
     val methods = Seq("ivf" -> "ann_ivf_topk", "ivf_kmeans" -> "ann_ivf_kmeans",
-      "lsh" -> "ann_lsh_topk", "pq" -> "ann_pq_topk", "sq8" -> "ann_sq8_topk")
+      "ivfpq" -> "ann_ivfpq_topk", "lsh" -> "ann_lsh_topk",
+      "pq" -> "ann_pq_topk", "sq8" -> "ann_sq8_topk")
     methods.map { case (name, key) =>
       s"""SELECT '$name' AS method,
          |  round(CAST(count(*) AS DOUBLE) / 10.0, 6) AS recall
@@ -3952,6 +4001,91 @@ object OracleSqls {
   /** k-core peeling ([[graft.graph.GraphAlgorithms.kCoreSizes]]) unrolled:
     * adj0 = distinct undirected neighbor pairs; each round keeps edges
     * whose both endpoints have current degree ≥ k. */
+  /** IVF-PQ over residuals ([[graft.operators.Vectors.ivfPqTopK]]) rebuilt
+    * in SQL: coarse assign by round-6 cosine (cid tiebreak), residual
+    * v − centroid, shared sub-codebooks seeded at the first `kCodes` ids'
+    * residual subvectors and Lloyd-refined with round-6 means, per-cell
+    * query residual, ADC sum over (cell, sub, code), exact re-rank. */
+  private def ivfPqSql(k: Int, nCells: Int, nProbe: Int, m: Int, kCodes: Int,
+                       lloydIters: Int, ef: Int, subDim: Int): String = {
+    val dim = m * subDim
+    def d2(x: String, y: String): String =
+      s"round(list_sum(list_transform(range(1, ${subDim + 1}), " +
+        s"j -> ($x[j] - $y[j]) * ($x[j] - $y[j]))), 6)"
+    def assign(out: String, cbk: String): String =
+      s"""$out AS (
+         |  SELECT id, cid, sub, sv, code FROM (
+         |    SELECT s.id, s.cid, s.sub, s.sv, c.code,
+         |      row_number() OVER (PARTITION BY s.id, s.sub
+         |        ORDER BY ${d2("s.sv", "c.cv")} ASC, c.code) AS rn
+         |    FROM sv s JOIN $cbk c ON s.sub = c.sub) WHERE rn = 1
+         |)""".stripMargin
+    val iters = (1 to lloydIters).map { t =>
+      s"""${assign(s"a$t", s"cb${t - 1}")},
+         |m$t AS (
+         |  SELECT sub, code, i, round(avg(x), 6) AS mx FROM (
+         |    SELECT sub, code, unnest(range(1, ${subDim + 1})) AS i,
+         |      unnest(sv) AS x FROM a$t)
+         |  GROUP BY sub, code, i
+         |), cb$t AS (
+         |  SELECT sub, code,
+         |    list_transform(list(struct_pack(i := i, m := mx) ORDER BY i),
+         |      s -> s.m) AS cv
+         |  FROM m$t GROUP BY sub, code
+         |)""".stripMargin
+    }.mkString(",\n")
+    val cbF = s"cb$lloydIters"
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE id = 0),
+       |cents AS (SELECT id AS cid, v AS cv FROM e ORDER BY id LIMIT $nCells),
+       |asg AS (
+       |  SELECT id, v, cid FROM (
+       |    SELECT e.id, e.v, c.cid,
+       |      row_number() OVER (PARTITION BY e.id
+       |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cid) AS rn
+       |    FROM e CROSS JOIN cents c) WHERE rn = 1
+       |),
+       |res AS (
+       |  SELECT a.id, a.cid,
+       |    list_transform(range(1, ${dim + 1}), i -> a.v[i] - c.cv[i]) AS r
+       |  FROM asg a JOIN cents c USING (cid)
+       |),
+       |subs AS (SELECT unnest(range(0, $m)) AS sub),
+       |sv AS (
+       |  SELECT id, cid, sub,
+       |    list_slice(r, sub * $subDim + 1, (sub + 1) * $subDim) AS sv
+       |  FROM res CROSS JOIN subs
+       |),
+       |seed AS (SELECT id FROM e ORDER BY id LIMIT $kCodes),
+       |cb0 AS (SELECT s.sub, s.id AS code, s.sv AS cv FROM sv s JOIN seed USING (id)),
+       |$iters,
+       |${assign("af", cbF)},
+       |probes AS (
+       |  SELECT cid, cv FROM (
+       |    SELECT c.cid, c.cv,
+       |      round(list_cosine_similarity(c.cv, q.qv), 6) AS qs
+       |    FROM cents c, q ORDER BY qs DESC, c.cid LIMIT $nProbe)
+       |),
+       |qr AS (
+       |  SELECT p.cid,
+       |    list_transform(range(1, ${dim + 1}), i -> q.qv[i] - p.cv[i]) AS qr
+       |  FROM probes p, q
+       |),
+       |qd AS (
+       |  SELECT r.cid, c.sub, c.code,
+       |    ${d2("c.cv", s"list_slice(r.qr, c.sub * $subDim + 1, (c.sub + 1) * $subDim)")} AS qd2
+       |  FROM $cbF c CROSS JOIN qr r
+       |),
+       |cand AS (
+       |  SELECT a.id, round(sum(qd.qd2), 6) AS adist
+       |  FROM af a JOIN qd ON a.cid = qd.cid AND a.sub = qd.sub AND a.code = qd.code
+       |  GROUP BY a.id ORDER BY adist ASC, a.id LIMIT $ef
+       |)
+       |SELECT e.id AS vec_id, round(list_cosine_similarity(e.v, q.qv), 6) AS similarity
+       |FROM e JOIN cand USING (id), q
+       |ORDER BY similarity DESC, e.id LIMIT $k""".stripMargin
+  }
+
   /** Unrolled Bellman-Ford over the small-part co-occurrence graph with
     * affinity-distance weights, mirroring
     * [[graft.graph.GraphAlgorithms.ssspBounded]] +

@@ -254,6 +254,7 @@ object Queries {
     val methods: Seq[(String, DataFrame)] = Seq(
       "ivf" -> annIvfTopK(spark, dir),
       "ivf_kmeans" -> annIvfKmeans(spark, dir),
+      "ivfpq" -> annIvfPqTopK(spark, dir),
       "lsh" -> annLshTopK(spark, dir),
       "pq" -> annPqTopK(spark, dir),
       "sq8" -> annSq8TopK(spark, dir))
@@ -348,6 +349,13 @@ object Queries {
   def annPqTopK(spark: SparkSession, dir: String): DataFrame =
     Vectors.pqTopK(T(spark, dir, "embeddings"), "vec_id", "embedding",
       queryVec(spark, dir), k = 10, m = 8, kCodes = 16, lloydIters = 1, ef = 200)
+
+  /** IVF-PQ residual encoding (FAISS `IndexIVFPQ` composition) — coarse
+    * pruning AND code compression in one index. */
+  def annIvfPqTopK(spark: SparkSession, dir: String): DataFrame =
+    Vectors.ivfPqTopK(T(spark, dir, "embeddings"), "vec_id", "embedding",
+      queryVec(spark, dir), k = 10, nCells = 8, nProbe = 3, m = 8,
+      kCodes = 16, lloydIters = 1, ef = 100)
 
   // ---- graph analytics ----
 
@@ -1222,6 +1230,21 @@ object Queries {
     val li = T(spark, dir, "lineitem")
     Sketch.kmvEstimate(Sketch.kmvSketch(li, "l_partkey", k = 256), k = 256)
       .crossJoin(li.agg(countDistinct("l_partkey").as("n_exact")))
+  }
+
+  /** Heavy-hitter word summaries built per doc_id-parity half, then
+    * MERGED — the gate replays build AND merge, proving the rollup law
+    * the way `incr_agg_rollup` does for the scalar states. */
+  def sketchHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val items = T(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.words(col("text"))).as("word"))
+    val halves = Seq(0, 1).map { p =>
+      Sketch.heavyHitters(items.where(pmod(col("doc_id"), lit(2)) === p),
+          "word", nShards = 4, capacity = 8)
+        .withColumn("part", lit(p))
+    }
+    Sketch.heavyHittersMerge(halves.reduce(_ unionByName _), capacity = 8)
   }
 
   /** KMV sketch set algebra: vocabulary union/intersection/Jaccard
@@ -2206,6 +2229,7 @@ object Queries {
     "ann_kmeans_quality" -> (annKmeansQuality _),
     "emb_centered_topk" -> (embCenteredTopK _),
     "ann_pq_topk" -> (annPqTopK _),
+    "ann_ivfpq_topk" -> (annIvfPqTopK _),
     "ann_sq8_topk" -> (annSq8TopK _),
     "ann_recall_report" -> (annRecallReport _),
     "degree_histogram" -> (degreeHistogram _),
@@ -2300,6 +2324,7 @@ object Queries {
     "text_top_ngrams" -> (textTopNgrams _),
     "sketch_countmin" -> (sketchCountmin _),
     "sketch_kmv" -> (sketchKmv _),
+    "sketch_heavy_hitters" -> (sketchHeavyHitters _),
     "sketch_kmv_setops" -> (sketchKmvSetops _),
     "sketch_hll" -> (sketchHll _),
     "sketch_hll_setops" -> (sketchHllSetops _),

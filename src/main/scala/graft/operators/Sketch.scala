@@ -102,6 +102,67 @@ object Sketch {
       (acc, k) => acc.when(rest >= (1L << k), lit(bits - k))
     }
 
+  /** Deterministic sharded heavy-hitter summary — the relational form of
+    * SpaceSaving/Misra-Gries (Agarwal et al., "Mergeable Summaries",
+    * PODS'12) without their stream-order dependence, which would break
+    * oracle replay: the portable digit-only md5 routes every key to
+    * exactly ONE of `nShards` disjoint shards; each shard retains only its
+    * `capacity` most frequent keys (count desc, key asc) plus one
+    * residual bound `err_ub` — the max count it dropped. Because shards
+    * PARTITION the key space, every retained count is exact and any key
+    * with true count > its shard's `err_ub` is guaranteed retained: the
+    * SpaceSaving guarantee with exact (not ±εN) counts.
+    *
+    * Scale shape: the count pass is one map-side-combined groupBy (the
+    * same pass an exact top-k needs); the ARTIFACT is the point — a
+    * nShards·(capacity+1)-row summary that stands in for the full count
+    * table in rollups and merges by [[heavyHittersMerge]], so per-day /
+    * per-source summaries compose without ever re-touching the corpus. */
+  def heavyHitters(items: DataFrame, keyCol: String, nShards: Int,
+                   capacity: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("cnt").desc, col("key"))
+    val ranked = items
+      .select(col(keyCol).cast("string").as("key"))
+      .groupBy("key").agg(count(lit(1)).as("cnt"))
+      .withColumn("shard", expr(
+        s"cast(substr(concat(regexp_replace(md5(concat('hh|', key)), " +
+          s"'[a-f]', ''), '000000'), 1, 6) as bigint) % $nShards"))
+      .withColumn("rk", row_number().over(w))
+    val err = ranked.where(col("rk") > capacity)
+      .groupBy("shard").agg(max("cnt").as("e"))
+    ranked.where(col("rk") <= capacity)
+      .join(broadcast(err), Seq("shard"), "left")
+      .select(col("shard"), col("key"), col("cnt"),
+        coalesce(col("e"), lit(0L)).as("err_ub"))
+  }
+
+  /** Merge heavy-hitter summaries built over DISJOINT row sets with the
+    * same (nShards, capacity): per (shard, key) the exact counts add; a
+    * summary that dropped the key contributes at most its shard's err_ub,
+    * so the merged bound is Σ err_ub over ALL inputs for that shard
+    * (absent keys' true mass is what the bound covers), re-trimmed to
+    * capacity with the same deterministic rule. `summaries` is the union
+    * of summary frames, each tagged with a distinct value in a `part`
+    * column (which summary a row came from — without it, two summaries
+    * reporting the same err_ub for a shard would collapse to one). */
+  def heavyHittersMerge(summaries: DataFrame, capacity: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("cnt").desc, col("key"))
+    val errTot = summaries.groupBy("part", "shard").agg(max("err_ub").as("pe"))
+      .groupBy("shard").agg(sum("pe").as("e"))
+    val merged = summaries.groupBy("shard", "key")
+      .agg(sum("cnt").as("cnt"))
+      .withColumn("rk", row_number().over(w))
+    val dropped = merged.where(col("rk") > capacity)
+      .groupBy("shard").agg(max("cnt").as("d"))
+    merged.where(col("rk") <= capacity)
+      .join(broadcast(errTot), Seq("shard"), "left")
+      .join(broadcast(dropped), Seq("shard"), "left")
+      .select(col("shard"), col("key"), col("cnt"),
+        (coalesce(col("e"), lit(0L)) + coalesce(col("d"), lit(0L))).as("err_ub"))
+  }
+
   /** HLL registers for `keyCol`: one row per bucket (all m present). */
   def hllSketch(items: DataFrame, keyCol: String, m: Int): DataFrame = {
     val spark = items.sparkSession

@@ -327,6 +327,104 @@ object Vectors {
       .select(col("id").as(idCol), col("similarity"))
   }
 
+  /** IVF-PQ with residual encoding — the composition production vector
+    * stores actually ship (FAISS `IndexIVFPQ`): the coarse IVF quantizer
+    * prunes the scan to `nProbe`/`nCells` of the corpus, and PQ codes over
+    * the RESIDUAL (v − centroid) compress what remains to `m` bytes per
+    * vector. Encoding residuals instead of raw vectors is the load-bearing
+    * trick: within a cell the residuals are small and centered, so the
+    * shared `kCodes`-entry codebooks quantize them far more finely than
+    * they could the raw vectors.
+    *
+    * Train: coarse centroids are the first `nCells` vectors by id (the
+    * deterministic stand-in for an offline k-means, as in [[ivfTopK]]);
+    * sub-codebooks are seeded at the first `kCodes` ids' residual
+    * subvectors and refined by `lloydIters` rounded-mean Lloyd steps
+    * (fixed iterations keep the whole train oracle-expressible as
+    * unrolled CTEs). Search: probe the `nProbe` cells nearest the query,
+    * compute the query's PER-CELL residual, build the (cell, sub, code)
+    * ADC lookup table (nProbe·m·kCodes rows — broadcast), sum per id, and
+    * exact-cosine re-rank the top `ef`.
+    *
+    * Scale shape: both the centroid table and the ADC table broadcast;
+    * the only full-corpus operations are the one-time assign/encode scans
+    * (write-time work in a real store — see [[graft.sources.VectorStore]]
+    * for the cell-partitioned layout) and the code-table probe, which
+    * reads `nProbe`/`nCells` of an `m`-byte-per-row table. Every distance
+    * is rounded to 6 decimals with id/code tiebreaks, so assignment,
+    * candidates, and the final ranking reproduce across engines. */
+  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
+                query: Seq[Double], k: Int, nCells: Int, nProbe: Int,
+                m: Int, kCodes: Int, lloydIters: Int = 1,
+                ef: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dim = query.length
+    require(dim % m == 0, s"query dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val vec = col(vecCol).cast("array<double>")
+    val e = emb.select(col(idCol).as("id"), vec.as("v"))
+    val cents = e.orderBy(col("id")).limit(nCells)
+      .select(col("id").as("cid"), col("v").as("cv"))
+    // coarse assign + residual (IEEE subtract — both engines agree bitwise)
+    val res = assignToCentroids(e, cents)
+      .join(broadcast(cents), Seq("cid"))
+      .select(col("id"), col("cid"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("r"))
+    val sv = res.select(col("id"), col("cid"), posexplode(
+        transform(sequence(lit(0), lit(m - 1)),
+          i => slice(col("r"), i * lit(sub) + 1, lit(sub)))).as(Seq("sub", "sv")))
+
+    def sqDist(x: Column, y: Column): Column =
+      round(aggregate(zip_with(x, y, (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, d) => acc + d), 6)
+
+    val seedIds = e.orderBy("id").limit(kCodes).select(col("id").as("code"))
+    var cb = sv.join(broadcast(seedIds), sv("id") === seedIds("code"))
+      .select(col("sub"), col("code"), col("sv").as("cv"))
+
+    def assign(cbk: DataFrame): DataFrame = {
+      val w = Window.partitionBy("id", "sub").orderBy(col("d2").asc, col("code"))
+      sv.join(broadcast(cbk), "sub")
+        .withColumn("d2", sqDist(col("sv"), col("cv")))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("id"), col("cid"), col("sub"), col("sv"), col("code"))
+    }
+
+    for (_ <- 1 to lloydIters) {
+      cb = assign(cb)
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("i", "x")))
+        .groupBy("sub", "code", "i").agg(avg("x").as("mx"))
+        .groupBy("sub", "code")
+        .agg(transform(
+          array_sort(collect_list(struct(col("i").as("i"), round(col("mx"), 6).as("mx")))),
+          t => t.getField("mx")).as("cv"))
+    }
+
+    val codes = assign(cb).select("id", "cid", "sub", "code")
+    val q = lit(query.toArray)
+    val probes = cents
+      .withColumn("qsim", round(cosineSim(col("cv"), q), 6))
+      .orderBy(col("qsim").desc, col("cid"))
+      .limit(nProbe)
+      .select(col("cid"),
+        zip_with(q, col("cv"), (a, b) => a - b).as("qr"))
+    // ADC table: one row per (probed cell, sub, code)
+    val qd = cb.crossJoin(broadcast(probes))
+      .withColumn("qd2", sqDist(col("cv"),
+        slice(col("qr"), col("sub") * lit(sub) + 1, lit(sub))))
+      .select(col("cid"), col("sub"), col("code"), col("qd2"))
+    val cand = codes.join(broadcast(qd), Seq("cid", "sub", "code"))
+      .groupBy("id").agg(round(sum("qd2"), 6).as("adist"))
+      .orderBy(col("adist").asc, col("id"))
+      .limit(ef)
+    e.join(broadcast(cand.select("id")), "id")
+      .withColumn("similarity", round(cosineSim(col("v"), q), 6))
+      .orderBy(col("similarity").desc, col("id"))
+      .limit(k)
+      .select(col("id").as(idCol), col("similarity"))
+  }
+
   /** Scalar (int8) quantization ANN — the storage-compression member of
     * the quantization family (LSH buckets / IVF lists / PQ codes / SQ8
     * codes): per-dimension corpus min/max maps every value to a 0..255

@@ -194,4 +194,52 @@ class SketchSpec extends SparkSpec {
     assert(rows.forall { case (a, b) => a < b })
     assert(rows.toSet.size === 6)
   }
+
+  test("heavy hitters: retained counts exact, guarantee covers the bound") {
+    val t = truth
+    val summ = Sketch.heavyHitters(occurrences, "k", nShards = 2, capacity = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // capacity bounds the summary, retained counts are the EXACT counts
+    summ.groupBy(_._1).foreach { case (_, rows) => assert(rows.length <= 3) }
+    summ.foreach { case (_, k, c, _) => assert(c === t(k), s"count for $k") }
+    // the SpaceSaving guarantee: any key with true count > its shard's
+    // err_ub must be retained — so every heavyweight key survives
+    val errOf = summ.map(s => s._1 -> s._4).toMap
+    val kept = summ.map(_._2).toSet
+    assert(kept.contains("alpha") && kept.contains("beta"))
+    t.foreach { case (k, n) =>
+      if (!kept.contains(k))
+        // the key's shard must exist in the summary with a bound >= n
+        assert(errOf.values.exists(_ >= n) || n <= errOf.values.max)
+    }
+  }
+
+  test("heavy hitters merge: disjoint halves recombine to exact counts") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 400).map(i =>
+      (i.toLong, if (rnd.nextInt(10) < 6) s"hot_${rnd.nextInt(3)}"
+                 else s"cold_${rnd.nextInt(50)}"))
+    val df = rows.toDF("id", "k")
+    val full = df.groupBy("k").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val halves = Seq(0, 1).map { p =>
+      Sketch.heavyHitters(df.where(pmod(col("id"), lit(2)) === p),
+          "k", nShards = 2, capacity = 4)
+        .withColumn("part", lit(p))
+    }
+    val merged = Sketch.heavyHittersMerge(
+        halves.reduce(_ unionByName _), capacity = 4)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    // hot keys were heavy in BOTH halves → retained in both → merged count
+    // is the exact full-corpus count
+    for (h <- 0 until 3) {
+      val k = s"hot_$h"
+      val m = merged.find(_._1 == k)
+      assert(m.isDefined, s"$k must survive the merge")
+      assert(m.get._2 === full(k), s"merged count for $k is exact")
+    }
+    // bound sanity: err_ub is nonnegative and merged summary stays bounded
+    assert(merged.forall(_._3 >= 0L))
+    assert(merged.length <= 2 * 4)
+  }
 }

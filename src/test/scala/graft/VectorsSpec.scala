@@ -125,7 +125,7 @@ class VectorsSpec extends SparkSpec {
     // multi-probe — radius 1 measured 0.7, the round-6 unquantified gap)
     val r = Queries.annRecallReport(spark, "/root/testdata/sf0.001")
       .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
-    for (m <- Seq("ivf", "ivf_kmeans", "pq", "sq8", "lsh"))
+    for (m <- Seq("ivf", "ivf_kmeans", "ivfpq", "pq", "sq8", "lsh"))
       assert(r(m) >= 0.9, s"$m recall ${r(m)} below 0.9 floor")
   }
 
@@ -166,6 +166,34 @@ class VectorsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(pq.toSeq === bf.toSeq)
     assert(pq.head._1 === 1L) // the query's own row ranks first
+  }
+
+  test("IVF-PQ: full-probe full-ef equals brute force; pruning stays ranked") {
+    // probing every cell with ef covering the whole set means neither the
+    // coarse quantizer nor the ADC stage can lose the true top-k — the
+    // exact re-rank must reproduce brute force bit-for-bit
+    val rnd = new scala.util.Random(29)
+    val vs = (0L until 24L).map(i => (i, Seq.fill(8)(rnd.nextGaussian())))
+    val df = vs.toDF("id", "v")
+    val q = vs(1)._2
+    val full = Vectors.ivfPqTopK(df, "id", "v", q, k = 5, nCells = 3,
+      nProbe = 3, m = 4, kCodes = 4, lloydIters = 1, ef = 24)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val bf = Vectors.bruteForceTopK(df, "id", "v", q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(full.toSeq === bf.toSeq)
+    assert(full.head._1 === 1L)
+    // pruned probe: subset of the corpus, still ranked by exact cosine
+    // desc, and deterministic across runs
+    val pruned = Vectors.ivfPqTopK(df, "id", "v", q, k = 5, nCells = 4,
+      nProbe = 2, m = 4, kCodes = 4, lloydIters = 1, ef = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(pruned.length === 5)
+    assert(pruned.map(_._2).toSeq === pruned.map(_._2).sortBy(-_).toSeq)
+    val again = Vectors.ivfPqTopK(df, "id", "v", q, k = 5, nCells = 4,
+      nProbe = 2, m = 4, kCodes = 4, lloydIters = 1, ef = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(again.toSeq === pruned.toSeq)
   }
 
   test("SQ8 with full-coverage ef equals exact brute force after re-rank") {
