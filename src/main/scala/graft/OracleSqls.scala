@@ -1635,6 +1635,21 @@ object OracleSqls {
         |FROM documents
         |ORDER BY ext""".stripMargin,
 
+    // DataSource V2 pruned scan over the same shards: payload is pruned so
+    // the reader skips every data block; byte totals come from the ustar
+    // header size field and must still equal the encoded source columns
+    "tar_dsv2_pruned" ->
+      """SELECT 'cls' AS ext, CAST(count(*) AS BIGINT) AS n_entries,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_keys,
+        |  CAST(sum(octet_length(encode(lang))) AS BIGINT) AS sum_bytes
+        |FROM documents
+        |UNION ALL
+        |SELECT 'txt', CAST(count(*) AS BIGINT),
+        |  CAST(count(DISTINCT doc_id) AS BIGINT),
+        |  CAST(sum(octet_length(encode(text))) AS BIGINT)
+        |FROM documents
+        |ORDER BY ext""".stripMargin,
+
     "curate_rebalance" ->
       """WITH s AS (
         |  SELECT source, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY 1

@@ -1614,6 +1614,24 @@ object Queries {
   def warmTar(spark: SparkSession, dir: String): Unit =
     tarDocuments(spark, dir)
 
+  /** The same shards through the DataSource V2 connector
+    * ([[graft.sources.v2.TarDataSource]]) with `payload` PRUNED: the scan
+    * reads tar headers only (`size` is a header field), skipping every
+    * data block — the metadata-audit access path over training shards.
+    * Byte totals still reconcile against the documents table, proving the
+    * header `size` agrees with the payload the writer framed. */
+  def tarDsv2Pruned(spark: SparkSession, dir: String): DataFrame = {
+    tarDocuments(spark, dir) // ensure the one-time shard write happened
+    spark.read.format("graft.sources.v2.TarDataSource")
+      .load(tarDir(dir))
+      .groupBy("ext")
+      .agg(
+        count(lit(1)).as("n_entries"),
+        count_distinct(col("key")).as("n_keys"),
+        sum(col("size")).as("sum_bytes"))
+      .orderBy("ext")
+  }
+
   /** Bench LOAD hook: force the one-time IVF store writes (seed + kmeans). */
   def warmIvfStore(spark: SparkSession, dir: String): Unit = {
     annIvfPruned(spark, dir)
@@ -2357,6 +2375,7 @@ object Queries {
     "curate_length_trim" -> (curateLengthTrim _),
     "curate_fix_encoding" -> (curateFixEncoding _),
     "tar_shards_roundtrip" -> (tarShardsRoundtrip _),
+    "tar_dsv2_pruned" -> (tarDsv2Pruned _),
     "jsonl_roundtrip" -> (jsonlRoundtrip _),
     "csv_roundtrip" -> (csvRoundtrip _),
     "orc_roundtrip" -> (orcRoundtrip _),

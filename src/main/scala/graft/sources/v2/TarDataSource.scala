@@ -1,0 +1,206 @@
+package graft.sources.v2
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
+
+/** DataSource V2 connector for WebDataset tar shards — the connector rung
+  * of Spark's extension surface (`TableProvider` → `Table` → `ScanBuilder`
+  * → `Batch`), complementing the expression / optimizer-rule / physical-
+  * operator rungs demonstrated elsewhere ([[graft.expr.CosineSimilarity]],
+  * [[graft.GraftOptimizations]], [[graft.plans.AsOfJoin]]). Usage:
+  *
+  * {{{ spark.read.format("graft.sources.v2.TarDataSource").load(dir) }}}
+  *
+  * Three properties the [[graft.sources.TarShards.read]] composition
+  * (binaryFile + mapPartitions) cannot express:
+  *
+  *  - '''One InputPartition per shard, planned by the source.''' The
+  *    engine sees the true task granularity (a shard is the atomic unit of
+  *    the WebDataset contract) instead of binaryFile's size-based packing.
+  *  - '''Streaming decode.''' Entries parse straight off the
+  *    `FSDataInputStream` 512-byte-block structure — a shard is never
+  *    materialized as one byte array, so task memory is O(largest entry),
+  *    not O(shard size). binaryFile loads the whole shard first.
+  *  - '''Column pruning that skips I/O''' (`SupportsPushDownRequiredColumns`):
+  *    when `payload` is pruned — every metadata query: sample counts, key
+  *    listings, shard audits — the reader `skip()`s each entry's data
+  *    blocks entirely and touches only headers: ~0.1% of the bytes of a
+  *    real shard. The pruned schema is visible in `explain` like any V2
+  *    source's ReadSchema.
+  *
+  * Schema: (shard string, key string, ext string, size long, payload
+  * binary) — `size` comes free from the header, so pruned scans can still
+  * aggregate byte totals without reading data blocks.
+  *
+  * Reference anchor: WebDataset shard iteration (one tar = one loader
+  * task) as used by large-scale training pipelines; the tar byte format
+  * is the public POSIX ustar layout, shared with [[graft.sources.TarShards]].
+  */
+class TarDataSource extends TableProvider {
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TarDataSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new TarTable(properties.get("path"))
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object TarDataSource {
+  val schema: StructType = StructType(Seq(
+    StructField("shard", StringType, nullable = false),
+    StructField("key", StringType, nullable = false),
+    StructField("ext", StringType, nullable = false),
+    StructField("size", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true)))
+}
+
+private[v2] class TarTable(path: String) extends Table with SupportsRead {
+  require(path != null && path.nonEmpty, "graft-tar needs .load(<dir>)")
+
+  override def name(): String = s"graft-tar:$path"
+  override def schema(): StructType = TarDataSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new TarScanBuilder(path)
+}
+
+private[v2] class TarScanBuilder(path: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = TarDataSource.schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // Catalyst hands back a subset of schema() in schema order; honoring it
+    // exactly is what makes the payload skip legal
+    required = requiredSchema
+
+  override def build(): Scan = new TarScan(path, required)
+}
+
+private[v2] class TarScan(path: String, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-tar $path cols=${required.fieldNames.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val shards: Array[FileStatus] =
+      if (!fs.exists(p)) Array.empty
+      else fs.listStatus(p).filter(s => s.isFile && s.getPath.getName.endsWith(".tar"))
+    // one partition per shard — the WebDataset task contract; stable order
+    shards.sortBy(_.getPath.getName)
+      .map(s => TarShardPartition(s.getPath.toString, s.getLen): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val conf = new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    TarReaderFactory(conf, required.fieldNames)
+  }
+}
+
+private[v2] case class TarShardPartition(shardPath: String, len: Long)
+    extends InputPartition
+
+private[v2] case class TarReaderFactory(
+    conf: SerializableConfiguration, columns: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new TarPartitionReader(
+      partition.asInstanceOf[TarShardPartition], conf, columns)
+}
+
+/** Streams one shard: 512-byte ustar headers, payload read only when the
+  * `payload` column survived pruning — otherwise `skip()`ed. */
+private[v2] class TarPartitionReader(
+    part: TarShardPartition, conf: SerializableConfiguration,
+    columns: Array[String]) extends PartitionReader[InternalRow] {
+
+  private val BLOCK = 512
+  private val needPayload = columns.contains("payload")
+  private val shardName = part.shardPath.split('/').last
+  private val in = {
+    val p = new Path(part.shardPath)
+    p.getFileSystem(conf.value).open(p)
+  }
+  private var row: InternalRow = _
+  private var done = false
+
+  private def readFully(buf: Array[Byte]): Boolean = {
+    var off = 0
+    while (off < buf.length) {
+      val n = in.read(buf, off, buf.length - off)
+      if (n < 0) return false
+      off += n
+    }
+    true
+  }
+
+  private def parseOctal(p: Array[Byte], off: Int, len: Int): Long = {
+    var v = 0L
+    var i = off
+    while (i < off + len && p(i) != 0 && p(i) != ' ') {
+      v = v * 8 + (p(i) - '0'); i += 1
+    }
+    v
+  }
+
+  override def next(): Boolean = {
+    if (done) return false
+    val hdr = new Array[Byte](BLOCK)
+    if (!readFully(hdr) || hdr(0) == 0) { done = true; return false }
+    var end = 0
+    while (end < 100 && hdr(end) != 0) end += 1
+    val name = new String(hdr, 0, end, "UTF-8")
+    val size = parseOctal(hdr, 124, 12)
+    val padded = ((size + BLOCK - 1) / BLOCK) * BLOCK
+    val payload: Array[Byte] =
+      if (needPayload) {
+        val buf = new Array[Byte](size.toInt)
+        if (!readFully(buf)) { done = true; return false }
+        var toSkip = padded - size
+        while (toSkip > 0) toSkip -= in.skip(toSkip)
+        buf
+      } else {
+        // the pruning win: data blocks are never read
+        var toSkip = padded
+        while (toSkip > 0) toSkip -= in.skip(toSkip)
+        null
+      }
+    val dot = name.indexOf('.')
+    val (key, ext) =
+      if (dot < 0) (name, "") else (name.substring(0, dot), name.substring(dot + 1))
+    val values: Array[Any] = columns.map {
+      case "shard" => UTF8String.fromString(shardName)
+      case "key" => UTF8String.fromString(key)
+      case "ext" => UTF8String.fromString(ext)
+      case "size" => size
+      case "payload" => payload
+    }
+    row = InternalRow.fromSeq(values.toIndexedSeq)
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = in.close()
+}

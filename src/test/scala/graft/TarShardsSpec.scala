@@ -88,6 +88,44 @@ class TarShardsSpec extends SparkSpec {
     assert(new String(samples("s1")("meta.json"), "UTF-8") === """{"q":1}""")
   }
 
+  test("DSv2 connector: full read matches TarShards.read row for row") {
+    val dir = tmp()
+    val rows = (0 until 41).map(i =>
+      (f"k$i%04d", if (i % 3 == 0) "txt" else "cls",
+        Array.tabulate(i * 11 % 700)(j => ((i * 17 + j) % 256).toByte)))
+    TarShards.write(rows.toDF("key", "ext", "payload").repartition(3), dir)
+    val v2 = spark.read.format("graft.sources.v2.TarDataSource").load(dir)
+    // one InputPartition per shard — the WebDataset task contract
+    assert(v2.rdd.getNumPartitions === 3)
+    val got = v2.collect().map(r => (r.getString(1), r.getString(2),
+      r.getLong(3), r.getAs[Array[Byte]](4).toSeq)).toSet
+    val want = rows.map(t => (t._1, t._2, t._3.length.toLong, t._3.toSeq)).toSet
+    assert(got === want)
+    // composition parity with the binaryFile+mapPartitions reader
+    val v1 = TarShards.read(spark, dir)
+      .collect().map(r => (r.getString(1), r.getString(2),
+        r.getAs[Array[Byte]](3).toSeq)).toSet
+    assert(got.map(t => (t._1, t._2, t._4)) === v1)
+  }
+
+  test("DSv2 connector: payload pruning reaches the scan, sizes still exact") {
+    val dir = tmp()
+    val rows = (0 until 20).map(i =>
+      (f"k$i%03d", "txt", Array.fill(i * 50)(7.toByte)))
+    TarShards.write(rows.toDF("key", "ext", "payload").coalesce(2), dir)
+    val pruned = spark.read.format("graft.sources.v2.TarDataSource").load(dir)
+      .select("key", "size")
+    // the pruned column set must reach the V2 scan (payload never read)
+    val scanDesc = pruned.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("cols=key,size"), s"scan not pruned:\n$scanDesc")
+    val sizes = pruned.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { case (k, _, p) => assert(sizes(k) === p.length.toLong) }
+    // header-only aggregate equals payload-length aggregate from a full read
+    val full = spark.read.format("graft.sources.v2.TarDataSource").load(dir)
+      .agg(sum(length(col("payload")).cast("long"))).collect()(0).getLong(0)
+    assert(sizes.values.sum === full)
+  }
+
   test("zero-length payloads and the 100-byte name limit") {
     val dir = tmp()
     TarShards.write(Seq(("empty", "txt", Array.emptyByteArray))
