@@ -456,6 +456,54 @@ object OracleSqls {
         |ORDER BY dim""".stripMargin
     },
 
+    // all-but-the-top (Mu & Viswanath ICLR'18): the same power-iteration
+    // CTEs, then per-id projection removal in truncating integer milli
+    // arithmetic and round-6 cosine over the de-biased integer arrays
+    "emb_abtt_topk" -> {
+      val rounds = (1 to 3).map { t =>
+        s"""d$t AS (
+           |  SELECT id, SUM(x * v) AS dp FROM x JOIN v${t - 1} USING (i)
+           |  GROUP BY id
+           |), u$t AS (
+           |  SELECT i, CAST(SUM(x * dp) AS BIGINT) AS u
+           |  FROM x JOIN d$t USING (id) GROUP BY i
+           |), m$t AS (SELECT greatest(max(abs(u)), 1) AS m FROM u$t),
+           |v$t AS (
+           |  SELECT i, CAST((u * 1000) // m AS BIGINT) AS v
+           |  FROM u$t CROSS JOIN m$t
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH x0 AS (
+        |  SELECT vec_id AS id, i - 1 AS i,
+        |    CAST(round(e[i] * 1000, 0) AS BIGINT) AS x
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |        FROM embeddings),
+        |    unnest(range(1, 65)) AS t(i)
+        |), mu AS (
+        |  SELECT i, CAST(sum(x) // count(*) AS BIGINT) AS mu FROM x0
+        |  GROUP BY i
+        |), x AS (
+        |  SELECT id, x0.i, x - mu AS x FROM x0 JOIN mu USING (i)
+        |), v0 AS (SELECT DISTINCT i, 1000::BIGINT AS v FROM x),
+        |$rounds,
+        |n2 AS (SELECT SUM(v * v) AS n2 FROM v3),
+        |dp AS (SELECT id, SUM(x * v) AS dp FROM x JOIN v3 USING (i) GROUP BY id),
+        |pr AS (
+        |  SELECT x.id, x.i, x.x - (dp.dp * v3.v) // n2.n2 AS p
+        |  FROM x JOIN dp USING (id) JOIN v3 USING (i) CROSS JOIN n2
+        |),
+        |ar AS (
+        |  SELECT id, list_transform(
+        |    list(struct_pack(i := i, p := CAST(p AS DOUBLE)) ORDER BY i),
+        |    s -> s.p) AS a
+        |  FROM pr GROUP BY id
+        |),
+        |q AS (SELECT a AS qa FROM ar WHERE id = 0)
+        |SELECT ar.id AS vec_id,
+        |  round(list_cosine_similarity(ar.a, qa), 6) AS similarity
+        |FROM ar, q ORDER BY similarity DESC, vec_id LIMIT 10""".stripMargin
+    },
+
     "emb_random_projection" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |d AS (SELECT unnest(range(0, 8)) AS proj_dim)

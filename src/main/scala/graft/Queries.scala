@@ -330,6 +330,12 @@ object Queries {
     Vectors.centeredTopK(T(spark, dir, "embeddings"), "vec_id", "embedding",
       queryId = 0L, k = 10)
 
+  /** All-but-the-top de-biased retrieval: centering PLUS top-principal-
+    * direction removal before cosine top-10. */
+  def embAbttTopK(spark: SparkSession, dir: String): DataFrame =
+    Vectors.abttTopK(T(spark, dir, "embeddings"), "vec_id", "embedding",
+      queryId = 0L, k = 10, iters = 3)
+
   /** Per-centroid balance + angular inertia of the trained IVF layout
     * (same trainer settings as ann_ivf_kmeans). */
   def annKmeansQuality(spark: SparkSession, dir: String): DataFrame =
@@ -2246,6 +2252,7 @@ object Queries {
     "ann_ivf_kmeans" -> (annIvfKmeans _),
     "ann_kmeans_quality" -> (annKmeansQuality _),
     "emb_centered_topk" -> (embCenteredTopK _),
+    "emb_abtt_topk" -> (embAbttTopK _),
     "ann_pq_topk" -> (annPqTopK _),
     "ann_ivfpq_topk" -> (annIvfPqTopK _),
     "ann_sq8_topk" -> (annSq8TopK _),

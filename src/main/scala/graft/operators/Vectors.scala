@@ -625,6 +625,58 @@ object Vectors {
       .select(col("i").cast("long").as("dim"), col("v").as("v_milli"))
   }
 
+  /** All-but-the-top retrieval (Mu & Viswanath, ICLR'18): center the
+    * corpus, remove the top principal direction, THEN do cosine top-k.
+    * Embedding matrices have a large shared component plus a dominant
+    * anisotropic axis that together swamp raw cosine; [[centeredTopK]]
+    * removes the first, this removes both — the standard post-processing
+    * that lifts retrieval quality with no model change.
+    *
+    * Entirely in the integer milli domain of [[powerIterationTopDir]]
+    * (whose direction this reuses): centered components x, direction v,
+    * projection-removed component p = x − (x·v)·v div ‖v‖² with
+    * truncating integer division — verified identical cross-engine on
+    * negatives — so the de-biased matrix is exact in both engines, and
+    * the final cosine runs on integer-valued doubles with the round-6
+    * convention. Long range: |dp| ≤ d·|x|·|v| ≈ 1.3e8 at d=64, so
+    * dp·v ≈ 1.3e11 — far inside Long at any embedding width that fits
+    * a row.
+    *
+    * Scale shape: means, direction, and ‖v‖² broadcast; the corpus
+    * appears only as the exploded (id, dim, x) table shuffled on its own
+    * keys, and the rebuilt de-biased arrays flow straight into the same
+    * TakeOrderedAndProject top-k as [[bruteForceTopK]]. */
+  def abttTopK(emb: DataFrame, idCol: String, vecCol: String,
+               queryId: Long, k: Int, iters: Int = 3): DataFrame = {
+    val x0 = emb
+      .select(col(idCol).as("id"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("i", "xv")))
+      .select(col("id"), col("i"),
+        round(col("xv") * 1000L, 0).cast("long").as("x"))
+    val means = x0.groupBy("i").agg(expr("sum(x) div count(1)").as("mu"))
+    val c = x0.join(broadcast(means), Seq("i"))
+      .select(col("id"), col("i"), (col("x") - col("mu")).as("x"))
+    val v = powerIterationTopDir(emb, idCol, vecCol, iters)
+      .select(col("dim").cast("int").as("i"), col("v_milli").as("v"))
+    val n2 = v.agg(sum(expr("v * v")).as("n2"))
+    val dps = c.join(broadcast(v), Seq("i"))
+      .groupBy("id").agg(sum(expr("x * v")).as("dp"))
+    val proj = c.join(dps, Seq("id")).join(broadcast(v), Seq("i"))
+      .crossJoin(broadcast(n2))
+      .select(col("id"), col("i"), expr("x - (dp * v) div n2").as("p"))
+    val arrs = proj.groupBy("id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("i").as("i"),
+          col("p").cast("double").as("p")))),
+        s => s.getField("p")).as("a"))
+    val q = arrs.where(col("id") === queryId).select(col("a").as("qa"))
+    arrs.crossJoin(broadcast(q))
+      .select(col("id").as("vec_id"),
+        round(cosineSim(col("a"), col("qa")), 6).as("similarity"))
+      .orderBy(col("similarity").desc, col("vec_id"))
+      .limit(k)
+  }
+
   def randomProjection(emb: DataFrame, idCol: String, vecCol: String,
                        dIn: Int, dOut: Int, seed: String = "rp"): DataFrame = {
     val md = java.security.MessageDigest.getInstance("MD5")

@@ -196,6 +196,33 @@ class VectorsSpec extends SparkSpec {
     assert(again.toSeq === pruned.toSeq)
   }
 
+  test("ABTT removes the dominant axis: rank flip vs raw cosine") {
+    // corpus variance is concentrated on e1 (the anisotropic axis); the
+    // retrieval signal lives in e2/e3. Raw cosine ranks the e1-aligned
+    // confounder above the true neighbor; after centering + top-PC
+    // removal the ordering flips.
+    val filler = (10L to 17L).map(i =>
+      (i, Seq((i - 9) * 0.1, 0.01, -0.01, 0.0)))
+    val pts = Seq(
+      (0L, Seq(0.5, 0.1, 0.0, 0.0)),  // query
+      (1L, Seq(0.05, 0.1, 0.0, 0.0)), // same signal, tiny e1 weight
+      (2L, Seq(0.5, 0.0, 0.1, 0.0))   // orthogonal signal, query's e1
+    ) ++ filler
+    val df = pts.toDF("id", "v")
+    val raw = Vectors.bruteForceTopK(df, "id", "v", Seq(0.5, 0.1, 0.0, 0.0),
+      k = 11, exclude = Seq(0L)).collect().map(_.getLong(0))
+    assert(raw.indexOf(2L) < raw.indexOf(1L),
+      "raw cosine must prefer the e1-aligned confounder")
+    val ab = Vectors.abttTopK(df, "id", "v", queryId = 0L, k = 11)
+      .collect().map(_.getLong(0)).filter(_ != 0L)
+    assert(ab.head === 1L, s"ABTT must surface the true neighbor: ${ab.toSeq}")
+    assert(ab.indexOf(1L) < ab.indexOf(2L))
+    // deterministic end to end
+    val again = Vectors.abttTopK(df, "id", "v", queryId = 0L, k = 11)
+      .collect().map(_.getLong(0)).filter(_ != 0L)
+    assert(again.toSeq === ab.toSeq)
+  }
+
   test("SQ8 with full-coverage ef equals exact brute force after re-rank") {
     val rnd = new scala.util.Random(13)
     val vs = (0L until 24L).map(i => (i, Seq.fill(8)(rnd.nextGaussian())))
