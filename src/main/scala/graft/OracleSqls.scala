@@ -1755,6 +1755,59 @@ object OracleSqls {
         |FROM documents d LEFT JOIN l ON l.doc_id = d.doc_id
         |GROUP BY d.source""".stripMargin,
 
+    // batch-perceptron training unrolled (mirrors
+    // Curation.classifierTrainStats): hashed unigram counts + bias slot,
+    // labels from the length gate, per round margins -> mistake set ->
+    // integer gradient -> weight update; pure sums of integer products,
+    // so exact in both engines
+    "curate_classifier_train" -> {
+      val rounds = (1 to 3).map { t =>
+        s"""m$t AS (
+           |  SELECT doc_id, y, SUM(cnt * w) AS m
+           |  FROM feats JOIN w${t - 1} USING (slot) GROUP BY 1, 2
+           |), g$t AS (
+           |  SELECT slot, SUM(y * cnt) AS g FROM feats
+           |  WHERE doc_id IN (SELECT doc_id FROM m$t WHERE y * m <= 0)
+           |  GROUP BY slot
+           |), w$t AS (
+           |  SELECT w${t - 1}.slot, w${t - 1}.w + coalesce(g$t.g, 0) AS w
+           |  FROM w${t - 1} LEFT JOIN g$t USING (slot)
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH base AS (SELECT doc_id, $wordsExpr AS ws FROM documents),
+        |yv AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN len(ws) >= 56 THEN 1 ELSE -1 END AS BIGINT) AS y
+        |  FROM base
+        |),
+        |tok AS (
+        |  SELECT doc_id,
+        |    CAST(substr(regexp_replace(md5(t), '[a-f]', '', 'g') || '000000',
+        |      1, 6) AS BIGINT) % 16 AS slot,
+        |    count(*) AS cnt
+        |  FROM (SELECT doc_id, unnest(ws) AS t FROM base) GROUP BY 1, 2
+        |),
+        |feats AS (
+        |  SELECT t.doc_id, t.slot, t.cnt, y.y
+        |  FROM tok t JOIN yv y USING (doc_id)
+        |  UNION ALL
+        |  SELECT doc_id, CAST(16 AS BIGINT), CAST(1 AS BIGINT), y FROM yv
+        |),
+        |w0 AS (SELECT unnest(range(0, 17)) AS slot, CAST(0 AS BIGINT) AS w),
+        |$rounds,
+        |mf AS (
+        |  SELECT doc_id, y, SUM(cnt * w) AS m
+        |  FROM feats JOIN w3 USING (slot) GROUP BY 1, 2
+        |),
+        |fm AS (
+        |  SELECT SUM(CASE WHEN y * m <= 0 THEN 1 ELSE 0 END) AS n_mistakes
+        |  FROM mf
+        |)
+        |SELECT CAST(w3.slot AS BIGINT) AS slot, CAST(w3.w AS BIGINT) AS w,
+        |  CAST(fm.n_mistakes AS BIGINT) AS n_mistakes
+        |FROM w3, fm ORDER BY slot""".stripMargin
+    },
+
     // weighted sampling by temperature boost: floor() before the BIGINT
     // cast in both engines (Spark truncates, DuckDB rounds); salted md5
     // acceptance hash mirrors Dedup.md5Long(x, 8)

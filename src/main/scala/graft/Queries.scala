@@ -1674,6 +1674,12 @@ object Queries {
   def curateClassifierScore(spark: SparkSession, dir: String): DataFrame =
     Curation.classifierScoreStats(T(spark, dir, "documents"))
 
+  /** TRAIN the quality classifier: 3 unrolled batch-perceptron rounds
+    * over hashed unigram counts + bias, labels from the length gate. */
+  def curateClassifierTrain(spark: SparkSession, dir: String): DataFrame =
+    Curation.classifierTrainStats(T(spark, dir, "documents"), dim = 16,
+      iters = 3, lenThreshold = 56)
+
   /** Incremental near-dup: every 10th doc arrives as the "new batch" and
     * probes the band index built over the other 90% — signature-agreement
     * verification, corpus text untouched. */
@@ -2376,6 +2382,7 @@ object Queries {
     "curate_shard_shuffle" -> (curateShardShuffle _),
     "events_equidepth" -> (eventsEquidepth _),
     "curate_classifier_score" -> (curateClassifierScore _),
+    "curate_classifier_train" -> (curateClassifierTrain _),
     "curate_pii" -> (curatePii _),
     "curate_dsir" -> (curateDsir _),
     "curate_novelty" -> (curateNovelty _),

@@ -683,4 +683,63 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("logit") > 0, 1L).otherwise(0L)).cast("long").as("n_pos"),
         sum(col("logit")).cast("long").as("sum_logit"))
+
+  /** TRAIN a linear doc-quality classifier from the corpus itself —
+    * the learn-family member for model-based curation, next to BPE merge
+    * learning, Lloyd k-means, and power iteration: `iters` unrolled
+    * BATCH-perceptron rounds over hashed unigram counts plus a bias
+    * feature (slot `dim`). Per round: one broadcast join for margins
+    * m_d = Σ cnt·w, one aggregate for the gradient Σ y·cnt over the
+    * mistake set (y·m ≤ 0), and a (dim+1)-row weight update — every step
+    * a sum of integer products, so the whole training run is
+    * order-independent and exact in both engines (the reason for batch
+    * perceptron over SGD, whose row order Spark cannot pin, and over
+    * logistic loss, whose exp() drifts across engines).
+    *
+    * Labels are derived deterministically from a length gate
+    * (`wordcount ≥ lenThreshold` → +1 else −1) — the bootstrap pattern
+    * real pipelines use: a cheap heuristic labels a seed set, the trained
+    * model generalizes the signal to the open-vocabulary feature space.
+    *
+    * Scale shape: the corpus appears as the (doc, slot, cnt) hashed
+    * feature stream (no vocabulary pass — the HashingTF property); the
+    * weight vector is dim+1 rows, always broadcast; each round is one
+    * keyed margin aggregate + one mistake semi-join + one slot aggregate.
+    * Output: final weights per slot plus the end-of-training mistake
+    * count. */
+  def classifierTrainStats(docs: DataFrame, dim: Int = 16, iters: Int = 3,
+                           lenThreshold: Int = 56): DataFrame = {
+    def bucket(c: Column): Column =
+      substring(concat(regexp_replace(md5(c), "[a-f]", ""), lit("000000")),
+        1, 6).cast("long") % dim
+    val base = docs.select(col("doc_id"), words(col("text")).as("ws"))
+    val yv = base.select(col("doc_id"),
+      when(size(col("ws")) >= lenThreshold, 1L).otherwise(-1L).as("y"))
+    val tok = base.select(col("doc_id"), explode(col("ws")).as("t"))
+      .select(col("doc_id"), bucket(col("t")).as("slot"))
+      .groupBy("doc_id", "slot").agg(count(lit(1)).as("cnt"))
+    val feats = tok
+      .unionByName(yv.select(col("doc_id"), lit(dim.toLong).as("slot"),
+        lit(1L).as("cnt")))
+      .join(yv, "doc_id")
+      .localCheckpoint(true)
+    def margins(wdf: DataFrame): DataFrame =
+      feats.join(broadcast(wdf), "slot")
+        .groupBy("doc_id", "y").agg(sum(expr("cnt * w")).as("m"))
+    var wdf = docs.sparkSession.range(dim + 1)
+      .select(col("id").as("slot"), lit(0L).as("w"))
+    for (_ <- 1 to iters) {
+      val mist = margins(wdf).where(expr("y * m <= 0")).select("doc_id")
+      val grad = feats.join(mist, "doc_id")
+        .groupBy("slot").agg(sum(expr("y * cnt")).as("g"))
+      wdf = wdf.join(grad, Seq("slot"), "left")
+        .select(col("slot"), (col("w") + coalesce(col("g"), lit(0L))).as("w"))
+        .localCheckpoint(true)
+    }
+    val fm = margins(wdf)
+      .agg(sum(when(expr("y * m <= 0"), 1L).otherwise(0L)).as("n_mistakes"))
+    wdf.crossJoin(broadcast(fm))
+      .select(col("slot"), col("w"), col("n_mistakes"))
+      .orderBy("slot")
+  }
 }

@@ -93,11 +93,27 @@ private[v2] class TarScanBuilder(path: String)
 }
 
 private[v2] class TarScan(path: String, required: StructType)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-tar $path cols=${required.fieldNames.mkString(",")}"
+
+  /** Size the scan for the optimizer: archive bytes when payload is read,
+    * ~header bytes (1/8 of the archive floor) when it's pruned — so a
+    * pruned shard listing can qualify for broadcast where the full read
+    * would not. Row count stays unknown (entry counts need a scan). */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes = planInputPartitions()
+      .map(_.asInstanceOf[TarShardPartition].len).sum
+    private val scanned =
+      if (required.fieldNames.contains("payload")) bytes
+      else math.max(bytes / 8, 1L)
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(scanned)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.empty()
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = org.apache.spark.sql.SparkSession.active

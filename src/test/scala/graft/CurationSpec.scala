@@ -448,4 +448,35 @@ class CurationSpec extends SparkSpec {
       "text")
     assert(urls.collect().head.getLong(4) === "https://c.io/p".length.toLong)
   }
+
+  test("perceptron training separates a separable corpus in one round") {
+    // positives: 4 distinct words (label rule: wordcount >= 3); negatives:
+    // a single different word. Round 1 treats every doc as a mistake
+    // (all-zero weights), so w becomes the class-difference vector, which
+    // already separates — the final mistake count must be 0.
+    val docs = ((0L until 6L).map(i => (i, "dz", "alpha beta gamma delta")) ++
+      (10L until 16L).map(i => (i, "dz", "omega")))
+      .toDF("doc_id", "source", "text")
+    val out = Curation.classifierTrainStats(docs, dim = 16, iters = 3,
+      lenThreshold = 3).collect()
+    assert(out.length === 17) // dim weight slots + bias
+    assert(out.map(_.getLong(2)).distinct.toSeq === Seq(0L),
+      "separable corpus must reach zero training mistakes")
+    // the learned weights really score positives above negatives
+    val w = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def score(text: String): Long =
+      text.split(' ').map { t =>
+        val digits = java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          .replaceAll("[a-f]", "") + "000000"
+        w(digits.substring(0, 6).toLong % 16)
+      }.sum + w(16L)
+    assert(score("alpha beta gamma delta") > 0)
+    assert(score("omega") <= 0)
+    // deterministic end to end
+    val again = Curation.classifierTrainStats(docs, dim = 16, iters = 3,
+      lenThreshold = 3).collect()
+    assert(again.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      out.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
 }
