@@ -43,6 +43,12 @@ import org.apache.spark.util.SerializableConfiguration
   * binary) — `size` comes free from the header, so pruned scans can still
   * aggregate byte totals without reading data blocks.
   *
+  * The same table also reads as a STREAM (`spark.readStream.format(...)`):
+  * [[TarMicroBatchStream]] turns the shard directory into a continuous
+  * ingestion source — each micro-batch is the newly arrived shards under
+  * the WebDataset monotone-naming contract, checkpoint-restartable,
+  * with the identical reader and pruning path as batch.
+  *
   * Reference anchor: WebDataset shard iteration (one tar = one loader
   * task) as used by large-scale training pipelines; the tar byte format
   * is the public POSIX ustar layout, shared with [[graft.sources.TarShards]].
@@ -74,7 +80,7 @@ private[v2] class TarTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"graft-tar:$path"
   override def schema(): StructType = TarDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TarScanBuilder(path)
@@ -96,6 +102,9 @@ private[v2] class TarScan(path: String, required: StructType)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new TarMicroBatchStream(path, required)
   override def description(): String =
     s"graft-tar $path cols=${required.fieldNames.mkString(",")}"
 
@@ -137,6 +146,53 @@ private[v2] class TarScan(path: String, required: StructType)
 
 private[v2] case class TarShardPartition(shardPath: String, len: Long)
     extends InputPartition
+
+/** Streaming form of the connector — continuous corpus ingestion, THE
+  * arrival pattern for training shards (a crawler or exporter drops
+  * `shard-NNNNN.tar` files; the pipeline picks each up exactly once).
+  * Offsets are positions in the name-sorted directory listing, which is
+  * correct under the WebDataset naming contract (monotone shard names,
+  * append-only directory — the writer's `shard-NNNNN-of-MMMMM` names
+  * satisfy it); each micro-batch is the slice of newly arrived shards,
+  * one InputPartition per shard, same streaming ustar reader and column
+  * pruning as the batch path. The offset survives checkpoint restarts
+  * through the standard json round-trip, so a restarted query resumes
+  * from the committed shard count instead of re-reading the corpus. */
+private[v2] case class TarOffset(n: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"n":$n}"""
+}
+
+private[v2] class TarMicroBatchStream(path: String, required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private val conf = new SerializableConfiguration(
+    org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+
+  private def shards(): Array[FileStatus] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf.value)
+    if (!fs.exists(p)) Array.empty
+    else fs.listStatus(p)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".tar"))
+      .sortBy(_.getPath.getName)
+  }
+
+  override def initialOffset(): Offset = TarOffset(0)
+  override def latestOffset(): Offset = TarOffset(shards().length)
+  override def deserializeOffset(json: String): Offset =
+    TarOffset("""\d+""".r.findFirstIn(json).map(_.toInt).getOrElse(0))
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    shards().slice(start.asInstanceOf[TarOffset].n, end.asInstanceOf[TarOffset].n)
+      .map(s => TarShardPartition(s.getPath.toString, s.getLen): InputPartition)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    TarReaderFactory(conf, required.fieldNames)
+}
 
 private[v2] case class TarReaderFactory(
     conf: SerializableConfiguration, columns: Array[String])

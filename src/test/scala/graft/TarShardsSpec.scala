@@ -126,6 +126,40 @@ class TarShardsSpec extends SparkSpec {
     assert(sizes.values.sum === full)
   }
 
+  test("DSv2 streaming: new shards picked up exactly once across restarts") {
+    val dir = tmp(); val ckpt = tmp() + "/ck"; val out = tmp() + "/out"
+    def writeShard(name: String, rows: Seq[(String, String, Array[Byte])]): Unit = {
+      val t = tmp()
+      TarShards.write(rows.toDF("key", "ext", "payload").coalesce(1), t)
+      val f = new java.io.File(t).listFiles().filter(_.getName.endsWith(".tar")).head
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(dir, name))
+    }
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft.sources.v2.TarDataSource")
+        .load(dir)
+        .select("shard", "key", "size")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    writeShard("shard-00000.tar", Seq(("a", "txt", "AA".getBytes("UTF-8"))))
+    writeShard("shard-00001.tar", Seq(("b", "txt", "BBB".getBytes("UTF-8"))))
+    runOnce()
+    val r1 = spark.read.parquet(out).collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    assert(r1.toSet === Set(("a", 2L), ("b", 3L)))
+    // a new shard lands; a RESTARTED query resumes from the committed
+    // offset and reads only the arrival — exactly-once per shard
+    writeShard("shard-00002.tar", Seq(("c", "txt", "C".getBytes("UTF-8"))))
+    runOnce()
+    val r2 = spark.read.parquet(out).collect().map(_.getString(1))
+    assert(r2.sorted.toSeq === Seq("a", "b", "c"), "each key exactly once")
+  }
+
   test("zero-length payloads and the 100-byte name limit") {
     val dir = tmp()
     TarShards.write(Seq(("empty", "txt", Array.emptyByteArray))
