@@ -44,6 +44,27 @@ object VectorStore {
       .write.mode("overwrite").partitionBy("cid").parquet(path)
   }
 
+  /** Incremental maintenance — the piece that makes the layout viable at
+    * 100 TB: new arrivals assign to the PERSISTED centroids (one broadcast
+    * join over the batch only) and append into their cell partitions;
+    * the corpus is never rescanned, the centroids never move (the
+    * frozen-quantizer contract every production IVF store uses between
+    * retrains — FAISS `add()` after `train()`), and dynamic partition
+    * overwrite semantics are unnecessary because appends only ever add
+    * files inside existing `cid=` directories. Probes see old and new
+    * vectors identically, since assignment arithmetic is byte-for-byte
+    * the write-path arithmetic. */
+  def appendIvf(newRows: DataFrame, idCol: String, vecCol: String,
+                path: String): Unit = {
+    val spark = newRows.sparkSession
+    val centroids = spark.read.parquet(path + ".centroids")
+    Vectors.assignToCentroids(
+        newRows.select(col(idCol).as("id"),
+          col(vecCol).cast("array<double>").as("v")),
+        centroids)
+      .write.mode("append").partitionBy("cid").parquet(path)
+  }
+
   /** Probe: rank cells by centroid similarity (a ≤ nCentroids-row driver
     * decision — the probe list IS tiny by construction), read only those
     * partitions, exact top-k inside. */

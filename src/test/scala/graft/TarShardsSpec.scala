@@ -160,6 +160,43 @@ class TarShardsSpec extends SparkSpec {
     assert(r2.sorted.toSeq === Seq("a", "b", "c"), "each key exactly once")
   }
 
+  test("e2e: streamed shards probe the persisted near-dup index") {
+    // the composed continuous-ingestion pipeline: tar shards arrive (the
+    // streaming V2 source), their text payloads probe the persisted
+    // MinHash band index — the batch near-dup gate running live, with no
+    // state store and no corpus rescan
+    import graft.operators.Dedup
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val index = Dedup.minhashBandIndex(corpus, "doc_id", "text",
+      n = 3, numHashes = 16, numBands = 4)
+    val dir = tmp()
+    TarShards.write(Seq(
+        ("doc10", "txt",
+          "alpha beta gamma delta epsilon zeta eta theta".getBytes("UTF-8")),
+        ("doc11", "txt",
+          "totally different words nothing shared here at all".getBytes("UTF-8")))
+      .toDF("key", "ext", "payload").coalesce(1), dir)
+    val arrivals = spark.readStream
+      .format("graft.sources.v2.TarDataSource").load(dir)
+      .select(expr("cast(substring(key, 4, 18) as long)").as("doc_id"),
+        decode(col("payload"), "UTF-8").as("text"))
+    val out = Dedup.streamingProbeNearDups(index, arrivals, "doc_id", "text",
+      n = 3, numHashes = 16, numBands = 4, minAgree = 0.5)
+    val q = out.writeStream.format("memory").queryName("tar_probe")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.table("tar_probe").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).distinct
+    // the duplicate arrival flags against doc 1 (full signature agreement);
+    // the novel arrival passes the gate silently
+    assert(rows.toSeq === Seq((10L, 1L, 1.0)))
+  }
+
   test("zero-length payloads and the 100-byte name limit") {
     val dir = tmp()
     TarShards.write(Seq(("empty", "txt", Array.emptyByteArray))

@@ -60,4 +60,28 @@ class VectorStoreSpec extends SparkSpec {
       .filter(_.getName.startsWith("cid=")).map(_.getName).sorted
     assert(dirs.length === 4, dirs.mkString(","))
   }
+
+  test("incremental append: arrivals join their cells, corpus never rescanned") {
+    val path = java.nio.file.Files.createTempDirectory("ivfstore3")
+      .resolve("emb").toString
+    VectorStore.writeIvf(emb, "vec_id", "embedding", nCentroids = 4, path)
+    // an arrival engineered to be the query's nearest neighbor
+    val batch = Seq((1000L, q.map(_ * 0.99))).toDF("vec_id", "embedding")
+    VectorStore.appendIvf(batch, "vec_id", "embedding", path)
+    val got = VectorStore.probeIvf(spark, path, "vec_id", q, k = 3, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.head._1 === 1000L, s"appended vector must probe first: ${got.toSeq}")
+    // probe result ≡ a from-scratch store over corpus ∪ batch with the
+    // SAME frozen centroids (seeds come from the original corpus ids, so
+    // the quantizer is unchanged — the FAISS add-after-train contract)
+    val all = emb.unionByName(batch)
+    val direct = Vectors.ivfTopK(all, "vec_id", "embedding", q, k = 3,
+        nCentroids = 4, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq === direct.toSeq)
+    // append created no new cell directories and left the old files alone
+    val dirs = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("cid=")).map(_.getName)
+    assert(dirs.length === 4)
+  }
 }
