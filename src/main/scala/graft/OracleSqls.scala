@@ -732,6 +732,60 @@ object OracleSqls {
 
     "t3_pattern_rate" -> t3OracleSql(maxNodes = 20, maxTokens = 100000L, rate = 0.5),
 
+    // derandomized bootstrap CI (mirrors Metrics.bootstrapCi): integer
+    // micro per-question metrics, 64 md5-seeded resamples, order-stat
+    // interval at ranks 4/61 — every value integer-exact cross-engine
+    "a5_ir_bootstrap" ->
+      """WITH per AS (
+        |  SELECT l_orderkey AS ok, l_partkey AS pk, sum(l_quantity) AS q,
+        |    max(l_discount) AS d
+        |  FROM lineitem GROUP BY 1, 2
+        |), arr AS (
+        |  SELECT ok, (list(pk ORDER BY q DESC, pk))[1:10] AS preds,
+        |    coalesce(list(pk ORDER BY pk) FILTER (WHERE d > 0.05), []) AS labels
+        |  FROM per GROUP BY ok
+        |), pq AS (
+        |  SELECT ok AS qid,
+        |    CAST(len(list_intersect(preds, labels)) AS BIGINT) AS inter,
+        |    CAST(len(preds) AS BIGINT) AS np,
+        |    CAST(len(labels) AS BIGINT) AS nl
+        |  FROM arr
+        |), pm AS (
+        |  SELECT qid,
+        |    CASE WHEN np > 0 THEN (inter * 1000000) // np ELSE 0 END AS prec_micro,
+        |    CASE WHEN nl > 0 THEN (inter * 1000000) // nl ELSE 0 END AS rec_micro,
+        |    row_number() OVER (ORDER BY qid) - 1 AS rn
+        |  FROM pq
+        |), nf AS (SELECT count(*) AS n FROM pm),
+        |bs AS (SELECT unnest(range(0, 64)) AS b),
+        |draws AS (
+        |  SELECT b,
+        |    (CAST(substr(regexp_replace(md5('bs|' || CAST(b AS VARCHAR) ||
+        |      '|' || CAST(rn AS VARCHAR)), '[a-f]', '', 'g') || '000000',
+        |      1, 6) AS BIGINT) * n) // 1000000 AS idx
+        |  FROM pm CROSS JOIN bs CROSS JOIN nf
+        |), res AS (
+        |  SELECT d.b,
+        |    CAST(sum(p.prec_micro) // n.n AS BIGINT) AS mp,
+        |    CAST(sum(p.rec_micro) // n.n AS BIGINT) AS mr
+        |  FROM draws d JOIN pm p ON d.idx = p.rn CROSS JOIN nf n
+        |  GROUP BY d.b, n.n
+        |), rp AS (SELECT mp, b, row_number() OVER (ORDER BY mp, b) AS r FROM res),
+        |rr AS (SELECT mr, b, row_number() OVER (ORDER BY mr, b) AS r FROM res),
+        |point AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_questions,
+        |    CAST(sum(prec_micro) // count(*) AS BIGINT) AS mean_prec_micro,
+        |    CAST(sum(rec_micro) // count(*) AS BIGINT) AS mean_rec_micro
+        |  FROM pm
+        |)
+        |SELECT point.n_questions, point.mean_prec_micro,
+        |  (SELECT CAST(mp AS BIGINT) FROM rp WHERE r = 4) AS lo_prec_micro,
+        |  (SELECT CAST(mp AS BIGINT) FROM rp WHERE r = 61) AS hi_prec_micro,
+        |  point.mean_rec_micro,
+        |  (SELECT CAST(mr AS BIGINT) FROM rr WHERE r = 4) AS lo_rec_micro,
+        |  (SELECT CAST(mr AS BIGINT) FROM rr WHERE r = 61) AS hi_rec_micro
+        |FROM point""".stripMargin,
+
     "a5_ir_metrics" ->
       """WITH per AS (
         |  SELECT l_orderkey AS ok, l_partkey AS pk, sum(l_quantity) AS q, max(l_discount) AS d

@@ -685,6 +685,21 @@ object Queries {
     Metrics.macroAvg(arrays, col("preds"), col("labels"))
   }
 
+  /** Bootstrap CIs over the a5 question set — same preds/labels arrays,
+    * 64 derandomized resamples, order-statistic interval. */
+  def a5IrBootstrap(spark: SparkSession, dir: String): DataFrame = {
+    val per = T(spark, dir, "lineitem")
+      .groupBy("l_orderkey", "l_partkey")
+      .agg(sum("l_quantity").as("q"), max("l_discount").as("d"))
+    val arrays = per.groupBy("l_orderkey").agg(
+      slice(transform(
+        array_sort(collect_list(struct((-col("q")).as("nq"), col("l_partkey").as("pk")))),
+        s => s.getField("pk")), 1, 10).as("preds"),
+      sort_array(collect_list(when(col("d") > 0.05, col("l_partkey")))).as("labels"))
+    Metrics.bootstrapCi(arrays, col("l_orderkey"), col("preds"),
+      col("labels"), b = 64)
+  }
+
   /** A6 + P7 — candidate ranking by (-hits, num_results) with the
     * recall/precision training gate (llm1.py:53-66). */
   def a6BestCandidate(spark: SparkSession, dir: String): DataFrame = {
@@ -2305,6 +2320,7 @@ object Queries {
     "t3_budget_retrieval" -> (t3BudgetRetrieval _),
     "t3_pattern_rate" -> (t3PatternRate _),
     "a5_ir_metrics" -> (a5IrMetrics _),
+    "a5_ir_bootstrap" -> (a5IrBootstrap _),
     "a6_best_candidate" -> (a6BestCandidate _),
     "t4_rank_sampling" -> (t4RankSampling _),
     "td_onehop_gate" -> (tdOnehopGate _),

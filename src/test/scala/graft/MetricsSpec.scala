@@ -58,4 +58,32 @@ class MetricsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_questions") === 2L)
     assert(r.getAs[Double]("avg_precision") === 0.5)
   }
+
+  test("bootstrap CI brackets the point estimate; degenerate set collapses") {
+    // mixed question set: CI must contain the mean and be a proper order
+    val rnd = new scala.util.Random(3)
+    val df = (1L to 40L).map { i =>
+      val hit = rnd.nextInt(3) // 0, 1 or 2 of the 2 labels retrieved
+      (i, Seq(100L, 200L, 300L, 400L).take(2 + hit),
+        Seq(300L, 400L))
+    }.toDF("qid", "p", "l")
+    val r = Metrics.bootstrapCi(df, col("qid"), col("p"), col("l"), b = 64)
+      .collect().head
+    val (mean, lo, hi) = (r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(lo <= mean && mean <= hi, s"CI [$lo,$hi] must bracket $mean")
+    assert(lo < hi, "a mixed question set has sampling spread")
+    assert(r.getLong(0) === 40L)
+    // identical questions → every resample identical → CI width zero
+    val same = (1L to 12L).map(i => (i, Seq(1L, 2L), Seq(2L, 9L)))
+      .toDF("qid", "p", "l")
+    val s = Metrics.bootstrapCi(same, col("qid"), col("p"), col("l"), b = 64)
+      .collect().head
+    assert(s.getLong(2) === s.getLong(3))
+    assert(s.getLong(2) === s.getLong(1)) // = the point estimate (500000)
+    assert(s.getLong(1) === 500000L)
+    // deterministic end to end
+    val again = Metrics.bootstrapCi(df, col("qid"), col("p"), col("l"), b = 64)
+      .collect().head
+    assert(again.toSeq === r.toSeq)
+  }
 }
