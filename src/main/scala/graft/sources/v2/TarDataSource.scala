@@ -250,13 +250,13 @@ private[v2] class TarPartitionReader(
       if (needPayload) {
         val buf = new Array[Byte](size.toInt)
         if (!readFully(buf)) { done = true; return false }
-        var toSkip = padded - size
-        while (toSkip > 0) toSkip -= in.skip(toSkip)
+        // seek, not skip(): skip can return 0 at EOF (a truncated
+        // archive would spin forever)
+        in.seek(in.getPos + (padded - size))
         buf
       } else {
         // the pruning win: data blocks are never read
-        var toSkip = padded
-        while (toSkip > 0) toSkip -= in.skip(toSkip)
+        in.seek(in.getPos + padded)
         null
       }
     val dot = name.indexOf('.')
