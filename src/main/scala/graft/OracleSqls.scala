@@ -2327,6 +2327,45 @@ object OracleSqls {
 
     // reciprocity over the thresholded transition graph (the markov CTE
     // chain re-derived, edges at >= ~uniform propensity)
+    // temporal graph growth (mirrors GraphAlgorithms.temporalGrowth):
+    // first-occurrence month per edge/endpoint, then cumulative running
+    // sums over the month rollup — one corpus scan for every snapshot
+    "graph_growth" ->
+      """WITH e AS (
+        |  SELECT o_custkey AS a, l_partkey AS b,
+        |    CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS m
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), fe AS (
+        |  SELECT m, count(*) AS ne FROM (
+        |    SELECT a, b, min(m) AS m FROM e GROUP BY 1, 2) GROUP BY m
+        |), fa AS (
+        |  SELECT m, count(*) AS na FROM (
+        |    SELECT a, min(m) AS m FROM e GROUP BY 1) GROUP BY m
+        |), fb AS (
+        |  SELECT m, count(*) AS nb FROM (
+        |    SELECT b, min(m) AS m FROM e GROUP BY 1) GROUP BY m
+        |), ms AS (
+        |  SELECT DISTINCT m FROM (
+        |    SELECT m FROM fe UNION ALL SELECT m FROM fa
+        |    UNION ALL SELECT m FROM fb)
+        |), j AS (
+        |  SELECT ms.m, coalesce(ne, 0) AS ne, coalesce(na, 0) AS na,
+        |    coalesce(nb, 0) AS nb
+        |  FROM ms LEFT JOIN fe USING (m) LEFT JOIN fa USING (m)
+        |  LEFT JOIN fb USING (m)
+        |), c AS (
+        |  SELECT m,
+        |    sum(ne) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING) AS cum_edges,
+        |    sum(na) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING) AS cum_a,
+        |    sum(nb) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING) AS cum_b
+        |  FROM j
+        |)
+        |SELECT m, CAST(cum_edges AS BIGINT) AS cum_edges,
+        |  CAST(cum_a AS BIGINT) AS cum_a, CAST(cum_b AS BIGINT) AS cum_b,
+        |  CAST((cum_edges * 1000000) // (cum_a * cum_b) AS BIGINT)
+        |    AS density_micro
+        |FROM c""".stripMargin,
+
     "graph_reciprocity" ->
       """WITH p AS (
         |  SELECT user_id, event_type,

@@ -1187,6 +1187,18 @@ object Queries {
     Events.coverageIntervals(eventsUs(spark, dir).drop("ts").
       withColumnRenamed("ts_us", "ts"), lengthUs = 1800000000L)
 
+  /** Temporal growth of the customer–part purchase graph: cumulative
+    * node/edge counts and density per order month, first-occurrence
+    * reduction so the corpus is scanned once for all snapshots. */
+  def graphGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val edges = T(spark, dir, "lineitem")
+      .join(T(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("a"), col("l_partkey").as("b"),
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast("long").as("m"))
+    graft.graph.GraphAlgorithms.temporalGrowth(edges)
+  }
+
   /** Reciprocity of the behavior graph: event-type transitions kept at
     * ≥ ~uniform propensity (195000 micro under 5 types) form a directed
     * graph; the metric is the mutual-edge fraction. */
@@ -2292,6 +2304,7 @@ object Queries {
     "graph_mis" -> (graphMis _),
     "graph_scc_bounded" -> (graphSccBounded _),
     "graph_reciprocity" -> (graphReciprocity _),
+    "graph_growth" -> (graphGrowth _),
     "graph_butterflies" -> (graphButterflies _),
     "graph_coloring" -> (graphColoring _),
     "graph_ktruss" -> (graphKtruss _),

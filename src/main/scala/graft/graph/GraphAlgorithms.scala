@@ -1073,4 +1073,46 @@ object GraphAlgorithms {
       .orderBy(col("auth_score").desc, col("node_id"))
       .limit(k)
   }
+
+  /** Temporal growth profile of a bipartite behavior graph: per month,
+    * the CUMULATIVE node/edge counts and integer-micro density — the
+    * graph-evolution audit (densification, when did the graph stop
+    * growing) run as pure aggregation. `edges` carries (a, b, m) with m
+    * an integer month of OCCURRENCE; the load-bearing move is reducing
+    * every entity to its FIRST-occurrence month up front (three keyed
+    * mins — the only corpus-sized shuffles), after which cumulative
+    * counting is a running sum over the ~tens-of-months rollup. A naive
+    * per-snapshot distinct count would rescan the corpus once per month;
+    * this scans it once, total, and stays exact.
+    *
+    * Output: (m, cum_edges, cum_a, cum_b, density_micro) with
+    * density = edges/(|A|·|B|) in truncating micro units. The profile is
+    * a step function: a month in which nothing first-occurred emits no
+    * row (read the previous step). */
+  def temporalGrowth(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fe = edges.groupBy("a", "b").agg(min("m").as("m"))
+      .groupBy("m").agg(count(lit(1)).as("ne"))
+    val fa = edges.groupBy("a").agg(min("m").as("m"))
+      .groupBy("m").agg(count(lit(1)).as("na"))
+    val fb = edges.groupBy("b").agg(min("m").as("m"))
+      .groupBy("m").agg(count(lit(1)).as("nb"))
+    val months = fe.select("m").unionByName(fa.select("m"))
+      .unionByName(fb.select("m")).distinct()
+    val w = Window.orderBy("m")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    months
+      .join(fe, Seq("m"), "left").join(fa, Seq("m"), "left")
+      .join(fb, Seq("m"), "left")
+      .select(col("m"),
+        coalesce(col("ne"), lit(0L)).as("ne"),
+        coalesce(col("na"), lit(0L)).as("na"),
+        coalesce(col("nb"), lit(0L)).as("nb"))
+      .select(col("m"),
+        sum("ne").over(w).as("cum_edges"),
+        sum("na").over(w).as("cum_a"),
+        sum("nb").over(w).as("cum_b"))
+      .withColumn("density_micro",
+        expr("(cum_edges * 1000000) div (cum_a * cum_b)"))
+  }
 }

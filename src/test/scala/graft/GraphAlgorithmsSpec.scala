@@ -584,4 +584,21 @@ class GraphAlgorithmsSpec extends SparkSpec {
     assert(out(1L) === ((1000000L, 0L)))
     assert(out(2L) === ((625000L, 0L)))
   }
+
+  test("temporalGrowth: cumulative counts from first occurrences only") {
+    // month 1: edges (a1,b1), (a1,b2); month 2: (a2,b1) new + (a1,b1)
+    // REPEAT (must not recount); month 3: only a repeat — the profile is
+    // a step function, so a month with no first occurrence emits no row
+    val edges = Seq(
+      (1L, 10L, 1L), (1L, 20L, 1L),
+      (2L, 10L, 2L), (1L, 10L, 2L),
+      (1L, 20L, 3L))
+      .toDF("a", "b", "m")
+    val out = graft.graph.GraphAlgorithms.temporalGrowth(edges)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) === ((2L, 1L, 2L, 1000000L))) // 2 edges / (1 a · 2 b)
+    assert(out(2L) === ((3L, 2L, 2L, 750000L)))  // 3 / 4
+    assert(out.size === 2, "repeat-only months emit no step")
+  }
 }
