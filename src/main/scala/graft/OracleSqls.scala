@@ -732,8 +732,9 @@ object OracleSqls {
 
     "t3_pattern_rate" -> t3OracleSql(maxNodes = 20, maxTokens = 100000L, rate = 0.5),
 
-    // derandomized bootstrap CI (mirrors Metrics.bootstrapCi): integer
-    // micro per-question metrics, 64 md5-seeded resamples, order-stat
+    // derandomized POISSON bootstrap CI (mirrors Metrics.bootstrapCi):
+    // integer micro per-question metrics, 64 resamples with Poisson(1)
+    // multiplicities from the md5 hash of (resample, qid), order-stat
     // interval at ranks 4/61 — every value integer-exact cross-engine
     "a5_ir_bootstrap" ->
       """WITH per AS (
@@ -753,23 +754,26 @@ object OracleSqls {
         |), pm AS (
         |  SELECT qid,
         |    CASE WHEN np > 0 THEN (inter * 1000000) // np ELSE 0 END AS prec_micro,
-        |    CASE WHEN nl > 0 THEN (inter * 1000000) // nl ELSE 0 END AS rec_micro,
-        |    row_number() OVER (ORDER BY qid) - 1 AS rn
+        |    CASE WHEN nl > 0 THEN (inter * 1000000) // nl ELSE 0 END AS rec_micro
         |  FROM pq
-        |), nf AS (SELECT count(*) AS n FROM pm),
-        |bs AS (SELECT unnest(range(0, 64)) AS b),
-        |draws AS (
+        |), bs AS (SELECT unnest(range(0, 64)) AS b),
+        |res AS (
         |  SELECT b,
-        |    (CAST(substr(regexp_replace(md5('bs|' || CAST(b AS VARCHAR) ||
-        |      '|' || CAST(rn AS VARCHAR)), '[a-f]', '', 'g') || '000000',
-        |      1, 6) AS BIGINT) * n) // 1000000 AS idx
-        |  FROM pm CROSS JOIN bs CROSS JOIN nf
-        |), res AS (
-        |  SELECT d.b,
-        |    CAST(sum(p.prec_micro) // n.n AS BIGINT) AS mp,
-        |    CAST(sum(p.rec_micro) // n.n AS BIGINT) AS mr
-        |  FROM draws d JOIN pm p ON d.idx = p.rn CROSS JOIN nf n
-        |  GROUP BY d.b, n.n
+        |    CAST(sum(mult * prec_micro) // greatest(sum(mult), 1) AS BIGINT) AS mp,
+        |    CAST(sum(mult * rec_micro) // greatest(sum(mult), 1) AS BIGINT) AS mr
+        |  FROM (
+        |    SELECT b, prec_micro, rec_micro,
+        |      CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+        |           WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+        |           WHEN u < 996340 THEN 4 WHEN u < 999406 THEN 5
+        |           WHEN u < 999917 THEN 6 ELSE 7 END AS mult
+        |    FROM (
+        |      SELECT b, prec_micro, rec_micro,
+        |        CAST(substr(regexp_replace(md5('bs|' || CAST(b AS VARCHAR) ||
+        |          '|' || CAST(qid AS VARCHAR)), '[a-f]', '', 'g') || '000000',
+        |          1, 6) AS BIGINT) AS u
+        |      FROM pm CROSS JOIN bs))
+        |  GROUP BY b
         |), rp AS (SELECT mp, b, row_number() OVER (ORDER BY mp, b) AS r FROM res),
         |rr AS (SELECT mr, b, row_number() OVER (ORDER BY mr, b) AS r FROM res),
         |point AS (
@@ -1602,6 +1606,42 @@ object OracleSqls {
     // URL/domain extraction over injected links: positive character-class
     // regex (RE2 ∩ java.util.regex), domain = capture group 1; mirrors
     // Curation.urlInjectedStats cell for cell
+    // URL canonicalization collapse (mirrors Curation.urlCanonicalStats):
+    // three injected raw variants per canonical link — uppercase host /
+    // #fragment / trailing slash — then lowercase-host + strip-fragment +
+    // strip-trailing-slash; counts per canonical domain
+    "curate_url_canonical" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text || ' ' ||
+        |    CASE WHEN doc_id % 3 = 1 THEN base || '#f' || CAST(doc_id AS VARCHAR)
+        |         WHEN doc_id % 3 = 2 THEN base || '/'
+        |         ELSE base END AS aug
+        |  FROM (
+        |    SELECT doc_id, text,
+        |      'https://' || CASE WHEN doc_id % 3 = 0 THEN 'EX' ELSE 'ex' END ||
+        |      CAST((doc_id // 3) % 7 AS VARCHAR) || '.org/p/' ||
+        |      CAST((doc_id // 3) % 40 AS VARCHAR) AS base
+        |    FROM documents)
+        |), u AS (
+        |  SELECT unnest(regexp_extract_all(aug,
+        |    'https?://[A-Za-z0-9._/?=#-]+')) AS url
+        |  FROM aug
+        |), c AS (
+        |  SELECT url,
+        |    regexp_replace(
+        |      lower(regexp_extract(nofrag, '^(https?://[A-Za-z0-9.-]+)', 1)) ||
+        |      regexp_extract(nofrag, '^https?://[A-Za-z0-9.-]+(.*)$', 1),
+        |      '/$', '') AS canon
+        |  FROM (SELECT url, regexp_replace(url, '#.*$', '') AS nofrag FROM u)
+        |)
+        |SELECT regexp_extract(canon, 'https?://([a-z0-9.-]+)', 1) AS domain,
+        |  CAST(count(*) AS BIGINT) AS n_urls,
+        |  CAST(count(DISTINCT url) AS BIGINT) AS n_raw,
+        |  CAST(count(DISTINCT canon) AS BIGINT) AS n_canonical,
+        |  CAST(count(DISTINCT url) - count(DISTINCT canon) AS BIGINT)
+        |    AS n_collapsed
+        |FROM c GROUP BY 1""".stripMargin,
+
     "curate_url_domains" ->
       """WITH a AS (
         |  SELECT source, text ||
