@@ -1707,6 +1707,11 @@ object Queries {
     Curation.classifierTrainStats(T(spark, dir, "documents"), dim = 16,
       iters = 3, lenThreshold = 56)
 
+  /** URL canonicalization collapse audit (lowercase host, strip
+    * fragment, strip trailing slash) over injected links. */
+  def curateUrlCanonical(spark: SparkSession, dir: String): DataFrame =
+    Curation.urlCanonicalStats(T(spark, dir, "documents"))
+
   /** Incremental near-dup: every 10th doc arrives as the "new batch" and
     * probes the band index built over the other 90% — signature-agreement
     * verification, corpus text untouched. */
@@ -2412,6 +2417,7 @@ object Queries {
     "events_equidepth" -> (eventsEquidepth _),
     "curate_classifier_score" -> (curateClassifierScore _),
     "curate_classifier_train" -> (curateClassifierTrain _),
+    "curate_url_canonical" -> (curateUrlCanonical _),
     "curate_pii" -> (curatePii _),
     "curate_dsir" -> (curateDsir _),
     "curate_novelty" -> (curateNovelty _),

@@ -370,6 +370,51 @@ object Curation {
     urlStats(docs.withColumn("url_text", aug), "url_text")
   }
 
+  /** URL canonicalization — the FIRST dedup pass of every web-scale
+    * pipeline (CommonCrawl processing dedups by canonical URL before any
+    * content hash is computed): lowercase the scheme+host (paths stay
+    * case-sensitive per RFC 3986), strip the `#fragment`, strip one
+    * trailing slash. Reports, per canonical domain, how many raw link
+    * forms collapse — pure narrow scan + one keyed rollup; the regex
+    * steps sit in the documented RE2 ∩ Java portable subset.
+    *
+    * The driver corpus carries no URLs, so the oracle-checked form
+    * injects doc_id-derived links in three raw variants per canonical
+    * URL (uppercase host / fragment-suffixed / trailing-slash — the
+    * [[urlInjectedStats]] convention) and audits the real
+    * canonicalization pass. */
+  def urlCanonicalStats(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    def s(c: Column) = c.cast("string")
+    val grp = expr("doc_id div 3")
+    val dm = s(pmod(grp, lit(7L)))
+    val pp = s(pmod(grp, lit(40L)))
+    val variant = pmod(id, lit(3L))
+    val base = concat(lit("https://"),
+      when(variant === 0, concat(lit("EX"), dm))
+        .otherwise(concat(lit("ex"), dm)),
+      lit(".org/p/"), pp)
+    val url = when(variant === 1, concat(base, lit("#f"), s(id)))
+      .when(variant === 2, concat(base, lit("/")))
+      .otherwise(base)
+    val urlRe = "https?://[A-Za-z0-9._/?=#-]+"
+    docs
+      .withColumn("aug", concat(col("text"), lit(" "), url))
+      .select(explode(expr(s"regexp_extract_all(aug, '$urlRe', 0)")).as("url"))
+      .withColumn("nofrag", regexp_replace(col("url"), "#.*$", ""))
+      .withColumn("canon", concat(
+        lower(regexp_extract(col("nofrag"), "^(https?://[A-Za-z0-9.-]+)", 1)),
+        regexp_extract(col("nofrag"), "^https?://[A-Za-z0-9.-]+(.*)$", 1)))
+      .withColumn("canon", regexp_replace(col("canon"), "/$", ""))
+      .withColumn("domain",
+        regexp_extract(col("canon"), "https?://([a-z0-9.-]+)", 1))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_urls"),
+        count_distinct(col("url")).as("n_raw"),
+        count_distinct(col("canon")).as("n_canonical"))
+      .withColumn("n_collapsed", col("n_raw") - col("n_canonical"))
+  }
+
   // ---- HTML boilerplate stripping ----
 
   /** Markup removal + entity decode (the trafilatura/jusText first pass a

@@ -449,6 +449,19 @@ class CurationSpec extends SparkSpec {
     assert(urls.collect().head.getLong(4) === "https://c.io/p".length.toLong)
   }
 
+  test("URL canonicalization collapses host-case, fragment, trailing slash") {
+    // doc_ids 0,1,2 form one triple: uppercase-host / #fragment /
+    // trailing-slash raw variants of ONE canonical URL
+    val docs = Seq((0L, "plain text"), (1L, "more text"), (2L, "words"))
+      .toDF("doc_id", "text")
+    val out = Curation.urlCanonicalStats(docs).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getString(0) === "ex0.org")
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
+      ((3L, 3L, 1L, 2L))) // 3 raw forms -> 1 canonical, 2 collapsed
+  }
+
   test("perceptron training separates a separable corpus in one round") {
     // positives: 4 distinct words (label rule: wordcount >= 3); negatives:
     // a single different word. Round 1 treats every doc as a mistake
