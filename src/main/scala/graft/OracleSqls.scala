@@ -1603,9 +1603,6 @@ object OracleSqls {
         |  CAST(sum(length(stripped)) AS BIGINT) AS stripped_len
         |FROM s GROUP BY source""".stripMargin,
 
-    // URL/domain extraction over injected links: positive character-class
-    // regex (RE2 ∩ java.util.regex), domain = capture group 1; mirrors
-    // Curation.urlInjectedStats cell for cell
     // URL canonicalization collapse (mirrors Curation.urlCanonicalStats):
     // three injected raw variants per canonical link — uppercase host /
     // #fragment / trailing slash — then lowercase-host + strip-fragment +
@@ -1642,6 +1639,9 @@ object OracleSqls {
         |    AS n_collapsed
         |FROM c GROUP BY 1""".stripMargin,
 
+    // URL/domain extraction over injected links: positive character-class
+    // regex (RE2 ∩ java.util.regex), domain = capture group 1; mirrors
+    // Curation.urlInjectedStats cell for cell
     "curate_url_domains" ->
       """WITH a AS (
         |  SELECT source, text ||
@@ -2365,8 +2365,6 @@ object OracleSqls {
         |      * CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 0), 6) AS eta2
         |FROM t ORDER BY event_type""".stripMargin,
 
-    // reciprocity over the thresholded transition graph (the markov CTE
-    // chain re-derived, edges at >= ~uniform propensity)
     // temporal graph growth (mirrors GraphAlgorithms.temporalGrowth):
     // first-occurrence month per edge/endpoint, then cumulative running
     // sums over the month rollup — one corpus scan for every snapshot
@@ -2406,6 +2404,8 @@ object OracleSqls {
         |    AS density_micro
         |FROM c""".stripMargin,
 
+    // reciprocity over the thresholded transition graph (the markov CTE
+    // chain re-derived, edges at >= ~uniform propensity)
     "graph_reciprocity" ->
       """WITH p AS (
         |  SELECT user_id, event_type,
@@ -4247,9 +4247,6 @@ object OracleSqls {
        |ORDER BY similarity DESC, e.id LIMIT $k""".stripMargin
   }
 
-  /** k-core peeling ([[graft.graph.GraphAlgorithms.kCoreSizes]]) unrolled:
-    * adj0 = distinct undirected neighbor pairs; each round keeps edges
-    * whose both endpoints have current degree ≥ k. */
   /** IVF-PQ over residuals ([[graft.operators.Vectors.ivfPqTopK]]) rebuilt
     * in SQL: coarse assign by round-6 cosine (cid tiebreak), residual
     * v − centroid, shared sub-codebooks seeded at the first `kCodes` ids'
@@ -4335,6 +4332,9 @@ object OracleSqls {
        |ORDER BY similarity DESC, e.id LIMIT $k""".stripMargin
   }
 
+  /** k-core peeling ([[graft.graph.GraphAlgorithms.kCoreSizes]]) unrolled:
+    * adj0 = distinct undirected neighbor pairs; each round keeps edges
+    * whose both endpoints have current degree ≥ k. */
   /** Unrolled Bellman-Ford over the small-part co-occurrence graph with
     * affinity-distance weights, mirroring
     * [[graft.graph.GraphAlgorithms.ssspBounded]] +

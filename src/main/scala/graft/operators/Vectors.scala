@@ -599,17 +599,25 @@ object Vectors {
     * Centering uses truncating sum-div-count (identical cross-engine).
     * Sign is deterministic (same arithmetic both engines), converging to
     * ±(top eigenvector) as rounds grow. */
-  def powerIterationTopDir(emb: DataFrame, idCol: String, vecCol: String,
-                           iters: Int): DataFrame = {
+  /** Milli-quantized, mean-centered exploded matrix (id, i, x) — the
+    * shared front of [[powerIterationTopDir]] and [[abttTopK]], eagerly
+    * checkpointed so both its consumers read materialized blocks. */
+  private[graft] def milliCentered(emb: DataFrame, idCol: String,
+                                   vecCol: String): DataFrame = {
     val x0 = emb
       .select(col(idCol).as("id"),
         posexplode(col(vecCol).cast("array<double>")).as(Seq("i", "xv")))
       .select(col("id"), col("i"),
         round(col("xv") * 1000L, 0).cast("long").as("x"))
     val means = x0.groupBy("i").agg(expr("sum(x) div count(1)").as("mu"))
-    val x = x0.join(broadcast(means), Seq("i"))
+    x0.join(broadcast(means), Seq("i"))
       .select(col("id"), col("i"), (col("x") - col("mu")).as("x"))
       .localCheckpoint(true)
+  }
+
+  /** Power-iteration rounds over an already-centered (id, i, x) table;
+    * returns the unordered (i, v) milli direction. */
+  private def powerIterDir(x: DataFrame, iters: Int): DataFrame = {
     var v = x.select(col("i")).distinct()
       .select(col("i"), lit(1000L).as("v"))
     for (_ <- 1 to iters) {
@@ -621,9 +629,14 @@ object Vectors {
         .select(col("i"), expr("(u * 1000) div greatest(m, 1)").as("v"))
         .localCheckpoint(true)
     }
-    v.orderBy("i")
-      .select(col("i").cast("long").as("dim"), col("v").as("v_milli"))
+    v
   }
+
+  def powerIterationTopDir(emb: DataFrame, idCol: String, vecCol: String,
+                           iters: Int): DataFrame =
+    powerIterDir(milliCentered(emb, idCol, vecCol), iters)
+      .orderBy("i")
+      .select(col("i").cast("long").as("dim"), col("v").as("v_milli"))
 
   /** All-but-the-top retrieval (Mu & Viswanath, ICLR'18): center the
     * corpus, remove the top principal direction, THEN do cosine top-k.
@@ -648,16 +661,11 @@ object Vectors {
     * TakeOrderedAndProject top-k as [[bruteForceTopK]]. */
   def abttTopK(emb: DataFrame, idCol: String, vecCol: String,
                queryId: Long, k: Int, iters: Int = 3): DataFrame = {
-    val x0 = emb
-      .select(col(idCol).as("id"),
-        posexplode(col(vecCol).cast("array<double>")).as(Seq("i", "xv")))
-      .select(col("id"), col("i"),
-        round(col("xv") * 1000L, 0).cast("long").as("x"))
-    val means = x0.groupBy("i").agg(expr("sum(x) div count(1)").as("mu"))
-    val c = x0.join(broadcast(means), Seq("i"))
-      .select(col("id"), col("i"), (col("x") - col("mu")).as("x"))
-    val v = powerIterationTopDir(emb, idCol, vecCol, iters)
-      .select(col("dim").cast("int").as("i"), col("v_milli").as("v"))
+    // ONE shared centered table: the power iteration and the projection
+    // removal both read the same checkpointed blocks (recomputing the
+    // explode+center per consumer would triple the corpus scans)
+    val c = milliCentered(emb, idCol, vecCol)
+    val v = powerIterDir(c, iters)
     val n2 = v.agg(sum(expr("v * v")).as("n2"))
     val dps = c.join(broadcast(v), Seq("i"))
       .groupBy("id").agg(sum(expr("x * v")).as("dp"))

@@ -113,7 +113,7 @@ private[v2] class TarScan(path: String, required: StructType)
     * pruned shard listing can qualify for broadcast where the full read
     * would not. Row count stays unknown (entry counts need a scan). */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val bytes = planInputPartitions()
+    private val bytes = shardPartitions
       .map(_.asInstanceOf[TarShardPartition].len).sum
     private val scanned =
       if (required.fieldNames.contains("payload")) bytes
@@ -124,7 +124,9 @@ private[v2] class TarScan(path: String, required: StructType)
       java.util.OptionalLong.empty()
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  // listed ONCE per scan: planning and (possibly repeated) statistics
+  // requests reuse it instead of re-listing remote storage
+  private lazy val shardPartitions: Array[InputPartition] = {
     val spark = org.apache.spark.sql.SparkSession.active
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -135,6 +137,8 @@ private[v2] class TarScan(path: String, required: StructType)
     shards.sortBy(_.getPath.getName)
       .map(s => TarShardPartition(s.getPath.toString, s.getLen): InputPartition)
   }
+
+  override def planInputPartitions(): Array[InputPartition] = shardPartitions
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = org.apache.spark.sql.SparkSession.active
@@ -182,7 +186,10 @@ private[v2] class TarMicroBatchStream(path: String, required: StructType)
   override def initialOffset(): Offset = TarOffset(0)
   override def latestOffset(): Offset = TarOffset(shards().length)
   override def deserializeOffset(json: String): Offset =
-    TarOffset("""\d+""".r.findFirstIn(json).map(_.toInt).getOrElse(0))
+    // a malformed checkpoint must FAIL, not silently restart from 0 and
+    // re-ingest the whole directory (breaking exactly-once)
+    TarOffset("""\d+""".r.findFirstIn(json).map(_.toInt).getOrElse(
+      throw new IllegalStateException(s"corrupt graft-tar offset: $json")))
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
@@ -231,13 +238,17 @@ private[v2] class TarPartitionReader(
   private def parseOctal(p: Array[Byte], off: Int, len: Int): Long = {
     var v = 0L
     var i = off
+    // POSIX permits leading spaces/NULs in numeric fields — skip them
+    // (the V1 TarShards parser does the same)
+    while (i < off + len && (p(i) == ' ' || p(i) == 0)) i += 1
     while (i < off + len && p(i) != 0 && p(i) != ' ') {
       v = v * 8 + (p(i) - '0'); i += 1
     }
     v
   }
 
-  override def next(): Boolean = {
+  @annotation.tailrec
+  override final def next(): Boolean = {
     if (done) return false
     val hdr = new Array[Byte](BLOCK)
     if (!readFully(hdr) || hdr(0) == 0) { done = true; return false }
@@ -246,6 +257,17 @@ private[v2] class TarPartitionReader(
     val name = new String(hdr, 0, end, "UTF-8")
     val size = parseOctal(hdr, 124, 12)
     val padded = ((size + BLOCK - 1) / BLOCK) * BLOCK
+    // regular files only (typeflag '0' or NUL): PAX/GNU metadata entries
+    // ('x', 'g', 'L', …) must not surface as rows — skip their data and
+    // recurse to the next header (the V1 reader filters identically)
+    val typeflag = hdr(156)
+    if (typeflag != '0'.toByte && typeflag != 0.toByte) {
+      in.seek(in.getPos + padded)
+      next()
+    } else {
+    require(size <= Int.MaxValue - 8,
+      s"tar entry '$name' is ${size} bytes — beyond the supported " +
+        "single-entry ceiling (2 GiB); shard the sample instead")
     val payload: Array[Byte] =
       if (needPayload) {
         val buf = new Array[Byte](size.toInt)
@@ -271,6 +293,7 @@ private[v2] class TarPartitionReader(
     }
     row = InternalRow.fromSeq(values.toIndexedSeq)
     true
+    }
   }
 
   override def get(): InternalRow = row

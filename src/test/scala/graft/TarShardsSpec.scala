@@ -59,6 +59,37 @@ class TarShardsSpec extends SparkSpec {
     assert(got === Map("a.txt" -> "alpha", "b.json" -> """{"x":1}"""))
   }
 
+  test("DSv2 reader skips directory and PAX metadata entries") {
+    // a POSIX-format archive with a directory entry and a long name that
+    // forces commons-compress to emit an 'x' PaxHeader entry: only the
+    // two REGULAR files may surface as rows
+    val dir = tmp()
+    val f = new java.io.File(dir, "meta.tar")
+    val out = new org.apache.commons.compress.archivers.tar.TarArchiveOutputStream(
+      new java.io.FileOutputStream(f))
+    out.setLongFileMode(
+      org.apache.commons.compress.archivers.tar.TarArchiveOutputStream.LONGFILE_POSIX)
+    out.putArchiveEntry(
+      new org.apache.commons.compress.archivers.tar.TarArchiveEntry("subdir/"))
+    out.closeArchiveEntry()
+    val longName = "k" * 120 + ".txt" // > 100 bytes → PAX header entry
+    for ((name, body) <- Seq("real.txt" -> "data", longName -> "long")) {
+      val e = new org.apache.commons.compress.archivers.tar.TarArchiveEntry(name)
+      val bytes = body.getBytes("UTF-8")
+      e.setSize(bytes.length.toLong)
+      out.putArchiveEntry(e)
+      out.write(bytes)
+      out.closeArchiveEntry()
+    }
+    out.close()
+    val rows = spark.read.format("graft.sources.v2.TarDataSource").load(dir)
+      .collect().map(r => (r.getString(1), r.getString(2),
+        new String(r.getAs[Array[Byte]](4), "UTF-8")))
+    assert(rows.length === 2, s"metadata entries must not surface: ${rows.toSeq}")
+    assert(rows.map(_._3).toSet === Set("data", "long"))
+    assert(!rows.exists(_._1.contains("PaxHeader")))
+  }
+
   test("write/read round trip across multiple partitions") {
     val dir = tmp()
     val rows = (0 until 57).map(i =>
