@@ -748,9 +748,13 @@ object GraphAlgorithms {
 
   /** Synchronous LPA label table (v, lbl) after `iters` rounds — the
     * shared core of [[labelPropagationSizes]] and [[modularityStats]]. */
-  private def lpaLabels(g: PropertyGraph, iters: Int): DataFrame = {
-    val adj = g.bidir.select(col("a"), col("b")).distinct()
-      .localCheckpoint(true)
+  private def lpaLabels(g: PropertyGraph, iters: Int,
+                        adj0: DataFrame = null): DataFrame = {
+    // callers that already materialized the distinct adjacency pass it in
+    // (modularityStats) — building and storing a second identical O(E)
+    // checkpoint was the query's largest avoidable allocation
+    val adj = if (adj0 != null) adj0
+      else g.bidir.select(col("a"), col("b")).distinct().localCheckpoint(true)
     // label table is O(V): broadcast it behind the node-count guard so the
     // O(E) adjacency is never re-shuffled per round (walkCorpus lesson —
     // localCheckpoint erases partitioning, so each round was an O(E) SMJ)
@@ -794,7 +798,7 @@ object GraphAlgorithms {
   def modularityStats(g: PropertyGraph, iters: Int): DataFrame = {
     val adj = g.bidir.select(col("a"), col("b")).distinct()
       .localCheckpoint(true)
-    val labels = lpaLabels(g, iters)
+    val labels = lpaLabels(g, iters, adj)
     val nNodes = g.nodes.count()
     def lblSide(df: DataFrame): DataFrame =
       if (nNodes <= 5000000L) broadcast(df) else df
