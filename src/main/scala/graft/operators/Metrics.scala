@@ -92,6 +92,19 @@ object Metrics {
         expr("CASE WHEN nl > 0 THEN (inter * 1000000) div nl ELSE 0 END")
           .as("rec_micro"))
       .localCheckpoint(true)
+    if (per.isEmpty) {
+      // zero questions: 'tp div n_questions' would divide by zero and the
+      // order-statistic probes would return no rows, collapsing the
+      // crossJoins to an empty result — callers expect exactly one summary
+      // row, so short-circuit to the all-zero one (cheap: `per` is already
+      // eagerly checkpointed above)
+      return spark.range(1).select(
+        lit(0L).as("n_questions"),
+        lit(0L).as("mean_prec_micro"),
+        lit(0L).as("lo_prec_micro"), lit(0L).as("hi_prec_micro"),
+        lit(0L).as("mean_rec_micro"),
+        lit(0L).as("lo_rec_micro"), lit(0L).as("hi_rec_micro"))
+    }
     val bs = spark.range(b).select(col("id").as("b"))
     // Poisson(1) inverse CDF over the uniform micro hash: cumulative
     // e^-1 · Σ 1/k! in micro units, clamped at 7 (tail mass ≈ 8e-5)

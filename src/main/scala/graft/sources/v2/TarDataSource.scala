@@ -109,15 +109,22 @@ private[v2] class TarScan(path: String, required: StructType)
     s"graft-tar $path cols=${required.fieldNames.mkString(",")}"
 
   /** Size the scan for the optimizer: archive bytes when payload is read,
-    * ~header bytes (1/8 of the archive floor) when it's pruned — so a
-    * pruned shard listing can qualify for broadcast where the full read
-    * would not. Row count stays unknown (entry counts need a scan). */
+    * header bytes when it's pruned — so a pruned shard listing can qualify
+    * for broadcast where the full read would not. The pruned estimate is
+    * the WORST-CASE header fraction, not an optimistic average: every
+    * entry occupies ≥ 1024 archive bytes (512 B header + ≥ 1 data block
+    * for any non-empty payload) and a pruned read touches exactly its one
+    * 512 B header block, so headers are at most half the archive. Using
+    * /2 instead of an average-shaped /8 means a shard of many tiny
+    * entries can never be under-estimated into a bad broadcast — at scale,
+    * a missed broadcast costs a shuffle; a wrong one costs an OOM. Row
+    * count stays unknown (entry counts need a scan). */
   override def estimateStatistics(): Statistics = new Statistics {
     private val bytes = shardPartitions
       .map(_.asInstanceOf[TarShardPartition].len).sum
     private val scanned =
       if (required.fieldNames.contains("payload")) bytes
-      else math.max(bytes / 8, 1L)
+      else math.max(bytes / 2, 512L)
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(scanned)
     override def numRows(): java.util.OptionalLong =
@@ -162,17 +169,20 @@ private[v2] case class TarShardPartition(shardPath: String, len: Long)
   * pruning as the batch path. The offset survives checkpoint restarts
   * through the standard json round-trip, so a restarted query resumes
   * from the committed shard count instead of re-reading the corpus. */
-private[v2] case class TarOffset(n: Int)
+private[graft] case class TarOffset(n: Int)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
   override def json(): String = s"""{"n":$n}"""
 }
 
-private[v2] class TarMicroBatchStream(path: String, required: StructType)
+private[graft] class TarMicroBatchStream(path: String, required: StructType)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
   private val conf = new SerializableConfiguration(
     org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+
+  // the exact shape TarOffset.json() writes — nothing looser
+  private val OffsetShape = """^\{"n":(\d+)\}$""".r
 
   private def shards(): Array[FileStatus] = {
     val p = new Path(path)
@@ -185,11 +195,18 @@ private[v2] class TarMicroBatchStream(path: String, required: StructType)
 
   override def initialOffset(): Offset = TarOffset(0)
   override def latestOffset(): Offset = TarOffset(shards().length)
-  override def deserializeOffset(json: String): Offset =
+  override def deserializeOffset(json: String): Offset = {
     // a malformed checkpoint must FAIL, not silently restart from 0 and
-    // re-ingest the whole directory (breaking exactly-once)
-    TarOffset("""\d+""".r.findFirstIn(json).map(_.toInt).getOrElse(
-      throw new IllegalStateException(s"corrupt graft-tar offset: $json")))
+    // re-ingest the whole directory (breaking exactly-once) — so the
+    // parse is anchored to the exact shape TarOffset.json() emits, and
+    // the digits are bounded so toInt cannot throw an uncontrolled
+    // NumberFormatException on a >9-digit run
+    json.trim match {
+      case OffsetShape(d) if d.length <= 9 => TarOffset(d.toInt)
+      case _ =>
+        throw new IllegalStateException(s"corrupt graft-tar offset: $json")
+    }
+  }
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
@@ -224,6 +241,11 @@ private[v2] class TarPartitionReader(
   }
   private var row: InternalRow = _
   private var done = false
+  // long-name override from an immediately preceding PAX 'x' (path=…
+  // record) or GNU 'L' entry — consumed by the next regular entry, so
+  // >100-byte names surface un-truncated instead of colliding on their
+  // first 100 bytes
+  private var pendingPath: String = null
 
   private def readFully(buf: Array[Byte]): Boolean = {
     var off = 0
@@ -233,6 +255,30 @@ private[v2] class TarPartitionReader(
       off += n
     }
     true
+  }
+
+  /** PAX record stream: repeated `"<len> <key>=<value>\n"` where len is
+    * the decimal byte length of the WHOLE record including itself. Any
+    * malformed record aborts the walk (returning what was found so far
+    * stays within the only-regular-entries-surface contract). */
+  private def parsePaxPath(buf: Array[Byte]): Option[String] = {
+    var i = 0
+    var found: Option[String] = None
+    while (i < buf.length) {
+      var j = i
+      var len = 0L
+      while (j < buf.length && buf(j) >= '0' && buf(j) <= '9') {
+        len = len * 10 + (buf(j) - '0'); j += 1
+      }
+      if (j >= buf.length || buf(j) != ' ' || len <= 0 ||
+        i + len > buf.length || len > Int.MaxValue) return found
+      val rec = new String(buf, j + 1, (i + len.toInt) - (j + 1), "UTF-8")
+      val eq = rec.indexOf('=')
+      if (eq > 0 && rec.substring(0, eq) == "path")
+        found = Some(rec.substring(eq + 1).stripSuffix("\n"))
+      i += len.toInt
+    }
+    found
   }
 
   private def parseOctal(p: Array[Byte], off: Int, len: Int): Long = {
@@ -261,7 +307,23 @@ private[v2] class TarPartitionReader(
     // ('x', 'g', 'L', …) must not surface as rows — skip their data and
     // recurse to the next header (the V1 reader filters identically)
     val typeflag = hdr(156)
-    if (typeflag != '0'.toByte && typeflag != 0.toByte) {
+    if (typeflag == 'x'.toByte || typeflag == 'L'.toByte) {
+      // PAX extended header / GNU longname: capture the path override for
+      // the next regular entry instead of dropping it (a >1 MiB metadata
+      // block is pathological — skip it rather than buffer it)
+      if (size > 0 && size <= (1L << 20)) {
+        val buf = new Array[Byte](size.toInt)
+        if (!readFully(buf)) { done = true; return false }
+        in.seek(in.getPos + (padded - size))
+        pendingPath =
+          if (typeflag == 'L'.toByte) {
+            var e = 0
+            while (e < buf.length && buf(e) != 0) e += 1
+            new String(buf, 0, e, "UTF-8")
+          } else parsePaxPath(buf).getOrElse(pendingPath)
+      } else in.seek(in.getPos + padded)
+      next()
+    } else if (typeflag != '0'.toByte && typeflag != 0.toByte) {
       in.seek(in.getPos + padded)
       next()
     } else {
@@ -281,9 +343,13 @@ private[v2] class TarPartitionReader(
         in.seek(in.getPos + padded)
         null
       }
-    val dot = name.indexOf('.')
+    val fullName =
+      if (pendingPath != null) { val n = pendingPath; pendingPath = null; n }
+      else name
+    val dot = fullName.indexOf('.')
     val (key, ext) =
-      if (dot < 0) (name, "") else (name.substring(0, dot), name.substring(dot + 1))
+      if (dot < 0) (fullName, "")
+      else (fullName.substring(0, dot), fullName.substring(dot + 1))
     val values: Array[Any] = columns.map {
       case "shard" => UTF8String.fromString(shardName)
       case "key" => UTF8String.fromString(key)

@@ -85,5 +85,11 @@ class MetricsSpec extends SparkSpec {
     val again = Metrics.bootstrapCi(df, col("qid"), col("p"), col("l"), b = 64)
       .collect().head
     assert(again.toSeq === r.toSeq)
+    // EMPTY question set: still exactly one (all-zero) summary row — not
+    // zero rows, not a divide-by-zero
+    val e = Metrics.bootstrapCi(df.where(col("qid") < 0L),
+      col("qid"), col("p"), col("l"), b = 64).collect()
+    assert(e.length === 1)
+    assert(e.head.toSeq === Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L))
   }
 }

@@ -88,6 +88,40 @@ class TarShardsSpec extends SparkSpec {
     assert(rows.length === 2, s"metadata entries must not surface: ${rows.toSeq}")
     assert(rows.map(_._3).toSet === Set("data", "long"))
     assert(!rows.exists(_._1.contains("PaxHeader")))
+    // the PAX 'path' override must be APPLIED, not just skipped: the
+    // >100-byte name surfaces un-truncated (no silent key collisions)
+    val longRow = rows.find(_._3 == "long").get
+    assert(longRow._1 === "k" * 120, s"PAX path not applied: ${longRow._1}")
+    assert(longRow._2 === "txt")
+  }
+
+  test("GNU longname ('L') entries are applied to the following file") {
+    val dir = tmp()
+    val f = new java.io.File(dir, "gnu.tar")
+    val out = new org.apache.commons.compress.archivers.tar.TarArchiveOutputStream(
+      new java.io.FileOutputStream(f))
+    out.setLongFileMode(
+      org.apache.commons.compress.archivers.tar.TarArchiveOutputStream.LONGFILE_GNU)
+    val longName = "g" * 130 + ".bin"
+    val e = new org.apache.commons.compress.archivers.tar.TarArchiveEntry(longName)
+    e.setSize(3L)
+    out.putArchiveEntry(e); out.write("gnu".getBytes("UTF-8")); out.closeArchiveEntry()
+    out.close()
+    val rows = spark.read.format("graft.sources.v2.TarDataSource").load(dir)
+      .collect().map(r => (r.getString(1), r.getString(2),
+        new String(r.getAs[Array[Byte]](4), "UTF-8")))
+    assert(rows.toSeq === Seq(("g" * 130, "bin", "gnu")))
+  }
+
+  test("micro-batch offset parse is strict") {
+    val ms = new graft.sources.v2.TarMicroBatchStream(tmp(),
+      spark.read.format("graft.sources.v2.TarDataSource").load(tmp()).schema)
+    assert(ms.deserializeOffset("""{"n":7}""").asInstanceOf[graft.sources.v2.TarOffset].n === 7)
+    // foreign-but-digit-bearing, truncated, and overflow shapes must all
+    // FAIL (silently restarting from 0 would re-ingest the directory)
+    for (bad <- Seq("""{"x":123}""", """{"n":1""", "7", """{"n":12345678901}""",
+        """{"n":-3}""", ""))
+      assertThrows[IllegalStateException](ms.deserializeOffset(bad))
   }
 
   test("write/read round trip across multiple partitions") {
