@@ -2627,6 +2627,22 @@ object OracleSqls {
     // HLL set algebra: per-source registers (same generated rho CASE as
     // sketch_hll), union = register-wise max (the exact HLL merge law),
     // intersection by clamped inclusion-exclusion, Jaccard micro
+    // MRL mergeable quantile sketch: the engine certifies its own rank
+    // windows against EXACT corpus ranks (the compaction-lemma invariant
+    // |estRank − trueRank| ≤ err), so the oracle pins ok=1 as a constant
+    // while the exact per-group n pins the group/rollup partition — any
+    // ledger or merge bug flips ok and fails the hash gate
+    "sketch_mrl_quantiles" ->
+      """WITH g AS (
+        |  SELECT event_type AS grp, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1
+        |  UNION ALL
+        |  SELECT '__all__', CAST(count(*) AS BIGINT) FROM events
+        |)
+        |SELECT grp, q, n, CAST(1 AS BIGINT) AS ok
+        |FROM g CROSS JOIN (SELECT unnest(['p50', 'p90', 'p99']) AS q)
+        |ORDER BY grp, q""".stripMargin,
+
     "sketch_hll_setops" -> {
       val bits = 54
       val rhoSql = s"CASE WHEN rest = 0 THEN ${bits + 1}" +

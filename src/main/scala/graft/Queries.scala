@@ -1309,6 +1309,24 @@ object Queries {
       .orderBy("ga", "gb")
   }
 
+  /** Mergeable MRL quantile sketch end-to-end: per-event_type sketches
+    * built shuffle-free per input partition (only O(k·log n) state rows
+    * move), rolled up into `__all__` FROM THE STATES, every estimate then
+    * verified against its exact corpus rank. Output (grp, q, n, ok): `ok`
+    * certifies trueRank(est) ∈ [r−err, r−1+err] — provably true by the
+    * compaction lemma, so the oracle pins it as a constant while exact n
+    * pins the groups; a ledger bug flips ok and fails the hash gate.
+    * Values in integer milli-units (the engine-internal convention). */
+  def sketchMrlQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val items = eventsT(spark, dir).select(col("event_type"),
+      (col("value") * 1000).cast("long").as("v_milli"))
+    QuantileSketch.mrlQuantileReport(items, "event_type", "v_milli",
+      k = 256, qs = Seq("p50" -> 50, "p90" -> 90, "p99" -> 99))
+      .select(col("grp"), col("q"), col("n"),
+        col("ok").cast("long").as("ok"))
+      .orderBy("grp", "q")
+  }
+
   /** Model-based quality scoring: corpus-trained smoothed bigram likelihood
     * per document (CCNet-style filter next to the rule-based gates). */
   def textLmBigram(spark: SparkSession, dir: String): DataFrame =
@@ -2393,6 +2411,7 @@ object Queries {
     "sketch_kmv_setops" -> (sketchKmvSetops _),
     "sketch_hll" -> (sketchHll _),
     "sketch_hll_setops" -> (sketchHllSetops _),
+    "sketch_mrl_quantiles" -> (sketchMrlQuantiles _),
     "incr_agg_rollup" -> (incrAggRollup _),
     "incr_quantile_rollup" -> (incrQuantileRollup _),
     "curate_mixture_quota" -> (curateMixtureQuota _),

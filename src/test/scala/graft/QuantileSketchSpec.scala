@@ -1,0 +1,106 @@
+package graft
+
+import graft.operators.QuantileSketch
+import graft.operators.QuantileSketch.MrlSketch
+import org.apache.spark.sql.functions._
+
+class QuantileSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** exact rank helpers on a plain Seq */
+  private def countLe(xs: Seq[Long], v: Long): Long = xs.count(_ <= v).toLong
+  private def countLt(xs: Seq[Long], v: Long): Long = xs.count(_ < v).toLong
+
+  private def assertWindow(xs: Seq[Long], s: MrlSketch, pct: Int): Unit = {
+    val r = math.max(1L, (pct * s.n + 99L) / 100L)
+    val est = s.query(r)
+    assert(countLe(xs, est) >= r - s.err,
+      s"p$pct: #{x<=est}=${countLe(xs, est)} < r-err=${r - s.err}")
+    assert(countLt(xs, est) <= r - 1 + s.err,
+      s"p$pct: #{x<est}=${countLt(xs, est)} > r-1+err=${r - 1 + s.err}")
+  }
+
+  test("small input (n <= k): err 0, every quantile exact") {
+    val xs = Seq(5L, 1L, 9L, 3L, 7L, 7L, 2L)
+    val s = new MrlSketch(16)
+    xs.foreach(s.insert)
+    assert(s.err === 0L)
+    assert(s.n === xs.length.toLong)
+    val sorted = xs.sorted
+    for (pct <- Seq(1, 25, 50, 75, 100)) {
+      val r = math.max(1L, (pct * s.n + 99L) / 100L)
+      assert(s.query(r) === sorted((r - 1).toInt), s"p$pct must be exact")
+    }
+  }
+
+  test("err ledger bounds the TRUE rank error on uniform and skewed data") {
+    val uni = (0 until 20000).map(i => ((i * 2654435761L) % 9973).abs)
+    // heavy skew: zipf-ish powers — half the mass at one value
+    val skew = (0 until 20000).map { i =>
+      if (i % 2 == 0) 42L else (1L << (i % 16)) + i % 7
+    }
+    for (xs <- Seq(uni, skew); k <- Seq(64, 256)) {
+      val s = new MrlSketch(k)
+      xs.foreach(s.insert)
+      assert(s.err > 0, "20k inserts at k<=256 must compact")
+      // the ledger must stay useful, not just valid: O(n log(n/k) / k)
+      assert(s.err < xs.length / 4, s"ledger blew up: ${s.err}")
+      for (pct <- Seq(1, 10, 50, 90, 99)) assertWindow(xs, s, pct)
+    }
+  }
+
+  test("mergeFrom: ledgers add, windows hold on the union, n exact") {
+    val a = (0 until 7000).map(i => (i * 31L) % 1009)
+    val b = (0 until 5000).map(i => 100000L + (i * 17L) % 503) // disjoint range
+    val sa = new MrlSketch(128); a.foreach(sa.insert)
+    val sb = new MrlSketch(128); b.foreach(sb.insert)
+    val errBefore = sa.err + sb.err
+    sa.mergeFrom(sb)
+    assert(sa.n === 12000L)
+    assert(sa.err >= errBefore, "merge may only grow the ledger")
+    for (pct <- Seq(5, 50, 95)) assertWindow(a ++ b, sa, pct)
+  }
+
+  test("row codec round-trips n, err, and the full weighted multiset") {
+    val s = new MrlSketch(32)
+    (0 until 1234).foreach(i => s.insert((i * 7L) % 97))
+    val rows = s.toRows("g", 3).toArray
+    val back = QuantileSketch.rebuild(rows, 32)
+    assert(back.n === s.n)
+    assert(back.err === s.err)
+    assert(back.weighted().toSeq === s.weighted().toSeq)
+  }
+
+  test("distributed states: bounds hold per group and for the rollup; " +
+    "deterministic across identical runs") {
+    val rnd = new scala.util.Random(11)
+    val data = (0 until 30000).map { i =>
+      val g = s"g${i % 3}"
+      val v = if (i % 3 == 0) rnd.nextInt(100).toLong
+              else (1L << rnd.nextInt(20)) + rnd.nextInt(5) // skewed group
+      (g, v)
+    }
+    val df = data.toDF("grp", "v").repartition(8, col("v"))
+    val rep = QuantileSketch.mrlQuantileReport(df, "grp", "v", 256,
+      Seq("p50" -> 50, "p90" -> 90, "p99" -> 99))
+    val rows = rep.collect()
+    assert(rows.length === 12, "3 groups + __all__, 3 quantiles each")
+    assert(rows.forall(_.getBoolean(3)), s"rank window violated: ${rows.toSeq}")
+    val byGrp = rows.map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(byGrp("__all__") === 30000L)
+    assert(byGrp("g0") === 10000L)
+    // same input partitioning → bit-identical report
+    val again = QuantileSketch.mrlQuantileReport(df, "grp", "v", 256,
+      Seq("p50" -> 50, "p90" -> 90, "p99" -> 99)).collect()
+    assert(again.map(_.toSeq).toSeq === rows.map(_.toSeq).toSeq)
+  }
+
+  test("state stays sub-linear: rows per state <= k * (levels + 2)") {
+    val s = new MrlSketch(64)
+    (0 until 100000).foreach(i => s.insert(i.toLong))
+    val rows = s.toRows("g", 0).size
+    val maxLevels = 64 - java.lang.Long.numberOfLeadingZeros(100000L / 64) + 2
+    assert(rows <= 64 * maxLevels,
+      s"$rows state rows for 100k inserts at k=64 — state is not compacting")
+  }
+}
