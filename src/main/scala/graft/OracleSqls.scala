@@ -2213,6 +2213,39 @@ object OracleSqls {
         |FROM ph CROSS JOIN d CROSS JOIN n
         |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin,
 
+    // anchored sloppy phrase (±2): the slop window is exploded on the
+    // candidate side exactly like the engine, positions 1-based here vs
+    // 0-based there — relative arithmetic cancels the shift
+    "search_phrase_sloppy" ->
+      s"""WITH wl AS (
+        |  SELECT doc_id, ${wordsExprOf("lower(text)")} AS ws FROM documents
+        |), pp AS (
+        |  SELECT doc_id, ws[i] AS term, i AS pos
+        |  FROM wl, unnest(generate_series(1, len(ws))) AS u(i)
+        |  WHERE ws[i] IN ('stream', 'table', 'hash')
+        |), a AS (SELECT doc_id, pos FROM pp WHERE term = 'stream'),
+        |c1 AS (
+        |  SELECT doc_id, pos - 1 + d AS pos, min(abs(d)) AS dev_1
+        |  FROM pp, unnest(generate_series(-2, 2)) AS dd(d)
+        |  WHERE term = 'table' GROUP BY doc_id, pos - 1 + d
+        |), c2 AS (
+        |  SELECT doc_id, pos - 2 + d AS pos, min(abs(d)) AS dev_2
+        |  FROM pp, unnest(generate_series(-2, 2)) AS dd(d)
+        |  WHERE term = 'hash' GROUP BY doc_id, pos - 2 + d
+        |), m AS (
+        |  SELECT a.doc_id, dev_1 + dev_2 AS devsum
+        |  FROM a JOIN c1 USING (doc_id, pos) JOIN c2 USING (doc_id, pos)
+        |), ph AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS tf,
+        |    CAST(sum(1000000 // (1 + devsum)) AS BIGINT) AS prox_micro
+        |  FROM m GROUP BY doc_id
+        |), d AS (SELECT count(*) AS df FROM ph),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, tf, prox_micro,
+        |  (prox_micro * n_docs) // df AS score_micro
+        |FROM ph CROSS JOIN d CROSS JOIN n
+        |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin,
+
     // corpus heavy-hitter bigrams; deterministic ties (count desc, ngram)
     "text_top_ngrams" ->
       s"""WITH w AS (SELECT $wordsExpr AS w FROM documents),

@@ -1072,6 +1072,13 @@ object Queries {
     Search.phraseTopK(T(spark, dir, "documents"),
       Seq("stream", "table", "hash"), k = 20)
 
+  /** Proximity (sloppy-phrase) retrieval: same phrase as search_phrase
+    * but each term may sit within ±2 of its exact slot, anchors weighted
+    * by tightness — the Lucene `"..."~slop` rung. */
+  def searchPhraseSloppy(spark: SparkSession, dir: String): DataFrame =
+    Search.sloppyPhraseTopK(T(spark, dir, "documents"),
+      Seq("stream", "table", "hash"), slop = 2, k = 20)
+
   /** Lexical diversity (type-token ratio) per source. */
   def textTtr(spark: SparkSession, dir: String): DataFrame =
     TextOps.typeTokenBySource(T(spark, dir, "documents"))
@@ -2399,6 +2406,7 @@ object Queries {
     "text_bpe_fertility" -> (textBpeFertility _),
     "search_hybrid_rrf" -> (searchHybridRrf _),
     "search_phrase" -> (searchPhrase _),
+    "search_phrase_sloppy" -> (searchPhraseSloppy _),
     "text_ttr" -> (textTtr _),
     "text_heaps" -> (textHeaps _),
     "text_zipf" -> (textZipf _),

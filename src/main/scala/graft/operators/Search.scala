@@ -221,4 +221,56 @@ object Search {
       .orderBy(col("score_micro").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** SLOPPY-phrase top-k — the proximity rung Lucene (the reference's
+    * fulltext backend, retrieval/ner.py:99-103) exposes as `"..."~slop`
+    * and [[phraseTopK]]'s exact adjacency cannot express. Semantics
+    * (anchored proximity, precisely specified rather than Lucene's
+    * edit-distance heuristic): an occurrence is an anchor position p of
+    * the FIRST term such that every following term i is found within
+    * ±slop of its exact-phrase slot p+i; slop = 0 degenerates to the
+    * exact phrase. Each anchor is weighted by how tight its match is —
+    * 10^6 div (1 + Σᵢ devᵢ) where devᵢ is term i's MINIMAL deviation
+    * from its slot — so exact occurrences dominate loose ones, and
+    * score_micro = (prox_micro · n_docs) div df ranks by
+    * proximity-weighted tf·idf.
+    *
+    * Scale shape: the slop window is EXPLODED (2·slop+1 candidate
+    * anchors per posting, slop is single-digit) so every join in the
+    * chain stays a co-partitioned EQUI-join on (doc_id, pos) — the same
+    * shape as [[phraseTopK]], never a range join, never a rescan; only
+    * the phrase's terms leave the index scan, and the per-term min-dev
+    * pre-aggregation dedups candidates before the join. */
+  def sloppyPhraseTopK(docs: DataFrame, phrase: Seq[String], slop: Int,
+                       k: Int): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    require(slop >= 0, s"negative slop: $slop")
+    val pp = posPostings(docs).where(col("term").isin(phrase.distinct: _*))
+    val anchor = pp.where(col("term") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    val devCols = phrase.zipWithIndex.tail.map { case (_, i) => s"dev_$i" }
+    val joined = phrase.zipWithIndex.tail.foldLeft(anchor) {
+      case (acc, (t, i)) =>
+        val cand = pp.where(col("term") === t)
+          .select(col("doc_id"), col("pos"),
+            explode(sequence(lit(-slop), lit(slop))).as("d"))
+          .select(col("doc_id"), (col("pos") - i + col("d")).as("pos"),
+            abs(col("d")).as("dev"))
+          .groupBy("doc_id", "pos").agg(min("dev").as(s"dev_$i"))
+        acc.join(cand, Seq("doc_id", "pos"))
+    }
+    val devSum =
+      if (devCols.isEmpty) lit(0L) else devCols.map(col).reduce(_ + _)
+    val ph = joined
+      .select(col("doc_id"), devSum.cast("long").as("devsum"))
+      .groupBy("doc_id").agg(count(lit(1)).as("tf"),
+        sum(expr("1000000 div (1 + devsum)")).as("prox_micro"))
+    val dfq = ph.agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    ph.crossJoin(broadcast(dfq)).crossJoin(broadcast(n))
+      .select(col("doc_id"), col("tf"), col("prox_micro"),
+        expr("(prox_micro * n_docs) div df").as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(k)
+  }
 }

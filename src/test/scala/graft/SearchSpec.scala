@@ -231,4 +231,36 @@ class SearchSpec extends SparkSpec {
     }.toSet
     assert(posted === recomputed)
   }
+
+  test("sloppy phrase: slop 0 equals exact phrase; window admits near " +
+    "misses; tighter matches outscore looser ones") {
+    val d = Seq(
+      (1L, "hot spring water is hot"),            // exact "hot spring"
+      (2L, "hot mineral spring in the valley"),   // one word between: dev 1
+      (3L, "spring is hot today"),                // reversed far apart: no match at slop 1? spring at 0... anchor hot at 2, spring slot 3 -> spring@0 dev 3
+      (4L, "hot and very fine spring"),           // dev 3 — outside slop 2
+      (5L, "nothing relevant here")
+    ).toDF("doc_id", "text")
+    // slop 0 ≡ exact adjacency (same docs and tf as phraseTopK)
+    val exact = Search.phraseTopK(d, Seq("hot", "spring"), 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s0 = Search.sloppyPhraseTopK(d, Seq("hot", "spring"), 0, 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s0 === exact)
+    assert(s0 === Map(1L -> 1L))
+    // slop 1 admits doc 2 ("hot X spring", dev 1) but not doc 4 (dev 3)
+    val s1 = Search.sloppyPhraseTopK(d, Seq("hot", "spring"), 1, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+      .sortBy(_._1)
+    assert(s1.map(_._1) === List(1L, 2L))
+    // doc 1's exact occurrence carries full weight, doc 2's dev-1 half
+    val prox = s1.map(t => t._1 -> t._3).toMap
+    assert(prox(1L) === 1000000L)
+    assert(prox(2L) === 500000L)
+    // slop 3 reaches doc 4 (dev 3 → weight 1/4) and doc 3's reversed
+    // pair (anchor hot@2, spring@0 → dev 3)
+    val s3 = Search.sloppyPhraseTopK(d, Seq("hot", "spring"), 3, 10)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(s3 === Set(1L, 2L, 3L, 4L))
+  }
 }
