@@ -209,6 +209,29 @@ object OracleSqls {
         |  AND s.name IN ('NATION_0','NATION_1','NATION_2','NATION_3','NATION_4')
         |GROUP BY s.name, e.relType, t.label""".stripMargin),
 
+    // WITH chaining: region → nations (carried) → customers, implicit
+    // grouping; single-rel stages so no trail pairs arise
+    "cy_with_chain" -> withGraph(
+      """SELECT n.name AS nation,
+        |  CAST(count(DISTINCT c.nodeId) AS BIGINT) AS n_customers
+        |FROM nodes r0
+        |JOIN bidir e0 ON r0.nodeId = e0.a AND e0.relType = 'IN_REGION'
+        |JOIN nodes n ON e0.b = n.nodeId AND n.label = 'Nation'
+        |JOIN bidir e1 ON n.nodeId = e1.a AND e1.relType = 'FROM_NATION'
+        |JOIN nodes c ON e1.b = c.nodeId AND c.label = 'Customer'
+        |WHERE r0.label = 'Region' AND r0.name = 'ASIA'
+        |GROUP BY n.name""".stripMargin),
+
+    // FULL_TEXT_QUERY shape: scalar WITH + normalize(lower(…)) filter
+    "cy_with_norm_filter" -> withGraph(
+      """SELECT c.name AS cname
+        |FROM nodes c
+        |JOIN bidir e ON c.nodeId = e.a AND e.relType = 'FROM_NATION'
+        |JOIN nodes n ON e.b = n.nodeId AND n.label = 'Nation'
+        |WHERE c.label = 'Customer'
+        |  AND nfc_normalize(lower(n.name)) = nfc_normalize(lower('NaTiOn_7'))
+        |ORDER BY cname LIMIT 10""".stripMargin),
+
     "cy_anti_lookup" -> withGraph(
       """SELECT DISTINCT t.nodeId AS node_id, t.name
         |FROM nodes s

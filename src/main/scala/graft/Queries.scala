@@ -812,6 +812,28 @@ object Queries {
         |RETURN DISTINCT y.nodeId AS node_id, y.name AS name
         |ORDER BY node_id DESC LIMIT 5""".stripMargin)
 
+  /** WITH chaining (`MATCH … WITH … MATCH … RETURN`): nations of ASIA
+    * carried across the projection barrier, re-bound by nodeId into a
+    * second expansion, then Cypher's implicit grouping. Closes the
+    * multi-clause grammar family of the reference's procedure-call
+    * queries (retrieval/ner.py:112,117). */
+  def cyWithChain(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """MATCH (r0:Region {name: "ASIA"})-[e0:IN_REGION]-(n:Nation)
+        |WITH n MATCH (n)-[e1:FROM_NATION]-(c:Customer)
+        |RETURN n.name AS nation, count(DISTINCT c) AS n_customers""".stripMargin)
+
+  /** The FULL_TEXT_QUERY shape (retrieval/ner.py:111-114): scalar WITH
+    * projection, post-projection normalize(lower(…)) filter against a
+    * parameter, bare-column RETURN. */
+  def cyWithNormFilter(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """MATCH (c:Customer)-[e:FROM_NATION]-(n:Nation)
+        |WITH c.name AS cname, n.name AS nname
+        |WHERE normalize(lower(nname)) = normalize(lower($country))
+        |RETURN cname ORDER BY cname LIMIT 10""".stripMargin,
+      Map("country" -> "NaTiOn_7"))
+
   /** Variable-length Cypher path: everything within 1..2 undirected hops
     * of the ASIA region — planned as a union of fixed-length expansions
     * with per-expansion trail semantics. */
@@ -2292,6 +2314,8 @@ object Queries {
     "cy_schema_1hop" -> (cySchema1Hop _),
     "cy_anti_lookup" -> (cyAntiLookup _),
     "cy_ordered_topk" -> (cyOrderedTopk _),
+    "cy_with_chain" -> (cyWithChain _),
+    "cy_with_norm_filter" -> (cyWithNormFilter _),
     "cy_varlength" -> (cyVarlength _),
     "skew_salted_agg" -> (skewSaltedAgg _),
     "join_salted" -> (joinSalted _),

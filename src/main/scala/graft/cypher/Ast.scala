@@ -7,19 +7,30 @@ package graft.cypher
   *
   * Grammar (all traversal undirected, 1-3 nodes per path):
   * {{{
-  *   query     := unwind* MATCH path (',' path)* [WHERE pred (AND pred)*]
+  *   query     := stage* unwind* MATCH path (',' path)* [WHERE pred (AND pred)*]
   *                RETURN [DISTINCT] item (',' item)*
   *                [ORDER BY ref [ASC|DESC]] [LIMIT n]
+  *   stage     := unwind* MATCH path (',' path)* [WHERE pred (AND pred)*]
+  *                WITH [DISTINCT] withItem (',' withItem)* [WHERE pred (AND pred)*]
   *   unwind    := UNWIND $param AS var
   *   path      := node (rel node)*
   *   node      := '(' var [':' Label] [ '{' (name|nodeId) ':' literal-or-var '}' ] ')'
   *   rel       := '-[' [var] [':' TYPE] ']-'
   *   pred      := var '<>' var | NOT var '.' 'nodeId' IN $param
+  *              | normalize(lower(col)) '=' normalize(lower($param)) | col '=' literal
   *   item      := expr [AS alias]
-  *   expr      := var '.' prop | labels(var) | type(var)
+  *   withItem  := var                     -- carries the node binding forward
+  *              | expr AS alias           -- WITH expressions must alias (like Cypher)
+  *   expr      := var '.' prop | bare-col | labels(var) | type(var)
   *              | count(DISTINCT var) | size('[' ... ']')   -- A2 comprehension
   *              | vector.similarity.cosine(var '.' prop, $param)
   * }}}
+  *
+  * `WITH` is a projection barrier (retrieval/ner.py:112-114's
+  * `WITH node.name AS name WHERE normalize(lower(name)) = … RETURN name`):
+  * only the listed items survive into the next MATCH; a carried node
+  * variable re-binds by nodeId. WITH-stage aggregation is outside the
+  * dialect (the reference never emits it mid-query).
   *
   * The reference's `modify_query` string rewrite (retriever.py:49-60) becomes
   * the structural [[CypherQuery.widenForRetrieval]] — no string surgery.
@@ -45,9 +56,18 @@ object Ast {
   sealed trait Pred
   final case class VarNeq(v1: String, v2: String) extends Pred
   final case class NotIdIn(varName: String, param: String) extends Pred
+  /** `normalize(lower(col)) = normalize(lower($param))` — the WITH…WHERE
+    * shape of the reference's FULL_TEXT_QUERY (retrieval/ner.py:111-114). */
+  final case class NormEqParam(colName: String, param: String) extends Pred
+  /** `col = literal` over a WITH-projected column. */
+  final case class ColEq(colName: String, value: AnchorValue) extends Pred
 
   sealed trait Expr
   final case class PropRef(varName: String, prop: String) extends Expr
+  /** A bare name: in WITH, carries a node variable forward (or passes an
+    * earlier projection through); in RETURN / ORDER BY, references a
+    * column a preceding WITH produced. */
+  final case class ColRef(name: String) extends Expr
   final case class LabelsOf(varName: String) extends Expr
   final case class TypeOf(relVar: String) extends Expr
   final case class CountDistinct(varName: String) extends Expr
@@ -60,6 +80,7 @@ object Ast {
     /** Output column name: explicit alias, else Cypher's expression text. */
     def name: String = alias.getOrElse(expr match {
       case PropRef(v, p)              => s"$v.$p"
+      case ColRef(n)                  => n
       case LabelsOf(v)                => s"labels($v)"
       case TypeOf(r)                  => s"type($r)"
       case CountDistinct(v)           => s"count(DISTINCT $v)"
@@ -70,6 +91,14 @@ object Ast {
 
   final case class Unwind(param: String, varName: String)
 
+  /** One `MATCH … [WHERE …] WITH … [WHERE …]` link of a chained query —
+    * the projection barrier the reference's procedure-call queries use
+    * (`WITH node.name AS name WHERE … RETURN name`, retrieval/ner.py:112-114).
+    * `withPreds` filter AFTER the projection (Cypher's WITH…WHERE). */
+  final case class Stage(unwinds: Seq[Unwind], paths: Seq[MatchPath],
+                         preds: Seq[Pred], withDistinct: Boolean,
+                         withItems: Seq[RetItem], withPreds: Seq[Pred])
+
   final case class CypherQuery(
       unwinds: Seq[Unwind],
       paths: Seq[MatchPath],
@@ -77,7 +106,8 @@ object Ast {
       distinct: Boolean,
       items: Seq[RetItem],
       orderBy: Option[(String, Boolean)], // (output column, descending)
-      limit: Option[Int]) {
+      limit: Option[Int],
+      prefixes: Seq[Stage] = Nil) { // WITH-chained stages BEFORE the final MATCH
 
     def isAggregating: Boolean = items.exists(i => i.expr match {
       case _: CountDistinct | _: CountDistinctInParam => true
@@ -106,6 +136,7 @@ object Ast {
           .map { case (r, n) => rel(r) + node(n) }.mkString
       def expr(e: Expr): String = e match {
         case PropRef(v, p)              => s"$v.$p"
+        case ColRef(n)                  => n
         case LabelsOf(v)                => s"labels($v)"
         case TypeOf(r)                  => s"type($r)"
         case CountDistinct(v)           => s"count(DISTINCT $v)"
@@ -115,12 +146,31 @@ object Ast {
       def pred(p: Pred): String = p match {
         case VarNeq(a, b)   => s"$a <> $b"
         case NotIdIn(v, pm) => s"NOT $v.nodeId IN $$$pm"
+        case NormEqParam(c, pm) =>
+          s"normalize(lower($c)) = normalize(lower($$$pm))"
+        case ColEq(c, StrLit(v)) =>
+          val esc = v.replace("\\", "\\\\").replace("\"", "\\\"")
+          s"""$c = "$esc""""
+        case ColEq(c, LongLit(v)) => s"$c = $v"
+        case ColEq(c, VarRef(v))  => s"$c = $v"
       }
       val sb = new StringBuilder
-      unwinds.foreach(u => sb ++= s"UNWIND $$${u.param} AS ${u.varName} ")
-      sb ++= "MATCH " + paths.map(path).mkString(", ")
-      if (preds.nonEmpty) sb ++= " WHERE " + preds.map(pred).mkString(" AND ")
-      sb ++= " RETURN " + (if (distinct) "DISTINCT " else "")
+      def matchClause(us: Seq[Unwind], ps: Seq[MatchPath], prs: Seq[Pred]): Unit = {
+        us.foreach(u => sb ++= s"UNWIND $$${u.param} AS ${u.varName} ")
+        sb ++= "MATCH " + ps.map(path).mkString(", ")
+        if (prs.nonEmpty) sb ++= " WHERE " + prs.map(pred).mkString(" AND ")
+      }
+      prefixes.foreach { st =>
+        matchClause(st.unwinds, st.paths, st.preds)
+        sb ++= " WITH " + (if (st.withDistinct) "DISTINCT " else "")
+        sb ++= st.withItems
+          .map(i => expr(i.expr) + i.alias.fold("")(a => s" AS $a")).mkString(", ")
+        if (st.withPreds.nonEmpty)
+          sb ++= " WHERE " + st.withPreds.map(pred).mkString(" AND ")
+        sb ++= " "
+      }
+      if (paths.nonEmpty) { matchClause(unwinds, paths, preds); sb ++= " " }
+      sb ++= "RETURN " + (if (distinct) "DISTINCT " else "")
       sb ++= items.map(i => expr(i.expr) + i.alias.fold("")(a => s" AS $a")).mkString(", ")
       orderBy.foreach { case (ref, desc) =>
         sb ++= s" ORDER BY $ref" + (if (desc) " DESC" else "") }

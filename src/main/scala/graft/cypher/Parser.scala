@@ -75,40 +75,68 @@ object Parser {
 
     // ---- grammar ----
     def query(): CypherQuery = {
-      val unwinds = Seq.newBuilder[Unwind]
-      while (peek("UNWIND")) {
-        expect("UNWIND"); val p = param(); expect("AS"); val v = ident()
-        unwinds += Unwind(p, v)
+      val stages = Seq.newBuilder[Stage]
+      while (true) {
+        // after a WITH barrier the query may end in a bare RETURN (the
+        // reference's FULL_TEXT_QUERY shape: MATCH … WITH … WHERE … RETURN);
+        // the final "stage" then has no MATCH of its own
+        val hasMatch = !peek("RETURN")
+        val unwinds = Seq.newBuilder[Unwind]
+        val paths = Seq.newBuilder[MatchPath]
+        var preds: Seq[Pred] = Nil
+        if (hasMatch) {
+          while (peek("UNWIND")) {
+            expect("UNWIND"); val p = param(); expect("AS"); val v = ident()
+            unwinds += Unwind(p, v)
+          }
+          expect("MATCH")
+          paths += path()
+          while ({ ws(); pos < in.length && in(pos) == ',' }) { pos += 1; paths += path() }
+          preds = predList()
+        }
+        if (hasMatch && opt("WITH")) {
+          // projection barrier: items must alias expressions (bare vars
+          // carry bindings), optional post-projection WHERE
+          val d = opt("DISTINCT")
+          val items = Seq.newBuilder[RetItem]
+          items += retItem(inWith = true)
+          while ({ ws(); pos < in.length && in(pos) == ',' }) {
+            pos += 1; items += retItem(inWith = true)
+          }
+          stages += Stage(unwinds.result(), paths.result(), preds, d,
+            items.result(), predList())
+        } else {
+          expect("RETURN")
+          val distinct = opt("DISTINCT")
+          val items = Seq.newBuilder[RetItem]
+          items += retItem()
+          while ({ ws(); pos < in.length && in(pos) == ',' }) {
+            pos += 1; items += retItem()
+          }
+          val order =
+            if (opt("ORDER")) {
+              expect("BY")
+              val ref = orderRef()
+              val desc = if (opt("DESC")) true else { opt("ASC"); false }
+              Some((ref, desc))
+            } else None
+          val limit = if (opt("LIMIT")) Some(longLit().toInt) else None
+          ws()
+          if (pos != in.length) fail(s"trailing input: '${in.substring(pos).take(20)}'")
+          return CypherQuery(unwinds.result(), paths.result(), preds, distinct,
+            items.result(), order, limit, stages.result())
+        }
       }
-      expect("MATCH")
-      val paths = Seq.newBuilder[MatchPath]
-      paths += path()
-      while ({ ws(); pos < in.length && in(pos) == ',' }) { pos += 1; paths += path() }
-      val preds =
-        if (opt("WHERE")) {
-          val ps = Seq.newBuilder[Pred]
-          ps += pred()
-          while (opt("AND")) ps += pred()
-          ps.result()
-        } else Nil
-      expect("RETURN")
-      val distinct = opt("DISTINCT")
-      val items = Seq.newBuilder[RetItem]
-      items += retItem()
-      while ({ ws(); pos < in.length && in(pos) == ',' }) { pos += 1; items += retItem() }
-      val order =
-        if (opt("ORDER")) {
-          expect("BY")
-          val ref = orderRef()
-          val desc = if (opt("DESC")) true else { opt("ASC"); false }
-          Some((ref, desc))
-        } else None
-      val limit = if (opt("LIMIT")) Some(longLit().toInt) else None
-      ws()
-      if (pos != in.length) fail(s"trailing input: '${in.substring(pos).take(20)}'")
-      CypherQuery(unwinds.result(), paths.result(), preds, distinct, items.result(),
-        order, limit)
+      throw new IllegalStateException("unreachable")
     }
+
+    private def predList(): Seq[Pred] =
+      if (opt("WHERE")) {
+        val ps = Seq.newBuilder[Pred]
+        ps += pred()
+        while (opt("AND")) ps += pred()
+        ps.result()
+      } else Nil
 
     private def path(): MatchPath = {
       val nodes = Seq.newBuilder[NodePat]
@@ -189,13 +217,32 @@ object Parser {
         if (p != "nodeId") fail("only nodeId membership predicates are in the grammar")
         expect("IN")
         NotIdIn(v, param())
+      } else if (peek("normalize")) {
+        // normalize(lower(col)) = normalize(lower($param)) — ner.py:113
+        expect("normalize"); expect("("); expect("lower"); expect("(")
+        val c = ident(); expect(")"); expect(")")
+        expect("="); expect("normalize"); expect("("); expect("lower"); expect("(")
+        val p = param(); expect(")"); expect(")")
+        NormEqParam(c, p)
       } else {
-        val v1 = ident(); expect("<>"); val v2 = ident()
-        VarNeq(v1, v2)
+        val v1 = ident()
+        ws()
+        if (pos < in.length && in(pos) == '=' &&
+            !(pos + 1 < in.length && in(pos + 1) == '=')) {
+          pos += 1; ws()
+          val value: AnchorValue =
+            if (pos < in.length && (in(pos) == '"' || in(pos) == '\'')) StrLit(stringLit())
+            else if (pos < in.length && (in(pos).isDigit || in(pos) == '-')) LongLit(longLit())
+            else VarRef(ident())
+          ColEq(v1, value)
+        } else {
+          expect("<>"); val v2 = ident()
+          VarNeq(v1, v2)
+        }
       }
     }
 
-    private def retItem(): RetItem = {
+    private def retItem(inWith: Boolean = false): RetItem = {
       ws()
       val e: Expr =
         if (peek("labels")) { expect("labels"); expect("("); val v = ident(); expect(")"); LabelsOf(v) }
@@ -221,8 +268,16 @@ object Parser {
           expect(","); val q = param(); expect(")")
           Cosine(v, p, q)
         }
-        else { val v = ident(); expect("."); val p = ident(); PropRef(v, p) }
+        else {
+          val v = ident()
+          ws()
+          if (pos < in.length && in(pos) == '.') {
+            pos += 1; PropRef(v, ident())
+          } else ColRef(v) // bare name: WITH var carry / projected column
+        }
       val alias = if (opt("AS")) Some(ident()) else None
+      if (inWith && alias.isEmpty && !e.isInstanceOf[ColRef])
+        fail("WITH expressions must be aliased (only bare variables carry)")
       RetItem(e, alias)
     }
 

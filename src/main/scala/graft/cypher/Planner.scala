@@ -26,14 +26,31 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
 
   import Planner._
 
+  // Bindings flowing across WITH barriers: node variables carried whole
+  // (flattened as __w_<var>_<field> columns) and scalar projections
+  // (flat columns under their aliases). Rebuilt at every barrier — WITH
+  // drops everything it does not list, exactly like Cypher.
+  private var carriedVars: Set[String] = Set.empty
+  private var carriedScalars: Set[String] = Set.empty
+  // variables bound by the stage currently being planned (they shadow a
+  // carried var of the same name — same nodeId, fresher alias)
+  private var stageVars: Set[String] = Set.empty
+
   def plan(q: CypherQuery): DataFrame = {
-    require(q.paths.nonEmpty, "at least one MATCH path")
+    require(q.paths.nonEmpty || q.prefixes.nonEmpty, "at least one MATCH path")
+    val base = q.prefixes.foldLeft(Option.empty[DataFrame]) {
+      (acc, st) => Some(planStage(acc, st))
+    }
     // variable-length rels expand to a UNION of fixed-length queries (one
     // per hop count — Cypher semantics: one row per distinct path, so a
     // pair reachable at both 1 and 2 hops yields two pre-DISTINCT rows);
     // every expansion is projected to the same canonical tuple schema, so
     // DISTINCT / aggregation happen once, over the union.
-    val tuple = expandVarLength(q).map(tupleFrame).reduce(_.unionByName(_))
+    stageVars = varsOf(q.paths)
+    val tuple =
+      if (q.paths.isEmpty) projectTuple(base.get, q) // WITH … RETURN tail
+      else expandVarLength(q)
+        .map(fixed => tupleFrame(base, fixed)).reduce(_.unionByName(_))
 
     val projected =
       if (q.isAggregating) {
@@ -58,32 +75,110 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     q.limit.fold(ordered)(ordered.limit)
   }
 
+  /** One WITH-chained stage: plan its MATCH like a mini-query, attach the
+    * carried frame (equi-join on carried nodeIds, Cypher's re-binding),
+    * then project the barrier — only listed items survive. */
+  private def planStage(base: Option[DataFrame], st: Stage): DataFrame = {
+    require(st.paths.nonEmpty, "stage without MATCH paths")
+    require(!st.withItems.exists(i => i.expr match {
+      case _: CountDistinct | _: CountDistinctInParam => true
+      case _ => false
+    }), "WITH-stage aggregation is outside the dialect")
+    stageVars = varsOf(st.paths)
+    val frames = expandPaths(st.paths).map { ps =>
+      val joined0 = ps.map(planPath(st.unwinds, _)).reduce(_.crossJoin(_))
+      val attached = attachBase(base, joined0, ps)
+      val filtered = st.preds.foldLeft(attached)((df, p) => df.where(predCol(p)))
+      projectWith(filtered, st, ps)
+    }
+    val out = frames.reduce(_.unionByName(_))
+    val dedup = if (st.withDistinct) out.distinct() else out
+    val result = st.withPreds.foldLeft(dedup)((df, p) => df.where(predCol(p)))
+    // the barrier: recompute what survives for the NEXT stage
+    val (vars, scalars) = st.withItems.foldLeft((Set.empty[String], Set.empty[String])) {
+      case ((vs, ss), RetItem(ColRef(n), _)) =>
+        if (stageVars.contains(n) || carriedVars.contains(n)) (vs + n, ss)
+        else (vs, ss + n)
+      case ((vs, ss), i) => (vs, ss + i.name)
+    }
+    carriedVars = vars
+    carriedScalars = scalars
+    result
+  }
+
+  /** Join the carried frame to a stage's path product: every carried node
+    * variable re-matched in this stage binds by nodeId equality (unique
+    * key — exactly Cypher's semantics for a re-used variable); no shared
+    * variable means a Cypher cartesian product. */
+  private def attachBase(base: Option[DataFrame], joined: DataFrame,
+                         ps: Seq[MatchPath]): DataFrame = base match {
+    case None => joined
+    case Some(acc) =>
+      val shared = ps.flatMap(_.nodes.map(_.varName)).toSet
+        .intersect(carriedVars).toSeq.sorted
+      if (shared.isEmpty) acc.crossJoin(joined)
+      else acc.join(joined, shared.map(v =>
+        col(s"__w_${v}_nodeId") === col(s"$v.nodeId")).reduce(_ && _))
+  }
+
+  /** Project the WITH barrier: bare node vars flatten to __w_ columns
+    * (every node field survives for later prop access), scalar items
+    * land under their aliases. */
+  private def projectWith(df: DataFrame, st: Stage,
+                          ps: Seq[MatchPath]): DataFrame = {
+    val nodeFields = g.nodes.columns.toSeq
+    val vars = varsOf(ps)
+    val cols = st.withItems.flatMap { i =>
+      i.expr match {
+        case ColRef(n) if vars.contains(n) =>
+          nodeFields.map(f => col(s"$n.$f").as(s"__w_${n}_$f"))
+        case ColRef(n) if carriedVars.contains(n) =>
+          // pass an already-carried var through untouched
+          nodeFields.map(f => col(s"__w_${n}_$f"))
+        case ColRef(n) if carriedScalars.contains(n) => Seq(col(n))
+        case ColRef(n) =>
+          throw new IllegalArgumentException(s"unbound WITH item: $n")
+        case e => Seq(exprCol(e).as(i.name))
+      }
+    }
+    df.select(cols: _*)
+  }
+
+  private def varsOf(ps: Seq[MatchPath]): Set[String] =
+    ps.flatMap(_.nodes.map(_.varName)).toSet
+
   private def isAggItem(i: RetItem): Boolean = i.expr match {
     case _: CountDistinct | _: CountDistinctInParam => true
     case _ => false
   }
 
-  /** One fixed-length expansion joined, predicate-filtered, and projected
-    * to the canonical tuple schema: non-aggregate items under their output
-    * names, aggregate items as their pre-aggregation source column
-    * (`__agg<i>`), so all expansions union cleanly. */
-  private def tupleFrame(q: CypherQuery): DataFrame = {
-    val joined = q.paths.map(planPath(q, _)).reduce(_.crossJoin(_))
+  /** One fixed-length expansion joined, carried-frame-attached,
+    * predicate-filtered, and projected to the canonical tuple schema:
+    * non-aggregate items under their output names, aggregate items as
+    * their pre-aggregation source column (`__agg<i>`), so all expansions
+    * union cleanly. */
+  private def tupleFrame(base: Option[DataFrame], q: CypherQuery): DataFrame = {
+    val joined0 = q.paths.map(planPath(q.unwinds, _)).reduce(_.crossJoin(_))
+    val joined = attachBase(base, joined0, q.paths)
     val filtered = q.preds.foldLeft(joined)((df, p) => df.where(predCol(p)))
+    projectTuple(filtered, q)
+  }
+
+  private def projectTuple(df: DataFrame, q: CypherQuery): DataFrame = {
     val cols = q.items.zipWithIndex.map { case (i, idx) =>
       i.expr match {
-        case CountDistinct(v)            => col(s"$v.nodeId").as(s"__agg$idx")
-        case CountDistinctInParam(v, _)  => col(s"$v.nodeId").as(s"__agg$idx")
+        case CountDistinct(v)            => propCol(v, "nodeId").as(s"__agg$idx")
+        case CountDistinctInParam(v, _)  => propCol(v, "nodeId").as(s"__agg$idx")
         case e                           => exprCol(e).as(i.name)
       }
     }
-    filtered.select(cols: _*)
+    df.select(cols: _*)
   }
 
   /** Enumerate the cartesian product of hop counts for every var-length
     * rel, rewriting each choice to a fixed-length path with fresh anonymous
     * intermediate nodes (same label/type constraints as the ranged rel). */
-  private def expandVarLength(q: CypherQuery): Seq[CypherQuery] = {
+  private def expandPaths(paths: Seq[MatchPath]): Seq[Seq[MatchPath]] = {
     def expandPath(path: MatchPath, pathIdx: Int): Seq[MatchPath] =
       path.rels.zipWithIndex.foldLeft(Seq(MatchPath(path.nodes.take(1), Nil))) {
         case (acc, (r, i)) =>
@@ -100,21 +195,23 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
               }
           }
       }
-    q.paths.zipWithIndex
+    paths.zipWithIndex
       .map { case (p, idx) => expandPath(p, idx) }
       .foldLeft(Seq(Seq.empty[MatchPath])) { (acc, opts) =>
         for (a <- acc; o <- opts) yield a :+ o
       }
-      .map(ps => q.copy(paths = ps))
   }
+
+  private def expandVarLength(q: CypherQuery): Seq[CypherQuery] =
+    expandPaths(q.paths).map(ps => q.copy(paths = ps))
 
   /** One MATCH path = anchor/label-filtered node frames chained through the
     * bidirected edge view; every node var and rel var becomes a plan alias
     * so RETURN items can reference them. */
-  private def planPath(q: CypherQuery, path: MatchPath): DataFrame = {
-    val first = nodeFrame(q, path.nodes.head)
+  private def planPath(unwinds: Seq[Unwind], path: MatchPath): DataFrame = {
+    val first = nodeFrame(unwinds, path.nodes.head)
     // broadcast the head only when it is genuinely anchored (tiny)
-    val head = if (isAnchored(q, path.nodes.head)) broadcast(first) else first
+    val head = if (isAnchored(unwinds, path.nodes.head)) broadcast(first) else first
 
     var df = head
     path.rels.zipWithIndex.foreach { case (r, i) =>
@@ -122,9 +219,9 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       val e = r.relType.fold(g.bidir)(t => g.bidir.where(col("relType") === t)).as(rv)
       val prev = path.nodes(i).varName
       val next = path.nodes(i + 1)
-      val nextFrame = nodeFrame(q, next)
+      val nextFrame = nodeFrame(unwinds, next)
       df =
-        if (isAnchored(q, next)) {
+        if (isAnchored(unwinds, next)) {
           // meet-in-the-middle: when the hop's far node is anchored (tiny),
           // filter the edge leg by the anchor BEFORE joining the frontier —
           // otherwise the frontier joins the full edge table only to discard
@@ -147,10 +244,10 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     df
   }
 
-  private def isAnchored(q: CypherQuery, n: NodePat): Boolean =
-    n.anchorValue.isDefined || q.unwinds.exists(u => n.anchorValue.contains(VarRef(u.varName)))
+  private def isAnchored(unwinds: Seq[Unwind], n: NodePat): Boolean =
+    n.anchorValue.isDefined || unwinds.exists(u => n.anchorValue.contains(VarRef(u.varName)))
 
-  private def nodeFrame(q: CypherQuery, n: NodePat): DataFrame = {
+  private def nodeFrame(unwinds: Seq[Unwind], n: NodePat): DataFrame = {
     val labeled = n.label match {
       case Some("_Entity_") | None => g.nodes
       case Some(l)                 => g.nodes.where(col("label") === l)
@@ -160,7 +257,7 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       case (Some(p), Some(LongLit(v))) => labeled.where(col(p) === lit(v))
       case (Some(p), Some(VarRef(u))) =>
         // UNWIND $param AS u MATCH (x {p: u}) — anchor against the param list
-        params.get(paramOf(q, u)) match {
+        params.get(paramOf(unwinds, u)) match {
           case Some(vs: Seq[_]) => labeled.where(col(p).isin(vs: _*))
           case _ => throw new IllegalArgumentException(s"missing parameter for UNWIND var $u")
         }
@@ -169,24 +266,51 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     anchored.as(n.varName)
   }
 
-  private def paramOf(q: CypherQuery, unwindVar: String): String =
-    q.unwinds.find(_.varName == unwindVar)
+  private def paramOf(unwinds: Seq[Unwind], unwindVar: String): String =
+    unwinds.find(_.varName == unwindVar)
       .map(_.param)
       .getOrElse(throw new IllegalArgumentException(s"unbound variable $unwindVar"))
 
+  /** Resolve `v.field`: a variable bound by the CURRENT stage's MATCH
+    * shadows (and equals, by the nodeId re-binding join) a carried one;
+    * otherwise the flattened __w_ column from the last WITH barrier. */
+  private def propCol(v: String, field: String): Column =
+    if (stageVars.contains(v)) col(s"$v.$field")
+    else if (carriedVars.contains(v)) col(s"__w_${v}_$field")
+    else col(s"$v.$field") // rel vars and anonymous expansions
+
   private def predCol(p: Pred): Column = p match {
-    case VarNeq(a, b) => col(s"$a.nodeId") =!= col(s"$b.nodeId")
+    case VarNeq(a, b) => propCol(a, "nodeId") =!= propCol(b, "nodeId")
     case NotIdIn(v, param) =>
       val ids = longs(param)
-      !col(s"$v.nodeId").isin(ids: _*)
+      !propCol(v, "nodeId").isin(ids: _*)
+    case NormEqParam(c, param) =>
+      val raw = params.getOrElse(param,
+        throw new IllegalArgumentException(s"missing parameter $$$param"))
+        .toString
+      val normed = java.text.Normalizer.normalize(
+        raw.toLowerCase(java.util.Locale.ROOT), java.text.Normalizer.Form.NFC)
+      graft.functions.nfc(lower(scalarCol(c))) === lit(normed)
+    case ColEq(c, StrLit(v))  => scalarCol(c) === lit(v)
+    case ColEq(c, LongLit(v)) => scalarCol(c) === lit(v)
+    case ColEq(c, other) =>
+      throw new IllegalArgumentException(s"unsupported comparison value $other")
   }
 
+  /** A bare column name: a WITH-projected scalar, or (rarely) a current
+    * column by that exact name. */
+  private def scalarCol(c: String): Column = col(c)
+
   private def exprCol(e: Expr): Column = e match {
-    case PropRef(v, p)  => col(s"$v.$p")
-    case LabelsOf(v)    => col(s"$v.labels")
+    case PropRef(v, p)  => propCol(v, p)
+    case ColRef(n) =>
+      if (carriedScalars.contains(n)) col(n)
+      else throw new IllegalArgumentException(
+        s"bare '$n' in RETURN must be a WITH-projected column")
+    case LabelsOf(v)    => propCol(v, "labels")
     case TypeOf(r)      => col(s"$r.relType")
     case Cosine(v, p, q) =>
-      graft.functions.cosineSim(col(s"$v.$p").cast("array<double>"), lit(doubles(q).toArray))
+      graft.functions.cosineSim(propCol(v, p).cast("array<double>"), lit(doubles(q).toArray))
     case other => throw new IllegalArgumentException(s"$other is aggregate-only")
   }
 

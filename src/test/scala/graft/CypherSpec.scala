@@ -158,4 +158,81 @@ class CypherSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq
     assert(first === Seq("Alice", "Bob"))
   }
+
+  // ---- WITH chaining (MATCH … WITH … MATCH/RETURN) ----
+
+  test("WITH parse: prefixes captured, render∘parse = id on chained query") {
+    val s = """MATCH (a:Author {name: "Alice"})-[r:WRITES]-(p:Paper) """ +
+      """WITH p MATCH (p)-[h:HAS_TOPIC]-(f:FieldOfStudy) """ +
+      """RETURN DISTINCT f.name AS fos"""
+    val q = Parser.parse(s)
+    assert(q.prefixes.length === 1)
+    assert(q.prefixes.head.withItems.map(_.expr) === Seq(Ast.ColRef("p")))
+    assert(q.paths.head.nodes.map(_.varName) === Seq("p", "f"))
+    assert(Parser.parse(q.render) === q)
+  }
+
+  test("WITH carries a node variable into the next MATCH (re-bind by id)") {
+    // Alice writes P-alpha and P-beta; both HAS_TOPIC Databases
+    val fos = Planner.run(g,
+      """MATCH (a:Author {name: "Alice"})-[r:WRITES]-(p:Paper)
+        |WITH p MATCH (p)-[h:HAS_TOPIC]-(f:FieldOfStudy)
+        |RETURN DISTINCT f.name AS fos""".stripMargin)
+      .collect().map(_.getString(0)).toSet
+    assert(fos === Set("Databases"))
+    // aggregate over the chained frame
+    val cnt = Planner.run(g,
+      """MATCH (a:Author {name: "Alice"})-[r:WRITES]-(p:Paper)
+        |WITH p MATCH (p)-[h:HAS_TOPIC]-(f)
+        |RETURN count(DISTINCT f) AS cnt""".stripMargin)
+      .collect().head.getLong(0)
+    assert(cnt === 1L)
+  }
+
+  test("WITH DISTINCT is a real barrier: parallel edges collapse") {
+    // Alice—P-alpha twice (WRITES e4 + REVIEWS e12): without DISTINCT the
+    // carried multiplicity doubles downstream rows; with DISTINCT it doesn't
+    def topicRows(withClause: String): Long = Planner.run(g,
+      s"""MATCH (a:Author {name: "Alice"})-[r]-(p:Paper {name: "P-alpha"})
+         |$withClause MATCH (p)-[h:HAS_TOPIC]-(f:FieldOfStudy)
+         |RETURN f.name AS fos""".stripMargin).count()
+    assert(topicRows("WITH p") === 2L)
+    assert(topicRows("WITH DISTINCT p") === 1L)
+  }
+
+  test("carried var props stay addressable without a re-match") {
+    // Carol writes P-gamma; P-gamma CITES P-alpha and itself (self-loop)
+    val rows = Planner.run(g,
+      """MATCH (a:Author {name: "Carol"})-[r:WRITES]-(p:Paper)
+        |WITH p, a MATCH (p)-[c:CITES]-(q2:Paper)
+        |RETURN a.name AS author, q2.name AS cited""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows === Set(("Carol", "P-alpha"), ("Carol", "P-gamma")))
+  }
+
+  test("WITH scalar projection + WHERE col = literal + bare RETURN") {
+    val out = Planner.run(g,
+      """MATCH (a:Author)-[r:AFFILIATED_WITH]-(i:Institution {name: "MIT"})
+        |WITH a.name AS author WHERE author = "Bob"
+        |RETURN author""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(out === Seq("Bob"))
+  }
+
+  test("FULL_TEXT_QUERY shape: WITH … WHERE normalize(lower(…)) = " +
+    "normalize(lower($param)) RETURN (ner.py:111-114)") {
+    // composed Café (40) and decomposed Cafe+combining-acute (41) both
+    // NFC-lower-normalize to the same key; the query string arrives in
+    // DECOMPOSED uppercase form — still matches both
+    val names = Planner.run(g,
+      """MATCH (e:Entity)
+        |WITH e.name AS name WHERE normalize(lower(name)) = normalize(lower($string))
+        |RETURN name""".stripMargin,
+      Map("string" -> "CAFÉ"))
+      .collect().map(_.getString(0)).toSeq
+    assert(names.length === 2, s"both NFC forms must match: $names")
+    // unaliased WITH expressions are rejected, like Cypher
+    intercept[Parser.ParseError](Parser.parse(
+      "MATCH (e:Entity) WITH e.name RETURN name"))
+  }
 }
