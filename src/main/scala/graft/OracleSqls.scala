@@ -3120,6 +3120,28 @@ object OracleSqls {
         |    AS n_bright
         |FROM cell GROUP BY y, x ORDER BY y, x""".stripMargin,
 
+    // REAL baseline JPEG roundtrip (DCT/quant/Huffman encode → marker
+    // walk/Huffman/dequant/IDCT decode): blocks are 8×8-constant with DC
+    // quant 8, so decode is bit-exact and the oracle replays the block
+    // formula bytes-blind; a non-uniform decoded block poisons its cell
+    // with -1 and breaks the sum
+    "mm_jpeg_pixels" ->
+      """WITH d AS (
+        |  SELECT doc_id, (doc_id % 3) + 2 AS bw, (doc_id % 2) + 2 AS bh
+        |  FROM documents
+        |), cell AS (
+        |  SELECT doc_id, CAST(y.y AS INTEGER) AS y, CAST(x.x AS INTEGER) AS x,
+        |    (doc_id * 31 + x.x * 17 + y.y * 23) % 256 AS gray
+        |  FROM d,
+        |    LATERAL (SELECT unnest(range(0, bh)) AS y) y,
+        |    LATERAL (SELECT unnest(range(0, bw)) AS x) x
+        |)
+        |SELECT y, x, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(gray) AS BIGINT) AS sum_gray,
+        |  CAST(sum(CASE WHEN gray >= 128 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bright
+        |FROM cell GROUP BY y, x ORDER BY y, x""".stripMargin,
+
     // HashingTF rebuilt in SQL (same portable digit-only-MD5 bucket hash
     // as sketch_countmin); all 16 slots per doc, zeros included
     "text_feature_hash" ->

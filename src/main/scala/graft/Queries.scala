@@ -1991,6 +1991,14 @@ object Queries {
   def mmGifPixels(spark: SparkSession, dir: String): DataFrame =
     Multimodal.gifDecodeRoundtrip(spark, T(spark, dir, "documents"))
 
+  /** REAL baseline JPEG codec roundtrip: formula → full encoder (DCT,
+    * quantize, canonical Huffman) → full decoder (marker walk, entropy
+    * decode, dequant, IDCT) → per-block-position aggregate. Bit-exact by
+    * the DC-quant-8 constant-block construction; spec cross-validates
+    * both directions against JDK ImageIO. */
+  def mmJpegPixels(spark: SparkSession, dir: String): DataFrame =
+    Jpeg.jpegDecodeRoundtrip(spark, T(spark, dir, "documents"))
+
   /** Fixed-point Goertzel band energy over real decoded PCM: formula →
     * WAV bytes → container walk + sample decode → 4-bin spectral filter;
     * oracle replays the recurrence on the formula samples. */
@@ -2499,6 +2507,7 @@ object Queries {
     "mm_image_resize" -> (mmImageResize _),
     "mm_png_pixels" -> (mmPngPixels _),
     "mm_gif_pixels" -> (mmGifPixels _),
+    "mm_jpeg_pixels" -> (mmJpegPixels _),
     "mm_audio_goertzel" -> (mmAudioGoertzel _),
     "mm_audio_resample" -> (mmAudioResample _),
     "mm_image_equalize" -> (mmImageEqualize _),
