@@ -232,6 +232,25 @@ object OracleSqls {
         |  AND nfc_normalize(lower(n.name)) = nfc_normalize(lower('NaTiOn_7'))
         |ORDER BY cname LIMIT 10""".stripMargin),
 
+    // WITH aggregation barrier + HAVING filter, then the carried nation
+    // re-binds into the region hop (aggregate alias flows through)
+    "cy_with_agg" -> withGraph(
+      """, agg AS (
+        |  SELECT n.nodeId AS nid, n.name AS nation,
+        |    CAST(count(DISTINCT c.nodeId) AS BIGINT) AS n_cust
+        |  FROM nodes n
+        |  JOIN bidir e ON n.nodeId = e.a AND e.relType = 'FROM_NATION'
+        |  JOIN nodes c ON e.b = c.nodeId AND c.label = 'Customer'
+        |  WHERE n.label = 'Nation'
+        |  GROUP BY 1, 2
+        |  HAVING count(DISTINCT c.nodeId) >= 5
+        |)
+        |SELECT r0.name AS region, agg.nation, agg.n_cust
+        |FROM agg
+        |JOIN bidir e2 ON agg.nid = e2.a AND e2.relType = 'IN_REGION'
+        |JOIN nodes r0 ON e2.b = r0.nodeId AND r0.label = 'Region'
+        |ORDER BY nation""".stripMargin),
+
     "cy_anti_lookup" -> withGraph(
       """SELECT DISTINCT t.nodeId AS node_id, t.name
         |FROM nodes s
@@ -3141,6 +3160,19 @@ object OracleSqls {
         |  CAST(sum(CASE WHEN gray >= 128 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_bright
         |FROM cell GROUP BY y, x ORDER BY y, x""".stripMargin,
+
+    // image near-dup via DCT pHash: the oracle knows the planting — 7
+    // grating patterns by doc_id % 7, so intra pairs are n·(n−1)/2 per
+    // group and cross pairs must be zero; a pHash that loses recall
+    // through the lossy JPEG roundtrip (or collides across patterns)
+    // breaks the counts
+    "mm_phash_pairs" ->
+      """SELECT CAST(doc_id % 7 AS BIGINT) AS grp,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS n_intra,
+        |  CAST(0 AS BIGINT) AS n_cross
+        |FROM documents WHERE doc_id < 200
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // HashingTF rebuilt in SQL (same portable digit-only-MD5 bucket hash
     // as sketch_countmin); all 16 slots per doc, zeros included

