@@ -251,6 +251,30 @@ object OracleSqls {
         |JOIN nodes r0 ON e2.b = r0.nodeId AND r0.label = 'Region'
         |ORDER BY nation""".stripMargin),
 
+    // WITH … ORDER BY/SKIP/LIMIT barrier trim: rank at the barrier, slice,
+    // then the carried nation re-binds into the region hop. The ORDER BY
+    // mirrors the planner's deterministic tie-break convention (remaining
+    // atomic barrier columns, name-sorted ascending: label, name, nodeId)
+    "cy_with_topk" -> withGraph(
+      """, agg AS (
+        |  SELECT n.nodeId AS nid, n.label AS nlabel, n.name AS nname,
+        |    CAST(count(DISTINCT c.nodeId) AS BIGINT) AS n_cust
+        |  FROM nodes n
+        |  JOIN bidir e ON n.nodeId = e.a AND e.relType = 'FROM_NATION'
+        |  JOIN nodes c ON e.b = c.nodeId AND c.label = 'Customer'
+        |  WHERE n.label = 'Nation'
+        |  GROUP BY 1, 2, 3
+        |), top AS (
+        |  SELECT * FROM agg
+        |  ORDER BY n_cust DESC, nlabel, nname, nid
+        |  LIMIT 5 OFFSET 2
+        |)
+        |SELECT r0.name AS region, top.nname AS nation, top.n_cust
+        |FROM top
+        |JOIN bidir e2 ON top.nid = e2.a AND e2.relType = 'IN_REGION'
+        |JOIN nodes r0 ON e2.b = r0.nodeId AND r0.label = 'Region'
+        |ORDER BY nation""".stripMargin),
+
     "cy_anti_lookup" -> withGraph(
       """SELECT DISTINCT t.nodeId AS node_id, t.name
         |FROM nodes s

@@ -845,6 +845,20 @@ object Queries {
         |RETURN r0.name AS region, n.name AS nation, n_cust
         |ORDER BY nation""".stripMargin)
 
+  /** WITH … ORDER BY / SKIP / LIMIT — the per-stage trim (top-k-per-group
+    * family): nations ranked by distinct-customer count AT the barrier,
+    * the top slice (after SKIP) carried into the region hop. Tie order is
+    * the planner's documented convention: remaining atomic barrier columns,
+    * name-sorted ascending (here label, name, nodeId) — mirrored by the
+    * oracle. */
+  def cyWithTopk(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """MATCH (n:Nation)-[e:FROM_NATION]-(c:Customer)
+        |WITH n, count(DISTINCT c) AS n_cust ORDER BY n_cust DESC SKIP 2 LIMIT 5
+        |MATCH (n)-[e2:IN_REGION]-(r0:Region)
+        |RETURN r0.name AS region, n.name AS nation, n_cust
+        |ORDER BY nation""".stripMargin)
+
   /** Variable-length Cypher path: everything within 1..2 undirected hops
     * of the ASIA region — planned as a union of fixed-length expansions
     * with per-expansion trail semantics. */
@@ -2344,6 +2358,7 @@ object Queries {
     "cy_with_chain" -> (cyWithChain _),
     "cy_with_norm_filter" -> (cyWithNormFilter _),
     "cy_with_agg" -> (cyWithAgg _),
+    "cy_with_topk" -> (cyWithTopk _),
     "cy_varlength" -> (cyVarlength _),
     "skew_salted_agg" -> (skewSaltedAgg _),
     "join_salted" -> (joinSalted _),

@@ -11,7 +11,9 @@ package graft.cypher
   *                RETURN [DISTINCT] item (',' item)*
   *                [ORDER BY ref [ASC|DESC]] [LIMIT n]
   *   stage     := unwind* MATCH path (',' path)* [WHERE pred (AND pred)*]
-  *                WITH [DISTINCT] withItem (',' withItem)* [WHERE pred (AND pred)*]
+  *                WITH [DISTINCT] withItem (',' withItem)*
+  *                [ORDER BY ref [ASC|DESC]] [SKIP n] [LIMIT n]
+  *                [WHERE pred (AND pred)*]
   *   unwind    := UNWIND $param AS var
   *   path      := node (rel node)*
   *   node      := '(' var [':' Label] [ '{' (name|nodeId) ':' literal-or-var '}' ] ')'
@@ -100,7 +102,10 @@ object Ast {
     * `withPreds` filter AFTER the projection (Cypher's WITH…WHERE). */
   final case class Stage(unwinds: Seq[Unwind], paths: Seq[MatchPath],
                          preds: Seq[Pred], withDistinct: Boolean,
-                         withItems: Seq[RetItem], withPreds: Seq[Pred])
+                         withItems: Seq[RetItem], withPreds: Seq[Pred],
+                         orderBy: Option[(String, Boolean)] = None,
+                         skip: Option[Int] = None,
+                         limit: Option[Int] = None)
 
   final case class CypherQuery(
       unwinds: Seq[Unwind],
@@ -168,6 +173,12 @@ object Ast {
         sb ++= " WITH " + (if (st.withDistinct) "DISTINCT " else "")
         sb ++= st.withItems
           .map(i => expr(i.expr) + i.alias.fold("")(a => s" AS $a")).mkString(", ")
+        // openCypher sub-clause order: ORDER BY, SKIP, LIMIT, then WHERE
+        // (the WITH…WHERE filter applies AFTER the trim, like Neo4j)
+        st.orderBy.foreach { case (ref, desc) =>
+          sb ++= s" ORDER BY $ref" + (if (desc) " DESC" else "") }
+        st.skip.foreach(n => sb ++= s" SKIP $n")
+        st.limit.foreach(n => sb ++= s" LIMIT $n")
         if (st.withPreds.nonEmpty)
           sb ++= " WHERE " + st.withPreds.map(pred).mkString(" AND ")
         sb ++= " "

@@ -103,8 +103,21 @@ object Parser {
           while ({ ws(); pos < in.length && in(pos) == ',' }) {
             pos += 1; items += retItem(inWith = true)
           }
+          // openCypher sub-clause order inside WITH: ORDER BY, SKIP, LIMIT,
+          // then WHERE (the filter applies after the trim, like Neo4j) —
+          // the top-k-per-stage idiom `WITH n, count(…) AS deg
+          // ORDER BY deg DESC LIMIT 5`
+          val order =
+            if (opt("ORDER")) {
+              expect("BY")
+              val ref = orderRef()
+              val desc = if (opt("DESC")) true else { opt("ASC"); false }
+              Some((ref, desc))
+            } else None
+          val skip = if (opt("SKIP")) Some(longLit().toInt) else None
+          val lim = if (opt("LIMIT")) Some(longLit().toInt) else None
           stages += Stage(unwinds.result(), paths.result(), preds, d,
-            items.result(), predList())
+            items.result(), predList(), order, skip, lim)
         } else {
           expect("RETURN")
           val distinct = opt("DISTINCT")
@@ -244,7 +257,13 @@ object Parser {
           else VarRef(ident())
         (op, value) match {
           case ("<>", VarRef(v2)) => VarNeq(v1, v2)
-          case _                  => ColCmp(v1, op, value)
+          case (o, VarRef(_)) =>
+            // out-of-grammar (`col = ident`): reject HERE with position
+            // info instead of surfacing a generic plan-time error far
+            // from the parse site — only `<>` compares two variables
+            fail(s"operator '$o' cannot compare against a variable " +
+              "(only <> between two node variables); quote string literals")
+          case _ => ColCmp(v1, op, value)
         }
       }
     }

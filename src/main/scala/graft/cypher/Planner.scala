@@ -113,7 +113,30 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
           .agg(aggCols.head, aggCols.tail: _*)
       }
     val dedup = if (st.withDistinct && aggItems.isEmpty) out.distinct() else out
-    val result = st.withPreds.foldLeft(dedup)((df, p) => df.where(predCol(p)))
+    // WITH … ORDER BY / SKIP / LIMIT — the per-stage trim (top-k-per-stage
+    // idiom), applied BEFORE the WITH…WHERE filter per openCypher's
+    // sub-clause order. Cypher leaves tie order undefined; for a
+    // reproducible trim the stage appends every remaining atomic projected
+    // column (name-sorted, ascending) as tie-breakers — node identity is
+    // nodeId-determined, so ties break deterministically. ORDER BY + LIMIT
+    // plans as TakeOrderedAndProject: no global sort materializes.
+    val trimmed =
+      if (st.orderBy.isEmpty && st.skip.isEmpty && st.limit.isEmpty) dedup
+      else {
+        val sorted = st.orderBy match {
+          case Some((ref, desc)) =>
+            val keyName = barrierColName(ref, dedup.columns)
+            val key = if (desc) col(keyName).desc else col(keyName).asc
+            val ties = dedup.schema.fields
+              .filter(f => f.name != keyName && isAtomicType(f.dataType))
+              .map(_.name).sorted.map(col(_).asc)
+            dedup.orderBy((key +: ties.toSeq): _*)
+          case None => dedup
+        }
+        val skipped = st.skip.fold(sorted)(sorted.offset)
+        st.limit.fold(skipped)(skipped.limit)
+      }
+    val result = st.withPreds.foldLeft(trimmed)((df, p) => df.where(predCol(p)))
     // the barrier: recompute what survives for the NEXT stage
     val (vars, scalars) = st.withItems.foldLeft((Set.empty[String], Set.empty[String])) {
       case ((vs, ss), RetItem(ColRef(n), _)) =>
@@ -169,6 +192,30 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     }
     df.select(cols: _*)
   }
+
+  /** Resolve a stage ORDER BY ref against the barrier's output columns:
+    * `v.prop` is the flattened carry column `__w_v_prop`, a bare name is a
+    * projected scalar. */
+  private def barrierColName(ref: String, columns: Array[String]): String = {
+    val name =
+      if (ref.contains('.')) {
+        val Array(v, p) = ref.split("\\.", 2)
+        s"__w_${v}_$p"
+      } else ref
+    if (!columns.contains(name))
+      throw new IllegalArgumentException(
+        s"WITH ORDER BY '$ref' is not among the projected items")
+    name
+  }
+
+  private def isAtomicType(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case _: org.apache.spark.sql.types.ArrayType |
+           _: org.apache.spark.sql.types.MapType |
+           _: org.apache.spark.sql.types.StructType |
+           org.apache.spark.sql.types.BinaryType => false
+      case _ => true
+    }
 
   private def varsOf(ps: Seq[MatchPath]): Set[String] =
     ps.flatMap(_.nodes.map(_.varName)).toSet

@@ -88,7 +88,12 @@ object QuantileSketch {
       var h = h0
       var carrying = true
       while (carrying) {
-        while (levels.length <= h) { levels += ArrayBuffer.empty; parity += 0 }
+        // levels and parity are extended independently: rebuild() grows
+        // `levels` directly (parity is private and intentionally does not
+        // round-trip through rows), so a rebuilt sketch used as an insert
+        // or merge DESTINATION arrives with levels longer than parity
+        while (levels.length <= h) levels += ArrayBuffer.empty
+        while (parity.length <= h) parity += 0
         val slot = levels(h)
         if (slot.isEmpty) { slot += run; carrying = false }
         else {
@@ -275,7 +280,16 @@ object QuantileSketch {
   def mrlQuantileReport(items: DataFrame, groupCol: String, valueCol: String,
                         k: Int, qs: Seq[(String, Int)]): DataFrame = {
     val spark = items.sparkSession
-    val raw = items.select(col(groupCol).cast("string").as("grp"),
+    // "__all__" is the rollup sentinel; a corpus group with that literal
+    // name would union its state with the rollup's under one key and
+    // double-count in the verification fan. Fail fast inside the existing
+    // scan (codegen'd, no extra pass) instead of corrupting both rows.
+    val raw = items.select(
+      when(col(groupCol).cast("string") === lit("__all__"),
+        raise_error(lit(
+          s"group column '$groupCol' contains '__all__', which collides " +
+            "with the rollup sentinel")))
+        .otherwise(col(groupCol).cast("string")).as("grp"),
       col(valueCol).cast("long").as("v"))
     val states = mrlGroupStates(raw, "grp", "v", k)
     val withAll = states.unionAll(mrlMergeStates(states, k, "__all__"))

@@ -321,9 +321,19 @@ private[v2] class TarPartitionReader(
             while (e < buf.length && buf(e) != 0) e += 1
             new String(buf, 0, e, "UTF-8")
           } else parsePaxPath(buf).getOrElse(pendingPath)
-      } else in.seek(in.getPos + padded)
+      } else {
+        // oversized metadata we refuse to buffer: its override is lost, and
+        // any earlier pending override must not leak past this entry either
+        in.seek(in.getPos + padded)
+        pendingPath = null
+      }
       next()
     } else if (typeflag != '0'.toByte && typeflag != 0.toByte) {
+      // POSIX scopes a PAX 'x' / GNU 'L' override to the IMMEDIATELY
+      // following entry; if that entry is non-regular (dir, symlink, 'g')
+      // it consumes the override here — it must not attach to a later
+      // unrelated regular file
+      pendingPath = null
       in.seek(in.getPos + padded)
       next()
     } else {

@@ -261,4 +261,51 @@ class CypherSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq
     assert(lt === Seq("Bob", "Carol"))
   }
+
+  test("WITH ORDER BY/SKIP/LIMIT: per-stage trim, tie-break, sub-clause " +
+    "order, render∘parse = id") {
+    // top-1 author by distinct papers (Alice, 2), carried into the next hop
+    val top = Planner.run(g,
+      """MATCH (a:Author)-[r:WRITES]-(p:Paper)
+        |WITH a, count(DISTINCT p) AS np ORDER BY np DESC LIMIT 1
+        |MATCH (a)-[r2:AFFILIATED_WITH]-(i:Institution)
+        |RETURN a.name AS author, i.name AS inst, np""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(top === Seq(("Alice", "MIT", 2L)))
+    // SKIP past Alice: the np=1 tie breaks by the documented convention
+    // (remaining atomic barrier columns, name-sorted asc) — Bob before Carol
+    val second = Planner.run(g,
+      """MATCH (a:Author)-[r:WRITES]-(p:Paper)
+        |WITH a, count(DISTINCT p) AS np ORDER BY np DESC SKIP 1 LIMIT 1
+        |RETURN a.name AS author, np""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(second === Seq(("Bob", 1L)))
+    // WHERE applies AFTER the trim (openCypher sub-clause order): the
+    // LIMIT-2 slice is {Alice, Bob}; np < 2 keeps only Bob
+    val after = Planner.run(g,
+      """MATCH (a:Author)-[r:WRITES]-(p:Paper)
+        |WITH a.name AS author, count(DISTINCT p) AS np
+        |ORDER BY np DESC LIMIT 2 WHERE np < 2
+        |RETURN author""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(after === Seq("Bob"))
+    val s = """MATCH (a:Author)-[r:WRITES]-(p:Paper) """ +
+      """WITH a, count(DISTINCT p) AS np ORDER BY np DESC SKIP 1 LIMIT 5 WHERE np < 2 """ +
+      """RETURN a.name AS author, np"""
+    val q = Parser.parse(s)
+    assert(q.prefixes.head.orderBy === Some(("np", true)))
+    assert(q.prefixes.head.skip === Some(1))
+    assert(q.prefixes.head.limit === Some(5))
+    assert(Parser.parse(q.render) === q)
+    // an ORDER BY ref outside the projected items errors clearly
+    intercept[IllegalArgumentException](Planner.run(g,
+      """MATCH (a:Author)-[r:WRITES]-(p:Paper)
+        |WITH a.name AS author ORDER BY nope
+        |RETURN author""".stripMargin).collect())
+    // `col = identifier` is rejected AT PARSE with position info (only <>
+    // compares two variables) — not a generic plan-time error
+    intercept[Parser.ParseError](Parser.parse(
+      "MATCH (a:Author)-[r:WRITES]-(p:Paper) WITH a.name AS author " +
+        "WHERE author = bob RETURN author"))
+  }
 }

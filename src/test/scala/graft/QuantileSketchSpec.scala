@@ -95,6 +95,38 @@ class QuantileSketchSpec extends SparkSpec {
     assert(again.map(_.toSeq).toSeq === rows.map(_.toSeq).toSeq)
   }
 
+  test("a rebuilt sketch works as an insert target and merge DESTINATION " +
+    "(parity extends with levels)") {
+    // rebuild() grows `levels` without touching the private parity buffer;
+    // the first carry into a pre-existing level of a rebuilt sketch used
+    // as a destination then indexed past parity's end (ADVICE r9)
+    val src = new MrlSketch(4)
+    (1 to 64).foreach(i => src.insert(i.toLong))    // several levels
+    val dest = QuantileSketch.rebuild(src.toRows("g", 0).toArray, 4)
+    (1 to 64).foreach(i => dest.insert(100L + i))   // carries into old levels
+    val other = new MrlSketch(4)
+    (1 to 16).foreach(i => other.insert(1000L + i))
+    dest.mergeFrom(other)                           // merge INTO the rebuild
+    assert(dest.n === 64L + 64L + 16L)
+    val all = (1 to 64).map(_.toLong) ++ (1 to 64).map(100L + _) ++
+      (1 to 16).map(1000L + _)
+    for (pct <- Seq(10, 50, 90)) assertWindow(all, dest, pct)
+  }
+
+  test("mrlQuantileReport rejects a corpus group named '__all__' " +
+    "(rollup-sentinel collision)") {
+    val df = Seq(("__all__", 1L), ("__all__", 5L), ("g1", 2L))
+      .toDF("grp", "v")
+    val ex = intercept[Throwable] {
+      QuantileSketch.mrlQuantileReport(df, "grp", "v", 8, Seq("p50" -> 50))
+        .collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(ex).exists(_.contains("__all__")),
+      s"expected a sentinel-collision error, got: $ex")
+  }
+
   test("state stays sub-linear: rows per state <= k * (levels + 2)") {
     val s = new MrlSketch(64)
     (0 until 100000).foreach(i => s.insert(i.toLong))

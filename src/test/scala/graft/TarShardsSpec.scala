@@ -113,6 +113,51 @@ class TarShardsSpec extends SparkSpec {
     assert(rows.toSeq === Seq(("g" * 130, "bin", "gnu")))
   }
 
+  test("a path override scopes to the IMMEDIATELY following entry only " +
+    "(consumed by a skipped non-regular entry, not a later file)") {
+    // hand-built USTAR bytes: commons-compress never emits the malformed
+    // sequence under test — GNU 'L' longname, then a DIRECTORY entry (the
+    // override's rightful-but-skipped target), then an unrelated regular
+    // file which must surface under its OWN header name (POSIX scopes
+    // overrides to the immediately following entry; ADVICE r9)
+    def hdr(name: String, size: Long, typeflag: Byte): Array[Byte] = {
+      val b = new Array[Byte](512)
+      val nb = name.getBytes("UTF-8")
+      System.arraycopy(nb, 0, b, 0, nb.length)
+      def oct(v: Long, off: Int, len: Int): Unit = {
+        val s = ("%0" + (len - 1) + "o").format(v)
+        System.arraycopy(s.getBytes("US-ASCII"), 0, b, off, s.length)
+      }
+      oct(420, 100, 8); oct(0, 108, 8); oct(0, 116, 8)
+      oct(size, 124, 12); oct(0, 136, 12)
+      b(156) = typeflag
+      java.util.Arrays.fill(b, 148, 156, ' '.toByte)
+      var sum = 0L; b.foreach(x => sum += x & 0xff)
+      val cs = "%06o".format(sum).getBytes("US-ASCII")
+      System.arraycopy(cs, 0, b, 148, cs.length)
+      b(154) = 0; b(155) = ' '.toByte
+      b
+    }
+    def padded(data: Array[Byte]): Array[Byte] =
+      java.util.Arrays.copyOf(data, ((data.length + 511) / 512) * 512)
+    val dir = tmp()
+    val out = new java.io.FileOutputStream(new java.io.File(dir, "scope.tar"))
+    val overrideName = "misattributed-long-name.txt".getBytes("UTF-8")
+    out.write(hdr("././@LongLink", overrideName.length.toLong, 'L'.toByte))
+    out.write(padded(overrideName))
+    out.write(hdr("somedir/", 0L, '5'.toByte))          // skipped target
+    val body = "plain".getBytes("UTF-8")
+    out.write(hdr("plain.txt", body.length.toLong, '0'.toByte))
+    out.write(padded(body))
+    out.write(new Array[Byte](1024))                     // end-of-archive
+    out.close()
+    val rows = spark.read.format("graft.sources.v2.TarDataSource").load(dir)
+      .collect().map(r => (r.getString(1), r.getString(2),
+        new String(r.getAs[Array[Byte]](4), "UTF-8")))
+    assert(rows.toSeq === Seq(("plain", "txt", "plain")),
+      s"stale override leaked onto an unrelated file: ${rows.toSeq}")
+  }
+
   test("micro-batch offset parse is strict") {
     val ms = new graft.sources.v2.TarMicroBatchStream(tmp(),
       spark.read.format("graft.sources.v2.TarDataSource").load(tmp()).schema)
