@@ -3687,12 +3687,44 @@ object OracleSqls {
         |), bk AS (
         |  SELECT doc_id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS key
         |  FROM sig, (SELECT unnest(range(4)) AS band) b
+        |), kept AS (
+        |  -- the maxBucket occupancy valve: over-full buckets are dropped
+        |  SELECT band, key FROM bk
+        |  GROUP BY band, key HAVING count(*) > 1 AND count(*) <= 64
         |), pairs AS (
         |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2,
         |    CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS dist
-        |  FROM bk x JOIN bk y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+        |  FROM bk x
+        |  JOIN bk y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+        |  JOIN kept k ON k.band = x.band AND k.key = x.key
         |)
         |SELECT id1, id2, dist FROM pairs WHERE dist <= 2""".stripMargin,
+
+    // bucket-skew stress: the planted hot band (all-zero signatures on
+    // ~96% of the corpus) must be DROPPED by the maxBucket=24 valve while
+    // the small planted group (doc_id % 29 = 0, signatures differing in
+    // bit 0 by parity) pairs exactly — 1431677610 = 0x5555AAAA
+    "dedup_band_skew" -> s"""WITH sigs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 29 = 0
+        |      THEN xor(CAST(1431677610 AS BIGINT),
+        |               CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      ELSE CAST(0 AS BIGINT) END AS simhash
+        |  FROM documents
+        |), bk AS (
+        |  SELECT doc_id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS key
+        |  FROM sigs, (SELECT unnest(range(4)) AS band) b
+        |), kept AS (
+        |  SELECT band, key FROM bk
+        |  GROUP BY band, key HAVING count(*) > 1 AND count(*) <= 24
+        |), pairs AS (
+        |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2,
+        |    CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS dist
+        |  FROM bk x
+        |  JOIN bk y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+        |  JOIN kept k ON k.band = x.band AND k.key = x.key
+        |)
+        |SELECT id1, id2, dist FROM pairs WHERE dist <= 4""".stripMargin,
 
     "text_langid" -> s"""WITH w AS (
         |  SELECT lang AS actual_lang,

@@ -971,7 +971,24 @@ object Queries {
 
   def dedupSimhashNear(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDupPairs(T(spark, dir, "documents"), "doc_id", "text",
-      bits = 32, bands = 4, maxDist = 2)
+      bits = 32, bands = 4, maxDist = 2, maxBucket = 64)
+
+  /** Bucket-skew stress for the banded dedup family: a fixture that PLANTS
+    * a pathological hot band — every doc_id not divisible by 29 gets the
+    * all-zero signature (one bucket per band holding nearly the whole
+    * corpus), the rest a near-identical planted pattern. The `maxBucket`
+    * valve must drop the hot buckets (which would otherwise explode
+    * ~n²/2 pairs in one task) while the planted group, under the cap,
+    * pairs exactly — the dedup counterpart of `skew_salted_agg`. */
+  def dedupBandSkew(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = T(spark, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 29 === 0,
+        lit(0x5555AAAAL).bitwiseXOR(
+          when(col("doc_id") % 2 === 0, lit(1L)).otherwise(lit(0L))))
+        .otherwise(lit(0L)).as("simhash"))
+    Dedup.simhashBandPairs(sigs, bits = 32, bands = 4,
+      maxDist = 4, maxBucket = 24)
+  }
 
   /** SemDeDup-style semantic dedup over the embeddings table: k-means
     * clusters bound the candidate pairs; cosine ≥ 0.35 drops the higher id
@@ -2446,6 +2463,7 @@ object Queries {
     "dedup_substring_spans" -> (dedupSubstringSpans _),
     "dedup_incremental_probe" -> (dedupIncrementalProbe _),
     "dedup_simhash_near" -> (dedupSimhashNear _),
+    "dedup_band_skew" -> (dedupBandSkew _),
     "dedup_semantic" -> (dedupSemantic _),
     "corpus_clean" -> (corpusClean _),
     "text_langid" -> (textLangId _),

@@ -440,39 +440,63 @@ object Dedup {
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_docs"))
       .where(col("n_docs") > 1)
 
-  /** SimHash near-dups by Hamming banding: split the signature into
-    * `bands` bit-bands; docs sharing ANY band are candidates (a signature
-    * within Hamming distance < bands must agree on some band — pigeonhole),
-    * verified with `bit_count(xor) <= maxDist`. The band is the join key,
-    * so candidate generation is O(collisions) — the classic scale recipe
-    * for Hamming-radius search.
+  /** Banded Hamming pair generation over (doc_id, signature) rows: split
+    * the signature into `bands` bit-bands; docs sharing ANY band key are
+    * candidates (a signature within Hamming distance < bands must agree on
+    * some band — pigeonhole), verified with `bit_count(xor) <= maxDist`.
     *
-    * SIZE `bits` TO THE CORPUS: each band carries bits/bands key bits, so
-    * expected bucket size is n / 2^(bits/bands) — the defaults (16/4 ⇒
-    * 4-bit keys) suit test-scale corpora, while a 10⁹-doc run wants e.g.
-    * bits=64, bands=4 (16-bit keys ⇒ ~15k-doc buckets) to keep the
-    * per-bucket pair fan-out bounded. Same pigeonhole guarantee at every
-    * width. */
-  def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                          bits: Int = 16, bands: Int = 4,
-                          maxDist: Int = 3): DataFrame = {
+    * POSTING-LIST form, not a self-join: grouping each (band, key) bucket
+    * into one sorted list and exploding ordered pairs (a) scans the
+    * signature subtree ONCE where the self-join's second branch re-planned
+    * it (no exchange reuse across aliased branches — at corpus scale the
+    * signature computation IS the scan), and (b) gives the occupancy a
+    * handle: `maxBucket` is the skew valve. A bucket of f docs explodes
+    * f²/2 pairs in one task, so a hot key (flat/constant content all
+    * hashing alike) is corpus-quadratic without the cap; buckets larger
+    * than `maxBucket` are DROPPED — same convention as the MinHash path's
+    * [[lshCandidatePairs]] cap and the n-gram `maxPostings`. Members of an
+    * over-full bucket usually still pair in a less-degenerate band, and
+    * exact duplicates are [[exactGroups]]' job anyway. */
+  def simhashBandPairs(sigs: DataFrame, bits: Int, bands: Int,
+                       maxDist: Int,
+                       maxBucket: Int = Int.MaxValue): DataFrame = {
     val bandBits = bits / bands
     val mask = (1L << bandBits) - 1
-    val sig = simhashSignatures(docs, idCol, textCol, bits)
     val bandCols = (0 until bands).map(b => struct(lit(b).as("band"),
       shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask)).as("key")))
-    val buckets = sig
+    val buckets = sigs
       .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"),
         col("bk.band").as("band"), col("bk.key").as("key"))
-    buckets.as("x").join(buckets.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("dist"))
+    val lists = buckets.groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ids"))
+      .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+    lists.select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))), y => struct(
+          x.getField("doc_id").as("id1"), x.getField("simhash").as("s1"),
+          y.getField("doc_id").as("id2"), y.getField("simhash").as("s2")))))).as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"),
+        bit_count(col("p.s1").bitwiseXOR(col("p.s2"))).cast("long").as("dist"))
       .distinct()
       .where(col("dist") <= maxDist)
   }
+
+  /** SimHash near-dups by Hamming banding (see [[simhashBandPairs]] for
+    * the pairing shape and the `maxBucket` valve).
+    *
+    * SIZE `bits` TO THE CORPUS: each band carries bits/bands key bits, so
+    * expected bucket size is n / 2^(bits/bands) — the defaults (32/4 ⇒
+    * 8-bit keys) suit test-scale corpora, while a 10⁹-doc run wants e.g.
+    * bits=64, bands=4 (16-bit keys ⇒ ~15k-doc buckets) so the band
+    * keyspace grows with the corpus. Same pigeonhole guarantee at every
+    * width; `maxBucket` bounds the fan-out of whatever keys stay hot
+    * regardless. */
+  def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                          bits: Int = 32, bands: Int = 4,
+                          maxDist: Int = 3,
+                          maxBucket: Int = Int.MaxValue): DataFrame =
+    simhashBandPairs(simhashSignatures(docs, idCol, textCol, bits),
+      bits, bands, maxDist, maxBucket)
 
   /** SemDeDup-style semantic deduplication over an embedding column: cluster
     * the vectors with deterministic seeded k-means ([[Vectors.kmeansCentroids]]),

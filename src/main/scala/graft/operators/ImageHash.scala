@@ -24,8 +24,9 @@ import org.apache.spark.sql.functions._
   * Scale shape: hashing is a narrow mapPartitions (64k multiplies per
   * image); pairing is band-bucketed — a doc pair is compared only when
   * some band of bits/bands key bits collides, the pigeonhole guarantee
-  * that any pair within Hamming distance < bands IS generated. No
-  * all-pairs join anywhere.
+  * that any pair within Hamming distance < bands IS generated, with the
+  * `maxBucket` occupancy valve dropping degenerate hot buckets (flat
+  * images hashing alike). No all-pairs join anywhere.
   */
 object ImageHash {
 
@@ -128,25 +129,17 @@ object ImageHash {
 
   /** Near-dup pairs over (doc_id, phash) rows: SimHash-style banding over
     * the 63-bit signature (`bands` bands ⇒ guaranteed recall for Hamming
-    * distance < bands), exact `bit_count(xor)` verification ≤ `maxDist`. */
+    * distance < bands), exact `bit_count(xor)` verification ≤ `maxDist` —
+    * delegated to [[Dedup.simhashBandPairs]], which pairs from capped
+    * posting lists: `maxBucket` is the occupancy valve (flat or constant
+    * images all hash alike, so an uncapped hot bucket would be
+    * corpus-quadratic at scale; over-full buckets are dropped, the
+    * MinHash-path convention). */
   def phashNearDupPairs(sigs: DataFrame, bands: Int = 8,
-                        maxDist: Int = 7): DataFrame = {
-    val bandBits = 64 / bands
-    val mask = (1L << bandBits) - 1
-    val bandCols = (0 until bands).map(b => struct(lit(b).as("band"),
-      shiftright(col("phash"), b * bandBits).bitwiseAND(lit(mask)).as("key")))
-    val buckets = sigs
-      .select(col("doc_id"), col("phash"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("phash"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
-    buckets.as("x").join(buckets.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"),
-        bit_count(col("x.phash").bitwiseXOR(col("y.phash"))).cast("long").as("dist"))
-      .distinct()
-      .where(col("dist") <= maxDist)
-  }
+                        maxDist: Int = 7,
+                        maxBucket: Int = Int.MaxValue): DataFrame =
+    Dedup.simhashBandPairs(sigs.withColumnRenamed("phash", "simhash"),
+      bits = 64, bands = bands, maxDist = maxDist, maxBucket = maxBucket)
 
   /** End-to-end image near-dup report on SYNTHETIC-but-lossy data: 7
     * block-aligned layouts (one per doc_id % 7 — distinct cell patterns),
@@ -179,7 +172,10 @@ object ImageHash {
         (id, aHash(g, w, h))
       }
     }.toDF("doc_id", "phash")
-    val pairs = phashNearDupPairs(sigs)
+    // maxBucket bounds per-bucket fan-out: ~maxDocs/7 same-layout images
+    // share a hash (≈29 at the default), so 64 keeps the planted groups
+    // whole while proving the valve is on the path
+    val pairs = phashNearDupPairs(sigs, maxBucket = 64)
     val tagged = pairs.select((col("id1") % 7).as("g1"), (col("id2") % 7).as("g2"))
     val intra = tagged.where(col("g1") === col("g2"))
       .groupBy(col("g1").as("grp")).agg(count(lit(1)).as("n_intra"))

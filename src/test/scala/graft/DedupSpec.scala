@@ -152,6 +152,29 @@ class DedupSpec extends SparkSpec {
     assert(capped === Set((1L, 3L)))
   }
 
+  test("simhash band-bucket cap bounds a hot band's pair fan-out") {
+    // 30 docs with the SAME signature collide in every band (the
+    // flat-content hot key); uncapped, that single bucket alone explodes
+    // 30*29/2 pairs in one task — capped, it is dropped entirely while a
+    // small planted group still pairs through its own uncrowded buckets
+    val hot = (100L to 129L).map(i => (i, 0L))
+    val planted = Seq((1L, 0x5555AAAAL), (2L, 0x5555AAABL), (3L, 0x5555AAAAL))
+    val sigs = (hot ++ planted).toDF("doc_id", "simhash")
+    val uncapped = Dedup.simhashBandPairs(sigs, bits = 32, bands = 4,
+      maxDist = 4)
+    assert(uncapped.count() === 30L * 29 / 2 + 3L)
+    val capped = Dedup.simhashBandPairs(sigs, bits = 32, bands = 4,
+      maxDist = 4, maxBucket = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(capped === Set((1L, 2L, 1L), (1L, 3L, 0L), (2L, 3L, 1L)))
+    // the pHash pairing shares the same valve through the same core
+    val phSigs = (hot ++ planted).toDF("doc_id", "phash")
+    val ph = graft.operators.ImageHash.phashNearDupPairs(phSigs,
+      bands = 4, maxDist = 4, maxBucket = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ph === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("ngramJaccardPairs matches brute-force set Jaccard on random docs") {
     // the distributed single-scan pipeline vs literal set arithmetic on the
     // driver — every pair with >= 1 shared shingle, exact values
