@@ -11,6 +11,18 @@ import org.apache.spark.sql.functions._
   */
 object GraphAlgorithms {
 
+  /** O(V)-state broadcast guard: the iterative loops below broadcast their
+    * per-round state (frontiers, walk positions, label maps) only while its
+    * row count stays under this limit, so the O(E) adjacency is never
+    * re-shuffled per round; past it they fall back to plain shuffled
+    * equi-joins — the 100×-scale path, where V itself is not
+    * broadcast-sized. Overridable via the `graft.graph.stateBroadcastLimit`
+    * System property so a spec can FORCE the shuffle fallback on the micro
+    * graph and prove both paths produce identical results (the guard is a
+    * physical choice; results must be invariant to it). */
+  private[graft] def stateBroadcastLimit: Long =
+    java.lang.Long.getLong("graft.graph.stateBroadcastLimit", 5000000L)
+
   /** Triangle counting by degree orientation — the 100 TB shape: every
     * undirected edge is oriented from its lower-(degree, id) endpoint to the
     * higher one, so wedge enumeration fans out from the SMALLER side of each
@@ -105,7 +117,7 @@ object GraphAlgorithms {
     // this every layer is a full-edge-list SMJ, the graph_walks lesson)
     val nNodes = g.nodes.count()
     def stateSide(df: DataFrame): DataFrame =
-      if (nNodes * names.length <= 5000000L) broadcast(df) else df
+      if (nNodes * names.length <= stateBroadcastLimit) broadcast(df) else df
     val anchors = g.nodes
       .where(col("label") === label && col("name").isin(names: _*))
       .select(col("nodeId").as("src"), col("nodeId").as("v"),
@@ -225,7 +237,7 @@ object GraphAlgorithms {
     // the O(E) adjacency never re-shuffles per round (walkCorpus lesson)
     val nNodes = g.nodes.count()
     def frontierSide(df: DataFrame): DataFrame =
-      if (nNodes <= 5000000L) broadcast(df) else df
+      if (nNodes <= stateBroadcastLimit) broadcast(df) else df
     var frontier = g.nodes
       .where(col("label") === label && col("name").isin(names: _*))
       .select(col("nodeId").as("v"), lit(0).as("d"))
@@ -260,7 +272,7 @@ object GraphAlgorithms {
       .localCheckpoint(true)
     val nNodes = g.nodes.count()
     def frontierSide(df: DataFrame): DataFrame =
-      if (nNodes <= 5000000L) broadcast(df) else df
+      if (nNodes <= stateBroadcastLimit) broadcast(df) else df
     var frontier = g.nodes
       .where(col("label") === label && col("name").isin(names: _*))
       .select(col("nodeId").as("src"), col("nodeId").as("v"), lit(0).as("d"))
@@ -694,7 +706,7 @@ object GraphAlgorithms {
     // guard so the pre-weighted O(E) adjacency never re-shuffles per round
     val nNodes = g.nodes.count()
     def rankSide(df: DataFrame): DataFrame =
-      if (nNodes <= 5000000L) broadcast(df) else df
+      if (nNodes <= stateBroadcastLimit) broadcast(df) else df
     var pr = anchors.select(col("v"), lit(1.0 / nA).as("rank"))
     for (_ <- 1 to iters) {
       val contrib = adjw.join(rankSide(pr), col("v") === col("a"))
@@ -760,7 +772,7 @@ object GraphAlgorithms {
     // localCheckpoint erases partitioning, so each round was an O(E) SMJ)
     val nNodes = g.nodes.count()
     def lblSide(df: DataFrame): DataFrame =
-      if (nNodes <= 5000000L) broadcast(df) else df
+      if (nNodes <= stateBroadcastLimit) broadcast(df) else df
     // Every node with >= 1 neighbor adopts a fresh argmax label each round,
     // so only the isolated remainder ever carries its seed forward —
     // computed ONCE here, which saves a third per-round shuffle (the
@@ -801,7 +813,7 @@ object GraphAlgorithms {
     val labels = lpaLabels(g, iters, adj)
     val nNodes = g.nodes.count()
     def lblSide(df: DataFrame): DataFrame =
-      if (nNodes <= 5000000L) broadcast(df) else df
+      if (nNodes <= stateBroadcastLimit) broadcast(df) else df
     val e = adj
       .join(lblSide(labels.select(col("v").as("a"), col("lbl").as("la"))),
         Seq("a"))
@@ -861,7 +873,7 @@ object GraphAlgorithms {
     // when V itself is huge. Same guard pattern as kCoreSizes.
     val nNodes = g.nodes.count()
     def walkSide(df: DataFrame): DataFrame =
-      if (nNodes <= 5000000L) broadcast(df) else df
+      if (nNodes <= stateBroadcastLimit) broadcast(df) else df
     // deg(b) rides along with each edge so a step's output IS the next
     // step's complete input — this join happens once, not once per step
     val ranked = ranked0.as("r").join(walkSide(degT.as("d")), col("r.b") === col("d.n"))
@@ -945,7 +957,10 @@ object GraphAlgorithms {
       // is genuinely small (1M ids ≈ 8 MB, the autoBroadcastJoinThreshold
       // ballpark), else let it shuffle as a plain equi-join.
       val deadKeys = newDead.select(col("id").as("a"))
-      val deadSide = if (deadCount <= 1000000L) broadcast(deadKeys) else deadKeys
+      val deadSide =
+        if (deadCount <= math.min(1000000L, stateBroadcastLimit))
+          broadcast(deadKeys)
+        else deadKeys
       val loss = adj
         .join(deadSide, Seq("a"))
         .groupBy(col("b").as("a")).agg(count(lit(1)).as("lost"))
@@ -1046,7 +1061,7 @@ object GraphAlgorithms {
     // O(E) edge list never re-shuffles per half-round (walkCorpus lesson)
     val nNodes = g.nodes.count()
     def scoreSide(df: DataFrame): DataFrame =
-      if (nNodes <= 5000000L) broadcast(df) else df
+      if (nNodes <= stateBroadcastLimit) broadcast(df) else df
     // scores stay SPARSE through the loop: an absent id means s = 0, which
     // contributes nothing to any sum and never wins the max (raws are
     // non-negative), so the per-step dense left-join against the node set

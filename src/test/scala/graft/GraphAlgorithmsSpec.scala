@@ -585,6 +585,41 @@ class GraphAlgorithmsSpec extends SparkSpec {
     assert(out(2L) === ((625000L, 0L)))
   }
 
+  test("forced shuffle fallback (guard off) produces results identical " +
+    "to the broadcast path for walks/betweenness/k-core/LPA/PPR/HITS") {
+    // every iterative loop broadcasts O(V) state behind
+    // stateBroadcastLimit; the 100×-scale shuffle fallback must be a
+    // purely PHYSICAL choice. Force it (limit 0 + auto-broadcast off so
+    // Catalyst cannot silently re-broadcast the tiny frames) and assert
+    // bit-identical results against the default broadcast path.
+    val edges = (0L until 30L).flatMap(i =>
+      Seq((i, (i + 1) % 30), (i, (i + 7) % 30)))
+    val nodes = (0L until 30L).map(i => i -> (if (i % 2 == 0) "A" else "B"))
+    val graph = g(edges, nodes)
+    def runAll(): Seq[Seq[Seq[Any]]] = Seq(
+      GraphAlgorithms.deterministicWalks(graph, steps = 3),
+      GraphAlgorithms.betweennessTopK(graph, "A", Seq("n0", "n2"),
+        iters = 3, k = 10),
+      GraphAlgorithms.kCoreSizes(graph, k = 3, iters = 4),
+      GraphAlgorithms.labelPropagationSizes(graph, iters = 3),
+      GraphAlgorithms.personalizedPageRank(graph, "A", Seq("n0"),
+        iters = 3, k = 10),
+      GraphAlgorithms.hits(graph, iters = 2, k = 10)
+    ).map(_.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq)
+    val viaBroadcast = runAll()
+    val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    System.setProperty("graft.graph.stateBroadcastLimit", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val viaShuffle = runAll()
+      assert(viaShuffle === viaBroadcast,
+        "shuffle fallback diverged from the broadcast path")
+    } finally {
+      System.clearProperty("graft.graph.stateBroadcastLimit")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+    }
+  }
+
   test("temporalGrowth: cumulative counts from first occurrences only") {
     // month 1: edges (a1,b1), (a1,b2); month 2: (a2,b1) new + (a1,b1)
     // REPEAT (must not recount); month 3: only a repeat — the profile is
