@@ -985,6 +985,17 @@ object OracleSqls {
     "ann_ivf_store_kmeans" -> ivfKmeansSql(k = 10, nCentroids = 8, nProbe = 2,
       lloydIters = 2),
 
+    // rebalanced store, FULL probe: reading every cell is exact
+    // brute-force top-k, so the oracle is the plain cosine ranking — the
+    // hash gate proves the partition rewrite lost/duplicated nothing
+    "ann_ivf_rebalance" ->
+      """SELECT vec_id,
+        |  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+        |     WHERE vec_id = 0)), 6) AS similarity
+        |FROM embeddings
+        |ORDER BY similarity DESC, vec_id LIMIT 10""".stripMargin,
+
     "ann_pq_topk" -> pqSql(k = 10, m = 8, kCodes = 16, lloydIters = 1,
       ef = 200, subDim = 8),
 

