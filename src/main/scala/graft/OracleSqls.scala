@@ -3196,6 +3196,28 @@ object OracleSqls {
         |    AS n_bright
         |FROM cell GROUP BY y, x ORDER BY y, x""".stripMargin,
 
+    // full-color JPEG roundtrip: the oracle replays the block-constant
+    // Y/Cb/Cr formulas bytes-blind — chroma entropy decode, dequant,
+    // IDCT, and upsample must all be exact for the sums to cancel
+    "mm_jpeg_color" ->
+      """WITH d AS (
+        |  SELECT doc_id, (doc_id % 3) + 2 AS bw, (doc_id % 2) + 2 AS bh
+        |  FROM documents
+        |), cell AS (
+        |  SELECT doc_id, CAST(y.y AS INTEGER) AS y, CAST(x.x AS INTEGER) AS x,
+        |    (doc_id * 31 + x.x * 17 + y.y * 23) % 256 AS yv,
+        |    (doc_id * 13 + x.x * 7 + y.y * 29) % 256 AS cb,
+        |    (doc_id * 19 + x.x * 11 + y.y * 5) % 256 AS cr
+        |  FROM d,
+        |    LATERAL (SELECT unnest(range(0, bh)) AS y) y,
+        |    LATERAL (SELECT unnest(range(0, bw)) AS x) x
+        |)
+        |SELECT y, x, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(yv) AS BIGINT) AS sum_y,
+        |  CAST(sum(cb) AS BIGINT) AS sum_cb,
+        |  CAST(sum(cr) AS BIGINT) AS sum_cr
+        |FROM cell GROUP BY y, x ORDER BY y, x""".stripMargin,
+
     // image near-dup via DCT pHash: the oracle knows the planting — 7
     // grating patterns by doc_id % 7, so intra pairs are n·(n−1)/2 per
     // group and cross pairs must be zero; a pHash that loses recall

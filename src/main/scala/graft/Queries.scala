@@ -2062,6 +2062,12 @@ object Queries {
   def mmJpegPixels(spark: SparkSession, dir: String): DataFrame =
     Jpeg.jpegDecodeRoundtrip(spark, T(spark, dir, "documents"))
 
+  /** Full-color JPEG roundtrip (chroma dequant + IDCT + upsample on the
+    * decode path): block-constant Y/Cb/Cr formula planes survive the real
+    * 3-component codec bit-exactly; the oracle replays the formula. */
+  def mmJpegColor(spark: SparkSession, dir: String): DataFrame =
+    Jpeg.jpegColorRoundtrip(spark, T(spark, dir, "documents"))
+
   /** IMAGE near-dup dedup end to end: 7 planted grating patterns with
     * per-doc pixel noise, LOSSY JPEG encode+decode, 63-bit DCT pHash,
     * SimHash-style band pairing + exact Hamming verify. The oracle knows
@@ -2583,6 +2589,7 @@ object Queries {
     "mm_png_pixels" -> (mmPngPixels _),
     "mm_gif_pixels" -> (mmGifPixels _),
     "mm_jpeg_pixels" -> (mmJpegPixels _),
+    "mm_jpeg_color" -> (mmJpegColor _),
     "mm_phash_pairs" -> (mmPhashPairs _),
     "mm_audio_goertzel" -> (mmAudioGoertzel _),
     "mm_audio_resample" -> (mmAudioResample _),

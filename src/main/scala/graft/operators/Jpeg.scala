@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
   * entropy decode with 0xFF00 unstuffing and RSTn handling, dequantize,
   * dezigzag, double-precision IDCT, level shift + clamp. 1-component
   * grayscale and 3-component YCbCr (any sampling factors ≤ 2×2) both
-  * decode; only the LUMA channel is retained — chroma blocks are entropy-
-  * decoded (the bitstream cannot be skipped) but not reconstructed.
-  * Anything malformed returns None, the same dirty-corpus contract as
+  * decode: [[decodeJpegGray]] reconstructs the luma plane only (chroma is
+  * entropy-decoded — the bitstream cannot be skipped — but skips the
+  * IDCT), while [[decodeJpegColor]] reconstructs all three planes with
+  * nearest chroma upsample and BT.601 [[ycbcrToRgb]] on call. Anything
+  * malformed returns None, the same dirty-corpus contract as
   * [[Multimodal.decodePngGray]].
   *
   * Encoder: level shift → forward DCT (double) → quantize (round half
@@ -124,8 +126,28 @@ object Jpeg {
 
   /** Encode a grayscale image as a baseline single-component JPEG. */
   def jpegFileGray(width: Int, height: Int, gray: (Int, Int) => Int,
-                   quant: Array[Int] = defaultQuant): Array[Byte] = {
+                   quant: Array[Int] = defaultQuant): Array[Byte] =
+    writeJpeg(width, height, Array(gray), quant)
+
+  /** Encode a 3-component 4:4:4 baseline JPEG straight from YCbCr planes
+    * (component ids 1/2/3, all 1×1 sampling, one shared quant + Huffman
+    * table set — legal per T.81 and read by any standard decoder). Taking
+    * YCbCr directly keeps the color-transform out of the codec, so a
+    * block-constant integer plane round-trips BIT-EXACTLY (the same
+    * DC-quant-8 lever as the gray path) — the `mm_jpeg_color` oracle
+    * leans on exactly that. RGB callers go through [[rgbToYCbCr]]. */
+  def jpegFileYCbCr(width: Int, height: Int,
+                    yf: (Int, Int) => Int, cbf: (Int, Int) => Int,
+                    crf: (Int, Int) => Int,
+                    quant: Array[Int] = defaultQuant): Array[Byte] =
+    writeJpeg(width, height, Array(yf, cbf, crf), quant)
+
+  private def writeJpeg(width: Int, height: Int,
+                        planes: Array[(Int, Int) => Int],
+                        quant: Array[Int]): Array[Byte] = {
     require(width > 0 && height > 0 && width <= 0xffff && height <= 0xffff)
+    val nc = planes.length
+    require(nc == 1 || nc == 3, "1 (gray) or 3 (YCbCr) components")
     val out = new java.io.ByteArrayOutputStream()
     def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
@@ -133,9 +155,9 @@ object Jpeg {
     marker(0xdb); u16(2 + 1 + 64) // DQT, 8-bit table 0
     out.write(0x00)
     for (i <- 0 until 64) out.write(quant(Zigzag(i)))
-    marker(0xc0); u16(8 + 3 * 1) // SOF0: 1 component, no subsampling
-    out.write(8); u16(height); u16(width); out.write(1)
-    out.write(1); out.write(0x11); out.write(0)
+    marker(0xc0); u16(8 + 3 * nc) // SOF0, all components 1x1 sampling
+    out.write(8); u16(height); u16(width); out.write(nc)
+    for (c <- 1 to nc) { out.write(c); out.write(0x11); out.write(0) }
     def dht(tc: Int, th: Int, bits: Array[Int], vals: Array[Int]): Unit = {
       marker(0xc4); u16(2 + 1 + 16 + vals.length)
       out.write((tc << 4) | th)
@@ -144,24 +166,26 @@ object Jpeg {
     }
     dht(0, 0, EncDcBits, EncDcVals)
     dht(1, 0, EncAcBits, EncAcVals)
-    marker(0xda); u16(6 + 2 * 1) // SOS
-    out.write(1); out.write(1); out.write(0x00)
+    marker(0xda); u16(6 + 2 * nc) // SOS
+    out.write(nc)
+    for (c <- 1 to nc) { out.write(c); out.write(0x00) }
     out.write(0); out.write(63); out.write(0)
 
     val bw = new BitWriter(out)
     def putMagnitude(v: Int, s: Int): Unit =
       if (s > 0) bw.put(if (v >= 0) v else v - 1 + (1 << s), s)
-    var prevDc = 0
+    val prevDc = new Array[Int](nc)
     val block = new Array[Double](64)
     val coef = new Array[Int](64)
     val bY = (height + 7) / 8
     val bX = (width + 7) / 8
-    for (byi <- 0 until bY; bxi <- 0 until bX) {
+    // 4:4:4 interleaved MCU = one 8x8 block per component per position
+    for (byi <- 0 until bY; bxi <- 0 until bX; ci <- 0 until nc) {
       // edge-replicated 8x8 block, level-shifted
       for (y <- 0 until 8; x <- 0 until 8) {
         val sy = math.min(byi * 8 + y, height - 1)
         val sx = math.min(bxi * 8 + x, width - 1)
-        block(y * 8 + x) = (gray(sx, sy) & 0xff) - 128.0
+        block(y * 8 + x) = (planes(ci)(sx, sy) & 0xff) - 128.0
       }
       // forward DCT + quantize, straight from T.81 A.3.3
       for (u <- 0 until 8; v <- 0 until 8) {
@@ -176,8 +200,8 @@ object Jpeg {
         coef(u * 8 + v) = // round half away from zero
           if (scaled >= 0) (scaled + 0.5).toInt else -((-scaled + 0.5).toInt)
       }
-      val diff = coef(0) - prevDc
-      prevDc = coef(0)
+      val diff = coef(0) - prevDc(ci)
+      prevDc(ci) = coef(0)
       val s = category(diff)
       val (dc, dl) = EncDc(s)
       bw.put(dc, dl); putMagnitude(diff, s)
@@ -200,6 +224,24 @@ object Jpeg {
     bw.flush()
     marker(0xd9) // EOI
     out.toByteArray
+  }
+
+  /** JFIF/BT.601 full-range color transforms, `rint`-rounded and clamped —
+    * the forward/inverse pair every standard JPEG codec uses. */
+  def rgbToYCbCr(r: Int, g: Int, b: Int): (Int, Int, Int) = {
+    def cl(v: Double): Int =
+      math.max(0, math.min(255, math.rint(v).toInt))
+    (cl(0.299 * r + 0.587 * g + 0.114 * b),
+      cl(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b),
+      cl(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b))
+  }
+
+  def ycbcrToRgb(y: Int, cb: Int, cr: Int): (Int, Int, Int) = {
+    def cl(v: Double): Int =
+      math.max(0, math.min(255, math.rint(v).toInt))
+    (cl(y + 1.402 * (cr - 128)),
+      cl(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)),
+      cl(y + 1.772 * (cb - 128)))
   }
 
   // ---- decoder ----
@@ -276,14 +318,36 @@ object Jpeg {
     * on anything malformed / non-baseline. A truncated stream can trip a
     * bounds read mid-segment — contained here so the dirty-corpus
     * contract (None, never throw) holds without littering every
-    * segment parser with length checks. */
+    * segment parser with length checks. Chroma blocks are entropy-decoded
+    * (the bitstream cannot be skipped) but not reconstructed — use
+    * [[decodeJpegColor]] when the chroma matters. */
   def decodeJpegGray(p: Array[Byte],
                      maxPixels: Int = 1 << 24): Option[(Int, Int, Array[Int])] =
-    try decodeJpegGrayUnsafe(p, maxPixels)
+    decodeJpeg(p, maxPixels, lumaOnly = true)
+      .map { case (w, h, planes) => (w, h, planes(0)) }
+
+  /** Full color decode: Some((w, h, yPlane, cbPlane, crPlane)) with every
+    * plane at FULL resolution — subsampled chroma (any ≤ 2×2 factors) is
+    * dequantized, IDCT'd, and sample-replicated up to the luma grid
+    * (nearest upsample, the JFIF box-filter default). A 1-component gray
+    * file decodes with neutral chroma (128). [[ycbcrToRgb]] converts
+    * per-pixel when RGB is wanted. */
+  def decodeJpegColor(p: Array[Byte], maxPixels: Int = 1 << 24)
+      : Option[(Int, Int, Array[Int], Array[Int], Array[Int])] =
+    decodeJpeg(p, maxPixels, lumaOnly = false).map { case (w, h, planes) =>
+      if (planes.length == 3) (w, h, planes(0), planes(1), planes(2))
+      else (w, h, planes(0),
+        Array.fill(w * h)(128), Array.fill(w * h)(128))
+    }
+
+  private def decodeJpeg(p: Array[Byte], maxPixels: Int, lumaOnly: Boolean)
+      : Option[(Int, Int, Array[Array[Int]])] =
+    try decodeJpegUnsafe(p, maxPixels, lumaOnly)
     catch { case _: ArrayIndexOutOfBoundsException => None }
 
-  private def decodeJpegGrayUnsafe(p: Array[Byte],
-                                   maxPixels: Int): Option[(Int, Int, Array[Int])] = {
+  private def decodeJpegUnsafe(p: Array[Byte], maxPixels: Int,
+                               lumaOnly: Boolean)
+      : Option[(Int, Int, Array[Array[Int]])] = {
     if (p.length < 4 || (p(0) & 0xff) != 0xff || (p(1) & 0xff) != 0xd8) return None
     var pos = 2
     val quant = new Array[Array[Int]](4)
@@ -369,7 +433,7 @@ object Jpeg {
             }
           }
           return decodeScan(p, pos + len, comps, w, h, quant, dcTabs, acTabs,
-            restartInterval)
+            restartInterval, lumaOnly)
         case _ => // APPn, COM, anything with a length field: skip
           if (pos + 1 >= p.length) return None
           val len = u16(pos)
@@ -383,15 +447,20 @@ object Jpeg {
   private def decodeScan(p: Array[Byte], start: Int, comps: Array[Component],
                          w: Int, h: Int, quant: Array[Array[Int]],
                          dcTabs: Array[HuffTable], acTabs: Array[HuffTable],
-                         restartInterval: Int): Option[(Int, Int, Array[Int])] = {
+                         restartInterval: Int,
+                         lumaOnly: Boolean): Option[(Int, Int, Array[Array[Int]])] = {
     val hMax = comps.map(_.h).max
     val vMax = comps.map(_.v).max
     val mcuX = (w + 8 * hMax - 1) / (8 * hMax)
     val mcuY = (h + 8 * vMax - 1) / (8 * vMax)
-    // reconstruct only component 0 (luma); its plane spans the MCU grid
-    val y0 = comps(0)
-    val planeW = mcuX * y0.h * 8
-    val plane = new Array[Int](planeW * mcuY * y0.v * 8)
+    // one MCU-padded plane per reconstructed component, each at its OWN
+    // sampled resolution (chroma upsampling happens after the scan);
+    // lumaOnly skips chroma reconstruction but still entropy-decodes it
+    val planeWs = comps.map(c => mcuX * c.h * 8)
+    val planes = comps.indices.map { i =>
+      if (lumaOnly && i > 0) null
+      else new Array[Int](planeWs(i) * mcuY * comps(i).v * 8)
+    }.toArray
     for (c <- comps)
       if (quant(c.tq) == null || dcTabs(c.td) == null || acTabs(c.ta) == null)
         return None
@@ -443,8 +512,8 @@ object Jpeg {
                 }
               }
               if (br.broken) return None
-              if (ci == 0) {
-                // IDCT (T.81 A.3.3) + level shift, into the luma plane
+              if (!lumaOnly || ci == 0) {
+                // IDCT (T.81 A.3.3) + level shift, into this component's plane
                 var y = 0
                 while (y < 8) {
                   var x = 0
@@ -467,6 +536,8 @@ object Jpeg {
                   }
                   y += 1
                 }
+                val planeW = planeWs(ci)
+                val plane = planes(ci)
                 val px = (mx * c.h + bx) * 8
                 val py = (my * c.v + by) * 8
                 var yy = 0
@@ -492,14 +563,88 @@ object Jpeg {
       }
       my += 1
     }
-    // crop the MCU-padded plane to the declared dimensions
-    val gray = new Array[Int](w * h)
-    var y = 0
-    while (y < h) {
-      System.arraycopy(plane, y * planeW, gray, y * w, w)
-      y += 1
-    }
-    Some((w, h, gray))
+    // crop each plane to the declared dimensions; subsampled components
+    // sample-replicate up to the luma grid (nearest — JFIF's box default)
+    val outPlanes = comps.indices.map { i =>
+      if (planes(i) == null) null
+      else {
+        val c = comps(i)
+        val pw = planeWs(i)
+        val full = new Array[Int](w * h)
+        if (c.h == hMax && c.v == vMax) {
+          var y = 0
+          while (y < h) {
+            System.arraycopy(planes(i), y * pw, full, y * w, w)
+            y += 1
+          }
+        } else {
+          var y = 0
+          while (y < h) {
+            val sy = y * c.v / vMax
+            var x = 0
+            while (x < w) {
+              full(y * w + x) = planes(i)(sy * pw + x * c.h / hMax)
+              x += 1
+            }
+            y += 1
+          }
+        }
+        full
+      }
+    }.toArray
+    Some((w, h, outPlanes))
+  }
+
+  final case class ColorCell(doc_id: Long, y: Int, x: Int,
+                             yv: Int, cb: Int, cr: Int)
+
+  /** The COLOR counterpart of [[jpegDecodeRoundtrip]]: block-constant
+    * integer Y/Cb/Cr planes → real 3-component 4:4:4 encode → real color
+    * decode (chroma dequant + IDCT + upsample) → per-block-position
+    * aggregate over ALL THREE channels. Block-constant planes make the
+    * roundtrip bit-exact (DC-quant-8 lever), so the DuckDB oracle replays
+    * the formula bytes-blind — the chroma path only cancels if entropy
+    * decode, dequantization, and reconstruction are all correct. */
+  def jpegColorRoundtrip(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val bw = (id % 3L).toInt + 2
+          val bh = (id % 2L).toInt + 2
+          def yVal(bx: Int, by: Int): Int = ((id * 31L + bx * 17L + by * 23L) % 256L).toInt
+          def cbVal(bx: Int, by: Int): Int = ((id * 13L + bx * 7L + by * 29L) % 256L).toInt
+          def crVal(bx: Int, by: Int): Int = ((id * 19L + bx * 11L + by * 5L) % 256L).toInt
+          val bytes = jpegFileYCbCr(bw * 8, bh * 8,
+            (x, y) => yVal(x / 8, y / 8),
+            (x, y) => cbVal(x / 8, y / 8),
+            (x, y) => crVal(x / 8, y / 8))
+          decodeJpegColor(bytes) match {
+            case Some((wp, hp, yp, cbp, crp)) =>
+              (0 until hp / 8).iterator.flatMap(by =>
+                (0 until wp / 8).iterator.map { bx =>
+                  // carry a channel's value only if all 64 decoded pixels
+                  // agree (else poison with -1 — never matches the formula)
+                  def uni(pl: Array[Int]): Int = {
+                    val v0 = pl(by * 8 * wp + bx * 8)
+                    var ok = true
+                    for (y <- 0 until 8; x <- 0 until 8)
+                      if (pl((by * 8 + y) * wp + bx * 8 + x) != v0) ok = false
+                    if (ok) v0 else -1
+                  }
+                  ColorCell(id, by, bx, uni(yp), uni(cbp), uni(crp))
+                })
+            case None => Iterator.empty
+          }
+        }
+      }.toDF()
+      .groupBy("y", "x")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("yv").cast("long")).as("sum_y"),
+        sum(col("cb").cast("long")).as("sum_cb"),
+        sum(col("cr").cast("long")).as("sum_cr"))
+      .orderBy("y", "x")
   }
 
   /** Formula → REAL JPEG encode (DCT/quant/Huffman) → REAL decode (marker

@@ -112,6 +112,77 @@ class JpegSpec extends SparkSpec {
     assert(maxDiff <= 3, s"luma disagrees by $maxDiff")
   }
 
+  test("COLOR: block-constant YCbCr planes roundtrip BIT-EXACTLY through " +
+    "the 3-component codec") {
+    for (id <- Seq(2L, 11L, 250L)) {
+      val bw = (id % 3).toInt + 2; val bh = (id % 2).toInt + 2
+      def yv(x: Int, y: Int) = ((id * 31 + (x / 8) * 17 + (y / 8) * 23) % 256).toInt
+      def cb(x: Int, y: Int) = ((id * 13 + (x / 8) * 7 + (y / 8) * 29) % 256).toInt
+      def cr(x: Int, y: Int) = ((id * 19 + (x / 8) * 11 + (y / 8) * 5) % 256).toInt
+      val bytes = Jpeg.jpegFileYCbCr(bw * 8, bh * 8, yv, cb, cr)
+      val Some((w, h, yp, cbp, crp)) = Jpeg.decodeJpegColor(bytes)
+      assert((w, h) === (bw * 8, bh * 8))
+      for (y <- 0 until h; x <- 0 until w) {
+        assert(yp(y * w + x) === yv(x, y), s"id=$id Y ($x,$y)")
+        assert(cbp(y * w + x) === cb(x, y), s"id=$id Cb ($x,$y)")
+        assert(crp(y * w + x) === cr(x, y), s"id=$id Cr ($x,$y)")
+      }
+    }
+  }
+
+  test("COLOR: our 3-component encoder is standard — ImageIO decodes it " +
+    "to the BT.601-converted RGB within rounding (±2)") {
+    def yv(x: Int, y: Int) = 80 + 16 * (x / 8)
+    def cb(x: Int, y: Int) = 100 + 20 * (y / 8)
+    def cr(x: Int, y: Int) = 140 + 10 * ((x / 8 + y / 8) % 3)
+    val bytes = Jpeg.jpegFileYCbCr(32, 16, yv, cb, cr)
+    val dec = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(dec != null && dec.getWidth === 32 && dec.getHeight === 16)
+    var maxDiff = 0
+    for (y <- 0 until 16; x <- 0 until 32) {
+      val rgb = dec.getRGB(x, y)
+      val (er, eg, eb) = Jpeg.ycbcrToRgb(yv(x, y), cb(x, y), cr(x, y))
+      maxDiff = math.max(maxDiff, math.abs(((rgb >> 16) & 0xff) - er))
+      maxDiff = math.max(maxDiff, math.abs(((rgb >> 8) & 0xff) - eg))
+      maxDiff = math.max(maxDiff, math.abs((rgb & 0xff) - eb))
+    }
+    assert(maxDiff <= 2, s"ImageIO's RGB disagrees by $maxDiff")
+  }
+
+  test("COLOR: our decoder reconstructs chroma from ImageIO-written " +
+    "subsampled color JPEGs (RGB within ±4 of ImageIO's own decode)") {
+    // smooth low-frequency content: chroma subsampling loses little, so
+    // the comparison isolates the reconstruction path, not the format loss
+    val img = new BufferedImage(32, 24, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 24; x <- 0 until 32) {
+      val r = 60 + x * 3; val g = 90 + y * 2; val b = 200 - x * 2 - y
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    val bytes = out.toByteArray
+    val Some((w, h, yp, cbp, crp)) = Jpeg.decodeJpegColor(bytes)
+    assert((w, h) === (32, 24))
+    val dec = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = dec.getRGB(x, y)
+      val (r, g, b) = Jpeg.ycbcrToRgb(yp(y * w + x), cbp(y * w + x), crp(y * w + x))
+      maxDiff = math.max(maxDiff, math.abs(((rgb >> 16) & 0xff) - r))
+      maxDiff = math.max(maxDiff, math.abs(((rgb >> 8) & 0xff) - g))
+      maxDiff = math.max(maxDiff, math.abs((rgb & 0xff) - b))
+    }
+    assert(maxDiff <= 4, s"reconstructed RGB disagrees by $maxDiff")
+  }
+
+  test("COLOR: a grayscale file decodes with neutral chroma") {
+    val bytes = Jpeg.jpegFileGray(16, 16, formula(5L))
+    val Some((w, h, yp, cbp, crp)) = Jpeg.decodeJpegColor(bytes)
+    val Some((_, _, gray)) = Jpeg.decodeJpegGray(bytes)
+    assert(yp.toSeq === gray.toSeq)
+    assert(cbp.forall(_ == 128) && crp.forall(_ == 128))
+  }
+
   test("dirty-corpus contract: malformed inputs return None, never throw") {
     val good = Jpeg.jpegFileGray(16, 16, formula(1L))
     assert(Jpeg.decodeJpegGray(Array[Byte](0x12, 0x34)) === None)
