@@ -57,7 +57,12 @@ object Bench {
     // of whichever query it happened to cover, so cross-run drift shows up
     // as per-query spread (min/max below) rather than a biased median —
     // same-code drift on this box reaches 2× per query.
-    val entries = SparkEntry.queries.toSeq
+    // SPARK_GRAFT_QUICK=1 → the §2-critical tier only (the inner dev
+    // loop's ~2-minute pass); the full catalog is the round-close run
+    val entries =
+      if (sys.env.get("SPARK_GRAFT_QUICK").exists(v => v == "1" || v == "true"))
+        SparkEntry.queries.filter { case (n, _) => Queries.quick(n) }.toSeq
+      else SparkEntry.queries.toSeq
     val timings = collection.mutable.Map[String, List[Double]]()
     // LOAD-stage caches (graph, GraphX, layouts) stay persisted for the
     // whole run; any RDD persisted AFTER this snapshot is a per-query

@@ -2378,6 +2378,54 @@ object Queries {
   def entry(spark: SparkSession): DataFrame =
     j2OneHop(spark, "/root/testdata/sf0.001")
 
+  /** The `--quick` gate tier: a §2-critical subset (~70 entries — every
+    * SURVEY §2 operator family plus one representative per pipeline
+    * family) for the inner dev loop; the FULL catalog remains the
+    * round-close gate. Verify takes `--quick` as its third argument,
+    * Bench honors `SPARK_GRAFT_QUICK=1`; QuickSetSpec pins every name to
+    * the catalog. */
+  val quick: Set[String] = Set(
+    // §2 core: storage/patterns/joins/aggregates/vectors/rank/templates
+    "s2_constraint_check", "j2_onehop", "j2_onehop_bucketed",
+    "j3_twohop_schema", "j4_twopath", "j5_concrete_2hop", "j7_id_lookup",
+    "a1_schema_summary", "a2_schema_supervised", "a5_ir_metrics",
+    "a6_best_candidate", "a7_corpus_count", "v1_cosine_topk",
+    "v2_knn_exclude", "v3_knn_fallback", "v5_label_lookup",
+    "t3_budget_retrieval", "t4_rank_sampling", "p5_anti_membership",
+    "p6_norm_lookup", "td_onehop_gate", "td_twohop",
+    // relational + skew + custom-exec surfaces
+    "q1_pricing_summary", "q2_top_customers", "q3_revenue_by_nation",
+    "q4_set_ops", "skew_salted_agg", "join_asof_exec", "sql_surface",
+    "window_rank_funcs",
+    // mini-Cypher (§7 M4)
+    "cy_schema_1hop", "cy_concrete_2hop", "cy_anti_lookup",
+    "cy_ordered_topk", "cy_with_chain", "cy_with_norm_filter",
+    "cy_with_agg", "cy_with_topk", "cy_varlength",
+    // pipeline orchestration (§7 M5)
+    "pipeline_retrieve", "fmt_context",
+    // dedup family
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_simhash_near", "dedup_band_skew", "dedup_clusters",
+    // ANN family
+    "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_store_kmeans",
+    "ann_ivf_rebalance",
+    // search family
+    "search_tfidf", "search_bm25", "search_phrase",
+    // text/curation
+    "text_quality", "text_langid", "text_tokens", "curate_e2e",
+    "curate_decontam",
+    // multimodal
+    "mm_decode_roundtrip", "mm_jpeg_pixels", "mm_jpeg_color",
+    "mm_phash_pairs",
+    // sketches / incremental
+    "sketch_hll", "sketch_mrl_quantiles", "incr_agg_rollup",
+    // events / graph analytics representatives
+    "events_sessions", "events_rolling", "graph_bfs_dist",
+    "graph_triangles", "gx_pagerank_topk",
+    // sources / layout / lakehouse representatives
+    "tar_dsv2_pruned", "jsonl_roundtrip", "lake_merge_upsert",
+    "layout_zorder", "emb_label_centroids")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_top_customers" -> (q2TopCustomers _),

@@ -6,11 +6,14 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
-    // optional third arg: comma-separated query-name filter for the
-    // single-query dev loop (oracle_sql.json still carries every entry;
-    // tools/check.py reports missing dirs, which is expected then)
+    // optional third arg: `--quick` selects the §2-critical inner-loop
+    // tier (Queries.quick); otherwise a comma-separated query-name filter
+    // for the single-query dev loop (oracle_sql.json still carries every
+    // entry; tools/check.py reports missing dirs, which is expected then)
     val only: Set[String] =
-      if (args.length > 2) args(2).split(",").toSet else Set.empty
+      if (args.length > 2 && args(2) == "--quick") Queries.quick
+      else if (args.length > 2) args(2).split(",").toSet
+      else Set.empty
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
