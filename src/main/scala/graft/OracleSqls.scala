@@ -275,6 +275,39 @@ object OracleSqls {
         |JOIN nodes r0 ON e2.b = r0.nodeId AND r0.label = 'Region'
         |ORDER BY nation""".stripMargin),
 
+    // OPTIONAL MATCH = LEFT JOIN against the optional pattern's solutions
+    // keyed on the shared var's nodeId; unmatched customers keep a NULL
+    // order side, so count(DISTINCT …) yields 0 for them
+    "cy_optional_match" -> withGraph(
+      """SELECT c.name AS name,
+        |  CAST(count(DISTINCT opt.oid) AS BIGINT) AS n_orders
+        |FROM nodes n
+        |JOIN bidir e ON n.nodeId = e.a AND e.relType = 'FROM_NATION'
+        |JOIN nodes c ON e.b = c.nodeId AND c.label = 'Customer'
+        |LEFT JOIN (
+        |  SELECT e2.a AS ck, o.nodeId AS oid
+        |  FROM bidir e2
+        |  JOIN nodes o ON e2.b = o.nodeId AND o.label = 'Order'
+        |  WHERE e2.relType = 'PLACED'
+        |) opt ON c.nodeId = opt.ck
+        |WHERE n.label = 'Nation' AND n.name = 'NATION_7'
+        |GROUP BY 1
+        |ORDER BY name""".stripMargin),
+
+    // the raw left-outer shape: orderless customers as (cust_id, NULL)
+    "cy_optional_null" -> withGraph(
+      """SELECT DISTINCT c.nodeId AS cust_id, opt.oid AS order_id
+        |FROM nodes n
+        |JOIN bidir e ON n.nodeId = e.a AND e.relType = 'FROM_NATION'
+        |JOIN nodes c ON e.b = c.nodeId AND c.label = 'Customer'
+        |LEFT JOIN (
+        |  SELECT e2.a AS ck, o.nodeId AS oid
+        |  FROM bidir e2
+        |  JOIN nodes o ON e2.b = o.nodeId AND o.label = 'Order'
+        |  WHERE e2.relType = 'PLACED'
+        |) opt ON c.nodeId = opt.ck
+        |WHERE n.label = 'Nation' AND n.name = 'NATION_7'""".stripMargin),
+
     "cy_anti_lookup" -> withGraph(
       """SELECT DISTINCT t.nodeId AS node_id, t.name
         |FROM nodes s

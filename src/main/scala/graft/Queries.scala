@@ -879,6 +879,26 @@ object Queries {
         |RETURN r0.name AS region, n.name AS nation, n_cust
         |ORDER BY nation""".stripMargin)
 
+  /** OPTIONAL MATCH with Cypher's implicit grouping: per customer of one
+    * nation, the distinct-order count — customers with NO orders are
+    * preserved by the left-join semantics and count 0 (the aggregate
+    * skips the null-extended rows), exactly Neo4j's behavior. */
+  def cyOptionalMatch(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """MATCH (n:Nation {name: "NATION_7"})-[e:FROM_NATION]-(c:Customer)
+        |OPTIONAL MATCH (c)-[e2:PLACED]-(o:Order)
+        |RETURN c.name AS name, count(DISTINCT o) AS n_orders
+        |ORDER BY name""".stripMargin)
+
+  /** OPTIONAL MATCH surfacing the null itself: every (customer, order)
+    * pair of one nation with orderless customers present as (cust, NULL)
+    * rows — the raw left-outer shape before any aggregate. */
+  def cyOptionalNull(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """MATCH (n:Nation {name: "NATION_7"})-[e:FROM_NATION]-(c:Customer)
+        |OPTIONAL MATCH (c)-[e2:PLACED]-(o:Order)
+        |RETURN DISTINCT c.nodeId AS cust_id, o.nodeId AS order_id""".stripMargin)
+
   /** Variable-length Cypher path: everything within 1..2 undirected hops
     * of the ASIA region — planned as a union of fixed-length expansions
     * with per-expansion trail semantics. */
@@ -2400,7 +2420,7 @@ object Queries {
     // mini-Cypher (§7 M4)
     "cy_schema_1hop", "cy_concrete_2hop", "cy_anti_lookup",
     "cy_ordered_topk", "cy_with_chain", "cy_with_norm_filter",
-    "cy_with_agg", "cy_with_topk", "cy_varlength",
+    "cy_with_agg", "cy_with_topk", "cy_optional_match", "cy_varlength",
     // pipeline orchestration (§7 M5)
     "pipeline_retrieve", "fmt_context",
     // dedup family
@@ -2451,6 +2471,8 @@ object Queries {
     "cy_with_norm_filter" -> (cyWithNormFilter _),
     "cy_with_agg" -> (cyWithAgg _),
     "cy_with_topk" -> (cyWithTopk _),
+    "cy_optional_match" -> (cyOptionalMatch _),
+    "cy_optional_null" -> (cyOptionalNull _),
     "cy_varlength" -> (cyVarlength _),
     "skew_salted_agg" -> (skewSaltedAgg _),
     "join_salted" -> (joinSalted _),

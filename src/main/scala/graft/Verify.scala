@@ -24,6 +24,8 @@ object Verify {
     // keeps the 138-query JVM's memory flat across the dump.
     val g = graft.graph.TpchGraph(spark, sfDir)
     g.nodes.count(); g.rels.count()
+    // shared deduplicated adjacency: LOAD-stage like nodes/rels (see Bench)
+    g.adjPairs.count(); g.nodeCount
     graft.graph.GraphXBridge.materialize(spark, g)
     val loadRdds = spark.sparkContext.getPersistentRDDs.keySet.toSet
     SparkEntry.queries.foreach { case (name, fn) =>

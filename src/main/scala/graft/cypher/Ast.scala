@@ -8,6 +8,7 @@ package graft.cypher
   * Grammar (all traversal undirected, 1-3 nodes per path):
   * {{{
   *   query     := stage* unwind* MATCH path (',' path)* [WHERE pred (AND pred)*]
+  *                (OPTIONAL MATCH path [WHERE pred (AND pred)*])*
   *                RETURN [DISTINCT] item (',' item)*
   *                [ORDER BY ref [ASC|DESC]] [LIMIT n]
   *   stage     := unwind* MATCH path (',' path)* [WHERE pred (AND pred)*]
@@ -96,6 +97,16 @@ object Ast {
 
   final case class Unwind(param: String, varName: String)
 
+  /** `OPTIONAL MATCH path [WHERE pred (AND pred)*]` after the final MATCH:
+    * every solution of the mandatory pattern is preserved, and variables
+    * bound only by the optional pattern come back null when it finds no
+    * match — Cypher's left-outer-join clause. The WHERE belongs to the
+    * optional pattern (it decides whether the optional side MATCHES, not
+    * whether the preserved row survives), exactly like Neo4j. One path per
+    * clause; chain clauses for more (each may share vars with anything
+    * bound before it, including earlier optional clauses). */
+  final case class OptionalMatch(path: MatchPath, preds: Seq[Pred])
+
   /** One `MATCH … [WHERE …] WITH … [WHERE …]` link of a chained query —
     * the projection barrier the reference's procedure-call queries use
     * (`WITH node.name AS name WHERE … RETURN name`, retrieval/ner.py:112-114).
@@ -115,7 +126,8 @@ object Ast {
       items: Seq[RetItem],
       orderBy: Option[(String, Boolean)], // (output column, descending)
       limit: Option[Int],
-      prefixes: Seq[Stage] = Nil) { // WITH-chained stages BEFORE the final MATCH
+      prefixes: Seq[Stage] = Nil, // WITH-chained stages BEFORE the final MATCH
+      optionals: Seq[OptionalMatch] = Nil) { // OPTIONAL MATCH clauses after it
 
     def isAggregating: Boolean = items.exists(i => i.expr match {
       case _: CountDistinct | _: CountDistinctInParam => true
@@ -184,6 +196,11 @@ object Ast {
         sb ++= " "
       }
       if (paths.nonEmpty) { matchClause(unwinds, paths, preds); sb ++= " " }
+      optionals.foreach { om =>
+        sb ++= "OPTIONAL MATCH " + path(om.path)
+        if (om.preds.nonEmpty) sb ++= " WHERE " + om.preds.map(pred).mkString(" AND ")
+        sb ++= " "
+      }
       sb ++= "RETURN " + (if (distinct) "DISTINCT " else "")
       sb ++= items.map(i => expr(i.expr) + i.alias.fold("")(a => s" AS $a")).mkString(", ")
       orderBy.foreach { case (ref, desc) =>

@@ -94,6 +94,21 @@ object Parser {
           while ({ ws(); pos < in.length && in(pos) == ',' }) { pos += 1; paths += path() }
           preds = predList()
         }
+        // OPTIONAL MATCH chain — final clause only (before RETURN); one
+        // path per clause, each with its own pattern-scoped WHERE
+        val optionals = Seq.newBuilder[OptionalMatch]
+        var sawOptional = false
+        while (hasMatch && peek("OPTIONAL")) {
+          sawOptional = true
+          expect("OPTIONAL"); expect("MATCH")
+          val p = path()
+          ws()
+          if (pos < in.length && in(pos) == ',')
+            fail("one path per OPTIONAL MATCH clause (chain clauses instead)")
+          optionals += OptionalMatch(p, predList())
+        }
+        if (sawOptional && peek("WITH"))
+          fail("OPTIONAL MATCH is only supported in the final clause (before RETURN)")
         if (hasMatch && opt("WITH")) {
           // projection barrier: items must alias expressions (bare vars
           // carry bindings), optional post-projection WHERE
@@ -137,7 +152,7 @@ object Parser {
           ws()
           if (pos != in.length) fail(s"trailing input: '${in.substring(pos).take(20)}'")
           return CypherQuery(unwinds.result(), paths.result(), preds, distinct,
-            items.result(), order, limit, stages.result())
+            items.result(), order, limit, stages.result(), optionals.result())
         }
       }
       throw new IllegalStateException("unreachable")

@@ -35,6 +35,10 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
   // variables bound by the stage currently being planned (they shadow a
   // carried var of the same name — same nodeId, fresher alias)
   private var stageVars: Set[String] = Set.empty
+  // variables bound ONLY by an OPTIONAL MATCH clause: flattened to
+  // __o_<var>_<field> columns by the left join (null when unmatched)
+  private var optNodeVars: Set[String] = Set.empty
+  private var optRelVars: Set[String] = Set.empty
 
   def plan(q: CypherQuery): DataFrame = {
     require(q.paths.nonEmpty || q.prefixes.nonEmpty, "at least one MATCH path")
@@ -234,7 +238,55 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     val joined0 = q.paths.map(planPath(q.unwinds, _)).reduce(_.crossJoin(_))
     val joined = attachBase(base, joined0, q.paths)
     val filtered = q.preds.foldLeft(joined)((df, p) => df.where(predCol(p)))
-    projectTuple(filtered, q)
+    // rebuilt per expansion: an optional var must not count as "already
+    // bound" when the NEXT var-length expansion of the main paths plans
+    // the same optional clauses again
+    optNodeVars = Set.empty; optRelVars = Set.empty
+    val withOpt = q.optionals.foldLeft(filtered)(attachOptional)
+    projectTuple(withOpt, q)
+  }
+
+  /** One OPTIONAL MATCH clause = a LEFT OUTER join of the preserved frame
+    * against the optional pattern's solutions, keyed on the shared (already
+    * bound) variables' nodeIds. The optional side is planned like any MATCH
+    * (its WHERE filters the pattern, not the preserved rows), then projected
+    * to a stable flattened schema — __ok_<v> join keys for shared vars,
+    * __o_<var>_<field> for its new node vars (null-extended on no match),
+    * __o_<rel>_relType for its named rels — so var-length expansions union
+    * cleanly before the single left join. Scale shape: the optional side is
+    * one pattern enumeration (the same hop joins as a mandatory MATCH); the
+    * left join is an ordinary equi-join on nodeIds, so AQE/broadcast
+    * selection applies as usual. */
+  private def attachOptional(main: DataFrame, om: OptionalMatch): DataFrame = {
+    val boundBefore = stageVars ++ optNodeVars ++ carriedVars
+    val pathVars = om.path.nodes.map(_.varName).distinct
+    val sharedVars = pathVars.filter(boundBefore)
+    val newNodeVars = pathVars.filterNot(boundBefore)
+    require(sharedVars.nonEmpty,
+      "OPTIONAL MATCH must share at least one bound variable")
+    val relVars = om.path.rels.flatMap(_.varName)
+    val nodeFields = g.nodes.columns.toSeq
+    val frames = expandPaths(Seq(om.path)).map(_.head).map { p =>
+      val planned = planPath(Nil, p)
+      // predicates resolve in the optional pattern's own alias space
+      // (shared vars included — they are local aliases here)
+      val saved = stageVars
+      stageVars = varsOf(Seq(p))
+      val filteredOpt =
+        try om.preds.foldLeft(planned)((df, pr) => df.where(predCol(pr)))
+        finally stageVars = saved
+      val keyCols = sharedVars.map(v => col(s"$v.nodeId").as(s"__ok_$v"))
+      val newCols = newNodeVars.flatMap(v =>
+        nodeFields.map(f => col(s"$v.$f").as(s"__o_${v}_$f")))
+      val relCols = relVars.map(rv => col(s"$rv.relType").as(s"__o_${rv}_relType"))
+      filteredOpt.select(keyCols ++ newCols ++ relCols: _*)
+    }
+    val optDf = frames.reduce(_.unionByName(_))
+    val cond = sharedVars.map(v => propCol(v, "nodeId") === col(s"__ok_$v"))
+      .reduce(_ && _)
+    optNodeVars ++= newNodeVars
+    optRelVars ++= relVars
+    main.join(optDf, cond, "left").drop(sharedVars.map(v => s"__ok_$v"): _*)
   }
 
   private def projectTuple(df: DataFrame, q: CypherQuery): DataFrame = {
@@ -349,6 +401,7 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     * otherwise the flattened __w_ column from the last WITH barrier. */
   private def propCol(v: String, field: String): Column =
     if (stageVars.contains(v)) col(s"$v.$field")
+    else if (optNodeVars.contains(v)) col(s"__o_${v}_$field")
     else if (carriedVars.contains(v)) col(s"__w_${v}_$field")
     else col(s"$v.$field") // rel vars and anonymous expansions
 
@@ -393,7 +446,8 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       else throw new IllegalArgumentException(
         s"bare '$n' in RETURN must be a WITH-projected column")
     case LabelsOf(v)    => propCol(v, "labels")
-    case TypeOf(r)      => col(s"$r.relType")
+    case TypeOf(r)      =>
+      if (optRelVars.contains(r)) col(s"__o_${r}_relType") else col(s"$r.relType")
     case Cosine(v, p, q) =>
       graft.functions.cosineSim(propCol(v, p).cast("array<double>"), lit(doubles(q).toArray))
     case other => throw new IllegalArgumentException(s"$other is aggregate-only")

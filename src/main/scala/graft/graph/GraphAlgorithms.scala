@@ -109,13 +109,11 @@ object GraphAlgorithms {
                       iters: Int, k: Int): DataFrame = {
     val sigmaCap = 1000000L
     val deltaCap = 1000000000000L
-    val adj = g.bidir.select(col("a"), col("b")).distinct()
-      .localCheckpoint(true)
+    val adj = g.adjPairs
     // per-layer state is O(sources·V); behind the walkCorpus-style guard it
     // broadcasts, so the O(E) adjacency is never re-shuffled across the
-    // 2·iters layer joins (localCheckpoint erases partitioning — without
-    // this every layer is a full-edge-list SMJ, the graph_walks lesson)
-    val nNodes = g.nodes.count()
+    // 2·iters layer joins
+    val nNodes = g.nodeCount
     def stateSide(df: DataFrame): DataFrame =
       if (nNodes * names.length <= stateBroadcastLimit) broadcast(df) else df
     val anchors = g.nodes
@@ -231,11 +229,10 @@ object GraphAlgorithms {
     // per round — and small frontiers broadcast under AQE, so the static
     // side never reshuffles. Result is identical to t rounds of
     // min-distance propagation at every t (discovery round = min distance).
-    val adj = g.bidir.select(col("a"), col("b")).distinct()
-      .localCheckpoint(true)
+    val adj = g.adjPairs
     // frontier and dist are O(V): broadcast behind the node-count guard so
     // the O(E) adjacency never re-shuffles per round (walkCorpus lesson)
-    val nNodes = g.nodes.count()
+    val nNodes = g.nodeCount
     def frontierSide(df: DataFrame): DataFrame =
       if (nNodes <= stateBroadcastLimit) broadcast(df) else df
     var frontier = g.nodes
@@ -268,9 +265,8 @@ object GraphAlgorithms {
     * guard, so the O(E) adjacency never re-shuffles per round. */
   def eccentricityEst(g: PropertyGraph, label: String, names: Seq[String],
                       iters: Int): DataFrame = {
-    val adj = g.bidir.select(col("a"), col("b")).distinct()
-      .localCheckpoint(true)
-    val nNodes = g.nodes.count()
+    val adj = g.adjPairs
+    val nNodes = g.nodeCount
     def frontierSide(df: DataFrame): DataFrame =
       if (nNodes <= stateBroadcastLimit) broadcast(df) else df
     var frontier = g.nodes
@@ -620,7 +616,7 @@ object GraphAlgorithms {
     * By symmetry Sy = Sx and Syy = Sxx, so
     * r = (m·Sxy − Sx²) / (m·Sxx − Sx²). One scan + two degree joins. */
   def degreeAssortativity(g: PropertyGraph): DataFrame = {
-    val adj = g.bidir.select(col("a"), col("b")).distinct()
+    val adj = g.adjPairs
     val deg = adj.groupBy("a").agg(count(lit(1)).as("deg"))
     adj
       .join(deg.select(col("a"), col("deg").as("da")), Seq("a"))
@@ -687,8 +683,7 @@ object GraphAlgorithms {
     */
   def personalizedPageRank(g: PropertyGraph, label: String,
                            names: Seq[String], iters: Int, k: Int): DataFrame = {
-    val adj = g.bidir.select(col("a"), col("b")).distinct()
-      .localCheckpoint(true)
+    val adj = g.adjPairs
     // pre-weight each edge with its damped transition probability ONCE
     // (w = 0.85/outdeg(a)); every round is then a single join + sum
     // instead of re-joining the degree table per round
@@ -704,7 +699,7 @@ object GraphAlgorithms {
     val nA = anchors.count().toDouble
     // rank table is O(reached) ≤ O(V): broadcast behind the node-count
     // guard so the pre-weighted O(E) adjacency never re-shuffles per round
-    val nNodes = g.nodes.count()
+    val nNodes = g.nodeCount
     def rankSide(df: DataFrame): DataFrame =
       if (nNodes <= stateBroadcastLimit) broadcast(df) else df
     var pr = anchors.select(col("v"), lit(1.0 / nA).as("rank"))
@@ -762,15 +757,13 @@ object GraphAlgorithms {
     * shared core of [[labelPropagationSizes]] and [[modularityStats]]. */
   private def lpaLabels(g: PropertyGraph, iters: Int,
                         adj0: DataFrame = null): DataFrame = {
-    // callers that already materialized the distinct adjacency pass it in
-    // (modularityStats) — building and storing a second identical O(E)
-    // checkpoint was the query's largest avoidable allocation
+    // callers with a pre-filtered adjacency pass it in; the default is the
+    // graph's shared cached adjacency
     val adj = if (adj0 != null) adj0
-      else g.bidir.select(col("a"), col("b")).distinct().localCheckpoint(true)
+      else g.adjPairs
     // label table is O(V): broadcast it behind the node-count guard so the
-    // O(E) adjacency is never re-shuffled per round (walkCorpus lesson —
-    // localCheckpoint erases partitioning, so each round was an O(E) SMJ)
-    val nNodes = g.nodes.count()
+    // O(E) adjacency is never re-shuffled per round (walkCorpus lesson)
+    val nNodes = g.nodeCount
     def lblSide(df: DataFrame): DataFrame =
       if (nNodes <= stateBroadcastLimit) broadcast(df) else df
     // Every node with >= 1 neighbor adopts a fresh argmax label each round,
@@ -808,10 +801,9 @@ object GraphAlgorithms {
     * matching the 2m denominator. One edge-table join against the label
     * table plus a per-community degree rollup — no new shuffle shapes. */
   def modularityStats(g: PropertyGraph, iters: Int): DataFrame = {
-    val adj = g.bidir.select(col("a"), col("b")).distinct()
-      .localCheckpoint(true)
+    val adj = g.adjPairs
     val labels = lpaLabels(g, iters, adj)
-    val nNodes = g.nodes.count()
+    val nNodes = g.nodeCount
     def lblSide(df: DataFrame): DataFrame =
       if (nNodes <= stateBroadcastLimit) broadcast(df) else df
     val e = adj
@@ -854,7 +846,7 @@ object GraphAlgorithms {
     */
   def walkCorpus(g: PropertyGraph, steps: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val adj = g.bidir.select(col("a"), col("b")).distinct()
+    val adj = g.adjPairs
     // both window columns share partition AND order spec (the count takes
     // an explicit whole-partition frame), so Catalyst fuses them into ONE
     // Window operator — one sort pass over the edge list, not two
@@ -871,7 +863,7 @@ object GraphAlgorithms {
     // shuffled; past the guard (the 1000-executor / 100 TB regime) fall
     // back to the shuffle join — the correct distributed-DeepWalk shape
     // when V itself is huge. Same guard pattern as kCoreSizes.
-    val nNodes = g.nodes.count()
+    val nNodes = g.nodeCount
     def walkSide(df: DataFrame): DataFrame =
       if (nNodes <= stateBroadcastLimit) broadcast(df) else df
     // deg(b) rides along with each edge so a step's output IS the next
@@ -941,8 +933,7 @@ object GraphAlgorithms {
     // when a round kills nobody is the identity-rounds argument
     // ([[bfsLayers]]).
     require(k >= 1, "peeling round semantics assume k >= 1")
-    val adj = g.bidir.select(col("a"), col("b")).distinct()
-      .localCheckpoint(true)
+    val adj = g.adjPairs
     val deg0 = adj.groupBy("a").agg(count(lit(1)).as("deg"))
     var newDead = deg0.where(col("deg") < k).select(col("a").as("id"))
       .localCheckpoint(true)
@@ -1012,8 +1003,7 @@ object GraphAlgorithms {
     * because (a, b) is unique per pair.
     */
   def linkPredictionTopK(g: PropertyGraph, maxHubDeg: Int, k: Int): DataFrame = {
-    val adj = g.bidir.select(col("a"), col("b")).distinct()
-      .localCheckpoint(true) // wedge sides + anti-join probe + degrees
+    val adj = g.adjPairs // wedge sides + anti-join probe + degrees
     val deg = adj.groupBy("a").agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
     val zAdj = adj.as("e").join(deg.as("d"), col("e.a") === col("d.a"))
@@ -1059,7 +1049,7 @@ object GraphAlgorithms {
     val nodes = g.nodes.select(col("nodeId").as("id")).localCheckpoint(true)
     // score tables are O(V): broadcast behind the node-count guard so the
     // O(E) edge list never re-shuffles per half-round (walkCorpus lesson)
-    val nNodes = g.nodes.count()
+    val nNodes = g.nodeCount
     def scoreSide(df: DataFrame): DataFrame =
       if (nNodes <= stateBroadcastLimit) broadcast(df) else df
     // scores stay SPARSE through the loop: an absent id means s = 0, which

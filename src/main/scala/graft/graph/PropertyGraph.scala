@@ -42,6 +42,24 @@ final case class PropertyGraph(nodes: DataFrame, rels: DataFrame) {
     fwd.unionByName(rev)
   }
 
+  /** Deduplicated symmetric adjacency (`a`,`b` — both orientations, self
+    * loops once): the shared prelude of every iterative algorithm in
+    * [[GraphAlgorithms]]. Cached per graph instance so a session running
+    * many algorithms against one graph pays the dedup shuffle ONCE —
+    * Verify/Bench warm it in their LOAD stage next to `nodes`/`rels`. At
+    * 100 TB this is not a cache but the adjacency a graph store keeps
+    * materialized (bucketed by `a`) on disk; every algorithm consuming
+    * [[adjPairs]] instead of re-deriving it is exactly what makes that
+    * swap a one-line storage change. Unlike the per-query
+    * `localCheckpoint` this replaces, the cached plan keeps its lineage,
+    * so an eviction recomputes instead of failing. */
+  lazy val adjPairs: DataFrame = bidir.select(col("a"), col("b")).distinct()
+    .persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** Node count, computed once per graph instance — the O(V)-state
+    * broadcast guards in [[GraphAlgorithms]] consult it per query. */
+  lazy val nodeCount: Long = nodes.count()
+
   /** S2 unique-key constraint as a validation job
     * (reference: stark_neo4j_loading.py:22-23 CREATE CONSTRAINT unique_nodeId).
     * Returns the number of violated keys (0 = constraint holds).

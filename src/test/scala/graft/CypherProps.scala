@@ -57,6 +57,11 @@ object CypherProps extends Properties("cypher") {
     a <- Gen.option(ident)
   } yield RetItem(e, a)
 
+  private val optionalClause: Gen[OptionalMatch] = for {
+    p <- path
+    preds <- Gen.someOf(Seq(VarNeq("x1", "x2"), NotIdIn("x1", "found")))
+  } yield OptionalMatch(p, preds.toSeq)
+
   private val query: Gen[CypherQuery] = for {
     nUnwind <- Gen.choose(0, 2)
     unwinds <- Gen.sequence[Seq[Unwind], Unwind](
@@ -68,7 +73,10 @@ object CypherProps extends Properties("cypher") {
     items <- Gen.listOfN(nItems, item)
     order <- Gen.option(Gen.oneOf(("similarity", true), ("name", false)))
     limit <- Gen.option(Gen.choose(1, 100))
-  } yield CypherQuery(unwinds, Seq(p), preds.toSeq, distinct, items, order, limit)
+    nOpt <- Gen.frequency((2, Gen.const(0)), (1, Gen.choose(1, 2)))
+    optionals <- Gen.listOfN(nOpt, optionalClause)
+  } yield CypherQuery(unwinds, Seq(p), preds.toSeq, distinct, items, order,
+    limit, Nil, optionals)
 
   property("render/parse round-trip") = forAll(query) { q =>
     val rendered = q.render

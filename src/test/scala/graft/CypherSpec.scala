@@ -308,4 +308,93 @@ class CypherSpec extends SparkSpec {
       "MATCH (a:Author)-[r:WRITES]-(p:Paper) WITH a.name AS author " +
         "WHERE author = bob RETURN author"))
   }
+
+  test("OPTIONAL MATCH: left-outer rows with nulls for unmatched papers") {
+    // CITES edges: 22-20 and the 22-22 self-loop. Per paper p, its CITES
+    // neighbors q: 20->{22}, 21->{} (NULL row preserved), 22->{20, 22}.
+    val rows = Planner.run(g,
+      """MATCH (p:Paper) OPTIONAL MATCH (p)-[c:CITES]-(q:Paper)
+        |RETURN DISTINCT p.name AS pname, q.name AS qname""".stripMargin)
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(rows === Set(
+      ("P-alpha", Some("P-gamma")),
+      ("P-beta", None),
+      ("P-gamma", Some("P-alpha")),
+      ("P-gamma", Some("P-gamma"))))
+  }
+
+  test("OPTIONAL MATCH WHERE scopes to the pattern, not the preserved row") {
+    // Carol writes only P-gamma; the WHERE belongs to the optional pattern,
+    // so her row survives with NULL instead of being filtered out.
+    val rows = Planner.run(g,
+      """MATCH (a:Author) OPTIONAL MATCH (a)-[r:WRITES]-(p:Paper)
+        |WHERE p <> a AND NOT p.nodeId IN $skip
+        |RETURN DISTINCT a.name AS author, p.name AS paper""".stripMargin,
+      Map("skip" -> Seq(21L, 22L)))
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(rows === Set(
+      ("Alice", Some("P-alpha")),
+      ("Bob", Some("P-alpha")),
+      ("Carol", None)))
+  }
+
+  test("OPTIONAL MATCH aggregates: count skips the null-extended rows") {
+    val rows = Planner.run(g,
+      """MATCH (a:Author) OPTIONAL MATCH (a)-[c:CITES]-(x)
+        |RETURN a.name AS author, count(DISTINCT x) AS n""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rows === Set(("Alice", 0L), ("Bob", 0L), ("Carol", 0L)))
+  }
+
+  test("chained OPTIONAL MATCH: a null binding nulls everything downstream") {
+    // Institutions write nothing, so w is NULL and the second optional
+    // clause (keyed on w) must stay NULL too — null join keys match nothing.
+    val rows = Planner.run(g,
+      """MATCH (i:Institution) OPTIONAL MATCH (i)-[r1:WRITES]-(w)
+        |OPTIONAL MATCH (w)-[r2:HAS_TOPIC]-(t)
+        |RETURN DISTINCT i.name AS inst, w.name AS wn, t.name AS tn""".stripMargin)
+      .collect()
+      .map(r => (r.getString(0), Option(r.getString(1)), Option(r.getString(2)))).toSet
+    assert(rows === Set(("MIT", None, None), ("Stanford", None, None)))
+    // and the matched chain resolves through both clauses
+    val chained = Planner.run(g,
+      """MATCH (i:Institution {name: "Stanford"})
+        |OPTIONAL MATCH (i)-[r1:AFFILIATED_WITH]-(a:Author)
+        |OPTIONAL MATCH (a)-[r2:WRITES]-(p:Paper)
+        |RETURN DISTINCT a.name AS author, p.name AS paper""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(chained === Set(("Carol", "P-gamma")))
+  }
+
+  test("OPTIONAL MATCH: type() of an unmatched rel is null; var-length unions") {
+    val t = Planner.run(g,
+      """MATCH (p:Paper {name: "P-beta"}) OPTIONAL MATCH (p)-[r:CITES]-(q)
+        |RETURN type(r) AS t""".stripMargin).collect()
+    assert(t.length === 1 && t.head.isNullAt(0))
+    // var-length optional: MIT's 1..2-hop neighborhood (trail semantics)
+    val hood = Planner.run(g,
+      """MATCH (i:Institution {name: "MIT"}) OPTIONAL MATCH (i)-[*1..2]-(x)
+        |RETURN DISTINCT x.nodeId AS nid""".stripMargin)
+      .collect().map(_.getLong(0)).toSet
+    assert(hood === Set(10L, 11L, 20L, 21L))
+  }
+
+  test("OPTIONAL MATCH grammar: round-trip, and out-of-scope shapes fail") {
+    val s = """MATCH (a:Author) OPTIONAL MATCH (a)-[r:WRITES]-(p:Paper) """ +
+      """WHERE p <> a RETURN a.name AS author, p.name AS paper"""
+    val q = Parser.parse(s)
+    assert(q.optionals.length === 1 &&
+      q.optionals.head.preds === Seq(Ast.VarNeq("p", "a")))
+    assert(Parser.parse(q.render) === q)
+    // one path per clause
+    intercept[Parser.ParseError](Parser.parse(
+      "MATCH (a) OPTIONAL MATCH (a)-[r]-(b), (c) RETURN a.name"))
+    // final clause only: WITH after OPTIONAL MATCH is out of dialect
+    intercept[Parser.ParseError](Parser.parse(
+      "MATCH (a) OPTIONAL MATCH (a)-[r]-(b) WITH a RETURN a.name"))
+    // the optional pattern must share a bound variable
+    intercept[IllegalArgumentException](Planner.run(g,
+      "MATCH (a:Author) OPTIONAL MATCH (z:Paper)-[r:CITES]-(y) RETURN a.name AS n")
+      .collect())
+  }
 }
