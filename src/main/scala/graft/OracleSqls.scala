@@ -308,6 +308,26 @@ object OracleSqls {
         |) opt ON c.nodeId = opt.ck
         |WHERE n.label = 'Nation' AND n.name = 'NATION_7'""".stripMargin),
 
+    // shortestPath = layered BFS: the recursive CTE's UNION dedups
+    // (src, v, dist) rows, so each iteration expands at most one layer per
+    // distinct reachable distance and MIN(dist) is the first-discovery
+    // round — exactly the engine's frontier semantics
+    "cy_shortest_path" -> s"""WITH RECURSIVE $graphCte,
+      |bfs AS (
+      |  SELECT n.nodeId AS src, n.nodeId AS v, 0 AS dist
+      |  FROM nodes n WHERE n.label = 'Region' AND n.name = 'ASIA'
+      |  UNION
+      |  SELECT bfs.src, e.b, bfs.dist + 1
+      |  FROM bfs JOIN bidir e ON e.a = bfs.v
+      |  WHERE bfs.dist < 3
+      |),
+      |md AS (SELECT src, v, MIN(dist) AS dist FROM bfs GROUP BY src, v)
+      |SELECT x.label AS tgt_label, CAST(md.dist AS BIGINT) AS hops,
+      |  CAST(count(DISTINCT x.nodeId) AS BIGINT) AS n_nodes
+      |FROM md JOIN nodes x ON md.v = x.nodeId
+      |WHERE md.dist >= 1
+      |GROUP BY 1, 2""".stripMargin,
+
     "cy_anti_lookup" -> withGraph(
       """SELECT DISTINCT t.nodeId AS node_id, t.name
         |FROM nodes s

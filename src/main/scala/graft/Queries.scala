@@ -899,6 +899,18 @@ object Queries {
         |OPTIONAL MATCH (c)-[e2:PLACED]-(o:Order)
         |RETURN DISTINCT c.nodeId AS cust_id, o.nodeId AS order_id""".stripMargin)
 
+  /** Cypher shortestPath: per-label histogram of MINIMUM hop distances
+    * from the ASIA region within 3 hops. Planned as one source-keyed
+    * frontier BFS (first discovery = min distance,
+    * [[graft.graph.GraphAlgorithms.srcKeyedMinDist]]) — never a path
+    * enumeration, so the cost is O(rounds · frontier) where the
+    * union-of-expansions form would be O(degree³). */
+  def cyShortestPath(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """MATCH p = shortestPath((s:Region {name: "ASIA"})-[*1..3]-(x))
+        |RETURN x.label AS tgt_label, length(p) AS hops,
+        |       count(DISTINCT x) AS n_nodes""".stripMargin)
+
   /** Variable-length Cypher path: everything within 1..2 undirected hops
     * of the ASIA region — planned as a union of fixed-length expansions
     * with per-expansion trail semantics. */
@@ -2420,7 +2432,8 @@ object Queries {
     // mini-Cypher (§7 M4)
     "cy_schema_1hop", "cy_concrete_2hop", "cy_anti_lookup",
     "cy_ordered_topk", "cy_with_chain", "cy_with_norm_filter",
-    "cy_with_agg", "cy_with_topk", "cy_optional_match", "cy_varlength",
+    "cy_with_agg", "cy_with_topk", "cy_optional_match", "cy_shortest_path",
+    "cy_varlength",
     // pipeline orchestration (§7 M5)
     "pipeline_retrieve", "fmt_context",
     // dedup family
@@ -2473,6 +2486,7 @@ object Queries {
     "cy_with_topk" -> (cyWithTopk _),
     "cy_optional_match" -> (cyOptionalMatch _),
     "cy_optional_null" -> (cyOptionalNull _),
+    "cy_shortest_path" -> (cyShortestPath _),
     "cy_varlength" -> (cyVarlength _),
     "skew_salted_agg" -> (skewSaltedAgg _),
     "join_salted" -> (joinSalted _),

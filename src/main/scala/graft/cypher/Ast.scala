@@ -11,6 +11,8 @@ package graft.cypher
   *                (OPTIONAL MATCH path [WHERE pred (AND pred)*])*
   *                RETURN [DISTINCT] item (',' item)*
   *                [ORDER BY ref [ASC|DESC]] [LIMIT n]
+  *              | MATCH var '=' shortestPath '(' node rel node ')'
+  *                [WHERE pred (AND pred)*] RETURN …   -- rel must be *lo..hi
   *   stage     := unwind* MATCH path (',' path)* [WHERE pred (AND pred)*]
   *                WITH [DISTINCT] withItem (',' withItem)*
   *                [ORDER BY ref [ASC|DESC]] [SKIP n] [LIMIT n]
@@ -27,6 +29,7 @@ package graft.cypher
   *   expr      := var '.' prop | bare-col | labels(var) | type(var)
   *              | count(DISTINCT var) | size('[' ... ']')   -- A2 comprehension
   *              | vector.similarity.cosine(var '.' prop, $param)
+  *              | length(pathVar)                  -- shortestPath hop count
   * }}}
   *
   * `WITH` is a projection barrier (retrieval/ner.py:112-114's
@@ -81,6 +84,9 @@ object Ast {
     * the A2 supervision aggregate (path_retriever.py:16). */
   final case class CountDistinctInParam(varName: String, param: String) extends Expr
   final case class Cosine(varName: String, prop: String, param: String) extends Expr
+  /** `length(p)` where `p` names the query's shortestPath — the hop count
+    * of the shortest path found for the row's endpoint pair. */
+  final case class PathLength(pathVar: String) extends Expr
 
   final case class RetItem(expr: Expr, alias: Option[String]) {
     /** Output column name: explicit alias, else Cypher's expression text. */
@@ -92,6 +98,7 @@ object Ast {
       case CountDistinct(v)           => s"count(DISTINCT $v)"
       case CountDistinctInParam(v, _) => s"correctCnt"
       case Cosine(_, _, _)            => "similarity"
+      case PathLength(p)              => s"length($p)"
     })
   }
 
@@ -106,6 +113,17 @@ object Ast {
     * clause; chain clauses for more (each may share vars with anything
     * bound before it, including earlier optional clauses). */
   final case class OptionalMatch(path: MatchPath, preds: Seq[Pred])
+
+  /** `MATCH p = shortestPath((a…)-[:T*lo..hi]-(b…))`: one row per
+    * endpoint pair `(a, b)` connected within `hi` hops, with
+    * `length(p)` = the minimum hop count. Planned as a source-keyed
+    * frontier BFS (first discovery = min distance) — never a path
+    * enumeration, so the cost is O(rounds · frontier), not O(degree^k).
+    * A shortest walk is always a simple path, so trail semantics
+    * coincide. Like Neo4j, the minimum bound must be 0 or 1: `*0..`
+    * admits the zero-length pair (a, a); `*1..` (the default) excludes
+    * it. Must be the query's only clause (one path, two nodes). */
+  final case class ShortestPathClause(pathVar: String, path: MatchPath)
 
   /** One `MATCH … [WHERE …] WITH … [WHERE …]` link of a chained query —
     * the projection barrier the reference's procedure-call queries use
@@ -127,7 +145,8 @@ object Ast {
       orderBy: Option[(String, Boolean)], // (output column, descending)
       limit: Option[Int],
       prefixes: Seq[Stage] = Nil, // WITH-chained stages BEFORE the final MATCH
-      optionals: Seq[OptionalMatch] = Nil) { // OPTIONAL MATCH clauses after it
+      optionals: Seq[OptionalMatch] = Nil, // OPTIONAL MATCH clauses after it
+      shortest: Option[ShortestPathClause] = None) { // MATCH p = shortestPath(…)
 
     def isAggregating: Boolean = items.exists(i => i.expr match {
       case _: CountDistinct | _: CountDistinctInParam => true
@@ -162,6 +181,7 @@ object Ast {
         case CountDistinct(v)           => s"count(DISTINCT $v)"
         case CountDistinctInParam(v, p) => s"size([t IN collect(DISTINCT $v) WHERE t.nodeId IN $$$p | t])"
         case Cosine(v, pr, p)           => s"vector.similarity.cosine($v.$pr, $$$p)"
+        case PathLength(p)              => s"length($p)"
       }
       def pred(p: Pred): String = p match {
         case VarNeq(a, b)   => s"$a <> $b"
@@ -196,6 +216,11 @@ object Ast {
         sb ++= " "
       }
       if (paths.nonEmpty) { matchClause(unwinds, paths, preds); sb ++= " " }
+      shortest.foreach { sp =>
+        sb ++= s"MATCH ${sp.pathVar} = shortestPath(${path(sp.path)})"
+        if (preds.nonEmpty) sb ++= " WHERE " + preds.map(pred).mkString(" AND ")
+        sb ++= " "
+      }
       optionals.foreach { om =>
         sb ++= "OPTIONAL MATCH " + path(om.path)
         if (om.preds.nonEmpty) sb ++= " WHERE " + om.preds.map(pred).mkString(" AND ")

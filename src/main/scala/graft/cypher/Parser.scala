@@ -84,15 +84,38 @@ object Parser {
         val unwinds = Seq.newBuilder[Unwind]
         val paths = Seq.newBuilder[MatchPath]
         var preds: Seq[Pred] = Nil
+        var shortest: Option[ShortestPathClause] = None
         if (hasMatch) {
           while (peek("UNWIND")) {
             expect("UNWIND"); val p = param(); expect("AS"); val v = ident()
             unwinds += Unwind(p, v)
           }
           expect("MATCH")
-          paths += path()
-          while ({ ws(); pos < in.length && in(pos) == ',' }) { pos += 1; paths += path() }
-          preds = predList()
+          ws()
+          if (pos < in.length && in(pos) != '(') {
+            // MATCH p = shortestPath((a…)-[:T*lo..hi]-(b…)) — the clause
+            // must stand alone (no stages/unwinds/other paths around it)
+            val pv = ident(); ws()
+            if (pos >= in.length || in(pos) != '=') fail("expected '=' after path variable")
+            pos += 1
+            expect("shortestPath"); expect("(")
+            val p = shortestInner()
+            ws()
+            if (pos >= in.length || in(pos) != ')') fail("expected ')' closing shortestPath")
+            pos += 1
+            if (unwinds.result().nonEmpty)
+              fail("shortestPath cannot follow UNWIND")
+            if (stages.result().nonEmpty)
+              fail("shortestPath cannot follow a WITH stage")
+            shortest = Some(ShortestPathClause(pv, p))
+            preds = predList()
+            if (peek("WITH") || peek("OPTIONAL"))
+              fail("shortestPath must be the query's only clause")
+          } else {
+            paths += path()
+            while ({ ws(); pos < in.length && in(pos) == ',' }) { pos += 1; paths += path() }
+            preds = predList()
+          }
         }
         // OPTIONAL MATCH chain — final clause only (before RETURN); one
         // path per clause, each with its own pattern-scoped WHERE
@@ -152,7 +175,8 @@ object Parser {
           ws()
           if (pos != in.length) fail(s"trailing input: '${in.substring(pos).take(20)}'")
           return CypherQuery(unwinds.result(), paths.result(), preds, distinct,
-            items.result(), order, limit, stages.result(), optionals.result())
+            items.result(), order, limit, stages.result(), optionals.result(),
+            shortest)
         }
       }
       throw new IllegalStateException("unreachable")
@@ -237,6 +261,46 @@ object Parser {
       RelPat(v, t, range)
     }
 
+    /** The pattern inside `shortestPath( … )`: exactly two nodes and one
+      * relationship, which MUST be variable-length — BFS bounds are wider
+      * than the enumeration dialect's (`*lo..hi` with lo ∈ {0,1}, hi ≤ 8;
+      * bare `*` = 1..3; `*..hi` = 1..hi) because a frontier pass is
+      * O(rounds·frontier), not O(degree^k). */
+    private def shortestInner(): MatchPath = {
+      val n1 = node()
+      expect("-"); expect("[")
+      ws()
+      if (pos < in.length && in(pos) != ':' && in(pos) != ']' && in(pos) != '*')
+        fail("shortestPath relationships cannot bind a variable")
+      val t = if ({ ws(); pos < in.length && in(pos) == ':' }) { pos += 1; Some(ident()) }
+              else None
+      ws()
+      if (pos >= in.length || in(pos) != '*')
+        fail("shortestPath requires a variable-length relationship (*lo..hi)")
+      pos += 1; ws()
+      val explicitLo =
+        if (pos < in.length && in(pos).isDigit) Some(longLit().toInt) else None
+      ws()
+      val explicitHi =
+        if (pos + 1 < in.length && in(pos) == '.' && in(pos + 1) == '.') {
+          pos += 2; Some(longLit().toInt)
+        } else None
+      val lo = explicitLo.getOrElse(1)
+      val hi = explicitHi.getOrElse(if (explicitLo.isDefined) lo else 3)
+      if (lo != 0 && lo != 1)
+        fail("shortestPath minimum hop bound must be 0 or 1 (like Neo4j)")
+      if (hi < lo || hi > 8) fail(s"shortestPath range *$lo..$hi outside 0..8")
+      expect("]")
+      expect("-")
+      ws()
+      if (pos < in.length && in(pos) == '>')
+        fail("directed patterns not supported (grammar is undirected)")
+      val n2 = node()
+      if (n1.varName == n2.varName)
+        fail("shortestPath endpoints must bind distinct variables")
+      MatchPath(Seq(n1, n2), Seq(RelPat(None, t, Some((lo, hi)))))
+    }
+
     private def pred(): Pred = {
       ws()
       if (peek("NOT")) {
@@ -288,6 +352,7 @@ object Parser {
       val e: Expr =
         if (peek("labels")) { expect("labels"); expect("("); val v = ident(); expect(")"); LabelsOf(v) }
         else if (peek("type")) { expect("type"); expect("("); val v = ident(); expect(")"); TypeOf(v) }
+        else if (peek("length")) { expect("length"); expect("("); val v = ident(); expect(")"); PathLength(v) }
         else if (peek("count")) {
           expect("count"); expect("("); expect("DISTINCT"); val v = ident(); expect(")")
           CountDistinct(v)

@@ -41,7 +41,8 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
   private var optRelVars: Set[String] = Set.empty
 
   def plan(q: CypherQuery): DataFrame = {
-    require(q.paths.nonEmpty || q.prefixes.nonEmpty, "at least one MATCH path")
+    require(q.paths.nonEmpty || q.prefixes.nonEmpty || q.shortest.nonEmpty,
+      "at least one MATCH path")
     val base = q.prefixes.foldLeft(Option.empty[DataFrame]) {
       (acc, st) => Some(planStage(acc, st))
     }
@@ -49,10 +50,12 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     // per hop count — Cypher semantics: one row per distinct path, so a
     // pair reachable at both 1 and 2 hops yields two pre-DISTINCT rows);
     // every expansion is projected to the same canonical tuple schema, so
-    // DISTINCT / aggregation happen once, over the union.
+    // DISTINCT / aggregation happen once, over the union. A shortestPath
+    // clause instead plans ONE keyed BFS (no enumeration).
     stageVars = varsOf(q.paths)
     val tuple =
-      if (q.paths.isEmpty) projectTuple(base.get, q) // WITH … RETURN tail
+      if (q.shortest.isDefined) shortestTuple(q)
+      else if (q.paths.isEmpty) projectTuple(base.get, q) // WITH … RETURN tail
       else expandVarLength(q)
         .map(fixed => tupleFrame(base, fixed)).reduce(_.unionByName(_))
 
@@ -244,6 +247,55 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     optNodeVars = Set.empty; optRelVars = Set.empty
     val withOpt = q.optionals.foldLeft(filtered)(attachOptional)
     projectTuple(withOpt, q)
+  }
+
+  // the shortestPath clause's path variable (length(p) resolves against it)
+  private var spVar: Option[String] = None
+
+  /** `MATCH p = shortestPath((a…)-[:T*lo..hi]-(b…))` planned as a
+    * source-keyed frontier BFS ([[graft.graph.GraphAlgorithms.srcKeyedMinDist]]):
+    * the anchored `a` frame seeds one BFS source per binding, `hi` rounds
+    * of frontier∘adjacency joins find each reachable node's MINIMUM hop
+    * count (first discovery = min distance), and the `(src, v, dist)`
+    * result joins back to both endpoint frames. Never a path enumeration:
+    * cost is O(rounds · frontier), so an unselective pattern that would
+    * blow up the union-of-expansions planner stays linear — the shape
+    * that survives 100× data. `lo = 1` (the default) drops the
+    * zero-length (a, a) pair; `lo = 0` keeps it, like Neo4j. */
+  private def shortestTuple(q: CypherQuery): DataFrame = {
+    val sp = q.shortest.get
+    require(q.paths.isEmpty && q.prefixes.isEmpty && q.optionals.isEmpty &&
+      q.unwinds.isEmpty, "shortestPath must be the query's only clause")
+    val Seq(aPat, bPat) = sp.path.nodes
+    val rel = sp.path.rels.head
+    val (lo, hi) = rel.range.getOrElse(
+      throw new IllegalArgumentException("shortestPath requires *lo..hi"))
+    require(lo == 0 || lo == 1,
+      "shortestPath minimum hop bound must be 0 or 1 (like Neo4j)")
+    stageVars = Set(aPat.varName, bPat.varName)
+    spVar = Some(sp.pathVar)
+    // type-constrained traversal filters the edge view once; untyped uses
+    // the graph's shared cached adjacency
+    val adj = rel.relType match {
+      case None    => g.adjPairs
+      case Some(t) => g.bidir.where(col("relType") === t)
+        .select(col("a"), col("b")).distinct()
+    }
+    val aFrame = nodeFrame(Nil, aPat)
+    val aSide = if (isAnchored(Nil, aPat)) broadcast(aFrame) else aFrame
+    val seeds = aFrame.select(col(s"${aPat.varName}.nodeId").as("src"))
+    val dists = graft.graph.GraphAlgorithms
+      .srcKeyedMinDist(adj, seeds, hi, g.nodeCount)
+      .where(col("dist") >= lo)
+      .select(col("src"), col("v").as("__spv"),
+        col("dist").cast("long").as("__splen"))
+    val joined = aSide
+      .join(dists, col(s"${aPat.varName}.nodeId") === col("src"))
+      .join(nodeFrame(Nil, bPat),
+        col("__spv") === col(s"${bPat.varName}.nodeId"))
+      .drop("src", "__spv")
+    val filtered = q.preds.foldLeft(joined)((df, p) => df.where(predCol(p)))
+    projectTuple(filtered, q)
   }
 
   /** One OPTIONAL MATCH clause = a LEFT OUTER join of the preserved frame
@@ -450,6 +502,10 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       if (optRelVars.contains(r)) col(s"__o_${r}_relType") else col(s"$r.relType")
     case Cosine(v, p, q) =>
       graft.functions.cosineSim(propCol(v, p).cast("array<double>"), lit(doubles(q).toArray))
+    case PathLength(pv) =>
+      if (spVar.contains(pv)) col("__splen")
+      else throw new IllegalArgumentException(
+        s"length($pv) does not name this query's shortestPath")
     case other => throw new IllegalArgumentException(s"$other is aggregate-only")
   }
 

@@ -265,29 +265,46 @@ object GraphAlgorithms {
     * guard, so the O(E) adjacency never re-shuffles per round. */
   def eccentricityEst(g: PropertyGraph, label: String, names: Seq[String],
                       iters: Int): DataFrame = {
-    val adj = g.adjPairs
-    val nNodes = g.nodeCount
-    def frontierSide(df: DataFrame): DataFrame =
-      if (nNodes <= stateBroadcastLimit) broadcast(df) else df
-    var frontier = g.nodes
+    val seeds = g.nodes
       .where(col("label") === label && col("name").isin(names: _*))
-      .select(col("nodeId").as("src"), col("nodeId").as("v"), lit(0).as("d"))
-      .localCheckpoint(true)
-    var dist = frontier
-    for (t <- 1 to iters) {
-      frontier = adj.join(frontierSide(frontier), col("v") === col("a"))
-        .select(col("src"), col("b").as("v")).distinct()
-        .join(frontierSide(dist.select(col("src"), col("v"))),
-          Seq("src", "v"), "left_anti")
-        .select(col("src"), col("v"), lit(t).as("d"))
-        .localCheckpoint(true)
-      dist = dist.unionByName(frontier)
-    }
-    dist.groupBy("src")
-      .agg(max("d").cast("long").as("ecc"),
+      .select(col("nodeId").as("src"))
+    srcKeyedMinDist(g.adjPairs, seeds, iters, g.nodeCount)
+      .groupBy("src")
+      .agg(max("dist").cast("long").as("ecc"),
         count(lit(1)).as("n_reached"))
       .join(g.nodes, col("src") === col("nodeId"))
       .select(col("name").as("anchor"), col("ecc"), col("n_reached"))
+  }
+
+  /** Source-keyed frontier BFS: the minimum hop distance `(src, v, dist)`
+    * from every seed `src` to each node it reaches within `maxHops` over
+    * `adj` (symmetric `(a, b)` pairs), all sources in ONE keyed frontier
+    * pass — [[bfsLayers]] semantics per source (first-discovery round =
+    * min distance, so each `(src, v)` appears exactly once, seeds at
+    * dist 0). Shared core of [[eccentricityEst]] and the Cypher
+    * `shortestPath` clause. State is O(seeds·V): broadcast behind the
+    * node-count guard so the O(E) adjacency never re-shuffles per round;
+    * past the guard the rounds fall back to shuffle joins — the correct
+    * distributed-BFS shape when V itself is huge. */
+  def srcKeyedMinDist(adj: DataFrame, seeds: DataFrame, maxHops: Int,
+                      nNodes: Long): DataFrame = {
+    def side(df: DataFrame): DataFrame =
+      if (nNodes <= stateBroadcastLimit) broadcast(df) else df
+    var frontier = seeds
+      .select(col("src"), col("src").as("v"), lit(0).as("dist"))
+      .distinct()
+      .localCheckpoint(true)
+    var dist = frontier
+    for (t <- 1 to maxHops) {
+      frontier = adj.join(side(frontier), col("v") === col("a"))
+        .select(col("src"), col("b").as("v")).distinct()
+        .join(side(dist.select(col("src"), col("v"))),
+          Seq("src", "v"), "left_anti")
+        .select(col("src"), col("v"), lit(t).as("dist"))
+        .localCheckpoint(true)
+      dist = dist.unionByName(frontier)
+    }
+    dist
   }
 
   /** Jones–Plassmann greedy coloring, derandomized: each round, every

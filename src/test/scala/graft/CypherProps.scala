@@ -83,4 +83,29 @@ object CypherProps extends Properties("cypher") {
     val reparsed = Parser.parse(rendered)
     Prop(reparsed == q) :| s"rendered: $rendered\nreparsed: $reparsed"
   }
+
+  // shortestPath queries render with an always-explicit *lo..hi, so any
+  // in-grammar clause must survive the round trip too
+  private val shortestQuery: Gen[CypherQuery] = for {
+    a <- node("x1")
+    b <- node("x2")
+    t <- Gen.option(Gen.oneOf("WRITES", "CITES", "HAS_TOPIC"))
+    lo <- Gen.choose(0, 1)
+    hi <- Gen.choose(math.max(lo, 1), 8)
+    preds <- Gen.someOf(Seq(VarNeq("x1", "x2"), NotIdIn("x2", "found")))
+    distinct <- Gen.oneOf(true, false)
+    nItems <- Gen.choose(0, 2)
+    extra <- Gen.listOfN(nItems, item)
+    alias <- Gen.option(ident)
+    limit <- Gen.option(Gen.choose(1, 100))
+  } yield CypherQuery(Nil, Nil, preds.toSeq, distinct,
+    RetItem(PathLength("p"), alias) +: extra, None, limit, Nil, Nil,
+    Some(ShortestPathClause("p",
+      MatchPath(Seq(a, b), Seq(RelPat(None, t, Some((lo, hi))))))))
+
+  property("shortestPath render/parse round-trip") = forAll(shortestQuery) { q =>
+    val rendered = q.render
+    val reparsed = Parser.parse(rendered)
+    Prop(reparsed == q) :| s"rendered: $rendered\nreparsed: $reparsed"
+  }
 }

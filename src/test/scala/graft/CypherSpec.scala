@@ -379,6 +379,84 @@ class CypherSpec extends SparkSpec {
     assert(hood === Set(10L, 11L, 20L, 21L))
   }
 
+  test("shortestPath: min hop distance per endpoint pair (BFS, not enumeration)") {
+    // BFS from MIT (1): d1 {Alice 10, Bob 11}, d2 {P-alpha 20, P-beta 21},
+    // d3 {Databases 30, P-gamma 22}; Carol/Stanford are 4-5 hops out.
+    val rows = Planner.run(g,
+      """MATCH p = shortestPath((i:Institution {name: "MIT"})-[*1..3]-(x))
+        |RETURN x.nodeId AS nid, length(p) AS len""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows === Set((10L, 1L), (11L, 1L), (20L, 2L), (21L, 2L),
+      (30L, 3L), (22L, 3L)))
+  }
+
+  test("shortestPath: *0.. admits the zero-length pair; *1.. drops it even with a self-loop") {
+    val withZero = Planner.run(g,
+      """MATCH p = shortestPath((i:Institution {name: "MIT"})-[*0..2]-(x))
+        |RETURN x.nodeId AS nid, length(p) AS len""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(withZero === Set((1L, 0L), (10L, 1L), (11L, 1L), (20L, 2L), (21L, 2L)))
+    // P-gamma has a CITES self-loop (e13) — a shortest path from a node to
+    // itself is still length 0 only; the loop edge must not surface (22,1)
+    val self = Planner.run(g,
+      """MATCH p = shortestPath((a:Paper {name: "P-gamma"})-[*1..2]-(x))
+        |RETURN x.nodeId AS nid, length(p) AS len""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!self.exists(_._1 == 22L) && self.contains((30L, 1L)) && self.contains((20L, 1L)))
+  }
+
+  test("shortestPath: relationship-type constraint restricts the traversal") {
+    // WRITES edges only: 10-20, 10-21, 11-20, 12-22. From Alice (10):
+    // d1 {20, 21}, d2 {11}; Carol's component is unreachable over WRITES.
+    val rows = Planner.run(g,
+      """MATCH p = shortestPath((a:Author {name: "Alice"})-[:WRITES*1..3]-(x))
+        |RETURN x.nodeId AS nid, length(p) AS len""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows === Set((20L, 1L), (21L, 1L), (11L, 2L)))
+  }
+
+  test("shortestPath: implicit grouping aggregates over the distance rows") {
+    val rows = Planner.run(g,
+      """MATCH p = shortestPath((i:Institution {name: "MIT"})-[*1..3]-(x))
+        |WHERE NOT x.nodeId IN $skip
+        |RETURN length(p) AS len, count(DISTINCT x) AS n""".stripMargin,
+      Map("skip" -> Seq(21L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows === Set((1L, 2L), (2L, 1L), (3L, 2L)))
+  }
+
+  test("shortestPath grammar: round-trip, bounds, and out-of-scope shapes fail") {
+    val s = """MATCH p = shortestPath((i:Institution {name: "MIT"})-[:WRITES*1..3]-(x)) """ +
+      """WHERE NOT x.nodeId IN $skip RETURN x.name AS name, length(p) AS len"""
+    val q = Parser.parse(s)
+    assert(q.shortest.map(_.pathVar) === Some("p"))
+    assert(q.shortest.get.path.rels.head.range === Some((1, 3)))
+    assert(Parser.parse(q.render) === q)
+    // defaulted bounds: bare * = 1..3, *..5 = 1..5
+    assert(Parser.parse("MATCH p = shortestPath((a)-[*]-(b)) RETURN length(p) AS l")
+      .shortest.get.path.rels.head.range === Some((1, 3)))
+    assert(Parser.parse("MATCH p = shortestPath((a)-[*..5]-(b)) RETURN length(p) AS l")
+      .shortest.get.path.rels.head.range === Some((1, 5)))
+    // minimum bound must be 0 or 1; cap at 8; rel must be var-length
+    intercept[Parser.ParseError](Parser.parse(
+      "MATCH p = shortestPath((a)-[*2..4]-(b)) RETURN length(p) AS l"))
+    intercept[Parser.ParseError](Parser.parse(
+      "MATCH p = shortestPath((a)-[*1..9]-(b)) RETURN length(p) AS l"))
+    intercept[Parser.ParseError](Parser.parse(
+      "MATCH p = shortestPath((a)-[r:CITES]-(b)) RETURN length(p) AS l"))
+    // the clause stands alone: no chaining, no second path, no rel binding
+    intercept[Parser.ParseError](Parser.parse(
+      "MATCH p = shortestPath((a)-[*1..2]-(b)) WITH a RETURN a.name AS n"))
+    intercept[Parser.ParseError](Parser.parse(
+      "MATCH p = shortestPath((a)-[r*1..2]-(b)) RETURN length(p) AS l"))
+    intercept[Parser.ParseError](Parser.parse(
+      "MATCH p = shortestPath((a)-[*1..2]-(a)) RETURN length(p) AS l"))
+    // length() must name the query's path variable
+    intercept[IllegalArgumentException](Planner.run(g,
+      """MATCH p = shortestPath((i:Institution {name: "MIT"})-[*1..2]-(x))
+        |RETURN length(q) AS len""".stripMargin).collect())
+  }
+
   test("OPTIONAL MATCH grammar: round-trip, and out-of-scope shapes fail") {
     val s = """MATCH (a:Author) OPTIONAL MATCH (a)-[r:WRITES]-(p:Paper) """ +
       """WHERE p <> a RETURN a.name AS author, p.name AS paper"""
