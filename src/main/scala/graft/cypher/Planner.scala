@@ -284,8 +284,15 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     val aFrame = nodeFrame(Nil, aPat)
     val aSide = if (isAnchored(Nil, aPat)) broadcast(aFrame) else aFrame
     val seeds = aFrame.select(col(s"${aPat.varName}.nodeId").as("src"))
+    // BFS state is O(seeds·V): a property-anchored endpoint seeds ~1
+    // source, an unanchored one up to V — size the broadcast guard for
+    // the worst case so unselective patterns take the shuffle path
+    val stateRows =
+      if (isAnchored(Nil, aPat)) g.nodeCount
+      else try math.multiplyExact(g.nodeCount, g.nodeCount)
+      catch { case _: ArithmeticException => Long.MaxValue }
     val dists = graft.graph.GraphAlgorithms
-      .srcKeyedMinDist(adj, seeds, hi, g.nodeCount)
+      .srcKeyedMinDist(adj, seeds, hi, stateRows)
       .where(col("dist") >= lo)
       .select(col("src"), col("v").as("__spv"),
         col("dist").cast("long").as("__splen"))

@@ -268,7 +268,7 @@ object GraphAlgorithms {
     val seeds = g.nodes
       .where(col("label") === label && col("name").isin(names: _*))
       .select(col("nodeId").as("src"))
-    srcKeyedMinDist(g.adjPairs, seeds, iters, g.nodeCount)
+    srcKeyedMinDist(g.adjPairs, seeds, iters, g.nodeCount * names.length)
       .groupBy("src")
       .agg(max("dist").cast("long").as("ecc"),
         count(lit(1)).as("n_reached"))
@@ -282,14 +282,15 @@ object GraphAlgorithms {
     * pass — [[bfsLayers]] semantics per source (first-discovery round =
     * min distance, so each `(src, v)` appears exactly once, seeds at
     * dist 0). Shared core of [[eccentricityEst]] and the Cypher
-    * `shortestPath` clause. State is O(seeds·V): broadcast behind the
-    * node-count guard so the O(E) adjacency never re-shuffles per round;
-    * past the guard the rounds fall back to shuffle joins — the correct
-    * distributed-BFS shape when V itself is huge. */
+    * `shortestPath` clause. State is O(seeds·V), so callers pass their
+    * own `stateRows` bound (seeds·V, like betweenness' sources·V guard):
+    * under the limit the state broadcasts and the O(E) adjacency never
+    * re-shuffles per round; past it the rounds fall back to shuffle
+    * joins — the correct distributed-BFS shape when seeds·V is huge. */
   def srcKeyedMinDist(adj: DataFrame, seeds: DataFrame, maxHops: Int,
-                      nNodes: Long): DataFrame = {
+                      stateRows: Long): DataFrame = {
     def side(df: DataFrame): DataFrame =
-      if (nNodes <= stateBroadcastLimit) broadcast(df) else df
+      if (stateRows <= stateBroadcastLimit) broadcast(df) else df
     var frontier = seeds
       .select(col("src"), col("src").as("v"), lit(0).as("dist"))
       .distinct()

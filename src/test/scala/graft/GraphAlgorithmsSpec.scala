@@ -586,7 +586,7 @@ class GraphAlgorithmsSpec extends SparkSpec {
   }
 
   test("forced shuffle fallback (guard off) produces results identical " +
-    "to the broadcast path for walks/betweenness/k-core/LPA/PPR/HITS") {
+    "to the broadcast path for walks/betweenness/k-core/LPA/PPR/HITS/BFS") {
     // every iterative loop broadcasts O(V) state behind
     // stateBroadcastLimit; the 100×-scale shuffle fallback must be a
     // purely PHYSICAL choice. Force it (limit 0 + auto-broadcast off so
@@ -604,7 +604,9 @@ class GraphAlgorithmsSpec extends SparkSpec {
       GraphAlgorithms.labelPropagationSizes(graph, iters = 3),
       GraphAlgorithms.personalizedPageRank(graph, "A", Seq("n0"),
         iters = 3, k = 10),
-      GraphAlgorithms.hits(graph, iters = 2, k = 10)
+      GraphAlgorithms.hits(graph, iters = 2, k = 10),
+      // srcKeyedMinDist (eccentricity + Cypher shortestPath BFS core)
+      GraphAlgorithms.eccentricityEst(graph, "A", Seq("n0", "n2"), iters = 3)
     ).map(_.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq)
     val viaBroadcast = runAll()
     val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
