@@ -3284,6 +3284,20 @@ object OracleSqls {
         |FROM documents WHERE doc_id < 200
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // color near-dup via per-channel block-mean hashes: the recolor
+    // planting (one luma layout, 5 chroma patterns by doc_id % 5) means
+    // every same-group duo must pair through the lossy color codec and
+    // zero cross-group pairs may survive — a hash that reads only luma
+    // (or loses chroma recall to the dropped luma-band buckets) breaks
+    // the counts
+    "mm_phash_color" ->
+      """SELECT CAST(doc_id % 5 AS BIGINT) AS grp,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS n_intra,
+        |  CAST(0 AS BIGINT) AS n_cross
+        |FROM documents WHERE doc_id < 200
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // HashingTF rebuilt in SQL (same portable digit-only-MD5 bucket hash
     // as sketch_countmin); all 16 slots per doc, zeros included
     "text_feature_hash" ->

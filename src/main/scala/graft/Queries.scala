@@ -2108,6 +2108,15 @@ object Queries {
   def mmPhashPairs(spark: SparkSession, dir: String): DataFrame =
     ImageHash.phashDedupReport(spark, T(spark, dir, "documents"))
 
+  /** COLOR image near-dup dedup — the recolor case a gray hash cannot
+    * see: one shared luma layout (plus per-doc noise), 5 chroma patterns,
+    * the real 4:4:4 JPEG codec both ways, per-channel block-mean hashes,
+    * banding over the concatenated 192-bit signature. The luma word's
+    * band buckets hold the whole corpus and are dropped by the occupancy
+    * valve; the chroma bands alone carry the recall. */
+  def mmPhashColor(spark: SparkSession, dir: String): DataFrame =
+    ImageHash.colorDedupReport(spark, T(spark, dir, "documents"))
+
   /** Fixed-point Goertzel band energy over real decoded PCM: formula →
     * WAV bytes → container walk + sample decode → 4-bin spectral filter;
     * oracle replays the recurrence on the formula samples. */
@@ -2449,7 +2458,7 @@ object Queries {
     "curate_decontam",
     // multimodal
     "mm_decode_roundtrip", "mm_jpeg_pixels", "mm_jpeg_color",
-    "mm_phash_pairs",
+    "mm_phash_pairs", "mm_phash_color",
     // sketches / incremental
     "sketch_hll", "sketch_mrl_quantiles", "incr_agg_rollup",
     // events / graph analytics representatives
@@ -2675,6 +2684,7 @@ object Queries {
     "mm_jpeg_pixels" -> (mmJpegPixels _),
     "mm_jpeg_color" -> (mmJpegColor _),
     "mm_phash_pairs" -> (mmPhashPairs _),
+    "mm_phash_color" -> (mmPhashColor _),
     "mm_audio_goertzel" -> (mmAudioGoertzel _),
     "mm_audio_resample" -> (mmAudioResample _),
     "mm_image_equalize" -> (mmImageEqualize _),

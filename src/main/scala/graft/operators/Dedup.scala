@@ -481,6 +481,53 @@ object Dedup {
       .where(col("dist") <= maxDist)
   }
 
+  /** [[simhashBandPairs]] generalized to MULTI-WORD signatures — rows are
+    * (doc_id, sig: array<long> of `words` 64-bit words, low word first),
+    * so e.g. a 3-channel color perceptual hash (192 bits,
+    * [[ImageHash.aHashColor]]) bands with the same pigeonhole guarantee:
+    * a pair within Hamming distance < bands over the CONCATENATED
+    * signature must agree on some band. Bands never straddle a word
+    * (totalBits/bands must divide 64), keys extract with one shift+mask
+    * from the band's word, and the verified distance is the sum of
+    * per-word `bit_count(xor)` — all codegen'd array expressions. Same
+    * posting-list shape and `maxBucket` occupancy valve as the
+    * single-word form. */
+  def simhashBandPairsMulti(sigs: DataFrame, words: Int, bands: Int,
+                            maxDist: Int,
+                            maxBucket: Int = Int.MaxValue): DataFrame = {
+    val totalBits = words * 64
+    require(bands > 0 && totalBits % bands == 0,
+      s"bands=$bands must divide $totalBits")
+    val bandBits = totalBits / bands
+    require(bandBits <= 64 && 64 % bandBits == 0,
+      s"band width $bandBits must divide a 64-bit word")
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    val bandCols = (0 until bands).map { b =>
+      val w = (b * bandBits) / 64
+      val off = (b * bandBits) % 64
+      struct(lit(b).as("band"),
+        shiftright(col("sig").getItem(w), off).bitwiseAND(lit(mask)).as("key"))
+    }
+    val buckets = sigs
+      .select(col("doc_id"), col("sig"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("sig"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val lists = buckets.groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ids"))
+      .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+    lists.select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))), y => struct(
+          x.getField("doc_id").as("id1"), x.getField("sig").as("s1"),
+          y.getField("doc_id").as("id2"), y.getField("sig").as("s2")))))).as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"),
+        aggregate(
+          zip_with(col("p.s1"), col("p.s2"),
+            (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("dist"))
+      .distinct()
+      .where(col("dist") <= maxDist)
+  }
+
   /** SimHash near-dups by Hamming banding (see [[simhashBandPairs]] for
     * the pairing shape and the `maxBucket` valve).
     *

@@ -141,6 +141,29 @@ object ImageHash {
     Dedup.simhashBandPairs(sigs.withColumnRenamed("phash", "simhash"),
       bits = 64, bands = bands, maxDist = maxDist, maxBucket = maxBucket)
 
+  /** Per-channel perceptual hash of a COLOR image: [[aHash]] over each
+    * full-resolution Y/Cb/Cr plane ([[Jpeg.decodeJpegColor]]'s output) —
+    * a 3×64-bit signature, low word = luma. A luma-only hash is blind to
+    * recolors (same layout, different ink — logos, charts, re-tinted
+    * scans hash identically); the chroma words separate them while each
+    * channel keeps aHash's robustness to noise and JPEG loss. */
+  def aHashColor(yP: Array[Int], cbP: Array[Int], crP: Array[Int],
+                 w: Int, h: Int): Array[Long] =
+    Array(aHash(yP, w, h), aHash(cbP, w, h), aHash(crP, w, h))
+
+  /** Near-dup pairs over (doc_id, sig: array<long>[3]) color signatures:
+    * banding over the CONCATENATED 192 bits via
+    * [[Dedup.simhashBandPairsMulti]] (24 bands of 8 bits ⇒ guaranteed
+    * recall for total Hamming distance < 24), verified against the sum of
+    * per-channel distances. The `maxBucket` valve matters MORE here than
+    * in gray: a color-uniform corpus collides on both chroma words'
+    * bands, not just flat luma. */
+  def colorNearDupPairs(sigs: DataFrame, bands: Int = 24,
+                        maxDist: Int = 10,
+                        maxBucket: Int = Int.MaxValue): DataFrame =
+    Dedup.simhashBandPairsMulti(sigs, words = 3, bands = bands,
+      maxDist = maxDist, maxBucket = maxBucket)
+
   /** End-to-end image near-dup report on SYNTHETIC-but-lossy data: 7
     * block-aligned layouts (one per doc_id % 7 — distinct cell patterns),
     * each instance perturbed by per-doc ±1 pixel noise, run through the
@@ -182,6 +205,61 @@ object ImageHash {
     val cross = tagged.where(col("g1") =!= col("g2"))
       .groupBy(col("g1").as("grp")).agg(count(lit(1)).as("n_cross"))
     ids.groupBy((col("doc_id") % 7).as("grp"))
+      .agg(count(lit(1)).as("n_docs"))
+      .join(intra, Seq("grp"), "left")
+      .join(cross, Seq("grp"), "left")
+      .na.fill(0L, Seq("n_intra", "n_cross"))
+      .select(col("grp").cast("long"), col("n_docs"),
+        col("n_intra"), col("n_cross"))
+      .orderBy("grp")
+  }
+
+  /** COLOR near-dup report on a RECOLOR fixture — the case a gray hash
+    * cannot see: every image shares ONE luma layout (a saturated
+    * checkerboard plus per-doc ±1 noise) while the chroma planes carry
+    * one of 5 group patterns (doc_id % 5, Cr the inverse of Cb). Each
+    * image goes through the REAL 4:4:4 color encoder and full color
+    * decoder (lossy), is channel-hashed ([[aHashColor]]), and pairs over
+    * the concatenated 192-bit signature ([[colorNearDupPairs]]).
+    *
+    * The oracle knows the planting: every same-group duo pairs
+    * (chroma distance 0 through JPEG loss — saturated block means),
+    * zero cross-group pairs survive (luma distance 0 but the chroma
+    * words differ in dozens of bits). The fixture also exercises the
+    * occupancy valve ON the recall path: the luma word's band buckets
+    * hold the ENTIRE corpus (everything agrees on luma) and are dropped
+    * by `maxBucket` = 150, so the chroma bands alone must carry the
+    * recall — valve and pigeonhole guarantee proven together. */
+  def colorDedupReport(spark: SparkSession, docs: DataFrame,
+                       maxDocs: Long = 200L): DataFrame = {
+    import spark.implicits._
+    val layouts = Array((1, 0), (0, 1), (1, 1), (2, 0), (0, 2))
+    val ids = docs.select(col("doc_id").cast("long"))
+      .where(col("doc_id") < maxDocs)
+    val sigs = ids.as[Long].mapPartitions { it =>
+      it.map { id =>
+        val (ax, ay) = layouts((id % 5L).toInt)
+        def lumaF(x: Int, y: Int): Int = {
+          val cell = (x / 4 + y / 4) % 2 == 0
+          val base = if (cell) 200 else 55
+          val noise = ((id * 7919L + x * 31L + y * 17L) % 3L).toInt - 1
+          math.max(0, math.min(255, base + noise))
+        }
+        def cbF(x: Int, y: Int): Int =
+          if (((x / 4) * ax + (y / 4) * ay) % 4 < 2) 200 else 55
+        def crF(x: Int, y: Int): Int = 255 - cbF(x, y)
+        val bytes = Jpeg.jpegFileYCbCr(32, 32, lumaF, cbF, crF)
+        val (w, h, yP, cbP, crP) = Jpeg.decodeJpegColor(bytes).get
+        (id, aHashColor(yP, cbP, crP, w, h))
+      }
+    }.toDF("doc_id", "sig")
+    val pairs = colorNearDupPairs(sigs, maxBucket = 150)
+    val tagged = pairs.select((col("id1") % 5).as("g1"), (col("id2") % 5).as("g2"))
+    val intra = tagged.where(col("g1") === col("g2"))
+      .groupBy(col("g1").as("grp")).agg(count(lit(1)).as("n_intra"))
+    val cross = tagged.where(col("g1") =!= col("g2"))
+      .groupBy(col("g1").as("grp")).agg(count(lit(1)).as("n_cross"))
+    ids.groupBy((col("doc_id") % 5).as("grp"))
       .agg(count(lit(1)).as("n_docs"))
       .join(intra, Seq("grp"), "left")
       .join(cross, Seq("grp"), "left")

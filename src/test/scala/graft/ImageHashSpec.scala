@@ -98,4 +98,64 @@ class ImageHashSpec extends SparkSpec {
       assert(cross === 0L, s"grp $grp has $cross false cross-pattern pairs")
     }
   }
+
+  test("aHashColor separates recolors the gray hash is blind to") {
+    // two images: identical luma checkerboard, Cb/Cr patterns swapped —
+    // a recolor. Encode+decode through the real 4:4:4 color codec.
+    def encode(swap: Boolean): Array[Long] = {
+      def luma(x: Int, y: Int): Int = if ((x / 4 + y / 4) % 2 == 0) 200 else 55
+      def cb(x: Int, y: Int): Int = {
+        val on = (x / 4) % 4 < 2
+        if (on ^ swap) 200 else 55
+      }
+      val bytes = Jpeg.jpegFileYCbCr(32, 32, luma, cb, (x, y) => 255 - cb(x, y))
+      val (w, h, yP, cbP, crP) = Jpeg.decodeJpegColor(bytes).get
+      ImageHash.aHashColor(yP, cbP, crP, w, h)
+    }
+    val a = encode(swap = false)
+    val b = encode(swap = true)
+    // gray view (the luma word) collides; the chroma words differ widely
+    assert(hamming(a(0), b(0)) <= 2, "luma should (nearly) collide")
+    assert(hamming(a(1), b(1)) >= 16 && hamming(a(2), b(2)) >= 16,
+      "chroma words must separate the recolor")
+  }
+
+  test("multi-word banding: pigeonhole recall, summed distance, hot-bucket valve") {
+    val base = ImageHash.aHash(render(32, 32, cells(2, 2, -1L)), 32, 32)
+    def sig(w0: Long, w1: Long, w2: Long) = Array(w0, w1, w2)
+    val sigs = Seq(
+      (1L, sig(base, base, base)),
+      // dist 3, spread across all three words
+      (2L, sig(base ^ 1L, base ^ (1L << 63), base ^ (1L << 30))),
+      // dist 2, both flips in the HIGH word (band keys differ only there)
+      (3L, sig(base, base, base ^ 5L)),
+      (4L, sig(~base, ~base, ~base))) // far away
+      .toDF("doc_id", "sig")
+    val pairs = ImageHash.colorNearDupPairs(sigs, bands = 24, maxDist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet ===
+      Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(pairs.collect { case (1L, 2L, d) => d }.head === 3L)
+    assert(pairs.collect { case (1L, 3L, d) => d }.head === 2L)
+    assert(pairs.collect { case (2L, 3L, d) => d }.head === 5L)
+    // hot bucket: 30 identical signatures explode 435 pairs uncapped;
+    // maxBucket drops the bucket entirely
+    val hot = (0L until 30L).map(i => (i, sig(base, base, base)))
+      .toDF("doc_id", "sig")
+    assert(ImageHash.colorNearDupPairs(hot, maxBucket = 10).count() === 0L)
+    assert(ImageHash.colorNearDupPairs(hot, maxBucket = 30).count() === 435L)
+  }
+
+  test("color report: every recolor group pairs exactly, zero cross pairs") {
+    val docs = (0L until 40L).toDF("doc_id")
+    val rows = ImageHash.colorDedupReport(spark, docs, maxDocs = 40L).collect()
+    assert(rows.length === 5)
+    for (r <- rows) {
+      val (grp, n, intra, cross) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n === 8L, s"grp $grp")
+      assert(intra === n * (n - 1) / 2, s"grp $grp missed recolor pairs")
+      assert(cross === 0L, s"grp $grp has $cross cross-color pairs")
+    }
+  }
 }
