@@ -3298,6 +3298,18 @@ object OracleSqls {
         |FROM documents WHERE doc_id < 200
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // audio near-dup via dominant-bin fingerprints: the planting is 4
+    // melodies by doc_id % 4 — same-melody duos must pair through the
+    // real WAV roundtrip at every per-doc volume (dominance is
+    // scale-invariant), distinct melodies disagree in every frame
+    "mm_audio_fingerprint" ->
+      """SELECT CAST(doc_id % 4 AS BIGINT) AS grp,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS n_intra,
+        |  CAST(0 AS BIGINT) AS n_cross
+        |FROM documents WHERE doc_id < 200
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // HashingTF rebuilt in SQL (same portable digit-only-MD5 bucket hash
     // as sketch_countmin); all 16 slots per doc, zeros included
     "text_feature_hash" ->

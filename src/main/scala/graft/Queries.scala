@@ -2123,6 +2123,15 @@ object Queries {
   def mmAudioGoertzel(spark: SparkSession, dir: String): DataFrame =
     Multimodal.audioGoertzelRoundtrip(spark, T(spark, dir, "documents"))
 
+  /** AUDIO near-dup dedup: 4 planted melodies at per-doc volumes with
+    * sample noise, real WAV encode + container decode, dominant-bin
+    * one-hot fingerprint (16 frames × 4 Goertzel bins), banded Hamming
+    * pairing. Volume and noise must not move a dominant bin; distinct
+    * melodies disagree in every frame. */
+  def mmAudioFingerprint(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.AudioFingerprint.audioDedupReport(
+      spark, T(spark, dir, "documents"))
+
   /** WAV decode → integer linear-interp 2/3-rate resample (formula
     * oracle: the interpolation recomputed at source coordinates,
     * bytes-blind). */
@@ -2685,6 +2694,7 @@ object Queries {
     "mm_jpeg_color" -> (mmJpegColor _),
     "mm_phash_pairs" -> (mmPhashPairs _),
     "mm_phash_color" -> (mmPhashColor _),
+    "mm_audio_fingerprint" -> (mmAudioFingerprint _),
     "mm_audio_goertzel" -> (mmAudioGoertzel _),
     "mm_audio_resample" -> (mmAudioResample _),
     "mm_image_equalize" -> (mmImageEqualize _),
