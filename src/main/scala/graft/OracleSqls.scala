@@ -3298,6 +3298,19 @@ object OracleSqls {
         |FROM documents WHERE doc_id < 200
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // incremental image probe: the planting makes the outcome exact —
+    // every new image (doc_id >= 150) matches ALL corpus images
+    // (doc_id < 150) of its recolor group at distance 0, nothing else
+    "mm_phash_probe" ->
+      """SELECT CAST(doc_id % 5 AS BIGINT) AS grp,
+        |  CAST(count(CASE WHEN doc_id >= 150 THEN 1 END) AS BIGINT) AS n_new,
+        |  CAST(count(CASE WHEN doc_id < 150 THEN 1 END) AS BIGINT) AS n_old,
+        |  CAST(count(CASE WHEN doc_id >= 150 THEN 1 END)
+        |    * count(CASE WHEN doc_id < 150 THEN 1 END) AS BIGINT) AS n_matched,
+        |  CAST(0 AS BIGINT) AS n_cross
+        |FROM documents WHERE doc_id < 200
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // audio near-dup via dominant-bin fingerprints: the planting is 4
     // melodies by doc_id % 4 — same-melody duos must pair through the
     // real WAV roundtrip at every per-doc volume (dominance is

@@ -2123,6 +2123,14 @@ object Queries {
   def mmAudioGoertzel(spark: SparkSession, dir: String): DataFrame =
     Multimodal.audioGoertzelRoundtrip(spark, T(spark, dir, "documents"))
 
+  /** Incremental IMAGE near-dup: the recolor corpus is signed ONCE into
+    * a band index (the persisted artifact — corpus images never
+    * re-decoded), and a new batch probes it with one (band, key)
+    * equi-join + stored-signature Hamming verify. Every new image must
+    * match exactly its recolor group's corpus images at distance 0. */
+  def mmPhashProbe(spark: SparkSession, dir: String): DataFrame =
+    ImageHash.colorProbeReport(spark, T(spark, dir, "documents"))
+
   /** AUDIO near-dup dedup: 4 planted melodies at per-doc volumes with
     * sample noise, real WAV encode + container decode, dominant-bin
     * one-hot fingerprint (16 frames × 4 Goertzel bins), banded Hamming
@@ -2694,6 +2702,7 @@ object Queries {
     "mm_jpeg_color" -> (mmJpegColor _),
     "mm_phash_pairs" -> (mmPhashPairs _),
     "mm_phash_color" -> (mmPhashColor _),
+    "mm_phash_probe" -> (mmPhashProbe _),
     "mm_audio_fingerprint" -> (mmAudioFingerprint _),
     "mm_audio_goertzel" -> (mmAudioGoertzel _),
     "mm_audio_resample" -> (mmAudioResample _),

@@ -492,9 +492,10 @@ object Dedup {
     * per-word `bit_count(xor)` — all codegen'd array expressions. Same
     * posting-list shape and `maxBucket` occupancy valve as the
     * single-word form. */
-  def simhashBandPairsMulti(sigs: DataFrame, words: Int, bands: Int,
-                            maxDist: Int,
-                            maxBucket: Int = Int.MaxValue): DataFrame = {
+  /** Band/key extraction shared by every multi-word consumer: band b of
+    * `bands` over the concatenated words reads bandBits from word
+    * (b·bandBits)/64 at offset (b·bandBits)%64 — one shift+mask each. */
+  private def multiBandCols(words: Int, bands: Int): Seq[Column] = {
     val totalBits = words * 64
     require(bands > 0 && totalBits % bands == 0,
       s"bands=$bands must divide $totalBits")
@@ -502,14 +503,25 @@ object Dedup {
     require(bandBits <= 64 && 64 % bandBits == 0,
       s"band width $bandBits must divide a 64-bit word")
     val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
-    val bandCols = (0 until bands).map { b =>
+    (0 until bands).map { b =>
       val w = (b * bandBits) / 64
       val off = (b * bandBits) % 64
       struct(lit(b).as("band"),
         shiftright(col("sig").getItem(w), off).bitwiseAND(lit(mask)).as("key"))
     }
+  }
+
+  /** Summed per-word Hamming distance between two array<long> columns. */
+  private def multiDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  def simhashBandPairsMulti(sigs: DataFrame, words: Int, bands: Int,
+                            maxDist: Int,
+                            maxBucket: Int = Int.MaxValue): DataFrame = {
     val buckets = sigs
-      .select(col("doc_id"), col("sig"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("sig"),
+        explode(array(multiBandCols(words, bands): _*)).as("bk"))
       .select(col("doc_id"), col("sig"),
         col("bk.band").as("band"), col("bk.key").as("key"))
     val lists = buckets.groupBy(col("band"), col("key"))
@@ -520,11 +532,41 @@ object Dedup {
           x.getField("doc_id").as("id1"), x.getField("sig").as("s1"),
           y.getField("doc_id").as("id2"), y.getField("sig").as("s2")))))).as("p"))
       .select(col("p.id1").as("id1"), col("p.id2").as("id2"),
-        aggregate(
-          zip_with(col("p.s1"), col("p.s2"),
-            (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
-          lit(0L), (acc, x) => acc + x).as("dist"))
+        multiDist(col("p.s1"), col("p.s2")).as("dist"))
       .distinct()
+      .where(col("dist") <= maxDist)
+  }
+
+  /** Band index of MULTI-WORD signatures — the persisted artifact of the
+    * image/audio ingest near-dup path ((band, key, doc_id, sig) rows, one
+    * per (doc, band), carrying the full signature so probes verify
+    * WITHOUT re-decoding any media): the [[minhashBandIndex]] shape for
+    * Hamming space. Write-once, bucketed by (band, key) at scale; narrow
+    * ops only, so the same plan lifts to a streaming probe feed
+    * unchanged. */
+  def sigBandIndexMulti(sigs: DataFrame, words: Int, bands: Int): DataFrame =
+    sigs.select(col("doc_id"), col("sig"),
+        explode(array(multiBandCols(words, bands): _*)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.key").as("key"),
+        col("doc_id"), col("sig"))
+
+  /** Incremental Hamming near-dup: probe NEW signatures against a
+    * persisted [[sigBandIndexMulti]] — the [[probeNearDups]] shape for
+    * the image/audio families. Only the batch is decoded and hashed;
+    * candidates come from ONE (band, key) equi-join; verification is the
+    * summed per-word `bit_count(xor)` of the two STORED signatures, so
+    * the corpus media is never re-read. Returns (new_id, old_id, dist)
+    * with dist ≤ `maxDist`. */
+  def probeNearDupsMulti(index: DataFrame, newSigs: DataFrame, words: Int,
+                         bands: Int, maxDist: Int): DataFrame = {
+    val probe = sigBandIndexMulti(newSigs, words, bands)
+    probe.as("p").join(index.as("x"),
+        col("p.band") === col("x.band") && col("p.key") === col("x.key"))
+      .select(col("p.doc_id").as("new_id"), col("x.doc_id").as("old_id"),
+        col("p.sig").as("ps"), col("x.sig").as("xs"))
+      .dropDuplicates("new_id", "old_id")
+      .select(col("new_id"), col("old_id"),
+        multiDist(col("ps"), col("xs")).as("dist"))
       .where(col("dist") <= maxDist)
   }
 

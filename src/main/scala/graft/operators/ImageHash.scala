@@ -232,11 +232,35 @@ object ImageHash {
     * recall — valve and pigeonhole guarantee proven together. */
   def colorDedupReport(spark: SparkSession, docs: DataFrame,
                        maxDocs: Long = 200L): DataFrame = {
-    import spark.implicits._
-    val layouts = Array((1, 0), (0, 1), (1, 1), (2, 0), (0, 2))
     val ids = docs.select(col("doc_id").cast("long"))
       .where(col("doc_id") < maxDocs)
-    val sigs = ids.as[Long].mapPartitions { it =>
+    val sigs = colorFixtureSigs(spark, ids)
+    val pairs = colorNearDupPairs(sigs, maxBucket = 150)
+    val tagged = pairs.select((col("id1") % 5).as("g1"), (col("id2") % 5).as("g2"))
+    val intra = tagged.where(col("g1") === col("g2"))
+      .groupBy(col("g1").as("grp")).agg(count(lit(1)).as("n_intra"))
+    val cross = tagged.where(col("g1") =!= col("g2"))
+      .groupBy(col("g1").as("grp")).agg(count(lit(1)).as("n_cross"))
+    ids.groupBy((col("doc_id") % 5).as("grp"))
+      .agg(count(lit(1)).as("n_docs"))
+      .join(intra, Seq("grp"), "left")
+      .join(cross, Seq("grp"), "left")
+      .na.fill(0L, Seq("n_intra", "n_cross"))
+      .select(col("grp").cast("long"), col("n_docs"),
+        col("n_intra"), col("n_cross"))
+      .orderBy("grp")
+  }
+
+  /** The recolor fixture's (doc_id, sig) signatures, shared by
+    * [[colorDedupReport]] and [[colorProbeReport]]: one luma checkerboard
+    * for everyone (plus per-doc ±1 noise), chroma pattern by doc_id % 5
+    * (Cr the inverse of Cb), through the real 4:4:4 encoder and full
+    * color decoder, then [[aHashColor]]. */
+  private[operators] def colorFixtureSigs(spark: SparkSession,
+                                          ids: DataFrame): DataFrame = {
+    import spark.implicits._
+    val layouts = Array((1, 0), (0, 1), (1, 1), (2, 0), (0, 2))
+    ids.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
       it.map { id =>
         val (ax, ay) = layouts((id % 5L).toInt)
         def lumaF(x: Int, y: Int): Int = {
@@ -253,19 +277,44 @@ object ImageHash {
         (id, aHashColor(yP, cbP, crP, w, h))
       }
     }.toDF("doc_id", "sig")
-    val pairs = colorNearDupPairs(sigs, maxBucket = 150)
-    val tagged = pairs.select((col("id1") % 5).as("g1"), (col("id2") % 5).as("g2"))
-    val intra = tagged.where(col("g1") === col("g2"))
-      .groupBy(col("g1").as("grp")).agg(count(lit(1)).as("n_intra"))
-    val cross = tagged.where(col("g1") =!= col("g2"))
-      .groupBy(col("g1").as("grp")).agg(count(lit(1)).as("n_cross"))
-    ids.groupBy((col("doc_id") % 5).as("grp"))
-      .agg(count(lit(1)).as("n_docs"))
-      .join(intra, Seq("grp"), "left")
+  }
+
+  /** Incremental image near-dup: ids below `corpusCut` are signed ONCE
+    * into a [[Dedup.sigBandIndexMulti]] band index (the persisted
+    * artifact — at scale the corpus images are never re-decoded), and the
+    * remaining ids arrive as the new batch probing it
+    * ([[Dedup.probeNearDupsMulti]]: one (band, key) equi-join, Hamming
+    * verify on the stored signatures). The planting makes the outcome
+    * exact: every new image matches ALL corpus images of its recolor
+    * group at distance 0 and nothing else, so per group
+    * n_matched = n_new · n_old and n_cross = 0. */
+  def colorProbeReport(spark: SparkSession, docs: DataFrame,
+                       maxDocs: Long = 200L,
+                       corpusCut: Long = 150L): DataFrame = {
+    val ids = docs.select(col("doc_id").cast("long"))
+      .where(col("doc_id") < maxDocs)
+    val sigs = colorFixtureSigs(spark, ids)
+    val index = Dedup.sigBandIndexMulti(
+      sigs.where(col("doc_id") < corpusCut), words = 3, bands = 24)
+    val matches = Dedup.probeNearDupsMulti(index,
+      sigs.where(col("doc_id") >= corpusCut), words = 3, bands = 24,
+      maxDist = 10)
+    val tagged = matches.select(col("new_id"),
+      (col("new_id") % 5).as("grp"), (col("old_id") % 5).as("og"))
+    val hits = tagged.where(col("grp") === col("og"))
+      .groupBy("grp").agg(count(lit(1)).as("n_matched"))
+    val cross = tagged.where(col("grp") =!= col("og"))
+      .groupBy("grp").agg(count(lit(1)).as("n_cross"))
+    val newN = ids.where(col("doc_id") >= corpusCut)
+      .groupBy((col("doc_id") % 5).as("grp")).agg(count(lit(1)).as("n_new"))
+    val oldN = ids.where(col("doc_id") < corpusCut)
+      .groupBy((col("doc_id") % 5).as("grp")).agg(count(lit(1)).as("n_old"))
+    newN.join(oldN, Seq("grp"), "left")
+      .join(hits, Seq("grp"), "left")
       .join(cross, Seq("grp"), "left")
-      .na.fill(0L, Seq("n_intra", "n_cross"))
-      .select(col("grp").cast("long"), col("n_docs"),
-        col("n_intra"), col("n_cross"))
+      .na.fill(0L, Seq("n_old", "n_matched", "n_cross"))
+      .select(col("grp").cast("long"), col("n_new"), col("n_old"),
+        col("n_matched"), col("n_cross"))
       .orderBy("grp")
   }
 }

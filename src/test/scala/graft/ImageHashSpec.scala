@@ -146,6 +146,38 @@ class ImageHashSpec extends SparkSpec {
     assert(ImageHash.colorNearDupPairs(hot, maxBucket = 30).count() === 435L)
   }
 
+  test("multi-word band index + probe: near signatures match, far ones don't") {
+    import graft.operators.Dedup
+    val base = ImageHash.aHash(render(32, 32, cells(2, 2, -1L)), 32, 32)
+    val corpus = Seq(
+      (10L, Array(base, base, base)),
+      (11L, Array(~base, ~base, ~base))).toDF("doc_id", "sig")
+    val index = Dedup.sigBandIndexMulti(corpus, words = 3, bands = 24)
+    assert(index.count() === 48L, "one row per (doc, band)")
+    val batch = Seq(
+      (20L, Array(base ^ 3L, base, base)),      // dist 2 from 10
+      (21L, Array(base ^ 0xffffL, base, base))) // dist 16 from 10
+      .toDF("doc_id", "sig")
+    val hits = Dedup.probeNearDupsMulti(index, batch, words = 3, bands = 24,
+      maxDist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(hits === Set((20L, 10L, 2L)))
+  }
+
+  test("incremental probe report: each new image matches its whole group") {
+    val docs = (0L until 40L).toDF("doc_id")
+    val rows = ImageHash.colorProbeReport(spark, docs, maxDocs = 40L,
+      corpusCut = 25L).collect()
+    assert(rows.length === 5)
+    for (r <- rows) {
+      val (grp, nNew, nOld, matched, cross) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nNew === 3L && nOld === 5L, s"grp $grp split")
+      assert(matched === nNew * nOld, s"grp $grp missed probe matches")
+      assert(cross === 0L, s"grp $grp has $cross cross-group matches")
+    }
+  }
+
   test("color report: every recolor group pairs exactly, zero cross pairs") {
     val docs = (0L until 40L).toDF("doc_id")
     val rows = ImageHash.colorDedupReport(spark, docs, maxDocs = 40L).collect()
