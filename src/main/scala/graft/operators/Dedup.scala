@@ -557,6 +557,26 @@ object Dedup {
     * summed per-word `bit_count(xor)` of the two STORED signatures, so
     * the corpus media is never re-read. Returns (new_id, old_id, dist)
     * with dist ≤ `maxDist`. */
+  /** Streaming twin of [[probeNearDupsMulti]]: `newSigs` is a STREAMING
+    * (doc_id, sig) frame probing the static persisted index — a
+    * stateless stream-static equi-join exactly like
+    * [[streamingProbeNearDups]]. Emits one row PER MATCHING BAND
+    * ((new_id, old_id, band, dist)) rather than deduping pairs across
+    * bands, which would reintroduce keyed state; consumers needing
+    * pair-level output apply `dropDuplicatesWithinWatermark` downstream
+    * with their own event-time horizon. */
+  def streamingProbeNearDupsMulti(index: DataFrame, newSigs: DataFrame,
+                                  words: Int, bands: Int,
+                                  maxDist: Int): DataFrame = {
+    val probe = sigBandIndexMulti(newSigs, words, bands)
+    probe.as("p").join(index.as("x"),
+        col("p.band") === col("x.band") && col("p.key") === col("x.key"))
+      .select(col("p.doc_id").as("new_id"), col("x.doc_id").as("old_id"),
+        col("p.band").as("band"),
+        multiDist(col("p.sig"), col("x.sig")).as("dist"))
+      .where(col("dist") <= maxDist)
+  }
+
   def probeNearDupsMulti(index: DataFrame, newSigs: DataFrame, words: Int,
                          bands: Int, maxDist: Int): DataFrame = {
     val probe = sigBandIndexMulti(newSigs, words, bands)

@@ -164,6 +164,35 @@ class ImageHashSpec extends SparkSpec {
     assert(hits === Set((20L, 10L, 2L)))
   }
 
+  test("multimodal probe lifts to streaming: stateless stream-static band join") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = ImageHash.aHash(render(32, 32, cells(2, 2, -1L)), 32, 32)
+    val corpus = Seq(
+      (10L, Array(base, base, base)),
+      (11L, Array(~base, ~base, ~base))).toDF("doc_id", "sig")
+    val index = Dedup.sigBandIndexMulti(corpus, words = 3, bands = 24)
+      .localCheckpoint(true)
+    val stream = MemoryStream[(Long, Array[Long])]
+    val out = Dedup.streamingProbeNearDupsMulti(index,
+      stream.toDF().toDF("doc_id", "sig"), words = 3, bands = 24, maxDist = 10)
+    val q = out.writeStream.format("memory")
+      .queryName("mm_sprobe_test").outputMode("append").start()
+    try {
+      stream.addData((20L, Array(base ^ 3L, base, base)), // dist 2 from 10
+        (21L, Array(base ^ 0xffffL, base, base)))         // dist 16: filtered
+      q.processAllAvailable()
+      val rows = spark.table("mm_sprobe_test").collect()
+      // per-band emission: doc 20 agrees with 10 on 23 of 24 bands (the
+      // two flipped bits share band 0 of word 0)
+      assert(rows.length === 23)
+      val pairs = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+        .distinct
+      assert(pairs.toSeq === Seq((20L, 10L, 2L)))
+    } finally q.stop()
+  }
+
   test("incremental probe report: each new image matches its whole group") {
     val docs = (0L until 40L).toDF("doc_id")
     val rows = ImageHash.colorProbeReport(spark, docs, maxDocs = 40L,
