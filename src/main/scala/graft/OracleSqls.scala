@@ -308,6 +308,17 @@ object OracleSqls {
         |) opt ON c.nodeId = opt.ck
         |WHERE n.label = 'Nation' AND n.name = 'NATION_7'""".stripMargin),
 
+    // relationship-type alternation: the hop admits either type
+    "cy_rel_types" -> withGraph(
+      """SELECT x.label AS tgt_label, e.relType AS rel_type,
+        |  CAST(count(DISTINCT x.nodeId) AS BIGINT) AS n_nodes
+        |FROM nodes n
+        |JOIN bidir e ON n.nodeId = e.a
+        |  AND e.relType IN ('FROM_NATION', 'IN_REGION')
+        |JOIN nodes x ON e.b = x.nodeId
+        |WHERE n.label = 'Nation' AND n.name = 'NATION_7'
+        |GROUP BY 1, 2""".stripMargin),
+
     // shortestPath = layered BFS: the recursive CTE's UNION dedups
     // (src, v, dist) rows, so each iteration expands at most one layer per
     // distinct reachable distance and MIN(dist) is the first-discovery

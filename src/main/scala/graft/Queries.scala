@@ -899,6 +899,15 @@ object Queries {
         |OPTIONAL MATCH (c)-[e2:PLACED]-(o:Order)
         |RETURN DISTINCT c.nodeId AS cust_id, o.nodeId AS order_id""".stripMargin)
 
+  /** Relationship-type alternation: one hop over `:FROM_NATION|IN_REGION`
+    * — the edge leg filters to EITHER type before the join (one isin
+    * predicate pushed to the scan), Neo4j's `-[:A|B]-` semantics. */
+  def cyRelTypes(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """MATCH (n:Nation {name: "NATION_7"})-[e:FROM_NATION|IN_REGION]-(x)
+        |RETURN x.label AS tgt_label, type(e) AS rel_type,
+        |       count(DISTINCT x) AS n_nodes""".stripMargin)
+
   /** Cypher shortestPath: per-label histogram of MINIMUM hop distances
     * from the ASIA region within 3 hops. Planned as one source-keyed
     * frontier BFS (first discovery = min distance,
@@ -2513,6 +2522,7 @@ object Queries {
     "cy_optional_match" -> (cyOptionalMatch _),
     "cy_optional_null" -> (cyOptionalNull _),
     "cy_shortest_path" -> (cyShortestPath _),
+    "cy_rel_types" -> (cyRelTypes _),
     "cy_varlength" -> (cyVarlength _),
     "skew_salted_agg" -> (skewSaltedAgg _),
     "join_salted" -> (joinSalted _),

@@ -20,7 +20,7 @@ package graft.cypher
   *   unwind    := UNWIND $param AS var
   *   path      := node (rel node)*
   *   node      := '(' var [':' Label] [ '{' (name|nodeId) ':' literal-or-var '}' ] ')'
-  *   rel       := '-[' [var] [':' TYPE] ']-'
+  *   rel       := '-[' [var] [':' TYPE ('|' TYPE)*] ']-'
   *   pred      := var '<>' var | NOT var '.' 'nodeId' IN $param
   *              | normalize(lower(col)) '=' normalize(lower($param)) | col '=' literal
   *   item      := expr [AS alias]
@@ -52,9 +52,17 @@ object Ast {
 
   /** `range` is Neo4j's variable-length spec `*min..max` (None = plain
     * single hop). Var-length rels cannot bind a variable (the binding would
-    * be a relationship LIST; outside the emitted grammar's RETURN surface). */
-  final case class RelPat(varName: Option[String], relType: Option[String],
+    * be a relationship LIST; outside the emitted grammar's RETURN surface).
+    * `relTypes` is Neo4j's type alternation `:A|B` (empty = any type) —
+    * a hop traverses an edge whose type is ANY of the listed ones. */
+  final case class RelPat(varName: Option[String], relTypes: Seq[String],
                           range: Option[(Int, Int)] = None)
+  object RelPat {
+    /** Single-type convenience constructor (the dominant case). */
+    def apply(varName: Option[String], relType: Option[String],
+              range: Option[(Int, Int)]): RelPat =
+      RelPat(varName, relType.toSeq, range)
+  }
 
   /** Alternating node/rel pattern: nodes.length == rels.length + 1. */
   final case class MatchPath(nodes: Seq[NodePat], rels: Seq[RelPat])
@@ -167,9 +175,11 @@ object Ast {
       }
       def node(n: NodePat): String =
         s"(${n.varName}${n.label.fold("")(l => s":$l")}${anchor(n)})"
-      def rel(r: RelPat): String =
-        s"-[${r.varName.getOrElse("")}${r.relType.fold("")(t => s":$t")}" +
+      def rel(r: RelPat): String = {
+        val types = if (r.relTypes.isEmpty) "" else r.relTypes.mkString(":", "|", "")
+        s"-[${r.varName.getOrElse("")}$types" +
           s"${r.range.fold("") { case (lo, hi) => s"*$lo..$hi" }}]-"
+      }
       def path(p: MatchPath): String =
         node(p.nodes.head) + p.rels.zip(p.nodes.tail)
           .map { case (r, n) => rel(r) + node(n) }.mkString

@@ -233,8 +233,7 @@ object Parser {
       ws()
       val v = if (pos < in.length && in(pos) != ':' && in(pos) != ']' && in(pos) != '*')
                 Some(ident()) else None
-      val t = if ({ ws(); pos < in.length && in(pos) == ':' }) { pos += 1; Some(ident()) }
-              else None
+      val t = relTypeList()
       // variable-length spec: *  |  *n  |  *min..max  (bare * = 1..3, the
       // dialect's cap; Neo4j's unbounded * has no distributed equivalent)
       val range: Option[(Int, Int)] =
@@ -261,6 +260,16 @@ object Parser {
       RelPat(v, t, range)
     }
 
+    /** Neo4j type alternation `:A|B|C` (empty when the rel is untyped). */
+    private def relTypeList(): Seq[String] =
+      if ({ ws(); pos < in.length && in(pos) == ':' }) {
+        pos += 1
+        val ts = Seq.newBuilder[String]
+        ts += ident()
+        while ({ ws(); pos < in.length && in(pos) == '|' }) { pos += 1; ts += ident() }
+        ts.result()
+      } else Nil
+
     /** The pattern inside `shortestPath( … )`: exactly two nodes and one
       * relationship, which MUST be variable-length — BFS bounds are wider
       * than the enumeration dialect's (`*lo..hi` with lo ∈ {0,1}, hi ≤ 8;
@@ -272,8 +281,7 @@ object Parser {
       ws()
       if (pos < in.length && in(pos) != ':' && in(pos) != ']' && in(pos) != '*')
         fail("shortestPath relationships cannot bind a variable")
-      val t = if ({ ws(); pos < in.length && in(pos) == ':' }) { pos += 1; Some(ident()) }
-              else None
+      val t = relTypeList()
       ws()
       if (pos >= in.length || in(pos) != '*')
         fail("shortestPath requires a variable-length relationship (*lo..hi)")

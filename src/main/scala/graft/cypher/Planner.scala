@@ -276,11 +276,10 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     spVar = Some(sp.pathVar)
     // type-constrained traversal filters the edge view once; untyped uses
     // the graph's shared cached adjacency
-    val adj = rel.relType match {
-      case None    => g.adjPairs
-      case Some(t) => g.bidir.where(col("relType") === t)
+    val adj =
+      if (rel.relTypes.isEmpty) g.adjPairs
+      else g.bidir.where(col("relType").isin(rel.relTypes: _*))
         .select(col("a"), col("b")).distinct()
-    }
     val aFrame = nodeFrame(Nil, aPat)
     val aSide = if (isAnchored(Nil, aPat)) broadcast(aFrame) else aFrame
     val seeds = aFrame.select(col(s"${aPat.varName}.nodeId").as("src"))
@@ -374,7 +373,7 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
               for { p <- acc; k <- lo to hi } yield {
                 val anons = (1 until k).map(j =>
                   NodePat(s"__v${pathIdx}_${i}_$j", None, None, None))
-                val hopRels = Seq.fill(k)(RelPat(None, r.relType, None))
+                val hopRels = Seq.fill(k)(RelPat(None, r.relTypes, None))
                 MatchPath(p.nodes ++ anons :+ next, p.rels ++ hopRels)
               }
           }
@@ -400,7 +399,8 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     var df = head
     path.rels.zipWithIndex.foreach { case (r, i) =>
       val rv = r.varName.getOrElse(s"__r$i")
-      val e = r.relType.fold(g.bidir)(t => g.bidir.where(col("relType") === t)).as(rv)
+      val e = (if (r.relTypes.isEmpty) g.bidir
+               else g.bidir.where(col("relType").isin(r.relTypes: _*))).as(rv)
       val prev = path.nodes(i).varName
       val next = path.nodes(i + 1)
       val nextFrame = nodeFrame(unwinds, next)

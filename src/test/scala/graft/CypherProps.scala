@@ -34,9 +34,13 @@ object CypherProps extends Properties("cypher") {
     (p, av) <- anchorVal
   } yield NodePat(v, l, p, av)
 
+  private val relTypes: Gen[Seq[String]] = Gen.oneOf(
+    Nil, Seq("WRITES"), Seq("CITES"), Seq("WRITES", "CITES"),
+    Seq("HAS_TOPIC", "WRITES", "CITES"))
+
   private def rel(i: Int): Gen[RelPat] = for {
     named <- Gen.oneOf(true, false)
-    t <- Gen.option(Gen.oneOf("WRITES", "CITES", "HAS_TOPIC"))
+    t <- relTypes
     range <- Gen.option(for {
       lo <- Gen.choose(1, 3); hi <- Gen.choose(lo, 3)
     } yield (lo, hi))
@@ -89,7 +93,7 @@ object CypherProps extends Properties("cypher") {
   private val shortestQuery: Gen[CypherQuery] = for {
     a <- node("x1")
     b <- node("x2")
-    t <- Gen.option(Gen.oneOf("WRITES", "CITES", "HAS_TOPIC"))
+    t <- relTypes
     lo <- Gen.choose(0, 1)
     hi <- Gen.choose(math.max(lo, 1), 8)
     preds <- Gen.someOf(Seq(VarNeq("x1", "x2"), NotIdIn("x2", "found")))

@@ -14,7 +14,7 @@ class CypherSpec extends SparkSpec {
     val q = Parser.parse(
       """MATCH (x1:Institution {name: "MIT"})-[r1:AFFILIATED_WITH]-(x2:Author)-[r2:WRITES]-(x3:Paper) RETURN DISTINCT x3.name AS name""")
     assert(q.paths.head.nodes.map(_.varName) === Seq("x1", "x2", "x3"))
-    assert(q.paths.head.rels.flatMap(_.relType) === Seq("AFFILIATED_WITH", "WRITES"))
+    assert(q.paths.head.rels.flatMap(_.relTypes) === Seq("AFFILIATED_WITH", "WRITES"))
     assert(q.distinct)
     assert(q.items.head.name === "name")
   }
@@ -423,6 +423,30 @@ class CypherSpec extends SparkSpec {
       Map("skip" -> Seq(21L)))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(rows === Set((1L, 2L), (2L, 1L), (3L, 2L)))
+  }
+
+  test("relationship-type alternation [:A|B] traverses either type") {
+    // Alice—P-alpha is a parallel pair (WRITES e4 + REVIEWS e12);
+    // Alice—P-beta is WRITES only. The alternation admits both types.
+    val rows = Planner.run(g,
+      """MATCH (a:Author {name: "Alice"})-[r:WRITES|REVIEWS]-(p:Paper)
+        |RETURN DISTINCT p.name AS name, type(r) AS t""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows === Set(
+      ("P-alpha", "WRITES"), ("P-alpha", "REVIEWS"), ("P-beta", "WRITES")))
+    // shortestPath over an alternation-restricted edge set: WRITES and
+    // HAS_TOPIC only. From Carol (12): d1 {P-gamma 22}, d2 {Databases 30},
+    // d3 {P-alpha 20, P-beta 21} — CITES/AFFILIATED_WITH must not be used.
+    val sp = Planner.run(g,
+      """MATCH p = shortestPath((a:Author {name: "Carol"})-[:WRITES|HAS_TOPIC*1..3]-(x))
+        |RETURN x.nodeId AS nid, length(p) AS len""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sp === Set((22L, 1L), (30L, 2L), (20L, 3L), (21L, 3L)))
+    // grammar: round-trip preserves the type list and its order
+    val q = Parser.parse(
+      "MATCH (a)-[r:WRITES|CITES|HAS_TOPIC]-(b) RETURN a.name AS n")
+    assert(q.paths.head.rels.head.relTypes === Seq("WRITES", "CITES", "HAS_TOPIC"))
+    assert(Parser.parse(q.render) === q)
   }
 
   test("shortestPath grammar: round-trip, bounds, and out-of-scope shapes fail") {
