@@ -308,6 +308,20 @@ object OracleSqls {
         |) opt ON c.nodeId = opt.ck
         |WHERE n.label = 'Nation' AND n.name = 'NATION_7'""".stripMargin),
 
+    // NOT EXISTS pattern predicate = anti join against the pattern's
+    // solutions (DuckDB's NOT EXISTS correlated form plans the same)
+    "cy_exists_filter" -> withGraph(
+      """SELECT CAST(count(DISTINCT p.nodeId) AS BIGINT) AS n_parts
+        |FROM nodes p
+        |WHERE p.label = 'Part'
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM bidir e1
+        |    JOIN nodes o ON e1.b = o.nodeId AND o.label = 'Order'
+        |    JOIN bidir e2 ON e2.a = o.nodeId AND e2.relType = 'PLACED'
+        |    JOIN nodes c ON e2.b = c.nodeId AND c.label = 'Customer'
+        |      AND c.name = 'Customer#000000001'
+        |    WHERE e1.a = p.nodeId AND e1.relType = 'CONTAINS')""".stripMargin),
+
     // relationship-type alternation: the hop admits either type
     "cy_rel_types" -> withGraph(
       """SELECT x.label AS tgt_label, e.relType AS rel_type,

@@ -899,6 +899,18 @@ object Queries {
         |OPTIONAL MATCH (c)-[e2:PLACED]-(o:Order)
         |RETURN DISTINCT c.nodeId AS cust_id, o.nodeId AS order_id""".stripMargin)
 
+  /** EXISTS pattern predicate, negated: parts NEVER ordered by one
+    * customer — `NOT EXISTS { (p)-[:CONTAINS]-(:Order)-[:PLACED]-(c) }`
+    * plans as a LEFT ANTI join against the pattern's DISTINCT part keys
+    * (never a count, never a correlated subquery); the anchored customer
+    * broadcasts into the pattern side, so the build side is the handful
+    * of parts they DID order. */
+  def cyExistsFilter(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """MATCH (p:Part)
+        |WHERE NOT EXISTS { (p)-[e1:CONTAINS]-(o:Order)-[e2:PLACED]-(c:Customer {name: "Customer#000000001"}) }
+        |RETURN count(DISTINCT p) AS n_parts""".stripMargin)
+
   /** Relationship-type alternation: one hop over `:FROM_NATION|IN_REGION`
     * — the edge leg filters to EITHER type before the join (one isin
     * predicate pushed to the scan), Neo4j's `-[:A|B]-` semantics. */
@@ -2523,6 +2535,7 @@ object Queries {
     "cy_optional_null" -> (cyOptionalNull _),
     "cy_shortest_path" -> (cyShortestPath _),
     "cy_rel_types" -> (cyRelTypes _),
+    "cy_exists_filter" -> (cyExistsFilter _),
     "cy_varlength" -> (cyVarlength _),
     "skew_salted_agg" -> (skewSaltedAgg _),
     "join_salted" -> (joinSalted _),

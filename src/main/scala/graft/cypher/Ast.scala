@@ -23,6 +23,7 @@ package graft.cypher
   *   rel       := '-[' [var] [':' TYPE ('|' TYPE)*] ']-'
   *   pred      := var '<>' var | NOT var '.' 'nodeId' IN $param
   *              | normalize(lower(col)) '=' normalize(lower($param)) | col '=' literal
+  *              | [NOT] EXISTS '{' path '}'        -- pattern predicate
   *   item      := expr [AS alias]
   *   withItem  := var                     -- carries the node binding forward
   *              | expr AS alias           -- WITH expressions must alias (like Cypher)
@@ -78,6 +79,11 @@ object Ast {
     * HAVING shape (`WITH n, count(DISTINCT c) AS deg WHERE deg >= 5`). */
   final case class ColCmp(colName: String, op: String,
                           value: AnchorValue) extends Pred
+  /** `[NOT] EXISTS { (a)-[…]-(b) }` — Neo4j's pattern predicate: the row
+    * survives iff the pattern has ≥ 1 (resp. 0) solutions sharing the
+    * row's bindings. Plans as a LEFT SEMI (resp. ANTI) join on the shared
+    * variables' nodeIds — never a count, never a correlated subquery. */
+  final case class ExistsPat(path: MatchPath, negated: Boolean) extends Pred
 
   sealed trait Expr
   final case class PropRef(varName: String, prop: String) extends Expr
@@ -196,6 +202,8 @@ object Ast {
       def pred(p: Pred): String = p match {
         case VarNeq(a, b)   => s"$a <> $b"
         case NotIdIn(v, pm) => s"NOT $v.nodeId IN $$$pm"
+        case ExistsPat(pt, neg) =>
+          (if (neg) "NOT " else "") + s"EXISTS { ${path(pt)} }"
         case NormEqParam(c, pm) =>
           s"normalize(lower($c)) = normalize(lower($$$pm))"
         case ColCmp(c, op, StrLit(v)) =>

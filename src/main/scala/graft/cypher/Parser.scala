@@ -260,6 +260,21 @@ object Parser {
       RelPat(v, t, range)
     }
 
+    /** `EXISTS { path }` (NOT already consumed by the caller when
+      * negated) — one path per predicate, like the OPTIONAL MATCH rule. */
+    private def existsPred(negated: Boolean): Pred = {
+      expect("EXISTS")
+      ws()
+      if (pos >= in.length || in(pos) != '{') fail("expected '{' after EXISTS")
+      pos += 1
+      val p = path()
+      ws()
+      if (pos >= in.length || in(pos) != '}')
+        fail("expected '}' closing the EXISTS pattern")
+      pos += 1
+      ExistsPat(p, negated)
+    }
+
     /** Neo4j type alternation `:A|B|C` (empty when the rel is untyped). */
     private def relTypeList(): Seq[String] =
       if ({ ws(); pos < in.length && in(pos) == ':' }) {
@@ -313,10 +328,15 @@ object Parser {
       ws()
       if (peek("NOT")) {
         expect("NOT")
-        val v = ident(); expect("."); val p = ident()
-        if (p != "nodeId") fail("only nodeId membership predicates are in the grammar")
-        expect("IN")
-        NotIdIn(v, param())
+        if (peek("EXISTS")) existsPred(negated = true)
+        else {
+          val v = ident(); expect("."); val p = ident()
+          if (p != "nodeId") fail("only nodeId membership predicates are in the grammar")
+          expect("IN")
+          NotIdIn(v, param())
+        }
+      } else if (peek("EXISTS")) {
+        existsPred(negated = false)
       } else if (peek("normalize")) {
         // normalize(lower(col)) = normalize(lower($param)) — ner.py:113
         expect("normalize"); expect("("); expect("lower"); expect("(")

@@ -92,7 +92,7 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     val frames = expandPaths(st.paths).map { ps =>
       val joined0 = ps.map(planPath(st.unwinds, _)).reduce(_.crossJoin(_))
       val attached = attachBase(base, joined0, ps)
-      val filtered = st.preds.foldLeft(attached)((df, p) => df.where(predCol(p)))
+      val filtered = applyPreds(attached, st.preds)
       projectWith(filtered, st, ps)
     }
     val unioned = frames.reduce(_.unionByName(_))
@@ -143,7 +143,7 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
         val skipped = st.skip.fold(sorted)(sorted.offset)
         st.limit.fold(skipped)(skipped.limit)
       }
-    val result = st.withPreds.foldLeft(trimmed)((df, p) => df.where(predCol(p)))
+    val result = applyPreds(trimmed, st.withPreds)
     // the barrier: recompute what survives for the NEXT stage
     val (vars, scalars) = st.withItems.foldLeft((Set.empty[String], Set.empty[String])) {
       case ((vs, ss), RetItem(ColRef(n), _)) =>
@@ -240,7 +240,7 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
   private def tupleFrame(base: Option[DataFrame], q: CypherQuery): DataFrame = {
     val joined0 = q.paths.map(planPath(q.unwinds, _)).reduce(_.crossJoin(_))
     val joined = attachBase(base, joined0, q.paths)
-    val filtered = q.preds.foldLeft(joined)((df, p) => df.where(predCol(p)))
+    val filtered = applyPreds(joined, q.preds)
     // rebuilt per expansion: an optional var must not count as "already
     // bound" when the NEXT var-length expansion of the main paths plans
     // the same optional clauses again
@@ -300,8 +300,44 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       .join(nodeFrame(Nil, bPat),
         col("__spv") === col(s"${bPat.varName}.nodeId"))
       .drop("src", "__spv")
-    val filtered = q.preds.foldLeft(joined)((df, p) => df.where(predCol(p)))
+    val filtered = applyPreds(joined, q.preds)
     projectTuple(filtered, q)
+  }
+
+  /** Apply a WHERE list: scalar predicates fold into `where` columns;
+    * `[NOT] EXISTS { pattern }` predicates each become a LEFT SEMI/ANTI
+    * join against the pattern's solutions ([[attachExists]]). Scalars
+    * first — they prune the frame before any join. */
+  private def applyPreds(df: DataFrame, preds: Seq[Pred]): DataFrame = {
+    val (pattern, scalar) = preds.partition(_.isInstanceOf[ExistsPat])
+    val base = scalar.foldLeft(df)((d, p) => d.where(predCol(p)))
+    pattern.foldLeft(base)((d, p) => attachExists(d, p.asInstanceOf[ExistsPat]))
+  }
+
+  /** `[NOT] EXISTS { pattern }` = a LEFT SEMI (resp. ANTI) join of the
+    * current frame against the DISTINCT shared-variable keys of the
+    * pattern's solutions — Cypher's pattern predicate without a count or
+    * a correlated subquery. The pattern side is one enumeration (its own
+    * var-length expansions union first); the semi join is an ordinary
+    * nodeId equi-join, so AQE/broadcast selection applies, and the
+    * distinct keeps the build side at most |bindings| rows. */
+  private def attachExists(main: DataFrame, ep: ExistsPat): DataFrame = {
+    val boundBefore = stageVars ++ optNodeVars ++ carriedVars
+    val sharedVars = ep.path.nodes.map(_.varName).distinct.filter(boundBefore)
+    require(sharedVars.nonEmpty,
+      "EXISTS pattern must share at least one bound variable")
+    val frames = expandPaths(Seq(ep.path)).map(_.head).map { p =>
+      val planned = planPath(Nil, p)
+      val saved = stageVars
+      stageVars = varsOf(Seq(p))
+      try planned.select(
+        sharedVars.map(v => col(s"$v.nodeId").as(s"__ek_$v")): _*)
+      finally stageVars = saved
+    }
+    val sub = frames.reduce(_.unionByName(_)).distinct()
+    val cond = sharedVars.map(v => propCol(v, "nodeId") === col(s"__ek_$v"))
+      .reduce(_ && _)
+    main.join(sub, cond, if (ep.negated) "left_anti" else "left_semi")
   }
 
   /** One OPTIONAL MATCH clause = a LEFT OUTER join of the preserved frame
@@ -465,6 +501,11 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     else col(s"$v.$field") // rel vars and anonymous expansions
 
   private def predCol(p: Pred): Column = p match {
+    case ExistsPat(_, _) =>
+      // routed through applyPreds everywhere it is supported; reaching
+      // here means an unsupported context (e.g. OPTIONAL MATCH WHERE)
+      throw new IllegalArgumentException(
+        "EXISTS { … } is not supported inside this WHERE context")
     case VarNeq(a, b) => propCol(a, "nodeId") =!= propCol(b, "nodeId")
     case NotIdIn(v, param) =>
       val ids = longs(param)

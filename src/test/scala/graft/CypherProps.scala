@@ -66,12 +66,20 @@ object CypherProps extends Properties("cypher") {
     preds <- Gen.someOf(Seq(VarNeq("x1", "x2"), NotIdIn("x1", "found")))
   } yield OptionalMatch(p, preds.toSeq)
 
+  private val existsPred: Gen[Pred] = for {
+    p <- path
+    neg <- Gen.oneOf(true, false)
+  } yield ExistsPat(p, neg)
+
   private val query: Gen[CypherQuery] = for {
     nUnwind <- Gen.choose(0, 2)
     unwinds <- Gen.sequence[Seq[Unwind], Unwind](
       (1 to nUnwind).map(i => ident.map(p => Unwind(p, s"u$i"))))
     p <- path
-    preds <- Gen.someOf(Seq(VarNeq("x1", "x2"), NotIdIn("x1", "found")))
+    scalarPreds <- Gen.someOf(Seq(VarNeq("x1", "x2"), NotIdIn("x1", "found")))
+    exPreds <- Gen.frequency((2, Gen.const(Nil)),
+      (1, existsPred.map(Seq(_))))
+    preds = scalarPreds.toSeq ++ exPreds
     distinct <- Gen.oneOf(true, false)
     nItems <- Gen.choose(1, 3)
     items <- Gen.listOfN(nItems, item)
@@ -79,7 +87,7 @@ object CypherProps extends Properties("cypher") {
     limit <- Gen.option(Gen.choose(1, 100))
     nOpt <- Gen.frequency((2, Gen.const(0)), (1, Gen.choose(1, 2)))
     optionals <- Gen.listOfN(nOpt, optionalClause)
-  } yield CypherQuery(unwinds, Seq(p), preds.toSeq, distinct, items, order,
+  } yield CypherQuery(unwinds, Seq(p), preds, distinct, items, order,
     limit, Nil, optionals)
 
   property("render/parse round-trip") = forAll(query) { q =>

@@ -425,6 +425,65 @@ class CypherSpec extends SparkSpec {
     assert(rows === Set((1L, 2L), (2L, 1L), (3L, 2L)))
   }
 
+  test("EXISTS pattern predicate: semi/anti join semantics") {
+    // papers on either side of a CITES edge: P-alpha (cited by P-gamma)
+    // and P-gamma (cites + self-loop); P-beta has none
+    val cited = Planner.run(g,
+      """MATCH (p:Paper) WHERE EXISTS { (p)-[c:CITES]-(q:Paper) }
+        |RETURN DISTINCT p.name AS name""".stripMargin)
+      .collect().map(_.getString(0)).toSet
+    assert(cited === Set("P-alpha", "P-gamma"))
+    val uncited = Planner.run(g,
+      """MATCH (p:Paper) WHERE NOT EXISTS { (p)-[c:CITES]-(q:Paper) }
+        |RETURN DISTINCT p.name AS name""".stripMargin)
+      .collect().map(_.getString(0)).toSet
+    assert(uncited === Set("P-beta"))
+    // anchored far node inside the pattern + conjunction with a scalar
+    // predicate: authors of P-alpha other than Alice herself
+    val rows = Planner.run(g,
+      """MATCH (a:Author)
+        |WHERE EXISTS { (a)-[w:WRITES]-(p:Paper {name: "P-alpha"}) }
+        |  AND NOT a.nodeId IN $skip
+        |RETURN DISTINCT a.name AS name""".stripMargin,
+      Map("skip" -> Seq(10L)))
+      .collect().map(_.getString(0)).toSet
+    assert(rows === Set("Bob"))
+    // var-length pattern inside EXISTS: institutions within 2 hops of a
+    // Paper (both are — MIT via its authors, Stanford via Carol)
+    val insts = Planner.run(g,
+      """MATCH (i:Institution) WHERE EXISTS { (i)-[*1..2]-(x:Paper) }
+        |RETURN DISTINCT i.name AS name""".stripMargin)
+      .collect().map(_.getString(0)).toSet
+    assert(insts === Set("MIT", "Stanford"))
+    // EXISTS survives aggregation queries (filter before the group)
+    val n = Planner.run(g,
+      """MATCH (a:Author) WHERE EXISTS { (a)-[w:WRITES]-(p:Paper) }
+        |RETURN count(DISTINCT a) AS n""".stripMargin)
+      .collect().head.getLong(0)
+    assert(n === 3L)
+  }
+
+  test("EXISTS grammar: round-trip and out-of-scope shapes fail") {
+    val s = """MATCH (a:Author) WHERE NOT EXISTS { (a)-[c:CITES]-(q) } """ +
+      """AND a <> a RETURN a.name AS name"""
+    val q = Parser.parse(s)
+    assert(q.preds.head ===
+      Ast.ExistsPat(q.preds.head.asInstanceOf[Ast.ExistsPat].path, true))
+    assert(Parser.parse(q.render) === q)
+    // the pattern must share a bound variable
+    intercept[IllegalArgumentException](Planner.run(g,
+      "MATCH (a:Author) WHERE EXISTS { (z)-[c:CITES]-(q) } RETURN a.name AS n")
+      .collect())
+    // not supported inside an OPTIONAL MATCH's pattern-scoped WHERE
+    intercept[IllegalArgumentException](Planner.run(g,
+      """MATCH (a:Author) OPTIONAL MATCH (a)-[w:WRITES]-(p)
+        |WHERE EXISTS { (p)-[c:CITES]-(q) }
+        |RETURN a.name AS name, p.name AS pn""".stripMargin).collect())
+    // braces required
+    intercept[Parser.ParseError](Parser.parse(
+      "MATCH (a) WHERE EXISTS (a)-[r]-(b) RETURN a.name"))
+  }
+
   test("relationship-type alternation [:A|B] traverses either type") {
     // Alice—P-alpha is a parallel pair (WRITES e4 + REVIEWS e12);
     // Alice—P-beta is WRITES only. The alternation admits both types.
