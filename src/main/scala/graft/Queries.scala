@@ -2480,7 +2480,7 @@ object Queries {
     "cy_schema_1hop", "cy_concrete_2hop", "cy_anti_lookup",
     "cy_ordered_topk", "cy_with_chain", "cy_with_norm_filter",
     "cy_with_agg", "cy_with_topk", "cy_optional_match", "cy_shortest_path",
-    "cy_varlength",
+    "cy_rel_types", "cy_exists_filter", "cy_varlength",
     // pipeline orchestration (§7 M5)
     "pipeline_retrieve", "fmt_context",
     // dedup family
