@@ -3348,6 +3348,40 @@ object OracleSqls {
         |FROM documents WHERE doc_id < 200
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // video near-dup via sampled-keyframe aHash: 4 planted clips by
+    // doc_id % 4 — same-clip duos pair through the real animated-GIF
+    // roundtrip at every per-doc brightness (aHash is mean-relative),
+    // distinct clips disagree in >= 96 of 192 signature bits
+    "mm_video_fingerprint" ->
+      """SELECT CAST(doc_id % 4 AS BIGINT) AS grp,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS n_intra,
+        |  CAST(0 AS BIGINT) AS n_cross
+        |FROM documents WHERE doc_id < 200
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // incremental video probe: every new clip (doc_id >= 150) matches
+    // ALL corpus clips (doc_id < 150) of its group at distance 0
+    "mm_video_probe" ->
+      """SELECT CAST(doc_id % 4 AS BIGINT) AS grp,
+        |  CAST(count(CASE WHEN doc_id >= 150 THEN 1 END) AS BIGINT) AS n_new,
+        |  CAST(count(CASE WHEN doc_id < 150 THEN 1 END) AS BIGINT) AS n_old,
+        |  CAST(count(CASE WHEN doc_id >= 150 THEN 1 END)
+        |    * count(CASE WHEN doc_id < 150 THEN 1 END) AS BIGINT) AS n_matched,
+        |  CAST(0 AS BIGINT) AS n_cross
+        |FROM documents WHERE doc_id < 200
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // shot boundaries: doc_id % 3 + 1 planted segments per 12-frame clip,
+    // consecutive segments 32 Hamming bits apart (> threshold 16), so
+    // n_cuts = doc_id % 3 exactly through the codec roundtrip
+    "mm_video_scenes" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(12 AS BIGINT) AS n_frames,
+        |  CAST(doc_id % 3 AS BIGINT) AS n_cuts
+        |FROM documents WHERE doc_id < 200
+        |ORDER BY doc_id""".stripMargin,
+
     // HashingTF rebuilt in SQL (same portable digit-only-MD5 bucket hash
     // as sketch_countmin); all 16 slots per doc, zeros included
     "text_feature_hash" ->

@@ -2161,6 +2161,30 @@ object Queries {
     graft.operators.AudioFingerprint.audioDedupReport(
       spark, T(spark, dir, "documents"))
 
+  /** VIDEO near-dup dedup: 4 planted clips (6-frame animated GIFs, frames
+    * differ within a clip) at per-doc brightness/contrast with pixel
+    * noise, real multi-frame container decode, sampled-keyframe aHash
+    * signature (3 × 64 bits, word order = temporal order), capped
+    * multi-word banding. Jitter and the codec must not flip a bit;
+    * distinct clips disagree in ≥ 96 of 192 bits. */
+  def mmVideoFingerprint(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.VideoFingerprint.videoDedupReport(
+      spark, T(spark, dir, "documents"))
+
+  /** Incremental VIDEO near-dup: the clip corpus is signed ONCE into a
+    * band index and a new batch probes it — stored videos are never
+    * re-decoded. Per group n_matched = n_new · n_old at distance 0. */
+  def mmVideoProbe(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.VideoFingerprint.videoProbeReport(
+      spark, T(spark, dir, "documents"))
+
+  /** Shot-boundary detection: doc_id % 3 + 1 planted segments per
+    * 12-frame clip, consecutive-frame aHash Hamming threshold through
+    * the real animated-GIF roundtrip — n_cuts = doc_id % 3 exactly. */
+  def mmVideoScenes(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.VideoFingerprint.videoSceneReport(
+      spark, T(spark, dir, "documents"))
+
   /** WAV decode → integer linear-interp 2/3-rate resample (formula
     * oracle: the interpolation recomputed at source coordinates,
     * bytes-blind). */
@@ -2496,7 +2520,7 @@ object Queries {
     "curate_decontam",
     // multimodal
     "mm_decode_roundtrip", "mm_jpeg_pixels", "mm_jpeg_color",
-    "mm_phash_pairs", "mm_phash_color",
+    "mm_phash_pairs", "mm_phash_color", "mm_video_fingerprint",
     // sketches / incremental
     "sketch_hll", "sketch_mrl_quantiles", "incr_agg_rollup",
     // events / graph analytics representatives
@@ -2727,6 +2751,9 @@ object Queries {
     "mm_phash_color" -> (mmPhashColor _),
     "mm_phash_probe" -> (mmPhashProbe _),
     "mm_audio_fingerprint" -> (mmAudioFingerprint _),
+    "mm_video_fingerprint" -> (mmVideoFingerprint _),
+    "mm_video_probe" -> (mmVideoProbe _),
+    "mm_video_scenes" -> (mmVideoScenes _),
     "mm_audio_goertzel" -> (mmAudioGoertzel _),
     "mm_audio_resample" -> (mmAudioResample _),
     "mm_image_equalize" -> (mmImageEqualize _),

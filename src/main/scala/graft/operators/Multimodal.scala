@@ -955,7 +955,19 @@ object Multimodal {
     * invalid LZW codes, oversized dims (`maxPixels`), pixel shortfall —
     * returns None. Same dirty-corpus contract as [[decodePngGray]]. */
   def decodeGifGray(p: Array[Byte],
-                    maxPixels: Int = 1 << 24): Option[(Int, Int, Array[Int])] = {
+                    maxPixels: Int = 1 << 24): Option[(Int, Int, Array[Int])] =
+    decodeGifFramesGray(p, maxPixels, maxFrames = 1).flatMap(_.headOption)
+
+  /** ALL frames of a (possibly animated) GIF as gray planes — the video
+    * counterpart of [[decodeGifGray]] (which is this with `maxFrames` = 1).
+    * Same strict contract per frame; the stream must reach either the
+    * `maxFrames` cap or the 0x3b trailer, and at least one frame must
+    * decode, else None. Each frame is decoded standalone (full-size
+    * replace, no GIF89a disposal compositing): the animation fixtures this
+    * repo feeds it write every frame at the full logical screen size,
+    * which is also the honest shape for frame-sampled video hashing. */
+  def decodeGifFramesGray(p: Array[Byte], maxPixels: Int = 1 << 24,
+                          maxFrames: Int = 64): Option[IndexedSeq[(Int, Int, Array[Int])]] = {
     if (p.length < 13) return None
     if (!ascii(p, 0, "GIF87a") && !ascii(p, 0, "GIF89a")) return None
     val packed = u8(p, 10)
@@ -971,6 +983,7 @@ object Multimodal {
         i += 3; e += 1
       }
     }
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Array[Int])]
     while (i < p.length) {
       u8(p, i) match {
         case 0x21 => // extension: label + sub-blocks
@@ -978,6 +991,8 @@ object Multimodal {
           while (i < p.length && u8(p, i) != 0) i += 1 + u8(p, i)
           if (i >= p.length) return None
           i += 1
+        case 0x3b => // trailer
+          return if (frames.nonEmpty) Some(frames.toIndexedSeq) else None
         case 0x2c =>
           if (i + 10 > p.length) return None
           val w = leU16(p, i + 5); val h = leU16(p, i + 7)
@@ -1030,12 +1045,61 @@ object Multimodal {
               src += 1; x += 1
             }
           }
-          return Some((w, h, out))
-        case 0x3b => return None // trailer before any image
+          frames += ((w, h, out))
+          if (frames.length >= maxFrames) return Some(frames.toIndexedSeq)
         case _ => return None
       }
     }
     None
+  }
+
+  /** Animated-GIF89a encoder for multi-frame gray "video" fixtures: the
+    * [[gifFileGray]] layout (global 256-gray table, 8-bit LZW) with a
+    * NETSCAPE2.0 loop extension and, per frame, a graphic control
+    * extension (no disposal, 4cs delay) + a full-size image descriptor.
+    * Every frame replaces the whole screen, matching
+    * [[decodeGifFramesGray]]'s standalone-frame contract. */
+  def gifFileAnimGray(width: Int, height: Int,
+                      frames: Seq[(Int, Int) => Int]): Array[Byte] = {
+    require(frames.nonEmpty, "at least one frame")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(width & 0xff); out.write((width >> 8) & 0xff)
+    out.write(height & 0xff); out.write((height >> 8) & 0xff)
+    out.write(0xf7); out.write(0); out.write(0)
+    var e = 0
+    while (e < 256) { out.write(e); out.write(e); out.write(e); e += 1 }
+    // NETSCAPE2.0 application extension: loop forever
+    out.write(0x21); out.write(0xff); out.write(11)
+    out.write("NETSCAPE2.0".getBytes("US-ASCII"))
+    out.write(3); out.write(1); out.write(0); out.write(0); out.write(0)
+    frames.foreach { gray =>
+      // graphic control extension: no disposal, 4cs delay, no transparency
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write(0); out.write(4); out.write(0); out.write(0); out.write(0)
+      val pixels = new Array[Int](width * height)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { pixels(y * width + x) = gray(x, y) & 0xff; x += 1 }
+        y += 1
+      }
+      val lzw = lzwCompress(pixels)
+      out.write(0x2c) // image descriptor, full screen
+      out.write(0); out.write(0); out.write(0); out.write(0)
+      out.write(width & 0xff); out.write((width >> 8) & 0xff)
+      out.write(height & 0xff); out.write((height >> 8) & 0xff)
+      out.write(0)    // no local table, not interlaced
+      out.write(8)    // LZW minimum code size
+      var off = 0
+      while (off < lzw.length) {
+        val n = math.min(255, lzw.length - off)
+        out.write(n); out.write(lzw, off, n); off += n
+      }
+      out.write(0)    // block terminator
+    }
+    out.write(0x3b) // trailer
+    out.toByteArray
   }
 
   // ---------------------------------------------------------------------
