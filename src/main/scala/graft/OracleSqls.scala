@@ -323,6 +323,37 @@ object OracleSqls {
         |    WHERE e1.a = p.nodeId AND e1.relType = 'CONTAINS')""".stripMargin),
 
     // relationship-type alternation: the hop admits either type
+    // Cypher UNION: part 1 (customers of NATION_7) is a subset of part 2
+    // (customers of every ASIA nation) — SQL UNION's dedup mirrors the
+    // cross-part DISTINCT
+    "cy_union" -> withGraph(
+      """SELECT c.name AS name
+        |FROM nodes n JOIN bidir e ON n.nodeId = e.a AND e.relType = 'FROM_NATION'
+        |JOIN nodes c ON e.b = c.nodeId AND c.label = 'Customer'
+        |WHERE n.label = 'Nation' AND n.name = 'NATION_7'
+        |UNION
+        |SELECT c.name AS name
+        |FROM nodes r
+        |JOIN bidir e1 ON r.nodeId = e1.a AND e1.relType = 'IN_REGION'
+        |JOIN nodes n ON e1.b = n.nodeId AND n.label = 'Nation'
+        |JOIN bidir e2 ON n.nodeId = e2.a AND e2.relType = 'FROM_NATION'
+        |JOIN nodes c ON e2.b = c.nodeId AND c.label = 'Customer'
+        |WHERE r.label = 'Region' AND r.name = 'ASIA'""".stripMargin),
+
+    // Cypher UNION ALL of two per-part aggregates: concatenation, no dedup
+    "cy_union_all" -> withGraph(
+      """SELECT c.label AS kind, CAST(count(DISTINCT c.nodeId) AS BIGINT) AS n
+        |FROM nodes n JOIN bidir e ON n.nodeId = e.a AND e.relType = 'FROM_NATION'
+        |JOIN nodes c ON e.b = c.nodeId AND c.label = 'Customer'
+        |WHERE n.label = 'Nation' AND n.name = 'NATION_7'
+        |GROUP BY 1
+        |UNION ALL
+        |SELECT s.label AS kind, CAST(count(DISTINCT s.nodeId) AS BIGINT) AS n
+        |FROM nodes n JOIN bidir e ON n.nodeId = e.a AND e.relType = 'FROM_NATION'
+        |JOIN nodes s ON e.b = s.nodeId AND s.label = 'Supplier'
+        |WHERE n.label = 'Nation' AND n.name = 'NATION_7'
+        |GROUP BY 1""".stripMargin),
+
     "cy_rel_types" -> withGraph(
       """SELECT x.label AS tgt_label, e.relType AS rel_type,
         |  CAST(count(DISTINCT x.nodeId) AS BIGINT) AS n_nodes

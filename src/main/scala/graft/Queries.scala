@@ -911,6 +911,24 @@ object Queries {
         |WHERE NOT EXISTS { (p)-[e1:CONTAINS]-(o:Order)-[e2:PLACED]-(c:Customer {name: "Customer#000000001"}) }
         |RETURN count(DISTINCT p) AS n_parts""".stripMargin)
 
+  /** Cypher UNION: customers of NATION_7 ∪ customers of any ASIA nation
+    * (the first part is a subset of the second — the cross-part DISTINCT
+    * is what the entry verifies). Each part plans independently; Catalyst
+    * sees one Union + HashAggregate(distinct). */
+  def cyUnion(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """MATCH (n:Nation {name: "NATION_7"})-[e:FROM_NATION]-(c:Customer) RETURN c.name AS name
+        |UNION
+        |MATCH (r:Region {name: "ASIA"})-[e1:IN_REGION]-(n:Nation)-[e2:FROM_NATION]-(c:Customer) RETURN c.name AS name""".stripMargin)
+
+  /** Cypher UNION ALL of two per-part aggregates: one row per entity kind
+    * linked FROM_NATION to NATION_7 — concatenation, never dedup. */
+  def cyUnionAll(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """MATCH (n:Nation {name: "NATION_7"})-[e:FROM_NATION]-(c:Customer) RETURN c.label AS kind, count(DISTINCT c) AS n
+        |UNION ALL
+        |MATCH (n:Nation {name: "NATION_7"})-[e:FROM_NATION]-(s:Supplier) RETURN s.label AS kind, count(DISTINCT s) AS n""".stripMargin)
+
   /** Relationship-type alternation: one hop over `:FROM_NATION|IN_REGION`
     * — the edge leg filters to EITHER type before the join (one isin
     * predicate pushed to the scan), Neo4j's `-[:A|B]-` semantics. */
@@ -2504,7 +2522,7 @@ object Queries {
     "cy_schema_1hop", "cy_concrete_2hop", "cy_anti_lookup",
     "cy_ordered_topk", "cy_with_chain", "cy_with_norm_filter",
     "cy_with_agg", "cy_with_topk", "cy_optional_match", "cy_shortest_path",
-    "cy_rel_types", "cy_exists_filter", "cy_varlength",
+    "cy_rel_types", "cy_exists_filter", "cy_union", "cy_varlength",
     // pipeline orchestration (§7 M5)
     "pipeline_retrieve", "fmt_context",
     // dedup family
@@ -2560,6 +2578,8 @@ object Queries {
     "cy_shortest_path" -> (cyShortestPath _),
     "cy_rel_types" -> (cyRelTypes _),
     "cy_exists_filter" -> (cyExistsFilter _),
+    "cy_union" -> (cyUnion _),
+    "cy_union_all" -> (cyUnionAll _),
     "cy_varlength" -> (cyVarlength _),
     "skew_salted_agg" -> (skewSaltedAgg _),
     "join_salted" -> (joinSalted _),

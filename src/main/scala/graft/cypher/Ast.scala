@@ -266,4 +266,16 @@ object Ast {
         orderBy = Some(("similarity", true)),
         limit = limit)
   }
+
+  /** `q1 UNION [ALL] q2 [UNION [ALL] q3 …]` — Cypher's set union of full
+    * queries. Every part must RETURN the same column names in the same
+    * order (checked at plan time, like Neo4j); `UNION` dedups rows ACROSS
+    * parts, `UNION ALL` concatenates. Mixing the two forms in one query
+    * is rejected at parse time, also like Neo4j. A single-part union is
+    * the plain query (no implicit dedup). */
+  final case class UnionQuery(parts: Seq[CypherQuery], all: Boolean) {
+    require(parts.nonEmpty, "at least one query part")
+    def render: String =
+      parts.map(_.render).mkString(if (all) " UNION ALL " else " UNION ")
+  }
 }

@@ -15,7 +15,16 @@ object Parser {
   final case class ParseError(message: String, pos: Int)
     extends RuntimeException(s"$message at position $pos")
 
-  def parse(input: String): CypherQuery = new P(input).query()
+  def parse(input: String): CypherQuery = {
+    val p = new P(input)
+    val q = p.query()
+    p.expectEnd()
+    q
+  }
+
+  /** Parse a (possibly UNION-chained) query. A single-part input yields
+    * `UnionQuery(Seq(q), all = false)` — which plans as the plain query. */
+  def parseUnion(input: String): UnionQuery = new P(input).unionQuery()
 
   private final class P(in: String) {
     private var pos = 0
@@ -172,14 +181,40 @@ object Parser {
               Some((ref, desc))
             } else None
           val limit = if (opt("LIMIT")) Some(longLit().toInt) else None
-          ws()
-          if (pos != in.length) fail(s"trailing input: '${in.substring(pos).take(20)}'")
+          // the query ends here — either end-of-input or a UNION boundary
+          // (the caller decides which is legal: parse() demands the end,
+          // unionQuery() keeps chaining)
           return CypherQuery(unwinds.result(), paths.result(), preds, distinct,
             items.result(), order, limit, stages.result(), optionals.result(),
             shortest)
         }
       }
       throw new IllegalStateException("unreachable")
+    }
+
+    def expectEnd(): Unit = {
+      ws()
+      if (pos != in.length) fail(s"trailing input: '${in.substring(pos).take(20)}'")
+    }
+
+    /** `query (UNION [ALL] query)*` — the ALL-ness must be uniform across
+      * every boundary (Neo4j: "Invalid combination of UNION and UNION
+      * ALL"). */
+    def unionQuery(): UnionQuery = {
+      val parts = Seq.newBuilder[CypherQuery]
+      parts += query()
+      var all: Option[Boolean] = None
+      while (opt("UNION")) {
+        val isAll = opt("ALL")
+        all match {
+          case Some(a) if a != isAll =>
+            fail("invalid combination of UNION and UNION ALL")
+          case _ => all = Some(isAll)
+        }
+        parts += query()
+      }
+      expectEnd()
+      UnionQuery(parts.result(), all.getOrElse(false))
     }
 
     private def predList(): Seq[Pred] =

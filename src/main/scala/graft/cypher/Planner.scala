@@ -578,8 +578,29 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
 }
 
 object Planner {
-  /** Parse + plan in one step. */
+  /** Parse + plan in one step. Accepts UNION-chained queries (a
+    * single-part input plans exactly as before). */
   def run(g: PropertyGraph, cypher: String,
           params: Map[String, Any] = Map.empty): DataFrame =
-    new Planner(g, params).plan(Parser.parse(cypher))
+    planUnion(g, Parser.parseUnion(cypher), params)
+
+  /** Plan a UNION query: each part planned independently (fresh binding
+    * state), then one `unionByName` chain — Catalyst sees an ordinary
+    * Union node, so partial aggregation and pushdown still apply per
+    * branch — with a single DISTINCT on top for the non-ALL form (Cypher
+    * dedups ACROSS parts, which also absorbs any per-part DISTINCT).
+    * Column names must line up in order, like Neo4j. */
+  def planUnion(g: PropertyGraph, uq: UnionQuery,
+                params: Map[String, Any] = Map.empty): DataFrame = {
+    val frames = uq.parts.map(p => new Planner(g, params).plan(p))
+    if (frames.length == 1) return frames.head
+    val names = frames.head.columns.toSeq
+    frames.tail.foreach { f =>
+      require(f.columns.toSeq == names,
+        s"all UNION parts must return the same columns: " +
+          s"$names vs ${f.columns.toSeq}")
+    }
+    val unioned = frames.reduce(_.unionByName(_))
+    if (uq.all) unioned else unioned.distinct()
+  }
 }

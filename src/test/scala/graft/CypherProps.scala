@@ -96,6 +96,22 @@ object CypherProps extends Properties("cypher") {
     Prop(reparsed == q) :| s"rendered: $rendered\nreparsed: $reparsed"
   }
 
+  // UNION chains render with the uniform separator, so the round trip
+  // must preserve part count, part contents, and ALL-ness. A single-part
+  // union renders with no separator, so it reparses with all = false —
+  // the generator pins all = false there (the canonical form).
+  private val unionQuery: Gen[UnionQuery] = for {
+    n <- Gen.choose(1, 3)
+    parts <- Gen.listOfN(n, query)
+    all <- if (n == 1) Gen.const(false) else Gen.oneOf(true, false)
+  } yield UnionQuery(parts, all)
+
+  property("UNION render/parse round-trip") = forAll(unionQuery) { uq =>
+    val rendered = uq.render
+    val reparsed = Parser.parseUnion(rendered)
+    Prop(reparsed == uq) :| s"rendered: $rendered\nreparsed: $reparsed"
+  }
+
   // shortestPath queries render with an always-explicit *lo..hi, so any
   // in-grammar clause must survive the round trip too
   private val shortestQuery: Gen[CypherQuery] = for {

@@ -558,4 +558,45 @@ class CypherSpec extends SparkSpec {
       "MATCH (a:Author) OPTIONAL MATCH (z:Paper)-[r:CITES]-(y) RETURN a.name AS n")
       .collect())
   }
+
+  test("UNION dedups across parts; UNION ALL concatenates") {
+    // Alice WRITES {P-alpha, P-beta}; Alice REVIEWS {P-alpha} — the
+    // overlap is what distinguishes the two forms
+    val cypher = (sep: String) =>
+      s"""MATCH (a:Author {name: "Alice"})-[r:WRITES]-(p:Paper) RETURN p.name AS name
+         |$sep
+         |MATCH (a:Author {name: "Alice"})-[r:REVIEWS]-(p:Paper) RETURN p.name AS name""".stripMargin
+    val u = Planner.run(g, cypher("UNION")).collect().map(_.getString(0))
+    assert(u.toSet === Set("P-alpha", "P-beta") && u.length === 2,
+      "cross-part dedup")
+    val ua = Planner.run(g, cypher("UNION ALL")).collect().map(_.getString(0))
+    assert(ua.sorted.toSeq === Seq("P-alpha", "P-alpha", "P-beta"))
+    // per-part aggregation: each part groups before the union
+    val agg = Planner.run(g,
+      """MATCH (a:Author {name: "Alice"})-[r:WRITES]-(p:Paper) RETURN count(DISTINCT p) AS n
+        |UNION ALL
+        |MATCH (a:Author {name: "Carol"})-[r:WRITES]-(p:Paper) RETURN count(DISTINCT p) AS n""".stripMargin)
+      .collect().map(_.getLong(0))
+    assert(agg.sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("UNION grammar: uniform ALL-ness, matching columns, strict single-query API") {
+    // Neo4j: "Invalid combination of UNION and UNION ALL"
+    intercept[Parser.ParseError](Parser.parseUnion(
+      "MATCH (a)-[r]-(b) RETURN a.name AS n UNION MATCH (a)-[r]-(b) RETURN a.name AS n " +
+        "UNION ALL MATCH (a)-[r]-(b) RETURN a.name AS n"))
+    // the single-query entry point refuses a union chain
+    intercept[Parser.ParseError](Parser.parse(
+      "MATCH (a)-[r]-(b) RETURN a.name AS n UNION MATCH (a)-[r]-(b) RETURN a.name AS n"))
+    // parts must return identical column names in order
+    intercept[IllegalArgumentException](Planner.run(g,
+      """MATCH (a:Author {name: "Alice"})-[r:WRITES]-(p:Paper) RETURN p.name AS name
+        |UNION
+        |MATCH (a:Author {name: "Alice"})-[r:WRITES]-(p:Paper) RETURN p.name AS other""".stripMargin))
+    // render∘parse = id, ALL preserved
+    val uq = Parser.parseUnion(
+      "MATCH (a)-[r]-(b) RETURN a.name AS n UNION ALL MATCH (c)-[s]-(d) RETURN c.name AS n")
+    assert(uq.all && uq.parts.length === 2)
+    assert(Parser.parseUnion(uq.render) === uq)
+  }
 }
