@@ -91,6 +91,37 @@ class VideoFingerprintSpec extends SparkSpec {
     assert(VideoFingerprint.sceneCuts(steady) === 0)
   }
 
+  test("video probe lifts to streaming: stateless stream-static band join") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def sig(phases: Seq[Int], seed: Long): Array[Long] =
+      VideoFingerprint.fingerprint(
+        Multimodal.decodeGifFramesGray(clip(phases,
+          dark = 40 + (seed % 7L).toInt * 5,
+          bright = 160 + (seed % 5L).toInt * 7, noiseSeed = seed)).get)
+    val corpus = Seq(
+      (10L, sig((0 until 6).map(f => 0 + f), 3L)),
+      (11L, sig((0 until 6).map(f => 1 + f), 5L))).toDF("doc_id", "sig")
+    val index = Dedup.sigBandIndexMulti(corpus, words = 3, bands = 24)
+      .localCheckpoint(true)
+    val stream = MemoryStream[(Long, Array[Long])]
+    val out = Dedup.streamingProbeNearDupsMulti(index,
+      stream.toDF().toDF("doc_id", "sig"), words = 3, bands = 24, maxDist = 6)
+    val q = out.writeStream.format("memory")
+      .queryName("video_sprobe_test").outputMode("append").start()
+    try {
+      // a re-encoded copy of clip 0 (new jitter) and an unrelated clip
+      stream.addData((20L, sig((0 until 6).map(f => 0 + f), 9L)),
+        (21L, sig((0 until 6).map(f => 2 + f), 9L)))
+      q.processAllAvailable()
+      val pairs = spark.table("video_sprobe_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).distinct
+      assert(pairs.toSeq === Seq((20L, 10L, 0L)),
+        "the copy matches at distance 0 on every band; the stranger never")
+    } finally q.stop()
+  }
+
   test("reports match their planting on a small id range") {
     val docs = (0L until 40L).toDF("doc_id")
     val dedup = VideoFingerprint.videoDedupReport(spark, docs, maxDocs = 40L)
