@@ -323,6 +323,18 @@ object OracleSqls {
         |    WHERE e1.a = p.nodeId AND e1.relType = 'CONTAINS')""".stripMargin),
 
     // relationship-type alternation: the hop admits either type
+    // collect(DISTINCT n.name): both engines canonicalize the unordered
+    // Cypher bag to a sorted distinct list
+    "cy_collect" -> withGraph(
+      """SELECT r.name AS region,
+        |  array_to_string(list_sort(list(DISTINCT n.name)), '|') AS nations,
+        |  CAST(count(DISTINCT n.nodeId) AS BIGINT) AS n_nations
+        |FROM nodes r
+        |JOIN bidir e ON r.nodeId = e.a AND e.relType = 'IN_REGION'
+        |JOIN nodes n ON e.b = n.nodeId AND n.label = 'Nation'
+        |WHERE r.label = 'Region'
+        |GROUP BY 1""".stripMargin),
+
     // Cypher UNION: part 1 (customers of NATION_7) is a subset of part 2
     // (customers of every ASIA nation) — SQL UNION's dedup mirrors the
     // cross-part DISTINCT

@@ -911,6 +911,20 @@ object Queries {
         |WHERE NOT EXISTS { (p)-[e1:CONTAINS]-(o:Order)-[e2:PLACED]-(c:Customer {name: "Customer#000000001"}) }
         |RETURN count(DISTINCT p) AS n_parts""".stripMargin)
 
+  /** Cypher collect(DISTINCT x.prop) — the A4 provenance shape through
+    * the dialect, mixed with count under one implicit grouping. The
+    * unordered Cypher bag is canonicalized to a sorted distinct list on
+    * both engines. */
+  def cyCollect(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """MATCH (r:Region)-[e:IN_REGION]-(n:Nation)
+        |RETURN r.name AS region, collect(DISTINCT n.name) AS nations,
+        |       count(DISTINCT n) AS n_nations""".stripMargin)
+      // catalog convention: list columns flatten to a joined string for
+      // the driver's hash surface (the list itself is spec-tested)
+      .select(col("region"), array_join(col("nations"), "|").as("nations"),
+        col("n_nations"))
+
   /** Cypher UNION: customers of NATION_7 ∪ customers of any ASIA nation
     * (the first part is a subset of the second — the cross-part DISTINCT
     * is what the entry verifies). Each part plans independently; Catalyst
@@ -2522,7 +2536,8 @@ object Queries {
     "cy_schema_1hop", "cy_concrete_2hop", "cy_anti_lookup",
     "cy_ordered_topk", "cy_with_chain", "cy_with_norm_filter",
     "cy_with_agg", "cy_with_topk", "cy_optional_match", "cy_shortest_path",
-    "cy_rel_types", "cy_exists_filter", "cy_union", "cy_varlength",
+    "cy_rel_types", "cy_exists_filter", "cy_union", "cy_collect",
+    "cy_varlength",
     // pipeline orchestration (§7 M5)
     "pipeline_retrieve", "fmt_context",
     // dedup family
@@ -2580,6 +2595,7 @@ object Queries {
     "cy_exists_filter" -> (cyExistsFilter _),
     "cy_union" -> (cyUnion _),
     "cy_union_all" -> (cyUnionAll _),
+    "cy_collect" -> (cyCollect _),
     "cy_varlength" -> (cyVarlength _),
     "skew_salted_agg" -> (skewSaltedAgg _),
     "join_salted" -> (joinSalted _),

@@ -97,6 +97,11 @@ object Ast {
   /** `size([t IN collect(DISTINCT v) WHERE t.nodeId IN $param | t])` —
     * the A2 supervision aggregate (path_retriever.py:16). */
   final case class CountDistinctInParam(varName: String, param: String) extends Expr
+  /** `collect(DISTINCT x.prop)` — Cypher's list aggregate (the A4
+    * provenance shape through the dialect). Cypher's collect is an
+    * unordered bag; the engine canonicalizes to a SORTED distinct list
+    * (and, like Neo4j, skips nulls) so results are deterministic. */
+  final case class CollectDistinct(varName: String, prop: String) extends Expr
   final case class Cosine(varName: String, prop: String, param: String) extends Expr
   /** `length(p)` where `p` names the query's shortestPath — the hop count
     * of the shortest path found for the row's endpoint pair. */
@@ -111,6 +116,7 @@ object Ast {
       case TypeOf(r)                  => s"type($r)"
       case CountDistinct(v)           => s"count(DISTINCT $v)"
       case CountDistinctInParam(v, _) => s"correctCnt"
+      case CollectDistinct(v, p)      => s"collect(DISTINCT $v.$p)"
       case Cosine(_, _, _)            => "similarity"
       case PathLength(p)              => s"length($p)"
     })
@@ -163,7 +169,8 @@ object Ast {
       shortest: Option[ShortestPathClause] = None) { // MATCH p = shortestPath(…)
 
     def isAggregating: Boolean = items.exists(i => i.expr match {
-      case _: CountDistinct | _: CountDistinctInParam => true
+      case _: CountDistinct | _: CountDistinctInParam |
+           _: CollectDistinct => true
       case _ => false
     })
 
@@ -196,6 +203,7 @@ object Ast {
         case TypeOf(r)                  => s"type($r)"
         case CountDistinct(v)           => s"count(DISTINCT $v)"
         case CountDistinctInParam(v, p) => s"size([t IN collect(DISTINCT $v) WHERE t.nodeId IN $$$p | t])"
+        case CollectDistinct(v, p)      => s"collect(DISTINCT $v.$p)"
         case Cosine(v, pr, p)           => s"vector.similarity.cosine($v.$pr, $$$p)"
         case PathLength(p)              => s"length($p)"
       }

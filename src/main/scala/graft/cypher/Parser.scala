@@ -420,6 +420,11 @@ object Parser {
           expect("count"); expect("("); expect("DISTINCT"); val v = ident(); expect(")")
           CountDistinct(v)
         }
+        else if (peek("collect")) {
+          expect("collect"); expect("("); expect("DISTINCT")
+          val v = ident(); expect("."); val p = ident(); expect(")")
+          CollectDistinct(v, p)
+        }
         else if (peek("size")) {
           // size([t IN collect(DISTINCT tgt) WHERE t.nodeId IN $ids | t])
           expect("size"); expect("("); expect("[")

@@ -111,6 +111,8 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
             case CountDistinct(_) => count_distinct(src).as(i.name)
             case CountDistinctInParam(_, param) =>
               count_distinct(when(src.isin(longs(param): _*), src)).as(i.name)
+            case CollectDistinct(_, _) =>
+              sort_array(collect_set(src)).as(i.name)
             case other =>
               throw new IllegalArgumentException(s"$other is not an aggregate")
           }
@@ -194,6 +196,8 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
           Seq(propCol(v, "nodeId").as(s"__aggsrc_${i.name}"))
         case CountDistinctInParam(v, _) =>
           Seq(propCol(v, "nodeId").as(s"__aggsrc_${i.name}"))
+        case CollectDistinct(v, p) =>
+          Seq(propCol(v, p).as(s"__aggsrc_${i.name}"))
         case e => Seq(exprCol(e).as(i.name))
       }
     }
@@ -228,7 +232,8 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     ps.flatMap(_.nodes.map(_.varName)).toSet
 
   private def isAggItem(i: RetItem): Boolean = i.expr match {
-    case _: CountDistinct | _: CountDistinctInParam => true
+    case _: CountDistinct | _: CountDistinctInParam |
+         _: CollectDistinct => true
     case _ => false
   }
 
@@ -388,6 +393,7 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       i.expr match {
         case CountDistinct(v)            => propCol(v, "nodeId").as(s"__agg$idx")
         case CountDistinctInParam(v, _)  => propCol(v, "nodeId").as(s"__agg$idx")
+        case CollectDistinct(v, p)       => propCol(v, p).as(s"__agg$idx")
         case e                           => exprCol(e).as(i.name)
       }
     }
@@ -563,6 +569,9 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     case CountDistinctInParam(_, param) =>
       val ids = longs(param)
       count_distinct(when(col(src).isin(ids: _*), col(src)))
+    // canonical sorted distinct list (collect_set drops nulls, matching
+    // Cypher's null-skipping collect)
+    case CollectDistinct(_, _) => sort_array(collect_set(col(src)))
     case other => throw new IllegalArgumentException(s"$other is not an aggregate")
   }
 

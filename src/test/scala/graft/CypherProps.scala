@@ -57,6 +57,7 @@ object CypherProps extends Properties("cypher") {
     e <- Gen.oneOf[Expr](
       PropRef("x1", "name"), LabelsOf("x1"), TypeOf("r1"),
       CountDistinct("x1"), CountDistinctInParam("x1", "ids"),
+      CollectDistinct("x1", "name"),
       Cosine("x1", "nameEmbedding", "qEmb"))
     a <- Gen.option(ident)
   } yield RetItem(e, a)

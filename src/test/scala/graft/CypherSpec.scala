@@ -559,6 +559,33 @@ class CypherSpec extends SparkSpec {
       .collect())
   }
 
+  test("collect(DISTINCT x.prop): sorted list aggregate, skips nulls, WITH-stage form") {
+    // per-author papers, implicit grouping on the author name
+    val rows = Planner.run(g,
+      """MATCH (a:Author)-[r:WRITES]-(p:Paper)
+        |RETURN a.name AS author, collect(DISTINCT p.name) AS papers""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getSeq[String](1))).toMap
+    assert(rows("Alice") === Seq("P-alpha", "P-beta"), "sorted distinct")
+    // null-skipping: an unmatched OPTIONAL MATCH contributes nothing
+    val withNulls = Planner.run(g,
+      """MATCH (a:Author) OPTIONAL MATCH (a)-[r:REVIEWS]-(p:Paper)
+        |RETURN collect(DISTINCT p.name) AS reviewed""".stripMargin)
+      .collect().head.getSeq[String](0)
+    assert(withNulls === Seq("P-alpha"), "only Alice reviews; nulls skipped")
+    // the WITH-stage barrier form feeds downstream clauses
+    val staged = Planner.run(g,
+      """MATCH (a:Author)-[r:WRITES]-(p:Paper)
+        |WITH a.name AS author, collect(DISTINCT p.name) AS papers
+        |RETURN author, papers""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getSeq[String](1))).toMap
+    assert(staged("Alice") === Seq("P-alpha", "P-beta"))
+    // grammar round-trip
+    val q = Parser.parse(
+      "MATCH (a:Author)-[r:WRITES]-(p:Paper) RETURN collect(DISTINCT p.name) AS names")
+    assert(q.isAggregating)
+    assert(Parser.parse(q.render) === q)
+  }
+
   test("UNION dedups across parts; UNION ALL concatenates") {
     // Alice WRITES {P-alpha, P-beta}; Alice REVIEWS {P-alpha} — the
     // overlap is what distinguishes the two forms
