@@ -4268,6 +4268,40 @@ object OracleSqls {
         |  CAST(max(max_gap) AS BIGINT) AS max_gap
         |FROM pk""".stripMargin,
 
+    // two-sample drift (even vs odd orders over 10 quantity bins): L1 and
+    // chi-square contributions in integer micro-units — integer sums are
+    // order-independent, and the only float ops are IEEE-exactly-rounded
+    // multiply/divide on integer-valued doubles (no ln/exp)
+    "dq_drift" ->
+      """WITH t AS (
+        |  SELECT LEAST(9, (CAST(l_quantity AS BIGINT) - 1) // 5) AS bin,
+        |    CASE WHEN l_orderkey % 2 = 0 THEN 0 ELSE 1 END AS side
+        |  FROM lineitem
+        |), c AS (
+        |  SELECT bin,
+        |    CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+        |    CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+        |  FROM t GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+        |    CAST(sum(n_cur) AS BIGINT) AS t_cur FROM c
+        |), b AS (
+        |  SELECT bin, n_ref, n_cur,
+        |    CAST(round(1000000.0 * abs(
+        |      CAST(n_ref AS DOUBLE) / t_ref - CAST(n_cur AS DOUBLE) / t_cur)) AS BIGINT) AS l1_micro,
+        |    CAST(round(1000000.0 * CAST(n_ref * t_cur - n_cur * t_ref AS DOUBLE)
+        |        * CAST(n_ref * t_cur - n_cur * t_ref AS DOUBLE)
+        |      / (CAST(t_ref AS DOUBLE) * t_cur * (n_ref + n_cur))) AS BIGINT) AS chi2_micro
+        |  FROM c, tot
+        |)
+        |SELECT bin, n_ref, n_cur, l1_micro, chi2_micro FROM b
+        |UNION ALL
+        |SELECT CAST(-1 AS BIGINT), CAST(sum(n_ref) AS BIGINT),
+        |  CAST(sum(n_cur) AS BIGINT), CAST(sum(l1_micro) AS BIGINT),
+        |  CAST(sum(chi2_micro) AS BIGINT)
+        |FROM b
+        |ORDER BY bin""".stripMargin,
+
     // pairwise Pearson r: exact Long moments in one pass, then the
     // double expression mirrored term for term (cast BEFORE the n·Σxy
     // products, which overflow Long by design)

@@ -2419,6 +2419,19 @@ object Queries {
   def dqIslands(spark: SparkSession, dir: String): DataFrame =
     Profile.gapIslands(T(spark, dir, "orders"), "o_custkey", "o_orderkey")
 
+  /** Distribution drift between two corpus halves (even vs odd orders)
+    * over 10 quantity bins: per-bin L1 and two-sample χ² contributions in
+    * integer micro-units + a bin = -1 rollup. The ingest-gate check a
+    * daily pipeline runs before admitting a new crawl. */
+  def dqDrift(spark: SparkSession, dir: String): DataFrame = {
+    val li = T(spark, dir, "lineitem")
+    val bin = least(lit(9L),
+      expr("(cast(l_quantity as bigint) - 1) div 5"))
+    Profile.driftReport(
+      li.where(col("l_orderkey") % 2 === 0),
+      li.where(col("l_orderkey") % 2 === 1), bin)
+  }
+
   /** One-pass ROLLUP profile of lineitem by returnflag / linestatus. */
   def profileRollup(spark: SparkSession, dir: String): DataFrame =
     Profile.rollupProfile(T(spark, dir, "lineitem"),
@@ -2806,6 +2819,7 @@ object Queries {
     "profile_rollup" -> (profileRollup _),
     "profile_corr" -> (profileCorr _),
     "dq_islands" -> (dqIslands _),
+    "dq_drift" -> (dqDrift _),
     "events_json_props" -> (eventsJsonProps _),
     "events_sessions" -> (eventsSessions _),
     "events_retention" -> (eventsRetention _)

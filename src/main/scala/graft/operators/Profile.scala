@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Ingest-time data profiling (ANALYZE-style): per-column row/null/distinct
@@ -22,6 +22,53 @@ object Profile {
       .agg(grouping_id().cast("long").as("gid"),
         count(lit(1)).as("n_rows"),
         round(sum(measure), 2).as("sum_measure"))
+
+  /** Two-sample distribution-drift report between a REFERENCE corpus
+    * snapshot and a CURRENT one over a caller-supplied non-negative bin
+    * expression — the ingest-gate check a daily training-data pipeline
+    * runs before admitting a new crawl ("did the quantity/length/score
+    * distribution move?").
+    *
+    * Per bin: counts on both sides, the L1 contribution
+    * `round(10⁶·|n_ref/T_ref − n_cur/T_cur|)` and the two-sample χ²
+    * contribution `round(10⁶·(n_ref·T_cur − n_cur·T_ref)² /
+    * (T_ref·T_cur·(n_ref+n_cur)))`, both as INTEGER micro-units; a
+    * `bin = -1` rollup row carries the integer SUMS (total variation
+    * distance = l1_micro/2; χ² = chi2_micro total). Engine-portable by
+    * construction: every sum is over integers (order-independent) and the
+    * only float ops are IEEE-exactly-rounded ×/÷ on integer-valued
+    * doubles — no ln/exp, whose libm rounding differs across engines
+    * (same reason [[Curation]]'s classifier avoids exp).
+    *
+    * Scale shape: two narrow scans → one union → one groupBy(bin) whose
+    * map-side partial aggregation reduces each task to O(bins) rows;
+    * the totals join is a broadcast of one O(bins) aggregate. Nothing
+    * downstream of the first shuffle exceeds O(bins). */
+  def driftReport(ref: DataFrame, cur: DataFrame, binCol: Column): DataFrame = {
+    val tagged = ref.select(binCol.cast("long").as("bin"), lit(0).as("side"))
+      .unionAll(cur.select(binCol.cast("long").as("bin"), lit(1).as("side")))
+    val counts = tagged.groupBy("bin").agg(
+      sum(when(col("side") === 0, 1L).otherwise(0L)).as("n_ref"),
+      sum(when(col("side") === 1, 1L).otherwise(0L)).as("n_cur"))
+    val totals = counts.agg(sum("n_ref").as("t_ref"), sum("n_cur").as("t_cur"))
+    val d = col("n_ref") * col("t_cur") - col("n_cur") * col("t_ref")
+    val perBin = counts.crossJoin(broadcast(totals))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        round(lit(1000000.0) * abs(
+          col("n_ref").cast("double") / col("t_ref") -
+            col("n_cur").cast("double") / col("t_cur"))).cast("long")
+          .as("l1_micro"),
+        round(lit(1000000.0) * d.cast("double") * d.cast("double") /
+          (col("t_ref").cast("double") * col("t_cur") *
+            (col("n_ref") + col("n_cur")))).cast("long")
+          .as("chi2_micro"))
+    val rollup = perBin.agg(
+      sum("n_ref").as("n_ref"), sum("n_cur").as("n_cur"),
+      sum("l1_micro").as("l1_micro"), sum("chi2_micro").as("chi2_micro"))
+      .select(lit(-1L).as("bin"), col("n_ref"), col("n_cur"),
+        col("l1_micro"), col("chi2_micro"))
+    perBin.unionByName(rollup).orderBy("bin")
+  }
 
   def tableProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap(c => Seq(

@@ -91,4 +91,27 @@ class ProfileSpec extends SparkSpec {
     // aggregate: one leaf per branch, no join anywhere
     assert(!out.queryExecution.optimizedPlan.toString.contains("Join"))
   }
+
+  test("driftReport: hand-computed L1 and chi-square micro-units") {
+    import org.apache.spark.sql.functions.col
+    // ref bins {0,0,0,1}, cur bins {0,1,1,1}: both sides p=(¾,¼) vs
+    // q=(¼,¾) → per-bin L1 = 500000, per-bin χ² = 10⁶·8²/(4·4·4) = 10⁶
+    val ref = Seq(0L, 0L, 0L, 1L).toDF("bin")
+    val cur = Seq(0L, 1L, 1L, 1L).toDF("bin")
+    val out = Profile.driftReport(ref, cur, col("bin"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq(
+      (-1L, 4L, 4L, 1000000L, 2000000L), // rollup first: bin = -1 sorts low
+      (0L, 3L, 1L, 500000L, 1000000L),
+      (1L, 1L, 3L, 500000L, 1000000L)))
+    // identical distributions → all-zero drift
+    val same = Profile.driftReport(ref, ref, col("bin")).collect()
+    assert(same.forall(r => r.getLong(3) === 0L && r.getLong(4) === 0L))
+    // a bin present on one side only still contributes finitely
+    val lop = Profile.driftReport(Seq(0L, 1L).toDF("bin"),
+      Seq(0L, 0L).toDF("bin"), col("bin"))
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(lop.toMap.apply(1L) === 500000L, "|1/2 - 0/2| = 0.5")
+  }
 }
