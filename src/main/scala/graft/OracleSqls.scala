@@ -2386,6 +2386,45 @@ object OracleSqls {
         |FROM u GROUP BY doc_id
         |ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin,
 
+    // true hybrid retrieval: the BM25 page fused with the exact cosine
+    // top-k page over the aligned embeddings (doc_id = vec_id) by RRF
+    "search_hybrid_vec" ->
+      s"""WITH wl AS (
+        |  SELECT doc_id, ${wordsExprOf("lower(text)")} AS ws FROM documents
+        |), dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM wl),
+        |p AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(ws) AS term FROM wl
+        |  ) WHERE term IN ('vector', 'hash', 'join', 'window')
+        |  GROUP BY doc_id, term
+        |), d AS (SELECT term, count(*) AS df FROM p GROUP BY term),
+        |n AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |             (SELECT sum(dl) FROM dl) AS corpus_len),
+        |bmk AS (
+        |  SELECT doc_id, sum(
+        |    ((((2 * (n_docs - df) + 1) * 1000000) // (2 * df + 1))
+        |     * ((22 * tf * corpus_len * 1000000)
+        |        // (10 * tf * corpus_len + 3 * corpus_len + 9 * dl * n_docs)))
+        |    // 1000000) AS s
+        |  FROM p JOIN d USING (term) JOIN dl USING (doc_id) CROSS JOIN n
+        |  GROUP BY doc_id ORDER BY s DESC, doc_id LIMIT 20
+        |), vk AS (
+        |  SELECT vec_id AS doc_id,
+        |    round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |      (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS s
+        |  FROM embeddings WHERE vec_id <> 0
+        |  ORDER BY s DESC, doc_id LIMIT 20
+        |), u AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rnk
+        |  FROM bmk
+        |  UNION ALL
+        |  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) FROM vk
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lists,
+        |  CAST(sum(1000000 // (60 + rnk)) AS BIGINT) AS rrf_micro
+        |FROM u GROUP BY doc_id
+        |ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin,
+
     // exact-phrase search over the positional index: anchor = first-word
     // position, each later phrase word must sit at pos+i (adjacency
     // semi-joins); phrase-unit integer TF-IDF

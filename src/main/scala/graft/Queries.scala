@@ -1235,6 +1235,23 @@ object Queries {
       "doc_id", c = 60, k = 10)
   }
 
+  /** TRUE hybrid retrieval (the RAG-stack default): lexical BM25 over the
+    * document text fused with the exact cosine top-k over the ALIGNED
+    * embeddings table (doc_id = vec_id) by reciprocal-rank fusion —
+    * rank-based, so the incomparable lexical/vector score scales need no
+    * normalization. Both inputs are already bounded top-k pages, so the
+    * fusion runs on 40 rows, never the corpus. */
+  def searchHybridVec(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T(spark, dir, "documents")
+    val terms = Seq("vector", "hash", "join", "window")
+    val vec = Vectors.bruteForceTopK(T(spark, dir, "embeddings"), "vec_id",
+      "embedding", queryVec(spark, dir), 20, exclude = Seq(0L))
+      .withColumnRenamed("vec_id", "doc_id")
+    Search.rrfFuse(Seq(
+      (Search.bm25TopK(docs, terms, 20), "score_micro"),
+      (vec, "similarity")), "doc_id", c = 60, k = 10)
+  }
+
   /** Exact-phrase fulltext search over the positional index: a 3-word
     * phrase scored with phrase-unit integer TF-IDF. */
   def searchPhrase(spark: SparkSession, dir: String): DataFrame =
@@ -2560,7 +2577,7 @@ object Queries {
     "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_store_kmeans",
     "ann_ivf_rebalance",
     // search family
-    "search_tfidf", "search_bm25", "search_phrase",
+    "search_tfidf", "search_bm25", "search_phrase", "search_hybrid_vec",
     // text/curation
     "text_quality", "text_langid", "text_tokens", "curate_e2e",
     "curate_decontam",
@@ -2724,6 +2741,7 @@ object Queries {
     "text_bpe_learn" -> (textBpeLearn _),
     "text_bpe_fertility" -> (textBpeFertility _),
     "search_hybrid_rrf" -> (searchHybridRrf _),
+    "search_hybrid_vec" -> (searchHybridVec _),
     "search_phrase" -> (searchPhrase _),
     "search_phrase_sloppy" -> (searchPhraseSloppy _),
     "text_ttr" -> (textTtr _),
