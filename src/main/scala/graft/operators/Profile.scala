@@ -45,14 +45,21 @@ object Profile {
     * the totals join is a broadcast of one O(bins) aggregate. Nothing
     * downstream of the first shuffle exceeds O(bins). */
   def driftReport(ref: DataFrame, cur: DataFrame, binCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val tagged = ref.select(binCol.cast("long").as("bin"), lit(0).as("side"))
       .unionAll(cur.select(binCol.cast("long").as("bin"), lit(1).as("side")))
     val counts = tagged.groupBy("bin").agg(
       sum(when(col("side") === 0, 1L).otherwise(0L)).as("n_ref"),
       sum(when(col("side") === 1, 1L).otherwise(0L)).as("n_cur"))
-    val totals = counts.agg(sum("n_ref").as("t_ref"), sum("n_cur").as("t_cur"))
+    // totals via an unpartitioned window over the O(bins) aggregate — not
+    // a separate aggregate branch, so the corpus is scanned ONCE and the
+    // rollup branch below shares the same shuffle (ReuseExchange)
+    val w = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
     val d = col("n_ref") * col("t_cur") - col("n_cur") * col("t_ref")
-    val perBin = counts.crossJoin(broadcast(totals))
+    val perBin = counts
+      .withColumn("t_ref", sum("n_ref").over(w))
+      .withColumn("t_cur", sum("n_cur").over(w))
       .select(col("bin"), col("n_ref"), col("n_cur"),
         round(lit(1000000.0) * abs(
           col("n_ref").cast("double") / col("t_ref") -
@@ -62,6 +69,10 @@ object Profile {
           (col("t_ref").cast("double") * col("t_cur") *
             (col("n_ref") + col("n_cur")))).cast("long")
           .as("chi2_micro"))
+      // O(bins) rows, materialized once so the rollup branch reads THIS
+      // result instead of re-executing the corpus scan (same pattern as
+      // the graph algorithms' adjacency checkpoint)
+      .localCheckpoint(true)
     val rollup = perBin.agg(
       sum("n_ref").as("n_ref"), sum("n_cur").as("n_cur"),
       sum("l1_micro").as("l1_micro"), sum("chi2_micro").as("chi2_micro"))
