@@ -45,15 +45,22 @@ object Profile {
     * the totals join is a broadcast of one O(bins) aggregate. Nothing
     * downstream of the first shuffle exceeds O(bins). */
   def driftReport(ref: DataFrame, cur: DataFrame, binCol: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val tagged = ref.select(binCol.cast("long").as("bin"), lit(0).as("side"))
       .unionAll(cur.select(binCol.cast("long").as("bin"), lit(1).as("side")))
-    val counts = tagged.groupBy("bin").agg(
+    binMetrics(tagged.groupBy("bin").agg(
       sum(when(col("side") === 0, 1L).otherwise(0L)).as("n_ref"),
-      sum(when(col("side") === 1, 1L).otherwise(0L)).as("n_cur"))
-    // totals via an unpartitioned window over the O(bins) aggregate — not
-    // a separate aggregate branch, so the corpus is scanned ONCE and the
-    // rollup branch below shares the same shuffle (ReuseExchange)
+      sum(when(col("side") === 1, 1L).otherwise(0L)).as("n_cur")))
+  }
+
+  /** Shared tail of [[driftReport]] and [[foldDriftSnapshot]]: per-bin
+    * micro-unit metrics over a (bin, n_ref, n_cur) frame + the bin = -1
+    * rollup. Totals come from an unpartitioned window over the O(bins)
+    * input — never a second corpus aggregate — and the per-bin frame is
+    * materialized once (the graph algorithms' adjacency-checkpoint
+    * pattern) so the rollup branch reads it instead of re-executing the
+    * upstream scan. */
+  private def binMetrics(counts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
     val d = col("n_ref") * col("t_cur") - col("n_cur") * col("t_ref")
@@ -69,9 +76,6 @@ object Profile {
           (col("t_ref").cast("double") * col("t_cur") *
             (col("n_ref") + col("n_cur")))).cast("long")
           .as("chi2_micro"))
-      // O(bins) rows, materialized once so the rollup branch reads THIS
-      // result instead of re-executing the corpus scan (same pattern as
-      // the graph algorithms' adjacency checkpoint)
       .localCheckpoint(true)
     val rollup = perBin.agg(
       sum("n_ref").as("n_ref"), sum("n_cur").as("n_cur"),
@@ -80,6 +84,47 @@ object Profile {
         col("l1_micro"), col("chi2_micro"))
     perBin.unionByName(rollup).orderBy("bin")
   }
+
+  /** Reference-side artifact for [[streamingDrift]]: per-bin counts plus
+    * the (replicated) reference total — computed ONCE over the reference
+    * corpus and persisted/broadcast, exactly like the dedup family's band
+    * indexes. */
+  def referenceHistogram(ref: DataFrame, binCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    ref.select(binCol.cast("long").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n_ref"))
+      .withColumn("t_ref", sum("n_ref").over(w))
+  }
+
+  /** The STREAMING form of [[driftReport]]: one streaming groupBy(bin)
+    * over the live feed (complete output mode — state is O(bins) rows,
+    * bounded by construction) enriched with the precomputed
+    * [[referenceHistogram]] by a broadcast stream-static left join. Each
+    * trigger re-emits the full per-bin snapshot `(bin, n_cur, n_ref,
+    * t_ref)`; the reader folds the TINY snapshot into t_cur and the
+    * micro-unit L1/χ² of [[driftReport]] (windows and chained aggregates
+    * are unsupported on streams, and the fold is O(bins) anyway), adding
+    * any reference-only bins from the histogram — the ingest gate that
+    * flags a drifting crawl WHILE it lands. [[foldDriftSnapshot]] is that
+    * reader-side fold, shared with the spec. */
+  def streamingDrift(refHist: DataFrame, stream: DataFrame,
+                     binCol: Column): DataFrame =
+    stream.select(binCol.cast("long").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n_cur"))
+      .join(broadcast(refHist), Seq("bin"), "left")
+      .na.fill(0L, Seq("n_ref"))
+
+  /** Reader-side fold of a [[streamingDrift]] snapshot: restores
+    * reference-only bins from the histogram, then computes exactly
+    * [[driftReport]]'s per-bin micro-units + the bin = -1 rollup. Input
+    * and output are O(bins) — this runs on the sink table, per trigger. */
+  def foldDriftSnapshot(snapshot: DataFrame, refHist: DataFrame): DataFrame =
+    binMetrics(snapshot.select(col("bin"), col("n_ref"), col("n_cur"))
+      .unionByName(refHist.join(snapshot.select("bin"), Seq("bin"),
+          "left_anti")
+        .select(col("bin"), col("n_ref"), lit(0L).as("n_cur"))))
 
   def tableProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap(c => Seq(

@@ -114,4 +114,29 @@ class ProfileSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(3)))
     assert(lop.toMap.apply(1L) === 500000L, "|1/2 - 0/2| = 0.5")
   }
+
+  test("streamingDrift: live snapshot + reader fold equals the batch report") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // reference has a bin (2) the stream never sees — the fold restores it
+    val ref = Seq(0L, 0L, 0L, 1L, 2L).toDF("bin")
+    val hist = Profile.referenceHistogram(ref, col("bin")).localCheckpoint(true)
+    val stream = MemoryStream[Long]
+    val out = Profile.streamingDrift(hist, stream.toDF().toDF("bin"), col("bin"))
+    val q = out.writeStream.format("memory").queryName("drift_test")
+      .outputMode("complete").start()
+    try {
+      stream.addData(0L)
+      q.processAllAvailable()
+      stream.addData(1L, 1L, 1L)
+      q.processAllAvailable()
+      val folded = Profile.foldDriftSnapshot(spark.table("drift_test"), hist)
+        .collect().map(_.toSeq)
+      val batch = Profile.driftReport(ref, Seq(0L, 1L, 1L, 1L).toDF("bin"),
+        col("bin")).collect().map(_.toSeq)
+      assert(folded.toSeq === batch.toSeq,
+        "streaming snapshot + fold ≡ the batch report, ref-only bin included")
+    } finally q.stop()
+  }
 }
