@@ -2146,6 +2146,9 @@ object OracleSqls {
     // in-memory TF-IDF ranking exactly — same oracle
     "search_store_tfidf" -> searchTfidfSql,
 
+    // append-built store ≡ one-shot store ≡ the corpus-scan TF-IDF
+    "search_store_append" -> searchTfidfSql,
+
     // stemmed TF-IDF: the SAME Harman S-stem CASE text Search.sStemSql
     // embeds on the Spark side (LIKE/substr/concat parse identically in
     // both engines); query terms pre-stemmed: vectors→vector,

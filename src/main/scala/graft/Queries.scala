@@ -1194,6 +1194,31 @@ object Queries {
   def warmSearchStore(spark: SparkSession, dir: String): Unit =
     searchStorePath(spark, dir)
 
+  private val searchStoreAppendDir =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** A store built INCREMENTALLY: docs below 300 at write time, the rest
+    * appended — probes must be indistinguishable from a one-shot build. */
+  private def searchStoreAppendPath(spark: SparkSession, dir: String): String =
+    searchStoreAppendDir.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft-searchappend")
+        .toString + "/index"
+      val docs = T(spark, dir, "documents")
+      graft.sources.SearchStore.write(
+        docs.where(col("doc_id") < 300), p, nBuckets = 32)
+      graft.sources.SearchStore.append(
+        docs.where(col("doc_id") >= 300), p, nBuckets = 32)
+      p
+    })
+
+  /** Incremental-index parity: the append-built store's probe must equal
+    * the one-shot store's (and the corpus-scan TF-IDF oracle) exactly —
+    * postings appended per bucket, sidecars merged, nothing rescanned. */
+  def searchStoreAppend(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.SearchStore.probeTfidf(spark,
+      searchStoreAppendPath(spark, dir),
+      Seq("vector", "hash", "join", "window"), nBuckets = 32, k = 20)
+
   /** TF-IDF probe against the PERSISTED index layout — same result as
     * search_tfidf (same oracle), but the I/O is a partition-pruned scan of
     * the query terms' buckets plus two sidecar reads; the corpus is never
@@ -2736,6 +2761,7 @@ object Queries {
     "search_tfidf" -> (searchTfidf _),
     "search_stemmed" -> (searchStemmed _),
     "search_store_tfidf" -> (searchStoreTfidf _),
+    "search_store_append" -> (searchStoreAppend _),
     "search_bm25" -> (searchBm25 _),
     "text_bpe_vocab" -> (textBpeVocab _),
     "text_bpe_learn" -> (textBpeLearn _),

@@ -42,6 +42,30 @@ object SearchStore {
       .write.mode("overwrite").parquet(path + ".n")
   }
 
+  /** Incremental ingest — the lexical twin of
+    * [[VectorStore.appendIvf]]: NEW documents' postings append into the
+    * same bucket partitions and the df / corpus-size sidecars merge the
+    * increments. The indexed corpus is never rescanned: the posting
+    * append writes only the new docs' rows, and the sidecar merges run
+    * over O(vocab) sidecar rows plus the new postings. Doc ids must be
+    * new (the store has no upsert — same contract as the IVF append). */
+  def append(newDocs: DataFrame, path: String, nBuckets: Int): Unit = {
+    val spark = newDocs.sparkSession
+    val p = Search.postings(newDocs).withColumn("bucket", bucketCol(nBuckets))
+      .localCheckpoint(true) // one pass over the new docs, reused below
+    p.write.mode("append").partitionBy("bucket").parquet(path)
+    val mergedDf = spark.read.parquet(path + ".df")
+      .unionByName(p.groupBy("term").agg(count(lit(1)).as("df")))
+      .groupBy("term").agg(sum("df").as("df"))
+      .localCheckpoint(true) // materialize before overwriting the input
+    mergedDf.write.mode("overwrite").parquet(path + ".df")
+    val mergedN = spark.read.parquet(path + ".n")
+      .unionByName(newDocs.agg(count(lit(1)).as("n_docs")))
+      .agg(sum("n_docs").as("n_docs"))
+      .localCheckpoint(true)
+    mergedN.write.mode("overwrite").parquet(path + ".n")
+  }
+
   /** Ranked TF-IDF probe against the persisted layout — scoring identical
     * to [[Search.tfidfTopK]], I/O limited to the query terms' buckets. */
   def probeTfidf(spark: SparkSession, path: String, terms: Seq[String],

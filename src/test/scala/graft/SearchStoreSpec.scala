@@ -56,4 +56,26 @@ class SearchStoreSpec extends SparkSpec {
       assert(SearchStore.bucketOf(term, 8) === bucket, s"term $term")
     }
   }
+
+  test("append parity: incrementally built store probes like a one-shot build") {
+    val oneShot = java.nio.file.Files.createTempDirectory("searchstore4")
+      .resolve("index").toString
+    SearchStore.write(docs, oneShot, nBuckets = 8)
+    val incr = java.nio.file.Files.createTempDirectory("searchstore5")
+      .resolve("index").toString
+    SearchStore.write(docs.where($"doc_id" <= 2), incr, nBuckets = 8)
+    SearchStore.append(docs.where($"doc_id" === 3L), incr, nBuckets = 8)
+    SearchStore.append(docs.where($"doc_id" >= 4), incr, nBuckets = 8)
+    val terms = Seq("vector", "hash", "join", "window")
+    def probe(p: String) = SearchStore.probeTfidf(spark, p, terms,
+      nBuckets = 8, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(probe(incr) === probe(oneShot),
+      "two appends later, ranking and scores are bit-identical")
+    // sidecars merged, not replaced: df reflects the whole corpus
+    val df = spark.read.parquet(incr + ".df")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(df("vector") === 3L && df("hash") === 2L)
+    assert(spark.read.parquet(incr + ".n").collect().head.getLong(0) === 5L)
+  }
 }
