@@ -323,6 +323,18 @@ object OracleSqls {
         |    WHERE e1.a = p.nodeId AND e1.relType = 'CONTAINS')""".stripMargin),
 
     // relationship-type alternation: the hop admits either type
+    // min/max property aggregates under implicit grouping (binary string
+    // collation agrees across engines on the ASCII fixture names)
+    "cy_minmax" -> withGraph(
+      """SELECT n.name AS nation, min(c.name) AS first_customer,
+        |  max(c.name) AS last_customer,
+        |  CAST(count(DISTINCT c.nodeId) AS BIGINT) AS n_customers
+        |FROM nodes n
+        |JOIN bidir e ON n.nodeId = e.a AND e.relType = 'FROM_NATION'
+        |JOIN nodes c ON e.b = c.nodeId AND c.label = 'Customer'
+        |WHERE n.label = 'Nation'
+        |GROUP BY 1""".stripMargin),
+
     // collect(DISTINCT n.name): both engines canonicalize the unordered
     // Cypher bag to a sorted distinct list
     "cy_collect" -> withGraph(

@@ -925,6 +925,16 @@ object Queries {
       .select(col("region"), array_join(col("nations"), "|").as("nations"),
         col("n_nations"))
 
+  /** Cypher min/max property aggregates mixed with count under one
+    * implicit grouping — Neo4j's extremum aggregates through the
+    * dialect. */
+  def cyMinMax(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """MATCH (n:Nation)-[e:FROM_NATION]-(c:Customer)
+        |RETURN n.name AS nation, min(c.name) AS first_customer,
+        |       max(c.name) AS last_customer,
+        |       count(DISTINCT c) AS n_customers""".stripMargin)
+
   /** Cypher UNION: customers of NATION_7 ∪ customers of any ASIA nation
     * (the first part is a subset of the second — the cross-part DISTINCT
     * is what the entry verifies). Each part plans independently; Catalyst
@@ -2591,7 +2601,7 @@ object Queries {
     "cy_schema_1hop", "cy_concrete_2hop", "cy_anti_lookup",
     "cy_ordered_topk", "cy_with_chain", "cy_with_norm_filter",
     "cy_with_agg", "cy_with_topk", "cy_optional_match", "cy_shortest_path",
-    "cy_rel_types", "cy_exists_filter", "cy_union", "cy_collect",
+    "cy_rel_types", "cy_exists_filter", "cy_union", "cy_collect", "cy_minmax",
     "cy_varlength",
     // pipeline orchestration (§7 M5)
     "pipeline_retrieve", "fmt_context",
@@ -2651,6 +2661,7 @@ object Queries {
     "cy_union" -> (cyUnion _),
     "cy_union_all" -> (cyUnionAll _),
     "cy_collect" -> (cyCollect _),
+    "cy_minmax" -> (cyMinMax _),
     "cy_varlength" -> (cyVarlength _),
     "skew_salted_agg" -> (skewSaltedAgg _),
     "join_salted" -> (joinSalted _),

@@ -102,6 +102,10 @@ object Ast {
     * unordered bag; the engine canonicalizes to a SORTED distinct list
     * (and, like Neo4j, skips nulls) so results are deterministic. */
   final case class CollectDistinct(varName: String, prop: String) extends Expr
+  /** `min(x.prop)` / `max(x.prop)` — Cypher's extremum aggregates
+    * (null-skipping, like Neo4j). `fn` ∈ {"min", "max"}. */
+  final case class MinMaxProp(fn: String, varName: String,
+                              prop: String) extends Expr
   final case class Cosine(varName: String, prop: String, param: String) extends Expr
   /** `length(p)` where `p` names the query's shortestPath — the hop count
     * of the shortest path found for the row's endpoint pair. */
@@ -117,6 +121,7 @@ object Ast {
       case CountDistinct(v)           => s"count(DISTINCT $v)"
       case CountDistinctInParam(v, _) => s"correctCnt"
       case CollectDistinct(v, p)      => s"collect(DISTINCT $v.$p)"
+      case MinMaxProp(f, v, p)        => s"$f($v.$p)"
       case Cosine(_, _, _)            => "similarity"
       case PathLength(p)              => s"length($p)"
     })
@@ -170,7 +175,7 @@ object Ast {
 
     def isAggregating: Boolean = items.exists(i => i.expr match {
       case _: CountDistinct | _: CountDistinctInParam |
-           _: CollectDistinct => true
+           _: CollectDistinct | _: MinMaxProp => true
       case _ => false
     })
 
@@ -204,6 +209,7 @@ object Ast {
         case CountDistinct(v)           => s"count(DISTINCT $v)"
         case CountDistinctInParam(v, p) => s"size([t IN collect(DISTINCT $v) WHERE t.nodeId IN $$$p | t])"
         case CollectDistinct(v, p)      => s"collect(DISTINCT $v.$p)"
+        case MinMaxProp(f, v, p)        => s"$f($v.$p)"
         case Cosine(v, pr, p)           => s"vector.similarity.cosine($v.$pr, $$$p)"
         case PathLength(p)              => s"length($p)"
       }

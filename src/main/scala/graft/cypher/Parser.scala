@@ -425,6 +425,11 @@ object Parser {
           val v = ident(); expect("."); val p = ident(); expect(")")
           CollectDistinct(v, p)
         }
+        else if (peek("min") || peek("max")) {
+          val fn = if (opt("min")) "min" else { expect("max"); "max" }
+          expect("("); val v = ident(); expect("."); val p = ident(); expect(")")
+          MinMaxProp(fn, v, p)
+        }
         else if (peek("size")) {
           // size([t IN collect(DISTINCT tgt) WHERE t.nodeId IN $ids | t])
           expect("size"); expect("("); expect("[")

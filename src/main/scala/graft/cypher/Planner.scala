@@ -113,6 +113,8 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
               count_distinct(when(src.isin(longs(param): _*), src)).as(i.name)
             case CollectDistinct(_, _) =>
               sort_array(collect_set(src)).as(i.name)
+            case MinMaxProp("min", _, _) => min(src).as(i.name)
+            case MinMaxProp("max", _, _) => max(src).as(i.name)
             case other =>
               throw new IllegalArgumentException(s"$other is not an aggregate")
           }
@@ -198,6 +200,8 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
           Seq(propCol(v, "nodeId").as(s"__aggsrc_${i.name}"))
         case CollectDistinct(v, p) =>
           Seq(propCol(v, p).as(s"__aggsrc_${i.name}"))
+        case MinMaxProp(_, v, p) =>
+          Seq(propCol(v, p).as(s"__aggsrc_${i.name}"))
         case e => Seq(exprCol(e).as(i.name))
       }
     }
@@ -233,7 +237,7 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
 
   private def isAggItem(i: RetItem): Boolean = i.expr match {
     case _: CountDistinct | _: CountDistinctInParam |
-         _: CollectDistinct => true
+         _: CollectDistinct | _: MinMaxProp => true
     case _ => false
   }
 
@@ -394,6 +398,7 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
         case CountDistinct(v)            => propCol(v, "nodeId").as(s"__agg$idx")
         case CountDistinctInParam(v, _)  => propCol(v, "nodeId").as(s"__agg$idx")
         case CollectDistinct(v, p)       => propCol(v, p).as(s"__agg$idx")
+        case MinMaxProp(_, v, p)         => propCol(v, p).as(s"__agg$idx")
         case e                           => exprCol(e).as(i.name)
       }
     }
@@ -572,6 +577,8 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     // canonical sorted distinct list (collect_set drops nulls, matching
     // Cypher's null-skipping collect)
     case CollectDistinct(_, _) => sort_array(collect_set(col(src)))
+    case MinMaxProp("min", _, _) => min(col(src))
+    case MinMaxProp("max", _, _) => max(col(src))
     case other => throw new IllegalArgumentException(s"$other is not an aggregate")
   }
 

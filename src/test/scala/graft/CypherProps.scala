@@ -58,6 +58,7 @@ object CypherProps extends Properties("cypher") {
       PropRef("x1", "name"), LabelsOf("x1"), TypeOf("r1"),
       CountDistinct("x1"), CountDistinctInParam("x1", "ids"),
       CollectDistinct("x1", "name"),
+      MinMaxProp("min", "x1", "name"), MinMaxProp("max", "x1", "name"),
       Cosine("x1", "nameEmbedding", "qEmb"))
     a <- Gen.option(ident)
   } yield RetItem(e, a)

@@ -586,6 +586,30 @@ class CypherSpec extends SparkSpec {
     assert(Parser.parse(q.render) === q)
   }
 
+  test("min/max property aggregates: extremum per group, null-skipping, WITH form") {
+    val rows = Planner.run(g,
+      """MATCH (a:Author)-[r:WRITES]-(p:Paper)
+        |RETURN a.name AS author, min(p.name) AS first_p, max(p.name) AS last_p""".stripMargin)
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(rows("Alice") === (("P-alpha", "P-beta")))
+    // nulls from an unmatched OPTIONAL MATCH are skipped (Bob reviews nothing)
+    val m = Planner.run(g,
+      """MATCH (a:Author) OPTIONAL MATCH (a)-[r:REVIEWS]-(p:Paper)
+        |RETURN max(p.name) AS top""".stripMargin).collect().head.getString(0)
+    assert(m === "P-alpha")
+    // WITH-stage barrier form
+    val staged = Planner.run(g,
+      """MATCH (a:Author)-[r:WRITES]-(p:Paper)
+        |WITH a.name AS author, max(p.name) AS last_p
+        |RETURN author, last_p""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(staged("Alice") === "P-beta")
+    // grammar round-trip
+    val q = Parser.parse(
+      "MATCH (a:Author)-[r:WRITES]-(p:Paper) RETURN min(p.name) AS lo, max(p.name) AS hi")
+    assert(q.isAggregating && Parser.parse(q.render) === q)
+  }
+
   test("UNION dedups across parts; UNION ALL concatenates") {
     // Alice WRITES {P-alpha, P-beta}; Alice REVIEWS {P-alpha} — the
     // overlap is what distinguishes the two forms
