@@ -323,6 +323,20 @@ object OracleSqls {
         |    WHERE e1.a = p.nodeId AND e1.relType = 'CONTAINS')""".stripMargin),
 
     // relationship-type alternation: the hop admits either type
+    // count(*) keeps OPTIONAL MATCH's null-extended rows; count(r) skips
+    // them — the LEFT JOIN twin of Neo4j's split
+    "cy_count_rows" -> withGraph(
+      """, asia AS (
+        |  SELECT e.a AS nid, r.nodeId AS rid
+        |  FROM bidir e JOIN nodes r ON e.b = r.nodeId
+        |  WHERE e.relType = 'IN_REGION'
+        |    AND r.label = 'Region' AND r.name = 'ASIA'
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_nations,
+        |  CAST(count(a.rid) AS BIGINT) AS n_in_asia
+        |FROM nodes n LEFT JOIN asia a ON n.nodeId = a.nid
+        |WHERE n.label = 'Nation'""".stripMargin),
+
     // min/max property aggregates under implicit grouping (binary string
     // collation agrees across engines on the ASCII fixture names)
     "cy_minmax" -> withGraph(

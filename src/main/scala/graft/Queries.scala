@@ -935,6 +935,15 @@ object Queries {
         |       max(c.name) AS last_customer,
         |       count(DISTINCT c) AS n_customers""".stripMargin)
 
+  /** Cypher count(*) vs count(x): the row count keeps OPTIONAL MATCH's
+    * null-extended rows while count(x) skips them — Neo4j's exact split
+    * (25 nations, 5 in ASIA). */
+  def cyCountRows(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """MATCH (n:Nation)
+        |OPTIONAL MATCH (n)-[e:IN_REGION]-(r:Region {name: "ASIA"})
+        |RETURN count(*) AS n_nations, count(r) AS n_in_asia""".stripMargin)
+
   /** Cypher UNION: customers of NATION_7 ∪ customers of any ASIA nation
     * (the first part is a subset of the second — the cross-part DISTINCT
     * is what the entry verifies). Each part plans independently; Catalyst
@@ -2601,7 +2610,7 @@ object Queries {
     "cy_schema_1hop", "cy_concrete_2hop", "cy_anti_lookup",
     "cy_ordered_topk", "cy_with_chain", "cy_with_norm_filter",
     "cy_with_agg", "cy_with_topk", "cy_optional_match", "cy_shortest_path",
-    "cy_rel_types", "cy_exists_filter", "cy_union", "cy_collect", "cy_minmax",
+    "cy_rel_types", "cy_exists_filter", "cy_union", "cy_collect", "cy_minmax", "cy_count_rows",
     "cy_varlength",
     // pipeline orchestration (§7 M5)
     "pipeline_retrieve", "fmt_context",
@@ -2662,6 +2671,7 @@ object Queries {
     "cy_union_all" -> (cyUnionAll _),
     "cy_collect" -> (cyCollect _),
     "cy_minmax" -> (cyMinMax _),
+    "cy_count_rows" -> (cyCountRows _),
     "cy_varlength" -> (cyVarlength _),
     "skew_salted_agg" -> (skewSaltedAgg _),
     "join_salted" -> (joinSalted _),

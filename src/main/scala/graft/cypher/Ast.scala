@@ -106,6 +106,13 @@ object Ast {
     * (null-skipping, like Neo4j). `fn` ∈ {"min", "max"}. */
   final case class MinMaxProp(fn: String, varName: String,
                               prop: String) extends Expr
+  /** `count(*)` — the row count of the group (counts null-extended
+    * OPTIONAL MATCH rows too, exactly like Neo4j). */
+  case object CountStar extends Expr
+  /** `count(x)` — non-distinct count of the rows where `x` is bound:
+    * equal to `count(*)` for mandatory variables, but SKIPS rows where an
+    * OPTIONAL MATCH left `x` null, exactly Neo4j's count(v) semantics. */
+  final case class CountVar(varName: String) extends Expr
   final case class Cosine(varName: String, prop: String, param: String) extends Expr
   /** `length(p)` where `p` names the query's shortestPath — the hop count
     * of the shortest path found for the row's endpoint pair. */
@@ -122,6 +129,8 @@ object Ast {
       case CountDistinctInParam(v, _) => s"correctCnt"
       case CollectDistinct(v, p)      => s"collect(DISTINCT $v.$p)"
       case MinMaxProp(f, v, p)        => s"$f($v.$p)"
+      case CountStar                  => "count(*)"
+      case CountVar(v)                => s"count($v)"
       case Cosine(_, _, _)            => "similarity"
       case PathLength(p)              => s"length($p)"
     })
@@ -175,7 +184,8 @@ object Ast {
 
     def isAggregating: Boolean = items.exists(i => i.expr match {
       case _: CountDistinct | _: CountDistinctInParam |
-           _: CollectDistinct | _: MinMaxProp => true
+           _: CollectDistinct | _: MinMaxProp | CountStar |
+           _: CountVar => true
       case _ => false
     })
 
@@ -210,6 +220,8 @@ object Ast {
         case CountDistinctInParam(v, p) => s"size([t IN collect(DISTINCT $v) WHERE t.nodeId IN $$$p | t])"
         case CollectDistinct(v, p)      => s"collect(DISTINCT $v.$p)"
         case MinMaxProp(f, v, p)        => s"$f($v.$p)"
+        case CountStar                  => "count(*)"
+        case CountVar(v)                => s"count($v)"
         case Cosine(v, pr, p)           => s"vector.similarity.cosine($v.$pr, $$$p)"
         case PathLength(p)              => s"length($p)"
       }

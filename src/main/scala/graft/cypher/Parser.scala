@@ -417,8 +417,11 @@ object Parser {
         else if (peek("type")) { expect("type"); expect("("); val v = ident(); expect(")"); TypeOf(v) }
         else if (peek("length")) { expect("length"); expect("("); val v = ident(); expect(")"); PathLength(v) }
         else if (peek("count")) {
-          expect("count"); expect("("); expect("DISTINCT"); val v = ident(); expect(")")
-          CountDistinct(v)
+          expect("count"); expect("(")
+          ws()
+          if (pos < in.length && in(pos) == '*') { pos += 1; expect(")"); CountStar }
+          else if (opt("DISTINCT")) { val v = ident(); expect(")"); CountDistinct(v) }
+          else { val v = ident(); expect(")"); CountVar(v) }
         }
         else if (peek("collect")) {
           expect("collect"); expect("("); expect("DISTINCT")

@@ -115,6 +115,8 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
               sort_array(collect_set(src)).as(i.name)
             case MinMaxProp("min", _, _) => min(src).as(i.name)
             case MinMaxProp("max", _, _) => max(src).as(i.name)
+            case CountStar => count(lit(1)).as(i.name)
+            case CountVar(_) => count(src).as(i.name)
             case other =>
               throw new IllegalArgumentException(s"$other is not an aggregate")
           }
@@ -202,6 +204,10 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
           Seq(propCol(v, p).as(s"__aggsrc_${i.name}"))
         case MinMaxProp(_, v, p) =>
           Seq(propCol(v, p).as(s"__aggsrc_${i.name}"))
+        case CountStar =>
+          Seq(lit(1L).as(s"__aggsrc_${i.name}"))
+        case CountVar(v) =>
+          Seq(propCol(v, "nodeId").as(s"__aggsrc_${i.name}"))
         case e => Seq(exprCol(e).as(i.name))
       }
     }
@@ -237,7 +243,8 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
 
   private def isAggItem(i: RetItem): Boolean = i.expr match {
     case _: CountDistinct | _: CountDistinctInParam |
-         _: CollectDistinct | _: MinMaxProp => true
+         _: CollectDistinct | _: MinMaxProp | CountStar |
+         _: CountVar => true
     case _ => false
   }
 
@@ -399,6 +406,8 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
         case CountDistinctInParam(v, _)  => propCol(v, "nodeId").as(s"__agg$idx")
         case CollectDistinct(v, p)       => propCol(v, p).as(s"__agg$idx")
         case MinMaxProp(_, v, p)         => propCol(v, p).as(s"__agg$idx")
+        case CountStar                   => lit(1L).as(s"__agg$idx")
+        case CountVar(v)                 => propCol(v, "nodeId").as(s"__agg$idx")
         case e                           => exprCol(e).as(i.name)
       }
     }
@@ -579,6 +588,8 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     case CollectDistinct(_, _) => sort_array(collect_set(col(src)))
     case MinMaxProp("min", _, _) => min(col(src))
     case MinMaxProp("max", _, _) => max(col(src))
+    case CountStar => count(lit(1))
+    case CountVar(_) => count(col(src)) // null-skipping, like Neo4j count(v)
     case other => throw new IllegalArgumentException(s"$other is not an aggregate")
   }
 

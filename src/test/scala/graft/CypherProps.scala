@@ -59,6 +59,7 @@ object CypherProps extends Properties("cypher") {
       CountDistinct("x1"), CountDistinctInParam("x1", "ids"),
       CollectDistinct("x1", "name"),
       MinMaxProp("min", "x1", "name"), MinMaxProp("max", "x1", "name"),
+      CountStar, CountVar("x1"),
       Cosine("x1", "nameEmbedding", "qEmb"))
     a <- Gen.option(ident)
   } yield RetItem(e, a)

@@ -610,6 +610,32 @@ class CypherSpec extends SparkSpec {
     assert(q.isAggregating && Parser.parse(q.render) === q)
   }
 
+  test("count(*) vs count(x): row count keeps OPTIONAL nulls, count(x) skips them") {
+    // every author row survives the OPTIONAL MATCH; only Alice reviews
+    val r = Planner.run(g,
+      """MATCH (a:Author) OPTIONAL MATCH (a)-[r:REVIEWS]-(p:Paper)
+        |RETURN count(*) AS n_rows, count(p) AS n_reviewing""".stripMargin)
+      .collect().head
+    assert(r.getLong(0) > r.getLong(1), "null-extended rows counted by * only")
+    assert(r.getLong(1) === 1L)
+    // bag semantics: count(*) counts duplicate paths, DISTINCT does not
+    val dup = Planner.run(g,
+      """MATCH (a:Author {name: "Alice"})-[r:WRITES|REVIEWS]-(p:Paper {name: "P-alpha"})
+        |RETURN count(*) AS n_paths, count(DISTINCT p) AS n_nodes""".stripMargin)
+      .collect().head
+    assert(dup.getLong(0) === 2L && dup.getLong(1) === 1L)
+    // WITH-stage form + grammar round-trip
+    val staged = Planner.run(g,
+      """MATCH (a:Author)-[r:WRITES]-(p:Paper)
+        |WITH a.name AS author, count(*) AS n
+        |RETURN author, n""".stripMargin)
+      .collect().map(r2 => (r2.getString(0), r2.getLong(1))).toMap
+    assert(staged("Alice") === 2L)
+    val q = Parser.parse(
+      "MATCH (a:Author)-[r:WRITES]-(p:Paper) RETURN count(*) AS n, count(p) AS np")
+    assert(q.isAggregating && Parser.parse(q.render) === q)
+  }
+
   test("UNION dedups across parts; UNION ALL concatenates") {
     // Alice WRITES {P-alpha, P-beta}; Alice REVIEWS {P-alpha} — the
     // overlap is what distinguishes the two forms
