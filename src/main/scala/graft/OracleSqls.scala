@@ -323,6 +323,17 @@ object OracleSqls {
         |    WHERE e1.a = p.nodeId AND e1.relType = 'CONTAINS')""".stripMargin),
 
     // relationship-type alternation: the hop admits either type
+    // multi-key ORDER BY: count desc, nation + kind break ties
+    "cy_multi_order" -> withGraph(
+      """SELECT n.name AS nation, x.label AS kind,
+        |  CAST(count(DISTINCT x.nodeId) AS BIGINT) AS n
+        |FROM nodes n
+        |JOIN bidir e ON n.nodeId = e.a AND e.relType = 'FROM_NATION'
+        |JOIN nodes x ON e.b = x.nodeId
+        |WHERE n.label = 'Nation'
+        |GROUP BY 1, 2
+        |ORDER BY n DESC, nation, kind LIMIT 10""".stripMargin),
+
     // count(*) keeps OPTIONAL MATCH's null-extended rows; count(r) skips
     // them — the LEFT JOIN twin of Neo4j's split
     "cy_count_rows" -> withGraph(

@@ -935,6 +935,14 @@ object Queries {
         |       max(c.name) AS last_customer,
         |       count(DISTINCT c) AS n_customers""".stripMargin)
 
+  /** Multi-key ORDER BY: count descending, ties broken by nation then
+    * kind — fully deterministic top-10 with no hash-order dependence. */
+  def cyMultiOrder(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """MATCH (n:Nation)-[e:FROM_NATION]-(x)
+        |RETURN n.name AS nation, x.label AS kind, count(DISTINCT x) AS n
+        |ORDER BY n DESC, nation, kind LIMIT 10""".stripMargin)
+
   /** Cypher count(*) vs count(x): the row count keeps OPTIONAL MATCH's
     * null-extended rows while count(x) skips them — Neo4j's exact split
     * (25 nations, 5 in ASIA). */
@@ -2610,7 +2618,7 @@ object Queries {
     "cy_schema_1hop", "cy_concrete_2hop", "cy_anti_lookup",
     "cy_ordered_topk", "cy_with_chain", "cy_with_norm_filter",
     "cy_with_agg", "cy_with_topk", "cy_optional_match", "cy_shortest_path",
-    "cy_rel_types", "cy_exists_filter", "cy_union", "cy_collect", "cy_minmax", "cy_count_rows",
+    "cy_rel_types", "cy_exists_filter", "cy_union", "cy_collect", "cy_minmax", "cy_count_rows", "cy_multi_order",
     "cy_varlength",
     // pipeline orchestration (§7 M5)
     "pipeline_retrieve", "fmt_context",
@@ -2672,6 +2680,7 @@ object Queries {
     "cy_collect" -> (cyCollect _),
     "cy_minmax" -> (cyMinMax _),
     "cy_count_rows" -> (cyCountRows _),
+    "cy_multi_order" -> (cyMultiOrder _),
     "cy_varlength" -> (cyVarlength _),
     "skew_salted_agg" -> (skewSaltedAgg _),
     "join_salted" -> (joinSalted _),

@@ -166,7 +166,7 @@ object Ast {
   final case class Stage(unwinds: Seq[Unwind], paths: Seq[MatchPath],
                          preds: Seq[Pred], withDistinct: Boolean,
                          withItems: Seq[RetItem], withPreds: Seq[Pred],
-                         orderBy: Option[(String, Boolean)] = None,
+                         orderBy: Seq[(String, Boolean)] = Nil,
                          skip: Option[Int] = None,
                          limit: Option[Int] = None)
 
@@ -176,7 +176,7 @@ object Ast {
       preds: Seq[Pred],
       distinct: Boolean,
       items: Seq[RetItem],
-      orderBy: Option[(String, Boolean)], // (output column, descending)
+      orderBy: Seq[(String, Boolean)], // (output column, descending) keys
       limit: Option[Int],
       prefixes: Seq[Stage] = Nil, // WITH-chained stages BEFORE the final MATCH
       optionals: Seq[OptionalMatch] = Nil, // OPTIONAL MATCH clauses after it
@@ -251,8 +251,9 @@ object Ast {
           .map(i => expr(i.expr) + i.alias.fold("")(a => s" AS $a")).mkString(", ")
         // openCypher sub-clause order: ORDER BY, SKIP, LIMIT, then WHERE
         // (the WITH…WHERE filter applies AFTER the trim, like Neo4j)
-        st.orderBy.foreach { case (ref, desc) =>
-          sb ++= s" ORDER BY $ref" + (if (desc) " DESC" else "") }
+        if (st.orderBy.nonEmpty)
+          sb ++= " ORDER BY " + st.orderBy.map { case (ref, desc) =>
+            ref + (if (desc) " DESC" else "") }.mkString(", ")
         st.skip.foreach(n => sb ++= s" SKIP $n")
         st.limit.foreach(n => sb ++= s" LIMIT $n")
         if (st.withPreds.nonEmpty)
@@ -272,8 +273,9 @@ object Ast {
       }
       sb ++= "RETURN " + (if (distinct) "DISTINCT " else "")
       sb ++= items.map(i => expr(i.expr) + i.alias.fold("")(a => s" AS $a")).mkString(", ")
-      orderBy.foreach { case (ref, desc) =>
-        sb ++= s" ORDER BY $ref" + (if (desc) " DESC" else "") }
+      if (orderBy.nonEmpty)
+        sb ++= " ORDER BY " + orderBy.map { case (ref, desc) =>
+          ref + (if (desc) " DESC" else "") }.mkString(", ")
       limit.foreach(n => sb ++= s" LIMIT $n")
       sb.toString
     }
@@ -289,7 +291,7 @@ object Ast {
         items = RetItem(PropRef(targetVar, "nodeId"), Some("nodeId")) +:
           props.map(p => RetItem(PropRef(targetVar, p), Some(p))) :+
           RetItem(Cosine(targetVar, sortingIndex, embParam), Some("similarity")),
-        orderBy = Some(("similarity", true)),
+        orderBy = Seq(("similarity", true)),
         limit = limit)
   }
 

@@ -157,10 +157,16 @@ object Parser {
           val order =
             if (opt("ORDER")) {
               expect("BY")
-              val ref = orderRef()
-              val desc = if (opt("DESC")) true else { opt("ASC"); false }
-              Some((ref, desc))
-            } else None
+              val keys = Seq.newBuilder[(String, Boolean)]
+              def one(): Unit = {
+                val ref = orderRef()
+                val desc = if (opt("DESC")) true else { opt("ASC"); false }
+                keys += ((ref, desc))
+              }
+              one()
+              while ({ ws(); pos < in.length && in(pos) == ',' }) { pos += 1; one() }
+              keys.result()
+            } else Nil
           val skip = if (opt("SKIP")) Some(longLit().toInt) else None
           val lim = if (opt("LIMIT")) Some(longLit().toInt) else None
           stages += Stage(unwinds.result(), paths.result(), preds, d,
@@ -176,10 +182,16 @@ object Parser {
           val order =
             if (opt("ORDER")) {
               expect("BY")
-              val ref = orderRef()
-              val desc = if (opt("DESC")) true else { opt("ASC"); false }
-              Some((ref, desc))
-            } else None
+              val keys = Seq.newBuilder[(String, Boolean)]
+              def one(): Unit = {
+                val ref = orderRef()
+                val desc = if (opt("DESC")) true else { opt("ASC"); false }
+                keys += ((ref, desc))
+              }
+              one()
+              while ({ ws(); pos < in.length && in(pos) == ',' }) { pos += 1; one() }
+              keys.result()
+            } else Nil
           val limit = if (opt("LIMIT")) Some(longLit().toInt) else None
           // the query ends here — either end-of-input or a UNION boundary
           // (the caller decides which is legal: parse() demands the end,

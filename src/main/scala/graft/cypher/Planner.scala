@@ -73,12 +73,10 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
         if (q.distinct) tuple.distinct() else tuple
       }
 
-    val ordered = q.orderBy match {
-      case Some((ref, desc)) =>
-        val c = if (desc) col(ref).desc else col(ref).asc
-        projected.orderBy(c)
-      case None => projected
-    }
+    val ordered =
+      if (q.orderBy.isEmpty) projected
+      else projected.orderBy(q.orderBy.map { case (ref, desc) =>
+        if (desc) col(ref).desc else col(ref).asc }: _*)
     q.limit.fold(ordered)(ordered.limit)
   }
 
@@ -136,16 +134,18 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     val trimmed =
       if (st.orderBy.isEmpty && st.skip.isEmpty && st.limit.isEmpty) dedup
       else {
-        val sorted = st.orderBy match {
-          case Some((ref, desc)) =>
-            val keyName = barrierColName(ref, dedup.columns)
-            val key = if (desc) col(keyName).desc else col(keyName).asc
+        val sorted =
+          if (st.orderBy.isEmpty) dedup
+          else {
+            val keyNames = st.orderBy.map { case (ref, _) =>
+              barrierColName(ref, dedup.columns) }
+            val keys = st.orderBy.zip(keyNames).map { case ((_, desc), kn) =>
+              if (desc) col(kn).desc else col(kn).asc }
             val ties = dedup.schema.fields
-              .filter(f => f.name != keyName && isAtomicType(f.dataType))
+              .filter(f => !keyNames.contains(f.name) && isAtomicType(f.dataType))
               .map(_.name).sorted.map(col(_).asc)
-            dedup.orderBy((key +: ties.toSeq): _*)
-          case None => dedup
-        }
+            dedup.orderBy((keys ++ ties.toSeq): _*)
+          }
         val skipped = st.skip.fold(sorted)(sorted.offset)
         st.limit.fold(skipped)(skipped.limit)
       }

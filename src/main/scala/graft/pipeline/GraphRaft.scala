@@ -275,7 +275,7 @@ object GraphRaft {
       // pattern with the target re-anchored by the matched row's name —
       // done structurally (render the path, splice the per-row anchor).
       val pathText = Ast.CypherQuery(Nil, ast.paths, Nil, distinct = false,
-        Seq(Ast.RetItem(Ast.PropRef(tgtVar, "name"), None)), None, None)
+        Seq(Ast.RetItem(Ast.PropRef(tgtVar, "name"), None)), Nil, None)
         .render.stripPrefix("MATCH ").split(" RETURN ").head
       val tgtLabel = ast.paths.flatMap(_.nodes).find(_.varName == tgtVar)
         .flatMap(_.label)

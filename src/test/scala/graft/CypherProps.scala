@@ -86,7 +86,10 @@ object CypherProps extends Properties("cypher") {
     distinct <- Gen.oneOf(true, false)
     nItems <- Gen.choose(1, 3)
     items <- Gen.listOfN(nItems, item)
-    order <- Gen.option(Gen.oneOf(("similarity", true), ("name", false)))
+    order <- Gen.frequency(
+      (2, Gen.const(Seq.empty[(String, Boolean)])),
+      (1, Gen.const(Seq(("similarity", true)))),
+      (1, Gen.const(Seq(("similarity", true), ("name", false)))))
     limit <- Gen.option(Gen.choose(1, 100))
     nOpt <- Gen.frequency((2, Gen.const(0)), (1, Gen.choose(1, 2)))
     optionals <- Gen.listOfN(nOpt, optionalClause)
@@ -130,7 +133,7 @@ object CypherProps extends Properties("cypher") {
     alias <- Gen.option(ident)
     limit <- Gen.option(Gen.choose(1, 100))
   } yield CypherQuery(Nil, Nil, preds.toSeq, distinct,
-    RetItem(PathLength("p"), alias) +: extra, None, limit, Nil, Nil,
+    RetItem(PathLength("p"), alias) +: extra, Nil, limit, Nil, Nil,
     Some(ShortestPathClause("p",
       MatchPath(Seq(a, b), Seq(RelPat(None, t, Some((lo, hi))))))))
 

@@ -293,7 +293,7 @@ class CypherSpec extends SparkSpec {
       """WITH a, count(DISTINCT p) AS np ORDER BY np DESC SKIP 1 LIMIT 5 WHERE np < 2 """ +
       """RETURN a.name AS author, np"""
     val q = Parser.parse(s)
-    assert(q.prefixes.head.orderBy === Some(("np", true)))
+    assert(q.prefixes.head.orderBy === Seq(("np", true)))
     assert(q.prefixes.head.skip === Some(1))
     assert(q.prefixes.head.limit === Some(5))
     assert(Parser.parse(q.render) === q)
@@ -608,6 +608,23 @@ class CypherSpec extends SparkSpec {
     val q = Parser.parse(
       "MATCH (a:Author)-[r:WRITES]-(p:Paper) RETURN min(p.name) AS lo, max(p.name) AS hi")
     assert(q.isAggregating && Parser.parse(q.render) === q)
+  }
+
+  test("multi-key ORDER BY: secondary keys break ties, ASC/DESC mix, round-trip") {
+    val rows = Planner.run(g,
+      """MATCH (a:Author)-[r:WRITES]-(p:Paper)
+        |RETURN a.name AS author, p.name AS paper
+        |ORDER BY author DESC, paper LIMIT 3""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val expected = rows.sortWith { case ((a1, p1), (a2, p2)) =>
+      a1 > a2 || (a1 == a2 && p1 < p2) }.toSeq
+    assert(rows.toSeq === expected)
+    assert(rows.map(_._1).distinct.length > 1 ||
+      rows.map(_._2).toSeq === rows.map(_._2).sorted.toSeq)
+    val q = Parser.parse(
+      "MATCH (a)-[r]-(b) RETURN a.name AS x, b.name AS y ORDER BY x DESC, y LIMIT 2")
+    assert(q.orderBy === Seq(("x", true), ("y", false)))
+    assert(Parser.parse(q.render) === q)
   }
 
   test("count(*) vs count(x): row count keeps OPTIONAL nulls, count(x) skips them") {
