@@ -323,6 +323,15 @@ object OracleSqls {
         |    WHERE e1.a = p.nodeId AND e1.relType = 'CONTAINS')""".stripMargin),
 
     // relationship-type alternation: the hop admits either type
+    // RETURN-level SKIP/LIMIT pagination (ordered, so the page is exact)
+    "cy_page" -> withGraph(
+      """SELECT c.name AS name
+        |FROM nodes n
+        |JOIN bidir e ON n.nodeId = e.a AND e.relType = 'FROM_NATION'
+        |JOIN nodes c ON e.b = c.nodeId AND c.label = 'Customer'
+        |WHERE n.label = 'Nation' AND n.name = 'NATION_3'
+        |ORDER BY name LIMIT 5 OFFSET 5""".stripMargin),
+
     // multi-key ORDER BY: count desc, nation + kind break ties
     "cy_multi_order" -> withGraph(
       """SELECT n.name AS nation, x.label AS kind,

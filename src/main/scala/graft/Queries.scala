@@ -935,6 +935,13 @@ object Queries {
         |       max(c.name) AS last_customer,
         |       count(DISTINCT c) AS n_customers""".stripMargin)
 
+  /** RETURN-level pagination: ordered page 2 (SKIP 5 LIMIT 5) of one
+    * nation's customers. */
+  def cyPage(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """MATCH (x:Nation {name: "NATION_3"})-[r:FROM_NATION]-(y:Customer)
+        |RETURN y.name AS name ORDER BY name SKIP 5 LIMIT 5""".stripMargin)
+
   /** Multi-key ORDER BY: count descending, ties broken by nation then
     * kind — fully deterministic top-10 with no hash-order dependence. */
   def cyMultiOrder(spark: SparkSession, dir: String): DataFrame =
@@ -2681,6 +2688,7 @@ object Queries {
     "cy_minmax" -> (cyMinMax _),
     "cy_count_rows" -> (cyCountRows _),
     "cy_multi_order" -> (cyMultiOrder _),
+    "cy_page" -> (cyPage _),
     "cy_varlength" -> (cyVarlength _),
     "skew_salted_agg" -> (skewSaltedAgg _),
     "join_salted" -> (joinSalted _),

@@ -180,7 +180,8 @@ object Ast {
       limit: Option[Int],
       prefixes: Seq[Stage] = Nil, // WITH-chained stages BEFORE the final MATCH
       optionals: Seq[OptionalMatch] = Nil, // OPTIONAL MATCH clauses after it
-      shortest: Option[ShortestPathClause] = None) { // MATCH p = shortestPath(…)
+      shortest: Option[ShortestPathClause] = None, // MATCH p = shortestPath(…)
+      skip: Option[Int] = None) { // RETURN-level SKIP (applied before LIMIT)
 
     def isAggregating: Boolean = items.exists(i => i.expr match {
       case _: CountDistinct | _: CountDistinctInParam |
@@ -276,6 +277,7 @@ object Ast {
       if (orderBy.nonEmpty)
         sb ++= " ORDER BY " + orderBy.map { case (ref, desc) =>
           ref + (if (desc) " DESC" else "") }.mkString(", ")
+      skip.foreach(n => sb ++= s" SKIP $n")
       limit.foreach(n => sb ++= s" LIMIT $n")
       sb.toString
     }

@@ -192,13 +192,14 @@ object Parser {
               while ({ ws(); pos < in.length && in(pos) == ',' }) { pos += 1; one() }
               keys.result()
             } else Nil
+          val skip = if (opt("SKIP")) Some(longLit().toInt) else None
           val limit = if (opt("LIMIT")) Some(longLit().toInt) else None
           // the query ends here — either end-of-input or a UNION boundary
           // (the caller decides which is legal: parse() demands the end,
           // unionQuery() keeps chaining)
           return CypherQuery(unwinds.result(), paths.result(), preds, distinct,
             items.result(), order, limit, stages.result(), optionals.result(),
-            shortest)
+            shortest, skip)
         }
       }
       throw new IllegalStateException("unreachable")

@@ -77,7 +77,8 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       if (q.orderBy.isEmpty) projected
       else projected.orderBy(q.orderBy.map { case (ref, desc) =>
         if (desc) col(ref).desc else col(ref).asc }: _*)
-    q.limit.fold(ordered)(ordered.limit)
+    val skipped = q.skip.fold(ordered)(ordered.offset)
+    q.limit.fold(skipped)(skipped.limit)
   }
 
   /** One WITH-chained stage: plan its MATCH like a mini-query, attach the

@@ -627,6 +627,22 @@ class CypherSpec extends SparkSpec {
     assert(Parser.parse(q.render) === q)
   }
 
+  test("RETURN-level SKIP: offset before LIMIT, render round-trip") {
+    val all = Planner.run(g,
+      """MATCH (a:Author)-[r:WRITES]-(p:Paper)
+        |RETURN p.name AS paper ORDER BY paper""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    val page = Planner.run(g,
+      """MATCH (a:Author)-[r:WRITES]-(p:Paper)
+        |RETURN p.name AS paper ORDER BY paper SKIP 1 LIMIT 2""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(page === all.slice(1, 3))
+    val q = Parser.parse(
+      "MATCH (a)-[r]-(b) RETURN a.name AS x ORDER BY x SKIP 2 LIMIT 3")
+    assert(q.skip === Some(2) && q.limit === Some(3))
+    assert(Parser.parse(q.render) === q)
+  }
+
   test("count(*) vs count(x): row count keeps OPTIONAL nulls, count(x) skips them") {
     // every author row survives the OPTIONAL MATCH; only Alice reviews
     val r = Planner.run(g,
