@@ -2275,6 +2275,24 @@ object OracleSqls {
 
     "text_bpe_learn" -> bpeLearnSql(k = 8),
 
+    // rational Simpson index over the per-doc character histogram — the
+    // log-free character-entropy filter, integer micro-units throughout
+    "text_char_diversity" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(text) + 1),
+        |    i -> substr(text, CAST(i AS INT), 1))) AS ch
+        |  FROM documents WHERE len(text) > 0
+        |), c AS (
+        |  SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+        |  FROM ch GROUP BY 1, 2
+        |)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(sum(c) AS BIGINT) AS n_chars,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(1000000 - (1000000 * sum(c * c))
+        |    // (sum(c) * sum(c)) AS BIGINT) AS diversity_micro
+        |FROM c GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
     "text_ttr" ->
       s"""SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
         |  CAST(count(DISTINCT w) AS BIGINT) AS n_types,

@@ -1328,6 +1328,11 @@ object Queries {
   def textTtr(spark: SparkSession, dir: String): DataFrame =
     TextOps.typeTokenBySource(T(spark, dir, "documents"))
 
+  /** Character-diversity quality signal (rational Simpson index in
+    * micro-units) — catches degenerate text the token stats miss. */
+  def textCharDiversity(spark: SparkSession, dir: String): DataFrame =
+    TextOps.charDiversity(T(spark, dir, "documents"), "doc_id", "text")
+
   /** Heaps-law vocabulary growth at doc_id-prefix checkpoints (one corpus
     * scan, no global sort — term first-occurrences bucketed then cumsum'd
     * over the 4-row checkpoint table). */
@@ -2809,6 +2814,7 @@ object Queries {
     "search_phrase" -> (searchPhrase _),
     "search_phrase_sloppy" -> (searchPhraseSloppy _),
     "text_ttr" -> (textTtr _),
+    "text_char_diversity" -> (textCharDiversity _),
     "text_heaps" -> (textHeaps _),
     "text_zipf" -> (textZipf _),
     "text_keyphrases" -> (textKeyphrases _),

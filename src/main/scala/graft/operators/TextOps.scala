@@ -543,4 +543,37 @@ object TextOps {
         sum(coalesce(col("t"), lit(0L))).over(w).as("cum_tokens"),
         sum(coalesce(col("v"), lit(0L))).over(w).as("vocab_size"))
   }
+
+  /** Character-diversity quality signal: the Simpson index
+    * `1 − Σ(cᵢ/n)²` over the document's CHARACTER histogram, in integer
+    * micro-units (`diversity_micro = 10⁶ − (10⁶·Σcᵢ²) div n²`). The
+    * RATIONAL form of the character-entropy filter — same
+    * degenerate-text discrimination ("ababab…" scores low no matter what
+    * the token stats say, constant text scores 0) but exact cross-engine:
+    * no log, whose libm rounding differs between engines.
+    *
+    * Scale shape: one narrow position explode (O(chars), nothing
+    * materializes beyond the task) → one (doc, char) groupBy with
+    * map-side combine → one per-doc aggregate. Longs hold up to ~3·10⁶
+    * chars/doc (10⁶·n² < 2⁶³); empty docs are filtered (no characters →
+    * no row, matching the SQL GROUP BY). */
+  def charDiversity(docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val chars = docs
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__t"))
+      .where(length(col("__t")) > 0)
+      .select(col("doc_id"), col("__t"),
+        explode(sequence(lit(1), length(col("__t")))).as("p"))
+      .select(col("doc_id"), expr("substring(__t, p, 1)").as("ch"))
+    chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_chars"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * col("c")).as("__ss"))
+      .select(col("doc_id"), col("n_chars"), col("n_distinct"),
+        (lit(1000000L) -
+          expr("(1000000 * __ss) div (n_chars * n_chars)"))
+          .as("diversity_micro"))
+      .orderBy("doc_id")
+  }
 }

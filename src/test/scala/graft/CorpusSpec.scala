@@ -144,4 +144,21 @@ class CorpusSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(rows(1L) === 2L && rows(8L) === 2L)
   }
+
+  test("charDiversity: hand-computed Simpson micro-units, empty docs dropped") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaaa"),  // constant: 10⁶ − 10⁶·16/16 = 0
+      (2L, "abab"),  // two chars evenly: 10⁶ − 10⁶·8/16 = 500000
+      (3L, "abcd"),  // all distinct: 10⁶ − 10⁶·4/16 = 750000
+      (4L, ""))      // empty: no row
+      .toDF("doc_id", "text")
+    val out = TextOps.charDiversity(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out === Map(
+      1L -> ((4L, 1L, 0L)),
+      2L -> ((4L, 2L, 500000L)),
+      3L -> ((4L, 4L, 750000L))))
+  }
 }
