@@ -64,17 +64,20 @@ object Profile {
     val w = Window.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
     val d = col("n_ref") * col("t_cur") - col("n_cur") * col("t_ref")
+    // an EMPTY side makes the distance undefined (0/0) — surface that as
+    // NULL, never as a misleading "no drift" zero
+    val defined = col("t_ref") > 0 && col("t_cur") > 0
     val perBin = counts
       .withColumn("t_ref", sum("n_ref").over(w))
       .withColumn("t_cur", sum("n_cur").over(w))
       .select(col("bin"), col("n_ref"), col("n_cur"),
-        round(lit(1000000.0) * abs(
+        when(defined, round(lit(1000000.0) * abs(
           col("n_ref").cast("double") / col("t_ref") -
-            col("n_cur").cast("double") / col("t_cur"))).cast("long")
+            col("n_cur").cast("double") / col("t_cur"))).cast("long"))
           .as("l1_micro"),
-        round(lit(1000000.0) * d.cast("double") * d.cast("double") /
+        when(defined, round(lit(1000000.0) * d.cast("double") * d.cast("double") /
           (col("t_ref").cast("double") * col("t_cur") *
-            (col("n_ref") + col("n_cur")))).cast("long")
+            (col("n_ref") + col("n_cur")))).cast("long"))
           .as("chi2_micro"))
       .localCheckpoint(true)
     val rollup = perBin.agg(

@@ -113,6 +113,12 @@ class ProfileSpec extends SparkSpec {
       Seq(0L, 0L).toDF("bin"), col("bin"))
       .collect().map(r => (r.getLong(0), r.getLong(3)))
     assert(lop.toMap.apply(1L) === 500000L, "|1/2 - 0/2| = 0.5")
+    // an EMPTY side is undefined drift — NULL metrics, never a "no drift" 0
+    val empty = Profile.driftReport(ref,
+      Seq.empty[Long].toDF("bin"), col("bin")).collect()
+    assert(empty.nonEmpty)
+    assert(empty.forall(r => r.isNullAt(3) && r.isNullAt(4)),
+      "0/0 must surface as null")
   }
 
   test("streamingDrift: live snapshot + reader fold equals the batch report") {
