@@ -71,7 +71,7 @@ object AudioFingerprint {
     * at `maxDist` (default 4 = two frames may disagree) and the
     * `maxBucket` occupancy valve. */
   def audioNearDupPairs(sigs: DataFrame, bands: Int = 8, maxDist: Int = 4,
-                        maxBucket: Int = Int.MaxValue): DataFrame =
+                        maxBucket: Int = 1024): DataFrame =
     Dedup.simhashBandPairs(sigs.withColumnRenamed("afp", "simhash"),
       bits = 64, bands = bands, maxDist = maxDist, maxBucket = maxBucket)
 

@@ -259,6 +259,30 @@ object Dedup {
           y => struct(x.as("id1"), y.as("id2")))))).as("p"))
       .select(col("p.id1"), col("p.id2"))
 
+  /** Capped posting-list builder shared by every banded pairing path:
+    * group `buckets` by `keyCols`, keep only buckets with
+    * 1 < occupancy ≤ `maxBucket`, and collect each survivor into one
+    * sorted list.
+    *
+    * The occupancy check runs BEFORE `collect_list` ever sees the bucket:
+    * a windowed `count` over the same keys (WindowExec buffers a partition
+    * in a spillable row array, so a degenerate corpus-sized hot bucket
+    * streams through disk) filters the rows, and only kept buckets reach
+    * the aggregation buffer — the valve's whole point is that the hot
+    * bucket must never materialize as one in-memory array, which a
+    * filter AFTER `collect_list` (the pre-round-11 shape) didn't deliver.
+    * The window and the groupBy hash-partition on the same keys, so
+    * EnsureRequirements inserts ONE exchange for both. */
+  private def cappedSortedLists(buckets: DataFrame, keyCols: Seq[String],
+                                payload: Column, maxBucket: Int): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+    buckets
+      .withColumn("__occ", count(lit(1)).over(w))
+      .where(col("__occ") > 1 && col("__occ") <= maxBucket)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_list(payload)).as("ids"))
+  }
+
   /** LSH candidate pairs: split the signature into `numBands` bands of
     * `rowsPerBand`, bucket docs sharing any band signature, pairs from
     * each bucket's posting list.
@@ -269,9 +293,11 @@ object Dedup {
     * one f-element array and explode f²/2 pairs in a single task): buckets
     * larger than `maxBucket` are dropped, exactly like the n-gram path's
     * `maxPostings`. Members of an over-full bucket usually still pair in
-    * another band; exact duplicates are [[exactGroups]]' job anyway. */
+    * another band; exact duplicates are [[exactGroups]]' job anyway.
+    * Over-full buckets are dropped BEFORE aggregation
+    * ([[cappedSortedLists]]), so the hot bucket never builds its array. */
   def lshCandidatePairs(signatures: DataFrame, numHashes: Int, numBands: Int,
-                        maxBucket: Int = Int.MaxValue): DataFrame = {
+                        maxBucket: Int = 1024): DataFrame = {
     val rowsPerBand = numHashes / numBands
     val bands = (0 until numBands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh_$i"))
@@ -280,9 +306,8 @@ object Dedup {
     val buckets = signatures
       .select(col("doc_id"), explode(array(bands: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
-    val lists = buckets.groupBy(col("band"), col("sig"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+    val lists = cappedSortedLists(buckets, Seq("band", "sig"),
+      col("doc_id"), maxBucket)
     orderedPairs(lists, "ids").distinct()
   }
 
@@ -338,7 +363,7 @@ object Dedup {
     * shingles barely move Jaccard; the oracle mirrors the same drop. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int, threshold: Double,
-                        maxPostings: Int = Int.MaxValue): DataFrame =
+                        maxPostings: Int = 1024): DataFrame =
     ngramPairStats(docs, idCol, textCol, shingleN, maxPostings)
       .withColumn("jac", round(col("inter").cast("double") /
         (col("n1") + col("n2") - col("inter")), 6))
@@ -354,7 +379,7 @@ object Dedup {
     * [[ngramJaccardPairs]]. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        shingleN: Int, threshold: Double,
-                       maxPostings: Int = Int.MaxValue): DataFrame =
+                       maxPostings: Int = 1024): DataFrame =
     ngramPairStats(docs, idCol, textCol, shingleN, maxPostings)
       .withColumn("c12", round(col("inter").cast("double") / col("n1"), 6))
       .withColumn("c21", round(col("inter").cast("double") / col("n2"), 6))
@@ -365,7 +390,7 @@ object Dedup {
     * pair from the capped shingle postings — one corpus scan. */
   private def ngramPairStats(docs: DataFrame, idCol: String, textCol: String,
                              shingleN: Int,
-                             maxPostings: Int = Int.MaxValue): DataFrame = {
+                             maxPostings: Int = 1024): DataFrame = {
     val posts = hashedPostings(shingleSets(docs, idCol, textCol, shingleN))
     // STRICTLY LINEAR lineage — the corpus is scanned exactly ONCE (any
     // branch that references the posting subtree twice replans the whole
@@ -375,10 +400,14 @@ object Dedup {
     //     set size n, carried WITH each posting from here on;
     //  3. re-group by h, pairs explode with (n1, n2) in the pair row;
     //  4. per-pair count = intersection; jac = inter / (n1 + n2 − inter).
-    val kept = posts.groupBy(col("h"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .where(size(col("ids")) <= maxPostings)
-      .select(col("h"), explode(col("ids")).as("doc_id"))
+    // step 1 as a windowed occupancy filter, NOT collect_list-then-filter:
+    // the hot posting list this cap exists for must never materialize as
+    // one aggregation-buffer array (WindowExec spills; see
+    // [[cappedSortedLists]] for the same argument on the banded paths)
+    val kept = posts
+      .withColumn("__occ", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .where(col("__occ") <= maxPostings)
+      .select(col("h"), col("doc_id"))
     val withN = kept.withColumn("n",
       count(lit(1)).over(Window.partitionBy(col("doc_id"))))
     val lists = withN.groupBy(col("h"))
@@ -456,10 +485,12 @@ object Dedup {
     * than `maxBucket` are DROPPED — same convention as the MinHash path's
     * [[lshCandidatePairs]] cap and the n-gram `maxPostings`. Members of an
     * over-full bucket usually still pair in a less-degenerate band, and
-    * exact duplicates are [[exactGroups]]' job anyway. */
+    * exact duplicates are [[exactGroups]]' job anyway. Dropping happens
+    * BEFORE aggregation ([[cappedSortedLists]]): the hot bucket streams
+    * through a spillable window count and never builds its array. */
   def simhashBandPairs(sigs: DataFrame, bits: Int, bands: Int,
                        maxDist: Int,
-                       maxBucket: Int = Int.MaxValue): DataFrame = {
+                       maxBucket: Int = 1024): DataFrame = {
     val bandBits = bits / bands
     val mask = (1L << bandBits) - 1
     val bandCols = (0 until bands).map(b => struct(lit(b).as("band"),
@@ -468,9 +499,8 @@ object Dedup {
       .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"),
         col("bk.band").as("band"), col("bk.key").as("key"))
-    val lists = buckets.groupBy(col("band"), col("key"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ids"))
-      .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+    val lists = cappedSortedLists(buckets, Seq("band", "key"),
+      struct(col("doc_id"), col("simhash")), maxBucket)
     lists.select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + lit(2), size(col("ids"))), y => struct(
           x.getField("doc_id").as("id1"), x.getField("simhash").as("s1"),
@@ -518,15 +548,14 @@ object Dedup {
 
   def simhashBandPairsMulti(sigs: DataFrame, words: Int, bands: Int,
                             maxDist: Int,
-                            maxBucket: Int = Int.MaxValue): DataFrame = {
+                            maxBucket: Int = 1024): DataFrame = {
     val buckets = sigs
       .select(col("doc_id"), col("sig"),
         explode(array(multiBandCols(words, bands): _*)).as("bk"))
       .select(col("doc_id"), col("sig"),
         col("bk.band").as("band"), col("bk.key").as("key"))
-    val lists = buckets.groupBy(col("band"), col("key"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ids"))
-      .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+    val lists = cappedSortedLists(buckets, Seq("band", "key"),
+      struct(col("doc_id"), col("sig")), maxBucket)
     lists.select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + lit(2), size(col("ids"))), y => struct(
           x.getField("doc_id").as("id1"), x.getField("sig").as("s1"),
@@ -603,7 +632,7 @@ object Dedup {
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           bits: Int = 32, bands: Int = 4,
                           maxDist: Int = 3,
-                          maxBucket: Int = Int.MaxValue): DataFrame =
+                          maxBucket: Int = 1024): DataFrame =
     simhashBandPairs(simhashSignatures(docs, idCol, textCol, bits),
       bits, bands, maxDist, maxBucket)
 

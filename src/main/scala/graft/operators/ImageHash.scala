@@ -137,7 +137,7 @@ object ImageHash {
     * MinHash-path convention). */
   def phashNearDupPairs(sigs: DataFrame, bands: Int = 8,
                         maxDist: Int = 7,
-                        maxBucket: Int = Int.MaxValue): DataFrame =
+                        maxBucket: Int = 1024): DataFrame =
     Dedup.simhashBandPairs(sigs.withColumnRenamed("phash", "simhash"),
       bits = 64, bands = bands, maxDist = maxDist, maxBucket = maxBucket)
 
@@ -160,7 +160,7 @@ object ImageHash {
     * bands, not just flat luma. */
   def colorNearDupPairs(sigs: DataFrame, bands: Int = 24,
                         maxDist: Int = 10,
-                        maxBucket: Int = Int.MaxValue): DataFrame =
+                        maxBucket: Int = 1024): DataFrame =
     Dedup.simhashBandPairsMulti(sigs, words = 3, bands = bands,
       maxDist = maxDist, maxBucket = maxBucket)
 

@@ -68,7 +68,7 @@ object VideoFingerprint {
     * valve. */
   def videoNearDupPairs(sigs: DataFrame, words: Int = 3, bands: Int = 24,
                         maxDist: Int = 6,
-                        maxBucket: Int = Int.MaxValue): DataFrame =
+                        maxBucket: Int = 1024): DataFrame =
     Dedup.simhashBandPairsMulti(sigs, words, bands, maxDist, maxBucket)
 
   /** The planted-video fixture's (doc_id, sig) signatures, shared by the

@@ -175,6 +175,41 @@ class DedupSpec extends SparkSpec {
     assert(ph === Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("banded-pairing default maxBucket is bounded: a >1024-doc hot bucket drops with no explicit cap") {
+    // r10's API footgun: defaults were Int.MaxValue, so a library user
+    // calling with defaults got the quadratic path the valve exists to
+    // prevent. Now 1024 (the minhashLsh/streaming convention): 1100 docs
+    // with the flat all-zero signature exceed the default cap and must
+    // vanish, while the planted duo still pairs
+    val hot = (1L to 1100L).map(i => (i, 0L))
+    val planted = Seq((5000L, 0x5555AAAAL), (5001L, 0x5555AAAAL))
+    val sigs = (hot ++ planted).toDF("doc_id", "simhash")
+    val pairs = Dedup.simhashBandPairs(sigs, bits = 32, bands = 4, maxDist = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((5000L, 5001L)))
+    val multi = (1L to 1100L).map(i => (i, Seq(0L, 0L, 0L))) ++
+      Seq((5000L, Seq(7L, 0L, 0L)), (5001L, Seq(7L, 0L, 0L)))
+    val mp = Dedup.simhashBandPairsMulti(multi.toDF("doc_id", "sig"),
+        words = 3, bands = 24, maxDist = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mp === Set((5000L, 5001L)))
+  }
+
+  test("hot-bucket valve filters BEFORE collect_list (spillable window below the aggregate)") {
+    // the ADVICE-r10 OOM shape: filtering AFTER collect_list still built
+    // the corpus-sized array in one aggregation buffer. The occupancy
+    // count must now be a Window (spillable) strictly BELOW the
+    // collect_list aggregate in the physical plan — children print after
+    // parents in the tree string
+    val sigs = Seq((1L, 0L), (2L, 0L)).toDF("doc_id", "simhash")
+    val plan = Dedup.simhashBandPairs(sigs, bits = 32, bands = 4,
+      maxDist = 4, maxBucket = 8).queryExecution.executedPlan.toString
+    val aggIdx = plan.indexOf("collect_list")
+    val winIdx = plan.indexOf("__occ")
+    assert(aggIdx >= 0 && winIdx > aggIdx,
+      s"expected __occ window below collect_list; plan:\n$plan")
+  }
+
   test("ngramJaccardPairs matches brute-force set Jaccard on random docs") {
     // the distributed single-scan pipeline vs literal set arithmetic on the
     // driver — every pair with >= 1 shared shingle, exact values
