@@ -37,6 +37,26 @@ object OracleSqls {
 
   private def withGraph(sql: String): String = s"WITH $graphCte\n$sql"
 
+  /** The finGraph slice ([[graft.Queries]] `finGraph`): regions + nations +
+    * customers, customers carrying `acctbal` in integer cents
+    * (round half-away-from-zero — both engines' round()). */
+  val finGraphCte: String = """
+    |fnodes AS (
+    |  SELECT CAST(1000000000 + r_regionkey AS BIGINT) AS nodeId, 'Region' AS label, r_name AS name, CAST(NULL AS BIGINT) AS acctbal FROM region
+    |  UNION ALL SELECT CAST(2000000000 + n_nationkey AS BIGINT), 'Nation', n_name, CAST(NULL AS BIGINT) FROM nation
+    |  UNION ALL SELECT CAST(3000000000 + c_custkey AS BIGINT), 'Customer', c_name, CAST(round(c_acctbal * 100) AS BIGINT) FROM customer
+    |),
+    |frels AS (
+    |  SELECT 'FROM_NATION' AS relType, CAST(3000000000 + c_custkey AS BIGINT) AS src, CAST(2000000000 + c_nationkey AS BIGINT) AS dst FROM customer
+    |  UNION ALL SELECT 'IN_REGION', CAST(2000000000 + n_nationkey AS BIGINT), CAST(1000000000 + n_regionkey AS BIGINT) FROM nation
+    |),
+    |fbidir AS (
+    |  SELECT relType, src, dst, src AS a, dst AS b FROM frels
+    |  UNION ALL SELECT relType, src, dst, dst, src FROM frels WHERE src <> dst
+    |)""".stripMargin
+
+  private def withFinGraph(sql: String): String = s"WITH $finGraphCte\n$sql"
+
   /** Shared by `j2_onehop` and its bucketed-storage twin. */
   private lazy val j2OneHopSql: String = withGraph(
     """SELECT s.name AS src_name, e.relType AS rel_type,
@@ -474,6 +494,61 @@ object OracleSqls {
         |    AND NOT (e1.relType = e2.relType AND e1.src = e2.src
         |             AND e1.dst = e2.dst)
         |) t JOIN nodes x ON t.v = x.nodeId""".stripMargin),
+
+    // ---- the finGraph slice (Queries.finGraph): regions + nations +
+    // customers with acctbal in integer cents ----
+    "cy_sum_avg" -> withFinGraph(
+      """SELECT n.name AS nation, CAST(sum(c.acctbal) AS BIGINT) AS total_bal,
+        |  avg(c.acctbal) AS avg_bal, CAST(count(c.nodeId) AS BIGINT) AS n_cust
+        |FROM fnodes n
+        |JOIN fbidir e ON n.nodeId = e.a AND e.relType = 'FROM_NATION'
+        |JOIN fnodes c ON e.b = c.nodeId AND c.label = 'Customer'
+        |WHERE n.label = 'Nation'
+        |GROUP BY 1
+        |ORDER BY nation""".stripMargin),
+
+    // Cypher integer division truncates toward zero == DuckDB `//`
+    "cy_return_arith" -> withFinGraph(
+      """SELECT c.name AS name, c.acctbal * 2 + 50 AS doubled,
+        |  c.acctbal % 97 AS rem, c.acctbal // 100 AS dollars
+        |FROM fnodes n
+        |JOIN fbidir e ON n.nodeId = e.a AND e.relType = 'FROM_NATION'
+        |JOIN fnodes c ON e.b = c.nodeId AND c.label = 'Customer'
+        |WHERE n.label = 'Nation' AND n.name = 'NATION_3'
+        |ORDER BY name""".stripMargin),
+
+    "cy_with_arith" -> withFinGraph(
+      """, per_nation AS (
+        |  SELECT n.nodeId AS nid, n.name AS nation,
+        |    CAST(sum(c.acctbal) AS BIGINT) AS total,
+        |    CAST(count(c.nodeId) AS BIGINT) AS n_cust
+        |  FROM fnodes n
+        |  JOIN fbidir e ON n.nodeId = e.a AND e.relType = 'FROM_NATION'
+        |  JOIN fnodes c ON e.b = c.nodeId AND c.label = 'Customer'
+        |  WHERE n.label = 'Nation'
+        |  GROUP BY 1, 2
+        |)
+        |SELECT r.name AS region, p.nation AS nation, p.total AS total,
+        |  p.n_cust AS n_cust, p.total // p.n_cust AS avg_floor
+        |FROM per_nation p
+        |JOIN fbidir e2 ON p.nid = e2.a AND e2.relType = 'IN_REGION'
+        |JOIN fnodes r ON e2.b = r.nodeId AND r.label = 'Region'
+        |ORDER BY nation""".stripMargin),
+
+    "cy_case_null" -> withFinGraph(
+      """SELECT n.name AS nation, coalesce(opt.rname, 'OTHER') AS region_tag,
+        |  CAST(CASE WHEN opt.rname IS NULL THEN 0 ELSE 1 END AS BIGINT)
+        |    AS in_asia
+        |FROM fnodes n
+        |LEFT JOIN (
+        |  SELECT e.a AS nk, r.name AS rname
+        |  FROM fbidir e
+        |  JOIN fnodes r ON e.b = r.nodeId AND r.label = 'Region'
+        |    AND r.name = 'ASIA'
+        |  WHERE e.relType = 'IN_REGION'
+        |) opt ON n.nodeId = opt.nk
+        |WHERE n.label = 'Nation'
+        |ORDER BY nation""".stripMargin),
 
     // salting is a physical strategy: the oracle is the PLAIN group by
     "skew_salted_agg" ->

@@ -1006,6 +1006,83 @@ object Queries {
       """MATCH (r:Region {name: "ASIA"})-[*1..2]-(x)
         |RETURN DISTINCT x.nodeId AS node_id, x.label AS label""".stripMargin)
 
+  /** Property-graph slice with a NUMERIC node property for the arithmetic /
+    * sum / avg dialect entries: regions + nations + customers, customers
+    * carrying `acctbal` in integer cents (`round(c_acctbal*100)` — the
+    * repo's micro-unit convention; round-half-away matches DuckDB).
+    * Separate from [[graph]] so the main graph's WITH-barrier tie-break
+    * convention (which enumerates every node column) stays untouched. */
+  private def finGraph(spark: SparkSession, dir: String): graft.graph.PropertyGraph = {
+    def id(base: Long, key: org.apache.spark.sql.Column) =
+      (lit(base) + key.cast("long")).as("nodeId")
+    val nodes = T(spark, dir, "region").select(
+        id(TpchGraph.RegionBase, col("r_regionkey")), lit("Region").as("label"),
+        col("r_name").cast("string").as("name"),
+        lit(null).cast("long").as("acctbal"))
+      .unionByName(T(spark, dir, "nation").select(
+        id(TpchGraph.NationBase, col("n_nationkey")), lit("Nation").as("label"),
+        col("n_name").cast("string").as("name"),
+        lit(null).cast("long").as("acctbal")))
+      .unionByName(T(spark, dir, "customer").select(
+        id(TpchGraph.CustomerBase, col("c_custkey")), lit("Customer").as("label"),
+        col("c_name").cast("string").as("name"),
+        round(col("c_acctbal") * 100).cast("long").as("acctbal")))
+    val rels = T(spark, dir, "customer").select(
+        lit("FROM_NATION").as("relType"),
+        id(TpchGraph.CustomerBase, col("c_custkey")).as("src"),
+        id(TpchGraph.NationBase, col("c_nationkey")).as("dst"))
+      .unionByName(T(spark, dir, "nation").select(
+        lit("IN_REGION").as("relType"),
+        id(TpchGraph.NationBase, col("n_nationkey")).as("src"),
+        id(TpchGraph.RegionBase, col("n_regionkey")).as("dst")))
+    graft.graph.PropertyGraph(nodes, rels)
+  }
+
+  /** Cypher sum()/avg(): per-nation account-balance totals under implicit
+    * grouping — the first aggregates any analytics user reaches for.
+    * `sum` keeps the integral type; `avg` is double (exact here: integer
+    * sums ≪ 2^53, one IEEE division on both engines). */
+  def cySumAvg(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(finGraph(spark, dir),
+      """MATCH (n:Nation)-[e:FROM_NATION]-(c:Customer)
+        |RETURN n.name AS nation, sum(c.acctbal) AS total_bal,
+        |       avg(c.acctbal) AS avg_bal, count(c) AS n_cust
+        |ORDER BY nation""".stripMargin)
+
+  /** Arithmetic expressions in RETURN: precedence, `%`, and Cypher's
+    * truncating integer division (negative balances exercise
+    * toward-zero semantics — DuckDB `//` oracle-verified). */
+  def cyReturnArith(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(finGraph(spark, dir),
+      """MATCH (n:Nation {name: "NATION_3"})-[e:FROM_NATION]-(c:Customer)
+        |RETURN c.name AS name, c.acctbal * 2 + 50 AS doubled,
+        |       c.acctbal % 97 AS rem, c.acctbal / 100 AS dollars
+        |ORDER BY name""".stripMargin)
+
+  /** WITH-barrier sum + arithmetic over the carried aliases: totals
+    * aggregate AT the barrier, survive a second hop, and divide in the
+    * final RETURN (`total / n_cust` — integer division over two carried
+    * longs). */
+  def cyWithArith(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(finGraph(spark, dir),
+      """MATCH (n:Nation)-[e:FROM_NATION]-(c:Customer)
+        |WITH n, sum(c.acctbal) AS total, count(c) AS n_cust
+        |MATCH (n)-[e2:IN_REGION]-(r:Region)
+        |RETURN r.name AS region, n.name AS nation, total, n_cust,
+        |       total / n_cust AS avg_floor
+        |ORDER BY nation""".stripMargin)
+
+  /** CASE / coalesce / IS NULL over an OPTIONAL MATCH: nations tagged by
+    * ASIA membership — the null-branching surface a user hits the moment
+    * OPTIONAL MATCH returns an unmatched side. */
+  def cyCaseNull(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(finGraph(spark, dir),
+      """MATCH (n:Nation)
+        |OPTIONAL MATCH (n)-[e:IN_REGION]-(r:Region {name: "ASIA"})
+        |RETURN n.name AS nation, coalesce(r.name, "OTHER") AS region_tag,
+        |       CASE WHEN r.name IS NULL THEN 0 ELSE 1 END AS in_asia
+        |ORDER BY nation""".stripMargin)
+
   /** Skew-resistant exact count-distinct on driver data: the salted
     * two-phase aggregate must produce exactly the plain GROUP BY result
     * (the salting is a physical strategy, invisible in the output). */
@@ -2631,7 +2708,7 @@ object Queries {
     "cy_ordered_topk", "cy_with_chain", "cy_with_norm_filter",
     "cy_with_agg", "cy_with_topk", "cy_optional_match", "cy_shortest_path",
     "cy_rel_types", "cy_exists_filter", "cy_union", "cy_collect", "cy_minmax", "cy_count_rows", "cy_multi_order",
-    "cy_varlength",
+    "cy_varlength", "cy_sum_avg", "cy_return_arith", "cy_case_null",
     // pipeline orchestration (§7 M5)
     "pipeline_retrieve", "fmt_context",
     // dedup family
@@ -2695,6 +2772,10 @@ object Queries {
     "cy_multi_order" -> (cyMultiOrder _),
     "cy_page" -> (cyPage _),
     "cy_varlength" -> (cyVarlength _),
+    "cy_sum_avg" -> (cySumAvg _),
+    "cy_return_arith" -> (cyReturnArith _),
+    "cy_with_arith" -> (cyWithArith _),
+    "cy_case_null" -> (cyCaseNull _),
     "skew_salted_agg" -> (skewSaltedAgg _),
     "join_salted" -> (joinSalted _),
     "join_asof_exec" -> (joinAsofExec _),

@@ -84,6 +84,15 @@ object Ast {
     * row's bindings. Plans as a LEFT SEMI (resp. ANTI) join on the shared
     * variables' nodeIds — never a count, never a correlated subquery. */
   final case class ExistsPat(path: MatchPath, negated: Boolean) extends Pred
+  /** `v.prop <op> literal` — property comparison directly in WHERE (the
+    * ColCmp shape lifted from bare projected columns to node
+    * properties). */
+  final case class PropCmp(varName: String, prop: String, op: String,
+                           value: AnchorValue) extends Pred
+  /** `v.prop IS [NOT] NULL` / `col IS [NOT] NULL` — Cypher's null test
+    * (`ref` is restricted to PropRef | ColRef at parse time). Matters
+    * chiefly for OPTIONAL MATCH results, whose unmatched side is null. */
+  final case class IsNullPred(ref: Expr, negated: Boolean) extends Pred
 
   sealed trait Expr
   final case class PropRef(varName: String, prop: String) extends Expr
@@ -117,23 +126,82 @@ object Ast {
   /** `length(p)` where `p` names the query's shortestPath — the hop count
     * of the shortest path found for the row's endpoint pair. */
   final case class PathLength(pathVar: String) extends Expr
+  /** Integer literal inside an expression (`x.qty * 2`). */
+  final case class LongLitE(v: Long) extends Expr
+  /** String literal inside an expression (CASE branches, coalesce
+    * defaults). */
+  final case class StrLitE(v: String) extends Expr
+  /** Binary arithmetic `l <op> r`, op ∈ {+, -, *, /, %} with standard
+    * precedence and parentheses. `/` over two INTEGRAL operands is
+    * Cypher/Neo4j integer division (truncation toward zero — DuckDB `//`);
+    * any fractional operand makes it double division. Aggregates may not
+    * nest inside arithmetic (rejected at parse time) — aggregate at a WITH
+    * barrier and compute over the alias instead. */
+  final case class BinOp(op: String, l: Expr, r: Expr) extends Expr
+  /** `sum(expr)` / `avg(expr)` — Cypher's numeric aggregates over an
+    * arbitrary arithmetic/property argument (null-skipping, like Neo4j).
+    * `avg` returns double; `sum` keeps the argument's integral type. */
+  final case class AggFn(fn: String, arg: Expr) extends Expr
+  /** `coalesce(e1, e2, …)` — first non-null argument. */
+  final case class CoalesceE(args: Seq[Expr]) extends Expr
+  /** Searched CASE: `CASE WHEN cond THEN expr … [ELSE expr] END`
+    * (no ELSE → null, like Cypher). */
+  final case class CaseExpr(branches: Seq[(Cond, Expr)],
+                            default: Option[Expr]) extends Expr
+
+  /** Boolean condition inside CASE WHEN. */
+  sealed trait Cond
+  final case class CmpCond(l: Expr, op: String, r: Expr) extends Cond
+  final case class NullCond(e: Expr, negated: Boolean) extends Cond
 
   final case class RetItem(expr: Expr, alias: Option[String]) {
     /** Output column name: explicit alias, else Cypher's expression text. */
     def name: String = alias.getOrElse(expr match {
+      case CountDistinctInParam(_, _) => "correctCnt"
+      case Cosine(_, _, _)            => "similarity"
+      case e                          => exprText(e)
+    })
+  }
+
+  /** Canonical Cypher text of an expression — shared by [[RetItem.name]]
+    * and [[CypherQuery.render]], parenthesized so parse(exprText(e)) == e
+    * (left-associative operators re-associate identically). */
+  def exprText(e: Expr): String = exprText(e, 0, rightChild = false)
+  private def exprText(e: Expr, parentPrec: Int, rightChild: Boolean): String =
+    e match {
       case PropRef(v, p)              => s"$v.$p"
       case ColRef(n)                  => n
       case LabelsOf(v)                => s"labels($v)"
       case TypeOf(r)                  => s"type($r)"
       case CountDistinct(v)           => s"count(DISTINCT $v)"
-      case CountDistinctInParam(v, _) => s"correctCnt"
+      case CountDistinctInParam(v, p) =>
+        s"size([t IN collect(DISTINCT $v) WHERE t.nodeId IN $$$p | t])"
       case CollectDistinct(v, p)      => s"collect(DISTINCT $v.$p)"
       case MinMaxProp(f, v, p)        => s"$f($v.$p)"
       case CountStar                  => "count(*)"
       case CountVar(v)                => s"count($v)"
-      case Cosine(_, _, _)            => "similarity"
+      case Cosine(v, pr, p)           => s"vector.similarity.cosine($v.$pr, $$$p)"
       case PathLength(p)              => s"length($p)"
-    })
+      case LongLitE(v)                => v.toString
+      case StrLitE(v)                 =>
+        "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      case AggFn(fn, a)               => s"$fn(${exprText(a)})"
+      case CoalesceE(args)            =>
+        s"coalesce(${args.map(exprText(_)).mkString(", ")})"
+      case CaseExpr(bs, d)            =>
+        "CASE " + bs.map { case (c, x) =>
+          s"WHEN ${condText(c)} THEN ${exprText(x)}" }.mkString(" ") +
+          d.fold("")(x => s" ELSE ${exprText(x)}") + " END"
+      case BinOp(op, l, r) =>
+        val p = if (op == "+" || op == "-") 1 else 2
+        val s = s"${exprText(l, p, rightChild = false)} $op " +
+          exprText(r, p, rightChild = true)
+        if (p < parentPrec || (p == parentPrec && rightChild)) s"($s)" else s
+    }
+
+  def condText(c: Cond): String = c match {
+    case CmpCond(l, op, r) => s"${exprText(l)} $op ${exprText(r)}"
+    case NullCond(e, neg)  => s"${exprText(e)} IS ${if (neg) "NOT " else ""}NULL"
   }
 
   final case class Unwind(param: String, varName: String)
@@ -186,7 +254,7 @@ object Ast {
     def isAggregating: Boolean = items.exists(i => i.expr match {
       case _: CountDistinct | _: CountDistinctInParam |
            _: CollectDistinct | _: MinMaxProp | CountStar |
-           _: CountVar => true
+           _: CountVar | _: AggFn => true
       case _ => false
     })
 
@@ -212,20 +280,7 @@ object Ast {
       def path(p: MatchPath): String =
         node(p.nodes.head) + p.rels.zip(p.nodes.tail)
           .map { case (r, n) => rel(r) + node(n) }.mkString
-      def expr(e: Expr): String = e match {
-        case PropRef(v, p)              => s"$v.$p"
-        case ColRef(n)                  => n
-        case LabelsOf(v)                => s"labels($v)"
-        case TypeOf(r)                  => s"type($r)"
-        case CountDistinct(v)           => s"count(DISTINCT $v)"
-        case CountDistinctInParam(v, p) => s"size([t IN collect(DISTINCT $v) WHERE t.nodeId IN $$$p | t])"
-        case CollectDistinct(v, p)      => s"collect(DISTINCT $v.$p)"
-        case MinMaxProp(f, v, p)        => s"$f($v.$p)"
-        case CountStar                  => "count(*)"
-        case CountVar(v)                => s"count($v)"
-        case Cosine(v, pr, p)           => s"vector.similarity.cosine($v.$pr, $$$p)"
-        case PathLength(p)              => s"length($p)"
-      }
+      def expr(e: Expr): String = exprText(e)
       def pred(p: Pred): String = p match {
         case VarNeq(a, b)   => s"$a <> $b"
         case NotIdIn(v, pm) => s"NOT $v.nodeId IN $$$pm"
@@ -238,6 +293,13 @@ object Ast {
           s"""$c $op "$esc""""
         case ColCmp(c, op, LongLit(v)) => s"$c $op $v"
         case ColCmp(c, op, VarRef(v))  => s"$c $op $v"
+        case PropCmp(v, pr, op, StrLit(s)) =>
+          val esc = s.replace("\\", "\\\\").replace("\"", "\\\"")
+          s"""$v.$pr $op "$esc""""
+        case PropCmp(v, pr, op, LongLit(l)) => s"$v.$pr $op $l"
+        case PropCmp(v, pr, op, VarRef(r))  => s"$v.$pr $op $r"
+        case IsNullPred(ref, neg) =>
+          s"${exprText(ref)} IS ${if (neg) "NOT " else ""}NULL"
       }
       val sb = new StringBuilder
       def matchClause(us: Seq[Unwind], ps: Seq[MatchPath], prs: Seq[Pred]): Unit = {

@@ -137,7 +137,7 @@ object Parser {
           ws()
           if (pos < in.length && in(pos) == ',')
             fail("one path per OPTIONAL MATCH clause (chain clauses instead)")
-          optionals += OptionalMatch(p, predList())
+          optionals += OptionalMatch(p, predList(Some("OPTIONAL MATCH")))
         }
         if (sawOptional && peek("WITH"))
           fail("OPTIONAL MATCH is only supported in the final clause (before RETURN)")
@@ -170,7 +170,7 @@ object Parser {
           val skip = if (opt("SKIP")) Some(longLit().toInt) else None
           val lim = if (opt("LIMIT")) Some(longLit().toInt) else None
           stages += Stage(unwinds.result(), paths.result(), preds, d,
-            items.result(), predList(), order, skip, lim)
+            items.result(), predList(Some("WITH")), order, skip, lim)
         } else {
           expect("RETURN")
           val distinct = opt("DISTINCT")
@@ -230,11 +230,15 @@ object Parser {
       UnionQuery(parts.result(), all.getOrElse(false))
     }
 
-    private def predList(): Seq[Pred] =
+    /** `existsCtx` names the surrounding clause when `EXISTS { … }` is NOT
+      * plannable there (OPTIONAL MATCH WHERE, WITH WHERE) — rejected at
+      * parse time with a grammar-level message instead of surfacing an
+      * opaque AnalysisException from the planner. */
+    private def predList(existsCtx: Option[String] = None): Seq[Pred] =
       if (opt("WHERE")) {
         val ps = Seq.newBuilder[Pred]
-        ps += pred()
-        while (opt("AND")) ps += pred()
+        ps += pred(existsCtx)
+        while (opt("AND")) ps += pred(existsCtx)
         ps.result()
       } else Nil
 
@@ -372,11 +376,13 @@ object Parser {
       MatchPath(Seq(n1, n2), Seq(RelPat(None, t, Some((lo, hi)))))
     }
 
-    private def pred(): Pred = {
+    private def pred(existsCtx: Option[String] = None): Pred = {
       ws()
+      def rejectExists(): Unit = existsCtx.foreach(ctx =>
+        fail(s"EXISTS { … } is not supported in $ctx WHERE"))
       if (peek("NOT")) {
         expect("NOT")
-        if (peek("EXISTS")) existsPred(negated = true)
+        if (peek("EXISTS")) { rejectExists(); existsPred(negated = true) }
         else {
           val v = ident(); expect("."); val p = ident()
           if (p != "nodeId") fail("only nodeId membership predicates are in the grammar")
@@ -384,6 +390,7 @@ object Parser {
           NotIdIn(v, param())
         }
       } else if (peek("EXISTS")) {
+        rejectExists()
         existsPred(negated = false)
       } else if (peek("normalize")) {
         // normalize(lower(col)) = normalize(lower($param)) — ner.py:113
@@ -395,6 +402,20 @@ object Parser {
       } else {
         val v1 = ident()
         ws()
+        // optional property access: `v.prop <op> literal` / `v.prop IS NULL`
+        val prop: Option[String] =
+          if (pos < in.length && in(pos) == '.') { pos += 1; Some(ident()) }
+          else None
+        ws()
+        if (peek("IS")) {
+          expect("IS")
+          val neg = opt("NOT")
+          expect("NULL")
+          return prop match {
+            case Some(p) => IsNullPred(PropRef(v1, p), neg)
+            case None    => IsNullPred(ColRef(v1), neg)
+          }
+        }
         // comparison operators, longest first; bare `a <> b` between two
         // identifiers stays the nodeId inequality of the original grammar
         val op =
@@ -410,66 +431,187 @@ object Parser {
           if (pos < in.length && (in(pos) == '"' || in(pos) == '\'')) StrLit(stringLit())
           else if (pos < in.length && (in(pos).isDigit || in(pos) == '-')) LongLit(longLit())
           else VarRef(ident())
-        (op, value) match {
-          case ("<>", VarRef(v2)) => VarNeq(v1, v2)
-          case (o, VarRef(_)) =>
+        (prop, op, value) match {
+          case (Some(p), o, v: StrLit)  => PropCmp(v1, p, o, v)
+          case (Some(p), o, v: LongLit) => PropCmp(v1, p, o, v)
+          case (Some(_), o, VarRef(_)) =>
+            fail(s"operator '$o' on a property cannot compare against a " +
+              "variable; quote string literals")
+          case (None, "<>", VarRef(v2)) => VarNeq(v1, v2)
+          case (None, o, VarRef(_)) =>
             // out-of-grammar (`col = ident`): reject HERE with position
             // info instead of surfacing a generic plan-time error far
             // from the parse site — only `<>` compares two variables
             fail(s"operator '$o' cannot compare against a variable " +
               "(only <> between two node variables); quote string literals")
-          case _ => ColCmp(v1, op, value)
+          case (None, o, v) => ColCmp(v1, o, v)
         }
       }
     }
 
+    // ---- expressions (RETURN / WITH items): precedence-climbing ----
+
+    /** `addExpr := mulExpr (('+'|'-') mulExpr)*` — left-associative. */
+    private def expression(): Expr = {
+      var e = mulExpr()
+      var go = true
+      while (go) {
+        ws()
+        if (pos < in.length && in(pos) == '+') { pos += 1; e = BinOp("+", e, mulExpr()) }
+        else if (pos < in.length && in(pos) == '-') { pos += 1; e = BinOp("-", e, mulExpr()) }
+        else go = false
+      }
+      e
+    }
+
+    private def mulExpr(): Expr = {
+      var e = atomExpr()
+      var go = true
+      while (go) {
+        ws()
+        if (pos < in.length && in(pos) == '*') { pos += 1; e = BinOp("*", e, atomExpr()) }
+        else if (pos < in.length && in(pos) == '/') { pos += 1; e = BinOp("/", e, atomExpr()) }
+        else if (pos < in.length && in(pos) == '%') { pos += 1; e = BinOp("%", e, atomExpr()) }
+        else go = false
+      }
+      e
+    }
+
+    /** `cond := expr (IS [NOT] NULL | <cmpop> expr)` — CASE WHEN guards. */
+    private def cond(): Cond = {
+      val l = expression()
+      ws()
+      if (peek("IS")) {
+        expect("IS"); val neg = opt("NOT"); expect("NULL")
+        NullCond(l, neg)
+      } else {
+        val op =
+          if (pos + 1 < in.length && in(pos) == '<' && in(pos + 1) == '>') { pos += 2; "<>" }
+          else if (pos + 1 < in.length && in(pos) == '<' && in(pos + 1) == '=') { pos += 2; "<=" }
+          else if (pos + 1 < in.length && in(pos) == '>' && in(pos + 1) == '=') { pos += 2; ">=" }
+          else if (pos < in.length && in(pos) == '<') { pos += 1; "<" }
+          else if (pos < in.length && in(pos) == '>') { pos += 1; ">" }
+          else if (pos < in.length && in(pos) == '=') { pos += 1; "=" }
+          else fail("expected comparison operator or IS [NOT] NULL")
+        CmpCond(l, op, expression())
+      }
+    }
+
+    private def atomExpr(): Expr = {
+      ws()
+      if (pos < in.length && in(pos) == '(') {
+        pos += 1
+        val e = expression()
+        expect(")")
+        e
+      }
+      else if (pos < in.length && (in(pos).isDigit || in(pos) == '-')) LongLitE(longLit())
+      else if (pos < in.length && (in(pos) == '"' || in(pos) == '\'')) StrLitE(stringLit())
+      else if (peek("CASE")) {
+        expect("CASE")
+        val branches = Seq.newBuilder[(Cond, Expr)]
+        if (!peek("WHEN")) fail("expected WHEN (only the searched CASE form is supported)")
+        while (peek("WHEN")) {
+          expect("WHEN"); val c = cond(); expect("THEN"); branches += ((c, expression()))
+        }
+        val default = if (opt("ELSE")) Some(expression()) else None
+        expect("END")
+        CaseExpr(branches.result(), default)
+      }
+      else if (peek("coalesce")) {
+        expect("coalesce"); expect("(")
+        val args = Seq.newBuilder[Expr]
+        args += expression()
+        while ({ ws(); pos < in.length && in(pos) == ',' }) { pos += 1; args += expression() }
+        expect(")")
+        CoalesceE(args.result())
+      }
+      else if (peek("sum") || peek("avg")) {
+        val fn = if (opt("sum")) "sum" else { expect("avg"); "avg" }
+        expect("(")
+        val a = expression()
+        expect(")")
+        AggFn(fn, a)
+      }
+      else if (peek("labels")) { expect("labels"); expect("("); val v = ident(); expect(")"); LabelsOf(v) }
+      else if (peek("type")) { expect("type"); expect("("); val v = ident(); expect(")"); TypeOf(v) }
+      else if (peek("length")) { expect("length"); expect("("); val v = ident(); expect(")"); PathLength(v) }
+      else if (peek("count")) {
+        expect("count"); expect("(")
+        ws()
+        if (pos < in.length && in(pos) == '*') { pos += 1; expect(")"); CountStar }
+        else if (opt("DISTINCT")) { val v = ident(); expect(")"); CountDistinct(v) }
+        else { val v = ident(); expect(")"); CountVar(v) }
+      }
+      else if (peek("collect")) {
+        expect("collect"); expect("("); expect("DISTINCT")
+        val v = ident(); expect("."); val p = ident(); expect(")")
+        CollectDistinct(v, p)
+      }
+      else if (peek("min") || peek("max")) {
+        val fn = if (opt("min")) "min" else { expect("max"); "max" }
+        expect("("); val v = ident(); expect("."); val p = ident(); expect(")")
+        MinMaxProp(fn, v, p)
+      }
+      else if (peek("size")) {
+        // size([t IN collect(DISTINCT tgt) WHERE t.nodeId IN $ids | t])
+        expect("size"); expect("("); expect("[")
+        val t = ident(); expect("IN"); expect("collect"); expect("(")
+        expect("DISTINCT"); val v = ident(); expect(")")
+        expect("WHERE"); val t2 = ident(); expect("."); expect("nodeId")
+        expect("IN"); val p = param()
+        expect("|"); val t3 = ident(); expect("]"); expect(")")
+        if (t != t2 || t != t3) fail("comprehension variable mismatch")
+        CountDistinctInParam(v, p)
+      }
+      else if (peek("vector")) {
+        expect("vector"); expect("."); expect("similarity"); expect("."); expect("cosine")
+        expect("("); val v = ident(); expect("."); val p = ident()
+        expect(","); val q = param(); expect(")")
+        Cosine(v, p, q)
+      }
+      else {
+        val v = ident()
+        ws()
+        if (pos < in.length && in(pos) == '.') {
+          pos += 1; PropRef(v, ident())
+        } else ColRef(v) // bare name: WITH var carry / projected column
+      }
+    }
+
+    private def isAggExpr(e: Expr): Boolean = e match {
+      case _: CountDistinct | _: CountDistinctInParam | _: CollectDistinct |
+           _: MinMaxProp | CountStar | _: CountVar | _: AggFn => true
+      case _ => false
+    }
+
+    /** An aggregate anywhere STRICTLY BELOW the top of `e` (inside
+      * arithmetic / CASE / coalesce / another aggregate) — out of grammar:
+      * aggregate at a WITH barrier and compute over the alias instead. */
+    private def containsNestedAgg(e: Expr): Boolean = {
+      def below(x: Expr): Boolean = isAggExpr(x) || nested(x)
+      def nested(x: Expr): Boolean = x match {
+        case BinOp(_, l, r)  => below(l) || below(r)
+        case CoalesceE(args) => args.exists(below)
+        case CaseExpr(bs, d) =>
+          bs.exists { case (c, x2) => condHasAgg(c) || below(x2) } ||
+            d.exists(below)
+        case AggFn(_, a)     => below(a)
+        case _               => false
+      }
+      def condHasAgg(c: Cond): Boolean = c match {
+        case CmpCond(l, _, r) => below(l) || below(r)
+        case NullCond(x, _)   => below(x)
+      }
+      nested(e)
+    }
+
     private def retItem(inWith: Boolean = false): RetItem = {
       ws()
-      val e: Expr =
-        if (peek("labels")) { expect("labels"); expect("("); val v = ident(); expect(")"); LabelsOf(v) }
-        else if (peek("type")) { expect("type"); expect("("); val v = ident(); expect(")"); TypeOf(v) }
-        else if (peek("length")) { expect("length"); expect("("); val v = ident(); expect(")"); PathLength(v) }
-        else if (peek("count")) {
-          expect("count"); expect("(")
-          ws()
-          if (pos < in.length && in(pos) == '*') { pos += 1; expect(")"); CountStar }
-          else if (opt("DISTINCT")) { val v = ident(); expect(")"); CountDistinct(v) }
-          else { val v = ident(); expect(")"); CountVar(v) }
-        }
-        else if (peek("collect")) {
-          expect("collect"); expect("("); expect("DISTINCT")
-          val v = ident(); expect("."); val p = ident(); expect(")")
-          CollectDistinct(v, p)
-        }
-        else if (peek("min") || peek("max")) {
-          val fn = if (opt("min")) "min" else { expect("max"); "max" }
-          expect("("); val v = ident(); expect("."); val p = ident(); expect(")")
-          MinMaxProp(fn, v, p)
-        }
-        else if (peek("size")) {
-          // size([t IN collect(DISTINCT tgt) WHERE t.nodeId IN $ids | t])
-          expect("size"); expect("("); expect("[")
-          val t = ident(); expect("IN"); expect("collect"); expect("(")
-          expect("DISTINCT"); val v = ident(); expect(")")
-          expect("WHERE"); val t2 = ident(); expect("."); expect("nodeId")
-          expect("IN"); val p = param()
-          expect("|"); val t3 = ident(); expect("]"); expect(")")
-          if (t != t2 || t != t3) fail("comprehension variable mismatch")
-          CountDistinctInParam(v, p)
-        }
-        else if (peek("vector")) {
-          expect("vector"); expect("."); expect("similarity"); expect("."); expect("cosine")
-          expect("("); val v = ident(); expect("."); val p = ident()
-          expect(","); val q = param(); expect(")")
-          Cosine(v, p, q)
-        }
-        else {
-          val v = ident()
-          ws()
-          if (pos < in.length && in(pos) == '.') {
-            pos += 1; PropRef(v, ident())
-          } else ColRef(v) // bare name: WITH var carry / projected column
-        }
+      val e: Expr = expression()
+      if (containsNestedAgg(e))
+        fail("aggregates cannot nest inside expressions — aggregate at a " +
+          "WITH barrier and compute over the alias")
       val alias = if (opt("AS")) Some(ident()) else None
       if (inWith && alias.isEmpty && !e.isInstanceOf[ColRef])
         fail("WITH expressions must be aliased (only bare variables carry)")

@@ -43,6 +43,8 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
   def plan(q: CypherQuery): DataFrame = {
     require(q.paths.nonEmpty || q.prefixes.nonEmpty || q.shortest.nonEmpty,
       "at least one MATCH path")
+    rejectRelVarCounts(q.items,
+      q.paths ++ q.optionals.map(_.path) ++ q.prefixes.flatMap(_.paths))
     val base = q.prefixes.foldLeft(Option.empty[DataFrame]) {
       (acc, st) => Some(planStage(acc, st))
     }
@@ -86,6 +88,7 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     * then project the barrier — only listed items survive. */
   private def planStage(base: Option[DataFrame], st: Stage): DataFrame = {
     require(st.paths.nonEmpty, "stage without MATCH paths")
+    rejectRelVarCounts(st.withItems, st.paths)
     stageVars = varsOf(st.paths)
     val aggItems = st.withItems.filter(isAggItem)
     val frames = expandPaths(st.paths).map { ps =>
@@ -116,6 +119,8 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
             case MinMaxProp("max", _, _) => max(src).as(i.name)
             case CountStar => count(lit(1)).as(i.name)
             case CountVar(_) => count(src).as(i.name)
+            case AggFn("sum", _) => sum(src).as(i.name)
+            case AggFn("avg", _) => avg(src).as(i.name)
             case other =>
               throw new IllegalArgumentException(s"$other is not an aggregate")
           }
@@ -209,7 +214,9 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
           Seq(lit(1L).as(s"__aggsrc_${i.name}"))
         case CountVar(v) =>
           Seq(propCol(v, "nodeId").as(s"__aggsrc_${i.name}"))
-        case e => Seq(exprCol(e).as(i.name))
+        case AggFn(_, arg) =>
+          Seq(exprCol(arg, df.schema).as(s"__aggsrc_${i.name}"))
+        case e => Seq(exprCol(e, df.schema).as(i.name))
       }
     }
     df.select(cols: _*)
@@ -245,8 +252,28 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
   private def isAggItem(i: RetItem): Boolean = i.expr match {
     case _: CountDistinct | _: CountDistinctInParam |
          _: CollectDistinct | _: MinMaxProp | CountStar |
-         _: CountVar => true
+         _: CountVar | _: AggFn => true
     case _ => false
+  }
+
+  /** `count(r)` / `count(DISTINCT r)` on a RELATIONSHIP variable is outside
+    * the dialect (node identity is nodeId; relationships have no single-id
+    * column to count) — reject at plan entry with a grammar-level message
+    * instead of an unresolved-column AnalysisException. */
+  private def rejectRelVarCounts(items: Seq[RetItem],
+                                 paths: Seq[MatchPath]): Unit = {
+    val relVars = paths.flatMap(_.rels.flatMap(_.varName)).toSet
+    items.foreach(_.expr match {
+      case CountDistinct(v) if relVars(v) =>
+        throw new IllegalArgumentException(
+          s"count(DISTINCT $v) over a relationship variable is outside the " +
+            "dialect — count an endpoint node or use count(*)")
+      case CountVar(v) if relVars(v) =>
+        throw new IllegalArgumentException(
+          s"count($v) over a relationship variable is outside the dialect " +
+            "— count an endpoint node or use count(*)")
+      case _ => ()
+    })
   }
 
   /** One fixed-length expansion joined, carried-frame-attached,
@@ -409,7 +436,8 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
         case MinMaxProp(_, v, p)         => propCol(v, p).as(s"__agg$idx")
         case CountStar                   => lit(1L).as(s"__agg$idx")
         case CountVar(v)                 => propCol(v, "nodeId").as(s"__agg$idx")
-        case e                           => exprCol(e).as(i.name)
+        case AggFn(_, arg)               => exprCol(arg, df.schema).as(s"__agg$idx")
+        case e                           => exprCol(e, df.schema).as(i.name)
       }
     }
     df.select(cols: _*)
@@ -538,29 +566,86 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       val normed = java.text.Normalizer.normalize(
         raw.toLowerCase(java.util.Locale.ROOT), java.text.Normalizer.Form.NFC)
       graft.functions.nfc(lower(scalarCol(c))) === lit(normed)
-    case ColCmp(c, op, value) =>
-      val l = value match {
-        case StrLit(v)  => lit(v)
-        case LongLit(v) => lit(v)
-        case other =>
-          throw new IllegalArgumentException(s"unsupported comparison value $other")
-      }
-      op match {
-        case "="  => scalarCol(c) === l
-        case "<>" => scalarCol(c) =!= l
-        case "<"  => scalarCol(c) < l
-        case "<=" => scalarCol(c) <= l
-        case ">"  => scalarCol(c) > l
-        case ">=" => scalarCol(c) >= l
-        case o => throw new IllegalArgumentException(s"unknown operator $o")
-      }
+    case ColCmp(c, op, value) => cmpLit(scalarCol(c), op, value)
+    case PropCmp(v, p, op, value) => cmpLit(propCol(v, p), op, value)
+    case IsNullPred(PropRef(v, p), neg) =>
+      if (neg) propCol(v, p).isNotNull else propCol(v, p).isNull
+    case IsNullPred(ColRef(n), neg) =>
+      if (neg) col(n).isNotNull else col(n).isNull
+    case IsNullPred(other, _) =>
+      throw new IllegalArgumentException(
+        s"IS NULL applies to properties and projected columns, not $other")
+  }
+
+  private def cmpLit(c: Column, op: String, value: AnchorValue): Column = {
+    val l = value match {
+      case StrLit(v)  => lit(v)
+      case LongLit(v) => lit(v)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported comparison value $other")
+    }
+    op match {
+      case "="  => c === l
+      case "<>" => c =!= l
+      case "<"  => c < l
+      case "<=" => c <= l
+      case ">"  => c > l
+      case ">=" => c >= l
+      case o => throw new IllegalArgumentException(s"unknown operator $o")
+    }
   }
 
   /** A bare column name: a WITH-projected scalar, or (rarely) a current
     * column by that exact name. */
   private def scalarCol(c: String): Column = col(c)
 
-  private def exprCol(e: Expr): Column = e match {
+  private def isIntegralType(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+
+  /** Static integral-ness of an expression — decides whether `/` is
+    * Cypher's integer division (both operands integral) or double
+    * division. Node properties resolve against the graph's node schema;
+    * bare columns against the current frame's. */
+  private def isIntegralExpr(e: Expr,
+      schema: org.apache.spark.sql.types.StructType): Boolean = e match {
+    case LongLitE(_)   => true
+    case PropRef(_, p) =>
+      g.nodes.schema.fields.find(_.name == p).exists(f => isIntegralType(f.dataType))
+    case ColRef(n)     =>
+      schema.fields.find(_.name == n).exists(f => isIntegralType(f.dataType))
+    case BinOp(_, l, r)  => isIntegralExpr(l, schema) && isIntegralExpr(r, schema)
+    case CoalesceE(args) => args.forall(isIntegralExpr(_, schema))
+    case CaseExpr(bs, d) =>
+      bs.forall { case (_, x) => isIntegralExpr(x, schema) } &&
+        d.forall(isIntegralExpr(_, schema))
+    case _ => false
+  }
+
+  private def condCol(c: Cond,
+      schema: org.apache.spark.sql.types.StructType): Column = c match {
+    case NullCond(e, neg) =>
+      if (neg) exprCol(e, schema).isNotNull else exprCol(e, schema).isNull
+    case CmpCond(l, op, r) =>
+      val lc = exprCol(l, schema); val rc = exprCol(r, schema)
+      op match {
+        case "="  => lc === rc
+        case "<>" => lc =!= rc
+        case "<"  => lc < rc
+        case "<=" => lc <= rc
+        case ">"  => lc > rc
+        case ">=" => lc >= rc
+        case o    => throw new IllegalArgumentException(s"unknown operator $o")
+      }
+  }
+
+  private def exprCol(e: Expr,
+      schema: org.apache.spark.sql.types.StructType): Column = e match {
     case PropRef(v, p)  => propCol(v, p)
     case ColRef(n) =>
       if (carriedScalars.contains(n)) col(n)
@@ -575,6 +660,30 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       if (spVar.contains(pv)) col("__splen")
       else throw new IllegalArgumentException(
         s"length($pv) does not name this query's shortestPath")
+    case LongLitE(v) => lit(v)
+    case StrLitE(s)  => lit(s)
+    case CoalesceE(args) => coalesce(args.map(exprCol(_, schema)): _*)
+    case CaseExpr(branches, default) =>
+      val chain = branches.tail.foldLeft(
+        when(condCol(branches.head._1, schema), exprCol(branches.head._2, schema))) {
+        case (w, (c, x)) => w.when(condCol(c, schema), exprCol(x, schema))
+      }
+      default.fold(chain)(d => chain.otherwise(exprCol(d, schema)))
+    case BinOp(op, l, r) =>
+      val lc = exprCol(l, schema); val rc = exprCol(r, schema)
+      op match {
+        case "+" => lc + rc
+        case "-" => lc - rc
+        case "*" => lc * rc
+        case "%" => lc % rc
+        case "/" =>
+          // Cypher/Neo4j: integral ÷ integral truncates toward zero
+          // (DuckDB `//`); any fractional operand → double division
+          if (isIntegralExpr(l, schema) && isIntegralExpr(r, schema))
+            graft.functions.longDiv(lc.cast("long"), rc.cast("long"))
+          else lc.cast("double") / rc.cast("double")
+        case o => throw new IllegalArgumentException(s"unknown operator $o")
+      }
     case other => throw new IllegalArgumentException(s"$other is aggregate-only")
   }
 
@@ -591,6 +700,8 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     case MinMaxProp("max", _, _) => max(col(src))
     case CountStar => count(lit(1))
     case CountVar(_) => count(col(src)) // null-skipping, like Neo4j count(v)
+    case AggFn("sum", _) => sum(col(src)) // null-skipping, like Neo4j sum()
+    case AggFn("avg", _) => avg(col(src))
     case other => throw new IllegalArgumentException(s"$other is not an aggregate")
   }
 
@@ -622,11 +733,15 @@ object Planner {
                 params: Map[String, Any] = Map.empty): DataFrame = {
     val frames = uq.parts.map(p => new Planner(g, params).plan(p))
     if (frames.length == 1) return frames.head
-    val names = frames.head.columns.toSeq
+    // names AND types must line up (like Neo4j): a name-only check lets two
+    // same-named columns of different types fall through to unionByName's
+    // raw analysis error instead of this dialect-level message
+    val sig = frames.head.schema.fields.map(f => (f.name, f.dataType)).toSeq
     frames.tail.foreach { f =>
-      require(f.columns.toSeq == names,
-        s"all UNION parts must return the same columns: " +
-          s"$names vs ${f.columns.toSeq}")
+      val fsig = f.schema.fields.map(x => (x.name, x.dataType)).toSeq
+      require(fsig == sig,
+        s"all UNION parts must return the same columns (names and types): " +
+          s"$sig vs $fsig")
     }
     val unioned = frames.reduce(_.unionByName(_))
     if (uq.all) unioned else unioned.distinct()

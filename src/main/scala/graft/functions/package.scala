@@ -56,6 +56,17 @@ package object functions {
       children => graft.expr.TokenEstimate(children.head))
   }
 
+  /** Truncating int64 division — Java/Neo4j/Cypher integer-division
+    * semantics (toward zero, so -7/2 = -3), matching DuckDB's `//` (the
+    * repo's oracle-verified convention). Catalyst's native IntegralDivide
+    * (`div`), codegen'd; exact at any magnitude, unlike a
+    * double-divide-then-cast. Division by zero → null (non-ANSI mode). */
+  def longDiv(l: Column, r: Column): Column = {
+    import org.apache.spark.sql.graftbridge.bridge
+    bridge.column(new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+      bridge.expression(l), bridge.expression(r)))
+  }
+
   /** NFC normalize a string column (codegen'd). */
   def nfc(c: Column): Column = {
     import org.apache.spark.sql.graftbridge.bridge

@@ -53,14 +53,63 @@ object CypherProps extends Properties("cypher") {
     rels <- Gen.sequence[Seq[RelPat], RelPat]((1 until n).map(rel))
   } yield MatchPath(nodes, rels)
 
+  // arithmetic expression tree of bounded depth (numeric leaves only —
+  // aggregates may not nest inside arithmetic, per the grammar)
+  private val numLeaf: Gen[Expr] = Gen.oneOf(
+    Gen.const(PropRef("x1", "nodeId")),
+    Gen.choose(-99L, 99L).map(LongLitE(_)))
+  private def arith(depth: Int): Gen[Expr] =
+    if (depth <= 0) numLeaf
+    else Gen.frequency(
+      (2, numLeaf),
+      (3, for {
+        op <- Gen.oneOf("+", "-", "*", "/", "%")
+        l <- arith(depth - 1)
+        r <- arith(depth - 1)
+      } yield BinOp(op, l, r)))
+
+  private val strLeaf: Gen[Expr] = anchorStr.map(StrLitE(_))
+
+  private val condGen: Gen[Cond] = Gen.oneOf(
+    for {
+      l <- arith(1)
+      op <- Gen.oneOf("=", "<>", "<", "<=", ">", ">=")
+      r <- arith(1)
+    } yield CmpCond(l, op, r),
+    Gen.oneOf(true, false).map(neg => NullCond(PropRef("x1", "name"), neg)))
+
+  private val caseGen: Gen[Expr] = for {
+    n <- Gen.choose(1, 2)
+    bs <- Gen.listOfN(n, for {
+      c <- condGen
+      e <- Gen.oneOf(arith(1), strLeaf)
+    } yield (c, e))
+    d <- Gen.option(Gen.oneOf(arith(1), strLeaf))
+  } yield CaseExpr(bs, d)
+
+  private val coalesceGen: Gen[Expr] = for {
+    n <- Gen.choose(2, 3)
+    args <- Gen.listOfN(n, Gen.oneOf(Gen.const(PropRef("x1", "name")), strLeaf))
+  } yield CoalesceE(args)
+
+  private val aggFnGen: Gen[Expr] = for {
+    fn <- Gen.oneOf("sum", "avg")
+    a <- arith(1)
+  } yield AggFn(fn, a)
+
   private val item: Gen[RetItem] = for {
-    e <- Gen.oneOf[Expr](
-      PropRef("x1", "name"), LabelsOf("x1"), TypeOf("r1"),
-      CountDistinct("x1"), CountDistinctInParam("x1", "ids"),
-      CollectDistinct("x1", "name"),
-      MinMaxProp("min", "x1", "name"), MinMaxProp("max", "x1", "name"),
-      CountStar, CountVar("x1"),
-      Cosine("x1", "nameEmbedding", "qEmb"))
+    e <- Gen.frequency(
+      (8, Gen.oneOf[Expr](
+        PropRef("x1", "name"), LabelsOf("x1"), TypeOf("r1"),
+        CountDistinct("x1"), CountDistinctInParam("x1", "ids"),
+        CollectDistinct("x1", "name"),
+        MinMaxProp("min", "x1", "name"), MinMaxProp("max", "x1", "name"),
+        CountStar, CountVar("x1"),
+        Cosine("x1", "nameEmbedding", "qEmb"))),
+      (3, arith(2)),
+      (1, caseGen),
+      (1, coalesceGen),
+      (1, aggFnGen))
     a <- Gen.option(ident)
   } yield RetItem(e, a)
 
@@ -79,7 +128,10 @@ object CypherProps extends Properties("cypher") {
     unwinds <- Gen.sequence[Seq[Unwind], Unwind](
       (1 to nUnwind).map(i => ident.map(p => Unwind(p, s"u$i"))))
     p <- path
-    scalarPreds <- Gen.someOf(Seq(VarNeq("x1", "x2"), NotIdIn("x1", "found")))
+    scalarPreds <- Gen.someOf(Seq[Pred](
+      VarNeq("x1", "x2"), NotIdIn("x1", "found"),
+      PropCmp("x1", "nodeId", ">=", LongLit(5L)),
+      IsNullPred(PropRef("x1", "name"), negated = true)))
     exPreds <- Gen.frequency((2, Gen.const(Nil)),
       (1, existsPred.map(Seq(_))))
     preds = scalarPreds.toSeq ++ exPreds

@@ -474,14 +474,156 @@ class CypherSpec extends SparkSpec {
     intercept[IllegalArgumentException](Planner.run(g,
       "MATCH (a:Author) WHERE EXISTS { (z)-[c:CITES]-(q) } RETURN a.name AS n")
       .collect())
-    // not supported inside an OPTIONAL MATCH's pattern-scoped WHERE
-    intercept[IllegalArgumentException](Planner.run(g,
+    // not supported inside an OPTIONAL MATCH's pattern-scoped WHERE —
+    // rejected at PARSE time (r10 ADVICE: the plan-time path surfaced an
+    // opaque AnalysisException for the WITH…WHERE variant)
+    val optErr = intercept[Parser.ParseError](Planner.run(g,
       """MATCH (a:Author) OPTIONAL MATCH (a)-[w:WRITES]-(p)
         |WHERE EXISTS { (p)-[c:CITES]-(q) }
         |RETURN a.name AS name, p.name AS pn""".stripMargin).collect())
+    assert(optErr.getMessage.contains("OPTIONAL MATCH WHERE"))
+    // same for a WITH barrier's post-projection WHERE (previously parsed,
+    // then died at plan time with stale stageVars)
+    val withErr = intercept[Parser.ParseError](Parser.parse(
+      """MATCH (a:Author)-[w:WRITES]-(p) WITH a, count(p) AS n
+        |WHERE EXISTS { (a)-[c:CITES]-(q) } RETURN a.name AS name""".stripMargin))
+    assert(withErr.getMessage.contains("WITH WHERE"))
     // braces required
     intercept[Parser.ParseError](Parser.parse(
       "MATCH (a) WHERE EXISTS (a)-[r]-(b) RETURN a.name"))
+  }
+
+  test("arithmetic in RETURN: precedence, parens, truncating integer division") {
+    val rows = Planner.run(g,
+      """MATCH (a:Author)
+        |RETURN a.name AS name, a.nodeId * 2 + 1 AS x, (a.nodeId + 2) * 3 AS y,
+        |       a.nodeId / 4 AS d, a.nodeId % 4 AS m
+        |ORDER BY name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq === Seq(
+      ("Alice", 21L, 36L, 2L, 2L),
+      ("Bob", 23L, 39L, 2L, 3L),
+      ("Carol", 25L, 42L, 3L, 0L)))
+    // integer division truncates TOWARD ZERO (Java/Neo4j/DuckDB-`//`)
+    val neg = Planner.run(g,
+      """MATCH (a:Author {name: "Alice"})
+        |RETURN (0 - 7) / 2 AS q, (0 - 7) % 2 AS r""".stripMargin)
+      .collect().head
+    assert((neg.getLong(0), neg.getLong(1)) === ((-3L, -1L)))
+    // render ∘ parse = id through precedence-sensitive parenthesization
+    val q = Parser.parse(
+      "MATCH (a:Author) RETURN a.nodeId - (1 + 2) * 3 AS v, 10 - (3 - 1) AS w")
+    assert(Parser.parse(q.render) === q)
+    // arithmetic over WITH-projected aliases (ColRef operands)
+    val over = Planner.run(g,
+      """MATCH (a:Author)-[w:WRITES]-(p:Paper)
+        |WITH a.name AS name, count(DISTINCT p) AS np
+        |RETURN name, np * 10 AS scaled ORDER BY name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(over.toSeq === Seq(("Alice", 20L), ("Bob", 10L), ("Carol", 10L)))
+  }
+
+  test("sum()/avg() aggregates: implicit grouping, arithmetic args, WITH form") {
+    val rows = Planner.run(g,
+      """MATCH (a:Author)-[w:WRITES]-(p:Paper)
+        |RETURN a.name AS name, sum(p.nodeId) AS s, avg(p.nodeId) AS m,
+        |       sum(p.nodeId * 2 + 1) AS s2, count(DISTINCT p) AS n
+        |ORDER BY name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq === Seq(
+      ("Alice", 41L, 20.5, 84L, 2L), // papers 20, 21
+      ("Bob", 20L, 20.0, 41L, 1L),
+      ("Carol", 22L, 22.0, 45L, 1L)))
+    // sum at a WITH barrier, alias carried through a second hop, then
+    // arithmetic over the alias in the final RETURN
+    val withForm = Planner.run(g,
+      """MATCH (a:Author)-[w:WRITES]-(p:Paper)
+        |WITH a, sum(p.nodeId) AS s
+        |MATCH (a)-[f:AFFILIATED_WITH]-(i:Institution)
+        |RETURN i.name AS inst, a.name AS name, s, s / 2 AS half
+        |ORDER BY name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(withForm.toSeq === Seq(
+      ("MIT", "Alice", 41L, 20L), ("MIT", "Bob", 20L, 10L),
+      ("Stanford", "Carol", 22L, 11L)))
+    // grand total (no grouping keys)
+    val total = Planner.run(g,
+      "MATCH (a:Author)-[w:WRITES]-(p:Paper) RETURN sum(p.nodeId) AS t")
+      .collect().head.getLong(0)
+    assert(total === 83L)
+    // aggregates cannot nest inside arithmetic — parse-time rejection
+    val err = intercept[Parser.ParseError](Parser.parse(
+      "MATCH (a:Author)-[w:WRITES]-(p) RETURN sum(p.nodeId) + 1 AS bad"))
+    assert(err.getMessage.contains("WITH barrier"))
+    // count over a relationship variable — dialect-level rejection
+    val relErr = intercept[IllegalArgumentException](Planner.run(g,
+      "MATCH (a:Author)-[w:WRITES]-(p) RETURN count(w) AS n"))
+    assert(relErr.getMessage.contains("relationship variable"))
+    // render round-trip
+    val q = Parser.parse(
+      "MATCH (a:Author)-[w:WRITES]-(p:Paper) RETURN a.name AS name, " +
+        "sum(p.nodeId * 2) AS s, avg(p.nodeId) AS m")
+    assert(Parser.parse(q.render) === q)
+  }
+
+  test("CASE / coalesce / IS NULL: null branching incl. the OPTIONAL side") {
+    val rows = Planner.run(g,
+      """MATCH (p:Paper)
+        |RETURN p.name AS name, coalesce(p.abstract, "none") AS ab,
+        |       CASE WHEN p.abstract IS NULL THEN 0 ELSE 1 END AS has_ab
+        |ORDER BY name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq === Seq(
+      ("P-alpha", "about dbs", 1L), ("P-beta", "none", 0L),
+      ("P-gamma", "graphs", 1L)))
+    // IS [NOT] NULL as a WHERE predicate on a node property
+    val noAb = Planner.run(g,
+      "MATCH (p:Paper) WHERE p.abstract IS NULL RETURN p.name AS name")
+      .collect().map(_.getString(0)).toSet
+    assert(noAb === Set("P-beta"))
+    val withAb = Planner.run(g,
+      "MATCH (p:Paper) WHERE p.abstract IS NOT NULL RETURN p.name AS name")
+      .collect().map(_.getString(0)).toSet
+    assert(withAb === Set("P-alpha", "P-gamma"))
+    // property comparison directly in WHERE (PropCmp)
+    val big = Planner.run(g,
+      "MATCH (p:Paper) WHERE p.nodeId >= 21 RETURN p.name AS name")
+      .collect().map(_.getString(0)).toSet
+    assert(big === Set("P-beta", "P-gamma"))
+    // CASE over an OPTIONAL MATCH variable: unmatched side is null
+    val opt = Planner.run(g,
+      """MATCH (i:Institution)
+        |OPTIONAL MATCH (i)-[r:AFFILIATED_WITH]-(a:Author {name: "Alice"})
+        |RETURN i.name AS inst,
+        |       CASE WHEN a.name IS NULL THEN "no" ELSE "yes" END AS has_alice
+        |ORDER BY inst""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(opt.toSeq === Seq(("MIT", "yes"), ("Stanford", "no")))
+    // multi-branch CASE with comparisons + render round-trip
+    val buckets = Planner.run(g,
+      """MATCH (p:Paper)
+        |RETURN p.name AS name,
+        |       CASE WHEN p.nodeId < 21 THEN "low" WHEN p.nodeId = 21 THEN "mid"
+        |            ELSE "high" END AS bucket
+        |ORDER BY name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(buckets.toSeq === Seq(
+      ("P-alpha", "low"), ("P-beta", "mid"), ("P-gamma", "high")))
+    val q = Parser.parse(
+      """MATCH (p:Paper) WHERE p.abstract IS NOT NULL RETURN coalesce(p.abstract, "x", p.name) AS a, """ +
+        """CASE WHEN p.nodeId <> 21 THEN p.name ELSE "mid" END AS b""")
+    assert(Parser.parse(q.render) === q)
+  }
+
+  test("UNION parts must match in type, not just name") {
+    val err = intercept[IllegalArgumentException](Planner.planUnion(g,
+      Parser.parseUnion(
+        """MATCH (a:Author) RETURN a.name AS x
+          |UNION
+          |MATCH (a:Author) RETURN count(DISTINCT a) AS x""".stripMargin)))
+    assert(err.getMessage.contains("names and types"))
   }
 
   test("relationship-type alternation [:A|B] traverses either type") {
