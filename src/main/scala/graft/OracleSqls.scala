@@ -1238,6 +1238,16 @@ object OracleSqls {
         |FROM embeddings
         |ORDER BY similarity DESC, vec_id LIMIT 10""".stripMargin,
 
+    // full probe after retrain = exact brute force (the retrain must
+    // preserve the vector set across the version flip)
+    "ann_ivf_retrain" ->
+      """SELECT vec_id,
+        |  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+        |     WHERE vec_id = 0)), 6) AS similarity
+        |FROM embeddings
+        |ORDER BY similarity DESC, vec_id LIMIT 10""".stripMargin,
+
     "ann_pq_topk" -> pqSql(k = 10, m = 8, kCodes = 16, lloydIters = 1,
       ef = 200, subDim = 8),
 

@@ -343,6 +343,25 @@ object Queries {
       queryVec(spark, dir), k = 10, nProbe = 64)
   }
 
+  /** Full IVF retrain lifecycle: a frozen-seed v0 layout reclusters from
+    * scratch into a versioned store (`<path>.v1` + pointer flip — the
+    * FAISS periodic-retrain step for globally-drifted data;
+    * `Profile.driftReport` is the trigger signal). The probe reads
+    * through the version pointer; full-probe results are exact, so the
+    * oracle is brute force — proving retrain preserved the vector set. */
+  def annIvfRetrain(spark: SparkSession, dir: String): DataFrame = {
+    val path = ivfStorePath.getOrElseUpdate(dir + "#retrain", {
+      val p = s"/tmp/graft_ivft_${dir.replaceAll("[^A-Za-z0-9]+", "_")}"
+      graft.sources.VectorStore.writeIvf(T(spark, dir, "embeddings"),
+        "vec_id", "embedding", nCentroids = 4, path = p)
+      graft.sources.VectorStore.retrainIvf(spark, p, nCentroids = 8,
+        lloydIters = 2)
+      p
+    })
+    graft.sources.VectorStore.probeIvf(spark, path, "vec_id",
+      queryVec(spark, dir), k = 10, nProbe = 64)
+  }
+
   /** IVF with k-means-trained centroids (2 unrolled Lloyd iterations). */
   /** Mean-centered cosine top-10 from the vec-0 query (anisotropy-
     * corrected retrieval). */
@@ -2022,6 +2041,7 @@ object Queries {
     annIvfPruned(spark, dir)
     annIvfStoreKmeans(spark, dir)
     annIvfRebalance(spark, dir) // write + rebalance is LOAD, probe is timed
+    annIvfRetrain(spark, dir) // write + retrain is LOAD, probe is timed
   }
 
   /** Tar-shard round trip: documents → USTAR shards → distributed entry
@@ -2796,6 +2816,7 @@ object Queries {
     "ann_ivf_pruned" -> (annIvfPruned _),
     "ann_ivf_store_kmeans" -> (annIvfStoreKmeans _),
     "ann_ivf_rebalance" -> (annIvfRebalance _),
+    "ann_ivf_retrain" -> (annIvfRetrain _),
     "ann_ivf_kmeans" -> (annIvfKmeans _),
     "ann_kmeans_quality" -> (annKmeansQuality _),
     "emb_centered_topk" -> (embCenteredTopK _),

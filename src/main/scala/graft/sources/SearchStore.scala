@@ -51,6 +51,10 @@ object SearchStore {
     * new (the store has no upsert — same contract as the IVF append). */
   def append(newDocs: DataFrame, path: String, nBuckets: Int): Unit = {
     val spark = newDocs.sparkSession
+    // recovery marker first: a crash mid-append is detectable as a begin
+    // with no completion; each sidecar then swaps whole via rename, never
+    // an in-place overwrite (StoreIO)
+    StoreIO.appendManifest(spark, path, Seq("""{"op":"append-begin"}"""))
     val p = Search.postings(newDocs).withColumn("bucket", bucketCol(nBuckets))
       .localCheckpoint(true) // one pass over the new docs, reused below
     p.write.mode("append").partitionBy("bucket").parquet(path)
@@ -58,12 +62,13 @@ object SearchStore {
       .unionByName(p.groupBy("term").agg(count(lit(1)).as("df")))
       .groupBy("term").agg(sum("df").as("df"))
       .localCheckpoint(true) // materialize before overwriting the input
-    mergedDf.write.mode("overwrite").parquet(path + ".df")
+    StoreIO.overwriteViaRename(spark, path + ".df", mergedDf)
     val mergedN = spark.read.parquet(path + ".n")
       .unionByName(newDocs.agg(count(lit(1)).as("n_docs")))
       .agg(sum("n_docs").as("n_docs"))
       .localCheckpoint(true)
-    mergedN.write.mode("overwrite").parquet(path + ".n")
+    StoreIO.overwriteViaRename(spark, path + ".n", mergedN)
+    StoreIO.appendManifest(spark, path, Seq("""{"op":"append"}"""))
   }
 
   /** Ranked TF-IDF probe against the persisted layout — scoring identical

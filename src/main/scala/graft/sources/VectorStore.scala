@@ -22,6 +22,64 @@ import graft.operators.Vectors
   */
 object VectorStore {
 
+  /** Resolve the ACTIVE data path of a (possibly versioned) store: the
+    * `<path>.current` pointer names the live version directory after a
+    * [[retrainIvf]]; a store that never retrained has no pointer and lives
+    * at `path` itself (v0). The pointer is the store's ONE mutable piece of
+    * state — every other artifact is written whole and then never edited,
+    * so flipping the pointer is the retrain's commit point. */
+  def resolve(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path + ".current")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) path
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+    }
+  }
+
+  /** Full retrain with store VERSIONING — FAISS's periodic from-scratch
+    * recluster for a years-lived index whose distribution has drifted
+    * GLOBALLY (cell-local skew is [[rebalanceIvf]]'s job;
+    * [[graft.operators.Profile.driftReport]] is the documented trigger
+    * signal for this one). Reads the current version once, retrains
+    * `nCentroids` k-means centroids ([[Vectors.kmeansCentroids]] — same
+    * deterministic trainer as a fresh [[writeIvf]], so version-N probes
+    * are bit-identical to a fresh build's), writes a COMPLETE new version
+    * (centroids + partitioned data) under `<path>.v<N>`, and only then
+    * flips the `<path>.current` pointer. A crash anywhere before the flip
+    * leaves the old version fully intact and the half-built directory
+    * inert (the manifest's `retrain-begin` marker makes the attempt
+    * detectable); nothing ever reads a partially-written version.
+    * Returns the new version number. */
+  def retrainIvf(spark: SparkSession, path: String, nCentroids: Int,
+                 lloydIters: Int = 2): Int = {
+    val cur = resolve(spark, path)
+    val version =
+      if (cur == path) 1
+      else cur.substring(cur.lastIndexOf(".v") + 2).toInt + 1
+    val newPath = s"$path.v$version"
+    appendManifest(spark, path,
+      Seq(s"""{"op":"retrain-begin","version":$version,"from":"$cur"}"""))
+    val v = spark.read.parquet(cur).select(col("id"), col("v"))
+    val centroids = Vectors.kmeansCentroids(v, nCentroids, lloydIters)
+    centroids.write.mode("overwrite").parquet(newPath + ".centroids")
+    Vectors.assignToCentroids(v, centroids)
+      .write.mode("overwrite").partitionBy("cid").parquet(newPath)
+    writePointer(spark, path, newPath) // the commit point
+    appendManifest(spark, path, Seq(
+      s"""{"op":"retrain","version":$version,"nCentroids":$nCentroids,"lloydIters":$lloydIters}"""))
+    version
+  }
+
+  private def writePointer(spark: SparkSession, path: String,
+                           target: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path + ".current")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(target.getBytes("UTF-8")) finally out.close()
+  }
+
   /** One-time layout write: assign each vector to its nearest centroid and
     * partition the parquet by the cell id; centroids land beside it.
     * `lloydIters = 0` keeps the deterministic first-n-by-id seeds (the
@@ -57,12 +115,13 @@ object VectorStore {
   def appendIvf(newRows: DataFrame, idCol: String, vecCol: String,
                 path: String): Unit = {
     val spark = newRows.sparkSession
-    val centroids = spark.read.parquet(path + ".centroids")
+    val cur = resolve(spark, path)
+    val centroids = spark.read.parquet(cur + ".centroids")
     Vectors.assignToCentroids(
         newRows.select(col(idCol).as("id"),
           col(vecCol).cast("array<double>").as("v")),
         centroids)
-      .write.mode("append").partitionBy("cid").parquet(path)
+      .write.mode("append").partitionBy("cid").parquet(cur)
   }
 
   /** Rebalance — the retrain step the frozen-quantizer append contract
@@ -84,7 +143,8 @@ object VectorStore {
   def rebalanceIvf(spark: SparkSession, path: String,
                    maxRatio: Double = 2.0, lloydIters: Int = 2): Seq[Long] = {
     import org.apache.spark.sql.expressions.Window
-    val store = spark.read.parquet(path)
+    val cur = resolve(spark, path)
+    val store = spark.read.parquet(cur)
       .select(col("id"), col("v"), col("cid").cast("long").as("cid"))
     // occupancy is O(cells) — a driver decision, like the probe list
     val sizes = store.groupBy("cid").count().collect()
@@ -132,9 +192,14 @@ object VectorStore {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getSeq[Double](2))
       .toMap
     // sub 0 keeps the old cid; a NON-COLLAPSED sub 1 takes a fresh cid
-    val existing = spark.read.parquet(path + ".centroids")
+    val existing = spark.read.parquet(cur + ".centroids")
       .select(col("cid").cast("long"), col("cv").cast("array<double>"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toSeq
+    // a non-empty data dir with an empty .centroids sidecar is a corrupt
+    // store — say so instead of dying on max() of an empty collection
+    require(existing.nonEmpty,
+      s"corrupt IVF store at $cur: data partitions exist but the " +
+        ".centroids sidecar is empty")
     var nextCid = existing.map(_._1).max
     val newCidOf = oversized.flatMap { c =>
       // split only when BOTH halves kept members — a collapsed 2-means
@@ -146,6 +211,22 @@ object VectorStore {
       } else None
     }.toMap
     if (newCidOf.isEmpty) return Nil
+    // recovery marker BEFORE the first mutation: a crash mid-op is
+    // detectable as a begin with no matching completion entry
+    appendManifest(spark, path, Seq(s"""{"op":"rebalance-begin","cids":[${
+      newCidOf.keys.toSeq.sorted.mkString(",")}]}"""))
+    // centroids FIRST, then data: a crash in between leaves the new cid in
+    // the sidecar with no partition directory yet — probes read zero rows
+    // there while every vector is still in its old partition (no vector is
+    // ever invisible). The reverse order would strand the rewritten
+    // partition behind a sidecar that doesn't list its cid.
+    val kept = existing.filterNot { case (c, _) => newCidOf.contains(c) }
+    val updated = kept ++
+      newCidOf.keys.toSeq.sorted.map(c => c -> finalCents((c, 0L))) ++
+      newCidOf.toSeq.sortBy(_._1).map { case (c, nc) => nc -> finalCents((c, 1L)) }
+    overwriteViaRename(spark, cur + ".centroids",
+      spark.createDataFrame(updated.map { case (c, v) => (c, v) })
+        .toDF("cid", "cv"))
     val cidMapDf = broadcast(
       spark.createDataFrame(newCidOf.toSeq.sortBy(_._1)).toDF("cid", "newCid"))
     val rewritten = finalAssign.join(cidMapDf, Seq("cid"), "left")
@@ -156,51 +237,37 @@ object VectorStore {
     // `rewritten`: the split cells and their new halves — nothing else
     val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try rewritten.write.mode("overwrite").partitionBy("cid").parquet(path)
+    try rewritten.write.mode("overwrite").partitionBy("cid").parquet(cur)
     finally prevMode match {
       case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
-    val kept = existing.filterNot { case (c, _) => newCidOf.contains(c) }
-    val updated = kept ++
-      newCidOf.keys.toSeq.sorted.map(c => c -> finalCents((c, 0L))) ++
-      newCidOf.toSeq.sortBy(_._1).map { case (c, nc) => nc -> finalCents((c, 1L)) }
-    spark.createDataFrame(updated.map { case (c, v) => (c, v) })
-      .toDF("cid", "cv")
-      .write.mode("overwrite").parquet(path + ".centroids")
     appendManifest(spark, path, newCidOf.toSeq.sortBy(_._1).map { case (c, nc) =>
       s"""{"op":"rebalance","cid":$c,"into":[$c,$nc],"n":${sizes(c)}}""" })
     newCidOf.keys.toSeq.sorted
   }
 
-  /** One JSON line per maintenance action, appended to `path`.manifest —
-    * the audit trail a layout-mutating op leaves behind. */
+  private def overwriteViaRename(spark: SparkSession, dir: String,
+                                 df: DataFrame): Unit =
+    StoreIO.overwriteViaRename(spark, dir, df)
+
   private def appendManifest(spark: SparkSession, path: String,
-                             lines: Seq[String]): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path + ".manifest")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val prior =
-      if (fs.exists(p)) {
-        val in = fs.open(p)
-        try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      } else ""
-    val out = fs.create(p, true)
-    try out.write((prior + lines.mkString("", "\n", "\n")).getBytes("UTF-8"))
-    finally out.close()
-  }
+                             lines: Seq[String]): Unit =
+    StoreIO.appendManifest(spark, path, lines)
 
   /** Probe: rank cells by centroid similarity (a ≤ nCentroids-row driver
     * decision — the probe list IS tiny by construction), read only those
     * partitions, exact top-k inside. */
   def probeIvf(spark: SparkSession, path: String, idCol: String,
                query: Seq[Double], k: Int, nProbe: Int): DataFrame = {
+    val cur = resolve(spark, path)
     val q = lit(query.toArray)
-    val probeCids = spark.read.parquet(path + ".centroids")
+    val probeCids = spark.read.parquet(cur + ".centroids")
       .withColumn("qsim", round(cosineSim(col("cv"), q), 6))
       .orderBy(col("qsim").desc, col("cid"))
       .limit(nProbe)
       .collect().map(_.getLong(0))
-    spark.read.parquet(path)
+    spark.read.parquet(cur)
       .where(col("cid").isin(probeCids: _*))
       .withColumn("similarity", round(cosineSim(col("v"), q), 6))
       .orderBy(col("similarity").desc, col("id"))

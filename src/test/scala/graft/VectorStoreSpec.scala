@@ -121,6 +121,65 @@ class VectorStoreSpec extends SparkSpec {
       s"second rebalance (split=$again) broke probe parity")
   }
 
+  test("retrain: new version probes bit-identical to a fresh kmeans build; " +
+    "pointer is the commit point; appends follow the new version") {
+    val base = java.nio.file.Files.createTempDirectory("ivfstore5")
+    val path = base.resolve("emb").toString
+    // v0: the frozen-seed layout a long-lived store starts from
+    VectorStore.writeIvf(emb, "vec_id", "embedding", nCentroids = 4, path)
+    val v = VectorStore.retrainIvf(spark, path, nCentroids = 4, lloydIters = 2)
+    assert(v === 1)
+    // same trainer as a fresh kmeans build → bit-identical probes
+    val fresh = base.resolve("fresh").toString
+    VectorStore.writeIvf(emb, "vec_id", "embedding", nCentroids = 4, fresh,
+      lloydIters = 2)
+    val retrained = VectorStore.probeIvf(spark, path, "vec_id", q, k = 10,
+        nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val freshProbe = VectorStore.probeIvf(spark, fresh, "vec_id", q, k = 10,
+        nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(retrained === freshProbe)
+    assert(retrained.nonEmpty)
+    // the pointer names the new version; v0's directory is untouched
+    assert(VectorStore.resolve(spark, path) === s"$path.v1")
+    assert(new java.io.File(path).listFiles()
+      .exists(_.getName.startsWith("cid=")), "v0 data must stay intact")
+    // lineage: begin marker + completion entry
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path + ".manifest")), "UTF-8")
+    assert(manifest.contains("\"op\":\"retrain-begin\""))
+    assert(manifest.contains("\"op\":\"retrain\""))
+    // post-retrain appends land in the NEW version
+    val batch = Seq((9000L, q.map(_ * 0.99))).toDF("vec_id", "embedding")
+    VectorStore.appendIvf(batch, "vec_id", "embedding", path)
+    val after = VectorStore.probeIvf(spark, path, "vec_id", q, k = 1,
+        nProbe = 64)
+      .collect().map(_.getLong(0)).toSeq
+    assert(after === Seq(9000L))
+    // a second retrain bumps to v2
+    assert(VectorStore.retrainIvf(spark, path, nCentroids = 4,
+      lloydIters = 2) === 2)
+    assert(VectorStore.resolve(spark, path) === s"$path.v2")
+  }
+
+  test("rebalance on a corrupt store (empty centroids sidecar) fails clearly") {
+    val path = java.nio.file.Files.createTempDirectory("ivfstore6")
+      .resolve("emb").toString
+    VectorStore.writeIvf(emb, "vec_id", "embedding", nCentroids = 4, path)
+    // plant skew so the rebalance reaches the centroid bookkeeping
+    val batch = (3000L until 3040L).map(i =>
+      (i, q.map(x => x * 0.95 + (i % 7) * 0.001)))
+      .toDF("vec_id", "embedding")
+    VectorStore.appendIvf(batch, "vec_id", "embedding", path)
+    // corrupt: empty the sidecar (checkpoint breaks the read-write cycle)
+    spark.read.parquet(path + ".centroids").limit(0).localCheckpoint(true)
+      .write.mode("overwrite").parquet(path + ".centroids")
+    val err = intercept[IllegalArgumentException](
+      VectorStore.rebalanceIvf(spark, path, maxRatio = 1.1))
+    assert(err.getMessage.contains("corrupt"))
+  }
+
   test("incremental append: arrivals join their cells, corpus never rescanned") {
     val path = java.nio.file.Files.createTempDirectory("ivfstore3")
       .resolve("emb").toString
