@@ -124,10 +124,29 @@ object Jpeg {
     s
   }
 
+  /** Materialize a per-pixel function into a row-major plane ONCE, so the
+    * encoder's 8×8 block loop reads plain array elements — the function
+    * call site in the old per-sample form went megamorphic once several
+    * encoders (gray fixtures, color fixtures, video frames) shared
+    * [[writeJpeg]], and the uninlined Function2 dispatch in the innermost
+    * loop cost the r10 driver run ~1.8× on `mm_jpeg_pixels`. O(image)
+    * extra memory per task, the codec's documented shape anyway. */
+  private def materialize(width: Int, height: Int,
+                          f: (Int, Int) => Int): Array[Int] = {
+    val a = new Array[Int](width * height)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { a(y * width + x) = f(x, y); x += 1 }
+      y += 1
+    }
+    a
+  }
+
   /** Encode a grayscale image as a baseline single-component JPEG. */
   def jpegFileGray(width: Int, height: Int, gray: (Int, Int) => Int,
                    quant: Array[Int] = defaultQuant): Array[Byte] =
-    writeJpeg(width, height, Array(gray), quant)
+    writeJpeg(width, height, Array(materialize(width, height, gray)), quant)
 
   /** Encode a 3-component 4:4:4 baseline JPEG straight from YCbCr planes
     * (component ids 1/2/3, all 1×1 sampling, one shared quant + Huffman
@@ -140,10 +159,12 @@ object Jpeg {
                     yf: (Int, Int) => Int, cbf: (Int, Int) => Int,
                     crf: (Int, Int) => Int,
                     quant: Array[Int] = defaultQuant): Array[Byte] =
-    writeJpeg(width, height, Array(yf, cbf, crf), quant)
+    writeJpeg(width, height, Array(
+      materialize(width, height, yf), materialize(width, height, cbf),
+      materialize(width, height, crf)), quant)
 
   private def writeJpeg(width: Int, height: Int,
-                        planes: Array[(Int, Int) => Int],
+                        planes: Array[Array[Int]],
                         quant: Array[Int]): Array[Byte] = {
     require(width > 0 && height > 0 && width <= 0xffff && height <= 0xffff)
     val nc = planes.length
@@ -179,26 +200,51 @@ object Jpeg {
     val coef = new Array[Int](64)
     val bY = (height + 7) / 8
     val bX = (width + 7) / 8
-    // 4:4:4 interleaved MCU = one 8x8 block per component per position
+    // 4:4:4 interleaved MCU = one 8x8 block per component per position.
+    // All hot loops are while-form over plain arrays (no closure capture,
+    // no Function2 dispatch); the summation ORDER is unchanged from the
+    // original for-comprehension, so every coefficient — and therefore
+    // every output byte — is bit-identical to the pre-optimization codec.
     for (byi <- 0 until bY; bxi <- 0 until bX; ci <- 0 until nc) {
+      val plane = planes(ci)
       // edge-replicated 8x8 block, level-shifted
-      for (y <- 0 until 8; x <- 0 until 8) {
+      var y = 0
+      while (y < 8) {
         val sy = math.min(byi * 8 + y, height - 1)
-        val sx = math.min(bxi * 8 + x, width - 1)
-        block(y * 8 + x) = (planes(ci)(sx, sy) & 0xff) - 128.0
+        var x = 0
+        while (x < 8) {
+          val sx = math.min(bxi * 8 + x, width - 1)
+          block(y * 8 + x) = (plane(sy * width + sx) & 0xff) - 128.0
+          x += 1
+        }
+        y += 1
       }
       // forward DCT + quantize, straight from T.81 A.3.3
-      for (u <- 0 until 8; v <- 0 until 8) {
-        var sum = 0.0
-        for (y <- 0 until 8; x <- 0 until 8)
-          sum += block(y * 8 + x) * CosTab(v * 8 + x) * CosTab(u * 8 + y)
-        val cu = if (u == 0) InvSqrt2 else 1.0
-        val cv = if (v == 0) InvSqrt2 else 1.0
-        val f = 0.25 * cu * cv * sum
-        val q = quant(u * 8 + v)
-        val scaled = f / q
-        coef(u * 8 + v) = // round half away from zero
-          if (scaled >= 0) (scaled + 0.5).toInt else -((-scaled + 0.5).toInt)
+      var u = 0
+      while (u < 8) {
+        var v = 0
+        while (v < 8) {
+          var sum = 0.0
+          var yy = 0
+          while (yy < 8) {
+            val cu8y = CosTab(u * 8 + yy)
+            var xx = 0
+            while (xx < 8) {
+              sum += block(yy * 8 + xx) * CosTab(v * 8 + xx) * cu8y
+              xx += 1
+            }
+            yy += 1
+          }
+          val cu = if (u == 0) InvSqrt2 else 1.0
+          val cv = if (v == 0) InvSqrt2 else 1.0
+          val f = 0.25 * cu * cv * sum
+          val q = quant(u * 8 + v)
+          val scaled = f / q
+          coef(u * 8 + v) = // round half away from zero
+            if (scaled >= 0) (scaled + 0.5).toInt else -((-scaled + 0.5).toInt)
+          v += 1
+        }
+        u += 1
       }
       val diff = coef(0) - prevDc(ci)
       prevDc(ci) = coef(0)
