@@ -1454,6 +1454,9 @@ object OracleSqls {
         |FROM cc GROUP BY 1""".stripMargin,
 
     "graph_bfs_dist" -> withGraph(bfsSql(iters = 6)),
+    // identical semantics over the disk-materialized bucketed adjacency —
+    // the storage swap must be invisible in the result
+    "graph_bfs_bucketed" -> withGraph(bfsSql(iters = 6)),
     "graph_eccentricity" -> withGraph(
       eccSql(iters = 6, Seq("ASIA", "EUROPE", "AFRICA"))),
     "graph_fwbw" -> withGraph(fwBwSql(iters = 6)),

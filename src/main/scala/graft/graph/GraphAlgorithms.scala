@@ -220,7 +220,18 @@ object GraphAlgorithms {
     * nodes are absent from the output. Returns (dist, label, n_nodes).
     */
   def bfsLayers(g: PropertyGraph, label: String, names: Seq[String],
-                iters: Int): DataFrame = {
+                iters: Int): DataFrame =
+    bfsLayers(g, label, names, iters, g.adjPairs)
+
+  /** [[bfsLayers]] over an EXPLICIT adjacency — the documented one-line
+    * swap from the session-cached `adjPairs` to a disk-materialized
+    * bucketed table ([[GraphStore.writeBucketedAdj]]): pass
+    * `GraphStore.readBucketedAdj(spark, prefix)` and each round's
+    * frontier ⋈ adjacency join plans with no exchange and no sort on the
+    * adjacency side. Results are identical by construction (same rows,
+    * same algorithm). */
+  def bfsLayers(g: PropertyGraph, label: String, names: Seq[String],
+                iters: Int, adj: DataFrame): DataFrame = {
     // frontier BFS, not full min-propagation: each round expands only the
     // newly-discovered layer, so per-round work SHRINKS as the search
     // saturates (full propagation re-joins the whole reached set every
@@ -229,7 +240,6 @@ object GraphAlgorithms {
     // per round — and small frontiers broadcast under AQE, so the static
     // side never reshuffles. Result is identical to t rounds of
     // min-distance propagation at every t (discovery round = min distance).
-    val adj = g.adjPairs
     // frontier and dist are O(V): broadcast behind the node-count guard so
     // the O(E) adjacency never re-shuffles per round (walkCorpus lesson)
     val nNodes = g.nodeCount

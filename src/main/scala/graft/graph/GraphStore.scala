@@ -52,4 +52,30 @@ object GraphStore {
 
   def readBucketed(spark: SparkSession, prefix: String): PropertyGraph =
     PropertyGraph(spark.table(s"${prefix}_nodes"), spark.table(s"${prefix}_rels"))
+
+  /** Materialize the deduplicated symmetric adjacency
+    * ([[PropertyGraph.adjPairs]]) as a bucketed managed table
+    * `{prefix}_adj`, bucketed + sorted by `a` — the frontier-join key of
+    * every iterative algorithm. This is the disk-resident form the
+    * in-memory `adjPairs` cache documents as its 100 TB swap: the dedup
+    * shuffle is paid ONCE at write, and each BFS/LPA round's
+    * frontier ⋈ adjacency join reads the table with NO exchange and NO
+    * sort on the adjacency side (bucket metadata satisfies the join's
+    * required distribution; the sortBy satisfies its ordering) — only the
+    * small evolving frontier reshuffles per round. Asserted per-round in
+    * GraphStoreSpec. */
+  def writeBucketedAdj(g: PropertyGraph, prefix: String, buckets: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    val spark = g.nodes.sparkSession
+    reset(spark, s"${prefix}_adj")
+    g.bidir.select(col("a"), col("b")).distinct()
+      .repartition(buckets, col("a"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "a").sortBy("a")
+      .saveAsTable(s"${prefix}_adj")
+  }
+
+  def readBucketedAdj(spark: SparkSession,
+                      prefix: String): org.apache.spark.sql.DataFrame =
+    spark.table(s"${prefix}_adj")
 }

@@ -53,4 +53,61 @@ class GraphStoreSpec extends SparkSpec {
       .collect().map(_.toString).sorted
     assert(a.nonEmpty && (a sameElements b))
   }
+
+  test("disk-materialized adjacency: per-round frontier join has no " +
+    "exchange and no sort on the adjacency side; BFS rows identical") {
+    val dir = "/root/testdata/sf0.001"
+    val g = graft.graph.TpchGraph.load(spark, dir)
+    GraphStore.writeBucketedAdj(g, "adjspec", buckets = 4)
+    val adj = GraphStore.readBucketedAdj(spark, "adjspec")
+
+    // the shuffle-fallback shape (state too big to broadcast): force the
+    // non-broadcast join and inspect ONE round's frontier ⋈ adjacency plan
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val frontier = g.nodes
+        .where(col("label") === "Region" && col("name") === "ASIA")
+        .select(col("nodeId").as("v"))
+      val round = adj.join(frontier, col("v") === col("a"))
+        .select(col("b")).distinct()
+      round.count()
+      val exec = round.queryExecution.executedPlan
+      // find the frontier ⋈ adjacency join and isolate its ADJACENCY
+      // subtree: the bucketing must satisfy the join's distribution, so
+      // that whole branch plans without any shuffle exchange
+      val joinSides = exec.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+          Seq(j.left, j.right)
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+          Seq(j.left, j.right)
+      }.flatten
+      val adjSide = joinSides.filter(_.toString.contains("adjspec_adj"))
+      assert(adjSide.nonEmpty, s"no join over the bucketed adjacency:\n$exec")
+      adjSide.foreach { side =>
+        val shuffles = side.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+        assert(shuffles.isEmpty,
+          s"adjacency side must read bucket metadata, not reshuffle:\n$side")
+        assert(side.toString.contains("Bucketed: true"),
+          s"adjacency scan must be bucketed:\n$side")
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+
+    // the one-line swap end to end: BFS over the disk adjacency must
+    // produce EXACTLY the in-memory adjPairs rows
+    val disk = graft.graph.GraphAlgorithms
+      .bfsLayers(g, "Region", Seq("ASIA"), iters = 6, adj = adj)
+      .collect().map(_.toString).sorted
+    val mem = graft.graph.GraphAlgorithms
+      .bfsLayers(g, "Region", Seq("ASIA"), iters = 6)
+      .collect().map(_.toString).sorted
+    assert(disk.nonEmpty && (disk sameElements mem))
+  }
 }
