@@ -1037,6 +1037,9 @@ object OracleSqls {
         |LEFT JOIN shrc c ON p.source = c.source""".stripMargin,
 
     "t3_budget_retrieval" -> t3OracleSql(maxNodes = 20, maxTokens = 200L, rate = 1.0),
+    // tokenizer-exact budget: same assembly, BPE token counting
+    "t3_budget_bpe" -> t3OracleSql(maxNodes = 20, maxTokens = 400L,
+      rate = 1.0, tok = bpeTokExpr(graft.Queries.bpeMerges)),
 
     "t3_pattern_rate" -> t3OracleSql(maxNodes = 20, maxTokens = 100000L, rate = 0.5),
 
@@ -5767,20 +5770,39 @@ object OracleSqls {
        | x -> x <> ''), w -> 1 + CAST(floor(length(w) / 4) AS BIGINT))) AS BIGINT)"""
       .stripMargin.replace("\n", "")
 
+  /** [[graft.operators.TextOps.bpeTokenCount]] over a SQL string
+    * expression: per lowercase word, the delimiter seed/fold/count of the
+    * BPE family (text_bpe_*), summed — the tokenizer-exact budget's
+    * oracle twin. */
+  private def bpeTokExpr(merges: Seq[(String, String)])(s: String): String = {
+    val seed =
+      "substr(regexp_replace(w, '(.)', chr(31) || chr(31) || '\\1', 'g'), 2)" +
+        " || chr(31)"
+    val folded = merges.foldLeft(seed) { case (c, (a, b)) =>
+      s"replace($c, chr(31) || '$a' || chr(31) || chr(31) || '$b' || chr(31)," +
+        s" chr(31) || '${a + b}' || chr(31))"
+    }
+    s"CAST(coalesce(list_sum(list_transform(list_filter(" +
+      s"string_split_regex(lower($s), '\\s+'), x -> x <> ''), " +
+      s"w -> CAST(len(string_split(trim($folded, chr(31)), " +
+      s"chr(31) || chr(31))) AS BIGINT))), 0) AS BIGINT)"
+  }
+
   /** T3 event-level budget oracle, mirroring
     * [[graft.operators.Retrieval.budgetedAssemble]] exactly: the event
     * stream (add vs pattern-append), formatted-context marginal token costs
     * (the "\n\n" node separator is whitespace-only — invariant under the
     * whitespace-splitting estimator, so omitted here), the after-every-event
     * stop check at `rate`, and evict-last-added-on-overflow. */
-  private def t3OracleSql(maxNodes: Int, maxTokens: Long, rate: Double): String = {
+  private def t3OracleSql(maxNodes: Int, maxTokens: Long, rate: Double,
+                          tok: String => String = tokExpr): String = {
     // same prune formula as budgetedAssemble
     val prune = {
       val cap = math.max(rate, 1.0) * math.min(maxNodes.toDouble, maxTokens.toDouble) + 1
       if (cap >= Int.MaxValue) Int.MaxValue else cap.toInt
     }
-    val addTok = tokExpr("""'name: ' || name || chr(10) || 'pattern: [''' || pattern || ''']'""")
-    val appTok = tokExpr("""', ''' || pattern || ''''""")
+    val addTok = tok("""'name: ' || name || chr(10) || 'pattern: [''' || pattern || ''']'""")
+    val appTok = tok("""', ''' || pattern || ''''""")
     s"""WITH qr1 AS (
        |  SELECT CAST(6000000000 + o_orderkey AS BIGINT) AS nodeId,
        |    CAST(o_orderkey AS VARCHAR) AS name,

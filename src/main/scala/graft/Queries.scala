@@ -728,6 +728,17 @@ object Queries {
     t3Select(Retrieval.budgetedAssemble(t3Queries(spark, dir),
       maxNodes = 20, maxTokens = 200L))
 
+  /** T3 with the TOKENIZER-EXACT budget: the token column is counted by a
+    * real BPE tokenizer (the fixed [[bpeMerges]] table through
+    * [[TextOps.bpeTokenCount]]) instead of the heuristic estimate —
+    * reproducing the reference's HF-tokenizer budget semantics
+    * (retriever.py:67-69) in-engine. Same event-level assembly; only the
+    * counting hook changes. Budget sized so eviction binds at sf0.01+. */
+  def t3BudgetBpe(spark: SparkSession, dir: String): DataFrame =
+    t3Select(Retrieval.budgetedAssemble(t3Queries(spark, dir),
+      maxNodes = 20, maxTokens = 400L,
+      tokenCount = TextOps.bpeTokenCount(bpeMerges)))
+
   /** T3 with pattern_rate (retriever.py:24,87): the query phase checks the
     * budget at rate 0.5, so it stops at half the node budget — leaving the
     * rest for the KNN backfill phase (which checks at rate 1). */
@@ -2892,6 +2903,7 @@ object Queries {
     "s2_constraint_check" -> (s2ConstraintCheck _),
     "a7_corpus_count" -> (a7CorpusCount _),
     "t3_budget_retrieval" -> (t3BudgetRetrieval _),
+    "t3_budget_bpe" -> (t3BudgetBpe _),
     "t3_pattern_rate" -> (t3PatternRate _),
     "a5_ir_metrics" -> (a5IrMetrics _),
     "a5_ir_bootstrap" -> (a5IrBootstrap _),

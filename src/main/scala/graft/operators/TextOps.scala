@@ -298,6 +298,30 @@ object TextOps {
       .select(explode(split(trim(folded, D), DD)).as("token"))
   }
 
+  /** BPE token count of a TEXT column under a fixed merge table — the
+    * TOKENIZER-EXACT budget option for
+    * [[Retrieval.budgetedAssemble]]'s `tokenCount` hook (the reference
+    * counts its budget with a real HF tokenizer, retriever.py:67-69; the
+    * default `tokenCountEstimate` is the documented heuristic). Same
+    * delimiter seed/fold as [[bpeTokens]] applied per word inside one
+    * `aggregate` lambda, so the whole count is a codegen'd scalar — no
+    * explode, no UDF — and it satisfies the budget contract: ≥ 1 token
+    * per word and exactly additive over whitespace-separated
+    * concatenation (merges never span words). */
+  def bpeTokenCount(merges: Seq[(String, String)])(text: Column): Column = {
+    val D = "\u001F"; val DD = D + D
+    def folded(w: Column): Column = {
+      val seeded = concat(
+        call_function("substr",
+          regexp_replace(w, "(.)", DD + "$1"), lit(2)), lit(D))
+      merges.foldLeft(seeded) { case (c, (a, b)) =>
+        call_function("replace", c, lit(D + a + DD + b + D), lit(D + a + b + D))
+      }
+    }
+    aggregate(graft.functions.words(lower(text)), lit(0L),
+      (acc, w) => acc + size(split(trim(folded(w), D), DD)).cast("long"))
+  }
+
   /** Tokenizer fertility per source: BPE tokens emitted per whitespace
     * word — the per-source tokenizer-cost metric a mixture designer
     * watches (fertility near 1: the merge table fits the source; well

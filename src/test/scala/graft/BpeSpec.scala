@@ -34,6 +34,34 @@ class BpeSpec extends SparkSpec {
     assert(toks("abc", ("b", "c"), ("a", "b")) === Seq("a", "bc"))
   }
 
+  test("bpeTokenCount: scalar count == exploded token count, additive, " +
+    "budget-contract safe") {
+    import org.apache.spark.sql.functions._
+    val merges = graft.Queries.bpeMerges
+    val texts = Seq("the running and rather interesting theory",
+      "Name: 12345\npattern: ['q0:PLACED']", "a", "")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val scalar = docs
+      .select(col("doc_id"),
+        TextOps.bpeTokenCount(merges)(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ground truth: the exploded tokenizer's per-doc counts
+    val exploded = texts.zipWithIndex.map { case (t, i) =>
+      i.toLong -> TextOps.bpeTokens(Seq((1L, t)).toDF("doc_id", "text"), merges)
+        .count()
+    }.toMap
+    assert(scalar === exploded)
+    // additive over whitespace-separated concatenation (the budget
+    // contract budgetedAssemble relies on)
+    val joined = Seq((0L, texts(0) + " " + texts(1))).toDF("doc_id", "text")
+      .select(TextOps.bpeTokenCount(merges)(col("text")))
+      .collect().head.getLong(0)
+    assert(joined === scalar(0L) + scalar(1L))
+    // whitespace-only text counts zero
+    assert(scalar(3L) === 0L)
+  }
+
   test("token concatenation rebuilds every word (no char lost)") {
     val docs = Seq((1L, "the running and rather interesting theory"))
       .toDF("doc_id", "text")
