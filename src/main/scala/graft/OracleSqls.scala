@@ -495,6 +495,28 @@ object OracleSqls {
         |             AND e1.dst = e2.dst)
         |) t JOIN nodes x ON t.v = x.nodeId""".stripMargin),
 
+    // directed 2-hop: one stored orientation per hop — rels, never bidir.
+    // (labels Order/Part are implied by the rel construction; the trail
+    // inequality is vacuous across distinct relTypes)
+    "cy_directed" -> withGraph(
+      """SELECT CAST(count(DISTINCT e2.dst) AS BIGINT) AS n_parts,
+        |  CAST(count(*) AS BIGINT) AS n_paths
+        |FROM nodes c
+        |JOIN rels e1 ON c.nodeId = e1.src AND e1.relType = 'PLACED'
+        |JOIN rels e2 ON e1.dst = e2.src AND e2.relType = 'CONTAINS'
+        |WHERE c.label = 'Customer'
+        |  AND c.name = 'Customer#000000042'""".stripMargin),
+
+    // the reverse-arrow spelling of the same pattern — identical result
+    "cy_directed_rev" -> withGraph(
+      """SELECT CAST(count(DISTINCT e2.dst) AS BIGINT) AS n_parts,
+        |  CAST(count(*) AS BIGINT) AS n_paths
+        |FROM nodes c
+        |JOIN rels e1 ON c.nodeId = e1.src AND e1.relType = 'PLACED'
+        |JOIN rels e2 ON e1.dst = e2.src AND e2.relType = 'CONTAINS'
+        |WHERE c.label = 'Customer'
+        |  AND c.name = 'Customer#000000042'""".stripMargin),
+
     // ---- the finGraph slice (Queries.finGraph): regions + nations +
     // customers with acctbal in integer cents ----
     "cy_sum_avg" -> withFinGraph(

@@ -1061,6 +1061,23 @@ object Queries {
       """MATCH (r:Region {name: "ASIA"})-[*1..2]-(x)
         |RETURN DISTINCT x.nodeId AS node_id, x.label AS label""".stripMargin)
 
+  /** Directed patterns: `->` traverses ONE stored orientation (strictly
+    * cheaper than the undirected bidir union — no reverse leg joins at
+    * all). The anchored customer's directed 2-hop: orders they placed,
+    * parts those orders contain. */
+  def cyDirected(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """MATCH (c:Customer {name: "Customer#000000042"})-[e1:PLACED]->(o:Order)-[e2:CONTAINS]->(p:Part)
+        |RETURN count(DISTINCT p) AS n_parts, count(*) AS n_paths""".stripMargin)
+
+  /** The same pattern written with reverse arrows (the pattern read right
+    * to left) — must hash-match [[cyDirected]] exactly, proving `<-` maps
+    * to the dst→src orientation. */
+  def cyDirectedRev(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """MATCH (p:Part)<-[e2:CONTAINS]-(o:Order)<-[e1:PLACED]-(c:Customer {name: "Customer#000000042"})
+        |RETURN count(DISTINCT p) AS n_parts, count(*) AS n_paths""".stripMargin)
+
   /** Property-graph slice with a NUMERIC node property for the arithmetic /
     * sum / avg dialect entries: regions + nations + customers, customers
     * carrying `acctbal` in integer cents (`round(c_acctbal*100)` — the
@@ -2765,6 +2782,7 @@ object Queries {
     "cy_with_agg", "cy_with_topk", "cy_optional_match", "cy_shortest_path",
     "cy_rel_types", "cy_exists_filter", "cy_union", "cy_collect", "cy_minmax", "cy_count_rows", "cy_multi_order",
     "cy_varlength", "cy_sum_avg", "cy_return_arith", "cy_case_null",
+    "cy_directed",
     // pipeline orchestration (§7 M5)
     "pipeline_retrieve", "fmt_context",
     // dedup family
@@ -2832,6 +2850,8 @@ object Queries {
     "cy_return_arith" -> (cyReturnArith _),
     "cy_with_arith" -> (cyWithArith _),
     "cy_case_null" -> (cyCaseNull _),
+    "cy_directed" -> (cyDirected _),
+    "cy_directed_rev" -> (cyDirectedRev _),
     "skew_salted_agg" -> (skewSaltedAgg _),
     "join_salted" -> (joinSalted _),
     "join_asof_exec" -> (joinAsofExec _),

@@ -20,18 +20,36 @@ package graft.cypher
   *   unwind    := UNWIND $param AS var
   *   path      := node (rel node)*
   *   node      := '(' var [':' Label] [ '{' (name|nodeId) ':' literal-or-var '}' ] ')'
-  *   rel       := '-[' [var] [':' TYPE ('|' TYPE)*] ']-'
+  *   rel       := relBody '-' | relBody '->' | '<' relBody '-'
+  *   relBody   := ['<'] '-[' [var] [':' TYPE ('|' TYPE)*] [range] ']'
   *   pred      := var '<>' var | NOT var '.' 'nodeId' IN $param
-  *              | normalize(lower(col)) '=' normalize(lower($param)) | col '=' literal
+  *              | normalize(lower(col)) '=' normalize(lower($param))
+  *              | (col | var '.' prop) cmpop literal
+  *              | (col | var '.' prop) IS [NOT] NULL
   *              | [NOT] EXISTS '{' path '}'        -- pattern predicate
+  *                 (EXISTS only in MATCH WHERE, not OPTIONAL MATCH / WITH)
   *   item      := expr [AS alias]
   *   withItem  := var                     -- carries the node binding forward
   *              | expr AS alias           -- WITH expressions must alias (like Cypher)
-  *   expr      := var '.' prop | bare-col | labels(var) | type(var)
-  *              | count(DISTINCT var) | size('[' ... ']')   -- A2 comprehension
+  *   expr      := addExpr                 -- arithmetic with precedence
+  *   addExpr   := mulExpr (('+'|'-') mulExpr)*
+  *   mulExpr   := atom (('*'|'/'|'%') atom)*   -- int÷int truncates (Neo4j)
+  *   atom      := '(' expr ')' | intLit | strLit
+  *              | var '.' prop | bare-col | labels(var) | type(var)
+  *              | count('*' | [DISTINCT] var) | sum(expr) | avg(expr)
+  *              | min(var '.' prop) | max(var '.' prop)
+  *              | collect(DISTINCT var '.' prop)
+  *              | coalesce(expr (',' expr)*)
+  *              | CASE (WHEN cond THEN expr)+ [ELSE expr] END
+  *              | size('[' ... ']')              -- A2 comprehension
   *              | vector.similarity.cosine(var '.' prop, $param)
-  *              | length(pathVar)                  -- shortestPath hop count
+  *              | length(pathVar)                -- shortestPath hop count
+  *   cond      := expr (cmpop expr | IS [NOT] NULL)
   * }}}
+  *
+  * Aggregates may not nest inside arithmetic (aggregate at a WITH barrier
+  * and compute over the alias). Directed rels traverse one stored
+  * orientation; the reference emits only the undirected form.
   *
   * `WITH` is a projection barrier (retrieval/ner.py:112-114's
   * `WITH node.name AS name WHERE normalize(lower(name)) = … RETURN name`):
@@ -55,9 +73,13 @@ object Ast {
     * single hop). Var-length rels cannot bind a variable (the binding would
     * be a relationship LIST; outside the emitted grammar's RETURN surface).
     * `relTypes` is Neo4j's type alternation `:A|B` (empty = any type) —
-    * a hop traverses an edge whose type is ANY of the listed ones. */
+    * a hop traverses an edge whose type is ANY of the listed ones.
+    * `dir` is the pattern arrow: 0 undirected `-[]-` (the reference's only
+    * form), +1 forward `-[]->` (stored src→dst left to right), −1 reverse
+    * `<-[]-`. Directed hops traverse ONE stored orientation, so they are
+    * strictly cheaper than undirected (no bidirected union). */
   final case class RelPat(varName: Option[String], relTypes: Seq[String],
-                          range: Option[(Int, Int)] = None)
+                          range: Option[(Int, Int)] = None, dir: Int = 0)
   object RelPat {
     /** Single-type convenience constructor (the dominant case). */
     def apply(varName: Option[String], relType: Option[String],
@@ -274,8 +296,13 @@ object Ast {
         s"(${n.varName}${n.label.fold("")(l => s":$l")}${anchor(n)})"
       def rel(r: RelPat): String = {
         val types = if (r.relTypes.isEmpty) "" else r.relTypes.mkString(":", "|", "")
-        s"-[${r.varName.getOrElse("")}$types" +
-          s"${r.range.fold("") { case (lo, hi) => s"*$lo..$hi" }}]-"
+        val body = s"[${r.varName.getOrElse("")}$types" +
+          s"${r.range.fold("") { case (lo, hi) => s"*$lo..$hi" }}]"
+        r.dir match {
+          case 1  => s"-$body->"
+          case -1 => s"<-$body-"
+          case _  => s"-$body-"
+        }
       }
       def path(p: MatchPath): String =
         node(p.nodes.head) + p.rels.zip(p.nodes.tail)

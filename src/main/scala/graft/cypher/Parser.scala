@@ -246,7 +246,7 @@ object Parser {
       val nodes = Seq.newBuilder[NodePat]
       val rels = Seq.newBuilder[RelPat]
       nodes += node()
-      while ({ ws(); pos < in.length && in(pos) == '-' }) {
+      while ({ ws(); pos < in.length && (in(pos) == '-' || in(pos) == '<') }) {
         rels += rel()
         nodes += node()
       }
@@ -280,6 +280,10 @@ object Parser {
     }
 
     private def rel(): RelPat = {
+      ws()
+      // `<-[…]-` reverse arrow; `-[…]-` undirected; `-[…]->` forward
+      val leftArrow = pos < in.length && in(pos) == '<'
+      if (leftArrow) pos += 1
       expect("-")
       expect("[")
       ws()
@@ -306,10 +310,12 @@ object Parser {
         fail("variable-length relationships cannot bind a variable")
       expect("]")
       expect("-")
-      // directed arrows are not part of the emitted grammar (all -[r]-)
       ws()
-      if (pos < in.length && in(pos) == '>') fail("directed patterns not supported (grammar is undirected)")
-      RelPat(v, t, range)
+      val rightArrow = pos < in.length && in(pos) == '>'
+      if (rightArrow) pos += 1
+      if (leftArrow && rightArrow)
+        fail("a relationship cannot point both ways")
+      RelPat(v, t, range, if (rightArrow) 1 else if (leftArrow) -1 else 0)
     }
 
     /** `EXISTS { path }` (NOT already consumed by the caller when

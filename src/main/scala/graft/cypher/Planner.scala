@@ -458,7 +458,8 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
               for { p <- acc; k <- lo to hi } yield {
                 val anons = (1 until k).map(j =>
                   NodePat(s"__v${pathIdx}_${i}_$j", None, None, None))
-                val hopRels = Seq.fill(k)(RelPat(None, r.relTypes, None))
+                // every expanded hop keeps the ranged rel's direction
+                val hopRels = Seq.fill(k)(RelPat(None, r.relTypes, None, r.dir))
                 MatchPath(p.nodes ++ anons :+ next, p.rels ++ hopRels)
               }
           }
@@ -484,8 +485,20 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     var df = head
     path.rels.zipWithIndex.foreach { case (r, i) =>
       val rv = r.varName.getOrElse(s"__r$i")
-      val e = (if (r.relTypes.isEmpty) g.bidir
-               else g.bidir.where(col("relType").isin(r.relTypes: _*))).as(rv)
+      // directed hops traverse ONE stored orientation — a plain projection
+      // of the rel table (keeps the (relType, src, dst) identity for trail
+      // semantics), strictly cheaper than the undirected bidir union. The
+      // left-to-right pattern direction maps to (a, b): `->` walks src→dst,
+      // `<-` walks dst→src; self-loops appear once either way.
+      val view = r.dir match {
+        case 1  => g.rels.select(col("relType"), col("src"), col("dst"),
+          col("src").as("a"), col("dst").as("b"))
+        case -1 => g.rels.select(col("relType"), col("src"), col("dst"),
+          col("dst").as("a"), col("src").as("b"))
+        case _  => g.bidir
+      }
+      val e = (if (r.relTypes.isEmpty) view
+               else view.where(col("relType").isin(r.relTypes: _*))).as(rv)
       val prev = path.nodes(i).varName
       val next = path.nodes(i + 1)
       val nextFrame = nodeFrame(unwinds, next)

@@ -44,8 +44,9 @@ object CypherProps extends Properties("cypher") {
     range <- Gen.option(for {
       lo <- Gen.choose(1, 3); hi <- Gen.choose(lo, 3)
     } yield (lo, hi))
+    dir <- Gen.frequency((2, Gen.const(0)), (1, Gen.const(1)), (1, Gen.const(-1)))
     // var-length rels cannot bind a variable (parser enforces)
-  } yield RelPat(if (named && range.isEmpty) Some(s"r$i") else None, t, range)
+  } yield RelPat(if (named && range.isEmpty) Some(s"r$i") else None, t, range, dir)
 
   private val path: Gen[MatchPath] = for {
     n <- Gen.choose(1, 3)

@@ -20,7 +20,8 @@ class CypherSpec extends SparkSpec {
   }
 
   test("parser rejects out-of-grammar input") {
-    intercept[Parser.ParseError](Parser.parse("MATCH (a)-[r]->(b) RETURN a.name"))
+    // a relationship cannot point both ways (directed forms ARE supported)
+    intercept[Parser.ParseError](Parser.parse("MATCH (a)<-[r]->(b) RETURN a.name"))
     intercept[Parser.ParseError](Parser.parse("MATCH (a)-[r]-(b)-[s]-(c)-[t]-(d) RETURN a.name"))
     intercept[Parser.ParseError](Parser.parse("MATCH (a) RETURN a.name WHERE"))
   }
@@ -614,6 +615,56 @@ class CypherSpec extends SparkSpec {
     val q = Parser.parse(
       """MATCH (p:Paper) WHERE p.abstract IS NOT NULL RETURN coalesce(p.abstract, "x", p.name) AS a, """ +
         """CASE WHEN p.nodeId <> 21 THEN p.name ELSE "mid" END AS b""")
+    assert(Parser.parse(q.render) === q)
+  }
+
+  test("directed patterns: arrows traverse one stored orientation only") {
+    // stored WRITES edges run author→paper: forward matches, reverse is empty
+    val fwd = Planner.run(g,
+      "MATCH (a:Author)-[w:WRITES]->(p:Paper) RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    assert(fwd === 4L) // e4, e5, e6, e7 — once each, never the bidir double
+    val wrongWay = Planner.run(g,
+      "MATCH (p:Paper)-[w:WRITES]->(a:Author) RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    assert(wrongWay === 0L)
+    // reverse arrow ≡ forward arrow read the other way
+    val rev = Planner.run(g,
+      "MATCH (p:Paper)<-[w:WRITES]-(a:Author) RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    assert(rev === 4L)
+    // self-loop e13 (22→22) appears once in each direction; from P-gamma:
+    // outgoing CITES = {P-alpha, P-gamma}, incoming = {P-gamma} only
+    val out = Planner.run(g,
+      """MATCH (s:Paper {name: "P-gamma"})-[c:CITES]->(q:Paper)
+        |RETURN q.name AS name ORDER BY name""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(out === Seq("P-alpha", "P-gamma"))
+    val in = Planner.run(g,
+      """MATCH (s:Paper {name: "P-gamma"})<-[c:CITES]-(q:Paper)
+        |RETURN q.name AS name ORDER BY name""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(in === Seq("P-gamma"))
+    // directed var-length with trail semantics: CITES*1..2 from P-gamma =
+    // 1 hop {20, 22} ∪ 2 hops {22→22→20} = {20, 22} distinct
+    val vl = Planner.run(g,
+      """MATCH (s:Paper {name: "P-gamma"})-[:CITES*1..2]->(q)
+        |RETURN DISTINCT q.name AS name ORDER BY name""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(vl === Seq("P-alpha", "P-gamma"))
+    // mixed directions in one path: who wrote a paper that P-gamma cites?
+    val mixed = Planner.run(g,
+      """MATCH (s:Paper {name: "P-gamma"})-[c:CITES]->(q:Paper)<-[w:WRITES]-(a:Author)
+        |RETURN DISTINCT a.name AS name ORDER BY name""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(mixed === Seq("Alice", "Bob", "Carol")) // P-alpha: Alice+Bob; P-gamma: Carol
+    // grammar: double arrow rejected; round-trip preserves arrows
+    intercept[Parser.ParseError](Parser.parse(
+      "MATCH (a)<-[r:WRITES]->(b) RETURN a.name AS n"))
+    val q = Parser.parse(
+      "MATCH (a:Author)-[w:WRITES]->(p:Paper)<-[c:CITES]-(s:Paper) " +
+        "RETURN a.name AS name, s.name AS citer")
+    assert(q.paths.head.rels.map(_.dir) === Seq(1, -1))
     assert(Parser.parse(q.render) === q)
   }
 
