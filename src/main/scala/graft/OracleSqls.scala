@@ -557,6 +557,19 @@ object OracleSqls {
         |JOIN fnodes r ON e2.b = r.nodeId AND r.label = 'Region'
         |ORDER BY nation""".stripMargin),
 
+    // boolean WHERE: AND binds tighter than OR, NOT groups — one scan
+    // predicate on both engines
+    "cy_bool_where" -> withFinGraph(
+      """SELECT n.name AS nation, CAST(count(c.nodeId) AS BIGINT) AS n_cust
+        |FROM fnodes n
+        |JOIN fbidir e ON n.nodeId = e.a AND e.relType = 'FROM_NATION'
+        |JOIN fnodes c ON e.b = c.nodeId AND c.label = 'Customer'
+        |WHERE n.label = 'Nation'
+        |  AND (c.acctbal >= 900000
+        |       OR c.acctbal < 0 AND NOT (n.name = 'NATION_3'))
+        |GROUP BY 1
+        |ORDER BY nation""".stripMargin),
+
     "cy_case_null" -> withFinGraph(
       """SELECT n.name AS nation, coalesce(opt.rname, 'OTHER') AS region_tag,
         |  CAST(CASE WHEN opt.rname IS NULL THEN 0 ELSE 1 END AS BIGINT)

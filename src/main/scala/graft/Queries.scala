@@ -1144,6 +1144,17 @@ object Queries {
         |       total / n_cust AS avg_floor
         |ORDER BY nation""".stripMargin)
 
+  /** Boolean WHERE with Cypher precedence (NOT > AND > OR, parens group):
+    * customers kept when rich OR (overdrawn AND outside one nation) —
+    * the disjunctive filter surface plus a NOT group, all folding into
+    * one scan predicate (never a union of scans). */
+  def cyBoolWhere(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(finGraph(spark, dir),
+      """MATCH (n:Nation)-[e:FROM_NATION]-(c:Customer)
+        |WHERE c.acctbal >= 900000 OR c.acctbal < 0 AND NOT (n.name = "NATION_3")
+        |RETURN n.name AS nation, count(c) AS n_cust
+        |ORDER BY nation""".stripMargin)
+
   /** CASE / coalesce / IS NULL over an OPTIONAL MATCH: nations tagged by
     * ASIA membership — the null-branching surface a user hits the moment
     * OPTIONAL MATCH returns an unmatched side. */
@@ -2852,6 +2863,7 @@ object Queries {
     "cy_case_null" -> (cyCaseNull _),
     "cy_directed" -> (cyDirected _),
     "cy_directed_rev" -> (cyDirectedRev _),
+    "cy_bool_where" -> (cyBoolWhere _),
     "skew_salted_agg" -> (skewSaltedAgg _),
     "join_salted" -> (joinSalted _),
     "join_asof_exec" -> (joinAsofExec _),

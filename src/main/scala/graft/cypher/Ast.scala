@@ -115,6 +115,15 @@ object Ast {
     * (`ref` is restricted to PropRef | ColRef at parse time). Matters
     * chiefly for OPTIONAL MATCH results, whose unmatched side is null. */
   final case class IsNullPred(ref: Expr, negated: Boolean) extends Pred
+  /** Boolean combinators with Cypher precedence (NOT > AND > OR; the WHERE
+    * list's implicit conjunction is the flattened top-level AND chain, so
+    * `a AND b` still parses to two preds). EXISTS pattern predicates may
+    * only appear as TOP-LEVEL conjuncts — they plan as semi/anti JOINS,
+    * which have no disjunctive form (rejected at parse time inside
+    * OR/NOT/parenthesized groups). */
+  final case class OrPred(l: Pred, r: Pred) extends Pred
+  final case class AndPred(l: Pred, r: Pred) extends Pred
+  final case class NotPred(p: Pred) extends Pred
 
   sealed trait Expr
   final case class PropRef(varName: String, prop: String) extends Expr
@@ -327,6 +336,11 @@ object Ast {
         case PropCmp(v, pr, op, VarRef(r))  => s"$v.$pr $op $r"
         case IsNullPred(ref, neg) =>
           s"${exprText(ref)} IS ${if (neg) "NOT " else ""}NULL"
+        // combinators render fully parenthesized so the flattened-AND
+        // top level re-parses to the identical tree
+        case OrPred(l, r)  => s"(${pred(l)} OR ${pred(r)})"
+        case AndPred(l, r) => s"(${pred(l)} AND ${pred(r)})"
+        case NotPred(p0)   => s"NOT (${pred(p0)})"
       }
       val sb = new StringBuilder
       def matchClause(us: Seq[Unwind], ps: Seq[MatchPath], prs: Seq[Pred]): Unit = {

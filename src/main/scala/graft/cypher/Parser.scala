@@ -233,14 +233,74 @@ object Parser {
     /** `existsCtx` names the surrounding clause when `EXISTS { … }` is NOT
       * plannable there (OPTIONAL MATCH WHERE, WITH WHERE) — rejected at
       * parse time with a grammar-level message instead of surfacing an
-      * opaque AnalysisException from the planner. */
+      * opaque AnalysisException from the planner.
+      *
+      * WHERE is a full boolean expression with Cypher precedence
+      * (NOT > AND > OR, parentheses group); the top-level AND chain
+      * flattens back into the conjunct list (so `a AND b` still yields
+      * two preds, the legacy shape every plan path consumes). EXISTS
+      * pattern predicates plan as semi/anti joins, which have no
+      * disjunctive form — they may only be top-level conjuncts. */
     private def predList(existsCtx: Option[String] = None): Seq[Pred] =
       if (opt("WHERE")) {
-        val ps = Seq.newBuilder[Pred]
-        ps += pred(existsCtx)
-        while (opt("AND")) ps += pred(existsCtx)
-        ps.result()
+        def flat(p: Pred): Seq[Pred] = p match {
+          case AndPred(l, r) => flat(l) ++ flat(r)
+          case x => Seq(x)
+        }
+        val conjuncts = flat(orTree(existsCtx))
+        conjuncts.foreach {
+          case _: ExistsPat => () // top-level conjunct: plannable
+          case other if containsExists(other) =>
+            fail("EXISTS { … } cannot nest inside OR/NOT/parenthesized " +
+              "groups (it plans as a semi/anti join)")
+          case _ => ()
+        }
+        conjuncts
       } else Nil
+
+    private def containsExists(p: Pred): Boolean = p match {
+      case _: ExistsPat  => true
+      case OrPred(l, r)  => containsExists(l) || containsExists(r)
+      case AndPred(l, r) => containsExists(l) || containsExists(r)
+      case NotPred(x)    => containsExists(x)
+      case _             => false
+    }
+
+    /** `orTree := andTree (OR andTree)*` — OR binds loosest. */
+    private def orTree(ctx: Option[String]): Pred = {
+      var l = andTree(ctx)
+      while (opt("OR")) l = OrPred(l, andTree(ctx))
+      l
+    }
+
+    /** `andTree := boolTerm (AND boolTerm)*`. */
+    private def andTree(ctx: Option[String]): Pred = {
+      var l = boolTerm(ctx)
+      while (opt("AND")) l = AndPred(l, boolTerm(ctx))
+      l
+    }
+
+    /** `boolTerm := NOT '(' orTree ')' | '(' orTree ')' | simple-pred`
+      * (NOT before EXISTS / nodeId-IN stays part of the simple pred). */
+    private def boolTerm(ctx: Option[String]): Pred = {
+      ws()
+      if (peek("NOT")) {
+        val saved = pos
+        expect("NOT")
+        ws()
+        if (pos < in.length && in(pos) == '(') {
+          pos += 1
+          val inner = orTree(ctx)
+          expect(")")
+          NotPred(inner)
+        } else { pos = saved; pred(ctx) }
+      } else if (pos < in.length && in(pos) == '(') {
+        pos += 1
+        val inner = orTree(ctx)
+        expect(")")
+        inner
+      } else pred(ctx)
+    }
 
     private def path(): MatchPath = {
       val nodes = Seq.newBuilder[NodePat]

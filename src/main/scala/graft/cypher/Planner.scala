@@ -588,6 +588,11 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     case IsNullPred(other, _) =>
       throw new IllegalArgumentException(
         s"IS NULL applies to properties and projected columns, not $other")
+    // combinators never contain ExistsPat (parse-time invariant), so they
+    // fold into one boolean column
+    case OrPred(l, r)  => predCol(l) || predCol(r)
+    case AndPred(l, r) => predCol(l) && predCol(r)
+    case NotPred(p0)   => !predCol(p0)
   }
 
   private def cmpLit(c: Column, op: String, value: AnchorValue): Column = {

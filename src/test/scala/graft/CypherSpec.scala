@@ -618,6 +618,51 @@ class CypherSpec extends SparkSpec {
     assert(Parser.parse(q.render) === q)
   }
 
+  test("boolean WHERE: OR / NOT / parens with Cypher precedence") {
+    // AND binds tighter than OR: matches P-beta (nodeId 21, null abstract)
+    // plus P-gamma (nodeId 22) — NOT (a AND b) De-Morgan side checked too
+    val or = Planner.run(g,
+      """MATCH (p:Paper)
+        |WHERE p.nodeId = 22 OR p.nodeId >= 21 AND p.abstract IS NULL
+        |RETURN p.name AS name ORDER BY name""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(or === Seq("P-beta", "P-gamma"))
+    // explicit grouping flips the result: (22 OR >=21) AND null-abstract
+    val grouped = Planner.run(g,
+      """MATCH (p:Paper)
+        |WHERE (p.nodeId = 22 OR p.nodeId >= 21) AND p.abstract IS NULL
+        |RETURN p.name AS name ORDER BY name""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(grouped === Seq("P-beta"))
+    // NOT over a group
+    val notted = Planner.run(g,
+      """MATCH (p:Paper)
+        |WHERE NOT (p.nodeId = 22 OR p.abstract IS NULL)
+        |RETURN p.name AS name""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(notted === Seq("P-alpha"))
+    // top-level AND chain still flattens to the legacy conjunct list
+    val q = Parser.parse(
+      "MATCH (p:Paper) WHERE p.nodeId >= 21 AND p.abstract IS NULL " +
+        "RETURN p.name AS name")
+    assert(q.preds.length === 2)
+    // round-trip through the parenthesized render
+    val q2 = Parser.parse(
+      """MATCH (p:Paper) WHERE p.nodeId = 22 OR NOT (p.nodeId < 21 AND p.abstract IS NULL) RETURN p.name AS name""")
+    assert(Parser.parse(q2.render) === q2)
+    // EXISTS cannot nest inside boolean groups — semi-joins have no OR form
+    val err = intercept[Parser.ParseError](Parser.parse(
+      """MATCH (a:Author) WHERE a.nodeId = 10 OR EXISTS { (a)-[w:WRITES]-(p) } RETURN a.name AS n"""))
+    assert(err.getMessage.contains("cannot nest"))
+    // ...but stays legal as a top-level conjunct next to boolean groups
+    val mixed = Planner.run(g,
+      """MATCH (a:Author)
+        |WHERE (a.nodeId = 10 OR a.nodeId = 12) AND EXISTS { (a)-[w:WRITES]-(p:Paper) }
+        |RETURN a.name AS name ORDER BY name""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(mixed === Seq("Alice", "Carol"))
+  }
+
   test("directed patterns: arrows traverse one stored orientation only") {
     // stored WRITES edges run author→paper: forward matches, reverse is empty
     val fwd = Planner.run(g,
