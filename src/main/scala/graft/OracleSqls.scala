@@ -557,6 +557,16 @@ object OracleSqls {
         |JOIN fnodes r ON e2.b = r.nodeId AND r.label = 'Region'
         |ORDER BY nation""".stripMargin),
 
+    "cy_in_list" -> withGraph(
+      """SELECT n.name AS nation, CAST(count(c.nodeId) AS BIGINT) AS n_cust
+        |FROM nodes n
+        |JOIN bidir e ON n.nodeId = e.a AND e.relType = 'FROM_NATION'
+        |JOIN nodes c ON e.b = c.nodeId AND c.label = 'Customer'
+        |WHERE n.label = 'Nation'
+        |  AND n.name IN ('NATION_1', 'NATION_3', 'NATION_7')
+        |GROUP BY 1
+        |ORDER BY nation""".stripMargin),
+
     // boolean WHERE: AND binds tighter than OR, NOT groups — one scan
     // predicate on both engines
     "cy_bool_where" -> withFinGraph(

@@ -1144,6 +1144,16 @@ object Queries {
         |       total / n_cust AS avg_floor
         |ORDER BY nation""".stripMargin)
 
+  /** IN list-literal membership: per-nation customer counts over a named
+    * nation subset — one `isin` predicate pushed into the scan, the
+    * parameterless companion of the `NOT v.nodeId IN $param` form. */
+  def cyInList(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """MATCH (n:Nation)-[e:FROM_NATION]-(c:Customer)
+        |WHERE n.name IN ["NATION_1", "NATION_3", "NATION_7"]
+        |RETURN n.name AS nation, count(c) AS n_cust
+        |ORDER BY nation""".stripMargin)
+
   /** Boolean WHERE with Cypher precedence (NOT > AND > OR, parens group):
     * customers kept when rich OR (overdrawn AND outside one nation) —
     * the disjunctive filter surface plus a NOT group, all folding into
@@ -2864,6 +2874,7 @@ object Queries {
     "cy_directed" -> (cyDirected _),
     "cy_directed_rev" -> (cyDirectedRev _),
     "cy_bool_where" -> (cyBoolWhere _),
+    "cy_in_list" -> (cyInList _),
     "skew_salted_agg" -> (skewSaltedAgg _),
     "join_salted" -> (joinSalted _),
     "join_asof_exec" -> (joinAsofExec _),

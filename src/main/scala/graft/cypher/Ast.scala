@@ -124,6 +124,11 @@ object Ast {
   final case class OrPred(l: Pred, r: Pred) extends Pred
   final case class AndPred(l: Pred, r: Pred) extends Pred
   final case class NotPred(p: Pred) extends Pred
+  /** `(v.prop | col) [NOT] IN [lit, …]` — membership against a literal
+    * list (the parameterless companion of `NOT v.nodeId IN $param`).
+    * `ref` is PropRef | ColRef; values are homogeneous literals. */
+  final case class InList(ref: Expr, values: Seq[AnchorValue],
+                          negated: Boolean) extends Pred
 
   sealed trait Expr
   final case class PropRef(varName: String, prop: String) extends Expr
@@ -336,6 +341,14 @@ object Ast {
         case PropCmp(v, pr, op, VarRef(r))  => s"$v.$pr $op $r"
         case IsNullPred(ref, neg) =>
           s"${exprText(ref)} IS ${if (neg) "NOT " else ""}NULL"
+        case InList(ref, vs, neg) =>
+          val lits = vs.map {
+            case StrLit(s) =>
+              "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+            case LongLit(v) => v.toString
+            case VarRef(v)  => v
+          }.mkString(", ")
+          s"${if (neg) "NOT " else ""}${exprText(ref)} IN [$lits]"
         // combinators render fully parenthesized so the flattened-AND
         // top level re-parses to the identical tree
         case OrPred(l, r)  => s"(${pred(l)} OR ${pred(r)})"

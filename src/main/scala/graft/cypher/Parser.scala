@@ -393,6 +393,23 @@ object Parser {
       ExistsPat(p, negated)
     }
 
+    /** `[lit, lit, …]` — the literal list of an IN predicate. */
+    private def litList(): Seq[AnchorValue] = {
+      expect("[")
+      val vs = Seq.newBuilder[AnchorValue]
+      def one(): Unit = {
+        ws()
+        vs += (
+          if (pos < in.length && (in(pos) == '"' || in(pos) == '\'')) StrLit(stringLit())
+          else if (pos < in.length && (in(pos).isDigit || in(pos) == '-')) LongLit(longLit())
+          else fail("expected a string or integer literal in the IN list"))
+      }
+      one()
+      while ({ ws(); pos < in.length && in(pos) == ',' }) { pos += 1; one() }
+      expect("]")
+      vs.result()
+    }
+
     /** Neo4j type alternation `:A|B|C` (empty when the rel is untyped). */
     private def relTypeList(): Seq[String] =
       if ({ ws(); pos < in.length && in(pos) == ':' }) {
@@ -450,10 +467,21 @@ object Parser {
         expect("NOT")
         if (peek("EXISTS")) { rejectExists(); existsPred(negated = true) }
         else {
-          val v = ident(); expect("."); val p = ident()
-          if (p != "nodeId") fail("only nodeId membership predicates are in the grammar")
+          val v = ident()
+          ws()
+          val prop =
+            if (pos < in.length && in(pos) == '.') { pos += 1; Some(ident()) }
+            else None
           expect("IN")
-          NotIdIn(v, param())
+          ws()
+          if (pos < in.length && in(pos) == '[')
+            InList(prop.map(PropRef(v, _)).getOrElse(ColRef(v)),
+              litList(), negated = true)
+          else prop match {
+            case Some("nodeId") => NotIdIn(v, param())
+            case _ => fail("only nodeId membership may use a $parameter " +
+              "(literal lists work on any property: NOT x.p IN [..])")
+          }
         }
       } else if (peek("EXISTS")) {
         rejectExists()
@@ -473,6 +501,15 @@ object Parser {
           if (pos < in.length && in(pos) == '.') { pos += 1; Some(ident()) }
           else None
         ws()
+        if (peek("IN")) {
+          expect("IN")
+          ws()
+          if (pos >= in.length || in(pos) != '[')
+            fail("IN requires a literal list [..] " +
+              "(parameter membership is NOT v.nodeId IN $param)")
+          return InList(prop.map(PropRef(v1, _)).getOrElse(ColRef(v1)),
+            litList(), negated = false)
+        }
         if (peek("IS")) {
           expect("IS")
           val neg = opt("NOT")

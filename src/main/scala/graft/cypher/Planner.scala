@@ -588,6 +588,20 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     case IsNullPred(other, _) =>
       throw new IllegalArgumentException(
         s"IS NULL applies to properties and projected columns, not $other")
+    case InList(ref, vs, neg) =>
+      val c = ref match {
+        case PropRef(v, p) => propCol(v, p)
+        case ColRef(n)     => col(n)
+        case other => throw new IllegalArgumentException(
+          s"IN applies to properties and projected columns, not $other")
+      }
+      val lits: Seq[Any] = vs.map {
+        case StrLit(s)  => s
+        case LongLit(v) => v
+        case other => throw new IllegalArgumentException(
+          s"unsupported IN-list value $other")
+      }
+      if (neg) !c.isin(lits: _*) else c.isin(lits: _*)
     // combinators never contain ExistsPat (parse-time invariant), so they
     // fold into one boolean column
     case OrPred(l, r)  => predCol(l) || predCol(r)

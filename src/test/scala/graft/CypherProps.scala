@@ -132,7 +132,14 @@ object CypherProps extends Properties("cypher") {
     scalarPreds <- Gen.someOf(Seq[Pred](
       VarNeq("x1", "x2"), NotIdIn("x1", "found"),
       PropCmp("x1", "nodeId", ">=", LongLit(5L)),
-      IsNullPred(PropRef("x1", "name"), negated = true)))
+      IsNullPred(PropRef("x1", "name"), negated = true),
+      InList(PropRef("x1", "name"), Seq(StrLit("a\"b"), StrLit("c")),
+        negated = false),
+      OrPred(PropCmp("x1", "nodeId", "<", LongLit(9L)),
+        NotPred(IsNullPred(ColRef("x1"), negated = false))),
+      NotPred(AndPred(PropCmp("x1", "nodeId", "=", LongLit(1L)),
+        InList(PropRef("x1", "nodeId"), Seq(LongLit(1L), LongLit(-2L)),
+          negated = true)))))
     exPreds <- Gen.frequency((2, Gen.const(Nil)),
       (1, existsPred.map(Seq(_))))
     preds = scalarPreds.toSeq ++ exPreds

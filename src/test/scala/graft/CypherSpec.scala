@@ -618,6 +618,32 @@ class CypherSpec extends SparkSpec {
     assert(Parser.parse(q.render) === q)
   }
 
+  test("IN list literals: membership and negation, strings and integers") {
+    val in = Planner.run(g,
+      """MATCH (p:Paper) WHERE p.name IN ["P-alpha", "P-gamma", "missing"]
+        |RETURN p.name AS name ORDER BY name""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(in === Seq("P-alpha", "P-gamma"))
+    val notIn = Planner.run(g,
+      """MATCH (p:Paper) WHERE NOT p.nodeId IN [20, 22]
+        |RETURN p.name AS name""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(notIn === Seq("P-beta"))
+    // composes with boolean groups
+    val mixed = Planner.run(g,
+      """MATCH (p:Paper)
+        |WHERE p.name IN ["P-beta"] OR (p.nodeId IN [22] AND p.abstract IS NOT NULL)
+        |RETURN p.name AS name ORDER BY name""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(mixed === Seq("P-beta", "P-gamma"))
+    // round-trip, and the $param form still demands nodeId
+    val q = Parser.parse(
+      """MATCH (p:Paper) WHERE p.name IN ["a\"b", "c"] AND NOT p.nodeId IN [1, -2] RETURN p.name AS n""")
+    assert(Parser.parse(q.render) === q)
+    intercept[Parser.ParseError](Parser.parse(
+      "MATCH (p:Paper) WHERE NOT p.name IN $names RETURN p.name AS n"))
+  }
+
   test("boolean WHERE: OR / NOT / parens with Cypher precedence") {
     // AND binds tighter than OR: matches P-beta (nodeId 21, null abstract)
     // plus P-gamma (nodeId 22) — NOT (a AND b) De-Morgan side checked too
