@@ -96,10 +96,10 @@ object Queries {
     Patterns.oneHop(bucketedGraph(spark, dir), "Region", Seq("ASIA", "EUROPE"))
 
   /** Bench LOAD-stage hook: force the one-time bucketed writes (graph
-    * tables + adjacency). */
+    * tables + adjacency) — only the writes, never a discarded BFS run. */
   def warmBucketed(spark: SparkSession, dir: String): Unit = {
     bucketedGraph(spark, dir)
-    graphBfsBucketed(spark, dir)
+    ensureBucketedAdj(spark, dir)
   }
 
   def j3TwoHopSchema(spark: SparkSession, dir: String): DataFrame =
@@ -609,17 +609,21 @@ object Queries {
     * oracle). Each round's frontier ⋈ adjacency join reads the bucketed
     * table with no exchange/sort on the adjacency side (plan-asserted in
     * GraphStoreSpec); the write is LOAD-stage, like the bucketed graph. */
-  def graphBfsBucketed(spark: SparkSession, dir: String): DataFrame = {
-    val prefix = bucketedAdjPrefix.getOrElseUpdate(dir, {
+  def graphBfsBucketed(spark: SparkSession, dir: String): DataFrame =
+    graft.graph.GraphAlgorithms.bfsLayers(graph(spark, dir), "Region",
+      Seq("ASIA"), iters = 6,
+      adj = graft.graph.GraphStore.readBucketedAdj(spark,
+        ensureBucketedAdj(spark, dir)))
+
+  /** One-time adjacency materialization per sf dir — the LOAD-stage hook
+    * ([[warmBucketed]]) forces ONLY this write, never the BFS itself. */
+  private def ensureBucketedAdj(spark: SparkSession, dir: String): String =
+    bucketedAdjPrefix.getOrElseUpdate(dir, {
       val p = "adj_" + dir.replaceAll("[^A-Za-z0-9]+", "_")
       graft.graph.GraphStore.writeBucketedAdj(TpchGraph(spark, dir), p,
         buckets = 32)
       p
     })
-    graft.graph.GraphAlgorithms.bfsLayers(graph(spark, dir), "Region",
-      Seq("ASIA"), iters = 6,
-      adj = graft.graph.GraphStore.readBucketedAdj(spark, prefix))
-  }
 
   private val bucketedAdjPrefix =
     scala.collection.concurrent.TrieMap[String, String]()

@@ -77,8 +77,11 @@ object Parser {
       ws()
       val start = pos
       if (pos < in.length && in(pos) == '-') pos += 1
+      val digits = pos
       while (pos < in.length && in(pos).isDigit) pos += 1
-      if (pos == start) fail("expected integer")
+      // a bare '-' must be a ParseError with position, not a raw
+      // NumberFormatException from "-".toLong
+      if (pos == digits) fail("expected integer")
       in.substring(start, pos).toLong
     }
 
@@ -407,7 +410,13 @@ object Parser {
       one()
       while ({ ws(); pos < in.length && in(pos) == ',' }) { pos += 1; one() }
       expect("]")
-      vs.result()
+      val out = vs.result()
+      // homogeneous only: a mixed list would reach Spark's In coercion
+      // (string-casts the column), which is not Cypher's typed comparison
+      if (out.exists(_.isInstanceOf[StrLit]) &&
+          out.exists(_.isInstanceOf[LongLit]))
+        fail("IN lists must be all strings or all integers")
+      out
     }
 
     /** Neo4j type alternation `:A|B|C` (empty when the rel is untyped). */

@@ -133,6 +133,13 @@ object Jpeg {
     * extra memory per task, the codec's documented shape anyway. */
   private def materialize(width: Int, height: Int,
                           f: (Int, Int) => Int): Array[Int] = {
+    // validate BEFORE allocating: the codec's own bound (0xffff per axis)
+    // admits products past Int.MaxValue, which would otherwise surface as
+    // a NegativeArraySizeException instead of this message
+    require(width > 0 && height > 0 && width <= 0xffff && height <= 0xffff,
+      s"image dimensions ${width}x$height outside 1..65535")
+    require(width.toLong * height <= (1L << 30),
+      s"image ${width}x$height exceeds the 1-gigapixel per-task plane cap")
     val a = new Array[Int](width * height)
     var y = 0
     while (y < height) {

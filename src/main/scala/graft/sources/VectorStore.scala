@@ -76,8 +76,10 @@ object VectorStore {
                            target: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path + ".current")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(target.getBytes("UTF-8")) finally out.close()
+    // temp + rename, never truncate-in-place: the commit point must flip
+    // or not — a crash mid-write must never leave an empty pointer that
+    // loses WHICH version was live
+    StoreIO.atomicWrite(fs, p, target)
   }
 
   /** One-time layout write: assign each vector to its nearest centroid and
@@ -90,6 +92,13 @@ object VectorStore {
     * whichever vectors happened to carry the lowest ids. */
   def writeIvf(emb: DataFrame, idCol: String, vecCol: String,
                nCentroids: Int, path: String, lloydIters: Int = 0): Unit = {
+    // a re-init is a FRESH v0: clear any stale version pointer a previous
+    // life's retrain left behind, or every read/append would silently keep
+    // targeting the old version directory
+    val spark = emb.sparkSession
+    val ptr = new org.apache.hadoop.fs.Path(path + ".current")
+    val fs = ptr.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(ptr)) fs.delete(ptr, false)
     val vec = col(vecCol).cast("array<double>")
     val v = emb.select(col(idCol).as("id"), vec.as("v"))
     val centroids =
@@ -234,11 +243,23 @@ object VectorStore {
         when(col("sub") === 1 && col("newCid").isNotNull, col("newCid"))
           .otherwise(col("cid")).as("cid"))
     // dynamic overwrite touches exactly the partitions present in
-    // `rewritten`: the split cells and their new halves — nothing else
+    // `rewritten`: the split cells and their new halves — nothing else.
+    // If the data job FAILS (not crashes — a live exception we can catch),
+    // roll the centroids sidecar back to its pre-split state so pruned
+    // probes keep their old ranking instead of ranking the still-whole hot
+    // cell by its sub-0 half; the abort is marked in the manifest.
     val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try rewritten.write.mode("overwrite").partitionBy("cid").parquet(cur)
-    finally prevMode match {
+    catch {
+      case e: Throwable =>
+        overwriteViaRename(spark, cur + ".centroids",
+          spark.createDataFrame(existing.map { case (c, v) => (c, v) })
+            .toDF("cid", "cv"))
+        appendManifest(spark, path,
+          Seq("""{"op":"rebalance-abort","restored":"centroids"}"""))
+        throw e
+    } finally prevMode match {
       case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }

@@ -642,6 +642,15 @@ class CypherSpec extends SparkSpec {
     assert(Parser.parse(q.render) === q)
     intercept[Parser.ParseError](Parser.parse(
       "MATCH (p:Paper) WHERE NOT p.name IN $names RETURN p.name AS n"))
+    // mixed-type lists would hit Spark's string coercion, not Cypher's
+    // typed comparison — grammar-level rejection
+    val mixErr = intercept[Parser.ParseError](Parser.parse(
+      """MATCH (p:Paper) WHERE p.nodeId IN [20, "x"] RETURN p.name AS n"""))
+    assert(mixErr.getMessage.contains("all strings or all integers"))
+    // a bare '-' in an expression is a ParseError with position, never a
+    // raw NumberFormatException
+    intercept[Parser.ParseError](Parser.parse(
+      "MATCH (p:Paper) RETURN p.nodeId * - 2 AS v"))
   }
 
   test("boolean WHERE: OR / NOT / parens with Cypher precedence") {

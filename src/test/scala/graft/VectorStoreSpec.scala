@@ -161,6 +161,14 @@ class VectorStoreSpec extends SparkSpec {
     assert(VectorStore.retrainIvf(spark, path, nCentroids = 4,
       lloydIters = 2) === 2)
     assert(VectorStore.resolve(spark, path) === s"$path.v2")
+    // a RE-INIT is a fresh v0: writeIvf clears the stale pointer, so
+    // reads/appends target the rebuilt store, not the old version
+    VectorStore.writeIvf(emb, "vec_id", "embedding", nCentroids = 4, path)
+    assert(VectorStore.resolve(spark, path) === path)
+    val reinit = VectorStore.probeIvf(spark, path, "vec_id", q, k = 1,
+        nProbe = 64)
+      .collect().map(_.getLong(0)).toSeq
+    assert(reinit.nonEmpty && reinit.head != 9000L) // v1's append is gone
   }
 
   test("rebalance on a corrupt store (empty centroids sidecar) fails clearly") {
