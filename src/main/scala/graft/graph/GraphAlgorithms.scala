@@ -250,7 +250,10 @@ object GraphAlgorithms {
       .select(col("nodeId").as("v"), lit(0).as("d"))
       .localCheckpoint(true)
     var dist = frontier
-    for (t <- 1 to iters) {
+    var t = 1
+    // early exit on saturation (see srcKeyedMinDist): an empty frontier
+    // makes every later round a no-op — same result, rounds saved
+    while (t <= iters && !frontier.isEmpty) {
       // dist is referenced twice (anti-join + union) but is a union of
       // already-materialized frontiers, so the replicated lineage is cheap
       frontier = adj.join(frontierSide(frontier), col("v") === col("a"))
@@ -259,6 +262,7 @@ object GraphAlgorithms {
         .select(col("v"), lit(t).as("d"))
         .localCheckpoint(true)
       dist = dist.unionByName(frontier)
+      t += 1
     }
     dist.join(g.nodes, col("v") === col("nodeId"))
       .groupBy(col("d").as("dist"), col("label"))
@@ -306,7 +310,13 @@ object GraphAlgorithms {
       .distinct()
       .localCheckpoint(true)
     var dist = frontier
-    for (t <- 1 to maxHops) {
+    var t = 1
+    // early exit on saturation: an empty frontier makes every later round
+    // a no-op, so stopping changes NOTHING in the result (the unrolled
+    // oracle agrees round-for-round) and saves the per-round join +
+    // checkpoint once the search has reached everything it ever will —
+    // the isEmpty probe is one cheap scan of the just-materialized frame
+    while (t <= maxHops && !frontier.isEmpty) {
       frontier = adj.join(side(frontier), col("v") === col("a"))
         .select(col("src"), col("b").as("v")).distinct()
         .join(side(dist.select(col("src"), col("v"))),
@@ -314,6 +324,7 @@ object GraphAlgorithms {
         .select(col("src"), col("v"), lit(t).as("dist"))
         .localCheckpoint(true)
       dist = dist.unionByName(frontier)
+      t += 1
     }
     dist
   }
