@@ -122,7 +122,15 @@ object GraphAlgorithms {
         lit(0).as("d"), lit(1L).as("sigma"))
     var frontier = anchors.localCheckpoint(true)
     var visited = frontier
-    for (t <- 1 to iters) {
+    // early exit on saturation (the bfsLayers/srcKeyedMinDist rule): an
+    // empty layer makes every deeper layer empty, so the forward sweep
+    // stops at the deepest REACHED layer and the backward sweep starts
+    // there — identical to iterating the empty tail (empty layers
+    // contribute nothing to delta), rounds saved on both sweeps
+    var deepest = 0
+    var t0 = 1
+    while (t0 <= iters && !frontier.isEmpty) {
+      val t = t0
       frontier = adj.join(stateSide(frontier), col("v") === col("a"))
         .groupBy(col("src"), col("b").as("v"))
         .agg(least(sum(col("sigma")), lit(sigmaCap)).as("sigma"))
@@ -131,15 +139,17 @@ object GraphAlgorithms {
         .select(col("src"), col("v"), lit(t).as("d"), col("sigma"))
         .localCheckpoint(true)
       visited = visited.unionByName(frontier)
+      if (!frontier.isEmpty) deepest = t
+      t0 += 1
     }
     visited = visited.localCheckpoint(true)
     // backward: deepest layer has delta 0; each shallower layer sums the
     // floored per-successor terms (left join keeps leaf deltas at 0)
-    var delta = visited.where(col("d") === iters)
+    var delta = visited.where(col("d") === deepest)
       .select(col("src"), col("v"), col("sigma"), lit(0L).as("delta"))
       .localCheckpoint(true)
     var acc = delta
-    for (t <- (iters - 1) to 0 by -1) {
+    for (t <- (deepest - 1) to 0 by -1) {
       val layer = visited.where(col("d") === t)
       val terms = adj
         .join(stateSide(layer.as("l")), col("l.v") === col("a"))
@@ -559,12 +569,15 @@ object GraphAlgorithms {
     def reach(adj: DataFrame): DataFrame = {
       var frontier = broadcast(pivot).localCheckpoint(true)
       var seen = frontier
-      for (_ <- 1 to iters) {
+      var t = 0
+      // early exit on saturation — same result, rounds saved
+      while (t < iters && !frontier.isEmpty) {
         frontier = adj.join(broadcast(frontier), Seq("v"))
           .select(col("b").as("v")).distinct()
           .join(broadcast(seen), Seq("v"), "left_anti")
           .localCheckpoint(true)
         seen = seen.unionByName(frontier)
+        t += 1
       }
       seen
     }
