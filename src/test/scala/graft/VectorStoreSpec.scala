@@ -171,6 +171,74 @@ class VectorStoreSpec extends SparkSpec {
     assert(reinit.nonEmpty && reinit.head != 9000L) // v1's append is gone
   }
 
+  test("e2e drift-triggered retrain: driftReport flags the drifted batch, " +
+    "retrain restores pruned-probe recall") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.cosineSim
+    val path = java.nio.file.Files.createTempDirectory("ivfstore7")
+      .resolve("emb").toString
+    def unit(x: Double, y: Double, z: Double, w: Double) = Seq(x, y, z, w)
+    // base distribution: two tight modes on +e1 and +e3
+    val base = ((0L until 24L).map(i => (i, unit(1.0, 0.001 * i, 0, 0))) ++
+      (100L until 124L).map(i => (i, unit(0, 0, 1.0, 0.001 * (i - 100)))))
+      .toDF("vec_id", "embedding")
+    VectorStore.writeIvf(base, "vec_id", "embedding", nCentroids = 2, path,
+      lloydIters = 2)
+    // a NEW mode halfway between the stale cells: paired tilt magnitudes
+    // with alternating SIGN, so consecutive ids rank equally for the mode
+    // query but assign to OPPOSITE old cells — the classic stale-quantizer
+    // pathology (a drifted mode straddling a cell boundary)
+    val drifted = (200L until 224L).map { i =>
+      val j = ((i - 200) / 2 + 1).toDouble
+      val s = (if (i % 2 == 0) 1 else -1) * 0.02 * j
+      (i, unit(0.707 + s, 0, 0.707 - s, 0))
+    }.toDF("vec_id", "embedding")
+    VectorStore.appendIvf(drifted, "vec_id", "embedding", path)
+
+    // the TRIGGER: per-vector best-centroid-similarity deciles, reference
+    // (base) vs the appended batch, through Profile.driftReport — the
+    // drifted batch must flag while a same-distribution holdout must not
+    def bins(vs: org.apache.spark.sql.DataFrame) = {
+      val cents = spark.read.parquet(
+        VectorStore.resolve(spark, path) + ".centroids")
+      vs.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .crossJoin(broadcast(cents))
+        .withColumn("sim", cosineSim(col("v"), col("cv")))
+        .groupBy("vec_id").agg(max("sim").as("best"))
+        .select(floor(col("best") * 10).as("bin"))
+    }
+    val holdout = ((50L until 62L).map(i => (i, unit(1.0, 0.001 * i, 0, 0))) ++
+      (150L until 162L).map(i => (i, unit(0, 0, 1.0, 0.001 * (i - 150)))))
+      .toDF("vec_id", "embedding")
+    def rollupL1(cur: org.apache.spark.sql.DataFrame): Long =
+      graft.operators.Profile.driftReport(bins(base), bins(cur), col("bin"))
+        .where(col("bin") === -1L).select("l1_micro")
+        .collect().head.getLong(0)
+    val driftedL1 = rollupL1(drifted)
+    val holdoutL1 = rollupL1(holdout)
+    assert(driftedL1 > 5 * math.max(holdoutL1, 1L),
+      s"drifted batch must flag (drifted=$driftedL1 vs holdout=$holdoutL1)")
+
+    // BEFORE retrain: a query in the drifted direction at nProbe=1 sees
+    // only one of the two straddled cells — recall loss vs brute force
+    val q = unit(0.707, 0, 0.707, 0)
+    def ids(nProbe: Int) = VectorStore.probeIvf(spark, path, "vec_id", q,
+      k = 10, nProbe = nProbe).collect().map(_.getLong(0)).toSet
+    val exact = ids(64)
+    assert(exact.forall(_ >= 200L)) // brute force: all drifted-mode vectors
+    val prunedBefore = ids(1)
+    assert(prunedBefore != exact,
+      "the stale quantizer must lose recall at nProbe=1 (mode straddles cells)")
+
+    // the RESPONSE: full retrain re-learns the quantizer over the drifted
+    // corpus; the drifted mode no longer straddles a ranking boundary and
+    // the same pruned probe recovers the exact top-k (nProbe=2 of 4 cells
+    // — still pruning half the store)
+    VectorStore.retrainIvf(spark, path, nCentroids = 4, lloydIters = 4)
+    assert(ids(2) === exact,
+      "after retrain the pruned probe recovers the exact top-k")
+  }
+
   test("rebalance on a corrupt store (empty centroids sidecar) fails clearly") {
     val path = java.nio.file.Files.createTempDirectory("ivfstore6")
       .resolve("emb").toString
