@@ -3516,6 +3516,31 @@ object OracleSqls {
         |    AS n_bright
         |FROM cell GROUP BY y, x ORDER BY y, x""".stripMargin,
 
+    // RGB sibling of mm_png_pixels: three channel formulas replayed at the
+    // resize source coordinates — the Spark side's 3-byte-pixel filters +
+    // deflate must cancel exactly
+    "mm_png_color" ->
+      """WITH d AS (
+        |  SELECT doc_id, (doc_id % 6) + 3 AS w, (doc_id % 5) + 6 AS h
+        |  FROM documents
+        |), cell AS (
+        |  SELECT doc_id, CAST(y.y AS INTEGER) AS y, CAST(x.x AS INTEGER) AS x,
+        |    (doc_id * 37 + ((x.x * w) // 4) * 11 + ((y.y * h) // 4) * 17)
+        |      % 256 AS r,
+        |    (doc_id * 23 + ((x.x * w) // 4) * 7 + ((y.y * h) // 4) * 13)
+        |      % 256 AS g,
+        |    (doc_id * 41 + ((x.x * w) // 4) * 5 + ((y.y * h) // 4) * 19)
+        |      % 256 AS b
+        |  FROM d,
+        |    LATERAL (SELECT unnest(range(0, 4)) AS y) y,
+        |    LATERAL (SELECT unnest(range(0, 4)) AS x) x
+        |)
+        |SELECT y, x, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(r) AS BIGINT) AS sum_r,
+        |  CAST(sum(g) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b
+        |FROM cell GROUP BY y, x ORDER BY y, x""".stripMargin,
+
     // GIF sibling of mm_png_pixels: the oracle replays the pixel formula
     // at the resize source coordinates; LZW compress/decompress on the
     // Spark side must cancel exactly for the hashes to agree

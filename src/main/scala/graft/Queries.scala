@@ -2383,6 +2383,12 @@ object Queries {
   def mmPngPixels(spark: SparkSession, dir: String): DataFrame =
     Multimodal.pngDecodeRoundtrip(spark, T(spark, dir, "documents"))
 
+  /** Full-color PNG roundtrip (3-channel filters + inflate on the decode
+    * path): per-channel formula planes survive the real RGB codec
+    * bit-exactly; the oracle replays the formulas. */
+  def mmPngColor(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.pngColorRoundtrip(spark, T(spark, dir, "documents"))
+
   /** Histogram equalization over real BMP-decoded pixels: the narrow
     * input band stretches to full range; oracle rebuilds the cdf remap
     * relationally from the formula. */
@@ -3068,6 +3074,7 @@ object Queries {
     "mm_audio_frames" -> (mmAudioFrames _),
     "mm_image_resize" -> (mmImageResize _),
     "mm_png_pixels" -> (mmPngPixels _),
+    "mm_png_color" -> (mmPngColor _),
     "mm_gif_pixels" -> (mmGifPixels _),
     "mm_jpeg_pixels" -> (mmJpegPixels _),
     "mm_jpeg_color" -> (mmJpegColor _),

@@ -310,6 +310,66 @@ object Multimodal {
     b.array()
   }
 
+  /** Complete 8-bit RGB PNG (color type 2, no interlace) — the color
+    * sibling of [[pngFileGray]], same all-five-filter row cycling (filters
+    * operate per BYTE with the left/up-left neighbors one PIXEL — three
+    * samples — back, per RFC 2083). */
+  def pngFileRgb(width: Int, height: Int,
+                 rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val bpp = 3
+    val rowLen = 1 + width * bpp
+    val raw = new Array[Byte](rowLen * height)
+    def ch(x: Int, y: Int, c: Int): Int = {
+      val (r, g, b) = rgb(x, y)
+      (c match { case 0 => r; case 1 => g; case _ => b }) & 0xff
+    }
+    var y = 0
+    while (y < height) {
+      val base = y * rowLen
+      val f = y % 5
+      raw(base) = f.toByte
+      var i = 0
+      while (i < width * bpp) {
+        val x = i / bpp; val c = i % bpp
+        val cur = ch(x, y, c)
+        val left = if (x > 0) ch(x - 1, y, c) else 0
+        val up = if (y > 0) ch(x, y - 1, c) else 0
+        val upLeft = if (x > 0 && y > 0) ch(x - 1, y - 1, c) else 0
+        val filtered = f match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case _ => cur - paeth(left, up, upLeft)
+        }
+        raw(base + 1 + i) = filtered.toByte
+        i += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val zBuf = new Array[Byte](raw.length + (raw.length >> 9) + 64)
+    var zLen = 0
+    while (!deflater.finished())
+      zLen += deflater.deflate(zBuf, zLen, zBuf.length - zLen)
+    deflater.end()
+    val ihdr = java.nio.ByteBuffer.allocate(17)
+      .put("IHDR".getBytes("US-ASCII"))
+      .putInt(width).putInt(height)
+      .put(8.toByte).put(2.toByte) // bit depth 8, color type 2 (RGB)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val idatBody = java.util.Arrays.copyOf(zBuf, zLen)
+    val b = java.nio.ByteBuffer.allocate(8 + 25 + 12 + zLen + 12)
+    b.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    b.putInt(13).put(ihdr).putInt(crc32(ihdr))
+    b.putInt(zLen).put("IDAT".getBytes("US-ASCII")).put(idatBody)
+      .putInt(crc32("IDAT".getBytes("US-ASCII"), idatBody))
+    b.putInt(0).put("IEND".getBytes("US-ASCII"))
+      .putInt(crc32("IEND".getBytes("US-ASCII")))
+    b.array()
+  }
+
   /** REAL PNG pixel decode: chunk walk → concatenated-IDAT zlib inflate
     * (java.util.zip.Inflater) → per-row filter reconstruction (all five
     * RFC 2083 filters) → top-down grayscale. Supports the two canonical
@@ -321,7 +381,49 @@ object Multimodal {
     * past the payload (the same walk guard as the WAV parser) — returns
     * None. Same dirty-corpus contract as [[wavPcmLayout]]. */
   def decodePngGray(p: Array[Byte],
-                    maxPixels: Int = 1 << 24): Option[(Int, Int, Array[Int])] = {
+                    maxPixels: Int = 1 << 24): Option[(Int, Int, Array[Int])] =
+    decodePngRaw(p, maxPixels).map { case (w, h, bpp, samples) =>
+      val out = new Array[Int](w * h)
+      var i = 0
+      while (i < w * h) {
+        out(i) =
+          if (bpp == 1) samples(i)
+          else (299 * samples(i * 3) + 587 * samples(i * 3 + 1) +
+            114 * samples(i * 3 + 2)) / 1000
+        i += 1
+      }
+      (w, h, out)
+    }
+
+  /** Full-color PNG decode: Some((w, h, r, g, b)) with one plane per
+    * channel — the [[graft.operators.Jpeg.decodeJpegColor]] counterpart
+    * for the PNG family, unlocking color perceptual hashing
+    * ([[graft.operators.ImageHash.aHashColor]] via [[graft.operators
+    * .Jpeg.rgbToYCbCr]]) on PNG corpora. A grayscale file (color type 0)
+    * decodes with all three planes equal. Same dirty-corpus None
+    * contract as [[decodePngGray]]. */
+  def decodePngColor(p: Array[Byte], maxPixels: Int = 1 << 24)
+      : Option[(Int, Int, Array[Int], Array[Int], Array[Int])] =
+    decodePngRaw(p, maxPixels).map { case (w, h, bpp, samples) =>
+      val r = new Array[Int](w * h)
+      val g = new Array[Int](w * h)
+      val b = new Array[Int](w * h)
+      var i = 0
+      while (i < w * h) {
+        if (bpp == 1) { r(i) = samples(i); g(i) = samples(i); b(i) = samples(i) }
+        else { r(i) = samples(i * 3); g(i) = samples(i * 3 + 1); b(i) = samples(i * 3 + 2) }
+        i += 1
+      }
+      (w, h, r, g, b)
+    }
+
+  /** Shared decode core: chunk walk → inflate → unfilter, returning the
+    * reconstructed samples row-major (`w·bpp` per row) plus the layout.
+    * [[decodePngGray]] collapses to luma; [[decodePngColor]] splits
+    * planes — both read the SAME reconstruction, so the gray path's
+    * arithmetic is untouched by the color unlock. */
+  private def decodePngRaw(p: Array[Byte], maxPixels: Int)
+      : Option[(Int, Int, Int, Array[Int])] = {
     val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
     if (p.length < 8 || !sig.indices.forall(i => p(i) == sig(i))) return None
     var w = 0; var h = 0; var colorType = -1
@@ -356,6 +458,7 @@ object Multimodal {
     }
     if (!ok || colorType < 0 || idat.size() == 0) return None
     val bpp = if (colorType == 0) 1 else 3
+    val out = new Array[Int](w * bpp * h)
     val rowLen = 1 + w * bpp
     val raw = new Array[Byte](rowLen * h)
     val inflater = new java.util.zip.Inflater()
@@ -370,7 +473,6 @@ object Multimodal {
       if (got < raw.length) return None
     } catch { case _: java.util.zip.DataFormatException => return None }
     finally inflater.end()
-    val out = new Array[Int](w * h)
     val prior = new Array[Int](w * bpp) // reconstructed previous row
     val cur = new Array[Int](w * bpp)
     var y = 0
@@ -393,18 +495,11 @@ object Multimodal {
         }) & 0xff
         x += 1
       }
-      var px = 0
-      while (px < w) {
-        out(y * w + px) =
-          if (bpp == 1) cur(px)
-          else (299 * cur(px * 3) + 587 * cur(px * 3 + 1) +
-            114 * cur(px * 3 + 2)) / 1000
-        px += 1
-      }
+      System.arraycopy(cur, 0, out, y * w * bpp, w * bpp)
       System.arraycopy(cur, 0, prior, 0, w * bpp)
       y += 1
     }
-    Some((w, h, out))
+    Some((w, h, bpp, out))
   }
 
   /** PNG pixel-decode round trip (the PNG sibling of
@@ -446,6 +541,53 @@ object Multimodal {
         count(lit(1)).as("n_docs"),
         sum(col("gray").cast("long")).as("sum_gray"),
         sum(when(col("gray") >= 128, 1L).otherwise(0L)).as("n_bright"))
+      .orderBy("y", "x")
+  }
+
+  /** COLOR PNG round trip — the RGB sibling of [[pngDecodeRoundtrip]]:
+    * per-channel integer formulas → [[pngFileRgb]] (all five filters
+    * cycling over 3-byte pixels) → [[decodePngColor]] → per-channel
+    * nearest resize → per-cell channel sums across docs. The oracle
+    * recomputes all three formulas at the resize source coordinates;
+    * deflate/inflate and the per-BYTE filters (whose left neighbor sits
+    * one PIXEL back) cancel only if the 3-channel codec paths are
+    * correct. */
+  def pngColorRoundtrip(spark: SparkSession, docs: DataFrame,
+                        tw: Int = 4, th: Int = 4): DataFrame = {
+    import spark.implicits._
+    val pngs = docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (id % 6L).toInt + 3
+          val h = (id % 5L).toInt + 6 // >= 6 rows: every filter type used
+          (id, pngFileRgb(w, h, (x, y) => (
+            ((id * 37L + x * 11L + y * 17L) % 256L).toInt,
+            ((id * 23L + x * 7L + y * 13L) % 256L).toInt,
+            ((id * 41L + x * 5L + y * 19L) % 256L).toInt)))
+        }
+      }.toDF("doc_id", "png")
+    pngs.select(col("doc_id"), col("png").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, p) =>
+          decodePngColor(p) match {
+            case Some((w, h, r, g, b)) =>
+              val rr = resizeNearest(r, w, h, tw, th)
+              val gg = resizeNearest(g, w, h, tw, th)
+              val bb = resizeNearest(b, w, h, tw, th)
+              (0 until th).iterator.flatMap(y =>
+                (0 until tw).iterator.map(x =>
+                  (id, y, x, rr(y * tw + x), gg(y * tw + x), bb(y * tw + x))))
+            case None => Iterator.empty
+          }
+        }
+      }.toDF("doc_id", "y", "x", "r", "g", "b")
+      .groupBy("y", "x")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("r").cast("long")).as("sum_r"),
+        sum(col("g").cast("long")).as("sum_g"),
+        sum(col("b").cast("long")).as("sum_b"))
       .orderBy("y", "x")
   }
 

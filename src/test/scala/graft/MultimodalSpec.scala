@@ -305,6 +305,50 @@ class MultimodalSpec extends SparkSpec {
         s"gray pixel ($x,$y)")
   }
 
+  test("decodePngColor: exact RGB roundtrip through pngFileRgb, JDK " +
+    "cross-check, gray files replicate planes") {
+    val w = 6; val h = 11 // >= 6 rows: all five filters appear (y % 5)
+    def rf(x: Int, y: Int) = (x * 40 + y * 25 + x * y * 3) % 256
+    def gf(x: Int, y: Int) = (x * 17 + y * 9 + 31) % 256
+    def bf(x: Int, y: Int) = (x * 5 + y * 61 + x * y * 7) % 256
+    val bytes = Multimodal.pngFileRgb(w, h, (x, y) => (rf(x, y), gf(x, y), bf(x, y)))
+    val Some((dw, dh, r, g, b)) = Multimodal.decodePngColor(bytes)
+    assert((dw, dh) === (w, h))
+    for (y <- 0 until h; x <- 0 until w) {
+      assert(r(y * w + x) === rf(x, y), s"r ($x,$y)")
+      assert(g(y * w + x) === gf(x, y), s"g ($x,$y)")
+      assert(b(y * w + x) === bf(x, y), s"b ($x,$y)")
+    }
+    // JDK ImageIO decodes our RGB writer's bytes identically
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = img.getRGB(x, y)
+      assert(((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff) ===
+        ((rf(x, y), gf(x, y), bf(x, y))), s"jdk ($x,$y)")
+    }
+    // a JDK-encoded RGB PNG (independent filter/deflate choices) decodes
+    // to the same channels
+    val jimg = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      jimg.setRGB(x, y, (rf(x, y) << 16) | (gf(x, y) << 8) | bf(x, y))
+    val jout = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(jimg, "png", jout))
+    val Some((jw, jh, jr, jg, jb)) = Multimodal.decodePngColor(jout.toByteArray)
+    assert((jw, jh) === (w, h))
+    for (y <- 0 until h; x <- 0 until w)
+      assert((jr(y * w + x), jg(y * w + x), jb(y * w + x)) ===
+        ((rf(x, y), gf(x, y), bf(x, y))), s"jdk-enc ($x,$y)")
+    // grayscale files decode with three equal planes
+    val gray = Multimodal.pngFileGray(w, h, rf)
+    val Some((_, _, c1, c2, c3)) = Multimodal.decodePngColor(gray)
+    for (i <- 0 until w * h) {
+      assert(c1(i) === rf(i % w, i / w))
+      assert(c1(i) === c2(i) && c2(i) === c3(i))
+    }
+  }
+
   test("ImageIO decodes our pngFileGray writer's bytes (both directions)") {
     val w = 6; val h = 11 // >= 6 rows: all five filters appear (y % 5)
     def gray(x: Int, y: Int) = (x * 40 + y * 25 + x * y * 3) % 256
