@@ -4417,6 +4417,29 @@ object OracleSqls {
         |  CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
+    // classical additive seasonal decomposition of the hourly count
+    // series: centered 25-point MA trend (full frames only), per-hour-of-
+    // day mean of the detrended series — integer micro-units throughout
+    "events_seasonal" ->
+      """WITH hourly AS (
+        |  SELECT (epoch_us(ts) // 3600000000) AS h, count(*) AS y
+        |  FROM events GROUP BY 1
+        |), t AS (
+        |  SELECT h, y,
+        |    sum(y) OVER (ORDER BY h ROWS BETWEEN 12 PRECEDING
+        |      AND 12 FOLLOWING) AS fsum,
+        |    count(*) OVER (ORDER BY h ROWS BETWEEN 12 PRECEDING
+        |      AND 12 FOLLOWING) AS fcnt
+        |  FROM hourly
+        |), d AS (
+        |  SELECT h % 24 AS hod,
+        |    y * 1000000 - ((fsum * 1000000) // fcnt) AS detr
+        |  FROM t WHERE fcnt = 25
+        |)
+        |SELECT CAST(hod AS BIGINT) AS hod, CAST(count(*) AS BIGINT) AS n_obs,
+        |  CAST(sum(detr) // count(*) AS BIGINT) AS seasonal_micro
+        |FROM d GROUP BY 1 ORDER BY hod""".stripMargin,
+
     // trailing 1-hour per-user RANGE window (frame on integer epoch
     // seconds — order-insensitive for equal-second ties in both engines)
     "events_rolling" ->

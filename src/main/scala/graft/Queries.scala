@@ -2606,6 +2606,12 @@ object Queries {
   def eventsHourly(spark: SparkSession, dir: String): DataFrame =
     Events.hourlyAgg(eventsT(spark, dir))
 
+  /** Classical additive seasonal decomposition of the global hourly count
+    * series: the 24-hour daily-shape profile (seasonal index per
+    * hour-of-day in micro-units, centered-MA trend removed). */
+  def eventsSeasonal(spark: SparkSession, dir: String): DataFrame =
+    Events.seasonalDecompose(eventsT(spark, dir))
+
   /** Trailing 1-hour per-user range window over every event. */
   def eventsRolling(spark: SparkSession, dir: String): DataFrame =
     Events.rollingWindowStats(eventsT(spark, dir), windowSeconds = 3600L)
@@ -3093,6 +3099,7 @@ object Queries {
     "join_interval" -> (joinInterval _),
     "join_scd2_lookup" -> (joinScd2Lookup _),
     "events_hourly" -> (eventsHourly _),
+    "events_seasonal" -> (eventsSeasonal _),
     "events_rolling" -> (eventsRolling _),
     "events_outliers" -> (eventsOutliers _),
     "events_scd2" -> (eventsScd2 _),

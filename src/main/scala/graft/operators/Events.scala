@@ -35,6 +35,38 @@ object Events {
         col("event_type"))
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
 
+  /** Classical additive SEASONAL DECOMPOSITION of the global hourly count
+    * series (period 24): trend = centered (2·half+1)-point moving average
+    * of the hourly counts (integer micro-units, truncating div), detrended
+    * = y·10⁶ − trend, seasonal index = per-hour-of-day mean of the
+    * detrended series over FULL-frame rows only (edge hours lack a
+    * centered window and are excluded, the textbook convention). Returns
+    * `period` rows (hod, n_obs, seasonal_micro) — the daily-shape profile
+    * a pipeline-load planner reads.
+    *
+    * Scale shape: the corpus scan is ONE hourly groupBy; the global
+    * ordered window then runs over the O(hours) ROLLUP (10 years ≈ 87k
+    * rows — a single-partition window over a bounded series, never the
+    * corpus), and the seasonal means are one O(period) aggregate. */
+  def seasonalDecompose(events: DataFrame, half: Int = 12,
+                        period: Int = 24): DataFrame = {
+    val hourly = events
+      .select(expr("(ts div 1000000000) div 3600").as("h"))
+      .groupBy("h").agg(count(lit(1)).as("y"))
+    val frame = Window.orderBy("h").rowsBetween(-half, half)
+    hourly
+      .withColumn("fsum", sum(col("y")).over(frame))
+      .withColumn("fcnt", count(lit(1)).over(frame))
+      .where(col("fcnt") === 2 * half + 1)
+      .withColumn("trend_micro", expr("(fsum * 1000000) div fcnt"))
+      .withColumn("detr_micro", col("y") * lit(1000000L) - col("trend_micro"))
+      .withColumn("hod", pmod(col("h"), lit(period.toLong)))
+      .groupBy("hod")
+      .agg(count(lit(1)).as("n_obs"),
+        expr("sum(detr_micro) div count(1)").as("seasonal_micro"))
+      .orderBy("hod")
+  }
+
   /** Per-event trailing time-range window: for every event, the count and
     * value-sum of the same user's events in the preceding `windowSeconds`
     * (inclusive of the current second — a RANGE frame on epoch seconds, so

@@ -13,6 +13,27 @@ class EventsSpec extends SparkSpec {
 
   private def nanos(s: String): Long = Timestamp.valueOf(s).getTime * 1000000L
 
+  test("seasonalDecompose recovers a planted daily spike exactly") {
+    // 5 days of hourly events: 10 per hour at hour-of-day 6, 2 otherwise.
+    // Hand-derived micro-units: a centered 25-hour frame holds ONE spike
+    // (fsum = 24·2 + 10 = 58) except at hod 18, whose frame endpoints land
+    // on spikes both sides (fsum = 23·2 + 2·10 = 66); full-frame rows are
+    // h in 12..107.
+    val rows = for {
+      h <- 0 until 120
+      i <- 0 until (if (h % 24 == 6) 10 else 2)
+    } yield (h.toLong * 1000 + i, h.toLong * 3600L * 1000000000L + i)
+    val df = rows.toDF("event_id", "ts")
+    val out = Events.seasonalDecompose(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.size === 24)
+    assert(out(6L) === ((4L, 10000000L - (58000000L / 25)))) //  7680000
+    assert(out(18L) === ((4L, 2000000L - (66000000L / 25)))) //  -640000
+    assert(out(0L)._2 === 2000000L - (58000000L / 25))       //  -320000
+    // the spike hour carries the one large positive index
+    assert(out.filter(_._2._2 > 0).keySet === Set(6L))
+  }
+
   test("hourlyAgg buckets by UTC hour") {
     val df = Seq(
       (1L, nanos("2024-01-01 00:30:00"), 1L, "click", 1.0, ""),
