@@ -529,6 +529,19 @@ object OracleSqls {
         |GROUP BY 1
         |ORDER BY nation""".stripMargin),
 
+    // DISTINCT numeric aggregates over integer-division buckets
+    "cy_sum_distinct" -> withFinGraph(
+      """SELECT n.name AS nation,
+        |  CAST(sum(DISTINCT c.acctbal // 100000) AS BIGINT) AS s,
+        |  avg(DISTINCT c.acctbal // 100000) AS a,
+        |  CAST(count(c.nodeId) AS BIGINT) AS n_cust
+        |FROM fnodes n
+        |JOIN fbidir e ON n.nodeId = e.a AND e.relType = 'FROM_NATION'
+        |JOIN fnodes c ON e.b = c.nodeId AND c.label = 'Customer'
+        |WHERE n.label = 'Nation'
+        |GROUP BY 1
+        |ORDER BY nation""".stripMargin),
+
     // Cypher integer division truncates toward zero == DuckDB `//`
     "cy_return_arith" -> withFinGraph(
       """SELECT c.name AS name, c.acctbal * 2 + 50 AS doubled,

@@ -1125,6 +1125,16 @@ object Queries {
         |       avg(c.acctbal) AS avg_bal, count(c) AS n_cust
         |ORDER BY nation""".stripMargin)
 
+  /** sum(DISTINCT)/avg(DISTINCT): balances bucketed to thousands of
+    * dollars (integer division manufactures real duplicates), aggregated
+    * over the DISTINCT bucket set per nation. */
+  def cySumDistinct(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(finGraph(spark, dir),
+      """MATCH (n:Nation)-[e:FROM_NATION]-(c:Customer)
+        |RETURN n.name AS nation, sum(DISTINCT c.acctbal / 100000) AS s,
+        |       avg(DISTINCT c.acctbal / 100000) AS a, count(c) AS n_cust
+        |ORDER BY nation""".stripMargin)
+
   /** Arithmetic expressions in RETURN: precedence, `%`, and Cypher's
     * truncating integer division (negative balances exercise
     * toward-zero semantics — DuckDB `//` oracle-verified). */
@@ -2891,6 +2901,7 @@ object Queries {
     "cy_directed_rev" -> (cyDirectedRev _),
     "cy_bool_where" -> (cyBoolWhere _),
     "cy_in_list" -> (cyInList _),
+    "cy_sum_distinct" -> (cySumDistinct _),
     "skew_salted_agg" -> (skewSaltedAgg _),
     "join_salted" -> (joinSalted _),
     "join_asof_exec" -> (joinAsofExec _),

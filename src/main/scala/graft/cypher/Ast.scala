@@ -174,10 +174,13 @@ object Ast {
     * nest inside arithmetic (rejected at parse time) — aggregate at a WITH
     * barrier and compute over the alias instead. */
   final case class BinOp(op: String, l: Expr, r: Expr) extends Expr
-  /** `sum(expr)` / `avg(expr)` — Cypher's numeric aggregates over an
-    * arbitrary arithmetic/property argument (null-skipping, like Neo4j).
-    * `avg` returns double; `sum` keeps the argument's integral type. */
-  final case class AggFn(fn: String, arg: Expr) extends Expr
+  /** `sum([DISTINCT] expr)` / `avg([DISTINCT] expr)` — Cypher's numeric
+    * aggregates over an arbitrary arithmetic/property argument
+    * (null-skipping, like Neo4j); DISTINCT aggregates over the distinct
+    * value set. `avg` returns double; `sum` keeps the argument's
+    * integral type. */
+  final case class AggFn(fn: String, arg: Expr,
+                         distinct: Boolean = false) extends Expr
   /** `coalesce(e1, e2, …)` — first non-null argument. */
   final case class CoalesceE(args: Seq[Expr]) extends Expr
   /** Searched CASE: `CASE WHEN cond THEN expr … [ELSE expr] END`
@@ -221,7 +224,8 @@ object Ast {
       case LongLitE(v)                => v.toString
       case StrLitE(v)                 =>
         "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-      case AggFn(fn, a)               => s"$fn(${exprText(a)})"
+      case AggFn(fn, a, d)            =>
+        s"$fn(${if (d) "DISTINCT " else ""}${exprText(a)})"
       case CoalesceE(args)            =>
         s"coalesce(${args.map(exprText(_)).mkString(", ")})"
       case CaseExpr(bs, d)            =>

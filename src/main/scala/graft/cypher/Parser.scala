@@ -641,9 +641,10 @@ object Parser {
       else if (peek("sum") || peek("avg")) {
         val fn = if (opt("sum")) "sum" else { expect("avg"); "avg" }
         expect("(")
+        val d = opt("DISTINCT")
         val a = expression()
         expect(")")
-        AggFn(fn, a)
+        AggFn(fn, a, d)
       }
       else if (peek("labels")) { expect("labels"); expect("("); val v = ident(); expect(")"); LabelsOf(v) }
       else if (peek("type")) { expect("type"); expect("("); val v = ident(); expect(")"); TypeOf(v) }
@@ -708,7 +709,7 @@ object Parser {
         case CaseExpr(bs, d) =>
           bs.exists { case (c, x2) => condHasAgg(c) || below(x2) } ||
             d.exists(below)
-        case AggFn(_, a)     => below(a)
+        case AggFn(_, a, _)  => below(a)
         case _               => false
       }
       def condHasAgg(c: Cond): Boolean = c match {

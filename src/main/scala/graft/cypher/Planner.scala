@@ -119,8 +119,11 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
             case MinMaxProp("max", _, _) => max(src).as(i.name)
             case CountStar => count(lit(1)).as(i.name)
             case CountVar(_) => count(src).as(i.name)
-            case AggFn("sum", _) => sum(src).as(i.name)
-            case AggFn("avg", _) => avg(src).as(i.name)
+            case AggFn("sum", _, false) => sum(src).as(i.name)
+            case AggFn("avg", _, false) => avg(src).as(i.name)
+            case AggFn("sum", _, true) => sum_distinct(src).as(i.name)
+            case AggFn("avg", _, true) =>
+              expr(s"avg(DISTINCT `__aggsrc_${i.name}`)").as(i.name)
             case other =>
               throw new IllegalArgumentException(s"$other is not an aggregate")
           }
@@ -214,7 +217,7 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
           Seq(lit(1L).as(s"__aggsrc_${i.name}"))
         case CountVar(v) =>
           Seq(propCol(v, "nodeId").as(s"__aggsrc_${i.name}"))
-        case AggFn(_, arg) =>
+        case AggFn(_, arg, _) =>
           Seq(exprCol(arg, df.schema).as(s"__aggsrc_${i.name}"))
         case e => Seq(exprCol(e, df.schema).as(i.name))
       }
@@ -436,7 +439,7 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
         case MinMaxProp(_, v, p)         => propCol(v, p).as(s"__agg$idx")
         case CountStar                   => lit(1L).as(s"__agg$idx")
         case CountVar(v)                 => propCol(v, "nodeId").as(s"__agg$idx")
-        case AggFn(_, arg)               => exprCol(arg, df.schema).as(s"__agg$idx")
+        case AggFn(_, arg, _)            => exprCol(arg, df.schema).as(s"__agg$idx")
         case e                           => exprCol(e, df.schema).as(i.name)
       }
     }
@@ -732,8 +735,10 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     case MinMaxProp("max", _, _) => max(col(src))
     case CountStar => count(lit(1))
     case CountVar(_) => count(col(src)) // null-skipping, like Neo4j count(v)
-    case AggFn("sum", _) => sum(col(src)) // null-skipping, like Neo4j sum()
-    case AggFn("avg", _) => avg(col(src))
+    case AggFn("sum", _, false) => sum(col(src)) // null-skipping, like Neo4j
+    case AggFn("avg", _, false) => avg(col(src))
+    case AggFn("sum", _, true) => sum_distinct(col(src))
+    case AggFn("avg", _, true) => expr(s"avg(DISTINCT `$src`)")
     case other => throw new IllegalArgumentException(s"$other is not an aggregate")
   }
 

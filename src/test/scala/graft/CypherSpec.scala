@@ -554,6 +554,26 @@ class CypherSpec extends SparkSpec {
       "MATCH (a:Author)-[w:WRITES]-(p:Paper) RETURN sum(p.nodeId) AS t")
       .collect().head.getLong(0)
     assert(total === 83L)
+    // DISTINCT aggregates over a duplicated argument: Alice writes papers
+    // 20 and 21 → nodeId/2 buckets {10, 10} → sum(DISTINCT)=10, avg=10.0
+    val dis = Planner.run(g,
+      """MATCH (a:Author)-[w:WRITES]-(p:Paper)
+        |RETURN a.name AS name, sum(DISTINCT p.nodeId / 2) AS s,
+        |       avg(DISTINCT p.nodeId / 2) AS m
+        |ORDER BY name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(dis.toSeq === Seq(
+      ("Alice", 10L, 10.0), ("Bob", 10L, 10.0), ("Carol", 11L, 11.0)))
+    // WITH-barrier DISTINCT form + render round-trip
+    val disWith = Planner.run(g,
+      """MATCH (a:Author)-[w:WRITES]-(p:Paper)
+        |WITH a, sum(DISTINCT p.nodeId / 2) AS s
+        |RETURN a.name AS name, s ORDER BY name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(disWith.toSeq === Seq(("Alice", 10L), ("Bob", 10L), ("Carol", 11L)))
+    val qd = Parser.parse(
+      "MATCH (a:Author)-[w:WRITES]-(p:Paper) RETURN sum(DISTINCT p.nodeId) AS s, avg(p.nodeId) AS m")
+    assert(Parser.parse(qd.render) === qd)
     // aggregates cannot nest inside arithmetic — parse-time rejection
     val err = intercept[Parser.ParseError](Parser.parse(
       "MATCH (a:Author)-[w:WRITES]-(p) RETURN sum(p.nodeId) + 1 AS bad"))
