@@ -207,6 +207,34 @@ class ImageHashSpec extends SparkSpec {
     }
   }
 
+  test("PNG color unlock: decodePngColor → rgbToYCbCr → aHashColor " +
+    "separates recolors the gray hash cannot") {
+    import graft.operators.Multimodal
+    val w = 32; val h = 32
+    def pat(x: Int, y: Int): Int = ((x / 4 + y / 4) % 2) * 255
+    // same checker LAYOUT, different ink: red-on-black vs blue-on-black —
+    // aHash thresholds against the plane's own mean, so the LUMA hashes
+    // collide (identical structure) while the chroma words must differ
+    val redPng = Multimodal.pngFileRgb(w, h, (x, y) => (pat(x, y), 0, 0))
+    val bluePng = Multimodal.pngFileRgb(w, h, (x, y) => (0, 0, pat(x, y)))
+    def colorSig(png: Array[Byte]): Array[Long] = {
+      val Some((dw, dh, r, g, b)) = Multimodal.decodePngColor(png)
+      val yP = new Array[Int](dw * dh)
+      val cbP = new Array[Int](dw * dh)
+      val crP = new Array[Int](dw * dh)
+      for (i <- 0 until dw * dh) {
+        val (yy, cb, cr) = Jpeg.rgbToYCbCr(r(i), g(i), b(i))
+        yP(i) = yy; cbP(i) = cb; crP(i) = cr
+      }
+      ImageHash.aHashColor(yP, cbP, crP, dw, dh)
+    }
+    val red = colorSig(redPng)
+    val blue = colorSig(bluePng)
+    assert(red(0) === blue(0), "same layout ⇒ same luma word")
+    assert(red(1) != blue(1) || red(2) != blue(2),
+      "different ink ⇒ chroma words must separate the recolor")
+  }
+
   test("color report: every recolor group pairs exactly, zero cross pairs") {
     val docs = (0L until 40L).toDF("doc_id")
     val rows = ImageHash.colorDedupReport(spark, docs, maxDocs = 40L).collect()
