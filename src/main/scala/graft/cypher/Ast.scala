@@ -17,7 +17,7 @@ package graft.cypher
   *                WITH [DISTINCT] withItem (',' withItem)*
   *                [ORDER BY ref [ASC|DESC]] [SKIP n] [LIMIT n]
   *                [WHERE pred (AND pred)*]
-  *   unwind    := UNWIND $param AS var
+  *   unwind    := UNWIND ($param | '[' lit (',' lit)* ']') AS var
   *   path      := node (rel node)*
   *   node      := '(' var [':' Label] [ '{' (name|nodeId) ':' literal-or-var '}' ] ')'
   *   rel       := relBody '-' | relBody '->' | '<' relBody '-'
@@ -26,6 +26,8 @@ package graft.cypher
   *              | normalize(lower(col)) '=' normalize(lower($param))
   *              | (col | var '.' prop) cmpop literal
   *              | (col | var '.' prop) IS [NOT] NULL
+  *              | expr (CONTAINS | STARTS WITH | ENDS WITH | '=~') expr
+  *              | strFn-headed expr cmpop expr   -- size(n.name) > 5
   *              | [NOT] EXISTS '{' path '}'        -- pattern predicate
   *                 (EXISTS only in MATCH WHERE, not OPTIONAL MATCH / WITH)
   *   item      := expr [AS alias]
@@ -36,9 +38,14 @@ package graft.cypher
   *   mulExpr   := atom (('*'|'/'|'%') atom)*   -- int÷int truncates (Neo4j)
   *   atom      := '(' expr ')' | intLit | strLit
   *              | var '.' prop | bare-col | labels(var) | type(var)
-  *              | count('*' | [DISTINCT] var) | sum(expr) | avg(expr)
+  *              | count('*' | [DISTINCT] var)
+  *              | (sum | avg | stDev | stDevP)([DISTINCT] expr)
+  *              | (percentileCont | percentileDisc)(expr ',' double)
   *              | min(var '.' prop) | max(var '.' prop)
-  *              | collect(DISTINCT var '.' prop)
+  *              | collect([DISTINCT] var '.' prop)
+  *              | (toLower | toUpper | trim)(expr) | size(expr)
+  *              | substring(expr ',' int [',' int])
+  *              | replace(expr ',' expr ',' expr)
   *              | coalesce(expr (',' expr)*)
   *              | CASE (WHEN cond THEN expr)+ [ELSE expr] END
   *              | size('[' ... ']')              -- A2 comprehension
@@ -129,6 +136,18 @@ object Ast {
     * `ref` is PropRef | ColRef; values are homogeneous literals. */
   final case class InList(ref: Expr, values: Seq[AnchorValue],
                           negated: Boolean) extends Pred
+  /** String predicate `l CONTAINS r` / `l STARTS WITH r` / `l ENDS WITH r`
+    * / `l =~ r` (whole-string regex, like Neo4j). Both sides are scalar
+    * string expressions (properties, projected columns, literals,
+    * [[StrFn]] compositions like `toLower(n.name) CONTAINS $q`'s literal
+    * form). Neo4j null semantics: a null operand makes the predicate
+    * null, and the row is dropped. All four plan as ONE pushable scan
+    * predicate — never a join or a UDF. */
+  final case class StrPred(l: Expr, op: String, r: Expr) extends Pred
+  /** General scalar comparison `expr <op> expr` in WHERE — the ColCmp /
+    * PropCmp shape lifted to full expressions so function-wrapped refs
+    * compare too (`size(n.name) > 5`, `toLower(c.name) = "x"`). */
+  final case class ExprCmp(l: Expr, op: String, r: Expr) extends Pred
 
   sealed trait Expr
   final case class PropRef(varName: String, prop: String) extends Expr
@@ -147,6 +166,26 @@ object Ast {
     * unordered bag; the engine canonicalizes to a SORTED distinct list
     * (and, like Neo4j, skips nulls) so results are deterministic. */
   final case class CollectDistinct(varName: String, prop: String) extends Expr
+  /** Plain `collect(x.prop)` — Neo4j's most common list aggregate: a BAG
+    * that keeps duplicates (parallel edges / repeated values multiply)
+    * and skips nulls; the reference's own provenance accumulation is the
+    * non-distinct append (retrieval/retriever.py:83). Canonicalized to a
+    * SORTED list (duplicates preserved) so results are deterministic. */
+  final case class CollectAll(varName: String, prop: String) extends Expr
+  /** `percentileCont(x.prop, p)` / `percentileDisc(x.prop, p)` — Neo4j's
+    * percentile aggregates (null-skipping). `percentileCont` is the
+    * linearly INTERPOLATED quantile (returns double); `percentileDisc`
+    * returns an actual value from the group: the first value whose
+    * cumulative fraction reaches `p` (sorted[ceil(p·n)], the SQL-standard
+    * inverse distribution). `p` must be in [0, 1]. */
+  final case class PercentileFn(fn: String, arg: Expr, p: Double) extends Expr
+  /** Scalar string function `fn(args…)`: `toLower` / `toUpper` / `trim`
+    * (1 string arg), `size` (string length — the list-comprehension
+    * `size([…])` form parses separately to [[CountDistinctInParam]]),
+    * `substring(s, start[, len])` (0-indexed like Neo4j; start/len are
+    * integer literals), `replace(s, find, repl)`. All plan to codegen'd
+    * Spark built-ins — never UDFs. */
+  final case class StrFn(fn: String, args: Seq[Expr]) extends Expr
   /** `min(x.prop)` / `max(x.prop)` — Cypher's extremum aggregates
     * (null-skipping, like Neo4j). `fn` ∈ {"min", "max"}. */
   final case class MinMaxProp(fn: String, varName: String,
@@ -216,6 +255,10 @@ object Ast {
       case CountDistinctInParam(v, p) =>
         s"size([t IN collect(DISTINCT $v) WHERE t.nodeId IN $$$p | t])"
       case CollectDistinct(v, p)      => s"collect(DISTINCT $v.$p)"
+      case CollectAll(v, p)           => s"collect($v.$p)"
+      case PercentileFn(f, a, p)      => s"$f(${exprText(a)}, $p)"
+      case StrFn(f, args)             =>
+        s"$f(${args.map(exprText(_)).mkString(", ")})"
       case MinMaxProp(f, v, p)        => s"$f($v.$p)"
       case CountStar                  => "count(*)"
       case CountVar(v)                => s"count($v)"
@@ -244,7 +287,12 @@ object Ast {
     case NullCond(e, neg)  => s"${exprText(e)} IS ${if (neg) "NOT " else ""}NULL"
   }
 
-  final case class Unwind(param: String, varName: String)
+  /** `UNWIND $param AS var` (literals = None) or the self-contained
+    * `UNWIND [lit, …] AS var` (literals = Some(list), param unused) —
+    * both anchor node frames downstream; the literal form needs no
+    * parameter map. */
+  final case class Unwind(param: String, varName: String,
+                          literals: Option[Seq[AnchorValue]] = None)
 
   /** `OPTIONAL MATCH path [WHERE pred (AND pred)*]` after the final MATCH:
     * every solution of the mandatory pattern is preserved, and variables
@@ -293,8 +341,8 @@ object Ast {
 
     def isAggregating: Boolean = items.exists(i => i.expr match {
       case _: CountDistinct | _: CountDistinctInParam |
-           _: CollectDistinct | _: MinMaxProp | CountStar |
-           _: CountVar | _: AggFn => true
+           _: CollectDistinct | _: CollectAll | _: MinMaxProp | CountStar |
+           _: CountVar | _: AggFn | _: PercentileFn => true
       case _ => false
     })
 
@@ -353,6 +401,8 @@ object Ast {
             case VarRef(v)  => v
           }.mkString(", ")
           s"${if (neg) "NOT " else ""}${exprText(ref)} IN [$lits]"
+        case StrPred(l, o, r) => s"${exprText(l)} $o ${exprText(r)}"
+        case ExprCmp(l, o, r) => s"${exprText(l)} $o ${exprText(r)}"
         // combinators render fully parenthesized so the flattened-AND
         // top level re-parses to the identical tree
         case OrPred(l, r)  => s"(${pred(l)} OR ${pred(r)})"
@@ -361,7 +411,18 @@ object Ast {
       }
       val sb = new StringBuilder
       def matchClause(us: Seq[Unwind], ps: Seq[MatchPath], prs: Seq[Pred]): Unit = {
-        us.foreach(u => sb ++= s"UNWIND $$${u.param} AS ${u.varName} ")
+        us.foreach { u =>
+          val src = u.literals match {
+            case Some(ls) => ls.map {
+              case StrLit(s) =>
+                "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+              case LongLit(v) => v.toString
+              case VarRef(v)  => v
+            }.mkString("[", ", ", "]")
+            case None => s"$$${u.param}"
+          }
+          sb ++= s"UNWIND $src AS ${u.varName} "
+        }
         sb ++= "MATCH " + ps.map(path).mkString(", ")
         if (prs.nonEmpty) sb ++= " WHERE " + prs.map(pred).mkString(" AND ")
       }

@@ -85,6 +85,22 @@ object Parser {
       in.substring(start, pos).toLong
     }
 
+    /** `[-]digits[.digits]` — the percentile argument (the only place the
+      * dialect admits a fractional literal). */
+    private def doubleLit(): Double = {
+      ws()
+      val start = pos
+      if (pos < in.length && in(pos) == '-') pos += 1
+      val digits = pos
+      while (pos < in.length && in(pos).isDigit) pos += 1
+      if (pos == digits) fail("expected number")
+      if (pos < in.length && in(pos) == '.') {
+        pos += 1
+        while (pos < in.length && in(pos).isDigit) pos += 1
+      }
+      in.substring(start, pos).toDouble
+    }
+
     // ---- grammar ----
     def query(): CypherQuery = {
       val stages = Seq.newBuilder[Stage]
@@ -99,8 +115,15 @@ object Parser {
         var shortest: Option[ShortestPathClause] = None
         if (hasMatch) {
           while (peek("UNWIND")) {
-            expect("UNWIND"); val p = param(); expect("AS"); val v = ident()
-            unwinds += Unwind(p, v)
+            expect("UNWIND"); ws()
+            if (pos < in.length && in(pos) == '[') {
+              // self-contained literal form: UNWIND [lit, …] AS x
+              val ls = litList(); expect("AS"); val v = ident()
+              unwinds += Unwind("", v, Some(ls))
+            } else {
+              val p = param(); expect("AS"); val v = ident()
+              unwinds += Unwind(p, v)
+            }
           }
           expect("MATCH")
           ws()
@@ -468,11 +491,48 @@ object Parser {
       MatchPath(Seq(n1, n2), Seq(RelPat(None, t, Some((lo, hi)))))
     }
 
+    /** Consume one string-predicate operator if present: `CONTAINS`,
+      * `STARTS WITH`, `ENDS WITH`, or `=~`. */
+    private def strOp(): Option[String] = {
+      ws()
+      if (opt("CONTAINS")) Some("CONTAINS")
+      else if (opt("STARTS")) { expect("WITH"); Some("STARTS WITH") }
+      else if (opt("ENDS")) { expect("WITH"); Some("ENDS WITH") }
+      else if (pos + 1 < in.length && in(pos) == '=' && in(pos + 1) == '~') {
+        pos += 2; Some("=~")
+      } else None
+    }
+
+    private def cmpOp(): String = {
+      ws()
+      if (pos + 1 < in.length && in(pos) == '<' && in(pos + 1) == '>') { pos += 2; "<>" }
+      else if (pos + 1 < in.length && in(pos) == '<' && in(pos + 1) == '=') { pos += 2; "<=" }
+      else if (pos + 1 < in.length && in(pos) == '>' && in(pos + 1) == '=') { pos += 2; ">=" }
+      else if (pos < in.length && in(pos) == '<') { pos += 1; "<" }
+      else if (pos < in.length && in(pos) == '>') { pos += 1; ">" }
+      else if (pos < in.length && in(pos) == '=') { pos += 1; "=" }
+      else fail("expected comparison operator")
+    }
+
+    private val strFnNames =
+      Seq("toLower", "toUpper", "trim", "replace", "substring", "size")
+
     private def pred(existsCtx: Option[String] = None): Pred = {
       ws()
       def rejectExists(): Unit = existsCtx.foreach(ctx =>
         fail(s"EXISTS { … } is not supported in $ctx WHERE"))
-      if (peek("NOT")) {
+      if (strFnNames.exists(peek)) {
+        // function-headed left side: toLower(n.name) CONTAINS "x",
+        // size(n.name) > 5 — parse a full expression, then a string or
+        // comparison operator
+        val l = expression()
+        if (containsNestedAgg(l) || isAggExpr(l))
+          fail("aggregates cannot appear in WHERE")
+        strOp() match {
+          case Some(o) => StrPred(l, o, expression())
+          case None    => ExprCmp(l, cmpOp(), expression())
+        }
+      } else if (peek("NOT")) {
         expect("NOT")
         if (peek("EXISTS")) { rejectExists(); existsPred(negated = true) }
         else {
@@ -528,16 +588,14 @@ object Parser {
             case None    => IsNullPred(ColRef(v1), neg)
           }
         }
+        // string predicate on a plain ref: n.name CONTAINS "…" etc.
+        strOp().foreach { o =>
+          val l = prop.map(PropRef(v1, _)).getOrElse(ColRef(v1))
+          return StrPred(l, o, expression())
+        }
         // comparison operators, longest first; bare `a <> b` between two
         // identifiers stays the nodeId inequality of the original grammar
-        val op =
-          if (pos + 1 < in.length && in(pos) == '<' && in(pos + 1) == '>') { pos += 2; "<>" }
-          else if (pos + 1 < in.length && in(pos) == '<' && in(pos + 1) == '=') { pos += 2; "<=" }
-          else if (pos + 1 < in.length && in(pos) == '>' && in(pos + 1) == '=') { pos += 2; ">=" }
-          else if (pos < in.length && in(pos) == '<') { pos += 1; "<" }
-          else if (pos < in.length && in(pos) == '>') { pos += 1; ">" }
-          else if (pos < in.length && in(pos) == '=') { pos += 1; "=" }
-          else fail("expected comparison operator")
+        val op = cmpOp()
         ws()
         val value: AnchorValue =
           if (pos < in.length && (in(pos) == '"' || in(pos) == '\'')) StrLit(stringLit())
@@ -638,13 +696,54 @@ object Parser {
         expect(")")
         CoalesceE(args.result())
       }
-      else if (peek("sum") || peek("avg")) {
-        val fn = if (opt("sum")) "sum" else { expect("avg"); "avg" }
+      else if (peek("sum") || peek("avg") || peek("stDevP") || peek("stDev")) {
+        val fn =
+          if (opt("sum")) "sum" else if (opt("avg")) "avg"
+          else if (opt("stDevP")) "stDevP" else { expect("stDev"); "stDev" }
         expect("(")
         val d = opt("DISTINCT")
         val a = expression()
         expect(")")
         AggFn(fn, a, d)
+      }
+      else if (peek("percentileCont") || peek("percentileDisc")) {
+        val fn = if (opt("percentileCont")) "percentileCont"
+                 else { expect("percentileDisc"); "percentileDisc" }
+        expect("(")
+        val a = expression()
+        expect(",")
+        val p = doubleLit()
+        expect(")")
+        if (p < 0.0 || p > 1.0) fail("percentile must be in [0, 1]")
+        PercentileFn(fn, a, p)
+      }
+      else if (peek("toLower") || peek("toUpper") || peek("trim")) {
+        val fn = if (opt("toLower")) "toLower"
+                 else if (opt("toUpper")) "toUpper" else { expect("trim"); "trim" }
+        expect("("); val a = expression(); expect(")")
+        StrFn(fn, Seq(a))
+      }
+      else if (peek("substring")) {
+        // Neo4j substring(s, start[, len]) — 0-indexed; start/len are
+        // integer literals (keeps the cross-engine arithmetic static)
+        expect("substring"); expect("(")
+        val s = expression(); expect(",")
+        val start = longLit()
+        ws()
+        val len = if (pos < in.length && in(pos) == ',') { pos += 1; Some(longLit()) }
+                  else None
+        expect(")")
+        if (start < 0 || len.exists(_ < 0))
+          fail("substring start/length must be non-negative")
+        StrFn("substring",
+          s +: LongLitE(start) +: len.map(LongLitE(_)).toSeq)
+      }
+      else if (peek("replace")) {
+        expect("replace"); expect("(")
+        val a = expression(); expect(",")
+        val f = expression(); expect(",")
+        val r = expression(); expect(")")
+        StrFn("replace", Seq(a, f, r))
       }
       else if (peek("labels")) { expect("labels"); expect("("); val v = ident(); expect(")"); LabelsOf(v) }
       else if (peek("type")) { expect("type"); expect("("); val v = ident(); expect(")"); TypeOf(v) }
@@ -657,9 +756,10 @@ object Parser {
         else { val v = ident(); expect(")"); CountVar(v) }
       }
       else if (peek("collect")) {
-        expect("collect"); expect("("); expect("DISTINCT")
+        expect("collect"); expect("(")
+        val d = opt("DISTINCT")
         val v = ident(); expect("."); val p = ident(); expect(")")
-        CollectDistinct(v, p)
+        if (d) CollectDistinct(v, p) else CollectAll(v, p)
       }
       else if (peek("min") || peek("max")) {
         val fn = if (opt("min")) "min" else { expect("max"); "max" }
@@ -667,15 +767,23 @@ object Parser {
         MinMaxProp(fn, v, p)
       }
       else if (peek("size")) {
-        // size([t IN collect(DISTINCT tgt) WHERE t.nodeId IN $ids | t])
-        expect("size"); expect("("); expect("[")
-        val t = ident(); expect("IN"); expect("collect"); expect("(")
-        expect("DISTINCT"); val v = ident(); expect(")")
-        expect("WHERE"); val t2 = ident(); expect("."); expect("nodeId")
-        expect("IN"); val p = param()
-        expect("|"); val t3 = ident(); expect("]"); expect(")")
-        if (t != t2 || t != t3) fail("comprehension variable mismatch")
-        CountDistinctInParam(v, p)
+        expect("size"); expect("(")
+        ws()
+        if (pos < in.length && in(pos) == '[') {
+          // size([t IN collect(DISTINCT tgt) WHERE t.nodeId IN $ids | t])
+          expect("[")
+          val t = ident(); expect("IN"); expect("collect"); expect("(")
+          expect("DISTINCT"); val v = ident(); expect(")")
+          expect("WHERE"); val t2 = ident(); expect("."); expect("nodeId")
+          expect("IN"); val p = param()
+          expect("|"); val t3 = ident(); expect("]"); expect(")")
+          if (t != t2 || t != t3) fail("comprehension variable mismatch")
+          CountDistinctInParam(v, p)
+        } else {
+          // size(stringExpr) — string length, like Neo4j
+          val a = expression(); expect(")")
+          StrFn("size", Seq(a))
+        }
       }
       else if (peek("vector")) {
         expect("vector"); expect("."); expect("similarity"); expect("."); expect("cosine")
@@ -694,7 +802,8 @@ object Parser {
 
     private def isAggExpr(e: Expr): Boolean = e match {
       case _: CountDistinct | _: CountDistinctInParam | _: CollectDistinct |
-           _: MinMaxProp | CountStar | _: CountVar | _: AggFn => true
+           _: CollectAll | _: MinMaxProp | CountStar | _: CountVar |
+           _: AggFn | _: PercentileFn => true
       case _ => false
     }
 
@@ -710,6 +819,8 @@ object Parser {
           bs.exists { case (c, x2) => condHasAgg(c) || below(x2) } ||
             d.exists(below)
         case AggFn(_, a, _)  => below(a)
+        case PercentileFn(_, a, _) => below(a)
+        case StrFn(_, args)  => args.exists(below)
         case _               => false
       }
       def condHasAgg(c: Cond): Boolean = c match {

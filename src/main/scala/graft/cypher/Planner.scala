@@ -35,6 +35,11 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
   // variables bound by the stage currently being planned (they shadow a
   // carried var of the same name — same nodeId, fresher alias)
   private var stageVars: Set[String] = Set.empty
+  // RELATIONSHIP variables of the stage being planned: property types must
+  // resolve against the relationship schema, never the node schema (a rel
+  // prop sharing a node-column name of a different type would otherwise
+  // flip `/` between integer and double division)
+  private var stageRelVars: Set[String] = Set.empty
   // variables bound ONLY by an OPTIONAL MATCH clause: flattened to
   // __o_<var>_<field> columns by the left join (null when unmatched)
   private var optNodeVars: Set[String] = Set.empty
@@ -55,6 +60,7 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     // DISTINCT / aggregation happen once, over the union. A shortestPath
     // clause instead plans ONE keyed BFS (no enumeration).
     stageVars = varsOf(q.paths)
+    stageRelVars = relVarsOf(q.paths)
     val tuple =
       if (q.shortest.isDefined) shortestTuple(q)
       else if (q.paths.isEmpty) projectTuple(base.get, q) // WITH … RETURN tail
@@ -90,6 +96,7 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     require(st.paths.nonEmpty, "stage without MATCH paths")
     rejectRelVarCounts(st.withItems, st.paths)
     stageVars = varsOf(st.paths)
+    stageRelVars = relVarsOf(st.paths)
     val aggItems = st.withItems.filter(isAggItem)
     val frames = expandPaths(st.paths).map { ps =>
       val joined0 = ps.map(planPath(st.unwinds, _)).reduce(_.crossJoin(_))
@@ -108,25 +115,7 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
         val keyNames = unioned.columns.filterNot(c =>
           aggItems.exists(i => c == s"__aggsrc_${i.name}"))
         val aggCols = aggItems.map { i =>
-          val src = col(s"__aggsrc_${i.name}")
-          i.expr match {
-            case CountDistinct(_) => count_distinct(src).as(i.name)
-            case CountDistinctInParam(_, param) =>
-              count_distinct(when(src.isin(longs(param): _*), src)).as(i.name)
-            case CollectDistinct(_, _) =>
-              sort_array(collect_set(src)).as(i.name)
-            case MinMaxProp("min", _, _) => min(src).as(i.name)
-            case MinMaxProp("max", _, _) => max(src).as(i.name)
-            case CountStar => count(lit(1)).as(i.name)
-            case CountVar(_) => count(src).as(i.name)
-            case AggFn("sum", _, false) => sum(src).as(i.name)
-            case AggFn("avg", _, false) => avg(src).as(i.name)
-            case AggFn("sum", _, true) => sum_distinct(src).as(i.name)
-            case AggFn("avg", _, true) =>
-              expr(s"avg(DISTINCT `__aggsrc_${i.name}`)").as(i.name)
-            case other =>
-              throw new IllegalArgumentException(s"$other is not an aggregate")
-          }
+          aggCol(i.expr, s"__aggsrc_${i.name}").as(i.name)
         }
         if (keyNames.isEmpty) unioned.agg(aggCols.head, aggCols.tail: _*)
         else unioned.groupBy(keyNames.map(col).toSeq: _*)
@@ -211,6 +200,8 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
           Seq(propCol(v, "nodeId").as(s"__aggsrc_${i.name}"))
         case CollectDistinct(v, p) =>
           Seq(propCol(v, p).as(s"__aggsrc_${i.name}"))
+        case CollectAll(v, p) =>
+          Seq(propCol(v, p).as(s"__aggsrc_${i.name}"))
         case MinMaxProp(_, v, p) =>
           Seq(propCol(v, p).as(s"__aggsrc_${i.name}"))
         case CountStar =>
@@ -218,6 +209,8 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
         case CountVar(v) =>
           Seq(propCol(v, "nodeId").as(s"__aggsrc_${i.name}"))
         case AggFn(_, arg, _) =>
+          Seq(exprCol(arg, df.schema).as(s"__aggsrc_${i.name}"))
+        case PercentileFn(_, arg, _) =>
           Seq(exprCol(arg, df.schema).as(s"__aggsrc_${i.name}"))
         case e => Seq(exprCol(e, df.schema).as(i.name))
       }
@@ -252,10 +245,13 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
   private def varsOf(ps: Seq[MatchPath]): Set[String] =
     ps.flatMap(_.nodes.map(_.varName)).toSet
 
+  private def relVarsOf(ps: Seq[MatchPath]): Set[String] =
+    ps.flatMap(_.rels.flatMap(_.varName)).toSet
+
   private def isAggItem(i: RetItem): Boolean = i.expr match {
     case _: CountDistinct | _: CountDistinctInParam |
-         _: CollectDistinct | _: MinMaxProp | CountStar |
-         _: CountVar | _: AggFn => true
+         _: CollectDistinct | _: CollectAll | _: MinMaxProp | CountStar |
+         _: CountVar | _: AggFn | _: PercentileFn => true
     case _ => false
   }
 
@@ -357,7 +353,7 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     * first — they prune the frame before any join. */
   private def applyPreds(df: DataFrame, preds: Seq[Pred]): DataFrame = {
     val (pattern, scalar) = preds.partition(_.isInstanceOf[ExistsPat])
-    val base = scalar.foldLeft(df)((d, p) => d.where(predCol(p)))
+    val base = scalar.foldLeft(df)((d, p) => d.where(predCol(p, d.schema)))
     pattern.foldLeft(base)((d, p) => attachExists(d, p.asInstanceOf[ExistsPat]))
   }
 
@@ -414,7 +410,7 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       val saved = stageVars
       stageVars = varsOf(Seq(p))
       val filteredOpt =
-        try om.preds.foldLeft(planned)((df, pr) => df.where(predCol(pr)))
+        try om.preds.foldLeft(planned)((df, pr) => df.where(predCol(pr, df.schema)))
         finally stageVars = saved
       val keyCols = sharedVars.map(v => col(s"$v.nodeId").as(s"__ok_$v"))
       val newCols = newNodeVars.flatMap(v =>
@@ -436,10 +432,12 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
         case CountDistinct(v)            => propCol(v, "nodeId").as(s"__agg$idx")
         case CountDistinctInParam(v, _)  => propCol(v, "nodeId").as(s"__agg$idx")
         case CollectDistinct(v, p)       => propCol(v, p).as(s"__agg$idx")
+        case CollectAll(v, p)            => propCol(v, p).as(s"__agg$idx")
         case MinMaxProp(_, v, p)         => propCol(v, p).as(s"__agg$idx")
         case CountStar                   => lit(1L).as(s"__agg$idx")
         case CountVar(v)                 => propCol(v, "nodeId").as(s"__agg$idx")
         case AggFn(_, arg, _)            => exprCol(arg, df.schema).as(s"__agg$idx")
+        case PercentileFn(_, arg, _)     => exprCol(arg, df.schema).as(s"__agg$idx")
         case e                           => exprCol(e, df.schema).as(i.name)
       }
     }
@@ -541,20 +539,29 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       case (Some(p), Some(StrLit(v)))  => labeled.where(col(p) === lit(v))
       case (Some(p), Some(LongLit(v))) => labeled.where(col(p) === lit(v))
       case (Some(p), Some(VarRef(u))) =>
-        // UNWIND $param AS u MATCH (x {p: u}) — anchor against the param list
-        params.get(paramOf(unwinds, u)) match {
-          case Some(vs: Seq[_]) => labeled.where(col(p).isin(vs: _*))
-          case _ => throw new IllegalArgumentException(s"missing parameter for UNWIND var $u")
+        // UNWIND $param AS u / UNWIND [lit, …] AS u, then MATCH (x {p: u})
+        // — anchor against the unwound list (literal lists need no
+        // parameter map)
+        val uw = unwinds.find(_.varName == u).getOrElse(
+          throw new IllegalArgumentException(s"unbound variable $u"))
+        uw.literals match {
+          case Some(ls) =>
+            val vals: Seq[Any] = ls.map {
+              case StrLit(s)  => s
+              case LongLit(v) => v
+              case other => throw new IllegalArgumentException(
+                s"unsupported UNWIND literal $other")
+            }
+            labeled.where(col(p).isin(vals: _*))
+          case None => params.get(uw.param) match {
+            case Some(vs: Seq[_]) => labeled.where(col(p).isin(vs: _*))
+            case _ => throw new IllegalArgumentException(s"missing parameter for UNWIND var $u")
+          }
         }
       case _ => labeled
     }
     anchored.as(n.varName)
   }
-
-  private def paramOf(unwinds: Seq[Unwind], unwindVar: String): String =
-    unwinds.find(_.varName == unwindVar)
-      .map(_.param)
-      .getOrElse(throw new IllegalArgumentException(s"unbound variable $unwindVar"))
 
   /** Resolve `v.field`: a variable bound by the CURRENT stage's MATCH
     * shadows (and equals, by the nodeId re-binding join) a carried one;
@@ -565,7 +572,8 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     else if (carriedVars.contains(v)) col(s"__w_${v}_$field")
     else col(s"$v.$field") // rel vars and anonymous expansions
 
-  private def predCol(p: Pred): Column = p match {
+  private def predCol(p: Pred,
+      schema: org.apache.spark.sql.types.StructType): Column = p match {
     case ExistsPat(_, _) =>
       // routed through applyPreds everywhere it is supported; reaching
       // here means an unsupported context (e.g. OPTIONAL MATCH WHERE)
@@ -598,6 +606,28 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
         case other => throw new IllegalArgumentException(
           s"IN applies to properties and projected columns, not $other")
       }
+      // typed membership, like Cypher: the ref's STATIC type must agree
+      // with the (parser-guaranteed homogeneous) list's element type —
+      // otherwise Spark's In coercion string-casts one side, and e.g.
+      // `"1" IN [1]` comes back true where Cypher says false. Numeric
+      // widening (int column, long literals) is exact and allowed.
+      val refType: Option[org.apache.spark.sql.types.DataType] = ref match {
+        case PropRef(v, p) => varSchema(v).fields.find(_.name == p).map(_.dataType)
+        case ColRef(n)     => schema.fields.find(_.name == n).map(_.dataType)
+        case _             => None
+      }
+      val listIsString = vs.head.isInstanceOf[StrLit]
+      refType.foreach { dt =>
+        val ok =
+          if (listIsString) dt == org.apache.spark.sql.types.StringType
+          else dt.isInstanceOf[org.apache.spark.sql.types.NumericType]
+        require(ok, s"IN list of ${if (listIsString) "strings" else "integers"} " +
+          s"cannot test a ${dt.simpleString} ${ref match {
+            case PropRef(v, p) => s"property $v.$p"
+            case ColRef(n)     => s"column $n"
+            case _             => "reference"
+          }} — Cypher comparison is typed (no implicit casts)")
+      }
       val lits: Seq[Any] = vs.map {
         case StrLit(s)  => s
         case LongLit(v) => v
@@ -605,11 +635,34 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
           s"unsupported IN-list value $other")
       }
       if (neg) !c.isin(lits: _*) else c.isin(lits: _*)
+    case StrPred(l, op, r) =>
+      val lc = exprCol(l, schema); val rc = exprCol(r, schema)
+      op match {
+        case "CONTAINS"    => lc.contains(rc)
+        case "STARTS WITH" => lc.startsWith(rc)
+        case "ENDS WITH"   => lc.endsWith(rc)
+        // Neo4j =~ anchors the WHOLE string; Spark rlike finds anywhere —
+        // wrap in ^(?:…)$ (idempotent when the pattern already anchors)
+        case "=~" =>
+          regexp_like(lc, concat(lit("^(?:"), rc, lit(")$")))
+        case o => throw new IllegalArgumentException(s"unknown string op $o")
+      }
+    case ExprCmp(l, op, r) =>
+      val lc = exprCol(l, schema); val rc = exprCol(r, schema)
+      op match {
+        case "="  => lc === rc
+        case "<>" => lc =!= rc
+        case "<"  => lc < rc
+        case "<=" => lc <= rc
+        case ">"  => lc > rc
+        case ">=" => lc >= rc
+        case o    => throw new IllegalArgumentException(s"unknown operator $o")
+      }
     // combinators never contain ExistsPat (parse-time invariant), so they
     // fold into one boolean column
-    case OrPred(l, r)  => predCol(l) || predCol(r)
-    case AndPred(l, r) => predCol(l) && predCol(r)
-    case NotPred(p0)   => !predCol(p0)
+    case OrPred(l, r)  => predCol(l, schema) || predCol(r, schema)
+    case AndPred(l, r) => predCol(l, schema) && predCol(r, schema)
+    case NotPred(p0)   => !predCol(p0, schema)
   }
 
   private def cmpLit(c: Column, op: String, value: AnchorValue): Column = {
@@ -643,17 +696,41 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       case _ => false
     }
 
+  /** Schema a `v.prop` reference statically resolves against: the
+    * relationship schema for a relationship variable, the node schema
+    * for everything else (stage/carried/optional node vars and anonymous
+    * var-length expansions are all node-shaped). */
+  private def varSchema(v: String): org.apache.spark.sql.types.StructType =
+    if (stageRelVars.contains(v) || optRelVars.contains(v)) g.rels.schema
+    else g.nodes.schema
+
+  /** Static type of a scalar expression, when resolvable: properties via
+    * [[varSchema]], bare columns via the current frame's schema. */
+  private def staticType(e: Expr,
+      schema: org.apache.spark.sql.types.StructType)
+      : Option[org.apache.spark.sql.types.DataType] = e match {
+    case PropRef(v, p) => varSchema(v).fields.find(_.name == p).map(_.dataType)
+    case ColRef(n)     => schema.fields.find(_.name == n).map(_.dataType)
+    case StrLitE(_)    => Some(org.apache.spark.sql.types.StringType)
+    case LongLitE(_)   => Some(org.apache.spark.sql.types.LongType)
+    case StrFn("size", _) => Some(org.apache.spark.sql.types.LongType)
+    case StrFn(_, _)   => Some(org.apache.spark.sql.types.StringType)
+    case _             => None
+  }
+
   /** Static integral-ness of an expression — decides whether `/` is
     * Cypher's integer division (both operands integral) or double
-    * division. Node properties resolve against the graph's node schema;
-    * bare columns against the current frame's. */
+    * division. Properties resolve against the schema of the frame their
+    * VARIABLE is bound to ([[varSchema]] — rel vars against the rel
+    * schema); bare columns against the current frame's. */
   private def isIntegralExpr(e: Expr,
       schema: org.apache.spark.sql.types.StructType): Boolean = e match {
     case LongLitE(_)   => true
-    case PropRef(_, p) =>
-      g.nodes.schema.fields.find(_.name == p).exists(f => isIntegralType(f.dataType))
+    case PropRef(v, p) =>
+      varSchema(v).fields.find(_.name == p).exists(f => isIntegralType(f.dataType))
     case ColRef(n)     =>
       schema.fields.find(_.name == n).exists(f => isIntegralType(f.dataType))
+    case StrFn("size", _) => true // string/list length is a Cypher integer
     case BinOp(_, l, r)  => isIntegralExpr(l, schema) && isIntegralExpr(r, schema)
     case CoalesceE(args) => args.forall(isIntegralExpr(_, schema))
     case CaseExpr(bs, d) =>
@@ -697,6 +774,40 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
         s"length($pv) does not name this query's shortestPath")
     case LongLitE(v) => lit(v)
     case StrLitE(s)  => lit(s)
+    case StrFn(fn, args) =>
+      val a = args.map(exprCol(_, schema))
+      fn match {
+        case "toLower" => lower(a.head)
+        case "toUpper" => upper(a.head)
+        case "trim"    => trim(a.head)
+        case "replace" => replace(a.head, a(1), a(2))
+        case "size" =>
+          // Neo4j size: string length, or element count on a list value
+          // (e.g. a collected alias) — BIGINT on both engines
+          if (staticType(args.head, schema)
+                .exists(_.isInstanceOf[org.apache.spark.sql.types.ArrayType]))
+            size(a.head).cast("long")
+          else length(a.head).cast("long")
+        case "substring" =>
+          // Neo4j is 0-indexed, Spark/DuckDB substr 1-indexed; the no-len
+          // form takes the rest of the string (total length is always an
+          // upper bound on the remainder)
+          val start = args(1) match {
+            case LongLitE(v) => v
+            case other => throw new IllegalArgumentException(
+              s"substring start must be an integer literal, not $other")
+          }
+          val len = args.drop(2).headOption.map {
+            case LongLitE(v) => v
+            case other => throw new IllegalArgumentException(
+              s"substring length must be an integer literal, not $other")
+          }
+          len match {
+            case Some(l) => a.head.substr(lit((start + 1).toInt), lit(l.toInt))
+            case None    => a.head.substr(lit((start + 1).toInt), length(a.head))
+          }
+        case o => throw new IllegalArgumentException(s"unknown string function $o")
+      }
     case CoalesceE(args) => coalesce(args.map(exprCol(_, schema)): _*)
     case CaseExpr(branches, default) =>
       val chain = branches.tail.foldLeft(
@@ -731,6 +842,9 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     // canonical sorted distinct list (collect_set drops nulls, matching
     // Cypher's null-skipping collect)
     case CollectDistinct(_, _) => sort_array(collect_set(col(src)))
+    // plain collect keeps the bag's duplicates; canonicalized sorted
+    // (collect_list also skips nulls, like Neo4j)
+    case CollectAll(_, _) => sort_array(collect_list(col(src)))
     case MinMaxProp("min", _, _) => min(col(src))
     case MinMaxProp("max", _, _) => max(col(src))
     case CountStar => count(lit(1))
@@ -739,6 +853,21 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     case AggFn("avg", _, false) => avg(col(src))
     case AggFn("sum", _, true) => sum_distinct(col(src))
     case AggFn("avg", _, true) => expr(s"avg(DISTINCT `$src`)")
+    // Neo4j stDev = sample, stDevP = population; both double, both
+    // null-skipping, both run as Spark's native moment aggregates
+    case AggFn("stDev", _, false)  => stddev_samp(col(src))
+    case AggFn("stDev", _, true)   => expr(s"stddev_samp(DISTINCT `$src`)")
+    case AggFn("stDevP", _, false) => stddev_pop(col(src))
+    case AggFn("stDevP", _, true)  => expr(s"stddev_pop(DISTINCT `$src`)")
+    // exact interpolated percentile (Spark `percentile` ≡ DuckDB
+    // quantile_cont ≡ Neo4j percentileCont) — a native sort-based
+    // aggregate, never a collected list
+    case PercentileFn("percentileCont", _, p) => expr(s"percentile(`$src`, $p)")
+    // SQL-standard inverse distribution: first value whose cumulative
+    // fraction reaches p — an ACTUAL group value (returned as double,
+    // Spark's percentile_disc result type)
+    case PercentileFn("percentileDisc", _, p) =>
+      expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY `$src`)")
     case other => throw new IllegalArgumentException(s"$other is not an aggregate")
   }
 

@@ -23,6 +23,17 @@ import graft.functions._
   * pairs.
   * Word arrays are materialized as a column BEFORE any per-shingle lambda
   * so the tokenizer runs once per document, not once per shingle element.
+  *
+  * ==Breaking default change (round 11)==
+  * Every `maxBucket` / `maxPostings` valve now DEFAULTS to 1024 (it was
+  * `Int.MaxValue`, i.e. unbounded). This is a RECALL change, not just a
+  * perf valve: buckets with more than 1024 occupants silently contribute
+  * no candidate pairs beyond the cap. Callers that depended on unbounded
+  * candidate generation must pass `maxBucket = Int.MaxValue` explicitly
+  * — and should not: an unbounded hot bucket is quadratic and is exactly
+  * the 100 TB failure mode the valve exists for (a >1024-occupant bucket
+  * is a degenerate key — near-empty documents, silence, flat frames —
+  * whose pairs are near-worthless for dedup). See CHANGELOG.md.
   */
 object Dedup {
 

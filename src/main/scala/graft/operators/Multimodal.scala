@@ -8,14 +8,19 @@ import org.apache.spark.sql.functions._
   * the JVM analog of a `mapInPandas` batch UDF: executor-side, batched by
   * partition, fixed output schema, no driver collect.
   *
-  * The header decode is REAL: [[decodeHeader]] parses the public container
-  * byte layouts of PNG (IHDR chunk), JPEG (SOFn frame markers), GIF (logical
-  * screen descriptor), BMP (BITMAPINFOHEADER) and WAV (RIFF `fmt ` chunk) —
-  * pure fixed-offset arithmetic, no codec dependencies. Full-frame pixel
-  * decode (the part that genuinely needs libjpeg/ffmpeg, absent here) stays
-  * out of scope; everything a curation pipeline filters on — format, pixel
-  * dimensions, channel/depth/sample-rate metadata, byte size — is parsed
-  * from the real bytes.
+  * The decode is REAL, dependency-free, and goes all the way to pixels /
+  * samples: [[decodeHeader]] parses the public container byte layouts of
+  * PNG (IHDR chunk), JPEG (SOFn frame markers), GIF (logical screen
+  * descriptor), BMP (BITMAPINFOHEADER) and WAV (RIFF `fmt ` chunk) with
+  * pure fixed-offset arithmetic, and the full-frame codecs in this file
+  * and [[Jpeg]] decode actual payloads — full-color baseline JPEG (T.81
+  * entropy decode + IDCT), full-color and grayscale PNG (zlib inflate +
+  * per-scanline unfilter, [[decodePngColor]]/[[decodePngGray]]), LZW GIF
+  * including animation frames, uncompressed BMP, and WAV/PCM samples —
+  * each cross-validated against JDK ImageIO in both directions. Everything
+  * a curation pipeline filters on (format, pixel dimensions,
+  * channel/depth/sample-rate metadata, byte size, pixel-level hashes) is
+  * computed from the real bytes.
   *
   * Reference anchor: the reference treats media as opaque dataset columns
   * and delegates decode to workers; the Spark-native contract here is the

@@ -25,24 +25,51 @@ object StoreIO {
                      lines: Seq[String]): Unit = {
     val p = new org.apache.hadoop.fs.Path(path + ".manifest")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val prior =
-      if (fs.exists(p)) {
-        val in = fs.open(p)
-        try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      } else ""
+    val prior = readRecovering(fs, p).getOrElse("")
     atomicWrite(fs, p, prior + lines.mkString("", "\n", "\n"))
   }
 
-  /** Write a small file via temp + rename (atomic on any sane FS): the
+  /** Write a small file via temp + OVERWRITING atomic rename: the
     * destination either keeps its old content or carries the new one —
-    * never a truncated in-between. */
+    * never a truncated in-between, and never a WINDOW with neither (a
+    * delete-then-rename pair would have one; for a version pointer that
+    * window silently resurrects the pre-retrain store). The rename is
+    * `FileContext.rename(OVERWRITE)` — one metadata op on HDFS and the
+    * local FS alike. File systems without an `AbstractFileSystem`
+    * binding fall back to delete+rename, whose crash window
+    * [[readRecovering]] repairs from the surviving complete `.new`. */
   def atomicWrite(fs: org.apache.hadoop.fs.FileSystem,
                   dest: org.apache.hadoop.fs.Path, content: String): Unit = {
     val tmp = new org.apache.hadoop.fs.Path(dest.toString + ".new")
     val out = fs.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(dest)) fs.delete(dest, false)
-    require(fs.rename(tmp, dest), s"rename $tmp -> $dest failed")
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
+      fc.rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        if (fs.exists(dest)) fs.delete(dest, false)
+        require(fs.rename(tmp, dest), s"rename $tmp -> $dest failed")
+    }
+  }
+
+  /** Read a small file maintained by [[atomicWrite]], repairing the
+    * fallback path's crash window first: `dest` missing but a complete
+    * `dest.new` present means the old copy was deleted and the rename
+    * never ran — promote the survivor (it was fully written and closed
+    * before the old copy was touched) instead of silently acting as if
+    * the file never existed. Returns None only when neither copy is on
+    * disk. */
+  def readRecovering(fs: org.apache.hadoop.fs.FileSystem,
+                     dest: org.apache.hadoop.fs.Path): Option[String] = {
+    val tmp = new org.apache.hadoop.fs.Path(dest.toString + ".new")
+    if (!fs.exists(dest) && fs.exists(tmp))
+      require(fs.rename(tmp, dest), s"recovery rename $tmp -> $dest failed")
+    if (!fs.exists(dest)) None
+    else {
+      val in = fs.open(dest)
+      try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+    }
   }
 
   /** Overwrite a parquet dir via write-new + swap: the replacement is

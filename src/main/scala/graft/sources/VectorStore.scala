@@ -31,11 +31,12 @@ object VectorStore {
   def resolve(spark: SparkSession, path: String): String = {
     val p = new org.apache.hadoop.fs.Path(path + ".current")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) path
-    else {
-      val in = fs.open(p)
-      try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
-    }
+    // readRecovering promotes a complete `.current.new` survivor before
+    // concluding "no pointer": on a FS without atomic overwrite-rename a
+    // crash inside the pointer flip must not silently fall back to v0
+    // (the retrain's new version directory is already complete when the
+    // flip starts, so promoting the survivor is always safe)
+    StoreIO.readRecovering(fs, p).map(_.trim).getOrElse(path)
   }
 
   /** Full retrain with store VERSIONING — FAISS's periodic from-scratch
@@ -250,14 +251,24 @@ object VectorStore {
     // cell by its sub-0 half; the abort is marked in the manifest.
     val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // NonFatal only: a fatal JVM error (OOM, stack overflow) must not be
+    // swallowed into further Spark write jobs — the sidecar stays at its
+    // post-split state and the manifest's begin-without-completion marker
+    // makes the attempt detectable. The rollback itself is guarded so a
+    // rollback failure surfaces as SUPPRESSED on the original error
+    // instead of replacing it.
     try rewritten.write.mode("overwrite").partitionBy("cid").parquet(cur)
     catch {
-      case e: Throwable =>
-        overwriteViaRename(spark, cur + ".centroids",
-          spark.createDataFrame(existing.map { case (c, v) => (c, v) })
-            .toDF("cid", "cv"))
-        appendManifest(spark, path,
-          Seq("""{"op":"rebalance-abort","restored":"centroids"}"""))
+      case scala.util.control.NonFatal(e) =>
+        try {
+          overwriteViaRename(spark, cur + ".centroids",
+            spark.createDataFrame(existing.map { case (c, v) => (c, v) })
+              .toDF("cid", "cv"))
+          appendManifest(spark, path,
+            Seq("""{"op":"rebalance-abort","restored":"centroids"}"""))
+        } catch {
+          case scala.util.control.NonFatal(rb) => e.addSuppressed(rb)
+        }
         throw e
     } finally prevMode match {
       case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)

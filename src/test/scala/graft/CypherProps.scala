@@ -94,9 +94,46 @@ object CypherProps extends Properties("cypher") {
   } yield CoalesceE(args)
 
   private val aggFnGen: Gen[Expr] = for {
-    fn <- Gen.oneOf("sum", "avg")
+    fn <- Gen.oneOf("sum", "avg", "stDev", "stDevP")
+    d <- Gen.oneOf(true, false)
     a <- arith(1)
-  } yield AggFn(fn, a)
+  } yield AggFn(fn, a, d)
+
+  private val percentileGen: Gen[Expr] = for {
+    fn <- Gen.oneOf("percentileCont", "percentileDisc")
+    p <- Gen.oneOf(0.0, 0.25, 0.5, 0.9, 1.0)
+  } yield PercentileFn(fn, PropRef("x1", "nodeId"), p)
+
+  // string-function expressions whose RENDERED form re-enters the parser
+  // through the function-headed atom branch
+  private val strFnGen: Gen[Expr] = Gen.oneOf(
+    Gen.oneOf("toLower", "toUpper", "trim")
+      .map(fn => StrFn(fn, Seq(PropRef("x1", "name")))),
+    Gen.const(StrFn("size", Seq(PropRef("x1", "name")))),
+    for {
+      start <- Gen.choose(0L, 5L)
+      len <- Gen.option(Gen.choose(0L, 9L))
+    } yield StrFn("substring",
+      PropRef("x1", "name") +: LongLitE(start) +: len.map(LongLitE(_)).toSeq),
+    anchorStr.map(f => StrFn("replace",
+      Seq(PropRef("x1", "name"), StrLitE(f), StrLitE("_")))))
+
+  // string predicates: the LEFT side must re-parse through either the
+  // ref-headed or function-headed pred branch (a literal-headed left
+  // side is out of grammar)
+  private val strPredGen: Gen[Pred] = for {
+    l <- Gen.oneOf(Gen.const[Expr](PropRef("x1", "name")),
+      Gen.const[Expr](ColRef("x1")),
+      Gen.oneOf("toLower", "toUpper").map(fn => StrFn(fn, Seq(PropRef("x1", "name")))))
+    op <- Gen.oneOf("CONTAINS", "STARTS WITH", "ENDS WITH", "=~")
+    r <- Gen.oneOf(anchorStr.map(StrLitE(_)), Gen.const(PropRef("x2", "name")))
+  } yield StrPred(l, op, r)
+
+  private val exprCmpGen: Gen[Pred] = for {
+    fn <- Gen.oneOf("size", "toLower")
+    op <- Gen.oneOf("=", "<>", "<", "<=", ">", ">=")
+    r <- if (fn == "size") arith(1) else anchorStr.map(StrLitE(_): Expr)
+  } yield ExprCmp(StrFn(fn, Seq(PropRef("x1", "name"))), op, r)
 
   private val item: Gen[RetItem] = for {
     e <- Gen.frequency(
@@ -110,7 +147,10 @@ object CypherProps extends Properties("cypher") {
       (3, arith(2)),
       (1, caseGen),
       (1, coalesceGen),
-      (1, aggFnGen))
+      (1, aggFnGen),
+      (1, percentileGen),
+      (1, Gen.const[Expr](CollectAll("x1", "name"))),
+      (1, strFnGen))
     a <- Gen.option(ident)
   } yield RetItem(e, a)
 
@@ -127,7 +167,13 @@ object CypherProps extends Properties("cypher") {
   private val query: Gen[CypherQuery] = for {
     nUnwind <- Gen.choose(0, 2)
     unwinds <- Gen.sequence[Seq[Unwind], Unwind](
-      (1 to nUnwind).map(i => ident.map(p => Unwind(p, s"u$i"))))
+      (1 to nUnwind).map(i => Gen.oneOf(
+        ident.map(p => Unwind(p, s"u$i")),
+        // literal-list form (homogeneous, like the parser's litList)
+        Gen.oneOf(
+          Gen.nonEmptyListOf(anchorStr.map(StrLit(_): AnchorValue)),
+          Gen.nonEmptyListOf(Gen.choose(0L, 99L).map(LongLit(_): AnchorValue)))
+          .map(ls => Unwind("", s"u$i", Some(ls.take(3)))))))
     p <- path
     scalarPreds <- Gen.someOf(Seq[Pred](
       VarNeq("x1", "x2"), NotIdIn("x1", "found"),
@@ -140,9 +186,11 @@ object CypherProps extends Properties("cypher") {
       NotPred(AndPred(PropCmp("x1", "nodeId", "=", LongLit(1L)),
         InList(PropRef("x1", "nodeId"), Seq(LongLit(1L), LongLit(-2L)),
           negated = true)))))
+    strPreds <- Gen.frequency((2, Gen.const(Seq.empty[Pred])),
+      (1, strPredGen.map(Seq(_))), (1, exprCmpGen.map(Seq(_))))
     exPreds <- Gen.frequency((2, Gen.const(Nil)),
       (1, existsPred.map(Seq(_))))
-    preds = scalarPreds.toSeq ++ exPreds
+    preds = scalarPreds.toSeq ++ strPreds ++ exPreds
     distinct <- Gen.oneOf(true, false)
     nItems <- Gen.choose(1, 3)
     items <- Gen.listOfN(nItems, item)

@@ -1002,4 +1002,176 @@ class CypherSpec extends SparkSpec {
     assert(uq.all && uq.parts.length === 2)
     assert(Parser.parseUnion(uq.render) === uq)
   }
+
+  test("string predicates: CONTAINS / STARTS WITH / ENDS WITH / =~") {
+    def names(cy: String): Set[String] =
+      Planner.run(g, cy).collect().map(_.getString(0)).toSet
+    assert(names("""MATCH (p:Paper) WHERE p.name CONTAINS "alph" RETURN p.name AS name""")
+      === Set("P-alpha"))
+    assert(names("""MATCH (p:Paper) WHERE p.name STARTS WITH "P-" RETURN p.name AS name""")
+      === Set("P-alpha", "P-beta", "P-gamma"))
+    assert(names("""MATCH (p:Paper) WHERE p.name ENDS WITH "ta" RETURN p.name AS name""")
+      === Set("P-beta"))
+    // =~ anchors the WHOLE string, like Neo4j (a bare substring match
+    // would also admit P-alpha via "a")
+    assert(names("""MATCH (p:Paper) WHERE p.name =~ "P-(alpha|beta)" RETURN p.name AS name""")
+      === Set("P-alpha", "P-beta"))
+    assert(names("""MATCH (p:Paper) WHERE p.name =~ "alpha" RETURN p.name AS name""")
+      === Set.empty[String])
+    // null property: predicate is null → row dropped (Neo4j semantics)
+    assert(names("""MATCH (p:Paper) WHERE p.abstract CONTAINS "a" RETURN p.name AS name""")
+      === Set("P-alpha", "P-gamma"))
+    // composition inside boolean WHERE, and the negated form via NOT (…)
+    assert(names(
+      """MATCH (p:Paper) WHERE (p.name ENDS WITH "ta" OR p.name CONTAINS "gam") AND NOT (p.name STARTS WITH "Q") RETURN p.name AS name""")
+      === Set("P-beta", "P-gamma"))
+    // round-trip
+    val q = Parser.parse(
+      """MATCH (p:Paper) WHERE p.name CONTAINS "al" AND toLower(p.name) STARTS WITH "p-" RETURN p.name AS name""")
+    assert(Parser.parse(q.render) === q)
+  }
+
+  test("scalar string functions: toLower/toUpper/size/substring/replace/trim") {
+    val row = Planner.run(g,
+      """MATCH (a:Author {name: "Alice"})
+        |RETURN toLower(a.name) AS lo, toUpper(a.name) AS up,
+        |       size(a.name) AS len, substring(a.name, 1, 3) AS mid,
+        |       substring(a.name, 2) AS tail0,
+        |       replace(a.name, "li", "LI") AS rep,
+        |       trim(a.name) AS tr""".stripMargin).collect().head
+    assert(row.getString(0) === "alice")
+    assert(row.getString(1) === "ALICE")
+    assert(row.getLong(2) === 5L)
+    assert(row.getString(3) === "lic") // Neo4j substring is 0-indexed
+    assert(row.getString(4) === "ice")
+    assert(row.getString(5) === "ALIce")
+    assert(row.getString(6) === "Alice")
+    // function-wrapped refs in WHERE: the poor man's fulltext
+    val names = Planner.run(g,
+      """MATCH (p:Paper) WHERE toLower(p.name) CONTAINS "-b" RETURN p.name AS name""")
+      .collect().map(_.getString(0)).toSet
+    assert(names === Set("P-beta"))
+    // size() comparison predicate
+    val n = Planner.run(g,
+      """MATCH (a:Author) WHERE size(a.name) > 3 RETURN count(a) AS n""")
+      .collect().head.getLong(0)
+    assert(n === 2L) // Alice, Carol (Bob is 3)
+    // size() is a Cypher integer: `/` stays integral division
+    val d = Planner.run(g,
+      """MATCH (a:Author {name: "Alice"}) RETURN size(a.name) / 2 AS half""")
+      .collect().head.getLong(0)
+    assert(d === 2L)
+  }
+
+  test("plain collect(x.prop): bag keeps duplicates, skips nulls, WITH form") {
+    // parallel edges e4 (WRITES) + e12 (REVIEWS) both bind Alice—P-alpha:
+    // the bag must duplicate where DISTINCT would collapse
+    val bag = Planner.run(g,
+      """MATCH (a:Author {name: "Alice"})-[r]-(p:Paper {name: "P-alpha"})
+        |RETURN a.name AS name, collect(p.name) AS papers""".stripMargin)
+      .collect().head.getSeq[String](1)
+    assert(bag === Seq("P-alpha", "P-alpha"), "parallel edges must duplicate")
+    val distinct = Planner.run(g,
+      """MATCH (a:Author {name: "Alice"})-[r]-(p:Paper {name: "P-alpha"})
+        |RETURN a.name AS name, collect(DISTINCT p.name) AS papers""".stripMargin)
+      .collect().head.getSeq[String](1)
+    assert(distinct === Seq("P-alpha"))
+    // null-skipping: Alice's papers' abstracts — P-beta's is null
+    val abs = Planner.run(g,
+      """MATCH (a:Author {name: "Alice"})-[r:WRITES]-(p:Paper)
+        |RETURN collect(p.abstract) AS abstracts""".stripMargin)
+      .collect().head.getSeq[String](0)
+    assert(abs === Seq("about dbs"))
+    // WITH-stage form
+    val viaWith = Planner.run(g,
+      """MATCH (a:Author)-[r:WRITES]-(p:Paper)
+        |WITH a, collect(p.name) AS papers
+        |RETURN a.name AS name, papers ORDER BY name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getSeq[String](1)))
+    assert(viaWith.toSeq === Seq(
+      ("Alice", Seq("P-alpha", "P-beta")),
+      ("Bob", Seq("P-alpha")),
+      ("Carol", Seq("P-gamma"))))
+    // size() of a collected list alias counts elements
+    val sz = Planner.run(g,
+      """MATCH (a:Author {name: "Alice"})-[r:WRITES]-(p:Paper)
+        |WITH a, collect(p.name) AS papers
+        |RETURN size(papers) AS n""".stripMargin).collect().head.getLong(0)
+    assert(sz === 2L)
+  }
+
+  test("UNWIND literal lists: self-contained anchor, no parameter map") {
+    val rows = Planner.run(g,
+      """UNWIND ["Alice", "Carol"] AS nm
+        |MATCH (a:Author {name: nm})-[r:WRITES]-(p:Paper)
+        |RETURN a.name AS name, count(p) AS n ORDER BY name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq === Seq(("Alice", 2L), ("Carol", 1L)))
+    // integer literal list against nodeId
+    val byId = Planner.run(g,
+      """UNWIND [1, 2] AS nid
+        |MATCH (i:Institution {nodeId: nid})
+        |RETURN count(i) AS n""".stripMargin).collect().head.getLong(0)
+    assert(byId === 2L)
+    // round-trip (string escaping included)
+    val q = Parser.parse(
+      """UNWIND ["a\"b", "c"] AS nm MATCH (x {name: nm}) RETURN x.name AS name""")
+    assert(Parser.parse(q.render) === q)
+    // mixed-type literal lists are rejected like IN lists
+    intercept[Parser.ParseError](Parser.parse(
+      """UNWIND ["a", 1] AS nm MATCH (x {name: nm}) RETURN x.name AS name"""))
+  }
+
+  test("stDev / stDevP / percentileCont / percentileDisc aggregates") {
+    // Authors' nodeIds: 10, 11, 12 — hand-derived moments
+    val row = Planner.run(g,
+      """MATCH (a:Author)
+        |RETURN stDev(a.nodeId) AS sd, stDevP(a.nodeId) AS sdp,
+        |       percentileCont(a.nodeId, 0.5) AS p50,
+        |       percentileCont(a.nodeId, 0.25) AS p25,
+        |       percentileDisc(a.nodeId, 0.5) AS d50,
+        |       percentileDisc(a.nodeId, 1.0) AS d100""".stripMargin)
+      .collect().head
+    assert(row.getDouble(0) === 1.0) // sample stdev of {10,11,12}
+    assert(math.abs(row.getDouble(1) - math.sqrt(2.0 / 3.0)) < 1e-12)
+    assert(row.getDouble(2) === 11.0)
+    assert(row.getDouble(3) === 10.5) // interpolated
+    assert(row.getDouble(4) === 11.0) // an actual group value (as double)
+    assert(row.getDouble(5) === 12.0)
+    // implicit grouping + WITH-stage form
+    val perInst = Planner.run(g,
+      """MATCH (i:Institution)-[r:AFFILIATED_WITH]-(a:Author)
+        |WITH i, percentileCont(a.nodeId, 0.5) AS med
+        |RETURN i.name AS name, med ORDER BY name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(perInst.toSeq === Seq(("MIT", 10.5), ("Stanford", 12.0)))
+    // round-trip
+    val q = Parser.parse(
+      "MATCH (a:Author) RETURN stDev(a.nodeId) AS sd, percentileDisc(a.nodeId, 0.9) AS p")
+    assert(Parser.parse(q.render) === q)
+    intercept[Parser.ParseError](Parser.parse(
+      "MATCH (a:Author) RETURN percentileCont(a.nodeId, 1.5) AS p"))
+  }
+
+  test("IN list type check: Cypher comparison is typed, no implicit casts") {
+    // string property against an integer list → plan-time rejection
+    intercept[IllegalArgumentException](Planner.run(g,
+      "MATCH (a:Author) WHERE a.name IN [1, 2] RETURN a.name AS name").collect())
+    // integer property against a string list → plan-time rejection
+    intercept[IllegalArgumentException](Planner.run(g,
+      """MATCH (a:Author) WHERE a.nodeId IN ["x"] RETURN a.name AS name""").collect())
+    // matching types pass
+    assert(Planner.run(g,
+      "MATCH (a:Author) WHERE a.nodeId IN [10, 12] RETURN count(a) AS n")
+      .collect().head.getLong(0) === 2L)
+  }
+
+  test("`/` typing resolves against the variable's own schema (rel vars)") {
+    // r.src is a LONG on the relationship frame; the node schema has no
+    // such column — integral ÷ integral must truncate (10 / 3 = 3)
+    val d = Planner.run(g,
+      """MATCH (a:Author {name: "Alice"})-[r:WRITES]-(p:Paper {name: "P-beta"})
+        |RETURN r.src / 3 AS third""".stripMargin).collect().head
+    assert(d.getLong(0) === 3L)
+  }
 }
