@@ -580,6 +580,84 @@ object OracleSqls {
         |GROUP BY 1
         |ORDER BY nation""".stripMargin),
 
+    // CONTAINS / STARTS WITH / ENDS WITH composed in one boolean WHERE —
+    // both engines evaluate the same three substring tests in one scan
+    "cy_contains" -> withGraph(
+      """SELECT n.name AS nation, CAST(count(c.nodeId) AS BIGINT) AS n_cust
+        |FROM nodes n
+        |JOIN bidir e ON n.nodeId = e.a AND e.relType = 'FROM_NATION'
+        |JOIN nodes c ON e.b = c.nodeId AND c.label = 'Customer'
+        |WHERE n.label = 'Nation'
+        |  AND (ends_with(n.name, '_3') OR contains(n.name, '_1'))
+        |  AND NOT starts_with(n.name, 'NATION_2')
+        |GROUP BY 1
+        |ORDER BY nation""".stripMargin),
+
+    // =~ is a WHOLE-string regex on both engines (DuckDB
+    // regexp_full_match ≡ the engine's ^(?:…)$ anchoring)
+    "cy_regex" -> withGraph(
+      """SELECT c.name AS name
+        |FROM nodes c
+        |WHERE c.label = 'Customer'
+        |  AND regexp_full_match(c.name, 'Customer#0*1[0-9]2')
+        |ORDER BY name""".stripMargin),
+
+    // scalar string functions: Neo4j substring is 0-indexed → SQL substr
+    // 1-indexed; size() is BIGINT on both engines
+    "cy_str_funcs" -> withGraph(
+      """SELECT lower(n.name) AS lo, upper(substr(n.name, 8)) AS tag,
+        |  CAST(length(n.name) AS BIGINT) AS len,
+        |  replace(n.name, 'NATION', 'N') AS short,
+        |  CAST(count(c.nodeId) AS BIGINT) AS n_cust
+        |FROM nodes n
+        |JOIN bidir e ON n.nodeId = e.a AND e.relType = 'FROM_NATION'
+        |JOIN nodes c ON e.b = c.nodeId AND c.label = 'Customer'
+        |WHERE n.label = 'Nation' AND contains(lower(n.name), '_1')
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY lo""".stripMargin),
+
+    // plain collect keeps ONE copy per 2-hop row (bag multiplicity);
+    // both engines canonicalize the unordered bag to a sorted list
+    "cy_collect_all" -> withGraph(
+      """SELECT r.name AS region,
+        |  array_to_string(list_sort(list(n.name)), '|') AS nations,
+        |  CAST(count(c.nodeId) AS BIGINT) AS n_cust
+        |FROM nodes r
+        |JOIN bidir e ON r.nodeId = e.a AND e.relType = 'IN_REGION'
+        |JOIN nodes n ON e.b = n.nodeId AND n.label = 'Nation'
+        |JOIN bidir e2 ON n.nodeId = e2.a AND e2.relType = 'FROM_NATION'
+        |JOIN nodes c ON e2.b = c.nodeId AND c.label = 'Customer'
+        |WHERE r.label = 'Region'
+        |GROUP BY 1""".stripMargin),
+
+    // UNWIND of a literal list anchors exactly like the IN-list form
+    "cy_unwind_lit" -> withGraph(
+      """SELECT n.name AS nation, CAST(count(c.nodeId) AS BIGINT) AS n_cust
+        |FROM nodes n
+        |JOIN bidir e ON n.nodeId = e.a AND e.relType = 'FROM_NATION'
+        |JOIN nodes c ON e.b = c.nodeId AND c.label = 'Customer'
+        |WHERE n.label = 'Nation'
+        |  AND n.name IN ('NATION_1', 'NATION_3', 'NATION_7')
+        |GROUP BY 1
+        |ORDER BY nation""".stripMargin),
+
+    // percentileCont ≡ quantile_cont (exact interpolation, unrounded);
+    // percentileDisc ≡ quantile_disc (SQL-standard inverse distribution,
+    // cast to DOUBLE to match Spark's percentile_disc result type);
+    // stDev rounded to 4 decimals on both sides (moment-accumulation
+    // order differs between engines)
+    "cy_percentile" -> withFinGraph(
+      """SELECT n.name AS nation,
+        |  quantile_cont(c.acctbal, 0.5) AS med,
+        |  CAST(quantile_disc(c.acctbal, 0.9) AS DOUBLE) AS p90,
+        |  round(stddev_samp(c.acctbal), 4) AS sd
+        |FROM fnodes n
+        |JOIN fbidir e ON n.nodeId = e.a AND e.relType = 'FROM_NATION'
+        |JOIN fnodes c ON e.b = c.nodeId AND c.label = 'Customer'
+        |WHERE n.label = 'Nation'
+        |GROUP BY 1
+        |ORDER BY nation""".stripMargin),
+
     // boolean WHERE: AND binds tighter than OR, NOT groups — one scan
     // predicate on both engines
     "cy_bool_where" -> withFinGraph(

@@ -1168,6 +1168,81 @@ object Queries {
         |RETURN n.name AS nation, count(c) AS n_cust
         |ORDER BY nation""".stripMargin)
 
+  /** Cypher string predicates CONTAINS / STARTS WITH / ENDS WITH composed
+    * in one boolean WHERE — the first exploratory filters a property-graph
+    * user types (the parameterized neighbor is the reference's normalized
+    * lookup, retrieval/ner.py:111-114). All three fold into ONE pushable
+    * scan predicate on the anchor leg, like `cy_in_list`. */
+  def cyContains(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """MATCH (n:Nation)-[e:FROM_NATION]-(c:Customer)
+        |WHERE (n.name ENDS WITH "_3" OR n.name CONTAINS "_1")
+        |  AND NOT (n.name STARTS WITH "NATION_2")
+        |RETURN n.name AS nation, count(c) AS n_cust
+        |ORDER BY nation""".stripMargin)
+
+  /** Whole-string `=~` regex predicate (Neo4j anchors both ends; a bare
+    * substring engine would also admit every longer id). */
+  def cyRegex(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """MATCH (c:Customer)
+        |WHERE c.name =~ "Customer#0*1[0-9]2"
+        |RETURN c.name AS name
+        |ORDER BY name""".stripMargin)
+
+  /** Scalar string functions through the dialect: toLower / toUpper /
+    * substring (0-indexed, like Neo4j) / size / replace, composed with a
+    * CONTAINS predicate over a function-wrapped ref (`WHERE toLower(…)
+    * CONTAINS` — the poor man's fulltext). All plan to codegen'd
+    * built-ins in one scan. */
+  def cyStrFuncs(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """MATCH (n:Nation)-[e:FROM_NATION]-(c:Customer)
+        |WHERE toLower(n.name) CONTAINS "_1"
+        |RETURN toLower(n.name) AS lo, toUpper(substring(n.name, 7)) AS tag,
+        |       size(n.name) AS len, replace(n.name, "NATION", "N") AS short,
+        |       count(c) AS n_cust
+        |ORDER BY lo""".stripMargin)
+
+  /** Plain non-DISTINCT collect: the bag keeps one copy of the nation
+    * name PER CUSTOMER ROW (multiplicity = the 2-hop row count — where
+    * DISTINCT would keep 5 per region), mirroring the reference's
+    * non-distinct provenance append (retrieval/retriever.py:83).
+    * Canonicalized to a sorted list; flattened to a joined string for
+    * the driver's hash surface like `cy_collect`. */
+  def cyCollectAll(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """MATCH (r:Region)-[e:IN_REGION]-(n:Nation)-[e2:FROM_NATION]-(c:Customer)
+        |RETURN r.name AS region, collect(n.name) AS nations,
+        |       count(c) AS n_cust""".stripMargin)
+      .select(col("region"), array_join(col("nations"), "|").as("nations"),
+        col("n_cust"))
+
+  /** UNWIND of a literal list: the self-contained anchor form that needs
+    * no parameter map — same plan shape as the `$param` unwind (one
+    * broadcast isin anchor). */
+  def cyUnwindLit(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """UNWIND ["NATION_1", "NATION_3", "NATION_7"] AS nm
+        |MATCH (n:Nation {name: nm})-[e:FROM_NATION]-(c:Customer)
+        |RETURN n.name AS nation, count(c) AS n_cust
+        |ORDER BY nation""".stripMargin)
+
+  /** Numeric-statistics aggregates through the dialect: interpolated
+    * percentileCont (Spark `percentile` ≡ DuckDB quantile_cont — exact
+    * double arithmetic, compared unrounded), SQL-standard percentileDisc
+    * (first value whose cumulative fraction reaches p; an actual group
+    * value, exact), and sample stDev (engines' moment accumulation
+    * orders differ → rounded to 4 decimals on both sides). */
+  def cyPercentile(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(finGraph(spark, dir),
+      """MATCH (n:Nation)-[e:FROM_NATION]-(c:Customer)
+        |RETURN n.name AS nation, percentileCont(c.acctbal, 0.5) AS med,
+        |       percentileDisc(c.acctbal, 0.9) AS p90,
+        |       stDev(c.acctbal) AS sd
+        |ORDER BY nation""".stripMargin)
+      .withColumn("sd", round(col("sd"), 4))
+
   /** Boolean WHERE with Cypher precedence (NOT > AND > OR, parens group):
     * customers kept when rich OR (overdrawn AND outside one nation) —
     * the disjunctive filter surface plus a NOT group, all folding into
@@ -2829,7 +2904,7 @@ object Queries {
     "cy_with_agg", "cy_with_topk", "cy_optional_match", "cy_shortest_path",
     "cy_rel_types", "cy_exists_filter", "cy_union", "cy_collect", "cy_minmax", "cy_count_rows", "cy_multi_order",
     "cy_varlength", "cy_sum_avg", "cy_return_arith", "cy_case_null",
-    "cy_directed",
+    "cy_directed", "cy_contains", "cy_collect_all",
     // pipeline orchestration (§7 M5)
     "pipeline_retrieve", "fmt_context",
     // dedup family
@@ -2902,6 +2977,12 @@ object Queries {
     "cy_bool_where" -> (cyBoolWhere _),
     "cy_in_list" -> (cyInList _),
     "cy_sum_distinct" -> (cySumDistinct _),
+    "cy_contains" -> (cyContains _),
+    "cy_regex" -> (cyRegex _),
+    "cy_str_funcs" -> (cyStrFuncs _),
+    "cy_collect_all" -> (cyCollectAll _),
+    "cy_unwind_lit" -> (cyUnwindLit _),
+    "cy_percentile" -> (cyPercentile _),
     "skew_salted_agg" -> (skewSaltedAgg _),
     "join_salted" -> (joinSalted _),
     "join_asof_exec" -> (joinAsofExec _),
