@@ -142,6 +142,150 @@ class ScaleStressSpec extends SparkSpec {
       f"bfs runtime ratio ${btN / bt1}%.1f exceeds the linear envelope")
   }
 
+  // ---- planted-hub skew for the anchored 2-hop family (§7.4) ----
+
+  /** [[scaledGraph]] plus one planted HUB per copy: a Nation named
+    * "HUB_NATION" (the SAME name in every copy, so a name anchor matches
+    * all n hubs) wired by FROM_NATION to EVERY customer of its copy and
+    * by IN_REGION to every region — the deliberately degenerate degree
+    * distribution (hub degree = |customers|, ~1000× the median nation)
+    * that §7.4 flags as the 2-hop scale risk. */
+  private def hubGraph(n: Int): graft.graph.PropertyGraph = {
+    val g0 = scaledGraph(n)
+    val copies = spark.range(n).select(col("id").as("__copy"))
+    val hubNodes = copies.select(
+        (col("__copy") * Shift + lit(7000000000L)).as("nodeId"),
+        lit("Nation").as("label"), lit("HUB_NATION").as("name"))
+      .withColumn("labels", array(lit("Nation"), lit("_Entity_")))
+      .withColumn("nameEmbedding", lit(null).cast("array<double>"))
+    val hubOfCopy = expr(s"nodeId div ${Shift}L * ${Shift}L + 7000000000L")
+    val custRels = g0.nodes.where(col("label") === "Customer")
+      .select(lit("FROM_NATION").as("relType"),
+        col("nodeId").as("src"), hubOfCopy.as("dst"))
+    val regRels = g0.nodes.where(col("label") === "Region")
+      .select(lit("IN_REGION").as("relType"),
+        hubOfCopy.as("src"), col("nodeId").as("dst"))
+    graft.graph.PropertyGraph(
+      g0.nodes.unionByName(hubNodes),
+      g0.rels.unionByName(custRels).unionByName(regRels))
+  }
+
+  /** The anchored 2-hop THROUGH the hub, via the dialect (the exact
+    * query family a user writes): every copy's anchor matches its hub,
+    * whose first-hop fan-out is the whole customer population. The
+    * DISTINCT count keeps the customer ids (distinct values, realistic
+    * shuffle bytes) flowing through the hot hub-keyed hop — count(*)
+    * would let column pruning shrink the hot partitions to a few
+    * constant columns that compress to almost nothing. */
+  private def hubDf(n: Int): DataFrame =
+    graft.cypher.Planner.run(hubGraph(n),
+      """MATCH (c:Customer)-[e1:FROM_NATION]-(n:Nation {name: "HUB_NATION"})-[e2:IN_REGION]-(r:Region)
+        |RETURN count(DISTINCT c) AS n_cust, count(*) AS n_rows""".stripMargin)
+
+  private def hubCount(n: Int): Long = hubDf(n).collect().head.getLong(1)
+
+  /** Final (post-AQE) physical plan of an EXECUTED DataFrame. */
+  private def finalPlan(df: DataFrame) = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  /** Collect across AQE's query-stage boundaries: `QueryStageExec` is a
+    * LEAF wrapper (plain `collect` never sees inside a materialized
+    * stage), so descend into `.plan` explicitly. */
+  private def collectAll[T](p: org.apache.spark.sql.execution.SparkPlan)(
+      pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val kids = p match {
+      case q: QueryStageExec        => Seq(q.plan)
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case other                    => other.children
+    }
+    pf.lift(p).toSeq ++ kids.flatMap(collectAll(_)(pf))
+  }
+
+  test("planted-hub 2-hop: structural skew killers keep the walltime linear") {
+    // matches = |customers| × |regions| per copy — hand-derivable and
+    // exactly ×n (disjoint copies)
+    val (h1, t1) = bench(hubCount(1))
+    val n = if (sys.env.get("SPARK_GRAFT_STRESS").contains("1")) 10 else 3
+    val (hN, tN) = bench(hubCount(n))
+    info(f"hub2hop ×1: $h1%8d rows ${t1}%6.2f s   ×$n: $hN%8d rows ${tN}%6.2f s   ratio ${tN / t1}%5.2f")
+    assert(hN === h1 * n, s"hub 2-hop matches must scale exactly ×$n")
+    // sub-quadratic envelope: the hub's fan-out rides ONE broadcast
+    // anchor pre-filter (meet-in-the-middle) — a per-hub-key quadratic
+    // blowup would land far outside 4·n
+    assert(tN / t1 < 4.0 * n,
+      f"hub 2-hop runtime ratio ${tN / t1}%.1f exceeds the linear envelope")
+    assertShape(hubDf(n), "hub2hop")
+  }
+
+  test("planted-hub 2-hop: AQE splits the hot hub key when the join shuffles") {
+    // Force the residual case the broadcast hint normally absorbs: with
+    // broadcast OFF (the anchor's explicit broadcast() hint still wins,
+    // so the anchor leg stays a broadcast join — only the UNHINTED hop
+    // falls to sort-merge), every frontier row of a copy carries its
+    // hub's nodeId, so the hop-2 shuffle lands ~|customers| rows on n
+    // keys. Thresholds are scaled down so the split fires at spec data
+    // sizes (shuffle sizes are SERIALIZED+COMPRESSED bytes, so ~500 KB
+    // of hot rows measure ~100-200 KB); 32 shuffle partitions keep the
+    // MEDIAN partition empty so the n hot keys stand out the way a hub
+    // does among thousands of keys at 100 TB, where the default 256 MB
+    // threshold fires the same way.
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.shuffle.partitions",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8k")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8k")
+      // splitting a skewed partition may break the downstream join's
+      // copartitioning and cost an extra shuffle — at spec sizes that
+      // trade is forced so the SPLIT mechanism itself is what's asserted
+      spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      // skew SPLITTING works at map-output granularity: a hot reduce
+      // partition can only be split across the mappers that produced it.
+      // At spec sizes AQE coalesces the upstream stage to ~1 task, which
+      // makes every partition single-mapper and unsplittable — at real
+      // scale the map side has hundreds of tasks, so coalescing is
+      // disabled here to restore the multi-mapper provenance the split
+      // depends on.
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      val df = hubDf(3)
+      val h = df.collect().head.getLong(1)
+      collectAll(df.queryExecution.executedPlan) {
+        case q: org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec => q
+      }.foreach { q =>
+        val sizes = q.mapStats.map(_.bytesByPartitionId).getOrElse(Array.empty)
+        info(s"[stage ${q.id}] nonzero=${sizes.count(_ > 0)} " +
+          s"top=${sizes.sorted.reverse.take(4).mkString(",")}")
+      }
+      val smjs = collectAll(df.queryExecution.executedPlan) {
+        case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec => s
+      }
+      assert(smjs.nonEmpty,
+        s"expected the hop join to shuffle with broadcast off:\n${finalPlan(df)}")
+      assert(smjs.exists(_.isSkewJoin),
+        s"AQE skew split did not fire on the hub key:\n${finalPlan(df)}")
+      // same result under the forced shuffle+split plan
+      assert(h === hubCount(1) * 3)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("×3 sanity: 2-hop, capped banded dedup, BFS scale ~linearly") {
     stressAt(3)
   }

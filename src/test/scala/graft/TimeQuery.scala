@@ -4,8 +4,27 @@ package graft
   * the SAME protocol as Bench — warmed session, graph pre-loaded (LOAD
   * stage), interleaved passes, per-query localCheckpoint blocks freed at
   * query end — so single-query timings are comparable to the driver's
-  * bench medians without a 138-query run. */
+  * bench medians without a 138-query run.
+  *
+  * `SPARK_GRAFT_PRELOAD=N` runs the first N catalog entries ONCE
+  * (untimed) before the timed passes — reproducing the late-bench JVM
+  * state (code cache, metaspace, fragmented old gen) that made isolated
+  * medians 1.5-2.3× faster than the same queries inside the 267-query
+  * bench JVM. [[poolReport]] prints the JVM pools either way, so the
+  * hypothesis (code-cache exhaustion throttling the JIT) is measured,
+  * not guessed. */
 object TimeQuery {
+  def poolReport(tag: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+    val line = pools.map { p =>
+      val u = p.getUsage
+      val cap = if (u.getMax > 0) u.getMax else u.getCommitted
+      f"${p.getName}=${u.getUsed / 1e6}%.0f/${cap / 1e6}%.0fMB"
+    }.mkString(" ")
+    println(s"[pools $tag] $line")
+  }
+
   def main(args: Array[String]): Unit = {
     val names = args(0).split(",").toSeq
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
@@ -17,8 +36,25 @@ object TimeQuery {
       .groupBy("m").count().count()
     val g = graft.graph.TpchGraph(spark, sfDir)
     g.nodes.count(); g.rels.count()
+    g.adjPairs.count(); g.nodeCount
     graft.graph.GraphXBridge.materialize(spark, g)
     val loadRdds = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val preload = sys.env.get("SPARK_GRAFT_PRELOAD").map(_.toInt).getOrElse(0)
+    if (preload > 0) {
+      Queries.warmBucketed(spark, sfDir); Queries.warmZorder(spark, sfDir)
+      Queries.warmPartitioned(spark, sfDir); Queries.warmTar(spark, sfDir)
+      Queries.warmIvfStore(spark, sfDir); Queries.warmSearchStore(spark, sfDir)
+      poolReport("before-preload")
+      for ((name, fn) <- SparkEntry.queries.toSeq.take(preload)
+           if !names.contains(name)) {
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[preload] $name failed: ${e.getMessage}") }
+        for ((id, rdd) <- spark.sparkContext.getPersistentRDDs
+             if !loadRdds.contains(id)) rdd.unpersist(blocking = true)
+      }
+    }
+    poolReport("before-timing")
     val timings = collection.mutable.Map[String, List[Double]]()
     for (_ <- 1 to runs; name <- names) {
       System.gc()
@@ -29,6 +65,7 @@ object TimeQuery {
       for ((id, rdd) <- spark.sparkContext.getPersistentRDDs
            if !loadRdds.contains(id)) rdd.unpersist(blocking = false)
     }
+    poolReport("after-timing")
     for (name <- names) {
       val ok = timings(name).sorted
       println(f"[time] $name min=${ok.head}%.2f median=${ok(ok.length / 2)}%.2f max=${ok.last}%.2f over $runs runs")
