@@ -1,0 +1,86 @@
+package graft
+
+import graft.sources.{StoreIO, VectorStore}
+import org.apache.hadoop.fs.Path
+
+/** Durability semantics of the small-file layer under the persisted
+  * stores (round-12 ADVICE fix): atomicWrite must never leave a window
+  * with NEITHER copy on disk, and reads must recover the fallback
+  * path's crash window (dest deleted, complete `.new` survivor) instead
+  * of silently treating the file as absent — for the VectorStore version
+  * pointer that silence would resurrect the pre-retrain store. */
+class StoreIOSpec extends SparkSpec {
+
+  private def fs(p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def write(p: Path, s: String): Unit = {
+    val out = fs(p).create(p, true)
+    try out.write(s.getBytes("UTF-8")) finally out.close()
+  }
+
+  test("atomicWrite overwrites in place with no .new residue") {
+    val dir = java.nio.file.Files.createTempDirectory("storeio1")
+    val dest = new Path(dir.resolve("ptr").toString)
+    StoreIO.atomicWrite(fs(dest), dest, "v1")
+    StoreIO.atomicWrite(fs(dest), dest, "v2")
+    assert(StoreIO.readRecovering(fs(dest), dest) === Some("v2"))
+    // the overwrite-rename consumed the temp — no stale survivor that a
+    // LATER crash recovery could mistake for newer content
+    assert(!fs(dest).exists(new Path(dest.toString + ".new")))
+  }
+
+  test("readRecovering promotes a complete .new survivor before reading") {
+    val dir = java.nio.file.Files.createTempDirectory("storeio2")
+    val dest = new Path(dir.resolve("ptr").toString)
+    val tmp = new Path(dest.toString + ".new")
+    // simulate the delete+rename fallback's crash window: the new copy
+    // was fully written and closed, the old copy deleted, the rename
+    // never ran — dest is missing, the survivor is complete
+    write(tmp, "recovered")
+    assert(!fs(dest).exists(dest))
+    assert(StoreIO.readRecovering(fs(dest), dest) === Some("recovered"))
+    // the recovery is durable: promoted on disk, survivor consumed
+    assert(fs(dest).exists(dest))
+    assert(!fs(dest).exists(tmp))
+    // absent entirely → None (no phantom recovery)
+    val other = new Path(dir.resolve("none").toString)
+    assert(StoreIO.readRecovering(fs(other), other) === None)
+  }
+
+  test("resolve recovers the version pointer from the crash window " +
+    "instead of falling back to v0") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("storeio3")
+    val path = dir.resolve("emb").toString
+    val emb = (0L until 64L).map(i =>
+      (i, Array.tabulate(4)(d => math.sin(i * 31 + d).toDouble).toSeq))
+      .toDF("vec_id", "embedding")
+    VectorStore.writeIvf(emb, "vec_id", "embedding", nCentroids = 4, path)
+    assert(VectorStore.retrainIvf(spark, path, nCentroids = 4) === 1)
+    val ptr = new Path(path + ".current")
+    val target = StoreIO.readRecovering(fs(ptr), ptr).get
+    // reopen the window: pointer deleted, complete survivor left behind
+    write(new Path(ptr.toString + ".new"), target)
+    fs(ptr).delete(ptr, false)
+    assert(VectorStore.resolve(spark, path) === s"$path.v1",
+      "a crash inside the pointer flip must not resurrect v0")
+    // and the recovery healed the pointer for every later reader
+    assert(fs(ptr).exists(ptr))
+  }
+
+  test("appendManifest keeps prior lines across the crash window") {
+    val dir = java.nio.file.Files.createTempDirectory("storeio4")
+    val path = dir.resolve("store").toString
+    StoreIO.appendManifest(spark, path, Seq("""{"op":"a"}"""))
+    val m = new Path(path + ".manifest")
+    // window: manifest deleted, grown copy survives at .new
+    val grown = StoreIO.readRecovering(fs(m), m).get + """{"op":"b"}""" + "\n"
+    write(new Path(m.toString + ".new"), grown)
+    fs(m).delete(m, false)
+    StoreIO.appendManifest(spark, path, Seq("""{"op":"c"}"""))
+    val all = StoreIO.readRecovering(fs(m), m).get
+    assert(all === """{"op":"a"}""" + "\n" + """{"op":"b"}""" + "\n" +
+      """{"op":"c"}""" + "\n")
+  }
+}
