@@ -641,6 +641,44 @@ object OracleSqls {
         |GROUP BY 1
         |ORDER BY nation""".stripMargin),
 
+    // sign() is a Cypher integer; sum(abs()) stays exact integer cents;
+    // avg over the double cast is exact (integer-valued partials ≪ 2^53)
+    "cy_num_funcs" -> withFinGraph(
+      """SELECT n.name AS nation, CAST(sign(c.acctbal) AS BIGINT) AS s,
+        |  CAST(sum(abs(c.acctbal)) AS BIGINT) AS total_abs,
+        |  avg(CAST(c.acctbal AS DOUBLE)) AS avg_bal,
+        |  CAST(count(*) AS BIGINT) AS n_cust
+        |FROM fnodes n
+        |JOIN fbidir e ON n.nodeId = e.a AND e.relType = 'FROM_NATION'
+        |JOIN fnodes c ON e.b = c.nodeId AND c.label = 'Customer'
+        |WHERE n.label = 'Nation'
+        |GROUP BY 1, 2
+        |ORDER BY nation, s""".stripMargin),
+
+    // pattern-as-predicate sugar ≡ [NOT] EXISTS — semi join on active
+    // customers, anti join on the anchored 2-hop (ordered "red widget")
+    "cy_pattern_pred" -> withGraph(
+      """SELECT n.name AS nation, CAST(count(c.nodeId) AS BIGINT) AS n_without
+        |FROM nodes n
+        |JOIN bidir e ON n.nodeId = e.a AND e.relType = 'FROM_NATION'
+        |JOIN nodes c ON e.b = c.nodeId AND c.label = 'Customer'
+        |WHERE n.label = 'Nation'
+        |  AND EXISTS (
+        |    SELECT 1 FROM bidir e1
+        |    JOIN nodes o ON e1.b = o.nodeId AND o.label = 'Order'
+        |    WHERE e1.a = c.nodeId AND e1.relType = 'PLACED')
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM bidir e2
+        |    JOIN nodes o2 ON e2.b = o2.nodeId AND o2.label = 'Order'
+        |    JOIN bidir e3 ON e3.a = o2.nodeId AND e3.relType = 'CONTAINS'
+        |    JOIN nodes p ON e3.b = p.nodeId AND p.label = 'Part'
+        |      AND p.name = 'red widget'
+        |    WHERE e2.a = c.nodeId AND e2.relType = 'PLACED'
+        |      AND NOT (e2.relType = e3.relType AND e2.src = e3.src
+        |               AND e2.dst = e3.dst))
+        |GROUP BY 1
+        |ORDER BY nation""".stripMargin),
+
     // percentileCont ≡ quantile_cont (exact interpolation, unrounded);
     // percentileDisc ≡ quantile_disc (SQL-standard inverse distribution,
     // cast to DOUBLE to match Spark's percentile_disc result type);

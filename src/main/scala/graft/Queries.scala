@@ -1243,6 +1243,30 @@ object Queries {
         |ORDER BY nation""".stripMargin)
       .withColumn("sd", round(col("sd"), 4))
 
+  /** Scalar numeric functions through the dialect: sign() as an implicit
+    * group key (Cypher integer −1/0/1), sum over an abs() argument,
+    * avg over a toFloat() cast — all codegen'd built-ins in one scan+agg. */
+  def cyNumFuncs(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(finGraph(spark, dir),
+      """MATCH (n:Nation)-[e:FROM_NATION]-(c:Customer)
+        |RETURN n.name AS nation, sign(c.acctbal) AS s,
+        |       sum(abs(c.acctbal)) AS total_abs,
+        |       avg(toFloat(c.acctbal)) AS avg_bal, count(*) AS n_cust
+        |ORDER BY nation, s""".stripMargin)
+
+  /** Neo4j's pattern-as-predicate sugar — `WHERE [NOT] (c)-[…]-(x)`
+    * ≡ `[NOT] EXISTS { … }`: per-nation count of customers that placed
+    * orders but never one containing the anchored part. Both sugars in
+    * one WHERE; each plans as ONE semi/anti join on nodeId (never a
+    * correlated subquery or a count). */
+  def cyPatternPred(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """MATCH (n:Nation)-[e:FROM_NATION]-(c:Customer)
+        |WHERE (c)-[:PLACED]-(o:Order)
+        |  AND NOT (c)-[:PLACED]-(o2:Order)-[e2:CONTAINS]-(p:Part {name: "red widget"})
+        |RETURN n.name AS nation, count(c) AS n_without
+        |ORDER BY nation""".stripMargin)
+
   /** Boolean WHERE with Cypher precedence (NOT > AND > OR, parens group):
     * customers kept when rich OR (overdrawn AND outside one nation) —
     * the disjunctive filter surface plus a NOT group, all folding into
@@ -2904,7 +2928,7 @@ object Queries {
     "cy_with_agg", "cy_with_topk", "cy_optional_match", "cy_shortest_path",
     "cy_rel_types", "cy_exists_filter", "cy_union", "cy_collect", "cy_minmax", "cy_count_rows", "cy_multi_order",
     "cy_varlength", "cy_sum_avg", "cy_return_arith", "cy_case_null",
-    "cy_directed", "cy_contains", "cy_collect_all",
+    "cy_directed", "cy_contains", "cy_collect_all", "cy_pattern_pred",
     // pipeline orchestration (§7 M5)
     "pipeline_retrieve", "fmt_context",
     // dedup family
@@ -2983,6 +3007,8 @@ object Queries {
     "cy_collect_all" -> (cyCollectAll _),
     "cy_unwind_lit" -> (cyUnwindLit _),
     "cy_percentile" -> (cyPercentile _),
+    "cy_num_funcs" -> (cyNumFuncs _),
+    "cy_pattern_pred" -> (cyPatternPred _),
     "skew_salted_agg" -> (skewSaltedAgg _),
     "join_salted" -> (joinSalted _),
     "join_asof_exec" -> (joinAsofExec _),

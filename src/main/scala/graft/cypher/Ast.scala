@@ -29,6 +29,7 @@ package graft.cypher
   *              | expr (CONTAINS | STARTS WITH | ENDS WITH | '=~') expr
   *              | strFn-headed expr cmpop expr   -- size(n.name) > 5
   *              | [NOT] EXISTS '{' path '}'        -- pattern predicate
+  *              | [NOT] path                       -- Neo4j sugar for it
   *                 (EXISTS only in MATCH WHERE, not OPTIONAL MATCH / WITH)
   *   item      := expr [AS alias]
   *   withItem  := var                     -- carries the node binding forward
@@ -46,6 +47,7 @@ package graft.cypher
   *              | (toLower | toUpper | trim)(expr) | size(expr)
   *              | substring(expr ',' int [',' int])
   *              | replace(expr ',' expr ',' expr)
+  *              | (abs | sign | toString | toInteger | toFloat)(expr)
   *              | coalesce(expr (',' expr)*)
   *              | CASE (WHEN cond THEN expr)+ [ELSE expr] END
   *              | size('[' ... ']')              -- A2 comprehension
@@ -139,7 +141,7 @@ object Ast {
   /** String predicate `l CONTAINS r` / `l STARTS WITH r` / `l ENDS WITH r`
     * / `l =~ r` (whole-string regex, like Neo4j). Both sides are scalar
     * string expressions (properties, projected columns, literals,
-    * [[StrFn]] compositions like `toLower(n.name) CONTAINS $q`'s literal
+    * [[ScalarFn]] compositions like `toLower(n.name) CONTAINS $q`'s literal
     * form). Neo4j null semantics: a null operand makes the predicate
     * null, and the row is dropped. All four plan as ONE pushable scan
     * predicate — never a join or a UDF. */
@@ -179,13 +181,16 @@ object Ast {
     * cumulative fraction reaches `p` (sorted[ceil(p·n)], the SQL-standard
     * inverse distribution). `p` must be in [0, 1]. */
   final case class PercentileFn(fn: String, arg: Expr, p: Double) extends Expr
-  /** Scalar string function `fn(args…)`: `toLower` / `toUpper` / `trim`
-    * (1 string arg), `size` (string length — the list-comprehension
-    * `size([…])` form parses separately to [[CountDistinctInParam]]),
-    * `substring(s, start[, len])` (0-indexed like Neo4j; start/len are
-    * integer literals), `replace(s, find, repl)`. All plan to codegen'd
-    * Spark built-ins — never UDFs. */
-  final case class StrFn(fn: String, args: Seq[Expr]) extends Expr
+  /** Scalar function `fn(args…)`. String family: `toLower` / `toUpper` /
+    * `trim` (1 string arg), `size` (string length — the
+    * list-comprehension `size([…])` form parses separately to
+    * [[CountDistinctInParam]]), `substring(s, start[, len])` (0-indexed
+    * like Neo4j; start/len are integer literals),
+    * `replace(s, find, repl)`. Numeric family: `abs`, `sign` (Cypher
+    * integer −1/0/1), `toString`, `toInteger` (truncation toward zero,
+    * like Neo4j), `toFloat`. All plan to codegen'd Spark built-ins —
+    * never UDFs. */
+  final case class ScalarFn(fn: String, args: Seq[Expr]) extends Expr
   /** `min(x.prop)` / `max(x.prop)` — Cypher's extremum aggregates
     * (null-skipping, like Neo4j). `fn` ∈ {"min", "max"}. */
   final case class MinMaxProp(fn: String, varName: String,
@@ -257,7 +262,7 @@ object Ast {
       case CollectDistinct(v, p)      => s"collect(DISTINCT $v.$p)"
       case CollectAll(v, p)           => s"collect($v.$p)"
       case PercentileFn(f, a, p)      => s"$f(${exprText(a)}, $p)"
-      case StrFn(f, args)             =>
+      case ScalarFn(f, args)             =>
         s"$f(${args.map(exprText(_)).mkString(", ")})"
       case MinMaxProp(f, v, p)        => s"$f($v.$p)"
       case CountStar                  => "count(*)"

@@ -306,8 +306,22 @@ object Parser {
       l
     }
 
-    /** `boolTerm := NOT '(' orTree ')' | '(' orTree ')' | simple-pred`
-      * (NOT before EXISTS / nodeId-IN stays part of the simple pred). */
+    /** Backtracking probe for Neo4j's PATTERN-AS-PREDICATE sugar:
+      * `WHERE [NOT] (a)-[:T]-(b)` ≡ `[NOT] EXISTS { (a)-[:T]-(b) }`.
+      * Succeeds only on a ≥1-hop path starting at the CURRENT '(' — a
+      * bare parenthesized node or any non-pattern text restores the
+      * position and returns None (the group parse takes over). */
+    private def tryPatternPred(): Option[MatchPath] = {
+      val saved = pos
+      try {
+        val p = path()
+        if (p.rels.nonEmpty) Some(p) else { pos = saved; None }
+      } catch { case _: ParseError => pos = saved; None }
+    }
+
+    /** `boolTerm := [NOT] pattern | NOT '(' orTree ')' | '(' orTree ')'
+      * | simple-pred` (NOT before EXISTS / nodeId-IN stays part of the
+      * simple pred; a [NOT] pattern is EXISTS sugar). */
     private def boolTerm(ctx: Option[String]): Pred = {
       ws()
       if (peek("NOT")) {
@@ -315,16 +329,30 @@ object Parser {
         expect("NOT")
         ws()
         if (pos < in.length && in(pos) == '(') {
-          pos += 1
-          val inner = orTree(ctx)
-          expect(")")
-          NotPred(inner)
+          tryPatternPred() match {
+            case Some(p) =>
+              ctx.foreach(c => fail(
+                s"pattern predicates are not supported in $c WHERE"))
+              ExistsPat(p, negated = true)
+            case None =>
+              pos += 1
+              val inner = orTree(ctx)
+              expect(")")
+              NotPred(inner)
+          }
         } else { pos = saved; pred(ctx) }
       } else if (pos < in.length && in(pos) == '(') {
-        pos += 1
-        val inner = orTree(ctx)
-        expect(")")
-        inner
+        tryPatternPred() match {
+          case Some(p) =>
+            ctx.foreach(c => fail(
+              s"pattern predicates are not supported in $c WHERE"))
+            ExistsPat(p, negated = false)
+          case None =>
+            pos += 1
+            val inner = orTree(ctx)
+            expect(")")
+            inner
+        }
       } else pred(ctx)
     }
 
@@ -514,14 +542,15 @@ object Parser {
       else fail("expected comparison operator")
     }
 
-    private val strFnNames =
-      Seq("toLower", "toUpper", "trim", "replace", "substring", "size")
+    private val scalarFnNames =
+      Seq("toLower", "toUpper", "trim", "replace", "substring", "size",
+        "abs", "sign", "toString", "toInteger", "toFloat")
 
     private def pred(existsCtx: Option[String] = None): Pred = {
       ws()
       def rejectExists(): Unit = existsCtx.foreach(ctx =>
         fail(s"EXISTS { … } is not supported in $ctx WHERE"))
-      if (strFnNames.exists(peek)) {
+      if (scalarFnNames.exists(peek)) {
         // function-headed left side: toLower(n.name) CONTAINS "x",
         // size(n.name) > 5 — parse a full expression, then a string or
         // comparison operator
@@ -717,11 +746,19 @@ object Parser {
         if (p < 0.0 || p > 1.0) fail("percentile must be in [0, 1]")
         PercentileFn(fn, a, p)
       }
-      else if (peek("toLower") || peek("toUpper") || peek("trim")) {
+      else if (peek("toLower") || peek("toUpper") || peek("trim") ||
+               peek("abs") || peek("sign") || peek("toString") ||
+               peek("toInteger") || peek("toFloat")) {
         val fn = if (opt("toLower")) "toLower"
-                 else if (opt("toUpper")) "toUpper" else { expect("trim"); "trim" }
+                 else if (opt("toUpper")) "toUpper"
+                 else if (opt("trim")) "trim"
+                 else if (opt("abs")) "abs"
+                 else if (opt("sign")) "sign"
+                 else if (opt("toString")) "toString"
+                 else if (opt("toInteger")) "toInteger"
+                 else { expect("toFloat"); "toFloat" }
         expect("("); val a = expression(); expect(")")
-        StrFn(fn, Seq(a))
+        ScalarFn(fn, Seq(a))
       }
       else if (peek("substring")) {
         // Neo4j substring(s, start[, len]) — 0-indexed; start/len are
@@ -735,7 +772,7 @@ object Parser {
         expect(")")
         if (start < 0 || len.exists(_ < 0))
           fail("substring start/length must be non-negative")
-        StrFn("substring",
+        ScalarFn("substring",
           s +: LongLitE(start) +: len.map(LongLitE(_)).toSeq)
       }
       else if (peek("replace")) {
@@ -743,7 +780,7 @@ object Parser {
         val a = expression(); expect(",")
         val f = expression(); expect(",")
         val r = expression(); expect(")")
-        StrFn("replace", Seq(a, f, r))
+        ScalarFn("replace", Seq(a, f, r))
       }
       else if (peek("labels")) { expect("labels"); expect("("); val v = ident(); expect(")"); LabelsOf(v) }
       else if (peek("type")) { expect("type"); expect("("); val v = ident(); expect(")"); TypeOf(v) }
@@ -782,7 +819,7 @@ object Parser {
         } else {
           // size(stringExpr) — string length, like Neo4j
           val a = expression(); expect(")")
-          StrFn("size", Seq(a))
+          ScalarFn("size", Seq(a))
         }
       }
       else if (peek("vector")) {
@@ -820,7 +857,7 @@ object Parser {
             d.exists(below)
         case AggFn(_, a, _)  => below(a)
         case PercentileFn(_, a, _) => below(a)
-        case StrFn(_, args)  => args.exists(below)
+        case ScalarFn(_, args)  => args.exists(below)
         case _               => false
       }
       def condHasAgg(c: Cond): Boolean = c match {

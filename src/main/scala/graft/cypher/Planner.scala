@@ -713,8 +713,11 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     case ColRef(n)     => schema.fields.find(_.name == n).map(_.dataType)
     case StrLitE(_)    => Some(org.apache.spark.sql.types.StringType)
     case LongLitE(_)   => Some(org.apache.spark.sql.types.LongType)
-    case StrFn("size", _) => Some(org.apache.spark.sql.types.LongType)
-    case StrFn(_, _)   => Some(org.apache.spark.sql.types.StringType)
+    case ScalarFn("size" | "sign" | "toInteger", _) =>
+      Some(org.apache.spark.sql.types.LongType)
+    case ScalarFn("toFloat", _) => Some(org.apache.spark.sql.types.DoubleType)
+    case ScalarFn("abs", args)  => staticType(args.head, schema)
+    case ScalarFn(_, _) => Some(org.apache.spark.sql.types.StringType)
     case _             => None
   }
 
@@ -730,7 +733,8 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       varSchema(v).fields.find(_.name == p).exists(f => isIntegralType(f.dataType))
     case ColRef(n)     =>
       schema.fields.find(_.name == n).exists(f => isIntegralType(f.dataType))
-    case StrFn("size", _) => true // string/list length is a Cypher integer
+    case ScalarFn("size" | "sign" | "toInteger", _) => true // Cypher integers
+    case ScalarFn("abs", args) => isIntegralExpr(args.head, schema)
     case BinOp(_, l, r)  => isIntegralExpr(l, schema) && isIntegralExpr(r, schema)
     case CoalesceE(args) => args.forall(isIntegralExpr(_, schema))
     case CaseExpr(bs, d) =>
@@ -774,13 +778,21 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
         s"length($pv) does not name this query's shortestPath")
     case LongLitE(v) => lit(v)
     case StrLitE(s)  => lit(s)
-    case StrFn(fn, args) =>
+    case ScalarFn(fn, args) =>
       val a = args.map(exprCol(_, schema))
       fn match {
         case "toLower" => lower(a.head)
         case "toUpper" => upper(a.head)
         case "trim"    => trim(a.head)
         case "replace" => replace(a.head, a(1), a(2))
+        case "abs"     => abs(a.head)
+        // Cypher sign() is an INTEGER −1/0/1 (Spark signum is double)
+        case "sign"    => signum(a.head).cast("long")
+        case "toString"  => a.head.cast("string")
+        // Neo4j toInteger truncates toward zero — exactly Spark's
+        // double→long cast (≡ DuckDB CAST(trunc(x) AS BIGINT))
+        case "toInteger" => a.head.cast("long")
+        case "toFloat"   => a.head.cast("double")
         case "size" =>
           // Neo4j size: string length, or element count on a list value
           // (e.g. a collected alias) — BIGINT on both engines

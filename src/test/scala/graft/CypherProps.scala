@@ -108,14 +108,14 @@ object CypherProps extends Properties("cypher") {
   // through the function-headed atom branch
   private val strFnGen: Gen[Expr] = Gen.oneOf(
     Gen.oneOf("toLower", "toUpper", "trim")
-      .map(fn => StrFn(fn, Seq(PropRef("x1", "name")))),
-    Gen.const(StrFn("size", Seq(PropRef("x1", "name")))),
+      .map(fn => ScalarFn(fn, Seq(PropRef("x1", "name")))),
+    Gen.const(ScalarFn("size", Seq(PropRef("x1", "name")))),
     for {
       start <- Gen.choose(0L, 5L)
       len <- Gen.option(Gen.choose(0L, 9L))
-    } yield StrFn("substring",
+    } yield ScalarFn("substring",
       PropRef("x1", "name") +: LongLitE(start) +: len.map(LongLitE(_)).toSeq),
-    anchorStr.map(f => StrFn("replace",
+    anchorStr.map(f => ScalarFn("replace",
       Seq(PropRef("x1", "name"), StrLitE(f), StrLitE("_")))))
 
   // string predicates: the LEFT side must re-parse through either the
@@ -124,7 +124,7 @@ object CypherProps extends Properties("cypher") {
   private val strPredGen: Gen[Pred] = for {
     l <- Gen.oneOf(Gen.const[Expr](PropRef("x1", "name")),
       Gen.const[Expr](ColRef("x1")),
-      Gen.oneOf("toLower", "toUpper").map(fn => StrFn(fn, Seq(PropRef("x1", "name")))))
+      Gen.oneOf("toLower", "toUpper").map(fn => ScalarFn(fn, Seq(PropRef("x1", "name")))))
     op <- Gen.oneOf("CONTAINS", "STARTS WITH", "ENDS WITH", "=~")
     r <- Gen.oneOf(anchorStr.map(StrLitE(_)), Gen.const(PropRef("x2", "name")))
   } yield StrPred(l, op, r)
@@ -133,7 +133,7 @@ object CypherProps extends Properties("cypher") {
     fn <- Gen.oneOf("size", "toLower")
     op <- Gen.oneOf("=", "<>", "<", "<=", ">", ">=")
     r <- if (fn == "size") arith(1) else anchorStr.map(StrLitE(_): Expr)
-  } yield ExprCmp(StrFn(fn, Seq(PropRef("x1", "name"))), op, r)
+  } yield ExprCmp(ScalarFn(fn, Seq(PropRef("x1", "name"))), op, r)
 
   private val item: Gen[RetItem] = for {
     e <- Gen.frequency(

@@ -1166,6 +1166,76 @@ class CypherSpec extends SparkSpec {
       .collect().head.getLong(0) === 2L)
   }
 
+  test("scalar numeric functions: abs/sign/toString/toInteger/toFloat") {
+    val row = Planner.run(g,
+      """MATCH (a:Author {name: "Alice"})
+        |RETURN abs(a.nodeId - 13) AS d, sign(a.nodeId - 13) AS s,
+        |       sign(a.nodeId - 10) AS z, toString(a.nodeId) AS str,
+        |       toInteger(a.nodeId / 3) AS i3,
+        |       toFloat(a.nodeId) / 4 AS f4""".stripMargin).collect().head
+    assert(row.getLong(0) === 3L)
+    assert(row.getLong(1) === -1L) // Cypher sign() is an integer
+    assert(row.getLong(2) === 0L)
+    assert(row.getString(3) === "10")
+    assert(row.getLong(4) === 3L)
+    assert(row.getDouble(5) === 2.5) // toFloat flips / to double division
+    // abs/sign/toInteger stay integral for `/` typing
+    val d = Planner.run(g,
+      """MATCH (a:Author {name: "Alice"}) RETURN abs(a.nodeId) / 3 AS t""")
+      .collect().head.getLong(0)
+    assert(d === 3L)
+    // aggregate over a function argument: sum(abs(...)) per label group
+    val sums = Planner.run(g,
+      """MATCH (p:Paper)-[r:CITES]-(q:Paper)
+        |RETURN sum(abs(p.nodeId - q.nodeId)) AS total""".stripMargin)
+      .collect().head.getLong(0)
+    // CITES pairs (bidir): 22-20 twice (|2|+|2|) + self-loop 22-22 once
+    assert(sums === 4L)
+    val q0 = Parser.parse(
+      "MATCH (a:Author) RETURN abs(a.nodeId) AS x, toFloat(a.nodeId) AS f")
+    assert(Parser.parse(q0.render) === q0)
+  }
+
+  test("pattern-as-predicate: WHERE [NOT] (a)-[:T]-(b) is EXISTS sugar") {
+    // papers with at least one citation edge: P-alpha (cited), P-gamma
+    // (cites + self-loop); P-beta has none
+    val cited = Planner.run(g,
+      """MATCH (p:Paper) WHERE (p)-[:CITES]-(q:Paper)
+        |RETURN p.name AS name ORDER BY name""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(cited === Seq("P-alpha", "P-gamma"))
+    // negated form: papers never cited/citing
+    val uncited = Planner.run(g,
+      """MATCH (p:Paper) WHERE NOT (p)-[:CITES]-(q:Paper)
+        |RETURN p.name AS name""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(uncited === Seq("P-beta"))
+    // the sugar is EXACTLY the EXISTS AST (canonical render included)
+    val sugar = Parser.parse(
+      "MATCH (p:Paper) WHERE NOT (p)-[:CITES]-(q:Paper) RETURN p.name AS name")
+    val explicit = Parser.parse(
+      "MATCH (p:Paper) WHERE NOT EXISTS { (p)-[:CITES]-(q:Paper) } RETURN p.name AS name")
+    assert(sugar === explicit)
+    assert(Parser.parse(sugar.render) === sugar)
+    // composes as a top-level conjunct beside scalar predicates
+    val both = Planner.run(g,
+      """MATCH (a:Author)-[w:WRITES]-(p:Paper)
+        |WHERE (p)-[:HAS_TOPIC]-(f:FieldOfStudy) AND a.name <> "Bob"
+        |RETURN count(DISTINCT a) AS n""".stripMargin)
+      .collect().head.getLong(0)
+    assert(both === 2L) // Alice, Carol
+    // a parenthesized BOOLEAN group still parses as a group, not a pattern
+    val grouped = Planner.run(g,
+      """MATCH (p:Paper) WHERE (p.name = "P-beta" OR p.name = "P-gamma")
+        |RETURN count(p) AS n""".stripMargin).collect().head.getLong(0)
+    assert(grouped === 2L)
+    // same context restrictions as the EXISTS keyword
+    intercept[Parser.ParseError](Parser.parse(
+      """MATCH (a:Author) OPTIONAL MATCH (a)-[w:WRITES]-(p:Paper)
+        |WHERE (p)-[:CITES]-(q:Paper)
+        |RETURN a.name AS name""".stripMargin))
+  }
+
   test("`/` typing resolves against the variable's own schema (rel vars)") {
     // r.src is a LONG on the relationship frame; the node schema has no
     // such column — integral ÷ integral must truncate (10 / 3 = 3)
