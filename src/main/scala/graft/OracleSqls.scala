@@ -641,6 +641,29 @@ object OracleSqls {
         |GROUP BY 1
         |ORDER BY nation""".stripMargin),
 
+    // Cypher + with a string side concatenates (numeric stringifies);
+    // both engines print longs identically
+    "cy_str_concat" -> withGraph(
+      """SELECT n.name || '@' || r.name AS tag,
+        |  n.name || '#' || CAST(n.nodeId AS VARCHAR) AS keyed,
+        |  n.nodeId + 1 AS next_id
+        |FROM nodes n
+        |JOIN bidir e ON n.nodeId = e.a AND e.relType = 'IN_REGION'
+        |JOIN nodes r ON e.b = r.nodeId AND r.label = 'Region'
+        |WHERE n.label = 'Nation'
+        |ORDER BY tag""".stripMargin),
+
+    // WHERE label test over the untyped FROM_NATION binding (customers
+    // AND suppliers) — the predicate genuinely selects
+    "cy_label_pred" -> withGraph(
+      """SELECT n.name AS nation, CAST(count(x.nodeId) AS BIGINT) AS n_supp
+        |FROM nodes x
+        |JOIN bidir e ON x.nodeId = e.a AND e.relType = 'FROM_NATION'
+        |JOIN nodes n ON e.b = n.nodeId AND n.label = 'Nation'
+        |WHERE x.label = 'Supplier'
+        |GROUP BY 1
+        |ORDER BY nation""".stripMargin),
+
     // sign() is a Cypher integer; sum(abs()) stays exact integer cents;
     // avg over the double cast is exact (integer-valued partials ≪ 2^53)
     "cy_num_funcs" -> withFinGraph(

@@ -1243,6 +1243,28 @@ object Queries {
         |ORDER BY nation""".stripMargin)
       .withColumn("sd", round(col("sd"), 4))
 
+  /** Cypher `+` string concatenation (either operand string → concat,
+    * numeric co-operand stringifies — Spark's numeric `+` would null the
+    * row out) mixed with plain numeric `+` in the same RETURN. */
+  def cyStrConcat(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """MATCH (n:Nation)-[e:IN_REGION]-(r:Region)
+        |RETURN n.name + "@" + r.name AS tag,
+        |       n.name + "#" + n.nodeId AS keyed,
+        |       n.nodeId + 1 AS next_id
+        |ORDER BY tag""".stripMargin)
+
+  /** Label test in WHERE (`x:Supplier`) over an UNTYPED binding: the
+    * FROM_NATION view binds customers AND suppliers, so the predicate
+    * genuinely selects — the post-bind twin of the inline label anchor,
+    * one pushable equality on the label column. */
+  def cyLabelPred(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """MATCH (x)-[e:FROM_NATION]-(n:Nation)
+        |WHERE x:Supplier
+        |RETURN n.name AS nation, count(x) AS n_supp
+        |ORDER BY nation""".stripMargin)
+
   /** Scalar numeric functions through the dialect: sign() as an implicit
     * group key (Cypher integer −1/0/1), sum over an abs() argument,
     * avg over a toFloat() cast — all codegen'd built-ins in one scan+agg. */
@@ -3009,6 +3031,8 @@ object Queries {
     "cy_percentile" -> (cyPercentile _),
     "cy_num_funcs" -> (cyNumFuncs _),
     "cy_pattern_pred" -> (cyPatternPred _),
+    "cy_str_concat" -> (cyStrConcat _),
+    "cy_label_pred" -> (cyLabelPred _),
     "skew_salted_agg" -> (skewSaltedAgg _),
     "join_salted" -> (joinSalted _),
     "join_asof_exec" -> (joinAsofExec _),

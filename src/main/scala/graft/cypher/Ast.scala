@@ -28,6 +28,7 @@ package graft.cypher
   *              | (col | var '.' prop) IS [NOT] NULL
   *              | expr (CONTAINS | STARTS WITH | ENDS WITH | '=~') expr
   *              | strFn-headed expr cmpop expr   -- size(n.name) > 5
+  *              | [NOT] var ':' Label            -- label test
   *              | [NOT] EXISTS '{' path '}'        -- pattern predicate
   *              | [NOT] path                       -- Neo4j sugar for it
   *                 (EXISTS only in MATCH WHERE, not OPTIONAL MATCH / WITH)
@@ -150,6 +151,12 @@ object Ast {
     * PropCmp shape lifted to full expressions so function-wrapped refs
     * compare too (`size(n.name) > 5`, `toLower(c.name) = "x"`). */
   final case class ExprCmp(l: Expr, op: String, r: Expr) extends Pred
+  /** `[NOT] v:Label` — Cypher's label test in WHERE (the post-bind twin
+    * of the inline `(v:Label)` anchor; useful when the variable was
+    * bound untyped). `_Entity_` matches every node. One pushable scan
+    * predicate on the node frame's label column. */
+  final case class LabelPred(varName: String, label: String,
+                             negated: Boolean) extends Pred
 
   sealed trait Expr
   final case class PropRef(varName: String, prop: String) extends Expr
@@ -408,6 +415,7 @@ object Ast {
           s"${if (neg) "NOT " else ""}${exprText(ref)} IN [$lits]"
         case StrPred(l, o, r) => s"${exprText(l)} $o ${exprText(r)}"
         case ExprCmp(l, o, r) => s"${exprText(l)} $o ${exprText(r)}"
+        case LabelPred(v, l, neg) => s"${if (neg) "NOT " else ""}$v:$l"
         // combinators render fully parenthesized so the flattened-AND
         // top level re-parses to the identical tree
         case OrPred(l, r)  => s"(${pred(l)} OR ${pred(r)})"

@@ -567,6 +567,10 @@ object Parser {
         else {
           val v = ident()
           ws()
+          if (pos < in.length && in(pos) == ':') {
+            pos += 1
+            return LabelPred(v, ident(), negated = true)
+          }
           val prop =
             if (pos < in.length && in(pos) == '.') { pos += 1; Some(ident()) }
             else None
@@ -594,6 +598,11 @@ object Parser {
       } else {
         val v1 = ident()
         ws()
+        // label test: `v:Label` (the post-bind twin of the inline anchor)
+        if (pos < in.length && in(pos) == ':') {
+          pos += 1
+          return LabelPred(v1, ident(), negated = false)
+        }
         // optional property access: `v.prop <op> literal` / `v.prop IS NULL`
         val prop: Option[String] =
           if (pos < in.length && in(pos) == '.') { pos += 1; Some(ident()) }

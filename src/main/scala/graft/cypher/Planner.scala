@@ -647,6 +647,12 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
           regexp_like(lc, concat(lit("^(?:"), rc, lit(")$")))
         case o => throw new IllegalArgumentException(s"unknown string op $o")
       }
+    case LabelPred(v, label, neg) =>
+      // one pushable equality on the node frame's label column;
+      // `_Entity_` matches every node (stark_neo4j_loading.py:35)
+      val c = if (label == "_Entity_") lit(true)
+              else propCol(v, "label") === lit(label)
+      if (neg) !c else c
     case ExprCmp(l, op, r) =>
       val lc = exprCol(l, schema); val rc = exprCol(r, schema)
       op match {
@@ -718,6 +724,12 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     case ScalarFn("toFloat", _) => Some(org.apache.spark.sql.types.DoubleType)
     case ScalarFn("abs", args)  => staticType(args.head, schema)
     case ScalarFn(_, _) => Some(org.apache.spark.sql.types.StringType)
+    // a `+` with a string side is a CONCATENATION (string result), so
+    // nested concats like ("a" + x) + ("b" + y) stay string-typed
+    case BinOp("+", l, r)
+      if staticType(l, schema).contains(org.apache.spark.sql.types.StringType) ||
+         staticType(r, schema).contains(org.apache.spark.sql.types.StringType) =>
+      Some(org.apache.spark.sql.types.StringType)
     case _             => None
   }
 
@@ -829,7 +841,14 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       default.fold(chain)(d => chain.otherwise(exprCol(d, schema)))
     case BinOp(op, l, r) =>
       val lc = exprCol(l, schema); val rc = exprCol(r, schema)
+      def isStr(e: Expr) = staticType(e, schema)
+        .contains(org.apache.spark.sql.types.StringType)
       op match {
+        // Cypher `+` CONCATENATES when either operand is a string (a
+        // numeric co-operand stringifies, like Neo4j's "a" + 1); Spark's
+        // numeric `+` would instead cast the string side and null out
+        case "+" if isStr(l) || isStr(r) =>
+          concat(lc.cast("string"), rc.cast("string"))
         case "+" => lc + rc
         case "-" => lc - rc
         case "*" => lc * rc

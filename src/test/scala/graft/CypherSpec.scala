@@ -1236,6 +1236,55 @@ class CypherSpec extends SparkSpec {
         |RETURN a.name AS name""".stripMargin))
   }
 
+  test("string + concatenates (numeric co-operand stringifies, null propagates)") {
+    val tag = Planner.run(g,
+      """MATCH (a:Author {name: "Alice"}) RETURN a.name + "#" + a.nodeId AS tag""")
+      .collect().head.getString(0)
+    assert(tag === "Alice#10")
+    // Cypher null semantics: null + "x" = null (P-beta's abstract is null)
+    val rows = Planner.run(g,
+      """MATCH (p:Paper) RETURN p.name AS name, p.abstract + "!" AS excl
+        |ORDER BY name""".stripMargin)
+      .collect().map(r => (r.getString(0), Option(r.getString(1))))
+    assert(rows.toSeq === Seq(("P-alpha", Some("about dbs!")),
+      ("P-beta", None), ("P-gamma", Some("graphs!"))))
+    // numeric + still adds (no string side)
+    val add = Planner.run(g,
+      """MATCH (a:Author {name: "Alice"}) RETURN a.nodeId + 5 AS x""")
+      .collect().head.getLong(0)
+    assert(add === 15L)
+    // nested concats on both sides of the middle +
+    val nested = Planner.run(g,
+      """MATCH (a:Author {name: "Bob"})
+        |RETURN ("[" + a.name) + ("]" + a.nodeId) AS t""".stripMargin)
+      .collect().head.getString(0)
+    assert(nested === "[Bob]11")
+  }
+
+  test("label predicate in WHERE: [NOT] v:Label") {
+    // untyped bind, filtered post-hoc — MIT's AFFILIATED_WITH neighbors
+    // are exactly the two authors
+    val n = Planner.run(g,
+      """MATCH (x)-[r:AFFILIATED_WITH]-(y:Institution {name: "MIT"})
+        |WHERE x:Author RETURN count(x) AS n""".stripMargin)
+      .collect().head.getLong(0)
+    assert(n === 2L)
+    // negated: everything touching the FieldOfStudy hub IS a Paper
+    val notPaper = Planner.run(g,
+      """MATCH (x)-[r]-(y:FieldOfStudy) WHERE NOT x:Paper
+        |RETURN count(x) AS n""".stripMargin).collect().head.getLong(0)
+    assert(notPaper === 0L)
+    // _Entity_ matches every node
+    val all = Planner.run(g,
+      "MATCH (x) WHERE x:_Entity_ RETURN count(x) AS n")
+      .collect().head.getLong(0)
+    assert(all === MicroGraph.nodeRows.length.toLong)
+    // round-trip, both polarities, beside other predicates
+    val q = Parser.parse(
+      """MATCH (x)-[r]-(y) WHERE x:Author AND NOT y:Paper AND x.nodeId >= 10 RETURN x.name AS name""")
+    assert(Parser.parse(q.render) === q)
+  }
+
   test("`/` typing resolves against the variable's own schema (rel vars)") {
     // r.src is a LONG on the relationship frame; the node schema has no
     // such column — integral ÷ integral must truncate (10 / 3 = 3)
