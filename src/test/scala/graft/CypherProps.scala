@@ -150,7 +150,12 @@ object CypherProps extends Properties("cypher") {
       (1, aggFnGen),
       (1, percentileGen),
       (1, Gen.const[Expr](CollectAll("x1", "name"))),
-      (1, strFnGen))
+      (1, strFnGen),
+      // string concatenation: + with a string side (render must reparse
+      // through the same left-associative + chain)
+      (1, anchorStr.map(s =>
+        BinOp("+", BinOp("+", PropRef("x1", "name"), StrLitE(s)),
+          PropRef("x1", "nodeId")): Expr)))
     a <- Gen.option(ident)
   } yield RetItem(e, a)
 
@@ -185,7 +190,9 @@ object CypherProps extends Properties("cypher") {
         NotPred(IsNullPred(ColRef("x1"), negated = false))),
       NotPred(AndPred(PropCmp("x1", "nodeId", "=", LongLit(1L)),
         InList(PropRef("x1", "nodeId"), Seq(LongLit(1L), LongLit(-2L)),
-          negated = true)))))
+          negated = true))),
+      LabelPred("x1", "Paper", negated = false),
+      LabelPred("x2", "Author", negated = true)))
     strPreds <- Gen.frequency((2, Gen.const(Seq.empty[Pred])),
       (1, strPredGen.map(Seq(_))), (1, exprCmpGen.map(Seq(_))))
     exPreds <- Gen.frequency((2, Gen.const(Nil)),
