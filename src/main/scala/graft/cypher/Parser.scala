@@ -44,6 +44,19 @@ object Parser {
     private def opt(kw: String): Boolean = {
       if (peek(kw)) { pos += kw.length; true } else false
     }
+
+    /** [[peek]] for a FUNCTION name: true only when a '(' follows, so a
+      * bare column that happens to be named `size` / `min` / `count` / …
+      * still parses as a reference instead of making every function name
+      * a reserved word. */
+    private def peekCall(kw: String): Boolean = {
+      if (!peek(kw)) false
+      else {
+        var i = pos + kw.length
+        while (i < in.length && in(i).isWhitespace) i += 1
+        i < in.length && in(i) == '('
+      }
+    }
     private def expect(kw: String): Unit =
       if (!opt(kw)) fail(s"expected '$kw'")
     private def fail(msg: String): Nothing = throw ParseError(msg, pos)
@@ -546,20 +559,27 @@ object Parser {
       Seq("toLower", "toUpper", "trim", "replace", "substring", "size",
         "abs", "sign", "toString", "toInteger", "toFloat")
 
+    /** WHERE predicates are aggregate-free (Cypher aggregates live in
+      * RETURN/WITH; the HAVING idiom is `WITH … AS x WHERE x …`). */
+    private def noAggs(e: Expr): Expr = {
+      if (containsNestedAgg(e) || isAggExpr(e))
+        fail("aggregates cannot appear in WHERE — aggregate at a WITH " +
+          "barrier and filter the alias")
+      e
+    }
+
     private def pred(existsCtx: Option[String] = None): Pred = {
       ws()
       def rejectExists(): Unit = existsCtx.foreach(ctx =>
         fail(s"EXISTS { … } is not supported in $ctx WHERE"))
-      if (scalarFnNames.exists(peek)) {
+      if (scalarFnNames.exists(peekCall)) {
         // function-headed left side: toLower(n.name) CONTAINS "x",
         // size(n.name) > 5 — parse a full expression, then a string or
-        // comparison operator
-        val l = expression()
-        if (containsNestedAgg(l) || isAggExpr(l))
-          fail("aggregates cannot appear in WHERE")
+        // comparison operator (BOTH sides aggregate-free)
+        val l = noAggs(expression())
         strOp() match {
-          case Some(o) => StrPred(l, o, expression())
-          case None    => ExprCmp(l, cmpOp(), expression())
+          case Some(o) => StrPred(l, o, noAggs(expression()))
+          case None    => ExprCmp(l, cmpOp(), noAggs(expression()))
         }
       } else if (peek("NOT")) {
         expect("NOT")
@@ -629,7 +649,7 @@ object Parser {
         // string predicate on a plain ref: n.name CONTAINS "…" etc.
         strOp().foreach { o =>
           val l = prop.map(PropRef(v1, _)).getOrElse(ColRef(v1))
-          return StrPred(l, o, expression())
+          return StrPred(l, o, noAggs(expression()))
         }
         // comparison operators, longest first; bare `a <> b` between two
         // identifiers stays the nodeId inequality of the original grammar
@@ -726,7 +746,7 @@ object Parser {
         expect("END")
         CaseExpr(branches.result(), default)
       }
-      else if (peek("coalesce")) {
+      else if (peekCall("coalesce")) {
         expect("coalesce"); expect("(")
         val args = Seq.newBuilder[Expr]
         args += expression()
@@ -734,7 +754,7 @@ object Parser {
         expect(")")
         CoalesceE(args.result())
       }
-      else if (peek("sum") || peek("avg") || peek("stDevP") || peek("stDev")) {
+      else if (peekCall("sum") || peekCall("avg") || peekCall("stDevP") || peekCall("stDev")) {
         val fn =
           if (opt("sum")) "sum" else if (opt("avg")) "avg"
           else if (opt("stDevP")) "stDevP" else { expect("stDev"); "stDev" }
@@ -744,7 +764,7 @@ object Parser {
         expect(")")
         AggFn(fn, a, d)
       }
-      else if (peek("percentileCont") || peek("percentileDisc")) {
+      else if (peekCall("percentileCont") || peekCall("percentileDisc")) {
         val fn = if (opt("percentileCont")) "percentileCont"
                  else { expect("percentileDisc"); "percentileDisc" }
         expect("(")
@@ -755,9 +775,9 @@ object Parser {
         if (p < 0.0 || p > 1.0) fail("percentile must be in [0, 1]")
         PercentileFn(fn, a, p)
       }
-      else if (peek("toLower") || peek("toUpper") || peek("trim") ||
-               peek("abs") || peek("sign") || peek("toString") ||
-               peek("toInteger") || peek("toFloat")) {
+      else if (peekCall("toLower") || peekCall("toUpper") || peekCall("trim") ||
+               peekCall("abs") || peekCall("sign") || peekCall("toString") ||
+               peekCall("toInteger") || peekCall("toFloat")) {
         val fn = if (opt("toLower")) "toLower"
                  else if (opt("toUpper")) "toUpper"
                  else if (opt("trim")) "trim"
@@ -769,7 +789,7 @@ object Parser {
         expect("("); val a = expression(); expect(")")
         ScalarFn(fn, Seq(a))
       }
-      else if (peek("substring")) {
+      else if (peekCall("substring")) {
         // Neo4j substring(s, start[, len]) — 0-indexed; start/len are
         // integer literals (keeps the cross-engine arithmetic static)
         expect("substring"); expect("(")
@@ -784,35 +804,35 @@ object Parser {
         ScalarFn("substring",
           s +: LongLitE(start) +: len.map(LongLitE(_)).toSeq)
       }
-      else if (peek("replace")) {
+      else if (peekCall("replace")) {
         expect("replace"); expect("(")
         val a = expression(); expect(",")
         val f = expression(); expect(",")
         val r = expression(); expect(")")
         ScalarFn("replace", Seq(a, f, r))
       }
-      else if (peek("labels")) { expect("labels"); expect("("); val v = ident(); expect(")"); LabelsOf(v) }
-      else if (peek("type")) { expect("type"); expect("("); val v = ident(); expect(")"); TypeOf(v) }
-      else if (peek("length")) { expect("length"); expect("("); val v = ident(); expect(")"); PathLength(v) }
-      else if (peek("count")) {
+      else if (peekCall("labels")) { expect("labels"); expect("("); val v = ident(); expect(")"); LabelsOf(v) }
+      else if (peekCall("type")) { expect("type"); expect("("); val v = ident(); expect(")"); TypeOf(v) }
+      else if (peekCall("length")) { expect("length"); expect("("); val v = ident(); expect(")"); PathLength(v) }
+      else if (peekCall("count")) {
         expect("count"); expect("(")
         ws()
         if (pos < in.length && in(pos) == '*') { pos += 1; expect(")"); CountStar }
         else if (opt("DISTINCT")) { val v = ident(); expect(")"); CountDistinct(v) }
         else { val v = ident(); expect(")"); CountVar(v) }
       }
-      else if (peek("collect")) {
+      else if (peekCall("collect")) {
         expect("collect"); expect("(")
         val d = opt("DISTINCT")
         val v = ident(); expect("."); val p = ident(); expect(")")
         if (d) CollectDistinct(v, p) else CollectAll(v, p)
       }
-      else if (peek("min") || peek("max")) {
+      else if (peekCall("min") || peekCall("max")) {
         val fn = if (opt("min")) "min" else { expect("max"); "max" }
         expect("("); val v = ident(); expect("."); val p = ident(); expect(")")
         MinMaxProp(fn, v, p)
       }
-      else if (peek("size")) {
+      else if (peekCall("size")) {
         expect("size"); expect("(")
         ws()
         if (pos < in.length && in(pos) == '[') {

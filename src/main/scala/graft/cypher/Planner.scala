@@ -406,12 +406,15 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     val frames = expandPaths(Seq(om.path)).map(_.head).map { p =>
       val planned = planPath(Nil, p)
       // predicates resolve in the optional pattern's own alias space
-      // (shared vars included — they are local aliases here)
+      // (shared vars included — they are local aliases here); rel vars
+      // too, so property TYPING resolves against the rel schema
       val saved = stageVars
+      val savedRels = stageRelVars
       stageVars = varsOf(Seq(p))
+      stageRelVars = relVarsOf(Seq(p))
       val filteredOpt =
         try om.preds.foldLeft(planned)((df, pr) => df.where(predCol(pr, df.schema)))
-        finally stageVars = saved
+        finally { stageVars = saved; stageRelVars = savedRels }
       val keyCols = sharedVars.map(v => col(s"$v.nodeId").as(s"__ok_$v"))
       val newCols = newNodeVars.flatMap(v =>
         nodeFields.map(f => col(s"$v.$f").as(s"__o_${v}_$f")))
@@ -730,6 +733,12 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       if staticType(l, schema).contains(org.apache.spark.sql.types.StringType) ||
          staticType(r, schema).contains(org.apache.spark.sql.types.StringType) =>
       Some(org.apache.spark.sql.types.StringType)
+    // coalesce/CASE take their branches' type (first statically
+    // resolvable one) — so coalesce(p.abstract, "?") + x concatenates
+    // instead of falling through to numeric + and nulling out
+    case CoalesceE(args) => args.flatMap(staticType(_, schema)).headOption
+    case CaseExpr(bs, d) =>
+      (bs.map(_._2) ++ d.toSeq).flatMap(staticType(_, schema)).headOption
     case _             => None
   }
 

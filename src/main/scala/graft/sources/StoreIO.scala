@@ -29,6 +29,13 @@ object StoreIO {
     atomicWrite(fs, p, prior + lines.mkString("", "\n", "\n"))
   }
 
+  /** Trailing commit marker appended to every [[atomicWrite]] payload
+    * and stripped on read: a `.new` temp that CARRIES the marker was
+    * fully written and closed (a crash mid-write truncates the tail, so
+    * the marker is the first thing lost) — the recovery path promotes
+    * ONLY validated survivors, never a half-written first write. */
+  private val CommitMarker = "\n#graft-commit\n"
+
   /** Write a small file via temp + OVERWRITING atomic rename: the
     * destination either keeps its old content or carries the new one —
     * never a truncated in-between, and never a WINDOW with neither (a
@@ -37,12 +44,16 @@ object StoreIO {
     * `FileContext.rename(OVERWRITE)` — one metadata op on HDFS and the
     * local FS alike. File systems without an `AbstractFileSystem`
     * binding fall back to delete+rename, whose crash window
-    * [[readRecovering]] repairs from the surviving complete `.new`. */
+    * [[readRecovering]] repairs from the surviving marker-validated
+    * `.new`. Maintenance ops assume a SINGLE writer per store (the
+    * manifest's begin/completion protocol); readers may run
+    * concurrently — [[readRecovering]] tolerates losing a promotion
+    * race. */
   def atomicWrite(fs: org.apache.hadoop.fs.FileSystem,
                   dest: org.apache.hadoop.fs.Path, content: String): Unit = {
     val tmp = new org.apache.hadoop.fs.Path(dest.toString + ".new")
     val out = fs.create(tmp, true)
-    try out.write(content.getBytes("UTF-8")) finally out.close()
+    try out.write((content + CommitMarker).getBytes("UTF-8")) finally out.close()
     try {
       val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
       fc.rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
@@ -53,23 +64,45 @@ object StoreIO {
     }
   }
 
+  private def readAll(fs: org.apache.hadoop.fs.FileSystem,
+                      p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), "UTF-8") finally in.close()
+  }
+
+  /** Strip the commit marker. Files written before the marker existed
+    * (or by hand) read back verbatim — the marker is an optional suffix,
+    * not a format break. */
+  private def stripMarker(s: String): String =
+    if (s.endsWith(CommitMarker)) s.dropRight(CommitMarker.length) else s
+
   /** Read a small file maintained by [[atomicWrite]], repairing the
-    * fallback path's crash window first: `dest` missing but a complete
-    * `dest.new` present means the old copy was deleted and the rename
-    * never ran — promote the survivor (it was fully written and closed
-    * before the old copy was touched) instead of silently acting as if
-    * the file never existed. Returns None only when neither copy is on
-    * disk. */
+    * fallback path's crash window first: `dest` missing but a
+    * marker-validated `dest.new` present means the payload was fully
+    * written and closed and only the rename is outstanding — promote the
+    * survivor instead of silently acting as if the file never existed. A
+    * `.new` WITHOUT the marker is a half-written first write and is
+    * ignored (never deleted — it may be a concurrent writer's open
+    * temp). Losing a promotion race to another reader is tolerated: if
+    * the rename fails but `dest` has appeared, the winner's copy is
+    * read. Returns None only when no valid copy is on disk. */
   def readRecovering(fs: org.apache.hadoop.fs.FileSystem,
                      dest: org.apache.hadoop.fs.Path): Option[String] = {
     val tmp = new org.apache.hadoop.fs.Path(dest.toString + ".new")
-    if (!fs.exists(dest) && fs.exists(tmp))
-      require(fs.rename(tmp, dest), s"recovery rename $tmp -> $dest failed")
-    if (!fs.exists(dest)) None
-    else {
-      val in = fs.open(dest)
-      try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+    if (!fs.exists(dest) && fs.exists(tmp)) {
+      val surviving = try Some(readAll(fs, tmp))
+                      catch { case _: java.io.IOException => None }
+      surviving match {
+        case Some(s) if s.endsWith(CommitMarker) =>
+          // validated: promote (or yield to a racing promoter/writer)
+          if (!fs.rename(tmp, dest) && !fs.exists(dest))
+            throw new IllegalStateException(
+              s"recovery rename $tmp -> $dest failed with no winner")
+        case _ => () // truncated first write: no committed content exists
+      }
     }
+    if (!fs.exists(dest)) None
+    else Some(stripMarker(readAll(fs, dest)))
   }
 
   /** Overwrite a parquet dir via write-new + swap: the replacement is

@@ -1292,5 +1292,57 @@ class CypherSpec extends SparkSpec {
       """MATCH (a:Author {name: "Alice"})-[r:WRITES]-(p:Paper {name: "P-beta"})
         |RETURN r.src / 3 AS third""".stripMargin).collect().head
     assert(d.getLong(0) === 3L)
+    // the SAME typing inside an OPTIONAL MATCH's pattern-scoped WHERE
+    // (its predicates plan in the optional pattern's own alias space;
+    // abs() keeps the integral-ness of the rel prop it wraps)
+    val rows = Planner.run(g,
+      """MATCH (a:Author {name: "Alice"})
+        |OPTIONAL MATCH (a)-[r:WRITES]-(p:Paper)
+        |WHERE abs(r.src) / 3 = 3
+        |RETURN a.name AS name, count(p) AS n""".stripMargin)
+      .collect().head
+    assert((rows.getString(0), rows.getLong(1)) === (("Alice", 2L)),
+      "integer division must hold for rel props in OPTIONAL WHERE " +
+        "(double division would null-extend every row)")
+  }
+
+  test("function names are not reserved words; WHERE rejects aggregates on both sides") {
+    // a projected alias named after a function still references fine
+    val r = Planner.run(g,
+      """MATCH (a:Author)-[w:WRITES]-(p:Paper)
+        |WITH a, count(p) AS size WHERE size >= 2
+        |RETURN a.name AS name, size""".stripMargin).collect()
+    assert(r.map(x => (x.getString(0), x.getLong(1))).toSeq === Seq(("Alice", 2L)))
+    val m = Planner.run(g,
+      """MATCH (a:Author)-[w:WRITES]-(p:Paper)
+        |WITH a, count(p) AS min
+        |RETURN a.name AS name, min ORDER BY name LIMIT 1""".stripMargin)
+      .collect().head
+    assert((m.getString(0), m.getLong(1)) === (("Alice", 2L)))
+    // aggregates in WHERE are rejected at parse time — LEFT and RIGHT
+    intercept[Parser.ParseError](Parser.parse(
+      "MATCH (a:Author) WHERE size(a.name) > count(a) RETURN a.name AS n"))
+    intercept[Parser.ParseError](Parser.parse(
+      "MATCH (a:Author) WHERE toLower(a.name) CONTAINS collect(a.name) RETURN a.name AS n"))
+    intercept[Parser.ParseError](Parser.parse(
+      "MATCH (a:Author) WHERE sum(a.nodeId) > 3 RETURN a.name AS n"))
+  }
+
+  test("coalesce/CASE are string-typed through + (concat, not numeric null-out)") {
+    val rows = Planner.run(g,
+      """MATCH (p:Paper)
+        |RETURN p.name AS name,
+        |       coalesce(p.abstract, "?") + "/" + p.name AS tagged
+        |ORDER BY name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq === Seq(
+      ("P-alpha", "about dbs/P-alpha"),
+      ("P-beta", "?/P-beta"),
+      ("P-gamma", "graphs/P-gamma")))
+    val cased = Planner.run(g,
+      """MATCH (p:Paper {name: "P-beta"})
+        |RETURN CASE WHEN p.abstract IS NULL THEN "none" ELSE p.abstract END + "!" AS t""".stripMargin)
+      .collect().head.getString(0)
+    assert(cased === "none!")
   }
 }

@@ -14,6 +14,8 @@ class StoreIOSpec extends SparkSpec {
   private def fs(p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  private val Marker = "\n#graft-commit\n"
+
   private def write(p: Path, s: String): Unit = {
     val out = fs(p).create(p, true)
     try out.write(s.getBytes("UTF-8")) finally out.close()
@@ -30,14 +32,14 @@ class StoreIOSpec extends SparkSpec {
     assert(!fs(dest).exists(new Path(dest.toString + ".new")))
   }
 
-  test("readRecovering promotes a complete .new survivor before reading") {
+  test("readRecovering promotes a COMMITTED .new survivor before reading") {
     val dir = java.nio.file.Files.createTempDirectory("storeio2")
     val dest = new Path(dir.resolve("ptr").toString)
     val tmp = new Path(dest.toString + ".new")
     // simulate the delete+rename fallback's crash window: the new copy
-    // was fully written and closed, the old copy deleted, the rename
-    // never ran — dest is missing, the survivor is complete
-    write(tmp, "recovered")
+    // was fully written and closed (commit marker intact), the old copy
+    // deleted, the rename never ran — dest missing, survivor complete
+    write(tmp, "recovered" + Marker)
     assert(!fs(dest).exists(dest))
     assert(StoreIO.readRecovering(fs(dest), dest) === Some("recovered"))
     // the recovery is durable: promoted on disk, survivor consumed
@@ -46,6 +48,20 @@ class StoreIOSpec extends SparkSpec {
     // absent entirely → None (no phantom recovery)
     val other = new Path(dir.resolve("none").toString)
     assert(StoreIO.readRecovering(fs(other), other) === None)
+  }
+
+  test("readRecovering NEVER promotes a truncated first write") {
+    val dir = java.nio.file.Files.createTempDirectory("storeio2b")
+    val dest = new Path(dir.resolve("ptr").toString)
+    val tmp = new Path(dest.toString + ".new")
+    // a crash mid-write of the very FIRST atomicWrite: dest never
+    // existed and the temp is truncated (no commit marker) — promoting
+    // it would durably corrupt the pointer; it must read as absent
+    write(tmp, "/data/emb.v") // cut mid-path
+    assert(StoreIO.readRecovering(fs(dest), dest) === None)
+    assert(!fs(dest).exists(dest), "truncated temp must not be promoted")
+    // and the temp is left alone (it may be a live writer's open file)
+    assert(fs(dest).exists(tmp))
   }
 
   test("resolve recovers the version pointer from the crash window " +
@@ -60,8 +76,8 @@ class StoreIOSpec extends SparkSpec {
     assert(VectorStore.retrainIvf(spark, path, nCentroids = 4) === 1)
     val ptr = new Path(path + ".current")
     val target = StoreIO.readRecovering(fs(ptr), ptr).get
-    // reopen the window: pointer deleted, complete survivor left behind
-    write(new Path(ptr.toString + ".new"), target)
+    // reopen the window: pointer deleted, committed survivor left behind
+    write(new Path(ptr.toString + ".new"), target + Marker)
     fs(ptr).delete(ptr, false)
     assert(VectorStore.resolve(spark, path) === s"$path.v1",
       "a crash inside the pointer flip must not resurrect v0")
@@ -74,9 +90,9 @@ class StoreIOSpec extends SparkSpec {
     val path = dir.resolve("store").toString
     StoreIO.appendManifest(spark, path, Seq("""{"op":"a"}"""))
     val m = new Path(path + ".manifest")
-    // window: manifest deleted, grown copy survives at .new
+    // window: manifest deleted, committed grown copy survives at .new
     val grown = StoreIO.readRecovering(fs(m), m).get + """{"op":"b"}""" + "\n"
-    write(new Path(m.toString + ".new"), grown)
+    write(new Path(m.toString + ".new"), grown + Marker)
     fs(m).delete(m, false)
     StoreIO.appendManifest(spark, path, Seq("""{"op":"c"}"""))
     val all = StoreIO.readRecovering(fs(m), m).get
