@@ -641,6 +641,18 @@ object OracleSqls {
         |GROUP BY 1
         |ORDER BY nation""".stripMargin),
 
+    // consecutive MATCH sharing `c`: one equi-join on the customer id
+    "cy_multi_match" -> withGraph(
+      """SELECT n.name AS nation, CAST(count(o.nodeId) AS BIGINT) AS n_orders
+        |FROM nodes n
+        |JOIN bidir e ON n.nodeId = e.a AND e.relType = 'FROM_NATION'
+        |JOIN nodes c ON e.b = c.nodeId AND c.label = 'Customer'
+        |JOIN bidir e2 ON c.nodeId = e2.a AND e2.relType = 'PLACED'
+        |JOIN nodes o ON e2.b = o.nodeId AND o.label = 'Order'
+        |WHERE n.label = 'Nation' AND starts_with(n.name, 'NATION_1')
+        |GROUP BY 1
+        |ORDER BY nation""".stripMargin),
+
     // Cypher + with a string side concatenates (numeric stringifies);
     // both engines print longs identically
     "cy_str_concat" -> withGraph(

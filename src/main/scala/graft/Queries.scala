@@ -1243,6 +1243,17 @@ object Queries {
         |ORDER BY nation""".stripMargin)
       .withColumn("sd", round(col("sd"), 4))
 
+  /** Consecutive MATCH clauses sharing a variable: the reused `c`
+    * re-binds by nodeId (one equi-join, not a cartesian), each clause
+    * keeping its own WHERE — the most common way users grow a query. */
+  def cyMultiMatch(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """MATCH (n:Nation)-[e:FROM_NATION]-(c:Customer)
+        |WHERE n.name STARTS WITH "NATION_1"
+        |MATCH (c)-[e2:PLACED]-(o:Order)
+        |RETURN n.name AS nation, count(o) AS n_orders
+        |ORDER BY nation""".stripMargin)
+
   /** Cypher `+` string concatenation (either operand string → concat,
     * numeric co-operand stringifies — Spark's numeric `+` would null the
     * row out) mixed with plain numeric `+` in the same RETURN. */
@@ -3033,6 +3044,7 @@ object Queries {
     "cy_pattern_pred" -> (cyPatternPred _),
     "cy_str_concat" -> (cyStrConcat _),
     "cy_label_pred" -> (cyLabelPred _),
+    "cy_multi_match" -> (cyMultiMatch _),
     "skew_salted_agg" -> (skewSaltedAgg _),
     "join_salted" -> (joinSalted _),
     "join_asof_exec" -> (joinAsofExec _),

@@ -163,6 +163,17 @@ object Parser {
             paths += path()
             while ({ ws(); pos < in.length && in(pos) == ',' }) { pos += 1; paths += path() }
             preds = predList()
+            // consecutive MATCH clauses: a variable reused across
+            // clauses re-binds by nodeId (the planner's shared-var
+            // join); each clause keeps its own WHERE conjuncts. The
+            // canonical render is the comma form, whose semantics here
+            // coincide (relationship uniqueness stays per path).
+            while (peek("MATCH")) {
+              expect("MATCH")
+              paths += path()
+              while ({ ws(); pos < in.length && in(pos) == ',' }) { pos += 1; paths += path() }
+              preds = preds ++ predList()
+            }
           }
         }
         // OPTIONAL MATCH chain — final clause only (before RETURN); one

@@ -99,7 +99,7 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     stageRelVars = relVarsOf(st.paths)
     val aggItems = st.withItems.filter(isAggItem)
     val frames = expandPaths(st.paths).map { ps =>
-      val joined0 = ps.map(planPath(st.unwinds, _)).reduce(_.crossJoin(_))
+      val joined0 = joinPaths(st.unwinds, ps)
       val attached = attachBase(base, joined0, ps)
       val filtered = applyPreds(attached, st.preds)
       projectWith(filtered, st, ps)
@@ -275,13 +275,41 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     })
   }
 
+  /** Join one clause's paths (comma patterns / consecutive MATCH
+    * clauses): a node variable REUSED across patterns re-binds by nodeId
+    * equality — exactly Cypher's semantics for a shared variable —
+    * while fully disjoint patterns cross-join (Cypher's cartesian
+    * product). The repeat occurrence is planned under a fresh internal
+    * alias and equated on nodeId (unique key), so every later property
+    * reference resolves against the FIRST binding unambiguously.
+    * Relationship uniqueness stays per path, like consecutive MATCH
+    * clauses in Neo4j. */
+  private def joinPaths(unwinds: Seq[Unwind], ps: Seq[MatchPath]): DataFrame = {
+    var bound = Set.empty[String]
+    var df: DataFrame = null
+    ps.zipWithIndex.foreach { case (p, i) =>
+      val shared = p.nodes.map(_.varName).distinct.filter(bound)
+      val renames = shared.map(v => v -> s"__m${i}_$v").toMap
+      val renamed = MatchPath(p.nodes.map(n =>
+        renames.get(n.varName).fold(n)(nn => n.copy(varName = nn))), p.rels)
+      val planned = planPath(unwinds, renamed)
+      df =
+        if (df == null) planned
+        else if (shared.isEmpty) df.crossJoin(planned)
+        else df.join(planned, shared.map(v =>
+          col(s"$v.nodeId") === col(s"${renames(v)}.nodeId")).reduce(_ && _))
+      bound ++= p.nodes.map(_.varName)
+    }
+    df
+  }
+
   /** One fixed-length expansion joined, carried-frame-attached,
     * predicate-filtered, and projected to the canonical tuple schema:
     * non-aggregate items under their output names, aggregate items as
     * their pre-aggregation source column (`__agg<i>`), so all expansions
     * union cleanly. */
   private def tupleFrame(base: Option[DataFrame], q: CypherQuery): DataFrame = {
-    val joined0 = q.paths.map(planPath(q.unwinds, _)).reduce(_.crossJoin(_))
+    val joined0 = joinPaths(q.unwinds, q.paths)
     val joined = attachBase(base, joined0, q.paths)
     val filtered = applyPreds(joined, q.preds)
     // rebuilt per expansion: an optional var must not count as "already

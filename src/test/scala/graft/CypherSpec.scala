@@ -1236,6 +1236,46 @@ class CypherSpec extends SparkSpec {
         |RETURN a.name AS name""".stripMargin))
   }
 
+  test("consecutive MATCH / shared-var comma patterns re-bind by nodeId") {
+    // shared var p across two MATCH clauses: each author's papers joined
+    // to their topic edges (every paper has exactly one HAS_TOPIC edge)
+    val rows = Planner.run(g,
+      """MATCH (a:Author)-[w:WRITES]-(p:Paper)
+        |MATCH (p)-[h:HAS_TOPIC]-(f:FieldOfStudy)
+        |RETURN a.name AS name, count(f) AS n ORDER BY name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq === Seq(("Alice", 2L), ("Bob", 1L), ("Carol", 1L)))
+    // the comma form is the same AST (canonical render) and same result
+    val comma = Planner.run(g,
+      """MATCH (a:Author)-[w:WRITES]-(p:Paper), (p)-[h:HAS_TOPIC]-(f:FieldOfStudy)
+        |RETURN a.name AS name, count(f) AS n ORDER BY name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(comma.toSeq === rows.toSeq)
+    assert(Parser.parse(
+      """MATCH (a:Author)-[w:WRITES]-(p:Paper) MATCH (p)-[h:HAS_TOPIC]-(f:FieldOfStudy) RETURN a.name AS name""")
+      === Parser.parse(
+      """MATCH (a:Author)-[w:WRITES]-(p:Paper), (p)-[h:HAS_TOPIC]-(f:FieldOfStudy) RETURN a.name AS name"""))
+    // an anchored REPEAT occurrence filters the shared binding
+    val anchored = Planner.run(g,
+      """MATCH (a:Author)-[w:WRITES]-(p:Paper)
+        |MATCH (p:Paper {name: "P-alpha"})
+        |RETURN count(DISTINCT a) AS n""".stripMargin)
+      .collect().head.getLong(0)
+    assert(anchored === 2L) // Alice, Bob
+    // disjoint clauses stay a cartesian product
+    val cross = Planner.run(g,
+      """MATCH (a:Author {name: "Alice"}) MATCH (i:Institution)
+        |RETURN count(*) AS n""".stripMargin).collect().head.getLong(0)
+    assert(cross === 2L)
+    // each clause's WHERE conjuncts survive the merge
+    val filtered = Planner.run(g,
+      """MATCH (a:Author)-[w:WRITES]-(p:Paper) WHERE a.name <> "Bob"
+        |MATCH (p)-[h:HAS_TOPIC]-(f:FieldOfStudy) WHERE p.name ENDS WITH "beta"
+        |RETURN a.name AS name, p.name AS paper""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(filtered.toSeq === Seq(("Alice", "P-beta")))
+  }
+
   test("string + concatenates (numeric co-operand stringifies, null propagates)") {
     val tag = Planner.run(g,
       """MATCH (a:Author {name: "Alice"}) RETURN a.name + "#" + a.nodeId AS tag""")
