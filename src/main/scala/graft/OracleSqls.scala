@@ -641,6 +641,19 @@ object OracleSqls {
         |GROUP BY 1
         |ORDER BY nation""".stripMargin),
 
+    // null-skipping property counts (acctbal is non-null for customers;
+    // the distinct form counts the value set)
+    "cy_count_prop" -> withFinGraph(
+      """SELECT n.name AS nation,
+        |  CAST(count(c.acctbal) AS BIGINT) AS n_bal,
+        |  CAST(count(DISTINCT c.acctbal) AS BIGINT) AS n_distinct
+        |FROM fnodes n
+        |JOIN fbidir e ON n.nodeId = e.a AND e.relType = 'FROM_NATION'
+        |JOIN fnodes c ON e.b = c.nodeId AND c.label = 'Customer'
+        |WHERE n.label = 'Nation'
+        |GROUP BY 1
+        |ORDER BY nation""".stripMargin),
+
     // consecutive MATCH sharing `c`: one equi-join on the customer id
     "cy_multi_match" -> withGraph(
       """SELECT n.name AS nation, CAST(count(o.nodeId) AS BIGINT) AS n_orders

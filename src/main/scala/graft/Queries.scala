@@ -1243,6 +1243,16 @@ object Queries {
         |ORDER BY nation""".stripMargin)
       .withColumn("sd", round(col("sd"), 4))
 
+  /** `count([DISTINCT] v.prop)` — Neo4j's null-skipping property counts
+    * through the shared AggFn machinery (value count vs distinct value
+    * set under one implicit grouping). */
+  def cyCountProp(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(finGraph(spark, dir),
+      """MATCH (n:Nation)-[e:FROM_NATION]-(c:Customer)
+        |RETURN n.name AS nation, count(c.acctbal) AS n_bal,
+        |       count(DISTINCT c.acctbal) AS n_distinct
+        |ORDER BY nation""".stripMargin)
+
   /** Consecutive MATCH clauses sharing a variable: the reused `c`
     * re-binds by nodeId (one equi-join, not a cartesian), each clause
     * keeping its own WHERE — the most common way users grow a query. */
@@ -3045,6 +3055,7 @@ object Queries {
     "cy_str_concat" -> (cyStrConcat _),
     "cy_label_pred" -> (cyLabelPred _),
     "cy_multi_match" -> (cyMultiMatch _),
+    "cy_count_prop" -> (cyCountProp _),
     "skew_salted_agg" -> (skewSaltedAgg _),
     "join_salted" -> (joinSalted _),
     "join_asof_exec" -> (joinAsofExec _),

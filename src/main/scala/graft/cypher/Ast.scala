@@ -40,7 +40,7 @@ package graft.cypher
   *   mulExpr   := atom (('*'|'/'|'%') atom)*   -- int÷int truncates (Neo4j)
   *   atom      := '(' expr ')' | intLit | strLit
   *              | var '.' prop | bare-col | labels(var) | type(var)
-  *              | count('*' | [DISTINCT] var)
+  *              | count('*' | [DISTINCT] var['.' prop])
   *              | (sum | avg | stDev | stDevP)([DISTINCT] expr)
   *              | (percentileCont | percentileDisc)(expr ',' double)
   *              | min(var '.' prop) | max(var '.' prop)
@@ -225,11 +225,11 @@ object Ast {
     * nest inside arithmetic (rejected at parse time) — aggregate at a WITH
     * barrier and compute over the alias instead. */
   final case class BinOp(op: String, l: Expr, r: Expr) extends Expr
-  /** `sum([DISTINCT] expr)` / `avg([DISTINCT] expr)` — Cypher's numeric
-    * aggregates over an arbitrary arithmetic/property argument
-    * (null-skipping, like Neo4j); DISTINCT aggregates over the distinct
-    * value set. `avg` returns double; `sum` keeps the argument's
-    * integral type. */
+  /** `sum([DISTINCT] expr)` / `avg([DISTINCT] expr)` / `stDev[P]` /
+    * `count([DISTINCT] v.prop)` — Cypher's numeric aggregates over an
+    * arbitrary arithmetic/property argument (null-skipping, like
+    * Neo4j); DISTINCT aggregates over the distinct value set. `avg`
+    * returns double; `sum` keeps the argument's integral type. */
   final case class AggFn(fn: String, arg: Expr,
                          distinct: Boolean = false) extends Expr
   /** `coalesce(e1, e2, …)` — first non-null argument. */

@@ -826,11 +826,25 @@ object Parser {
       else if (peekCall("type")) { expect("type"); expect("("); val v = ident(); expect(")"); TypeOf(v) }
       else if (peekCall("length")) { expect("length"); expect("("); val v = ident(); expect(")"); PathLength(v) }
       else if (peekCall("count")) {
+        // count(*) | count([DISTINCT] var) | count([DISTINCT] var.prop) —
+        // the property forms are null-skipping like Neo4j and plan via
+        // the shared AggFn machinery
         expect("count"); expect("(")
         ws()
         if (pos < in.length && in(pos) == '*') { pos += 1; expect(")"); CountStar }
-        else if (opt("DISTINCT")) { val v = ident(); expect(")"); CountDistinct(v) }
-        else { val v = ident(); expect(")"); CountVar(v) }
+        else {
+          val d = opt("DISTINCT")
+          val v = ident()
+          ws()
+          val prop =
+            if (pos < in.length && in(pos) == '.') { pos += 1; Some(ident()) }
+            else None
+          expect(")")
+          prop match {
+            case Some(p) => AggFn("count", PropRef(v, p), d)
+            case None    => if (d) CountDistinct(v) else CountVar(v)
+          }
+        }
       }
       else if (peekCall("collect")) {
         expect("collect"); expect("(")

@@ -917,6 +917,10 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     case MinMaxProp("max", _, _) => max(col(src))
     case CountStar => count(lit(1))
     case CountVar(_) => count(col(src)) // null-skipping, like Neo4j count(v)
+    // count over a property EXPRESSION (null-skipping, like Neo4j's
+    // count(v.prop)); the DISTINCT form counts the distinct value set
+    case AggFn("count", _, false) => count(col(src))
+    case AggFn("count", _, true)  => count_distinct(col(src))
     case AggFn("sum", _, false) => sum(col(src)) // null-skipping, like Neo4j
     case AggFn("avg", _, false) => avg(col(src))
     case AggFn("sum", _, true) => sum_distinct(col(src))

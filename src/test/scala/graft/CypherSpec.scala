@@ -1276,6 +1276,27 @@ class CypherSpec extends SparkSpec {
     assert(filtered.toSeq === Seq(("Alice", "P-beta")))
   }
 
+  test("count([DISTINCT] v.prop): null-skipping property counts") {
+    // Alice WRITES P-alpha (abstract set) and P-beta (abstract null):
+    // count(p.abstract) skips the null where count(p) does not
+    val row = Planner.run(g,
+      """MATCH (a:Author {name: "Alice"})-[w:WRITES]-(p:Paper)
+        |RETURN count(p) AS n, count(p.abstract) AS n_abs,
+        |       count(DISTINCT p.abstract) AS n_dabs""".stripMargin)
+      .collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) === ((2L, 1L, 1L)))
+    // DISTINCT over a property with duplicates across rows: the three
+    // authors' institutions collapse to the distinct names
+    val inst = Planner.run(g,
+      """MATCH (a:Author)-[f:AFFILIATED_WITH]-(i:Institution)
+        |RETURN count(i.name) AS n, count(DISTINCT i.name) AS nd""".stripMargin)
+      .collect().head
+    assert((inst.getLong(0), inst.getLong(1)) === ((3L, 2L)))
+    val q = Parser.parse(
+      "MATCH (a:Author) RETURN count(DISTINCT a.name) AS n, count(a.name) AS m")
+    assert(Parser.parse(q.render) === q)
+  }
+
   test("string + concatenates (numeric co-operand stringifies, null propagates)") {
     val tag = Planner.run(g,
       """MATCH (a:Author {name: "Alice"}) RETURN a.name + "#" + a.nodeId AS tag""")
