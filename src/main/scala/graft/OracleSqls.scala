@@ -727,6 +727,93 @@ object OracleSqls {
         |GROUP BY 1
         |ORDER BY nation""".stripMargin),
 
+    // EXISTS with inner WHERE, composed as a top-level conjunct (semi
+    // join) AND under OR (marker left join) — DuckDB's correlated EXISTS
+    // plans both the same way
+    "cy_exists_where" -> withGraph(
+      """SELECT c.name AS name
+        |FROM nodes c
+        |WHERE c.label = 'Customer'
+        |  AND EXISTS (
+        |    SELECT 1 FROM bidir e
+        |    JOIN nodes n ON e.b = n.nodeId AND n.label = 'Nation'
+        |      AND n.name = 'NATION_3'
+        |    WHERE e.a = c.nodeId AND e.relType = 'FROM_NATION')
+        |  AND (EXISTS (
+        |    SELECT 1 FROM bidir e2
+        |    JOIN nodes o ON e2.b = o.nodeId AND o.label = 'Order'
+        |      AND o.name LIKE '1%'
+        |    WHERE e2.a = c.nodeId AND e2.relType = 'PLACED')
+        |    OR c.name LIKE '%0')
+        |ORDER BY name""".stripMargin),
+
+    // MERGE upsert: update customer 42's name, insert the missing
+    // customer — the post-merge nodes table as a pure SELECT
+    "cy_merge_upsert" -> withGraph(
+      """SELECT nodeId, label,
+        |  CASE WHEN label = 'Customer' AND nodeId = 3000000042
+        |       THEN 'Customer#updated' ELSE name END AS name
+        |FROM nodes
+        |UNION ALL
+        |SELECT CAST(3999999999 AS BIGINT), 'Customer', 'Customer#new'"""
+        .stripMargin),
+
+    // nodes(p)/relationships(p) over *1..2 from ASIA: 1-hop walks plus
+    // trail-filtered 2-hop walks, lists flattened to the shared string
+    // surface
+    "cy_path_nodes" -> withGraph(
+      """, asia AS (
+        |  SELECT nodeId FROM nodes WHERE label = 'Region' AND name = 'ASIA'
+        |)
+        |SELECT DISTINCT
+        |  CAST(a.nodeId AS VARCHAR) || '|' || CAST(e.b AS VARCHAR) AS path_nodes,
+        |  e.relType AS path_rels
+        |FROM asia a JOIN bidir e ON e.a = a.nodeId
+        |UNION
+        |SELECT DISTINCT
+        |  CAST(a.nodeId AS VARCHAR) || '|' || CAST(e1.b AS VARCHAR)
+        |    || '|' || CAST(e2.b AS VARCHAR) AS path_nodes,
+        |  e1.relType || '|' || e2.relType AS path_rels
+        |FROM asia a
+        |JOIN bidir e1 ON e1.a = a.nodeId
+        |JOIN bidir e2 ON e2.a = e1.b
+        |WHERE NOT (e1.relType = e2.relType AND e1.src = e2.src
+        |           AND e1.dst = e2.dst)""".stripMargin),
+
+    // degree sugar: one grouped count per degree shape, left-joined back
+    // (missing → 0), the WHERE gate on the untyped FROM_NATION degree
+    "cy_degree_count" -> withGraph(
+      """SELECT n.name AS nation,
+        |  CAST(coalesce(dc.cnt, 0) AS BIGINT) AS n_cust,
+        |  CAST(coalesce(ds.cnt, 0) AS BIGINT) AS n_supp,
+        |  CAST(coalesce(dt.cnt, 0) AS BIGINT) AS deg_total
+        |FROM nodes n
+        |LEFT JOIN (
+        |  SELECT e.a, count(*) AS cnt FROM bidir e
+        |  JOIN nodes x ON e.b = x.nodeId AND x.label = 'Customer'
+        |  WHERE e.relType = 'FROM_NATION' GROUP BY 1) dc ON dc.a = n.nodeId
+        |LEFT JOIN (
+        |  SELECT e.a, count(*) AS cnt FROM bidir e
+        |  JOIN nodes x ON e.b = x.nodeId AND x.label = 'Supplier'
+        |  WHERE e.relType = 'FROM_NATION' GROUP BY 1) ds ON ds.a = n.nodeId
+        |LEFT JOIN (
+        |  SELECT a, count(*) AS cnt FROM bidir GROUP BY 1) dt ON dt.a = n.nodeId
+        |LEFT JOIN (
+        |  SELECT a, count(*) AS cnt FROM bidir
+        |  WHERE relType = 'FROM_NATION' GROUP BY 1) df ON df.a = n.nodeId
+        |WHERE n.label = 'Nation' AND coalesce(df.cnt, 0) >= 1
+        |ORDER BY nation""".stripMargin),
+
+    // the map-parameter anchor must hash-match cy_page's literal-anchor
+    // oracle exactly (same query, $nation = 'NATION_3')
+    "cy_param_anchor" -> withGraph(
+      """SELECT c.name AS name
+        |FROM nodes n
+        |JOIN bidir e ON n.nodeId = e.a AND e.relType = 'FROM_NATION'
+        |JOIN nodes c ON e.b = c.nodeId AND c.label = 'Customer'
+        |WHERE n.label = 'Nation' AND n.name = 'NATION_3'
+        |ORDER BY name LIMIT 5 OFFSET 2""".stripMargin),
+
     // percentileCont ≡ quantile_cont (exact interpolation, unrounded);
     // percentileDisc ≡ quantile_disc (SQL-standard inverse distribution,
     // cast to DOUBLE to match Spark's percentile_disc result type);

@@ -1332,6 +1332,79 @@ object Queries {
         |       CASE WHEN r.name IS NULL THEN 0 ELSE 1 END AS in_asia
         |ORDER BY nation""".stripMargin)
 
+  /** `EXISTS { pattern WHERE … }` with inner filters, composed BOTH ways
+    * (VERDICT r12 #1): the top-level conjunct plans as a LEFT SEMI join;
+    * the one under OR plans as a MARKER left join whose boolean folds
+    * into the disjunction with the scalar predicate — the shape a
+    * semi-join cannot express. NATION_3 customers that placed an order
+    * numbered under 2000, or whose own name ends in "0". */
+  def cyExistsWhere(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """MATCH (c:Customer)
+        |WHERE EXISTS { (c)-[e:FROM_NATION]-(n:Nation) WHERE n.name = "NATION_3" }
+        |  AND (EXISTS { (c)-[e2:PLACED]-(o:Order) WHERE o.name STARTS WITH "1" } OR c.name ENDS WITH "0")
+        |RETURN c.name AS name
+        |ORDER BY name""".stripMargin)
+
+  /** Restricted graph mutation (VERDICT r12 #2): two MERGE clauses
+    * lowered onto the lakehouse merge — the first updates an existing
+    * customer (ON MATCH SET path), the second creates a missing one
+    * (ON CREATE SET path) against the first merge's snapshot; the
+    * post-merge nodes table is the result (scalar columns — the driver's
+    * hash surface). Idempotence (MERGE twice ≡ once) is spec-tested. */
+  def cyMergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val g0 = graph(spark, dir)
+    val merged1 = graft.cypher.Planner.run(g0,
+      """MERGE (n:Customer {nodeId: 3000000042})
+        |ON CREATE SET n.name = "Customer#created"
+        |ON MATCH SET n.name = "Customer#updated"""".stripMargin)
+    val g1 = graft.graph.PropertyGraph(merged1, g0.rels)
+    graft.cypher.Planner.run(g1,
+      """MERGE (n:Customer {nodeId: 3999999999})
+        |ON CREATE SET n.name = "Customer#new"
+        |ON MATCH SET n.name = "Customer#wrong"""".stripMargin)
+      .select(col("nodeId"), col("label"), col("name"))
+  }
+
+  /** Named-path projections `nodes(p)` / `relationships(p)` (VERDICT r12
+    * #3): the provenance shape of retrieval/retriever.py:80-86 — every
+    * 1..2-hop walk out of ASIA with its traversal-ordered nodeId list
+    * and relationship-type list (flattened to strings for the driver's
+    * hash surface; the arrays themselves are spec-tested). */
+  def cyPathNodes(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """MATCH p = (r:Region {name: "ASIA"})-[*1..2]-(x)
+        |RETURN DISTINCT nodes(p) AS path_nodes, relationships(p) AS path_rels"""
+        .stripMargin)
+      .select(
+        array_join(col("path_nodes").cast("array<string>"), "|").as("path_nodes"),
+        array_join(col("path_rels"), "|").as("path_rels"))
+      .distinct()
+
+  /** Degree sugar (VERDICT r12 #5): `count { (n)-[:T]-(:L) }` in RETURN
+    * and WHERE plus the legacy `size((n)-[]-())` spelling — four distinct
+    * degree shapes, each ONE grouped count over the edge view left-joined
+    * back on nodeId (never a per-row subquery). */
+  def cyDegreeCount(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """MATCH (n:Nation)
+        |WHERE count { (n)-[:FROM_NATION]-() } >= 1
+        |RETURN n.name AS nation,
+        |       count { (n)-[:FROM_NATION]-(:Customer) } AS n_cust,
+        |       count { (n)-[:FROM_NATION]-(:Supplier) } AS n_supp,
+        |       size((n)-[]-()) AS deg_total
+        |ORDER BY nation""".stripMargin)
+
+  /** Map-parameter anchor (VERDICT r12 #6): [[cyPage]]'s shape re-spelled
+    * with `{name: $nation}` — the parameterized twin of the literal
+    * anchor (same pushable equality, same broadcast; SKIP 2 so the page
+    * is non-empty at sf0.001 too). */
+  def cyParamAnchor(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """MATCH (x:Nation {name: $nation})-[r:FROM_NATION]-(y:Customer)
+        |RETURN y.name AS name ORDER BY name SKIP 2 LIMIT 5""".stripMargin,
+      Map("nation" -> "NATION_3"))
+
   /** Skew-resistant exact count-distinct on driver data: the salted
     * two-phase aggregate must produce exactly the plain GROUP BY result
     * (the salting is a physical strategy, invisible in the output). */
@@ -2972,6 +3045,8 @@ object Queries {
     "cy_rel_types", "cy_exists_filter", "cy_union", "cy_collect", "cy_minmax", "cy_count_rows", "cy_multi_order",
     "cy_varlength", "cy_sum_avg", "cy_return_arith", "cy_case_null",
     "cy_directed", "cy_contains", "cy_collect_all", "cy_pattern_pred",
+    "cy_exists_where", "cy_merge_upsert", "cy_path_nodes",
+    "cy_degree_count", "cy_param_anchor",
     // pipeline orchestration (§7 M5)
     "pipeline_retrieve", "fmt_context",
     // dedup family
@@ -3056,6 +3131,11 @@ object Queries {
     "cy_label_pred" -> (cyLabelPred _),
     "cy_multi_match" -> (cyMultiMatch _),
     "cy_count_prop" -> (cyCountProp _),
+    "cy_exists_where" -> (cyExistsWhere _),
+    "cy_merge_upsert" -> (cyMergeUpsert _),
+    "cy_path_nodes" -> (cyPathNodes _),
+    "cy_degree_count" -> (cyDegreeCount _),
+    "cy_param_anchor" -> (cyParamAnchor _),
     "skew_salted_agg" -> (skewSaltedAgg _),
     "join_salted" -> (joinSalted _),
     "join_asof_exec" -> (joinAsofExec _),

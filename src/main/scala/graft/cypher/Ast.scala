@@ -18,8 +18,8 @@ package graft.cypher
   *                [ORDER BY ref [ASC|DESC]] [SKIP n] [LIMIT n]
   *                [WHERE pred (AND pred)*]
   *   unwind    := UNWIND ($param | '[' lit (',' lit)* ']') AS var
-  *   path      := node (rel node)*
-  *   node      := '(' var [':' Label] [ '{' (name|nodeId) ':' literal-or-var '}' ] ')'
+  *   path      := [pathVar '='] node (rel node)*   -- name scopes nodes()/relationships()
+  *   node      := '(' var [':' Label] [ '{' (name|nodeId) ':' (literal | var | $param) '}' ] ')'
   *   rel       := relBody '-' | relBody '->' | '<' relBody '-'
   *   relBody   := ['<'] '-[' [var] [':' TYPE ('|' TYPE)*] [range] ']'
   *   pred      := var '<>' var | NOT var '.' 'nodeId' IN $param
@@ -29,9 +29,11 @@ package graft.cypher
   *              | expr (CONTAINS | STARTS WITH | ENDS WITH | '=~') expr
   *              | strFn-headed expr cmpop expr   -- size(n.name) > 5
   *              | [NOT] var ':' Label            -- label test
-  *              | [NOT] EXISTS '{' path '}'        -- pattern predicate
-  *              | [NOT] path                       -- Neo4j sugar for it
-  *                 (EXISTS only in MATCH WHERE, not OPTIONAL MATCH / WITH)
+  *              | [NOT] EXISTS '{' path [WHERE pred (AND pred)*] '}'
+  *              | [NOT] path                       -- Neo4j sugar for EXISTS
+  *                 (EXISTS composes under OR/NOT too — the nested form
+  *                  plans as a marker left-join; MATCH WHERE only, not
+  *                  OPTIONAL MATCH / WITH)
   *   item      := expr [AS alias]
   *   withItem  := var                     -- carries the node binding forward
   *              | expr AS alias           -- WITH expressions must alias (like Cypher)
@@ -52,14 +54,29 @@ package graft.cypher
   *              | coalesce(expr (',' expr)*)
   *              | CASE (WHEN cond THEN expr)+ [ELSE expr] END
   *              | size('[' ... ']')              -- A2 comprehension
+  *              | count '{' degPat '}' | size '(' degPat ')'  -- degree sugar
   *              | vector.similarity.cosine(var '.' prop, $param)
   *              | length(pathVar)                -- shortestPath hop count
+  *              | nodes(pathVar) | relationships(pathVar)  -- path projection
+  *   degPat    := '(' var ')' rel-without-var '(' [':' Label] ')'  -- 1 hop
   *   cond      := expr (cmpop expr | IS [NOT] NULL)
   * }}}
   *
   * Aggregates may not nest inside arithmetic (aggregate at a WITH barrier
   * and compute over the alias). Directed rels traverse one stored
   * orientation; the reference emits only the undirected form.
+  *
+  * '''Relationship-uniqueness deviation from Neo4j.''' This engine applies
+  * trail semantics (a stored relationship bound at most once) PER PATH,
+  * never across the comma patterns of a MATCH clause. Neo4j scopes
+  * uniqueness to the whole MATCH clause (across comma patterns) but not
+  * across consecutive MATCH clauses — so in Neo4j the two spellings
+  * differ, while here they coincide. Consequently the parser folds
+  * consecutive MATCH clauses into one comma-pattern list and
+  * [[CypherQuery.render]] canonically emits the comma form: running that
+  * rendered text on real Neo4j can return FEWER rows (Neo4j additionally
+  * drops solutions that reuse one relationship across the comma
+  * patterns). parse∘render stays the identity within this dialect.
   *
   * `WITH` is a projection barrier (retrieval/ner.py:112-114's
   * `WITH node.name AS name WHERE normalize(lower(name)) = … RETURN name`):
@@ -78,6 +95,11 @@ object Ast {
   final case class StrLit(v: String) extends AnchorValue
   final case class LongLit(v: Long) extends AnchorValue
   final case class VarRef(name: String) extends AnchorValue
+  /** `(n:L {name: $param})` — a map-parameter anchor: the property equals
+    * the SCALAR parameter's value (string or integer), the first
+    * parameterized query shape a driver-API user writes. The UNWIND form
+    * stays the LIST-parameter anchor. */
+  final case class ParamRef(name: String) extends AnchorValue
 
   /** `range` is Neo4j's variable-length spec `*min..max` (None = plain
     * single hop). Var-length rels cannot bind a variable (the binding would
@@ -97,8 +119,12 @@ object Ast {
       RelPat(varName, relType.toSeq, range)
   }
 
-  /** Alternating node/rel pattern: nodes.length == rels.length + 1. */
-  final case class MatchPath(nodes: Seq[NodePat], rels: Seq[RelPat])
+  /** Alternating node/rel pattern: nodes.length == rels.length + 1.
+    * `name` is the optional path variable of `MATCH p = (a)-[…]-(b)` —
+    * it scopes the path-projection functions `nodes(p)` /
+    * `relationships(p)` (and `length(p)` on shortestPath). */
+  final case class MatchPath(nodes: Seq[NodePat], rels: Seq[RelPat],
+                             name: Option[String] = None)
 
   sealed trait Pred
   final case class VarNeq(v1: String, v2: String) extends Pred
@@ -111,11 +137,22 @@ object Ast {
     * HAVING shape (`WITH n, count(DISTINCT c) AS deg WHERE deg >= 5`). */
   final case class ColCmp(colName: String, op: String,
                           value: AnchorValue) extends Pred
-  /** `[NOT] EXISTS { (a)-[…]-(b) }` — Neo4j's pattern predicate: the row
-    * survives iff the pattern has ≥ 1 (resp. 0) solutions sharing the
-    * row's bindings. Plans as a LEFT SEMI (resp. ANTI) join on the shared
-    * variables' nodeIds — never a count, never a correlated subquery. */
-  final case class ExistsPat(path: MatchPath, negated: Boolean) extends Pred
+  /** `[NOT] EXISTS { (a)-[…]-(b) [WHERE pred AND …] }` — Neo4j's pattern
+    * predicate: the row survives iff the pattern (with its inner WHERE,
+    * which filters the PATTERN's solutions) has ≥ 1 (resp. 0) solutions
+    * sharing the row's bindings. As a TOP-LEVEL conjunct it plans as a
+    * LEFT SEMI (resp. ANTI) join on the shared variables' nodeIds — never
+    * a count, never a correlated subquery. NESTED under OR/NOT/parens it
+    * plans as a MARKER LEFT JOIN instead: the pattern's distinct shared
+    * keys carry a `true` marker, the row's coalesce(marker, false) folds
+    * into the boolean tree, and the marker columns drop after the filter
+    * — the disjunction-composable form a semi-join cannot express.
+    * Inner-WHERE predicates may reference the pattern's own variables and
+    * any shared outer NODE variable (resolved against the pattern-local
+    * binding, which the join equates); nesting another EXISTS inside the
+    * inner WHERE is out of dialect. */
+  final case class ExistsPat(path: MatchPath, negated: Boolean,
+                             preds: Seq[Pred] = Nil) extends Pred
   /** `v.prop <op> literal` — property comparison directly in WHERE (the
     * ColCmp shape lifted from bare projected columns to node
     * properties). */
@@ -213,6 +250,29 @@ object Ast {
   /** `length(p)` where `p` names the query's shortestPath — the hop count
     * of the shortest path found for the row's endpoint pair. */
   final case class PathLength(pathVar: String) extends Expr
+  /** `nodes(p)` — the node list of the named path, in traversal order, as
+    * the nodeId array (node OBJECTS have no columnar form; identity is
+    * nodeId, and properties join back by id — the provenance shape of
+    * retrieval/retriever.py:80-86). On an enumerated (fixed/var-length)
+    * path the list is exact per row; on a shortestPath it is the
+    * DETERMINISTIC minimum-predecessor path (ties at every hop break
+    * toward the smallest nodeId), so results are reproducible and
+    * oracle-expressible where Neo4j returns an arbitrary witness. */
+  final case class PathNodes(pathVar: String) extends Expr
+  /** `relationships(p)` — the relationship-type list of the named path in
+    * traversal order (relationship identity is the (type, src, dst)
+    * triple; the TYPE sequence is the provenance the reference's pattern
+    * strings carry). Enumerated paths only — a shortestPath's BFS never
+    * materializes its edges. */
+  final case class PathRels(pathVar: String) extends Expr
+  /** `count { (n)-[:T|U]-(:L) }` ≡ `size((n)-[:T|U]-(:L))` — Neo4j's
+    * degree sugar: the number of pattern matches around the bound node
+    * `n` (single hop, far node anonymous with an optional label). Plans
+    * as ONE grouped degree aggregate per distinct (types, dir, farLabel)
+    * shape left-joined back on nodeId — never a per-row subquery.
+    * Canonical render is the `count { … }` form. */
+  final case class DegreeOf(varName: String, relTypes: Seq[String],
+                            dir: Int, farLabel: Option[String]) extends Expr
   /** Integer literal inside an expression (`x.qty * 2`). */
   final case class LongLitE(v: Long) extends Expr
   /** String literal inside an expression (CASE branches, coalesce
@@ -276,6 +336,17 @@ object Ast {
       case CountVar(v)                => s"count($v)"
       case Cosine(v, pr, p)           => s"vector.similarity.cosine($v.$pr, $$$p)"
       case PathLength(p)              => s"length($p)"
+      case PathNodes(p)               => s"nodes($p)"
+      case PathRels(p)                => s"relationships($p)"
+      case DegreeOf(v, ts, dir, fl)   =>
+        val types = if (ts.isEmpty) "" else ts.mkString(":", "|", "")
+        val far = s"(${fl.fold("")(l => s":$l")})"
+        val hop = dir match {
+          case 1  => s"-[$types]->$far"
+          case -1 => s"<-[$types]-$far"
+          case _  => s"-[$types]-$far"
+        }
+        s"count { ($v)$hop }"
       case LongLitE(v)                => v.toString
       case StrLitE(v)                 =>
         "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
@@ -368,6 +439,7 @@ object Ast {
           s""" {$p: "$esc"}"""
         case (Some(p), Some(LongLit(v))) => s" {$p: $v}"
         case (Some(p), Some(VarRef(v)))  => s" {$p: $v}"
+        case (Some(p), Some(ParamRef(nm))) => s" {$p: $$$nm}"
         case _ => ""
       }
       def node(n: NodePat): String =
@@ -383,14 +455,18 @@ object Ast {
         }
       }
       def path(p: MatchPath): String =
-        node(p.nodes.head) + p.rels.zip(p.nodes.tail)
-          .map { case (r, n) => rel(r) + node(n) }.mkString
+        p.name.fold("")(n => s"$n = ") +
+          node(p.nodes.head) + p.rels.zip(p.nodes.tail)
+            .map { case (r, n) => rel(r) + node(n) }.mkString
       def expr(e: Expr): String = exprText(e)
       def pred(p: Pred): String = p match {
         case VarNeq(a, b)   => s"$a <> $b"
         case NotIdIn(v, pm) => s"NOT $v.nodeId IN $$$pm"
-        case ExistsPat(pt, neg) =>
-          (if (neg) "NOT " else "") + s"EXISTS { ${path(pt)} }"
+        case ExistsPat(pt, neg, inner) =>
+          val where =
+            if (inner.isEmpty) ""
+            else " WHERE " + inner.map(pred).mkString(" AND ")
+          (if (neg) "NOT " else "") + s"EXISTS { ${path(pt)}$where }"
         case NormEqParam(c, pm) =>
           s"normalize(lower($c)) = normalize(lower($$$pm))"
         case ColCmp(c, op, StrLit(v)) =>
@@ -398,11 +474,13 @@ object Ast {
           s"""$c $op "$esc""""
         case ColCmp(c, op, LongLit(v)) => s"$c $op $v"
         case ColCmp(c, op, VarRef(v))  => s"$c $op $v"
+        case ColCmp(c, op, ParamRef(nm)) => s"$c $op $$$nm"
         case PropCmp(v, pr, op, StrLit(s)) =>
           val esc = s.replace("\\", "\\\\").replace("\"", "\\\"")
           s"""$v.$pr $op "$esc""""
         case PropCmp(v, pr, op, LongLit(l)) => s"$v.$pr $op $l"
         case PropCmp(v, pr, op, VarRef(r))  => s"$v.$pr $op $r"
+        case PropCmp(v, pr, op, ParamRef(nm)) => s"$v.$pr $op $$$nm"
         case IsNullPred(ref, neg) =>
           s"${exprText(ref)} IS ${if (neg) "NOT " else ""}NULL"
         case InList(ref, vs, neg) =>
@@ -411,6 +489,7 @@ object Ast {
               "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
             case LongLit(v) => v.toString
             case VarRef(v)  => v
+            case ParamRef(nm) => s"$$$nm" // not parser-reachable in a list
           }.mkString(", ")
           s"${if (neg) "NOT " else ""}${exprText(ref)} IN [$lits]"
         case StrPred(l, o, r) => s"${exprText(l)} $o ${exprText(r)}"
@@ -431,6 +510,7 @@ object Ast {
                 "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
               case LongLit(v) => v.toString
               case VarRef(v)  => v
+              case ParamRef(nm) => s"$$$nm" // not parser-reachable here
             }.mkString("[", ", ", "]")
             case None => s"$$${u.param}"
           }
@@ -489,6 +569,48 @@ object Ast {
           RetItem(Cosine(targetVar, sortingIndex, embParam), Some("similarity")),
         orderBy = Seq(("similarity", true)),
         limit = limit)
+  }
+
+  /** One `n.prop = literal` assignment of a MERGE's SET list. */
+  final case class SetItem(varName: String, prop: String, value: AnchorValue)
+
+  /** Restricted graph mutation — the loader's upsert clause
+    * (stark_neo4j_loading.py:20-41 is MERGE-per-row against Neo4j):
+    * {{{
+    *   MERGE (n:Label {nodeId: <int>})
+    *     [ON CREATE SET n.p = lit, …] [ON MATCH SET …] [SET …]
+    * }}}
+    * Matches on (label, nodeId) — the S2 unique key. When the node
+    * exists, ON MATCH SET + SET apply; otherwise the node is created with
+    * the anchor, ON CREATE SET + SET properties, and nulls elsewhere
+    * (the union-of-keys dynamic schema). Lowers onto the lakehouse merge
+    * ([[graft.operators.Lakehouse.mergeSnapshot]]): one anti-join against
+    * a one-row changelog — and returns the POST-MERGE nodes table, so
+    * the engine's immutable-snapshot model is preserved (persisting the
+    * result is the caller's [[graft.graph.GraphStore]] write). MERGE
+    * twice ≡ once (idempotent, like a replayed changelog). */
+  final case class MergeQuery(node: NodePat, onCreate: Seq[SetItem],
+                              onMatch: Seq[SetItem], set: Seq[SetItem]) {
+    def render: String = {
+      def value(v: AnchorValue): String = v match {
+        case StrLit(s) =>
+          "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+        case LongLit(l)  => l.toString
+        case VarRef(n)   => n
+        case ParamRef(n) => s"$$$n"
+      }
+      def sets(kw: String, items: Seq[SetItem]): String =
+        if (items.isEmpty) ""
+        else s" $kw " + items.map(s =>
+          s"${s.varName}.${s.prop} = ${value(s.value)}").mkString(", ")
+      val anchor = node.anchorValue match {
+        case Some(v) => s" {${node.anchorProp.get}: ${value(v)}}"
+        case None    => ""
+      }
+      s"MERGE (${node.varName}${node.label.fold("")(l => s":$l")}$anchor)" +
+        sets("ON CREATE SET", onCreate) + sets("ON MATCH SET", onMatch) +
+        sets("SET", set)
+    }
   }
 
   /** `q1 UNION [ALL] q2 [UNION [ALL] q3 …]` — Cypher's set union of full

@@ -26,6 +26,16 @@ object Parser {
     * `UnionQuery(Seq(q), all = false)` — which plans as the plain query. */
   def parseUnion(input: String): UnionQuery = new P(input).unionQuery()
 
+  /** Parse the restricted mutation clause
+    * `MERGE (n:L {nodeId: <int>}) [ON CREATE SET …] [ON MATCH SET …]
+    * [SET …]` ([[Ast.MergeQuery]]). */
+  def parseMerge(input: String): MergeQuery = {
+    val p = new P(input)
+    val q = p.mergeQuery()
+    p.expectEnd()
+    q
+  }
+
   private final class P(in: String) {
     private var pos = 0
 
@@ -57,6 +67,17 @@ object Parser {
         i < in.length && in(i) == '('
       }
     }
+    /** [[peekCall]]'s twin for the brace-argument form: true only when a
+      * '{' follows (`count { (n)--() }`). */
+    private def peekBrace(kw: String): Boolean = {
+      if (!peek(kw)) false
+      else {
+        var i = pos + kw.length
+        while (i < in.length && in(i).isWhitespace) i += 1
+        i < in.length && in(i) == '{'
+      }
+    }
+
     private def expect(kw: String): Unit =
       if (!opt(kw)) fail(s"expected '$kw'")
     private def fail(msg: String): Nothing = throw ParseError(msg, pos)
@@ -140,40 +161,53 @@ object Parser {
           }
           expect("MATCH")
           ws()
+          // consecutive MATCH clauses: a variable reused across clauses
+          // re-binds by nodeId (the planner's shared-var join); each
+          // clause keeps its own WHERE conjuncts. The canonical render is
+          // the comma form — see Ast's relationship-uniqueness note.
+          def matchTail(): Unit = {
+            while ({ ws(); pos < in.length && in(pos) == ',' }) {
+              pos += 1; paths += maybeNamedPath()
+            }
+            preds = predList()
+            while (peek("MATCH")) {
+              expect("MATCH")
+              paths += maybeNamedPath()
+              while ({ ws(); pos < in.length && in(pos) == ',' }) {
+                pos += 1; paths += maybeNamedPath()
+              }
+              preds = preds ++ predList()
+            }
+          }
           if (pos < in.length && in(pos) != '(') {
-            // MATCH p = shortestPath((a…)-[:T*lo..hi]-(b…)) — the clause
-            // must stand alone (no stages/unwinds/other paths around it)
             val pv = ident(); ws()
             if (pos >= in.length || in(pos) != '=') fail("expected '=' after path variable")
             pos += 1
-            expect("shortestPath"); expect("(")
-            val p = shortestInner()
-            ws()
-            if (pos >= in.length || in(pos) != ')') fail("expected ')' closing shortestPath")
-            pos += 1
-            if (unwinds.result().nonEmpty)
-              fail("shortestPath cannot follow UNWIND")
-            if (stages.result().nonEmpty)
-              fail("shortestPath cannot follow a WITH stage")
-            shortest = Some(ShortestPathClause(pv, p))
-            preds = predList()
-            if (peek("WITH") || peek("OPTIONAL"))
-              fail("shortestPath must be the query's only clause")
+            if (peek("shortestPath")) {
+              // MATCH p = shortestPath((a…)-[:T*lo..hi]-(b…)) — the clause
+              // must stand alone (no stages/unwinds/other paths around it)
+              expect("shortestPath"); expect("(")
+              val p = shortestInner()
+              ws()
+              if (pos >= in.length || in(pos) != ')') fail("expected ')' closing shortestPath")
+              pos += 1
+              if (unwinds.result().nonEmpty)
+                fail("shortestPath cannot follow UNWIND")
+              if (stages.result().nonEmpty)
+                fail("shortestPath cannot follow a WITH stage")
+              shortest = Some(ShortestPathClause(pv, p))
+              preds = predList()
+              if (peek("WITH") || peek("OPTIONAL"))
+                fail("shortestPath must be the query's only clause")
+            } else {
+              // named enumerated path: MATCH p = (a)-[…]-(b) — scopes
+              // nodes(p) / relationships(p)
+              paths += path().copy(name = Some(pv))
+              matchTail()
+            }
           } else {
             paths += path()
-            while ({ ws(); pos < in.length && in(pos) == ',' }) { pos += 1; paths += path() }
-            preds = predList()
-            // consecutive MATCH clauses: a variable reused across
-            // clauses re-binds by nodeId (the planner's shared-var
-            // join); each clause keeps its own WHERE conjuncts. The
-            // canonical render is the comma form, whose semantics here
-            // coincide (relationship uniqueness stays per path).
-            while (peek("MATCH")) {
-              expect("MATCH")
-              paths += path()
-              while ({ ws(); pos < in.length && in(pos) == ',' }) { pos += 1; paths += path() }
-              preds = preds ++ predList()
-            }
+            matchTail()
           }
         }
         // OPTIONAL MATCH chain — final clause only (before RETURN); one
@@ -255,6 +289,75 @@ object Parser {
       throw new IllegalStateException("unreachable")
     }
 
+    /** `MERGE (n:L {nodeId: <int>}) [ON CREATE SET items] [ON MATCH SET
+      * items] [SET items]` — clause order free, each at most once. Only
+      * the S2 unique key may anchor, and SET values are literals (the
+      * loader's row values arrive pre-bound, like
+      * stark_neo4j_loading.py's per-row parameters). */
+    def mergeQuery(): MergeQuery = {
+      expect("MERGE")
+      val n = node()
+      if (n.label.isEmpty)
+        fail("MERGE requires a label: MERGE (n:Label {nodeId: …})")
+      if (!n.anchorProp.contains("nodeId"))
+        fail("MERGE anchors on the unique key: {nodeId: <integer>}")
+      n.anchorValue match {
+        case Some(LongLit(_)) => ()
+        case _ => fail("MERGE nodeId must be an integer literal")
+      }
+      var onCreate: Seq[SetItem] = Nil
+      var onMatch: Seq[SetItem] = Nil
+      var set: Seq[SetItem] = Nil
+      while (peek("ON") || peek("SET")) {
+        if (opt("ON")) {
+          val create = if (opt("CREATE")) true else { expect("MATCH"); false }
+          expect("SET")
+          val items = setItems(n.varName)
+          if (create) {
+            if (onCreate.nonEmpty) fail("duplicate ON CREATE SET")
+            onCreate = items
+          } else {
+            if (onMatch.nonEmpty) fail("duplicate ON MATCH SET")
+            onMatch = items
+          }
+        } else {
+          expect("SET")
+          if (set.nonEmpty) fail("duplicate SET")
+          set = setItems(n.varName)
+        }
+      }
+      MergeQuery(n, onCreate, onMatch, set)
+    }
+
+    private def setItems(mergeVar: String): Seq[SetItem] = {
+      val items = Seq.newBuilder[SetItem]
+      def one(): Unit = {
+        val v = ident()
+        if (v != mergeVar)
+          fail(s"SET may only assign properties of $mergeVar")
+        ws()
+        if (pos >= in.length || in(pos) != '.') fail("expected '.'")
+        pos += 1
+        val p = ident()
+        if (p == "nodeId" || p == "label" || p == "labels")
+          fail(s"SET cannot reassign the identity column $p")
+        ws()
+        if (pos >= in.length || in(pos) != '=') fail("expected '='")
+        pos += 1
+        ws()
+        val value: AnchorValue =
+          if (pos < in.length && (in(pos) == '"' || in(pos) == '\''))
+            StrLit(stringLit())
+          else if (pos < in.length && (in(pos).isDigit || in(pos) == '-'))
+            LongLit(longLit())
+          else fail("SET values must be string or integer literals")
+        items += SetItem(v, p, value)
+      }
+      one()
+      while ({ ws(); pos < in.length && in(pos) == ',' }) { pos += 1; one() }
+      items.result()
+    }
+
     def expectEnd(): Unit = {
       ws()
       if (pos != in.length) fail(s"trailing input: '${in.substring(pos).take(20)}'")
@@ -281,39 +384,23 @@ object Parser {
     }
 
     /** `existsCtx` names the surrounding clause when `EXISTS { … }` is NOT
-      * plannable there (OPTIONAL MATCH WHERE, WITH WHERE) — rejected at
-      * parse time with a grammar-level message instead of surfacing an
-      * opaque AnalysisException from the planner.
+      * plannable there (OPTIONAL MATCH WHERE, WITH WHERE, an EXISTS inner
+      * WHERE) — rejected at parse time with a grammar-level message
+      * instead of surfacing an opaque AnalysisException from the planner.
       *
       * WHERE is a full boolean expression with Cypher precedence
       * (NOT > AND > OR, parentheses group); the top-level AND chain
       * flattens back into the conjunct list (so `a AND b` still yields
       * two preds, the legacy shape every plan path consumes). EXISTS
-      * pattern predicates plan as semi/anti joins, which have no
-      * disjunctive form — they may only be top-level conjuncts. */
+      * pattern predicates compose freely: a top-level conjunct plans as a
+      * semi/anti join, one nested under OR/NOT/parens as a marker left
+      * join (Planner.applyPreds). */
     private def predList(existsCtx: Option[String] = None): Seq[Pred] =
-      if (opt("WHERE")) {
-        def flat(p: Pred): Seq[Pred] = p match {
-          case AndPred(l, r) => flat(l) ++ flat(r)
-          case x => Seq(x)
-        }
-        val conjuncts = flat(orTree(existsCtx))
-        conjuncts.foreach {
-          case _: ExistsPat => () // top-level conjunct: plannable
-          case other if containsExists(other) =>
-            fail("EXISTS { … } cannot nest inside OR/NOT/parenthesized " +
-              "groups (it plans as a semi/anti join)")
-          case _ => ()
-        }
-        conjuncts
-      } else Nil
+      if (opt("WHERE")) flatAnds(orTree(existsCtx)) else Nil
 
-    private def containsExists(p: Pred): Boolean = p match {
-      case _: ExistsPat  => true
-      case OrPred(l, r)  => containsExists(l) || containsExists(r)
-      case AndPred(l, r) => containsExists(l) || containsExists(r)
-      case NotPred(x)    => containsExists(x)
-      case _             => false
+    private def flatAnds(p: Pred): Seq[Pred] = p match {
+      case AndPred(l, r) => flatAnds(l) ++ flatAnds(r)
+      case x => Seq(x)
     }
 
     /** `orTree := andTree (OR andTree)*` — OR binds loosest. */
@@ -380,6 +467,19 @@ object Parser {
       } else pred(ctx)
     }
 
+    /** A path that may carry a `p = ` name prefix (non-first pattern
+      * slots; shortestPath is only legal in the first slot). */
+    private def maybeNamedPath(): MatchPath = {
+      ws()
+      if (pos < in.length && in(pos) != '(') {
+        val pv = ident(); ws()
+        if (pos >= in.length || in(pos) != '=')
+          fail("expected '=' after path variable")
+        pos += 1
+        path().copy(name = Some(pv))
+      } else path()
+    }
+
     private def path(): MatchPath = {
       val nodes = Seq.newBuilder[NodePat]
       val rels = Seq.newBuilder[RelPat]
@@ -410,6 +510,7 @@ object Parser {
         value = Some(
           if (pos < in.length && (in(pos) == '"' || in(pos) == '\'')) StrLit(stringLit())
           else if (pos < in.length && (in(pos).isDigit || in(pos) == '-')) LongLit(longLit())
+          else if (pos < in.length && in(pos) == '$') ParamRef(param())
           else VarRef(ident()))
         expect("}")
       }
@@ -456,19 +557,25 @@ object Parser {
       RelPat(v, t, range, if (rightArrow) 1 else if (leftArrow) -1 else 0)
     }
 
-    /** `EXISTS { path }` (NOT already consumed by the caller when
-      * negated) — one path per predicate, like the OPTIONAL MATCH rule. */
+    /** `EXISTS { path [WHERE pred (AND pred)*] }` (NOT already consumed by
+      * the caller when negated) — one path per predicate, like the
+      * OPTIONAL MATCH rule. The inner WHERE filters the PATTERN's
+      * solutions (it may reference pattern-local and shared variables);
+      * nesting another EXISTS inside it is out of dialect. */
     private def existsPred(negated: Boolean): Pred = {
       expect("EXISTS")
       ws()
       if (pos >= in.length || in(pos) != '{') fail("expected '{' after EXISTS")
       pos += 1
       val p = path()
+      val inner =
+        if (peek("WHERE")) { expect("WHERE"); flatAnds(orTree(Some("an EXISTS inner"))) }
+        else Nil
       ws()
       if (pos >= in.length || in(pos) != '}')
         fail("expected '}' closing the EXISTS pattern")
       pos += 1
-      ExistsPat(p, negated)
+      ExistsPat(p, negated, inner)
     }
 
     /** `[lit, lit, …]` — the literal list of an IN predicate. */
@@ -543,6 +650,47 @@ object Parser {
       MatchPath(Seq(n1, n2), Seq(RelPat(None, t, Some((lo, hi)))))
     }
 
+    /** The single-hop pattern of the degree sugar `count { (n)-[:T]-() }`
+      * / `size((n)--())`: a bound variable, a rel spec that cannot bind a
+      * variable or range, and an ANONYMOUS far node with an optional
+      * label. Returns the [[DegreeOf]] expression. */
+    private def degreePattern(): Expr = {
+      expect("(")
+      val v = ident()
+      expect(")")
+      ws()
+      val leftArrow = pos < in.length && in(pos) == '<'
+      if (leftArrow) pos += 1
+      expect("-")
+      var types: Seq[String] = Nil
+      ws()
+      if (pos < in.length && in(pos) == '[') {
+        pos += 1
+        ws()
+        if (pos < in.length && in(pos) != ':' && in(pos) != ']')
+          fail("degree patterns cannot bind a relationship variable")
+        types = relTypeList()
+        ws()
+        if (pos < in.length && in(pos) == '*')
+          fail("degree patterns are single-hop")
+        expect("]")
+      }
+      expect("-")
+      ws()
+      val rightArrow = pos < in.length && in(pos) == '>'
+      if (rightArrow) pos += 1
+      if (leftArrow && rightArrow)
+        fail("a relationship cannot point both ways")
+      expect("(")
+      ws()
+      val farLabel =
+        if (pos < in.length && in(pos) == ':') { pos += 1; Some(ident()) }
+        else None
+      expect(")")
+      DegreeOf(v, types, if (rightArrow) 1 else if (leftArrow) -1 else 0,
+        farLabel)
+    }
+
     /** Consume one string-predicate operator if present: `CONTAINS`,
       * `STARTS WITH`, `ENDS WITH`, or `=~`. */
     private def strOp(): Option[String] = {
@@ -583,10 +731,11 @@ object Parser {
       ws()
       def rejectExists(): Unit = existsCtx.foreach(ctx =>
         fail(s"EXISTS { … } is not supported in $ctx WHERE"))
-      if (scalarFnNames.exists(peekCall)) {
+      if (scalarFnNames.exists(peekCall) || peekBrace("count")) {
         // function-headed left side: toLower(n.name) CONTAINS "x",
-        // size(n.name) > 5 — parse a full expression, then a string or
-        // comparison operator (BOTH sides aggregate-free)
+        // size(n.name) > 5, count { (n)--() } >= 3 — parse a full
+        // expression, then a string or comparison operator (BOTH sides
+        // aggregate-free; a degree pattern is a scalar, not an aggregate)
         val l = noAggs(expression())
         strOp() match {
           case Some(o) => StrPred(l, o, noAggs(expression()))
@@ -673,6 +822,9 @@ object Parser {
         (prop, op, value) match {
           case (Some(p), o, v: StrLit)  => PropCmp(v1, p, o, v)
           case (Some(p), o, v: LongLit) => PropCmp(v1, p, o, v)
+          case (_, _, ParamRef(_)) => // the value parse above never builds one
+            fail("parameters are not supported in comparisons " +
+              "(anchor with {prop: $param} instead)")
           case (Some(_), o, VarRef(_)) =>
             fail(s"operator '$o' on a property cannot compare against a " +
               "variable; quote string literals")
@@ -825,6 +977,21 @@ object Parser {
       else if (peekCall("labels")) { expect("labels"); expect("("); val v = ident(); expect(")"); LabelsOf(v) }
       else if (peekCall("type")) { expect("type"); expect("("); val v = ident(); expect(")"); TypeOf(v) }
       else if (peekCall("length")) { expect("length"); expect("("); val v = ident(); expect(")"); PathLength(v) }
+      else if (peekCall("nodes")) { expect("nodes"); expect("("); val v = ident(); expect(")"); PathNodes(v) }
+      else if (peekCall("relationships")) {
+        expect("relationships"); expect("("); val v = ident(); expect(")")
+        PathRels(v)
+      }
+      else if (peekBrace("count")) {
+        // Neo4j degree sugar: count { (n)-[:T]-() }
+        expect("count"); ws(); pos += 1 // '{'
+        val d = degreePattern()
+        ws()
+        if (pos >= in.length || in(pos) != '}')
+          fail("expected '}' closing the degree pattern")
+        pos += 1
+        d
+      }
       else if (peekCall("count")) {
         // count(*) | count([DISTINCT] var) | count([DISTINCT] var.prop) —
         // the property forms are null-skipping like Neo4j and plan via
@@ -870,6 +1037,18 @@ object Parser {
           expect("|"); val t3 = ident(); expect("]"); expect(")")
           if (t != t2 || t != t3) fail("comprehension variable mismatch")
           CountDistinctInParam(v, p)
+        } else if (pos < in.length && in(pos) == '(') {
+          // size((n)-[:T]-()) — the degree sugar's legacy spelling; a
+          // failed pattern probe backtracks to a parenthesized expression
+          val saved = pos
+          val deg = try Some(degreePattern())
+                    catch { case _: ParseError => pos = saved; None }
+          deg match {
+            case Some(d) => expect(")"); d
+            case None =>
+              val a = expression(); expect(")")
+              ScalarFn("size", Seq(a))
+          }
         } else {
           // size(stringExpr) — string length, like Neo4j
           val a = expression(); expect(")")

@@ -44,12 +44,26 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
   // __o_<var>_<field> columns by the left join (null when unmatched)
   private var optNodeVars: Set[String] = Set.empty
   private var optRelVars: Set[String] = Set.empty
+  // EXISTS patterns nested under OR/NOT resolve to marker columns a left
+  // join attached (applyPreds); keyed by (path, inner preds) so a pattern
+  // and its negation share one join
+  private var existsMarkers: Map[(MatchPath, Seq[Pred]), String] = Map.empty
+  // count { (n)--() } degree expressions resolve to pre-joined count
+  // columns ([[attachDegree]]); keyed by the full DegreeOf shape
+  private var degreeCols: Map[DegreeOf, String] = Map.empty
+  // named enumerated paths of the CURRENT expansion: traversal-ordered
+  // node variables and rel frame aliases ([[joinPaths]] records them)
+  private var pathNodeVars: Map[String, Seq[String]] = Map.empty
+  private var pathRelAliases: Map[String, Seq[String]] = Map.empty
 
   def plan(q: CypherQuery): DataFrame = {
     require(q.paths.nonEmpty || q.prefixes.nonEmpty || q.shortest.nonEmpty,
       "at least one MATCH path")
     rejectRelVarCounts(q.items,
       q.paths ++ q.optionals.map(_.path) ++ q.prefixes.flatMap(_.paths))
+    // main MATCH group + OPTIONAL MATCH clauses share one resolution space
+    // (stageRelVars / optRelVars); a WITH barrier resets it per stage
+    rejectRelVarReuse(q.paths ++ q.optionals.map(_.path))
     val base = q.prefixes.foldLeft(Option.empty[DataFrame]) {
       (acc, st) => Some(planStage(acc, st))
     }
@@ -95,13 +109,17 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
   private def planStage(base: Option[DataFrame], st: Stage): DataFrame = {
     require(st.paths.nonEmpty, "stage without MATCH paths")
     rejectRelVarCounts(st.withItems, st.paths)
+    rejectRelVarReuse(st.paths)
     stageVars = varsOf(st.paths)
     stageRelVars = relVarsOf(st.paths)
     val aggItems = st.withItems.filter(isAggItem)
+    val degs = (st.withItems.flatMap(i => walkExpr(i.expr)) ++
+      st.preds.flatMap(walkPred)).collect { case d: DegreeOf => d }.distinct
     val frames = expandPaths(st.paths).map { ps =>
       val joined0 = joinPaths(st.unwinds, ps)
       val attached = attachBase(base, joined0, ps)
-      val filtered = applyPreds(attached, st.preds)
+      val withDegs = attachDegrees(attached, degs)
+      val filtered = applyPreds(withDegs, st.preds)
       projectWith(filtered, st, ps)
     }
     val unioned = frames.reduce(_.unionByName(_))
@@ -275,6 +293,27 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     })
   }
 
+  /** A RELATIONSHIP variable reused across the patterns of one clause
+    * group (comma patterns, consecutive MATCH clauses, or an OPTIONAL
+    * MATCH sharing the main group's resolution space) is legal Cypher —
+    * it binds the SAME relationship — but this planner would give both
+    * occurrences the same frame alias, yielding ambiguous-column errors
+    * or silently independent bindings. Out of dialect: fail at plan
+    * entry with a grammar-level message (re-binding by shared NODE
+    * variables expresses the same joins). Also rejects a duplicate
+    * within a single path (`(a)-[r]-(b)-[r]-(c)`), which aliases two
+    * edge frames identically. */
+  private def rejectRelVarReuse(paths: Seq[MatchPath]): Unit = {
+    val names = paths.flatMap(_.rels.flatMap(_.varName))
+    val dups = names.groupBy(identity).collect {
+      case (n, g) if g.size > 1 => n
+    }.toSeq.sorted
+    if (dups.nonEmpty) throw new IllegalArgumentException(
+      s"relationship variable reuse is not supported: ${dups.mkString(", ")} " +
+        "— bind each relationship variable in one pattern only (shared " +
+        "NODE variables express the join)")
+  }
+
   /** Join one clause's paths (comma patterns / consecutive MATCH
     * clauses): a node variable REUSED across patterns re-binds by nodeId
     * equality — exactly Cypher's semantics for a shared variable —
@@ -287,12 +326,26 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
   private def joinPaths(unwinds: Seq[Unwind], ps: Seq[MatchPath]): DataFrame = {
     var bound = Set.empty[String]
     var df: DataFrame = null
+    pathNodeVars = Map.empty
+    pathRelAliases = Map.empty
     ps.zipWithIndex.foreach { case (p, i) =>
       val shared = p.nodes.map(_.varName).distinct.filter(bound)
       val renames = shared.map(v => v -> s"__m${i}_$v").toMap
       val renamed = MatchPath(p.nodes.map(n =>
         renames.get(n.varName).fold(n)(nn => n.copy(varName = nn))), p.rels)
-      val planned = planPath(unwinds, renamed)
+      // anonymous rel aliases must be unique ACROSS paths (path 0 keeps
+      // the legacy __r<i> names); a named path registers its traversal
+      // order for nodes(p) / relationships(p)
+      val anonPrefix = if (i == 0) "__r" else s"__r${i}_"
+      p.name.foreach { nm =>
+        if (pathNodeVars.contains(nm)) throw new IllegalArgumentException(
+          s"path variable $nm is bound more than once")
+        pathNodeVars += nm -> renamed.nodes.map(_.varName)
+        pathRelAliases += nm -> renamed.rels.zipWithIndex.map {
+          case (r, j) => r.varName.getOrElse(s"$anonPrefix$j")
+        }
+      }
+      val planned = planPath(unwinds, renamed, anonPrefix)
       df =
         if (df == null) planned
         else if (shared.isEmpty) df.crossJoin(planned)
@@ -311,7 +364,10 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
   private def tupleFrame(base: Option[DataFrame], q: CypherQuery): DataFrame = {
     val joined0 = joinPaths(q.unwinds, q.paths)
     val joined = attachBase(base, joined0, q.paths)
-    val filtered = applyPreds(joined, q.preds)
+    val degs = (q.items.flatMap(i => walkExpr(i.expr)) ++
+      q.preds.flatMap(walkPred)).collect { case d: DegreeOf => d }.distinct
+    val withDegs = attachDegrees(joined, degs)
+    val filtered = applyPreds(withDegs, q.preds)
     // rebuilt per expansion: an optional var must not count as "already
     // bound" when the NEXT var-length expansion of the main paths plans
     // the same optional clauses again
@@ -361,13 +417,24 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       if (isAnchored(Nil, aPat)) g.nodeCount
       else try math.multiplyExact(g.nodeCount, g.nodeCount)
       catch { case _: ArithmeticException => Long.MaxValue }
-    val dists = graft.graph.GraphAlgorithms
+    val raw = graft.graph.GraphAlgorithms
       .srcKeyedMinDist(adj, seeds, hi, stateRows)
-      .where(col("dist") >= lo)
+    val dists = raw.where(col("dist") >= lo)
       .select(col("src"), col("v").as("__spv"),
         col("dist").cast("long").as("__splen"))
+    // nodes(p) on a shortestPath: reconstruct the deterministic
+    // minimum-predecessor walk from the BFS levels — only when asked for
+    val needNodes = q.items.exists(i => walkExpr(i.expr).exists {
+      case PathNodes(pv) => spVar.contains(pv)
+      case _             => false
+    })
+    val distsN =
+      if (!needNodes) dists
+      else dists.join(reconstructWalks(adj, raw, hi),
+        col("src") === col("__ws") && col("__spv") === col("__wv"))
+        .drop("__ws", "__wv")
     val joined = aSide
-      .join(dists, col(s"${aPat.varName}.nodeId") === col("src"))
+      .join(distsN, col(s"${aPat.varName}.nodeId") === col("src"))
       .join(nodeFrame(Nil, bPat),
         col("__spv") === col(s"${bPat.varName}.nodeId"))
       .drop("src", "__spv")
@@ -375,40 +442,140 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     projectTuple(filtered, q)
   }
 
-  /** Apply a WHERE list: scalar predicates fold into `where` columns;
-    * `[NOT] EXISTS { pattern }` predicates each become a LEFT SEMI/ANTI
-    * join against the pattern's solutions ([[attachExists]]). Scalars
-    * first — they prune the frame before any join. */
-  private def applyPreds(df: DataFrame, preds: Seq[Pred]): DataFrame = {
-    val (pattern, scalar) = preds.partition(_.isInstanceOf[ExistsPat])
-    val base = scalar.foldLeft(df)((d, p) => d.where(predCol(p, d.schema)))
-    pattern.foldLeft(base)((d, p) => attachExists(d, p.asInstanceOf[ExistsPat]))
+  /** Walk every BFS result pair `(src, v, dist)` back to its source,
+    * choosing at each level the MINIMUM-nodeId predecessor (a neighbor of
+    * the current node one level closer to the source) — a deterministic
+    * witness among Neo4j's arbitrary ones, reproducible by an oracle.
+    * `maxHops` bounded rounds; each round is one frontier-sized
+    * adjacency join plus one keyed min — O(rounds · pairs), never a path
+    * enumeration, so the 100 TB shape matches the BFS itself. Returns
+    * `(__ws, __wv, __spnodes)` with the traversal-ordered nodeId array. */
+  private def reconstructWalks(adj: DataFrame, dists: DataFrame,
+                               maxHops: Int): DataFrame = {
+    val d = dists.select(col("src"), col("v"), col("dist"))
+    var f = d.select(col("src"), col("v").as("__wv"),
+      col("dist").as("__lvl"), col("v").as("__cur"),
+      array(col("v")).as("__acc"))
+    for (_ <- 1 to maxHops) {
+      val live = f.where(col("__lvl") > 0)
+      val done = f.where(col("__lvl") === 0)
+      val stepped = live
+        .join(adj.select(col("a").as("__wa"), col("b").as("__wb")),
+          col("__cur") === col("__wb"))
+        .join(d.select(col("src").as("__ds"), col("v").as("__dv"),
+            col("dist").as("__dd")),
+          col("src") === col("__ds") && col("__wa") === col("__dv") &&
+            col("__dd") === col("__lvl") - 1)
+        .groupBy(col("src"), col("__wv"), col("__lvl"), col("__cur"), col("__acc"))
+        .agg(min(col("__wa")).as("__pred"))
+        .select(col("src"), col("__wv"), (col("__lvl") - 1).as("__lvl"),
+          col("__pred").as("__cur"),
+          concat(array(col("__pred")), col("__acc")).as("__acc"))
+      f = done.unionByName(stepped)
+    }
+    f.select(col("src").as("__ws"), col("__wv"), col("__acc").as("__spnodes"))
   }
 
-  /** `[NOT] EXISTS { pattern }` = a LEFT SEMI (resp. ANTI) join of the
-    * current frame against the DISTINCT shared-variable keys of the
-    * pattern's solutions — Cypher's pattern predicate without a count or
-    * a correlated subquery. The pattern side is one enumeration (its own
-    * var-length expansions union first); the semi join is an ordinary
-    * nodeId equi-join, so AQE/broadcast selection applies, and the
-    * distinct keeps the build side at most |bindings| rows. */
-  private def attachExists(main: DataFrame, ep: ExistsPat): DataFrame = {
+  /** Apply a WHERE list: scalar predicates fold into `where` columns;
+    * a TOP-LEVEL `[NOT] EXISTS { pattern }` conjunct becomes a LEFT
+    * SEMI/ANTI join against the pattern's solutions ([[attachExists]]);
+    * a predicate with EXISTS nested under OR/NOT gets one MARKER left
+    * join per distinct pattern ([[attachExistsMarker]]) and folds into a
+    * boolean column over the markers, which drop after the filter.
+    * Scalars first — they prune the frame before any join. */
+  private def applyPreds(df: DataFrame, preds: Seq[Pred]): DataFrame = {
+    val (pattern, rest) = preds.partition(_.isInstanceOf[ExistsPat])
+    val (nested, scalar) = rest.partition(containsExistsPred)
+    val base = scalar.foldLeft(df)((d, p) => d.where(predCol(p, d.schema)))
+    val semis = pattern.foldLeft(base)((d, p) =>
+      attachExists(d, p.asInstanceOf[ExistsPat]))
+    nested.foldLeft(semis) { (d, p) =>
+      val pats = collectExistsPats(p).distinct
+      val marked = pats.zipWithIndex.foldLeft(d) {
+        case (dd, ((path, ipreds), i)) =>
+          attachExistsMarker(dd, path, ipreds, s"__exm$i")
+      }
+      existsMarkers = pats.zipWithIndex.map {
+        case (k, i) => k -> s"__exm$i"
+      }.toMap
+      try marked.where(predCol(p, marked.schema))
+        .drop(existsMarkers.values.toSeq: _*)
+      finally existsMarkers = Map.empty
+    }
+  }
+
+  private def containsExistsPred(p: Pred): Boolean = p match {
+    case _: ExistsPat  => true
+    case OrPred(l, r)  => containsExistsPred(l) || containsExistsPred(r)
+    case AndPred(l, r) => containsExistsPred(l) || containsExistsPred(r)
+    case NotPred(x)    => containsExistsPred(x)
+    case _             => false
+  }
+
+  /** Every EXISTS pattern inside a boolean tree, keyed WITHOUT the
+    * negation flag — `EXISTS {p}` and `NOT EXISTS {p}` share one marker
+    * join; the tree applies the negation. */
+  private def collectExistsPats(p: Pred): Seq[(MatchPath, Seq[Pred])] =
+    p match {
+      case ExistsPat(path, _, ipreds) => Seq((path, ipreds))
+      case OrPred(l, r)  => collectExistsPats(l) ++ collectExistsPats(r)
+      case AndPred(l, r) => collectExistsPats(l) ++ collectExistsPats(r)
+      case NotPred(x)    => collectExistsPats(x)
+      case _             => Nil
+    }
+
+  /** The DISTINCT shared-variable key frame of an EXISTS pattern's
+    * solutions: the pattern planned like any MATCH (var-length expansions
+    * union first), its inner WHERE applied in the pattern's OWN alias
+    * space (shared vars are local aliases there — the join equates them),
+    * then projected to the shared nodeId keys. Returns (frame, shared
+    * vars). The distinct keeps the build side at most |bindings| rows. */
+  private def existsKeys(path: MatchPath, ipreds: Seq[Pred],
+                         keyName: String => String): (DataFrame, Seq[String]) = {
     val boundBefore = stageVars ++ optNodeVars ++ carriedVars
-    val sharedVars = ep.path.nodes.map(_.varName).distinct.filter(boundBefore)
+    val sharedVars = path.nodes.map(_.varName).distinct.filter(boundBefore)
     require(sharedVars.nonEmpty,
       "EXISTS pattern must share at least one bound variable")
-    val frames = expandPaths(Seq(ep.path)).map(_.head).map { p =>
+    val frames = expandPaths(Seq(path)).map(_.head).map { p =>
       val planned = planPath(Nil, p)
       val saved = stageVars
+      val savedRels = stageRelVars
       stageVars = varsOf(Seq(p))
-      try planned.select(
-        sharedVars.map(v => col(s"$v.nodeId").as(s"__ek_$v")): _*)
-      finally stageVars = saved
+      stageRelVars = relVarsOf(Seq(p))
+      try {
+        val filtered = ipreds.foldLeft(planned)((df, pr) =>
+          df.where(predCol(pr, df.schema)))
+        filtered.select(sharedVars.map(v => col(s"$v.nodeId").as(keyName(v))): _*)
+      } finally { stageVars = saved; stageRelVars = savedRels }
     }
-    val sub = frames.reduce(_.unionByName(_)).distinct()
+    (frames.reduce(_.unionByName(_)).distinct(), sharedVars)
+  }
+
+  /** `[NOT] EXISTS { pattern [WHERE …] }` as a top-level conjunct = a
+    * LEFT SEMI (resp. ANTI) join of the current frame against the
+    * pattern's distinct shared keys — Cypher's pattern predicate without
+    * a count or a correlated subquery. The semi join is an ordinary
+    * nodeId equi-join, so AQE/broadcast selection applies. */
+  private def attachExists(main: DataFrame, ep: ExistsPat): DataFrame = {
+    val (sub, sharedVars) = existsKeys(ep.path, ep.preds, v => s"__ek_$v")
     val cond = sharedVars.map(v => propCol(v, "nodeId") === col(s"__ek_$v"))
       .reduce(_ && _)
     main.join(sub, cond, if (ep.negated) "left_anti" else "left_semi")
+  }
+
+  /** The disjunction-composable EXISTS plan: LEFT join the pattern's
+    * distinct shared keys carrying a constant-true marker; a row's
+    * `coalesce(marker, false)` is then an ordinary boolean the OR/NOT
+    * tree folds over ([[predCol]]'s ExistsPat case). Same build side and
+    * join key as the semi form — only the join type differs (the keys
+    * are distinct, so the left join never duplicates rows). */
+  private def attachExistsMarker(main: DataFrame, path: MatchPath,
+                                 ipreds: Seq[Pred], marker: String): DataFrame = {
+    val (sub, sharedVars) = existsKeys(path, ipreds, v => s"${marker}_k_$v")
+    val cond = sharedVars.map(v =>
+      propCol(v, "nodeId") === col(s"${marker}_k_$v")).reduce(_ && _)
+    main.join(sub.withColumn(marker, lit(true)), cond, "left")
+      .drop(sharedVars.map(v => s"${marker}_k_$v"): _*)
   }
 
   /** One OPTIONAL MATCH clause = a LEFT OUTER join of the preserved frame
@@ -457,6 +624,84 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     main.join(optDf, cond, "left").drop(sharedVars.map(v => s"__ok_$v"): _*)
   }
 
+  // ---- expression-tree walkers (degree collection, path-fn detection) ----
+
+  /** Every sub-expression of `e`, including `e` itself. */
+  private def walkExpr(e: Expr): Seq[Expr] = e +: (e match {
+    case BinOp(_, l, r)        => walkExpr(l) ++ walkExpr(r)
+    case CoalesceE(args)       => args.flatMap(walkExpr)
+    case CaseExpr(bs, d)       => bs.flatMap { case (c, x) =>
+      walkCond(c) ++ walkExpr(x) } ++ d.toSeq.flatMap(walkExpr)
+    case ScalarFn(_, args)     => args.flatMap(walkExpr)
+    case AggFn(_, a, _)        => walkExpr(a)
+    case PercentileFn(_, a, _) => walkExpr(a)
+    case _                     => Nil
+  })
+
+  private def walkCond(c: Cond): Seq[Expr] = c match {
+    case CmpCond(l, _, r) => walkExpr(l) ++ walkExpr(r)
+    case NullCond(x, _)   => walkExpr(x)
+  }
+
+  /** Scalar expressions inside a predicate tree. Does NOT descend into
+    * EXISTS inner predicates — those resolve in the pattern's own frame,
+    * not the main one. */
+  private def walkPred(p: Pred): Seq[Expr] = p match {
+    case StrPred(l, _, r)   => walkExpr(l) ++ walkExpr(r)
+    case ExprCmp(l, _, r)   => walkExpr(l) ++ walkExpr(r)
+    case IsNullPred(ref, _) => walkExpr(ref)
+    case InList(ref, _, _)  => walkExpr(ref)
+    case OrPred(l, r)       => walkPred(l) ++ walkPred(r)
+    case AndPred(l, r)      => walkPred(l) ++ walkPred(r)
+    case NotPred(x)         => walkPred(x)
+    case _                  => Nil
+  }
+
+  // ---- degree sugar: count { (n)-[:T]-() } / size((n)--()) ----
+
+  /** Attach one grouped degree count per DISTINCT degree shape as a
+    * `__deg<i>` column: the (typed, oriented, far-labeled) edge view is
+    * aggregated ONCE by source nodeId — a map-side-combinable count over
+    * the edge table, never a per-row subquery — and left-joins back on
+    * the bound variable's nodeId (null → 0 in [[exprCol]]). At scale the
+    * degree frame is one keyed shuffle of O(matching nodes) rows;
+    * Catalyst broadcasts it when small. */
+  private def attachDegrees(df: DataFrame, degs: Seq[DegreeOf]): DataFrame = {
+    degreeCols = Map.empty
+    degs.zipWithIndex.foldLeft(df) { case (d, (deg, i)) =>
+      val name = s"__deg$i"
+      degreeCols += deg -> name
+      attachDegree(d, deg, name)
+    }
+  }
+
+  private def attachDegree(df: DataFrame, deg: DegreeOf,
+                           name: String): DataFrame = {
+    val bound = stageVars ++ carriedVars ++ optNodeVars
+    require(bound.contains(deg.varName),
+      s"count { … } pattern must anchor on a bound node variable: ${deg.varName}")
+    // one stored orientation for arrows, the bidir view (self-loops once)
+    // for the undirected form — same mapping as a MATCH hop
+    val view = deg.dir match {
+      case 1  => g.rels.select(col("relType"), col("src").as("a"), col("dst").as("b"))
+      case -1 => g.rels.select(col("relType"), col("dst").as("a"), col("src").as("b"))
+      case _  => g.bidir.select(col("relType"), col("a"), col("b"))
+    }
+    val typed =
+      if (deg.relTypes.isEmpty) view
+      else view.where(col("relType").isin(deg.relTypes: _*))
+    val labeled = deg.farLabel match {
+      case Some(l) if l != "_Entity_" =>
+        typed.join(g.nodes.where(col("label") === l)
+          .select(col("nodeId").as("__fb")), col("b") === col("__fb"))
+      case _ => typed
+    }
+    val counts = labeled.groupBy(col("a").as(s"${name}_k"))
+      .agg(count(lit(1)).as(name))
+    df.join(counts, propCol(deg.varName, "nodeId") === col(s"${name}_k"), "left")
+      .drop(s"${name}_k")
+  }
+
   private def projectTuple(df: DataFrame, q: CypherQuery): DataFrame = {
     val cols = q.items.zipWithIndex.map { case (i, idx) =>
       i.expr match {
@@ -480,19 +725,20 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     * intermediate nodes (same label/type constraints as the ranged rel). */
   private def expandPaths(paths: Seq[MatchPath]): Seq[Seq[MatchPath]] = {
     def expandPath(path: MatchPath, pathIdx: Int): Seq[MatchPath] =
-      path.rels.zipWithIndex.foldLeft(Seq(MatchPath(path.nodes.take(1), Nil))) {
+      path.rels.zipWithIndex.foldLeft(
+        Seq(MatchPath(path.nodes.take(1), Nil, path.name))) {
         case (acc, (r, i)) =>
           val next = path.nodes(i + 1)
           r.range match {
             case None =>
-              acc.map(p => MatchPath(p.nodes :+ next, p.rels :+ r))
+              acc.map(p => p.copy(nodes = p.nodes :+ next, rels = p.rels :+ r))
             case Some((lo, hi)) =>
               for { p <- acc; k <- lo to hi } yield {
                 val anons = (1 until k).map(j =>
                   NodePat(s"__v${pathIdx}_${i}_$j", None, None, None))
                 // every expanded hop keeps the ranged rel's direction
                 val hopRels = Seq.fill(k)(RelPat(None, r.relTypes, None, r.dir))
-                MatchPath(p.nodes ++ anons :+ next, p.rels ++ hopRels)
+                p.copy(nodes = p.nodes ++ anons :+ next, rels = p.rels ++ hopRels)
               }
           }
       }
@@ -509,14 +755,15 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
   /** One MATCH path = anchor/label-filtered node frames chained through the
     * bidirected edge view; every node var and rel var becomes a plan alias
     * so RETURN items can reference them. */
-  private def planPath(unwinds: Seq[Unwind], path: MatchPath): DataFrame = {
+  private def planPath(unwinds: Seq[Unwind], path: MatchPath,
+                       anonPrefix: String = "__r"): DataFrame = {
     val first = nodeFrame(unwinds, path.nodes.head)
     // broadcast the head only when it is genuinely anchored (tiny)
     val head = if (isAnchored(unwinds, path.nodes.head)) broadcast(first) else first
 
     var df = head
     path.rels.zipWithIndex.foreach { case (r, i) =>
-      val rv = r.varName.getOrElse(s"__r$i")
+      val rv = r.varName.getOrElse(s"$anonPrefix$i")
       // directed hops traverse ONE stored orientation — a plain projection
       // of the rel table (keeps the (relType, src, dst) identity for trail
       // semantics), strictly cheaper than the undirected bidir union. The
@@ -550,7 +797,8 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     }
     // trail semantics: every pair of rels in the path must bind different
     // stored relationships — identity is the (relType, src, dst) triple
-    val rvs = path.rels.zipWithIndex.map { case (r, i) => r.varName.getOrElse(s"__r$i") }
+    val rvs = path.rels.zipWithIndex.map { case (r, i) =>
+      r.varName.getOrElse(s"$anonPrefix$i") }
     for (i <- rvs.indices; j <- i + 1 until rvs.length)
       df = df.where(!(col(s"${rvs(i)}.relType") === col(s"${rvs(j)}.relType") &&
         col(s"${rvs(i)}.src") === col(s"${rvs(j)}.src") &&
@@ -569,6 +817,18 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     val anchored = (n.anchorProp, n.anchorValue) match {
       case (Some(p), Some(StrLit(v)))  => labeled.where(col(p) === lit(v))
       case (Some(p), Some(LongLit(v))) => labeled.where(col(p) === lit(v))
+      case (Some(p), Some(ParamRef(nm))) =>
+        // map-parameter anchor (n:L {name: $param}): one scalar equality
+        // against the parameter's value — same pushable shape as a
+        // literal anchor, so the frame still broadcasts
+        params.get(nm) match {
+          case Some(s: String) => labeled.where(col(p) === lit(s))
+          case Some(x: Number) => labeled.where(col(p) === lit(x.longValue()))
+          case Some(other) => throw new IllegalArgumentException(
+            s"anchor parameter $$$nm must be a string or integer, got $other")
+          case None => throw new IllegalArgumentException(
+            s"missing parameter $$$nm")
+        }
       case (Some(p), Some(VarRef(u))) =>
         // UNWIND $param AS u / UNWIND [lit, …] AS u, then MATCH (x {p: u})
         // — anchor against the unwound list (literal lists need no
@@ -605,11 +865,17 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
 
   private def predCol(p: Pred,
       schema: org.apache.spark.sql.types.StructType): Column = p match {
-    case ExistsPat(_, _) =>
-      // routed through applyPreds everywhere it is supported; reaching
-      // here means an unsupported context (e.g. OPTIONAL MATCH WHERE)
-      throw new IllegalArgumentException(
-        "EXISTS { … } is not supported inside this WHERE context")
+    case ExistsPat(path, neg, ipreds) =>
+      // nested under OR/NOT: applyPreds attached a marker left join for
+      // this pattern — fold its null-safe boolean into the tree. A miss
+      // means an unsupported context (e.g. OPTIONAL MATCH WHERE).
+      existsMarkers.get((path, ipreds)) match {
+        case Some(mk) =>
+          val m = coalesce(col(mk), lit(false))
+          if (neg) !m else m
+        case None => throw new IllegalArgumentException(
+          "EXISTS { … } is not supported inside this WHERE context")
+      }
     case VarNeq(a, b) => propCol(a, "nodeId") =!= propCol(b, "nodeId")
     case NotIdIn(v, param) =>
       val ids = longs(param)
@@ -752,6 +1018,12 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     case LongLitE(_)   => Some(org.apache.spark.sql.types.LongType)
     case ScalarFn("size" | "sign" | "toInteger", _) =>
       Some(org.apache.spark.sql.types.LongType)
+    case _: DegreeOf | _: PathLength =>
+      Some(org.apache.spark.sql.types.LongType)
+    case _: PathNodes => Some(org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType))
+    case _: PathRels => Some(org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType))
     case ScalarFn("toFloat", _) => Some(org.apache.spark.sql.types.DoubleType)
     case ScalarFn("abs", args)  => staticType(args.head, schema)
     case ScalarFn(_, _) => Some(org.apache.spark.sql.types.StringType)
@@ -783,6 +1055,7 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     case ColRef(n)     =>
       schema.fields.find(_.name == n).exists(f => isIntegralType(f.dataType))
     case ScalarFn("size" | "sign" | "toInteger", _) => true // Cypher integers
+    case _: DegreeOf | _: PathLength => true // counts are Cypher integers
     case ScalarFn("abs", args) => isIntegralExpr(args.head, schema)
     case BinOp(_, l, r)  => isIntegralExpr(l, schema) && isIntegralExpr(r, schema)
     case CoalesceE(args) => args.forall(isIntegralExpr(_, schema))
@@ -825,6 +1098,35 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       if (spVar.contains(pv)) col("__splen")
       else throw new IllegalArgumentException(
         s"length($pv) does not name this query's shortestPath")
+    case PathNodes(pv) =>
+      // traversal-ordered nodeId array of the named path: a plain column
+      // expression over the already-joined node frames — no extra plan
+      // nodes. On a shortestPath the reconstructed deterministic walk's
+      // array ([[shortestTuple]] attaches __spnodes).
+      if (spVar.contains(pv)) col("__spnodes")
+      else pathNodeVars.get(pv) match {
+        case Some(vs) => array(vs.map(v => propCol(v, "nodeId")): _*)
+        case None => throw new IllegalArgumentException(
+          s"nodes($pv) does not name a path of this MATCH")
+      }
+    case PathRels(pv) =>
+      if (spVar.contains(pv)) throw new IllegalArgumentException(
+        s"relationships($pv) is not supported on a shortestPath (the " +
+          "keyed BFS never materializes edges) — use nodes(p) / length(p)")
+      else pathRelAliases.get(pv) match {
+        case Some(rvs) => array(rvs.map(rv => col(s"$rv.relType")): _*)
+        case None => throw new IllegalArgumentException(
+          s"relationships($pv) does not name a path of this MATCH")
+      }
+    case d: DegreeOf =>
+      degreeCols.get(d) match {
+        // left-joined grouped count: null = no incident pattern → 0
+        case Some(name) => coalesce(col(name), lit(0L))
+        case None => throw new IllegalArgumentException(
+          "count { … } / size(pattern) degree expressions are supported " +
+            "in MATCH WHERE and RETURN/WITH items (aggregate at a WITH " +
+            "barrier to filter on a degree alias)")
+      }
     case LongLitE(v) => lit(v)
     case StrLitE(s)  => lit(s)
     case ScalarFn(fn, args) =>
@@ -956,10 +1258,76 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
 
 object Planner {
   /** Parse + plan in one step. Accepts UNION-chained queries (a
-    * single-part input plans exactly as before). */
+    * single-part input plans exactly as before) and the restricted
+    * `MERGE … SET …` mutation clause, which returns the POST-MERGE nodes
+    * table. */
   def run(g: PropertyGraph, cypher: String,
-          params: Map[String, Any] = Map.empty): DataFrame =
-    planUnion(g, Parser.parseUnion(cypher), params)
+          params: Map[String, Any] = Map.empty): DataFrame = {
+    val t = cypher.trim
+    val isMerge = t.regionMatches(true, 0, "MERGE", 0, 5) &&
+      (t.length == 5 || !t(5).isLetterOrDigit)
+    if (isMerge) runMerge(g, Parser.parseMerge(cypher))
+    else planUnion(g, Parser.parseUnion(cypher), params)
+  }
+
+  /** Lower a [[MergeQuery]] onto the lakehouse merge: the one-row
+    * changelog is either the matched node with its ON MATCH SET + SET
+    * properties overwritten, or (when absent) a freshly built row with
+    * the anchor, ON CREATE SET + SET properties, and nulls elsewhere;
+    * [[graft.operators.Lakehouse.mergeSnapshot]] then applies it with
+    * ONE key-partitioned anti-join against the snapshot (the changelog
+    * side broadcasts — at 100 TB the snapshot is never rewritten
+    * per-key, and a batched loader unions many such rows into one
+    * changelog before the same single merge). Returns the post-merge
+    * nodes table; re-running the same MERGE is a no-op changelog replay
+    * (idempotent). */
+  def runMerge(g: PropertyGraph, mq: MergeQuery): DataFrame = {
+    import org.apache.spark.sql.types.ArrayType
+    val nodes = g.nodes
+    val label = mq.node.label.get
+    val key = mq.node.anchorValue match {
+      case Some(LongLit(v)) => v
+      case other => throw new IllegalArgumentException(
+        s"MERGE nodeId must be an integer literal, got $other")
+    }
+    def litOf(v: AnchorValue): Column = v match {
+      case StrLit(s)  => lit(s)
+      case LongLit(l) => lit(l)
+      case other => throw new IllegalArgumentException(
+        s"unsupported SET value $other")
+    }
+    (mq.onCreate ++ mq.onMatch ++ mq.set).foreach { s =>
+      require(nodes.columns.contains(s.prop),
+        s"unknown node property ${s.prop} (the schema is union-of-keys: " +
+          "add the column to the nodes table first)")
+    }
+    val matched = nodes.where(col("label") === label && col("nodeId") === key)
+    val updated = (mq.onMatch ++ mq.set).foldLeft(matched) { (df, s) =>
+      val field = nodes.schema.fields.find(_.name == s.prop).get
+      df.withColumn(s.prop, litOf(s.value).cast(field.dataType))
+    }
+    // last write wins within one MERGE: SET overwrites ON CREATE SET
+    val createSets = (mq.onCreate ++ mq.set).map(s => s.prop -> s).toMap
+    val createdCols = nodes.schema.fields.map { f =>
+      (f.name match {
+        case "nodeId" => lit(key).cast(f.dataType)
+        case "label"  => lit(label).cast(f.dataType)
+        // two labels per node, like MERGE(n:{label}:_Entity_) —
+        // stark_neo4j_loading.py:35
+        case "labels" if f.dataType.isInstanceOf[ArrayType] =>
+          array(lit(label), lit("_Entity_"))
+        case nm if createSets.contains(nm) =>
+          litOf(createSets(nm).value).cast(f.dataType)
+        case _ => lit(null).cast(f.dataType)
+      }).as(f.name)
+    }
+    val created = nodes.sparkSession.range(1).select(createdCols.toSeq: _*)
+      .join(matched.select(col("nodeId")), Seq("nodeId"), "left_anti")
+    val changes = updated.unionByName(created)
+      .withColumn("_seq", lit(1L)).withColumn("_op", lit("U"))
+    graft.operators.Lakehouse.mergeSnapshot(
+      nodes, changes, Seq("label", "nodeId"), "_seq", "_op")
+  }
 
   /** Plan a UNION query: each part planned independently (fresh binding
     * state), then one `unionByName` chain — Catalyst sees an ordinary

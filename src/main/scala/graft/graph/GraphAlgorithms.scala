@@ -620,13 +620,25 @@ object GraphAlgorithms {
       .localCheckpoint(true)
     def minProp(srcCol: String, dstCol: String): DataFrame = {
       var lab = nodes.select(col("v"), col("v").as("m"))
-      for (_ <- 1 to iters) {
+      // saturation early-exit, like the BFS family's: labels only ever
+      // DECREASE, so an unchanged exact label sum certifies a fixed point
+      // and the remaining rounds are no-ops (result identical). The sum is
+      // decimal(38,0): exact at any node count, one cheap agg per round
+      // over the just-checkpointed O(V) label state.
+      var prevSum: java.math.BigDecimal = null
+      var t = 0
+      while (t < iters) {
         val fromNbr = dadj
           .join(lab.select(col("v").as(dstCol), col("m")), Seq(dstCol))
           .select(col(srcCol).as("v"), col("m"))
         lab = lab.unionByName(fromNbr)
           .groupBy("v").agg(min("m").as("m"))
           .localCheckpoint(true)
+        val s = lab.agg(sum(col("m").cast("decimal(38,0)")).as("s"))
+          .collect()(0).getDecimal(0)
+        if (s == null || (prevSum != null && prevSum.compareTo(s) == 0))
+          t = iters // converged (or empty graph): remaining rounds are no-ops
+        else { prevSum = s; t += 1 }
       }
       lab
     }

@@ -60,7 +60,17 @@ object StoreIO {
     } catch {
       case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
         if (fs.exists(dest)) fs.delete(dest, false)
-        require(fs.rename(tmp, dest), s"rename $tmp -> $dest failed")
+        if (!fs.rename(tmp, dest)) {
+          // A concurrent reader's readRecovering can promote OUR
+          // marker-validated .new between the delete and this rename; the
+          // new content is then already installed and the failed rename is
+          // a LOST RACE, not a failed write — mirror readRecovering's
+          // tolerance and verify the payload instead of throwing.
+          val installed =
+            try fs.exists(dest) && readAll(fs, dest) == content + CommitMarker
+            catch { case _: java.io.IOException => false }
+          require(installed, s"rename $tmp -> $dest failed")
+        }
     }
   }
 
