@@ -747,6 +747,31 @@ object OracleSqls {
         |    OR c.name LIKE '%0')
         |ORDER BY name""".stripMargin),
 
+    // EXISTS inside the OPTIONAL MATCH's pattern WHERE: the correlated
+    // EXISTS (with its own inner CONTAINS filter) gates which orders the
+    // LEFT JOIN side admits; preserved customers count 0 when none
+    // qualify
+    "cy_exists_optional" -> withGraph(
+      """SELECT c.name AS name,
+        |  CAST(count(DISTINCT opt.oid) AS BIGINT) AS n_green_orders
+        |FROM nodes n
+        |JOIN bidir e ON n.nodeId = e.a AND e.relType = 'FROM_NATION'
+        |JOIN nodes c ON e.b = c.nodeId AND c.label = 'Customer'
+        |LEFT JOIN (
+        |  SELECT e2.a AS ck, o.nodeId AS oid
+        |  FROM bidir e2
+        |  JOIN nodes o ON e2.b = o.nodeId AND o.label = 'Order'
+        |  WHERE e2.relType = 'PLACED'
+        |    AND EXISTS (
+        |      SELECT 1 FROM bidir e3
+        |      JOIN nodes p ON e3.b = p.nodeId AND p.label = 'Part'
+        |        AND p.name LIKE '%green%'
+        |      WHERE e3.a = o.nodeId AND e3.relType = 'CONTAINS')
+        |) opt ON c.nodeId = opt.ck
+        |WHERE n.label = 'Nation' AND n.name = 'NATION_3'
+        |GROUP BY 1
+        |ORDER BY name""".stripMargin),
+
     // MERGE upsert: update customer 42's name, insert the missing
     // customer — the post-merge nodes table as a pure SELECT
     "cy_merge_upsert" -> withGraph(
@@ -803,6 +828,17 @@ object OracleSqls {
         |  WHERE relType = 'FROM_NATION' GROUP BY 1) df ON df.a = n.nodeId
         |WHERE n.label = 'Nation' AND coalesce(df.cnt, 0) >= 1
         |ORDER BY nation""".stripMargin),
+
+    // scalar-parameter WHERE comparisons, params inlined ($nation =
+    // 'NATION_3', $minBal = 500000)
+    "cy_param_where" -> withFinGraph(
+      """SELECT c.name AS name, c.acctbal AS bal
+        |FROM fnodes n
+        |JOIN fbidir e ON n.nodeId = e.a AND e.relType = 'FROM_NATION'
+        |JOIN fnodes c ON e.b = c.nodeId AND c.label = 'Customer'
+        |WHERE n.label = 'Nation' AND n.name = 'NATION_3'
+        |  AND c.acctbal >= 500000
+        |ORDER BY name""".stripMargin),
 
     // the map-parameter anchor must hash-match cy_page's literal-anchor
     // oracle exactly (same query, $nation = 'NATION_3')

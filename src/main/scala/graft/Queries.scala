@@ -1346,6 +1346,20 @@ object Queries {
         |RETURN c.name AS name
         |ORDER BY name""".stripMargin)
 
+  /** EXISTS inside an OPTIONAL MATCH's pattern-scoped WHERE (round 13):
+    * the predicate decides whether the optional side MATCHES — orders
+    * survive only when some contained part is "green"-named — while
+    * every preserved customer still counts (0 when nothing qualifies),
+    * exactly Cypher's scoping. The EXISTS itself carries an inner WHERE
+    * (a CONTAINS filter on the pattern's part). */
+  def cyExistsOptional(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """MATCH (n:Nation {name: "NATION_3"})-[e:FROM_NATION]-(c:Customer)
+        |OPTIONAL MATCH (c)-[e2:PLACED]-(o:Order)
+        |WHERE EXISTS { (o)-[e3:CONTAINS]-(p:Part) WHERE p.name CONTAINS "green" }
+        |RETURN c.name AS name, count(DISTINCT o) AS n_green_orders
+        |ORDER BY name""".stripMargin)
+
   /** Restricted graph mutation (VERDICT r12 #2): two MERGE clauses
     * lowered onto the lakehouse merge — the first updates an existing
     * customer (ON MATCH SET path), the second creates a missing one
@@ -1404,6 +1418,18 @@ object Queries {
       """MATCH (x:Nation {name: $nation})-[r:FROM_NATION]-(y:Customer)
         |RETURN y.name AS name ORDER BY name SKIP 2 LIMIT 5""".stripMargin,
       Map("nation" -> "NATION_3"))
+
+  /** Scalar-parameter comparisons in WHERE (`n.name = $nation`,
+    * `c.acctbal >= $minBal`) — the WHERE twin of the map-parameter
+    * anchor; both resolve to literals at plan time, so the filter stays
+    * one pushable scan predicate. */
+  def cyParamWhere(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(finGraph(spark, dir),
+      """MATCH (n:Nation)-[e:FROM_NATION]-(c:Customer)
+        |WHERE n.name = $nation AND c.acctbal >= $minBal
+        |RETURN c.name AS name, c.acctbal AS bal
+        |ORDER BY name""".stripMargin,
+      Map("nation" -> "NATION_3", "minBal" -> 500000L))
 
   /** Skew-resistant exact count-distinct on driver data: the salted
     * two-phase aggregate must produce exactly the plain GROUP BY result
@@ -3045,8 +3071,8 @@ object Queries {
     "cy_rel_types", "cy_exists_filter", "cy_union", "cy_collect", "cy_minmax", "cy_count_rows", "cy_multi_order",
     "cy_varlength", "cy_sum_avg", "cy_return_arith", "cy_case_null",
     "cy_directed", "cy_contains", "cy_collect_all", "cy_pattern_pred",
-    "cy_exists_where", "cy_merge_upsert", "cy_path_nodes",
-    "cy_degree_count", "cy_param_anchor",
+    "cy_exists_where", "cy_exists_optional", "cy_merge_upsert",
+    "cy_path_nodes", "cy_degree_count", "cy_param_anchor", "cy_param_where",
     // pipeline orchestration (§7 M5)
     "pipeline_retrieve", "fmt_context",
     // dedup family
@@ -3132,10 +3158,12 @@ object Queries {
     "cy_multi_match" -> (cyMultiMatch _),
     "cy_count_prop" -> (cyCountProp _),
     "cy_exists_where" -> (cyExistsWhere _),
+    "cy_exists_optional" -> (cyExistsOptional _),
     "cy_merge_upsert" -> (cyMergeUpsert _),
     "cy_path_nodes" -> (cyPathNodes _),
     "cy_degree_count" -> (cyDegreeCount _),
     "cy_param_anchor" -> (cyParamAnchor _),
+    "cy_param_where" -> (cyParamWhere _),
     "skew_salted_agg" -> (skewSaltedAgg _),
     "join_salted" -> (joinSalted _),
     "join_asof_exec" -> (joinAsofExec _),

@@ -24,7 +24,7 @@ package graft.cypher
   *   relBody   := ['<'] '-[' [var] [':' TYPE ('|' TYPE)*] [range] ']'
   *   pred      := var '<>' var | NOT var '.' 'nodeId' IN $param
   *              | normalize(lower(col)) '=' normalize(lower($param))
-  *              | (col | var '.' prop) cmpop literal
+  *              | (col | var '.' prop) cmpop (literal | $param)
   *              | (col | var '.' prop) IS [NOT] NULL
   *              | expr (CONTAINS | STARTS WITH | ENDS WITH | '=~') expr
   *              | strFn-headed expr cmpop expr   -- size(n.name) > 5
@@ -32,8 +32,9 @@ package graft.cypher
   *              | [NOT] EXISTS '{' path [WHERE pred (AND pred)*] '}'
   *              | [NOT] path                       -- Neo4j sugar for EXISTS
   *                 (EXISTS composes under OR/NOT too — the nested form
-  *                  plans as a marker left-join; MATCH WHERE only, not
-  *                  OPTIONAL MATCH / WITH)
+  *                  plans as a marker left-join — and is legal in MATCH,
+  *                  OPTIONAL MATCH, and WITH WHERE; only an EXISTS's own
+  *                  inner WHERE may not nest another EXISTS)
   *   item      := expr [AS alias]
   *   withItem  := var                     -- carries the node binding forward
   *              | expr AS alias           -- WITH expressions must alias (like Cypher)

@@ -221,7 +221,7 @@ object Parser {
           ws()
           if (pos < in.length && in(pos) == ',')
             fail("one path per OPTIONAL MATCH clause (chain clauses instead)")
-          optionals += OptionalMatch(p, predList(Some("OPTIONAL MATCH")))
+          optionals += OptionalMatch(p, predList())
         }
         if (sawOptional && peek("WITH"))
           fail("OPTIONAL MATCH is only supported in the final clause (before RETURN)")
@@ -254,7 +254,7 @@ object Parser {
           val skip = if (opt("SKIP")) Some(longLit().toInt) else None
           val lim = if (opt("LIMIT")) Some(longLit().toInt) else None
           stages += Stage(unwinds.result(), paths.result(), preds, d,
-            items.result(), predList(Some("WITH")), order, skip, lim)
+            items.result(), predList(), order, skip, lim)
         } else {
           expect("RETURN")
           val distinct = opt("DISTINCT")
@@ -384,9 +384,10 @@ object Parser {
     }
 
     /** `existsCtx` names the surrounding clause when `EXISTS { … }` is NOT
-      * plannable there (OPTIONAL MATCH WHERE, WITH WHERE, an EXISTS inner
-      * WHERE) — rejected at parse time with a grammar-level message
-      * instead of surfacing an opaque AnalysisException from the planner.
+      * plannable there (only an EXISTS inner WHERE now — MATCH, OPTIONAL
+      * MATCH, and WITH WHERE all plan it) — rejected at parse time with a
+      * grammar-level message instead of surfacing an opaque
+      * AnalysisException from the planner.
       *
       * WHERE is a full boolean expression with Cypher precedence
       * (NOT > AND > OR, parentheses group); the top-level AND chain
@@ -818,13 +819,15 @@ object Parser {
         val value: AnchorValue =
           if (pos < in.length && (in(pos) == '"' || in(pos) == '\'')) StrLit(stringLit())
           else if (pos < in.length && (in(pos).isDigit || in(pos) == '-')) LongLit(longLit())
+          else if (pos < in.length && in(pos) == '$') ParamRef(param())
           else VarRef(ident())
         (prop, op, value) match {
           case (Some(p), o, v: StrLit)  => PropCmp(v1, p, o, v)
           case (Some(p), o, v: LongLit) => PropCmp(v1, p, o, v)
-          case (_, _, ParamRef(_)) => // the value parse above never builds one
-            fail("parameters are not supported in comparisons " +
-              "(anchor with {prop: $param} instead)")
+          // scalar-parameter comparison: `v.prop >= $min` / `col = $x` —
+          // the WHERE twin of the map-parameter anchor
+          case (Some(p), o, v: ParamRef) => PropCmp(v1, p, o, v)
+          case (None, o, v: ParamRef)    => ColCmp(v1, o, v)
           case (Some(_), o, VarRef(_)) =>
             fail(s"operator '$o' on a property cannot compare against a " +
               "variable; quote string literals")

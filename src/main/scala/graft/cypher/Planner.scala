@@ -165,8 +165,10 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
         val skipped = st.skip.fold(sorted)(sorted.offset)
         st.limit.fold(skipped)(skipped.limit)
       }
-    val result = applyPreds(trimmed, st.withPreds)
-    // the barrier: recompute what survives for the NEXT stage
+    // the barrier: recompute what survives for the NEXT stage — BEFORE
+    // the WITH…WHERE filter, so its predicates (including EXISTS, whose
+    // shared variables must resolve against the flattened __w_ columns)
+    // see the post-projection binding space, not the pre-barrier one
     val (vars, scalars) = st.withItems.foldLeft((Set.empty[String], Set.empty[String])) {
       case ((vs, ss), RetItem(ColRef(n), _)) =>
         if (stageVars.contains(n) || carriedVars.contains(n)) (vs + n, ss)
@@ -175,7 +177,9 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     }
     carriedVars = vars
     carriedScalars = scalars
-    result
+    stageVars = Set.empty
+    stageRelVars = Set.empty
+    applyPreds(trimmed, st.withPreds)
   }
 
   /** Join the carried frame to a stage's path product: every carried node
@@ -607,8 +611,13 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       val savedRels = stageRelVars
       stageVars = varsOf(Seq(p))
       stageRelVars = relVarsOf(Seq(p))
+      // applyPreds (not a plain fold) so the optional pattern's WHERE may
+      // itself carry EXISTS predicates — they semi/anti/marker-join
+      // against THIS optional frame (deciding whether the optional side
+      // MATCHES, exactly Cypher's scoping), sharing variables with the
+      // optional pattern's own bindings
       val filteredOpt =
-        try om.preds.foldLeft(planned)((df, pr) => df.where(predCol(pr, df.schema)))
+        try applyPreds(planned, om.preds)
         finally { stageVars = saved; stageRelVars = savedRels }
       val keyCols = sharedVars.map(v => col(s"$v.nodeId").as(s"__ok_$v"))
       val newCols = newNodeVars.flatMap(v =>
@@ -972,6 +981,16 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     val l = value match {
       case StrLit(v)  => lit(v)
       case LongLit(v) => lit(v)
+      // scalar-parameter comparison — resolved to a literal at plan time,
+      // so it stays one pushable scan predicate like the anchor form
+      case ParamRef(nm) => params.get(nm) match {
+        case Some(s: String) => lit(s)
+        case Some(x: Number) => lit(x.longValue())
+        case Some(other) => throw new IllegalArgumentException(
+          s"comparison parameter $$$nm must be a string or integer, got $other")
+        case None => throw new IllegalArgumentException(
+          s"missing parameter $$$nm")
+      }
       case other =>
         throw new IllegalArgumentException(s"unsupported comparison value $other")
     }

@@ -726,11 +726,26 @@ object GraphAlgorithms {
       .map(_.toDF("v").select(col("v")).distinct())
       .getOrElse(sym.agg(min(col("a")).as("v")))
     var dist = src.select(col("v"), lit(0L).as("d"))
-    for (_ <- 1 to iters) {
-      dist = dist.localCheckpoint(true)
+    // saturation early-exit (the sccBoundedStats pattern): rows are only
+    // ADDED and distances only DECREASE, so an unchanged (row count,
+    // exact distance sum) pair certifies the fixed point — the remaining
+    // relax rounds are no-ops and the result is identical.
+    var prevCount = -1L
+    var prevSum: java.math.BigDecimal = null
+    var t = 0
+    while (t < iters) {
       val relaxed = dist.join(sym, col("v") === col("a"))
         .select(col("b").as("v"), (col("d") + col("w")).as("d"))
       dist = dist.unionByName(relaxed).groupBy("v").agg(min("d").as("d"))
+        .localCheckpoint(true)
+      val probe = dist
+        .agg(count(lit(1)).as("c"), sum(col("d").cast("decimal(38,0)")).as("s"))
+        .collect()(0)
+      val c = probe.getLong(0)
+      val s = probe.getDecimal(1)
+      if (c == prevCount && s != null && prevSum != null &&
+          prevSum.compareTo(s) == 0) t = iters // converged: rest are no-ops
+      else { prevCount = c; prevSum = s; t += 1 }
     }
     dist.orderBy(col("d").asc, col("v")).limit(k)
       .select(col("v").as("node_id"), col("d").as("dist"))

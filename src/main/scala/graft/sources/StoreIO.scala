@@ -60,17 +60,31 @@ object StoreIO {
     } catch {
       case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
         if (fs.exists(dest)) fs.delete(dest, false)
-        if (!fs.rename(tmp, dest)) {
-          // A concurrent reader's readRecovering can promote OUR
-          // marker-validated .new between the delete and this rename; the
-          // new content is then already installed and the failed rename is
-          // a LOST RACE, not a failed write — mirror readRecovering's
-          // tolerance and verify the payload instead of throwing.
-          val installed =
-            try fs.exists(dest) && readAll(fs, dest) == content + CommitMarker
-            catch { case _: java.io.IOException => false }
-          require(installed, s"rename $tmp -> $dest failed")
-        }
+        renameInstall(fs, tmp, dest, content + CommitMarker)
+    }
+  }
+
+  /** The fallback's install step. A concurrent reader's [[readRecovering]]
+    * can promote OUR marker-validated `.new` between the caller's delete
+    * and this rename; the new content is then already installed and the
+    * failed rename is a LOST RACE, not a failed write — mirror
+    * readRecovering's tolerance and verify the payload instead of
+    * unconditionally throwing (r12 ADVICE). Package-private so the race's
+    * post-promotion state is directly testable. */
+  private[graft] def renameInstall(fs: org.apache.hadoop.fs.FileSystem,
+                                     tmp: org.apache.hadoop.fs.Path,
+                                     dest: org.apache.hadoop.fs.Path,
+                                     expected: String): Unit = {
+    // a promoted-away tmp surfaces as `false` on HDFS but as
+    // FileNotFoundException on the local FS — both are the same lost race
+    val renamed =
+      try fs.rename(tmp, dest)
+      catch { case _: java.io.FileNotFoundException => false }
+    if (!renamed) {
+      val installed =
+        try fs.exists(dest) && readAll(fs, dest) == expected
+        catch { case _: java.io.IOException => false }
+      require(installed, s"rename $tmp -> $dest failed")
     }
   }
 

@@ -27,7 +27,9 @@ object CypherProps extends Properties("cypher") {
     Gen.const((None, None)),
     anchorStr.map(s => (Some("name"), Some(StrLit(s)))),
     Gen.choose(0L, 999999L).map(v => (Some("nodeId"), Some(LongLit(v)))),
-    ident.map(v => (Some("nodeId"), Some(VarRef(v)))))
+    ident.map(v => (Some("nodeId"), Some(VarRef(v)))),
+    // map-parameter anchors: {name: $param}
+    ident.map(n => (Some("name"), Some(ParamRef(n)))))
 
   private def node(v: String): Gen[NodePat] = for {
     l <- label
@@ -135,6 +137,12 @@ object CypherProps extends Properties("cypher") {
     r <- if (fn == "size") arith(1) else anchorStr.map(StrLitE(_): Expr)
   } yield ExprCmp(ScalarFn(fn, Seq(PropRef("x1", "name"))), op, r)
 
+  private val degreeGen: Gen[Expr] = for {
+    t <- relTypes
+    dir <- Gen.frequency((2, Gen.const(0)), (1, Gen.const(1)), (1, Gen.const(-1)))
+    fl <- Gen.option(Gen.oneOf("Paper", "Author", "_Entity_"))
+  } yield DegreeOf("x1", t, dir, fl)
+
   private val item: Gen[RetItem] = for {
     e <- Gen.frequency(
       (8, Gen.oneOf[Expr](
@@ -151,6 +159,7 @@ object CypherProps extends Properties("cypher") {
       (1, percentileGen),
       (1, Gen.const[Expr](CollectAll("x1", "name"))),
       (1, strFnGen),
+      (1, degreeGen),
       // string concatenation: + with a string side (render must reparse
       // through the same left-associative + chain)
       (1, anchorStr.map(s =>
@@ -167,7 +176,21 @@ object CypherProps extends Properties("cypher") {
   private val existsPred: Gen[Pred] = for {
     p <- path
     neg <- Gen.oneOf(true, false)
-  } yield ExistsPat(p, neg)
+    inner <- Gen.someOf(Seq[Pred](
+      PropCmp("x1", "nodeId", ">", LongLit(3L)),
+      StrPred(PropRef("x1", "name"), "CONTAINS", StrLitE("a")),
+      IsNullPred(PropRef("x1", "name"), negated = false)))
+  } yield ExistsPat(p, neg, inner.toSeq)
+
+  // EXISTS nested under OR/NOT — the marker-join form must round-trip
+  // through the parenthesized boolean render
+  private val nestedExistsPred: Gen[Pred] = for {
+    ep <- existsPred
+    other <- Gen.oneOf[Pred](PropCmp("x1", "nodeId", "<", LongLit(9L)),
+      LabelPred("x1", "Paper", negated = false))
+    shape <- Gen.oneOf(
+      OrPred(ep, other), OrPred(other, ep), NotPred(OrPred(ep, other)))
+  } yield shape
 
   private val query: Gen[CypherQuery] = for {
     nUnwind <- Gen.choose(0, 2)
@@ -183,6 +206,8 @@ object CypherProps extends Properties("cypher") {
     scalarPreds <- Gen.someOf(Seq[Pred](
       VarNeq("x1", "x2"), NotIdIn("x1", "found"),
       PropCmp("x1", "nodeId", ">=", LongLit(5L)),
+      PropCmp("x1", "name", "=", ParamRef("who")),
+      ColCmp("x1", ">=", ParamRef("minId")),
       IsNullPred(PropRef("x1", "name"), negated = true),
       InList(PropRef("x1", "name"), Seq(StrLit("a\"b"), StrLit("c")),
         negated = false),
@@ -196,7 +221,8 @@ object CypherProps extends Properties("cypher") {
     strPreds <- Gen.frequency((2, Gen.const(Seq.empty[Pred])),
       (1, strPredGen.map(Seq(_))), (1, exprCmpGen.map(Seq(_))))
     exPreds <- Gen.frequency((2, Gen.const(Nil)),
-      (1, existsPred.map(Seq(_))))
+      (1, existsPred.map(Seq(_))),
+      (1, nestedExistsPred.map(Seq(_))))
     preds = scalarPreds.toSeq ++ strPreds ++ exPreds
     distinct <- Gen.oneOf(true, false)
     nItems <- Gen.choose(1, 3)
@@ -256,5 +282,48 @@ object CypherProps extends Properties("cypher") {
     val rendered = q.render
     val reparsed = Parser.parse(rendered)
     Prop(reparsed == q) :| s"rendered: $rendered\nreparsed: $reparsed"
+  }
+
+  // named paths render as `MATCH p = (…)`; nodes(p)/relationships(p)
+  // project them — the provenance surface must survive the round trip
+  private val namedPathQuery: Gen[CypherQuery] = for {
+    p <- path
+    nm <- Gen.oneOf("p", "walk0")
+    distinct <- Gen.oneOf(true, false)
+    extra <- Gen.listOfN(1, item)
+    items = Seq(RetItem(PathNodes(nm), Some("ns")),
+      RetItem(PathRels(nm), Some("rs"))) ++ extra
+    limit <- Gen.option(Gen.choose(1, 100))
+  } yield CypherQuery(Nil, Seq(p.copy(name = Some(nm))), Nil, distinct,
+    items, Nil, limit)
+
+  property("named-path render/parse round-trip") = forAll(namedPathQuery) { q =>
+    val rendered = q.render
+    val reparsed = Parser.parse(rendered)
+    Prop(reparsed == q) :| s"rendered: $rendered\nreparsed: $reparsed"
+  }
+
+  // the restricted MERGE clause is its own top-level form
+  private def setItemGen(pr: String): Gen[SetItem] = Gen.oneOf(
+    anchorStr.map(s => SetItem("n", pr, StrLit(s))),
+    Gen.choose(-99L, 99L).map(v => SetItem("n", pr, LongLit(v))))
+
+  private def setItems(props: Seq[String]): Gen[Seq[SetItem]] =
+    Gen.choose(0, props.length).flatMap(n =>
+      Gen.sequence[Seq[SetItem], SetItem](props.take(n).map(setItemGen)))
+
+  private val mergeGen: Gen[MergeQuery] = for {
+    l <- Gen.oneOf("Paper", "Author")
+    id <- Gen.choose(0L, 999999L)
+    oc <- setItems(Seq("name", "abstract"))
+    om <- setItems(Seq("name", "abstract"))
+    st <- setItems(Seq("abstract"))
+  } yield MergeQuery(NodePat("n", Some(l), Some("nodeId"), Some(LongLit(id))),
+    oc, om, st)
+
+  property("MERGE render/parseMerge round-trip") = forAll(mergeGen) { mq =>
+    val rendered = mq.render
+    val reparsed = Parser.parseMerge(rendered)
+    Prop(reparsed == mq) :| s"rendered: $rendered\nreparsed: $reparsed"
   }
 }

@@ -475,20 +475,26 @@ class CypherSpec extends SparkSpec {
     intercept[IllegalArgumentException](Planner.run(g,
       "MATCH (a:Author) WHERE EXISTS { (z)-[c:CITES]-(q) } RETURN a.name AS n")
       .collect())
-    // not supported inside an OPTIONAL MATCH's pattern-scoped WHERE —
-    // rejected at PARSE time (r10 ADVICE: the plan-time path surfaced an
-    // opaque AnalysisException for the WITH…WHERE variant)
-    val optErr = intercept[Parser.ParseError](Planner.run(g,
-      """MATCH (a:Author) OPTIONAL MATCH (a)-[w:WRITES]-(p)
-        |WHERE EXISTS { (p)-[c:CITES]-(q) }
-        |RETURN a.name AS name, p.name AS pn""".stripMargin).collect())
-    assert(optErr.getMessage.contains("OPTIONAL MATCH WHERE"))
-    // same for a WITH barrier's post-projection WHERE (previously parsed,
-    // then died at plan time with stale stageVars)
-    val withErr = intercept[Parser.ParseError](Parser.parse(
-      """MATCH (a:Author)-[w:WRITES]-(p) WITH a, count(p) AS n
-        |WHERE EXISTS { (a)-[c:CITES]-(q) } RETURN a.name AS name""".stripMargin))
-    assert(withErr.getMessage.contains("WITH WHERE"))
+    // inside an OPTIONAL MATCH's pattern-scoped WHERE, EXISTS decides
+    // whether the optional side MATCHES (Cypher's scoping): only papers
+    // carrying a citation edge survive the optional pattern — P-beta
+    // drops, so Alice keeps one paper, Bob one, Carol one (round 13;
+    // previously a parse-time rejection)
+    val optRows = Planner.run(g,
+      """MATCH (a:Author) OPTIONAL MATCH (a)-[w:WRITES]-(p:Paper)
+        |WHERE EXISTS { (p)-[c:CITES]-(q:Paper) }
+        |RETURN a.name AS name, p.name AS pn ORDER BY name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(optRows.toSeq === Seq(
+      ("Alice", "P-alpha"), ("Bob", "P-alpha"), ("Carol", "P-gamma")))
+    // and in a WITH barrier's post-projection WHERE, the shared variable
+    // resolves against the flattened carry columns: only MIT authors pass
+    val withRows = Planner.run(g,
+      """MATCH (a:Author)-[w:WRITES]-(p:Paper) WITH a, count(p) AS n
+        |WHERE EXISTS { (a)-[f:AFFILIATED_WITH]-(i:Institution {name: "MIT"}) }
+        |RETURN a.name AS name, n ORDER BY name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(withRows.toSeq === Seq(("Alice", 2L), ("Bob", 1L)))
     // braces required
     intercept[Parser.ParseError](Parser.parse(
       "MATCH (a) WHERE EXISTS (a)-[r]-(b) RETURN a.name"))
@@ -705,11 +711,29 @@ class CypherSpec extends SparkSpec {
     val q2 = Parser.parse(
       """MATCH (p:Paper) WHERE p.nodeId = 22 OR NOT (p.nodeId < 21 AND p.abstract IS NULL) RETURN p.name AS name""")
     assert(Parser.parse(q2.render) === q2)
-    // EXISTS cannot nest inside boolean groups — semi-joins have no OR form
-    val err = intercept[Parser.ParseError](Parser.parse(
-      """MATCH (a:Author) WHERE a.nodeId = 10 OR EXISTS { (a)-[w:WRITES]-(p) } RETURN a.name AS n"""))
-    assert(err.getMessage.contains("cannot nest"))
-    // ...but stays legal as a top-level conjunct next to boolean groups
+    // EXISTS nested under OR plans as a MARKER left join folded into the
+    // boolean tree (the disjunction-composable form a semi-join lacks):
+    // Carol by id, Alice/Bob by having written P-alpha
+    val orExists = Planner.run(g,
+      """MATCH (a:Author)
+        |WHERE a.nodeId = 12 OR EXISTS { (a)-[w:WRITES]-(p:Paper {name: "P-alpha"}) }
+        |RETURN a.name AS name ORDER BY name""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(orExists === Seq("Alice", "Bob", "Carol"))
+    // NOT over a parenthesized EXISTS inside the disjunction: Alice by
+    // id, Carol by NOT having written P-alpha
+    val notExists = Planner.run(g,
+      """MATCH (a:Author)
+        |WHERE a.nodeId = 10 OR NOT (EXISTS { (a)-[w:WRITES]-(p:Paper {name: "P-alpha"}) })
+        |RETURN a.name AS name ORDER BY name""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(notExists === Seq("Alice", "Carol"))
+    // the marker columns never leak into the result schema
+    assert(Planner.run(g,
+      """MATCH (a:Author)
+        |WHERE a.nodeId = 12 OR EXISTS { (a)-[w:WRITES]-(p:Paper) }
+        |RETURN a.name AS name""".stripMargin).columns.toSeq === Seq("name"))
+    // EXISTS stays legal as a top-level conjunct next to boolean groups
     val mixed = Planner.run(g,
       """MATCH (a:Author)
         |WHERE (a.nodeId = 10 OR a.nodeId = 12) AND EXISTS { (a)-[w:WRITES]-(p:Paper) }
@@ -1229,11 +1253,15 @@ class CypherSpec extends SparkSpec {
       """MATCH (p:Paper) WHERE (p.name = "P-beta" OR p.name = "P-gamma")
         |RETURN count(p) AS n""".stripMargin).collect().head.getLong(0)
     assert(grouped === 2L)
-    // same context restrictions as the EXISTS keyword
-    intercept[Parser.ParseError](Parser.parse(
+    // the sugar follows the EXISTS keyword everywhere it goes — including
+    // OPTIONAL MATCH WHERE (round 13): same rows as the explicit spelling
+    val sugarOpt = Planner.run(g,
       """MATCH (a:Author) OPTIONAL MATCH (a)-[w:WRITES]-(p:Paper)
         |WHERE (p)-[:CITES]-(q:Paper)
-        |RETURN a.name AS name""".stripMargin))
+        |RETURN a.name AS name, p.name AS pn ORDER BY name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(sugarOpt.toSeq === Seq(
+      ("Alice", "P-alpha"), ("Bob", "P-alpha"), ("Carol", "P-gamma")))
   }
 
   test("consecutive MATCH / shared-var comma patterns re-bind by nodeId") {
@@ -1405,5 +1433,251 @@ class CypherSpec extends SparkSpec {
         |RETURN CASE WHEN p.abstract IS NULL THEN "none" ELSE p.abstract END + "!" AS t""".stripMargin)
       .collect().head.getString(0)
     assert(cased === "none!")
+  }
+
+  // ---- round 13: EXISTS inner WHERE, MERGE, path projections, degree
+  // sugar, map-parameter anchors, rel-var reuse rejection ----
+
+  test("EXISTS { pattern WHERE … }: inner predicates filter the pattern") {
+    // writers of the paper whose abstract is "about dbs" (P-alpha)
+    val semis = Planner.run(g,
+      """MATCH (a:Author)
+        |WHERE EXISTS { (a)-[w:WRITES]-(p:Paper) WHERE p.abstract = "about dbs" }
+        |RETURN a.name AS name ORDER BY name""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(semis === Seq("Alice", "Bob"))
+    // negated: the anti join over the same filtered pattern
+    val anti = Planner.run(g,
+      """MATCH (a:Author)
+        |WHERE NOT EXISTS { (a)-[w:WRITES]-(p:Paper) WHERE p.abstract = "about dbs" }
+        |RETURN a.name AS name""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(anti === Seq("Carol"))
+    // inner WHERE + disjunctive composition in one predicate (marker join)
+    val composed = Planner.run(g,
+      """MATCH (a:Author)
+        |WHERE a.nodeId = 11 OR EXISTS { (a)-[w:WRITES]-(p:Paper) WHERE p.abstract = "graphs" }
+        |RETURN a.name AS name ORDER BY name""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(composed === Seq("Bob", "Carol"))
+    // round-trip: inner WHERE renders inside the braces
+    val q = Parser.parse(
+      """MATCH (a:Author) WHERE NOT EXISTS { (a)-[w:WRITES]-(p:Paper) WHERE p.abstract = "x" AND p.nodeId > 3 } RETURN a.name AS name""")
+    val ep = q.preds.head.asInstanceOf[Ast.ExistsPat]
+    assert(ep.negated && ep.preds.length === 2)
+    assert(Parser.parse(q.render) === q)
+    // nesting another EXISTS inside the inner WHERE is out of dialect
+    val nested = intercept[Parser.ParseError](Parser.parse(
+      """MATCH (a:Author) WHERE EXISTS { (a)-[w:WRITES]-(p:Paper) WHERE EXISTS { (p)-[c:CITES]-(q) } } RETURN a.name AS n"""))
+    assert(nested.getMessage.contains("EXISTS inner"))
+  }
+
+  test("MERGE: ON MATCH updates in place, ON CREATE inserts, idempotent") {
+    import graft.graph.PropertyGraph
+    // update path: Alice exists → ON MATCH SET applies, count unchanged
+    val updated = Planner.run(g,
+      """MERGE (n:Author {nodeId: 10})
+        |ON CREATE SET n.name = "nope"
+        |ON MATCH SET n.name = "Alice2"""".stripMargin)
+    assert(updated.count() === MicroGraph.nodeRows.length.toLong)
+    val alice = updated.where("nodeId = 10").collect().head
+    assert(alice.getAs[String]("name") === "Alice2")
+    // create path: 99 absent → row appears with SET props, nulls elsewhere,
+    // both labels (the loader's MERGE(n:{label}:_Entity_) shape)
+    val created = Planner.run(g,
+      """MERGE (n:Author {nodeId: 99})
+        |ON CREATE SET n.name = "a", n.abstract = "fresh"
+        |SET n.name = "Dave"""".stripMargin)
+    assert(created.count() === MicroGraph.nodeRows.length + 1L)
+    val dave = created.where("nodeId = 99").collect().head
+    assert(dave.getAs[String]("name") === "Dave") // SET overwrites ON CREATE
+    assert(dave.getAs[String]("abstract") === "fresh")
+    assert(dave.getAs[String]("label") === "Author")
+    assert(dave.getSeq[String](dave.fieldIndex("labels")) ===
+      Seq("Author", "_Entity_"))
+    assert(dave.isNullAt(dave.fieldIndex("nameEmbedding")))
+    // idempotence: the same MERGE against the merged snapshot is a no-op
+    val twice = Planner.run(PropertyGraph(created, g.rels),
+      """MERGE (n:Author {nodeId: 99})
+        |ON CREATE SET n.name = "a", n.abstract = "fresh"
+        |SET n.name = "Dave"""".stripMargin)
+    assert(twice.collect().map(_.toSeq).toSet ===
+      created.collect().map(_.toSeq).toSet)
+    // render ∘ parseMerge = id
+    val mq = Parser.parseMerge(
+      """MERGE (n:Author {nodeId: 7}) ON CREATE SET n.name = "x" ON MATCH SET n.abstract = "y" SET n.name = "z"""")
+    assert(Parser.parseMerge(mq.render) === mq)
+    // grammar-level rejections: label required, nodeId anchors, identity
+    // columns and foreign variables un-SET-able
+    intercept[Parser.ParseError](Parser.parseMerge(
+      """MERGE (n {nodeId: 7}) SET n.name = "x""""))
+    intercept[Parser.ParseError](Parser.parseMerge(
+      """MERGE (n:Author {name: "Dave"}) SET n.abstract = "x""""))
+    intercept[Parser.ParseError](Parser.parseMerge(
+      """MERGE (n:Author {nodeId: 7}) SET n.nodeId = 9"""))
+    intercept[Parser.ParseError](Parser.parseMerge(
+      """MERGE (n:Author {nodeId: 7}) SET m.name = "x""""))
+    // unknown property → plan-time error naming the union-of-keys schema
+    intercept[IllegalArgumentException](Planner.run(g,
+      """MERGE (n:Author {nodeId: 7}) SET n.missing = "x""""))
+  }
+
+  test("nodes(p)/relationships(p): traversal-ordered path projections") {
+    // fixed 1-hop: every typed walk out of Alice
+    val rows = Planner.run(g,
+      """MATCH p = (a:Author {name: "Alice"})-[w:WRITES]-(x:Paper)
+        |RETURN nodes(p) AS ns, relationships(p) AS rs""".stripMargin)
+      .collect().map(r => (r.getSeq[Long](0), r.getSeq[String](1))).toSet
+    assert(rows === Set(
+      (Seq(10L, 20L), Seq("WRITES")),
+      (Seq(10L, 21L), Seq("WRITES"))))
+    // var-length: the lists grow with the expansion, anon hops included
+    val vl = Planner.run(g,
+      """MATCH p = (i:Institution {name: "MIT"})-[*1..2]-(x)
+        |RETURN DISTINCT nodes(p) AS ns""".stripMargin)
+      .collect().map(_.getSeq[Long](0)).toSet
+    assert(vl === Set(
+      Seq(1L, 10L), Seq(1L, 11L),
+      Seq(1L, 10L, 20L), Seq(1L, 10L, 21L), Seq(1L, 11L, 20L)))
+    // multi-path: each named path projects its own lists
+    val two = Planner.run(g,
+      """MATCH p1 = (a:Author {name: "Carol"})-[w:WRITES]-(x:Paper), p2 = (x)-[h:HAS_TOPIC]-(f:FieldOfStudy)
+        |RETURN nodes(p1) AS n1, nodes(p2) AS n2, relationships(p2) AS r2""".stripMargin)
+      .collect().map(r => (r.getSeq[Long](0), r.getSeq[Long](1), r.getSeq[String](2)))
+    assert(two.toSeq === Seq((Seq(12L, 22L), Seq(22L, 30L), Seq("HAS_TOPIC"))))
+    // unknown path variable → grammar-level error
+    val unknown = intercept[IllegalArgumentException](Planner.run(g,
+      """MATCH p = (a:Author)-[w:WRITES]-(x:Paper) RETURN nodes(q) AS ns"""))
+    assert(unknown.getMessage.contains("does not name a path"))
+    // round-trip: the path name renders back in front of its pattern
+    val q = Parser.parse(
+      """MATCH p = (a:Author)-[w:WRITES]-(x:Paper) RETURN nodes(p) AS ns, relationships(p) AS rs""")
+    assert(q.paths.head.name === Some("p"))
+    assert(Parser.parse(q.render) === q)
+  }
+
+  test("shortestPath nodes(p): deterministic min-predecessor walk") {
+    // MIT → Databases: min distance 3; at every backward level the
+    // smallest-nodeId predecessor wins → [1, 10, 20, 30]
+    val row = Planner.run(g,
+      """MATCH pp = shortestPath((i:Institution {name: "MIT"})-[*1..4]-(f:FieldOfStudy))
+        |RETURN nodes(pp) AS ns, length(pp) AS len""".stripMargin)
+      .collect().map(r => (r.getSeq[Long](0), r.getLong(1)))
+    assert(row.toSeq === Seq((Seq(1L, 10L, 20L, 30L), 3L)))
+    // relationships() has no BFS form — clear dialect-level error
+    val err = intercept[IllegalArgumentException](Planner.run(g,
+      """MATCH pp = shortestPath((i:Institution {name: "MIT"})-[*1..4]-(f:FieldOfStudy))
+        |RETURN relationships(pp) AS rs""".stripMargin))
+    assert(err.getMessage.contains("shortestPath"))
+  }
+
+  test("degree sugar: count { (n)-[:T]-(:L) } / size((n)--())") {
+    // per-author WRITES degree and total degree (self-loops once; Alice
+    // carries the parallel e4/e12 pair → total 4)
+    val rows = Planner.run(g,
+      """MATCH (a:Author)
+        |RETURN a.name AS name, count { (a)-[:WRITES]-() } AS w,
+        |       size((a)-[]-()) AS deg
+        |ORDER BY name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq === Seq(
+      ("Alice", 2L, 4L), ("Bob", 1L, 2L), ("Carol", 1L, 2L)))
+    // far-label filter: P-alpha touches authors via e4, e6, e12
+    val far = Planner.run(g,
+      """MATCH (p:Paper {name: "P-alpha"})
+        |RETURN count { (p)-[]-(:Author) } AS n_auth""".stripMargin)
+      .collect().head.getLong(0)
+    assert(far === 3L)
+    // directed degrees traverse ONE stored orientation; the undirected
+    // form counts the self-loop ONCE (P-gamma: e11 out, e13 self)
+    val dirRows = Planner.run(g,
+      """MATCH (p:Paper {name: "P-gamma"})
+        |RETURN count { (p)-[:CITES]->() } AS out_d,
+        |       count { (p)<-[:CITES]-() } AS in_d,
+        |       size((p)-[:CITES]-()) AS und""".stripMargin)
+      .collect().head
+    assert((dirRows.getLong(0), dirRows.getLong(1), dirRows.getLong(2)) ===
+      ((2L, 1L, 2L)))
+    // zero-degree nodes coalesce to 0, never null (left join miss)
+    val zero = Planner.run(g,
+      """MATCH (f:FieldOfStudy)
+        |RETURN f.name AS name, count { (f)-[:WRITES]-() } AS w""".stripMargin)
+      .collect().head
+    assert((zero.getString(0), zero.getLong(1)) === (("Databases", 0L)))
+    // degree in WHERE (the profiling one-liner)
+    val prolific = Planner.run(g,
+      """MATCH (a:Author) WHERE count { (a)-[:WRITES]-() } >= 2
+        |RETURN a.name AS name""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(prolific === Seq("Alice"))
+    // both spellings are ONE AST; canonical render is the count{} form
+    val c = Parser.parse("MATCH (a:Author) RETURN count { (a)-[:WRITES]-() } AS w")
+    val s = Parser.parse("MATCH (a:Author) RETURN size((a)-[:WRITES]-()) AS w")
+    assert(c === s)
+    assert(Parser.parse(c.render) === c)
+    // size((x)) of a parenthesized NON-pattern still parses as string size
+    val sz = Parser.parse("MATCH (a:Author) RETURN size((a.name)) AS n")
+    assert(sz.items.head.expr === Ast.ScalarFn("size", Seq(Ast.PropRef("a", "name"))))
+    // degree patterns cannot bind a rel var or range
+    intercept[Parser.ParseError](Parser.parse(
+      "MATCH (a:Author) RETURN count { (a)-[r:WRITES]-() } AS w"))
+    intercept[Parser.ParseError](Parser.parse(
+      "MATCH (a:Author) RETURN count { (a)-[:WRITES*1..2]-() } AS w"))
+    // unbound variable → plan-entry error
+    intercept[IllegalArgumentException](Planner.run(g,
+      "MATCH (a:Author) RETURN count { (z)-[:WRITES]-() } AS w"))
+  }
+
+  test("map-parameter anchors: (n {name: $param}) ≡ the literal anchor") {
+    val lit = Planner.run(g,
+      """MATCH (x {name: "Alice"})-[r]-(y) RETURN count(*) AS n""")
+      .collect().head.getLong(0)
+    val par = Planner.run(g,
+      """MATCH (x {name: $who})-[r]-(y) RETURN count(*) AS n""",
+      Map("who" -> "Alice")).collect().head.getLong(0)
+    assert(par === lit && par === 4L)
+    // integer parameters anchor nodeId the same way
+    val byId = Planner.run(g,
+      """MATCH (x {nodeId: $id})-[r]-(y) RETURN count(*) AS n""",
+      Map("id" -> 10L)).collect().head.getLong(0)
+    assert(byId === 4L)
+    // missing / mistyped parameters fail with the parameter's name
+    val missing = intercept[IllegalArgumentException](Planner.run(g,
+      """MATCH (x {name: $who})-[r]-(y) RETURN count(*) AS n""").collect())
+    assert(missing.getMessage.contains("$who"))
+    // round-trip keeps the $param spelling
+    val q = Parser.parse("""MATCH (x:Author {name: $who})-[r:WRITES]-(y) RETURN y.name AS n""")
+    assert(q.paths.head.nodes.head.anchorValue === Some(Ast.ParamRef("who")))
+    assert(Parser.parse(q.render) === q)
+    // scalar-parameter comparisons in WHERE — the anchor's WHERE twin
+    val cmp = Planner.run(g,
+      """MATCH (a:Author)-[w:WRITES]-(p:Paper)
+        |WHERE a.name = $who AND p.nodeId >= $minId
+        |RETURN p.name AS name ORDER BY name""".stripMargin,
+      Map("who" -> "Alice", "minId" -> 21L))
+      .collect().map(_.getString(0)).toSeq
+    assert(cmp === Seq("P-beta"))
+    val qw = Parser.parse(
+      """MATCH (a:Author) WHERE a.nodeId >= $minId RETURN a.name AS n""")
+    assert(qw.preds.head === Ast.PropCmp("a", "nodeId", ">=", Ast.ParamRef("minId")))
+    assert(Parser.parse(qw.render) === qw)
+  }
+
+  test("relationship variable reuse is rejected at plan entry (r12 ADVICE)") {
+    val dup = intercept[IllegalArgumentException](Planner.run(g,
+      """MATCH (a:Author)-[r]-(p:Paper), (b:Author)-[r]-(q:Paper)
+        |RETURN a.name AS name""".stripMargin))
+    assert(dup.getMessage.contains("relationship variable reuse"))
+    // within one path too
+    intercept[IllegalArgumentException](Planner.run(g,
+      """MATCH (a:Author)-[r]-(p:Paper)-[r]-(b) RETURN a.name AS name"""))
+    // and across MATCH → OPTIONAL MATCH (shared resolution space)
+    intercept[IllegalArgumentException](Planner.run(g,
+      """MATCH (a:Author)-[r]-(p:Paper) OPTIONAL MATCH (p)-[r]-(f:FieldOfStudy)
+        |RETURN a.name AS name""".stripMargin))
+    // DISTINCT node vars stay fine (the legal re-binding join)
+    assert(Planner.run(g,
+      """MATCH (a:Author)-[r1]-(p:Paper), (p)-[r2:HAS_TOPIC]-(f)
+        |RETURN count(*) AS n""".stripMargin).collect().head.getLong(0) > 0)
   }
 }

@@ -85,6 +85,35 @@ class StoreIOSpec extends SparkSpec {
     assert(fs(ptr).exists(ptr))
   }
 
+  test("fallback install tolerates losing the promotion race (r12 ADVICE)") {
+    val dir = java.nio.file.Files.createTempDirectory("storeio5")
+    val dest = new Path(dir.resolve("ptr").toString)
+    val tmp = new Path(dest.toString + ".new")
+    // the documented concurrent-reader race: between the writer's delete
+    // and rename, a reader's readRecovering promoted the marker-validated
+    // .new — at the writer's rename, tmp is GONE and dest already carries
+    // the new payload. The failed rename must read as success.
+    write(dest, "v2" + Marker)
+    assert(!fs(dest).exists(tmp))
+    graft.sources.StoreIO.renameInstall(fs(dest), tmp, dest, "v2" + Marker)
+    assert(StoreIO.readRecovering(fs(dest), dest) === Some("v2"))
+    // but a failed rename with the WRONG (or no) payload still throws —
+    // the tolerance is payload-verified, never blind
+    val bad = new Path(dir.resolve("bad").toString)
+    write(bad, "stale" + Marker)
+    intercept[IllegalArgumentException](graft.sources.StoreIO.renameInstall(
+      fs(bad), new Path(bad.toString + ".new"), bad, "v9" + Marker))
+    val gone = new Path(dir.resolve("gone").toString)
+    intercept[IllegalArgumentException](graft.sources.StoreIO.renameInstall(
+      fs(gone), new Path(gone.toString + ".new"), gone, "v9" + Marker))
+    // and the normal path still renames the temp in
+    val ok = new Path(dir.resolve("ok").toString)
+    write(new Path(ok.toString + ".new"), "v3" + Marker)
+    graft.sources.StoreIO.renameInstall(
+      fs(ok), new Path(ok.toString + ".new"), ok, "v3" + Marker)
+    assert(StoreIO.readRecovering(fs(ok), ok) === Some("v3"))
+  }
+
   test("appendManifest keeps prior lines across the crash window") {
     val dir = java.nio.file.Files.createTempDirectory("storeio4")
     val path = dir.resolve("store").toString
