@@ -772,6 +772,29 @@ object OracleSqls {
         |GROUP BY 1
         |ORDER BY name""".stripMargin),
 
+    // DETACH DELETE: NATION_3's suppliers plus incident rels removed —
+    // node count and per-type rel counts of the post-delete graph
+    "cy_detach_delete" -> withGraph(
+      """, del AS (
+        |  SELECT s.nodeId FROM nodes s
+        |  WHERE s.label = 'Supplier'
+        |    AND EXISTS (
+        |      SELECT 1 FROM bidir e
+        |      JOIN nodes n ON e.b = n.nodeId AND n.label = 'Nation'
+        |        AND n.name = 'NATION_3'
+        |      WHERE e.a = s.nodeId AND e.relType = 'FROM_NATION')
+        |),
+        |keptr AS (
+        |  SELECT * FROM rels
+        |  WHERE src NOT IN (SELECT nodeId FROM del)
+        |    AND dst NOT IN (SELECT nodeId FROM del)
+        |)
+        |SELECT 'nodes' AS kind, CAST(count(*) AS BIGINT) AS n
+        |FROM nodes WHERE nodeId NOT IN (SELECT nodeId FROM del)
+        |UNION ALL
+        |SELECT relType, CAST(count(*) AS BIGINT) FROM keptr GROUP BY 1"""
+        .stripMargin),
+
     // MERGE upsert: update customer 42's name, insert the missing
     // customer — the post-merge nodes table as a pure SELECT
     "cy_merge_upsert" -> withGraph(
@@ -828,6 +851,50 @@ object OracleSqls {
         |  WHERE relType = 'FROM_NATION' GROUP BY 1) df ON df.a = n.nodeId
         |WHERE n.label = 'Nation' AND coalesce(df.cnt, 0) >= 1
         |ORDER BY nation""".stripMargin),
+
+    // ORDER BY an unprojected property (both engines order by the raw
+    // column, return only the name)
+    "cy_order_prop" -> withFinGraph(
+      """SELECT c.name AS name
+        |FROM fnodes n
+        |JOIN fbidir e ON n.nodeId = e.a AND e.relType = 'FROM_NATION'
+        |JOIN fnodes c ON e.b = c.nodeId AND c.label = 'Customer'
+        |WHERE n.label = 'Nation' AND n.name = 'NATION_3'
+        |ORDER BY c.acctbal DESC, name LIMIT 5""".stripMargin),
+
+    // min/max over derived values — truncating // division and abs()
+    // inside the aggregate
+    "cy_minmax_expr" -> withFinGraph(
+      """SELECT n.name AS nation,
+        |  CAST(min(c.acctbal // 100) AS BIGINT) AS min_dollars,
+        |  CAST(max(abs(c.acctbal)) AS BIGINT) AS max_abs
+        |FROM fnodes n
+        |JOIN fbidir e ON n.nodeId = e.a AND e.relType = 'FROM_NATION'
+        |JOIN fnodes c ON e.b = c.nodeId AND c.label = 'Customer'
+        |WHERE n.label = 'Nation'
+        |GROUP BY 1
+        |ORDER BY nation""".stripMargin),
+
+    // IN $param on an arbitrary property — cy_in_list's oracle with the
+    // list supplied as a parameter
+    "cy_in_param" -> withGraph(
+      """SELECT n.name AS nation, CAST(count(c.nodeId) AS BIGINT) AS n_cust
+        |FROM nodes n
+        |JOIN bidir e ON n.nodeId = e.a AND e.relType = 'FROM_NATION'
+        |JOIN nodes c ON e.b = c.nodeId AND c.label = 'Customer'
+        |WHERE n.label = 'Nation'
+        |  AND n.name IN ('NATION_1', 'NATION_3', 'NATION_7')
+        |GROUP BY 1
+        |ORDER BY nation""".stripMargin),
+
+    // multi-property map anchor: both pairs constrain the one anchor row
+    "cy_multi_anchor" -> withGraph(
+      """SELECT CAST(count(e.b) AS BIGINT) AS n_orders
+        |FROM nodes c
+        |JOIN bidir e ON c.nodeId = e.a AND e.relType = 'PLACED'
+        |JOIN nodes o ON e.b = o.nodeId AND o.label = 'Order'
+        |WHERE c.label = 'Customer' AND c.name = 'Customer#000000042'
+        |  AND c.nodeId = 3000000042""".stripMargin),
 
     // scalar-parameter WHERE comparisons, params inlined ($nation =
     // 'NATION_3', $minBal = 500000)

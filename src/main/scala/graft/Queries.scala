@@ -1380,6 +1380,21 @@ object Queries {
       .select(col("nodeId"), col("label"), col("name"))
   }
 
+  /** Restricted `DETACH DELETE` (round 13 — the mutation verb MERGE's
+    * upsert left open): NATION_3's suppliers leave the graph along with
+    * every incident relationship; the summary hashes BOTH post-delete
+    * tables (node count + per-type relationship counts), so a dangling
+    * edge on either endpoint would break the hash. */
+  def cyDetachDelete(spark: SparkSession, dir: String): DataFrame = {
+    val pg = graft.cypher.Planner.runDelete(graph(spark, dir),
+      """MATCH (s:Supplier)
+        |WHERE EXISTS { (s)-[e:FROM_NATION]-(n:Nation {name: "NATION_3"}) }
+        |DETACH DELETE s""".stripMargin)
+    pg.nodes.groupBy(lit("nodes").as("kind")).agg(count(lit(1)).as("n"))
+      .unionByName(
+        pg.rels.groupBy(col("relType").as("kind")).agg(count(lit(1)).as("n")))
+  }
+
   /** Named-path projections `nodes(p)` / `relationships(p)` (VERDICT r12
     * #3): the provenance shape of retrieval/retriever.py:80-86 — every
     * 1..2-hop walk out of ASIA with its traversal-ordered nodeId list
@@ -1418,6 +1433,46 @@ object Queries {
       """MATCH (x:Nation {name: $nation})-[r:FROM_NATION]-(y:Customer)
         |RETURN y.name AS name ORDER BY name SKIP 2 LIMIT 5""".stripMargin,
       Map("nation" -> "NATION_3"))
+
+  /** `IN $param` list-membership on an arbitrary property (round 13 —
+    * previously only `NOT v.nodeId IN $param`): the same pushable `isin`
+    * as the literal-list form, against the parameter's values. Mirrors
+    * [[cyInList]]'s oracle with the list supplied as a parameter. */
+  def cyInParam(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """MATCH (n:Nation)-[e:FROM_NATION]-(c:Customer)
+        |WHERE n.name IN $nations
+        |RETURN n.name AS nation, count(c) AS n_cust
+        |ORDER BY nation""".stripMargin,
+      Map("nations" -> Seq("NATION_1", "NATION_3", "NATION_7")))
+
+  /** Multi-property map anchor (round 13): both pairs are equalities on
+    * one broadcastable anchor frame — here (name, nodeId), the id pair a
+    * parameter. */
+  def cyMultiAnchor(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """MATCH (c:Customer {name: "Customer#000000042", nodeId: $id})-[e:PLACED]-(o:Order)
+        |RETURN count(o) AS n_orders""".stripMargin,
+      Map("id" -> 3000000042L))
+
+  /** ORDER BY an UNPROJECTED property (round 13): the richest customers'
+    * names without returning the balance — a hidden sort column that
+    * drops after the trim (TakeOrderedAndProject under LIMIT). */
+  def cyOrderProp(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(finGraph(spark, dir),
+      """MATCH (n:Nation {name: "NATION_3"})-[e:FROM_NATION]-(c:Customer)
+        |RETURN c.name AS name
+        |ORDER BY c.acctbal DESC, name LIMIT 5""".stripMargin)
+
+  /** min/max over general expression arguments (round 13): extremum of a
+    * derived value per group — truncating integer division and abs()
+    * inside the aggregate, both cross-engine-exact. */
+  def cyMinmaxExpr(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(finGraph(spark, dir),
+      """MATCH (n:Nation)-[e:FROM_NATION]-(c:Customer)
+        |RETURN n.name AS nation, min(c.acctbal / 100) AS min_dollars,
+        |       max(abs(c.acctbal)) AS max_abs
+        |ORDER BY nation""".stripMargin)
 
   /** Scalar-parameter comparisons in WHERE (`n.name = $nation`,
     * `c.acctbal >= $minBal`) — the WHERE twin of the map-parameter
@@ -3071,8 +3126,10 @@ object Queries {
     "cy_rel_types", "cy_exists_filter", "cy_union", "cy_collect", "cy_minmax", "cy_count_rows", "cy_multi_order",
     "cy_varlength", "cy_sum_avg", "cy_return_arith", "cy_case_null",
     "cy_directed", "cy_contains", "cy_collect_all", "cy_pattern_pred",
-    "cy_exists_where", "cy_exists_optional", "cy_merge_upsert",
-    "cy_path_nodes", "cy_degree_count", "cy_param_anchor", "cy_param_where",
+    // round-13 flagships (the remaining r13 entries ride the full gate:
+    // the quick tier is size-capped by QuickSetSpec)
+    "cy_exists_where", "cy_merge_upsert", "cy_detach_delete",
+    "cy_path_nodes",
     // pipeline orchestration (§7 M5)
     "pipeline_retrieve", "fmt_context",
     // dedup family
@@ -3160,10 +3217,15 @@ object Queries {
     "cy_exists_where" -> (cyExistsWhere _),
     "cy_exists_optional" -> (cyExistsOptional _),
     "cy_merge_upsert" -> (cyMergeUpsert _),
+    "cy_detach_delete" -> (cyDetachDelete _),
     "cy_path_nodes" -> (cyPathNodes _),
     "cy_degree_count" -> (cyDegreeCount _),
     "cy_param_anchor" -> (cyParamAnchor _),
     "cy_param_where" -> (cyParamWhere _),
+    "cy_in_param" -> (cyInParam _),
+    "cy_multi_anchor" -> (cyMultiAnchor _),
+    "cy_order_prop" -> (cyOrderProp _),
+    "cy_minmax_expr" -> (cyMinmaxExpr _),
     "skew_salted_agg" -> (skewSaltedAgg _),
     "join_salted" -> (joinSalted _),
     "join_asof_exec" -> (joinAsofExec _),

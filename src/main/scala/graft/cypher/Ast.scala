@@ -90,8 +90,15 @@ package graft.cypher
   */
 object Ast {
 
+  /** `extraAnchors` holds the 2nd..nth pairs of a multi-property map
+    * anchor `(n:L {name: "x", mktsegment: "AUTO"})` — each an ADDITIONAL
+    * equality on the same frame (literals / $params only; the
+    * UNWIND-variable form stays single-pair). The first pair keeps the
+    * historical (anchorProp, anchorValue) slots. */
   final case class NodePat(varName: String, label: Option[String],
-                           anchorProp: Option[String], anchorValue: Option[AnchorValue])
+                           anchorProp: Option[String],
+                           anchorValue: Option[AnchorValue],
+                           extraAnchors: Seq[(String, AnchorValue)] = Nil)
   sealed trait AnchorValue
   final case class StrLit(v: String) extends AnchorValue
   final case class LongLit(v: Long) extends AnchorValue
@@ -177,6 +184,14 @@ object Ast {
     * `ref` is PropRef | ColRef; values are homogeneous literals. */
   final case class InList(ref: Expr, values: Seq[AnchorValue],
                           negated: Boolean) extends Pred
+  /** `(v.prop | col) [NOT] IN $param` — membership against a LIST
+    * parameter on ANY property (round 13; [[NotIdIn]] remains the
+    * historical nodeId-only spelling and still owns `NOT v.nodeId IN
+    * $param` at parse time, so each rendered text re-parses to exactly
+    * one AST). Same typed-membership rule as [[InList]]: the parameter's
+    * elements must agree with the ref's static type. */
+  final case class InParam(ref: Expr, param: String,
+                           negated: Boolean) extends Pred
   /** String predicate `l CONTAINS r` / `l STARTS WITH r` / `l ENDS WITH r`
     * / `l =~ r` (whole-string regex, like Neo4j). Both sides are scalar
     * string expressions (properties, projected columns, literals,
@@ -371,6 +386,89 @@ object Ast {
     case NullCond(e, neg)  => s"${exprText(e)} IS ${if (neg) "NOT " else ""}NULL"
   }
 
+  // ---- shared canonical-text renderers (CypherQuery / DeleteQuery) ----
+
+  private def anchorValueText(v: AnchorValue): String = v match {
+    case StrLit(s) =>
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    case LongLit(l)   => l.toString
+    case VarRef(n)    => n
+    case ParamRef(nm) => s"$$$nm"
+  }
+
+  private def anchorText(n: NodePat): String =
+    (n.anchorProp, n.anchorValue) match {
+      case (Some(p), Some(v)) =>
+        val pairs = (p, v) +: n.extraAnchors
+        pairs.map { case (pp, vv) => s"$pp: ${anchorValueText(vv)}" }
+          .mkString(" {", ", ", "}")
+      case _ => ""
+    }
+
+  def nodeText(n: NodePat): String =
+    s"(${n.varName}${n.label.fold("")(l => s":$l")}${anchorText(n)})"
+
+  def relText(r: RelPat): String = {
+    val types = if (r.relTypes.isEmpty) "" else r.relTypes.mkString(":", "|", "")
+    val body = s"[${r.varName.getOrElse("")}$types" +
+      s"${r.range.fold("") { case (lo, hi) => s"*$lo..$hi" }}]"
+    r.dir match {
+      case 1  => s"-$body->"
+      case -1 => s"<-$body-"
+      case _  => s"-$body-"
+    }
+  }
+
+  def pathText(p: MatchPath): String =
+    p.name.fold("")(n => s"$n = ") +
+      nodeText(p.nodes.head) + p.rels.zip(p.nodes.tail)
+        .map { case (r, n) => relText(r) + nodeText(n) }.mkString
+
+  def predText(p: Pred): String = p match {
+    case VarNeq(a, b)   => s"$a <> $b"
+    case NotIdIn(v, pm) => s"NOT $v.nodeId IN $$$pm"
+    case ExistsPat(pt, neg, inner) =>
+      val where =
+        if (inner.isEmpty) ""
+        else " WHERE " + inner.map(predText).mkString(" AND ")
+      (if (neg) "NOT " else "") + s"EXISTS { ${pathText(pt)}$where }"
+    case NormEqParam(c, pm) =>
+      s"normalize(lower($c)) = normalize(lower($$$pm))"
+    case ColCmp(c, op, StrLit(v)) =>
+      val esc = v.replace("\\", "\\\\").replace("\"", "\\\"")
+      s"""$c $op "$esc""""
+    case ColCmp(c, op, LongLit(v)) => s"$c $op $v"
+    case ColCmp(c, op, VarRef(v))  => s"$c $op $v"
+    case ColCmp(c, op, ParamRef(nm)) => s"$c $op $$$nm"
+    case PropCmp(v, pr, op, StrLit(s)) =>
+      val esc = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      s"""$v.$pr $op "$esc""""
+    case PropCmp(v, pr, op, LongLit(l)) => s"$v.$pr $op $l"
+    case PropCmp(v, pr, op, VarRef(r))  => s"$v.$pr $op $r"
+    case PropCmp(v, pr, op, ParamRef(nm)) => s"$v.$pr $op $$$nm"
+    case IsNullPred(ref, neg) =>
+      s"${exprText(ref)} IS ${if (neg) "NOT " else ""}NULL"
+    case InList(ref, vs, neg) =>
+      val lits = vs.map {
+        case StrLit(s) =>
+          "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+        case LongLit(v) => v.toString
+        case VarRef(v)  => v
+        case ParamRef(nm) => s"$$$nm" // not parser-reachable in a list
+      }.mkString(", ")
+      s"${if (neg) "NOT " else ""}${exprText(ref)} IN [$lits]"
+    case InParam(ref, pm, neg) =>
+      s"${if (neg) "NOT " else ""}${exprText(ref)} IN $$$pm"
+    case StrPred(l, o, r) => s"${exprText(l)} $o ${exprText(r)}"
+    case ExprCmp(l, o, r) => s"${exprText(l)} $o ${exprText(r)}"
+    case LabelPred(v, l, neg) => s"${if (neg) "NOT " else ""}$v:$l"
+    // combinators render fully parenthesized so the flattened-AND
+    // top level re-parses to the identical tree
+    case OrPred(l, r)  => s"(${predText(l)} OR ${predText(r)})"
+    case AndPred(l, r) => s"(${predText(l)} AND ${predText(r)})"
+    case NotPred(p0)   => s"NOT (${predText(p0)})"
+  }
+
   /** `UNWIND $param AS var` (literals = None) or the self-contained
     * `UNWIND [lit, …] AS var` (literals = Some(list), param unused) —
     * both anchor node frames downstream; the literal form needs no
@@ -434,74 +532,9 @@ object Ast {
       * strings `create_query` emits (path_retriever.py:30-40), so the
       * corpus format round-trips: parse(render(q)) == q. */
     def render: String = {
-      def anchor(n: NodePat): String = (n.anchorProp, n.anchorValue) match {
-        case (Some(p), Some(StrLit(v))) =>
-          val esc = v.replace("\\", "\\\\").replace("\"", "\\\"")
-          s""" {$p: "$esc"}"""
-        case (Some(p), Some(LongLit(v))) => s" {$p: $v}"
-        case (Some(p), Some(VarRef(v)))  => s" {$p: $v}"
-        case (Some(p), Some(ParamRef(nm))) => s" {$p: $$$nm}"
-        case _ => ""
-      }
-      def node(n: NodePat): String =
-        s"(${n.varName}${n.label.fold("")(l => s":$l")}${anchor(n)})"
-      def rel(r: RelPat): String = {
-        val types = if (r.relTypes.isEmpty) "" else r.relTypes.mkString(":", "|", "")
-        val body = s"[${r.varName.getOrElse("")}$types" +
-          s"${r.range.fold("") { case (lo, hi) => s"*$lo..$hi" }}]"
-        r.dir match {
-          case 1  => s"-$body->"
-          case -1 => s"<-$body-"
-          case _  => s"-$body-"
-        }
-      }
-      def path(p: MatchPath): String =
-        p.name.fold("")(n => s"$n = ") +
-          node(p.nodes.head) + p.rels.zip(p.nodes.tail)
-            .map { case (r, n) => rel(r) + node(n) }.mkString
+      def path(p: MatchPath): String = pathText(p)
       def expr(e: Expr): String = exprText(e)
-      def pred(p: Pred): String = p match {
-        case VarNeq(a, b)   => s"$a <> $b"
-        case NotIdIn(v, pm) => s"NOT $v.nodeId IN $$$pm"
-        case ExistsPat(pt, neg, inner) =>
-          val where =
-            if (inner.isEmpty) ""
-            else " WHERE " + inner.map(pred).mkString(" AND ")
-          (if (neg) "NOT " else "") + s"EXISTS { ${path(pt)}$where }"
-        case NormEqParam(c, pm) =>
-          s"normalize(lower($c)) = normalize(lower($$$pm))"
-        case ColCmp(c, op, StrLit(v)) =>
-          val esc = v.replace("\\", "\\\\").replace("\"", "\\\"")
-          s"""$c $op "$esc""""
-        case ColCmp(c, op, LongLit(v)) => s"$c $op $v"
-        case ColCmp(c, op, VarRef(v))  => s"$c $op $v"
-        case ColCmp(c, op, ParamRef(nm)) => s"$c $op $$$nm"
-        case PropCmp(v, pr, op, StrLit(s)) =>
-          val esc = s.replace("\\", "\\\\").replace("\"", "\\\"")
-          s"""$v.$pr $op "$esc""""
-        case PropCmp(v, pr, op, LongLit(l)) => s"$v.$pr $op $l"
-        case PropCmp(v, pr, op, VarRef(r))  => s"$v.$pr $op $r"
-        case PropCmp(v, pr, op, ParamRef(nm)) => s"$v.$pr $op $$$nm"
-        case IsNullPred(ref, neg) =>
-          s"${exprText(ref)} IS ${if (neg) "NOT " else ""}NULL"
-        case InList(ref, vs, neg) =>
-          val lits = vs.map {
-            case StrLit(s) =>
-              "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-            case LongLit(v) => v.toString
-            case VarRef(v)  => v
-            case ParamRef(nm) => s"$$$nm" // not parser-reachable in a list
-          }.mkString(", ")
-          s"${if (neg) "NOT " else ""}${exprText(ref)} IN [$lits]"
-        case StrPred(l, o, r) => s"${exprText(l)} $o ${exprText(r)}"
-        case ExprCmp(l, o, r) => s"${exprText(l)} $o ${exprText(r)}"
-        case LabelPred(v, l, neg) => s"${if (neg) "NOT " else ""}$v:$l"
-        // combinators render fully parenthesized so the flattened-AND
-        // top level re-parses to the identical tree
-        case OrPred(l, r)  => s"(${pred(l)} OR ${pred(r)})"
-        case AndPred(l, r) => s"(${pred(l)} AND ${pred(r)})"
-        case NotPred(p0)   => s"NOT (${pred(p0)})"
-      }
+      def pred(p: Pred): String = predText(p)
       val sb = new StringBuilder
       def matchClause(us: Seq[Unwind], ps: Seq[MatchPath], prs: Seq[Pred]): Unit = {
         us.foreach { u =>
@@ -611,6 +644,28 @@ object Ast {
       s"MERGE (${node.varName}${node.label.fold("")(l => s":$l")}$anchor)" +
         sets("ON CREATE SET", onCreate) + sets("ON MATCH SET", onMatch) +
         sets("SET", set)
+    }
+  }
+
+  /** Restricted node deletion — the mutation companion of [[MergeQuery]]:
+    * {{{
+    *   MATCH (n:Label [{prop: lit}]) [WHERE pred (AND pred)*]
+    *     [DETACH] DELETE n
+    * }}}
+    * One single-node pattern; the WHERE takes the full predicate grammar
+    * (including EXISTS). `DETACH DELETE` also removes every incident
+    * relationship; plain `DELETE` fails (like Neo4j) when a matched node
+    * still has relationships. Lowers to anti-joins against the matched
+    * nodeId set and returns the post-delete [[graft.graph.PropertyGraph]]
+    * — snapshots stay immutable, persisting is the caller's store write. */
+  final case class DeleteQuery(node: NodePat, preds: Seq[Pred],
+                               detach: Boolean) {
+    def render: String = {
+      val where =
+        if (preds.isEmpty) ""
+        else " WHERE " + preds.map(predText).mkString(" AND ")
+      s"MATCH ${nodeText(node)}$where " +
+        s"${if (detach) "DETACH " else ""}DELETE ${node.varName}"
     }
   }
 

@@ -36,6 +36,16 @@ object Parser {
     q
   }
 
+  /** Parse the restricted deletion clause
+    * `MATCH (n:L [{prop: lit}]) [WHERE …] [DETACH] DELETE n`
+    * ([[Ast.DeleteQuery]]). */
+  def parseDelete(input: String): DeleteQuery = {
+    val p = new P(input)
+    val q = p.deleteQuery()
+    p.expectEnd()
+    q
+  }
+
   private final class P(in: String) {
     private var pos = 0
 
@@ -329,6 +339,25 @@ object Parser {
       MergeQuery(n, onCreate, onMatch, set)
     }
 
+    /** `MATCH (n:L [{prop: lit}]) [WHERE preds] [DETACH] DELETE n` — one
+      * single-node pattern; the WHERE takes the full predicate grammar
+      * (EXISTS included). */
+    def deleteQuery(): DeleteQuery = {
+      expect("MATCH")
+      val n = node()
+      ws()
+      if (pos < in.length && (in(pos) == '-' || in(pos) == '<' || in(pos) == ','))
+        fail("DELETE matches a single node pattern — constrain with WHERE " +
+          "(EXISTS patterns included) instead of extra hops")
+      val preds = predList()
+      val detach = opt("DETACH")
+      expect("DELETE")
+      val v = ident()
+      if (v != n.varName)
+        fail(s"DELETE must name the matched variable ${n.varName}")
+      DeleteQuery(n, preds, detach)
+    }
+
     private def setItems(mergeVar: String): Seq[SetItem] = {
       val items = Seq.newBuilder[SetItem]
       def one(): Unit = {
@@ -502,21 +531,37 @@ object Parser {
       } else None
       var prop: Option[String] = None
       var value: Option[AnchorValue] = None
+      val extras = Seq.newBuilder[(String, AnchorValue)]
+      def anchorValue(): AnchorValue = {
+        ws()
+        if (pos < in.length && (in(pos) == '"' || in(pos) == '\'')) StrLit(stringLit())
+        else if (pos < in.length && (in(pos).isDigit || in(pos) == '-')) LongLit(longLit())
+        else if (pos < in.length && in(pos) == '$') ParamRef(param())
+        else VarRef(ident())
+      }
       ws()
       if (pos < in.length && in(pos) == '{') {
         pos += 1
         prop = Some(ident())
         expect(":")
-        ws()
-        value = Some(
-          if (pos < in.length && (in(pos) == '"' || in(pos) == '\'')) StrLit(stringLit())
-          else if (pos < in.length && (in(pos).isDigit || in(pos) == '-')) LongLit(longLit())
-          else if (pos < in.length && in(pos) == '$') ParamRef(param())
-          else VarRef(ident()))
+        value = Some(anchorValue())
+        // multi-property map anchor: additional pairs are further
+        // equalities on the same frame (literals / $params only — the
+        // UNWIND-variable form stays single-pair)
+        while ({ ws(); pos < in.length && in(pos) == ',' }) {
+          pos += 1
+          val p2 = ident()
+          expect(":")
+          anchorValue() match {
+            case VarRef(_) => fail(
+              "only the first map-anchor pair may reference an UNWIND variable")
+            case v2 => extras += ((p2, v2))
+          }
+        }
         expect("}")
       }
       expect(")")
-      NodePat(v, label, prop, value)
+      NodePat(v, label, prop, value, extras.result())
     }
 
     private def rel(): RelPat = {
@@ -760,10 +805,15 @@ object Parser {
           if (pos < in.length && in(pos) == '[')
             InList(prop.map(PropRef(v, _)).getOrElse(ColRef(v)),
               litList(), negated = true)
-          else prop match {
-            case Some("nodeId") => NotIdIn(v, param())
-            case _ => fail("only nodeId membership may use a $parameter " +
-              "(literal lists work on any property: NOT x.p IN [..])")
+          else {
+            val pm = param()
+            prop match {
+              // nodeId keeps the historical AST node so each rendered
+              // text re-parses to exactly one tree
+              case Some("nodeId") => NotIdIn(v, pm)
+              case Some(p) => InParam(PropRef(v, p), pm, negated = true)
+              case None    => InParam(ColRef(v), pm, negated = true)
+            }
           }
         }
       } else if (peek("EXISTS")) {
@@ -792,11 +842,12 @@ object Parser {
         if (peek("IN")) {
           expect("IN")
           ws()
+          val ref = prop.map(PropRef(v1, _)).getOrElse(ColRef(v1))
+          if (pos < in.length && in(pos) == '$')
+            return InParam(ref, param(), negated = false)
           if (pos >= in.length || in(pos) != '[')
-            fail("IN requires a literal list [..] " +
-              "(parameter membership is NOT v.nodeId IN $param)")
-          return InList(prop.map(PropRef(v1, _)).getOrElse(ColRef(v1)),
-            litList(), negated = false)
+            fail("IN takes a literal list [..] or a $parameter")
+          return InList(ref, litList(), negated = false)
         }
         if (peek("IS")) {
           expect("IS")
@@ -1024,8 +1075,32 @@ object Parser {
       }
       else if (peekCall("min") || peekCall("max")) {
         val fn = if (opt("min")) "min" else { expect("max"); "max" }
-        expect("("); val v = ident(); expect("."); val p = ident(); expect(")")
-        MinMaxProp(fn, v, p)
+        expect("(")
+        // the bare `v.prop` form keeps the historical MinMaxProp node (and
+        // owns that rendered text); any other argument is the general
+        // expression aggregate through AggFn — min(c.bal / 100)
+        val saved = pos
+        val simple: Option[Expr] =
+          try {
+            val d = opt("DISTINCT")
+            val v = ident()
+            ws()
+            if (!d && pos + 1 < in.length && in(pos) == '.') {
+              pos += 1
+              val p = ident()
+              ws()
+              if (pos < in.length && in(pos) == ')') {
+                pos += 1
+                Some(MinMaxProp(fn, v, p))
+              } else { pos = saved; None }
+            } else { pos = saved; None }
+          } catch { case _: ParseError => pos = saved; None }
+        simple.getOrElse {
+          val d = opt("DISTINCT") // min/max over the distinct set ≡ plain
+          val a = expression()
+          expect(")")
+          AggFn(fn, a, d)
+        }
       }
       else if (peekCall("size")) {
         expect("size"); expect("(")

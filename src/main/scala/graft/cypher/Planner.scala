@@ -95,12 +95,51 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
         if (q.distinct) tuple.distinct() else tuple
       }
 
+    // unprojected `v.prop` ORDER BY keys sort on their hidden columns
+    // ([[hiddenOrderRefs]]), dropped after the trim
+    val hidden = hiddenOrderRefs(q).toMap
     val ordered =
       if (q.orderBy.isEmpty) projected
       else projected.orderBy(q.orderBy.map { case (ref, desc) =>
-        if (desc) col(ref).desc else col(ref).asc }: _*)
+        val c = col(hidden.getOrElse(ref, ref))
+        if (desc) c.desc else c.asc }: _*)
     val skipped = q.skip.fold(ordered)(ordered.offset)
-    q.limit.fold(skipped)(skipped.limit)
+    val trimmed = q.limit.fold(skipped)(skipped.limit)
+    if (hidden.isEmpty) trimmed else trimmed.drop(hidden.values.toSeq: _*)
+  }
+
+  /** Plan a [[DeleteQuery]]: the matched single-node frame (label +
+    * anchor + full WHERE, EXISTS included) reduces to its DISTINCT
+    * nodeId set; the post-delete graph is two LEFT ANTI joins — nodes by
+    * nodeId, and (DETACH only) rels by either endpoint. The matched set
+    * is usually tiny (anchored/filtered), so Catalyst broadcasts it and
+    * the 100 TB tables are each touched by one anti-join; plain DELETE
+    * validates Neo4j's no-dangling-relationships rule first (one
+    * semi-join probe — a deliberate driver boundary, mirroring the error
+    * Neo4j raises). Returns the post-delete [[PropertyGraph]]. */
+  def planDelete(dq: DeleteQuery): PropertyGraph = {
+    stageVars = Set(dq.node.varName)
+    stageRelVars = Set.empty
+    val matched = applyPreds(nodeFrame(Nil, dq.node), dq.preds)
+    val v = dq.node.varName
+    val ids = matched.select(col(s"$v.nodeId").as("nodeId")).distinct()
+    val newNodes = g.nodes.join(ids, Seq("nodeId"), "left_anti")
+    val newRels =
+      if (dq.detach)
+        g.rels
+          .join(ids.select(col("nodeId").as("src")), Seq("src"), "left_anti")
+          .join(ids.select(col("nodeId").as("dst")), Seq("dst"), "left_anti")
+      else {
+        val incident = g.rels
+          .join(ids.select(col("nodeId").as("src")), Seq("src"), "left_semi")
+          .unionByName(g.rels
+            .join(ids.select(col("nodeId").as("dst")), Seq("dst"), "left_semi"))
+        require(incident.isEmpty,
+          "cannot DELETE a node that still has relationships — use " +
+            "DETACH DELETE (Neo4j raises the same error)")
+        g.rels
+      }
+    graft.graph.PropertyGraph(newNodes, newRels)
   }
 
   /** One WITH-chained stage: plan its MATCH like a mini-query, attach the
@@ -711,7 +750,26 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       .drop(s"${name}_k")
   }
 
+  /** ORDER BY keys shaped `v.prop` that are NOT among the projected item
+    * names: legal Cypher (ordering by an unprojected property) on a
+    * non-aggregating, non-DISTINCT query — each gets a HIDDEN sort column
+    * that [[plan]] drops after the sort. Aggregating queries must order
+    * by outputs (grouping already consumed the rows), and DISTINCT's row
+    * identity would change under extra columns — both keep the previous
+    * behavior. The '.' is sanitized out of the hidden name (Spark parses
+    * dots as struct access). */
+  private def hiddenOrderRefs(q: CypherQuery): Seq[(String, String)] =
+    if (q.isAggregating || q.distinct) Nil
+    else q.orderBy.map(_._1)
+      .filter(r => r.contains('.') && !q.items.exists(_.name == r))
+      .distinct
+      .map(r => r -> s"__ord_${r.replace('.', '_')}")
+
   private def projectTuple(df: DataFrame, q: CypherQuery): DataFrame = {
+    val hidden = hiddenOrderRefs(q).map { case (r, name) =>
+      val Array(v, p) = r.split("\\.", 2)
+      propCol(v, p).as(name)
+    }
     val cols = q.items.zipWithIndex.map { case (i, idx) =>
       i.expr match {
         case CountDistinct(v)            => propCol(v, "nodeId").as(s"__agg$idx")
@@ -726,7 +784,7 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
         case e                           => exprCol(e, df.schema).as(i.name)
       }
     }
-    df.select(cols: _*)
+    df.select(cols ++ hidden: _*)
   }
 
   /** Enumerate the cartesian product of hop counts for every var-length
@@ -860,7 +918,23 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
         }
       case _ => labeled
     }
-    anchored.as(n.varName)
+    // multi-property map anchor: each extra pair is one more pushable
+    // equality on the same frame (still a tiny broadcastable anchor)
+    val fullyAnchored = n.extraAnchors.foldLeft(anchored) {
+      case (df, (p, StrLit(s)))  => df.where(col(p) === lit(s))
+      case (df, (p, LongLit(l))) => df.where(col(p) === lit(l))
+      case (df, (p, ParamRef(nm))) => params.get(nm) match {
+        case Some(s: String) => df.where(col(p) === lit(s))
+        case Some(x: Number) => df.where(col(p) === lit(x.longValue()))
+        case Some(other) => throw new IllegalArgumentException(
+          s"anchor parameter $$$nm must be a string or integer, got $other")
+        case None => throw new IllegalArgumentException(
+          s"missing parameter $$$nm")
+      }
+      case (_, (p, other)) => throw new IllegalArgumentException(
+        s"unsupported map-anchor value for $p: $other")
+    }
+    fullyAnchored.as(n.varName)
   }
 
   /** Resolve `v.field`: a variable bound by the CURRENT stage's MATCH
@@ -941,6 +1015,41 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
           s"unsupported IN-list value $other")
       }
       if (neg) !c.isin(lits: _*) else c.isin(lits: _*)
+    case InParam(ref, pm, neg) =>
+      val c = ref match {
+        case PropRef(v, p) => propCol(v, p)
+        case ColRef(n)     => col(n)
+        case other => throw new IllegalArgumentException(
+          s"IN applies to properties and projected columns, not $other")
+      }
+      val raw = params.getOrElse(pm, throw new IllegalArgumentException(
+        s"missing parameter $$$pm"))
+      val vals: Seq[Any] = raw match {
+        case s: Seq[_] if s.forall(_.isInstanceOf[String]) => s
+        case s: Seq[_] if s.forall(_.isInstanceOf[Number]) =>
+          s.map(_.asInstanceOf[Number].longValue())
+        case other => throw new IllegalArgumentException(
+          s"parameter $$$pm must be a list of strings or of integers, " +
+            s"got $other")
+      }
+      // typed membership, like InList — Cypher comparison has no
+      // implicit casts; numeric widening is exact and allowed
+      val refType: Option[org.apache.spark.sql.types.DataType] = ref match {
+        case PropRef(v, p) => varSchema(v).fields.find(_.name == p).map(_.dataType)
+        case ColRef(n)     => schema.fields.find(_.name == n).map(_.dataType)
+        case _             => None
+      }
+      val isStringList = vals.headOption.exists(_.isInstanceOf[String])
+      refType.foreach { dt =>
+        val ok =
+          if (vals.isEmpty) true
+          else if (isStringList) dt == org.apache.spark.sql.types.StringType
+          else dt.isInstanceOf[org.apache.spark.sql.types.NumericType]
+        require(ok, s"parameter $$$pm holds " +
+          s"${if (isStringList) "strings" else "integers"} and cannot test " +
+          s"a ${dt.simpleString} reference — Cypher comparison is typed")
+      }
+      if (neg) !c.isin(vals: _*) else c.isin(vals: _*)
     case StrPred(l, op, r) =>
       val lc = exprCol(l, schema); val rc = exprCol(r, schema)
       op match {
@@ -1242,6 +1351,10 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     // count(v.prop)); the DISTINCT form counts the distinct value set
     case AggFn("count", _, false) => count(col(src))
     case AggFn("count", _, true)  => count_distinct(col(src))
+    // min/max over a general expression argument (the v.prop form stays
+    // MinMaxProp); DISTINCT is accepted and identical by extremum algebra
+    case AggFn("min", _, _) => min(col(src))
+    case AggFn("max", _, _) => max(col(src))
     case AggFn("sum", _, false) => sum(col(src)) // null-skipping, like Neo4j
     case AggFn("avg", _, false) => avg(col(src))
     case AggFn("sum", _, true) => sum_distinct(col(src))
@@ -1286,8 +1399,32 @@ object Planner {
     val isMerge = t.regionMatches(true, 0, "MERGE", 0, 5) &&
       (t.length == 5 || !t(5).isLetterOrDigit)
     if (isMerge) runMerge(g, Parser.parseMerge(cypher))
-    else planUnion(g, Parser.parseUnion(cypher), params)
+    else try planUnion(g, Parser.parseUnion(cypher), params)
+    catch {
+      case e: Parser.ParseError =>
+        // a MATCH … [DETACH] DELETE form has no RETURN, so the normal
+        // parse fails — retry as a deletion; anything else rethrows the
+        // ORIGINAL error (the deletion grammar is far narrower)
+        val dq =
+          try Some(Parser.parseDelete(cypher))
+          catch { case _: Parser.ParseError => None }
+        dq match {
+          case Some(d) => runDelete(g, d, params).nodes
+          case None    => throw e
+        }
+    }
   }
+
+  /** Parse + plan a `MATCH … [DETACH] DELETE n` clause, returning the
+    * post-delete graph (both tables). [[run]] on the same text returns
+    * just the post-delete NODES table (one hashable frame). */
+  def runDelete(g: PropertyGraph, cypher: String,
+                params: Map[String, Any] = Map.empty): PropertyGraph =
+    runDelete(g, Parser.parseDelete(cypher), params)
+
+  def runDelete(g: PropertyGraph, dq: DeleteQuery,
+                params: Map[String, Any]): PropertyGraph =
+    new Planner(g, params).planDelete(dq)
 
   /** Lower a [[MergeQuery]] onto the lakehouse merge: the one-row
     * changelog is either the matched node with its ON MATCH SET + SET

@@ -34,7 +34,15 @@ object CypherProps extends Properties("cypher") {
   private def node(v: String): Gen[NodePat] = for {
     l <- label
     (p, av) <- anchorVal
-  } yield NodePat(v, l, p, av)
+    // multi-property map anchors (extras only exist under a primary pair)
+    extras <- if (p.isEmpty) Gen.const(Seq.empty[(String, AnchorValue)])
+              else Gen.frequency(
+                (3, Gen.const(Seq.empty[(String, AnchorValue)])),
+                (1, Gen.oneOf(
+                  anchorStr.map(s => Seq("abstract" -> (StrLit(s): AnchorValue))),
+                  Gen.choose(0L, 99L).map(x => Seq("nodeId" -> (LongLit(x): AnchorValue))),
+                  ident.map(nm => Seq("name" -> (ParamRef(nm): AnchorValue))))))
+  } yield NodePat(v, l, p, av, extras)
 
   private val relTypes: Gen[Seq[String]] = Gen.oneOf(
     Nil, Seq("WRITES"), Seq("CITES"), Seq("WRITES", "CITES"),
@@ -208,6 +216,8 @@ object CypherProps extends Properties("cypher") {
       PropCmp("x1", "nodeId", ">=", LongLit(5L)),
       PropCmp("x1", "name", "=", ParamRef("who")),
       ColCmp("x1", ">=", ParamRef("minId")),
+      InParam(PropRef("x1", "name"), "names", negated = false),
+      InParam(ColRef("x1"), "ids", negated = true),
       IsNullPred(PropRef("x1", "name"), negated = true),
       InList(PropRef("x1", "name"), Seq(StrLit("a\"b"), StrLit("c")),
         negated = false),

@@ -662,12 +662,15 @@ class CypherSpec extends SparkSpec {
         |RETURN p.name AS name ORDER BY name""".stripMargin)
       .collect().map(_.getString(0)).toSeq
     assert(mixed === Seq("P-beta", "P-gamma"))
-    // round-trip, and the $param form still demands nodeId
+    // round-trip; the $param form now parses on ANY property (round 13 —
+    // InParam; nodeId keeps the historical NotIdIn node)
     val q = Parser.parse(
       """MATCH (p:Paper) WHERE p.name IN ["a\"b", "c"] AND NOT p.nodeId IN [1, -2] RETURN p.name AS n""")
     assert(Parser.parse(q.render) === q)
-    intercept[Parser.ParseError](Parser.parse(
-      "MATCH (p:Paper) WHERE NOT p.name IN $names RETURN p.name AS n"))
+    assert(Parser.parse(
+      "MATCH (p:Paper) WHERE NOT p.name IN $names RETURN p.name AS n")
+      .preds.head ===
+      Ast.InParam(Ast.PropRef("p", "name"), "names", negated = true))
     // mixed-type lists would hit Spark's string coercion, not Cypher's
     // typed comparison — grammar-level rejection
     val mixErr = intercept[Parser.ParseError](Parser.parse(
@@ -1522,6 +1525,46 @@ class CypherSpec extends SparkSpec {
       """MERGE (n:Author {nodeId: 7}) SET n.missing = "x""""))
   }
 
+  test("DETACH DELETE removes the node and every incident relationship") {
+    val pg = Planner.runDelete(g,
+      """MATCH (a:Author {name: "Alice"}) DETACH DELETE a""")
+    assert(pg.nodes.count() === MicroGraph.nodeRows.length - 1L)
+    assert(pg.nodes.where("nodeId = 10").isEmpty)
+    // e1, e4, e5, e12 all touch Alice — 13 rels drop to 9
+    assert(pg.rels.count() === MicroGraph.relRows.length - 4L)
+    assert(pg.rels.where("src = 10 OR dst = 10").isEmpty)
+    // WHERE takes the full grammar — EXISTS included
+    val viaExists = Planner.runDelete(g,
+      """MATCH (p:Paper)
+        |WHERE EXISTS { (p)-[c:CITES]-(q:Paper) }
+        |DETACH DELETE p""".stripMargin)
+    // P-alpha and P-gamma go (citation edges); P-beta survives
+    assert(viaExists.nodes.where("label = 'Paper'").collect()
+      .map(_.getAs[String]("name")).toSeq === Seq("P-beta"))
+    // plain DELETE refuses a node that still has relationships …
+    val err = intercept[IllegalArgumentException](Planner.runDelete(g,
+      """MATCH (a:Author {name: "Alice"}) DELETE a"""))
+    assert(err.getMessage.contains("DETACH DELETE"))
+    // … but deletes an isolated node (the Café pair has no edges)
+    val iso = Planner.runDelete(g,
+      """MATCH (x:Entity {nodeId: 40}) DELETE x""")
+    assert(iso.nodes.count() === MicroGraph.nodeRows.length - 1L)
+    assert(iso.rels.count() === MicroGraph.relRows.length.toLong)
+    // Planner.run on the same text returns the post-delete NODES table
+    assert(Planner.run(g,
+      """MATCH (a:Author {name: "Alice"}) DETACH DELETE a""").count() ===
+      MicroGraph.nodeRows.length - 1L)
+    // render ∘ parseDelete = id
+    val dq = Parser.parseDelete(
+      """MATCH (s:Author) WHERE s.nodeId >= 11 AND EXISTS { (s)-[w:WRITES]-(p:Paper) } DETACH DELETE s""")
+    assert(Parser.parseDelete(dq.render) === dq)
+    // grammar: single-node pattern only, DELETE names the matched var
+    intercept[Parser.ParseError](Parser.parseDelete(
+      "MATCH (a:Author)-[w:WRITES]-(p) DETACH DELETE p"))
+    intercept[Parser.ParseError](Parser.parseDelete(
+      "MATCH (a:Author) DETACH DELETE b"))
+  }
+
   test("nodes(p)/relationships(p): traversal-ordered path projections") {
     // fixed 1-hop: every typed walk out of Alice
     val rows = Planner.run(g,
@@ -1661,6 +1704,88 @@ class CypherSpec extends SparkSpec {
       """MATCH (a:Author) WHERE a.nodeId >= $minId RETURN a.name AS n""")
     assert(qw.preds.head === Ast.PropCmp("a", "nodeId", ">=", Ast.ParamRef("minId")))
     assert(Parser.parse(qw.render) === qw)
+  }
+
+  test("ORDER BY an unprojected property; min/max over expressions") {
+    // hidden sort column: order by the author's id without returning it
+    val byId = Planner.run(g,
+      """MATCH (a:Author)-[w:WRITES]-(p:Paper)
+        |RETURN p.name AS pname ORDER BY a.nodeId DESC, pname LIMIT 2""".stripMargin)
+    assert(byId.columns.toSeq === Seq("pname")) // the hidden column dropped
+    assert(byId.collect().map(_.getString(0)).toSeq ===
+      Seq("P-gamma", "P-alpha"))
+    // general expression arguments to min/max (the v.prop form keeps its
+    // historical AST node and render)
+    val mm = Planner.run(g,
+      """MATCH (a:Author)
+        |RETURN min(a.nodeId * 2) AS mn, max(a.nodeId % 4) AS mx,
+        |       min(a.name) AS first""".stripMargin)
+      .collect().head
+    assert((mm.getLong(0), mm.getLong(1), mm.getString(2)) ===
+      ((20L, 3L, "Alice")))
+    val q = Parser.parse(
+      "MATCH (a:Author) RETURN min(a.nodeId * 2) AS mn, max(a.name) AS mx")
+    assert(q.items.head.expr ===
+      Ast.AggFn("min", Ast.BinOp("*", Ast.PropRef("a", "nodeId"), Ast.LongLitE(2L))))
+    assert(q.items(1).expr === Ast.MinMaxProp("max", "a", "name"))
+    assert(Parser.parse(q.render) === q)
+  }
+
+  test("IN $param membership works on any property (not just nodeId)") {
+    val in = Planner.run(g,
+      """MATCH (a:Author) WHERE a.name IN $names
+        |RETURN a.name AS name ORDER BY name""".stripMargin,
+      Map("names" -> Seq("Alice", "Carol", "Nobody")))
+      .collect().map(_.getString(0)).toSeq
+    assert(in === Seq("Alice", "Carol"))
+    val notIn = Planner.run(g,
+      """MATCH (a:Author) WHERE NOT a.name IN $names
+        |RETURN a.name AS name""".stripMargin,
+      Map("names" -> Seq("Alice", "Carol")))
+      .collect().map(_.getString(0)).toSeq
+    assert(notIn === Seq("Bob"))
+    // typed membership: an integer-list parameter cannot test a string
+    val typeErr = intercept[IllegalArgumentException](Planner.run(g,
+      """MATCH (a:Author) WHERE a.name IN $ids RETURN a.name AS name""",
+      Map("ids" -> Seq(1L, 2L))).collect())
+    assert(typeErr.getMessage.contains("typed"))
+    // round-trips: the general form re-parses as InParam; the historical
+    // `NOT v.nodeId IN $param` spelling keeps its own AST node
+    val q = Parser.parse(
+      """MATCH (a:Author) WHERE a.name IN $names AND NOT a.nodeId IN $found RETURN a.name AS name""")
+    assert(q.preds === Seq(
+      Ast.InParam(Ast.PropRef("a", "name"), "names", negated = false),
+      Ast.NotIdIn("a", "found")))
+    assert(Parser.parse(q.render) === q)
+  }
+
+  test("multi-property map anchors: every pair is one more equality") {
+    val hit = Planner.run(g,
+      """MATCH (p:Paper {name: "P-alpha", abstract: "about dbs"})
+        |RETURN p.nodeId AS id""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    assert(hit === Seq(20L))
+    // a mismatching second pair empties the anchor
+    assert(Planner.run(g,
+      """MATCH (p:Paper {name: "P-alpha", abstract: "graphs"})
+        |RETURN p.nodeId AS id""".stripMargin).isEmpty)
+    // parameters are legal in any pair
+    val byParam = Planner.run(g,
+      """MATCH (p:Paper {name: $nm, nodeId: $id}) RETURN p.nodeId AS id""",
+      Map("nm" -> "P-gamma", "id" -> 22L))
+      .collect().map(_.getLong(0)).toSeq
+    assert(byParam === Seq(22L))
+    // round-trip keeps all pairs in order
+    val q = Parser.parse(
+      """MATCH (p:Paper {name: "x", nodeId: 5, abstract: $a}) RETURN p.name AS n""")
+    val n0 = q.paths.head.nodes.head
+    assert(n0.anchorProp === Some("name") &&
+      n0.extraAnchors === Seq(("nodeId", Ast.LongLit(5L)),
+        ("abstract", Ast.ParamRef("a"))))
+    assert(Parser.parse(q.render) === q)
+    // only the FIRST pair may reference an UNWIND variable
+    intercept[Parser.ParseError](Parser.parse(
+      """UNWIND $xs AS u MATCH (p:Paper {name: "x", nodeId: u}) RETURN p.name AS n"""))
   }
 
   test("relationship variable reuse is rejected at plan entry (r12 ADVICE)") {
