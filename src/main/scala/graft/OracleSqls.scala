@@ -654,6 +654,58 @@ object OracleSqls {
         |GROUP BY 1
         |ORDER BY nation""".stripMargin),
 
+    // list expressions over the sorted collected list: DuckDB indexes
+    // 1-based where Cypher is 0-based (ns[1] ↔ ns[2]); Cypher's [1..3)
+    // half-open slice is DuckDB's [2:3] inclusive slice
+    "cy_list_ops" -> withGraph(
+      """SELECT region, ns[1] AS first_n, ns[len(ns)] AS last_n,
+        |  CAST(len(ns) AS BIGINT) AS n_cnt, ns[2] AS second_n,
+        |  array_to_string(ns[2:3], '|') AS mid, list_reverse(ns)[1] AS rev0
+        |FROM (
+        |  SELECT r.name AS region, list_sort(list(DISTINCT n.name)) AS ns
+        |  FROM nodes r
+        |  JOIN bidir e ON r.nodeId = e.a AND e.relType = 'IN_REGION'
+        |  JOIN nodes n ON e.b = n.nodeId AND n.label = 'Nation'
+        |  WHERE r.label = 'Region'
+        |  GROUP BY 1)
+        |ORDER BY region""".stripMargin),
+
+    // reduce folds and comprehensions replayed as DuckDB list lambdas;
+    // the string fold over a non-empty sorted list is a join with a
+    // leading separator
+    "cy_reduce_comp" -> withGraph(
+      """SELECT region,
+        |  '|' || array_to_string(ns, '|') AS joined,
+        |  CAST(list_sum(list_transform(ns, x -> length(x))) AS BIGINT)
+        |    AS total_len,
+        |  array_to_string(list_transform(
+        |    list_filter(ns, x -> ends_with(x, '1')), x -> lower(x)), '|')
+        |    AS picked
+        |FROM (
+        |  SELECT r.name AS region, list_sort(list(DISTINCT n.name)) AS ns
+        |  FROM nodes r
+        |  JOIN bidir e ON r.nodeId = e.a AND e.relType = 'IN_REGION'
+        |  JOIN nodes n ON e.b = n.nodeId AND n.label = 'Nation'
+        |  WHERE r.label = 'Region'
+        |  GROUP BY 1)
+        |ORDER BY region""".stripMargin),
+
+    // UNWIND range(…) anchors like an id IN-list; split/left/right and
+    // the StrCond CASE replay directly
+    "cy_range_split" -> withGraph(
+      """SELECT n.name AS nation, string_split(n.name, '_')[2] AS tag,
+        |  left(n.name, 6) AS pre, right(n.name, 1) AS suf,
+        |  CASE WHEN ends_with(n.name, '_1') THEN 'one'
+        |       ELSE 'other' END AS cls,
+        |  CAST(count(c.nodeId) AS BIGINT) AS n_cust
+        |FROM nodes n
+        |JOIN bidir e ON n.nodeId = e.a AND e.relType = 'FROM_NATION'
+        |JOIN nodes c ON e.b = c.nodeId AND c.label = 'Customer'
+        |WHERE n.label = 'Nation'
+        |  AND n.nodeId BETWEEN 2000000000 AND 2000000004
+        |GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY nation""".stripMargin),
+
     // consecutive MATCH sharing `c`: one equi-join on the customer id
     "cy_multi_match" -> withGraph(
       """SELECT n.name AS nation, CAST(count(o.nodeId) AS BIGINT) AS n_orders

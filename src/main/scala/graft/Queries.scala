@@ -1228,6 +1228,52 @@ object Queries {
         |RETURN n.name AS nation, count(c) AS n_cust
         |ORDER BY nation""".stripMargin)
 
+  /** List expressions over a collected alias: head / last / size /
+    * 0-based index / slice / reverse — Cypher's list-value surface,
+    * all lowered to codegen'd array built-ins (`get`/`slice`/`reverse`),
+    * never a UDF. `collect(DISTINCT …)` canonicalizes to a sorted list on
+    * both engines, so every positional access is deterministic. */
+  def cyListOps(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """MATCH (r:Region)-[e:IN_REGION]-(n:Nation)
+        |WITH r.name AS region, collect(DISTINCT n.name) AS ns
+        |RETURN region, head(ns) AS first_n, last(ns) AS last_n,
+        |       size(ns) AS n_cnt, ns[1] AS second_n,
+        |       ns[1..3] AS mid, reverse(ns)[0] AS rev0
+        |ORDER BY region""".stripMargin)
+      .select(col("region"), col("first_n"), col("last_n"), col("n_cnt"),
+        col("second_n"), array_join(col("mid"), "|").as("mid"), col("rev0"))
+
+  /** `reduce` fold and general list comprehensions (filter + transform)
+    * over a collected alias — Spark's `aggregate`/`filter`/`transform`
+    * higher-order functions, whole-stage-codegen'd, with lambda variables
+    * shadowing outer columns only inside the body. */
+  def cyReduceComp(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """MATCH (r:Region)-[e:IN_REGION]-(n:Nation)
+        |WITH r.name AS region, collect(DISTINCT n.name) AS ns
+        |RETURN region,
+        |       reduce(acc = "", x IN ns | acc + "|" + x) AS joined,
+        |       reduce(acc = 0, x IN ns | acc + size(x)) AS total_len,
+        |       [x IN ns WHERE x ENDS WITH "1" | toLower(x)] AS picked
+        |ORDER BY region""".stripMargin)
+      .select(col("region"), col("joined"), col("total_len"),
+        array_join(col("picked"), "|").as("picked"))
+
+  /** `UNWIND range(…)` (parse-time literal expansion → the same broadcast
+    * isin anchor as the param form) + split / left / right scalars and a
+    * string-predicate CASE branch (StrCond). */
+  def cyRangeSplit(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """UNWIND range(2000000000, 2000000004) AS nid
+        |MATCH (n:Nation {nodeId: nid})-[e:FROM_NATION]-(c:Customer)
+        |RETURN n.name AS nation, split(n.name, "_")[1] AS tag,
+        |       left(n.name, 6) AS pre, right(n.name, 1) AS suf,
+        |       CASE WHEN n.name ENDS WITH "_1" THEN "one"
+        |            ELSE "other" END AS cls,
+        |       count(c) AS n_cust
+        |ORDER BY nation""".stripMargin)
+
   /** Numeric-statistics aggregates through the dialect: interpolated
     * percentileCont (Spark `percentile` ≡ DuckDB quantile_cont — exact
     * double arithmetic, compared unrounded), SQL-standard percentileDisc
@@ -3226,6 +3272,9 @@ object Queries {
     "cy_multi_anchor" -> (cyMultiAnchor _),
     "cy_order_prop" -> (cyOrderProp _),
     "cy_minmax_expr" -> (cyMinmaxExpr _),
+    "cy_list_ops" -> (cyListOps _),
+    "cy_reduce_comp" -> (cyReduceComp _),
+    "cy_range_split" -> (cyRangeSplit _),
     "skew_salted_agg" -> (skewSaltedAgg _),
     "join_salted" -> (joinSalted _),
     "join_asof_exec" -> (joinAsofExec _),

@@ -17,7 +17,8 @@ package graft.cypher
   *                WITH [DISTINCT] withItem (',' withItem)*
   *                [ORDER BY ref [ASC|DESC]] [SKIP n] [LIMIT n]
   *                [WHERE pred (AND pred)*]
-  *   unwind    := UNWIND ($param | '[' lit (',' lit)* ']') AS var
+  *   unwind    := UNWIND ($param | '[' lit (',' lit)* ']'
+  *                        | range(int, int [, int])) AS var   -- range expands at parse
   *   path      := [pathVar '='] node (rel node)*   -- name scopes nodes()/relationships()
   *   node      := '(' var [':' Label] [ '{' (name|nodeId) ':' (literal | var | $param) '}' ] ')'
   *   rel       := relBody '-' | relBody '->' | '<' relBody '-'
@@ -59,8 +60,18 @@ package graft.cypher
   *              | vector.similarity.cosine(var '.' prop, $param)
   *              | length(pathVar)                -- shortestPath hop count
   *              | nodes(pathVar) | relationships(pathVar)  -- path projection
+  *              | '[' expr (',' expr)* ']'       -- list literal
+  *              | atom '[' int ']'               -- 0-based index (neg from end)
+  *              | atom '[' [int] '..' [int] ']'  -- half-open slice, clamping
+  *              | (head | last | tail | reverse)(expr)
+  *              | range(int, int [, int]) | split(expr, strLit)
+  *              | (left | right)(expr, expr) | (ltrim | rtrim)(expr)
+  *              | toBoolean(expr)
+  *              | reduce(acc '=' expr ',' var IN expr '|' expr)  -- list fold
+  *              | '[' var IN expr [WHERE cond] ['|' expr] ']'    -- comprehension
   *   degPat    := '(' var ')' rel-without-var '(' [':' Label] ')'  -- 1 hop
-  *   cond      := expr (cmpop expr | IS [NOT] NULL)
+  *   cond      := expr (cmpop expr | IS [NOT] NULL
+  *                      | (CONTAINS | STARTS WITH | ENDS WITH | '=~') expr)
   * }}}
   *
   * Aggregates may not nest inside arithmetic (aggregate at a WITH barrier
@@ -314,11 +325,43 @@ object Ast {
     * (no ELSE → null, like Cypher). */
   final case class CaseExpr(branches: Seq[(Cond, Expr)],
                             default: Option[Expr]) extends Expr
+  /** `[e1, e2, …]` — a list VALUE in expression position (homogeneous;
+    * the element type is the first item's static type). Distinct from the
+    * predicate-side `IN [..]` literal list, which stays [[InList]]. */
+  final case class ListLit(items: Seq[Expr]) extends Expr
+  /** `xs[i]` — Cypher 0-based element access; a negative literal indexes
+    * from the end (`xs[-1]` = last). Out of range → null (Neo4j). The
+    * index is an integer LITERAL (like `substring`'s bounds — keeps the
+    * cross-engine index arithmetic static). */
+  final case class ListIndex(list: Expr, idx: Long) extends Expr
+  /** `xs[a..b]` — Cypher slice: from `a` (inclusive, 0-based, default 0)
+    * to `b` (exclusive, default size); negative literals count from the
+    * end; out-of-range bounds clamp (Neo4j). Bounds are integer literals. */
+  final case class ListSlice(list: Expr, from: Option[Long],
+                             to: Option[Long]) extends Expr
+  /** `reduce(acc = init, x IN xs | body)` — Cypher's list fold, lowered to
+    * Spark's codegen'd `aggregate` higher-order function. `body` may
+    * reference `acc` and `x` (lambda-bound, shadowing outer columns). */
+  final case class ReduceExpr(accName: String, init: Expr, varName: String,
+                              list: Expr, body: Expr) extends Expr
+  /** `[x IN xs WHERE cond | proj]` — general list comprehension (either
+    * part may be absent, not both): WHERE filters elements, `| proj` maps
+    * them. Lowered to Spark's `filter`/`transform` higher-order functions
+    * — stays inside whole-stage codegen, never a UDF. The A2 aggregate
+    * comprehension `size([t IN collect(DISTINCT v) …])` keeps its
+    * dedicated [[CountDistinctInParam]] node (aggregates cannot appear
+    * inside expressions). */
+  final case class ListComp(varName: String, list: Expr, cond: Option[Cond],
+                            proj: Option[Expr]) extends Expr
 
-  /** Boolean condition inside CASE WHEN. */
+  /** Boolean condition inside CASE WHEN and list-comprehension WHERE. */
   sealed trait Cond
   final case class CmpCond(l: Expr, op: String, r: Expr) extends Cond
   final case class NullCond(e: Expr, negated: Boolean) extends Cond
+  /** CONTAINS / STARTS WITH / ENDS WITH / `=~` in condition position —
+    * the [[StrPred]] operators available inside CASE WHEN and
+    * `[x IN xs WHERE …]`. */
+  final case class StrCond(l: Expr, op: String, r: Expr) extends Cond
 
   final case class RetItem(expr: Expr, alias: Option[String]) {
     /** Output column name: explicit alias, else Cypher's expression text. */
@@ -379,11 +422,29 @@ object Ast {
         val s = s"${exprText(l, p, rightChild = false)} $op " +
           exprText(r, p, rightChild = true)
         if (p < parentPrec || (p == parentPrec && rightChild)) s"($s)" else s
+      case ListLit(items) =>
+        items.map(exprText(_)).mkString("[", ", ", "]")
+      case ListIndex(l, i)      => s"${postfixBase(l)}[$i]"
+      case ListSlice(l, fr, to) =>
+        s"${postfixBase(l)}[${fr.fold("")(_.toString)}..${to.fold("")(_.toString)}]"
+      case ReduceExpr(acc, init, v, l, body) =>
+        s"reduce($acc = ${exprText(init)}, $v IN ${exprText(l)} | ${exprText(body)})"
+      case ListComp(v, l, c, pj) =>
+        s"[$v IN ${exprText(l)}" + c.fold("")(cc => s" WHERE ${condText(cc)}") +
+          pj.fold("")(p => s" | ${exprText(p)}") + "]"
     }
+
+  /** Postfix `[…]` binds to an ATOM on the parse side, so a non-atomic
+    * base (arithmetic) re-renders parenthesized. */
+  private def postfixBase(e: Expr): String = e match {
+    case _: BinOp => s"(${exprText(e)})"
+    case _        => exprText(e)
+  }
 
   def condText(c: Cond): String = c match {
     case CmpCond(l, op, r) => s"${exprText(l)} $op ${exprText(r)}"
     case NullCond(e, neg)  => s"${exprText(e)} IS ${if (neg) "NOT " else ""}NULL"
+    case StrCond(l, op, r) => s"${exprText(l)} $op ${exprText(r)}"
   }
 
   // ---- shared canonical-text renderers (CypherQuery / DeleteQuery) ----

@@ -164,6 +164,22 @@ object Parser {
               // self-contained literal form: UNWIND [lit, …] AS x
               val ls = litList(); expect("AS"); val v = ident()
               unwinds += Unwind("", v, Some(ls))
+            } else if (peekCall("range")) {
+              // UNWIND range(lo, hi[, step]) AS i — expanded to the
+              // literal form at parse time (bounded, driver-side)
+              expect("range"); expect("(")
+              val lo = longLit(); expect(",")
+              val hi = longLit()
+              ws()
+              val step = if (pos < in.length && in(pos) == ',') { pos += 1; longLit() }
+                         else 1L
+              expect(")")
+              if (step <= 0) fail("range step must be a positive integer")
+              if (hi >= lo && (hi - lo) / step + 1 > 100000)
+                fail("UNWIND range too large (over 100000 elements)")
+              expect("AS"); val v = ident()
+              unwinds += Unwind("", v,
+                Some((lo to hi by step).map(LongLit(_))))
             } else {
               val p = param(); expect("AS"); val v = ident()
               unwinds += Unwind(p, v)
@@ -929,6 +945,14 @@ object Parser {
       if (peek("IS")) {
         expect("IS"); val neg = opt("NOT"); expect("NULL")
         NullCond(l, neg)
+      } else if (peek("CONTAINS")) {
+        expect("CONTAINS"); StrCond(l, "CONTAINS", expression())
+      } else if (peek("STARTS")) {
+        expect("STARTS"); expect("WITH"); StrCond(l, "STARTS WITH", expression())
+      } else if (peek("ENDS")) {
+        expect("ENDS"); expect("WITH"); StrCond(l, "ENDS WITH", expression())
+      } else if (pos + 1 < in.length && in(pos) == '=' && in(pos + 1) == '~') {
+        pos += 2; StrCond(l, "=~", expression())
       } else {
         val op =
           if (pos + 1 < in.length && in(pos) == '<' && in(pos + 1) == '>') { pos += 2; "<>" }
@@ -942,7 +966,74 @@ object Parser {
       }
     }
 
+    /** An atom plus any postfix `[i]` / `[a..b]` list accesses (Cypher's
+      * 0-based index / slice; bounds are integer literals). */
     private def atomExpr(): Expr = {
+      var e = atomBase()
+      var go = true
+      while (go) {
+        ws()
+        if (pos < in.length && in(pos) == '[') {
+          pos += 1
+          ws()
+          val from: Option[Long] =
+            if (pos + 1 < in.length && in(pos) == '.' && in(pos + 1) == '.') None
+            else Some(longLit())
+          ws()
+          if (pos + 1 < in.length && in(pos) == '.' && in(pos + 1) == '.') {
+            pos += 2; ws()
+            val to = if (pos < in.length && in(pos) == ']') None
+                     else Some(longLit())
+            expect("]")
+            e = ListSlice(e, from, to)
+          } else {
+            expect("]")
+            e = ListIndex(e, from.getOrElse(fail("expected list index")))
+          }
+        } else go = false
+      }
+      e
+    }
+
+    /** `[' — list literal or general comprehension (the A2 aggregate
+      * comprehension stays `size(…)`'s special case). Distinguished by a
+      * non-committing `ident IN` lookahead. */
+    private def bracketExpr(): Expr = {
+      pos += 1 // '['
+      val isComp = {
+        val p0 = pos
+        val r = try { ident(); peek("IN") } catch { case _: ParseError => false }
+        pos = p0
+        r
+      }
+      if (isComp) {
+        val v = ident(); expect("IN")
+        val l = expression()
+        ws()
+        val c = if (opt("WHERE")) Some(cond()) else None
+        ws()
+        val pj = if (pos < in.length && in(pos) == '|') { pos += 1; Some(expression()) }
+                 else None
+        if (c.isEmpty && pj.isEmpty)
+          fail("list comprehension needs a WHERE filter and/or '| projection'")
+        expect("]")
+        ListComp(v, l, c, pj)
+      } else {
+        ws()
+        if (pos < in.length && in(pos) == ']') { pos += 1; ListLit(Nil) }
+        else {
+          val items = Seq.newBuilder[Expr]
+          items += expression()
+          while ({ ws(); pos < in.length && in(pos) == ',' }) {
+            pos += 1; items += expression()
+          }
+          expect("]")
+          ListLit(items.result())
+        }
+      }
+    }
+
+    private def atomBase(): Expr = {
       ws()
       if (pos < in.length && in(pos) == '(') {
         pos += 1
@@ -950,6 +1041,7 @@ object Parser {
         expect(")")
         e
       }
+      else if (pos < in.length && in(pos) == '[') bracketExpr()
       else if (pos < in.length && (in(pos).isDigit || in(pos) == '-')) LongLitE(longLit())
       else if (pos < in.length && (in(pos) == '"' || in(pos) == '\'')) StrLitE(stringLit())
       else if (peek("CASE")) {
@@ -1027,6 +1119,55 @@ object Parser {
         val f = expression(); expect(",")
         val r = expression(); expect(")")
         ScalarFn("replace", Seq(a, f, r))
+      }
+      else if (peekCall("head") || peekCall("last") || peekCall("tail") ||
+               peekCall("reverse") || peekCall("ltrim") || peekCall("rtrim") ||
+               peekCall("toBoolean")) {
+        val fn = if (opt("head")) "head"
+                 else if (opt("last")) "last"
+                 else if (opt("tail")) "tail"
+                 else if (opt("reverse")) "reverse"
+                 else if (opt("ltrim")) "ltrim"
+                 else if (opt("rtrim")) "rtrim"
+                 else { expect("toBoolean"); "toBoolean" }
+        expect("("); val a = expression(); expect(")")
+        ScalarFn(fn, Seq(a))
+      }
+      else if (peekCall("split") || peekCall("left") || peekCall("right")) {
+        val fn = if (opt("split")) "split"
+                 else if (opt("left")) "left"
+                 else { expect("right"); "right" }
+        expect("("); val a = expression(); expect(",")
+        val b = expression(); expect(")")
+        ScalarFn(fn, Seq(a, b))
+      }
+      else if (peekCall("range")) {
+        // range(lo, hi[, step]) — Neo4j's INCLUSIVE integer range (both
+        // ends; positive literal step). In expression position it lowers
+        // to Spark's `sequence`; `UNWIND range(…)` expands at parse time.
+        expect("range"); expect("(")
+        val lo = longLit(); expect(",")
+        val hi = longLit()
+        ws()
+        val step = if (pos < in.length && in(pos) == ',') { pos += 1; longLit() }
+                   else 1L
+        expect(")")
+        if (step <= 0) fail("range step must be a positive integer")
+        ScalarFn("range", Seq(LongLitE(lo), LongLitE(hi), LongLitE(step)))
+      }
+      else if (peekCall("reduce")) {
+        // reduce(acc = init, x IN xs | body) — Cypher's list fold
+        expect("reduce"); expect("(")
+        val acc = ident(); expect("=")
+        val init = expression(); expect(",")
+        val v = ident(); expect("IN")
+        val l = expression(); ws()
+        if (pos >= in.length || in(pos) != '|') fail("expected '|' in reduce")
+        pos += 1
+        val body = expression()
+        expect(")")
+        if (v == acc) fail("reduce accumulator and element must differ")
+        ReduceExpr(acc, init, v, l, body)
       }
       else if (peekCall("labels")) { expect("labels"); expect("("); val v = ident(); expect(")"); LabelsOf(v) }
       else if (peekCall("type")) { expect("type"); expect("("); val v = ident(); expect(")"); TypeOf(v) }
@@ -1107,14 +1248,25 @@ object Parser {
         ws()
         if (pos < in.length && in(pos) == '[') {
           // size([t IN collect(DISTINCT tgt) WHERE t.nodeId IN $ids | t])
-          expect("[")
-          val t = ident(); expect("IN"); expect("collect"); expect("(")
-          expect("DISTINCT"); val v = ident(); expect(")")
-          expect("WHERE"); val t2 = ident(); expect("."); expect("nodeId")
-          expect("IN"); val p = param()
-          expect("|"); val t3 = ident(); expect("]"); expect(")")
-          if (t != t2 || t != t3) fail("comprehension variable mismatch")
-          CountDistinctInParam(v, p)
+          // — the reference's A2 aggregate comprehension, tried first; a
+          // failed probe backtracks to the GENERAL list expression
+          // (comprehension over a collected alias, or a literal list)
+          val saved = pos
+          val a2: Option[Expr] =
+            try {
+              expect("[")
+              val t = ident(); expect("IN"); expect("collect"); expect("(")
+              expect("DISTINCT"); val v = ident(); expect(")")
+              expect("WHERE"); val t2 = ident(); expect("."); expect("nodeId")
+              expect("IN"); val p = param()
+              expect("|"); val t3 = ident(); expect("]"); expect(")")
+              if (t != t2 || t != t3) fail("comprehension variable mismatch")
+              Some(CountDistinctInParam(v, p))
+            } catch { case _: ParseError => pos = saved; None }
+          a2.getOrElse {
+            val a = expression(); expect(")")
+            ScalarFn("size", Seq(a))
+          }
         } else if (pos < in.length && in(pos) == '(') {
           // size((n)-[:T]-()) — the degree sugar's legacy spelling; a
           // failed pattern probe backtracks to a parenthesized expression
@@ -1169,11 +1321,19 @@ object Parser {
         case AggFn(_, a, _)  => below(a)
         case PercentileFn(_, a, _) => below(a)
         case ScalarFn(_, args)  => args.exists(below)
+        case ListLit(items)     => items.exists(below)
+        case ListIndex(l, _)    => below(l)
+        case ListSlice(l, _, _) => below(l)
+        case ReduceExpr(_, init, _, l, body) =>
+          below(init) || below(l) || below(body)
+        case ListComp(_, l, c, pj) =>
+          below(l) || c.exists(condHasAgg) || pj.exists(below)
         case _               => false
       }
       def condHasAgg(c: Cond): Boolean = c match {
         case CmpCond(l, _, r) => below(l) || below(r)
         case NullCond(x, _)   => below(x)
+        case StrCond(l, _, r) => below(l) || below(r)
       }
       nested(e)
     }

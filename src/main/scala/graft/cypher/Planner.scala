@@ -55,6 +55,30 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
   // node variables and rel frame aliases ([[joinPaths]] records them)
   private var pathNodeVars: Map[String, Seq[String]] = Map.empty
   private var pathRelAliases: Map[String, Seq[String]] = Map.empty
+  // lambda-bound variables of the higher-order expression currently being
+  // lowered (reduce / list comprehension): name → column and static type.
+  // A lambda name shadows any outer column for the body's duration only.
+  private var lambdaCols: Map[String, Column] = Map.empty
+  private var lambdaTypes: Map[String, Option[org.apache.spark.sql.types.DataType]] =
+    Map.empty
+
+  private def withLambda[T](
+      bindings: Seq[(String, Column, Option[org.apache.spark.sql.types.DataType])])
+      (f: => T): T = {
+    val savedC = lambdaCols; val savedT = lambdaTypes
+    lambdaCols ++= bindings.map(b => b._1 -> b._2)
+    lambdaTypes ++= bindings.map(b => b._1 -> b._3)
+    try f finally { lambdaCols = savedC; lambdaTypes = savedT }
+  }
+
+  /** Static element type of a list-valued expression, if resolvable. */
+  private def elemType(e: Expr,
+      schema: org.apache.spark.sql.types.StructType)
+      : Option[org.apache.spark.sql.types.DataType] =
+    staticType(e, schema) match {
+      case Some(org.apache.spark.sql.types.ArrayType(et, _)) => Some(et)
+      case _ => None
+    }
 
   def plan(q: CypherQuery): DataFrame = {
     require(q.paths.nonEmpty || q.prefixes.nonEmpty || q.shortest.nonEmpty,
@@ -683,12 +707,20 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     case ScalarFn(_, args)     => args.flatMap(walkExpr)
     case AggFn(_, a, _)        => walkExpr(a)
     case PercentileFn(_, a, _) => walkExpr(a)
+    case ListLit(items)        => items.flatMap(walkExpr)
+    case ListIndex(l, _)       => walkExpr(l)
+    case ListSlice(l, _, _)    => walkExpr(l)
+    case ReduceExpr(_, init, _, l, body) =>
+      walkExpr(init) ++ walkExpr(l) ++ walkExpr(body)
+    case ListComp(_, l, c, pj) =>
+      walkExpr(l) ++ c.toSeq.flatMap(walkCond) ++ pj.toSeq.flatMap(walkExpr)
     case _                     => Nil
   })
 
   private def walkCond(c: Cond): Seq[Expr] = c match {
     case CmpCond(l, _, r) => walkExpr(l) ++ walkExpr(r)
     case NullCond(x, _)   => walkExpr(x)
+    case StrCond(l, _, r) => walkExpr(l) ++ walkExpr(r)
   }
 
   /** Scalar expressions inside a predicate tree. Does NOT descend into
@@ -1051,17 +1083,7 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       }
       if (neg) !c.isin(vals: _*) else c.isin(vals: _*)
     case StrPred(l, op, r) =>
-      val lc = exprCol(l, schema); val rc = exprCol(r, schema)
-      op match {
-        case "CONTAINS"    => lc.contains(rc)
-        case "STARTS WITH" => lc.startsWith(rc)
-        case "ENDS WITH"   => lc.endsWith(rc)
-        // Neo4j =~ anchors the WHOLE string; Spark rlike finds anywhere —
-        // wrap in ^(?:…)$ (idempotent when the pattern already anchors)
-        case "=~" =>
-          regexp_like(lc, concat(lit("^(?:"), rc, lit(")$")))
-        case o => throw new IllegalArgumentException(s"unknown string op $o")
-      }
+      strPredCol(exprCol(l, schema), op, exprCol(r, schema))
     case LabelPred(v, label, neg) =>
       // one pushable equality on the node frame's label column;
       // `_Entity_` matches every node (stark_neo4j_loading.py:35)
@@ -1141,11 +1163,33 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       schema: org.apache.spark.sql.types.StructType)
       : Option[org.apache.spark.sql.types.DataType] = e match {
     case PropRef(v, p) => varSchema(v).fields.find(_.name == p).map(_.dataType)
+    case ColRef(n) if lambdaTypes.contains(n) => lambdaTypes(n)
     case ColRef(n)     => schema.fields.find(_.name == n).map(_.dataType)
     case StrLitE(_)    => Some(org.apache.spark.sql.types.StringType)
     case LongLitE(_)   => Some(org.apache.spark.sql.types.LongType)
     case ScalarFn("size" | "sign" | "toInteger", _) =>
       Some(org.apache.spark.sql.types.LongType)
+    case ScalarFn("head" | "last", args) => elemType(args.head, schema)
+    case ScalarFn("tail", args)          => staticType(args.head, schema)
+    case ScalarFn("reverse", args)       => staticType(args.head, schema)
+    case ScalarFn("range", _) => Some(org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType))
+    case ScalarFn("split", _) => Some(org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType))
+    case ScalarFn("toBoolean", _) => Some(org.apache.spark.sql.types.BooleanType)
+    case ListLit(items) => Some(org.apache.spark.sql.types.ArrayType(
+      items.headOption.flatMap(staticType(_, schema))
+        .getOrElse(org.apache.spark.sql.types.NullType)))
+    case ListIndex(l, _)    => elemType(l, schema)
+    case ListSlice(l, _, _) => staticType(l, schema)
+    case ReduceExpr(_, init, _, _, _) => staticType(init, schema)
+    case ListComp(v, l, _, pj) => pj match {
+      case None => staticType(l, schema)
+      case Some(p) =>
+        val et = elemType(l, schema)
+        withLambda(Seq((v, lit(0), et)))(staticType(p, schema))
+          .map(org.apache.spark.sql.types.ArrayType(_))
+    }
     case _: DegreeOf | _: PathLength =>
       Some(org.apache.spark.sql.types.LongType)
     case _: PathNodes => Some(org.apache.spark.sql.types.ArrayType(
@@ -1180,8 +1224,18 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     case LongLitE(_)   => true
     case PropRef(v, p) =>
       varSchema(v).fields.find(_.name == p).exists(f => isIntegralType(f.dataType))
+    case ColRef(n) if lambdaTypes.contains(n) =>
+      lambdaTypes(n).exists(isIntegralType)
     case ColRef(n)     =>
       schema.fields.find(_.name == n).exists(f => isIntegralType(f.dataType))
+    case ListIndex(l, _) => elemType(l, schema).exists(isIntegralType)
+    case ScalarFn("head" | "last", args) =>
+      elemType(args.head, schema).exists(isIntegralType)
+    case ReduceExpr(acc, init, v, l, body) =>
+      isIntegralExpr(init, schema) &&
+        withLambda(Seq(
+          (acc, lit(0), staticType(init, schema)),
+          (v, lit(0), elemType(l, schema))))(isIntegralExpr(body, schema))
     case ScalarFn("size" | "sign" | "toInteger", _) => true // Cypher integers
     case _: DegreeOf | _: PathLength => true // counts are Cypher integers
     case ScalarFn("abs", args) => isIntegralExpr(args.head, schema)
@@ -1193,10 +1247,26 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     case _ => false
   }
 
+  /** The string-operator family shared by [[StrPred]] (predicate
+    * position) and [[StrCond]] (CASE WHEN / comprehension WHERE). */
+  private def strPredCol(lc: Column, op: String, rc: Column): Column =
+    op match {
+      case "CONTAINS"    => lc.contains(rc)
+      case "STARTS WITH" => lc.startsWith(rc)
+      case "ENDS WITH"   => lc.endsWith(rc)
+      // Neo4j =~ anchors the WHOLE string; Spark rlike finds anywhere —
+      // wrap in ^(?:…)$ (idempotent when the pattern already anchors)
+      case "=~" =>
+        regexp_like(lc, concat(lit("^(?:"), rc, lit(")$")))
+      case o => throw new IllegalArgumentException(s"unknown string op $o")
+    }
+
   private def condCol(c: Cond,
       schema: org.apache.spark.sql.types.StructType): Column = c match {
     case NullCond(e, neg) =>
       if (neg) exprCol(e, schema).isNotNull else exprCol(e, schema).isNull
+    case StrCond(l, op, r) =>
+      strPredCol(exprCol(l, schema), op, exprCol(r, schema))
     case CmpCond(l, op, r) =>
       val lc = exprCol(l, schema); val rc = exprCol(r, schema)
       op match {
@@ -1213,6 +1283,7 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
   private def exprCol(e: Expr,
       schema: org.apache.spark.sql.types.StructType): Column = e match {
     case PropRef(v, p)  => propCol(v, p)
+    case ColRef(n) if lambdaCols.contains(n) => lambdaCols(n)
     case ColRef(n) =>
       if (carriedScalars.contains(n)) col(n)
       else throw new IllegalArgumentException(
@@ -1297,8 +1368,65 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
             case Some(l) => a.head.substr(lit((start + 1).toInt), lit(l.toInt))
             case None    => a.head.substr(lit((start + 1).toInt), length(a.head))
           }
+        case "head"    => get(a.head, lit(0)) // 0-based, null out of range
+        case "last"    => get(a.head, size(a.head) - lit(1))
+        case "tail"    =>
+          slice(a.head, lit(2), greatest(size(a.head) - lit(1), lit(0)))
+        case "reverse" => reverse(a.head) // string or list, like Neo4j
+        case "ltrim"   => ltrim(a.head)
+        case "rtrim"   => rtrim(a.head)
+        case "toBoolean" => a.head.cast("boolean")
+        case "left"  => left(a.head, a(1).cast("int"))
+        case "right" => right(a.head, a(1).cast("int"))
+        case "split" => args(1) match {
+          // Neo4j's split delimiter is a LITERAL string, Spark's a regex —
+          // quote it so ".", "|" etc. split verbatim
+          case StrLitE(d) =>
+            split(a.head, java.util.regex.Pattern.quote(d))
+          case other => throw new IllegalArgumentException(
+            s"split delimiter must be a string literal, not $other")
+        }
+        // range bounds are literals (parser-enforced); sequence is
+        // inclusive of both ends exactly like Neo4j's range
+        case "range" => sequence(a(0).cast("long"), a(1).cast("long"),
+          a(2).cast("long"))
         case o => throw new IllegalArgumentException(s"unknown string function $o")
       }
+    case ListLit(items) =>
+      if (items.isEmpty) array()
+      else array(items.map(exprCol(_, schema)): _*)
+    case ListIndex(l, i) =>
+      // `get` is 0-based and null-safe out of range (never an ANSI error);
+      // a negative index counts from the end, like Neo4j
+      val arr = exprCol(l, schema)
+      if (i >= 0) get(arr, lit(i.toInt))
+      else get(arr, size(arr) + lit(i.toInt))
+    case ListSlice(l, from, to) =>
+      // Cypher slice: [from, to) 0-based, negatives from the end,
+      // out-of-range bounds clamp — lowered to one codegen'd `slice`
+      val arr = exprCol(l, schema)
+      val n = size(arr)
+      def bound(v: Long): Column =
+        if (v >= 0) least(lit(v.toInt), n)
+        else greatest(n + lit(v.toInt), lit(0))
+      val lo = from.fold(lit(0))(bound)
+      val hi = to.fold(n)(bound)
+      slice(arr, lo + lit(1), greatest(hi - lo, lit(0)))
+    case ReduceExpr(acc, init, v, l, body) =>
+      val arr = exprCol(l, schema)
+      val et = elemType(l, schema)
+      val initT = staticType(init, schema)
+      aggregate(arr, exprCol(init, schema), (a, x) =>
+        withLambda(Seq((acc, a, initT), (v, x, et)))(exprCol(body, schema)))
+    case ListComp(v, l, c, pj) =>
+      // filter/transform higher-order functions — whole-stage codegen,
+      // no UDF, element type carried for the body's static typing
+      val arr = exprCol(l, schema)
+      val et = elemType(l, schema)
+      val filtered = c.fold(arr)(cc =>
+        filter(arr, x => withLambda(Seq((v, x, et)))(condCol(cc, schema))))
+      pj.fold(filtered)(p =>
+        transform(filtered, x => withLambda(Seq((v, x, et)))(exprCol(p, schema))))
     case CoalesceE(args) => coalesce(args.map(exprCol(_, schema)): _*)
     case CaseExpr(branches, default) =>
       val chain = branches.tail.foldLeft(

@@ -1805,4 +1805,136 @@ class CypherSpec extends SparkSpec {
       """MATCH (a:Author)-[r1]-(p:Paper), (p)-[r2:HAS_TOPIC]-(f)
         |RETURN count(*) AS n""".stripMargin).collect().head.getLong(0) > 0)
   }
+
+  test("list functions over a collected alias: head/last/tail/size/" +
+    "index/slice/reverse") {
+    // Alice writes P-alpha and P-beta; collect(DISTINCT) canonicalizes
+    // to the sorted list ["P-alpha", "P-beta"]
+    val row = Planner.run(g,
+      """MATCH (a:Author {name: "Alice"})-[w:WRITES]-(p:Paper)
+        |WITH a.name AS author, collect(DISTINCT p.name) AS ps
+        |RETURN author, head(ps) AS h, last(ps) AS l, tail(ps) AS t,
+        |       size(ps) AS n, ps[0] AS i0, ps[-1] AS iNeg, ps[1..] AS sl,
+        |       ps[0..99] AS clamped, reverse(ps) AS rev, ps[5] AS oob"""
+        .stripMargin).collect().head
+    assert(row.getString(1) === "P-alpha")        // head
+    assert(row.getString(2) === "P-beta")         // last
+    assert(row.getSeq[String](3) === Seq("P-beta")) // tail
+    assert(row.getLong(4) === 2L)                 // size
+    assert(row.getString(5) === "P-alpha")        // [0]
+    assert(row.getString(6) === "P-beta")         // [-1]
+    assert(row.getSeq[String](7) === Seq("P-beta"))  // [1..]
+    assert(row.getSeq[String](8) === Seq("P-alpha", "P-beta")) // clamp
+    assert(row.getSeq[String](9) === Seq("P-beta", "P-alpha")) // reverse
+    assert(row.isNullAt(10))                      // out of range → null
+  }
+
+  test("list literal, negative slice, and empty-list edge cases") {
+    val row = Planner.run(g,
+      """MATCH (a:Author {name: "Carol"})
+        |RETURN ["x", a.name, "z"] AS l3, [1, 2, 3][-2..] AS tail2,
+        |       CASE WHEN head([]) IS NULL THEN 1 ELSE 0 END AS emptyHead,
+        |       size([]) AS emptySize""".stripMargin).collect().head
+    assert(row.getSeq[String](0) === Seq("x", "Carol", "z"))
+    assert(row.getSeq[Long](1) === Seq(2L, 3L))
+    assert(row.getLong(2) === 1L)
+    assert(row.getLong(3) === 0L)
+  }
+
+  test("reduce fold and general list comprehensions (WHERE / | / both)") {
+    val row = Planner.run(g,
+      """MATCH (a:Author {name: "Alice"})-[w:WRITES]-(p:Paper)
+        |WITH collect(DISTINCT p.name) AS ps
+        |RETURN reduce(acc = "", x IN ps | acc + "|" + x) AS joined,
+        |       reduce(acc = 0, x IN ps | acc + size(x)) AS totalLen,
+        |       [x IN ps WHERE x ENDS WITH "beta"] AS onlyBeta,
+        |       [x IN ps | toUpper(x)] AS upped,
+        |       [x IN ps WHERE x CONTAINS "alpha" | size(x)] AS lens"""
+        .stripMargin).collect().head
+    assert(row.getString(0) === "|P-alpha|P-beta")
+    assert(row.getLong(1) === 13L) // 7 + 6
+    assert(row.getSeq[String](2) === Seq("P-beta"))
+    assert(row.getSeq[String](3) === Seq("P-ALPHA", "P-BETA"))
+    assert(row.getSeq[Long](4) === Seq(7L))
+  }
+
+  test("lambda variables shadow outer columns and unbind after the body") {
+    // `x` is ALSO a carried scalar; inside the comprehension it must be
+    // the lambda element, outside it stays the carried column
+    val row = Planner.run(g,
+      """MATCH (a:Author {name: "Alice"})-[w:WRITES]-(p:Paper)
+        |WITH a.name AS x, collect(DISTINCT p.name) AS ps
+        |RETURN x, [x IN ps | x] AS elems""".stripMargin).collect().head
+    assert(row.getString(0) === "Alice")
+    assert(row.getSeq[String](1) === Seq("P-alpha", "P-beta"))
+  }
+
+  test("range / split / left / right / ltrim / rtrim / toBoolean scalars") {
+    val row = Planner.run(g,
+      """MATCH (a:Author {name: "Bob"})
+        |RETURN range(1, 7, 2) AS r, split("a|b|c", "|") AS parts,
+        |       left(a.name, 2) AS l2, right(a.name, 2) AS r2,
+        |       ltrim("  x ") AS lt, rtrim(" x  ") AS rt,
+        |       toBoolean("true") AS tb, reverse("abc") AS rs"""
+        .stripMargin).collect().head
+    assert(row.getSeq[Long](0) === Seq(1L, 3L, 5L, 7L))
+    assert(row.getSeq[String](1) === Seq("a", "b", "c"))
+    assert(row.getString(2) === "Bo" && row.getString(3) === "ob")
+    assert(row.getString(4) === "x " && row.getString(5) === " x")
+    assert(row.getBoolean(6) === true)
+    assert(row.getString(7) === "cba")
+  }
+
+  test("UNWIND range(…) expands to the literal anchor form") {
+    val rows = Planner.run(g,
+      """UNWIND range(10, 12) AS nid
+        |MATCH (a:Author {nodeId: nid})
+        |RETURN a.name AS name ORDER BY name""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(rows === Seq("Alice", "Bob", "Carol"))
+    intercept[Parser.ParseError](
+      Parser.parse("UNWIND range(1, 200000) AS i MATCH (a) RETURN a.name"))
+    intercept[Parser.ParseError](
+      Parser.parse("UNWIND range(1, 5, 0) AS i MATCH (a) RETURN a.name"))
+  }
+
+  test("integer-division typing flows through list folds and indexing") {
+    // reduce over longs stays integral → Cypher integer division
+    val row = Planner.run(g,
+      """MATCH (a:Author {name: "Alice"})-[w:WRITES]-(p:Paper)
+        |WITH collect(DISTINCT p.nodeId) AS ids
+        |RETURN reduce(acc = 0, x IN ids | acc + x) / 2 AS halfSum,
+        |       ids[0] / 2 AS halfFirst""".stripMargin).collect().head
+    assert(row.getLong(0) === 20L) // (20 + 21) / 2 = 20 truncated
+    assert(row.getLong(1) === 10L)
+  }
+
+  test("string conditions inside CASE WHEN (StrCond)") {
+    val rows = Planner.run(g,
+      """MATCH (p:Paper)
+        |RETURN p.name AS name,
+        |       CASE WHEN p.name ENDS WITH "beta" THEN "B"
+        |            WHEN p.name CONTAINS "alpha" THEN "A"
+        |            ELSE "other" END AS tag
+        |ORDER BY name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows === Seq(("P-alpha", "A"), ("P-beta", "B"), ("P-gamma", "other")))
+  }
+
+  test("list expressions render∘parse is the identity") {
+    val texts = Seq(
+      """MATCH (a:Author)-[w:WRITES]-(p:Paper) WITH a.name AS x, collect(DISTINCT p.name) AS ps RETURN x, head(ps) AS h, ps[0] AS i0, ps[1..3] AS sl, ps[..2] AS pre, reduce(acc = 0, y IN ps | acc + size(y)) AS n, [y IN ps WHERE y CONTAINS "a" | toUpper(y)] AS c""",
+      """MATCH (a:Author) RETURN [1, 2, 3][-1] AS l, ["x", a.name] AS m, range(1, 9, 2) AS r, split("a|b", "|") AS s""")
+    for (t <- texts) {
+      val q = Parser.parse(t)
+      assert(Parser.parse(q.render) === q, s"render∘parse drifted for: $t")
+    }
+  }
+
+  test("aggregates stay rejected inside list expressions") {
+    intercept[Parser.ParseError](Parser.parse(
+      "MATCH (a:Author)-[w:WRITES]-(p:Paper) RETURN [count(p), 1] AS bad"))
+    intercept[Parser.ParseError](Parser.parse(
+      "MATCH (a:Author)-[w:WRITES]-(p:Paper) RETURN reduce(acc = 0, x IN collect(p.nodeId) | acc + x) AS bad"))
+  }
 }
