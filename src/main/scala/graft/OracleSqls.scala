@@ -858,6 +858,33 @@ object OracleSqls {
         |SELECT CAST(3999999999 AS BIGINT), 'Customer', 'Customer#new'"""
         .stripMargin),
 
+    // bulk SET replayed as a CASE over the matched slice
+    "cy_set_update" -> withFinGraph(
+      """SELECT nodeId, label, name,
+        |  CASE WHEN label = 'Customer' AND acctbal < 0 THEN abs(acctbal)
+        |       ELSE acctbal END AS acctbal
+        |FROM fnodes""".stripMargin),
+
+    // REMOVE nulls the property; the census counts non-null balances
+    "cy_remove_prop" -> withFinGraph(
+      """SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(CASE WHEN label = 'Customer' AND acctbal >= 900000
+        |                  THEN NULL ELSE acctbal END) AS BIGINT) AS n_bal
+        |FROM fnodes
+        |GROUP BY 1""".stripMargin),
+
+    // CREATE appends two literal region rows
+    "cy_create_nodes" -> withGraph(
+      """SELECT nodeId, label, name FROM nodes WHERE label = 'Region'
+        |UNION ALL SELECT CAST(1000000099 AS BIGINT), 'Region', 'ATLANTIS'
+        |UNION ALL SELECT CAST(1000000098 AS BIGINT), 'Region', 'LEMURIA'"""
+        .stripMargin),
+
+    // MERGE twice + CREATE once = exactly two LOCATED_IN edges
+    "cy_rel_merge" -> withGraph(
+      """SELECT relType, CAST(count(*) AS BIGINT) AS n FROM rels GROUP BY 1
+        |UNION ALL SELECT 'LOCATED_IN', CAST(2 AS BIGINT)""".stripMargin),
+
     // nodes(p)/relationships(p) over *1..2 from ASIA: 1-hop walks plus
     // trail-filtered 2-hop walks, lists flattened to the shared string
     // surface

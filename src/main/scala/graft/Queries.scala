@@ -1441,6 +1441,53 @@ object Queries {
         pg.rels.groupBy(col("relType").as("kind")).agg(count(lit(1)).as("n")))
   }
 
+  /** Standalone bulk `SET` with an expression value (round 13): every
+    * negative-balance customer flips to its absolute value — ONE
+    * lakehouse merge keyed on (label, nodeId), the changelog being just
+    * the matched slice. The oracle replays the update as a CASE. */
+  def cySetUpdate(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.runMutation(finGraph(spark, dir),
+      """MATCH (c:Customer) WHERE c.acctbal < 0
+        |SET c.acctbal = abs(c.acctbal)""".stripMargin).nodes
+      .select(col("nodeId"), col("label"), col("name"), col("acctbal"))
+
+  /** Standalone `REMOVE` (round 13): nulls the property under the
+    * union-of-keys schema — exactly how an absent property is stored.
+    * Output is the per-label (rows, non-null balances) census. */
+  def cyRemoveProp(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.runMutation(finGraph(spark, dir),
+      """MATCH (c:Customer) WHERE c.acctbal >= 900000 REMOVE c.acctbal""")
+      .nodes.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), count(col("acctbal")).as("n_bal"))
+
+  /** Restricted `CREATE` nodes (round 13): appends under the S2
+    * unique-key constraint (an existing (label, nodeId) key FAILS — the
+    * loader's constraint semantics, stark_neo4j_loading.py:15-18). */
+  def cyCreateNodes(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """CREATE (n:Region {nodeId: 1000000099, name: "ATLANTIS"}),
+        |       (m:Region {nodeId: 1000000098, name: "LEMURIA"})"""
+        .stripMargin)
+      .where(col("label") === "Region")
+      .select(col("nodeId"), col("label"), col("name"))
+
+  /** Relationship MERGE / CREATE (round 13): the loader's idempotent
+    * edge upsert (stark_neo4j_loading.py:43-61) — the same MERGE run
+    * twice inserts once (one anti-join against the existing edges of
+    * that type), then a directed CREATE appends unconditionally. */
+  def cyRelMerge(spark: SparkSession, dir: String): DataFrame = {
+    val g0 = graph(spark, dir)
+    val m =
+      """MATCH (n:Nation {name: "NATION_1"}), (r:Region {name: "ASIA"})
+        |MERGE (n)-[:LOCATED_IN]->(r)""".stripMargin
+    val g1 = graft.cypher.Planner.runMutation(g0, m)
+    val g2 = graft.cypher.Planner.runMutation(g1, m) // idempotent replay
+    val g3 = graft.cypher.Planner.runMutation(g2,
+      """MATCH (n:Nation {name: "NATION_2"}), (r:Region {name: "ASIA"})
+        |CREATE (n)-[:LOCATED_IN]->(r)""".stripMargin)
+    g3.rels.groupBy(col("relType")).agg(count(lit(1)).as("n"))
+  }
+
   /** Named-path projections `nodes(p)` / `relationships(p)` (VERDICT r12
     * #3): the provenance shape of retrieval/retriever.py:80-86 — every
     * 1..2-hop walk out of ASIA with its traversal-ordered nodeId list
@@ -3275,6 +3322,10 @@ object Queries {
     "cy_list_ops" -> (cyListOps _),
     "cy_reduce_comp" -> (cyReduceComp _),
     "cy_range_split" -> (cyRangeSplit _),
+    "cy_set_update" -> (cySetUpdate _),
+    "cy_remove_prop" -> (cyRemoveProp _),
+    "cy_create_nodes" -> (cyCreateNodes _),
+    "cy_rel_merge" -> (cyRelMerge _),
     "skew_salted_agg" -> (skewSaltedAgg _),
     "join_salted" -> (joinSalted _),
     "join_asof_exec" -> (joinAsofExec _),

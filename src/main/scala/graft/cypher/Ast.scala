@@ -730,6 +730,84 @@ object Ast {
     }
   }
 
+  /** One `n.prop = expr` assignment of a standalone SET clause — unlike
+    * [[MergeQuery]]'s pre-bound literal [[SetItem]]s, the value is a full
+    * scalar expression over the matched node's OWN properties
+    * (`SET n.cnt = n.cnt + 1`). */
+  final case class UpdateSet(varName: String, prop: String, value: Expr)
+
+  /** Restricted bulk property update — the standalone mutation companion
+    * of [[MergeQuery]]:
+    * {{{
+    *   MATCH (n:Label [{anchors}]) [WHERE pred (AND pred)*]
+    *     SET n.p = expr [, n.q = expr]*
+    *   MATCH (n:Label [{anchors}]) [WHERE …] REMOVE n.p [, n.q]*
+    * }}}
+    * Applies to EVERY matched node (where MERGE touches one key) and
+    * returns the post-update nodes table. REMOVE nulls the property —
+    * the union-of-keys schema keeps the column, exactly how an absent
+    * property is represented. Identity columns (nodeId / label / labels)
+    * are not assignable. */
+  final case class UpdateQuery(node: NodePat, preds: Seq[Pred],
+                               sets: Seq[UpdateSet],
+                               removes: Seq[(String, String)]) {
+    def render: String = {
+      val where =
+        if (preds.isEmpty) ""
+        else " WHERE " + preds.map(predText).mkString(" AND ")
+      val tail =
+        if (sets.nonEmpty)
+          " SET " + sets.map(s =>
+            s"${s.varName}.${s.prop} = ${exprText(s.value)}").mkString(", ")
+        else
+          " REMOVE " + removes.map { case (v, p) => s"$v.$p" }.mkString(", ")
+      s"MATCH ${nodeText(node)}$where$tail"
+    }
+  }
+
+  /** Restricted node creation `CREATE (n:L {nodeId: <int>[, p: lit]*})
+    * [, (m:L2 {…})]*`. This engine enforces the S2 unique-key constraint,
+    * so creating an existing (label, nodeId) FAILS — the behavior of
+    * Neo4j WITH the uniqueness constraint the loader declares
+    * (stark_neo4j_loading.py:15-18), not of bare Neo4j (which would
+    * create an indistinguishable duplicate). Returns the post-create
+    * nodes table. */
+  final case class CreateNodesQuery(pats: Seq[NodePat]) {
+    def render: String = "CREATE " + pats.map(nodeText).mkString(", ")
+  }
+
+  /** Restricted relationship mutation between two matched anchors:
+    * {{{
+    *   MATCH (a:…), (b:…) [WHERE …] CREATE (a)-[:T]->(b)
+    *   MATCH (a:…), (b:…) [WHERE …] MERGE (a)-[:T]-(b)
+    * }}}
+    * One edge pattern over the two bound variables. CREATE appends one
+    * relationship PER MATCHED PAIR (parallel edges allowed, like Neo4j)
+    * and requires a direction (Neo4j rejects undirected CREATE). MERGE
+    * is the loader's idempotent edge upsert
+    * (stark_neo4j_loading.py:43-61): only pairs with no existing edge of
+    * that type are inserted — the undirected form treats either stored
+    * orientation as existing and creates a→b when neither is. `dir` is
+    * 1 for `->`, -1 for `<-`, 0 undirected. Returns the post-mutation
+    * relationships table. */
+  final case class RelMutationQuery(a: NodePat, b: NodePat, preds: Seq[Pred],
+                                    relType: String, dir: Int,
+                                    merge: Boolean) {
+    def render: String = {
+      val where =
+        if (preds.isEmpty) ""
+        else " WHERE " + preds.map(predText).mkString(" AND ")
+      val arrow = dir match {
+        case 1  => s"-[:$relType]->"
+        case -1 => s"<-[:$relType]-"
+        case _  => s"-[:$relType]-"
+      }
+      s"MATCH ${nodeText(a)}, ${nodeText(b)}$where " +
+        s"${if (merge) "MERGE" else "CREATE"} " +
+        s"(${a.varName})$arrow(${b.varName})"
+    }
+  }
+
   /** `q1 UNION [ALL] q2 [UNION [ALL] q3 …]` — Cypher's set union of full
     * queries. Every part must RETURN the same column names in the same
     * order (checked at plan time, like Neo4j); `UNION` dedups rows ACROSS

@@ -46,6 +46,26 @@ object Parser {
     q
   }
 
+  /** Parse the restricted node-creation clause
+    * `CREATE (n:L {nodeId: <int>[, p: lit]*}) [, …]`
+    * ([[Ast.CreateNodesQuery]]). */
+  def parseCreateNodes(input: String): CreateNodesQuery = {
+    val p = new P(input)
+    val q = p.createNodesQuery()
+    p.expectEnd()
+    q
+  }
+
+  /** Parse the MATCH-prefixed mutation clauses: standalone
+    * `SET` / `REMOVE` ([[Ast.UpdateQuery]], Left) or relationship
+    * `CREATE` / `MERGE` ([[Ast.RelMutationQuery]], Right). */
+  def parseMutation(input: String): Either[UpdateQuery, RelMutationQuery] = {
+    val p = new P(input)
+    val q = p.mutationQuery()
+    p.expectEnd()
+    q
+  }
+
   private final class P(in: String) {
     private var pos = 0
 
@@ -372,6 +392,110 @@ object Parser {
       if (v != n.varName)
         fail(s"DELETE must name the matched variable ${n.varName}")
       DeleteQuery(n, preds, detach)
+    }
+
+    /** `CREATE (n:L {nodeId: <int>[, p: lit]*}) [, (m:L2 {…})]*` — node
+      * creation; every pattern needs a label and a literal nodeId key,
+      * and all map values must be literals (pre-bound, like the loader's
+      * per-row parameters). */
+    def createNodesQuery(): CreateNodesQuery = {
+      expect("CREATE")
+      val pats = Seq.newBuilder[NodePat]
+      def one(): Unit = {
+        val n = node()
+        if (n.label.isEmpty)
+          fail("CREATE requires a label: CREATE (n:Label {nodeId: …})")
+        val pairs = (n.anchorProp, n.anchorValue) match {
+          case (Some(p), Some(v)) => (p, v) +: n.extraAnchors
+          case _ => fail("CREATE requires a property map with the nodeId key")
+        }
+        if (!pairs.exists { case (p, v) =>
+              p == "nodeId" && v.isInstanceOf[LongLit] })
+          fail("CREATE requires a literal nodeId key (the S2 unique key)")
+        pairs.foreach {
+          case (_, StrLit(_)) | (_, LongLit(_)) => ()
+          case (p, other) => fail(s"CREATE property $p must be a literal, got $other")
+        }
+        pats += n
+      }
+      one()
+      while ({ ws(); pos < in.length && in(pos) == ',' }) { pos += 1; one() }
+      CreateNodesQuery(pats.result())
+    }
+
+    /** The MATCH-prefixed mutation clauses: standalone `SET` / `REMOVE`
+      * over one matched node pattern, or relationship `CREATE` / `MERGE`
+      * between two matched anchors. */
+    def mutationQuery(): Either[UpdateQuery, RelMutationQuery] = {
+      expect("MATCH")
+      val n1 = node()
+      ws()
+      val n2: Option[NodePat] =
+        if (pos < in.length && in(pos) == ',') { pos += 1; Some(node()) }
+        else None
+      val preds = predList()
+      if (peek("SET") || peek("REMOVE")) {
+        if (n2.nonEmpty)
+          fail("SET/REMOVE matches a single node pattern")
+        if (opt("SET")) Left(UpdateQuery(n1, preds, updateSetItems(n1.varName), Nil))
+        else {
+          expect("REMOVE")
+          val rs = Seq.newBuilder[(String, String)]
+          def one(): Unit = {
+            val v = ident(); expect("."); val p = ident()
+            if (v != n1.varName)
+              fail(s"REMOVE must target the matched variable ${n1.varName}")
+            rs += ((v, p))
+          }
+          one()
+          while ({ ws(); pos < in.length && in(pos) == ',' }) { pos += 1; one() }
+          Left(UpdateQuery(n1, preds, Nil, rs.result()))
+        }
+      } else {
+        val merge = if (opt("MERGE")) true else { expect("CREATE"); false }
+        val b = n2.getOrElse(
+          fail("relationship CREATE/MERGE needs two anchors: MATCH (a…), (b…)"))
+        expect("("); val v1 = ident(); expect(")")
+        ws()
+        var dir = 0
+        if (pos < in.length && in(pos) == '<') { dir = -1; pos += 1 }
+        expect("-"); expect("["); expect(":")
+        val t = ident()
+        expect("]"); expect("-")
+        ws()
+        if (pos < in.length && in(pos) == '>') {
+          if (dir == -1) fail("relationship cannot point both ways")
+          dir = 1; pos += 1
+        }
+        expect("("); val v2 = ident(); expect(")")
+        if (!merge && dir == 0)
+          fail("CREATE requires a relationship direction (like Neo4j)")
+        if (v1 == n1.varName && v2 == b.varName)
+          Right(RelMutationQuery(n1, b, preds, t, dir, merge))
+        else if (v1 == b.varName && v2 == n1.varName)
+          // the pattern re-orients: keep (a, b) as written in the pattern
+          Right(RelMutationQuery(b, n1, preds, t, dir, merge))
+        else fail("CREATE/MERGE endpoints must name the two matched variables")
+      }
+    }
+
+    private def updateSetItems(matchVar: String): Seq[UpdateSet] = {
+      val items = Seq.newBuilder[UpdateSet]
+      def one(): Unit = {
+        val v = ident(); expect("."); val p = ident()
+        ws()
+        if (pos >= in.length || in(pos) != '=') fail("expected '=' in SET")
+        pos += 1
+        val e = expression()
+        if (v != matchVar)
+          fail(s"SET must target the matched variable $matchVar")
+        if (isAggExpr(e) || containsNestedAgg(e))
+          fail("SET values are scalar expressions — aggregates cannot appear")
+        items += UpdateSet(v, p, e)
+      }
+      one()
+      while ({ ws(); pos < in.length && in(pos) == ',' }) { pos += 1; one() }
+      items.result()
     }
 
     private def setItems(mergeVar: String): Seq[SetItem] = {

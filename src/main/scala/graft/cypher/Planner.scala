@@ -166,6 +166,144 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     graft.graph.PropertyGraph(newNodes, newRels)
   }
 
+  /** Plan an [[UpdateQuery]] (standalone bulk SET / REMOVE): the matched
+    * frame (label + anchors + full WHERE) is re-projected with the SET
+    * expressions (evaluated over the node's OWN properties) / REMOVE
+    * nulls applied, and becomes the changelog of ONE lakehouse merge on
+    * the (label, nodeId) key — the snapshot is never rewritten per-node,
+    * and at 100 TB an anchored update's changelog side broadcasts.
+    * Returns the post-update graph; re-running an idempotent SET (one
+    * whose values don't read the columns they write) is a no-op replay. */
+  def planUpdate(uq: UpdateQuery): PropertyGraph = {
+    stageVars = Set(uq.node.varName)
+    stageRelVars = Set.empty
+    val v = uq.node.varName
+    val matched = applyPreds(nodeFrame(Nil, uq.node), uq.preds)
+    val fields = g.nodes.schema.fields
+    val identity = Set("nodeId", "label", "labels")
+    (uq.sets.map(_.prop) ++ uq.removes.map(_._2)).foreach { p =>
+      require(!identity(p), s"cannot SET/REMOVE identity property $p")
+      require(fields.exists(_.name == p),
+        s"unknown node property $p (the schema is union-of-keys: add the " +
+          "column to the nodes table first)")
+    }
+    val setByProp = uq.sets.map(s => s.prop -> s.value).toMap
+    val removed = uq.removes.map(_._2).toSet
+    val cols = fields.map { f =>
+      (if (setByProp.contains(f.name))
+         exprCol(setByProp(f.name), matched.schema).cast(f.dataType)
+       else if (removed(f.name)) lit(null).cast(f.dataType)
+       else col(s"$v.${f.name}")).as(f.name)
+    }
+    val changes = matched.select(cols.toIndexedSeq: _*)
+      .withColumn("_seq", lit(1L)).withColumn("_op", lit("U"))
+    val newNodes = graft.operators.Lakehouse.mergeSnapshot(
+      g.nodes, changes, Seq("label", "nodeId"), "_seq", "_op")
+    graft.graph.PropertyGraph(newNodes, g.rels)
+  }
+
+  /** Plan a [[CreateNodesQuery]]: the created rows are built driver-side
+    * (literal property maps), validated against the S2 unique key with
+    * one broadcast semi-join probe (a deliberate driver boundary — the
+    * same error Neo4j raises under the loader's uniqueness constraint),
+    * and appended with one union. Returns the post-create graph. */
+  def planCreateNodes(cq: CreateNodesQuery): PropertyGraph = {
+    import org.apache.spark.sql.types.ArrayType
+    val nodes = g.nodes
+    val keyed = cq.pats.map { n =>
+      val pairs = ((n.anchorProp.get, n.anchorValue.get) +: n.extraAnchors)
+      val byProp = pairs.toMap
+      val key = byProp("nodeId") match {
+        case LongLit(l) => l
+        case other => throw new IllegalArgumentException(
+          s"CREATE nodeId must be an integer literal, got $other")
+      }
+      pairs.map(_._1).foreach { p =>
+        require(nodes.columns.contains(p),
+          s"unknown node property $p (the schema is union-of-keys: add " +
+            "the column to the nodes table first)")
+      }
+      (n.label.get, key, byProp)
+    }
+    require(keyed.map(k => (k._1, k._2)).distinct.size == keyed.size,
+      "duplicate (label, nodeId) keys within one CREATE")
+    def litOf(v: AnchorValue): Column = v match {
+      case StrLit(s)  => lit(s)
+      case LongLit(l) => lit(l)
+      case other => throw new IllegalArgumentException(
+        s"unsupported CREATE value $other")
+    }
+    val created = keyed.map { case (label, key, byProp) =>
+      val cols = nodes.schema.fields.map { f =>
+        (f.name match {
+          case "nodeId" => lit(key).cast(f.dataType)
+          case "label"  => lit(label).cast(f.dataType)
+          // two labels per node, like CREATE (n:{label}:_Entity_) —
+          // stark_neo4j_loading.py:35
+          case "labels" if f.dataType.isInstanceOf[ArrayType] =>
+            array(lit(label), lit("_Entity_"))
+          case nm if byProp.contains(nm) => litOf(byProp(nm)).cast(f.dataType)
+          case _ => lit(null).cast(f.dataType)
+        }).as(f.name)
+      }
+      nodes.sparkSession.range(1).select(cols.toIndexedSeq: _*)
+    }.reduce(_.unionByName(_))
+    val conflicts = nodes.join(
+      broadcast(created.select(col("label"), col("nodeId"))),
+      Seq("label", "nodeId"), "left_semi")
+    require(conflicts.isEmpty,
+      "CREATE would violate the (label, nodeId) unique-key constraint — " +
+        "use MERGE to upsert an existing node")
+    graft.graph.PropertyGraph(nodes.unionByName(created), g.rels)
+  }
+
+  /** Plan a [[RelMutationQuery]]: the two anchored frames join (shared
+    * WHERE predicates applied over the pair), reduce to endpoint nodeId
+    * pairs, and append to the relationships table — CREATE keeps one row
+    * per matched pair (parallel edges, like Neo4j), MERGE inserts only
+    * pairs with NO existing edge of that type (one anti-join; the
+    * undirected form probes both stored orientations). Endpoint
+    * existence (S3/J6) holds by construction — both sides come from the
+    * nodes table. Anchored frames broadcast; a full-table pairing stays
+    * a fan-out-bounded equi/cross join the caller asked for. */
+  def planRelMutation(rq: RelMutationQuery): PropertyGraph = {
+    stageVars = Set(rq.a.varName, rq.b.varName)
+    stageRelVars = Set.empty
+    require(rq.a.varName != rq.b.varName,
+      "relationship CREATE/MERGE anchors must bind distinct variables")
+    val joined = nodeFrame(Nil, rq.a).crossJoin(nodeFrame(Nil, rq.b))
+    val filtered = applyPreds(joined, rq.preds)
+    val pairs0 = filtered.select(
+      col(s"${rq.a.varName}.nodeId").as("src"),
+      col(s"${rq.b.varName}.nodeId").as("dst"))
+    // <- stores the reversed orientation; undirected MERGE creates a→b
+    val oriented =
+      if (rq.dir == -1)
+        pairs0.select(col("dst").as("src"), col("src").as("dst"))
+      else pairs0
+    val newRels = oriented.select(
+      lit(rq.relType).as("relType"), col("src"), col("dst"))
+    val added =
+      if (!rq.merge) newRels
+      else {
+        val existing = g.rels.where(col("relType") === rq.relType)
+          .select(col("src"), col("dst"))
+        val probe =
+          if (rq.dir == 0)
+            existing.unionByName(
+              existing.select(col("dst").as("src"), col("src").as("dst")))
+          else existing
+        newRels.distinct().join(probe, Seq("src", "dst"), "left_anti")
+      }
+    val extraCols = g.rels.columns.filterNot(
+      Set("relType", "src", "dst").contains)
+    val padded = extraCols.foldLeft(added) { (df, c) =>
+      df.withColumn(c,
+        lit(null).cast(g.rels.schema.fields.find(_.name == c).get.dataType))
+    }
+    graft.graph.PropertyGraph(g.nodes, g.rels.unionByName(padded))
+  }
+
   /** One WITH-chained stage: plan its MATCH like a mini-query, attach the
     * carried frame (equi-join on carried nodeIds, Cypher's re-binding),
     * then project the barrier — only listed items survive. */
@@ -1524,24 +1662,53 @@ object Planner {
   def run(g: PropertyGraph, cypher: String,
           params: Map[String, Any] = Map.empty): DataFrame = {
     val t = cypher.trim
-    val isMerge = t.regionMatches(true, 0, "MERGE", 0, 5) &&
-      (t.length == 5 || !t(5).isLetterOrDigit)
-    if (isMerge) runMerge(g, Parser.parseMerge(cypher))
+    def prefixed(kw: String): Boolean =
+      t.regionMatches(true, 0, kw, 0, kw.length) &&
+        (t.length == kw.length || !t(kw.length).isLetterOrDigit)
+    if (prefixed("MERGE")) runMerge(g, Parser.parseMerge(cypher))
+    else if (prefixed("CREATE")) runCreateNodes(g, cypher).nodes
     else try planUnion(g, Parser.parseUnion(cypher), params)
     catch {
       case e: Parser.ParseError =>
-        // a MATCH … [DETACH] DELETE form has no RETURN, so the normal
-        // parse fails — retry as a deletion; anything else rethrows the
-        // ORIGINAL error (the deletion grammar is far narrower)
+        // the mutation forms (MATCH … DELETE / SET / REMOVE / CREATE /
+        // MERGE) have no RETURN, so the normal parse fails — retry each
+        // narrower grammar; anything else rethrows the ORIGINAL error.
+        // DELETE returns the post-delete NODES table, SET/REMOVE the
+        // post-update nodes, relationship CREATE/MERGE the post-mutation
+        // RELATIONSHIPS table (each one hashable frame).
         val dq =
           try Some(Parser.parseDelete(cypher))
           catch { case _: Parser.ParseError => None }
         dq match {
           case Some(d) => runDelete(g, d, params).nodes
-          case None    => throw e
+          case None =>
+            val mq =
+              try Some(Parser.parseMutation(cypher))
+              catch { case _: Parser.ParseError => None }
+            mq match {
+              case Some(Left(uq)) =>
+                new Planner(g, params).planUpdate(uq).nodes
+              case Some(Right(rq)) =>
+                new Planner(g, params).planRelMutation(rq).rels
+              case None => throw e
+            }
         }
     }
   }
+
+  /** Parse + plan `CREATE (n:L {nodeId: …})`, returning the post-create
+    * graph. */
+  def runCreateNodes(g: PropertyGraph, cypher: String): PropertyGraph =
+    new Planner(g).planCreateNodes(Parser.parseCreateNodes(cypher))
+
+  /** Parse + plan a MATCH-prefixed mutation (standalone SET / REMOVE or
+    * relationship CREATE / MERGE), returning the post-mutation graph. */
+  def runMutation(g: PropertyGraph, cypher: String,
+                  params: Map[String, Any] = Map.empty): PropertyGraph =
+    Parser.parseMutation(cypher) match {
+      case Left(uq)  => new Planner(g, params).planUpdate(uq)
+      case Right(rq) => new Planner(g, params).planRelMutation(rq)
+    }
 
   /** Parse + plan a `MATCH … [DETACH] DELETE n` clause, returning the
     * post-delete graph (both tables). [[run]] on the same text returns

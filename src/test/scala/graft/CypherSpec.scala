@@ -1,6 +1,7 @@
 package graft
 
 import graft.cypher.{Ast, Parser, Planner}
+import org.apache.spark.sql.functions.col
 
 /** Mini-Cypher parser + planner over the micro graph, fed the reference's
   * actual emitted query shapes (retrieval/path_retriever.py:4-40,
@@ -1929,6 +1930,115 @@ class CypherSpec extends SparkSpec {
       val q = Parser.parse(t)
       assert(Parser.parse(q.render) === q, s"render∘parse drifted for: $t")
     }
+  }
+
+  test("standalone SET: bulk update with expression values") {
+    // every null-abstract paper gets "?"; the rest stay untouched
+    val updated = Planner.runMutation(g,
+      """MATCH (p:Paper) WHERE p.abstract IS NULL SET p.abstract = "?"""")
+    val abs = updated.nodes.where(col("label") === "Paper")
+      .select("name", "abstract").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(abs === Map("P-alpha" -> "about dbs", "P-beta" -> "?",
+      "P-gamma" -> "graphs"))
+    // expression over the node's own properties
+    val renamed = Planner.runMutation(g,
+      """MATCH (p:Paper {name: "P-alpha"}) SET p.name = p.name + "!"""")
+    assert(renamed.nodes.where(col("name") === "P-alpha!").count() === 1)
+    assert(renamed.nodes.count() === g.nodes.count()) // update, not insert
+    // identity properties are not assignable
+    intercept[IllegalArgumentException](Planner.runMutation(g,
+      """MATCH (p:Paper) SET p.nodeId = 7"""))
+  }
+
+  test("REMOVE nulls the property (union-of-keys schema keeps the column)") {
+    val removed = Planner.runMutation(g,
+      """MATCH (p:Paper {name: "P-alpha"}) REMOVE p.abstract""")
+    val r = removed.nodes.where(col("name") === "P-alpha").collect().head
+    assert(r.isNullAt(r.fieldIndex("abstract")))
+    intercept[IllegalArgumentException](Planner.runMutation(g,
+      """MATCH (p:Paper) REMOVE p.labels"""))
+  }
+
+  test("CREATE nodes: append under the unique-key constraint") {
+    val created = Planner.runCreateNodes(g,
+      """CREATE (n:Author {nodeId: 99, name: "Dave"}),
+        |       (m:Paper {nodeId: 98, name: "P-delta"})""".stripMargin)
+    assert(created.nodes.count() === g.nodes.count() + 2)
+    val dave = created.nodes.where(col("nodeId") === 99L).collect().head
+    assert(dave.getString(dave.fieldIndex("name")) === "Dave")
+    assert(dave.getSeq[String](dave.fieldIndex("labels")) ===
+      Seq("Author", "_Entity_"))
+    // existing (label, nodeId) key → the constraint error, like MERGE-less
+    // Neo4j WITH the loader's uniqueness constraint
+    intercept[IllegalArgumentException](Planner.runCreateNodes(g,
+      """CREATE (n:Author {nodeId: 10, name: "Alice2"})"""))
+    // duplicate keys within one CREATE
+    intercept[IllegalArgumentException](Planner.runCreateNodes(g,
+      """CREATE (n:Author {nodeId: 97}), (m:Author {nodeId: 97})"""))
+    // run() dispatches on the CREATE prefix and returns the nodes table
+    assert(Planner.run(g, """CREATE (n:Author {nodeId: 96, name: "Eve"})""")
+      .count() === g.nodes.count() + 1)
+  }
+
+  test("relationship CREATE: one edge per matched pair, direction stored") {
+    val out = Planner.runMutation(g,
+      """MATCH (a:Author {name: "Alice"}), (p:Paper {name: "P-gamma"})
+        |CREATE (a)-[:READS]->(p)""".stripMargin)
+    assert(out.rels.count() === g.rels.count() + 1)
+    val e = out.rels.where(col("relType") === "READS").collect().head
+    assert((e.getAs[Long]("src"), e.getAs[Long]("dst")) === ((10L, 22L)))
+    // reversed arrow stores the reversed orientation
+    val rev = Planner.runMutation(g,
+      """MATCH (a:Author {name: "Alice"}), (p:Paper {name: "P-gamma"})
+        |CREATE (a)<-[:READS]-(p)""".stripMargin)
+    val e2 = rev.rels.where(col("relType") === "READS").collect().head
+    assert((e2.getAs[Long]("src"), e2.getAs[Long]("dst")) === ((22L, 10L)))
+    // CREATE requires a direction, like Neo4j
+    intercept[Parser.ParseError](Parser.parseMutation(
+      """MATCH (a:Author {name: "Alice"}), (p:Paper {name: "P-gamma"})
+        |CREATE (a)-[:READS]-(p)""".stripMargin))
+  }
+
+  test("relationship MERGE: idempotent upsert, orientation-aware probe") {
+    // WRITES 10→20 exists: undirected MERGE finds it either way → no-op
+    val same = Planner.runMutation(g,
+      """MATCH (a:Author {name: "Alice"}), (p:Paper {name: "P-alpha"})
+        |MERGE (p)-[:WRITES]-(a)""".stripMargin)
+    assert(same.rels.count() === g.rels.count())
+    // directed MERGE probes ONE orientation: 20→10 is absent → inserts
+    val ins = Planner.runMutation(g,
+      """MATCH (a:Author {name: "Alice"}), (p:Paper {name: "P-alpha"})
+        |MERGE (p)-[:WRITES]->(a)""".stripMargin)
+    assert(ins.rels.count() === g.rels.count() + 1)
+    // new pair inserts once; re-running the same MERGE is a no-op
+    val m1 = Planner.runMutation(g,
+      """MATCH (a:Author {name: "Bob"}), (p:Paper {name: "P-gamma"})
+        |MERGE (a)-[:WRITES]->(p)""".stripMargin)
+    assert(m1.rels.count() === g.rels.count() + 1)
+    val m2 = Planner.runMutation(m1,
+      """MATCH (a:Author {name: "Bob"}), (p:Paper {name: "P-gamma"})
+        |MERGE (a)-[:WRITES]->(p)""".stripMargin)
+    assert(m2.rels.count() === m1.rels.count())
+    // run() on a rel mutation returns the relationships table
+    assert(Planner.run(g,
+      """MATCH (a:Author {name: "Bob"}), (p:Paper {name: "P-gamma"})
+        |MERGE (a)-[:WRITES]->(p)""".stripMargin).count() ===
+      g.rels.count() + 1)
+  }
+
+  test("mutation clauses render∘parse round-trips") {
+    val u = Parser.parseMutation(
+      """MATCH (p:Paper) WHERE p.abstract IS NULL SET p.abstract = "?"""")
+      .swap.getOrElse(fail("expected UpdateQuery"))
+    assert(Parser.parseMutation(u.render) === Left(u))
+    val r = Parser.parseMutation(
+      """MATCH (a:Author {name: "Bob"}), (p:Paper {name: "P-gamma"}) MERGE (a)-[:WRITES]->(p)""")
+      .getOrElse(fail("expected RelMutationQuery"))
+    assert(Parser.parseMutation(r.render) === Right(r))
+    val c = Parser.parseCreateNodes(
+      """CREATE (n:Author {nodeId: 99, name: "Dave"})""")
+    assert(Parser.parseCreateNodes(c.render) === c)
   }
 
   test("aggregates stay rejected inside list expressions") {
