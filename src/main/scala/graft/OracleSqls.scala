@@ -858,6 +858,20 @@ object OracleSqls {
         |SELECT CAST(3999999999 AS BIGINT), 'Customer', 'Customer#new'"""
         .stripMargin),
 
+    // collect→UNWIND→re-MATCH ≡ the flat 2-hop group-by (the round trip
+    // restores exactly one row per (region, nation) pair)
+    "cy_collect_unwind" -> withGraph(
+      """SELECT r.name AS region, n.name AS nation,
+        |  CAST(count(c.nodeId) AS BIGINT) AS n_cust
+        |FROM nodes r
+        |JOIN bidir e ON r.nodeId = e.a AND e.relType = 'IN_REGION'
+        |JOIN nodes n ON e.b = n.nodeId AND n.label = 'Nation'
+        |JOIN bidir e2 ON n.nodeId = e2.a AND e2.relType = 'FROM_NATION'
+        |JOIN nodes c ON e2.b = c.nodeId AND c.label = 'Customer'
+        |WHERE r.label = 'Region'
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin),
+
     // bulk SET replayed as a CASE over the matched slice
     "cy_set_update" -> withFinGraph(
       """SELECT nodeId, label, name,

@@ -1441,6 +1441,20 @@ object Queries {
         pg.rels.groupBy(col("relType").as("kind")).agg(count(lit(1)).as("n")))
   }
 
+  /** The collect→UNWIND round trip (round 13): aggregate at a WITH
+    * barrier, explode the list back to rows, and RE-ANCHOR each element
+    * in a fresh MATCH — the carried-scalar anchor plans as one equi-join
+    * against the exploded frame (Catalyst folds the post-join equality
+    * into the join), never a per-element loop. */
+  def cyCollectUnwind(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """MATCH (r:Region)-[e:IN_REGION]-(n:Nation)
+        |WITH r.name AS region, collect(DISTINCT n.name) AS ns
+        |UNWIND ns AS nation
+        |MATCH (m:Nation {name: nation})-[e2:FROM_NATION]-(c:Customer)
+        |RETURN region, nation, count(c) AS n_cust
+        |ORDER BY region, nation""".stripMargin)
+
   /** Standalone bulk `SET` with an expression value (round 13): every
     * negative-balance customer flips to its absolute value — ONE
     * lakehouse merge keyed on (label, nodeId), the changelog being just
@@ -3322,6 +3336,7 @@ object Queries {
     "cy_list_ops" -> (cyListOps _),
     "cy_reduce_comp" -> (cyReduceComp _),
     "cy_range_split" -> (cyRangeSplit _),
+    "cy_collect_unwind" -> (cyCollectUnwind _),
     "cy_set_update" -> (cySetUpdate _),
     "cy_remove_prop" -> (cyRemoveProp _),
     "cy_create_nodes" -> (cyCreateNodes _),

@@ -533,9 +533,15 @@ object Ast {
   /** `UNWIND $param AS var` (literals = None) or the self-contained
     * `UNWIND [lit, …] AS var` (literals = Some(list), param unused) —
     * both anchor node frames downstream; the literal form needs no
-    * parameter map. */
+    * parameter map. The third form `UNWIND xs AS x` (carried = true,
+    * `param` holds the source alias) unwinds a CARRIED list alias — the
+    * collect→UNWIND round trip: one `explode` on the carried frame
+    * (empty/null lists drop the row, like Cypher), the unwound name
+    * becoming a carried scalar usable in anchors, predicates, and
+    * RETURN. */
   final case class Unwind(param: String, varName: String,
-                          literals: Option[Seq[AnchorValue]] = None)
+                          literals: Option[Seq[AnchorValue]] = None,
+                          carried: Boolean = false)
 
   /** `OPTIONAL MATCH path [WHERE pred (AND pred)*]` after the final MATCH:
     * every solution of the mandatory pattern is preserved, and variables
@@ -607,7 +613,7 @@ object Ast {
               case VarRef(v)  => v
               case ParamRef(nm) => s"$$$nm" // not parser-reachable here
             }.mkString("[", ", ", "]")
-            case None => s"$$${u.param}"
+            case None => if (u.carried) u.param else s"$$${u.param}"
           }
           sb ++= s"UNWIND $src AS ${u.varName} "
         }

@@ -200,11 +200,23 @@ object Parser {
               expect("AS"); val v = ident()
               unwinds += Unwind("", v,
                 Some((lo to hi by step).map(LongLit(_))))
-            } else {
+            } else if (pos < in.length && in(pos) == '$') {
               val p = param(); expect("AS"); val v = ident()
               unwinds += Unwind(p, v)
+            } else {
+              // UNWIND xs AS x — a carried list alias (collect→UNWIND)
+              val src = ident(); expect("AS"); val v = ident()
+              unwinds += Unwind(src, v, None, carried = true)
             }
           }
+          if (unwinds.result().nonEmpty && peek("RETURN")) {
+            // UNWIND … RETURN tail (no MATCH of its own) — the classic
+            // collect→UNWIND ending; falls through to the RETURN parse
+            // with no paths (legal only over a carried frame, checked at
+            // plan time)
+            if (!unwinds.result().forall(_.carried))
+              fail("UNWIND without MATCH takes a carried list alias")
+          } else {
           expect("MATCH")
           ws()
           // consecutive MATCH clauses: a variable reused across clauses
@@ -255,6 +267,7 @@ object Parser {
             paths += path()
             matchTail()
           }
+          } // end MATCH-present branch (vs the UNWIND … RETURN tail)
         }
         // OPTIONAL MATCH chain — final clause only (before RETURN); one
         // path per clause, each with its own pattern-scoped WHERE

@@ -71,6 +71,37 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     try f finally { lambdaCols = savedC; lambdaTypes = savedT }
   }
 
+  // carried-scalar anchors `(n {prop: x})` of the clause being planned:
+  // nodeFrame can't pre-filter the node frame by a column of the carried
+  // frame, so it records the equality here and planStage / tupleFrame
+  // apply it AFTER the carried frame attaches (Catalyst folds the
+  // post-join equality into the join condition). Only legal in main
+  // MATCH paths (allowCarriedAnchors) — OPTIONAL MATCH / EXISTS patterns
+  // resolve in their own frames.
+  private var pendingAnchorJoins: Seq[(String, String, String)] = Nil
+  private var allowCarriedAnchors = false
+
+  private def applyPendingAnchors(df: DataFrame): DataFrame =
+    pendingAnchorJoins.foldLeft(df) { case (d, (v, p, u)) =>
+      d.where(col(s"$v.$p") === col(u)) }
+
+  /** Explode the carried-list UNWINDs (the collect→UNWIND round trip)
+    * onto the carried frame: one `explode` per unwind (empty/null lists
+    * drop the row, like Cypher), the unwound name becoming a carried
+    * scalar for the rest of the clause chain. Param/literal unwinds
+    * anchor node frames in [[joinPaths]] instead and are not passed
+    * here. */
+  private def explodeCarried(base: Option[DataFrame],
+                             uws: Seq[Unwind]): Option[DataFrame] =
+    uws.filter(_.carried).foldLeft(base) { (b, u) =>
+      val acc = b.getOrElse(throw new IllegalArgumentException(
+        s"UNWIND ${u.param} requires a previous WITH stage binding it"))
+      require(carriedScalars.contains(u.param),
+        s"UNWIND source ${u.param} is not a carried list alias")
+      carriedScalars += u.varName
+      Some(acc.withColumn(u.varName, explode(col(u.param))))
+    }
+
   /** Static element type of a list-valued expression, if resolvable. */
   private def elemType(e: Expr,
       schema: org.apache.spark.sql.types.StructType)
@@ -101,7 +132,8 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     stageRelVars = relVarsOf(q.paths)
     val tuple =
       if (q.shortest.isDefined) shortestTuple(q)
-      else if (q.paths.isEmpty) projectTuple(base.get, q) // WITH … RETURN tail
+      else if (q.paths.isEmpty) // WITH … [UNWIND xs AS x] RETURN tail
+        projectTuple(explodeCarried(base, q.unwinds).get, q)
       else expandVarLength(q)
         .map(fixed => tupleFrame(base, fixed)).reduce(_.unionByName(_))
 
@@ -316,9 +348,13 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     val aggItems = st.withItems.filter(isAggItem)
     val degs = (st.withItems.flatMap(i => walkExpr(i.expr)) ++
       st.preds.flatMap(walkPred)).collect { case d: DegreeOf => d }.distinct
+    val base2 = explodeCarried(base, st.unwinds)
     val frames = expandPaths(st.paths).map { ps =>
-      val joined0 = joinPaths(st.unwinds, ps)
-      val attached = attachBase(base, joined0, ps)
+      allowCarriedAnchors = true
+      val joined0 =
+        try joinPaths(st.unwinds.filterNot(_.carried), ps)
+        finally allowCarriedAnchors = false
+      val attached = applyPendingAnchors(attachBase(base2, joined0, ps))
       val withDegs = attachDegrees(attached, degs)
       val filtered = applyPreds(withDegs, st.preds)
       projectWith(filtered, st, ps)
@@ -533,6 +569,7 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     var df: DataFrame = null
     pathNodeVars = Map.empty
     pathRelAliases = Map.empty
+    pendingAnchorJoins = Nil
     ps.zipWithIndex.foreach { case (p, i) =>
       val shared = p.nodes.map(_.varName).distinct.filter(bound)
       val renames = shared.map(v => v -> s"__m${i}_$v").toMap
@@ -567,8 +604,12 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     * their pre-aggregation source column (`__agg<i>`), so all expansions
     * union cleanly. */
   private def tupleFrame(base: Option[DataFrame], q: CypherQuery): DataFrame = {
-    val joined0 = joinPaths(q.unwinds, q.paths)
-    val joined = attachBase(base, joined0, q.paths)
+    val base2 = explodeCarried(base, q.unwinds)
+    allowCarriedAnchors = true
+    val joined0 =
+      try joinPaths(q.unwinds.filterNot(_.carried), q.paths)
+      finally allowCarriedAnchors = false
+    val joined = applyPendingAnchors(attachBase(base2, joined0, q.paths))
     val degs = (q.items.flatMap(i => walkExpr(i.expr)) ++
       q.preds.flatMap(walkPred)).collect { case d: DegreeOf => d }.distinct
     val withDegs = attachDegrees(joined, degs)
@@ -1044,7 +1085,13 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
   }
 
   private def isAnchored(unwinds: Seq[Unwind], n: NodePat): Boolean =
-    n.anchorValue.isDefined || unwinds.exists(u => n.anchorValue.contains(VarRef(u.varName)))
+    n.anchorValue match {
+      // a carried-scalar anchor is a JOIN, not a tiny filter — the frame
+      // must not broadcast on its account
+      case Some(VarRef(u)) => unwinds.exists(uw => uw.varName == u && !uw.carried)
+      case Some(_)         => true
+      case None            => false
+    }
 
   private def nodeFrame(unwinds: Seq[Unwind], n: NodePat): DataFrame = {
     val labeled = n.label match {
@@ -1070,21 +1117,33 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
         // UNWIND $param AS u / UNWIND [lit, …] AS u, then MATCH (x {p: u})
         // — anchor against the unwound list (literal lists need no
         // parameter map)
-        val uw = unwinds.find(_.varName == u).getOrElse(
-          throw new IllegalArgumentException(s"unbound variable $u"))
-        uw.literals match {
-          case Some(ls) =>
-            val vals: Seq[Any] = ls.map {
-              case StrLit(s)  => s
-              case LongLit(v) => v
-              case other => throw new IllegalArgumentException(
-                s"unsupported UNWIND literal $other")
+        unwinds.find(_.varName == u) match {
+          case Some(uw) => uw.literals match {
+            case Some(ls) =>
+              val vals: Seq[Any] = ls.map {
+                case StrLit(s)  => s
+                case LongLit(v) => v
+                case other => throw new IllegalArgumentException(
+                  s"unsupported UNWIND literal $other")
+              }
+              labeled.where(col(p).isin(vals: _*))
+            case None => params.get(uw.param) match {
+              case Some(vs: Seq[_]) => labeled.where(col(p).isin(vs: _*))
+              case _ => throw new IllegalArgumentException(
+                s"missing parameter for UNWIND var $u")
             }
-            labeled.where(col(p).isin(vals: _*))
-          case None => params.get(uw.param) match {
-            case Some(vs: Seq[_]) => labeled.where(col(p).isin(vs: _*))
-            case _ => throw new IllegalArgumentException(s"missing parameter for UNWIND var $u")
           }
+          case None if carriedScalars.contains(u) =>
+            // carried-scalar anchor (incl. a carried-list UNWIND's
+            // element): the equality joins against the carried frame —
+            // recorded here, applied after attachBase
+            if (!allowCarriedAnchors) throw new IllegalArgumentException(
+              s"carried-scalar anchor {$p: $u} is only supported in main " +
+                "MATCH paths — use a WHERE equality here instead")
+            pendingAnchorJoins :+= ((n.varName, p, u))
+            labeled
+          case None =>
+            throw new IllegalArgumentException(s"unbound variable $u")
         }
       case _ => labeled
     }

@@ -2041,6 +2041,57 @@ class CypherSpec extends SparkSpec {
     assert(Parser.parseCreateNodes(c.render) === c)
   }
 
+  test("collect→UNWIND round trip: bare RETURN tail") {
+    // collect then unwind restores one row per element (sorted by the
+    // canonical collect(DISTINCT) order)
+    val rows = Planner.run(g,
+      """MATCH (a:Author {name: "Alice"})-[w:WRITES]-(p:Paper)
+        |WITH a.name AS author, collect(DISTINCT p.name) AS ps
+        |UNWIND ps AS title
+        |RETURN author, title ORDER BY title""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows === Seq(("Alice", "P-alpha"), ("Alice", "P-beta")))
+    // a transformed list unwinds too
+    val upped = Planner.run(g,
+      """MATCH (a:Author {name: "Alice"})-[w:WRITES]-(p:Paper)
+        |WITH collect(DISTINCT p.name) AS ps
+        |UNWIND ps AS t
+        |RETURN toUpper(t) AS u ORDER BY u""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(upped === Seq("P-ALPHA", "P-BETA"))
+  }
+
+  test("collect→UNWIND then re-MATCH: the unwound scalar anchors a node") {
+    // collect author names per institution, unwind, re-anchor each name
+    val rows = Planner.run(g,
+      """MATCH (i:Institution {name: "MIT"})-[r:AFFILIATED_WITH]-(a:Author)
+        |WITH collect(DISTINCT a.name) AS names
+        |UNWIND names AS nm
+        |MATCH (x:Author {name: nm})-[w:WRITES]-(p:Paper)
+        |RETURN nm, count(p) AS n_papers ORDER BY nm""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows === Seq(("Alice", 2L), ("Bob", 1L)))
+  }
+
+  test("UNWIND of an unbound or non-list alias fails clearly") {
+    val e1 = intercept[IllegalArgumentException](Planner.run(g,
+      """MATCH (a:Author)-[w:WRITES]-(p:Paper)
+        |WITH a.name AS nm
+        |UNWIND xs AS x
+        |RETURN x""".stripMargin))
+    assert(e1.getMessage.contains("not a carried list alias") ||
+      e1.getMessage.contains("requires a previous WITH stage"))
+    // UNWIND-without-MATCH tail demands a carried alias at parse time
+    intercept[Parser.ParseError](Parser.parse(
+      "UNWIND $xs AS x RETURN x"))
+  }
+
+  test("carried-list UNWIND renders and re-parses") {
+    val t = """MATCH (a:Author)-[w:WRITES]-(p:Paper) WITH collect(DISTINCT p.name) AS ps UNWIND ps AS t MATCH (q:Paper {name: t}) RETURN count(q) AS n"""
+    val q = Parser.parse(t)
+    assert(Parser.parse(q.render) === q)
+  }
+
   test("aggregates stay rejected inside list expressions") {
     intercept[Parser.ParseError](Parser.parse(
       "MATCH (a:Author)-[w:WRITES]-(p:Paper) RETURN [count(p), 1] AS bad"))
