@@ -858,6 +858,24 @@ object OracleSqls {
         |SELECT CAST(3999999999 AS BIGINT), 'Customer', 'Customer#new'"""
         .stripMargin),
 
+    // allShortestPaths census: dist-1 targets have exactly one path;
+    // dist-2 targets (NOT already at dist 1) have one path per distinct
+    // intermediate — the untyped traversal walks DISTINCT adjacency
+    // pairs, exactly the engine's adjPairs view
+    "cy_all_shortest" -> withGraph(
+      """SELECT nodeId, len, n_paths FROM (
+        |  SELECT b AS nodeId, CAST(1 AS BIGINT) AS len,
+        |         CAST(1 AS BIGINT) AS n_paths
+        |  FROM (SELECT DISTINCT b FROM bidir WHERE a = 5000000001)
+        |  UNION ALL
+        |  SELECT m.b, CAST(2 AS BIGINT), CAST(count(DISTINCT n1.b) AS BIGINT)
+        |  FROM (SELECT DISTINCT b FROM bidir WHERE a = 5000000001) n1
+        |  JOIN (SELECT DISTINCT a, b FROM bidir) m ON m.a = n1.b
+        |  WHERE m.b <> 5000000001
+        |    AND m.b NOT IN (SELECT DISTINCT b FROM bidir WHERE a = 5000000001)
+        |  GROUP BY 1)
+        |ORDER BY nodeId""".stripMargin),
+
     // collect→UNWIND→re-MATCH ≡ the flat 2-hop group-by (the round trip
     // restores exactly one row per (region, nation) pair)
     "cy_collect_unwind" -> withGraph(

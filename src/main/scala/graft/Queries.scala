@@ -1441,6 +1441,17 @@ object Queries {
         pg.rels.groupBy(col("relType").as("kind")).agg(count(lit(1)).as("n")))
   }
 
+  /** `allShortestPaths` (round 13): one row PER distinct shortest path —
+    * the BFS levels form a DAG, so forking every level-respecting
+    * predecessor enumerates each path exactly once; here reduced to the
+    * per-target (hop count, path multiplicity) census around one part.
+    * The singular `shortestPath` keeps its one deterministic witness. */
+  def cyAllShortest(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """MATCH p = allShortestPaths((x:Part {nodeId: 5000000001})-[*1..2]-(y))
+        |RETURN y.nodeId AS nodeId, length(p) AS len, count(*) AS n_paths
+        |ORDER BY nodeId""".stripMargin)
+
   /** The collect→UNWIND round trip (round 13): aggregate at a WITH
     * barrier, explode the list back to rows, and RE-ANCHOR each element
     * in a fresh MATCH — the carried-scalar anchor plans as one equi-join
@@ -3336,6 +3347,7 @@ object Queries {
     "cy_list_ops" -> (cyListOps _),
     "cy_reduce_comp" -> (cyReduceComp _),
     "cy_range_split" -> (cyRangeSplit _),
+    "cy_all_shortest" -> (cyAllShortest _),
     "cy_collect_unwind" -> (cyCollectUnwind _),
     "cy_set_update" -> (cySetUpdate _),
     "cy_remove_prop" -> (cyRemoveProp _),

@@ -562,7 +562,8 @@ object Ast {
     * coincide. Like Neo4j, the minimum bound must be 0 or 1: `*0..`
     * admits the zero-length pair (a, a); `*1..` (the default) excludes
     * it. Must be the query's only clause (one path, two nodes). */
-  final case class ShortestPathClause(pathVar: String, path: MatchPath)
+  final case class ShortestPathClause(pathVar: String, path: MatchPath,
+                                      all: Boolean = false)
 
   /** One `MATCH … [WHERE …] WITH … [WHERE …]` link of a chained query —
     * the projection barrier the reference's procedure-call queries use
@@ -638,7 +639,8 @@ object Ast {
       }
       if (paths.nonEmpty) { matchClause(unwinds, paths, preds); sb ++= " " }
       shortest.foreach { sp =>
-        sb ++= s"MATCH ${sp.pathVar} = shortestPath(${path(sp.path)})"
+        val fn = if (sp.all) "allShortestPaths" else "shortestPath"
+        sb ++= s"MATCH ${sp.pathVar} = $fn(${path(sp.path)})"
         if (preds.nonEmpty) sb ++= " WHERE " + preds.map(pred).mkString(" AND ")
         sb ++= " "
       }

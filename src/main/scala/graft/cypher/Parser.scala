@@ -241,10 +241,14 @@ object Parser {
             val pv = ident(); ws()
             if (pos >= in.length || in(pos) != '=') fail("expected '=' after path variable")
             pos += 1
-            if (peek("shortestPath")) {
-              // MATCH p = shortestPath((a…)-[:T*lo..hi]-(b…)) — the clause
-              // must stand alone (no stages/unwinds/other paths around it)
-              expect("shortestPath"); expect("(")
+            if (peek("shortestPath") || peek("allShortestPaths")) {
+              // MATCH p = [all]shortestPath[s]((a…)-[:T*lo..hi]-(b…)) —
+              // the clause must stand alone (no stages/unwinds/other
+              // paths around it); the all-form yields one row per
+              // distinct shortest path
+              val all = opt("allShortestPaths")
+              if (!all) expect("shortestPath")
+              expect("(")
               val p = shortestInner()
               ws()
               if (pos >= in.length || in(pos) != ')') fail("expected ')' closing shortestPath")
@@ -253,7 +257,7 @@ object Parser {
                 fail("shortestPath cannot follow UNWIND")
               if (stages.result().nonEmpty)
                 fail("shortestPath cannot follow a WITH stage")
-              shortest = Some(ShortestPathClause(pv, p))
+              shortest = Some(ShortestPathClause(pv, p, all))
               preds = predList()
               if (peek("WITH") || peek("OPTIONAL"))
                 fail("shortestPath must be the query's only clause")

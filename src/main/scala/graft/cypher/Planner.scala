@@ -669,13 +669,20 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       .select(col("src"), col("v").as("__spv"),
         col("dist").cast("long").as("__splen"))
     // nodes(p) on a shortestPath: reconstruct the deterministic
-    // minimum-predecessor walk from the BFS levels — only when asked for
+    // minimum-predecessor walk from the BFS levels — only when asked for.
+    // allShortestPaths instead enumerates EVERY level-respecting walk
+    // (one output row per distinct shortest path — the multiplicity IS
+    // the semantics, so the enumeration always runs there)
     val needNodes = q.items.exists(i => walkExpr(i.expr).exists {
       case PathNodes(pv) => spVar.contains(pv)
       case _             => false
     })
     val distsN =
-      if (!needNodes) dists
+      if (sp.all)
+        dists.join(reconstructWalks(adj, raw, hi, all = true),
+          col("src") === col("__ws") && col("__spv") === col("__wv"))
+          .drop("__ws", "__wv")
+      else if (!needNodes) dists
       else dists.join(reconstructWalks(adj, raw, hi),
         col("src") === col("__ws") && col("__spv") === col("__wv"))
         .drop("__ws", "__wv")
@@ -697,7 +704,7 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     * enumeration, so the 100 TB shape matches the BFS itself. Returns
     * `(__ws, __wv, __spnodes)` with the traversal-ordered nodeId array. */
   private def reconstructWalks(adj: DataFrame, dists: DataFrame,
-                               maxHops: Int): DataFrame = {
+                               maxHops: Int, all: Boolean = false): DataFrame = {
     val d = dists.select(col("src"), col("v"), col("dist"))
     var f = d.select(col("src"), col("v").as("__wv"),
       col("dist").as("__lvl"), col("v").as("__cur"),
@@ -705,18 +712,28 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     for (_ <- 1 to maxHops) {
       val live = f.where(col("__lvl") > 0)
       val done = f.where(col("__lvl") === 0)
-      val stepped = live
+      val joined = live
         .join(adj.select(col("a").as("__wa"), col("b").as("__wb")),
           col("__cur") === col("__wb"))
         .join(d.select(col("src").as("__ds"), col("v").as("__dv"),
             col("dist").as("__dd")),
           col("src") === col("__ds") && col("__wa") === col("__dv") &&
             col("__dd") === col("__lvl") - 1)
-        .groupBy(col("src"), col("__wv"), col("__lvl"), col("__cur"), col("__acc"))
-        .agg(min(col("__wa")).as("__pred"))
-        .select(col("src"), col("__wv"), (col("__lvl") - 1).as("__lvl"),
-          col("__pred").as("__cur"),
-          concat(array(col("__pred")), col("__acc")).as("__acc"))
+      // allShortestPaths: every level-respecting predecessor FORKS one
+      // walk (the BFS levels form a DAG, so each distinct shortest path
+      // is produced exactly once — Neo4j's allShortestPaths rows);
+      // shortestPath keeps ONE deterministic min-nodeId witness
+      val stepped =
+        if (all) joined
+          .select(col("src"), col("__wv"), (col("__lvl") - 1).as("__lvl"),
+            col("__wa").as("__cur"),
+            concat(array(col("__wa")), col("__acc")).as("__acc"))
+        else joined
+          .groupBy(col("src"), col("__wv"), col("__lvl"), col("__cur"), col("__acc"))
+          .agg(min(col("__wa")).as("__pred"))
+          .select(col("src"), col("__wv"), (col("__lvl") - 1).as("__lvl"),
+            col("__pred").as("__cur"),
+            concat(array(col("__pred")), col("__acc")).as("__acc"))
       f = done.unionByName(stepped)
     }
     f.select(col("src").as("__ws"), col("__wv"), col("__acc").as("__spnodes"))

@@ -2092,6 +2092,38 @@ class CypherSpec extends SparkSpec {
     assert(Parser.parse(q.render) === q)
   }
 
+  test("allShortestPaths: one row per distinct shortest path") {
+    // Alice(10) reaches Databases(30) at hop 2 via BOTH papers 20 and 21
+    val rows = Planner.run(g,
+      """MATCH p = allShortestPaths((a:Author {name: "Alice"})-[*1..3]-(b:FieldOfStudy {name: "Databases"}))
+        |RETURN nodes(p) AS ns, length(p) AS len""".stripMargin).collect()
+    assert(rows.length === 2)
+    assert(rows.forall(_.getLong(1) === 2L))
+    assert(rows.map(_.getSeq[Long](0)).toSet ===
+      Set(Seq(10L, 20L, 30L), Seq(10L, 21L, 30L)))
+    // the singular form keeps ONE deterministic min-predecessor witness
+    val one = Planner.run(g,
+      """MATCH p = shortestPath((a:Author {name: "Alice"})-[*1..3]-(b:FieldOfStudy {name: "Databases"}))
+        |RETURN nodes(p) AS ns""".stripMargin).collect()
+    assert(one.length === 1 && one.head.getSeq[Long](0) === Seq(10L, 20L, 30L))
+  }
+
+  test("allShortestPaths multiplicity census from an anchor") {
+    // MIT(1): dist-1 = {10, 11} (1 path each); dist-2 = {20 via both
+    // authors (2 paths), 21 via Alice (1 path)}
+    val rows = Planner.run(g,
+      """MATCH p = allShortestPaths((i:Institution {name: "MIT"})-[*1..2]-(y))
+        |RETURN y.nodeId AS nid, length(p) AS len, count(*) AS n
+        |ORDER BY nid""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows === Seq((10L, 1L, 1L), (11L, 1L, 1L), (20L, 2L, 2L),
+      (21L, 2L, 1L)))
+    // render∘parse keeps the all-form
+    val q = Parser.parse(
+      """MATCH p = allShortestPaths((a:Author {name: "Alice"})-[*1..2]-(b)) RETURN length(p) AS len""")
+    assert(q.shortest.exists(_.all) && Parser.parse(q.render) === q)
+  }
+
   test("aggregates stay rejected inside list expressions") {
     intercept[Parser.ParseError](Parser.parse(
       "MATCH (a:Author)-[w:WRITES]-(p:Paper) RETURN [count(p), 1] AS bad"))
