@@ -858,6 +858,29 @@ object OracleSqls {
         |SELECT CAST(3999999999 AS BIGINT), 'Customer', 'Customer#new'"""
         .stripMargin),
 
+    // unordered co-supplier pairs: the src < src inequality replays as
+    // the same self-join condition
+    "cy_pair_dedup" -> withGraph(
+      """SELECT CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM rels r1 JOIN rels r2
+        |  ON r1.dst = r2.dst AND r1.src < r2.src
+        |WHERE r1.relType = 'SUPPLIES' AND r2.relType = 'SUPPLIES'"""
+        .stripMargin),
+
+    // conditional count + simple-CASE group key + exists() sugar
+    "cy_cond_count" -> withFinGraph(
+      """SELECT n.name AS nation,
+        |  CAST(count(CASE WHEN c.acctbal >= 500000 THEN 1 END) AS BIGINT)
+        |    AS n_rich,
+        |  CASE n.name WHEN 'NATION_1' THEN 'one' ELSE 'rest' END AS cls,
+        |  CAST(count(*) AS BIGINT) AS n_all
+        |FROM fnodes n
+        |JOIN fbidir e ON n.nodeId = e.a AND e.relType = 'FROM_NATION'
+        |JOIN fnodes c ON e.b = c.nodeId AND c.label = 'Customer'
+        |WHERE n.label = 'Nation' AND c.acctbal IS NOT NULL
+        |GROUP BY 1, 3
+        |ORDER BY nation""".stripMargin),
+
     // allShortestPaths census: dist-1 targets have exactly one path;
     // dist-2 targets (NOT already at dist 1) have one path per distinct
     // intermediate — the untyped traversal walks DISTINCT adjacency

@@ -1441,6 +1441,30 @@ object Queries {
         pg.rels.groupBy(col("relType").as("kind")).agg(count(lit(1)).as("n")))
   }
 
+  /** Property-to-property comparison (round 13): `s1.nodeId < s2.nodeId`
+    * — THE pair-dedup idiom (each unordered co-supplier pair once). The
+    * inequality folds into the self-join's condition; never a post-hoc
+    * driver dedup. */
+  def cyPairDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """MATCH (s1:Supplier)-[e1:SUPPLIES]-(p:Part), (s2:Supplier)-[e2:SUPPLIES]-(p)
+        |WHERE s1.nodeId < s2.nodeId
+        |RETURN count(*) AS n_pairs""".stripMargin)
+
+  /** Conditional count over a CASE (null-skipping count of an
+    * expression), the simple `CASE subj WHEN v THEN …` form as a group
+    * key, and the legacy `exists(prop)` sugar — three round-13 dialect
+    * idioms in one grouped census. */
+  def cyCondCount(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(finGraph(spark, dir),
+      """MATCH (n:Nation)-[e:FROM_NATION]-(c:Customer)
+        |WHERE exists(c.acctbal)
+        |RETURN n.name AS nation,
+        |       count(CASE WHEN c.acctbal >= 500000 THEN 1 END) AS n_rich,
+        |       CASE n.name WHEN "NATION_1" THEN "one" ELSE "rest" END AS cls,
+        |       count(*) AS n_all
+        |ORDER BY nation""".stripMargin)
+
   /** `allShortestPaths` (round 13): one row PER distinct shortest path —
     * the BFS levels form a DAG, so forking every level-respecting
     * predecessor enumerates each path exactly once; here reduced to the
@@ -3348,6 +3372,8 @@ object Queries {
     "cy_reduce_comp" -> (cyReduceComp _),
     "cy_range_split" -> (cyRangeSplit _),
     "cy_all_shortest" -> (cyAllShortest _),
+    "cy_pair_dedup" -> (cyPairDedup _),
+    "cy_cond_count" -> (cyCondCount _),
     "cy_collect_unwind" -> (cyCollectUnwind _),
     "cy_set_update" -> (cySetUpdate _),
     "cy_remove_prop" -> (cyRemoveProp _),

@@ -919,7 +919,8 @@ object Parser {
 
     private val scalarFnNames =
       Seq("toLower", "toUpper", "trim", "replace", "substring", "size",
-        "abs", "sign", "toString", "toInteger", "toFloat")
+        "abs", "sign", "toString", "toInteger", "toFloat", "id", "head",
+        "last", "reverse", "ltrim", "rtrim", "left", "right", "coalesce")
 
     /** WHERE predicates are aggregate-free (Cypher aggregates live in
       * RETURN/WITH; the HAVING idiom is `WITH … AS x WHERE x …`). */
@@ -942,11 +943,33 @@ object Parser {
         val l = noAggs(expression())
         strOp() match {
           case Some(o) => StrPred(l, o, noAggs(expression()))
-          case None    => ExprCmp(l, cmpOp(), noAggs(expression()))
+          case None    =>
+            val o = cmpOp()
+            val r = noAggs(expression())
+            // normalize shapes whose rendered text re-parses through the
+            // PLAIN pred path (id(a) renders as a.nodeId), so
+            // parse∘render stays the identity
+            (l, r) match {
+              case (PropRef(v, p), LongLitE(x)) => PropCmp(v, p, o, LongLit(x))
+              case (PropRef(v, p), StrLitE(s))  => PropCmp(v, p, o, StrLit(s))
+              case (ColRef(n), LongLitE(x))     => ColCmp(n, o, LongLit(x))
+              case (ColRef(n), StrLitE(s))      => ColCmp(n, o, StrLit(s))
+              case _                            => ExprCmp(l, o, r)
+            }
         }
+      } else if (peekCall("exists")) {
+        // legacy function form exists(n.prop) ≡ n.prop IS NOT NULL
+        expect("exists"); expect("(")
+        val v = ident(); expect("."); val p = ident(); expect(")")
+        IsNullPred(PropRef(v, p), negated = true)
       } else if (peek("NOT")) {
         expect("NOT")
-        if (peek("EXISTS")) { rejectExists(); existsPred(negated = true) }
+        if (peekCall("exists")) {
+          expect("exists"); expect("(")
+          val v = ident(); expect("."); val p = ident(); expect(")")
+          IsNullPred(PropRef(v, p), negated = false)
+        }
+        else if (peek("EXISTS")) { rejectExists(); existsPred(negated = true) }
         else {
           val v = ident()
           ws()
@@ -1029,6 +1052,16 @@ object Parser {
           else if (pos < in.length && (in(pos).isDigit || in(pos) == '-')) LongLit(longLit())
           else if (pos < in.length && in(pos) == '$') ParamRef(param())
           else VarRef(ident())
+        // property-to-property comparison (`a.nodeId < b.nodeId` — the
+        // pair-dedup idiom): the value side continues as a PropRef
+        if (value.isInstanceOf[VarRef] &&
+            { ws(); pos < in.length && in(pos) == '.' }) {
+          pos += 1
+          val p2 = ident()
+          val VarRef(v2) = value: @unchecked
+          val l = prop.map(PropRef(v1, _)).getOrElse(ColRef(v1))
+          return ExprCmp(l, if (op == "=") "=" else op, PropRef(v2, p2))
+        }
         (prop, op, value) match {
           case (Some(p), o, v: StrLit)  => PropCmp(v1, p, o, v)
           case (Some(p), o, v: LongLit) => PropCmp(v1, p, o, v)
@@ -1188,9 +1221,20 @@ object Parser {
       else if (peek("CASE")) {
         expect("CASE")
         val branches = Seq.newBuilder[(Cond, Expr)]
-        if (!peek("WHEN")) fail("expected WHEN (only the searched CASE form is supported)")
+        // simple form `CASE subj WHEN v THEN r …` desugars at parse time
+        // to the searched form with equality guards (a null subject
+        // matches no branch, identical to the desugared `=`); the
+        // canonical render is the searched form
+        val subject: Option[Expr] =
+          if (peek("WHEN")) None else Some(expression())
+        if (!peek("WHEN")) fail("expected WHEN")
         while (peek("WHEN")) {
-          expect("WHEN"); val c = cond(); expect("THEN"); branches += ((c, expression()))
+          expect("WHEN")
+          val c = subject match {
+            case None    => cond()
+            case Some(s) => CmpCond(s, "=", expression())
+          }
+          expect("THEN"); branches += ((c, expression()))
         }
         val default = if (opt("ELSE")) Some(expression()) else None
         expect("END")
@@ -1310,6 +1354,12 @@ object Parser {
         if (v == acc) fail("reduce accumulator and element must differ")
         ReduceExpr(acc, init, v, l, body)
       }
+      else if (peekCall("id")) {
+        // Neo4j's internal id — HERE the stable nodeId key (the engine
+        // has no separate surrogate); canonical render is `v.nodeId`
+        expect("id"); expect("("); val v = ident(); expect(")")
+        PropRef(v, "nodeId")
+      }
       else if (peekCall("labels")) { expect("labels"); expect("("); val v = ident(); expect(")"); LabelsOf(v) }
       else if (peekCall("type")) { expect("type"); expect("("); val v = ident(); expect(")"); TypeOf(v) }
       else if (peekCall("length")) { expect("length"); expect("("); val v = ident(); expect(")"); PathLength(v) }
@@ -1337,15 +1387,28 @@ object Parser {
         if (pos < in.length && in(pos) == '*') { pos += 1; expect(")"); CountStar }
         else {
           val d = opt("DISTINCT")
-          val v = ident()
-          ws()
-          val prop =
-            if (pos < in.length && in(pos) == '.') { pos += 1; Some(ident()) }
-            else None
-          expect(")")
-          prop match {
-            case Some(p) => AggFn("count", PropRef(v, p), d)
-            case None    => if (d) CountDistinct(v) else CountVar(v)
+          // bare `v` / `v.prop` keep their historical nodes (and own that
+          // rendered text); anything else is the GENERAL null-skipping
+          // count over an expression — count(CASE WHEN … THEN 1 END)
+          val saved = pos
+          val simple: Option[Expr] =
+            try {
+              val v = ident()
+              ws()
+              if (pos < in.length && in(pos) == '.') {
+                pos += 1
+                val p = ident()
+                ws()
+                if (pos < in.length && in(pos) == ')') {
+                  pos += 1; Some(AggFn("count", PropRef(v, p), d))
+                } else { pos = saved; None }
+              } else if (pos < in.length && in(pos) == ')') {
+                pos += 1; Some(if (d) CountDistinct(v) else CountVar(v))
+              } else { pos = saved; None }
+            } catch { case _: ParseError => pos = saved; None }
+          simple.getOrElse {
+            val a = expression(); expect(")")
+            AggFn("count", a, d)
           }
         }
       }

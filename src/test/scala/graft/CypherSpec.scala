@@ -2124,6 +2124,63 @@ class CypherSpec extends SparkSpec {
     assert(q.shortest.exists(_.all) && Parser.parse(q.render) === q)
   }
 
+  test("property-to-property comparison: the pair-dedup idiom") {
+    // co-author pairs on a shared paper, each unordered pair once
+    val rows = Planner.run(g,
+      """MATCH (a:Author)-[w:WRITES]-(p:Paper), (b:Author)-[w2:WRITES]-(p)
+        |WHERE a.nodeId < b.nodeId
+        |RETURN a.name AS a1, b.name AS a2, p.name AS paper"""
+        .stripMargin).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(rows === Set(("Alice", "Bob", "P-alpha")))
+    // id(v) is the nodeId key (renders canonically as v.nodeId)
+    val viaId = Planner.run(g,
+      """MATCH (a:Author) WHERE id(a) = 10 RETURN a.name AS n""")
+      .collect().map(_.getString(0)).toSeq
+    assert(viaId === Seq("Alice"))
+    val q = Parser.parse("MATCH (a:Author) WHERE id(a) = 10 RETURN id(a) AS i")
+    assert(q.render.contains("a.nodeId"))
+    assert(Parser.parse(q.render) === q)
+  }
+
+  test("simple CASE desugars to the searched form with equality guards") {
+    val rows = Planner.run(g,
+      """MATCH (a:Author)
+        |RETURN a.name AS name,
+        |       CASE a.name WHEN "Alice" THEN "A" WHEN "Bob" THEN "B"
+        |            ELSE "other" END AS tag
+        |ORDER BY name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows === Seq(("Alice", "A"), ("Bob", "B"), ("Carol", "other")))
+    // a null subject matches no branch (falls to ELSE)
+    val nulls = Planner.run(g,
+      """MATCH (p:Paper)
+        |RETURN p.name AS name,
+        |       CASE p.abstract WHEN "graphs" THEN 1 ELSE 0 END AS hit
+        |ORDER BY name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(nulls === Seq(("P-alpha", 0L), ("P-beta", 0L), ("P-gamma", 1L)))
+  }
+
+  test("exists(n.prop) is the IS NOT NULL sugar; count(expr) skips nulls") {
+    val has = Planner.run(g,
+      """MATCH (p:Paper) WHERE exists(p.abstract)
+        |RETURN p.name AS name ORDER BY name""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(has === Seq("P-alpha", "P-gamma"))
+    val hasNot = Planner.run(g,
+      """MATCH (p:Paper) WHERE NOT exists(p.abstract)
+        |RETURN p.name AS name""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(hasNot === Seq("P-beta"))
+    // conditional count: CASE yields null on the unmatched branch
+    val row = Planner.run(g,
+      """MATCH (p:Paper)
+        |RETURN count(CASE WHEN p.abstract IS NOT NULL THEN 1 END) AS with_abs,
+        |       count(*) AS total""".stripMargin).collect().head
+    assert((row.getLong(0), row.getLong(1)) === ((2L, 3L)))
+  }
+
   test("aggregates stay rejected inside list expressions") {
     intercept[Parser.ParseError](Parser.parse(
       "MATCH (a:Author)-[w:WRITES]-(p:Paper) RETURN [count(p), 1] AS bad"))
