@@ -858,6 +858,17 @@ object OracleSqls {
         |SELECT CAST(3999999999 AS BIGINT), 'Customer', 'Customer#new'"""
         .stripMargin),
 
+    // nearest-to-target ranking: the ORDER BY expression replays verbatim
+    "cy_order_expr" -> withFinGraph(
+      """SELECT c.name AS name, c.acctbal AS bal
+        |FROM fnodes c
+        |JOIN fbidir e ON c.nodeId = e.a AND e.relType = 'FROM_NATION'
+        |JOIN fnodes n ON e.b = n.nodeId AND n.label = 'Nation'
+        |  AND n.name = 'NATION_1'
+        |WHERE c.label = 'Customer'
+        |ORDER BY abs(c.acctbal - 500000), name
+        |LIMIT 10""".stripMargin),
+
     // unordered co-supplier pairs: the src < src inequality replays as
     // the same self-join condition
     "cy_pair_dedup" -> withGraph(

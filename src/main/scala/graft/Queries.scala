@@ -1441,6 +1441,17 @@ object Queries {
         pg.rels.groupBy(col("relType").as("kind")).agg(count(lit(1)).as("n")))
   }
 
+  /** ORDER BY a general expression (round 13): nearest-to-target ranking
+    * `ORDER BY abs(c.acctbal - 500000)` — the key is computed as a
+    * hidden pre-projection column and dropped after the trim, so the
+    * plan stays TakeOrderedAndProject (no global sort materializes). */
+  def cyOrderExpr(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(finGraph(spark, dir),
+      """MATCH (c:Customer)-[e:FROM_NATION]-(n:Nation {name: "NATION_1"})
+        |RETURN c.name AS name, c.acctbal AS bal
+        |ORDER BY abs(c.acctbal - 500000), name
+        |LIMIT 10""".stripMargin)
+
   /** Property-to-property comparison (round 13): `s1.nodeId < s2.nodeId`
     * — THE pair-dedup idiom (each unordered co-supplier pair once). The
     * inequality folds into the self-join's condition; never a post-hoc
@@ -3374,6 +3385,7 @@ object Queries {
     "cy_all_shortest" -> (cyAllShortest _),
     "cy_pair_dedup" -> (cyPairDedup _),
     "cy_cond_count" -> (cyCondCount _),
+    "cy_order_expr" -> (cyOrderExpr _),
     "cy_collect_unwind" -> (cyCollectUnwind _),
     "cy_set_update" -> (cySetUpdate _),
     "cy_remove_prop" -> (cyRemoveProp _),

@@ -56,6 +56,15 @@ object Parser {
     q
   }
 
+  /** Parse ONE scalar expression — the planner re-resolves a final
+    * ORDER BY key stored as canonical expression text. */
+  def parseExpression(input: String): Expr = {
+    val p = new P(input)
+    val e = p.expressionEntry()
+    p.expectEnd()
+    e
+  }
+
   /** Parse the MATCH-prefixed mutation clauses: standalone
     * `SET` / `REMOVE` ([[Ast.UpdateQuery]], Left) or relationship
     * `CREATE` / `MERGE` ([[Ast.RelMutationQuery]], Right). */
@@ -331,7 +340,15 @@ object Parser {
               expect("BY")
               val keys = Seq.newBuilder[(String, Boolean)]
               def one(): Unit = {
-                val ref = orderRef()
+                // the final ORDER BY takes a full scalar EXPRESSION
+                // (ORDER BY size(a.name) DESC); stored as its canonical
+                // text — bare refs keep their historical spelling
+                val e = noAggs(expression())
+                val ref = e match {
+                  case ColRef(n)     => n
+                  case PropRef(v, p) => s"$v.$p"
+                  case other         => exprText(other)
+                }
                 val desc = if (opt("DESC")) true else { opt("ASC"); false }
                 keys += ((ref, desc))
               }
@@ -1553,6 +1570,8 @@ object Parser {
         fail("WITH expressions must be aliased (only bare variables carry)")
       RetItem(e, alias)
     }
+
+    def expressionEntry(): Expr = expression()
 
     private def orderRef(): String = {
       val first = ident()

@@ -157,7 +157,13 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     val ordered =
       if (q.orderBy.isEmpty) projected
       else projected.orderBy(q.orderBy.map { case (ref, desc) =>
-        val c = col(hidden.getOrElse(ref, ref))
+        val name = hidden.getOrElse(ref, ref)
+        if (!projected.columns.contains(name) && !bareIdentPat.matches(ref))
+          throw new IllegalArgumentException(
+            s"ORDER BY expression '$ref' needs the pre-projection frame — " +
+              "on an aggregating or DISTINCT query, project it under an " +
+              "alias and ORDER BY the alias instead")
+        val c = col(name)
         if (desc) c.desc else c.asc }: _*)
     val skipped = q.skip.fold(ordered)(ordered.offset)
     val trimmed = q.limit.fold(skipped)(skipped.limit)
@@ -986,17 +992,29 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     * identity would change under extra columns — both keep the previous
     * behavior. The '.' is sanitized out of the hidden name (Spark parses
     * dots as struct access). */
+  // a plain `v.prop` ORDER BY ref (vs a general expression's text)
+  private val propRefPat = "^[A-Za-z_][A-Za-z0-9_]*\\.[A-Za-z0-9_]+$".r
+  private val bareIdentPat = "^[A-Za-z_][A-Za-z0-9_]*$".r
+
+  /** Final-ORDER-BY keys that need a hidden pre-projection column: an
+    * unprojected `v.prop`, or a general EXPRESSION (stored as canonical
+    * text, re-parsed at resolution) — both computed over the full
+    * pre-projection frame and dropped after the trim. */
   private def hiddenOrderRefs(q: CypherQuery): Seq[(String, String)] =
     if (q.isAggregating || q.distinct) Nil
     else q.orderBy.map(_._1)
-      .filter(r => r.contains('.') && !q.items.exists(_.name == r))
+      .filter(r => !q.items.exists(_.name == r) &&
+        !bareIdentPat.matches(r))
       .distinct
-      .map(r => r -> s"__ord_${r.replace('.', '_')}")
+      .zipWithIndex
+      .map { case (r, i) => r -> s"__ord_$i" }
 
   private def projectTuple(df: DataFrame, q: CypherQuery): DataFrame = {
     val hidden = hiddenOrderRefs(q).map { case (r, name) =>
-      val Array(v, p) = r.split("\\.", 2)
-      propCol(v, p).as(name)
+      (if (propRefPat.matches(r)) {
+        val Array(v, p) = r.split("\\.", 2)
+        propCol(v, p)
+      } else exprCol(Parser.parseExpression(r), df.schema)).as(name)
     }
     val cols = q.items.zipWithIndex.map { case (i, idx) =>
       i.expr match {

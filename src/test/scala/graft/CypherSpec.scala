@@ -2181,6 +2181,31 @@ class CypherSpec extends SparkSpec {
     assert((row.getLong(0), row.getLong(1)) === ((2L, 3L)))
   }
 
+  test("ORDER BY a general expression (hidden pre-projection key)") {
+    // sort authors by name length desc, then name — size() is not in the
+    // projection
+    val rows = Planner.run(g,
+      """MATCH (a:Author)
+        |RETURN a.name AS name
+        |ORDER BY size(a.name) DESC, name""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(rows === Seq("Alice", "Carol", "Bob"))
+    // the hidden key never reaches the output schema
+    val df = Planner.run(g,
+      """MATCH (a:Author) RETURN a.name AS name ORDER BY size(a.name) DESC LIMIT 1""")
+    assert(df.columns.toSeq === Seq("name"))
+    assert(df.collect().head.getString(0) === "Alice")
+    // render∘parse identity for the expression key
+    val q = Parser.parse(
+      "MATCH (a:Author) RETURN a.name AS name ORDER BY size(a.name) DESC")
+    assert(Parser.parse(q.render) === q)
+    // aggregating queries get the clear guidance instead of a plan error
+    val e = intercept[IllegalArgumentException](Planner.run(g,
+      """MATCH (a:Author)-[w:WRITES]-(p:Paper)
+        |RETURN a.name AS name, count(p) AS n ORDER BY n * 2""".stripMargin))
+    assert(e.getMessage.contains("project it under an alias"))
+  }
+
   test("aggregates stay rejected inside list expressions") {
     intercept[Parser.ParseError](Parser.parse(
       "MATCH (a:Author)-[w:WRITES]-(p:Paper) RETURN [count(p), 1] AS bad"))
