@@ -678,8 +678,8 @@ object OracleSqls {
         |  '|' || array_to_string(ns, '|') AS joined,
         |  CAST(list_sum(list_transform(ns, x -> length(x))) AS BIGINT)
         |    AS total_len,
-        |  array_to_string(list_transform(
-        |    list_filter(ns, x -> ends_with(x, '1')), x -> lower(x)), '|')
+        |  coalesce(array_to_string(list_transform(
+        |    list_filter(ns, x -> ends_with(x, '1')), x -> lower(x)), '|'), '')
         |    AS picked
         |FROM (
         |  SELECT r.name AS region, list_sort(list(DISTINCT n.name)) AS ns
@@ -857,6 +857,24 @@ object OracleSqls {
         |UNION ALL
         |SELECT CAST(3999999999 AS BIGINT), 'Customer', 'Customer#new'"""
         .stripMargin),
+
+    // keys(p) replays as the embedding-presence CASE (the oracle's node
+    // CTE carries no embedding column — presence reconstructs from the
+    // embeddings table by the Part key)
+    "cy_keys_collect" -> withGraph(
+      """SELECT p.name AS part, p.nodeId AS pid,
+        |  CASE WHEN em.vec_id IS NOT NULL
+        |       THEN 'name|nameEmbedding|nodeId'
+        |       ELSE 'name|nodeId' END AS ks,
+        |  CAST(count(s.nodeId) AS BIGINT) AS n_sup
+        |FROM nodes p
+        |JOIN bidir e ON p.nodeId = e.a AND e.relType = 'SUPPLIES'
+        |JOIN nodes s ON e.b = s.nodeId AND s.label = 'Supplier'
+        |LEFT JOIN embeddings em ON p.nodeId = 5000000000 + em.vec_id
+        |WHERE p.label = 'Part'
+        |GROUP BY 1, 2, 3
+        |ORDER BY n_sup * 10 DESC, part, pid
+        |LIMIT 5""".stripMargin),
 
     // nearest-to-target ranking: the ORDER BY expression replays verbatim
     "cy_order_expr" -> withFinGraph(

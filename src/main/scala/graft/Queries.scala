@@ -1441,6 +1441,20 @@ object Queries {
         pg.rels.groupBy(col("relType").as("kind")).agg(count(lit(1)).as("n")))
   }
 
+  /** `keys(n)` + a WITH-stage ORDER BY expression (round 13): the sorted
+    * non-null property names per part (embedding present or not — the
+    * union-of-keys schema read back as data) under a hidden barrier sort
+    * key, flattened for the driver's hash surface. */
+  def cyKeysCollect(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """MATCH (s:Supplier)-[e:SUPPLIES]-(p:Part)
+        |WITH p.name AS part, p.nodeId AS pid, keys(p) AS ks,
+        |     count(s) AS n_sup
+        |ORDER BY n_sup * 10 DESC, part, pid LIMIT 5
+        |RETURN part, pid, ks, n_sup""".stripMargin)
+      .select(col("part"), col("pid"), array_join(col("ks"), "|").as("ks"),
+        col("n_sup"))
+
   /** ORDER BY a general expression (round 13): nearest-to-target ranking
     * `ORDER BY abs(c.acctbal - 500000)` — the key is computed as a
     * hidden pre-projection column and dropped after the trim, so the
@@ -3386,6 +3400,7 @@ object Queries {
     "cy_pair_dedup" -> (cyPairDedup _),
     "cy_cond_count" -> (cyCondCount _),
     "cy_order_expr" -> (cyOrderExpr _),
+    "cy_keys_collect" -> (cyKeysCollect _),
     "cy_collect_unwind" -> (cyCollectUnwind _),
     "cy_set_update" -> (cySetUpdate _),
     "cy_remove_prop" -> (cyRemoveProp _),

@@ -10,15 +10,18 @@ package graft.cypher
   *   query     := stage* unwind* MATCH path (',' path)* [WHERE pred (AND pred)*]
   *                (OPTIONAL MATCH path [WHERE pred (AND pred)*])*
   *                RETURN [DISTINCT] item (',' item)*
-  *                [ORDER BY ref [ASC|DESC]] [LIMIT n]
-  *              | MATCH var '=' shortestPath '(' node rel node ')'
-  *                [WHERE pred (AND pred)*] RETURN …   -- rel must be *lo..hi
+  *                [ORDER BY (ref|expr) [ASC|DESC]] [SKIP n] [LIMIT n]
+  *              | stage+ unwind+ RETURN …              -- collect→UNWIND tail
+  *              | MATCH var '=' (shortestPath|allShortestPaths)
+  *                '(' node rel node ')'                 -- rel must be *lo..hi
+  *                [WHERE pred (AND pred)*] RETURN …     -- all* = row per path
   *   stage     := unwind* MATCH path (',' path)* [WHERE pred (AND pred)*]
   *                WITH [DISTINCT] withItem (',' withItem)*
   *                [ORDER BY ref [ASC|DESC]] [SKIP n] [LIMIT n]
   *                [WHERE pred (AND pred)*]
   *   unwind    := UNWIND ($param | '[' lit (',' lit)* ']'
-  *                        | range(int, int [, int])) AS var   -- range expands at parse
+  *                        | range(int, int [, int])   -- expands at parse
+  *                        | carriedListAlias) AS var  -- collect→UNWIND explode
   *   path      := [pathVar '='] node (rel node)*   -- name scopes nodes()/relationships()
   *   node      := '(' var [':' Label] [ '{' (name|nodeId) ':' (literal | var | $param) '}' ] ')'
   *   rel       := relBody '-' | relBody '->' | '<' relBody '-'
@@ -26,6 +29,8 @@ package graft.cypher
   *   pred      := var '<>' var | NOT var '.' 'nodeId' IN $param
   *              | normalize(lower(col)) '=' normalize(lower($param))
   *              | (col | var '.' prop) cmpop (literal | $param)
+  *              | var '.' prop cmpop var '.' prop    -- pair-dedup idiom
+  *              | [NOT] exists '(' var '.' prop ')'  -- IS [NOT] NULL sugar
   *              | (col | var '.' prop) IS [NOT] NULL
   *              | expr (CONTAINS | STARTS WITH | ENDS WITH | '=~') expr
   *              | strFn-headed expr cmpop expr   -- size(n.name) > 5
@@ -44,7 +49,8 @@ package graft.cypher
   *   mulExpr   := atom (('*'|'/'|'%') atom)*   -- int÷int truncates (Neo4j)
   *   atom      := '(' expr ')' | intLit | strLit
   *              | var '.' prop | bare-col | labels(var) | type(var)
-  *              | count('*' | [DISTINCT] var['.' prop])
+  *              | count('*' | [DISTINCT] var['.' prop] | [DISTINCT] expr)
+  *              | id(var)                         -- the nodeId key
   *              | (sum | avg | stDev | stDevP)([DISTINCT] expr)
   *              | (percentileCont | percentileDisc)(expr ',' double)
   *              | min(var '.' prop) | max(var '.' prop)
@@ -54,7 +60,8 @@ package graft.cypher
   *              | replace(expr ',' expr ',' expr)
   *              | (abs | sign | toString | toInteger | toFloat)(expr)
   *              | coalesce(expr (',' expr)*)
-  *              | CASE (WHEN cond THEN expr)+ [ELSE expr] END
+  *              | CASE [expr] (WHEN (cond|expr) THEN expr)+ [ELSE expr] END
+  *                                -- simple form desugars to '=' guards
   *              | size('[' ... ']')              -- A2 comprehension
   *              | count '{' degPat '}' | size '(' degPat ')'  -- degree sugar
   *              | vector.similarity.cosine(var '.' prop, $param)
@@ -305,6 +312,14 @@ object Ast {
   /** String literal inside an expression (CASE branches, coalesce
     * defaults). */
   final case class StrLitE(v: String) extends Expr
+  /** The `null` literal — CASE defaults, coalesce tails, and the Neo4j
+    * property-removal idiom `SET n.p = null` (≡ REMOVE n.p). */
+  case object NullLitE extends Expr
+  /** `keys(var)` — the node's property names with a NON-NULL value on
+    * this row (sorted for determinism; Neo4j's order is arbitrary).
+    * `label`/`labels` are label metadata, not properties, and are
+    * excluded — `nodeId` IS a property here (the S2 key). */
+  final case class KeysOf(varName: String) extends Expr
   /** Binary arithmetic `l <op> r`, op ∈ {+, -, *, /, %} with standard
     * precedence and parentheses. `/` over two INTEGRAL operands is
     * Cypher/Neo4j integer division (truncation toward zero — DuckDB `//`);
@@ -409,6 +424,8 @@ object Ast {
       case LongLitE(v)                => v.toString
       case StrLitE(v)                 =>
         "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      case NullLitE                   => "null"
+      case KeysOf(v)                  => s"keys($v)"
       case AggFn(fn, a, d)            =>
         s"$fn(${if (d) "DISTINCT " else ""}${exprText(a)})"
       case CoalesceE(args)            =>

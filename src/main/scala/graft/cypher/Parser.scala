@@ -315,7 +315,15 @@ object Parser {
               expect("BY")
               val keys = Seq.newBuilder[(String, Boolean)]
               def one(): Unit = {
-                val ref = orderRef()
+                // the barrier ORDER BY also takes a full scalar
+                // expression over the projected items / carried vars,
+                // stored as canonical text like the final clause's
+                val e = noAggs(expression())
+                val ref = e match {
+                  case ColRef(n)     => n
+                  case PropRef(v, p) => s"$v.$p"
+                  case other         => exprText(other)
+                }
                 val desc = if (opt("DESC")) true else { opt("ASC"); false }
                 keys += ((ref, desc))
               }
@@ -1432,8 +1440,32 @@ object Parser {
       else if (peekCall("collect")) {
         expect("collect"); expect("(")
         val d = opt("DISTINCT")
-        val v = ident(); expect("."); val p = ident(); expect(")")
-        if (d) CollectDistinct(v, p) else CollectAll(v, p)
+        // the bare `v.prop` form keeps its historical node (and owns that
+        // rendered text); anything else is the GENERAL collect over an
+        // expression — collect(toUpper(n.name))
+        val saved = pos
+        val simple: Option[Expr] =
+          try {
+            val v = ident()
+            ws()
+            if (pos < in.length && in(pos) == '.') {
+              pos += 1
+              val p = ident()
+              ws()
+              if (pos < in.length && in(pos) == ')') {
+                pos += 1
+                Some(if (d) CollectDistinct(v, p) else CollectAll(v, p))
+              } else { pos = saved; None }
+            } else { pos = saved; None }
+          } catch { case _: ParseError => pos = saved; None }
+        simple.getOrElse {
+          val a = expression(); expect(")")
+          AggFn("collect", a, d)
+        }
+      }
+      else if (peekCall("keys")) {
+        expect("keys"); expect("("); val v = ident(); expect(")")
+        KeysOf(v)
       }
       else if (peekCall("min") || peekCall("max")) {
         val fn = if (opt("min")) "min" else { expect("max"); "max" }
@@ -1512,6 +1544,7 @@ object Parser {
         expect(","); val q = param(); expect(")")
         Cosine(v, p, q)
       }
+      else if (peek("null") && !peekCall("null")) { expect("null"); NullLitE }
       else {
         val v = ident()
         ws()

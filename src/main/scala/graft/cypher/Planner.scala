@@ -383,35 +383,11 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
           .agg(aggCols.head, aggCols.tail: _*)
       }
     val dedup = if (st.withDistinct && aggItems.isEmpty) out.distinct() else out
-    // WITH … ORDER BY / SKIP / LIMIT — the per-stage trim (top-k-per-stage
-    // idiom), applied BEFORE the WITH…WHERE filter per openCypher's
-    // sub-clause order. Cypher leaves tie order undefined; for a
-    // reproducible trim the stage appends every remaining atomic projected
-    // column (name-sorted, ascending) as tie-breakers — node identity is
-    // nodeId-determined, so ties break deterministically. ORDER BY + LIMIT
-    // plans as TakeOrderedAndProject: no global sort materializes.
-    val trimmed =
-      if (st.orderBy.isEmpty && st.skip.isEmpty && st.limit.isEmpty) dedup
-      else {
-        val sorted =
-          if (st.orderBy.isEmpty) dedup
-          else {
-            val keyNames = st.orderBy.map { case (ref, _) =>
-              barrierColName(ref, dedup.columns) }
-            val keys = st.orderBy.zip(keyNames).map { case ((_, desc), kn) =>
-              if (desc) col(kn).desc else col(kn).asc }
-            val ties = dedup.schema.fields
-              .filter(f => !keyNames.contains(f.name) && isAtomicType(f.dataType))
-              .map(_.name).sorted.map(col(_).asc)
-            dedup.orderBy((keys ++ ties.toSeq): _*)
-          }
-        val skipped = st.skip.fold(sorted)(sorted.offset)
-        st.limit.fold(skipped)(skipped.limit)
-      }
     // the barrier: recompute what survives for the NEXT stage — BEFORE
-    // the WITH…WHERE filter, so its predicates (including EXISTS, whose
-    // shared variables must resolve against the flattened __w_ columns)
-    // see the post-projection binding space, not the pre-barrier one
+    // the trim and the WITH…WHERE filter, so ORDER BY expressions and
+    // WHERE predicates (including EXISTS, whose shared variables must
+    // resolve against the flattened __w_ columns) see the
+    // post-projection binding space, not the pre-barrier one
     val (vars, scalars) = st.withItems.foldLeft((Set.empty[String], Set.empty[String])) {
       case ((vs, ss), RetItem(ColRef(n), _)) =>
         if (stageVars.contains(n) || carriedVars.contains(n)) (vs + n, ss)
@@ -422,6 +398,50 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     carriedScalars = scalars
     stageVars = Set.empty
     stageRelVars = Set.empty
+    // WITH … ORDER BY / SKIP / LIMIT — the per-stage trim (top-k-per-stage
+    // idiom), applied BEFORE the WITH…WHERE filter per openCypher's
+    // sub-clause order. Cypher leaves tie order undefined; for a
+    // reproducible trim the stage appends every remaining atomic projected
+    // column (name-sorted, ascending) as tie-breakers — node identity is
+    // nodeId-determined, so ties break deterministically. ORDER BY + LIMIT
+    // plans as TakeOrderedAndProject: no global sort materializes. A key
+    // that is not a barrier column is a general EXPRESSION over the
+    // projected items (canonical text): computed as a hidden column,
+    // dropped after the trim.
+    val trimmed =
+      if (st.orderBy.isEmpty && st.skip.isEmpty && st.limit.isEmpty) dedup
+      else {
+        val hiddenKeys = Seq.newBuilder[String]
+        val (withHidden, keyNames) =
+          st.orderBy.zipWithIndex.foldLeft((dedup, Seq.empty[String])) {
+            case ((df, names), ((ref, _), i)) =>
+              val direct =
+                try Some(barrierColName(ref, dedup.columns))
+                catch { case _: IllegalArgumentException => None }
+              direct match {
+                case Some(n) => (df, names :+ n)
+                case None =>
+                  val n = s"__sord_$i"
+                  hiddenKeys += n
+                  (df.withColumn(n,
+                    exprCol(Parser.parseExpression(ref), df.schema)), names :+ n)
+              }
+          }
+        val sorted =
+          if (st.orderBy.isEmpty) withHidden
+          else {
+            val keys = st.orderBy.zip(keyNames).map { case ((_, desc), kn) =>
+              if (desc) col(kn).desc else col(kn).asc }
+            val ties = dedup.schema.fields
+              .filter(f => !keyNames.contains(f.name) && isAtomicType(f.dataType))
+              .map(_.name).sorted.map(col(_).asc)
+            withHidden.orderBy((keys ++ ties.toSeq): _*)
+          }
+        val skipped = st.skip.fold(sorted)(sorted.offset)
+        val limited = st.limit.fold(skipped)(skipped.limit)
+        val hk = hiddenKeys.result()
+        if (hk.isEmpty) limited else limited.drop(hk: _*)
+      }
     applyPreds(trimmed, st.withPreds)
   }
 
@@ -1409,6 +1429,8 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     case ScalarFn("split", _) => Some(org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.StringType))
     case ScalarFn("toBoolean", _) => Some(org.apache.spark.sql.types.BooleanType)
+    case KeysOf(_) => Some(org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType))
     case ListLit(items) => Some(org.apache.spark.sql.types.ArrayType(
       items.headOption.flatMap(staticType(_, schema))
         .getOrElse(org.apache.spark.sql.types.NullType)))
@@ -1560,6 +1582,16 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       }
     case LongLitE(v) => lit(v)
     case StrLitE(s)  => lit(s)
+    case NullLitE    => lit(null)
+    case KeysOf(v) =>
+      // sorted names of this row's NON-NULL properties — a codegen'd
+      // concat of per-field singleton-or-empty arrays, no UDF;
+      // label/labels are label metadata, not properties
+      val fields = varSchema(v).fields.map(_.name)
+        .filterNot(n => n == "label" || n == "labels").sorted
+      concat(fields.map(f =>
+        when(propCol(v, f).isNotNull, array(lit(f)))
+          .otherwise(array().cast("array<string>"))).toIndexedSeq: _*)
     case ScalarFn(fn, args) =>
       val a = args.map(exprCol(_, schema))
       fn match {
@@ -1711,6 +1743,10 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     // count(v.prop)); the DISTINCT form counts the distinct value set
     case AggFn("count", _, false) => count(col(src))
     case AggFn("count", _, true)  => count_distinct(col(src))
+    // collect over a general expression — same canonical sorted list /
+    // null-skipping contract as the v.prop forms
+    case AggFn("collect", _, false) => sort_array(collect_list(col(src)))
+    case AggFn("collect", _, true)  => sort_array(collect_set(col(src)))
     // min/max over a general expression argument (the v.prop form stays
     // MinMaxProp); DISTINCT is accepted and identical by extremum algebra
     case AggFn("min", _, _) => min(col(src))

@@ -2206,6 +2206,63 @@ class CypherSpec extends SparkSpec {
     assert(e.getMessage.contains("project it under an alias"))
   }
 
+  test("null literal: SET n.p = null is the property-removal idiom") {
+    val cleared = Planner.runMutation(g,
+      """MATCH (p:Paper {name: "P-alpha"}) SET p.abstract = null""")
+    val r = cleared.nodes.where(col("name") === "P-alpha").collect().head
+    assert(r.isNullAt(r.fieldIndex("abstract")))
+    // and in expression position: coalesce / CASE defaults
+    val row = Planner.run(g,
+      """MATCH (p:Paper {name: "P-beta"})
+        |RETURN coalesce(p.abstract, "?") AS a,
+        |       CASE WHEN p.abstract IS NULL THEN null ELSE 1 END AS b"""
+        .stripMargin).collect().head
+    assert(row.getString(0) === "?" && row.isNullAt(1))
+  }
+
+  test("keys(n): sorted non-null property names, label metadata excluded") {
+    val rows = Planner.run(g,
+      """MATCH (p:Paper) RETURN p.name AS name, keys(p) AS ks ORDER BY name""")
+      .collect().map(r => (r.getString(0), r.getSeq[String](1))).toSeq
+    // P-beta has a null abstract → the key is absent on that row
+    assert(rows === Seq(
+      ("P-alpha", Seq("abstract", "name", "nameEmbedding", "nodeId")),
+      ("P-beta", Seq("name", "nameEmbedding", "nodeId")),
+      ("P-gamma", Seq("abstract", "name", "nameEmbedding", "nodeId"))))
+  }
+
+  test("collect over a general expression") {
+    val row = Planner.run(g,
+      """MATCH (a:Author {name: "Alice"})-[w:WRITES]-(p:Paper)
+        |RETURN collect(toUpper(p.name)) AS all_upper,
+        |       collect(DISTINCT size(p.name)) AS lens""".stripMargin)
+      .collect().head
+    assert(row.getSeq[String](0) === Seq("P-ALPHA", "P-BETA"))
+    assert(row.getSeq[Long](1) === Seq(6L, 7L))
+    // the v.prop spelling still parses to its historical nodes
+    val q = Parser.parse(
+      "MATCH (a:Author)-[w:WRITES]-(p:Paper) RETURN collect(p.name) AS ns")
+    assert(q.items.head.expr === Ast.CollectAll("p", "name"))
+    assert(Parser.parse(q.render) === q)
+  }
+
+  test("WITH-stage ORDER BY takes expressions (hidden barrier key)") {
+    // top-2 authors by DOUBLED paper count (an expression over the alias)
+    val rows = Planner.run(g,
+      """MATCH (a:Author)-[w:WRITES]-(p:Paper)
+        |WITH a.name AS author, count(DISTINCT p) AS np
+        |ORDER BY np * 2 DESC, author LIMIT 2
+        |RETURN author, np""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows === Seq(("Alice", 2L), ("Bob", 1L)))
+    // hidden key absent from the carried schema
+    val df = Planner.run(g,
+      """MATCH (a:Author)-[w:WRITES]-(p:Paper)
+        |WITH a.name AS author, count(DISTINCT p) AS np ORDER BY np * 2 DESC LIMIT 1
+        |RETURN author, np""".stripMargin)
+    assert(df.columns.toSeq === Seq("author", "np"))
+  }
+
   test("aggregates stay rejected inside list expressions") {
     intercept[Parser.ParseError](Parser.parse(
       "MATCH (a:Author)-[w:WRITES]-(p:Paper) RETURN [count(p), 1] AS bad"))
