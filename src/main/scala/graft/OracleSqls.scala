@@ -858,6 +858,22 @@ object OracleSqls {
         |SELECT CAST(3999999999 AS BIGINT), 'Customer', 'Customer#new'"""
         .stripMargin),
 
+    // pattern comprehensions replay as correlated list subqueries; the
+    // empty list flattens to '' (array_to_string of [] is NULL in DuckDB)
+    "cy_pattern_comp" -> withGraph(
+      """SELECT n.name AS nation,
+        |  coalesce((SELECT array_to_string(list_sort(list(c.name)), '|')
+        |    FROM bidir e JOIN nodes c
+        |      ON e.b = c.nodeId AND c.label = 'Customer'
+        |    WHERE e.a = n.nodeId AND e.relType = 'FROM_NATION'
+        |      AND ends_with(c.name, '1')), '') AS picked,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM bidir e2
+        |    JOIN nodes r ON e2.b = r.nodeId AND r.label = 'Region'
+        |    WHERE e2.a = n.nodeId AND e2.relType = 'IN_REGION') AS n_regions
+        |FROM nodes n
+        |WHERE n.label = 'Nation' AND n.name IN ('NATION_1', 'NATION_2')
+        |ORDER BY nation""".stripMargin),
+
     // keys(p) replays as the embedding-presence CASE (the oracle's node
     // CTE carries no embedding column — presence reconstructs from the
     // embeddings table by the Part key)

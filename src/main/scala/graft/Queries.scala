@@ -1441,6 +1441,21 @@ object Queries {
         pg.rels.groupBy(col("relType").as("kind")).agg(count(lit(1)).as("n")))
   }
 
+  /** Pattern comprehensions (round 13): per-row lists of pattern
+    * projections — the provenance shape (retrieval/retriever.py:80-86)
+    * as ONE grouped collect per pattern shape LEFT-joined back, plus the
+    * `size([pattern])` degree-style companion; a no-match row gets []. */
+  def cyPatternComp(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """MATCH (n:Nation)
+        |WHERE n.name IN ["NATION_1", "NATION_2"]
+        |RETURN n.name AS nation,
+        |       [(n)-[:FROM_NATION]-(c:Customer) WHERE c.name ENDS WITH "1" | c.name] AS picked,
+        |       size([(n)-[:IN_REGION]-(r:Region) | r.name]) AS n_regions
+        |ORDER BY nation""".stripMargin)
+      .select(col("nation"), array_join(col("picked"), "|").as("picked"),
+        col("n_regions"))
+
   /** `keys(n)` + a WITH-stage ORDER BY expression (round 13): the sorted
     * non-null property names per part (embedding present or not — the
     * union-of-keys schema read back as data) under a hidden barrier sort
@@ -3401,6 +3416,7 @@ object Queries {
     "cy_cond_count" -> (cyCondCount _),
     "cy_order_expr" -> (cyOrderExpr _),
     "cy_keys_collect" -> (cyKeysCollect _),
+    "cy_pattern_comp" -> (cyPatternComp _),
     "cy_collect_unwind" -> (cyCollectUnwind _),
     "cy_set_update" -> (cySetUpdate _),
     "cy_remove_prop" -> (cyRemoveProp _),

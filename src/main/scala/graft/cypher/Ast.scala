@@ -368,6 +368,15 @@ object Ast {
     * inside expressions). */
   final case class ListComp(varName: String, list: Expr, cond: Option[Cond],
                             proj: Option[Expr]) extends Expr
+  /** `[(n)-[:T]-(m) [WHERE pred (AND pred)*] | proj]` — Neo4j's PATTERN
+    * comprehension: the list of `proj` values over every match of the
+    * pattern around the row's bound variable(s) (fresh variables scope to
+    * the comprehension). Planned like the marker EXISTS: the pattern is
+    * enumerated ONCE, grouped by its shared keys into a canonical sorted
+    * `collect_list`, and LEFT-joined back — never a per-row subquery; a
+    * row with no matches gets the EMPTY list (Neo4j's []). */
+  final case class PatternComp(path: MatchPath, preds: Seq[Pred],
+                               proj: Expr) extends Expr
 
   /** Boolean condition inside CASE WHEN and list-comprehension WHERE. */
   sealed trait Cond
@@ -449,6 +458,10 @@ object Ast {
       case ListComp(v, l, c, pj) =>
         s"[$v IN ${exprText(l)}" + c.fold("")(cc => s" WHERE ${condText(cc)}") +
           pj.fold("")(p => s" | ${exprText(p)}") + "]"
+      case PatternComp(p, prs, proj) =>
+        val where =
+          if (prs.isEmpty) "" else " WHERE " + prs.map(predText).mkString(" AND ")
+        s"[${pathText(p)}$where | ${exprText(proj)}]"
     }
 
   /** Postfix `[…]` binds to an ATOM on the parse side, so a non-atomic

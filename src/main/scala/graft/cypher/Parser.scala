@@ -1199,6 +1199,26 @@ object Parser {
       * non-committing `ident IN` lookahead. */
     private def bracketExpr(): Expr = {
       pos += 1 // '['
+      ws()
+      // pattern comprehension [(n)-[:T]-(m) [WHERE …] | proj] — probed
+      // first when the bracket opens on '('; a parenthesized expression
+      // (no relationship hop) backtracks to the literal-list parse
+      if (pos < in.length && in(pos) == '(') {
+        tryPatternPred() match {
+          case Some(p) =>
+            val preds =
+              if (opt("WHERE")) flatAnds(orTree(Some("a pattern-comprehension inner")))
+              else Nil
+            ws()
+            if (pos >= in.length || in(pos) != '|')
+              fail("expected '| projection' in the pattern comprehension")
+            pos += 1
+            val proj = expression()
+            expect("]")
+            return PatternComp(p, preds, proj)
+          case None => () // fall through to the list forms
+        }
+      }
       val isComp = {
         val p0 = pos
         val r = try { ident(); peek("IN") } catch { case _: ParseError => false }
@@ -1582,6 +1602,7 @@ object Parser {
           below(init) || below(l) || below(body)
         case ListComp(_, l, c, pj) =>
           below(l) || c.exists(condHasAgg) || pj.exists(below)
+        case PatternComp(_, _, proj) => below(proj)
         case _               => false
       }
       def condHasAgg(c: Cond): Boolean = c match {

@@ -51,6 +51,12 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
   // count { (n)--() } degree expressions resolve to pre-joined count
   // columns ([[attachDegree]]); keyed by the full DegreeOf shape
   private var degreeCols: Map[DegreeOf, String] = Map.empty
+  // pattern comprehensions resolve to pre-joined sorted-list columns
+  // ([[attachPatternComps]]); keyed by the full PatternComp shape (the
+  // type map backs the empty-list coalesce on a no-match row)
+  private var patternCompCols: Map[PatternComp, String] = Map.empty
+  private var patternCompTypes: Map[PatternComp, org.apache.spark.sql.types.DataType] =
+    Map.empty
   // named enumerated paths of the CURRENT expansion: traversal-ordered
   // node variables and rel frame aliases ([[joinPaths]] records them)
   private var pathNodeVars: Map[String, Seq[String]] = Map.empty
@@ -352,8 +358,10 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     stageVars = varsOf(st.paths)
     stageRelVars = relVarsOf(st.paths)
     val aggItems = st.withItems.filter(isAggItem)
-    val degs = (st.withItems.flatMap(i => walkExpr(i.expr)) ++
-      st.preds.flatMap(walkPred)).collect { case d: DegreeOf => d }.distinct
+    val walked = st.withItems.flatMap(i => walkExpr(i.expr)) ++
+      st.preds.flatMap(walkPred)
+    val degs = walked.collect { case d: DegreeOf => d }.distinct
+    val pcomps = walked.collect { case pc: PatternComp => pc }.distinct
     val base2 = explodeCarried(base, st.unwinds)
     val frames = expandPaths(st.paths).map { ps =>
       allowCarriedAnchors = true
@@ -361,7 +369,7 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
         try joinPaths(st.unwinds.filterNot(_.carried), ps)
         finally allowCarriedAnchors = false
       val attached = applyPendingAnchors(attachBase(base2, joined0, ps))
-      val withDegs = attachDegrees(attached, degs)
+      val withDegs = attachPatternComps(attachDegrees(attached, degs), pcomps)
       val filtered = applyPreds(withDegs, st.preds)
       projectWith(filtered, st, ps)
     }
@@ -636,9 +644,11 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       try joinPaths(q.unwinds.filterNot(_.carried), q.paths)
       finally allowCarriedAnchors = false
     val joined = applyPendingAnchors(attachBase(base2, joined0, q.paths))
-    val degs = (q.items.flatMap(i => walkExpr(i.expr)) ++
-      q.preds.flatMap(walkPred)).collect { case d: DegreeOf => d }.distinct
-    val withDegs = attachDegrees(joined, degs)
+    val walked = q.items.flatMap(i => walkExpr(i.expr)) ++
+      q.preds.flatMap(walkPred)
+    val degs = walked.collect { case d: DegreeOf => d }.distinct
+    val pcomps = walked.collect { case pc: PatternComp => pc }.distinct
+    val withDegs = attachPatternComps(attachDegrees(joined, degs), pcomps)
     val filtered = applyPreds(withDegs, q.preds)
     // rebuilt per expansion: an optional var must not count as "already
     // bound" when the NEXT var-length expansion of the main paths plans
@@ -866,6 +876,49 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     main.join(sub.withColumn(marker, lit(true)), cond, "left")
       .drop(sharedVars.map(v => s"${marker}_k_$v"): _*)
   }
+
+  /** Attach one sorted-list column per DISTINCT pattern-comprehension
+    * shape: the pattern is enumerated once ([[planPath]], trail semantics
+    * included), inner-WHERE-filtered in its OWN alias space, grouped by
+    * the shared bound variables' nodeIds into a canonical sorted
+    * `collect_list` of the projection, and LEFT-joined back — never a
+    * per-row subquery; [[exprCol]] coalesces the miss to the EMPTY list.
+    * At 100 TB this is one grouped aggregation over the pattern's hop
+    * joins plus one equi-join, the same shape as the degree sugar. */
+  private def attachPatternComps(df: DataFrame,
+                                 pcs: Seq[PatternComp]): DataFrame =
+    pcs.zipWithIndex.foldLeft(df) { case (acc, (pc, i)) =>
+      val outName = s"__pcomp$i"
+      patternCompCols += pc -> outName
+      val path = pc.path
+      val boundBefore = stageVars ++ optNodeVars ++ carriedVars
+      val sharedVars = path.nodes.map(_.varName).distinct.filter(boundBefore)
+      require(sharedVars.nonEmpty,
+        "a pattern comprehension must share at least one bound variable")
+      val keyName = (v: String) => s"${outName}_k_$v"
+      val frames = expandPaths(Seq(path)).map(_.head).map { p =>
+        val planned = planPath(Nil, p, anonPrefix = s"${outName}_r")
+        val saved = stageVars
+        val savedRels = stageRelVars
+        stageVars = varsOf(Seq(p))
+        stageRelVars = relVarsOf(Seq(p))
+        try {
+          val filtered = pc.preds.foldLeft(planned)((d, pr) =>
+            d.where(predCol(pr, d.schema)))
+          filtered.select(
+            (sharedVars.map(v => col(s"$v.nodeId").as(keyName(v))) :+
+              exprCol(pc.proj, filtered.schema).as(s"${outName}_v")): _*)
+        } finally { stageVars = saved; stageRelVars = savedRels }
+      }
+      val sub = frames.reduce(_.unionByName(_))
+        .groupBy(sharedVars.map(v => col(keyName(v))): _*)
+        .agg(sort_array(collect_list(col(s"${outName}_v"))).as(outName))
+      patternCompTypes += pc -> sub.schema(outName).dataType
+      val cond = sharedVars.map(v =>
+        propCol(v, "nodeId") === col(keyName(v))).reduce(_ && _)
+      acc.join(sub, cond, "left")
+        .drop(sharedVars.map(keyName): _*)
+    }
 
   /** One OPTIONAL MATCH clause = a LEFT OUTER join of the preserved frame
     * against the optional pattern's solutions, keyed on the shared (already
@@ -1431,6 +1484,9 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     case ScalarFn("toBoolean", _) => Some(org.apache.spark.sql.types.BooleanType)
     case KeysOf(_) => Some(org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.StringType))
+    case PatternComp(_, _, proj) =>
+      Some(org.apache.spark.sql.types.ArrayType(staticType(proj, schema)
+        .getOrElse(org.apache.spark.sql.types.StringType)))
     case ListLit(items) => Some(org.apache.spark.sql.types.ArrayType(
       items.headOption.flatMap(staticType(_, schema))
         .getOrElse(org.apache.spark.sql.types.NullType)))
@@ -1570,6 +1626,15 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
         case Some(rvs) => array(rvs.map(rv => col(s"$rv.relType")): _*)
         case None => throw new IllegalArgumentException(
           s"relationships($pv) does not name a path of this MATCH")
+      }
+    case pc: PatternComp =>
+      patternCompCols.get(pc) match {
+        // left-joined grouped list: null = no pattern match → []
+        case Some(name) =>
+          coalesce(col(name), array().cast(patternCompTypes(pc)))
+        case None => throw new IllegalArgumentException(
+          "pattern comprehensions are supported in MATCH WHERE and " +
+            "RETURN/WITH items")
       }
     case d: DegreeOf =>
       degreeCols.get(d) match {

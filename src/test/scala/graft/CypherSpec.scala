@@ -2263,6 +2263,57 @@ class CypherSpec extends SparkSpec {
     assert(df.columns.toSeq === Seq("author", "np"))
   }
 
+  test("pattern comprehension: per-row list of pattern projections") {
+    // each author's paper titles as a list — P-beta's missing abstract
+    // doesn't matter here; Carol gets hers, and the miss case is below
+    val rows = Planner.run(g,
+      """MATCH (a:Author)
+        |RETURN a.name AS name, [(a)-[:WRITES]-(p:Paper) | p.name] AS ps
+        |ORDER BY name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getSeq[String](1))).toSeq
+    assert(rows === Seq(
+      ("Alice", Seq("P-alpha", "P-beta")),
+      ("Bob", Seq("P-alpha")),
+      ("Carol", Seq("P-gamma"))))
+    // inner WHERE filters the pattern; no match → the EMPTY list
+    val filtered = Planner.run(g,
+      """MATCH (a:Author)
+        |RETURN a.name AS name,
+        |       [(a)-[:WRITES]-(p:Paper) WHERE p.abstract IS NOT NULL | toUpper(p.name)] AS ps
+        |ORDER BY name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getSeq[String](1))).toSeq
+    assert(filtered === Seq(
+      ("Alice", Seq("P-ALPHA")),
+      ("Bob", Seq("P-ALPHA")),
+      ("Carol", Seq("P-GAMMA"))))
+    val empty = Planner.run(g,
+      """MATCH (i:Institution)
+        |RETURN i.name AS name,
+        |       [(i)-[:WRITES]-(p:Paper) | p.name] AS ps
+        |ORDER BY name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getSeq[String](1))).toSeq
+    assert(empty === Seq(("MIT", Seq()), ("Stanford", Seq())))
+  }
+
+  test("pattern comprehension composes with size() and WHERE") {
+    // prolific = authors with ≥2 papers, via size([pattern])
+    val rows = Planner.run(g,
+      """MATCH (a:Author)
+        |WHERE size([(a)-[:WRITES]-(p:Paper) | p.nodeId]) >= 2
+        |RETURN a.name AS name""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(rows === Seq("Alice"))
+    // render∘parse identity
+    val q = Parser.parse(
+      """MATCH (a:Author) RETURN a.name AS name, [(a)-[:WRITES]-(p:Paper) WHERE p.name CONTAINS "alpha" | p.name] AS ps""")
+    assert(Parser.parse(q.render) === q)
+    // a parenthesized expression in a list literal still backtracks
+    val lit = Planner.run(g,
+      """MATCH (a:Author {name: "Bob"}) RETURN [(1 + 2), 4] AS l""")
+      .collect().head.getSeq[Long](0)
+    assert(lit === Seq(3L, 4L))
+  }
+
   test("aggregates stay rejected inside list expressions") {
     intercept[Parser.ParseError](Parser.parse(
       "MATCH (a:Author)-[w:WRITES]-(p:Paper) RETURN [count(p), 1] AS bad"))
