@@ -858,6 +858,34 @@ object OracleSqls {
         |SELECT CAST(3999999999 AS BIGINT), 'Customer', 'Customer#new'"""
         .stripMargin),
 
+    // WITH * carry ≡ the flat 2-hop join with the derived column
+    "cy_with_star" -> withGraph(
+      """SELECT r.name AS region, n.name AS nation,
+        |  CAST(length(n.name) AS BIGINT) AS nlen,
+        |  CAST(count(c.nodeId) AS BIGINT) AS n_cust
+        |FROM nodes r
+        |JOIN bidir e ON r.nodeId = e.a AND e.relType = 'IN_REGION'
+        |JOIN nodes n ON e.b = n.nodeId AND n.label = 'Nation'
+        |JOIN bidir e2 ON n.nodeId = e2.a AND e2.relType = 'FROM_NATION'
+        |JOIN nodes c ON e2.b = c.nodeId AND c.label = 'Customer'
+        |WHERE r.label = 'Region' AND r.name = 'ASIA'
+        |GROUP BY 1, 2, 3
+        |ORDER BY nation""".stripMargin),
+
+    // NOT IN the collected asian-nation list ≡ anti-membership by name
+    "cy_in_carried" -> withGraph(
+      """SELECT CAST(count(DISTINCT m.nodeId) AS BIGINT) AS n_other
+        |FROM nodes m
+        |JOIN bidir e2 ON m.nodeId = e2.a AND e2.relType = 'FROM_NATION'
+        |JOIN nodes c ON e2.b = c.nodeId AND c.label = 'Customer'
+        |WHERE m.label = 'Nation'
+        |  AND m.name NOT IN (
+        |    SELECT n.name FROM nodes r
+        |    JOIN bidir e ON r.nodeId = e.a AND e.relType = 'IN_REGION'
+        |    JOIN nodes n ON e.b = n.nodeId AND n.label = 'Nation'
+        |    WHERE r.label = 'Region' AND r.name = 'ASIA')"""
+        .stripMargin),
+
     // pattern comprehensions replay as correlated list subqueries; the
     // empty list flattens to '' (array_to_string of [] is NULL in DuckDB)
     "cy_pattern_comp" -> withGraph(

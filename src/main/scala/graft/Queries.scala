@@ -1441,6 +1441,27 @@ object Queries {
         pg.rels.groupBy(col("relType").as("kind")).agg(count(lit(1)).as("n")))
   }
 
+  /** `WITH *` (round 13): carry every bound variable plus an extra
+    * aliased expression through the barrier — the grow-a-query idiom. */
+  def cyWithStar(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """MATCH (r:Region {name: "ASIA"})-[e:IN_REGION]-(n:Nation)
+        |WITH *, size(n.name) AS nlen
+        |MATCH (n)-[e2:FROM_NATION]-(c:Customer)
+        |RETURN r.name AS region, n.name AS nation, nlen, count(c) AS n_cust
+        |ORDER BY nation""".stripMargin)
+
+  /** `IN` over a carried list alias (round 13): collect → membership —
+    * one codegen'd array_contains against the carried column, the
+    * predicate twin of the carried-list UNWIND. */
+  def cyInCarried(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """MATCH (r:Region {name: "ASIA"})-[e:IN_REGION]-(n:Nation)
+        |WITH collect(DISTINCT n.name) AS asian
+        |MATCH (m:Nation)-[e2:FROM_NATION]-(c:Customer)
+        |WHERE NOT m.name IN asian
+        |RETURN count(DISTINCT m) AS n_other""".stripMargin)
+
   /** Pattern comprehensions (round 13): per-row lists of pattern
     * projections — the provenance shape (retrieval/retriever.py:80-86)
     * as ONE grouped collect per pattern shape LEFT-joined back, plus the
@@ -3417,6 +3438,8 @@ object Queries {
     "cy_order_expr" -> (cyOrderExpr _),
     "cy_keys_collect" -> (cyKeysCollect _),
     "cy_pattern_comp" -> (cyPatternComp _),
+    "cy_with_star" -> (cyWithStar _),
+    "cy_in_carried" -> (cyInCarried _),
     "cy_collect_unwind" -> (cyCollectUnwind _),
     "cy_set_update" -> (cySetUpdate _),
     "cy_remove_prop" -> (cyRemoveProp _),

@@ -208,6 +208,11 @@ object Ast {
     * $param` at parse time, so each rendered text re-parses to exactly
     * one AST). Same typed-membership rule as [[InList]]: the parameter's
     * elements must agree with the ref's static type. */
+  /** `[NOT] expr IN xs` where `xs` is a CARRIED list alias (a collected
+    * list from a WITH barrier) — one `array_contains` over the carried
+    * column, the membership twin of the carried-list UNWIND. */
+  final case class InCarried(ref: Expr, listName: String,
+                             negated: Boolean) extends Pred
   final case class InParam(ref: Expr, param: String,
                            negated: Boolean) extends Pred
   /** String predicate `l CONTAINS r` / `l STARTS WITH r` / `l ENDS WITH r`
@@ -550,6 +555,8 @@ object Ast {
       s"${if (neg) "NOT " else ""}${exprText(ref)} IN [$lits]"
     case InParam(ref, pm, neg) =>
       s"${if (neg) "NOT " else ""}${exprText(ref)} IN $$$pm"
+    case InCarried(ref, nm, neg) =>
+      s"${if (neg) "NOT " else ""}${exprText(ref)} IN $nm"
     case StrPred(l, o, r) => s"${exprText(l)} $o ${exprText(r)}"
     case ExprCmp(l, o, r) => s"${exprText(l)} $o ${exprText(r)}"
     case LabelPred(v, l, neg) => s"${if (neg) "NOT " else ""}$v:$l"
@@ -604,7 +611,10 @@ object Ast {
                          withItems: Seq[RetItem], withPreds: Seq[Pred],
                          orderBy: Seq[(String, Boolean)] = Nil,
                          skip: Option[Int] = None,
-                         limit: Option[Int] = None)
+                         limit: Option[Int] = None,
+                         star: Boolean = false) // WITH * [, items] — carry
+                         // every bound node var + carried scalar forward
+                         // (relationship vars are not carryable here)
 
   final case class CypherQuery(
       unwinds: Seq[Unwind],
@@ -654,8 +664,10 @@ object Ast {
       prefixes.foreach { st =>
         matchClause(st.unwinds, st.paths, st.preds)
         sb ++= " WITH " + (if (st.withDistinct) "DISTINCT " else "")
-        sb ++= st.withItems
+        val itemsTxt = st.withItems
           .map(i => expr(i.expr) + i.alias.fold("")(a => s" AS $a")).mkString(", ")
+        sb ++= (if (st.star) { if (itemsTxt.isEmpty) "*" else s"*, $itemsTxt" }
+                else itemsTxt)
         // openCypher sub-clause order: ORDER BY, SKIP, LIMIT, then WHERE
         // (the WITH…WHERE filter applies AFTER the trim, like Neo4j)
         if (st.orderBy.nonEmpty)

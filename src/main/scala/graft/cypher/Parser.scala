@@ -299,10 +299,15 @@ object Parser {
           fail("OPTIONAL MATCH is only supported in the final clause (before RETURN)")
         if (hasMatch && opt("WITH")) {
           // projection barrier: items must alias expressions (bare vars
-          // carry bindings), optional post-projection WHERE
+          // carry bindings), optional post-projection WHERE; `WITH *`
+          // carries every bound node var + carried scalar forward
           val d = opt("DISTINCT")
           val items = Seq.newBuilder[RetItem]
-          items += retItem(inWith = true)
+          ws()
+          val star =
+            if (pos < in.length && in(pos) == '*') { pos += 1; true }
+            else false
+          if (!star) items += retItem(inWith = true)
           while ({ ws(); pos < in.length && in(pos) == ',' }) {
             pos += 1; items += retItem(inWith = true)
           }
@@ -334,7 +339,7 @@ object Parser {
           val skip = if (opt("SKIP")) Some(longLit().toInt) else None
           val lim = if (opt("LIMIT")) Some(longLit().toInt) else None
           stages += Stage(unwinds.result(), paths.result(), preds, d,
-            items.result(), predList(), order, skip, lim)
+            items.result(), predList(), order, skip, lim, star)
         } else {
           expect("RETURN")
           val distinct = opt("DISTINCT")
@@ -1010,6 +1015,10 @@ object Parser {
           if (pos < in.length && in(pos) == '[')
             InList(prop.map(PropRef(v, _)).getOrElse(ColRef(v)),
               litList(), negated = true)
+          else if (pos < in.length && in(pos) != '$')
+            // NOT … IN carriedListAlias
+            InCarried(prop.map(PropRef(v, _)).getOrElse(ColRef(v)),
+              ident(), negated = true)
           else {
             val pm = param()
             prop match {
@@ -1050,9 +1059,10 @@ object Parser {
           val ref = prop.map(PropRef(v1, _)).getOrElse(ColRef(v1))
           if (pos < in.length && in(pos) == '$')
             return InParam(ref, param(), negated = false)
-          if (pos >= in.length || in(pos) != '[')
-            fail("IN takes a literal list [..] or a $parameter")
-          return InList(ref, litList(), negated = false)
+          if (pos < in.length && in(pos) == '[')
+            return InList(ref, litList(), negated = false)
+          // membership in a CARRIED list alias (collect → IN)
+          return InCarried(ref, ident(), negated = false)
         }
         if (peek("IS")) {
           expect("IS")

@@ -351,7 +351,21 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
   /** One WITH-chained stage: plan its MATCH like a mini-query, attach the
     * carried frame (equi-join on carried nodeIds, Cypher's re-binding),
     * then project the barrier — only listed items survive. */
-  private def planStage(base: Option[DataFrame], st: Stage): DataFrame = {
+  private def planStage(base: Option[DataFrame], st0: Stage): DataFrame = {
+    // WITH * expands (at plan entry, against the PRE-stage binding space
+    // plus this stage's own MATCH vars) to every bound node variable and
+    // carried scalar, ahead of any explicit items — explicit names win
+    val st =
+      if (!st0.star) st0
+      else {
+        val explicit = st0.withItems.map(_.name).toSet
+        val vs = (varsOf(st0.paths) ++ carriedVars).toSeq.distinct.sorted
+          .filterNot(explicit).map(v => RetItem(ColRef(v), None))
+        val ss = (carriedScalars ++
+            st0.unwinds.filter(_.carried).map(_.varName)).toSeq.distinct
+          .sorted.filterNot(explicit).map(s => RetItem(ColRef(s), None))
+        st0.copy(withItems = vs ++ ss ++ st0.withItems, star = false)
+      }
     require(st.paths.nonEmpty, "stage without MATCH paths")
     rejectRelVarCounts(st.withItems, st.paths)
     rejectRelVarReuse(st.paths)
@@ -1006,6 +1020,7 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     case ExprCmp(l, _, r)   => walkExpr(l) ++ walkExpr(r)
     case IsNullPred(ref, _) => walkExpr(ref)
     case InList(ref, _, _)  => walkExpr(ref)
+    case InCarried(ref, _, _) => walkExpr(ref)
     case OrPred(l, r)       => walkPred(l) ++ walkPred(r)
     case AndPred(l, r)      => walkPred(l) ++ walkPred(r)
     case NotPred(x)         => walkPred(x)
@@ -1389,6 +1404,14 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       if (neg) !c.isin(vals: _*) else c.isin(vals: _*)
     case StrPred(l, op, r) =>
       strPredCol(exprCol(l, schema), op, exprCol(r, schema))
+    case InCarried(ref, nm, neg) =>
+      // membership in a carried list alias — one codegen'd
+      // array_contains over the carried column
+      if (!carriedScalars.contains(nm))
+        throw new IllegalArgumentException(
+          s"IN source $nm is not a carried list alias")
+      val c = array_contains(col(nm), exprCol(ref, schema))
+      if (neg) !c else c
     case LabelPred(v, label, neg) =>
       // one pushable equality on the node frame's label column;
       // `_Entity_` matches every node (stark_neo4j_loading.py:35)

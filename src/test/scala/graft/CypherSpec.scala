@@ -2192,7 +2192,7 @@ class CypherSpec extends SparkSpec {
     assert(rows === Seq("Alice", "Carol", "Bob"))
     // the hidden key never reaches the output schema
     val df = Planner.run(g,
-      """MATCH (a:Author) RETURN a.name AS name ORDER BY size(a.name) DESC LIMIT 1""")
+      """MATCH (a:Author) RETURN a.name AS name ORDER BY size(a.name) DESC, name LIMIT 1""")
     assert(df.columns.toSeq === Seq("name"))
     assert(df.collect().head.getString(0) === "Alice")
     // render∘parse identity for the expression key
@@ -2312,6 +2312,60 @@ class CypherSpec extends SparkSpec {
       """MATCH (a:Author {name: "Bob"}) RETURN [(1 + 2), 4] AS l""")
       .collect().head.getSeq[Long](0)
     assert(lit === Seq(3L, 4L))
+  }
+
+  test("WITH * carries every bound node var and carried scalar") {
+    val rows = Planner.run(g,
+      """MATCH (a:Author)-[w:WRITES]-(p:Paper)
+        |WITH *, size(p.name) AS plen
+        |MATCH (p)-[t:HAS_TOPIC]-(f:FieldOfStudy)
+        |RETURN a.name AS author, p.name AS paper, f.name AS topic, plen
+        |ORDER BY author, paper""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(rows === Seq(
+      ("Alice", "P-alpha", "Databases", 7L),
+      ("Alice", "P-beta", "Databases", 6L),
+      ("Bob", "P-alpha", "Databases", 7L),
+      ("Carol", "P-gamma", "Databases", 7L)))
+    // chained: the second star re-carries the first's scalars
+    val chained = Planner.run(g,
+      """MATCH (a:Author {name: "Alice"})-[w:WRITES]-(p:Paper)
+        |WITH *, 1 AS one
+        |MATCH (p)-[t:HAS_TOPIC]-(f:FieldOfStudy)
+        |WITH *
+        |RETURN count(*) AS n, min(one) AS o""".stripMargin).collect().head
+    assert((chained.getLong(0), chained.getLong(1)) === ((2L, 1L)))
+    // render∘parse keeps the star
+    val q = Parser.parse(
+      """MATCH (a:Author)-[w:WRITES]-(p:Paper) WITH *, size(p.name) AS plen MATCH (p)-[t:HAS_TOPIC]-(f:FieldOfStudy) RETURN plen""")
+    assert(q.prefixes.head.star && Parser.parse(q.render) === q)
+  }
+
+  test("IN over a carried list alias (collect → IN membership)") {
+    // papers written by MIT authors, then customers... here: topics of
+    // papers whose name is in the collected list
+    val rows = Planner.run(g,
+      """MATCH (i:Institution {name: "MIT"})-[r:AFFILIATED_WITH]-(a:Author)
+        |WITH collect(DISTINCT a.name) AS mitNames
+        |MATCH (b:Author)-[w:WRITES]-(p:Paper)
+        |WHERE b.name IN mitNames
+        |RETURN count(DISTINCT p) AS n_papers""".stripMargin)
+      .collect().head.getLong(0)
+    assert(rows === 2L) // Alice: P-alpha, P-beta; Bob: P-alpha
+    // negated form
+    val out = Planner.run(g,
+      """MATCH (i:Institution {name: "MIT"})-[r:AFFILIATED_WITH]-(a:Author)
+        |WITH collect(DISTINCT a.name) AS mitNames
+        |MATCH (b:Author)
+        |WHERE NOT b.name IN mitNames
+        |RETURN b.name AS name""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(out === Seq("Carol"))
+    // unbound alias fails clearly
+    val e = intercept[IllegalArgumentException](Planner.run(g,
+      """MATCH (b:Author) WHERE b.name IN nope RETURN b.name AS n"""))
+    assert(e.getMessage.contains("not a carried list alias"))
   }
 
   test("aggregates stay rejected inside list expressions") {
