@@ -858,6 +858,31 @@ object OracleSqls {
         |SELECT CAST(3999999999 AS BIGINT), 'Customer', 'Customer#new'"""
         .stripMargin),
 
+    // CALL top-k ≡ the same window row_number, identical tie-breaking
+    "cy_call_topk" -> withFinGraph(
+      """SELECT nation, cust, bal FROM (
+        |  SELECT n.name AS nation, c.name AS cust, c.acctbal AS bal,
+        |    row_number() OVER (PARTITION BY n.nodeId
+        |                       ORDER BY c.acctbal DESC, c.name) AS rn
+        |  FROM fnodes n
+        |  JOIN fbidir e ON n.nodeId = e.a AND e.relType = 'FROM_NATION'
+        |  JOIN fnodes c ON e.b = c.nodeId AND c.label = 'Customer'
+        |  WHERE n.label = 'Nation')
+        |WHERE rn <= 2
+        |ORDER BY nation, bal DESC, cust""".stripMargin),
+
+    // CALL per-row aggregates ≡ the grouped join (every region has
+    // nations, so inner ≡ left here; lists canonicalize sorted)
+    "cy_call_agg" -> withGraph(
+      """SELECT r.name AS region, CAST(count(n.nodeId) AS BIGINT) AS n_nat,
+        |  array_to_string(list_sort(list(n.name)), '|') AS ns
+        |FROM nodes r
+        |JOIN bidir e ON r.nodeId = e.a AND e.relType = 'IN_REGION'
+        |JOIN nodes n ON e.b = n.nodeId AND n.label = 'Nation'
+        |WHERE r.label = 'Region'
+        |GROUP BY 1
+        |ORDER BY region""".stripMargin),
+
     // WITH * carry ≡ the flat 2-hop join with the derived column
     "cy_with_star" -> withGraph(
       """SELECT r.name AS region, n.name AS nation,

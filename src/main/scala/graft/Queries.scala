@@ -1441,6 +1441,30 @@ object Queries {
         pg.rels.groupBy(col("relType").as("kind")).agg(count(lit(1)).as("n")))
   }
 
+  /** `CALL { … }` per-row top-k (round 13): each nation's two richest
+    * customers — ONE window row_number partitioned by the imported key
+    * (openCypher's correlated subquery without per-row re-execution). */
+  def cyCallTopk(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(finGraph(spark, dir),
+      """MATCH (n:Nation)
+        |CALL { WITH n MATCH (n)-[e:FROM_NATION]-(c:Customer)
+        |       RETURN c.name AS cust, c.acctbal AS bal
+        |       ORDER BY c.acctbal DESC, c.name LIMIT 2 }
+        |RETURN n.name AS nation, cust, bal
+        |ORDER BY nation, bal DESC, cust""".stripMargin)
+
+  /** `CALL { … }` per-row aggregates (round 13): one grouped aggregation
+    * LEFT-joined back — an aggregating subquery yields a row even on
+    * empty input (count→0, collect→[]). */
+  def cyCallAgg(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """MATCH (r:Region)
+        |CALL { WITH r MATCH (r)-[e:IN_REGION]-(n:Nation)
+        |       RETURN count(n) AS n_nat, collect(n.name) AS ns }
+        |RETURN r.name AS region, n_nat, ns
+        |ORDER BY region""".stripMargin)
+      .select(col("region"), col("n_nat"), array_join(col("ns"), "|").as("ns"))
+
   /** `WITH *` (round 13): carry every bound variable plus an extra
     * aliased expression through the barrier — the grow-a-query idiom. */
   def cyWithStar(spark: SparkSession, dir: String): DataFrame =
@@ -3440,6 +3464,8 @@ object Queries {
     "cy_pattern_comp" -> (cyPatternComp _),
     "cy_with_star" -> (cyWithStar _),
     "cy_in_carried" -> (cyInCarried _),
+    "cy_call_topk" -> (cyCallTopk _),
+    "cy_call_agg" -> (cyCallAgg _),
     "cy_collect_unwind" -> (cyCollectUnwind _),
     "cy_set_update" -> (cySetUpdate _),
     "cy_remove_prop" -> (cyRemoveProp _),

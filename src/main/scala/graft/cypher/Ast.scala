@@ -590,6 +590,39 @@ object Ast {
     * bound before it, including earlier optional clauses). */
   final case class OptionalMatch(path: MatchPath, preds: Seq[Pred])
 
+  /** `CALL { [WITH var, …] MATCH … [WHERE …] RETURN item, …
+    * [ORDER BY ref [DESC], …] [LIMIT n] }` — openCypher's correlated
+    * subquery, restricted to the two shapes that matter:
+    *  - non-aggregating with ORDER BY + LIMIT = PER-ROW TOP-K, planned
+    *    as one window `row_number` partitioned by the imported keys
+    *    (never a per-row re-execution); an outer row with no subquery
+    *    rows is eliminated (openCypher), so the attach is an inner join;
+    *  - aggregating = per-row aggregates, planned as one grouped
+    *    aggregation LEFT-joined back (an aggregating subquery returns a
+    *    row even on empty input: count→0, collect→[], others→null).
+    * Imports are bound node variables re-bound by nodeId; every RETURN
+    * item must be an aliased scalar expression (node vars don't carry
+    * out). Fresh pattern variables scope to the subquery. */
+  final case class CallSubquery(imports: Seq[String], paths: Seq[MatchPath],
+                                preds: Seq[Pred], items: Seq[RetItem],
+                                orderBy: Seq[(String, Boolean)],
+                                limit: Option[Int]) {
+    def render: String = {
+      val sb = new StringBuilder("CALL { ")
+      if (imports.nonEmpty) sb ++= s"WITH ${imports.mkString(", ")} "
+      sb ++= "MATCH " + paths.map(pathText).mkString(", ")
+      if (preds.nonEmpty) sb ++= " WHERE " + preds.map(predText).mkString(" AND ")
+      sb ++= " RETURN " + items.map(i =>
+        exprText(i.expr) + i.alias.fold("")(a => s" AS $a")).mkString(", ")
+      if (orderBy.nonEmpty)
+        sb ++= " ORDER BY " + orderBy.map { case (r, d) =>
+          r + (if (d) " DESC" else "") }.mkString(", ")
+      limit.foreach(n => sb ++= s" LIMIT $n")
+      sb ++= " }"
+      sb.toString
+    }
+  }
+
   /** `MATCH p = shortestPath((a…)-[:T*lo..hi]-(b…))`: one row per
     * endpoint pair `(a, b)` connected within `hi` hops, with
     * `length(p)` = the minimum hop count. Planned as a source-keyed
@@ -627,7 +660,8 @@ object Ast {
       prefixes: Seq[Stage] = Nil, // WITH-chained stages BEFORE the final MATCH
       optionals: Seq[OptionalMatch] = Nil, // OPTIONAL MATCH clauses after it
       shortest: Option[ShortestPathClause] = None, // MATCH p = shortestPath(…)
-      skip: Option[Int] = None) { // RETURN-level SKIP (applied before LIMIT)
+      skip: Option[Int] = None, // RETURN-level SKIP (applied before LIMIT)
+      calls: Seq[CallSubquery] = Nil) { // CALL { … } before RETURN
 
     def isAggregating: Boolean = items.exists(i => i.expr match {
       case _: CountDistinct | _: CountDistinctInParam |
@@ -691,6 +725,7 @@ object Ast {
         if (om.preds.nonEmpty) sb ++= " WHERE " + om.preds.map(pred).mkString(" AND ")
         sb ++= " "
       }
+      calls.foreach { c => sb ++= c.render; sb ++= " " }
       sb ++= "RETURN " + (if (distinct) "DISTINCT " else "")
       sb ++= items.map(i => expr(i.expr) + i.alias.fold("")(a => s" AS $a")).mkString(", ")
       if (orderBy.nonEmpty)

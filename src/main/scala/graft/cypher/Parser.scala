@@ -297,6 +297,65 @@ object Parser {
         }
         if (sawOptional && peek("WITH"))
           fail("OPTIONAL MATCH is only supported in the final clause (before RETURN)")
+        // CALL { … } subqueries — final clause only, chained
+        val callsB = Seq.newBuilder[CallSubquery]
+        var sawCall = false
+        while (hasMatch && peek("CALL")) {
+          sawCall = true
+          expect("CALL")
+          ws()
+          if (pos >= in.length || in(pos) != '{') fail("expected '{' after CALL")
+          pos += 1
+          val imports =
+            if (opt("WITH")) {
+              val b = Seq.newBuilder[String]
+              b += ident()
+              while ({ ws(); pos < in.length && in(pos) == ',' }) {
+                pos += 1; b += ident()
+              }
+              b.result()
+            } else Nil
+          expect("MATCH")
+          val ps = Seq.newBuilder[MatchPath]
+          ps += path()
+          while ({ ws(); pos < in.length && in(pos) == ',' }) {
+            pos += 1; ps += path()
+          }
+          val cpreds = predList(Some("a CALL-subquery"))
+          expect("RETURN")
+          val citems = Seq.newBuilder[RetItem]
+          def item(): Unit = {
+            val it = retItem(inWith = true)
+            if (it.alias.isEmpty)
+              fail("CALL RETURN items must be aliased scalar expressions " +
+                "(node variables don't carry out of the subquery)")
+            citems += it
+          }
+          item()
+          while ({ ws(); pos < in.length && in(pos) == ',' }) { pos += 1; item() }
+          val corder =
+            if (opt("ORDER")) {
+              expect("BY")
+              val ks = Seq.newBuilder[(String, Boolean)]
+              def one(): Unit = {
+                val r = orderRef()
+                val d = if (opt("DESC")) true else { opt("ASC"); false }
+                ks += ((r, d))
+              }
+              one()
+              while ({ ws(); pos < in.length && in(pos) == ',' }) { pos += 1; one() }
+              ks.result()
+            } else Nil
+          val climit = if (opt("LIMIT")) Some(longLit().toInt) else None
+          ws()
+          if (pos >= in.length || in(pos) != '}')
+            fail("expected '}' closing the CALL subquery")
+          pos += 1
+          callsB += CallSubquery(imports, ps.result(), cpreds,
+            citems.result(), corder, climit)
+        }
+        if (sawCall && peek("WITH"))
+          fail("CALL { … } is only supported in the final clause (before RETURN)")
         if (hasMatch && opt("WITH")) {
           // projection barrier: items must alias expressions (bare vars
           // carry bindings), optional post-projection WHERE; `WITH *`
@@ -376,7 +435,7 @@ object Parser {
           // unionQuery() keeps chaining)
           return CypherQuery(unwinds.result(), paths.result(), preds, distinct,
             items.result(), order, limit, stages.result(), optionals.result(),
-            shortest, skip)
+            shortest, skip, callsB.result())
         }
       }
       throw new IllegalStateException("unreachable")

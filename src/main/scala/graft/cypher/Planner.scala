@@ -120,6 +120,9 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
   def plan(q: CypherQuery): DataFrame = {
     require(q.paths.nonEmpty || q.prefixes.nonEmpty || q.shortest.nonEmpty,
       "at least one MATCH path")
+    require(q.calls.isEmpty || (q.paths.nonEmpty && q.shortest.isEmpty),
+      "CALL { … } needs a MATCH clause of its own (not a shortestPath " +
+        "or bare-RETURN tail)")
     rejectRelVarCounts(q.items,
       q.paths ++ q.optionals.map(_.path) ++ q.prefixes.flatMap(_.paths))
     // main MATCH group + OPTIONAL MATCH clauses share one resolution space
@@ -669,7 +672,8 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     // the same optional clauses again
     optNodeVars = Set.empty; optRelVars = Set.empty
     val withOpt = q.optionals.foldLeft(filtered)(attachOptional)
-    projectTuple(withOpt, q)
+    val withCalls = q.calls.foldLeft(withOpt)(attachCall)
+    projectTuple(withCalls, q)
   }
 
   // the shortestPath clause's path variable (length(p) resolves against it)
@@ -933,6 +937,127 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       acc.join(sub, cond, "left")
         .drop(sharedVars.map(keyName): _*)
     }
+
+  /** One `CALL { … }` subquery attached ([[Ast.CallSubquery]]): the
+    * pattern is planned ONCE in its own alias space (per var-length
+    * expansion, unioned), WHERE-filtered, and joined back on the
+    * imported variables' nodeIds. Non-aggregating + LIMIT = per-key
+    * top-k via ONE window `row_number` (no per-row re-execution; outer
+    * rows with no subquery rows are eliminated — openCypher's inner
+    * semantics). Aggregating = ONE grouped aggregation LEFT-joined back,
+    * count→0 / collect→[] coalesced. Outputs register as carried
+    * scalars for the RETURN. */
+  private def attachCall(main: DataFrame, cs: CallSubquery): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val boundBefore = stageVars ++ optNodeVars ++ carriedVars
+    cs.imports.foreach(v => require(boundBefore(v),
+      s"CALL import $v is not a bound variable"))
+    val subVars = varsOf(cs.paths)
+    cs.imports.foreach(v => require(subVars.contains(v),
+      s"CALL import $v must appear in the subquery pattern"))
+    val aggItems = cs.items.filter(isAggItem)
+    val keyNames = cs.imports.map(v => s"__call_k_$v")
+    val saved = stageVars; val savedRels = stageRelVars
+    // the subquery's joinPaths resets the named-path registries — the
+    // OUTER query's nodes(p)/relationships(p) must survive the attach
+    val savedPathNodes = pathNodeVars; val savedPathRels = pathRelAliases
+    val frames = expandPaths(cs.paths).map { ps =>
+      stageVars = varsOf(ps); stageRelVars = relVarsOf(ps)
+      try {
+        rejectRelVarReuse(ps)
+        val joined = joinPaths(Nil, ps)
+        val filtered = applyPreds(joined, cs.preds)
+        val keyCols = cs.imports.map(v => col(s"$v.nodeId").as(s"__call_k_$v"))
+        if (aggItems.isEmpty) {
+          val itemCols = cs.items.map(i =>
+            exprCol(i.expr, filtered.schema).as(i.name))
+          // ORDER BY keys resolve INSIDE the subquery frame (only
+          // needed under LIMIT) — hidden columns dropped after the trim
+          val ordCols = cs.orderBy.zipWithIndex.map { case ((ref, _), i) =>
+            val c =
+              if (ref.contains('.')) {
+                val Array(v, p) = ref.split("\\.", 2)
+                propCol(v, p)
+              } else cs.items.find(_.name == ref)
+                .map(it => exprCol(it.expr, filtered.schema))
+                .getOrElse(throw new IllegalArgumentException(
+                  s"CALL ORDER BY '$ref' is neither v.prop nor an item alias"))
+            c.as(s"__call_o_$i")
+          }
+          filtered.select((keyCols ++ itemCols ++ ordCols): _*)
+        } else {
+          val cols = keyCols ++ cs.items.map { i =>
+            if (isAggItem(i)) i.expr match {
+              case CountDistinct(v)           => propCol(v, "nodeId").as(s"__aggsrc_${i.name}")
+              case CountVar(v)                => propCol(v, "nodeId").as(s"__aggsrc_${i.name}")
+              case CollectDistinct(v, p)      => propCol(v, p).as(s"__aggsrc_${i.name}")
+              case CollectAll(v, p)           => propCol(v, p).as(s"__aggsrc_${i.name}")
+              case MinMaxProp(_, v, p)        => propCol(v, p).as(s"__aggsrc_${i.name}")
+              case CountStar                  => lit(1L).as(s"__aggsrc_${i.name}")
+              case AggFn(_, arg, _)           => exprCol(arg, filtered.schema).as(s"__aggsrc_${i.name}")
+              case PercentileFn(_, arg, _)    => exprCol(arg, filtered.schema).as(s"__aggsrc_${i.name}")
+              case other => throw new IllegalArgumentException(
+                s"unsupported CALL aggregate $other")
+            }
+            else exprCol(i.expr, filtered.schema).as(i.name)
+          }
+          filtered.select(cols: _*)
+        }
+      } finally {
+        stageVars = saved; stageRelVars = savedRels
+        pathNodeVars = savedPathNodes; pathRelAliases = savedPathRels
+      }
+    }
+    val sub0 = frames.reduce(_.unionByName(_))
+    val sub =
+      if (aggItems.isEmpty) {
+        cs.limit match {
+          case None => sub0.drop(cs.orderBy.indices.map(i => s"__call_o_$i"): _*)
+          case Some(n) =>
+            // per-import-key top-k: one window row_number; deterministic
+            // tie-breaking over the remaining atomic item columns
+            val ordKeys = cs.orderBy.zipWithIndex.map { case ((_, desc), i) =>
+              val c = col(s"__call_o_$i"); if (desc) c.desc else c.asc }
+            val ties = cs.items.map(_.name)
+              .filter(nm => isAtomicType(sub0.schema(nm).dataType))
+              .sorted.map(col(_).asc)
+            val w = Window.partitionBy(keyNames.map(col): _*)
+              .orderBy((ordKeys ++ ties): _*)
+            sub0.withColumn("__call_rn", row_number().over(w))
+              .where(col("__call_rn") <= n)
+              .drop("__call_rn")
+              .drop(cs.orderBy.indices.map(i => s"__call_o_$i"): _*)
+        }
+      } else {
+        val groupCols = keyNames ++ cs.items.filterNot(isAggItem).map(_.name)
+        val aggCols = aggItems.map(i => aggCol(i.expr, s"__aggsrc_${i.name}").as(i.name))
+        if (groupCols.isEmpty) sub0.agg(aggCols.head, aggCols.tail: _*)
+        else sub0.groupBy(groupCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+      }
+    val joined =
+      if (cs.imports.isEmpty) main.crossJoin(sub)
+      else {
+        val cond = cs.imports.map(v =>
+          propCol(v, "nodeId") === col(s"__call_k_$v")).reduce(_ && _)
+        main.join(sub, cond, if (aggItems.isEmpty) "inner" else "left")
+      }
+    // an aggregating subquery returns a row even on empty input
+    val coalesced =
+      if (aggItems.isEmpty) joined
+      else aggItems.foldLeft(joined) { (df, i) =>
+        i.expr match {
+          case CountStar | _: CountVar | _: CountDistinct |
+               AggFn("count", _, _) =>
+            df.withColumn(i.name, coalesce(col(i.name), lit(0L)))
+          case _: CollectAll | _: CollectDistinct | AggFn("collect", _, _) =>
+            df.withColumn(i.name, coalesce(col(i.name),
+              array().cast(sub.schema(i.name).dataType)))
+          case _ => df
+        }
+      }
+    carriedScalars ++= cs.items.map(_.name)
+    coalesced.drop(keyNames: _*)
+  }
 
   /** One OPTIONAL MATCH clause = a LEFT OUTER join of the preserved frame
     * against the optional pattern's solutions, keyed on the shared (already

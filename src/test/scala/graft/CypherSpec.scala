@@ -2368,6 +2368,62 @@ class CypherSpec extends SparkSpec {
     assert(e.getMessage.contains("not a carried list alias"))
   }
 
+  test("CALL subquery: per-row top-k via one window row_number") {
+    val rows = Planner.run(g,
+      """MATCH (a:Author)
+        |CALL { WITH a MATCH (a)-[w:WRITES]-(p:Paper)
+        |       RETURN p.name AS top ORDER BY p.name LIMIT 1 }
+        |RETURN a.name AS author, top ORDER BY author""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows === Seq(("Alice", "P-alpha"), ("Bob", "P-alpha"),
+      ("Carol", "P-gamma")))
+    // LIMIT 2: Alice contributes two rows, the single-paper authors one
+    val top2 = Planner.run(g,
+      """MATCH (a:Author)
+        |CALL { WITH a MATCH (a)-[w:WRITES]-(p:Paper)
+        |       RETURN p.name AS top ORDER BY p.name DESC LIMIT 2 }
+        |RETURN a.name AS author, top ORDER BY author, top""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(top2 === Seq(("Alice", "P-alpha"), ("Alice", "P-beta"),
+      ("Bob", "P-alpha"), ("Carol", "P-gamma")))
+    // an outer row with NO subquery rows is eliminated (openCypher):
+    // institutions never WRITE
+    val none = Planner.run(g,
+      """MATCH (i:Institution)
+        |CALL { WITH i MATCH (i)-[w:WRITES]-(p:Paper)
+        |       RETURN p.name AS top ORDER BY p.name LIMIT 1 }
+        |RETURN i.name AS name""".stripMargin).collect()
+    assert(none.isEmpty)
+  }
+
+  test("CALL subquery: per-row aggregates survive empty input") {
+    // count → 0 and collect → [] for institutions (no WRITES edges)
+    val rows = Planner.run(g,
+      """MATCH (i:Institution)
+        |CALL { WITH i MATCH (i)-[w:WRITES]-(p:Paper)
+        |       RETURN count(p) AS np, collect(p.name) AS ps }
+        |RETURN i.name AS name, np, ps ORDER BY name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2)))
+      .toSeq
+    assert(rows === Seq(("MIT", 0L, Seq()), ("Stanford", 0L, Seq())))
+    // and genuine per-row aggregates where matches exist
+    val counts = Planner.run(g,
+      """MATCH (a:Author)
+        |CALL { WITH a MATCH (a)-[w:WRITES]-(p:Paper) RETURN count(p) AS np }
+        |RETURN a.name AS author, np ORDER BY author""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(counts === Seq(("Alice", 2L), ("Bob", 1L), ("Carol", 1L)))
+    // render∘parse identity
+    val q = Parser.parse(
+      """MATCH (a:Author) CALL { WITH a MATCH (a)-[w:WRITES]-(p:Paper) RETURN count(p) AS np } RETURN a.name AS author, np ORDER BY author""")
+    assert(q.calls.length === 1 && Parser.parse(q.render) === q)
+    // imports must be bound and appear in the pattern
+    intercept[IllegalArgumentException](Planner.run(g,
+      """MATCH (a:Author) CALL { WITH z MATCH (z)-[w:WRITES]-(p:Paper) RETURN count(p) AS np } RETURN np"""))
+    intercept[Parser.ParseError](Parser.parse(
+      """MATCH (a:Author) CALL { WITH a MATCH (a)-[w:WRITES]-(p:Paper) RETURN p.name } RETURN a.name AS n"""))
+  }
+
   test("aggregates stay rejected inside list expressions") {
     intercept[Parser.ParseError](Parser.parse(
       "MATCH (a:Author)-[w:WRITES]-(p:Paper) RETURN [count(p), 1] AS bad"))
