@@ -9,15 +9,19 @@ package graft.cypher
   * {{{
   *   query     := stage* unwind* MATCH path (',' path)* [WHERE pred (AND pred)*]
   *                (OPTIONAL MATCH path [WHERE pred (AND pred)*])*
+  *                call*
   *                RETURN [DISTINCT] item (',' item)*
   *                [ORDER BY (ref|expr) [ASC|DESC]] [SKIP n] [LIMIT n]
   *              | stage+ unwind+ RETURN …              -- collect→UNWIND tail
   *              | MATCH var '=' (shortestPath|allShortestPaths)
   *                '(' node rel node ')'                 -- rel must be *lo..hi
   *                [WHERE pred (AND pred)*] RETURN …     -- all* = row per path
+  *   call      := CALL '{' [WITH var (',' var)*] MATCH path (',' path)*
+  *                [WHERE pred*] RETURN aliasedItem (',' aliasedItem)*
+  *                [ORDER BY ref [DESC]] [LIMIT n] '}'  -- per-row top-k / aggs
   *   stage     := unwind* MATCH path (',' path)* [WHERE pred (AND pred)*]
-  *                WITH [DISTINCT] withItem (',' withItem)*
-  *                [ORDER BY ref [ASC|DESC]] [SKIP n] [LIMIT n]
+  *                WITH [DISTINCT] ['*' | withItem] (',' withItem)*
+  *                [ORDER BY (ref|expr) [ASC|DESC]] [SKIP n] [LIMIT n]
   *                [WHERE pred (AND pred)*]
   *   unwind    := UNWIND ($param | '[' lit (',' lit)* ']'
   *                        | range(int, int [, int])   -- expands at parse
@@ -31,6 +35,7 @@ package graft.cypher
   *              | (col | var '.' prop) cmpop (literal | $param)
   *              | var '.' prop cmpop var '.' prop    -- pair-dedup idiom
   *              | [NOT] exists '(' var '.' prop ')'  -- IS [NOT] NULL sugar
+  *              | [NOT] (col | var '.' prop) IN carriedListAlias
   *              | (col | var '.' prop) IS [NOT] NULL
   *              | expr (CONTAINS | STARTS WITH | ENDS WITH | '=~') expr
   *              | strFn-headed expr cmpop expr   -- size(n.name) > 5
@@ -76,6 +81,8 @@ package graft.cypher
   *              | toBoolean(expr)
   *              | reduce(acc '=' expr ',' var IN expr '|' expr)  -- list fold
   *              | '[' var IN expr [WHERE cond] ['|' expr] ']'    -- comprehension
+  *              | '[' path [WHERE pred*] '|' expr ']'   -- PATTERN comprehension
+  *              | null | keys(var)                      -- non-null prop names
   *   degPat    := '(' var ')' rel-without-var '(' [':' Label] ')'  -- 1 hop
   *   cond      := expr (cmpop expr | IS [NOT] NULL
   *                      | (CONTAINS | STARTS WITH | ENDS WITH | '=~') expr)
