@@ -30,6 +30,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
   }
 
+  test("cy_call_topk plans ONE window, never a per-row re-execution") {
+    // the 100 TB contract for CALL { … LIMIT k }: one row_number window
+    // partitioned by the import key over the single pattern enumeration
+    val plan = SparkEntry.queries("cy_call_topk")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("RunningWindowFunction|Window".r.findAllIn(plan).size >= 1 &&
+      plan.contains("row_number"), "top-k must plan as a window")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("cy_pattern_comp plans grouped collects, not per-row subqueries") {
+    // each comprehension = one grouped aggregation LEFT-joined back; the
+    // plan must contain collect_list aggregates and no cartesian
+    val plan = SparkEntry.queries("cy_pattern_comp")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("collect_list"), "comprehension must pre-aggregate")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("curate_decontam joins the eval side via broadcast, never sort-merge") {
     // the 100 TB contract: the corpus side stays narrow; the benchmark-
     // sized eval hash set broadcasts. A SortMergeJoin here would mean the
