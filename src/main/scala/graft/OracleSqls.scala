@@ -858,6 +858,20 @@ object OracleSqls {
         |SELECT CAST(3999999999 AS BIGINT), 'Customer', 'Customer#new'"""
         .stripMargin),
 
+    // expression parameters pre-bound to their literal values; nodeId
+    // parity survives the +3000000000 base (even); 2^(3^2) = 512.0
+    "cy_param_expr" -> withGraph(
+      """SELECT n.name || '!' AS nation,
+        |  CAST(count(c.nodeId) AS BIGINT) AS n_even,
+        |  CAST(512 AS DOUBLE) AS p9
+        |FROM nodes n
+        |JOIN bidir e ON n.nodeId = e.a AND e.relType = 'FROM_NATION'
+        |JOIN nodes c ON e.b = c.nodeId AND c.label = 'Customer'
+        |WHERE n.label = 'Nation' AND contains(n.name, '_1')
+        |  AND c.nodeId % 2 = 0
+        |GROUP BY 1
+        |ORDER BY nation""".stripMargin),
+
     // CALL top-k ≡ the same window row_number, identical tie-breaking
     "cy_call_topk" -> withFinGraph(
       """SELECT nation, cust, bal FROM (

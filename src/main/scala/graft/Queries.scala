@@ -1441,6 +1441,19 @@ object Queries {
         pg.rels.groupBy(col("relType").as("kind")).agg(count(lit(1)).as("n")))
   }
 
+  /** `$param` in expression position, arithmetic-headed WHERE, the
+    * right-associative `^` (always double), and a function-headed IN —
+    * four round-13 scalar-surface completions in one grouped census. */
+  def cyParamExpr(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """MATCH (n:Nation)-[e:FROM_NATION]-(c:Customer)
+        |WHERE n.name CONTAINS $frag AND c.nodeId % 2 = 0
+        |  AND toUpper(right(n.name, 1)) IN ["0", "2", "4", "6", "8", "1", "3", "5", "7", "9"]
+        |RETURN n.name + $suffix AS nation, count(c) AS n_even,
+        |       2 ^ 3 ^ 2 AS p9
+        |ORDER BY nation""".stripMargin,
+      Map("frag" -> "_1", "suffix" -> "!"))
+
   /** `CALL { … }` per-row top-k (round 13): each nation's two richest
     * customers — ONE window row_number partitioned by the imported key
     * (openCypher's correlated subquery without per-row re-execution). */
@@ -3466,6 +3479,7 @@ object Queries {
     "cy_in_carried" -> (cyInCarried _),
     "cy_call_topk" -> (cyCallTopk _),
     "cy_call_agg" -> (cyCallAgg _),
+    "cy_param_expr" -> (cyParamExpr _),
     "cy_collect_unwind" -> (cyCollectUnwind _),
     "cy_set_update" -> (cySetUpdate _),
     "cy_remove_prop" -> (cyRemoveProp _),

@@ -327,6 +327,11 @@ object Ast {
   /** The `null` literal — CASE defaults, coalesce tails, and the Neo4j
     * property-removal idiom `SET n.p = null` (≡ REMOVE n.p). */
   case object NullLitE extends Expr
+  /** `$param` in EXPRESSION position (`coalesce(x, $fallback)`,
+    * `CONTAINS $q`, `+ $suffix`) — resolved to a literal at plan time
+    * like the anchor/comparison parameter forms, so filters stay
+    * pushable. Scalar string/number/boolean parameters only. */
+  final case class ParamE(name: String) extends Expr
   /** `keys(var)` — the node's property names with a NON-NULL value on
     * this row (sorted for determinism; Neo4j's order is arbitrary).
     * `label`/`labels` are label metadata, not properties, and are
@@ -446,6 +451,7 @@ object Ast {
       case StrLitE(v)                 =>
         "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
       case NullLitE                   => "null"
+      case ParamE(nm)                 => s"$$$nm"
       case KeysOf(v)                  => s"keys($v)"
       case AggFn(fn, a, d)            =>
         s"$fn(${if (d) "DISTINCT " else ""}${exprText(a)})"
@@ -456,10 +462,19 @@ object Ast {
           s"WHEN ${condText(c)} THEN ${exprText(x)}" }.mkString(" ") +
           d.fold("")(x => s" ELSE ${exprText(x)}") + " END"
       case BinOp(op, l, r) =>
-        val p = if (op == "+" || op == "-") 1 else 2
+        val p = op match {
+          case "+" | "-" => 1
+          case "^"       => 3 // exponentiation binds tightest, right-assoc
+          case _         => 2
+        }
         val s = s"${exprText(l, p, rightChild = false)} $op " +
           exprText(r, p, rightChild = true)
-        if (p < parentPrec || (p == parentPrec && rightChild)) s"($s)" else s
+        // left-associative ops re-parenthesize their RIGHT child at equal
+        // precedence; the right-associative `^` its LEFT child
+        val wrap =
+          if (op == "^") p < parentPrec || (p == parentPrec && !rightChild)
+          else p < parentPrec || (p == parentPrec && rightChild)
+        if (wrap) s"($s)" else s
       case ListLit(items) =>
         items.map(exprText(_)).mkString("[", ", ", "]")
       case ListIndex(l, i)      => s"${postfixBase(l)}[$i]"

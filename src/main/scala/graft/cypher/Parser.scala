@@ -1020,6 +1020,42 @@ object Parser {
       e
     }
 
+    /** The shared operator tail after an expression-valued left side:
+      * string predicate, IN (literal list / $param / carried alias),
+      * IS [NOT] NULL, or a comparison — with the literal-RHS shapes
+      * normalized to the plain-pred nodes their rendered text re-parses
+      * to (parse∘render stays the identity). */
+    private def predTail(l: Expr): Pred = {
+      strOp() match {
+        case Some(o) => StrPred(l, o, noAggs(expression()))
+        case None =>
+          ws()
+          if (peek("IN")) {
+            expect("IN"); ws()
+            if (pos < in.length && in(pos) == '$')
+              InParam(l, param(), negated = false)
+            else if (pos < in.length && in(pos) == '[')
+              InList(l, litList(), negated = false)
+            else InCarried(l, ident(), negated = false)
+          } else if (peek("IS")) {
+            expect("IS"); val neg = opt("NOT"); expect("NULL")
+            IsNullPred(l, neg)
+          } else {
+            val o = cmpOp()
+            val r = noAggs(expression())
+            (l, r) match {
+              case (PropRef(v, p), LongLitE(x)) => PropCmp(v, p, o, LongLit(x))
+              case (PropRef(v, p), StrLitE(s))  => PropCmp(v, p, o, StrLit(s))
+              case (PropRef(v, p), ParamE(nm))  => PropCmp(v, p, o, ParamRef(nm))
+              case (ColRef(n), LongLitE(x))     => ColCmp(n, o, LongLit(x))
+              case (ColRef(n), StrLitE(s))      => ColCmp(n, o, StrLit(s))
+              case (ColRef(n), ParamE(nm))      => ColCmp(n, o, ParamRef(nm))
+              case _                            => ExprCmp(l, o, r)
+            }
+          }
+      }
+    }
+
     private def pred(existsCtx: Option[String] = None): Pred = {
       ws()
       def rejectExists(): Unit = existsCtx.foreach(ctx =>
@@ -1027,25 +1063,9 @@ object Parser {
       if (scalarFnNames.exists(peekCall) || peekBrace("count")) {
         // function-headed left side: toLower(n.name) CONTAINS "x",
         // size(n.name) > 5, count { (n)--() } >= 3 — parse a full
-        // expression, then a string or comparison operator (BOTH sides
+        // expression, then the shared operator tail (BOTH sides
         // aggregate-free; a degree pattern is a scalar, not an aggregate)
-        val l = noAggs(expression())
-        strOp() match {
-          case Some(o) => StrPred(l, o, noAggs(expression()))
-          case None    =>
-            val o = cmpOp()
-            val r = noAggs(expression())
-            // normalize shapes whose rendered text re-parses through the
-            // PLAIN pred path (id(a) renders as a.nodeId), so
-            // parse∘render stays the identity
-            (l, r) match {
-              case (PropRef(v, p), LongLitE(x)) => PropCmp(v, p, o, LongLit(x))
-              case (PropRef(v, p), StrLitE(s))  => PropCmp(v, p, o, StrLit(s))
-              case (ColRef(n), LongLitE(x))     => ColCmp(n, o, LongLit(x))
-              case (ColRef(n), StrLitE(s))      => ColCmp(n, o, StrLit(s))
-              case _                            => ExprCmp(l, o, r)
-            }
-        }
+        predTail(noAggs(expression()))
       } else if (peekCall("exists")) {
         // legacy function form exists(n.prop) ≡ n.prop IS NOT NULL
         expect("exists"); expect("(")
@@ -1100,6 +1120,7 @@ object Parser {
         val p = param(); expect(")"); expect(")")
         NormEqParam(c, p)
       } else {
+        val predStart = { ws(); pos }
         val v1 = ident()
         ws()
         // label test: `v:Label` (the post-bind twin of the inline anchor)
@@ -1112,6 +1133,13 @@ object Parser {
           if (pos < in.length && in(pos) == '.') { pos += 1; Some(ident()) }
           else None
         ws()
+        // arithmetic-headed left side (`a.nodeId % 2 = 0`, `x + 1 > y`):
+        // re-parse from the start as a full expression, then the shared
+        // operator tail
+        if (pos < in.length && "+-*/%^[".indexOf(in(pos)) >= 0) {
+          pos = predStart
+          return predTail(noAggs(expression()))
+        }
         if (peek("IN")) {
           expect("IN")
           ws()
@@ -1194,16 +1222,26 @@ object Parser {
     }
 
     private def mulExpr(): Expr = {
-      var e = atomExpr()
+      var e = powExpr()
       var go = true
       while (go) {
         ws()
-        if (pos < in.length && in(pos) == '*') { pos += 1; e = BinOp("*", e, atomExpr()) }
-        else if (pos < in.length && in(pos) == '/') { pos += 1; e = BinOp("/", e, atomExpr()) }
-        else if (pos < in.length && in(pos) == '%') { pos += 1; e = BinOp("%", e, atomExpr()) }
+        if (pos < in.length && in(pos) == '*') { pos += 1; e = BinOp("*", e, powExpr()) }
+        else if (pos < in.length && in(pos) == '/') { pos += 1; e = BinOp("/", e, powExpr()) }
+        else if (pos < in.length && in(pos) == '%') { pos += 1; e = BinOp("%", e, powExpr()) }
         else go = false
       }
       e
+    }
+
+    /** `powExpr := atom ['^' powExpr]` — exponentiation binds tightest
+      * and associates RIGHT (2 ^ 3 ^ 2 = 2^9), like Neo4j; the result is
+      * always a double. */
+    private def powExpr(): Expr = {
+      val l = atomExpr()
+      ws()
+      if (pos < in.length && in(pos) == '^') { pos += 1; BinOp("^", l, powExpr()) }
+      else l
     }
 
     /** `cond := expr (IS [NOT] NULL | <cmpop> expr)` — CASE WHEN guards. */
@@ -1634,6 +1672,7 @@ object Parser {
         Cosine(v, p, q)
       }
       else if (peek("null") && !peekCall("null")) { expect("null"); NullLitE }
+      else if (pos < in.length && in(pos) == '$') ParamE(param())
       else {
         val v = ident()
         ws()

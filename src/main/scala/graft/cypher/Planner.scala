@@ -1460,8 +1460,7 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       val c = ref match {
         case PropRef(v, p) => propCol(v, p)
         case ColRef(n)     => col(n)
-        case other => throw new IllegalArgumentException(
-          s"IN applies to properties and projected columns, not $other")
+        case other         => exprCol(other, schema) // function-headed ref
       }
       // typed membership, like Cypher: the ref's STATIC type must agree
       // with the (parser-guaranteed homogeneous) list's element type —
@@ -1471,7 +1470,7 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       val refType: Option[org.apache.spark.sql.types.DataType] = ref match {
         case PropRef(v, p) => varSchema(v).fields.find(_.name == p).map(_.dataType)
         case ColRef(n)     => schema.fields.find(_.name == n).map(_.dataType)
-        case _             => None
+        case other         => staticType(other, schema)
       }
       val listIsString = vs.head.isInstanceOf[StrLit]
       refType.foreach { dt =>
@@ -1496,8 +1495,7 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       val c = ref match {
         case PropRef(v, p) => propCol(v, p)
         case ColRef(n)     => col(n)
-        case other => throw new IllegalArgumentException(
-          s"IN applies to properties and projected columns, not $other")
+        case other         => exprCol(other, schema) // function-headed ref
       }
       val raw = params.getOrElse(pm, throw new IllegalArgumentException(
         s"missing parameter $$$pm"))
@@ -1514,7 +1512,7 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       val refType: Option[org.apache.spark.sql.types.DataType] = ref match {
         case PropRef(v, p) => varSchema(v).fields.find(_.name == p).map(_.dataType)
         case ColRef(n)     => schema.fields.find(_.name == n).map(_.dataType)
-        case _             => None
+        case other         => staticType(other, schema)
       }
       val isStringList = vals.headOption.exists(_.isInstanceOf[String])
       refType.foreach { dt =>
@@ -1620,6 +1618,14 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     case ColRef(n)     => schema.fields.find(_.name == n).map(_.dataType)
     case StrLitE(_)    => Some(org.apache.spark.sql.types.StringType)
     case LongLitE(_)   => Some(org.apache.spark.sql.types.LongType)
+    case ParamE(nm) => params.get(nm).map {
+      case _: String => org.apache.spark.sql.types.StringType
+      case _: java.lang.Boolean => org.apache.spark.sql.types.BooleanType
+      case _: java.lang.Double | _: java.lang.Float =>
+        org.apache.spark.sql.types.DoubleType
+      case _ => org.apache.spark.sql.types.LongType
+    }
+    case BinOp("^", _, _) => Some(org.apache.spark.sql.types.DoubleType)
     case ScalarFn("size" | "sign" | "toInteger", _) =>
       Some(org.apache.spark.sql.types.LongType)
     case ScalarFn("head" | "last", args) => elemType(args.head, schema)
@@ -1686,6 +1692,13 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       lambdaTypes(n).exists(isIntegralType)
     case ColRef(n)     =>
       schema.fields.find(_.name == n).exists(f => isIntegralType(f.dataType))
+    case ParamE(nm) => params.get(nm).exists {
+      case _: java.lang.Double | _: java.lang.Float | _: String |
+           _: java.lang.Boolean => false
+      case _: Number => true
+      case _ => false
+    }
+    case BinOp("^", _, _) => false // always double, like Neo4j
     case ListIndex(l, _) => elemType(l, schema).exists(isIntegralType)
     case ScalarFn("head" | "last", args) =>
       elemType(args.head, schema).exists(isIntegralType)
@@ -1796,6 +1809,19 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     case LongLitE(v) => lit(v)
     case StrLitE(s)  => lit(s)
     case NullLitE    => lit(null)
+    case ParamE(nm) =>
+      // scalar parameter in expression position — a plan-time literal,
+      // so downstream filters stay pushable
+      params.getOrElse(nm, throw new IllegalArgumentException(
+        s"missing parameter $$$nm")) match {
+        case s: String => lit(s)
+        case b: java.lang.Boolean => lit(b.booleanValue())
+        case d: java.lang.Double  => lit(d.doubleValue())
+        case f: java.lang.Float   => lit(f.doubleValue())
+        case n: Number => lit(n.longValue())
+        case other => throw new IllegalArgumentException(
+          s"parameter $$$nm must be a scalar here, got $other")
+      }
     case KeysOf(v) =>
       // sorted names of this row's NON-NULL properties — a codegen'd
       // concat of per-field singleton-or-empty arrays, no UDF;
@@ -1925,6 +1951,8 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
         case "-" => lc - rc
         case "*" => lc * rc
         case "%" => lc % rc
+        // exponentiation is ALWAYS double, like Neo4j's float `^`
+        case "^" => pow(lc.cast("double"), rc.cast("double"))
         case "/" =>
           // Cypher/Neo4j: integral ÷ integral truncates toward zero
           // (DuckDB `//`); any fractional operand → double division

@@ -2424,6 +2424,52 @@ class CypherSpec extends SparkSpec {
       """MATCH (a:Author) CALL { WITH a MATCH (a)-[w:WRITES]-(p:Paper) RETURN p.name } RETURN a.name AS n"""))
   }
 
+  test("$param in expression position and arithmetic-headed WHERE") {
+    val rows = Planner.run(g,
+      """MATCH (a:Author)
+        |WHERE a.name CONTAINS $frag AND a.nodeId % 2 = 0
+        |RETURN a.name + $suffix AS tagged ORDER BY tagged""".stripMargin,
+      Map("frag" -> "l", "suffix" -> "!"))
+      .collect().map(_.getString(0)).toSeq
+    // even nodeIds: Alice(10), Carol(12); both contain 'l'
+    assert(rows === Seq("Alice!", "Carol!"))
+    // coalesce with a parameter fallback
+    val co = Planner.run(g,
+      """MATCH (p:Paper {name: "P-beta"})
+        |RETURN coalesce(p.abstract, $fb) AS a""".stripMargin,
+      Map("fb" -> "none")).collect().head.getString(0)
+    assert(co === "none")
+    // missing parameter names itself
+    val e = intercept[IllegalArgumentException](Planner.run(g,
+      """MATCH (a:Author) RETURN a.name + $nope AS x""").collect())
+    assert(e.getMessage.contains("$nope"))
+  }
+
+  test("power operator: right-associative, always double") {
+    val row = Planner.run(g,
+      """MATCH (a:Author {name: "Bob"})
+        |RETURN 2 ^ 3 ^ 2 AS p9, (2 ^ 3) ^ 2 AS p6, 2 ^ 3 / 2 AS half"""
+        .stripMargin).collect().head
+    assert(row.getDouble(0) === 512.0) // right-assoc: 2^(3^2)
+    assert(row.getDouble(1) === 64.0)
+    assert(row.getDouble(2) === 4.0)   // double division (pow is double)
+    val q = Parser.parse("MATCH (a:Author) RETURN (2 ^ 3) ^ 2 AS x, 2 ^ 3 ^ 2 AS y")
+    assert(Parser.parse(q.render) === q)
+  }
+
+  test("function-headed IN membership") {
+    val rows = Planner.run(g,
+      """MATCH (a:Author) WHERE toUpper(a.name) IN ["ALICE", "CAROL"]
+        |RETURN a.name AS name ORDER BY name""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(rows === Seq("Alice", "Carol"))
+    val viaSize = Planner.run(g,
+      """MATCH (a:Author) WHERE size(a.name) IN [3]
+        |RETURN a.name AS name""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(viaSize === Seq("Bob"))
+  }
+
   test("aggregates stay rejected inside list expressions") {
     intercept[Parser.ParseError](Parser.parse(
       "MATCH (a:Author)-[w:WRITES]-(p:Paper) RETURN [count(p), 1] AS bad"))
