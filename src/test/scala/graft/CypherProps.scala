@@ -151,6 +151,64 @@ object CypherProps extends Properties("cypher") {
     fl <- Gen.option(Gen.oneOf("Paper", "Author", "_Entity_"))
   } yield DegreeOf("x1", t, dir, fl)
 
+  // round-13 list-expression surface: every rendered form must re-enter
+  // the parser through the bracket / postfix / function branches it came
+  // from (collect/count over a BARE v.prop are owned by the historical
+  // nodes, so the general-AggFn generators always wrap in a function)
+  private val listBase: Gen[Expr] = Gen.oneOf(
+    Gen.const(ColRef("xs")),
+    Gen.const(ScalarFn("split", Seq(PropRef("x1", "name"), StrLitE("|")))),
+    Gen.listOfN(3, Gen.choose(-9L, 9L).map(LongLitE(_): Expr)).map(ListLit(_)))
+  private val listExprGen: Gen[Expr] = Gen.oneOf(
+    listBase.flatMap(b => Gen.choose(-3L, 3L).map(i => ListIndex(b, i))),
+    for {
+      b <- listBase
+      fr <- Gen.option(Gen.choose(-3L, 3L))
+      to <- Gen.option(Gen.choose(-3L, 3L))
+    } yield ListSlice(b, fr, to),
+    Gen.oneOf("head", "last", "tail", "reverse")
+      .flatMap(fn => listBase.map(b => ScalarFn(fn, Seq(b)))),
+    for {
+      lo <- Gen.choose(0L, 5L); hi <- Gen.choose(5L, 9L)
+      st <- Gen.oneOf(1L, 2L)
+    } yield ScalarFn("range", Seq(LongLitE(lo), LongLitE(hi), LongLitE(st))),
+    listBase.map(b => ReduceExpr("acc", LongLitE(0L), "el", b,
+      BinOp("+", ColRef("acc"), ScalarFn("size", Seq(ColRef("el")))))),
+    for {
+      b <- listBase
+      c <- Gen.option(Gen.oneOf[Cond](
+        StrCond(ColRef("el"), "CONTAINS", StrLitE("a")),
+        CmpCond(ScalarFn("size", Seq(ColRef("el"))), ">", LongLitE(2L))))
+      pj <- Gen.option(Gen.const[Expr](ScalarFn("toUpper", Seq(ColRef("el")))))
+      if c.nonEmpty || pj.nonEmpty
+    } yield ListComp("el", b, c, pj),
+    Gen.const(KeysOf("x1")),
+    ident.map(nm => BinOp("+", PropRef("x1", "name"), ParamE(nm))),
+    for { // ^ chains: right-assoc render/parse
+      a <- Gen.choose(1L, 5L); b <- Gen.choose(1L, 3L); c <- Gen.choose(1L, 3L)
+      e <- Gen.oneOf[Expr](
+        BinOp("^", LongLitE(a), BinOp("^", LongLitE(b), LongLitE(c))),
+        BinOp("^", BinOp("^", LongLitE(a), LongLitE(b)), LongLitE(c)),
+        BinOp("*", BinOp("^", LongLitE(a), LongLitE(b)), LongLitE(c)))
+    } yield e,
+    Gen.const(CoalesceE(Seq(PropRef("x1", "name"), NullLitE, StrLitE("?")))))
+
+  private val patternCompGen: Gen[Expr] = for {
+    p <- path.suchThat(_.rels.nonEmpty).map(_.copy(name = None))
+    preds <- Gen.someOf(Seq[Pred](
+      PropCmp("x2", "nodeId", ">", LongLit(3L)),
+      StrPred(PropRef("x2", "name"), "CONTAINS", StrLitE("a"))))
+    proj <- Gen.oneOf[Expr](PropRef("x2", "name"),
+      ScalarFn("toUpper", Seq(PropRef("x2", "name"))))
+  } yield PatternComp(p, preds.toSeq, proj)
+
+  private val generalAggGen: Gen[Expr] = for {
+    fn <- Gen.oneOf("count", "collect")
+    d <- Gen.oneOf(true, false)
+    a <- Gen.oneOf[Expr](ScalarFn("toUpper", Seq(PropRef("x1", "name"))),
+      ScalarFn("size", Seq(PropRef("x1", "name"))))
+  } yield AggFn(fn, a, d)
+
   private val item: Gen[RetItem] = for {
     e <- Gen.frequency(
       (8, Gen.oneOf[Expr](
@@ -168,6 +226,9 @@ object CypherProps extends Properties("cypher") {
       (1, Gen.const[Expr](CollectAll("x1", "name"))),
       (1, strFnGen),
       (1, degreeGen),
+      (2, listExprGen),
+      (1, patternCompGen),
+      (1, generalAggGen),
       // string concatenation: + with a string side (render must reparse
       // through the same left-associative + chain)
       (1, anchorStr.map(s =>
@@ -200,11 +261,27 @@ object CypherProps extends Properties("cypher") {
       OrPred(ep, other), OrPred(other, ep), NotPred(OrPred(ep, other)))
   } yield shape
 
+  // restricted CALL subquery: aliased scalar items, optional per-key
+  // top-k trim (parse-only here — binding checks are the planner's)
+  private val callGen: Gen[CallSubquery] = for {
+    p <- path.suchThat(_.nodes.length >= 2).map(_.copy(name = None))
+    agg <- Gen.oneOf(true, false)
+    its <- if (agg) Gen.const(Seq(RetItem(CountVar("x2"), Some("np"))))
+           else Gen.const(Seq(RetItem(PropRef("x2", "name"), Some("top"))))
+    ord <- if (agg) Gen.const(Seq.empty[(String, Boolean)])
+           else Gen.oneOf(Seq.empty[(String, Boolean)],
+             Seq(("x2.name", true)), Seq(("top", false)))
+    lim <- Gen.option(Gen.choose(1, 5))
+    preds <- Gen.someOf(Seq[Pred](PropCmp("x2", "nodeId", ">", LongLit(2L))))
+  } yield CallSubquery(Seq("x1"), Seq(p), preds.toSeq, its, ord, lim)
+
   private val query: Gen[CypherQuery] = for {
     nUnwind <- Gen.choose(0, 2)
     unwinds <- Gen.sequence[Seq[Unwind], Unwind](
       (1 to nUnwind).map(i => Gen.oneOf(
         ident.map(p => Unwind(p, s"u$i")),
+        // carried-list form: UNWIND xs AS u<i>
+        ident.map(src => Unwind(src, s"u$i", None, carried = true)),
         // literal-list form (homogeneous, like the parser's litList)
         Gen.oneOf(
           Gen.nonEmptyListOf(anchorStr.map(StrLit(_): AnchorValue)),
@@ -227,7 +304,14 @@ object CypherProps extends Properties("cypher") {
         InList(PropRef("x1", "nodeId"), Seq(LongLit(1L), LongLit(-2L)),
           negated = true))),
       LabelPred("x1", "Paper", negated = false),
-      LabelPred("x2", "Author", negated = true)))
+      LabelPred("x2", "Author", negated = true),
+      // round 13: carried-list membership, pair-dedup comparison,
+      // exists() sugar renders as IS NOT NULL (IsNullPred owns the text)
+      InCarried(PropRef("x1", "name"), "mitNames", negated = false),
+      InCarried(ColRef("x1"), "ids", negated = true),
+      ExprCmp(PropRef("x1", "nodeId"), "<", PropRef("x2", "nodeId")),
+      ExprCmp(BinOp("%", PropRef("x1", "nodeId"), LongLitE(2L)), "=",
+        LongLitE(0L))))
     strPreds <- Gen.frequency((2, Gen.const(Seq.empty[Pred])),
       (1, strPredGen.map(Seq(_))), (1, exprCmpGen.map(Seq(_))))
     exPreds <- Gen.frequency((2, Gen.const(Nil)),
@@ -244,8 +328,10 @@ object CypherProps extends Properties("cypher") {
     limit <- Gen.option(Gen.choose(1, 100))
     nOpt <- Gen.frequency((2, Gen.const(0)), (1, Gen.choose(1, 2)))
     optionals <- Gen.listOfN(nOpt, optionalClause)
+    calls <- Gen.frequency((3, Gen.const(Seq.empty[CallSubquery])),
+      (1, callGen.map(Seq(_))))
   } yield CypherQuery(unwinds, Seq(p), preds, distinct, items, order,
-    limit, Nil, optionals)
+    limit, Nil, optionals, calls = calls)
 
   property("render/parse round-trip") = forAll(query) { q =>
     val rendered = q.render
