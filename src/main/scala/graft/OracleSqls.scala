@@ -858,6 +858,22 @@ object OracleSqls {
         |SELECT CAST(3999999999 AS BIGINT), 'Customer', 'Customer#new'"""
         .stripMargin),
 
+    // COUNT subqueries replay as correlated scalar counts
+    "cy_count_sub" -> withGraph(
+      """SELECT r.name AS region,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM bidir e
+        |    JOIN nodes n ON e.b = n.nodeId AND n.label = 'Nation'
+        |    JOIN bidir e2 ON n.nodeId = e2.a AND e2.relType = 'FROM_NATION'
+        |    JOIN nodes c ON e2.b = c.nodeId AND c.label = 'Customer'
+        |    WHERE e.a = r.nodeId AND e.relType = 'IN_REGION') AS n_cust2,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM bidir e3
+        |    JOIN nodes n2 ON e3.b = n2.nodeId AND n2.label = 'Nation'
+        |    WHERE e3.a = r.nodeId AND e3.relType = 'IN_REGION'
+        |      AND contains(n2.name, '_1')) AS n1
+        |FROM nodes r
+        |WHERE r.label = 'Region'
+        |ORDER BY region""".stripMargin),
+
     // expression parameters pre-bound to their literal values; nodeId
     // parity survives the +3000000000 base (even); 2^(3^2) = 512.0
     "cy_param_expr" -> withGraph(

@@ -1441,6 +1441,18 @@ object Queries {
         pg.rels.groupBy(col("relType").as("kind")).agg(count(lit(1)).as("n")))
   }
 
+  /** General `COUNT { … }` subqueries (round 13): multi-hop counts and a
+    * filtered 1-hop count around each region — each distinct shape ONE
+    * grouped map-side-combinable count LEFT-joined back (miss → 0),
+    * the multi-hop generalization of the degree sugar. */
+  def cyCountSub(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """MATCH (r:Region)
+        |RETURN r.name AS region,
+        |       COUNT { (r)-[:IN_REGION]-(n:Nation)-[:FROM_NATION]-(c:Customer) } AS n_cust2,
+        |       COUNT { (r)-[:IN_REGION]-(n:Nation) WHERE n.name CONTAINS "_1" } AS n1
+        |ORDER BY region""".stripMargin)
+
   /** `$param` in expression position, arithmetic-headed WHERE, the
     * right-associative `^` (always double), and a function-headed IN —
     * four round-13 scalar-surface completions in one grouped census. */
@@ -3480,6 +3492,7 @@ object Queries {
     "cy_call_topk" -> (cyCallTopk _),
     "cy_call_agg" -> (cyCallAgg _),
     "cy_param_expr" -> (cyParamExpr _),
+    "cy_count_sub" -> (cyCountSub _),
     "cy_collect_unwind" -> (cyCollectUnwind _),
     "cy_set_update" -> (cySetUpdate _),
     "cy_remove_prop" -> (cyRemoveProp _),

@@ -394,6 +394,14 @@ object Ast {
     * row with no matches gets the EMPTY list (Neo4j's []). */
   final case class PatternComp(path: MatchPath, preds: Seq[Pred],
                                proj: Expr) extends Expr
+  /** `COUNT { (n)-[:A]-(m)-[:B]-(k) [WHERE …] }` — openCypher's COUNT
+    * subquery beyond the 1-hop [[DegreeOf]] sugar (which keeps its own
+    * node and owns the var-less far-node text): the number of pattern
+    * matches around the row's bound variable(s). Planned as ONE grouped
+    * COUNT per distinct shape LEFT-joined back (miss → 0) — never a
+    * per-row subquery, and never a materialized list. */
+  final case class PatternCount(path: MatchPath,
+                                preds: Seq[Pred]) extends Expr
 
   /** Boolean condition inside CASE WHEN and list-comprehension WHERE. */
   sealed trait Cond
@@ -489,6 +497,10 @@ object Ast {
         val where =
           if (prs.isEmpty) "" else " WHERE " + prs.map(predText).mkString(" AND ")
         s"[${pathText(p)}$where | ${exprText(proj)}]"
+      case PatternCount(p, prs) =>
+        val where =
+          if (prs.isEmpty) "" else " WHERE " + prs.map(predText).mkString(" AND ")
+        s"COUNT { ${pathText(p)}$where }"
     }
 
   /** Postfix `[…]` binds to an ATOM on the parse side, so a non-atomic

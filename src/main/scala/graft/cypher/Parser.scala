@@ -1521,14 +1521,27 @@ object Parser {
         PathRels(v)
       }
       else if (peekBrace("count")) {
-        // Neo4j degree sugar: count { (n)-[:T]-() }
+        // Neo4j degree sugar count { (n)-[:T]-() } keeps its 1-hop node
+        // (and owns the var-less far-node text); anything else is the
+        // general COUNT subquery — multi-hop, inner WHERE allowed
         expect("count"); ws(); pos += 1 // '{'
-        val d = degreePattern()
-        ws()
-        if (pos >= in.length || in(pos) != '}')
-          fail("expected '}' closing the degree pattern")
-        pos += 1
-        d
+        val saved = pos
+        val deg: Option[Expr] =
+          try {
+            val d = degreePattern()
+            ws()
+            if (pos < in.length && in(pos) == '}') { pos += 1; Some(d) }
+            else { pos = saved; None }
+          } catch { case _: ParseError => pos = saved; None }
+        deg.getOrElse {
+          val p = path()
+          val preds = predList(Some("a COUNT-subquery inner"))
+          ws()
+          if (pos >= in.length || in(pos) != '}')
+            fail("expected '}' closing the COUNT subquery")
+          pos += 1
+          PatternCount(p, preds)
+        }
       }
       else if (peekCall("count")) {
         // count(*) | count([DISTINCT] var) | count([DISTINCT] var.prop) —

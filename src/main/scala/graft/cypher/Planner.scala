@@ -57,6 +57,9 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
   private var patternCompCols: Map[PatternComp, String] = Map.empty
   private var patternCompTypes: Map[PatternComp, org.apache.spark.sql.types.DataType] =
     Map.empty
+  // COUNT { … } subqueries resolve to pre-joined grouped-count columns
+  // ([[attachPatternCounts]]); keyed by the full PatternCount shape
+  private var patternCountCols: Map[PatternCount, String] = Map.empty
   // named enumerated paths of the CURRENT expansion: traversal-ordered
   // node variables and rel frame aliases ([[joinPaths]] records them)
   private var pathNodeVars: Map[String, Seq[String]] = Map.empty
@@ -379,6 +382,7 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       st.preds.flatMap(walkPred)
     val degs = walked.collect { case d: DegreeOf => d }.distinct
     val pcomps = walked.collect { case pc: PatternComp => pc }.distinct
+    val pcounts = walked.collect { case pc: PatternCount => pc }.distinct
     val base2 = explodeCarried(base, st.unwinds)
     val frames = expandPaths(st.paths).map { ps =>
       allowCarriedAnchors = true
@@ -386,7 +390,8 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
         try joinPaths(st.unwinds.filterNot(_.carried), ps)
         finally allowCarriedAnchors = false
       val attached = applyPendingAnchors(attachBase(base2, joined0, ps))
-      val withDegs = attachPatternComps(attachDegrees(attached, degs), pcomps)
+      val withDegs = attachPatternCounts(
+        attachPatternComps(attachDegrees(attached, degs), pcomps), pcounts)
       val filtered = applyPreds(withDegs, st.preds)
       projectWith(filtered, st, ps)
     }
@@ -665,7 +670,9 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       q.preds.flatMap(walkPred)
     val degs = walked.collect { case d: DegreeOf => d }.distinct
     val pcomps = walked.collect { case pc: PatternComp => pc }.distinct
-    val withDegs = attachPatternComps(attachDegrees(joined, degs), pcomps)
+    val pcounts = walked.collect { case pc: PatternCount => pc }.distinct
+    val withDegs = attachPatternCounts(
+      attachPatternComps(attachDegrees(joined, degs), pcomps), pcounts)
     val filtered = applyPreds(withDegs, q.preds)
     // rebuilt per expansion: an optional var must not count as "already
     // bound" when the NEXT var-length expansion of the main paths plans
@@ -932,6 +939,45 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
         .groupBy(sharedVars.map(v => col(keyName(v))): _*)
         .agg(sort_array(collect_list(col(s"${outName}_v"))).as(outName))
       patternCompTypes += pc -> sub.schema(outName).dataType
+      val cond = sharedVars.map(v =>
+        propCol(v, "nodeId") === col(keyName(v))).reduce(_ && _)
+      acc.join(sub, cond, "left")
+        .drop(sharedVars.map(keyName): _*)
+    }
+
+  /** Attach one grouped-count column per DISTINCT `COUNT { … }` shape:
+    * the pattern enumerates once (trail semantics included), the inner
+    * WHERE filters in its own alias space, and a map-side-combinable
+    * COUNT grouped by the shared bound variables LEFT-joins back
+    * (miss → 0 in [[exprCol]]) — the multi-hop generalization of the
+    * [[attachDegree]] sugar, never a per-row subquery or a list. */
+  private def attachPatternCounts(df: DataFrame,
+                                  pcs: Seq[PatternCount]): DataFrame =
+    pcs.zipWithIndex.foldLeft(df) { case (acc, (pc, i)) =>
+      val outName = s"__pcount$i"
+      patternCountCols += pc -> outName
+      val path = pc.path
+      val boundBefore = stageVars ++ optNodeVars ++ carriedVars
+      val sharedVars = path.nodes.map(_.varName).distinct.filter(boundBefore)
+      require(sharedVars.nonEmpty,
+        "a COUNT subquery must share at least one bound variable")
+      val keyName = (v: String) => s"${outName}_k_$v"
+      val frames = expandPaths(Seq(path)).map(_.head).map { p =>
+        val planned = planPath(Nil, p, anonPrefix = s"${outName}_r")
+        val saved = stageVars
+        val savedRels = stageRelVars
+        stageVars = varsOf(Seq(p))
+        stageRelVars = relVarsOf(Seq(p))
+        try {
+          val filtered = pc.preds.foldLeft(planned)((d, pr) =>
+            d.where(predCol(pr, d.schema)))
+          filtered.select(
+            sharedVars.map(v => col(s"$v.nodeId").as(keyName(v))): _*)
+        } finally { stageVars = saved; stageRelVars = savedRels }
+      }
+      val sub = frames.reduce(_.unionByName(_))
+        .groupBy(sharedVars.map(v => col(keyName(v))): _*)
+        .agg(count(lit(1)).as(outName))
       val cond = sharedVars.map(v =>
         propCol(v, "nodeId") === col(keyName(v))).reduce(_ && _)
       acc.join(sub, cond, "left")
@@ -1641,6 +1687,7 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     case PatternComp(_, _, proj) =>
       Some(org.apache.spark.sql.types.ArrayType(staticType(proj, schema)
         .getOrElse(org.apache.spark.sql.types.StringType)))
+    case PatternCount(_, _) => Some(org.apache.spark.sql.types.LongType)
     case ListLit(items) => Some(org.apache.spark.sql.types.ArrayType(
       items.headOption.flatMap(staticType(_, schema))
         .getOrElse(org.apache.spark.sql.types.NullType)))
@@ -1708,7 +1755,7 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
           (acc, lit(0), staticType(init, schema)),
           (v, lit(0), elemType(l, schema))))(isIntegralExpr(body, schema))
     case ScalarFn("size" | "sign" | "toInteger", _) => true // Cypher integers
-    case _: DegreeOf | _: PathLength => true // counts are Cypher integers
+    case _: DegreeOf | _: PathLength | _: PatternCount => true // counts
     case ScalarFn("abs", args) => isIntegralExpr(args.head, schema)
     case BinOp(_, l, r)  => isIntegralExpr(l, schema) && isIntegralExpr(r, schema)
     case CoalesceE(args) => args.forall(isIntegralExpr(_, schema))
@@ -1787,6 +1834,14 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
         case Some(rvs) => array(rvs.map(rv => col(s"$rv.relType")): _*)
         case None => throw new IllegalArgumentException(
           s"relationships($pv) does not name a path of this MATCH")
+      }
+    case pc: PatternCount =>
+      patternCountCols.get(pc) match {
+        // left-joined grouped count: null = no pattern match → 0
+        case Some(name) => coalesce(col(name), lit(0L))
+        case None => throw new IllegalArgumentException(
+          "COUNT { … } subqueries are supported in MATCH WHERE and " +
+            "RETURN/WITH items")
       }
     case pc: PatternComp =>
       patternCompCols.get(pc) match {

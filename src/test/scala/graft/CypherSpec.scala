@@ -2470,6 +2470,34 @@ class CypherSpec extends SparkSpec {
     assert(viaSize === Seq("Bob"))
   }
 
+  test("general COUNT { } subquery: multi-hop, inner WHERE, miss → 0") {
+    // 2-hop count: papers reachable from each institution via authors
+    val rows = Planner.run(g,
+      """MATCH (i:Institution)
+        |RETURN i.name AS name,
+        |       COUNT { (i)-[:AFFILIATED_WITH]-(a:Author)-[:WRITES]-(p:Paper) } AS np
+        |ORDER BY name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // MIT: Alice(P-alpha, P-beta) + Bob(P-alpha) = 3 paths; Stanford: 1
+    assert(rows === Seq(("MIT", 3L), ("Stanford", 1L)))
+    // inner WHERE + WHERE usage + zero case
+    val gated = Planner.run(g,
+      """MATCH (a:Author)
+        |WHERE COUNT { (a)-[:WRITES]-(p:Paper) WHERE p.abstract IS NOT NULL } >= 1
+        |RETURN a.name AS name,
+        |       COUNT { (a)-[:CITES]-(x)-[:CITES]-(y) } AS c2
+        |ORDER BY name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(gated === Seq(("Alice", 0L), ("Bob", 0L), ("Carol", 0L)))
+    // the 1-hop degree sugar keeps its own AST node
+    val q1 = Parser.parse("MATCH (a:Author) RETURN count { (a)-[:WRITES]-(:Paper) } AS d")
+    assert(q1.items.head.expr.isInstanceOf[Ast.DegreeOf])
+    val q2 = Parser.parse(
+      "MATCH (a:Author) RETURN COUNT { (a)-[:WRITES]-(p:Paper)-[:HAS_TOPIC]-(f) } AS c")
+    assert(q2.items.head.expr.isInstanceOf[Ast.PatternCount])
+    assert(Parser.parse(q2.render) === q2)
+  }
+
   test("aggregates stay rejected inside list expressions") {
     intercept[Parser.ParseError](Parser.parse(
       "MATCH (a:Author)-[w:WRITES]-(p:Paper) RETURN [count(p), 1] AS bad"))
