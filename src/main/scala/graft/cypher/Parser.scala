@@ -1607,6 +1607,22 @@ object Parser {
         expect("keys"); expect("("); val v = ident(); expect(")")
         KeysOf(v)
       }
+      else if (peekBrace("COLLECT")) {
+        // openCypher's COLLECT subquery — sugar for the pattern
+        // comprehension (the canonical render): one grouped sorted
+        // collect per shape, [] on no match
+        expect("COLLECT"); ws(); pos += 1 // '{'
+        expect("MATCH")
+        val p = path()
+        val preds = predList(Some("a COLLECT-subquery inner"))
+        expect("RETURN")
+        val proj = expression()
+        ws()
+        if (pos >= in.length || in(pos) != '}')
+          fail("expected '}' closing the COLLECT subquery")
+        pos += 1
+        PatternComp(p, preds, proj)
+      }
       else if (peekCall("min") || peekCall("max")) {
         val fn = if (opt("min")) "min" else { expect("max"); "max" }
         expect("(")

@@ -2498,6 +2498,24 @@ class CypherSpec extends SparkSpec {
     assert(Parser.parse(q2.render) === q2)
   }
 
+  test("COLLECT { } subquery is pattern-comprehension sugar") {
+    val rows = Planner.run(g,
+      """MATCH (a:Author)
+        |RETURN a.name AS name,
+        |       COLLECT { MATCH (a)-[:WRITES]-(p:Paper) WHERE p.abstract IS NOT NULL RETURN toUpper(p.name) } AS ps
+        |ORDER BY name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getSeq[String](1))).toSeq
+    assert(rows === Seq(("Alice", Seq("P-ALPHA")), ("Bob", Seq("P-ALPHA")),
+      ("Carol", Seq("P-GAMMA"))))
+    // parses to the same node as the comprehension; canonical render is
+    // the bracket form and re-parses identically
+    val q = Parser.parse(
+      """MATCH (a:Author) RETURN COLLECT { MATCH (a)-[:WRITES]-(p:Paper) RETURN p.name } AS ps""")
+    assert(q.items.head.expr.isInstanceOf[Ast.PatternComp])
+    assert(q.render.contains("[(a)-[:WRITES]-(p:Paper) | p.name]"))
+    assert(Parser.parse(q.render) === q)
+  }
+
   test("aggregates stay rejected inside list expressions") {
     intercept[Parser.ParseError](Parser.parse(
       "MATCH (a:Author)-[w:WRITES]-(p:Paper) RETURN [count(p), 1] AS bad"))
