@@ -632,8 +632,12 @@ object Ast {
     *    (never a per-row re-execution); an outer row with no subquery
     *    rows is eliminated (openCypher), so the attach is an inner join;
     *  - aggregating = per-row aggregates, planned as one grouped
-    *    aggregation LEFT-joined back (an aggregating subquery returns a
-    *    row even on empty input: count→0, collect→[], others→null).
+    *    aggregation. When EVERY item is an aggregate it is LEFT-joined
+    *    back (openCypher: an ungrouped aggregation returns a row even on
+    *    empty input — count→0, collect→[], others→null); when a
+    *    non-aggregate GROUPING item is also returned, grouped
+    *    aggregation over empty input yields zero rows, so the attach is
+    *    an inner join and the outer row is eliminated.
     * Imports are bound node variables re-bound by nodeId; every RETURN
     * item must be an aliased scalar expression (node vars don't carry
     * out). Fresh pattern variables scope to the subquery. */
@@ -906,7 +910,10 @@ object Ast {
     * is the loader's idempotent edge upsert
     * (stark_neo4j_loading.py:43-61): only pairs with no existing edge of
     * that type are inserted — the undirected form treats either stored
-    * orientation as existing and creates a→b when neither is. `dir` is
+    * orientation as existing and, like Neo4j, creates ONE edge per
+    * unordered pair even when the match is symmetric (both (x,y) and
+    * (y,x) rows in one statement), stored in the deterministic
+    * (least, greatest) orientation. `dir` is
     * 1 for `->`, -1 for `<-`, 0 undirected. Returns the post-mutation
     * relationships table. */
   final case class RelMutationQuery(a: NodePat, b: NodePat, preds: Seq[Pred],

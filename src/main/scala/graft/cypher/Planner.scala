@@ -277,9 +277,22 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     }
     require(keyed.map(k => (k._1, k._2)).distinct.size == keyed.size,
       "duplicate (label, nodeId) keys within one CREATE")
-    def litOf(v: AnchorValue): Column = v match {
-      case StrLit(s)  => lit(s)
-      case LongLit(l) => lit(l)
+    // a type-mismatched literal must FAIL like the loader would, not
+    // silently cast-to-null (Spark's lit(…).cast would): a string into a
+    // numeric column (or an integer into a string column) is a caller
+    // bug worth a clear message
+    def litOf(v: AnchorValue,
+              f: org.apache.spark.sql.types.StructField): Column = v match {
+      case StrLit(s) =>
+        require(f.dataType == org.apache.spark.sql.types.StringType,
+          s"CREATE property ${f.name}: string literal " +
+            s""""$s" cannot be stored in a ${f.dataType.simpleString} column""")
+        lit(s)
+      case LongLit(l) =>
+        require(f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+          s"CREATE property ${f.name}: integer literal $l cannot be " +
+            s"stored in a ${f.dataType.simpleString} column")
+        lit(l).cast(f.dataType)
       case other => throw new IllegalArgumentException(
         s"unsupported CREATE value $other")
     }
@@ -292,7 +305,7 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
           // stark_neo4j_loading.py:35
           case "labels" if f.dataType.isInstanceOf[ArrayType] =>
             array(lit(label), lit("_Entity_"))
-          case nm if byProp.contains(nm) => litOf(byProp(nm)).cast(f.dataType)
+          case nm if byProp.contains(nm) => litOf(byProp(nm), f)
           case _ => lit(null).cast(f.dataType)
         }).as(f.name)
       }
@@ -312,7 +325,9 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     * pairs, and append to the relationships table — CREATE keeps one row
     * per matched pair (parallel edges, like Neo4j), MERGE inserts only
     * pairs with NO existing edge of that type (one anti-join; the
-    * undirected form probes both stored orientations). Endpoint
+    * undirected form probes both stored orientations AND collapses a
+    * symmetric match to one canonical (least, greatest) insert per
+    * unordered pair, like Neo4j's one-edge-per-pair MERGE). Endpoint
     * existence (S3/J6) holds by construction — both sides come from the
     * nodes table. Anchored frames broadcast; a full-table pairing stays
     * a fan-out-bounded equi/cross join the caller asked for. */
@@ -343,7 +358,20 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
             existing.unionByName(
               existing.select(col("dst").as("src"), col("src").as("dst")))
           else existing
-        newRels.distinct().join(probe, Seq("src", "dst"), "left_anti")
+        // undirected MERGE: a SYMMETRIC match (both (x,y) and (y,x) rows
+        // in one statement) is ONE unordered pair — Neo4j creates one
+        // edge per pair (later rows see the edge earlier rows created).
+        // Canonicalize within-batch to the (least, greatest) orientation
+        // before the anti-join so both orientations collapse to one
+        // deterministic insert; the probe already covers both stored
+        // orientations, so a pre-existing edge still suppresses it.
+        val candidates =
+          if (rq.dir == 0)
+            newRels.select(col("relType"),
+              least(col("src"), col("dst")).as("src"),
+              greatest(col("src"), col("dst")).as("dst")).distinct()
+          else newRels.distinct()
+        candidates.join(probe, Seq("src", "dst"), "left_anti")
       }
     val extraCols = g.rels.columns.filterNot(
       Set("relType", "src", "dst").contains)
@@ -1080,16 +1108,23 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
         if (groupCols.isEmpty) sub0.agg(aggCols.head, aggCols.tail: _*)
         else sub0.groupBy(groupCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
       }
+    // an aggregating subquery WITHOUT grouping keys (every item an
+    // aggregate) returns one row even on empty input — LEFT join +
+    // count→0 / collect→[] coalesce. WITH grouping keys (a non-aggregate
+    // item), openCypher's grouped aggregation over empty input yields
+    // ZERO rows, eliminating the outer row — join inner like the
+    // non-aggregating path (no fabricated null-key row).
+    val hasGroupKeys = cs.items.exists(i => !isAggItem(i))
     val joined =
       if (cs.imports.isEmpty) main.crossJoin(sub)
       else {
         val cond = cs.imports.map(v =>
           propCol(v, "nodeId") === col(s"__call_k_$v")).reduce(_ && _)
-        main.join(sub, cond, if (aggItems.isEmpty) "inner" else "left")
+        main.join(sub, cond,
+          if (aggItems.isEmpty || hasGroupKeys) "inner" else "left")
       }
-    // an aggregating subquery returns a row even on empty input
     val coalesced =
-      if (aggItems.isEmpty) joined
+      if (aggItems.isEmpty || hasGroupKeys) joined
       else aggItems.foldLeft(joined) { (df, i) =>
         i.expr match {
           case CountStar | _: CountVar | _: CountDistinct |

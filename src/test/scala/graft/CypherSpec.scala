@@ -1979,6 +1979,11 @@ class CypherSpec extends SparkSpec {
     // run() dispatches on the CREATE prefix and returns the nodes table
     assert(Planner.run(g, """CREATE (n:Author {nodeId: 96, name: "Eve"})""")
       .count() === g.nodes.count() + 1)
+    // a type-mismatched literal FAILS with a clear message instead of
+    // silently cast-to-null (Neo4j stores the value; the loader errors)
+    val mis = intercept[IllegalArgumentException](Planner.runCreateNodes(g,
+      """CREATE (n:Author {nodeId: 95, name: 123})"""))
+    assert(mis.getMessage.contains("cannot be stored in a string column"))
   }
 
   test("relationship CREATE: one edge per matched pair, direction stored") {
@@ -2025,6 +2030,26 @@ class CypherSpec extends SparkSpec {
       """MATCH (a:Author {name: "Bob"}), (p:Paper {name: "P-gamma"})
         |MERGE (a)-[:WRITES]->(p)""".stripMargin).count() ===
       g.rels.count() + 1)
+  }
+
+  test("undirected MERGE: a symmetric match creates ONE edge per pair") {
+    // the author×author product matches every ordered pair both ways;
+    // Neo4j creates one edge per UNORDERED pair (later rows see the edge
+    // earlier rows created) — the within-batch canonicalization collapses
+    // (x,y)/(y,x) to one (least, greatest) insert
+    val out = Planner.runMutation(g,
+      """MATCH (x:Author), (y:Author) WHERE x.nodeId < y.nodeId OR y.nodeId < x.nodeId
+        |MERGE (x)-[:KNOWS]-(y)""".stripMargin)
+    val knows = out.rels.where(col("relType") === "KNOWS")
+      .collect().map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))).sorted
+    assert(knows.toSeq === Seq((10L, 11L), (10L, 12L), (11L, 12L)))
+    // a pre-existing edge (either stored orientation) still suppresses
+    // the canonical insert: WRITES 10→20 exists, so only the (11,22) and
+    // (12,20)… pairs absent in EITHER orientation are inserted once
+    val sym = Planner.runMutation(g,
+      """MATCH (a:Author {name: "Alice"}), (p:Paper {name: "P-alpha"})
+        |MERGE (p)-[:WRITES]-(a)""".stripMargin)
+    assert(sym.rels.count() === g.rels.count())
   }
 
   test("mutation clauses render∘parse round-trips") {
@@ -2422,6 +2447,27 @@ class CypherSpec extends SparkSpec {
       """MATCH (a:Author) CALL { WITH z MATCH (z)-[w:WRITES]-(p:Paper) RETURN count(p) AS np } RETURN np"""))
     intercept[Parser.ParseError](Parser.parse(
       """MATCH (a:Author) CALL { WITH a MATCH (a)-[w:WRITES]-(p:Paper) RETURN p.name } RETURN a.name AS n"""))
+  }
+
+  test("CALL subquery: grouped aggregation eliminates empty outer rows") {
+    // a GROUPING item next to the aggregate: openCypher's grouped
+    // aggregation over empty input yields zero rows, so an institution
+    // (no WRITES) is eliminated — never a fabricated (null, 0) row
+    val none = Planner.run(g,
+      """MATCH (i:Institution)
+        |CALL { WITH i MATCH (i)-[w:WRITES]-(p:Paper)
+        |       RETURN p.name AS pname, count(*) AS n }
+        |RETURN i.name AS name, pname, n""".stripMargin).collect()
+    assert(none.isEmpty)
+    // with matches, one row per (outer row, group): Alice touches
+    // P-alpha twice (WRITES e4 + REVIEWS e12) and P-beta once
+    val rows = Planner.run(g,
+      """MATCH (a:Author {name: "Alice"})
+        |CALL { WITH a MATCH (a)-[w]-(p:Paper)
+        |       RETURN p.name AS pname, count(*) AS n }
+        |RETURN pname, n ORDER BY pname""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows === Seq(("P-alpha", 2L), ("P-beta", 1L)))
   }
 
   test("$param in expression position and arithmetic-headed WHERE") {
