@@ -1068,6 +1068,26 @@ object OracleSqls {
       """SELECT relType, CAST(count(*) AS BIGINT) AS n FROM rels GROUP BY 1
         |UNION ALL SELECT 'LOCATED_IN', CAST(2 AS BIGINT)""".stripMargin),
 
+    // whole-entity projection: RETURN c / properties(c) are the SAME
+    // name-sorted struct (label metadata excluded, absent properties =
+    // null fields — customers carry no nameEmbedding); the map
+    // projection keeps the LISTED field order
+    "cy_return_node" -> withGraph(
+      """SELECT c.name AS name,
+        |  struct_pack(name := c.name,
+        |              "nameEmbedding" := CAST(NULL AS DOUBLE[]),
+        |              "nodeId" := c.nodeId) AS cust,
+        |  struct_pack(name := c.name,
+        |              "nameEmbedding" := CAST(NULL AS DOUBLE[]),
+        |              "nodeId" := c.nodeId) AS props,
+        |  struct_pack(name := c.name, "nodeId" := c.nodeId) AS slim
+        |FROM nodes c
+        |JOIN bidir e ON c.nodeId = e.a AND e.relType = 'FROM_NATION'
+        |JOIN nodes n ON e.b = n.nodeId AND n.label = 'Nation'
+        |  AND n.name = 'NATION_3'
+        |WHERE c.label = 'Customer'
+        |ORDER BY name""".stripMargin),
+
     // nodes(p)/relationships(p) over *1..2 from ASIA: 1-hop walks plus
     // trail-filtered 2-hop walks, lists flattened to the shared string
     // surface

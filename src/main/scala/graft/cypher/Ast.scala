@@ -83,6 +83,8 @@ package graft.cypher
   *              | '[' var IN expr [WHERE cond] ['|' expr] ']'    -- comprehension
   *              | '[' path [WHERE pred*] '|' expr ']'   -- PATTERN comprehension
   *              | null | keys(var)                      -- non-null prop names
+  *              | properties(var) | var                 -- whole-entity struct
+  *              | var '{' '.'prop (',' '.'prop)* '}'    -- map projection
   *   degPat    := '(' var ')' rel-without-var '(' [':' Label] ')'  -- 1 hop
   *   cond      := expr (cmpop expr | IS [NOT] NULL
   *                      | (CONTAINS | STARTS WITH | ENDS WITH | '=~') expr)
@@ -337,6 +339,24 @@ object Ast {
     * `label`/`labels` are label metadata, not properties, and are
     * excluded — `nodeId` IS a property here (the S2 key). */
   final case class KeysOf(varName: String) extends Expr
+  /** `properties(var)` — the node's whole property bag as ONE canonical
+    * STRUCT column: every union-of-keys property field, name-sorted for
+    * determinism, label metadata excluded like [[KeysOf]] (`nodeId` IS a
+    * property — the S2 key). An absent property is a NULL field — the
+    * union-of-keys representation of absence — where Neo4j drops the
+    * key; the fixed sorted-struct shape is what keeps the bag hashable,
+    * groupable, and oracle-expressible (DuckDB struct_pack). The
+    * whole-entity projection `RETURN v` plans to the SAME struct (a
+    * node's columnar form IS its property bag; identity is the nodeId
+    * field) — the reference's retrieved-record shape,
+    * retrieval/retriever.py:79-86. Node variables only. */
+  final case class PropsOf(varName: String) extends Expr
+  /** Map projection `v {.p1, .p2}` — the chosen properties as a struct
+    * in the LISTED field order (Neo4j's `node {.name, .details}`,
+    * the per-node dict records of retrieval/retriever.py:56-59). Every
+    * field must exist in the union-of-keys schema; `.*`, computed
+    * entries, and variable entries are outside the dialect. */
+  final case class MapProj(varName: String, fields: Seq[String]) extends Expr
   /** Binary arithmetic `l <op> r`, op ∈ {+, -, *, /, %} with standard
     * precedence and parentheses. `/` over two INTEGRAL operands is
     * Cypher/Neo4j integer division (truncation toward zero — DuckDB `//`);
@@ -461,6 +481,9 @@ object Ast {
       case NullLitE                   => "null"
       case ParamE(nm)                 => s"$$$nm"
       case KeysOf(v)                  => s"keys($v)"
+      case PropsOf(v)                 => s"properties($v)"
+      case MapProj(v, fs)             =>
+        s"$v {${fs.map("." + _).mkString(", ")}}"
       case AggFn(fn, a, d)            =>
         s"$fn(${if (d) "DISTINCT " else ""}${exprText(a)})"
       case CoalesceE(args)            =>

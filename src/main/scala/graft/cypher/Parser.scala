@@ -1607,6 +1607,10 @@ object Parser {
         expect("keys"); expect("("); val v = ident(); expect(")")
         KeysOf(v)
       }
+      else if (peekCall("properties")) {
+        expect("properties"); expect("("); val v = ident(); expect(")")
+        PropsOf(v)
+      }
       else if (peekBrace("COLLECT")) {
         // openCypher's COLLECT subquery — sugar for the pattern
         // comprehension (the canonical render): one grouped sorted
@@ -1707,6 +1711,26 @@ object Parser {
         ws()
         if (pos < in.length && in(pos) == '.') {
           pos += 1; PropRef(v, ident())
+        } else if (pos < in.length && in(pos) == '{') {
+          // map projection v {.p1, .p2} — the chosen properties as a
+          // struct in the listed order (.* / computed entries are
+          // outside the dialect)
+          pos += 1
+          val fs = Seq.newBuilder[String]
+          def one(): Unit = {
+            ws()
+            if (pos >= in.length || in(pos) != '.')
+              fail("map projections take '.prop' entries only")
+            pos += 1
+            fs += ident()
+          }
+          one()
+          while ({ ws(); pos < in.length && in(pos) == ',' }) { pos += 1; one() }
+          ws()
+          if (pos >= in.length || in(pos) != '}')
+            fail("expected '}' closing the map projection")
+          pos += 1
+          MapProj(v, fs.result())
         } else ColRef(v) // bare name: WITH var carry / projected column
       }
     }

@@ -1689,6 +1689,27 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     if (stageRelVars.contains(v) || optRelVars.contains(v)) g.rels.schema
     else g.nodes.schema
 
+  private def rejectRelEntity(v: String): Unit =
+    require(!stageRelVars.contains(v) && !optRelVars.contains(v),
+      s"whole-entity projection of relationship variable $v is outside " +
+        "the dialect — project type($v) instead")
+
+  /** The name-sorted property fields of a whole-entity / `properties()`
+    * struct: every union-of-keys column except the label metadata
+    * (nodeId IS a property — the S2 key), same exclusion as `keys()`. */
+  private def nodeStructFields(v: String): Seq[String] =
+    varSchema(v).fields.map(_.name)
+      .filterNot(n => n == "label" || n == "labels").sorted.toSeq
+
+  /** `RETURN v` / `properties(v)` as ONE canonical struct column — a
+    * plain projection over the node's already-joined frame (no extra
+    * plan nodes, no shuffle); absent properties are null fields, the
+    * union-of-keys representation of absence. */
+  private def nodeStruct(v: String): Column = {
+    rejectRelEntity(v)
+    struct(nodeStructFields(v).map(f => propCol(v, f).as(f)): _*)
+  }
+
   /** Static type of a scalar expression, when resolvable: properties via
     * [[varSchema]], bare columns via the current frame's schema. */
   private def staticType(e: Expr,
@@ -1719,6 +1740,10 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     case ScalarFn("toBoolean", _) => Some(org.apache.spark.sql.types.BooleanType)
     case KeysOf(_) => Some(org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.StringType))
+    case PropsOf(v) => Some(org.apache.spark.sql.types.StructType(
+      nodeStructFields(v).map(f => varSchema(v)(f))))
+    case MapProj(v, fs) => Some(org.apache.spark.sql.types.StructType(
+      fs.flatMap(f => varSchema(v).fields.find(_.name == f))))
     case PatternComp(_, _, proj) =>
       Some(org.apache.spark.sql.types.ArrayType(staticType(proj, schema)
         .getOrElse(org.apache.spark.sql.types.StringType)))
@@ -1837,10 +1862,17 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       schema: org.apache.spark.sql.types.StructType): Column = e match {
     case PropRef(v, p)  => propCol(v, p)
     case ColRef(n) if lambdaCols.contains(n) => lambdaCols(n)
+    case ColRef(n) if carriedScalars.contains(n) => col(n)
+    case ColRef(n) if stageVars.contains(n) || carriedVars.contains(n) ||
+        optNodeVars.contains(n) =>
+      // whole-entity projection `RETURN n` — the node's canonical sorted
+      // property struct (see [[Ast.PropsOf]]): the reference's retrieved
+      // record shape, groupable and DISTINCT-able like any column
+      nodeStruct(n)
     case ColRef(n) =>
-      if (carriedScalars.contains(n)) col(n)
-      else throw new IllegalArgumentException(
-        s"bare '$n' in RETURN must be a WITH-projected column")
+      throw new IllegalArgumentException(
+        s"bare '$n' in RETURN must be a bound node variable or a " +
+          "WITH-projected column")
     case LabelsOf(v)    => propCol(v, "labels")
     case TypeOf(r)      =>
       if (optRelVars.contains(r)) col(s"__o_${r}_relType") else col(s"$r.relType")
@@ -1921,6 +1953,19 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       concat(fields.map(f =>
         when(propCol(v, f).isNotNull, array(lit(f)))
           .otherwise(array().cast("array<string>"))).toIndexedSeq: _*)
+    case PropsOf(v) => nodeStruct(v)
+    case MapProj(v, fields) =>
+      // map projection: the chosen properties as a struct in the LISTED
+      // order — a plain column expression over the node's frame, no
+      // extra plan nodes
+      rejectRelEntity(v)
+      fields.foreach { f =>
+        require(varSchema(v).fields.exists(_.name == f),
+          s"unknown node property $f in map projection $v {…} (the " +
+            "schema is union-of-keys: add the column to the nodes table " +
+            "first)")
+      }
+      struct(fields.map(f => propCol(v, f).as(f)): _*)
     case ScalarFn(fn, args) =>
       val a = args.map(exprCol(_, schema))
       fn match {

@@ -2256,6 +2256,72 @@ class CypherSpec extends SparkSpec {
       ("P-gamma", Seq("abstract", "name", "nameEmbedding", "nodeId"))))
   }
 
+  test("whole-entity projection: RETURN n / properties(n) as a sorted struct") {
+    // RETURN n = the canonical name-sorted property struct (label
+    // metadata excluded, nodeId included — the S2 key); absent
+    // properties are null fields under union-of-keys
+    val row = Planner.run(g,
+      """MATCH (p:Paper {name: "P-beta"}) RETURN p""").collect().head
+    val s = row.getStruct(0)
+    assert(s.schema.fieldNames.toSeq ===
+      Seq("abstract", "name", "nameEmbedding", "nodeId"))
+    assert(s.isNullAt(0) && s.getString(1) === "P-beta" &&
+      s.getLong(3) === 21L)
+    // properties(n) plans to the SAME struct
+    val both = Planner.run(g,
+      """MATCH (p:Paper {name: "P-alpha"})
+        |RETURN p AS whole, properties(p) AS props""".stripMargin)
+      .collect().head
+    assert(both.getStruct(0) === both.getStruct(1))
+    // the struct is a GROUP KEY like any column (implicit grouping)
+    val grouped = Planner.run(g,
+      """MATCH (i:Institution)-[e:AFFILIATED_WITH]-(a:Author)
+        |RETURN i AS inst, count(a) AS n ORDER BY n DESC""".stripMargin)
+      .collect().map(r => (r.getStruct(0).getAs[String]("name"), r.getLong(1)))
+    assert(grouped.toSeq === Seq(("MIT", 2L), ("Stanford", 1L)))
+    // DISTINCT over the struct
+    assert(Planner.run(g,
+      """MATCH (a:Author)-[w:WRITES]-(p:Paper {name: "P-alpha"})
+        |RETURN DISTINCT p""".stripMargin).count() === 1L)
+    // a relationship variable has no whole-entity form
+    val e = intercept[IllegalArgumentException](Planner.run(g,
+      """MATCH (a:Author)-[w:WRITES]-(p:Paper) RETURN properties(w) AS x"""))
+    assert(e.getMessage.contains("relationship variable"))
+  }
+
+  test("map projection n {.p1, .p2}: listed-order struct") {
+    val rows = Planner.run(g,
+      """MATCH (p:Paper) WHERE p.abstract IS NOT NULL
+        |RETURN p {.name, .abstract} AS rec ORDER BY p.name""".stripMargin)
+      .collect().map { r =>
+        val s = r.getStruct(0); (s.getString(0), s.getString(1)) }
+    assert(rows.toSeq === Seq(("P-alpha", "about dbs"), ("P-gamma", "graphs")))
+    // listed order is preserved (not sorted)
+    val sch = Planner.run(g,
+      """MATCH (p:Paper) RETURN p {.nodeId, .name} AS rec LIMIT 1""")
+      .schema.fields.head.dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+    assert(sch === Seq("nodeId", "name"))
+    // unknown fields fail with the union-of-keys message
+    val e = intercept[IllegalArgumentException](Planner.run(g,
+      """MATCH (p:Paper) RETURN p {.nope} AS rec"""))
+    assert(e.getMessage.contains("unknown node property"))
+    // carried var: the struct resolves against the __w_ columns
+    val carried = Planner.run(g,
+      """MATCH (a:Author {name: "Alice"})-[w:WRITES]-(p:Paper)
+        |WITH p ORDER BY p.name LIMIT 1
+        |RETURN p {.name} AS rec, properties(p) AS props""".stripMargin)
+      .collect().head
+    assert(carried.getStruct(0).getString(0) === "P-alpha")
+    assert(carried.getStruct(1).getAs[Long]("nodeId") === 20L)
+    // render∘parse identity for all three shapes
+    val q = Parser.parse(
+      """MATCH (p:Paper) RETURN p, properties(p) AS props, p {.name, .abstract} AS rec""")
+    assert(q.items.map(_.expr) === Seq(Ast.ColRef("p"), Ast.PropsOf("p"),
+      Ast.MapProj("p", Seq("name", "abstract"))))
+    assert(Parser.parse(q.render) === q)
+  }
+
   test("collect over a general expression") {
     val row = Planner.run(g,
       """MATCH (a:Author {name: "Alice"})-[w:WRITES]-(p:Paper)
