@@ -858,6 +858,19 @@ object OracleSqls {
         |SELECT CAST(3999999999 AS BIGINT), 'Customer', 'Customer#new'"""
         .stripMargin),
 
+    // parameter-keyed MERGE: the ON MATCH path renames + bumps the
+    // balance of customer 42; the ON CREATE path inserts the fresh row
+    "cy_merge_param" -> withFinGraph(
+      """SELECT nodeId, label,
+        |  CASE WHEN label = 'Customer' AND nodeId = 3000000042
+        |       THEN 'Customer#param#updated' ELSE name END AS name,
+        |  CASE WHEN label = 'Customer' AND nodeId = 3000000042
+        |       THEN acctbal + 100 ELSE acctbal END AS acctbal
+        |FROM fnodes
+        |UNION ALL
+        |SELECT CAST(3999999998 AS BIGINT), 'Customer', 'Customer#fresh',
+        |  CAST(777 AS BIGINT)""".stripMargin),
+
     // COUNT subqueries replay as correlated scalar counts
     "cy_count_sub" -> withGraph(
       """SELECT r.name AS region,

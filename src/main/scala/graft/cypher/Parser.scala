@@ -441,21 +441,22 @@ object Parser {
       throw new IllegalStateException("unreachable")
     }
 
-    /** `MERGE (n:L {nodeId: <int>}) [ON CREATE SET items] [ON MATCH SET
-      * items] [SET items]` — clause order free, each at most once. Only
-      * the S2 unique key may anchor, and SET values are literals (the
-      * loader's row values arrive pre-bound, like
-      * stark_neo4j_loading.py's per-row parameters). */
+    /** `MERGE (n:L {nodeId: <int> | $param}) [ON CREATE SET items]
+      * [ON MATCH SET items] [SET items]` — clause order free, each at
+      * most once. Only the S2 unique key may anchor (literal or scalar
+      * parameter); SET values are full scalar expressions over literals,
+      * `$params`, and the merged node's own properties (the loader's
+      * record-driven shape, stark_neo4j_loading.py:29-37). */
     def mergeQuery(): MergeQuery = {
       expect("MERGE")
       val n = node()
       if (n.label.isEmpty)
         fail("MERGE requires a label: MERGE (n:Label {nodeId: …})")
       if (!n.anchorProp.contains("nodeId"))
-        fail("MERGE anchors on the unique key: {nodeId: <integer>}")
+        fail("MERGE anchors on the unique key: {nodeId: <integer> | $param}")
       n.anchorValue match {
-        case Some(LongLit(_)) => ()
-        case _ => fail("MERGE nodeId must be an integer literal")
+        case Some(LongLit(_)) | Some(ParamRef(_)) => ()
+        case _ => fail("MERGE nodeId must be an integer literal or $param")
       }
       var onCreate: Seq[SetItem] = Nil
       var onMatch: Seq[SetItem] = Nil
@@ -619,14 +620,12 @@ object Parser {
         ws()
         if (pos >= in.length || in(pos) != '=') fail("expected '='")
         pos += 1
-        ws()
-        val value: AnchorValue =
-          if (pos < in.length && (in(pos) == '"' || in(pos) == '\''))
-            StrLit(stringLit())
-          else if (pos < in.length && (in(pos).isDigit || in(pos) == '-'))
-            LongLit(longLit())
-          else fail("SET values must be string or integer literals")
-        items += SetItem(v, p, value)
+        // a full scalar expression — literals, $params, and the merged
+        // node's own properties ([[updateSetItems]]'s grammar)
+        val e = expression()
+        if (isAggExpr(e) || containsNestedAgg(e))
+          fail("SET values are scalar expressions — aggregates cannot appear")
+        items += SetItem(v, p, e)
       }
       one()
       while ({ ws(); pos < in.length && in(pos) == ',' }) { pos += 1; one() }

@@ -382,6 +382,111 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     graft.graph.PropertyGraph(g.nodes, g.rels.unionByName(padded))
   }
 
+  /** Lower a [[MergeQuery]] onto the lakehouse merge: the one-row
+    * changelog is either the matched node with its ON MATCH SET + SET
+    * expressions applied (all values read the PRE-merge row — snapshot
+    * semantics, like [[planUpdate]]; last write per property wins), or
+    * (when absent) a freshly built row with the anchor, ON CREATE SET +
+    * SET values evaluated over the fresh row's own (null except key)
+    * properties, and nulls elsewhere.
+    * [[graft.operators.Lakehouse.mergeSnapshot]] then applies it with
+    * ONE key-partitioned anti-join against the snapshot (the changelog
+    * side broadcasts — at 100 TB the snapshot is never rewritten
+    * per-key, and a batched loader unions many such rows into one
+    * changelog before the same single merge; the dialect's bulk form is
+    * [[planBulkUpsert]]). The key may be a scalar `$param` — the
+    * driver-API upsert. Returns the post-merge nodes table; re-running a
+    * MERGE whose values don't read the columns they write is a no-op
+    * changelog replay (idempotent). */
+  def planMerge(mq: MergeQuery): DataFrame = {
+    import org.apache.spark.sql.types.ArrayType
+    val nodes = g.nodes
+    val label = mq.node.label.get
+    val v = mq.node.varName
+    stageVars = Set(v)
+    stageRelVars = Set.empty
+    val key: Long = mq.node.anchorValue match {
+      case Some(LongLit(k)) => k
+      case Some(ParamRef(nm)) => params.get(nm) match {
+        case Some(x: Number) => x.longValue()
+        case Some(other) => throw new IllegalArgumentException(
+          s"MERGE key parameter $$$nm must be an integer, got $other")
+        case None => throw new IllegalArgumentException(
+          s"missing parameter $$$nm")
+      }
+      case other => throw new IllegalArgumentException(
+        s"MERGE nodeId must be an integer literal or $$param, got $other")
+    }
+    val allSets = mq.onCreate ++ mq.onMatch ++ mq.set
+    allSets.foreach { s =>
+      require(nodes.columns.contains(s.prop),
+        s"unknown node property ${s.prop} (the schema is union-of-keys: " +
+          "add the column to the nodes table first)")
+      walkExpr(s.value).foreach {
+        case PropRef(pv, _) => require(pv == v,
+          s"MERGE SET values may only read the merged node $v's own " +
+            s"properties, not $pv's")
+        case _ => ()
+      }
+    }
+    val matched = nodes
+      .where(col("label") === label && col("nodeId") === key).as(v)
+    // last write wins within one MERGE: SET overwrites ON MATCH SET /
+    // ON CREATE SET for the same property
+    val matchSets = (mq.onMatch ++ mq.set).map(s => s.prop -> s.value).toMap
+    def assigned(df: DataFrame,
+                 sets: Map[String, Expr]): DataFrame = {
+      val cols = nodes.schema.fields.map { f =>
+        (sets.get(f.name) match {
+          case Some(e) =>
+            checkAssignable(f.name, e, f.dataType, df.schema)
+            exprCol(e, df.schema).cast(f.dataType)
+          case None => col(s"$v.${f.name}")
+        }).as(f.name)
+      }
+      df.select(cols.toIndexedSeq: _*)
+    }
+    val updated = assigned(matched, matchSets)
+    val createSets = (mq.onCreate ++ mq.set).map(s => s.prop -> s.value).toMap
+    val blankCols = nodes.schema.fields.map { f =>
+      (f.name match {
+        case "nodeId" => lit(key).cast(f.dataType)
+        case "label"  => lit(label).cast(f.dataType)
+        // two labels per node, like MERGE(n:{label}:_Entity_) —
+        // stark_neo4j_loading.py:35
+        case "labels" if f.dataType.isInstanceOf[ArrayType] =>
+          array(lit(label), lit("_Entity_"))
+        case _ => lit(null).cast(f.dataType)
+      }).as(f.name)
+    }
+    val blank = nodes.sparkSession.range(1)
+      .select(blankCols.toIndexedSeq: _*).as(v)
+    val created = assigned(blank, createSets)
+      .join(matched.select(col(s"$v.nodeId").as("nodeId")),
+        Seq("nodeId"), "left_anti")
+    val changes = updated.unionByName(created)
+      .withColumn("_seq", lit(1L)).withColumn("_op", lit("U"))
+    graft.operators.Lakehouse.mergeSnapshot(
+      nodes, changes, Seq("label", "nodeId"), "_seq", "_op")
+  }
+
+  /** A statically STRING value cannot land in a numeric/boolean column —
+    * Spark's cast would silently null it; fail like the loader would
+    * instead. The numeric→string direction is a LOSSLESS stringification
+    * (Neo4j's dynamically-typed property rendered into the union-of-keys
+    * string column) and is allowed; types the static analysis cannot see
+    * fall through to the cast. */
+  private def checkAssignable(prop: String, e: Expr,
+      target: org.apache.spark.sql.types.DataType,
+      schema: org.apache.spark.sql.types.StructType): Unit =
+    staticType(e, schema).foreach { dt =>
+      import org.apache.spark.sql.types._
+      val lossy = dt == StringType &&
+        (target.isInstanceOf[NumericType] || target == BooleanType)
+      require(!lossy, s"SET $prop: a ${dt.simpleString} value cannot be " +
+        s"stored in a ${target.simpleString} column")
+    }
+
   /** One WITH-chained stage: plan its MATCH like a mini-query, attach the
     * carried frame (equi-join on carried nodeIds, Cypher's re-binding),
     * then project the barrier — only listed items survive. */
@@ -2171,7 +2276,7 @@ object Planner {
     def prefixed(kw: String): Boolean =
       t.regionMatches(true, 0, kw, 0, kw.length) &&
         (t.length == kw.length || !t(kw.length).isLetterOrDigit)
-    if (prefixed("MERGE")) runMerge(g, Parser.parseMerge(cypher))
+    if (prefixed("MERGE")) runMerge(g, Parser.parseMerge(cypher), params)
     else if (prefixed("CREATE")) runCreateNodes(g, cypher).nodes
     else try planUnion(g, Parser.parseUnion(cypher), params)
     catch {
@@ -2227,64 +2332,11 @@ object Planner {
                 params: Map[String, Any]): PropertyGraph =
     new Planner(g, params).planDelete(dq)
 
-  /** Lower a [[MergeQuery]] onto the lakehouse merge: the one-row
-    * changelog is either the matched node with its ON MATCH SET + SET
-    * properties overwritten, or (when absent) a freshly built row with
-    * the anchor, ON CREATE SET + SET properties, and nulls elsewhere;
-    * [[graft.operators.Lakehouse.mergeSnapshot]] then applies it with
-    * ONE key-partitioned anti-join against the snapshot (the changelog
-    * side broadcasts — at 100 TB the snapshot is never rewritten
-    * per-key, and a batched loader unions many such rows into one
-    * changelog before the same single merge). Returns the post-merge
-    * nodes table; re-running the same MERGE is a no-op changelog replay
-    * (idempotent). */
-  def runMerge(g: PropertyGraph, mq: MergeQuery): DataFrame = {
-    import org.apache.spark.sql.types.ArrayType
-    val nodes = g.nodes
-    val label = mq.node.label.get
-    val key = mq.node.anchorValue match {
-      case Some(LongLit(v)) => v
-      case other => throw new IllegalArgumentException(
-        s"MERGE nodeId must be an integer literal, got $other")
-    }
-    def litOf(v: AnchorValue): Column = v match {
-      case StrLit(s)  => lit(s)
-      case LongLit(l) => lit(l)
-      case other => throw new IllegalArgumentException(
-        s"unsupported SET value $other")
-    }
-    (mq.onCreate ++ mq.onMatch ++ mq.set).foreach { s =>
-      require(nodes.columns.contains(s.prop),
-        s"unknown node property ${s.prop} (the schema is union-of-keys: " +
-          "add the column to the nodes table first)")
-    }
-    val matched = nodes.where(col("label") === label && col("nodeId") === key)
-    val updated = (mq.onMatch ++ mq.set).foldLeft(matched) { (df, s) =>
-      val field = nodes.schema.fields.find(_.name == s.prop).get
-      df.withColumn(s.prop, litOf(s.value).cast(field.dataType))
-    }
-    // last write wins within one MERGE: SET overwrites ON CREATE SET
-    val createSets = (mq.onCreate ++ mq.set).map(s => s.prop -> s).toMap
-    val createdCols = nodes.schema.fields.map { f =>
-      (f.name match {
-        case "nodeId" => lit(key).cast(f.dataType)
-        case "label"  => lit(label).cast(f.dataType)
-        // two labels per node, like MERGE(n:{label}:_Entity_) —
-        // stark_neo4j_loading.py:35
-        case "labels" if f.dataType.isInstanceOf[ArrayType] =>
-          array(lit(label), lit("_Entity_"))
-        case nm if createSets.contains(nm) =>
-          litOf(createSets(nm).value).cast(f.dataType)
-        case _ => lit(null).cast(f.dataType)
-      }).as(f.name)
-    }
-    val created = nodes.sparkSession.range(1).select(createdCols.toSeq: _*)
-      .join(matched.select(col("nodeId")), Seq("nodeId"), "left_anti")
-    val changes = updated.unionByName(created)
-      .withColumn("_seq", lit(1L)).withColumn("_op", lit("U"))
-    graft.operators.Lakehouse.mergeSnapshot(
-      nodes, changes, Seq("label", "nodeId"), "_seq", "_op")
-  }
+  /** Lower a [[MergeQuery]] onto the lakehouse merge (see
+    * [[Planner.planMerge]]). */
+  def runMerge(g: PropertyGraph, mq: MergeQuery,
+               params: Map[String, Any] = Map.empty): DataFrame =
+    new Planner(g, params).planMerge(mq)
 
   /** Plan a UNION query: each part planned independently (fresh binding
     * state), then one `unionByName` chain — Catalyst sees an ordinary

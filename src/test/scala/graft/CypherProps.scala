@@ -399,10 +399,17 @@ object CypherProps extends Properties("cypher") {
     Prop(reparsed == q) :| s"rendered: $rendered\nreparsed: $reparsed"
   }
 
-  // the restricted MERGE clause is its own top-level form
+  // the restricted MERGE clause is its own top-level form; values are
+  // full scalar expressions since round 14 — literals, $params, the
+  // node's own properties, and arithmetic over them
   private def setItemGen(pr: String): Gen[SetItem] = Gen.oneOf(
-    anchorStr.map(s => SetItem("n", pr, StrLit(s))),
-    Gen.choose(-99L, 99L).map(v => SetItem("n", pr, LongLit(v))))
+    anchorStr.map(s => SetItem("n", pr, StrLitE(s))),
+    Gen.choose(-99L, 99L).map(v => SetItem("n", pr, LongLitE(v))),
+    Gen.identifier.map(nm => SetItem("n", pr, ParamE(nm.take(8)))),
+    Gen.oneOf("name", "abstract").map(p2 =>
+      SetItem("n", pr, PropRef("n", p2))),
+    Gen.choose(1L, 9L).map(k =>
+      SetItem("n", pr, BinOp("+", PropRef("n", "nodeId"), LongLitE(k)))))
 
   private def setItems(props: Seq[String]): Gen[Seq[SetItem]] =
     Gen.choose(0, props.length).flatMap(n =>

@@ -1526,6 +1526,54 @@ class CypherSpec extends SparkSpec {
       """MERGE (n:Author {nodeId: 7}) SET n.missing = "x""""))
   }
 
+  test("MERGE: parameter key and expression SET values (round 14)") {
+    // the driver-API upsert: key from $id, values from $params and the
+    // node's own pre-merge properties
+    val updated = Planner.run(g,
+      """MERGE (n:Author {nodeId: $id})
+        |ON CREATE SET n.name = $nm
+        |ON MATCH SET n.name = $nm + "#updated", n.abstract = n.name""".stripMargin,
+      Map("id" -> 10, "nm" -> "Alice"))
+    val alice = updated.where("nodeId = 10").collect().head
+    assert(alice.getAs[String]("name") === "Alice#updated")
+    // snapshot semantics: n.name read the PRE-merge value
+    assert(alice.getAs[String]("abstract") === "Alice")
+    // create path evaluates over the fresh (null except key) row
+    val created = Planner.run(g,
+      """MERGE (n:Author {nodeId: $id})
+        |ON CREATE SET n.name = coalesce(n.name, $nm) + "!"""".stripMargin,
+      Map("id" -> 77, "nm" -> "Grace"))
+    assert(created.where("nodeId = 77").collect().head
+      .getAs[String]("name") === "Grace!")
+    // missing key parameter and foreign-variable reads fail clearly
+    val miss = intercept[IllegalArgumentException](Planner.run(g,
+      """MERGE (n:Author {nodeId: $id}) SET n.name = "x"""", Map.empty))
+    assert(miss.getMessage.contains("missing parameter"))
+    val foreign = intercept[IllegalArgumentException](Planner.run(g,
+      """MERGE (n:Author {nodeId: 10}) SET n.name = m.name"""))
+    assert(foreign.getMessage.contains("own"))
+    // numeric→string stringifies losslessly (Neo4j's dynamically typed
+    // property rendered into the union-of-keys string column)…
+    val num = Planner.run(g,
+      """MERGE (n:Author {nodeId: 10}) SET n.name = n.nodeId + 1""")
+    assert(num.where("nodeId = 10").collect().head
+      .getAs[String]("name") === "11")
+    // …but a string value into a numeric column would silently null
+    // under Spark's cast — rejected with a clear message instead
+    val spark2 = g.nodes.sparkSession
+    import spark2.implicits._
+    val g2 = graft.graph.PropertyGraph(
+      Seq((1L, "X", "a", 5L)).toDF("nodeId", "label", "name", "score"),
+      Seq.empty[(String, Long, Long)].toDF("relType", "src", "dst"))
+    val mism = intercept[IllegalArgumentException](Planner.run(g2,
+      """MERGE (n:X {nodeId: 1}) SET n.score = "high""""))
+    assert(mism.getMessage.contains("cannot be stored"))
+    // render∘parse identity with a parameter key + expression values
+    val mq = Parser.parseMerge(
+      """MERGE (n:Author {nodeId: $id}) ON MATCH SET n.name = n.name + "!", n.abstract = $v""")
+    assert(Parser.parseMerge(mq.render) === mq)
+  }
+
   test("DETACH DELETE removes the node and every incident relationship") {
     val pg = Planner.runDelete(g,
       """MATCH (a:Author {name: "Alice"}) DETACH DELETE a""")
