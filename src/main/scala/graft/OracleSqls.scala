@@ -871,6 +871,30 @@ object OracleSqls {
         |SELECT CAST(3999999998 AS BIGINT), 'Customer', 'Customer#fresh',
         |  CAST(777 AS BIGINT)""".stripMargin),
 
+    // bulk UNWIND MERGE: two in-place updates + two fresh inserts as a
+    // plain CASE + UNION ALL replay (nodeIds are globally unique, so no
+    // label guard is needed on the CASE arms)
+    "cy_unwind_create" -> withFinGraph(
+      """SELECT nodeId, label,
+        |  CASE WHEN nodeId = 3000000007 THEN 'Customer#b7#upd'
+        |       WHEN nodeId = 3000000013 THEN 'Customer#b13#upd'
+        |       ELSE name END AS name,
+        |  CASE WHEN nodeId = 3000000007 THEN acctbal + 10
+        |       WHEN nodeId = 3000000013 THEN acctbal + 20
+        |       ELSE acctbal END AS acctbal
+        |FROM fnodes
+        |UNION ALL SELECT CAST(3999999901 AS BIGINT), 'Customer',
+        |  'Customer#new1', CAST(111 AS BIGINT)
+        |UNION ALL SELECT CAST(3999999902 AS BIGINT), 'Customer',
+        |  'Customer#new2', CAST(222 AS BIGINT)""".stripMargin),
+
+    // FOREACH bulk CREATE appends two literal region rows
+    "cy_foreach" -> withGraph(
+      """SELECT nodeId, label, name FROM nodes WHERE label = 'Region'
+        |UNION ALL SELECT CAST(1000000090 AS BIGINT), 'Region', 'HYPERBOREA'
+        |UNION ALL SELECT CAST(1000000091 AS BIGINT), 'Region', 'MU'"""
+        .stripMargin),
+
     // COUNT subqueries replay as correlated scalar counts
     "cy_count_sub" -> withGraph(
       """SELECT r.name AS region,

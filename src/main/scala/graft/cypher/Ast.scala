@@ -856,6 +856,47 @@ object Ast {
     }
   }
 
+  /** Bulk record-driven mutation — the loader's ENTIRE idiom
+    * (stark_neo4j_loading.py:20-61) in-dialect:
+    * {{{
+    *   UNWIND $rows AS r
+    *     MERGE (n:L {nodeId: r.<key>})
+    *       [ON CREATE SET n.p = expr, …] [ON MATCH SET …] [SET …]
+    *   UNWIND $rows AS r CREATE (n:L {nodeId: r.<key>}) [SET …]
+    *   FOREACH (r IN $rows | MERGE … SET …)   -- sugar, same lowering
+    * }}}
+    * `$rows` is a LIST-OF-MAPS parameter; SET values are scalar
+    * expressions over the row variable's fields (`r.name`), `$params`,
+    * literals, and (MERGE) the node's own pre-merge properties. Lowered
+    * as ONE changelog frame onto the lakehouse merge — the rows build
+    * one driver-side frame (the parameter IS driver-resident, exactly
+    * like Neo4j's `$rows`; the unbounded path is the S1/S3 DataFrame
+    * loader), matched rows update, absent rows create, and
+    * [[graft.operators.Lakehouse.mergeSnapshot]] applies the whole batch
+    * with one key-partitioned anti-join — never a per-row loop. Keys
+    * must be distinct within the batch (a loader batch upserts each key
+    * once; duplicate keys would make the changelog ambiguous). CREATE
+    * enforces the S2 unique-key constraint like [[CreateNodesQuery]].
+    * `foreach` only changes the rendered spelling. */
+  final case class BulkUpsertQuery(param: String, rowVar: String,
+      node: NodePat, keyField: String,
+      onCreate: Seq[SetItem], onMatch: Seq[SetItem], set: Seq[SetItem],
+      create: Boolean, foreach: Boolean = false) {
+    def render: String = {
+      def sets(kw: String, items: Seq[SetItem]): String =
+        if (items.isEmpty) ""
+        else s" $kw " + items.map(s =>
+          s"${s.varName}.${s.prop} = ${exprText(s.value)}").mkString(", ")
+      val inner =
+        s"${if (create) "CREATE" else "MERGE"} (${node.varName}" +
+          s":${node.label.get} {nodeId: $rowVar.$keyField})" +
+          sets("ON CREATE SET", onCreate) + sets("ON MATCH SET", onMatch) +
+          sets("SET", set)
+      if (foreach) s"FOREACH ($rowVar IN $$$param | $inner)"
+      else s"UNWIND $$$param AS $rowVar $inner"
+    }
+  }
+
   /** Restricted node deletion — the mutation companion of [[MergeQuery]]:
     * {{{
     *   MATCH (n:Label [{prop: lit}]) [WHERE pred (AND pred)*]

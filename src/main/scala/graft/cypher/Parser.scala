@@ -75,6 +75,16 @@ object Parser {
     q
   }
 
+  /** Parse the bulk record-driven mutation
+    * `UNWIND $rows AS r MERGE/CREATE (n:L {nodeId: r.<key>}) [SET …]`
+    * or its `FOREACH (r IN $rows | …)` sugar ([[Ast.BulkUpsertQuery]]). */
+  def parseBulkUpsert(input: String): BulkUpsertQuery = {
+    val p = new P(input)
+    val q = p.bulkUpsertQuery()
+    p.expectEnd()
+    q
+  }
+
   private final class P(in: String) {
     private var pos = 0
 
@@ -584,6 +594,95 @@ object Parser {
           Right(RelMutationQuery(b, n1, preds, t, dir, merge))
         else fail("CREATE/MERGE endpoints must name the two matched variables")
       }
+    }
+
+    /** `UNWIND $rows AS r MERGE/CREATE (n:L {nodeId: r.<key>})
+      * [ON CREATE SET …] [ON MATCH SET …] [SET …]` or the FOREACH
+      * sugar `FOREACH (r IN $rows | MERGE … SET …)` — the loader's
+      * record-driven bulk upsert. The key must come from the row
+      * variable; CREATE takes plain SET only. */
+    def bulkUpsertQuery(): BulkUpsertQuery = {
+      val (pm, rowVar, foreach) =
+        if (peek("FOREACH")) {
+          expect("FOREACH")
+          ws()
+          if (pos >= in.length || in(pos) != '(') fail("expected '(' after FOREACH")
+          pos += 1
+          val rv = ident(); expect("IN"); val p0 = param()
+          ws()
+          if (pos >= in.length || in(pos) != '|')
+            fail("expected '|' in FOREACH (r IN $rows | …)")
+          pos += 1
+          (p0, rv, true)
+        } else {
+          expect("UNWIND"); val p0 = param(); expect("AS"); val rv = ident()
+          (p0, rv, false)
+        }
+      val create = if (opt("CREATE")) true else { expect("MERGE"); false }
+      ws()
+      if (pos >= in.length || in(pos) != '(') fail("expected '('")
+      pos += 1
+      val v = ident()
+      ws()
+      if (pos >= in.length || in(pos) != ':')
+        fail("bulk CREATE/MERGE requires a label")
+      pos += 1
+      val label = ident()
+      ws()
+      if (pos >= in.length || in(pos) != '{')
+        fail("bulk CREATE/MERGE anchors on {nodeId: " + rowVar + ".<field>}")
+      pos += 1
+      val kp = ident()
+      if (kp != "nodeId")
+        fail("bulk CREATE/MERGE anchors on the unique key nodeId")
+      expect(":")
+      val rv2 = ident()
+      if (rv2 != rowVar)
+        fail(s"the key must come from the row variable $rowVar")
+      ws()
+      if (pos >= in.length || in(pos) != '.') fail("expected '.'")
+      pos += 1
+      val keyField = ident()
+      ws()
+      if (pos >= in.length || in(pos) != '}')
+        fail("the bulk anchor map holds only the nodeId key — set other " +
+          "properties with SET")
+      pos += 1
+      ws()
+      if (pos >= in.length || in(pos) != ')') fail("expected ')'")
+      pos += 1
+      var onCreate: Seq[SetItem] = Nil
+      var onMatch: Seq[SetItem] = Nil
+      var set: Seq[SetItem] = Nil
+      while (peek("ON") || peek("SET")) {
+        if (opt("ON")) {
+          val isCreate = if (opt("CREATE")) true else { expect("MATCH"); false }
+          expect("SET")
+          val items = setItems(v)
+          if (isCreate) {
+            if (onCreate.nonEmpty) fail("duplicate ON CREATE SET")
+            onCreate = items
+          } else {
+            if (onMatch.nonEmpty) fail("duplicate ON MATCH SET")
+            onMatch = items
+          }
+        } else {
+          expect("SET")
+          if (set.nonEmpty) fail("duplicate SET")
+          set = setItems(v)
+        }
+      }
+      if (create && (onCreate.nonEmpty || onMatch.nonEmpty))
+        fail("CREATE takes plain SET only (no ON CREATE / ON MATCH)")
+      if (foreach) {
+        ws()
+        if (pos >= in.length || in(pos) != ')')
+          fail("expected ')' closing FOREACH")
+        pos += 1
+      }
+      BulkUpsertQuery(pm, rowVar,
+        NodePat(v, Some(label), Some("nodeId"), None), keyField,
+        onCreate, onMatch, set, create, foreach)
     }
 
     private def updateSetItems(matchVar: String): Seq[UpdateSet] = {

@@ -470,6 +470,154 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       nodes, changes, Seq("label", "nodeId"), "_seq", "_op")
   }
 
+  /** Lower a [[BulkUpsertQuery]] — `UNWIND $rows AS r MERGE/CREATE
+    * (n:L {nodeId: r.<key>}) [SET …]` / the FOREACH sugar — as ONE
+    * changelog frame: the list-of-maps parameter becomes one driver-side
+    * row frame (the parameter IS driver-resident, like Neo4j's `$rows`;
+    * the unbounded path is the S1/S3 DataFrame loader), matched keys
+    * re-project with the ON MATCH SET + SET expressions (which may read
+    * `r.<field>` and the node's own pre-merge properties — snapshot
+    * semantics), absent keys build fresh rows from ON CREATE SET + SET,
+    * and [[graft.operators.Lakehouse.mergeSnapshot]] applies the whole
+    * batch with one key-partitioned anti-join — never a per-row loop; a
+    * thousand-row batch costs the same plan as one row. CREATE instead
+    * validates the S2 unique key (broadcast semi-probe, like
+    * [[planCreateNodes]]) and appends. Returns the post-mutation nodes
+    * table. */
+  def planBulkUpsert(bq: BulkUpsertQuery): DataFrame = {
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val nodes = g.nodes
+    val label = bq.node.label.get
+    val v = bq.node.varName
+    val r = bq.rowVar
+    require(v != r, "the node and row variables must differ")
+    stageVars = Set(v)
+    stageRelVars = Set.empty
+    val rows: Seq[Map[String, Any]] =
+      params.getOrElse(bq.param, throw new IllegalArgumentException(
+        s"missing parameter $$${bq.param}")) match {
+        case s: Seq[_] if s.nonEmpty && s.forall(_.isInstanceOf[Map[_, _]]) =>
+          s.map(_.asInstanceOf[Map[String, Any]])
+        case other => throw new IllegalArgumentException(
+          s"parameter $$${bq.param} must be a non-empty list of maps, " +
+            s"got $other")
+      }
+    val keys = rows.map(_.getOrElse(bq.keyField,
+      throw new IllegalArgumentException(
+        s"every row of $$${bq.param} needs the key field ${bq.keyField}")))
+    val keyLongs = keys.map {
+      case n: Number => n.longValue()
+      case other => throw new IllegalArgumentException(
+        s"key field ${bq.keyField} must be an integer, got $other")
+    }
+    require(keyLongs.distinct.size == keyLongs.size,
+      s"duplicate ${bq.keyField} keys within one bulk " +
+        s"${if (bq.create) "CREATE" else "MERGE"} batch")
+    // one row frame: union-of-keys across the maps, types from the first
+    // non-null occurrence (string / integer / double / boolean)
+    val fieldNames = rows.flatMap(_.keys).distinct.sorted
+    def sqlType(vals: Seq[Any]): DataType = vals.collectFirst {
+      case _: String => StringType
+      case _: java.lang.Double | _: java.lang.Float => DoubleType
+      case _: java.lang.Boolean => BooleanType
+      case _: Number => LongType
+    }.getOrElse(StringType)
+    val fieldTypes = fieldNames.map(f =>
+      f -> sqlType(rows.flatMap(_.get(f)).filter(_ != null))).toMap
+    val rowSchema = StructType(fieldNames.map(f =>
+      StructField(f, fieldTypes(f), nullable = true)))
+    def cell(x: Any): Any = x match {
+      case null => null
+      case s: String => s
+      case d: java.lang.Double => d.doubleValue()
+      case fl: java.lang.Float => fl.doubleValue()
+      case b: java.lang.Boolean => b.booleanValue()
+      case n: Number => n.longValue()
+      case other => throw new IllegalArgumentException(
+        s"unsupported row value $other in $$${bq.param}")
+    }
+    val data = rows.map(m => org.apache.spark.sql.Row(
+      fieldNames.map(f => cell(m.getOrElse(f, null))): _*))
+    val rowsDF = nodes.sparkSession
+      .createDataFrame(data.asJava, rowSchema).as(r)
+    extraVarSchemas += r -> rowSchema
+    try {
+      val allSets = bq.onCreate ++ bq.onMatch ++ bq.set
+      allSets.foreach { s =>
+        require(nodes.columns.contains(s.prop),
+          s"unknown node property ${s.prop} (the schema is union-of-keys: " +
+            "add the column to the nodes table first)")
+        walkExpr(s.value).foreach {
+          case PropRef(pv, pf) =>
+            require(pv == v || pv == r,
+              s"bulk SET values may only read $v's or $r's fields, not $pv's")
+            if (pv == r) require(rowSchema.fieldNames.contains(pf),
+              s"row field $r.$pf is absent from every row of $$${bq.param}")
+          case _ => ()
+        }
+      }
+      val keyCol = col(s"$r.${bq.keyField}").cast("long")
+      def assigned(df: DataFrame, sets: Map[String, Expr],
+                   forCreate: Boolean): DataFrame = {
+        val cols = nodes.schema.fields.map { f =>
+          (if (forCreate && f.name == "nodeId") keyCol.cast(f.dataType)
+           else if (forCreate && f.name == "label") lit(label).cast(f.dataType)
+           else if (forCreate && f.name == "labels" &&
+                    f.dataType.isInstanceOf[ArrayType])
+             array(lit(label), lit("_Entity_"))
+           else sets.get(f.name) match {
+             case Some(e) =>
+               checkAssignable(f.name, e, f.dataType, df.schema)
+               exprCol(e, df.schema).cast(f.dataType)
+             case None =>
+               if (forCreate) lit(null).cast(f.dataType)
+               else col(s"$v.${f.name}")
+           }).as(f.name)
+        }
+        df.select(cols.toIndexedSeq: _*)
+      }
+      val labeled = nodes.where(col("label") === label).as(v)
+      if (bq.create) {
+        // S2 unique-key constraint: an existing (label, key) FAILS — one
+        // broadcast semi-probe, the loader's constraint error
+        val conflicts = labeled.join(
+          broadcast(rowsDF.select(keyCol.as("__bk"))),
+          col(s"$v.nodeId") === col("__bk"), "left_semi")
+        require(conflicts.isEmpty,
+          "bulk CREATE would violate the (label, nodeId) unique-key " +
+            "constraint — use MERGE to upsert existing nodes")
+        // SET values may read n.prop — null on a fresh row, resolved
+        // against a one-row all-null node frame (a free broadcast)
+        val nullNode = nodes.sparkSession.range(1).select(
+          nodes.schema.fields.map(f =>
+            lit(null).cast(f.dataType).as(f.name)).toIndexedSeq: _*).as(v)
+        val created = assigned(rowsDF.crossJoin(nullNode),
+          bq.set.map(s => s.prop -> s.value).toMap, forCreate = true)
+        nodes.unionByName(created)
+      } else {
+        val matched = labeled.join(rowsDF, col(s"$v.nodeId") === keyCol)
+        // last write wins within one statement, like the scalar MERGE
+        val updated = assigned(matched,
+          (bq.onMatch ++ bq.set).map(s => s.prop -> s.value).toMap,
+          forCreate = false)
+        val freshRows = rowsDF.join(
+          labeled.select(col(s"$v.nodeId").as("__bk")),
+          keyCol === col("__bk"), "left_anti")
+        val nullNode = nodes.sparkSession.range(1).select(
+          nodes.schema.fields.map(f =>
+            lit(null).cast(f.dataType).as(f.name)).toIndexedSeq: _*).as(v)
+        val created = assigned(freshRows.crossJoin(nullNode),
+          (bq.onCreate ++ bq.set).map(s => s.prop -> s.value).toMap,
+          forCreate = true)
+        val changes = updated.unionByName(created)
+          .withColumn("_seq", lit(1L)).withColumn("_op", lit("U"))
+        graft.operators.Lakehouse.mergeSnapshot(
+          nodes, changes, Seq("label", "nodeId"), "_seq", "_op")
+      }
+    } finally extraVarSchemas -= r
+  }
+
   /** A statically STRING value cannot land in a numeric/boolean column —
     * Spark's cast would silently null it; fail like the loader would
     * instead. The numeric→string direction is a LOSSLESS stringification
@@ -1790,8 +1938,15 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     * relationship schema for a relationship variable, the node schema
     * for everything else (stage/carried/optional node vars and anonymous
     * var-length expansions are all node-shaped). */
+  // non-graph frame aliases with their own schema (the bulk-upsert row
+  // variable) — consulted before the node/rel fallback so expression
+  // TYPING (integer division, string concat) resolves correctly
+  private var extraVarSchemas: Map[String, org.apache.spark.sql.types.StructType] =
+    Map.empty
+
   private def varSchema(v: String): org.apache.spark.sql.types.StructType =
-    if (stageRelVars.contains(v) || optRelVars.contains(v)) g.rels.schema
+    if (extraVarSchemas.contains(v)) extraVarSchemas(v)
+    else if (stageRelVars.contains(v) || optRelVars.contains(v)) g.rels.schema
     else g.nodes.schema
 
   private def rejectRelEntity(v: String): Unit =
@@ -2278,15 +2433,18 @@ object Planner {
         (t.length == kw.length || !t(kw.length).isLetterOrDigit)
     if (prefixed("MERGE")) runMerge(g, Parser.parseMerge(cypher), params)
     else if (prefixed("CREATE")) runCreateNodes(g, cypher).nodes
+    else if (prefixed("FOREACH")) runBulkUpsert(g, cypher, params)
     else try planUnion(g, Parser.parseUnion(cypher), params)
     catch {
       case e: Parser.ParseError =>
         // the mutation forms (MATCH … DELETE / SET / REMOVE / CREATE /
-        // MERGE) have no RETURN, so the normal parse fails — retry each
-        // narrower grammar; anything else rethrows the ORIGINAL error.
-        // DELETE returns the post-delete NODES table, SET/REMOVE the
-        // post-update nodes, relationship CREATE/MERGE the post-mutation
-        // RELATIONSHIPS table (each one hashable frame).
+        // MERGE, UNWIND-driven bulk upserts) have no RETURN, so the
+        // normal parse fails — retry each narrower grammar; anything
+        // else rethrows the ORIGINAL error. DELETE returns the
+        // post-delete NODES table, SET/REMOVE the post-update nodes,
+        // relationship CREATE/MERGE the post-mutation RELATIONSHIPS
+        // table, bulk upserts the post-merge nodes (each one hashable
+        // frame).
         val dq =
           try Some(Parser.parseDelete(cypher))
           catch { case _: Parser.ParseError => None }
@@ -2301,11 +2459,25 @@ object Planner {
                 new Planner(g, params).planUpdate(uq).nodes
               case Some(Right(rq)) =>
                 new Planner(g, params).planRelMutation(rq).rels
-              case None => throw e
+              case None =>
+                val bq =
+                  try Some(Parser.parseBulkUpsert(cypher))
+                  catch { case _: Parser.ParseError => None }
+                bq match {
+                  case Some(b) => new Planner(g, params).planBulkUpsert(b)
+                  case None    => throw e
+                }
             }
         }
     }
   }
+
+  /** Parse + plan the bulk record-driven mutation (`UNWIND $rows AS r
+    * MERGE/CREATE …` / `FOREACH (r IN $rows | …)`), returning the
+    * post-mutation nodes table. */
+  def runBulkUpsert(g: PropertyGraph, cypher: String,
+                    params: Map[String, Any]): DataFrame =
+    new Planner(g, params).planBulkUpsert(Parser.parseBulkUpsert(cypher))
 
   /** Parse + plan `CREATE (n:L {nodeId: …})`, returning the post-create
     * graph. */

@@ -1574,6 +1574,87 @@ class CypherSpec extends SparkSpec {
     assert(Parser.parseMerge(mq.render) === mq)
   }
 
+  test("bulk UNWIND MERGE: one changelog frame, both paths") {
+    // the loader idiom: two updates + one insert in ONE statement —
+    // matched keys re-project, absent keys create, one lakehouse merge
+    val rows = Seq(
+      Map[String, Any]("id" -> 10L, "nm" -> "Alice*"),
+      Map[String, Any]("id" -> 11L, "nm" -> "Bob*"),
+      Map[String, Any]("id" -> 55L, "nm" -> "Heidi"))
+    val out = Planner.run(g,
+      """UNWIND $rows AS r MERGE (n:Author {nodeId: r.id})
+        |ON CREATE SET n.name = r.nm, n.abstract = "fresh"
+        |ON MATCH SET n.name = r.nm + "!"""".stripMargin,
+      Map("rows" -> rows))
+    assert(out.count() === MicroGraph.nodeRows.length + 1L)
+    val byId = out.where(col("nodeId").isin(10L, 11L, 55L))
+      .collect().map(x => x.getAs[Long]("nodeId") ->
+        (x.getAs[String]("name"), x.getAs[String]("abstract"))).toMap
+    assert(byId(10L) === (("Alice*!", null)))
+    assert(byId(11L) === (("Bob*!", null)))
+    assert(byId(55L) === (("Heidi", "fresh")))
+    val heidi = out.where("nodeId = 55").collect().head
+    assert(heidi.getAs[String]("label") === "Author")
+    assert(heidi.getSeq[String](heidi.fieldIndex("labels")) ===
+      Seq("Author", "_Entity_"))
+    // idempotence of a pure-create replay: re-running against the merged
+    // snapshot updates in place (55 now matches), no second insert
+    val twice = Planner.run(graft.graph.PropertyGraph(out, g.rels),
+      """UNWIND $rows AS r MERGE (n:Author {nodeId: r.id})
+        |ON CREATE SET n.name = r.nm, n.abstract = "fresh"
+        |ON MATCH SET n.name = r.nm + "!"""".stripMargin,
+      Map("rows" -> rows))
+    assert(twice.count() === out.count())
+    assert(twice.where("nodeId = 55").collect().head
+      .getAs[String]("name") === "Heidi!")
+    // duplicate keys within one batch are ambiguous → clear error
+    val dup = intercept[IllegalArgumentException](Planner.run(g,
+      """UNWIND $rows AS r MERGE (n:Author {nodeId: r.id}) SET n.name = r.nm""",
+      Map("rows" -> Seq(Map[String, Any]("id" -> 1L, "nm" -> "a"),
+        Map[String, Any]("id" -> 1L, "nm" -> "b")))))
+    assert(dup.getMessage.contains("duplicate"))
+    // a SET reading a field absent from every row fails clearly
+    val absent = intercept[IllegalArgumentException](Planner.run(g,
+      """UNWIND $rows AS r MERGE (n:Author {nodeId: r.id}) SET n.name = r.nope""",
+      Map("rows" -> rows)))
+    assert(absent.getMessage.contains("absent from every row"))
+  }
+
+  test("bulk UNWIND CREATE and the FOREACH sugar") {
+    val rows = Seq(
+      Map[String, Any]("id" -> 70L, "nm" -> "N70"),
+      Map[String, Any]("id" -> 71L, "nm" -> "N71"))
+    val out = Planner.run(g,
+      """UNWIND $rows AS r CREATE (n:Author {nodeId: r.id}) SET n.name = r.nm""",
+      Map("rows" -> rows))
+    assert(out.count() === MicroGraph.nodeRows.length + 2L)
+    assert(out.where("nodeId = 71").collect().head
+      .getAs[String]("name") === "N71")
+    // the S2 constraint: an existing key fails the whole batch
+    val clash = intercept[IllegalArgumentException](Planner.run(g,
+      """UNWIND $rows AS r CREATE (n:Author {nodeId: r.id})""",
+      Map("rows" -> Seq(Map[String, Any]("id" -> 10L)))))
+    assert(clash.getMessage.contains("unique-key"))
+    // FOREACH is parse-level sugar onto the same lowering
+    val fe = Planner.run(g,
+      """FOREACH (r IN $rows | MERGE (n:Author {nodeId: r.id}) SET n.name = r.nm)""",
+      Map("rows" -> rows))
+    assert(fe.count() === MicroGraph.nodeRows.length + 2L)
+    assert(fe.where("nodeId = 70").collect().head
+      .getAs[String]("name") === "N70")
+    // render∘parse identity for both spellings
+    val bu = Parser.parseBulkUpsert(
+      """UNWIND $rows AS r MERGE (n:Author {nodeId: r.id}) ON CREATE SET n.name = r.nm SET n.abstract = r.nm + "?"""")
+    assert(Parser.parseBulkUpsert(bu.render) === bu)
+    val ff = Parser.parseBulkUpsert(
+      """FOREACH (r IN $rows | CREATE (n:Author {nodeId: r.id}) SET n.name = r.nm)""")
+    assert(ff.foreach && ff.create)
+    assert(Parser.parseBulkUpsert(ff.render) === ff)
+    // CREATE takes plain SET only
+    intercept[Parser.ParseError](Parser.parseBulkUpsert(
+      """UNWIND $rows AS r CREATE (n:Author {nodeId: r.id}) ON MATCH SET n.name = "x""""))
+  }
+
   test("DETACH DELETE removes the node and every incident relationship") {
     val pg = Planner.runDelete(g,
       """MATCH (a:Author {name: "Alice"}) DETACH DELETE a""")
