@@ -895,6 +895,36 @@ object OracleSqls {
         |UNION ALL SELECT CAST(1000000091 AS BIGINT), 'Region', 'MU'"""
         .stripMargin),
 
+    // shortestPath after a WITH aggregate: min distance to a supplier is
+    // 1 for the nation's own, 3 for same-region siblings' (via the
+    // region hub — no 2-hop path exists), 4+ (beyond the cap) otherwise
+    "cy_shortest_pipeline" -> withGraph(
+      """, top3 AS (
+        |  SELECT n.nodeId AS nid, n.name, CAST(count(*) AS BIGINT) AS n_cust
+        |  FROM nodes n
+        |  JOIN bidir e ON n.nodeId = e.a AND e.relType = 'FROM_NATION'
+        |  JOIN nodes c ON e.b = c.nodeId AND c.label = 'Customer'
+        |  WHERE n.label = 'Nation'
+        |  GROUP BY 1, 2 ORDER BY n_cust DESC, n.name LIMIT 3
+        |), nsup AS (
+        |  SELECT s.nodeId AS sid, e1.dst AS nid2, e2.dst AS rid2
+        |  FROM nodes s
+        |  JOIN rels e1 ON e1.src = s.nodeId AND e1.relType = 'FROM_NATION'
+        |  JOIN rels e2 ON e2.src = e1.dst AND e2.relType = 'IN_REGION'
+        |  WHERE s.label = 'Supplier'
+        |), nreg AS (
+        |  SELECT src AS nid, dst AS rid FROM rels WHERE relType = 'IN_REGION'
+        |)
+        |SELECT t.name AS nation, t.n_cust,
+        |  CASE WHEN ns.nid2 = t.nid THEN CAST(1 AS BIGINT)
+        |       ELSE CAST(3 AS BIGINT) END AS len,
+        |  CAST(count(*) AS BIGINT) AS n_supp
+        |FROM top3 t
+        |JOIN nreg ON nreg.nid = t.nid
+        |JOIN nsup ns ON ns.nid2 = t.nid OR ns.rid2 = nreg.rid
+        |GROUP BY 1, 2, 3
+        |ORDER BY nation, len""".stripMargin),
+
     // COUNT subqueries replay as correlated scalar counts
     "cy_count_sub" -> withGraph(
       """SELECT r.name AS region,

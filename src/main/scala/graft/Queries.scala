@@ -1718,6 +1718,23 @@ object Queries {
       .where(col("label") === "Region")
       .select(col("nodeId"), col("label"), col("name"))
 
+  /** shortestPath composed with pipeline stages (round 14 — VERDICT r13
+    * #4): a WITH aggregate picks the top-3 nations by customer count,
+    * their carried nodeIds SEED the BFS (3 sources, not V — the whole
+    * point of composing), and the per-(nation, distance) supplier census
+    * comes back through the carried columns. The traversal is TYPE
+    * restricted (FROM_NATION|IN_REGION — the org hierarchy, not the
+    * order flow): own-nation suppliers sit at 1 hop, same-region
+    * siblings' suppliers at 3 via the region hub, everything else is
+    * unreachable within the cap. */
+  def cyShortestPipeline(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """MATCH (n:Nation)-[e:FROM_NATION]-(c:Customer)
+        |WITH n, count(c) AS n_cust ORDER BY n_cust DESC, n.name LIMIT 3
+        |MATCH p = shortestPath((n)-[:FROM_NATION|IN_REGION*1..3]-(s:Supplier))
+        |RETURN n.name AS nation, n_cust, length(p) AS len, count(s) AS n_supp
+        |ORDER BY nation, len""".stripMargin)
+
   /** Whole-entity projection (round 14 — VERDICT r13 #1): `RETURN n`,
     * `properties(n)`, and the map projection `n {.p1, .p2}` — each ONE
     * canonical struct column over the already-joined node frame (no
@@ -3575,6 +3592,7 @@ object Queries {
     "cy_merge_param" -> (cyMergeParam _),
     "cy_unwind_create" -> (cyUnwindCreate _),
     "cy_foreach" -> (cyForeach _),
+    "cy_shortest_pipeline" -> (cyShortestPipeline _),
     "skew_salted_agg" -> (skewSaltedAgg _),
     "join_salted" -> (joinSalted _),
     "join_asof_exec" -> (joinAsofExec _),

@@ -692,7 +692,11 @@ object Ast {
     * A shortest walk is always a simple path, so trail semantics
     * coincide. Like Neo4j, the minimum bound must be 0 or 1: `*0..`
     * admits the zero-length pair (a, a); `*1..` (the default) excludes
-    * it. Must be the query's only clause (one path, two nodes). */
+    * it. Stands alone in its clause group (one path, two nodes) but MAY
+    * follow WITH stages: a carried endpoint variable (spelled bare)
+    * re-binds by nodeId and its distinct carried ids seed the BFS — the
+    * anchor-from-a-prior-stage idiom; the result feeds RETURN directly
+    * (ORDER BY/SKIP/LIMIT included), never a further WITH. */
   final case class ShortestPathClause(pathVar: String, path: MatchPath,
                                       all: Boolean = false)
 

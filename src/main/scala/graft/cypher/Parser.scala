@@ -262,9 +262,10 @@ object Parser {
             pos += 1
             if (peek("shortestPath") || peek("allShortestPaths")) {
               // MATCH p = [all]shortestPath[s]((a…)-[:T*lo..hi]-(b…)) —
-              // the clause must stand alone (no stages/unwinds/other
-              // paths around it); the all-form yields one row per
-              // distinct shortest path
+              // the clause stands alone in ITS group (no unwinds/other
+              // paths beside it) but MAY follow WITH stages that bind an
+              // endpoint (the carried variable seeds the BFS); the
+              // all-form yields one row per distinct shortest path
               val all = opt("allShortestPaths")
               if (!all) expect("shortestPath")
               expect("(")
@@ -274,12 +275,11 @@ object Parser {
               pos += 1
               if (unwinds.result().nonEmpty)
                 fail("shortestPath cannot follow UNWIND")
-              if (stages.result().nonEmpty)
-                fail("shortestPath cannot follow a WITH stage")
               shortest = Some(ShortestPathClause(pv, p, all))
               preds = predList()
               if (peek("WITH") || peek("OPTIONAL"))
-                fail("shortestPath must be the query's only clause")
+                fail("shortestPath cannot feed a further WITH/OPTIONAL " +
+                  "stage — consume length(p)/nodes(p) in RETURN directly")
             } else {
               // named enumerated path: MATCH p = (a)-[…]-(b) — scopes
               // nodes(p) / relationships(p)

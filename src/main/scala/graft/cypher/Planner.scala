@@ -143,7 +143,7 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     stageVars = varsOf(q.paths)
     stageRelVars = relVarsOf(q.paths)
     val tuple =
-      if (q.shortest.isDefined) shortestTuple(q)
+      if (q.shortest.isDefined) shortestTuple(q, base)
       else if (q.paths.isEmpty) // WITH … [UNWIND xs AS x] RETURN tail
         projectTuple(explodeCarried(base, q.unwinds).get, q)
       else expandVarLength(q)
@@ -976,18 +976,37 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     * cost is O(rounds · frontier), so an unselective pattern that would
     * blow up the union-of-expansions planner stays linear — the shape
     * that survives 100× data. `lo = 1` (the default) drops the
-    * zero-length (a, a) pair; `lo = 0` keeps it, like Neo4j. */
-  private def shortestTuple(q: CypherQuery): DataFrame = {
+    * zero-length (a, a) pair; `lo = 0` keeps it, like Neo4j.
+    *
+    * Since round 14 the clause COMPOSES with preceding WITH stages: a
+    * CARRIED endpoint variable (spelled bare, `(c)`) re-binds by nodeId
+    * — its distinct carried ids seed the BFS (a top-k WITH stage seeds
+    * k sources, not V), and the result joins back to the carried frame
+    * so every carried column stays referencable. An un-shared carried
+    * frame attaches as Cypher's cartesian product. */
+  private def shortestTuple(q: CypherQuery,
+                            base: Option[DataFrame]): DataFrame = {
     val sp = q.shortest.get
-    require(q.paths.isEmpty && q.prefixes.isEmpty && q.optionals.isEmpty &&
-      q.unwinds.isEmpty, "shortestPath must be the query's only clause")
+    require(q.paths.isEmpty && q.optionals.isEmpty && q.unwinds.isEmpty,
+      "shortestPath stands alone in its clause group (WITH stages may " +
+        "precede it)")
     val Seq(aPat, bPat) = sp.path.nodes
     val rel = sp.path.rels.head
     val (lo, hi) = rel.range.getOrElse(
       throw new IllegalArgumentException("shortestPath requires *lo..hi"))
     require(lo == 0 || lo == 1,
       "shortestPath minimum hop bound must be 0 or 1 (like Neo4j)")
-    stageVars = Set(aPat.varName, bPat.varName)
+    val aCar = carriedVars.contains(aPat.varName)
+    val bCar = carriedVars.contains(bPat.varName)
+    Seq(aPat -> aCar, bPat -> bCar).foreach { case (p, car) =>
+      require(!car || (p.label.isEmpty && p.anchorValue.isEmpty),
+        s"carried shortestPath endpoint ${p.varName} re-binds by nodeId " +
+          "— spell it bare: (" + p.varName + ")")
+    }
+    require(base.isDefined || (!aCar && !bCar),
+      "carried endpoints need a preceding WITH stage")
+    stageVars = Seq(aPat, bPat).filter(p => !carriedVars.contains(p.varName))
+      .map(_.varName).toSet
     spVar = Some(sp.pathVar)
     // type-constrained traversal filters the edge view once; untyped uses
     // the graph's shared cached adjacency
@@ -995,14 +1014,17 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       if (rel.relTypes.isEmpty) g.adjPairs
       else g.bidir.where(col("relType").isin(rel.relTypes: _*))
         .select(col("a"), col("b")).distinct()
-    val aFrame = nodeFrame(Nil, aPat)
-    val aSide = if (isAnchored(Nil, aPat)) broadcast(aFrame) else aFrame
-    val seeds = aFrame.select(col(s"${aPat.varName}.nodeId").as("src"))
+    val seeds =
+      if (aCar) base.get
+        .select(col(s"__w_${aPat.varName}_nodeId").as("src")).distinct()
+      else nodeFrame(Nil, aPat)
+        .select(col(s"${aPat.varName}.nodeId").as("src"))
     // BFS state is O(seeds·V): a property-anchored endpoint seeds ~1
     // source, an unanchored one up to V — size the broadcast guard for
-    // the worst case so unselective patterns take the shuffle path
+    // the worst case so unselective patterns take the shuffle path (a
+    // carried seed set is unknown statically: guard for the worst case)
     val stateRows =
-      if (isAnchored(Nil, aPat)) g.nodeCount
+      if (!aCar && isAnchored(Nil, aPat)) g.nodeCount
       else try math.multiplyExact(g.nodeCount, g.nodeCount)
       catch { case _: ArithmeticException => Long.MaxValue }
     val raw = graft.graph.GraphAlgorithms
@@ -1028,11 +1050,34 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       else dists.join(reconstructWalks(adj, raw, hi),
         col("src") === col("__ws") && col("__spv") === col("__wv"))
         .drop("__ws", "__wv")
-    val joined = aSide
-      .join(distsN, col(s"${aPat.varName}.nodeId") === col("src"))
-      .join(nodeFrame(Nil, bPat),
-        col("__spv") === col(s"${bPat.varName}.nodeId"))
-      .drop("src", "__spv")
+    val joined =
+      if (aCar && bCar)
+        base.get.join(distsN,
+          col(s"__w_${aPat.varName}_nodeId") === col("src") &&
+            col(s"__w_${bPat.varName}_nodeId") === col("__spv"))
+          .drop("src", "__spv")
+      else if (aCar)
+        base.get
+          .join(distsN, col(s"__w_${aPat.varName}_nodeId") === col("src"))
+          .join(nodeFrame(Nil, bPat),
+            col("__spv") === col(s"${bPat.varName}.nodeId"))
+          .drop("src", "__spv")
+      else {
+        val aFrame = nodeFrame(Nil, aPat)
+        val aSide = if (isAnchored(Nil, aPat)) broadcast(aFrame) else aFrame
+        val j0 = aSide
+          .join(distsN, col(s"${aPat.varName}.nodeId") === col("src"))
+        val j1 =
+          if (bCar)
+            j0.join(base.get,
+              col("__spv") === col(s"__w_${bPat.varName}_nodeId"))
+          else j0.join(nodeFrame(Nil, bPat),
+            col("__spv") === col(s"${bPat.varName}.nodeId"))
+        val j2 = j1.drop("src", "__spv")
+        // neither endpoint shared with the carried frame → Cypher's
+        // cartesian product (same rule as attachBase)
+        if (!bCar) base.fold(j2)(acc => acc.crossJoin(j2)) else j2
+      }
     val filtered = applyPreds(joined, q.preds)
     projectTuple(filtered, q)
   }

@@ -427,6 +427,43 @@ class CypherSpec extends SparkSpec {
     assert(rows === Set((1L, 2L), (2L, 1L), (3L, 2L)))
   }
 
+  test("shortestPath composes with WITH stages: carried endpoints seed the BFS") {
+    // anchor from a prior top-k stage: the two first authors by name
+    // seed the BFS (2 sources, not V); carried columns stay referencable
+    val rows = Planner.run(g,
+      """MATCH (a:Author)-[w:WRITES]-(p:Paper)
+        |WITH DISTINCT a ORDER BY a.name LIMIT 2
+        |MATCH q = shortestPath((a)-[*1..3]-(f:FieldOfStudy))
+        |RETURN a.name AS author, f.name AS field, length(q) AS len
+        |ORDER BY author""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq === Seq(("Alice", "Databases", 2L),
+      ("Bob", "Databases", 2L)))
+    // far endpoint carried instead (the BFS still seeds from the anchor)
+    val far = Planner.run(g,
+      """MATCH (f:FieldOfStudy)
+        |WITH f
+        |MATCH p = shortestPath((a:Author {name: "Carol"})-[*1..3]-(f))
+        |RETURN f.name AS field, length(p) AS len""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(far.toSeq === Seq(("Databases", 2L)))
+    // BOTH endpoints carried: the pairwise distances of the carried product
+    val both = Planner.run(g,
+      """MATCH (x:Author {name: "Alice"}), (y:FieldOfStudy)
+        |WITH x, y
+        |MATCH p = shortestPath((x)-[*1..3]-(y))
+        |RETURN x.name AS a, y.name AS b, length(p) AS len""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(both.toSeq === Seq(("Alice", "Databases", 2L)))
+    // a carried endpoint re-binds by nodeId — a label/anchor on it is
+    // rejected (spell it bare)
+    val lab = intercept[IllegalArgumentException](Planner.run(g,
+      """MATCH (a:Author) WITH DISTINCT a
+        |MATCH p = shortestPath((a:Author)-[*1..2]-(b:Paper))
+        |RETURN length(p) AS len""".stripMargin))
+    assert(lab.getMessage.contains("spell it bare"))
+  }
+
   test("EXISTS pattern predicate: semi/anti join semantics") {
     // papers on either side of a CITES edge: P-alpha (cited by P-gamma)
     // and P-gamma (cites + self-loop); P-beta has none
