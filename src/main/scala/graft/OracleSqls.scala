@@ -925,6 +925,23 @@ object OracleSqls {
         |GROUP BY 1, 2, 3
         |ORDER BY nation, len""".stripMargin),
 
+    // dynamic property access: NATION_3 customers carry exactly the
+    // non-null scalar keys {name, nodeId}; reading each back through
+    // the runtime key is non-null everywhere, the missing key nowhere
+    "cy_dyn_prop" -> withGraph(
+      """, c3 AS (
+        |  SELECT c.nodeId FROM nodes c
+        |  JOIN bidir e ON c.nodeId = e.a AND e.relType = 'FROM_NATION'
+        |  JOIN nodes n ON e.b = n.nodeId AND n.label = 'Nation'
+        |    AND n.name = 'NATION_3'
+        |  WHERE c.label = 'Customer'
+        |)
+        |SELECT k, CAST(count(*) AS BIGINT) AS n_nonnull,
+        |  CAST(0 AS BIGINT) AS n_missing,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM c3 CROSS JOIN (SELECT 'name' AS k UNION ALL SELECT 'nodeId') ks
+        |GROUP BY k ORDER BY k""".stripMargin),
+
     // COUNT subqueries replay as correlated scalar counts
     "cy_count_sub" -> withGraph(
       """SELECT r.name AS region,

@@ -1735,6 +1735,20 @@ object Queries {
         |RETURN n.name AS nation, n_cust, length(p) AS len, count(s) AS n_supp
         |ORDER BY nation, len""".stripMargin)
 
+  /** Dynamic property access `n[key]` (round 14 — VERDICT r13 #8): the
+    * keys(n)→lookup round trip — every customer of NATION_3 unwinds its
+    * non-null property names and reads each back through the runtime
+    * key, ONE codegen'd CASE over the scalar fields (string-canonical
+    * values; missing keys count 0 via null-skipping count). */
+  def cyDynProp(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """MATCH (n:Nation {name: "NATION_3"})-[e:FROM_NATION]-(c:Customer)
+        |WITH c, keys(c) AS ks
+        |UNWIND ks AS k
+        |RETURN k, count(c[k]) AS n_nonnull, count(c["nope"]) AS n_missing,
+        |       count(*) AS n_rows
+        |ORDER BY k""".stripMargin)
+
   /** Whole-entity projection (round 14 — VERDICT r13 #1): `RETURN n`,
     * `properties(n)`, and the map projection `n {.p1, .p2}` — each ONE
     * canonical struct column over the already-joined node frame (no
@@ -3593,6 +3607,7 @@ object Queries {
     "cy_unwind_create" -> (cyUnwindCreate _),
     "cy_foreach" -> (cyForeach _),
     "cy_shortest_pipeline" -> (cyShortestPipeline _),
+    "cy_dyn_prop" -> (cyDynProp _),
     "skew_salted_agg" -> (skewSaltedAgg _),
     "join_salted" -> (joinSalted _),
     "join_asof_exec" -> (joinAsofExec _),

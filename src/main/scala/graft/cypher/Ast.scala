@@ -85,6 +85,7 @@ package graft.cypher
   *              | null | keys(var)                      -- non-null prop names
   *              | properties(var) | var                 -- whole-entity struct
   *              | var '{' '.'prop (',' '.'prop)* '}'    -- map projection
+  *              | var '[' expr ']'                      -- dynamic prop access
   *   degPat    := '(' var ')' rel-without-var '(' [':' Label] ')'  -- 1 hop
   *   cond      := expr (cmpop expr | IS [NOT] NULL
   *                      | (CONTAINS | STARTS WITH | ENDS WITH | '=~') expr)
@@ -357,6 +358,18 @@ object Ast {
     * field must exist in the union-of-keys schema; `.*`, computed
     * entries, and variable entries are outside the dialect. */
   final case class MapProj(varName: String, fields: Seq[String]) extends Expr
+  /** Dynamic property access `v[keyExpr]` — the property whose NAME is
+    * the string key's runtime value (the lookup twin of [[KeysOf]]:
+    * `UNWIND keys(n) AS k RETURN k, n[k]`). Planned as ONE codegen'd
+    * CASE over the node's scalar property fields, each value
+    * canonicalized to its STRING rendering (union-of-keys columns are
+    * heterogeneous and a dynamic key has no static type — Neo4j's
+    * dynamically typed value has no single columnar form). A key naming
+    * no property, a non-scalar property (array), or a null-valued
+    * property yields null, like Neo4j's missing-key lookup. A purely
+    * NUMERIC literal key is unreachable (that spelling is the list
+    * index [[ListIndex]]). */
+  final case class DynProp(varName: String, key: Expr) extends Expr
   /** Binary arithmetic `l <op> r`, op ∈ {+, -, *, /, %} with standard
     * precedence and parentheses. `/` over two INTEGRAL operands is
     * Cypher/Neo4j integer division (truncation toward zero — DuckDB `//`);
@@ -484,6 +497,7 @@ object Ast {
       case PropsOf(v)                 => s"properties($v)"
       case MapProj(v, fs)             =>
         s"$v {${fs.map("." + _).mkString(", ")}}"
+      case DynProp(v, k)              => s"$v[${exprText(k)}]"
       case AggFn(fn, a, d)            =>
         s"$fn(${if (d) "DISTINCT " else ""}${exprText(a)})"
       case CoalesceE(args)            =>

@@ -1371,7 +1371,9 @@ object Parser {
     }
 
     /** An atom plus any postfix `[i]` / `[a..b]` list accesses (Cypher's
-      * 0-based index / slice; bounds are integer literals). */
+      * 0-based index / slice; bounds are integer literals), or — on a
+      * bare variable with a NON-numeric key — the dynamic property
+      * access `v[keyExpr]`. */
     private def atomExpr(): Expr = {
       var e = atomBase()
       var go = true
@@ -1380,6 +1382,18 @@ object Parser {
         if (pos < in.length && in(pos) == '[') {
           pos += 1
           ws()
+          if (pos < in.length && !in(pos).isDigit && in(pos) != '-' &&
+              in(pos) != '.') {
+            // dynamic property access v[key] — the key is a string
+            // expression; a numeric spelling stays the list index
+            val k = expression()
+            expect("]")
+            e match {
+              case ColRef(v) => e = DynProp(v, k)
+              case other => fail(
+                s"dynamic [key] access applies to a node variable, not $other")
+            }
+          } else {
           val from: Option[Long] =
             if (pos + 1 < in.length && in(pos) == '.' && in(pos + 1) == '.') None
             else Some(longLit())
@@ -1393,6 +1407,7 @@ object Parser {
           } else {
             expect("]")
             e = ListIndex(e, from.getOrElse(fail("expected list index")))
+          }
           }
         } else go = false
       }

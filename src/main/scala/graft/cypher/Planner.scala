@@ -1413,6 +1413,16 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     // ZERO rows, eliminating the outer row — join inner like the
     // non-aggregating path (no fabricated null-key row).
     val hasGroupKeys = cs.items.exists(i => !isAggItem(i))
+    // an UNCORRELATED CALL multiplies every outer row by the subquery's
+    // result — semantics-required, but only safe when that result is
+    // BOUNDED (an aggregate or an explicit LIMIT caps it, so the
+    // product side broadcasts); an unbounded uncorrelated subquery at
+    // 100 TB is a cartesian blow-up the caller almost never means
+    if (cs.imports.isEmpty)
+      require(aggItems.nonEmpty || cs.limit.isDefined,
+        "an uncorrelated CALL { … } must aggregate or carry a LIMIT " +
+          "(the subquery result multiplies every outer row) — import a " +
+          "variable with CALL { WITH v … } to correlate instead")
     val joined =
       if (cs.imports.isEmpty) main.crossJoin(sub)
       else {
@@ -1507,6 +1517,7 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       walkExpr(init) ++ walkExpr(l) ++ walkExpr(body)
     case ListComp(_, l, c, pj) =>
       walkExpr(l) ++ c.toSeq.flatMap(walkCond) ++ pj.toSeq.flatMap(walkExpr)
+    case DynProp(_, k)         => walkExpr(k)
     case _                     => Nil
   })
 
@@ -2049,6 +2060,7 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       nodeStructFields(v).map(f => varSchema(v)(f))))
     case MapProj(v, fs) => Some(org.apache.spark.sql.types.StructType(
       fs.flatMap(f => varSchema(v).fields.find(_.name == f))))
+    case DynProp(_, _) => Some(org.apache.spark.sql.types.StringType)
     case PatternComp(_, _, proj) =>
       Some(org.apache.spark.sql.types.ArrayType(staticType(proj, schema)
         .getOrElse(org.apache.spark.sql.types.StringType)))
@@ -2259,6 +2271,23 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
         when(propCol(v, f).isNotNull, array(lit(f)))
           .otherwise(array().cast("array<string>"))).toIndexedSeq: _*)
     case PropsOf(v) => nodeStruct(v)
+    case DynProp(v, k) =>
+      // one codegen'd CASE over the node's SCALAR property fields, each
+      // value canonicalized to its string rendering (a dynamic key has
+      // no static type); missing key / non-scalar / null value → null
+      rejectRelEntity(v)
+      val kc = exprCol(k, schema)
+      require(!isIntegralExpr(k, schema) &&
+        !staticType(k, schema).exists(dt =>
+          dt.isInstanceOf[org.apache.spark.sql.types.NumericType]),
+        s"dynamic [key] access takes a STRING key (a numeric key is a " +
+          "list index)")
+      val fields = nodeStructFields(v).filter(f =>
+        isAtomicType(varSchema(v)(f).dataType))
+      fields.tail.foldLeft(
+        when(kc === lit(fields.head), propCol(v, fields.head).cast("string"))) {
+        (acc, f) => acc.when(kc === lit(f), propCol(v, f).cast("string"))
+      } // no otherwise → null on a missing key, like Neo4j
     case MapProj(v, fields) =>
       // map projection: the chosen properties as a struct in the LISTED
       // order — a plain column expression over the node's frame, no

@@ -2488,6 +2488,44 @@ class CypherSpec extends SparkSpec {
     assert(Parser.parse(q.render) === q)
   }
 
+  test("dynamic property access n[key]: string-canonical value, null semantics") {
+    // the keys(n)→lookup round trip: every non-null scalar property by
+    // its runtime name
+    val rows = Planner.run(g,
+      """MATCH (p:Paper {name: "P-alpha"})
+        |WITH p, keys(p) AS ks
+        |UNWIND ks AS k
+        |RETURN k, p[k] AS v ORDER BY k""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    // nameEmbedding is a non-scalar (array) property: present in keys,
+    // null under dynamic access (no cross-engine string form)
+    assert(rows.toSeq === Seq(("abstract", "about dbs"),
+      ("name", "P-alpha"), ("nameEmbedding", null), ("nodeId", "20")))
+    // a key naming NO property → null; a null-valued property → null
+    val nulls = Planner.run(g,
+      """MATCH (p:Paper {name: "P-beta"})
+        |RETURN p["nope"] AS missing, p["abstract"] AS absent,
+        |       p["name"] AS nm""".stripMargin).collect().head
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1) &&
+      nulls.getString(2) === "P-beta")
+    // the key may be any string expression (here: computed)
+    val computed = Planner.run(g,
+      """MATCH (p:Paper {name: "P-gamma"})
+        |RETURN p[toLower("NAME")] AS v""".stripMargin)
+      .collect().head.getString(0)
+    assert(computed === "P-gamma")
+    // a numeric key is rejected (that spelling is the list index)
+    val num = intercept[IllegalArgumentException](Planner.run(g,
+      """MATCH (p:Paper) RETURN p[size("ab") * 1] AS v"""))
+    assert(num.getMessage.contains("STRING key"))
+    // render∘parse identity
+    val q = Parser.parse(
+      """MATCH (p:Paper) RETURN p["name"] AS v, p[toLower("X")] AS w""")
+    assert(q.items.head.expr ===
+      Ast.DynProp("p", Ast.StrLitE("name")))
+    assert(Parser.parse(q.render) === q)
+  }
+
   test("collect over a general expression") {
     val row = Planner.run(g,
       """MATCH (a:Author {name: "Alice"})-[w:WRITES]-(p:Paper)

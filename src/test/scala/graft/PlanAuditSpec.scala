@@ -40,6 +40,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("uncorrelated CALL requires a bound (aggregate or LIMIT)") {
+    import graft.graph.PropertyGraph
+    val g = MicroGraph(spark)
+    // unbounded + uncorrelated → the cartesian blow-up guard fires
+    val e = intercept[IllegalArgumentException](graft.cypher.Planner.run(g,
+      """MATCH (a:Author)
+        |CALL { MATCH (p:Paper) RETURN p.name AS pn }
+        |RETURN a.name AS n, pn""".stripMargin))
+    assert(e.getMessage.contains("uncorrelated CALL"))
+    // a LIMIT bounds it — the product side is at most k rows (broadcast)
+    val ok = graft.cypher.Planner.run(g,
+      """MATCH (a:Author)
+        |CALL { MATCH (p:Paper) RETURN p.name AS pn ORDER BY p.name LIMIT 1 }
+        |RETURN a.name AS n, pn ORDER BY n""".stripMargin)
+    assert(ok.count() === 3L)
+    assert(!ok.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    // so does an aggregate (one row)
+    val agg = graft.cypher.Planner.run(g,
+      """MATCH (a:Author)
+        |CALL { MATCH (p:Paper) RETURN count(p) AS np }
+        |RETURN a.name AS n, np ORDER BY n""".stripMargin)
+    assert(agg.collect().map(_.getLong(1)).toSeq === Seq(3L, 3L, 3L))
+  }
+
   test("cy_pattern_comp plans grouped collects, not per-row subqueries") {
     // each comprehension = one grouped aggregation LEFT-joined back; the
     // plan must contain collect_list aggregates and no cartesian
