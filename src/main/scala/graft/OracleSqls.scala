@@ -942,6 +942,16 @@ object OracleSqls {
         |FROM c3 CROSS JOIN (SELECT 'name' AS k UNION ALL SELECT 'nodeId') ks
         |GROUP BY k ORDER BY k""".stripMargin),
 
+    // map-merge SET: the += map writes acctbal; the explicit item wins
+    // the name key but reads the PRE-update value (snapshot semantics —
+    // all SET expressions in one clause see the pre-SET row, like Neo4j)
+    "cy_set_plus" -> withFinGraph(
+      """SELECT nodeId, label,
+        |  CASE WHEN nodeId = 3000000042 THEN name || '!' ELSE name END AS name,
+        |  CASE WHEN nodeId = 3000000042 THEN CAST(4242 AS BIGINT)
+        |       ELSE acctbal END AS acctbal
+        |FROM fnodes""".stripMargin),
+
     // COUNT subqueries replay as correlated scalar counts
     "cy_count_sub" -> withGraph(
       """SELECT r.name AS region,

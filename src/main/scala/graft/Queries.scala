@@ -1749,6 +1749,19 @@ object Queries {
         |       count(*) AS n_rows
         |ORDER BY k""".stripMargin)
 
+  /** Map-merge `SET n += $props` (round 14 continuation): Neo4j's
+    * record-shaped update — the map parameter's entries overwrite their
+    * properties on EVERY matched node, unlisted properties keep their
+    * values, and an explicit item after the map wins on its key. Still
+    * ONE lakehouse merge with the matched slice as changelog. */
+  def cySetPlus(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.runMutation(finGraph(spark, dir),
+      """MATCH (c:Customer {nodeId: 3000000042})
+        |SET c += $props, c.name = c.name + "!"""".stripMargin,
+      Map("props" -> Map[String, Any](
+        "name" -> "Customer#plus", "acctbal" -> 4242L))).nodes
+      .select(col("nodeId"), col("label"), col("name"), col("acctbal"))
+
   /** Whole-entity projection (round 14 — VERDICT r13 #1): `RETURN n`,
     * `properties(n)`, and the map projection `n {.p1, .p2}` — each ONE
     * canonical struct column over the already-joined node frame (no
@@ -3608,6 +3621,7 @@ object Queries {
     "cy_foreach" -> (cyForeach _),
     "cy_shortest_pipeline" -> (cyShortestPipeline _),
     "cy_dyn_prop" -> (cyDynProp _),
+    "cy_set_plus" -> (cySetPlus _),
     "skew_salted_agg" -> (skewSaltedAgg _),
     "join_salted" -> (joinSalted _),
     "join_asof_exec" -> (joinAsofExec _),

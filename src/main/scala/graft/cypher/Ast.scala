@@ -947,25 +947,32 @@ object Ast {
     * of [[MergeQuery]]:
     * {{{
     *   MATCH (n:Label [{anchors}]) [WHERE pred (AND pred)*]
-    *     SET n.p = expr [, n.q = expr]*
+    *     SET [n += $props,] n.p = expr [, n.q = expr]*
     *   MATCH (n:Label [{anchors}]) [WHERE …] REMOVE n.p [, n.q]*
     * }}}
     * Applies to EVERY matched node (where MERGE touches one key) and
-    * returns the post-update nodes table. REMOVE nulls the property —
-    * the union-of-keys schema keeps the column, exactly how an absent
-    * property is represented. Identity columns (nodeId / label / labels)
-    * are not assignable. */
+    * returns the post-update nodes table. `n += $props` is Neo4j's
+    * map-merge SET: the scalar MAP parameter's entries each overwrite
+    * that property, other properties keep their values (the loader's
+    * record-shaped update); explicit `n.p = expr` items written after
+    * it win on the same key, like Neo4j's left-to-right SET. REMOVE
+    * nulls the property — the union-of-keys schema keeps the column,
+    * exactly how an absent property is represented. Identity columns
+    * (nodeId / label / labels) are not assignable. */
   final case class UpdateQuery(node: NodePat, preds: Seq[Pred],
                                sets: Seq[UpdateSet],
-                               removes: Seq[(String, String)]) {
+                               removes: Seq[(String, String)],
+                               plusParam: Option[String] = None) {
     def render: String = {
       val where =
         if (preds.isEmpty) ""
         else " WHERE " + preds.map(predText).mkString(" AND ")
       val tail =
-        if (sets.nonEmpty)
-          " SET " + sets.map(s =>
-            s"${s.varName}.${s.prop} = ${exprText(s.value)}").mkString(", ")
+        if (sets.nonEmpty || plusParam.nonEmpty)
+          " SET " + (plusParam.toSeq.map(pm =>
+            s"${node.varName} += $$$pm") ++
+            sets.map(s =>
+              s"${s.varName}.${s.prop} = ${exprText(s.value)}")).mkString(", ")
         else
           " REMOVE " + removes.map { case (v, p) => s"$v.$p" }.mkString(", ")
       s"MATCH ${nodeText(node)}$where$tail"

@@ -554,7 +554,28 @@ object Parser {
       if (peek("SET") || peek("REMOVE")) {
         if (n2.nonEmpty)
           fail("SET/REMOVE matches a single node pattern")
-        if (opt("SET")) Left(UpdateQuery(n1, preds, updateSetItems(n1.varName), Nil))
+        if (opt("SET")) {
+          // optional LEADING map-merge item `n += $props` (the canonical
+          // position — explicit items after it win on the same key)
+          val saved = pos
+          val plus: Option[String] =
+            try {
+              val v0 = ident()
+              ws()
+              if (pos + 1 < in.length && in(pos) == '+' && in(pos + 1) == '=') {
+                if (v0 != n1.varName)
+                  fail(s"SET += targets the matched variable ${n1.varName}")
+                pos += 2
+                Some(param())
+              } else { pos = saved; None }
+            } catch { case _: ParseError => pos = saved; None }
+          val items =
+            if (plus.isEmpty) updateSetItems(n1.varName)
+            else if ({ ws(); pos < in.length && in(pos) == ',' }) {
+              pos += 1; updateSetItems(n1.varName)
+            } else Nil
+          Left(UpdateQuery(n1, preds, items, Nil, plus))
+        }
         else {
           expect("REMOVE")
           val rs = Seq.newBuilder[(String, String)]

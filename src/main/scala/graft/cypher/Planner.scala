@@ -231,17 +231,39 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     val matched = applyPreds(nodeFrame(Nil, uq.node), uq.preds)
     val fields = g.nodes.schema.fields
     val identity = Set("nodeId", "label", "labels")
-    (uq.sets.map(_.prop) ++ uq.removes.map(_._2)).foreach { p =>
-      require(!identity(p), s"cannot SET/REMOVE identity property $p")
-      require(fields.exists(_.name == p),
-        s"unknown node property $p (the schema is union-of-keys: add the " +
-          "column to the nodes table first)")
+    // `n += $props`: the MAP parameter's entries become literal SET
+    // items (Neo4j's map-merge — listed keys overwrite, others keep);
+    // explicit `n.p = expr` items win on the same key (left-to-right)
+    val plusSets: Seq[(String, Expr)] = uq.plusParam.toSeq.flatMap { pm =>
+      params.get(pm) match {
+        case Some(m: Map[_, _]) => m.toSeq.map {
+          case (k: String, s: String) => k -> (StrLitE(s): Expr)
+          case (k: String, n: Number) => k -> (LongLitE(n.longValue()): Expr)
+          case (k, other) => throw new IllegalArgumentException(
+            s"map parameter $$$pm entry $k must be a string or integer, " +
+              s"got $other")
+        }.sortBy(_._1)
+        case Some(other) => throw new IllegalArgumentException(
+          s"parameter $$$pm must be a map of property values, got $other")
+        case None => throw new IllegalArgumentException(
+          s"missing parameter $$$pm")
+      }
     }
-    val setByProp = uq.sets.map(s => s.prop -> s.value).toMap
+    (plusSets.map(_._1) ++ uq.sets.map(_.prop) ++ uq.removes.map(_._2))
+      .foreach { p =>
+        require(!identity(p), s"cannot SET/REMOVE identity property $p")
+        require(fields.exists(_.name == p),
+          s"unknown node property $p (the schema is union-of-keys: add the " +
+            "column to the nodes table first)")
+      }
+    val setByProp =
+      (plusSets ++ uq.sets.map(s => s.prop -> s.value)).toMap
     val removed = uq.removes.map(_._2).toSet
     val cols = fields.map { f =>
-      (if (setByProp.contains(f.name))
+      (if (setByProp.contains(f.name)) {
+         checkAssignable(f.name, setByProp(f.name), f.dataType, matched.schema)
          exprCol(setByProp(f.name), matched.schema).cast(f.dataType)
+       }
        else if (removed(f.name)) lit(null).cast(f.dataType)
        else col(s"$v.${f.name}")).as(f.name)
     }
@@ -2020,10 +2042,15 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
   /** `RETURN v` / `properties(v)` as ONE canonical struct column — a
     * plain projection over the node's already-joined frame (no extra
     * plan nodes, no shuffle); absent properties are null fields, the
-    * union-of-keys representation of absence. */
+    * union-of-keys representation of absence. An UNMATCHED optional
+    * variable yields NULL (not a struct of nulls), like Neo4j — keyed
+    * off the nodeId field, which a bound node always carries. */
   private def nodeStruct(v: String): Column = {
     rejectRelEntity(v)
-    struct(nodeStructFields(v).map(f => propCol(v, f).as(f)): _*)
+    val s = struct(nodeStructFields(v).map(f => propCol(v, f).as(f)): _*)
+    if (optNodeVars.contains(v))
+      when(propCol(v, "nodeId").isNotNull, s)
+    else s
   }
 
   /** Static type of a scalar expression, when resolvable: properties via

@@ -183,6 +183,15 @@ object CypherProps extends Properties("cypher") {
       if c.nonEmpty || pj.nonEmpty
     } yield ListComp("el", b, c, pj),
     Gen.const(KeysOf("x1")),
+    // round-14 entity-projection surface: properties(), map projection,
+    // dynamic [key] access (string keys only — numeric spellings are
+    // owned by the list index)
+    Gen.const(PropsOf("x1")),
+    Gen.someOf(Seq("name", "abstract", "nodeId")).suchThat(_.nonEmpty)
+      .map(fs => MapProj("x1", fs.toSeq)),
+    Gen.oneOf[Expr](StrLitE("name"), ColRef("k"),
+      ScalarFn("toLower", Seq(StrLitE("NAME"))))
+      .map(k => DynProp("x1", k)),
     ident.map(nm => BinOp("+", PropRef("x1", "name"), ParamE(nm))),
     for { // ^ chains: right-assoc render/parse
       a <- Gen.choose(1L, 5L); b <- Gen.choose(1L, 3L); c <- Gen.choose(1L, 3L)

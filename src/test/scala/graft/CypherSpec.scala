@@ -1611,6 +1611,39 @@ class CypherSpec extends SparkSpec {
     assert(Parser.parseMerge(mq.render) === mq)
   }
 
+  test("SET n += $props: map-merge update") {
+    // listed keys overwrite, unlisted keep their values
+    val out = Planner.runMutation(g,
+      """MATCH (p:Paper {name: "P-alpha"}) SET p += $props""",
+      Map("props" -> Map[String, Any]("abstract" -> "merged"))).nodes
+    val r = out.where("nodeId = 20").collect().head
+    assert(r.getAs[String]("abstract") === "merged")
+    assert(r.getAs[String]("name") === "P-alpha") // unlisted key kept
+    // explicit items AFTER the map win on the same key (left-to-right)
+    val both = Planner.runMutation(g,
+      """MATCH (p:Paper {name: "P-alpha"}) SET p += $props, p.abstract = "explicit"""",
+      Map("props" -> Map[String, Any]("abstract" -> "fromMap"))).nodes
+    assert(both.where("nodeId = 20").collect().head
+      .getAs[String]("abstract") === "explicit")
+    // identity keys in the map are rejected; so are unknown properties
+    intercept[IllegalArgumentException](Planner.runMutation(g,
+      """MATCH (p:Paper) SET p += $props""",
+      Map("props" -> Map[String, Any]("nodeId" -> 9L))))
+    intercept[IllegalArgumentException](Planner.runMutation(g,
+      """MATCH (p:Paper) SET p += $props""",
+      Map("props" -> Map[String, Any]("missing" -> "x"))))
+    // a non-map parameter fails naming the parameter
+    val bad = intercept[IllegalArgumentException](Planner.runMutation(g,
+      """MATCH (p:Paper) SET p += $props""", Map("props" -> 5)))
+    assert(bad.getMessage.contains("must be a map"))
+    // render∘parse identity (the += item renders first)
+    val u = Parser.parseMutation(
+      """MATCH (p:Paper) WHERE p.abstract IS NULL SET p += $props, p.name = p.name + "!"""")
+      .swap.getOrElse(fail("expected UpdateQuery"))
+    assert(u.plusParam === Some("props") && u.sets.length === 1)
+    assert(Parser.parseMutation(u.render) === Left(u))
+  }
+
   test("bulk UNWIND MERGE: one changelog frame, both paths") {
     // the loader idiom: two updates + one insert in ONE statement —
     // matched keys re-project, absent keys create, one lakehouse merge
@@ -2453,6 +2486,20 @@ class CypherSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](Planner.run(g,
       """MATCH (a:Author)-[w:WRITES]-(p:Paper) RETURN properties(w) AS x"""))
     assert(e.getMessage.contains("relationship variable"))
+    // an UNMATCHED optional variable projects as NULL, not a struct of
+    // nulls (Neo4j's null node) — institutions never write
+    val opt = Planner.run(g,
+      """MATCH (i:Institution)
+        |OPTIONAL MATCH (i)-[w:WRITES]-(p:Paper)
+        |RETURN i.name AS name, p AS paper ORDER BY name""".stripMargin)
+      .collect()
+    assert(opt.length === 2 && opt.forall(_.isNullAt(1)))
+    // properties() carries through a WITH barrier as a scalar struct
+    val carried = Planner.run(g,
+      """MATCH (p:Paper {name: "P-alpha"})
+        |WITH properties(p) AS rec
+        |RETURN rec""".stripMargin).collect().head.getStruct(0)
+    assert(carried.getAs[String]("name") === "P-alpha")
   }
 
   test("map projection n {.p1, .p2}: listed-order struct") {
