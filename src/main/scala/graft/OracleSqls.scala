@@ -952,6 +952,12 @@ object OracleSqls {
         |       ELSE acctbal END AS acctbal
         |FROM fnodes""".stripMargin),
 
+    // bulk edge MERGE replayed twice over four pairs (one duplicate, one
+    // dangling) = exactly two LOCATED_IN edges
+    "cy_unwind_rel" -> withGraph(
+      """SELECT relType, CAST(count(*) AS BIGINT) AS n FROM rels GROUP BY 1
+        |UNION ALL SELECT 'LOCATED_IN', CAST(2 AS BIGINT)""".stripMargin),
+
     // COUNT subqueries replay as correlated scalar counts
     "cy_count_sub" -> withGraph(
       """SELECT r.name AS region,

@@ -1749,6 +1749,32 @@ object Queries {
         |       count(*) AS n_rows
         |ORDER BY k""".stripMargin)
 
+  /** Bulk relationship upsert (round 14 continuation): the reference
+    * loader's EDGE statement verbatim (stark_neo4j_loading.py:52-56) —
+    * `UNWIND $pairs … MATCH src MATCH tgt MERGE (src)-[:T]->(tgt)`.
+    * One batch: an already-existing pair no-ops after replay, a
+    * duplicate batch pair collapses, a missing endpoint drops silently
+    * (MATCH-then-MERGE), and the two genuinely new pairs append — all
+    * as ONE frame (two semi-joins + one anti-join + one union). */
+  def cyUnwindRel(spark: SparkSession, dir: String): DataFrame = {
+    val g0 = graph(spark, dir)
+    val stmt =
+      """UNWIND $pairs AS pr
+        |MATCH (src:Nation {nodeId: pr[0]})
+        |MATCH (tgt:Region {nodeId: pr[1]})
+        |MERGE (src)-[:LOCATED_IN]->(tgt)""".stripMargin
+    val pairs = Seq(
+      Seq(2000000001L, 1000000002L),
+      Seq(2000000001L, 1000000002L), // duplicate batch pair
+      Seq(2000000003L, 1000000004L),
+      Seq(2999999999L, 1000000001L)) // missing endpoint → dropped
+    val r1 = graft.cypher.Planner.run(g0, stmt, Map("pairs" -> pairs))
+    // idempotent replay against the merged snapshot
+    val g1 = graft.graph.PropertyGraph(g0.nodes, r1)
+    graft.cypher.Planner.run(g1, stmt, Map("pairs" -> pairs))
+      .groupBy(col("relType")).agg(count(lit(1)).as("n"))
+  }
+
   /** Map-merge `SET n += $props` (round 14 continuation): Neo4j's
     * record-shaped update — the map parameter's entries overwrite their
     * properties on EVERY matched node, unlisted properties keep their
@@ -3622,6 +3648,7 @@ object Queries {
     "cy_shortest_pipeline" -> (cyShortestPipeline _),
     "cy_dyn_prop" -> (cyDynProp _),
     "cy_set_plus" -> (cySetPlus _),
+    "cy_unwind_rel" -> (cyUnwindRel _),
     "skew_salted_agg" -> (skewSaltedAgg _),
     "join_salted" -> (joinSalted _),
     "join_asof_exec" -> (joinAsofExec _),

@@ -915,6 +915,43 @@ object Ast {
     }
   }
 
+  /** Bulk relationship upsert — the reference loader's edge statement
+    * (stark_neo4j_loading.py:52-56) verbatim:
+    * {{{
+    *   UNWIND $pairs AS pr
+    *   MATCH (src:L1 {nodeId: pr[0]})
+    *   MATCH (tgt:L2 {nodeId: pr[1]})
+    *   MERGE (src)-[:T]->(tgt)      -- or CREATE; -> / <- / undirected
+    * }}}
+    * `$pairs` is a LIST of [srcId, dstId] integer pairs. MATCH-then-MERGE
+    * semantics: a pair whose endpoint is MISSING is silently dropped
+    * (exactly what the reference's per-row MATCH does), existence checked
+    * with two semi-joins; MERGE inserts only pairs with no existing edge
+    * of that type (one anti-join, both stored orientations probed when
+    * undirected, symmetric batches canonicalized like
+    * [[RelMutationQuery]]); CREATE appends unconditionally (parallel
+    * edges, and requires a direction like Neo4j). The whole batch is ONE
+    * frame — never a per-pair loop. Returns the post-mutation
+    * relationships table. */
+  final case class BulkRelQuery(param: String, rowVar: String,
+      src: NodePat, tgt: NodePat, relType: String, dir: Int,
+      merge: Boolean) {
+    def render: String = {
+      val arrow = dir match {
+        case 1  => s"-[:$relType]->"
+        case -1 => s"<-[:$relType]-"
+        case _  => s"-[:$relType]-"
+      }
+      def anchored(n: NodePat, idx: Int): String =
+        s"(${n.varName}${n.label.fold("")(l => s":$l")} " +
+          s"{nodeId: $rowVar[$idx]})"
+      s"UNWIND $$$param AS $rowVar " +
+        s"MATCH ${anchored(src, 0)} MATCH ${anchored(tgt, 1)} " +
+        s"${if (merge) "MERGE" else "CREATE"} " +
+        s"(${src.varName})$arrow(${tgt.varName})"
+    }
+  }
+
   /** Restricted node deletion — the mutation companion of [[MergeQuery]]:
     * {{{
     *   MATCH (n:Label [{prop: lit}]) [WHERE pred (AND pred)*]

@@ -85,6 +85,17 @@ object Parser {
     q
   }
 
+  /** Parse the bulk relationship upsert — the reference loader's edge
+    * statement: `UNWIND $pairs AS pr MATCH (src:L {nodeId: pr[0]})
+    * MATCH (tgt:L {nodeId: pr[1]}) MERGE/CREATE (src)-[:T]->(tgt)`
+    * ([[Ast.BulkRelQuery]]). */
+  def parseBulkRel(input: String): BulkRelQuery = {
+    val p = new P(input)
+    val q = p.bulkRelQuery()
+    p.expectEnd()
+    q
+  }
+
   private final class P(in: String) {
     private var pos = 0
 
@@ -704,6 +715,76 @@ object Parser {
       BulkUpsertQuery(pm, rowVar,
         NodePat(v, Some(label), Some("nodeId"), None), keyField,
         onCreate, onMatch, set, create, foreach)
+    }
+
+    /** `UNWIND $pairs AS pr MATCH (src:L {nodeId: pr[0]}) MATCH (tgt:L
+      * {nodeId: pr[1]}) MERGE/CREATE (src)-[:T]->(tgt)` — the loader's
+      * edge statement. The anchor indices must be pr[0] / pr[1] in that
+      * order. */
+    def bulkRelQuery(): BulkRelQuery = {
+      expect("UNWIND"); val pm = param(); expect("AS"); val rowVar = ident()
+      def anchoredNode(idx: Int): NodePat = {
+        expect("MATCH")
+        ws()
+        if (pos >= in.length || in(pos) != '(') fail("expected '('")
+        pos += 1
+        val v = ident()
+        val label =
+          if ({ ws(); pos < in.length && in(pos) == ':' }) {
+            pos += 1; Some(ident())
+          } else None
+        ws()
+        if (pos >= in.length || in(pos) != '{')
+          fail(s"expected {nodeId: $rowVar[$idx]}")
+        pos += 1
+        val kp = ident()
+        if (kp != "nodeId") fail("bulk edge anchors on the nodeId key")
+        expect(":")
+        val rv = ident()
+        if (rv != rowVar) fail(s"the key must come from $rowVar")
+        ws()
+        if (pos >= in.length || in(pos) != '[') fail(s"expected [$idx]")
+        pos += 1
+        val i = longLit()
+        if (i != idx) fail(s"expected $rowVar[$idx] (src then tgt)")
+        ws()
+        if (pos >= in.length || in(pos) != ']') fail("expected ']'")
+        pos += 1
+        ws()
+        if (pos >= in.length || in(pos) != '}') fail("expected '}'")
+        pos += 1
+        ws()
+        if (pos >= in.length || in(pos) != ')') fail("expected ')'")
+        pos += 1
+        NodePat(v, label, Some("nodeId"), None)
+      }
+      val src = anchoredNode(0)
+      val tgt = anchoredNode(1)
+      if (src.varName == tgt.varName)
+        fail("src and tgt must bind distinct variables")
+      val merge = if (opt("MERGE")) true else { expect("CREATE"); false }
+      expect("("); val v1 = ident(); expect(")")
+      ws()
+      var dir = 0
+      if (pos < in.length && in(pos) == '<') { dir = -1; pos += 1 }
+      expect("-"); expect("["); expect(":")
+      val t = ident()
+      expect("]"); expect("-")
+      ws()
+      if (pos < in.length && in(pos) == '>') {
+        if (dir == -1) fail("relationship cannot point both ways")
+        dir = 1; pos += 1
+      }
+      expect("("); val v2 = ident(); expect(")")
+      if (!merge && dir == 0)
+        fail("CREATE requires a relationship direction (like Neo4j)")
+      if (v1 == src.varName && v2 == tgt.varName)
+        BulkRelQuery(pm, rowVar, src, tgt, t, dir, merge)
+      else if (v1 == tgt.varName && v2 == src.varName)
+        // canonicalize: src (pr[0]) is always written first; the swapped
+        // spelling is the same edge with the arrow flipped
+        BulkRelQuery(pm, rowVar, src, tgt, t, -dir, merge)
+      else fail("MERGE/CREATE endpoints must name the two matched variables")
     }
 
     private def updateSetItems(matchVar: String): Seq[UpdateSet] = {

@@ -640,6 +640,87 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     } finally extraVarSchemas -= r
   }
 
+  /** Lower a [[BulkRelQuery]] — the reference loader's edge statement
+    * (stark_neo4j_loading.py:52-56): the [srcId, dstId] pair list
+    * becomes one driver-side frame; MATCH-then-MERGE semantics drop
+    * pairs with a MISSING endpoint via two semi-joins against the
+    * (optionally labeled) node frames — exactly what the per-row MATCH
+    * does, and the S3/J6 endpoint-existence rule by construction; MERGE
+    * then inserts only pairs with no existing edge of that type (one
+    * anti-join, both orientations probed + symmetric batches
+    * canonicalized when undirected, like [[planRelMutation]]); CREATE
+    * appends unconditionally. The whole batch is ONE frame and one
+    * union — never a per-pair loop. */
+  def planBulkRel(bq: BulkRelQuery): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rawPairs = params.getOrElse(bq.param,
+      throw new IllegalArgumentException(
+        s"missing parameter $$${bq.param}")) match {
+      case s: Seq[_] if s.nonEmpty => s
+      case other => throw new IllegalArgumentException(
+        s"parameter $$${bq.param} must be a non-empty list of " +
+          s"[srcId, dstId] pairs, got $other")
+    }
+    val pairRows = rawPairs.map {
+      case p: Seq[_] if p.length == 2 &&
+          p.forall(_.isInstanceOf[Number]) =>
+        org.apache.spark.sql.Row(
+          p.head.asInstanceOf[Number].longValue(),
+          p(1).asInstanceOf[Number].longValue())
+      case other => throw new IllegalArgumentException(
+        s"each element of $$${bq.param} must be a 2-integer pair, " +
+          s"got $other")
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("src",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("dst",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val pairs = g.nodes.sparkSession.createDataFrame(pairRows.asJava, schema)
+    def labeledIds(n: NodePat): DataFrame = (n.label match {
+      case Some(l) if l != "_Entity_" => g.nodes.where(col("label") === l)
+      case _                          => g.nodes
+    }).select(col("nodeId"))
+    // MATCH semantics: a pair with a missing endpoint drops silently
+    val existing = pairs
+      .join(labeledIds(bq.src).withColumnRenamed("nodeId", "src"),
+        Seq("src"), "left_semi")
+      .join(labeledIds(bq.tgt).withColumnRenamed("nodeId", "dst"),
+        Seq("dst"), "left_semi")
+    // `<-` stores the reversed orientation, like planRelMutation
+    val oriented =
+      if (bq.dir == -1)
+        existing.select(col("dst").as("src"), col("src").as("dst"))
+      else existing.select(col("src"), col("dst"))
+    val newRels = oriented.select(
+      lit(bq.relType).as("relType"), col("src"), col("dst"))
+    val added =
+      if (!bq.merge) newRels
+      else {
+        val probe0 = g.rels.where(col("relType") === bq.relType)
+          .select(col("src"), col("dst"))
+        val probe =
+          if (bq.dir == 0)
+            probe0.unionByName(
+              probe0.select(col("dst").as("src"), col("src").as("dst")))
+          else probe0
+        val candidates =
+          if (bq.dir == 0)
+            newRels.select(col("relType"),
+              least(col("src"), col("dst")).as("src"),
+              greatest(col("src"), col("dst")).as("dst")).distinct()
+          else newRels.distinct()
+        candidates.join(probe, Seq("src", "dst"), "left_anti")
+      }
+    val extraCols = g.rels.columns.filterNot(
+      Set("relType", "src", "dst").contains)
+    val padded = extraCols.foldLeft(added) { (df, c) =>
+      df.withColumn(c,
+        lit(null).cast(g.rels.schema.fields.find(_.name == c).get.dataType))
+    }
+    g.rels.unionByName(padded)
+  }
+
   /** A statically STRING value cannot land in a numeric/boolean column —
     * Spark's cast would silently null it; fail like the loader would
     * instead. The numeric→string direction is a LOSSLESS stringification
@@ -2566,7 +2647,14 @@ object Planner {
                   catch { case _: Parser.ParseError => None }
                 bq match {
                   case Some(b) => new Planner(g, params).planBulkUpsert(b)
-                  case None    => throw e
+                  case None =>
+                    val rq2 =
+                      try Some(Parser.parseBulkRel(cypher))
+                      catch { case _: Parser.ParseError => None }
+                    rq2 match {
+                      case Some(b) => new Planner(g, params).planBulkRel(b)
+                      case None    => throw e
+                    }
                 }
             }
         }
@@ -2579,6 +2667,14 @@ object Planner {
   def runBulkUpsert(g: PropertyGraph, cypher: String,
                     params: Map[String, Any]): DataFrame =
     new Planner(g, params).planBulkUpsert(Parser.parseBulkUpsert(cypher))
+
+  /** Parse + plan the bulk relationship upsert (`UNWIND $pairs AS pr
+    * MATCH … MATCH … MERGE/CREATE (src)-[:T]->(tgt)` — the reference
+    * loader's edge statement), returning the post-mutation relationships
+    * table. */
+  def runBulkRel(g: PropertyGraph, cypher: String,
+                 params: Map[String, Any]): DataFrame =
+    new Planner(g, params).planBulkRel(Parser.parseBulkRel(cypher))
 
   /** Parse + plan `CREATE (n:L {nodeId: …})`, returning the post-create
     * graph. */

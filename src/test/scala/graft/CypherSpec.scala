@@ -1725,6 +1725,53 @@ class CypherSpec extends SparkSpec {
       """UNWIND $rows AS r CREATE (n:Author {nodeId: r.id}) ON MATCH SET n.name = "x""""))
   }
 
+  test("bulk UNWIND relationship MERGE: the loader's edge statement") {
+    // existing edge → no-op; new pair → one insert; missing endpoint →
+    // silently dropped (MATCH-then-MERGE, like the reference's per-row
+    // statement); duplicate batch pairs collapse to one insert
+    val out = Planner.run(g,
+      """UNWIND $pairs AS pr
+        |MATCH (src:Author {nodeId: pr[0]})
+        |MATCH (tgt:Paper {nodeId: pr[1]})
+        |MERGE (src)-[:WRITES]->(tgt)""".stripMargin,
+      Map("pairs" -> Seq(Seq(10L, 20L), Seq(11L, 22L), Seq(11L, 22L),
+        Seq(99L, 21L))))
+    assert(out.count() === g.rels.count() + 1)
+    assert(out.where(col("relType") === "WRITES" && col("src") === 11L &&
+      col("dst") === 22L).count() === 1L)
+    // idempotent replay against the merged graph
+    val g2 = graft.graph.PropertyGraph(g.nodes, out)
+    val twice = Planner.run(g2,
+      """UNWIND $pairs AS pr
+        |MATCH (src:Author {nodeId: pr[0]})
+        |MATCH (tgt:Paper {nodeId: pr[1]})
+        |MERGE (src)-[:WRITES]->(tgt)""".stripMargin,
+      Map("pairs" -> Seq(Seq(11L, 22L))))
+    assert(twice.count() === out.count())
+    // CREATE appends unconditionally (parallel edges) and needs an arrow
+    val created = Planner.run(g,
+      """UNWIND $pairs AS pr
+        |MATCH (src:Author {nodeId: pr[0]})
+        |MATCH (tgt:Paper {nodeId: pr[1]})
+        |CREATE (src)-[:WRITES]->(tgt)""".stripMargin,
+      Map("pairs" -> Seq(Seq(10L, 20L))))
+    assert(created.count() === g.rels.count() + 1) // parallel to e4
+    intercept[Parser.ParseError](Parser.parseBulkRel(
+      """UNWIND $pairs AS pr MATCH (src:Author {nodeId: pr[0]}) MATCH (tgt:Paper {nodeId: pr[1]}) CREATE (src)-[:WRITES]-(tgt)"""))
+    // render∘parse identity; the swapped spelling canonicalizes
+    val b = Parser.parseBulkRel(
+      """UNWIND $pairs AS pr MATCH (src:_Entity_ {nodeId: pr[0]}) MATCH (tgt:_Entity_ {nodeId: pr[1]}) MERGE (src)-[:CITES]->(tgt)""")
+    assert(Parser.parseBulkRel(b.render) === b)
+    val swapped = Parser.parseBulkRel(
+      """UNWIND $pairs AS pr MATCH (src:_Entity_ {nodeId: pr[0]}) MATCH (tgt:_Entity_ {nodeId: pr[1]}) MERGE (tgt)<-[:CITES]-(src)""")
+    assert(swapped === b) // same edge, canonical orientation
+    // a malformed pair list fails clearly
+    val bad = intercept[IllegalArgumentException](Planner.run(g,
+      """UNWIND $pairs AS pr MATCH (src:Author {nodeId: pr[0]}) MATCH (tgt:Paper {nodeId: pr[1]}) MERGE (src)-[:WRITES]->(tgt)""",
+      Map("pairs" -> Seq(Seq(1L)))))
+    assert(bad.getMessage.contains("2-integer pair"))
+  }
+
   test("DETACH DELETE removes the node and every incident relationship") {
     val pg = Planner.runDelete(g,
       """MATCH (a:Author {name: "Alice"}) DETACH DELETE a""")
