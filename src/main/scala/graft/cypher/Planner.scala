@@ -2164,6 +2164,11 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     case ScalarFn("toBoolean", _) => Some(org.apache.spark.sql.types.BooleanType)
     case KeysOf(_) => Some(org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.StringType))
+    // labels(n) is the node's label ARRAY — size()/head()/IN over it
+    // must see the array type, not fall through to string length
+    case LabelsOf(_) => Some(org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType))
+    case TypeOf(_) => Some(org.apache.spark.sql.types.StringType)
     case PropsOf(v) => Some(org.apache.spark.sql.types.StructType(
       nodeStructFields(v).map(f => varSchema(v)(f))))
     case MapProj(v, fs) => Some(org.apache.spark.sql.types.StructType(

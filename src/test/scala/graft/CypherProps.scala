@@ -438,4 +438,48 @@ object CypherProps extends Properties("cypher") {
     val reparsed = Parser.parseMerge(rendered)
     Prop(reparsed == mq) :| s"rendered: $rendered\nreparsed: $reparsed"
   }
+
+  // round-14 bulk mutation forms (the loader's two statements + FOREACH)
+  private def bulkRowSetItems(rowVar: String): Gen[Seq[SetItem]] =
+    Gen.choose(1, 2).flatMap(n =>
+      Gen.sequence[Seq[SetItem], SetItem](
+        Seq("name", "abstract").take(n).map(pr => Gen.oneOf(
+          Gen.oneOf("nm", "ab").map(f => SetItem("n", pr, PropRef(rowVar, f))),
+          anchorStr.map(s => SetItem("n", pr, StrLitE(s))),
+          Gen.const(SetItem("n", pr,
+            BinOp("+", PropRef(rowVar, "nm"), StrLitE("!"))))))))
+
+  private val bulkUpsertGen: Gen[BulkUpsertQuery] = for {
+    l <- Gen.oneOf("Paper", "Author")
+    create <- Gen.oneOf(true, false)
+    fe <- Gen.oneOf(true, false)
+    st <- bulkRowSetItems("r")
+    oc <- if (create) Gen.const(Seq.empty[SetItem]) else bulkRowSetItems("r")
+    om <- if (create) Gen.const(Seq.empty[SetItem]) else bulkRowSetItems("r")
+  } yield BulkUpsertQuery("rows", "r",
+    NodePat("n", Some(l), Some("nodeId"), None), "id", oc, om, st, create, fe)
+
+  property("bulk upsert render/parseBulkUpsert round-trip") =
+    forAll(bulkUpsertGen) { bq =>
+      val rendered = bq.render
+      val reparsed = Parser.parseBulkUpsert(rendered)
+      Prop(reparsed == bq) :| s"rendered: $rendered\nreparsed: $reparsed"
+    }
+
+  private val bulkRelGen: Gen[BulkRelQuery] = for {
+    l1 <- Gen.oneOf(Some("Author"), Some("_Entity_"), None)
+    l2 <- Gen.oneOf(Some("Paper"), None)
+    t <- Gen.oneOf("WRITES", "CITES")
+    merge <- Gen.oneOf(true, false)
+    dir <- if (merge) Gen.oneOf(0, 1, -1) else Gen.oneOf(1, -1)
+  } yield BulkRelQuery("pairs", "pr",
+    NodePat("src", l1, Some("nodeId"), None),
+    NodePat("tgt", l2, Some("nodeId"), None), t, dir, merge)
+
+  property("bulk rel render/parseBulkRel round-trip") =
+    forAll(bulkRelGen) { bq =>
+      val rendered = bq.render
+      val reparsed = Parser.parseBulkRel(rendered)
+      Prop(reparsed == bq) :| s"rendered: $rendered\nreparsed: $reparsed"
+    }
 }

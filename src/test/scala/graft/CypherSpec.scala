@@ -2582,6 +2582,14 @@ class CypherSpec extends SparkSpec {
     assert(Parser.parse(q.render) === q)
   }
 
+  test("labels(n) types as an array: size/head compose") {
+    val row = Planner.run(g,
+      """MATCH (p:Paper {name: "P-alpha"})
+        |RETURN size(labels(p)) AS n, head(labels(p)) AS first""".stripMargin)
+      .collect().head
+    assert(row.getLong(0) === 2L && row.getString(1) === "Paper")
+  }
+
   test("dynamic property access n[key]: string-canonical value, null semantics") {
     // the keys(n)→lookup round trip: every non-null scalar property by
     // its runtime name
