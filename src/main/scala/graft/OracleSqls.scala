@@ -958,6 +958,21 @@ object OracleSqls {
       """SELECT relType, CAST(count(*) AS BIGINT) AS n FROM rels GROUP BY 1
         |UNION ALL SELECT 'LOCATED_IN', CAST(2 AS BIGINT)""".stripMargin),
 
+    // Neo4j null ordering: DESC puts the OPTIONAL-MATCH nulls FIRST
+    // (null = largest), so the LIMIT page's row set depends on it —
+    // DuckDB needs the explicit NULLS FIRST (its default is nulls-last)
+    "cy_null_order" -> withGraph(
+      """SELECT r.name AS region, m.nname AS nation
+        |FROM nodes r
+        |LEFT JOIN (
+        |  SELECT e.a AS rid, n.name AS nname FROM nodes n
+        |  JOIN bidir e ON n.nodeId = e.b AND e.relType = 'IN_REGION'
+        |  WHERE n.label = 'Nation' AND contains(n.name, '_2')
+        |) m ON m.rid = r.nodeId
+        |WHERE r.label = 'Region'
+        |ORDER BY nation DESC NULLS FIRST, region
+        |LIMIT 4""".stripMargin),
+
     // COUNT subqueries replay as correlated scalar counts
     "cy_count_sub" -> withGraph(
       """SELECT r.name AS region,

@@ -1775,6 +1775,21 @@ object Queries {
       .groupBy(col("relType")).agg(count(lit(1)).as("n"))
   }
 
+  /** Neo4j null ordering (round 14 continuation): ORDER BY treats null
+    * as the LARGEST value (ASC → nulls last, DESC → nulls first) — made
+    * observable through the hash by a DESC + LIMIT page whose selected
+    * ROW SET depends on where the OPTIONAL-MATCH nulls sort (DuckDB
+    * spells it NULLS FIRST explicitly; its default is nulls-last both
+    * ways). */
+  def cyNullOrder(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """MATCH (r:Region)
+        |OPTIONAL MATCH (r)-[e:IN_REGION]-(n:Nation)
+        |WHERE n.name CONTAINS "_2"
+        |RETURN r.name AS region, n.name AS nation
+        |ORDER BY nation DESC, region
+        |LIMIT 4""".stripMargin)
+
   /** Map-merge `SET n += $props` (round 14 continuation): Neo4j's
     * record-shaped update — the map parameter's entries overwrite their
     * properties on EVERY matched node, unlisted properties keep their
@@ -3649,6 +3664,7 @@ object Queries {
     "cy_dyn_prop" -> (cyDynProp _),
     "cy_set_plus" -> (cySetPlus _),
     "cy_unwind_rel" -> (cyUnwindRel _),
+    "cy_null_order" -> (cyNullOrder _),
     "skew_salted_agg" -> (skewSaltedAgg _),
     "join_salted" -> (joinSalted _),
     "join_asof_exec" -> (joinAsofExec _),

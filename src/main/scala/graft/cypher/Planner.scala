@@ -176,7 +176,10 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
               "on an aggregating or DISTINCT query, project it under an " +
               "alias and ORDER BY the alias instead")
         val c = col(name)
-        if (desc) c.desc else c.asc }: _*)
+        // Neo4j sorts null as the LARGEST value (ASC → nulls last,
+        // DESC → nulls first) — also DuckDB's default, so oracles agree;
+        // Spark's bare asc/desc would put nulls first on ASC
+        if (desc) c.desc_nulls_first else c.asc_nulls_last }: _*)
     val skipped = q.skip.fold(ordered)(ordered.offset)
     val trimmed = q.limit.fold(skipped)(skipped.limit)
     if (hidden.isEmpty) trimmed else trimmed.drop(hidden.values.toSeq: _*)
@@ -845,10 +848,12 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
           if (st.orderBy.isEmpty) withHidden
           else {
             val keys = st.orderBy.zip(keyNames).map { case ((_, desc), kn) =>
-              if (desc) col(kn).desc else col(kn).asc }
+              // Neo4j null ordering: largest (nulls last on ASC)
+              if (desc) col(kn).desc_nulls_first
+              else col(kn).asc_nulls_last }
             val ties = dedup.schema.fields
               .filter(f => !keyNames.contains(f.name) && isAtomicType(f.dataType))
-              .map(_.name).sorted.map(col(_).asc)
+              .map(_.name).sorted.map(col(_).asc_nulls_last)
             withHidden.orderBy((keys ++ ties.toSeq): _*)
           }
         val skipped = st.skip.fold(sorted)(sorted.offset)
@@ -1492,10 +1497,12 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
             // per-import-key top-k: one window row_number; deterministic
             // tie-breaking over the remaining atomic item columns
             val ordKeys = cs.orderBy.zipWithIndex.map { case ((_, desc), i) =>
-              val c = col(s"__call_o_$i"); if (desc) c.desc else c.asc }
+              val c = col(s"__call_o_$i")
+              // Neo4j null ordering: largest (nulls last on ASC)
+              if (desc) c.desc_nulls_first else c.asc_nulls_last }
             val ties = cs.items.map(_.name)
               .filter(nm => isAtomicType(sub0.schema(nm).dataType))
-              .sorted.map(col(_).asc)
+              .sorted.map(col(_).asc_nulls_last)
             val w = Window.partitionBy(keyNames.map(col): _*)
               .orderBy((ordKeys ++ ties): _*)
             sub0.withColumn("__call_rn", row_number().over(w))

@@ -2582,6 +2582,32 @@ class CypherSpec extends SparkSpec {
     assert(Parser.parse(q.render) === q)
   }
 
+  test("ORDER BY null ordering: nulls largest, like Neo4j") {
+    // papers ordered by abstract ASC: P-beta's null abstract sorts LAST
+    val asc = Planner.run(g,
+      """MATCH (p:Paper) RETURN p.name AS name, p.abstract AS a
+        |ORDER BY a, name""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(asc === Seq("P-alpha", "P-gamma", "P-beta"))
+    // DESC: the null comes first (null is the largest value)
+    val desc = Planner.run(g,
+      """MATCH (p:Paper) RETURN p.name AS name, p.abstract AS a
+        |ORDER BY a DESC, name""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(desc === Seq("P-beta", "P-gamma", "P-alpha"))
+    // OPTIONAL MATCH null-extended keys honor the same rule under LIMIT
+    val lim = Planner.run(g,
+      """MATCH (p:Paper)
+        |OPTIONAL MATCH (p)-[c:CITES]-(q:Paper)
+        |WHERE q.nodeId < p.nodeId
+        |RETURN p.name AS name, q.name AS cited
+        |ORDER BY cited LIMIT 2""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    // the single non-null key (P-gamma cites P-alpha) fills the page
+    // first; the null-extended rows follow
+    assert(lim.head === (("P-gamma", "P-alpha")) && lim(1)._2 == null)
+  }
+
   test("labels(n) types as an array: size/head compose") {
     val row = Planner.run(g,
       """MATCH (p:Paper {name: "P-alpha"})
