@@ -973,6 +973,31 @@ object OracleSqls {
         |ORDER BY nation DESC NULLS FIRST, region
         |LIMIT 4""".stripMargin),
 
+    // RETURN * = the carried node's whole-entity struct + the scalar
+    "cy_return_star" -> withGraph(
+      """SELECT struct_pack(name := c.name,
+        |         "nameEmbedding" := CAST(NULL AS DOUBLE[]),
+        |         "nodeId" := c.nodeId) AS c,
+        |  c.name AS nm
+        |FROM nodes c
+        |JOIN bidir e ON c.nodeId = e.a AND e.relType = 'FROM_NATION'
+        |JOIN nodes n ON e.b = n.nodeId AND n.label = 'Nation'
+        |  AND n.name = 'NATION_3'
+        |WHERE c.label = 'Customer'
+        |ORDER BY nm LIMIT 5""".stripMargin),
+
+    // floor/ceil/sqrt are IEEE-exactly-rounded on both engines
+    "cy_math_fns" -> withFinGraph(
+      """SELECT c.name AS name,
+        |  floor(sqrt(CAST(c.acctbal AS DOUBLE))) AS fs,
+        |  ceil(sqrt(CAST(c.acctbal AS DOUBLE))) AS cs
+        |FROM fnodes c
+        |JOIN fbidir e ON c.nodeId = e.a AND e.relType = 'FROM_NATION'
+        |JOIN fnodes n ON e.b = n.nodeId AND n.label = 'Nation'
+        |  AND n.name = 'NATION_3'
+        |WHERE c.label = 'Customer' AND c.acctbal >= 0
+        |ORDER BY name""".stripMargin),
+
     // COUNT subqueries replay as correlated scalar counts
     "cy_count_sub" -> withGraph(
       """SELECT r.name AS region,

@@ -1775,6 +1775,28 @@ object Queries {
       .groupBy(col("relType")).agg(count(lit(1)).as("n"))
   }
 
+  /** `RETURN *` (round 14 continuation): every binding comes back —
+    * bound node variables as whole-entity structs (name-sorted ahead of
+    * the carried scalars), exactly the WITH * rule at the RETURN
+    * position. */
+  def cyReturnStar(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """MATCH (n:Nation {name: "NATION_3"})-[e:FROM_NATION]-(c:Customer)
+        |WITH c, c.name AS nm
+        |RETURN * ORDER BY nm LIMIT 5""".stripMargin)
+
+  /** floor/ceil/sqrt (round 14 continuation): the IEEE-exactly-rounded
+    * math scalars (engine-portable, unlike ln/exp — and unlike round(),
+    * whose tie rule differs between Neo4j and DuckDB and is deliberately
+    * NOT offered). All three lower to codegen'd Spark built-ins. */
+  def cyMathFns(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(finGraph(spark, dir),
+      """MATCH (n:Nation {name: "NATION_3"})-[e:FROM_NATION]-(c:Customer)
+        |WHERE c.acctbal >= 0
+        |RETURN c.name AS name, floor(sqrt(toFloat(c.acctbal))) AS fs,
+        |       ceil(sqrt(toFloat(c.acctbal))) AS cs
+        |ORDER BY name""".stripMargin)
+
   /** Neo4j null ordering (round 14 continuation): ORDER BY treats null
     * as the LARGEST value (ASC → nulls last, DESC → nulls first) — made
     * observable through the hash by a DESC + LIMIT page whose selected
@@ -3665,6 +3687,8 @@ object Queries {
     "cy_set_plus" -> (cySetPlus _),
     "cy_unwind_rel" -> (cyUnwindRel _),
     "cy_null_order" -> (cyNullOrder _),
+    "cy_return_star" -> (cyReturnStar _),
+    "cy_math_fns" -> (cyMathFns _),
     "skew_salted_agg" -> (skewSaltedAgg _),
     "join_salted" -> (joinSalted _),
     "join_asof_exec" -> (joinAsofExec _),

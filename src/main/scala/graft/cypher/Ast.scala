@@ -10,7 +10,7 @@ package graft.cypher
   *   query     := stage* unwind* MATCH path (',' path)* [WHERE pred (AND pred)*]
   *                (OPTIONAL MATCH path [WHERE pred (AND pred)*])*
   *                call*
-  *                RETURN [DISTINCT] item (',' item)*
+  *                RETURN [DISTINCT] ['*' | item] (',' item)*
   *                [ORDER BY (ref|expr) [ASC|DESC]] [SKIP n] [LIMIT n]
   *              | stage+ unwind+ RETURN …              -- collect→UNWIND tail
   *              | MATCH var '=' (shortestPath|allShortestPaths)
@@ -64,6 +64,7 @@ package graft.cypher
   *              | substring(expr ',' int [',' int])
   *              | replace(expr ',' expr ',' expr)
   *              | (abs | sign | toString | toInteger | toFloat)(expr)
+  *              | (floor | ceil | sqrt)(expr)    -- IEEE-exact math
   *              | coalesce(expr (',' expr)*)
   *              | CASE [expr] (WHEN (cond|expr) THEN expr)+ [ELSE expr] END
   *                                -- simple form desugars to '=' guards
@@ -740,7 +741,12 @@ object Ast {
       optionals: Seq[OptionalMatch] = Nil, // OPTIONAL MATCH clauses after it
       shortest: Option[ShortestPathClause] = None, // MATCH p = shortestPath(…)
       skip: Option[Int] = None, // RETURN-level SKIP (applied before LIMIT)
-      calls: Seq[CallSubquery] = Nil) { // CALL { … } before RETURN
+      calls: Seq[CallSubquery] = Nil, // CALL { … } before RETURN
+      star: Boolean = false) { // RETURN * [, items] — every bound node
+      // var (whole-entity struct, OPTIONAL vars included), carried
+      // scalar, and carried-list-UNWIND name, name-sorted, ahead of any
+      // explicit items (explicit names win); rel vars excluded like
+      // WITH *
 
     def isAggregating: Boolean = items.exists(i => i.expr match {
       case _: CountDistinct | _: CountDistinctInParam |
@@ -806,7 +812,10 @@ object Ast {
       }
       calls.foreach { c => sb ++= c.render; sb ++= " " }
       sb ++= "RETURN " + (if (distinct) "DISTINCT " else "")
-      sb ++= items.map(i => expr(i.expr) + i.alias.fold("")(a => s" AS $a")).mkString(", ")
+      val itemsTxt = items.map(i =>
+        expr(i.expr) + i.alias.fold("")(a => s" AS $a")).mkString(", ")
+      sb ++= (if (star) { if (itemsTxt.isEmpty) "*" else s"*, $itemsTxt" }
+              else itemsTxt)
       if (orderBy.nonEmpty)
         sb ++= " ORDER BY " + orderBy.map { case (ref, desc) =>
           ref + (if (desc) " DESC" else "") }.mkString(", ")

@@ -424,7 +424,11 @@ object Parser {
           expect("RETURN")
           val distinct = opt("DISTINCT")
           val items = Seq.newBuilder[RetItem]
-          items += retItem()
+          ws()
+          val retStar =
+            if (pos < in.length && in(pos) == '*') { pos += 1; true }
+            else false
+          if (!retStar) items += retItem()
           while ({ ws(); pos < in.length && in(pos) == ',' }) {
             pos += 1; items += retItem()
           }
@@ -456,7 +460,7 @@ object Parser {
           // unionQuery() keeps chaining)
           return CypherQuery(unwinds.result(), paths.result(), preds, distinct,
             items.result(), order, limit, stages.result(), optionals.result(),
-            shortest, skip, callsB.result())
+            shortest, skip, callsB.result(), retStar)
         }
       }
       throw new IllegalStateException("unreachable")
@@ -1209,7 +1213,8 @@ object Parser {
     private val scalarFnNames =
       Seq("toLower", "toUpper", "trim", "replace", "substring", "size",
         "abs", "sign", "toString", "toInteger", "toFloat", "id", "head",
-        "last", "reverse", "ltrim", "rtrim", "left", "right", "coalesce")
+        "last", "reverse", "ltrim", "rtrim", "left", "right", "coalesce",
+        "floor", "ceil", "sqrt", "properties")
 
     /** WHERE predicates are aggregate-free (Cypher aggregates live in
       * RETURN/WITH; the HAVING idiom is `WITH … AS x WHERE x …`). */
@@ -1638,7 +1643,8 @@ object Parser {
       }
       else if (peekCall("toLower") || peekCall("toUpper") || peekCall("trim") ||
                peekCall("abs") || peekCall("sign") || peekCall("toString") ||
-               peekCall("toInteger") || peekCall("toFloat")) {
+               peekCall("toInteger") || peekCall("toFloat") ||
+               peekCall("floor") || peekCall("ceil") || peekCall("sqrt")) {
         val fn = if (opt("toLower")) "toLower"
                  else if (opt("toUpper")) "toUpper"
                  else if (opt("trim")) "trim"
@@ -1646,7 +1652,13 @@ object Parser {
                  else if (opt("sign")) "sign"
                  else if (opt("toString")) "toString"
                  else if (opt("toInteger")) "toInteger"
-                 else { expect("toFloat"); "toFloat" }
+                 else if (opt("toFloat")) "toFloat"
+                 // floor/ceil/sqrt are IEEE-exactly-rounded (engine
+                 // portable); round() is NOT offered — Neo4j's half-up
+                 // tie differs from DuckDB's half-away-from-zero
+                 else if (opt("floor")) "floor"
+                 else if (opt("ceil")) "ceil"
+                 else { expect("sqrt"); "sqrt" }
         expect("("); val a = expression(); expect(")")
         ScalarFn(fn, Seq(a))
       }

@@ -120,20 +120,38 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       case _ => None
     }
 
-  def plan(q: CypherQuery): DataFrame = {
-    require(q.paths.nonEmpty || q.prefixes.nonEmpty || q.shortest.nonEmpty,
+  def plan(q0: CypherQuery): DataFrame = {
+    require(q0.paths.nonEmpty || q0.prefixes.nonEmpty || q0.shortest.nonEmpty,
       "at least one MATCH path")
-    require(q.calls.isEmpty || (q.paths.nonEmpty && q.shortest.isEmpty),
+    require(q0.calls.isEmpty || (q0.paths.nonEmpty && q0.shortest.isEmpty),
       "CALL { … } needs a MATCH clause of its own (not a shortestPath " +
         "or bare-RETURN tail)")
-    rejectRelVarCounts(q.items,
-      q.paths ++ q.optionals.map(_.path) ++ q.prefixes.flatMap(_.paths))
+    rejectRelVarCounts(q0.items,
+      q0.paths ++ q0.optionals.map(_.path) ++ q0.prefixes.flatMap(_.paths))
     // main MATCH group + OPTIONAL MATCH clauses share one resolution space
     // (stageRelVars / optRelVars); a WITH barrier resets it per stage
-    rejectRelVarReuse(q.paths ++ q.optionals.map(_.path))
-    val base = q.prefixes.foldLeft(Option.empty[DataFrame]) {
+    rejectRelVarReuse(q0.paths ++ q0.optionals.map(_.path))
+    val base = q0.prefixes.foldLeft(Option.empty[DataFrame]) {
       (acc, st) => Some(planStage(acc, st))
     }
+    // RETURN * expands here — AFTER the prefixes set the carried-binding
+    // space: every bound node var (whole-entity struct; OPTIONAL and
+    // shortestPath endpoints included), carried scalar, and carried-list
+    // UNWIND name, name-sorted ahead of explicit items (explicit wins)
+    val q =
+      if (!q0.star) q0
+      else {
+        val explicit = q0.items.map(_.name).toSet
+        val optVars = q0.optionals.flatMap(_.path.nodes.map(_.varName))
+        val spVars = q0.shortest.toSeq.flatMap(_.path.nodes.map(_.varName))
+        val vs = (varsOf(q0.paths) ++ carriedVars ++ optVars ++ spVars)
+          .toSeq.distinct.sorted
+          .filterNot(explicit).map(v => RetItem(ColRef(v), None))
+        val ss = (carriedScalars ++
+            q0.unwinds.filter(_.carried).map(_.varName)).toSeq.distinct
+          .sorted.filterNot(explicit).map(s => RetItem(ColRef(s), None))
+        q0.copy(items = vs ++ ss ++ q0.items, star = false)
+      }
     // variable-length rels expand to a UNION of fixed-length queries (one
     // per hop count — Cypher semantics: one row per distinct path, so a
     // pair reachable at both 1 and 2 hops yields two pre-DISTINCT rows);
@@ -2204,7 +2222,8 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       org.apache.spark.sql.types.LongType))
     case _: PathRels => Some(org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.StringType))
-    case ScalarFn("toFloat", _) => Some(org.apache.spark.sql.types.DoubleType)
+    case ScalarFn("toFloat" | "floor" | "ceil" | "sqrt", _) =>
+      Some(org.apache.spark.sql.types.DoubleType)
     case ScalarFn("abs", args)  => staticType(args.head, schema)
     case ScalarFn(_, _) => Some(org.apache.spark.sql.types.StringType)
     // a `+` with a string side is a CONCATENATION (string result), so
@@ -2431,6 +2450,11 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
         // Cypher sign() is an INTEGER −1/0/1 (Spark signum is double)
         case "sign"    => signum(a.head).cast("long")
         case "toString"  => a.head.cast("string")
+        // Neo4j floor/ceil return FLOAT; sqrt is IEEE correctly rounded
+        // on both engines (unlike ln/exp, which this dialect avoids)
+        case "floor" => floor(a.head).cast("double")
+        case "ceil"  => ceil(a.head).cast("double")
+        case "sqrt"  => sqrt(a.head.cast("double"))
         // Neo4j toInteger truncates toward zero — exactly Spark's
         // double→long cast (≡ DuckDB CAST(trunc(x) AS BIGINT))
         case "toInteger" => a.head.cast("long")

@@ -2608,6 +2608,56 @@ class CypherSpec extends SparkSpec {
     assert(lim.head === (("P-gamma", "P-alpha")) && lim(1)._2 == null)
   }
 
+  test("RETURN *: every binding as a whole-entity/scalar column") {
+    // bound node vars come back as whole-entity structs, name-sorted
+    val df = Planner.run(g,
+      """MATCH (a:Author {name: "Alice"})-[w:WRITES]-(p:Paper) RETURN *""")
+    assert(df.columns.toSeq === Seq("a", "p"))
+    val rows = df.collect()
+    assert(rows.length === 2 &&
+      rows.forall(_.getStruct(0).getAs[String]("name") === "Alice"))
+    // carried scalars and explicit extras compose; explicit names win
+    val mixed = Planner.run(g,
+      """MATCH (a:Author)-[w:WRITES]-(p:Paper)
+        |WITH a, count(p) AS np
+        |RETURN *, np * 2 AS dbl ORDER BY np DESC, dbl LIMIT 1""".stripMargin)
+    assert(mixed.columns.toSeq === Seq("a", "np", "dbl"))
+    val top = mixed.collect().head
+    assert(top.getStruct(0).getAs[String]("name") === "Alice" &&
+      top.getLong(1) === 2L && top.getLong(2) === 4L)
+    // OPTIONAL vars are included (null when unmatched)
+    val opt = Planner.run(g,
+      """MATCH (i:Institution {name: "MIT"})
+        |OPTIONAL MATCH (i)-[w:WRITES]-(p:Paper)
+        |RETURN *""".stripMargin)
+    assert(opt.columns.toSeq === Seq("i", "p"))
+    assert(opt.collect().head.isNullAt(1))
+    // render∘parse identity for both spellings
+    val q = Parser.parse(
+      """MATCH (a:Author)-[w:WRITES]-(p:Paper) RETURN *, a.name AS nm""")
+    assert(q.star && Parser.parse(q.render) === q)
+    val bare = Parser.parse("""MATCH (a:Author) RETURN *""")
+    assert(bare.star && bare.items.isEmpty && Parser.parse(bare.render) === bare)
+  }
+
+  test("floor/ceil/sqrt: IEEE-exact math scalars") {
+    val row = Planner.run(g,
+      """MATCH (a:Author {name: "Alice"})
+        |RETURN floor(sqrt(toFloat(a.nodeId))) AS f,
+        |       ceil(sqrt(toFloat(a.nodeId))) AS c,
+        |       sqrt(toFloat(a.nodeId) * toFloat(a.nodeId)) AS s""".stripMargin)
+      .collect().head
+    // nodeId 10: sqrt = 3.16…, floor 3.0, ceil 4.0; sqrt(100) = 10.0
+    assert(row.getDouble(0) === 3.0 && row.getDouble(1) === 4.0 &&
+      row.getDouble(2) === 10.0)
+    // round-trip; round() itself is deliberately not offered
+    val q = Parser.parse(
+      """MATCH (a:Author) RETURN floor(sqrt(toFloat(a.nodeId))) AS f""")
+    assert(Parser.parse(q.render) === q)
+    intercept[Parser.ParseError](Parser.parse(
+      """MATCH (a:Author) RETURN round(a.nodeId) AS r"""))
+  }
+
   test("labels(n) types as an array: size/head compose") {
     val row = Planner.run(g,
       """MATCH (p:Paper {name: "P-alpha"})
