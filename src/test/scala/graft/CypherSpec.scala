@@ -2547,6 +2547,16 @@ class CypherSpec extends SparkSpec {
         |WITH properties(p) AS rec
         |RETURN rec""".stripMargin).collect().head.getStruct(0)
     assert(carried.getAs[String]("name") === "P-alpha")
+    // collect(n) aggregates whole entities — the retrieval record list
+    // shape: a canonically SORTED list of the structs (field-wise from
+    // the first sorted field, nulls first under sort_array — so P-beta's
+    // null abstract leads)
+    val bag = Planner.run(g,
+      """MATCH (a:Author {name: "Alice"})-[w:WRITES]-(p:Paper)
+        |RETURN a.name AS author, collect(p) AS papers""".stripMargin)
+      .collect().head
+    val papers = bag.getSeq[org.apache.spark.sql.Row](1)
+    assert(papers.map(_.getAs[String]("name")) === Seq("P-beta", "P-alpha"))
   }
 
   test("map projection n {.p1, .p2}: listed-order struct") {
