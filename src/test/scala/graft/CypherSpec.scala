@@ -1690,6 +1690,26 @@ class CypherSpec extends SparkSpec {
     assert(absent.getMessage.contains("absent from every row"))
   }
 
+  test("bulk MERGE: a 5000-row batch is one changelog merge") {
+    // the 100 TB contract made concrete: a 5000-key batch (mixed
+    // updates + inserts) runs through the SAME single-merge plan as one
+    // row — no per-row loop, no per-row jobs
+    val rows = (0 until 5000).map { i =>
+      Map[String, Any]("id" -> (1000L + i), "nm" -> s"N$i")
+    } ++ Seq(Map[String, Any]("id" -> 10L, "nm" -> "AliceB"))
+    val out = Planner.run(g,
+      """UNWIND $rows AS r MERGE (n:Author {nodeId: r.id})
+        |ON CREATE SET n.name = r.nm
+        |ON MATCH SET n.name = r.nm + "#u"""".stripMargin,
+      Map("rows" -> rows))
+    assert(out.count() === MicroGraph.nodeRows.length + 5000L)
+    assert(out.where("nodeId = 10").collect().head
+      .getAs[String]("name") === "AliceB#u")
+    assert(out.where("nodeId = 5999").collect().head
+      .getAs[String]("name") === "N4999")
+    assert(out.where(col("label") === "Author").count() === 5003L)
+  }
+
   test("bulk UNWIND CREATE and the FOREACH sugar") {
     val rows = Seq(
       Map[String, Any]("id" -> 70L, "nm" -> "N70"),
