@@ -998,6 +998,19 @@ object OracleSqls {
         |WHERE c.label = 'Customer' AND c.acctbal >= 0
         |ORDER BY name""".stripMargin),
 
+    // list quantifiers replay as bool_and / bool_or over the group
+    "cy_list_quant" -> withGraph(
+      """SELECT r.name AS region, CAST(count(*) AS BIGINT) AS n
+        |FROM nodes r
+        |JOIN bidir e ON r.nodeId = e.a AND e.relType = 'IN_REGION'
+        |JOIN nodes nn ON e.b = nn.nodeId AND nn.label = 'Nation'
+        |WHERE r.label = 'Region'
+        |GROUP BY 1
+        |HAVING bool_and(starts_with(nn.name, 'NATION_'))
+        |   AND (bool_or(ends_with(nn.name, '1'))
+        |        OR NOT (NOT bool_or(ends_with(nn.name, '3'))))
+        |ORDER BY region""".stripMargin),
+
     // COUNT subqueries replay as correlated scalar counts
     "cy_count_sub" -> withGraph(
       """SELECT r.name AS region,

@@ -1775,6 +1775,20 @@ object Queries {
       .groupBy(col("relType")).agg(count(lit(1)).as("n"))
   }
 
+  /** List quantifiers (round 14 continuation): `any`/`all`/`none`/
+    * `single(x IN xs WHERE …)` over collected lists — each ONE codegen'd
+    * higher-order function (exists/forall/filter), never a UDF or an
+    * explode. */
+  def cyListQuant(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """MATCH (r:Region)-[e:IN_REGION]-(n:Nation)
+        |WITH r.name AS region, collect(n.name) AS ns
+        |WHERE all(x IN ns WHERE x STARTS WITH "NATION_")
+        |  AND (any(x IN ns WHERE x ENDS WITH "1")
+        |       OR NOT none(x IN ns WHERE x ENDS WITH "3"))
+        |RETURN region, size(ns) AS n
+        |ORDER BY region""".stripMargin)
+
   /** `RETURN *` (round 14 continuation): every binding comes back —
     * bound node variables as whole-entity structs (name-sorted ahead of
     * the carried scalars), exactly the WITH * rule at the RETURN
@@ -3689,6 +3703,7 @@ object Queries {
     "cy_null_order" -> (cyNullOrder _),
     "cy_return_star" -> (cyReturnStar _),
     "cy_math_fns" -> (cyMathFns _),
+    "cy_list_quant" -> (cyListQuant _),
     "skew_salted_agg" -> (skewSaltedAgg _),
     "join_salted" -> (joinSalted _),
     "join_asof_exec" -> (joinAsofExec _),

@@ -40,6 +40,7 @@ package graft.cypher
   *              | expr (CONTAINS | STARTS WITH | ENDS WITH | '=~') expr
   *              | strFn-headed expr cmpop expr   -- size(n.name) > 5
   *              | [NOT] var ':' Label            -- label test
+  *              | (any | all | none | single) '(' var IN expr WHERE cond ')'
   *              | [NOT] EXISTS '{' path [WHERE pred (AND pred)*] '}'
   *              | [NOT] path                       -- Neo4j sugar for EXISTS
   *                 (EXISTS composes under OR/NOT too — the nested form
@@ -244,6 +245,14 @@ object Ast {
     * predicate on the node frame's label column. */
   final case class LabelPred(varName: String, label: String,
                              negated: Boolean) extends Pred
+  /** Cypher's list quantifiers `any/all/none/single(x IN xs WHERE cond)`
+    * — fn ∈ {"any", "all", "none", "single"}. Lowered to Spark's
+    * codegen'd higher-order functions (`exists` / `forall` /
+    * `!exists` / `size(filter) = 1`) — never a UDF, never an explode.
+    * Neo4j null semantics: a null list makes the quantifier null and the
+    * row drops. Composes under OR/NOT like any scalar predicate. */
+  final case class ListQuantPred(fn: String, varName: String, list: Expr,
+                                 cond: Cond) extends Pred
 
   sealed trait Expr
   final case class PropRef(varName: String, prop: String) extends Expr
@@ -632,6 +641,8 @@ object Ast {
     case StrPred(l, o, r) => s"${exprText(l)} $o ${exprText(r)}"
     case ExprCmp(l, o, r) => s"${exprText(l)} $o ${exprText(r)}"
     case LabelPred(v, l, neg) => s"${if (neg) "NOT " else ""}$v:$l"
+    case ListQuantPred(fn, v, l, c) =>
+      s"$fn($v IN ${exprText(l)} WHERE ${condText(c)})"
     // combinators render fully parenthesized so the flattened-AND
     // top level re-parses to the identical tree
     case OrPred(l, r)  => s"(${predText(l)} OR ${predText(r)})"

@@ -1265,7 +1265,22 @@ object Parser {
       ws()
       def rejectExists(): Unit = existsCtx.foreach(ctx =>
         fail(s"EXISTS { … } is not supported in $ctx WHERE"))
-      if (scalarFnNames.exists(peekCall) || peekBrace("count")) {
+      if (peekCall("any") || peekCall("all") || peekCall("none") ||
+          peekCall("single")) {
+        // list quantifiers any/all/none/single(x IN xs WHERE cond)
+        val fn = if (opt("any")) "any"
+                 else if (opt("all")) "all"
+                 else if (opt("none")) "none"
+                 else { expect("single"); "single" }
+        expect("(")
+        val v = ident(); expect("IN")
+        val l = noAggs(expression())
+        expect("WHERE")
+        val c = cond()
+        expect(")")
+        ListQuantPred(fn, v, l, c)
+      }
+      else if (scalarFnNames.exists(peekCall) || peekBrace("count")) {
         // function-headed left side: toLower(n.name) CONTAINS "x",
         // size(n.name) > 5, count { (n)--() } >= 3 — parse a full
         // expression, then the shared operator tail (BOTH sides
@@ -1284,6 +1299,10 @@ object Parser {
           IsNullPred(PropRef(v, p), negated = false)
         }
         else if (peek("EXISTS")) { rejectExists(); existsPred(negated = true) }
+        else if (peekCall("any") || peekCall("all") || peekCall("none") ||
+                 peekCall("single"))
+          // NOT quantifier — re-enter for the quantifier, wrap the tree
+          NotPred(pred(existsCtx))
         else {
           val v = ident()
           ws()

@@ -1664,6 +1664,7 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     case IsNullPred(ref, _) => walkExpr(ref)
     case InList(ref, _, _)  => walkExpr(ref)
     case InCarried(ref, _, _) => walkExpr(ref)
+    case ListQuantPred(_, _, l, c) => walkExpr(l) ++ walkCond(c)
     case OrPred(l, r)       => walkPred(l) ++ walkPred(r)
     case AndPred(l, r)      => walkPred(l) ++ walkPred(r)
     case NotPred(x)         => walkPred(x)
@@ -2059,6 +2060,21 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       val c = if (label == "_Entity_") lit(true)
               else propCol(v, "label") === lit(label)
       if (neg) !c else c
+    case ListQuantPred(fn, v, l, c) =>
+      // any/all/none/single → Spark's codegen'd exists/forall/filter
+      // higher-order functions; a null list nulls the quantifier and the
+      // row drops, like Neo4j
+      val arr = exprCol(l, schema)
+      val et = elemType(l, schema)
+      val lam: Column => Column =
+        x => withLambda(Seq((v, x, et)))(condCol(c, schema))
+      fn match {
+        case "any"    => exists(arr, lam)
+        case "all"    => forall(arr, lam)
+        case "none"   => !exists(arr, lam)
+        case "single" => size(filter(arr, lam)) === lit(1)
+        case o => throw new IllegalArgumentException(s"unknown quantifier $o")
+      }
     case ExprCmp(l, op, r) =>
       val lc = exprCol(l, schema); val rc = exprCol(r, schema)
       op match {

@@ -320,7 +320,16 @@ object CypherProps extends Properties("cypher") {
       InCarried(ColRef("x1"), "ids", negated = true),
       ExprCmp(PropRef("x1", "nodeId"), "<", PropRef("x2", "nodeId")),
       ExprCmp(BinOp("%", PropRef("x1", "nodeId"), LongLitE(2L)), "=",
-        LongLitE(0L))))
+        LongLitE(0L)),
+      // round 14: list quantifiers (incl. NOT composition)
+      ListQuantPred("any", "t", KeysOf("x1"),
+        StrCond(ColRef("t"), "CONTAINS", StrLitE("a"))),
+      ListQuantPred("all", "t", LabelsOf("x1"),
+        CmpCond(ScalarFn("size", Seq(ColRef("t"))), ">", LongLitE(2L))),
+      NotPred(ListQuantPred("none", "t", KeysOf("x2"),
+        StrCond(ColRef("t"), "STARTS WITH", StrLitE("n")))),
+      ListQuantPred("single", "t", LabelsOf("x2"),
+        CmpCond(ColRef("t"), "=", StrLitE("_Entity_")))))
     strPreds <- Gen.frequency((2, Gen.const(Seq.empty[Pred])),
       (1, strPredGen.map(Seq(_))), (1, exprCmpGen.map(Seq(_))))
     exPreds <- Gen.frequency((2, Gen.const(Nil)),

@@ -2670,6 +2670,32 @@ class CypherSpec extends SparkSpec {
     assert(bare.star && bare.items.isEmpty && Parser.parse(bare.render) === bare)
   }
 
+  test("list quantifiers any/all/none/single over collected lists") {
+    // per-author paper-name lists: Alice [P-alpha, P-beta],
+    // Bob [P-alpha], Carol [P-gamma]
+    def quant(p: String): Seq[String] = Planner.run(g,
+      s"""MATCH (a:Author)-[w:WRITES]-(x:Paper)
+         |WITH a.name AS author, collect(x.name) AS ps
+         |WHERE $p
+         |RETURN author ORDER BY author""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(quant("""any(t IN ps WHERE t ENDS WITH "beta")""") === Seq("Alice"))
+    assert(quant("""all(t IN ps WHERE t STARTS WITH "P-")""") ===
+      Seq("Alice", "Bob", "Carol"))
+    assert(quant("""none(t IN ps WHERE t CONTAINS "alpha")""") === Seq("Carol"))
+    // exactly one 'a'-containing name each; Alice has two (alpha, beta)
+    assert(quant("""single(t IN ps WHERE t CONTAINS "a")""") ===
+      Seq("Bob", "Carol"))
+    // composes under OR/NOT like any scalar predicate
+    assert(quant(
+      """NOT (any(t IN ps WHERE t = "P-beta") OR any(t IN ps WHERE t = "P-gamma"))""")
+      === Seq("Bob"))
+    // render∘parse identity
+    val q = Parser.parse(
+      """MATCH (a:Author)-[w:WRITES]-(x:Paper) WITH a.name AS author, collect(x.name) AS ps WHERE any(t IN ps WHERE t CONTAINS "a") RETURN author""")
+    assert(Parser.parse(q.render) === q)
+  }
+
   test("floor/ceil/sqrt: IEEE-exact math scalars") {
     val row = Planner.run(g,
       """MATCH (a:Author {name: "Alice"})
