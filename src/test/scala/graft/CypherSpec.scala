@@ -1792,6 +1792,35 @@ class CypherSpec extends SparkSpec {
     assert(bad.getMessage.contains("2-integer pair"))
   }
 
+  test("bulk rel MERGE: a 10000-pair batch is one frame") {
+    // grow the graph with 200 authors + 50 papers, then wire 10000
+    // (author, paper) pairs in ONE statement — same plan as one pair
+    val spark2 = g.nodes.sparkSession
+    import spark2.implicits._
+    val extraAuthors = (0 until 200).map(i =>
+      (2000L + i, "Author", s"A$i", None: Option[String]))
+    val extraPapers = (0 until 50).map(i =>
+      (3000L + i, "Paper", s"PP$i", None: Option[String]))
+    import org.apache.spark.sql.functions.{array, lit}
+    val nodes2 = (MicroGraph.nodeRows ++ extraAuthors ++ extraPapers)
+      .toDF("nodeId", "label", "name", "abstract")
+      .withColumn("labels", array(col("label"), lit("_Entity_")))
+      .withColumn("nameEmbedding", lit(null).cast("array<double>"))
+    val g2 = graft.graph.PropertyGraph(nodes2, g.rels)
+    val pairs = (0 until 10000).map(i =>
+      Seq(2000L + i % 200, 3000L + i % 50))
+    // 10000 pairs but only lcm-bounded DISTINCT (a,b) combos: i%200 and
+    // i%50 repeat together every 200 → 200 distinct pairs
+    val out = Planner.run(g2,
+      """UNWIND $pairs AS pr
+        |MATCH (src:Author {nodeId: pr[0]})
+        |MATCH (tgt:Paper {nodeId: pr[1]})
+        |MERGE (src)-[:WROTE]->(tgt)""".stripMargin,
+      Map("pairs" -> pairs))
+    assert(out.where(col("relType") === "WROTE").count() === 200L)
+    assert(out.count() === g.rels.count() + 200L)
+  }
+
   test("DETACH DELETE removes the node and every incident relationship") {
     val pg = Planner.runDelete(g,
       """MATCH (a:Author {name: "Alice"}) DETACH DELETE a""")

@@ -64,6 +64,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(agg.collect().map(_.getLong(1)).toSeq === Seq(3L, 3L, 3L))
   }
 
+  test("bulk rel upsert broadcasts the pair batch into the semi-joins") {
+    // the 100 TB contract: the driver-resident pair list ships to the
+    // node/edge scans; a SortMergeJoin would shuffle the 100 TB tables
+    // on the batch's account
+    val plan = SparkEntry.queries("cy_unwind_rel")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "pair batch must broadcast")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("cy_pattern_comp plans grouped collects, not per-row subqueries") {
     // each comprehension = one grouped aggregation LEFT-joined back; the
     // plan must contain collect_list aggregates and no cartesian
