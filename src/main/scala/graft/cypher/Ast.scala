@@ -454,6 +454,10 @@ object Ast {
     * the [[StrPred]] operators available inside CASE WHEN and
     * `[x IN xs WHERE …]`. */
   final case class StrCond(l: Expr, op: String, r: Expr) extends Cond
+  /** A list quantifier in CONDITION position — `CASE WHEN any(x IN xs
+    * WHERE …) THEN …`; same lowering as [[ListQuantPred]]. */
+  final case class QuantCond(fn: String, varName: String, list: Expr,
+                             cond: Cond) extends Cond
 
   final case class RetItem(expr: Expr, alias: Option[String]) {
     /** Output column name: explicit alias, else Cypher's expression text. */
@@ -561,6 +565,8 @@ object Ast {
     case CmpCond(l, op, r) => s"${exprText(l)} $op ${exprText(r)}"
     case NullCond(e, neg)  => s"${exprText(e)} IS ${if (neg) "NOT " else ""}NULL"
     case StrCond(l, op, r) => s"${exprText(l)} $op ${exprText(r)}"
+    case QuantCond(fn, v, l, cc) =>
+      s"$fn($v IN ${exprText(l)} WHERE ${condText(cc)})"
   }
 
   // ---- shared canonical-text renderers (CypherQuery / DeleteQuery) ----

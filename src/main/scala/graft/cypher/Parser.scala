@@ -1468,8 +1468,23 @@ object Parser {
       else l
     }
 
-    /** `cond := expr (IS [NOT] NULL | <cmpop> expr)` — CASE WHEN guards. */
+    /** `cond := quantifier | expr (IS [NOT] NULL | <cmpop> expr)` —
+      * CASE WHEN / comprehension-WHERE guards. */
     private def cond(): Cond = {
+      if (peekCall("any") || peekCall("all") || peekCall("none") ||
+          peekCall("single")) {
+        val fn = if (opt("any")) "any"
+                 else if (opt("all")) "all"
+                 else if (opt("none")) "none"
+                 else { expect("single"); "single" }
+        expect("(")
+        val v = ident(); expect("IN")
+        val l = noAggs(expression())
+        expect("WHERE")
+        val c = cond()
+        expect(")")
+        return QuantCond(fn, v, l, c)
+      }
       val l = expression()
       ws()
       if (peek("IS")) {
@@ -2016,6 +2031,7 @@ object Parser {
         case CmpCond(l, _, r) => below(l) || below(r)
         case NullCond(x, _)   => below(x)
         case StrCond(l, _, r) => below(l) || below(r)
+        case QuantCond(_, _, l, cc) => below(l) || condHasAgg(cc)
       }
       nested(e)
     }

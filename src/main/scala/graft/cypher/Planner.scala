@@ -1653,6 +1653,7 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     case CmpCond(l, _, r) => walkExpr(l) ++ walkExpr(r)
     case NullCond(x, _)   => walkExpr(x)
     case StrCond(l, _, r) => walkExpr(l) ++ walkExpr(r)
+    case QuantCond(_, _, l, cc) => walkExpr(l) ++ walkCond(cc)
   }
 
   /** Scalar expressions inside a predicate tree. Does NOT descend into
@@ -2317,6 +2318,20 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       if (neg) exprCol(e, schema).isNotNull else exprCol(e, schema).isNull
     case StrCond(l, op, r) =>
       strPredCol(exprCol(l, schema), op, exprCol(r, schema))
+    case QuantCond(fn, v, l, cc) =>
+      // a quantifier in CASE WHEN / comprehension WHERE — the same
+      // higher-order lowering as the predicate form
+      val arr = exprCol(l, schema)
+      val et = elemType(l, schema)
+      val lam: Column => Column =
+        x => withLambda(Seq((v, x, et)))(condCol(cc, schema))
+      fn match {
+        case "any"    => exists(arr, lam)
+        case "all"    => forall(arr, lam)
+        case "none"   => !exists(arr, lam)
+        case "single" => size(filter(arr, lam)) === lit(1)
+        case o => throw new IllegalArgumentException(s"unknown quantifier $o")
+      }
     case CmpCond(l, op, r) =>
       val lc = exprCol(l, schema); val rc = exprCol(r, schema)
       op match {

@@ -2723,6 +2723,19 @@ class CypherSpec extends SparkSpec {
     val q = Parser.parse(
       """MATCH (a:Author)-[w:WRITES]-(x:Paper) WITH a.name AS author, collect(x.name) AS ps WHERE any(t IN ps WHERE t CONTAINS "a") RETURN author""")
     assert(Parser.parse(q.render) === q)
+    // quantifiers also work in CONDITION position (CASE WHEN)
+    val cased = Planner.run(g,
+      """MATCH (a:Author)-[w:WRITES]-(x:Paper)
+        |WITH a.name AS author, collect(x.name) AS ps
+        |RETURN author,
+        |       CASE WHEN any(t IN ps WHERE t ENDS WITH "beta")
+        |            THEN 1 ELSE 0 END AS has_beta
+        |ORDER BY author""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(cased.toSeq === Seq(("Alice", 1L), ("Bob", 0L), ("Carol", 0L)))
+    val q2 = Parser.parse(
+      """MATCH (a:Author)-[w:WRITES]-(x:Paper) WITH a.name AS author, collect(x.name) AS ps RETURN author, CASE WHEN all(t IN ps WHERE t STARTS WITH "P") THEN 1 ELSE 0 END AS f""")
+    assert(Parser.parse(q2.render) === q2)
   }
 
   test("floor/ceil/sqrt: IEEE-exact math scalars") {
