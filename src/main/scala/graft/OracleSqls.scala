@@ -973,11 +973,14 @@ object OracleSqls {
         |ORDER BY nation DESC NULLS FIRST, region
         |LIMIT 4""".stripMargin),
 
-    // RETURN * = the carried node's whole-entity struct + the scalar
+    // RETURN * = the carried node's whole-entity struct + the scalar;
+    // the struct ships as canonical JSON text on BOTH engines (Spark
+    // to_json / DuckDB to_json(struct_pack) — same compact bytes, null
+    // fields kept), because the driver's checker cannot sort dict cells
     "cy_return_star" -> withGraph(
-      """SELECT struct_pack(name := c.name,
+      """SELECT CAST(to_json(struct_pack(name := c.name,
         |         "nameEmbedding" := CAST(NULL AS DOUBLE[]),
-        |         "nodeId" := c.nodeId) AS c,
+        |         "nodeId" := c.nodeId)) AS VARCHAR) AS c,
         |  c.name AS nm
         |FROM nodes c
         |JOIN bidir e ON c.nodeId = e.a AND e.relType = 'FROM_NATION'
@@ -1224,16 +1227,19 @@ object OracleSqls {
     // whole-entity projection: RETURN c / properties(c) are the SAME
     // name-sorted struct (label metadata excluded, absent properties =
     // null fields — customers carry no nameEmbedding); the map
-    // projection keeps the LISTED field order
+    // projection keeps the LISTED field order. All three ship as
+    // canonical JSON text (to_json both engines — the driver's checker
+    // cannot sort dict cells, CORRECTNESS_r14)
     "cy_return_node" -> withGraph(
       """SELECT c.name AS name,
-        |  struct_pack(name := c.name,
+        |  CAST(to_json(struct_pack(name := c.name,
         |              "nameEmbedding" := CAST(NULL AS DOUBLE[]),
-        |              "nodeId" := c.nodeId) AS cust,
-        |  struct_pack(name := c.name,
+        |              "nodeId" := c.nodeId)) AS VARCHAR) AS cust,
+        |  CAST(to_json(struct_pack(name := c.name,
         |              "nameEmbedding" := CAST(NULL AS DOUBLE[]),
-        |              "nodeId" := c.nodeId) AS props,
-        |  struct_pack(name := c.name, "nodeId" := c.nodeId) AS slim
+        |              "nodeId" := c.nodeId)) AS VARCHAR) AS props,
+        |  CAST(to_json(struct_pack(name := c.name,
+        |              "nodeId" := c.nodeId)) AS VARCHAR) AS slim
         |FROM nodes c
         |JOIN bidir e ON c.nodeId = e.a AND e.relType = 'FROM_NATION'
         |JOIN nodes n ON e.b = n.nodeId AND n.label = 'Nation'

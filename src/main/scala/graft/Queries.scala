@@ -20,6 +20,27 @@ object Queries {
     TpchGraph(spark, dir)
   }
 
+  /** Driver hash surface for entity-shaped results: serialize every
+    * STRUCT/MAP output column to its canonical compact JSON text (null
+    * fields KEPT — the struct is already name-sorted at the planner, so
+    * the bytes are deterministic). The driver's checker sorts rows
+    * across ALL columns with pandas before hashing, and a dict-valued
+    * cell is unhashable there (CORRECTNESS_r14: cy_return_node /
+    * cy_return_star err) — JSON text sorts fine and the DuckDB oracle
+    * replays the SAME bytes via to_json(struct_pack(...)). A NULL
+    * entity (unmatched OPTIONAL) serializes to SQL NULL on both
+    * engines. Struct semantics stay in the planner and its specs; only
+    * the catalog hash surface is text. */
+  private def jsonSurface(df: DataFrame): DataFrame =
+    df.select(df.schema.fields.map { f =>
+      f.dataType match {
+        case _: org.apache.spark.sql.types.StructType |
+             _: org.apache.spark.sql.types.MapType =>
+          to_json(col(f.name), Map("ignoreNullFields" -> "false")).as(f.name)
+        case _ => col(f.name)
+      }
+    }.toIndexedSeq: _*)
+
   // ---- TPC-H-style relational baselines (S5, P1, A-family, T1/T2) ----
 
   /** Pricing-summary scan+agg: map-side partial aggregation, no join. */
@@ -1792,12 +1813,14 @@ object Queries {
   /** `RETURN *` (round 14 continuation): every binding comes back —
     * bound node variables as whole-entity structs (name-sorted ahead of
     * the carried scalars), exactly the WITH * rule at the RETURN
-    * position. */
+    * position. The entry's struct column ships as canonical JSON text
+    * ([[jsonSurface]] — VERDICT r14 #1: the raw struct crashed the
+    * driver's pandas row sort). */
   def cyReturnStar(spark: SparkSession, dir: String): DataFrame =
-    graft.cypher.Planner.run(graph(spark, dir),
+    jsonSurface(graft.cypher.Planner.run(graph(spark, dir),
       """MATCH (n:Nation {name: "NATION_3"})-[e:FROM_NATION]-(c:Customer)
         |WITH c, c.name AS nm
-        |RETURN * ORDER BY nm LIMIT 5""".stripMargin)
+        |RETURN * ORDER BY nm LIMIT 5""".stripMargin))
 
   /** floor/ceil/sqrt (round 14 continuation): the IEEE-exactly-rounded
     * math scalars (engine-portable, unlike ln/exp — and unlike round(),
@@ -1846,13 +1869,15 @@ object Queries {
     * shape (retrieval/retriever.py:79-86). Whole-node structs are
     * name-sorted with label metadata excluded; an absent property is a
     * null field (the union-of-keys representation of absence). The
-    * oracle replays all three as DuckDB struct_pack. */
+    * entry ships each struct as canonical JSON text ([[jsonSurface]] —
+    * VERDICT r14 #1); the oracle replays all three as DuckDB
+    * to_json(struct_pack(...)). */
   def cyReturnNode(spark: SparkSession, dir: String): DataFrame =
-    graft.cypher.Planner.run(graph(spark, dir),
+    jsonSurface(graft.cypher.Planner.run(graph(spark, dir),
       """MATCH (n:Nation {name: "NATION_3"})-[e:FROM_NATION]-(c:Customer)
         |RETURN c.name AS name, c AS cust, properties(c) AS props,
         |       c {.name, .nodeId} AS slim
-        |ORDER BY name""".stripMargin)
+        |ORDER BY name""".stripMargin))
 
   /** Degree sugar (VERDICT r12 #5): `count { (n)-[:T]-(:L) }` in RETURN
     * and WHERE plus the legacy `size((n)-[]-())` spelling — four distinct

@@ -30,6 +30,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
   }
 
+  test("no catalog entry ships a struct/map hash surface (driver checker)") {
+    // The driver's checker materializes every entry to pandas and calls
+    // sort_values across ALL columns before hashing — a dict-valued cell
+    // is unhashable there and errs the gate row (CORRECTNESS_r14:
+    // cy_return_node/cy_return_star). Entity-shaped results must
+    // serialize to canonical JSON text (Queries.jsonSurface / DuckDB
+    // to_json) — structs and maps may exist INSIDE plans and specs, never
+    // on a catalog entry's output schema, at any nesting depth.
+    import org.apache.spark.sql.types._
+    def unhashable(dt: DataType): Boolean = dt match {
+      case _: StructType | _: MapType => true
+      case ArrayType(et, _)           => unhashable(et)
+      case _                          => false
+    }
+    val offenders = auditable.flatMap { case (name, fn) =>
+      val bad = fn(spark, dir).schema.fields
+        .filter(f => unhashable(f.dataType)).map(_.name)
+      if (bad.nonEmpty) Some(s"$name(${bad.mkString(",")})") else None
+    }
+    assert(offenders.isEmpty,
+      s"struct/map output columns (driver-unhashable) in: " +
+        s"${offenders.mkString(", ")}")
+  }
+
   test("cy_call_topk plans ONE window, never a per-row re-execution") {
     // the 100 TB contract for CALL { … LIMIT k }: one row_number window
     // partitioned by the import key over the single pattern enumeration

@@ -24,6 +24,24 @@ def norm_cell(v):
         return tuple(norm_cell(x) for x in v)
     return v
 
+def find_dict_cols(df):
+    """Columns holding dict cells at any nesting depth. The DRIVER's
+    checker sorts rows across all columns with pandas sort_values before
+    hashing; a dict cell crashes it (TypeError: unhashable type: 'dict' —
+    CORRECTNESS_r14 cy_return_node/cy_return_star). This replica must
+    predict that, not normalize past it."""
+    import numpy as np
+    def has_dict(v):
+        if isinstance(v, dict):
+            return True
+        if isinstance(v, np.ndarray):
+            return any(has_dict(x) for x in v.tolist())
+        if isinstance(v, (list, tuple)):
+            return any(has_dict(x) for x in v)
+        return False
+    return [c for c in df.columns
+            if df[c].dtype.kind == "O" and any(has_dict(v) for v in df[c])]
+
 def cells_equal(a, b):
     a, b = norm_cell(a), norm_cell(b)
     if isinstance(a, float) and isinstance(b, (float, int)):
@@ -68,6 +86,16 @@ def main(sf_dir, out_dir):
             continue
         sdf = con.execute(
             f"SELECT * FROM '{spark_dir}/*.parquet'").fetchdf()
+        dict_cols = [(side, cols) for side, df in
+                     (("oracle", odf), ("spark", sdf))
+                     for cols in (find_dict_cols(df),) if cols]
+        if dict_cols:
+            print(f"FAIL {name}: dict-valued cells in "
+                  f"{dict_cols} — the driver's checker crashes on these "
+                  f"(pandas sort_values: unhashable type 'dict'); "
+                  f"serialize structs to JSON text on both engines")
+            n_fail += 1
+            continue
         mismatch = [c for c in odf.columns if c in sdf.columns
                     and odf[c].dtype.kind in "if" and sdf[c].dtype.kind in "if"
                     and odf[c].dtype.kind != sdf[c].dtype.kind]
