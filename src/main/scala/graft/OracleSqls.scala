@@ -1247,6 +1247,25 @@ object OracleSqls {
         |WHERE c.label = 'Customer'
         |ORDER BY name""".stripMargin),
 
+    // relationship whole-entity projection: RETURN r / properties(r)
+    // are the SAME name-sorted identity triple {dst, relType, src}
+    // (stored orientation — FROM_NATION edges store Customer→Nation),
+    // shipped as canonical JSON text like every entity entry
+    "cy_return_rel" -> withGraph(
+      """SELECT c.name AS name,
+        |  CAST(to_json(struct_pack(dst := e.dst,
+        |              "relType" := e.relType,
+        |              src := e.src)) AS VARCHAR) AS rel,
+        |  CAST(to_json(struct_pack(dst := e.dst,
+        |              "relType" := e.relType,
+        |              src := e.src)) AS VARCHAR) AS props
+        |FROM nodes c
+        |JOIN bidir e ON c.nodeId = e.a AND e.relType = 'FROM_NATION'
+        |JOIN nodes n ON e.b = n.nodeId AND n.label = 'Nation'
+        |  AND n.name = 'NATION_3'
+        |WHERE c.label = 'Customer'
+        |ORDER BY name""".stripMargin),
+
     // nodes(p)/relationships(p) over *1..2 from ASIA: 1-hop walks plus
     // trail-filtered 2-hop walks, lists flattened to the shared string
     // surface

@@ -1879,6 +1879,20 @@ object Queries {
         |       c {.name, .nodeId} AS slim
         |ORDER BY name""".stripMargin))
 
+  /** Relationship whole-entity projection (round 15 — VERDICT r14 #4):
+    * `RETURN r` and `properties(r)` as the identity triple
+    * {dst, relType, src} (name-sorted struct — the data model stores no
+    * relationship properties, stark_neo4j_loading.py:50-53, so the
+    * identity IS the observable record; stored orientation, not
+    * traversal order, like Neo4j's fixed start/end under an undirected
+    * match). Ships as canonical JSON text like every entity entry
+    * ([[jsonSurface]]). */
+  def cyReturnRel(spark: SparkSession, dir: String): DataFrame =
+    jsonSurface(graft.cypher.Planner.run(graph(spark, dir),
+      """MATCH (n:Nation {name: "NATION_3"})-[r:FROM_NATION]-(c:Customer)
+        |RETURN c.name AS name, r AS rel, properties(r) AS props
+        |ORDER BY name""".stripMargin))
+
   /** Degree sugar (VERDICT r12 #5): `count { (n)-[:T]-(:L) }` in RETURN
     * and WHERE plus the legacy `size((n)-[]-())` spelling — four distinct
     * degree shapes, each ONE grouped count over the edge view left-joined
@@ -3718,6 +3732,7 @@ object Queries {
     "cy_create_nodes" -> (cyCreateNodes _),
     "cy_rel_merge" -> (cyRelMerge _),
     "cy_return_node" -> (cyReturnNode _),
+    "cy_return_rel" -> (cyReturnRel _),
     "cy_merge_param" -> (cyMergeParam _),
     "cy_unwind_create" -> (cyUnwindCreate _),
     "cy_foreach" -> (cyForeach _),

@@ -334,6 +334,12 @@ object Ast {
                             dir: Int, farLabel: Option[String]) extends Expr
   /** Integer literal inside an expression (`x.qty * 2`). */
   final case class LongLitE(v: Long) extends Expr
+  /** Double literal inside an expression — constructed by the PLANNER
+    * when a map-parameter entry carries a fractional value
+    * (`SET n += $props` with e.g. acctbal -> 99.9, advisor r14: the
+    * Number->longValue arm silently truncated it); the surface grammar
+    * itself has no float-literal spelling. */
+  final case class DblLitE(v: Double) extends Expr
   /** String literal inside an expression (CASE branches, coalesce
     * defaults). */
   final case class StrLitE(v: String) extends Expr
@@ -360,7 +366,13 @@ object Ast {
     * whole-entity projection `RETURN v` plans to the SAME struct (a
     * node's columnar form IS its property bag; identity is the nodeId
     * field) — the reference's retrieved-record shape,
-    * retrieval/retriever.py:79-86. Node variables only. */
+    * retrieval/retriever.py:79-86. A BOUND relationship variable
+    * projects its identity triple {dst, relType, src} (name-sorted):
+    * the data model stores no relationship properties
+    * (stark_neo4j_loading.py:50-53), so the identity IS the observable
+    * record — stored orientation, like Neo4j's fixed start/end under an
+    * undirected match. OPTIONAL relationships carry only their relType
+    * and are rejected with a targeted message. */
   final case class PropsOf(varName: String) extends Expr
   /** Map projection `v {.p1, .p2}` — the chosen properties as a struct
     * in the LISTED field order (Neo4j's `node {.name, .details}`,
@@ -503,6 +515,7 @@ object Ast {
         }
         s"count { ($v)$hop }"
       case LongLitE(v)                => v.toString
+      case DblLitE(v)                 => v.toString
       case StrLitE(v)                 =>
         "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
       case NullLitE                   => "null"

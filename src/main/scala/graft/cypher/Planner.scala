@@ -259,9 +259,15 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       params.get(pm) match {
         case Some(m: Map[_, _]) => m.toSeq.map {
           case (k: String, s: String) => k -> (StrLitE(s): Expr)
+          // fractional values keep their doubles — the catch-all Number
+          // arm would silently truncate them via longValue (advisor r14)
+          case (k: String, d: java.lang.Double) =>
+            k -> (DblLitE(d.doubleValue()): Expr)
+          case (k: String, f: java.lang.Float) =>
+            k -> (DblLitE(f.doubleValue()): Expr)
           case (k: String, n: Number) => k -> (LongLitE(n.longValue()): Expr)
           case (k, other) => throw new IllegalArgumentException(
-            s"map parameter $$$pm entry $k must be a string or integer, " +
+            s"map parameter $$$pm entry $k must be a string or number, " +
               s"got $other")
         }.sortBy(_._1)
         case Some(other) => throw new IllegalArgumentException(
@@ -540,12 +546,15 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     val rows: Seq[Map[String, Any]] =
       params.getOrElse(bq.param, throw new IllegalArgumentException(
         s"missing parameter $$${bq.param}")) match {
-        case s: Seq[_] if s.nonEmpty && s.forall(_.isInstanceOf[Map[_, _]]) =>
+        case s: Seq[_] if s.forall(_.isInstanceOf[Map[_, _]]) =>
           s.map(_.asInstanceOf[Map[String, Any]])
         case other => throw new IllegalArgumentException(
-          s"parameter $$${bq.param} must be a non-empty list of maps, " +
-            s"got $other")
+          s"parameter $$${bq.param} must be a list of maps, got $other")
       }
+    // UNWIND over an empty list is a zero-row no-op, like Neo4j — a
+    // loader that slices batches and hits an empty final batch must not
+    // crash (advisor r14)
+    if (rows.isEmpty) return g.nodes
     val keys = rows.map(_.getOrElse(bq.keyField,
       throw new IllegalArgumentException(
         s"every row of $$${bq.param} needs the key field ${bq.keyField}")))
@@ -677,11 +686,13 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     val rawPairs = params.getOrElse(bq.param,
       throw new IllegalArgumentException(
         s"missing parameter $$${bq.param}")) match {
-      case s: Seq[_] if s.nonEmpty => s
+      case s: Seq[_] => s
       case other => throw new IllegalArgumentException(
-        s"parameter $$${bq.param} must be a non-empty list of " +
+        s"parameter $$${bq.param} must be a list of " +
           s"[srcId, dstId] pairs, got $other")
     }
+    // empty batch → zero-row no-op, like Neo4j's UNWIND (advisor r14)
+    if (rawPairs.isEmpty) return g.rels
     val pairRows = rawPairs.map {
       case p: Seq[_] if p.length == 2 &&
           p.forall(_.isInstanceOf[Number]) =>
@@ -753,8 +764,11 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       schema: org.apache.spark.sql.types.StructType): Unit =
     staticType(e, schema).foreach { dt =>
       import org.apache.spark.sql.types._
-      val lossy = dt == StringType &&
-        (target.isInstanceOf[NumericType] || target == BooleanType)
+      val lossy = (dt == StringType &&
+        (target.isInstanceOf[NumericType] || target == BooleanType)) ||
+        // a fractional value must not silently truncate into an
+        // integral column (advisor r14: += {acctbal: 99.9} became 99)
+        (dt == DoubleType && isIntegralType(target))
       require(!lossy, s"SET $prop: a ${dt.simpleString} value cannot be " +
         s"stored in a ${target.simpleString} column")
     }
@@ -2063,19 +2077,12 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       if (neg) !c else c
     case ListQuantPred(fn, v, l, c) =>
       // any/all/none/single → Spark's codegen'd exists/forall/filter
-      // higher-order functions; a null list nulls the quantifier and the
-      // row drops, like Neo4j
+      // higher-order functions via [[quantCol]]; a null list nulls the
+      // quantifier and the row drops, like Neo4j
       val arr = exprCol(l, schema)
       val et = elemType(l, schema)
-      val lam: Column => Column =
-        x => withLambda(Seq((v, x, et)))(condCol(c, schema))
-      fn match {
-        case "any"    => exists(arr, lam)
-        case "all"    => forall(arr, lam)
-        case "none"   => !exists(arr, lam)
-        case "single" => size(filter(arr, lam)) === lit(1)
-        case o => throw new IllegalArgumentException(s"unknown quantifier $o")
-      }
+      quantCol(fn, arr,
+        x => withLambda(Seq((v, x, et)))(condCol(c, schema)))
     case ExprCmp(l, op, r) =>
       val lc = exprCol(l, schema); val rc = exprCol(r, schema)
       op match {
@@ -2152,24 +2159,35 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
 
   private def rejectRelEntity(v: String): Unit =
     require(!stageRelVars.contains(v) && !optRelVars.contains(v),
-      s"whole-entity projection of relationship variable $v is outside " +
-        "the dialect — project type($v) instead")
+      s"dynamic/map projection of relationship variable $v is outside " +
+        s"the dialect — project $v, properties($v), or type($v) instead")
 
   /** The name-sorted property fields of a whole-entity / `properties()`
     * struct: every union-of-keys column except the label metadata
-    * (nodeId IS a property — the S2 key), same exclusion as `keys()`. */
+    * (nodeId IS a property — the S2 key), same exclusion as `keys()`.
+    * For a relationship variable this is the identity triple
+    * {dst, relType, src} — the data model stores no relationship
+    * properties (stark_neo4j_loading.py:50-53), so the observable
+    * record IS the identity (stored orientation, not traversal order,
+    * like Neo4j's fixed start/end under an undirected match). */
   private def nodeStructFields(v: String): Seq[String] =
     varSchema(v).fields.map(_.name)
       .filterNot(n => n == "label" || n == "labels").sorted.toSeq
 
   /** `RETURN v` / `properties(v)` as ONE canonical struct column — a
-    * plain projection over the node's already-joined frame (no extra
+    * plain projection over the entity's already-joined frame (no extra
     * plan nodes, no shuffle); absent properties are null fields, the
     * union-of-keys representation of absence. An UNMATCHED optional
-    * variable yields NULL (not a struct of nulls), like Neo4j — keyed
-    * off the nodeId field, which a bound node always carries. */
+    * node variable yields NULL (not a struct of nulls), like Neo4j —
+    * keyed off the nodeId field, which a bound node always carries.
+    * Relationship variables project their identity triple (see
+    * [[nodeStructFields]]); an OPTIONAL relationship carries only its
+    * relType through the null-extending join, so its whole-entity form
+    * is rejected with a targeted message. */
   private def nodeStruct(v: String): Column = {
-    rejectRelEntity(v)
+    require(!optRelVars.contains(v),
+      s"whole-entity projection of OPTIONAL relationship $v is outside " +
+        s"the dialect — project type($v) instead")
     val s = struct(nodeStructFields(v).map(f => propCol(v, f).as(f)): _*)
     if (optNodeVars.contains(v))
       when(propCol(v, "nodeId").isNotNull, s)
@@ -2186,6 +2204,7 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     case ColRef(n)     => schema.fields.find(_.name == n).map(_.dataType)
     case StrLitE(_)    => Some(org.apache.spark.sql.types.StringType)
     case LongLitE(_)   => Some(org.apache.spark.sql.types.LongType)
+    case DblLitE(_)    => Some(org.apache.spark.sql.types.DoubleType)
     case ParamE(nm) => params.get(nm).map {
       case _: String => org.apache.spark.sql.types.StringType
       case _: java.lang.Boolean => org.apache.spark.sql.types.BooleanType
@@ -2298,6 +2317,32 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     case _ => false
   }
 
+  /** The list-quantifier family shared by [[ListQuantPred]] (predicate
+    * position) and [[QuantCond]] (CASE WHEN / comprehension WHERE).
+    * any/all/none lower to Spark's exists/forall, which are already
+    * null-aware three-valued (no definite witness + a null evaluation →
+    * null). single() needs its openCypher truth table spelled out
+    * (advisor r14): with t = true evaluations and u = null evaluations,
+    * single = false when t ≥ 2 (decided regardless of unknowns), null
+    * when the list is null or u > 0 (an unknown could flip a 0- or
+    * 1-true verdict), else t = 1 — Spark's bare size∘filter would drop
+    * null evaluations and turn size(null) into -1, yielding true/false
+    * where Neo4j yields null. */
+  private def quantCol(fn: String, arr: Column,
+      lam: Column => Column): Column = fn match {
+    case "any"  => exists(arr, lam)
+    case "all"  => forall(arr, lam)
+    case "none" => !exists(arr, lam)
+    case "single" =>
+      val trues = size(filter(arr, lam))
+      val nulls = size(filter(arr, x => lam(x).isNull))
+      when(arr.isNull, lit(null).cast("boolean"))
+        .when(trues >= 2, lit(false))
+        .when(nulls > 0, lit(null).cast("boolean"))
+        .otherwise(trues === lit(1))
+    case o => throw new IllegalArgumentException(s"unknown quantifier $o")
+  }
+
   /** The string-operator family shared by [[StrPred]] (predicate
     * position) and [[StrCond]] (CASE WHEN / comprehension WHERE). */
   private def strPredCol(lc: Column, op: String, rc: Column): Column =
@@ -2320,18 +2365,11 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       strPredCol(exprCol(l, schema), op, exprCol(r, schema))
     case QuantCond(fn, v, l, cc) =>
       // a quantifier in CASE WHEN / comprehension WHERE — the same
-      // higher-order lowering as the predicate form
+      // higher-order lowering as the predicate form ([[quantCol]])
       val arr = exprCol(l, schema)
       val et = elemType(l, schema)
-      val lam: Column => Column =
-        x => withLambda(Seq((v, x, et)))(condCol(cc, schema))
-      fn match {
-        case "any"    => exists(arr, lam)
-        case "all"    => forall(arr, lam)
-        case "none"   => !exists(arr, lam)
-        case "single" => size(filter(arr, lam)) === lit(1)
-        case o => throw new IllegalArgumentException(s"unknown quantifier $o")
-      }
+      quantCol(fn, arr,
+        x => withLambda(Seq((v, x, et)))(condCol(cc, schema)))
     case CmpCond(l, op, r) =>
       val lc = exprCol(l, schema); val rc = exprCol(r, schema)
       op match {
@@ -2351,10 +2389,12 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     case ColRef(n) if lambdaCols.contains(n) => lambdaCols(n)
     case ColRef(n) if carriedScalars.contains(n) => col(n)
     case ColRef(n) if stageVars.contains(n) || carriedVars.contains(n) ||
-        optNodeVars.contains(n) =>
-      // whole-entity projection `RETURN n` — the node's canonical sorted
-      // property struct (see [[Ast.PropsOf]]): the reference's retrieved
-      // record shape, groupable and DISTINCT-able like any column
+        optNodeVars.contains(n) || stageRelVars.contains(n) ||
+        optRelVars.contains(n) =>
+      // whole-entity projection `RETURN n` / `RETURN r` — the entity's
+      // canonical sorted struct (see [[Ast.PropsOf]]): the reference's
+      // retrieved record shape, groupable and DISTINCT-able like any
+      // column; a relationship projects its identity triple
       nodeStruct(n)
     case ColRef(n) =>
       throw new IllegalArgumentException(
@@ -2416,6 +2456,7 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
             "barrier to filter on a degree alias)")
       }
     case LongLitE(v) => lit(v)
+    case DblLitE(v)  => lit(v)
     case StrLitE(s)  => lit(s)
     case NullLitE    => lit(null)
     case ParamE(nm) =>
@@ -2444,7 +2485,13 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     case DynProp(v, k) =>
       // one codegen'd CASE over the node's SCALAR property fields, each
       // value canonicalized to its string rendering (a dynamic key has
-      // no static type); missing key / non-scalar / null value → null
+      // no static type); missing key / non-scalar / null value → null.
+      // A bracket on a carried LIST alias parses as DynProp too (the
+      // parser cannot see bindings) — reject it here with a targeted
+      // message instead of a confusing node-schema error (advisor r14)
+      require(!carriedScalars.contains(v),
+        s"a list index into carried alias $v must be an integer " +
+          s"literal — dynamic [key] access applies to node variables")
       rejectRelEntity(v)
       val kc = exprCol(k, schema)
       require(!isIntegralExpr(k, schema) &&

@@ -1642,6 +1642,26 @@ class CypherSpec extends SparkSpec {
       .swap.getOrElse(fail("expected UpdateQuery"))
     assert(u.plusParam === Some("props") && u.sets.length === 1)
     assert(Parser.parseMutation(u.render) === Left(u))
+    // a fractional map value keeps its double — the old Number arm
+    // silently truncated 99.9 to 99 via longValue (advisor r14); storing
+    // it into an INTEGRAL column is rejected, not truncated
+    val dg = {
+      import org.apache.spark.sql.SparkSession
+      val s = SparkSession.active
+      import s.implicits._
+      graft.graph.PropertyGraph(
+        Seq((1L, "Thing", "t1", 0.0, 7L))
+          .toDF("nodeId", "label", "name", "score", "cnt"),
+        Seq.empty[(String, Long, Long)].toDF("relType", "src", "dst"))
+    }
+    val dOut = Planner.runMutation(dg,
+      """MATCH (p:Thing) SET p += $props""",
+      Map("props" -> Map[String, Any]("score" -> 99.9))).nodes
+    assert(dOut.collect().head.getAs[Double]("score") === 99.9)
+    val trunc = intercept[IllegalArgumentException](Planner.runMutation(dg,
+      """MATCH (p:Thing) SET p += $props""",
+      Map("props" -> Map[String, Any]("cnt" -> 1.5))))
+    assert(trunc.getMessage.contains("cannot be stored"))
   }
 
   test("bulk UNWIND MERGE: one changelog frame, both paths") {
@@ -1743,6 +1763,28 @@ class CypherSpec extends SparkSpec {
     // CREATE takes plain SET only
     intercept[Parser.ParseError](Parser.parseBulkUpsert(
       """UNWIND $rows AS r CREATE (n:Author {nodeId: r.id}) ON MATCH SET n.name = "x""""))
+  }
+
+  test("bulk UNWIND over an EMPTY batch is a zero-row no-op (advisor r14)") {
+    // a loader that slices batches hits an empty final slice — Neo4j's
+    // UNWIND over [] produces zero rows and the statement no-ops; the
+    // graph comes back byte-identical, never an error
+    val nodesOut = Planner.run(g,
+      """UNWIND $rows AS r MERGE (n:Author {nodeId: r.id})
+        |SET n.name = r.nm""".stripMargin,
+      Map("rows" -> Seq.empty[Map[String, Any]]))
+    assert(nodesOut.collect().toSet === g.nodes.collect().toSet)
+    val createOut = Planner.run(g,
+      """UNWIND $rows AS r CREATE (n:Author {nodeId: r.id})""",
+      Map("rows" -> Seq.empty[Map[String, Any]]))
+    assert(createOut.count() === g.nodes.count())
+    val relsOut = Planner.run(g,
+      """UNWIND $pairs AS pr
+        |MATCH (src:Author {nodeId: pr[0]})
+        |MATCH (tgt:Paper {nodeId: pr[1]})
+        |MERGE (src)-[:WRITES]->(tgt)""".stripMargin,
+      Map("pairs" -> Seq.empty[Seq[Long]]))
+    assert(relsOut.collect().toSet === g.rels.collect().toSet)
   }
 
   test("bulk UNWIND relationship MERGE: the loader's edge statement") {
@@ -2578,10 +2620,35 @@ class CypherSpec extends SparkSpec {
     assert(Planner.run(g,
       """MATCH (a:Author)-[w:WRITES]-(p:Paper {name: "P-alpha"})
         |RETURN DISTINCT p""".stripMargin).count() === 1L)
-    // a relationship variable has no whole-entity form
+    // a BOUND relationship variable projects its identity triple
+    // {dst, relType, src} — stored orientation, like Neo4j's fixed
+    // start/end under an undirected match (round 15, VERDICT r14 #4)
+    val relRows = Planner.run(g,
+      """MATCH (a:Author {name: "Alice"})-[w:WRITES]-(p:Paper)
+        |RETURN w AS rel, properties(w) AS props
+        |ORDER BY p.name""".stripMargin).collect()
+    relRows.foreach { r =>
+      assert(r.getStruct(0).schema.fieldNames.toSeq ===
+        Seq("dst", "relType", "src"))
+      assert(r.getStruct(0) === r.getStruct(1)) // RETURN w ≡ properties(w)
+      assert(r.getStruct(0).getAs[String]("relType") === "WRITES")
+    }
+    // round-trip: every projected triple IS a stored rels row
+    val stored = g.rels.collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"),
+        r.getAs[String]("relType"))).toSet
+    relRows.foreach { r =>
+      val s = r.getStruct(0)
+      assert(stored.contains((s.getAs[Long]("src"), s.getAs[Long]("dst"),
+        s.getAs[String]("relType"))))
+    }
+    // an OPTIONAL relationship carries only its relType — whole-entity
+    // form stays rejected with a targeted message
     val e = intercept[IllegalArgumentException](Planner.run(g,
-      """MATCH (a:Author)-[w:WRITES]-(p:Paper) RETURN properties(w) AS x"""))
-    assert(e.getMessage.contains("relationship variable"))
+      """MATCH (a:Author)
+        |OPTIONAL MATCH (a)-[w:WRITES]-(p:Paper)
+        |RETURN a.name AS n, w AS rel""".stripMargin))
+    assert(e.getMessage.contains("OPTIONAL relationship"))
     // an UNMATCHED optional variable projects as NULL, not a struct of
     // nulls (Neo4j's null node) — institutions never write
     val opt = Planner.run(g,
@@ -2738,6 +2805,36 @@ class CypherSpec extends SparkSpec {
     assert(Parser.parse(q2.render) === q2)
   }
 
+  test("single(): openCypher three-valued truth table (advisor r14)") {
+    // Alice [P-alpha, P-beta], Bob [P-alpha], Carol [P-gamma].
+    def quant(p: String): Seq[String] = Planner.run(g,
+      s"""MATCH (a:Author)-[w:WRITES]-(x:Paper)
+         |WITH a.name AS author, collect(x.name) AS ps
+         |WHERE $p
+         |RETURN author ORDER BY author""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    // t = null is null for EVERY element → single is null, and NOT null
+    // is still null → every row drops (the old size∘filter lowering
+    // returned false, so NOT kept all rows Neo4j drops)
+    assert(quant("""NOT single(t IN ps WHERE t = null)""") === Seq())
+    assert(quant("""single(t IN ps WHERE t = null)""") === Seq())
+    // exactly one true PLUS a null evaluation → null (the unknown could
+    // be a second true): Alice has true(P-alpha) + null(P-beta masked),
+    // Bob a clean single true, Carol a clean false
+    val oneTrueOneNull =
+      """single(t IN ps WHERE (CASE WHEN t CONTAINS "beta" THEN null
+        | ELSE t END) CONTAINS "alpha")""".stripMargin.replace("\n", "")
+    assert(quant(oneTrueOneNull) === Seq("Bob"))
+    // two trues decide FALSE regardless of unknowns → NOT keeps Alice
+    assert(quant(
+      """NOT single(t IN ps WHERE (CASE WHEN t = "nope" THEN null
+        | ELSE t END) STARTS WITH "P-")""".stripMargin.replace("\n", ""))
+      === Seq("Alice"))
+    // zero trues + no nulls stays a definite false under NOT
+    assert(quant("""NOT single(t IN ps WHERE t = "zzz")""") ===
+      Seq("Alice", "Bob", "Carol"))
+  }
+
   test("floor/ceil/sqrt: IEEE-exact math scalars") {
     val row = Planner.run(g,
       """MATCH (a:Author {name: "Alice"})
@@ -2800,6 +2897,15 @@ class CypherSpec extends SparkSpec {
     assert(q.items.head.expr ===
       Ast.DynProp("p", Ast.StrLitE("name")))
     assert(Parser.parse(q.render) === q)
+    // a NON-literal bracket on a carried LIST alias parses as DynProp
+    // (the parser cannot see bindings) — the planner rejects it with a
+    // targeted message, not a confusing node-schema error (advisor r14)
+    val listIdx = intercept[IllegalArgumentException](Planner.run(g,
+      """MATCH (a:Author {name: "Alice"})-[w:WRITES]-(p:Paper)
+        |WITH collect(p.name) AS ps
+        |UNWIND ps AS k
+        |RETURN ps[k] AS v""".stripMargin))
+    assert(listIdx.getMessage.contains("integer literal"))
   }
 
   test("collect over a general expression") {
