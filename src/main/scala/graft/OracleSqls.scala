@@ -1247,6 +1247,19 @@ object OracleSqls {
         |WHERE c.label = 'Customer'
         |ORDER BY name""".stripMargin),
 
+    // label mutation: three nations gain Flagged+Reviewed (appended in
+    // listed order), NATION_11 then loses Reviewed; the MATCH anchors on
+    // the ADDED label, so the row set itself proves labels-aware reads
+    "cy_set_label" -> withGraph(
+      """SELECT n.name AS name,
+        |  CASE WHEN n.name = 'NATION_11'
+        |       THEN ['Nation', '_Entity_', 'Flagged']
+        |       ELSE ['Nation', '_Entity_', 'Flagged', 'Reviewed']
+        |  END AS labels
+        |FROM nodes n
+        |WHERE n.label = 'Nation' AND ends_with(n.name, '1')
+        |ORDER BY name""".stripMargin),
+
     // relationship whole-entity projection: RETURN r / properties(r)
     // are the SAME name-sorted identity triple {dst, relType, src}
     // (stored orientation — FROM_NATION edges store Customer→Nation),

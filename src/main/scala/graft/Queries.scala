@@ -1893,6 +1893,26 @@ object Queries {
         |RETURN c.name AS name, r AS rel, properties(r) AS props
         |ORDER BY name""".stripMargin))
 
+  /** Label mutation (round 15 — VERDICT r14 #5): `SET n:L1:L2` /
+    * `REMOVE n:L` rewrite the `labels` ARRAY (the queryable label set —
+    * reads consult it, so the added label anchors a MATCH) through the
+    * SAME lakehouse changelog merge as every property mutation; the
+    * primary `label` column is the storage/merge key and stays fixed at
+    * MERGE time (stark_neo4j_loading.py:35). The entry flags three
+    * nations, un-reviews one, then anchors ON the added label — the
+    * post-mutation labels arrays are the hash surface. */
+  def cySetLabel(spark: SparkSession, dir: String): DataFrame = {
+    val g0 = graph(spark, dir)
+    val g1 = graft.cypher.Planner.runMutation(g0,
+      """MATCH (n:Nation) WHERE n.name ENDS WITH "1" SET n:Flagged:Reviewed""")
+    val g2 = graft.cypher.Planner.runMutation(g1,
+      """MATCH (n:Nation {name: "NATION_11"}) REMOVE n:Reviewed""")
+    graft.cypher.Planner.run(g2,
+      """MATCH (n:Flagged)
+        |RETURN n.name AS name, labels(n) AS labels
+        |ORDER BY name""".stripMargin)
+  }
+
   /** Degree sugar (VERDICT r12 #5): `count { (n)-[:T]-(:L) }` in RETURN
     * and WHERE plus the legacy `size((n)-[]-())` spelling — four distinct
     * degree shapes, each ONE grouped count over the edge view left-joined
@@ -3733,6 +3753,7 @@ object Queries {
     "cy_rel_merge" -> (cyRelMerge _),
     "cy_return_node" -> (cyReturnNode _),
     "cy_return_rel" -> (cyReturnRel _),
+    "cy_set_label" -> (cySetLabel _),
     "cy_merge_param" -> (cyMergeParam _),
     "cy_unwind_create" -> (cyUnwindCreate _),
     "cy_foreach" -> (cyForeach _),

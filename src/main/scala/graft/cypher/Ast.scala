@@ -1034,23 +1034,32 @@ object Ast {
     * it win on the same key, like Neo4j's left-to-right SET. REMOVE
     * nulls the property — the union-of-keys schema keeps the column,
     * exactly how an absent property is represented. Identity columns
-    * (nodeId / label / labels) are not assignable. */
+    * (nodeId / label / labels) are not assignable as properties; the
+    * label-mutation items `SET n:Label` / `REMOVE n:Label` (round 15)
+    * instead rewrite the `labels` ARRAY — the queryable label set that
+    * label tests and anchors consult — while the primary `label` column
+    * stays the storage/merge key, fixed at MERGE time like the
+    * reference loader's (stark_neo4j_loading.py:35). */
   final case class UpdateQuery(node: NodePat, preds: Seq[Pred],
                                sets: Seq[UpdateSet],
                                removes: Seq[(String, String)],
-                               plusParam: Option[String] = None) {
+                               plusParam: Option[String] = None,
+                               setLabels: Seq[String] = Nil,
+                               removeLabels: Seq[String] = Nil) {
     def render: String = {
       val where =
         if (preds.isEmpty) ""
         else " WHERE " + preds.map(predText).mkString(" AND ")
       val tail =
-        if (sets.nonEmpty || plusParam.nonEmpty)
+        if (sets.nonEmpty || plusParam.nonEmpty || setLabels.nonEmpty)
           " SET " + (plusParam.toSeq.map(pm =>
             s"${node.varName} += $$$pm") ++
+            setLabels.map(l => s"${node.varName}:$l") ++
             sets.map(s =>
               s"${s.varName}.${s.prop} = ${exprText(s.value)}")).mkString(", ")
         else
-          " REMOVE " + removes.map { case (v, p) => s"$v.$p" }.mkString(", ")
+          " REMOVE " + (removeLabels.map(l => s"${node.varName}:$l") ++
+            removes.map { case (v, p) => s"$v.$p" }).mkString(", ")
       s"MATCH ${nodeText(node)}$where$tail"
     }
   }

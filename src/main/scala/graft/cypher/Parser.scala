@@ -584,25 +584,36 @@ object Parser {
                 Some(param())
               } else { pos = saved; None }
             } catch { case _: ParseError => pos = saved; None }
-          val items =
+          val (items, labels) =
             if (plus.isEmpty) updateSetItems(n1.varName)
             else if ({ ws(); pos < in.length && in(pos) == ',' }) {
               pos += 1; updateSetItems(n1.varName)
-            } else Nil
-          Left(UpdateQuery(n1, preds, items, Nil, plus))
+            } else (Nil, Nil)
+          Left(UpdateQuery(n1, preds, items, Nil, plus, labels))
         }
         else {
           expect("REMOVE")
           val rs = Seq.newBuilder[(String, String)]
+          val ls = Seq.newBuilder[String]
           def one(): Unit = {
-            val v = ident(); expect("."); val p = ident()
+            val v = ident()
             if (v != n1.varName)
               fail(s"REMOVE must target the matched variable ${n1.varName}")
-            rs += ((v, p))
+            ws()
+            // `REMOVE n:Label[:Label2]` — label-mutation item(s)
+            if (pos < in.length && in(pos) == ':') {
+              while ({ ws(); pos < in.length && in(pos) == ':' }) {
+                pos += 1; ls += ident()
+              }
+            } else {
+              expect("."); val p = ident()
+              rs += ((v, p))
+            }
           }
           one()
           while ({ ws(); pos < in.length && in(pos) == ',' }) { pos += 1; one() }
-          Left(UpdateQuery(n1, preds, Nil, rs.result()))
+          Left(UpdateQuery(n1, preds, Nil, rs.result(), None, Nil,
+            ls.result()))
         }
       } else {
         val merge = if (opt("MERGE")) true else { expect("CREATE"); false }
@@ -791,23 +802,37 @@ object Parser {
       else fail("MERGE/CREATE endpoints must name the two matched variables")
     }
 
-    private def updateSetItems(matchVar: String): Seq[UpdateSet] = {
+    /** Mixed SET items: `v.p = expr` property writes and `v:Label[:L2]`
+      * label-mutation items (round 15) — returned as (property sets,
+      * labels to add). */
+    private def updateSetItems(matchVar: String)
+        : (Seq[UpdateSet], Seq[String]) = {
       val items = Seq.newBuilder[UpdateSet]
+      val labels = Seq.newBuilder[String]
       def one(): Unit = {
-        val v = ident(); expect("."); val p = ident()
-        ws()
-        if (pos >= in.length || in(pos) != '=') fail("expected '=' in SET")
-        pos += 1
-        val e = expression()
+        val v = ident()
         if (v != matchVar)
           fail(s"SET must target the matched variable $matchVar")
-        if (isAggExpr(e) || containsNestedAgg(e))
-          fail("SET values are scalar expressions — aggregates cannot appear")
-        items += UpdateSet(v, p, e)
+        ws()
+        if (pos < in.length && in(pos) == ':') {
+          // `SET n:Label[:Label2]` — label-mutation item(s)
+          while ({ ws(); pos < in.length && in(pos) == ':' }) {
+            pos += 1; labels += ident()
+          }
+        } else {
+          expect("."); val p = ident()
+          ws()
+          if (pos >= in.length || in(pos) != '=') fail("expected '=' in SET")
+          pos += 1
+          val e = expression()
+          if (isAggExpr(e) || containsNestedAgg(e))
+            fail("SET values are scalar expressions — aggregates cannot appear")
+          items += UpdateSet(v, p, e)
+        }
       }
       one()
       while ({ ws(); pos < in.length && in(pos) == ',' }) { pos += 1; one() }
-      items.result()
+      (items.result(), labels.result())
     }
 
     private def setItems(mergeVar: String): Seq[SetItem] = {

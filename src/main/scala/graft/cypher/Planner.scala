@@ -283,6 +283,28 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
           s"unknown node property $p (the schema is union-of-keys: add the " +
             "column to the nodes table first)")
       }
+    // label mutation `SET n:L` / `REMOVE n:L` (round 15 — VERDICT r14
+    // #5): rewrite the `labels` ARRAY — the queryable label set that
+    // label tests/anchors consult. The primary `label` column is the
+    // storage/merge key (fixed at MERGE time, stark_neo4j_loading.py:35)
+    // and is NOT mutable: removing a matched node's primary label is
+    // rejected (one cheap job over the anchored frame), as is the
+    // catch-all `_Entity_`.
+    val setLs = uq.setLabels.distinct
+    val remLs = uq.removeLabels.distinct
+    if (setLs.nonEmpty || remLs.nonEmpty) {
+      require(fields.exists(f => f.name == "labels" &&
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]),
+        "label mutation needs a `labels` array column on the nodes table")
+      (setLs ++ remLs).foreach(l => require(l != "_Entity_",
+        "cannot mutate the catch-all _Entity_ label (every node carries it)"))
+      if (remLs.nonEmpty)
+        require(matched.where(
+            col(s"$v.label").isin(remLs.map(x => x: Any): _*)).isEmpty,
+          s"cannot REMOVE a node's PRIMARY label (${remLs.mkString(", ")}) " +
+            "— the primary type is the storage/merge key, fixed at MERGE " +
+            "time in this data model")
+    }
     val setByProp =
       (plusSets ++ uq.sets.map(s => s.prop -> s.value)).toMap
     val removed = uq.removes.map(_._2).toSet
@@ -292,6 +314,14 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
          exprCol(setByProp(f.name), matched.schema).cast(f.dataType)
        }
        else if (removed(f.name)) lit(null).cast(f.dataType)
+       else if (f.name == "labels" && (setLs.nonEmpty || remLs.nonEmpty)) {
+         // append absent labels in listed order (array_union dedups),
+         // then drop the removed ones — both idempotent on replay
+         val added =
+           if (setLs.isEmpty) col(s"$v.labels")
+           else array_union(col(s"$v.labels"), array(setLs.map(lit): _*))
+         remLs.foldLeft(added)((acc, l) => array_remove(acc, lit(l)))
+       }
        else col(s"$v.${f.name}")).as(f.name)
     }
     val changes = matched.select(cols.toIndexedSeq: _*)
@@ -710,7 +740,8 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
         org.apache.spark.sql.types.LongType, nullable = false)))
     val pairs = g.nodes.sparkSession.createDataFrame(pairRows.asJava, schema)
     def labeledIds(n: NodePat): DataFrame = (n.label match {
-      case Some(l) if l != "_Entity_" => g.nodes.where(col("label") === l)
+      // endpoint MATCH is a READ — labels-aware like any anchor
+      case Some(l) if l != "_Entity_" => g.nodes.where(labelTest(g.nodes, l))
       case _                          => g.nodes
     }).select(col("nodeId"))
     // MATCH semantics: a pair with a missing endpoint drops silently
@@ -1721,7 +1752,7 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       else view.where(col("relType").isin(deg.relTypes: _*))
     val labeled = deg.farLabel match {
       case Some(l) if l != "_Entity_" =>
-        typed.join(g.nodes.where(col("label") === l)
+        typed.join(g.nodes.where(labelTest(g.nodes, l))
           .select(col("nodeId").as("__fb")), col("b") === col("__fb"))
       case _ => typed
     }
@@ -1875,10 +1906,21 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       case None            => false
     }
 
+  /** Label test for READ paths (anchors, WHERE n:L, far-label joins):
+    * consult the full `labels` set when the node table carries one —
+    * `SET n:Label` adds secondary labels there (round 15) — else the
+    * primary `label` column. Equivalent on an unmutated graph, where
+    * labels = [label, _Entity_]. WRITE paths (MERGE / bulk upsert) keep
+    * addressing nodes by PRIMARY label: the (label, nodeId) merge key. */
+  private def labelTest(nodes: DataFrame, l: String): Column =
+    if (nodes.schema.fieldNames.contains("labels"))
+      array_contains(col("labels"), lit(l))
+    else col("label") === lit(l)
+
   private def nodeFrame(unwinds: Seq[Unwind], n: NodePat): DataFrame = {
     val labeled = n.label match {
       case Some("_Entity_") | None => g.nodes
-      case Some(l)                 => g.nodes.where(col("label") === l)
+      case Some(l)                 => g.nodes.where(labelTest(g.nodes, l))
     }
     val anchored = (n.anchorProp, n.anchorValue) match {
       case (Some(p), Some(StrLit(v)))  => labeled.where(col(p) === lit(v))
@@ -2070,10 +2112,15 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       val c = array_contains(col(nm), exprCol(ref, schema))
       if (neg) !c else c
     case LabelPred(v, label, neg) =>
-      // one pushable equality on the node frame's label column;
-      // `_Entity_` matches every node (stark_neo4j_loading.py:35)
-      val c = if (label == "_Entity_") lit(true)
-              else propCol(v, "label") === lit(label)
+      // label TEST consults the full `labels` set when present (SET
+      // n:Label adds secondary labels there, round 15 — equivalent to
+      // the primary equality on an unmutated graph); `_Entity_` matches
+      // every node (stark_neo4j_loading.py:35)
+      val c =
+        if (label == "_Entity_") lit(true)
+        else if (varSchema(v).fieldNames.contains("labels"))
+          array_contains(propCol(v, "labels"), lit(label))
+        else propCol(v, "label") === lit(label)
       if (neg) !c else c
     case ListQuantPred(fn, v, l, c) =>
       // any/all/none/single → Spark's codegen'd exists/forall/filter

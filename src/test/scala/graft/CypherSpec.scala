@@ -1664,6 +1664,67 @@ class CypherSpec extends SparkSpec {
     assert(trunc.getMessage.contains("cannot be stored"))
   }
 
+  test("SET n:Label / REMOVE n:Label: labels-array mutation (round 15)") {
+    // SET appends absent labels in listed order; the primary `label`
+    // column (the storage/merge key) stays fixed
+    val g1 = Planner.runMutation(g,
+      """MATCH (a:Author) WHERE a.name STARTS WITH "A" SET a:Flagged:Hot""")
+    val alice = g1.nodes.where("nodeId = 10").collect().head
+    assert(alice.getSeq[String](alice.fieldIndex("labels")) ===
+      Seq("Author", "_Entity_", "Flagged", "Hot"))
+    assert(alice.getAs[String]("label") === "Author")
+    val bob = g1.nodes.where("nodeId = 11").collect().head
+    assert(bob.getSeq[String](bob.fieldIndex("labels")) ===
+      Seq("Author", "_Entity_"))
+    // idempotent replay: byte-identical table
+    val g2 = Planner.runMutation(g1,
+      """MATCH (a:Author) WHERE a.name STARTS WITH "A" SET a:Flagged:Hot""")
+    assert(g2.nodes.collect().toSet === g1.nodes.collect().toSet)
+    // the added label is MATCHABLE: anchors and WHERE tests consult the
+    // full labels set
+    assert(Planner.run(g1,
+      """MATCH (n:Flagged) RETURN n.name AS nm""").collect()
+      .map(_.getString(0)).toSeq === Seq("Alice"))
+    assert(Planner.run(g1,
+      """MATCH (n:Author) WHERE n:Hot RETURN n.name AS nm""").collect()
+      .map(_.getString(0)).toSeq === Seq("Alice"))
+    // and the added label expands like any anchor (1-hop from it)
+    assert(Planner.run(g1,
+      """MATCH (n:Flagged)-[w:WRITES]-(p:Paper)
+        |RETURN p.name AS nm ORDER BY nm""".stripMargin).collect()
+      .map(_.getString(0)).toSeq === Seq("P-alpha", "P-beta"))
+    // REMOVE drops a secondary label (absent label: no-op)
+    val g3 = Planner.runMutation(g1,
+      """MATCH (a:Author {name: "Alice"}) REMOVE a:Hot, a:Nope""")
+    val alice3 = g3.nodes.where("nodeId = 10").collect().head
+    assert(alice3.getSeq[String](alice3.fieldIndex("labels")) ===
+      Seq("Author", "_Entity_", "Flagged"))
+    // the primary label and the catch-all are NOT removable
+    val prim = intercept[IllegalArgumentException](Planner.runMutation(g1,
+      """MATCH (a:Author {name: "Alice"}) REMOVE a:Author"""))
+    assert(prim.getMessage.contains("PRIMARY label"))
+    intercept[IllegalArgumentException](Planner.runMutation(g,
+      """MATCH (a:Author) SET a:_Entity_"""))
+    // mixed SET: label item + property item in one statement
+    val mixed = Planner.runMutation(g,
+      """MATCH (a:Author {name: "Carol"}) SET a:Star, a.abstract = "x"""")
+      .nodes.where("nodeId = 12").collect().head
+    assert(mixed.getSeq[String](mixed.fieldIndex("labels")) ===
+      Seq("Author", "_Entity_", "Star"))
+    assert(mixed.getAs[String]("abstract") === "x")
+    // render∘parse identity for both spellings
+    val su = Parser.parseMutation(
+      """MATCH (a:Author) SET a:Flagged, a:Hot, a.abstract = "y"""")
+      .swap.getOrElse(fail("expected UpdateQuery"))
+    assert(su.setLabels === Seq("Flagged", "Hot") && su.sets.length === 1)
+    assert(Parser.parseMutation(su.render) === Left(su))
+    val ru = Parser.parseMutation(
+      """MATCH (a:Author) REMOVE a:Hot, a.abstract""")
+      .swap.getOrElse(fail("expected UpdateQuery"))
+    assert(ru.removeLabels === Seq("Hot") && ru.removes.length === 1)
+    assert(Parser.parseMutation(ru.render) === Left(ru))
+  }
+
   test("bulk UNWIND MERGE: one changelog frame, both paths") {
     // the loader idiom: two updates + one insert in ONE statement —
     // matched keys re-project, absent keys create, one lakehouse merge
