@@ -989,11 +989,16 @@ object OracleSqls {
         |WHERE c.label = 'Customer'
         |ORDER BY nm LIMIT 5""".stripMargin),
 
-    // floor/ceil/sqrt are IEEE-exactly-rounded on both engines
+    // floor/ceil/sqrt are IEEE-exactly-rounded on both engines;
+    // round() replays as floor(x + 0.5) — the dialect's EXPLICIT tie
+    // rule (half toward +∞, Neo4j's Math.round), never DuckDB's native
+    // round (half away from zero)
     "cy_math_fns" -> withFinGraph(
       """SELECT c.name AS name,
         |  floor(sqrt(CAST(c.acctbal AS DOUBLE))) AS fs,
-        |  ceil(sqrt(CAST(c.acctbal AS DOUBLE))) AS cs
+        |  ceil(sqrt(CAST(c.acctbal AS DOUBLE))) AS cs,
+        |  floor(sqrt(CAST(c.acctbal AS DOUBLE)) + 0.5) AS rs,
+        |  floor(CAST(c.acctbal AS DOUBLE) / 2.0 + 0.5) AS rh
         |FROM fnodes c
         |JOIN fbidir e ON c.nodeId = e.a AND e.relType = 'FROM_NATION'
         |JOIN fnodes n ON e.b = n.nodeId AND n.label = 'Nation'

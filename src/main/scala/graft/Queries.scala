@@ -1822,16 +1822,22 @@ object Queries {
         |WITH c, c.name AS nm
         |RETURN * ORDER BY nm LIMIT 5""".stripMargin))
 
-  /** floor/ceil/sqrt (round 14 continuation): the IEEE-exactly-rounded
-    * math scalars (engine-portable, unlike ln/exp — and unlike round(),
-    * whose tie rule differs between Neo4j and DuckDB and is deliberately
-    * NOT offered). All three lower to codegen'd Spark built-ins. */
+  /** floor/ceil/sqrt/round (rounds 14-15): the IEEE-exactly-rounded
+    * math scalars (engine-portable, unlike ln/exp, which stay excluded —
+    * transcendentals are not IEEE-exactly-rounded). round() carries an
+    * EXPLICIT tie rule — half toward +∞, Neo4j's Math.round — spelled
+    * floor(x + 0.5) on both engines so native round() tie divergence
+    * (DuckDB: half away from zero) never enters. The `rh` column halves
+    * an integer balance, so odd balances exercise the .5 tie. All four
+    * lower to codegen'd Spark built-ins. */
   def cyMathFns(spark: SparkSession, dir: String): DataFrame =
     graft.cypher.Planner.run(finGraph(spark, dir),
       """MATCH (n:Nation {name: "NATION_3"})-[e:FROM_NATION]-(c:Customer)
         |WHERE c.acctbal >= 0
         |RETURN c.name AS name, floor(sqrt(toFloat(c.acctbal))) AS fs,
-        |       ceil(sqrt(toFloat(c.acctbal))) AS cs
+        |       ceil(sqrt(toFloat(c.acctbal))) AS cs,
+        |       round(sqrt(toFloat(c.acctbal))) AS rs,
+        |       round(toFloat(c.acctbal) / 2.0) AS rh
         |ORDER BY name""".stripMargin)
 
   /** Neo4j null ordering (round 14 continuation): ORDER BY treats null

@@ -1239,7 +1239,7 @@ object Parser {
       Seq("toLower", "toUpper", "trim", "replace", "substring", "size",
         "abs", "sign", "toString", "toInteger", "toFloat", "id", "head",
         "last", "reverse", "ltrim", "rtrim", "left", "right", "coalesce",
-        "floor", "ceil", "sqrt", "properties")
+        "floor", "ceil", "sqrt", "round", "properties")
 
     /** WHERE predicates are aggregate-free (Cypher aggregates live in
       * RETURN/WITH; the HAVING idiom is `WITH … AS x WHERE x …`). */
@@ -1638,6 +1638,26 @@ object Parser {
       }
     }
 
+    /** Numeric literal in expression position: an integer, or — with a
+      * `.digit` fraction — a DOUBLE literal (`0.5`, `2.0`; round 15,
+      * landed with round()). A `.` NOT followed by a digit is left in
+      * place (the `[a..b]` slice range spelling). */
+    private def numLit(): Expr = {
+      ws()
+      val start = pos
+      if (pos < in.length && in(pos) == '-') pos += 1
+      while (pos < in.length && in(pos).isDigit) pos += 1
+      if (pos > start && pos + 1 < in.length && in(pos) == '.' &&
+          in(pos + 1).isDigit) {
+        pos += 1
+        while (pos < in.length && in(pos).isDigit) pos += 1
+        DblLitE(in.substring(start, pos).toDouble)
+      } else {
+        pos = start
+        LongLitE(longLit())
+      }
+    }
+
     private def atomBase(): Expr = {
       ws()
       if (pos < in.length && in(pos) == '(') {
@@ -1647,7 +1667,7 @@ object Parser {
         e
       }
       else if (pos < in.length && in(pos) == '[') bracketExpr()
-      else if (pos < in.length && (in(pos).isDigit || in(pos) == '-')) LongLitE(longLit())
+      else if (pos < in.length && (in(pos).isDigit || in(pos) == '-')) numLit()
       else if (pos < in.length && (in(pos) == '"' || in(pos) == '\'')) StrLitE(stringLit())
       else if (peek("CASE")) {
         expect("CASE")
@@ -1703,7 +1723,8 @@ object Parser {
       else if (peekCall("toLower") || peekCall("toUpper") || peekCall("trim") ||
                peekCall("abs") || peekCall("sign") || peekCall("toString") ||
                peekCall("toInteger") || peekCall("toFloat") ||
-               peekCall("floor") || peekCall("ceil") || peekCall("sqrt")) {
+               peekCall("floor") || peekCall("ceil") || peekCall("sqrt") ||
+               peekCall("round")) {
         val fn = if (opt("toLower")) "toLower"
                  else if (opt("toUpper")) "toUpper"
                  else if (opt("trim")) "trim"
@@ -1713,10 +1734,15 @@ object Parser {
                  else if (opt("toInteger")) "toInteger"
                  else if (opt("toFloat")) "toFloat"
                  // floor/ceil/sqrt are IEEE-exactly-rounded (engine
-                 // portable); round() is NOT offered — Neo4j's half-up
-                 // tie differs from DuckDB's half-away-from-zero
+                 // portable); round() carries an EXPLICIT tie rule —
+                 // half toward +∞, i.e. Neo4j's Math.round — spelled
+                 // floor(x + 0.5) on both engines, which sidesteps the
+                 // native round() divergence (DuckDB rounds half away
+                 // from zero). ln/exp stay excluded: transcendentals are
+                 // not IEEE-exactly-rounded, so engines may differ a ULP
                  else if (opt("floor")) "floor"
                  else if (opt("ceil")) "ceil"
+                 else if (opt("round")) "round"
                  else { expect("sqrt"); "sqrt" }
         expect("("); val a = expression(); expect(")")
         ScalarFn(fn, Seq(a))

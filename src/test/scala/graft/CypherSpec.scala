@@ -2896,6 +2896,28 @@ class CypherSpec extends SparkSpec {
       Seq("Alice", "Bob", "Carol"))
   }
 
+  test("round(): explicit half-toward-+inf tie rule (round 15)") {
+    // Neo4j's Math.round semantics, spelled floor(x + 0.5) on both
+    // engines: 2.5 → 3, -2.5 → -2 (NOT -3: half toward +∞), -5.5 → -5
+    val row = Planner.run(g,
+      """MATCH (b:Author {name: "Bob"})
+        |RETURN round(2.5) AS a, round(0 - 2.5) AS b2,
+        |       round(3.3) AS c, round(0 - 3.3) AS d,
+        |       round(toFloat(0 - b.nodeId) / 2.0) AS e""".stripMargin)
+      .collect().head
+    assert(row.getDouble(0) === 3.0 && row.getDouble(1) === -2.0)
+    assert(row.getDouble(2) === 3.0 && row.getDouble(3) === -3.0)
+    assert(row.getDouble(4) === -5.0) // round(-5.5) = -5
+    // double literals parse, type as FLOAT, and render∘parse round-trip
+    val q = Parser.parse(
+      """MATCH (b:Author) RETURN round(b.nodeId * 0.5) AS h, 2.0 AS t""")
+    assert(Parser.parse(q.render) === q)
+    val lit = Planner.run(g,
+      """MATCH (b:Author {name: "Bob"}) RETURN b.nodeId * 0.5 AS h""")
+      .collect().head
+    assert(lit.getDouble(0) === 5.5) // double mult, not integer division
+  }
+
   test("floor/ceil/sqrt: IEEE-exact math scalars") {
     val row = Planner.run(g,
       """MATCH (a:Author {name: "Alice"})
@@ -2906,12 +2928,11 @@ class CypherSpec extends SparkSpec {
     // nodeId 10: sqrt = 3.16…, floor 3.0, ceil 4.0; sqrt(100) = 10.0
     assert(row.getDouble(0) === 3.0 && row.getDouble(1) === 4.0 &&
       row.getDouble(2) === 10.0)
-    // round-trip; round() itself is deliberately not offered
+    // round-trip (round() joined the family in round 15 with an
+    // explicit tie rule — see its own spec)
     val q = Parser.parse(
       """MATCH (a:Author) RETURN floor(sqrt(toFloat(a.nodeId))) AS f""")
     assert(Parser.parse(q.render) === q)
-    intercept[Parser.ParseError](Parser.parse(
-      """MATCH (a:Author) RETURN round(a.nodeId) AS r"""))
   }
 
   test("labels(n) types as an array: size/head compose") {
