@@ -1252,6 +1252,20 @@ object OracleSqls {
         |WHERE c.label = 'Customer'
         |ORDER BY name""".stripMargin),
 
+    // map literal: the record-shaping idiom — ONE listed-order struct
+    // (nested), shipped as canonical JSON text on both engines
+    "cy_map_literal" -> withGraph(
+      """SELECT CAST(to_json(struct_pack(id := c.nodeId, nm := c.name,
+        |    tag := struct_pack(upper := upper(c.name),
+        |                       len := CAST(length(c.name) AS BIGINT))))
+        |    AS VARCHAR) AS rec
+        |FROM nodes c
+        |JOIN bidir e ON c.nodeId = e.a AND e.relType = 'FROM_NATION'
+        |JOIN nodes n ON e.b = n.nodeId AND n.label = 'Nation'
+        |  AND n.name = 'NATION_3'
+        |WHERE c.label = 'Customer'
+        |ORDER BY c.name LIMIT 5""".stripMargin),
+
     // label mutation: three nations gain Flagged+Reviewed (appended in
     // listed order), NATION_11 then loses Reviewed; the MATCH anchors on
     // the ADDED label, so the row set itself proves labels-aware reads

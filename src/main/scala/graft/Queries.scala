@@ -1919,6 +1919,18 @@ object Queries {
         |ORDER BY name""".stripMargin)
   }
 
+  /** Map literal (round 15): `RETURN {k: expr, …}` — Cypher's
+    * record-shaping idiom (the reference's retriever returns dict
+    * records, retrieval/retriever.py:56-59) as ONE listed-order struct
+    * column, nested one level here; ships as canonical JSON text like
+    * every entity-shaped entry ([[jsonSurface]]). */
+  def cyMapLiteral(spark: SparkSession, dir: String): DataFrame =
+    jsonSurface(graft.cypher.Planner.run(graph(spark, dir),
+      """MATCH (n:Nation {name: "NATION_3"})-[e:FROM_NATION]-(c:Customer)
+        |RETURN {id: c.nodeId, nm: c.name,
+        |        tag: {upper: toUpper(c.name), len: size(c.name)}} AS rec
+        |ORDER BY c.name LIMIT 5""".stripMargin))
+
   /** Degree sugar (VERDICT r12 #5): `count { (n)-[:T]-(:L) }` in RETURN
     * and WHERE plus the legacy `size((n)-[]-())` spelling — four distinct
     * degree shapes, each ONE grouped count over the edge view left-joined
@@ -3760,6 +3772,7 @@ object Queries {
     "cy_return_node" -> (cyReturnNode _),
     "cy_return_rel" -> (cyReturnRel _),
     "cy_set_label" -> (cySetLabel _),
+    "cy_map_literal" -> (cyMapLiteral _),
     "cy_merge_param" -> (cyMergeParam _),
     "cy_unwind_create" -> (cyUnwindCreate _),
     "cy_foreach" -> (cyForeach _),

@@ -380,6 +380,15 @@ object Ast {
     * field must exist in the union-of-keys schema; `.*`, computed
     * entries, and variable entries are outside the dialect. */
   final case class MapProj(varName: String, fields: Seq[String]) extends Expr
+  /** Map literal `{k1: expr, k2: expr}` in expression position
+    * (round 15) — Cypher's record-shaping idiom (the reference's
+    * retriever returns dict records, retrieval/retriever.py:56-59).
+    * Plans as ONE struct column with the LISTED field order, like the
+    * map projection; entries may nest (structs nest). Keys are
+    * identifiers; the canonical render restores the same spelling.
+    * Catalog entries returning one must serialize it to JSON text
+    * (the driver hash surface — Queries.jsonSurface). */
+  final case class MapLitE(entries: Seq[(String, Expr)]) extends Expr
   /** Dynamic property access `v[keyExpr]` — the property whose NAME is
     * the string key's runtime value (the lookup twin of [[KeysOf]]:
     * `UNWIND keys(n) AS k RETURN k, n[k]`). Planned as ONE codegen'd
@@ -516,6 +525,9 @@ object Ast {
         s"count { ($v)$hop }"
       case LongLitE(v)                => v.toString
       case DblLitE(v)                 => v.toString
+      case MapLitE(es)                =>
+        es.map { case (k, x) => s"$k: ${exprText(x)}" }
+          .mkString("{", ", ", "}")
       case StrLitE(v)                 =>
         "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
       case NullLitE                   => "null"

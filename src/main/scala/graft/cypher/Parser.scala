@@ -1667,6 +1667,22 @@ object Parser {
         e
       }
       else if (pos < in.length && in(pos) == '[') bracketExpr()
+      else if (pos < in.length && in(pos) == '{') {
+        // map literal {k: expr, …} — the record-shaping idiom; keys are
+        // identifiers, values any scalar expression (maps nest)
+        pos += 1
+        val entries = Seq.newBuilder[(String, Expr)]
+        ws()
+        if (pos < in.length && in(pos) == '}')
+          fail("empty map literal {} is outside the dialect")
+        def one(): Unit = {
+          val k = ident(); expect(":"); entries += ((k, expression()))
+        }
+        one()
+        while ({ ws(); pos < in.length && in(pos) == ',' }) { pos += 1; one() }
+        expect("}")
+        MapLitE(entries.result())
+      }
       else if (pos < in.length && (in(pos).isDigit || in(pos) == '-')) numLit()
       else if (pos < in.length && (in(pos) == '"' || in(pos) == '\'')) StrLitE(stringLit())
       else if (peek("CASE")) {
@@ -2069,6 +2085,7 @@ object Parser {
         case PercentileFn(_, a, _) => below(a)
         case ScalarFn(_, args)  => args.exists(below)
         case ListLit(items)     => items.exists(below)
+        case MapLitE(es)        => es.exists { case (_, x) => below(x) }
         case ListIndex(l, _)    => below(l)
         case ListSlice(l, _, _) => below(l)
         case ReduceExpr(_, init, _, l, body) =>

@@ -1691,6 +1691,7 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     case ListComp(_, l, c, pj) =>
       walkExpr(l) ++ c.toSeq.flatMap(walkCond) ++ pj.toSeq.flatMap(walkExpr)
     case DynProp(_, k)         => walkExpr(k)
+    case MapLitE(es)           => es.flatMap { case (_, x) => walkExpr(x) }
     case _                     => Nil
   })
 
@@ -2281,6 +2282,10 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       nodeStructFields(v).map(f => varSchema(v)(f))))
     case MapProj(v, fs) => Some(org.apache.spark.sql.types.StructType(
       fs.flatMap(f => varSchema(v).fields.find(_.name == f))))
+    case MapLitE(es) => Some(org.apache.spark.sql.types.StructType(
+      es.map { case (k, x) => org.apache.spark.sql.types.StructField(k,
+        staticType(x, schema)
+          .getOrElse(org.apache.spark.sql.types.StringType)) }))
     case DynProp(_, _) => Some(org.apache.spark.sql.types.StringType)
     case PatternComp(_, _, proj) =>
       Some(org.apache.spark.sql.types.ArrayType(staticType(proj, schema)
@@ -2552,6 +2557,11 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
         when(kc === lit(fields.head), propCol(v, fields.head).cast("string"))) {
         (acc, f) => acc.when(kc === lit(f), propCol(v, f).cast("string"))
       } // no otherwise → null on a missing key, like Neo4j
+    case MapLitE(es) =>
+      // map literal: ONE struct column in the LISTED entry order (the
+      // record-shaping idiom) — a plain column expression, no extra
+      // plan nodes; entries nest as struct fields
+      struct(es.map { case (k, x) => exprCol(x, schema).as(k) }: _*)
     case MapProj(v, fields) =>
       // map projection: the chosen properties as a struct in the LISTED
       // order — a plain column expression over the node's frame, no

@@ -2736,6 +2736,33 @@ class CypherSpec extends SparkSpec {
     assert(papers.map(_.getAs[String]("name")) === Seq("P-beta", "P-alpha"))
   }
 
+  test("map literal {k: expr, …}: listed-order struct, nests (round 15)") {
+    val row = Planner.run(g,
+      """MATCH (p:Paper {name: "P-alpha"})
+        |RETURN {id: p.nodeId, nm: toUpper(p.name),
+        |        tag: {len: size(p.name), fixed: "x"}} AS rec""".stripMargin)
+      .collect().head
+    val s = row.getStruct(0)
+    assert(s.schema.fieldNames.toSeq === Seq("id", "nm", "tag"))
+    assert(s.getLong(0) === 20L && s.getString(1) === "P-ALPHA")
+    val tag = s.getStruct(2)
+    assert(tag.getLong(0) === 7L && tag.getString(1) === "x")
+    // carries through WITH like any scalar; aggregates stay barred
+    val carried = Planner.run(g,
+      """MATCH (p:Paper {name: "P-beta"})
+        |WITH {nm: p.name} AS rec
+        |RETURN rec""".stripMargin).collect().head.getStruct(0)
+    assert(carried.getString(0) === "P-beta")
+    intercept[Parser.ParseError](Parser.parse(
+      """MATCH (p:Paper) RETURN {n: count(p)} + 1 AS x"""))
+    intercept[Parser.ParseError](Parser.parse(
+      """MATCH (p:Paper) RETURN {} AS x"""))
+    // render∘parse identity
+    val q = Parser.parse(
+      """MATCH (p:Paper) RETURN {id: p.nodeId, t: {a: 1, b: "s"}} AS rec""")
+    assert(Parser.parse(q.render) === q)
+  }
+
   test("map projection n {.p1, .p2}: listed-order struct") {
     val rows = Planner.run(g,
       """MATCH (p:Paper) WHERE p.abstract IS NOT NULL
