@@ -193,6 +193,15 @@ object CypherProps extends Properties("cypher") {
       ScalarFn("toLower", Seq(StrLitE("NAME"))))
       .map(k => DynProp("x1", k)),
     ident.map(nm => BinOp("+", PropRef("x1", "name"), ParamE(nm))),
+    // round-15 surface: map literals (nesting), double literals, round()
+    for {
+      k1 <- ident; k2 <- ident.suchThat(_ != k1)
+      v1 <- Gen.oneOf[Expr](PropRef("x1", "name"), LongLitE(7L))
+    } yield MapLitE(Seq(k1 -> v1,
+      k2 -> MapLitE(Seq("z" -> (StrLitE("s"): Expr))))),
+    Gen.oneOf(0.5, 2.0, -3.25, 99.9).map(DblLitE(_)),
+    Gen.const(ScalarFn("round",
+      Seq(BinOp("*", PropRef("x1", "nodeId"), DblLitE(0.5))))),
     for { // ^ chains: right-assoc render/parse
       a <- Gen.choose(1L, 5L); b <- Gen.choose(1L, 3L); c <- Gen.choose(1L, 3L)
       e <- Gen.oneOf[Expr](
@@ -490,5 +499,36 @@ object CypherProps extends Properties("cypher") {
       val rendered = bq.render
       val reparsed = Parser.parseBulkRel(rendered)
       Prop(reparsed == bq) :| s"rendered: $rendered\nreparsed: $reparsed"
+    }
+
+  // round-15 standalone SET/REMOVE incl. label mutation and += map-merge
+  private val updateGen: Gen[UpdateQuery] = for {
+    l <- Gen.oneOf("Paper", "Author")
+    isSet <- Gen.oneOf(true, false)
+    plus <- if (isSet) Gen.option(Gen.const("props"))
+            else Gen.const(None)
+    labels <- Gen.someOf(Seq("Flagged", "Hot")).map(_.toSeq)
+    sets <- if (isSet) Gen.someOf(Seq(
+      UpdateSet("n", "name", StrLitE("x")),
+      UpdateSet("n", "abstract",
+        BinOp("+", PropRef("n", "name"), StrLitE("!"))))).map(_.toSeq)
+      else Gen.const(Seq.empty[UpdateSet])
+    removes <- if (isSet) Gen.const(Seq.empty[(String, String)])
+      else Gen.someOf(Seq("n" -> "abstract", "n" -> "name")).map(_.toSeq)
+    if (isSet && (plus.nonEmpty || labels.nonEmpty || sets.nonEmpty)) ||
+      (!isSet && (labels.nonEmpty || removes.nonEmpty))
+  } yield
+    if (isSet)
+      UpdateQuery(NodePat("n", Some(l), None, None), Nil, sets, Nil,
+        plus, labels)
+    else
+      UpdateQuery(NodePat("n", Some(l), None, None), Nil, Nil, removes,
+        None, Nil, labels)
+
+  property("SET/REMOVE render/parseMutation round-trip") =
+    forAll(updateGen) { uq =>
+      val rendered = uq.render
+      val reparsed = Parser.parseMutation(rendered)
+      Prop(reparsed == Left(uq)) :| s"rendered: $rendered\nreparsed: $reparsed"
     }
 }
