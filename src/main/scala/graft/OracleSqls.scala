@@ -352,6 +352,16 @@ object OracleSqls {
         |WHERE n.label = 'Nation' AND n.name = 'NATION_3'
         |ORDER BY name LIMIT 5 OFFSET 5""".stripMargin),
 
+    // parameterized paging: SKIP $off LIMIT $k resolves at plan time —
+    // the SAME page as the literal spelling
+    "cy_page_param" -> withGraph(
+      """SELECT c.name AS name
+        |FROM nodes n
+        |JOIN bidir e ON n.nodeId = e.a AND e.relType = 'FROM_NATION'
+        |JOIN nodes c ON e.b = c.nodeId AND c.label = 'Customer'
+        |WHERE n.label = 'Nation' AND n.name = 'NATION_3'
+        |ORDER BY name LIMIT 5 OFFSET 5""".stripMargin),
+
     // multi-key ORDER BY: count desc, nation + kind break ties
     "cy_multi_order" -> withGraph(
       """SELECT n.name AS nation, x.label AS kind,

@@ -1022,6 +1022,16 @@ object Queries {
       """MATCH (x:Nation {name: "NATION_3"})-[r:FROM_NATION]-(y:Customer)
         |RETURN y.name AS name ORDER BY name SKIP 5 LIMIT 5""".stripMargin)
 
+  /** Parameterized paging (round 15): [[cyPage]]'s shape with `SKIP
+    * $off LIMIT $k` — Neo4j's paging idiom; the counts resolve at plan
+    * time so the trim is still ONE TakeOrderedAndProject, identical to
+    * the literal spelling. */
+  def cyPageParam(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """MATCH (x:Nation {name: "NATION_3"})-[r:FROM_NATION]-(y:Customer)
+        |RETURN y.name AS name ORDER BY name SKIP $off LIMIT $k""".stripMargin,
+      Map("off" -> 5L, "k" -> 5L))
+
   /** Multi-key ORDER BY: count descending, ties broken by nation then
     * kind — fully deterministic top-10 with no hash-order dependence. */
   def cyMultiOrder(spark: SparkSession, dir: String): DataFrame =
@@ -3715,6 +3725,7 @@ object Queries {
     "cy_count_rows" -> (cyCountRows _),
     "cy_multi_order" -> (cyMultiOrder _),
     "cy_page" -> (cyPage _),
+    "cy_page_param" -> (cyPageParam _),
     "cy_varlength" -> (cyVarlength _),
     "cy_sum_avg" -> (cySumAvg _),
     "cy_return_arith" -> (cyReturnArith _),

@@ -724,7 +724,7 @@ object Ast {
   final case class CallSubquery(imports: Seq[String], paths: Seq[MatchPath],
                                 preds: Seq[Pred], items: Seq[RetItem],
                                 orderBy: Seq[(String, Boolean)],
-                                limit: Option[Int]) {
+                                limit: Option[CountVal]) {
     def render: String = {
       val sb = new StringBuilder("CALL { ")
       if (imports.nonEmpty) sb ++= s"WITH ${imports.mkString(", ")} "
@@ -735,7 +735,7 @@ object Ast {
       if (orderBy.nonEmpty)
         sb ++= " ORDER BY " + orderBy.map { case (r, d) =>
           r + (if (d) " DESC" else "") }.mkString(", ")
-      limit.foreach(n => sb ++= s" LIMIT $n")
+      limit.foreach(n => sb ++= s" LIMIT ${n.render}")
       sb ++= " }"
       sb.toString
     }
@@ -757,6 +757,18 @@ object Ast {
   final case class ShortestPathClause(pathVar: String, path: MatchPath,
                                       all: Boolean = false)
 
+  /** SKIP / LIMIT count: an integer literal, or a `$param` resolved at
+    * plan time — Neo4j's parameterized paging (`SKIP $off LIMIT $k`,
+    * round 15). The planner rejects anything but a non-negative
+    * integral parameter, naming the parameter. */
+  sealed trait CountVal { def render: String }
+  final case class CountLit(n: Int) extends CountVal {
+    def render: String = n.toString
+  }
+  final case class CountParam(name: String) extends CountVal {
+    def render: String = s"$$$name"
+  }
+
   /** One `MATCH … [WHERE …] WITH … [WHERE …]` link of a chained query —
     * the projection barrier the reference's procedure-call queries use
     * (`WITH node.name AS name WHERE … RETURN name`, retrieval/ner.py:112-114).
@@ -765,8 +777,8 @@ object Ast {
                          preds: Seq[Pred], withDistinct: Boolean,
                          withItems: Seq[RetItem], withPreds: Seq[Pred],
                          orderBy: Seq[(String, Boolean)] = Nil,
-                         skip: Option[Int] = None,
-                         limit: Option[Int] = None,
+                         skip: Option[CountVal] = None,
+                         limit: Option[CountVal] = None,
                          star: Boolean = false) // WITH * [, items] — carry
                          // every bound node var + carried scalar forward
                          // (relationship vars are not carryable here)
@@ -778,11 +790,11 @@ object Ast {
       distinct: Boolean,
       items: Seq[RetItem],
       orderBy: Seq[(String, Boolean)], // (output column, descending) keys
-      limit: Option[Int],
+      limit: Option[CountVal],
       prefixes: Seq[Stage] = Nil, // WITH-chained stages BEFORE the final MATCH
       optionals: Seq[OptionalMatch] = Nil, // OPTIONAL MATCH clauses after it
       shortest: Option[ShortestPathClause] = None, // MATCH p = shortestPath(…)
-      skip: Option[Int] = None, // RETURN-level SKIP (applied before LIMIT)
+      skip: Option[CountVal] = None, // RETURN-level SKIP (applied before LIMIT)
       calls: Seq[CallSubquery] = Nil, // CALL { … } before RETURN
       star: Boolean = false) { // RETURN * [, items] — every bound node
       // var (whole-entity struct, OPTIONAL vars included), carried
@@ -834,8 +846,8 @@ object Ast {
         if (st.orderBy.nonEmpty)
           sb ++= " ORDER BY " + st.orderBy.map { case (ref, desc) =>
             ref + (if (desc) " DESC" else "") }.mkString(", ")
-        st.skip.foreach(n => sb ++= s" SKIP $n")
-        st.limit.foreach(n => sb ++= s" LIMIT $n")
+        st.skip.foreach(n => sb ++= s" SKIP ${n.render}")
+        st.limit.foreach(n => sb ++= s" LIMIT ${n.render}")
         if (st.withPreds.nonEmpty)
           sb ++= " WHERE " + st.withPreds.map(pred).mkString(" AND ")
         sb ++= " "
@@ -861,8 +873,8 @@ object Ast {
       if (orderBy.nonEmpty)
         sb ++= " ORDER BY " + orderBy.map { case (ref, desc) =>
           ref + (if (desc) " DESC" else "") }.mkString(", ")
-      skip.foreach(n => sb ++= s" SKIP $n")
-      limit.foreach(n => sb ++= s" LIMIT $n")
+      skip.foreach(n => sb ++= s" SKIP ${n.render}")
+      limit.foreach(n => sb ++= s" LIMIT ${n.render}")
       sb.toString
     }
 

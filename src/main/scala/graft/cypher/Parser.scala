@@ -152,6 +152,14 @@ object Parser {
 
     private def param(): String = { ws(); expect("$"); ident() }
 
+    /** A SKIP/LIMIT count: an integer literal or `$param` (round 15 —
+      * parameterized paging; the planner resolves and validates it). */
+    private def countVal(): CountVal = {
+      ws()
+      if (pos < in.length && in(pos) == '$') CountParam(param())
+      else CountLit(longLit().toInt)
+    }
+
     private def stringLit(): String = {
       ws()
       val quote = if (pos < in.length && (in(pos) == '"' || in(pos) == '\'')) in(pos)
@@ -367,7 +375,7 @@ object Parser {
               while ({ ws(); pos < in.length && in(pos) == ',' }) { pos += 1; one() }
               ks.result()
             } else Nil
-          val climit = if (opt("LIMIT")) Some(longLit().toInt) else None
+          val climit = if (opt("LIMIT")) Some(countVal()) else None
           ws()
           if (pos >= in.length || in(pos) != '}')
             fail("expected '}' closing the CALL subquery")
@@ -416,8 +424,8 @@ object Parser {
               while ({ ws(); pos < in.length && in(pos) == ',' }) { pos += 1; one() }
               keys.result()
             } else Nil
-          val skip = if (opt("SKIP")) Some(longLit().toInt) else None
-          val lim = if (opt("LIMIT")) Some(longLit().toInt) else None
+          val skip = if (opt("SKIP")) Some(countVal()) else None
+          val lim = if (opt("LIMIT")) Some(countVal()) else None
           stages += Stage(unwinds.result(), paths.result(), preds, d,
             items.result(), predList(), order, skip, lim, star)
         } else {
@@ -453,8 +461,8 @@ object Parser {
               while ({ ws(); pos < in.length && in(pos) == ',' }) { pos += 1; one() }
               keys.result()
             } else Nil
-          val skip = if (opt("SKIP")) Some(longLit().toInt) else None
-          val limit = if (opt("LIMIT")) Some(longLit().toInt) else None
+          val skip = if (opt("SKIP")) Some(countVal()) else None
+          val limit = if (opt("LIMIT")) Some(countVal()) else None
           // the query ends here — either end-of-input or a UNION boundary
           // (the caller decides which is legal: parse() demands the end,
           // unionQuery() keeps chaining)

@@ -198,9 +198,30 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
         // DESC → nulls first) — also DuckDB's default, so oracles agree;
         // Spark's bare asc/desc would put nulls first on ASC
         if (desc) c.desc_nulls_first else c.asc_nulls_last }: _*)
-    val skipped = q.skip.fold(ordered)(ordered.offset)
-    val trimmed = q.limit.fold(skipped)(skipped.limit)
+    val skipped = q.skip.fold(ordered)(cv => ordered.offset(countOf(cv, "SKIP")))
+    val trimmed = q.limit.fold(skipped)(cv => skipped.limit(countOf(cv, "LIMIT")))
     if (hidden.isEmpty) trimmed else trimmed.drop(hidden.values.toSeq: _*)
+  }
+
+  /** Resolve a SKIP/LIMIT [[CountVal]]: a literal passes through; a
+    * `$param` (round 15 — parameterized paging) must be a non-negative
+    * INTEGRAL number — fractional or non-numeric parameters fail naming
+    * the parameter, like every typed parameter site. */
+  private def countOf(cv: CountVal, what: String): Int = cv match {
+    case CountLit(n) => n
+    case CountParam(nm) => params.get(nm) match {
+      case Some(_: java.lang.Double | _: java.lang.Float) =>
+        throw new IllegalArgumentException(
+          s"$what parameter $$$nm must be a non-negative integer, " +
+            "got a fractional number")
+      case Some(n: Number)
+          if n.longValue() >= 0 && n.longValue() <= Int.MaxValue =>
+        n.intValue()
+      case Some(other) => throw new IllegalArgumentException(
+        s"$what parameter $$$nm must be a non-negative integer, got $other")
+      case None => throw new IllegalArgumentException(
+        s"missing parameter $$$nm")
+    }
   }
 
   /** Plan a [[DeleteQuery]]: the matched single-node frame (label +
@@ -919,8 +940,10 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
               .map(_.name).sorted.map(col(_).asc_nulls_last)
             withHidden.orderBy((keys ++ ties.toSeq): _*)
           }
-        val skipped = st.skip.fold(sorted)(sorted.offset)
-        val limited = st.limit.fold(skipped)(skipped.limit)
+        val skipped = st.skip.fold(sorted)(cv =>
+          sorted.offset(countOf(cv, "SKIP")))
+        val limited = st.limit.fold(skipped)(cv =>
+          skipped.limit(countOf(cv, "LIMIT")))
         val hk = hiddenKeys.result()
         if (hk.isEmpty) limited else limited.drop(hk: _*)
       }
@@ -1569,7 +1592,7 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
             val w = Window.partitionBy(keyNames.map(col): _*)
               .orderBy((ordKeys ++ ties): _*)
             sub0.withColumn("__call_rn", row_number().over(w))
-              .where(col("__call_rn") <= n)
+              .where(col("__call_rn") <= countOf(n, "LIMIT"))
               .drop("__call_rn")
               .drop(cs.orderBy.indices.map(i => s"__call_o_$i"): _*)
         }

@@ -289,7 +289,9 @@ object CypherProps extends Properties("cypher") {
     ord <- if (agg) Gen.const(Seq.empty[(String, Boolean)])
            else Gen.oneOf(Seq.empty[(String, Boolean)],
              Seq(("x2.name", true)), Seq(("top", false)))
-    lim <- Gen.option(Gen.choose(1, 5))
+    lim <- Gen.option(Gen.oneOf(
+      Gen.choose(1, 5).map(CountLit(_): CountVal),
+      ident.map(CountParam(_): CountVal)))
     preds <- Gen.someOf(Seq[Pred](PropCmp("x2", "nodeId", ">", LongLit(2L))))
   } yield CallSubquery(Seq("x1"), Seq(p), preds.toSeq, its, ord, lim)
 
@@ -352,7 +354,9 @@ object CypherProps extends Properties("cypher") {
       (2, Gen.const(Seq.empty[(String, Boolean)])),
       (1, Gen.const(Seq(("similarity", true)))),
       (1, Gen.const(Seq(("similarity", true), ("name", false)))))
-    limit <- Gen.option(Gen.choose(1, 100))
+    limit <- Gen.option(Gen.oneOf(
+      Gen.choose(1, 100).map(CountLit(_): CountVal),
+      ident.map(CountParam(_): CountVal)))
     nOpt <- Gen.frequency((2, Gen.const(0)), (1, Gen.choose(1, 2)))
     optionals <- Gen.listOfN(nOpt, optionalClause)
     calls <- Gen.frequency((3, Gen.const(Seq.empty[CallSubquery])),
@@ -395,7 +399,9 @@ object CypherProps extends Properties("cypher") {
     nItems <- Gen.choose(0, 2)
     extra <- Gen.listOfN(nItems, item)
     alias <- Gen.option(ident)
-    limit <- Gen.option(Gen.choose(1, 100))
+    limit <- Gen.option(Gen.oneOf(
+      Gen.choose(1, 100).map(CountLit(_): CountVal),
+      ident.map(CountParam(_): CountVal)))
   } yield CypherQuery(Nil, Nil, preds.toSeq, distinct,
     RetItem(PathLength("p"), alias) +: extra, Nil, limit, Nil, Nil,
     Some(ShortestPathClause("p",
@@ -416,7 +422,9 @@ object CypherProps extends Properties("cypher") {
     extra <- Gen.listOfN(1, item)
     items = Seq(RetItem(PathNodes(nm), Some("ns")),
       RetItem(PathRels(nm), Some("rs"))) ++ extra
-    limit <- Gen.option(Gen.choose(1, 100))
+    limit <- Gen.option(Gen.oneOf(
+      Gen.choose(1, 100).map(CountLit(_): CountVal),
+      ident.map(CountParam(_): CountVal)))
   } yield CypherQuery(Nil, Seq(p.copy(name = Some(nm))), Nil, distinct,
     items, Nil, limit)
 

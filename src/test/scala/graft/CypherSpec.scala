@@ -296,8 +296,8 @@ class CypherSpec extends SparkSpec {
       """RETURN a.name AS author, np"""
     val q = Parser.parse(s)
     assert(q.prefixes.head.orderBy === Seq(("np", true)))
-    assert(q.prefixes.head.skip === Some(1))
-    assert(q.prefixes.head.limit === Some(5))
+    assert(q.prefixes.head.skip === Some(Ast.CountLit(1)))
+    assert(q.prefixes.head.limit === Some(Ast.CountLit(5)))
     assert(Parser.parse(q.render) === q)
     // an ORDER BY ref outside the projected items errors clearly
     intercept[IllegalArgumentException](Planner.run(g,
@@ -997,7 +997,54 @@ class CypherSpec extends SparkSpec {
     assert(page === all.slice(1, 3))
     val q = Parser.parse(
       "MATCH (a)-[r]-(b) RETURN a.name AS x ORDER BY x SKIP 2 LIMIT 3")
-    assert(q.skip === Some(2) && q.limit === Some(3))
+    assert(q.skip === Some(Ast.CountLit(2)) && q.limit === Some(Ast.CountLit(3)))
+    assert(Parser.parse(q.render) === q)
+  }
+
+  test("parameterized paging SKIP $off LIMIT $k (round 15)") {
+    val all = Planner.run(g,
+      """MATCH (a:Author {name: "Alice"})-[w:WRITES]-(p:Paper)
+        |RETURN p.name AS paper ORDER BY paper""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    // RETURN-level: params resolve exactly like the literal spelling
+    val page = Planner.run(g,
+      """MATCH (a:Author {name: "Alice"})-[w:WRITES]-(p:Paper)
+        |RETURN p.name AS paper ORDER BY paper SKIP $off LIMIT $k""".stripMargin,
+      Map("off" -> 1L, "k" -> 1L)).collect().map(_.getString(0)).toSeq
+    assert(page === all.slice(1, 2))
+    // WITH-stage form
+    val staged = Planner.run(g,
+      """MATCH (a:Author)-[w:WRITES]-(p:Paper)
+        |WITH DISTINCT a.name AS author ORDER BY author LIMIT $k
+        |RETURN author""".stripMargin, Map("k" -> 2))
+      .collect().map(_.getString(0)).toSeq
+    assert(staged === Seq("Alice", "Bob"))
+    // CALL top-k form (also satisfies the uncorrelated-CALL bound)
+    val called = Planner.run(g,
+      """MATCH (a:Author {name: "Alice"})
+        |CALL { WITH a MATCH (a)-[w:WRITES]-(p:Paper)
+        |  RETURN p.name AS pn ORDER BY p.name LIMIT $k }
+        |RETURN pn ORDER BY pn""".stripMargin, Map("k" -> 1L))
+      .collect().map(_.getString(0)).toSeq
+    assert(called === Seq("P-alpha"))
+    // typed rejections name the parameter
+    val frac = intercept[IllegalArgumentException](Planner.run(g,
+      """MATCH (p:Paper) RETURN p.name AS n LIMIT $k""",
+      Map("k" -> 2.5)).collect())
+    assert(frac.getMessage.contains("$k") &&
+      frac.getMessage.contains("non-negative integer"))
+    val neg = intercept[IllegalArgumentException](Planner.run(g,
+      """MATCH (p:Paper) RETURN p.name AS n LIMIT $k""",
+      Map("k" -> -1L)).collect())
+    assert(neg.getMessage.contains("non-negative"))
+    val missing = intercept[IllegalArgumentException](Planner.run(g,
+      """MATCH (p:Paper) RETURN p.name AS n SKIP $off""").collect())
+    assert(missing.getMessage.contains("missing parameter $off"))
+    // render∘parse identity for the param spellings
+    val q = Parser.parse(
+      "MATCH (a)-[r]-(b) RETURN a.name AS x ORDER BY x SKIP $off LIMIT $k")
+    assert(q.skip === Some(Ast.CountParam("off")) &&
+      q.limit === Some(Ast.CountParam("k")))
     assert(Parser.parse(q.render) === q)
   }
 
