@@ -1276,6 +1276,20 @@ object OracleSqls {
         |WHERE c.label = 'Customer'
         |ORDER BY c.name LIMIT 5""".stripMargin),
 
+    // carried relationship: WITH r flattens the identity triple; the
+    // untyped -[r]- between Nation and Customer only matches FROM_NATION
+    "cy_with_rel" -> withGraph(
+      """SELECT c.name AS nm, e.relType AS t,
+        |  CAST(to_json(struct_pack(dst := e.dst,
+        |              "relType" := e.relType,
+        |              src := e.src)) AS VARCHAR) AS rel
+        |FROM nodes c
+        |JOIN bidir e ON c.nodeId = e.a
+        |JOIN nodes n ON e.b = n.nodeId AND n.label = 'Nation'
+        |  AND n.name = 'NATION_3'
+        |WHERE c.label = 'Customer'
+        |ORDER BY nm LIMIT 5""".stripMargin),
+
     // label mutation: three nations gain Flagged+Reviewed (appended in
     // listed order), NATION_11 then loses Reviewed; the MATCH anchors on
     // the ADDED label, so the row set itself proves labels-aware reads

@@ -1941,6 +1941,18 @@ object Queries {
         |        tag: {upper: toUpper(c.name), len: size(c.name)}} AS rec
         |ORDER BY c.name LIMIT 5""".stripMargin))
 
+  /** Carried relationship variables (round 15): `WITH r` flattens the
+    * identity triple across the barrier like a node's fields — after
+    * it, `type(r)` and the whole-entity `RETURN r` read the carried
+    * columns (JSON-serialized hash surface like every entity entry).
+    * A carried rel never re-binds; it only projects. */
+  def cyWithRel(spark: SparkSession, dir: String): DataFrame =
+    jsonSurface(graft.cypher.Planner.run(graph(spark, dir),
+      """MATCH (n:Nation {name: "NATION_3"})-[r]-(c:Customer)
+        |WITH r, c.name AS nm
+        |RETURN nm, type(r) AS t, r AS rel
+        |ORDER BY nm LIMIT 5""".stripMargin))
+
   /** Degree sugar (VERDICT r12 #5): `count { (n)-[:T]-(:L) }` in RETURN
     * and WHERE plus the legacy `size((n)-[]-())` spelling — four distinct
     * degree shapes, each ONE grouped count over the edge view left-joined
@@ -3784,6 +3796,7 @@ object Queries {
     "cy_return_rel" -> (cyReturnRel _),
     "cy_set_label" -> (cySetLabel _),
     "cy_map_literal" -> (cyMapLiteral _),
+    "cy_with_rel" -> (cyWithRel _),
     "cy_merge_param" -> (cyMergeParam _),
     "cy_unwind_create" -> (cyUnwindCreate _),
     "cy_foreach" -> (cyForeach _),

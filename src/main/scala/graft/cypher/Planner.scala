@@ -32,6 +32,12 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
   // drops everything it does not list, exactly like Cypher.
   private var carriedVars: Set[String] = Set.empty
   private var carriedScalars: Set[String] = Set.empty
+  // RELATIONSHIP variables carried whole across a barrier (round 15 —
+  // `WITH r`): flattened like nodes as __w_<var>_<field> over the rel
+  // schema (relType/src/dst — the identity triple). A carried rel never
+  // RE-BINDS in a later MATCH (rel-var reuse is outside the dialect),
+  // it only projects: type(r), r in RETURN, collect(r).
+  private var carriedRelVars: Set[String] = Set.empty
   // variables bound by the stage currently being planned (they shadow a
   // carried var of the same name — same nodeId, fresher alias)
   private var stageVars: Set[String] = Set.empty
@@ -134,6 +140,9 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     val base = q0.prefixes.foldLeft(Option.empty[DataFrame]) {
       (acc, st) => Some(planStage(acc, st))
     }
+    // the FINAL clause group re-checked now that the barriers populated
+    // carriedRelVars — a carried rel (WITH r) never re-binds
+    rejectRelVarReuse(q0.paths ++ q0.optionals.map(_.path))
     // RETURN * expands here — AFTER the prefixes set the carried-binding
     // space: every bound node var (whole-entity struct; OPTIONAL and
     // shortestPath endpoints included), carried scalar, and carried-list
@@ -889,13 +898,17 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     // WHERE predicates (including EXISTS, whose shared variables must
     // resolve against the flattened __w_ columns) see the
     // post-projection binding space, not the pre-barrier one
-    val (vars, scalars) = st.withItems.foldLeft((Set.empty[String], Set.empty[String])) {
-      case ((vs, ss), RetItem(ColRef(n), _)) =>
-        if (stageVars.contains(n) || carriedVars.contains(n)) (vs + n, ss)
-        else (vs, ss + n)
-      case ((vs, ss), i) => (vs, ss + i.name)
+    val (vars, relVs, scalars) = st.withItems.foldLeft(
+      (Set.empty[String], Set.empty[String], Set.empty[String])) {
+      case ((vs, rs, ss), RetItem(ColRef(n), _)) =>
+        if (stageVars.contains(n) || carriedVars.contains(n)) (vs + n, rs, ss)
+        else if (stageRelVars.contains(n) || carriedRelVars.contains(n))
+          (vs, rs + n, ss)
+        else (vs, rs, ss + n)
+      case ((vs, rs, ss), i) => (vs, rs, ss + i.name)
     }
     carriedVars = vars
+    carriedRelVars = relVs
     carriedScalars = scalars
     stageVars = Set.empty
     stageRelVars = Set.empty
@@ -971,14 +984,22 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
   private def projectWith(df: DataFrame, st: Stage,
                           ps: Seq[MatchPath]): DataFrame = {
     val nodeFields = g.nodes.columns.toSeq
+    val relFields = g.rels.columns.toSeq
     val vars = varsOf(ps)
+    val relVars = relVarsOf(ps)
     val cols = st.withItems.flatMap { i =>
       i.expr match {
         case ColRef(n) if vars.contains(n) =>
           nodeFields.map(f => col(s"$n.$f").as(s"__w_${n}_$f"))
+        case ColRef(n) if relVars.contains(n) =>
+          // carry a relationship whole: its identity triple flattens
+          // like a node's fields (round 15 — WITH r)
+          relFields.map(f => col(s"$n.$f").as(s"__w_${n}_$f"))
         case ColRef(n) if carriedVars.contains(n) =>
           // pass an already-carried var through untouched
           nodeFields.map(f => col(s"__w_${n}_$f"))
+        case ColRef(n) if carriedRelVars.contains(n) =>
+          relFields.map(f => col(s"__w_${n}_$f"))
         case ColRef(n) if carriedScalars.contains(n) => Seq(col(n))
         case ColRef(n) =>
           throw new IllegalArgumentException(s"unbound WITH item: $n")
@@ -1084,6 +1105,14 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       s"relationship variable reuse is not supported: ${dups.mkString(", ")} " +
         "— bind each relationship variable in one pattern only (shared " +
         "NODE variables express the join)")
+    // a CARRIED relationship (WITH r, round 15) projects forward but
+    // never re-binds — a later MATCH reusing its name is the same
+    // ambiguity as reuse within one clause group
+    val rebound = names.filter(carriedRelVars).distinct.sorted
+    if (rebound.nonEmpty) throw new IllegalArgumentException(
+      s"re-binding carried relationship variable " +
+        s"${rebound.mkString(", ")} is not supported — a carried " +
+        "relationship only projects (type(r), RETURN r, collect(r))")
   }
 
   /** Join one clause's paths (comma patterns / consecutive MATCH
@@ -2020,8 +2049,9 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
   private def propCol(v: String, field: String): Column =
     if (stageVars.contains(v)) col(s"$v.$field")
     else if (optNodeVars.contains(v)) col(s"__o_${v}_$field")
-    else if (carriedVars.contains(v)) col(s"__w_${v}_$field")
-    else col(s"$v.$field") // rel vars and anonymous expansions
+    else if (carriedVars.contains(v) || carriedRelVars.contains(v))
+      col(s"__w_${v}_$field")
+    else col(s"$v.$field") // stage rel vars and anonymous expansions
 
   private def predCol(p: Pred,
       schema: org.apache.spark.sql.types.StructType): Column = p match {
@@ -2225,7 +2255,8 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
 
   private def varSchema(v: String): org.apache.spark.sql.types.StructType =
     if (extraVarSchemas.contains(v)) extraVarSchemas(v)
-    else if (stageRelVars.contains(v) || optRelVars.contains(v)) g.rels.schema
+    else if (stageRelVars.contains(v) || optRelVars.contains(v) ||
+             carriedRelVars.contains(v)) g.rels.schema
     else g.nodes.schema
 
   private def rejectRelEntity(v: String): Unit =
@@ -2465,7 +2496,7 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     case ColRef(n) if carriedScalars.contains(n) => col(n)
     case ColRef(n) if stageVars.contains(n) || carriedVars.contains(n) ||
         optNodeVars.contains(n) || stageRelVars.contains(n) ||
-        optRelVars.contains(n) =>
+        optRelVars.contains(n) || carriedRelVars.contains(n) =>
       // whole-entity projection `RETURN n` / `RETURN r` — the entity's
       // canonical sorted struct (see [[Ast.PropsOf]]): the reference's
       // retrieved record shape, groupable and DISTINCT-able like any
@@ -2477,7 +2508,8 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
           "WITH-projected column")
     case LabelsOf(v)    => propCol(v, "labels")
     case TypeOf(r)      =>
-      if (optRelVars.contains(r)) col(s"__o_${r}_relType") else col(s"$r.relType")
+      if (optRelVars.contains(r)) col(s"__o_${r}_relType")
+      else propCol(r, "relType") // stage ($r.) or carried (__w_r_) rel
     case Cosine(v, p, q) =>
       graft.functions.cosineSim(propCol(v, p).cast("array<double>"), lit(doubles(q).toArray))
     case PathLength(pv) =>

@@ -2810,6 +2810,45 @@ class CypherSpec extends SparkSpec {
     assert(Parser.parse(q.render) === q)
   }
 
+  test("WITH r: relationship variables carry across barriers (round 15)") {
+    // type(r) reads the carried triple after the barrier
+    val typed = Planner.run(g,
+      """MATCH (a:Author {name: "Alice"})-[w]-(p:Paper)
+        |WITH w, p.name AS pn
+        |RETURN pn, type(w) AS t ORDER BY pn, t""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(typed.toSeq === Seq(("P-alpha", "REVIEWS"), ("P-alpha", "WRITES"),
+      ("P-beta", "WRITES")))
+    // RETURN r after a barrier: the identity-triple struct from the
+    // flattened carry columns
+    val whole = Planner.run(g,
+      """MATCH (a:Author {name: "Bob"})-[w:WRITES]-(p:Paper)
+        |WITH w
+        |RETURN w""".stripMargin).collect().head.getStruct(0)
+    assert(whole.schema.fieldNames.toSeq === Seq("dst", "relType", "src"))
+    assert(whole.getAs[Long]("src") === 11L && whole.getAs[Long]("dst") === 20L)
+    // collect(r) aggregates carried relationships; DISTINCT dedups the
+    // triple
+    val bag = Planner.run(g,
+      """MATCH (a:Author {name: "Alice"})-[w]-(p:Paper {name: "P-alpha"})
+        |WITH DISTINCT w
+        |RETURN count(*) AS n""".stripMargin).collect().head.getLong(0)
+    assert(bag === 2L) // the e4/e12 parallel pair survives DISTINCT
+    // ORDER BY a carried rel field at the barrier
+    val ordered = Planner.run(g,
+      """MATCH (a:Author {name: "Alice"})-[w]-(p:Paper {name: "P-alpha"})
+        |WITH w ORDER BY w.relType DESC LIMIT 1
+        |RETURN type(w) AS t""".stripMargin).collect().head.getString(0)
+    assert(ordered === "WRITES")
+    // a carried rel never RE-BINDS in a later MATCH
+    val e = intercept[IllegalArgumentException](Planner.run(g,
+      """MATCH (a:Author)-[w:WRITES]-(p:Paper)
+        |WITH w, a
+        |MATCH (a)-[w:REVIEWS]-(q:Paper)
+        |RETURN type(w) AS t""".stripMargin))
+    assert(e.getMessage.contains("re-binding carried relationship"))
+  }
+
   test("map projection n {.p1, .p2}: listed-order struct") {
     val rows = Planner.run(g,
       """MATCH (p:Paper) WHERE p.abstract IS NOT NULL
