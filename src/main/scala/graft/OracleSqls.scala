@@ -1276,6 +1276,20 @@ object OracleSqls {
         |WHERE c.label = 'Customer'
         |ORDER BY c.name LIMIT 5""".stripMargin),
 
+    // count(r) over OPTIONAL: null-skipping relationship count — an
+    // unmatched nation contributes 0 through the left join
+    "cy_count_rel" -> withGraph(
+      """SELECT n.name AS nation,
+        |  CAST(coalesce(c.cnt, 0) AS BIGINT) AS n_rels
+        |FROM nodes n
+        |LEFT JOIN (
+        |  SELECT e.b AS nid, count(*) AS cnt FROM bidir e
+        |  JOIN nodes c ON e.a = c.nodeId AND c.label = 'Customer'
+        |  WHERE e.relType = 'FROM_NATION' GROUP BY 1
+        |) c ON c.nid = n.nodeId
+        |WHERE n.label = 'Nation'
+        |ORDER BY nation""".stripMargin),
+
     // carried relationship: WITH r flattens the identity triple; the
     // untyped -[r]- between Nation and Customer only matches FROM_NATION
     "cy_with_rel" -> withGraph(

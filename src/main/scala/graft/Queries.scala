@@ -1941,6 +1941,17 @@ object Queries {
         |        tag: {upper: toUpper(c.name), len: size(c.name)}} AS rec
         |ORDER BY c.name LIMIT 5""".stripMargin))
 
+  /** count(r) over an OPTIONAL relationship (round 15): Neo4j's
+    * null-skipping relationship count — the count source is the
+    * null-extended relType, so an unmatched nation contributes 0. The
+    * DISTINCT form (identity-triple dedup) is spec-covered. */
+  def cyCountRel(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(graph(spark, dir),
+      """MATCH (n:Nation)
+        |OPTIONAL MATCH (n)-[r:FROM_NATION]-(c:Customer)
+        |RETURN n.name AS nation, count(r) AS n_rels
+        |ORDER BY nation""".stripMargin)
+
   /** Carried relationship variables (round 15): `WITH r` flattens the
     * identity triple across the barrier like a node's fields — after
     * it, `type(r)` and the whole-entity `RETURN r` read the carried
@@ -3797,6 +3808,7 @@ object Queries {
     "cy_set_label" -> (cySetLabel _),
     "cy_map_literal" -> (cyMapLiteral _),
     "cy_with_rel" -> (cyWithRel _),
+    "cy_count_rel" -> (cyCountRel _),
     "cy_merge_param" -> (cyMergeParam _),
     "cy_unwind_create" -> (cyUnwindCreate _),
     "cy_foreach" -> (cyForeach _),

@@ -1006,7 +1006,7 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
         // aggregates project their SOURCE column here; the groupBy at the
         // barrier (planStage) aggregates across all expansions
         case CountDistinct(v) =>
-          Seq(propCol(v, "nodeId").as(s"__aggsrc_${i.name}"))
+          Seq(distinctSrcCol(v).as(s"__aggsrc_${i.name}"))
         case CountDistinctInParam(v, _) =>
           Seq(propCol(v, "nodeId").as(s"__aggsrc_${i.name}"))
         case CollectDistinct(v, p) =>
@@ -1018,7 +1018,7 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
         case CountStar =>
           Seq(lit(1L).as(s"__aggsrc_${i.name}"))
         case CountVar(v) =>
-          Seq(propCol(v, "nodeId").as(s"__aggsrc_${i.name}"))
+          Seq(countSrcCol(v).as(s"__aggsrc_${i.name}"))
         case AggFn(_, arg, _) =>
           Seq(exprCol(arg, df.schema).as(s"__aggsrc_${i.name}"))
         case PercentileFn(_, arg, _) =>
@@ -1072,16 +1072,16 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     * instead of an unresolved-column AnalysisException. */
   private def rejectRelVarCounts(items: Seq[RetItem],
                                  paths: Seq[MatchPath]): Unit = {
+    // count(r) / count(DISTINCT r) joined the dialect in round 15
+    // ([[countSrcCol]] / [[distinctSrcCol]] — the identity triple is the
+    // distinct unit); only the id-parameter-filtered distinct stays a
+    // node-only form (its parameter is a nodeId list)
     val relVars = paths.flatMap(_.rels.flatMap(_.varName)).toSet
     items.foreach(_.expr match {
-      case CountDistinct(v) if relVars(v) =>
+      case CountDistinctInParam(v, _) if relVars(v) =>
         throw new IllegalArgumentException(
-          s"count(DISTINCT $v) over a relationship variable is outside the " +
-            "dialect — count an endpoint node or use count(*)")
-      case CountVar(v) if relVars(v) =>
-        throw new IllegalArgumentException(
-          s"count($v) over a relationship variable is outside the dialect " +
-            "— count an endpoint node or use count(*)")
+          s"count(DISTINCT $v IN $$ids) over a relationship variable is " +
+            "outside the dialect — the parameter filters node ids")
       case _ => ()
     })
   }
@@ -1583,8 +1583,8 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
         } else {
           val cols = keyCols ++ cs.items.map { i =>
             if (isAggItem(i)) i.expr match {
-              case CountDistinct(v)           => propCol(v, "nodeId").as(s"__aggsrc_${i.name}")
-              case CountVar(v)                => propCol(v, "nodeId").as(s"__aggsrc_${i.name}")
+              case CountDistinct(v)           => distinctSrcCol(v).as(s"__aggsrc_${i.name}")
+              case CountVar(v)                => countSrcCol(v).as(s"__aggsrc_${i.name}")
               case CollectDistinct(v, p)      => propCol(v, p).as(s"__aggsrc_${i.name}")
               case CollectAll(v, p)           => propCol(v, p).as(s"__aggsrc_${i.name}")
               case MinMaxProp(_, v, p)        => propCol(v, p).as(s"__aggsrc_${i.name}")
@@ -1840,6 +1840,30 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       .zipWithIndex
       .map { case (r, i) => r -> s"__ord_$i" }
 
+  /** The count source for `count(v)`: a node's nodeId; a relationship's
+    * relType — null exactly when an OPTIONAL rel is unmatched, so the
+    * null-skipping count matches Neo4j's count(r) (round 15 — count
+    * over relationship variables was previously rejected). */
+  private def countSrcCol(v: String): Column =
+    if (optRelVars.contains(v)) col(s"__o_${v}_relType")
+    else if (stageRelVars.contains(v) || carriedRelVars.contains(v))
+      propCol(v, "relType")
+    else propCol(v, "nodeId")
+
+  /** The distinct-count source for `count(DISTINCT v)`: a node's nodeId;
+    * a BOUND relationship's full identity triple (two parallel edges of
+    * different types stay distinct). An OPTIONAL rel carries only its
+    * relType through the null-extending join, so its DISTINCT form is
+    * rejected with a targeted message. */
+  private def distinctSrcCol(v: String): Column =
+    if (stageRelVars.contains(v) || carriedRelVars.contains(v))
+      struct(Seq("dst", "relType", "src").map(f => propCol(v, f).as(f)): _*)
+    else if (optRelVars.contains(v))
+      throw new IllegalArgumentException(
+        s"count(DISTINCT $v) over an OPTIONAL relationship is outside " +
+          s"the dialect — count($v) (null-skipping) or count an endpoint")
+    else propCol(v, "nodeId")
+
   private def projectTuple(df: DataFrame, q: CypherQuery): DataFrame = {
     val hidden = hiddenOrderRefs(q).map { case (r, name) =>
       (if (propRefPat.matches(r)) {
@@ -1849,13 +1873,13 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     }
     val cols = q.items.zipWithIndex.map { case (i, idx) =>
       i.expr match {
-        case CountDistinct(v)            => propCol(v, "nodeId").as(s"__agg$idx")
+        case CountDistinct(v)            => distinctSrcCol(v).as(s"__agg$idx")
         case CountDistinctInParam(v, _)  => propCol(v, "nodeId").as(s"__agg$idx")
         case CollectDistinct(v, p)       => propCol(v, p).as(s"__agg$idx")
         case CollectAll(v, p)            => propCol(v, p).as(s"__agg$idx")
         case MinMaxProp(_, v, p)         => propCol(v, p).as(s"__agg$idx")
         case CountStar                   => lit(1L).as(s"__agg$idx")
-        case CountVar(v)                 => propCol(v, "nodeId").as(s"__agg$idx")
+        case CountVar(v)                 => countSrcCol(v).as(s"__agg$idx")
         case AggFn(_, arg, _)            => exprCol(arg, df.schema).as(s"__agg$idx")
         case PercentileFn(_, arg, _)     => exprCol(arg, df.schema).as(s"__agg$idx")
         case e                           => exprCol(e, df.schema).as(i.name)

@@ -622,10 +622,11 @@ class CypherSpec extends SparkSpec {
     val err = intercept[Parser.ParseError](Parser.parse(
       "MATCH (a:Author)-[w:WRITES]-(p) RETURN sum(p.nodeId) + 1 AS bad"))
     assert(err.getMessage.contains("WITH barrier"))
-    // count over a relationship variable — dialect-level rejection
-    val relErr = intercept[IllegalArgumentException](Planner.run(g,
-      "MATCH (a:Author)-[w:WRITES]-(p) RETURN count(w) AS n"))
-    assert(relErr.getMessage.contains("relationship variable"))
+    // count over a relationship variable (round 15: in-dialect)
+    val relCnt = Planner.run(g,
+      "MATCH (a:Author)-[w:WRITES]-(p) RETURN count(w) AS n")
+      .collect().head.getLong(0)
+    assert(relCnt === 4L) // e4, e5, e6, e7
     // render round-trip
     val q = Parser.parse(
       "MATCH (a:Author)-[w:WRITES]-(p:Paper) RETURN a.name AS name, " +
@@ -2808,6 +2809,36 @@ class CypherSpec extends SparkSpec {
     val q = Parser.parse(
       """MATCH (p:Paper) RETURN {id: p.nodeId, t: {a: 1, b: "s"}} AS rec""")
     assert(Parser.parse(q.render) === q)
+  }
+
+  test("count(r) / count(DISTINCT r): relationship counting (round 15)") {
+    // null-skipping over OPTIONAL: institutions write nothing → 0
+    val opt = Planner.run(g,
+      """MATCH (i:Institution)
+        |OPTIONAL MATCH (i)-[w:WRITES]-(p:Paper)
+        |RETURN i.name AS name, count(w) AS n ORDER BY name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(opt.toSeq === Seq(("MIT", 0L), ("Stanford", 0L)))
+    // DISTINCT counts identity triples: a cartesian-duplicated row
+    // space (each HAS_TOPIC edge × 3 papers) counts each relationship
+    // once; the plain count keeps the bag
+    val dup = Planner.run(g,
+      """MATCH (p:Paper)-[w:HAS_TOPIC]-(f:FieldOfStudy), (q:Paper)
+        |RETURN count(w) AS bag, count(DISTINCT w) AS dedup""".stripMargin)
+      .collect().head
+    assert(dup.getLong(0) === 9L && dup.getLong(1) === 3L)
+    // the e4/e12 parallel pair stays TWO distinct relationships
+    val par = Planner.run(g,
+      """MATCH (a:Author {name: "Alice"})-[w]-(p:Paper {name: "P-alpha"})
+        |RETURN count(DISTINCT w) AS n""".stripMargin).collect().head.getLong(0)
+    assert(par === 2L)
+    // DISTINCT over an OPTIONAL rel (only relType survives the
+    // null-extending join) keeps a targeted rejection
+    val e = intercept[IllegalArgumentException](Planner.run(g,
+      """MATCH (i:Institution)
+        |OPTIONAL MATCH (i)-[w:WRITES]-(p:Paper)
+        |RETURN i.name AS name, count(DISTINCT w) AS n""".stripMargin))
+    assert(e.getMessage.contains("OPTIONAL relationship"))
   }
 
   test("WITH r: relationship variables carry across barriers (round 15)") {
