@@ -1276,6 +1276,21 @@ object OracleSqls {
         |WHERE c.label = 'Customer'
         |ORDER BY c.name LIMIT 5""".stripMargin),
 
+    // startNode/endNode: stored orientation — FROM_NATION stores
+    // Customer→Nation, so src is the customer and dst the nation; the
+    // bare endNode(r) is the nation's whole-entity struct as JSON
+    "cy_endpoints" -> withGraph(
+      """SELECT c.name AS name, e.src AS src_id, n.name AS dst_name,
+        |  CAST(to_json(struct_pack(name := n.name,
+        |              "nameEmbedding" := CAST(NULL AS DOUBLE[]),
+        |              "nodeId" := n.nodeId)) AS VARCHAR) AS dst
+        |FROM nodes c
+        |JOIN bidir e ON c.nodeId = e.a AND e.relType = 'FROM_NATION'
+        |JOIN nodes n ON e.b = n.nodeId AND n.label = 'Nation'
+        |  AND n.name = 'NATION_3'
+        |WHERE c.label = 'Customer'
+        |ORDER BY name LIMIT 5""".stripMargin),
+
     // count(r) over OPTIONAL: null-skipping relationship count — an
     // unmatched nation contributes 0 through the left join
     "cy_count_rel" -> withGraph(

@@ -1941,6 +1941,19 @@ object Queries {
         |        tag: {upper: toUpper(c.name), len: size(c.name)}} AS rec
         |ORDER BY c.name LIMIT 5""".stripMargin))
 
+  /** startNode(r)/endNode(r) (round 15): the STORED-orientation
+    * endpoints — the spelling that recovers direction after an
+    * undirected match. ONE node-table equi-join per distinct (fn, rel);
+    * the bare form's whole-entity struct ships as JSON like every
+    * entity entry. FROM_NATION stores Customer→Nation, so startNode is
+    * the customer and endNode the nation on every row. */
+  def cyEndpoints(spark: SparkSession, dir: String): DataFrame =
+    jsonSurface(graft.cypher.Planner.run(graph(spark, dir),
+      """MATCH (n:Nation {name: "NATION_3"})-[r:FROM_NATION]-(c:Customer)
+        |RETURN c.name AS name, startNode(r).nodeId AS src_id,
+        |       endNode(r).name AS dst_name, endNode(r) AS dst
+        |ORDER BY name LIMIT 5""".stripMargin))
+
   /** count(r) over an OPTIONAL relationship (round 15): Neo4j's
     * null-skipping relationship count — the count source is the
     * null-extended relType, so an unmatched nation contributes 0. The
@@ -3809,6 +3822,7 @@ object Queries {
     "cy_map_literal" -> (cyMapLiteral _),
     "cy_with_rel" -> (cyWithRel _),
     "cy_count_rel" -> (cyCountRel _),
+    "cy_endpoints" -> (cyEndpoints _),
     "cy_merge_param" -> (cyMergeParam _),
     "cy_unwind_create" -> (cyUnwindCreate _),
     "cy_foreach" -> (cyForeach _),

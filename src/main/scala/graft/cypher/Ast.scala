@@ -380,6 +380,16 @@ object Ast {
     * field must exist in the union-of-keys schema; `.*`, computed
     * entries, and variable entries are outside the dialect. */
   final case class MapProj(varName: String, fields: Seq[String]) extends Expr
+  /** `startNode(r)` / `endNode(r)` — the relationship's endpoint NODE
+    * in STORED orientation (start = src, end = dst): the spelling that
+    * recovers direction after an undirected match (round 15; pairs with
+    * whole-entity `RETURN r`). Bare form projects the endpoint's
+    * whole-entity struct; `startNode(r).prop` reads one property. Plans
+    * as ONE equi-join of the node table per distinct (fn, rel) — never
+    * a per-row lookup. Bound (stage/carried) rel variables only: an
+    * OPTIONAL rel carries no endpoint ids. `fn` ∈ {"start", "end"}. */
+  final case class EndpointOf(fn: String, relVar: String,
+                              prop: Option[String] = None) extends Expr
   /** Map literal `{k1: expr, k2: expr}` in expression position
     * (round 15) — Cypher's record-shaping idiom (the reference's
     * retriever returns dict records, retrieval/retriever.py:56-59).
@@ -528,6 +538,8 @@ object Ast {
       case MapLitE(es)                =>
         es.map { case (k, x) => s"$k: ${exprText(x)}" }
           .mkString("{", ", ", "}")
+      case EndpointOf(fn, r, p)       =>
+        s"${fn}Node($r)" + p.fold("")(x => s".$x")
       case StrLitE(v)                 =>
         "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
       case NullLitE                   => "null"

@@ -1247,7 +1247,8 @@ object Parser {
       Seq("toLower", "toUpper", "trim", "replace", "substring", "size",
         "abs", "sign", "toString", "toInteger", "toFloat", "id", "head",
         "last", "reverse", "ltrim", "rtrim", "left", "right", "coalesce",
-        "floor", "ceil", "sqrt", "round", "properties")
+        "floor", "ceil", "sqrt", "round", "properties",
+        "startNode", "endNode")
 
     /** WHERE predicates are aggregate-free (Cypher aggregates live in
       * RETURN/WITH; the HAVING idiom is `WITH … AS x WHERE x …`). */
@@ -1946,6 +1947,19 @@ object Parser {
       else if (peekCall("properties")) {
         expect("properties"); expect("("); val v = ident(); expect(")")
         PropsOf(v)
+      }
+      else if (peekCall("startNode") || peekCall("endNode")) {
+        // startNode(r)/endNode(r) — stored-orientation endpoint node;
+        // an optional `.prop` postfix reads one property (round 15)
+        val fn = if (opt("startNode")) "start" else { expect("endNode"); "end" }
+        expect("("); val v = ident(); expect(")")
+        ws()
+        val prop =
+          if (pos + 1 < in.length && in(pos) == '.' &&
+              (in(pos + 1).isLetter || in(pos + 1) == '_')) {
+            pos += 1; Some(ident())
+          } else None
+        EndpointOf(fn, v, prop)
       }
       else if (peekBrace("COLLECT")) {
         // openCypher's COLLECT subquery — sugar for the pattern

@@ -57,6 +57,10 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
   // count { (n)--() } degree expressions resolve to pre-joined count
   // columns ([[attachDegree]]); keyed by the full DegreeOf shape
   private var degreeCols: Map[DegreeOf, String] = Map.empty
+  // startNode(r)/endNode(r) resolve to pre-joined flattened node columns
+  // ([[attachEndpoints]]); keyed by (fn, relVar) — the prop postfix
+  // shares its bare form's single join
+  private var endpointPrefixes: Map[(String, String), String] = Map.empty
   // pattern comprehensions resolve to pre-joined sorted-list columns
   // ([[attachPatternComps]]); keyed by the full PatternComp shape (the
   // type map backs the empty-list coalesce on a no-match row)
@@ -171,8 +175,15 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     stageRelVars = relVarsOf(q.paths)
     val tuple =
       if (q.shortest.isDefined) shortestTuple(q, base)
-      else if (q.paths.isEmpty) // WITH … [UNWIND xs AS x] RETURN tail
-        projectTuple(explodeCarried(base, q.unwinds).get, q)
+      else if (q.paths.isEmpty) { // WITH … [UNWIND xs AS x] RETURN tail
+        // startNode/endNode over a CARRIED rel still need their node
+        // join on the bare-RETURN path (round 15)
+        val eps = (q.items.flatMap(i => walkExpr(i.expr)) ++
+          q.preds.flatMap(walkPred)).collect { case e: EndpointOf => e }
+          .distinct
+        projectTuple(
+          attachEndpoints(explodeCarried(base, q.unwinds).get, eps), q)
+      }
       else expandVarLength(q)
         .map(fixed => tupleFrame(base, fixed)).reduce(_.unionByName(_))
 
@@ -870,8 +881,10 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
         try joinPaths(st.unwinds.filterNot(_.carried), ps)
         finally allowCarriedAnchors = false
       val attached = applyPendingAnchors(attachBase(base2, joined0, ps))
-      val withDegs = attachPatternCounts(
-        attachPatternComps(attachDegrees(attached, degs), pcomps), pcounts)
+      val eps = walked.collect { case e: EndpointOf => e }.distinct
+      val withDegs = attachEndpoints(attachPatternCounts(
+        attachPatternComps(attachDegrees(attached, degs), pcomps), pcounts),
+        eps)
       val filtered = applyPreds(withDegs, st.preds)
       projectWith(filtered, st, ps)
     }
@@ -1175,8 +1188,9 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     val degs = walked.collect { case d: DegreeOf => d }.distinct
     val pcomps = walked.collect { case pc: PatternComp => pc }.distinct
     val pcounts = walked.collect { case pc: PatternCount => pc }.distinct
-    val withDegs = attachPatternCounts(
-      attachPatternComps(attachDegrees(joined, degs), pcomps), pcounts)
+    val eps = walked.collect { case e: EndpointOf => e }.distinct
+    val withDegs = attachEndpoints(attachPatternCounts(
+      attachPatternComps(attachDegrees(joined, degs), pcomps), pcounts), eps)
     val filtered = applyPreds(withDegs, q.preds)
     // rebuilt per expansion: an optional var must not count as "already
     // bound" when the NEXT var-length expansion of the main paths plans
@@ -1779,6 +1793,28 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     * the bound variable's nodeId (null → 0 in [[exprCol]]). At scale the
     * degree frame is one keyed shuffle of O(matching nodes) rows;
     * Catalyst broadcasts it when small. */
+  /** Attach `startNode(r)` / `endNode(r)` endpoint nodes: ONE equi-join
+    * of the node table per distinct (fn, rel) — the endpoint id column
+    * (stored orientation: start = src, end = dst) joins nodes.nodeId,
+    * node fields flattened under a fresh __ep prefix. Inner join: rel
+    * endpoints always exist (S3). Bound rel vars only — an OPTIONAL rel
+    * carries no endpoint ids through the null-extending join. */
+  private def attachEndpoints(df: DataFrame,
+                              eps: Seq[EndpointOf]): DataFrame =
+    eps.map(e => (e.fn, e.relVar)).distinct.zipWithIndex
+      .foldLeft(df) { case (acc, ((fn, rv), i)) =>
+        require(stageRelVars.contains(rv) || carriedRelVars.contains(rv),
+          s"${fn}Node($rv) needs a BOUND relationship variable — an " +
+            "OPTIONAL relationship carries no endpoint ids; match the " +
+            "endpoint as a node variable instead")
+        val pre = s"__ep${i}_"
+        endpointPrefixes += (fn, rv) -> pre
+        val nodesR = g.nodes.select(g.nodes.columns.toSeq.map(f =>
+          col(f).as(s"$pre$f")): _*)
+        val endCol = propCol(rv, if (fn == "start") "src" else "dst")
+        acc.join(nodesR, endCol === col(s"${pre}nodeId"))
+      }
+
   private def attachDegrees(df: DataFrame, degs: Seq[DegreeOf]): DataFrame = {
     degreeCols = Map.empty
     degs.zipWithIndex.foldLeft(df) { case (d, (deg, i)) =>
@@ -2358,6 +2394,12 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     case TypeOf(_) => Some(org.apache.spark.sql.types.StringType)
     case PropsOf(v) => Some(org.apache.spark.sql.types.StructType(
       nodeStructFields(v).map(f => varSchema(v)(f))))
+    case EndpointOf(_, _, prop) => prop match {
+      case Some(p) => g.nodes.schema.fields.find(_.name == p).map(_.dataType)
+      case None => Some(org.apache.spark.sql.types.StructType(
+        g.nodes.schema.fields.filterNot(f =>
+          f.name == "label" || f.name == "labels").sortBy(_.name)))
+    }
     case MapProj(v, fs) => Some(org.apache.spark.sql.types.StructType(
       fs.flatMap(f => varSchema(v).fields.find(_.name == f))))
     case MapLitE(es) => Some(org.apache.spark.sql.types.StructType(
@@ -2641,6 +2683,23 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       // record-shaping idiom) — a plain column expression, no extra
       // plan nodes; entries nest as struct fields
       struct(es.map { case (k, x) => exprCol(x, schema).as(k) }: _*)
+    case EndpointOf(fn, rv, prop) =>
+      // the endpoint node attached by [[attachEndpoints]]: bare form =
+      // the whole-entity struct (name-sorted, label metadata excluded,
+      // like RETURN n); .prop form = one flattened column
+      val pre = endpointPrefixes.getOrElse((fn, rv),
+        throw new IllegalArgumentException(
+          s"${fn}Node($rv) is not supported in this context"))
+      prop match {
+        case Some(p) =>
+          require(g.nodes.schema.fieldNames.contains(p),
+            s"unknown node property $p (the schema is union-of-keys)")
+          col(s"$pre$p")
+        case None =>
+          val fields = g.nodes.schema.fieldNames
+            .filterNot(n => n == "label" || n == "labels").sorted.toSeq
+          struct(fields.map(f => col(s"$pre$f").as(f)): _*)
+      }
     case MapProj(v, fields) =>
       // map projection: the chosen properties as a struct in the LISTED
       // order — a plain column expression over the node's frame, no

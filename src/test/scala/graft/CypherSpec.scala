@@ -2841,6 +2841,52 @@ class CypherSpec extends SparkSpec {
     assert(e.getMessage.contains("OPTIONAL relationship"))
   }
 
+  test("startNode(r)/endNode(r): stored-orientation endpoints (round 15)") {
+    // WRITES stores author→paper; the undirected match recovers the
+    // stored orientation through the endpoint functions
+    val rows = Planner.run(g,
+      """MATCH (p:Paper)-[w:WRITES]-(a:Author {name: "Alice"})
+        |RETURN startNode(w).name AS s, endNode(w).name AS e,
+        |       startNode(w).nodeId AS sid
+        |ORDER BY e""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq === Seq(("Alice", "P-alpha", 10L),
+      ("Alice", "P-beta", 10L)))
+    // bare form: the endpoint's whole-entity struct (name-sorted)
+    val whole = Planner.run(g,
+      """MATCH (a:Author {name: "Bob"})-[w:WRITES]-(p:Paper)
+        |RETURN endNode(w) AS dst""".stripMargin).collect().head.getStruct(0)
+    assert(whole.schema.fieldNames.toSeq ===
+      Seq("abstract", "name", "nameEmbedding", "nodeId"))
+    assert(whole.getAs[String]("name") === "P-alpha")
+    // carried rel: the endpoint joins resolve the __w_ columns
+    val carried = Planner.run(g,
+      """MATCH (a:Author {name: "Bob"})-[w:WRITES]-(p:Paper)
+        |WITH w
+        |RETURN startNode(w).name AS s""".stripMargin)
+      .collect().head.getString(0)
+    assert(carried === "Bob")
+    // endpoint functions also filter (WHERE position)
+    val filtered = Planner.run(g,
+      """MATCH (a:Author)-[w:WRITES]-(p:Paper)
+        |WHERE startNode(w).name = "Carol"
+        |RETURN endNode(w).name AS e""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(filtered === Seq("P-gamma"))
+    // OPTIONAL rels carry no endpoint ids → targeted rejection
+    val e = intercept[IllegalArgumentException](Planner.run(g,
+      """MATCH (i:Institution)
+        |OPTIONAL MATCH (i)-[w:WRITES]-(p:Paper)
+        |RETURN startNode(w).name AS s""".stripMargin))
+    assert(e.getMessage.contains("OPTIONAL relationship"))
+    // render∘parse identity, both spellings
+    val q = Parser.parse(
+      """MATCH (a)-[w:WRITES]-(p) RETURN startNode(w) AS s, endNode(w).name AS en""")
+    assert(q.items.map(_.expr) === Seq(Ast.EndpointOf("start", "w"),
+      Ast.EndpointOf("end", "w", Some("name"))))
+    assert(Parser.parse(q.render) === q)
+  }
+
   test("WITH r: relationship variables carry across barriers (round 15)") {
     // type(r) reads the carried triple after the barrier
     val typed = Planner.run(g,
