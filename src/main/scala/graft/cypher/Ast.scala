@@ -792,8 +792,9 @@ object Ast {
                          skip: Option[CountVal] = None,
                          limit: Option[CountVal] = None,
                          star: Boolean = false) // WITH * [, items] — carry
-                         // every bound node var + carried scalar forward
-                         // (relationship vars are not carryable here)
+                         // every bound node AND relationship var +
+                         // carried scalar forward (OPTIONAL rels excluded:
+                         // no identity triple survives the null join)
 
   final case class CypherQuery(
       unwinds: Seq[Unwind],
@@ -809,10 +810,10 @@ object Ast {
       skip: Option[CountVal] = None, // RETURN-level SKIP (applied before LIMIT)
       calls: Seq[CallSubquery] = Nil, // CALL { … } before RETURN
       star: Boolean = false) { // RETURN * [, items] — every bound node
-      // var (whole-entity struct, OPTIONAL vars included), carried
+      // var (whole-entity struct, OPTIONAL vars included) and BOUND/
+      // carried rel var (identity-triple struct, round 15), carried
       // scalar, and carried-list-UNWIND name, name-sorted, ahead of any
-      // explicit items (explicit names win); rel vars excluded like
-      // WITH *
+      // explicit items (explicit names win); OPTIONAL rels excluded
 
     def isAggregating: Boolean = items.exists(i => i.expr match {
       case _: CountDistinct | _: CountDistinctInParam |

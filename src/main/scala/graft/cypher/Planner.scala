@@ -157,7 +157,10 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
         val explicit = q0.items.map(_.name).toSet
         val optVars = q0.optionals.flatMap(_.path.nodes.map(_.varName))
         val spVars = q0.shortest.toSeq.flatMap(_.path.nodes.map(_.varName))
-        val vs = (varsOf(q0.paths) ++ carriedVars ++ optVars ++ spVars)
+        // bound + carried REL vars included since round 15 (identity-
+        // triple structs); OPTIONAL rels excluded — no triple to project
+        val vs = (varsOf(q0.paths) ++ carriedVars ++ optVars ++ spVars ++
+            relVarsOf(q0.paths) ++ carriedRelVars)
           .toSeq.distinct.sorted
           .filterNot(explicit).map(v => RetItem(ColRef(v), None))
         val ss = (carriedScalars ++
@@ -856,7 +859,11 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       if (!st0.star) st0
       else {
         val explicit = st0.withItems.map(_.name).toSet
-        val vs = (varsOf(st0.paths) ++ carriedVars).toSeq.distinct.sorted
+        // bound + carried REL vars are included since round 15 (Neo4j's
+        // WITH * carries every binding); OPTIONAL rels stay excluded —
+        // they carry no identity triple through the null-extending join
+        val vs = (varsOf(st0.paths) ++ carriedVars ++
+            relVarsOf(st0.paths) ++ carriedRelVars).toSeq.distinct.sorted
           .filterNot(explicit).map(v => RetItem(ColRef(v), None))
         val ss = (carriedScalars ++
             st0.unwinds.filter(_.carried).map(_.varName)).toSeq.distinct

@@ -2986,13 +2986,15 @@ class CypherSpec extends SparkSpec {
   }
 
   test("RETURN *: every binding as a whole-entity/scalar column") {
-    // bound node vars come back as whole-entity structs, name-sorted
+    // bound node vars come back as whole-entity structs, and (round 15,
+    // like Neo4j) bound REL vars as identity-triple structs — name-sorted
     val df = Planner.run(g,
       """MATCH (a:Author {name: "Alice"})-[w:WRITES]-(p:Paper) RETURN *""")
-    assert(df.columns.toSeq === Seq("a", "p"))
+    assert(df.columns.toSeq === Seq("a", "p", "w"))
     val rows = df.collect()
     assert(rows.length === 2 &&
       rows.forall(_.getStruct(0).getAs[String]("name") === "Alice"))
+    assert(rows.forall(_.getStruct(2).getAs[String]("relType") === "WRITES"))
     // carried scalars and explicit extras compose; explicit names win
     val mixed = Planner.run(g,
       """MATCH (a:Author)-[w:WRITES]-(p:Paper)
