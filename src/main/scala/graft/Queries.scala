@@ -31,15 +31,22 @@ object Queries {
     * entity (unmatched OPTIONAL) serializes to SQL NULL on both
     * engines. Struct semantics stay in the planner and its specs; only
     * the catalog hash surface is text. */
-  private def jsonSurface(df: DataFrame): DataFrame =
+  private def jsonSurface(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    // the same recursive definition as PlanAuditSpec's unhashable():
+    // an array-of-entity column (collect(n)/collect(r)) is just as
+    // dict-bearing to pandas as a bare struct — serialize it too
+    def unhashable(dt: DataType): Boolean = dt match {
+      case _: StructType | _: MapType => true
+      case ArrayType(et, _)           => unhashable(et)
+      case _                          => false
+    }
     df.select(df.schema.fields.map { f =>
-      f.dataType match {
-        case _: org.apache.spark.sql.types.StructType |
-             _: org.apache.spark.sql.types.MapType =>
-          to_json(col(f.name), Map("ignoreNullFields" -> "false")).as(f.name)
-        case _ => col(f.name)
-      }
+      if (unhashable(f.dataType))
+        to_json(col(f.name), Map("ignoreNullFields" -> "false")).as(f.name)
+      else col(f.name)
     }.toIndexedSeq: _*)
+  }
 
   // ---- TPC-H-style relational baselines (S5, P1, A-family, T1/T2) ----
 

@@ -1087,17 +1087,22 @@ object Ast {
       val where =
         if (preds.isEmpty) ""
         else " WHERE " + preds.map(predText).mkString(" AND ")
-      val tail =
+      // SET and REMOVE clauses CHAIN in one statement (Neo4j; round 15)
+      // — both tails render so a mixed AST round-trips
+      val setTail =
         if (sets.nonEmpty || plusParam.nonEmpty || setLabels.nonEmpty)
           " SET " + (plusParam.toSeq.map(pm =>
             s"${node.varName} += $$$pm") ++
             setLabels.map(l => s"${node.varName}:$l") ++
             sets.map(s =>
               s"${s.varName}.${s.prop} = ${exprText(s.value)}")).mkString(", ")
-        else
+        else ""
+      val removeTail =
+        if (removes.nonEmpty || removeLabels.nonEmpty)
           " REMOVE " + (removeLabels.map(l => s"${node.varName}:$l") ++
             removes.map { case (v, p) => s"$v.$p" }).mkString(", ")
-      s"MATCH ${nodeText(node)}$where$tail"
+        else ""
+      s"MATCH ${nodeText(node)}$where$setTail$removeTail"
     }
   }
 

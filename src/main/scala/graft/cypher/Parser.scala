@@ -597,31 +597,17 @@ object Parser {
             else if ({ ws(); pos < in.length && in(pos) == ',' }) {
               pos += 1; updateSetItems(n1.varName)
             } else (Nil, Nil)
-          Left(UpdateQuery(n1, preds, items, Nil, plus, labels))
+          // SET may CHAIN a REMOVE clause in the same statement
+          // (Neo4j's clause chaining; round 15)
+          val (rs, rl) =
+            if (peek("REMOVE")) { expect("REMOVE"); removeItems(n1.varName) }
+            else (Nil, Nil)
+          Left(UpdateQuery(n1, preds, items, rs, plus, labels, rl))
         }
         else {
           expect("REMOVE")
-          val rs = Seq.newBuilder[(String, String)]
-          val ls = Seq.newBuilder[String]
-          def one(): Unit = {
-            val v = ident()
-            if (v != n1.varName)
-              fail(s"REMOVE must target the matched variable ${n1.varName}")
-            ws()
-            // `REMOVE n:Label[:Label2]` — label-mutation item(s)
-            if (pos < in.length && in(pos) == ':') {
-              while ({ ws(); pos < in.length && in(pos) == ':' }) {
-                pos += 1; ls += ident()
-              }
-            } else {
-              expect("."); val p = ident()
-              rs += ((v, p))
-            }
-          }
-          one()
-          while ({ ws(); pos < in.length && in(pos) == ',' }) { pos += 1; one() }
-          Left(UpdateQuery(n1, preds, Nil, rs.result(), None, Nil,
-            ls.result()))
+          val (rs, rl) = removeItems(n1.varName)
+          Left(UpdateQuery(n1, preds, Nil, rs, None, Nil, rl))
         }
       } else {
         val merge = if (opt("MERGE")) true else { expect("CREATE"); false }
@@ -808,6 +794,32 @@ object Parser {
         // spelling is the same edge with the arrow flipped
         BulkRelQuery(pm, rowVar, src, tgt, t, -dir, merge)
       else fail("MERGE/CREATE endpoints must name the two matched variables")
+    }
+
+    /** Mixed REMOVE items: `v.p` property removals and `v:Label[:L2]`
+      * label-mutation items (round 15) — returned as (property removes,
+      * labels to drop). */
+    private def removeItems(matchVar: String)
+        : (Seq[(String, String)], Seq[String]) = {
+      val rs = Seq.newBuilder[(String, String)]
+      val ls = Seq.newBuilder[String]
+      def one(): Unit = {
+        val v = ident()
+        if (v != matchVar)
+          fail(s"REMOVE must target the matched variable $matchVar")
+        ws()
+        if (pos < in.length && in(pos) == ':') {
+          while ({ ws(); pos < in.length && in(pos) == ':' }) {
+            pos += 1; ls += ident()
+          }
+        } else {
+          expect("."); val p = ident()
+          rs += ((v, p))
+        }
+      }
+      one()
+      while ({ ws(); pos < in.length && in(pos) == ',' }) { pos += 1; one() }
+      (rs.result(), ls.result())
     }
 
     /** Mixed SET items: `v.p = expr` property writes and `v:Label[:L2]`
@@ -1690,7 +1702,14 @@ object Parser {
         one()
         while ({ ws(); pos < in.length && in(pos) == ',' }) { pos += 1; one() }
         expect("}")
-        MapLitE(entries.result())
+        val es = entries.result()
+        // duplicate keys would plan an ambiguous duplicate-field struct
+        // (and duplicate-key JSON downstream); Neo4j rejects them too
+        val dups = es.map(_._1).groupBy(identity)
+          .collect { case (k, g) if g.size > 1 => k }
+        if (dups.nonEmpty)
+          fail(s"duplicate map literal key(s): ${dups.toSeq.sorted.mkString(", ")}")
+        MapLitE(es)
       }
       else if (pos < in.length && (in(pos).isDigit || in(pos) == '-')) numLit()
       else if (pos < in.length && (in(pos) == '"' || in(pos) == '\'')) StrLitE(stringLit())
@@ -1760,11 +1779,14 @@ object Parser {
                  else if (opt("toFloat")) "toFloat"
                  // floor/ceil/sqrt are IEEE-exactly-rounded (engine
                  // portable); round() carries an EXPLICIT tie rule —
-                 // half toward +∞, i.e. Neo4j's Math.round — spelled
-                 // floor(x + 0.5) on both engines, which sidesteps the
-                 // native round() divergence (DuckDB rounds half away
-                 // from zero). ln/exp stay excluded: transcendentals are
-                 // not IEEE-exactly-rounded, so engines may differ a ULP
+                 // half toward +∞ — spelled floor(x + 0.5) on both
+                 // engines, which sidesteps the native round()
+                 // divergence (DuckDB rounds half away from zero); the
+                 // floor form IS the contract (it differs from JDK
+                 // Math.round at its documented special cases — see the
+                 // planner note). ln/exp stay excluded: transcendentals
+                 // are not IEEE-exactly-rounded, so engines may differ
+                 // a ULP
                  else if (opt("floor")) "floor"
                  else if (opt("ceil")) "ceil"
                  else if (opt("round")) "round"

@@ -233,7 +233,12 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
   private def countOf(cv: CountVal, what: String): Int = cv match {
     case CountLit(n) => n
     case CountParam(nm) => params.get(nm) match {
-      case Some(_: java.lang.Double | _: java.lang.Float) =>
+      // whole-valued check (not a type check) so a fractional
+      // BigDecimal is rejected like a Double, never truncated
+      case Some(n: Number)
+          if n.doubleValue() != n.longValue().toDouble ||
+             n.isInstanceOf[java.lang.Double] ||
+             n.isInstanceOf[java.lang.Float] =>
         throw new IllegalArgumentException(
           s"$what parameter $$$nm must be a non-negative integer, " +
             "got a fractional number")
@@ -278,7 +283,7 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
             "DETACH DELETE (Neo4j raises the same error)")
         g.rels
       }
-    graft.graph.PropertyGraph(newNodes, newRels)
+    graft.graph.PropertyGraph(newNodes, newRels, g.labelsMutated)
   }
 
   /** Plan an [[UpdateQuery]] (standalone bulk SET / REMOVE): the matched
@@ -304,11 +309,16 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
         case Some(m: Map[_, _]) => m.toSeq.map {
           case (k: String, s: String) => k -> (StrLitE(s): Expr)
           // fractional values keep their doubles — the catch-all Number
-          // arm would silently truncate them via longValue (advisor r14)
+          // arm would silently truncate them via longValue (advisor r14;
+          // the whole-valued check also covers BigDecimal and friends,
+          // the default numeric type of many JSON deserializers)
           case (k: String, d: java.lang.Double) =>
             k -> (DblLitE(d.doubleValue()): Expr)
           case (k: String, f: java.lang.Float) =>
             k -> (DblLitE(f.doubleValue()): Expr)
+          case (k: String, n: Number)
+              if n.doubleValue() != n.longValue().toDouble =>
+            k -> (DblLitE(n.doubleValue()): Expr)
           case (k: String, n: Number) => k -> (LongLitE(n.longValue()): Expr)
           case (k, other) => throw new IllegalArgumentException(
             s"map parameter $$$pm entry $k must be a string or number, " +
@@ -353,11 +363,13 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       (plusSets ++ uq.sets.map(s => s.prop -> s.value)).toMap
     val removed = uq.removes.map(_._2).toSet
     val cols = fields.map { f =>
-      (if (setByProp.contains(f.name)) {
+      // REMOVE outranks SET on the same property: the chained statement
+      // applies clauses in order (SET … REMOVE …), like the labels fold
+      (if (removed(f.name)) lit(null).cast(f.dataType)
+       else if (setByProp.contains(f.name)) {
          checkAssignable(f.name, setByProp(f.name), f.dataType, matched.schema)
          exprCol(setByProp(f.name), matched.schema).cast(f.dataType)
        }
-       else if (removed(f.name)) lit(null).cast(f.dataType)
        else if (f.name == "labels" && (setLs.nonEmpty || remLs.nonEmpty)) {
          // append absent labels in listed order (array_union dedups),
          // then drop the removed ones — both idempotent on replay
@@ -372,7 +384,10 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       .withColumn("_seq", lit(1L)).withColumn("_op", lit("U"))
     val newNodes = graft.operators.Lakehouse.mergeSnapshot(
       g.nodes, changes, Seq("label", "nodeId"), "_seq", "_op")
-    graft.graph.PropertyGraph(newNodes, g.rels)
+    // label mutations flip the labels-aware-read flag (reads consult the
+    // full labels set from here on); property-only updates preserve it
+    graft.graph.PropertyGraph(newNodes, g.rels,
+      g.labelsMutated || setLs.nonEmpty || remLs.nonEmpty)
   }
 
   /** Plan a [[CreateNodesQuery]]: the created rows are built driver-side
@@ -440,7 +455,8 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     require(conflicts.isEmpty,
       "CREATE would violate the (label, nodeId) unique-key constraint — " +
         "use MERGE to upsert an existing node")
-    graft.graph.PropertyGraph(nodes.unionByName(created), g.rels)
+    graft.graph.PropertyGraph(nodes.unionByName(created), g.rels,
+      g.labelsMutated)
   }
 
   /** Plan a [[RelMutationQuery]]: the two anchored frames join (shared
@@ -502,7 +518,8 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       df.withColumn(c,
         lit(null).cast(g.rels.schema.fields.find(_.name == c).get.dataType))
     }
-    graft.graph.PropertyGraph(g.nodes, g.rels.unionByName(padded))
+    graft.graph.PropertyGraph(g.nodes, g.rels.unionByName(padded),
+      g.labelsMutated)
   }
 
   /** Lower a [[MergeQuery]] onto the lakehouse merge: the one-row
@@ -980,7 +997,19 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
         val hk = hiddenKeys.result()
         if (hk.isEmpty) limited else limited.drop(hk: _*)
       }
-    applyPreds(trimmed, st.withPreds)
+    // startNode/endNode in WITH…WHERE resolve POST-barrier against the
+    // carried rel columns — attach their node joins here and drop the
+    // helper columns after the filter (the pre-barrier attach was
+    // projected away with everything else WITH did not list)
+    val wpEps = st.withPreds.flatMap(walkPred)
+      .collect { case e: EndpointOf => e }.distinct
+    if (wpEps.isEmpty) applyPreds(trimmed, st.withPreds)
+    else {
+      val attached = attachEndpoints(trimmed, wpEps)
+      val helper = attached.columns
+        .filter(c => c.startsWith("__ep") && !trimmed.columns.contains(c))
+      applyPreds(attached, st.withPreds).drop(helper.toIndexedSeq: _*)
+    }
   }
 
   /** Join the carried frame to a stage's path product: every carried node
@@ -2033,7 +2062,7 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     * labels = [label, _Entity_]. WRITE paths (MERGE / bulk upsert) keep
     * addressing nodes by PRIMARY label: the (label, nodeId) merge key. */
   private def labelTest(nodes: DataFrame, l: String): Column =
-    if (nodes.schema.fieldNames.contains("labels"))
+    if (g.labelsMutated && nodes.schema.fieldNames.contains("labels"))
       array_contains(col("labels"), lit(l))
     else col("label") === lit(l)
 
@@ -2239,7 +2268,7 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       // every node (stark_neo4j_loading.py:35)
       val c =
         if (label == "_Entity_") lit(true)
-        else if (varSchema(v).fieldNames.contains("labels"))
+        else if (g.labelsMutated && varSchema(v).fieldNames.contains("labels"))
           array_contains(propCol(v, "labels"), lit(label))
         else propCol(v, "label") === lit(label)
       if (neg) !c else c
@@ -2327,7 +2356,8 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     else g.nodes.schema
 
   private def rejectRelEntity(v: String): Unit =
-    require(!stageRelVars.contains(v) && !optRelVars.contains(v),
+    require(!stageRelVars.contains(v) && !optRelVars.contains(v) &&
+        !carriedRelVars.contains(v),
       s"dynamic/map projection of relationship variable $v is outside " +
         s"the dialect — project $v, properties($v), or type($v) instead")
 
@@ -2736,10 +2766,15 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
         case "ceil"  => ceil(a.head).cast("double")
         case "sqrt"  => sqrt(a.head.cast("double"))
         // round() with an EXPLICIT tie rule (round 15 — VERDICT r14
-        // missing #3): half toward +∞, exactly Neo4j's Math.round,
-        // spelled floor(x + 0.5) so BOTH engines compute the identical
-        // IEEE-exact operation (native round() ties diverge: DuckDB
-        // rounds half away from zero). Returns FLOAT like floor/ceil.
+        // missing #3): half toward +∞, spelled floor(x + 0.5) so BOTH
+        // engines compute the identical IEEE-exact operation (native
+        // round() ties diverge: DuckDB rounds half away from zero).
+        // This matches Neo4j's Math.round on ordinary values; the
+        // DOCUMENTED divergences are the JDK's special cases where the
+        // floor(x+0.5) idiom differs (0.49999999999999994 → 1.0 here,
+        // 0 there; |x| ≥ 2^52 where +0.5 is absorbed) — the dialect's
+        // contract is the floor form itself, identical on both engines.
+        // Returns FLOAT like floor/ceil.
         case "round" =>
           floor(a.head.cast("double") + lit(0.5d)).cast("double")
         // Neo4j toInteger truncates toward zero — exactly Spark's

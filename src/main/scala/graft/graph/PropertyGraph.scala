@@ -24,7 +24,14 @@ import scala.collection.concurrent.TrieMap
   * joins that Catalyst plans as broadcast (tiny anchor side) or shuffled
   * hash/sort-merge (edge×edge) with AQE skew splitting for hub nodes.
   */
-final case class PropertyGraph(nodes: DataFrame, rels: DataFrame) {
+final case class PropertyGraph(nodes: DataFrame, rels: DataFrame,
+                               labelsMutated: Boolean = false) {
+  // `labelsMutated`: set by the Cypher planner when `SET n:L` /
+  // `REMOVE n:L` rewrote the labels array. Label READS consult the full
+  // labels set only then — on an untouched graph labels =
+  // [label, _Entity_], so the planner keeps the PUSHABLE primary-label
+  // equality (dictionary/row-group prunable at a parquet scan, batch-
+  // stat prunable in cache) as the anchor fast path.
 
   /** Undirected edge view (SURVEY §2.4 J1): each stored relationship appears
     * once per orientation — `a`/`b` are the traversal endpoints while

@@ -1710,6 +1710,19 @@ class CypherSpec extends SparkSpec {
       """MATCH (p:Thing) SET p += $props""",
       Map("props" -> Map[String, Any]("cnt" -> 1.5))))
     assert(trunc.getMessage.contains("cannot be stored"))
+    // a fractional BigDecimal (the default numeric of many JSON
+    // deserializers) keeps its value too — the whole-valued check, not
+    // a type check (review r15)
+    val bdOut = Planner.runMutation(dg,
+      """MATCH (p:Thing) SET p += $props""",
+      Map("props" -> Map[String, Any]("score" -> new java.math.BigDecimal("42.5")))).nodes
+    assert(bdOut.collect().head.getAs[Double]("score") === 42.5)
+    // and a fractional BigDecimal LIMIT parameter is rejected, never
+    // silently truncated
+    val bdLim = intercept[IllegalArgumentException](Planner.run(g,
+      """MATCH (p:Paper) RETURN p.name AS n LIMIT $k""",
+      Map("k" -> new java.math.BigDecimal("2.5"))).collect())
+    assert(bdLim.getMessage.contains("fractional"))
   }
 
   test("SET n:Label / REMOVE n:Label: labels-array mutation (round 15)") {
@@ -1729,7 +1742,18 @@ class CypherSpec extends SparkSpec {
       """MATCH (a:Author) WHERE a.name STARTS WITH "A" SET a:Flagged:Hot""")
     assert(g2.nodes.collect().toSet === g1.nodes.collect().toSet)
     // the added label is MATCHABLE: anchors and WHERE tests consult the
-    // full labels set
+    // full labels set — but ONLY on a graph a label mutation touched
+    // (review r15): the untouched graph keeps the PUSHABLE primary-label
+    // equality as its anchor fast path
+    assert(g1.labelsMutated && !g.labelsMutated)
+    val mutatedPlan = Planner.run(g1,
+      """MATCH (n:Author) RETURN n.name AS nm""")
+      .queryExecution.optimizedPlan.toString
+    val cleanPlan = Planner.run(g,
+      """MATCH (n:Author) RETURN n.name AS nm""")
+      .queryExecution.optimizedPlan.toString
+    assert(mutatedPlan.contains("array_contains") &&
+      !cleanPlan.contains("array_contains"))
     assert(Planner.run(g1,
       """MATCH (n:Flagged) RETURN n.name AS nm""").collect()
       .map(_.getString(0)).toSeq === Seq("Alice"))
@@ -1771,6 +1795,27 @@ class CypherSpec extends SparkSpec {
       .swap.getOrElse(fail("expected UpdateQuery"))
     assert(ru.removeLabels === Seq("Hot") && ru.removes.length === 1)
     assert(Parser.parseMutation(ru.render) === Left(ru))
+    // SET and REMOVE CHAIN in one statement (review r15): add one
+    // label, drop another, write a property — one lakehouse merge
+    val chained = Planner.runMutation(g1,
+      """MATCH (a:Author {name: "Alice"})
+        |SET a:Star, a.abstract = "chained" REMOVE a:Hot""".stripMargin)
+      .nodes.where("nodeId = 10").collect().head
+    assert(chained.getSeq[String](chained.fieldIndex("labels")) ===
+      Seq("Author", "_Entity_", "Flagged", "Star"))
+    assert(chained.getAs[String]("abstract") === "chained")
+    // REMOVE outranks SET on the same property (clause order)
+    val srem = Planner.runMutation(g,
+      """MATCH (a:Author {name: "Bob"})
+        |SET a.abstract = "x" REMOVE a.abstract""".stripMargin)
+      .nodes.where("nodeId = 11").collect().head
+    assert(srem.isNullAt(srem.fieldIndex("abstract")))
+    // the mixed AST renders BOTH tails and round-trips
+    val mix = Parser.parseMutation(
+      """MATCH (a:Author) SET a:Star REMOVE a:Hot, a.abstract""")
+      .swap.getOrElse(fail("expected UpdateQuery"))
+    assert(mix.setLabels === Seq("Star") && mix.removeLabels === Seq("Hot"))
+    assert(Parser.parseMutation(mix.render) === Left(mix))
   }
 
   test("bulk UNWIND MERGE: one changelog frame, both paths") {
@@ -2805,6 +2850,11 @@ class CypherSpec extends SparkSpec {
       """MATCH (p:Paper) RETURN {n: count(p)} + 1 AS x"""))
     intercept[Parser.ParseError](Parser.parse(
       """MATCH (p:Paper) RETURN {} AS x"""))
+    // duplicate keys would plan an ambiguous duplicate-field struct —
+    // rejected at parse time like Neo4j (review r15)
+    val dup = intercept[Parser.ParseError](Parser.parse(
+      """MATCH (p:Paper) RETURN {a: 1, a: 2} AS x"""))
+    assert(dup.getMessage.contains("duplicate map literal key"))
     // render∘parse identity
     val q = Parser.parse(
       """MATCH (p:Paper) RETURN {id: p.nodeId, t: {a: 1, b: "s"}} AS rec""")
@@ -2885,6 +2935,16 @@ class CypherSpec extends SparkSpec {
     assert(q.items.map(_.expr) === Seq(Ast.EndpointOf("start", "w"),
       Ast.EndpointOf("end", "w", Some("name"))))
     assert(Parser.parse(q.render) === q)
+    // WITH…WHERE position: the endpoint join attaches POST-barrier
+    // against the carried rel columns (review r15)
+    val wpw = Planner.run(g,
+      """MATCH (a:Author)-[w:WRITES]-(p:Paper)
+        |WITH w, p.name AS pn
+        |WHERE startNode(w).name <> "Carol"
+        |RETURN pn ORDER BY pn""".stripMargin)
+    assert(wpw.columns.toSeq === Seq("pn")) // helper columns dropped
+    assert(wpw.collect().map(_.getString(0)).toSeq ===
+      Seq("P-alpha", "P-alpha", "P-beta"))
   }
 
   test("WITH r: relationship variables carry across barriers (round 15)") {
@@ -2924,6 +2984,13 @@ class CypherSpec extends SparkSpec {
         |MATCH (a)-[w:REVIEWS]-(q:Paper)
         |RETURN type(w) AS t""".stripMargin))
     assert(e.getMessage.contains("re-binding carried relationship"))
+    // the dialect boundary holds across the barrier too: map projection
+    // on a CARRIED rel is rejected like the stage-bound form (review r15)
+    val mp = intercept[IllegalArgumentException](Planner.run(g,
+      """MATCH (a:Author)-[w:WRITES]-(p:Paper)
+        |WITH w
+        |RETURN w {.src} AS x""".stripMargin))
+    assert(mp.getMessage.contains("relationship variable"))
   }
 
   test("map projection n {.p1, .p2}: listed-order struct") {
