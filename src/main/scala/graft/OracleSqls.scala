@@ -1325,8 +1325,8 @@ object OracleSqls {
     "cy_set_label" -> withGraph(
       """SELECT n.name AS name,
         |  CASE WHEN n.name = 'NATION_11'
-        |       THEN ['Nation', '_Entity_', 'Flagged']
-        |       ELSE ['Nation', '_Entity_', 'Flagged', 'Reviewed']
+        |       THEN 'Nation|_Entity_|Flagged'
+        |       ELSE 'Nation|_Entity_|Flagged|Reviewed'
         |  END AS labels
         |FROM nodes n
         |WHERE n.label = 'Nation' AND ends_with(n.name, '1')

@@ -1923,7 +1923,9 @@ object Queries {
     * primary `label` column is the storage/merge key and stays fixed at
     * MERGE time (stark_neo4j_loading.py:35). The entry flags three
     * nations, un-reviews one, then anchors ON the added label — the
-    * post-mutation labels arrays are the hash surface. */
+    * post-mutation labels arrays are the hash surface (flattened to a
+    * "|"-joined string — the [[cyPathNodes]] convention — because the
+    * driver's checker sorts raw cells and cannot hash arrays). */
   def cySetLabel(spark: SparkSession, dir: String): DataFrame = {
     val g0 = graph(spark, dir)
     val g1 = graft.cypher.Planner.runMutation(g0,
@@ -1934,6 +1936,7 @@ object Queries {
       """MATCH (n:Flagged)
         |RETURN n.name AS name, labels(n) AS labels
         |ORDER BY name""".stripMargin)
+      .withColumn("labels", array_join(col("labels"), "|"))
   }
 
   /** Map literal (round 15): `RETURN {k: expr, …}` — Cypher's

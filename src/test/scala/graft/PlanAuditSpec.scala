@@ -30,19 +30,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
   }
 
-  test("no catalog entry ships a struct/map hash surface (driver checker)") {
+  test("no catalog entry ships a non-scalar hash surface (driver checker)") {
     // The driver's checker materializes every entry to pandas and calls
-    // sort_values across ALL columns before hashing — a dict-valued cell
+    // sort_values across ALL columns before hashing — ANY container cell
     // is unhashable there and errs the gate row (CORRECTNESS_r14:
-    // cy_return_node/cy_return_star). Entity-shaped results must
-    // serialize to canonical JSON text (Queries.jsonSurface / DuckDB
-    // to_json) — structs and maps may exist INSIDE plans and specs, never
-    // on a catalog entry's output schema, at any nesting depth.
+    // cy_return_node/cy_return_star on dicts; CORRECTNESS_r15:
+    // cy_set_label on a plain string array). Catalog entry outputs are
+    // SCALARS ONLY: entity-shaped results serialize to canonical JSON
+    // text (Queries.jsonSurface / DuckDB to_json), list-shaped results
+    // flatten with array_join — structs, maps, and arrays may exist
+    // INSIDE plans and specs, never on a catalog entry's output schema.
     import org.apache.spark.sql.types._
     def unhashable(dt: DataType): Boolean = dt match {
-      case _: StructType | _: MapType => true
-      case ArrayType(et, _)           => unhashable(et)
-      case _                          => false
+      case _: StructType | _: MapType | _: ArrayType => true
+      case _                                         => false
     }
     val offenders = auditable.flatMap { case (name, fn) =>
       val bad = fn(spark, dir).schema.fields
@@ -50,7 +51,7 @@ class PlanAuditSpec extends SparkSpec {
       if (bad.nonEmpty) Some(s"$name(${bad.mkString(",")})") else None
     }
     assert(offenders.isEmpty,
-      s"struct/map output columns (driver-unhashable) in: " +
+      s"non-scalar output columns (driver-unhashable) in: " +
         s"${offenders.mkString(", ")}")
   }
 

@@ -24,23 +24,28 @@ def norm_cell(v):
         return tuple(norm_cell(x) for x in v)
     return v
 
-def find_dict_cols(df):
-    """Columns holding dict cells at any nesting depth. The DRIVER's
-    checker sorts rows across all columns with pandas sort_values before
-    hashing; a dict cell crashes it (TypeError: unhashable type: 'dict' —
-    CORRECTNESS_r14 cy_return_node/cy_return_star). This replica must
-    predict that, not normalize past it."""
+def find_unhashable_cols(df):
+    """Columns holding dict/ndarray/list cells. Used ONLY to enrich the
+    error message when driver_sort (below) crashes — the crash itself is
+    the gate, this just names the offending columns."""
     import numpy as np
-    def has_dict(v):
-        if isinstance(v, dict):
+    def bad(v):
+        if isinstance(v, (dict, np.ndarray, list, set)):
             return True
-        if isinstance(v, np.ndarray):
-            return any(has_dict(x) for x in v.tolist())
-        if isinstance(v, (list, tuple)):
-            return any(has_dict(x) for x in v)
+        if isinstance(v, tuple):
+            return any(bad(x) for x in v)
         return False
     return [c for c in df.columns
-            if df[c].dtype.kind == "O" and any(has_dict(v) for v in df[c])]
+            if df[c].dtype.kind == "O" and any(bad(v) for v in df[c])]
+
+def driver_sort(df):
+    """The DRIVER's own row-sort, on RAW cells: it pandas-sorts rows across
+    all columns before hashing, so any dtype it cannot sort (dict →
+    CORRECTNESS_r14, ndarray → CORRECTNESS_r15 cy_set_label) crashes
+    there. Running the identical operation here makes this replica
+    structurally incapable of passing an entry the driver crashes on —
+    do NOT normalize cells before this call."""
+    return df.sort_values(by=list(df.columns))
 
 def cells_equal(a, b):
     a, b = norm_cell(a), norm_cell(b)
@@ -86,14 +91,20 @@ def main(sf_dir, out_dir):
             continue
         sdf = con.execute(
             f"SELECT * FROM '{spark_dir}/*.parquet'").fetchdf()
-        dict_cols = [(side, cols) for side, df in
-                     (("oracle", odf), ("spark", sdf))
-                     for cols in (find_dict_cols(df),) if cols]
-        if dict_cols:
-            print(f"FAIL {name}: dict-valued cells in "
-                  f"{dict_cols} — the driver's checker crashes on these "
-                  f"(pandas sort_values: unhashable type 'dict'); "
-                  f"serialize structs to JSON text on both engines")
+        # The driver's own sort, on the RAW frames: any dtype it cannot
+        # sort errs the real gate row, so it must err here identically.
+        crashed = False
+        for side, df in (("oracle", odf), ("spark", sdf)):
+            try:
+                driver_sort(df)
+            except Exception as e:
+                print(f"FAIL {name}: driver sort_values crashed on {side} "
+                      f"frame ({type(e).__name__}: {e}); offending columns "
+                      f"{find_unhashable_cols(df)} — flatten arrays with "
+                      f"array_join and structs with to_json on both engines")
+                crashed = True
+                break
+        if crashed:
             n_fail += 1
             continue
         mismatch = [c for c in odf.columns if c in sdf.columns
