@@ -328,6 +328,28 @@ object OracleSqls {
         |) opt ON c.nodeId = opt.ck
         |WHERE n.label = 'Nation' AND n.name = 'NATION_7'""".stripMargin),
 
+    // OPTIONAL rel whole-entity projection: matched rows ship the
+    // stored-orientation identity triple as canonical JSON text,
+    // orderless customers ship SQL NULL (both rel and endpoint)
+    "cy_optional_rel" -> withGraph(
+      """SELECT c.nodeId AS cust_id,
+        |  CASE WHEN opt.oid IS NULL THEN NULL
+        |       ELSE CAST(to_json(struct_pack(dst := opt.oid,
+        |              "relType" := 'PLACED',
+        |              src := c.nodeId)) AS VARCHAR)
+        |  END AS rel,
+        |  opt.oid AS order_id
+        |FROM nodes n
+        |JOIN bidir e ON n.nodeId = e.a AND e.relType = 'FROM_NATION'
+        |JOIN nodes c ON e.b = c.nodeId AND c.label = 'Customer'
+        |LEFT JOIN (
+        |  SELECT e2.a AS ck, o.nodeId AS oid
+        |  FROM bidir e2
+        |  JOIN nodes o ON e2.b = o.nodeId AND o.label = 'Order'
+        |  WHERE e2.relType = 'PLACED'
+        |) opt ON c.nodeId = opt.ck
+        |WHERE n.label = 'Nation' AND n.name = 'NATION_7'""".stripMargin),
+
     // NOT EXISTS pattern predicate = anti join against the pattern's
     // solutions (DuckDB's NOT EXISTS correlated form plans the same)
     "cy_exists_filter" -> withGraph(
@@ -471,6 +493,30 @@ object OracleSqls {
       |FROM md JOIN nodes x ON md.v = x.nodeId
       |WHERE md.dist >= 1
       |GROUP BY 1, 2""".stripMargin,
+
+    // relationships(p) on a typed shortestPath: the graph structure
+    // forces the witness — own suppliers one FROM_NATION hop away,
+    // same-region siblings' suppliers via the region hub (no 2-hop
+    // route exists, and supplier/customer leaves dead-end)
+    "cy_shortest_rels" -> withGraph(
+      """, n3 AS (
+        |  SELECT nodeId FROM nodes WHERE label = 'Nation' AND name = 'NATION_3'
+        |), reg AS (
+        |  SELECT e.dst AS rid FROM rels e
+        |  JOIN n3 ON e.src = n3.nodeId AND e.relType = 'IN_REGION'
+        |)
+        |SELECT s.nodeId AS sid, CAST(1 AS BIGINT) AS len,
+        |  'FROM_NATION' AS path_rels
+        |FROM rels e JOIN n3 ON e.dst = n3.nodeId AND e.relType = 'FROM_NATION'
+        |JOIN nodes s ON e.src = s.nodeId AND s.label = 'Supplier'
+        |UNION ALL
+        |SELECT s.nodeId, CAST(3 AS BIGINT),
+        |  'IN_REGION|IN_REGION|FROM_NATION'
+        |FROM reg
+        |JOIN rels e2 ON e2.dst = reg.rid AND e2.relType = 'IN_REGION'
+        |JOIN rels e3 ON e3.dst = e2.src AND e3.relType = 'FROM_NATION'
+        |JOIN nodes s ON e3.src = s.nodeId AND s.label = 'Supplier'
+        |WHERE e2.src NOT IN (SELECT nodeId FROM n3)""".stripMargin),
 
     "cy_anti_lookup" -> withGraph(
       """SELECT DISTINCT t.nodeId AS node_id, t.name

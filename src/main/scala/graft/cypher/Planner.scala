@@ -156,11 +156,13 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       else {
         val explicit = q0.items.map(_.name).toSet
         val optVars = q0.optionals.flatMap(_.path.nodes.map(_.varName))
+        val optRels = q0.optionals.flatMap(_.path.rels.flatMap(_.varName))
         val spVars = q0.shortest.toSeq.flatMap(_.path.nodes.map(_.varName))
         // bound + carried REL vars included since round 15 (identity-
-        // triple structs); OPTIONAL rels excluded — no triple to project
-        val vs = (varsOf(q0.paths) ++ carriedVars ++ optVars ++ spVars ++
-            relVarsOf(q0.paths) ++ carriedRelVars)
+        // triple structs); OPTIONAL rels since round 16 (the full triple
+        // is carried through the null-extending join)
+        val vs = (varsOf(q0.paths) ++ carriedVars ++ optVars ++ optRels ++
+            spVars ++ relVarsOf(q0.paths) ++ carriedRelVars)
           .toSeq.distinct.sorted
           .filterNot(explicit).map(v => RetItem(ColRef(v), None))
         val ss = (carriedScalars ++
@@ -1225,15 +1227,25 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     val pcomps = walked.collect { case pc: PatternComp => pc }.distinct
     val pcounts = walked.collect { case pc: PatternCount => pc }.distinct
     val eps = walked.collect { case e: EndpointOf => e }.distinct
+    // endpoint refs over OPTIONAL rels attach AFTER the null-extending
+    // join (their __o_<rv>_{src,dst} id columns exist only then, and the
+    // endpoint join must be a left join to preserve unmatched rows)
+    val optionalRelNames =
+      q.optionals.flatMap(_.path.rels.flatMap(_.varName)).toSet
+    val (optEps, boundEps) =
+      eps.partition(e => optionalRelNames.contains(e.relVar))
     val withDegs = attachEndpoints(attachPatternCounts(
-      attachPatternComps(attachDegrees(joined, degs), pcomps), pcounts), eps)
+      attachPatternComps(attachDegrees(joined, degs), pcomps), pcounts),
+      boundEps)
     val filtered = applyPreds(withDegs, q.preds)
     // rebuilt per expansion: an optional var must not count as "already
     // bound" when the NEXT var-length expansion of the main paths plans
     // the same optional clauses again
     optNodeVars = Set.empty; optRelVars = Set.empty
     val withOpt = q.optionals.foldLeft(filtered)(attachOptional)
-    val withCalls = q.calls.foldLeft(withOpt)(attachCall)
+    val withOptEps = attachEndpoints(withOpt, optEps,
+      boundEps.map(e => (e.fn, e.relVar)).distinct.size)
+    val withCalls = q.calls.foldLeft(withOptEps)(attachCall)
     projectTuple(withCalls, q)
   }
 
@@ -1314,13 +1326,26 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       case PathNodes(pv) => spVar.contains(pv)
       case _             => false
     })
+    val needRels = q.items.exists(i => walkExpr(i.expr).exists {
+      case PathRels(pv) => spVar.contains(pv)
+      case _            => false
+    })
+    // the per-hop relType witness joins the same type-eligible edge view
+    // the traversal used — built only when relationships(p) is asked for
+    val relView =
+      if (!needRels) None
+      else if (rel.relTypes.isEmpty)
+        Some(g.bidir.select(col("a"), col("b"), col("relType")))
+      else Some(g.bidir.where(col("relType").isin(rel.relTypes: _*))
+        .select(col("a"), col("b"), col("relType")))
     val distsN =
       if (sp.all)
-        dists.join(reconstructWalks(adj, raw, hi, all = true),
+        dists.join(reconstructWalks(adj, raw, hi, all = true,
+            relView = relView),
           col("src") === col("__ws") && col("__spv") === col("__wv"))
           .drop("__ws", "__wv")
-      else if (!needNodes) dists
-      else dists.join(reconstructWalks(adj, raw, hi),
+      else if (!needNodes && !needRels) dists
+      else dists.join(reconstructWalks(adj, raw, hi, relView = relView),
         col("src") === col("__ws") && col("__spv") === col("__wv"))
         .drop("__ws", "__wv")
     val joined =
@@ -1362,13 +1387,26 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     * `maxHops` bounded rounds; each round is one frontier-sized
     * adjacency join plus one keyed min — O(rounds · pairs), never a path
     * enumeration, so the 100 TB shape matches the BFS itself. Returns
-    * `(__ws, __wv, __spnodes)` with the traversal-ordered nodeId array. */
+    * `(__ws, __wv, __spnodes, __sprels)` with the traversal-ordered
+    * nodeId array and (when `relView` is given — only when
+    * `relationships(p)` is actually referenced, since it adds one keyed
+    * join per round) the per-hop relType array: each hop carries the
+    * MINIMUM relType among the type-eligible edges joining the chosen
+    * pair — the same deterministic-witness rule as the node walk, so a
+    * parallel-edge pair resolves reproducibly on both engines. */
   private def reconstructWalks(adj: DataFrame, dists: DataFrame,
-                               maxHops: Int, all: Boolean = false): DataFrame = {
+                               maxHops: Int, all: Boolean = false,
+                               relView: Option[DataFrame] = None): DataFrame = {
+    // one pre-aggregated pair→minRelType frame, built once and reused
+    // every round (O(E) like the adjacency itself; broadcast when small)
+    val relMap = relView.map(rv => rv
+      .groupBy(col("a").as("__pa"), col("b").as("__pb"))
+      .agg(min(col("relType")).as("__hopt")))
     val d = dists.select(col("src"), col("v"), col("dist"))
     var f = d.select(col("src"), col("v").as("__wv"),
       col("dist").as("__lvl"), col("v").as("__cur"),
-      array(col("v")).as("__acc"))
+      array(col("v")).as("__acc"),
+      array().cast("array<string>").as("__racc"))
     for (_ <- 1 to maxHops) {
       val live = f.where(col("__lvl") > 0)
       val done = f.where(col("__lvl") === 0)
@@ -1379,24 +1417,42 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
             col("dist").as("__dd")),
           col("src") === col("__ds") && col("__wa") === col("__dv") &&
             col("__dd") === col("__lvl") - 1)
+      // the chosen hop is (pred → cur) in traversal order; the relType
+      // witness joins on that pair (inner: every walked pair IS an edge)
+      def hopRels(df: DataFrame, predCol: Column): (DataFrame, Column) =
+        relMap match {
+          case Some(rm) =>
+            (df.join(rm, predCol === col("__pa") && col("__cur") === col("__pb"))
+              .drop("__pa", "__pb"),
+              concat(array(col("__hopt")), col("__racc")))
+          case None => (df, col("__racc"))
+        }
       // allShortestPaths: every level-respecting predecessor FORKS one
       // walk (the BFS levels form a DAG, so each distinct shortest path
       // is produced exactly once — Neo4j's allShortestPaths rows);
       // shortestPath keeps ONE deterministic min-nodeId witness
       val stepped =
-        if (all) joined
-          .select(col("src"), col("__wv"), (col("__lvl") - 1).as("__lvl"),
-            col("__wa").as("__cur"),
-            concat(array(col("__wa")), col("__acc")).as("__acc"))
-        else joined
-          .groupBy(col("src"), col("__wv"), col("__lvl"), col("__cur"), col("__acc"))
-          .agg(min(col("__wa")).as("__pred"))
-          .select(col("src"), col("__wv"), (col("__lvl") - 1).as("__lvl"),
-            col("__pred").as("__cur"),
-            concat(array(col("__pred")), col("__acc")).as("__acc"))
+        if (all) {
+          val (withRt, racc) = hopRels(joined, col("__wa"))
+          withRt.select(col("src"), col("__wv"),
+            (col("__lvl") - 1).as("__lvl"), col("__wa").as("__cur"),
+            concat(array(col("__wa")), col("__acc")).as("__acc"),
+            racc.as("__racc"))
+        } else {
+          val grouped = joined
+            .groupBy(col("src"), col("__wv"), col("__lvl"), col("__cur"),
+              col("__acc"), col("__racc"))
+            .agg(min(col("__wa")).as("__pred"))
+          val (withRt, racc) = hopRels(grouped, col("__pred"))
+          withRt.select(col("src"), col("__wv"),
+            (col("__lvl") - 1).as("__lvl"), col("__pred").as("__cur"),
+            concat(array(col("__pred")), col("__acc")).as("__acc"),
+            racc.as("__racc"))
+        }
       f = done.unionByName(stepped)
     }
-    f.select(col("src").as("__ws"), col("__wv"), col("__acc").as("__spnodes"))
+    f.select(col("src").as("__ws"), col("__wv"),
+      col("__acc").as("__spnodes"), col("__racc").as("__sprels"))
   }
 
   /** Apply a WHERE list: scalar predicates fold into `where` columns;
@@ -1729,7 +1785,9 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     * (its WHERE filters the pattern, not the preserved rows), then projected
     * to a stable flattened schema — __ok_<v> join keys for shared vars,
     * __o_<var>_<field> for its new node vars (null-extended on no match),
-    * __o_<rel>_relType for its named rels — so var-length expansions union
+    * __o_<rel>_{src,dst,relType} for its named rels (the full identity
+    * triple, so `RETURN r` / `properties(r)` project NULL-or-struct like
+    * an optional node; round 16) — so var-length expansions union
     * cleanly before the single left join. Scale shape: the optional side is
     * one pattern enumeration (the same hop joins as a mandatory MATCH); the
     * left join is an ordinary equi-join on nodeIds, so AQE/broadcast
@@ -1763,7 +1821,8 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       val keyCols = sharedVars.map(v => col(s"$v.nodeId").as(s"__ok_$v"))
       val newCols = newNodeVars.flatMap(v =>
         nodeFields.map(f => col(s"$v.$f").as(s"__o_${v}_$f")))
-      val relCols = relVars.map(rv => col(s"$rv.relType").as(s"__o_${rv}_relType"))
+      val relCols = relVars.flatMap(rv => g.rels.columns.toSeq.map(f =>
+        col(s"$rv.$f").as(s"__o_${rv}_$f")))
       filteredOpt.select(keyCols ++ newCols ++ relCols: _*)
     }
     val optDf = frames.reduce(_.unionByName(_))
@@ -1832,23 +1891,26 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
   /** Attach `startNode(r)` / `endNode(r)` endpoint nodes: ONE equi-join
     * of the node table per distinct (fn, rel) — the endpoint id column
     * (stored orientation: start = src, end = dst) joins nodes.nodeId,
-    * node fields flattened under a fresh __ep prefix. Inner join: rel
-    * endpoints always exist (S3). Bound rel vars only — an OPTIONAL rel
-    * carries no endpoint ids through the null-extending join. */
-  private def attachEndpoints(df: DataFrame,
-                              eps: Seq[EndpointOf]): DataFrame =
+    * node fields flattened under a fresh __ep prefix. Inner join for
+    * bound rels (endpoints always exist, S3); LEFT join for OPTIONAL
+    * rels (round 16 — their carried __o_ id columns are null on an
+    * unmatched row, which must survive as NULL endpoint fields, Neo4j's
+    * startNode(null) = null). `offset` keeps the __ep prefixes disjoint
+    * when the bound and optional batches attach to the same frame. */
+  private def attachEndpoints(df: DataFrame, eps: Seq[EndpointOf],
+                              offset: Int = 0): DataFrame =
     eps.map(e => (e.fn, e.relVar)).distinct.zipWithIndex
       .foldLeft(df) { case (acc, ((fn, rv), i)) =>
-        require(stageRelVars.contains(rv) || carriedRelVars.contains(rv),
-          s"${fn}Node($rv) needs a BOUND relationship variable — an " +
-            "OPTIONAL relationship carries no endpoint ids; match the " +
-            "endpoint as a node variable instead")
-        val pre = s"__ep${i}_"
+        require(stageRelVars.contains(rv) || carriedRelVars.contains(rv) ||
+            optRelVars.contains(rv),
+          s"${fn}Node($rv) needs a bound relationship variable")
+        val pre = s"__ep${i + offset}_"
         endpointPrefixes += (fn, rv) -> pre
         val nodesR = g.nodes.select(g.nodes.columns.toSeq.map(f =>
           col(f).as(s"$pre$f")): _*)
         val endCol = propCol(rv, if (fn == "start") "src" else "dst")
-        acc.join(nodesR, endCol === col(s"${pre}nodeId"))
+        val jt = if (optRelVars.contains(rv)) "left" else "inner"
+        acc.join(nodesR, endCol === col(s"${pre}nodeId"), jt)
       }
 
   private def attachDegrees(df: DataFrame, degs: Seq[DegreeOf]): DataFrame = {
@@ -1923,17 +1985,17 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     else propCol(v, "nodeId")
 
   /** The distinct-count source for `count(DISTINCT v)`: a node's nodeId;
-    * a BOUND relationship's full identity triple (two parallel edges of
-    * different types stay distinct). An OPTIONAL rel carries only its
-    * relType through the null-extending join, so its DISTINCT form is
-    * rejected with a targeted message. */
+    * a relationship's full identity triple (two parallel edges of
+    * different types stay distinct). An OPTIONAL rel's triple is
+    * null-guarded on relType (round 16) so unmatched rows project SQL
+    * NULL — which count(DISTINCT …) skips, matching Neo4j — instead of
+    * a non-null all-null-fields struct that would count as one value. */
   private def distinctSrcCol(v: String): Column =
-    if (stageRelVars.contains(v) || carriedRelVars.contains(v))
+    if (optRelVars.contains(v))
+      when(propCol(v, "relType").isNotNull,
+        struct(Seq("dst", "relType", "src").map(f => propCol(v, f).as(f)): _*))
+    else if (stageRelVars.contains(v) || carriedRelVars.contains(v))
       struct(Seq("dst", "relType", "src").map(f => propCol(v, f).as(f)): _*)
-    else if (optRelVars.contains(v))
-      throw new IllegalArgumentException(
-        s"count(DISTINCT $v) over an OPTIONAL relationship is outside " +
-          s"the dialect — count($v) (null-skipping) or count an endpoint")
     else propCol(v, "nodeId")
 
   private def projectTuple(df: DataFrame, q: CypherQuery): DataFrame = {
@@ -2144,7 +2206,8 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     * otherwise the flattened __w_ column from the last WITH barrier. */
   private def propCol(v: String, field: String): Column =
     if (stageVars.contains(v)) col(s"$v.$field")
-    else if (optNodeVars.contains(v)) col(s"__o_${v}_$field")
+    else if (optNodeVars.contains(v) || optRelVars.contains(v))
+      col(s"__o_${v}_$field")
     else if (carriedVars.contains(v) || carriedRelVars.contains(v))
       col(s"__w_${v}_$field")
     else col(s"$v.$field") // stage rel vars and anonymous expansions
@@ -2380,16 +2443,16 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     * node variable yields NULL (not a struct of nulls), like Neo4j —
     * keyed off the nodeId field, which a bound node always carries.
     * Relationship variables project their identity triple (see
-    * [[nodeStructFields]]); an OPTIONAL relationship carries only its
-    * relType through the null-extending join, so its whole-entity form
-    * is rejected with a targeted message. */
+    * [[nodeStructFields]]); an OPTIONAL relationship's triple is carried
+    * whole through the null-extending join (round 16), so an unmatched
+    * optional rel likewise yields NULL — keyed off relType, which a
+    * matched rel always carries. */
   private def nodeStruct(v: String): Column = {
-    require(!optRelVars.contains(v),
-      s"whole-entity projection of OPTIONAL relationship $v is outside " +
-        s"the dialect — project type($v) instead")
     val s = struct(nodeStructFields(v).map(f => propCol(v, f).as(f)): _*)
     if (optNodeVars.contains(v))
       when(propCol(v, "nodeId").isNotNull, s)
+    else if (optRelVars.contains(v))
+      when(propCol(v, "relType").isNotNull, s)
     else s
   }
 
@@ -2631,9 +2694,9 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
           s"nodes($pv) does not name a path of this MATCH")
       }
     case PathRels(pv) =>
-      if (spVar.contains(pv)) throw new IllegalArgumentException(
-        s"relationships($pv) is not supported on a shortestPath (the " +
-          "keyed BFS never materializes edges) — use nodes(p) / length(p)")
+      // on a shortestPath: the per-hop minimum-relType array reconstructed
+      // by the same min-predecessor walk as nodes(p) ([[reconstructWalks]])
+      if (spVar.contains(pv)) col("__sprels")
       else pathRelAliases.get(pv) match {
         case Some(rvs) => array(rvs.map(rv => col(s"$rv.relType")): _*)
         case None => throw new IllegalArgumentException(

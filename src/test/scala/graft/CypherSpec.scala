@@ -2099,11 +2099,42 @@ class CypherSpec extends SparkSpec {
         |RETURN nodes(pp) AS ns, length(pp) AS len""".stripMargin)
       .collect().map(r => (r.getSeq[Long](0), r.getLong(1)))
     assert(row.toSeq === Seq((Seq(1L, 10L, 20L, 30L), 3L)))
-    // relationships() has no BFS form — clear dialect-level error
-    val err = intercept[IllegalArgumentException](Planner.run(g,
+    // relationships(pp) (round 16): the per-hop relType list derives
+    // from the SAME min-predecessor walk — each hop carries the MINIMUM
+    // relType among the pair's eligible edges, so the 10–20 parallel
+    // pair (WRITES e4 / REVIEWS e12) deterministically picks REVIEWS
+    val rels = Planner.run(g,
       """MATCH pp = shortestPath((i:Institution {name: "MIT"})-[*1..4]-(f:FieldOfStudy))
-        |RETURN relationships(pp) AS rs""".stripMargin))
-    assert(err.getMessage.contains("shortestPath"))
+        |RETURN nodes(pp) AS ns, relationships(pp) AS rs""".stripMargin)
+      .collect().map(r => (r.getSeq[Long](0), r.getSeq[String](1)))
+    assert(rels.toSeq === Seq((Seq(1L, 10L, 20L, 30L),
+      Seq("AFFILIATED_WITH", "REVIEWS", "HAS_TOPIC"))))
+    // a TYPE-constrained traversal restricts the witness to eligible
+    // edges: over WRITES|HAS_TOPIC the 10–20 hop must report WRITES
+    // (REVIEWS is not walkable), and the path re-routes from MIT's
+    // authors only through papers
+    val typed = Planner.run(g,
+      """MATCH pp = shortestPath((a:Author {name: "Alice"})-[:WRITES|HAS_TOPIC*1..3]-(f:FieldOfStudy))
+        |RETURN relationships(pp) AS rs, length(pp) AS len""".stripMargin)
+      .collect().map(r => (r.getSeq[String](0), r.getLong(1)))
+    assert(typed.toSeq === Seq((Seq("WRITES", "HAS_TOPIC"), 2L)))
+    // lo = 0: the zero-length path has an empty relationship list
+    val zero = Planner.run(g,
+      """MATCH pp = shortestPath((i:Institution {name: "MIT"})-[*0..1]-(x:Institution))
+        |RETURN x.name AS n, relationships(pp) AS rs""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getSeq[String](1)))
+    assert(zero.toSeq === Seq(("MIT", Seq.empty[String])))
+    // allShortestPaths: every forked walk carries its own hop list
+    val allr = Planner.run(g,
+      """MATCH pp = allShortestPaths((i:Institution {name: "MIT"})-[*1..2]-(p:Paper))
+        |RETURN nodes(pp) AS ns, relationships(pp) AS rs""".stripMargin)
+      .collect().map(r => (r.getSeq[Long](0), r.getSeq[String](1))).toSet
+    // MIT—Alice—{P-alpha,P-beta}, MIT—Bob—P-alpha: three 2-hop walks,
+    // the Alice→P-alpha hop again reduced to its min-relType REVIEWS
+    assert(allr === Set(
+      (Seq(1L, 10L, 20L), Seq("AFFILIATED_WITH", "REVIEWS")),
+      (Seq(1L, 10L, 21L), Seq("AFFILIATED_WITH", "WRITES")),
+      (Seq(1L, 11L, 20L), Seq("AFFILIATED_WITH", "WRITES"))))
   }
 
   test("degree sugar: count { (n)-[:T]-(:L) } / size((n)--())") {
@@ -2796,13 +2827,30 @@ class CypherSpec extends SparkSpec {
       assert(stored.contains((s.getAs[Long]("src"), s.getAs[Long]("dst"),
         s.getAs[String]("relType"))))
     }
-    // an OPTIONAL relationship carries only its relType — whole-entity
-    // form stays rejected with a targeted message
-    val e = intercept[IllegalArgumentException](Planner.run(g,
-      """MATCH (a:Author)
+    // an OPTIONAL relationship carries its FULL identity triple through
+    // the null-extending join (round 16): matched rows project the
+    // {dst, relType, src} struct, unmatched rows project SQL NULL (not a
+    // struct of nulls) — institutions never write
+    val optRel = Planner.run(g,
+      """MATCH (i:Institution)
+        |OPTIONAL MATCH (i)-[w:WRITES]-(p:Paper)
+        |RETURN i.name AS n, w AS rel ORDER BY n""".stripMargin).collect()
+    assert(optRel.length === 2 && optRel.forall(_.isNullAt(1)))
+    val optHit = Planner.run(g,
+      """MATCH (a:Author {name: "Alice"})
         |OPTIONAL MATCH (a)-[w:WRITES]-(p:Paper)
-        |RETURN a.name AS n, w AS rel""".stripMargin))
-    assert(e.getMessage.contains("OPTIONAL relationship"))
+        |RETURN w AS rel, properties(w) AS props
+        |ORDER BY p.name""".stripMargin).collect()
+    assert(optHit.nonEmpty)
+    optHit.foreach { r =>
+      assert(r.getStruct(0).schema.fieldNames.toSeq ===
+        Seq("dst", "relType", "src"))
+      assert(r.getStruct(0) === r.getStruct(1))
+      assert(r.getStruct(0).getAs[String]("relType") === "WRITES")
+      assert(stored.contains((r.getStruct(0).getAs[Long]("src"),
+        r.getStruct(0).getAs[Long]("dst"),
+        r.getStruct(0).getAs[String]("relType"))))
+    }
     // an UNMATCHED optional variable projects as NULL, not a struct of
     // nulls (Neo4j's null node) — institutions never write
     val opt = Planner.run(g,
@@ -2882,13 +2930,22 @@ class CypherSpec extends SparkSpec {
       """MATCH (a:Author {name: "Alice"})-[w]-(p:Paper {name: "P-alpha"})
         |RETURN count(DISTINCT w) AS n""".stripMargin).collect().head.getLong(0)
     assert(par === 2L)
-    // DISTINCT over an OPTIONAL rel (only relType survives the
-    // null-extending join) keeps a targeted rejection
-    val e = intercept[IllegalArgumentException](Planner.run(g,
+    // DISTINCT over an OPTIONAL rel (round 16): the triple is
+    // null-guarded on relType, so unmatched rows are SQL NULL — which
+    // count(DISTINCT …) skips, matching Neo4j. Institutions never
+    // write → 0; Alice's two WRITES rels stay two distinct triples.
+    val optDup = Planner.run(g,
       """MATCH (i:Institution)
         |OPTIONAL MATCH (i)-[w:WRITES]-(p:Paper)
-        |RETURN i.name AS name, count(DISTINCT w) AS n""".stripMargin))
-    assert(e.getMessage.contains("OPTIONAL relationship"))
+        |RETURN i.name AS name, count(DISTINCT w) AS n
+        |ORDER BY name""".stripMargin).collect()
+    assert(optDup.length === 2 && optDup.forall(_.getLong(1) === 0L))
+    val optDup2 = Planner.run(g,
+      """MATCH (a:Author {name: "Alice"})
+        |OPTIONAL MATCH (a)-[w:WRITES]-(p:Paper)
+        |RETURN count(DISTINCT w) AS n""".stripMargin)
+      .collect().head.getLong(0)
+    assert(optDup2 === 2L)
   }
 
   test("startNode(r)/endNode(r): stored-orientation endpoints (round 15)") {
@@ -2923,12 +2980,22 @@ class CypherSpec extends SparkSpec {
         |RETURN endNode(w).name AS e""".stripMargin)
       .collect().map(_.getString(0)).toSeq
     assert(filtered === Seq("P-gamma"))
-    // OPTIONAL rels carry no endpoint ids → targeted rejection
-    val e = intercept[IllegalArgumentException](Planner.run(g,
+    // OPTIONAL rels carry endpoint ids since round 16: the endpoint
+    // join is a LEFT join, so an unmatched row's endpoint is NULL
+    // (Neo4j's startNode(null) = null) and a matched row resolves
+    val optEp = Planner.run(g,
       """MATCH (i:Institution)
         |OPTIONAL MATCH (i)-[w:WRITES]-(p:Paper)
-        |RETURN startNode(w).name AS s""".stripMargin))
-    assert(e.getMessage.contains("OPTIONAL relationship"))
+        |RETURN i.name AS n, startNode(w).name AS s ORDER BY n""".stripMargin)
+      .collect()
+    assert(optEp.length === 2 && optEp.forall(_.isNullAt(1)))
+    val optEpHit = Planner.run(g,
+      """MATCH (a:Author {name: "Alice"})
+        |OPTIONAL MATCH (a)-[w:WRITES]-(p:Paper)
+        |RETURN startNode(w).name AS s, endNode(w).name AS e
+        |ORDER BY e""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(optEpHit === Seq(("Alice", "P-alpha"), ("Alice", "P-beta")))
     // render∘parse identity, both spellings
     val q = Parser.parse(
       """MATCH (a)-[w:WRITES]-(p) RETURN startNode(w) AS s, endNode(w).name AS en""")
@@ -3071,13 +3138,15 @@ class CypherSpec extends SparkSpec {
     val top = mixed.collect().head
     assert(top.getStruct(0).getAs[String]("name") === "Alice" &&
       top.getLong(1) === 2L && top.getLong(2) === 4L)
-    // OPTIONAL vars are included (null when unmatched)
+    // OPTIONAL vars are included (null when unmatched) — rel vars too
+    // since round 16 (the full triple survives the null-extending join)
     val opt = Planner.run(g,
       """MATCH (i:Institution {name: "MIT"})
         |OPTIONAL MATCH (i)-[w:WRITES]-(p:Paper)
         |RETURN *""".stripMargin)
-    assert(opt.columns.toSeq === Seq("i", "p"))
-    assert(opt.collect().head.isNullAt(1))
+    assert(opt.columns.toSeq === Seq("i", "p", "w"))
+    val optRow = opt.collect().head
+    assert(optRow.isNullAt(1) && optRow.isNullAt(2))
     // render∘parse identity for both spellings
     val q = Parser.parse(
       """MATCH (a:Author)-[w:WRITES]-(p:Paper) RETURN *, a.name AS nm""")
