@@ -339,7 +339,14 @@ object Ast {
     * (`SET n += $props` with e.g. acctbal -> 99.9, advisor r14: the
     * Number->longValue arm silently truncated it); the surface grammar
     * itself has no float-literal spelling. */
-  final case class DblLitE(v: Double) extends Expr
+  final case class DblLitE(v: Double) extends Expr {
+    // the dialect has no literal spelling for NaN/Infinity (numLit reads
+    // digits.digits only), so a planner-constructed non-finite double
+    // would break render∘parse identity — reject it at construction
+    // with the parameter-flavored message its one source site implies
+    require(!v.isNaN && !v.isInfinite,
+      s"non-finite double value $v cannot be spelled as a Cypher literal")
+  }
   /** String literal inside an expression (CASE branches, coalesce
     * defaults). */
   final case class StrLitE(v: String) extends Expr
@@ -534,7 +541,12 @@ object Ast {
         }
         s"count { ($v)$hop }"
       case LongLitE(v)                => v.toString
-      case DblLitE(v)                 => v.toString
+      case DblLitE(v)                 =>
+        // plain-decimal render (Double.toString would emit 1.0E-5,
+        // which numLit cannot read back); BigDecimal.valueOf uses the
+        // double's shortest decimal form, so parse∘render is exact
+        val s = java.math.BigDecimal.valueOf(v).toPlainString
+        if (s.contains('.')) s else s + ".0"
       case MapLitE(es)                =>
         es.map { case (k, x) => s"$k: ${exprText(x)}" }
           .mkString("{", ", ", "}")

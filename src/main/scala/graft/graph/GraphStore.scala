@@ -48,10 +48,24 @@ object GraphStore {
       .write.mode("overwrite")
       .bucketBy(buckets, "src").sortBy("src")
       .saveAsTable(s"${prefix}_rels")
+    // labelsMutated is session state a reload cannot derive cheaply (it
+    // exists precisely so UNMUTATED graphs keep the pushable primary-
+    // label read); persist it as table metadata — zero read-path cost —
+    // so a reloaded graph still matches secondary labels (ADVICE r15)
+    if (g.labelsMutated)
+      spark.sql(s"ALTER TABLE `${prefix}_nodes` SET TBLPROPERTIES " +
+        s"('$LabelsMutatedProp' = 'true')")
   }
 
-  def readBucketed(spark: SparkSession, prefix: String): PropertyGraph =
-    PropertyGraph(spark.table(s"${prefix}_nodes"), spark.table(s"${prefix}_rels"))
+  private val LabelsMutatedProp = "graft.labelsMutated"
+
+  def readBucketed(spark: SparkSession, prefix: String): PropertyGraph = {
+    val mutated = spark.sql(s"SHOW TBLPROPERTIES `${prefix}_nodes`")
+      .collect().exists(r =>
+        r.getString(0) == LabelsMutatedProp && r.getString(1) == "true")
+    PropertyGraph(spark.table(s"${prefix}_nodes"),
+      spark.table(s"${prefix}_rels"), labelsMutated = mutated)
+  }
 
   /** Materialize the deduplicated symmetric adjacency
     * ([[PropertyGraph.adjPairs]]) as a bucketed managed table

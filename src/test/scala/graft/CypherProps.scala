@@ -199,7 +199,9 @@ object CypherProps extends Properties("cypher") {
       v1 <- Gen.oneOf[Expr](PropRef("x1", "name"), LongLitE(7L))
     } yield MapLitE(Seq(k1 -> v1,
       k2 -> MapLitE(Seq("z" -> (StrLitE("s"): Expr))))),
-    Gen.oneOf(0.5, 2.0, -3.25, 99.9).map(DblLitE(_)),
+    // 1.0E-5 / 1.0E7: Double.toString spells these scientifically, which
+    // numLit cannot read — the plain-decimal render must round-trip them
+    Gen.oneOf(0.5, 2.0, -3.25, 99.9, 1.0e-5, 1.0e7).map(DblLitE(_)),
     Gen.const(ScalarFn("round",
       Seq(BinOp("*", PropRef("x1", "nodeId"), DblLitE(0.5))))),
     for { // ^ chains: right-assoc render/parse

@@ -1033,7 +1033,20 @@ class CypherSpec extends SparkSpec {
       """MATCH (p:Paper) RETURN p.name AS n LIMIT $k""",
       Map("k" -> 2.5)).collect())
     assert(frac.getMessage.contains("$k") &&
-      frac.getMessage.contains("non-negative integer"))
+      frac.getMessage.contains("non-negative integer") &&
+      frac.getMessage.contains("floating-point"))
+    // a WHOLE-valued float is still rejected (Neo4j: counts take integer
+    // parameters) but the message names the type, not a phantom
+    // fraction (ADVICE r16); a fractional BigDecimal stays "fractional"
+    val whole = intercept[IllegalArgumentException](Planner.run(g,
+      """MATCH (p:Paper) RETURN p.name AS n LIMIT $k""",
+      Map("k" -> 5.0)).collect())
+    assert(whole.getMessage.contains("floating-point") &&
+      !whole.getMessage.contains("fractional"))
+    val bigFrac = intercept[IllegalArgumentException](Planner.run(g,
+      """MATCH (p:Paper) RETURN p.name AS n LIMIT $k""",
+      Map("k" -> new java.math.BigDecimal("2.5"))).collect())
+    assert(bigFrac.getMessage.contains("fractional"))
     val neg = intercept[IllegalArgumentException](Planner.run(g,
       """MATCH (p:Paper) RETURN p.name AS n LIMIT $k""",
       Map("k" -> -1L)).collect())
@@ -3244,6 +3257,18 @@ class CypherSpec extends SparkSpec {
       """MATCH (b:Author {name: "Bob"}) RETURN b.nodeId * 0.5 AS h""")
       .collect().head
     assert(lit.getDouble(0) === 5.5) // double mult, not integer division
+    // planner-constructed doubles render plain-decimal (Double.toString
+    // would emit 1.0E-5, unreadable by numLit) and non-finite doubles
+    // are rejected at construction — ADVICE r16
+    assert(Ast.exprText(Ast.DblLitE(1.0e-5)) === "0.000010")
+    assert(Ast.exprText(Ast.DblLitE(1.0e-5)).toDouble === 1.0e-5)
+    assert(Ast.exprText(Ast.DblLitE(1.0e7)) === "10000000.0")
+    assert(Ast.exprText(Ast.DblLitE(-2.0)) === "-2.0")
+    val nf = intercept[IllegalArgumentException](
+      Ast.DblLitE(Double.NaN))
+    assert(nf.getMessage.contains("non-finite"))
+    intercept[IllegalArgumentException](
+      Ast.DblLitE(Double.PositiveInfinity))
   }
 
   test("floor/ceil/sqrt: IEEE-exact math scalars") {
@@ -3256,6 +3281,19 @@ class CypherSpec extends SparkSpec {
     // nodeId 10: sqrt = 3.16…, floor 3.0, ceil 4.0; sqrt(100) = 10.0
     assert(row.getDouble(0) === 3.0 && row.getDouble(1) === 4.0 &&
       row.getDouble(2) === 10.0)
+    // beyond 2^63 Spark's long-returning floor/ceil would SATURATE at
+    // Long.MaxValue while DuckDB/Neo4j stay double — the magnitude guard
+    // routes such (already-integral) doubles to the identity; NaN maps
+    // to NaN (the raw long cast would send it to 0) — ADVICE r16
+    val big = Planner.run(g,
+      """MATCH (a:Author {name: "Alice"})
+        |RETURN floor(10000000000000000000.0) AS f,
+        |       ceil(0 - 10000000000000000000.0) AS c,
+        |       round(10000000000000000000.0) AS r,
+        |       floor(sqrt(0 - 1.0)) AS n""".stripMargin)
+      .collect().head
+    assert(big.getDouble(0) === 1.0e19 && big.getDouble(1) === -1.0e19 &&
+      big.getDouble(2) === 1.0e19 && big.getDouble(3).isNaN)
     // round-trip (round() joined the family in round 15 with an
     // explicit tie rule — see its own spec)
     val q = Parser.parse(

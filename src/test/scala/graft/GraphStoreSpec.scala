@@ -32,6 +32,29 @@ class GraphStoreSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("labelsMutated survives the bucketed write/read round trip") {
+    // the flag is session state not derivable from the stored rows
+    // cheaply — without persistence a reloaded label-mutated graph
+    // silently stops matching secondary labels (ADVICE r16)
+    val g = MicroGraph(spark)
+    val mutated = graft.cypher.Planner.runMutation(g,
+      """MATCH (a:Author {name: "Alice"}) SET a:Flagged""")
+    assert(mutated.labelsMutated)
+    GraphStore.writeBucketed(mutated, "lmut", buckets = 4)
+    val back = GraphStore.readBucketed(spark, "lmut")
+    assert(back.labelsMutated,
+      "labelsMutated must be restored from table metadata")
+    // the real contract: the added label still anchors a MATCH
+    val hits = graft.cypher.Planner.run(back,
+      """MATCH (n:Flagged) RETURN n.name AS name""")
+      .collect().map(_.getString(0)).toSeq
+    assert(hits === Seq("Alice"))
+    // an UNMUTATED graph reloads with the flag off (keeps the pushable
+    // primary-label read path)
+    GraphStore.writeBucketed(g, "lmut0", buckets = 4)
+    assert(!GraphStore.readBucketed(spark, "lmut0").labelsMutated)
+  }
+
   test("driver-data bucketed graph: same one-hop rows, shuffle-free hop join") {
     val dir = "/root/testdata/sf0.001"
     val g = graft.graph.TpchGraph.load(spark, dir)
