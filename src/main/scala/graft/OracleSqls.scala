@@ -1062,6 +1062,21 @@ object OracleSqls {
         |WHERE c.label = 'Customer' AND c.acctbal >= 0
         |ORDER BY name""".stripMargin),
 
+    // ln/exp/log10 (the tolerance-checked transcendental class): the
+    // hash surface quantizes to integer micro-units via the documented
+    // floor(x+0.5) tie rule — raw doubles are bit-identical on this
+    // libm pair, so the quantization is the CONTRACT, not a loss
+    "cy_ln_exp" -> withFinGraph(
+      """SELECT c.nodeId AS id,
+        |  CAST(floor(ln(CAST(c.acctbal AS DOUBLE)) * 1000000.0 + 0.5)
+        |       AS BIGINT) AS ln_micro,
+        |  CAST(floor(log10(CAST(c.acctbal AS DOUBLE)) * 1000000.0 + 0.5)
+        |       AS BIGINT) AS log10_micro,
+        |  CAST(floor(exp(ln(CAST(c.acctbal AS DOUBLE)) / 100.0) * 1000000.0
+        |             + 0.5) AS BIGINT) AS exp_micro
+        |FROM fnodes c
+        |WHERE c.label = 'Customer' AND c.acctbal > 0""".stripMargin),
+
     // list quantifiers replay as bool_and / bool_or over the group
     "cy_list_quant" -> withGraph(
       """SELECT r.name AS region, CAST(count(*) AS BIGINT) AS n

@@ -1259,8 +1259,8 @@ object Parser {
       Seq("toLower", "toUpper", "trim", "replace", "substring", "size",
         "abs", "sign", "toString", "toInteger", "toFloat", "id", "head",
         "last", "reverse", "ltrim", "rtrim", "left", "right", "coalesce",
-        "floor", "ceil", "sqrt", "round", "properties",
-        "startNode", "endNode")
+        "floor", "ceil", "sqrt", "round", "ln", "exp", "log10",
+        "properties", "startNode", "endNode")
 
     /** WHERE predicates are aggregate-free (Cypher aggregates live in
       * RETURN/WITH; the HAVING idiom is `WITH … AS x WHERE x …`). */
@@ -1768,7 +1768,8 @@ object Parser {
                peekCall("abs") || peekCall("sign") || peekCall("toString") ||
                peekCall("toInteger") || peekCall("toFloat") ||
                peekCall("floor") || peekCall("ceil") || peekCall("sqrt") ||
-               peekCall("round")) {
+               peekCall("round") || peekCall("ln") || peekCall("exp") ||
+               peekCall("log10")) {
         val fn = if (opt("toLower")) "toLower"
                  else if (opt("toUpper")) "toUpper"
                  else if (opt("trim")) "trim"
@@ -1784,12 +1785,20 @@ object Parser {
                  // divergence (DuckDB rounds half away from zero); the
                  // floor form IS the contract (it differs from JDK
                  // Math.round at its documented special cases — see the
-                 // planner note). ln/exp stay excluded: transcendentals
-                 // are not IEEE-exactly-rounded, so engines may differ
-                 // a ULP
+                 // planner note). ln/exp/log10 (round 16) are the
+                 // TOLERANCE-CHECKED class: transcendentals are not
+                 // guaranteed exactly-rounded across libms, so the
+                 // dialect contract covers 9 significant decimal digits
+                 // only — catalog hash surfaces must quantize (the
+                 // round()/integer-micro-unit idiom); raw doubles may
+                 // differ a ULP on exotic libms (bit-identical on the
+                 // reference pair: glibc/DuckDB vs the JVM, verified)
                  else if (opt("floor")) "floor"
                  else if (opt("ceil")) "ceil"
                  else if (opt("round")) "round"
+                 else if (opt("ln")) "ln"
+                 else if (opt("exp")) "exp"
+                 else if (opt("log10")) "log10"
                  else { expect("sqrt"); "sqrt" }
         expect("("); val a = expression(); expect(")")
         ScalarFn(fn, Seq(a))

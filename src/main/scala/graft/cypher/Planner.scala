@@ -2549,7 +2549,8 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       org.apache.spark.sql.types.LongType))
     case _: PathRels => Some(org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.StringType))
-    case ScalarFn("toFloat" | "floor" | "ceil" | "sqrt", _) =>
+    case ScalarFn("toFloat" | "floor" | "ceil" | "sqrt" | "ln" | "exp" |
+                  "log10", _) =>
       Some(org.apache.spark.sql.types.DoubleType)
     case ScalarFn("abs", args)  => staticType(args.head, schema)
     case ScalarFn(_, _) => Some(org.apache.spark.sql.types.StringType)
@@ -2843,10 +2844,22 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
         case "sign"    => signum(a.head).cast("long")
         case "toString"  => a.head.cast("string")
         // Neo4j floor/ceil return FLOAT; sqrt is IEEE correctly rounded
-        // on both engines (unlike ln/exp, which this dialect avoids)
+        // on both engines (ln/exp/log10 below are the tolerance class)
         case "floor" => dblFloor(a.head, floor)
         case "ceil"  => dblFloor(a.head, ceil)
         case "sqrt"  => sqrt(a.head.cast("double"))
+        // ln/exp/log10 (round 16): the TOLERANCE-CHECKED function class.
+        // Unlike floor/ceil/sqrt these are not guaranteed correctly
+        // rounded across libms, so the dialect contract is 9 significant
+        // decimal digits — catalog hash surfaces must quantize through
+        // the round()/integer-micro-unit idiom (cy_ln_exp does). On the
+        // reference pair (DuckDB/glibc vs this JVM) the raw doubles are
+        // bit-identical — verified over representative values — so the
+        // quantization is defense-in-depth for exotic libms, not a
+        // precision the engine actually loses.
+        case "ln"    => log(a.head.cast("double"))
+        case "exp"   => exp(a.head.cast("double"))
+        case "log10" => log10(a.head.cast("double"))
         // round() with an EXPLICIT tie rule (round 15 — VERDICT r14
         // missing #3): half toward +∞, spelled floor(x + 0.5) so BOTH
         // engines compute the identical IEEE-exact operation (native

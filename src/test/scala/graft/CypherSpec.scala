@@ -3294,6 +3294,20 @@ class CypherSpec extends SparkSpec {
       .collect().head
     assert(big.getDouble(0) === 1.0e19 && big.getDouble(1) === -1.0e19 &&
       big.getDouble(2) === 1.0e19 && big.getDouble(3).isNaN)
+    // ln/exp/log10 (round 16): exact at the anchor points, composition
+    // identities inside the 9-digit contract, render∘parse identity
+    val tr = Planner.run(g,
+      """MATCH (a:Author {name: "Alice"})
+        |RETURN ln(1.0) AS l1, exp(0.0) AS e0, log10(100.0) AS lg,
+        |       ln(exp(1.0)) AS le,
+        |       toInteger(round(exp(1.0) * 1000000.0)) AS e_micro""".stripMargin)
+      .collect().head
+    assert(tr.getDouble(0) === 0.0 && tr.getDouble(1) === 1.0 &&
+      tr.getDouble(2) === 2.0 && tr.getDouble(3) === 1.0 &&
+      tr.getLong(4) === 2718282L)
+    val qt = Parser.parse(
+      "MATCH (a:Author) RETURN ln(toFloat(a.nodeId)) AS l, exp(2.0) AS e, log10(5.0) AS g")
+    assert(Parser.parse(qt.render) === qt)
     // round-trip (round() joined the family in round 15 with an
     // explicit tie rule — see its own spec)
     val q = Parser.parse(
