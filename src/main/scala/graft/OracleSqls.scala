@@ -1241,20 +1241,24 @@ object OracleSqls {
         |GROUP BY 1, 3
         |ORDER BY nation""".stripMargin),
 
-    // allShortestPaths census: dist-1 targets have exactly one path;
-    // dist-2 targets (NOT already at dist 1) have one path per distinct
-    // intermediate — the untyped traversal walks DISTINCT adjacency
-    // pairs, exactly the engine's adjPairs view
+    // allShortestPaths census: path multiplicity counts RELATIONSHIP
+    // sequences (parallel edge types fork — round 16), so a dist-1
+    // target has one path per distinct relType on its anchor pair and a
+    // dist-2 target (NOT already at dist 1) sums the per-hop relType
+    // counts' product over its intermediates. On this graph every pair
+    // carries exactly one relType, so the census equals the node-walk
+    // one — the formula, not the numbers, is what the fork changes.
     "cy_all_shortest" -> withGraph(
       """SELECT nodeId, len, n_paths FROM (
         |  SELECT b AS nodeId, CAST(1 AS BIGINT) AS len,
-        |         CAST(1 AS BIGINT) AS n_paths
-        |  FROM (SELECT DISTINCT b FROM bidir WHERE a = 5000000001)
+        |         CAST(count(DISTINCT relType) AS BIGINT) AS n_paths
+        |  FROM bidir WHERE a = 5000000001 GROUP BY b
         |  UNION ALL
-        |  SELECT m.b, CAST(2 AS BIGINT), CAST(count(DISTINCT n1.b) AS BIGINT)
-        |  FROM (SELECT DISTINCT b FROM bidir WHERE a = 5000000001) n1
-        |  JOIN (SELECT DISTINCT a, b FROM bidir) m ON m.a = n1.b
-        |  WHERE m.b <> 5000000001
+        |  SELECT m.b, CAST(2 AS BIGINT), CAST(sum(n1.c * m.c) AS BIGINT)
+        |  FROM (SELECT a, b, count(DISTINCT relType) AS c FROM bidir GROUP BY 1, 2) n1
+        |  JOIN (SELECT a, b, count(DISTINCT relType) AS c FROM bidir GROUP BY 1, 2) m
+        |    ON m.a = n1.b
+        |  WHERE n1.a = 5000000001 AND m.b <> 5000000001
         |    AND m.b NOT IN (SELECT DISTINCT b FROM bidir WHERE a = 5000000001)
         |  GROUP BY 1)
         |ORDER BY nodeId""".stripMargin),

@@ -1644,11 +1644,13 @@ object Queries {
         |       count(*) AS n_all
         |ORDER BY nation""".stripMargin)
 
-  /** `allShortestPaths` (round 13): one row PER distinct shortest path —
-    * the BFS levels form a DAG, so forking every level-respecting
-    * predecessor enumerates each path exactly once; here reduced to the
-    * per-target (hop count, path multiplicity) census around one part.
-    * The singular `shortestPath` keeps its one deterministic witness. */
+  /** `allShortestPaths` (round 13; rel-sequence multiplicity round 16):
+    * one row PER distinct shortest RELATIONSHIP sequence — the BFS
+    * levels form a DAG and each level-respecting (predecessor, relType)
+    * forks one walk, so parallel edge types multiply paths exactly as
+    * Neo4j counts them; here reduced to the per-target (hop count, path
+    * multiplicity) census around one part. The singular `shortestPath`
+    * keeps its one deterministic witness. */
   def cyAllShortest(spark: SparkSession, dir: String): DataFrame =
     graft.cypher.Planner.run(graph(spark, dir),
       """MATCH p = allShortestPaths((x:Part {nodeId: 5000000001})-[*1..2]-(y))

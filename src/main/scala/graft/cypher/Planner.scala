@@ -883,8 +883,8 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       else {
         val explicit = st0.withItems.map(_.name).toSet
         // bound + carried REL vars are included since round 15 (Neo4j's
-        // WITH * carries every binding); OPTIONAL rels stay excluded —
-        // they carry no identity triple through the null-extending join
+        // WITH * carries every binding). OPTIONAL MATCH exists only in
+        // the final clause group, so a Stage never binds optional vars
         val vs = (varsOf(st0.paths) ++ carriedVars ++
             relVarsOf(st0.paths) ++ carriedRelVars).toSeq.distinct.sorted
           .filterNot(explicit).map(v => RetItem(ColRef(v), None))
@@ -1323,9 +1323,10 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
         col("dist").cast("long").as("__splen"))
     // nodes(p) on a shortestPath: reconstruct the deterministic
     // minimum-predecessor walk from the BFS levels — only when asked for.
-    // allShortestPaths instead enumerates EVERY level-respecting walk
-    // (one output row per distinct shortest path — the multiplicity IS
-    // the semantics, so the enumeration always runs there)
+    // allShortestPaths instead enumerates EVERY level-respecting walk,
+    // forked per hop relType (one output row per distinct shortest
+    // RELATIONSHIP sequence — the multiplicity IS the semantics, so the
+    // enumeration always runs there)
     val needNodes = q.items.exists(i => walkExpr(i.expr).exists {
       case PathNodes(pv) => spVar.contains(pv)
       case _             => false
@@ -1334,10 +1335,13 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       case PathRels(pv) => spVar.contains(pv)
       case _            => false
     })
-    // the per-hop relType witness joins the same type-eligible edge view
-    // the traversal used — built only when relationships(p) is asked for
+    // the per-hop relType view joins the same type-eligible edge view
+    // the traversal used — built when relationships(p) is asked for, and
+    // ALWAYS for allShortestPaths (parallel edge types fork paths there:
+    // the multiplicity is per relationship sequence, rels projected or
+    // not)
     val relView =
-      if (!needRels) None
+      if (!needRels && !sp.all) None
       else if (rel.relTypes.isEmpty)
         Some(g.bidir.select(col("a"), col("b"), col("relType")))
       else Some(g.bidir.where(col("relType").isin(rel.relTypes: _*))
@@ -1392,20 +1396,31 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     * adjacency join plus one keyed min — O(rounds · pairs), never a path
     * enumeration, so the 100 TB shape matches the BFS itself. Returns
     * `(__ws, __wv, __spnodes, __sprels)` with the traversal-ordered
-    * nodeId array and (when `relView` is given — only when
-    * `relationships(p)` is actually referenced, since it adds one keyed
-    * join per round) the per-hop relType array: each hop carries the
-    * MINIMUM relType among the type-eligible edges joining the chosen
-    * pair — the same deterministic-witness rule as the node walk, so a
-    * parallel-edge pair resolves reproducibly on both engines. */
+    * nodeId array and (when `relView` is given) the per-hop relType
+    * array. Singular mode carries the MINIMUM relType among the
+    * type-eligible edges joining the chosen pair — the same
+    * deterministic-witness rule as the node walk, so a parallel-edge
+    * pair resolves reproducibly on both engines; `relView` is built only
+    * when `relationships(p)` is referenced, since it adds one keyed join
+    * per round. In `all` mode the hop join instead forks per distinct
+    * (pair, relType), so `relView` is ALWAYS given there: the row
+    * multiplicity (one per relationship sequence) IS the semantics,
+    * whether or not the hop lists are projected. */
   private def reconstructWalks(adj: DataFrame, dists: DataFrame,
                                maxHops: Int, all: Boolean = false,
                                relView: Option[DataFrame] = None): DataFrame = {
-    // one pre-aggregated pair→minRelType frame, built once and reused
-    // every round (O(E) like the adjacency itself; broadcast when small)
-    val relMap = relView.map(rv => rv
-      .groupBy(col("a").as("__pa"), col("b").as("__pb"))
-      .agg(min(col("relType")).as("__hopt")))
+    // one hop-type frame, built once and reused every round (O(E) like
+    // the adjacency itself; broadcast when small). Single-witness mode
+    // pre-collapses each pair to its MINIMUM relType; all mode keeps one
+    // row per distinct (pair, relType) so the hop join FORKS per
+    // parallel edge type — path identity is the relationship sequence,
+    // which is Neo4j's allShortestPaths multiplicity
+    val relMap =
+      if (all) relView.map(_.select(col("a").as("__pa"),
+        col("b").as("__pb"), col("relType").as("__hopt")).distinct())
+      else relView.map(rv => rv
+        .groupBy(col("a").as("__pa"), col("b").as("__pb"))
+        .agg(min(col("relType")).as("__hopt")))
     val d = dists.select(col("src"), col("v"), col("dist"))
     var f = d.select(col("src"), col("v").as("__wv"),
       col("dist").as("__lvl"), col("v").as("__cur"),
@@ -1431,10 +1446,11 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
               concat(array(col("__hopt")), col("__racc")))
           case None => (df, col("__racc"))
         }
-      // allShortestPaths: every level-respecting predecessor FORKS one
-      // walk (the BFS levels form a DAG, so each distinct shortest path
-      // is produced exactly once — Neo4j's allShortestPaths rows);
-      // shortestPath keeps ONE deterministic min-nodeId witness
+      // allShortestPaths: every level-respecting (predecessor, relType)
+      // FORKS one walk (the BFS levels form a DAG, so each distinct
+      // relationship sequence is produced exactly once — Neo4j's
+      // allShortestPaths rows); shortestPath keeps ONE deterministic
+      // witness (min-nodeId predecessor, then min relType per hop)
       val stepped =
         if (all) {
           val (withRt, racc) = hopRels(joined, col("__wa"))
@@ -2549,8 +2565,8 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       org.apache.spark.sql.types.LongType))
     case _: PathRels => Some(org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.StringType))
-    case ScalarFn("toFloat" | "floor" | "ceil" | "sqrt" | "ln" | "exp" |
-                  "log10", _) =>
+    case ScalarFn("toFloat" | "floor" | "ceil" | "sqrt" | "round" | "ln" |
+                  "exp" | "log10", _) =>
       Some(org.apache.spark.sql.types.DoubleType)
     case ScalarFn("abs", args)  => staticType(args.head, schema)
     case ScalarFn(_, _) => Some(org.apache.spark.sql.types.StringType)
@@ -2714,8 +2730,9 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
           s"nodes($pv) does not name a path of this MATCH")
       }
     case PathRels(pv) =>
-      // on a shortestPath: the per-hop minimum-relType array reconstructed
-      // by the same min-predecessor walk as nodes(p) ([[reconstructWalks]])
+      // on a shortestPath: the per-hop relType array reconstructed by the
+      // same walk as nodes(p) ([[reconstructWalks]]) — the min-relType
+      // witness on the singular form, the forked hop type in all mode
       if (spVar.contains(pv)) col("__sprels")
       else pathRelAliases.get(pv) match {
         case Some(rvs) => array(rvs.map(rv => col(s"$rv.relType")): _*)
@@ -2818,7 +2835,13 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
         case None =>
           val fields = g.nodes.schema.fieldNames
             .filterNot(n => n == "label" || n == "labels").sorted.toSeq
-          struct(fields.map(f => col(s"$pre$f").as(f)): _*)
+          val s = struct(fields.map(f => col(s"$pre$f").as(f)): _*)
+          // an OPTIONAL rel's endpoint columns are null-extended by the
+          // LEFT join: the whole-entity form must be NULL on unmatched
+          // rows (like [[nodeStruct]]), not a struct of null fields
+          if (optRelVars.contains(rv))
+            when(col(s"${pre}nodeId").isNotNull, s)
+          else s
       }
     case MapProj(v, fields) =>
       // map projection: the chosen properties as a struct in the LISTED

@@ -2142,9 +2142,11 @@ class CypherSpec extends SparkSpec {
       """MATCH pp = allShortestPaths((i:Institution {name: "MIT"})-[*1..2]-(p:Paper))
         |RETURN nodes(pp) AS ns, relationships(pp) AS rs""".stripMargin)
       .collect().map(r => (r.getSeq[Long](0), r.getSeq[String](1))).toSet
-    // MIT—Alice—{P-alpha,P-beta}, MIT—Bob—P-alpha: three 2-hop walks,
-    // the Alice→P-alpha hop again reduced to its min-relType REVIEWS
+    // MIT—Alice—{P-alpha,P-beta}, MIT—Bob—P-alpha: the parallel
+    // Alice—P-alpha edge pair (e4 WRITES / e12 REVIEWS) forks TWO paths
+    // over the same node walk — four relationship sequences in all
     assert(allr === Set(
+      (Seq(1L, 10L, 20L), Seq("AFFILIATED_WITH", "WRITES")),
       (Seq(1L, 10L, 20L), Seq("AFFILIATED_WITH", "REVIEWS")),
       (Seq(1L, 10L, 21L), Seq("AFFILIATED_WITH", "WRITES")),
       (Seq(1L, 11L, 20L), Seq("AFFILIATED_WITH", "WRITES"))))
@@ -2653,14 +2655,17 @@ class CypherSpec extends SparkSpec {
   }
 
   test("allShortestPaths: one row per distinct shortest path") {
-    // Alice(10) reaches Databases(30) at hop 2 via BOTH papers 20 and 21
+    // Alice(10) reaches Databases(30) at hop 2 via BOTH papers 20 and
+    // 21; the parallel WRITES/REVIEWS pair on Alice—P-alpha forks the
+    // (10,20,30) node walk into TWO relationship sequences
     val rows = Planner.run(g,
       """MATCH p = allShortestPaths((a:Author {name: "Alice"})-[*1..3]-(b:FieldOfStudy {name: "Databases"}))
         |RETURN nodes(p) AS ns, length(p) AS len""".stripMargin).collect()
-    assert(rows.length === 2)
+    assert(rows.length === 3)
     assert(rows.forall(_.getLong(1) === 2L))
-    assert(rows.map(_.getSeq[Long](0)).toSet ===
-      Set(Seq(10L, 20L, 30L), Seq(10L, 21L, 30L)))
+    assert(rows.map(_.getSeq[Long](0)).groupBy(identity)
+      .view.mapValues(_.length).toMap ===
+      Map(Seq(10L, 20L, 30L) -> 2, Seq(10L, 21L, 30L) -> 1))
     // the singular form keeps ONE deterministic min-predecessor witness
     val one = Planner.run(g,
       """MATCH p = shortestPath((a:Author {name: "Alice"})-[*1..3]-(b:FieldOfStudy {name: "Databases"}))
@@ -2669,14 +2674,15 @@ class CypherSpec extends SparkSpec {
   }
 
   test("allShortestPaths multiplicity census from an anchor") {
-    // MIT(1): dist-1 = {10, 11} (1 path each); dist-2 = {20 via both
-    // authors (2 paths), 21 via Alice (1 path)}
+    // MIT(1): dist-1 = {10, 11} (1 path each); dist-2 = {20 via Alice
+    // (2 paths — the parallel WRITES/REVIEWS fork) and via Bob (1),
+    // 21 via Alice (1 path)}
     val rows = Planner.run(g,
       """MATCH p = allShortestPaths((i:Institution {name: "MIT"})-[*1..2]-(y))
         |RETURN y.nodeId AS nid, length(p) AS len, count(*) AS n
         |ORDER BY nid""".stripMargin)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
-    assert(rows === Seq((10L, 1L, 1L), (11L, 1L, 1L), (20L, 2L, 2L),
+    assert(rows === Seq((10L, 1L, 1L), (11L, 1L, 1L), (20L, 2L, 3L),
       (21L, 2L, 1L)))
     // render∘parse keeps the all-form
     val q = Parser.parse(
@@ -3002,6 +3008,21 @@ class CypherSpec extends SparkSpec {
         |RETURN i.name AS n, startNode(w).name AS s ORDER BY n""".stripMargin)
       .collect()
     assert(optEp.length === 2 && optEp.forall(_.isNullAt(1)))
+    // the BARE whole-entity form is likewise NULL on unmatched rows —
+    // not a struct of all-null fields — so count() skips the phantoms
+    // (review r16)
+    val optEpWhole = Planner.run(g,
+      """MATCH (i:Institution)
+        |OPTIONAL MATCH (i)-[w:WRITES]-(p:Paper)
+        |RETURN i.name AS n, endNode(w) AS o ORDER BY n""".stripMargin)
+      .collect()
+    assert(optEpWhole.length === 2 && optEpWhole.forall(_.isNullAt(1)))
+    val optEpCnt = Planner.run(g,
+      """MATCH (i:Institution)
+        |OPTIONAL MATCH (i)-[w:WRITES]-(p:Paper)
+        |RETURN count(endNode(w)) AS c""".stripMargin)
+      .collect().head.getLong(0)
+    assert(optEpCnt === 0L)
     val optEpHit = Planner.run(g,
       """MATCH (a:Author {name: "Alice"})
         |OPTIONAL MATCH (a)-[w:WRITES]-(p:Paper)
@@ -3267,6 +3288,19 @@ class CypherSpec extends SparkSpec {
     val nf = intercept[IllegalArgumentException](
       Ast.DblLitE(Double.NaN))
     assert(nf.getMessage.contains("non-finite"))
+    // round() is statically DOUBLE (review r16): `+` stays numeric
+    // addition (never string concatenation) and typed membership admits
+    // it against a numeric list
+    val rplus = Planner.run(g,
+      """MATCH (b:Author {name: "Bob"}) RETURN round(1.4) + 1 AS x""")
+      .collect().head.getDouble(0)
+    assert(rplus === 2.0)
+    val rin = Planner.run(g,
+      """MATCH (b:Author)
+        |WHERE round(toFloat(b.nodeId) / 10.0) IN [1]
+        |RETURN count(*) AS n""".stripMargin)
+      .collect().head.getLong(0)
+    assert(rin === 3L) // 10, 11, 12 all round to 1.0
     intercept[IllegalArgumentException](
       Ast.DblLitE(Double.PositiveInfinity))
   }
