@@ -1077,6 +1077,28 @@ object OracleSqls {
         |FROM fnodes c
         |WHERE c.label = 'Customer' AND c.acctbal > 0""".stripMargin),
 
+    // trig family: same tolerance-checked class as cy_ln_exp — identical
+    // floor(x+0.5) quantization on both engines; haversin spelled as
+    // sin²(x/2) and e as its exact 17-digit decimal (the nearest double,
+    // the same constant the engine's e() emits)
+    "cy_trig" -> withFinGraph(
+      """SELECT c.nodeId AS id,
+        |  CAST(floor(sin(CAST(c.acctbal AS DOUBLE) / 100000.0) * 1000000.0
+        |             + 0.5) AS BIGINT) AS sin_micro,
+        |  CAST(floor(cos(CAST(c.acctbal AS DOUBLE) / 100000.0) * 1000000.0
+        |             + 0.5) AS BIGINT) AS cos_micro,
+        |  CAST(floor(atan2(CAST(c.acctbal AS DOUBLE) / 100000.0, 2.0)
+        |             * 1000000.0 + 0.5) AS BIGINT) AS atan2_micro,
+        |  CAST(floor(degrees(atan(CAST(c.acctbal AS DOUBLE) / 100000.0))
+        |             * 1000000.0 + 0.5) AS BIGINT) AS deg_micro,
+        |  CAST(floor(pow(sin(CAST(c.acctbal AS DOUBLE) / 100000.0 / 2.0), 2)
+        |             * 1000000.0 + 0.5) AS BIGINT) AS hav_micro,
+        |  CAST(floor(pi() * 1000000.0 + 0.5) AS BIGINT) AS pi_micro,
+        |  CAST(floor(CAST(2.718281828459045 AS DOUBLE) * 1000000.0 + 0.5)
+        |       AS BIGINT) AS e_micro
+        |FROM fnodes c
+        |WHERE c.label = 'Customer' AND c.acctbal > 0""".stripMargin),
+
     // list quantifiers replay as bool_and / bool_or over the group
     "cy_list_quant" -> withGraph(
       """SELECT r.name AS region, CAST(count(*) AS BIGINT) AS n

@@ -1910,6 +1910,26 @@ object Queries {
         |       toInteger(round(exp(ln(toFloat(c.acctbal)) / 100.0) * 1000000.0)) AS exp_micro"""
         .stripMargin)
 
+  /** The trig family (round 16): sin/cos/tan/cot/asin/acos/atan/atan2,
+    * degrees/radians, haversin, and the pi()/e() constants join the
+    * TOLERANCE-CHECKED transcendental class ([[cyLnExp]]) — same
+    * 9-significant-digit cross-engine contract, same integer-micro-unit
+    * hash surface through the documented floor(x+0.5) tie rule. atan2
+    * keeps Neo4j's (y, x) argument order; haversin(x) = sin²(x/2) on
+    * both engines. */
+  def cyTrig(spark: SparkSession, dir: String): DataFrame =
+    graft.cypher.Planner.run(finGraph(spark, dir),
+      """MATCH (c:Customer) WHERE c.acctbal > 0
+        |RETURN c.nodeId AS id,
+        |       toInteger(round(sin(toFloat(c.acctbal) / 100000.0) * 1000000.0)) AS sin_micro,
+        |       toInteger(round(cos(toFloat(c.acctbal) / 100000.0) * 1000000.0)) AS cos_micro,
+        |       toInteger(round(atan2(toFloat(c.acctbal) / 100000.0, 2.0) * 1000000.0)) AS atan2_micro,
+        |       toInteger(round(degrees(atan(toFloat(c.acctbal) / 100000.0)) * 1000000.0)) AS deg_micro,
+        |       toInteger(round(haversin(toFloat(c.acctbal) / 100000.0) * 1000000.0)) AS hav_micro,
+        |       toInteger(round(pi() * 1000000.0)) AS pi_micro,
+        |       toInteger(round(e() * 1000000.0)) AS e_micro"""
+        .stripMargin)
+
   /** Neo4j null ordering (round 14 continuation): ORDER BY treats null
     * as the LARGEST value (ASC → nulls last, DESC → nulls first) — made
     * observable through the hash by a DESC + LIMIT page whose selected
@@ -3899,6 +3919,7 @@ object Queries {
     "cy_return_star" -> (cyReturnStar _),
     "cy_math_fns" -> (cyMathFns _),
     "cy_ln_exp" -> (cyLnExp _),
+    "cy_trig" -> (cyTrig _),
     "cy_list_quant" -> (cyListQuant _),
     "skew_salted_agg" -> (skewSaltedAgg _),
     "join_salted" -> (joinSalted _),

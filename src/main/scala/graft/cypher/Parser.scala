@@ -1260,6 +1260,8 @@ object Parser {
         "abs", "sign", "toString", "toInteger", "toFloat", "id", "head",
         "last", "reverse", "ltrim", "rtrim", "left", "right", "coalesce",
         "floor", "ceil", "sqrt", "round", "ln", "exp", "log10",
+        "sin", "cos", "tan", "cot", "asin", "acos", "atan", "atan2",
+        "pi", "e", "degrees", "radians", "haversin", "isEmpty",
         "properties", "startNode", "endNode")
 
     /** WHERE predicates are aggregate-free (Cypher aggregates live in
@@ -1803,6 +1805,40 @@ object Parser {
         expect("("); val a = expression(); expect(")")
         ScalarFn(fn, Seq(a))
       }
+      // the trig family (round 16) joins ln/exp/log10 in the
+      // TOLERANCE-CHECKED transcendental class: same 9-significant-digit
+      // contract, same quantize-the-hash-surface rule
+      else if (peekCall("sin") || peekCall("cos") || peekCall("tan") ||
+               peekCall("cot") || peekCall("asin") || peekCall("acos") ||
+               peekCall("atan") || peekCall("degrees") ||
+               peekCall("radians") || peekCall("haversin")) {
+        val fn = if (opt("sin")) "sin"
+                 else if (opt("cos")) "cos"
+                 else if (opt("tan")) "tan"
+                 else if (opt("cot")) "cot"
+                 else if (opt("asin")) "asin"
+                 else if (opt("acos")) "acos"
+                 else if (opt("atan")) "atan"
+                 else if (opt("degrees")) "degrees"
+                 else if (opt("radians")) "radians"
+                 else { expect("haversin"); "haversin" }
+        expect("("); val a = expression(); expect(")")
+        ScalarFn(fn, Seq(a))
+      }
+      else if (peekCall("atan2")) {
+        // Neo4j argument order: atan2(y, x)
+        expect("atan2"); expect("(")
+        val y = expression(); expect(",")
+        val x = expression(); expect(")")
+        ScalarFn("atan2", Seq(y, x))
+      }
+      else if (peekCall("pi") || peekCall("e")) {
+        // zero-arg math constants — the nearest doubles to π and e,
+        // identical literals on every IEEE-754 engine
+        val fn = if (opt("pi")) "pi" else { expect("e"); "e" }
+        expect("("); expect(")")
+        ScalarFn(fn, Seq.empty)
+      }
       else if (peekCall("substring")) {
         // Neo4j substring(s, start[, len]) — 0-indexed; start/len are
         // integer literals (keeps the cross-engine arithmetic static)
@@ -1827,10 +1863,11 @@ object Parser {
       }
       else if (peekCall("head") || peekCall("last") || peekCall("tail") ||
                peekCall("reverse") || peekCall("ltrim") || peekCall("rtrim") ||
-               peekCall("toBoolean")) {
+               peekCall("toBoolean") || peekCall("isEmpty")) {
         val fn = if (opt("head")) "head"
                  else if (opt("last")) "last"
                  else if (opt("tail")) "tail"
+                 else if (opt("isEmpty")) "isEmpty"
                  else if (opt("reverse")) "reverse"
                  else if (opt("ltrim")) "ltrim"
                  else if (opt("rtrim")) "rtrim"

@@ -2519,7 +2519,8 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       org.apache.spark.sql.types.LongType))
     case ScalarFn("split", _) => Some(org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.StringType))
-    case ScalarFn("toBoolean", _) => Some(org.apache.spark.sql.types.BooleanType)
+    case ScalarFn("toBoolean" | "isEmpty", _) =>
+      Some(org.apache.spark.sql.types.BooleanType)
     case KeysOf(_) => Some(org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.StringType))
     // labels(n) is the node's label ARRAY — size()/head()/IN over it
@@ -2566,7 +2567,9 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     case _: PathRels => Some(org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.StringType))
     case ScalarFn("toFloat" | "floor" | "ceil" | "sqrt" | "round" | "ln" |
-                  "exp" | "log10", _) =>
+                  "exp" | "log10" | "sin" | "cos" | "tan" | "cot" |
+                  "asin" | "acos" | "atan" | "atan2" | "degrees" |
+                  "radians" | "haversin" | "pi" | "e", _) =>
       Some(org.apache.spark.sql.types.DoubleType)
     case ScalarFn("abs", args)  => staticType(args.head, schema)
     case ScalarFn(_, _) => Some(org.apache.spark.sql.types.StringType)
@@ -2883,6 +2886,25 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
         case "ln"    => log(a.head.cast("double"))
         case "exp"   => exp(a.head.cast("double"))
         case "log10" => log10(a.head.cast("double"))
+        // the trig family (round 16): tolerance-checked transcendentals
+        // like ln/exp — all codegen'd Spark built-ins or one-expression
+        // compositions of them. atan2 keeps Neo4j's (y, x) order;
+        // haversin(x) = sin²(x/2); pi()/e() are the exact nearest-double
+        // constants on every IEEE-754 engine
+        case "sin"   => sin(a.head.cast("double"))
+        case "cos"   => cos(a.head.cast("double"))
+        case "tan"   => tan(a.head.cast("double"))
+        case "cot"   => lit(1.0) / tan(a.head.cast("double"))
+        case "asin"  => asin(a.head.cast("double"))
+        case "acos"  => acos(a.head.cast("double"))
+        case "atan"  => atan(a.head.cast("double"))
+        case "atan2" => atan2(a.head.cast("double"), a(1).cast("double"))
+        case "degrees"  => degrees(a.head.cast("double"))
+        case "radians"  => radians(a.head.cast("double"))
+        case "haversin" =>
+          pow(sin(a.head.cast("double") / lit(2.0)), lit(2.0))
+        case "pi" => lit(math.Pi)
+        case "e"  => lit(math.E)
         // round() with an EXPLICIT tie rule (round 15 — VERDICT r14
         // missing #3): half toward +∞, spelled floor(x + 0.5) so BOTH
         // engines compute the identical IEEE-exact operation (native
@@ -2906,6 +2928,13 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
                 .exists(_.isInstanceOf[org.apache.spark.sql.types.ArrayType]))
             size(a.head).cast("long")
           else length(a.head).cast("long")
+        case "isEmpty" =>
+          // Neo4j isEmpty: true on an empty string/list, null on null
+          // input (size/length are null-propagating, so = 0 is too)
+          if (staticType(args.head, schema)
+                .exists(_.isInstanceOf[org.apache.spark.sql.types.ArrayType]))
+            (size(a.head) === 0)
+          else (length(a.head) === 0)
         case "substring" =>
           // Neo4j is 0-indexed, Spark/DuckDB substr 1-indexed; the no-len
           // form takes the rest of the string (total length is always an

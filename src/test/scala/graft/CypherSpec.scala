@@ -3349,6 +3349,70 @@ class CypherSpec extends SparkSpec {
     assert(Parser.parse(q.render) === q)
   }
 
+  test("trig family: tolerance-checked transcendentals (round 16)") {
+    // anchor points exact in IEEE double: sin(0)=0, cos(0)=1,
+    // atan2(0,1)=0, degrees(pi())=180, radians of that back to π,
+    // haversin(0)=0; the constants are the nearest doubles to π and e
+    val row = Planner.run(g,
+      """MATCH (a:Author {name: "Alice"})
+        |RETURN sin(0.0) AS s0, cos(0.0) AS c0, atan2(0.0, 1.0) AS a0,
+        |       degrees(pi()) AS dg, radians(degrees(pi())) AS rd,
+        |       haversin(0.0) AS h0, pi() AS p, e() AS ee""".stripMargin)
+      .collect().head
+    assert(row.getDouble(0) === 0.0 && row.getDouble(1) === 1.0 &&
+      row.getDouble(2) === 0.0 && row.getDouble(3) === 180.0 &&
+      row.getDouble(4) === math.Pi && row.getDouble(5) === 0.0 &&
+      row.getDouble(6) === math.Pi && row.getDouble(7) === math.E)
+    // identities inside the 9-digit contract, quantized like the
+    // catalog surface: sin²+cos² = 1, atan2(y,1) = atan(y),
+    // cot = cos/sin, haversin(x) = (1−cos x)/2, asin∘sin = id on [0,π/2]
+    val idr = Planner.run(g,
+      """MATCH (a:Author {name: "Alice"})
+        |WITH toFloat(a.nodeId) / 10.0 AS x
+        |RETURN toInteger(round((sin(x) * sin(x) + cos(x) * cos(x)) * 1000000.0)) AS one,
+        |       toInteger(round((atan2(x, 1.0) - atan(x)) * 1000000.0)) AS z1,
+        |       toInteger(round((cot(x) - cos(x) / sin(x)) * 1000000.0)) AS z2,
+        |       toInteger(round((haversin(x) - (1.0 - cos(x)) / 2.0) * 1000000.0)) AS z3,
+        |       toInteger(round(asin(sin(x)) * 1000000.0)) AS x_back,
+        |       toInteger(round(acos(cos(x)) * 1000000.0)) AS x_back2,
+        |       toInteger(round(tan(x) * 1000000.0 - sin(x) / cos(x) * 1000000.0)) AS z4""".stripMargin)
+      .collect().head
+    assert(idr.getLong(0) === 1000000L && idr.getLong(1) === 0L &&
+      idr.getLong(2) === 0L && idr.getLong(3) === 0L &&
+      idr.getLong(4) === 1000000L && idr.getLong(5) === 1000000L &&
+      idr.getLong(6) === 0L)
+    // typing: DOUBLE statically — arithmetic stays numeric
+    val tplus = Planner.run(g,
+      """MATCH (a:Author {name: "Alice"}) RETURN cos(0.0) + 1 AS x""")
+      .collect().head.getDouble(0)
+    assert(tplus === 2.0)
+    // render∘parse identity across arities (0, 1, 2 args)
+    val qt = Parser.parse(
+      """MATCH (a:Author) RETURN sin(toFloat(a.nodeId)) AS s, atan2(1.0, 2.0) AS t, pi() AS p, e() AS ee, haversin(0.5) AS h""")
+    assert(Parser.parse(qt.render) === qt)
+  }
+
+  test("isEmpty(): string and list forms, null-propagating (round 16)") {
+    val rows = Planner.run(g,
+      """MATCH (p:Paper)
+        |RETURN p.name AS n, isEmpty(p.abstract) AS ea,
+        |       isEmpty(replace(p.name, p.name, "")) AS es,
+        |       isEmpty(labels(p)) AS el
+        |ORDER BY n""".stripMargin).collect()
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) null else r.getBoolean(1),
+        r.getBoolean(2), r.getBoolean(3))).toSeq
+    // P-beta has no abstract → isEmpty(null) = null (not false);
+    // a fully-replaced-away string is empty; labels is never empty
+    assert(rows === Seq(
+      ("P-alpha", false, true, false),
+      ("P-beta", null, true, false),
+      ("P-gamma", false, true, false)))
+    val q = Parser.parse(
+      """MATCH (p:Paper) RETURN isEmpty(p.name) AS x""")
+    assert(Parser.parse(q.render) === q)
+  }
+
   test("labels(n) types as an array: size/head compose") {
     val row = Planner.run(g,
       """MATCH (p:Paper {name: "P-alpha"})
