@@ -25,7 +25,7 @@ object Verify {
     val g = graft.graph.TpchGraph(spark, sfDir)
     g.nodes.count(); g.rels.count()
     // shared deduplicated adjacency: LOAD-stage like nodes/rels (see Bench)
-    g.adjPairs.count(); g.nodeCount
+    g.adjPairs.count(); g.bidirTriples.count(); g.nodeCount
     graft.graph.GraphXBridge.materialize(spark, g)
     val loadRdds = spark.sparkContext.getPersistentRDDs.keySet.toSet
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -1336,16 +1336,18 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       case _            => false
     })
     // the per-hop relType view joins the same type-eligible edge view
-    // the traversal used — built when relationships(p) is asked for, and
-    // ALWAYS for allShortestPaths (parallel edge types fork paths there:
-    // the multiplicity is per relationship sequence, rels projected or
-    // not)
+    // the traversal used — built when relationships(p) is asked for,
+    // and for allShortestPaths on graphs where a pair can carry
+    // parallel edge types (the fork makes multiplicity per relationship
+    // sequence, rels projected or not; on a graph with NO parallel
+    // types — `hasParallelRelTypes`, two cached O(1) counts — the
+    // node-walk multiplicity is already identical, so the per-round
+    // hop join is skipped)
     val relView =
-      if (!needRels && !sp.all) None
-      else if (rel.relTypes.isEmpty)
-        Some(g.bidir.select(col("a"), col("b"), col("relType")))
-      else Some(g.bidir.where(col("relType").isin(rel.relTypes: _*))
-        .select(col("a"), col("b"), col("relType")))
+      if (!needRels && !(sp.all && g.hasParallelRelTypes)) None
+      else if (rel.relTypes.isEmpty) Some(g.bidirTriples)
+      else Some(g.bidirTriples
+        .where(col("relType").isin(rel.relTypes: _*)))
     val distsN =
       if (sp.all)
         dists.join(reconstructWalks(adj, raw, hi, all = true,
@@ -1403,21 +1405,25 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     * pair resolves reproducibly on both engines; `relView` is built only
     * when `relationships(p)` is referenced, since it adds one keyed join
     * per round. In `all` mode the hop join instead forks per distinct
-    * (pair, relType), so `relView` is ALWAYS given there: the row
-    * multiplicity (one per relationship sequence) IS the semantics,
-    * whether or not the hop lists are projected. */
+    * (pair, relType) — the row multiplicity (one per relationship
+    * sequence) IS the semantics, whether or not the hop lists are
+    * projected — so `relView` is given there whenever the graph has any
+    * parallel-typed pair (`hasParallelRelTypes`); without one the fork
+    * is the identity and the join is skipped. */
   private def reconstructWalks(adj: DataFrame, dists: DataFrame,
                                maxHops: Int, all: Boolean = false,
                                relView: Option[DataFrame] = None): DataFrame = {
-    // one hop-type frame, built once and reused every round (O(E) like
-    // the adjacency itself; broadcast when small). Single-witness mode
-    // pre-collapses each pair to its MINIMUM relType; all mode keeps one
-    // row per distinct (pair, relType) so the hop join FORKS per
-    // parallel edge type — path identity is the relationship sequence,
-    // which is Neo4j's allShortestPaths multiplicity
+    // one hop-type frame reused every round (O(E) like the adjacency;
+    // callers pass the graph's CACHED distinct-triple view
+    // `bidirTriples` — or its type filter — so the dedup shuffle is
+    // never paid per round). Single-witness mode pre-collapses each
+    // pair to its MINIMUM relType; all mode keeps one row per distinct
+    // (pair, relType) so the hop join FORKS per parallel edge type —
+    // path identity is the relationship sequence, which is Neo4j's
+    // allShortestPaths multiplicity
     val relMap =
       if (all) relView.map(_.select(col("a").as("__pa"),
-        col("b").as("__pb"), col("relType").as("__hopt")).distinct())
+        col("b").as("__pb"), col("relType").as("__hopt")))
       else relView.map(rv => rv
         .groupBy(col("a").as("__pa"), col("b").as("__pb"))
         .agg(min(col("relType")).as("__hopt")))

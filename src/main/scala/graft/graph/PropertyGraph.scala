@@ -63,6 +63,27 @@ final case class PropertyGraph(nodes: DataFrame, rels: DataFrame,
   lazy val adjPairs: DataFrame = bidir.select(col("a"), col("b")).distinct()
     .persist(StorageLevel.MEMORY_AND_DISK)
 
+  /** Distinct `(a, b, relType)` triples of the undirected view — the
+    * hop-fork / relType-witness artifact for shortestPath walk
+    * reconstruction ([[graft.cypher.Planner]] `reconstructWalks`).
+    * Cached like [[adjPairs]] and for the same reason: every BFS round
+    * joins it, so the dedup shuffle is paid once per graph instance,
+    * not once per round per query. At 100 TB this is the typed
+    * adjacency the graph store keeps bucketed on disk beside the pair
+    * view. */
+  lazy val bidirTriples: DataFrame =
+    bidir.select(col("a"), col("b"), col("relType")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** True when some endpoint pair carries MORE than one distinct
+    * relType — the only graphs where allShortestPaths' per-hop
+    * relationship fork can differ from the node-walk multiplicity.
+    * Both inputs are cached views, so after the LOAD warm the two
+    * counts are O(1); the planner consults this to skip the per-round
+    * hop join when the fork cannot change the answer. */
+  lazy val hasParallelRelTypes: Boolean =
+    bidirTriples.count() > adjPairs.count()
+
   /** Node count, computed once per graph instance — the O(V)-state
     * broadcast guards in [[GraphAlgorithms]] consult it per query. */
   lazy val nodeCount: Long = nodes.count()
