@@ -211,7 +211,17 @@ object CypherProps extends Properties("cypher") {
         BinOp("^", BinOp("^", LongLitE(a), LongLitE(b)), LongLitE(c)),
         BinOp("*", BinOp("^", LongLitE(a), LongLitE(b)), LongLitE(c)))
     } yield e,
-    Gen.const(CoalesceE(Seq(PropRef("x1", "name"), NullLitE, StrLitE("?")))))
+    Gen.const(CoalesceE(Seq(PropRef("x1", "name"), NullLitE, StrLitE("?")))),
+    // round-16 surface: the transcendental/trig family across its three
+    // arities (0: pi()/e(); 1: sin/ln/haversin; 2: atan2) and isEmpty
+    Gen.oneOf("ln", "exp", "log10", "sin", "cos", "tan", "cot", "asin",
+        "acos", "atan", "degrees", "radians", "haversin")
+      .map(f => ScalarFn(f,
+        Seq(BinOp("*", PropRef("x1", "nodeId"), DblLitE(0.25))))),
+    Gen.const(ScalarFn("atan2",
+      Seq(PropRef("x1", "nodeId"), DblLitE(2.0)))),
+    Gen.oneOf("pi", "e").map(f => ScalarFn(f, Seq.empty)),
+    Gen.const(ScalarFn("isEmpty", Seq(PropRef("x1", "name")))))
 
   private val patternCompGen: Gen[Expr] = for {
     p <- path.suchThat(_.rels.nonEmpty).map(_.copy(name = None))
