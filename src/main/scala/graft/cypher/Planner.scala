@@ -1346,8 +1346,18 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     val relView =
       if (!needRels && !(sp.all && g.hasParallelRelTypes)) None
       else if (rel.relTypes.isEmpty) Some(g.bidirTriples)
-      else Some(g.bidirTriples
-        .where(col("relType").isin(rel.relTypes: _*)))
+      else {
+        // typed: filter the parquet-backed edge view directly — the
+        // pushed-down relType predicate prunes at the scan, which beats
+        // post-filtering the full cached distinct view (A/B'd at sf0.1,
+        // ~1.5×). All-mode forking needs DISTINCT triples (a raw bidir
+        // slice can repeat one — opposite-direction same-type edges);
+        // the singular min-witness aggregation collapses duplicates
+        // itself
+        val t = g.bidir.where(col("relType").isin(rel.relTypes: _*))
+          .select(col("a"), col("b"), col("relType"))
+        Some(if (sp.all) t.distinct() else t)
+      }
     val distsN =
       if (sp.all)
         dists.join(reconstructWalks(adj, raw, hi, all = true,
@@ -1414,9 +1424,9 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
                                maxHops: Int, all: Boolean = false,
                                relView: Option[DataFrame] = None): DataFrame = {
     // one hop-type frame reused every round (O(E) like the adjacency;
-    // callers pass the graph's CACHED distinct-triple view
-    // `bidirTriples` — or its type filter — so the dedup shuffle is
-    // never paid per round). Single-witness mode pre-collapses each
+    // callers pass triple-DISTINCT input in all mode — the graph's
+    // CACHED `bidirTriples` when untyped, a pre-distincted pushed-down
+    // scan when typed). Single-witness mode pre-collapses each
     // pair to its MINIMUM relType; all mode keeps one row per distinct
     // (pair, relType) so the hop join FORKS per parallel edge type —
     // path identity is the relationship sequence, which is Neo4j's
