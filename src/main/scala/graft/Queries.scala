@@ -512,33 +512,37 @@ object Queries {
     * the market-basket projection — then the triangles-per-node histogram.
     * Co-occurrence fanout is bounded by per-order line count (~7), and wedge
     * fanout by the degree orientation (GraphAlgorithms.triangleHistogram). */
-  def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame =
+    graft.graph.GraphAlgorithms.triangleHistogram(coocPairs(spark, dir))
+
+  /** Shared small-part co-occurrence pair multiset — one row per
+    * (order, unordered part pair a < b), duplicates across orders kept
+    * (exactly the old `distinct (k,p)` self-join's output). r16 opt: the
+    * pairs now come from ONE groupBy(order) + an in-array i<j expansion
+    * over the per-order sorted part set (collect_set dedupes (k,p) for
+    * free) instead of a distinct + self-join — two posting-scale
+    * exchanges and the SMJ sort replaced by one exchange and a codegen'd
+    * flatten/transform. Per-order fan-out is bounded by line count, so
+    * the arrays stay tiny at any scale. */
+  private def coocPairs(spark: SparkSession, dir: String): DataFrame = {
     val small = T(spark, dir, "part").where(col("p_size") <= 5)
       .select(col("p_partkey").as("p"))
-    val li = T(spark, dir, "lineitem")
+    T(spark, dir, "lineitem")
       .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
-      .join(small, Seq("p"), "left_semi").distinct()
-    val edges = li.select(col("k"), col("p").as("a"))
-      .join(li.select(col("k"), col("p").as("b")), Seq("k"))
-      .where(col("a") < col("b"))
-      .select("a", "b")
-    graft.graph.GraphAlgorithms.triangleHistogram(edges)
+      .join(small, Seq("p"), "left_semi")
+      .groupBy("k").agg(sort_array(collect_set(col("p"))).as("ps"))
+      .where(size(col("ps")) > 1)
+      .select(explode(flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + lit(2), size(col("ps"))),
+          y => struct(x.as("a"), y.as("b")))))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
   }
 
   /** Jones–Plassmann coloring of the co-occurrence graph (8 rounds;
     * uncolored remainder reports as color −1). */
-  def graphColoring(spark: SparkSession, dir: String): DataFrame = {
-    val small = T(spark, dir, "part").where(col("p_size") <= 5)
-      .select(col("p_partkey").as("p"))
-    val li = T(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
-      .join(small, Seq("p"), "left_semi").distinct()
-    val edges = li.select(col("k"), col("p").as("a"))
-      .join(li.select(col("k"), col("p").as("b")), Seq("k"))
-      .where(col("a") < col("b"))
-      .select("a", "b")
-    graft.graph.GraphAlgorithms.jonesPlassmannColors(edges, iters = 8)
-  }
+  def graphColoring(spark: SparkSession, dir: String): DataFrame =
+    graft.graph.GraphAlgorithms.jonesPlassmannColors(coocPairs(spark, dir),
+      iters = 8)
 
   /** Butterfly count over the order×part bipartite graph (small parts,
     * left-degree cap 20 mirrored in the oracle). */
@@ -553,65 +557,27 @@ object Queries {
 
   /** Greedy maximal matching over the co-occurrence graph (8 handshake
     * rounds — reaches maximality on this data, n_live_edges = 0). */
-  def graphMatching(spark: SparkSession, dir: String): DataFrame = {
-    val small = T(spark, dir, "part").where(col("p_size") <= 5)
-      .select(col("p_partkey").as("p"))
-    val li = T(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
-      .join(small, Seq("p"), "left_semi").distinct()
-    val edges = li.select(col("k"), col("p").as("a"))
-      .join(li.select(col("k"), col("p").as("b")), Seq("k"))
-      .where(col("a") < col("b"))
-      .select("a", "b")
-    graft.graph.GraphAlgorithms.greedyMatching(edges, iters = 8)
-  }
+  def graphMatching(spark: SparkSession, dir: String): DataFrame =
+    graft.graph.GraphAlgorithms.greedyMatching(coocPairs(spark, dir),
+      iters = 8)
 
   /** Luby-style maximal independent set over the co-occurrence graph
     * (8 derandomized priority rounds — reaches maximality on this data,
     * n_undecided = 0). */
-  def graphMis(spark: SparkSession, dir: String): DataFrame = {
-    val small = T(spark, dir, "part").where(col("p_size") <= 5)
-      .select(col("p_partkey").as("p"))
-    val li = T(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
-      .join(small, Seq("p"), "left_semi").distinct()
-    val edges = li.select(col("k"), col("p").as("a"))
-      .join(li.select(col("k"), col("p").as("b")), Seq("k"))
-      .where(col("a") < col("b"))
-      .select("a", "b")
-    graft.graph.GraphAlgorithms.lubyMis(edges, iters = 8)
-  }
+  def graphMis(spark: SparkSession, dir: String): DataFrame =
+    graft.graph.GraphAlgorithms.lubyMis(coocPairs(spark, dir), iters = 8)
 
   /** Local clustering-coefficient deciles over the same co-occurrence
     * graph (integer micro-unit cc per deg≥2 node). */
-  def graphClustering(spark: SparkSession, dir: String): DataFrame = {
-    val small = T(spark, dir, "part").where(col("p_size") <= 5)
-      .select(col("p_partkey").as("p"))
-    val li = T(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
-      .join(small, Seq("p"), "left_semi").distinct()
-    val edges = li.select(col("k"), col("p").as("a"))
-      .join(li.select(col("k"), col("p").as("b")), Seq("k"))
-      .where(col("a") < col("b"))
-      .select("a", "b")
-    graft.graph.GraphAlgorithms.clusteringCoefficients(edges)
-  }
+  def graphClustering(spark: SparkSession, dir: String): DataFrame =
+    graft.graph.GraphAlgorithms.clusteringCoefficients(coocPairs(spark, dir))
 
   /** 4-truss of the small-part co-occurrence graph: every surviving edge
     * sits in >= 2 triangles among survivors (3 peel rounds + early exit,
     * mirrored by the oracle's full unroll via the identity-round law). */
-  def graphKtruss(spark: SparkSession, dir: String): DataFrame = {
-    val small = T(spark, dir, "part").where(col("p_size") <= 5)
-      .select(col("p_partkey").as("p"))
-    val li = T(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
-      .join(small, Seq("p"), "left_semi").distinct()
-    val edges = li.select(col("k"), col("p").as("a"))
-      .join(li.select(col("k"), col("p").as("b")), Seq("k"))
-      .where(col("a") < col("b"))
-      .select("a", "b")
-    graft.graph.GraphAlgorithms.kTrussStats(edges, k = 4, iters = 3)
-  }
+  def graphKtruss(spark: SparkSession, dir: String): DataFrame =
+    graft.graph.GraphAlgorithms.kTrussStats(coocPairs(spark, dir),
+      k = 4, iters = 3)
 
   /** Modularity of the 3-round LPA partition (integer micro-units). */
   def graphModularity(spark: SparkSession, dir: String): DataFrame =
@@ -682,18 +648,10 @@ object Queries {
   /** Small-part co-occurrence edges weighted by affinity distance
     * (1e6 div co-order count — frequently co-bought parts are "close";
     * exact Long arithmetic). Shared by graph_sssp. */
-  private def coocWeighted(spark: SparkSession, dir: String): DataFrame = {
-    val small = T(spark, dir, "part").where(col("p_size") <= 5)
-      .select(col("p_partkey").as("p"))
-    val li = T(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
-      .join(small, Seq("p"), "left_semi").distinct()
-    li.select(col("k"), col("p").as("a"))
-      .join(li.select(col("k"), col("p").as("b")), Seq("k"))
-      .where(col("a") < col("b"))
+  private def coocWeighted(spark: SparkSession, dir: String): DataFrame =
+    coocPairs(spark, dir)
       .groupBy("a", "b").agg(count(lit(1)).as("cnt"))
       .select(col("a"), col("b"), expr("1000000 div cnt").as("w"))
-  }
 
   /** Bounded Bellman-Ford nearest parts by co-purchase affinity, from a
     * 3-anchor source set (the graph-RAG "distance from the query's

@@ -1485,7 +1485,14 @@ final class Planner(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
             concat(array(col("__pred")), col("__acc")).as("__acc"),
             racc.as("__racc"))
         }
-      f = done.unionByName(stepped)
+      // materialize each round (r16 opt): `f` is referenced TWICE next
+      // round (done + live), so the lazy union doubled the plan per round
+      // — round t re-executed every earlier round's joins 2^(rounds−t)
+      // times. Linearizing is the same per-round eager-checkpoint
+      // convention as the BFS this walk decorates; state is
+      // O(pairs·depth), the order the caller's join output materializes
+      // anyway.
+      f = done.unionByName(stepped).localCheckpoint(true)
     }
     f.select(col("src").as("__ws"), col("__wv"),
       col("__acc").as("__spnodes"), col("__racc").as("__sprels"))

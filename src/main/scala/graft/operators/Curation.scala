@@ -534,7 +534,7 @@ object Curation {
   def importanceWeightStats(docs: DataFrame, targetSource: String,
                             dim: Int): DataFrame = {
     def bucket(c: Column): Column =
-      substring(concat(regexp_replace(md5(c), "[a-f]", ""), lit("000000")),
+      substring(concat(translate(md5(c), "abcdef", ""), lit("000000")),
         1, 6).cast("long") % dim
     val toks = docs
       .select(col("doc_id"), col("source"),
@@ -713,7 +713,7 @@ object Curation {
       digits.substring(0, 6).toLong % 2001 - 1000
     }
     def bucket(c: Column): Column =
-      substring(concat(regexp_replace(md5(c), "[a-f]", ""), lit("000000")),
+      substring(concat(translate(md5(c), "abcdef", ""), lit("000000")),
         1, 6).cast("long") % dim
     val wArr = array(wts.map(lit(_)): _*)
     aggregate(
@@ -755,7 +755,7 @@ object Curation {
   def classifierTrainStats(docs: DataFrame, dim: Int = 16, iters: Int = 3,
                            lenThreshold: Int = 56): DataFrame = {
     def bucket(c: Column): Column =
-      substring(concat(regexp_replace(md5(c), "[a-f]", ""), lit("000000")),
+      substring(concat(translate(md5(c), "abcdef", ""), lit("000000")),
         1, 6).cast("long") % dim
     val base = docs.select(col("doc_id"), words(col("text")).as("ws"))
     val yv = base.select(col("doc_id"),

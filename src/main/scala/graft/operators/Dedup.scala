@@ -241,20 +241,35 @@ object Dedup {
       .digest(seed.toString.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.substring(0, 15), 16)
 
-  /** Hashed posting list: one row per (doc, distinct shingle hash). */
+  /** Hashed posting list: one row per (doc, distinct shingle hash).
+    * Hashing and within-doc dedup happen IN the per-doc array
+    * (`array_distinct ∘ transform`) before the explode — the shingles are
+    * already distinct strings per doc ([[shingleSets]]), so the dedup only
+    * collapses within-doc 60-bit collisions, and doing it array-side
+    * removes the `dropDuplicates` exchange that used to shuffle the whole
+    * exploded posting set by (doc_id, h) before any consumer's own
+    * shuffle (r16 opt: one full posting-scale exchange gone from every
+    * n-gram path). */
   def hashedPostings(shingled: DataFrame): DataFrame =
-    shingled.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-      .select(col("doc_id"), md5Long(col("shingle")).as("h"))
-      .dropDuplicates("doc_id", "h")
+    shingled.select(col("doc_id"),
+      explode(array_distinct(transform(col("shingles"), s => md5Long(s))))
+        .as("h"))
 
   /** MinHash signatures: mh_s = min over shingles of (md5Long(shingle) xor
-    * seedConst(s)). One md5 per shingle total; one shuffle (map-side partial
-    * min of `numHashes` longs per doc). */
+    * seedConst(s)). One md5 per shingle total; NO shuffle — the min is an
+    * `array_min` over the per-doc hash array (r16 opt: the old
+    * explode + groupBy(doc_id) re-shuffled the full posting set to
+    * compute a per-doc aggregate the row already holds). The hash array
+    * is materialized once in its own projection so the `numHashes`
+    * array_mins share it (CollapseProject keeps a multiply-referenced
+    * non-cheap alias in its own project). */
   def minhashSignatures(shingled: DataFrame, numHashes: Int): DataFrame = {
-    val posts = hashedPostings(shingled)
+    val hashed = shingled.select(col("doc_id"),
+      transform(col("shingles"), s => md5Long(s)).as("__hs"))
     val mins = (0 until numHashes).map(s =>
-      min(col("h").bitwiseXOR(lit(seedConst(s)))).as(s"mh_$s"))
-    posts.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      array_min(transform(col("__hs"),
+        h => h.bitwiseXOR(lit(seedConst(s))))).as(s"mh_$s"))
+    hashed.select(col("doc_id") +: mins: _*)
   }
 
   /** Ordered (id1 < id2) pairs exploded from a sorted id-list column (the
@@ -415,12 +430,26 @@ object Dedup {
     // the hot posting list this cap exists for must never materialize as
     // one aggregation-buffer array (WindowExec spills; see
     // [[cappedSortedLists]] for the same argument on the banded paths)
+    // intra-query cache: `kept` feeds BOTH the per-doc set-size aggregate
+    // and the posting lists below; without it, column pruning specializes
+    // each branch's scan and the corpus is scanned + shingled + hashed
+    // TWICE (ReuseExchange needs byte-identical subtrees). The cache also
+    // preserves the window's h-partitioning, so the collect_list groupBy
+    // plans with NO new exchange. Per-query, freed by the harness'
+    // post-query unpersist — never a cross-run memo.
     val kept = posts
       .withColumn("__occ", count(lit(1)).over(Window.partitionBy(col("h"))))
       .where(col("__occ") <= maxPostings)
       .select(col("h"), col("doc_id"))
-    val withN = kept.withColumn("n",
-      count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .persist()
+    // filtered-universe set size n per doc: an aggregate JOINED back, not a
+    // second window (r16 opt) — the per-doc window re-shuffled the whole
+    // posting set by doc_id and destroyed the h-partitioning the next
+    // groupBy needs, costing a THIRD posting-scale exchange. The aggregate
+    // output is one row per doc, so the join back picks broadcast-hash at
+    // bench scale (AQE) / a shuffled join at 100 TB.
+    val nPerDoc = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val withN = kept.join(nPerDoc, Seq("doc_id"))
     val lists = withN.groupBy(col("h"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
       .where(size(col("ids")) > 1)

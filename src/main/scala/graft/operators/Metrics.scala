@@ -115,8 +115,10 @@ object Metrics {
         "WHEN u < 999917 THEN 6 ELSE 7 END"
     val res = per.crossJoin(broadcast(bs))
       .select(col("b"), col("prec_micro"), col("rec_micro"), expr(
-        "cast(substr(concat(regexp_replace(md5(concat('bs|', " +
-          "cast(b as string), '|', cast(qid as string))), '[a-f]', ''), " +
+        // translate == regexp_replace('[a-f]','') on md5 hex (identical
+        // digits kept, r16 opt: no per-row regex over b×questions rows)
+        "cast(substr(concat(translate(md5(concat('bs|', " +
+          "cast(b as string), '|', cast(qid as string))), 'abcdef', ''), " +
           "'000000'), 1, 6) as bigint)").as("u"))
       .select(col("b"), col("prec_micro"), col("rec_micro"),
         expr(mult).cast("long").as("mult"))

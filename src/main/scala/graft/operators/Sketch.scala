@@ -21,8 +21,8 @@ import org.apache.spark.sql.functions._
 object Sketch {
 
   private def bucket(row: Int, keyCol: String, width: Int): String =
-    s"cast(substr(concat(regexp_replace(md5(concat('$row|', $keyCol)), " +
-      s"'[a-f]', ''), '000000'), 1, 6) as bigint) % $width"
+    s"cast(substr(concat(translate(md5(concat('$row|', $keyCol)), " +
+      s"'abcdef', ''), '000000'), 1, 6) as bigint) % $width"
 
   /** Build the sketch: one row per (row, bucket) with its collision count.
     * `items` carries one row per key OCCURRENCE in `keyCol`. */
@@ -64,8 +64,8 @@ object Sketch {
     * engines together. */
   def kmvSketch(items: DataFrame, keyCol: String, k: Int): DataFrame =
     items.select(expr(
-        s"cast(substr(concat(regexp_replace(md5(cast($keyCol as string)), " +
-          s"'[a-f]', ''), '000000'), 1, 6) as bigint)").as("h"))
+        s"cast(substr(concat(translate(md5(cast($keyCol as string)), " +
+          s"'abcdef', ''), '000000'), 1, 6) as bigint)").as("h"))
       .distinct().orderBy("h").limit(k)
 
   /** Merge KMV sketches (any union of `h`-column sketch frames): dedup
@@ -126,8 +126,8 @@ object Sketch {
       .select(col(keyCol).cast("string").as("key"))
       .groupBy("key").agg(count(lit(1)).as("cnt"))
       .withColumn("shard", expr(
-        s"cast(substr(concat(regexp_replace(md5(concat('hh|', key)), " +
-          s"'[a-f]', ''), '000000'), 1, 6) as bigint) % $nShards"))
+        s"cast(substr(concat(translate(md5(concat('hh|', key)), " +
+          s"'abcdef', ''), '000000'), 1, 6) as bigint) % $nShards"))
       .withColumn("rk", row_number().over(w))
     val err = ranked.where(col("rk") > capacity)
       .groupBy("shard").agg(max("cnt").as("e"))
@@ -199,8 +199,8 @@ object Sketch {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("g").orderBy("h")
     items.select(col(groupCol).as("g"), expr(
-        s"cast(substr(concat(regexp_replace(md5(cast(($keyExpr) as string)), " +
-          s"'[a-f]', ''), '000000'), 1, 6) as bigint)").as("h"))
+        s"cast(substr(concat(translate(md5(cast(($keyExpr) as string)), " +
+          s"'abcdef', ''), '000000'), 1, 6) as bigint)").as("h"))
       .distinct()
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k).drop("rn")

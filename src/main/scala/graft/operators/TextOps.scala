@@ -157,7 +157,7 @@ object TextOps {
     * so downstream schemas are fixed-width. */
   def hashingTf(docs: DataFrame, dim: Int): DataFrame = {
     def bucket(c: Column): Column =
-      substring(concat(regexp_replace(md5(c), "[a-f]", ""), lit("000000")),
+      substring(concat(translate(md5(c), "abcdef", ""), lit("000000")),
         1, 6).cast("long") % dim
     // hash each token ONCE into a slots array (projection boundary keeps it
     // single-evaluation), then count per slot with cheap filters — the

@@ -20,7 +20,7 @@ object SearchStore {
 
   /** Engine-side bucket of the `term` column. */
   private def bucketCol(nBuckets: Int): Column =
-    expr("cast(substr(concat(regexp_replace(md5(term), '[a-f]', ''), " +
+    expr("cast(substr(concat(translate(md5(term), 'abcdef', ''), " +
       s"'000000'), 1, 6) as bigint) % $nBuckets")
 
   /** Driver-side twin of [[bucketCol]] for literal query terms. */
