@@ -430,24 +430,22 @@ object Dedup {
     // the hot posting list this cap exists for must never materialize as
     // one aggregation-buffer array (WindowExec spills; see
     // [[cappedSortedLists]] for the same argument on the banded paths)
-    // intra-query cache: `kept` feeds BOTH the per-doc set-size aggregate
-    // and the posting lists below; without it, column pruning specializes
-    // each branch's scan and the corpus is scanned + shingled + hashed
-    // TWICE (ReuseExchange needs byte-identical subtrees). The cache also
-    // preserves the window's h-partitioning, so the collect_list groupBy
-    // plans with NO new exchange. Per-query, freed by the harness'
-    // post-query unpersist — never a cross-run memo.
     val kept = posts
       .withColumn("__occ", count(lit(1)).over(Window.partitionBy(col("h"))))
       .where(col("__occ") <= maxPostings)
       .select(col("h"), col("doc_id"))
-      .persist()
     // filtered-universe set size n per doc: an aggregate JOINED back, not a
     // second window (r16 opt) — the per-doc window re-shuffled the whole
     // posting set by doc_id and destroyed the h-partitioning the next
     // groupBy needs, costing a THIRD posting-scale exchange. The aggregate
     // output is one row per doc, so the join back picks broadcast-hash at
-    // bench scale (AQE) / a shuffled join at 100 TB.
+    // bench scale (AQE) / a shuffled join at 100 TB. The aggregate branch
+    // does replan the scan+shingle+hash subtree (column pruning
+    // specializes it past ReuseExchange), but an intra-query persist of
+    // `kept` measured WORSE on the composed entries (dedup_recall_report
+    // runs this next to the LSH pipeline; the eager cache build and its
+    // memory pressure cost more than the second scan — A/B in
+    // OPTIMIZATION_r16.md §2).
     val nPerDoc = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val withN = kept.join(nPerDoc, Seq("doc_id"))
     val lists = withN.groupBy(col("h"))
