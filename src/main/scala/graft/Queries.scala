@@ -271,8 +271,30 @@ object Queries {
     * radius 2 probes 137 of 65536 buckets (0.2% of the data) — so the
     * recall/pruning trade is a parameter, not a rewrite. */
   def annLshTopK(spark: SparkSession, dir: String): DataFrame =
-    Vectors.lshTopK(T(spark, dir, "embeddings"), "vec_id", "embedding",
-      queryVec(spark, dir), 10, bits = 4, probeRadius = 2)
+    lshOn(T(spark, dir, "embeddings"), queryVec(spark, dir))
+
+  // The ANN method parameterizations, shared verbatim between the
+  // standalone catalog entries and ann_recall_report (r17): the report
+  // passes ONE lazily-checkpointed embeddings frame through these, so its
+  // plan carries a single embeddings scan instead of one per method, and
+  // parameters cannot drift between the report and the entries it audits.
+  private def lshOn(emb: DataFrame, qv: List[Double]): DataFrame =
+    Vectors.lshTopK(emb, "vec_id", "embedding", qv, 10,
+      bits = 4, probeRadius = 2)
+  private def ivfOn(emb: DataFrame, qv: List[Double]): DataFrame =
+    Vectors.ivfTopK(emb, "vec_id", "embedding", qv, 10,
+      nCentroids = 8, nProbe = 2)
+  private def ivfKmeansOn(emb: DataFrame, qv: List[Double]): DataFrame =
+    Vectors.ivfKmeansTopK(emb, "vec_id", "embedding", qv, 10,
+      nCentroids = 8, nProbe = 2, lloydIters = 2)
+  private def pqOn(emb: DataFrame, qv: List[Double]): DataFrame =
+    Vectors.pqTopK(emb, "vec_id", "embedding", qv, k = 10, m = 8,
+      kCodes = 16, lloydIters = 1, ef = 200)
+  private def ivfPqOn(emb: DataFrame, qv: List[Double]): DataFrame =
+    Vectors.ivfPqTopK(emb, "vec_id", "embedding", qv, k = 10, nCells = 8,
+      nProbe = 3, m = 8, kCodes = 16, lloydIters = 1, ef = 100)
+  private def sq8On(emb: DataFrame, qv: List[Double]): DataFrame =
+    Vectors.sq8TopK(emb, "vec_id", "embedding", qv, k = 10, ef = 50)
 
   /** Recall@10 of every ANN path against the exact brute-force top-10 —
     * the report that catches silent recall collapse, which per-method
@@ -280,15 +302,23 @@ object Queries {
     * Both engines compute the same deterministic sets, so the recall
     * fractions are hash-comparable. */
   def annRecallReport(spark: SparkSession, dir: String): DataFrame = {
-    val bf = Vectors.bruteForceTopK(T(spark, dir, "embeddings"), "vec_id",
-      "embedding", queryVec(spark, dir), 10).select(col("vec_id"))
+    // ONE embeddings scan feeds the brute-force reference and all six ANN
+    // pipelines (r17, guide §2.4): the lazy local checkpoint leafs the
+    // scan into a single shared RDD, where each method used to re-plan its
+    // own parquet read (and the kmeans/codebook trainers re-planned it
+    // again inside). Methods go through the shared *On parameterizations,
+    // so the report stays row-identical to the standalone entries.
+    val emb = T(spark, dir, "embeddings").localCheckpoint(false)
+    val qv = queryVec(spark, dir)
+    val bf = Vectors.bruteForceTopK(emb, "vec_id",
+      "embedding", qv, 10).select(col("vec_id"))
     val methods: Seq[(String, DataFrame)] = Seq(
-      "ivf" -> annIvfTopK(spark, dir),
-      "ivf_kmeans" -> annIvfKmeans(spark, dir),
-      "ivfpq" -> annIvfPqTopK(spark, dir),
-      "lsh" -> annLshTopK(spark, dir),
-      "pq" -> annPqTopK(spark, dir),
-      "sq8" -> annSq8TopK(spark, dir))
+      "ivf" -> ivfOn(emb, qv),
+      "ivf_kmeans" -> ivfKmeansOn(emb, qv),
+      "ivfpq" -> ivfPqOn(emb, qv),
+      "lsh" -> lshOn(emb, qv),
+      "pq" -> pqOn(emb, qv),
+      "sq8" -> sq8On(emb, qv))
     methods.map { case (name, df) =>
       df.select(col("vec_id")).join(bf, "vec_id")
         .agg(round(count(lit(1)).cast("double") / 10.0, 6).as("recall"))
@@ -318,8 +348,7 @@ object Queries {
 
   /** IVF coarse-quantization ANN: 8 centroids, probe the 2 nearest. */
   def annIvfTopK(spark: SparkSession, dir: String): DataFrame =
-    Vectors.ivfTopK(T(spark, dir, "embeddings"), "vec_id", "embedding",
-      queryVec(spark, dir), 10, nCentroids = 8, nProbe = 2)
+    ivfOn(T(spark, dir, "embeddings"), queryVec(spark, dir))
 
   private val ivfStorePath = scala.collection.concurrent.TrieMap[String, String]()
 
@@ -413,8 +442,7 @@ object Queries {
       "embedding", nCentroids = 8, lloydIters = 2)
 
   def annIvfKmeans(spark: SparkSession, dir: String): DataFrame =
-    Vectors.ivfKmeansTopK(T(spark, dir, "embeddings"), "vec_id", "embedding",
-      queryVec(spark, dir), 10, nCentroids = 8, nProbe = 2, lloydIters = 2)
+    ivfKmeansOn(T(spark, dir, "embeddings"), queryVec(spark, dir))
 
   /** Product-quantization ANN: 8×8-dim subspaces, 16-entry codebooks
     * (1 Lloyd step), ADC candidate scoring, exact cosine re-rank over an
@@ -423,15 +451,12 @@ object Queries {
     * vectors are PQ's worst case — finer subspaces buy far more recall
     * than a larger re-rank pool). */
   def annPqTopK(spark: SparkSession, dir: String): DataFrame =
-    Vectors.pqTopK(T(spark, dir, "embeddings"), "vec_id", "embedding",
-      queryVec(spark, dir), k = 10, m = 8, kCodes = 16, lloydIters = 1, ef = 200)
+    pqOn(T(spark, dir, "embeddings"), queryVec(spark, dir))
 
   /** IVF-PQ residual encoding (FAISS `IndexIVFPQ` composition) — coarse
     * pruning AND code compression in one index. */
   def annIvfPqTopK(spark: SparkSession, dir: String): DataFrame =
-    Vectors.ivfPqTopK(T(spark, dir, "embeddings"), "vec_id", "embedding",
-      queryVec(spark, dir), k = 10, nCells = 8, nProbe = 3, m = 8,
-      kCodes = 16, lloydIters = 1, ef = 100)
+    ivfPqOn(T(spark, dir, "embeddings"), queryVec(spark, dir))
 
   // ---- graph analytics ----
 
@@ -3694,8 +3719,7 @@ object Queries {
   /** Scalar-quantized (int8) ANN: ADC over dequantized codes + exact
     * re-rank — completes the LSH/IVF/PQ/SQ quantization family. */
   def annSq8TopK(spark: SparkSession, dir: String): DataFrame =
-    Vectors.sq8TopK(T(spark, dir, "embeddings"), "vec_id", "embedding",
-      queryVec(spark, dir), k = 10, ef = 50)
+    sq8On(T(spark, dir, "embeddings"), queryVec(spark, dir))
 
   def eventsSessions(spark: SparkSession, dir: String): DataFrame =
     Events.sessionStats(eventsT(spark, dir), gapSeconds = 21600L)

@@ -418,14 +418,24 @@ object Dedup {
                              shingleN: Int,
                              maxPostings: Int = 1024): DataFrame = {
     val posts = hashedPostings(shingleSets(docs, idCol, textCol, shingleN))
-    // STRICTLY LINEAR lineage — the corpus is scanned exactly ONCE (any
-    // branch that references the posting subtree twice replans the whole
-    // scan+shingle+hash chain; at 100 TB the scan dominates everything):
-    //  1. groupBy(h): posting lists, hot shingles dropped (the cap);
-    //  2. explode back and window-count per doc → the filtered-universe
-    //     set size n, carried WITH each posting from here on;
-    //  3. re-group by h, pairs explode with (n1, n2) in the pair row;
-    //  4. per-pair count = intersection; jac = inter / (n1 + n2 − inter).
+    // The corpus is scanned exactly ONCE, structurally (r17; the r16 shape
+    // derived the per-doc set size from a second reference to the posting
+    // subtree, which re-planned the whole scan+shingle+hash chain — at
+    // 100 TB a second corpus scan dwarfs everything this query does):
+    //  1. window-count occupancy per h, drop hot shingles (the cap);
+    //  2. groupBy(h) → sorted posting LISTS, singletons KEPT — this is the
+    //     inverted index itself, checkpointed lazily as the one shared
+    //     artifact both derivations below read (same physical RDD; the
+    //     groupBy reuses the window's h-partitioning, so no new exchange);
+    //  3. pairs: i<j explode over lists with ≥ 2 docs → count per (id1,
+    //     id2) = intersection size. The pair structs carry ONLY the two
+    //     ids (the r16 shape shuffled n1/n2 inside every pair row);
+    //  4. per-doc filtered-universe set size n: explode the SAME lists and
+    //     count per doc (map-side partial aggregation reduces the explode
+    //     to one tiny row per doc per partition before it shuffles);
+    //  5. attach n1/n2 to the AGGREGATED pair rows — two joins of the
+    //     candidate-pair table against the one-row-per-doc table, both
+    //     orders of magnitude below posting scale.
     // step 1 as a windowed occupancy filter, NOT collect_list-then-filter:
     // the hot posting list this cap exists for must never materialize as
     // one aggregation-buffer array (WindowExec spills; see
@@ -434,31 +444,23 @@ object Dedup {
       .withColumn("__occ", count(lit(1)).over(Window.partitionBy(col("h"))))
       .where(col("__occ") <= maxPostings)
       .select(col("h"), col("doc_id"))
-    // filtered-universe set size n per doc: an aggregate JOINED back, not a
-    // second window (r16 opt) — the per-doc window re-shuffled the whole
-    // posting set by doc_id and destroyed the h-partitioning the next
-    // groupBy needs, costing a THIRD posting-scale exchange. The aggregate
-    // output is one row per doc, so the join back picks broadcast-hash at
-    // bench scale (AQE) / a shuffled join at 100 TB. The aggregate branch
-    // does replan the scan+shingle+hash subtree (column pruning
-    // specializes it past ReuseExchange), but an intra-query persist of
-    // `kept` measured WORSE on the composed entries (dedup_recall_report
-    // runs this next to the LSH pipeline; the eager cache build and its
-    // memory pressure cost more than the second scan — A/B in
-    // OPTIMIZATION_r16.md §2).
-    val nPerDoc = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val withN = kept.join(nPerDoc, Seq("doc_id"))
-    val lists = withN.groupBy(col("h"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
-      .where(size(col("ids")) > 1)
-    val pairs = lists.select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))), y => struct(
-          x.getField("doc_id").as("id1"), x.getField("n").as("n1"),
-          y.getField("doc_id").as("id2"), y.getField("n").as("n2")))))).as("p"))
-      .select(col("p.id1"), col("p.n1"), col("p.id2"), col("p.n2"))
-    pairs
+    val lists = kept.groupBy(col("h"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .localCheckpoint(false)
+    val pairs = lists.where(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("id1"), y.as("id2")))))).as("p"))
+      .select(col("p.id1"), col("p.id2"))
       .groupBy(col("id1"), col("id2"))
-      .agg(count(lit(1)).as("inter"), max(col("n1")).as("n1"), max(col("n2")).as("n2"))
+      .agg(count(lit(1)).as("inter"))
+    val nPerDoc = lists
+      .select(explode(col("ids")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    pairs
+      .join(nPerDoc.select(col("doc_id").as("id1"), col("n").as("n1")), Seq("id1"))
+      .join(nPerDoc.select(col("doc_id").as("id2"), col("n").as("n2")), Seq("id2"))
+      .select(col("id1"), col("id2"), col("inter"), col("n1"), col("n2"))
   }
 
   /** Near-dup clustering: connected components over the verified pair graph
